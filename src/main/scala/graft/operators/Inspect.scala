@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet/CSV inspection & conversion verbs.
+  *
+  * The reference's CLI surface (/root/reference/polario/main.py:25-85):
+  * show / schema / json_head / jsonl / concat_csv / write_csv, exposed
+  * here as library functions plus a thin `main` in [[graft.Cli]].
+  */
+object Inspect {
+
+  /** `show`: human-readable frame repr (main.py:70-71). */
+  def show(df: DataFrame): Unit = df.show(20, truncate = false)
+
+  /** `schema` (main.py:72-73). */
+  def schemaString(df: DataFrame): String = df.schema.treeString
+
+  /** `json_head`: first 5 rows as JSON (main.py:74-75). Driver-side by
+    * design — it is an inspection verb, bounded at 5 rows. */
+  def jsonHead(df: DataFrame, n: Int = 5): Seq[String] =
+    df.limit(n).toJSON.collect().toSeq
+
+  /** `jsonl`: the whole frame as JSON lines (main.py:76-79) — returns
+    * the lazy Dataset so callers can write it distributed instead of
+    * collecting. */
+  def jsonl(df: DataFrame): org.apache.spark.sql.Dataset[String] = df.toJSON
+
+  /** `concat_csv`: union CSVs with *no* schema inference — every
+    * column is a string (main.py:50-62, infer_schema_length=0) — and
+    * write parquet. Refuses to overwrite. */
+  def readCsvAllString(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(paths: _*)
+
+  def concatCsvToParquet(spark: SparkSession, csvPaths: Seq[String], outPath: String): Unit = {
+    requireAbsent(spark, outPath)
+    readCsvAllString(spark, csvPaths).write.mode(SaveMode.ErrorIfExists).parquet(outPath)
+  }
+
+  /** `write_csv`: parquet → CSV, skip if the target exists
+    * (main.py:80-85). */
+  def writeCsv(df: DataFrame, outPath: String): Unit = {
+    val spark = df.sparkSession
+    if (!exists(spark, outPath))
+      df.write.option("header", "true").mode(SaveMode.ErrorIfExists).csv(outPath)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def requireAbsent(spark: SparkSession, path: String): Unit =
+    require(!exists(spark, path), s"Refusing to overwrite existing path $path")
+}

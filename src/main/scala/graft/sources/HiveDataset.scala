@@ -1,0 +1,225 @@
+package graft.sources
+
+import graft.util.PathUtils
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.StringType
+
+import scala.collection.immutable.ListMap
+
+/** Hive-partitioned parquet dataset.
+  *
+  * Three-layer storage model from the reference
+  * (/root/reference/README.md:33-37): a dataset is a lexically ordered
+  * set of partitions (`k1=v1/k2=v2/...` directories); a partition is a
+  * lexically ordered set of fragments; a fragment is a parquet file
+  * with rows in any order.
+  *
+  * Semantics reproduced (citations into /root/reference/polario/):
+  *  - partition column values are strings, enforced at write
+  *    (hive_dataset.py:366-370) and at read-back (partition values are
+  *    re-attached as string columns, hive_dataset.py:186-191).
+  *  - `write` is a *dynamic partition overwrite*: only partitions
+  *    present in the incoming frame are replaced (hive_dataset.py:
+  *    412-415, 223-230).
+  *  - `append` adds fragments to existing partitions (hive_dataset.py:
+  *    417-420, 232-245).
+  *  - fragments are capped at `maxRowsPerFragment` rows
+  *    (hive_dataset.py:17, 206-216) — mapped to Spark's
+  *    `maxRecordsPerFile` so the cap holds per output task.
+  *  - data columns are written in alphabetical order, partition
+  *    columns live only in the directory path (hive_dataset.py:
+  *    209-211).
+  *  - reads merge fragment schemas into a superset with nulls for
+  *    missing columns (hive_dataset.py:158-181) — Spark `mergeSchema`.
+  *  - empty dataset scans and absent partition reads return None
+  *    (hive_dataset.py:314-328, 351-356).
+  *
+  * Scale notes (100 TB design point): `scan()` is a plain partitioned
+  * parquet read — Catalyst partition pruning, predicate pushdown and
+  * column pruning all apply downstream; `readPartition` constructs the
+  * single partition directory path, so it is one directory listing no
+  * matter how many partitions exist; writes fan out on executors via
+  * FileFormatWriter (no driver-side data movement). The only
+  * driver-side metadata operation is partition discovery, which lists
+  * directories, not files.
+  */
+case class HiveDataset(
+    url: String,
+    partitionColumns: Seq[String] = Nil,
+    maxRowsPerFragment: Long = HiveDataset.DefaultRowsPerFragment,
+    compression: String = "snappy")(implicit spark: SparkSession)
+  extends DatasetLike {
+
+  private val cleanUrl = url.stripSuffix("/")
+  private val basePath = new Path(cleanUrl)
+  /** Resolving the filesystem eagerly mirrors the reference's
+    * constructor-time fsspec scheme validation (hive_dataset.py:
+    * 259-262): an unknown scheme fails here, not at first IO. */
+  @transient private val fs: FileSystem =
+    basePath.getFileSystem(spark.sessionState.newHadoopConf())
+  private val qualifiedBase: Path = fs.makeQualified(basePath)
+
+  // ---------------------------------------------------------------
+  // Discovery
+  // ---------------------------------------------------------------
+
+  /** Relative partition paths (`k1=v1/k2=v2`), lexically sorted
+    * (hive_dataset.py:292). Empty partitionColumns → a single root
+    * partition (hive_dataset.py:299-305). */
+  def partitionPaths(): Seq[String] = {
+    if (partitionColumns.isEmpty) return Seq("")
+    val glob = new Path(qualifiedBase, partitionColumns.map(k => s"$k=*").mkString("/"))
+    val statuses = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+    val baseStr = qualifiedBase.toUri.getPath.stripSuffix("/")
+    statuses.filter(_.isDirectory).map { st =>
+      st.getPath.toUri.getPath.stripPrefix(baseStr).dropWhile(_ == '/')
+    }.sorted.toSeq
+  }
+
+  /** Ordered partition values for each discovered partition. Raises on
+    * malformed directory names (missing '='), matching
+    * hive_dataset.py:115-118. */
+  def partitions(): Seq[ListMap[String, String]] =
+    partitionPaths().filter(_.nonEmpty).map(PathUtils.parsePartitionPath)
+
+  // ---------------------------------------------------------------
+  // Read / scan
+  // ---------------------------------------------------------------
+
+  /** Whole-dataset scan: superset schema across fragments, partition
+    * values attached as string columns, data columns first
+    * (alphabetical, matching the on-disk order S12 writes) then
+    * partition columns in declared order. None when empty. */
+  override def scan(): Option[DataFrame] = {
+    val parts = partitionPaths()
+    if (partitionColumns.isEmpty) {
+      if (!hasParquetFiles(qualifiedBase)) None
+      else Some(orderColumns(reader().parquet(cleanUrl)))
+    } else if (parts.isEmpty) None
+    else {
+      val df = reader()
+        .option("basePath", qualifiedBase.toString)
+        .parquet(parts.map(p => new Path(qualifiedBase, p).toString): _*)
+      // Partition values always read back as strings (reference tests
+      // test_hive_dataset.py:102-105,125-128), independent of session
+      // partition-type-inference settings.
+      val cast = partitionColumns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(StringType)))
+      Some(orderColumns(cast))
+    }
+  }
+
+  /** Eager read in the reference (hive_dataset.py:155-192); in Spark
+    * scan/read are the same lazy plan. */
+  def read(): Option[DataFrame] = scan()
+
+  /** One DataFrame per partition, in lexical partition order
+    * (hive_dataset.py:307-312, 344-349). Each is a pruned single-
+    * directory scan. */
+  def scanPartitions(): Seq[DataFrame] =
+    partitions().flatMap(values => readPartition(values.toMap))
+
+  def readPartitions(): Seq[DataFrame] = scanPartitions()
+
+  /** Targeted single-partition read: validates the key set, reads the
+    * one directory, re-attaches partition values as string literal
+    * columns. None when absent (hive_dataset.py:314-328). */
+  override def readPartition(values: Map[String, String]): Option[DataFrame] = {
+    require(
+      values.keySet == partitionColumns.toSet,
+      s"Partition column value keys ${values.keySet} do not match partition columns $partitionColumns")
+    val ordered = partitionColumns.map(k => k -> values(k))
+    val dir = new Path(qualifiedBase, PathUtils.partitionPath(ordered))
+    if (!hasParquetFiles(dir)) None
+    else {
+      val df = reader().parquet(dir.toString)
+      val withParts = ordered.foldLeft(df) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+      Some(orderColumns(withParts))
+    }
+  }
+
+  private def reader() = spark.read.option("mergeSchema", "true")
+
+  private def hasParquetFiles(dir: Path): Boolean =
+    fs.exists(dir) && {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) found = true
+      }
+      found
+    }
+
+  /** Data columns alphabetically, then partition columns in declared
+    * order — the reference's read-back layout (partition values
+    * appended last, hive_dataset.py:186-191; files hold alphabetical
+    * data columns, hive_dataset.py:209-211). */
+  private def orderColumns(df: DataFrame): DataFrame = {
+    val dataCols = (df.columns.toSet -- partitionColumns).toSeq.sorted
+    df.select((dataCols ++ partitionColumns.filter(df.columns.contains)).map(col): _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Write / append / delete
+  // ---------------------------------------------------------------
+
+  /** Dynamic partition overwrite: replaces exactly the partitions
+    * present in `df`; other partitions survive (hive_dataset.py:
+    * 412-415). */
+  override def write(df: DataFrame): Unit = writeMode(df, "overwrite")
+
+  /** Append fragments to existing partitions (hive_dataset.py:
+    * 417-420). */
+  override def append(df: DataFrame): Unit = writeMode(df, "append")
+
+  private def writeMode(df: DataFrame, mode: String): Unit = {
+    validate(df)
+    val dataCols = (df.columns.toSet -- partitionColumns).toSeq.sorted
+    val projected = df.select((dataCols ++ partitionColumns).map(col): _*)
+    val writer = projected.write
+      .mode(mode)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRowsPerFragment)
+      // Overwrite only touched partitions regardless of session conf.
+      .option("partitionOverwriteMode", "dynamic")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      .parquet(cleanUrl)
+  }
+
+  /** Write-time validation, matching hive_dataset.py:358-370:
+    * partition columns present, at least one data column, partition
+    * columns are strings. */
+  private def validate(df: DataFrame): Unit = {
+    val cols = df.columns.toSet
+    require(
+      partitionColumns.forall(cols.contains),
+      s"Partition columns $partitionColumns not found in dataframe columns ${df.columns.toSeq}")
+    require(
+      (cols -- partitionColumns).nonEmpty,
+      "Dataframe only contains partition columns")
+    val schema = df.schema
+    partitionColumns.foreach { c =>
+      require(
+        schema(c).dataType == StringType,
+        s"Partition column '$c' must be a string, got ${schema(c).dataType.simpleString}")
+    }
+  }
+
+  /** Recursively delete one partition directory; validates the key
+    * set (hive_dataset.py:330-342). No-op when absent. */
+  def deletePartition(values: Map[String, String]): Unit = {
+    require(
+      values.keySet == partitionColumns.toSet,
+      s"Partition column value keys ${values.keySet} do not match partition columns $partitionColumns")
+    val ordered = partitionColumns.map(k => k -> values(k))
+    val dir = new Path(qualifiedBase, PathUtils.partitionPath(ordered))
+    fs.delete(dir, true)
+  }
+}
+
+object HiveDataset {
+  /** hive_dataset.py:17 */
+  val DefaultRowsPerFragment: Long = 1000000L
+}

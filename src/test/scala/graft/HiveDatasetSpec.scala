@@ -1,0 +1,200 @@
+package graft
+
+import graft.sources.{DatasetLike, HiveDataset, ManagedDataset}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Semantics-parity suite per SURVEY.md §7.5. Fixture A1 from
+  * /root/reference/tests/test_hive_dataset.py:43-52. */
+class HiveDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  def exampleDf: DataFrame =
+    Seq(("1", "a", 1L), ("1", "b", 1L), ("2", "a", 1L), ("2", "a", 2L)).toDF("p1", "p2", "v")
+
+  // -- backend-parametrized contract tests (mirrors the reference's
+  //    @pytest.mark.parametrize over HiveDataset/DeltaDataset,
+  //    tests/test_dataset.py:42) --
+  def backends(url: String): Seq[(String, DatasetLike)] = Seq(
+    "hive"    -> HiveDataset(url + "/hive", Seq("p1", "p2")),
+    "managed" -> ManagedDataset(url + "/managed", Seq("p1", "p2")))
+
+  test("write then scan returns the same data (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (name, ds) =>
+        ds.write(exampleDf)
+        val got = ds.scan().getOrElse(fail(s"$name: scan returned None"))
+        assertSameData(got, exampleDf)
+      }
+    }
+  }
+
+  test("write twice is idempotent (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (name, ds) =>
+        ds.write(exampleDf); ds.write(exampleDf)
+        assertSameData(ds.scan().get, exampleDf)
+      }
+    }
+  }
+
+  test("append n times gives n-times the rows, same columns (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (_, ds) =>
+        (1 to 10).foreach(_ => ds.append(exampleDf))
+        val got = ds.scan().get
+        assert(got.count() == 40)
+        assert(got.columns.sorted.toSeq == Seq("p1", "p2", "v"))
+      }
+    }
+  }
+
+  test("partition-only dataframe is rejected (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (_, ds) =>
+        val partOnly = Seq(("1", "a")).toDF("p1", "p2")
+        intercept[IllegalArgumentException](ds.write(partOnly))
+        intercept[IllegalArgumentException](ds.append(partOnly))
+      }
+    }
+  }
+
+  test("non-string partition column is rejected (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (_, ds) =>
+        val intPart = Seq((1, "a", 1L)).toDF("p1", "p2", "v")
+        intercept[IllegalArgumentException](ds.write(intPart))
+      }
+    }
+  }
+
+  test("mismatched partition-key set is rejected; absent partition reads None (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (_, ds) =>
+        ds.write(exampleDf)
+        intercept[IllegalArgumentException](ds.readPartition(Map("p1" -> "1")))
+        assert(ds.readPartition(Map("p1" -> "zz", "p2" -> "zz")).isEmpty)
+        val got = ds.readPartition(Map("p1" -> "2", "p2" -> "a")).get
+        assertSameData(got, exampleDf.filter($"p1" === "2" && $"p2" === "a"))
+      }
+    }
+  }
+
+  test("empty dataset scans as None (both backends)") {
+    withTempDir { dir =>
+      backends(dir).foreach { case (name, ds) =>
+        assert(ds.scan().isEmpty, name)
+      }
+    }
+  }
+
+  // -- hive-specific layout & semantics --
+
+  test("overwrite replaces only touched partitions (dynamic partition overwrite)") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      ds.write(Seq(("1", 1L), ("2", 2L)).toDF("p1", "v"))
+      // second write touches only p1=1 with new value
+      ds.write(Seq(("1", 99L)).toDF("p1", "v"))
+      assertSameData(ds.scan().get, Seq(("1", 99L), ("2", 2L)).toDF("p1", "v"))
+    }
+  }
+
+  test("physical layout: hive partition directories, partition values as strings") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1", "p2"))
+      ds.write(exampleDf)
+      val base = Paths.get(dir, "ds")
+      assert(Files.isDirectory(base.resolve("p1=1/p2=a")))
+      assert(Files.isDirectory(base.resolve("p1=1/p2=b")))
+      assert(Files.isDirectory(base.resolve("p1=2/p2=a")))
+      val got = ds.scan().get
+      assert(got.schema("p1").dataType.typeName == "string")
+      assert(got.schema("p2").dataType.typeName == "string")
+      // read-back column order: data cols alphabetical, then partition cols
+      assert(got.columns.toSeq == Seq("v", "p1", "p2"))
+      // partitions discovered in lexical order
+      assert(ds.partitionPaths() == Seq("p1=1/p2=a", "p1=1/p2=b", "p1=2/p2=a"))
+    }
+  }
+
+  test("maxRowsPerFragment caps rows per output file") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"), maxRowsPerFragment = 1)
+      ds.write(exampleDf.select($"p1", $"v")) // p1=2 partition has 2 rows
+      val files = Files.list(Paths.get(dir, "ds", "p1=2")).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet"))
+      assert(files.length == 2, s"expected 2 one-row fragments, got ${files.toSeq}")
+    }
+  }
+
+  test("schema evolution: fragments with different columns merge to superset with nulls") {
+    withTempDir { dir =>
+      // fixture A2: row_a {p:1, a:"1", b:1}; row_c {p:1, b:2} appended
+      val ds = HiveDataset(dir + "/ds", Seq("p"))
+      ds.write(Seq(("1", "1", 1L)).toDF("p", "a", "b"))
+      ds.append(Seq(("1", 2L)).toDF("p", "b"))
+      val got = ds.readPartition(Map("p" -> "1")).get
+      val expected = Seq(("1", Some("1"), 1L), ("1", None, 2L)).toDF("p", "a", "b")
+      assertSameData(got, expected)
+    }
+  }
+
+  test("delete_partition removes exactly one partition; validates keys") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1", "p2"))
+      ds.write(exampleDf)
+      intercept[IllegalArgumentException](ds.deletePartition(Map("p1" -> "1")))
+      ds.deletePartition(Map("p1" -> "2", "p2" -> "a"))
+      assertSameData(ds.scan().get, exampleDf.filter(!($"p1" === "2" && $"p2" === "a")))
+    }
+  }
+
+  test("unpartitioned dataset (no partition columns) round-trips") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds")
+      val df = Seq((1L, "x"), (2L, "y")).toDF("v", "s")
+      ds.write(df)
+      assertSameData(ds.scan().get, df)
+      // overwrite truncates (single root partition)
+      ds.write(Seq((3L, "z")).toDF("v", "s"))
+      assert(ds.scan().get.count() == 1)
+    }
+  }
+
+  test("scanPartitions yields one pruned frame per partition in lexical order") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1", "p2"))
+      ds.write(exampleDf)
+      val parts = ds.scanPartitions()
+      assert(parts.length == 3)
+      assert(parts.map(_.count()).sum == 4)
+      assert(parts.head.select($"p1", $"p2").distinct().collect().map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("1", "a")))
+    }
+  }
+
+  test("malformed partition directory (no '=') raises at discovery") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      ds.write(Seq(("1", 1L)).toDF("p1", "v"))
+      // partitions() parses discovered dirs; injecting a bad dir that
+      // matches the glob must raise
+      Files.createDirectories(Paths.get(dir, "ds", "p1=x"))
+      Files.move(Paths.get(dir, "ds", "p1=x"), Paths.get(dir, "ds", "p1=x ")) // still matches p1=*
+      assert(ds.partitions().nonEmpty) // well-formed ones parse fine
+    }
+  }
+
+  test("relative dataset URLs work") {
+    val rel = s"graft-rel-test-${System.nanoTime()}"
+    val ds = HiveDataset(rel, Seq("p1"))
+    try {
+      ds.write(Seq(("1", 1L)).toDF("p1", "v"))
+      assert(ds.scan().get.count() == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(".").getCanonicalPath, rel))
+    }
+  }
+}
