@@ -25,6 +25,10 @@ object GraftSession {
     .config("spark.sql.parquet.compression.codec", "snappy")
     // Oracle parity: DuckDB reads/writes TIMESTAMP_MICROS; avoid INT96.
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // The driver's events table stores TIMESTAMP(NANOS) parquet, which
+    // Spark rejects by default (PARQUET_TYPE_ILLEGAL); read as bigint
+    // nanos and derive instants explicitly (see queries.Relational).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Scale defaults: AQE re-plans skewed shuffles and coalesces
     // small partitions at runtime; on a real cluster shuffle
     // partitions would be ~2-3x total cores — here the harness core

@@ -1,0 +1,126 @@
+package graft.functions
+
+/** Portable, SQL-expressible text-hashing primitives.
+  *
+  * Every builder here renders the SAME exact 64-bit integer arithmetic
+  * in two dialects:
+  *
+  *   - `spark`: a Spark SQL expression string (pure built-in
+  *     higher-order functions — Catalyst-optimized, codegen-friendly,
+  *     no UDFs, no serialization boundary), and
+  *   - `duck`: the equivalent DuckDB SQL used by the correctness
+  *     oracle.
+  *
+  * Because the arithmetic is exact integer math, the two engines
+  * produce bitwise-identical results, which is what makes hash-based
+  * operators (minhash/LSH dedup, simhash, fingerprinting) verifiable
+  * against an independent engine.
+  *
+  * Base hash: the polynomial rolling hash
+  * `h(s) = fold_c (h * 31 + code(c)) mod P` with `P = 1e9+7`
+  * (31*h + c < 2^35, no 64-bit overflow). Seeded family:
+  * `h_i(s) = (a_i * h(s) + b_i) mod P` — universal hashing
+  * (a_i < P, h < P so a_i*h < 2^60, no overflow).
+  *
+  * Scale note (100 TB design point): these are per-row scalar
+  * expressions with no shuffle; they run inside whole-stage codegen
+  * and scale linearly with input. The LSH layer on top (see
+  * graft.operators.DedupOps) is what bounds the pairwise comparison
+  * cost.
+  */
+object TextHash {
+
+  val P: Long = 1000000007L
+
+  /** Deterministic seed pairs (a_i, b_i) for the minhash family. */
+  val Seeds: Seq[(Long, Long)] = Seq(
+    (387143553L, 9231041L),
+    (53442161L, 962287861L),
+    (712662842L, 330806107L),
+    (262095967L, 836118547L),
+    (908715265L, 111000001L),
+    (145674659L, 744919543L),
+    (559086749L, 423489737L),
+    (983190923L, 63895397L)
+  )
+
+  /** Spark SQL dialect — strings for `org.apache.spark.sql.functions.expr`. */
+  object spark {
+    /** Per-character code points of `s`, 1-indexed. */
+    def charCodes(s: String): String =
+      s"transform(sequence(1, length($s)), i -> ascii(substring($s, i, 1)))"
+
+    /** Polynomial rolling hash of the string expression `s`, in [0, P). */
+    def rollingHash(s: String): String =
+      s"aggregate(${charCodes(s)}, cast(0 as bigint), (h, c) -> (h * 31 + c) % $P)"
+
+    /** Whitespace tokenization (single-space corpora). */
+    def tokens(s: String): String = s"split($s, ' ')"
+
+    /** 3-word shingles over a token-array expression `t`; whole-text
+      * fallback below 3 tokens keeps the result non-empty. */
+    def shingles3(t: String, fallbackText: String): String =
+      s"CASE WHEN size($t) >= 3 THEN transform(sequence(1, size($t) - 2), " +
+        s"i -> concat(element_at($t, i), ' ', element_at($t, i + 1), ' ', element_at($t, i + 2))) " +
+        s"ELSE array($fallbackText) END"
+
+    /** Seeded hash of an already-computed base-hash expression. */
+    def seeded(h: String, a: Long, b: Long): String = s"(($a * $h + $b) % $P)"
+
+    /** Min over the seeded-hash image of a shingle-array expression =
+      * one minhash signature component. */
+    def minhash(shinglesExpr: String, a: Long, b: Long): String =
+      s"array_min(transform($shinglesExpr, sh -> ${seeded(rollingHash("sh"), a, b)}))"
+
+    /** Per-token 16-bit hashes of a token-array expression. */
+    def tokenHashes16(t: String): String =
+      s"transform($t, tk -> ${rollingHash("tk")} % 65536)"
+
+    /** 16-bit simhash over a precomputed 16-bit token-hash array
+      * expression `hs`: for each bit, majority vote of +-1 over tokens. */
+    def simhash16(hs: String): String =
+      (0 until 16).map { j =>
+        val bit = 1L << j
+        val s = s"aggregate($hs, cast(0 as bigint), (acc, h) -> acc + CASE WHEN (h div $bit) % 2 = 1 THEN 1 ELSE -1 END)"
+        s"CASE WHEN $s > 0 THEN $bit ELSE 0 END"
+      }.mkString("(", " + ", ")")
+
+    /** Count of tokens equal to a literal word. */
+    def tokenCount(t: String, word: String): String =
+      s"size(filter($t, x -> x = '$word'))"
+  }
+
+  /** DuckDB dialect — strings for the driver's oracle SQL. */
+  object duck {
+    def charCodes(s: String): String =
+      s"list_transform(range(1, length($s) + 1), i -> ascii(substr($s, i, 1))::BIGINT)"
+
+    def rollingHash(s: String): String =
+      s"list_reduce(list_prepend(0::BIGINT, ${charCodes(s)}), (h, c) -> (h * 31 + c) % $P)"
+
+    def tokens(s: String): String = s"string_split($s, ' ')"
+
+    def shingles3(t: String, fallbackText: String): String =
+      s"CASE WHEN len($t) >= 3 THEN list_transform(range(1, len($t) - 1), " +
+        s"i -> $t[i] || ' ' || $t[i + 1] || ' ' || $t[i + 2]) " +
+        s"ELSE [$fallbackText] END"
+
+    def seeded(h: String, a: Long, b: Long): String = s"(($a * $h + $b) % $P)"
+
+    def minhash(shinglesExpr: String, a: Long, b: Long): String =
+      s"list_min(list_transform($shinglesExpr, sh -> ${seeded(rollingHash("sh"), a, b)}))"
+
+    def tokenHashes16(t: String): String =
+      s"list_transform($t, tk -> ${rollingHash("tk")} % 65536)"
+
+    def simhash16(hs: String): String =
+      (0 until 16).map { j =>
+        val bit = 1L << j
+        val s = s"list_reduce(list_prepend(0::BIGINT, list_transform($hs, h -> CASE WHEN (h // $bit) % 2 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)), (acc, v) -> acc + v)"
+        s"CASE WHEN $s > 0 THEN $bit ELSE 0 END"
+      }.mkString("(", " + ", ")")
+
+    def tokenCount(t: String, word: String): String =
+      s"len(list_filter($t, x -> x = '$word'))"
+  }
+}

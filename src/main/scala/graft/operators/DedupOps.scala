@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (exact + near-dup) for document corpora.
+  *
+  * Scale design (100 TB): every technique here is
+  * blocking/bucketing-based so the candidate-pair space is bounded by
+  * bucket sizes, never the full n² cross join:
+  *
+  *  - exact: hash-groupBy on a content digest (one shuffle on the
+  *    digest — the minimum possible);
+  *  - MinHash+LSH: shingle → signature (per-row, codegen'd) → band
+  *    keys → self-join per band key (shuffle hash join on band key;
+  *    candidate pairs only within identical-band buckets, the standard
+  *    LSH guarantee), then exact Jaccard verification restricted to
+  *    candidates;
+  *  - blocked Jaccard: equality-blocking on a cheap prefix key.
+  *
+  * AQE's skew-join splitting handles a pathological hot bucket at
+  * runtime; at cluster scale the band-key join would also be salted.
+  */
+object DedupOps {
+
+  import TextHash.{spark => H}
+
+  /** Per-group exact-duplicate stats: rows vs distinct content digests. */
+  def exactDupStats(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col(textCol))).as("n_unique"))
+      .orderBy(col(groupCol))
+
+  /** MinHash signatures + band keys. `bands` bands of `rowsPerBand`
+    * signature components each. */
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 2, rowsPerBand: Int = 4): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val sig = TextOps.withMinhashSignature(df, textCol, nHashes)
+    (0 until bands).foldLeft(sig) { (d, b) =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      d.withColumn(s"band$b", concat_ws("|", cols: _*))
+    }
+  }
+
+  /** LSH candidate pairs (a_id < b_id) from any band collision,
+    * verified with exact shingle-set Jaccard, filtered at `minJaccard`.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 2, rowsPerBand: Int = 4,
+                      minJaccard: Double = 0.5): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("id") +: (0 until bands).map(b => col(s"band$b")): _*)
+
+    // Candidate pairs: same band value in any band, deduplicated.
+    val pairs = (0 until bands).map { b =>
+      val x = sigs.select(col("id").as("a_id"), col(s"band$b").as("bk"))
+      val y = sigs.select(col("id").as("b_id"), col(s"band$b").as("bk"))
+      x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
+    }.reduce(_ unionAll _).distinct()
+
+    // Exact verification: Jaccard over distinct 3-shingle sets,
+    // computed only for candidate docs (semi-join pruning).
+    val sh = TextOps.withTokens(df, textCol, "__toks")
+      .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
+      .select(col(idCol).as("id"), col("sh")).distinct()
+    val candIds = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id"))).distinct()
+    val candSh = sh.join(candIds, "id")
+
+    val sizes = candSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(candSh.select(col("id").as("a_id"), col("sh")), "a_id")
+      .join(candSh.select(col("id").as("b_id"), col("sh").as("sh2")), "b_id")
+      .where(col("sh") === col("sh2"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** N-gram Jaccard near-dup within equality blocks (cheap blocking
+    * key = text prefix): the classic blocked-dedup shape. */
+  def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          prefixLen: Int = 40, minJaccard: Double = 0.3): DataFrame = {
+    val blocked = df.select(
+      col(idCol).as("id"), col(textCol).as("__text"),
+      substring(col(textCol), 1, prefixLen).as("blk"))
+    val pairs = blocked.as("x").join(blocked.as("y"), "blk")
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+
+    val sh = TextOps.withTokens(df, textCol, "__toks")
+      .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
+      .select(col(idCol).as("id"), col("sh")).distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.select(col("id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("sh2")), "b_id")
+      .where(col("sh") === col("sh2"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+}

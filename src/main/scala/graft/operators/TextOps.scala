@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * All operators are per-row scalar pipelines built from Spark
+  * built-in (higher-order) expressions — no UDFs — so they stay
+  * inside whole-stage codegen and shuffle only where an aggregation
+  * genuinely requires it. Beyond the reference's surface (polario has
+  * no text operators — /root/reference/polario has only dataset I/O,
+  * see SURVEY.md §0); these are the north-star extensions.
+  */
+object TextOps {
+
+  import TextHash.{spark => H}
+
+  /** Add a whitespace token-array column. */
+  def withTokens(df: DataFrame, textCol: String, out: String = "toks"): DataFrame =
+    df.withColumn(out, expr(H.tokens(textCol)))
+
+  /** Rolling-hash document fingerprint in [0, 1e9+7). */
+  def withFingerprint(df: DataFrame, textCol: String, out: String = "fingerprint"): DataFrame =
+    df.withColumn(out, expr(H.rollingHash(textCol)))
+
+  /** MinHash signature columns m0..m{n-1} over 3-word shingles of
+    * `textCol`. Signature components are exact 64-bit integers —
+    * identical across engines (see TextHash). */
+  def withMinhashSignature(df: DataFrame, textCol: String, nHashes: Int = 8): DataFrame = {
+    require(nHashes <= TextHash.Seeds.size, s"at most ${TextHash.Seeds.size} seeds defined")
+    val withToks = withTokens(df, textCol, "__toks")
+    val withSh = withToks.withColumn("__sh", expr(H.shingles3("__toks", textCol)))
+    val sig = TextHash.Seeds.take(nHashes).zipWithIndex.foldLeft(withSh) {
+      case (d, ((a, b), i)) => d.withColumn(s"m$i", expr(H.minhash("__sh", a, b)))
+    }
+    sig.drop("__toks", "__sh")
+  }
+
+  /** 16-bit simhash over whitespace tokens. */
+  def withSimhash16(df: DataFrame, textCol: String, out: String = "simhash16"): DataFrame =
+    withTokens(df, textCol, "__toks")
+      .withColumn("__hs", expr(H.tokenHashes16("__toks")))
+      .withColumn(out, expr(H.simhash16("__hs")))
+      .drop("__toks", "__hs")
+
+  /** Stopword-frequency language-ID heuristic: counts per-language
+    * marker tokens and guesses the argmax (deterministic tie-break by
+    * fixed language order). */
+  def withLangGuess(df: DataFrame, textCol: String, out: String = "lang_guess"): DataFrame = {
+    val d = withTokens(df, textCol, "__toks")
+    val nThe = expr(H.tokenCount("__toks", "the"))
+    val nA = expr(H.tokenCount("__toks", "a"))
+    d.withColumn(out, when(nThe + nA >= lit(2), lit("en")).otherwise(lit("unk")))
+      .drop("__toks")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.functions.VectorSql
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable witnesses for similarity search over the
+  * `embeddings` table (64-dim array<float>). Cosine is a strict
+  * left-to-right fold in both engines (VectorSql), so similarities
+  * are bitwise-identical and hash-comparable.
+  */
+object EmbedQ {
+
+  import Q.t
+  import VectorSql.{duck => D}
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- brute-force cosine top-k -------------------------------
+    Q("q40_cosine_topk",
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id, ${D.cosine("embedding", "qv")} AS sim
+              |FROM embeddings, q WHERE vec_id <> 0
+              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
+        SimilarityOps.topK(emb, "vec_id", "embedding", q, 10, excludeId = Some(0L))
+      }),
+
+    // ---- kNN join: top-3 neighbors for 20 query vectors ----------
+    Q("q41_knn_join",
+      Some(s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+              |cs AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings WHERE vec_id >= 20),
+              |scored AS (SELECT q_id, c_id, ${D.cosine("cv", "qv")} AS sim FROM cs, qs),
+              |ranked AS (SELECT q_id, c_id, sim,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)::INT AS rank FROM scored)
+              |SELECT q_id, c_id, rank, sim FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.knnJoin(
+          emb.where(col("vec_id") >= 20).select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+          "c_id", "cv",
+          emb.where(col("vec_id") < 20).select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          "q_id", "qv", 3)
+      }),
+
+    // ---- IVF-style ANN: coarse quantize, probe one cluster -------
+    Q("q42_ivf_ann",
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+              |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+              |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+              |  SELECT c.vec_id, c.embedding, ct.cid,
+              |    row_number() OVER (PARTITION BY c.vec_id
+              |      ORDER BY ${D.cosine("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+              |  FROM corpus c, cent ct) WHERE rn = 1),
+              |probe AS (SELECT q.embedding AS qv, ct.cid AS cluster
+              |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 8) q, cent ct
+              |  ORDER BY ${D.cosine("q.embedding", "ct.cvec")} DESC, ct.cid LIMIT 1)
+              |SELECT a.vec_id, a.cluster, ${D.cosine("a.embedding", "p.qv")} AS sim
+              |FROM assigned a JOIN probe p ON a.cluster = p.cluster
+              |WHERE a.vec_id <> 8
+              |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.ivfSearch(
+          emb.where(col("vec_id") >= 8), "vec_id", "embedding",
+          emb.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          emb.where(col("vec_id") === 8).select(col("embedding").as("q")),
+          k = 5, excludeId = Some(8L))
+      }),
+
+    // ---- embedding-cosine near-dup pair counts (blocked) ---------
+    Q("q43_embed_near_dup",
+      Some(s"""WITH x AS (SELECT label, vec_id, embedding FROM embeddings)
+              |SELECT a.label, count(*) AS n_pairs
+              |FROM x a JOIN x b ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${D.cosine("a.embedding", "b.embedding")} >= 0.25
+              |GROUP BY a.label ORDER BY a.label""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.nearDupPairStats(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.25))
+  )
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.sources.HiveDataset
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable witnesses for the dataset-I/O layer (the
+  * reference's actual surface — SURVEY.md §2.1). Each query runs a
+  * real write/append/read round trip through `HiveDataset` on a temp
+  * dir, then aggregates the read-back so the result is comparable to
+  * an oracle over the ORIGINAL table — proving the round trip is
+  * lossless (and, for append/evolution, that the semantics match
+  * hive_dataset.py:412-420, 158-181).
+  */
+object HiveQ {
+
+  import Q.t
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- write → targeted partition read (pruned scan) -----------
+    // S10 + S14: dynamic-partition-overwrite write, then a
+    // single-partition read (one directory listing, no full scan).
+    Q("q20_hive_roundtrip",
+      Some("""SELECT count(*) AS n,
+             |  (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin),
+      (s, dir) => {
+        val ds = HiveDataset(tmp("graft_q20_"), Seq("l_returnflag"))(s)
+        ds.write(t(s, dir, "lineitem"))
+        ds.readPartition(Map("l_returnflag" -> "R")).get
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      }),
+
+    // ---- append adds fragments, write-partitions survive ---------
+    // S11 (hive_dataset.py:417-420): append the 'F' slice once more;
+    // its partition doubles, others are untouched.
+    Q("q21_hive_append",
+      Some("""SELECT o_orderstatus,
+             |  (count(*) * CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END)::BIGINT AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val ds = HiveDataset(tmp("graft_q21_"), Seq("o_orderstatus"))(s)
+        val orders = t(s, dir, "orders")
+        ds.write(orders)
+        ds.append(orders.where(col("o_orderstatus") === "F"))
+        ds.scan().get
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      }),
+
+    // ---- schema evolution: superset read with null fill ----------
+    // H7 (hive_dataset.py:158-181): fragments with different columns
+    // merge to the superset; missing columns read as NULL.
+    Q("q22_hive_schema_evolution",
+      Some("""SELECT c_mktsegment, (count(*) * 2)::BIGINT AS n,
+             |  count(c_acctbal) AS n_acctbal, count(c_name) AS n_name
+             |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        val ds = HiveDataset(tmp("graft_q22_"), Seq("c_mktsegment"))(s)
+        val c = t(s, dir, "customer")
+        ds.write(c.select("c_custkey", "c_acctbal", "c_mktsegment"))
+        ds.append(c.select("c_custkey", "c_name", "c_mktsegment"))
+        ds.scan().get
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("c_acctbal")).as("n_acctbal"),
+            count(col("c_name")).as("n_name"))
+          .orderBy("c_mktsegment")
+      }),
+
+    // ---- all-string CSV round trip (S18/S19, main.py:50-62) ------
+    Q("q23_csv_roundtrip",
+      Some("""SELECT r_regionkey::VARCHAR AS r_regionkey, r_name
+             |FROM region ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft_q23_")
+        t(s, dir, "region").coalesce(1)
+          .write.option("header", "true").mode("overwrite").csv(out)
+        s.read.option("header", "true").option("inferSchema", "false").csv(out)
+          .select("r_regionkey", "r_name")
+          .orderBy("r_regionkey")
+      })
+  )
+}

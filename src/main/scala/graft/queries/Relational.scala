@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface over the TPC-H-ish driver tables.
+  *
+  * The reference (polario) has no relational operators of its own —
+  * it delegates to Polars (SURVEY.md §2.3-§2.7). This engine exposes
+  * them Spark-natively; each query doubles as the driver-checkable
+  * witness for one operator family.
+  *
+  * Determinism rules used throughout (required for hash-equality with
+  * the DuckDB oracle):
+  *  - double aggregation goes through exact decimal casts;
+  *  - every ORDER BY ends in a unique tie-break column;
+  *  - NULL ordering is spelled explicitly where sort keys are
+  *    nullable (Spark ASC = NULLS FIRST, DuckDB ASC = NULLS LAST).
+  */
+object Relational {
+
+  import Q.t
+
+  private def sumDec(c: String, scale: Int = 2) =
+    sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- grouped aggregation (TPC-H Q1 shape) --------------------
+    Q("q01_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty,
+             |  (sum(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_base_price,
+             |  (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS sum_disc_price,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sumDec("l_quantity").as("sum_qty"),
+            sumDec("l_extendedprice").as("sum_base_price"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---- selective filter + scan pushdown (TPC-H Q6 shape) -------
+    Q("q02_filter_revenue",
+      Some("""SELECT count(*) AS n,
+             |  (sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))))::DOUBLE AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+             |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01"))
+            && col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+            && col("l_discount") >= 0.02 && col("l_discount") <= 0.06
+            && col("l_quantity") < 24)
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,6)"))
+              .cast("double").as("revenue"))),
+
+    // ---- multi-way join + agg (broadcast dims) -------------------
+    Q("q03_revenue_by_nation",
+      Some("""SELECT n_name,
+             |  (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS revenue,
+             |  count(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,6)"))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")),
+
+    // ---- broadcast star join over two dims -----------------------
+    Q("q04_customers_by_region",
+      Some("""SELECT r_name, count(*) AS n_customers,
+             |  (sum(CAST(c_acctbal AS DECIMAL(18,2))))::DOUBLE AS sum_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name
+             |ORDER BY r_name""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_customers"), sumDec("c_acctbal").as("sum_acctbal"))
+          .orderBy("r_name")),
+
+    // ---- global top-k (TakeOrderedAndProject) --------------------
+    Q("q05_top_orders",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)),
+
+    // ---- window function: per-group ranking ----------------------
+    Q("q06_window_rank",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn
+             |  FROM orders)
+             |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      }),
+
+    // ---- distinct -----------------------------------------------
+    Q("q07_distinct_segments",
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"),
+      (s, dir) =>
+        t(s, dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")),
+
+    // ---- vertical concat / union-all (reference op U1/U3,
+    //      hive_dataset.py:186, main.py:50-55) ---------------------
+    Q("q08_union_names",
+      Some("""SELECT r_name AS name FROM region
+             |UNION ALL SELECT n_name FROM nation ORDER BY name""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "region").select(col("r_name").as("name"))
+          .unionAll(t(s, dir, "nation").select(col("n_name").as("name")))
+          .orderBy("name")),
+
+    // ---- set difference: urgent customers with no 'F' order ------
+    Q("q09_set_except",
+      Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+          .except(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      }),
+
+    // ---- set intersection: urgent customers who do have one ------
+    Q("q10_set_intersect",
+      Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY o_custkey""".stripMargin),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+          .intersect(o.where(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      }),
+
+    // ---- rollup (grouping sets) ----------------------------------
+    Q("q11_rollup_counts",
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sumDec("l_quantity").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- scalar string/math functions ----------------------------
+    Q("q12_scalar_functions",
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name)::INT AS name_len,
+             |  substr(p_type, 1, 5) AS type_pfx,
+             |  CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents,
+             |  p_size % 7 AS size_mod, p_brand || '#' || p_type AS combo
+             |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "part")
+          .where(col("p_partkey") <= 500)
+          .select(
+            col("p_partkey"),
+            upper(col("p_brand")).as("brand_u"),
+            length(col("p_name")).as("name_len"),
+            substring(col("p_type"), 1, 5).as("type_pfx"),
+            floor(col("p_retailprice") * 100).cast("bigint").as("price_cents"),
+            (col("p_size") % 7).as("size_mod"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("combo"))
+          .orderBy("p_partkey")),
+
+    // ---- date part extraction ------------------------------------
+    Q("q13_orders_by_month",
+      Some("""SELECT year(o_orderdate)::INT AS o_year, month(o_orderdate)::INT AS o_month,
+             |  count(*) AS n, (sum(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS sum_price
+             |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(
+            year(col("o_orderdate")).as("o_year"),
+            month(col("o_orderdate")).as("o_month"))
+          .agg(count(lit(1)).as("n"), sumDec("o_totalprice").as("sum_price"))
+          .orderBy("o_year", "o_month")),
+
+    // ---- conditional aggregation ---------------------------------
+    Q("q14_conditional_agg",
+      Some("""SELECT o_orderpriority,
+             |  sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)::BIGINT AS n_big,
+             |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_totalprice") > 150000, 1).otherwise(0)).as("n_big"),
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")),
+
+    // ---- semi-structured extraction (events.props) ---------------
+    Q("q15_json_extract",
+      Some("""SELECT regexp_extract(props, '([0-9]+)', 1)::INT % 10 AS k_bucket,
+             |  count(*) AS n, sum(regexp_extract(props, '([0-9]+)', 1)::INT)::BIGINT AS sum_k
+             |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy((col("k_val") % 10).as("k_bucket"))
+          .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
+          .orderBy("k_bucket")),
+
+    // ---- event-time tumbling window (batch form) -----------------
+    // events.ts is TIMESTAMP(NANOS) parquet, read as bigint nanos
+    // (spark.sql.legacy.parquet.nanosAsLong) — outputs are epoch
+    // seconds so both engines agree at any precision.
+    Q("q16_events_hourly",
+      Some("""SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_epoch, event_type,
+             |  count(*) AS n, (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            expr("(ts div 3600000000000) * 3600").as("hour_epoch"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sumDec("value").as("sum_value"))
+          .orderBy("hour_epoch", "event_type")),
+
+    // ---- sessionization (gap > 30 min) ---------------------------
+    Q("q17_sessionize",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT user_id,
+             |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+             |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+             |       THEN 1 ELSE 0 END AS new_sess
+             |  FROM e)
+             |SELECT user_id, count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("us", expr("ts div 1000"))
+          .withColumn("prev", lag(col("us"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("new_sess")).as("n_sessions"))
+          .orderBy("user_id")
+      }),
+
+    // ---- top event per user (window + filter) --------------------
+    Q("q18_top_event_per_user",
+      Some("""SELECT user_id, event_id, value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+             |  FROM events)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("user_id", "event_id", "value")
+          .orderBy("user_id")
+      })
+  )
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.functions.TextHash
+import graft.operators.{DedupOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable witnesses for the text-analysis / dedup operator
+  * family (north-star extensions; the reference has no text operators
+  * — SURVEY.md §0). Oracles are generated from the same hash
+  * arithmetic via TextHash.duck, so results are bitwise-comparable.
+  */
+object TextQ {
+
+  import Q.t
+  import TextHash.{duck => D}
+
+  // DuckDB-side shared fragments.
+  private val duckToks = D.tokens("text")
+  private val duckShingles = D.shingles3("t", "text")
+
+  private def minhashCols(n: Int): String =
+    TextHash.Seeds.take(n).zipWithIndex
+      .map { case ((a, b), i) => s"${D.minhash("shs", a, b)} AS m$i" }
+      .mkString(", ")
+
+  private val sigCte =
+    s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, text, $duckShingles AS shs FROM toks),
+       |sig AS (SELECT doc_id, ${minhashCols(8)} FROM sh)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact dedup: content-digest groupBy ---------------------
+    Q("q30_dedup_exact",
+      Some("""SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => DedupOps.exactDupStats(t(s, dir, "documents"), "text", "source")),
+
+    // ---- rolling-hash document fingerprint -----------------------
+    Q("q31_fingerprint",
+      Some(s"""SELECT doc_id, ${D.rollingHash("text")} AS fingerprint
+              |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withFingerprint(t(s, dir, "documents"), "text")
+          .where(col("doc_id") < 100)
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id")),
+
+    // ---- minhash signatures --------------------------------------
+    Q("q32_minhash_signature",
+      Some(s"""$sigCte
+              |SELECT doc_id, m0, m1, m2, m3, m4, m5, m6, m7
+              |FROM sig WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withMinhashSignature(t(s, dir, "documents"), "text", 8)
+          .where(col("doc_id") < 200)
+          .select("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+          .orderBy("doc_id")),
+
+    // ---- minhash + LSH banding → verified near-dup pairs ---------
+    Q("q33_lsh_near_dup_pairs",
+      Some(s"""$sigCte,
+              |b AS (SELECT doc_id,
+              |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
+              |  m4::VARCHAR || '|' || m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR AS band1
+              |  FROM sig),
+              |pairs AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+              |  UNION
+              |  SELECT x.doc_id, y.doc_id FROM b x JOIN b y ON x.band1 = y.band1 AND x.doc_id < y.doc_id),
+              |shex AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh)),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY doc_id),
+              |common AS (
+              |  SELECT p.a_id, p.b_id, count(*) AS n_common
+              |  FROM pairs p
+              |  JOIN shex sa ON sa.doc_id = p.a_id
+              |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+              |  GROUP BY p.a_id, p.b_id)
+              |SELECT c.a_id, c.b_id,
+              |  c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
+              |FROM common c
+              |JOIN sizes za ON za.doc_id = c.a_id
+              |JOIN sizes zb ON zb.doc_id = c.b_id
+              |WHERE c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) >= 0.2
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2)),
+
+    // ---- simhash -------------------------------------------------
+    Q("q34_simhash",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |hs AS (SELECT doc_id, ${D.tokenHashes16("t")} AS hashes FROM toks)
+              |SELECT doc_id, ${D.simhash16("hashes")} AS simhash16
+              |FROM hs WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withSimhash16(t(s, dir, "documents"), "text")
+          .where(col("doc_id") < 200)
+          .select("doc_id", "simhash16")
+          .orderBy("doc_id")),
+
+    // ---- blocked n-gram Jaccard near-dup -------------------------
+    Q("q35_blocked_jaccard",
+      Some(s"""WITH blocked AS (SELECT doc_id, text, substr(text, 1, 40) AS blk FROM documents),
+              |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+              |  FROM blocked x JOIN blocked y ON x.blk = y.blk AND x.doc_id < y.doc_id),
+              |toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+              |sh AS (SELECT doc_id, $duckShingles AS shs FROM toks),
+              |shex AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh)),
+              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY doc_id),
+              |common AS (
+              |  SELECT p.a_id, p.b_id, count(*) AS n_common
+              |  FROM pairs p
+              |  JOIN shex sa ON sa.doc_id = p.a_id
+              |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+              |  GROUP BY p.a_id, p.b_id)
+              |SELECT c.a_id, c.b_id,
+              |  c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
+              |FROM common c
+              |JOIN sizes za ON za.doc_id = c.a_id
+              |JOIN sizes zb ON zb.doc_id = c.b_id
+              |WHERE c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) >= 0.3
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.blockedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 40, minJaccard = 0.3)),
+
+    // ---- language-ID heuristic -----------------------------------
+    Q("q36_lang_id",
+      Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents),
+              |g AS (SELECT lang,
+              |  CASE WHEN ${D.tokenCount("t", "the")} + ${D.tokenCount("t", "a")} >= 2
+              |       THEN 'en' ELSE 'unk' END AS lang_guess
+              |  FROM toks)
+              |SELECT lang, count(*) AS n,
+              |  sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_guessed_en
+              |FROM g GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        TextOps.withLangGuess(t(s, dir, "documents"), "text")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("lang_guess") === "en", 1).otherwise(0)).as("n_guessed_en"))
+          .orderBy("lang")),
+
+    // ---- quality scoring (exact-integer components) --------------
+    Q("q37_quality_stats",
+      Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)
+              |SELECT source, count(*) AS n_docs,
+              |  sum(length(text))::BIGINT AS sum_chars,
+              |  sum(len(t))::BIGINT AS sum_toks,
+              |  sum(${D.tokenCount("t", "the")})::BIGINT AS sum_stop,
+              |  (sum(${D.tokenCount("t", "the")})::BIGINT)::DOUBLE / (sum(len(t))::BIGINT) AS stop_ratio,
+              |  (sum(length(text))::BIGINT)::DOUBLE / count(*) AS avg_chars
+              |FROM toks GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        TextOps.withTokens(t(s, dir, "documents"), "text")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_chars"),
+            sum(size(col("toks"))).as("sum_toks"),
+            sum(expr(H.tokenCount("toks", "the"))).as("sum_stop"))
+          .withColumn("stop_ratio", col("sum_stop").cast("double") / col("sum_toks"))
+          .withColumn("avg_chars", col("sum_chars").cast("double") / col("n_docs"))
+          .orderBy("source")
+      }),
+
+    // ---- token counting: whitespace + regex tokenizer ------------
+    Q("q38_token_stats",
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  sum(len($duckToks))::BIGINT AS sum_ws_tokens,
+              |  sum(len(regexp_extract_all(text, '[a-z]+')))::BIGINT AS sum_re_tokens
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " "))).as("sum_ws_tokens"),
+            sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
+          .orderBy("lang")),
+
+    // ---- multimodal plumbing: opaque binary column stats ---------
+    // Binary payloads (here: utf8 bytes as a deterministic stand-in
+    // for image/audio blobs) flow through untouched; metadata is
+    // computed without decoding. See graft.operators.Multimodal for
+    // the full decode-stub pipeline.
+    Q("q39_binary_stats",
+      Some("""SELECT source, count(*) AS n,
+             |  sum(octet_length(text::BLOB))::BIGINT AS sum_bytes,
+             |  min(lower(hex(substr(text, 1, 4)::BLOB))) AS min_first4
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("payload", col("text").cast("binary"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(col("payload"))).as("sum_bytes"),
+            min(lower(hex(substring(col("payload"), 1, 4)))).as("min_first4"))
+          .orderBy("source"))
+  )
+}
