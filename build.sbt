@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Whole-stage codegen emits one generated class per stage; across a
+  // many-query run the default 240m code cache fills, the JIT stops
+  // compiling, and later queries run interpreted (10x+ slowdowns).
+  "-XX:ReservedCodeCacheSize=1g",
 )

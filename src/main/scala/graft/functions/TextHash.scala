@@ -72,6 +72,17 @@ object TextHash {
     def minhash(shinglesExpr: String, a: Long, b: Long): String =
       s"array_min(transform($shinglesExpr, sh -> ${seeded(rollingHash("sh"), a, b)}))"
 
+    /** Base hashes of every element of a string-array expression —
+      * materialize this ONCE, then derive each seeded minhash from it
+      * (the char-level fold is the expensive part; the seeded family
+      * is two integer ops per element). */
+    def hashArray(arr: String): String =
+      s"transform($arr, sh -> ${rollingHash("sh")})"
+
+    /** Minhash component from a precomputed base-hash array. */
+    def minhashFromHashes(hs: String, a: Long, b: Long): String =
+      s"array_min(transform($hs, h -> (($a * h + $b) % $P)))"
+
     /** Per-token 16-bit hashes of a token-array expression. */
     def tokenHashes16(t: String): String =
       s"transform($t, tk -> ${rollingHash("tk")} % 65536)"

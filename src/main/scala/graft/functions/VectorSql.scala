@@ -25,6 +25,16 @@ object VectorSql {
     /** Cosine similarity; denominators via the same fold. */
     def cosine(a: String, b: String): String =
       s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+    /** Vector L2 norm. Precompute this per VECTOR (one fold), then
+      * use `cosineWithNorms` per PAIR (one fold instead of three) —
+      * sqrt(dot(a,a)) is the same IEEE ops either way, so the result
+      * is bitwise-identical to `cosine`. */
+    def norm(a: String): String = s"sqrt(${dot(a, a)})"
+
+    /** Cosine from a pair dot and two precomputed norm columns. */
+    def cosineWithNorms(a: String, b: String, normA: String, normB: String): String =
+      s"(${dot(a, b)} / ($normA * $normB))"
   }
 
   object duck {

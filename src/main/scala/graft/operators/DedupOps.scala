@@ -52,8 +52,13 @@ object DedupOps {
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 2, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
+    // The signature frame feeds both sides of every per-band self-join
+    // (2*bands plan references); persist it so the char-level hashing
+    // runs once, not once per reference. At cluster scale this is a
+    // small (id, band keys) projection — safe to cache.
     val sigs = signatures(df, idCol, textCol, bands, rowsPerBand)
       .select(col(idCol).as("id") +: (0 until bands).map(b => col(s"band$b")): _*)
+      .persist()
 
     // Candidate pairs: same band value in any band, deduplicated.
     val pairs = (0 until bands).map { b =>
@@ -69,7 +74,8 @@ object DedupOps {
       .select(col(idCol).as("id"), col("sh")).distinct()
     val candIds = pairs.select(col("a_id").as("id"))
       .unionAll(pairs.select(col("b_id").as("id"))).distinct()
-    val candSh = sh.join(candIds, "id")
+    // Reused by sizes + both sides of the common-shingle join.
+    val candSh = sh.join(candIds, "id").persist()
 
     val sizes = candSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
@@ -99,9 +105,10 @@ object DedupOps {
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
 
+    // Reused by sizes + both sides of the common-shingle join.
     val sh = TextOps.withTokens(df, textCol, "__toks")
       .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
-      .select(col(idCol).as("id"), col("sh")).distinct()
+      .select(col(idCol).as("id"), col("sh")).distinct().persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.select(col("id").as("a_id"), col("sh")), "a_id")

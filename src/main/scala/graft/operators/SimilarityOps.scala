@@ -11,11 +11,14 @@ import org.apache.spark.sql.functions._
   *  - the query/centroid side is always tiny → `broadcast()` it, so
   *    scoring is a broadcast nested-loop with NO shuffle of the big
   *    side;
+  *  - L2 norms are materialized once per VECTOR, so each scored pair
+  *    costs one array fold (the dot product), not three — bitwise
+  *    identical to inline cosine (see VectorSql.cosineWithNorms);
   *  - brute-force top-k compiles to `TakeOrderedAndProject`
   *    (per-partition heap + driver merge of k rows);
   *  - the IVF path prunes candidates to the probed cluster(s) before
-  *    scoring — the scan of non-probed clusters is skipped entirely
-  *    when the corpus is stored partitioned/bucketed by `cluster`;
+  *    scoring — with the corpus stored partitioned/bucketed by
+  *    `cluster`, non-probed clusters are never scanned;
   *  - cosine is a built-in HOF expression chain (VectorSql), inside
   *    whole-stage codegen, bitwise-reproducible across engines.
   */
@@ -26,12 +29,17 @@ object SimilarityOps {
   /** Cosine of two array<float> columns as a deterministic expression. */
   def cosineCol(a: String, b: String) = expr(V.cosine(a, b))
 
+  private def simWithNorms(a: String, b: String, na: String, nb: String) =
+    expr(V.cosineWithNorms(a, b, na, nb))
+
   /** Brute-force top-k cosine neighbors of a single query vector
-    * (`queries` must be a 1-row frame with column `q`). */
+    * (`query` must be a 1-row frame with column `q`). */
   def topK(corpus: DataFrame, idCol: String, vecCol: String,
            query: DataFrame, k: Int, excludeId: Option[Long] = None): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(query))
-      .withColumn("sim", cosineCol(vecCol, "q"))
+    val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+    val queryN = query.withColumn("__qnrm", expr(V.norm("q")))
+    val scored = corpusN.crossJoin(broadcast(queryN))
+      .withColumn("sim", simWithNorms(vecCol, "q", "__nrm", "__qnrm"))
     val base = excludeId.fold(scored)(id => scored.where(col(idCol) =!= id))
     base.select(col(idCol), col("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -45,8 +53,10 @@ object SimilarityOps {
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus.crossJoin(broadcast(queries))
-      .withColumn("sim", cosineCol(corpusVec, queryVec))
+    val corpusN = corpus.withColumn("__cnrm", expr(V.norm(corpusVec)))
+    val queriesN = queries.withColumn("__qnrm", expr(V.norm(queryVec)))
+    val scored = corpusN.crossJoin(broadcast(queriesN))
+      .withColumn("sim", simWithNorms(corpusVec, queryVec, "__cnrm", "__qnrm"))
     val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -61,23 +71,26 @@ object SimilarityOps {
                 centroids: DataFrame, query: DataFrame, k: Int,
                 excludeId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
+    val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
     // Coarse assignment: argmax cosine to a centroid (tie-break cid).
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosineCol(vecCol, "cvec"))
+    val assigned = corpusN.crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
       .withColumn("crank", row_number().over(w))
       .where(col("crank") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("cluster"))
+      .select(col(idCol), col(vecCol), col("__nrm"), col("cid").as("cluster"))
 
     // Probe: the query vector's own nearest centroid.
-    val probed = query.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosineCol("q", "cvec"))
+    val probed = query.withColumn("__qnrm", expr(V.norm("q")))
+      .crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms("q", "cvec", "__qnrm", "__ctnrm"))
       .orderBy(col("csim").desc, col("cid")).limit(1)
-      .select(col("q"), col("cid").as("cluster"))
+      .select(col("q"), col("__qnrm"), col("cid").as("cluster"))
 
     // Fine search restricted to the probed cluster.
     val cand = assigned.join(broadcast(probed), "cluster")
-      .withColumn("sim", cosineCol(vecCol, "q"))
+      .withColumn("sim", simWithNorms(vecCol, "q", "__nrm", "__qnrm"))
     val base = excludeId.fold(cand)(id => cand.where(col(idCol) =!= id))
     base.select(col(idCol), col("cluster"), col("sim"))
       .orderBy(col("sim").desc, col(idCol))
@@ -85,13 +98,18 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-dup pair counts within equality blocks
-    * (`blockCol`), pairs above `minSim`. */
+    * (`blockCol`), pairs above `minSim`. Norms are computed once per
+    * vector BEFORE the pair join, so each candidate pair costs one
+    * fold. */
   def nearDupPairStats(corpus: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minSim: Double): DataFrame = {
-    val x = corpus.select(col(blockCol).as("blk"), col(idCol).as("a_id"), col(vecCol).as("va"))
-    val y = corpus.select(col(blockCol).as("blk"), col(idCol).as("b_id"), col(vecCol).as("vb"))
+    val n = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+    val x = n.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
+      col(vecCol).as("va"), col("__nrm").as("na"))
+    val y = n.select(col(blockCol).as("blk"), col(idCol).as("b_id"),
+      col(vecCol).as("vb"), col("__nrm").as("nb"))
     x.join(y, "blk").where(col("a_id") < col("b_id"))
-      .withColumn("sim", cosineCol("va", "vb"))
+      .withColumn("sim", simWithNorms("va", "vb", "na", "nb"))
       .where(col("sim") >= minSim)
       .groupBy(col("blk").as(blockCol))
       .agg(count(lit(1)).as("n_pairs"))

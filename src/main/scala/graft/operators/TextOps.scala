@@ -32,10 +32,13 @@ object TextOps {
     require(nHashes <= TextHash.Seeds.size, s"at most ${TextHash.Seeds.size} seeds defined")
     val withToks = withTokens(df, textCol, "__toks")
     val withSh = withToks.withColumn("__sh", expr(H.shingles3("__toks", textCol)))
-    val sig = TextHash.Seeds.take(nHashes).zipWithIndex.foldLeft(withSh) {
-      case (d, ((a, b), i)) => d.withColumn(s"m$i", expr(H.minhash("__sh", a, b)))
+    // Fold each shingle's char-level hash exactly once; each of the n
+    // signature components is then two integer ops per shingle.
+    val withHs = withSh.withColumn("__hs", expr(H.hashArray("__sh")))
+    val sig = TextHash.Seeds.take(nHashes).zipWithIndex.foldLeft(withHs) {
+      case (d, ((a, b), i)) => d.withColumn(s"m$i", expr(H.minhashFromHashes("__hs", a, b)))
     }
-    sig.drop("__toks", "__sh")
+    sig.drop("__toks", "__sh", "__hs")
   }
 
   /** 16-bit simhash over whitespace tokens. */
