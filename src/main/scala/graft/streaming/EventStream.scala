@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * New capability beyond the reference (polario has no streaming —
+  * SURVEY.md §2.8); expressed as plain DataFrame transforms so the
+  * SAME function works on a batch frame and a `readStream` frame —
+  * Spark's unified-batch/stream contract. Watermarking bounds state:
+  * windows older than the watermark are finalized and evicted, which
+  * is what makes the aggregation runnable indefinitely at scale.
+  */
+object EventStream {
+
+  /** Normalize an events frame whose `ts` is bigint *nanoseconds*
+    * (the driver's parquet layout read via nanosAsLong) to a proper
+    * timestamp column `event_time`. */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * late data. Works identically on batch and streaming frames. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Session windows per user (gap-based), via Spark's native
+    * session_window — state is per active session and evicted at
+    * watermark, the scalable shape for per-entity sessionization. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming specs: the same transform runs on a batch
+  * frame and on a MemoryStream, and the streaming results match the
+  * batch results — Spark's unified-batch/stream contract. */
+class EventStreamSpec extends SparkSpec {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  private def eventRows: Seq[(Long, Long, Long, String, Double)] =
+    // (event_id, ts_nanos, user_id, event_type, value)
+    Seq(
+      (0L, 0L * HourNs + 1000L, 1L, "click", 1.0),
+      (1L, 0L * HourNs + 2000L, 1L, "view", 2.0),
+      (2L, 0L * HourNs + 3000L, 2L, "click", 3.0),
+      (3L, 1L * HourNs + 1000L, 1L, "click", 4.0),
+      (4L, 2L * HourNs + 1000L, 2L, "view", 5.0))
+
+  private def batchEvents = {
+    import spark.implicits._
+    eventRows.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("windowed counts: batch semantics") {
+    val out = EventStream.windowedCounts(batchEvents)
+      .orderBy("window_start", "event_type").collect()
+    val key = out.map(r => (r.getTimestamp(0).toInstant.getEpochSecond, r.getString(1), r.getLong(2)))
+    assert(key.toSeq == Seq(
+      (0L, "click", 2L), (0L, "view", 1L), (3600L, "click", 1L), (7200L, "view", 1L)))
+  }
+
+  test("windowed counts: streaming over MemoryStream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val query = EventStream.windowedCounts(streamDf)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("win_counts")
+      assertSameData(streamed, EventStream.windowedCounts(batchEvents))
+    } finally query.stop()
+  }
+
+  test("session windows: gap-based sessionization per user") {
+    val out = EventStream.sessionCounts(batchEvents, gap = "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    // user 1: events at h0 (two close together) then h1 -> 2 sessions;
+    // user 2: h0 and h2 -> 2 sessions.
+    assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+}

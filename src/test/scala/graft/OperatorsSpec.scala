@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Specs for the text/dedup/similarity operator library. */
+class OperatorsSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the cat sat on the mat", "a"),
+      (1L, "the cat sat on the mat", "a"), // exact dup of 0
+      (2L, "the cat sat on the red mat", "a"), // near dup of 0
+      (3L, "completely different words here entirely", "b"),
+      (4L, "short text", "b")
+    ).toDF("doc_id", "text", "src")
+  }
+
+  test("rolling-hash fingerprint matches the definition") {
+    val fp = TextOps.withFingerprint(docs, "text")
+      .where(col("doc_id") === 0).select("fingerprint").head.getLong(0)
+    val expected = "the cat sat on the mat".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    assert(fp == expected)
+    // identical text → identical fingerprint
+    val fps = TextOps.withFingerprint(docs, "text")
+      .where(col("doc_id") <= 1).select("fingerprint").collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("exact dedup counts duplicates per group") {
+    val stats = DedupOps.exactDupStats(docs, "text", "src").collect()
+    val bySrc = stats.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("a") == ((3L, 2L))) // 3 docs, 2 unique
+    assert(bySrc("b") == ((2L, 2L)))
+  }
+
+  test("minhash: identical docs share the full signature; near-dups collide on LSH") {
+    val sig = TextOps.withMinhashSignature(docs, "text", 8)
+      .select("doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7")
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(sig(0L) == sig(1L), "exact duplicates must have identical signatures")
+    assert(sig(0L) != sig(3L), "unrelated docs should differ")
+
+    val pairs = DedupOps.lshNearDupPairs(docs, "doc_id", "text", minJaccard = 0.1)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must surface")
+  }
+
+  test("simhash: near-dups are close in Hamming distance, unrelated docs are not") {
+    val sh = TextOps.withSimhash16(docs, "text")
+      .select("doc_id", "simhash16").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) == 0)
+    assert(hamming(sh(0L), sh(2L)) < hamming(sh(0L), sh(3L)))
+  }
+
+  test("blocked jaccard finds the near-dup pair") {
+    val pairs = DedupOps.blockedJaccardPairs(docs, "doc_id", "text",
+      prefixLen = 10, minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 2L })
+  }
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0.9f, 0.1f, 0f), 0),
+      (2L, Array(0f, 1f, 0f), 1),
+      (3L, Array(0f, 0.9f, 0.1f), 1),
+      (4L, Array(-1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("cosine top-k returns nearest first with deterministic ties") {
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    val top = SimilarityOps.topK(vecs, "vec_id", "embedding", q, 3, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head == 1L, s"nearest should be vec 1, got $top")
+    // vecs 2 and 3 tie at cosine 0 (> vec 4's -1); tie broken by id.
+    assert(top == Seq(1L, 2L, 3L), s"expected deterministic order, got $top")
+  }
+
+  test("IVF search agrees with brute force when the probe cluster holds the answer") {
+    val cents = vecs.where(col("vec_id").isin(0L, 2L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = vecs.where(col("vec_id") === 1).select(col("embedding").as("q"))
+    val ivf = SimilarityOps.ivfSearch(vecs, "vec_id", "embedding", cents, q, 2,
+      excludeId = Some(1L)).collect().map(_.getLong(0)).toSeq
+    // query ~ (0.9,0.1,0): probed cluster is centroid 0's; brute-force
+    // nearest neighbor 0 lives there.
+    assert(ivf.head == 0L)
+  }
+
+  test("multimodal decode stub: deterministic metadata, payload preserved") {
+    import spark.implicits._
+    val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
+      .toDF("id", "payload")
+    val decoded = Multimodal.withMeta(bin, "id", "payload")
+    val rows = decoded.orderBy("id").collect()
+    assert(rows.length == 2)
+    val m1 = decoded.where(col("id") === 1).select("meta.kind", "meta.width", "meta.height").head
+    assert(m1.getString(0) == "image") // first byte 0 -> kinds(0)
+    assert(m1.getInt(1) == 16 * 11 && m1.getInt(2) == 16 * 21)
+    // payload round-trips through the decode boundary untouched
+    val payload = decoded.where(col("id") === 1).select("payload").head.getAs[Array[Byte]](0)
+    assert(payload.toSeq == Seq[Byte](0, 10, 20, 30))
+  }
+
+  test("multimodal frame sampling is bounded by fps * duration") {
+    import spark.implicits._
+    val bin = Seq((1L, Array[Byte](2, 0, 0, 9))).toDF("id", "payload") // durationMs = 10000
+    val frames = Multimodal.frameSample(Multimodal.withMeta(bin, "id", "payload"), fps = 1.0)
+    assert(frames.count() == 10) // one frame per second
+    assert(frames.select(max("frame_ms")).head.getLong(0) < 10000L)
+  }
+
+  test("multimodal resize stub preserves aspect ratio and caps the long side") {
+    import spark.implicits._
+    val bin = Seq((1L, Array[Byte](0, 63, 31, 0))).toDF("id", "payload") // 1024 x 512
+    val r = Multimodal.resizeMeta(Multimodal.withMeta(bin, "id", "payload"), maxDim = 256).head
+    assert(r.getAs[Int]("out_width") == 256 && r.getAs[Int]("out_height") == 128)
+  }
+}
