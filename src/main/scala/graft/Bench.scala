@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.catalyst.GraftFunctions.register(spark)
     // Stable order + cache hygiene: operators may persist() reused
     // subtrees; drop them after each query so cached blocks never
     // accumulate across the run (heap pressure skews later timings).

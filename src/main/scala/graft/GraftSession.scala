@@ -47,6 +47,7 @@ object GraftSession {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.catalyst.GraftFunctions.register(spark)
     spark
   }
 }

@@ -50,8 +50,15 @@ object TextHash {
     def charCodes(s: String): String =
       s"transform(sequence(1, length($s)), i -> ascii(substring($s, i, 1)))"
 
-    /** Polynomial rolling hash of the string expression `s`, in [0, P). */
-    def rollingHash(s: String): String =
+    /** Polynomial rolling hash of the string expression `s`, in [0, P).
+      * Native codegen expression (graft.functions.catalyst.RollingHash),
+      * bitwise-equal to [[rollingHashHof]]. */
+    def rollingHash(s: String): String = s"graft_rolling_hash($s)"
+
+    /** Built-in-only HOF rendering of the same hash (interpreted; kept
+      * for environments without graft's function registration and for
+      * parity tests against the native expression). */
+    def rollingHashHof(s: String): String =
       s"aggregate(${charCodes(s)}, cast(0 as bigint), (h, c) -> (h * 31 + c) % $P)"
 
     /** Whitespace tokenization (single-space corpora). */
@@ -75,17 +82,24 @@ object TextHash {
     /** Base hashes of every element of a string-array expression —
       * materialize this ONCE, then derive each seeded minhash from it
       * (the char-level fold is the expensive part; the seeded family
-      * is two integer ops per element). */
-    def hashArray(arr: String): String =
-      s"transform($arr, sh -> ${rollingHash("sh")})"
+      * is two integer ops per element). Native codegen expression. */
+    def hashArray(arr: String): String = s"graft_hash_array($arr)"
 
-    /** Minhash component from a precomputed base-hash array. */
+    /** Minhash component from a precomputed base-hash array. Native
+      * codegen expression (one pass, no per-element boxing). */
     def minhashFromHashes(hs: String, a: Long, b: Long): String =
+      s"graft_seeded_min($hs, ${a}L, ${b}L)"
+
+    /** HOF renderings of the two above (parity/testing). */
+    def hashArrayHof(arr: String): String =
+      s"transform($arr, sh -> ${rollingHashHof("sh")})"
+    def minhashFromHashesHof(hs: String, a: Long, b: Long): String =
       s"array_min(transform($hs, h -> (($a * h + $b) % $P)))"
 
-    /** Per-token 16-bit hashes of a token-array expression. */
+    /** Per-token 16-bit hashes of a token-array expression (native
+      * hash per element). */
     def tokenHashes16(t: String): String =
-      s"transform($t, tk -> ${rollingHash("tk")} % 65536)"
+      s"transform(${hashArray(t)}, h -> h % 65536)"
 
     /** 16-bit simhash over a precomputed 16-bit token-hash array
       * expression `hs`: for each bit, majority vote of +-1 over tokens. */

@@ -19,7 +19,13 @@ package graft.functions
 object VectorSql {
 
   object spark {
-    def dot(a: String, b: String): String =
+    /** Native codegen expression (graft.functions.catalyst.DotF32);
+      * bitwise-equal to [[dotHof]]. */
+    def dot(a: String, b: String): String = s"graft_dot_f32($a, $b)"
+
+    /** Built-in-only HOF rendering (interpreted; kept for parity
+      * tests and registration-free environments). */
+    def dotHof(a: String, b: String): String =
       s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0 as double), (acc, v) -> acc + v)"
 
     /** Cosine similarity; denominators via the same fold. */

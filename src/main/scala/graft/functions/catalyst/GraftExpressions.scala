@@ -1,0 +1,199 @@
+package graft.functions.catalyst
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the engine's hot scalar paths.
+  *
+  * The composable HOF renderings in [[graft.functions.TextHash]] /
+  * [[graft.functions.VectorSql]] are correct but interpreted — Spark's
+  * higher-order functions don't participate in whole-stage codegen and
+  * box per element. These expressions compute the SAME arithmetic
+  * (bitwise-identical results, still verifiable against the DuckDB
+  * oracle) as tight generated loops via `doGenCode`, keeping the whole
+  * stage inside Tungsten codegen.
+  *
+  * Registered as SQL functions (`graft_rolling_hash`, `graft_hash_array`,
+  * `graft_seeded_min`, `graft_dot_f32`) by [[GraftFunctions]], both
+  * imperatively and via `SparkSessionExtensions`.
+  */
+object HashOps {
+  val P: Long = 1000000007L
+
+  /** Polynomial rolling hash over code points — exactly
+    * `fold (h*31 + codepoint) mod P`, the arithmetic of
+    * TextHash.spark.rollingHash / TextHash.duck.rollingHash. */
+  def hash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Rolling hash of every element of a string array; null elements
+    * stay null (matching `transform`'s null propagation). */
+  def hashArray(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null else hash(arr.getUTF8String(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** min over (a*h + b) mod P of a long array, skipping nulls —
+    * exactly `array_min(transform(hs, h -> (a*h + b) % P))`.
+    * Returns Long.MinValue as the "null" sentinel for empty/all-null
+    * (callers translate to SQL NULL). */
+  def seededMin(hs: ArrayData, a: Long, b: Long): Long = {
+    val n = hs.numElements()
+    var min = Long.MaxValue
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val v = (a * hs.getLong(i) + b) % P
+        if (!seen || v < min) { min = v; seen = true }
+      }
+      i += 1
+    }
+    if (seen) min else Long.MinValue
+  }
+
+  /** Strict left-to-right dot product of two float arrays in double
+    * precision — exactly
+    * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
+    * including its null semantics: any null element or length mismatch
+    * yields null (NaN sentinel here; callers translate). */
+  def dotF32(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return Double.NaN
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+}
+
+/** `graft_rolling_hash(string) -> bigint` */
+case class RollingHash(child: Expression)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string argument")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.HashOps.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** `graft_hash_array(array<string>) -> array<bigint>` */
+case class HashArray(child: Expression)
+  extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string>")
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
+  override def prettyName: String = "graft_hash_array"
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hashArray(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.catalyst.HashOps.hashArray($c)")
+  override protected def withNewChildInternal(newChild: Expression): HashArray =
+    copy(child = newChild)
+}
+
+/** `graft_seeded_min(array<bigint>, a, b) -> bigint` — one minhash
+  * signature component from precomputed base hashes. */
+case class SeededMin(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(LongType, _), LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<bigint>, bigint, bigint)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_seeded_min"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val hs = first.eval(input)
+    val a = second.eval(input)
+    val b = third.eval(input)
+    if (hs == null || a == null || b == null) null
+    else {
+      val v = HashOps.seededMin(hs.asInstanceOf[ArrayData],
+        a.asInstanceOf[Long], b.asInstanceOf[Long])
+      if (v == Long.MinValue) null else v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, a, b) => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.HashOps.seededMin($hs, $a, $b);
+         |if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; ${ev.value} = -1L; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SeededMin = copy(f, s, t)
+}
+
+/** `graft_dot_f32(array<float>, array<float>) -> double` — strict
+  * sequential dot product (bitwise-equal to the HOF rendering and the
+  * DuckDB oracle's list_reduce). */
+case class DotF32(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<float> arguments")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_f32"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else {
+      val v = HashOps.dotF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      if (java.lang.Double.isNaN(v)) null else v
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.HashOps.dotF32($a, $b);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
+    copy(left = l, right = r)
+}

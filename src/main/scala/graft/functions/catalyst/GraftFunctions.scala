@@ -1,0 +1,48 @@
+package graft.functions.catalyst
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions as SQL functions.
+  *
+  * Two entry points:
+  *  - [[GraftFunctions.register]] — imperative, for an existing
+  *    session (used by GraftSession / Verify / Bench);
+  *  - [[GraftExtensions]] — a `SparkSessionExtensions` injector for
+  *    `spark.sql.extensions=graft.functions.catalyst.GraftExtensions`,
+  *    the deployment-grade path on a shared cluster.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_rolling_hash",
+      info("graft_rolling_hash", "polynomial rolling hash (mod 1e9+7) of a string"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("graft_hash_array",
+      info("graft_hash_array", "rolling hash of every element of array<string>"),
+      (args: Seq[Expression]) => HashArray(args.head)),
+    ("graft_seeded_min",
+      info("graft_seeded_min", "min of (a*h+b) mod P over array<bigint> — minhash component"),
+      (args: Seq[Expression]) => SeededMin(args(0), args(1), args(2))),
+    ("graft_dot_f32",
+      info("graft_dot_f32", "strict sequential dot product of two array<float> in double"),
+      (args: Seq[Expression]) => DotF32(args(0), args(1))))
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+}
+
+/** `spark.sql.extensions` injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, inf, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), inf, builder))
+    }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{TextHash, VectorSql}
+import org.apache.spark.sql.functions._
+
+/** Bitwise parity of the native codegen expressions against the
+  * pure-built-in HOF renderings of the same arithmetic (and therefore
+  * against the DuckDB oracle, which mirrors the HOF form). */
+class NativeExprSpec extends SparkSpec {
+
+  import TextHash.{spark => H}
+  import VectorSql.{spark => V}
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+  private def embs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+
+  test("native rolling hash == HOF rolling hash on real text") {
+    val diff = docs
+      .withColumn("a", expr(H.rollingHash("text")))
+      .withColumn("b", expr(H.rollingHashHof("text")))
+      .where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("native hash array + seeded min == HOF pipeline on real shingles") {
+    val (a0, b0) = TextHash.Seeds.head
+    val base = docs
+      .withColumn("toks", expr(H.tokens("text")))
+      .withColumn("sh", expr(H.shingles3("toks", "text")))
+    val diff = base
+      .withColumn("hn", expr(H.hashArray("sh")))
+      .withColumn("hh", expr(H.hashArrayHof("sh")))
+      .withColumn("mn", expr(H.minhashFromHashes("hn", a0, b0)))
+      .withColumn("mh", expr(H.minhashFromHashesHof("hh", a0, b0)))
+      .where(col("hn") =!= col("hh") || col("mn") =!= col("mh"))
+    assert(diff.count() == 0)
+  }
+
+  test("native dot product == HOF dot product on real embeddings (bitwise)") {
+    val q = embs.limit(1).select(col("embedding").as("q"))
+    val diff = embs.crossJoin(broadcast(q))
+      .withColumn("a", expr(V.dot("embedding", "q")))
+      .withColumn("b", expr(V.dotHof("embedding", "q")))
+      // bitwise comparison, not approximate
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+  }
+
+  test("null semantics match the HOF forms") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("abc"), Some(Seq("x", "y"))),
+      (None, None)
+    ).toDF("s", "arr")
+    val r = df.select(
+      expr(H.rollingHash("s")).as("h"),
+      expr(H.hashArray("arr")).as("ha"),
+      expr(H.minhashFromHashes(H.hashArray("arr"), 3L, 5L)).as("m")).collect()
+    assert(!r(0).isNullAt(0) && !r(0).isNullAt(1) && !r(0).isNullAt(2))
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1) && r(1).isNullAt(2))
+    // empty array -> null minhash, matching array_min(empty) = null
+    val e = spark.sql(
+      "SELECT graft_seeded_min(cast(array() as array<bigint>), 3L, 5L) AS m").collect()
+    assert(e(0).isNullAt(0))
+  }
+}
