@@ -4,28 +4,19 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
-    import org.apache.spark.sql.functions._
-    val dir = "/root/testdata/sf0.001"
-
-    // Multimodal plumbing over real data: opaque binary payloads.
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .withColumn("payload", col("text").cast("binary"))
-    val decoded = graft.operators.Multimodal.withMeta(docs, "doc_id", "payload")
-    println("[scratch] decoded sample:")
-    decoded.select("id", "meta.kind", "meta.width", "meta.height", "meta.durationMs")
-      .orderBy("id").show(5, false)
-    val frames = graft.operators.Multimodal.frameSample(decoded.limit(3), fps = 0.5)
-    println(s"[scratch] frames from 3 payloads: ${frames.count()}")
-    frames.show(5, false)
-    val resized = graft.operators.Multimodal.resizeMeta(decoded, 128)
-    resized.select("id", "meta.width", "meta.height", "out_width", "out_height").show(3, false)
-
-    // Streaming transforms in batch mode over the real events table.
-    val events = spark.read.parquet(s"$dir/events.parquet")
-    println("[scratch] windowedCounts:")
-    graft.streaming.EventStream.windowedCounts(events).orderBy("window_start", "event_type").show(5, false)
-    println("[scratch] sessionCounts:")
-    graft.streaming.EventStream.sessionCounts(events).orderBy("user_id", "session_start").show(5, false)
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("q01_pricing_summary", "q02_filter_revenue", "q03_revenue_by_nation",
+      "q05_top_orders", "q16_events_hourly", "q33_lsh_near_dup_pairs",
+      "q35_blocked_jaccard", "q40_cosine_topk", "q43_embed_near_dup")
+    val out = new java.io.PrintWriter("/tmp/explains.txt")
+    names.foreach { n =>
+      out.println(s"\n======== $n ========")
+      val df = SparkEntry.queries(n)(spark, dir)
+      out.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    out.close()
+    println("[scratch] wrote /tmp/explains.txt")
     spark.stop()
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Inspect
+import org.apache.spark.sql.functions._
+
+/** CLI-verb surface (reference main.py:25-85 semantics). */
+class InspectSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name")
+  }
+
+  test("jsonHead returns at most n rows as JSON objects") {
+    val head = Inspect.jsonHead(df, 2)
+    assert(head.length == 2)
+    assert(head.head.startsWith("{") && head.head.contains("\"id\""))
+  }
+
+  test("jsonl is distributed and covers every row") {
+    assert(Inspect.jsonl(df).count() == 3)
+  }
+
+  test("concat_csv folds CSVs all-string and refuses overwrite") {
+    withTempDir { dir =>
+      df.limit(2).write.option("header", "true").csv(s"$dir/c1")
+      df.where(col("id") === 3).write.option("header", "true").csv(s"$dir/c2")
+      Inspect.concatCsvToParquet(spark, Seq(s"$dir/c1", s"$dir/c2"), s"$dir/out")
+      val back = spark.read.parquet(s"$dir/out")
+      assert(back.count() == 3)
+      // all-string: no schema inference (main.py:52-54)
+      assert(back.schema.fields.forall(_.dataType.typeName == "string"))
+      // refuse overwrite (main.py:57-59)
+      intercept[IllegalArgumentException] {
+        Inspect.concatCsvToParquet(spark, Seq(s"$dir/c1"), s"$dir/out")
+      }
+    }
+  }
+
+  test("writeCsv skips an existing target (main.py:80-85)") {
+    withTempDir { dir =>
+      Inspect.writeCsv(df, s"$dir/out.csv")
+      val first = spark.read.option("header", "true").csv(s"$dir/out.csv").count()
+      Inspect.writeCsv(df.limit(1), s"$dir/out.csv") // silently skipped
+      val second = spark.read.option("header", "true").csv(s"$dir/out.csv").count()
+      assert(first == 3 && second == 3)
+    }
+  }
+}
