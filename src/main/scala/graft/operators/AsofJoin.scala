@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the LATEST right row with
+  * `rightTime <= leftTime` within the same key group (inclusive; ties
+  * among right rows broken by the ordering column, highest wins).
+  *
+  * The reference has no join operators at all (SURVEY.md §2.3); this
+  * is an extension operator Spark also lacks natively.
+  *
+  * Scale design (100 TB): implemented as union → ONE shuffle on the
+  * key → per-key sort → running `last(ignoreNulls)` carry-forward,
+  * i.e. O(n log n) per key and never a time-range cross join (the
+  * naive `l JOIN r ON key AND tr <= tl` + argmax explodes
+  * quadratically on hot keys). The carried payload is a single STRUCT
+  * so all right-side columns travel atomically (independent per-column
+  * carries would mix rows when payloads contain nulls).
+  */
+object AsofJoin {
+
+  /** @param left       left frame
+    * @param right      right frame
+    * @param keys       equi-join key columns (same names both sides)
+    * @param leftTime   left ordering column (numeric or timestamp)
+    * @param rightTime  right ordering column
+    * @param rightCols  right payload columns to attach (prefixed `r_`
+    *                   in the output)
+    * @param rightOrd   deterministic tie-break column among right rows
+    *                   with equal time (e.g. an id)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               rightCols: Seq[String], rightOrd: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__ord", lit(0L))
+
+    // Build the union by hand so both sides share one schema:
+    // keys ++ (__t, __side, __ord, __payload struct) ++ left payload.
+    val payloadStruct = struct(rightCols.map(c => col(c).as(c)): _*)
+    val rSel = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"),
+        lit(0).as("__side"),
+        col(rightOrd).cast("long").as("__ord"),
+        payloadStruct.as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lSel = l.select(
+      keys.map(col) ++ Seq(
+        col("__t"), col("__side"), col("__ord"),
+        lit(null).cast(rSel.schema("__payload").dataType).as("__payload")) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+
+    val unioned = lSel.unionByName(rSel)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+
+    val out = carried.where(col("__side") === 1)
+    val withPayload = rightCols.foldLeft(out) { (d, c) =>
+      d.withColumn(s"r_$c", col("__match").getField(c))
+    }
+    withPayload.drop("__t", "__side", "__ord", "__payload", "__match")
+  }
+}

@@ -285,6 +285,40 @@ object Relational {
           .orderBy("user_id")
       }),
 
+    // ---- as-of join: latest prior click per purchase -------------
+    // Custom operator (AsofJoin): union -> one key shuffle -> sort ->
+    // struct carry-forward; oracle mirrors the identical window logic.
+    Q("q19_asof_join",
+      Some("""WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 1 AS side, 0::BIGINT AS ord, event_id, NULL AS payload
+             |  FROM l
+             |  UNION ALL
+             |  SELECT user_id, us, 0 AS side, event_id AS ord, NULL::BIGINT AS event_id,
+             |         {'event_id': event_id, 'value': value} AS payload
+             |  FROM r),
+             |c AS (SELECT user_id, us, side, event_id,
+             |        last_value(payload IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY us, side, ord
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             |      FROM u)
+             |SELECT event_id, user_id, m.event_id AS r_event_id, m.value AS r_value
+             |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "event_id", "us")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "event_id", "value", "us")
+        graft.operators.AsofJoin.asofJoin(
+          purchases, clicks, keys = Seq("user_id"),
+          leftTime = "us", rightTime = "us",
+          rightCols = Seq("event_id", "value"), rightOrd = "event_id")
+          .select("event_id", "user_id", "r_event_id", "r_value")
+          .orderBy("event_id")
+      }),
+
     // ---- top event per user (window + filter) --------------------
     Q("q18_top_event_per_user",
       Some("""SELECT user_id, event_id, value FROM (
@@ -299,6 +333,22 @@ object Relational {
           .where(col("rn") === 1)
           .select("user_id", "event_id", "value")
           .orderBy("user_id")
-      })
+      }),
+
+    // ---- exact percentiles (sort-based quantiles) ----------------
+    Q("q44_percentiles",
+      Some("""SELECT o_orderstatus,
+             |  quantile_cont(o_totalprice::DOUBLE, 0.5) AS p50,
+             |  quantile_cont(o_totalprice::DOUBLE, 0.9) AS p90,
+             |  count(*) AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"))
   )
 }

@@ -95,6 +95,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.head == 0L)
   }
 
+  test("asof join: latest prior-or-equal right row per key; nulls when none") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 7L, 1.0), (1L, 15L, 8L, 2.0), (1L, 15L, 9L, 3.0))
+      .toDF("k", "t", "rid", "v")
+    val out = operators.AsofJoin.asofJoin(left, right, Seq("k"), "t", "t",
+      Seq("rid", "v"), "rid")
+      .select("lid", "r_rid", "r_v").orderBy("lid").collect()
+    // lid 100 at t=10: right row at t=10 is inclusive -> rid 7
+    assert(out(0).getLong(1) == 7L && out(0).getDouble(2) == 1.0)
+    // lid 101 at t=20: two right rows tie at t=15 -> highest rid wins (9)
+    assert(out(1).getLong(1) == 9L && out(1).getDouble(2) == 3.0)
+    // lid 102, key 2: no right rows -> nulls
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
