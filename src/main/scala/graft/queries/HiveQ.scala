@@ -75,6 +75,19 @@ object HiveQ {
           .orderBy("c_mktsegment")
       }),
 
+    // ---- partition delete (S13, hive_dataset.py:330-342) ---------
+    Q("q24_hive_delete",
+      Some("""SELECT l_returnflag, count(*) AS n FROM lineitem
+             |WHERE l_returnflag <> 'R' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val ds = HiveDataset(tmp("graft_q24_"), Seq("l_returnflag"))(s)
+        ds.write(t(s, dir, "lineitem"))
+        ds.deletePartition(Map("l_returnflag" -> "R"))
+        ds.scan().get
+          .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      }),
+
     // ---- all-string CSV round trip (S18/S19, main.py:50-62) ------
     Q("q23_csv_roundtrip",
       Some("""SELECT r_regionkey::VARCHAR AS r_regionkey, r_name
