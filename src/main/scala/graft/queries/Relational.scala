@@ -335,6 +335,31 @@ object Relational {
           .orderBy("user_id")
       }),
 
+    // ---- windowed range join (bucketize-and-join) ----------------
+    // Clicks within the 10 minutes preceding each purchase, per user:
+    // bucketized equi-join (one hash shuffle) instead of a nested-loop
+    // range join.
+    Q("q25_range_join",
+      Some("""WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS lus FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, value, epoch_us(ts) AS rus FROM events WHERE event_type = 'click')
+             |SELECT l.event_id, count(*) AS n_clicks,
+             |  (sum(CAST(r.value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+             |FROM l JOIN r ON l.user_id = r.user_id
+             |  AND r.rus >= l.lus - 600000000 AND r.rus <= l.lus
+             |GROUP BY l.event_id ORDER BY l.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), expr("ts div 1000").as("lus"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("value"), expr("ts div 1000").as("rus"))
+        graft.operators.RangeJoin.priorWindowJoin(
+          purchases, clicks, Seq("user_id"), "lus", "rus", before = 600000000L)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"), sumDec("value").as("sum_value"))
+          .orderBy("event_id")
+      }),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,

@@ -112,6 +112,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("range join: inclusive window bounds, bucket boundaries exact") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L, 100L)).toDF("k", "lt", "lid")
+    val right = Seq(
+      (1L, 400L, 1.0),  // == lt - before, inclusive
+      (1L, 1000L, 2.0), // == lt, inclusive
+      (1L, 399L, 4.0),  // just outside
+      (1L, 1001L, 8.0), // just outside
+      (2L, 1000L, 16.0) // wrong key
+    ).toDF("k", "rt", "v")
+    val out = operators.RangeJoin.priorWindowJoin(left, right, Seq("k"), "lt", "rt", 600L)
+      .agg(sum(col("v"))).head.getDouble(0)
+    assert(out == 3.0, "exactly the two boundary-inclusive rows must match")
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
