@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives: salting for hot keys.
+  *
+  * AQE's skew-join splitting (enabled in GraftSession) handles most
+  * runtime skew; salting is the explicit fallback for the cases AQE
+  * can't fix — a skewed AGGREGATION (one reducer owns the hot key) or
+  * a skewed join where the hot-key side must be split determinately.
+  *
+  * Two-phase aggregate: group on (key, salt) first (spreads the hot
+  * key over `salts` reducers), then re-group on key to combine the
+  * partials. Both phases are map-side-combinable, so total shuffled
+  * bytes stay the same — only the per-reducer maximum drops.
+  *
+  * Salted join: the skewed (big) side gets a random-but-deterministic
+  * salt in [0, salts); the small side is replicated once per salt
+  * value; the join key becomes (key, salt). Replication factor =
+  * `salts`, so pick the smallest value that flattens the hot key.
+  */
+object Skew {
+
+  /** Deterministic salt from arbitrary columns (NOT rand(): re-runs
+    * and retried tasks must salt identically or results change). */
+  def saltCol(salts: Int, from: String): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(from)), lit(salts))
+
+  /** Two-phase (salted) sum/count aggregation over one hot key space:
+    * returns key -> (sum of `valueCol` as decimal-exact double, count). */
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+                     salts: Int, saltFrom: String): DataFrame = {
+    val partial = df
+      .withColumn("__salt", saltCol(salts, saltFrom))
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,2)")).as("__psum"),
+        count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(col(key))
+      .agg(
+        sum(col("__psum")).cast("double").as("sum_value"),
+        sum(col("__pcnt")).as("n"))
+  }
+
+  /** Salted equi-join: `big` (skewed) x `small`. `small` is exploded
+    * `salts`-fold; the shuffled key becomes (key, salt). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, saltFrom: String): DataFrame = {
+    val b = big.withColumn("__salt", saltCol(salts, saltFrom))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -360,6 +360,22 @@ object Relational {
           .orderBy("event_id")
       }),
 
+    // ---- salted two-phase aggregation (skew handling) ------------
+    // Only 3 distinct keys -> without salting, 3 reducers own ALL the
+    // data; the salted partial phase spreads each key over 16
+    // reducers. Decimal-exact sums make the two-phase result equal the
+    // direct aggregation bit-for-bit.
+    Q("q26_salted_agg",
+      Some("""SELECT l_returnflag,
+             |  (sum(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_value,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        graft.operators.Skew.saltedSumCount(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          salts = 16, saltFrom = "l_orderkey")
+          .orderBy("l_returnflag")),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,

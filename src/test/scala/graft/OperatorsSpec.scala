@@ -112,6 +112,14 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("salted join equals the plain join") {
+    import spark.implicits._
+    val big = (1 to 100).map(i => (i % 3, i.toLong)).toDF("k", "v")
+    val small = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "name")
+    val salted = operators.Skew.saltedJoin(big, small, "k", salts = 4, saltFrom = "v")
+    assertSameData(salted, big.join(small, "k"))
+  }
+
   test("range join: inclusive window bounds, bucket boundaries exact") {
     import spark.implicits._
     val left = Seq((1L, 1000L, 100L)).toDF("k", "lt", "lid")
