@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   * windows older than the watermark are finalized and evicted, which
   * is what makes the aggregation runnable indefinitely at scale.
   */
+/** Output row of [[EventStream.runningUserTotals]]. */
+case class UserTotal(user_id: Long, n: Long, sum_value: Double)
+
 object EventStream {
 
   /** Normalize an events frame whose `ts` is bigint *nanoseconds*
@@ -32,6 +35,29 @@ object EventStream {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Running per-user totals with CUSTOM state
+    * (`mapGroupsWithState`): the escape hatch for stateful logic the
+    * built-in windows can't express. State is one small record per
+    * user (bounded by entity cardinality, not event volume); each
+    * micro-batch folds its new events into the state and emits the
+    * updated total. Use `GroupStateTimeout` eviction when the entity
+    * space is unbounded. */
+  def runningUserTotals(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          UserTotal(user, n, s)
+      }
+  }
 
   /** Session windows per user (gap-based), via Spark's native
     * session_window — state is per active session and evicted at

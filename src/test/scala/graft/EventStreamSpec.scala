@@ -50,6 +50,31 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("mapGroupsWithState: state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val query = EventStream.runningUserTotals(streamDf)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    try {
+      mem.addData((0L, 1L, 7L, "click", 1.0), (1L, 2L, 7L, "view", 2.0))
+      query.processAllAvailable()
+      val b1 = spark.table("user_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(b1.toSet == Set((7L, 2L, 3.0)))
+
+      mem.addData((2L, 3L, 7L, "click", 4.0), (3L, 4L, 8L, "view", 10.0))
+      query.processAllAvailable()
+      val b2 = spark.table("user_totals").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // user 7's state carried over (2+1 events); user 8 is new
+      assert(b2.contains((7L, 3L, 7.0)) && b2.contains((8L, 1L, 10.0)))
+    } finally query.stop()
+  }
+
   test("session windows: gap-based sessionization per user") {
     val out = EventStream.sessionCounts(batchEvents, gap = "30 minutes")
       .orderBy("user_id", "session_start").collect()
