@@ -53,19 +53,25 @@ object DedupOps {
                       bands: Int = 2, rowsPerBand: Int = 4,
                       minJaccard: Double = 0.5): DataFrame = {
     // The signature frame feeds both sides of every per-band self-join
-    // (2*bands plan references); persist it so the char-level hashing
-    // runs once, not once per reference. At cluster scale this is a
-    // small (id, band keys) projection — safe to cache.
+    // (2*bands plan references). localCheckpoint (not just persist)
+    // both computes the char-level hashing once AND truncates the
+    // lineage, so the optimizer/codegen never re-analyze the large
+    // signature expression trees once per join branch — that analysis
+    // cost dominated first-run latency. Small (id, band keys)
+    // projection — safe to materialize.
     val sigs = signatures(df, idCol, textCol, bands, rowsPerBand)
       .select(col(idCol).as("id") +: (0 until bands).map(b => col(s"band$b")): _*)
-      .persist()
+      .localCheckpoint()
 
     // Candidate pairs: same band value in any band, deduplicated.
+    // Persisted: referenced by candIds, the common-shingle join, and
+    // the output join — tiny (pairs only), avoids re-running the band
+    // self-joins per reference.
     val pairs = (0 until bands).map { b =>
       val x = sigs.select(col("id").as("a_id"), col(s"band$b").as("bk"))
       val y = sigs.select(col("id").as("b_id"), col(s"band$b").as("bk"))
       x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
-    }.reduce(_ unionAll _).distinct()
+    }.reduce(_ unionAll _).distinct().persist()
 
     // Exact verification: Jaccard over distinct 3-shingle sets,
     // computed only for candidate docs (semi-join pruning).
@@ -74,8 +80,10 @@ object DedupOps {
       .select(col(idCol).as("id"), col("sh")).distinct()
     val candIds = pairs.select(col("a_id").as("id"))
       .unionAll(pairs.select(col("b_id").as("id"))).distinct()
-    // Reused by sizes + both sides of the common-shingle join.
-    val candSh = sh.join(candIds, "id").persist()
+    // Reused by sizes + both sides of the common-shingle join;
+    // lineage-truncated so the shingle expression tree is analyzed
+    // once, not once per downstream join branch.
+    val candSh = sh.join(candIds, "id").localCheckpoint()
 
     val sizes = candSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
@@ -101,14 +109,22 @@ object DedupOps {
     val blocked = df.select(
       col(idCol).as("id"), col(textCol).as("__text"),
       substring(col(textCol), 1, prefixLen).as("blk"))
+    // Persisted: referenced by the candidate semi-join, the common-
+    // shingle join, and the output join (tiny: pairs only).
     val pairs = blocked.as("x").join(blocked.as("y"), "blk")
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .localCheckpoint()
 
-    // Reused by sizes + both sides of the common-shingle join.
-    val sh = TextOps.withTokens(df, textCol, "__toks")
+    // Shingle sets only for docs that appear in a candidate pair
+    // (semi-join pruning — blocked candidates are a small fraction of
+    // the corpus); reused by sizes + both sides of the common join.
+    val candIds = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id"))).distinct()
+    val sh = TextOps.withTokens(df.join(candIds, col(idCol) === col("id"), "left_semi"),
+        textCol, "__toks")
       .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
-      .select(col(idCol).as("id"), col("sh")).distinct().persist()
+      .select(col(idCol).as("id"), col("sh")).distinct().localCheckpoint()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
       .join(sh.select(col("id").as("a_id"), col("sh")), "a_id")
