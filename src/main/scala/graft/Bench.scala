@@ -11,6 +11,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.catalyst.GraftFunctions.register(spark)
+    // Warm up the session (scheduler, codegen, parquet reader paths)
+    // so the first measured query doesn't absorb one-time JVM costs.
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(1000000).selectExpr("sum(id)").collect()
     // Stable order + cache hygiene: operators may persist() reused
     // subtrees; drop them after each query so cached blocks never
     // accumulate across the run (heap pressure skews later timings).

@@ -39,10 +39,12 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` injector. */
+/** `spark.sql.extensions` injector: functions + optimizer rewrites. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, inf, builder) =>
       ext.injectFunction((FunctionIdentifier(name), inf, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.NativeExprRewrite)
+  }
 }

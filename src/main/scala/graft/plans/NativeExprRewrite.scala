@@ -1,0 +1,55 @@
+package graft.plans
+
+import graft.functions.catalyst.DotF32
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite the portable higher-order-function
+  * rendering of the float dot product into the native codegen
+  * expression.
+  *
+  * Users (and the registration-free builder
+  * [[graft.functions.VectorSql.spark.dotHof]]) can write the pure
+  * built-in form
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)),
+  * cast(0 as double), (acc,v) -> acc+v)`; with graft's extensions
+  * installed this rule substitutes [[DotF32]] — the same bitwise
+  * result (NativeExprSpec proves equality of the two paths) evaluated
+  * as a tight generated loop instead of interpreted lambda calls.
+  *
+  * Installed by `GraftExtensions` (injectOptimizerRule) and by
+  * `GraftSession.local` via `spark.experimental.extraOptimizations`.
+  */
+object NativeExprRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(
+              Multiply(
+                Cast(x: NamedLambdaVariable, DoubleType, _, _),
+                Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
+              _, _)),
+          zero,
+          LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+          LambdaFunction(idBody: NamedLambdaVariable, idArgs, _))
+          if isFloatArray(a) && isFloatArray(b) && isZeroDouble(zero) &&
+            x.dataType == FloatType && y.dataType == FloatType &&
+            idArgs.exists(_.exprId == idBody.exprId) =>
+        DotF32(a, b)
+    }
+
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def isZeroDouble(e: Expression): Boolean = e match {
+    case Cast(Literal(0, IntegerType), DoubleType, _, _) => true
+    case Literal(v: Double, DoubleType) => v == 0.0
+    case _ => false
+  }
+}

@@ -48,6 +48,18 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("optimizer rule rewrites the HOF dot product to the native expression") {
+    val q = embs.limit(1).select(col("embedding").as("q"))
+    val df = embs.crossJoin(broadcast(q))
+      .select(expr(V.dotHof("embedding", "q")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot_f32"),
+      s"expected DotF32 after NativeExprRewrite; plan:\n$optimized")
+    // and the rewritten plan still computes the same values
+    val native = embs.crossJoin(broadcast(q)).select(expr(V.dot("embedding", "q")).as("d"))
+    assertSameData(df, native)
+  }
+
   test("null semantics match the HOF forms") {
     import spark.implicits._
     val df = Seq(
