@@ -376,6 +376,22 @@ object Relational {
           salts = 16, saltFrom = "l_orderkey")
           .orderBy("l_returnflag")),
 
+    // ---- sketch aggregates (HLL++ / GK) --------------------------
+    // No oracle on purpose: approximate sketches are implementation-
+    // defined, so DuckDB's HLL would differ by design; the driver
+    // records the weaker rows-only check. Exact counterparts are
+    // oracle-checked in q07/q44.
+    Q("q45_sketches",
+      None,
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,
