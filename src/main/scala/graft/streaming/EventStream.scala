@@ -59,6 +59,23 @@ object EventStream {
       }
   }
 
+  /** Continuous ingest into a Hive-partitioned dataset: each
+    * micro-batch APPENDS to the dataset (the reference's at-rest
+    * `append` semantics — hive_dataset.py:417-420 — driven by a
+    * stream). foreachBatch gives exactly the dataset-layer write path;
+    * checkpointing provides at-least-once delivery (appends are
+    * re-run on recovery — pair with dedup downstream or exactly-once
+    * sinks where required). */
+  def appendTo(events: org.apache.spark.sql.DataFrame,
+               dataset: graft.sources.DatasetLike,
+               checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        dataset.append(batch)
+      }
+      .start()
+
   /** Session windows per user (gap-based), via Spark's native
     * session_window — state is per active session and evicted at
     * watermark, the scalable shape for per-entity sessionization. */

@@ -75,6 +75,27 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming append into a HiveDataset accumulates micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTempDir { dir =>
+      val ds = graft.sources.HiveDataset(s"$dir/data", Seq("event_type"))
+      val mem = MemoryStream[(Long, String, Double)]
+      val streamDf = mem.toDF().toDF("event_id", "event_type", "value")
+      val q = EventStream.appendTo(streamDf, ds, s"$dir/ckpt")
+      try {
+        mem.addData((0L, "click", 1.0), (1L, "view", 2.0))
+        q.processAllAvailable()
+        assert(ds.scan().get.count() == 2)
+        mem.addData((2L, "click", 3.0))
+        q.processAllAvailable()
+        val back = ds.scan().get
+        assert(back.count() == 3)
+        assert(back.where(col("event_type") === "click").count() == 2)
+      } finally q.stop()
+    }
+  }
+
   test("session windows: gap-based sessionization per user") {
     val out = EventStream.sessionCounts(batchEvents, gap = "30 minutes")
       .orderBy("user_id", "session_start").collect()

@@ -20,6 +20,12 @@ class HiveDatasetSpec extends SparkSpec {
     "hive"    -> HiveDataset(url + "/hive", Seq("p1", "p2")),
     "managed" -> ManagedDataset(url + "/managed", Seq("p1", "p2")))
 
+  test("unknown URL scheme raises at construction (hive_dataset.py:259-262)") {
+    intercept[Exception] {
+      HiveDataset("example://some/url", Seq("p1"))
+    }
+  }
+
   test("write then scan returns the same data (both backends)") {
     withTempDir { dir =>
       backends(dir).foreach { case (name, ds) =>
