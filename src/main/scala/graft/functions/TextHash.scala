@@ -96,19 +96,24 @@ object TextHash {
     def minhashFromHashesHof(hs: String, a: Long, b: Long): String =
       s"array_min(transform($hs, h -> (($a * h + $b) % $P)))"
 
-    /** Per-token 16-bit hashes of a token-array expression (native
-      * hash per element). */
-    def tokenHashes16(t: String): String =
-      s"transform(${hashArray(t)}, h -> h % 65536)"
+    /** Per-token `bits`-bit hashes of a token-array expression (native
+      * hash per element; the base hash has 30 usable bits). */
+    def tokenHashes(t: String, bits: Int): String = {
+      require(bits <= 30, "rolling hash provides 30 usable bits")
+      s"transform(${hashArray(t)}, h -> h % ${1L << bits})"
+    }
+    def tokenHashes16(t: String): String = tokenHashes(t, 16)
 
-    /** 16-bit simhash over a precomputed 16-bit token-hash array
+    /** `bits`-bit simhash over a precomputed token-hash array
       * expression `hs`: for each bit, majority vote of +-1 over tokens. */
-    def simhash16(hs: String): String =
-      (0 until 16).map { j =>
+    def simhashN(hs: String, bits: Int): String =
+      (0 until bits).map { j =>
         val bit = 1L << j
         val s = s"aggregate($hs, cast(0 as bigint), (acc, h) -> acc + CASE WHEN (h div $bit) % 2 = 1 THEN 1 ELSE -1 END)"
         s"CASE WHEN $s > 0 THEN $bit ELSE 0 END"
       }.mkString("(", " + ", ")")
+
+    def simhash16(hs: String): String = simhashN(hs, 16)
 
     /** Count of tokens equal to a literal word. */
     def tokenCount(t: String, word: String): String =
@@ -135,15 +140,18 @@ object TextHash {
     def minhash(shinglesExpr: String, a: Long, b: Long): String =
       s"list_min(list_transform($shinglesExpr, sh -> ${seeded(rollingHash("sh"), a, b)}))"
 
-    def tokenHashes16(t: String): String =
-      s"list_transform($t, tk -> ${rollingHash("tk")} % 65536)"
+    def tokenHashes(t: String, bits: Int): String =
+      s"list_transform($t, tk -> ${rollingHash("tk")} % ${1L << bits})"
+    def tokenHashes16(t: String): String = tokenHashes(t, 16)
 
-    def simhash16(hs: String): String =
-      (0 until 16).map { j =>
+    def simhashN(hs: String, bits: Int): String =
+      (0 until bits).map { j =>
         val bit = 1L << j
         val s = s"list_reduce(list_prepend(0::BIGINT, list_transform($hs, h -> CASE WHEN (h // $bit) % 2 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)), (acc, v) -> acc + v)"
         s"CASE WHEN $s > 0 THEN $bit ELSE 0 END"
       }.mkString("(", " + ", ")")
+
+    def simhash16(hs: String): String = simhashN(hs, 16)
 
     def tokenCount(t: String, word: String): String =
       s"len(list_filter($t, x -> x = '$word'))"

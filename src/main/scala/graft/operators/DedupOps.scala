@@ -102,6 +102,38 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** SimHash near-dup pairs: `bits`-bit simhash, banded into `bands`
+    * equal slices for candidate generation (pigeonhole: Hamming
+    * distance < bands GUARANTEES a colliding band; more-distant pairs
+    * surface only on a lucky collision), then exact Hamming filter at
+    * `maxHamming`. One hash shuffle per band, never a pairwise cross
+    * join. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 30, bands: Int = 5,
+                          maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must divide evenly into bands")
+    require(maxHamming < bands, "pigeonhole coverage needs maxHamming < bands")
+    val width = bits / bands
+    val mask = (1 << width) - 1
+    val sims = TextOps.withSimhash(df, textCol, bits, "sim")
+      .select(col(idCol).as("id"), col("sim"))
+      .localCheckpoint()
+    val pairs = (0 until bands).map { b =>
+      val div = 1L << (width * b)
+      val x = sims.select(col("id").as("a_id"), col("sim").as("sa"),
+        expr(s"(sim div ${div}L) % ${mask + 1}").as("bk"))
+      val y = sims.select(col("id").as("b_id"), col("sim").as("sb"),
+        expr(s"(sim div ${div}L) % ${mask + 1}").as("bk"))
+      x.join(y, "bk").where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+    }.reduce(_ unionAll _).distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** N-gram Jaccard near-dup within equality blocks (cheap blocking
     * key = text prefix): the classic blocked-dedup shape. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,

@@ -43,9 +43,14 @@ object TextOps {
 
   /** 16-bit simhash over whitespace tokens. */
   def withSimhash16(df: DataFrame, textCol: String, out: String = "simhash16"): DataFrame =
+    withSimhash(df, textCol, 16, out)
+
+  /** `bits`-bit simhash (<= 30: the rolling hash's usable bits). More
+    * bits discriminate better on same-vocabulary corpora. */
+  def withSimhash(df: DataFrame, textCol: String, bits: Int, out: String): DataFrame =
     withTokens(df, textCol, "__toks")
-      .withColumn("__hs", expr(H.tokenHashes16("__toks")))
-      .withColumn(out, expr(H.simhash16("__hs")))
+      .withColumn("__hs", expr(H.tokenHashes("__toks", bits)))
+      .withColumn(out, expr(H.simhashN("__hs", bits)))
       .drop("__toks", "__hs")
 
   /** Stopword-frequency language-ID heuristic: counts per-language
