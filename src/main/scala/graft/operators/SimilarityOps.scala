@@ -65,11 +65,13 @@ object SimilarityOps {
   }
 
   /** IVF-style ANN: assign every corpus vector to its nearest
-    * (broadcast) centroid, then search only the query's probed
-    * cluster. `centroids` columns: (cid, cvec). */
+    * (broadcast) centroid, then search only the query's `nProbe`
+    * closest clusters. `centroids` columns: (cid, cvec). Recall
+    * rises with nProbe; probing every cluster degenerates to exact
+    * brute force (the spec's invariant). */
   def ivfSearch(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, query: DataFrame, k: Int,
-                excludeId: Option[Long] = None): DataFrame = {
+                excludeId: Option[Long] = None, nProbe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
     val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
@@ -81,11 +83,11 @@ object SimilarityOps {
       .where(col("crank") === 1)
       .select(col(idCol), col(vecCol), col("__nrm"), col("cid").as("cluster"))
 
-    // Probe: the query vector's own nearest centroid.
+    // Probe: the query vector's nProbe nearest centroids.
     val probed = query.withColumn("__qnrm", expr(V.norm("q")))
       .crossJoin(broadcast(centN))
       .withColumn("csim", simWithNorms("q", "cvec", "__qnrm", "__ctnrm"))
-      .orderBy(col("csim").desc, col("cid")).limit(1)
+      .orderBy(col("csim").desc, col("cid")).limit(nProbe)
       .select(col("q"), col("__qnrm"), col("cid").as("cluster"))
 
     // Fine search restricted to the probed cluster.

@@ -214,6 +214,34 @@ object TextQ {
             sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
           .orderBy("lang")),
 
+    // ---- composed curation pipeline ------------------------------
+    // dedup (keep-first) -> quality gate -> annotate, then summarize.
+    Q("q47_curation_pipeline",
+      Some(s"""WITH dedup AS (
+              |  SELECT * FROM (
+              |    SELECT doc_id, text, lang,
+              |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              |    FROM documents) WHERE rn = 1),
+              |gated AS (
+              |  SELECT doc_id, lang, len($duckToks) AS n_tokens,
+              |    ${D.tokenCount(D.tokens("text"), "the")} AS n_stop,
+              |    ${D.rollingHash("text")} AS fingerprint
+              |  FROM dedup
+              |  WHERE len($duckToks) BETWEEN 20 AND 5000)
+              |SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens,
+              |  sum(n_stop)::BIGINT AS sum_stop, min(fingerprint) AS min_fp
+              |FROM gated GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        graft.operators.CurationPipeline.curate(
+          t(s, dir, "documents"), "doc_id", "text", minTokens = 20, maxTokens = 5000)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("n_stop")).as("sum_stop"),
+            min(col("fingerprint")).as("min_fp"))
+          .orderBy("lang")),
+
     // ---- multimodal plumbing: opaque binary column stats ---------
     // Binary payloads (here: utf8 bytes as a deterministic stand-in
     // for image/audio blobs) flow through untouched; metadata is

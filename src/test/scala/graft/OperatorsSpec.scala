@@ -95,6 +95,17 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.head == 0L)
   }
 
+  test("curation pipeline: keep-first dedup, token gate, annotations") {
+    val out = operators.CurationPipeline.curate(docs, "doc_id", "text",
+      minTokens = 3, maxTokens = 100)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L), "exact duplicate must be dropped (keep lowest id)")
+    assert(ids.contains(0L), "survivor of the dup group is the lowest id")
+    assert(!ids.contains(4L), "2-token doc fails the minTokens=3 gate")
+    val r = out.where(col("doc_id") === 0).head
+    assert(r.getAs[Int]("n_tokens") == 6 && r.getAs[Int]("n_stop") == 2)
+  }
+
   test("asof join: latest prior-or-equal right row per key; nulls when none") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
@@ -133,6 +144,24 @@ class OperatorsSpec extends SparkSpec {
     val out = operators.RangeJoin.priorWindowJoin(left, right, Seq("k"), "lt", "rt", 600L)
       .agg(sum(col("v"))).head.getDouble(0)
     assert(out == 3.0, "exactly the two boundary-inclusive rows must match")
+  }
+
+  test("IVF probing all clusters degenerates to exact brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val q = emb.where(col("vec_id") === 100).select(col("embedding").as("q"))
+    val corpus = emb.where(col("vec_id") >= 16)
+    val brute = SimilarityOps.topK(corpus, "vec_id", "embedding", q, 10, Some(100L))
+      .select("vec_id", "sim")
+    val ivfAll = SimilarityOps.ivfSearch(corpus, "vec_id", "embedding", cents, q,
+      k = 10, excludeId = Some(100L), nProbe = 16)
+      .select("vec_id", "sim")
+    assertSameData(ivfAll, brute)
+    // fewer probes return a subset of the brute-force candidates
+    val ivf4 = SimilarityOps.ivfSearch(corpus, "vec_id", "embedding", cents, q,
+      k = 10, excludeId = Some(100L), nProbe = 4).collect()
+    assert(ivf4.length == 10)
   }
 
   test("multimodal decode stub: deterministic metadata, payload preserved") {
