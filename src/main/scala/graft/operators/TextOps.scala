@@ -53,14 +53,28 @@ object TextOps {
       .withColumn(out, expr(H.simhashN("__hs", bits)))
       .drop("__toks", "__hs")
 
-  /** Stopword-frequency language-ID heuristic: counts per-language
-    * marker tokens and guesses the argmax (deterministic tie-break by
-    * fixed language order). */
+  /** Per-language stopword marker sets for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los"))
+
+  /** Stopword-frequency language-ID heuristic: score each language's
+    * marker-token hits and guess the argmax, ties broken by the fixed
+    * order of [[LangMarkers]] (deterministic). */
   def withLangGuess(df: DataFrame, textCol: String, out: String = "lang_guess"): DataFrame = {
     val d = withTokens(df, textCol, "__toks")
-    val nThe = expr(H.tokenCount("__toks", "the"))
-    val nA = expr(H.tokenCount("__toks", "a"))
-    d.withColumn(out, when(nThe + nA >= lit(2), lit("en")).otherwise(lit("unk")))
-      .drop("__toks")
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w => expr(H.tokenCount("__toks", w))).reduce(_ + _)
+    }
+    // CASE chain: first language whose score >= all later scores.
+    val branches = scores.zipWithIndex.init.map { case ((lang, sc), i) =>
+      lang -> scores.drop(i + 1).map(t => sc >= t._2).reduce(_ && _)
+    }
+    val guess = branches.foldRight(lit(scores.last._1): org.apache.spark.sql.Column) {
+      case ((lang, cond), acc) => when(cond, lit(lang)).otherwise(acc)
+    }
+    d.withColumn(out, guess).drop("__toks")
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.catalyst.DotF32
+import graft.functions.catalyst.{DotF32, RollingHash}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -40,6 +40,28 @@ object NativeExprRewrite extends Rule[LogicalPlan] {
             x.dataType == FloatType && y.dataType == FloatType &&
             idArgs.exists(_.exprId == idBody.exprId) =>
         DotF32(a, b)
+
+      // rolling hash: aggregate(transform(sequence(1, length(s)),
+      //   i -> ascii(substring(s, i, 1))), 0L,
+      //   (h,c) -> (h*31 + c) % 1000000007)
+      case ArrayAggregate(
+          ArrayTransform(
+            Sequence(Literal(1, IntegerType), Length(s1), None, _),
+            LambdaFunction(
+              Ascii(Substring(s2, _: NamedLambdaVariable, Literal(1, IntegerType))), _, _)),
+          zeroL,
+          LambdaFunction(
+            Remainder(
+              Add(
+                Multiply(_: NamedLambdaVariable, thirtyOne, _),
+                Cast(_: NamedLambdaVariable, LongType, _, _), _),
+              prime, _),
+            _, _),
+          LambdaFunction(idBody: NamedLambdaVariable, idArgs, _))
+          if s1.semanticEquals(s2) && isZeroLong(zeroL) &&
+            isLongConst(thirtyOne, 31L) && isLongConst(prime, 1000000007L) &&
+            idArgs.exists(_.exprId == idBody.exprId) =>
+        RollingHash(s1)
     }
 
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
@@ -50,6 +72,17 @@ object NativeExprRewrite extends Rule[LogicalPlan] {
   private def isZeroDouble(e: Expression): Boolean = e match {
     case Cast(Literal(0, IntegerType), DoubleType, _, _) => true
     case Literal(v: Double, DoubleType) => v == 0.0
+    case _ => false
+  }
+
+  private def isZeroLong(e: Expression): Boolean = isLongConst(e, 0L)
+
+  /** Constant folding may or may not have run before this rule, so a
+    * long constant can appear either as cast(int-literal as bigint) or
+    * as a folded bigint literal. */
+  private def isLongConst(e: Expression, v: Long): Boolean = e match {
+    case Cast(Literal(i: Int, IntegerType), LongType, _, _) => i.toLong == v
+    case Literal(l: Long, LongType) => l == v
     case _ => false
   }
 }

@@ -157,16 +157,25 @@ object TextQ {
         DedupOps.blockedJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           prefixLen = 40, minJaccard = 0.3)),
 
-    // ---- language-ID heuristic -----------------------------------
-    Q("q36_lang_id",
+    // ---- language-ID heuristic (stopword-marker argmax) ----------
+    Q("q36_lang_id", {
+      val langs = graft.operators.TextOps.LangMarkers
+      val scoreCols = langs.map { case (lang, words) =>
+        s"${words.map(w => D.tokenCount("t", w)).mkString(" + ")} AS s_$lang"
+      }.mkString(",\n              ")
+      val branches = langs.zipWithIndex.init.map { case ((lang, _), i) =>
+        val conds = langs.drop(i + 1).map { case (other, _) => s"s_$lang >= s_$other" }
+        s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ")
       Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents),
-              |g AS (SELECT lang,
-              |  CASE WHEN ${D.tokenCount("t", "the")} + ${D.tokenCount("t", "a")} >= 2
-              |       THEN 'en' ELSE 'unk' END AS lang_guess
-              |  FROM toks)
+              |sc AS (SELECT lang,
+              |  $scoreCols
+              |  FROM toks),
+              |g AS (SELECT lang, CASE $branches ELSE '${langs.last._1}' END AS lang_guess FROM sc)
               |SELECT lang, count(*) AS n,
               |  sum(CASE WHEN lang_guess = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_guessed_en
-              |FROM g GROUP BY lang ORDER BY lang""".stripMargin),
+              |FROM g GROUP BY lang ORDER BY lang""".stripMargin)
+    },
       (s, dir) =>
         TextOps.withLangGuess(t(s, dir, "documents"), "text")
           .groupBy(col("lang"))

@@ -60,6 +60,14 @@ class NativeExprSpec extends SparkSpec {
     assertSameData(df, native)
   }
 
+  test("optimizer rule rewrites the HOF rolling hash to the native expression") {
+    val df = docs.select(expr(H.rollingHashHof("text")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_rolling_hash"),
+      s"expected RollingHash after NativeExprRewrite; plan:\n$optimized")
+    assertSameData(df, docs.select(expr(H.rollingHash("text")).as("h")))
+  }
+
   test("null semantics match the HOF forms") {
     import spark.implicits._
     val df = Seq(
