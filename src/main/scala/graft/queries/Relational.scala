@@ -376,6 +376,57 @@ object Relational {
           salts = 16, saltFrom = "l_orderkey")
           .orderBy("l_returnflag")),
 
+    // ---- cube grouping sets + grouping() -------------------------
+    Q("q27_cube_counts",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  grouping(l_returnflag)::INT AS g_flag, grouping(l_linestatus)::INT AS g_status,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, g_flag, g_status""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_flag"),
+            grouping(col("l_linestatus")).cast("int").as("g_status"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first,
+            col("g_flag"), col("g_status"))),
+
+    // ---- semi / anti joins ---------------------------------------
+    Q("q28_semi_anti",
+      Some("""SELECT
+             |  (SELECT count(*) FROM part p WHERE EXISTS
+             |    (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)) AS n_bulk,
+             |  (SELECT count(*) FROM part p WHERE NOT EXISTS
+             |    (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)) AS n_never_bulk""".stripMargin),
+      (s, dir) => {
+        val part = t(s, dir, "part")
+        val bulk = t(s, dir, "lineitem").where(col("l_quantity") >= 49)
+        val semi = part.join(bulk, col("p_partkey") === col("l_partkey"), "left_semi")
+          .agg(count(lit(1)).as("n_bulk"))
+        val anti = part.join(bulk, col("p_partkey") === col("l_partkey"), "left_anti")
+          .agg(count(lit(1)).as("n_never_bulk"))
+        semi.crossJoin(anti)
+      }),
+
+    // ---- left outer join with null-preserving aggregation --------
+    Q("q29_left_outer",
+      Some("""SELECT s_suppkey, count(l_orderkey) AS n_items,
+             |  (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+             |FROM supplier LEFT JOIN lineitem
+             |  ON s_suppkey = l_suppkey AND l_quantity > 49
+             |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .join(t(s, dir, "lineitem"),
+            col("s_suppkey") === col("l_suppkey") && col("l_quantity") > 49, "left")
+          .groupBy(col("s_suppkey"))
+          .agg(
+            count(col("l_orderkey")).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("s_suppkey")),
+
     // ---- sketch aggregates (HLL++ / GK) --------------------------
     // No oracle on purpose: approximate sketches are implementation-
     // defined, so DuckDB's HLL would differ by design; the driver
