@@ -115,9 +115,10 @@ object TextHash {
 
     def simhash16(hs: String): String = simhashN(hs, 16)
 
-    /** Count of tokens equal to a literal word. */
+    /** Count of tokens equal to a literal word (quotes doubled — SQL
+      * string-literal escaping, needed for contractions like "l'"). */
     def tokenCount(t: String, word: String): String =
-      s"size(filter($t, x -> x = '$word'))"
+      s"size(filter($t, x -> x = '${word.replace("'", "''")}'))"
   }
 
   /** DuckDB dialect — strings for the driver's oracle SQL. */
@@ -154,6 +155,6 @@ object TextHash {
     def simhash16(hs: String): String = simhashN(hs, 16)
 
     def tokenCount(t: String, word: String): String =
-      s"len(list_filter($t, x -> x = '$word'))"
+      s"len(list_filter($t, x -> x = '${word.replace("'", "''")}'))"
   }
 }

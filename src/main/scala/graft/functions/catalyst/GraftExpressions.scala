@@ -76,18 +76,20 @@ object HashOps {
     * precision — exactly
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
     * including its null semantics: any null element or length mismatch
-    * yields null (NaN sentinel here; callers translate). */
-  def dotF32(a: ArrayData, b: ArrayData): Double = {
+    * yields SQL NULL (boxed null here), while NaN INPUTS propagate as
+    * a genuine NaN result — the two cases must not be conflated or
+    * the bitwise-parity contract with the HOF form breaks. */
+  def dotF32(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return Double.NaN
+    if (b.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (a.isNullAt(i) || b.isNullAt(i)) return Double.NaN
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }
 
@@ -182,15 +184,16 @@ case class DotF32(left: Expression, right: Expression)
     if (a == null || b == null) null
     else {
       val v = HashOps.dotF32(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-      if (java.lang.Double.isNaN(v)) null else v
+      if (v == null) null else v.doubleValue()
     }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dotBoxed")
       s"""
-         |${ev.value} = graft.functions.catalyst.HashOps.dotF32($a, $b);
-         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+         |java.lang.Double $boxed = graft.functions.catalyst.HashOps.dotF32($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.doubleValue(); }
        """.stripMargin
     })
 

@@ -73,22 +73,30 @@ object DedupOps {
       x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
     }.reduce(_ unionAll _).distinct().persist()
 
-    // Exact verification: Jaccard over distinct 3-shingle sets,
-    // computed only for candidate docs (semi-join pruning).
-    val sh = TextOps.withTokens(df, textCol, "__toks")
-      .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
-      .select(col(idCol).as("id"), col("sh")).distinct()
-    val candIds = pairs.select(col("a_id").as("id"))
-      .unionAll(pairs.select(col("b_id").as("id"))).distinct()
-    // Reused by sizes + both sides of the common-shingle join;
-    // lineage-truncated so the shingle expression tree is analyzed
-    // once, not once per downstream join branch.
-    val candSh = sh.join(candIds, "id").localCheckpoint()
+    verifyJaccard(df, idCol, textCol, pairs, minJaccard)
+  }
 
-    val sizes = candSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+  /** Exact Jaccard verification over distinct 3-shingle sets for the
+    * docs appearing in `pairs` (a_id/b_id) only — the corpus is
+    * semi-join-pruned to candidates BEFORE the shingle explode, so
+    * the expensive stage scales with candidate count, not corpus
+    * size. Shared by every near-dup candidate generator. */
+  private def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+                            pairs: DataFrame, minJaccard: Double): DataFrame = {
+    val candIds = pairs.select(col("a_id").as("__cand_id"))
+      .unionAll(pairs.select(col("b_id").as("__cand_id"))).distinct()
+    val pruned = df.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
+    // Lineage-truncated so the shingle expression tree is analyzed
+    // once, not once per downstream join branch. (Checkpoint blocks
+    // live until the returned frame is GC'd — per-query lifetime.)
+    val sh = TextOps.withTokens(pruned, textCol, "__toks")
+      .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
+      .select(col(idCol).as("id"), col("sh")).distinct().localCheckpoint()
+
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val common = pairs
-      .join(candSh.select(col("id").as("a_id"), col("sh")), "a_id")
-      .join(candSh.select(col("id").as("b_id"), col("sh").as("sh2")), "b_id")
+      .join(sh.select(col("id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("sh2")), "b_id")
       .where(col("sh") === col("sh2"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
 
@@ -139,38 +147,14 @@ object DedupOps {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           prefixLen: Int = 40, minJaccard: Double = 0.3): DataFrame = {
     val blocked = df.select(
-      col(idCol).as("id"), col(textCol).as("__text"),
-      substring(col(textCol), 1, prefixLen).as("blk"))
-    // Persisted: referenced by the candidate semi-join, the common-
-    // shingle join, and the output join (tiny: pairs only).
+      col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("blk"))
+    // Checkpointed: referenced by the candidate semi-join, the common-
+    // shingle join, and the output join (tiny: pairs only; blocks live
+    // until the returned frame is GC'd).
     val pairs = blocked.as("x").join(blocked.as("y"), "blk")
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .localCheckpoint()
-
-    // Shingle sets only for docs that appear in a candidate pair
-    // (semi-join pruning — blocked candidates are a small fraction of
-    // the corpus); reused by sizes + both sides of the common join.
-    val candIds = pairs.select(col("a_id").as("id"))
-      .unionAll(pairs.select(col("b_id").as("id"))).distinct()
-    val sh = TextOps.withTokens(df.join(candIds, col(idCol) === col("id"), "left_semi"),
-        textCol, "__toks")
-      .withColumn("sh", explode(expr(H.shingles3("__toks", textCol))))
-      .select(col(idCol).as("id"), col("sh")).distinct().localCheckpoint()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = pairs
-      .join(sh.select(col("id").as("a_id"), col("sh")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("sh").as("sh2")), "b_id")
-      .where(col("sh") === col("sh2"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_common"))
-
-    common
-      .join(sizes.select(col("id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("n_sh").as("n_b")), "b_id")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy("a_id", "b_id")
+    verifyJaccard(df, idCol, textCol, pairs, minJaccard)
   }
 }

@@ -69,12 +69,18 @@ object Multimodal {
 
   /** Frame-sample STUB: one row per sampled frame timestamp. Bounded
     * by fps * duration; frame payload extraction (`frame_bytes`) is
-    * the part a real video codec would fill in. */
-  def frameSample(decoded: DataFrame, fps: Double): DataFrame =
+    * the part a real video codec would fill in. Step is clamped to
+    * >= 1ms (fps > 1000 would otherwise generate a zero step) and
+    * zero-duration payloads yield zero frames. */
+  def frameSample(decoded: DataFrame, fps: Double): DataFrame = {
+    require(fps > 0, "fps must be positive")
+    val stepMs = math.max(1L, (1000 / fps).toLong)
     decoded
       .withColumn("frame_ms",
-        explode(expr(s"sequence(0L, meta.durationMs - 1, cast(${(1000 / fps).toLong} as long))")))
+        explode(expr(s"sequence(0L, greatest(meta.durationMs - 1, 0L), ${stepMs}L)")))
+      .where(col("frame_ms") < col("meta.durationMs"))
       .select(col("id"), col("meta.kind").as("kind"), col("frame_ms"))
+  }
 
   /** Resize STUB: pure metadata transform (a real impl would also
     * rewrite payload bytes). Aspect-preserving fit into a box. */

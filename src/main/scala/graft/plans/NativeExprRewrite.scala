@@ -32,12 +32,18 @@ object NativeExprRewrite extends Rule[LogicalPlan] {
               Multiply(
                 Cast(x: NamedLambdaVariable, DoubleType, _, _),
                 Cast(y: NamedLambdaVariable, DoubleType, _, _), _),
-              _, _)),
+              mulArgs, _)),
           zero,
-          LambdaFunction(Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _), _, _),
+          LambdaFunction(
+            Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), addArgs, _),
           LambdaFunction(idBody: NamedLambdaVariable, idArgs, _))
           if isFloatArray(a) && isFloatArray(b) && isZeroDouble(zero) &&
             x.dataType == FloatType && y.dataType == FloatType &&
+            // the lambdas must use BOTH of their own arguments in
+            // order — else e.g. (x,y) -> x*x (sum of squares) or
+            // (acc,v) -> acc+acc would silently rewrite to a dot
+            // product of different values
+            bindsArgs(mulArgs, x, y) && bindsArgs(addArgs, acc, v) &&
             idArgs.exists(_.exprId == idBody.exprId) =>
         DotF32(a, b)
 
@@ -48,18 +54,20 @@ object NativeExprRewrite extends Rule[LogicalPlan] {
           ArrayTransform(
             Sequence(Literal(1, IntegerType), Length(s1), None, _),
             LambdaFunction(
-              Ascii(Substring(s2, _: NamedLambdaVariable, Literal(1, IntegerType))), _, _)),
+              Ascii(Substring(s2, i: NamedLambdaVariable, Literal(1, IntegerType))), tArgs, _)),
           zeroL,
           LambdaFunction(
             Remainder(
               Add(
-                Multiply(_: NamedLambdaVariable, thirtyOne, _),
-                Cast(_: NamedLambdaVariable, LongType, _, _), _),
+                Multiply(h: NamedLambdaVariable, thirtyOne, _),
+                Cast(c: NamedLambdaVariable, LongType, _, _), _),
               prime, _),
-            _, _),
+            mArgs, _),
           LambdaFunction(idBody: NamedLambdaVariable, idArgs, _))
           if s1.semanticEquals(s2) && isZeroLong(zeroL) &&
             isLongConst(thirtyOne, 31L) && isLongConst(prime, 1000000007L) &&
+            tArgs.size == 1 && tArgs.head.exprId == i.exprId &&
+            bindsArgs(mArgs, h, c) &&
             idArgs.exists(_.exprId == idBody.exprId) =>
         RollingHash(s1)
     }
@@ -68,6 +76,13 @@ object NativeExprRewrite extends Rule[LogicalPlan] {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** The lambda's argument list is exactly (first, second) in order. */
+  private def bindsArgs(args: Seq[NamedExpression],
+                        first: NamedLambdaVariable,
+                        second: NamedLambdaVariable): Boolean =
+    args.size == 2 && args.head.exprId == first.exprId &&
+      args(1).exprId == second.exprId
 
   private def isZeroDouble(e: Expression): Boolean = e match {
     case Cast(Literal(0, IntegerType), DoubleType, _, _) => true

@@ -17,9 +17,4 @@ object Q {
   /** Read one driver testdata table. */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-
-  /** Exact double aggregation: cast to decimal pre-sum (order-
-    * independent exact arithmetic), back to double post-sum — kills
-    * float summation-order nondeterminism on both engines. */
-  val SumDecimalScale = 6
 }

@@ -60,6 +60,18 @@ class NativeExprSpec extends SparkSpec {
     assertSameData(df, native)
   }
 
+  test("rewrite rule does NOT fire on near-miss patterns (sum of squares)") {
+    val q = embs.limit(1).select(col("embedding").as("q"))
+    // (x, y) -> x*x — same shape as a dot product but not one
+    val sumSq = "aggregate(zip_with(embedding, q, (x, y) -> cast(x as double) * cast(x as double)), cast(0 as double), (acc, v) -> acc + v)"
+    val df = embs.crossJoin(broadcast(q)).select(expr(sumSq).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot_f32"),
+      "sum-of-squares must not be rewritten to a dot product")
+    // value check: equals dot(embedding, embedding), not dot(embedding, q)
+    val expected = embs.select(expr(V.dot("embedding", "embedding")).as("d"))
+    assertSameData(df, expected)
+  }
+
   test("optimizer rule rewrites the HOF rolling hash to the native expression") {
     val df = docs.select(expr(H.rollingHashHof("text")).as("h"))
     val optimized = df.queryExecution.optimizedPlan.toString
