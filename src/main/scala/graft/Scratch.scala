@@ -1,15 +1,12 @@
 package graft
 
-import graft.functions.TextHash
-import org.apache.spark.sql.functions._
-
-/** Dev scratch main — not part of the library surface. */
+/** Dev scratch main — ad-hoc experiments only; not part of the
+  * library surface. See Verify/Bench for the driver entry points and
+  * tools/check_correctness.py for the local oracle harness. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val df = docs.select(expr(TextHash.spark.rollingHashHof("text")).as("h"))
-    println("[scratch] analyzed:\n" + df.queryExecution.analyzed.expressions.head.treeString)
+    val spark = GraftSession.local(8)
+    SparkEntry.entry(spark).show()
     spark.stop()
   }
 }

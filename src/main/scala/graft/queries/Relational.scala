@@ -427,6 +427,44 @@ object Relational {
             sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
           .orderBy("s_suppkey")),
 
+    // ---- pivot (wide aggregation) --------------------------------
+    // Spark's pivot relational operator; the oracle spells the same
+    // result as portable conditional aggregation.
+    Q("q49_pivot_events",
+      Some("""SELECT user_id % 10 AS user_bucket,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+             |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+             |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+             |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy((col("user_id") % 10).as("user_bucket"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(coalesce(count(lit(1)), lit(0L)))
+          .na.fill(0L)
+          .orderBy("user_bucket")),
+
+    // ---- cumulative window aggregation ---------------------------
+    Q("q50_running_revenue",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  (sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_total
+             |FROM orders WHERE o_custkey < 100 ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .where(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
     // ---- sketch aggregates (HLL++ / GK) --------------------------
     // No oracle on purpose: approximate sketches are implementation-
     // defined, so DuckDB's HLL would differ by design; the driver

@@ -223,6 +223,25 @@ object TextQ {
             sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
           .orderBy("lang")),
 
+    // ---- top tokens per language (explode + count + rank) --------
+    Q("q48_top_tokens",
+      Some(s"""WITH tok AS (SELECT lang, unnest($duckToks) AS token FROM documents),
+              |cnt AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+              |ranked AS (SELECT lang, token, n,
+              |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)::INT AS rnk FROM cnt)
+              |SELECT lang, token, n, rnk FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+        t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 5)
+          .select("lang", "token", "n", "rnk")
+          .orderBy("lang", "rnk")
+      }),
+
     // ---- composed curation pipeline ------------------------------
     // dedup (keep-first) -> quality gate -> annotate, then summarize.
     Q("q47_curation_pipeline",
