@@ -126,6 +126,10 @@ object DedupOps {
     val sims = TextOps.withSimhash(df, textCol, bits, "sim")
       .select(col(idCol).as("id"), col("sim"))
       .localCheckpoint()
+    // The Hamming filter runs INSIDE each band branch, before the
+    // union-distinct: filtering commutes with distinct, and it shrinks
+    // the deduplication input from all band collisions (quadratic in
+    // bucket sizes on clustered corpora) to just the near-dups.
     val pairs = (0 until bands).map { b =>
       val div = 1L << (width * b)
       val x = sims.select(col("id").as("a_id"), col("sim").as("sa"),
@@ -133,11 +137,11 @@ object DedupOps {
       val y = sims.select(col("id").as("b_id"), col("sim").as("sb"),
         expr(s"(sim div ${div}L) % ${mask + 1}").as("bk"))
       x.join(y, "bk").where(col("a_id") < col("b_id"))
+        .where(expr("bit_count(sa ^ sb)") <= maxHamming)
         .select("a_id", "b_id", "sa", "sb")
     }.reduce(_ unionAll _).distinct()
     pairs
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .where(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
   }
