@@ -99,6 +99,39 @@ object TextQ {
           .select("doc_id", "simhash16")
           .orderBy("doc_id")),
 
+    // ---- minhash Jaccard ESTIMATE over LSH candidates ------------
+    // The estimator property: matching signature fraction ~ Jaccard.
+    // Division by 8 (power of two) keeps the double exact.
+    Q("q51_minhash_estimate",
+      Some(s"""$sigCte,
+              |b AS (SELECT doc_id,
+              |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
+              |  m0, m1, m2, m3, m4, m5, m6, m7 FROM sig),
+              |pairs AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+              |    ((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) + (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) + (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) + (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) + (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END)
+              |    )::DOUBLE / 8 AS est_jaccard
+              |  FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id)
+              |SELECT a_id, b_id, est_jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val sigs = DedupOps.signatures(t(s, dir, "documents"), "doc_id", "text", 2, 4)
+          .select(col("doc_id").as("id") +: (0 until 8).map(i => col(s"m$i")) :+ col("band0"): _*)
+          .localCheckpoint()
+        val x = sigs.select(col("id").as("a_id") +:
+          (0 until 8).map(i => col(s"m$i").as(s"xa$i")) :+ col("band0").as("bk"): _*)
+        val y = sigs.select(col("id").as("b_id") +:
+          (0 until 8).map(i => col(s"m$i").as(s"yb$i")) :+ col("band0").as("bk"): _*)
+        x.join(y, "bk").where(col("a_id") < col("b_id"))
+          .withColumn("est_jaccard",
+            (0 until 8).map(i => when(col(s"xa$i") === col(s"yb$i"), 1).otherwise(0))
+              .reduce(_ + _).cast("double") / 8)
+          .select("a_id", "b_id", "est_jaccard")
+          .orderBy("a_id", "b_id")
+      }),
+
     // ---- simhash-banded near-dup pairs ---------------------------
     // 30-bit simhash (16 bits under-discriminates on a shared-
     // vocabulary corpus), 5 bands of 6 bits, Hamming <= 3 (< bands,
