@@ -105,8 +105,13 @@ object TextHash {
     def tokenHashes16(t: String): String = tokenHashes(t, 16)
 
     /** `bits`-bit simhash over a precomputed token-hash array
-      * expression `hs`: for each bit, majority vote of +-1 over tokens. */
-    def simhashN(hs: String, bits: Int): String =
+      * expression `hs`: for each bit, majority vote of +-1 over
+      * tokens. Native single-pass codegen expression. */
+    def simhashN(hs: String, bits: Int): String = s"graft_simhash($hs, $bits)"
+
+    /** HOF rendering of the same simhash (one fold per bit;
+      * registration-free environments and parity tests). */
+    def simhashNHof(hs: String, bits: Int): String =
       (0 until bits).map { j =>
         val bit = 1L << j
         val s = s"aggregate($hs, cast(0 as bigint), (acc, h) -> acc + CASE WHEN (h div $bit) % 2 = 1 THEN 1 ELSE -1 END)"

@@ -72,6 +72,36 @@ object HashOps {
     if (seen) min else Long.MinValue
   }
 
+  /** Single-pass N-bit simhash over a long array: per bit, majority
+    * vote of +-1 across elements (null elements vote -1 on every bit,
+    * matching the HOF rendering's CASE semantics). */
+  def simhash(hs: ArrayData, bits: Int): Int = {
+    val counts = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) {
+        var j = 0
+        while (j < bits) { counts(j) -= 1; j += 1 }
+      } else {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < bits) {
+          counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) out |= (1 << j)
+      j += 1
+    }
+    out
+  }
+
   /** Strict left-to-right dot product of two float arrays in double
     * precision — exactly
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
@@ -91,6 +121,42 @@ object HashOps {
     }
     java.lang.Double.valueOf(acc)
   }
+}
+
+/** `graft_simhash(array<bigint>, bits) -> int` — single-pass N-bit
+  * simhash. The HOF rendering folds the hash array once PER BIT; this
+  * accumulates all bit counters in one pass inside codegen. Semantics
+  * match the HOF form exactly, including null elements voting -1 on
+  * every bit (CASE WHEN null THEN 1 ELSE -1 takes the ELSE branch). */
+case class Simhash(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        val b = bits
+        if (b >= 1 && b <= 32) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1, 32], got $b")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, constant int)")
+    }
+  private lazy val bits: Int = right.eval().asInstanceOf[Int]
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_simhash"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val hs = left.eval(input)
+    if (hs == null) null
+    else HashOps.simhash(hs.asInstanceOf[ArrayData], bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, _) =>
+      s"${ev.value} = graft.functions.catalyst.HashOps.simhash($hs, $bits);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Simhash =
+    copy(left = l, right = r)
 }
 
 /** `graft_rolling_hash(string) -> bigint` */

@@ -27,7 +27,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => SeededMin(args(0), args(1), args(2))),
     ("graft_dot_f32",
       info("graft_dot_f32", "strict sequential dot product of two array<float> in double"),
-      (args: Seq[Expression]) => DotF32(args(0), args(1))))
+      (args: Seq[Expression]) => DotF32(args(0), args(1))),
+    ("graft_simhash",
+      info("graft_simhash", "single-pass N-bit simhash over array<bigint>"),
+      (args: Seq[Expression]) => Simhash(args(0), args(1))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

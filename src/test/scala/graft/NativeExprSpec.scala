@@ -80,6 +80,20 @@ class NativeExprSpec extends SparkSpec {
     assertSameData(df, docs.select(expr(H.rollingHash("text")).as("h")))
   }
 
+  test("native simhash == HOF simhash on real token hashes (16 and 30 bits)") {
+    val base = docs
+      .withColumn("toks", expr(H.tokens("text")))
+      .withColumn("hs", expr(H.tokenHashes("toks", 30)))
+      .withColumn("hs16", expr(H.tokenHashes("toks", 16)))
+    val diff = base
+      .withColumn("n30", expr(H.simhashN("hs", 30)))
+      .withColumn("h30", expr(H.simhashNHof("hs", 30)))
+      .withColumn("n16", expr(H.simhashN("hs16", 16)))
+      .withColumn("h16", expr(H.simhashNHof("hs16", 16)))
+      .where(col("n30") =!= col("h30") || col("n16") =!= col("h16"))
+    assert(diff.count() == 0)
+  }
+
   test("null semantics match the HOF forms") {
     import spark.implicits._
     val df = Seq(
