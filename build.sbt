@@ -30,5 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Whole-stage codegen emits one generated class per stage; across a
   // many-query run the default 240m code cache fills, the JIT stops
   // compiling, and later queries run interpreted (10x+ slowdowns).
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
 )
