@@ -256,6 +256,24 @@ object TextQ {
             sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
           .orderBy("lang")),
 
+    // ---- deterministic train/val split ---------------------------
+    // Hash-based splitting (not rand()): assignment is a pure function
+    // of content, so re-runs, retried tasks, and incremental additions
+    // never reshuffle examples across splits.
+    Q("q52_hash_split",
+      Some(s"""WITH s AS (SELECT lang,
+              |  CASE WHEN ${D.rollingHash("text")} % 100 < 90 THEN 'train' ELSE 'val' END AS split
+              |  FROM documents)
+              |SELECT lang, split, count(*) AS n FROM s
+              |GROUP BY lang, split ORDER BY lang, split""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .withColumn("split",
+            when(expr(TextHash.spark.rollingHash("text")) % 100 < 90, "train")
+              .otherwise("val"))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "split")),
+
     // ---- top tokens per language (explode + count + rank) --------
     Q("q48_top_tokens",
       Some(s"""WITH tok AS (SELECT lang, unnest($duckToks) AS token FROM documents),
