@@ -34,6 +34,32 @@ object DedupOps {
         countDistinct(md5(col(textCol))).as("n_unique"))
       .orderBy(col(groupCol))
 
+  /** Incremental exact dedup: annotate an `incoming` batch against an
+    * `existing` corpus — the standard ingest flow (dedup each new
+    * crawl against everything already accepted). Flags:
+    *  - `is_dup_in_batch`: not the first occurrence (by id) of its
+    *    content digest WITHIN the batch;
+    *  - `is_dup_in_corpus`: digest already present in the corpus;
+    *  - `accepted`: neither.
+    * Cost: one window shuffle on digest + one join against the
+    * corpus's distinct digests (at scale: a bucketed digest table, so
+    * the join is co-located and the corpus is never rescanned). */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusDigests = existing
+      .select(md5(col(textCol)).as("__digest")).distinct()
+      .withColumn("__in_corpus", lit(1))
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    incoming
+      .withColumn("__digest", md5(col(textCol)))
+      .withColumn("is_dup_in_batch", row_number().over(w) > 1)
+      .join(corpusDigests, Seq("__digest"), "left")
+      .withColumn("is_dup_in_corpus", col("__in_corpus").isNotNull)
+      .withColumn("accepted", !col("is_dup_in_batch") && !col("is_dup_in_corpus"))
+      .drop("__digest", "__in_corpus")
+  }
+
   /** MinHash signatures + band keys. `bands` bands of `rowsPerBand`
     * signature components each. */
   def signatures(df: DataFrame, idCol: String, textCol: String,

@@ -256,6 +256,34 @@ object TextQ {
             sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
           .orderBy("lang")),
 
+    // ---- incremental dedup: new batch vs existing corpus ---------
+    Q("q53_incremental_dedup",
+      Some("""WITH existing AS (SELECT * FROM documents WHERE doc_id < 250),
+             |incoming AS (SELECT * FROM documents WHERE doc_id >= 250),
+             |ann AS (
+             |  SELECT i.lang,
+             |    (row_number() OVER (PARTITION BY md5(i.text) ORDER BY i.doc_id)) > 1 AS dup_batch,
+             |    EXISTS (SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text)) AS dup_corpus
+             |  FROM incoming i)
+             |SELECT lang, count(*) AS n_incoming,
+             |  sum(CASE WHEN NOT dup_batch AND NOT dup_corpus THEN 1 ELSE 0 END)::BIGINT AS n_accepted,
+             |  sum(CASE WHEN dup_batch THEN 1 ELSE 0 END)::BIGINT AS n_dup_batch,
+             |  sum(CASE WHEN dup_corpus THEN 1 ELSE 0 END)::BIGINT AS n_dup_corpus
+             |FROM ann GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.incrementalDedup(
+          docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+          "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_incoming"),
+            sum(when(col("accepted"), 1).otherwise(0)).as("n_accepted"),
+            sum(when(col("is_dup_in_batch"), 1).otherwise(0)).as("n_dup_batch"),
+            sum(when(col("is_dup_in_corpus"), 1).otherwise(0)).as("n_dup_corpus"))
+          .orderBy("lang")
+      }),
+
     // ---- deterministic train/val split ---------------------------
     // Hash-based splitting (not rand()): assignment is a pure function
     // of content, so re-runs, retried tasks, and incremental additions
