@@ -70,6 +70,32 @@ object EmbedQ {
           k = 5, excludeId = Some(8L))
       }),
 
+    // ---- L2 normalization (preprocessing) ------------------------
+    // Normalized components are double divisions of bitwise-identical
+    // operands, so the check is exact; the witness verifies unit norm
+    // by re-deriving it from the normalized vector.
+    Q("q54_embed_normalize",
+      Some(s"""WITH n AS (SELECT vec_id,
+              |  list_transform(range(1, len(embedding) + 1),
+              |    i -> embedding[i]::DOUBLE / sqrt(${VectorSql.duck.dot("embedding", "embedding")})) AS nv
+              |  FROM embeddings WHERE vec_id < 50)
+              |SELECT vec_id, nv[1] AS c0, nv[2] AS c1,
+              |  ${VectorSql.duck.dot("nv", "nv")} AS norm_sq
+              |FROM n ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .where(col("vec_id") < 50)
+          .withColumn("nv", expr(
+            s"transform(embedding, x -> cast(x as double) / sqrt(${VectorSql.spark.dotHof("embedding", "embedding")}))"))
+          .select(
+            col("vec_id"),
+            expr("element_at(nv, 1)").as("c0"),
+            expr("element_at(nv, 2)").as("c1"),
+            expr(
+              "aggregate(zip_with(nv, nv, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+              .as("norm_sq"))
+          .orderBy("vec_id")),
+
     // ---- embedding-cosine near-dup pair counts (blocked) ---------
     Q("q43_embed_near_dup",
       Some(s"""WITH x AS (SELECT label, vec_id, embedding FROM embeddings)

@@ -256,6 +256,23 @@ object TextQ {
             sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
           .orderBy("lang")),
 
+    // ---- text normalization (cleanup preprocessing) --------------
+    Q("q55_text_normalize",
+      Some("""SELECT source, count(*) AS n,
+             |  sum(length(regexp_replace(lower(trim(text)), ' +', ' ', 'g')))::BIGINT AS sum_norm_chars,
+             |  sum(CASE WHEN regexp_replace(lower(trim(text)), ' +', ' ', 'g') = text THEN 1 ELSE 0 END)::BIGINT AS n_already_clean
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val norm = regexp_replace(lower(trim(col("text"))), " +", " ")
+        t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(norm)).as("sum_norm_chars"),
+            sum(when(norm === col("text"), 1).otherwise(0)).as("n_already_clean"))
+          .orderBy("source")
+      }),
+
     // ---- incremental dedup: new batch vs existing corpus ---------
     Q("q53_incremental_dedup",
       Some("""WITH existing AS (SELECT * FROM documents WHERE doc_id < 250),
