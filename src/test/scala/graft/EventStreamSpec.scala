@@ -75,6 +75,31 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.windowedCounts(streamDf, watermark = "2 hours")
+      .writeStream.format("memory").queryName("wm_counts")
+      .outputMode("append").start()
+    try {
+      // window [0,1h): 1 click
+      mem.addData((0L, 1000L, 1L, "click", 1.0))
+      query.processAllAvailable()
+      // advance event time to 6h -> watermark to 4h, finalizing [0,1h)
+      mem.addData((1L, 6L * HourNs, 1L, "click", 1.0))
+      query.processAllAvailable()
+      // LATE event for [0,1h), far behind the 4h watermark -> dropped
+      mem.addData((2L, 2000L, 1L, "click", 1.0))
+      query.processAllAvailable()
+      val finalized = spark.table("wm_counts")
+        .where(col("window_start") === new java.sql.Timestamp(0L)).collect()
+      assert(finalized.length == 1 && finalized.head.getAs[Long]("n") == 1L,
+        "the finalized [0,1h) window must not include the late event")
+    } finally query.stop()
+  }
+
   test("streaming append into a HiveDataset accumulates micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -20,6 +20,17 @@ class HiveDatasetSpec extends SparkSpec {
     "hive"    -> HiveDataset(url + "/hive", Seq("p1", "p2")),
     "managed" -> ManagedDataset(url + "/managed", Seq("p1", "p2")))
 
+  test("readPartition scans ONLY the requested partition directory (pruning)") {
+    withTempDir { dir =>
+      val ds = HiveDataset(s"$dir/ds", Seq("p1", "p2"))
+      ds.write(exampleDf)
+      val pruned = ds.readPartition(Map("p1" -> "1", "p2" -> "a")).get
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("p1=1/p2=a"), s"expected direct partition path in scan:\n$scan")
+      assert(!scan.contains("p1=2"), s"other partitions must not appear in the scan:\n$scan")
+    }
+  }
+
   test("unknown URL scheme raises at construction (hive_dataset.py:259-262)") {
     intercept[Exception] {
       HiveDataset("example://some/url", Seq("p1"))

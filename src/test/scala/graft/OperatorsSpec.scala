@@ -95,6 +95,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.head == 0L)
   }
 
+  test("incremental dedup flags batch dups, corpus dups, and accepts the rest") {
+    import spark.implicits._
+    val existing = Seq((0L, "seen before")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "brand new"),
+      (11L, "seen before"),   // corpus dup
+      (12L, "repeat me"),
+      (13L, "repeat me")      // batch dup of 12
+    ).toDF("doc_id", "text")
+    val out = operators.DedupOps.incrementalDedup(incoming, existing, "doc_id", "text")
+      .select("doc_id", "is_dup_in_batch", "is_dup_in_corpus", "accepted")
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(10L) == ((false, false, true)))
+    assert(out(11L) == ((false, true, false)))
+    assert(out(12L) == ((false, false, true)), "first of the batch-dup pair is accepted")
+    assert(out(13L) == ((true, false, false)))
+  }
+
   test("curation pipeline: keep-first dedup, token gate, annotations") {
     val out = operators.CurationPipeline.curate(docs, "doc_id", "text",
       minTokens = 3, maxTokens = 100)
