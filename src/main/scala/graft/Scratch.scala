@@ -4,18 +4,18 @@ package graft
   * library surface. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32)
-    val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-      spark.sharedState.cacheManager.clearCache()
+    val spark = GraftSession.local(8)
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("q49_pivot_events", "q53_incremental_dedup", "q54_embed_normalize",
+      "q19_asof_join", "q25_range_join", "q26_salted_agg")
+    val out = new java.io.PrintWriter("/tmp/explains2.txt")
+    names.foreach { n =>
+      out.println(s"\n======== $n ========")
+      out.println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
     }
-    time("q51 run1")(SparkEntry.queries("q51_minhash_estimate")(spark, dir).count())
-    time("q51 run2")(SparkEntry.queries("q51_minhash_estimate")(spark, dir).count())
-    time("q47 run1")(SparkEntry.queries("q47_curation_pipeline")(spark, dir).count())
-    time("q47 run2")(SparkEntry.queries("q47_curation_pipeline")(spark, dir).count())
-    time("q48 run1")(SparkEntry.queries("q48_top_tokens")(spark, dir).count())
+    out.close()
+    println("[scratch] wrote /tmp/explains2.txt")
     spark.stop()
   }
 }
