@@ -256,6 +256,26 @@ object TextQ {
             sum(size(expr("regexp_extract_all(text, '[a-z]+', 0)"))).as("sum_re_tokens"))
           .orderBy("lang")),
 
+    // ---- character trigram frequencies (language-model features) --
+    Q("q56_char_trigrams",
+      // length >= 3 guard: Spark's sequence DESCENDS when stop < start
+      // while DuckDB's range returns empty — filter short texts out on
+      // both sides rather than diverge.
+      Some("""WITH tg AS (
+             |  SELECT unnest(list_transform(range(1, length(text) - 1),
+             |    i -> substr(text, i, 3))) AS trigram
+             |  FROM documents WHERE length(text) >= 3),
+             |cnt AS (SELECT trigram, count(*) AS n FROM tg GROUP BY trigram)
+             |SELECT trigram, n FROM cnt ORDER BY n DESC, trigram LIMIT 20""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "documents")
+          .where(length(col("text")) >= 3)
+          .select(explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
+          .groupBy("trigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("trigram"))
+          .limit(20)),
+
     // ---- text normalization (cleanup preprocessing) --------------
     Q("q55_text_normalize",
       Some("""SELECT source, count(*) AS n,
