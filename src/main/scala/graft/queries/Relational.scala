@@ -465,6 +465,20 @@ object Relational {
           .orderBy("o_custkey", "o_orderkey")
       }),
 
+    // ---- array aggregation (collect + sort for determinism) ------
+    Q("q57_collect_array",
+      Some("""SELECT l_returnflag,
+             |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             |  count(DISTINCT l_linestatus) AS n_statuses
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+            countDistinct(col("l_linestatus")).as("n_statuses"))
+          .orderBy("l_returnflag")),
+
     // ---- sketch aggregates (HLL++ / GK) --------------------------
     // No oracle on purpose: approximate sketches are implementation-
     // defined, so DuckDB's HLL would differ by design; the driver

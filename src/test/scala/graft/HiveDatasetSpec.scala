@@ -20,6 +20,19 @@ class HiveDatasetSpec extends SparkSpec {
     "hive"    -> HiveDataset(url + "/hive", Seq("p1", "p2")),
     "managed" -> ManagedDataset(url + "/managed", Seq("p1", "p2")))
 
+  test("compression override is honored in written fragments") {
+    withTempDir { dir =>
+      val ds = HiveDataset(s"$dir/ds", Seq("p1"), compression = "zstd")
+      ds.write(exampleDf.drop("p2"))
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/ds")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+        s"expected zstd fragments, got ${files.toSeq}")
+      // still readable
+      assert(ds.scan().get.count() == 4)
+    }
+  }
+
   test("readPartition scans ONLY the requested partition directory (pruning)") {
     withTempDir { dir =>
       val ds = HiveDataset(s"$dir/ds", Seq("p1", "p2"))
