@@ -479,6 +479,39 @@ object Relational {
             countDistinct(col("l_linestatus")).as("n_statuses"))
           .orderBy("l_returnflag")),
 
+    // ---- SQL interface: correlated scalar subquery ---------------
+    // Exercises spark.sql(...) over registered views — Catalyst
+    // decorrelates the subquery into a join.
+    Q("q58_correlated_subquery",
+      Some("""SELECT c_custkey,
+             |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+                |FROM customer c WHERE c_custkey <= 200 ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // ---- date arithmetic -----------------------------------------
+    Q("q59_date_arithmetic",
+      Some("""SELECT epoch(date_trunc('week', o_orderdate))::BIGINT AS week_epoch,
+             |  count(*) AS n,
+             |  min(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate))::INT AS min_days,
+             |  max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate))::INT AS max_days
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+             |GROUP BY 1 ORDER BY week_epoch""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .where(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+          .groupBy(unix_timestamp(date_trunc("week", col("o_orderdate"))).as("week_epoch"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(datediff(col("o_orderdate"), to_date(lit("1995-01-01")))).as("min_days"),
+            max(datediff(col("o_orderdate"), to_date(lit("1995-01-01")))).as("max_days"))
+          .orderBy("week_epoch")),
+
     // ---- sketch aggregates (HLL++ / GK) --------------------------
     // No oracle on purpose: approximate sketches are implementation-
     // defined, so DuckDB's HLL would differ by design; the driver
