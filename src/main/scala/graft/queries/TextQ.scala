@@ -276,6 +276,24 @@ object TextQ {
           .orderBy(col("n").desc, col("trigram"))
           .limit(20)),
 
+    // ---- array predicates (exists / forall over tokens) ----------
+    Q("q60_array_predicates",
+      Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)
+              |SELECT lang, count(*) AS n,
+              |  sum(CASE WHEN len(list_filter(t, x -> x = 'spark')) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_mentions_spark,
+              |  sum(CASE WHEN len(list_filter(t, x -> length(x) >= 10)) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_all_short
+              |FROM toks GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        TextOps.withTokens(t(s, dir, "documents"), "text")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(expr("exists(toks, x -> x = 'spark')"), 1).otherwise(0))
+              .as("n_mentions_spark"),
+            sum(when(expr("forall(toks, x -> length(x) < 10)"), 1).otherwise(0))
+              .as("n_all_short"))
+          .orderBy("lang")),
+
     // ---- text normalization (cleanup preprocessing) --------------
     Q("q55_text_normalize",
       Some("""SELECT source, count(*) AS n,
