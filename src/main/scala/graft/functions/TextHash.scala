@@ -32,6 +32,12 @@ object TextHash {
 
   val P: Long = 1000000007L
 
+  /** Seed pair for the wide token hash's high half (independent of the
+    * minhash [[Seeds]] so signature and fingerprint bits stay
+    * uncorrelated). */
+  val WideA: Long = 653167841L
+  val WideB: Long = 422183977L
+
   /** Deterministic seed pairs (a_i, b_i) for the minhash family. */
   val Seeds: Seq[(Long, Long)] = Seq(
     (387143553L, 9231041L),
@@ -104,10 +110,24 @@ object TextHash {
     }
     def tokenHashes16(t: String): String = tokenHashes(t, 16)
 
+    /** Per-token WIDE hashes (31..60 bits): low 30 bits from the base
+      * rolling hash, high `bits - 30` from an independent seeded hash
+      * of it — two integer ops on top of the one char-level fold. Wide
+      * fingerprints exist so LSH band-bucket cardinality can grow with
+      * corpus size (see graft_simhash64). */
+    def tokenHashesWide(t: String, bits: Int): String = {
+      require(bits > 30 && bits <= 60, "wide token hashes span (30, 60] bits")
+      val hiMod = 1L << (bits - 30)
+      s"transform(${hashArray(t)}, h -> h + (((${WideA}L * h + ${WideB}L) % $P) % ${hiMod}L) * ${1L << 30}L)"
+    }
+
     /** `bits`-bit simhash over a precomputed token-hash array
       * expression `hs`: for each bit, majority vote of +-1 over
       * tokens. Native single-pass codegen expression. */
     def simhashN(hs: String, bits: Int): String = s"graft_simhash($hs, $bits)"
+
+    /** Wide (33..63-bit) simhash — bigint result. */
+    def simhashWide(hs: String, bits: Int): String = s"graft_simhash64($hs, $bits)"
 
     /** HOF rendering of the same simhash (one fold per bit;
       * registration-free environments and parity tests). */
@@ -149,6 +169,15 @@ object TextHash {
     def tokenHashes(t: String, bits: Int): String =
       s"list_transform($t, tk -> ${rollingHash("tk")} % ${1L << bits})"
     def tokenHashes16(t: String): String = tokenHashes(t, 16)
+
+    /** Wide token hashes — same composition as spark.tokenHashesWide
+      * (nested list_transform so the char fold runs once per token). */
+    def tokenHashesWide(t: String, bits: Int): String = {
+      require(bits > 30 && bits <= 60, "wide token hashes span (30, 60] bits")
+      val hiMod = 1L << (bits - 30)
+      s"list_transform(list_transform($t, tk -> ${rollingHash("tk")}), " +
+        s"h -> h + ((($WideA * h + $WideB) % $P) % $hiMod) * ${1L << 30})"
+    }
 
     def simhashN(hs: String, bits: Int): String =
       (0 until bits).map { j =>

@@ -102,6 +102,37 @@ object HashOps {
     out
   }
 
+  /** Wide (up to 63-bit) variant of [[simhash]] returning the
+    * fingerprint as a long. Same per-bit majority-vote semantics; kept
+    * separate so the 32-bit expression's IntegerType result (and the
+    * queries hashed against it) stay stable. */
+  def simhash64(hs: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) {
+        var j = 0
+        while (j < bits) { counts(j) -= 1; j += 1 }
+      } else {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < bits) {
+          counts(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Strict left-to-right dot product of two float arrays in double
     * precision — exactly
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
@@ -156,6 +187,44 @@ case class Simhash(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.catalyst.HashOps.simhash($hs, $bits);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Simhash =
+    copy(left = l, right = r)
+}
+
+/** `graft_simhash64(array<bigint>, bits) -> bigint` — wide simhash
+  * (bits up to 63) for LSH band keys whose bucket cardinality must
+  * grow with corpus size: a `bits`-bit fingerprint split into `k`
+  * bands yields `2^(bits/k)` buckets per band, and the per-band
+  * self-join cost is Θ(Σ bucket²) — so at n docs you want
+  * `2^(bits/k) ≳ n / targetBucketSize`, which 32 bits cannot reach at
+  * the 100 TB design point. */
+case class Simhash64(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if right.foldable =>
+        val b = bits
+        if (b >= 1 && b <= 63) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1, 63], got $b")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, constant int)")
+    }
+  private lazy val bits: Int = right.eval().asInstanceOf[Int]
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_simhash64"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val hs = left.eval(input)
+    if (hs == null) null
+    else HashOps.simhash64(hs.asInstanceOf[ArrayData], bits)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, _) =>
+      s"${ev.value} = graft.functions.catalyst.HashOps.simhash64($hs, $bits);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Simhash64 =
     copy(left = l, right = r)
 }
 

@@ -30,7 +30,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => DotF32(args(0), args(1))),
     ("graft_simhash",
       info("graft_simhash", "single-pass N-bit simhash over array<bigint>"),
-      (args: Seq[Expression]) => Simhash(args(0), args(1))))
+      (args: Seq[Expression]) => Simhash(args(0), args(1))),
+    ("graft_simhash64",
+      info("graft_simhash64", "single-pass wide (up to 63-bit) simhash over array<bigint>"),
+      (args: Seq[Expression]) => Simhash64(args(0), args(1))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

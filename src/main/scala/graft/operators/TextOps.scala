@@ -45,13 +45,20 @@ object TextOps {
   def withSimhash16(df: DataFrame, textCol: String, out: String = "simhash16"): DataFrame =
     withSimhash(df, textCol, 16, out)
 
-  /** `bits`-bit simhash (<= 30: the rolling hash's usable bits). More
-    * bits discriminate better on same-vocabulary corpora. */
-  def withSimhash(df: DataFrame, textCol: String, bits: Int, out: String): DataFrame =
+  /** `bits`-bit simhash. Up to 30 bits come straight from the rolling
+    * hash (int result); 31..60 bits compose a second seeded hash into
+    * the token hash's high half (bigint result) — wide fingerprints
+    * are what let LSH band-bucket cardinality grow with corpus size. */
+  def withSimhash(df: DataFrame, textCol: String, bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash supports 1..60 bits, got $bits")
+    val (hashes, sim) =
+      if (bits <= 30) (H.tokenHashes("__toks", bits), H.simhashN("__hs", bits))
+      else (H.tokenHashesWide("__toks", bits), H.simhashWide("__hs", bits))
     withTokens(df, textCol, "__toks")
-      .withColumn("__hs", expr(H.tokenHashes("__toks", bits)))
-      .withColumn(out, expr(H.simhashN("__hs", bits)))
+      .withColumn("__hs", expr(hashes))
+      .withColumn(out, expr(sim))
       .drop("__toks", "__hs")
+  }
 
   /** Per-language stopword marker sets for the language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -466,16 +466,20 @@ object Relational {
       }),
 
     // ---- array aggregation (collect + sort for determinism) ------
+    // The sorted distinct set is serialized with array_join so the
+    // result columns are scalars: the driver's compare sorts values
+    // column-wise and cannot hash an array cell (round-2 red row).
+    // The cardinality (n_statuses) still witnesses the set semantics.
     Q("q57_collect_array",
       Some("""SELECT l_returnflag,
-             |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
              |  count(DISTINCT l_linestatus) AS n_statuses
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+            array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
             countDistinct(col("l_linestatus")).as("n_statuses"))
           .orderBy("l_returnflag")),
 

@@ -133,32 +133,34 @@ object TextQ {
       }),
 
     // ---- simhash-banded near-dup pairs ---------------------------
-    // 30-bit simhash (16 bits under-discriminates on a shared-
-    // vocabulary corpus), 5 bands of 6 bits, Hamming <= 3 (< bands,
-    // so pigeonhole guarantees candidate coverage).
+    // 60-bit simhash, 4 bands of 15 bits = 32,768 buckets per band
+    // (band-bucket cardinality must grow with corpus size: the round-2
+    // 30-bit/5-band shape's 64 buckets made each band self-join
+    // O(n²/64)); Hamming <= 3 (< bands, so pigeonhole guarantees
+    // candidate coverage).
     Q("q46_simhash_near_dup", {
-      val branches = (0 until 5).map { b =>
-        val div = 1L << (6 * b)
+      val branches = (0 until 4).map { b =>
+        val div = 1L << (15 * b)
         s"""SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.sim AS sa, y.sim AS sb
            |    FROM sim x JOIN sim y
-           |      ON (x.sim // $div) % 64 = (y.sim // $div) % 64 AND x.doc_id < y.doc_id""".stripMargin
+           |      ON (x.sim // $div) % 32768 = (y.sim // $div) % 32768 AND x.doc_id < y.doc_id""".stripMargin
       }.mkString("\n    UNION\n    ")
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-              |hs AS (SELECT doc_id, ${D.tokenHashes("t", 30)} AS hashes FROM toks),
-              |sim AS (SELECT doc_id, ${D.simhashN("hashes", 30)} AS sim FROM hs),
+              |hs AS (SELECT doc_id, ${D.tokenHashesWide("t", 60)} AS hashes FROM toks),
+              |sim AS (SELECT doc_id, ${D.simhashN("hashes", 60)} AS sim FROM hs),
               |pairs AS (
               |  SELECT DISTINCT a_id, b_id, sa, sb FROM (
               |    $branches))
-              |SELECT bit_count(xor(sa::BIGINT, sb::BIGINT))::INT AS hamming, count(*) AS n_pairs,
+              |SELECT bit_count(xor(sa, sb))::INT AS hamming, count(*) AS n_pairs,
               |  min(a_id) AS min_a, max(b_id) AS max_b
               |FROM pairs
-              |WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
+              |WHERE bit_count(xor(sa, sb)) <= 3
               |GROUP BY 1 ORDER BY hamming""".stripMargin)
     },
       (s, dir) => {
         import org.apache.spark.sql.functions.{count => cnt, lit => l, min => mn, max => mx, col => c}
         DedupOps.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          bits = 30, bands = 5, maxHamming = 3)
+          bits = 60, bands = 4, maxHamming = 3)
           .groupBy(c("hamming"))
           .agg(cnt(l(1)).as("n_pairs"), mn(c("a_id")).as("min_a"), mx(c("b_id")).as("max_b"))
           .orderBy("hamming")

@@ -94,6 +94,21 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native wide simhash (graft_simhash64) == HOF simhash at 60 bits") {
+    val base = docs
+      .withColumn("toks", expr(H.tokens("text")))
+      .withColumn("hs", expr(H.tokenHashesWide("toks", 60)))
+    val diff = base
+      .withColumn("n60", expr(H.simhashWide("hs", 60)))
+      .withColumn("h60", expr(H.simhashNHof("hs", 60)))
+      .where(col("n60") =!= col("h60"))
+    assert(diff.count() == 0)
+    // the high half must actually carry bits (wide hash is not just
+    // the 30-bit hash zero-extended)
+    val hi = base.select(expr("size(filter(hs, h -> h >= 1073741824)) > 0").as("hasHi"))
+    assert(hi.where(!col("hasHi")).count() == 0)
+  }
+
   test("null semantics match the HOF forms") {
     import spark.implicits._
     val df = Seq(
