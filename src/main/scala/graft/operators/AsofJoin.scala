@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
   * `rightTime <= leftTime` within the same key group (inclusive; ties
   * among right rows broken by the ordering column, highest wins).
   *
+  * Null-key semantics: rows whose key values are null form ONE group
+  * and match each other (Window.partitionBy treats nulls as equal) —
+  * unlike a SQL equi-join, where null keys never match. Filter null
+  * keys out first if join semantics are required.
+  *
   * The reference has no join operators at all (SURVEY.md §2.3); this
   * is an extension operator Spark also lacks natively.
   *
@@ -35,6 +40,17 @@ object AsofJoin {
                leftTime: String, rightTime: String,
                rightCols: Seq[String], rightOrd: String): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Internal bookkeeping names and r_-prefixed outputs must not
+    // collide with user columns — fail loudly instead of silently
+    // shadowing (round-2 advice).
+    val reserved = Set("__t", "__side", "__ord", "__payload", "__match")
+    val inputCols = (leftCols ++ right.columns).toSet
+    require(inputCols.intersect(reserved).isEmpty,
+      s"asofJoin reserves internal column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${inputCols.intersect(reserved).mkString(", ")}")
+    val outCollisions = rightCols.map(c => s"r_$c").toSet.intersect(leftCols.toSet)
+    require(outCollisions.isEmpty,
+      s"asofJoin output columns collide with left columns: ${outCollisions.mkString(", ")}")
 
     val l = left
       .withColumn("__t", col(leftTime))

@@ -90,14 +90,16 @@ object DedupOps {
       .localCheckpoint()
 
     // Candidate pairs: same band value in any band, deduplicated.
-    // Persisted: referenced by candIds, the common-shingle join, and
-    // the output join — tiny (pairs only), avoids re-running the band
-    // self-joins per reference.
+    // localCheckpoint (not persist): referenced by candIds, the
+    // common-shingle join, and the output join — tiny (pairs only),
+    // avoids re-running the band self-joins per reference, and the
+    // blocks are reclaimed when the frame is GC'd instead of pinning
+    // the cache manager until a caller clears it (the round-2 leak).
     val pairs = (0 until bands).map { b =>
       val x = sigs.select(col("id").as("a_id"), col(s"band$b").as("bk"))
       val y = sigs.select(col("id").as("b_id"), col(s"band$b").as("bk"))
       x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
-    }.reduce(_ unionAll _).distinct().persist()
+    }.reduce(_ unionAll _).distinct().localCheckpoint()
 
     verifyJaccard(df, idCol, textCol, pairs, minJaccard)
   }

@@ -28,14 +28,21 @@ object Skew {
     pmod(xxhash64(col(from)), lit(salts))
 
   /** Two-phase (salted) sum/count aggregation over one hot key space:
-    * returns key -> (sum of `valueCol` as decimal-exact double, count). */
+    * returns key -> (sum of `valueCol` as decimal-exact double, count).
+    *
+    * `decimalScale` is the scale values are rounded to BEFORE summing
+    * (half-up): exact for fixed-point money columns at their native
+    * scale (the decimal sum is order-independent, unlike sum(double)),
+    * lossy for inputs with more fractional digits — raise the scale to
+    * cover the input's precision in that case. */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-                     salts: Int, saltFrom: String): DataFrame = {
+                     salts: Int, saltFrom: String,
+                     decimalScale: Int = 2): DataFrame = {
     val partial = df
       .withColumn("__salt", saltCol(salts, saltFrom))
       .groupBy(col(key), col("__salt"))
       .agg(
-        sum(col(valueCol).cast("decimal(18,2)")).as("__psum"),
+        sum(col(valueCol).cast(s"decimal(${18 min (decimalScale + 16)},$decimalScale)")).as("__psum"),
         count(lit(1)).as("__pcnt"))
     partial
       .groupBy(col(key))
