@@ -181,15 +181,32 @@ object DedupOps {
   }
 
   /** N-gram Jaccard near-dup within equality blocks (cheap blocking
-    * key = text prefix): the classic blocked-dedup shape. */
+    * key = text prefix): the classic blocked-dedup shape.
+    *
+    * Hot-block guard: a block larger than `maxBlockSize` (boilerplate
+    * corpora share prefixes) is split into `ceil(size / maxBlockSize)`
+    * deterministic sub-blocks by xxhash64 of the id, bounding the
+    * candidate space at ~maxBlockSize²/2 per block instead of n² on
+    * one dominant prefix. Pairs straddling sub-blocks of an oversize
+    * block are skipped (bounded-blocking recall tradeoff); blocks at
+    * or under the cap are compared exhaustively. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          prefixLen: Int = 40, minJaccard: Double = 0.3): DataFrame = {
+                          prefixLen: Int = 40, minJaccard: Double = 0.3,
+                          maxBlockSize: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBlockSize > 0, "maxBlockSize must be positive")
+    // Window on blk shuffles on the same key the self-join uses, so
+    // the exchange is shared, not duplicated.
     val blocked = df.select(
-      col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("blk"))
+        col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("blk"))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .withColumn("__sub",
+        pmod(xxhash64(col("id")), expr(s"(__bn + ${maxBlockSize - 1}) div $maxBlockSize")))
     // Checkpointed: referenced by the candidate semi-join, the common-
     // shingle join, and the output join (tiny: pairs only; blocks live
     // until the returned frame is GC'd).
-    val pairs = blocked.as("x").join(blocked.as("y"), "blk")
+    val pairs = blocked.as("x")
+      .join(blocked.as("y"), Seq("blk", "__sub"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .localCheckpoint()

@@ -102,15 +102,32 @@ object SimilarityOps {
   /** Embedding-cosine near-dup pair counts within equality blocks
     * (`blockCol`), pairs above `minSim`. Norms are computed once per
     * vector BEFORE the pair join, so each candidate pair costs one
-    * fold. */
+    * fold.
+    *
+    * Hot-block guard: a block larger than `maxBlockSize` is split into
+    * `ceil(size / maxBlockSize)` deterministic sub-blocks (xxhash64 of
+    * the id), bounding per-block pair work at ~maxBlockSize²/2 instead
+    * of letting one dominant block go quadratic in the corpus. The
+    * cost is recall: pairs straddling sub-blocks of an oversize block
+    * are not compared — the standard bounded-blocking tradeoff. Blocks
+    * at or under the cap are compared exhaustively (one sub-block), so
+    * results are exact whenever no block exceeds the cap. */
   def nearDupPairStats(corpus: DataFrame, idCol: String, vecCol: String,
-                       blockCol: String, minSim: Double): DataFrame = {
+                       blockCol: String, minSim: Double,
+                       maxBlockSize: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxBlockSize > 0, "maxBlockSize must be positive")
+    // Window on the block key shuffles on blk — the same partitioning
+    // the self-join needs, so the exchange is reused, not added.
     val n = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
-    val x = n.select(col(blockCol).as("blk"), col(idCol).as("a_id"),
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col(blockCol))))
+      .withColumn("__sub",
+        pmod(xxhash64(col(idCol)), expr(s"(__bn + ${maxBlockSize - 1}) div $maxBlockSize")))
+    val x = n.select(col(blockCol).as("blk"), col("__sub"), col(idCol).as("a_id"),
       col(vecCol).as("va"), col("__nrm").as("na"))
-    val y = n.select(col(blockCol).as("blk"), col(idCol).as("b_id"),
+    val y = n.select(col(blockCol).as("blk"), col("__sub"), col(idCol).as("b_id"),
       col(vecCol).as("vb"), col("__nrm").as("nb"))
-    x.join(y, "blk").where(col("a_id") < col("b_id"))
+    x.join(y, Seq("blk", "__sub")).where(col("a_id") < col("b_id"))
       .withColumn("sim", simWithNorms("va", "vb", "na", "nb"))
       .where(col("sim") >= minSim)
       .groupBy(col("blk").as(blockCol))

@@ -182,6 +182,45 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf4.length == 10)
   }
 
+  test("hot-block cap bounds embedding near-dup pair work under a dominant block") {
+    import spark.implicits._
+    // One dominant label holding all 60 vectors: uncapped pair space
+    // is C(60,2) = 1770. With maxBlockSize=10 the block splits into 6
+    // hash sub-blocks, so pair work is bounded by sum C(size_i, 2)
+    // over ~10-element sub-blocks (~270 expected).
+    val many = (0 until 60).map(i => (i.toLong, Array(1f, 0f, 0f), "hot"))
+      .toDF("vec_id", "embedding", "label")
+    val uncapped = SimilarityOps.nearDupPairStats(many, "vec_id", "embedding", "label", -1.0)
+      .head.getAs[Long]("n_pairs")
+    assert(uncapped == 1770L)
+    val capped = SimilarityOps.nearDupPairStats(many, "vec_id", "embedding", "label", -1.0,
+      maxBlockSize = 10)
+      .head.getAs[Long]("n_pairs")
+    assert(capped > 0 && capped < 600,
+      s"capped pair count $capped should be bounded well under the uncapped 1770")
+    // Blocks at or under the cap are exhaustive: results identical.
+    val small = vecs
+    assertSameData(
+      SimilarityOps.nearDupPairStats(small, "vec_id", "embedding", "label", -1.0, maxBlockSize = 10),
+      SimilarityOps.nearDupPairStats(small, "vec_id", "embedding", "label", -1.0))
+  }
+
+  test("hot-block cap bounds blocked-jaccard candidates under a shared prefix") {
+    import spark.implicits._
+    // 30 identical docs (shared 40-char prefix AND jaccard 1.0): every
+    // candidate pair verifies, so the output size reads off the
+    // candidate space directly. Uncapped: C(30,2) = 435.
+    val boiler = (0 until 30).map(i => (i.toLong, "the same boilerplate header text repeated in every document"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.blockedJaccardPairs(boiler, "doc_id", "text",
+      prefixLen = 40, minJaccard = 0.9).count()
+    assert(uncapped == 435L)
+    val capped = DedupOps.blockedJaccardPairs(boiler, "doc_id", "text",
+      prefixLen = 40, minJaccard = 0.9, maxBlockSize = 5).count()
+    assert(capped > 0 && capped < 150,
+      s"capped candidate count $capped should be bounded well under the uncapped 435")
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
