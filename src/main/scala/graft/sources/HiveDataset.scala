@@ -25,6 +25,10 @@ import scala.collection.immutable.ListMap
   *    412-415, 223-230).
   *  - `append` adds fragments to existing partitions (hive_dataset.py:
   *    417-420, 232-245).
+  *  - fragments are named `NNNNNN_<uuid>.parquet` with the index
+  *    continuing from the partition's highest surviving fragment
+  *    (hive_dataset.py:51-70), so the lexical fragment-ordering
+  *    contract across appends (README.md:35-37) holds on disk.
   *  - fragments are capped at `maxRowsPerFragment` rows
   *    (hive_dataset.py:17, 206-216) — mapped to Spark's
   *    `maxRecordsPerFile` so the cap holds per output task.
@@ -176,6 +180,7 @@ case class HiveDataset(
 
   private def writeMode(df: DataFrame, mode: String): Unit = {
     validate(df)
+    val before = listParquet()
     val dataCols = (df.columns.toSet -- partitionColumns).toSeq.sorted
     val projected = df.select((dataCols ++ partitionColumns).map(col): _*)
     val writer = projected.write
@@ -186,7 +191,49 @@ case class HiveDataset(
       .option("partitionOverwriteMode", "dynamic")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(cleanUrl)
+    renameNewFragments(before)
   }
+
+  /** All parquet file names under the dataset, grouped by directory. */
+  private def listParquet(): Map[String, Set[String]] = {
+    if (!fs.exists(qualifiedBase)) return Map.empty
+    val it = fs.listFiles(qualifiedBase, true)
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) buf += ((p.getParent.toString, p.getName))
+    }
+    buf.toList.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2).toSet }
+  }
+
+  /** Rename the part-files a write just produced to reference-style
+    * fragment names (`NNNNNN_<uuid>.parquet`, hive_dataset.py:51-70,
+    * 232-245), with the index continuing from the partition's highest
+    * surviving fragment — so fragments appended later always sort
+    * lexically after earlier ones, the reference's ordering contract
+    * (README.md:35-37). Dynamic overwrite clears the partition's old
+    * files first, so rewritten partitions restart at 000000.
+    *
+    * Cost model: one rename per NEW file plus one recursive listing —
+    * the same metadata-op order as the file-commit protocol that just
+    * ran; nothing is read or rewritten. */
+  private def renameNewFragments(before: Map[String, Set[String]]): Unit =
+    listParquet().foreach { case (dir, files) =>
+      val old = before.getOrElse(dir, Set.empty)
+      // Spark part-file names encode task order; sorting keeps index
+      // assignment deterministic per write.
+      val fresh = files.diff(old).toSeq.sorted
+      if (fresh.nonEmpty) {
+        var idx = (files.intersect(old))
+          .filter(PathUtils.isFragmentName)
+          .map(PathUtils.fragmentIndex)
+          .foldLeft(-1)(math.max) + 1
+        fresh.foreach { name =>
+          fs.rename(new Path(dir, name), new Path(dir, PathUtils.fragmentName(idx)))
+          idx += 1
+        }
+      }
+    }
 
   /** Write-time validation, matching hive_dataset.py:358-370:
     * partition columns present, at least one data column, partition

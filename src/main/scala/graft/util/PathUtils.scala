@@ -70,6 +70,13 @@ object PathUtils {
   /** Fragment index encoded in a fragment file name. */
   def fragmentIndex(name: String): Int =
     name.split("/").last.split("_").head.toInt
+
+  private val FragmentPattern = """\d{6}_[0-9a-f]{32}\.parquet""".r
+
+  /** Whether `name` is a reference-style fragment file name
+    * (zero-padded index, uuid body — hive_dataset.py:51-62). */
+  def isFragmentName(name: String): Boolean =
+    FragmentPattern.matches(name.split("/").last)
 }
 
 /** `Option`-unwrap helper matching the reference's `unwrap`

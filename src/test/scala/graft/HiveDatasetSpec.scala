@@ -26,10 +26,51 @@ class HiveDatasetSpec extends SparkSpec {
       ds.write(exampleDf.drop("p2"))
       val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/ds")).toArray
         .map(_.toString).filter(_.endsWith(".parquet"))
-      assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
-        s"expected zstd fragments, got ${files.toSeq}")
+      assert(files.nonEmpty)
+      // Fragment names are codec-free (reference naming), so check the
+      // codec in the parquet footer itself.
+      val conf = spark.sessionState.newHadoopConf()
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        val codec = try reader.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.toString
+        finally reader.close()
+        assert(codec == "ZSTD", s"expected ZSTD codec in $f, got $codec")
+      }
       // still readable
       assert(ds.scan().get.count() == 4)
+    }
+  }
+
+  test("fragments use reference naming; appends sort lexically after existing fragments") {
+    withTempDir { dir =>
+      import graft.util.PathUtils
+      val ds = HiveDataset(dir + "/ds", Seq("p1"), maxRowsPerFragment = 1)
+      def frags: Seq[String] = Files.list(Paths.get(dir, "ds", "p1=1")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+        .map(p => Paths.get(p).getFileName.toString).sorted.toSeq
+
+      ds.write(Seq(("1", 1L), ("1", 2L)).toDF("p1", "v"))
+      val first = frags
+      assert(first.length == 2 && first.forall(PathUtils.isFragmentName),
+        s"expected reference-style fragment names, got $first")
+      assert(first.map(PathUtils.fragmentIndex) == Seq(0, 1))
+
+      ds.append(Seq(("1", 3L)).toDF("p1", "v"))
+      val appended = frags.toSet.diff(first.toSet).toSeq.sorted
+      assert(appended.length == 1 && appended.forall(PathUtils.isFragmentName))
+      // the lexical-ordering contract (reference README.md:35-37):
+      // every appended fragment sorts after every pre-existing one
+      assert(appended.forall(a => first.forall(f => a > f)),
+        s"appended $appended must sort after $first")
+      assert(PathUtils.fragmentIndex(appended.head) == 2)
+
+      // dynamic overwrite clears the partition -> indices restart at 0
+      ds.write(Seq(("1", 9L)).toDF("p1", "v"))
+      val rewritten = frags
+      assert(rewritten.map(PathUtils.fragmentIndex) == Seq(0))
+      assert(ds.scan().get.count() == 1)
     }
   }
 
