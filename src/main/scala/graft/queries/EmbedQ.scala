@@ -70,6 +70,35 @@ object EmbedQ {
           k = 5, excludeId = Some(8L))
       }),
 
+    // ---- IVF ANN, multi-probe: the recall-vs-cost knob -----------
+    // Same index as q42, but the query fans out to its TWO nearest
+    // clusters — the lever that recovers recall lost to coarse
+    // quantization without rescanning the corpus (probed clusters are
+    // still pruned before scoring).
+    Q("q61_ivf_multiprobe",
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+              |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+              |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+              |  SELECT c.vec_id, c.embedding, ct.cid,
+              |    row_number() OVER (PARTITION BY c.vec_id
+              |      ORDER BY ${D.cosine("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+              |  FROM corpus c, cent ct) WHERE rn = 1),
+              |probe AS (SELECT q.embedding AS qv, ct.cid AS cluster
+              |  FROM (SELECT embedding FROM embeddings WHERE vec_id = 9) q, cent ct
+              |  ORDER BY ${D.cosine("q.embedding", "ct.cvec")} DESC, ct.cid LIMIT 2)
+              |SELECT a.vec_id, a.cluster, ${D.cosine("a.embedding", "p.qv")} AS sim
+              |FROM assigned a JOIN probe p ON a.cluster = p.cluster
+              |WHERE a.vec_id <> 9
+              |ORDER BY sim DESC, a.vec_id LIMIT 5""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.ivfSearch(
+          emb.where(col("vec_id") >= 8), "vec_id", "embedding",
+          emb.where(col("vec_id") < 8).select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+          emb.where(col("vec_id") === 9).select(col("embedding").as("q")),
+          k = 5, excludeId = Some(9L), nProbe = 2)
+      }),
+
     // ---- L2 normalization (preprocessing) ------------------------
     // Normalized components are double divisions of bitwise-identical
     // operands, so the check is exact; the witness verifies unit norm

@@ -212,6 +212,27 @@ class HiveDatasetSpec extends SparkSpec {
     }
   }
 
+  test("schema-merge TYPE conflict raises (documented divergence from the reference)") {
+    withTempDir { dir =>
+      // Reference semantics (hive_dataset.py:160-164): when two
+      // fragments disagree on a column's dtype, the LAST fragment's
+      // dtype silently wins. Spark's mergeSchema refuses instead —
+      // the survey-sanctioned divergence (SURVEY.md §7.4.6). This test
+      // pins that the failure is loud and names the column, so the
+      // divergence is a contract, not a surprise.
+      val ds = HiveDataset(dir + "/ds", Seq("p"))
+      ds.write(Seq(("1", 1L)).toDF("p", "a"))
+      ds.append(Seq(("1", "not-a-long")).toDF("p", "a"))
+      val ex = intercept[Exception] {
+        ds.scan().foreach(_.collect())
+      }
+      val msg = Option(ex.getMessage).getOrElse("") +
+        Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.toLowerCase.contains("merge") || msg.toLowerCase.contains("incompatible"),
+        s"expected a schema-merge failure, got: $msg")
+    }
+  }
+
   test("delete_partition removes exactly one partition; validates keys") {
     withTempDir { dir =>
       val ds = HiveDataset(dir + "/ds", Seq("p1", "p2"))
