@@ -41,7 +41,23 @@ object VectorSql {
     /** Cosine from a pair dot and two precomputed norm columns. */
     def cosineWithNorms(a: String, b: String, normA: String, normB: String): String =
       s"(${dot(a, b)} / ($normA * $normB))"
+
+    /** Dot of `a` against deterministic pseudo-random hyperplane `p`
+      * (components from [[VectorSql.planeComponent]], small integers —
+      * exact in float AND double, so both dialects agree bitwise).
+      * Rendered as a literal float array through the native codegen
+      * dot — constant-folded per plane, no per-row regeneration. */
+    def dotPlane(a: String, p: Int, dim: Int): String = {
+      val comps = (0 until dim).map(i => s"cast(${planeComponent(p, i)} as float)")
+      s"${dot(a, s"array(${comps.mkString(",")})")}"
+    }
   }
+
+  /** Component `i` of pseudo-random hyperplane `p`: integer-derived,
+    * zero-mean-ish in [-48, 48]. The SAME closed form is rendered
+    * arithmetically in the DuckDB dialect, so sign bits agree. */
+  def planeComponent(p: Int, i: Int): Int =
+    ((p.toLong * 73856093L + i.toLong * 19349663L) % 97L).toInt - 48
 
   object duck {
     def dot(a: String, b: String): String =
@@ -49,5 +65,13 @@ object VectorSql {
 
     def cosine(a: String, b: String): String =
       s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+
+    /** Dot against hyperplane `p`, components via the same closed form
+      * as [[VectorSql.planeComponent]] (rendered arithmetically: the
+      * range index is the component index). */
+    def dotPlane(a: String, p: Int): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+        s"i -> ($a)[i]::DOUBLE * (($p::BIGINT * 73856093 + (i - 1) * 19349663) % 97 - 48)::DOUBLE)), " +
+        s"(acc, v) -> acc + v)"
   }
 }

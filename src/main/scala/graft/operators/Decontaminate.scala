@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/benchmark decontamination: flag corpus documents that share
+  * any 3-token shingle with a benchmark/eval set — the standard
+  * "remove test-set leakage from training data" pipeline step.
+  *
+  * Not in the reference (polario is dataset I/O only, SURVEY.md §0);
+  * first-class LLM-pipeline extension.
+  *
+  * Scale design (100 TB corpus, small benchmark): the benchmark's
+  * distinct shingle set is tiny (eval sets are MBs, not TBs) →
+  * `broadcast()` it, so the corpus-side shingle explode feeds a
+  * broadcast LEFT SEMI join — the corpus is never shuffled, and the
+  * explode output is consumed by the join without materialization.
+  * The contaminated-id set (bounded by corpus row count, usually a
+  * tiny fraction) then drives one more broadcast-able semi/anti join
+  * to attach the flag. Shingling is the same codegen'd expression
+  * chain as the dedup operators (TextHash).
+  */
+object Decontaminate {
+
+  import TextHash.{spark => H}
+
+  /** Distinct 3-token shingles of `textCol` (whole-text fallback for
+    * short docs, matching the dedup operators' shingling). */
+  private def shingleSet(df: DataFrame, textCol: String, out: String): DataFrame =
+    TextOps.withTokens(df, textCol, "__toks")
+      .select(explode(expr(H.shingles3("__toks", textCol))).as(out))
+      .distinct()
+
+  /** Annotate `corpus` with a `contaminated` flag: true iff the doc
+    * shares at least one 3-token shingle with `benchmark`. */
+  def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val benchShingles = broadcast(shingleSet(benchmark, textCol, "__bsh"))
+    val contaminatedIds = TextOps.withTokens(corpus, textCol, "__toks")
+      .select(col(idCol), explode(expr(H.shingles3("__toks", textCol))).as("__sh"))
+      .join(benchShingles, col("__sh") === col("__bsh"), "left_semi")
+      .select(col(idCol).as("__cont_id"))
+      .distinct()
+    corpus
+      .join(contaminatedIds, col(idCol) === col("__cont_id"), "left")
+      .withColumn("contaminated", col("__cont_id").isNotNull)
+      .drop("__cont_id")
+  }
+
+  /** The cleaned corpus: contaminated docs removed (one anti join). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String): DataFrame =
+    flagContaminated(corpus, benchmark, idCol, textCol)
+      .where(!col("contaminated"))
+      .drop("contaminated")
+}

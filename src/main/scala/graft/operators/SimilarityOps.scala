@@ -99,6 +99,51 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Random-hyperplane LSH near-dup pairs over an embedding column —
+    * the SCALE path for embedding dedup (no blocking attribute
+    * needed, unlike [[nearDupPairStats]]'s label blocking): the sign
+    * pattern of `planesPerBand` deterministic hyperplane projections
+    * forms a band key (SimHash for vectors — collision probability
+    * per plane is 1 - angle/pi), vectors are self-joined per band on
+    * that key, and candidates are verified with exact cosine at
+    * `minSim`.
+    *
+    * Cost shape: `bands` hash self-joins over `2^planesPerBand`
+    * buckets per band (the default 16 planes = 65,536 — the same
+    * key-width lesson as the text simhash operator: bucket count must
+    * outgrow `n / targetBucketSize`, so raise `planesPerBand` with
+    * corpus size, `bands` only for recall), then one exact fold per
+    * surviving candidate pair. Projections are per-row codegen'd dots
+    * against constant-folded literal plane arrays — no shuffle until
+    * the band join, never an unblocked cross join. */
+  def hyperplaneLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, minSim: Double,
+                         bands: Int = 2, planesPerBand: Int = 16): DataFrame = {
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
+    val n = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+    val keyed = (0 until bands).foldLeft(n) { (d, b) =>
+      val key = (0 until planesPerBand).map { j =>
+        val p = b * planesPerBand + j
+        when(expr(V.dotPlane(vecCol, p, dim)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      d.withColumn(s"__hpb$b", key)
+    }.localCheckpoint() // feeds both sides of every band self-join
+    val pairs = (0 until bands).map { b =>
+      val x = keyed.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+        col("__nrm").as("na"), col(s"__hpb$b").as("bk"))
+      val y = keyed.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+        col("__nrm").as("nb"), col(s"__hpb$b").as("bk"))
+      x.join(y, "bk").where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "va", "vb", "na", "nb")
+    }.reduce(_ unionAll _)
+      .dropDuplicates("a_id", "b_id")
+    pairs
+      .withColumn("sim", simWithNorms("va", "vb", "na", "nb"))
+      .where(col("sim") >= minSim)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Embedding-cosine near-dup pair counts within equality blocks
     * (`blockCol`), pairs above `minSim`. Norms are computed once per
     * vector BEFORE the pair join, so each candidate pair costs one

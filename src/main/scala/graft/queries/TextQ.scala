@@ -406,6 +406,55 @@ object TextQ {
             min(col("fingerprint")).as("min_fp"))
           .orderBy("lang")),
 
+    // ---- stratified deterministic sampling -----------------------
+    // Per-stratum hash-threshold sampling (en kept at 50%, the rest at
+    // 10%): content-hash based, so the sample is reproducible across
+    // retries and engines — the property a training-data pipeline
+    // needs (no rand()). One scan, no shuffle before the aggregation.
+    Q("q63_stratified_sample",
+      Some(s"""WITH s AS (SELECT doc_id, lang FROM documents
+              |  WHERE ${D.rollingHash("text")} % 100 <
+              |    (CASE WHEN lang = 'en' THEN 50 ELSE 10 END))
+              |SELECT lang, count(*) AS n_sampled, sum(doc_id)::BIGINT AS id_sum
+              |FROM s GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        t(s, dir, "documents")
+          .where(expr(H.rollingHash("text")) % 100 <
+            when(col("lang") === "en", 50).otherwise(10))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      }),
+
+    // ---- train/benchmark decontamination -------------------------
+    // Docs 0..19 stand in for an eval set; the rest is the training
+    // corpus. A corpus doc is contaminated if it shares ANY 3-token
+    // shingle with the benchmark (broadcast semi-join against the
+    // benchmark's distinct shingles — see operators.Decontaminate).
+    Q("q64_decontaminate",
+      Some(s"""WITH toks AS (SELECT doc_id, lang, text, $duckToks AS t FROM documents),
+              |bench AS (SELECT DISTINCT unnest($duckShingles) AS sh FROM toks WHERE doc_id < 20),
+              |corpus AS (SELECT doc_id, lang, $duckShingles AS shs FROM toks WHERE doc_id >= 20),
+              |cont AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(shs) AS sh FROM corpus)
+              |  JOIN bench USING (sh))
+              |SELECT c.lang, count(*) AS n_docs,
+              |  sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+              |FROM corpus c LEFT JOIN cont k USING (doc_id)
+              |GROUP BY c.lang ORDER BY c.lang""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Decontaminate.flagContaminated(
+          docs.where(col("doc_id") >= 20),
+          docs.where(col("doc_id") < 20),
+          "doc_id", "text")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+          .orderBy("lang")
+      }),
+
     // ---- multimodal plumbing: opaque binary column stats ---------
     // Binary payloads (here: utf8 bytes as a deterministic stand-in
     // for image/audio blobs) flow through untouched; metadata is

@@ -221,6 +221,48 @@ class OperatorsSpec extends SparkSpec {
       s"capped candidate count $capped should be bounded well under the uncapped 435")
   }
 
+  test("hyperplane LSH: identical vectors always pair; candidates are verified by exact cosine") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array.fill(8)(1f)),
+      (1L, Array.fill(8)(1f)),              // identical to 0: all sign bits equal
+      (2L, Array.fill(8)(-1f)),             // antipodal: no band collision with 0
+      (3L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)) // near 0
+    ).toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.hyperplaneLshPairs(emb, "vec_id", "embedding",
+      dim = 8, minSim = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // sim is dot/(na*nb): ~1.0 up to IEEE rounding for identical vectors
+    assert(pairs.exists { case (a, b, s) => a == 0L && b == 1L && s >= 0.999 },
+      s"identical vectors must collide in every band and verify at ~1.0: ${pairs.toSeq}")
+    assert(!pairs.exists { case (a, b, _) => a == 0L && b == 2L },
+      "antipodal vector flips every sign bit — must not pair")
+    // near-duplicate of 0 shares all sign bits (all projections keep
+    // sign: components differ only in one coordinate scaled by 0.9)
+    assert(pairs.exists { case (a, b, s) => a == 0L && b == 3L && s >= 0.99 },
+      s"near-identical vector should collide and verify: ${pairs.toSeq}")
+  }
+
+  test("decontamination flags exactly the docs sharing a shingle with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta"),          // contains "alpha beta gamma"
+      (11L, "unrelated words only here"),
+      (12L, "x y alpha beta gamma"),            // shingle appears mid-doc
+      (13L, "alpha beta")                       // short: whole-text fallback, no match
+    ).toDF("doc_id", "text")
+    val bench = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val flagged = operators.Decontaminate.flagContaminated(corpus, bench, "doc_id", "text")
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flagged == Map(10L -> true, 11L -> false, 12L -> true, 13L -> false))
+    val clean = operators.Decontaminate.decontaminate(corpus, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(11L, 13L))
+    assert(!operators.Decontaminate.decontaminate(corpus, bench, "doc_id", "text")
+      .columns.contains("contaminated"))
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
