@@ -144,6 +144,21 @@ object TextHash {
       * string-literal escaping, needed for contractions like "l'"). */
     def tokenCount(t: String, word: String): String =
       s"size(filter($t, x -> x = '${word.replace("'", "''")}'))"
+
+    /** Rolling hashes of the character k-grams of `s`, one per start
+      * position. Materialize ONCE per row before windowing. (Lambda
+      * variable named `kg`, not `i`, so the expression stays correct
+      * if the native hash is swapped for its HOF rendering, whose
+      * inner lambda binds `i` — see the duck dialect note.) */
+    def kgramHashes(s: String, k: Int): String =
+      s"transform(sequence(1, length($s) - ${k - 1}), kg -> ${rollingHash(s"substring($s, kg, $k)")})"
+
+    /** Winnowing (window-min) selection over a k-gram hash array
+      * expression `h`: min hash of each length-`w` window, distinct,
+      * sorted — the MOSS fingerprinting scheme's selection step. */
+    def winnowFromHashes(h: String, w: Int): String =
+      s"array_sort(array_distinct(transform(sequence(1, size($h) - ${w - 1}), " +
+        s"wj -> array_min(slice($h, wj, $w)))))"
   }
 
   /** DuckDB dialect — strings for the driver's oracle SQL. */
@@ -190,5 +205,17 @@ object TextHash {
 
     def tokenCount(t: String, word: String): String =
       s"len(list_filter($t, x -> x = '${word.replace("'", "''")}'))"
+
+    // Outer lambda variable deliberately NOT named `i`: the rolling
+    // hash's charCodes lambda also binds `i`, and DuckDB (like SQL
+    // lambda scoping generally) lets the inner binding shadow the
+    // outer one — the k-gram start index would silently become the
+    // character index.
+    def kgramHashes(s: String, k: Int): String =
+      s"list_transform(range(1, length($s) - ${k - 2}), kg -> ${rollingHash(s"substr($s, kg, $k)")})"
+
+    def winnowFromHashes(h: String, w: Int): String =
+      s"list_sort(list_distinct(list_transform(range(1, len($h) - ${w - 2}), " +
+        s"wj -> list_min(($h)[wj:wj + ${w - 1}]))))"
   }
 }

@@ -41,6 +41,27 @@ object TextOps {
     sig.drop("__toks", "__sh", "__hs")
   }
 
+  /** Winnowed (MOSS-style) fingerprint set: the min k-gram rolling
+    * hash of every length-`w` hash window, deduplicated and sorted.
+    * Robust to small edits — any shared substring of length
+    * `k + w - 1` guarantees a shared fingerprint (the winnowing
+    * coverage theorem), which is what plagiarism/near-dup detection
+    * needs from a fingerprint and a single whole-document hash can't
+    * give. Texts shorter than `k + w - 1` fall back to one whole-text
+    * hash. Per-row expression chain — no shuffle, k-gram hashes
+    * materialized once per row before windowing. */
+  def withWinnowedFingerprints(df: DataFrame, textCol: String,
+                               k: Int = 5, w: Int = 4,
+                               out: String = "fps"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    import org.apache.spark.sql.functions.{array, col, length, when}
+    df.withColumn("__kh", expr(H.kgramHashes(textCol, k)))
+      .withColumn(out,
+        when(length(col(textCol)) >= k + w - 1, expr(H.winnowFromHashes("__kh", w)))
+          .otherwise(array(expr(H.rollingHash(textCol)))))
+      .drop("__kh")
+  }
+
   /** 16-bit simhash over whitespace tokens. */
   def withSimhash16(df: DataFrame, textCol: String, out: String = "simhash16"): DataFrame =
     withSimhash(df, textCol, 16, out)

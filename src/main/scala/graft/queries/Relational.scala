@@ -376,6 +376,32 @@ object Relational {
           salts = 16, saltFrom = "l_orderkey")
           .orderBy("l_returnflag")),
 
+    // ---- salted JOIN (skewed big side x replicated small side) ---
+    // Salting is semantically transparent: the oracle is the PLAIN
+    // join. The salted plan shuffles lineitem on (suppkey, salt) so a
+    // hot supplier spreads over 8 reducers while supplier is exploded
+    // 8-fold (tiny). Decimal-exact sum keeps the aggregate bitwise
+    // comparable.
+    Q("q65_salted_join",
+      Some("""SELECT s_nationkey,
+             |  (sum(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sum_price,
+             |  count(*) AS n
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, sup, "suppkey",
+          salts = 8, saltFrom = "l_extendedprice")
+          .groupBy(col("s_nationkey"))
+          .agg(
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+            count(lit(1)).as("n"))
+          .orderBy("s_nationkey")
+      }),
+
     // ---- cube grouping sets + grouping() -------------------------
     Q("q27_cube_counts",
       Some("""SELECT l_returnflag, l_linestatus,

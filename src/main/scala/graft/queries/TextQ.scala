@@ -455,6 +455,31 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- winnowed (MOSS) document fingerprints -------------------
+    // Window-min selection over char-5-gram rolling hashes (w=4):
+    // robust fingerprints with the coverage guarantee (any shared
+    // 8-char substring shares a fingerprint). The witness reduces the
+    // per-doc fingerprint SET to its cardinality, minimum, and sum —
+    // all exact integers, hash-comparable.
+    Q("q66_winnow_fingerprints",
+      Some(s"""WITH kh AS (SELECT doc_id, text, ${D.kgramHashes("text", 5)} AS h
+              |  FROM documents WHERE doc_id < 100),
+              |fp AS (SELECT doc_id,
+              |  CASE WHEN length(text) >= 8 THEN ${D.winnowFromHashes("h", 4)}
+              |       ELSE [${D.rollingHash("text")}] END AS fps FROM kh)
+              |SELECT doc_id, len(fps)::INT AS n_fp, fps[1] AS min_fp,
+              |  list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> a + x) AS fp_sum
+              |FROM fp ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withWinnowedFingerprints(
+          t(s, dir, "documents").where(col("doc_id") < 100), "text", k = 5, w = 4)
+          .select(
+            col("doc_id"),
+            size(col("fps")).as("n_fp"),
+            element_at(col("fps"), 1).as("min_fp"),
+            expr("aggregate(fps, cast(0 as bigint), (a, x) -> a + x)").as("fp_sum"))
+          .orderBy("doc_id")),
+
     // ---- multimodal plumbing: opaque binary column stats ---------
     // Binary payloads (here: utf8 bytes as a deterministic stand-in
     // for image/audio blobs) flow through untouched; metadata is

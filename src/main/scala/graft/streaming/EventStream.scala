@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
 /** Output row of [[EventStream.runningUserTotals]]. */
 case class UserTotal(user_id: Long, n: Long, sum_value: Double)
 
+/** Output row of [[EventStream.streamingDedup]]. */
+case class DedupDoc(doc_id: Long, text: String)
+
 object EventStream {
 
   /** Normalize an events frame whose `ts` is bigint *nanoseconds*
@@ -56,6 +59,42 @@ object EventStream {
           rows.foreach { r => n += 1; s += r._2 }
           state.update((n, s))
           UserTotal(user, n, s)
+      }
+  }
+
+  /** Streaming exact dedup: emit only the FIRST occurrence of each
+    * content digest across ALL micro-batches — the streaming
+    * counterpart of `DedupOps.incrementalDedup` (the "dedup each new
+    * crawl against everything accepted so far" flow, but continuous).
+    *
+    * State is one marker per distinct digest (bounded by distinct
+    * content, not event volume); within a batch the lowest id wins,
+    * deterministically. At 100 TB the state store is RocksDB-backed
+    * and partitioned by digest — the same one-shuffle-on-digest shape
+    * as the batch operator. For unbounded corpora add a
+    * `GroupStateTimeout` TTL and pair with a compacted at-rest digest
+    * table (re-admitting content older than the TTL is the standard
+    * recall/state tradeoff). */
+  def streamingDedup(docs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text")
+      : org.apache.spark.sql.Dataset[DedupDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .select(col(idCol).cast("long"), col(textCol), md5(col(textCol)))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, DedupDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.minBy(_._1)
+            Iterator(DedupDoc(first._1, first._2))
+          }
       }
   }
 

@@ -75,6 +75,30 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup: first occurrence survives within and across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    val query = EventStream.streamingDedup(streamDf)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: one in-batch duplicate pair (11/10 same text, lowest id wins)
+      mem.addData((11L, "same text"), (10L, "same text"), (12L, "unique one"))
+      query.processAllAvailable()
+      val b1 = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(b1 == Set(10L, 12L))
+
+      // batch 2: cross-batch duplicate dropped, new content emitted
+      mem.addData((20L, "same text"), (21L, "brand new"))
+      query.processAllAvailable()
+      val b2 = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(b2 == Set(10L, 12L, 21L),
+        s"doc 20 repeats batch-1 content and must be dropped, got $b2")
+    } finally query.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

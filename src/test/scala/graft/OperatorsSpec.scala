@@ -263,6 +263,29 @@ class OperatorsSpec extends SparkSpec {
       .columns.contains("contaminated"))
   }
 
+  test("winnowed fingerprints match the definition; coverage guarantee; short-text fallback") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                         // identical -> identical fps
+      (2L, "PREFIX " + base + " SUFFIX"), // long shared substring -> shared fp
+      (3L, "zz")                          // shorter than k+w-1 -> fallback
+    ).toDF("doc_id", "text")
+    val fps = TextOps.withWinnowedFingerprints(docs, "text", k = 5, w = 4)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // independent re-implementation of the scheme
+    def rh(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val grams = base.sliding(5).map(rh).toVector
+    val expected = grams.sliding(4).map(_.min).toVector.distinct.sorted
+    assert(fps(0L) == expected)
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L).intersect(fps(2L)).nonEmpty,
+      "winnowing coverage: a shared >= k+w-1 substring must share a fingerprint")
+    assert(fps(3L) == Seq(rh("zz")))
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
