@@ -278,6 +278,64 @@ object TextQ {
           .orderBy(col("n").desc, col("trigram"))
           .limit(20)),
 
+    // ---- trigram-rarity quality score (LM-style fluency proxy) ---
+    // Corpus char-trigram counts joined back to each document's
+    // trigrams: freq_sum is the corpus-frequency mass of the doc's
+    // trigrams, n_rare counts trigrams seen <= 5 times corpus-wide —
+    // a language-model-flavored quality signal kept in exact integers
+    // (a log-prob variant would sum doubles in join order, which is
+    // not reproducible; the integer form is, at any parallelism).
+    // Shape: one explode -> one count agg -> one join back -> one agg.
+    Q("q67_trigram_rarity",
+      Some("""WITH tg AS (SELECT doc_id,
+             |  unnest(list_transform(range(1, length(text) - 1), i -> substr(text, i, 3))) AS trigram
+             |  FROM documents WHERE length(text) >= 3),
+             |cnt AS (SELECT trigram, count(*) AS c FROM tg GROUP BY trigram)
+             |SELECT doc_id, count(*) AS n_tg, sum(c)::BIGINT AS freq_sum,
+             |  sum(CASE WHEN c <= 5 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+             |FROM tg JOIN cnt USING (trigram)
+             |WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val tg = t(s, dir, "documents")
+          .where(length(col("text")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
+        val cnt = tg.groupBy("trigram").agg(count(lit(1)).as("c"))
+        tg.join(cnt, "trigram")
+          .where(col("doc_id") < 50)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tg"),
+            sum(col("c")).as("freq_sum"),
+            sum(when(col("c") <= 5, 1L).otherwise(0L)).as("n_rare"))
+          .orderBy("doc_id")
+      }),
+
+    // ---- quantile bucketing (ntile) ------------------------------
+    // Training pipelines bucket documents by a quality signal; ntile
+    // is the window shape for that (equal-frequency buckets per
+    // stratum). Bucket membership is deterministic given the unique
+    // (n_chars, doc_id) ordering.
+    Q("q68_quality_buckets",
+      Some("""WITH b AS (SELECT lang, doc_id, n_chars,
+             |  ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)::INT AS bucket
+             |  FROM documents)
+             |SELECT lang, bucket, count(*) AS n, min(n_chars) AS min_chars,
+             |  max(n_chars) AS max_chars
+             |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        t(s, dir, "documents")
+          .withColumn("bucket",
+            ntile(4).over(Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("lang", "bucket")
+      }),
+
     // ---- array predicates (exists / forall over tokens) ----------
     Q("q60_array_predicates",
       Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)

@@ -286,6 +286,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(3L) == Seq(rh("zz")))
   }
 
+  test("winnowing coverage property: any shared >= k+w-1 substring shares a fingerprint") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // generated pairs of random texts with a common >= 8-char infix
+    val gen = for {
+      common <- Gen.listOfN(10, Gen.alphaLowerChar).map(_.mkString)
+      pre1 <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      suf1 <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      pre2 <- Gen.listOfN(9, Gen.alphaLowerChar).map(_.mkString)
+      suf2 <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    } yield (pre1 + common + suf1, pre2 + common + suf2)
+    val pairs = (1 to 8).map(i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)).getOrElse(fail(s"no sample $i")))
+    val df = pairs.zipWithIndex.flatMap { case ((t1, t2), i) =>
+      Seq((2L * i, t1), (2L * i + 1, t2))
+    }.toDF("doc_id", "text")
+    val fps = TextOps.withWinnowedFingerprints(df, "text", k = 5, w = 4)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    pairs.indices.foreach { i =>
+      assert(fps(2L * i).intersect(fps(2L * i + 1)).nonEmpty,
+        s"pair $i shares a 10-char substring but no fingerprint: ${pairs(i)}")
+    }
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
