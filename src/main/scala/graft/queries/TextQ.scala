@@ -300,7 +300,12 @@ object TextQ {
           .where(length(col("text")) >= 3)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
-        val cnt = tg.groupBy("trigram").agg(count(lit(1)).as("c"))
+        // Char-trigram cardinality is bounded by the alphabet (tens of
+        // thousands of distinct values regardless of corpus size), so
+        // the counts table is broadcast-safe: partial aggregation
+        // shrinks the count shuffle to distinct-per-partition, and the
+        // join back costs the big side NO shuffle at any corpus scale.
+        val cnt = broadcast(tg.groupBy("trigram").agg(count(lit(1)).as("c")))
         tg.join(cnt, "trigram")
           .where(col("doc_id") < 50)
           .groupBy(col("doc_id"))
