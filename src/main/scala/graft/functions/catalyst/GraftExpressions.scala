@@ -133,6 +133,49 @@ object HashOps {
     out
   }
 
+  /** Winnowed fingerprint set in one pass: rolling hash of every
+    * character k-gram, min per length-w hash window, distinct, sorted
+    * ascending — exactly the HOF chain
+    * `array_sort(array_distinct(transform(windows, min)))` over
+    * `kgramHashes`, including its short-text fallback (text shorter
+    * than k+w-1 chars → the whole-text hash). Code-point iteration
+    * matches Spark's character-based substring semantics. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k + w - 1) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = (h * 31 + cps(i)) % P; i += 1 }
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](h))
+    }
+    val m = n - k + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = (h * 31 + cps(j)) % P; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    val nw = m - w + 1
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var x = j
+      while (x < j + w) { if (hs(x) < mn) mn = hs(x); x += 1 }
+      mins.add(mn)
+      j += 1
+    }
+    val out = new Array[Any](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Strict left-to-right dot product of two float arrays in double
     * precision — exactly
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
@@ -297,6 +340,45 @@ case class SeededMin(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): SeededMin = copy(f, s, t)
+}
+
+/** `graft_winnow(string, k, w) -> array<bigint>` — winnowed (MOSS)
+  * fingerprint set as ONE generated call: the HOF rendering walks the
+  * text once per k-gram (boxing every hash) and again per window; this
+  * computes k-gram hashes, window minima, dedup and sort in a single
+  * pass over the decoded code points. Bitwise-equal to
+  * `TextHash.spark.kgramHashes` + `winnowFromHashes` with the
+  * short-text whole-hash fallback folded in. */
+case class Winnow(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (_: StringType, IntegerType, IntegerType)
+          if second.foldable && third.foldable =>
+        if (k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 1 and w >= 1")
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, constant int k, constant int w)")
+    }
+  private lazy val k: Int = second.eval().asInstanceOf[Int]
+  private lazy val w: Int = third.eval().asInstanceOf[Int]
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+  override def prettyName: String = "graft_winnow"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = first.eval(input)
+    if (s == null) null
+    else HashOps.winnow(s.asInstanceOf[UTF8String], k, w)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _, _) =>
+      s"${ev.value} = graft.functions.catalyst.HashOps.winnow($s, $k, $w);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Winnow = copy(f, s, t)
 }
 
 /** `graft_dot_f32(array<float>, array<float>) -> double` — strict

@@ -33,7 +33,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Simhash(args(0), args(1))),
     ("graft_simhash64",
       info("graft_simhash64", "single-pass wide (up to 63-bit) simhash over array<bigint>"),
-      (args: Seq[Expression]) => Simhash64(args(0), args(1))))
+      (args: Seq[Expression]) => Simhash64(args(0), args(1))),
+    ("graft_winnow",
+      info("graft_winnow", "winnowed (MOSS) fingerprint set of a string: min k-gram hash per w-window, distinct, sorted"),
+      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

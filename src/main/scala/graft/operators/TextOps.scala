@@ -48,11 +48,22 @@ object TextOps {
     * coverage theorem), which is what plagiarism/near-dup detection
     * needs from a fingerprint and a single whole-document hash can't
     * give. Texts shorter than `k + w - 1` fall back to one whole-text
-    * hash. Per-row expression chain — no shuffle, k-gram hashes
-    * materialized once per row before windowing. */
+    * hash. Per-row, no shuffle: the native `graft_winnow` expression
+    * computes k-gram hashes, window minima, dedup and sort in one
+    * generated pass (NativeExprSpec proves it bitwise-equal to the
+    * HOF rendering in [[withWinnowedFingerprintsHof]]). */
   def withWinnowedFingerprints(df: DataFrame, textCol: String,
                                k: Int = 5, w: Int = 4,
                                out: String = "fps"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    df.withColumn(out, expr(s"graft_winnow($textCol, $k, $w)"))
+  }
+
+  /** Pure built-in rendering of [[withWinnowedFingerprints]]
+    * (interpreted; registration-free environments + parity tests). */
+  def withWinnowedFingerprintsHof(df: DataFrame, textCol: String,
+                                  k: Int = 5, w: Int = 4,
+                                  out: String = "fps"): DataFrame = {
     require(k >= 1 && w >= 1)
     import org.apache.spark.sql.functions.{array, col, length, when}
     df.withColumn("__kh", expr(H.kgramHashes(textCol, k)))

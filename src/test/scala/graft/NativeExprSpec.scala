@@ -38,6 +38,18 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native winnow == HOF winnow chain on real text (incl. short-text fallback)") {
+    import spark.implicits._
+    // real docs plus forced short-text fallback rows
+    val extra = Seq((90001L, "ab"), (90002L, ""), (90003L, "exactly8")).toDF("doc_id", "text")
+    val base = docs.select("doc_id", "text").unionAll(extra)
+    val native = graft.operators.TextOps.withWinnowedFingerprints(base, "text")
+      .select(col("doc_id"), col("fps"))
+    val hof = graft.operators.TextOps.withWinnowedFingerprintsHof(base, "text")
+      .select(col("doc_id"), col("fps"))
+    assertSameData(native, hof)
+  }
+
   test("native dot product == HOF dot product on real embeddings (bitwise)") {
     val q = embs.limit(1).select(col("embedding").as("q"))
     val diff = embs.crossJoin(broadcast(q))
