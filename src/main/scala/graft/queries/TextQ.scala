@@ -341,6 +341,60 @@ object TextQ {
           .orderBy("lang", "bucket")
       }),
 
+    // ---- sequence packing (fixed token budgets per shard) --------
+    // Running-sum packing per language shard: a pack boundary every
+    // 512 tokens in doc_id order. The shard key bounds the sequential
+    // window region — packs across languages compute in parallel.
+    Q("q69_pack_sequences",
+      Some("""WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+             |  FROM documents),
+             |c AS (SELECT lang, doc_id, n_toks,
+             |  sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+             |SELECT lang, ((cum - n_toks) // 512)::BIGINT AS pack_id,
+             |  count(*) AS n_docs, sum(n_toks)::BIGINT AS sum_tokens
+             |FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin),
+      (s, dir) => {
+        val withToks = t(s, dir, "documents")
+          .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+        graft.operators.Sequencing.packGreedy(withToks, "doc_id", "n_toks", "lang", budget = 512L)
+          .groupBy(col("lang"), col("pack_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"))
+          .orderBy("lang", "pack_id")
+      }),
+
+    // ---- context-window chunking (overlapping token windows) -----
+    // 20-token chunks advancing by 15 (5-token overlap); the witness
+    // checks chunk counts, length mass, and the first chunk's exact
+    // re-joined text per document.
+    Q("q70_chunk_windows",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+             |  WHERE doc_id < 50),
+             |st AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+             |  array_to_string(toks[1:20], ' ') AS fc,
+             |  unnest(range(1, len(toks) + 1, 15)) AS start FROM t)
+             |SELECT doc_id, any_value(n_toks) AS n_toks, count(*) AS n_chunks,
+             |  sum(least(20, n_toks - start + 1))::BIGINT AS sum_chunk_toks,
+             |  any_value(fc) AS first_chunk
+             |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val chunks = graft.operators.Sequencing.chunkTokens(
+          t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text",
+          chunkSize = 20, overlap = 5)
+        val nToks = t(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("bigint").as("n_toks"))
+        chunks
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len").cast("bigint")).as("sum_chunk_toks"),
+            min(when(col("chunk_idx") === 0, col("chunk_text"))).as("first_chunk"))
+          .join(nToks, "doc_id")
+          .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+            col("sum_chunk_toks"), col("first_chunk"))
+          .orderBy("doc_id")
+      }),
+
     // ---- array predicates (exists / forall over tokens) ----------
     Q("q60_array_predicates",
       Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)

@@ -312,6 +312,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("greedy packing: boundaries at the budget, shards independent, deterministic") {
+    import spark.implicits._
+    // shard a: token counts 300, 300, 300 -> cum 300/600/900,
+    //   pack = (cum - n) div 512 -> 0, 0, 1
+    // shard b: 600, 10 -> packs 0, 1
+    val docs = Seq(
+      (1L, 300L, "a"), (2L, 300L, "a"), (3L, 300L, "a"),
+      (4L, 600L, "b"), (5L, 10L, "b")
+    ).toDF("doc_id", "n_toks", "shard")
+    val packed = Sequencing.packGreedy(docs, "doc_id", "n_toks", "shard", budget = 512L)
+      .select("doc_id", "pack_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+
+  test("token chunking: overlap, tail shortening, exact chunk text") {
+    import spark.implicits._
+    // 25 tokens, chunkSize 10, overlap 3 -> stride 7, starts 1/8/15/22
+    val toks = (1 to 25).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Sequencing.chunkTokens(docs, "doc_id", "text", chunkSize = 10, overlap = 3)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length == 4)
+    assert(chunks.map(_.getAs[Int]("chunk_len")).toSeq == Seq(10, 10, 10, 4))
+    assert(chunks(0).getAs[String]("chunk_text") == toks.take(10).mkString(" "))
+    // overlap: chunk 1 starts at token 8 (3-token overlap with chunk 0)
+    assert(chunks(1).getAs[String]("chunk_text") == toks.slice(7, 17).mkString(" "))
+    assert(chunks(3).getAs[String]("chunk_text") == toks.slice(21, 25).mkString(" "))
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
