@@ -33,9 +33,17 @@ object Decontaminate {
       .distinct()
 
   /** Annotate `corpus` with a `contaminated` flag: true iff the doc
-    * shares at least one 3-token shingle with `benchmark`. */
+    * shares at least one 3-token shingle with `benchmark`. Fails
+    * loudly if the corpus already carries the internal or output
+    * column names (re-running on annotated output would otherwise
+    * silently overwrite the flag). */
   def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
+    val reserved = Set("__toks", "__sh", "__bsh", "__cont_id", "contaminated")
+    val collisions = corpus.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"flagContaminated reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
     val benchShingles = broadcast(shingleSet(benchmark, textCol, "__bsh"))
     val contaminatedIds = TextOps.withTokens(corpus, textCol, "__toks")
       .select(col(idCol), explode(expr(H.shingles3("__toks", textCol))).as("__sh"))

@@ -193,15 +193,9 @@ object DedupOps {
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           prefixLen: Int = 40, minJaccard: Double = 0.3,
                           maxBlockSize: Int = 8192): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(maxBlockSize > 0, "maxBlockSize must be positive")
-    // Window on blk shuffles on the same key the self-join uses, so
-    // the exchange is shared, not duplicated.
-    val blocked = df.select(
-        col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("blk"))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
-      .withColumn("__sub",
-        pmod(xxhash64(col("id")), expr(s"(__bn + ${maxBlockSize - 1}) div $maxBlockSize")))
+    val blocked = Blocking.withSubBlock(
+      df.select(col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("blk")),
+      col("blk"), "id", maxBlockSize, "__sub")
     // Checkpointed: referenced by the candidate semi-join, the common-
     // shingle join, and the output join (tiny: pairs only; blocks live
     // until the returned frame is GC'd).

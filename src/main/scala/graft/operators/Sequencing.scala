@@ -30,6 +30,11 @@ object Sequencing {
   def packGreedy(df: DataFrame, idCol: String, tokenCountCol: String,
                  shardCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
+    val reserved = Set("__cum", "pack_id")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"packGreedy reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(tokenCountCol).cast("bigint")).over(w))
@@ -46,6 +51,11 @@ object Sequencing {
                   chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need chunkSize > 0 and 0 <= overlap < chunkSize")
+    val reserved = Set("__toks", "__n", "__start", "chunk_idx", "chunk_len", "chunk_text")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"chunkTokens reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
     val stride = chunkSize - overlap
     df.withColumn("__toks", split(col(textCol), " "))
       .withColumn("__n", size(col("__toks")))

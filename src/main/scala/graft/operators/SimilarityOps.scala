@@ -120,7 +120,16 @@ object SimilarityOps {
                          dim: Int, minSim: Double,
                          bands: Int = 2, planesPerBand: Int = 16): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
-    val n = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+    // A wrong `dim` or a null vector/component would NULL every plane
+    // dot, mapping every row to band key 0 — a silent full cross join.
+    // Fail the job loudly instead: the guard wraps the vector column
+    // itself (an asserted-then-dropped side column would be pruned by
+    // the optimizer and never evaluated). The null-condition CASE also
+    // routes null vectors to the error branch.
+    val guarded = corpus.withColumn(vecCol, expr(
+      s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
+        s"ELSE raise_error('hyperplaneLshPairs: $vecCol must be a null-free array<float> of length $dim') END"))
+    val n = guarded.withColumn("__nrm", expr(V.norm(vecCol)))
     val keyed = (0 until bands).foldLeft(n) { (d, b) =>
       val key = (0 until planesPerBand).map { j =>
         val p = b * planesPerBand + j
@@ -128,16 +137,19 @@ object SimilarityOps {
       }.reduce(_ + _)
       d.withColumn(s"__hpb$b", key)
     }.localCheckpoint() // feeds both sides of every band self-join
+    // Band joins and the cross-band dedup move bare id pairs only;
+    // vectors/norms re-join from the checkpointed frame afterwards, so
+    // the dedup exchange carries O(candidates) ids, not O(candidates x
+    // dim) floats (same shape as DedupOps.verifyJaccard).
     val pairs = (0 until bands).map { b =>
-      val x = keyed.select(col(idCol).as("a_id"), col(vecCol).as("va"),
-        col("__nrm").as("na"), col(s"__hpb$b").as("bk"))
-      val y = keyed.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
-        col("__nrm").as("nb"), col(s"__hpb$b").as("bk"))
-      x.join(y, "bk").where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "va", "vb", "na", "nb")
+      val x = keyed.select(col(idCol).as("a_id"), col(s"__hpb$b").as("bk"))
+      val y = keyed.select(col(idCol).as("b_id"), col(s"__hpb$b").as("bk"))
+      x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
     }.reduce(_ unionAll _)
       .dropDuplicates("a_id", "b_id")
     pairs
+      .join(keyed.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("__nrm").as("na")), "a_id")
+      .join(keyed.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("__nrm").as("nb")), "b_id")
       .withColumn("sim", simWithNorms("va", "vb", "na", "nb"))
       .where(col("sim") >= minSim)
       .select(col("a_id"), col("b_id"), col("sim"))
@@ -160,14 +172,9 @@ object SimilarityOps {
   def nearDupPairStats(corpus: DataFrame, idCol: String, vecCol: String,
                        blockCol: String, minSim: Double,
                        maxBlockSize: Int = 8192): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(maxBlockSize > 0, "maxBlockSize must be positive")
-    // Window on the block key shuffles on blk — the same partitioning
-    // the self-join needs, so the exchange is reused, not added.
-    val n = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col(blockCol))))
-      .withColumn("__sub",
-        pmod(xxhash64(col(idCol)), expr(s"(__bn + ${maxBlockSize - 1}) div $maxBlockSize")))
+    val n = Blocking.withSubBlock(
+      corpus.withColumn("__nrm", expr(V.norm(vecCol))),
+      col(blockCol), idCol, maxBlockSize, "__sub")
     val x = n.select(col(blockCol).as("blk"), col("__sub"), col(idCol).as("a_id"),
       col(vecCol).as("va"), col("__nrm").as("na"))
     val y = n.select(col(blockCol).as("blk"), col("__sub"), col(idCol).as("b_id"),

@@ -65,10 +65,14 @@ object TextOps {
                                   k: Int = 5, w: Int = 4,
                                   out: String = "fps"): DataFrame = {
     require(k >= 1 && w >= 1)
-    import org.apache.spark.sql.functions.{array, col, length, when}
+    import org.apache.spark.sql.functions.{array, col, length, lit, when}
     df.withColumn("__kh", expr(H.kgramHashes(textCol, k)))
       .withColumn(out,
-        when(length(col(textCol)) >= k + w - 1, expr(H.winnowFromHashes("__kh", w)))
+        // null text -> null result (matching the native expression's
+        // null propagation; without this branch the CaseWhen would
+        // fall through to array(hash(null)) = [null])
+        when(col(textCol).isNull, lit(null))
+          .when(length(col(textCol)) >= k + w - 1, expr(H.winnowFromHashes("__kh", w)))
           .otherwise(array(expr(H.rollingHash(textCol)))))
       .drop("__kh")
   }

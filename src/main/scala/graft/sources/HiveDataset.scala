@@ -180,7 +180,22 @@ case class HiveDataset(
 
   private def writeMode(df: DataFrame, mode: String): Unit = {
     validate(df)
-    val before = listParquet()
+    // The partitions this write touches, computed from the frame
+    // BEFORE writing: bounded by partition cardinality (the same
+    // driver-side metadata class as the reference's partition
+    // handling, hive_dataset.py:389). The fragment-rename pass then
+    // lists ONLY these directories — metadata cost proportional to
+    // the write, not to dataset age. (The projection evaluates `df`
+    // once before the write does — persist expensive upstream frames
+    // if that matters; the reference evaluates its input eagerly too.)
+    val touched: Seq[Path] =
+      if (partitionColumns.isEmpty) Seq(qualifiedBase)
+      else df.select(partitionColumns.map(col): _*).distinct().collect().toSeq
+        .map { r =>
+          new Path(qualifiedBase, PathUtils.partitionPath(
+            partitionColumns.zipWithIndex.map { case (c, i) => c -> r.getString(i) }))
+        }
+    val before = listParquet(touched)
     val dataCols = (df.columns.toSet -- partitionColumns).toSeq.sorted
     val projected = df.select((dataCols ++ partitionColumns).map(col): _*)
     val writer = projected.write
@@ -191,20 +206,19 @@ case class HiveDataset(
       .option("partitionOverwriteMode", "dynamic")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(cleanUrl)
-    renameNewFragments(before)
+    renameNewFragments(touched, before)
   }
 
-  /** All parquet file names under the dataset, grouped by directory. */
-  private def listParquet(): Map[String, Set[String]] = {
-    if (!fs.exists(qualifiedBase)) return Map.empty
-    val it = fs.listFiles(qualifiedBase, true)
-    val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) buf += ((p.getParent.toString, p.getName))
-    }
-    buf.toList.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2).toSet }
-  }
+  /** Parquet file names in each of `dirs` (fragments are direct
+    * children of a partition directory — one non-recursive listing
+    * per touched partition). */
+  private def listParquet(dirs: Seq[Path]): Map[String, Set[String]] =
+    dirs.flatMap { d =>
+      if (!fs.exists(d)) None
+      else Some(d.toString -> fs.listStatus(d)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName).toSet)
+    }.toMap
 
   /** Rename the part-files a write just produced to reference-style
     * fragment names (`NNNNNN_<uuid>.parquet`, hive_dataset.py:51-70,
@@ -214,11 +228,12 @@ case class HiveDataset(
     * (README.md:35-37). Dynamic overwrite clears the partition's old
     * files first, so rewritten partitions restart at 000000.
     *
-    * Cost model: one rename per NEW file plus one recursive listing —
-    * the same metadata-op order as the file-commit protocol that just
-    * ran; nothing is read or rewritten. */
-  private def renameNewFragments(before: Map[String, Set[String]]): Unit =
-    listParquet().foreach { case (dir, files) =>
+    * Cost model: one rename per NEW file plus one listing per TOUCHED
+    * partition — the same metadata-op order as the file-commit
+    * protocol that just ran; nothing is read or rewritten. */
+  private def renameNewFragments(dirs: Seq[Path],
+                                 before: Map[String, Set[String]]): Unit =
+    listParquet(dirs).foreach { case (dir, files) =>
       val old = before.getOrElse(dir, Set.empty)
       // Spark part-file names encode task order; sorting keeps index
       // assignment deterministic per write.
@@ -229,7 +244,10 @@ case class HiveDataset(
           .map(PathUtils.fragmentIndex)
           .foldLeft(-1)(math.max) + 1
         fresh.foreach { name =>
-          fs.rename(new Path(dir, name), new Path(dir, PathUtils.fragmentName(idx)))
+          val (from, to) = (new Path(dir, name), new Path(dir, PathUtils.fragmentName(idx)))
+          // A silently failed rename would strand a part-* name that
+          // later appends sort BEFORE, breaking the ordering contract.
+          require(fs.rename(from, to), s"failed to rename fragment $from to $to")
           idx += 1
         }
       }

@@ -40,8 +40,9 @@ class NativeExprSpec extends SparkSpec {
 
   test("native winnow == HOF winnow chain on real text (incl. short-text fallback)") {
     import spark.implicits._
-    // real docs plus forced short-text fallback rows
-    val extra = Seq((90001L, "ab"), (90002L, ""), (90003L, "exactly8")).toDF("doc_id", "text")
+    // real docs plus forced short-text fallback rows and a null text
+    val extra = Seq((90001L, "ab"), (90002L, ""), (90003L, "exactly8"),
+      (90004L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val base = docs.select("doc_id", "text").unionAll(extra)
     val native = graft.operators.TextOps.withWinnowedFingerprints(base, "text")
       .select(col("doc_id"), col("fps"))
