@@ -192,6 +192,12 @@ case class HiveDataset(
       if (partitionColumns.isEmpty) Seq(qualifiedBase)
       else df.select(partitionColumns.map(col): _*).distinct().collect().toSeq
         .map { r =>
+          partitionColumns.zipWithIndex.foreach { case (c, i) =>
+            // Null partition values would land in Spark's
+            // __HIVE_DEFAULT_PARTITION__ directory, outside this
+            // dataset's k=v partition contract — reject loudly.
+            require(!r.isNullAt(i), s"Partition column '$c' contains null values")
+          }
           new Path(qualifiedBase, PathUtils.partitionPath(
             partitionColumns.zipWithIndex.map { case (c, i) => c -> r.getString(i) }))
         }

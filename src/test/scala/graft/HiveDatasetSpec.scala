@@ -131,6 +131,16 @@ class HiveDatasetSpec extends SparkSpec {
     }
   }
 
+  test("null partition values are rejected at write") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      val withNull = Seq((Some("1"), 1L), (None, 2L))
+        .map { case (p, v) => (p.orNull, v) }.toDF("p1", "v")
+      val ex = intercept[IllegalArgumentException](ds.write(withNull))
+      assert(ex.getMessage.contains("null"))
+    }
+  }
+
   test("non-string partition column is rejected (both backends)") {
     withTempDir { dir =>
       backends(dir).foreach { case (_, ds) =>
