@@ -38,6 +38,17 @@ object TextHash {
   val WideA: Long = 653167841L
   val WideB: Long = 422183977L
 
+  /** Seed pair mixing the wide token hash's LOW half. The raw rolling
+    * hash of a short token is numerically small (a t-char token is
+    * < 31^t·maxCode, e.g. < 2^27 for 4 chars), so its high bits are
+    * zero for every token and any simhash band built from bit
+    * positions ~22..29 collapses to a handful of buckets — measured:
+    * 2 distinct 15-bit band keys over a 3k-doc short-token corpus.
+    * Passing the hash through a seeded affine map mod P first makes
+    * all 30 low bits uniform (P covers 93% of the 2^30 range). */
+  val MixA: Long = 536870923L
+  val MixB: Long = 974711L
+
   /** Deterministic seed pairs (a_i, b_i) for the minhash family. */
   val Seeds: Seq[(Long, Long)] = Seq(
     (387143553L, 9231041L),
@@ -110,15 +121,17 @@ object TextHash {
     }
     def tokenHashes16(t: String): String = tokenHashes(t, 16)
 
-    /** Per-token WIDE hashes (31..60 bits): low 30 bits from the base
-      * rolling hash, high `bits - 30` from an independent seeded hash
-      * of it — two integer ops on top of the one char-level fold. Wide
-      * fingerprints exist so LSH band-bucket cardinality can grow with
-      * corpus size (see graft_simhash64). */
+    /** Per-token WIDE hashes (31..60 bits): low 30 bits from a SEEDED
+      * remix of the base rolling hash (raw low bits are biased for
+      * short tokens — see [[TextHash.MixA]]), high `bits - 30` from an
+      * independent seeded hash — four integer ops on top of the one
+      * char-level fold. Wide fingerprints exist so LSH band-bucket
+      * cardinality can grow with corpus size (see graft_simhash64). */
     def tokenHashesWide(t: String, bits: Int): String = {
       require(bits > 30 && bits <= 60, "wide token hashes span (30, 60] bits")
       val hiMod = 1L << (bits - 30)
-      s"transform(${hashArray(t)}, h -> h + (((${WideA}L * h + ${WideB}L) % $P) % ${hiMod}L) * ${1L << 30}L)"
+      s"transform(${hashArray(t)}, h -> ((${MixA}L * h + ${MixB}L) % $P) + " +
+        s"(((${WideA}L * h + ${WideB}L) % $P) % ${hiMod}L) * ${1L << 30}L)"
     }
 
     /** `bits`-bit simhash over a precomputed token-hash array
@@ -191,7 +204,7 @@ object TextHash {
       require(bits > 30 && bits <= 60, "wide token hashes span (30, 60] bits")
       val hiMod = 1L << (bits - 30)
       s"list_transform(list_transform($t, tk -> ${rollingHash("tk")}), " +
-        s"h -> h + ((($WideA * h + $WideB) % $P) % $hiMod) * ${1L << 30})"
+        s"h -> (($MixA * h + $MixB) % $P) + ((($WideA * h + $WideB) % $P) % $hiMod) * ${1L << 30})"
     }
 
     def simhashN(hs: String, bits: Int): String =

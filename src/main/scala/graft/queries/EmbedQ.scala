@@ -127,8 +127,10 @@ object EmbedQ {
 
     // ---- embedding near-dup via random-hyperplane LSH ------------
     // The attribute-free scale path for embedding dedup: 2 bands of
-    // 16 sign bits (65,536 buckets per band) generate candidates,
-    // exact cosine verifies. The oracle rebuilds the identical band
+    // sign bits generate candidates, exact cosine verifies. The
+    // witness uses 12-bit bands (4,096 buckets — sized to this
+    // corpus; the operator default is 16 bits, and bits per band
+    // scale with corpus size). The oracle rebuilds the identical band
     // keys arithmetically — sign bits agree because plane components
     // are small integers (exact in float and double).
     Q("q62_hyperplane_lsh", {
@@ -137,7 +139,7 @@ object EmbedQ {
           s"(CASE WHEN ${D.dotPlane("embedding", b * w + j)} >= 0 THEN ${1L << j} ELSE 0 END)")
           .mkString("(", " + ", ")::BIGINT")
       Some(s"""WITH keys AS (SELECT vec_id, embedding,
-              |  ${bandkey(0, 16)} AS b0, ${bandkey(1, 16)} AS b1
+              |  ${bandkey(0, 12)} AS b0, ${bandkey(1, 12)} AS b1
               |  FROM embeddings),
               |cand AS (
               |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
@@ -147,12 +149,13 @@ object EmbedQ {
               |  FROM keys x JOIN keys y ON x.b1 = y.b1 AND x.vec_id < y.vec_id)
               |SELECT a_id, b_id, ${D.cosine("x.embedding", "y.embedding")} AS sim
               |FROM cand JOIN keys x ON a_id = x.vec_id JOIN keys y ON b_id = y.vec_id
-              |WHERE ${D.cosine("x.embedding", "y.embedding")} >= 0.35
+              |WHERE ${D.cosine("x.embedding", "y.embedding")} >= 0.25
               |ORDER BY a_id, b_id""".stripMargin)
     },
       (s, dir) =>
         SimilarityOps.hyperplaneLshPairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, minSim = 0.35)),
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, minSim = 0.25,
+          bands = 2, planesPerBand = 12)),
 
     // ---- embedding-cosine near-dup pair counts (blocked) ---------
     Q("q43_embed_near_dup",

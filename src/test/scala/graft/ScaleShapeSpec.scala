@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.{Decontaminate, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape assertions: the properties that make the LSH operators
+  * survive a 100 TB corpus are checked directly on the KEY
+  * DISTRIBUTIONS (candidate-pair mass = Σ bucket·(bucket-1)/2 over
+  * each band's buckets), not on wall-clock — a 10k-doc synthetic
+  * corpus is enough to distinguish near-linear candidate growth from
+  * the quadratic collapse the round-2 verdict flagged (64-bucket
+  * banding ⇒ O(n²/64)).
+  */
+class ScaleShapeSpec extends SparkSpec {
+
+  // 10k deterministic docs, 20 tokens each from a 500-word vocabulary.
+  private def corpus = spark.range(10000).selectExpr(
+    "id AS doc_id",
+    "array_join(transform(sequence(1, 20), i -> concat('w', pmod(hash(id * 31 + i), 500))), ' ') AS text")
+
+  private def candidateMass(keyed: org.apache.spark.sql.DataFrame, keyCol: String): Long =
+    keyed.groupBy(col(keyCol)).agg(count(lit(1)).as("k"))
+      .agg(sum(expr("k * (k - 1) div 2"))).head.getLong(0)
+
+  test("60-bit/4-band simhash keys keep per-band candidate pairs near-linear at 10k docs") {
+    val sims = TextOps.withSimhash(corpus, "text", 60, "sim").localCheckpoint()
+    val n = 10000L
+    (0 until 4).foreach { b =>
+      val div = 1L << (15 * b)
+      val mass = candidateMass(
+        sims.select(expr(s"(sim div ${div}L) % 32768L").as("bk")), "bk")
+      // quadratic collapse would be ~n²/(2·buckets) ≈ 1.5M pairs even
+      // under uniform hashing with 64 buckets; with 32,768 buckets the
+      // uniform expectation is ~1.5k. Allow 10x slack for skew.
+      assert(mass < 15L * n,
+        s"band $b candidate mass $mass exceeds the near-linear bound (${15L * n})")
+    }
+  }
+
+  test("hyperplane band keys keep candidate pairs near-linear at 10k vectors") {
+    import graft.functions.VectorSql.{spark => V}
+    // deterministic 16-dim vectors derived from the id
+    val vecs = spark.range(10000).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(1, 16), i -> cast(pmod(hash(id * 17 + i), 1000) - 500 as float)) AS embedding")
+    val n = 10000L
+    (0 until 2).foreach { b =>
+      val key = (0 until 16).map { j =>
+        val p = b * 16 + j
+        when(expr(V.dotPlane("embedding", p, 16)) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val mass = candidateMass(vecs.select(key.as("bk")), "bk")
+      assert(mass < 15L * n,
+        s"hyperplane band $b candidate mass $mass exceeds the near-linear bound (${15L * n})")
+    }
+  }
+
+  test("decontamination plan: corpus-side shingle join is a broadcast semi-join") {
+    import spark.implicits._
+    val docs = corpus
+    val bench = Seq((0L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val plan = Decontaminate.flagContaminated(docs, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi join against benchmark shingles:\n$plan")
+  }
+}
