@@ -23,6 +23,11 @@ private[operators] object Blocking {
   def withSubBlock(df: DataFrame, blockKey: Column, idCol: String,
                    maxBlockSize: Int, out: String): DataFrame = {
     require(maxBlockSize > 0, "maxBlockSize must be positive")
+    val reserved = Set("__bn", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withSubBlock reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
     df.withColumn("__bn", count(lit(1)).over(Window.partitionBy(blockKey)))
       .withColumn(out,
         pmod(xxhash64(col(idCol)), expr(s"(__bn + ${maxBlockSize - 1}) div $maxBlockSize")))

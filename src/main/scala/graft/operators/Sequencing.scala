@@ -46,7 +46,10 @@ object Sequencing {
     * `chunkSize` tokens advancing by `chunkSize - overlap`: one row
     * per (doc, chunk) with `chunk_idx` (0-based), `chunk_len`, and the
     * chunk text re-joined with single spaces. Tail chunks may be
-    * shorter. Pure per-row explode — no shuffle. */
+    * shorter, but a tail start past `n - overlap` is skipped: such a
+    * window lies entirely inside the previous chunk's overlap region,
+    * so emitting it would double-count its tokens in training data.
+    * Pure per-row explode — no shuffle. */
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
@@ -61,6 +64,11 @@ object Sequencing {
       .withColumn("__n", size(col("__toks")))
       .select(col(idCol), col("__toks"), col("__n"),
         posexplode(expr(s"sequence(1, __n, $stride)")).as(Seq("chunk_idx", "__start")))
+      // A window starting at s covers [s, min(n, s + chunkSize - 1)];
+      // for s > n - overlap that range sits fully inside the previous
+      // window [s - stride, s + overlap - 1]. Starts increase, so the
+      // kept set is a dense prefix and chunk_idx stays 0..k gap-free.
+      .where(col("chunk_idx") === 0 || col("__start") <= col("__n") - overlap)
       .withColumn("chunk_len", least(lit(chunkSize), col("__n") - col("__start") + 1))
       .withColumn("chunk_text",
         concat_ws(" ", expr(s"slice(__toks, __start, $chunkSize)")))

@@ -120,6 +120,14 @@ object SimilarityOps {
                          dim: Int, minSim: Double,
                          bands: Int = 2, planesPerBand: Int = 16): DataFrame = {
     require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62)
+    // planeComponent cubes x = p*1000003 + i + 1 in int64; x*x needs
+    // x < 2^31.5, i.e. plane index p <= ~3037. Spark would wrap
+    // silently past that (non-ANSI) while the DuckDB oracle raises on
+    // BIGINT overflow — corrupted band keys, diverging engines. Keep
+    // the total plane count inside the exact-arithmetic envelope.
+    require(bands.toLong * planesPerBand <= 3000,
+      s"bands * planesPerBand must be <= 3000 (got ${bands.toLong * planesPerBand}): " +
+        "plane indexes past ~3037 overflow the int64 cube in planeComponent")
     // A wrong `dim` or a null vector/component would NULL every plane
     // dot, mapping every row to band key 0 — a silent full cross join.
     // Fail the job loudly instead: the guard wraps the vector column

@@ -370,9 +370,10 @@ object TextQ {
     Q("q70_chunk_windows",
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
              |  WHERE doc_id < 50),
-             |st AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
+             |st0 AS (SELECT doc_id, len(toks)::BIGINT AS n_toks,
              |  array_to_string(toks[1:20], ' ') AS fc,
-             |  unnest(range(1, len(toks) + 1, 15)) AS start FROM t)
+             |  unnest(range(1, len(toks) + 1, 15)) AS start FROM t),
+             |st AS (SELECT * FROM st0 WHERE start = 1 OR start <= n_toks - 5)
              |SELECT doc_id, any_value(n_toks) AS n_toks, count(*) AS n_chunks,
              |  sum(least(20, n_toks - start + 1))::BIGINT AS sum_chunk_toks,
              |  any_value(fc) AS first_chunk

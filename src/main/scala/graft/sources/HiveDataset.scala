@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.util.PathUtils
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StringType
@@ -193,14 +194,29 @@ case class HiveDataset(
       else df.select(partitionColumns.map(col): _*).distinct().collect().toSeq
         .map { r =>
           partitionColumns.zipWithIndex.foreach { case (c, i) =>
-            // Null partition values would land in Spark's
-            // __HIVE_DEFAULT_PARTITION__ directory, outside this
-            // dataset's k=v partition contract — reject loudly.
+            // Null AND empty-string partition values both land in
+            // Spark's __HIVE_DEFAULT_PARTITION__ directory, outside
+            // this dataset's k=v partition contract — reject loudly.
             require(!r.isNullAt(i), s"Partition column '$c' contains null values")
+            val v = r.getString(i)
+            require(v.nonEmpty,
+              s"Partition column '$c' contains empty-string values " +
+                "(Spark writes these to __HIVE_DEFAULT_PARTITION__, outside the k=v layout)")
+            // Spark path-escapes characters like '=', '%', '/', and
+            // control chars when writing partition directories; the
+            // raw k=v paths this dataset reads/renames/deletes by
+            // would then miss the directories Spark actually wrote —
+            // a silent ordering/pruning corruption. Fail instead:
+            // the reference's raw-path layout (hive_dataset.py:
+            // 130-132) has no escaping either.
+            require(ExternalCatalogUtils.escapePathName(v) == v,
+              s"Partition column '$c' value '$v' contains characters Spark path-escapes; " +
+                "only path-literal partition values are supported")
           }
           new Path(qualifiedBase, PathUtils.partitionPath(
             partitionColumns.zipWithIndex.map { case (c, i) => c -> r.getString(i) }))
         }
+    repairStrandedFragments(touched)
     val before = listParquet(touched)
     val dataCols = (df.columns.toSet -- partitionColumns).toSeq.sorted
     val projected = df.select((dataCols ++ partitionColumns).map(col): _*)
@@ -254,6 +270,30 @@ case class HiveDataset(
           // A silently failed rename would strand a part-* name that
           // later appends sort BEFORE, breaking the ordering contract.
           require(fs.rename(from, to), s"failed to rename fragment $from to $to")
+          idx += 1
+        }
+      }
+    }
+
+  /** Repair fragments stranded by a previous interrupted write: a
+    * crash between the parquet commit and [[renameNewFragments]]
+    * leaves `part-*` names, which sort AFTER every numeric fragment
+    * (letters > digits) — and since later writes would see them in
+    * `before` and never rename them, the ordering violation would
+    * otherwise become permanent. Rename them into the fragment
+    * sequence (continuing from the highest surviving index, ahead of
+    * this write's new files — they committed earlier, so they keep
+    * the earlier positions). */
+  private def repairStrandedFragments(dirs: Seq[Path]): Unit =
+    listParquet(dirs).foreach { case (dir, files) =>
+      val stranded = files.filterNot(PathUtils.isFragmentName).toSeq.sorted
+      if (stranded.nonEmpty) {
+        var idx = files.filter(PathUtils.isFragmentName)
+          .map(PathUtils.fragmentIndex)
+          .foldLeft(-1)(math.max) + 1
+        stranded.foreach { name =>
+          val (from, to) = (new Path(dir, name), new Path(dir, PathUtils.fragmentName(idx)))
+          require(fs.rename(from, to), s"failed to repair stranded fragment $from to $to")
           idx += 1
         }
       }

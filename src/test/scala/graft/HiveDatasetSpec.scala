@@ -141,6 +141,49 @@ class HiveDatasetSpec extends SparkSpec {
     }
   }
 
+  test("empty-string and path-escaped partition values are rejected at write") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      // Spark writes "" to __HIVE_DEFAULT_PARTITION__ — outside the k=v contract
+      val emptyEx = intercept[IllegalArgumentException](
+        ds.write(Seq(("", 1L)).toDF("p1", "v")))
+      assert(emptyEx.getMessage.contains("empty-string"))
+      // '=', '%', newline etc. get path-escaped by Spark's writer, so the
+      // raw k=v path this dataset computes would miss the written dir
+      Seq("a=b", "a%b", "a\nb", "a/b").foreach { bad =>
+        val ex = intercept[IllegalArgumentException](
+          ds.write(Seq((bad, 1L)).toDF("p1", "v")))
+        assert(ex.getMessage.contains("path-escapes"), s"value '$bad' should be rejected")
+      }
+      // path-literal punctuation (not in Spark's escape set) is accepted
+      ds.write(Seq(("hello-world_1.2", 1L)).toDF("p1", "v"))
+      assert(ds.readPartition(Map("p1" -> "hello-world_1.2")).get.count() == 1)
+    }
+  }
+
+  test("stranded part-files from an interrupted write are repaired on the next write") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      ds.write(Seq(("1", 1L)).toDF("p1", "v"))
+      val partDir = Paths.get(dir, "ds", "p1=1")
+      def names() = Files.list(partDir).toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .filter(_.endsWith(".parquet")).sorted.toSeq
+      // simulate a crash between parquet commit and the rename pass:
+      // one committed file still carries its Spark part-* name
+      val frag = names().head
+      Files.move(partDir.resolve(frag), partDir.resolve("part-00000-deadbeef.c000.snappy.parquet"))
+      ds.append(Seq(("1", 2L)).toDF("p1", "v"))
+      val after = names()
+      assert(after.forall(graft.util.PathUtils.isFragmentName),
+        s"stranded part-file not repaired: $after")
+      // the stranded (earlier-committed) file keeps the earlier index:
+      // repair assigns 000000 before the append's files get 000001+
+      val indices = after.map(graft.util.PathUtils.fragmentIndex)
+      assert(indices == indices.sorted && indices.distinct == indices)
+      assert(ds.scan().get.count() == 2)
+    }
+  }
+
   test("non-string partition column is rejected (both backends)") {
     withTempDir { dir =>
       backends(dir).foreach { case (_, ds) =>

@@ -341,6 +341,40 @@ class OperatorsSpec extends SparkSpec {
     assert(chunks(3).getAs[String]("chunk_text") == toks.slice(21, 25).mkString(" "))
   }
 
+  test("token chunking skips tail windows fully contained in the previous chunk") {
+    import spark.implicits._
+    // 16 tokens, chunkSize 10, overlap 3 -> raw starts 1/8/15; the
+    // window at 15 (> 16 - 3) lies inside chunk@8's coverage [8,16]
+    // and would double-count its tokens — it must be skipped.
+    val toks = (1 to 16).map(i => s"t$i")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Sequencing.chunkTokens(docs, "doc_id", "text", chunkSize = 10, overlap = 3)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.length == 2)
+    assert(chunks.map(_.getAs[Int]("chunk_len")).toSeq == Seq(10, 9))
+    assert(chunks(1).getAs[String]("chunk_text") == toks.slice(7, 16).mkString(" "))
+    // a doc shorter than one chunk still yields its single chunk
+    val short = Seq((2L, (1 to 5).map(i => s"s$i").mkString(" "))).toDF("doc_id", "text")
+    assert(Sequencing.chunkTokens(short, "doc_id", "text", chunkSize = 10, overlap = 3).count() == 1)
+  }
+
+  test("blocked operators reject reserved column names on the input frame") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1f, 0f), "x", 0L)).toDF("vec_id", "embedding", "label", "__bn")
+    val ex = intercept[IllegalArgumentException](
+      SimilarityOps.nearDupPairStats(emb, "vec_id", "embedding", "label", minSim = 0.9))
+    assert(ex.getMessage.contains("__bn"))
+  }
+
+  test("hyperplane LSH rejects plane counts past the int64-exact envelope") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      SimilarityOps.hyperplaneLshPairs(emb, "vec_id", "embedding", dim = 2,
+        minSim = 0.9, bands = 60, planesPerBand = 60))
+    assert(ex.getMessage.contains("3000"))
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
