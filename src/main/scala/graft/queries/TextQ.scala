@@ -28,6 +28,34 @@ object TextQ {
        |sh AS (SELECT doc_id, text, $duckShingles AS shs FROM toks),
        |sig AS (SELECT doc_id, ${minhashCols(8)} FROM sh)""".stripMargin
 
+  /** Verified LSH near-dup pairs (2×4 band collisions → exact shingle
+    * Jaccard ≥ 0.2) as composable CTEs after [[sigCte]] — shared by
+    * q33 (the pair list) and q71 (transitive clusters over it). */
+  private val vpairsCtes =
+    s"""b AS (SELECT doc_id,
+       |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
+       |  m4::VARCHAR || '|' || m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR AS band1
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id FROM b x JOIN b y ON x.band1 = y.band1 AND x.doc_id < y.doc_id),
+       |shex AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY doc_id),
+       |common AS (
+       |  SELECT p.a_id, p.b_id, count(*) AS n_common
+       |  FROM pairs p
+       |  JOIN shex sa ON sa.doc_id = p.a_id
+       |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY p.a_id, p.b_id),
+       |vpairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
+       |  FROM common c
+       |  JOIN sizes za ON za.doc_id = c.a_id
+       |  JOIN sizes zb ON zb.doc_id = c.b_id
+       |  WHERE c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) >= 0.2)""".stripMargin
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: content-digest groupBy ---------------------
@@ -60,32 +88,35 @@ object TextQ {
     // ---- minhash + LSH banding → verified near-dup pairs ---------
     Q("q33_lsh_near_dup_pairs",
       Some(s"""$sigCte,
-              |b AS (SELECT doc_id,
-              |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
-              |  m4::VARCHAR || '|' || m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR AS band1
-              |  FROM sig),
-              |pairs AS (
-              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id
-              |  UNION
-              |  SELECT x.doc_id, y.doc_id FROM b x JOIN b y ON x.band1 = y.band1 AND x.doc_id < y.doc_id),
-              |shex AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh)),
-              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY doc_id),
-              |common AS (
-              |  SELECT p.a_id, p.b_id, count(*) AS n_common
-              |  FROM pairs p
-              |  JOIN shex sa ON sa.doc_id = p.a_id
-              |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
-              |  GROUP BY p.a_id, p.b_id)
-              |SELECT c.a_id, c.b_id,
-              |  c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
-              |FROM common c
-              |JOIN sizes za ON za.doc_id = c.a_id
-              |JOIN sizes zb ON zb.doc_id = c.b_id
-              |WHERE c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) >= 0.2
+              |$vpairsCtes
+              |SELECT a_id, b_id, jaccard FROM vpairs
               |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) =>
         DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)),
+
+    // ---- near-dup pairs → transitive dedup clusters --------------
+    // Connected components (alternating large-star/small-star) over
+    // the q33 verified pair graph; cluster_id = min doc in the
+    // component. Oracle: recursive-CTE transitive closure.
+    Q("q71_dedup_clusters",
+      Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$vpairsCtes,
+              |edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
+              |  UNION SELECT b_id, a_id FROM vpairs),
+              |reach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |  UNION
+              |  SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u)
+              |SELECT u AS doc_id, min(r)::BIGINT AS cluster_id
+              |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val pairs = DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+        graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id")
+      }),
 
     // ---- simhash -------------------------------------------------
     Q("q34_simhash",

@@ -375,6 +375,44 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("connected components: chains, merged bridges, singleton roots") {
+    import spark.implicits._
+    // component A: chain 1-2-3-...-8 (worst case for naive label
+    // propagation — diameter 7); component B: clique-ish 20,21,22 plus
+    // a bridge 22-25 merging {25,26}; component C: lone pair (40,41)
+    val pairs = ((1L to 7L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (22L, 25L), (25L, 26L), (40L, 41L), (41L, 40L)))
+      .toDF("a_id", "b_id")
+    val got = Components.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected =
+      (1L to 8L).map(_ -> 1L).toMap ++
+        Seq(20L, 21L, 22L, 25L, 26L).map(_ -> 20L).toMap ++
+        Map(40L -> 40L, 41L -> 40L)
+    assert(got == expected)
+    // deterministic re-run
+    val again = Components.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == expected)
+    // empty pair list -> empty clustering, no failure
+    assert(Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "a_id", "b_id").count() == 0)
+  }
+
+  test("connected components fails loudly when round budget is too small") {
+    import spark.implicits._
+    // a 64-node chain cannot finish in one round
+    val pairs = (1L to 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ex = intercept[IllegalArgumentException](
+      Components.connectedComponents(pairs, "a_id", "b_id", maxRounds = 1))
+    assert(ex.getMessage.contains("converge"))
+    // and the star-contraction bound: the same chain finishes well
+    // inside the default budget
+    val got = Components.connectedComponents(pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("multimodal decode stub: deterministic metadata, payload preserved") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](0, 10, 20, 30)), (2L, Array[Byte](1, 1, 1, 1)))
