@@ -118,6 +118,52 @@ object TextQ {
           .orderBy("doc_id")
       }),
 
+    // ---- Gopher-style repetition statistics (per document) -------
+    Q("q72_repetition_stats",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id < 100),
+              |bg AS (SELECT doc_id, t, CASE WHEN len(t) >= 2
+              |  THEN list_transform(range(1, len(t)), bi -> t[bi] || ' ' || t[bi+1])
+              |  ELSE []::VARCHAR[] END AS b FROM toks)
+              |SELECT doc_id, len(t)::BIGINT AS n_toks,
+              |  (len(t) - len(list_distinct(t)))::BIGINT AS n_dup_toks,
+              |  (len(b) - len(list_distinct(b)))::BIGINT AS n_dup_bigrams,
+              |  (CASE WHEN len(b) = 0 THEN 0
+              |   ELSE list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) END)::BIGINT AS top_bigram_n
+              |FROM bg ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withRepetitionStats(
+          t(s, dir, "documents").where(col("doc_id") < 100), "text")
+          .select("doc_id", "n_toks", "n_dup_toks", "n_dup_bigrams", "top_bigram_n")
+          .orderBy("doc_id")),
+
+    // ---- repetition-based quality gate (per source) --------------
+    // Flags documents whose duplicate-bigram fraction or top-bigram
+    // token mass exceeds the Gopher-style thresholds; counts are
+    // exact integers, ratios are single IEEE divisions (bitwise-equal
+    // across engines).
+    Q("q73_repetition_filter",
+      Some(s"""WITH toks AS (SELECT source, $duckToks AS t FROM documents),
+              |bg AS (SELECT source, t, CASE WHEN len(t) >= 2
+              |  THEN list_transform(range(1, len(t)), bi -> t[bi] || ' ' || t[bi+1])
+              |  ELSE []::VARCHAR[] END AS b FROM toks),
+              |st AS (SELECT source, len(t) AS n, len(b) AS nb,
+              |  len(b) - len(list_distinct(b)) AS dupb,
+              |  CASE WHEN len(b) = 0 THEN 0
+              |    ELSE list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) END AS topb
+              |  FROM bg)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN (nb > 0 AND dupb::DOUBLE / nb::DOUBLE > 0.06)
+              |            OR (topb::DOUBLE * 2.0 / n::DOUBLE > 0.12) THEN 1 ELSE 0 END)::BIGINT AS n_repetitive
+              |FROM st GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextOps.withRepetitionStats(t(s, dir, "documents"), "text")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("dup_bigram_frac") > 0.06 || col("top_bigram_frac") > 0.12, 1)
+              .otherwise(0)).cast("bigint").as("n_repetitive"))
+          .orderBy("source")),
+
     // ---- simhash -------------------------------------------------
     Q("q34_simhash",
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),

@@ -375,6 +375,29 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("repetition stats: duplicate tokens/bigrams and top-bigram mass") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a"), (2L, "x"), (3L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val r = TextOps.withRepetitionStats(df, "text").orderBy("doc_id").collect()
+    // doc 1: toks [a b a b a] -> 5 toks, 2 distinct; bigrams
+    // [a b, b a, a b, b a] -> 4, 2 distinct, top count 2
+    assert(r(0).getAs[Long]("n_toks") == 5 && r(0).getAs[Long]("n_dup_toks") == 3)
+    assert(r(0).getAs[Long]("n_dup_bigrams") == 2 && r(0).getAs[Long]("top_bigram_n") == 2)
+    assert(r(0).getAs[Double]("dup_tok_frac") == 0.6)
+    assert(r(0).getAs[Double]("dup_bigram_frac") == 0.5)
+    assert(r(0).getAs[Double]("top_bigram_frac") == 0.8)
+    // doc 2: single token -> no bigrams, all-zero fractions
+    assert(r(1).getAs[Long]("n_toks") == 1 && r(1).getAs[Long]("top_bigram_n") == 0)
+    assert(r(1).getAs[Double]("dup_bigram_frac") == 0.0 && r(1).getAs[Double]("top_bigram_frac") == 0.0)
+    // doc 3: all-unique -> zero dups, top bigram occurs once
+    assert(r(2).getAs[Long]("n_dup_toks") == 0 && r(2).getAs[Long]("n_dup_bigrams") == 0)
+    assert(r(2).getAs[Long]("top_bigram_n") == 1)
+    // reserved-name guard
+    val ex = intercept[IllegalArgumentException](
+      TextOps.withRepetitionStats(df.withColumn("n_toks", lit(1)), "text"))
+    assert(ex.getMessage.contains("n_toks"))
+  }
+
   test("connected components: chains, merged bridges, singleton roots") {
     import spark.implicits._
     // component A: chain 1-2-3-...-8 (worst case for naive label
