@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance scoring: term/document frequencies, TF-IDF
+  * keyword extraction, and BM25 ranking against a fixed query.
+  *
+  * Not in the reference (polario is dataset I/O only — SURVEY.md §0);
+  * first-class LLM-pipeline extensions (keyword-based quality
+  * signals, retrieval-style corpus probes).
+  *
+  * Scale shape (100 TB):
+  *  - term frequencies are one explode + partial-aggregated groupBy
+  *    on (doc, token) — shuffle bounded by distinct (doc, token);
+  *  - document frequencies reduce the tf table by token — vocabulary-
+  *    bounded output, NOT corpus-bounded;
+  *  - TF-IDF keyword extraction joins tf⋈df on token. The df side is
+  *    vocabulary-sized: broadcast when the vocabulary is bounded
+  *    (`broadcastDf = true`, the common case for whitespace-token
+  *    corpora), shuffle-join otherwise;
+  *  - BM25 against a FIXED query first filters the tf table to the
+  *    query's tokens — the df table then has ≤ |query| rows and both
+  *    scalars (N, avgdl) are single aggregates, so scoring is one
+  *    broadcast join over a query-pruned tf table, never a
+  *    vocabulary-wide shuffle.
+  *
+  * Numeric parity discipline (graft oracle rules): the default
+  * `logIdf = false` scoring uses only +,-,*,/ over exact integers —
+  * every operation is correctly rounded IEEE, so Spark and DuckDB
+  * agree bitwise and per-term contributions are summed as a FIXED
+  * expression tree (per-term columns added left-to-right), never a
+  * float SUM whose accumulation order the engine picks. `logIdf =
+  * true` gives the classic Robertson/Sparck-Jones log idf (a
+  * per-term monotone transform) for library users; transcendental
+  * libm results are not guaranteed bitwise-identical across engines,
+  * so witnesses pin the rational variant.
+  */
+object Relevance {
+
+  /** Per-document whitespace-token term frequencies:
+    * `(idCol, token, tf)`. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextOps.withTokens(df, textCol, "__toks")
+      .select(col(idCol), explode(col("__toks")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequencies from a [[termFrequencies]] table:
+    * `(token, df)` — vocabulary-sized. */
+  def documentFrequencies(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+
+  /** Top-`k` keywords per document by rarity-weighted term frequency
+    * `tf * N / df` (rational idf — see class doc), deterministic
+    * tie-break on the token. Output: `(idCol, rk, token, tf, dfreq)`.
+    */
+  def tfidfTopKeywords(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, broadcastDf: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be positive")
+    // tf feeds both the df reduction and the scoring join — tiny
+    // (doc, token, tf) projection, safe to materialize once.
+    val tf = termFrequencies(df, idCol, textCol).localCheckpoint()
+    val dfs = documentFrequencies(tf)
+    val dim = if (broadcastDf) broadcast(dfs) else dfs
+    val n = df.select(count(lit(1)).as("__n"))
+    val scored = tf.join(dim, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__score",
+        col("tf").cast("double") * col("__n").cast("double") / col("dfreq").cast("double"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("token"), col("tf"), col("dfreq"))
+  }
+
+  /** BM25 score of every document against a fixed token query.
+    * Output: `(idCol, dl, score)` — `dl` the document token length.
+    *
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * with `idf` either the rational odds `(N − df + 0.5)/(df + 0.5)`
+    * (`logIdf = false`, cross-engine bitwise-reproducible) or its
+    * classic `ln(1 + ·)` transform (`logIdf = true`). Documents
+    * containing no query token score 0.
+    *
+    * avgdl note: the mean document length is exact while the token
+    * total stays under 2^53 (always, for realistic corpora — 2^53
+    * tokens is ~9 petatokens); beyond that the double sum's rounding
+    * is order-dependent. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTokens: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           logIdf: Boolean = true): DataFrame = {
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    require(queryTokens.distinct == queryTokens, "queryTokens must be distinct")
+    val lens = TextOps.withTokens(df, textCol, "__toks")
+      .select(col(idCol), size(col("__toks")).cast("bigint").as("dl"))
+    // Corpus scalars: one row, broadcast everywhere.
+    val stats = lens.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    // Query-pruned tf: at most |query| rows per document.
+    val tf = termFrequencies(df, idCol, textCol)
+      .where(col("token").isInCollection(queryTokens))
+    val dfs = documentFrequencies(tf) // ≤ |query| rows
+    val scoredTerms = tf.join(broadcast(dfs), "token")
+      .crossJoin(broadcast(stats))
+    // Per-term partial scores pivoted to columns so the final sum is
+    // a fixed expression tree (see class doc), not an unordered SUM.
+    val idf: Column = {
+      val ratio = (col("__n").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+        (col("dfreq").cast("double") + lit(0.5))
+      if (logIdf) log(ratio + lit(1.0)) else ratio
+    }
+    val termScore = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val withLen = scoredTerms.join(lens, idCol)
+    val aggCols = first(col("dl")).as("dl") +:
+      queryTokens.zipWithIndex.map { case (q, i) =>
+        max(when(col("token") === q, termScore)).as(s"__s_$i")
+      }
+    val pivoted = withLen.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+    val total = queryTokens.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val scoredDocs = pivoted.withColumn("score", total)
+      .select(col(idCol), col("dl"), col("score"))
+    // Zero-score documents (no query token) re-enter via the length
+    // table so the operator ranks the WHOLE corpus deterministically.
+    lens.join(scoredDocs.select(col(idCol), col("score")), Seq(idCol), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .select(col(idCol), col("dl"), col("score"))
+  }
+}

@@ -473,6 +473,67 @@ object TextQ {
           .orderBy("doc_id")
       }),
 
+    // ---- TF-IDF top keywords per document ------------------------
+    // Rarity-weighted keywords (tf·N/df, rational idf — single IEEE
+    // ops, bitwise-equal across engines), deterministic token
+    // tie-break; df computed over the WHOLE corpus, output filtered.
+    Q("q74_tfidf_topk",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tfx GROUP BY doc_id, token),
+              |dfreq AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf GROUP BY token),
+              |n AS (SELECT count(*)::BIGINT AS nn FROM documents),
+              |scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfreq.dfreq,
+              |  row_number() OVER (PARTITION BY tf.doc_id
+              |    ORDER BY tf.tf::DOUBLE * nn::DOUBLE / dfreq.dfreq::DOUBLE DESC, tf.token)::INT AS rk
+              |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+              |SELECT doc_id, rk, token, tf, dfreq FROM scored
+              |WHERE rk <= 3 AND doc_id < 30 ORDER BY doc_id, rk""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.tfidfTopKeywords(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)
+          .where(col("doc_id") < 30)
+          .orderBy("doc_id", "rk")),
+
+    // ---- BM25 ranking against a fixed query ----------------------
+    // Rational-idf BM25 (logIdf=false — the witnessable variant; see
+    // Relevance scaladoc). Constants are interpolated from the SAME
+    // Scala doubles the operator uses, so both engines parse
+    // identical values; per-term scores sum as a fixed expression
+    // tree, never an unordered float SUM.
+    Q("q75_bm25_rank", {
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, oneMinusB) = (k1 + 1.0, 1.0 - b)
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+              |stats AS (SELECT count(*)::BIGINT AS nn, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM lens),
+              |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tfx
+              |  WHERE token IN ('spark', 'join', 'vector') GROUP BY doc_id, token),
+              |dfreq AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf GROUP BY token),
+              |ts AS (SELECT tf.doc_id, tf.token,
+              |  ((nn::DOUBLE - dfreq::DOUBLE + 0.5) / (dfreq::DOUBLE + 0.5)) *
+              |  (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1 * ($oneMinusB + $b * lens.dl::DOUBLE / avgdl)) AS s
+              |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+              |  JOIN lens ON lens.doc_id = tf.doc_id),
+              |piv AS (SELECT doc_id,
+              |  max(CASE WHEN token = 'spark' THEN s END) AS s0,
+              |  max(CASE WHEN token = 'join' THEN s END) AS s1,
+              |  max(CASE WHEN token = 'vector' THEN s END) AS s2
+              |  FROM ts GROUP BY doc_id),
+              |sc AS (SELECT lens.doc_id, lens.dl,
+              |  coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score
+              |  FROM lens LEFT JOIN piv ON piv.doc_id = lens.doc_id)
+              |SELECT doc_id, dl, score FROM sc
+              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Relevance.bm25(
+          t(s, dir, "documents"), "doc_id", "text",
+          queryTokens = Seq("spark", "join", "vector"), logIdf = false)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)),
+
     // ---- array predicates (exists / forall over tokens) ----------
     Q("q60_array_predicates",
       Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)

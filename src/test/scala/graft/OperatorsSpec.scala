@@ -375,6 +375,35 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("tfidf top keywords: rarity-weighted, deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare1"), // rare1: 1*3/1=3 beats common: 1*3/3=1
+      (2L, "common zonly zonly"), // zonly: 2*3/1=6
+      (3L, "common") // only token
+    ).toDF("doc_id", "text")
+    val top = Relevance.tfidfTopKeywords(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top == Map(1L -> "rare1", 2L -> "zonly", 3L -> "common"))
+  }
+
+  test("bm25: more query-term mass ranks higher; absent terms score zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "q q q filler filler"),
+      (2L, "q filler filler filler filler"),
+      (3L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val r = Relevance.bm25(df, "doc_id", "text", Seq("q"), logIdf = false)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > r(2L) && r(2L) > 0.0 && r(3L) == 0.0)
+    // classic log-idf variant: same ordering, damped magnitudes
+    val rl = Relevance.bm25(df, "doc_id", "text", Seq("q"), logIdf = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(rl(1L) > rl(2L) && rl(2L) > 0.0 && rl(3L) == 0.0)
+    assert(rl(1L) < r(1L))
+  }
+
   test("repetition stats: duplicate tokens/bigrams and top-bigram mass") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a"), (2L, "x"), (3L, "w1 w2 w3 w4")).toDF("doc_id", "text")
