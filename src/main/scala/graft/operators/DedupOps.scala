@@ -60,6 +60,57 @@ object DedupOps {
       .drop("__digest", "__in_corpus")
   }
 
+  /** CCNet-style sub-document (span-level) dedup: split every
+    * document into non-overlapping `spanTokens`-token windows, drop
+    * every span whose exact text already occurred earlier in the
+    * corpus (first occurrence by `(idCol, span_idx)` wins — the
+    * keep-first policy), and rebuild the cleaned text from the kept
+    * spans in order. This removes boilerplate repeated ACROSS
+    * documents that whole-document dedup can't touch.
+    *
+    * Output: `(idCol, n_spans, n_kept, kept_text)` — one row per
+    * input document (fully-deduplicated documents keep the row with
+    * `n_kept = 0`, `kept_text = ''`).
+    *
+    * Scale shape: one explode (span rows bounded by corpus token
+    * count / spanTokens), one window shuffle keyed on the span text,
+    * one groupBy on the doc id whose collect_list is bounded by
+    * document length. The window partitions by the raw span string
+    * for exactness; at 100 TB key it by `xxhash64(span)` instead to
+    * shuffle 8-byte keys (collision odds are birthday-bounded; verify
+    * within buckets if that matters) and let AQE split hot
+    * boilerplate spans. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 spanTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanTokens >= 1, "spanTokens must be positive")
+    val reserved = Set("__toks", "span_idx", "span", "__rn", "n_spans", "n_kept", "kept_text")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"dedupSpans reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    // Integer span count (ceil division) — no double math; empty
+    // token arrays short-circuit (sequence would step backward).
+    val spans = TextOps.withTokens(df, textCol, "__toks")
+      .select(col(idCol), posexplode(expr(
+        s"CASE WHEN size(__toks) = 0 THEN CAST(array() AS array<string>) " +
+          s"ELSE transform(sequence(0, (size(__toks) + ${spanTokens - 1}) div $spanTokens - 1), " +
+          s"sp -> concat_ws(' ', slice(__toks, sp * $spanTokens + 1, $spanTokens))) END"))
+        .as(Seq("span_idx", "span")))
+    val w = Window.partitionBy(col("span")).orderBy(col(idCol), col("span_idx"))
+    val kept = spans.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    val nSpans = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val recon = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(span_idx, span))), kv -> kv.span)"))
+        .as("kept_text"))
+    nSpans.join(recon, Seq(idCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
+      .select(col(idCol), col("n_spans"), col("n_kept"), col("kept_text"))
+  }
+
   /** MinHash signatures + band keys. `bands` bands of `rowsPerBand`
     * signature components each. */
   def signatures(df: DataFrame, idCol: String, textCol: String,

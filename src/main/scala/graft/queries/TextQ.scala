@@ -473,6 +473,31 @@ object TextQ {
           .orderBy("doc_id")
       }),
 
+    // ---- CCNet-style span-level dedup ----------------------------
+    // Non-overlapping 8-token windows, exact-text keep-first across
+    // the WHOLE corpus; witness reports the first 50 docs' span
+    // counts and reconstructed cleaned text.
+    Q("q76_span_dedup",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |sidx AS (SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS span_idx FROM toks),
+              |sp AS (SELECT doc_id, span_idx::INT AS span_idx,
+              |  array_to_string(t[(span_idx*8+1):(span_idx*8+8)], ' ') AS span FROM sidx),
+              |rn AS (SELECT doc_id, span_idx, span,
+              |  row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn FROM sp),
+              |keep AS (SELECT doc_id, span_idx, span FROM rn WHERE rn = 1),
+              |nsp AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY doc_id),
+              |rec AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+              |  string_agg(span, ' ' ORDER BY span_idx) AS kept_text FROM keep GROUP BY doc_id)
+              |SELECT nsp.doc_id, n_spans,
+              |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+              |  coalesce(kept_text, '') AS kept_text
+              |FROM nsp LEFT JOIN rec ON rec.doc_id = nsp.doc_id
+              |WHERE nsp.doc_id < 50 ORDER BY nsp.doc_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.dedupSpans(t(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+          .where(col("doc_id") < 50)
+          .orderBy("doc_id")),
+
     // ---- TF-IDF top keywords per document ------------------------
     // Rarity-weighted keywords (tf·N/df, rational idf — single IEEE
     // ops, bitwise-equal across engines), deterministic token

@@ -375,6 +375,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("span dedup: keep-first across corpus, cleaned text rebuilt in order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"), // spans: "a b", "c d"
+      (2L, "a b c d"), // exact dup -> fully removed
+      (3L, "x y a b"), // "x y" kept, "a b" already seen in doc 1
+      (4L, "p q r") // odd tail: spans "p q", "r"
+    ).toDF("doc_id", "text")
+    val r = DedupOps.dedupSpans(df, "doc_id", "text", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, "x y"),
+      (4L, 2L, 2L, "p q r")))
+  }
+
   test("tfidf top keywords: rarity-weighted, deterministic tie-break") {
     import spark.implicits._
     val df = Seq(
