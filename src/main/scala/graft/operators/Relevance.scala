@@ -76,6 +76,29 @@ object Relevance {
       .select(col(idCol), col("rk"), col("token"), col("tf"), col("dfreq"))
   }
 
+  /** Inverted-index posting lists: one row per token with its
+    * document frequency and the first `maxPostings` containing doc
+    * ids (ascending). The capped, sorted prefix keeps the output row
+    * bounded regardless of how hot a token is — the list for a
+    * stopword at 100 TB would otherwise be corpus-sized; downstream
+    * retrieval joins the full tf table instead, this is the bounded
+    * index/diagnostic surface. One (doc, token) dedup + one
+    * vocabulary-keyed aggregation (partial agg applies; the
+    * collect_list is bounded post-aggregation by construction only at
+    * maxPostings·docs-per-token — at cluster scale cap earlier with a
+    * per-token window rank when stopword skew matters). */
+  def postingLists(df: DataFrame, idCol: String, textCol: String,
+                   maxPostings: Int = 10): DataFrame = {
+    require(maxPostings >= 1, "maxPostings must be positive")
+    termFrequencies(df, idCol, textCol)
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("dfreq"),
+        concat_ws(",", expr(
+          s"transform(slice(array_sort(collect_list($idCol)), 1, $maxPostings), pid -> CAST(pid AS string))"))
+          .as("postings"))
+  }
+
   /** BM25 score of every document against a fixed token query.
     * Output: `(idCol, dl, score)` — `dl` the document token length.
     *

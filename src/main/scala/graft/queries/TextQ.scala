@@ -520,6 +520,20 @@ object TextQ {
           .where(col("doc_id") < 30)
           .orderBy("doc_id", "rk")),
 
+    // ---- inverted-index posting lists ----------------------------
+    // Per token: document frequency + the first 10 containing doc ids
+    // (bounded output per token regardless of token popularity).
+    Q("q77_posting_lists",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |tfx AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM toks)
+              |SELECT token, count(*)::BIGINT AS dfreq,
+              |  array_to_string(list_transform(list_sort(list(doc_id))[1:10], pid -> pid::VARCHAR), ',') AS postings
+              |FROM tfx GROUP BY token ORDER BY token""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.postingLists(
+          t(s, dir, "documents"), "doc_id", "text", maxPostings = 10)
+          .orderBy("token")),
+
     // ---- BM25 ranking against a fixed query ----------------------
     // Rational-idf BM25 (logIdf=false — the witnessable variant; see
     // Relevance scaladoc). Constants are interpolated from the SAME

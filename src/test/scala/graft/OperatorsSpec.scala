@@ -405,6 +405,22 @@ class OperatorsSpec extends SparkSpec {
     assert(top == Map(1L -> "rare1", 2L -> "zonly", 3L -> "common"))
   }
 
+  test("relevance plans: broadcast dimension sides, no cartesian products") {
+    import spark.implicits._
+    val corpus = (0L until 200L)
+      .map(i => (i, s"tok${i % 17} tok${(i * 3) % 17} common"))
+      .toDF("doc_id", "text")
+    val plan1 = Relevance.tfidfTopKeywords(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan1.contains("BroadcastHashJoin"), s"df-side join not broadcast:\n${plan1.take(1500)}")
+    assert(!plan1.contains("CartesianProduct"))
+    val plan2 = Relevance.bm25(corpus, "doc_id", "text", Seq("common"), logIdf = false)
+      .queryExecution.executedPlan.toString
+    // scalar frames ride 1-row broadcasts, never a cartesian product
+    assert(!plan2.contains("CartesianProduct"))
+    assert(plan2.contains("BroadcastHashJoin") || plan2.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bm25: more query-term mass ranks higher; absent terms score zero") {
     import spark.implicits._
     val df = Seq(
