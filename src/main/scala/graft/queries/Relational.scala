@@ -558,6 +558,27 @@ object Relational {
             count(lit(1)).as("n"))
           .orderBy("l_returnflag")),
 
+    // ---- single-pass column profiling ----------------------------
+    // One aggregation pass over orders computes every column's
+    // null/distinct/min/max stats (multi-distinct via Expand; the
+    // operator's approx mode is the 100 TB path, exact here for the
+    // oracle). min/max compare the STRING rendering in both engines.
+    Q("q78_profile", {
+      val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      Some(cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c::VARCHAR) AS min_value, max($c::VARCHAR) AS max_value
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+    },
+      (s, dir) =>
+        graft.operators.Profile.profile(
+          t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+          .orderBy("column_name")),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,

@@ -375,6 +375,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("profile: single-pass column stats with nulls and string min/max") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "b"), (None, "a"), (Some(3L), "a")).toDF("k", "s")
+    val p = Profile.profile(df, Seq("k", "s")).orderBy("column_name").collect()
+    assert(p(0).toSeq == Seq("k", 3L, 1L, 2L, "1", "3"))
+    assert(p(1).toSeq == Seq("s", 3L, 0L, 2L, "a", "b"))
+    // approx mode (the 100 TB path) still lands on tiny exact inputs
+    val ap = Profile.profile(df, Seq("k"), exactDistinct = false).collect()(0)
+    assert(ap.getAs[Long]("n_distinct") == 2L)
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
+  }
+
   test("span dedup: keep-first across corpus, cleaned text rebuilt in order") {
     import spark.implicits._
     val df = Seq(
