@@ -579,6 +579,29 @@ object Relational {
           Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
           .orderBy("column_name")),
 
+    // ---- per-group quantile winsorization ------------------------
+    // Clip o_totalprice into its per-status [p05, p95] envelope
+    // (bounds join back as a broadcast); clipped sum decimal-cast for
+    // cross-engine float parity. percentile == quantile_cont bitwise.
+    Q("q80_winsorize",
+      Some("""WITH b AS (SELECT o_orderstatus,
+             |    quantile_cont(o_totalprice::DOUBLE, 0.05) AS lo,
+             |    quantile_cont(o_totalprice::DOUBLE, 0.95) AS hi
+             |  FROM orders GROUP BY o_orderstatus)
+             |SELECT o.o_orderstatus, count(*) AS n,
+             |  (sum(CAST(least(greatest(o.o_totalprice::DOUBLE, b.lo), b.hi) AS DECIMAL(18,6))))::DOUBLE AS sum_clipped
+             |FROM orders o JOIN b USING (o_orderstatus)
+             |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.winsorize(
+          t(s, dir, "orders"), "o_totalprice", "o_orderstatus",
+          lo = 0.05, hi = 0.95, out = "clipped")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sumDec("clipped", 6).as("sum_clipped"))
+          .orderBy("o_orderstatus")),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,

@@ -118,6 +118,32 @@ object TextQ {
           .orderBy("doc_id")
       }),
 
+    // ---- dedup cluster-size histogram ----------------------------
+    // Aggregate over the q71 clustering: how many duplicate groups of
+    // each size exist (the shape curators read before choosing a
+    // dedup policy).
+    Q("q79_cluster_sizes",
+      Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+              |$vpairsCtes,
+              |edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
+              |  UNION SELECT b_id, a_id FROM vpairs),
+              |reach AS (
+              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |  UNION
+              |  SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u),
+              |cl AS (SELECT u, min(r) AS c FROM reach GROUP BY u),
+              |sz AS (SELECT c, count(*)::BIGINT AS cluster_size FROM cl GROUP BY c)
+              |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+              |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+      (s, dir) => {
+        val pairs = DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+        graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      }),
+
     // ---- Gopher-style repetition statistics (per document) -------
     Q("q72_repetition_stats",
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id < 100),

@@ -375,6 +375,20 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("winsorize clips into the per-group quantile envelope via broadcast") {
+    import spark.implicits._
+    val df = (Seq.tabulate(99)(i => ("g", (i + 1).toDouble)) :+ (("g", 1000000.0)))
+      .toDF("grp", "v")
+    val w = RobustStats.winsorize(df, "v", "grp", 0.01, 0.99, "clipped")
+    val agg = w.agg(max(col("clipped")), min(col("clipped")), count(lit(1))).head
+    assert(agg.getDouble(0) < 1000000.0) // outlier pulled down to p99
+    assert(agg.getDouble(1) >= 1.0)
+    assert(agg.getLong(2) == 100)
+    assert(w.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    intercept[IllegalArgumentException](
+      RobustStats.winsorize(df, "v", "grp", 0.9, 0.1, "c"))
+  }
+
   test("profile: single-pass column stats with nulls and string min/max") {
     import spark.implicits._
     val df = Seq((Some(1L), "b"), (None, "a"), (Some(3L), "a")).toDF("k", "s")
