@@ -99,17 +99,23 @@ object TextQ {
     // Connected components (alternating large-star/small-star) over
     // the q33 verified pair graph; cluster_id = min doc in the
     // component. Oracle: recursive-CTE transitive closure.
+    // NOTE the recursion is scoped to an inner subquery: DuckDB 1.0
+    // mis-evaluates an outer-level `WITH RECURSIVE` chain whose
+    // NON-recursive CTEs contain UNIONs (the `pairs` CTE silently
+    // loses rows — observed 243 vs 251 pairs at sf0.1).
     Q("q71_dedup_clusters",
-      Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-              |$vpairsCtes,
-              |edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
-              |  UNION SELECT b_id, a_id FROM vpairs),
-              |reach AS (
-              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
-              |  UNION
-              |  SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u)
-              |SELECT u AS doc_id, min(r)::BIGINT AS cluster_id
-              |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
+      Some(s"""$sigCte,
+              |$vpairsCtes
+              |SELECT doc_id, cluster_id FROM (
+              |  WITH RECURSIVE edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
+              |    UNION SELECT b_id, a_id FROM vpairs),
+              |  reach AS (
+              |    SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |    UNION
+              |    SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u)
+              |  SELECT u AS doc_id, min(r)::BIGINT AS cluster_id
+              |  FROM reach GROUP BY u
+              |) z ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val pairs = DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
@@ -122,19 +128,20 @@ object TextQ {
     // Aggregate over the q71 clustering: how many duplicate groups of
     // each size exist (the shape curators read before choosing a
     // dedup policy).
+    // (same inner-scoped recursion as q71 — see the DuckDB 1.0 note)
     Q("q79_cluster_sizes",
-      Some(s"""${sigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-              |$vpairsCtes,
-              |edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
-              |  UNION SELECT b_id, a_id FROM vpairs),
-              |reach AS (
-              |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
-              |  UNION
-              |  SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u),
-              |cl AS (SELECT u, min(r) AS c FROM reach GROUP BY u),
-              |sz AS (SELECT c, count(*)::BIGINT AS cluster_size FROM cl GROUP BY c)
-              |SELECT cluster_size, count(*)::BIGINT AS n_clusters
-              |FROM sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+      Some(s"""$sigCte,
+              |$vpairsCtes
+              |SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM (
+              |  WITH RECURSIVE edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
+              |    UNION SELECT b_id, a_id FROM vpairs),
+              |  reach AS (
+              |    SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |    UNION
+              |    SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u),
+              |  cl AS (SELECT u, min(r) AS c FROM reach GROUP BY u)
+              |  SELECT c, count(*)::BIGINT AS cluster_size FROM cl GROUP BY c
+              |) sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
       (s, dir) => {
         val pairs = DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
