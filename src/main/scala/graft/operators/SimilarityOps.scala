@@ -99,6 +99,117 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Deterministic spherical k-means training for the IVF coarse
+    * quantizer ([[ivfSearch]]'s `centroids` input): Lloyd iterations
+    * with cosine assignment and direction-mean updates.
+    *
+    * Scale shape (the MLlib pattern): centroids are k·dim values and
+    * live on the DRIVER between iterations — each iteration is one
+    * broadcast of the centroids, one window argmax over the
+    * n·k scored pairs, and one partial-aggregated groupBy whose
+    * output is k·dim rows. Nothing corpus-sized ever reaches the
+    * driver. Seeding is hash-deterministic (same corpus → same
+    * seeds); the mean update merges float partials in shuffle-arrival
+    * order, so reruns can differ in the last ulps (the usual
+    * distributed-kmeans caveat). Empty clusters keep their previous
+    * centroid. Returns `(centroids (cid, cvec), objective)` where
+    * `objective(i)` = Σ(1 − cosine) under the iteration-i centroids —
+    * non-increasing under Lloyd steps (spec-pinned; floats are not
+    * oracle-material, so this operator is spec-verified, not
+    * oracle-witnessed). */
+  def trainKmeans(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && iters >= 1 && dim >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def toDf(cents: Seq[(Int, Seq[Float])]): DataFrame =
+      cents.toDF("cid", "cvec").withColumn("cvec", col("cvec").cast("array<float>"))
+
+    val corpusN = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__nrm", expr(V.norm(vecCol)))
+      .localCheckpoint() // scanned twice per iteration; fixed lineage
+
+    // Deterministic farthest-first seeding (the k-means++ shape,
+    // greedy variant): first seed by smallest id hash, each next seed
+    // the vector with the LOWEST max-cosine to the seeds so far
+    // (tie-break id) — spreads seeds across directions, avoiding the
+    // local optima hash-only seeding falls into. k−1 broadcast scans.
+    var cents: Seq[(Int, Seq[Float])] = {
+      var seeds = Seq(corpusN
+        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
+        .select(col(vecCol)).head().getSeq[Float](0).toSeq)
+      while (seeds.size < k) {
+        val sdf = broadcast(
+          seeds.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec")
+            .withColumn("cvec", col("cvec").cast("array<float>"))
+            .withColumn("__ctnrm", expr(V.norm("cvec"))))
+        val next = corpusN.crossJoin(sdf)
+          .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+          .groupBy(col(idCol))
+          .agg(max(col("csim")).as("__mx"), first(col(vecCol)).as("__v"))
+          .orderBy(col("__mx").asc, col(idCol))
+          .limit(1).select(col("__v")).head().getSeq[Float](0).toSeq
+        seeds = seeds :+ next
+      }
+      seeds.zipWithIndex.map { case (v, i) => (i, v) }
+    }
+    val objective = Seq.newBuilder[Double]
+
+    for (_ <- 0 until iters) {
+      val centN = broadcast(toDf(cents).withColumn("__ctnrm", expr(V.norm("cvec"))))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+      val assigned = corpusN.crossJoin(centN)
+        .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+        .localCheckpoint() // feeds the objective AND the mean update
+      objective += assigned.agg(sum(lit(1.0) - col("csim"))).head().getDouble(0)
+      val means = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__idx", "__comp")))
+        .groupBy(col("cid"), col("__idx"))
+        .agg(avg(col("__comp").cast("double")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          val m = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+          val nrm = math.sqrt(m.map(x => x * x).sum)
+          cid -> (if (nrm == 0.0) None else Some(m.map(x => (x / nrm).toFloat).toSeq))
+        }
+      cents = cents.map { case (cid, old) =>
+        cid -> means.get(cid).flatten.getOrElse(old)
+      }
+    }
+    (toDf(cents), objective.result())
+  }
+
+  /** Deterministic random-projection dimensionality reduction:
+    * project each embedding onto `k` pseudo-random integer
+    * hyperplanes (the shared [[graft.functions.VectorSql.planeComponent]]
+    * family — constant-folded literal arrays through the codegen'd
+    * dot, so this is a per-row map, no shuffle, no stored projection
+    * matrix to ship). The Johnson–Lindenstrauss workhorse for cheap
+    * downstream clustering/visualization; components are plain IEEE
+    * dot products, bitwise-reproducible across engines.
+    *
+    * Adds `p0..p{k-1}` double columns. `planeOffset` selects a
+    * disjoint plane range (e.g. to avoid reusing the LSH planes). */
+  def withRandomProjection(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                           planeOffset: Int = 0): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(planeOffset >= 0 && planeOffset + k <= 3000,
+      "plane indexes past ~3037 overflow the int64 cube in planeComponent")
+    val reserved = (0 until k).map(i => s"p$i").toSet
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withRandomProjection reserves p0..p${k - 1}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    (0 until k).foldLeft(df) { (d, i) =>
+      d.withColumn(s"p$i", expr(V.dotPlane(vecCol, planeOffset + i, dim)))
+    }
+  }
+
   /** Random-hyperplane LSH near-dup pairs over an embedding column —
     * the SCALE path for embedding dedup (no blocking attribute
     * needed, unlike [[nearDupPairStats]]'s label blocking): the sign

@@ -16,6 +16,23 @@ object EmbedQ {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- random-projection dimensionality reduction --------------
+    // Project 64-dim embeddings onto 3 deterministic integer
+    // hyperplanes (offset 100 — disjoint from the LSH plane range);
+    // plain IEEE dots, bitwise-equal across engines.
+    Q("q81_random_projection",
+      Some(s"""SELECT vec_id,
+              |  ${D.dotPlane("embedding", 100)} AS p0,
+              |  ${D.dotPlane("embedding", 101)} AS p1,
+              |  ${D.dotPlane("embedding", 102)} AS p2
+              |FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.withRandomProjection(
+          t(s, dir, "embeddings").where(col("vec_id") < 50),
+          "embedding", dim = 64, k = 3, planeOffset = 100)
+          .select("vec_id", "p0", "p1", "p2")
+          .orderBy("vec_id")),
+
     // ---- brute-force cosine top-k -------------------------------
     Q("q40_cosine_topk",
       Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

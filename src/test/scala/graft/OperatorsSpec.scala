@@ -431,6 +431,31 @@ class OperatorsSpec extends SparkSpec {
     assert(top == Map(1L -> "rare1", 2L -> "zonly", 3L -> "common"))
   }
 
+  test("spherical k-means: objective non-increasing, recovers separated clusters, feeds IVF") {
+    import spark.implicits._
+    // 60 vectors in 3 near-orthogonal directions with small jitter
+    val base = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val vecs = (0 until 60).map { i =>
+      val b = base(i % 3).clone(); b(3) = (i / 3).toFloat / 100f
+      (i.toLong, b)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (cents, obj) = SimilarityOps.trainKmeans(df, "vec_id", "embedding", dim = 4, k = 3, iters = 4)
+    assert(obj.size == 4)
+    obj.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"objective rose: $obj"); case _ => }
+    // converged objective ~0: each direction's cluster is tight
+    assert(obj.last < 0.1, s"objective did not converge: $obj")
+    assert(cents.count() == 3)
+    // composition: trained centroids drive ivfSearch; probing all
+    // clusters must equal brute force (the IVF exactness invariant)
+    val q = df.where($"vec_id" === 0).select($"embedding".as("q"))
+    val ivf = SimilarityOps.ivfSearch(df, "vec_id", "embedding", cents, q,
+      k = 5, excludeId = Some(0L), nProbe = 3)
+    val brute = SimilarityOps.topK(df, "vec_id", "embedding", q, 5, excludeId = Some(0L))
+    assert(ivf.select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      brute.select("vec_id").collect().map(_.getLong(0)).toSeq)
+  }
+
   test("relevance plans: broadcast dimension sides, no cartesian products") {
     import spark.implicits._
     val corpus = (0L until 200L)
