@@ -99,6 +99,37 @@ object Relevance {
           .as("postings"))
   }
 
+  /** Reciprocal-rank fusion of N rankings (hybrid retrieval — the
+    * standard way to combine lexical BM25 and vector rankings without
+    * score calibration): each input frame carries `(idCol, rank)`
+    * (1-based); the fused score is `Σ 1/(kRrf + rank_i)`, items
+    * absent from a ranking contribute 0.
+    *
+    * Output: `(idCol, rank0..rank{n-1}, rrf_score)`.
+    *
+    * Parity/scale notes: ranks are exact integers, each term is one
+    * IEEE division and the terms add as a FIXED expression tree — so
+    * the fused score is bitwise-reproducible. The joins are id-keyed
+    * equi-joins; feed top-k-truncated rankings (the usual practice)
+    * to keep them broadcast-sized at 100 TB. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1, "kRrf must be positive")
+    val renamed = rankings.zipWithIndex.map { case (d, i) =>
+      d.select(col(idCol), col("rank").as(s"__r$i"))
+    }
+    val joined = renamed.reduce((x, y) => x.join(y, Seq(idCol), "full_outer"))
+    val score = rankings.indices.map { i =>
+      when(col(s"__r$i").isNotNull,
+        lit(1.0) / (lit(kRrf).cast("double") + col(s"__r$i").cast("double")))
+        .otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    joined.withColumn("rrf_score", score)
+      .select(col(idCol) +:
+        rankings.indices.map(i => col(s"__r$i").as(s"rank$i")) :+
+        col("rrf_score"): _*)
+  }
+
   /** BM25 score of every document against a fixed token query.
     * Output: `(idCol, dl, score)` — `dl` the document token length.
     *

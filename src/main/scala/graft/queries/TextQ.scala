@@ -606,6 +606,65 @@ object TextQ {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)),
 
+    // ---- hybrid retrieval: BM25 ⊕ vector rank fusion (RRF) -------
+    // Lexical ranking (rational-idf BM25, q75's pipeline) fused with
+    // a cosine ranking against vec 0's embedding via reciprocal-rank
+    // fusion: integer ranks, one division per term, fixed sum tree —
+    // bitwise-portable. Global ranks are witness-scale; production
+    // feeds top-k-truncated rankings.
+    Q("q82_hybrid_rrf", {
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, oneMinusB) = (k1 + 1.0, 1.0 - b)
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+              |stats AS (SELECT count(*)::BIGINT AS nn, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM lens),
+              |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tfx
+              |  WHERE token IN ('spark', 'join', 'vector') GROUP BY doc_id, token),
+              |dfreq AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf GROUP BY token),
+              |ts AS (SELECT tf.doc_id, tf.token,
+              |  ((nn::DOUBLE - dfreq::DOUBLE + 0.5) / (dfreq::DOUBLE + 0.5)) *
+              |  (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1 * ($oneMinusB + $b * lens.dl::DOUBLE / avgdl)) AS s
+              |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+              |  JOIN lens ON lens.doc_id = tf.doc_id),
+              |piv AS (SELECT doc_id,
+              |  max(CASE WHEN token = 'spark' THEN s END) AS s0,
+              |  max(CASE WHEN token = 'join' THEN s END) AS s1,
+              |  max(CASE WHEN token = 'vector' THEN s END) AS s2
+              |  FROM ts GROUP BY doc_id),
+              |sc AS (SELECT lens.doc_id,
+              |  coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score
+              |  FROM lens LEFT JOIN piv ON piv.doc_id = lens.doc_id),
+              |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rb FROM sc),
+              |qv AS (SELECT embedding AS qq FROM embeddings WHERE vec_id = 0),
+              |vs AS (SELECT vec_id AS doc_id, ${graft.functions.VectorSql.duck.cosine("embedding", "qq")} AS vsim
+              |  FROM embeddings, qv),
+              |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vsim DESC, doc_id)::INT AS rv FROM vs)
+              |SELECT br.doc_id, rb AS rank0, rv AS rank1,
+              |  1.0 / (60.0 + rb::DOUBLE) + 1.0 / (60.0 + rv::DOUBLE) AS rrf_score
+              |FROM br JOIN vr USING (doc_id)
+              |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
+    },
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bm = graft.operators.Relevance.bm25(
+          t(s, dir, "documents"), "doc_id", "text",
+          queryTokens = Seq("spark", "join", "vector"), logIdf = false)
+        val br = bm.withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select("doc_id", "rank")
+        val emb = t(s, dir, "embeddings")
+        val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qq"))
+        val vr = emb.crossJoin(broadcast(qv))
+          .withColumn("vsim", graft.operators.SimilarityOps.cosineCol("embedding", "qq"))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("vsim").desc, col("vec_id"))))
+          .select(col("vec_id").as("doc_id"), col("rank"))
+        graft.operators.Relevance.rrfFuse(Seq(br, vr), "doc_id", kRrf = 60)
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(10)
+      }),
+
     // ---- array predicates (exists / forall over tokens) ----------
     Q("q60_array_predicates",
       Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents)

@@ -472,6 +472,18 @@ class OperatorsSpec extends SparkSpec {
     assert(plan2.contains("BroadcastHashJoin") || plan2.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("rrf fusion: fixed-tree scores, absent ranks contribute zero") {
+    import spark.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("id", "rank")
+    val f = Relevance.rrfFuse(Seq(a, b), "id", kRrf = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(f(1L) == 1.0 / 61 && f(3L) == 1.0 / 62)
+    assert(f(2L) == 1.0 / 62 + 1.0 / 61)
+    // present-in-both outranks either single-list doc
+    assert(f(2L) > f(1L) && f(2L) > f(3L))
+  }
+
   test("bm25: more query-term mass ranks higher; absent terms score zero") {
     import spark.implicits._
     val df = Seq(
