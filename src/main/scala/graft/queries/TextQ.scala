@@ -640,9 +640,10 @@ object TextQ {
               |vs AS (SELECT vec_id AS doc_id, ${graft.functions.VectorSql.duck.cosine("embedding", "qq")} AS vsim
               |  FROM embeddings, qv),
               |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vsim DESC, doc_id)::INT AS rv FROM vs)
-              |SELECT br.doc_id, rb AS rank0, rv AS rank1,
-              |  1.0 / (60.0 + rb::DOUBLE) + 1.0 / (60.0 + rv::DOUBLE) AS rrf_score
-              |FROM br JOIN vr USING (doc_id)
+              |SELECT doc_id, rb AS rank0, rv AS rank1,
+              |  CASE WHEN rb IS NOT NULL THEN 1.0 / (60.0 + rb::DOUBLE) ELSE 0.0 END +
+              |  CASE WHEN rv IS NOT NULL THEN 1.0 / (60.0 + rv::DOUBLE) ELSE 0.0 END AS rrf_score
+              |FROM br FULL OUTER JOIN vr USING (doc_id)
               |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin)
     },
       (s, dir) => {
