@@ -36,7 +36,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => Simhash64(args(0), args(1))),
     ("graft_winnow",
       info("graft_winnow", "winnowed (MOSS) fingerprint set of a string: min k-gram hash per w-window, distinct, sorted"),
-      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))))
+      (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))),
+    ("graft_mg_topk",
+      info("graft_mg_topk", "Misra-Gries heavy-hitters summary: capacity-bounded (item, count_lo) array, mergeable under any partitioning"),
+      (args: Seq[Expression]) => MisraGriesTopK(args(0), args(1))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

@@ -606,6 +606,24 @@ object TextQ {
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)),
 
+    // ---- heavy hitters via the native Misra-Gries aggregate ------
+    // capacity 64 > the 31-token vocabulary, so the mergeable summary
+    // is EXACT and oracle-checkable (update/merge/serialize machinery
+    // exercised across 32 partitions); the approximate regime's
+    // bounds are pinned in MisraGriesSpec.
+    Q("q83_heavy_hitters",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |tfx AS (SELECT unnest(t) AS item FROM toks)
+              |SELECT item, count(*)::BIGINT AS count_lo
+              |FROM tfx GROUP BY item ORDER BY count_lo DESC, item""".stripMargin),
+      (s, dir) =>
+        TextOps.withTokens(t(s, dir, "documents"), "text")
+          .select(explode(col("toks")).as("item"))
+          .selectExpr("graft_mg_topk(item, 64) AS s")
+          .selectExpr("explode(s) AS e")
+          .select(col("e.item").as("item"), col("e.count_lo").as("count_lo"))
+          .orderBy(col("count_lo").desc, col("item"))),
+
     // ---- hybrid retrieval: BM25 ⊕ vector rank fusion (RRF) -------
     // Lexical ranking (rational-idf BM25, q75's pipeline) fused with
     // a cosine ranking against vec 0's embedding via reciprocal-rank
