@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations: evaluate named boolean
+  * rules over a table in ONE aggregation pass and report violation
+  * counts — the accept/reject gate a curation pipeline runs before
+  * admitting a new drop of data (nulls where not allowed, ranges,
+  * cross-column invariants).
+  *
+  * Not in the reference (polario is dataset I/O only — SURVEY.md §0).
+  *
+  * Scale shape: every rule is a codegen'd boolean expression inside
+  * the same scan; the aggregate emits one row per rule regardless of
+  * table size (plain partial aggregation, no Expand). Rules see NULL
+  * as a violation (`NOT rule` null-safe via coalesce) — an unknown
+  * never passes a gate silently. */
+object Validate {
+
+  /** One row per rule: `(rule, n_rows, n_violations, pass)`. `rules`
+    * are (name, SQL boolean expression) pairs evaluated against the
+    * frame's columns. */
+  def expect(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    val aggs = rules.map { case (name, sql) =>
+      sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(expr(
+      s"stack(${rules.size}, " +
+        rules.map { case (name, _) => s"'$name', __n, __v_$name" }.mkString(", ") +
+        ") AS (rule, n_rows, n_violations)"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

@@ -579,6 +579,32 @@ object Relational {
           Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
           .orderBy("column_name")),
 
+    // ---- declarative data-quality expectations -------------------
+    // Named boolean rules evaluated in one aggregation pass; NULL
+    // rule results count as violations (unknown never passes a gate).
+    Q("q84_expectations", {
+      val rules = Seq(
+        "discount_range" -> "l_discount >= 0 AND l_discount <= 1",
+        "flag_known" -> "l_returnflag IN ('A', 'N', 'R')",
+        "price_nonneg" -> "l_extendedprice >= 0",
+        "qty_positive" -> "l_quantity > 0")
+      Some(rules.map { case (name, sql) =>
+        s"""SELECT '$name' AS rule, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN NOT coalesce($sql, false) THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+           |  (sum(CASE WHEN NOT coalesce($sql, false) THEN 1 ELSE 0 END) = 0) AS pass
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY rule"))
+    },
+      (s, dir) =>
+        graft.operators.Validate.expect(
+          t(s, dir, "lineitem"),
+          Seq(
+            "discount_range" -> "l_discount >= 0 AND l_discount <= 1",
+            "flag_known" -> "l_returnflag IN ('A', 'N', 'R')",
+            "price_nonneg" -> "l_extendedprice >= 0",
+            "qty_positive" -> "l_quantity > 0"))
+          .orderBy("rule")),
+
     // ---- per-group quantile winsorization ------------------------
     // Clip o_totalprice into its per-status [p05, p95] envelope
     // (bounds join back as a broadcast); clipped sum decimal-cast for

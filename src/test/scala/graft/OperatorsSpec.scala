@@ -389,6 +389,19 @@ class OperatorsSpec extends SparkSpec {
       RobustStats.winsorize(df, "v", "grp", 0.9, 0.1, "c"))
   }
 
+  test("expectations: violation counts, null counts as violation, unique names enforced") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "x"), (None, "y"), (Some(-2L), "z")).toDF("v", "s")
+    val r = Validate.expect(df, Seq(
+      "v_positive" -> "v > 0", // null row + negative row violate
+      "s_nonempty" -> "length(s) > 0"))
+      .orderBy("rule").collect()
+    assert(r(0).toSeq == Seq("s_nonempty", 3L, 0L, true))
+    assert(r(1).toSeq == Seq("v_positive", 3L, 2L, false))
+    intercept[IllegalArgumentException](
+      Validate.expect(df, Seq("a" -> "v > 0", "a" -> "v < 0")))
+  }
+
   test("profile: single-pass column stats with nulls and string min/max") {
     import spark.implicits._
     val df = Seq((Some(1L), "b"), (None, "a"), (Some(3L), "a")).toDF("k", "s")
