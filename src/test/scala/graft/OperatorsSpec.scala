@@ -561,6 +561,17 @@ class OperatorsSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "a_id", "b_id").count() == 0)
   }
 
+  test("connected components scale shape: 256-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // star contraction halves chain length per round pair; a 256-node
+    // chain must finish well inside 12 rounds (vs 255 for naive
+    // label propagation) — this would throw if rounds were O(diameter)
+    val pairs = (1L to 255L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = Components.connectedComponents(pairs, "a_id", "b_id", maxRounds = 12)
+      .agg(countDistinct(col("cluster_id")), count(lit(1))).head
+    assert(got.getLong(0) == 1 && got.getLong(1) == 256)
+  }
+
   test("connected components fails loudly when round budget is too small") {
     import spark.implicits._
     // a 64-node chain cannot finish in one round
