@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic data-mixture sampling: keep each document with a
+  * per-source rate — the step that turns curated corpora plus a
+  * mixture recipe ("20% web, 60% code, ...") into a training set.
+  *
+  * Not in the reference (polario is dataset I/O only — SURVEY.md §0).
+  *
+  * Determinism contract (same as the hash train/val split): the keep
+  * decision hashes the CONTENT, not a random number — re-runs,
+  * retries, and partial recomputes pick the same documents, and the
+  * expected rate is exact in distribution over content hashes.
+  *
+  * Scale shape: `weights` is a source-cardinality dim table —
+  * validated on the driver (it is bounded by construction) and
+  * broadcast into the scan; the corpus is filtered in place with zero
+  * shuffles. An unknown source fails the JOB loudly (a silently
+  * dropped source is a corrupted mixture). */
+object Mixing {
+
+  import TextHash.{spark => H}
+
+  /** Keep rows where `rollingHash(textCol) % 1000 < permille` for the
+    * row's source. `weights` must have columns `(sourceCol,
+    * permille)` with integer per-mille rates in [0, 1000], one row
+    * per source. */
+  def weightedSample(df: DataFrame, textCol: String, sourceCol: String,
+                     weights: DataFrame): DataFrame = {
+    require(weights.columns.toSet == Set(sourceCol, "permille"),
+      s"weights must have exactly columns ($sourceCol, permille), got ${weights.columns.toSeq}")
+    require(!df.columns.contains("__permille"), "weightedSample reserves __permille")
+    // Dim-table validation on the driver: bounded by source count.
+    val rows = weights.select(col(sourceCol), col("permille").cast("long")).collect()
+    require(rows.map(_.get(0)).distinct.length == rows.length,
+      "weights must have one row per source")
+    rows.foreach { r =>
+      require(!r.isNullAt(1) && r.getLong(1) >= 0 && r.getLong(1) <= 1000,
+        s"permille for source '${r.get(0)}' must be in [0, 1000], got ${r.get(1)}")
+    }
+    df.join(broadcast(weights.withColumnRenamed("permille", "__permille")),
+        Seq(sourceCol), "left")
+      // The guard wraps the rate column itself — an asserted side
+      // column would be pruned by the optimizer (repo-wide pattern).
+      .withColumn("__permille", expr(
+        s"CASE WHEN __permille IS NOT NULL THEN __permille " +
+          s"ELSE raise_error('weightedSample: no mixture rate for source ' || $sourceCol) END"))
+      .where(expr(H.rollingHash(textCol)) % 1000 < col("__permille"))
+      .drop("__permille")
+  }
+}

@@ -833,6 +833,28 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- deterministic weighted data mixture ---------------------
+    // Per-source keep rates from a broadcast weights table (rates
+    // derived from the source name's hash so both engines build the
+    // identical recipe); content-hash keep decisions — rerun-stable.
+    Q("q85_weighted_mix",
+      Some(s"""WITH w AS (SELECT source, (${D.rollingHash("source")} % 80) * 10 AS permille
+              |  FROM (SELECT DISTINCT source FROM documents)),
+              |s AS (SELECT d.source, d.doc_id FROM documents d JOIN w USING (source)
+              |  WHERE ${D.rollingHash("text")} % 1000 < permille)
+              |SELECT source, count(*) AS n_sampled, sum(doc_id)::BIGINT AS id_sum
+              |FROM s GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        val docs = t(s, dir, "documents")
+        val weights = docs.select(col("source")).distinct()
+          .withColumn("permille", (expr(H.rollingHash("source")) % 80) * 10)
+        graft.operators.Mixing.weightedSample(docs, "text", "source", weights)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("source")
+      }),
+
     // ---- train/benchmark decontamination -------------------------
     // Docs 0..19 stand in for an eval set; the rest is the training
     // corpus. A corpus doc is contaminated if it shares ANY 3-token

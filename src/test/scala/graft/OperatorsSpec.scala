@@ -375,6 +375,28 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("3000"))
   }
 
+  test("weighted mixing: exact per-source rates, loud on unknown source") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"doc body number $i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val w = Seq(("a", 1000), ("b", 0)).toDF("source", "permille")
+    val kept = Mixing.weightedSample(docs, "text", "source", w)
+      .select("source").collect().map(_.getString(0))
+    assert(kept.nonEmpty && kept.forall(_ == "a") && kept.length == 50) // all of a, none of b
+    // deterministic: identical re-run
+    val again = Mixing.weightedSample(docs, "text", "source", w).count()
+    assert(again == 50)
+    // unknown source fails the job, not silently drops
+    val wMissing = Seq(("a", 500)).toDF("source", "permille")
+    val ex = intercept[Exception](
+      Mixing.weightedSample(docs, "text", "source", wMissing).count())
+    assert(ex.getMessage.contains("no mixture rate") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no mixture rate")))
+    // malformed rates rejected at build time
+    intercept[IllegalArgumentException](
+      Mixing.weightedSample(docs, "text", "source", Seq(("a", 1500), ("b", 0)).toDF("source", "permille")))
+  }
+
   test("winsorize clips into the per-group quantile envelope via broadcast") {
     import spark.implicits._
     val df = (Seq.tabulate(99)(i => ("g", (i + 1).toDouble)) :+ (("g", 1000000.0)))
