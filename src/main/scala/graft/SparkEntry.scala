@@ -8,11 +8,24 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
-      .orderBy("l_returnflag")
+  /** Flagship: a composed curation pass over the documents table —
+    * repetition-gate (Gopher-style) → span-level dedup → per-source
+    * acceptance stats — showcasing the LLM-pipeline operators end to
+    * end in one plan. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gated = graft.operators.TextOps.withRepetitionStats(docs, "text")
+      .where(col("dup_bigram_frac") <= 0.2 && col("top_bigram_frac") <= 0.3)
+      .select("doc_id", "text", "source")
+    val deduped = graft.operators.DedupOps.dedupSpans(gated, "doc_id", "text", spanTokens = 8)
+    gated.join(deduped, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_spans")).as("total_spans"),
+        sum(col("n_kept")).as("kept_spans"))
+      .orderBy("source")
+  }
 
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * north-star extension operators). */
