@@ -9,12 +9,16 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   /** Flagship: a composed curation pass over the documents table —
-    * repetition-gate (Gopher-style) → span-level dedup → per-source
-    * acceptance stats — showcasing the LLM-pipeline operators end to
-    * end in one plan. Driver smoke-checks rows > 0. */
+    * near-duplicate removal (MinHash LSH → connected components →
+    * keep-one-representative) → repetition-gate (Gopher-style) →
+    * span-level dedup → per-source acceptance stats — showcasing the
+    * LLM-pipeline operators end to end in one plan. Driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val gated = graft.operators.TextOps.withRepetitionStats(docs, "text")
+    val unique = graft.operators.DedupOps.dropNearDuplicates(
+      docs, "doc_id", "text", bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+    val gated = graft.operators.TextOps.withRepetitionStats(unique, "text")
       .where(col("dup_bigram_frac") <= 0.2 && col("top_bigram_frac") <= 0.3)
       .select("doc_id", "text", "source")
     val deduped = graft.operators.DedupOps.dedupSpans(gated, "doc_id", "text", spanTokens = 8)

@@ -63,6 +63,12 @@ object Components {
       // deterministic run to run; a 64-bit sum collision on differing
       // same-size sets is the negligible-probability caveat.
       converged = nextSum == sum
+      // The new round is materialized (checksum above is an action),
+      // so the PREVIOUS round's checkpoint blocks are dead — free
+      // them now instead of waiting for GC: a long-lived driver
+      // running many clusterings would otherwise accumulate one
+      // edge-frame of executor storage per round (spec-pinned).
+      freeCheckpoint(edges)
       edges = next
       sum = nextSum
       round += 1
@@ -103,6 +109,18 @@ object Components {
       .where(col("u") =!= col("v"))
       .dropDuplicates("u", "v")
   }
+
+  /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
+    * A checkpointed Dataset's plan is a LogicalRDD over the
+    * materialized RDD; unpersisting that RDD frees its storage now
+    * rather than at ContextCleaner GC time. No-op on non-checkpointed
+    * plans. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Order-insensitive edge-set fingerprint: (row count, exact
     * decimal sum of per-edge xxhash64 — long sums overflow under ANSI

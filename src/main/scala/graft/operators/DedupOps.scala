@@ -70,18 +70,23 @@ object DedupOps {
     *
     * Output: `(idCol, n_spans, n_kept, kept_text)` — one row per
     * input document (fully-deduplicated documents keep the row with
-    * `n_kept = 0`, `kept_text = ''`).
+    * `n_kept = 0`, `kept_text = ''`; a null-text or zero-span
+    * document keeps its row with `n_spans = 0` — it does NOT silently
+    * vanish).
     *
     * Scale shape: one explode (span rows bounded by corpus token
     * count / spanTokens), one window shuffle keyed on the span text,
     * one groupBy on the doc id whose collect_list is bounded by
-    * document length. The window partitions by the raw span string
-    * for exactness; at 100 TB key it by `xxhash64(span)` instead to
-    * shuffle 8-byte keys (collision odds are birthday-bounded; verify
-    * within buckets if that matters) and let AQE split hot
-    * boilerplate spans. */
+    * document length. `hashKeys = true` is the 100 TB setting: the
+    * window key becomes `(xxhash64(span), span)`, so the exchange
+    * partitioner and the per-partition sort compare an 8-byte hash
+    * and touch the raw string only on hash-equal ties — cheap
+    * comparisons on long boilerplate spans, IDENTICAL results (the
+    * span stays in the key, so a hash collision can never merge two
+    * distinct spans; spec-pinned mode agreement). Default off only to
+    * keep the oracle-witnessed plan minimal. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-                 spanTokens: Int = 8): DataFrame = {
+                 spanTokens: Int = 8, hashKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(spanTokens >= 1, "spanTokens must be positive")
     val reserved = Set("__toks", "span_idx", "span", "__rn", "n_spans", "n_kept", "kept_text")
@@ -97,7 +102,9 @@ object DedupOps {
           s"ELSE transform(sequence(0, (size(__toks) + ${spanTokens - 1}) div $spanTokens - 1), " +
           s"sp -> concat_ws(' ', slice(__toks, sp * $spanTokens + 1, $spanTokens))) END"))
         .as(Seq("span_idx", "span")))
-    val w = Window.partitionBy(col("span")).orderBy(col(idCol), col("span_idx"))
+    val spanKey: Seq[org.apache.spark.sql.Column] =
+      if (hashKeys) Seq(xxhash64(col("span")), col("span")) else Seq(col("span"))
+    val w = Window.partitionBy(spanKey: _*).orderBy(col(idCol), col("span_idx"))
     val kept = spans.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
     val nSpans = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
     val recon = kept.groupBy(col(idCol)).agg(
@@ -105,7 +112,13 @@ object DedupOps {
       concat_ws(" ",
         expr("transform(array_sort(collect_list(struct(span_idx, span))), kv -> kv.span)"))
         .as("kept_text"))
-    nSpans.join(recon, Seq(idCol), "left")
+    // Anchor on the INPUT ids: a null-text document produces no span
+    // rows (NULL token array → empty explode) and would otherwise
+    // drop out of the output entirely.
+    df.select(col(idCol))
+      .join(nSpans, Seq(idCol), "left")
+      .join(recon, Seq(idCol), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
       .select(col(idCol), col("n_spans"), col("n_kept"), col("kept_text"))
@@ -187,6 +200,35 @@ object DedupOps {
       .where(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** The end-user near-dup removal verb: keep ONE representative per
+    * near-duplicate group and drop the rest. Composes the pieces the
+    * oracle witnesses individually — [[lshNearDupPairs]] (banded
+    * MinHash candidates + exact-Jaccard verification) →
+    * [[Components.connectedComponents]] (transitive closure, published
+    * large-star/small-star) → keep-min-id representative — into the
+    * one call a curation pipeline actually makes ("drop near
+    * duplicates from this corpus").
+    *
+    * Returns the surviving corpus with the input schema: every
+    * document that is NOT a non-representative member of a near-dup
+    * cluster. Isolated documents (no verified pair) never enter the
+    * pair graph and always survive.
+    *
+    * Scale shape: all the work is the pair pipeline + CC (banded
+    * equi-joins and node-id shuffles — see the component scaladocs);
+    * the final step is one id-only anti-join against the member list,
+    * so the corpus is scanned once more and never shuffled on
+    * anything wider than the id. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         bands: Int = 2, rowsPerBand: Int = 4,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val pairs = lshNearDupPairs(df, idCol, textCol, bands, rowsPerBand, minJaccard)
+    val clusters = Components.connectedComponents(pairs, "a_id", "b_id")
+    val dropIds = clusters.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__drop_id"))
+    df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into `bands`

@@ -41,8 +41,18 @@ object Mixing {
       require(!r.isNullAt(1) && r.getLong(1) >= 0 && r.getLong(1) <= 1000,
         s"permille for source '${r.get(0)}' must be in [0, 1000], got ${r.get(1)}")
     }
-    df.join(broadcast(weights.withColumnRenamed("permille", "__permille")),
-        Seq(sourceCol), "left")
+    // The join side is rebuilt FROM the validated snapshot — joining
+    // the original plan would evaluate `weights` a second time, and a
+    // nondeterministic source could pass validation yet join
+    // different (even out-of-range) rates.
+    val validated = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceCol,
+          weights.schema(sourceCol).dataType),
+        org.apache.spark.sql.types.StructField("__permille",
+          org.apache.spark.sql.types.LongType))))
+    df.join(broadcast(validated), Seq(sourceCol), "left")
       // The guard wraps the rate column itself — an asserted side
       // column would be pruned by the optimizer (repo-wide pattern).
       .withColumn("__permille", expr(

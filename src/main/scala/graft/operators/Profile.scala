@@ -33,6 +33,12 @@ object Profile {
     require(cols.nonEmpty, "cols must be non-empty")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in dataframe: ${missing.mkString(", ")}")
+    // Names are spliced into the stack() melt — a quote/comma/backtick
+    // would corrupt the expression, so restrict to safe identifiers.
+    cols.foreach { c =>
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"column name '$c' must match [A-Za-z0-9_]+ (it is spliced into the melt SQL)")
+    }
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),

@@ -99,6 +99,177 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Materialize an IVF index: the corpus with its coarse-cluster
+    * assignment and precomputed L2 norm, written PARTITIONED BY
+    * `cluster` — this is what turns [[ivfSearchIndexed]]'s probe into
+    * a partition-PRUNED scan where non-probed clusters are never read
+    * (directories outside the probe set do not appear in the file
+    * scan; spec-pinned by plan shape AND by corrupting a non-probed
+    * partition). Build cost: one broadcast assignment pass + one
+    * partitioned write — paid once at ingest, like [[graft.sources.Bucketing]]. */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
+    val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    corpusN.crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("__nrm").as("nrm"), col("cid").as("cluster"))
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+  }
+
+  /** ANN search against a [[writeIvfIndex]] store: the query's
+    * `nProbe` nearest centroids are found on the DRIVER (centroids
+    * are k·dim — bounded), and the index is read with
+    * `cluster IN (probes)` — Catalyst prunes the scan to the probed
+    * partition directories, so at 100 TB a 1-of-256-cluster probe
+    * reads ~1/256th of the corpus bytes. Norms come from the index
+    * (computed once at build). Same semantics as [[ivfSearch]] with
+    * the same centroids. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       idCol: String, vecCol: String,
+                       centroids: DataFrame, query: DataFrame, k: Int,
+                       excludeId: Option[Long] = None, nProbe: Int = 1): DataFrame = {
+    val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
+    val probes = query.withColumn("__qnrm", expr(V.norm("q")))
+      .crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms("q", "cvec", "__qnrm", "__ctnrm"))
+      .orderBy(col("csim").desc, col("cid")).limit(nProbe)
+      .select(col("cid")).collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(path)
+      .where(col("cluster").isin(probes: _*)) // partition-pruned
+    val cand = idx.crossJoin(broadcast(query.withColumn("__qnrm", expr(V.norm("q")))))
+      .withColumn("sim", simWithNorms(vecCol, "q", "nrm", "__qnrm"))
+    val base = excludeId.fold(cand)(id => cand.where(col(idCol) =!= id))
+    base.select(col(idCol), col("cluster"), col("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** k-means|| oversampled seeding (Bahmani et al., "Scalable
+    * k-means++", VLDB 2012) for [[trainKmeans]]: O(log k) corpus
+    * passes instead of sequential farthest-first's k−1 driver-paced
+    * scans (the round-4 scale-killer).
+    *
+    * Shape: one pass picks the hash-minimal first seed; each of
+    * ~log₂ k rounds computes every point's cost (1 − max cosine to
+    * the candidate set, one broadcast crossJoin + groupBy) and
+    * samples each point INDEPENDENTLY with probability
+    * min(1, ℓ·cost/Σcost), ℓ = 2k — so every high-cost region
+    * contributes candidates in the SAME pass, which is what lets the
+    * round count stay logarithmic where top-ℓ-by-cost selection
+    * would still need one round per well-separated cluster. The
+    * ~ℓ·rounds surviving candidates (k·dim-bounded rows) are weighted
+    * by corpus mass (one more pass) and reduced to k seeds with a
+    * DRIVER-LOCAL weighted farthest-first — O(|C|²·k) on O(k log k)
+    * candidates, trivial.
+    *
+    * Total jobs: 3 + 2·rounds (+1 fill pass if sampling returned
+    * fewer than k distinct candidates) — independent of k's linear
+    * term; the spec pins this against the O(k) shape. Sampling is
+    * hash-deterministic (`xxhash64(id, round)` uniformized mod P), so
+    * the same corpus yields the same seeds up to float-total ulps.
+    * Returns exactly k seed vectors. */
+  def kmeansParallelSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int): Seq[Seq[Float]] = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val P = 1000000007L
+
+    val corpusN =
+      if (corpus.columns.contains("__nrm")) corpus
+      else corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+
+    def candDf(cands: Seq[(Long, Seq[Float])]): DataFrame =
+      broadcast(cands.map { case (_, v) => v }.zipWithIndex.map(_.swap).toDF("cid", "cvec")
+        .withColumn("cvec", col("cvec").cast("array<float>"))
+        .withColumn("__ctnrm", expr(V.norm("cvec"))))
+
+    // Per-point cost frame vs the current candidate set: one broadcast
+    // nested-loop + groupBy per evaluation — nothing corpus-sized is
+    // ever checkpointed or collected (each round re-derives it; two
+    // actions per round is the price of keeping executors stateless).
+    def costDf(cands: Seq[(Long, Seq[Float])]): DataFrame =
+      corpusN.crossJoin(candDf(cands))
+        .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+        .groupBy(col(idCol))
+        .agg(max(col("csim")).as("__mx"), first(col(vecCol)).as("__v"))
+        .withColumn("__cost", greatest(lit(0.0), lit(1.0) - col("__mx")))
+
+    val firstRow = corpusN.orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
+      .select(col(idCol).cast("long"), col(vecCol)).head()
+    var cands: Vector[(Long, Seq[Float])] =
+      Vector(firstRow.getLong(0) -> firstRow.getSeq[Float](1).toSeq)
+    if (k == 1) return cands.map(_._2)
+
+    val ell = 2.0 * k
+    val rounds = math.max(2, (math.log(k.toDouble) / math.log(2.0)).ceil.toInt)
+    var r = 0
+    var covered = false
+    while (r < rounds && !covered) {
+      val cost = costDf(cands)
+      val total = cost.agg(sum(col("__cost"))).head().getDouble(0)
+      if (total <= 0.0) covered = true // every point sits on a candidate
+      else {
+        // Uniform-in-[0,1) from the point id and round number; sampled
+        // rows are (id, vec) — expected ℓ per round, driver-safe.
+        val u = pmod(xxhash64(col(idCol).cast("long"), lit(r)), lit(P)).cast("double") / P.toDouble
+        val newOnes = cost
+          .where(u < lit(ell) * col("__cost") / lit(total))
+          .select(col(idCol).cast("long"), col("__v")).collect()
+          .map(row => row.getLong(0) -> row.getSeq[Float](1).toSeq)
+        cands = (cands ++ newOnes).distinctBy(_._1).sortBy(_._1)
+      }
+      r += 1
+    }
+
+    // Under-sampled corner (tiny corpora / degenerate hashes): top up
+    // with the farthest points from the candidate set — one pass.
+    if (cands.size < k) {
+      val fill = costDf(cands)
+        .where(!col(idCol).cast("long").isin(cands.map(_._1): _*))
+        .orderBy(col("__cost").desc, col(idCol))
+        .limit(k - cands.size)
+        .select(col(idCol).cast("long"), col("__v")).collect()
+        .map(row => row.getLong(0) -> row.getSeq[Float](1).toSeq)
+      cands = (cands ++ fill).distinctBy(_._1).sortBy(_._1)
+    }
+    if (cands.size <= k) return cands.map(_._2)
+
+    // Weight every candidate by the corpus mass it attracts (one pass),
+    // then reduce to k on the driver: weighted farthest-first — seed
+    // with the heaviest candidate, then repeatedly add the candidate
+    // maximizing weight·(1 − max cosine to the chosen set). Ties break
+    // on candidate order (sorted by source id) — deterministic.
+    val wWin = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    val weightByCid = corpusN.crossJoin(candDf(cands))
+      .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+      .withColumn("__r", row_number().over(wWin)).where(col("__r") === 1)
+      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+
+    def unit(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0.0) d else d.map(_ / n)
+    }
+    val cu = cands.map { case (_, v) => unit(v) }
+    val weights = cands.indices.map(i => weightByCid.getOrElse(i, 0L).toDouble)
+    def cos(i: Int, j: Int): Double = cu(i).zip(cu(j)).map { case (a, b) => a * b }.sum
+
+    var chosen = Vector(cands.indices.maxBy(i => (weights(i), -i.toDouble)))
+    while (chosen.size < k) {
+      val next = cands.indices.filterNot(chosen.contains)
+        .maxBy(i => (weights(i) * (1.0 - chosen.map(c => cos(i, c)).max), -i.toDouble))
+      chosen = chosen :+ next
+    }
+    chosen.sorted.map(i => cands(i)._2)
+  }
+
   /** Deterministic spherical k-means training for the IVF coarse
     * quantizer ([[ivfSearch]]'s `centroids` input): Lloyd iterations
     * with cosine assignment and direction-mean updates.
@@ -108,15 +279,15 @@ object SimilarityOps {
     * broadcast of the centroids, one window argmax over the
     * n·k scored pairs, and one partial-aggregated groupBy whose
     * output is k·dim rows. Nothing corpus-sized ever reaches the
-    * driver. Seeding is hash-deterministic (same corpus → same
-    * seeds); the mean update merges float partials in shuffle-arrival
-    * order, so reruns can differ in the last ulps (the usual
-    * distributed-kmeans caveat). Empty clusters keep their previous
-    * centroid. Returns `(centroids (cid, cvec), objective)` where
-    * `objective(i)` = Σ(1 − cosine) under the iteration-i centroids —
-    * non-increasing under Lloyd steps (spec-pinned; floats are not
-    * oracle-material, so this operator is spec-verified, not
-    * oracle-witnessed). */
+    * driver. Seeding is [[kmeansParallelSeeds]] (k-means||, O(log k)
+    * passes — not per-seed corpus scans), hash-deterministic; the
+    * mean update merges float partials in shuffle-arrival order, so
+    * reruns can differ in the last ulps (the usual distributed-kmeans
+    * caveat). Empty clusters keep their previous centroid. Returns
+    * `(centroids (cid, cvec), objective)` where `objective(i)` =
+    * Σ(1 − cosine) under the iteration-i centroids — non-increasing
+    * under Lloyd steps (spec-pinned; floats are not oracle-material,
+    * so this operator is spec-verified, not oracle-witnessed). */
   def trainKmeans(corpus: DataFrame, idCol: String, vecCol: String,
                   dim: Int, k: Int, iters: Int): (DataFrame, Seq[Double]) = {
     import org.apache.spark.sql.expressions.Window
@@ -127,35 +298,20 @@ object SimilarityOps {
     def toDf(cents: Seq[(Int, Seq[Float])]): DataFrame =
       cents.toDF("cid", "cvec").withColumn("cvec", col("cvec").cast("array<float>"))
 
+    // A wrong `dim` or null vector/component would NULL every cosine
+    // and silently corrupt assignments — fail the JOB loudly instead
+    // (guard wraps the column itself; an asserted-then-dropped side
+    // column would be pruned — repo-wide pattern).
     val corpusN = corpus
       .select(col(idCol), col(vecCol))
+      .withColumn(vecCol, expr(
+        s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
+          s"ELSE raise_error('trainKmeans: $vecCol must be a null-free array<float> of length $dim') END"))
       .withColumn("__nrm", expr(V.norm(vecCol)))
       .localCheckpoint() // scanned twice per iteration; fixed lineage
 
-    // Deterministic farthest-first seeding (the k-means++ shape,
-    // greedy variant): first seed by smallest id hash, each next seed
-    // the vector with the LOWEST max-cosine to the seeds so far
-    // (tie-break id) — spreads seeds across directions, avoiding the
-    // local optima hash-only seeding falls into. k−1 broadcast scans.
-    var cents: Seq[(Int, Seq[Float])] = {
-      var seeds = Seq(corpusN
-        .orderBy(xxhash64(col(idCol)), col(idCol)).limit(1)
-        .select(col(vecCol)).head().getSeq[Float](0).toSeq)
-      while (seeds.size < k) {
-        val sdf = broadcast(
-          seeds.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec")
-            .withColumn("cvec", col("cvec").cast("array<float>"))
-            .withColumn("__ctnrm", expr(V.norm("cvec"))))
-        val next = corpusN.crossJoin(sdf)
-          .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-          .groupBy(col(idCol))
-          .agg(max(col("csim")).as("__mx"), first(col(vecCol)).as("__v"))
-          .orderBy(col("__mx").asc, col(idCol))
-          .limit(1).select(col("__v")).head().getSeq[Float](0).toSeq
-        seeds = seeds :+ next
-      }
-      seeds.zipWithIndex.map { case (v, i) => (i, v) }
-    }
+    var cents: Seq[(Int, Seq[Float])] =
+      kmeansParallelSeeds(corpusN, idCol, vecCol, k).zipWithIndex.map(_.swap)
     val objective = Seq.newBuilder[Double]
 
     for (_ <- 0 until iters) {

@@ -20,12 +20,22 @@ object Validate {
 
   /** One row per rule: `(rule, n_rows, n_violations, pass)`. `rules`
     * are (name, SQL boolean expression) pairs evaluated against the
-    * frame's columns. */
+    * frame's columns. An EMPTY input yields `n_violations = 0` and a
+    * definite `pass = true` for every rule (sums are coalesced — a
+    * NULL pass would let a gate silently admit an empty drop). Rule
+    * names are restricted to `[A-Za-z0-9_]+`: they are spliced into
+    * the melt expression, and a quote/comma/backtick would corrupt
+    * it. */
   def expect(df: DataFrame, rules: Seq[(String, String)]): DataFrame = {
     require(rules.nonEmpty, "rules must be non-empty")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rule name '$name' must match [A-Za-z0-9_]+ (it is spliced into the melt SQL)")
+    }
     val aggs = rules.map { case (name, sql) =>
-      sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)).as(s"__v_$name")
+      coalesce(sum(when(!coalesce(expr(sql), lit(false)), 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_$name")
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     one.select(expr(

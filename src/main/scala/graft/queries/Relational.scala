@@ -543,19 +543,36 @@ object Relational {
           .orderBy("week_epoch")),
 
     // ---- sketch aggregates (HLL++ / GK) --------------------------
-    // No oracle on purpose: approximate sketches are implementation-
-    // defined, so DuckDB's HLL would differ by design; the driver
-    // records the weaker rows-only check. Exact counterparts are
-    // oracle-checked in q07/q44.
+    // Approximate sketch VALUES are implementation-defined (DuckDB's
+    // HLL would differ by design), so the hash-matchable statement is
+    // the sketch's CONTRACT: Spark compares its own approx aggregates
+    // against its own exact aggregates at the pinned error bounds
+    // (HLL++ rsd 0.05 → |approx/exact − 1| ≤ 3·rsd; approx_percentile
+    // accuracy 1000 → rank error 1/1000, checked against the exact
+    // p45/p55 envelope) and emits booleans; the oracle derives the
+    // same booleans from exact DuckDB aggregates — trivially true —
+    // so a sketch drifting out of bounds is a HASH MISMATCH, not an
+    // unchecked row. Tighter per-run bounds live in SketchSpec.
     Q("q45_sketches",
-      None,
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
+             |  true AS orders_in_bounds, true AS median_in_bounds
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            approx_count_distinct(col("l_orderkey"), 0.05).as("__approx_d"),
+            countDistinct(col("l_orderkey")).as("__exact_d"),
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("__approx_med"),
+            expr("percentile(l_extendedprice, 0.45)").as("__med_lo"),
+            expr("percentile(l_extendedprice, 0.55)").as("__med_hi"))
+          .withColumn("orders_in_bounds",
+            abs(col("__approx_d").cast("double") / col("__exact_d") - 1.0) <= 0.15)
+          .withColumn("median_in_bounds",
+            col("__approx_med") >= col("__med_lo") && col("__approx_med") <= col("__med_hi"))
+          .select(col("l_returnflag"), col("n"),
+            col("orders_in_bounds"), col("median_in_bounds"))
           .orderBy("l_returnflag")),
 
     // ---- single-pass column profiling ----------------------------
@@ -578,6 +595,43 @@ object Relational {
           t(s, dir, "orders"),
           Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
           .orderBy("column_name")),
+
+    // ---- profiling, approximate-distinct (100 TB) mode -----------
+    // Profile.profile(exactDistinct = false) is the advertised scale
+    // path (HLL++ instead of the multi-distinct Expand); its witness
+    // is the q45 bounds-check pattern — Spark compares its own approx
+    // n_distinct against its own exact n_distinct at 3·rsd (HLL++
+    // default rsd 0.05) and emits a boolean; the oracle derives the
+    // identical row from exact DuckDB aggregates, so sketch drift is
+    // a hash mismatch. Exact columns (rows/nulls/min/max) are
+    // oracle-exact directly — they are plain partial aggregates in
+    // BOTH profile modes.
+    Q("q86_profile_approx", {
+      val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      Some(cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c::VARCHAR) AS min_value, max($c::VARCHAR) AS max_value,
+           |  true AS distinct_in_bounds
+           |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+    },
+      (s, dir) => {
+        val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+        val exact = graft.operators.Profile.profile(
+          t(s, dir, "orders"), cols, exactDistinct = true)
+        val approx = graft.operators.Profile.profile(
+          t(s, dir, "orders"), cols, exactDistinct = false)
+          .select(col("column_name"), col("n_distinct").as("__nd_approx"))
+        exact.join(approx, "column_name")
+          .withColumn("distinct_in_bounds",
+            abs(col("__nd_approx").cast("double") / col("n_distinct") - 1.0) <= 0.15)
+          .select(col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_value"), col("max_value"),
+            col("distinct_in_bounds"))
+          .orderBy("column_name")
+      }),
 
     // ---- declarative data-quality expectations -------------------
     // Named boolean rules evaluated in one aggregation pass; NULL

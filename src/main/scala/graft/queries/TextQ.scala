@@ -151,6 +151,33 @@ object TextQ {
           .orderBy("cluster_size")
       }),
 
+    // ---- end-user near-dup removal (composed verb) ---------------
+    // dropNearDuplicates = lshNearDupPairs → connectedComponents →
+    // keep-min-id representative → anti-join, in one call. Witness:
+    // the surviving doc ids. Oracle: transitive closure via the same
+    // inner-scoped recursion as q71 (DuckDB 1.0 outer-WITH-RECURSIVE
+    // bug), survivors = everything except non-min cluster members.
+    Q("q87_drop_near_dups",
+      Some(s"""$sigCte,
+              |$vpairsCtes
+              |SELECT d.doc_id FROM documents d
+              |WHERE d.doc_id NOT IN (
+              |  SELECT doc_id FROM (
+              |    WITH RECURSIVE edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
+              |      UNION SELECT b_id, a_id FROM vpairs),
+              |    reach AS (
+              |      SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |      UNION
+              |      SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u)
+              |    SELECT u AS doc_id FROM reach GROUP BY u HAVING min(r) <> u
+              |  ) z)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+          .select("doc_id")
+          .orderBy("doc_id")),
+
     // ---- Gopher-style repetition statistics (per document) -------
     Q("q72_repetition_stats",
       Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents WHERE doc_id < 100),

@@ -454,6 +454,37 @@ class OperatorsSpec extends SparkSpec {
       (4L, 2L, 2L, "p q r")))
   }
 
+  test("dedupSpans: hash-key and raw-key modes agree; null-text docs keep a zero-span row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "x y a b"),
+      (4L, null.asInstanceOf[String]), // must NOT vanish from the output
+      (5L, "p q r")
+    ).toDF("doc_id", "text")
+    val raw = DedupOps.dedupSpans(df, "doc_id", "text", spanTokens = 2, hashKeys = false)
+    val hashed = DedupOps.dedupSpans(df, "doc_id", "text", spanTokens = 2, hashKeys = true)
+    assertSameData(raw, hashed)
+    val r4 = raw.where(col("doc_id") === 4).collect()
+    assert(r4.length == 1)
+    assert(r4(0).getLong(1) == 0L && r4(0).getLong(2) == 0L && r4(0).getString(3) == "")
+  }
+
+  test("expectations: empty input yields zero violations and a definite pass") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val r = Validate.expect(empty, Seq("v_nonneg" -> "v >= 0")).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_rows") == 0L)
+    assert(r(0).getAs[Long]("n_violations") == 0L)
+    assert(r(0).getAs[Boolean]("pass"))
+    // unsafe rule names are rejected before reaching the melt SQL
+    intercept[IllegalArgumentException] {
+      Validate.expect(empty, Seq("bad'name" -> "v >= 0"))
+    }
+  }
+
   test("tfidf top keywords: rarity-weighted, deterministic tie-break") {
     import spark.implicits._
     val df = Seq(
@@ -489,6 +520,112 @@ class OperatorsSpec extends SparkSpec {
     val brute = SimilarityOps.topK(df, "vec_id", "embedding", q, 5, excludeId = Some(0L))
     assert(ivf.select("vec_id").collect().map(_.getLong(0)).toSeq ==
       brute.select("vec_id").collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("k-means|| seeding: O(log k) Spark jobs, not O(k) sequential scans") {
+    import spark.implicits._
+    // 128 vectors spread over 32 distinct directions (pairs of axes).
+    val dim = 16
+    val vecs = (0 until 128).map { i =>
+      val v = Array.fill(dim)(0f)
+      v(i % dim) = 1f; v((i / 2) % dim) += 0.5f
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint()
+
+    def seedingJobs(k: Int): (Int, Int) = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val seeds = SimilarityOps.kmeansParallelSeeds(df, "vec_id", "embedding", k)
+        // listener events post asynchronously — wait until quiescent
+        var last = -1
+        var spins = 0
+        while (counter.get() != last && spins < 50) {
+          last = counter.get(); Thread.sleep(100); spins += 1
+        }
+        (counter.get(), seeds.size)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val (jobs8, n8) = seedingJobs(8)
+    val (jobs32, n32) = seedingJobs(32)
+    // Action count is 3 fixed passes + 2 per round (rounds =
+    // ceil(log2 k)) + ≤1 fill; AQE splits each action into a handful
+    // of jobs (one per exchange stage), a constant multiplier. The old
+    // farthest-first shape was k−1 corpus-scan ACTIONS minimum — ~31
+    // actions (90+ AQE jobs) at k=32.
+    def actions(k: Int) = 4 + 2 * math.max(2, (math.log(k.toDouble) / math.log(2.0)).ceil.toInt)
+    assert(n8 == 8 && n32 == 32)
+    assert(jobs8 <= 4 * actions(8), s"k=8 seeding ran $jobs8 jobs (${actions(8)} actions expected)")
+    assert(jobs32 <= 4 * actions(32), s"k=32 seeding ran $jobs32 jobs (${actions(32)} actions expected)")
+    // growth is logarithmic: quadrupling k adds ~2 rounds (4 actions),
+    // nowhere near the +24 actions the sequential shape would add
+    assert(jobs32 - jobs8 <= 4 * 6, s"seeding job growth looks linear: $jobs8 -> $jobs32")
+  }
+
+  test("trainKmeans: wrong dim or null component fails loudly") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.trainKmeans(df, "vec_id", "embedding", dim = 4, k = 2, iters = 1)
+        ._1.collect()
+    }
+    assert(e.getMessage.contains("null-free array<float> of length 4"))
+  }
+
+  test("IVF index: non-probed cluster partitions are pruned, never scanned") {
+    import spark.implicits._
+    val base = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val vecs = (0 until 30).map { i =>
+      val b = base(i % 3).clone(); b((i % 3 + 1) % 3) = (i / 3).toFloat / 100f
+      (i.toLong, b)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = base.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec")
+      .withColumn("cvec", col("cvec").cast("array<float>"))
+    withTempDir { dir =>
+      val path = s"$dir/ivf"
+      SimilarityOps.writeIvfIndex(df, "vec_id", "embedding", cents, path)
+      val q = df.where($"vec_id" === 0).select($"embedding".as("q"))
+
+      // plan shape: the scan carries a partition filter on cluster
+      val res = SimilarityOps.ivfSearchIndexed(spark, path, "vec_id", "embedding",
+        cents, q, k = 5, excludeId = Some(0L), nProbe = 1)
+      val scan = res.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("cluster"),
+        s"expected a cluster partition filter in the scan:\n${scan.take(2000)}")
+      val pruned = res.collect().map(_.getLong(0))
+      assert(pruned.nonEmpty)
+
+      // behavioral proof: corrupt a NON-probed cluster's data file;
+      // the probed search still runs (never reads it) while a full
+      // unpruned scan of the index fails on the corrupt file.
+      // (query = vec 0 -> probes cluster 0; corrupt cluster=2.)
+      val c2 = new java.io.File(s"$path/cluster=2")
+      val dataFiles = c2.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(dataFiles.nonEmpty)
+      dataFiles.foreach { f =>
+        val out = new java.io.FileOutputStream(f)
+        out.write("not a parquet file".getBytes); out.close()
+      }
+      val prunedAfter = SimilarityOps.ivfSearchIndexed(spark, path, "vec_id", "embedding",
+        cents, q, k = 5, excludeId = Some(0L), nProbe = 1).collect().map(_.getLong(0))
+      assert(prunedAfter.toSeq == pruned.toSeq)
+      intercept[Exception] {
+        spark.read.schema("vec_id LONG, embedding ARRAY<FLOAT>, nrm DOUBLE, cluster INT")
+          .parquet(path).where(col("cluster") === 2).count()
+      }
+
+      // semantics: indexed probe-1 == in-memory ivfSearch probe-1
+      val mem = SimilarityOps.ivfSearch(df, "vec_id", "embedding", cents, q,
+        k = 5, excludeId = Some(0L), nProbe = 1).collect().map(_.getLong(0))
+      assert(pruned.toSeq == mem.toSeq)
+    }
   }
 
   test("relevance plans: broadcast dimension sides, no cartesian products") {
@@ -592,6 +729,38 @@ class OperatorsSpec extends SparkSpec {
     val got = Components.connectedComponents(pairs, "a_id", "b_id", maxRounds = 12)
       .agg(countDistinct(col("cluster_id")), count(lit(1))).head
     assert(got.getLong(0) == 1 && got.getLong(1) == 256)
+  }
+
+  test("connected components frees per-round checkpoint storage eagerly") {
+    import spark.implicits._
+    // A 256-node chain needs ~8 rounds; without eager freeing each
+    // round would pin one checkpointed edge-frame (2 RDDs/round incl.
+    // the intermediate). Assert cached-RDD count right after the call
+    // is input + final frame territory, not rounds-proportional.
+    val pairs = (1L to 255L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = Components.connectedComponents(pairs, "a_id", "b_id", maxRounds = 12)
+    cc.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"per-round checkpoints leaked: $before cached RDDs before, $after after")
+  }
+
+  test("dropNearDuplicates keeps one representative per cluster and all isolated docs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "the cat sat on the mat today fine", "a"),
+      (1L, "the cat sat on the mat today fine", "a"), // exact dup of 0
+      (2L, "the cat sat on the mat today fine ok", "a"), // near dup of 0
+      (3L, "completely different words appear here entirely now", "b"),
+      (4L, "another unrelated document body with its own tokens", "b")
+    ).toDF("doc_id", "text", "src")
+    val kept = DedupOps.dropNearDuplicates(df, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+    assert(kept.columns.toSeq == df.columns.toSeq) // schema preserved
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // 0,1,2 form one cluster -> representative 0 survives; 3,4 isolated
+    assert(ids == Set(0L, 3L, 4L))
   }
 
   test("connected components fails loudly when round budget is too small") {
