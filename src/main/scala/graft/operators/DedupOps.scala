@@ -141,7 +141,15 @@ object DedupOps {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 2, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5): DataFrame =
+    verifyJaccard(df, idCol, textCol,
+      lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand), minJaccard)
+
+  /** LSH candidate pairs (a_id < b_id) from any band collision —
+    * shared generator for [[lshNearDupPairs]] (symmetric Jaccard) and
+    * [[containmentPairs]] (asymmetric containment). */
+  private def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                                bands: Int, rowsPerBand: Int): DataFrame = {
     // The signature frame feeds both sides of every per-band self-join
     // (2*bands plan references). localCheckpoint (not just persist)
     // both computes the char-level hashing once AND truncates the
@@ -159,22 +167,64 @@ object DedupOps {
     // avoids re-running the band self-joins per reference, and the
     // blocks are reclaimed when the frame is GC'd instead of pinning
     // the cache manager until a caller clears it (the round-2 leak).
-    val pairs = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val x = sigs.select(col("id").as("a_id"), col(s"band$b").as("bk"))
       val y = sigs.select(col("id").as("b_id"), col(s"band$b").as("bk"))
       x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
     }.reduce(_ unionAll _).distinct().localCheckpoint()
-
-    verifyJaccard(df, idCol, textCol, pairs, minJaccard)
   }
 
-  /** Exact Jaccard verification over distinct 3-shingle sets for the
-    * docs appearing in `pairs` (a_id/b_id) only — the corpus is
-    * semi-join-pruned to candidates BEFORE the shingle explode, so
-    * the expensive stage scales with candidate count, not corpus
-    * size. Shared by every near-dup candidate generator. */
+  /** Asymmetric near-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
+    * distinct 3-shingle sets, for LSH candidate pairs. Containment
+    * catches what symmetric Jaccard misses — a short document quoted
+    * inside a much longer one scores near 1.0 containment but low
+    * Jaccard (the intersection is small relative to the union). The
+    * standard curation use: drop documents mostly CONTAINED in
+    * another (boilerplate wrappers, quote-inflated pages).
+    *
+    * Output: `(a_id, b_id, containment_a, containment_b)` for pairs
+    * where EITHER direction ≥ `minContainment` (containment_a =
+    * overlap/|A|'s shingles). Caveat shared with all MinHash LSH:
+    * candidates surface on symmetric-signature collisions, so a tiny
+    * A buried in a huge B can evade banding — lower `rowsPerBand` or
+    * add [[winnowSharedPairs]]'s fingerprint route when asymmetric
+    * recall matters.
+    *
+    * Scale shape: identical to [[lshNearDupPairs]] — banded
+    * candidates, id-only shuffles, shingle work semi-join-pruned to
+    * candidates. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 2, rowsPerBand: Int = 4,
+                       minContainment: Double = 0.6): DataFrame = {
+    val stats = pairShingleStats(df, idCol, textCol,
+      lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand))
+    stats
+      .withColumn("containment_a", col("n_common").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("n_b"))
+      .where(col("containment_a") >= minContainment ||
+        col("containment_b") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("containment_a"), col("containment_b"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Exact Jaccard verification over [[pairShingleStats]], filtered
+    * at `minJaccard`. Shared by every near-dup candidate generator. */
   private def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
-                            pairs: DataFrame, minJaccard: Double): DataFrame = {
+                            pairs: DataFrame, minJaccard: Double): DataFrame =
+    pairShingleStats(df, idCol, textCol, pairs)
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy("a_id", "b_id")
+
+  /** Exact distinct-3-shingle overlap stats `(a_id, b_id, n_common,
+    * n_a, n_b)` for the docs appearing in `pairs` only — the corpus
+    * is semi-join-pruned to candidates BEFORE the shingle explode, so
+    * the expensive stage scales with candidate count, not corpus
+    * size. Shared by Jaccard and containment verification. */
+  private def pairShingleStats(df: DataFrame, idCol: String, textCol: String,
+                               pairs: DataFrame): DataFrame = {
     val candIds = pairs.select(col("a_id").as("__cand_id"))
       .unionAll(pairs.select(col("b_id").as("__cand_id"))).distinct()
     val pruned = df.join(candIds, col(idCol) === col("__cand_id"), "left_semi")
@@ -195,11 +245,6 @@ object DedupOps {
     common
       .join(sizes.select(col("id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("n_sh").as("n_b")), "b_id")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** The end-user near-dup removal verb: keep ONE representative per
@@ -229,6 +274,49 @@ object DedupOps {
     val dropIds = clusters.where(col("id") =!= col("cluster_id"))
       .select(col("id").as("__drop_id"))
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** Substring-sharing candidate pairs from winnowed (MOSS)
+    * fingerprints: documents sharing at least `minShared` distinct
+    * window-min fingerprints (see
+    * [[TextOps.withWinnowedFingerprints]] — any shared
+    * `k + w - 1`-char substring is guaranteed to share one). This is
+    * the asymmetric/clone-detection route near-dup LSH misses: a
+    * paragraph copied into an otherwise-different document still
+    * shares its fingerprints.
+    *
+    * Hot-fingerprint guard: fingerprints occurring in more than
+    * `maxDf` documents (boilerplate n-grams — the stopwords of
+    * fingerprint space) are EXCLUDED before the self-join, bounding
+    * per-fingerprint pair work at maxDf²/2 — the [[blockedJaccardPairs]]
+    * tradeoff: pairs whose entire overlap is ultra-common substrings
+    * are missed, which is usually the point. Output: `(a_id, b_id,
+    * n_shared)`, both directions' ids with a_id < b_id.
+    *
+    * Scale shape: fingerprints are 8-byte longs; the explode is
+    * bounded by corpus chars / w; df-counting is one partial-agg
+    * groupBy; the self-join shuffles (fp, id) pairs only and its
+    * fan-out is capped by maxDf. */
+  def winnowSharedPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, w: Int = 4,
+                        minShared: Int = 2, maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      "minShared must be >= 1 and maxDf >= 2 (a pair needs two docs per fingerprint)")
+    val fps = TextOps.withWinnowedFingerprints(df, textCol, k, w)
+      .select(col(idCol).as("id"), explode(col("fps")).as("fp"))
+      .distinct() // per-doc fingerprint SET
+      .localCheckpoint() // feeds the df-count agg and both join sides
+    val usable = fps.groupBy("fp")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("fp")
+    val pruned = fps.join(usable, "fp")
+    pruned.select(col("id").as("a_id"), col("fp"))
+      .join(pruned.select(col("id").as("b_id"), col("fp")), "fp")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("a_id", "b_id")
   }
 
   /** SimHash near-dup pairs: `bits`-bit simhash, banded into `bands`

@@ -23,13 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** One row per profiled column, with the HLL++ sketch CHECKED
+    * against the exact distinct count in the SAME single aggregation
+    * pass: `(column_name, n_rows, n_nulls, n_distinct, min_value,
+    * max_value, distinct_in_bounds)` where `distinct_in_bounds` =
+    * |approx/exact − 1| ≤ `maxRelErr` (default 3·rsd for HLL++'s
+    * default rsd 0.05). One scan, one Expand — NOT two profile
+    * passes; this is the witness surface for the approx mode's error
+    * contract. */
+  def profileChecked(df: DataFrame, cols: Seq[String],
+                     maxRelErr: Double = 0.15): DataFrame = {
+    val base = profile(df, cols, exactDistinct = true, approxCheck = true)
+    base
+      .withColumn("distinct_in_bounds",
+        abs(col("__nd_approx").cast("double") / col("n_distinct") - 1.0) <= maxRelErr)
+      .drop("__nd_approx")
+  }
+
   /** One row per profiled column:
     * `(column_name, n_rows, n_nulls, n_distinct, min_value,
     * max_value)`. `exactDistinct = false` uses
     * `approx_count_distinct` (HLL++, default rsd) — the 100 TB
-    * setting; keep exact for oracle-verified runs. */
+    * setting; keep exact for oracle-verified runs. With
+    * `approxCheck = true` (see [[profileChecked]]) an extra
+    * `__nd_approx` column carries the HLL++ estimate alongside the
+    * exact count, still in one pass. */
   def profile(df: DataFrame, cols: Seq[String],
-              exactDistinct: Boolean = true): DataFrame = {
+              exactDistinct: Boolean = true,
+              approxCheck: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in dataframe: ${missing.mkString(", ")}")
@@ -45,13 +66,17 @@ object Profile {
         (if (exactDistinct) countDistinct(col(c))
          else approx_count_distinct(col(c))).as(s"__nd_$c"),
         min(col(c).cast("string")).as(s"__mn_$c"),
-        max(col(c).cast("string")).as(s"__mx_$c"))
+        max(col(c).cast("string")).as(s"__mx_$c")) ++
+        (if (approxCheck) Seq(approx_count_distinct(col(c)).as(s"__na_$c")) else Nil)
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     // Melt the single stats row into one row per column.
+    val outCols = "column_name, n_rows, n_nulls, n_distinct, min_value, max_value" +
+      (if (approxCheck) ", __nd_approx" else "")
     one.select(expr(
       s"stack(${cols.size}, " +
-        cols.map(c => s"'$c', __n, __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ") +
-        ") AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"))
+        cols.map(c => s"'$c', __n, __nn_$c, __nd_$c, __mn_$c, __mx_$c" +
+          (if (approxCheck) s", __na_$c" else "")).mkString(", ") +
+        s") AS ($outCols)"))
   }
 }

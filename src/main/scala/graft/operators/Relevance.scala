@@ -52,6 +52,39 @@ object Relevance {
   def documentFrequencies(tf: DataFrame): DataFrame =
     tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
 
+  /** Per-document vocabulary coverage against the corpus's own
+    * top-`vocabSize` tokens (by count, token-lexical tie-break —
+    * deterministic): `(idCol, n_toks, n_oov)` where `n_oov` counts
+    * token OCCURRENCES outside the vocabulary. The out-of-vocabulary
+    * rate is the standard pre-tokenizer health check (a rising OOV
+    * rate on a new drop of data means the tokenizer/vocab no longer
+    * fits the distribution). Zero-token and null-text documents keep
+    * a row with `n_toks = 0`.
+    *
+    * Scale shape: vocabulary selection is a partial-aggregated token
+    * count + top-k (TakeOrdered on the vocabulary-bounded count
+    * table); the vocab is broadcast, so annotating the corpus adds NO
+    * shuffle of the big side; one groupBy on the doc id. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val tok = TextOps.withTokens(df, textCol, "__toks")
+      .select(col(idCol), explode(col("__toks")).as("token"))
+    val vocab = broadcast(
+      tok.groupBy(col("token")).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("token")).limit(vocabSize)
+        .select(col("token"), lit(1).as("__in_vocab")))
+    val stats = tok.join(vocab, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .withColumn("n_toks", coalesce(col("n_toks"), lit(0L)))
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+  }
+
   /** Top-`k` keywords per document by rarity-weighted term frequency
     * `tf * N / df` (rational idf — see class doc), deterministic
     * tie-break on the token. Output: `(idCol, rk, token, tf, dfreq)`.

@@ -340,6 +340,71 @@ object SimilarityOps {
     (toDf(cents), objective.result())
   }
 
+  /** Symmetric per-vector int8 quantization — the ANN index
+    * compression step (4× smaller storage/shuffle than float32, the
+    * standard first rung before product quantization): `scale` =
+    * max |component| (double), `code_i` = floor(x_i·127/scale + 0.5)
+    * ∈ [−127, 127]; an all-zero vector quantizes to all-zero codes
+    * with scale 0. Dequantize as `code_i·scale/127`.
+    *
+    * Everything is a per-row codegen'd expression — no shuffle, no
+    * UDF — and the arithmetic is plain IEEE double ops in a fixed
+    * order, so codes are bitwise-reproducible across engines
+    * (oracle-witnessed; float→double is exact). Adds `codesCol`
+    * (array<int>) and `scaleCol` (double). */
+  def withQuantizedInt8(df: DataFrame, vecCol: String,
+                        codesCol: String = "q8",
+                        scaleCol: String = "q8_scale"): DataFrame = {
+    val collisions = df.columns.toSet.intersect(Set(codesCol, scaleCol))
+    require(collisions.isEmpty,
+      s"withQuantizedInt8 output columns collide with input: ${collisions.mkString(", ")}")
+    df.withColumn(scaleCol, expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (qacc, qx) -> greatest(qacc, abs(CAST(qx AS DOUBLE))))"))
+      .withColumn(codesCol, expr(
+        s"CASE WHEN $scaleCol = 0.0 THEN transform($vecCol, qz -> 0) " +
+          s"ELSE transform($vecCol, qv -> CAST(floor((CAST(qv AS DOUBLE) * 127.0) / $scaleCol + 0.5) AS INT)) END"))
+  }
+
+  /** Per-label centroid outlier scoring for LABELED embedding
+    * corpora — the "prune vectors that don't belong to their class"
+    * curation gate: each label's centroid is the component-wise
+    * FIXED-POINT mean (components rounded to 1e-9 with
+    * floor(x·1e9 + 0.5), summed as exact integers) — identical at
+    * any parallelism (float partial-merge order never leaks into it)
+    * AND bitwise-portable across engines, unlike decimal casts whose
+    * tie-rounding mode differs. Every vector gets `centroid_cos`,
+    * its cosine to its OWN label's centroid, via a strict
+    * left-to-right fold (bitwise-reproducible).
+    *
+    * Scale shape: one posexplode + partial-agg groupBy over
+    * (label, dim) — shuffle rows bounded by labels·dim, NOT corpus
+    * size; centroids broadcast back (label-cardinality dim table);
+    * scoring is per-row, no further shuffle. */
+  def labelCentroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String): DataFrame = {
+    val reserved = Set("__idx", "__comp", "__cvec", "centroid_cos")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"labelCentroidOutliers reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val comp = df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("__idx", "__comp")))
+    // float → double (exact) → fixed-point long: floor(x·1e9 + 0.5)
+    // is the same IEEE ops in every engine (decimal casts are NOT —
+    // tie-rounding modes differ), and the long sum is exact.
+    val cent = comp.groupBy(col(labelCol), col("__idx"))
+      .agg((sum(expr("CAST(floor(CAST(__comp AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)"))
+        .cast("double") / (count(lit(1)).cast("double") * lit(1.0e9))).as("__c"))
+    val cvec = cent.groupBy(col(labelCol))
+      .agg(expr("transform(array_sort(collect_list(struct(__idx, __c))), kv -> kv.__c)")
+        .as("__cvec"))
+    df.join(broadcast(cvec), Seq(labelCol))
+      .withColumn("centroid_cos", expr(
+        s"aggregate(zip_with($vecCol, __cvec, (zx, zy) -> CAST(zx AS DOUBLE) * zy), CAST(0.0 AS DOUBLE), (za, zb) -> za + zb) / " +
+          s"(${VectorSql.spark.norm(vecCol)} * " +
+          s"sqrt(aggregate(zip_with(__cvec, __cvec, (wx, wy) -> wx * wy), CAST(0.0 AS DOUBLE), (wa, wb) -> wa + wb)))"))
+      .drop("__cvec")
+  }
+
   /** Deterministic random-projection dimensionality reduction:
     * project each embedding onto `k` pseudo-random integer
     * hyperplanes (the shared [[graft.functions.VectorSql.planeComponent]]

@@ -174,6 +174,81 @@ object EmbedQ {
           t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64, minSim = 0.25,
           bands = 2, planesPerBand = 12)),
 
+    // ---- int8 embedding quantization -----------------------------
+    // Symmetric per-vector quantization (scale = max|x|, codes in
+    // [-127,127]) — the 4× index-compression step. Codes are exact
+    // integer outputs of fixed-order IEEE double ops, so BOTH engines
+    // compute identical codes (sum/min/max/Σq² witnessed); the
+    // dequantization-fidelity boolean is the q45 bounds-check pattern
+    // (scale cancels in cosine, so cos(x, deq) = cos(x, codes)).
+    Q("q90_quantize_int8",
+      Some("""WITH s AS (SELECT vec_id, embedding,
+             |  list_max(list_transform(embedding, qx -> abs(qx::DOUBLE))) AS scale
+             |  FROM embeddings),
+             |c AS (SELECT vec_id, scale,
+             |  CASE WHEN scale = 0 THEN list_transform(embedding, qz -> 0)
+             |       ELSE list_transform(embedding, qv -> floor((qv::DOUBLE * 127.0) / scale + 0.5)::INT) END AS codes
+             |  FROM s)
+             |SELECT vec_id,
+             |  list_reduce(list_prepend(0::BIGINT, list_transform(codes, cc -> cc::BIGINT)), (sa, sb) -> sa + sb) AS sum_q,
+             |  list_min(codes)::INT AS min_q, list_max(codes)::INT AS max_q,
+             |  list_reduce(list_prepend(0::BIGINT, list_transform(codes, cd -> cd::BIGINT * cd::BIGINT)), (pa, pb) -> pa + pb) AS dot_qq,
+             |  true AS cos_in_bounds
+             |FROM c WHERE vec_id < 200 ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.withQuantizedInt8(
+          t(s, dir, "embeddings").where(col("vec_id") < 200), "embedding")
+          .withColumn("sum_q", expr(
+            "aggregate(q8, CAST(0 AS BIGINT), (sa, sx) -> sa + CAST(sx AS BIGINT))"))
+          .withColumn("min_q", array_min(col("q8")))
+          .withColumn("max_q", array_max(col("q8")))
+          .withColumn("dot_qq", expr(
+            "aggregate(q8, CAST(0 AS BIGINT), (pa, px) -> pa + CAST(px AS BIGINT) * CAST(px AS BIGINT))"))
+          .withColumn("cos_in_bounds", expr(
+            "CASE WHEN q8_scale = 0.0 THEN true ELSE " +
+              "aggregate(zip_with(embedding, q8, (zx, zq) -> CAST(zx AS DOUBLE) * zq), CAST(0.0 AS DOUBLE), (za, zb) -> za + zb) / " +
+              s"(${VectorSql.spark.norm("embedding")} * sqrt(CAST(dot_qq AS DOUBLE))) >= 0.99 END"))
+          .select(col("vec_id"), col("sum_q"), col("min_q"), col("max_q"),
+            col("dot_qq"), col("cos_in_bounds"))
+          .orderBy("vec_id")),
+
+    // ---- per-label centroid outlier scoring ----------------------
+    // Class-conditional embedding quality gate: fixed-point (1e-9)
+    // centroid means per label — exact integer sums, parallelism-
+    // independent AND bitwise-portable (decimal casts are not: the
+    // engines' tie-rounding modes differ, which showed up as an
+    // 11th-digit min_cos mismatch) — then cosine of every vector to
+    // its OWN label centroid via strict left-to-right folds.
+    Q("q92_centroid_outliers",
+      Some(s"""WITH pos AS (SELECT label, embedding,
+              |  unnest(range(1, len(embedding) + 1)) AS idx FROM embeddings),
+              |comp AS (SELECT label, idx, embedding[idx]::DOUBLE AS comp FROM pos),
+              |cent AS (SELECT label, idx,
+              |  (sum(CAST(floor(comp * 1000000000.0 + 0.5) AS BIGINT))::BIGINT)::DOUBLE
+              |    / ((count(*)::BIGINT)::DOUBLE * 1000000000.0) AS c
+              |  FROM comp GROUP BY label, idx),
+              |cv AS (SELECT label, list(c ORDER BY idx) AS cvec FROM cent GROUP BY label),
+              |sc AS (SELECT e.vec_id, e.label,
+              |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+              |    di -> e.embedding[di]::DOUBLE * cvec[di])), (da, db) -> da + db)
+              |  / (sqrt(${D.dot("e.embedding", "e.embedding")}) *
+              |     sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(cvec) + 1),
+              |       ei -> cvec[ei] * cvec[ei])), (ea, eb) -> ea + eb))) AS ccos
+              |  FROM embeddings e JOIN cv USING (label))
+              |SELECT label, count(*)::BIGINT AS n,
+              |  sum(CASE WHEN ccos < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+              |  min(ccos) AS min_cos
+              |FROM sc GROUP BY label ORDER BY label""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.labelCentroidOutliers(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("centroid_cos") < 0.5, 1L).otherwise(0L)).as("n_outliers"),
+            min(col("centroid_cos")).as("min_cos"))
+          .orderBy("label")),
+
     // ---- embedding-cosine near-dup pair counts (blocked) ---------
     Q("q43_embed_near_dup",
       Some(s"""WITH x AS (SELECT label, vec_id, embedding FROM embeddings)

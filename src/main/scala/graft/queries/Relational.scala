@@ -617,21 +617,11 @@ object Relational {
            |FROM orders""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
     },
-      (s, dir) => {
-        val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
-        val exact = graft.operators.Profile.profile(
-          t(s, dir, "orders"), cols, exactDistinct = true)
-        val approx = graft.operators.Profile.profile(
-          t(s, dir, "orders"), cols, exactDistinct = false)
-          .select(col("column_name"), col("n_distinct").as("__nd_approx"))
-        exact.join(approx, "column_name")
-          .withColumn("distinct_in_bounds",
-            abs(col("__nd_approx").cast("double") / col("n_distinct") - 1.0) <= 0.15)
-          .select(col("column_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"), col("min_value"), col("max_value"),
-            col("distinct_in_bounds"))
-          .orderBy("column_name")
-      }),
+      (s, dir) =>
+        graft.operators.Profile.profileChecked(
+          t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+          .orderBy("column_name")),
 
     // ---- declarative data-quality expectations -------------------
     // Named boolean rules evaluated in one aggregation pass; NULL

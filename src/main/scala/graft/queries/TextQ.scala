@@ -28,10 +28,11 @@ object TextQ {
        |sh AS (SELECT doc_id, text, $duckShingles AS shs FROM toks),
        |sig AS (SELECT doc_id, ${minhashCols(8)} FROM sh)""".stripMargin
 
-  /** Verified LSH near-dup pairs (2×4 band collisions → exact shingle
-    * Jaccard ≥ 0.2) as composable CTEs after [[sigCte]] — shared by
-    * q33 (the pair list) and q71 (transitive clusters over it). */
-  private val vpairsCtes =
+  /** LSH candidate pairs + exact shingle overlap stats (2×4 band
+    * collisions → per-pair n_common / n_sh sizes) as composable CTEs
+    * after [[sigCte]] — the shared candidate stage for symmetric
+    * Jaccard ([[vpairsCtes]]) and asymmetric containment (q89). */
+  private val candCtes =
     s"""b AS (SELECT doc_id,
        |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
        |  m4::VARCHAR || '|' || m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR AS band1
@@ -47,7 +48,13 @@ object TextQ {
        |  FROM pairs p
        |  JOIN shex sa ON sa.doc_id = p.a_id
        |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
-       |  GROUP BY p.a_id, p.b_id),
+       |  GROUP BY p.a_id, p.b_id)""".stripMargin
+
+  /** Verified LSH near-dup pairs (exact shingle Jaccard ≥ 0.2) over
+    * [[candCtes]] — shared by q33 (the pair list) and q71/q79/q87
+    * (transitive clusters over it). */
+  private val vpairsCtes =
+    s"""$candCtes,
        |vpairs AS (
        |  SELECT c.a_id, c.b_id,
        |    c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
@@ -149,6 +156,84 @@ object TextQ {
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
           .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
           .orderBy("cluster_size")
+      }),
+
+    // ---- asymmetric containment pairs ----------------------------
+    // C(A→B) = |A∩B|/|A| over distinct 3-shingle sets for the same
+    // LSH candidates as q33 — the quote/boilerplate-inclusion signal
+    // symmetric Jaccard dilutes. Single IEEE divisions of exact
+    // integers; bitwise-portable.
+    Q("q89_containment_pairs",
+      Some(s"""$sigCte,
+              |$candCtes
+              |SELECT c.a_id, c.b_id,
+              |  c.n_common::DOUBLE / za.n_sh AS containment_a,
+              |  c.n_common::DOUBLE / zb.n_sh AS containment_b
+              |FROM common c
+              |JOIN sizes za ON za.doc_id = c.a_id
+              |JOIN sizes zb ON zb.doc_id = c.b_id
+              |WHERE c.n_common::DOUBLE / za.n_sh >= 0.6
+              |   OR c.n_common::DOUBLE / zb.n_sh >= 0.6
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minContainment = 0.6)),
+
+    // ---- out-of-vocabulary rate (tokenizer health check) ---------
+    // Vocabulary = corpus top-20 tokens (count desc, token asc —
+    // deterministic); OOV counts occurrences outside it, aggregated
+    // per language. Single division of exact integer sums.
+    Q("q88_oov_rate",
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS t FROM documents),
+              |tok AS (SELECT doc_id, lang, unnest(t) AS token FROM toks),
+              |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+              |vocab AS (SELECT token FROM cnt ORDER BY c DESC, token LIMIT 20),
+              |ann AS (SELECT tk.doc_id, tk.lang,
+              |  CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+              |  FROM tok tk LEFT JOIN vocab v USING (token))
+              |SELECT lang, count(*)::BIGINT AS n_tok_occurrences,
+              |  sum(oov)::BIGINT AS n_oov,
+              |  (sum(oov)::BIGINT)::DOUBLE / ((count(*)::BIGINT)::DOUBLE) AS oov_rate
+              |FROM ann GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.Relevance.vocabCoverage(docs, "doc_id", "text", vocabSize = 20)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(
+            sum(col("n_toks")).as("n_tok_occurrences"),
+            sum(col("n_oov")).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tok_occurrences").cast("double"))
+          .orderBy("lang")
+      }),
+
+    // ---- winnowed-fingerprint substring-sharing pairs ------------
+    // MOSS-style clone candidates: docs sharing >= 12 sufficiently
+    // rare winnow fingerprints. The df cap scales WITH the corpus
+    // (8% of doc count, floor) — an absolute cap either admits
+    // everything at one scale or nothing at another (this corpus's
+    // tiny vocabulary makes every fingerprint's df grow linearly
+    // with sf); both engines derive the cap from the same count.
+    Q("q91_winnow_pairs",
+      Some(s"""WITH kh AS (SELECT doc_id, text, ${D.kgramHashes("text", 5)} AS h FROM documents),
+              |fp AS (SELECT doc_id,
+              |  CASE WHEN length(text) >= 8 THEN ${D.winnowFromHashes("h", 4)}
+              |       ELSE [${D.rollingHash("text")}] END AS fps FROM kh),
+              |fx AS (SELECT DISTINCT doc_id, f FROM (SELECT doc_id, unnest(fps) AS f FROM fp)),
+              |dfc AS (SELECT f, count(*) AS dfx FROM fx GROUP BY f),
+              |usable AS (SELECT f FROM dfc
+              |  WHERE dfx >= 2 AND dfx::DOUBLE <= (SELECT count(*) FROM documents)::DOUBLE * 0.08),
+              |fu AS (SELECT fx.doc_id, fx.f FROM fx JOIN usable USING (f))
+              |SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*)::BIGINT AS n_shared
+              |FROM fu x JOIN fu y ON y.f = x.f AND x.doc_id < y.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 12
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val maxDf = math.max(2, (docs.count().toDouble * 0.08).toInt)
+        DedupOps.winnowSharedPairs(docs, "doc_id", "text",
+          k = 5, w = 4, minShared = 12, maxDf = maxDf)
       }),
 
     // ---- end-user near-dup removal (composed verb) ---------------

@@ -434,6 +434,10 @@ class OperatorsSpec extends SparkSpec {
     val ap = Profile.profile(df, Seq("k"), exactDistinct = false).collect()(0)
     assert(ap.getAs[Long]("n_distinct") == 2L)
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
+    // checked mode: exact + HLL++ in ONE pass, bounds boolean emitted
+    val pc = Profile.profileChecked(df, Seq("k", "s")).orderBy("column_name").collect()
+    assert(pc.map(_.toSeq.take(6)).toSeq == p.map(_.toSeq).toSeq)
+    assert(pc.forall(_.getAs[Boolean]("distinct_in_bounds")))
   }
 
   test("span dedup: keep-first across corpus, cleaned text rebuilt in order") {
@@ -452,6 +456,89 @@ class OperatorsSpec extends SparkSpec {
       (2L, 2L, 0L, ""),
       (3L, 2L, 1L, "x y"),
       (4L, 2L, 2L, "p q r")))
+  }
+
+  test("containment pairs: quote-inside-long-doc scores high containment, low jaccard") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, quote), // 4 distinct 3-shingles
+      (2L, quote + " coda"), // superset: 5 shingles, all of doc 1's
+      (3L, "completely different content here with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val r = DedupOps.containmentPairs(df, "doc_id", "text",
+      bands = 2, rowsPerBand = 2, minContainment = 0.9)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    // every shingle of doc 1 appears in doc 2 -> containment_a = 1.0
+    assert(row.getDouble(2) == 1.0)
+    assert(row.getDouble(3) == 0.8) // 4 of doc 2's 5 shingles
+    // symmetric jaccard at the same bar misses this pair entirely
+    assert(DedupOps.lshNearDupPairs(df, "doc_id", "text", 2, 2, minJaccard = 0.9).count() == 0)
+  }
+
+  test("winnow shared pairs: copied passage detected, boilerplate fingerprints excluded") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, s"unique opening text here $passage unique closing text here"),
+      (2L, s"totally different frame around $passage with other words"),
+      (3L, "zzqqz vvkkv mmxmm wwyww ppfpp ggjgg bbnbb ddhdd") // disjoint 5-grams
+    ).toDF("doc_id", "text")
+    val r = DedupOps.winnowSharedPairs(df, "doc_id", "text",
+      k = 5, w = 4, minShared = 3, maxDf = 50)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length == 1 && r(0)._1 == 1L && r(0)._2 == 2L && r(0)._3 >= 3L)
+    // a fingerprint present in EVERY doc is boilerplate: maxDf = 2
+    // excludes fingerprints shared by all 3 docs
+    val all3 = Seq((1L, passage), (2L, passage), (3L, passage)).toDF("doc_id", "text")
+    assert(DedupOps.winnowSharedPairs(all3, "doc_id", "text", 5, 4,
+      minShared = 1, maxDf = 2).count() == 0)
+  }
+
+  test("vocab coverage: OOV occurrences counted, empty docs keep a row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // vocabSize 1 -> vocab = {common} (count 3, highest)
+    val r = Relevance.vocabCoverage(df, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r(0) == ((1L, 3L, 1L))) // "rare" is OOV
+    assert(r(1) == ((2L, 2L, 1L))) // "other" is OOV
+    assert(r(2) == ((3L, 0L, 0L))) // null text -> zero-token row, not dropped
+  }
+
+  test("int8 quantization: codes bounded, roundtrip cosine ~1, zero vector safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = SimilarityOps.withQuantizedInt8(df, "embedding").orderBy("vec_id").collect()
+    val c1 = q(0).getSeq[Int](q(0).fieldIndex("q8")).toSeq
+    assert(q(0).getAs[Double]("q8_scale") == 1.0)
+    assert(c1 == Seq(127, -63, 32, 0)) // e.g. floor(-0.5*127 + 0.5) = -63
+    val c2 = q(1).getSeq[Int](q(1).fieldIndex("q8")).toSeq
+    assert(q(1).getAs[Double]("q8_scale") == 0.0 && c2.forall(_ == 0))
+  }
+
+  test("label centroid outliers: own-cluster vectors score near 1, planted outlier flagged") {
+    import spark.implicits._
+    val a = (0 until 5).map(i => (i.toLong, Array(1f, 0.01f * i, 0f), "a"))
+    val b = (5 until 10).map(i => (i.toLong, Array(0f, 1f, 0.01f * i), "b"))
+    val outlier = Seq((10L, Array(0f, 0f, 1f), "a")) // points away from label-a centroid
+    val df = (a ++ b ++ outlier).toDF("vec_id", "embedding", "label")
+    val r = SimilarityOps.labelCentroidOutliers(df, "vec_id", "embedding", "label")
+      .select("vec_id", "centroid_cos").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    (0L until 5L).foreach(i => assert(r(i) > 0.9, s"vec $i: ${r(i)}"))
+    (5L until 10L).foreach(i => assert(r(i) > 0.9, s"vec $i: ${r(i)}"))
+    assert(r(10L) < 0.5, s"outlier not flagged: ${r(10L)}")
   }
 
   test("dedupSpans: hash-key and raw-key modes agree; null-text docs keep a zero-span row") {
