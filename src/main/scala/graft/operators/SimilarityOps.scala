@@ -397,11 +397,15 @@ object SimilarityOps {
     val cvec = cent.groupBy(col(labelCol))
       .agg(expr("transform(array_sort(collect_list(struct(__idx, __c))), kv -> kv.__c)")
         .as("__cvec"))
+    // A zero vector or zero centroid (cancelling components) has no
+    // direction: emit NULL, never a NaN that poisons downstream
+    // min()/comparisons silently.
+    val denom = s"(${VectorSql.spark.norm(vecCol)} * " +
+      s"sqrt(aggregate(zip_with(__cvec, __cvec, (wx, wy) -> wx * wy), CAST(0.0 AS DOUBLE), (wa, wb) -> wa + wb)))"
     df.join(broadcast(cvec), Seq(labelCol))
       .withColumn("centroid_cos", expr(
-        s"aggregate(zip_with($vecCol, __cvec, (zx, zy) -> CAST(zx AS DOUBLE) * zy), CAST(0.0 AS DOUBLE), (za, zb) -> za + zb) / " +
-          s"(${VectorSql.spark.norm(vecCol)} * " +
-          s"sqrt(aggregate(zip_with(__cvec, __cvec, (wx, wy) -> wx * wy), CAST(0.0 AS DOUBLE), (wa, wb) -> wa + wb)))"))
+        s"CASE WHEN $denom = 0.0 THEN CAST(NULL AS DOUBLE) ELSE " +
+          s"aggregate(zip_with($vecCol, __cvec, (zx, zy) -> CAST(zx AS DOUBLE) * zy), CAST(0.0 AS DOUBLE), (za, zb) -> za + zb) / $denom END"))
       .drop("__cvec")
   }
 

@@ -209,12 +209,16 @@ object TextQ {
       }),
 
     // ---- winnowed-fingerprint substring-sharing pairs ------------
-    // MOSS-style clone candidates: docs sharing >= 12 sufficiently
+    // MOSS-style clone candidates: docs sharing >= 2 sufficiently
     // rare winnow fingerprints. The df cap scales WITH the corpus
-    // (8% of doc count, floor) — an absolute cap either admits
+    // (4% of doc count, floor) — an absolute cap either admits
     // everything at one scale or nothing at another (this corpus's
     // tiny vocabulary makes every fingerprint's df grow linearly
     // with sf); both engines derive the cap from the same count.
+    // 4% sits below this corpus's bimodal df split (rare shared
+    // passages vs corpus-wide boilerplate): join volume 22.5k pairs
+    // at sf0.1 vs 14M at an 8% cap — the df histogram, not the
+    // output size, is what the cap controls.
     Q("q91_winnow_pairs",
       Some(s"""WITH kh AS (SELECT doc_id, text, ${D.kgramHashes("text", 5)} AS h FROM documents),
               |fp AS (SELECT doc_id,
@@ -223,17 +227,17 @@ object TextQ {
               |fx AS (SELECT DISTINCT doc_id, f FROM (SELECT doc_id, unnest(fps) AS f FROM fp)),
               |dfc AS (SELECT f, count(*) AS dfx FROM fx GROUP BY f),
               |usable AS (SELECT f FROM dfc
-              |  WHERE dfx >= 2 AND dfx::DOUBLE <= (SELECT count(*) FROM documents)::DOUBLE * 0.08),
+              |  WHERE dfx >= 2 AND dfx::DOUBLE <= (SELECT count(*) FROM documents)::DOUBLE * 0.04),
               |fu AS (SELECT fx.doc_id, fx.f FROM fx JOIN usable USING (f))
               |SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*)::BIGINT AS n_shared
               |FROM fu x JOIN fu y ON y.f = x.f AND x.doc_id < y.doc_id
-              |GROUP BY 1, 2 HAVING count(*) >= 12
+              |GROUP BY 1, 2 HAVING count(*) >= 2
               |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val maxDf = math.max(2, (docs.count().toDouble * 0.08).toInt)
+        val maxDf = math.max(2, (docs.count().toDouble * 0.04).toInt)
         DedupOps.winnowSharedPairs(docs, "doc_id", "text",
-          k = 5, w = 4, minShared = 12, maxDf = maxDf)
+          k = 5, w = 4, minShared = 2, maxDf = maxDf)
       }),
 
     // ---- end-user near-dup removal (composed verb) ---------------

@@ -55,6 +55,32 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("winnow fingerprint df cap bounds the clone-pair candidate mass") {
+    import graft.operators.TextOps
+    // Worst case for fingerprint space: a tiny vocabulary makes most
+    // 5-grams corpus-wide boilerplate — exactly this repo's synthetic
+    // corpus shape. The candidate mass is Σ df·(df-1)/2 over the
+    // fingerprints the self-join actually keeps.
+    val fps = TextOps.withWinnowedFingerprints(corpus, "text", k = 5, w = 4)
+      .select(col("doc_id"), explode(col("fps")).as("fp")).distinct()
+      .localCheckpoint()
+    val dfs = fps.groupBy("fp").agg(count(lit(1)).as("k")).localCheckpoint()
+    val n = 10000L
+    val maxDf = (n * 0.02).toLong // the operator's hot-fingerprint cap
+    val uncapped = dfs.agg(sum(expr("k * (k - 1) div 2"))).head.getLong(0)
+    val kept = dfs.where(col("k") <= maxDf)
+    val capped = kept.agg(coalesce(sum(expr("k * (k - 1) div 2")), lit(0L))).head.getLong(0)
+    val keptRows = kept.agg(coalesce(sum(col("k")), lit(0L))).head.getLong(0)
+    // the structural guarantee the cap buys: per-fingerprint pair work
+    // ≤ df·maxDf/2, so total mass ≤ maxDf/2 · kept (fp, doc) rows —
+    // LINEAR in the kept postings for a fixed cap, where the uncapped
+    // mass grows with Σ df² (quadratic on boilerplate corpora)
+    assert(capped <= maxDf * keptRows / 2,
+      s"capped mass $capped exceeds the maxDf·rows/2 bound (${maxDf * keptRows / 2})")
+    assert(capped < uncapped / 10,
+      s"cap is not biting on a boilerplate-heavy corpus: capped=$capped uncapped=$uncapped")
+  }
+
   test("decontamination plan: corpus-side shingle join is a broadcast semi-join") {
     import spark.implicits._
     val docs = corpus
