@@ -276,6 +276,35 @@ object DedupOps {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Blocked edit-distance (Levenshtein) near-dup pairs — the fuzzy
+    * dedup for SHORT text fields (titles, names, IDs) where
+    * shingle-set similarity is too coarse: within text-prefix
+    * equality blocks, emit pairs with `levenshtein(a, b) <=
+    * maxDistance`. Distances are exact integers (the classic DP, the
+    * same definition in every engine) — hash-comparable.
+    *
+    * Scale shape: [[blockedJaccardPairs]]'s blocking (prefix equality
+    * + the [[Blocking.withSubBlock]] hot-block cap), then a per-pair
+    * O(len²) distance — bound `maxLen` to keep the comparison cost
+    * fixed (texts are truncated to `maxLen` chars BEFORE comparing;
+    * at 100 TB you run this on short fields, not documents). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int = 20, maxDistance: Int = 10,
+                        maxLen: Int = 1000, maxBlockSize: Int = 8192): DataFrame = {
+    require(prefixLen >= 1 && maxDistance >= 0 && maxLen >= 1)
+    val blocked = Blocking.withSubBlock(
+      df.select(col(idCol).as("id"),
+        substring(col(textCol), 1, maxLen).as("__t"),
+        substring(col(textCol), 1, prefixLen).as("blk")),
+      col("blk"), "id", maxBlockSize, "__sub")
+    blocked.as("x").join(blocked.as("y"), Seq("blk", "__sub"))
+      .where(col("x.id") < col("y.id"))
+      .withColumn("distance", levenshtein(col("x.__t"), col("y.__t")))
+      .where(col("distance") <= maxDistance)
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), col("distance"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Substring-sharing candidate pairs from winnowed (MOSS)
     * fingerprints: documents sharing at least `minShared` distinct
     * window-min fingerprints (see

@@ -340,6 +340,53 @@ object SimilarityOps {
     (toDf(cents), objective.result())
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023
+    * arXiv:2303.09540 — public method): coarse-cluster the corpus
+    * with (broadcast) `centroids`, find within-cluster pairs with
+    * cosine ≥ `minSim`, connect them transitively
+    * ([[Components.connectedComponents]]), and KEEP one
+    * representative (min id) per semantic-duplicate group. Returns
+    * the surviving corpus with the input schema — the embedding-space
+    * sibling of [[DedupOps.dropNearDuplicates]] (catches paraphrases
+    * and re-renderings exact/shingle dedup can't).
+    *
+    * Scale shape: assignment is one broadcast crossJoin + window
+    * argmax (no corpus shuffle wider than the id); the pair join is
+    * blocked BY CLUSTER, with [[Blocking.withSubBlock]] capping a hot
+    * cluster at `maxClusterSize` (pairs straddling sub-blocks of an
+    * oversize cluster are skipped — the bounded-blocking recall
+    * tradeoff; clusters at or under the cap are exhaustive and
+    * exact); norms are computed once per vector; CC shuffles bare
+    * ids; the final anti-join moves ids only. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, minSim: Double,
+                    maxClusterSize: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
+    val corpusN = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__nrm", expr(V.norm(vecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    val assigned = corpusN.crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col(idCol).as("id"), col(vecCol), col("__nrm"), col("cid").as("cluster"))
+    val sub = Blocking.withSubBlock(assigned, col("cluster"), "id", maxClusterSize, "__sub")
+      .localCheckpoint() // feeds both sides of the pair self-join
+    val x = sub.select(col("cluster"), col("__sub"), col("id").as("a_id"),
+      col(vecCol).as("__va"), col("__nrm").as("__na"))
+    val y = sub.select(col("cluster"), col("__sub"), col("id").as("b_id"),
+      col(vecCol).as("__vb"), col("__nrm").as("__nb"))
+    val pairs = x.join(y, Seq("cluster", "__sub"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("sim", simWithNorms("__va", "__vb", "__na", "__nb"))
+      .where(col("sim") >= minSim)
+      .select("a_id", "b_id")
+    val clusters = Components.connectedComponents(pairs, "a_id", "b_id")
+    val dropIds = clusters.where(col("id") =!= col("cluster_id"))
+      .select(col("id").as("__drop_id"))
+    corpus.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Symmetric per-vector int8 quantization — the ANN index
     * compression step (4× smaller storage/shuffle than float32, the
     * standard first rung before product quantization): `scale` =

@@ -249,6 +249,45 @@ object EmbedQ {
             min(col("centroid_cos")).as("min_cos"))
           .orderBy("label")),
 
+    // ---- SemDeDup-style semantic dedup ---------------------------
+    // Coarse-cluster (fixed centroids: vecs 0-7, so the witness is
+    // exact — trained centroids are float means, not oracle-
+    // material), within-cluster cosine pairs >= 0.25, transitive
+    // closure (inner-scoped recursion — DuckDB 1.0 bug), keep the
+    // min-id representative per group. Witness: per-label survivor
+    // counts + id sums.
+    Q("q93_semantic_dedup",
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+              |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+              |  SELECT c.vec_id, c.embedding, ct.cid,
+              |    row_number() OVER (PARTITION BY c.vec_id
+              |      ORDER BY ${D.cosine("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+              |  FROM embeddings c, cent ct) WHERE rn = 1),
+              |vp AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id
+              |  FROM assigned x JOIN assigned y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+              |  WHERE ${D.cosine("x.embedding", "y.embedding")} >= 0.25),
+              |dropped AS (SELECT m_id FROM (
+              |  WITH RECURSIVE edges AS (SELECT a_id AS u, b_id AS v FROM vp
+              |    UNION SELECT b_id, a_id FROM vp),
+              |  reach AS (
+              |    SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |    UNION
+              |    SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u)
+              |  SELECT u AS m_id FROM reach GROUP BY u HAVING min(r) <> u
+              |) z)
+              |SELECT e.label, count(*)::BIGINT AS n_kept, sum(e.vec_id)::BIGINT AS id_sum
+              |FROM embeddings e WHERE e.vec_id NOT IN (SELECT m_id FROM dropped)
+              |GROUP BY e.label ORDER BY e.label""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val cent = emb.where(col("vec_id") < 8)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+        SimilarityOps.semanticDedup(emb, "vec_id", "embedding", cent, minSim = 0.25)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("id_sum"))
+          .orderBy("label")
+      }),
+
     // ---- embedding-cosine near-dup pair counts (blocked) ---------
     Q("q43_embed_near_dup",
       Some(s"""WITH x AS (SELECT label, vec_id, embedding FROM embeddings)

@@ -740,6 +740,43 @@ object TextQ {
           .select(col("e.item").as("item"), col("e.count_lo").as("count_lo"))
           .orderBy(col("count_lo").desc, col("item"))),
 
+    // ---- heavy hitters PER GROUP (native aggregate in groupBy) ---
+    // graft_mg_topk under a group-by key: each language gets its own
+    // capacity-bounded mergeable summary — the partial-agg/merge path
+    // the TypedImperativeAggregate runs per group across partitions.
+    // Capacity 64 > the 31-token vocabulary, so summaries are exact
+    // and the oracle is a plain per-group count.
+    Q("q94_heavy_hitters_by_lang",
+      Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents),
+              |tfx AS (SELECT lang, unnest(t) AS item FROM toks)
+              |SELECT lang, item, count(*)::BIGINT AS count_lo
+              |FROM tfx GROUP BY lang, item ORDER BY lang, count_lo DESC, item""".stripMargin),
+      (s, dir) =>
+        TextOps.withTokens(t(s, dir, "documents"), "text")
+          .select(col("lang"), explode(col("toks")).as("item"))
+          .groupBy(col("lang"))
+          .agg(expr("graft_mg_topk(item, 64)").as("s"))
+          .select(col("lang"), explode(col("s")).as("e"))
+          .select(col("lang"), col("e.item").as("item"), col("e.count_lo").as("count_lo"))
+          .orderBy(col("lang"), col("count_lo").desc, col("item"))),
+
+    // ---- blocked edit-distance (fuzzy) near-dup pairs ------------
+    // Levenshtein within prefix-20 blocks, distance <= 30 — the
+    // fuzzy-dedup shape for short fields; exact integer distances,
+    // identical DP definition in both engines. (Blocks here are far
+    // under the operator's hot-block cap, so results are exact.)
+    Q("q95_edit_distance_pairs",
+      Some("""WITH b AS (SELECT doc_id, substr(text, 1, 1000) AS t,
+             |  substr(text, 1, 20) AS blk FROM documents)
+             |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+             |  levenshtein(x.t, y.t)::INT AS distance
+             |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+             |WHERE levenshtein(x.t, y.t) <= 30
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+          prefixLen = 20, maxDistance = 30, maxLen = 1000)),
+
     // ---- hybrid retrieval: BM25 ⊕ vector rank fusion (RRF) -------
     // Lexical ranking (rational-idf BM25, q75's pipeline) fused with
     // a cosine ranking against vec 0's embedding via reciprocal-rank

@@ -541,6 +541,39 @@ class OperatorsSpec extends SparkSpec {
     assert(r(10L) < 0.5, s"outlier not flagged: ${r(10L)}")
   }
 
+  test("semanticDedup keeps one representative per semantic group, exact under the cluster cap") {
+    import spark.implicits._
+    // cluster A around x-axis: 0,1,2 mutually similar; cluster B
+    // around y-axis: 3,4 similar; 5 near z in cluster B's region but
+    // dissimilar to everything
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0.0f)), (1L, Array(1f, 0.05f, 0f)), (2L, Array(1f, 0f, 0.05f)),
+      (3L, Array(0f, 1f, 0f)), (4L, Array(0.05f, 1f, 0f)), (5L, Array(0f, 0.3f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 1f, 0f)))
+      .toDF("cid", "cvec")
+    val kept = SimilarityOps.semanticDedup(vecs, "vec_id", "embedding", cents, minSim = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 5L)) // min-id reps 0 and 3 survive; 5 isolated
+  }
+
+  test("edit-distance pairs: near-identical texts pair up, distance filter bites") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, base),
+      (2L, base + "s"), // distance 1
+      (3L, base.replace("quick", "rapid")), // same prefix? 'the quick...' vs 'the rapid...' differ at char 5
+      (4L, "the quick brown cat naps under the busy log entirely different tail")
+    ).toDF("doc_id", "text")
+    val r = DedupOps.editDistancePairs(df, "doc_id", "text",
+      prefixLen = 10, maxDistance = 5, maxLen = 1000)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2)))
+    // doc 3's prefix differs -> different block; doc 4 shares the
+    // prefix but distance >> 5
+    assert(r.toSeq == Seq((1L, 2L, 1)))
+  }
+
   test("dedupSpans: hash-key and raw-key modes agree; null-text docs keep a zero-span row") {
     import spark.implicits._
     val df = Seq(
