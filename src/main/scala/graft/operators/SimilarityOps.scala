@@ -362,8 +362,22 @@ object SimilarityOps {
                     centroids: DataFrame, minSim: Double,
                     maxClusterSize: Int = 8192): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // A dim mismatch or null component NULLs every cosine, every pair
+    // is filtered, and the dedup silently KEEPS EVERYTHING — the worst
+    // failure mode for a dedup verb. Centroids are a driver-bounded
+    // dim table: read their (single) dimensionality once and fail the
+    // job loudly on any non-conforming corpus vector (guard wraps the
+    // column itself — repo-wide pattern).
+    val dims = centroids.select(expr("size(cvec)").as("d")).distinct()
+      .collect().map(_.getInt(0))
+    require(dims.length == 1 && dims.head >= 1,
+      s"semanticDedup centroids must share one positive dimensionality, got ${dims.toSeq}")
+    val dim = dims.head
     val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
     val corpusN = corpus.select(col(idCol), col(vecCol))
+      .withColumn(vecCol, expr(
+        s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
+          s"ELSE raise_error('semanticDedup: $vecCol must be a null-free array<float> of length $dim') END"))
       .withColumn("__nrm", expr(V.norm(vecCol)))
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
     val assigned = corpusN.crossJoin(broadcast(centN))

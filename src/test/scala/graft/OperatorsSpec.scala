@@ -557,6 +557,16 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 5L)) // min-id reps 0 and 3 survive; 5 isolated
   }
 
+  test("semanticDedup fails loudly on dim mismatch instead of silently keeping everything") {
+    import spark.implicits._
+    val vecs = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1f, 0f, 0f))).toDF("cid", "cvec")
+    val e = intercept[Exception] {
+      SimilarityOps.semanticDedup(vecs, "vec_id", "embedding", cents, minSim = 0.9).collect()
+    }
+    assert(e.getMessage.contains("null-free array<float> of length 3"))
+  }
+
   test("edit-distance pairs: near-identical texts pair up, distance filter bites") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog"
@@ -746,6 +756,35 @@ class OperatorsSpec extends SparkSpec {
         k = 5, excludeId = Some(0L), nProbe = 1).collect().map(_.getLong(0))
       assert(pruned.toSeq == mem.toSeq)
     }
+  }
+
+  test("new-operator plans: broadcast dims, equi-joins, no cartesian products, no shuffle for per-row ops") {
+    import spark.implicits._
+    val docs = (0L until 300L)
+      .map(i => (i, s"tok${i % 17} tok${(i * 3) % 17} common words here"))
+      .toDF("doc_id", "text")
+    // vocabCoverage: the vocab side must broadcast — corpus never shuffles for the join
+    val p1 = Relevance.vocabCoverage(docs, "doc_id", "text", vocabSize = 5)
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin"), s"vocab join not broadcast:\n${p1.take(1500)}")
+    assert(!p1.contains("CartesianProduct"))
+    // editDistancePairs: blocked self-join is an equi-join on (blk, sub), never cartesian
+    val p2 = DedupOps.editDistancePairs(docs, "doc_id", "text", prefixLen = 8, maxDistance = 50)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance self-join must be an equi-join:\n${p2.take(1500)}")
+    // withQuantizedInt8: per-row expressions only — zero exchanges
+    val vecs = (0L until 100L).map(i => (i, Array(i.toFloat, 1f))).toDF("vec_id", "embedding")
+    val p3 = SimilarityOps.withQuantizedInt8(vecs, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p3.contains("Exchange"), s"quantization must not shuffle:\n${p3.take(1500)}")
+    // labelCentroidOutliers: centroid dim table broadcasts back
+    val lab = (0L until 100L).map(i => (i, Array(i.toFloat, 1f), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val p4 = SimilarityOps.labelCentroidOutliers(lab, "vec_id", "embedding", "label")
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n${p4.take(1500)}")
+    assert(!p4.contains("CartesianProduct"))
   }
 
   test("relevance plans: broadcast dimension sides, no cartesian products") {
