@@ -606,8 +606,13 @@ object Relational {
     // a hash mismatch. Exact columns (rows/nulls/min/max) are
     // oracle-exact directly — they are plain partial aggregates in
     // BOTH profile modes.
+    // (witnessed on 2 columns — one high-cardinality key, one
+    // low-cardinality string — because the checked mode pays the
+    // Expand AND per-row HLL updates per column; q78 keeps 4-column
+    // exact coverage, and the bounds contract is column-count-
+    // independent.)
     Q("q86_profile_approx", {
-      val cols = Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus")
+      val cols = Seq("o_custkey", "o_orderpriority")
       Some(cols.map(c =>
         s"""SELECT '$c' AS column_name, count(*)::BIGINT AS n_rows,
            |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
@@ -620,7 +625,7 @@ object Relational {
       (s, dir) =>
         graft.operators.Profile.profileChecked(
           t(s, dir, "orders"),
-          Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
+          Seq("o_custkey", "o_orderpriority"))
           .orderBy("column_name")),
 
     // ---- declarative data-quality expectations -------------------

@@ -99,6 +99,42 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateless curation ops (quality gate + weighted mix) run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The stateless curation operators are pure per-row expressions +
+    // a broadcast join, so the SAME calls compose with readStream —
+    // streamed results must equal the batch run on identical input.
+    val rows = Seq(
+      (1L, "good words flow here nicely along", "web"),
+      (2L, "spam spam spam spam spam spam", "web"), // repetition-gated
+      (3L, "another perfectly reasonable document body", "code"),
+      (4L, "short", "code"))
+    val weights = Seq(("web", 1000L), ("code", 1000L)).toDF("source", "permille")
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Mixing.weightedSample(
+        graft.operators.TextOps.withRepetitionStats(df, "text")
+          .where(col("dup_bigram_frac") <= 0.2)
+          .select("doc_id", "text", "source"),
+        "text", "source", weights)
+
+    val batch = curate(rows.toDF("doc_id", "text", "source"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val mem = MemoryStream[(Long, String, String)]
+    val query = curate(mem.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("curate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.contains(1L) && !batch.contains(2L)) // the gate actually gated
+    } finally query.stop()
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
