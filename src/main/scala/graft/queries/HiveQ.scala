@@ -54,6 +54,30 @@ object HiveQ {
           .orderBy("o_orderstatus")
       }),
 
+    // ---- fragment compaction: data invariant under rewrite -------
+    // Three appends leave three fragments per partition; compact()
+    // rewrites each partition as its minimal chunked set. The oracle
+    // checks the DATA is untouched (3x each region row); the
+    // fragment-count/naming mechanics are spec-pinned in
+    // HiveDatasetSpec.
+    Q("q96_hive_compact",
+      Some("""SELECT r_name, (count(*) * 3)::BIGINT AS n,
+             |  (sum(r_regionkey) * 3)::BIGINT AS key_sum
+             |FROM region GROUP BY r_name ORDER BY r_name""".stripMargin),
+      (s, dir) => {
+        val ds = HiveDataset(tmp("graft_q96_"), Seq("r_name"))(s)
+        val r = t(s, dir, "region")
+        ds.write(r)
+        ds.append(r)
+        ds.append(r)
+        ds.compact()
+        ds.scan().get
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n"),
+            sum(col("r_regionkey").cast("long")).as("key_sum"))
+          .orderBy("r_name")
+      }),
+
     // ---- schema evolution: superset read with null fill ----------
     // H7 (hive_dataset.py:158-181): fragments with different columns
     // merge to the superset; missing columns read as NULL.

@@ -318,6 +318,49 @@ case class HiveDataset(
     }
   }
 
+  /** Compact one partition: read its fragments and rewrite them as
+    * the minimal `maxRowsPerFragment`-chunked set (restarting at
+    * fragment 000000 — dynamic overwrite clears the old files
+    * first). The maintenance verb for append-heavy partitions: many
+    * small appends each create a fragment, and scan cost grows with
+    * file count, not bytes (the 100 TB "small files problem"); the
+    * reference exposes the same knob per write
+    * (hive_dataset.py:17,255) but no rewrite verb.
+    *
+    * The partition is materialized (localCheckpoint) BEFORE the
+    * overwrite deletes the files being read — storage cost is ONE
+    * partition, which is why this is per-partition: compact a big
+    * dataset partition-by-partition ([[compact]] does exactly that),
+    * never all at once. Returns false when the partition is absent.
+    * Checkpoint blocks are reclaimed at GC (per-call lifetime). */
+  def compactPartition(values: Map[String, String]): Boolean =
+    readPartition(values) match {
+      case None => false
+      case Some(df) =>
+        write(minimalChunks(df.localCheckpoint()))
+        true
+    }
+
+  /** Compact every partition, one at a time (bounded storage — see
+    * [[compactPartition]]); for an unpartitioned dataset, the whole
+    * table. Returns the number of compacted units. */
+  def compact(): Int =
+    if (partitionColumns.isEmpty)
+      scan().map { df => write(minimalChunks(df.localCheckpoint())); 1 }.getOrElse(0)
+    else
+      partitions().map(_.toMap).count(compactPartition)
+
+  /** Coalesce a materialized frame to the minimal fragment count
+    * (`ceil(rows / maxRowsPerFragment)`). `coalesce` is a NARROW
+    * dependency — no shuffle; the write's `maxRecordsPerFile` still
+    * caps any residual imbalance. Reading the count is free on a
+    * checkpointed frame. */
+  private def minimalChunks(snapshot: DataFrame): DataFrame = {
+    val rows = snapshot.count()
+    snapshot.coalesce(
+      math.max(1L, (rows + maxRowsPerFragment - 1) / maxRowsPerFragment).toInt)
+  }
+
   /** Recursively delete one partition directory; validates the key
     * set (hive_dataset.py:330-342). No-op when absent. */
   def deletePartition(values: Map[String, String]): Unit = {

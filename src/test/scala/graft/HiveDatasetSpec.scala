@@ -74,6 +74,39 @@ class HiveDatasetSpec extends SparkSpec {
     }
   }
 
+  test("compactPartition rewrites many fragments into the minimal chunked set, same data") {
+    withTempDir { dir =>
+      import graft.util.PathUtils
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      def frags(p: String): Seq[String] = Files.list(Paths.get(dir, "ds", s"p1=$p")).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+        .map(p => Paths.get(p).getFileName.toString).sorted.toSeq
+
+      ds.write(Seq(("1", 1L), ("2", 10L)).toDF("p1", "v"))
+      ds.append(Seq(("1", 2L)).toDF("p1", "v"))
+      ds.append(Seq(("1", 3L)).toDF("p1", "v"))
+      assert(frags("1").length == 3) // one fragment per append
+      val otherBefore = frags("2")
+      // materialized: the lazy frame's source files are about to be
+      // rewritten by the compaction
+      val before = ds.readPartition(Map("p1" -> "1")).get.localCheckpoint()
+
+      assert(ds.compactPartition(Map("p1" -> "1")))
+      val after = frags("1")
+      assert(after.length == 1 && after.forall(PathUtils.isFragmentName))
+      assert(after.map(PathUtils.fragmentIndex) == Seq(0)) // restart at 000000
+      assertSameData(ds.readPartition(Map("p1" -> "1")).get, before)
+      assert(frags("2") == otherBefore, "compaction must not touch other partitions")
+
+      // absent partition -> false, no side effects
+      assert(!ds.compactPartition(Map("p1" -> "9")))
+      // compact() sweeps every partition; p1=2 already minimal but is
+      // rewritten to its minimal form too (count = processed units)
+      assert(ds.compact() == 2)
+      assert(ds.scan().get.count() == 4)
+    }
+  }
+
   test("readPartition scans ONLY the requested partition directory (pruning)") {
     withTempDir { dir =>
       val ds = HiveDataset(s"$dir/ds", Seq("p1", "p2"))
