@@ -144,6 +144,44 @@ object TextOps {
       .drop("__toks", "__bg")
   }
 
+  /** PII categories redacted by [[redactPii]], in application order:
+    * `(name, regex, replacement)`. Patterns are deliberately written
+    * in the dialect-portable intersection of Java regex and RE2
+    * (no lookaround, no backreferences) so the DuckDB oracle runs
+    * the identical pattern text. Order matters — each category is
+    * counted on the text AFTER the previous categories were redacted,
+    * so a string can never be double-counted (e.g. digits inside an
+    * already-redacted email never re-match as a phone). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
+    ("phone", "\\+\\d{7,15}\\b", "<PHONE>"))
+
+  /** Regex PII detection + redaction (the standard pre-training
+    * scrub pass — cf. the public Dolma/ROOTS pipelines' regex PII
+    * taggers). Adds one `n_<category>` count per [[PiiPatterns]]
+    * entry plus the fully-redacted text in `out`. Counts are taken
+    * sequentially on the progressively-redacted text (see
+    * [[PiiPatterns]] ordering), so categories never double-count.
+    * Null text propagates to null counts and null redacted text.
+    *
+    * Scale: a pure per-row regexp pipeline — `regexp_count` /
+    * `regexp_replace` are codegen'd built-ins, no shuffle, no UDF;
+    * one codegen'd map over the corpus regardless of corpus size. */
+  def redactPii(df: DataFrame, textCol: String, out: String = "redacted"): DataFrame = {
+    val reserved = PiiPatterns.map { case (n, _, _) => s"n_$n" }.toSet + out
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"redactPii reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val start = df.withColumn(out, col(textCol))
+    PiiPatterns.foldLeft(start) { case (d, (name, pat, repl)) =>
+      d.withColumn(s"n_$name", regexp_count(col(out), lit(pat)).cast("bigint"))
+        .withColumn(out, regexp_replace(col(out), pat, repl))
+    }
+  }
+
   /** Per-language stopword marker sets for the language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a"),

@@ -1079,6 +1079,45 @@ object TextQ {
             count(lit(1)).as("n"),
             sum(length(col("payload"))).as("sum_bytes"),
             min(lower(hex(substring(col("payload"), 1, 4)))).as("min_first4"))
-          .orderBy("source"))
+          .orderBy("source")),
+
+    // ---- PII detection + redaction -------------------------------
+    // The corpus text is synthetic word-salad, so the witness plants
+    // deterministic PII (an email, an IPv4, and an SSN-like id or a
+    // phone, keyed off doc_id) IDENTICALLY in both engines, then runs
+    // the sequential count-and-redact pipeline. The oracle's regex
+    // text is interpolated from the same TextOps.PiiPatterns
+    // constants the Spark side compiles — one source of truth, two
+    // dialects (Java regex vs RE2 agree on this lookaround-free
+    // subset; DuckDB needs the explicit 'g' flag Spark implies).
+    Q("q97_pii_redact",
+      Some {
+        val stages = TextOps.PiiPatterns.zipWithIndex.map {
+          case ((name, pat, repl), i) =>
+            val src = if (i == 0) "p" else s"s${i - 1}"
+            s"""s$i AS (SELECT *, length(regexp_extract_all(r$i, '$pat'))::BIGINT AS n_$name,
+               |  regexp_replace(r$i, '$pat', '$repl', 'g') AS r${i + 1} FROM $src)""".stripMargin
+        }
+        val names = TextOps.PiiPatterns.map { case (n, _, _) => s"n_$n" }.mkString(", ")
+        s"""WITH p AS (SELECT doc_id,
+           |  text || ' user' || doc_id::VARCHAR || '@example.com 10.0.' ||
+           |  (doc_id % 256)::VARCHAR || '.7 ' ||
+           |  CASE WHEN doc_id % 3 = 0 THEN '+15550001234' ELSE '123-45-6789' END AS r0
+           |  FROM documents WHERE doc_id < 100),
+           |${stages.mkString(",\n")}
+           |SELECT doc_id, $names, r${TextOps.PiiPatterns.size} AS redacted
+           |FROM s${TextOps.PiiPatterns.size - 1} ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 100)
+        val planted = docs.withColumn("__pii", concat(
+          col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@example.com 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 "),
+          when(col("doc_id") % 3 === 0, lit("+15550001234")).otherwise(lit("123-45-6789"))))
+        val redacted = TextOps.redactPii(planted, "__pii", "redacted")
+        val counts = TextOps.PiiPatterns.map { case (n, _, _) => col(s"n_$n") }
+        redacted.select(col("doc_id") +: counts :+ col("redacted"): _*)
+          .orderBy("doc_id")
+      })
   )
 }

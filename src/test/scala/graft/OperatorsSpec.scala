@@ -965,4 +965,36 @@ class OperatorsSpec extends SparkSpec {
     val r = Multimodal.resizeMeta(Multimodal.withMeta(bin, "id", "payload"), maxDim = 256).head
     assert(r.getAs[Int]("out_width") == 256 && r.getAs[Int]("out_height") == 128)
   }
+
+  test("redactPii: sequential counts never double-count; nulls propagate") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "write to a.b+c@mail.example.org or ping 192.168.0.1 now"),
+      (1L, "ids 123-45-6789 and 987-65-4321, call +4915551234567"),
+      // the IP-shaped digits sit INSIDE an email: email redaction
+      // must consume them so the ipv4 pass sees nothing
+      (2L, "weird@10.0.0.12.com stays one email"),
+      (3L, "no pii at all in this row"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val r = TextOps.redactPii(df, "text").orderBy("id").collect()
+    def counts(i: Int) = (r(i).getAs[Long]("n_email"), r(i).getAs[Long]("n_ipv4"),
+      r(i).getAs[Long]("n_id"), r(i).getAs[Long]("n_phone"))
+    assert(counts(0) == ((1L, 1L, 0L, 0L)))
+    assert(r(0).getAs[String]("redacted") == "write to <EMAIL> or ping <IP> now")
+    assert(counts(1) == ((0L, 0L, 2L, 1L)))
+    assert(counts(2) == ((1L, 0L, 0L, 0L)))
+    assert(r(2).getAs[String]("redacted") == "<EMAIL> stays one email")
+    assert(counts(3) == ((0L, 0L, 0L, 0L)))
+    assert(r(3).getAs[String]("redacted") == "no pii at all in this row")
+    assert(r(4).isNullAt(r(4).fieldIndex("n_email")) &&
+      r(4).isNullAt(r(4).fieldIndex("redacted")))
+  }
+
+  test("redactPii: reserved output columns fail loudly") {
+    import spark.implicits._
+    val df = Seq((0L, "x", 1L)).toDF("id", "text", "n_email")
+    val e = intercept[IllegalArgumentException](TextOps.redactPii(df, "text"))
+    assert(e.getMessage.contains("n_email"))
+  }
 }
