@@ -2,7 +2,8 @@ package graft.functions.catalyst
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Registration of graft's native expressions as SQL functions.
   *
@@ -39,7 +40,19 @@ object GraftFunctions {
       (args: Seq[Expression]) => Winnow(args(0), args(1), args(2))),
     ("graft_mg_topk",
       info("graft_mg_topk", "Misra-Gries heavy-hitters summary: capacity-bounded (item, count_lo) array, mergeable under any partitioning"),
-      (args: Seq[Expression]) => MisraGriesTopK(args(0), args(1))))
+      (args: Seq[Expression]) => MisraGriesTopK(args(0), args(1))),
+    // SQL-surface wrappers over Spark's OWN runtime-filter bloom
+    // expressions (not graft code): the optimizer only injects them
+    // inside InjectRuntimeFilter, so exposing them as functions lets
+    // operators build an explicit bloom-semi-join when the build side
+    // is a different query stage than the optimizer can see (e.g.
+    // DedupOps.bloomIncrementalDedup's batch-vs-corpus prune).
+    ("graft_bloom_agg",
+      info("graft_bloom_agg", "bloom-filter aggregate over xxhash64 longs -> binary sketch (args: xx, est_items, num_bits)"),
+      (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),
+    ("graft_bloom_might_contain",
+      info("graft_bloom_might_contain", "membership probe of a graft_bloom_agg sketch (args: bloom, xx)"),
+      (args: Seq[Expression]) => new BloomFilterMightContain(args(0), args(1))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

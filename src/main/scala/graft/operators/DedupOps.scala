@@ -60,6 +60,64 @@ object DedupOps {
       .drop("__digest", "__in_corpus")
   }
 
+  /** Bloom-pruned incremental exact dedup — byte-identical OUTPUT to
+    * [[incrementalDedup]], different SCALE SHAPE. The standard ingest
+    * asymmetry is a small batch against a huge corpus; the plain
+    * digest join still has to distinct + shuffle every corpus digest.
+    * Here the corpus is instead pruned MAP-SIDE: a bloom filter is
+    * built over the batch's digests (one aggregation of the SMALL
+    * side, collected as one binary sketch), shipped as a literal into
+    * a filter directly over the corpus scan, and only the surviving
+    * candidates (≈ |batch ∩ corpus| + fpp·|corpus|) are distinct'd
+    * and joined. The corpus is scanned once and never shuffled — at
+    * 100 TB that converts the dominant cost from a full-corpus
+    * exchange to a codegen'd scan predicate. False positives only
+    * admit extra candidate rows into the (exact) digest equi-join, so
+    * the result is exact for any fpp.
+    *
+    * Uses Spark's own runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, the pair
+    * `InjectRuntimeFilter` plants for selective shuffle joins)
+    * exposed via graft's function registry — the optimizer can't
+    * inject them here on its own because the build side (the batch)
+    * is a different frame than the probe join's build side.
+    *
+    * Sizing: `numBits = -n·ln(fpp)/ln²2` from `expectedBatchDocs`;
+    * with the defaults (4.2M docs, 1% fpp) the sketch is ~5 MB. Spark
+    * caps the expression at `spark.sql.optimizer.runtime.bloomFilter.
+    * maxNumBits` (default 64Mbit) — raise both for larger batches, or
+    * split the batch. */
+  def bloomIncrementalDedup(incoming: DataFrame, existing: DataFrame,
+                            idCol: String, textCol: String,
+                            expectedBatchDocs: Long = 1L << 22,
+                            fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(expectedBatchDocs > 0, "expectedBatchDocs must be positive")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val numBits = math.ceil(
+      -expectedBatchDocs * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomRow = incoming.select(
+      call_function("graft_bloom_agg", xxhash64(md5(col(textCol))),
+        lit(expectedBatchDocs), lit(numBits)).as("bf")).head
+    // Empty batch (or all-null text) → null sketch → no candidates.
+    val candidates =
+      if (bloomRow.isNullAt(0))
+        existing.select(md5(col(textCol)).as("__digest")).limit(0)
+      else existing
+        .where(call_function("graft_bloom_might_contain",
+          lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(md5(col(textCol)))))
+        .select(md5(col(textCol)).as("__digest"))
+    val corpusDigests = candidates.distinct().withColumn("__in_corpus", lit(1))
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    incoming
+      .withColumn("__digest", md5(col(textCol)))
+      .withColumn("is_dup_in_batch", row_number().over(w) > 1)
+      .join(corpusDigests, Seq("__digest"), "left")
+      .withColumn("is_dup_in_corpus", col("__in_corpus").isNotNull)
+      .withColumn("accepted", !col("is_dup_in_batch") && !col("is_dup_in_corpus"))
+      .drop("__digest", "__in_corpus")
+  }
+
   /** CCNet-style sub-document (span-level) dedup: split every
     * document into non-overlapping `spanTokens`-token windows, drop
     * every span whose exact text already occurred earlier in the

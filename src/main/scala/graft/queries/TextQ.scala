@@ -900,6 +900,37 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- bloom-pruned incremental dedup --------------------------
+    // Same observable semantics as q53 (the oracle is the plain
+    // EXISTS formulation — bloom false positives are provably
+    // invisible: they only add candidates to an exact digest join),
+    // but the corpus side is pruned map-side by a bloom sketch of the
+    // batch digests instead of being distinct'd and shuffled whole.
+    Q("q98_bloom_incremental_dedup",
+      Some("""WITH existing AS (SELECT * FROM documents WHERE doc_id < 400),
+             |incoming AS (SELECT * FROM documents WHERE doc_id >= 400),
+             |ann AS (
+             |  SELECT i.source,
+             |    (row_number() OVER (PARTITION BY md5(i.text) ORDER BY i.doc_id)) > 1 AS dup_batch,
+             |    EXISTS (SELECT 1 FROM existing e WHERE md5(e.text) = md5(i.text)) AS dup_corpus
+             |  FROM incoming i)
+             |SELECT source, count(*) AS n_incoming,
+             |  sum(CASE WHEN NOT dup_batch AND NOT dup_corpus THEN 1 ELSE 0 END)::BIGINT AS n_accepted,
+             |  sum(CASE WHEN dup_corpus THEN 1 ELSE 0 END)::BIGINT AS n_dup_corpus
+             |FROM ann GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.bloomIncrementalDedup(
+          docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+          "doc_id", "text")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_incoming"),
+            sum(when(col("accepted"), 1).otherwise(0)).as("n_accepted"),
+            sum(when(col("is_dup_in_corpus"), 1).otherwise(0)).as("n_dup_corpus"))
+          .orderBy("source")
+      }),
+
     // ---- deterministic train/val split ---------------------------
     // Hash-based splitting (not rand()): assignment is a pure function
     // of content, so re-runs, retried tasks, and incremental additions

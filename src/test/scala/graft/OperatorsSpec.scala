@@ -966,6 +966,51 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Int]("out_width") == 256 && r.getAs[Int]("out_height") == 128)
   }
 
+  test("bloomIncrementalDedup: byte-identical to the plain digest join") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i => (i, s"corpus doc number ${i % 25}")).toDF("doc_id", "text")
+    val batch = (100L until 130L).map(i =>
+      (i, if (i % 3 == 0) s"corpus doc number ${i % 25}" else s"fresh doc $i")).toDF("doc_id", "text")
+    val plain = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+    val bloomed = DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text",
+      expectedBatchDocs = 64L)
+    assertSameData(bloomed, plain)
+  }
+
+  test("bloomIncrementalDedup: corpus is pruned map-side, below any exchange") {
+    import spark.implicits._
+    // parquet-backed corpus: an in-memory LocalRelation would be
+    // constant-folded through the probe filter by the optimizer and
+    // hide the plan shape this test pins
+    withTempDir { dir =>
+    (0L until 40L).map(i => (i, s"c$i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/corpus")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val batch = Seq((100L, "c3"), (101L, "new")).toDF("doc_id", "text")
+    val out = DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text",
+      expectedBatchDocs = 16L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected a bloom might_contain probe in the plan:\n${plan.take(3000)}")
+    // map-side means no Exchange between the corpus scan and the
+    // probe filter: walking DOWN the plan text from the probe line,
+    // the corpus scan must appear before any Exchange does
+    val lines = plan.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(probeIdx >= 0)
+    val scanIdx = lines.indexWhere(l => l.contains("FileScan") || l.contains("Scan parquet"), probeIdx)
+    assert(scanIdx >= 0 && !lines.slice(probeIdx, scanIdx).exists(_.contains("Exchange")),
+      s"an Exchange intervenes between the corpus scan and the bloom probe:\n$plan")
+    }
+  }
+
+  test("bloomIncrementalDedup: empty batch yields empty output without a corpus pass") {
+    import spark.implicits._
+    val corpus = (0L until 10L).map(i => (i, s"c$i")).toDF("doc_id", "text")
+    val batch = corpus.where(col("doc_id") < 0)
+    assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
+  }
+
   test("redactPii: sequential counts never double-count; nulls propagate") {
     import spark.implicits._
     val df = Seq(
