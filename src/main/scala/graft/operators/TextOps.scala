@@ -144,6 +144,42 @@ object TextOps {
       .drop("__toks", "__bg")
   }
 
+  /** Token-distribution drift between two slices of a corpus: the
+    * top-`k` tokens by absolute relative-frequency difference
+    * |n_a/tot_a − n_b/tot_b|, ties broken by token. The standard
+    * mixture-monitoring probe — "which tokens does slice A
+    * over/under-represent vs slice B" — run between crawls, sources,
+    * or mixture revisions to catch distribution shift before
+    * training does.
+    *
+    * Output: `(token, n_a, n_b, drift)` ordered by drift desc. The
+    * counts are exact integers; `drift` is a fixed three-op IEEE
+    * tree (two exactly-rounded divisions, one subtraction, abs) so
+    * it is bitwise-reproducible across engines.
+    *
+    * Scale: one explode + ONE token-keyed shuffle for the per-token
+    * counts (both slices aggregated in the same pass — no per-slice
+    * jobs); slice totals are a single-row aggregate broadcast into
+    * the scoring projection; top-k is TakeOrderedAndProject (per-
+    * partition heaps + one k-row driver merge), never a global sort. */
+  def tokenDrift(df: DataFrame, textCol: String, groupCol: String,
+                 groupA: String, groupB: String, k: Int = 25): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(groupA != groupB, "slices must differ")
+    val toks = withTokens(df.where(col(groupCol).isin(groupA, groupB)), textCol, "__toks")
+      .select(col(groupCol).as("__g"), explode(col("__toks")).as("token"))
+    val aCnt = sum(when(col("__g") === groupA, 1L).otherwise(0L))
+    val bCnt = sum(when(col("__g") === groupB, 1L).otherwise(0L))
+    val counts = toks.groupBy(col("token")).agg(aCnt.as("n_a"), bCnt.as("n_b"))
+    val totals = toks.groupBy().agg(aCnt.as("__tot_a"), bCnt.as("__tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift",
+        abs(col("n_a") / col("__tot_a") - col("n_b") / col("__tot_b")))
+      .orderBy(col("drift").desc, col("token"))
+      .limit(k)
+      .select("token", "n_a", "n_b", "drift")
+  }
+
   /** PII categories redacted by [[redactPii]], in application order:
     * `(name, regex, replacement)`. Patterns are deliberately written
     * in the dialect-portable intersection of Java regex and RE2

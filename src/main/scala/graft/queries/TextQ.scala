@@ -1112,6 +1112,28 @@ object TextQ {
             min(lower(hex(substring(col("payload"), 1, 4)))).as("min_first4"))
           .orderBy("source")),
 
+    // ---- token-distribution drift between corpus slices ----------
+    // Which tokens does the English slice over/under-represent vs the
+    // German slice: exact per-token counts in one shared shuffle,
+    // drift = |relfreq_en - relfreq_de| (a fixed 3-op IEEE tree —
+    // exactly-rounded in both engines, so hash-comparable), top-25
+    // with token tiebreak.
+    Q("q99_token_drift",
+      Some(s"""WITH tk AS (SELECT lang AS g, unnest($duckToks) AS token
+              |  FROM documents WHERE lang IN ('en', 'de')),
+              |counts AS (SELECT token,
+              |  sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+              |  sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_b
+              |  FROM tk GROUP BY token),
+              |tot AS (SELECT
+              |  sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS tot_a,
+              |  sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END)::BIGINT AS tot_b FROM tk)
+              |SELECT token, n_a, n_b, abs(n_a / tot_a - n_b / tot_b) AS drift
+              |FROM counts, tot
+              |ORDER BY drift DESC, token LIMIT 25""".stripMargin),
+      (s, dir) =>
+        TextOps.tokenDrift(t(s, dir, "documents"), "text", "lang", "en", "de", k = 25)),
+
     // ---- PII detection + redaction -------------------------------
     // The corpus text is synthetic word-salad, so the witness plants
     // deterministic PII (an email, an IPv4, and an SSN-like id or a

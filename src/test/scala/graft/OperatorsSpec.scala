@@ -1011,6 +1011,28 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("tokenDrift: hand-computed frequencies, deterministic tie-break, other slices ignored") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "x x y", "a"),
+      (1L, "x z", "a"),     // slice a: x=3/5, y=1/5, z=1/5
+      (2L, "y y z", "b"),   // slice b: y=2/3, z=1/3
+      (3L, "noise noise", "c") // not a selected slice — must not count
+    ).toDF("doc_id", "text", "src")
+    val r = TextOps.tokenDrift(df, "text", "src", "a", "b", k = 10).collect()
+    val byTok = r.map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(!byTok.contains("noise"))
+    assert(byTok("x") == ((3L, 0L, math.abs(3.0 / 5 - 0.0 / 3))))
+    assert(byTok("y") == ((1L, 2L, math.abs(1.0 / 5 - 2.0 / 3))))
+    assert(byTok("z") == ((1L, 1L, math.abs(1.0 / 5 - 1.0 / 3))))
+    // order: x (0.6) > y (0.4667) > z (0.1333)
+    assert(r.map(_.getString(0)).toSeq == Seq("x", "y", "z"))
+    // top-k is a TakeOrderedAndProject, not a global sort
+    val plan = TextOps.tokenDrift(df, "text", "src", "a", "b", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("redactPii: sequential counts never double-count; nulls propagate") {
     import spark.implicits._
     val df = Seq(
