@@ -74,4 +74,76 @@ object Sequencing {
         concat_ws(" ", expr(s"slice(__toks, __start, $chunkSize)")))
       .select(col(idCol), col("chunk_idx"), col("chunk_len"), col("chunk_text"))
   }
+
+  /** Token-budget corpus selection: keep the maximal best-first
+    * prefix — documents taken in (`scoreCol` desc, `idCol`) order
+    * while the running token total stays ≤ `budget`. The "fill a
+    * 10B-token training budget with the highest-quality documents"
+    * verb. Adds `cum_tokens` (the running total INCLUDING the row).
+    *
+    * A naive global cumulative sum is a Window with no partition —
+    * one reducer holding the whole corpus. Instead the global order
+    * is decomposed deterministically:
+    *
+    *  1. score quantile boundaries (one `approxQuantile` pass,
+    *     `buckets`−1 doubles to the driver) define range buckets that
+    *     are a PURE FUNCTION of the score — unlike
+    *     `spark_partition_id()` after `repartitionByRange`, whose
+    *     sampled boundaries are not stable across the two jobs below;
+    *  2. one aggregation computes per-bucket token totals
+    *     (`buckets` rows to the driver) → exclusive prefix offsets,
+    *     and buckets whose offset already exceeds the budget are
+    *     dropped BEFORE the shuffle — at 100 TB with a tight budget
+    *     almost the whole corpus is pruned at the scan;
+    *  3. a per-bucket window (parallel across buckets) adds the
+    *     bucket offset to the within-bucket running sum.
+    *
+    * Null/negative tokens and null scores raise (a silent 0/last
+    * placement would corrupt the budget or the order). Scores above
+    * 2^53 would lose precision against the double boundaries —
+    * rescale such scores first. */
+  def selectUnderBudget(df: DataFrame, idCol: String, tokenCountCol: String,
+                        scoreCol: String, budget: Long,
+                        buckets: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(buckets >= 1, "buckets must be positive")
+    val reserved = Set("__tok", "__bkt", "__off", "cum_tokens")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"selectUnderBudget reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val guarded = df
+      .withColumn("__tok", expr(
+        s"CASE WHEN $tokenCountCol IS NULL OR $tokenCountCol < 0 OR $scoreCol IS NULL " +
+          s"THEN raise_error('selectUnderBudget: null score or null/negative token count') " +
+          s"ELSE CAST($tokenCountCol AS BIGINT) END"))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else guarded.stat.approxQuantile(scoreCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
+    // bucket = #boundaries strictly above the score: monotone
+    // non-increasing in score, so (bucket asc, score desc, id) is the
+    // global (score desc, id) order; equal scores share a bucket.
+    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(scoreCol) < lit(b), 1).otherwise(0)
+    }
+    val withB = guarded.withColumn("__bkt", bktExpr)
+    val totals = withB.groupBy(col("__bkt")).agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L) {
+      (acc, b) => acc + totals.getOrElse(b, 0L)
+    }.init.zipWithIndex.map { case (off, b) => (b, off) }
+    val usable = offsets.filter(_._2 <= budget) // bucket 0 (offset 0) always survives
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = usable.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offDf), Seq("__bkt")) // inner join = pre-shuffle bucket prune
+      .withColumn("cum_tokens", sum(col("__tok")).over(w) + col("__off"))
+      .where(col("cum_tokens") <= budget)
+      .drop("__tok", "__bkt", "__off")
+  }
 }

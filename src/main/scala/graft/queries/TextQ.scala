@@ -589,6 +589,31 @@ object TextQ {
           .orderBy("lang", "pack_id")
       }),
 
+    // ---- token-budget corpus selection ---------------------------
+    // Fill a 20k-token budget with documents best-first (score =
+    // n_chars, id tiebreak): the maximal prefix of the global
+    // (score desc, id) order whose running token total fits. The
+    // Spark side decomposes the global cumulative sum into
+    // quantile-range buckets + per-bucket windows (no single-reducer
+    // window); the oracle states it as the naive global window —
+    // identical output, different scale shape.
+    Q("q100_token_budget",
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+             |  len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
+             |c AS (SELECT doc_id, n_toks,
+             |  sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+             |SELECT doc_id, n_toks, cum_tokens FROM c WHERE cum_tokens <= 20000
+             |ORDER BY cum_tokens, doc_id""".stripMargin),
+      (s, dir) => {
+        val withToks = t(s, dir, "documents")
+          .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+        graft.operators.Sequencing.selectUnderBudget(
+          withToks, "doc_id", "n_toks", "n_chars", budget = 20000L)
+          .select(col("doc_id"), col("n_toks"), col("cum_tokens"))
+          .orderBy("cum_tokens", "doc_id")
+      }),
+
     // ---- context-window chunking (overlapping token windows) -----
     // 20-token chunks advancing by 15 (5-token overlap); the witness
     // checks chunk counts, length mass, and the first chunk's exact

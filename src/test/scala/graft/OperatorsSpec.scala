@@ -1011,6 +1011,46 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("selectUnderBudget: equals the naive global window, without its single partition") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 500L).map(i => (i, 1L + rnd.nextInt(40), rnd.nextInt(1000).toLong))
+      .toDF("doc_id", "n_toks", "score")
+    val fast = Sequencing.selectUnderBudget(df, "doc_id", "n_toks", "score",
+      budget = 2000L, buckets = 8)
+    val naiveW = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum_tokens", sum(col("n_toks")).over(naiveW))
+      .where(col("cum_tokens") <= 2000L)
+    assertSameData(fast, naive)
+    // the operator's window is per-bucket: no single-partition exchange
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global-window single partition leaked into the plan:\n${plan.take(2000)}")
+    // a tight budget prunes high-offset buckets before the shuffle:
+    // selected rows are far fewer than the corpus
+    assert(fast.count() < 500)
+  }
+
+  test("selectUnderBudget: budget larger than the corpus keeps everything in order") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 10L), (2L, 5L, 30L), (3L, 5L, 20L)).toDF("doc_id", "n_toks", "score")
+    val r = Sequencing.selectUnderBudget(df, "doc_id", "n_toks", "score", budget = 100L, buckets = 2)
+      .orderBy("cum_tokens").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(2L, 3L, 1L)) // score desc
+    assert(r.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(5L, 10L, 15L))
+  }
+
+  test("selectUnderBudget: null score or negative tokens raise") {
+    import spark.implicits._
+    val bad = Seq((1L, -3L, 10L)).toDF("doc_id", "n_toks", "score")
+    val e = intercept[Exception] {
+      Sequencing.selectUnderBudget(bad, "doc_id", "n_toks", "score", budget = 10L).collect()
+    }
+    assert(e.getMessage.contains("selectUnderBudget"))
+  }
+
   test("tokenDrift: hand-computed frequencies, deterministic tie-break, other slices ignored") {
     import spark.implicits._
     val df = Seq(
