@@ -319,18 +319,41 @@ object DedupOps {
     * cluster. Isolated documents (no verified pair) never enter the
     * pair graph and always survive.
     *
+    * Representative policy: min id by default; with
+    * `keepBestBy = Some(scoreCol)` the cluster member with the
+    * HIGHEST score survives instead (ties → min id; a null score
+    * sorts last, so it only wins an all-null cluster) — "of these
+    * near-duplicates, keep the highest-quality copy", the policy a
+    * real curation pass wants once a quality score exists.
+    *
     * Scale shape: all the work is the pair pipeline + CC (banded
     * equi-joins and node-id shuffles — see the component scaladocs);
     * the final step is one id-only anti-join against the member list,
     * so the corpus is scanned once more and never shuffled on
-    * anything wider than the id. */
+    * anything wider than the id. The keep-best variant adds one
+    * id-keyed join of the (small) member list against the corpus
+    * scores and one window over clusters — both bounded by the
+    * clustered-document count, not the corpus. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          bands: Int = 2, rowsPerBand: Int = 4,
-                         minJaccard: Double = 0.5): DataFrame = {
+                         minJaccard: Double = 0.5,
+                         keepBestBy: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pairs = lshNearDupPairs(df, idCol, textCol, bands, rowsPerBand, minJaccard)
     val clusters = Components.connectedComponents(pairs, "a_id", "b_id")
-    val dropIds = clusters.where(col("id") =!= col("cluster_id"))
-      .select(col("id").as("__drop_id"))
+    val dropIds = keepBestBy match {
+      case None =>
+        clusters.where(col("id") =!= col("cluster_id"))
+          .select(col("id").as("__drop_id"))
+      case Some(score) =>
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col(score).desc, col("id"))
+        clusters
+          .join(df.select(col(idCol).as("id"), col(score)), Seq("id"))
+          .withColumn("__rk", row_number().over(w))
+          .where(col("__rk") > 1)
+          .select(col("id").as("__drop_id"))
+    }
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 

@@ -23,10 +23,13 @@ object TextQ {
       .map { case ((a, b), i) => s"${D.minhash("shs", a, b)} AS m$i" }
       .mkString(", ")
 
-  private val sigCte =
-    s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+  /** [[sigCte]] over a filtered corpus slice (`pred` in SQL). */
+  private def sigCteWhere(pred: String) =
+    s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents WHERE $pred),
        |sh AS (SELECT doc_id, text, $duckShingles AS shs FROM toks),
        |sig AS (SELECT doc_id, ${minhashCols(8)} FROM sh)""".stripMargin
+
+  private val sigCte = sigCteWhere("TRUE")
 
   /** LSH candidate pairs + exact shingle overlap stats (2×4 band
     * collisions → per-pair n_common / n_sh sizes) as composable CTEs
@@ -264,6 +267,39 @@ object TextQ {
       (s, dir) =>
         DedupOps.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+          .select("doc_id")
+          .orderBy("doc_id")),
+
+    // ---- near-dup removal, keep-best representative --------------
+    // Same verb as q87 but the surviving cluster member is the
+    // HIGHEST-QUALITY copy (score = n_chars, min-id tiebreak), not
+    // the min id — the policy a curation pass wants once a quality
+    // score exists. Scoped to doc_id < 300 (7 verified pairs at
+    // sf0.01) to keep the third run of the LSH pipeline off the
+    // bench's critical path.
+    Q("q101_drop_near_dups_best",
+      Some(s"""${sigCteWhere("doc_id < 300")},
+              |$vpairsCtes
+              |SELECT d.doc_id FROM documents d
+              |WHERE d.doc_id < 300 AND d.doc_id NOT IN (
+              |  SELECT doc_id FROM (
+              |    WITH RECURSIVE edges AS (SELECT a_id AS u, b_id AS v FROM vpairs
+              |      UNION SELECT b_id, a_id FROM vpairs),
+              |    reach AS (
+              |      SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+              |      UNION
+              |      SELECT e.u, q.r FROM edges e JOIN reach q ON e.v = q.u),
+              |    cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+              |    rk AS (SELECT c.doc_id, row_number() OVER (
+              |        PARTITION BY c.cluster_id ORDER BY d2.n_chars DESC NULLS LAST, c.doc_id) AS rk
+              |      FROM cl c JOIN documents d2 USING (doc_id))
+              |    SELECT doc_id FROM rk WHERE rk > 1
+              |  ) z)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.dropNearDuplicates(
+          t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2, keepBestBy = Some("n_chars"))
           .select("doc_id")
           .orderBy("doc_id")),
 

@@ -1011,6 +1011,25 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("dropNearDuplicates keepBestBy: highest score survives, min id on ties") {
+    import spark.implicits._
+    // identical texts → identical signatures → all bands collide →
+    // cluster {0,1,2} deterministically (no LSH banding luck involved)
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (0L, txt, 5L), (1L, txt, 9L), (2L, txt, 9L), // scores 5/9/9
+      (3L, "completely unrelated text about entirely different things altogether", 1L)
+    ).toDF("doc_id", "text", "quality")
+    val best = DedupOps.dropNearDuplicates(df, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, minJaccard = 0.3, keepBestBy = Some("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(best == Seq(1L, 3L)) // 9-score tie between 1 and 2 → min id 1
+    val minId = DedupOps.dropNearDuplicates(df, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, minJaccard = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(minId == Seq(0L, 3L)) // default policy unchanged
+  }
+
   test("selectUnderBudget: equals the naive global window, without its single partition") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
