@@ -867,11 +867,13 @@ object TextQ {
               |sc AS (SELECT lens.doc_id,
               |  coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) AS score
               |  FROM lens LEFT JOIN piv ON piv.doc_id = lens.doc_id),
-              |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rb FROM sc),
+              |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rb
+              |  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 100)),
               |qv AS (SELECT embedding AS qq FROM embeddings WHERE vec_id = 0),
               |vs AS (SELECT vec_id AS doc_id, ${graft.functions.VectorSql.duck.cosine("embedding", "qq")} AS vsim
               |  FROM embeddings, qv),
-              |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vsim DESC, doc_id)::INT AS rv FROM vs)
+              |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vsim DESC, doc_id)::INT AS rv
+              |  FROM (SELECT * FROM vs ORDER BY vsim DESC, doc_id LIMIT 100))
               |SELECT doc_id, rb AS rank0, rv AS rank1,
               |  CASE WHEN rb IS NOT NULL THEN 1.0 / (60.0 + rb::DOUBLE) ELSE 0.0 END +
               |  CASE WHEN rv IS NOT NULL THEN 1.0 / (60.0 + rv::DOUBLE) ELSE 0.0 END AS rrf_score
@@ -883,13 +885,19 @@ object TextQ {
         val bm = graft.operators.Relevance.bm25(
           t(s, dir, "documents"), "doc_id", "text",
           queryTokens = Seq("spark", "join", "vector"), logIdf = false)
-        val br = bm.withColumn("rank",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        // rank only the top-100 of each ranker: the heavy selection is
+        // a distributed TakeOrderedAndProject; the global row_number
+        // window then sees 100 rows, never the corpus (ranks of kept
+        // items are identical to full-corpus ranks)
+        val br = bm.orderBy(col("score").desc, col("doc_id")).limit(100)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
           .select("doc_id", "rank")
         val emb = t(s, dir, "embeddings")
         val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qq"))
         val vr = emb.crossJoin(broadcast(qv))
           .withColumn("vsim", graft.operators.SimilarityOps.cosineCol("embedding", "qq"))
+          .orderBy(col("vsim").desc, col("vec_id")).limit(100)
           .withColumn("rank",
             row_number().over(Window.orderBy(col("vsim").desc, col("vec_id"))))
           .select(col("vec_id").as("doc_id"), col("rank"))
