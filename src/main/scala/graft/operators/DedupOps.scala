@@ -152,14 +152,7 @@ object DedupOps {
     require(collisions.isEmpty,
       s"dedupSpans reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
-    // Integer span count (ceil division) — no double math; empty
-    // token arrays short-circuit (sequence would step backward).
-    val spans = TextOps.withTokens(df, textCol, "__toks")
-      .select(col(idCol), posexplode(expr(
-        s"CASE WHEN size(__toks) = 0 THEN CAST(array() AS array<string>) " +
-          s"ELSE transform(sequence(0, (size(__toks) + ${spanTokens - 1}) div $spanTokens - 1), " +
-          s"sp -> concat_ws(' ', slice(__toks, sp * $spanTokens + 1, $spanTokens))) END"))
-        .as(Seq("span_idx", "span")))
+    val spans = explodeSpans(df, idCol, textCol, spanTokens)
     val spanKey: Seq[org.apache.spark.sql.Column] =
       if (hashKeys) Seq(xxhash64(col("span")), col("span")) else Seq(col("span"))
     val w = Window.partitionBy(spanKey: _*).orderBy(col(idCol), col("span_idx"))
@@ -173,6 +166,77 @@ object DedupOps {
     // Anchor on the INPUT ids: a null-text document produces no span
     // rows (NULL token array → empty explode) and would otherwise
     // drop out of the output entirely.
+    df.select(col(idCol))
+      .join(nSpans, Seq(idCol), "left")
+      .join(recon, Seq(idCol), "left")
+      .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
+      .select(col(idCol), col("n_spans"), col("n_kept"), col("kept_text"))
+  }
+
+  /** Non-overlapping `spanTokens`-token windows of every document:
+    * `(idCol, span_idx, span)` rows. Integer span count (ceil
+    * division) — no double math; empty token arrays short-circuit
+    * (`sequence` would step backward); null text explodes to no rows
+    * (callers re-anchor on the input ids). */
+  private def explodeSpans(df: DataFrame, idCol: String, textCol: String,
+                           spanTokens: Int): DataFrame =
+    TextOps.withTokens(df, textCol, "__toks")
+      .select(col(idCol), posexplode(expr(
+        s"CASE WHEN size(__toks) = 0 THEN CAST(array() AS array<string>) " +
+          s"ELSE transform(sequence(0, (size(__toks) + ${spanTokens - 1}) div $spanTokens - 1), " +
+          s"sp -> concat_ws(' ', slice(__toks, sp * $spanTokens + 1, $spanTokens))) END"))
+        .as(Seq("span_idx", "span")))
+
+  /** Document-frequency boilerplate removal (the CCNet/RefinedWeb
+    * paragraph-df filter, over fixed token spans): a span whose text
+    * occurs in at least `max(minDf, ceil(maxDocFrac · nDocs))`
+    * DISTINCT documents is boilerplate (headers, footers, cookie
+    * banners, license blurbs) and is stripped from EVERY document —
+    * unlike [[dedupSpans]]' keep-first policy, no occurrence
+    * survives. Rebuilds cleaned text from the surviving spans.
+    *
+    * Output: `(idCol, n_spans, n_kept, kept_text)`, one row per input
+    * document (null-text/zero-span documents keep their row).
+    *
+    * Scale shape: one explode; ONE span-keyed aggregation
+    * (`countDistinct(id)` per span — partial-aggregated map-side);
+    * the doc-count threshold is a single-row broadcast; the
+    * boilerplate span set (tiny by construction — only spans above
+    * the df threshold) joins back against the span rows on the span
+    * key, and reconstruction is the same id-keyed groupBy as
+    * [[dedupSpans]]. No window over raw span text is needed at all,
+    * so this is CHEAPER than dedupSpans at scale. */
+  def stripBoilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+                            spanTokens: Int = 8, maxDocFrac: Double = 0.001,
+                            minDf: Int = 3): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be positive")
+    require(maxDocFrac > 0 && maxDocFrac <= 1, "maxDocFrac must be in (0, 1]")
+    require(minDf >= 2, "minDf must be at least 2 (df 1 would strip every span)")
+    val reserved = Set("__toks", "span_idx", "span", "__df", "__n_docs", "__bp",
+      "n_spans", "n_kept", "kept_text")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"stripBoilerplateSpans reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val spans = explodeSpans(df, idCol, textCol, spanTokens)
+    val totals = df.groupBy().agg(count(lit(1)).as("__n_docs"))
+    val boilerplate = spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .crossJoin(broadcast(totals))
+      .where(col("__df") >= greatest(
+        lit(minDf.toLong),
+        ceil(lit(maxDocFrac) * col("__n_docs")).cast("long")))
+      .select(col("span"), lit(1).as("__bp"))
+    val kept = spans.join(boilerplate, Seq("span"), "left")
+      .where(col("__bp").isNull)
+    val nSpans = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val recon = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(span_idx, span))), kv -> kv.span)"))
+        .as("kept_text"))
     df.select(col(idCol))
       .join(nSpans, Seq(idCol), "left")
       .join(recon, Seq(idCol), "left")

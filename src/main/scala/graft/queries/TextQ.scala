@@ -708,6 +708,37 @@ object TextQ {
           .where(col("doc_id") < 50)
           .orderBy("doc_id")),
 
+    // ---- document-frequency boilerplate removal ------------------
+    // Spans occurring in >= max(3, ceil(0.001·nDocs)) DISTINCT
+    // documents are stripped from EVERY document (no keep-first
+    // survivor — the CCNet/RefinedWeb paragraph-df policy, vs q76's
+    // keep-first). Witness: first 60 docs' span counts + cleaned
+    // text.
+    Q("q102_strip_boilerplate",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |sidx AS (SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS span_idx FROM toks),
+              |sp AS (SELECT doc_id, span_idx::INT AS span_idx,
+              |  array_to_string(t[(span_idx*8+1):(span_idx*8+8)], ' ') AS span FROM sidx),
+              |nd AS (SELECT count(*) AS n_docs FROM documents),
+              |bp AS (SELECT span FROM sp CROSS JOIN nd
+              |  GROUP BY span, n_docs
+              |  HAVING count(DISTINCT doc_id) >= greatest(3, ceil(0.001 * n_docs))),
+              |keep AS (SELECT s.doc_id, s.span_idx, s.span FROM sp s
+              |  LEFT JOIN bp ON bp.span = s.span WHERE bp.span IS NULL),
+              |nsp AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM sp GROUP BY doc_id),
+              |rec AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+              |  string_agg(span, ' ' ORDER BY span_idx) AS kept_text FROM keep GROUP BY doc_id)
+              |SELECT nsp.doc_id, n_spans,
+              |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+              |  coalesce(kept_text, '') AS kept_text
+              |FROM nsp LEFT JOIN rec ON rec.doc_id = nsp.doc_id
+              |WHERE nsp.doc_id < 60 ORDER BY nsp.doc_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.stripBoilerplateSpans(t(s, dir, "documents"), "doc_id", "text",
+          spanTokens = 8, maxDocFrac = 0.001, minDf = 3)
+          .where(col("doc_id") < 60)
+          .orderBy("doc_id")),
+
     // ---- TF-IDF top keywords per document ------------------------
     // Rarity-weighted keywords (tf·N/df, rational idf — single IEEE
     // ops, bitwise-equal across engines), deterministic token

@@ -1011,6 +1011,32 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("stripBoilerplateSpans: df-threshold spans vanish everywhere, others survive") {
+    import spark.implicits._
+    val banner = "this site uses cookies accept to continue reading now" // 10 toks → spans of 8: 1 full + 1 tail
+    val df = Seq(
+      (0L, s"$banner unique words for document zero only here today"),
+      (1L, s"$banner different content for the second document here now"),
+      (2L, s"$banner third document body with its own words too"),
+      (3L, "no banner in this one just regular content words"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = DedupOps.stripBoilerplateSpans(df, "doc_id", "text",
+      spanTokens = 8, maxDocFrac = 0.5, minDf = 3).orderBy("doc_id").collect()
+    // the banner's FIRST 8-token span is shared by docs 0,1,2 (df=3) → stripped
+    // from all three; no keep-first survivor
+    assert(r.length == 5) // every input doc keeps a row
+    val kept0 = r(0).getAs[String]("kept_text")
+    assert(!kept0.startsWith("this site uses cookies"))
+    assert(r(0).getAs[Long]("n_kept") == r(0).getAs[Long]("n_spans") - 1)
+    assert(r(1).getAs[Long]("n_kept") == r(1).getAs[Long]("n_spans") - 1)
+    assert(r(2).getAs[Long]("n_kept") == r(2).getAs[Long]("n_spans") - 1)
+    // doc 3 untouched (its spans are unique)
+    assert(r(3).getAs[Long]("n_kept") == r(3).getAs[Long]("n_spans"))
+    // null text: row kept with zero spans
+    assert(r(4).getAs[Long]("n_spans") == 0L && r(4).getAs[String]("kept_text") == "")
+  }
+
   test("dropNearDuplicates keepBestBy: highest score survives, min id on ties") {
     import spark.implicits._
     // identical texts → identical signatures → all bands collide →
