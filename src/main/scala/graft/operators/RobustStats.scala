@@ -40,4 +40,38 @@ object RobustStats {
         least(greatest(col(valueCol).cast("double"), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Robust outlier flag via the median absolute deviation: marks
+    * `valueCol` rows with `|x − median| > k · MAD` within their
+    * `groupCol` (the classic robust z-score — unlike mean/stddev
+    * gates, one huge outlier can't inflate the threshold that was
+    * supposed to catch it). `k = 3` is the conventional cutoff.
+    * With MAD = 0 (over half the group identical) any deviation
+    * flags, the standard degenerate-case behavior.
+    *
+    * Scale shape: two group-bounded aggregations (median, then MAD
+    * of deviations — exact `percentile` here; `exact = false` flips
+    * both to GK `approx_percentile`, the 100 TB setting) each joined
+    * back as a BROADCAST, so the data table itself is never
+    * shuffled. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 3.0, out: String = "is_outlier",
+                  exact: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val reserved = Set("__med", "__adev", "__mad", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"madOutliers reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val pct = if (exact) "percentile" else "approx_percentile"
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"$pct($valueCol, 0.5)").as("__med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__adev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr(s"$pct(__adev, 0.5)").as("__mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn(out, col("__adev") > lit(k) * col("__mad"))
+      .drop("__med", "__adev", "__mad")
+  }
 }

@@ -677,6 +677,30 @@ object Relational {
             sumDec("clipped", 6).as("sum_clipped"))
           .orderBy("o_orderstatus")),
 
+    // ---- robust MAD outlier flags --------------------------------
+    // |x − median| > 3·MAD within each order status; medians/MADs are
+    // the same exact interpolated quantiles q44 proves bitwise-equal
+    // across engines, so the boolean flags (and their counts)
+    // hash-match.
+    Q("q103_mad_outliers",
+      Some("""WITH med AS (SELECT o_orderstatus,
+             |  quantile_cont(o_totalprice::DOUBLE, 0.5) AS m FROM orders GROUP BY 1),
+             |ad AS (SELECT o.o_orderstatus, abs(o.o_totalprice::DOUBLE - med.m) AS adev
+             |  FROM orders o JOIN med USING (o_orderstatus)),
+             |mad AS (SELECT o_orderstatus, quantile_cont(adev, 0.5) AS md FROM ad GROUP BY 1)
+             |SELECT ad.o_orderstatus, count(*) AS n,
+             |  sum(CASE WHEN ad.adev > 3.0 * mad.md THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+             |FROM ad JOIN mad USING (o_orderstatus)
+             |GROUP BY ad.o_orderstatus ORDER BY ad.o_orderstatus""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.madOutliers(
+          t(s, dir, "orders"), "o_totalprice", "o_orderstatus", k = 3.0)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("is_outlier"), 1).otherwise(0)).cast("bigint").as("n_outliers"))
+          .orderBy("o_orderstatus")),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,

@@ -1011,6 +1011,23 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("madOutliers: one huge outlier cannot mask itself; MAD=0 degenerate flags any deviation") {
+    import spark.implicits._
+    // group g: values 10,11,12,13,1000 → med=12, adevs {2,1,0,1,988}, MAD=1
+    // → only 1000 exceeds 3·MAD. (mean/stddev would be dragged by 1000.)
+    // group h: all equal but one → MAD=0 → the one deviator flags.
+    val df = (Seq(10.0, 11.0, 12.0, 13.0, 1000.0).map(("g", _)) ++
+      Seq(5.0, 5.0, 5.0, 5.1).map(("h", _))).toDF("grp", "v")
+    val r = RobustStats.madOutliers(df, "v", "grp", k = 3.0)
+    val gOut = r.where(col("grp") === "g" && col("is_outlier")).select("v").collect().map(_.getDouble(0)).toSeq
+    assert(gOut == Seq(1000.0))
+    val hOut = r.where(col("grp") === "h" && col("is_outlier")).select("v").collect().map(_.getDouble(0)).toSeq
+    assert(hOut == Seq(5.1))
+    // the data table is never shuffled: quantile tables broadcast back
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("stripBoilerplateSpans: df-threshold spans vanish everywhere, others survive") {
     import spark.implicits._
     val banner = "this site uses cookies accept to continue reading now" // 10 toks → spans of 8: 1 full + 1 tail
