@@ -61,4 +61,44 @@ object Mixing {
       .where(expr(H.rollingHash(textCol)) % 1000 < col("__permille"))
       .drop("__permille")
   }
+
+  /** Deterministic per-group quota: keep at most `n` rows per
+    * `groupCol`, chosen in content-hash order (`rollingHash(textCol)`,
+    * `idCol` tiebreak) — "cap every source at N documents" with the
+    * same determinism contract as [[weightedSample]]: re-runs and
+    * retries pick the same rows, no `rand()` anywhere.
+    *
+    * Scale shape: the exact cap is a per-group window (one shuffle on
+    * the group key) — but a window over a 10B-row source is a huge
+    * per-group sort, so groups larger than `prefilterAbove` are first
+    * PRUNED map-side to the hash range expected to hold ~`4n + 256`
+    * rows (group counts are a broadcast dim table). The window then
+    * sorts only the pruned survivors. The prune is probabilistically
+    * safe: a shortfall below `n` needs a Binomial(cnt, p) with mean
+    * `4n + 256` to land under `n` — P < e^−95 even at n = 1 — and
+    * any row the prune keeps is decided by the same total order the
+    * window uses, so prune + window ≡ window alone (spec-pinned). */
+  def capPerGroup(df: DataFrame, textCol: String, groupCol: String,
+                  idCol: String, n: Int,
+                  prefilterAbove: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be positive")
+    require(prefilterAbove > 0, "prefilterAbove must be positive")
+    val reserved = Set("__h", "__rn", "__cnt")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"capPerGroup reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val hashMod = 1000000007L // rollingHash range
+    val target = 4L * n + 256L
+    val withH = df.withColumn("__h", expr(H.rollingHash(textCol)))
+      .join(broadcast(counts), Seq(groupCol))
+      .where(col("__cnt") <= prefilterAbove ||
+        col("__h") < ceil(lit(hashMod.toDouble) * lit(target.toDouble) / col("__cnt")).cast("long"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
+    withH.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__h", "__rn", "__cnt")
+  }
 }

@@ -1139,6 +1139,22 @@ object TextQ {
           .orderBy("source")
       }),
 
+    // ---- deterministic per-source quota --------------------------
+    // Cap every source at 10 documents, picked in content-hash order
+    // (no rand(): re-runs keep the same rows). Oracle is the plain
+    // per-group row_number over the same hash order.
+    Q("q104_cap_per_source",
+      Some(s"""WITH r AS (SELECT source, doc_id, row_number() OVER (
+              |  PARTITION BY source ORDER BY ${D.rollingHash("text")}, doc_id) AS rn
+              |  FROM documents)
+              |SELECT source, doc_id FROM r WHERE rn <= 10
+              |ORDER BY source, doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.capPerGroup(
+          t(s, dir, "documents"), "text", "source", "doc_id", n = 10)
+          .select("source", "doc_id")
+          .orderBy("source", "doc_id")),
+
     // ---- train/benchmark decontamination -------------------------
     // Docs 0..19 stand in for an eval set; the rest is the training
     // corpus. A corpus doc is contaminated if it shares ANY 3-token

@@ -1011,6 +1011,22 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("capPerGroup: exact quota, deterministic, prune path agrees with plain window") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"document text number $i", s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val plain = Mixing.capPerGroup(df, "text", "source", "doc_id", n = 7)
+    val pruned = Mixing.capPerGroup(df, "text", "source", "doc_id", n = 7,
+      prefilterAbove = 1L) // force the hash prune on every group
+    assertSameData(pruned, plain)
+    val perGroup = plain.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ == 7L) && perGroup.size == 3)
+    // a group smaller than n survives whole
+    val tiny = Mixing.capPerGroup(df.where(col("doc_id") < 2), "text", "source", "doc_id", n = 7)
+    assert(tiny.count() == 2)
+  }
+
   test("madOutliers: one huge outlier cannot mask itself; MAD=0 degenerate flags any deviation") {
     import spark.implicits._
     // group g: values 10,11,12,13,1000 → med=12, adevs {2,1,0,1,988}, MAD=1
