@@ -263,6 +263,30 @@ object Relational {
           .agg(count(lit(1)).as("n"), sumDec("value").as("sum_value"))
           .orderBy("hour_epoch", "event_type")),
 
+    // ---- event-time SLIDING window (batch form) ------------------
+    // 2-hour windows advancing hourly via Spark's native window()
+    // operator (TimeWindow → generated explode; every event lands in
+    // exactly two windows). The nanos-long ts goes through
+    // timestamp_micros; outputs are epoch seconds. Oracle states the
+    // same membership arithmetically (unnest of the two covering
+    // window starts).
+    Q("q105_sliding_windows",
+      Some("""WITH e AS (SELECT event_type, value, epoch_us(ts) // 3600000000 AS h FROM events),
+             |x AS (SELECT event_type, value, unnest([h, h - 1]) AS wh FROM e)
+             |SELECT wh * 3600 AS window_start, event_type, count(*) AS n,
+             |  (sum(CAST(value AS DECIMAL(18,2))))::DOUBLE AS sum_value
+             |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            window(timestamp_micros(expr("ts div 1000")), "2 hours", "1 hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), sumDec("value").as("sum_value"))
+          .select(
+            col("window.start").cast("long").as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy("window_start", "event_type")),
+
     // ---- sessionization (gap > 30 min) ---------------------------
     Q("q17_sessionize",
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
