@@ -182,12 +182,17 @@ object DedupOps {
     * (callers re-anchor on the input ids). */
   private def explodeSpans(df: DataFrame, idCol: String, textCol: String,
                            spanTokens: Int): DataFrame =
+    explodeSpansCarry(df, Seq(idCol), textCol, spanTokens)
+
+  /** [[explodeSpans]] carrying arbitrary key columns instead of one id. */
+  private def explodeSpansCarry(df: DataFrame, carryCols: Seq[String],
+                                textCol: String, spanTokens: Int): DataFrame =
     TextOps.withTokens(df, textCol, "__toks")
-      .select(col(idCol), posexplode(expr(
+      .select(carryCols.map(col) :+ posexplode(expr(
         s"CASE WHEN size(__toks) = 0 THEN CAST(array() AS array<string>) " +
           s"ELSE transform(sequence(0, (size(__toks) + ${spanTokens - 1}) div $spanTokens - 1), " +
           s"sp -> concat_ws(' ', slice(__toks, sp * $spanTokens + 1, $spanTokens))) END"))
-        .as(Seq("span_idx", "span")))
+        .as(Seq("span_idx", "span")): _*)
 
   /** Document-frequency boilerplate removal (the CCNet/RefinedWeb
     * paragraph-df filter, over fixed token spans): a span whose text
@@ -244,6 +249,31 @@ object DedupOps {
       .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
       .withColumn("kept_text", coalesce(col("kept_text"), lit("")))
       .select(col(idCol), col("n_spans"), col("n_kept"), col("kept_text"))
+  }
+
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many DISTINCT `spanTokens`-token spans they share — "which
+    * sources copy from each other", the provenance probe that decides
+    * whether two crawls/feeds overlap enough to dedup jointly before
+    * mixing. Output: `(src_a, src_b, n_shared_spans)` with
+    * `src_a < src_b`, ordered by count desc (pair tiebreak).
+    *
+    * Scale shape: one explode → one distinct over `(source, span)`
+    * (span-keyed shuffle); the pair join is an equi-join on the span
+    * key whose per-span fan-out is bounded by C(#sources, 2) — source
+    * cardinality is a dim-table bound, so no span can explode the
+    * join; the matrix itself is at most #sources² rows. */
+  def sourceOverlapMatrix(df: DataFrame, textCol: String,
+                          sourceCol: String, spanTokens: Int = 8): DataFrame = {
+    require(spanTokens >= 1, "spanTokens must be positive")
+    val sp = explodeSpansCarry(df, Seq(sourceCol), textCol, spanTokens)
+      .select(col(sourceCol), col("span")).distinct()
+    sp.select(col(sourceCol).as("src_a"), col("span"))
+      .join(sp.select(col(sourceCol).as("src_b"), col("span")), Seq("span"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy(col("n_shared_spans").desc, col("src_a"), col("src_b"))
   }
 
   /** MinHash signatures + band keys. `bands` bands of `rowsPerBand`

@@ -1139,6 +1139,23 @@ object TextQ {
           .orderBy("source")
       }),
 
+    // ---- cross-source duplication matrix -------------------------
+    // Distinct shared 8-token spans per source pair — the provenance
+    // probe ("which feeds copy from each other"). Top-20 pairs.
+    Q("q106_source_overlap",
+      Some(s"""WITH toks AS (SELECT source, $duckToks AS t FROM documents),
+              |sidx AS (SELECT source, t, unnest(range(0, (len(t) + 7) // 8)) AS span_idx FROM toks),
+              |sp AS (SELECT DISTINCT source,
+              |  array_to_string(t[(span_idx*8+1):(span_idx*8+8)], ' ') AS span FROM sidx)
+              |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_spans
+              |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
+              |GROUP BY 1, 2
+              |ORDER BY n_shared_spans DESC, src_a, src_b LIMIT 20""".stripMargin),
+      (s, dir) =>
+        DedupOps.sourceOverlapMatrix(t(s, dir, "documents"), "text", "source",
+          spanTokens = 8)
+          .limit(20)),
+
     // ---- deterministic per-source quota --------------------------
     // Cap every source at 10 documents, picked in content-hash order
     // (no rand(): re-runs keep the same rows). Oracle is the plain

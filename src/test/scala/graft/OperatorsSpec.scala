@@ -1011,6 +1011,21 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("sourceOverlapMatrix: planted shared spans counted once per pair, oriented src_a < src_b") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-token span
+    val df = Seq(
+      (0L, s"$shared unique tail for a one", "sA"),
+      (1L, s"$shared unique tail for a two", "sA"), // same span twice in sA → still 1 distinct
+      (2L, s"$shared other ending here b one", "sB"),
+      (3L, "totally different words in this c document here now", "sC")
+    ).toDF("doc_id", "text", "source")
+    val m = DedupOps.sourceOverlapMatrix(df, "text", "source").collect()
+    assert(m.length == 1)
+    assert(m(0).getString(0) == "sA" && m(0).getString(1) == "sB" &&
+      m(0).getLong(2) == 1L)
+  }
+
   test("capPerGroup: exact quota, deterministic, prune path agrees with plain window") {
     import spark.implicits._
     val df = (0L until 300L).map(i => (i, s"document text number $i", s"s${i % 3}"))
