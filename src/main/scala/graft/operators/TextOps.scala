@@ -144,6 +144,25 @@ object TextOps {
       .drop("__toks", "__bg")
   }
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to the
+    * Java-regex ∩ RE2 dialect (no lookarounds — the original's
+    * trailing-whitespace lookahead is dropped, so runs of spaces
+    * fold into one token): contractions, optionally-space-prefixed
+    * letter runs, digit runs, punctuation runs, whitespace runs.
+    * An approximate but deterministic proxy for BPE token counts —
+    * what a token-budget estimate needs before a real tokenizer
+    * pass. */
+  val BpeishTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Add `out` = number of [[BpeishTokenPattern]] pre-tokens in
+    * `textCol` (null text → null). Per-row codegen'd `regexp_count`
+    * — no shuffle; pair with the whitespace count for a
+    * tokens-per-word fertility signal. */
+  def withBpeishTokenCount(df: DataFrame, textCol: String,
+                           out: String = "n_bpeish"): DataFrame =
+    df.withColumn(out, regexp_count(col(textCol), lit(BpeishTokenPattern)).cast("bigint"))
+
   /** Token-distribution drift between two slices of a corpus: the
     * top-`k` tokens by absolute relative-frequency difference
     * |n_a/tot_a − n_b/tot_b|, ties broken by token. The standard

@@ -1245,6 +1245,28 @@ object TextQ {
             min(lower(hex(substring(col("payload"), 1, 4)))).as("min_first4"))
           .orderBy("source")),
 
+    // ---- BPE-ish pre-tokenizer counts ----------------------------
+    // Word-salad text is planted with a contraction/number/punct tail
+    // (identically in both engines) so the pre-tokenizer's
+    // non-letter branches are exercised; n_bpeish vs the whitespace
+    // n_ws gives the fertility signal.
+    Q("q107_bpeish_tokens", {
+      val pat = TextOps.BpeishTokenPattern.replace("'", "''")
+      Some(s"""WITH p AS (SELECT doc_id,
+              |  text || ' it''s 2024, costs $$12.50!' AS t2 FROM documents WHERE doc_id < 200)
+              |SELECT doc_id, len(string_split(t2, ' '))::BIGINT AS n_ws,
+              |  length(regexp_extract_all(t2, '$pat'))::BIGINT AS n_bpeish
+              |FROM p ORDER BY doc_id""".stripMargin)
+    },
+      (s, dir) => {
+        val planted = t(s, dir, "documents").where(col("doc_id") < 200)
+          .withColumn("t2", concat(col("text"), lit(" it's 2024, costs $12.50!")))
+        TextOps.withBpeishTokenCount(planted, "t2", "n_bpeish")
+          .withColumn("n_ws", size(split(col("t2"), " ")).cast("bigint"))
+          .select("doc_id", "n_ws", "n_bpeish")
+          .orderBy("doc_id")
+      }),
+
     // ---- token-distribution drift between corpus slices ----------
     // Which tokens does the English slice over/under-represent vs the
     // German slice: exact per-token counts in one shared shuffle,

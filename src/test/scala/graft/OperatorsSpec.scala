@@ -1011,6 +1011,20 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("withBpeishTokenCount: contractions, digit runs, punct runs count as separate pre-tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "it's 2024, costs $12.50!"),
+      // "it"("'s")(" 2024")(",")(" costs")(" $")("12")(".")("50")("!") = 10
+      (1L, "plain words only here"), // 4 letter-run tokens
+      (2L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val r = TextOps.withBpeishTokenCount(df, "text").orderBy("id").collect()
+    assert(r(0).getAs[Long]("n_bpeish") == 10L)
+    assert(r(1).getAs[Long]("n_bpeish") == 4L)
+    assert(r(2).isNullAt(r(2).fieldIndex("n_bpeish")))
+  }
+
   test("sourceOverlapMatrix: planted shared spans counted once per pair, oriented src_a < src_b") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // exactly one 8-token span
