@@ -144,6 +144,77 @@ object TextOps {
       .drop("__toks", "__bg")
   }
 
+  /** Content-defined chunking (CDC — the rsync/FastCDC family):
+    * split each document at positions whose local k-gram rolling
+    * hash satisfies `hash % mod == 0`, so boundaries depend ONLY on
+    * nearby content. The property dedup needs: inserting or deleting
+    * a prefix shifts every fixed-stride chunk, but CDC boundaries
+    * re-synchronize immediately — identical substrings yield
+    * identical chunks wherever they sit, so chunk-level exact dedup
+    * catches shared content that span-grid dedup misses
+    * (spec-pinned). Chunks longer than `maxLen` are subdivided at
+    * `maxLen` stride (storage bound); expected chunk length is
+    * `mod` characters — tune `mod`, not a minimum-length rule, to
+    * control granularity (a min-length rule would make the scan
+    * sequential; this formulation stays a pure per-row filter).
+    *
+    * Output: one row per chunk — `(idCol, chunk_idx, chunk_start,
+    * chunk_len, chunk_text)` (1-based start). Texts shorter than
+    * `k + 1` chars form a single chunk; empty/null text yields no
+    * rows.
+    *
+    * Scale: per-row HOF pipeline (k-gram hashes → boundary filter →
+    * start expansion → explode) — no shuffle, no UDF; O(len) work
+    * per document. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 8, mod: Int = 64, maxLen: Int = 256): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(mod >= 2, "mod must be at least 2")
+    require(maxLen >= 1, "maxLen must be positive")
+    val reserved = Set("__kh", "__cuts", "__starts", "chunk_idx", "chunk_start",
+      "chunk_len", "chunk_text")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"cdcChunks reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val n = s"length($textCol)"
+    // candidate boundary positions 2..n-k+1 whose k-gram hash divides;
+    // position 1 is always a start. sequence() steps BACKWARD when
+    // start > stop, so every range is guarded. Every intermediate is
+    // LET-BOUND via the `transform(array(e), x -> …)` idiom: naming
+    // it with withColumn would let projection collapse inline the
+    // O(n·k) k-gram array into every element_at probe (O(n²·k) per
+    // row, re-evaluated per exploded chunk — observed as a hang at
+    // sf0.01), whereas a lambda binding materializes it once per row.
+    val khE =
+      s"CASE WHEN $n >= ${k + 1} THEN ${H.kgramHashes(textCol, k)} " +
+        s"ELSE CAST(array() AS array<bigint>) END"
+    val cutsE = // boundaries incl. sentinels 1 and n+1; `kh` bound
+      s"concat(array(1), CASE WHEN $n >= ${k + 1} THEN " +
+        s"filter(sequence(2, $n - ${k - 1}), p -> element_at(kh, p) % $mod = 0) " +
+        s"ELSE CAST(array() AS array<int>) END, array($n + 1))"
+    val startsE = // maxLen-stride subdivision of [cut_j, cut_{j+1}); `c` bound
+      s"flatten(transform(sequence(1, size(c) - 1), " +
+        s"j -> sequence(element_at(c, j), element_at(c, j + 1) - 1, $maxLen)))"
+    val chunksE = // (idx, start, len) structs; `st` bound
+      s"transform(sequence(1, size(st)), q -> struct(" +
+        s"q - 1 AS chunk_idx, element_at(st, q) AS chunk_start, " +
+        s"(CASE WHEN q < size(st) THEN element_at(st, q + 1) ELSE $n + 1 END) " +
+        s"- element_at(st, q) AS chunk_len))"
+    val full =
+      s"CASE WHEN $n IS NULL OR $n = 0 THEN " +
+        s"CAST(array() AS array<struct<chunk_idx: int, chunk_start: int, chunk_len: int>>) " +
+        s"ELSE element_at(transform(array($khE), kh -> " +
+        s"element_at(transform(array($cutsE), c -> " +
+        s"element_at(transform(array($startsE), st -> $chunksE), 1)), 1)), 1) END"
+    df.select(col(idCol), col(textCol).as("__t"), explode(expr(full)).as("__ch"))
+      .select(col(idCol),
+        col("__ch.chunk_idx").as("chunk_idx"),
+        col("__ch.chunk_start").as("chunk_start"),
+        col("__ch.chunk_len").cast("bigint").as("chunk_len"),
+        expr("substring(__t, __ch.chunk_start, __ch.chunk_len)").as("chunk_text"))
+  }
+
   /** GPT-2-style pre-tokenizer pattern, restricted to the
     * Java-regex ∩ RE2 dialect (no lookarounds — the original's
     * trailing-whitespace lookahead is dropped, so runs of spaces

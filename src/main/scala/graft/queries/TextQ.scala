@@ -1245,6 +1245,44 @@ object TextQ {
             min(lower(hex(substring(col("payload"), 1, 4)))).as("min_first4"))
           .orderBy("source")),
 
+    // ---- content-defined chunking (CDC) --------------------------
+    // Boundaries where the local 8-gram rolling hash % 64 == 0
+    // (position-independent — the dedup re-sync property), long
+    // chunks subdivided at 256 chars. Witness: per-doc chunk count,
+    // exact hash-sum over chunk texts, min/max chunk length.
+    // Dialect note: Spark sequence(a, b) inclusive == DuckDB
+    // range(a, b+1) exclusive; both step maxLen for subdivision.
+    Q("q108_cdc_chunks",
+      Some(s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 200),
+              |kh AS (SELECT doc_id, text, n, CASE WHEN n >= 9
+              |  THEN ${D.kgramHashes("text", 8)} ELSE []::BIGINT[] END AS h FROM t),
+              |cuts AS (SELECT doc_id, text, n, list_concat(list_concat(
+              |  [1], CASE WHEN n >= 9 THEN list_filter(range(2, n - 6), p -> h[p] % 64 = 0)
+              |       ELSE []::BIGINT[] END), [n + 1]) AS c FROM kh),
+              |st AS (SELECT doc_id, text, n, flatten(list_transform(range(1, len(c)),
+              |  j -> range(c[j], c[j + 1], 256))) AS s FROM cuts WHERE n > 0),
+              |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(s) + 1), j -> {
+              |  'ctext': substring(text, s[j]::INT, ((CASE WHEN j + 1 <= len(s)
+              |     THEN s[j + 1] ELSE n + 1 END) - s[j])::INT),
+              |  'clen': ((CASE WHEN j + 1 <= len(s) THEN s[j + 1] ELSE n + 1 END) - s[j])::BIGINT
+              |  })) AS u FROM st)
+              |SELECT doc_id, count(*) AS n_chunks,
+              |  sum(${D.rollingHash("u.ctext")})::BIGINT AS hash_sum,
+              |  min(u.clen) AS min_len, max(u.clen) AS max_len
+              |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        TextOps.cdcChunks(t(s, dir, "documents").where(col("doc_id") < 200),
+          "doc_id", "text", k = 8, mod = 64, maxLen = 256)
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(expr(H.rollingHash("chunk_text"))).as("hash_sum"),
+            min(col("chunk_len")).as("min_len"),
+            max(col("chunk_len")).as("max_len"))
+          .orderBy("doc_id")
+      }),
+
     // ---- BPE-ish pre-tokenizer counts ----------------------------
     // Word-salad text is planted with a contraction/number/punct tail
     // (identically in both engines) so the pre-tokenizer's

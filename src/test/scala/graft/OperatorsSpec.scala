@@ -1011,6 +1011,36 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("cdcChunks: chunks reassemble the text, respect maxLen, and re-sync after a prefix edit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val body = (0 until 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (0L, body),
+      (1L, "PREFIX-INSERTED-" + body), // shifted content, same suffix
+      (2L, "tiny"),                    // shorter than k+1 → one chunk
+      (3L, ""),                        // empty → no rows
+      (4L, null.asInstanceOf[String])  // null → no rows
+    ).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunks(df, "doc_id", "text", k = 8, mod = 16, maxLen = 64)
+    val rows = ch.orderBy("doc_id", "chunk_idx").collect()
+    // chunks concatenate back to the exact input
+    val re0 = rows.filter(_.getLong(0) == 0L).map(_.getAs[String]("chunk_text")).mkString
+    assert(re0 == body)
+    // maxLen respected
+    assert(rows.forall(_.getAs[Long]("chunk_len") <= 64L))
+    // CDC property: after the edit region, doc 1's chunk set re-syncs
+    // with doc 0's — the two share most chunk texts despite the shift
+    val c0 = rows.filter(_.getLong(0) == 0L).map(_.getAs[String]("chunk_text")).toSet
+    val c1 = rows.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_text")).toSet
+    val shared = c0.intersect(c1).map(_.length).sum
+    assert(shared > body.length / 2,
+      s"expected CDC re-sync to share most content, shared only $shared of ${body.length} chars")
+    // degenerate inputs
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq == Seq("tiny"))
+    assert(!rows.exists(r => r.getLong(0) >= 3L))
+  }
+
   test("withBpeishTokenCount: contractions, digit runs, punct runs count as separate pre-tokens") {
     import spark.implicits._
     val df = Seq(
