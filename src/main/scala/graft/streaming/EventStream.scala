@@ -39,6 +39,22 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** SLIDING-window counts/sums per event type (each event lands in
+    * `window / slide` windows — Spark's TimeWindow explode handles
+    * the fan-out in both batch and streaming; q105 witnesses the
+    * batch form against the oracle, `EventStreamSpec` pins
+    * stream == batch). */
+  def slidingCounts(events: DataFrame, window_ : String = "2 hours",
+                    slide: String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Running per-user totals with CUSTOM state
     * (`mapGroupsWithState`): the escape hatch for stateful logic the
     * built-in windows can't express. State is one small record per

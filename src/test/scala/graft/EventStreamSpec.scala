@@ -50,6 +50,25 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows: each event in two windows; streaming matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = EventStream.slidingCounts(batchEvents)
+    // every event contributes to exactly windowDuration/slide = 2 windows
+    val totalN = batch.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(totalN == 2L * batchEvents.count())
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.slidingCounts(streamDf)
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      query.processAllAvailable()
+      assertSameData(spark.table("slide_counts"), batch)
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState: state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
