@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, md5, when, lit}
 
 /** Parquet/CSV inspection & conversion verbs.
   *
@@ -46,6 +47,29 @@ object Inspect {
     val spark = df.sparkSession
     if (!exists(spark, outPath))
       df.write.option("header", "true").mode(SaveMode.ErrorIfExists).csv(outPath)
+  }
+
+  /** Snapshot diff between two dataset versions keyed by `idCol`:
+    * one row per id with `status` ∈ added | removed | changed |
+    * unchanged (content compared by md5 of `contentCol`). The
+    * maintenance probe a curation iteration runs before promoting a
+    * rebuilt corpus — "what did this pipeline change?".
+    *
+    * Scale shape: both sides reduce to `(id, digest)` projections
+    * before the single full-outer equi-join on the id — the join
+    * shuffles 2×(8-byte id + 32-byte digest) per row, never the
+    * payloads; at 100 TB both sides would be bucketed by id and the
+    * join co-located. */
+  def diffSnapshots(before: DataFrame, after: DataFrame,
+                    idCol: String, contentCol: String): DataFrame = {
+    val b = before.select(col(idCol).as("__id"), md5(col(contentCol)).as("__bd"))
+    val a = after.select(col(idCol).as("__id"), md5(col(contentCol)).as("__ad"))
+    b.join(a, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__bd").isNull, lit("added"))
+          .when(col("__ad").isNull, lit("removed"))
+          .when(col("__bd") === col("__ad"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

@@ -1139,6 +1139,31 @@ object TextQ {
           .orderBy("source")
       }),
 
+    // ---- corpus snapshot diff ------------------------------------
+    // "What did the pipeline change": before = docs < 400, after =
+    // docs >= 100 with every 7th text edited — both engines construct
+    // the versions identically, diff by content digest over one
+    // id-keyed full-outer join of (id, digest) projections.
+    Q("q109_snapshot_diff",
+      Some("""WITH b AS (SELECT doc_id, md5(text) AS d FROM documents WHERE doc_id < 400),
+             |a AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS d
+             |  FROM documents WHERE doc_id >= 100),
+             |j AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+             |  CASE WHEN b.d IS NULL THEN 'added' WHEN a.d IS NULL THEN 'removed'
+             |       WHEN b.d = a.d THEN 'unchanged' ELSE 'changed' END AS status
+             |  FROM b FULL OUTER JOIN a ON a.doc_id = b.doc_id)
+             |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val before = docs.where(col("doc_id") < 400)
+        val after = docs.where(col("doc_id") >= 100)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        graft.operators.Inspect.diffSnapshots(before, after, "doc_id", "text")
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      }),
+
     // ---- cross-source duplication matrix -------------------------
     // Distinct shared 8-token spans per source pair — the provenance
     // probe ("which feeds copy from each other"). Top-20 pairs.
