@@ -496,6 +496,97 @@ object SimilarityOps {
     }
   }
 
+  /** Render an `m × K × dsub` codebook as a nested Spark array
+    * literal (codebooks are dim-table bounded: `K·dim` doubles). */
+  private def cbSql(cb: Seq[Seq[Seq[Double]]]): String =
+    cb.map(sub => sub.map(c =>
+      c.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  private def validateCodebooks(cb: Seq[Seq[Seq[Double]]]): (Int, Int, Int) = {
+    require(cb.nonEmpty && cb.forall(_.nonEmpty), "codebooks must be non-empty")
+    val ks = cb.map(_.size).distinct
+    require(ks.size == 1, s"every subspace needs the same K, got $ks")
+    val ds = cb.flatMap(_.map(_.size)).distinct
+    require(ds.size == 1 && ds.head >= 1,
+      s"every centroid needs the same positive sub-dimension, got $ds")
+    (cb.size, ks.head, ds.head)
+  }
+
+  /** Product-quantization encode (Jégou et al., TPAMI 2011 — the
+    * compression layer under IVF-PQ, the standard billion-scale ANN
+    * design): the vector is split into `m` contiguous subspaces and
+    * each sub-vector is replaced by the id of its nearest codebook
+    * centroid (squared L2, first-min tie-break) — `m` small ints
+    * instead of `dim` floats, a 32–64× shuffle/storage compression.
+    * Codebooks come from per-subspace k-means ([[trainKmeans]] per
+    * slice, offline) and ride along as a nested literal, so encoding
+    * is one codegen'd per-row expression: no join, no shuffle, and
+    * every distance is a fixed-order IEEE fold (float→double casts
+    * exact) — codes are bitwise-reproducible across engines.
+    *
+    * Adds `out` = array<int> of length `m`. Wrong-dimension or
+    * null-component vectors raise loudly (house guard pattern). */
+  def pqEncode(df: DataFrame, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+               out: String = "pq_codes"): DataFrame = {
+    val (m, _, dsub) = validateCodebooks(codebooks)
+    val dim = m * dsub
+    require(!df.columns.contains(out), s"pqEncode output column $out collides with input")
+    val vg = // guard wraps the column itself (optimizer-proof)
+      s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
+        s"ELSE raise_error('pqEncode: $vecCol must be a null-free array<float> of length $dim') END"
+    // let-bound codebook + per-subspace distance array (see cdcChunks
+    // for why naming intermediates with withColumn would be O(n²))
+    val codes =
+      s"transform(sequence(0, ${m - 1}), s -> " +
+        s"CAST(element_at(transform(array(" +
+        s"transform(element_at(cb, s + 1), c -> " +
+        s"aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (acc, i) -> " +
+        s"acc + (CAST(element_at(__vg, s * $dsub + i) AS DOUBLE) - element_at(c, i)) " +
+        s"* (CAST(element_at(__vg, s * $dsub + i) AS DOUBLE) - element_at(c, i))))" +
+        s"), ds -> array_position(ds, array_min(ds)) - 1), 1) AS INT))"
+    val full =
+      s"element_at(transform(array(${cbSql(codebooks)}), cb -> " +
+        s"element_at(transform(array($vg), __vg -> $codes), 1)), 1)"
+    df.withColumn(out, expr(full))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * un-quantized, per-subspace distances to every centroid form an
+    * `m × K` lookup table (computed once, constant-folded into the
+    * scan), and each row's approximate squared distance is `m` table
+    * lookups summed in fixed order — no floats are touched per row at
+    * all. Selection is TakeOrderedAndProject (per-partition heaps),
+    * never a global sort. Returns `(idCol, adc)`, nearest first
+    * (id tiebreak). */
+  def pqAdcTopK(df: DataFrame, idCol: String, codesCol: String,
+                codebooks: Seq[Seq[Seq[Double]]], query: Seq[Double],
+                k: Int): DataFrame = {
+    val (m, _, dsub) = validateCodebooks(codebooks)
+    require(query.size == m * dsub,
+      s"query must have dimension ${m * dsub}, got ${query.size}")
+    require(k >= 1, "k must be positive")
+    val qSql = query.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val lut = // m × K table of query-sub-to-centroid squared distances
+      s"transform(sequence(0, ${m - 1}), s -> " +
+        s"transform(element_at(cb, s + 1), c -> " +
+        s"aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (acc, i) -> " +
+        s"acc + (element_at(ql, s * $dsub + i) - element_at(c, i)) " +
+        s"* (element_at(ql, s * $dsub + i) - element_at(c, i)))))"
+    val adc =
+      s"aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (acc, s) -> " +
+        s"acc + element_at(element_at(lut, s + 1), element_at($codesCol, s + 1) + 1))"
+    val full =
+      s"element_at(transform(array(${cbSql(codebooks)}), cb -> " +
+        s"element_at(transform(array($qSql), ql -> " +
+        s"element_at(transform(array($lut), lut -> $adc), 1)), 1)), 1)"
+    df.withColumn("adc", expr(full))
+      .orderBy(col("adc"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("adc"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs over an embedding column —
     * the SCALE path for embedding dedup (no blocking attribute
     * needed, unlike [[nearDupPairStats]]'s label blocking): the sign

@@ -14,7 +14,73 @@ object EmbedQ {
   import Q.t
   import VectorSql.{duck => D}
 
+  /** Fixed PQ codebook for the q110/q111 witnesses: 4 subspaces × 8
+    * centroids × 16 dims, entries `((cid·7 + i·3 + s·5) mod 11 − 5)/4`
+    * — two-decimal rationals, exactly representable, rendered from
+    * this ONE Seq into both dialects (production codebooks come from
+    * per-subspace [[SimilarityOps.trainKmeans]]; a fixed codebook is
+    * what makes the encode/ADC arithmetic oracle-checkable — the q93
+    * fixed-centroid pattern). */
+  private val PqCb: Seq[Seq[Seq[Double]]] =
+    (0 until 4).map(s => (0 until 8).map(cid =>
+      (0 until 16).map(i => ((cid * 7 + i * 3 + s * 5) % 11 - 5) / 4.0)))
+
+  /** 64-dim witness query vector `((i·3) mod 7 − 3)/4`. */
+  private val PqQuery: Seq[Double] = (0 until 64).map(i => ((i * 3) % 7 - 3) / 4.0)
+
+  private def cbDuck: String =
+    PqCb.map(sub => sub.map(c =>
+      c.map(v => s"($v)::DOUBLE").mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]"))
+      .mkString("[", ", ", "]")
+
+  private def qlDuck: String =
+    PqQuery.map(v => s"($v)::DOUBLE").mkString("[", ", ", "]")
+
+  /** DuckDB rendering of the PQ encode (codes list per row). */
+  private def pqCodesDuck: String =
+    s"""list_transform(range(0, 4), s ->
+       |  (list_transform([list_transform(($cbDuck)[s + 1], c ->
+       |     list_reduce(list_prepend((0.0)::DOUBLE, list_transform(range(1, 17), i ->
+       |        (embedding[s * 16 + i]::DOUBLE - c[i]) * (embedding[s * 16 + i]::DOUBLE - c[i]))),
+       |        (a, x) -> a + x))],
+       |   ds -> list_position(ds, list_min(ds)) - 1))[1]::INT)""".stripMargin
+
   val qs: Seq[Q] = Seq(
+
+    // ---- product-quantization encode -----------------------------
+    // 64-dim floats → 4 codes (nearest fixed-codebook centroid per
+    // 16-dim subspace, squared L2, first-min ties). Every distance is
+    // a fixed-order IEEE fold — codes hash-match across engines.
+    Q("q110_pq_encode",
+      Some(s"""SELECT vec_id, $pqCodesDuck AS pq_codes
+              |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.pqEncode(
+          t(s, dir, "embeddings").where(col("vec_id") < 40), "embedding", PqCb)
+          .select("vec_id", "pq_codes")
+          .orderBy("vec_id")),
+
+    // ---- PQ asymmetric-distance top-k ----------------------------
+    // Un-quantized query vs the whole encoded corpus: the m×K lookup
+    // table is built from the same literals in both engines; each
+    // row's adc is 4 table lookups summed in fixed order.
+    Q("q111_pq_adc_topk",
+      Some(s"""WITH lutc AS (SELECT list_transform(range(0, 4), s ->
+              |  list_transform(($cbDuck)[s + 1], c ->
+              |    list_reduce(list_prepend((0.0)::DOUBLE, list_transform(range(1, 17), i ->
+              |      (($qlDuck)[s * 16 + i] - c[i]) * (($qlDuck)[s * 16 + i] - c[i]))),
+              |      (a, x) -> a + x))) AS lut),
+              |enc AS (SELECT vec_id, $pqCodesDuck AS pq_codes FROM embeddings)
+              |SELECT vec_id, list_reduce(list_prepend((0.0)::DOUBLE,
+              |  list_transform(range(0, 4), s -> lut[s + 1][pq_codes[s + 1] + 1])),
+              |  (a, x) -> a + x) AS adc
+              |FROM enc CROSS JOIN lutc
+              |ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.pqAdcTopK(
+          SimilarityOps.pqEncode(t(s, dir, "embeddings"), "embedding", PqCb),
+          "vec_id", "pq_codes", PqCb, PqQuery, k = 10)),
 
     // ---- random-projection dimensionality reduction --------------
     // Project 64-dim embeddings onto 3 deterministic integer

@@ -1011,6 +1011,39 @@ class OperatorsSpec extends SparkSpec {
     assert(DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text").count() == 0)
   }
 
+  test("pqEncode/pqAdcTopK: nearest centroid per subspace, first-min ties, exact on centroids") {
+    import spark.implicits._
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)), // subspace 0
+      Seq(Seq(0.0, 1.0), Seq(1.0, 0.0))) // subspace 1
+    val df = Seq(
+      (0L, Array(0.1f, 0.1f, 0.9f, 0.1f)), // → codes [0, 1]
+      (1L, Array(0.5f, 0.5f, 0.0f, 0.9f)), // sub0 tie → first min 0; sub1 → 0
+      (2L, Array(1.0f, 1.0f, 0.0f, 1.0f))  // exactly on centroids [1, 0]
+    ).toDF("vec_id", "embedding")
+    val enc = SimilarityOps.pqEncode(df, "embedding", cb)
+    val codes = enc.orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Int]]("pq_codes").toSeq)
+    assert(codes.toSeq == Seq(Seq(0, 1), Seq(0, 0), Seq(1, 0)))
+    // ADC with the query AT doc 2's centroids → its adc is exactly 0 and it ranks first
+    val top = SimilarityOps.pqAdcTopK(enc, "vec_id", "pq_codes", cb,
+      query = Seq(1.0, 1.0, 0.0, 1.0), k = 3).collect()
+    assert(top(0).getLong(0) == 2L && top(0).getDouble(1) == 0.0)
+    val plan = SimilarityOps.pqAdcTopK(enc, "vec_id", "pq_codes", cb,
+      query = Seq(1.0, 1.0, 0.0, 1.0), k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
+  test("pqEncode: wrong dimension raises loudly") {
+    import spark.implicits._
+    val cb = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
+    val df = Seq((0L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.pqEncode(df, "embedding", cb).collect()
+    }
+    assert(e.getMessage.contains("null-free array<float> of length 4"))
+  }
+
   test("cdcChunks: chunks reassemble the text, respect maxLen, and re-sync after a prefix edit") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
