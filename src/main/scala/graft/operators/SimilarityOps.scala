@@ -587,6 +587,47 @@ object SimilarityOps {
       .select(col(idCol), col("adc"))
   }
 
+  /** The full IVF-PQ search path (the standard billion-scale ANN
+    * layout): coarse-quantize the corpus onto broadcast centroids,
+    * probe the query's `nProbe` nearest clusters, and rank ONLY the
+    * probed candidates by PQ asymmetric distance — so the scan
+    * touches `nProbe/K_coarse` of the corpus and the ranking touches
+    * `m` bytes per candidate instead of `4·dim`. With a
+    * [[writeIvfIndex]]-style cluster-partitioned store of codes the
+    * probe becomes a partition-pruned scan; here the assignment runs
+    * inline so the operator is self-contained and oracle-checkable.
+    * Returns `(idCol, adc)`, nearest first. */
+  def ivfPqSearch(corpus: DataFrame, idCol: String, vecCol: String,
+                  coarse: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+                  query: Seq[Double], k: Int, nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (m, _, dsub) = validateCodebooks(codebooks)
+    require(query.size == m * dsub,
+      s"query must have dimension ${m * dsub}, got ${query.size}")
+    require(nProbe >= 1, "nProbe must be positive")
+    val centN = coarse.withColumn("__ctnrm", expr(V.norm("cvec")))
+    val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    val assigned = corpusN.crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
+      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("cluster"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // float cast for the cosine probe: graft_dot_f32 is float-typed,
+    // and any query value exactly representable in float (e.g. the
+    // witness's n/4 rationals) probes identically to its double form
+    val probed = Seq(Tuple1(query.map(_.toFloat))).toDF("q")
+      .withColumn("__qnrm", expr(V.norm("q")))
+      .crossJoin(broadcast(centN))
+      .withColumn("csim", simWithNorms("q", "cvec", "__qnrm", "__ctnrm"))
+      .orderBy(col("csim").desc, col("cid")).limit(nProbe)
+      .select(col("cid").as("cluster"))
+    val cand = assigned.join(broadcast(probed), Seq("cluster"))
+    pqAdcTopK(pqEncode(cand, vecCol, codebooks), idCol, "pq_codes",
+      codebooks, query, k)
+  }
+
   /** Random-hyperplane LSH near-dup pairs over an embedding column —
     * the SCALE path for embedding dedup (no blocking attribute
     * needed, unlike [[nearDupPairStats]]'s label blocking): the sign

@@ -153,6 +153,44 @@ object EmbedQ {
           k = 5, excludeId = Some(8L))
       }),
 
+    // ---- full IVF-PQ path: coarse probe + ADC ranking ------------
+    // The billion-scale ANN layout end-to-end: corpus coarse-assigned
+    // to the q42 centroids, the literal query probes its 2 nearest
+    // clusters, and ONLY those candidates are ranked by PQ asymmetric
+    // distance (q110/q111's fixed codebooks) — the scan is cluster-
+    // bounded and the ranking reads 4 codes per candidate, not 64
+    // floats.
+    Q("q112_ivf_pq_search",
+      Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+              |corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+              |assigned AS (SELECT vec_id, embedding, cid AS cluster FROM (
+              |  SELECT c.vec_id, c.embedding, ct.cid,
+              |    row_number() OVER (PARTITION BY c.vec_id
+              |      ORDER BY ${D.cosine("c.embedding", "ct.cvec")} DESC, ct.cid) AS rn
+              |  FROM corpus c, cent ct) WHERE rn = 1),
+              |qv AS (SELECT ($qlDuck) AS q),
+              |probe AS (SELECT ct.cid AS cluster FROM qv, cent ct
+              |  ORDER BY ${D.cosine("qv.q", "ct.cvec")} DESC, ct.cid LIMIT 2),
+              |cand AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probe p ON a.cluster = p.cluster),
+              |lutc AS (SELECT list_transform(range(0, 4), s ->
+              |  list_transform(($cbDuck)[s + 1], c ->
+              |    list_reduce(list_prepend((0.0)::DOUBLE, list_transform(range(1, 17), i ->
+              |      (($qlDuck)[s * 16 + i] - c[i]) * (($qlDuck)[s * 16 + i] - c[i]))),
+              |      (a, x) -> a + x))) AS lut),
+              |enc AS (SELECT vec_id, $pqCodesDuck AS pq_codes FROM cand)
+              |SELECT vec_id, list_reduce(list_prepend((0.0)::DOUBLE,
+              |  list_transform(range(0, 4), s -> lut[s + 1][pq_codes[s + 1] + 1])),
+              |  (a, x) -> a + x) AS adc
+              |FROM enc CROSS JOIN lutc
+              |ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.ivfPqSearch(
+          emb.where(col("vec_id") >= 8), "vec_id", "embedding",
+          emb.where(col("vec_id") < 8).select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec")),
+          PqCb, PqQuery, k = 10, nProbe = 2)
+      }),
+
     // ---- IVF ANN, multi-probe: the recall-vs-cost knob -----------
     // Same index as q42, but the query fans out to its TWO nearest
     // clusters — the lever that recovers recall lost to coarse

@@ -1034,6 +1034,28 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("ivfPqSearch: probing every cluster degenerates to full-corpus ADC") {
+    import spark.implicits._
+    val cb = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 1.0), Seq(1.0, 0.0)))
+    val rnd = new scala.util.Random(5)
+    val corpus = (0L until 60L).map(i =>
+      (i, Array.fill(4)(rnd.nextInt(9) / 4.0f))).toDF("vec_id", "embedding")
+    val coarse = Seq(
+      (0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2, Array(0.0f, 0.0f, 1.0f, 1.0f))).toDF("cid", "cvec")
+    val q = Seq(0.25, 0.5, 0.75, 0.0)
+    val probeAll = SimilarityOps.ivfPqSearch(corpus, "vec_id", "embedding",
+      coarse, cb, q, k = 10, nProbe = 3).collect()
+    val full = SimilarityOps.pqAdcTopK(
+      SimilarityOps.pqEncode(corpus, "embedding", cb),
+      "vec_id", "pq_codes", cb, q, k = 10).collect()
+    assert(probeAll.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      full.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
   test("pqEncode: wrong dimension raises loudly") {
     import spark.implicits._
     val cb = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
