@@ -587,6 +587,61 @@ object SimilarityOps {
       .select(col(idCol), col("adc"))
   }
 
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick the candidate maximizing
+    * `λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevant
+    * results that are NOT near-duplicates of each other, the
+    * retrieval-side answer to redundant corpora. Deterministic: id
+    * tiebreak at every pick.
+    *
+    * Scale shape: `k` driver-paced passes (the same bounded-rounds
+    * pattern as Lloyd iterations / connected components): each pass
+    * is one distributed scan scoring every candidate against the
+    * query and the ≤ k already-selected vectors (shipped back as
+    * constant-folded float literals — k·dim bounded), then a 1-row
+    * TakeOrdered. Use it on a candidate pool (e.g. the top-few-
+    * hundred from [[topK]]/[[ivfPqSearch]]), not a raw corpus —
+    * k scans of a 100 TB corpus would be k corpus reads. */
+  def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, k: Int, lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    def floatArraySql(v: Seq[Float]): String =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+    val base = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
+      .crossJoin(broadcast(query.withColumn("__qnrm", expr(V.norm("q")))))
+      .withColumn("__qsim", simWithNorms(vecCol, "q", "__nrm", "__qnrm"))
+      .select(col(idCol), col(vecCol), col("__qsim"))
+      .localCheckpoint() // scored once; k passes re-read, never recompute
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    (0 until k).foreach { _ =>
+      val already = selected.map(_._1)
+      val notTaken = if (already.isEmpty) base
+        else base.where(!col(idCol).isin(already.toSeq: _*))
+      val sims = selected.map { case (_, v) =>
+        expr(V.cosine(vecCol, floatArraySql(v)))
+      }.toSeq
+      val penalty = sims match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one // greatest() requires >= 2 args
+        case many => greatest(many: _*)
+      }
+      val pick = notTaken
+        .withColumn("__mmr", lit(lambda) * col("__qsim") - lit(1 - lambda) * penalty)
+        .orderBy(col("__mmr").desc, col(idCol))
+        .limit(1).select(col(idCol), col(vecCol)).head
+      selected += ((pick.getLong(0),
+        pick.getAs[scala.collection.Seq[Float]](1).toSeq))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ranked = selected.zipWithIndex.map { case ((id, _), r) => (id, r + 1) }.toSeq
+    val rdf = ranked.toDF(idCol, "mmr_rank")
+    base.rdd.unpersist(blocking = false)
+    rdf.orderBy("mmr_rank")
+  }
+
   /** The full IVF-PQ search path (the standard billion-scale ANN
     * layout): coarse-quantize the corpus onto broadcast centroids,
     * probe the query's `nProbe` nearest clusters, and rank ONLY the

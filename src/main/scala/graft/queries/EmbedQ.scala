@@ -392,6 +392,41 @@ object EmbedQ {
           .orderBy("label")
       }),
 
+    // ---- MMR diversified top-k -----------------------------------
+    // Greedy maximal marginal relevance (λ=0.5, k=5) against the
+    // vec_id=0 query: each pick maximizes relevance minus similarity
+    // to everything already picked. The oracle UNROLLS the greedy
+    // into k chained CTE stages (deterministic id tiebreaks), so the
+    // entire iterative algorithm is hash-checked end-to-end.
+    Q("q113_mmr_topk", {
+      val k = 5
+      val stages = (1 to k).map { t =>
+        val prev = (1 until t).map(i => s"s$i")
+        val notIn = prev.map(p => s"e.vec_id <> $p.vec_id").mkString(" AND ")
+        val pen =
+          if (prev.isEmpty) "0.0"
+          else if (prev.size == 1) D.cosine("e.embedding", "s1.embedding")
+          else "greatest(" + prev.map(p => D.cosine("e.embedding", s"$p.embedding")).mkString(", ") + ")"
+        val from = (Seq("c e", "q") ++ prev).mkString(", ")
+        val where = if (prev.isEmpty) "" else s"WHERE $notIn"
+        s"""s$t AS (SELECT e.vec_id, e.embedding FROM $from $where
+           |  ORDER BY 0.5 * ${D.cosine("e.embedding", "q.qv")} - 0.5 * ($pen) DESC, e.vec_id LIMIT 1)""".stripMargin
+      }
+      val unions = (1 to k).map(t => s"SELECT vec_id, $t AS mmr_rank FROM s$t").mkString("\nUNION ALL ")
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+              |${stages.mkString(",\n")}
+              |$unions
+              |ORDER BY mmr_rank""".stripMargin)
+    },
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.mmrTopK(
+          emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.where(col("vec_id") === 0).select(col("embedding").as("q")),
+          k = 5, lambda = 0.5)
+      }),
+
     // ---- embedding-cosine near-dup pair counts (blocked) ---------
     Q("q43_embed_near_dup",
       Some(s"""WITH x AS (SELECT label, vec_id, embedding FROM embeddings)

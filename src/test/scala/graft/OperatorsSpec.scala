@@ -1034,6 +1034,20 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("mmrTopK: near-duplicate of the first pick is deferred for a diverse result") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // most relevant
+      (2L, Array(0.99f, 0.14f, 0.0f)),  // near-dup of 1 (cos≈0.99), still very relevant
+      (3L, Array(0.6f, 0.0f, 0.8f))     // less relevant (cos≈0.81) but diverse (cos to 1 = 0.6)
+    ).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f, 0.3f))).toDF("q")
+    val mmr = SimilarityOps.mmrTopK(corpus, "vec_id", "embedding", q, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // plain relevance order would be 1, 2, 3; MMR demotes the near-dup
+    assert(mmr.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)))
+  }
+
   test("ivfPqSearch: probing every cluster degenerates to full-corpus ADC") {
     import spark.implicits._
     val cb = Seq(
