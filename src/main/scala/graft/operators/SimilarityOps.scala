@@ -587,6 +587,85 @@ object SimilarityOps {
       .select(col(idCol), col("adc"))
   }
 
+  /** Train PQ codebooks: independent L2 k-means per subspace, all
+    * `m` subspaces trained SIMULTANEOUSLY — the corpus explodes once
+    * into `(id, s, subvector)` rows and every Lloyd iteration is ONE
+    * broadcast-join assignment + ONE mean aggregation over all
+    * subspaces together, not `m` sequential trainings (the
+    * trainKmeans scale lesson applied at design time). Codebook rows
+    * (`m·K·dsub` doubles) live on the driver between iterations.
+    * Seeding is deterministic hash-order (first `K` subvectors per
+    * subspace by `xxhash64(id)` — PQ codebooks don't need k-means||
+    * quality, and this is one pass). Empty clusters keep their
+    * previous centroid; reruns can differ in final ulps (float
+    * partials merge in shuffle-arrival order — the distributed-kmeans
+    * caveat, so this trainer is spec-verified, not oracle-witnessed).
+    *
+    * Returns `(codebooks, objective)` with `codebooks` directly
+    * feedable to [[pqEncode]]/[[pqAdcTopK]]/[[ivfPqSearch]] and
+    * `objective(i)` = Σ squared quantization error under iteration
+    * i's codebooks — non-increasing (spec-pinned). */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, k: Int, iters: Int)
+      : (Seq[Seq[Seq[Double]]], Seq[Double]) = {
+    import org.apache.spark.sql.expressions.Window
+    require(m >= 1 && dim >= 1 && dim % m == 0,
+      s"dim ($dim) must be a positive multiple of m ($m)")
+    require(k >= 1 && iters >= 1, "k and iters must be positive")
+    val dsub = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vg =
+      s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
+        s"ELSE raise_error('trainPqCodebooks: $vecCol must be a null-free array<float> of length $dim') END"
+    val rows = corpus
+      .select(col(idCol).as("__id"), expr(vg).as("__v"))
+      .select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(__v, s * $dsub + 1, $dsub))"))
+        .as(Seq("s", "__sv")))
+      .localCheckpoint() // scanned twice per iteration; fixed lineage
+    val w0 = Window.partitionBy(col("s")).orderBy(xxhash64(col("__id")), col("__id"))
+    var cents: Map[(Int, Int), Seq[Double]] = rows
+      .withColumn("__r", row_number().over(w0)).where(col("__r") <= k)
+      .select(col("s"), (col("__r") - 1).as("cid"), col("__sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        r.getAs[scala.collection.Seq[Float]](2).map(_.toDouble).toSeq)
+      .toMap
+    require(cents.size == m * k,
+      s"corpus has fewer than k=$k rows — cannot seed ${m * k} centroids")
+    def centDf: DataFrame =
+      cents.toSeq.map { case ((s, cid), v) => (s, cid, v) }.toDF("s", "cid", "cvec")
+    val sqd =
+      s"aggregate(sequence(1, $dsub), CAST(0 AS DOUBLE), (acc, i) -> " +
+        s"acc + (CAST(element_at(__sv, i) AS DOUBLE) - element_at(cvec, i)) " +
+        s"* (CAST(element_at(__sv, i) AS DOUBLE) - element_at(cvec, i)))"
+    val objective = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy(col("__id"), col("s"))
+        .orderBy(col("__d"), col("cid"))
+      val assigned = rows.join(broadcast(centDf), Seq("s"))
+        .withColumn("__d", expr(sqd))
+        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+        .localCheckpoint() // feeds the objective AND the mean update
+      objective += assigned.agg(sum(col("__d"))).head().getDouble(0)
+      val means = assigned
+        .select(col("s"), col("cid"), posexplode(col("__sv")).as(Seq("__idx", "__c")))
+        .groupBy(col("s"), col("cid"), col("__idx"))
+        .agg(avg(col("__c").cast("double")).as("__mv"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      cents = cents.map { case (key, old) => key -> means.getOrElse(key, old) }
+      assigned.rdd.unpersist(blocking = false)
+    }
+    rows.rdd.unpersist(blocking = false)
+    val cb = (0 until m).map(s => (0 until k).map(cid => cents((s, cid))))
+    (cb, objective.result())
+  }
+
   /** Maximal-marginal-relevance top-k (Carbonell & Goldstein, SIGIR
     * 1998): greedily pick the candidate maximizing
     * `λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)` — relevant

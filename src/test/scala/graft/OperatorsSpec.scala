@@ -1034,6 +1034,31 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("trainPqCodebooks: objective non-increasing; codebooks feed pqEncode; shape correct") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // two latent centers per subspace so k-means has real structure
+    val corpus = (0L until 120L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 1.0f
+      (i, Array.fill(8)(base + rnd.nextInt(100) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    val (cb, obj) = SimilarityOps.trainPqCodebooks(
+      corpus, "vec_id", "embedding", dim = 8, m = 2, k = 2, iters = 4)
+    assert(cb.size == 2 && cb.forall(_.size == 2) && cb.forall(_.forall(_.size == 4)))
+    assert(obj.size == 4)
+    assert(obj.zip(obj.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"objective must be non-increasing, got $obj")
+    // the trained codebooks plug straight into the encoder
+    val codes = SimilarityOps.pqEncode(corpus, "embedding", cb)
+      .select("pq_codes").collect().map(_.getAs[scala.collection.Seq[Int]](0))
+    assert(codes.forall(c => c.size == 2 && c.forall(x => x >= 0 && x < 2)))
+    // with two clean latent clusters, codes actually separate the parities
+    val codesByParity = SimilarityOps.pqEncode(corpus, "embedding", cb)
+      .select(col("vec_id") % 2, col("pq_codes")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[scala.collection.Seq[Int]](1).head).toSet)
+    assert(codesByParity(0L).intersect(codesByParity(1L)).isEmpty)
+  }
+
   test("mmrTopK: near-duplicate of the first pick is deferred for a diverse result") {
     import spark.implicits._
     val corpus = Seq(
