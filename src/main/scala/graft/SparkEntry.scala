@@ -10,24 +10,30 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   /** Flagship: a composed curation pass over the documents table —
     * near-duplicate removal (MinHash LSH → connected components →
-    * keep-one-representative) → repetition-gate (Gopher-style) →
+    * keep-BEST-representative by length) → repetition-gate
+    * (Gopher-style) → PII scrub (regex count-and-redact) →
     * span-level dedup → per-source acceptance stats — showcasing the
     * LLM-pipeline operators end to end in one plan. Driver
     * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val unique = graft.operators.DedupOps.dropNearDuplicates(
-      docs, "doc_id", "text", bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+      docs, "doc_id", "text", bands = 2, rowsPerBand = 4, minJaccard = 0.2,
+      keepBestBy = Some("n_chars"))
     val gated = graft.operators.TextOps.withRepetitionStats(unique, "text")
       .where(col("dup_bigram_frac") <= 0.2 && col("top_bigram_frac") <= 0.3)
       .select("doc_id", "text", "source")
-    val deduped = graft.operators.DedupOps.dedupSpans(gated, "doc_id", "text", spanTokens = 8)
-    gated.join(deduped, "doc_id")
+    val scrubbed = graft.operators.TextOps.redactPii(gated, "text", "clean_text")
+    val deduped = graft.operators.DedupOps.dedupSpans(
+      scrubbed.select(col("doc_id"), col("clean_text").as("text"), col("source")),
+      "doc_id", "text", spanTokens = 8)
+    scrubbed.join(deduped, "doc_id")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_spans")).as("total_spans"),
-        sum(col("n_kept")).as("kept_spans"))
+        sum(col("n_kept")).as("kept_spans"),
+        sum(col("n_email") + col("n_ipv4") + col("n_id") + col("n_phone")).as("pii_hits"))
       .orderBy("source")
   }
 
