@@ -62,13 +62,18 @@ object Inspect {
     * join co-located. */
   def diffSnapshots(before: DataFrame, after: DataFrame,
                     idCol: String, contentCol: String): DataFrame = {
-    val b = before.select(col(idCol).as("__id"), md5(col(contentCol)).as("__bd"))
-    val a = after.select(col(idCol).as("__id"), md5(col(contentCol)).as("__ad"))
+    // presence flags, not digest nullness: a null-content row still
+    // EXISTS on its side (its digest is null) and must not read as
+    // added/removed; digests compare null-safely for the same reason
+    val b = before.select(col(idCol).as("__id"),
+      md5(col(contentCol)).as("__bd"), lit(1).as("__bp"))
+    val a = after.select(col(idCol).as("__id"),
+      md5(col(contentCol)).as("__ad"), lit(1).as("__ap"))
     b.join(a, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
-        when(col("__bd").isNull, lit("added"))
-          .when(col("__ad").isNull, lit("removed"))
-          .when(col("__bd") === col("__ad"), lit("unchanged"))
+        when(col("__bp").isNull, lit("added"))
+          .when(col("__ap").isNull, lit("removed"))
+          .when(col("__bd") <=> col("__ad"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 

@@ -709,9 +709,10 @@ object SimilarityOps {
       val pick = notTaken
         .withColumn("__mmr", lit(lambda) * col("__qsim") - lit(1 - lambda) * penalty)
         .orderBy(col("__mmr").desc, col(idCol))
-        .limit(1).select(col(idCol), col(vecCol)).head
-      selected += ((pick.getLong(0),
-        pick.getAs[scala.collection.Seq[Float]](1).toSeq))
+        .limit(1).select(col(idCol), col(vecCol)).collect().headOption
+      pick.foreach(p => selected += ((p.getLong(0),
+        p.getAs[scala.collection.Seq[Float]](1).toSeq)))
+      // corpus exhausted before k picks: return what exists
     }
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -1034,6 +1034,24 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("mmrTopK: corpus smaller than k returns everything, ranked") {
+    import spark.implicits._
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q")
+    val r = SimilarityOps.mmrTopK(corpus, "vec_id", "embedding", q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(r.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("diffSnapshots: null content is presence, not absence; null==null is unchanged") {
+    import spark.implicits._
+    val before = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, null.asInstanceOf[String])).toDF("id", "text")
+    val after = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "now set"), (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val st = Inspect.diffSnapshots(before, after, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
+
   test("trainPqCodebooks: objective non-increasing; codebooks feed pqEncode; shape correct") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
