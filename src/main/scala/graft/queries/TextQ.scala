@@ -1139,6 +1139,40 @@ object TextQ {
           .orderBy("source")
       }),
 
+    // ---- count-min sketch point estimates (bounds witness) -------
+    // The q45 pattern for CM: Spark checks its own sketch estimates
+    // against its own exact counts at the pinned ε·N bound
+    // (exact ≤ est ≤ exact + ceil(ε·N)) and emits booleans; the
+    // oracle derives exact counts + true literals — a sketch drifting
+    // out of bounds is a hash mismatch.
+    Q("q114_count_min", {
+      val probes = Seq("the", "spark", "join", "vector", "der")
+      val probesSql = probes.map(t => s"('$t')").mkString(", ")
+      Some(s"""WITH tk AS (SELECT unnest($duckToks) AS token FROM documents),
+              |p(token) AS (VALUES $probesSql),
+              |c AS (SELECT p.token, count(tk.token)::BIGINT AS n
+              |  FROM p LEFT JOIN tk ON tk.token = p.token GROUP BY p.token)
+              |SELECT token, n, true AS within_bounds FROM c ORDER BY token""".stripMargin)
+    },
+      (s, dir) => {
+        val probes = Seq("the", "spark", "join", "vector", "der")
+        val toks = TextOps.withTokens(t(s, dir, "documents"), "text", "__toks")
+          .select(explode(col("__toks")).as("token"))
+        val (cm, n) = graft.operators.Sketches.countMin(toks, "token",
+          eps = 0.005, confidence = 0.99)
+        val slack = math.ceil(0.005 * n).toLong
+        import s.implicits._
+        val est = probes.map(tk => (tk, cm.estimateCount(tk))).toDF("token", "__est")
+        val exact = toks.where(col("token").isin(probes: _*))
+          .groupBy(col("token")).agg(count(lit(1)).as("__n"))
+        est.join(exact, Seq("token"), "left")
+          .withColumn("n", coalesce(col("__n"), lit(0L)))
+          .withColumn("within_bounds",
+            col("__est") >= col("n") && col("__est") <= col("n") + lit(slack))
+          .select("token", "n", "within_bounds")
+          .orderBy("token")
+      }),
+
     // ---- corpus snapshot diff ------------------------------------
     // "What did the pipeline change": before = docs < 400, after =
     // docs >= 100 with every 7th text edited — both engines construct

@@ -1034,6 +1034,27 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("countMin: one-sided bound holds and estimates are partitioning-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val toks = (0 until 5000).map(_ => s"tok${rnd.nextInt(40)}").toDF("token")
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (cm, n) = Sketches.countMin(toks, "token", eps = 0.01, confidence = 0.95)
+    assert(n == 5000L)
+    val slack = math.ceil(0.01 * n).toLong
+    exact.foreach { case (tk, c) =>
+      val e = cm.estimateCount(tk)
+      assert(e >= c && e <= c + slack, s"$tk: exact $c, est $e, slack $slack")
+    }
+    // cell-wise integer merge → same estimates under any partitioning
+    val (cm1, _) = Sketches.countMin(toks.repartition(1), "token", 0.01, 0.95)
+    val (cm7, _) = Sketches.countMin(toks.repartition(7), "token", 0.01, 0.95)
+    exact.keys.foreach { tk =>
+      assert(cm1.estimateCount(tk) == cm7.estimateCount(tk))
+    }
+  }
+
   test("mmrTopK: corpus smaller than k returns everything, ranked") {
     import spark.implicits._
     val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
