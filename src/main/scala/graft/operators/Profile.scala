@@ -79,4 +79,42 @@ object Profile {
           (if (approxCheck) s", __na_$c" else "")).mkString(", ") +
         s") AS ($outCols)"))
   }
+
+  /** Equi-width histogram of a numeric column over `[lo, hi)` with
+    * `nb` buckets: `(bucket, lo_edge, hi_edge, n)`, one row per
+    * NON-EMPTY bucket plus underflow (bucket 0) / overflow
+    * (bucket nb+1) rows when values fall outside the range —
+    * `width_bucket` semantics in both engines, so the distribution
+    * shape is hash-checkable. One aggregation, bucket-count-bounded
+    * output; null values are excluded (count them via [[profile]]).
+    *
+    * Edges are derived from the bucket index with one
+    * multiply-and-add each (exact-rounded IEEE, same both engines);
+    * under/overflow rows carry null edges. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                nb: Int): DataFrame = {
+    require(nb >= 1, "need at least one bucket")
+    require(lo < hi, "need lo < hi")
+    val width = (hi - lo) / nb
+    // explicit floor arithmetic, not the width_bucket built-in: the
+    // identical expression is renderable in engines without the
+    // function (DuckDB), and boundary rounding is pinned to ONE
+    // formula in both (verified equal to Spark's width_bucket on the
+    // witness data)
+    df.where(col(c).isNotNull)
+      .withColumn("bucket", expr(
+        s"CASE WHEN CAST($c AS DOUBLE) < ${lo}D THEN 0 " +
+          s"WHEN CAST($c AS DOUBLE) >= ${hi}D THEN ${nb + 1} " +
+          s"ELSE CAST(floor((CAST($c AS DOUBLE) - ${lo}D) / ${width}D) + 1 AS INT) END"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo_edge",
+        when(col("bucket") >= 1 && col("bucket") <= nb,
+          lit(lo) + (col("bucket") - 1).cast("double") * lit(width)))
+      .withColumn("hi_edge",
+        when(col("bucket") >= 1 && col("bucket") <= nb,
+          lit(lo) + col("bucket").cast("double") * lit(width)))
+      .select(col("bucket"), col("lo_edge"), col("hi_edge"), col("n"))
+      .orderBy("bucket")
+  }
 }

@@ -102,6 +102,53 @@ object Sequencing {
     * placement would corrupt the budget or the order). Scores above
     * 2^53 would lose precision against the double boundaries —
     * rescale such scores first. */
+  /** Dense global ordinals 1..n in (`orderCol` asc, `idCol`) order
+    * WITHOUT a single-partition window — the same deterministic
+    * quantile-range-bucket decomposition as [[selectUnderBudget]]
+    * (boundaries are a pure function of the data, so bucket
+    * assignment is stable across the two jobs), with driver-side
+    * cumulative ROW COUNTS as bucket offsets. Adds `out` (bigint).
+    * Null order values raise loudly (their global position would be
+    * engine-defined). */
+  def withGlobalOrdinals(df: DataFrame, orderCol: String, idCol: String,
+                         out: String = "ordinal", buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val reserved = Set("__bkt", "__off", "__ordg", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withGlobalOrdinals reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    // guard wraps the order key ITSELF (used by the bucket agg AND
+    // the window) — a side assertion column would be pruned
+    val guarded = df.withColumn("__ordg", expr(
+      s"CASE WHEN $orderCol IS NULL " +
+        s"THEN raise_error('withGlobalOrdinals: null $orderCol has no global position') " +
+        s"ELSE $orderCol END"))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else guarded.stat.approxQuantile(orderCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
+    // ascending: bucket = #boundaries strictly BELOW the value —
+    // monotone non-decreasing, so (bucket, order, id) is the global
+    // (order, id) order; equal values share a bucket.
+    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__ordg") > lit(b), 1).otherwise(0)
+    }
+    val withB = guarded.withColumn("__bkt", bktExpr)
+    val counts = withB.groupBy(col("__bkt")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L) {
+      (acc, b) => acc + counts.getOrElse(b, 0L)
+    }.init.zipWithIndex.map { case (off, b) => (b, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__ordg"), col(idCol))
+    withB.join(broadcast(offDf), Seq("__bkt"))
+      .withColumn(out, row_number().over(w).cast("bigint") + col("__off"))
+      .drop("__bkt", "__off", "__ordg")
+  }
+
   def selectUnderBudget(df: DataFrame, idCol: String, tokenCountCol: String,
                         scoreCol: String, budget: Long,
                         buckets: Int = 32): DataFrame = {

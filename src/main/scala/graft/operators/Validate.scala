@@ -44,4 +44,29 @@ object Validate {
         ") AS (rule, n_rows, n_violations)"))
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Referential-integrity check: one row
+    * `(n_child, n_null_keys, n_orphans, ok)` counting child rows
+    * whose non-null key has NO match in the parent key set (null
+    * child keys are reported separately — a null key is a missing
+    * value, not an orphan). The ingest gate between fact and
+    * dimension loads.
+    *
+    * Scale shape: the parent reduces to its distinct keys before one
+    * key-equi left join (bucketed parents make it co-located; a
+    * runtime bloom filter prunes map-side when the optimizer sees
+    * fit) and one aggregation — payloads never shuffle. */
+  def referentialIntegrity(child: DataFrame, parent: DataFrame,
+                           childKey: String, parentKey: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(childKey).as("__ck"))
+      .join(pk, col("__ck") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("__ck").isNotNull && col("__hit").isNull, 1L).otherwise(0L))
+          .as("n_orphans"))
+      .withColumn("ok", col("n_orphans") === 0L)
+  }
 }

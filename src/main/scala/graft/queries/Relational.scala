@@ -725,6 +725,59 @@ object Relational {
             sum(when(col("is_outlier"), 1).otherwise(0)).cast("bigint").as("n_outliers"))
           .orderBy("o_orderstatus")),
 
+    // ---- equi-width histogram ------------------------------------
+    // width_bucket semantics in both engines; bucket 0 / nb+1 carry
+    // under/overflow with null edges; edges are one multiply-and-add
+    // per bucket index (exact-rounded, hash-comparable).
+    Q("q115_histogram",
+      Some("""WITH h AS (SELECT (CASE WHEN o_totalprice::DOUBLE < 0.0 THEN 0
+             |    WHEN o_totalprice::DOUBLE >= 400000.0 THEN 17
+             |    ELSE (floor((o_totalprice::DOUBLE - 0.0) / 25000.0) + 1)::INT END) AS bucket
+             |  FROM orders WHERE o_totalprice IS NOT NULL)
+             |SELECT bucket,
+             |  CASE WHEN bucket BETWEEN 1 AND 16 THEN 0.0 + (bucket - 1)::DOUBLE * 25000.0 END AS lo_edge,
+             |  CASE WHEN bucket BETWEEN 1 AND 16 THEN 0.0 + bucket::DOUBLE * 25000.0 END AS hi_edge,
+             |  count(*) AS n
+             |FROM h GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.Profile.histogram(
+          t(s, dir, "orders"), "o_totalprice", lo = 0.0, hi = 400000.0, nb = 16)),
+
+    // ---- referential integrity (orphan detection) ----------------
+    // lineitem→orders with a deliberately punctured parent (every
+    // third order removed) so the orphan path is exercised; the
+    // parent reduces to distinct keys before the join.
+    Q("q116_referential",
+      Some("""WITH parent AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0)
+             |SELECT count(*) AS n_child,
+             |  sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_keys,
+             |  sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+             |  sum(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS ok
+             |FROM lineitem l LEFT JOIN parent p ON p.o_orderkey = l.l_orderkey""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.referentialIntegrity(
+          t(s, dir, "lineitem"),
+          t(s, dir, "orders").where(col("o_orderkey") % 3 =!= 0),
+          "l_orderkey", "o_orderkey")),
+
+    // ---- dense global ordinals without a global window -----------
+    // Ordinal = row_number over (o_totalprice, o_orderkey) — the
+    // Spark side decomposes into quantile buckets + per-bucket
+    // windows + driver offsets (no single-partition exchange; plan
+    // pinned in OperatorsSpec); the oracle states the naive window.
+    Q("q117_global_ordinals",
+      Some("""WITH r AS (SELECT o_orderkey,
+             |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS ordinal
+             |  FROM orders)
+             |SELECT o_orderkey, ordinal FROM r WHERE ordinal <= 100
+             |ORDER BY ordinal""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sequencing.withGlobalOrdinals(
+          t(s, dir, "orders"), "o_totalprice", "o_orderkey")
+          .where(col("ordinal") <= 100)
+          .select("o_orderkey", "ordinal")
+          .orderBy("ordinal")),
+
     // ---- exact percentiles (sort-based quantiles) ----------------
     Q("q44_percentiles",
       Some("""SELECT o_orderstatus,

@@ -1034,6 +1034,46 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("histogram: under/overflow buckets, exact edges, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(Some(-5.0), Some(0.0), Some(2.5), Some(7.5), Some(10.0), Some(99.0), None)
+      .toDF("v")
+    val h = Profile.histogram(df, "v", lo = 0.0, hi = 10.0, nb = 2)
+      .collect().map(r => (r.getInt(0), r.getAs[Long]("n"))).toMap
+    assert(h == Map(0 -> 1L, 1 -> 2L, 2 -> 1L, 3 -> 2L)) // -5 | 0,2.5 | 7.5 | 10,99
+    val edges = Profile.histogram(df, "v", 0.0, 10.0, 2)
+      .where(col("bucket") === 2).select("lo_edge", "hi_edge").head
+    assert(edges.getDouble(0) == 5.0 && edges.getDouble(1) == 10.0)
+  }
+
+  test("referentialIntegrity: orphans vs null keys are distinct counts") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Validate.referentialIntegrity(child, parent, "fk", "pk").head
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_null_keys") == 1L)
+    assert(r.getAs[Long]("n_orphans") == 1L)
+    assert(!r.getAs[Boolean]("ok"))
+  }
+
+  test("withGlobalOrdinals: equals the naive global window, without its single partition") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 400L).map(i => (i, rnd.nextInt(50).toLong)).toDF("id", "v")
+    val fast = Sequencing.withGlobalOrdinals(df, "v", "id", buckets = 8)
+    val naive = df.withColumn("ordinal",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("bigint"))
+    assertSameData(fast, naive)
+    assert(!fast.queryExecution.executedPlan.toString.contains("Exchange SinglePartition"))
+    val e = intercept[Exception] {
+      Sequencing.withGlobalOrdinals(
+        Seq((1L, null.asInstanceOf[java.lang.Long])).toDF("id", "v"), "v", "id").collect()
+    }
+    assert(e.getMessage.contains("withGlobalOrdinals"))
+  }
+
   test("countMin: one-sided bound holds and estimates are partitioning-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
