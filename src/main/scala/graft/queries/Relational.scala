@@ -725,6 +725,36 @@ object Relational {
             sum(when(col("is_outlier"), 1).otherwise(0)).cast("bigint").as("n_outliers"))
           .orderBy("o_orderstatus")),
 
+    // ---- interval-overlap join (bucketized, credit-deduped) ------
+    // Urgent-order service windows [day, day + 1..5) overlapping
+    // high-priority windows: the Spark side explodes covering day
+    // buckets, equi-joins on the bucket, and counts each pair once
+    // via the credit rule (only the bucket holding max(starts) emits)
+    // — no nested-loop range join, no post-join distinct. Oracle is
+    // the plain inequality join.
+    Q("q118_interval_overlap",
+      Some("""WITH a AS (SELECT o_orderkey AS a_id,
+             |    (o_orderdate::DATE - DATE '1970-01-01') AS s,
+             |    (o_orderdate::DATE - DATE '1970-01-01') + (o_orderkey % 5 + 1) AS e
+             |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |b AS (SELECT o_orderkey AS b_id,
+             |    (o_orderdate::DATE - DATE '1970-01-01') AS s,
+             |    (o_orderdate::DATE - DATE '1970-01-01') + (o_orderkey % 5 + 1) AS e
+             |  FROM orders WHERE o_orderpriority = '2-HIGH')
+             |SELECT count(*) AS n_pairs,
+             |  sum(least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS sum_overlap
+             |FROM a JOIN b ON a.s < b.e AND b.s < a.e""".stripMargin),
+      (s, dir) => {
+        val orders = t(s, dir, "orders")
+        def iv(prio: String) = orders.where(col("o_orderpriority") === prio)
+          .withColumn("s", expr("datediff(o_orderdate, DATE'1970-01-01')").cast("long"))
+          .withColumn("e", col("s") + (col("o_orderkey") % 5 + 1))
+        graft.operators.RangeJoin.intervalOverlapPairs(
+          iv("1-URGENT"), "o_orderkey", "s", "e",
+          iv("2-HIGH"), "o_orderkey", "s", "e", bucketWidth = 4L)
+          .agg(count(lit(1)).as("n_pairs"), sum(col("overlap")).as("sum_overlap"))
+      }),
+
     // ---- equi-width histogram ------------------------------------
     // width_bucket semantics in both engines; bucket 0 / nb+1 carry
     // under/overflow with null edges; edges are one multiply-and-add

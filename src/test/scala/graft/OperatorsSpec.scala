@@ -1034,6 +1034,28 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("intervalOverlapPairs: each pair exactly once, boundary semantics half-open") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 22L)).toDF("id", "s", "e")
+    val b = Seq(
+      (10L, 5L, 15L),  // overlaps a1 by [5,10) = 5
+      (11L, 10L, 12L), // touches a1 at 10 — half-open, NO overlap
+      (12L, 0L, 30L)   // overlaps both: a1 by 10, a2 by 2
+    ).toDF("id", "s", "e")
+    // bucketWidth 3 makes long intervals span MANY buckets — the
+    // credit rule must still emit each pair exactly once
+    val r = graft.operators.RangeJoin.intervalOverlapPairs(
+      a, "id", "s", "e", b, "id", "s", "e", bucketWidth = 3L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq
+    assert(r == Seq((1L, 10L, 5L), (1L, 12L, 10L), (2L, 12L, 2L)))
+    val bad = Seq((9L, 5L, 5L)).toDF("id", "s", "e")
+    val err = intercept[Exception] {
+      graft.operators.RangeJoin.intervalOverlapPairs(
+        bad, "id", "s", "e", b, "id", "s", "e", 3L).collect()
+    }
+    assert(err.getMessage.contains("empty interval"))
+  }
+
   test("histogram: under/overflow buckets, exact edges, nulls excluded") {
     import spark.implicits._
     val df = Seq(Some(-5.0), Some(0.0), Some(2.5), Some(7.5), Some(10.0), Some(99.0), None)
