@@ -81,6 +81,41 @@ class ScaleShapeSpec extends SparkSpec {
       s"cap is not biting on a boilerplate-heavy corpus: capped=$capped uncapped=$uncapped")
   }
 
+  test("sorted write layout: selective scans skip row groups (zone maps)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // The data-layout claim behind 'sort your fact tables': parquet
+    // row-group min/max stats + pushed filters skip whole groups when
+    // the data is SORTED on the filter column, and skip nothing when
+    // the same rows are written hash-shuffled. Measured on the scan's
+    // own numOutputRows metric (rows surviving group-level skipping),
+    // not wall-clock.
+    withTempDir { dir =>
+      val df = spark.range(200000).selectExpr("id", "id % 997 AS k")
+      df.orderBy("id").coalesce(1).write
+        .option("parquet.block.size", 64 * 1024).parquet(s"$dir/sorted")
+      df.orderBy(expr("xxhash64(id)")).coalesce(1).write
+        .option("parquet.block.size", 64 * 1024).parquet(s"$dir/shuffled")
+      def scanned(path: String): Long = {
+        val q = spark.read.parquet(path).where(col("id").between(100000, 100999))
+        // materialize THIS plan (count() would execute a different
+        // one and leave these metrics at zero)
+        assert(q.collect().length == 1000)
+        val root = q.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        root.collect { case s: FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+        }.sum
+      }
+      val (srt, shf) = (scanned(s"$dir/sorted"), scanned(s"$dir/shuffled"))
+      assert(shf == 200000L, s"shuffled layout should read every row group, read $shf")
+      assert(srt < shf / 10,
+        s"sorted layout should skip most row groups: sorted read $srt vs shuffled $shf")
+    }
+  }
+
   test("decontamination plan: corpus-side shingle join is a broadcast semi-join") {
     import spark.implicits._
     val docs = corpus
