@@ -62,6 +62,35 @@ object Mixing {
       .drop("__permille")
   }
 
+  /** Temperature-scale a mixture's per-mille weights:
+    * `permille'_i = round(1000 · w_i^τ / Σ_j w_j^τ)` with
+    * `τ = tauNum / tauDen` — τ < 1 flattens a head-heavy mixture
+    * toward uniform (the standard multilingual/source rebalancing
+    * knob), τ > 1 sharpens it. Zero-weight sources stay zero.
+    *
+    * `tauDen` must be 1 or 2: powers are computed as exact-rounded
+    * IEEE chains (integer exponents by repeated multiplication,
+    * halves via `sqrt` — an IEEE-core correctly-rounded op), NOT via
+    * `pow`, whose libm results differ across engines; the whole
+    * transform is bitwise-reproducible and oracle-checkable. Runs
+    * in-plan on the (source-cardinality) weights frame so it composes
+    * with [[weightedSample]]. */
+  def reweightTemperature(weights: DataFrame, sourceCol: String,
+                          tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum >= 1, "tauNum must be positive")
+    require(tauDen == 1 || tauDen == 2, "tauDen must be 1 (integer τ) or 2 (half-integer τ)")
+    require(weights.columns.toSet == Set(sourceCol, "permille"),
+      s"weights must have exactly columns ($sourceCol, permille), got ${weights.columns.toSeq}")
+    val baseSql = if (tauDen == 2) "sqrt(CAST(permille AS DOUBLE))" else "CAST(permille AS DOUBLE)"
+    val powSql = Seq.fill(tauNum)(s"($baseSql)").mkString(" * ")
+    val powed = weights.withColumn("__wt", expr(powSql))
+    val total = powed.groupBy().agg(sum(col("__wt")).as("__tot"))
+    powed.crossJoin(broadcast(total))
+      .withColumn("permille",
+        round(lit(1000.0) * col("__wt") / col("__tot")).cast("long"))
+      .drop("__wt", "__tot")
+  }
+
   /** Deterministic per-group quota: keep at most `n` rows per
     * `groupCol`, chosen in content-hash order (`rollingHash(textCol)`,
     * `idCol` tiebreak) — "cap every source at N documents" with the

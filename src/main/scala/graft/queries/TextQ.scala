@@ -1231,6 +1231,34 @@ object TextQ {
           .select("source", "doc_id")
           .orderBy("source", "doc_id")),
 
+    // ---- temperature-flattened mixture sampling ------------------
+    // q85's hash-derived recipe flattened at τ = 1/2 (sqrt is an
+    // IEEE-core correctly-rounded op — unlike pow — so the reweighted
+    // permilles are bitwise-identical across engines), then the same
+    // deterministic content-hash sampling.
+    Q("q119_mix_temperature",
+      Some(s"""WITH w AS (SELECT DISTINCT source,
+              |    (${D.rollingHash("source")} % 80) * 10 AS permille FROM documents),
+              |t AS (SELECT sum(sqrt(permille::DOUBLE)) AS tot FROM w),
+              |w2 AS (SELECT source,
+              |    round(1000.0 * sqrt(permille::DOUBLE) / tot)::BIGINT AS permille FROM w, t)
+              |SELECT d.source, count(*) AS n_sampled, sum(d.doc_id)::BIGINT AS id_sum
+              |FROM documents d JOIN w2 USING (source)
+              |WHERE ${D.rollingHash("d.text")} % 1000 < w2.permille
+              |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        val docs = t(s, dir, "documents")
+        val weights = docs.select(col("source")).distinct()
+          .withColumn("permille", (expr(H.rollingHash("source")) % 80) * 10)
+        val flat = graft.operators.Mixing.reweightTemperature(
+          weights, "source", tauNum = 1, tauDen = 2)
+        graft.operators.Mixing.weightedSample(docs, "text", "source", flat)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+          .orderBy("source")
+      }),
+
     // ---- train/benchmark decontamination -------------------------
     // Docs 0..19 stand in for an eval set; the rest is the training
     // corpus. A corpus doc is contaminated if it shares ANY 3-token

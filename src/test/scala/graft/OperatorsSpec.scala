@@ -1034,6 +1034,21 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("reweightTemperature: tau<1 flattens, tau=1 identity-ish, zeros stay zero") {
+    import spark.implicits._
+    val w = Seq(("a", 810L), ("b", 90L), ("c", 0L)).toDF("src", "permille")
+    val flat = Mixing.reweightTemperature(w, "src", tauNum = 1, tauDen = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt: 810→28.46, 90→9.49 → ratio 9:3 instead of 9:1
+    assert(flat("c") == 0L)
+    assert(flat("a") + flat("b") + flat("c") == 1000L ||
+      math.abs(flat("a") + flat("b") - 1000L) <= 1) // rounding
+    assert(flat("a").toDouble / flat("b") < 810.0 / 90.0) // flattened
+    val same = Mixing.reweightTemperature(w, "src", tauNum = 1, tauDen = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(same("a") == 900L && same("b") == 100L && same("c") == 0L)
+  }
+
   test("intervalOverlapPairs: each pair exactly once, boundary semantics half-open") {
     import spark.implicits._
     val a = Seq((1L, 0L, 10L), (2L, 20L, 22L)).toDF("id", "s", "e")
