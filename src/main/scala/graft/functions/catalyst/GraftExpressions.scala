@@ -195,6 +195,94 @@ object HashOps {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Product-quantization encode kernel: for each of `m` contiguous
+    * subspaces of `vec` (sub-dimension inferred from the vector
+    * length), the index of the nearest codebook centroid by squared
+    * L2 — accumulation order and first-min tie-break EXACTLY match
+    * the HOF rendering in `SimilarityOps.pqEncodeHof` (fold i
+    * ascending; strict `<` keeps the earliest min, as
+    * `array_position(ds, array_min(ds))` does). `cbFlat` is the
+    * codebook flattened [s][c][i]-major. Null/any-null input → null
+    * (callers guard with raise_error upstream). */
+  def pqEncode(vec: ArrayData, cbFlat: Array[Double], m: Int): ArrayData = {
+    val dim = vec.numElements()
+    if (dim == 0 || dim % m != 0) return null
+    val dsub = dim / m
+    val k = cbFlat.length / (m * dsub)
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        val off = (s * k + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          if (vec.isNullAt(s * dsub + i)) return null
+          val x = vec.getFloat(s * dsub + i).toDouble - cbFlat(off + i)
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `graft_pq_encode(array<float>, array<double>, m) -> array<int>` —
+  * product-quantization encode as one generated call: nearest
+  * codebook centroid per contiguous subspace (squared L2, first-min
+  * ties). The codebook (a foldable flattened literal, [s][c][i]-major)
+  * is evaluated ONCE and shipped as a codegen reference object; the
+  * HOF rendering re-walks interpreted lambdas per row per centroid
+  * (`SimilarityOps.pqEncodeHof`, kept for the bitwise-parity spec).
+  * The sub-dimension is inferred from the vector length. */
+case class PqEncode(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _), IntegerType)
+        if second.foldable && third.foldable =>
+        if (mVal >= 1 && cbFlat.nonEmpty && cbFlat.length % mVal == 0)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName codebook length ${cbFlat.length} not divisible into m=$mVal subspaces")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, foldable array<double>, foldable int)")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  private lazy val cbFlat: Array[Double] =
+    second.eval().asInstanceOf[ArrayData].toDoubleArray()
+  private lazy val mVal: Int = third.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null
+    else HashOps.pqEncode(v.asInstanceOf[ArrayData], cbFlat, mVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCbFlat", cbFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.HashOps.pqEncode($v, $cbRef, $mVal);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqEncode = copy(f, s, t)
 }
 
 /** `graft_simhash(array<bigint>, bits) -> int` — single-pass N-bit

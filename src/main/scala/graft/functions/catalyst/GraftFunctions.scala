@@ -47,6 +47,9 @@ object GraftFunctions {
     // operators build an explicit bloom-semi-join when the build side
     // is a different query stage than the optimizer can see (e.g.
     // DedupOps.bloomIncrementalDedup's batch-vs-corpus prune).
+    ("graft_pq_encode",
+      info("graft_pq_encode", "product-quantization encode: nearest codebook centroid per subspace (args: vec, cb_flat, m)"),
+      (args: Seq[Expression]) => PqEncode(args(0), args(1), args(2))),
     ("graft_bloom_agg",
       info("graft_bloom_agg", "bloom-filter aggregate over xxhash64 longs -> binary sketch (args: xx, est_items, num_bits)"),
       (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),

@@ -536,6 +536,24 @@ object SimilarityOps {
     val vg = // guard wraps the column itself (optimizer-proof)
       s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
         s"ELSE raise_error('pqEncode: $vecCol must be a null-free array<float> of length $dim') END"
+    // native codegen'd kernel (graft_pq_encode); the codebook ships
+    // flattened as one foldable literal, evaluated once at codegen.
+    // pqEncodeHof is the interpreted-HOF rendering it is spec-pinned
+    // bitwise-equal to.
+    df.withColumn(out, call_function("graft_pq_encode",
+      expr(vg), typedlit(codebooks.flatten.flatten), lit(m)))
+  }
+
+  /** Pure built-in (interpreted HOF) rendering of [[pqEncode]] —
+    * registration-free environments + the bitwise-parity spec. */
+  def pqEncodeHof(df: DataFrame, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+                  out: String = "pq_codes"): DataFrame = {
+    val (m, _, dsub) = validateCodebooks(codebooks)
+    val dim = m * dsub
+    require(!df.columns.contains(out), s"pqEncodeHof output column $out collides with input")
+    val vg =
+      s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
+        s"ELSE raise_error('pqEncode: $vecCol must be a null-free array<float> of length $dim') END"
     // let-bound codebook + per-subspace distance array (see cdcChunks
     // for why naming intermediates with withColumn would be O(n²))
     val codes =

@@ -1211,6 +1211,20 @@ class OperatorsSpec extends SparkSpec {
       full.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("pqEncode: native codegen kernel is bitwise-equal to the HOF rendering") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val cb = (0 until 3).map(_ => (0 until 5).map(_ => (0 until 4).map(_ =>
+      (rnd.nextInt(41) - 20) / 8.0)))
+    val corpus = (0L until 300L).map(i =>
+      (i, Array.fill(12)(rnd.nextInt(33) / 8.0f))).toDF("vec_id", "embedding")
+    val native = SimilarityOps.pqEncode(corpus, "embedding", cb)
+      .select("vec_id", "pq_codes")
+    val hof = SimilarityOps.pqEncodeHof(corpus, "embedding", cb)
+      .select("vec_id", "pq_codes")
+    assertSameData(native, hof)
+  }
+
   test("pqEncode: wrong dimension raises loudly") {
     import spark.implicits._
     val cb = Seq(Seq(Seq(0.0, 0.0)), Seq(Seq(0.0, 0.0)))
