@@ -69,6 +69,30 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static join: dim-table enrichment matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the standard streaming enrichment: a static dim table joined
+    // into every micro-batch (broadcast per batch, no stream state)
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(dim, "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(value AS DECIMAL(18,2)) * CAST(weight AS DECIMAL(18,2))"))
+            .cast("double").as("weighted"))
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = enrich(streamDf)
+      .writeStream.format("memory").queryName("dim_join")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      query.processAllAvailable()
+      assertSameData(spark.table("dim_join"), enrich(batchEvents))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState: state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
