@@ -1173,6 +1173,30 @@ object TextQ {
           .orderBy("token")
       }),
 
+    // ---- mergeable HLL distinct-count rollup ---------------------
+    // Per-source Datasketches-HLL sketches rolled up to a corpus-wide
+    // `__ALL__` estimate by sketch UNION (register-wise max), never a
+    // re-scan — the shape that makes corpus NDV a metadata operation
+    // at 100 TB. `merged_ok` pins the union estimate within tol·exact
+    // of a direct whole-corpus sketch (sparse→dense promotion drifts
+    // a few registers); `est_in_bounds` pins estimates to ±5% of
+    // exact. Oracle = exact distincts + true literals (q45 pattern:
+    // a sketch drifting out of bounds is a hash mismatch).
+    Q("q120_hll_rollup",
+      Some("""WITH g AS (SELECT source AS group_value,
+             |    count(DISTINCT text)::BIGINT AS n_exact
+             |  FROM documents GROUP BY source),
+             |a AS (SELECT '__ALL__' AS group_value,
+             |    count(DISTINCT text)::BIGINT AS n_exact FROM documents)
+             |SELECT group_value, n_exact, true AS est_in_bounds, true AS merged_ok FROM g
+             |UNION ALL
+             |SELECT group_value, n_exact, true, true FROM a
+             |ORDER BY group_value""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sketches.hllRollup(
+          t(s, dir, "documents"), "text", "source")
+          .orderBy("group_value")),
+
     // ---- corpus snapshot diff ------------------------------------
     // "What did the pipeline change": before = docs < 400, after =
     // docs >= 100 with every 7th text edited — both engines construct

@@ -53,4 +53,27 @@ class SketchSpec extends SparkSpec {
         s"flag ${r.get(0)}: approx median $m outside exact rank window [$lo, $hi]")
     }
   }
+
+  test("hllRollup: union of per-group sketches equals a direct corpus sketch") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = graft.operators.Sketches.hllRollup(docs, "text", "source").collect()
+    assert(out.length > 1)
+    val all = out.filter(_.getAs[String]("group_value") == "__ALL__")
+    assert(all.length == 1)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("est_in_bounds"),
+        s"${r.get(0)}: estimate outside ±5% of exact ${r.get(1)}")
+      assert(r.getAs[Boolean]("merged_ok"),
+        s"${r.get(0)}: merged estimate drifted > tol·exact from direct")
+    }
+  }
+
+  test("hllRollup is partitioning-invariant (sketch merge is commutative)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val a = graft.operators.Sketches.hllRollup(docs, "text", "source")
+      .orderBy("group_value").collect().toSeq
+    val b = graft.operators.Sketches.hllRollup(docs.repartition(7), "text", "source")
+      .orderBy("group_value").collect().toSeq
+    assert(a == b)
+  }
 }
