@@ -117,4 +117,60 @@ object Profile {
       .select(col("bucket"), col("lo_edge"), col("hi_edge"), col("n"))
       .orderBy("bucket")
   }
+
+  /** Per-group ALGEBRAIC stats tuple over a numeric column —
+    * `(group_value, n_rows, n_nulls, n_vals, sum_value, sum_sq,
+    * min_value, max_value)` — every field a commutative monoid, so
+    * stats frames merge by re-aggregation ([[mergeStats]]) without
+    * touching the underlying data.
+    *
+    * This is how corpus statistics stay current at 100 TB: profile
+    * each incoming drop once, persist the few-KB stats frame, and
+    * fold it into the running totals — never re-scan history. The
+    * q121 witness proves merge(old, delta) is bitwise-equal to a
+    * full recompute (integer sums are exact; see [[finalizeStats]]
+    * for the derived floats). */
+  def numericStats(df: DataFrame, valueCol: String, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol).cast("string").as("group_value"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        (count(lit(1)) - count(col(valueCol))).cast("bigint").as("n_nulls"),
+        count(col(valueCol)).cast("bigint").as("n_vals"),
+        sum(col(valueCol)).cast("bigint").as("sum_value"),
+        sum(col(valueCol).cast("bigint") * col(valueCol).cast("bigint"))
+          .cast("bigint").as("sum_sq"),
+        min(col(valueCol)).cast("bigint").as("min_value"),
+        max(col(valueCol)).cast("bigint").as("max_value"))
+
+  /** Fold any number of [[numericStats]] frames into one: counts and
+    * sums add, min/max take extrema — a tiny stats-frame union +
+    * groupBy, no data pass. Groups missing from one part merge
+    * naturally through the union. */
+  def mergeStats(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "need at least one stats frame")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("group_value"))
+      .agg(
+        sum(col("n_rows")).cast("bigint").as("n_rows"),
+        sum(col("n_nulls")).cast("bigint").as("n_nulls"),
+        sum(col("n_vals")).cast("bigint").as("n_vals"),
+        sum(col("sum_value")).cast("bigint").as("sum_value"),
+        sum(col("sum_sq")).cast("bigint").as("sum_sq"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+  }
+
+  /** Derive `mean_value` and `var_value` (population) from an
+    * algebraic stats frame. The expression trees are pinned —
+    * `sum/n` and `sum_sq/n − (sum/n)·(sum/n)` — so each derived
+    * float is the same short chain of correctly-rounded IEEE ops in
+    * any engine rendering the same formula (oracle-parity rule:
+    * fixed tree, no libm). */
+  def finalizeStats(stats: DataFrame): DataFrame = {
+    val n = col("n_vals").cast("double")
+    val mean = col("sum_value").cast("double") / n
+    stats
+      .withColumn("mean_value", mean)
+      .withColumn("var_value", col("sum_sq").cast("double") / n - mean * mean)
+  }
 }

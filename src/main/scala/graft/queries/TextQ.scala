@@ -1197,6 +1197,38 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- incremental (mergeable) corpus statistics ---------------
+    // Three disjoint drops are profiled independently and their
+    // algebraic stats frames folded together — the oracle recomputes
+    // over the full table directly, so a hash match proves
+    // merge(d1, d2, d3) == full recompute bitwise (integer monoids
+    // exact; mean/variance from pinned fixed-tree float chains).
+    // At 100 TB only the delta drop is ever scanned.
+    Q("q121_stats_merge",
+      Some("""SELECT source AS group_value, count(*)::BIGINT AS n_rows,
+             |  (count(*) - count(n_chars))::BIGINT AS n_nulls,
+             |  count(n_chars)::BIGINT AS n_vals,
+             |  sum(n_chars)::BIGINT AS sum_value,
+             |  sum(n_chars * n_chars)::BIGINT AS sum_sq,
+             |  min(n_chars)::BIGINT AS min_value,
+             |  max(n_chars)::BIGINT AS max_value,
+             |  sum(n_chars)::DOUBLE / count(n_chars)::DOUBLE AS mean_value,
+             |  sum(n_chars * n_chars)::DOUBLE / count(n_chars)::DOUBLE
+             |    - (sum(n_chars)::DOUBLE / count(n_chars)::DOUBLE)
+             |      * (sum(n_chars)::DOUBLE / count(n_chars)::DOUBLE) AS var_value
+             |FROM documents GROUP BY source ORDER BY group_value""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val parts = Seq(
+          docs.where(col("doc_id") < 200),
+          docs.where(col("doc_id") >= 200 && col("doc_id") < 400),
+          docs.where(col("doc_id") >= 400))
+          .map(graft.operators.Profile.numericStats(_, "n_chars", "source"))
+        graft.operators.Profile.finalizeStats(
+          graft.operators.Profile.mergeStats(parts))
+          .orderBy("group_value")
+      }),
+
     // ---- corpus snapshot diff ------------------------------------
     // "What did the pipeline change": before = docs < 400, after =
     // docs >= 100 with every 7th text edited — both engines construct

@@ -1465,4 +1465,25 @@ class OperatorsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](TextOps.redactPii(df, "text"))
     assert(e.getMessage.contains("n_email"))
   }
+
+  test("mergeStats: folded drop stats are bitwise-equal to a full recompute") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", java.lang.Long.valueOf(10L)), ("a", java.lang.Long.valueOf(30L)),
+      ("a", null.asInstanceOf[java.lang.Long]),
+      ("b", java.lang.Long.valueOf(7L)),
+      ("c", java.lang.Long.valueOf(-5L)), ("c", java.lang.Long.valueOf(5L))
+    ).toDF("src", "v")
+    val parts = Seq(df.limit(2), df.offset(2).limit(2), df.offset(4))
+      .map(Profile.numericStats(_, "v", "src"))
+    val merged = Profile.finalizeStats(Profile.mergeStats(parts))
+      .orderBy("group_value").collect().toSeq
+    val direct = Profile.finalizeStats(Profile.numericStats(df, "v", "src"))
+      .orderBy("group_value").collect().toSeq
+    assert(merged == direct)
+    val a = merged.find(_.getString(0) == "a").get
+    assert(a.getAs[Long]("n_rows") == 3L && a.getAs[Long]("n_nulls") == 1L &&
+      a.getAs[Long]("n_vals") == 2L && a.getAs[Double]("mean_value") == 20.0 &&
+      a.getAs[Double]("var_value") == 100.0)
+  }
 }
