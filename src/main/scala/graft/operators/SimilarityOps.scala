@@ -64,6 +64,45 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most-similar candidates whose label DIFFERS from the
+    * anchor's, with similarity capped at `simMax` (near-identical
+    * vectors across labels are usually mislabeled positives, not
+    * useful negatives — the standard FAISS-mining filter).
+    *
+    * Scale shape: identical to [[knnJoin]] — the anchor batch is the
+    * broadcast side, the candidate corpus streams through one
+    * whole-stage-codegen'd scan, and per-anchor top-k is a window
+    * row_number (no global sort). Mining negatives for an ENTIRE
+    * 100 TB corpus runs this in anchor mini-batches (each batch one
+    * job, corpus scanned once per batch) or swaps the brute-force
+    * scorer for [[ivfSearch]]'s cluster-probed candidates; semantics
+    * here are the exact-scoring contract both share.
+    *
+    * Output: `(a_id, a_label, c_id, c_label, rank, sim)` ordered by
+    * `(a_id, rank)` with the deterministic `c_id` tie-break. */
+  def hardNegatives(anchors: DataFrame, anchorId: String, anchorVec: String,
+                    anchorLabel: String,
+                    candidates: DataFrame, candId: String, candVec: String,
+                    candLabel: String,
+                    k: Int, simMax: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val candN = candidates.withColumn("__cnrm", expr(V.norm(candVec)))
+    val anchorN = anchors.withColumn("__anrm", expr(V.norm(anchorVec)))
+    val scored = candN.crossJoin(broadcast(anchorN))
+      .where(col(candLabel) =!= col(anchorLabel))
+      .withColumn("sim", simWithNorms(candVec, anchorVec, "__cnrm", "__anrm"))
+      .where(col("sim") <= simMax)
+    val w = Window.partitionBy(col(anchorId)).orderBy(col("sim").desc, col(candId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(anchorId).as("a_id"), col(anchorLabel).as("a_label"),
+        col(candId).as("c_id"), col(candLabel).as("c_label"),
+        col("rank"), col("sim"))
+      .orderBy("a_id", "rank")
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest
     * (broadcast) centroid, then search only the query's `nProbe`
     * closest clusters. `centroids` columns: (cid, cvec). Recall

@@ -427,6 +427,39 @@ object EmbedQ {
           k = 5, lambda = 0.5)
       }),
 
+    // ---- contrastive hard-negative mining ------------------------
+    // Per anchor (vec_id < 15): top-3 most-similar candidates with a
+    // DIFFERENT label, sims capped at 0.95 (the mislabeled-positive
+    // guard). Same broadcast × stream + window shape as q41; the
+    // label predicate and cap are pushed below the window so only
+    // admissible negatives are ranked.
+    Q("q122_hard_negatives",
+      Some(s"""WITH a AS (SELECT vec_id AS a_id, label AS a_label, embedding AS av
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |scored AS (SELECT a_id, a_label, c_id, c_label,
+              |    ${D.cosine("cv", "av")} AS sim
+              |  FROM c, a WHERE c_label <> a_label),
+              |ranked AS (SELECT a_id, a_label, c_id, c_label, sim,
+              |  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, c_id)::INT AS rank
+              |  FROM scored WHERE sim <= 0.95)
+              |SELECT a_id, a_label, c_id, c_label, rank, sim
+              |FROM ranked WHERE rank <= 3 ORDER BY a_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.hardNegatives(
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("a_id"), col("embedding").as("av"),
+              col("label").as("a_label")),
+          "a_id", "av", "a_label",
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+              col("label").as("c_label")),
+          "c_id", "cv", "c_label",
+          k = 3, simMax = 0.95)
+      }),
+
     // ---- embedding-cosine near-dup pair counts (blocked) ---------
     Q("q43_embed_near_dup",
       Some(s"""WITH x AS (SELECT label, vec_id, embedding FROM embeddings)

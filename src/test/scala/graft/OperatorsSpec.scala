@@ -1486,4 +1486,30 @@ class OperatorsSpec extends SparkSpec {
       a.getAs[Long]("n_vals") == 2L && a.getAs[Double]("mean_value") == 20.0 &&
       a.getAs[Double]("var_value") == 100.0)
   }
+
+  test("hardNegatives: cross-label only, simMax-capped, deterministic top-k") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("label").as("a_label"))
+    val cands = emb.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label").as("c_label"))
+    val r = SimilarityOps.hardNegatives(anchors, "a_id", "av", "a_label",
+      cands, "c_id", "cv", "c_label", k = 2, simMax = 0.9).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Int]("a_label") != row.getAs[Int]("c_label"))
+      assert(row.getAs[Double]("sim") <= 0.9)
+      assert(row.getAs[Int]("rank") <= 2)
+    }
+    // without the label/cap filters it degenerates to knnJoin's ranking
+    val all = SimilarityOps.hardNegatives(anchors, "a_id", "av", "a_label",
+      cands.withColumn("c_label", lit(-1)), "c_id", "cv", "c_label",
+      k = 2, simMax = 1.0)
+      .select(col("a_id").as("q_id"), col("c_id"), col("rank")).collect().toSeq
+    val knn = SimilarityOps.knnJoin(cands, "c_id", "cv",
+      anchors.select(col("a_id").as("q_id"), col("av").as("qv")), "q_id", "qv", 2)
+      .select(col("q_id"), col("c_id"), col("rank")).collect().toSeq
+    assert(all == knn)
+  }
 }
