@@ -130,4 +130,48 @@ object Mixing {
       .where(col("__rn") <= n)
       .drop("__h", "__rn", "__cnt")
   }
+
+  /** Round-robin source interleaving for training order: every row
+    * gets an `epoch` = its position within its source (content-hash
+    * order, `idCol` tiebreak — deterministic, no `rand()`), so
+    * sorting by `(epoch, source, id)` yields
+    * `src_a[0] src_b[0] … src_a[1] src_b[1] …` — each training
+    * window sees every source before any source repeats, the
+    * standard guard against source-ordering curricula the model
+    * never chose.
+    *
+    * Scale shape: one shuffle on `sourceCol` for the per-source
+    * window; materializing the interleaved order is
+    * `repartitionByRange(epoch, source)` + in-partition sort (range
+    * shuffle, NOT a single-partition global sort) — or feed `epoch`
+    * to [[graft.operators.Sequencing.withGlobalOrdinals]] when a
+    * dense global position is required. */
+  def interleaveSources(df: DataFrame, sourceCol: String, textCol: String,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("epoch"),
+      "interleaveSources reserves column name epoch")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(expr(H.rollingHash(textCol)), col(idCol))
+    df.withColumn("epoch", row_number().over(w))
+  }
+
+  /** Inverse-frequency class weights — `n_total / (k · n_class)` per
+    * class (sklearn's "balanced" convention: weights average to 1
+    * over the corpus) — the loss-reweighting / oversampling dual of
+    * [[weightedSample]]. One aggregation pass for the class counts;
+    * the totals frame is a broadcast scalar; the single division is
+    * exact-rounded IEEE, bitwise across engines.
+    *
+    * Output: `(class, n_class, weight)`. */
+  def classWeights(df: DataFrame, classCol: String): DataFrame = {
+    val c = df.groupBy(col(classCol).as("class"))
+      .agg(count(lit(1)).cast("bigint").as("n_class"))
+    val t = c.agg(sum(col("n_class")).cast("bigint").as("n_total"),
+      count(lit(1)).cast("bigint").as("k"))
+    c.crossJoin(broadcast(t))
+      .withColumn("weight",
+        col("n_total").cast("double") / (col("k") * col("n_class")).cast("double"))
+      .select(col("class"), col("n_class"), col("weight"))
+  }
 }

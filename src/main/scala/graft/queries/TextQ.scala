@@ -1197,6 +1197,39 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- round-robin source interleaving -------------------------
+    // Training order where every source appears once per epoch before
+    // any repeats — epoch = per-source position in content-hash order
+    // (deterministic, no rand()); the global order is (epoch, source,
+    // doc_id), materialized at scale by a range shuffle, never a
+    // single-partition sort.
+    Q("q123_interleave_sources",
+      Some(s"""WITH r AS (SELECT source, doc_id, row_number() OVER (
+              |  PARTITION BY source ORDER BY ${D.rollingHash("text")}, doc_id)::INT AS epoch
+              |  FROM documents)
+              |SELECT epoch, source, doc_id FROM r
+              |ORDER BY epoch, source, doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.interleaveSources(
+          t(s, dir, "documents"), "source", "text", "doc_id")
+          .select(col("epoch"), col("source"), col("doc_id"))
+          .orderBy("epoch", "source", "doc_id")),
+
+    // ---- inverse-frequency class weights -------------------------
+    // sklearn-"balanced" loss weights per language: n_total/(k·n_cls)
+    // from one aggregation pass + a broadcast totals scalar; the
+    // single division is bitwise across engines.
+    Q("q124_class_weights",
+      Some("""WITH c AS (SELECT lang AS class, count(*)::BIGINT AS n_class
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT sum(n_class)::BIGINT AS n_total, count(*)::BIGINT AS k FROM c)
+             |SELECT class, n_class,
+             |  n_total::DOUBLE / (k * n_class)::DOUBLE AS weight
+             |FROM c, t ORDER BY class""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.classWeights(t(s, dir, "documents"), "lang")
+          .orderBy("class")),
+
     // ---- incremental (mergeable) corpus statistics ---------------
     // Three disjoint drops are profiled independently and their
     // algebraic stats frames folded together — the oracle recomputes

@@ -1512,4 +1512,27 @@ class OperatorsSpec extends SparkSpec {
       .select(col("q_id"), col("c_id"), col("rank")).collect().toSeq
     assert(all == knn)
   }
+
+  test("interleaveSources: every source appears once per epoch prefix") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val r = Mixing.interleaveSources(docs, "source", "text", "doc_id")
+    // within each (epoch, source) exactly one row
+    val dupes = r.groupBy(col("epoch"), col("source"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1).count()
+    assert(dupes == 0L)
+    // epochs per source are dense 1..count(source)
+    val bad = r.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("mx"), min(col("epoch")).as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(bad == 0L)
+  }
+
+  test("classWeights: weighted corpus mass is balanced across classes") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val w = Mixing.classWeights(docs, "lang").collect()
+    assert(w.length > 1)
+    // each class's total weighted mass = n_total / k: identical across classes
+    val masses = w.map(r => r.getAs[Long]("n_class") * r.getAs[Double]("weight"))
+    assert(masses.forall(m => math.abs(m - masses.head) < 1e-6))
+  }
 }
