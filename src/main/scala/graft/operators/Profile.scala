@@ -118,6 +118,50 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Equi-depth (equal-count) histogram over a numeric column —
+    * `(bucket, lo_value, hi_value, n)`, buckets 1..`nb` — the
+    * partner of [[histogram]]'s fixed-width buckets for skewed
+    * distributions where fixed widths put 99% of rows in one bar.
+    *
+    * `exact = true` ranks with `ntile` over the total order
+    * `(c, idCol)` — an unpartitioned window, i.e. a single-partition
+    * sort: the ORACLE path, correct at witness scale only.
+    * `exact = false` is the 100 TB path: bucket boundaries come from
+    * one `approx_percentile` pass (a broadcast scalar), assignment is
+    * a map-side comparison against the boundary array, and the
+    * per-bucket aggregate shuffles `nb` groups — no global sort
+    * anywhere. Values equal to a boundary land in the lower bucket
+    * (strict `<` count, pinned); bucket depths are then approximate
+    * within the sketch's rank error (spec-pinned ±20% at accuracy
+    * 10k). */
+  def equidepthHistogram(df: DataFrame, c: String, idCol: String, nb: Int,
+                         exact: Boolean = true,
+                         accuracy: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nb >= 1, "need at least one bucket")
+    val vals = df.where(col(c).isNotNull)
+    val bucketed =
+      if (exact)
+        vals.withColumn("bucket", ntile(nb).over(Window.orderBy(col(c), col(idCol))))
+      else {
+        val ps = (1 until nb).map(i => i.toDouble / nb)
+        if (ps.isEmpty) vals.withColumn("bucket", lit(1))
+        else {
+          val bounds = vals.agg(
+            expr(s"approx_percentile($c, array(${ps.mkString(", ")}), $accuracy)")
+              .as("__bnds"))
+          vals.crossJoin(broadcast(bounds))
+            .withColumn("bucket",
+              (lit(1) + expr(s"size(filter(__bnds, b -> b < $c))")).cast("int"))
+        }
+      }
+    bucketed
+      .groupBy(col("bucket"))
+      .agg(min(col(c)).as("lo_value"), max(col(c)).as("hi_value"),
+        count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
   /** Per-group ALGEBRAIC stats tuple over a numeric column —
     * `(group_value, n_rows, n_nulls, n_vals, sum_value, sum_sq,
     * min_value, max_value)` — every field a commutative monoid, so

@@ -1197,6 +1197,21 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- equi-depth histogram ------------------------------------
+    // Eight equal-count buckets over n_chars via ntile on the pinned
+    // total order (n_chars, doc_id) — the exact/oracle mode; the
+    // operator's approx mode replaces the global sort with one
+    // approx_percentile boundary pass for 100 TB (spec-pinned).
+    Q("q125_equidepth_hist",
+      Some("""WITH b AS (SELECT n_chars, ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+             |  FROM documents WHERE n_chars IS NOT NULL)
+             |SELECT bucket::INT AS bucket, min(n_chars) AS lo_value,
+             |  max(n_chars) AS hi_value, count(*)::BIGINT AS n
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.Profile.equidepthHistogram(
+          t(s, dir, "documents"), "n_chars", "doc_id", nb = 8)),
+
     // ---- round-robin source interleaving -------------------------
     // Training order where every source appears once per epoch before
     // any repeats — epoch = per-source position in content-hash order

@@ -1527,6 +1527,30 @@ class OperatorsSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("equidepthHistogram approx mode: no global sort, near-equal depths") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val total = docs.where(col("n_chars").isNotNull).count()
+    val r = Profile.equidepthHistogram(docs, "n_chars", "doc_id", nb = 8,
+      exact = false).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == total, "every row in exactly one bucket")
+    val ideal = total.toDouble / 8
+    r.foreach { row =>
+      assert(math.abs(row.getAs[Long]("n") - ideal) <= 0.2 * ideal + 8,
+        s"bucket ${row.get(0)} depth ${row.get(3)} too far from $ideal")
+    }
+    // bucket value ranges are ordered and non-overlapping
+    val sorted = r.sortBy(_.getAs[Int]("bucket"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_value") <= b.getAs[Long]("lo_value"))
+      case _ =>
+    }
+    // the plan has no unpartitioned window (the exact mode's one sort)
+    val plan = Profile.equidepthHistogram(docs, "n_chars", "doc_id", nb = 8,
+      exact = false).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx mode must not plan a window:\n$plan")
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
