@@ -131,6 +131,45 @@ object EventStream {
       }
       .start()
 
+  /** Watermarked STREAM-STREAM interval join: each click paired with
+    * the same user's views inside `[click − gap, click + gap]` — the
+    * attribution/conversion-pairing shape. Both sides carry
+    * watermarks and the join predicate bounds the time skew, so each
+    * side buffers only `watermark + gap` of state (Spark evicts
+    * older rows); an unbounded-state stream-stream join is the
+    * classic streaming scale-killer this operator's shape avoids.
+    * Inner joins emit eagerly on match — the spec pins
+    * stream == batch on the same frames. */
+  def clickViewPairs(clicks: DataFrame, views: DataFrame,
+                     gap: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val c = withEventTime(clicks).withWatermark("event_time", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+    val v = withEventTime(views).withWatermark("event_time", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("__vu"),
+        col("event_time").as("view_time"))
+    c.join(v,
+      col("user_id") === col("__vu") &&
+        col("view_time") >= col("click_time") - expr(s"INTERVAL $gap") &&
+        col("view_time") <= col("click_time") + expr(s"INTERVAL $gap"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_time"), col("view_time"))
+  }
+
+  /** Built-in watermark-bounded streaming dedup
+    * (`dropDuplicatesWithinWatermark` on `event_id`): state holds
+    * only keys younger than the watermark — the bounded-state
+    * alternative to [[streamingDedup]]'s keep-forever digest (which
+    * guarantees global uniqueness but grows with corpus size).
+    * Duplicates arriving within the watermark horizon are dropped;
+    * re-sends older than it are the documented recall tradeoff. */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session windows per user (gap-based), via Spark's native
     * session_window — state is per active session and evicted at
     * watermark, the scalable shape for per-entity sessionization. */

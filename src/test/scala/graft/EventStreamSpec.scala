@@ -93,6 +93,53 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join: click/view pairing matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicksRows = eventRows.filter(_._4 == "click")
+    val viewsRows = eventRows.filter(_._4 == "view")
+    val memC = MemoryStream[(Long, Long, Long, String, Double)]
+    val memV = MemoryStream[(Long, Long, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.clickViewPairs(
+      memC.toDF().toDF(cols: _*), memV.toDF().toDF(cols: _*))
+      .writeStream.format("memory").queryName("cv_pairs")
+      .outputMode("append").start()
+    try {
+      // split across two micro-batches so matches span batch boundaries
+      memC.addData(clicksRows.head)
+      memV.addData(viewsRows: _*)
+      query.processAllAvailable()
+      memC.addData(clicksRows.tail: _*)
+      query.processAllAvailable()
+      val batch = EventStream.clickViewPairs(
+        clicksRows.toDF(cols: _*), viewsRows.toDF(cols: _*))
+      val streamed = spark.table("cv_pairs")
+      assert(streamed.count() > 0, "the witness data must produce pairs")
+      assertSameData(streamed, batch)
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: re-sent events collapse to one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.dedupWithinWatermark(streamDf)
+      .select("event_id", "event_type")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(eventRows: _*)
+      query.processAllAvailable()
+      mem.addData(eventRows: _*) // exact re-send in a later micro-batch
+      query.processAllAvailable()
+      val got = spark.table("wm_dedup").orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == eventRows.sortBy(_._1).map(r => (r._1, r._4)))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState: state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
