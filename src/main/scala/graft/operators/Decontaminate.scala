@@ -62,4 +62,39 @@ object Decontaminate {
     flagContaminated(corpus, benchmark, idCol, textCol)
       .where(!col("contaminated"))
       .drop("contaminated")
+
+  /** SEMANTIC decontamination: flag corpus rows whose embedding's max
+    * cosine against ANY benchmark embedding reaches `tau` — catches
+    * paraphrased eval leakage the shingle matcher of
+    * [[flagContaminated]] misses (the two are complementary gates;
+    * run both).
+    *
+    * Scale: the benchmark (eval sets are small) collapses to ONE
+    * broadcast row holding all its vectors; the corpus streams
+    * through a single scan with the per-row max computed as an array
+    * fold in the same codegen stage — zero shuffles, zero joins. A
+    * benchmark too large to broadcast routes through
+    * [[SimilarityOps.hyperplaneLshPairs]]-style banding instead.
+    * `max` selects, never mixes, so cosines stay bitwise-exact.
+    *
+    * Output: corpus row + `max_bench_sim` + `contaminated` (null
+    * vectors and an empty benchmark flag false, sim null). */
+  def flagSemanticContaminated(corpus: DataFrame, idCol: String, vecCol: String,
+                               benchmark: DataFrame, benchVec: String,
+                               tau: Double): DataFrame = {
+    import graft.functions.VectorSql.{spark => V}
+    val reserved = Set("max_bench_sim", "contaminated", "__bvs")
+    val collisions = corpus.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"flagSemanticContaminated reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val bench = broadcast(
+      benchmark.agg(collect_list(col(benchVec)).as("__bvs")))
+    corpus.crossJoin(bench)
+      .withColumn("max_bench_sim",
+        expr(s"array_max(transform(__bvs, __bv -> ${V.cosine(vecCol, "__bv")}))"))
+      .withColumn("contaminated",
+        coalesce(col("max_bench_sim") >= tau, lit(false)))
+      .drop("__bvs")
+  }
 }

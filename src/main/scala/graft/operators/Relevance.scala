@@ -85,6 +85,42 @@ object Relevance {
       .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
   }
 
+  /** Corpus token-mass coverage curve: the top-`k` tokens by corpus
+    * frequency with each prefix's cumulative share of ALL token
+    * occurrences — "how big must the vocabulary be to cover X% of
+    * the corpus", the curve that sizes a tokenizer's vocab before
+    * training it.
+    *
+    * Scale: one (token) aggregation with map-side combine; the
+    * running sum windows over only the `k` surviving rows (constant,
+    * driver-bounded), never the full vocabulary; the corpus total is
+    * a broadcast scalar. `cum_n` is an exact integer running sum, so
+    * each `cum_share` is a single IEEE division — bitwise across
+    * engines.
+    *
+    * Output: `(rank, token, n, cum_n, cum_share)` ordered by rank. */
+  def coverageCurve(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val counts = TextOps.withTokens(df.select(col(textCol)), textCol, "__toks")
+      .select(explode(col("__toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("n"))
+    val total = counts.agg(sum(col("n")).cast("bigint").as("__total"))
+    val top = counts
+      .orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token"))))
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_n",
+        sum(col("n")).over(
+          Window.orderBy(col("rank"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("bigint"))
+      .withColumn("cum_share", col("cum_n").cast("double") / col("__total").cast("double"))
+      .select(col("rank"), col("token"), col("n"), col("cum_n"), col("cum_share"))
+      .orderBy("rank")
+  }
+
   /** Top-`k` keywords per document by rarity-weighted term frequency
     * `tf * N / df` (rational idf — see class doc), deterministic
     * tie-break on the token. Output: `(idCol, rk, token, tf, dfreq)`.

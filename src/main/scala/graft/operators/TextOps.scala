@@ -144,6 +144,40 @@ object TextOps {
       .drop("__toks", "__bg")
   }
 
+  /** Token-distribution diversity per document as the Gini/Simpson
+    * index `1 − Σ n_t² / n²` (probability two random tokens differ) —
+    * the entropy-style degenerate-text signal computed WITHOUT
+    * logarithms: `Σ n_t²` and `n²` are exact integer monoids, so the
+    * score is one IEEE division + one subtraction — bitwise across
+    * engines, unlike libm-`log` entropy (oracle-parity rule).
+    * Near-0 = one token repeated (degenerate); near-1 = all distinct.
+    *
+    * Scale: explode → two map-side-combined aggregations keyed
+    * (doc, token) then (doc) — the standard token-pipeline shuffle
+    * pair; output re-joined to EVERY input row (null-text documents
+    * keep `n_tokens = 0`, `gini` null — nothing silently vanishes). */
+  def withTokenGini(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reserved = Set("n_tokens", "gini")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withTokenGini reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val per = withTokens(df.select(col(idCol), col(textCol)), textCol, "__toks")
+      .select(col(idCol), explode(col("__toks")).as("__token"))
+      .groupBy(col(idCol), col("__token")).agg(count(lit(1)).as("__nt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__nt")).cast("bigint").as("n_tokens"),
+        sum(col("__nt") * col("__nt")).cast("bigint").as("__s2"))
+    df.join(per, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("gini",
+        when(col("n_tokens") > 0,
+          lit(1.0) - col("__s2").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double")))
+      .drop("__s2")
+  }
+
   /** Content-defined chunking (CDC — the rsync/FastCDC family):
     * split each document at positions whose local k-gram rolling
     * hash satisfies `hash % mod == 0`, so boundaries depend ONLY on

@@ -427,6 +427,31 @@ object EmbedQ {
           k = 5, lambda = 0.5)
       }),
 
+    // ---- semantic decontamination --------------------------------
+    // Embedding-space eval-leakage gate: a corpus row is contaminated
+    // when its max cosine against the (broadcast, one-row array)
+    // benchmark reaches τ — catches paraphrases the q64 shingle gate
+    // misses. Zero shuffles: the per-row max is an array fold in the
+    // scan stage.
+    Q("q128_semantic_decontam",
+      Some(s"""WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 20),
+              |c AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= 20),
+              |m AS (SELECT c.vec_id, c.label, max(${D.cosine("c.embedding", "b.bv")}) AS mx
+              |  FROM c, b GROUP BY c.vec_id, c.label)
+              |SELECT label, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN mx >= 0.3 THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+              |FROM m GROUP BY label ORDER BY label""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.Decontaminate.flagSemanticContaminated(
+          emb.where(col("vec_id") >= 20), "vec_id", "embedding",
+          emb.where(col("vec_id") < 20), "embedding", tau = 0.3)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_flagged"))
+          .orderBy("label")
+      }),
+
     // ---- contrastive hard-negative mining ------------------------
     // Per anchor (vec_id < 15): top-3 most-similar candidates with a
     // DIFFERENT label, sims capped at 0.95 (the mislabeled-positive

@@ -1197,6 +1197,46 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- token-diversity (Gini/Simpson) score --------------------
+    // Log-free entropy surrogate: 1 − Σn_t²/n² from exact integer
+    // monoids + one division — the degenerate-text signal that stays
+    // bitwise across engines where libm-log entropy would drift.
+    Q("q126_token_gini",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |x AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |c AS (SELECT doc_id, token, count(*) AS n_t FROM x GROUP BY doc_id, token),
+              |g AS (SELECT doc_id, sum(n_t)::BIGINT AS n_tokens,
+              |  sum(n_t * n_t)::BIGINT AS s2 FROM c GROUP BY doc_id)
+              |SELECT d.doc_id, coalesce(g.n_tokens, 0)::BIGINT AS n_tokens,
+              |  CASE WHEN g.n_tokens > 0
+              |    THEN 1.0::DOUBLE - s2::DOUBLE / (g.n_tokens * g.n_tokens)::DOUBLE
+              |  END AS gini
+              |FROM documents d LEFT JOIN g USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TextOps.withTokenGini(
+          t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("gini"))
+          .orderBy("doc_id")),
+
+    // ---- vocabulary coverage curve -------------------------------
+    // Cumulative corpus-mass share of the top-40 tokens — the curve
+    // that sizes a tokenizer vocab; exact integer running sums, one
+    // division per row.
+    Q("q127_coverage_curve",
+      Some(s"""WITH x AS (SELECT unnest($duckToks) AS token FROM documents),
+              |c AS (SELECT token, count(*)::BIGINT AS n FROM x GROUP BY token),
+              |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+              |top AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token)::INT AS rank
+              |  FROM c ORDER BY n DESC, token LIMIT 40)
+              |SELECT rank, token, n,
+              |  sum(n) OVER (ORDER BY rank)::BIGINT AS cum_n,
+              |  (sum(n) OVER (ORDER BY rank))::DOUBLE / total::DOUBLE AS cum_share
+              |FROM top, t ORDER BY rank""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.coverageCurve(
+          t(s, dir, "documents"), "text", k = 40)),
+
     // ---- equi-depth histogram ------------------------------------
     // Eight equal-count buckets over n_chars via ntile on the pinned
     // total order (n_chars, doc_id) — the exact/oracle mode; the

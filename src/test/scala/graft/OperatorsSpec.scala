@@ -1551,6 +1551,46 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"approx mode must not plan a window:\n$plan")
   }
 
+  test("withTokenGini: degenerate/diverse extremes, null text kept") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a a a a"),            // one token repeated -> low gini
+      (1L, "a b c d"),            // all distinct -> max gini for n=4
+      (2L, null.asInstanceOf[String]),
+      (3L, "x")
+    ).toDF("id", "text")
+    val r = TextOps.withTokenGini(df, "id", "text").orderBy("id").collect()
+    assert(r.length == 4, "null-text rows must not vanish")
+    assert(r(0).getAs[Double]("gini") == 0.0)
+    assert(r(1).getAs[Double]("gini") == 1.0 - 4.0 / 16.0)
+    assert(r(2).getAs[Long]("n_tokens") == 0L && r(2).isNullAt(r(2).fieldIndex("gini")))
+    assert(r(3).getAs[Double]("gini") == 0.0)
+  }
+
+  test("coverageCurve: monotone shares reaching 1.0 when k covers the vocab") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val r = Relevance.coverageCurve(docs, "text", k = 100).collect()
+    assert(r.nonEmpty)
+    val shares = r.map(_.getAs[Double]("cum_share"))
+    assert(shares.sliding(2).forall { case Array(a, b) => b >= a; case _ => true })
+    assert(shares.last == 1.0, "k >= vocab size must cover the full corpus mass")
+    val ns = r.map(_.getAs[Long]("n"))
+    assert(ns.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+  }
+
+  test("flagSemanticContaminated: benchmark members flag themselves; empty benchmark flags none") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val bench = emb.where(col("vec_id") < 10).select(col("embedding"))
+    val flagged = Decontaminate.flagSemanticContaminated(
+      emb, "vec_id", "embedding", bench, "embedding", tau = 0.999999)
+    // the benchmark rows are in the corpus: self-cosine ~ 1 -> contaminated
+    assert(flagged.where(col("vec_id") < 10 && !col("contaminated")).count() == 0L)
+    val none = Decontaminate.flagSemanticContaminated(
+      emb, "vec_id", "embedding", bench.where(lit(false)), "embedding", tau = 0.0)
+    assert(none.where(col("contaminated")).count() == 0L)
+    assert(none.count() == emb.count())
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
