@@ -276,6 +276,42 @@ object DedupOps {
       .orderBy(col("n_shared_spans").desc, col("src_a"), col("src_b"))
   }
 
+  /** Concat-leak / chunk-boundary detector: pairs `(a, b)` where the
+    * LAST `k` tokens of `a` equal the FIRST `k` tokens of `b` —
+    * evidence that `b` continues `a` (a split document leaked into
+    * the corpus as two rows, the artifact doc-level dedup can't see
+    * because neither row duplicates the other).
+    *
+    * Scale shape: two token-slice projections + ONE equi-join on the
+    * k-token boundary shingle. Boilerplate shingles (common openings
+    * like page headers) would make a hot join key quadratic, so each
+    * side drops shingles occurring more than `maxKeyFreq` times —
+    * frequent boundaries are boilerplate, not continuation evidence
+    * (the hot-block cap pattern of [[blockedJaccardPairs]]).
+    *
+    * Output: `(a_id, b_id, shingle)` ordered by `(a_id, b_id)`. */
+  def boundaryOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, maxKeyFreq: Long = 100L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    require(maxKeyFreq >= 1, "maxKeyFreq must be positive")
+    val tok = TextOps.withTokens(df.select(col(idCol), col(textCol)), textCol, "__toks")
+      .where(size(col("__toks")) >= k)
+    def capped(side: DataFrame) = {
+      val w = Window.partitionBy(col("shingle"))
+      side.withColumn("__n", count(lit(1)).over(w))
+        .where(col("__n") <= maxKeyFreq).drop("__n")
+    }
+    val heads = capped(tok.select(col(idCol).as("b_id"),
+      array_join(slice(col("__toks"), 1, k), " ").as("shingle")))
+    val tails = capped(tok.select(col(idCol).as("a_id"),
+      array_join(slice(col("__toks"), -k, k), " ").as("shingle")))
+    tails.join(heads, Seq("shingle"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("shingle"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** MinHash signatures + band keys. `bands` bands of `rowsPerBand`
     * signature components each. */
   def signatures(df: DataFrame, idCol: String, textCol: String,

@@ -103,6 +103,41 @@ object SimilarityOps {
       .orderBy("a_id", "rank")
   }
 
+  /** Contrastive training triplets `(anchor, positive, hard-negative)`
+    * in ONE aggregation: per anchor, positive = most-similar same-label
+    * candidate, negative = most-similar cross-label candidate under
+    * the [[hardNegatives]] `simMax` cap. The argmax is
+    * `max(struct(sim, −cand_id))` — lexicographic struct ordering
+    * gives the same deterministic winner as `ORDER BY sim DESC, id`
+    * row_number, but as a plain aggregate: map-side partial max, one
+    * anchor-keyed shuffle of one row per anchor, NO window and NO
+    * per-anchor sort. Anchors with no admissible positive or negative
+    * are dropped (both legs required for a triplet loss).
+    *
+    * Output: `(a_id, a_label, pos_id, pos_sim, neg_id, neg_sim)`. */
+  def miningTriplets(anchors: DataFrame, anchorId: String, anchorVec: String,
+                     anchorLabel: String,
+                     corpus: DataFrame, candId: String, candVec: String,
+                     candLabel: String,
+                     simMax: Double = 1.0): DataFrame = {
+    val candN = corpus.withColumn("__cnrm", expr(V.norm(candVec)))
+    val anchorN = anchors.withColumn("__anrm", expr(V.norm(anchorVec)))
+    val scored = candN.crossJoin(broadcast(anchorN))
+      .withColumn("__sim", simWithNorms(candVec, anchorVec, "__cnrm", "__anrm"))
+    scored
+      .groupBy(col(anchorId).as("a_id"), col(anchorLabel).as("a_label"))
+      .agg(
+        max(when(col(candLabel) === col(anchorLabel),
+          struct(col("__sim").as("s"), (-col(candId)).as("nid")))).as("__pos"),
+        max(when(col(candLabel) =!= col(anchorLabel) && col("__sim") <= simMax,
+          struct(col("__sim").as("s"), (-col(candId)).as("nid")))).as("__neg"))
+      .where(col("__pos").isNotNull && col("__neg").isNotNull)
+      .select(col("a_id"), col("a_label"),
+        (-col("__pos.nid")).as("pos_id"), col("__pos.s").as("pos_sim"),
+        (-col("__neg.nid")).as("neg_id"), col("__neg.s").as("neg_sim"))
+      .orderBy("a_id")
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest
     * (broadcast) centroid, then search only the query's `nProbe`
     * closest clusters. `centroids` columns: (cid, cvec). Recall

@@ -427,6 +427,42 @@ object EmbedQ {
           k = 5, lambda = 0.5)
       }),
 
+    // ---- contrastive training triplets ---------------------------
+    // (anchor, nearest same-label positive, capped nearest cross-label
+    // negative) via ONE aggregation — argmax as max(struct(sim, −id)),
+    // no window, no per-anchor sort; the oracle states the same
+    // winner relationally (row_number = 1 under sim DESC, id).
+    Q("q129_triplets",
+      Some(s"""WITH a AS (SELECT vec_id AS a_id, label AS a_label, embedding AS av
+              |  FROM embeddings WHERE vec_id < 10),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |s AS (SELECT a_id, a_label, c_id, c_label,
+              |    ${D.cosine("cv", "av")} AS sim FROM c, a),
+              |p AS (SELECT a_id, c_id AS pos_id, sim AS pos_sim,
+              |  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, c_id) AS rn
+              |  FROM s WHERE c_label = a_label),
+              |n AS (SELECT a_id, c_id AS neg_id, sim AS neg_sim,
+              |  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, c_id) AS rn
+              |  FROM s WHERE c_label <> a_label AND sim <= 0.95)
+              |SELECT a.a_id, a.a_label, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+              |FROM a JOIN p ON p.a_id = a.a_id AND p.rn = 1
+              |JOIN n ON n.a_id = a.a_id AND n.rn = 1
+              |ORDER BY a.a_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.miningTriplets(
+          emb.where(col("vec_id") < 10)
+            .select(col("vec_id").as("a_vid"), col("embedding").as("av"),
+              col("label").as("a_lab")),
+          "a_vid", "av", "a_lab",
+          emb.where(col("vec_id") >= 10)
+            .select(col("vec_id").as("c_vid"), col("embedding").as("cv"),
+              col("label").as("c_lab")),
+          "c_vid", "cv", "c_lab",
+          simMax = 0.95)
+      }),
+
     // ---- semantic decontamination --------------------------------
     // Embedding-space eval-leakage gate: a corpus row is contaminated
     // when its max cosine against the (broadcast, one-row array)

@@ -1197,6 +1197,25 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- chunk-boundary (concat-leak) pairs ----------------------
+    // Docs whose last 3 tokens equal another doc's first 3 tokens —
+    // split-document leakage neither doc-level nor span-grid dedup
+    // sees; one equi-join on the boundary shingle with a hot-key
+    // boilerplate cap on each side.
+    Q("q130_boundary_overlap",
+      Some(s"""WITH f AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |hd AS (SELECT doc_id AS b_id, array_to_string(t[1:3], ' ') AS shingle
+              |  FROM f WHERE len(t) >= 3
+              |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100),
+              |tl AS (SELECT doc_id AS a_id, array_to_string(t[len(t)-2:len(t)], ' ') AS shingle
+              |  FROM f WHERE len(t) >= 3
+              |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100)
+              |SELECT a_id, b_id, shingle FROM tl JOIN hd USING (shingle)
+              |WHERE a_id <> b_id ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.boundaryOverlapPairs(
+          t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     // ---- token-diversity (Gini/Simpson) score --------------------
     // Log-free entropy surrogate: 1 − Σn_t²/n² from exact integer
     // monoids + one division — the degenerate-text signal that stays

@@ -1591,6 +1591,53 @@ class OperatorsSpec extends SparkSpec {
     assert(none.count() == emb.count())
   }
 
+  test("miningTriplets: legs agree with the window-ranked formulations") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("label").as("a_label"))
+    val cands = emb.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label").as("c_label"))
+    val trip = SimilarityOps.miningTriplets(anchors, "a_id", "av", "a_label",
+      cands, "c_id", "cv", "c_label", simMax = 0.95).collect()
+    assert(trip.length == 8)
+    val negLeg = trip.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("neg_id"),
+      r.getAs[Double]("neg_sim"))).toSeq
+    val viaWindow = SimilarityOps.hardNegatives(anchors, "a_id", "av", "a_label",
+      cands, "c_id", "cv", "c_label", k = 1, simMax = 0.95)
+      .select(col("a_id"), col("c_id"), col("sim")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(negLeg.sortBy(_._1) == viaWindow.sortBy(_._1))
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    trip.foreach { r =>
+      assert(labels(r.getAs[Long]("pos_id")) == r.getAs[Int]("a_label"))
+      assert(labels(r.getAs[Long]("neg_id")) != r.getAs[Int]("a_label"))
+    }
+  }
+
+  test("boundaryOverlapPairs: continuation found, boilerplate capped, self excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "delta epsilon zeta eta theta iota"),   // continues doc 0
+      (2L, "delta epsilon zeta"),                   // also continues doc 0; head==tail==itself
+      (3L, "common page header body one two"),
+      (4L, "common page header body three four"),
+      (5L, "ends with common page header"),         // boilerplate boundary
+      (6L, "common page header body five six")
+    ).toDF("id", "text")
+    val r = DedupOps.boundaryOverlapPairs(df, "id", "text", k = 3)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(r.contains((0L, 1L)) && r.contains((0L, 2L)) && r.contains((5L, 3L)))
+    assert(!r.exists(p => p._1 == p._2), "self pairs excluded")
+    // 'common page header' heads 3 docs (> cap 2): boilerplate pairs
+    // vanish; the genuine continuation keys (frequency 2) survive
+    val capped = DedupOps.boundaryOverlapPairs(df, "id", "text", k = 3, maxKeyFreq = 2L)
+      .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+    assert(!capped.exists(_._1 == 5L), "boilerplate boundary capped out")
+    assert(capped.contains((0L, 1L)) && capped.contains((0L, 2L)))
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
