@@ -41,6 +41,31 @@ object RobustStats {
       .drop("__lo", "__hi")
   }
 
+  /** Cross-source score calibration: `out` = the value's
+    * `percent_rank` WITHIN its `groupCol` over the total order
+    * `(valueCol, idCol)` — mapping every source's score distribution
+    * onto [0, 1], so a single global threshold means the same thing
+    * for every source ("top 10% of web" == "top 10% of books" — raw
+    * quality scores are never comparable across sources). The
+    * continuous partner of the ntile bucketing in q68;
+    * `(rank−1)/(n−1)` is one exact-integer division, bitwise across
+    * engines.
+    *
+    * Scale shape: one shuffle on `groupCol` + a per-group sort —
+    * the unavoidable shape of exact in-group ranking; a group too
+    * large for one task's sort calibrates against
+    * [[winsorize]]-style quantile grids instead (approximate,
+    * constant memory). */
+  def withCalibratedRank(df: DataFrame, valueCol: String, groupCol: String,
+                         idCol: String, out: String = "calibrated"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(out),
+      s"withCalibratedRank reserves column name $out")
+    df.withColumn(out,
+      percent_rank().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(idCol))))
+  }
+
   /** Robust outlier flag via the median absolute deviation: marks
     * `valueCol` rows with `|x − median| > k · MAD` within their
     * `groupCol` (the classic robust z-score — unlike mean/stddev

@@ -103,6 +103,43 @@ object SimilarityOps {
       .orderBy("a_id", "rank")
   }
 
+  /** kNN label propagation: predict each query's label as the
+    * majority label among its `k` nearest corpus neighbors
+    * (deterministic tie-break: highest vote count, then lowest
+    * label) — the standard auto-labeling / weak-supervision verb
+    * over an embedded corpus.
+    *
+    * Scale shape: [[knnJoin]]'s broadcast-queries × corpus scan
+    * produces the `k·|queries|` neighbor frame, which is then the
+    * BROADCAST side of the label join (corpus never reshuffles);
+    * the vote argmax is `max(struct(votes, −label))` — a plain
+    * aggregate, no second window.
+    *
+    * Output: `(q_id, label, predicted_label, votes, correct)`. */
+  def knnPredictLabels(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       corpusLabel: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       queryLabel: String,
+                       k: Int): DataFrame = {
+    val nn = knnJoin(corpus.select(col(corpusId), col(corpusVec)),
+      corpusId, corpusVec,
+      queries.select(col(queryId), col(queryVec)), queryId, queryVec, k)
+    val votes = corpus
+      .select(col(corpusId).as("c_id"), col(corpusLabel).as("c_label"))
+      .join(broadcast(nn.select(col("q_id"), col("c_id"))), Seq("c_id"))
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(count(lit(1)).cast("bigint").as("votes"))
+    val pred = votes.groupBy(col("q_id"))
+      .agg(max(struct(col("votes").as("v"),
+        (-col("c_label").cast("long")).as("nl"))).as("__m"))
+      .select(col("q_id"), (-col("__m.nl")).cast("int").as("predicted_label"),
+        col("__m.v").as("votes"))
+    queries.select(col(queryId).as("q_id"), col(queryLabel).as("label"))
+      .join(pred, Seq("q_id"))
+      .withColumn("correct", col("label") === col("predicted_label"))
+      .orderBy("q_id")
+  }
+
   /** Contrastive training triplets `(anchor, positive, hard-negative)`
     * in ONE aggregation: per anchor, positive = most-similar same-label
     * candidate, negative = most-similar cross-label candidate under

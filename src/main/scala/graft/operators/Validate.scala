@@ -69,4 +69,21 @@ object Validate {
           .as("n_orphans"))
       .withColumn("ok", col("n_orphans") === 0L)
   }
+
+  /** k-anonymity audit: the quasi-identifier combinations held by
+    * FEWER than `k` rows — the suppression list a privacy release
+    * gate needs (a combination identifying under k individuals is a
+    * re-identification risk; Sweeney 2002). One aggregation with
+    * map-side combine; output is bounded by the number of rare
+    * combinations, not corpus size.
+    *
+    * Output: the `cols` columns + `n`, ordered by `cols`. */
+  def smallGroups(df: DataFrame, cols: Seq[String], k: Long): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(k >= 1, "k must be positive")
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .where(col("n") < k)
+      .orderBy(cols.map(col): _*)
+  }
 }

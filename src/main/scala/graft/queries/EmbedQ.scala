@@ -427,6 +427,42 @@ object EmbedQ {
           k = 5, lambda = 0.5)
       }),
 
+    // ---- kNN label propagation -----------------------------------
+    // Auto-labeling: each query labeled by the majority among its 5
+    // nearest corpus neighbors (vote argmax as max(struct), no second
+    // window); the oracle states the same winner via row_number over
+    // (votes DESC, label).
+    Q("q132_knn_labels",
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |s AS (SELECT q_id, c_id, c_label,
+              |  row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |v AS (SELECT q_id, c_label, count(*)::BIGINT AS votes
+              |  FROM s WHERE rn <= 5 GROUP BY q_id, c_label),
+              |p AS (SELECT q_id, c_label AS predicted_label, votes,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS pr
+              |  FROM v)
+              |SELECT q.q_id, q.label, p.predicted_label, p.votes,
+              |  (q.label = p.predicted_label) AS correct
+              |FROM q JOIN p ON p.q_id = q.q_id AND p.pr = 1
+              |ORDER BY q.q_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.knnPredictLabels(
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+              col("label").as("c_label")),
+          "c_id", "cv", "c_label",
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("label").as("q_label")),
+          "q_id", "qv", "q_label",
+          k = 5)
+      }),
+
     // ---- contrastive training triplets ---------------------------
     // (anchor, nearest same-label positive, capped nearest cross-label
     // negative) via ONE aggregation — argmax as max(struct(sim, −id)),

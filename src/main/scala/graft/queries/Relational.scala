@@ -287,6 +287,23 @@ object Relational {
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("window_start", "event_type")),
 
+    // ---- first-order event-transition matrix ---------------------
+    // What users do NEXT: adjacent (type → next type) counts over
+    // each user's time-ordered timeline (one user-keyed shuffle with
+    // human-bounded in-group sorts — the sessionize shape; the final
+    // aggregate is type²-bounded). Spark orders by the nanos long,
+    // DuckDB by the native timestamp — the same total order.
+    Q("q134_transitions",
+      Some("""WITH n AS (SELECT event_type AS from_type,
+             |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events)
+             |SELECT from_type, to_type, count(*)::BIGINT AS n
+             |FROM n WHERE to_type IS NOT NULL
+             |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin),
+      (s, dir) =>
+        graft.operators.Funnel.transitionCounts(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")),
+
     // ---- sessionization (gap > 30 min) ---------------------------
     Q("q17_sessionize",
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -1197,6 +1197,34 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- cross-source score calibration --------------------------
+    // percent_rank of n_chars within each source: every source's
+    // score distribution mapped onto [0,1] so one global threshold
+    // is comparable across sources; (rank-1)/(n-1) is one exact
+    // integer division.
+    Q("q131_calibrated_rank",
+      Some("""SELECT doc_id, source, n_chars,
+             |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS calibrated
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.withCalibratedRank(
+          t(s, dir, "documents"), "n_chars", "source", "doc_id")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("calibrated"))
+          .orderBy("doc_id")),
+
+    // ---- k-anonymity small-group audit ---------------------------
+    // Quasi-identifier (lang, source) combinations carried by fewer
+    // than 4 documents — the suppression list of a privacy release
+    // gate; output bounded by rare-combination count, never corpus
+    // size.
+    Q("q133_small_groups",
+      Some("""SELECT lang, source, count(*)::BIGINT AS n FROM documents
+             |GROUP BY lang, source HAVING count(*) < 4
+             |ORDER BY lang, source""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.smallGroups(
+          t(s, dir, "documents"), Seq("lang", "source"), k = 4L)),
+
     // ---- chunk-boundary (concat-leak) pairs ----------------------
     // Docs whose last 3 tokens equal another doc's first 3 tokens —
     // split-document leakage neither doc-level nor span-grid dedup

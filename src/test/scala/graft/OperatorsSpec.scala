@@ -1638,6 +1638,76 @@ class OperatorsSpec extends SparkSpec {
     assert(capped.contains((0L, 1L)) && capped.contains((0L, 2L)))
   }
 
+  test("withCalibratedRank: per-group [0,1] range, order-preserving") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val r = RobustStats.withCalibratedRank(docs, "n_chars", "source", "doc_id")
+    val mm = r.groupBy(col("source"))
+      .agg(min(col("calibrated")).as("mn"), max(col("calibrated")).as("mx"),
+        count(lit(1)).as("n")).collect()
+    mm.foreach { row =>
+      assert(row.getAs[Double]("mn") == 0.0)
+      if (row.getAs[Long]("n") > 1) assert(row.getAs[Double]("mx") == 1.0)
+    }
+    // within a source, higher value never gets a lower calibrated score
+    val viol = r.select(col("source"), col("n_chars"), col("calibrated")).as("a")
+      .join(r.select(col("source"), col("n_chars").as("n2"), col("calibrated").as("c2")).as("b"),
+        Seq("source"))
+      .where(col("n_chars") < col("n2") && col("calibrated") > col("c2")).count()
+    assert(viol == 0L)
+  }
+
+  test("smallGroups: flags exactly the under-k combinations") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("b", "x"))
+      .toDF("g1", "g2")
+    val r = Validate.smallGroups(df, Seq("g1", "g2"), k = 2L).collect()
+      .map(row => (row.getString(0), row.getString(1), row.getAs[Long]("n"))).toSeq
+    assert(r == Seq(("a", "y", 1L), ("b", "x", 1L)))
+  }
+
+  test("knnPredictLabels: votes sum to k and unanimous neighborhoods predict their label") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") >= 15)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label").as("c_label"))
+    val queries = emb.where(col("vec_id") < 15)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("label").as("q_label"))
+    val r = SimilarityOps.knnPredictLabels(corpus, "c_id", "cv", "c_label",
+      queries, "q_id", "qv", "q_label", k = 5).collect()
+    assert(r.length == 15)
+    r.foreach { row =>
+      assert(row.getAs[Long]("votes") >= 1L && row.getAs[Long]("votes") <= 5L)
+      assert(row.getAs[Boolean]("correct") ==
+        (row.getAs[Int]("label") == row.getAs[Int]("predicted_label")))
+    }
+    // k = 1: prediction must equal the single nearest neighbor's label
+    val one = SimilarityOps.knnPredictLabels(corpus, "c_id", "cv", "c_label",
+      queries, "q_id", "qv", "q_label", k = 1).collect()
+    val nn1 = SimilarityOps.knnJoin(corpus, "c_id", "cv",
+      queries.select(col("q_id"), col("qv")), "q_id", "qv", 1)
+      .join(corpus.select(col("c_id"), col("c_label")), Seq("c_id"))
+      .select(col("q_id"), col("c_label")).collect()
+      .map(row => row.getLong(0) -> row.getInt(1)).toMap
+    one.foreach { row =>
+      assert(row.getAs[Int]("predicted_label") == nn1(row.getAs[Long]("q_id")))
+      assert(row.getAs[Long]("votes") == 1L)
+    }
+  }
+
+  test("transitionCounts: totals and a hand-checked timeline") {
+    import spark.implicits._
+    val ev = Seq(
+      (0L, 100L, 1L, "a"), (1L, 200L, 1L, "b"), (2L, 300L, 1L, "a"),
+      (3L, 100L, 2L, "b"), (4L, 50L, 2L, "a"),
+      (5L, 999L, 3L, "c")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = Funnel.transitionCounts(ev, "user_id", "ts", "event_type", "event_id")
+      .collect().map(row => (row.getString(0), row.getString(1), row.getAs[Long]("n"))).toSeq
+    // user1: a->b, b->a; user2 (ts order!): a->b; user3: none
+    assert(r.sorted == Seq(("a", "b", 2L), ("b", "a", 1L)))
+    // every non-final event contributes exactly one transition
+    assert(r.map(_._3).sum == ev.count() - 3)
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
