@@ -156,6 +156,26 @@ object Mixing {
     df.withColumn("epoch", row_number().over(w))
   }
 
+  /** Per-source label purity: each source's dominant class and its
+    * share — the mixing-QA check that a "books" source really is
+    * books (a low-purity source is mislabeled or needs re-routing
+    * before its weight means anything). Argmax via ordered-struct
+    * max (one aggregate, deterministic highest-label tie-break —
+    * labels may be any orderable type, so no negation trick);
+    * `purity = n_top / n_docs` is one exact-integer division.
+    *
+    * Output: `(source, n_docs, top_label, purity)`. */
+  def sourcePurity(df: DataFrame, sourceCol: String, labelCol: String): DataFrame =
+    df.groupBy(col(sourceCol).as("source"), col(labelCol).as("__lab"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("__n")).cast("bigint").as("n_docs"),
+        max(struct(col("__n").as("n"), col("__lab").as("lab"))).as("__m"))
+      .select(col("source"), col("n_docs"),
+        col("__m.lab").as("top_label"),
+        (col("__m.n").cast("double") / col("n_docs").cast("double")).as("purity"))
+
   /** Inverse-frequency class weights — `n_total / (k · n_class)` per
     * class (sklearn's "balanced" convention: weights average to 1
     * over the corpus) — the loss-reweighting / oversampling dual of

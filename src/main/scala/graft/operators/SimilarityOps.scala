@@ -103,6 +103,54 @@ object SimilarityOps {
       .orderBy("a_id", "rank")
   }
 
+  /** Retrieval quality metrics per query over the label-relevance
+    * convention (a corpus item is relevant iff it shares the query's
+    * label): first relevant rank, reciprocal rank, and
+    * precision/recall at `k`. Every metric is per-query — no
+    * cross-query mean, so each value is exact integer counts plus a
+    * single IEEE division (a corpus-level MRR would sum doubles in
+    * nondeterministic order; average the emitted `rr` downstream
+    * with a decimal cast if needed).
+    *
+    * Scale shape: [[knnJoin]]'s broadcast-queries scan, the neighbor
+    * frame broadcast into the label join (corpus never reshuffles),
+    * relevant-total counts from one label aggregation joined as a
+    * broadcast dim.
+    *
+    * Output: `(q_id, label, first_rel_rank, rr, n_rel_topk,
+    * precision_at_k, recall_at_k)`; `first_rel_rank`/`rr` null when
+    * no relevant item reaches the top k. */
+  def retrievalEval(corpus: DataFrame, corpusId: String, corpusVec: String,
+                    corpusLabel: String,
+                    queries: DataFrame, queryId: String, queryVec: String,
+                    queryLabel: String,
+                    k: Int): DataFrame = {
+    val nn = knnJoin(corpus.select(col(corpusId), col(corpusVec)),
+      corpusId, corpusVec,
+      queries.select(col(queryId), col(queryVec)), queryId, queryVec, k)
+    val labeled = corpus
+      .select(col(corpusId).as("c_id"), col(corpusLabel).as("c_label"))
+      .join(broadcast(nn.select(col("q_id"), col("c_id"), col("rank"))), Seq("c_id"))
+    val qdim = queries.select(col(queryId).as("q_id"), col(queryLabel).as("label"))
+    val relTotals = corpus.groupBy(col(corpusLabel).as("label"))
+      .agg(count(lit(1)).cast("bigint").as("__n_rel_total"))
+    val perQ = labeled.join(broadcast(qdim), Seq("q_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(
+        min(when(col("c_label") === col("label"), col("rank"))).as("first_rel_rank"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .cast("bigint").as("n_rel_topk"))
+    perQ.join(broadcast(relTotals), Seq("label"))
+      .select(
+        col("q_id"), col("label"), col("first_rel_rank"),
+        (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"),
+        col("n_rel_topk"),
+        (col("n_rel_topk").cast("double") / lit(k.toDouble)).as("precision_at_k"),
+        (col("n_rel_topk").cast("double") / col("__n_rel_total").cast("double"))
+          .as("recall_at_k"))
+      .orderBy("q_id")
+  }
+
   /** kNN label propagation: predict each query's label as the
     * majority label among its `k` nearest corpus neighbors
     * (deterministic tie-break: highest vote count, then lowest

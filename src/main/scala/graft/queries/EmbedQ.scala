@@ -427,6 +427,45 @@ object EmbedQ {
           k = 5, lambda = 0.5)
       }),
 
+    // ---- retrieval quality metrics (per query) -------------------
+    // Label-relevance eval of the brute-force ranker: first relevant
+    // rank, reciprocal rank, precision/recall@10 — all per-query, so
+    // every float is exact counts + one division (a corpus-level MRR
+    // would sum doubles in nondeterministic order).
+    Q("q136_retrieval_eval",
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |s AS (SELECT q_id, label, c_id, c_label,
+              |  row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |topk AS (SELECT * FROM s WHERE rn <= 10),
+              |m AS (SELECT q_id, label,
+              |    min(CASE WHEN c_label = label THEN rn END)::INT AS first_rel_rank,
+              |    sum(CASE WHEN c_label = label THEN 1 ELSE 0 END)::BIGINT AS n_rel_topk
+              |  FROM topk GROUP BY q_id, label),
+              |rt AS (SELECT c_label AS label, count(*)::BIGINT AS n_rel_total
+              |  FROM c GROUP BY c_label)
+              |SELECT m.q_id, m.label, m.first_rel_rank,
+              |  1.0::DOUBLE / m.first_rel_rank AS rr, m.n_rel_topk,
+              |  m.n_rel_topk::DOUBLE / 10.0::DOUBLE AS precision_at_k,
+              |  m.n_rel_topk::DOUBLE / rt.n_rel_total::DOUBLE AS recall_at_k
+              |FROM m JOIN rt USING (label) ORDER BY m.q_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.retrievalEval(
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+              col("label").as("c_label")),
+          "c_id", "cv", "c_label",
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("label").as("q_label")),
+          "q_id", "qv", "q_label",
+          k = 10)
+      }),
+
     // ---- kNN label propagation -----------------------------------
     // Auto-labeling: each query labeled by the majority among its 5
     // nearest corpus neighbors (vote argmax as max(struct), no second

@@ -1197,6 +1197,24 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- per-source label purity ---------------------------------
+    // Dominant language share per source (mixing QA): argmax as one
+    // ordered-struct max, purity one exact-integer division; oracle
+    // states the winner via row_number over (n DESC, lang DESC).
+    Q("q135_source_purity",
+      Some("""WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY source, lang),
+             |t AS (SELECT source, sum(n)::BIGINT AS n_docs FROM c GROUP BY source),
+             |r AS (SELECT source, lang, n, row_number() OVER (
+             |  PARTITION BY source ORDER BY n DESC, lang DESC) AS rn FROM c)
+             |SELECT r.source, t.n_docs, r.lang AS top_label,
+             |  r.n::DOUBLE / t.n_docs::DOUBLE AS purity
+             |FROM r JOIN t USING (source) WHERE rn = 1 ORDER BY r.source""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.sourcePurity(
+          t(s, dir, "documents"), "source", "lang")
+          .orderBy("source")),
+
     // ---- cross-source score calibration --------------------------
     // percent_rank of n_chars within each source: every source's
     // score distribution mapped onto [0,1] so one global threshold

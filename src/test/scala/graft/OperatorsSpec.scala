@@ -1708,6 +1708,51 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_._3).sum == ev.count() - 3)
   }
 
+  test("sourcePurity: shares in (0,1], top label really is the modal label") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val r = Mixing.sourcePurity(docs, "source", "lang").collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getAs[Double]("purity") > 0 &&
+      row.getAs[Double]("purity") <= 1.0))
+    val modal = docs.groupBy(col("source"), col("lang")).count()
+      .orderBy(col("source"), col("count").desc, col("lang").desc)
+      .groupBy(col("source")).agg(first(col("lang")).as("lang"))
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    r.foreach(row =>
+      assert(row.getAs[String]("top_label") == modal(row.getAs[String]("source"))))
+  }
+
+  test("retrievalEval: probing with corpus members yields rank-1 self hits") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb.select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+      col("label").as("c_label"))
+    // queries ARE corpus members: the self vector is its own nearest
+    // relevant neighbor, so first_rel_rank = 1 and rr = 1.0
+    val queries = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("label").as("q_label"))
+    val r = SimilarityOps.retrievalEval(corpus, "c_id", "cv", "c_label",
+      queries, "q_id", "qv", "q_label", k = 5).collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      assert(row.getAs[Int]("first_rel_rank") == 1 && row.getAs[Double]("rr") == 1.0)
+      assert(row.getAs[Double]("precision_at_k") ==
+        row.getAs[Long]("n_rel_topk").toDouble / 5.0)
+    }
+  }
+
+  test("flagSemanticContaminated plan: zero shuffles on the corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val plan = Decontaminate.flagSemanticContaminated(
+      emb.where(col("vec_id") >= 20), "vec_id", "embedding",
+      emb.where(col("vec_id") < 20), "embedding", tau = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"corpus must not shuffle — the benchmark folds in as a broadcast row:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark side must broadcast:\n$plan")
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
