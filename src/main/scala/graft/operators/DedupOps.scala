@@ -276,6 +276,43 @@ object DedupOps {
       .orderBy(col("n_shared_spans").desc, col("src_a"), col("src_b"))
   }
 
+  /** Incremental NEAR-dup admission: LSH candidate pairs between an
+    * incoming `batch` and the existing `corpus` only — bipartite,
+    * never corpus × corpus — verified with exact shingle Jaccard.
+    * The near-dup partner of [[bloomIncrementalDedup]]'s exact-hash
+    * gate: a daily drop is checked against N accumulated documents
+    * at cost proportional to the DROP, not the corpus.
+    *
+    * Scale shape: the batch's band keys are tiny and BROADCAST into
+    * each per-band join, so the corpus signature frame never
+    * shuffles; exact verification explodes shingles only for
+    * candidate ids ([[pairShingleStats]]' semi-join prune). At
+    * steady state the corpus band keys are a PERSISTED dataset
+    * (computed once per corpus version, read per drop) — recomputed
+    * inline here for witness parity. Ids must be disjoint across the
+    * two frames (they share one id space downstream).
+    *
+    * Output: `(a_id = batch doc, b_id = corpus doc, jaccard)`. */
+  def lshNearDupAgainstCorpus(batch: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String,
+                              bands: Int = 2, rowsPerBand: Int = 4,
+                              minJaccard: Double = 0.5): DataFrame = {
+    def sigKeys(df: DataFrame) =
+      signatures(df, idCol, textCol, bands, rowsPerBand)
+        .select(col(idCol).as("id") +: (0 until bands).map(b => col(s"band$b")): _*)
+        .localCheckpoint()
+    val bs = sigKeys(batch)
+    val cs = sigKeys(corpus)
+    val cands = (0 until bands).map { b =>
+      broadcast(bs.select(col("id").as("a_id"), col(s"band$b").as("bk")))
+        .join(cs.select(col("id").as("b_id"), col(s"band$b").as("bk")), "bk")
+        .select("a_id", "b_id")
+    }.reduce(_ unionAll _).distinct().localCheckpoint()
+    val union = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    verifyJaccard(union, idCol, textCol, cands, minJaccard)
+  }
+
   /** Concat-leak / chunk-boundary detector: pairs `(a, b)` where the
     * LAST `k` tokens of `a` equal the FIRST `k` tokens of `b` —
     * evidence that `b` continues `a` (a split document leaked into

@@ -53,6 +53,37 @@ object TextQ {
        |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
        |  GROUP BY p.a_id, p.b_id)""".stripMargin
 
+  /** Bipartite variant of [[candCtes]]+vpairs for the incremental
+    * near-dup gate (q137): candidates pair a batch doc (`doc_id <
+    * split`) against a corpus doc only, same band scheme and exact
+    * Jaccard verification. */
+  private def bipartiteVpairsCtes(split: Long, minJ: Double) =
+    s"""b AS (SELECT doc_id,
+       |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
+       |  m4::VARCHAR || '|' || m5::VARCHAR || '|' || m6::VARCHAR || '|' || m7::VARCHAR AS band1
+       |  FROM sig),
+       |pairs AS (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id FROM b x JOIN b y
+       |    ON x.band0 = y.band0 AND x.doc_id < $split AND y.doc_id >= $split
+       |  UNION
+       |  SELECT x.doc_id, y.doc_id FROM b x JOIN b y
+       |    ON x.band1 = y.band1 AND x.doc_id < $split AND y.doc_id >= $split),
+       |shex AS (SELECT DISTINCT doc_id, shingle FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shex GROUP BY doc_id),
+       |common AS (
+       |  SELECT p.a_id, p.b_id, count(*) AS n_common
+       |  FROM pairs p
+       |  JOIN shex sa ON sa.doc_id = p.a_id
+       |  JOIN shex sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+       |  GROUP BY p.a_id, p.b_id),
+       |vpairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) AS jaccard
+       |  FROM common c
+       |  JOIN sizes za ON za.doc_id = c.a_id
+       |  JOIN sizes zb ON zb.doc_id = c.b_id
+       |  WHERE c.n_common::DOUBLE / (za.n_sh + zb.n_sh - c.n_common) >= $minJ)""".stripMargin
+
   /** Verified LSH near-dup pairs (exact shingle Jaccard ≥ 0.2) over
     * [[candCtes]] — shared by q33 (the pair list) and q71/q79/q87
     * (transitive clusters over it). */
@@ -1196,6 +1227,24 @@ object TextQ {
         graft.operators.Sketches.hllRollup(
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
+
+    // ---- incremental near-dup admission gate ---------------------
+    // Daily-drop shape: docs < 100 are the incoming batch, the rest
+    // the accumulated corpus; LSH bands pair batch×corpus ONLY
+    // (batch keys broadcast — the corpus never shuffles), exact
+    // Jaccard verifies. Cost ∝ drop size, not corpus size.
+    Q("q137_incremental_near_dup",
+      Some(s"""$sigCte,
+              |${bipartiteVpairsCtes(split = 100L, minJ = 0.2)}
+              |SELECT a_id, b_id, jaccard FROM vpairs
+              |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        DedupOps.lshNearDupAgainstCorpus(
+          docs.where(col("doc_id") < 100),
+          docs.where(col("doc_id") >= 100),
+          "doc_id", "text", bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+      }),
 
     // ---- per-source label purity ---------------------------------
     // Dominant language share per source (mixing QA): argmax as one

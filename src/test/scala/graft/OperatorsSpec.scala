@@ -1753,6 +1753,25 @@ class OperatorsSpec extends SparkSpec {
       s"benchmark side must broadcast:\n$plan")
   }
 
+  test("lshNearDupAgainstCorpus: equals the full pairing restricted to cross-split; batch side broadcasts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val batch = docs.where(col("doc_id") < 100)
+    val corpus = docs.where(col("doc_id") >= 100)
+    val bi = DedupOps.lshNearDupAgainstCorpus(batch, corpus, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+    val biPairs = bi.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val full = DedupOps.lshNearDupPairs(docs, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+      .where(col("a_id") < 100 && col("b_id") >= 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(biPairs == full)
+    val plan = DedupOps.lshNearDupAgainstCorpus(batch, corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch band keys must broadcast into the candidate joins:\n$plan")
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
