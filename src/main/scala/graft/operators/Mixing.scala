@@ -156,6 +156,41 @@ object Mixing {
     df.withColumn("epoch", row_number().over(w))
   }
 
+  /** Largest-remainder (Hamilton) budget apportionment: split an
+    * integer token `budget` across keys proportionally to `countCol`,
+    * exactly — `quota = floor(B·n/N)` plus one extra for the `R`
+    * largest remainders (deterministic key tie-break), so quotas sum
+    * to EXACTLY `B` and each is within 1 of proportional. The
+    * mixing planner's missing piece between [[classWeights]] (rates)
+    * and [[weightedSample]] (row selection): how many tokens each
+    * source actually gets.
+    *
+    * All arithmetic is exact: products as DECIMAL(38,0) (a 100 TB
+    * corpus at 1e14 tokens × a 1e12 budget overflows int64 —
+    * decimals don't), quotient via integral `div`. The remainder
+    * ranking windows over the KEY-cardinality frame (a dim table,
+    * never corpus rows).
+    *
+    * Output: `(keyCol, countCol, quota)`. */
+  def allocateBudget(counts: DataFrame, keyCol: String, countCol: String,
+                     budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be non-negative")
+    val tot = counts.agg(
+      sum(col(countCol).cast("decimal(38,0)")).as("__N"))
+    val base = counts.crossJoin(broadcast(tot))
+      .withColumn("__p", col(countCol).cast("decimal(38,0)") * lit(budget))
+      .withColumn("__qf", expr("__p div __N"))
+      .withColumn("__rem", col("__p") - col("__qf").cast("decimal(38,0)") * col("__N"))
+    val leftover = base.agg((lit(budget) - sum(col("__qf"))).as("__R"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(col("__rem").desc, col(keyCol))))
+      .withColumn("quota",
+        (col("__qf") + when(col("__rk") <= col("__R"), 1L).otherwise(0L)).cast("long"))
+      .select(col(keyCol), col(countCol), col("quota"))
+  }
+
   /** Per-source label purity: each source's dominant class and its
     * share — the mixing-QA check that a "books" source really is
     * books (a low-purity source is mislabeled or needs re-routing

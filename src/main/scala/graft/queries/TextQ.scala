@@ -1228,6 +1228,32 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- largest-remainder token-budget apportionment ------------
+    // Split a 1M-token budget across sources proportionally to their
+    // character mass, exactly (quotas sum to B, each within 1 of
+    // proportional). Decimal/HUGEINT products keep the arithmetic
+    // exact where int64 would overflow at corpus scale.
+    Q("q138_budget_allocation",
+      Some("""WITH c AS (SELECT source, sum(n_chars)::BIGINT AS n
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT sum(n)::HUGEINT AS tot FROM c),
+             |b AS (SELECT source, n,
+             |    ((1000000::HUGEINT * n) // tot)::BIGINT AS qf,
+             |    ((1000000::HUGEINT * n) % tot) AS rem FROM c, t),
+             |l AS (SELECT (1000000 - sum(qf))::BIGINT AS R FROM b),
+             |r AS (SELECT source, n, qf,
+             |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+             |SELECT r.source, r.n, (r.qf + CASE WHEN r.rk <= l.R THEN 1 ELSE 0 END)::BIGINT AS quota
+             |FROM r, l ORDER BY r.source""".stripMargin),
+      (s, dir) => {
+        val counts = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).cast("bigint").as("n"))
+        graft.operators.Mixing.allocateBudget(counts, "source", "n",
+          budget = 1000000L)
+          .orderBy("source")
+      }),
+
     // ---- incremental near-dup admission gate ---------------------
     // Daily-drop shape: docs < 100 are the incoming batch, the rest
     // the accumulated corpus; LSH bands pair batch×corpus ONLY

@@ -1772,6 +1772,25 @@ class OperatorsSpec extends SparkSpec {
       s"batch band keys must broadcast into the candidate joins:\n$plan")
   }
 
+  test("allocateBudget: quotas sum exactly to the budget, each within 1 of proportional") {
+    import spark.implicits._
+    val counts = Seq(("a", 333L), ("b", 333L), ("c", 334L), ("d", 1L))
+      .toDF("k", "n")
+    val budget = 1000L
+    val r = Mixing.allocateBudget(counts, "k", "n", budget).collect()
+      .map(row => row.getString(0) -> row.getAs[Long]("quota")).toMap
+    assert(r.values.sum == budget)
+    val total = 333L + 333L + 334L + 1L
+    r.foreach { case (k, q) =>
+      val n = Map("a" -> 333L, "b" -> 333L, "c" -> 334L, "d" -> 1L)(k)
+      val ideal = budget.toDouble * n / total
+      assert(math.abs(q - ideal) < 1.0, s"$k: quota $q vs ideal $ideal")
+    }
+    // zero budget allocates zero everywhere
+    val z = Mixing.allocateBudget(counts, "k", "n", 0L).collect()
+    assert(z.forall(_.getAs[Long]("quota") == 0L))
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
