@@ -77,6 +77,31 @@ object Inspect {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Schema drift between two frames: one row per column name that
+    * appears in either schema, with `status` added / removed /
+    * retyped / unchanged and the DDL type on each side. The
+    * metadata-level companion of [[diffSnapshots]] — run it FIRST
+    * when promoting a rebuilt corpus: a silent retype (int → string)
+    * passes row-level digests built on casts but breaks readers.
+    * Pure driver-side metadata (schemas, not data — no job runs);
+    * result returned as a frame so it composes with expectation
+    * gates. */
+  def diffSchemas(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val b = before.schema.map(f => f.name -> f.dataType.sql).toMap
+    val a = after.schema.map(f => f.name -> f.dataType.sql).toMap
+    (b.keySet ++ a.keySet).toSeq.sorted.map { c =>
+      val status = (b.get(c), a.get(c)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(x), Some(y)) if x == y => "unchanged"
+        case _ => "retyped"
+      }
+      (c, status, b.get(c).orNull, a.get(c).orNull)
+    }.toDF("column_name", "status", "before_type", "after_type")
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)

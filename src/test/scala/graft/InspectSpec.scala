@@ -46,4 +46,20 @@ class InspectSpec extends SparkSpec {
       assert(first == 3 && second == 3)
     }
   }
+
+  test("diffSchemas: added/removed/retyped/unchanged classification") {
+    import org.apache.spark.sql.functions.lit
+    val before = df // (id bigint, name string)
+    val after = df.withColumn("id", col("id").cast("string"))
+      .withColumn("extra", lit(1))
+      .drop("name")
+    val r = Inspect.diffSchemas(before, after).collect()
+      .map(row => row.getString(0) -> (row.getString(1),
+        Option(row.getString(2)), Option(row.getString(3)))).toMap
+    assert(r("id") == (("retyped", Some("BIGINT"), Some("STRING"))))
+    assert(r("extra") == (("added", None, Some("INT"))))
+    assert(r("name") == (("removed", Some("STRING"), None)))
+    assert(Inspect.diffSchemas(before, before).collect()
+      .forall(_.getString(1) == "unchanged"))
+  }
 }
