@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Partitioning-invariance witnesses: the selection/ordering operators
+  * whose 100 TB safety depends on determinism must produce IDENTICAL
+  * results regardless of how the input happens to be partitioned —
+  * that is what makes speculative retries, AQE re-plans, and
+  * different cluster layouts safe. Every operator here derives its
+  * decisions from content hashes or total orders, never from
+  * `rand()`, `spark_partition_id()`, or first-seen order.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  /** Collect to a canonical sorted form for exact comparison. */
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def invariant(f: DataFrame => DataFrame): Unit = {
+    val base = canon(f(docs))
+    assert(base.nonEmpty)
+    assert(canon(f(docs.repartition(7))) == base, "repartition(7) changed the result")
+    assert(canon(f(docs.repartition(3, col("lang")))) == base,
+      "key-partitioned layout changed the result")
+  }
+
+  test("weightedSample picks the same rows under any partitioning") {
+    import graft.functions.TextHash.{spark => H}
+    invariant { d =>
+      val weights = d.select(col("source")).distinct()
+        .withColumn("permille", (expr(H.rollingHash("source")) % 80) * 10)
+      Mixing.weightedSample(d, "text", "source", weights).select("doc_id")
+    }
+  }
+
+  test("capPerGroup picks the same rows under any partitioning") {
+    invariant(d =>
+      Mixing.capPerGroup(d, "text", "source", "doc_id", n = 10)
+        .select("source", "doc_id"))
+  }
+
+  test("interleaveSources assigns the same epochs under any partitioning") {
+    invariant(d =>
+      Mixing.interleaveSources(d, "source", "text", "doc_id")
+        .select("doc_id", "epoch"))
+  }
+
+  test("dropNearDuplicates keeps the same survivors under any partitioning") {
+    invariant(d =>
+      DedupOps.dropNearDuplicates(d, "doc_id", "text",
+        bands = 2, rowsPerBand = 4, minJaccard = 0.2).select("doc_id"))
+  }
+
+  test("allocateBudget apportions identically under any partitioning") {
+    invariant { d =>
+      val counts = d.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("bigint").as("n"))
+      Mixing.allocateBudget(counts, "source", "n", budget = 999983L)
+    }
+  }
+}
