@@ -77,6 +77,19 @@ object Inspect {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Read a JSON-lines file the way [[jsonl]] writes it — the source
+    * side of the reference's JSON surface (main.py's jsonl sink had
+    * no documented reader; training corpora ship as jsonl constantly,
+    * so the ingest path is first-class here). `schema` pins the
+    * column types (ALWAYS pass it at scale: schema inference is a
+    * full extra pass over the data); `None` infers for ad-hoc use. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
   /** Schema drift between two frames: one row per column name that
     * appears in either schema, with `status` added / removed /
     * retyped / unchanged and the DDL type on each side. The

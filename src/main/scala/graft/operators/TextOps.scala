@@ -329,6 +329,19 @@ object TextOps {
     * Scale: a pure per-row regexp pipeline — `regexp_count` /
     * `regexp_replace` are codegen'd built-ins, no shuffle, no UDF;
     * one codegen'd map over the corpus regardless of corpus size. */
+  /** Deterministic pseudonymization: replace an identifier with
+    * `sha256(salt ‖ id)` — the same id always maps to the same token
+    * (joins and dedup still work on the pseudonym) while the mapping
+    * is one-way without the salt. The governance partner of
+    * [[redactPii]]: redaction scrubs free text, pseudonymization
+    * keys. Rotate the salt to unlink releases. Pure map-side
+    * expression — no shuffle, codegen'd sha2. */
+  def withPseudonym(df: DataFrame, idCol: String, salt: String,
+                    out: String = "pseudo_id"): DataFrame = {
+    require(!df.columns.contains(out), s"withPseudonym reserves column name $out")
+    df.withColumn(out, sha2(concat(lit(salt), col(idCol).cast("string")), 256))
+  }
+
   def redactPii(df: DataFrame, textCol: String, out: String = "redacted"): DataFrame = {
     val reserved = PiiPatterns.map { case (n, _, _) => s"n_$n" }.toSet + out
     val collisions = df.columns.toSet.intersect(reserved)

@@ -1228,6 +1228,20 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- deterministic pseudonymization --------------------------
+    // sha256(salt || id): stable one-way identifier tokens (joins and
+    // dedup survive, the mapping doesn't without the salt) — the
+    // structured-key partner of q97's free-text redaction. Map-side
+    // only; both engines emit lowercase hex.
+    Q("q139_pseudonymize",
+      Some("""SELECT doc_id, sha256('graft-r5:' || doc_id::VARCHAR) AS pseudo_id
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TextOps.withPseudonym(
+          t(s, dir, "documents"), "doc_id", "graft-r5:")
+          .select(col("doc_id"), col("pseudo_id"))
+          .orderBy("doc_id")),
+
     // ---- largest-remainder token-budget apportionment ------------
     // Split a 1M-token budget across sources proportionally to their
     // character mass, exactly (quotas sum to B, each within 1 of

@@ -47,6 +47,17 @@ class InspectSpec extends SparkSpec {
     }
   }
 
+  test("jsonl roundtrip: readJsonl recovers what jsonl wrote") {
+    withTempDir { dir =>
+      val path = s"$dir/docs.jsonl"
+      Inspect.jsonl(df).write.text(path)
+      val back = Inspect.readJsonl(spark, path, Some(df.schema))
+      assertSameData(back, df)
+      // inferred read agrees too (witness data has no type ambiguity)
+      assertSameData(Inspect.readJsonl(spark, path).select(df.columns.map(col): _*), df)
+    }
+  }
+
   test("diffSchemas: added/removed/retyped/unchanged classification") {
     import org.apache.spark.sql.functions.lit
     val before = df // (id bigint, name string)
