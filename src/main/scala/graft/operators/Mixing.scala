@@ -187,7 +187,12 @@ object Mixing {
       .withColumn("__rk",
         row_number().over(Window.orderBy(col("__rem").desc, col(keyCol))))
       .withColumn("quota",
-        (col("__qf") + when(col("__rk") <= col("__R"), 1L).otherwise(0L)).cast("long"))
+        // an all-zero counts frame makes __N = 0 and every __qf NULL;
+        // allocate nothing rather than emit NULL quotas
+        coalesce(
+          (col("__qf") + when(col("__rk") <= col("__R"), 1L).otherwise(0L))
+            .cast("long"),
+          lit(0L)))
       .select(col(keyCol), col(countCol), col("quota"))
   }
 

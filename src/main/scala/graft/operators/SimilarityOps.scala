@@ -140,7 +140,9 @@ object SimilarityOps {
         min(when(col("c_label") === col("label"), col("rank"))).as("first_rel_rank"),
         sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
           .cast("bigint").as("n_rel_topk"))
-    perQ.join(broadcast(relTotals), Seq("label"))
+    // LEFT join: a query whose label has zero corpus members must not
+    // vanish from the eval report — it surfaces with recall null
+    perQ.join(broadcast(relTotals), Seq("label"), "left")
       .select(
         col("q_id"), col("label"), col("first_rel_rank"),
         (lit(1.0) / col("first_rel_rank").cast("double")).as("rr"),
@@ -182,8 +184,10 @@ object SimilarityOps {
         (-col("c_label").cast("long")).as("nl"))).as("__m"))
       .select(col("q_id"), (-col("__m.nl")).cast("int").as("predicted_label"),
         col("__m.v").as("votes"))
+    // LEFT join: with an empty corpus (no votes at all) queries keep a
+    // row with a null prediction instead of silently vanishing
     queries.select(col(queryId).as("q_id"), col(queryLabel).as("label"))
-      .join(pred, Seq("q_id"))
+      .join(pred, Seq("q_id"), "left")
       .withColumn("correct", col("label") === col("predicted_label"))
       .orderBy("q_id")
   }

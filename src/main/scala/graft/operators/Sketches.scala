@@ -68,9 +68,13 @@ object Sketches {
       .agg(
         expr(s"hll_sketch_agg($c, $lgK)").as("__sk"),
         countDistinct(col(c)).cast("bigint").as("n_exact"))
+    // an all-null group (n_exact = 0) would make the ratio 0/0 and the
+    // boolean NULL — a gate reading pass==true would silently fail;
+    // define the empty case explicitly: estimate must also be 0
     val groupRows = groups
       .withColumn("est_in_bounds",
-        abs(est("__sk") / col("n_exact").cast("double") - 1.0) <= tol)
+        when(col("n_exact") === 0L, est("__sk") === 0.0)
+          .otherwise(abs(est("__sk") / col("n_exact").cast("double") - 1.0) <= tol))
       .select(col("group_value"), col("n_exact"), col("est_in_bounds"),
         lit(true).as("merged_ok"))
     val merged = groups.agg(expr("hll_union_agg(__sk, true)").as("__merged"))
@@ -81,7 +85,8 @@ object Sketches {
       .select(
         lit("__ALL__").as("group_value"),
         col("n_exact"),
-        (abs(est("__merged") / col("n_exact").cast("double") - 1.0) <= tol)
+        when(col("n_exact") === 0L, est("__merged") === 0.0)
+          .otherwise(abs(est("__merged") / col("n_exact").cast("double") - 1.0) <= tol)
           .as("est_in_bounds"),
         (abs(est("__merged") - est("__direct")) <=
           lit(tol) * col("n_exact").cast("double")).as("merged_ok"))
