@@ -19,6 +19,35 @@ case class UserTotal(user_id: Long, n: Long, sum_value: Double)
 /** Output row of [[EventStream.streamingDedup]]. */
 case class DedupDoc(doc_id: Long, text: String)
 
+/** Per-user running totals as a Spark-4 `StatefulProcessor`: one
+  * typed `ValueState[UserTotal]` per key, folded with each
+  * micro-batch's rows and re-emitted (update mode). TTL is NONE here
+  * (entity space = users, bounded); an unbounded key space passes
+  * `TTLConfig(Duration)` instead — state eviction without custom
+  * timer code, the API's advantage over `mapGroupsWithState`. */
+class UserTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), UserTotal] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[UserTotal] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[UserTotal](
+      "totals", Encoders.product[UserTotal], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               timerValues: TimerValues): Iterator[UserTotal] = {
+    val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0.0)
+    val updated = rows.foldLeft(prev) { case (acc, (_, v)) =>
+      UserTotal(key, acc.n + 1, acc.sum_value + v)
+    }
+    totals.update(updated)
+    Iterator.single(updated)
+  }
+}
+
 object EventStream {
 
   /** Normalize an events frame whose `ts` is bigint *nanoseconds*
@@ -130,6 +159,29 @@ object EventStream {
         dataset.append(batch)
       }
       .start()
+
+  /** [[runningUserTotals]] re-expressed on Spark 4's
+    * `transformWithState` API ([[UserTotalsProcessor]]): typed
+    * per-key `ValueState` with first-class TTL support and RocksDB
+    * state backing (the production store for billions of keys —
+    * `mapGroupsWithState`'s whole-state-in-memory model is the thing
+    * this API replaces). `EventStreamSpec` pins its output equal to
+    * the legacy operator's across micro-batches. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...RocksDBStateStoreProvider`. */
+  def runningUserTotalsTws(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(), Encoders.product[UserTotal])
+  }
 
   /** Watermarked STREAM-STREAM interval join: each click paired with
     * the same user's views inside `[click − gap, click + gap]` — the

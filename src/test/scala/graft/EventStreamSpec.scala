@@ -165,6 +165,33 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState: RocksDB-backed totals equal the mapGroupsWithState operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.runningUserTotalsTws(streamDf)
+      .writeStream.format("memory").queryName("user_totals_tws")
+      .outputMode("update").start()
+    try {
+      mem.addData((0L, 1L, 7L, "click", 1.0), (1L, 2L, 7L, "view", 2.0))
+      query.processAllAvailable()
+      mem.addData((2L, 3L, 7L, "click", 4.0), (3L, 4L, 8L, "view", 10.0))
+      query.processAllAvailable()
+      val got = spark.table("user_totals_tws").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // same cross-batch accumulation the legacy operator's test pins
+      assert(got.contains((7L, 3L, 7.0)) && got.contains((8L, 1L, 10.0)))
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("streaming dedup: first occurrence survives within and across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
