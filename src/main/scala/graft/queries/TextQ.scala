@@ -1228,6 +1228,35 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- multimodal decode plumbing ------------------------------
+    // Payload bytes constructed from doc_id (unhex of arithmetic),
+    // pushed through the REAL decode path — binary column →
+    // mapPartitions codec seam → typed meta struct; the oracle
+    // recomputes the stub parser's header fields arithmetically, so
+    // a hash match proves the whole Spark-side pipeline byte-exactly
+    // (the codec itself is the documented container stub).
+    Q("q140_multimodal_meta",
+      Some("""SELECT doc_id,
+             |  CASE (doc_id % 256) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    ELSE 'video' END AS kind,
+             |  (16 * (1 + ((doc_id * 7) % 256) % 64))::INT AS width,
+             |  (16 * (1 + ((doc_id * 13) % 256) % 64))::INT AS height,
+             |  (1000 * (1 + ((doc_id * 3) % 256) % 60))::BIGINT AS duration_ms
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val payloads = t(s, dir, "documents").select(col("doc_id"),
+          unhex(concat(
+            lpad(hex(col("doc_id") % 256), 2, "0"),
+            lpad(hex((col("doc_id") * 7) % 256), 2, "0"),
+            lpad(hex((col("doc_id") * 13) % 256), 2, "0"),
+            lpad(hex((col("doc_id") * 3) % 256), 2, "0"))).as("payload"))
+        graft.operators.Multimodal.withMeta(payloads, "doc_id", "payload")
+          .select(col("id").as("doc_id"), col("meta.kind").as("kind"),
+            col("meta.width").as("width"), col("meta.height").as("height"),
+            col("meta.durationMs").as("duration_ms"))
+          .orderBy("doc_id")
+      }),
+
     // ---- deterministic pseudonymization --------------------------
     // sha256(salt || id): stable one-way identifier tokens (joins and
     // dedup survive, the mapping doesn't without the salt) — the
