@@ -1257,6 +1257,34 @@ object TextQ {
           .orderBy("doc_id")
       }),
 
+    // ---- multimodal frame sampling -------------------------------
+    // 1 fps sampling over the q140 payloads: the bounded explode
+    // (sequence over duration) whose row count is set by the rate,
+    // not payload size. Oracle derives frames-per-doc and the first/
+    // last timestamps arithmetically from the same header fields.
+    Q("q141_frame_sample",
+      Some("""WITH m AS (SELECT doc_id,
+             |    (1000 * (1 + ((doc_id * 3) % 256) % 60))::BIGINT AS dur
+             |  FROM documents)
+             |SELECT doc_id, (dur // 1000)::BIGINT AS n_frames,
+             |  0::BIGINT AS first_ms, (1000 * (dur // 1000 - 1))::BIGINT AS last_ms
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val payloads = t(s, dir, "documents").select(col("doc_id"),
+          unhex(concat(
+            lpad(hex(col("doc_id") % 256), 2, "0"),
+            lpad(hex((col("doc_id") * 7) % 256), 2, "0"),
+            lpad(hex((col("doc_id") * 13) % 256), 2, "0"),
+            lpad(hex((col("doc_id") * 3) % 256), 2, "0"))).as("payload"))
+        val decoded = graft.operators.Multimodal.withMeta(payloads, "doc_id", "payload")
+        graft.operators.Multimodal.frameSample(decoded, fps = 1.0)
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n_frames"),
+            min(col("frame_ms")).cast("bigint").as("first_ms"),
+            max(col("frame_ms")).cast("bigint").as("last_ms"))
+          .orderBy("doc_id")
+      }),
+
     // ---- deterministic pseudonymization --------------------------
     // sha256(salt || id): stable one-way identifier tokens (joins and
     // dedup survive, the mapping doesn't without the salt) — the
