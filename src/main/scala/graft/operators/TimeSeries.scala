@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping over event streams at rest. */
+object TimeSeries {
+
+  /** Zero-filled per-key bucket counts: every `(key, bucket)` cell of
+    * the COMPLETE time spine appears, missing cells as 0 — the
+    * gap-filling a rate chart or anomaly detector needs (a groupBy
+    * alone silently omits empty buckets, and "no events" is exactly
+    * the signal an alert cares about).
+    *
+    * Scale shape: counts aggregate first (map-side combine), so the
+    * spine join touches only aggregated cells; the spine itself is
+    * one `sequence` explode over the observed bucket range crossed
+    * with the distinct keys — both dim-bounded (hours × key
+    * cardinality), never event-volume. An empty input yields an
+    * empty (not null-row) result.
+    *
+    * `tsNanosCol` is the driver layout's bigint nanoseconds; output
+    * `bucket_epoch` is epoch seconds of the bucket start. */
+  def fillGaps(events: DataFrame, tsNanosCol: String, keyCol: String,
+               bucketSec: Long): DataFrame = {
+    require(bucketSec >= 1, "bucketSec must be positive")
+    val counts = events
+      .withColumn("__h", expr(s"$tsNanosCol div (${bucketSec}L * 1000000000L)"))
+      .groupBy(col(keyCol), col("__h"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val spine = counts.agg(min(col("__h")).as("__h0"), max(col("__h")).as("__h1"))
+      .where(col("__h0").isNotNull)
+      .select(explode(expr("sequence(__h0, __h1)")).as("__h"))
+    val keys = counts.select(col(keyCol)).distinct()
+    spine.crossJoin(keys)
+      .join(counts, Seq(keyCol, "__h"), "left")
+      .select(col(keyCol),
+        (col("__h") * bucketSec).cast("bigint").as("bucket_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(keyCol, "bucket_epoch")
+  }
+}

@@ -287,6 +287,26 @@ object Relational {
             col("event_type"), col("n"), col("sum_value"))
           .orderBy("window_start", "event_type")),
 
+    // ---- gap-filled hourly rate series ---------------------------
+    // Every (type, hour) cell of the full observed range, zeros
+    // included — "no events" is the cell an anomaly detector needs;
+    // the spine is a sequence explode over aggregated bounds, so
+    // nothing here scales with event volume.
+    Q("q142_gap_fill",
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+             |c AS (SELECT event_type, h, count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+             |spine AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM b),
+             |t AS (SELECT DISTINCT event_type FROM c)
+             |SELECT t.event_type, (spine.h * 3600)::BIGINT AS bucket_epoch,
+             |  coalesce(c.n, 0)::BIGINT AS n
+             |FROM spine CROSS JOIN t
+             |LEFT JOIN c ON c.h = spine.h AND c.event_type = t.event_type
+             |ORDER BY t.event_type, bucket_epoch""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.fillGaps(
+          t(s, dir, "events"), "ts", "event_type", bucketSec = 3600L)),
+
     // ---- first-order event-transition matrix ---------------------
     // What users do NEXT: adjacent (type → next type) counts over
     // each user's time-ordered timeline (one user-keyed shuffle with

@@ -1791,6 +1791,25 @@ class OperatorsSpec extends SparkSpec {
     assert(z.forall(_.getAs[Long]("quota") == 0L))
   }
 
+  test("fillGaps: complete spine with zero cells; empty input yields empty output") {
+    import spark.implicits._
+    val hour = 3600L * 1000000000L
+    val ev = Seq(
+      (0L * hour + 5L, "a"), (0L * hour + 9L, "a"),
+      (3L * hour + 1L, "a"),                       // hours 1,2 are gaps
+      (1L * hour + 2L, "b")
+    ).toDF("ts", "event_type")
+    val r = TimeSeries.fillGaps(ev, "ts", "event_type", 3600L).collect()
+      .map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
+    // full 4-hour spine for BOTH keys (2 keys x 4 hours)
+    assert(r.length == 8)
+    assert(r.contains(("a", 0L, 2L)) && r.contains(("a", 3600L, 0L)) &&
+      r.contains(("a", 7200L, 0L)) && r.contains(("a", 10800L, 1L)))
+    assert(r.contains(("b", 3600L, 1L)) && r.contains(("b", 0L, 0L)))
+    assert(TimeSeries.fillGaps(ev.where(lit(false)), "ts", "event_type", 3600L)
+      .count() == 0L)
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
