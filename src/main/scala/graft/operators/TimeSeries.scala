@@ -39,4 +39,44 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(keyCol, "bucket_epoch")
   }
+
+  /** Forward-fill (last observation carried forward): `out` = the
+    * most recent non-null `valueCol` within the key's
+    * `(tsCol, idCol)`-ordered timeline — the standard sensor/metric
+    * imputation. Pure value SELECTION (never arithmetic), so filled
+    * values are bitwise the originals. Leading nulls (no prior
+    * observation) stay null.
+    *
+    * Scale shape: one key-partitioned window — the sessionize
+    * shuffle; per-key history is entity-bounded. */
+  def forwardFill(df: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String,
+                  out: String = "filled"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(out), s"forwardFill reserves column name $out")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Rolling per-key aggregates over the trailing `nRows`+current
+    * window: `roll_sum` (DECIMAL-exact — engines disagree on
+    * float-sum association inside window frames, decimals don't) and
+    * `roll_n`. The moving-average primitive: divide the two
+    * downstream for an exact-numerator mean. */
+  def withRolling(df: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valueCol: String, nRows: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nRows >= 1, "nRows must be positive")
+    val reserved = Set("roll_sum", "roll_n")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withRolling reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-nRows, 0)
+    df.withColumn("roll_sum",
+        sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("roll_n", count(col(valueCol)).over(w).cast("bigint"))
+  }
 }

@@ -307,6 +307,45 @@ object Relational {
         graft.operators.TimeSeries.fillGaps(
           t(s, dir, "events"), "ts", "event_type", bucketSec = 3600L)),
 
+    // ---- forward-fill imputation ---------------------------------
+    // Every third value nulled (both engines construct the gap
+    // identically), then last-observation-carried-forward per user —
+    // selection only, so filled values are bitwise originals;
+    // leading nulls stay null.
+    Q("q143_forward_fill",
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+             |  CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v FROM events)
+             |SELECT event_id, user_id, v,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM e ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.forwardFill(
+          t(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("ts"),
+              when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")).as("v")),
+          "user_id", "ts", "event_id", "v")
+          .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+          .orderBy("event_id")),
+
+    // ---- rolling trailing-window aggregates ----------------------
+    // Per-user rolling sum over the trailing 3+current rows with a
+    // DECIMAL-exact accumulator (window float sums associate
+    // differently across engines; decimals don't).
+    Q("q144_rolling_sum",
+      Some("""SELECT event_id, user_id,
+             |  (sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::DOUBLE AS roll_sum,
+             |  (count(value) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::BIGINT AS roll_n
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.withRolling(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value", nRows = 3)
+          .select(col("event_id"), col("user_id"), col("roll_sum"), col("roll_n"))
+          .orderBy("event_id")),
+
     // ---- first-order event-transition matrix ---------------------
     // What users do NEXT: adjacent (type → next type) counts over
     // each user's time-ordered timeline (one user-keyed shuffle with

@@ -1810,6 +1810,32 @@ class OperatorsSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("forwardFill: carries last observation, leading nulls stay null") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1L, null.asInstanceOf[java.lang.Double]),   // leading null
+      (1L, 2L, java.lang.Double.valueOf(5.0)),
+      (2L, 3L, null.asInstanceOf[java.lang.Double]),   // fills to 5.0
+      (3L, 4L, java.lang.Double.valueOf(7.0)),
+      (4L, 5L, null.asInstanceOf[java.lang.Double])    // fills to 7.0
+    ).toDF("id", "ts", "v").withColumn("k", lit("u"))
+    val r = TimeSeries.forwardFill(df, "k", "ts", "id", "v").orderBy("id").collect()
+    assert(r(0).isNullAt(r(0).fieldIndex("filled")))
+    assert(r(2).getAs[Double]("filled") == 5.0)
+    assert(r(4).getAs[Double]("filled") == 7.0)
+  }
+
+  test("withRolling: trailing frame sums and counts") {
+    import spark.implicits._
+    val df = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 4.0),
+      (3L, 4L, 8.0), (4L, 5L, 16.0))
+      .toDF("id", "ts", "v").withColumn("k", lit("u"))
+    val r = TimeSeries.withRolling(df, "k", "ts", "id", "v", nRows = 3)
+      .orderBy("id").collect()
+      .map(row => (row.getAs[Double]("roll_sum"), row.getAs[Long]("roll_n"))).toSeq
+    assert(r == Seq((1.0, 1L), (3.0, 2L), (7.0, 3L), (15.0, 4L), (30.0, 4L)))
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
