@@ -79,4 +79,30 @@ object TimeSeries {
         sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double"))
       .withColumn("roll_n", count(col(valueCol)).over(w).cast("bigint"))
   }
+
+  /** Per-key exponential moving average — a SEQUENTIAL recurrence
+    * (`acc ← α·x + (1−α)·acc`) that windows can't express — computed
+    * WITHOUT mapGroups: collect the key's values in `(tsCol, idCol)`
+    * order and fold once with `aggregate` (strict left-to-right, a
+    * fixed two-multiply-one-add IEEE tree per step — bitwise in any
+    * engine folding the same order; the q51 list-fold discipline).
+    * Seed is 0.0.
+    *
+    * Scale shape: ONE aggregation keyed on `keyCol`; per-key history
+    * must be entity-bounded (the [[graft.streaming.UserTotalsProcessor]]
+    * contract) — unbounded keys stream instead. `alpha` should be a
+    * dyadic rational (1/4, 1/2) when cross-engine bitwise parity
+    * matters; any alpha is deterministic within Spark. */
+  def emaPerKey(df: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("t"), col(idCol).as("i"),
+          col(valueCol).cast("double").as("v")))).as("__s"))
+      .withColumn("ema", expr(
+        s"aggregate(transform(__s, r -> r.v), CAST(0 AS DOUBLE), " +
+          s"(acc, x) -> CAST($alpha AS DOUBLE) * x + CAST(${1 - alpha} AS DOUBLE) * acc)"))
+      .select(col(keyCol), col("ema"))
+  }
 }

@@ -307,6 +307,22 @@ object Relational {
         graft.operators.TimeSeries.fillGaps(
           t(s, dir, "events"), "ts", "event_type", bucketSec = 3600L)),
 
+    // ---- per-user exponential moving average ---------------------
+    // A sequential recurrence no window expresses: time-ordered list
+    // + one strict left-to-right fold (q51 discipline); α = 1/4 is
+    // dyadic so every step is the same IEEE tree in both engines.
+    Q("q145_ema",
+      Some("""WITH o AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, list_reduce(list_prepend(0.0::DOUBLE, vs),
+             |  (acc, x) -> 0.25::DOUBLE * x + 0.75::DOUBLE * acc) AS ema
+             |FROM o ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.emaPerKey(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          alpha = 0.25)
+          .orderBy("user_id")),
+
     // ---- forward-fill imputation ---------------------------------
     // Every third value nulled (both engines construct the gap
     // identically), then last-observation-carried-forward per user —

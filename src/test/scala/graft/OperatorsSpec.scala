@@ -1836,6 +1836,17 @@ class OperatorsSpec extends SparkSpec {
     assert(r == Seq((1.0, 1L), (3.0, 2L), (7.0, 3L), (15.0, 4L), (30.0, 4L)))
   }
 
+  test("emaPerKey: matches the hand-folded recurrence in timestamp order") {
+    import spark.implicits._
+    // deliberately out of ts order in the input
+    val df = Seq((2L, 3L, 4.0), (0L, 1L, 8.0), (1L, 2L, 0.0))
+      .toDF("id", "ts", "v").withColumn("k", lit("u"))
+    val got = TimeSeries.emaPerKey(df, "k", "ts", "id", "v", alpha = 0.25)
+      .head.getAs[Double]("ema")
+    val expected = Seq(8.0, 0.0, 4.0).foldLeft(0.0)((acc, x) => 0.25 * x + 0.75 * acc)
+    assert(got == expected)
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
