@@ -121,6 +121,34 @@ object Relevance {
       .orderBy("rank")
   }
 
+  /** Corpus token CO-OCCURRENCE counts: unordered token pairs within
+    * `maxDist` positions of each other (the word2vec/GloVe context
+    * extraction), top-`k` by count. Pairs are generated MAP-SIDE by
+    * zipping the token array against its own shifts (`zip_with` over
+    * slices — one struct per position per distance, no per-document
+    * self-join, no shuffle before the final count), so the stage
+    * stays in whole-stage codegen and scales with token volume ×
+    * maxDist.
+    *
+    * Output: `(tok_a, tok_b, n)` with `tok_a <= tok_b`, ordered by
+    * `(n DESC, tok_a, tok_b)`. */
+  def cooccurrencePairs(df: DataFrame, textCol: String, maxDist: Int,
+                        k: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be positive")
+    require(k >= 1, "k must be positive")
+    val shifts = (1 to maxDist).map { d =>
+      s"zip_with(slice(__toks, 1, greatest(size(__toks) - $d, 0)), " +
+        s"slice(__toks, ${d + 1}, greatest(size(__toks) - $d, 0)), " +
+        "(x, y) -> struct(least(x, y) AS a, greatest(x, y) AS b))"
+    }.mkString("concat(", ", ", ")")
+    TextOps.withTokens(df.select(col(textCol)), textCol, "__toks")
+      .withColumn("__p", explode(expr(shifts)))
+      .groupBy(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Top-`k` keywords per document by rarity-weighted term frequency
     * `tf * N / df` (rational idf — see class doc), deterministic
     * tie-break on the token. Output: `(idCol, rk, token, tf, dfreq)`.

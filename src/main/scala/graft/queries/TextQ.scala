@@ -1228,6 +1228,59 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- negative-sampling table (unigram^(3/4)) -----------------
+    // word2vec's smoothed sampling distribution: per-token weight
+    // n^(3/4) via the exact-rounded sqrt·sqrt(sqrt) chain (no libm
+    // pow), integerized at 1000×, then Hamilton-apportioned into
+    // exactly 100k sampling slots — q138's operator composed on a
+    // derived weight.
+    Q("q147_negative_sampling",
+      Some(s"""WITH x AS (SELECT unnest($duckToks) AS token FROM documents),
+              |c AS (SELECT token, count(*)::BIGINT AS n FROM x GROUP BY token),
+              |w AS (SELECT token,
+              |  round(1000 * sqrt(n::DOUBLE) * sqrt(sqrt(n::DOUBLE)))::BIGINT AS wt FROM c),
+              |t AS (SELECT sum(wt)::HUGEINT AS tot FROM w),
+              |b AS (SELECT token, wt, ((100000::HUGEINT * wt) // tot)::BIGINT AS qf,
+              |  ((100000::HUGEINT * wt) % tot) AS rem FROM w, t),
+              |l AS (SELECT (100000 - sum(qf))::BIGINT AS lr FROM b),
+              |r AS (SELECT token, wt, qf,
+              |  row_number() OVER (ORDER BY rem DESC, token) AS rk FROM b)
+              |SELECT r.token, r.wt, (r.qf + CASE WHEN r.rk <= l.lr THEN 1 ELSE 0 END)::BIGINT AS quota
+              |FROM r, l ORDER BY r.token""".stripMargin),
+      (s, dir) => {
+        val counts = TextOps.withTokens(
+          t(s, dir, "documents").select(col("text")), "text", "__toks")
+          .select(explode(col("__toks")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("n"))
+        val weights = counts.withColumn("wt",
+          round(lit(1000.0) * sqrt(col("n").cast("double")) *
+            sqrt(sqrt(col("n").cast("double")))).cast("long"))
+          .select(col("token"), col("wt"))
+        graft.operators.Mixing.allocateBudget(weights, "token", "wt",
+          budget = 100000L)
+          .orderBy("token")
+      }),
+
+    // ---- token co-occurrence pairs -------------------------------
+    // word2vec-style context extraction: unordered token pairs within
+    // 2 positions, counted corpus-wide — pairs built map-side by
+    // zipping the token array against its own shifts (no self-join).
+    Q("q146_cooccurrence",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks)
+              |SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |FROM pr GROUP BY 1, 2 ORDER BY n DESC, tok_a, tok_b LIMIT 20""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 20)),
+
     // ---- multimodal decode plumbing ------------------------------
     // Payload bytes constructed from doc_id (unhex of arithmetic),
     // pushed through the REAL decode path — binary column →

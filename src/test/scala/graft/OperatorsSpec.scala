@@ -1847,6 +1847,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("cooccurrencePairs: hand-checked window pairs, unordered") {
+    import spark.implicits._
+    val df = Seq("b a c", "a b").toDF("text")
+    val r = Relevance.cooccurrencePairs(df, "text", maxDist = 2, k = 10)
+      .collect().map(row => (row.getString(0), row.getString(1),
+        row.getAs[Long]("n"))).toSeq
+    // doc1 pairs: (a,b) d1, (a,c) d1, (b,c) d2; doc2: (a,b) d1
+    assert(r.toSet == Set(("a", "b", 2L), ("a", "c", 1L), ("b", "c", 1L)))
+    // top-1 is the most frequent pair with the pinned tiebreak order
+    assert(r.head == (("a", "b", 2L)))
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
