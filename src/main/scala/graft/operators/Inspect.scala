@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, md5, when, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit, md5, when}
 
 /** Parquet/CSV inspection & conversion verbs.
   *
@@ -75,6 +75,26 @@ object Inspect {
           .when(col("__ap").isNull, lit("removed"))
           .when(col("__bd") <=> col("__ad"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Content-addressed partition fingerprints: per group, the row
+    * count and the XOR of per-row content hashes — an
+    * ORDER-INDEPENDENT digest (xor is commutative), so it is stable
+    * under any partitioning/shuffle and two corpus versions can be
+    * compared partition-by-partition without moving data ("which
+    * partitions changed" before [[diffSnapshots]] tells you which
+    * ROWS). Any single-row change flips the digest; the documented
+    * blind spot is even-multiplicity duplicate swaps (a⊕a = 0) —
+    * the `(n_rows, digest)` PAIR catches additions/removals, and
+    * row-level diff confirms. One aggregation, map-side combined. */
+  def partitionDigests(df: DataFrame, groupCol: String,
+                       contentCol: String): DataFrame = {
+    import graft.functions.TextHash.{spark => H}
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_rows"),
+        expr(s"bit_xor(${H.rollingHash(contentCol)})").cast("bigint").as("digest"))
+      .orderBy(groupCol)
   }
 
   /** Read a JSON-lines file the way [[jsonl]] writes it — the source

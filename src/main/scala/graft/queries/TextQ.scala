@@ -1228,6 +1228,19 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- content-addressed partition digests ---------------------
+    // Per-source (count, xor-of-content-hashes) fingerprints: an
+    // order-independent digest comparable across corpus versions
+    // without moving data — "which partitions changed" before the
+    // row-level q109 diff.
+    Q("q148_partition_digest",
+      Some(s"""SELECT source, count(*)::BIGINT AS n_rows,
+              |  bit_xor(${D.rollingHash("text")})::BIGINT AS digest
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        graft.operators.Inspect.partitionDigests(
+          t(s, dir, "documents"), "source", "text")),
+
     // ---- negative-sampling table (unigram^(3/4)) -----------------
     // word2vec's smoothed sampling distribution: per-token weight
     // n^(3/4) via the exact-rounded sqrt·sqrt(sqrt) chain (no libm

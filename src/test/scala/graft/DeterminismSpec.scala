@@ -56,6 +56,14 @@ class DeterminismSpec extends SparkSpec {
         bands = 2, rowsPerBand = 4, minJaccard = 0.2).select("doc_id"))
   }
 
+  test("partitionDigests are order- and partitioning-independent; any row change flips them") {
+    invariant(d => Inspect.partitionDigests(d, "source", "text"))
+    val base = canon(Inspect.partitionDigests(docs, "source", "text"))
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === 7, concat(col("text"), lit(" x"))).otherwise(col("text")))
+    assert(canon(Inspect.partitionDigests(mutated, "source", "text")) != base)
+  }
+
   test("allocateBudget apportions identically under any partitioning") {
     invariant { d =>
       val counts = d.groupBy(col("source"))
