@@ -110,6 +110,33 @@ object Sequencing {
     * cumulative ROW COUNTS as bucket offsets. Adds `out` (bigint).
     * Null order values raise loudly (their global position would be
     * engine-defined). */
+  /** Balanced output-shard assignment over a total order:
+    * `shard = floor(ordinal · nShards / total)` on the
+    * [[withGlobalOrdinals]] position (0-based), so shard sizes differ
+    * by AT MOST one row and shard boundaries respect the global sort
+    * (shard i holds a contiguous ordinal range) — the write-planning
+    * verb for "exactly N equal sorted output files", where
+    * `repartitionByRange` alone gives only approximate, sampled,
+    * non-reproducible splits. Pure integer arithmetic on the
+    * ordinal: deterministic and partitioning-invariant.
+    *
+    * Output: input + `out` (0-based shard id). Write with
+    * `.repartition(col(out))` + in-partition sort for exactly one
+    * file per shard. */
+  def withShardAssignment(df: DataFrame, orderCol: String, idCol: String,
+                          nShards: Int, out: String = "shard",
+                          buckets: Int = 32): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    require(!df.columns.contains(out),
+      s"withShardAssignment reserves column name $out")
+    val withOrd = withGlobalOrdinals(df, orderCol, idCol, "__shard_ord", buckets)
+    val total = withOrd.agg(count(lit(1)).as("__tot"))
+    withOrd.crossJoin(broadcast(total))
+      .withColumn(out,
+        expr(s"CAST(((__shard_ord - 1) * ${nShards}L) div __tot AS INT)"))
+      .drop("__shard_ord", "__tot")
+  }
+
   def withGlobalOrdinals(df: DataFrame, orderCol: String, idCol: String,
                          out: String = "ordinal", buckets: Int = 32): DataFrame = {
     require(buckets >= 1, "buckets must be positive")

@@ -1228,6 +1228,23 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- balanced shard planning ---------------------------------
+    // Exactly-7 sorted output shards whose sizes differ by at most
+    // one row: floor((ordinal-1)·7/total) over the global (n_chars,
+    // doc_id) order — reproducible integer math where
+    // repartitionByRange would give sampled, non-reproducible splits.
+    Q("q149_shard_plan",
+      Some("""WITH r AS (SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS ord,
+             |    count(*) OVER () AS tot FROM documents)
+             |SELECT (((ord - 1) * 7) // tot)::INT AS shard, count(*)::BIGINT AS n_rows
+             |FROM r GROUP BY 1 ORDER BY shard""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sequencing.withShardAssignment(
+          t(s, dir, "documents"), "n_chars", "doc_id", nShards = 7)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"))
+          .orderBy("shard")),
+
     // ---- content-addressed partition digests ---------------------
     // Per-source (count, xor-of-content-hashes) fingerprints: an
     // order-independent digest comparable across corpus versions

@@ -1859,6 +1859,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head == (("a", "b", 2L)))
   }
 
+  test("withShardAssignment: balanced within one row, contiguous in the global order") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val total = docs.count()
+    val sharded = Sequencing.withShardAssignment(docs, "n_chars", "doc_id", nShards = 7)
+    val sizes = sharded.groupBy(col("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 7).toSet)
+    assert(sizes.values.sum == total)
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // contiguity: shard id is monotone in the (n_chars, doc_id) order
+    val ordered = sharded.orderBy(col("n_chars"), col("doc_id"))
+      .select(col("shard")).collect().map(_.getInt(0)).toSeq
+    assert(ordered.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
