@@ -196,6 +196,35 @@ object Mixing {
       .select(col(keyCol), col(countCol), col("quota"))
   }
 
+  /** Execute a quota plan: keep the first `quota` rows of each group
+    * in content-hash order (`rollingHash(textCol)`, `idCol`
+    * tiebreak) — [[allocateBudget]]'s execution half, generalizing
+    * [[capPerGroup]] from one static cap to per-group quotas. The
+    * same determinism contract: re-runs and retries select identical
+    * rows, no rand().
+    *
+    * Scale shape: quotas are a broadcast dim; the selection is one
+    * group-keyed window. Very large groups take the
+    * [[capPerGroup]]-style hash-range prefilter before the window
+    * (same probabilistic bound, quota in place of n). */
+  def takeQuotas(df: DataFrame, textCol: String, groupCol: String,
+                 idCol: String, quotas: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quotas.columns.toSet == Set(groupCol, "quota"),
+      s"quotas must have exactly columns ($groupCol, quota), got ${quotas.columns.toSeq}")
+    val reserved = Set("__h", "__rn", "quota")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"takeQuotas reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(expr(H.rollingHash(textCol)), col(idCol))
+    df.join(broadcast(quotas), Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("quota"))
+      .drop("__rn", "quota")
+  }
+
   /** Per-source label purity: each source's dominant class and its
     * share — the mixing-QA check that a "books" source really is
     * books (a low-purity source is mislabeled or needs re-routing

@@ -1228,6 +1228,34 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- quota plan execution (plan → corpus) --------------------
+    // The q138 apportionment (here: 100 doc slots by source count)
+    // EXECUTED: each source contributes exactly its quota of docs in
+    // deterministic content-hash order — planner and selector compose
+    // into one exact query.
+    Q("q150_take_quotas",
+      Some(s"""WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+              |t AS (SELECT sum(n)::HUGEINT AS tot FROM c),
+              |b AS (SELECT source, n, ((100::HUGEINT * n) // tot)::BIGINT AS qf,
+              |  ((100::HUGEINT * n) % tot) AS rem FROM c, t),
+              |l AS (SELECT (100 - sum(qf))::BIGINT AS lr FROM b),
+              |q AS (SELECT source, (qf + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= l.lr
+              |  THEN 1 ELSE 0 END)::BIGINT AS quota FROM b, l),
+              |r AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+              |  ORDER BY ${D.rollingHash("text")}, doc_id) AS rn FROM documents)
+              |SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+              |WHERE r.rn <= q.quota ORDER BY r.source, r.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = docs.groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val quotas = graft.operators.Mixing.allocateBudget(counts, "source", "n",
+          budget = 100L).select(col("source"), col("quota"))
+        graft.operators.Mixing.takeQuotas(docs, "text", "source", "doc_id", quotas)
+          .select(col("source"), col("doc_id"))
+          .orderBy("source", "doc_id")
+      }),
+
     // ---- balanced shard planning ---------------------------------
     // Exactly-7 sorted output shards whose sizes differ by at most
     // one row: floor((ordinal-1)·7/total) over the global (n_chars,

@@ -1874,6 +1874,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ordered.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
   }
 
+  test("takeQuotas: per-group selection counts equal the quota plan exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("n"))
+    val quotas = Mixing.allocateBudget(counts, "source", "n", budget = 100L)
+      .select(col("source"), col("quota"))
+    val plan = quotas.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Mixing.takeQuotas(docs, "text", "source", "doc_id", quotas)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == plan.filter(_._2 > 0))
+    assert(got.values.sum == 100L)
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
