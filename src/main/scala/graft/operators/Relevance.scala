@@ -121,6 +121,42 @@ object Relevance {
       .orderBy("rank")
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between two top-`k`
+    * rankings at persistence `p = 1/2`:
+    * `Σ_{d=1..k} (1/2)^d · |A_d ∩ B_d| / d` over prefix overlaps —
+    * "how much do two rankers agree, weighted toward the top". The
+    * metric every ranker change should report before shipping.
+    *
+    * Exactness: `(1/2)^d` weights are dyadic literals, each term is
+    * two multiplies and one integer-ratio division, and the sum is a
+    * strict left-to-right fold over `d` — fully bitwise across
+    * engines (no libm, no reduction-order ambiguity). Both rankings
+    * collapse to one `k`-element array row, so the computation is a
+    * driver-scale crossJoin of two single-row frames.
+    *
+    * Inputs: frames with (`idCol`, `rankCol`) where rank 1..k.
+    * Output: one row `(rbo, overlap_at_k)`. */
+  def rbo(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+          k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    def arr(df: DataFrame, out: String) = df
+      .where(col(rankCol) <= k)
+      .agg(sort_array(collect_list(struct(col(rankCol).as("r"),
+        col(idCol).as("i")))).as("__s"))
+      .select(expr("transform(__s, x -> x.i)").as(out))
+    val weights = (1 to k)
+      .map(d => java.math.BigDecimal.valueOf(0.5).pow(d).toPlainString + "D")
+      .mkString("array(", ", ", ")")
+    arr(a, "__a").crossJoin(arr(b, "__b"))
+      .select(
+        expr(
+          s"aggregate(sequence(1, $k), CAST(0 AS DOUBLE), (acc, d) -> " +
+            s"acc + element_at($weights, d) * " +
+            "CAST(size(array_intersect(slice(__a, 1, d), slice(__b, 1, d))) AS DOUBLE)" +
+            " / CAST(d AS DOUBLE))").as("rbo"),
+        expr("CAST(size(array_intersect(__a, __b)) AS BIGINT)").as("overlap_at_k"))
+  }
+
   /** Corpus token CO-OCCURRENCE counts: unordered token pairs within
     * `maxDist` positions of each other (the word2vec/GloVe context
     * extraction), top-`k` by count. Pairs are generated MAP-SIDE by

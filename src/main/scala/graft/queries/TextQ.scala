@@ -1228,6 +1228,50 @@ object TextQ {
           t(s, dir, "documents"), "text", "source")
           .orderBy("group_value")),
 
+    // ---- rank-biased overlap of two quality rankers --------------
+    // RBO@10 (p = 1/2, dyadic weights) between the length ranking and
+    // the token-Gini ranking — "do the two quality signals agree at
+    // the top"; every term exact, summed by a strict fold in both
+    // engines.
+    Q("q151_rbo",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |x AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |cg AS (SELECT doc_id, token, count(*) AS n_t FROM x GROUP BY doc_id, token),
+              |g AS (SELECT doc_id, sum(n_t)::BIGINT AS n_tokens,
+              |  sum(n_t * n_t)::BIGINT AS s2 FROM cg GROUP BY doc_id),
+              |gin AS (SELECT d.doc_id,
+              |  CASE WHEN g.n_tokens > 0
+              |    THEN 1.0::DOUBLE - s2::DOUBLE / (g.n_tokens * g.n_tokens)::DOUBLE
+              |  END AS gini
+              |  FROM documents d LEFT JOIN g USING (doc_id)),
+              |a AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+              |  FROM documents),
+              |b AS (SELECT doc_id, row_number() OVER (ORDER BY gini DESC NULLS LAST, doc_id) AS r
+              |  FROM gin),
+              |la AS (SELECT list(doc_id ORDER BY r) AS ai FROM a WHERE r <= 10),
+              |lb AS (SELECT list(doc_id ORDER BY r) AS bi FROM b WHERE r <= 10),
+              |z AS (SELECT ai, bi,
+              |  [0.5,0.25,0.125,0.0625,0.03125,0.015625,0.0078125,0.00390625,0.001953125,0.0009765625]::DOUBLE[] AS wl
+              |  FROM la, lb)
+              |SELECT list_reduce(list_prepend(0.0::DOUBLE,
+              |    list_transform(range(1, 11), d ->
+              |      wl[d] * len(list_intersect(ai[1:d], bi[1:d]))::DOUBLE / d::DOUBLE)),
+              |    (acc, q) -> acc + q) AS rbo,
+              |  len(list_intersect(ai, bi))::BIGINT AS overlap_at_k
+              |FROM z""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val a = docs.withColumn("rank",
+          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        val b = TextOps.withTokenGini(docs, "doc_id", "text")
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("gini").desc, col("doc_id"))))
+          .select(col("doc_id"), col("rank"))
+        graft.operators.Relevance.rbo(a, b, "doc_id", "rank", k = 10)
+      }),
+
     // ---- quota plan execution (plan → corpus) --------------------
     // The q138 apportionment (here: 100 doc slots by source count)
     // EXECUTED: each source contributes exactly its quota of docs in

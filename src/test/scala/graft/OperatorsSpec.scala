@@ -1887,6 +1887,17 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.sum == 100L)
   }
 
+  test("rbo: identical rankings give exactly 1 - 2^-k; disjoint give 0") {
+    import spark.implicits._
+    val a = (1 to 10).map(i => (i.toLong, i)).toDF("id", "rank")
+    val same = Relevance.rbo(a, a, "id", "rank", k = 10).head
+    assert(same.getAs[Double]("rbo") == 1.0 - math.pow(2.0, -10))
+    assert(same.getAs[Long]("overlap_at_k") == 10L)
+    val b = (1 to 10).map(i => (100L + i, i)).toDF("id", "rank")
+    val disj = Relevance.rbo(a, b, "id", "rank", k = 10).head
+    assert(disj.getAs[Double]("rbo") == 0.0 && disj.getAs[Long]("overlap_at_k") == 0L)
+  }
+
   test("classWeights: weighted corpus mass is balanced across classes") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val w = Mixing.classWeights(docs, "lang").collect()
