@@ -512,6 +512,33 @@ object TextQ {
             sum(when(col("lang_guess") === "en", 1).otherwise(0)).as("n_guessed_en"))
           .orderBy("lang")),
 
+    // ---- language-ID confusion matrix ----------------------------
+    // The q36 classifier EVALUATED: full (actual, predicted) count
+    // matrix — the artifact that says where the heuristic fails, not
+    // just how often.
+    Q("q152_langid_confusion", {
+      val langs = graft.operators.TextOps.LangMarkers
+      val scoreCols = langs.map { case (lang, words) =>
+        s"${words.map(w => D.tokenCount("t", w)).mkString(" + ")} AS s_$lang"
+      }.mkString(",\n              ")
+      val branches = langs.zipWithIndex.init.map { case ((lang, _), i) =>
+        val conds = langs.drop(i + 1).map { case (other, _) => s"s_$lang >= s_$other" }
+        s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ")
+      Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents),
+              |sc AS (SELECT lang,
+              |  $scoreCols
+              |  FROM toks),
+              |g AS (SELECT lang, CASE $branches ELSE '${langs.last._1}' END AS lang_guess FROM sc)
+              |SELECT lang, lang_guess, count(*)::BIGINT AS n
+              |FROM g GROUP BY lang, lang_guess ORDER BY lang, lang_guess""".stripMargin)
+    },
+      (s, dir) =>
+        TextOps.withLangGuess(t(s, dir, "documents"), "text")
+          .groupBy(col("lang"), col("lang_guess"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+          .orderBy("lang", "lang_guess")),
+
     // ---- quality scoring (exact-integer components) --------------
     Q("q37_quality_stats",
       Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)
