@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, TextOps}
+import graft.operators.{Decontaminate, Relevance, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Scale-shape assertions: the properties that make the LSH operators
@@ -114,6 +114,30 @@ class ScaleShapeSpec extends SparkSpec {
       assert(srt < shf / 10,
         s"sorted layout should skip most row groups: sorted read $srt vs shuffled $shf")
     }
+  }
+
+  test("cooccurrencePairs plan: pair generation is map-side (no join below the aggregate)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val plan = Relevance.cooccurrencePairs(docs, "text", maxDist = 2, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"context pairs must come from zip_with shifts, not a self-join:\n$plan")
+    assert(plan.contains("Generate"), s"expected the explode of zipped pairs:\n$plan")
+  }
+
+  test("miningTriplets plan: one anchor-keyed shuffle, no window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val anchors = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("label").as("a_label"))
+    val cands = emb.where(col("vec_id") >= 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cv"), col("label").as("c_label"))
+    val plan = SimilarityOps.miningTriplets(anchors, "a_id", "av", "a_label",
+      cands, "c_id", "cv", "c_label", simMax = 0.95)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must be an aggregate, not a window:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one anchor-keyed shuffle, found $shuffles:\n$plan")
   }
 
   test("decontamination plan: corpus-side shingle join is a broadcast semi-join") {
