@@ -170,8 +170,21 @@ object Relevance {
     * `(n DESC, tok_a, tok_b)`. */
   def cooccurrencePairs(df: DataFrame, textCol: String, maxDist: Int,
                         k: Int): DataFrame = {
-    require(maxDist >= 1, "maxDist must be positive")
     require(k >= 1, "k must be positive")
+    cooccurrenceCounts(df, textCol, maxDist)
+      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
+  /** Full (un-limited) co-occurrence count table backing
+    * [[cooccurrencePairs]] and [[pmiCollocations]]:
+    * `(tok_a, tok_b, n)` with `tok_a <= tok_b`, one row per distinct
+    * unordered pair within `maxDist`. Output is pair-vocabulary-
+    * bounded, not corpus-bounded; the single shuffle is the keyed
+    * count (partial aggregation applies). */
+  def cooccurrenceCounts(df: DataFrame, textCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be positive")
     val shifts = (1 to maxDist).map { d =>
       s"zip_with(slice(__toks, 1, greatest(size(__toks) - $d, 0)), " +
         s"slice(__toks, ${d + 1}, greatest(size(__toks) - $d, 0)), " +
@@ -181,7 +194,58 @@ object Relevance {
       .withColumn("__p", explode(expr(shifts)))
       .groupBy(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
       .agg(count(lit(1)).cast("bigint").as("n"))
-      .orderBy(col("n").desc, col("tok_a"), col("tok_b"))
+  }
+
+  /** PMI-ranked collocations: top-`k` token pairs by pointwise mutual
+    * information, the standard phrase-mining / tokenizer-merge signal.
+    * PMI's exponent `P(a,b) / (P(a)·P(b))` is rank-equivalent to the
+    * log form, so the score is computed WITHOUT libm (graft oracle
+    * rule: no transcendentals) as an exact scaled integer:
+    *
+    *   `lift_ppm = (1e6 · n_ab · T²) div (P · c_a · c_b)`
+    *
+    * where `T` = total token occurrences, `P` = total pair slots,
+    * `c_x` = unigram counts — all products in DECIMAL(38,0)
+    * (overflow-safe far past 100 TB token counts; DuckDB side uses
+    * HUGEINT), one integral division back to BIGINT. Bitwise-portable
+    * by construction.
+    *
+    * `minCount` drops pairs with fewer than that many sightings —
+    * PMI's classic rare-pair pathology (a pair seen once between two
+    * hapaxes scores astronomically); every published collocation
+    * pipeline applies this floor.
+    *
+    * Scale shape (100 TB): the pair-count table is the only large
+    * intermediate (one keyed shuffle, map-side pair generation — see
+    * [[cooccurrenceCounts]]); unigram counts are vocabulary-bounded
+    * and BROADCAST onto it twice; the two scalar totals ride the same
+    * broadcasts. Nothing corpus-sized crosses the network after the
+    * pair count. */
+  def pmiCollocations(df: DataFrame, textCol: String, maxDist: Int,
+                      minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    require(k >= 1, "k must be positive")
+    val pairs = cooccurrenceCounts(df, textCol, maxDist)
+    val uni = TextOps.withTokens(df.select(col(textCol)), textCol, "__toks")
+      .select(explode(col("__toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val totals = uni.agg(sum(col("c")).cast("bigint").as("t_toks"))
+      .crossJoin(pairs.agg(sum(col("n")).cast("bigint").as("t_pairs")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    pairs.where(col("n") >= minCount)
+      .join(broadcast(uni.withColumnRenamed("token", "tok_a")
+        .withColumnRenamed("c", "c_a")), "tok_a")
+      .join(broadcast(uni.withColumnRenamed("token", "tok_b")
+        .withColumnRenamed("c", "c_b")), "tok_b")
+      .crossJoin(broadcast(totals))
+      .withColumn("__num",
+        dec(lit(1000000L)) * dec(col("n")) * dec(col("t_toks")) * dec(col("t_toks")))
+      .withColumn("__den",
+        dec(col("t_pairs")) * dec(col("c_a")) * dec(col("c_b")))
+      .withColumn("lift_ppm", expr("__num div __den").cast("bigint"))
+      .select(col("tok_a"), col("tok_b"), col("n"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("tok_a"), col("tok_b"))
       .limit(k)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -219,5 +219,40 @@ object Sequencing {
       .withColumn("cum_tokens", sum(col("__tok")).over(w) + col("__off"))
       .where(col("cum_tokens") <= budget)
       .drop("__tok", "__bkt", "__off")
+  }
+
+  /** Morton/Z-order clustering key: interleave the bits of two
+    * non-negative int columns (each masked to 31 bits) into one
+    * BIGINT whose sort order clusters rows that are close on BOTH
+    * dimensions — the Delta/Iceberg `ZORDER BY` layout primitive.
+    * Sorting or range-partitioning the table by `out` before writing
+    * gives every output file a TIGHT min/max envelope on both
+    * columns simultaneously, so single-dim zone-map skipping (the
+    * `q20`-style partition-prune or parquet row-group stats) works
+    * for predicates on either column, where a plain sort helps only
+    * its leading column.
+    *
+    * Bit-spreading is the binary-magic-numbers ladder (five
+    * shift-or-mask steps per column, pure BIGINT ops — codegen'd,
+    * portable, bitwise-identical in any engine). Values outside
+    * [0, 2^31) are masked, not raised: the key is a LAYOUT hint, and
+    * callers z-ordering on hashes want the cheap wrap.
+    *
+    * Scale shape: per-row expression, no shuffle of its own; the
+    * follow-up `repartitionByRange(out)` + write is the same single
+    * sort any clustered write pays. */
+  def withZValue(df: DataFrame, xCol: String, yCol: String,
+                 out: String = "zval"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"withZValue reserves column name $out")
+    def spread(c: Column): Column =
+      Seq(16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+          4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+          1 -> 0x5555555555555555L)
+        .foldLeft(c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+          case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+        }
+    df.withColumn(out,
+      spread(col(xCol)).bitwiseOR(shiftleft(spread(col(yCol)), 1)))
   }
 }

@@ -40,6 +40,45 @@ object TimeSeries {
       .orderBy(keyCol, "bucket_epoch")
   }
 
+  /** Flatten overlapping (or touching) intervals per key — the
+    * classic interval-merge: spans sorted by `(startCol, endCol)`, a
+    * span starts a new merged group iff its start exceeds the running
+    * max end of every earlier span (strictly: touching intervals
+    * merge). Output one row per merged span:
+    * `(keyCol, ivl_start, ivl_end, n_merged)`.
+    *
+    * The calendar/coverage primitive behind span-coalescing jobs —
+    * user activity spans, PII redaction span unions, retention
+    * windows. Integer-typed bounds stay exact end to end (no
+    * arithmetic beyond min/max/count).
+    *
+    * Scale shape (100 TB): two key-partitioned windows over the same
+    * `(startCol, endCol)` sort — ONE shuffle, the sort reused — then
+    * a groupBy on `(key, group)` that partial-aggregates. Per-key
+    * history must be entity-bounded (the sessionize contract);
+    * unbounded keys go through the streaming session-window path
+    * instead. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col(startCol), col(endCol))
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__pmax", max(col(endCol)).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col(startCol) > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__gid", sum(col("__new")).over(wCum))
+      .groupBy(col(keyCol), col("__gid"))
+      .agg(
+        min(col(startCol)).as("ivl_start"),
+        max(col(endCol)).as("ivl_end"),
+        count(lit(1)).cast("bigint").as("n_merged"))
+      .select(col(keyCol), col("ivl_start"), col("ivl_end"), col("n_merged"))
+  }
+
   /** Forward-fill (last observation carried forward): `out` = the
     * most recent non-null `valueCol` within the key's
     * `(tsCol, idCol)`-ordered timeline — the standard sensor/metric

@@ -307,6 +307,60 @@ object Relational {
         graft.operators.TimeSeries.fillGaps(
           t(s, dir, "events"), "ts", "event_type", bucketSec = 3600L)),
 
+    // ---- Z-order clustering key ----------------------------------
+    // Morton interleave of (l_partkey, l_suppkey): the ZORDER BY
+    // layout key — five shift-or-mask BIGINT steps per column,
+    // bitwise-identical in both engines; ordering by it is the
+    // clustered-write sort that makes zone maps work on BOTH keys.
+    Q("q155_zorder", {
+      def sp(e: String): String =
+        Seq(16 -> "281470681808895", 8 -> "71777214294589695",
+            4 -> "1085102592571150095", 2 -> "3689348814741910323",
+            1 -> "6148914691236517205")
+          .foldLeft(s"(($e)::BIGINT & 2147483647)") { case (x, (s, m)) =>
+            s"(($x | ($x << $s)) & $m)"
+          }
+      Some(s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              |  (${sp("l_partkey")} | (${sp("l_suppkey")} << 1))::BIGINT AS zval
+              |FROM lineitem
+              |ORDER BY zval, l_orderkey, l_linenumber""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Sequencing.withZValue(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey")
+          .orderBy("zval", "l_orderkey", "l_linenumber")),
+
+    // ---- interval merge (span flattening) ------------------------
+    // Overlap-coalesced activity spans per user: each event spans
+    // value minutes; merged bounds are pure integer min/max over the
+    // (start, end)-sorted windows — q17 sessionize's geometric
+    // sibling, the span-union primitive.
+    Q("q154_merge_intervals",
+      Some("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+             |    epoch_us(ts) + floor(value * 60000000)::BIGINT AS e FROM events),
+             |m AS (SELECT user_id, s, e,
+             |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM iv),
+             |g AS (SELECT user_id, s, e,
+             |  sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY user_id ORDER BY s, e
+             |      ROWS UNBOUNDED PRECEDING) AS gid FROM m)
+             |SELECT user_id, min(s)::BIGINT AS ivl_start,
+             |  max(e)::BIGINT AS ivl_end, count(*)::BIGINT AS n_merged
+             |FROM g GROUP BY user_id, gid
+             |ORDER BY user_id, ivl_start""".stripMargin),
+      (s, dir) => {
+        val iv = t(s, dir, "events").select(
+          col("user_id"),
+          expr("ts div 1000").as("s"),
+          (expr("ts div 1000") +
+            floor(col("value") * lit(60000000.0))).as("e"))
+        graft.operators.TimeSeries.mergeIntervals(iv, "user_id", "s", "e")
+          .orderBy("user_id", "ivl_start")
+      }),
+
     // ---- per-user exponential moving average ---------------------
     // A sequential recurrence no window expresses: time-ordered list
     // + one strict left-to-right fold (q51 discipline); α = 1/4 is

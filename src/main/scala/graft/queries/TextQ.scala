@@ -1410,6 +1410,40 @@ object TextQ {
         graft.operators.Relevance.cooccurrencePairs(
           t(s, dir, "documents"), "text", maxDist = 2, k = 20)),
 
+    // ---- PMI collocations ----------------------------------------
+    // Phrase-mining signal on the q146 pair table: PMI's exponent as
+    // an exact scaled-integer lift (1e6·n·T² div P·c_a·c_b) — no
+    // libm, HUGEINT/DECIMAL(38,0) products, bitwise by construction;
+    // n >= 5 floor kills the rare-pair pathology.
+    Q("q153_pmi",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |uc AS (SELECT unnest(t) AS token FROM toks),
+              |cc AS (SELECT token, count(*)::BIGINT AS c FROM uc GROUP BY token),
+              |tt AS (SELECT sum(c)::HUGEINT AS t_toks FROM cc),
+              |tp AS (SELECT sum(n)::HUGEINT AS t_pairs FROM pc)
+              |SELECT pc.tok_a, pc.tok_b, pc.n,
+              |  ((1000000::HUGEINT * pc.n * tt.t_toks * tt.t_toks)
+              |    // (tp.t_pairs * ua.c * ub.c))::BIGINT AS lift_ppm
+              |FROM pc
+              |JOIN cc ua ON ua.token = pc.tok_a
+              |JOIN cc ub ON ub.token = pc.tok_b
+              |CROSS JOIN tt CROSS JOIN tp
+              |WHERE pc.n >= 5
+              |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 30""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.pmiCollocations(
+          t(s, dir, "documents"), "text", maxDist = 2, minCount = 5L, k = 30)),
+
     // ---- multimodal decode plumbing ------------------------------
     // Payload bytes constructed from doc_id (unhex of arithmetic),
     // pushed through the REAL decode path — binary column →

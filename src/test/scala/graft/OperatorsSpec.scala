@@ -1906,4 +1906,53 @@ class OperatorsSpec extends SparkSpec {
     val masses = w.map(r => r.getAs[Long]("n_class") * r.getAs[Double]("weight"))
     assert(masses.forall(m => math.abs(m - masses.head) < 1e-6))
   }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, counts add up") {
+    import spark.implicits._
+    val iv = Seq(
+      ("u1", 0L, 10L), ("u1", 5L, 12L),   // overlap -> [0,12]
+      ("u1", 12L, 15L),                   // touching -> joins [0,15]
+      ("u1", 20L, 25L),                   // gap -> own span
+      ("u2", 3L, 4L)                      // other key untouched
+    ).toDF("k", "s", "e")
+    val got = graft.operators.TimeSeries.mergeIntervals(iv, "k", "s", "e")
+      .orderBy("k", "ivl_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("u1", 0L, 15L, 3L), ("u1", 20L, 25L, 1L),
+      ("u2", 3L, 4L, 1L)))
+  }
+
+  test("pmiCollocations: adjacent-only pair outranks independent co-occurrences") {
+    import spark.implicits._
+    // 'aa bb' always adjacent (perfect association); 'xx'/'yy' common
+    // but never adjacent to each other except via chance with others.
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "aa bb cc" else "xx cc yy")).toDF("doc_id", "text")
+    val got = Relevance.pmiCollocations(docs, "text", maxDist = 1,
+      minCount = 5L, k = 10).collect()
+    val lifts = got.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("lift_ppm")).toMap
+    assert(lifts(("aa", "bb")) > lifts(("cc", "xx")),
+      s"perfectly-associated pair must outrank chance pairs: $lifts")
+    // lift is the exact scaled integer: aa-bb occurs 20x of 80 pair
+    // slots, c_aa=c_bb=20, T=120 -> 1e6*20*120^2 div (80*20*20) = 9e6
+    assert(lifts(("aa", "bb")) == 9000000L)
+  }
+
+  test("withZValue: hand-checked interleave and both-dim locality of the key order") {
+    import spark.implicits._
+    val z = graft.operators.Sequencing.withZValue(
+      Seq((5, 3)).toDF("x", "y"), "x", "y").head.getAs[Long]("zval")
+    assert(z == 27L) // interleave(101, 011) = 011011
+    // key-order locality: consecutive z-values in a 64x64 grid stay
+    // close in BOTH coordinates on average (the clustering property)
+    val grid = spark.range(4096).selectExpr(
+      "CAST(id div 64 AS INT) AS x", "CAST(id % 64 AS INT) AS y")
+    val ordered = graft.operators.Sequencing.withZValue(grid, "x", "y")
+      .orderBy("zval").select("x", "y").collect()
+    val jumps = ordered.sliding(2).map { case Array(a, b) =>
+      math.abs(a.getInt(0) - b.getInt(0)) + math.abs(a.getInt(1) - b.getInt(1))
+    }.toSeq
+    val avg = jumps.sum.toDouble / jumps.size
+    assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
+  }
 }

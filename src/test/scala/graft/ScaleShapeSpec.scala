@@ -116,6 +116,46 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: zone maps skip on BOTH dimensions; plain sort only on its leading one") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // The ZORDER BY claim, measured: writing the same 512×512 grid
+    // (a) sorted by x and (b) sorted by the Morton key, a selective
+    // filter on y skips most row groups only under (b) — a plain
+    // x-sort gives every row group the full y range, so its min/max
+    // stats prune nothing on y.
+    withTempDir { dir =>
+      val df = spark.range(262144).selectExpr(
+        "CAST(id div 512 AS INT) AS x", "CAST(id % 512 AS INT) AS y")
+      df.orderBy("x", "y").coalesce(1).write
+        .option("parquet.block.size", 64 * 1024).parquet(s"$dir/xsorted")
+      graft.operators.Sequencing.withZValue(df, "x", "y")
+        .orderBy("zval").drop("zval").coalesce(1).write
+        .option("parquet.block.size", 64 * 1024).parquet(s"$dir/zorder")
+      def scanned(path: String, pred: org.apache.spark.sql.Column): Long = {
+        val q = spark.read.parquet(path).where(pred)
+        assert(q.collect().length == 512 * 16)
+        val root = q.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        root.collect { case s: FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+        }.sum
+      }
+      val yPred = col("y").between(96, 111)
+      val xPred = col("x").between(96, 111)
+      val (xsY, zY) = (scanned(s"$dir/xsorted", yPred), scanned(s"$dir/zorder", yPred))
+      assert(xsY > 262144L * 9 / 10,
+        s"x-sorted layout has no y locality — expected a near-full read, got $xsY")
+      assert(zY < 262144L / 3,
+        s"z-ordered layout should skip most row groups on y: read $zY of 262144")
+      val zX = scanned(s"$dir/zorder", xPred)
+      assert(zX < 262144L / 3,
+        s"z-ordered layout should ALSO skip on x: read $zX of 262144")
+    }
+  }
+
   test("cooccurrencePairs plan: pair generation is map-side (no join below the aggregate)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val plan = Relevance.cooccurrencePairs(docs, "text", maxDist = 2, k = 20)
