@@ -137,6 +137,70 @@ object Sequencing {
       .drop("__shard_ord", "__tot")
   }
 
+  /** SIZE-balanced output-shard assignment over a total order:
+    * `shard = floor(cum_weight_before · nShards / total_weight)` in
+    * `(orderCol, idCol)` order — [[withShardAssignment]] generalized
+    * from row counts to a weight column (bytes, token counts), the
+    * real write-planning verb when row sizes vary by 1000×: every
+    * shard's weight lands within one max-row-weight of the ideal
+    * `total/nShards`, and shards stay contiguous in the global sort.
+    *
+    * Same decomposition as [[withGlobalOrdinals]]: quantile range
+    * buckets on `orderCol` (boundaries a pure function of the data —
+    * stable across jobs), per-bucket weight sums collected to the
+    * driver as offsets, one bucket-partitioned window for the
+    * intra-bucket running weight — never a single-partition window.
+    * Products ride DECIMAL(38,0) (exabyte-safe). Null/negative
+    * weights and null order keys raise loudly.
+    *
+    * Output: input + `out` (0-based shard id, INT). */
+  def withWeightedShardAssignment(df: DataFrame, orderCol: String,
+                                  idCol: String, weightCol: String,
+                                  nShards: Int, out: String = "shard",
+                                  buckets: Int = 32): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    require(buckets >= 1, "buckets must be positive")
+    val reserved = Set("__bkt", "__off", "__ordg", "__wg", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withWeightedShardAssignment reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val guarded = df
+      .withColumn("__ordg", expr(
+        s"CASE WHEN $orderCol IS NULL " +
+          s"THEN raise_error('withWeightedShardAssignment: null $orderCol has no global position') " +
+          s"ELSE $orderCol END"))
+      .withColumn("__wg", expr(
+        s"CASE WHEN $weightCol IS NULL OR $weightCol < 0 " +
+          s"THEN raise_error('withWeightedShardAssignment: null/negative $weightCol') " +
+          s"ELSE CAST($weightCol AS BIGINT) END"))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else guarded.stat.approxQuantile(orderCol,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
+    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__ordg") > lit(b), 1).otherwise(0)
+    }
+    val withB = guarded.withColumn("__bkt", bktExpr)
+    val sums = withB.groupBy(col("__bkt")).agg(sum(col("__wg")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L) {
+      (acc, b) => acc + sums.getOrElse(b, 0L)
+    }.init.zipWithIndex.map { case (off, b) => (b, off) }
+    val total = sums.values.sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__bkt", "__off")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__ordg"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offDf), Seq("__bkt"))
+      .withColumn("__cb", coalesce(sum(col("__wg")).over(w), lit(0L)) + col("__off"))
+      .withColumn(out,
+        if (total == 0L) lit(0) // all-zero weights: everything in shard 0
+        else expr(s"CAST((CAST(__cb AS DECIMAL(38,0)) * ${nShards}L) div ${total}L AS INT)"))
+      .drop("__bkt", "__off", "__ordg", "__wg", "__cb")
+  }
+
   def withGlobalOrdinals(df: DataFrame, orderCol: String, idCol: String,
                          out: String = "ordinal", buckets: Int = 32): DataFrame = {
     require(buckets >= 1, "buckets must be positive")

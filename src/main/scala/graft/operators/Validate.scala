@@ -86,4 +86,42 @@ object Validate {
       .where(col("n") < k)
       .orderBy(cols.map(col): _*)
   }
+
+  /** Cohen's kappa between two label columns — chance-corrected
+    * agreement, the labeling-pipeline QA scalar (annotator vs
+    * annotator, or classifier vs gold as in the q152 confusion
+    * matrix): `κ = (p_o − p_e) / (1 − p_e)` with `p_o` the observed
+    * agreement rate and `p_e` the marginal-product chance rate.
+    *
+    * Numeric parity discipline: all counts stay exact integers
+    * (marginal products summed as BIGINT, n² through DECIMAL(38,0) —
+    * safe past 10^19 rows); `p_o`, `p_e`, and κ are then a FIXED
+    * five-op IEEE tree (two divisions, two subtractions, one
+    * division) — bitwise-portable.
+    *
+    * Scale shape: one count+agree aggregate plus two label-bounded
+    * marginal aggregates joined on the (tiny) label domain — nothing
+    * corpus-sized shuffles. Degenerate all-one-label inputs make
+    * `p_e = 1` and κ NULL (0/0) — surfaced as NULL, not masked.
+    *
+    * Output: one row `(n, po, pe, kappa)`. */
+  def agreementKappa(df: DataFrame, actualCol: String,
+                     predCol: String): DataFrame = {
+    val g = df.select(col(actualCol).as("__a"), col(predCol).as("__p"))
+    val n = g.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      coalesce(sum(when(col("__a") === col("__p"), 1L).otherwise(0L)), lit(0L))
+        .cast("bigint").as("__agree"))
+    val r = g.groupBy(col("__a")).agg(count(lit(1)).cast("bigint").as("__ra"))
+    val c = g.groupBy(col("__p")).agg(count(lit(1)).cast("bigint").as("__cp"))
+    val sp = r.join(c, col("__a") === col("__p"))
+      .agg(coalesce(sum(col("__ra") * col("__cp")), lit(0L)).cast("bigint")
+        .as("__sumprod"))
+    n.crossJoin(broadcast(sp))
+      .withColumn("po", col("__agree").cast("double") / col("n").cast("double"))
+      .withColumn("pe", col("__sumprod").cast("double") /
+        (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")).cast("double"))
+      .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+      .select(col("n"), col("po"), col("pe"), col("kappa"))
+  }
 }

@@ -539,6 +539,39 @@ object TextQ {
           .agg(count(lit(1)).cast("bigint").as("n"))
           .orderBy("lang", "lang_guess")),
 
+    // ---- Cohen's kappa (chance-corrected agreement) --------------
+    // The q152 matrix reduced to the labeling-QA scalar: κ over
+    // (actual, guessed) language — exact integer marginals, then a
+    // fixed five-op IEEE tree (bitwise in both engines).
+    Q("q157_kappa", {
+      val langs = graft.operators.TextOps.LangMarkers
+      val scoreCols = langs.map { case (lang, words) =>
+        s"${words.map(w => D.tokenCount("t", w)).mkString(" + ")} AS s_$lang"
+      }.mkString(",\n              ")
+      val branches = langs.zipWithIndex.init.map { case ((lang, _), i) =>
+        val conds = langs.drop(i + 1).map { case (other, _) => s"s_$lang >= s_$other" }
+        s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ")
+      Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents),
+              |sc AS (SELECT lang,
+              |  $scoreCols
+              |  FROM toks),
+              |g AS (SELECT lang AS a, CASE $branches ELSE '${langs.last._1}' END AS p FROM sc),
+              |nn AS (SELECT count(*)::BIGINT AS n,
+              |  sum(CASE WHEN a = p THEN 1 ELSE 0 END)::BIGINT AS agree FROM g),
+              |r AS (SELECT a, count(*)::BIGINT AS ra FROM g GROUP BY a),
+              |c AS (SELECT p, count(*)::BIGINT AS cp FROM g GROUP BY p),
+              |sp AS (SELECT coalesce(sum(ra * cp), 0)::BIGINT AS sumprod
+              |  FROM r JOIN c ON r.a = c.p),
+              |m AS (SELECT nn.n, agree::DOUBLE / nn.n::DOUBLE AS po,
+              |  sumprod::DOUBLE / (nn.n::HUGEINT * nn.n)::DOUBLE AS pe FROM nn, sp)
+              |SELECT n, po, pe, (po - pe) / (1 - pe) AS kappa FROM m""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Validate.agreementKappa(
+          TextOps.withLangGuess(t(s, dir, "documents"), "text"),
+          "lang", "lang_guess")),
+
     // ---- quality scoring (exact-integer components) --------------
     Q("q37_quality_stats",
       Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)
@@ -1342,6 +1375,28 @@ object TextQ {
           t(s, dir, "documents"), "n_chars", "doc_id", nShards = 7)
           .groupBy(col("shard"))
           .agg(count(lit(1)).cast("bigint").as("n_rows"))
+          .orderBy("shard")),
+
+    // ---- byte-balanced shard planning ----------------------------
+    // q149 weighted by SIZE: shard = floor(cum_bytes_before·7/total)
+    // in doc_id order — equal-byte output files when row sizes vary;
+    // cumulative weights through the same quantile-bucket windows
+    // (never a single-partition sort), HUGEINT/DECIMAL exact.
+    Q("q156_byte_shards",
+      Some("""WITH o AS (SELECT doc_id, n_chars,
+             |  coalesce(sum(n_chars) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::HUGEINT AS cumb
+             |  FROM documents),
+             |t AS (SELECT sum(n_chars)::HUGEINT AS tot FROM documents)
+             |SELECT ((cumb * 7) // tot)::INT AS shard,
+             |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_bytes
+             |FROM o, t GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sequencing.withWeightedShardAssignment(
+          t(s, dir, "documents"), "doc_id", "doc_id", "n_chars", nShards = 7)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("n_chars")).cast("bigint").as("n_bytes"))
           .orderBy("shard")),
 
     // ---- content-addressed partition digests ---------------------

@@ -1907,6 +1907,44 @@ class OperatorsSpec extends SparkSpec {
     assert(masses.forall(m => math.abs(m - masses.head) < 1e-6))
   }
 
+  test("withWeightedShardAssignment: byte balance within one max row, contiguous") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sharded = graft.operators.Sequencing.withWeightedShardAssignment(
+      docs, "doc_id", "doc_id", "n_chars", nShards = 7).localCheckpoint()
+    val stats = sharded.groupBy(col("shard"))
+      .agg(sum(col("n_chars")).as("w")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == (0 until 7).toSet)
+    val total = stats.values.sum
+    val maxRow = docs.agg(max(col("n_chars"))).head.getLong(0)
+    // floor apportionment: every shard within one max-row-weight of ideal
+    stats.values.foreach { w =>
+      assert(math.abs(w - total / 7.0) <= maxRow + 1,
+        s"shard weight $w too far from ideal ${total / 7.0} (max row $maxRow)")
+    }
+    // contiguity: shard id monotone in doc_id order
+    val ordered = sharded.orderBy(col("doc_id"))
+      .select(col("shard")).collect().map(_.getInt(0)).toSeq
+    assert(ordered.sliding(2).forall { case Seq(a, b) => b >= a; case _ => true })
+  }
+
+  test("agreementKappa: hand-checked 2x2 table; perfect agreement gives 1") {
+    import spark.implicits._
+    // confusion: a/a=3, a/b=1, b/a=1, b/b=5 -> n=10, agree=8
+    // rows a=4,b=6; cols a=4,b=6; sumprod=16+36=52
+    // po=0.8, pe=0.52, kappa=(0.8-0.52)/(1-0.52)=0.28/0.48
+    val g = (Seq.fill(3)(("a", "a")) ++ Seq(("a", "b"), ("b", "a")) ++
+      Seq.fill(5)(("b", "b"))).toDF("act", "pred")
+    val r = graft.operators.Validate.agreementKappa(g, "act", "pred").head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("po") == 0.8)
+    assert(r.getAs[Double]("pe") == 0.52)
+    assert(r.getAs[Double]("kappa") == (0.8 - 0.52) / (1.0 - 0.52))
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("act", "pred")
+    assert(graft.operators.Validate.agreementKappa(perfect, "act", "pred")
+      .head.getAs[Double]("kappa") == 1.0)
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, counts add up") {
     import spark.implicits._
     val iv = Seq(
