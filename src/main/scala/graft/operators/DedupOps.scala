@@ -34,6 +34,31 @@ object DedupOps {
         countDistinct(md5(col(textCol))).as("n_unique"))
       .orderBy(col(groupCol))
 
+  /** Exact dedup that PRESERVES provenance instead of dropping it:
+    * one row per distinct content digest with the keep-min-id
+    * representative, the copy count, and the sorted distinct source
+    * list — the dedup verb when downstream mixing still needs to know
+    * how often (and where) a text occurred (duplication count is a
+    * quality/weighting signal: Lee et al. 2022).
+    *
+    * Scale shape: ONE digest-keyed aggregation (map-side combined;
+    * min/count/collect_set all partial-aggregate); the source-set
+    * payload is bounded by the source-domain size, not the copy
+    * count. No window, no join.
+    *
+    * Output: `(keep_id, n_copies, sources, textCol)` — `sources`
+    * comma-joined ascending for a stable rendering. */
+  def mergeDuplicates(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("__digest"))
+      .agg(
+        min(col(idCol)).as("keep_id"),
+        count(lit(1)).cast("bigint").as("n_copies"),
+        concat_ws(",",
+          array_sort(collect_set(col(sourceCol)))).as("sources"),
+        min(col(textCol)).as(textCol)) // all values equal within a digest
+      .drop("__digest")
+
   /** Incremental exact dedup: annotate an `incoming` batch against an
     * `existing` corpus — the standard ingest flow (dedup each new
     * crawl against everything already accepted). Flags:

@@ -99,4 +99,67 @@ object RobustStats {
       .withColumn(out, col("__adev") > lit(k) * col("__mad"))
       .drop("__med", "__adev", "__mad")
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between groups `ga` and
+    * `gb` of `groupCol`: `D = max_v |F_a(v) − F_b(v)|` over the
+    * pooled observed values — the numeric-column drift gate (is this
+    * month's length/score distribution the same as last month's?)
+    * complementing the token-distribution drift probe.
+    *
+    * Exactness: per-value ECDF steps are `cum/n` — one integer
+    * division each, subtract, abs (fixed IEEE tree); the max is
+    * order-insensitive. Bitwise-portable.
+    *
+    * Scale shape (100 TB): the pooled table reduces to one row per
+    * DISTINCT value with both groups' counts (map-side combined);
+    * cumulative counts over that table use the same quantile-bucket
+    * decomposition as the shard planners — per-bucket totals
+    * collected as driver offsets, one bucket-partitioned window —
+    * never a single-partition sort. Empty groups raise (the statistic
+    * is undefined, and a silent 0 would read as "no drift").
+    *
+    * Output: one row `(n_a, n_b, ks)`. */
+  def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
+                  ga: String, gb: String, buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, "buckets must be positive")
+    val cnt = df
+      .where(col(groupCol).isin(ga, gb) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(
+        sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("__cb"))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else cnt.stat.approxQuantile("__v",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
+    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("__v") > lit(b), 1).otherwise(0)
+    }
+    val withB = cnt.withColumn("__bkt", bktExpr)
+    val sums = withB.groupBy(col("__bkt"))
+      .agg(sum(col("__ca")).as("sa"), sum(col("__cb")).as("sb"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val offsets = (0 to bounds.length).scanLeft((0L, 0L)) { (acc, b) =>
+      val (sa, sb) = sums.getOrElse(b, (0L, 0L))
+      (acc._1 + sa, acc._2 + sb)
+    }.init.zipWithIndex.map { case ((oa, ob), b) => (b, oa, ob) }
+    val (na, nb) = sums.values.foldLeft((0L, 0L)) {
+      case ((a, b), (sa, sb)) => (a + sa, b + sb)
+    }
+    require(na > 0 && nb > 0,
+      s"ksStatistic: group counts must be positive (got $ga=$na, $gb=$nb)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__bkt", "__oa", "__ob")
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offDf), Seq("__bkt"))
+      .withColumn("__fa",
+        (sum(col("__ca")).over(w) + col("__oa")).cast("double") / lit(na.toDouble))
+      .withColumn("__fb",
+        (sum(col("__cb")).over(w) + col("__ob")).cast("double") / lit(nb.toDouble))
+      .agg(max(abs(col("__fa") - col("__fb"))).as("ks"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("ks"))
+  }
 }

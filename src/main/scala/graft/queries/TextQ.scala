@@ -572,6 +572,55 @@ object TextQ {
           TextOps.withLangGuess(t(s, dir, "documents"), "text"),
           "lang", "lang_guess")),
 
+    // ---- two-sample KS drift statistic ---------------------------
+    // D = max |F_src0 − F_src1| over pooled n_chars: the numeric
+    // drift gate beside q99's token drift. ECDF steps are single
+    // integer divisions; max is order-insensitive — bitwise. The
+    // operator's cumulative counts ride the quantile-bucket
+    // decomposition, never a global sort.
+    Q("q158_ks_drift",
+      Some("""WITH c AS (SELECT n_chars::DOUBLE AS v,
+             |  sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS ca,
+             |  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS cb
+             |  FROM documents
+             |  WHERE source IN ('src0', 'src1') AND n_chars IS NOT NULL
+             |  GROUP BY 1),
+             |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM c),
+             |f AS (SELECT
+             |  (sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::DOUBLE
+             |    / t.na::DOUBLE AS fa,
+             |  (sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::DOUBLE
+             |    / t.nb::DOUBLE AS fb
+             |  FROM c, t),
+             |m AS (SELECT max(abs(fa - fb)) AS ks FROM f)
+             |SELECT t.na AS n_a, t.nb AS n_b, m.ks FROM t, m""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.ksStatistic(
+          t(s, dir, "documents"), "n_chars", "source", "src0", "src1")),
+
+    // ---- provenance-preserving exact dedup -----------------------
+    // q30's drop replaced by a MERGE: one row per distinct content
+    // with keep-min-id, copy count, and the sorted source set (the
+    // duplication-count weighting signal). Duplicate content is
+    // PLANTED deterministically (text keyed off doc_id % 137) since
+    // the synthetic corpus has none.
+    Q("q159_merge_duplicates",
+      Some("""WITH d AS (SELECT doc_id, source,
+             |  't' || (doc_id % 137)::VARCHAR AS text FROM documents)
+             |SELECT min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies,
+             |  array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+             |  min(text) AS text
+             |FROM d GROUP BY text
+             |ORDER BY keep_id""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          concat(lit("t"), (col("doc_id") % 137).cast("string")).as("text"))
+        DedupOps.mergeDuplicates(planted, "doc_id", "text", "source")
+          .select(col("keep_id"), col("n_copies"), col("sources"), col("text"))
+          .orderBy("keep_id")
+      }),
+
     // ---- quality scoring (exact-integer components) --------------
     Q("q37_quality_stats",
       Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)

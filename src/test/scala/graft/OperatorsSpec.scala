@@ -1945,6 +1945,35 @@ class OperatorsSpec extends SparkSpec {
       .head.getAs[Double]("kappa") == 1.0)
   }
 
+  test("ksStatistic: hand-checked ECDF gap; identical samples give 0") {
+    import spark.implicits._
+    // a: {1,2,3,4}, b: {3,4,5,6} -> max gap at v=2: |2/4 - 0/4| = 0.5
+    val df = (Seq(1, 2, 3, 4).map(("a", _)) ++ Seq(3, 4, 5, 6).map(("b", _)))
+      .toDF("g", "v")
+    val r = graft.operators.RobustStats.ksStatistic(df, "v", "g", "a", "b").head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("ks") == 0.5)
+    val same = (Seq(1, 2, 3).map(("a", _)) ++ Seq(1, 2, 3).map(("b", _))).toDF("g", "v")
+    assert(graft.operators.RobustStats.ksStatistic(same, "v", "g", "a", "b")
+      .head.getAs[Double]("ks") == 0.0)
+    // empty group raises rather than reporting "no drift"
+    intercept[IllegalArgumentException] {
+      graft.operators.RobustStats.ksStatistic(df, "v", "g", "a", "zzz")
+    }
+  }
+
+  test("mergeDuplicates: copy counts, keep-min representative, sorted source set") {
+    import spark.implicits._
+    val df = Seq(
+      (3L, "s2", "dup"), (1L, "s1", "dup"), (2L, "s1", "dup"),
+      (4L, "s9", "solo")).toDF("doc_id", "source", "text")
+    val got = graft.operators.DedupOps.mergeDuplicates(df, "doc_id", "text", "source")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"),
+        r.getAs[String]("sources"), r.getAs[String]("text")))
+    assert(got.toSeq == Seq((1L, 3L, "s1,s2", "dup"), (4L, 1L, "s9", "solo")))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, counts add up") {
     import spark.implicits._
     val iv = Seq(
