@@ -286,6 +286,76 @@ object TextOps {
     * jobs); slice totals are a single-row aggregate broadcast into
     * the scoring projection; top-k is TakeOrderedAndProject (per-
     * partition heaps + one k-row driver merge), never a global sort. */
+  /** Blocklist safety filter: per-row occurrence count of the blocked
+    * terms (`out`, BIGINT — a fixed left-to-right sum of per-term
+    * token counts) plus the boolean `blocked` gate. The standard
+    * safety/compliance pre-filter; term list is compiled into the
+    * expression (broadcast-free, codegen'd), so it must be
+    * config-sized — thousands of terms belong in a broadcast join
+    * against exploded tokens instead.
+    *
+    * Terms are restricted to safe identifiers (letters/digits/_) —
+    * they are interpolated into an expression string, and the graft
+    * tokenizer only produces such tokens anyway. */
+  def withBlocklistCounts(df: DataFrame, textCol: String,
+                          terms: Seq[String],
+                          out: String = "n_blocked"): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    terms.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"blocklist term '$t' is not a safe identifier"))
+    val reserved = Set("__bl_toks", out, "blocked")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withBlocklistCounts reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    df.withColumn("__bl_toks", expr(H.tokens(textCol)))
+      .withColumn(out,
+        terms.map(t => expr(H.tokenCount("__bl_toks", t)).cast("bigint"))
+          .reduce(_ + _))
+      .withColumn("blocked", col(out) > 0L)
+      .drop("__bl_toks")
+  }
+
+  /** Corpus-level total-variation distance between the token
+    * distributions of two `groupCol` slices — the drift SCALAR beside
+    * [[tokenDrift]]'s per-token top-k:
+    * `TV = ½ Σ_t |p_a(t) − p_b(t)|`, computed WITHOUT a float sum:
+    * the summand is the exact integer `|n_a·tot_b − n_b·tot_a|`
+    * (DECIMAL(38,0) — order-insensitive, overflow-safe), and only the
+    * final scalar divides by `2·tot_a·tot_b` (one IEEE op) — bitwise
+    * in any engine. TV = 0 ⇔ identical distributions, 1 ⇔ disjoint.
+    *
+    * Scale shape: one vocabulary-keyed count aggregation (map-side
+    * combined) + one scalar reduce; the totals ride a broadcast.
+    * An empty slice raises (TV would be 0/0 — "no drift" would be a
+    * lie).
+    *
+    * Output: one row `(tot_a, tot_b, tv)`. */
+  def distributionDistance(df: DataFrame, textCol: String,
+                           groupCol: String, groupA: String,
+                           groupB: String): DataFrame = {
+    require(groupA != groupB, "slices must differ")
+    val toks = withTokens(df.where(col(groupCol).isin(groupA, groupB)),
+      textCol, "__toks")
+      .select(col(groupCol).as("__g"), explode(col("__toks")).as("token"))
+    val aCnt = sum(when(col("__g") === groupA, 1L).otherwise(0L))
+    val bCnt = sum(when(col("__g") === groupB, 1L).otherwise(0L))
+    val counts = toks.groupBy(col("token")).agg(aCnt.as("n_a"), bCnt.as("n_b"))
+    val totals = toks.groupBy().agg(aCnt.as("tot_a"), bCnt.as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .groupBy(col("tot_a"), col("tot_b"))
+      .agg(sum(abs(
+        col("n_a").cast("decimal(38,0)") * col("tot_b") -
+          col("n_b").cast("decimal(38,0)") * col("tot_a"))).as("__num"))
+      .withColumn("tv", expr(
+        "CASE WHEN tot_a = 0 OR tot_b = 0 " +
+          "THEN raise_error('distributionDistance: empty slice') " +
+          "ELSE CAST(__num AS DOUBLE) / " +
+          "CAST(CAST(2 AS DECIMAL(38,0)) * tot_a * tot_b AS DOUBLE) END"))
+      .select(col("tot_a").cast("bigint").as("tot_a"),
+        col("tot_b").cast("bigint").as("tot_b"), col("tv"))
+  }
+
   def tokenDrift(df: DataFrame, textCol: String, groupCol: String,
                  groupA: String, groupB: String, k: Int = 25): DataFrame = {
     require(k >= 1, "k must be positive")

@@ -621,6 +621,52 @@ object TextQ {
           .orderBy("keep_id")
       }),
 
+    // ---- blocklist safety filter ---------------------------------
+    // Per-source flag/hit totals for a compiled term blocklist —
+    // counts are exact token-filter sizes summed left-to-right.
+    Q("q160_blocklist",
+      Some(s"""WITH toks AS (SELECT source, $duckToks AS t FROM documents),
+              |h AS (SELECT source,
+              |  (${D.tokenCount("t", "join")})::BIGINT +
+              |  (${D.tokenCount("t", "hash")})::BIGINT +
+              |  (${D.tokenCount("t", "scan")})::BIGINT AS nb FROM toks)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN nb > 0 THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+              |  sum(nb)::BIGINT AS n_hits
+              |FROM h GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextOps.withBlocklistCounts(t(s, dir, "documents"), "text",
+          Seq("join", "hash", "scan"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(when(col("blocked"), 1L).otherwise(0L)).cast("bigint").as("n_flagged"),
+            sum(col("n_blocked")).cast("bigint").as("n_hits"))
+          .orderBy("source")),
+
+    // ---- token-distribution total-variation distance -------------
+    // The corpus-drift SCALAR beside q99's per-token top-k: TV over
+    // en-vs-de token distributions — integer summands
+    // |n_a·tot_b − n_b·tot_a| (order-insensitive), one final IEEE
+    // division. No libm, no float sum.
+    Q("q161_total_variation",
+      Some(s"""WITH tk AS (SELECT lang AS g, unnest($duckToks) AS token
+              |  FROM documents WHERE lang IN ('en', 'de')),
+              |c AS (SELECT token,
+              |  sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+              |  sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_b
+              |  FROM tk GROUP BY token),
+              |t AS (SELECT
+              |  sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END)::BIGINT AS tot_a,
+              |  sum(CASE WHEN g = 'de' THEN 1 ELSE 0 END)::BIGINT AS tot_b FROM tk),
+              |s AS (SELECT sum(abs(n_a::HUGEINT * tot_b - n_b::HUGEINT * tot_a)) AS num
+              |  FROM c, t)
+              |SELECT t.tot_a, t.tot_b,
+              |  s.num::DOUBLE / (2::HUGEINT * tot_a * tot_b)::DOUBLE AS tv
+              |FROM t, s""".stripMargin),
+      (s, dir) =>
+        TextOps.distributionDistance(
+          t(s, dir, "documents"), "text", "lang", "en", "de")),
+
     // ---- quality scoring (exact-integer components) --------------
     Q("q37_quality_stats",
       Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)

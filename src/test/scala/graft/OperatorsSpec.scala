@@ -1945,6 +1945,32 @@ class OperatorsSpec extends SparkSpec {
       .head.getAs[Double]("kappa") == 1.0)
   }
 
+  test("withBlocklistCounts: hand-counted hits; unsafe term rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "bad bad ok"), (2L, "ok fine")).toDF("id", "text")
+    val got = graft.operators.TextOps.withBlocklistCounts(df, "text", Seq("bad", "evil"))
+      .orderBy("id").collect()
+    assert(got(0).getAs[Long]("n_blocked") == 2L && got(0).getAs[Boolean]("blocked"))
+    assert(got(1).getAs[Long]("n_blocked") == 0L && !got(1).getAs[Boolean]("blocked"))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextOps.withBlocklistCounts(df, "text", Seq("a'; DROP"))
+    }
+  }
+
+  test("distributionDistance: identical slices give 0, disjoint give 1, empty raises") {
+    import spark.implicits._
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("g", "text")
+    assert(graft.operators.TextOps.distributionDistance(same, "text", "g", "a", "b")
+      .head.getAs[Double]("tv") == 0.0)
+    val disj = Seq(("a", "x x"), ("b", "y z")).toDF("g", "text")
+    assert(graft.operators.TextOps.distributionDistance(disj, "text", "g", "a", "b")
+      .head.getAs[Double]("tv") == 1.0)
+    val ex = intercept[Exception] {
+      graft.operators.TextOps.distributionDistance(same, "text", "g", "a", "zz").collect()
+    }
+    assert(ex.getMessage.contains("empty slice"))
+  }
+
   test("ksStatistic: hand-checked ECDF gap; identical samples give 0") {
     import spark.implicits._
     // a: {1,2,3,4}, b: {3,4,5,6} -> max gap at v=2: |2/4 - 0/4| = 0.5
