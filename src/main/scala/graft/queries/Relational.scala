@@ -307,6 +307,46 @@ object Relational {
         graft.operators.TimeSeries.fillGaps(
           t(s, dir, "events"), "ts", "event_type", bucketSec = 3600L)),
 
+    // ---- cohort retention matrix ---------------------------------
+    // Daily cohorts × return-day offsets with distinct-user counts —
+    // the retention triangle; all integer bucket arithmetic on the
+    // nanos timestamps.
+    Q("q162_retention",
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d
+             |  FROM events),
+             |c AS (SELECT u, min(d) AS cohort FROM e GROUP BY u),
+             |a AS (SELECT DISTINCT e.u, c.cohort, e.d - c.cohort AS off
+             |  FROM e JOIN c ON e.u = c.u)
+             |SELECT (cohort * 86400)::BIGINT AS cohort_epoch,
+             |  off::BIGINT AS bucket_offset, count(*)::BIGINT AS n_users
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        graft.operators.Funnel.retentionMatrix(
+          t(s, dir, "events"), "user_id", "ts", bucketSec = 86400L)),
+
+    // ---- ordered funnel conversion -------------------------------
+    // view → click → purchase with strictly increasing timestamps:
+    // per-step user counts via chained min-reach joins (one
+    // user-keyed aggregate + join per step, never a timeline
+    // collect).
+    Q("q163_funnel",
+      Some("""WITH e AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_type AS t
+             |  FROM events),
+             |s1 AS (SELECT u, min(ts) AS r FROM e WHERE t = 'view' GROUP BY u),
+             |s2 AS (SELECT e.u, min(e.ts) AS r FROM e
+             |  JOIN s1 ON e.u = s1.u AND e.ts > s1.r WHERE e.t = 'click' GROUP BY e.u),
+             |s3 AS (SELECT e.u, min(e.ts) AS r FROM e
+             |  JOIN s2 ON e.u = s2.u AND e.ts > s2.r WHERE e.t = 'purchase' GROUP BY e.u)
+             |SELECT * FROM (
+             |  SELECT 1 AS step, 'view' AS event_type, count(*)::BIGINT AS n_users FROM s1
+             |  UNION ALL SELECT 2, 'click', count(*)::BIGINT FROM s2
+             |  UNION ALL SELECT 3, 'purchase', count(*)::BIGINT FROM s3)
+             |ORDER BY step""".stripMargin),
+      (s, dir) =>
+        graft.operators.Funnel.funnelSteps(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))),
+
     // ---- Z-order clustering key ----------------------------------
     // Morton interleave of (l_partkey, l_suppkey): the ZORDER BY
     // layout key — five shift-or-mask BIGINT steps per column,

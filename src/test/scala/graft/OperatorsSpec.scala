@@ -1945,6 +1945,34 @@ class OperatorsSpec extends SparkSpec {
       .head.getAs[Double]("kappa") == 1.0)
   }
 
+  test("retentionMatrix: hand-built two-cohort timeline") {
+    import spark.implicits._
+    val ns = 1000000000L // bucketSec=1 -> buckets are seconds
+    val ev = Seq(
+      ("u1", 0L), ("u1", 1L), ("u1", 3L), // cohort 0, returns at +1, +3
+      ("u2", 1L), ("u2", 3L),             // cohort 1, returns at +2
+      ("u3", 0L), ("u3", 0L)              // cohort 0, never returns (same bucket)
+    ).map { case (u, sec) => (u, sec * ns) }.toDF("user_id", "ts")
+    val got = graft.operators.Funnel.retentionMatrix(ev, "user_id", "ts", 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("funnelSteps: strict ordering gates later steps") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "purchase"), // full
+      ("u2", 5L, "view"), ("u2", 4L, "click"),                          // click BEFORE view
+      ("u3", 6L, "view"), ("u3", 7L, "click"),                          // no purchase
+      ("u4", 9L, "click")                                               // never viewed
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Funnel.funnelSteps(
+      ev, "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("withBlocklistCounts: hand-counted hits; unsafe term rejected") {
     import spark.implicits._
     val df = Seq((1L, "bad bad ok"), (2L, "ok fine")).toDF("id", "text")
