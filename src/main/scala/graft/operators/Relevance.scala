@@ -249,6 +249,53 @@ object Relevance {
       .limit(k)
   }
 
+  /** χ²-ranked class-association terms: which tokens are most
+    * associated with the `positive` class of `classCol` vs the rest —
+    * the classic feature-selection / "what words define this slice"
+    * probe (language signatures, source fingerprints, topic leakage).
+    *
+    * The 2×2 χ² statistic `N·(aB−bA)² / ((a+b)(N−a−b)AB)` is computed
+    * as an exact scaled integer `chi2_ppm` (numerator ×1e6, DECIMAL
+    * (38,0)/HUGEINT products, one integral divide — the same no-libm
+    * discipline as [[pmiCollocations]]); `minCount` floors the pair
+    * total to kill hapax noise.
+    *
+    * Scale shape: one vocabulary-keyed count aggregate (map-side
+    * combined), scalar totals broadcast, TakeOrdered top-k. Nothing
+    * corpus-sized moves after the token count. */
+  def classAssociationTerms(df: DataFrame, textCol: String,
+                            classCol: String, positive: String,
+                            minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    require(k >= 1, "k must be positive")
+    val toks = TextOps.withTokens(
+      df.select(col(classCol), col(textCol)), textCol, "__toks")
+      .select((col(classCol) === positive).as("__pos"),
+        explode(col("__toks")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).cast("bigint").as("n_a"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).cast("bigint").as("n_b"))
+    val totals = toks.groupBy().agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).cast("bigint").as("__ta"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).cast("bigint").as("__tb"))
+    counts.where(col("n_a") + col("n_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("__d", // aB - bA, exact
+        col("n_a").cast("decimal(38,0)") * col("__tb") -
+          col("n_b").cast("decimal(38,0)") * col("__ta"))
+      .withColumn("__num",
+        lit(1000000L).cast("decimal(38,0)") * (col("__ta") + col("__tb")) *
+          col("__d") * col("__d"))
+      .withColumn("__den",
+        (col("n_a") + col("n_b")).cast("decimal(38,0)") *
+          (col("__ta") + col("__tb") - col("n_a") - col("n_b")) *
+          col("__ta") * col("__tb"))
+      .withColumn("chi2_ppm", expr("__num div __den").cast("bigint"))
+      .select(col("token"), col("n_a"), col("n_b"), col("chi2_ppm"))
+      .orderBy(col("chi2_ppm").desc, col("token"))
+      .limit(k)
+  }
+
   /** Top-`k` keywords per document by rarity-weighted term frequency
     * `tf * N / df` (rational idf — see class doc), deterministic
     * tie-break on the token. Output: `(idCol, rk, token, tf, dfreq)`.

@@ -667,6 +667,33 @@ object TextQ {
         TextOps.distributionDistance(
           t(s, dir, "documents"), "text", "lang", "en", "de")),
 
+    // ---- chi-square class-association terms ----------------------
+    // Tokens most associated with lang='en' vs the rest: 2x2 chi2 as
+    // the exact scaled integer 1e6*N*(aB-bA)^2 div ((a+b)(N-a-b)AB) —
+    // q153's no-libm discipline applied to feature selection.
+    Q("q164_chi2_terms",
+      Some(s"""WITH tk AS (SELECT (lang = 'en') AS pos, unnest($duckToks) AS token
+              |  FROM documents),
+              |c AS (SELECT token,
+              |  sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_a,
+              |  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS n_b
+              |  FROM tk GROUP BY token),
+              |t AS (SELECT
+              |  sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS ta,
+              |  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS tb FROM tk)
+              |SELECT token, n_a, n_b,
+              |  ((1000000::HUGEINT * (ta + tb) *
+              |      (n_a::HUGEINT * tb - n_b::HUGEINT * ta) *
+              |      (n_a::HUGEINT * tb - n_b::HUGEINT * ta))
+              |    // ((n_a + n_b)::HUGEINT * (ta + tb - n_a - n_b) * ta * tb))::BIGINT
+              |    AS chi2_ppm
+              |FROM c, t WHERE n_a + n_b >= 5
+              |ORDER BY chi2_ppm DESC, token LIMIT 30""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.classAssociationTerms(
+          t(s, dir, "documents"), "text", "lang", "en",
+          minCount = 5L, k = 30)),
+
     // ---- quality scoring (exact-integer components) --------------
     Q("q37_quality_stats",
       Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)

@@ -1945,6 +1945,19 @@ class OperatorsSpec extends SparkSpec {
       .head.getAs[Double]("kappa") == 1.0)
   }
 
+  test("classAssociationTerms: perfectly-associated tokens max, balanced tokens zero") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => ("p", "aa cc")) ++
+      (1 to 10).map(i => ("n", "bb cc"))).toDF("cls", "text")
+    val got = Relevance.classAssociationTerms(docs, "text", "cls", "p",
+      minCount = 5L, k = 10).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("chi2_ppm")).toMap
+    // A=B=20, N=40; aa: (aB-bA)=200 -> 1e6*40*200^2 div (10*30*20*20) = 13333333
+    assert(got("aa") == 13333333L)
+    assert(got("bb") == 13333333L) // chi2 is two-sided: anti-association scores equal
+    assert(got("cc") == 0L)
+  }
+
   test("retentionMatrix: hand-built two-cohort timeline") {
     import spark.implicits._
     val ns = 1000000000L // bucketSec=1 -> buckets are seconds
