@@ -121,45 +121,74 @@ object RobustStats {
     * Output: one row `(n_a, n_b, ks)`. */
   def ksStatistic(df: DataFrame, valueCol: String, groupCol: String,
                   ga: String, gb: String, buckets: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(buckets >= 1, "buckets must be positive")
     val cnt = df
       .where(col(groupCol).isin(ga, gb) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("__v"))
       .agg(
         sum(when(col(groupCol) === ga, 1L).otherwise(0L)).as("__ca"),
         sum(when(col(groupCol) === gb, 1L).otherwise(0L)).as("__cb"))
-    val bounds =
-      if (buckets == 1) Array.empty[Double]
-      else cnt.stat.approxQuantile("__v",
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001).distinct.sorted
-    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(col("__v") > lit(b), 1).otherwise(0)
-    }
-    val withB = cnt.withColumn("__bkt", bktExpr)
-    val sums = withB.groupBy(col("__bkt"))
-      .agg(sum(col("__ca")).as("sa"), sum(col("__cb")).as("sb"))
-      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val offsets = (0 to bounds.length).scanLeft((0L, 0L)) { (acc, b) =>
-      val (sa, sb) = sums.getOrElse(b, (0L, 0L))
-      (acc._1 + sa, acc._2 + sb)
-    }.init.zipWithIndex.map { case ((oa, ob), b) => (b, oa, ob) }
-    val (na, nb) = sums.values.foldLeft((0L, 0L)) {
-      case ((a, b), (sa, sb)) => (a + sa, b + sb)
-    }
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      cnt, "__v", "__v", Seq("__ca", "__cb"), buckets, "ksStatistic")
+    val (na, nb) = (totals("__ca"), totals("__cb"))
     require(na > 0 && nb > 0,
       s"ksStatistic: group counts must be positive (got $ga=$na, $gb=$nb)")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF("__bkt", "__oa", "__ob")
-    val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB.join(broadcast(offDf), Seq("__bkt"))
+    cum
       .withColumn("__fa",
-        (sum(col("__ca")).over(w) + col("__oa")).cast("double") / lit(na.toDouble))
+        (col("__cum___ca") + col("__ca")).cast("double") / lit(na.toDouble))
       .withColumn("__fb",
-        (sum(col("__cb")).over(w) + col("__ob")).cast("double") / lit(nb.toDouble))
+        (col("__cum___cb") + col("__cb")).cast("double") / lit(nb.toDouble))
       .agg(max(abs(col("__fa") - col("__fb"))).as("ks"))
       .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("ks"))
+  }
+
+  /** Exact WEIGHTED percentiles: for each rational quantile
+    * `(num, den)`, the smallest value whose inclusive cumulative
+    * weight reaches `num/den` of the total — e.g. with token-count
+    * weights over document length, "the length below which half of
+    * all TOKEN mass lives", the corpus-planning stat a row-median
+    * misrepresents when long docs carry most of the tokens.
+    *
+    * Exactness: the threshold test is the cross-multiplied integer
+    * comparison `cum·den ≥ num·total` (DECIMAL(38,0) — no float
+    * quantile math at all); the result is a VALUE from the data,
+    * bitwise by construction.
+    *
+    * Scale shape: weights pre-aggregated per distinct value (map-side
+    * combined), cumulative sums via the shared quantile-bucket
+    * decomposition ([[Sequencing.runningTotalsBefore]] — no global
+    * sort), then one tiny filtered min-aggregate per requested
+    * quantile over the checkpointed cum table. Null values are
+    * excluded; null/negative weights and an all-zero total raise.
+    *
+    * Output: one row per quantile `(p_num, p_den, value)`, input
+    * order. */
+  def weightedPercentiles(df: DataFrame, valueCol: String,
+                          weightCol: String, quantiles: Seq[(Int, Int)],
+                          buckets: Int = 32): DataFrame = {
+    require(quantiles.nonEmpty, "quantiles must be non-empty")
+    quantiles.foreach { case (n, d) =>
+      require(d > 0 && n > 0 && n <= d, s"quantile $n/$d not in (0, 1]")
+    }
+    val vw = df
+      .where(col(valueCol).isNotNull)
+      .withColumn("__w1", expr(
+        s"CASE WHEN $weightCol IS NULL OR $weightCol < 0 " +
+          s"THEN raise_error('weightedPercentiles: null/negative $weightCol') " +
+          s"ELSE CAST($weightCol AS BIGINT) END"))
+      .groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(sum(col("__w1")).as("__w"))
+    val (cumRaw, totals) = Sequencing.runningTotalsBefore(
+      vw, "__v", "__v", Seq("__w"), buckets, "weightedPercentiles")
+    val total = totals("__w")
+    require(total > 0, "weightedPercentiles: total weight must be positive")
+    val cum = cumRaw.localCheckpoint() // reused once per quantile
+    quantiles.zipWithIndex.map { case ((n, d), i) =>
+      cum
+        .where((col("__cum___w") + col("__w")).cast("decimal(38,0)") * lit(d.toLong)
+          >= lit(n.toLong).cast("decimal(38,0)") * lit(total))
+        .agg(min(col("__v")).as("value"))
+        .select(lit(i).as("__qi"), lit(n).as("p_num"), lit(d).as("p_den"),
+          col("value"))
+    }.reduce(_.union(_)).orderBy("__qi").drop("__qi")
   }
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Sequence assembly for LLM training: packing short documents into
   * fixed token budgets and chunking long documents into overlapping
@@ -159,21 +160,48 @@ object Sequencing {
                                   nShards: Int, out: String = "shard",
                                   buckets: Int = 32): DataFrame = {
     require(nShards >= 1, "nShards must be positive")
-    require(buckets >= 1, "buckets must be positive")
-    val reserved = Set("__bkt", "__off", "__ordg", "__wg", out)
+    val reserved = Set("__wg", "__cum___wg", out)
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"withWeightedShardAssignment reserves ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
-    val guarded = df
-      .withColumn("__ordg", expr(
-        s"CASE WHEN $orderCol IS NULL " +
-          s"THEN raise_error('withWeightedShardAssignment: null $orderCol has no global position') " +
-          s"ELSE $orderCol END"))
-      .withColumn("__wg", expr(
-        s"CASE WHEN $weightCol IS NULL OR $weightCol < 0 " +
-          s"THEN raise_error('withWeightedShardAssignment: null/negative $weightCol') " +
-          s"ELSE CAST($weightCol AS BIGINT) END"))
+    val guarded = df.withColumn("__wg", expr(
+      s"CASE WHEN $weightCol IS NULL OR $weightCol < 0 " +
+        s"THEN raise_error('withWeightedShardAssignment: null/negative $weightCol') " +
+        s"ELSE CAST($weightCol AS BIGINT) END"))
+    val (cum, totals) = runningTotalsBefore(guarded, orderCol, idCol,
+      Seq("__wg"), buckets, "withWeightedShardAssignment")
+    val total = totals("__wg")
+    cum
+      .withColumn(out,
+        if (total == 0L) lit(0) // all-zero weights: everything in shard 0
+        else expr(s"CAST((CAST(__cum___wg AS DECIMAL(38,0)) * ${nShards}L) div ${total}L AS INT)"))
+      .drop("__wg", "__cum___wg")
+  }
+
+  /** Shared scale-safe cumulative-sum decomposition: for each row,
+    * the running total of every `weightCols` column over all rows
+    * STRICTLY BEFORE it in global `(orderCol, idCol)` order —
+    * without a single-partition window. Quantile range buckets on
+    * `orderCol` (boundaries a pure function of the data — stable
+    * across jobs), per-bucket sums collected to the driver as
+    * offsets, one bucket-partitioned window for the intra-bucket
+    * part. Backs [[withWeightedShardAssignment]],
+    * [[graft.operators.RobustStats.ksStatistic]], and
+    * [[graft.operators.RobustStats.weightedPercentiles]].
+    *
+    * Weight columns must be non-null integral (callers guard);
+    * null order keys raise. Returns the frame with `__cum_<w>`
+    * appended per weight column plus each column's grand total. */
+  private[operators] def runningTotalsBefore(df: DataFrame, orderCol: String,
+      idCol: String, weightCols: Seq[String], buckets: Int,
+      caller: String): (DataFrame, Map[String, Long]) = {
+    require(buckets >= 1, "buckets must be positive")
+    require(weightCols.nonEmpty, "weightCols must be non-empty")
+    val guarded = df.withColumn("__ordg", expr(
+      s"CASE WHEN $orderCol IS NULL " +
+        s"THEN raise_error('$caller: null $orderCol has no global position') " +
+        s"ELSE $orderCol END"))
     val bounds =
       if (buckets == 1) Array.empty[Double]
       else guarded.stat.approxQuantile(orderCol,
@@ -182,23 +210,34 @@ object Sequencing {
       acc + when(col("__ordg") > lit(b), 1).otherwise(0)
     }
     val withB = guarded.withColumn("__bkt", bktExpr)
-    val sums = withB.groupBy(col("__bkt")).agg(sum(col("__wg")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 to bounds.length).scanLeft(0L) {
-      (acc, b) => acc + sums.getOrElse(b, 0L)
-    }.init.zipWithIndex.map { case (off, b) => (b, off) }
-    val total = sums.values.sum
+    val sumExprs = weightCols.map(w => sum(col(w)).as(s"__s_$w"))
+    val sums = withB.groupBy(col("__bkt"))
+      .agg(sumExprs.head, sumExprs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> weightCols.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val zero = weightCols.map(_ => 0L)
+    val offsets = (0 to bounds.length).scanLeft(zero) { (acc, b) =>
+      val s = sums.getOrElse(b, zero)
+      acc.zip(s).map { case (a, x) => a + x }
+    }.init.zipWithIndex.map { case (offs, b) => Row.fromSeq(b +: offs) }
+    val totals = weightCols.indices.map { i =>
+      weightCols(i) -> sums.values.map(_(i)).sum
+    }.toMap
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = offsets.toDF("__bkt", "__off")
+    val offSchema = StructType(
+      StructField("__bkt", IntegerType, nullable = false) +:
+        weightCols.map(w => StructField(s"__boff_$w", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
     val w = Window.partitionBy(col("__bkt")).orderBy(col("__ordg"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    withB.join(broadcast(offDf), Seq("__bkt"))
-      .withColumn("__cb", coalesce(sum(col("__wg")).over(w), lit(0L)) + col("__off"))
-      .withColumn(out,
-        if (total == 0L) lit(0) // all-zero weights: everything in shard 0
-        else expr(s"CAST((CAST(__cb AS DECIMAL(38,0)) * ${nShards}L) div ${total}L AS INT)"))
-      .drop("__bkt", "__off", "__ordg", "__wg", "__cb")
+    val cum = weightCols.foldLeft(withB.join(broadcast(offDf), Seq("__bkt"))) {
+      (acc, wc) =>
+        acc.withColumn(s"__cum_$wc",
+          coalesce(sum(col(wc)).over(w), lit(0L)) + col(s"__boff_$wc"))
+    }.drop("__bkt" +: "__ordg" +: weightCols.map(w2 => s"__boff_$w2"): _*)
+    (cum, totals)
   }
 
   def withGlobalOrdinals(df: DataFrame, orderCol: String, idCol: String,

@@ -694,6 +694,32 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- token-mass weighted length percentiles ------------------
+    // The length below which 1/4, 1/2, 3/4 of all TOKEN mass lives —
+    // exact cross-multiplied integer thresholds over the shared
+    // running-total decomposition; no float quantile math.
+    Q("q165_weighted_percentiles",
+      Some(s"""WITH d AS (SELECT n_chars::DOUBLE AS v,
+              |  len($duckToks)::BIGINT AS w FROM documents),
+              |g AS (SELECT v, sum(w)::BIGINT AS w FROM d GROUP BY v),
+              |c AS (SELECT v, w, coalesce(sum(w) OVER (ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM g),
+              |t AS (SELECT sum(w)::HUGEINT AS tot FROM g)
+              |SELECT * FROM (
+              |  SELECT 1 AS p_num, 4 AS p_den,
+              |    (SELECT min(v) FROM c, t WHERE (cb + w)::HUGEINT * 4 >= 1 * tot) AS value
+              |  UNION ALL SELECT 2, 4,
+              |    (SELECT min(v) FROM c, t WHERE (cb + w)::HUGEINT * 4 >= 2 * tot)
+              |  UNION ALL SELECT 3, 4,
+              |    (SELECT min(v) FROM c, t WHERE (cb + w)::HUGEINT * 4 >= 3 * tot))
+              |ORDER BY p_num""".stripMargin),
+      (s, dir) => {
+        val d = TextOps.withTokens(t(s, dir, "documents"), "text", "__toks")
+          .select(col("n_chars"), size(col("__toks")).as("w"))
+        graft.operators.RobustStats.weightedPercentiles(
+          d, "n_chars", "w", Seq(1 -> 4, 2 -> 4, 3 -> 4))
+      }),
+
     // ---- quality scoring (exact-integer components) --------------
     Q("q37_quality_stats",
       Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents)

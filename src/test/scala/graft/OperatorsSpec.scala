@@ -2012,6 +2012,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("weightedPercentiles: hand-checked token-mass thresholds") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,1,6 (total 8): half the mass first
+    // reached at v=3; the 1/4 point at v=2 (cum 2*4=8 >= 8)
+    val df = Seq((1, 1L), (2, 1L), (3, 6L)).toDF("v", "w")
+    val got = graft.operators.RobustStats.weightedPercentiles(
+      df, "v", "w", Seq(1 -> 4, 1 -> 2, 1 -> 1)).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1, 4, 2.0), (1, 2, 3.0), (1, 1, 3.0)))
+    intercept[IllegalArgumentException] {
+      graft.operators.RobustStats.weightedPercentiles(
+        df.withColumn("w", lit(0L)), "v", "w", Seq(1 -> 2))
+    }
+  }
+
   test("ksStatistic: hand-checked ECDF gap; identical samples give 0") {
     import spark.implicits._
     // a: {1,2,3,4}, b: {3,4,5,6} -> max gap at v=2: |2/4 - 0/4| = 0.5
