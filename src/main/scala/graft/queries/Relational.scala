@@ -307,6 +307,60 @@ object Relational {
         graft.operators.TimeSeries.fillGaps(
           t(s, dir, "events"), "ts", "event_type", bucketSec = 3600L)),
 
+    // ---- arbitrary grouping sets ---------------------------------
+    // The GROUP BY surface beyond rollup/cube (q11/q27): explicit
+    // grouping-set list with grouping() flags — one Expand pass, no
+    // self-union of aggregates.
+    Q("q166_grouping_sets",
+      Some("""SELECT source, lang,
+             |  grouping(source)::INT AS g_source, grouping(lang)::INT AS g_lang,
+             |  count(*)::BIGINT AS n
+             |FROM documents
+             |GROUP BY GROUPING SETS ((source), (lang), ())
+             |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin),
+      (s, dir) => {
+        t(s, dir, "documents").createOrReplaceTempView("q166_documents")
+        s.sql("""SELECT source, lang,
+                |  CAST(grouping(source) AS INT) AS g_source,
+                |  CAST(grouping(lang) AS INT) AS g_lang,
+                |  CAST(count(*) AS BIGINT) AS n
+                |FROM q166_documents
+                |GROUP BY GROUPING SETS ((source), (lang), ())
+                |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin)
+      }),
+
+    // ---- window-function suite -----------------------------------
+    // The remaining analytic-window surface in one witness: 3-arg
+    // lag/lead defaults, ntile, cume_dist, percent_rank (exact
+    // integer divisions), nth_value over an explicit ROWS frame — all
+    // on the per-user timeline (one window shuffle).
+    Q("q167_window_suite",
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             |  lag(event_type, 1, 'none') OVER w AS prev_type,
+             |  lead(event_type, 1, 'none') OVER w AS next_type,
+             |  ntile(4) OVER w AS quartile,
+             |  cume_dist() OVER w AS cd,
+             |  percent_rank() OVER w AS pr,
+             |  nth_value(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id, ts_us, event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events").select(
+          col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          lag(col("event_type"), 1, "none").over(w).as("prev_type"),
+          lead(col("event_type"), 1, "none").over(w).as("next_type"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cd"),
+          percent_rank().over(w).as("pr"),
+          nth_value(col("event_type"), 2)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("second_type"))
+          .orderBy("user_id", "ts_us", "event_id")
+      }),
+
     // ---- cohort retention matrix ---------------------------------
     // Daily cohorts × return-day offsets with distinct-user counts —
     // the retention triangle; all integer bucket arithmetic on the
