@@ -316,6 +316,34 @@ object TextOps {
       .drop("__bl_toks")
   }
 
+  /** BPE-style adjacent-pair counts — the tokenizer-TRAINING
+    * primitive: occurrence-weighted counts of every adjacent
+    * character pair, computed over the word-frequency table rather
+    * than the corpus (the classic BPE trick: a word seen a million
+    * times contributes its pairs once, weighted — pair extraction
+    * cost is VOCABULARY-bounded, not corpus-bounded). The top pair is
+    * exactly the next merge a BPE trainer would learn.
+    *
+    * Scale shape: one corpus-keyed word count (map-side combined,
+    * vocabulary-sized output), then a vocabulary-sized pair explode
+    * into an alphabet²-bounded aggregate. Both shuffles are
+    * dimension-sized.
+    *
+    * Output: `(pair, n)` — top `k` by `(n DESC, pair)`. */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val words = withTokens(df.select(col(textCol)), textCol, "__toks")
+      .select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    words.where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("n"))
+      .groupBy(col("pair")).agg(sum(col("n")).cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Corpus-level total-variation distance between the token
     * distributions of two `groupCol` slices — the drift SCALAR beside
     * [[tokenDrift]]'s per-token top-k:

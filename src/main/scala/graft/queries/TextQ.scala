@@ -694,6 +694,21 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- BPE pair counting (tokenizer training step) -------------
+    // Occurrence-weighted adjacent char-pair counts over the WORD
+    // FREQUENCY table (vocabulary-bounded, the BPE trainer's first
+    // merge decision); top pair == the first learned merge.
+    Q("q168_bpe_pairs",
+      Some(s"""WITH wd AS (SELECT unnest($duckToks) AS w FROM documents),
+              |wc AS (SELECT w, count(*)::BIGINT AS n FROM wd GROUP BY w),
+              |pr AS (SELECT unnest(list_transform(range(1, len(w)),
+              |    i -> substr(w, i, 2))) AS pair, n
+              |  FROM wc WHERE len(w) >= 2)
+              |SELECT pair, sum(n)::BIGINT AS n FROM pr
+              |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin),
+      (s, dir) =>
+        TextOps.bpePairCounts(t(s, dir, "documents"), "text", k = 30)),
+
     // ---- token-mass weighted length percentiles ------------------
     // The length below which 1/4, 1/2, 3/4 of all TOKEN mass lives —
     // exact cross-multiplied integer thresholds over the shared

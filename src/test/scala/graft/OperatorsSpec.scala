@@ -2012,6 +2012,15 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("bpePairCounts: weighted by word frequency, single-char words excluded") {
+    import spark.implicits._
+    val docs = Seq("abc abc x", "abc de").toDF("text")
+    // words: abc x3 -> ab,bc each 3; de x1 -> de 1; x excluded
+    val got = graft.operators.TextOps.bpePairCounts(docs, "text", k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq == Seq("ab" -> 3L, "bc" -> 3L, "de" -> 1L))
+  }
+
   test("weightedPercentiles: hand-checked token-mass thresholds") {
     import spark.implicits._
     // values 1,2,3 with weights 1,1,6 (total 8): half the mass first
