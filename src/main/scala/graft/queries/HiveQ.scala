@@ -54,6 +54,31 @@ object HiveQ {
           .orderBy("o_orderstatus")
       }),
 
+    // ---- row-level upsert (SCD-1 merge) --------------------------
+    // Every 100th order is re-sent with o_custkey = -1; upsert
+    // replaces exactly those rows in place (count unchanged, marker
+    // count = replaced count per partition) and rewrites only the
+    // touched partitions.
+    Q("q169_hive_upsert",
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN o_orderkey % 100 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_updated
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val ds = HiveDataset(tmp("graft_q169_"), Seq("o_orderstatus"))(s)
+        val orders = t(s, dir, "orders")
+        ds.write(orders)
+        ds.upsert(
+          orders.where(col("o_orderkey") % 100 === 0)
+            .withColumn("o_custkey", lit(-1L)),
+          Seq("o_orderkey"))
+        ds.scan().get
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(when(col("o_custkey") === -1L, 1L).otherwise(0L))
+              .cast("bigint").as("n_updated"))
+          .orderBy("o_orderstatus")
+      }),
+
     // ---- fragment compaction: data invariant under rewrite -------
     // Three appends leave three fragments per partition; compact()
     // rewrites each partition as its minimal chunked set. The oracle

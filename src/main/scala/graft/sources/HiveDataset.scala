@@ -361,6 +361,48 @@ case class HiveDataset(
       math.max(1L, (rows + maxRowsPerFragment - 1) / maxRowsPerFragment).toInt)
   }
 
+  /** Row-level upsert (SCD-1 merge): rows of `df` REPLACE existing
+    * rows carrying the same `keyCols` values; every other existing
+    * row is kept. Closes the dataset's CRUD square next to write
+    * (S10), append (S11), and delete (S13) — the reference stops at
+    * partition-level overwrite; this is the row-level verb a feature
+    * store needs.
+    *
+    * Partition-scoped like every dynamic-overwrite merge (Hive,
+    * Delta's replaceWhere): only the partitions PRESENT IN `df` are
+    * read and rewritten, so cost is proportional to the incoming
+    * batch, never dataset age. Contract: a key's partition values
+    * must be stable across versions — a key that moved partitions
+    * leaves its old row behind (include the old partition's rows in
+    * `df` to move keys). Key columns must exist in both schemas.
+    *
+    * The merged snapshot is materialized (`localCheckpoint`) BEFORE
+    * the overwrite — the anti-join reads the very directories the
+    * write replaces. */
+  def upsert(df: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    keyCols.foreach(k => require(df.columns.contains(k),
+      s"upsert key column '$k' missing from the incoming frame"))
+    val touched: Seq[ListMap[String, String]] =
+      if (partitionColumns.isEmpty) partitions()
+      else df.select(partitionColumns.map(col): _*).distinct().collect().toSeq
+        .map { r =>
+          ListMap(partitionColumns.zipWithIndex.map { case (c, i) =>
+            require(!r.isNullAt(i), s"Partition column '$c' contains null values")
+            c -> r.get(i).toString
+          }: _*)
+        }
+    val existing = touched.flatMap(v => readPartition(v.toMap))
+    val merged = existing match {
+      case Nil => df
+      case parts =>
+        val old = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        old.join(df.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+          .unionByName(df, allowMissingColumns = true)
+    }
+    write(merged.localCheckpoint())
+  }
+
   /** Recursively delete one partition directory; validates the key
     * set (hive_dataset.py:330-342). No-op when absent. */
   def deletePartition(values: Map[String, String]): Unit = {

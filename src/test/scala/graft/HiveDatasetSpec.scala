@@ -364,6 +364,29 @@ class HiveDatasetSpec extends SparkSpec {
     }
   }
 
+  test("upsert replaces matched keys, appends new keys, leaves untouched partitions' files alone") {
+    withTempDir { dir =>
+      val ds = HiveDataset(dir + "/ds", Seq("p1"))
+      ds.write(Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))
+        .toDF("p1", "k", "v"))
+      def filesOf(p: String) =
+        new java.io.File(s"$dir/ds/p1=$p").listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+      val bFiles = filesOf("b")
+      // replace k=1, add k=9 — both in partition a; b untouched
+      ds.upsert(Seq(("a", 1L, 11L), ("a", 9L, 90L)).toDF("p1", "k", "v"), Seq("k"))
+      val got = ds.scan().get.select($"k", $"v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 11L, 2L -> 20L, 3L -> 30L, 9L -> 90L))
+      assert(filesOf("b") == bFiles,
+        "partition b was rewritten by an upsert that never touched it")
+      // key columns must exist
+      intercept[IllegalArgumentException] {
+        ds.upsert(Seq(("a", 1L, 1L)).toDF("p1", "k", "v"), Seq("nope"))
+      }
+    }
+  }
+
   test("relative dataset URLs work") {
     val rel = s"graft-rel-test-${System.nanoTime()}"
     val ds = HiveDataset(rel, Seq("p1"))
