@@ -316,6 +316,82 @@ object TextOps {
       .drop("__bl_toks")
   }
 
+  /** Per-group shingle diversity — the compressibility proxy used by
+    * crawl-quality pipelines (near-constant boilerplate compresses
+    * well ⇒ LOW distinct-shingle rate): distinct 3-token shingles
+    * over total shingles per group, one exact integer division.
+    *
+    * Scale shape: one explode + one (group, shingle)-keyed exact
+    * distinct (the Expand pass of count_distinct; at 100 TB flip the
+    * documented HLL profile mode instead — same plan family as
+    * Profile). Output is group-bounded. */
+  def shingleDiversity(df: DataFrame, textCol: String,
+                       groupCol: String): DataFrame = {
+    val sh = withTokens(df.select(col(groupCol), col(textCol)), textCol, "__toks")
+      .select(col(groupCol),
+        explode(expr(H.shingles3("__toks", textCol))).as("__sh"))
+    sh.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n_shingles"),
+        countDistinct(col("__sh")).cast("bigint").as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_shingles").cast("double"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Language-ID ambiguity margin: `lang_margin` = top score minus
+    * runner-up score over the [[LangMarkers]] stopword counts — 0
+    * means the guess was a coin flip (code-switched or marker-free
+    * text), the confidence signal [[withLangGuess]] alone hides.
+    * Pure integer counts and subtraction. */
+  def withLangMargin(df: DataFrame, textCol: String,
+                     out: String = "lang_margin"): DataFrame = {
+    require(!df.columns.contains(out), s"withLangMargin reserves $out")
+    val scores = LangMarkers.map { case (_, words) =>
+      words.map(w => s"(${H.tokenCount("__lm_toks", w)})").mkString(" + ")
+    }.mkString("array(", ", ", ")")
+    df.withColumn("__lm_toks", expr(H.tokens(textCol)))
+      .withColumn("__lm_sorted", expr(s"sort_array($scores, false)"))
+      .withColumn(out, expr(
+        "CAST(element_at(__lm_sorted, 1) - element_at(__lm_sorted, 2) AS BIGINT)"))
+      .drop("__lm_toks", "__lm_sorted")
+  }
+
+  /** C4-style document quality gate (Raffel et al. 2020 heuristics,
+    * portable-exact subset): per-row boolean reasons plus the overall
+    * `c4_pass`. All components are integer token statistics — the
+    * mean-word-length band uses cross-multiplied integer comparisons
+    * (`sum_len < 3·n` / `sum_len > 10·n`), never a float mean.
+    * Flags: `f_min_words` (< `minWords` tokens), `f_long_word`
+    * (any token over 20 chars — markup/base64 smell), `f_no_stop`
+    * (no 'the' — the C4 English-prose proxy), `f_lorem` (placeholder
+    * text), `f_word_len` (mean token length outside [3, 10]). */
+  def withC4Flags(df: DataFrame, textCol: String,
+                  minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, "minWords must be positive")
+    val reserved = Set("__c4_toks", "__c4_n", "__c4_len", "f_min_words",
+      "f_long_word", "f_no_stop", "f_lorem", "f_word_len", "c4_pass")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withC4Flags reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    df.withColumn("__c4_toks", expr(H.tokens(textCol)))
+      .withColumn("__c4_n", size(col("__c4_toks")).cast("long"))
+      .withColumn("__c4_len",
+        expr("aggregate(__c4_toks, 0L, (a, x) -> a + length(x))"))
+      .withColumn("f_min_words", col("__c4_n") < minWords.toLong)
+      .withColumn("f_long_word",
+        expr("exists(__c4_toks, x -> length(x) > 20)"))
+      .withColumn("f_no_stop", !array_contains(col("__c4_toks"), "the"))
+      .withColumn("f_lorem", array_contains(col("__c4_toks"), "lorem"))
+      .withColumn("f_word_len",
+        col("__c4_len") < lit(3L) * col("__c4_n") ||
+          col("__c4_len") > lit(10L) * col("__c4_n"))
+      .withColumn("c4_pass",
+        !col("f_min_words") && !col("f_long_word") && !col("f_no_stop") &&
+          !col("f_lorem") && !col("f_word_len"))
+      .drop("__c4_toks", "__c4_n", "__c4_len")
+  }
+
   /** BPE-style adjacent-pair counts — the tokenizer-TRAINING
     * primitive: occurrence-weighted counts of every adjacent
     * character pair, computed over the word-frequency table rather

@@ -694,6 +694,78 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- shingle diversity (compressibility proxy) ---------------
+    // Distinct/total 3-token shingles per source — boilerplate-heavy
+    // sources score low; one exact integer division.
+    Q("q170_shingle_diversity",
+      Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents),
+              |sh AS (SELECT source, unnest($duckShingles) AS s FROM toks)
+              |SELECT source, count(*)::BIGINT AS n_shingles,
+              |  count(DISTINCT s)::BIGINT AS n_distinct,
+              |  (count(DISTINCT s)::BIGINT)::DOUBLE / (count(*)::BIGINT)::DOUBLE AS diversity
+              |FROM sh GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextOps.shingleDiversity(t(s, dir, "documents"), "text", "source")),
+
+    // ---- language-ID ambiguity margin ----------------------------
+    // Top-minus-runner-up marker score per doc: margin 0 = coin-flip
+    // guess (code-switching detector); integer sort + subtraction.
+    Q("q171_lang_margin", {
+      val langs = graft.operators.TextOps.LangMarkers
+      val scores = langs.map { case (_, words) =>
+        words.map(w => s"(${D.tokenCount("t", w)})").mkString(" + ")
+      }.mkString("[", ", ", "]")
+      Some(s"""WITH toks AS (SELECT lang, $duckToks AS t FROM documents),
+              |sc AS (SELECT lang, list_sort($scores, 'DESC') AS l FROM toks)
+              |SELECT lang, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN l[1] - l[2] = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ambiguous,
+              |  sum(l[1] - l[2])::BIGINT AS sum_margin
+              |FROM sc GROUP BY lang ORDER BY lang""".stripMargin)
+    },
+      (s, dir) =>
+        TextOps.withLangMargin(t(s, dir, "documents"), "text")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(when(col("lang_margin") === 0L, 1L).otherwise(0L))
+              .cast("bigint").as("n_ambiguous"),
+            sum(col("lang_margin")).cast("bigint").as("sum_margin"))
+          .orderBy("lang")),
+
+    // ---- C4-style quality gate -----------------------------------
+    // The classic document filter bundle with per-rule drop counts —
+    // every component an integer token stat (mean-length band via
+    // cross-multiplied comparisons, no float mean).
+    Q("q172_c4_gate",
+      Some(s"""WITH toks AS (SELECT source, $duckToks AS t FROM documents),
+              |f AS (SELECT source, len(t)::BIGINT AS n,
+              |  list_sum(list_transform(t, x -> length(x)))::BIGINT AS sl,
+              |  (len(list_filter(t, x -> length(x) > 20)) > 0) AS f_long,
+              |  NOT list_contains(t, 'the') AS f_nostop,
+              |  list_contains(t, 'lorem') AS f_lorem
+              |  FROM toks),
+              |g AS (SELECT source, (n < 5) AS f_min, f_long, f_nostop, f_lorem,
+              |  (sl < 3 * n OR sl > 10 * n) AS f_wlen FROM f)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN f_min THEN 1 ELSE 0 END)::BIGINT AS n_min_words,
+              |  sum(CASE WHEN f_long THEN 1 ELSE 0 END)::BIGINT AS n_long_word,
+              |  sum(CASE WHEN f_nostop THEN 1 ELSE 0 END)::BIGINT AS n_no_stop,
+              |  sum(CASE WHEN f_lorem THEN 1 ELSE 0 END)::BIGINT AS n_lorem,
+              |  sum(CASE WHEN f_wlen THEN 1 ELSE 0 END)::BIGINT AS n_word_len,
+              |  sum(CASE WHEN NOT f_min AND NOT f_long AND NOT f_nostop
+              |    AND NOT f_lorem AND NOT f_wlen THEN 1 ELSE 0 END)::BIGINT AS n_pass
+              |FROM g GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextOps.withC4Flags(t(s, dir, "documents"), "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(when(col("f_min_words"), 1L).otherwise(0L)).cast("bigint").as("n_min_words"),
+            sum(when(col("f_long_word"), 1L).otherwise(0L)).cast("bigint").as("n_long_word"),
+            sum(when(col("f_no_stop"), 1L).otherwise(0L)).cast("bigint").as("n_no_stop"),
+            sum(when(col("f_lorem"), 1L).otherwise(0L)).cast("bigint").as("n_lorem"),
+            sum(when(col("f_word_len"), 1L).otherwise(0L)).cast("bigint").as("n_word_len"),
+            sum(when(col("c4_pass"), 1L).otherwise(0L)).cast("bigint").as("n_pass"))
+          .orderBy("source")),
+
     // ---- BPE pair counting (tokenizer training step) -------------
     // Occurrence-weighted adjacent char-pair counts over the WORD
     // FREQUENCY table (vocabulary-bounded, the BPE trainer's first

@@ -2012,6 +2012,46 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("shingleDiversity: repeated text scores low, unique text scores 1") {
+    import spark.implicits._
+    val df = Seq(
+      ("rep", "a b c a b c a b c"),  // shingles: abc,bca,cab repeating -> 3 distinct of 7
+      ("uni", "p q r s t")           // 3 distinct of 3
+    ).toDF("g", "text")
+    val got = graft.operators.TextOps.shingleDiversity(df, "text", "g")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("rep") == (7L, 3L))
+    assert(got("uni") == (3L, 3L))
+  }
+
+  test("withLangMargin: clear text has positive margin, marker-free text zero") {
+    import spark.implicits._
+    val df = Seq((1L, "the the a cat"), (2L, "xyz qqq")).toDF("id", "text")
+    val got = graft.operators.TextOps.withLangMargin(df, "text")
+      .orderBy("id").collect().map(_.getAs[Long]("lang_margin"))
+    assert(got(0) == 3L) // en=3, others 0
+    assert(got(1) == 0L)
+  }
+
+  test("withC4Flags: each rule fires on its designed violation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown foxes jumped over fences"),       // pass
+      (2L, "the cat"),                                         // min_words
+      (3L, "the " + "x" * 25 + " word here today maybe"),      // long_word
+      (4L, "plain words without stopword here today"),         // no_stop
+      (5L, "the lorem ipsum filler text here"),                // lorem
+      (6L, "the aa bb cc dd ee ff gg hh ii jj kk")             // word_len (mean < 3)
+    ).toDF("id", "text")
+    val got = graft.operators.TextOps.withC4Flags(df, "text").orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("c4_pass"))
+    assert(got(1).getAs[Boolean]("f_min_words") && !got(1).getAs[Boolean]("c4_pass"))
+    assert(got(2).getAs[Boolean]("f_long_word"))
+    assert(got(3).getAs[Boolean]("f_no_stop"))
+    assert(got(4).getAs[Boolean]("f_lorem"))
+    assert(got(5).getAs[Boolean]("f_word_len"))
+  }
+
   test("bpePairCounts: weighted by word frequency, single-char words excluded") {
     import spark.implicits._
     val docs = Seq("abc abc x", "abc de").toDF("text")
