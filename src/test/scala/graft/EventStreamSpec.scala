@@ -216,6 +216,32 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming upsert sink: foreachBatch + HiveDataset.upsert converges to last-writer state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTempDir { dir =>
+      val ds = graft.sources.HiveDataset(dir + "/ds", Seq("p1"))
+      val mem = MemoryStream[(String, Long, Long)]
+      val query = mem.toDF().toDF("p1", "k", "v")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          ds.upsert(batch, Seq("k"))
+        }
+        .option("checkpointLocation", dir + "/ckpt")
+        .start()
+      try {
+        mem.addData(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L))
+        query.processAllAvailable()
+        mem.addData(("a", 1L, 11L), ("b", 4L, 40L)) // update k=1, insert k=4
+        query.processAllAvailable()
+        val got = ds.scan().get.select($"k", $"v").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == Map(1L -> 11L, 2L -> 20L, 3L -> 30L, 4L -> 40L),
+          s"streamed upserts must converge to last-writer-wins state, got $got")
+      } finally query.stop()
+    }
+  }
+
   test("stateless curation ops (quality gate + weighted mix) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
