@@ -60,4 +60,34 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Pre-join skew DIAGNOSIS (the report you read before reaching for
+    * [[saltedJoin]]): the `topN` hottest key values with their share
+    * of all rows and `ratio_to_avg_ppm` — how many millionths-of-×
+    * the average key the hot key carries (`1e6·n·nkeys div total`,
+    * exact integers; 1e6 = perfectly uniform). A ratio around
+    * `salts × 1e6` is the signal to salt by that factor.
+    *
+    * Scale shape: one keyed count (map-side combined), top-N via
+    * TakeOrdered (never a key-cardinality window), scalars broadcast.
+    * The rank window runs over the N collected candidates only. */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, "topN must be positive")
+    val c = df.groupBy(col(keyCol).cast("string").as("key_value"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val t = c.agg(sum(col("n")).cast("bigint").as("__tot"),
+      count(lit(1)).cast("bigint").as("__nkeys"))
+    val top = c.orderBy(col("n").desc, col("key_value")).limit(topN)
+    val w = Window.orderBy(col("n").desc, col("key_value"))
+    top.crossJoin(broadcast(t))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .withColumn("share", col("n").cast("double") / col("__tot").cast("double"))
+      .withColumn("ratio_to_avg_ppm",
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * n * __nkeys) div __tot")
+          .cast("bigint"))
+      .select(col("rk"), col("key_value"), col("n"), col("share"),
+        col("ratio_to_avg_ppm"))
+      .orderBy("rk")
+  }
 }

@@ -361,6 +361,24 @@ object Relational {
           .orderBy("user_id", "ts_us", "event_id")
       }),
 
+    // ---- key-skew diagnosis report -------------------------------
+    // The pre-join report behind the q26/q65 salting remedies: top-10
+    // hottest user_id values with share and exact ratio-to-average
+    // (ppm); top-N via TakeOrdered, never a key-cardinality window.
+    Q("q173_key_skew",
+      Some("""WITH c AS (SELECT user_id::VARCHAR AS key_value,
+             |  count(*)::BIGINT AS n FROM events GROUP BY user_id),
+             |t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS nkeys FROM c),
+             |r AS (SELECT key_value, n,
+             |  row_number() OVER (ORDER BY n DESC, key_value) AS rk FROM c)
+             |SELECT rk::INT AS rk, key_value, n,
+             |  n::DOUBLE / tot::DOUBLE AS share,
+             |  ((1000000::HUGEINT * n * nkeys) // tot::HUGEINT)::BIGINT AS ratio_to_avg_ppm
+             |FROM r, t WHERE rk <= 10 ORDER BY rk""".stripMargin),
+      (s, dir) =>
+        graft.operators.Skew.keySkewReport(
+          t(s, dir, "events"), "user_id", topN = 10)),
+
     // ---- cohort retention matrix ---------------------------------
     // Daily cohorts × return-day offsets with distinct-user counts —
     // the retention triangle; all integer bucket arithmetic on the

@@ -2012,6 +2012,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("keySkewReport: hot key ranked first with exact ratio; uniform keys at 1e6 ppm") {
+    import spark.implicits._
+    // keys: hot x6, a x1, b x1 -> total 8, nkeys 3
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b")).toDF("k")
+    val got = graft.operators.Skew.keySkewReport(df, "k", topN = 2).collect()
+    assert(got(0).getAs[String]("key_value") == "hot")
+    assert(got(0).getAs[Long]("n") == 6L)
+    assert(got(0).getAs[Double]("share") == 6.0 / 8.0)
+    // 1e6 * 6 * 3 div 8 = 2250000 (2.25x the average key)
+    assert(got(0).getAs[Long]("ratio_to_avg_ppm") == 2250000L)
+    val uniform = Seq("a", "b", "c", "d").toDF("k")
+    assert(graft.operators.Skew.keySkewReport(uniform, "k", topN = 4)
+      .collect().forall(_.getAs[Long]("ratio_to_avg_ppm") == 1000000L))
+  }
+
   test("shingleDiversity: repeated text scores low, unique text scores 1") {
     import spark.implicits._
     val df = Seq(
