@@ -180,6 +180,59 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected exactly one anchor-keyed shuffle, found $shuffles:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting needed)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // The automatic companion to the q26/q65 salting operators: with
+    // skew-join enabled and thresholds scaled to the test data, the
+    // final adaptive plan marks the sort-merge join as skew-handled.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying 200k rows vs 1k-row uniform tail
+      val big = spark.range(201000).selectExpr(
+        "CASE WHEN id < 200000 THEN 7L ELSE id END AS k", "id AS payload")
+      val dim = spark.range(1000).selectExpr("id AS k", "id * 2 AS attr")
+      val joined = big.join(dim.hint("merge"), "k")
+      // materialize THIS frame — the adaptive final plan only exists
+      // after execution (count() would execute a different plan)
+      assert(joined.collect().length == 200000) // hot key matches dim key 7; tail misses
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the join skew-handled:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan's partitions") {
+    // The partition-elimination story at join time: a hive-partitioned
+    // fact joined to a filtered dim must carry a dynamicpruning
+    // expression on its scan — only matching partitions are read.
+    withTempDir { dir =>
+      spark.range(100000)
+        .selectExpr("id", "CAST(id % 20 AS INT) AS part")
+        .write.partitionBy("part").parquet(s"$dir/fact")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.range(20).selectExpr("CAST(id AS INT) AS part", "id * 3 AS attr")
+        .where(col("attr") === 9) // selects part = 3 only, known at runtime
+      val joined = fact.join(dim, "part")
+      assert(joined.count() == 5000L)
+      val scan = joined.queryExecution.executedPlan.toString
+      assert(scan.contains("dynamicpruning"),
+        s"expected a dynamic partition pruning filter on the fact scan:\n$scan")
+    }
+  }
+
   test("decontamination plan: corpus-side shingle join is a broadcast semi-join") {
     import spark.implicits._
     val docs = corpus
