@@ -110,6 +110,29 @@ object Inspect {
     schema.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** JSONL ingest with a bad-row SIDE CHANNEL — the quarantine
+    * pattern every production feed needs: parse failures don't abort
+    * the load and don't vanish, they land in a second frame for
+    * triage. PERMISSIVE mode with an explicit corrupt-record column;
+    * the raw read is checkpointed first (Spark refuses filters that
+    * reference only the internal corrupt column on a lazy scan).
+    * Returns `(good, quarantine)` — quarantine rows carry the
+    * verbatim offending line as `raw`. */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+                           schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .localCheckpoint()
+    (raw.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.where(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
   /** Schema drift between two frames: one row per column name that
     * appears in either schema, with `status` added / removed /
     * retyped / unchanged and the DDL type on each side. The

@@ -286,6 +286,25 @@ object TextOps {
     * jobs); slice totals are a single-row aggregate broadcast into
     * the scoring projection; top-k is TakeOrderedAndProject (per-
     * partition heaps + one k-row driver merge), never a global sort. */
+  /** Encoding-hygiene scrub: strip C0 control characters (except
+    * tab/newline/CR) from `textCol` into `out`, with `n_ctrl` = how
+    * many were removed (a LENGTH DIFFERENCE — exact, no second regex
+    * pass). The first stage of every ingest: control bytes break
+    * tokenizers and JSONL sinks downstream. Portable RE2∩Java
+    * character-class pattern. */
+  def scrubControlChars(df: DataFrame, textCol: String,
+                        out: String = "clean_text"): DataFrame = {
+    val reserved = Set(out, "n_ctrl")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"scrubControlChars reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    df.withColumn(out,
+      regexp_replace(col(textCol), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))
+      .withColumn("n_ctrl",
+        (length(col(textCol)) - length(col(out))).cast("bigint"))
+  }
+
   /** Blocklist safety filter: per-row occurrence count of the blocked
     * terms (`out`, BIGINT — a fixed left-to-right sum of per-term
     * token counts) plus the boolean `blocked` gate. The standard

@@ -694,6 +694,36 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- control-character scrub ---------------------------------
+    // Encoding hygiene: C0 controls PLANTED deterministically (every
+    // third doc gets BEL+US appended — the corpus has none), scrubbed
+    // by the portable character-class regex; removal count is a pure
+    // length difference.
+    Q("q174_ctrl_scrub",
+      Some("""WITH p AS (SELECT source,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || chr(7) || chr(31)
+             |    ELSE text END AS t FROM documents),
+             |s AS (SELECT source, t,
+             |  regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS c
+             |  FROM p)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(CASE WHEN length(t) > length(c) THEN 1 ELSE 0 END)::BIGINT AS n_dirty,
+             |  sum(length(t) - length(c))::BIGINT AS n_ctrl
+             |FROM s GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("source"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), expr("chr(7)"), expr("chr(31)")))
+            .otherwise(col("text")).as("t"))
+        TextOps.scrubControlChars(planted, "t")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(when(col("n_ctrl") > 0L, 1L).otherwise(0L))
+              .cast("bigint").as("n_dirty"),
+            sum(col("n_ctrl")).cast("bigint").as("n_ctrl"))
+          .orderBy("source")
+      }),
+
     // ---- shingle diversity (compressibility proxy) ---------------
     // Distinct/total 3-token shingles per source — boilerplate-heavy
     // sources score low; one exact integer division.

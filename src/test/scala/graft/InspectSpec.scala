@@ -58,6 +58,25 @@ class InspectSpec extends SparkSpec {
     }
   }
 
+  test("readJsonlQuarantined: bad lines land in the side channel, good lines parse") {
+    import org.apache.spark.sql.types._
+    withTempDir { dir =>
+      val path = s"$dir/feed.jsonl"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        java.util.Arrays.asList(
+          """{"id": 1, "name": "ok"}""",
+          """{"id": broken!!}""",
+          """{"id": 3, "name": "fine"}"""))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType)))
+      val (good, bad) = Inspect.readJsonlQuarantined(spark, path, schema)
+      assert(good.collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      val quarantined = bad.collect().map(_.getString(0))
+      assert(quarantined.length == 1 && quarantined.head.contains("broken!!"),
+        s"the corrupt line must survive verbatim for triage: ${quarantined.toSeq}")
+    }
+  }
+
   test("diffSchemas: added/removed/retyped/unchanged classification") {
     import org.apache.spark.sql.functions.lit
     val before = df // (id bigint, name string)

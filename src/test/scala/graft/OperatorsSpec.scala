@@ -2012,6 +2012,14 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("scrubControlChars: strips C0 controls, keeps tab/newline, exact removal count") {
+    import spark.implicits._
+    val df = Seq(("a\u0007b\u001Fc\td\ne", 1L)).toDF("text", "id")
+    val r = graft.operators.TextOps.scrubControlChars(df, "text").head
+    assert(r.getAs[String]("clean_text") == "abc\td\ne")
+    assert(r.getAs[Long]("n_ctrl") == 2L)
+  }
+
   test("keySkewReport: hot key ranked first with exact ratio; uniform keys at 1e6 ppm") {
     import spark.implicits._
     // keys: hot x6, a x1, b x1 -> total 8, nkeys 3
