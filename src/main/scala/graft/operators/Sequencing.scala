@@ -43,6 +43,27 @@ object Sequencing {
       .drop("__cum")
   }
 
+  /** Packing-efficiency report over [[packGreedy]]: per shard, how
+    * many bins the greedy pass used and the exact fill rate
+    * `fill_ppm = 1e6·Σtokens div (bins·budget)` — the waste metric
+    * that decides whether to re-sort before packing (a fill rate far
+    * under 1e6 means oversized documents are fragmenting bins).
+    * Integer throughout; one group-bounded aggregate on top of the
+    * packing window. */
+  def packingReport(df: DataFrame, idCol: String, tokenCountCol: String,
+                    shardCol: String, budget: Long): DataFrame = {
+    packGreedy(df, idCol, tokenCountCol, shardCol, budget)
+      .groupBy(col(shardCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        (max(col("pack_id")) + 1L).cast("bigint").as("n_bins"),
+        sum(col(tokenCountCol)).cast("bigint").as("sum_tokens"))
+      .withColumn("fill_ppm", expr(
+        s"(CAST(1000000 AS DECIMAL(38,0)) * sum_tokens) div (n_bins * ${budget}L)")
+        .cast("bigint"))
+      .orderBy(col(shardCol))
+  }
+
   /** Explode each document into overlapping token windows of
     * `chunkSize` tokens advancing by `chunkSize - overlap`: one row
     * per (doc, chunk) with `chunk_idx` (0-based), `chunk_len`, and the

@@ -694,6 +694,29 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- packing efficiency report -------------------------------
+    // q69's bins rolled up to the waste metric: bins used and exact
+    // fill rate 1e6·tokens div (bins·512) per lang.
+    Q("q175_packing_report",
+      Some("""WITH t AS (SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_toks
+             |  FROM documents),
+             |c AS (SELECT lang, doc_id, n_toks,
+             |  sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+             |p AS (SELECT lang, ((cum - n_toks) // 512)::BIGINT AS pack_id, n_toks FROM c)
+             |SELECT lang, count(*)::BIGINT AS n_docs,
+             |  (max(pack_id) + 1)::BIGINT AS n_bins,
+             |  sum(n_toks)::BIGINT AS sum_tokens,
+             |  ((1000000::HUGEINT * sum(n_toks)) // ((max(pack_id) + 1) * 512))::BIGINT AS fill_ppm
+             |FROM p GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val withToks = t(s, dir, "documents")
+          .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+        graft.operators.Sequencing.packingReport(
+          withToks, "doc_id", "n_toks", "lang", budget = 512L)
+          .select("lang", "n_docs", "n_bins", "sum_tokens", "fill_ppm")
+      }),
+
     // ---- control-character scrub ---------------------------------
     // Encoding hygiene: C0 controls PLANTED deterministically (every
     // third doc gets BEL+US appended — the corpus has none), scrubbed
