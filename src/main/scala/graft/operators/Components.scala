@@ -87,6 +87,28 @@ object Components {
   /** Large-star: for each node, point every LARGER neighbor at the
     * minimum of the closed neighborhood. Both edge directions
     * contribute (symmetrized view). */
+  /** Triangle count over an undirected edge list with `aCol < bCol`
+    * per edge (the [[connectedComponents]] input contract): two
+    * self-joins matching `(a,b),(b,c),(a,c)` — the canonical
+    * ordering counts each triangle exactly once. The
+    * clustering-coefficient numerator for graph QA on near-dup /
+    * collocation graphs.
+    *
+    * Scale shape: two equi-joins keyed on edge endpoints. On a
+    * degree-skewed 100 TB graph, pre-order endpoints by degree
+    * (low→high) so every edge's join fan-out is bounded by the
+    * SMALLER degree (the standard compact-forward trick); for the
+    * dimension-sized graphs this library builds (top-k collocations,
+    * near-dup candidates) the plain joins broadcast. */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    e.as("e1")
+      .join(e.as("e2"), col("e1.__b") === col("e2.__a"))
+      .join(e.as("e3"),
+        col("e3.__a") === col("e1.__a") && col("e3.__b") === col("e2.__b"))
+      .agg(count(lit(1)).cast("bigint").as("n_triangles"))
+  }
+
   private def largeStar(e: DataFrame): DataFrame = {
     val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val mins = nb.groupBy("u").agg(min(col("v")).as("__mn"))

@@ -57,6 +57,25 @@ object Sketches {
     *
     * Output: `(group_value, n_exact, est_in_bounds, merged_ok)`,
     * group rows then `__ALL__`. */
+  /** Bottom-k hash sketch: the `k` rows with the smallest content
+    * hashes (ties on `idCol`) — a FIXED-SIZE consistent sample, the
+    * complement of rate-based Bernoulli sampling (q63): stable under
+    * corpus growth (a doc in the sample stays in it until k smaller
+    * hashes arrive), version-comparable (two versions' bottom-k sets
+    * overlap ∝ their Jaccard similarity — the classic bottom-k
+    * estimator), and reproducible with no RNG.
+    *
+    * Scale shape: TakeOrderedAndProject — per-partition top-k then a
+    * driver merge of k·partitions candidates; never a full sort. */
+  def bottomK(df: DataFrame, idCol: String, textCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import graft.functions.TextHash.{spark => H}
+    df.select(col(idCol), expr(H.rollingHash(textCol)).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+  }
+
   def hllRollup(df: DataFrame, c: String, groupCol: String,
                 lgK: Int = 12, tol: Double = 0.05): DataFrame = {
     require(lgK >= 4 && lgK <= 21, "lgK must be in [4, 21]")

@@ -694,6 +694,46 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- triangle count on the collocation graph -----------------
+    // Graph QA beyond connected components: triangles in the top-100
+    // co-occurrence edge list via the canonical (a,b)(b,c)(a,c)
+    // ordered self-joins — each triangle counted exactly once.
+    Q("q176_triangles",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100)
+              |SELECT count(*)::BIGINT AS n_triangles
+              |FROM e e1 JOIN e e2 ON e1.tok_b = e2.tok_a
+              |  JOIN e e3 ON e3.tok_a = e1.tok_a AND e3.tok_b = e2.tok_b""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
+      }),
+
+    // ---- bottom-k consistent sample ------------------------------
+    // Fixed-size hash-min sample: reproducible, growth-stable, and a
+    // version-overlap (Jaccard) estimator — rate-based q63's
+    // complement; TakeOrdered, never a full sort.
+    Q("q177_bottom_k",
+      Some(s"""SELECT doc_id, ${D.rollingHash("text")}::BIGINT AS h
+              |FROM documents ORDER BY h, doc_id LIMIT 20""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sketches.bottomK(
+          t(s, dir, "documents"), "doc_id", "text", k = 20)
+          .select(col("doc_id"), col("h").cast("bigint").as("h"))),
+
     // ---- packing efficiency report -------------------------------
     // q69's bins rolled up to the waste metric: bins used and exact
     // fill rate 1e6·tokens div (bins·512) per lang.

@@ -2012,6 +2012,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("triangleCount: hand-built graph — one triangle plus a dangling edge") {
+    import spark.implicits._
+    // edges (a<b): a-b, a-c, b-c form a triangle; c-d dangles
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")).toDF("x", "y")
+    assert(graft.operators.Components.triangleCount(e, "x", "y")
+      .head.getLong(0) == 1L)
+    // adding a-d and b-d completes K4 on {a,b,c,d}: C(4,3) = 4 triangles
+    val e2 = e.union(Seq(("a", "d"), ("b", "d")).toDF("x", "y"))
+    assert(graft.operators.Components.triangleCount(e2, "x", "y")
+      .head.getLong(0) == 4L)
+  }
+
+  test("bottomK: growth-stable — adding rows only evicts, never reshuffles survivors") {
+    import spark.implicits._
+    val v1 = (1 to 50).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
+    val v2 = (1 to 80).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
+    val s1 = graft.operators.Sketches.bottomK(v1, "doc_id", "text", 10)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = graft.operators.Sketches.bottomK(v2, "doc_id", "text", 10)
+      .collect().map(_.getLong(0)).toSet
+    // every v2 sample member from the v1 id range must also be in v1's sample
+    assert(s2.filter(_ <= 50).subsetOf(s1),
+      s"bottom-k must be consistent under growth: v1=$s1 v2=$s2")
+  }
+
   test("scrubControlChars: strips C0 controls, keeps tab/newline, exact removal count") {
     import spark.implicits._
     val df = Seq(("a\u0007b\u001Fc\td\ne", 1L)).toDF("text", "id")
