@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, count, expr, lit, md5, when}
+import org.apache.spark.sql.functions.{col, count, expr, lit, md5, row_number, when}
 
 /** Parquet/CSV inspection & conversion verbs.
   *
@@ -75,6 +75,40 @@ object Inspect {
           .when(col("__ap").isNull, lit("removed"))
           .when(col("__bd") <=> col("__ad"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Apply an ordered CDC change log to a snapshot — the lakehouse
+    * MERGE verb a plain upsert can't express: the log carries
+    * insert/update ('U') and delete ('D') operations per key with a
+    * sequence column; only each key's LATEST operation decides its
+    * fate (U → the log row's payload wins, D → the key disappears),
+    * keys absent from the log pass through untouched. Change rows
+    * must carry the snapshot's payload columns.
+    *
+    * Determinism: the latest-op choice orders by `(seqCol DESC)` with
+    * the op as tiebreak — equal sequence numbers for one key are a
+    * FEED BUG, surfaced deterministically (D sorts before U, so
+    * deletes win ties) rather than racily.
+    *
+    * Scale shape: one key-partitioned window over the (usually small)
+    * change log + one key equi-join against the snapshot (broadcast
+    * when the log is batch-sized, the common case); the snapshot
+    * never shuffles on the payload. */
+  def applyCdc(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+               seqCol: String, opCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(seqCol).desc, col(opCol))
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    val payloadCols = snapshot.columns
+    val kept = snapshot.join(
+      latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val applied = latest.where(col(opCol) =!= "D")
+      .select(payloadCols.map(col): _*)
+    kept.unionByName(applied)
   }
 
   /** Content-addressed partition fingerprints: per group, the row

@@ -694,6 +694,35 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- CDC log application -------------------------------------
+    // Ordered change feed applied to the corpus snapshot: every 10th
+    // doc updated (+1000 chars), every (10k+5)th updated then DELETED
+    // at a later sequence — only each key's latest op counts; the
+    // oracle states the final expected state directly.
+    Q("q178_cdc_apply",
+      Some("""SELECT source, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN doc_id % 10 = 0 THEN n_chars + 1000
+             |    ELSE n_chars END)::BIGINT AS sum_chars
+             |FROM documents WHERE doc_id % 10 != 5
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val u0 = docs.where(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+        val u5 = docs.where(col("doc_id") % 10 === 5)
+          .withColumn("n_chars", col("n_chars") + 1L)
+          .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+        val d5 = docs.where(col("doc_id") % 10 === 5)
+          .withColumn("__op", lit("D")).withColumn("__seq", lit(2L))
+        graft.operators.Inspect.applyCdc(docs,
+          u0.unionByName(u5).unionByName(d5), "doc_id", "__seq", "__op")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"))
+          .orderBy("source")
+      }),
+
     // ---- triangle count on the collocation graph -----------------
     // Graph QA beyond connected components: triangles in the top-100
     // co-occurrence edge list via the canonical (a,b)(b,c)(a,c)

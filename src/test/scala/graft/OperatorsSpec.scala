@@ -2012,6 +2012,24 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("applyCdc: latest op wins per key; deletes remove; untouched keys pass through") {
+    import spark.implicits._
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val log = Seq(
+      (1L, "a1", "U", 1L), (1L, "a2", "U", 2L), // two updates: latest wins
+      (2L, "bx", "U", 1L), (2L, "b", "D", 2L),  // update then delete: gone
+      (4L, "d", "U", 1L)                          // brand-new key inserted
+    ).toDF("k", "v", "op", "seq")
+    val got = graft.operators.Inspect.applyCdc(snap, log, "k", "seq", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+    // tie on seq: D sorts before U -> deterministic delete-wins
+    val tie = Seq((3L, "cx", "U", 5L), (3L, "c", "D", 5L)).toDF("k", "v", "op", "seq")
+    val got2 = graft.operators.Inspect.applyCdc(snap, tie, "k", "seq", "op")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == Set(1L, 2L))
+  }
+
   test("triangleCount: hand-built graph — one triangle plus a dangling edge") {
     import spark.implicits._
     // edges (a<b): a-b, a-c, b-c form a triangle; c-d dangles
