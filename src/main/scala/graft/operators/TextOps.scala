@@ -286,6 +286,38 @@ object TextOps {
     * jobs); slice totals are a single-row aggregate broadcast into
     * the scoring projection; top-k is TakeOrderedAndProject (per-
     * partition heaps + one k-row driver merge), never a global sort. */
+  /** Deterministic MLM-style token masking — the denoising-objective
+    * data transform (BERT/T5 family): token `i` of a document is
+    * masked iff `(idCol·31 + i) % rate == 0`, giving a reproducible
+    * ~1/rate mask that any re-run, retry, or engine reproduces
+    * bitwise (no RNG; the graft determinism discipline). Adds:
+    * `masked_text` (masked tokens replaced by `<mask>`), `target`
+    * (the masked tokens, space-joined, in order), and `n_masked`.
+    *
+    * Pure per-row expressions over an index sequence (portable to
+    * any engine with HOFs) — no shuffle, stays in codegen. */
+  def withMaskedSpans(df: DataFrame, idCol: String, textCol: String,
+                      rate: Int = 5): DataFrame = {
+    require(rate >= 2, "rate must be at least 2")
+    val reserved = Set("__mk_toks", "masked_text", "target", "n_masked")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withMaskedSpans reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val hit = s"($idCol * 31 + i) % $rate = 0"
+    df.withColumn("__mk_toks", expr(H.tokens(textCol)))
+      .withColumn("masked_text", expr(
+        s"array_join(transform(sequence(1, size(__mk_toks)), " +
+          s"i -> CASE WHEN $hit THEN '<mask>' ELSE element_at(__mk_toks, i) END), ' ')"))
+      .withColumn("target", expr(
+        s"array_join(filter(transform(sequence(1, size(__mk_toks)), " +
+          s"i -> CASE WHEN $hit THEN element_at(__mk_toks, i) ELSE NULL END), " +
+          "x -> x IS NOT NULL), ' ')"))
+      .withColumn("n_masked", expr(
+        s"CAST(size(filter(sequence(1, size(__mk_toks)), i -> $hit)) AS BIGINT)"))
+      .drop("__mk_toks")
+  }
+
   /** Encoding-hygiene scrub: strip C0 control characters (except
     * tab/newline/CR) from `textCol` into `out`, with `n_ctrl` = how
     * many were removed (a LENGTH DIFFERENCE — exact, no second regex

@@ -694,6 +694,27 @@ object TextQ {
           t(s, dir, "documents"), "text", "lang", "en",
           minCount = 5L, k = 30)),
 
+    // ---- deterministic MLM masking -------------------------------
+    // The denoising-objective transform: token i masked iff
+    // (doc_id·31 + i) % 5 == 0 — RNG-free, retry/engine-reproducible;
+    // masked text, extraction target, and mask counts hash-checked.
+    Q("q179_span_mask",
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents)
+              |SELECT doc_id,
+              |  array_to_string(list_transform(range(1, len(t) + 1),
+              |    i -> CASE WHEN (doc_id * 31 + i) % 5 = 0 THEN '<mask>' ELSE t[i] END), ' ')
+              |    AS masked_text,
+              |  array_to_string(list_filter(list_transform(range(1, len(t) + 1),
+              |    i -> CASE WHEN (doc_id * 31 + i) % 5 = 0 THEN t[i] ELSE NULL END),
+              |    x -> x IS NOT NULL), ' ') AS target,
+              |  len(list_filter(range(1, len(t) + 1),
+              |    i -> (doc_id * 31 + i) % 5 = 0))::BIGINT AS n_masked
+              |FROM toks ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withMaskedSpans(t(s, dir, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("masked_text"), col("target"), col("n_masked"))
+          .orderBy("doc_id")),
+
     // ---- CDC log application -------------------------------------
     // Ordered change feed applied to the corpus snapshot: every 10th
     // doc updated (+1000 chars), every (10k+5)th updated then DELETED

@@ -2012,6 +2012,16 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("withMaskedSpans: hand-checked mask positions; target matches masked tokens") {
+    import spark.implicits._
+    // doc_id=3, rate=5: i masked iff (3*31+i)%5==0 -> i=2,7 of 1..8
+    val df = Seq((3L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.withMaskedSpans(df, "doc_id", "text").head
+    assert(r.getAs[String]("masked_text") == "t1 <mask> t3 t4 t5 t6 <mask> t8")
+    assert(r.getAs[String]("target") == "t2 t7")
+    assert(r.getAs[Long]("n_masked") == 2L)
+  }
+
   test("applyCdc: latest op wins per key; deletes remove; untouched keys pass through") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
