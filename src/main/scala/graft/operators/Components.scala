@@ -109,6 +109,34 @@ object Components {
       .agg(count(lit(1)).cast("bigint").as("n_triangles"))
   }
 
+  /** Global clustering coefficient over an `a<b` edge list:
+    * `3·triangles / wedges` with `wedges = Σ_v deg_v·(deg_v−1)/2` —
+    * the closure scalar that says whether a near-dup/collocation
+    * graph is clique-like (true duplicate families) or chain-like
+    * (transitive LSH noise). Emitted as the exact scaled integer
+    * `coeff_ppm = 3e6·triangles div wedges` (graft no-float-ratio
+    * discipline); degenerate wedge-free graphs yield NULL, not a
+    * fake 0.
+    *
+    * Scale shape: [[triangleCount]]'s joins + one endpoint-keyed
+    * degree aggregate; both dimension-sized on the graphs this
+    * library builds. */
+  def clusteringCoefficient(edges: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val ends = edges.select(col(aCol).as("__v"))
+      .unionAll(edges.select(col(bCol).as("__v")))
+    val wedges = ends.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__d"))
+      .agg(coalesce(sum(expr("__d * (__d - 1) div 2")), lit(0L))
+        .cast("bigint").as("n_wedges"))
+    triangleCount(edges, aCol, bCol)
+      .crossJoin(broadcast(wedges))
+      .withColumn("coeff_ppm", expr(
+        "CASE WHEN n_wedges = 0 THEN NULL " +
+          "ELSE (CAST(3000000 AS DECIMAL(38,0)) * n_triangles) div n_wedges END")
+        .cast("bigint"))
+  }
+
   private def largeStar(e: DataFrame): DataFrame = {
     val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val mins = nb.groupBy("u").agg(min(col("v")).as("__mn"))

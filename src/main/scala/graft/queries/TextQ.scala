@@ -772,6 +772,42 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- clustering coefficient of the collocation graph ---------
+    // q176's triangles closed into the graph-QA scalar: 3e6·T div
+    // wedges over the same top-100 edges — clique-like vs chain-like.
+    Q("q180_clustering_coeff",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |tr AS (SELECT count(*)::BIGINT AS n_triangles
+              |  FROM e e1 JOIN e e2 ON e1.tok_b = e2.tok_a
+              |    JOIN e e3 ON e3.tok_a = e1.tok_a AND e3.tok_b = e2.tok_b),
+              |dg AS (SELECT v, count(*)::BIGINT AS d FROM (
+              |  SELECT tok_a AS v FROM e UNION ALL SELECT tok_b AS v FROM e)
+              |  GROUP BY v),
+              |wg AS (SELECT coalesce(sum(d * (d - 1) // 2), 0)::BIGINT AS n_wedges FROM dg)
+              |SELECT tr.n_triangles, wg.n_wedges,
+              |  CASE WHEN wg.n_wedges = 0 THEN NULL
+              |    ELSE ((3000000::HUGEINT * tr.n_triangles) // wg.n_wedges)::BIGINT
+              |  END AS coeff_ppm
+              |FROM tr, wg""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.clusteringCoefficient(edges, "tok_a", "tok_b")
+      }),
+
     // ---- bottom-k consistent sample ------------------------------
     // Fixed-size hash-min sample: reproducible, growth-stable, and a
     // version-overlap (Jaccard) estimator — rate-based q63's

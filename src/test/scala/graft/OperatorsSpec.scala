@@ -2012,6 +2012,20 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("clusteringCoefficient: K3 closes fully (1e6 ppm), a path not at all") {
+    import spark.implicits._
+    // K3: 1 triangle, wedges = 3 (each vertex deg 2 -> 1 wedge each)
+    // coeff = 3*1/3 = 1 -> 1e6 ppm... as ppm: 3e6*1 div 3 = 1e6
+    val k3 = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("x", "y")
+    val r = graft.operators.Components.clusteringCoefficient(k3, "x", "y").head
+    assert(r.getAs[Long]("n_triangles") == 1L && r.getAs[Long]("n_wedges") == 3L)
+    assert(r.getAs[Long]("coeff_ppm") == 1000000L)
+    // path a-b-c: no triangles, 1 wedge -> 0
+    val path = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val p = graft.operators.Components.clusteringCoefficient(path, "x", "y").head
+    assert(p.getAs[Long]("n_triangles") == 0L && p.getAs[Long]("coeff_ppm") == 0L)
+  }
+
   test("withMaskedSpans: hand-checked mask positions; target matches masked tokens") {
     import spark.implicits._
     // doc_id=3, rate=5: i masked iff (3*31+i)%5==0 -> i=2,7 of 1..8
