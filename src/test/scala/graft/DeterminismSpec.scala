@@ -71,4 +71,40 @@ class DeterminismSpec extends SparkSpec {
       Mixing.allocateBudget(counts, "source", "n", budget = 999983L)
     }
   }
+
+  test("withWeightedShardAssignment assigns the same shards under any partitioning") {
+    invariant(d => Sequencing.withWeightedShardAssignment(
+      d, "doc_id", "doc_id", "n_chars", nShards = 7).select("doc_id", "shard"))
+  }
+
+  test("ksStatistic and weightedPercentiles are partitioning-invariant") {
+    invariant(d => RobustStats.ksStatistic(d, "n_chars", "source", "src0", "src1"))
+    invariant(d => RobustStats.weightedPercentiles(
+      d.withColumn("w", col("n_chars")), "n_chars", "w", Seq(1 -> 4, 1 -> 2)))
+  }
+
+  test("bottomK selects the same sample under any partitioning") {
+    invariant(d => Sketches.bottomK(d, "doc_id", "text", 25))
+  }
+
+  test("mergeIntervals: output spans are disjoint with gaps, and counts conserve rows") {
+    import spark.implicits._
+    // deterministic synthetic spans: start = hash-ish spread, len 1..50
+    val iv = spark.range(2000).selectExpr(
+      "id % 13 AS k",
+      "(id * 37) % 1000 AS s",
+      "(id * 37) % 1000 + 1 + id % 50 AS e")
+    val out = graft.operators.TimeSeries.mergeIntervals(iv.toDF(), "k", "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every input interval lands in exactly one span
+    assert(out.map(_._4).sum == 2000L)
+    // disjointness with strict gaps per key (touching would have merged)
+    out.groupBy(_._1).foreach { case (_, spans) =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3,
+          s"spans $a and $b overlap or touch — they should have merged")
+        case _ =>
+      }
+    }
+  }
 }
