@@ -137,6 +137,39 @@ object Components {
         .cast("bigint"))
   }
 
+  /** Deterministic graph-context pairs — the node2vec/DeepWalk
+    * training-data extraction with the randomness replaced by a hash
+    * (graft determinism discipline): from every node, walk `steps`
+    * edges, at each step moving to the neighbor with the smallest
+    * `rollingHash(src|dst|step)`. Every retry, re-run, and engine
+    * picks the same walks, so the emitted `(start, end_node)` pairs
+    * are reproducible training data, not a sampling lottery.
+    *
+    * Scale shape: one argmin aggregate per step over the directed
+    * edge list (min-of-struct, map-side combined) + one join per
+    * step against the walk frontier — `steps` small shuffles, each
+    * keyed on a node id. Per-step choice is shared by all walkers at
+    * a node (a functional-graph step), which is what makes one
+    * aggregate per step sufficient. */
+  def hashWalkPairs(edges: DataFrame, aCol: String, bCol: String,
+                    steps: Int): DataFrame = {
+    require(steps >= 1, "steps must be positive")
+    val dir = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val start = dir.select(col("src").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    (1 to steps).foldLeft(start) { (walk, s) =>
+      val choice = dir
+        .withColumn("__h", expr(
+          s"graft_rolling_hash(concat(src, '|', dst, '|', '$s'))"))
+        .groupBy(col("src"))
+        .agg(min(struct(col("__h"), col("dst"))).as("__m"))
+        .select(col("src").as("cur"), col("__m.dst").as("__nxt"))
+      walk.join(choice, "cur")
+        .select(col("start"), col("__nxt").as("cur"))
+    }.select(col("start"), col("cur").as("end_node")).orderBy("start")
+  }
+
   private def largeStar(e: DataFrame): DataFrame = {
     val nb = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val mins = nb.groupBy("u").agg(min(col("v")).as("__mn"))

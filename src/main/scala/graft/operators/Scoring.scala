@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Batched model-scoring seam: the plumbing for running a quality /
+  * safety / language classifier (fastText, KenLM, an ONNX model)
+  * over the corpus at scale, with the MODEL stubbed and everything
+  * Spark-side real — the [[Multimodal]] pattern applied to
+  * inference.
+  *
+  * The shape a real model needs and this seam provides:
+  *  - one model INIT per partition (the expensive part — weights
+  *    load once per task, not per row), via `mapPartitions`;
+  *  - explicit BATCHES inside the partition (`grouped(batchSize)`)
+  *    — the unit a vectorized scorer consumes;
+  *  - only `(id, text)` is shipped to the scorer and only
+  *    `(id, score)` comes back — the join back to the full row is a
+  *    key equi-join, payload columns never pass through the seam.
+  *
+  * The stub scorer is a deterministic rational function of the
+  * content hash (`rollingHash(text) % 1000` ‰), which is what lets
+  * the driver hash-check the ENTIRE seam — schema, batching, join —
+  * against an oracle that recomputes the stub arithmetically. Swap
+  * `scoreBatch` for a real model call and nothing else changes.
+  *
+  * Scale shape (100 TB): one narrow projection into the seam, one
+  * id-keyed join out; scoring parallelism is the scan's partitioning
+  * (size `spark.sql.files.maxPartitionBytes` so one model instance
+  * per ~128 MB of text). Scores in integer permille — aggregates
+  * stay exact. */
+object Scoring {
+
+  /** STUB batch scorer — one call per batch, like a real vectorized
+    * model. Deterministic: score_permille = rollingHash(text) % 1000. */
+  def scoreBatch(batch: Seq[(Long, String)]): Seq[(Long, Long)] = {
+    // ??? real model.predict(batch) goes here; deterministic fake below ???
+    val P = 1000000007L
+    batch.map { case (id, text) =>
+      val h = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+      (id, h % 1000L)
+    }
+  }
+
+  /** Score every row's `textCol` through the batched seam and join
+    * the integer-permille score back as `score_permille`. */
+  def withModelScore(df: DataFrame, idCol: String, textCol: String,
+                     batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    require(!df.columns.contains("score_permille"),
+      "withModelScore reserves column name score_permille")
+    val spark = df.sparkSession
+    val narrow = df.select(col(idCol).cast("long"), col(textCol)).rdd
+    val scored = narrow.mapPartitions { it =>
+      // (real seam: init the model HERE, once per partition)
+      it.map(r => (r.getLong(0), r.getString(1)))
+        .grouped(batchSize)
+        .flatMap(b => scoreBatch(b.toSeq))
+        .map { case (id, s) => Row(id, s) }
+    }
+    val scores = spark.createDataFrame(scored, StructType(Seq(
+      StructField("__sid", LongType, nullable = false),
+      StructField("score_permille", LongType, nullable = false))))
+    df.join(scores, col(idCol) === col("__sid")).drop("__sid")
+  }
+}

@@ -772,6 +772,64 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- deterministic hash-walk context pairs -------------------
+    // node2vec-style (start, end) pairs with the RNG replaced by an
+    // edge hash: per step every node moves to its min-hash neighbor,
+    // so walks are retry/engine-reproducible — one argmin aggregate
+    // + one frontier join per step.
+    Q("q181_hash_walks", {
+      def stepCte(s: Int) =
+        s"""s$s AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+           |  ORDER BY ${D.rollingHash(s"(src || '|' || dst || '|' || '$s')")}, dst) AS rn
+           |  FROM d),
+           |c$s AS (SELECT src AS cur, dst AS nxt FROM s$s WHERE rn = 1)""".stripMargin
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |d AS (SELECT tok_a AS src, tok_b AS dst FROM e
+              |  UNION ALL SELECT tok_b, tok_a FROM e),
+              |${stepCte(1)},
+              |${stepCte(2)},
+              |w0 AS (SELECT DISTINCT src AS start FROM d),
+              |w1 AS (SELECT w0.start, c1.nxt AS cur FROM w0 JOIN c1 ON c1.cur = w0.start),
+              |w2 AS (SELECT w1.start, c2.nxt AS cur FROM w1 JOIN c2 ON c2.cur = w1.cur)
+              |SELECT start, cur AS end_node FROM w2 ORDER BY start""".stripMargin)
+    },
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.hashWalkPairs(edges, "tok_a", "tok_b", steps = 2)
+      }),
+
+    // ---- batched model-scoring seam ------------------------------
+    // The inference seam hash-checked end to end: the stub scorer is
+    // rollingHash(text) % 1000 computed inside the batched
+    // mapPartitions pipeline (one init per partition, explicit
+    // batches, narrow in / id-keyed join out) — the oracle recomputes
+    // the stub arithmetically, so a match proves the WHOLE seam.
+    Q("q182_model_scores",
+      Some(s"""SELECT source, count(*)::BIGINT AS n,
+              |  sum(${D.rollingHash("text")} % 1000)::BIGINT AS sum_score_permille
+              |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        graft.operators.Scoring.withModelScore(
+          t(s, dir, "documents"), "doc_id", "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("score_permille")).cast("bigint").as("sum_score_permille"))
+          .orderBy("source")),
+
     // ---- clustering coefficient of the collocation graph ---------
     // q176's triangles closed into the graph-QA scalar: 3e6·T div
     // wedges over the same top-100 edges — clique-like vs chain-like.

@@ -2012,6 +2012,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("hashWalkPairs: every node walks; 2-step walk follows the per-step min-hash choice") {
+    import spark.implicits._
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("x", "y")
+    val pairs = graft.operators.Components.hashWalkPairs(e, "x", "y", steps = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(pairs.map(_._1).toSet == Set("a", "b", "c", "d"), "every node starts a walk")
+    // determinism: a second run picks identical walks
+    val again = graft.operators.Components.hashWalkPairs(e, "x", "y", steps = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(pairs.toSeq == again.toSeq)
+    // a 2-step walk from a dead-endish leaf returns into the graph: d -> c -> (c's choice)
+    val step1 = graft.operators.Components.hashWalkPairs(e, "x", "y", steps = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(step1("d") == "c", "d's only neighbor is c")
+  }
+
+  test("withModelScore: batched seam scores equal the expression-computed stub") {
+    import graft.functions.TextHash.{spark => H}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seam = graft.operators.Scoring.withModelScore(docs, "doc_id", "text", batchSize = 7)
+      .select(col("doc_id"), col("score_permille"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = docs.select(col("doc_id"),
+      (expr(H.rollingHash("text")) % 1000).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seam == direct, "the mapPartitions seam must agree with the native expression")
+  }
+
   test("clusteringCoefficient: K3 closes fully (1e6 ppm), a path not at all") {
     import spark.implicits._
     // K3: 1 triangle, wedges = 3 (each vertex deg 2 -> 1 wedge each)
