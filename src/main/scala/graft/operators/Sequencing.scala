@@ -43,6 +43,26 @@ object Sequencing {
       .drop("__cum")
   }
 
+  /** Power-of-two padding buckets: `bucket_len` = the smallest
+    * power of two ≥ the row's token count (floored at `minBucket`) —
+    * the batch-shape planning behind length-bucketed training
+    * batches: fixed shapes per bucket (compiler/XLA-friendly) with
+    * padding waste bounded at <50% per row. log2 WITHOUT libm: the
+    * bit length of `n−1` (`length(bin(n−1))`), portable and exact.
+    * Null/negative counts raise. */
+  def withPaddedBucket(df: DataFrame, tokenCountCol: String,
+                       minBucket: Int = 16,
+                       out: String = "bucket_len"): DataFrame = {
+    require(minBucket >= 1 && (minBucket & (minBucket - 1)) == 0,
+      "minBucket must be a positive power of two")
+    require(!df.columns.contains(out), s"withPaddedBucket reserves $out")
+    df.withColumn(out, expr(
+      s"CASE WHEN $tokenCountCol IS NULL OR $tokenCountCol < 0 THEN " +
+        s"raise_error('withPaddedBucket: null/negative $tokenCountCol') " +
+        s"WHEN $tokenCountCol <= $minBucket THEN CAST($minBucket AS BIGINT) " +
+        s"ELSE shiftleft(CAST(1 AS BIGINT), length(bin($tokenCountCol - 1))) END"))
+  }
+
   /** Packing-efficiency report over [[packGreedy]]: per shard, how
     * many bins the greedy pass used and the exact fill rate
     * `fill_ppm = 1e6·Σtokens div (bins·budget)` — the waste metric

@@ -772,6 +772,34 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- power-of-two padding buckets ----------------------------
+    // Batch-shape planning: docs bucketed to the next power of two of
+    // their token count (log2 = bit length, no libm); per-bucket
+    // padding waste as exact ppm.
+    Q("q183_padding_buckets",
+      Some(s"""WITH t AS (SELECT len($duckToks)::BIGINT AS n FROM documents),
+              |b AS (SELECT n, CASE WHEN n <= 16 THEN 16::BIGINT
+              |  ELSE (1::BIGINT << length(bin(n - 1))) END AS bucket_len FROM t)
+              |SELECT bucket_len, count(*)::BIGINT AS n_docs,
+              |  sum(n)::BIGINT AS sum_tokens,
+              |  (count(*) * bucket_len)::BIGINT AS padded_tokens,
+              |  ((1000000::HUGEINT * (count(*) * bucket_len - sum(n)))
+              |    // (count(*) * bucket_len))::BIGINT AS waste_ppm
+              |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin),
+      (s, dir) => {
+        val withN = TextOps.withTokens(t(s, dir, "documents"), "text", "__toks")
+          .select(size(col("__toks")).cast("long").as("n"))
+        graft.operators.Sequencing.withPaddedBucket(withN, "n")
+          .groupBy(col("bucket_len"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("n")).cast("bigint").as("sum_tokens"),
+            (count(lit(1)) * col("bucket_len")).cast("bigint").as("padded_tokens"))
+          .withColumn("waste_ppm", expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * (padded_tokens - sum_tokens)) div padded_tokens")
+            .cast("bigint"))
+          .orderBy("bucket_len")
+      }),
+
     // ---- deterministic hash-walk context pairs -------------------
     // node2vec-style (start, end) pairs with the RNG replaced by an
     // edge hash: per step every node moves to its min-hash neighbor,

@@ -2012,6 +2012,15 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("withPaddedBucket: powers of two, floor at minBucket, exact boundaries") {
+    import spark.implicits._
+    val df = Seq(1L, 16L, 17L, 32L, 33L, 1000L).toDF("n")
+    val got = graft.operators.Sequencing.withPaddedBucket(df, "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 16L, 16L -> 16L, 17L -> 32L, 32L -> 32L,
+      33L -> 64L, 1000L -> 1024L))
+  }
+
   test("hashWalkPairs: every node walks; 2-step walk follows the per-step min-hash choice") {
     import spark.implicits._
     val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("x", "y")
