@@ -263,4 +263,42 @@ object Mixing {
         col("n_total").cast("double") / (col("k") * col("n_class")).cast("double"))
       .select(col("class"), col("n_class"), col("weight"))
   }
+
+  /** Deterministic k-fold assignment for cross-validation splits:
+    * `fold = rollingHash(textCol) % k` — content-addressed like every
+    * graft split (q52's two-way hash split generalized), so folds are
+    * stable across re-runs, engines, and corpus re-partitioning, and
+    * a document always lands in the same fold even when the corpus
+    * around it changes. Per-row expression, no shuffle. */
+  def withFold(df: DataFrame, textCol: String, k: Int,
+               out: String = "fold"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(!df.columns.contains(out), s"withFold reserves $out")
+    import graft.functions.TextHash.{spark => H}
+    df.withColumn(out, (expr(H.rollingHash(textCol)) % k).cast("int"))
+  }
+
+  /** Gini coefficient of the group-size distribution — the mixture-
+    * balance scalar (0 = perfectly even groups, → 1 = one group
+    * dominates): computed EXACTLY on sorted counts,
+    * `gini_ppm = 1e6 · Σᵢ (2i − n − 1)·cᵢ  div  (n · Σc)` with `i`
+    * the 1-based ascending rank — integer arithmetic end to end, no
+    * float sum. Group table is dimension-sized, so the rank window
+    * over it is bounded; output one row `(n_groups, n_rows,
+    * gini_ppm)`. */
+  def groupGini(df: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = df.groupBy(col(groupCol)).agg(count(lit(1)).cast("bigint").as("__c"))
+    val ranked = c.withColumn("__i",
+      row_number().over(Window.orderBy(col("__c"), col(groupCol))).cast("long"))
+    ranked.agg(
+      count(lit(1)).cast("bigint").as("n_groups"),
+      sum(col("__c")).cast("bigint").as("n_rows"),
+      sum((lit(2L) * col("__i")).cast("decimal(38,0)") * col("__c")).as("__a"),
+      sum(col("__c").cast("decimal(38,0)")).as("__s"))
+      .withColumn("gini_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (__a - (n_groups + 1) * __s)) " +
+          "div (n_groups * __s) AS BIGINT)"))
+      .select(col("n_groups"), col("n_rows"), col("gini_ppm"))
+  }
 }

@@ -141,6 +141,34 @@ object RobustStats {
       .select(lit(na).as("n_a"), lit(nb).as("n_b"), col("ks"))
   }
 
+  /** Per-group min-max scaling to [0, 1]: `out = (x − min)/(max −
+    * min)` over the group's own range — the feature-prep normalizer
+    * beside [[withCalibratedRank]]'s rank calibration (min-max keeps
+    * distribution SHAPE; percent_rank flattens it). One subtraction
+    * and one division on the raw values — bitwise-portable; a
+    * constant group (max = min) yields NULL, stated explicitly on
+    * both engines (DuckDB would give ±inf on the raw division).
+    *
+    * Scale shape: one group-bounded min/max aggregate broadcast back;
+    * the corpus never shuffles. */
+  def withMinMaxScaled(df: DataFrame, valueCol: String, groupCol: String,
+                       out: String = "scaled"): DataFrame = {
+    val reserved = Set("__mn", "__mx", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withMinMaxScaled reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val mm = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol).cast("double")).as("__mn"),
+      max(col(valueCol).cast("double")).as("__mx"))
+    df.join(broadcast(mm), Seq(groupCol))
+      .withColumn(out,
+        when(col("__mx") > col("__mn"),
+          (col(valueCol).cast("double") - col("__mn")) /
+            (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
+  }
+
   /** Exact WEIGHTED percentiles: for each rational quantile
     * `(num, den)`, the smallest value whose inclusive cumulative
     * weight reaches `num/den` of the total — e.g. with token-count

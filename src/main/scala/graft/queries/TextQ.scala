@@ -772,6 +772,56 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- deterministic k-fold assignment -------------------------
+    // Content-addressed 5-fold split (q52 generalized): fold = hash %
+    // 5, stable under re-runs and corpus changes; balance witnessed
+    // per (fold, lang).
+    Q("q184_kfold",
+      Some(s"""WITH f AS (SELECT lang, (${D.rollingHash("text")} % 5)::INT AS fold
+              |  FROM documents)
+              |SELECT fold, lang, count(*)::BIGINT AS n
+              |FROM f GROUP BY fold, lang ORDER BY fold, lang""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.withFold(t(s, dir, "documents"), "text", k = 5)
+          .groupBy(col("fold"), col("lang"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+          .orderBy("fold", "lang")),
+
+    // ---- per-source min-max scaling ------------------------------
+    // Shape-preserving [0,1] normalization of n_chars within each
+    // source (q131's rank calibration flattens; this keeps shape);
+    // constant groups explicitly NULL on both engines.
+    Q("q185_minmax_scale",
+      Some("""WITH mm AS (SELECT source, min(n_chars::DOUBLE) AS mn,
+             |  max(n_chars::DOUBLE) AS mx FROM documents GROUP BY source)
+             |SELECT d.doc_id, d.source, d.n_chars,
+             |  CASE WHEN mm.mx > mm.mn
+             |    THEN (d.n_chars::DOUBLE - mm.mn) / (mm.mx - mm.mn) END AS scaled
+             |FROM documents d JOIN mm USING (source)
+             |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.withMinMaxScaled(
+          t(s, dir, "documents"), "n_chars", "source")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("scaled"))
+          .orderBy("doc_id")),
+
+    // ---- source-share Gini ---------------------------------------
+    // Mixture-balance scalar: exact integer Gini of the per-source
+    // row counts (0 = even mixture) — 1e6·Σ(2i−n−1)cᵢ div (n·Σc) on
+    // the ascending-sorted counts.
+    Q("q186_source_gini",
+      Some("""WITH c AS (SELECT source, count(*)::BIGINT AS c FROM documents
+             |  GROUP BY source),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c, source) AS i FROM c),
+             |a AS (SELECT count(*)::BIGINT AS n_groups, sum(c)::BIGINT AS n_rows,
+             |  sum(2 * i::HUGEINT * c) AS aa, sum(c)::HUGEINT AS s FROM r)
+             |SELECT n_groups, n_rows,
+             |  ((1000000::HUGEINT * (aa - (n_groups + 1) * s))
+             |    // (n_groups * s))::BIGINT AS gini_ppm
+             |FROM a""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.groupGini(t(s, dir, "documents"), "source")),
+
     // ---- power-of-two padding buckets ----------------------------
     // Batch-shape planning: docs bucketed to the next power of two of
     // their token count (log2 = bit length, no libm); per-bucket

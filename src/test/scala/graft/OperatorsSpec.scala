@@ -2012,6 +2012,42 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("withFold: folds cover 0..k-1, content-addressed (same text -> same fold)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val folds = graft.operators.Mixing.withFold(docs, "text", k = 5)
+      .groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(folds.keySet == Set(0, 1, 2, 3, 4))
+    val dup = Seq((1L, "same words here"), (2L, "same words here")).toDF("id", "text")
+    val f = graft.operators.Mixing.withFold(dup, "text", k = 5)
+      .select("fold").collect().map(_.getInt(0)).distinct
+    assert(f.length == 1, "identical content must land in the same fold")
+  }
+
+  test("withMinMaxScaled: endpoints hit 0 and 1; constant group is NULL") {
+    import spark.implicits._
+    val df = Seq(("g", 10.0), ("g", 20.0), ("g", 15.0), ("h", 7.0), ("h", 7.0))
+      .toDF("grp", "v")
+    val got = graft.operators.RobustStats.withMinMaxScaled(df, "v", "grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.filter(_._1 == "g").map(x => x._2 -> x._3.get).toMap ==
+      Map(10.0 -> 0.0, 20.0 -> 1.0, 15.0 -> 0.5))
+    assert(got.filter(_._1 == "h").forall(_._3.isEmpty),
+      "constant groups must be NULL, not inf or 0")
+  }
+
+  test("groupGini: even groups 0; hand-checked [1,9] split = 400000 ppm") {
+    import spark.implicits._
+    val even = (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("g")
+    assert(graft.operators.Mixing.groupGini(even, "g")
+      .head.getAs[Long]("gini_ppm") == 0L)
+    val skewed = (Seq.fill(1)("a") ++ Seq.fill(9)("b")).toDF("g")
+    val r = graft.operators.Mixing.groupGini(skewed, "g").head
+    assert(r.getAs[Long]("n_groups") == 2L && r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("gini_ppm") == 400000L)
+  }
+
   test("withPaddedBucket: powers of two, floor at minBucket, exact boundaries") {
     import spark.implicits._
     val df = Seq(1L, 16L, 17L, 32L, 33L, 1000L).toDF("n")
