@@ -249,6 +249,43 @@ object Relevance {
       .limit(k)
   }
 
+  /** Pairwise vocabulary Jaccard between `groupCol` slices: the
+    * source-redundancy signal (two crawls sharing 90% of their
+    * vocabulary are near-substitutes for mixture planning) —
+    * `jaccard_ppm = 1e6·|Vₐ∩V_b| div (|Vₐ|+|V_b|−|Vₐ∩V_b|)`, exact
+    * integers end to end. Top-`k` pairs by similarity.
+    *
+    * Scale shape: one (group, token) distinct (map-side combined,
+    * vocabulary×groups-bounded), one token-keyed self-join producing
+    * only group-PAIR counts (group²-bounded output), sizes broadcast
+    * back. The token join's fan-out per token is the number of groups
+    * containing it — bounded by the group count, never corpus-sized. */
+  def vocabOverlapPairs(df: DataFrame, textCol: String, groupCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = TextOps.withTokens(df.select(col(groupCol), col(textCol)),
+      textCol, "__toks")
+      .select(col(groupCol).as("__g"), explode(col("__toks")).as("token"))
+      .distinct()
+    val sizes = v.groupBy(col("__g")).agg(count(lit(1)).cast("bigint").as("__vs"))
+    val inter = v.select(col("__g").as("g_a"), col("token"))
+      .join(v.select(col("__g").as("g_b"), col("token")), "token")
+      .where(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("__g", "g_a")
+        .withColumnRenamed("__vs", "__va")), "g_a")
+      .join(broadcast(sizes.withColumnRenamed("__g", "g_b")
+        .withColumnRenamed("__vs", "__vb")), "g_b")
+      .withColumn("jaccard_ppm", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * n_shared) " +
+          "div (__va + __vb - n_shared)").cast("bigint"))
+      .select(col("g_a"), col("g_b"), col("n_shared"), col("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("g_a"), col("g_b"))
+      .limit(k)
+  }
+
   /** χ²-ranked class-association terms: which tokens are most
     * associated with the `positive` class of `classCol` vs the rest —
     * the classic feature-selection / "what words define this slice"

@@ -772,6 +772,26 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- pairwise source vocabulary overlap ----------------------
+    // Source-redundancy matrix: exact vocab Jaccard (ppm) per source
+    // pair, top-10 — (group, token) distinct then a token-keyed join
+    // whose output is source-pair-bounded.
+    Q("q187_vocab_overlap",
+      Some(s"""WITH v AS (SELECT DISTINCT source AS g, unnest($duckToks) AS token
+              |  FROM documents),
+              |sz AS (SELECT g, count(*)::BIGINT AS vs FROM v GROUP BY g),
+              |iv AS (SELECT a.g AS g_a, b.g AS g_b, count(*)::BIGINT AS n_shared
+              |  FROM v a JOIN v b ON a.token = b.token AND a.g < b.g
+              |  GROUP BY a.g, b.g)
+              |SELECT g_a, g_b, n_shared,
+              |  ((1000000::HUGEINT * n_shared)
+              |    // (sa.vs + sb.vs - n_shared))::BIGINT AS jaccard_ppm
+              |FROM iv JOIN sz sa ON sa.g = iv.g_a JOIN sz sb ON sb.g = iv.g_b
+              |ORDER BY jaccard_ppm DESC, g_a, g_b LIMIT 10""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.vocabOverlapPairs(
+          t(s, dir, "documents"), "text", "source", k = 10)),
+
     // ---- deterministic k-fold assignment -------------------------
     // Content-addressed 5-fold split (q52 generalized): fold = hash %
     // 5, stable under re-runs and corpus changes; balance witnessed

@@ -2012,6 +2012,18 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("vocabOverlapPairs: hand-checked Jaccard on three tiny vocabularies") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a b c"), ("s2", "a b d"), ("s3", "x y z")).toDF("src", "text")
+    val got = Relevance.vocabOverlapPairs(df, "text", "src", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("jaccard_ppm"))).toMap
+    assert(got(("s1", "s2")) == (2L, 500000L)) // |{a,b}| / |{a,b,c,d}| = 1/2
+    // disjoint vocabularies produce no pair row at all (inner join on tokens)
+    assert(got.keySet == Set(("s1", "s2")))
+  }
+
   test("withFold: folds cover 0..k-1, content-addressed (same text -> same fold)") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
