@@ -264,6 +264,69 @@ object Mixing {
       .select(col("class"), col("n_class"), col("weight"))
   }
 
+  /** Capped (water-filling) budget allocation — [[allocateBudget]]'s
+    * missing constraint: proportional shares can EXCEED what a small
+    * source has. Here each group holds `availCol` units and the
+    * budget fills groups to a common LEVEL: groups with less than the
+    * level give everything, the rest take the level (+1 unit for the
+    * first `remainder` of them in key order) — the classic
+    * water-filling solution, so no group exceeds its availability and
+    * the totals match the budget exactly (or Σavail when the budget
+    * exceeds supply).
+    *
+    * Exactness: pivot search, level, and remainder are pure integer
+    * arithmetic over the availability-sorted profile — no float water
+    * level, deterministic and engine-portable.
+    *
+    * Scale shape: the solve runs on the collected GROUP table
+    * (dimension-sized by contract — the same assumption behind
+    * [[allocateBudget]]'s leftover window); the corpus itself never
+    * moves, and the quota map joins back as a broadcast.
+    * Null/negative availabilities raise.
+    *
+    * Output: `(keyCol, availCol, quota)`. */
+  def allocateCapped(counts: DataFrame, keyCol: String, availCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    // The group table is dimension-sized by contract (the same
+    // assumption as allocateBudget's leftover window): collect the
+    // sorted availability profile and solve the level exactly on the
+    // driver — integer arithmetic, no float water level.
+    val rows = counts.select(col(keyCol).cast("string"),
+      col(availCol).cast("long")).collect()
+      .map { r =>
+        require(!r.isNullAt(1) && r.getLong(1) >= 0,
+          s"allocateCapped: null/negative $availCol for key ${r.getString(0)}")
+        (r.getString(0), r.getLong(1))
+      }
+      .sortBy { case (k, a) => (a, k) }
+    val supply = rows.map(_._2).sum
+    val quotas: Map[String, Long] =
+      if (budget >= supply) rows.toMap
+      else {
+        val n = rows.length
+        var j = 0
+        var pj = 0L // availability consumed by the j fully-drained groups
+        while (j < n && pj + (n - j).toLong * rows(j)._2 < budget) {
+          pj += rows(j)._2; j += 1
+        }
+        val m = (n - j).toLong
+        val level = (budget - pj) / m
+        val extra = (budget - pj) % m
+        val full = rows.take(j).toMap
+        val levelKeys = rows.drop(j).map(_._1).sorted // +1 by key order
+        full ++ levelKeys.zipWithIndex.map { case (k, idx) =>
+          k -> (level + (if (idx < extra) 1L else 0L))
+        }
+      }
+    val qDf = quotas.toSeq.toDF("__k", "quota")
+    counts.select(col(keyCol), col(availCol))
+      .join(broadcast(qDf), col(keyCol).cast("string") === col("__k"))
+      .drop("__k")
+  }
+
   /** Deterministic k-fold assignment for cross-validation splits:
     * `fold = rollingHash(textCol) % k` — content-addressed like every
     * graft split (q52's two-way hash split generalized), so folds are

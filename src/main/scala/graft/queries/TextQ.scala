@@ -772,6 +772,45 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- capped (water-filling) budget allocation ----------------
+    // 150 doc slots across (source, lang) groups where small groups
+    // cap out at their availability and the rest fill to a common
+    // integer level (+1 for the first remainder groups in key order)
+    // — q138's apportionment with the supply constraint it lacked.
+    Q("q188_capped_allocation",
+      Some("""WITH c AS (SELECT source || '/' || lang AS k, count(*)::BIGINT AS a
+             |  FROM documents GROUP BY source, lang),
+             |r AS (SELECT k, a, row_number() OVER (ORDER BY a, k) AS i,
+             |  sum(a) OVER (ORDER BY a, k ROWS UNBOUNDED PRECEDING) AS p FROM c),
+             |t AS (SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS sa FROM c),
+             |mi AS (SELECT min(i) AS mi FROM r, t
+             |  WHERE (p - a) + (t.n - i + 1) * a >= 150),
+             |pj AS (SELECT coalesce(
+             |  (SELECT (r.p - r.a) FROM r, mi WHERE r.i = mi.mi), 0)::BIGINT AS pj
+             |  FROM mi),
+             |pr AS (SELECT mi.mi, pj.pj, t.n,
+             |  CASE WHEN mi.mi IS NULL THEN NULL
+             |    ELSE (150 - pj.pj) // (t.n - mi.mi + 1) END AS lvl,
+             |  CASE WHEN mi.mi IS NULL THEN NULL
+             |    ELSE (150 - pj.pj) % (t.n - mi.mi + 1) END AS ex
+             |  FROM mi, pj, t),
+             |lk AS (SELECT r.k, row_number() OVER (ORDER BY r.k) AS kr
+             |  FROM r, pr WHERE pr.mi IS NOT NULL AND r.i >= pr.mi)
+             |SELECT r.k AS grp, r.a AS avail,
+             |  (CASE WHEN pr.mi IS NULL THEN r.a
+             |       WHEN r.i < pr.mi THEN r.a
+             |       ELSE pr.lvl + CASE WHEN lk.kr <= pr.ex THEN 1 ELSE 0 END
+             |   END)::BIGINT AS quota
+             |FROM r CROSS JOIN pr LEFT JOIN lk ON lk.k = r.k
+             |ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val cnts = t(s, dir, "documents")
+          .groupBy(concat_ws("/", col("source"), col("lang")).as("grp"))
+          .agg(count(lit(1)).cast("bigint").as("avail"))
+        graft.operators.Mixing.allocateCapped(cnts, "grp", "avail", budget = 150L)
+          .orderBy("grp")
+      }),
+
     // ---- pairwise source vocabulary overlap ----------------------
     // Source-redundancy matrix: exact vocab Jaccard (ppm) per source
     // pair, top-10 — (group, token) distinct then a token-keyed join

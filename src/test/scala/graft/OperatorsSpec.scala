@@ -2012,6 +2012,30 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("allocateCapped: water-filling — caps respected, budget conserved, level even") {
+    import spark.implicits._
+    val c = Seq(("a", 2L), ("b", 50L), ("c", 9L), ("d", 50L)).toDF("k", "avail")
+    // budget 41: a caps at 2, c caps at 9, b/d fill to level 15 each
+    val got = graft.operators.Mixing.allocateCapped(c, "k", "avail", 41L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got == Map("a" -> 2L, "b" -> 15L, "c" -> 9L, "d" -> 15L))
+    // remainder goes to the first level-group in key order
+    val got2 = graft.operators.Mixing.allocateCapped(c, "k", "avail", 42L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got2 == Map("a" -> 2L, "b" -> 16L, "c" -> 9L, "d" -> 15L))
+    // budget over supply: everyone takes availability
+    val got3 = graft.operators.Mixing.allocateCapped(c, "k", "avail", 1000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("quota")).toMap
+    assert(got3 == Map("a" -> 2L, "b" -> 50L, "c" -> 9L, "d" -> 50L))
+    // property on real data: conservation + caps
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val cnts = docs.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("avail"))
+    val q = graft.operators.Mixing.allocateCapped(cnts, "source", "avail", 123L)
+      .collect().map(r => (r.getAs[Long]("avail"), r.getAs[Long]("quota")))
+    assert(q.map(_._2).sum == 123L)
+    assert(q.forall { case (a, quo) => quo <= a && quo >= 0 })
+  }
+
   test("vocabOverlapPairs: hand-checked Jaccard on three tiny vocabularies") {
     import spark.implicits._
     val df = Seq(
