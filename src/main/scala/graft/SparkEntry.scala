@@ -11,10 +11,12 @@ object SparkEntry {
   /** Flagship: a composed curation pass over the documents table —
     * near-duplicate removal (MinHash LSH → connected components →
     * keep-BEST-representative by length) → repetition-gate
-    * (Gopher-style) → PII scrub (regex count-and-redact) →
-    * span-level dedup → per-source acceptance stats — showcasing the
-    * LLM-pipeline operators end to end in one plan. Driver
-    * smoke-checks rows > 0. */
+    * (Gopher-style) → word-length/long-token quality rules (the
+    * C4-gate components that apply to a multilingual corpus) →
+    * PII scrub (regex count-and-redact) → span-level dedup →
+    * batched model-score seam → per-source acceptance stats —
+    * showcasing the LLM-pipeline operators end to end in one plan.
+    * Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val unique = graft.operators.DedupOps.dropNearDuplicates(
@@ -23,17 +25,25 @@ object SparkEntry {
     val gated = graft.operators.TextOps.withRepetitionStats(unique, "text")
       .where(col("dup_bigram_frac") <= 0.2 && col("top_bigram_frac") <= 0.3)
       .select("doc_id", "text", "source")
-    val scrubbed = graft.operators.TextOps.redactPii(gated, "text", "clean_text")
+    // language-neutral C4 rules only (the stopword rule would drop
+    // every non-English doc of this multilingual corpus)
+    val c4 = graft.operators.TextOps.withC4Flags(gated, "text")
+      .where(!col("f_min_words") && !col("f_long_word") && !col("f_word_len"))
+      .select("doc_id", "text", "source")
+    val scrubbed = graft.operators.TextOps.redactPii(c4, "text", "clean_text")
     val deduped = graft.operators.DedupOps.dedupSpans(
       scrubbed.select(col("doc_id"), col("clean_text").as("text"), col("source")),
       "doc_id", "text", spanTokens = 8)
-    scrubbed.join(deduped, "doc_id")
+    val scored = graft.operators.Scoring.withModelScore(
+      scrubbed.join(deduped, "doc_id"), "doc_id", "clean_text")
+    scored
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_spans")).as("total_spans"),
         sum(col("n_kept")).as("kept_spans"),
-        sum(col("n_email") + col("n_ipv4") + col("n_id") + col("n_phone")).as("pii_hits"))
+        sum(col("n_email") + col("n_ipv4") + col("n_id") + col("n_phone")).as("pii_hits"),
+        sum(col("score_permille")).as("sum_score_permille"))
       .orderBy("source")
   }
 
