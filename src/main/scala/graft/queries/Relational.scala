@@ -361,6 +361,33 @@ object Relational {
           .orderBy("user_id", "ts_us", "event_id")
       }),
 
+    // ---- bag-semantics set operations ----------------------------
+    // EXCEPT ALL / INTERSECT ALL (multiset semantics — q09/q10's
+    // distinct variants keep one copy; these keep counts): lang
+    // multisets of two overlapping doc_id ranges, results counted.
+    Q("q189_bag_setops",
+      Some("""WITH a AS (SELECT lang FROM documents WHERE doc_id < 300),
+             |b AS (SELECT lang FROM documents WHERE doc_id >= 200),
+             |ex AS (SELECT lang FROM a EXCEPT ALL SELECT lang FROM b),
+             |ix AS (SELECT lang FROM a INTERSECT ALL SELECT lang FROM b)
+             |SELECT 'except_all' AS op, lang, count(*)::BIGINT AS n FROM ex GROUP BY lang
+             |UNION ALL
+             |SELECT 'intersect_all', lang, count(*)::BIGINT FROM ix GROUP BY lang
+             |ORDER BY op, lang""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val a = docs.where(col("doc_id") < 300).select("lang")
+        val b = docs.where(col("doc_id") >= 200).select("lang")
+        a.exceptAll(b).groupBy(col("lang"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+          .select(lit("except_all").as("op"), col("lang"), col("n"))
+          .unionAll(
+            a.intersectAll(b).groupBy(col("lang"))
+              .agg(count(lit(1)).cast("bigint").as("n"))
+              .select(lit("intersect_all").as("op"), col("lang"), col("n")))
+          .orderBy("op", "lang")
+      }),
+
     // ---- key-skew diagnosis report -------------------------------
     // The pre-join report behind the q26/q65 salting remedies: top-10
     // hottest user_id values with share and exact ratio-to-average
