@@ -119,6 +119,39 @@ object TimeSeries {
       .withColumn("roll_n", count(col(valueCol)).over(w).cast("bigint"))
   }
 
+  /** Per-key event debounce (throttle): how many events survive when
+    * an event is kept only if at least `minGap` elapsed since
+    * the previously KEPT one — burst collapse for alerting, rate
+    * limiting, and interaction-log cleaning. A SEQUENTIAL recurrence
+    * (each keep depends on the last keep, which a session window
+    * cannot express: a 10-minute burst under a 60 s throttle keeps
+    * ten events, a gap-sessionizer's first-of-session keeps one) —
+    * computed with the [[emaPerKey]] list-fold discipline: sorted
+    * per-key timestamps, one strict left-to-right fold. The
+    * accumulator packs `(n_kept, last_kept_ts)` into ONE bigint
+    * (`n·2⁵¹ + ts` — µs/ns epochs stay under 2⁵¹ until ~2041/2041·10³
+    * respectively for µs; a SCALAR acc because DuckDB's list_reduce
+    * mis-evaluates struct accumulators across multiple rows).
+    * Bitwise in any engine folding the same order (`minGap` is in
+    * `tsCol`'s unit; timestamps must be non-negative and < 2⁵¹);
+    * per-key history must be entity-bounded (unbounded keys stream
+    * via mapGroupsWithState instead).
+    *
+    * Output: `(userCol, n_events, n_kept)`. */
+  def debounceCounts(events: DataFrame, userCol: String, tsCol: String,
+                     minGap: Long): DataFrame = {
+    require(minGap >= 1, "minGap must be positive")
+    val S = 1L << 51
+    events.groupBy(col(userCol))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sort_array(collect_list(col(tsCol).cast("long"))).as("__ts"))
+      .withColumn("n_kept", expr(
+        s"aggregate(__ts, CAST(0 AS BIGINT), (acc, e) -> " +
+          s"IF(acc div ${S}L = 0L OR e - acc % ${S}L >= ${minGap}L, " +
+          s"(acc div ${S}L + 1L) * ${S}L + e, acc)) div ${S}L").cast("bigint"))
+      .drop("__ts")
+  }
+
   /** Per-key exponential moving average — a SEQUENTIAL recurrence
     * (`acc ← α·x + (1−α)·acc`) that windows can't express — computed
     * WITHOUT mapGroups: collect the key's values in `(tsCol, idCol)`

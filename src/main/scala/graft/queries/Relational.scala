@@ -361,6 +361,27 @@ object Relational {
           .orderBy("user_id", "ts_us", "event_id")
       }),
 
+    // ---- event debounce (throttle) -------------------------------
+    // Events surviving a 60s per-user throttle — a sequential keep-
+    // depends-on-last-keep recurrence (NOT sessionize-first), folded
+    // with a struct accumulator in both engines.
+    Q("q190_debounce",
+      Some("""WITH l AS (SELECT user_id, count(*)::BIGINT AS n_events,
+             |  list_sort(list(epoch_us(ts)::BIGINT)) AS tl FROM events GROUP BY user_id)
+             |SELECT user_id, n_events,
+             |  (list_reduce(list_prepend(0::BIGINT, tl),
+             |    (acc, e) -> CASE WHEN acc // 2251799813685248 = 0
+             |        OR e - acc % 2251799813685248 >= 60000000
+             |      THEN (acc // 2251799813685248 + 1) * 2251799813685248 + e
+             |      ELSE acc END) // 2251799813685248)::BIGINT AS n_kept
+             |FROM l ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.debounceCounts(
+          t(s, dir, "events")
+            .select(col("user_id"), expr("ts div 1000").as("ts_us")),
+          "user_id", "ts_us", minGap = 60000000L)
+          .orderBy("user_id")),
+
     // ---- bag-semantics set operations ----------------------------
     // EXCEPT ALL / INTERSECT ALL (multiset semantics — q09/q10's
     // distinct variants keep one copy; these keep counts): lang

@@ -2012,6 +2012,17 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("debounceCounts: throttle keeps one event per gap window, bursts collapse") {
+    import spark.implicits._
+    // user u: 0, 30, 70, 140, 150, 210 with gap 60 -> keep 0, 70, 140, 210
+    val ev = Seq(0L, 30L, 70L, 140L, 150L, 210L).map(("u", _)) :+ (("v", 5L))
+    val r = graft.operators.TimeSeries.debounceCounts(
+      ev.toDF("user_id", "ts"), "user_id", "ts", minGap = 60L)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("u") == (6L, 4L))
+    assert(r("v") == (1L, 1L))
+  }
+
   test("allocateCapped: water-filling — caps respected, budget conserved, level even") {
     import spark.implicits._
     val c = Seq(("a", 2L), ("b", 50L), ("c", 9L), ("d", 50L)).toDF("k", "avail")
