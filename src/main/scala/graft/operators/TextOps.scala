@@ -286,6 +286,38 @@ object TextOps {
     * jobs); slice totals are a single-row aggregate broadcast into
     * the scoring projection; top-k is TakeOrderedAndProject (per-
     * partition heaps + one k-row driver merge), never a global sort. */
+  /** Variant canonicalization mapping: tokens that normalize (lower/
+    * trim) to the same form are mapped to the form's most frequent
+    * raw spelling (ties: lexicographically smallest) — the classic
+    * entity/spelling-cleanup verb ("USA"/"usa"/"Usa" → the majority
+    * spelling). Output: one row per non-canonical variant
+    * `(variant, canonical, n_variant, n_canonical)`.
+    *
+    * Scale shape: one token count (map-side combined,
+    * vocabulary-bounded), one window PARTITIONED by the normalized
+    * form (each partition = one form's variants — tiny), one
+    * self-join back on the form. Nothing corpus-sized shuffles after
+    * the count. */
+  def canonicalizeVariants(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = withTokens(df.select(col(textCol)), textCol, "__toks")
+      .select(explode(col("__toks")).as("variant"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).cast("bigint").as("n_variant"))
+      .withColumn("__form", lower(trim(col("variant"))))
+    val w = Window.partitionBy(col("__form"))
+      .orderBy(col("n_variant").desc, col("variant"))
+    val canon = counts
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__form"), col("variant").as("canonical"),
+        col("n_variant").as("n_canonical"))
+    counts.join(canon, "__form")
+      .where(col("variant") =!= col("canonical"))
+      .select(col("variant"), col("canonical"), col("n_variant"),
+        col("n_canonical"))
+  }
+
   /** Deterministic MLM-style token masking — the denoising-objective
     * data transform (BERT/T5 family): token `i` of a document is
     * masked iff `(idCol·31 + i) % rate == 0`, giving a reproducible

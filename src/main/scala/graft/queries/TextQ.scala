@@ -772,6 +772,34 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- variant canonicalization --------------------------------
+    // Spelling variants PLANTED (docs with doc_id % 7 == 0 are
+    // uppercased) then mapped to the majority spelling per
+    // normalized form — the entity-cleanup verb; window partitioned
+    // by form, vocabulary-bounded.
+    Q("q191_canonicalize",
+      Some(s"""WITH p AS (SELECT CASE WHEN doc_id % 7 = 0 THEN upper(text)
+              |    ELSE text END AS text FROM documents),
+              |c AS (SELECT t AS variant, count(*)::BIGINT AS n_variant
+              |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM p)
+              |  GROUP BY t),
+              |f AS (SELECT variant, n_variant, lower(trim(variant)) AS form,
+              |  row_number() OVER (PARTITION BY lower(trim(variant))
+              |    ORDER BY n_variant DESC, variant) AS rn FROM c),
+              |k AS (SELECT form, variant AS canonical, n_variant AS n_canonical
+              |  FROM f WHERE rn = 1)
+              |SELECT f.variant, k.canonical, f.n_variant, k.n_canonical
+              |FROM f JOIN k ON f.form = k.form
+              |WHERE f.variant != k.canonical
+              |ORDER BY f.variant, k.canonical""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(
+          when(col("doc_id") % 7 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        TextOps.canonicalizeVariants(planted, "text")
+          .orderBy("variant", "canonical")
+      }),
+
     // ---- capped (water-filling) budget allocation ----------------
     // 150 doc slots across (source, lang) groups where small groups
     // cap out at their availability and the rest fill to a common

@@ -2012,6 +2012,15 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("canonicalizeVariants: majority spelling wins; ties go lexicographic") {
+    import spark.implicits._
+    val df = Seq("USA usa usa Usa", "cat CAT").toDF("text")
+    val got = graft.operators.TextOps.canonicalizeVariants(df, "text")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // usa x2 beats USA/Usa x1 each; cat/CAT tie -> 'CAT' < 'cat' lexicographically
+    assert(got == Map("USA" -> "usa", "Usa" -> "usa", "cat" -> "CAT"))
+  }
+
   test("debounceCounts: throttle keeps one event per gap window, bursts collapse") {
     import spark.implicits._
     // user u: 0, 30, 70, 140, 150, 210 with gap 60 -> keep 0, 70, 140, 210
