@@ -249,6 +249,55 @@ object Relevance {
       .limit(k)
   }
 
+  /** Greedy maximum-coverage seed selection: pick `k` documents that
+    * together cover the most DISTINCT tokens — each round takes the
+    * document adding the most not-yet-covered tokens (ties: smallest
+    * id). The classic (1−1/e)-approximate seed-set / eval-set
+    * selection, and the diversity-first dual of the MMR picker.
+    *
+    * Determinism: argmax is `(gain DESC, id ASC)` — total order, so
+    * re-runs pick identical sets; pure integer gains.
+    *
+    * Scale shape: the (doc, token) table materializes once
+    * (checkpointed); each of the `k` rounds is one anti-join against
+    * the covered-token set (vocabulary-bounded, broadcast) + one
+    * doc-keyed count + a TakeOrdered(1) — a bounded driver loop of
+    * `k` small jobs, the [[SimilarityOps]] k-means|| shape, never a
+    * corpus-width collect. */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dt = TextOps.withTokens(df.select(col(idCol), col(textCol)),
+      textCol, "__toks")
+      .select(col(idCol).cast("long").as("__id"),
+        explode(col("__toks")).as("token"))
+      .distinct()
+      .localCheckpoint()
+    var covered: DataFrame = dt.select(col("token")).where(lit(false))
+    var picked = List.empty[(Int, Long, Long)]
+    var round = 1
+    while (round <= k) {
+      val pickedIds = picked.map(_._2)
+      val gains = dt
+        .where(if (pickedIds.isEmpty) lit(true) else !col("__id").isin(pickedIds: _*))
+        .join(broadcast(covered), Seq("token"), "left_anti")
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).cast("bigint").as("__gain"))
+      val best = gains.orderBy(col("__gain").desc, col("__id")).limit(1).collect()
+      if (best.isEmpty) round = k + 1 // coverage exhausted: stop early
+      else {
+        val (id, gain) = (best(0).getLong(0), best(0).getLong(1))
+        picked = picked :+ ((round, id, gain))
+        covered = covered.union(dt.where(col("__id") === id).select(col("token")))
+          .distinct().localCheckpoint()
+        round += 1
+      }
+    }
+    picked.toDF("rk", idCol, "n_new")
+  }
+
   /** Pairwise vocabulary Jaccard between `groupCol` slices: the
     * source-redundancy signal (two crawls sharing 90% of their
     * vocabulary are near-substitutes for mixture planning) —

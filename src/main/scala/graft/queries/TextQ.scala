@@ -772,6 +772,44 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- greedy max-coverage seed selection ----------------------
+    // Five docs covering the most distinct tokens, picked greedily
+    // (gain DESC, id ASC) — the (1-1/e) seed-set verb; oracle unrolls
+    // the five rounds as chained CTE stages (q113 discipline). Docs
+    // are truncated to their first 4 tokens (the full corpus shares a
+    // 31-token vocabulary, so one long doc would cover everything in
+    // round 1 and end the walk).
+    Q("q192_greedy_coverage", {
+      val rounds = (2 to 5).map { r =>
+        val prev = (1 until r).map(i => s"SELECT doc_id FROM p$i").mkString(" UNION ALL ")
+        s"""g$r AS (SELECT dt.doc_id, count(*)::BIGINT AS n FROM dt
+           |  ANTI JOIN c${r - 1} ON dt.tok = c${r - 1}.tok
+           |  WHERE dt.doc_id NOT IN ($prev) GROUP BY dt.doc_id),
+           |p$r AS (SELECT $r AS rk, doc_id, n AS n_new FROM g$r
+           |  ORDER BY n DESC, doc_id LIMIT 1),
+           |c$r AS (SELECT tok FROM c${r - 1}
+           |  UNION SELECT tok FROM dt JOIN p$r USING (doc_id))""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id,
+              |    unnest(list_slice($duckToks, 1, 4)) AS tok
+              |  FROM documents),
+              |g1 AS (SELECT doc_id, count(*)::BIGINT AS n FROM dt GROUP BY doc_id),
+              |p1 AS (SELECT 1 AS rk, doc_id, n AS n_new FROM g1
+              |  ORDER BY n DESC, doc_id LIMIT 1),
+              |c1 AS (SELECT DISTINCT tok FROM dt JOIN p1 USING (doc_id)),
+              |$rounds
+              |SELECT rk, doc_id, n_new FROM (
+              |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+              |  UNION ALL SELECT * FROM p5)
+              |ORDER BY rk""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Relevance.greedyCoverage(
+          t(s, dir, "documents").select(col("doc_id"),
+            array_join(slice(split(col("text"), " "), 1, 4), " ").as("text")),
+          "doc_id", "text", k = 5)),
+
     // ---- variant canonicalization --------------------------------
     // Spelling variants PLANTED (docs with doc_id % 7 == 0 are
     // uppercased) then mapped to the majority spelling per

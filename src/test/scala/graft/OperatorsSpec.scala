@@ -2012,6 +2012,22 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("greedyCoverage: hand-traced picks, diminishing gains, early stop when exhausted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // 4 tokens
+      (2L, "a b e"),     // adds e after doc 1
+      (3L, "f g"),       // adds f g
+      (4L, "a b c")      // adds nothing new after 1
+    ).toDF("doc_id", "text")
+    val got = Relevance.greedyCoverage(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // round 1: doc 1 (4 new); round 2: doc 3 (2 new); round 3: doc 2 (1 new: e);
+    // round 4: doc 4 gains 0 but still selectable... gain 0 rows vanish from the
+    // anti-join result, so coverage exhausts and the walk stops at 3 picks
+    assert(got.toSeq == Seq((1, 1L, 4L), (2, 3L, 2L), (3, 2L, 1L)))
+  }
+
   test("canonicalizeVariants: majority spelling wins; ties go lexicographic") {
     import spark.implicits._
     val df = Seq("USA usa usa Usa", "cat CAT").toDF("text")
