@@ -43,6 +43,40 @@ object Sequencing {
       .drop("__cum")
   }
 
+  /** Few-shot prompt assembly: per group, concatenate documents in
+    * CONTENT-HASH order (reproducible, version-stable — the
+    * weightedSample/takeQuotas discipline) while the cumulative
+    * character count stays within `charBudget`, emitting one row per
+    * group with the shot count, total characters, and the assembled
+    * prompt — the exemplar-selection verb of k-shot eval pipelines.
+    * Separator is a single newline; the content-hash order makes the
+    * prompt a pure function of the corpus.
+    *
+    * Scale shape: one group-keyed window (cumulative chars in hash
+    * order) + one group aggregate with an ordered in-group concat;
+    * per-group shot lists are budget-bounded by construction, so the
+    * collect_list payload is capped at `charBudget` characters. */
+  def assemblePrompts(df: DataFrame, groupCol: String, idCol: String,
+                      textCol: String, charBudget: Long): DataFrame = {
+    require(charBudget >= 1, "charBudget must be positive")
+    import graft.functions.TextHash.{spark => H}
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol), col(textCol),
+      expr(H.rollingHash(textCol)).as("__h"))
+      .withColumn("__cum",
+        sum(length(col(textCol)).cast("long")).over(w))
+      .where(col("__cum") <= charBudget)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_shots"),
+        max(col("__cum")).cast("bigint").as("n_chars"),
+        expr(s"array_join(transform(sort_array(collect_list(" +
+          s"struct(__h, $idCol, $textCol))), x -> x.$textCol), '\\n')")
+          .as("prompt"))
+  }
+
   /** Power-of-two padding buckets: `bucket_len` = the smallest
     * power of two ≥ the row's token count (floored at `minBucket`) —
     * the batch-shape planning behind length-bucketed training

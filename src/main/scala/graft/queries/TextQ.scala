@@ -772,6 +772,24 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- few-shot prompt assembly --------------------------------
+    // Per-lang exemplar prompts under a 1500-char budget, shots in
+    // content-hash order (a pure function of the corpus) — the
+    // assembled prompt itself is hash-compared.
+    Q("q193_prompt_assembly",
+      Some(s"""WITH h AS (SELECT lang, doc_id, text,
+              |  ${D.rollingHash("text")} AS hh FROM documents),
+              |c AS (SELECT lang, doc_id, text, hh,
+              |  sum(length(text)) OVER (PARTITION BY lang ORDER BY hh, doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+              |SELECT lang, count(*)::BIGINT AS n_shots, max(cum)::BIGINT AS n_chars,
+              |  string_agg(text, chr(10) ORDER BY hh, doc_id) AS prompt
+              |FROM c WHERE cum <= 1500 GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sequencing.assemblePrompts(
+          t(s, dir, "documents"), "lang", "doc_id", "text", charBudget = 1500L)
+          .orderBy("lang")),
+
     // ---- greedy max-coverage seed selection ----------------------
     // Five docs covering the most distinct tokens, picked greedily
     // (gain DESC, id ASC) — the (1-1/e) seed-set verb; oracle unrolls

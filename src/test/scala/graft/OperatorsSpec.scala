@@ -2012,6 +2012,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("assemblePrompts: budget binds, order is content-hash, prompt joins with newline") {
+    import spark.implicits._
+    val docs = Seq((1L, "g", "aaaa"), (2L, "g", "bbbb"), (3L, "g", "cccc"))
+      .toDF("doc_id", "grp", "text")
+    // budget 8 chars -> exactly two 4-char shots survive
+    val r = graft.operators.Sequencing.assemblePrompts(docs, "grp", "doc_id", "text", 8L).head
+    assert(r.getAs[Long]("n_shots") == 2L && r.getAs[Long]("n_chars") == 8L)
+    val prompt = r.getAs[String]("prompt")
+    assert(prompt.split("\n").length == 2 && prompt.length == 9)
+    // determinism: same corpus, same prompt
+    val again = graft.operators.Sequencing.assemblePrompts(docs, "grp", "doc_id", "text", 8L)
+      .head.getAs[String]("prompt")
+    assert(prompt == again)
+  }
+
   test("greedyCoverage: hand-traced picks, diminishing gains, early stop when exhausted") {
     import spark.implicits._
     val docs = Seq(
