@@ -286,6 +286,32 @@ object TextOps {
     * jobs); slice totals are a single-row aggregate broadcast into
     * the scoring projection; top-k is TakeOrderedAndProject (per-
     * partition heaps + one k-row driver merge), never a global sort. */
+  /** Per-group UNIQUE content contribution: how many distinct
+    * 3-token shingles appear in this group and NOWHERE else — the
+    * "what do we lose if we drop this source" signal, the exact
+    * complement of [[graft.operators.Relevance.vocabOverlapPairs]]'s
+    * redundancy view. Groups contributing nothing unique still
+    * appear (count 0).
+    *
+    * Scale shape: one (group, shingle) distinct, one shingle-keyed
+    * group-count (both map-side combined; shuffle keyed on the
+    * shingle), final output group-bounded. */
+  def uniqueShingleContribution(df: DataFrame, textCol: String,
+                                groupCol: String): DataFrame = {
+    val sh = withTokens(df.select(col(groupCol), col(textCol)), textCol, "__toks")
+      .select(col(groupCol), explode(expr(H.shingles3("__toks", textCol))).as("__sh"))
+      .distinct()
+    val spread = sh.groupBy(col("__sh"))
+      .agg(count(lit(1)).cast("bigint").as("__nsrc"))
+    val uniques = sh.join(spread.where(col("__nsrc") === 1L), "__sh")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n_unique"))
+    df.select(col(groupCol)).distinct()
+      .join(uniques, Seq(groupCol), "left")
+      .select(col(groupCol), coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .orderBy(col(groupCol))
+  }
+
   /** Variant canonicalization mapping: tokens that normalize (lower/
     * trim) to the same form are mapped to the form's most frequent
     * raw spelling (ties: lexicographically smallest) — the classic

@@ -772,6 +772,24 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- unique content contribution per source ------------------
+    // Distinct 3-shingles appearing in ONE source only — the
+    // drop-this-source cost, q187's redundancy view inverted; zero
+    // contributors kept explicitly.
+    Q("q194_unique_shingles",
+      Some(s"""WITH toks AS (SELECT source, text, $duckToks AS t FROM documents),
+              |sh AS (SELECT DISTINCT source, unnest($duckShingles) AS s FROM toks),
+              |d AS (SELECT s, count(*)::BIGINT AS nsrc FROM sh GROUP BY s),
+              |u AS (SELECT sh.source, count(*)::BIGINT AS n_unique
+              |  FROM sh JOIN d ON sh.s = d.s WHERE d.nsrc = 1 GROUP BY sh.source)
+              |SELECT src.source, coalesce(u.n_unique, 0)::BIGINT AS n_unique
+              |FROM (SELECT DISTINCT source FROM documents) src
+              |LEFT JOIN u ON u.source = src.source
+              |ORDER BY src.source""".stripMargin),
+      (s, dir) =>
+        TextOps.uniqueShingleContribution(
+          t(s, dir, "documents"), "text", "source")),
+
     // ---- few-shot prompt assembly --------------------------------
     // Per-lang exemplar prompts under a 1500-char budget, shots in
     // content-hash order (a pure function of the corpus) — the

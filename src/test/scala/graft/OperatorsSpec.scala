@@ -2012,6 +2012,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("uniqueShingleContribution: shared shingles excluded, zero contributors kept") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", "a b c d"),   // shingles abc, bcd
+      ("s2", "a b c"),     // abc (shared with s1)
+      ("s3", "a b c")      // abc (shared)
+    ).toDF("src", "text")
+    val got = graft.operators.TextOps.uniqueShingleContribution(df, "text", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only 'b c d' is unique (s1); abc appears in all three
+    assert(got == Map("s1" -> 1L, "s2" -> 0L, "s3" -> 0L))
+  }
+
   test("assemblePrompts: budget binds, order is content-hash, prompt joins with newline") {
     import spark.implicits._
     val docs = Seq((1L, "g", "aaaa"), (2L, "g", "bbbb"), (3L, "g", "cccc"))
