@@ -43,6 +43,25 @@ object Scoring {
     }
   }
 
+  /** Hashing-trick featurization: map a categorical feature cross
+    * (the `cols` values joined with `|`) into `nBuckets` hash buckets
+    * — fixed-width feature vectors without a fitted vocabulary, the
+    * standard featurizer when the category space is unbounded.
+    * Content-hashed (rollingHash), so bucket ids are stable across
+    * runs, engines, and corpus versions; collisions are a MEASURED
+    * property (witness q195 reports features-per-bucket), not a
+    * surprise. Per-row expression, no shuffle. */
+  def withHashedFeature(df: DataFrame, cols: Seq[String], nBuckets: Int,
+                        out: String = "feature_bucket"): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    require(!df.columns.contains(out), s"withHashedFeature reserves $out")
+    import graft.functions.TextHash.{spark => H}
+    val cross = s"concat_ws('|', ${cols.mkString(", ")})"
+    df.withColumn(out,
+      (expr(H.rollingHash(cross)) % nBuckets).cast("int"))
+  }
+
   /** Score every row's `textCol` through the batched seam and join
     * the integer-permille score back as `score_permille`. */
   def withModelScore(df: DataFrame, idCol: String, textCol: String,

@@ -772,6 +772,26 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- hashing-trick featurization -----------------------------
+    // (lang × source) crosses mapped into 64 stable hash buckets;
+    // the witness reports collisions (features per bucket) — the
+    // property the hashing trick trades away, measured.
+    Q("q195_feature_hashing",
+      Some(s"""WITH f AS (SELECT lang || '|' || source AS feat FROM documents),
+              |b AS (SELECT feat, ${D.rollingHash("feat")} % 64 AS bucket,
+              |  count(*)::BIGINT AS n FROM f GROUP BY feat)
+              |SELECT bucket::INT AS feature_bucket, count(*)::BIGINT AS n_features,
+              |  sum(n)::BIGINT AS n_rows
+              |FROM b GROUP BY bucket ORDER BY feature_bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.Scoring.withHashedFeature(
+          t(s, dir, "documents"), Seq("lang", "source"), nBuckets = 64)
+          .groupBy(col("feature_bucket"))
+          .agg(countDistinct(concat_ws("|", col("lang"), col("source")))
+            .cast("bigint").as("n_features"),
+            count(lit(1)).cast("bigint").as("n_rows"))
+          .orderBy("feature_bucket")),
+
     // ---- unique content contribution per source ------------------
     // Distinct 3-shingles appearing in ONE source only — the
     // drop-this-source cost, q187's redundancy view inverted; zero
