@@ -62,25 +62,32 @@ object Scoring {
       (expr(H.rollingHash(cross)) % nBuckets).cast("int"))
   }
 
+  /** The seam itself: `(id, text)` pairs scored through the batched
+    * partition iterator, returning `(__sid, score_permille)`. Built
+    * on the TYPED Dataset `mapPartitions`, so it composes with
+    * Structured Streaming unchanged (an `.rdd` seam would not) —
+    * `EventStreamSpec` proves streamed scores equal the batch run. */
+  def scoredPairs(df: DataFrame, idCol: String, textCol: String,
+                  batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // (real seam: init the model HERE, once per partition)
+        it.grouped(batchSize).flatMap(b => scoreBatch(b.toSeq))
+      }
+      .toDF("__sid", "score_permille")
+  }
+
   /** Score every row's `textCol` through the batched seam and join
     * the integer-permille score back as `score_permille`. */
   def withModelScore(df: DataFrame, idCol: String, textCol: String,
                      batchSize: Int = 64): DataFrame = {
-    require(batchSize >= 1, "batchSize must be positive")
     require(!df.columns.contains("score_permille"),
       "withModelScore reserves column name score_permille")
-    val spark = df.sparkSession
-    val narrow = df.select(col(idCol).cast("long"), col(textCol)).rdd
-    val scored = narrow.mapPartitions { it =>
-      // (real seam: init the model HERE, once per partition)
-      it.map(r => (r.getLong(0), r.getString(1)))
-        .grouped(batchSize)
-        .flatMap(b => scoreBatch(b.toSeq))
-        .map { case (id, s) => Row(id, s) }
-    }
-    val scores = spark.createDataFrame(scored, StructType(Seq(
-      StructField("__sid", LongType, nullable = false),
-      StructField("score_permille", LongType, nullable = false))))
-    df.join(scores, col(idCol) === col("__sid")).drop("__sid")
+    df.join(scoredPairs(df, idCol, textCol, batchSize),
+      col(idCol) === col("__sid")).drop("__sid")
   }
 }

@@ -242,6 +242,30 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("model-scoring seam runs unchanged on a stream; scores equal the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+    val batch = graft.operators.Scoring.scoredPairs(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val query = graft.operators.Scoring.scoredPairs(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("score_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2): _*)
+      query.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      query.processAllAvailable()
+      val streamed = spark.table("score_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        "the typed-Dataset seam must score identically under Structured Streaming")
+    } finally query.stop()
+  }
+
   test("stateless curation ops (quality gate + weighted mix) run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
