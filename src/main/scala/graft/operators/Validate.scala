@@ -45,6 +45,38 @@ object Validate {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** The debugging half of [[expect]]: for each violated rule, up to
+    * `maxExamples` EXEMPLAR row ids (smallest ids — deterministic),
+    * comma-joined ascending — what a failed gate prints so the
+    * on-call can open the offending rows instead of re-querying.
+    * Rules that pass produce no row; output is rule-bounded ×
+    * `maxExamples`.
+    *
+    * Scale shape: one pass per rule over the frame, each a filter +
+    * TakeOrdered(maxExamples) — rules are config-sized, and no rule
+    * ever collects more than `maxExamples` ids. */
+  def expectExamples(df: DataFrame, idCol: String,
+                     rules: Seq[(String, String)],
+                     maxExamples: Int = 5): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    require(maxExamples >= 1, "maxExamples must be positive")
+    rules.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"rule name '$name' must match [A-Za-z0-9_]+")
+    }
+    rules.map { case (name, sql) =>
+      df.where(!coalesce(expr(sql), lit(false)))
+        .select(col(idCol).cast("long").as("__id"))
+        .orderBy(col("__id"))
+        .limit(maxExamples)
+        .agg(count(lit(1)).cast("bigint").as("n_examples"),
+          concat_ws(",", sort_array(collect_list(col("__id"))))
+            .as("example_ids"))
+        .select(lit(name).as("rule"), col("n_examples"), col("example_ids"))
+        .where(col("n_examples") > 0L)
+    }.reduce(_.union(_)).orderBy(col("rule"))
+  }
+
   /** Referential-integrity check: one row
     * `(n_child, n_null_keys, n_orphans, ok)` counting child rows
     * whose non-null key has NO match in the parent key set (null

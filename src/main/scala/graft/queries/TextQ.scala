@@ -772,6 +772,29 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- expectation exemplar rows -------------------------------
+    // q84's gate with the on-call half: the first 5 violating doc_ids
+    // per failed rule (deterministic smallest-id exemplars), passing
+    // rules absent.
+    Q("q196_expect_examples",
+      Some("""SELECT * FROM (
+             |  SELECT 'chars_bounded' AS rule,
+             |    count(*)::BIGINT AS n_examples,
+             |    array_to_string(list_sort(list(doc_id)), ',') AS example_ids
+             |  FROM (SELECT doc_id FROM documents WHERE NOT coalesce(n_chars < 400, FALSE)
+             |    ORDER BY doc_id LIMIT 5)
+             |  UNION ALL
+             |  SELECT 'has_text', count(*)::BIGINT,
+             |    array_to_string(list_sort(list(doc_id)), ',')
+             |  FROM (SELECT doc_id FROM documents WHERE NOT coalesce(length(text) > 0, FALSE)
+             |    ORDER BY doc_id LIMIT 5))
+             |WHERE n_examples > 0 ORDER BY rule""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.expectExamples(
+          t(s, dir, "documents"), "doc_id",
+          Seq("chars_bounded" -> "n_chars < 400", "has_text" -> "length(text) > 0"),
+          maxExamples = 5)),
+
     // ---- hashing-trick featurization -----------------------------
     // (lang × source) crosses mapped into 64 stable hash buckets;
     // the witness reports collisions (features per bucket) — the

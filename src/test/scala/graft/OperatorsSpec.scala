@@ -2012,6 +2012,16 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("expectExamples: smallest-id exemplars, capped, passing rules absent") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, if (i % 2 == 0) 10 else 99)).toDF("id", "v")
+    val got = graft.operators.Validate.expectExamples(
+      df, "id", Seq("small" -> "v < 50", "positive" -> "v > 0"), maxExamples = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // odd ids violate 'small'; capped at the 3 smallest; 'positive' passes -> absent
+    assert(got.toSeq == Seq(("small", 3L, "1,3,5")))
+  }
+
   test("uniqueShingleContribution: shared shingles excluded, zero contributors kept") {
     import spark.implicits._
     val df = Seq(
