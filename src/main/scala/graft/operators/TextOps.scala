@@ -286,6 +286,38 @@ object TextOps {
     * jobs); slice totals are a single-row aggregate broadcast into
     * the scoring projection; top-k is TakeOrderedAndProject (per-
     * partition heaps + one k-row driver merge), never a global sort. */
+  /** Strip the longest common PREFIX shared by every document of a
+    * group — crawl-header/boilerplate removal when a whole source
+    * carries the same leading banner. Uses the classic order-
+    * statistics identity: the common prefix of a SET of strings is
+    * the common prefix of its lexicographic min and max, so one
+    * group aggregate + a scalar fold computes the length (no
+    * pairwise work); the trim itself is a per-row substring. Adds
+    * `prefix_len` and `trimmed`. A single-document group trims its
+    * entire text (its min and max coincide) — by construction, and
+    * documented rather than special-cased.
+    *
+    * Scale shape: one group-bounded min/max aggregate broadcast
+    * back; the fold runs once per GROUP, not per row. */
+  def stripCommonPrefix(df: DataFrame, textCol: String,
+                        groupCol: String): DataFrame = {
+    val reserved = Set("__mn", "__mx", "prefix_len", "trimmed")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"stripCommonPrefix reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val mm = df.groupBy(col(groupCol))
+      .agg(min(col(textCol)).as("__mn"), max(col(textCol)).as("__mx"))
+      .withColumn("prefix_len", expr(
+        "aggregate(sequence(1, least(length(__mn), length(__mx))), 0, " +
+          "(acc, i) -> IF(acc = i - 1 AND substring(__mn, i, 1) = substring(__mx, i, 1), " +
+          "i, acc))").cast("long"))
+      .select(col(groupCol), col("prefix_len"))
+    df.join(broadcast(mm), Seq(groupCol))
+      .withColumn("trimmed",
+        expr(s"substring($textCol, CAST(prefix_len AS INT) + 1)"))
+  }
+
   /** Per-group UNIQUE content contribution: how many distinct
     * 3-token shingles appear in this group and NOWHERE else — the
     * "what do we lose if we drop this source" signal, the exact

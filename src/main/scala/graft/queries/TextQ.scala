@@ -772,6 +772,36 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- common-prefix boilerplate strip -------------------------
+    // A per-source banner PLANTED ('HDR-<source> | ' prepended), then
+    // stripped via the min/max order-statistics identity (the group's
+    // common prefix = common prefix of its lexicographic extremes) —
+    // one aggregate, one scalar fold per group.
+    Q("q197_prefix_strip",
+      Some("""WITH p AS (SELECT source,
+             |  'HDR-' || source || ' | ' || text AS text FROM documents),
+             |mm AS (SELECT source, min(text) AS mn, max(text) AS mx FROM p
+             |  GROUP BY source),
+             |l AS (SELECT source, list_reduce(
+             |  list_prepend(0::BIGINT, range(1, least(length(mn), length(mx)) + 1)),
+             |  (acc, i) -> CASE WHEN acc = i - 1
+             |      AND substr(mn, i::INT, 1) = substr(mx, i::INT, 1)
+             |    THEN i ELSE acc END)::BIGINT AS prefix_len FROM mm)
+             |SELECT p.source, l.prefix_len, count(*)::BIGINT AS n_docs,
+             |  sum(length(substr(p.text, (l.prefix_len + 1)::INT)))::BIGINT AS chars_after
+             |FROM p JOIN l ON p.source = l.source
+             |GROUP BY p.source, l.prefix_len ORDER BY p.source""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("source"),
+          concat(lit("HDR-"), col("source"), lit(" | "), col("text")).as("text"))
+        TextOps.stripCommonPrefix(planted, "text", "source")
+          .groupBy(col("source"), col("prefix_len"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(length(col("trimmed"))).cast("bigint").as("chars_after"))
+          .select("source", "prefix_len", "n_docs", "chars_after")
+          .orderBy("source")
+      }),
+
     // ---- expectation exemplar rows -------------------------------
     // q84's gate with the on-call half: the first 5 violating doc_ids
     // per failed rule (deterministic smallest-id exemplars), passing

@@ -2012,6 +2012,21 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty slice"))
   }
 
+  test("stripCommonPrefix: shared banner removed exactly, divergence point respected") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", "HDR| alpha words"), ("s", "HDR| beta words"), ("s", "HDR| gamma"),
+      ("t", "solo document")).toDF("src", "text")
+    val got = graft.operators.TextOps.stripCommonPrefix(df, "text", "src")
+      .collect().map(r => (r.getString(0), r.getAs[Long]("prefix_len"),
+        r.getAs[String]("trimmed"))).toSet
+    // s: common prefix 'HDR| ' (5 chars: min 'HDR| alpha...' vs max 'HDR| gamma')
+    assert(got.contains(("s", 5L, "alpha words")))
+    assert(got.contains(("s", 5L, "gamma")))
+    // single-doc group trims everything (min == max), by construction
+    assert(got.contains(("t", 13L, "")))
+  }
+
   test("expectExamples: smallest-id exemplars, capped, passing rules absent") {
     import spark.implicits._
     val df = (1L to 20L).map(i => (i, if (i % 2 == 0) 10 else 99)).toDF("id", "v")
