@@ -61,6 +61,28 @@ object Skew {
     b.join(s, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Pre-join EXPLOSION guard: the `topN` join keys by output
+    * cardinality `n_left · n_right` — run it before any join whose
+    * key might be low-selectivity (the classic incident: a "unique"
+    * key that isn't, and a join that emits billions). Products ride
+    * DECIMAL(38,0); the report is what you read before deciding to
+    * dedup, salt, or aggregate first.
+    *
+    * Scale shape: one keyed count per side (map-side combined), one
+    * key equi-join of two count tables, TakeOrdered top-N. */
+  def joinBlowupReport(left: DataFrame, right: DataFrame, keyCol: String,
+                       topN: Int): DataFrame = {
+    require(topN >= 1, "topN must be positive")
+    def counts(df: DataFrame, out: String) =
+      df.groupBy(col(keyCol).cast("string").as("key_value"))
+        .agg(count(lit(1)).cast("bigint").as(out))
+    counts(left, "n_left").join(counts(right, "n_right"), "key_value")
+      .withColumn("n_pairs",
+        (col("n_left").cast("decimal(38,0)") * col("n_right")).cast("bigint"))
+      .orderBy(col("n_pairs").desc, col("key_value"))
+      .limit(topN)
+  }
+
   /** Pre-join skew DIAGNOSIS (the report you read before reaching for
     * [[saltedJoin]]): the `topN` hottest key values with their share
     * of all rows and `ratio_to_avg_ppm` — how many millionths-of-×

@@ -318,6 +318,31 @@ object TextOps {
         expr(s"substring($textCol, CAST(prefix_len AS INT) + 1)"))
   }
 
+  /** [[stripCommonPrefix]]'s mirror for FOOTERS: strip the longest
+    * common suffix shared by every document of a group (signature
+    * blocks, tracking banners) — the same min/max identity applied
+    * to the reversed strings; `suffix_len` + `trimmed` added. */
+  def stripCommonSuffix(df: DataFrame, textCol: String,
+                        groupCol: String): DataFrame = {
+    val reserved = Set("__rv", "__mn", "__mx", "suffix_len", "trimmed")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"stripCommonSuffix reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val mm = df
+      .withColumn("__rv", reverse(col(textCol)))
+      .groupBy(col(groupCol))
+      .agg(min(col("__rv")).as("__mn"), max(col("__rv")).as("__mx"))
+      .withColumn("suffix_len", expr(
+        "aggregate(sequence(1, least(length(__mn), length(__mx))), 0, " +
+          "(acc, i) -> IF(acc = i - 1 AND substring(__mn, i, 1) = substring(__mx, i, 1), " +
+          "i, acc))").cast("long"))
+      .select(col(groupCol), col("suffix_len"))
+    df.join(broadcast(mm), Seq(groupCol))
+      .withColumn("trimmed", expr(
+        s"substring($textCol, 1, length($textCol) - CAST(suffix_len AS INT))"))
+  }
+
   /** Per-group UNIQUE content contribution: how many distinct
     * 3-token shingles appear in this group and NOWHERE else — the
     * "what do we lose if we drop this source" signal, the exact

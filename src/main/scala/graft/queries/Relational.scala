@@ -361,6 +361,21 @@ object Relational {
           .orderBy("user_id", "ts_us", "event_id")
       }),
 
+    // ---- join-explosion guard ------------------------------------
+    // Top-10 join keys by would-be output cardinality for an events
+    // self-join on user_id — the report read before a risky join.
+    Q("q199_join_blowup",
+      Some("""WITH c AS (SELECT user_id::VARCHAR AS key_value,
+             |  count(*)::BIGINT AS n FROM events GROUP BY user_id)
+             |SELECT a.key_value, a.n AS n_left, b.n AS n_right,
+             |  (a.n::HUGEINT * b.n)::BIGINT AS n_pairs
+             |FROM c a JOIN c b ON a.key_value = b.key_value
+             |ORDER BY n_pairs DESC, a.key_value LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        graft.operators.Skew.joinBlowupReport(ev, ev, "user_id", topN = 10)
+      }),
+
     // ---- event debounce (throttle) -------------------------------
     // Events surviving a 60s per-user throttle — a sequential keep-
     // depends-on-last-keep recurrence (NOT sessionize-first), folded

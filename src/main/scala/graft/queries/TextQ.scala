@@ -772,6 +772,58 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- curation funnel (capstone) ------------------------------
+    // The pipeline's own funnel: corpus-wide survivor counts after
+    // each gate — repetition (q73 formulas), language-neutral C4
+    // rules (q172), blocklist (q160) — every stage a conjunction of
+    // already-oracled exact predicates.
+    Q("q200_curation_funnel",
+      Some(s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+              |bg AS (SELECT doc_id, text, t, CASE WHEN len(t) >= 2
+              |  THEN list_transform(range(1, len(t)), bi -> t[bi] || ' ' || t[bi+1])
+              |  ELSE []::VARCHAR[] END AS b FROM toks),
+              |st AS (SELECT doc_id, len(t)::BIGINT AS n, len(b) AS nb,
+              |  len(b) - len(list_distinct(b)) AS dupb,
+              |  CASE WHEN len(b) = 0 THEN 0
+              |    ELSE list_max(list_transform(list_distinct(b), g -> len(list_filter(b, x -> x = g)))) END AS topb,
+              |  list_sum(list_transform(t, x -> length(x)))::BIGINT AS sl,
+              |  (len(list_filter(t, x -> length(x) > 20)) > 0) AS flong,
+              |  (${D.tokenCount("t", "join")})::BIGINT +
+              |  (${D.tokenCount("t", "hash")})::BIGINT +
+              |  (${D.tokenCount("t", "scan")})::BIGINT AS nbk
+              |  FROM bg),
+              |f AS (SELECT doc_id,
+              |  NOT ((nb > 0 AND dupb::DOUBLE / nb::DOUBLE > 0.06)
+              |    OR (topb::DOUBLE * 2.0 / n::DOUBLE > 0.12)) AS ok2,
+              |  NOT (n < 5) AND NOT flong AND NOT (sl < 3 * n OR sl > 10 * n) AS c4,
+              |  (nbk = 0) AS clean FROM st)
+              |SELECT * FROM (
+              |  SELECT 1 AS stage, 'raw' AS stage_name, count(*)::BIGINT AS n_docs FROM f
+              |  UNION ALL SELECT 2, 'repetition_ok', sum(CASE WHEN ok2 THEN 1 ELSE 0 END)::BIGINT FROM f
+              |  UNION ALL SELECT 3, 'c4_ok', sum(CASE WHEN ok2 AND c4 THEN 1 ELSE 0 END)::BIGINT FROM f
+              |  UNION ALL SELECT 4, 'blocklist_ok', sum(CASE WHEN ok2 AND c4 AND clean THEN 1 ELSE 0 END)::BIGINT FROM f)
+              |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        val rep = TextOps.withRepetitionStats(t(s, dir, "documents"), "text")
+        val c4 = TextOps.withC4Flags(rep, "text")
+        val bl = TextOps.withBlocklistCounts(c4, "text", Seq("join", "hash", "scan"))
+        val flags = bl.select(
+          (!(col("dup_bigram_frac") > 0.06 || col("top_bigram_frac") > 0.12)).as("ok2"),
+          (!col("f_min_words") && !col("f_long_word") && !col("f_word_len")).as("c4ok"),
+          (col("n_blocked") === 0L).as("clean"))
+        val agg = flags.agg(
+          count(lit(1)).cast("bigint").as("__n1"),
+          sum(when(col("ok2"), 1L).otherwise(0L)).cast("bigint").as("__n2"),
+          sum(when(col("ok2") && col("c4ok"), 1L).otherwise(0L)).cast("bigint").as("__n3"),
+          sum(when(col("ok2") && col("c4ok") && col("clean"), 1L).otherwise(0L))
+            .cast("bigint").as("__n4"))
+        agg.select(expr(
+          "stack(4, 1, 'raw', __n1, 2, 'repetition_ok', __n2, " +
+            "3, 'c4_ok', __n3, 4, 'blocklist_ok', __n4) " +
+            "AS (stage, stage_name, n_docs)"))
+          .orderBy("stage")
+      }),
+
     // ---- common-prefix boilerplate strip -------------------------
     // A per-source banner PLANTED ('HDR-<source> | ' prepended), then
     // stripped via the min/max order-statistics identity (the group's
@@ -799,6 +851,36 @@ object TextQ {
           .agg(count(lit(1)).cast("bigint").as("n_docs"),
             sum(length(col("trimmed"))).cast("bigint").as("chars_after"))
           .select("source", "prefix_len", "n_docs", "chars_after")
+          .orderBy("source")
+      }),
+
+    // ---- common-suffix footer strip ------------------------------
+    // q197's mirror: a planted per-source footer stripped via the
+    // same identity on REVERSED strings.
+    Q("q198_suffix_strip",
+      Some("""WITH p AS (SELECT source,
+             |  text || ' | FOOTER-' || source AS text FROM documents),
+             |r AS (SELECT source, text, reverse(text) AS rv FROM p),
+             |mm AS (SELECT source, min(rv) AS mn, max(rv) AS mx FROM r
+             |  GROUP BY source),
+             |l AS (SELECT source, list_reduce(
+             |  list_prepend(0::BIGINT, range(1, least(length(mn), length(mx)) + 1)),
+             |  (acc, i) -> CASE WHEN acc = i - 1
+             |      AND substr(mn, i::INT, 1) = substr(mx, i::INT, 1)
+             |    THEN i ELSE acc END)::BIGINT AS suffix_len FROM mm)
+             |SELECT p.source, l.suffix_len, count(*)::BIGINT AS n_docs,
+             |  sum(length(substr(p.text, 1, (length(p.text) - l.suffix_len)::INT)))::BIGINT
+             |    AS chars_after
+             |FROM p JOIN l ON p.source = l.source
+             |GROUP BY p.source, l.suffix_len ORDER BY p.source""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("source"),
+          concat(col("text"), lit(" | FOOTER-"), col("source")).as("text"))
+        TextOps.stripCommonSuffix(planted, "text", "source")
+          .groupBy(col("source"), col("suffix_len"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(length(col("trimmed"))).cast("bigint").as("chars_after"))
+          .select("source", "suffix_len", "n_docs", "chars_after")
           .orderBy("source")
       }),
 

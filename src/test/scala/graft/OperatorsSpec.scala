@@ -2027,6 +2027,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.contains(("t", 13L, "")))
   }
 
+  test("stripCommonSuffix: shared footer removed; joinBlowupReport products exact") {
+    import spark.implicits._
+    val df = Seq(("s", "alpha -END"), ("s", "beta -END"), ("s", "gamma -END"))
+      .toDF("src", "text")
+    val got = graft.operators.TextOps.stripCommonSuffix(df, "text", "src")
+      .collect().map(r => (r.getAs[Long]("suffix_len"), r.getAs[String]("trimmed"))).toSet
+    assert(got == Set((5L, "alpha"), (5L, "beta"), (5L, "gamma")))
+    val l = (Seq.fill(4)("k") ++ Seq("x")).toDF("k")
+    val r = (Seq.fill(3)("k") ++ Seq("y")).toDF("k")
+    val top = graft.operators.Skew.joinBlowupReport(l, r, "k", topN = 5).collect()
+    assert(top.length == 1) // only 'k' appears on both sides
+    assert(top(0).getAs[Long]("n_pairs") == 12L)
+  }
+
   test("expectExamples: smallest-id exemplars, capped, passing rules absent") {
     import spark.implicits._
     val df = (1L to 20L).map(i => (i, if (i % 2 == 0) 10 else 99)).toDF("id", "v")
