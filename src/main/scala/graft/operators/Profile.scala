@@ -217,4 +217,42 @@ object Profile {
       .withColumn("mean_value", mean)
       .withColumn("var_value", col("sum_sq").cast("double") / n - mean * mean)
   }
+
+  /** Per-group least-squares TREND of integer-quantized observations:
+    * the OLS slope `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` as the exact
+    * scaled integer `slope_micro = sign · (1e6·|num| div den)` —
+    * integer/DECIMAL(38,0) end to end, no float sums (the graft
+    * ratio discipline), with the sign handled OUTSIDE the integral
+    * divide because engines disagree on negative integer division
+    * (floor vs truncate). `x` is centered per group on its min
+    * before squaring, which keeps every product well inside
+    * DECIMAL(38,0) without changing the slope. A constant-x group
+    * has no slope → NULL.
+    *
+    * Callers pass integer-valued x/y columns (quantize floats first
+    * — e.g. `floor(value·100 + 0.5)` cents, identical in any
+    * engine). Output: `(groupCol, n, slope_micro)`.
+    *
+    * Scale shape: one broadcast min-join + one group-bounded
+    * five-sum aggregate (map-side combined). */
+  def groupTrend(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val mins = df.groupBy(col(groupCol)).agg(min(col(xCol)).as("__x0"))
+    val c = df.join(broadcast(mins), Seq(groupCol))
+      .withColumn("__x", (col(xCol) - col("__x0")).cast("decimal(38,0)"))
+      .withColumn("__y", col(yCol).cast("decimal(38,0)"))
+    c.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__num", col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope_micro", expr(
+        "CASE WHEN __den = 0 THEN NULL ELSE " +
+          "CASE WHEN __num < 0 THEN -1L ELSE 1L END * " +
+          "CAST((CAST(1000000 AS DECIMAL(38,0)) * abs(__num)) div __den AS BIGINT) END"))
+      .select(col(groupCol), col("n"), col("slope_micro"))
+      .orderBy(col(groupCol))
+  }
 }

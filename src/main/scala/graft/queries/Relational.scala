@@ -361,6 +361,35 @@ object Relational {
           .orderBy("user_id", "ts_us", "event_id")
       }),
 
+    // ---- per-group least-squares trend ---------------------------
+    // OLS slope of event value (cents) vs hour per type, as the
+    // exact scaled integer sign·(1e6·|num| div den) — sign outside
+    // the divide (floor-vs-truncate divergence on negatives), x
+    // centered per group.
+    Q("q201_group_trend",
+      Some("""WITH q AS (SELECT event_type AS g,
+             |  epoch_us(ts) // 3600000000 AS x,
+             |  floor(value * 100 + 0.5)::BIGINT AS y FROM events),
+             |m AS (SELECT g, min(x) AS x0 FROM q GROUP BY g),
+             |c AS (SELECT q.g, (q.x - m.x0)::HUGEINT AS x, q.y::HUGEINT AS y
+             |  FROM q JOIN m ON q.g = m.g),
+             |a AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM c GROUP BY g),
+             |d AS (SELECT g, n, n * sxy - sx * sy AS num,
+             |  n * sxx - sx * sx AS den FROM a)
+             |SELECT g AS event_type, n,
+             |  CASE WHEN den = 0 THEN NULL ELSE
+             |    (CASE WHEN num < 0 THEN -1 ELSE 1 END *
+             |     ((1000000::HUGEINT * abs(num)) // den))::BIGINT END AS slope_micro
+             |FROM d ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val q = t(s, dir, "events").select(
+          col("event_type"),
+          expr("ts div 3600000000000").as("x"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("y"))
+        graft.operators.Profile.groupTrend(q, "event_type", "x", "y")
+      }),
+
     // ---- join-explosion guard ------------------------------------
     // Top-10 join keys by would-be output cardinality for an events
     // self-join on user_id — the report read before a risky join.

@@ -772,6 +772,35 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- split-leakage audit -------------------------------------
+    // Near-duplicate pairs crossing the q184 fold boundaries — the
+    // cross-validation hygiene check (a near-dup of a training doc
+    // sitting in the eval fold is leakage): q33's verified pairs
+    // joined to content-hash folds, counted per fold pair.
+    Q("q202_fold_leakage",
+      Some(s"""$sigCte,
+              |$vpairsCtes,
+              |fd AS (SELECT doc_id, (${D.rollingHash("text")} % 5)::INT AS fold
+              |  FROM documents)
+              |SELECT fa.fold AS fold_a, fb.fold AS fold_b, count(*)::BIGINT AS n_pairs
+              |FROM vpairs
+              |JOIN fd fa ON fa.doc_id = vpairs.a_id
+              |JOIN fd fb ON fb.doc_id = vpairs.b_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = DedupOps.lshNearDupPairs(docs, "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2)
+        val folds = graft.operators.Mixing.withFold(docs, "text", k = 5)
+          .select(col("doc_id"), col("fold"))
+        pairs
+          .join(folds.select(col("doc_id").as("a_id"), col("fold").as("fold_a")), "a_id")
+          .join(folds.select(col("doc_id").as("b_id"), col("fold").as("fold_b")), "b_id")
+          .groupBy(col("fold_a"), col("fold_b"))
+          .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+          .orderBy("fold_a", "fold_b")
+      }),
+
     // ---- curation funnel (capstone) ------------------------------
     // The pipeline's own funnel: corpus-wide survivor counts after
     // each gate — repetition (q73 formulas), language-neutral C4

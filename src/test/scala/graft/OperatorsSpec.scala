@@ -2027,6 +2027,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got.contains(("t", 13L, "")))
   }
 
+  test("groupTrend: exact slope on a perfect line, negative slope sign, constant x NULL") {
+    import spark.implicits._
+    // y = 3x + 7 -> slope_micro = 3_000_000 exactly
+    val line = (0L to 10L).map(x => ("up", x, 3 * x + 7)) ++
+      (0L to 10L).map(x => ("down", x, 100 - 2 * x)) ++
+      Seq(("flat", 5L, 1L), ("flat", 5L, 9L))
+    val got = graft.operators.Profile.groupTrend(
+      line.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(got("up") == Some(3000000L))
+    assert(got("down") == Some(-2000000L))
+    assert(got("flat").isEmpty, "constant x has no defined slope")
+  }
+
   test("stripCommonSuffix: shared footer removed; joinBlowupReport products exact") {
     import spark.implicits._
     val df = Seq(("s", "one -END"), ("s", "two -END"), ("s", "three -END"))
