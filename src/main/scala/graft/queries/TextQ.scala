@@ -772,6 +772,50 @@ object TextQ {
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
 
+    // ---- detector evaluation on planted ground truth -------------
+    // 50 docs copied with their first token replaced, giving known
+    // near-dup pairs (i, i+10000); the q33 detector runs on the
+    // planted corpus and its PLANTED-pair recall is measured — both
+    // engines execute the same pipeline, so the reported recall is
+    // the detector's true banding recall, hash-checked.
+    Q("q203_detector_recall",
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+              |planted AS (
+              |  SELECT doc_id, text FROM base
+              |  UNION ALL
+              |  SELECT doc_id + 10000,
+              |    'zzz ' || array_to_string(list_slice(string_split(text, ' '), 2, 100000), ' ')
+              |  FROM base),
+              |toks AS (SELECT doc_id, text, $duckToks AS t FROM planted),
+              |sh AS (SELECT doc_id, text, $duckShingles AS shs FROM toks),
+              |sig AS (SELECT doc_id, ${minhashCols(8)} FROM sh),
+              |$vpairsCtes,
+              |truth AS (SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM base)
+              |SELECT
+              |  (SELECT count(*) FROM vpairs)::BIGINT AS n_detected,
+              |  (SELECT count(*) FROM truth)::BIGINT AS n_planted,
+              |  (SELECT count(*) FROM vpairs JOIN truth USING (a_id, b_id))::BIGINT AS n_found,
+              |  (SELECT count(*) FROM vpairs JOIN truth USING (a_id, b_id))::DOUBLE
+              |    / (SELECT count(*) FROM truth)::DOUBLE AS planted_recall""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"))
+        val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(split(col("text"), " "), 2, 100000), " ")).as("text"))
+        val planted = base.unionByName(mutated)
+        val pairs = DedupOps.lshNearDupPairs(planted, "doc_id", "text",
+          bands = 2, rowsPerBand = 4, minJaccard = 0.2).localCheckpoint()
+        val truth = base.select(col("doc_id").as("a_id"),
+          (col("doc_id") + 10000).as("b_id"))
+        pairs.agg(count(lit(1)).cast("bigint").as("n_detected"))
+          .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_planted")))
+          .crossJoin(pairs.join(truth, Seq("a_id", "b_id"))
+            .agg(count(lit(1)).cast("bigint").as("n_found")))
+          .withColumn("planted_recall",
+            col("n_found").cast("double") / col("n_planted").cast("double"))
+      }),
+
     // ---- split-leakage audit -------------------------------------
     // Near-duplicate pairs crossing the q184 fold boundaries — the
     // cross-validation hygiene check (a near-dup of a training doc
