@@ -816,6 +816,59 @@ object TextQ {
             col("n_found").cast("double") / col("n_planted").cast("double"))
       }),
 
+    // ---- simhash detector on the same planted truth --------------
+    // q203's plant evaluated under the OTHER LSH family: the 60-bit/
+    // 4-band simhash detector's planted-pair recall, directly
+    // comparable to minhash's operating point.
+    Q("q204_simhash_recall", {
+      val branches = (0 until 4).map { b =>
+        val div = 1L << (15 * b)
+        s"""SELECT x.doc_id AS a_id, y.doc_id AS b_id, x.sim AS sa, y.sim AS sb
+           |    FROM sim x JOIN sim y
+           |      ON (x.sim // $div) % 32768 = (y.sim // $div) % 32768 AND x.doc_id < y.doc_id""".stripMargin
+      }.mkString("\n    UNION\n    ")
+      Some(s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+              |planted AS (
+              |  SELECT doc_id, text FROM base
+              |  UNION ALL
+              |  SELECT doc_id + 10000,
+              |    'zzz ' || array_to_string(list_slice(string_split(text, ' '), 2, 100000), ' ')
+              |  FROM base),
+              |toks AS (SELECT doc_id, $duckToks AS t FROM planted),
+              |hs AS (SELECT doc_id, ${D.tokenHashesWide("t", 60)} AS hashes FROM toks),
+              |sim AS (SELECT doc_id, ${D.simhashN("hashes", 60)} AS sim FROM hs),
+              |pairs AS (
+              |  SELECT DISTINCT a_id, b_id, sa, sb FROM (
+              |    $branches)),
+              |v AS (SELECT a_id, b_id FROM pairs WHERE bit_count(xor(sa, sb)) <= 3),
+              |truth AS (SELECT doc_id AS a_id, doc_id + 10000 AS b_id FROM base)
+              |SELECT
+              |  (SELECT count(*) FROM v)::BIGINT AS n_detected,
+              |  (SELECT count(*) FROM truth)::BIGINT AS n_planted,
+              |  (SELECT count(*) FROM v JOIN truth USING (a_id, b_id))::BIGINT AS n_found,
+              |  (SELECT count(*) FROM v JOIN truth USING (a_id, b_id))::DOUBLE
+              |    / (SELECT count(*) FROM truth)::DOUBLE AS planted_recall""".stripMargin)
+    },
+      (s, dir) => {
+        val base = t(s, dir, "documents").where(col("doc_id") < 50)
+          .select(col("doc_id"), col("text"))
+        val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(split(col("text"), " "), 2, 100000), " ")).as("text"))
+        val planted = base.unionByName(mutated)
+        val pairs = DedupOps.simhashNearDupPairs(planted, "doc_id", "text",
+          bits = 60, bands = 4, maxHamming = 3)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val truth = base.select(col("doc_id").as("a_id"),
+          (col("doc_id") + 10000).as("b_id"))
+        pairs.agg(count(lit(1)).cast("bigint").as("n_detected"))
+          .crossJoin(truth.agg(count(lit(1)).cast("bigint").as("n_planted")))
+          .crossJoin(pairs.join(truth, Seq("a_id", "b_id"))
+            .agg(count(lit(1)).cast("bigint").as("n_found")))
+          .withColumn("planted_recall",
+            col("n_found").cast("double") / col("n_planted").cast("double"))
+      }),
+
     // ---- split-leakage audit -------------------------------------
     // Near-duplicate pairs crossing the q184 fold boundaries — the
     // cross-validation hygiene check (a near-dup of a training doc
