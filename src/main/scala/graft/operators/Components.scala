@@ -193,6 +193,72 @@ object Components {
       .dropDuplicates("u", "v")
   }
 
+  /** PageRank over a directed edge list — the link-analysis importance
+    * score a curation pipeline uses to weight crawl sources (a page
+    * linked by many well-linked pages is a better training-data bet
+    * than an orphan), and the standard centrality read on the
+    * co-occurrence / citation graphs this library already builds.
+    *
+    * Determinism discipline: ranks are EXACT scaled integers
+    * (`rank_ppm`, DECIMAL(38,0) parts-per-million), every division is
+    * an integral `div`, and the recurrence is the fixed tree
+    * `r' = ((1000−d)·base + d·Σ r/outdeg) div 1000` with
+    * `base = 1e6 div N` — bitwise reproducible across engines,
+    * retries, and partitionings (no float accumulation order).
+    * Dangling-node mass is dropped, not redistributed (pinned
+    * semantics; total mass is then not conserved, which is irrelevant
+    * for ranking and keeps the per-iteration plan to one join).
+    *
+    * Scale shape (100 TB): the BSP/Pregel shape — per iteration one
+    * equi-join of the edge list with the current ranks on the source
+    * id plus one destination-keyed sum (map-side combined), never
+    * anything quadratic. The edge list and out-degree table are
+    * localCheckpointed once and reused every iteration; `iters` is
+    * small and caller-bounded, so rank lineage stays shallow. Driver
+    * holds nothing corpus-sized. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPermille: Int = 850): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      "dampingPermille must be in [0, 1000]")
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src") =!= col("__dst"))
+      .dropDuplicates("__src", "__dst")
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .unionAll(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // N and base_ppm as a broadcast 1-row frame — no driver count().
+    val base = nodes.agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+      .select(expr("CAST(1000000 AS DECIMAL(38,0)) div __n")
+        .cast("decimal(38,0)").as("__base"))
+    val outdeg = e.groupBy(col("__src"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__d"))
+      .localCheckpoint()
+    val r0 = nodes.crossJoin(broadcast(base))
+      .select(col("node"), col("__base").as("rank_ppm"), col("__base"))
+    val rFinal = (1 to iters).foldLeft(r0) { (r, _) =>
+      val contribs = e
+        .join(r.select(col("node").as("__src"), col("rank_ppm")), "__src")
+        .join(outdeg, "__src")
+        .select(col("__dst").as("node"),
+          expr("rank_ppm div __d").cast("decimal(38,0)").as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).cast("decimal(38,0)").as("__s"))
+      r.select(col("node"), col("__base"))
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(CAST(${1000 - dampingPermille} AS DECIMAL(38,0)) * __base" +
+            s" + CAST($dampingPermille AS DECIMAL(38,0)) *" +
+            " coalesce(__s, CAST(0 AS DECIMAL(38,0)))) div 1000")
+            .cast("decimal(38,0)").as("rank_ppm"),
+          col("__base"))
+    }
+    rFinal.select(col("node"), col("rank_ppm").cast("bigint").as("rank_ppm"))
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

@@ -1172,6 +1172,50 @@ object Relational {
             expr("percentile(o_totalprice, 0.5)").as("p50"),
             expr("percentile(o_totalprice, 0.9)").as("p90"),
             count(lit(1)).as("n"))
-          .orderBy("o_orderstatus"))
+          .orderBy("o_orderstatus")),
+
+    // ---- PageRank centrality (exact scaled-integer iteration) ----
+    // The supplier↔part supply graph from lineitem, ranked by 3
+    // power-iteration rounds. Ranks are exact ppm integers (fixed
+    // recurrence tree, integral divides), so both engines land on
+    // identical longs; the oracle unrolls the same 3 rounds as
+    // chained CTEs. Top 20 by rank with node tie-break.
+    Q("q205_pagerank",
+      Some("""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+             |    'p' || l_partkey AS dst FROM lineitem),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |base AS (SELECT (1000000::HUGEINT // count(*)) AS b FROM nodes),
+             |deg AS (SELECT src, count(*)::HUGEINT AS d FROM e GROUP BY src),
+             |r0 AS (SELECT node, b AS r FROM nodes CROSS JOIN base),
+             |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s FROM e
+             |  JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r1 AS (SELECT nodes.node,
+             |  (150 * b + 850 * coalesce(c1.s, 0)) // 1000 AS r
+             |  FROM nodes CROSS JOIN base LEFT JOIN c1 ON nodes.node = c1.node),
+             |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s FROM e
+             |  JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r2 AS (SELECT nodes.node,
+             |  (150 * b + 850 * coalesce(c2.s, 0)) // 1000 AS r
+             |  FROM nodes CROSS JOIN base LEFT JOIN c2 ON nodes.node = c2.node),
+             |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS s FROM e
+             |  JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r3 AS (SELECT nodes.node,
+             |  (150 * b + 850 * coalesce(c3.s, 0)) // 1000 AS r
+             |  FROM nodes CROSS JOIN base LEFT JOIN c3 ON nodes.node = c3.node)
+             |SELECT node, r::BIGINT AS rank_ppm FROM r3
+             |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val e0 = t(s, dir, "lineitem").select(
+          concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+        val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        graft.operators.Components.pageRank(e, "src", "dst", iters = 3)
+          .orderBy(col("rank_ppm").desc, col("node"))
+          .limit(20)
+      })
   )
 }

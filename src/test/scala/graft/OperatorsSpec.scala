@@ -2292,6 +2292,32 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("pageRank: hand-checked star graph; mass flows to the hub; partition-invariant") {
+    import spark.implicits._
+    // Directed star: three leaves all point at the hub h; h points at a.
+    val e = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("h", "a")).toDF("s", "d")
+    val r1 = graft.operators.Components.pageRank(e, "s", "d", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N=4, base = 250000. Each node has outdeg 1, so after one round:
+    // h receives a+b+c = 3*250000, a receives h's 250000; b,c receive 0.
+    // r' = (150*250000 + 850*inflow) div 1000
+    assert(r1("h") == (150L * 250000L + 850L * 750000L) / 1000L)
+    assert(r1("a") == (150L * 250000L + 850L * 250000L) / 1000L)
+    assert(r1("b") == (150L * 250000L) / 1000L)
+    assert(r1("c") == r1("b"))
+    // Hub stays on top after more rounds; totals stay sane (mass can
+    // only shrink through integral-divide floors, never grow).
+    val r3 = graft.operators.Components.pageRank(e, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3("h") > r3("a") && r3("a") > r3("b"))
+    assert(r3.values.sum <= 1000000L)
+    // Exact integers ⇒ identical under arbitrary repartitioning.
+    val shuffled = graft.operators.Components.pageRank(
+      e.repartition(7), "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(shuffled == r3)
+  }
+
   test("bottomK: growth-stable — adding rows only evicts, never reshuffles survivors") {
     import spark.implicits._
     val v1 = (1 to 50).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
