@@ -719,4 +719,32 @@ object TextOps {
     }
     d.withColumn(out, guess).drop("__toks")
   }
+
+  /** Unicode script mix — per-document counts of Latin letters,
+    * Cyrillic letters, and digits plus a pinned-priority dominant
+    * script: the script-level complement of [[withLangGuess]] (which
+    * can only separate languages sharing the Latin alphabet). A
+    * multilingual crawl routes documents to per-script tokenizers /
+    * language models on exactly this signal, and a wrong-script spike
+    * inside an "English" source is a classic contamination smell.
+    *
+    * Counts are length-difference counts (`len(text) −
+    * len(regexp_replace(text, class, ''))`) over fixed character
+    * classes in the Java-regex ∩ RE2 portable subset; dominance is a
+    * pinned latin ≥ cyrillic ≥ digit priority chain, so the result is
+    * engine- and partitioning-invariant. Scale shape: per-row
+    * expressions only, zero shuffles. */
+  def withScriptMix(df: DataFrame, textCol: String): DataFrame = {
+    def cnt(cls: String) =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), cls, ""))).cast("bigint")
+    df.withColumn("n_latin", cnt("[a-zA-Z]"))
+      .withColumn("n_cyrillic", cnt("[а-яА-Я]"))
+      .withColumn("n_digit", cnt("[0-9]"))
+      .withColumn("dominant_script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_digit"), lit("latin"))
+          .when(col("n_cyrillic") >= col("n_digit"), lit("cyrillic"))
+          .otherwise(lit("digit")))
+  }
 }

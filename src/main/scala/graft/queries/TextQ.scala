@@ -3069,6 +3069,46 @@ object TextQ {
         val counts = TextOps.PiiPatterns.map { case (n, _, _) => col(s"n_$n") }
         redacted.select(col("doc_id") +: counts :+ col("redacted"): _*)
           .orderBy("doc_id")
+      }),
+
+    // ---- Unicode script mix --------------------------------------
+    // Testdata text is ASCII word-salad, so Cyrillic documents are
+    // PLANTED deterministically (every 97th doc replaced wholesale —
+    // q97 planting pattern); the script profiler then routes each doc
+    // by pinned-priority dominant script and the per-script census is
+    // hash-checked. Length-difference counts over portable character
+    // classes; per-row only, zero shuffles before the final census.
+    Q("q206_script_mix",
+      Some("""WITH p AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 97 = 0
+             |    THEN 'привет мир документ ' || doc_id
+             |    ELSE text END AS t FROM documents),
+             |m AS (SELECT doc_id,
+             |  (length(t) - length(regexp_replace(t, '[a-zA-Z]', '', 'g')))::BIGINT AS n_latin,
+             |  (length(t) - length(regexp_replace(t, '[а-яА-Я]', '', 'g')))::BIGINT AS n_cyrillic,
+             |  (length(t) - length(regexp_replace(t, '[0-9]', '', 'g')))::BIGINT AS n_digit
+             |  FROM p),
+             |d AS (SELECT *, CASE
+             |    WHEN n_latin >= n_cyrillic AND n_latin >= n_digit THEN 'latin'
+             |    WHEN n_cyrillic >= n_digit THEN 'cyrillic'
+             |    ELSE 'digit' END AS dominant_script FROM m)
+             |SELECT dominant_script, count(*)::BIGINT AS n_docs,
+             |  sum(n_latin)::BIGINT AS sum_latin,
+             |  sum(n_cyrillic)::BIGINT AS sum_cyrillic,
+             |  sum(n_digit)::BIGINT AS sum_digit
+             |FROM d GROUP BY dominant_script ORDER BY dominant_script""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 97 === 0,
+            concat(lit("привет мир документ "), col("doc_id").cast("string")))
+            .otherwise(col("text")).as("t"))
+        TextOps.withScriptMix(planted, "t")
+          .groupBy(col("dominant_script"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("n_latin")).cast("bigint").as("sum_latin"),
+            sum(col("n_cyrillic")).cast("bigint").as("sum_cyrillic"),
+            sum(col("n_digit")).cast("bigint").as("sum_digit"))
+          .orderBy("dominant_script")
       })
   )
 }

@@ -2292,6 +2292,24 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("withScriptMix: hand counts and pinned latin≥cyrillic≥digit dominance") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc привет 12"), // 3 latin < 6 cyrillic → cyrillic
+      (2L, "abc ab12"),      // 5 latin dominant
+      (3L, "12345 мир"),     // 3 cyrillic < 5 digits → digit
+      (4L, "ab аб"))         // 2-2 tie → latin wins by priority
+      .toDF("id", "t")
+    val got = graft.operators.TextOps.withScriptMix(df, "t")
+      .select("id", "n_latin", "n_cyrillic", "n_digit", "dominant_script")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getString(4))).toMap
+    assert(got(1L) == ((3L, 6L, 2L), "cyrillic"))
+    assert(got(2L) == ((5L, 0L, 2L), "latin"))
+    assert(got(3L) == ((0L, 3L, 5L), "digit"))
+    assert(got(4L) == ((2L, 2L, 0L), "latin"))
+  }
+
   test("pageRank: hand-checked star graph; mass flows to the hub; partition-invariant") {
     import spark.implicits._
     // Directed star: three leaves all point at the hub h; h points at a.
