@@ -56,6 +56,37 @@ object Decontaminate {
       .drop("__cont_id")
   }
 
+  /** Graded contamination — per corpus document, how MUCH of it
+    * leaks: distinct-shingle count, overlapping-shingle count, and
+    * the exact overlap fraction `overlap_ppm = 1e6·n_overlap div
+    * n_shingles` (graft scaled-integer discipline; NULL when a
+    * null-text doc has no shingles). [[flagContaminated]]'s boolean
+    * answers "any leak at all?"; this answers "is it a quoted
+    * sentence or a wholesale copy?" — the threshold a curation
+    * pipeline actually tunes (drop at >50%, keep-and-log below).
+    *
+    * Scale shape: same broadcast benchmark-shingle set as
+    * [[flagContaminated]] (eval sets are MBs); the corpus-side
+    * explode feeds a broadcast LEFT join (hit marker, corpus never
+    * shuffled for the probe) and ONE doc-keyed aggregation whose two
+    * distinct counts share a single Expand — one shuffle total. */
+  def overlapFraction(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String): DataFrame = {
+    val benchShingles = broadcast(shingleSet(benchmark, textCol, "__bsh"))
+    TextOps.withTokens(corpus, textCol, "__toks")
+      .select(col(idCol), explode(expr(H.shingles3("__toks", textCol))).as("__sh"))
+      .join(benchShingles, col("__sh") === col("__bsh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        countDistinct(col("__sh")).cast("bigint").as("n_shingles"),
+        countDistinct(when(col("__bsh").isNotNull, col("__sh")))
+          .cast("bigint").as("n_overlap"))
+      .withColumn("overlap_ppm", expr(
+        "CASE WHEN n_shingles = 0 THEN NULL " +
+          "ELSE CAST(1000000 AS DECIMAL(38,0)) * n_overlap div n_shingles END")
+        .cast("bigint"))
+  }
+
   /** The cleaned corpus: contaminated docs removed (one anti join). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String): DataFrame =

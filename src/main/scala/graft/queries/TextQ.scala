@@ -2905,6 +2905,47 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- graded contamination (overlap fraction) -----------------
+    // q64's boolean made quantitative: docs 100..149 are PLANTED as
+    // partial copies (own text ++ benchmark doc_id−100's text), so
+    // their distinct-shingle overlap fraction lands strictly between
+    // the wholesale-copy 1e6 ppm (docs 0..49 ARE the benchmark) and
+    // the clean corpus's 0 — the threshold a drop-at->50% gate tunes.
+    // Exact scaled-integer ppm, hash-checked.
+    Q("q207_overlap_fraction",
+      Some(s"""WITH bench0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+              |corpus0 AS (SELECT c.doc_id,
+              |    CASE WHEN c.doc_id BETWEEN 100 AND 149
+              |      THEN c.text || ' ' || b.text ELSE c.text END AS text
+              |  FROM (SELECT doc_id, text FROM documents WHERE doc_id < 300) c
+              |  LEFT JOIN bench0 b ON b.doc_id = c.doc_id - 100),
+              |bt AS (SELECT text, $duckToks AS t FROM bench0),
+              |bs AS (SELECT DISTINCT unnest($duckShingles) AS bsh FROM bt),
+              |ct AS (SELECT doc_id, text, $duckToks AS t FROM corpus0),
+              |cs AS (SELECT doc_id, unnest($duckShingles) AS sh FROM ct),
+              |agg AS (SELECT doc_id, count(DISTINCT sh)::BIGINT AS n_shingles,
+              |  count(DISTINCT CASE WHEN sh IN (SELECT bsh FROM bs) THEN sh END)::BIGINT AS n_overlap
+              |  FROM cs GROUP BY doc_id)
+              |SELECT doc_id, n_shingles, n_overlap,
+              |  CASE WHEN n_shingles = 0 THEN NULL
+              |    ELSE ((1000000::HUGEINT * n_overlap) // n_shingles)::BIGINT
+              |  END AS overlap_ppm
+              |FROM agg WHERE n_overlap > 0 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.where(col("doc_id") < 50)
+        val corpus = docs.where(col("doc_id") < 300).as("c")
+          .join(bench.select(col("doc_id").as("b_id"), col("text").as("b_text")),
+            col("c.doc_id") - 100 === col("b_id"), "left")
+          .select(col("c.doc_id").as("doc_id"),
+            when(col("c.doc_id").between(100, 149),
+              concat(col("c.text"), lit(" "), col("b_text")))
+              .otherwise(col("c.text")).as("text"))
+        graft.operators.Decontaminate.overlapFraction(corpus, bench, "doc_id", "text")
+          .where(col("n_overlap") > 0)
+          .orderBy("doc_id")
+      }),
+
     // ---- winnowed (MOSS) document fingerprints -------------------
     // Window-min selection over char-5-gram rolling hashes (w=4):
     // robust fingerprints with the coverage guarantee (any shared

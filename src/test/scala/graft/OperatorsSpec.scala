@@ -2292,6 +2292,26 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("overlapFraction: hand shingle overlap, short-doc fallback, null text") {
+    import spark.implicits._
+    val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e"), // shingles abc,bcd,cde vs bench {abc,bcd} → 2/3
+      (2L, "x y z"),     // one shingle, no overlap
+      (3L, "hi"),        // whole-text fallback shingle, no overlap
+      (4L, null.asInstanceOf[String])) // no shingles → NULL ppm
+      .toDF("doc_id", "text")
+    val got = graft.operators.Decontaminate
+      .overlapFraction(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == ((3L, 2L), 666666L))
+    assert(got(2L) == ((1L, 0L), 0L))
+    assert(got(3L) == ((1L, 0L), 0L))
+    assert(got(4L) == ((0L, 0L), -1L))
+  }
+
   test("withScriptMix: hand counts and pinned latin≥cyrillic≥digit dominance") {
     import spark.implicits._
     val df = Seq(
