@@ -225,6 +225,69 @@ object Mixing {
       .drop("__rn", "quota")
   }
 
+  /** Target-distribution downsample (histogram matching): keep the
+    * LARGEST subset of `df` whose `bucketCol` histogram matches the
+    * target shares exactly (up to integral-divide floors) — the
+    * "rebalance this corpus to 40% en / 20% de / ..." step, where
+    * [[weightedSample]] scales each source by an absolute rate but
+    * cannot promise the OUTPUT proportions. Water-filling: the kept
+    * total is `T = min over buckets of (n_b·1000 div p_b)` (the
+    * first bucket to run dry sets the level) and each bucket keeps
+    * `T·p_b div 1000` rows in content-hash order via [[takeQuotas]]
+    * — deterministic, no rand(), retry-stable.
+    *
+    * `target` must be exactly `(bucketCol, target_permille)` with
+    * shares summing to 1000; it is collect()-validated and the join
+    * side rebuilt from the validated snapshot (the [[weightedSample]]
+    * discipline). A df bucket missing from the target fails the job
+    * loudly; a target bucket absent from df makes that distribution
+    * unmatchable → T = 0 → empty result (documented, not an error —
+    * the caller asked for a share of something that isn't there).
+    *
+    * Scale shape: counts are one bucket-keyed aggregation; the level
+    * and quotas live on bucket-cardinality frames; selection is
+    * [[takeQuotas]]'s one group-keyed window. */
+  def matchDistribution(df: DataFrame, textCol: String, bucketCol: String,
+                        idCol: String, target: DataFrame): DataFrame = {
+    require(target.columns.toSet == Set(bucketCol, "target_permille"),
+      s"target must have exactly columns ($bucketCol, target_permille), " +
+        s"got ${target.columns.toSeq}")
+    val rows = target.select(col(bucketCol), col("target_permille").cast("long")).collect()
+    require(rows.map(_.get(0)).distinct.length == rows.length,
+      "target must have one row per bucket")
+    rows.foreach { r =>
+      require(!r.isNullAt(1) && r.getLong(1) >= 0 && r.getLong(1) <= 1000,
+        s"target_permille for bucket '${r.get(0)}' must be in [0, 1000], got ${r.get(1)}")
+    }
+    require(rows.map(_.getLong(1)).sum == 1000L,
+      s"target shares must sum to 1000, got ${rows.map(_.getLong(1)).sum}")
+    val validated = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(bucketCol,
+          target.schema(bucketCol).dataType),
+        org.apache.spark.sql.types.StructField("__tp",
+          org.apache.spark.sql.types.LongType))))
+    val counts = df.groupBy(col(bucketCol))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+    // FULL join: df buckets missing from the target must raise (below),
+    // target buckets missing from df must count as n = 0 (they pull
+    // the water level to 0 — absent mass is unmatchable).
+    val joined = counts.join(validated, Seq(bucketCol), "full")
+      .withColumn("__tp", expr(
+        s"CASE WHEN __tp IS NOT NULL THEN __tp " +
+          s"ELSE raise_error('matchDistribution: no target share for bucket ' " +
+          s"|| CAST($bucketCol AS STRING)) END"))
+      .withColumn("__n", coalesce(col("__n"), lit(0).cast("decimal(38,0)")))
+    val level = joined.where(col("__tp") > 0)
+      .agg(min(expr("(__n * 1000) div __tp")).as("__T"))
+    val quotas = joined.crossJoin(broadcast(level))
+      .withColumn("quota", expr(
+        "coalesce((CAST(__T AS DECIMAL(38,0)) * __tp) div 1000, 0)"))
+      .select(col(bucketCol), col("quota"))
+    takeQuotas(df, textCol, bucketCol, idCol, quotas)
+  }
+
   /** Per-source label purity: each source's dominant class and its
     * share — the mixing-QA check that a "books" source really is
     * books (a low-purity source is mislabeled or needs re-routing

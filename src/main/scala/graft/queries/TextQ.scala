@@ -2905,6 +2905,38 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- target-distribution downsample (histogram matching) -----
+    // Rebalance the corpus to a pinned 40/20/15/15/10 language
+    // mixture: water-filling sets the kept total from the first
+    // bucket to run dry (de: 70·1000 div 200 = 350), every bucket
+    // keeps T·p div 1000 docs in content-hash order, and the witness
+    // hashes the per-language census + kept-id sums — the SELECTION
+    // is checked, not just the counts.
+    Q("q208_match_distribution",
+      Some(s"""WITH tgt(lang, tp) AS (VALUES ('en', 400), ('de', 200),
+              |  ('es', 150), ('fr', 150), ('zh', 100)),
+              |c AS (SELECT lang, count(*)::HUGEINT AS n FROM documents GROUP BY lang),
+              |j AS (SELECT t.lang, t.tp::HUGEINT AS tp, coalesce(c.n, 0::HUGEINT) AS n
+              |  FROM tgt t LEFT JOIN c USING (lang)),
+              |lvl AS (SELECT min(n * 1000 // tp) AS lev FROM j WHERE tp > 0),
+              |q AS (SELECT lang, (lev * tp // 1000) AS quota FROM j CROSS JOIN lvl),
+              |r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              |    ORDER BY ${D.rollingHash("text")}, doc_id) AS rn FROM documents),
+              |k AS (SELECT r.lang, r.doc_id FROM r JOIN q USING (lang) WHERE rn <= quota)
+              |SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS sum_ids
+              |FROM k GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val tgt = Seq(("en", 400L), ("de", 200L), ("es", 150L), ("fr", 150L),
+          ("zh", 100L)).toDF("lang", "target_permille")
+        graft.operators.Mixing.matchDistribution(
+          t(s, dir, "documents"), "text", "lang", "doc_id", tgt)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("bigint").as("n_kept"),
+            sum(col("doc_id")).cast("bigint").as("sum_ids"))
+          .orderBy("lang")
+      }),
+
     // ---- graded contamination (overlap fraction) -----------------
     // q64's boolean made quantitative: docs 100..149 are PLANTED as
     // partial copies (own text ++ benchmark doc_id−100's text), so

@@ -2292,6 +2292,26 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("matchDistribution: dry bucket sets the level; loud unknown bucket; absent target bucket empties") {
+    import spark.implicits._
+    val df = ((1 to 6).map(i => (i.toLong, s"doc a $i", "a")) ++
+      Seq((7L, "doc b 7", "b"), (8L, "doc b 8", "b"))).toDF("id", "text", "src")
+    val tgt = Seq(("a", 500L), ("b", 500L)).toDF("src", "target_permille")
+    // T = min(6·1000 div 500, 2·1000 div 500) = 4 → two kept per bucket
+    val kept = graft.operators.Mixing.matchDistribution(df, "text", "src", "id", tgt)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("a" -> 2L, "b" -> 2L))
+    // a df bucket with no target share fails the job loudly
+    val dfC = df.union(Seq((9L, "doc c 9", "c")).toDF("id", "text", "src"))
+    assertThrows[Exception] {
+      graft.operators.Mixing.matchDistribution(dfC, "text", "src", "id", tgt).collect()
+    }
+    // a target bucket absent from df is unmatchable → empty result
+    val tgt2 = Seq(("a", 500L), ("b", 250L), ("zz", 250L)).toDF("src", "target_permille")
+    assert(graft.operators.Mixing.matchDistribution(df, "text", "src", "id", tgt2)
+      .count() == 0L)
+  }
+
   test("overlapFraction: hand shingle overlap, short-doc fallback, null text") {
     import spark.implicits._
     val bench = Seq((100L, "a b c d")).toDF("doc_id", "text")
