@@ -225,6 +225,48 @@ object Mixing {
       .drop("__rn", "quota")
   }
 
+  /** Top-p (nucleus) selection per group: keep each group's
+    * highest-`massCol` rows until their cumulative mass first reaches
+    * `pPermille`/1000 of the group's total — "the best documents
+    * carrying half of every source's tokens", the mass-targeted
+    * cousin of [[capPerGroup]]'s count cap (a count cap keeps 1000
+    * docs whether they hold 1% or 90% of the tokens; a mass cap keeps
+    * exactly the share the token budget means). A row is kept iff
+    * `1000·(mass strictly before it) < p·total` in the pinned
+    * `(mass desc, id)` order — exact integer cross-multiplication, no
+    * float thresholds, so selection is engine/partitioning/retry
+    * invariant. All-zero-mass groups keep nothing (0 < 0 fails);
+    * null/negative mass raises loudly.
+    *
+    * Scale shape: one group-keyed shuffle feeding two windows over
+    * the same partitioning (running strict-before sum + group total)
+    * — the sessionize shape; nothing global, nothing collected. */
+  def takeTopShare(df: DataFrame, groupCol: String, massCol: String,
+                   idCol: String, pPermille: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pPermille >= 1 && pPermille <= 1000,
+      s"pPermille must be in [1, 1000], got $pPermille")
+    val reserved = Set("__m", "__cumb", "__tot")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"takeTopShare reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val guarded = df.withColumn("__m", expr(
+      s"CASE WHEN $massCol IS NULL OR $massCol < 0 " +
+        s"THEN raise_error('takeTopShare: null/negative $massCol') " +
+        s"ELSE CAST($massCol AS BIGINT) END"))
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col("__m").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    guarded
+      .withColumn("__cumb", coalesce(sum(col("__m")).over(wOrd), lit(0L)))
+      .withColumn("__tot", sum(col("__m")).over(wAll))
+      .where(expr(s"CAST(1000 AS DECIMAL(38,0)) * __cumb " +
+        s"< CAST($pPermille AS DECIMAL(38,0)) * __tot"))
+      .drop("__m", "__cumb", "__tot")
+  }
+
   /** Target-distribution downsample (histogram matching): keep the
     * LARGEST subset of `df` whose `bucketCol` histogram matches the
     * target shares exactly (up to integral-divide floors) — the

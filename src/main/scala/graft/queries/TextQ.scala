@@ -2905,6 +2905,32 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- top-p (nucleus) selection per source --------------------
+    // Per source, the biggest documents carrying the first half of
+    // its character mass: strict-before cumulative compare by exact
+    // cross-multiplication (1000·cum < 500·total), (n_chars desc,
+    // doc_id) pinned order. The census checks the kept SET (count +
+    // id-sum + kept mass), not just sizes.
+    Q("q209_top_share",
+      Some("""WITH w AS (SELECT source, doc_id, n_chars,
+             |  coalesce(sum(n_chars) OVER (PARTITION BY source
+             |    ORDER BY n_chars DESC NULLS LAST, doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+             |  sum(n_chars) OVER (PARTITION BY source) AS tot FROM documents),
+             |k AS (SELECT * FROM w WHERE 1000::HUGEINT * cumb < 500::HUGEINT * tot)
+             |SELECT source, count(*)::BIGINT AS n_kept,
+             |  sum(doc_id)::BIGINT AS sum_ids, sum(n_chars)::BIGINT AS kept_chars
+             |FROM k GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        graft.operators.Mixing.takeTopShare(
+          t(s, dir, "documents"), "source", "n_chars", "doc_id", pPermille = 500)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_kept"),
+            sum(col("doc_id")).cast("bigint").as("sum_ids"),
+            sum(col("n_chars")).cast("bigint").as("kept_chars"))
+          .orderBy("source")
+      }),
+
     // ---- target-distribution downsample (histogram matching) -----
     // Rebalance the corpus to a pinned 40/20/15/15/10 language
     // mixture: water-filling sets the kept total from the first

@@ -2292,6 +2292,28 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("takeTopShare: strict-before mass threshold, ties by id, zero-mass group empty") {
+    import spark.implicits._
+    // group g: masses 5,3,2,1 (ids 1..4). total=11, p=500 → threshold 5.5·1000
+    // id1: cumb 0 → keep; id2: cumb 5, 5000 < 5500 → keep; id3: cumb 8 → stop.
+    val df = Seq((1L, "g", 5L), (2L, "g", 3L), (3L, "g", 2L), (4L, "g", 1L),
+      (5L, "z", 0L), (6L, "z", 0L)).toDF("id", "src", "m")
+    val kept = graft.operators.Mixing.takeTopShare(df, "src", "m", "id", 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // zero-mass group z keeps nothing
+    // mass tie broken by id: two equal masses, p small enough for one row
+    val tie = Seq((10L, "t", 4L), (11L, "t", 4L)).toDF("id", "src", "m")
+    val k2 = graft.operators.Mixing.takeTopShare(tie, "src", "m", "id", 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(10L))
+    // null mass raises loudly
+    assertThrows[Exception] {
+      graft.operators.Mixing.takeTopShare(
+        Seq((1L, "g", Option.empty[Long])).toDF("id", "src", "m"),
+        "src", "m", "id", 500).collect()
+    }
+  }
+
   test("matchDistribution: dry bucket sets the level; loud unknown bucket; absent target bucket empties") {
     import spark.implicits._
     val df = ((1 to 6).map(i => (i.toLong, s"doc a $i", "a")) ++
