@@ -196,6 +196,50 @@ object Relevance {
       .agg(count(lit(1)).cast("bigint").as("n"))
   }
 
+  /** Per-document bigram rarity — mean inverse corpus frequency of
+    * the doc's ORDERED token bigrams, as the exact scaled integer
+    * `rarity_ppm = (Σ 1e6 div count(bigram)) div n_bigrams`. The
+    * log-free stand-in for n-gram-LM perplexity scoring (a KenLM
+    * gate's job): fluent text repeats the corpus's common
+    * transitions → low rarity; gibberish / boilerplate-mangled text
+    * hits unique bigrams → rarity near 1e6. Ordered bigrams, unlike
+    * [[cooccurrenceCounts]]'s unordered windows — word ORDER is the
+    * fluency signal. Docs with fewer than two tokens get
+    * `n_bigrams = 0`, rarity NULL (no evidence, not "perfect").
+    *
+    * Scale shape: one bigram-keyed count (partial agg, vocabulary²-
+    * bounded in distinct keys) + one bigram-keyed equi-join back to
+    * doc occurrences + one doc-keyed aggregation — the TF-IDF plan
+    * shape; integer divides keep it engine/partition-invariant. */
+  def withBigramRarity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val reserved = Set("__toks", "__bg", "__c", "__rs", "n_bigrams", "rarity_ppm")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withBigramRarity reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val pairs = TextOps.withTokens(df.select(col(idCol), col(textCol)),
+        textCol, "__toks")
+      .where(expr("size(__toks) >= 2"))
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(__toks) - 1), " +
+          "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
+        .as("__bg"))
+    val counts = pairs.groupBy(col("__bg"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__c"))
+    val perDoc = pairs.join(counts, "__bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(expr("CAST(1000000 AS DECIMAL(38,0)) div __c")
+          .cast("decimal(38,0)")).as("__rs"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("rarity_ppm",
+        expr("CASE WHEN n_bigrams IS NULL THEN NULL " +
+          "ELSE __rs div n_bigrams END").cast("bigint"))
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .drop("__rs")
+  }
+
   /** PMI-ranked collocations: top-`k` token pairs by pointwise mutual
     * information, the standard phrase-mining / tokenizer-merge signal.
     * PMI's exponent `P(a,b) / (P(a)·P(b))` is rank-equivalent to the

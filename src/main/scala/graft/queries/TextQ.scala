@@ -2905,6 +2905,32 @@ object TextQ {
           .orderBy("lang")
       }),
 
+    // ---- bigram rarity (LM-free perplexity proxy) ----------------
+    // Mean inverse corpus frequency of each doc's ordered token
+    // bigrams, as exact nested integer divides — the fluency gate's
+    // score without a language model. Corpus-wide counts, output
+    // restricted to docs < 200.
+    Q("q210_bigram_rarity",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    i -> t[i] || ' ' || t[i + 1])) AS b
+             |  FROM toks WHERE len(t) >= 2),
+             |bc AS (SELECT b, count(*)::HUGEINT AS cnt FROM bg GROUP BY b),
+             |p AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |    sum(1000000::HUGEINT // cnt) AS rs
+             |  FROM bg JOIN bc USING (b) GROUP BY doc_id),
+             |d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+             |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+             |  (rs // p.n_bigrams)::BIGINT AS rarity_ppm
+             |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        graft.operators.Relevance.withBigramRarity(
+          t(s, dir, "documents"), "doc_id", "text")
+          .where(col("doc_id") < 200)
+          .select("doc_id", "n_bigrams", "rarity_ppm")
+          .orderBy("doc_id")
+      }),
+
     // ---- top-p (nucleus) selection per source --------------------
     // Per source, the biggest documents carrying the first half of
     // its character mass: strict-before cumulative compare by exact

@@ -2292,6 +2292,24 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("withBigramRarity: hand corpus — shared bigrams cheap, unique ones 1e6; short docs NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"),  // bigrams "a b"(×2 in corpus), "b c"(×1)
+      (2L, "a b d"),  // "a b"(×2), "b d"(×1)
+      (3L, "solo"),   // <2 tokens → no evidence
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Relevance.withBigramRarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // doc1: (1e6 div 2 + 1e6 div 1) div 2 = 750000
+    assert(got(1L) == ((2L, 750000L)))
+    assert(got(2L) == ((2L, 750000L)))
+    assert(got(3L) == ((0L, -1L)))
+    assert(got(4L) == ((0L, -1L)))
+  }
+
   test("takeTopShare: strict-before mass threshold, ties by id, zero-mass group empty") {
     import spark.implicits._
     // group g: masses 5,3,2,1 (ids 1..4). total=11, p=500 → threshold 5.5·1000
