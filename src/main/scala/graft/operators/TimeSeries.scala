@@ -119,6 +119,52 @@ object TimeSeries {
       .withColumn("roll_n", count(col(valueCol)).over(w).cast("bigint"))
   }
 
+  /** Trailing z-score anomaly flag — is this value more than `k`
+    * standard deviations from the mean of the `nRows` values strictly
+    * before it (per key, `(tsCol, idCol)` order)? The alerting read
+    * on a metric stream, and the "did this source's quality suddenly
+    * shift?" gate on ingest.
+    *
+    * Exactness discipline: `valueCol` must be integral (callers scale
+    * floats — the q201 `floor(v·100+0.5)` pattern) and the σ-compare
+    * is cross-multiplied into one integer inequality,
+    * `(w·x − S1)² > k²·(w·S2 − S1²)` with S1/S2 the trailing
+    * sum/sum-of-squares — no float mean, no sqrt, bitwise identical
+    * in any engine. Rows with fewer than `nRows` predecessors get
+    * NULL (insufficient evidence, not "normal"); a zero-variance
+    * window flags any deviation (lhs > 0 = rhs).
+    *
+    * Scale shape: one key-partitioned window (the sessionize shape)
+    * computing three trailing aggregates over the same frame — one
+    * shuffle, no collect. */
+  def flagAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+                    idCol: String, valueCol: String, nRows: Int,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nRows >= 2, "nRows must be at least 2 (variance needs evidence)")
+    require(k >= 1, "k must be positive")
+    val reserved = Set("__x", "__s1", "__s2", "__w", "n_hist", "is_anomaly")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"flagAnomalies reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-nRows, -1)
+    df.withColumn("__x", expr(
+        s"CASE WHEN $valueCol IS NULL " +
+          s"THEN raise_error('flagAnomalies: null $valueCol') " +
+          s"ELSE CAST($valueCol AS DECIMAL(38,0)) END"))
+      .withColumn("__s1", sum(col("__x")).over(w))
+      .withColumn("__s2", sum(expr("__x * __x").cast("decimal(38,0)")).over(w))
+      .withColumn("__w", count(col("__x")).over(w).cast("decimal(38,0)"))
+      .withColumn("n_hist", col("__w").cast("bigint"))
+      .withColumn("is_anomaly", expr(
+        s"CASE WHEN __w < $nRows THEN CAST(NULL AS BOOLEAN) ELSE " +
+          "(__w * __x - __s1) * (__w * __x - __s1) > " +
+          s"CAST(${k.toLong * k} AS DECIMAL(38,0)) * (__w * __s2 - __s1 * __s1) END"))
+      .drop("__x", "__s1", "__s2", "__w")
+  }
+
   /** Per-key event debounce (throttle): how many events survive when
     * an event is kept only if at least `minGap` elapsed since
     * the previously KEPT one — burst collapse for alerting, rate

@@ -1216,6 +1216,42 @@ object Relational {
         graft.operators.Components.pageRank(e, "src", "dst", iters = 3)
           .orderBy(col("rank_ppm").desc, col("node"))
           .limit(20)
+      }),
+
+    // ---- trailing z-score anomaly flags --------------------------
+    // Per event type, events more than 3σ from their trailing-20
+    // window — the σ-compare cross-multiplied into one exact integer
+    // inequality (no float mean, no sqrt). Census checks the flagged
+    // SET via id-sums.
+    Q("q211_anomaly_flags",
+      Some("""WITH q AS (SELECT event_id, event_type, ts,
+             |  floor(value * 100 + 0.5)::HUGEINT AS x FROM events),
+             |w AS (SELECT event_type, event_id, x,
+             |  count(*) OVER win AS w,
+             |  coalesce(sum(x) OVER win, 0) AS s1,
+             |  coalesce(sum(x * x) OVER win, 0) AS s2
+             |  FROM q WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+             |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+             |f AS (SELECT event_type, event_id,
+             |  CASE WHEN w < 20 THEN NULL
+             |    ELSE (w * x - s1) * (w * x - s1) > 9 * (w * s2 - s1 * s1) END AS a
+             |  FROM w)
+             |SELECT event_type, count(*)::BIGINT AS n_events,
+             |  sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_anomalies,
+             |  sum(CASE WHEN a THEN event_id ELSE 0 END)::BIGINT AS sum_anomaly_ids
+             |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("x",
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        graft.operators.TimeSeries.flagAnomalies(
+          ev, "event_type", "ts", "event_id", "x", nRows = 20, k = 3)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_events"),
+            sum(when(col("is_anomaly"), 1L).otherwise(0L)).cast("bigint")
+              .as("n_anomalies"),
+            sum(when(col("is_anomaly"), col("event_id")).otherwise(0L))
+              .cast("bigint").as("sum_anomaly_ids"))
+          .orderBy("event_type")
       })
   )
 }

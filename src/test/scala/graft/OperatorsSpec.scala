@@ -2292,6 +2292,27 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("flagAnomalies: spike flagged, steady value not, warmup NULL, zero-variance window") {
+    import spark.implicits._
+    // key a: 4 steady values then a spike, window 4, k=3.
+    val rows = Seq(
+      (1L, 1L, "a", 10L), (2L, 2L, "a", 12L), (3L, 3L, "a", 10L),
+      (4L, 4L, "a", 12L), (5L, 5L, "a", 11L), (6L, 6L, "a", 500L),
+      // key z: constant → zero variance; any deviation flags
+      (10L, 1L, "z", 7L), (11L, 2L, "z", 7L), (12L, 3L, "z", 7L),
+      (13L, 4L, "z", 7L), (14L, 5L, "z", 7L), (15L, 6L, "z", 8L))
+      .toDF("id", "ts", "k", "v")
+    val got = graft.operators.TimeSeries
+      .flagAnomalies(rows, "k", "ts", "id", "v", nRows = 4, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getBoolean(5)))).toMap
+    assert(got(1L).isEmpty && got(4L).isEmpty) // warmup rows: NULL
+    assert(got(5L).contains(false))            // 11 inside 10..12 band
+    assert(got(6L).contains(true))             // the spike
+    assert(got(14L).contains(false))           // constant stays constant
+    assert(got(15L).contains(true))            // zero-variance: any step flags
+  }
+
   test("withBigramRarity: hand corpus — shared bigrams cheap, unique ones 1e6; short docs NULL") {
     import spark.implicits._
     val df = Seq(
