@@ -143,6 +143,27 @@ object EventStream {
       }
   }
 
+  /** Streaming dedup gate against an AT-REST corpus: drop incoming
+    * docs whose content digest already exists in the static corpus —
+    * the streaming face of [[graft.operators.DedupOps.incrementalDedup]]
+    * (batch-vs-corpus) for continuous ingest.
+    *
+    * Shape: a stream-static LEFT ANTI join on the md5 digest. The
+    * static side is re-planned every micro-batch (Spark's
+    * stream-static contract), so a corpus that grows between batches
+    * is honored without restarting the query, and a broadcast-sized
+    * digest set never shuffles the stream. The stream side keeps NO
+    * state — this gate does not dedup the stream against itself
+    * (doc 2 repeating doc 1's text from an earlier BATCH passes);
+    * compose with [[streamingDedup]] downstream for that half. */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val withDigest = docs.withColumn("__digest", md5(col(textCol)))
+    val corpusDigests = corpus.select(md5(col(textCol)).as("__digest")).distinct()
+    withDigest.join(corpusDigests, Seq("__digest"), "left_anti").drop("__digest")
+  }
+
   /** Continuous ingest into a Hive-partitioned dataset: each
     * micro-batch APPENDS to the dataset (the reference's at-rest
     * `append` semantics — hive_dataset.py:417-420 — driven by a

@@ -216,6 +216,30 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static dedup gate: corpus content dropped, fresh content passes, no stream state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "known text"), (2L, "other known")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val query = EventStream.dedupAgainstCorpus(
+      mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("anti_corpus_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((30L, "known text"), (31L, "fresh content"))
+      query.processAllAvailable()
+      assert(spark.table("anti_corpus_out").collect().map(_.getLong(0)).toSet
+        == Set(31L))
+      // The gate is stateless on the stream side: batch-2 repeats of
+      // batch-1 STREAM content pass (only the static corpus filters) —
+      // compose with streamingDedup for stream-self dedup.
+      mem.addData((32L, "other known"), (33L, "fresh content"))
+      query.processAllAvailable()
+      assert(spark.table("anti_corpus_out").collect().map(_.getLong(0)).toSet
+        == Set(31L, 33L))
+    } finally query.stop()
+  }
+
   test("streaming upsert sink: foreachBatch + HiveDataset.upsert converges to last-writer state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
