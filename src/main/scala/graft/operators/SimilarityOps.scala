@@ -589,6 +589,38 @@ object SimilarityOps {
           s"ELSE transform($vecCol, qv -> CAST(floor((CAST(qv AS DOUBLE) * 127.0) / $scaleCol + 0.5) AS INT)) END"))
   }
 
+  /** Quantized-domain MIPS: per query, the top-k corpus rows by the
+    * EXACT integer inner product of their int8 codes — the search
+    * half of [[withQuantizedInt8]] (quantize once, then rank in the
+    * compressed domain without touching float vectors). Integer dots
+    * have no accumulation-order problem, so scores — and therefore
+    * rankings — are bitwise identical at any parallelism and across
+    * engines, something float cosine ANN cannot promise. Callers
+    * re-score the k survivors with float cosine when exact angles
+    * matter (standard two-stage retrieval).
+    *
+    * Scale shape: [[knnJoin]]'s — queries broadcast, corpus streams
+    * through one codegen'd scan (4× less IO than float32 thanks to
+    * the codes), per-query top-k via window row_number. */
+  def int8TopK(corpus: DataFrame, corpusId: String, corpusCodes: String,
+               queries: DataFrame, queryId: String, queryCodes: String,
+               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("dot_q", expr(
+        s"aggregate(zip_with($corpusCodes, $queryCodes, " +
+          "(ix, iy) -> CAST(ix AS BIGINT) * CAST(iy AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (ia, ib) -> ia + ib)"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("dot_q").desc, col(corpusId))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(queryId).as("q_id"), col(corpusId).as("c_id"),
+        col("rank"), col("dot_q"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Per-label centroid outlier scoring for LABELED embedding
     * corpora — the "prune vectors that don't belong to their class"
     * curation gate: each label's centroid is the component-wise

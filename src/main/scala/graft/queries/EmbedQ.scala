@@ -316,6 +316,40 @@ object EmbedQ {
             col("dot_qq"), col("cos_in_bounds"))
           .orderBy("vec_id")),
 
+    // ---- int8 MIPS: search in the quantized domain ---------------
+    // q90's codes put to work: top-5 corpus rows per query by EXACT
+    // integer inner product of int8 codes — rankings bitwise-stable
+    // at any parallelism (float ANN cannot promise that), and the
+    // scan moves 4× fewer bytes than float32. Queries are vec_id<3,
+    // self-matches included (rank-1 sanity anchor).
+    Q("q212_int8_mips",
+      Some("""WITH s AS (SELECT vec_id,
+             |  list_max(list_transform(embedding, qx -> abs(qx::DOUBLE))) AS scale,
+             |  embedding FROM embeddings),
+             |c AS (SELECT vec_id,
+             |  CASE WHEN scale = 0 THEN list_transform(embedding, qz -> 0)
+             |       ELSE list_transform(embedding, qv -> floor((qv::DOUBLE * 127.0) / scale + 0.5)::INT) END AS codes
+             |  FROM s),
+             |qs AS (SELECT vec_id AS q_id, codes AS qc FROM c WHERE vec_id < 3),
+             |scored AS (SELECT q_id, vec_id AS c_id,
+             |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len(codes) + 1),
+             |    i -> (codes)[i]::BIGINT * (qc)[i]::BIGINT)), (ia, ib) -> ia + ib) AS dot_q
+             |  FROM c, qs),
+             |ranked AS (SELECT q_id, c_id, dot_q,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, c_id)::INT AS rank
+             |  FROM scored)
+             |SELECT q_id, c_id, rank, dot_q FROM ranked WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin),
+      (s, dir) => {
+        val coded = SimilarityOps.withQuantizedInt8(
+          t(s, dir, "embeddings"), "embedding")
+        SimilarityOps.int8TopK(
+          coded.select(col("vec_id"), col("q8")), "vec_id", "q8",
+          coded.where(col("vec_id") < 3)
+            .select(col("vec_id").as("q_id"), col("q8").as("qc")),
+          "q_id", "qc", k = 5)
+      }),
+
     // ---- per-label centroid outlier scoring ----------------------
     // Class-conditional embedding quality gate: fixed-point (1e-9)
     // centroid means per label — exact integer sums, parallelism-

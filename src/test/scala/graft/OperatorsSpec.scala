@@ -2292,6 +2292,20 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("int8TopK: exact integer dots rank deterministically; self-match on top") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(127, 0, 0)), (2L, Seq(0, 127, 0)),
+      (3L, Seq(90, 90, 0)), (4L, Seq(-127, 0, 0)))
+      .toDF("id", "codes")
+    val queries = Seq((1L, Seq(127, 0, 0))).toDF("q_id", "qc")
+    val got = graft.operators.SimilarityOps
+      .int8TopK(corpus, "id", "codes", queries, "q_id", "qc", k = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(1), r.getLong(3)))
+    // dots: id1 127·127=16129, id3 90·127=11430, id2 0, id4 −16129
+    assert(got.toSeq == Seq((1, 1L, 16129L), (2, 3L, 11430L), (3, 2L, 0L)))
+  }
+
   test("flagAnomalies: spike flagged, steady value not, warmup NULL, zero-variance window") {
     import spark.implicits._
     // key a: 4 steady values then a spike, window 4, k=3.
