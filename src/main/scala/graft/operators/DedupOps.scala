@@ -276,6 +276,72 @@ object DedupOps {
       .select(col(idCol), col("n_spans"), col("n_kept"), col("kept_text"))
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin candidate principle — Bayardo et al., WWW 2007;
+    * Xiao et al., WWW 2008): ALL pairs of documents whose
+    * distinct-token Jaccard reaches `tNum/tDen`, with no LSH
+    * false-negative risk — the exactness complement of
+    * [[lshNearDupPairs]] (banding trades recall for speed; this
+    * trades a freq-ordered prefix join for a guarantee).
+    *
+    * Candidate rule: order each doc's distinct tokens rarest-first
+    * (global df asc, token asc — one shared total order), take the
+    * first `n − ceil(t·n) + 1` as its prefix; any pair with
+    * `J ≥ t` MUST share a prefix token (prefix-filter lemma), so the
+    * token-keyed prefix self-join loses nothing. Verification is the
+    * exact integer compare `tDen·|∩| ≥ tNum·|∪|` — no floats
+    * anywhere; `jac_ppm` is the scaled-integer Jaccard.
+    *
+    * Scale shape: df table = one token-keyed count; ordering = one
+    * doc-keyed sort-collect; candidates = equi-join on prefix tokens,
+    * whose fan-out the rarest-first order actively minimizes (a
+    * stop-word lands in a prefix only for docs where nothing rarer
+    * exists); verification joins move (id, ordered-set) pairs for
+    * CANDIDATES only. Null-text docs have no tokens and never pair. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         tNum: Int, tDen: Int): DataFrame = {
+    require(tNum >= 1 && tDen >= 1 && tNum <= tDen,
+      s"threshold tNum/tDen must be in (0, 1], got $tNum/$tDen")
+    val reserved = Set("__tk", "__df", "__ord", "__n", "__plen", "__ptk",
+      "a_id", "b_id", "n_inter", "n_union", "jac_ppm")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"prefixJaccardPairs reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val toks = TextOps.withTokens(df.select(col(idCol), col(textCol)),
+        textCol, "__toks")
+      .select(col(idCol), explode(array_distinct(col("__toks"))).as("__tk"))
+    val freq = toks.groupBy(col("__tk"))
+      .agg(count(lit(1)).cast("bigint").as("__df"))
+    val ordered = toks.join(freq, "__tk")
+      .groupBy(col(idCol))
+      .agg(expr("transform(array_sort(collect_list(struct(__df, __tk))), s -> s.__tk)")
+        .as("__ord"),
+        count(lit(1)).cast("bigint").as("__n"))
+    val prefixes = ordered
+      .withColumn("__plen", expr(
+        s"__n - ((${tNum}L * __n + ${tDen - 1}L) div ${tDen}L) + 1"))
+      .select(col(idCol),
+        explode(expr("slice(__ord, 1, CAST(__plen AS INT))")).as("__ptk"))
+    val cand = prefixes.select(col(idCol).as("a_id"), col("__ptk"))
+      .join(prefixes.select(col(idCol).as("b_id"), col("__ptk")), Seq("__ptk"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val setsA = ordered.select(col(idCol).as("a_id"),
+      col("__ord").as("__ord_a"), col("__n").as("__na"))
+    val setsB = ordered.select(col(idCol).as("b_id"),
+      col("__ord").as("__ord_b"), col("__n").as("__nb"))
+    cand.join(setsA, "a_id").join(setsB, "b_id")
+      .withColumn("n_inter",
+        size(array_intersect(col("__ord_a"), col("__ord_b"))).cast("bigint"))
+      .withColumn("n_union", (col("__na") + col("__nb") - col("n_inter")).cast("bigint"))
+      .where(lit(tDen.toLong) * col("n_inter") >= lit(tNum.toLong) * col("n_union"))
+      .withColumn("jac_ppm", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * n_inter) div n_union").cast("bigint"))
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"), col("jac_ppm"))
+  }
+
   /** Cross-source duplication matrix: for every pair of sources, how
     * many DISTINCT `spanTokens`-token spans they share — "which
     * sources copy from each other", the provenance probe that decides

@@ -869,6 +869,42 @@ object TextQ {
             col("n_found").cast("double") / col("n_planted").cast("double"))
       }),
 
+    // ---- EXACT set-similarity join (prefix filtering) ------------
+    // AllPairs/PPJoin-style rarest-first prefix candidates + exact
+    // integer verification, checked against a BRUTE-FORCE all-pairs
+    // oracle on a planted corpus — the exactness guarantee itself is
+    // the witness (every J ≥ 9/10 pair present, none extra), which a
+    // banded LSH detector cannot promise.
+    Q("q213_prefix_jaccard",
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |    WHERE doc_id < 60 AND text IS NOT NULL),
+             |planted AS (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 10000,
+             |    'zzz ' || array_to_string(list_slice(string_split(text, ' '), 2, 100000), ' ')
+             |  FROM base),
+             |d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM planted),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  len(list_intersect(a.s, b.s))::BIGINT AS n_inter,
+             |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS n_union
+             |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, n_inter, n_union,
+             |  ((1000000::HUGEINT * n_inter) // n_union)::BIGINT AS jac_ppm
+             |FROM p WHERE 10 * n_inter >= 9 * n_union
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .where(col("doc_id") < 60 && col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("zzz "),
+            array_join(slice(split(col("text"), " "), 2, 100000), " ")).as("text"))
+        DedupOps.prefixJaccardPairs(base.unionByName(mutated),
+          "doc_id", "text", tNum = 9, tDen = 10)
+          .orderBy("a_id", "b_id")
+      }),
+
     // ---- split-leakage audit -------------------------------------
     // Near-duplicate pairs crossing the q184 fold boundaries — the
     // cross-validation hygiene check (a near-dup of a training doc

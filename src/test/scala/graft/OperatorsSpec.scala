@@ -2292,6 +2292,32 @@ class OperatorsSpec extends SparkSpec {
       .head.getLong(0) == 4L)
   }
 
+  test("prefixJaccardPairs: equals brute force on an overlapping-vocab corpus; J=t boundary kept") {
+    import spark.implicits._
+    // 40 docs over a 12-word vocabulary → plenty of true near-pairs.
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (0 until 6).map(j => s"w${(i * j * 7 + j) % 12}").distinct.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.DedupOps
+      .prefixJaccardPairs(docs, "doc_id", "text", tNum = 1, tDen = 2)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = docs.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
+    val bf = d.as("a").crossJoin(d.as("b"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("i", size(array_intersect(col("a.s"), col("b.s"))))
+      .withColumn("u", size(col("a.s")) + size(col("b.s")) - col("i"))
+      .where(lit(2) * col("i") >= col("u"))
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf.nonEmpty, "degenerate test corpus: brute force found no pairs")
+    assert(got == bf, s"prefix filter must be exact: got ${got.size}, brute ${bf.size}")
+    // exact threshold boundary: {a,b,c} vs {a,b,d} → J = 2/4 = 1/2 kept
+    val boundary = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    assert(graft.operators.DedupOps
+      .prefixJaccardPairs(boundary, "doc_id", "text", 1, 2).count() == 1L)
+  }
+
   test("int8TopK: exact integer dots rank deterministically; self-match on top") {
     import spark.implicits._
     val corpus = Seq(
