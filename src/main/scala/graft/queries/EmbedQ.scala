@@ -536,6 +536,51 @@ object EmbedQ {
           k = 5)
       }),
 
+    // ---- label-noise estimate (kNN disagreement census) ----------
+    // The confident-learning-style read on q132: per label, how often
+    // the 5-NN vote over a disjoint reference split disagrees with
+    // the stored label — `noise_ppm` is the exact scaled-integer
+    // disagreement rate, the prune/relabel budget per class.
+    Q("q214_label_noise",
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 100),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 100),
+              |s AS (SELECT q_id, c_id, c_label,
+              |  row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |v AS (SELECT q_id, c_label, count(*)::BIGINT AS votes
+              |  FROM s WHERE rn <= 5 GROUP BY q_id, c_label),
+              |p AS (SELECT q_id, c_label AS predicted_label, votes,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, c_label) AS pr
+              |  FROM v),
+              |j AS (SELECT q.label, (q.label = p.predicted_label) AS ok
+              |  FROM q JOIN p ON p.q_id = q.q_id AND p.pr = 1)
+              |SELECT label, count(*)::BIGINT AS n,
+              |  sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_disagree,
+              |  ((1000000::HUGEINT * sum(CASE WHEN ok THEN 0 ELSE 1 END)) // count(*))::BIGINT AS noise_ppm
+              |FROM j GROUP BY label ORDER BY label""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.knnPredictLabels(
+          emb.where(col("vec_id") >= 100)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+              col("label").as("c_label")),
+          "c_id", "cv", "c_label",
+          emb.where(col("vec_id") < 100)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("label").as("q_label")),
+          "q_id", "qv", "q_label",
+          k = 5)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(when(col("correct"), 0L).otherwise(1L)).cast("bigint")
+              .as("n_disagree"))
+          .withColumn("noise_ppm", expr(
+            "(CAST(1000000 AS DECIMAL(38,0)) * n_disagree) div n").cast("bigint"))
+          .orderBy("label")
+      }),
+
     // ---- contrastive training triplets ---------------------------
     // (anchor, nearest same-label positive, capped nearest cross-label
     // negative) via ONE aggregation — argmax as max(struct(sim, −id)),

@@ -869,6 +869,50 @@ object TextQ {
             col("n_found").cast("double") / col("n_planted").cast("double"))
       }),
 
+    // ---- Zipf slope (corpus-health scalar) -----------------------
+    // Rank-frequency slope of the top-1000 tokens in log2/log2 space,
+    // with log2 taken EXACTLY as bit length (length(bin(n)) — minimal
+    // width in both engines) and the fit being q201's integer OLS —
+    // a natural corpus sits near −1e6 (Zipf exponent ≈ 1); template
+    // spam or truncated vocabularies bend it. Top-k via
+    // TakeOrdered, so the rank window touches 1000 rows, never the
+    // vocabulary.
+    Q("q215_zipf_slope",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |c AS (SELECT unnest(t) AS tok FROM toks),
+              |cnt AS (SELECT tok, count(*)::BIGINT AS n FROM c GROUP BY tok),
+              |top AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 1000),
+              |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM top),
+              |pts AS (SELECT 'all' AS g, length(bin(rk))::HUGEINT AS x,
+              |  length(bin(n))::HUGEINT AS y FROM r),
+              |m AS (SELECT g, min(x) AS x0 FROM pts GROUP BY g),
+              |ctr AS (SELECT pts.g, (pts.x - m.x0) AS x, pts.y
+              |  FROM pts JOIN m ON pts.g = m.g),
+              |a AS (SELECT g, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+              |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM ctr GROUP BY g),
+              |d AS (SELECT g, n, n * sxy - sx * sy AS num,
+              |  n * sxx - sx * sx AS den FROM a)
+              |SELECT g, n,
+              |  CASE WHEN den = 0 THEN NULL ELSE
+              |    (CASE WHEN num < 0 THEN -1 ELSE 1 END *
+              |     ((1000000::HUGEINT * abs(num)) // den))::BIGINT END AS slope_micro
+              |FROM d ORDER BY g""".stripMargin),
+      (s, dir) => {
+        val cnt = TextOps.withTokens(
+            t(s, dir, "documents").select(col("text")), "text", "__toks")
+          .select(explode(col("__toks")).as("tok"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val top = cnt.orderBy(col("n").desc, col("tok")).limit(1000)
+        val ranked = top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("tok"))))
+        val pts = ranked.select(lit("all").as("g"),
+          expr("CAST(length(bin(rk)) AS BIGINT)").as("x"),
+          expr("CAST(length(bin(n)) AS BIGINT)").as("y"))
+        graft.operators.Profile.groupTrend(pts, "g", "x", "y")
+      }),
+
     // ---- EXACT set-similarity join (prefix filtering) ------------
     // AllPairs/PPJoin-style rarest-first prefix candidates + exact
     // integer verification, checked against a BRUTE-FORCE all-pairs
