@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Relevance, SimilarityOps, TextOps}
+import graft.operators.{Components, Decontaminate, DedupOps, Relevance, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Scale-shape assertions: the properties that make the LSH operators
@@ -241,5 +241,42 @@ class ScaleShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
       s"expected a broadcast left-semi join against benchmark shingles:\n$plan")
+  }
+
+  test("prefixJaccardPairs plan: equi-joins only — no cartesian/nested-loop anywhere") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .where(col("doc_id") < 200)
+    val plan = DedupOps.prefixJaccardPairs(docs, "doc_id", "text", 9, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix filtering must candidate via token equi-joins, never all-pairs:\n$plan")
+  }
+
+  test("int8TopK plan: query side broadcast, corpus never shuffled before the top-k window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val coded = SimilarityOps.withQuantizedInt8(emb, "embedding")
+    val out = SimilarityOps.int8TopK(
+      coded.select(col("vec_id"), col("q8")), "vec_id", "q8",
+      coded.where(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("q8").as("qc")),
+      "q_id", "qc", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"queries must broadcast into the corpus scan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one q_id-keyed shuffle for the window, found $shuffles:\n$plan")
+  }
+
+  test("pageRank per-iteration plan: edge/degree frames are reused checkpoints, not recomputed scans") {
+    import spark.implicits._
+    val e = (1 to 200).map(i => (s"n$i", s"n${i % 37}")).toDF("s", "d")
+    val ranked = Components.pageRank(e, "s", "d", iters = 3)
+    // After checkpointing, every iteration reads LogicalRDD leaves —
+    // the source frame is materialized once, not re-derived per round.
+    val leaves = ranked.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"expected all leaves to be checkpointed RDDs, got:\n${leaves.mkString("\n")}")
   }
 }
