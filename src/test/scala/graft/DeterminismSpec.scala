@@ -64,6 +64,22 @@ class DeterminismSpec extends SparkSpec {
     assert(canon(Inspect.partitionDigests(mutated, "source", "text")) != base)
   }
 
+  test("matchDistribution keeps the same rows under any partitioning") {
+    import spark.implicits._
+    val tgt = Seq(("en", 400L), ("de", 200L), ("es", 150L), ("fr", 150L),
+      ("zh", 100L)).toDF("lang", "target_permille")
+    invariant { d =>
+      Mixing.matchDistribution(d, "text", "lang", "doc_id", tgt).select("doc_id")
+    }
+  }
+
+  test("takeTopShare keeps the same rows under any partitioning") {
+    invariant { d =>
+      Mixing.takeTopShare(d, "source", "n_chars", "doc_id", pPermille = 500)
+        .select("doc_id")
+    }
+  }
+
   test("allocateBudget apportions identically under any partitioning") {
     invariant { d =>
       val counts = d.groupBy(col("source"))
