@@ -1218,6 +1218,60 @@ object Relational {
           .limit(20)
       }),
 
+    // ---- personalized PageRank (seeded teleport) -----------------
+    // q205's graph re-ranked from a trusted seed set (nation-0
+    // suppliers): teleport mass lands only on seeds, so ranks read
+    // "proximity to the seeds" — the crawl-frontier prioritizer. Same
+    // exact ppm recurrence, seed-gated base term, 3 unrolled rounds.
+    // Runs on the 1-in-7-parts subgraph: q205 already witnesses the
+    // full-graph BSP cost; this query's point is teleport semantics.
+    Q("q216_personalized_pagerank",
+      Some("""WITH e0 AS (SELECT DISTINCT 's' || l_suppkey AS src,
+             |    'p' || l_partkey AS dst FROM lineitem WHERE l_partkey % 7 = 0),
+             |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+             |nodes AS (SELECT DISTINCT src AS node FROM e),
+             |sd AS (SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+             |  WHERE s_nationkey = 0),
+             |ns AS (SELECT n.node,
+             |  CASE WHEN sd.node IS NOT NULL THEN 1::HUGEINT ELSE 0::HUGEINT END AS sg
+             |  FROM nodes n LEFT JOIN sd ON n.node = sd.node),
+             |base AS (SELECT (1000000::HUGEINT // sum(sg)) AS b FROM ns),
+             |deg AS (SELECT src, count(*)::HUGEINT AS d FROM e GROUP BY src),
+             |r0 AS (SELECT node, sg, b * sg AS r FROM ns CROSS JOIN base),
+             |c1 AS (SELECT e.dst AS node, sum(r0.r // deg.d) AS s FROM e
+             |  JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r1 AS (SELECT ns.node, ns.sg,
+             |  (150 * b * ns.sg + 850 * coalesce(c1.s, 0)) // 1000 AS r
+             |  FROM ns CROSS JOIN base LEFT JOIN c1 ON ns.node = c1.node),
+             |c2 AS (SELECT e.dst AS node, sum(r1.r // deg.d) AS s FROM e
+             |  JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r2 AS (SELECT ns.node, ns.sg,
+             |  (150 * b * ns.sg + 850 * coalesce(c2.s, 0)) // 1000 AS r
+             |  FROM ns CROSS JOIN base LEFT JOIN c2 ON ns.node = c2.node),
+             |c3 AS (SELECT e.dst AS node, sum(r2.r // deg.d) AS s FROM e
+             |  JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r3 AS (SELECT ns.node, ns.sg,
+             |  (150 * b * ns.sg + 850 * coalesce(c3.s, 0)) // 1000 AS r
+             |  FROM ns CROSS JOIN base LEFT JOIN c3 ON ns.node = c3.node)
+             |SELECT node, r::BIGINT AS rank_ppm FROM r3
+             |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val e0 = t(s, dir, "lineitem").where(col("l_partkey") % 7 === 0)
+          .select(
+            concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+        val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+          .select(concat(lit("s"), col("s_suppkey")).as("node"))
+        graft.operators.Components.personalizedPageRank(
+          e, "src", "dst", seeds, "node", iters = 3)
+          .orderBy(col("rank_ppm").desc, col("node"))
+          .limit(20)
+      }),
+
     // ---- trailing z-score anomaly flags --------------------------
     // Per event type, events more than 3σ from their trailing-20
     // window — the σ-compare cross-multiplied into one exact integer

@@ -2451,6 +2451,35 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == ((2L, 2L, 0L), "latin"))
   }
 
+  test("personalizedPageRank: teleport lands only on seeds; disjoint seed set raises") {
+    import spark.implicits._
+    val e = Seq(("a", "h"), ("b", "h"), ("c", "h"), ("h", "a")).toDF("s", "d")
+    val seeds = Seq("a").toDF("n")
+    val r1 = graft.operators.Components
+      .personalizedPageRank(e, "s", "d", seeds, "n", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base = 1e6 (one seed). Round 1: only a held mass (1e6); a→h is
+    // a's sole edge, so h gets 1e6 inflow; a keeps its seeded base
+    // term plus h's pre-teleport 0 inflow... h had rank 0, so a's
+    // inflow is 0: a = (150·1e6 + 0) div 1000; h = (0 + 850·1e6) div 1000.
+    assert(r1("a") == 150000L)
+    assert(r1("h") == 850000L)
+    assert(r1("b") == 0L && r1("c") == 0L) // non-seeds get no teleport
+    // proximity ordering after convergence rounds: the seed and its
+    // neighbor dominate distant nodes
+    val r3 = graft.operators.Components
+      .personalizedPageRank(e, "s", "d", seeds, "n", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3("b") == 0L && r3("c") == 0L) // b,c have no inbound edges
+    assert(r3("a") > 0L && r3("h") > 0L)
+    // seeds entirely outside the graph: loud failure, not all-zero
+    assertThrows[Exception] {
+      graft.operators.Components
+        .personalizedPageRank(e, "s", "d", Seq("zz").toDF("n"), "n", 1)
+        .collect()
+    }
+  }
+
   test("pageRank: hand-checked star graph; mass flows to the hub; partition-invariant") {
     import spark.implicits._
     // Directed star: three leaves all point at the hub h; h points at a.
