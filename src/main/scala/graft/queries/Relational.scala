@@ -1209,9 +1209,11 @@ object Relational {
              |SELECT node, r::BIGINT AS rank_ppm FROM r3
              |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin),
       (s, dir) => {
+        // no .distinct() here: pageRank dropDuplicates the union
+        // anyway — a pre-distinct would just add a 3rd shuffle.
         val e0 = t(s, dir, "lineitem").select(
           concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+          concat(lit("p"), col("l_partkey")).as("dst"))
         val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.Components.pageRank(e, "src", "dst", iters = 3)
           .orderBy(col("rank_ppm").desc, col("node"))
@@ -1262,7 +1264,7 @@ object Relational {
         val e0 = t(s, dir, "lineitem").where(col("l_partkey") % 7 === 0)
           .select(
             concat(lit("s"), col("l_suppkey")).as("src"),
-            concat(lit("p"), col("l_partkey")).as("dst")).distinct()
+            concat(lit("p"), col("l_partkey")).as("dst"))
         val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
           .select(concat(lit("s"), col("s_suppkey")).as("node"))

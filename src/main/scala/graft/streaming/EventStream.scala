@@ -19,6 +19,9 @@ case class UserTotal(user_id: Long, n: Long, sum_value: Double)
 /** Output row of [[EventStream.streamingDedup]]. */
 case class DedupDoc(doc_id: Long, text: String)
 
+/** Output row of [[EventStream.streamingDebounce]]. */
+case class KeptEvent(user_id: Long, ts: Long)
+
 /** Per-user running totals as a Spark-4 `StatefulProcessor`: one
   * typed `ValueState[UserTotal]` per key, folded with each
   * micro-batch's rows and re-emitted (update mode). TTL is NONE here
@@ -140,6 +143,46 @@ object EventStream {
             val first = rows.minBy(_._1)
             Iterator(DedupDoc(first._1, first._2))
           }
+      }
+  }
+
+  /** Streaming per-key debounce (throttle): emit an event only if at
+    * least `minGap` (in `tsCol` units) elapsed since the previously
+    * KEPT event of the same key — the continuous face of
+    * [[graft.operators.TimeSeries.debounceCounts]] (same
+    * keep-depends-on-last-keep recurrence, same `>=` gap rule), with
+    * the last-kept timestamp carried in keyed state across
+    * micro-batches. Rows inside a batch are sorted per key before
+    * folding; cross-batch equality with the batch operator holds when
+    * batches arrive in timestamp order per key (the replay/ingest
+    * case — out-of-order arrivals would need watermarked buffering,
+    * a different operator). State is one long per key. */
+  def streamingDebounce(events: DataFrame, minGap: Long,
+                        keyCol: String = "user_id",
+                        tsCol: String = "ts")
+      : org.apache.spark.sql.Dataset[KeptEvent] = {
+    require(minGap >= 1, "minGap must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(keyCol).cast("long"), col(tsCol).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, KeptEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val kept = Array.newBuilder[KeptEvent]
+          sorted.foreach { t =>
+            if (last == Long.MinValue || t - last >= minGap) {
+              kept += KeptEvent(key, t)
+              last = t
+            }
+          }
+          if (last != Long.MinValue) state.update(last)
+          kept.result().iterator
       }
   }
 

@@ -216,6 +216,39 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming debounce: cross-batch throttle equals the batch operator on ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val query = EventStream.streamingDebounce(
+      mem.toDF().toDF("user_id", "ts"), minGap = 60L)
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 bursts (0, 30, 60, 150); user 2 single event
+      mem.addData((1L, 0L), (1L, 30L), (1L, 60L), (1L, 150L), (2L, 10L))
+      query.processAllAvailable()
+      // batch 2: user 1 continues — 190 is < 60 after last-kept 150,
+      // 220 makes it (state crossed the batch boundary); user 2 at 95
+      // is 85 after 10 → kept
+      mem.addData((1L, 190L), (1L, 220L), (2L, 95L))
+      query.processAllAvailable()
+      val streamed = spark.table("debounce_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((1L, 0L), (1L, 60L), (1L, 150L), (1L, 220L),
+        (2L, 10L), (2L, 95L)))
+      // counts agree with the batch recurrence on the full replay
+      val all = Seq((1L, 0L), (1L, 30L), (1L, 60L), (1L, 150L), (1L, 190L),
+        (1L, 220L), (2L, 10L), (2L, 95L)).toDF("user_id", "ts")
+      val batch = graft.operators.TimeSeries
+        .debounceCounts(all, "user_id", "ts", minGap = 60L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val perKey = streamed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(perKey == batch,
+        s"stream kept $perKey but batch recurrence says $batch")
+    } finally query.stop()
+  }
+
   test("stream-static dedup gate: corpus content dropped, fresh content passes, no stream state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
