@@ -47,4 +47,39 @@ class MisraGriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(arr == Seq(("b", 2L), ("a", 1L)))
   }
+
+  test("streaming: state-store buffer merge across micro-batches equals batch (exact regime)") {
+    // The same mergeable-summary rule that makes the aggregate safe
+    // under any partial-aggregation plan must also make it safe under
+    // Structured Streaming's state store, where each micro-batch's
+    // partial summary merges into the persisted buffer. Witnessed in
+    // the exact regime (capacity >= distinct items), where the result
+    // is order-independent and must equal true counts over the full
+    // replay regardless of how rows were split across batches.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val query = mem.toDF().toDF("item")
+      .selectExpr("graft_mg_topk(item, 16) AS s")
+      .writeStream.format("memory").queryName("mg_stream_out")
+      .outputMode("complete").start()
+    def streamed(): Map[String, Long] =
+      spark.table("mg_stream_out")
+        .selectExpr("explode(s) AS e")
+        .select(col("e.item"), col("e.count_lo"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      val b1 = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+      val b2 = Seq.fill(4)("b") ++ Seq.fill(2)("d") ++ Seq("a")
+      mem.addData(b1: _*)
+      query.processAllAvailable()
+      assert(streamed() == Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+      mem.addData(b2: _*)
+      query.processAllAvailable()
+      val exact = (b1 ++ b2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(streamed() == exact,
+        "cross-batch state merge diverged from batch counts")
+    } finally query.stop()
+  }
 }
