@@ -1221,8 +1221,8 @@ object Relational {
       }),
 
     // ---- personalized PageRank (seeded teleport) -----------------
-    // q205's graph re-ranked from a trusted seed set (nation-0
-    // suppliers): teleport mass lands only on seeds, so ranks read
+    // q205's graph re-ranked from a trusted seed set (every 5th
+    // supplier): teleport mass lands only on seeds, so ranks read
     // "proximity to the seeds" — the crawl-frontier prioritizer. Same
     // exact ppm recurrence, seed-gated base term, 3 unrolled rounds.
     // Runs on the 1-in-7-parts subgraph: q205 already witnesses the
@@ -1233,7 +1233,7 @@ object Relational {
              |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
              |nodes AS (SELECT DISTINCT src AS node FROM e),
              |sd AS (SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
-             |  WHERE s_nationkey = 0),
+             |  WHERE s_suppkey % 5 = 0),
              |ns AS (SELECT n.node,
              |  CASE WHEN sd.node IS NOT NULL THEN 1::HUGEINT ELSE 0::HUGEINT END AS sg
              |  FROM nodes n LEFT JOIN sd ON n.node = sd.node),
@@ -1266,7 +1266,11 @@ object Relational {
             concat(lit("s"), col("l_suppkey")).as("src"),
             concat(lit("p"), col("l_partkey")).as("dst"))
         val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-        val seeds = t(s, dir, "supplier").where(col("s_nationkey") === 0)
+        // Key-modulo seeds: non-empty inside the subgraph at EVERY
+        // scale factor (a nationkey predicate had zero members in the
+        // sf0.001 subgraph, tripping the operator's disjoint-seed
+        // raise).
+        val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 5 === 0)
           .select(concat(lit("s"), col("s_suppkey")).as("node"))
         graft.operators.Components.personalizedPageRank(
           e, "src", "dst", seeds, "node", iters = 3)

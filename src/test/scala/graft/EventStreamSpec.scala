@@ -249,6 +249,36 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming debounce: kept set is invariant to the micro-batch split point") {
+    // The keyed last-kept state must make the throttle a pure function
+    // of the per-key ordered event sequence, however the replay is cut
+    // into micro-batches. Replay one corpus split at every boundary
+    // and assert the identical kept set each time.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq((1L, 0L), (1L, 30L), (1L, 60L), (1L, 150L), (1L, 190L),
+      (1L, 220L), (2L, 10L), (2L, 95L))
+    val expected = Set((1L, 0L), (1L, 60L), (1L, 150L), (1L, 220L),
+      (2L, 10L), (2L, 95L))
+    for (cut <- Seq(2, 4, 6)) {
+      val mem = MemoryStream[(Long, Long)]
+      val name = s"debounce_split_$cut"
+      val query = EventStream.streamingDebounce(
+        mem.toDF().toDF("user_id", "ts"), minGap = 60L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        mem.addData(all.take(cut): _*)
+        query.processAllAvailable()
+        mem.addData(all.drop(cut): _*)
+        query.processAllAvailable()
+        val got = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expected, s"split at $cut kept $got")
+      } finally query.stop()
+    }
+  }
+
   test("stream-static dedup gate: corpus content dropped, fresh content passes, no stream state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
