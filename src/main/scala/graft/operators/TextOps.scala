@@ -433,6 +433,50 @@ object TextOps {
       .drop("__mk_toks")
   }
 
+  /** Deterministic fill-in-the-middle (FIM) transform — the
+    * infilling-objective data prep (Bavarian et al., "Efficient
+    * Training of Language Models to Fill in the Middle",
+    * arXiv:2207.14255): a content-hash-selected `ratePermille`
+    * fraction of documents is split at two hash-derived character
+    * cuts and re-serialized in PSM order
+    * `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle`; the rest
+    * pass through unchanged. Every decision (selection AND both cut
+    * points) derives from the portable rolling content hash, so any
+    * retry, re-run, or engine reproduces the transform bitwise — no
+    * RNG, the graft determinism discipline. Adds `fim_applied` and
+    * `fim_text`; `prefix ++ middle ++ suffix` always reassembles the
+    * original text.
+    *
+    * Scale shape: per-row codegen'd string expressions, no shuffle.
+    * The O(len) hash fold is let-bound (`transform(array(...))`) so
+    * it runs at most twice per row — once for the flag, once inside
+    * the rewrite — never once per substring reference. */
+  def withFimTransform(df: DataFrame, textCol: String,
+                       ratePermille: Int = 500): DataFrame = {
+    require(ratePermille >= 0 && ratePermille <= 1000,
+      s"ratePermille must be in [0, 1000], got $ratePermille")
+    val reserved = Set("fim_applied", "fim_text")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withFimTransform reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    // Hash digits: permille-of-length cut points; h in [0, P) so all
+    // derived values are non-negative. c1 <= c2 < len for len >= 1.
+    val c1 = s"(length($textCol) * least((h div 1000) % 1000, " +
+      s"(h div 1000000) % 1000)) div 1000"
+    val c2 = s"(length($textCol) * greatest((h div 1000) % 1000, " +
+      s"(h div 1000000) % 1000)) div 1000"
+    df.withColumn("fim_applied",
+        expr(s"${H.rollingHash(textCol)} % 1000 < $ratePermille"))
+      .withColumn("fim_text", expr(
+        s"element_at(transform(array(${H.rollingHash(textCol)}), h -> " +
+          s"CASE WHEN h % 1000 < $ratePermille THEN " +
+          s"concat('<|fim_pre|>', substring($textCol, 1, $c1), " +
+          s"'<|fim_suf|>', substring($textCol, ($c2) + 1, length($textCol) - ($c2)), " +
+          s"'<|fim_mid|>', substring($textCol, ($c1) + 1, ($c2) - ($c1))) " +
+          s"ELSE $textCol END), 1)"))
+  }
+
   /** Encoding-hygiene scrub: strip C0 control characters (except
     * tab/newline/CR) from `textCol` into `out`, with `n_ctrl` = how
     * many were removed (a LENGTH DIFFERENCE — exact, no second regex

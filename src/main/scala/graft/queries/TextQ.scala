@@ -715,6 +715,31 @@ object TextQ {
           .select(col("doc_id"), col("masked_text"), col("target"), col("n_masked"))
           .orderBy("doc_id")),
 
+    // ---- deterministic FIM transform -----------------------------
+    // The infilling-objective prep (Bavarian et al. 2022): a
+    // content-hash-selected half of the corpus is re-serialized PSM
+    // (<|fim_pre|>p<|fim_suf|>s<|fim_mid|>m) with BOTH character cuts
+    // derived from the same rolling hash — RNG-free, engine/retry
+    // reproducible. The full transformed text is hash-checked.
+    Q("q217_fim_transform",
+      Some(s"""WITH h0 AS (SELECT doc_id, text, ${D.rollingHash("text")} AS h,
+              |  length(text)::BIGINT AS len FROM documents),
+              |c AS (SELECT doc_id, text, h, len,
+              |  (len * least((h // 1000) % 1000, (h // 1000000) % 1000)) // 1000 AS c1,
+              |  (len * greatest((h // 1000) % 1000, (h // 1000000) % 1000)) // 1000 AS c2
+              |  FROM h0)
+              |SELECT doc_id, h % 1000 < 500 AS fim_applied,
+              |  CASE WHEN h % 1000 < 500 THEN
+              |    '<|fim_pre|>' || substring(text, 1, c1) ||
+              |    '<|fim_suf|>' || substring(text, c2 + 1, len - c2) ||
+              |    '<|fim_mid|>' || substring(text, c1 + 1, c2 - c1)
+              |  ELSE text END AS fim_text
+              |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.withFimTransform(t(s, dir, "documents"), "text")
+          .select(col("doc_id"), col("fim_applied"), col("fim_text"))
+          .orderBy("doc_id")),
+
     // ---- CDC log application -------------------------------------
     // Ordered change feed applied to the corpus snapshot: every 10th
     // doc updated (+1000 chars), every (10k+5)th updated then DELETED

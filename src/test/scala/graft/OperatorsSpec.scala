@@ -2262,6 +2262,38 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_masked") == 2L)
   }
 
+  test("withFimTransform: PSM pieces reassemble the original; rate 0/1000 endpoints") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"doc $i " + ("abcdefghij " * (i.toInt % 7 + 1)).trim))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextOps.withFimTransform(docs, "text")
+      .collect().map(row => (row.getAs[String]("text"),
+        row.getAs[Boolean]("fim_applied"), row.getAs[String]("fim_text")))
+    assert(r.exists(_._2) && r.exists(!_._2), "hash selection should split the corpus")
+    val Pre = "<|fim_pre|>"; val Suf = "<|fim_suf|>"; val Mid = "<|fim_mid|>"
+    r.foreach { case (text, applied, out) =>
+      if (!applied) assert(out == text)
+      else {
+        // parse PSM: pre..suf..mid markers, then prefix+middle+suffix == text
+        assert(out.startsWith(Pre))
+        val sufAt = out.indexOf(Suf); val midAt = out.indexOf(Mid)
+        assert(sufAt >= Pre.length && midAt > sufAt)
+        val prefix = out.substring(Pre.length, sufAt)
+        val suffix = out.substring(sufAt + Suf.length, midAt)
+        val middle = out.substring(midAt + Mid.length)
+        assert(prefix + middle + suffix == text,
+          s"pieces do not reassemble for: $text")
+      }
+    }
+    // endpoints: rate 0 transforms nothing, rate 1000 everything
+    val r0 = graft.operators.TextOps.withFimTransform(docs, "text", ratePermille = 0)
+    assert(r0.where(col("fim_applied")).count() == 0L)
+    assert(r0.where(col("fim_text") =!= col("text")).count() == 0L)
+    val r1 = graft.operators.TextOps.withFimTransform(docs, "text", ratePermille = 1000)
+    assert(r1.where(!col("fim_applied")).count() == 0L)
+  }
+
   test("applyCdc: latest op wins per key; deletes remove; untouched keys pass through") {
     import spark.implicits._
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
