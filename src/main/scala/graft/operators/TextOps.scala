@@ -445,7 +445,9 @@ object TextOps {
     * retry, re-run, or engine reproduces the transform bitwise — no
     * RNG, the graft determinism discipline. Adds `fim_applied` and
     * `fim_text`; `prefix ++ middle ++ suffix` always reassembles the
-    * original text.
+    * original text. An empty document yields the three markers with
+    * empty pieces; a NULL document propagates NULL to both added
+    * columns (scrub nulls upstream if they must be retained).
     *
     * Scale shape: per-row codegen'd string expressions, no shuffle.
     * The O(len) hash fold is let-bound (`transform(array(...))`) so
