@@ -469,4 +469,77 @@ object Mixing {
           "div (n_groups * __s) AS BIGINT)"))
       .select(col("n_groups"), col("n_rows"), col("gini_ppm"))
   }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling — Xie et al., NeurIPS 2023): score every document by
+    * how much its hashed-n-gram profile looks like a TARGET
+    * distribution rather than the raw pool it sits in. Features are
+    * whitespace unigrams + bigrams hashed into `buckets` buckets;
+    * with add-1 smoothing, a document's log importance weight is
+    * `Σ_features [log p_target(b) − log p_raw(b)]`. The classic use:
+    * rank a 100 TB crawl by resemblance to a curated target corpus
+    * and keep the top mass.
+    *
+    * Cross-engine exactness: libm `log` is not bitwise-portable
+    * (oracle rule), so each log2 is the INTEGER bit-length surrogate
+    * `length(bin(x))` = ⌊log2 x⌋ + 1, applied per factor —
+    * `w(b) = L(c_tgt(b)+1) − L(c_raw(b)+1) + L(N_raw+B) − L(N_tgt+B)`
+    * — factor-of-2 resolution, monotone in each count, exact 64-bit
+    * integer math in both engines, and (unlike `L((c+1)·(N+B))`)
+    * free of the product overflow that would cap corpus size at ~2³¹
+    * features. Scores are integers; ties break on the caller's id.
+    *
+    * Scale shape (100 TB): one explode over the feature stream, then
+    * a `(id, bucket)` partial-aggregated groupBy; bucket statistics
+    * reduce THAT table (distinct-(doc,bucket)-bounded, not
+    * feature-stream-bounded) to `buckets` rows; the weight dim is
+    * `buckets`-sized and broadcast, so scoring adds no shuffle of the
+    * big side beyond the final id-keyed aggregation. The per-doc
+    * count table is referenced twice (bucket stats + scoring join) —
+    * the [[Relevance.vocabCoverage]] recompute idiom; both passes are
+    * the same linear scan.
+    *
+    * Output: `(idCol, iw_score, n_feats)` — one row per input row
+    * (empty text still has the one `''` unigram, so `n_feats >= 1`).
+    * `targetCol` must be a non-null boolean column marking the target
+    * sample. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetCol: String, buckets: Int = 512): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "buckets must be in [2, 2^20]")
+    val reserved = Set("__toks", "__bg", "__tgt", "__b", "__c", "__cq",
+      "__cp", "__nq", "__np", "__w", "iw_score", "n_feats")
+    val collisions = df.columns.toSet.intersect(reserved - targetCol)
+    require(collisions.isEmpty,
+      s"dsirWeights reserves ${reserved.mkString(", ")}; rename: ${collisions.mkString(", ")}")
+    val feats = df
+      .withColumn("__toks", split(col(textCol), " "))
+      // sequence(1, 0) would step BACKWARD, so n < 2 short-circuits
+      // to a typed empty array (repo-wide bigram idiom).
+      .withColumn("__bg", expr(
+        "CASE WHEN size(__toks) >= 2 THEN transform(sequence(1, size(__toks) - 1), " +
+          "bi -> concat(element_at(__toks, bi), ' ', element_at(__toks, bi + 1))) " +
+          "ELSE CAST(array() AS array<string>) END"))
+      .select(col(idCol), col(targetCol).as("__tgt"),
+        explode(expr(
+          s"transform(concat(${H.hashArray("__toks")}, ${H.hashArray("__bg")}), " +
+            s"h -> h % $buckets)")).as("__b"))
+    val perDoc = feats.groupBy(col(idCol), col("__tgt"), col("__b"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    val bucketStats = perDoc.groupBy(col("__b"))
+      .agg(sum(col("__c")).cast("bigint").as("__cq"),
+        sum(when(col("__tgt"), col("__c")).otherwise(0L)).cast("bigint").as("__cp"))
+    val totals = bucketStats
+      .agg(sum(col("__cq")).cast("bigint").as("__nq"),
+        sum(col("__cp")).cast("bigint").as("__np"))
+    val dim = bucketStats.crossJoin(broadcast(totals))
+      .withColumn("__w", expr(
+        s"CAST(length(bin(__cp + 1)) - length(bin(__cq + 1)) " +
+          s"+ length(bin(__nq + $buckets)) - length(bin(__np + $buckets)) AS BIGINT)"))
+      .select(col("__b"), col("__w"))
+    perDoc.join(broadcast(dim), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__w")).cast("bigint").as("iw_score"),
+        sum(col("__c")).cast("bigint").as("n_feats"))
+  }
 }

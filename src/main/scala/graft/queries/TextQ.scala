@@ -3339,6 +3339,51 @@ object TextQ {
             sum(col("n_cyrillic")).cast("bigint").as("sum_cyrillic"),
             sum(col("n_digit")).cast("bigint").as("sum_digit"))
           .orderBy("dominant_script")
+      }),
+
+    // ---- DSIR importance weights ---------------------------------
+    // Data selection via importance resampling (Xie et al. 2023):
+    // hashed unigram+bigram buckets, target = English documents,
+    // raw = the whole pool; per-doc score from the integer-log2
+    // (bit-length) surrogate so both engines agree bitwise. Top 20
+    // most-target-like docs by (score, id).
+    Q("q218_dsir_importance",
+      Some {
+        val uni = s"list_transform(t, tk -> ${D.rollingHash("tk")})"
+        val big = "list_transform(range(1, len(t)), " +
+          s"bi -> ${D.rollingHash("(t[bi] || ' ' || t[bi + 1])")})"
+        s"""WITH d AS (SELECT doc_id, lang = 'en' AS tgt,
+           |  ${D.tokens("text")} AS t FROM documents),
+           |g AS (SELECT doc_id, tgt, list_concat($uni, $big) AS hs FROM d),
+           |f AS (SELECT doc_id, tgt, unnest(hs) % 512 AS b FROM g),
+           |dc AS (SELECT doc_id, tgt, b, count(*)::BIGINT AS c
+           |  FROM f GROUP BY 1, 2, 3),
+           |bs AS (SELECT b, sum(c)::BIGINT AS cq,
+           |  sum(CASE WHEN tgt THEN c ELSE 0 END)::BIGINT AS cp
+           |  FROM dc GROUP BY b),
+           |tot AS (SELECT sum(cq)::BIGINT AS nq, sum(cp)::BIGINT AS np FROM bs),
+           |dim AS (SELECT b, length(bin(cp + 1)) - length(bin(cq + 1))
+           |    + length(bin(nq + 512)) - length(bin(np + 512)) AS w
+           |  FROM bs CROSS JOIN tot),
+           |sc AS (SELECT dc.doc_id, sum(dc.c * dim.w)::BIGINT AS iw_score,
+           |    sum(dc.c)::BIGINT AS n_feats
+           |  FROM dc JOIN dim USING (b) GROUP BY dc.doc_id),
+           |top AS (SELECT doc_id, iw_score, n_feats FROM sc
+           |  ORDER BY iw_score DESC, doc_id LIMIT 20)
+           |SELECT top.doc_id, documents.source, iw_score, n_feats
+           |FROM top JOIN documents USING (doc_id)
+           |ORDER BY iw_score DESC, doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("is_tgt", col("lang") === "en")
+        graft.operators.Mixing
+          .dsirWeights(docs, "doc_id", "text", "is_tgt", buckets = 512)
+          .orderBy(col("iw_score").desc, col("doc_id")).limit(20)
+          .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("iw_score"), col("n_feats"))
+          .orderBy(col("iw_score").desc, col("doc_id"))
       })
   )
 }

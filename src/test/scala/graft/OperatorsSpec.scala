@@ -2715,4 +2715,31 @@ class OperatorsSpec extends SparkSpec {
     val avg = jumps.sum.toDouble / jumps.size
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
+
+  test("dsirWeights: target-like docs outrank pool-like docs; n_feats = 2·len − 1") {
+    import spark.implicits._
+    // Target (tgt=true) speaks alpha/beta; the pool's bulk speaks
+    // gamma/delta. Probe docs 10 (pure target dialect) and 11 (pure
+    // pool dialect) have the same length, so only the distribution
+    // match separates their scores.
+    val corpus = (
+      (0L until 6L).map(i => (i, "alpha beta alpha beta alpha", true)) ++
+        (6L until 10L).map(i => (i, "gamma delta gamma delta gamma", false)) :+
+        (10L, "alpha beta alpha beta alpha", false) :+
+        (11L, "gamma delta gamma delta gamma", false)
+      ).toDF("doc_id", "text", "is_tgt")
+    val w = Mixing.dsirWeights(corpus, "doc_id", "text", "is_tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 5 tokens -> 5 unigrams + 4 bigrams = 9 features, every doc.
+    assert(w.values.forall(_._2 == 9L), s"n_feats: $w")
+    assert(w(10L)._1 > w(11L)._1,
+      s"target-dialect doc must outscore pool-dialect doc: $w")
+    // Same text => same score regardless of the doc's own flag.
+    assert(w(10L)._1 == w(0L)._1)
+    // Partitioning invariance (retry/AQE safety).
+    val re = Mixing.dsirWeights(corpus.repartition(7), "doc_id", "text",
+      "is_tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == w)
+  }
 }
