@@ -563,6 +563,60 @@ object DedupOps {
       .join(sizes.select(col("id").as("b_id"), col("n_sh").as("n_b")), "b_id")
   }
 
+  /** Reliability (calibration) audit of the MinHash detector: LSH
+    * candidate pairs binned by how many of their `bands·rowsPerBand`
+    * signature components agree, each bin scored against EXACT
+    * shingle-set Jaccard ≥ `tNum/tDen` — the reliability-diagram
+    * counts that tell you whether "6 of 8 components matched" can be
+    * trusted as "probably a near-duplicate" before you tune band
+    * thresholds on a 100 TB corpus.
+    *
+    * Output: `(n_matched, n_pairs, n_true, precision_ppm)` ordered by
+    * `n_matched`; `precision_ppm = 1e6·n_true div n_pairs` (exact
+    * integer). Bins with no candidate pairs are absent, and (inner-
+    * join pair-stats semantics, repo-wide) a candidate pair with ZERO
+    * common shingles is absent too — a band collision between
+    * shingle-disjoint docs is possible but hash-adversarial.
+    *
+    * Scale shape: the [[lshNearDupPairs]] candidate pipeline (banded
+    * equi-joins, id-only pair shuffles, candidate-pruned shingle
+    * explode) plus one id-keyed join of the pair table against the
+    * (id, signature) projection per side; the final aggregation has
+    * at most `bands·rowsPerBand + 1` groups. The signature frame is
+    * recomputed once beyond the candidate stage's internal copy — the
+    * [[Relevance.vocabCoverage]] recompute idiom (calibration is an
+    * audit pass, not a steady-state pipeline stage). */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         bands: Int = 2, rowsPerBand: Int = 4,
+                         tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    require(tDen >= 1 && tNum >= 0 && tNum <= tDen,
+      "threshold tNum/tDen must be a fraction in [0, 1]")
+    val n = bands * rowsPerBand
+    val pairs = lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand)
+    val stats = pairShingleStats(df, idCol, textCol, pairs)
+    val sigs = signatures(df, idCol, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("id") +: (0 until n).map(i => col(s"m$i")): _*)
+      .localCheckpoint()
+    val a = sigs.select(col("id").as("a_id") +:
+      (0 until n).map(i => col(s"m$i").as(s"__xa$i")): _*)
+    val b = sigs.select(col("id").as("b_id") +:
+      (0 until n).map(i => col(s"m$i").as(s"__yb$i")): _*)
+    stats.join(a, "a_id").join(b, "b_id")
+      .withColumn("n_matched",
+        (0 until n).map(i => when(col(s"__xa$i") === col(s"__yb$i"), 1)
+          .otherwise(0)).reduce(_ + _).cast("int"))
+      .withColumn("__true", when(
+        lit(tDen.toLong) * col("n_common") >=
+          lit(tNum.toLong) * (col("n_a") + col("n_b") - col("n_common")), 1L)
+        .otherwise(0L))
+      .groupBy(col("n_matched"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("__true")).cast("bigint").as("n_true"))
+      .withColumn("precision_ppm",
+        expr("CAST((1000000 * n_true) div n_pairs AS BIGINT)"))
+      .orderBy("n_matched")
+  }
+
   /** The end-user near-dup removal verb: keep ONE representative per
     * near-duplicate group and drop the rest. Composes the pieces the
     * oracle witnesses individually — [[lshNearDupPairs]] (banded

@@ -3384,6 +3384,38 @@ object TextQ {
             Seq("doc_id"))
           .select(col("doc_id"), col("source"), col("iw_score"), col("n_feats"))
           .orderBy(col("iw_score").desc, col("doc_id"))
-      })
+      }),
+
+    // ---- MinHash detector calibration ----------------------------
+    // Reliability diagram of the 8-component estimator: candidate
+    // pairs binned by matched-component count, each bin scored
+    // against exact Jaccard >= 1/2 (integer cross-compare). Inner-
+    // join pair-stats semantics (zero-common pairs absent), matching
+    // the operator.
+    Q("q219_minhash_calibration",
+      Some {
+        val matched = (0 until 8)
+          .map(i => s"(CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$sigCte,
+           |$candCtes,
+           |m AS (SELECT p.a_id, p.b_id, $matched AS n_matched
+           |  FROM pairs p JOIN sig x ON x.doc_id = p.a_id
+           |  JOIN sig y ON y.doc_id = p.b_id),
+           |v AS (SELECT m.n_matched, c.n_common AS nc, sa.n_sh AS na,
+           |    sb.n_sh AS nb
+           |  FROM m JOIN common c ON c.a_id = m.a_id AND c.b_id = m.b_id
+           |  JOIN sizes sa ON sa.doc_id = m.a_id
+           |  JOIN sizes sb ON sb.doc_id = m.b_id),
+           |agg AS (SELECT n_matched, count(*)::BIGINT AS n_pairs,
+           |    sum(CASE WHEN 2 * nc >= na + nb - nc THEN 1 ELSE 0 END)::BIGINT AS n_true
+           |  FROM v GROUP BY n_matched)
+           |SELECT n_matched, n_pairs, n_true,
+           |  ((1000000 * n_true) // n_pairs)::BIGINT AS precision_ppm
+           |FROM agg ORDER BY n_matched""".stripMargin
+      },
+      (s, dir) =>
+        DedupOps.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4, tNum = 1, tDen = 2))
   )
 }

@@ -2716,6 +2716,22 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("minhashCalibration: exact dups land in the full-match bin at precision 1e6") {
+    val bins = DedupOps.minhashCalibration(docs, "doc_id", "text")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // docs 0 and 1 are byte-identical => all 8 components match and
+    // exact Jaccard is 1 (>= 1/2): the 8-bin exists and is all-true.
+    val full = bins(8)
+    assert(full._1 >= 1L && full._2 == full._1 && full._3 == 1000000L,
+      s"full-match bin should be perfectly calibrated: $bins")
+    // Integer-arithmetic invariants hold in every bin.
+    bins.foreach { case (m, (p, t, ppm)) =>
+      assert(m >= 0 && m <= 8 && t <= p && ppm == 1000000L * t / p,
+        s"bin $m violates invariants: $bins")
+    }
+  }
+
   test("dsirWeights: target-like docs outrank pool-like docs; n_feats = 2·len − 1") {
     import spark.implicits._
     // Target (tgt=true) speaks alpha/beta; the pool's bulk speaks
