@@ -560,4 +560,101 @@ object Relevance {
       .withColumn("score", coalesce(col("score"), lit(0.0)))
       .select(col(idCol), col("dl"), col("score"))
   }
+
+  /** EXACT BM25 top-`k` with MaxScore upper-bound pruning (Turtle &
+    * Flood 1995, the classic dynamic-pruning family WAND/MaxScore
+    * belongs to): returns byte-identical results to ranking the whole
+    * corpus with [[bm25]] (`logIdf = false`) and taking the top `k`,
+    * while skipping the full per-document scoring for candidates that
+    * provably cannot reach the top.
+    *
+    * The pruning argument, distributed form:
+    *  1. per-term upper bound `UB(t)` = the MAX actual term score of
+    *     `t` over the corpus (computed exactly from the query-pruned
+    *     term table — tighter than the textbook `idf·(k1+1)` bound);
+    *  2. seed threshold `θ` = the k-th exact score among documents
+    *     containing the highest-UB ("essential") term — a posting
+    *     list that must intersect any top-k candidate set dominated
+    *     by that term;
+    *  3. a candidate with `Σ_{t ∈ doc} UB(t) < θ` scores < θ, and the
+    *     global k-th best is ≥ θ (k seed docs already reach it), so
+    *     it can never enter the top k — even under the `(score DESC,
+    *     id)` tie-break, because the inequality is strict. Candidates
+    *     with bound = θ are KEPT (a tie at θ can still win on id).
+    *     If the essential posting list has fewer than `k` documents,
+    *     no pruning happens (θ undefined) — exactness first.
+    *
+    * Scale shape (100 TB): the query-pruned `(doc, term, tf)` table
+    * is localCheckpointed once (≤ |query| rows per matching doc) and
+    * every subsequent stage — UB dim (≤ |query| rows, broadcast),
+    * per-doc bounds (one id-keyed partial agg), seed scoring (one
+    * posting list), final scoring (survivors only) — works off it;
+    * the corpus is tokenized twice (tf + lens), never more. The
+    * expensive per-doc pivot runs on ONE posting list + survivors
+    * instead of every candidate.
+    *
+    * Output: `(idCol, dl, score)`, the exact top `k` by
+    * `(score DESC, idCol)`. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTokens: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTokens.nonEmpty, "queryTokens must be non-empty")
+    require(queryTokens.distinct == queryTokens, "queryTokens must be distinct")
+    require(k >= 1, "k must be positive")
+    val lens = TextOps.withTokens(df, textCol, "__toks")
+      .select(col(idCol), size(col("__toks")).cast("bigint").as("dl"))
+      .localCheckpoint()
+    val stats = lens.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    val tf = termFrequencies(df, idCol, textCol)
+      .where(col("token").isInCollection(queryTokens))
+      .localCheckpoint()
+    val dfs = documentFrequencies(tf)
+    // Identical expression tree to bm25(logIdf = false) — scoring a
+    // SUBSET yields bitwise-identical per-term values.
+    val idf = (col("__n").cast("double") - col("dfreq").cast("double") + lit(0.5)) /
+      (col("dfreq").cast("double") + lit(0.5))
+    val termScore = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val withLen = tf.join(broadcast(dfs), "token").crossJoin(broadcast(stats))
+      .join(lens, idCol)
+      .withColumn("__ts", termScore)
+      .localCheckpoint()
+
+    def pivotScores(candidateIds: DataFrame): DataFrame = {
+      val rows = withLen.join(candidateIds, Seq(idCol), "left_semi")
+      val aggCols = first(col("dl")).as("dl") +:
+        queryTokens.zipWithIndex.map { case (q, i) =>
+          max(when(col("token") === q, col("__ts"))).as(s"__s_$i")
+        }
+      rows.groupBy(col(idCol)).agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("score", queryTokens.indices
+          .map(i => coalesce(col(s"__s_$i"), lit(0.0))).reduceLeft(_ + _))
+        .select(col(idCol), col("dl"), col("score"))
+    }
+
+    val ubDim = withLen.groupBy(col("token")).agg(max(col("__ts")).as("__ub"))
+    val essential = ubDim.orderBy(col("__ub").desc, col("token")).limit(1)
+      .select(col("token"))
+    val seedIds = withLen.join(broadcast(essential), Seq("token"))
+      .select(col(idCol))
+    val theta = pivotScores(seedIds)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+      .agg(min(col("score")).as("__theta"), count(lit(1)).cast("int").as("__nk"))
+    val survivors = withLen.select(col(idCol), col("token"))
+      .join(broadcast(ubDim), "token")
+      .groupBy(col(idCol)).agg(sum(col("__ub")).as("__ub_doc"))
+      .crossJoin(broadcast(theta))
+      .where(col("__nk") < k || col("__ub_doc") >= col("__theta"))
+      .select(col(idCol))
+    // Zero-fill so k larger than the candidate set still ranks the
+    // whole corpus (bm25 semantics), then exact top-k.
+    lens.join(pivotScores(survivors).select(col(idCol), col("score")),
+        Seq(idCol), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .select(col(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+  }
 }

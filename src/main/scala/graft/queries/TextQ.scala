@@ -3416,6 +3416,43 @@ object TextQ {
       },
       (s, dir) =>
         DedupOps.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
-          bands = 2, rowsPerBand = 4, tNum = 1, tDen = 2))
+          bands = 2, rowsPerBand = 4, tNum = 1, tDen = 2)),
+
+    // ---- MaxScore-pruned BM25 top-k ------------------------------
+    // The oracle is the UNPRUNED ranking (q75 shape) — equality IS
+    // the witness that upper-bound pruning is exact. Query mixes one
+    // low-idf common term ('the') with rarer terms so the prune path
+    // actually fires (see the ScaleShapeSpec witness).
+    Q("q220_bm25_pruned_topk", {
+      val (k1, b) = (1.2, 0.75)
+      val (k1p1, oneMinusB) = (k1 + 1.0, 1.0 - b)
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+              |lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+              |stats AS (SELECT count(*)::BIGINT AS nn, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM lens),
+              |tfx AS (SELECT doc_id, unnest(t) AS token FROM toks),
+              |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tfx
+              |  WHERE token IN ('the', 'merge', 'window', 'dup') GROUP BY doc_id, token),
+              |dfreq AS (SELECT token, count(*)::BIGINT AS dfreq FROM tf GROUP BY token),
+              |ts AS (SELECT tf.doc_id, tf.token,
+              |  ((nn::DOUBLE - dfreq::DOUBLE + 0.5) / (dfreq::DOUBLE + 0.5)) *
+              |  (tf::DOUBLE * $k1p1) / (tf::DOUBLE + $k1 * ($oneMinusB + $b * lens.dl::DOUBLE / avgdl)) AS s
+              |  FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+              |  JOIN lens ON lens.doc_id = tf.doc_id),
+              |piv AS (SELECT doc_id,
+              |  max(CASE WHEN token = 'the' THEN s END) AS s0,
+              |  max(CASE WHEN token = 'merge' THEN s END) AS s1,
+              |  max(CASE WHEN token = 'window' THEN s END) AS s2,
+              |  max(CASE WHEN token = 'dup' THEN s END) AS s3
+              |  FROM ts GROUP BY doc_id),
+              |sc AS (SELECT lens.doc_id, lens.dl,
+              |  coalesce(s0, 0.0) + coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0) AS score
+              |  FROM lens LEFT JOIN piv ON piv.doc_id = lens.doc_id)
+              |SELECT doc_id, dl, score FROM sc
+              |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Relevance.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          queryTokens = Seq("the", "merge", "window", "dup"), k = 15))
   )
 }

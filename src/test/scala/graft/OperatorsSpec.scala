@@ -2716,6 +2716,32 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("bm25TopK: MaxScore pruning returns the exact unpruned top-k at every k regime") {
+    import spark.implicits._
+    // Skewed corpus: 'rare' concentrates in few docs (high UB), 'the'
+    // is everywhere (low UB) — the shape where MaxScore prunes
+    // the-only docs once θ comes from the rare posting list.
+    val corpus = (0L until 60L).map { i =>
+      val text =
+        if (i % 20 == 0) "rare rare the data join"
+        else if (i % 3 == 0) "the the the data join data"
+        else "the data the join"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val q = Seq("the", "rare", "join")
+    for (k <- Seq(1, 2, 5, 25, 100)) {
+      val pruned = Relevance.bm25TopK(corpus, "doc_id", "text", q, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val full = Relevance.bm25(corpus, "doc_id", "text", q, logIdf = false)
+        .orderBy(col("score").desc, col("doc_id")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pruned == full, s"k=$k: pruned top-k must be bitwise-equal")
+    }
+    // k beyond the corpus: every doc returned, zero-score docs ranked
+    // by id — identical in both paths (covered by k = 100 above).
+    assert(Relevance.bm25TopK(corpus, "doc_id", "text", q, 100).count() == 60)
+  }
+
   test("minhashCalibration: exact dups land in the full-match bin at precision 1e6") {
     val bins = DedupOps.minhashCalibration(docs, "doc_id", "text")
       .collect().map(r => r.getInt(0) ->
