@@ -632,6 +632,63 @@ object TextOps {
       .limit(k)
   }
 
+  /** Apply a FIXED, ordered BPE merge table to every whitespace token
+    * (the tokenizer-apply side of [[bpePairCounts]]' training side —
+    * Sennrich et al. 2016): each token starts as its character
+    * sequence; each merge `(a, b) → ab` is applied in table order,
+    * fusing every left-to-right non-overlapping adjacent `(a, b)`
+    * occurrence, and later merges see earlier merges' output (so
+    * `('t','h')` then `('th','e')` composes).
+    *
+    * Encoding trick that keeps this pure built-in string algebra (no
+    * UDF, no iterative state): a segmentation is one string with
+    * every piece wrapped as `<piece>` — `"the" → "<t><h><e>"` — and
+    * one merge application is ONE `replace(seg, "<a><b>", "<ab>")`.
+    * The wrappers make piece boundaries unambiguous (no false
+    * sub-piece matches, no shared-separator overlap), and `replace`
+    * scans left-to-right non-overlapping in Spark and DuckDB alike,
+    * so the transform is bitwise-portable. Tokens must not contain
+    * `<` or `>` (asserted per row — a corrupted corpus fails loudly,
+    * not silently).
+    *
+    * Adds `out`: the per-token piece arrays flattened per document
+    * (one array of BPE pieces per doc, token order preserved).
+    * Per-row only — zero shuffles, whole-stage codegen, linear in
+    * text volume × merge count at any corpus size. */
+  def applyBpeMerges(df: DataFrame, textCol: String,
+                     merges: Seq[(String, String)],
+                     out: String = "pieces"): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !s"$a$b".exists(c => c == '<' || c == '>'),
+        s"merge pieces must be non-empty and angle-bracket-free: ($a, $b)")
+    }
+    require(!df.columns.contains(out), s"applyBpeMerges reserves $out")
+    def lit0(s: String) = s"'${s.replace("'", "''")}'"
+    // Initial char segmentation "<c1><c2>..." — the empty token
+    // short-circuits (sequence(1, 0) would step BACKWARD), and the
+    // bracket guard is let-bound via a 1-element transform so the
+    // RLIKE runs once per token, not once per character.
+    val seg0 = "CASE WHEN length(w) = 0 THEN '' ELSE " +
+      "array_join(transform(sequence(1, length(w)), " +
+      "i -> concat('<', substring(w, i, 1), '>')), '') END"
+    val guarded = "CASE WHEN w0 RLIKE '[<>]' THEN " +
+      "raise_error('applyBpeMerges: token contains < or >') ELSE w0 END"
+    val init =
+      s"transform(__toks, w0 -> element_at(transform(array($guarded), w -> $seg0), 1))"
+    val merged = merges.foldLeft(init) {
+      case (acc, (a, b)) =>
+        s"transform($acc, seg -> replace(seg, ${lit0(s"<$a><$b>")}, ${lit0(s"<$a$b>")}))"
+    }
+    // Parse each "<p1><p2>..." back to pieces and flatten across the
+    // doc's tokens (the empty token contributes no pieces).
+    val pieces = s"flatten(transform($merged, " +
+      s"seg -> filter(split(substring(seg, 2, length(seg) - 2), '><'), p -> p != '')))"
+    withTokens(df, textCol, "__toks")
+      .withColumn(out, expr(pieces))
+      .drop("__toks")
+  }
+
   /** Corpus-level total-variation distance between the token
     * distributions of two `groupCol` slices — the drift SCALAR beside
     * [[tokenDrift]]'s per-token top-k:

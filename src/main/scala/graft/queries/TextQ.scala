@@ -3453,6 +3453,44 @@ object TextQ {
       (s, dir) =>
         graft.operators.Relevance.bm25TopK(
           t(s, dir, "documents"), "doc_id", "text",
-          queryTokens = Seq("the", "merge", "window", "dup"), k = 15))
+          queryTokens = Seq("the", "merge", "window", "dup"), k = 15)),
+
+    // ---- BPE merge application -----------------------------------
+    // A pinned ordered merge table applied to every token via the
+    // wrapped-piece string encoding ("<t><h><e>" --replace-->
+    // "<th><e>" → "<the>"); later merges compose with earlier ones
+    // (('t','h') then ('th','e')). Census: top-20 BPE pieces by
+    // corpus count — hash-exact across engines because replace()
+    // scans left-to-right non-overlapping in both.
+    Q("q221_bpe_apply", {
+      val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t", "e" -> "r",
+        "o" -> "r", "a" -> "n")
+      Some {
+        val seg0 = "CASE WHEN length(w) = 0 THEN '' ELSE " +
+          "list_reduce(list_prepend('', list_transform(range(1, length(w) + 1), " +
+          "i -> '<' || substr(w, i, 1) || '>')), (acc, ch) -> acc || ch) END"
+        val mergedCtes = merges.zipWithIndex.map { case ((a, b), i) =>
+          val src = if (i == 0) "seg" else s"m$i"
+          s"m${i + 1} AS (SELECT doc_id, list_transform(s, g -> " +
+            s"replace(g, '<$a><$b>', '<$a$b>')) AS s FROM $src)"
+        }
+        s"""WITH toks AS (SELECT doc_id, ${D.tokens("text")} AS t FROM documents),
+           |seg AS (SELECT doc_id, list_transform(t, w -> $seg0) AS s FROM toks),
+           |${mergedCtes.mkString(",\n")},
+           |fl AS (SELECT doc_id, unnest(s) AS g FROM m${merges.size}),
+           |p AS (SELECT doc_id, unnest(list_filter(
+           |    string_split(substr(g, 2, greatest(length(g) - 2, 0)), '><'),
+           |    x -> x <> '')) AS piece FROM fl)
+           |SELECT piece, count(*)::BIGINT AS n FROM p
+           |GROUP BY piece ORDER BY n DESC, piece LIMIT 20""".stripMargin
+      }
+    },
+      (s, dir) =>
+        TextOps.applyBpeMerges(t(s, dir, "documents"), "text",
+          Seq("t" -> "h", "th" -> "e", "a" -> "t", "e" -> "r",
+            "o" -> "r", "a" -> "n"), out = "pieces")
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy(col("piece")).agg(count(lit(1)).cast("bigint").as("n"))
+          .orderBy(col("n").desc, col("piece")).limit(20))
   )
 }

@@ -2716,6 +2716,34 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("applyBpeMerges: ordered merges compose, overlaps fuse left-to-right, pieces reassemble") {
+    import spark.implicits._
+    val corpus = Seq((0L, "the that ttt er order")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t", "t" -> "t", "e" -> "r")
+    val pieces = TextOps.applyBpeMerges(corpus, "text", merges)
+      .select("pieces").head.getSeq[String](0)
+    // the: t,h,e → th,e → the ; that: th,a,t → th,at ;
+    // ttt: left-to-right non-overlap → tt,t ; er → er ;
+    // order: o,r,d,e,r → o,r,d,er
+    assert(pieces == Seq("the", "th", "at", "tt", "t", "er", "o", "r", "d", "er"),
+      s"got $pieces")
+    // Reassembly invariant on the real corpus slice: concatenating a
+    // doc's pieces reproduces its whitespace-stripped text.
+    val salad = Seq((1L, "order the table"), (2L, "merge that batch"))
+      .toDF("doc_id", "text")
+    val ok = TextOps.applyBpeMerges(salad, "text", merges)
+      .withColumn("__re", expr("array_join(pieces, '')"))
+      .withColumn("__orig", expr("replace(text, ' ', '')"))
+      .where(col("__re") =!= col("__orig")).count()
+    assert(ok == 0L, "pieces must reassemble to the original text")
+    // Bracket guard fires loudly.
+    val bad = Seq((3L, "oops<tag>")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextOps.applyBpeMerges(bad, "text", merges).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("bm25TopK: MaxScore pruning returns the exact unpruned top-k at every k regime") {
     import spark.implicits._
     // Skewed corpus: 'rare' concentrates in few docs (high UB), 'the'
