@@ -118,6 +118,69 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Population-stability-index drift between two slices of a numeric
+    * column — the monitoring score risk teams put beside the KS
+    * statistic ([[graft.operators.TextOps.distributionDistance]]'s
+    * scalar cousin for BINNED distributions): per bin,
+    * `PSI_i = (p_i − q_i) · ln(p_i / q_i)`, always ≥ 0, large when a
+    * bin's mass moved.
+    *
+    * Cross-engine exactness (graft oracle rules — no libm): with
+    * add-1 smoothed cross-multiplied masses
+    * `x = (n_a+1)·(tot_b+K)` and `y = (n_b+1)·(tot_a+K)` (K = nb + 2,
+    * the bucket count incl. under/overflow), the bin score is the
+    * integer surrogate `(x − y) · (L(x) − L(y))` with `L` the
+    * bit-length log2 (`length(bin(·))`). Both factors are monotone in
+    * `x − y`, so every bin contribution keeps PSI's ≥ 0 sign
+    * guarantee; factor-of-2 log resolution. Bins nobody occupies are
+    * ABSENT (inner groupBy semantics, repo-wide), and an EMPTY slice
+    * raises — "no data" is not "no drift" (both slices empty returns
+    * the empty frame: there are no bin rows for the guard to ride).
+    *
+    * Buckets use [[histogram]]'s pinned floor formula (0 underflow,
+    * `nb+1` overflow). Output: `(bucket, n_a, n_b, contrib)` ordered
+    * by bucket; `Σ contrib` is the drift scalar.
+    *
+    * Scale shape: one bucket-keyed aggregation with map-side combine
+    * (≤ nb+2 groups) + a broadcast totals row — nothing else touches
+    * the fact table. BIGINT products hold to ~10¹² rows per slice;
+    * beyond that lift x/y to DECIMAL(38,0) (documented switch). */
+  def psiDrift(df: DataFrame, c: String, groupCol: String,
+               groupA: String, groupB: String,
+               lo: Double, hi: Double, nb: Int): DataFrame = {
+    require(groupA != groupB, "slices must differ")
+    require(nb >= 1, "need at least one bucket")
+    require(lo < hi, "need lo < hi")
+    val width = (hi - lo) / nb
+    val k = nb + 2
+    val counts = df
+      .where(col(groupCol).isin(groupA, groupB) && col(c).isNotNull)
+      .withColumn("bucket", expr(
+        s"CASE WHEN CAST($c AS DOUBLE) < ${lo}D THEN 0 " +
+          s"WHEN CAST($c AS DOUBLE) >= ${hi}D THEN ${nb + 1} " +
+          s"ELSE CAST(floor((CAST($c AS DOUBLE) - ${lo}D) / ${width}D) + 1 AS INT) END"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).cast("bigint").as("n_a"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).cast("bigint").as("n_b"))
+    val totals = counts.agg(
+      sum(col("n_a")).cast("bigint").as("__tot_a"),
+      sum(col("n_b")).cast("bigint").as("__tot_b"))
+    counts.crossJoin(broadcast(totals))
+      // The guard wraps a USED column (repo pattern: an asserted side
+      // column would be optimizer-pruned).
+      .withColumn("__tot_a", expr(
+        "CASE WHEN __tot_a IS NULL OR __tot_a = 0 OR __tot_b = 0 THEN " +
+          s"raise_error('psiDrift: empty slice; no data is not no drift') " +
+          "ELSE __tot_a END"))
+      .withColumn("__x", (col("n_a") + 1) * (col("__tot_b") + k))
+      .withColumn("__y", (col("n_b") + 1) * (col("__tot_a") + k))
+      .withColumn("contrib", expr(
+        "CAST((__x - __y) * (length(bin(__x)) - length(bin(__y))) AS BIGINT)"))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("contrib"))
+      .orderBy("bucket")
+  }
+
   /** Equi-depth (equal-count) histogram over a numeric column —
     * `(bucket, lo_value, hi_value, n)`, buckets 1..`nb` — the
     * partner of [[histogram]]'s fixed-width buckets for skewed

@@ -1312,6 +1312,33 @@ object Relational {
             sum(when(col("is_anomaly"), col("event_id")).otherwise(0L))
               .cast("bigint").as("sum_anomaly_ids"))
           .orderBy("event_type")
-      })
+      }),
+
+    // ---- PSI drift between event-type value distributions --------
+    // Per-bin population-stability contributions with the sign-
+    // consistent integer-log2 surrogate (no libm) — click vs
+    // purchase over value in [0, 300), 10 bins + under/overflow.
+    Q("q222_psi_drift",
+      Some("""WITH e AS (SELECT event_type, value FROM events
+             |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+             |b AS (SELECT CASE WHEN value < 0.0 THEN 0
+             |    WHEN value >= 300.0 THEN 11
+             |    ELSE floor((value - 0.0) / 30.0)::INT + 1 END AS bucket,
+             |  event_type FROM e),
+             |c AS (SELECT bucket,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_b
+             |  FROM b GROUP BY bucket),
+             |t AS (SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b FROM c),
+             |x AS (SELECT bucket, n_a, n_b,
+             |  (n_a + 1) * (tot_b + 12) AS xx, (n_b + 1) * (tot_a + 12) AS yy
+             |  FROM c CROSS JOIN t)
+             |SELECT bucket, n_a, n_b,
+             |  ((xx - yy) * (length(bin(xx)) - length(bin(yy))))::BIGINT AS contrib
+             |FROM x ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.Profile.psiDrift(
+          t(s, dir, "events"), "value", "event_type", "click", "purchase",
+          lo = 0.0, hi = 300.0, nb = 10))
   )
 }

@@ -2716,6 +2716,33 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("psiDrift: identical slices score 0, shifted slices score > 0, empty slice raises") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double)]) = rows.toDF("g", "v")
+    // Identical distributions: every bin has n_a = n_b and tot_a =
+    // tot_b => x = y => contrib 0.
+    val same = mk((0 until 40).map(i => ("a", (i % 4) * 10.0 + 1)) ++
+      (0 until 40).map(i => ("b", (i % 4) * 10.0 + 1)))
+    val sameBins = Profile.psiDrift(same, "v", "g", "a", "b", 0.0, 40.0, 4)
+      .collect()
+    assert(sameBins.forall(_.getLong(3) == 0L), sameBins.mkString(","))
+    // Mass moved a factor of 4 between two bins: positive total, and
+    // every bin contribution is >= 0 (the PSI sign guarantee).
+    val shifted = mk(
+      Seq.fill(40)(("a", 5.0)) ++ Seq.fill(10)(("a", 15.0)) ++
+        Seq.fill(10)(("b", 5.0)) ++ Seq.fill(40)(("b", 15.0)))
+    val bins = Profile.psiDrift(shifted, "v", "g", "a", "b", 0.0, 20.0, 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(bins.values.forall(_ >= 0L), bins.toString)
+    assert(bins.values.sum > 0L, bins.toString)
+    // One empty slice fails loudly.
+    val half = mk(Seq.fill(5)(("a", 1.0)))
+    val e = intercept[Exception] {
+      Profile.psiDrift(half, "v", "g", "a", "b", 0.0, 10.0, 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("applyBpeMerges: ordered merges compose, overlaps fuse left-to-right, pieces reassemble") {
     import spark.implicits._
     val corpus = Seq((0L, "the that ttt er order")).toDF("doc_id", "text")
