@@ -850,4 +850,38 @@ object TextOps {
           .when(col("n_cyrillic") >= col("n_digit"), lit("cyrillic"))
           .otherwise(lit("digit")))
   }
+
+  /** URL decomposition for crawl curation — scheme, host (port and
+    * userinfo stripped), path, registered domain (last two host
+    * labels; the whole host when it has no dot), and TLD. Domain-
+    * level census/blocklists are how web-scale corpora are actually
+    * filtered (C4's badlist, Gopher's domain caps), and every part
+    * here is a fixed regex in the Java-regex ∩ RE2 portable subset
+    * with engine-agreeing `''` on no-match — so a malformed URL
+    * lands in the `''` group instead of poisoning the census.
+    *
+    * Adds `url_scheme, url_host, url_path, url_domain, url_tld`.
+    * Scale shape: per-row regexes only, zero shuffles, whole-stage
+    * codegen; census/blocklist joins happen downstream on the
+    * domain-bounded result. */
+  def withUrlParts(df: DataFrame, urlCol: String): DataFrame = {
+    val reserved = Set("url_scheme", "url_host", "url_path", "url_domain", "url_tld")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withUrlParts reserves ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val domainExtract =
+      regexp_extract(col("url_host"), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)
+    df.withColumn("url_scheme",
+        regexp_extract(col(urlCol), "^([a-z][a-z0-9+.-]*)://", 1))
+      .withColumn("url_host",
+        regexp_extract(col(urlCol),
+          "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+      .withColumn("url_path",
+        regexp_extract(col(urlCol), "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+      .withColumn("url_domain",
+        when(domainExtract === "", col("url_host")).otherwise(domainExtract))
+      .withColumn("url_tld",
+        regexp_extract(col("url_host"), "\\.([a-z0-9-]+)$", 1))
+  }
 }

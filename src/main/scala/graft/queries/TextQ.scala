@@ -3491,6 +3491,62 @@ object TextQ {
             "o" -> "r", "a" -> "n"), out = "pieces")
           .select(explode(col("pieces")).as("piece"))
           .groupBy(col("piece")).agg(count(lit(1)).cast("bigint").as("n"))
-          .orderBy(col("n").desc, col("piece")).limit(20))
+          .orderBy(col("n").desc, col("piece")).limit(20)),
+
+    // ---- URL decomposition + registered-domain census ------------
+    // Testdata has no URL column, so URLs are PLANTED from doc_id
+    // (q97 planting pattern) — ports, userinfo, query strings, and a
+    // malformed every-11th row exercise each regex branch; the
+    // census is the C4-style domain-level view a blocklist joins
+    // against.
+    Q("q223_url_census",
+      Some("""WITH p AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 11 = 0 THEN 'not a url at all'
+             |    ELSE 'https://' ||
+             |      CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END ||
+             |      'w' || (doc_id % 7)::VARCHAR || '.site' ||
+             |      (doc_id % 13)::VARCHAR || '.' ||
+             |      CASE WHEN doc_id % 3 = 0 THEN 'com'
+             |        WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END ||
+             |      CASE WHEN doc_id % 4 = 0 THEN ':8443' ELSE '' END ||
+             |      '/p/' || doc_id::VARCHAR ||
+             |      CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END
+             |  END AS url FROM documents),
+             |u AS (SELECT doc_id,
+             |  regexp_extract(url, '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS url_host,
+             |  regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS url_scheme
+             |  FROM p),
+             |d AS (SELECT doc_id, url_scheme,
+             |  CASE WHEN regexp_extract(url_host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) = ''
+             |    THEN url_host
+             |    ELSE regexp_extract(url_host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) END AS url_domain,
+             |  regexp_extract(url_host, '\.([a-z0-9-]+)$', 1) AS url_tld
+             |  FROM u)
+             |SELECT url_domain, url_tld, count(*)::BIGINT AS n_docs,
+             |  sum(doc_id)::BIGINT AS sum_ids,
+             |  sum(CASE WHEN url_scheme = 'https' THEN 1 ELSE 0 END)::BIGINT AS n_https
+             |FROM d GROUP BY url_domain, url_tld
+             |ORDER BY url_domain, url_tld""".stripMargin),
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, lit("not a url at all"))
+            .otherwise(concat(lit("https://"),
+              when(col("doc_id") % 5 === 0, lit("user:pw@")).otherwise(lit("")),
+              lit("w"), (col("doc_id") % 7).cast("string"),
+              lit(".site"), (col("doc_id") % 13).cast("string"), lit("."),
+              when(col("doc_id") % 3 === 0, lit("com"))
+                .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net")),
+              when(col("doc_id") % 4 === 0, lit(":8443")).otherwise(lit("")),
+              lit("/p/"), col("doc_id").cast("string"),
+              when(col("doc_id") % 2 === 0, lit("?q=1")).otherwise(lit(""))))
+            .as("url"))
+        TextOps.withUrlParts(planted, "url")
+          .groupBy(col("url_domain"), col("url_tld"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("doc_id")).cast("bigint").as("sum_ids"),
+            sum(when(col("url_scheme") === "https", 1L).otherwise(0L))
+              .cast("bigint").as("n_https"))
+          .orderBy("url_domain", "url_tld")
+      })
   )
 }

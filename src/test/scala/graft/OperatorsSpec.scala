@@ -2716,6 +2716,25 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("withUrlParts: hand-checked decomposition incl. port, userinfo, no-dot, malformed") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "https://user:pw@a.b.com:8443/x/y?q=1#frag"),
+      (1L, "http://localhost/metrics"),
+      (2L, "ftp://files.example.org"),
+      (3L, "not a url")
+    ).toDF("id", "url")
+    val got = TextOps.withUrlParts(rows, "url")
+      .select("id", "url_scheme", "url_host", "url_path", "url_domain", "url_tld")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got(0L) == (("https", "a.b.com", "/x/y", "b.com", "com")), got.toString)
+    assert(got(1L) == (("http", "localhost", "/metrics", "localhost", "")), got.toString)
+    assert(got(2L) == (("ftp", "files.example.org", "", "example.org", "org")), got.toString)
+    assert(got(3L) == (("", "", "", "", "")), got.toString)
+  }
+
   test("psiDrift: identical slices score 0, shifted slices score > 0, empty slice raises") {
     import spark.implicits._
     def mk(rows: Seq[(String, Double)]) = rows.toDF("g", "v")
