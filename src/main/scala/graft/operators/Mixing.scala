@@ -62,6 +62,61 @@ object Mixing {
       .drop("__permille")
   }
 
+  /** Per-source EPOCH replay — materialize a "web × 1.0, wiki × 3.3"
+    * data recipe (the published LLM-pretraining practice of running
+    * high-quality sources for multiple epochs) as actual repeated
+    * rows: each document gets `⌊epochs⌋` copies, plus one extra copy
+    * iff its content hash falls under the fractional part — so a
+    * 3.3-epoch source replays every document 3 times and a
+    * deterministic, content-keyed 30% of documents a 4th time.
+    * Re-runs, retries, and partial recomputes materialize the SAME
+    * copies ([[weightedSample]]'s determinism contract; no rand()).
+    *
+    * `recipe` must have columns `(sourceCol, epochs_permille)` — 3300
+    * = 3.3 epochs, 0 drops the source — one row per source, validated
+    * on the driver and re-built from the validated snapshot (the
+    * [[weightedSample]] double-evaluation guard). An input source
+    * missing from the recipe fails the JOB loudly.
+    *
+    * Output: the input columns plus `copy` (0-based replica index).
+    * Scale shape: broadcast recipe join + one `explode(sequence)` —
+    * zero shuffles; output volume is the recipe-weighted corpus size,
+    * exactly what a downstream shuffle-free writer wants. */
+  def replayEpochs(df: DataFrame, textCol: String, sourceCol: String,
+                   recipe: DataFrame): DataFrame = {
+    require(recipe.columns.toSet == Set(sourceCol, "epochs_permille"),
+      s"recipe must have exactly columns ($sourceCol, epochs_permille), " +
+        s"got ${recipe.columns.toSeq}")
+    require(!df.columns.contains("copy") && !df.columns.contains("__ep"),
+      "replayEpochs reserves copy, __ep")
+    val rows = recipe.select(col(sourceCol), col("epochs_permille").cast("long"))
+      .collect()
+    require(rows.map(_.get(0)).distinct.length == rows.length,
+      "recipe must have one row per source")
+    rows.foreach { r =>
+      require(!r.isNullAt(1) && r.getLong(1) >= 0,
+        s"epochs_permille for source '${r.get(0)}' must be >= 0, got ${r.get(1)}")
+    }
+    val validated = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(sourceCol,
+          recipe.schema(sourceCol).dataType),
+        org.apache.spark.sql.types.StructField("__ep",
+          org.apache.spark.sql.types.LongType))))
+    df.join(broadcast(validated), Seq(sourceCol), "left")
+      .withColumn("__ep", expr(
+        s"CASE WHEN __ep IS NOT NULL THEN __ep " +
+          s"ELSE raise_error('replayEpochs: no epoch rate for source ' || $sourceCol) END"))
+      .withColumn("copy", expr(
+        s"explode(CASE WHEN __ep div 1000 + " +
+          s"IF(${H.rollingHash(textCol)} % 1000 < __ep % 1000, 1, 0) >= 1 " +
+          s"THEN sequence(0, CAST(__ep div 1000 + " +
+          s"IF(${H.rollingHash(textCol)} % 1000 < __ep % 1000, 1, 0) AS INT) - 1) " +
+          "ELSE CAST(array() AS array<int>) END)"))
+      .drop("__ep")
+  }
+
   /** Temperature-scale a mixture's per-mille weights:
     * `permille'_i = round(1000 · w_i^τ / Σ_j w_j^τ)` with
     * `τ = tauNum / tauDen` — τ < 1 flattens a head-heavy mixture

@@ -3547,6 +3547,40 @@ object TextQ {
             sum(when(col("url_scheme") === "https", 1L).otherwise(0L))
               .cast("bigint").as("n_https"))
           .orderBy("url_domain", "url_tld")
+      }),
+
+    // ---- per-source epoch replay ---------------------------------
+    // The "wiki x 3.3 epochs" recipe materialized: recipe rates are
+    // derived from the source-name hash (500..3400 permille), so the
+    // census exercises 0-copy drops, multi-epoch replication, AND
+    // the fractional content-hash extra copy.
+    Q("q224_replay_epochs",
+      Some(s"""WITH r AS (SELECT source,
+              |  500 + (${D.rollingHash("source")} % 30) * 100 AS ep
+              |  FROM (SELECT DISTINCT source FROM documents)),
+              |j AS (SELECT d.doc_id, d.source, d.text, r.ep
+              |  FROM documents d JOIN r USING (source)),
+              |c AS (SELECT doc_id, source, ep // 1000 +
+              |  CASE WHEN ${D.rollingHash("text")} % 1000 < ep % 1000
+              |    THEN 1 ELSE 0 END AS copies FROM j),
+              |e AS (SELECT doc_id, source, unnest(range(0, copies)) AS copy FROM c)
+              |SELECT source, count(*)::BIGINT AS n_copies,
+              |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+              |  sum(doc_id)::BIGINT AS sum_ids, max(copy)::INT AS max_copy
+              |FROM e GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        val docs = t(s, dir, "documents")
+        val recipe = docs.select(col("source")).distinct()
+          .withColumn("epochs_permille",
+            lit(500L) + (expr(H.rollingHash("source")) % 30) * 100L)
+        graft.operators.Mixing.replayEpochs(docs, "text", "source", recipe)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_copies"),
+            countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+            sum(col("doc_id")).cast("bigint").as("sum_ids"),
+            max(col("copy")).cast("int").as("max_copy"))
+          .orderBy("source")
       })
   )
 }

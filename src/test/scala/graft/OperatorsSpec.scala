@@ -2716,6 +2716,35 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("replayEpochs: integer epochs replicate exactly, fractional adds hash-gated extras, unknown source raises") {
+    import spark.implicits._
+    val corpus = (0 until 50).map(i => (i.toLong, s"doc number $i words", "web"))
+      .toDF("doc_id", "text", "src")
+    def recipe(pm: Long) = Seq(("web", pm)).toDF("src", "epochs_permille")
+    // Exactly 2 epochs: every doc twice, copies 0 and 1.
+    val twice = Mixing.replayEpochs(corpus, "text", "src", recipe(2000L))
+    assert(twice.count() == 100L)
+    assert(twice.groupBy("doc_id").count().where(col("count") =!= 2).count() == 0L)
+    // 2.5 epochs: between 2n and 3n rows, extras deterministic.
+    val frac = Mixing.replayEpochs(corpus, "text", "src", recipe(2500L))
+    val n = frac.count()
+    assert(n > 100L && n < 150L, s"fractional replay out of range: $n")
+    val again = Mixing.replayEpochs(corpus, "text", "src", recipe(2500L))
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = frac.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first, "content-hash extras must be reproducible")
+    // 0 epochs drops the source entirely.
+    assert(Mixing.replayEpochs(corpus, "text", "src", recipe(0L)).count() == 0L)
+    // A source missing from the recipe fails loudly.
+    val other = Seq((99L, "stray", "wiki")).toDF("doc_id", "text", "src")
+    val e = intercept[Exception] {
+      Mixing.replayEpochs(corpus.unionAll(other), "text", "src", recipe(1000L))
+        .count()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("withUrlParts: hand-checked decomposition incl. port, userinfo, no-dot, malformed") {
     import spark.implicits._
     val rows = Seq(
