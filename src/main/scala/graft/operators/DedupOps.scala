@@ -563,6 +563,46 @@ object DedupOps {
       .join(sizes.select(col("id").as("b_id"), col("n_sh").as("n_b")), "b_id")
   }
 
+  /** Contrastive pair mining for embedding training: POSITIVES are
+    * LSH candidate pairs whose exact shingle Jaccard reaches
+    * `posNum/posDen`; HARD NEGATIVES are candidate pairs that
+    * collided in a band yet verify at or below `negNum/negDen` —
+    * lexically confusable non-duplicates, exactly the negatives a
+    * bi-encoder learns the most from (far harder than random pairs,
+    * which share nothing). Pairs in the ambiguous middle band are
+    * dropped — a noisy label is worse than no label.
+    *
+    * Thresholds compare as exact integer cross-products
+    * (`nc·den ≥/≤ num·(na+nb−nc)`) — engine-invariant, no float
+    * Jaccard. Output: `(a_id, b_id, n_common, n_a, n_b, label)` with
+    * `label ∈ {'pos','neg'}`, ordered by `(a_id, b_id)`.
+    *
+    * Scale shape: identical to [[lshNearDupPairs]] — banded candidate
+    * generation (never all-pairs), id-only pair shuffles, shingle
+    * verification pruned to candidate docs; the labeling itself is
+    * per-row arithmetic on the stats table. Negatives are bounded by
+    * band-collision volume, which LSH keeps near-linear. */
+  def contrastivePairs(df: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 2, rowsPerBand: Int = 4,
+                       posNum: Int = 1, posDen: Int = 2,
+                       negNum: Int = 1, negDen: Int = 5): DataFrame = {
+    require(posDen >= 1 && negDen >= 1 && posNum >= 0 && negNum >= 0,
+      "thresholds must be non-negative fractions")
+    require(negNum.toLong * posDen < posNum.toLong * negDen,
+      "negative threshold must be strictly below the positive one")
+    val stats = pairShingleStats(df, idCol, textCol,
+      lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand))
+    val union = col("n_a") + col("n_b") - col("n_common")
+    stats
+      .withColumn("label",
+        when(col("n_common") * posDen >= union * posNum, lit("pos"))
+          .when(col("n_common") * negDen <= union * negNum, lit("neg")))
+      .where(col("label").isNotNull)
+      .select(col("a_id"), col("b_id"), col("n_common"), col("n_a"),
+        col("n_b"), col("label"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Reliability (calibration) audit of the MinHash detector: LSH
     * candidate pairs binned by how many of their `bands·rowsPerBand`
     * signature components agree, each bin scored against EXACT

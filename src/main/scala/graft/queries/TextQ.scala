@@ -3581,6 +3581,30 @@ object TextQ {
             sum(col("doc_id")).cast("bigint").as("sum_ids"),
             max(col("copy")).cast("int").as("max_copy"))
           .orderBy("source")
-      })
+      }),
+
+    // ---- contrastive pair mining ---------------------------------
+    // Positives: verified Jaccard >= 1/2. Hard negatives: band
+    // collisions that verify <= 1/5 — lexically confusable
+    // non-duplicates. The ambiguous middle is dropped. Integer
+    // cross-product compares; inner-join pair-stats semantics.
+    Q("q225_contrastive_pairs",
+      Some(s"""$sigCte,
+              |$candCtes,
+              |v AS (SELECT c.a_id, c.b_id, c.n_common,
+              |    sa.n_sh AS n_a, sb.n_sh AS n_b
+              |  FROM common c JOIN sizes sa ON sa.doc_id = c.a_id
+              |  JOIN sizes sb ON sb.doc_id = c.b_id),
+              |l AS (SELECT a_id, b_id, n_common, n_a, n_b,
+              |  CASE WHEN n_common * 2 >= (n_a + n_b - n_common) * 1 THEN 'pos'
+              |    WHEN n_common * 5 <= (n_a + n_b - n_common) * 1 THEN 'neg'
+              |  END AS label FROM v)
+              |SELECT a_id, b_id, n_common::BIGINT AS n_common,
+              |  n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, label
+              |FROM l WHERE label IS NOT NULL ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.contrastivePairs(t(s, dir, "documents"), "doc_id", "text",
+          bands = 2, rowsPerBand = 4,
+          posNum = 1, posDen = 2, negNum = 1, negDen = 5))
   )
 }

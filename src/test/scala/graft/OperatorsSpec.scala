@@ -2716,6 +2716,21 @@ class OperatorsSpec extends SparkSpec {
     assert(avg < 3.0, s"z-order neighbors should be close in (x,y): avg L1 jump $avg")
   }
 
+  test("contrastivePairs: exact dups label pos, collided dissimilar pairs label neg, middle dropped") {
+    // docs fixture: 0/1 identical (Jaccard 1 -> pos); 2 near-dups 0/1.
+    val got = DedupOps.contrastivePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(5)).toMap
+    assert(got((0L, 1L)) == "pos", got.toString)
+    // Every emitted label is pos or neg; thresholds partition cleanly.
+    assert(got.values.forall(l => l == "pos" || l == "neg"))
+    // Threshold ordering is validated.
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.contrastivePairs(docs, "doc_id", "text",
+        posNum = 1, posDen = 5, negNum = 1, negDen = 2)
+    }
+    assert(e.getMessage.contains("strictly below"))
+  }
+
   test("replayEpochs: integer epochs replicate exactly, fractional adds hash-gated extras, unknown source raises") {
     import spark.implicits._
     val corpus = (0 until 50).map(i => (i.toLong, s"doc number $i words", "web"))
