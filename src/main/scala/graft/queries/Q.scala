@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** One driver-checkable query: a Spark DataFrame builder over a
   * testdata directory plus (when SQL-expressible) the equivalent
@@ -14,7 +16,24 @@ final case class Q(
     run: (SparkSession, String) => DataFrame)
 
 object Q {
-  /** Read one driver testdata table. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Read one driver testdata table.
+    *
+    * The `events.ts` column's physical type has varied across driver
+    * testdata generations (TIMESTAMP(NANOS) read as bigint nanos under
+    * `nanosAsLong`, vs TIMESTAMP_MICROS read as a timestamp). Every
+    * query and operator in this repo is written against the bigint
+    * epoch-nanos contract, and the DuckDB oracles use `epoch_us(ts)`
+    * which is schema-agnostic on the DuckDB side — so normalize here,
+    * at the single load point: a timestamp-typed `ts` becomes epoch
+    * nanos (session TZ is UTC, so the NTZ→instant cast is identity).
+    * A bigint `ts` passes through untouched.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+  }
 }
