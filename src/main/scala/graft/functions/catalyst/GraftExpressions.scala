@@ -505,3 +505,57 @@ case class DotF32(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF32 =
     copy(left = l, right = r)
 }
+
+/** `graft_cms_query(binary, item) -> bigint` — point query of a
+  * serialized Spark `CountMinSketch` (the binary produced by the
+  * built-in `count_min_sketch(col, eps, confidence, seed)` aggregate,
+  * which Spark exposes with no SQL-level reader — this expression is
+  * the missing half). Returns the sketch's estimate of `item`'s
+  * count: always ≥ the true count, and ≤ true + ⌈eps·N⌉ with
+  * probability `confidence` (Cormode & Muthukrishnan 2005); with a
+  * fixed seed the estimate is deterministic for a given dataset, so
+  * it is bounds-checkable against an exact count (the q45 pattern).
+  *
+  * Items may be integral or string — matching the domains the
+  * aggregate itself accepts.
+  *
+  * Scale shape (100 TB): the expression deserializes the sketch per
+  * ROW, so it belongs on aggregated, dimension-bounded frames (one
+  * sketch per group), never on raw corpus rows — which is exactly
+  * where a mergeable sketch lives in a pipeline: build with the
+  * partial-aggregating `count_min_sketch` over the corpus, probe the
+  * few group-level sketches. Interpreted eval (CodegenFallback) is
+  * irrelevant at that cardinality. */
+case class CmsQuery(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_cms_query"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_cms_query: first argument must be BINARY " +
+          "(a count_min_sketch aggregate result)")
+    else right.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_query: item must be integral or STRING, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(sketch: Any, item: Any): Any = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch.asInstanceOf[Array[Byte]]))
+    val probe: Any = item match {
+      case s: UTF8String => s.toString
+      case other => other
+    }
+    cms.estimateCount(probe)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
+    copy(left = l, right = r)
+}

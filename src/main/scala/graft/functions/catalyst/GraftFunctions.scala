@@ -55,7 +55,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => new BloomFilterAggregate(args(0), args(1), args(2))),
     ("graft_bloom_might_contain",
       info("graft_bloom_might_contain", "membership probe of a graft_bloom_agg sketch (args: bloom, xx)"),
-      (args: Seq[Expression]) => new BloomFilterMightContain(args(0), args(1))))
+      (args: Seq[Expression]) => new BloomFilterMightContain(args(0), args(1))),
+    ("graft_cms_query",
+      info("graft_cms_query", "point query (estimated count) of a count_min_sketch binary (args: sketch, item)"),
+      (args: Seq[Expression]) => CmsQuery(args(0), args(1))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

@@ -597,4 +597,49 @@ object Mixing {
       .agg(sum(col("__c") * col("__w")).cast("bigint").as("iw_score"),
         sum(col("__c")).cast("bigint").as("n_feats"))
   }
+
+  /** Deterministic weighted priority sample: the global bottom-`k`
+    * rows by the integer surrogate priority
+    * `floor(u(text) · 10^6 / w)` with `u(text)` a seeded content hash
+    * in `[0, P)` and `w = weightCol` a positive integer weight —
+    * the exact-arithmetic stand-in for priority/A-ES weighted
+    * reservoir sampling (Efraimidis & Spirakis 2006: draw `u^(1/w)`;
+    * here larger weight ⇒ strictly non-increasing priority ⇒
+    * monotonically more likely to make the cut, and the whole
+    * selection is reproducible and engine-portable because it is
+    * integer math on a content hash, not an RNG).
+    *
+    * Ties break on `(priority, idCol)`, so the selected set is a
+    * total-order prefix — stable under partitioning, re-runs, and
+    * engines.
+    *
+    * Scale shape (100 TB): per-row hash arithmetic inside whole-stage
+    * codegen, then ONE global top-k (TakeOrderedAndProject: each
+    * partition keeps its local k, the driver merges `partitions × k`
+    * rows — never a full sort). `u·10^6 < (10^9+7)·10^6 ≈ 2^60`, no
+    * 64-bit overflow.
+    *
+    * Output: input columns + `priority`, ordered `(priority, idCol)`.
+    */
+  def prioritySample(df: DataFrame, idCol: String, textCol: String,
+                     weightCol: String, k: Int,
+                     seedA: Long = 179424673L,
+                     seedB: Long = 961748941L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(seedA > 0 && seedA < TextHash.P && seedB >= 0 && seedB < TextHash.P,
+      s"seeds must lie in (0, P) / [0, P), P = ${TextHash.P}")
+    require(!df.columns.contains("priority"),
+      "prioritySample reserves the column name 'priority'")
+    // The guard wraps the weight itself so the optimizer cannot prune
+    // it (repo-wide pattern): a null or non-positive weight raises
+    // rather than silently producing a garbage priority.
+    val guarded = s"CASE WHEN $weightCol IS NOT NULL AND $weightCol >= 1 " +
+      s"THEN CAST($weightCol AS BIGINT) " +
+      s"ELSE raise_error('prioritySample: weight must be a positive " +
+      s"integer, got ' || coalesce(CAST($weightCol AS STRING), 'NULL')) END"
+    val u = H.seeded(H.rollingHash(textCol), seedA, seedB)
+    df.withColumn("priority", expr(s"($u * 1000000L) div ($guarded)"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

@@ -1339,6 +1339,73 @@ object Relational {
       (s, dir) =>
         graft.operators.Profile.psiDrift(
           t(s, dir, "events"), "value", "event_type", "click", "purchase",
-          lo = 0.0, hi = 300.0, nb = 10))
+          lo = 0.0, hi = 300.0, nb = 10)),
+
+    // ---- per-session training transcripts ------------------------
+    // Dialogue assembly: gap-sessionized (30 min) user timelines
+    // rendered as deterministic `type@offset_s` transcripts — the
+    // event-log → chat-corpus shaping step. Byte-exact across engines
+    // because turn order is pinned on (ts, event_id).
+    Q("q226_dialogues",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+             |g AS (SELECT user_id, event_id, event_type, us,
+             |  CASE WHEN lag(us) OVER w IS NULL
+             |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |  ROWS UNBOUNDED PRECEDING) AS sess FROM g),
+             |t AS (SELECT *, min(us) OVER (PARTITION BY user_id, sess) AS start_us FROM s)
+             |SELECT user_id, min(us)::BIGINT AS session_start_us,
+             |  count(*)::BIGINT AS n_turns,
+             |  ((max(us) - min(us)) // 1000000)::BIGINT AS duration_s,
+             |  string_agg(event_type || '@' || ((us - start_us) // 1000000)::VARCHAR,
+             |    ' ' ORDER BY us, event_id) AS transcript
+             |FROM t GROUP BY user_id, sess
+             |ORDER BY user_id, session_start_us""".stripMargin),
+      (s, dir) =>
+        graft.operators.Dialogue.assembleSessions(
+          t(s, dir, "events")
+            .select(col("user_id"), col("event_id"), col("event_type"),
+              expr("ts div 1000").as("us")),
+          "user_id", "us", "event_type", "event_id",
+          gapUs = 1800000000L)),
+
+    // ---- count-min sketch frequency estimates --------------------
+    // Mergeable CMS per returnflag over l_quantity (built-in
+    // count_min_sketch aggregate; graft_cms_query is the engine's
+    // point-query half). Bounds-check pattern (q45): the estimate
+    // must sit in [exact, exact + ceil(eps*N)] — with the pinned
+    // seed that is deterministic, so sketch drift is a hash
+    // mismatch. Oracle derives the same booleans from exact counts.
+    Q("q228_cms_counts",
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN l_quantity::BIGINT = 1 THEN 1 ELSE 0 END)::BIGINT AS exact_q1,
+             |  sum(CASE WHEN l_quantity::BIGINT = 25 THEN 1 ELSE 0 END)::BIGINT AS exact_q25,
+             |  sum(CASE WHEN l_quantity::BIGINT = 50 THEN 1 ELSE 0 END)::BIGINT AS exact_q50,
+             |  true AS q1_in_bounds, true AS q25_in_bounds, true AS q50_in_bounds
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val g = t(s, dir, "lineitem")
+          .withColumn("__q", expr("CAST(l_quantity AS BIGINT)"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("count_min_sketch(__q, 0.01d, 0.99d, 42)").as("__cms"),
+            sum(when(col("__q") === 1L, 1L).otherwise(0L)).as("exact_q1"),
+            sum(when(col("__q") === 25L, 1L).otherwise(0L)).as("exact_q25"),
+            sum(when(col("__q") === 50L, 1L).otherwise(0L)).as("exact_q50"))
+        def ok(v: Long, exact: String) = {
+          val est = expr(s"graft_cms_query(__cms, CAST($v AS BIGINT))")
+          est >= col(exact) &&
+            est <= col(exact) + expr("CAST(ceil(0.01d * n) AS BIGINT)")
+        }
+        g.withColumn("q1_in_bounds", ok(1L, "exact_q1"))
+          .withColumn("q25_in_bounds", ok(25L, "exact_q25"))
+          .withColumn("q50_in_bounds", ok(50L, "exact_q50"))
+          .select(col("l_returnflag"), col("n"),
+            col("exact_q1"), col("exact_q25"), col("exact_q50"),
+            col("q1_in_bounds"), col("q25_in_bounds"), col("q50_in_bounds"))
+          .orderBy("l_returnflag")
+      })
   )
 }

@@ -3605,6 +3605,30 @@ object TextQ {
       (s, dir) =>
         DedupOps.contrastivePairs(t(s, dir, "documents"), "doc_id", "text",
           bands = 2, rowsPerBand = 4,
-          posNum = 1, posDen = 2, negNum = 1, negDen = 5))
+          posNum = 1, posDen = 2, negNum = 1, negDen = 5)),
+
+    // ---- deterministic weighted priority sample ------------------
+    // Global bottom-100 by the integer surrogate priority
+    // floor(u(text)·10^6 / w), w = length-derived weight — the
+    // exact-arithmetic A-ES stand-in (longer docs proportionally
+    // likelier, selection reproducible and engine-portable).
+    // TakeOrderedAndProject on Spark's side, never a full sort.
+    Q("q227_priority_sample", {
+      import TextHash.{duck => D}
+      val u = D.seeded(D.rollingHash("text"), 179424673L, 961748941L)
+      Some(s"""WITH d AS (SELECT doc_id, source, text,
+              |  greatest(1, n_chars // 100) AS w FROM documents),
+              |p AS (SELECT doc_id, source, w,
+              |  (($u) * 1000000) // w AS priority FROM d)
+              |SELECT doc_id, source, w::BIGINT AS w, priority::BIGINT AS priority
+              |FROM p ORDER BY priority, doc_id LIMIT 100""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Mixing.prioritySample(
+          t(s, dir, "documents")
+            .withColumn("w", expr("greatest(1L, n_chars div 100L)")),
+          "doc_id", "text", "w", k = 100)
+          .select(col("doc_id"), col("source"), col("w"), col("priority"))
+          .orderBy("priority", "doc_id"))
   )
 }

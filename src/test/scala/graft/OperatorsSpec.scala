@@ -2902,4 +2902,98 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(re == w)
   }
+
+  test("assembleSessions: gap splits, pinned turn order, partitioning-invariant") {
+    import spark.implicits._
+    val gap = 60L * 1000000L // 60 s
+    val ev = Seq(
+      // user 1: two sessions — 3 turns, then (after a 2-gap jump) 1 turn
+      (1L, 0L, 10L, "a"), (1L, 1L, 5000000L, "b"), (1L, 2L, 10000000L, "a"),
+      (1L, 3L, 200000000L, "c"),
+      // user 2: one session; same-ts tie broken by ord
+      (2L, 5L, 1000000L, "y"), (2L, 4L, 1000000L, "x")
+    ).toDF("uid", "ord", "us", "etype")
+    val out = Dialogue.assembleSessions(ev, "uid", "us", "etype", "ord", gap)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4))).toSeq == Seq(
+      (1L, 10L, 3L, 9L, "a@0 b@4 a@9"),
+      (1L, 200000000L, 1L, 0L, "c@0"),
+      (2L, 1000000L, 2L, 0L, "x@0 y@0")))
+    // same output regardless of physical layout (retry/AQE safety)
+    val re = Dialogue.assembleSessions(
+      ev.repartition(7), "uid", "us", "etype", "ord", gap)
+    assertSameData(re, Dialogue.assembleSessions(ev, "uid", "us", "etype", "ord", gap))
+  }
+
+  test("prioritySample: weight-monotone, equal weights = bottom-k by hash") {
+    import spark.implicits._
+    val base = (0L until 50L).map(i => (i, s"document number $i", 1L))
+      .toDF("doc_id", "text", "w")
+    val k = 10
+    val eq = Mixing.prioritySample(base, "doc_id", "text", "w", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // equal weights degenerate to bottom-k by the content hash itself
+    val byHash = base
+      .withColumn("u", expr(
+        graft.functions.TextHash.spark.seeded(
+          graft.functions.TextHash.spark.rollingHash("text"),
+          179424673L, 961748941L)))
+      .orderBy("u", "doc_id").limit(k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(eq == byHash)
+    // boosting an excluded row's weight enough pulls it in;
+    // every previously-selected row keeps priority <= its old value
+    val outsider = ((0L until 50L).toSet -- eq).head
+    val boosted = base.withColumn("w",
+      when(col("doc_id") === outsider, 1000000L).otherwise(col("w")))
+    val sel2 = Mixing.prioritySample(boosted, "doc_id", "text", "w", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel2.contains(outsider))
+    // a selected row whose weight rises never drops out at the same k
+    val insider = eq.head
+    val boosted2 = base.withColumn("w",
+      when(col("doc_id") === insider, 7L).otherwise(col("w")))
+    val sel3 = Mixing.prioritySample(boosted2, "doc_id", "text", "w", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel3.contains(insider))
+    // null / non-positive weights raise loudly
+    val bad = base.withColumn("w",
+      when(col("doc_id") === 3L, lit(null).cast("long")).otherwise(col("w")))
+    val e = intercept[Exception] {
+      Mixing.prioritySample(bad, "doc_id", "text", "w", k).collect()
+    }
+    assert(e.getMessage.contains("prioritySample"))
+  }
+
+  test("graft_cms_query: estimates bounded by [exact, exact + ceil(eps*N)], merge-invariant") {
+    import spark.implicits._
+    // skewed domain: value v appears v times, v in 1..40 -> N = 820
+    val rows = (1 to 40).flatMap(v => Seq.fill(v)(v.toLong))
+    val df = rows.toDF("v")
+    val eps = 0.01
+    def estimates(d: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val sk = d.agg(expr(s"count_min_sketch(v, ${eps}d, 0.99d, 42)").as("s"))
+      val probes = Seq(1L, 7L, 40L)
+      val r = sk.select(probes.map(p =>
+        expr(s"graft_cms_query(s, CAST($p AS BIGINT))").as(s"e$p")): _*).head
+      probes.zipWithIndex.map { case (p, i) => p -> r.getLong(i) }.toMap
+    }
+    val est = estimates(df)
+    val n = rows.size
+    est.foreach { case (p, e) =>
+      assert(e >= p, s"CMS must never undercount: probe $p -> $e")
+      assert(e <= p + math.ceil(eps * n).toLong,
+        s"CMS estimate out of eps bound: probe $p -> $e")
+    }
+    // CMS partial-merge sums counters exactly: any partitioning,
+    // same sketch, same estimates
+    assert(estimates(df.repartition(13)) == est)
+    // string domain round-trips too
+    val sdf = Seq("a", "a", "b").toDF("t")
+      .agg(expr("count_min_sketch(t, 0.01d, 0.99d, 42)").as("s"))
+      .select(expr("graft_cms_query(s, 'a')").as("ea"),
+        expr("graft_cms_query(s, 'b')").as("eb")).head
+    assert(sdf.getLong(0) >= 2L && sdf.getLong(1) >= 1L)
+  }
 }
