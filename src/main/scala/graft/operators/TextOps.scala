@@ -689,6 +689,86 @@ object TextOps {
       .drop("__toks")
   }
 
+  /** Train a BPE merge table on the corpus — the tokenizer-TRAINING
+    * loop that [[bpePairCounts]] (one step's counts) and
+    * [[applyBpeMerges]] (the apply side) bracket (Sennrich et al.
+    * 2016): greedily, `nMerges` times, pick the most frequent
+    * adjacent piece pair (occurrence-weighted, ties broken on the
+    * pair's lexical order — pinned, so the learned table is
+    * deterministic and engine-reproducible) and fuse it everywhere.
+    *
+    * Pair counting is positional (a word `aaaa` counts `(a,a)` three
+    * times), the classic trainer's convention; the fuse itself is
+    * left-to-right non-overlapping — [[applyBpeMerges]]' wrapped-piece
+    * `replace` algebra, so training and applying share one
+    * representation.
+    *
+    * Scale shape (100 TB): the corpus is touched ONCE (the word-count
+    * aggregation, map-side combined, vocabulary-sized output); every
+    * training round is then VOCABULARY-bounded — one pair explode +
+    * aggregate and one `limit(1)` argmax collect per round, plus a
+    * per-round `localCheckpoint` so the re-segmented plan does not
+    * deepen with rounds (the previous round's blocks are freed
+    * eagerly, the Components pattern). The merge recurrence is
+    * inherently sequential — `nMerges` driver-paced VOCAB-sized
+    * rounds, never corpus scans. Stops early (fewer than `nMerges`
+    * rows) when no pair remains.
+    *
+    * Output: `(rank, piece_a, piece_b, n)` ordered by `rank` —
+    * feedable straight into [[applyBpeMerges]].
+    */
+  def trainBpe(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 64,
+      "nMerges must be in [1, 64] (each merge is a driver-paced round)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def lit0(s: String) = s"'${s.replace("'", "''")}'"
+    val words = withTokens(df.select(col(textCol)), textCol, "__toks")
+      .select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("bigint").as("n"))
+    // The bracket guard wraps the word column; the let-bound lambda
+    // (1-element transform) runs the char segmentation once per word.
+    val guarded = "CASE WHEN w RLIKE '[<>]' THEN " +
+      "raise_error('trainBpe: token contains < or >') ELSE w END"
+    val seg0 = "CASE WHEN length(wt) = 0 THEN '' ELSE " +
+      "array_join(transform(sequence(1, length(wt)), " +
+      "i -> concat('<', substring(wt, i, 1), '>')), '') END"
+    var seg = words.withColumn("seg", expr(
+      s"element_at(transform(array($guarded), wt -> $seg0), 1)"))
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
+    val learned = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    val piecesExpr =
+      "filter(split(substring(seg, 2, length(seg) - 2), '><'), p -> p != '')"
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val cp = seg.localCheckpoint()
+      prev.foreach(p => p.rdd.unpersist(blocking = false))
+      prev = Some(cp)
+      val best = cp
+        .select(col("n"), expr(piecesExpr).as("__p"))
+        .where(size(col("__p")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(__p) - 1), " +
+            "i -> struct(element_at(__p, i) AS a, element_at(__p, i + 1) AS b))"))
+          .as("__pr"))
+        .groupBy(col("__pr.a").as("a"), col("__pr.b").as("b"))
+        .agg(sum(col("n")).cast("bigint").as("pn"))
+        .orderBy(col("pn").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, pn) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        learned += ((r, a, b, pn))
+        seg = cp.withColumn("seg", expr(
+          s"replace(seg, ${lit0(s"<$a><$b>")}, ${lit0(s"<$a$b>")})"))
+        r += 1
+      }
+    }
+    prev.foreach(p => p.rdd.unpersist(blocking = false))
+    learned.toSeq.toDF("rank", "piece_a", "piece_b", "n").orderBy("rank")
+  }
+
   /** Corpus-level total-variation distance between the token
     * distributions of two `groupCol` slices — the drift SCALAR beside
     * [[tokenDrift]]'s per-token top-k:

@@ -3629,6 +3629,44 @@ object TextQ {
             .withColumn("w", expr("greatest(1L, n_chars div 100L)")),
           "doc_id", "text", "w", k = 100)
           .select(col("doc_id"), col("source"), col("w"), col("priority"))
-          .orderBy("priority", "doc_id"))
+          .orderBy("priority", "doc_id")),
+
+    // ---- BPE tokenizer training (greedy merge loop) --------------
+    // Six rounds of the Sennrich trainer over the corpus vocabulary:
+    // per round, the occurrence-weighted most frequent adjacent piece
+    // pair (ties on pair lexical order) fuses everywhere via the
+    // wrapped-piece replace algebra q221 applies. The oracle unrolls
+    // the same six rounds as staged CTEs — each stage's 1-row argmax
+    // cross-joins into the next re-segmentation, so both engines walk
+    // the identical greedy path or hash-mismatch.
+    Q("q229_bpe_train", {
+      val n = 6
+      val pcs = "list_filter(string_split(substr(seg, 2, length(seg) - 2), '><'), p -> p != '')"
+      val stages = (1 to n).map { r =>
+        s"""c$r AS (SELECT n, $pcs AS pcs FROM s${r - 1} WHERE length(seg) >= 6),
+           |x$r AS (SELECT unnest(list_transform(range(1, len(pcs)),
+           |    i -> {'a': pcs[i], 'b': pcs[i + 1]})) AS pr, n
+           |  FROM c$r WHERE len(pcs) >= 2),
+           |p$r AS (SELECT pr.a AS a, pr.b AS b, sum(n)::BIGINT AS pn
+           |  FROM x$r GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, pn FROM p$r ORDER BY pn DESC, a, b LIMIT 1),
+           |s$r AS (SELECT s.w, s.n, replace(s.seg,
+           |    '<' || b.a || '><' || b.b || '>',
+           |    '<' || b.a || b.b || '>') AS seg
+           |  FROM s${r - 1} s, b$r b)""".stripMargin
+      }.mkString(",\n")
+      val ranks = (1 to n).map(r =>
+        s"SELECT $r AS rank, a AS piece_a, b AS piece_b, pn AS n FROM b$r")
+        .mkString("\nUNION ALL ")
+      Some(s"""WITH wd AS (SELECT unnest($duckToks) AS w FROM documents),
+              |wc AS (SELECT w, count(*)::BIGINT AS n FROM wd GROUP BY w),
+              |s0 AS (SELECT w, n, CASE WHEN length(w) = 0 THEN '' ELSE
+              |  array_to_string(list_transform(range(1, length(w) + 1),
+              |    i -> '<' || substr(w, i, 1) || '>'), '') END AS seg FROM wc),
+              |$stages
+              |SELECT * FROM ($ranks) ORDER BY rank""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.TextOps.trainBpe(t(s, dir, "documents"), "text", 6))
   )
 }

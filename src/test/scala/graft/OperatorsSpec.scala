@@ -2966,6 +2966,28 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("prioritySample"))
   }
 
+  test("trainBpe: hand-computed greedy path, early stop, composes with applyBpeMerges") {
+    import spark.implicits._
+    // corpus: "aaab" x2, "ab" x3
+    val corpus = (Seq.fill(2)("aaab") ++ Seq.fill(3)("ab")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val learned = TextOps.trainBpe(corpus, "text", nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // r1: (a,b) 2+3=5 beats (a,a) 4; r2: (a,a)=2 ties (a,ab)=2, lexical
+    // tie-break picks (a,a); r3: (aa,ab)=2; r4: no pairs left -> stop.
+    assert(learned == Seq((1, "a", "b", 5L), (2, "a", "a", 2L), (3, "aa", "ab", 2L)))
+    // the learned table drives the apply side back to whole words
+    val applied = TextOps.applyBpeMerges(corpus, "text",
+      learned.map(m => (m._2, m._3)))
+      .select("text", "pieces").distinct().collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(applied("aaab") == Seq("aaab") && applied("ab") == Seq("ab"))
+    // partitioning invariance (the argmax is a global aggregate)
+    val re = TextOps.trainBpe(corpus.repartition(5), "text", nMerges = 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(re == learned)
+  }
+
   test("graft_cms_query: estimates bounded by [exact, exact + ceil(eps*N)], merge-invariant") {
     import spark.implicits._
     // skewed domain: value v appears v times, v in 1..40 -> N = 820
