@@ -279,4 +279,32 @@ class ScaleShapeSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
       s"expected all leaves to be checkpointed RDDs, got:\n${leaves.mkString("\n")}")
   }
+
+  test("prioritySample plan: global bottom-k is TakeOrdered, never a full sort") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"text $i", 1L + i % 7))
+      .toDF("doc_id", "text", "w")
+    val plan = operators.Mixing.prioritySample(docs, "doc_id", "text", "w", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject (per-partition k + driver merge):\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"a range-partitioned global sort must not appear:\n$plan")
+  }
+
+  test("assembleSessions plan: one user-keyed shuffle feeds windows AND the aggregate") {
+    import spark.implicits._
+    val ev = (0L until 500L).map(i => (i % 17, i, i * 1000000L, "e"))
+      .toDF("uid", "ord", "us", "etype")
+    val plan = operators.Dialogue.assembleSessions(ev, "uid", "us", "etype", "ord", 60000000L)
+      .queryExecution.executedPlan.toString
+    // ONE uid hash shuffle total: both windows ride it, and the
+    // (uid, session) aggregate is satisfied by the same clustering
+    // (uid partitioning co-locates every (uid, session) group) — no
+    // re-key before the groupBy. The only other exchange is the
+    // output ORDER BY's range partitioning.
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly 1 uid hash shuffle (windows + aggregate share it), found $shuffles:\n$plan")
+  }
 }
