@@ -964,4 +964,35 @@ object TextOps {
       .withColumn("url_tld",
         regexp_extract(col("url_host"), "\\.([a-z0-9-]+)$", 1))
   }
+
+  /** Strip HTML/XML markup down to text — the WET-extraction step of
+    * a web-crawl ingest (tags removed, the five standard character
+    * entities decoded, whitespace squeezed): tags become single
+    * spaces (so `a</p><p>b` never fuses into `ab`), then
+    * `&lt; &gt; &quot; &#39;/&apos;` decode BEFORE `&amp;` (the
+    * single-pass-safe order: `&amp;lt;` correctly yields the literal
+    * text `&lt;`, never double-decodes), then runs of whitespace
+    * collapse to one space and the ends trim.
+    *
+    * The patterns live in the Java∩RE2 regex subset (no lookaround,
+    * no backreferences) so an independent engine can run the
+    * identical chain — the repo's PII-scrub discipline.
+    *
+    * Not a sanitizer: script/style CONTENT survives (tag pairs are
+    * stripped, not their spans) — curation pipelines drop such pages
+    * by quality gate instead. Per-row regex only: zero shuffles,
+    * whole-stage codegen, linear in text volume. */
+  def stripMarkup(df: DataFrame, textCol: String,
+                  out: String = "clean_text"): DataFrame = {
+    require(!df.columns.contains(out), s"stripMarkup reserves $out")
+    // entity decode is LITERAL replace (not regex) — cheaper, and the
+    // order below is load-bearing (see scaladoc)
+    val noTags = s"regexp_replace($textCol, '<[^>]*>', ' ')"
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&apos;" -> "''", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (ent, ch)) =>
+        s"replace($acc, '$ent', '$ch')"
+      }
+    df.withColumn(out, expr(s"trim(regexp_replace($decoded, '\\\\s+', ' '))"))
+  }
 }

@@ -3667,6 +3667,48 @@ object TextQ {
               |SELECT * FROM ($ranks) ORDER BY rank""".stripMargin)
     },
       (s, dir) =>
-        graft.operators.TextOps.trainBpe(t(s, dir, "documents"), "text", 6))
+        graft.operators.TextOps.trainBpe(t(s, dir, "documents"), "text", 6)),
+
+    // ---- markup strip (WET extraction) ---------------------------
+    // Both engines wrap every doc in deterministic HTML (entity-
+    // escaping the text), strip it with the identical tag/entity/
+    // whitespace chain, and count round-trips back to the
+    // whitespace-normalized original — n_roundtrip == n_docs is the
+    // strip operator's correctness witness, not a tautology: a wrong
+    // decode order or greedy tag regex breaks it.
+    Q("q230_strip_markup",
+      Some("""WITH h AS (SELECT source, text,
+             |  '<div class="' || source || '"><p>  ' ||
+             |  replace(replace(text, '&', '&amp;'), '<', '&lt;') ||
+             |  '  </p><br/></div>' AS html FROM documents),
+             |c AS (SELECT source, text, html,
+             |  trim(regexp_replace(
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |      '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS clean FROM h)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(CASE WHEN clean = trim(regexp_replace(text, '\s+', ' ', 'g'))
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip,
+             |  sum(length(html))::BIGINT AS sum_html_chars,
+             |  sum(length(clean))::BIGINT AS sum_clean_chars
+             |FROM c GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val wrapped = t(s, dir, "documents")
+          .withColumn("html", expr(
+            """concat('<div class="', source, '"><p>  ',
+              |  replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+              |  '  </p><br/></div>')""".stripMargin))
+        graft.operators.TextOps.stripMarkup(wrapped, "html", "clean")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("clean") ===
+              expr("trim(regexp_replace(text, '\\\\s+', ' '))"), 1L)
+              .otherwise(0L)).as("n_roundtrip"),
+            sum(length(col("html"))).cast("bigint").as("sum_html_chars"),
+            sum(length(col("clean"))).cast("bigint").as("sum_clean_chars"))
+          .orderBy("source")
+      })
   )
 }

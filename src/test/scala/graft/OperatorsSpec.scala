@@ -2988,6 +2988,24 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("stripMarkup: tags to spaces, single-pass-safe entity order, squeeze+trim") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<p>hello <b>world</b></p>", "hello world"),
+      // tag boundaries must not fuse words
+      (2L, "a</p><p>b", "a b"),
+      // &amp;lt; is the LITERAL text "&lt;" — decode must not double
+      (3L, "x &amp;lt; y &amp; z", "x &lt; y & z"),
+      (4L, "5 &lt; 6 &gt; 4 &quot;q&quot; &#39;a&apos;", "5 < 6 > 4 \"q\" 'a'"),
+      (5L, "  lots\t of\n\n space  ", "lots of space"),
+      // a bare > outside any tag survives
+      (6L, "3 > 2 <br/> done", "3 > 2 done")
+    ).toDF("id", "raw", "expected")
+    val out = TextOps.stripMarkup(rows, "raw", "clean")
+    assert(out.where(col("clean") =!= col("expected")).count() == 0,
+      out.select("id", "clean", "expected").collect().mkString("\n"))
+  }
+
   test("graft_cms_query: estimates bounded by [exact, exact + ceil(eps*N)], merge-invariant") {
     import spark.implicits._
     // skewed domain: value v appears v times, v in 1..40 -> N = 820
