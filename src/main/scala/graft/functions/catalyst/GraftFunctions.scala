@@ -58,7 +58,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => new BloomFilterMightContain(args(0), args(1))),
     ("graft_cms_query",
       info("graft_cms_query", "point query (estimated count) of a count_min_sketch binary (args: sketch, item)"),
-      (args: Seq[Expression]) => CmsQuery(args(0), args(1))))
+      (args: Seq[Expression]) => CmsQuery(args(0), args(1))),
+    ("graft_cms_merge",
+      info("graft_cms_merge", "aggregate union of count_min_sketch binaries -> one sketch (counters sum exactly)"),
+      (args: Seq[Expression]) => CmsMerge(args(0))))
 
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")

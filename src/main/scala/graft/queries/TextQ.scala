@@ -3709,6 +3709,48 @@ object TextQ {
             sum(length(col("html"))).cast("bigint").as("sum_html_chars"),
             sum(length(col("clean"))).cast("bigint").as("sum_clean_chars"))
           .orderBy("source")
+      }),
+
+    // ---- CMS sketch rollup (merge == rebuild) --------------------
+    // The 100 TB sketch pattern: build one CMS per source (map-side,
+    // data-local), answer corpus-wide frequency questions by MERGING
+    // the kilobyte sketches — never re-scanning the corpus. CMS
+    // counters sum exactly, so merged estimates must EQUAL the
+    // direct corpus sketch's, and both sit in [exact, exact+ceil(
+    // eps*N)] at the pinned seed (q45 bounds pattern).
+    Q("q231_cms_rollup",
+      Some("""WITH b AS (SELECT n_chars // 100 AS bucket FROM documents),
+             |c AS (SELECT bucket, count(*)::BIGINT AS exact_n FROM b GROUP BY bucket),
+             |p AS (SELECT unnest(range(0, 6)) AS bucket)
+             |SELECT p.bucket::BIGINT AS bucket,
+             |  coalesce(c.exact_n, 0)::BIGINT AS exact_n,
+             |  true AS est_in_bounds, true AS merged_eq_direct
+             |FROM p LEFT JOIN c ON c.bucket = p.bucket
+             |ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").withColumn("__b", expr("n_chars div 100L"))
+        val per = d.groupBy(col("source"))
+          .agg(expr("count_min_sketch(__b, 0.01d, 0.99d, 42)").as("sk"))
+        val merged = per.agg(expr("graft_cms_merge(sk)").as("msk"))
+        val direct = d.agg(
+          expr("count_min_sketch(__b, 0.01d, 0.99d, 42)").as("dsk"),
+          count(lit(1)).as("__n"))
+        val exact = d.groupBy(col("__b").as("bucket"))
+          .agg(count(lit(1)).as("exact_n"))
+        s.range(0, 6).toDF("bucket")
+          .join(exact, Seq("bucket"), "left")
+          .na.fill(0L, Seq("exact_n"))
+          .crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+          .withColumn("__est", expr("graft_cms_query(msk, bucket)"))
+          .withColumn("est_in_bounds",
+            col("__est") >= col("exact_n") &&
+              col("__est") <= col("exact_n") +
+                expr("CAST(ceil(0.01d * __n) AS BIGINT)"))
+          .withColumn("merged_eq_direct",
+            col("__est") === expr("graft_cms_query(dsk, bucket)"))
+          .select(col("bucket"), col("exact_n"),
+            col("est_in_bounds"), col("merged_eq_direct"))
+          .orderBy("bucket")
       })
   )
 }

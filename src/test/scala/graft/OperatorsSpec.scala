@@ -2988,6 +2988,32 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("graft_cms_merge: merged group sketches equal the direct corpus sketch") {
+    import spark.implicits._
+    val df = (1 to 30).flatMap(v => Seq.fill(v)((v.toLong, s"g${v % 3}")))
+      .toDF("v", "g")
+    def est(skCol: String, d: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val r = d.select((1L to 30L).map(p =>
+        expr(s"graft_cms_query($skCol, CAST($p AS BIGINT))").as(s"e$p")): _*).head
+      (0 until 30).map(r.getLong)
+    }
+    val direct = df.agg(expr("count_min_sketch(v, 0.01d, 0.99d, 7)").as("s"))
+    val merged = df.groupBy("g")
+      .agg(expr("count_min_sketch(v, 0.01d, 0.99d, 7)").as("sk"))
+      .agg(expr("graft_cms_merge(sk)").as("s"))
+    assert(est("s", merged) == est("s", direct),
+      "counter sums must make merge == rebuild, estimate-for-estimate")
+    // merge order / partitioning must not matter
+    val re = df.repartition(11).groupBy("g")
+      .agg(expr("count_min_sketch(v, 0.01d, 0.99d, 7)").as("sk"))
+      .agg(expr("graft_cms_merge(sk)").as("s"))
+    assert(est("s", re) == est("s", direct))
+    // zero / all-null sketch inputs -> SQL-conventional NULL
+    val none = df.select(lit(null).cast("binary").as("sk"))
+      .agg(expr("graft_cms_merge(sk)").as("s"))
+    assert(none.head.isNullAt(0))
+  }
+
   test("stripMarkup: tags to spaces, single-pass-safe entity order, squeeze+trim") {
     import spark.implicits._
     val rows = Seq(
