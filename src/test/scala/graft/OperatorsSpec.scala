@@ -3014,6 +3014,38 @@ class OperatorsSpec extends SparkSpec {
     assert(none.head.isNullAt(0))
   }
 
+  test("count_min_sketch streams: cross-batch state + graft_cms_query equals batch") {
+    // The sketch family's streaming story: the built-in CMS aggregate's
+    // partial buffer merges through the state store across micro-
+    // batches; graft_cms_query reads the persisted binary. The full
+    // replay must estimate exactly like a batch-built sketch (same
+    // counters, same seed) no matter how rows split across batches.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val b1 = (1 to 20).flatMap(v => Seq.fill(v)(v.toLong))
+    val b2 = (10 to 25).flatMap(v => Seq.fill(3)(v.toLong))
+    val mem = MemoryStream[Long]
+    val query = mem.toDF().toDF("v")
+      .selectExpr("count_min_sketch(v, 0.01d, 0.99d, 7) AS s")
+      .writeStream.format("memory").queryName("cms_stream_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(b1: _*); query.processAllAvailable()
+      mem.addData(b2: _*); query.processAllAvailable()
+      val probes = (1L to 25L)
+      def ests(d: org.apache.spark.sql.DataFrame): Seq[Long] = {
+        val r = d.select(probes.map(p =>
+          expr(s"graft_cms_query(s, CAST($p AS BIGINT))").as(s"e$p")): _*).head
+        probes.indices.map(r.getLong)
+      }
+      val direct = (b1 ++ b2).toDF("v")
+        .agg(expr("count_min_sketch(v, 0.01d, 0.99d, 7)").as("s"))
+      assert(ests(spark.table("cms_stream_out")) == ests(direct),
+        "cross-batch CMS state diverged from the batch-built sketch")
+    } finally query.stop()
+  }
+
   test("stripMarkup: tags to spaces, single-pass-safe entity order, squeeze+trim") {
     import spark.implicits._
     val rows = Seq(
