@@ -153,6 +153,75 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** Binary-relevance nDCG@k per query over the label-relevance
+    * convention — [[retrievalEval]]'s rank-sensitive sibling (P@k
+    * treats rank 1 and rank k alike; nDCG discounts by position,
+    * Järvelin & Kekäläinen 2002).
+    *
+    * Float discipline (the repo's no-libm rule for oracle parity):
+    * the discount weights `1/log2(r+1)` for r = 1..k are computed
+    * ONCE on the driver and injected into the plan as double
+    * LITERALS — an independent engine given the same literal text
+    * parses identical doubles, whereas `log2()` at runtime would race
+    * two libm implementations' last ulp. DCG then folds the (sorted,
+    * ≤ k element) relevant-rank list in pinned ascending order, and
+    * IDCG folds ranks `1..min(k, n_rel_total)` the same way — both
+    * bitwise-deterministic; nDCG is their single IEEE division (null
+    * when the query's label has no corpus member).
+    *
+    * Scale shape: identical to [[retrievalEval]] — the broadcast-
+    * queries kNN scan, neighbor frame broadcast into the label join
+    * (the corpus never reshuffles), rel totals a broadcast dim; the
+    * fold arrays are ≤ k elements per query.
+    *
+    * Output: `(q_id, label, n_rel_topk, dcg, idcg, ndcg)`. */
+  /** The `1/log2(r+1)` discount weights for r = 1..k, rendered as
+    * decimal strings — shared between [[ndcgAtK]]'s plan and any
+    * independent-engine oracle so both sides parse identical
+    * doubles. */
+  def ndcgWeightStrings(k: Int): Seq[String] =
+    (1 to k).map(r => (1.0 / (math.log(r + 1.0) / math.log(2.0))).toString)
+
+  def ndcgAtK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              corpusLabel: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              queryLabel: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    // CAST-from-string: both engines parse the same decimal string to
+    // the same (correctly-rounded) double — no literal-typing
+    // divergence (a bare decimal literal is DECIMAL in some engines).
+    val wtsLit = ndcgWeightStrings(k)
+      .map(w => s"CAST('$w' AS DOUBLE)").mkString("array(", ", ", ")")
+    val nn = knnJoin(corpus.select(col(corpusId), col(corpusVec)),
+      corpusId, corpusVec,
+      queries.select(col(queryId), col(queryVec)), queryId, queryVec, k)
+    val labeled = corpus
+      .select(col(corpusId).as("c_id"), col(corpusLabel).as("c_label"))
+      .join(broadcast(nn.select(col("q_id"), col("c_id"), col("rank"))), Seq("c_id"))
+    val qdim = queries.select(col(queryId).as("q_id"), col(queryLabel).as("label"))
+    val relTotals = corpus.groupBy(col(corpusLabel).as("label"))
+      .agg(count(lit(1)).cast("bigint").as("__n_rel_total"))
+    val perQ = labeled.join(broadcast(qdim), Seq("q_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(
+        sort_array(collect_list(
+          when(col("c_label") === col("label"), col("rank")))).as("__rel_ranks"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .cast("bigint").as("n_rel_topk"))
+    perQ.join(broadcast(relTotals), Seq("label"), "left")
+      .withColumn("dcg", expr(
+        s"aggregate(__rel_ranks, 0.0D, (a, r) -> a + element_at($wtsLit, r))"))
+      .withColumn("idcg", expr(
+        s"CASE WHEN __n_rel_total IS NULL OR __n_rel_total = 0 THEN NULL " +
+          s"ELSE aggregate(sequence(1, least($k, CAST(__n_rel_total AS INT))), " +
+          s"0.0D, (a, r) -> a + element_at($wtsLit, r)) END"))
+      .select(col("q_id"), col("label"), col("n_rel_topk"),
+        col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
+      .orderBy("q_id")
+  }
+
   /** kNN label propagation: predict each query's label as the
     * majority label among its `k` nearest corpus neighbors
     * (deterministic tie-break: highest vote count, then lowest

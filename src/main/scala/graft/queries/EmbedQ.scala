@@ -500,6 +500,53 @@ object EmbedQ {
           k = 10)
       }),
 
+    // ---- nDCG@10 (rank-sensitive retrieval eval) -----------------
+    // q136's position-discounted sibling. The 1/log2(r+1) discounts
+    // are driver-computed decimal STRINGS cast to DOUBLE in BOTH
+    // engines (no runtime libm race); DCG/IDCG fold their <= k
+    // element lists in pinned ascending order — bitwise-portable.
+    Q("q232_ndcg", {
+      val wl = graft.operators.SimilarityOps.ndcgWeightStrings(10)
+        .map(w => s"CAST('$w' AS DOUBLE)").mkString("[", ", ", "]")
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |s AS (SELECT q_id, label, c_id, c_label,
+              |  row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |topk AS (SELECT * FROM s WHERE rn <= 10),
+              |m AS (SELECT q_id, label,
+              |    list_sort(list(rn) FILTER (WHERE c_label = label)) AS rel_ranks,
+              |    sum(CASE WHEN c_label = label THEN 1 ELSE 0 END)::BIGINT AS n_rel_topk
+              |  FROM topk GROUP BY q_id, label),
+              |rt AS (SELECT c_label AS label, count(*)::BIGINT AS n_rel_total
+              |  FROM c GROUP BY c_label),
+              |x AS (SELECT m.q_id, m.label, m.n_rel_topk,
+              |  list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+              |    list_transform(rel_ranks, r -> ($wl)[r])), (a, b) -> a + b) AS dcg,
+              |  CASE WHEN rt.n_rel_total IS NULL OR rt.n_rel_total = 0 THEN NULL
+              |    ELSE list_reduce(list_prepend(CAST('0.0' AS DOUBLE),
+              |      list_transform(range(1, least(10, rt.n_rel_total)::INT + 1),
+              |        r -> ($wl)[r])), (a, b) -> a + b) END AS idcg
+              |  FROM m LEFT JOIN rt USING (label))
+              |SELECT q_id, label, n_rel_topk, dcg, idcg, dcg / idcg AS ndcg
+              |FROM x ORDER BY q_id""".stripMargin)
+    },
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        graft.operators.SimilarityOps.ndcgAtK(
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+              col("label").as("c_label")),
+          "c_id", "cv", "c_label",
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("label").as("q_label")),
+          "q_id", "qv", "q_label",
+          k = 10)
+      }),
+
     // ---- kNN label propagation -----------------------------------
     // Auto-labeling: each query labeled by the majority among its 5
     // nearest corpus neighbors (vote argmax as max(struct), no second

@@ -2988,6 +2988,27 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("ndcgAtK: perfect ranking = 1.0, all-miss = 0.0, absent label = null") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), "a"), (11L, Array(0.9f, 0.1f), "a"),
+      (12L, Array(0.0f, 1.0f), "b"), (13L, Array(0.1f, 0.9f), "b")
+    ).toDF("c_id", "cv", "c_label")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), // both 'a' docs fill the top-2: perfect
+      (2L, Array(1.0f, 0.0f), "b"), // top-2 are 'a' docs: zero DCG
+      (3L, Array(1.0f, 0.0f), "z")  // label absent from the corpus
+    ).toDF("q_id", "qv", "q_label")
+    val out = SimilarityOps.ndcgAtK(corpus, "c_id", "cv", "c_label",
+      queries, "q_id", "qv", "q_label", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(out(1L) == ((2L, Some(1.0))))
+    assert(out(2L) == ((0L, Some(0.0))))
+    assert(out(3L)._1 == 0L && out(3L)._2.isEmpty,
+      "a query whose label has no corpus member must surface with null nDCG")
+  }
+
   test("graft_cms_merge: merged group sketches equal the direct corpus sketch") {
     import spark.implicits._
     val df = (1 to 30).flatMap(v => Seq.fill(v)((v.toLong, s"g${v % 3}")))
