@@ -90,4 +90,51 @@ object Scoring {
     df.join(scoredPairs(df, idCol, textCol, batchSize),
       col(idCol) === col("__sid")).drop("__sid")
   }
+
+  /** ROUGE-n overlap between a candidate and a reference text on the
+    * same row (Lin 2004): clipped n-gram-multiset intersection
+    * `m = Σ_g min(count_cand(g), count_ref(g))`, from which
+    * `rouge_p = m/|cand grams|`, `rouge_r = m/|ref grams|`, and
+    * `rouge_f1 = 2m/(|cand|+|ref|)` (the F1 identity — exact
+    * integers, one IEEE division each). The standard reference-based
+    * eval for generated/augmented text, and a sharper near-dup
+    * diagnostic than Jaccard (multiset counts see repetition).
+    *
+    * Adds `n_overlap, n_cand, n_ref, rouge_p, rouge_r, rouge_f1`
+    * (ratios null when the denominator is 0; null text → null row
+    * stats). Per-row only — zero shuffles. The clipped intersection
+    * is O(distinct · (|cand| + |ref|)) per row via let-bound HOFs —
+    * right for sentence/document eval pairs; book-sized texts should
+    * pre-truncate. */
+  def withRougeN(df: DataFrame, candCol: String, refCol: String,
+                 n: Int = 2): DataFrame = {
+    require(n >= 1 && n <= 4, "n must be in [1, 4]")
+    val reserved = Set("__cg", "__rg", "n_overlap", "n_cand", "n_ref",
+      "rouge_p", "rouge_r", "rouge_f1")
+    require(df.columns.toSet.intersect(reserved).isEmpty,
+      s"withRougeN reserves ${reserved.mkString(", ")}")
+    def grams(c: String) =
+      s"element_at(transform(array(split($c, ' ')), t -> " +
+        s"CASE WHEN size(t) >= $n THEN transform(sequence(1, size(t) - ${n - 1}), " +
+        s"i -> array_join(slice(t, i, $n), ' ')) " +
+        s"ELSE CAST(array() AS array<string>) END), 1)"
+    df.withColumn("__cg", expr(grams(candCol)))
+      .withColumn("__rg", expr(grams(refCol)))
+      .withColumn("n_overlap", expr(
+        "aggregate(array_distinct(__cg), 0L, (acc, g) -> acc + " +
+          "least(size(filter(__cg, x -> x = g)), " +
+          "size(filter(__rg, x -> x = g))))"))
+      .withColumn("n_cand", size(col("__cg")).cast("long"))
+      .withColumn("n_ref", size(col("__rg")).cast("long"))
+      .withColumn("rouge_p",
+        when(col("n_cand") > 0,
+          col("n_overlap").cast("double") / col("n_cand")))
+      .withColumn("rouge_r",
+        when(col("n_ref") > 0,
+          col("n_overlap").cast("double") / col("n_ref")))
+      .withColumn("rouge_f1",
+        when(col("n_cand") + col("n_ref") > 0,
+          lit(2.0) * col("n_overlap") / (col("n_cand") + col("n_ref"))))
+      .drop("__cg", "__rg")
+  }
 }

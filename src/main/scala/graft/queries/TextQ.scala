@@ -3607,6 +3607,51 @@ object TextQ {
           bands = 2, rowsPerBand = 4,
           posNum = 1, posDen = 2, negNum = 1, negDen = 5)),
 
+    // ---- ROUGE-2 reference overlap -------------------------------
+    // Clipped bigram-multiset precision/recall/F1 (Lin 2004) of each
+    // doc against its source's next doc — exact integer overlap
+    // counts, single IEEE divisions; the planted near-dup pairs
+    // surface as the high-F1 tail.
+    Q("q233_rouge_overlap",
+      Some("""WITH o AS (SELECT source, doc_id, text,
+             |  lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+             |  FROM documents),
+             |p AS (SELECT source, doc_id, text, ref FROM o WHERE ref IS NOT NULL),
+             |g AS (SELECT source, doc_id,
+             |  CASE WHEN len(string_split(text, ' ')) >= 2
+             |    THEN list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' '))
+             |    ELSE [] END AS cg,
+             |  CASE WHEN len(string_split(ref, ' ')) >= 2
+             |    THEN list_transform(range(1, len(string_split(ref, ' '))),
+             |      i -> array_to_string(list_slice(string_split(ref, ' '), i, i + 1), ' '))
+             |    ELSE [] END AS rg FROM p),
+             |x AS (SELECT source, doc_id,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(list_distinct(cg), gr ->
+             |      least(len(list_filter(cg, z -> z = gr)),
+             |            len(list_filter(rg, z -> z = gr)))::BIGINT)),
+             |    (a, b) -> a + b) AS n_overlap,
+             |  len(cg)::BIGINT AS n_cand, len(rg)::BIGINT AS n_ref FROM g)
+             |SELECT source, doc_id, n_overlap, n_cand, n_ref,
+             |  CASE WHEN n_cand > 0 THEN n_overlap::DOUBLE / n_cand END AS rouge_p,
+             |  CASE WHEN n_ref > 0 THEN n_overlap::DOUBLE / n_ref END AS rouge_r,
+             |  CASE WHEN n_cand + n_ref > 0
+             |    THEN (2.0::DOUBLE * n_overlap) / (n_cand + n_ref) END AS rouge_f1
+             |FROM x ORDER BY source, doc_id""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = t(s, dir, "documents")
+          .withColumn("ref", lead(col("text"), 1).over(w))
+          .where(col("ref").isNotNull)
+        graft.operators.Scoring.withRougeN(pairs, "text", "ref", n = 2)
+          .select(col("source"), col("doc_id"), col("n_overlap"),
+            col("n_cand"), col("n_ref"), col("rouge_p"), col("rouge_r"),
+            col("rouge_f1"))
+          .orderBy("source", "doc_id")
+      }),
+
     // ---- deterministic weighted priority sample ------------------
     // Global bottom-100 by the integer surrogate priority
     // floor(u(text)·10^6 / w), w = length-derived weight — the

@@ -2988,6 +2988,31 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("withRougeN: clipped multiset overlap, hand-computed P/R/F1, edge rows") {
+    import spark.implicits._
+    val rows = Seq(
+      // cand "a b a b a" bigrams: ab, ba, ab, ba  (ab x2, ba x2)
+      // ref  "a b a"     bigrams: ab, ba          (ab x1, ba x1)
+      // clipped overlap = min(2,1) + min(2,1) = 2; P = 2/4, R = 2/2, F1 = 4/6
+      (1L, "a b a b a", "a b a"),
+      (2L, "x y", "x y"),      // identical: all 1.0
+      (3L, "p q", "r s"),      // disjoint: all 0.0
+      (4L, "solo", "w z")      // cand too short for a bigram: P null, R 0
+    ).toDF("id", "cand", "ref")
+    val out = Scoring.withRougeN(rows, "cand", "ref", n = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val r1 = out(1L)
+    assert(r1.getLong(3) == 2L && r1.getLong(4) == 4L && r1.getLong(5) == 2L)
+    assert(f(r1, 6).contains(0.5) && f(r1, 7).contains(1.0) &&
+      f(r1, 8).contains(2.0 * 2 / 6))
+    assert(f(out(2L), 8).contains(1.0))
+    assert(f(out(3L), 8).contains(0.0))
+    val r4 = out(4L)
+    assert(r4.getLong(4) == 0L && f(r4, 6).isEmpty && f(r4, 7).contains(0.0))
+  }
+
   test("ndcgAtK: perfect ranking = 1.0, all-miss = 0.0, absent label = null") {
     import spark.implicits._
     val corpus = Seq(
