@@ -213,8 +213,10 @@ object SimilarityOps {
       .withColumn("dcg", expr(
         s"aggregate(__rel_ranks, 0.0D, (a, r) -> a + element_at($wtsLit, r))"))
       .withColumn("idcg", expr(
+        // clamp BEFORE narrowing: least() in BIGINT, then the <= k
+        // result casts safely (a >2^31 relevant-total must not wrap)
         s"CASE WHEN __n_rel_total IS NULL OR __n_rel_total = 0 THEN NULL " +
-          s"ELSE aggregate(sequence(1, least($k, CAST(__n_rel_total AS INT))), " +
+          s"ELSE aggregate(sequence(1, CAST(least(CAST($k AS BIGINT), __n_rel_total) AS INT)), " +
           s"0.0D, (a, r) -> a + element_at($wtsLit, r)) END"))
       .select(col("q_id"), col("label"), col("n_rel_topk"),
         col("dcg"), col("idcg"),
