@@ -298,6 +298,57 @@ object Profile {
     *
     * Scale shape: one broadcast min-join + one group-bounded
     * five-sum aggregate (map-side combined). */
+  /** Benford first-digit audit of an integer-magnitude column — the
+    * classic fabricated-/synthetic-data smell test (Newcomb 1881,
+    * Benford 1938; naturally-occurring multi-scale magnitudes put
+    * digit d first with probability log10(1+1/d), and invented or
+    * truncated numbers usually don't). Reports, per leading digit
+    * 1..9: the observed count, observed share, the Benford share,
+    * and the signed deviation — all in exact integer ppm. The
+    * Benford shares are DRIVER-computed constants injected as
+    * literals (the repo's no-runtime-libm rule), and the leading
+    * digit comes from the decimal STRING rendering of
+    * `floor(abs(value))` — floor before the integer cast because
+    * engines disagree on double→int cast rounding, and string-derive
+    * because runtime log10 would race libm. Null values and
+    * `|v| < 1` are excluded (no integer leading digit).
+    *
+    * This is an AUDIT, not a gate: columns with narrow ranges (unit
+    * prices, bounded quantities) legitimately deviate — read
+    * `delta_ppm` against the column's generative story.
+    *
+    * Scale shape: one digit-keyed aggregation (9 groups, map-side
+    * combined) + a broadcast total; per-row work is a cast and a
+    * substring inside codegen. */
+  /** Benford shares in exact integer ppm, driver-computed once —
+    * shared with the independent-engine oracle so both sides carry
+    * identical constants. */
+  val benfordPpm: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong).toMap
+
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val bexpr = (1 to 9).map(d => s"WHEN digit = $d THEN ${benfordPpm(d)}L")
+      .mkString("CASE ", " ", " END")
+    // floor(abs(v)) BEFORE the integer cast: engines disagree on
+    // double→int cast rounding (truncate vs round-to-nearest), floor
+    // is unambiguous. |v| < 1 rows are excluded — no integer leading
+    // digit.
+    val counts = df
+      .where(col(valueCol).isNotNull && expr(s"floor(abs($valueCol)) >= 1"))
+      .withColumn("digit",
+        expr(s"CAST(substring(CAST(CAST(floor(abs($valueCol)) AS BIGINT) AS STRING), 1, 1) AS INT)"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val total = counts.agg(sum(col("n")).cast("bigint").as("__tot"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("1000000L * n div __tot"))
+      .withColumn("benford_ppm", expr(bexpr))
+      .withColumn("delta_ppm", col("share_ppm") - col("benford_ppm"))
+      .select(col("digit"), col("n"), col("share_ppm"),
+        col("benford_ppm"), col("delta_ppm"))
+      .orderBy("digit")
+  }
+
   def groupTrend(df: DataFrame, groupCol: String, xCol: String,
                  yCol: String): DataFrame = {
     val mins = df.groupBy(col(groupCol)).agg(min(col(xCol)).as("__x0"))

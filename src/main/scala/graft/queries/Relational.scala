@@ -1406,6 +1406,31 @@ object Relational {
             col("exact_q1"), col("exact_q25"), col("exact_q50"),
             col("q1_in_bounds"), col("q25_in_bounds"), col("q50_in_bounds"))
           .orderBy("l_returnflag")
-      })
+      }),
+
+    // ---- Benford first-digit audit -------------------------------
+    // Leading digit of |l_extendedprice| (truncated to integer
+    // magnitude) vs the Benford shares — fabricated-data smell test.
+    // The digit comes from the decimal STRING rendering (exact in any
+    // engine, no runtime log10); Benford shares are driver constants
+    // shared with the oracle; everything else is integer ppm.
+    Q("q234_benford_audit", {
+      val b = graft.operators.Profile.benfordPpm
+      val bCase = (1 to 9).map(d => s"WHEN digit = $d THEN ${b(d)}")
+        .mkString("CASE ", " ", " END")
+      Some(s"""WITH v AS (SELECT CAST(floor(abs(l_extendedprice)) AS BIGINT) AS x
+              |  FROM lineitem
+              |  WHERE l_extendedprice IS NOT NULL AND floor(abs(l_extendedprice)) >= 1),
+              |d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS INT) AS digit FROM v),
+              |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+              |t AS (SELECT sum(n)::BIGINT AS tot FROM c)
+              |SELECT digit, n, (1000000 * n // tot)::BIGINT AS share_ppm,
+              |  ($bCase)::BIGINT AS benford_ppm,
+              |  ((1000000 * n // tot) - ($bCase))::BIGINT AS delta_ppm
+              |FROM c CROSS JOIN t ORDER BY digit""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Profile.benfordAudit(
+          t(s, dir, "lineitem"), "l_extendedprice"))
   )
 }

@@ -2988,6 +2988,24 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("benfordAudit: string-derived leading digit, exact ppm, null/zero excluded") {
+    import spark.implicits._
+    // digits: 1 x4 (10, 15, -19, 1999.5->1999), 2 x1 (250), 9 x1
+    // (9000); 0, 0.5 (|v| < 1) and null excluded
+    val df = Seq[java.lang.Double](10.0, 15.0, -19.0, 1999.5, 250.0, 9000.0,
+      0.0, 0.5, null).toDF("v")
+    val out = Profile.benfordAudit(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.keySet == Set(1, 2, 9))
+    assert(out(1) == ((4L, 666666L, Profile.benfordPpm(1))))
+    assert(out(2)._1 == 1L && out(2)._2 == 166666L)
+    assert(out(9)._3 == Profile.benfordPpm(9))
+    // benford constants: shares sum to ~1e6 and decrease in d
+    assert(Profile.benfordPpm.values.sum >= 999990L &&
+      Profile.benfordPpm.values.sum <= 1000000L)
+    assert((1 to 8).forall(d => Profile.benfordPpm(d) > Profile.benfordPpm(d + 1)))
+  }
+
   test("withRougeN: clipped multiset overlap, hand-computed P/R/F1, edge rows") {
     import spark.implicits._
     val rows = Seq(
