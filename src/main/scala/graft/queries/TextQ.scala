@@ -3714,6 +3714,62 @@ object TextQ {
       (s, dir) =>
         graft.operators.TextOps.trainBpe(t(s, dir, "documents"), "text", 6)),
 
+    // ---- tokenizer fertility (train -> apply, end to end) --------
+    // The composition witness: LEARN 6 merges on the corpus (q229's
+    // greedy path), APPLY them (q221's algebra), and report pieces
+    // per token per source in exact ppm — the metric a tokenizer
+    // owner actually tracks. The oracle re-derives the same merges
+    // (staged CTEs) and applies them on the VOCAB segmentation, then
+    // joins word frequencies back per source — algebraically the
+    // same total as Spark's per-document apply.
+    Q("q235_bpe_fertility", {
+      val n = 6
+      val pcs = "list_filter(string_split(substr(seg, 2, length(seg) - 2), '><'), p -> p != '')"
+      val stages = (1 to n).map { r =>
+        s"""c$r AS (SELECT n, $pcs AS pcs FROM s${r - 1} WHERE length(seg) >= 6),
+           |x$r AS (SELECT unnest(list_transform(range(1, len(pcs)),
+           |    i -> {'a': pcs[i], 'b': pcs[i + 1]})) AS pr, n
+           |  FROM c$r WHERE len(pcs) >= 2),
+           |p$r AS (SELECT pr.a AS a, pr.b AS b, sum(n)::BIGINT AS pn
+           |  FROM x$r GROUP BY 1, 2),
+           |b$r AS (SELECT a, b, pn FROM p$r ORDER BY pn DESC, a, b LIMIT 1),
+           |s$r AS (SELECT s.w, s.n, replace(s.seg,
+           |    '<' || b.a || '><' || b.b || '>',
+           |    '<' || b.a || b.b || '>') AS seg
+           |  FROM s${r - 1} s, b$r b)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH wd AS (SELECT source, unnest($duckToks) AS w FROM documents),
+              |wcs AS (SELECT source, w, count(*)::BIGINT AS n FROM wd GROUP BY 1, 2),
+              |wc AS (SELECT w, sum(n)::BIGINT AS n FROM wcs GROUP BY w),
+              |s0 AS (SELECT w, n, CASE WHEN length(w) = 0 THEN '' ELSE
+              |  array_to_string(list_transform(range(1, length(w) + 1),
+              |    i -> '<' || substr(w, i, 1) || '>'), '') END AS seg FROM wc),
+              |$stages,
+              |f AS (SELECT w, CASE WHEN length(seg) = 0 THEN 0
+              |    ELSE len($pcs) END::BIGINT AS n_pieces FROM s$n)
+              |SELECT wcs.source, sum(wcs.n)::BIGINT AS total_tokens,
+              |  sum(wcs.n * f.n_pieces)::BIGINT AS total_pieces,
+              |  (1000000 * sum(wcs.n * f.n_pieces) // sum(wcs.n))::BIGINT AS fertility_ppm
+              |FROM wcs JOIN f USING (w)
+              |GROUP BY wcs.source ORDER BY wcs.source""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val learned = graft.operators.TextOps.trainBpe(docs, "text", 6)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        graft.operators.TextOps
+          .applyBpeMerges(docs.select(col("source"), col("text")), "text", learned)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("__nt"),
+            size(col("pieces")).cast("long").as("__np"))
+          .groupBy(col("source"))
+          .agg(sum(col("__nt")).cast("bigint").as("total_tokens"),
+            sum(col("__np")).cast("bigint").as("total_pieces"))
+          .withColumn("fertility_ppm",
+            expr("1000000L * total_pieces div total_tokens"))
+          .orderBy("source")
+      }),
+
     // ---- markup strip (WET extraction) ---------------------------
     // Both engines wrap every doc in deterministic HTML (entity-
     // escaping the text), strip it with the identical tag/entity/
