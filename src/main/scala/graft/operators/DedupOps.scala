@@ -709,6 +709,44 @@ object DedupOps {
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")
   }
 
+  /** Drop documents mostly CONTAINED in another — the end-user verb
+    * for [[containmentPairs]]' detector (what [[dropNearDuplicates]]
+    * is to symmetric Jaccard): a doc is dropped when its distinct
+    * 3-shingle set sits ≥ `cNum/cDen` inside a candidate partner's
+    * AND it is the smaller side (fewer distinct shingles; equal sizes
+    * — the near-identical case — keep the smaller id). Drops are
+    * independent greedy decisions, not clusters: in a containment
+    * chain A ⊂ B ⊂ C both A and B drop and C survives, which is the
+    * curation intent (keep the maximal document). Thresholds compare
+    * as exact integer cross-products.
+    *
+    * Scale shape: the [[lshNearDupPairs]] candidate pipeline
+    * (banded, id-only shuffles, verification semi-join-pruned to
+    * candidates) + one id anti-join. Recall caveat shared with every
+    * MinHash route: extreme size-ratio containments can evade
+    * symmetric band collisions — lower `rowsPerBand` when hunting
+    * small excerpts. */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+                    bands: Int = 2, rowsPerBand: Int = 4,
+                    cNum: Int = 2, cDen: Int = 3): DataFrame = {
+    require(cDen >= 1 && cNum >= 1 && cNum <= cDen,
+      "containment threshold must be a fraction in (0, 1]")
+    val stats = pairShingleStats(df, idCol, textCol,
+      lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand))
+    val dropA = stats
+      .where(col("n_common") * cDen >= col("n_a") * cNum &&
+        (col("n_a") < col("n_b") ||
+          (col("n_a") === col("n_b") && col("a_id") > col("b_id"))))
+      .select(col("a_id").as("__drop_id"))
+    val dropB = stats
+      .where(col("n_common") * cDen >= col("n_b") * cNum &&
+        (col("n_b") < col("n_a") ||
+          (col("n_a") === col("n_b") && col("b_id") > col("a_id"))))
+      .select(col("b_id").as("__drop_id"))
+    df.join(dropA.unionAll(dropB).distinct(),
+      col(idCol) === col("__drop_id"), "left_anti")
+  }
+
   /** Blocked edit-distance (Levenshtein) near-dup pairs — the fuzzy
     * dedup for SHORT text fields (titles, names, IDs) where
     * shingle-set similarity is too coarse: within text-prefix

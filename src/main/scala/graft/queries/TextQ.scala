@@ -3607,6 +3607,46 @@ object TextQ {
           bands = 2, rowsPerBand = 4,
           posNum = 1, posDen = 2, negNum = 1, negDen = 5)),
 
+    // ---- drop-contained curation verb ----------------------------
+    // The removal action for q89's containment detector: a doc whose
+    // shingle set is >= 2/3 inside a candidate partner's AND is the
+    // smaller side (equal sizes keep the smaller id) is dropped —
+    // independent greedy drops, chains keep only the maximal doc.
+    // Per-source survivor census; integer cross-compares throughout.
+    Q("q236_drop_contained",
+      Some(s"""$sigCte,
+              |$candCtes,
+              |v AS (SELECT c.a_id, c.b_id, c.n_common,
+              |    sa.n_sh AS n_a, sb.n_sh AS n_b
+              |  FROM common c JOIN sizes sa ON sa.doc_id = c.a_id
+              |  JOIN sizes sb ON sb.doc_id = c.b_id),
+              |drops AS (
+              |  SELECT a_id AS drop_id FROM v
+              |  WHERE n_common * 3 >= n_a * 2
+              |    AND (n_a < n_b OR (n_a = n_b AND a_id > b_id))
+              |  UNION
+              |  SELECT b_id FROM v
+              |  WHERE n_common * 3 >= n_b * 2
+              |    AND (n_b < n_a OR (n_a = n_b AND b_id > a_id)))
+              |SELECT d.source, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN dr.drop_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+              |  sum(CASE WHEN dr.drop_id IS NULL THEN d.doc_id ELSE 0 END)::BIGINT AS sum_kept_ids
+              |FROM documents d LEFT JOIN drops dr ON dr.drop_id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keptAgg = DedupOps.dropContained(docs, "doc_id", "text",
+          bands = 2, rowsPerBand = 4, cNum = 2, cDen = 3)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_kept"),
+            sum(col("doc_id")).cast("bigint").as("sum_kept_ids"))
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"))
+          .join(keptAgg, Seq("source"), "left")
+          .na.fill(0L, Seq("n_kept", "sum_kept_ids"))
+          .orderBy("source")
+      }),
+
     // ---- ROUGE-2 reference overlap -------------------------------
     // Clipped bigram-multiset precision/recall/F1 (Lin 2004) of each
     // doc against its source's next doc — exact integer overlap

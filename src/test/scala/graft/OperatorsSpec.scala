@@ -2988,6 +2988,22 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("dropContained: contained docs drop, chains keep the maximal doc, ties keep min id") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, base + " iota kappa lambda mu nu xi"), // superset: must survive
+      (2L, base),                                  // contained in 1
+      (3L, base),                                  // exact dup of 2: tie, larger id drops
+      (4L, "totally unrelated words that stand completely alone here now")
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.dropContained(corpus, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, cNum = 2, cDen = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L),
+      s"expected the superset, the min-id twin, and the unrelated doc; got $kept")
+  }
+
   test("benfordAudit: string-derived leading digit, exact ppm, null/zero excluded") {
     import spark.implicits._
     // digits: 1 x4 (10, 15, -19, 1999.5->1999), 2 x1 (250), 9 x1
