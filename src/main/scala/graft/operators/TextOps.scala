@@ -931,6 +931,30 @@ object TextOps {
           .otherwise(lit("digit")))
   }
 
+  /** Cyrillic→Latin homoglyph confusables, lower + upper case — the
+    * visually-identical letter pairs behind script-spoofing (an
+    * "English" doc whose 'а','е','о'… are Cyrillic evades exact
+    * dedup, keyword filters, and blocklists while rendering
+    * identically). Shared as (from, to) strings so an independent
+    * engine's `translate` applies the identical map. */
+  val HomoglyphFrom: String = "аеорсхуіѕјАЕОРСХУІЅЈ"
+  val HomoglyphTo: String = "aeopcxyisjAEOPCXYISJ"
+
+  /** Fold Cyrillic homoglyphs to their Latin twins — the confusable
+    * normalization a curation pipeline runs BEFORE dedup/blocklist
+    * matching, so spoofed text collides with its honest form again.
+    * One `translate` (single-pass char map, identical semantics in
+    * Spark and DuckDB), per-row, zero shuffles, codegen-friendly.
+    * Deliberately NOT a general transliterator: only the
+    * pixel-identical confusable pairs fold; real Cyrillic text keeps
+    * its non-confusable letters and still censuses as Cyrillic in
+    * [[withScriptMix]]. */
+  def foldHomoglyphs(df: DataFrame, textCol: String,
+                     out: String = "folded_text"): DataFrame = {
+    require(!df.columns.contains(out), s"foldHomoglyphs reserves $out")
+    df.withColumn(out, translate(col(textCol), HomoglyphFrom, HomoglyphTo))
+  }
+
   /** URL decomposition for crawl curation — scheme, host (port and
     * userinfo stripped), path, registered domain (last two host
     * labels; the whole host when it has no dot), and TLD. Domain-

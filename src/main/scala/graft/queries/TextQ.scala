@@ -3341,6 +3341,50 @@ object TextQ {
           .orderBy("dominant_script")
       }),
 
+    // ---- homoglyph folding (confusable de-spoofing) --------------
+    // Both engines SPOOF every 13th doc (Latin→Cyrillic confusables
+    // via translate), FOLD with the shared homoglyph map, and count
+    // round-trips back to the honest text plus Cyrillic mass before/
+    // after — a wrong or incomplete map breaks the census, not a
+    // tautology. translate is a single-pass char map in both engines.
+    Q("q237_homoglyph_fold", {
+      val from = graft.operators.TextOps.HomoglyphFrom
+      val to = graft.operators.TextOps.HomoglyphTo
+      Some(s"""WITH p AS (SELECT source, text,
+              |  CASE WHEN doc_id % 13 = 0
+              |    THEN translate(text, 'aeopcxy', 'аеорсху') ELSE text END AS spoofed,
+              |  doc_id % 13 = 0 AS is_spoofed FROM documents),
+              |f AS (SELECT source, text, spoofed, is_spoofed,
+              |  translate(spoofed, '$from', '$to') AS folded FROM p)
+              |SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(CASE WHEN is_spoofed THEN 1 ELSE 0 END)::BIGINT AS n_spoofed,
+              |  sum(CASE WHEN folded = text THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip,
+              |  sum(length(spoofed) - length(regexp_replace(spoofed, '[а-яА-Я]', '', 'g')))::BIGINT AS cyr_before,
+              |  sum(length(folded) - length(regexp_replace(folded, '[а-яА-Я]', '', 'g')))::BIGINT AS cyr_after
+              |FROM f GROUP BY source ORDER BY source""".stripMargin)
+    },
+      (s, dir) => {
+        val planted = t(s, dir, "documents").select(
+          col("source"), col("text"),
+          when(col("doc_id") % 13 === 0,
+            translate(col("text"), "aeopcxy", "аеорсху"))
+            .otherwise(col("text")).as("spoofed"),
+          (col("doc_id") % 13 === 0).as("is_spoofed"))
+        def cyr(c: String) =
+          (length(col(c)) - length(regexp_replace(col(c), "[а-яА-Я]", "")))
+            .cast("bigint")
+        graft.operators.TextOps.foldHomoglyphs(planted, "spoofed", "folded")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(when(col("is_spoofed"), 1L).otherwise(0L)).cast("bigint")
+              .as("n_spoofed"),
+            sum(when(col("folded") === col("text"), 1L).otherwise(0L))
+              .cast("bigint").as("n_roundtrip"),
+            sum(cyr("spoofed")).as("cyr_before"),
+            sum(cyr("folded")).as("cyr_after"))
+          .orderBy("source")
+      }),
+
     // ---- DSIR importance weights ---------------------------------
     // Data selection via importance resampling (Xie et al. 2023):
     // hashed unigram+bigram buckets, target = English documents,

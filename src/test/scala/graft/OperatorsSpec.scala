@@ -2988,6 +2988,21 @@ class OperatorsSpec extends SparkSpec {
     assert(re == learned)
   }
 
+  test("foldHomoglyphs: confusables fold to Latin, honest Cyrillic survives") {
+    import spark.implicits._
+    val spoofed = "hеllo wоrld" // Cyrillic е and о inside Latin words
+    val honest = "привет мир"             // real Cyrillic — п,р(folds),и,в,т...
+    val df = Seq((1L, spoofed), (2L, honest), (3L, "plain ascii")).toDF("id", "t")
+    val out = TextOps.foldHomoglyphs(df, "t", "f").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "hello world")
+    // only the pixel-identical pairs fold (р->p, е->e); the rest of
+    // the real-Cyrillic word keeps its script
+    assert(out(2L) != honest && out(2L).exists(c => c >= 'а' && c <= 'я'),
+      s"non-confusable Cyrillic letters must survive: ${out(2L)}")
+    assert(out(3L) == "plain ascii")
+  }
+
   test("dropContained: contained docs drop, chains keep the maximal doc, ties keep min id") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta"
