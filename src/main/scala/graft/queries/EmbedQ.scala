@@ -52,13 +52,21 @@ object EmbedQ {
     // 64-dim floats → 4 codes (nearest fixed-codebook centroid per
     // 16-dim subspace, squared L2, first-min ties). Every distance is
     // a fixed-order IEEE fold — codes hash-match across engines.
+    // Driver-facing projection is SCALAR-ONLY (one INT column per
+    // subspace): array-typed outputs break the driver's pandas
+    // canonicalization (round-5 q110 harness error).
     Q("q110_pq_encode",
-      Some(s"""SELECT vec_id, $pqCodesDuck AS pq_codes
-              |FROM embeddings WHERE vec_id < 40 ORDER BY vec_id""".stripMargin),
+      Some(s"""WITH enc AS (SELECT vec_id, $pqCodesDuck AS pq_codes
+              |  FROM embeddings WHERE vec_id < 40)
+              |SELECT vec_id, pq_codes[1]::INT AS pq_c0, pq_codes[2]::INT AS pq_c1,
+              |  pq_codes[3]::INT AS pq_c2, pq_codes[4]::INT AS pq_c3
+              |FROM enc ORDER BY vec_id""".stripMargin),
       (s, dir) =>
         SimilarityOps.pqEncode(
           t(s, dir, "embeddings").where(col("vec_id") < 40), "embedding", PqCb)
-          .select("vec_id", "pq_codes")
+          .select(col("vec_id"),
+            col("pq_codes")(0).as("pq_c0"), col("pq_codes")(1).as("pq_c1"),
+            col("pq_codes")(2).as("pq_c2"), col("pq_codes")(3).as("pq_c3"))
           .orderBy("vec_id")),
 
     // ---- PQ asymmetric-distance top-k ----------------------------

@@ -352,7 +352,10 @@ object Relational {
           col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
           lag(col("event_type"), 1, "none").over(w).as("prev_type"),
           lead(col("event_type"), 1, "none").over(w).as("next_type"),
-          ntile(4).over(w).as("quartile"),
+          // bigint: Spark ntile is int32, the DuckDB oracle's is
+          // int64 — align so the driver's dtype-sensitive hash can't
+          // see a (currently benign) drift.
+          ntile(4).over(w).cast("bigint").as("quartile"),
           cume_dist().over(w).as("cd"),
           percent_rank().over(w).as("pr"),
           nth_value(col("event_type"), 2)

@@ -1826,7 +1826,7 @@ object TextQ {
              |  len(string_split(text, ' '))::BIGINT AS n_toks FROM documents),
              |c AS (SELECT doc_id, n_toks,
              |  sum(n_toks) OVER (ORDER BY n_chars DESC, doc_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens FROM t)
              |SELECT doc_id, n_toks, cum_tokens FROM c WHERE cum_tokens <= 20000
              |ORDER BY cum_tokens, doc_id""".stripMargin),
       (s, dir) => {

@@ -4,8 +4,18 @@ runs each oracle_sql.json entry in DuckDB over the testdata tables,
 reads the corresponding Spark result parquet, and compares
 (sorted-by-column-name values), both order-sensitive and -insensitive.
 
-Usage: python3 tools/check_correctness.py <sfDir> <outDir>
-(after `sbt "runMain graft.Verify <sfDir> <outDir>"`)
+Usage: python3 tools/check_correctness.py <sfDir> <outDir> [--pandas]
+
+--pandas additionally replicates the DRIVER's canonicalization
+pathway, which is dtype-sensitive where the tuple compare is not:
+  spark side  = pyarrow.parquet -> to_pandas()
+  oracle side = duckdb .df()     (NB: HUGEINT/DECIMAL land as float64)
+  both        : columns sorted by name, df.sort_values(all columns),
+                pd.util.hash_pandas_object(df, index=False)
+A query can be tuple-exact yet pandas-red when the two sides disagree
+on dtype (e.g. an uncast DuckDB sum() is HUGEINT -> float64 vs
+Spark's int64 — round-5 q100), or error outright when a column is
+array-typed (sort_values factorizes object arrays — round-5 q110).
 """
 import sys, os, json, glob
 import duckdb
@@ -20,7 +30,43 @@ def canon(v):
     return v
 
 
-def main(sf_dir, out_dir):
+def pandas_check(name, res_glob, con, sql):
+    """Driver-faithful dtype-sensitive compare. Returns (ok, msg)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    try:
+        tabs = [pq.read_table(f) for f in sorted(glob.glob(res_glob))]
+        sdf = pa.concat_tables(tabs).to_pandas()
+        ddf = con.sql(sql).df()
+    except Exception as e:
+        return False, f"load error: {str(e)[:160]}"
+    scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+    if scols != dcols:
+        return False, f"columns {scols} vs {dcols}"
+    sdf, ddf = sdf[scols], ddf[dcols]
+    dt_mismatch = [f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}"
+                   for c in scols if sdf[c].dtype != ddf[c].dtype]
+    try:
+        sdf = sdf.sort_values(scols, kind="mergesort").reset_index(drop=True)
+        ddf = ddf.sort_values(dcols, kind="mergesort").reset_index(drop=True)
+    except Exception as e:
+        return False, f"sort_values error (array/unsortable col?): {str(e)[:160]}"
+    try:
+        sh = pd.util.hash_pandas_object(sdf, index=False)
+        dh = pd.util.hash_pandas_object(ddf, index=False)
+    except Exception as e:
+        return False, f"hash error: {str(e)[:160]}"
+    if len(sh) != len(dh) or not (sh.values == dh.values).all():
+        why = ("; dtype mismatch: " + ", ".join(dt_mismatch)) if dt_mismatch else ""
+        return False, f"pandas hash mismatch ({len(sh)} vs {len(dh)} rows){why}"
+    if dt_mismatch:
+        # identical hashes but differing dtypes — fragile, surface it
+        return True, "dtype drift (hash still equal): " + ", ".join(dt_mismatch)
+    return True, ""
+
+
+def main(sf_dir, out_dir, pandas_mode=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -55,7 +101,16 @@ def main(sf_dir, out_dir):
         s = [tuple(canon(v) for v in r) for r in spark_rows]
         d = [tuple(canon(v) for v in r) for r in duck_rows]
         if s == d:
-            print(f"OK   {name}: {len(s)} rows (exact, ordered)")
+            if pandas_mode:
+                pok, pmsg = pandas_check(name, res_glob, con, oracle[name])
+                if not pok:
+                    print(f"PFAIL {name}: {pmsg}")
+                    n_bad += 1
+                    continue
+                note = f" [{pmsg}]" if pmsg else ""
+                print(f"OK   {name}: {len(s)} rows (exact, ordered, pandas){note}")
+            else:
+                print(f"OK   {name}: {len(s)} rows (exact, ordered)")
             n_ok += 1
         elif sorted(map(repr, s)) == sorted(map(repr, d)):
             print(f"OK~  {name}: {len(s)} rows (order differs!)")
@@ -72,4 +127,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--pandas" in sys.argv[3:]))
