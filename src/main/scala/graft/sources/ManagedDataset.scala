@@ -1,25 +1,63 @@
 package graft.sources
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, StructType}
 
-/** Parquet-backed stand-in for the reference's Delta backend.
+/** Log-backed stand-in for the reference's Delta backend.
   *
   * The reference's DeltaDataset (/root/reference/polario/
-  * delta_dataset.py:10-62) exposes only overwrite/append writes
-  * partitioned by string columns, a partition-filtered read, and a
-  * scan that returns None for a missing table — all observable
-  * behavior expressible on plain partitioned parquet. No Delta jars
-  * ship in this environment, so this class reproduces that observable
-  * surface with Spark-native partitioned parquet + dynamic partition
-  * overwrite. Divergence (documented): no transaction log, no time
-  * travel — neither is reachable through the reference's API.
+  * delta_dataset.py:10-62) rides Delta Lake: versioned atomic commits,
+  * reader isolation under concurrent writes, whole-table overwrite
+  * semantics. No Delta jars ship in this environment, so this class
+  * reproduces that observable surface with a minimal public-protocol
+  * transaction log over plain parquet (the Delta/Iceberg recipe:
+  * immutable data files + a versioned manifest committed by an atomic
+  * filesystem primitive):
+  *
+  *   - every write/append lands its parquet in a FRESH commit
+  *     directory `_c<version-20d>-<uuid8>/` under the table root —
+  *     data files are immutable once written, never rewritten in
+  *     place (underscore prefix keeps them invisible to naive
+  *     directory-listing readers);
+  *   - a snapshot is a JSON manifest `_graft_log/<version-20d>.json`
+  *     listing the commit directories that compose it (overwrite = the
+  *     new directory alone — full-table replace, exactly the
+  *     reference's Delta `mode="overwrite"`; append = parent snapshot
+  *     + the new directory);
+  *   - manifests become visible ATOMICALLY: written to a temp name,
+  *     then published with an exclusive-create primitive (POSIX
+  *     `link(2)` on `file://`, exists-check + rename elsewhere — the
+  *     Delta LogStore seam: object stores without atomic
+  *     rename-if-absent need a store-specific primitive slotted in
+  *     [[publishManifest]]);
+  *   - a loser of a concurrent commit race RETRIES against the new
+  *     latest version (appends re-base on the winner's snapshot), so
+  *     no committed write is ever lost;
+  *   - readers resolve the latest manifest ONCE and only ever open the
+  *     files it lists — a reader never lists data directories, so an
+  *     in-flight writer's files are invisible until its manifest
+  *     publishes, and a snapshot resolved before an overwrite keeps
+  *     reading the old (immutable) files afterwards. Old-or-new,
+  *     never a mix.
+  *
+  * Time travel: [[readVersion]] / [[versions]] mirror Delta's
+  * `versionAsOf`. [[vacuum]] drops history; [[compact]] rewrites the
+  * current snapshot as one commit so scan cost stays O(1) directories
+  * after many appends (the plan unions one parquet scan per live
+  * commit directory — linear in appends since the last overwrite).
+  *
+  * At 100 TB the metadata path stays driver-cheap: commits move one
+  * manifest (KBs) regardless of data size, and snapshot resolution is
+  * one `_graft_log` listing + one JSON read; per-commit-dir partition
+  * discovery is the same bounded listing Spark does for any parquet
+  * table, and `compact`/`vacuum` bound the directory count.
   *
   * Unlike [[HiveDataset]] it does not reorder columns or cap fragment
-  * rows: layout is whatever Spark's writer produces, as Delta's would
-  * be.
+  * rows: layout within a commit directory is whatever Spark's writer
+  * produces, as Delta's would be.
   */
 case class ManagedDataset(
     url: String,
@@ -27,18 +65,67 @@ case class ManagedDataset(
   extends DatasetLike {
 
   private val cleanUrl = url.stripSuffix("/")
-  @transient private val fs =
+  @transient private lazy val fs =
     new Path(cleanUrl).getFileSystem(spark.sessionState.newHadoopConf())
-  private val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
+  private lazy val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
+  private lazy val logDir = new Path(qualifiedBase, ManagedDataset.LogDirName)
 
-  override def write(df: DataFrame): Unit = writeMode(df, "overwrite")
-  override def append(df: DataFrame): Unit = writeMode(df, "append")
+  override def write(df: DataFrame): Unit = commit(df, "overwrite")
+  override def append(df: DataFrame): Unit = commit(df, "append")
 
-  private def writeMode(df: DataFrame, mode: String): Unit = {
+  // ---- write path ------------------------------------------------
+
+  private def commit(df: DataFrame, mode: String): Unit = {
     validate(df)
-    val writer = df.write.mode(mode).option("partitionOverwriteMode", "dynamic")
+    fs.mkdirs(logDir)
+    val firstTarget = latestVersion().map(_ + 1).getOrElse(1L)
+    val dataDir = f"_c$firstTarget%020d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val writer = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
-      .parquet(cleanUrl)
+      .parquet(new Path(qualifiedBase, dataDir).toString)
+    // Commit loop: losers of the version race re-base and retry. The
+    // data directory is already durable and version-agnostic — only
+    // the manifest contends.
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= ManagedDataset.MaxCommitAttempts,
+        s"commit to $cleanUrl lost ${ManagedDataset.MaxCommitAttempts} consecutive version races")
+      val parent = latestVersion()
+      val version = parent.map(_ + 1).getOrElse(1L)
+      val dirs = mode match {
+        case "append" =>
+          parent.map(v => readManifest(v).commitDirs).getOrElse(Nil) :+ dataDir
+        case _ => Seq(dataDir)
+      }
+      committed = publishManifest(version,
+        ManagedDataset.renderManifest(version, mode, dirs, df.schema))
+    }
+  }
+
+  /** Publish `body` as the manifest for `version`, atomically failing
+    * if that version already exists (first writer wins). On `file://`
+    * this is POSIX link(2) — a true atomic exclusive create; on other
+    * schemes it degrades to exists-check + rename (the LogStore seam:
+    * swap in a conditional-put primitive for object stores). */
+  private def publishManifest(version: Long, body: String): Boolean = {
+    val target = new Path(logDir, ManagedDataset.manifestName(version))
+    val tmp = new Path(logDir, s"_tmp-${java.util.UUID.randomUUID}.json")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    try {
+      if (qualifiedBase.toUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        if (fs.exists(target)) false else fs.rename(tmp, target)
+      }
+    } finally fs.delete(tmp, false)
   }
 
   private def validate(df: DataFrame): Unit = {
@@ -53,37 +140,179 @@ case class ManagedDataset(
     }
   }
 
-  /** Scan or None for a missing/empty table — the reference catches
-    * TableNotFoundError (delta_dataset.py:56-62); here the equivalent
-    * is an existence pre-check. */
-  override def scan(): Option[DataFrame] = {
-    if (!fs.exists(qualifiedBase)) return None
-    val hasData = {
-      val it = fs.listFiles(qualifiedBase, true)
-      var found = false
-      while (!found && it.hasNext)
-        if (it.next().getPath.getName.endsWith(".parquet")) found = true
-      found
-    }
-    if (!hasData) None
-    else {
-      val df = spark.read.option("mergeSchema", "true")
-        .option("basePath", qualifiedBase.toString).parquet(cleanUrl)
-      Some(partitionColumns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(StringType))))
-    }
+  // ---- log resolution --------------------------------------------
+
+  /** All committed versions, ascending; empty when the table does not
+    * exist (or history was fully vacuumed). */
+  def versions(): Seq[Long] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case ManagedDataset.ManifestRe(d) => d.toLong }.sorted
   }
 
-  /** Partition-filtered read (delta_dataset.py:41-54): a filter on
-    * partition columns — Catalyst static partition pruning turns it
-    * into a single-directory scan. */
+  private def latestVersion(): Option[Long] = versions().lastOption
+
+  private def readManifest(version: Long): ManagedDataset.Manifest = {
+    val p = new Path(logDir, ManagedDataset.manifestName(version))
+    val in = fs.open(p)
+    val body =
+      try {
+        val bs = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bs.write(buf, 0, n); n = in.read(buf) }
+        bs.toString("UTF-8")
+      } finally in.close()
+    ManagedDataset.parseManifest(body)
+  }
+
+  // ---- read path -------------------------------------------------
+
+  private def snapshot(m: ManagedDataset.Manifest): DataFrame = {
+    // One parquet scan per commit directory (each with its own
+    // basePath so partition columns derive from its subtree), unioned
+    // by name with null-fill — commit-level schema evolution. A
+    // directory with no data files (empty-frame commit) contributes
+    // nothing; an all-empty snapshot reconstructs from the manifest's
+    // recorded schema.
+    val parts = m.commitDirs.flatMap { d =>
+      val dir = new Path(qualifiedBase, d)
+      if (hasParquet(dir))
+        Some(spark.read.option("basePath", dir.toString).parquet(dir.toString))
+      else None
+    }
+    val df =
+      if (parts.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    partitionColumns.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(StringType)))
+  }
+
+  private def hasParquet(dir: Path): Boolean = {
+    if (!fs.exists(dir)) return false
+    val it = fs.listFiles(dir, true)
+    var found = false
+    while (!found && it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) found = true
+    found
+  }
+
+  /** Scan the LATEST snapshot, or None when the table has never been
+    * committed — the reference catches TableNotFoundError
+    * (delta_dataset.py:56-62). */
+  override def scan(): Option[DataFrame] =
+    latestVersion().map(v => snapshot(readManifest(v)))
+
+  /** Time travel: the snapshot exactly as of `version` (Delta's
+    * `versionAsOf`). Throws when that version was never committed or
+    * its manifest has been [[vacuum]]ed away. */
+  def readVersion(version: Long): DataFrame = {
+    require(versions().contains(version),
+      s"version $version does not exist in $cleanUrl (have ${versions()})")
+    snapshot(readManifest(version))
+  }
+
+  /** Partition-filtered read (delta_dataset.py:41-54) on the latest
+    * snapshot: a filter on partition columns — partition pruning
+    * turns it into per-commit single-directory scans. None when no
+    * live commit directory carries the partition. */
   override def readPartition(values: Map[String, String]): Option[DataFrame] = {
     require(values.keySet == partitionColumns.toSet,
       s"Partition column value keys ${values.keySet} do not match partition columns $partitionColumns")
-    scan().map { df =>
-      values.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === v) }
-    }.filter(_ => {
-      val dir = new Path(qualifiedBase, graft.util.PathUtils.partitionPath(partitionColumns.map(k => k -> values(k))))
-      fs.exists(dir)
-    })
+    val rel = graft.util.PathUtils.partitionPath(partitionColumns.map(k => k -> values(k)))
+    latestVersion().flatMap { v =>
+      val m = readManifest(v)
+      if (!m.commitDirs.exists(d => fs.exists(new Path(new Path(qualifiedBase, d), rel))))
+        None
+      else
+        Some(values.foldLeft(snapshot(m)) { case (d, (k, vv)) => d.filter(col(k) === vv) })
+    }
+  }
+
+  // ---- maintenance -----------------------------------------------
+
+  /** Rewrite the current snapshot as ONE overwrite commit, collapsing
+    * the union-of-N-directories plan that accumulates under appends.
+    * No-op (false) when the table is empty or already one directory. */
+  def compact(): Boolean =
+    latestVersion().exists { v =>
+      val m = readManifest(v)
+      if (m.commitDirs.size <= 1) false
+      else {
+        // materialize BEFORE overwriting: the new commit must not
+        // read the directories a concurrent vacuum could then drop
+        write(snapshot(m).localCheckpoint())
+        true
+      }
+    }
+
+  /** Drop history: keep the newest `retainVersions` manifests, delete
+    * older ones plus any commit directory no retained manifest
+    * references. In-flight commit directories are protected by their
+    * version prefix (strictly greater than the latest committed
+    * version), but like Delta's `VACUUM` with zero retention this
+    * must not run concurrently with writers that started BEFORE the
+    * retained window. Returns the number of commit dirs removed. */
+  def vacuum(retainVersions: Int = 1): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = versions()
+    if (vs.isEmpty) return 0
+    val latest = vs.last
+    val keep = vs.takeRight(retainVersions)
+    val referenced = keep.flatMap(v => readManifest(v).commitDirs).toSet
+    vs.dropRight(retainVersions).foreach { v =>
+      fs.delete(new Path(logDir, ManagedDataset.manifestName(v)), false)
+    }
+    val dead = fs.listStatus(qualifiedBase).toSeq.map(_.getPath.getName)
+      .filter { n =>
+        n match {
+          case ManagedDataset.CommitDirRe(d) =>
+            !referenced.contains(n) && d.toLong <= latest
+          case _ => false
+        }
+      }
+    dead.foreach(n => fs.delete(new Path(qualifiedBase, n), true))
+    dead.size
+  }
+}
+
+object ManagedDataset {
+  private[sources] val LogDirName = "_graft_log"
+  private[sources] val MaxCommitAttempts = 20
+  private val ManifestRe = """(\d{20})\.json""".r
+  private val CommitDirRe = """_c(\d{20})-[0-9a-f]{8}""".r
+
+  private[sources] case class Manifest(
+      version: Long, mode: String, commitDirs: Seq[String], schema: StructType)
+
+  private[sources] def manifestName(version: Long): String = f"$version%020d.json"
+
+  private[sources] def renderManifest(
+      version: Long, mode: String, dirs: Seq[String], schema: StructType): String = {
+    val om = new ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("version", version)
+    node.put("mode", mode)
+    node.put("schema", schema.json)
+    val arr = node.putArray("commitDirs")
+    dirs.foreach(arr.add)
+    om.writeValueAsString(node)
+  }
+
+  private[sources] def parseManifest(body: String): Manifest = {
+    val om = new ObjectMapper()
+    val node = om.readTree(body)
+    val dirs = {
+      val it = node.get("commitDirs").elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }
+    Manifest(
+      node.get("version").asLong(),
+      node.get("mode").asText(),
+      dirs,
+      org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText())
+        .asInstanceOf[StructType])
   }
 }
