@@ -281,23 +281,12 @@ object Profile {
       .withColumn("var_value", col("sum_sq").cast("double") / n - mean * mean)
   }
 
-  /** Per-group least-squares TREND of integer-quantized observations:
-    * the OLS slope `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` as the exact
-    * scaled integer `slope_micro = sign · (1e6·|num| div den)` —
-    * integer/DECIMAL(38,0) end to end, no float sums (the graft
-    * ratio discipline), with the sign handled OUTSIDE the integral
-    * divide because engines disagree on negative integer division
-    * (floor vs truncate). `x` is centered per group on its min
-    * before squaring, which keeps every product well inside
-    * DECIMAL(38,0) without changing the slope. A constant-x group
-    * has no slope → NULL.
-    *
-    * Callers pass integer-valued x/y columns (quantize floats first
-    * — e.g. `floor(value·100 + 0.5)` cents, identical in any
-    * engine). Output: `(groupCol, n, slope_micro)`.
-    *
-    * Scale shape: one broadcast min-join + one group-bounded
-    * five-sum aggregate (map-side combined). */
+  /** Benford shares in exact integer ppm, driver-computed once —
+    * shared with the independent-engine oracle so both sides carry
+    * identical constants. */
+  val benfordPpm: Map[Int, Long] = (1 to 9).map(d =>
+    d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong).toMap
+
   /** Benford first-digit audit of an integer-magnitude column — the
     * classic fabricated-/synthetic-data smell test (Newcomb 1881,
     * Benford 1938; naturally-occurring multi-scale magnitudes put
@@ -320,12 +309,6 @@ object Profile {
     * Scale shape: one digit-keyed aggregation (9 groups, map-side
     * combined) + a broadcast total; per-row work is a cast and a
     * substring inside codegen. */
-  /** Benford shares in exact integer ppm, driver-computed once —
-    * shared with the independent-engine oracle so both sides carry
-    * identical constants. */
-  val benfordPpm: Map[Int, Long] = (1 to 9).map(d =>
-    d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong).toMap
-
   def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
     val bexpr = (1 to 9).map(d => s"WHEN digit = $d THEN ${benfordPpm(d)}L")
       .mkString("CASE ", " ", " END")
@@ -349,6 +332,23 @@ object Profile {
       .orderBy("digit")
   }
 
+  /** Per-group least-squares TREND of integer-quantized observations:
+    * the OLS slope `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` as the exact
+    * scaled integer `slope_micro = sign · (1e6·|num| div den)` —
+    * integer/DECIMAL(38,0) end to end, no float sums (the graft
+    * ratio discipline), with the sign handled OUTSIDE the integral
+    * divide because engines disagree on negative integer division
+    * (floor vs truncate). `x` is centered per group on its min
+    * before squaring, which keeps every product well inside
+    * DECIMAL(38,0) without changing the slope. A constant-x group
+    * has no slope → NULL.
+    *
+    * Callers pass integer-valued x/y columns (quantize floats first
+    * — e.g. `floor(value·100 + 0.5)` cents, identical in any
+    * engine). Output: `(groupCol, n, slope_micro)`.
+    *
+    * Scale shape: one broadcast min-join + one group-bounded
+    * five-sum aggregate (map-side combined). */
   def groupTrend(df: DataFrame, groupCol: String, xCol: String,
                  yCol: String): DataFrame = {
     val mins = df.groupBy(col(groupCol)).agg(min(col(xCol)).as("__x0"))

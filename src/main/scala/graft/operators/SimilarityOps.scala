@@ -153,6 +153,13 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** The `1/log2(r+1)` discount weights for r = 1..k, rendered as
+    * decimal strings — shared between [[ndcgAtK]]'s plan and any
+    * independent-engine oracle so both sides parse identical
+    * doubles. */
+  def ndcgWeightStrings(k: Int): Seq[String] =
+    (1 to k).map(r => (1.0 / (math.log(r + 1.0) / math.log(2.0))).toString)
+
   /** Binary-relevance nDCG@k per query over the label-relevance
     * convention — [[retrievalEval]]'s rank-sensitive sibling (P@k
     * treats rank 1 and rank k alike; nDCG discounts by position,
@@ -175,13 +182,6 @@ object SimilarityOps {
     * fold arrays are ≤ k elements per query.
     *
     * Output: `(q_id, label, n_rel_topk, dcg, idcg, ndcg)`. */
-  /** The `1/log2(r+1)` discount weights for r = 1..k, rendered as
-    * decimal strings — shared between [[ndcgAtK]]'s plan and any
-    * independent-engine oracle so both sides parse identical
-    * doubles. */
-  def ndcgWeightStrings(k: Int): Seq[String] =
-    (1 to k).map(r => (1.0 / (math.log(r + 1.0) / math.log(2.0))).toString)
-
   def ndcgAtK(corpus: DataFrame, corpusId: String, corpusVec: String,
               corpusLabel: String,
               queries: DataFrame, queryId: String, queryVec: String,

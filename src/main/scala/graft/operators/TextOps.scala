@@ -708,8 +708,12 @@ object TextOps {
     * training round is then VOCABULARY-bounded — one pair explode +
     * aggregate and one `limit(1)` argmax collect per round, plus a
     * per-round `localCheckpoint` so the re-segmented plan does not
-    * deepen with rounds (the previous round's blocks are freed
-    * eagerly, the Components pattern). The merge recurrence is
+    * deepen with rounds. Checkpoint blocks persist for the loop's
+    * lifetime and are reclaimed by the ContextCleaner once the loop's
+    * references drop — deliberately NOT unpersisted mid-loop, since a
+    * later round's plan still reads the prior checkpoint's RDD; the
+    * footprint is vocabulary × nMerges ≤ 64 rounds, not corpus-sized.
+    * The merge recurrence is
     * inherently sequential — `nMerges` driver-paced VOCAB-sized
     * rounds, never corpus scans. Stops early (fewer than `nMerges`
     * rows) when no pair remains.
@@ -735,16 +739,17 @@ object TextOps {
       "i -> concat('<', substring(wt, i, 1), '>')), '') END"
     var seg = words.withColumn("seg", expr(
       s"element_at(transform(array($guarded), wt -> $seg0), 1)"))
-    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val learned = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
     val piecesExpr =
       "filter(split(substring(seg, 2, length(seg) - 2), '><'), p -> p != '')"
     var r = 1
     var exhausted = false
     while (r <= nMerges && !exhausted) {
+      // NB: no mid-loop unpersist — the next round's plan is built ON
+      // this checkpoint, and the one after still transitively reads
+      // it; blocks are vocabulary-sized and ContextCleaner-reclaimed
+      // after the loop (see scaladoc).
       val cp = seg.localCheckpoint()
-      prev.foreach(p => p.rdd.unpersist(blocking = false))
-      prev = Some(cp)
       val best = cp
         .select(col("n"), expr(piecesExpr).as("__p"))
         .where(size(col("__p")) >= 2)
@@ -765,7 +770,6 @@ object TextOps {
         r += 1
       }
     }
-    prev.foreach(p => p.rdd.unpersist(blocking = false))
     learned.toSeq.toDF("rank", "piece_a", "piece_b", "n").orderBy("rank")
   }
 

@@ -3779,10 +3779,10 @@ object TextQ {
            |p$r AS (SELECT pr.a AS a, pr.b AS b, sum(n)::BIGINT AS pn
            |  FROM x$r GROUP BY 1, 2),
            |b$r AS (SELECT a, b, pn FROM p$r ORDER BY pn DESC, a, b LIMIT 1),
-           |s$r AS (SELECT s.w, s.n, replace(s.seg,
+           |s$r AS (SELECT s.w, s.n, coalesce(replace(s.seg,
            |    '<' || b.a || '><' || b.b || '>',
-           |    '<' || b.a || b.b || '>') AS seg
-           |  FROM s${r - 1} s, b$r b)""".stripMargin
+           |    '<' || b.a || b.b || '>'), s.seg) AS seg
+           |  FROM s${r - 1} s LEFT JOIN b$r b ON true)""".stripMargin
       }.mkString(",\n")
       val ranks = (1 to n).map(r =>
         s"SELECT $r AS rank, a AS piece_a, b AS piece_b, pn AS n FROM b$r")
@@ -3817,10 +3817,10 @@ object TextQ {
            |p$r AS (SELECT pr.a AS a, pr.b AS b, sum(n)::BIGINT AS pn
            |  FROM x$r GROUP BY 1, 2),
            |b$r AS (SELECT a, b, pn FROM p$r ORDER BY pn DESC, a, b LIMIT 1),
-           |s$r AS (SELECT s.w, s.n, replace(s.seg,
+           |s$r AS (SELECT s.w, s.n, coalesce(replace(s.seg,
            |    '<' || b.a || '><' || b.b || '>',
-           |    '<' || b.a || b.b || '>') AS seg
-           |  FROM s${r - 1} s, b$r b)""".stripMargin
+           |    '<' || b.a || b.b || '>'), s.seg) AS seg
+           |  FROM s${r - 1} s LEFT JOIN b$r b ON true)""".stripMargin
       }.mkString(",\n")
       Some(s"""WITH wd AS (SELECT source, unnest($duckToks) AS w FROM documents),
               |wcs AS (SELECT source, w, count(*)::BIGINT AS n FROM wd GROUP BY 1, 2),
