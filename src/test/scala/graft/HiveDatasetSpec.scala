@@ -124,6 +124,21 @@ class HiveDatasetSpec extends SparkSpec {
     }
   }
 
+  test("explicit file:// URIs round-trip (both backends; scheme-pluggable FS)") {
+    // the Hadoop FileSystem registry resolves the scheme, the same
+    // seam an s3a:// URL would take on a cluster (COVERAGE.md
+    // "Filesystem scheme posture" — only file:// is exercisable
+    // offline)
+    withTempDir { dir =>
+      backends(s"file://$dir").foreach { case (name, ds) =>
+        ds.write(exampleDf)
+        assertSameData(ds.scan().getOrElse(fail(s"$name: scan returned None")), exampleDf)
+        assertSameData(ds.readPartition(Map("p1" -> "2", "p2" -> "a")).get,
+          exampleDf.filter($"p1" === "2" && $"p2" === "a"))
+      }
+    }
+  }
+
   test("write then scan returns the same data (both backends)") {
     withTempDir { dir =>
       backends(dir).foreach { case (name, ds) =>
