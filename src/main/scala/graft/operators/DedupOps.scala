@@ -887,4 +887,67 @@ object DedupOps {
       .localCheckpoint()
     verifyJaccard(df, idCol, textCol, pairs, minJaccard)
   }
+
+  /** EXACT repeated-substring duplication coverage — the substring-
+    * level dedup verb of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499), which
+    * builds a corpus suffix array to find every substring of length
+    * ≥ L occurring twice. Re-expressed Spark-first on gram-hash
+    * blocking: a char position is DUPLICATED when the `gramLen`-char
+    * window starting there occurs somewhere else in the corpus (any
+    * document, any offset — or a second time in the same document).
+    * Any repeated substring of length ≥ gramLen is exactly a run of
+    * such windows, so merging the flagged `[pos, pos+gramLen)`
+    * intervals per document ([[TimeSeries.mergeIntervals]]) yields
+    * precisely the characters some length-≥-gramLen corpus-repeated
+    * substring covers — the mass substring-level dedup would cut.
+    * Equivalence to the suffix-array formulation is exact, not
+    * approximate; the suffix array is a single-machine construction,
+    * the gram shuffle is the distributed one.
+    *
+    * Output: `(idCol, n_chars, n_dup_spans, dup_chars, dup_ppm)` —
+    * one row per input document (shorter-than-gramLen docs report
+    * zeros; `dup_ppm` is the exact integer `1e6·dup_chars div
+    * n_chars`).
+    *
+    * Scale shape (100 TB): the gram frame is corpus-char-bounded (one
+    * row per offset) and its ONLY wide op is one count-over-gram
+    * window — hash-partitioned by the gram value itself, no global
+    * order, so it is the same single shuffle a groupBy(gram) would
+    * cost without the join back. Only SURVIVING duplicated grams
+    * (typically a small fraction) shuffle again, by document id, for
+    * the interval merge; per-document span counts are doc-length-
+    * bounded. A hot gram (boilerplate) concentrates one hash bucket —
+    * AQE skew splitting applies, and the count-window needs no
+    * per-gram member list, only a count, so the hot bucket streams. */
+  def repeatedCharSpans(df: DataFrame, idCol: String, textCol: String,
+                        gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramLen >= 4 && gramLen <= 10000,
+      s"gramLen must be in [4, 10000], got $gramLen")
+    val lens = df.select(col(idCol),
+      coalesce(length(col(textCol)).cast("bigint"), lit(0L)).as("n_chars"))
+    val grams = df
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol), expr(
+        s"explode(transform(sequence(0, length($textCol) - $gramLen), " +
+          s"i -> struct(i AS pos, substring($textCol, i + 1, $gramLen) AS g)))").as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+    val dup = grams
+      .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("__gn") >= 2)
+      .select(col(idCol), col("pos").cast("bigint").as("pos"),
+        (col("pos") + gramLen).cast("bigint").as("end"))
+    val cov = TimeSeries.mergeIntervals(dup, idCol, "pos", "end")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_dup_spans"),
+        sum(col("ivl_end") - col("ivl_start")).cast("bigint").as("dup_chars"))
+    lens.join(cov, Seq(idCol.toString), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_ppm",
+        when(col("n_chars") > 0, expr("1000000L * dup_chars div n_chars"))
+          .otherwise(0L).cast("bigint"))
+  }
 }

@@ -137,6 +137,36 @@ object HiveQ {
           .orderBy("l_returnflag")
       }),
 
+    // ---- managed (Delta stand-in) time travel --------------------
+    // S15–S17 + the transaction log: write the 'O' orders slice
+    // (v1), append the 'F' slice (v2 = O∪F), overwrite with the 'P'
+    // slice (v3 = P alone — whole-table Delta overwrite semantics).
+    // readVersion(2) must still see O∪F AFTER the overwrite (old
+    // commit dirs are immutable; the manifest pins the snapshot),
+    // while scan() sees only P. Both snapshots aggregate per status
+    // against the ORIGINAL table's oracle.
+    Q("q238_managed_time_travel",
+      Some("""SELECT 2::BIGINT AS ver, o_orderstatus, count(*)::BIGINT AS n
+             |FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY o_orderstatus
+             |UNION ALL
+             |SELECT 3::BIGINT, o_orderstatus, count(*)::BIGINT FROM orders
+             |WHERE o_orderstatus = 'P' GROUP BY o_orderstatus
+             |ORDER BY ver, o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val ds = graft.sources.ManagedDataset(tmp("graft_q238_"), Seq("o_orderstatus"))(s)
+        val orders = t(s, dir, "orders")
+        ds.write(orders.where(col("o_orderstatus") === "O"))
+        ds.append(orders.where(col("o_orderstatus") === "F"))
+        ds.write(orders.where(col("o_orderstatus") === "P"))
+        val v2 = ds.readVersion(2).groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("bigint").as("n")).withColumn("ver", lit(2L))
+        val v3 = ds.scan().get.groupBy("o_orderstatus")
+          .agg(count(lit(1)).cast("bigint").as("n")).withColumn("ver", lit(3L))
+        v2.unionByName(v3)
+          .select(col("ver"), col("o_orderstatus"), col("n"))
+          .orderBy("ver", "o_orderstatus")
+      }),
+
     // ---- all-string CSV round trip (S18/S19, main.py:50-62) ------
     Q("q23_csv_roundtrip",
       Some("""SELECT r_regionkey::VARCHAR AS r_regionkey, r_name

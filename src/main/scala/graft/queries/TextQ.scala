@@ -2419,10 +2419,17 @@ object TextQ {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = t(s, dir, "documents")
-        val a = docs.withColumn("rank",
-          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        // rbo@10 only reads prefix depths 1..10, so each ranker keeps
+        // its top-10 via a distributed TakeOrderedAndProject FIRST;
+        // the global row_number window then sees 10 rows, never the
+        // corpus (kept items' ranks equal full-corpus ranks — the q82
+        // pattern)
+        val a = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))))
           .select(col("doc_id"), col("rank"))
         val b = TextOps.withTokenGini(docs, "doc_id", "text")
+          .orderBy(col("gini").desc, col("doc_id")).limit(10)
           .withColumn("rank",
             row_number().over(Window.orderBy(col("gini").desc, col("doc_id"))))
           .select(col("doc_id"), col("rank"))
@@ -3936,6 +3943,45 @@ object TextQ {
           .select(col("bucket"), col("exact_n"),
             col("est_in_bounds"), col("merged_eq_direct"))
           .orderBy("bucket")
-      })
+      }),
+
+    // ---- exact repeated-substring coverage (Lee et al. 2022) -----
+    // Substring-level dedup mass: per doc, the characters covered by
+    // some ≥30-char substring that repeats ANYWHERE in the corpus
+    // (gram-hash blocking ≡ the paper's suffix-array formulation —
+    // DedupOps.repeatedCharSpans). Witness reports only docs with
+    // duplicated mass; the oracle re-derives the same merged-interval
+    // union via a count-over-gram window + gaps-and-islands.
+    Q("q239_repeated_substrings",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |g AS (SELECT doc_id, unnest(range(0, length(text) - 30 + 1)) AS pos, text
+             |  FROM d WHERE length(text) >= 30),
+             |gg AS (SELECT doc_id, pos, substr(text, pos::INT + 1, 30) AS g FROM g),
+             |dup AS (SELECT doc_id, pos::BIGINT AS pos, (pos + 30)::BIGINT AS e FROM
+             |  (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS gn FROM gg)
+             |  WHERE gn >= 2),
+             |m AS (SELECT doc_id, pos, e,
+             |  CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |    OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS nw FROM dup),
+             |mi AS (SELECT doc_id, pos, e, sum(nw) OVER (PARTITION BY doc_id
+             |  ORDER BY pos, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+             |  FROM m),
+             |mg AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS en
+             |  FROM mi GROUP BY doc_id, gid),
+             |cov AS (SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+             |  sum(en - s)::BIGINT AS dup_chars FROM mg GROUP BY doc_id),
+             |l AS (SELECT doc_id, length(text)::BIGINT AS n_chars FROM d)
+             |SELECT l.doc_id, n_chars, n_dup_spans, dup_chars,
+             |  ((1000000 * dup_chars) // n_chars)::BIGINT AS dup_ppm
+             |FROM l JOIN cov USING (doc_id)
+             |WHERE dup_chars > 0 ORDER BY l.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.DedupOps.repeatedCharSpans(
+          t(s, dir, "documents"), "doc_id", "text", gramLen = 30)
+          .where(col("dup_chars") > 0)
+          .orderBy("doc_id"))
   )
 }

@@ -3196,4 +3196,33 @@ class OperatorsSpec extends SparkSpec {
         expr("graft_cms_query(s, 'b')").as("eb")).head
     assert(sdf.getLong(0) >= 2L && sdf.getLong(1) >= 1L)
   }
+
+  test("repeatedCharSpans: cross-doc runs merge to one interval, self-repeats count, short/unique docs zero") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "abcdefghijX123"),   // shares the 10-char run [0,10) with doc 2
+      (2L, "zzWabcdefghijY45"), // the shared run sits at [3,13)
+      (3L, "qqqqqqq"),          // SELF-repeat: gram qqqqq at pos 0,1,2 -> [0,7)
+      (4L, "0123456789"),       // long enough, no repeated 5-gram anywhere
+      (5L, "abc")               // shorter than gramLen -> zeros
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.repeatedCharSpans(df, "doc_id", "text", gramLen = 5)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val got = run(corpus)
+    // every 5-gram of the shared run repeats (and no boundary-crossing
+    // gram does: ghijX vs ghijY), so the per-doc intervals merge to
+    // exactly the run; ppm = 1e6*dup div n_chars
+    assert(got == Seq(
+      (1L, 14L, 1L, 10L, 714285L),
+      (2L, 16L, 1L, 10L, 625000L),
+      (3L, 7L, 1L, 7L, 1000000L),
+      (4L, 10L, 0L, 0L, 0L),
+      (5L, 3L, 0L, 0L, 0L)))
+    // partitioning invariance: the gram window and interval merge are
+    // keyed shuffles, not order-dependent scans
+    assert(run(corpus.repartition(7)) == got)
+  }
 }
