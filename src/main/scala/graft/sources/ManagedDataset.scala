@@ -70,14 +70,38 @@ case class ManagedDataset(
   private lazy val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
   private lazy val logDir = new Path(qualifiedBase, ManagedDataset.LogDirName)
 
-  override def write(df: DataFrame): Unit = commit(df, "overwrite")
-  override def append(df: DataFrame): Unit = commit(df, "append")
+  override def write(df: DataFrame): Unit = { commit(df, "overwrite", None); () }
+  override def append(df: DataFrame): Unit = { commit(df, "append", None); () }
+
+  /** Idempotent transactional append — the public Delta streaming-sink
+    * recipe (`txnAppId`/`txnVersion`): commit `df` tagged with
+    * `(appId, batchId)`, and make any batch at or below the app's
+    * last committed id a NO-OP. Structured Streaming's `foreachBatch`
+    * REDELIVERS a batch when a query restarts from its checkpoint
+    * mid-commit; with the tag recorded in the same atomic manifest
+    * publish as the data, redelivery cannot double-append — the
+    * exactly-once sink contract. The duplicate check re-runs inside
+    * the commit-race retry loop, so two racing deliveries of one
+    * batch land it exactly once. Returns true when this call
+    * committed, false when the batch was already in the log. */
+  def appendBatch(df: DataFrame, appId: String, batchId: Long): Boolean =
+    commit(df, "append", Some((appId, batchId)))
+
+  /** The newest `batchId` committed for `appId`, scanning manifests
+    * newest-first; None when the app never committed. */
+  def lastCommittedBatch(appId: String): Option[Long] =
+    versions().reverseIterator
+      .map(readManifest)
+      .collectFirst { case m if m.txnAppId.contains(appId) => m.txnBatchId.get }
 
   // ---- write path ------------------------------------------------
 
-  private def commit(df: DataFrame, mode: String): Unit = {
+  private def commit(df: DataFrame, mode: String,
+                     txn: Option[(String, Long)]): Boolean = {
     validate(df)
     fs.mkdirs(logDir)
+    if (txn.exists { case (app, id) => lastCommittedBatch(app).exists(_ >= id) })
+      return false // redelivered batch — already durable, skip
     val firstTarget = latestVersion().map(_ + 1).getOrElse(1L)
     val dataDir = f"_c$firstTarget%020d-${java.util.UUID.randomUUID.toString.take(8)}"
     val writer = df.write.mode("overwrite")
@@ -93,6 +117,11 @@ case class ManagedDataset(
       require(attempts <= ManagedDataset.MaxCommitAttempts,
         s"commit to $cleanUrl lost ${ManagedDataset.MaxCommitAttempts} consecutive version races")
       val parent = latestVersion()
+      if (txn.exists { case (app, id) => lastCommittedBatch(app).exists(_ >= id) }) {
+        // the race we just lost WAS this batch (concurrent delivery)
+        fs.delete(new Path(qualifiedBase, dataDir), true)
+        return false
+      }
       val version = parent.map(_ + 1).getOrElse(1L)
       val dirs = mode match {
         case "append" =>
@@ -100,8 +129,9 @@ case class ManagedDataset(
         case _ => Seq(dataDir)
       }
       committed = publishManifest(version,
-        ManagedDataset.renderManifest(version, mode, dirs, df.schema))
+        ManagedDataset.renderManifest(version, mode, dirs, df.schema, txn))
     }
+    true
   }
 
   /** Publish `body` as the manifest for `version`, atomically failing
@@ -283,12 +313,14 @@ object ManagedDataset {
   private val CommitDirRe = """_c(\d{20})-[0-9a-f]{8}""".r
 
   private[sources] case class Manifest(
-      version: Long, mode: String, commitDirs: Seq[String], schema: StructType)
+      version: Long, mode: String, commitDirs: Seq[String], schema: StructType,
+      txnAppId: Option[String] = None, txnBatchId: Option[Long] = None)
 
   private[sources] def manifestName(version: Long): String = f"$version%020d.json"
 
   private[sources] def renderManifest(
-      version: Long, mode: String, dirs: Seq[String], schema: StructType): String = {
+      version: Long, mode: String, dirs: Seq[String], schema: StructType,
+      txn: Option[(String, Long)] = None): String = {
     val om = new ObjectMapper()
     val node = om.createObjectNode()
     node.put("version", version)
@@ -296,6 +328,10 @@ object ManagedDataset {
     node.put("schema", schema.json)
     val arr = node.putArray("commitDirs")
     dirs.foreach(arr.add)
+    txn.foreach { case (app, id) =>
+      node.put("txnAppId", app)
+      node.put("txnBatchId", id)
+    }
     om.writeValueAsString(node)
   }
 
@@ -313,6 +349,8 @@ object ManagedDataset {
       node.get("mode").asText(),
       dirs,
       org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText())
-        .asInstanceOf[StructType])
+        .asInstanceOf[StructType],
+      Option(node.get("txnAppId")).map(_.asText()),
+      Option(node.get("txnBatchId")).map(_.asLong()))
   }
 }

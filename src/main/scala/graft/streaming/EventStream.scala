@@ -224,6 +224,26 @@ object EventStream {
       }
       .start()
 
+  /** EXACTLY-ONCE continuous ingest into a [[graft.sources.ManagedDataset]]:
+    * each micro-batch commits through [[graft.sources.ManagedDataset.appendBatch]]
+    * tagged `(appId, batchId)`, so the redelivery `foreachBatch`
+    * performs after a checkpoint restart (the at-least-once caveat
+    * [[appendTo]] documents) is detected in the transaction log and
+    * skipped — the batch tag rides the SAME atomic manifest publish
+    * as the data, the public Delta `txnAppId`/`txnVersion` sink
+    * recipe. `appId` must be unique per logical query (two queries
+    * sharing an id would suppress each other's batches). */
+  def appendToExactlyOnce(events: org.apache.spark.sql.DataFrame,
+                          dataset: graft.sources.ManagedDataset,
+                          appId: String,
+                          checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        dataset.appendBatch(batch, appId, batchId); ()
+      }
+      .start()
+
   /** [[runningUserTotals]] re-expressed on Spark 4's
     * `transformWithState` API ([[UserTotalsProcessor]]): typed
     * per-key `ValueState` with first-class TTL support and RocksDB

@@ -435,6 +435,33 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("exactly-once managed sink: stream lands batches; manual redelivery cannot double-append") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withTempDir { dir =>
+      val ds = graft.sources.ManagedDataset(s"$dir/data", Seq("event_type"))
+      val mem = MemoryStream[(Long, String, Double)]
+      val streamDf = mem.toDF().toDF("event_id", "event_type", "value")
+      val q = EventStream.appendToExactlyOnce(streamDf, ds, "ingest", s"$dir/ckpt")
+      try {
+        mem.addData((0L, "click", 1.0), (1L, "view", 2.0))
+        q.processAllAvailable()
+        mem.addData((2L, "click", 3.0))
+        q.processAllAvailable()
+        assert(ds.scan().get.count() == 3)
+        val lastBatch = ds.lastCommittedBatch("ingest").get
+        // simulate foreachBatch redelivery after a crash-restart: the
+        // same (appId, batchId) arrives again with the same rows —
+        // the log already carries it, so nothing lands
+        assert(!ds.appendBatch(
+          Seq((2L, "click", 3.0)).toDF("event_id", "event_type", "value"),
+          "ingest", lastBatch))
+        assert(ds.scan().get.count() == 3)
+        assert(ds.scan().get.where(col("event_type") === "click").count() == 2)
+      } finally q.stop()
+    }
+  }
+
   test("session windows: gap-based sessionization per user") {
     val out = EventStream.sessionCounts(batchEvents, gap = "30 minutes")
       .orderBy("user_id", "session_start").collect()

@@ -146,6 +146,49 @@ class ManagedDatasetSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch is exactly-once: redelivered batch ids are no-ops") {
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Seq("p1"))
+      assert(ds.lastCommittedBatch("ingest").isEmpty)
+      assert(ds.appendBatch(df("1" -> 1L), "ingest", 0L))
+      assert(ds.appendBatch(df("2" -> 2L), "ingest", 1L))
+      // restart-style redelivery of batch 1: detected in the log, skipped
+      assert(!ds.appendBatch(df("2" -> 2L), "ingest", 1L))
+      // a LOWER id than the last committed is also stale
+      assert(!ds.appendBatch(df("1" -> 1L), "ingest", 0L))
+      assert(ds.lastCommittedBatch("ingest").contains(1L))
+      assertSameData(ds.scan().get, df("1" -> 1L, "2" -> 2L))
+      // ids are scoped per app: another query's batch 0 still lands,
+      // and plain (untagged) appends never consume an id
+      ds.append(df("9" -> 9L))
+      assert(ds.appendBatch(df("3" -> 3L), "other", 0L))
+      assert(ds.lastCommittedBatch("ingest").contains(1L))
+      assertSameData(ds.scan().get,
+        df("1" -> 1L, "2" -> 2L, "9" -> 9L, "3" -> 3L))
+    }
+  }
+
+  test("concurrent deliveries of ONE batch commit it exactly once") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      ManagedDataset(url, Seq("p1")).write(df("0" -> 0L))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      try {
+        val futures = (1 to 6).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean =
+              ManagedDataset(url, Seq("p1")).appendBatch(df("7" -> 7L), "ingest", 7L)
+          })
+        }
+        val landed = futures.map(_.get()).count(identity)
+        assert(landed == 1, s"exactly one delivery must win, got $landed")
+      } finally pool.shutdown()
+      val ds = ManagedDataset(url, Seq("p1"))
+      assertSameData(ds.scan().get, df("0" -> 0L, "7" -> 7L))
+      assert(ds.lastCommittedBatch("ingest").contains(7L))
+    }
+  }
+
   test("empty-frame commit is a real version with schema, not table-absence") {
     withTempDir { dir =>
       val ds = ManagedDataset(s"$dir/ds", Seq("p1"))
