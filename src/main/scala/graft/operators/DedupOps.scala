@@ -919,19 +919,29 @@ object DedupOps {
     * the interval merge; per-document span counts are doc-length-
     * bounded. A hot gram (boilerplate) concentrates one hash bucket —
     * AQE skew splitting applies, and the count-window needs no
-    * per-gram member list, only a count, so the hot bucket streams. */
+    * per-gram member list, only a count, so the hot bucket streams.
+    * `hashKeys=true` is the 100 TB mode (the [[dedupSpans]]
+    * precedent): the shuffle key becomes the gram's xxhash64 — 8
+    * bytes instead of gramLen chars, shrinking the one corpus-wide
+    * shuffle ~gramLen/8× at a ~n²/2⁶⁵ false-duplicate probability
+    * (two distinct grams colliding marks both spans duplicated —
+    * vanishing for any real corpus, and it errs toward over-removal,
+    * never under). The oracle-checkable default stays exact. */
   def repeatedCharSpans(df: DataFrame, idCol: String, textCol: String,
-                        gramLen: Int): DataFrame = {
+                        gramLen: Int, hashKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(gramLen >= 4 && gramLen <= 10000,
       s"gramLen must be in [4, 10000], got $gramLen")
     val lens = df.select(col(idCol),
       coalesce(length(col(textCol)).cast("bigint"), lit(0L)).as("n_chars"))
+    val gramExpr =
+      if (hashKeys) s"xxhash64(substring($textCol, i + 1, $gramLen))"
+      else s"substring($textCol, i + 1, $gramLen)"
     val grams = df
       .where(length(col(textCol)) >= gramLen)
       .select(col(idCol), expr(
         s"explode(transform(sequence(0, length($textCol) - $gramLen), " +
-          s"i -> struct(i AS pos, substring($textCol, i + 1, $gramLen) AS g)))").as("e"))
+          s"i -> struct(i AS pos, $gramExpr AS g)))").as("e"))
       .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
     val dup = grams
       .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("g"))))

@@ -3224,5 +3224,13 @@ class OperatorsSpec extends SparkSpec {
     // partitioning invariance: the gram window and interval merge are
     // keyed shuffles, not order-dependent scans
     assert(run(corpus.repartition(7)) == got)
+    // the 100 TB hash-key mode (8-byte shuffle keys) agrees exactly
+    // away from the ~n²/2^65 collision regime
+    val hashed = DedupOps.repeatedCharSpans(corpus, "doc_id", "text",
+      gramLen = 5, hashKeys = true)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(hashed == got)
   }
 }
