@@ -292,6 +292,22 @@ class ScaleShapeSpec extends SparkSpec {
       s"a range-partitioned global sort must not appear:\n$plan")
   }
 
+  test("repeatedCharSpans plan: no cartesian; gram window and interval merge are the only wide ops") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"document body text number $i padded out"))
+      .toDF("doc_id", "text")
+    val plan = operators.DedupOps.repeatedCharSpans(docs, "doc_id", "text", gramLen = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gram blocking must never go all-pairs:\n$plan")
+    // wide ops: the gram-count window (hash by gram), the doc-keyed
+    // interval-merge window + its aggregate sharing one doc shuffle,
+    // and the final left join back to the per-doc lengths
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 4,
+      s"expected at most 4 keyed shuffles (gram window, doc window+agg, length join), found $shuffles:\n$plan")
+  }
+
   test("assembleSessions plan: one user-keyed shuffle feeds windows AND the aggregate") {
     import spark.implicits._
     val ev = (0L until 500L).map(i => (i % 17, i, i * 1000000L, "e"))
