@@ -293,6 +293,15 @@ case class ManagedDataset(
     vs.dropRight(retainVersions).foreach { v =>
       fs.delete(new Path(logDir, ManagedDataset.manifestName(v)), false)
     }
+    // Stale publish temps from hard-crashed writers (publishManifest
+    // deletes its temp in finally, so these only survive a kill).
+    // Age-guarded: a LIVE writer's temp exists for milliseconds
+    // between create and link — an hour-old one is orphaned.
+    val cutoff = System.currentTimeMillis() - ManagedDataset.TmpRetentionMs
+    fs.listStatus(logDir).toSeq
+      .filter(s => s.getPath.getName.startsWith("_tmp-") &&
+        s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, false))
     val dead = fs.listStatus(qualifiedBase).toSeq.map(_.getPath.getName)
       .filter { n =>
         n match {
@@ -309,6 +318,7 @@ case class ManagedDataset(
 object ManagedDataset {
   private[sources] val LogDirName = "_graft_log"
   private[sources] val MaxCommitAttempts = 20
+  private[sources] val TmpRetentionMs = 60L * 60 * 1000
   private val ManifestRe = """(\d{20})\.json""".r
   private val CommitDirRe = """_c(\d{20})-[0-9a-f]{8}""".r
 

@@ -115,6 +115,20 @@ class ManagedDatasetSpec extends SparkSpec {
       ds.append(df("3" -> 3L))
       assert(ds.vacuum(retainVersions = 1) == 0)
       assertSameData(ds.scan().get, df("2" -> 2L, "3" -> 3L))
+      // an ORPHANED publish temp (hard-crashed writer) is swept once
+      // stale; a fresh one — possibly a live writer mid-publish — is
+      // left alone
+      val log = Paths.get(dir, "ds", "_graft_log")
+      val stale = log.resolve("_tmp-deadbeef.json")
+      Files.write(stale, "{}".getBytes)
+      Files.setLastModifiedTime(stale, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+      val fresh = log.resolve("_tmp-cafebabe.json")
+      Files.write(fresh, "{}".getBytes)
+      ds.vacuum(retainVersions = 1)
+      assert(!Files.exists(stale), "hour-old orphan temp must be swept")
+      assert(Files.exists(fresh), "fresh temp (possible live writer) must survive")
+      assertSameData(ds.scan().get, df("2" -> 2L, "3" -> 3L))
     }
   }
 
