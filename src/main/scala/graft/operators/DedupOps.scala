@@ -960,4 +960,78 @@ object DedupOps {
         when(col("n_chars") > 0, expr("1000000L * dup_chars div n_chars"))
           .otherwise(0L).cast("bigint"))
   }
+
+  /** The CUT half of [[repeatedCharSpans]] — Lee et al. 2022's actual
+    * dedup transform: for every corpus-repeated `gramLen`-char window,
+    * the FIRST occurrence (global `(idCol, pos)` order) is the keeper
+    * and every LATER occurrence's span is excised from its document.
+    * A document's cut region is the per-doc interval union of its
+    * non-first duplicated grams, so any repeated substring of length
+    * ≥ gramLen survives exactly once corpus-wide (at its first site)
+    * and is removed everywhere else — keep-first at character
+    * granularity, the same convention [[dedupSpans]] uses for fixed
+    * token windows.
+    *
+    * Output: `(idCol, clean_text, n_cut_spans, cut_chars)` — one row
+    * per input document; untouched docs carry their original text and
+    * zeros.
+    *
+    * Scale shape: identical to [[repeatedCharSpans]] (one gram-keyed
+    * shuffle — the keeper argmin is an unordered `min(struct)` over
+    * the same window, no sort — then doc-keyed interval merge on
+    * survivors only), plus the text rebuild: per-doc gap segments via
+    * one `lag` over the (doc-bounded) cut intervals and an ordered
+    * array_join — never a corpus-wide sort. `hashKeys` as in
+    * [[repeatedCharSpans]]; a false collision here cuts a unique span
+    * whose first occurrence survives (over-removal, never data loss
+    * of the keeper). */
+  def cutRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                       gramLen: Int, hashKeys: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gramLen >= 4 && gramLen <= 10000,
+      s"gramLen must be in [4, 10000], got $gramLen")
+    val gramExpr =
+      if (hashKeys) s"xxhash64(substring($textCol, i + 1, $gramLen))"
+      else s"substring($textCol, i + 1, $gramLen)"
+    val grams = df
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol), expr(
+        s"explode(transform(sequence(0, length($textCol) - $gramLen), " +
+          s"i -> struct(i AS pos, $gramExpr AS g)))").as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+    val wg = Window.partitionBy(col("g"))
+    val cut = grams
+      .withColumn("__gn", count(lit(1)).over(wg))
+      .withColumn("__first", min(struct(col(idCol), col("pos"))).over(wg))
+      .where(col("__gn") >= 2 &&
+        !(col("__first")(idCol) === col(idCol) && col("__first")("pos") === col("pos")))
+      .select(col(idCol), col("pos").cast("bigint").as("pos"),
+        (col("pos") + gramLen).cast("bigint").as("end"))
+    val merged = TimeSeries.mergeIntervals(cut, idCol, "pos", "end")
+    // gap segments: each cut interval contributes the kept slice
+    // between the previous cut's end and its own start; the tail
+    // after the last cut is appended at the join
+    val wd = Window.partitionBy(col(idCol)).orderBy(col("ivl_start"))
+    val rebuilt = merged
+      .withColumn("__gap_start",
+        coalesce(lag(col("ivl_end"), 1).over(wd), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_cut_spans"),
+        sum(col("ivl_end") - col("ivl_start")).cast("bigint").as("cut_chars"),
+        max(col("ivl_end")).as("__last_end"),
+        sort_array(collect_list(struct(col("ivl_start"), col("__gap_start"))))
+          .as("__gaps"))
+    df.select(col(idCol), col(textCol))
+      .join(rebuilt, Seq(idCol.toString), "left")
+      .withColumn("clean_text",
+        when(col("n_cut_spans").isNull, col(textCol)).otherwise(expr(
+          s"concat(array_join(transform(__gaps, iv -> " +
+            s"substring($textCol, CAST(iv.__gap_start AS INT) + 1, " +
+            s"CAST(iv.ivl_start - iv.__gap_start AS INT))), ''), " +
+            s"substring($textCol, CAST(__last_end AS INT) + 1))")))
+      .select(col(idCol), col("clean_text"),
+        coalesce(col("n_cut_spans"), lit(0L)).as("n_cut_spans"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"))
+  }
 }

@@ -3982,6 +3982,51 @@ object TextQ {
         graft.operators.DedupOps.repeatedCharSpans(
           t(s, dir, "documents"), "doc_id", "text", gramLen = 30)
           .where(col("dup_chars") > 0)
+          .orderBy("doc_id")),
+
+    // ---- repeated-substring CUT (keep-first excision) ------------
+    // q239's transform half: each corpus-repeated ≥30-char span
+    // survives at its FIRST (doc_id, pos) site and is excised
+    // everywhere else. The witness hash-compares the full CLEANED
+    // TEXT of every touched doc — the oracle rebuilds it via the
+    // same keep-first rule (row_number per gram), interval merge,
+    // and gap-segment string_agg.
+    Q("q240_cut_repeated",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |g AS (SELECT doc_id, unnest(range(0, length(text) - 30 + 1)) AS pos, text
+             |  FROM d WHERE length(text) >= 30),
+             |gg AS (SELECT doc_id, pos, substr(text, pos::INT + 1, 30) AS g FROM g),
+             |mk AS (SELECT doc_id, pos,
+             |  row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn FROM gg),
+             |cut AS (SELECT doc_id, pos::BIGINT AS pos, (pos + 30)::BIGINT AS e
+             |  FROM mk WHERE rn >= 2),
+             |m AS (SELECT doc_id, pos, e,
+             |  CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |    OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    THEN 1 ELSE 0 END AS nw FROM cut),
+             |mi AS (SELECT doc_id, pos, e, sum(nw) OVER (PARTITION BY doc_id
+             |  ORDER BY pos, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+             |  FROM m),
+             |mg AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS en
+             |  FROM mi GROUP BY doc_id, gid),
+             |k AS (SELECT doc_id, s, en,
+             |  coalesce(lag(en) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs FROM mg),
+             |seg AS (SELECT k.doc_id, s, substr(d.text, gs::INT + 1, (s - gs)::INT) AS piece
+             |  FROM k JOIN d USING (doc_id)),
+             |per AS (SELECT doc_id, count(*)::BIGINT AS n_cut_spans,
+             |  sum(en - s)::BIGINT AS cut_chars, max(en) AS last_e FROM mg GROUP BY doc_id),
+             |txt AS (SELECT doc_id, string_agg(piece, '' ORDER BY s) AS head
+             |  FROM seg GROUP BY doc_id)
+             |SELECT p.doc_id, txt.head || substr(d.text, p.last_e::INT + 1) AS clean_text,
+             |  p.n_cut_spans, p.cut_chars
+             |FROM per p JOIN txt USING (doc_id) JOIN d USING (doc_id)
+             |ORDER BY p.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.DedupOps.cutRepeatedSpans(
+          t(s, dir, "documents"), "doc_id", "text", gramLen = 30)
+          .where(col("n_cut_spans") > 0)
           .orderBy("doc_id"))
   )
 }

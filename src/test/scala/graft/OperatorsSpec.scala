@@ -3233,4 +3233,29 @@ class OperatorsSpec extends SparkSpec {
       .toSeq
     assert(hashed == got)
   }
+
+  test("cutRepeatedSpans: keep-first excision — first corpus occurrence survives, later ones are cut") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "abcdefghijX123"),   // FIRST owner of the shared run: untouched
+      (2L, "zzWabcdefghijY45"), // later owner: run [3,13) excised
+      (3L, "qqqqqqq"),          // self-repeat: keeper gram at pos 0, [1,7) cut
+      (4L, "0123456789"),       // no repeats
+      (5L, "abc")               // shorter than gramLen
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame, hashed: Boolean = false) =
+      DedupOps.cutRepeatedSpans(df, "doc_id", "text", gramLen = 5, hashKeys = hashed)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val got = run(corpus)
+    assert(got == Seq(
+      (1L, "abcdefghijX123", 0L, 0L),
+      (2L, "zzWY45", 1L, 10L),
+      (3L, "q", 1L, 6L),
+      (4L, "0123456789", 0L, 0L),
+      (5L, "abc", 0L, 0L)))
+    assert(run(corpus.repartition(7)) == got)  // partitioning invariance
+    assert(run(corpus, hashed = true) == got)  // 8-byte-key mode agrees
+  }
 }
