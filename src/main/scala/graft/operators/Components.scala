@@ -296,6 +296,63 @@ object Components {
     r.select(col("node"), col("rank_ppm").cast("bigint").as("rank_ppm"))
   }
 
+  /** Synchronous majority label propagation (Raghavan et al. 2007),
+    * made deterministic: every node starts labeled with itself; each
+    * round ALL nodes simultaneously adopt the most frequent label
+    * among their neighbors, ties broken to the smallest label. After
+    * a few rounds labels pool inside densely-connected regions —
+    * the cheap community detector for the near-dup / co-occurrence
+    * graphs this library builds, sitting between
+    * [[connectedComponents]] (pure reachability) and modularity
+    * methods this engine doesn't need. Fixed `rounds` (not
+    * convergence-polled): LPA on bipartite-ish structure can
+    * oscillate under synchronous update, so a bounded unrolled
+    * recurrence is both the reproducible and the
+    * oracle-expressible semantics.
+    *
+    * Determinism discipline: majority = `max(count)` then
+    * `min(label)` among the tied — two mergeable aggregations, no
+    * `max_by` (tie order undefined) and no RNG (the paper's random
+    * visit order) anywhere.
+    *
+    * Scale shape (100 TB): the BSP shape — per round one
+    * edge⨝labels equi-join on the neighbor id, one (node,
+    * label)-keyed count (map-side combined), one node-keyed max and
+    * one filtered min. The symmetric edge list is localCheckpointed
+    * once; the per-round count frame is localCheckpointed so the
+    * max/min pair reads ONE materialization (a lazy double
+    * reference re-executes the whole prefix 2^rounds times — the
+    * q205 lesson). Nothing quadratic, driver holds nothing. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, "rounds must be in [1, 50]")
+    val sym = edges
+      .select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .unionAll(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
+      .where(col("__a") =!= col("__b"))
+      .dropDuplicates("__a", "__b")
+      .localCheckpoint()
+    var labels = sym.select(col("__a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { _ =>
+      val counts = sym
+        .join(labels.select(col("node").as("__b"), col("label")), "__b")
+        .groupBy(col("__a").as("node"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .localCheckpoint()
+      val best = counts.groupBy(col("node")).agg(max(col("__n")).as("__mx"))
+      labels = counts.join(best, "node")
+        .where(col("__n") === col("__mx"))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+      spent += counts
+    }
+    val out = labels.localCheckpoint()
+    spent.foreach(freeCheckpoint)
+    out
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

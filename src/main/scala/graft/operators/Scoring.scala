@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -136,5 +137,121 @@ object Scoring {
         when(col("n_cand") + col("n_ref") > 0,
           lit(2.0) * col("n_overlap") / (col("n_cand") + col("n_ref"))))
       .drop("__cg", "__rg")
+  }
+
+  /** Exact ROC-AUC (Mann–Whitney with midrank tie handling) of a
+    * score against a boolean label, per group — the standard quality-
+    * classifier eval: does the score actually rank positives above
+    * negatives?
+    *
+    * Pair formulation, no per-row ranks: group rows by score value
+    * (`p_s` positives, `q_s` negatives at score `s`), then
+    * `concordant C = Σ_s p_s · (negatives strictly below s)` and
+    * `ties T = Σ_s p_s·q_s`, giving
+    * `auc_ppm = (10⁶ · (2C + T)) div (2·n_pos·n_neg)` — exact
+    * integers end to end, bitwise-portable. NULL when a group has no
+    * positives or no negatives; NULL scores/labels raise (a row with
+    * no rank position or no truth is a pipeline bug, not data).
+    *
+    * Scale shape (100 TB): one groupBy on (group, score) — corpus
+    * reduced map-side to the distinct-score frame — then the
+    * strictly-below cumulative. Grouped: a window per group over its
+    * distinct scores (group-cardinality-bounded). Ungrouped: the
+    * shared quantile-bucket running-total decomposition
+    * ([[Sequencing.runningTotalsBefore]]) — no single-reducer window
+    * even when the score is continuous. */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             groupCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("__s", "__y", "__p", "__q", "__cq", "__num2",
+      "n_pos", "n_neg", "auc_ppm")
+    require(df.columns.toSet.intersect(reserved).isEmpty,
+      s"rocAuc reserves ${reserved.mkString(", ")}")
+    val guarded = df
+      .withColumn("__s", expr(
+        s"CASE WHEN $scoreCol IS NULL THEN " +
+          s"raise_error('rocAuc: null $scoreCol has no rank position') " +
+          s"ELSE $scoreCol END"))
+      .withColumn("__y", expr(
+        s"CASE WHEN $labelCol IS NULL THEN " +
+          s"raise_error('rocAuc: null $labelCol has no truth value') " +
+          s"ELSE $labelCol END"))
+    val keys = groupCols.map(col) :+ col("__s")
+    val counts = guarded.groupBy(keys: _*)
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__q"))
+    val cum =
+      if (groupCols.nonEmpty) {
+        val w = Window.partitionBy(groupCols.map(col): _*)
+          .orderBy(col("__s"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        counts.withColumn("__cq", coalesce(sum(col("__q")).over(w), lit(0L)))
+      } else {
+        // distinct scores are unique rows here, so the score doubles
+        // as the decomposition's tie-break id
+        Sequencing.runningTotalsBefore(
+          counts, "__s", "__s", Seq("__q"), buckets = 32,
+          caller = "rocAuc")._1.withColumnRenamed("__cum___q", "__cq")
+      }
+    val aggKeys = groupCols.map(col)
+    val out = (if (aggKeys.nonEmpty) cum.groupBy(aggKeys: _*).agg(
+      sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
+      sum(col("__p") * (lit(2L) * col("__cq") + col("__q"))).as("__num2"))
+    else cum.agg(
+      sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
+      sum(col("__p") * (lit(2L) * col("__cq") + col("__q"))).as("__num2")))
+    out.withColumn("auc_ppm",
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        expr("(1000000L * __num2) div (2L * n_pos * n_neg)")))
+      .drop("__num2")
+  }
+
+  /** Reliability (calibration) report of a permille-confidence score
+    * against a boolean label: `nBins` equal-width confidence bins,
+    * each with its observed count, mean confidence, and empirical
+    * accuracy, plus the corpus Expected Calibration Error
+    * `ece_ppm = Σ_b n_b·|acc_b − conf_b| div N` (Naeini 2015) stamped
+    * on every row. All ppm values from exact integer division —
+    * bitwise-portable. Bins with no rows keep NULL stats so the
+    * report shape is constant.
+    *
+    * `probCol` must be an integer confidence in [0, 1000] (the
+    * model-seam permille convention); out-of-range or NULL raises.
+    *
+    * Scale shape (100 TB): one groupBy on the bin id (nBins-bounded
+    * dimension frame), the bin spine and the one-row ECE total both
+    * broadcast — the corpus is scanned once and never windowed. */
+  def calibrationReport(df: DataFrame, probCol: String, labelCol: String,
+                        nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, "nBins must be in [2, 1000]")
+    val reserved = Set("__pr", "__y", "__bin", "bin", "n", "conf_ppm",
+      "acc_ppm", "gap_ppm", "ece_ppm")
+    require(df.columns.toSet.intersect(reserved).isEmpty,
+      s"calibrationReport reserves ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    val guarded = df.withColumn("__pr", expr(
+      s"CASE WHEN $probCol IS NULL OR $probCol < 0 OR $probCol > 1000 " +
+        s"THEN raise_error('calibrationReport: $probCol outside [0, 1000] permille') " +
+        s"ELSE CAST($probCol AS BIGINT) END"))
+      .withColumn("__y", expr(
+        s"CASE WHEN $labelCol IS NULL THEN " +
+          s"raise_error('calibrationReport: null $labelCol has no truth value') " +
+          s"ELSE $labelCol END"))
+    val binned = guarded.withColumn("__bin",
+      least(expr(s"(__pr * ${nBins}L) div 1000L"), lit(nBins - 1L)))
+    val perBin = binned.groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__pr")).as("__sum_pr"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__n_true"))
+      .withColumn("conf_ppm", expr("(1000L * __sum_pr) div n"))
+      .withColumn("acc_ppm", expr("(1000000L * __n_true) div n"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("conf_ppm")))
+    val ece = perBin.agg(
+      expr("(sum(n * gap_ppm)) div sum(n)").as("ece_ppm"))
+    spark.range(0, nBins).toDF("bin")
+      .join(perBin, Seq("bin"), "left")
+      .crossJoin(broadcast(ece))
+      .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+        col("conf_ppm"), col("acc_ppm"), col("gap_ppm"), col("ece_ppm"))
+      .orderBy("bin")
   }
 }

@@ -369,6 +369,75 @@ object TextOps {
       .orderBy(col(groupCol))
   }
 
+  /** Per-document shingle NOVELTY against the earlier corpus: the
+    * fraction of a doc's distinct 3-word shingles whose FIRST
+    * occurrence (by ascending `idCol`) is in this doc. The freshness
+    * signal a curation pipeline reads before paying for new data —
+    * a crawl increment whose docs all score near 0 is re-crawl, not
+    * new content — and the doc-granular face of what
+    * [[uniqueShingleContribution]] reports per source.
+    *
+    * Output: one row per input doc — `(idCol, n_distinct, n_novel,
+    * novelty_ppm)` with `novelty_ppm = 10⁶·n_novel div n_distinct`
+    * (NULL for shingle-free docs). Exact integers — bitwise-portable.
+    *
+    * Scale shape (100 TB): distinct (doc, shingle) pairs map-side
+    * deduped, ONE shingle-keyed aggregation for the global first
+    * owner (`min(id)` — a mergeable min, no window), one shingle
+    * join back, one doc-keyed count. Nothing corpus-sized crosses
+    * the shuffle twice, and there is no ordering structure beyond
+    * the min. */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reserved = Set("n_distinct", "n_novel", "novelty_ppm")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"shingleNovelty reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val pairs = withTokens(df.select(col(idCol), col(textCol)), textCol, "__toks")
+      .select(col(idCol), explode(expr(H.shingles3("__toks", textCol))).as("__sh"))
+      .distinct()
+    val owners = pairs.groupBy(col("__sh"))
+      .agg(min(col(idCol)).as("__owner"))
+    val per = pairs.join(owners, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_distinct"),
+        sum(when(col(idCol) === col("__owner"), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm",
+        when(col("n_distinct") > 0,
+          expr("(1000000L * n_novel) div n_distinct")))
+  }
+
+  /** Character-distribution entropy surrogate — the gibberish /
+    * low-diversity detector ("aaaa…" and base64 blobs sit at the two
+    * extremes the quality gates miss): for char counts `c_i` of an
+    * `n`-char text, `ent_sum = Σ_i c_i · (bl(n) − bl(c_i))` with
+    * `bl = length(bin(·))`, the INTEGER bit-length log2 surrogate
+    * this repo uses wherever both engines must agree on a log
+    * (DSIR/PSI/Zipf precedent) — 0 for single-char runs, growing
+    * with spread, and exactly portable where float `p·log p` is not.
+    *
+    * Adds `ent_sum` (BIGINT; 0 for empty, NULL for null text). Pure
+    * per-row HOF over the distinct-char alphabet (O(|Σ|·len) scans
+    * via length-difference counts, the [[withScriptMix]] trick) —
+    * shuffle-free, codegen'd. */
+  def withCharEntropy(df: DataFrame, textCol: String,
+                      out: String = "ent_sum"): DataFrame = {
+    require(!df.columns.contains(out), s"withCharEntropy reserves $out")
+    val cnt = s"(length($textCol) - length(replace($textCol, ch, '')))"
+    df.withColumn(out, expr(
+      s"CASE WHEN $textCol IS NULL THEN NULL " +
+        s"WHEN length($textCol) = 0 THEN 0L ELSE " +
+        s"aggregate(transform(array_distinct(split($textCol, '')), ch -> $cnt), " +
+        s"0L, (acc, c) -> acc + c * (length(bin(length($textCol))) - length(bin(c)))) " +
+        s"END"))
+  }
+
   /** Variant canonicalization mapping: tokens that normalize (lower/
     * trim) to the same form are mapped to the form's most frequent
     * raw spelling (ties: lexicographically smallest) — the classic

@@ -167,6 +167,27 @@ object HiveQ {
           .orderBy("ver", "o_orderstatus")
       }),
 
+    // ---- manifest file-stats skip scan ---------------------------
+    // The Delta data-skipping read: orders written range-clustered
+    // on o_totalprice into 8 files with per-file min/max recorded in
+    // the commit manifest; scanPruned resolves the manifest, drops
+    // the files whose [min,max] misses [20000, 60000], scans ONLY
+    // the survivors, and must equal the plain filter (the oracle).
+    // Pruning-really-skips is pinned in ManagedDatasetSpec via the
+    // corrupted-file trick (IVF-index precedent).
+    Q("q246_stats_skip_scan",
+      Some("""SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders
+             |WHERE o_totalprice >= 20000 AND o_totalprice <= 60000""".stripMargin),
+      (s, dir) => {
+        val ds = graft.sources.ManagedDataset(
+          tmp("graft_q246_"), Nil, Seq("o_totalprice"))(s)
+        ds.write(t(s, dir, "orders").repartitionByRange(8, col("o_totalprice")))
+        ds.scanPruned("o_totalprice", "20000", "60000").get
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+      }),
+
     // ---- all-string CSV round trip (S18/S19, main.py:50-62) ------
     Q("q23_csv_roundtrip",
       Some("""SELECT r_regionkey::VARCHAR AS r_regionkey, r_name

@@ -4027,6 +4027,168 @@ object TextQ {
         graft.operators.DedupOps.cutRepeatedSpans(
           t(s, dir, "documents"), "doc_id", "text", gramLen = 30)
           .where(col("n_cut_spans") > 0)
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // ---- exact ROC-AUC (Mann–Whitney, midrank ties) --------------
+    // Does doc length rank English docs above the rest? Per-source
+    // AUC (windowed over each group's distinct scores) plus the
+    // __ALL__ row through the quantile-bucket running-total path —
+    // BOTH cumulative decompositions hash-checked against the same
+    // oracle. Exact integer ppm.
+    Q("q241_roc_auc",
+      Some("""WITH b AS (SELECT source, n_chars AS s, (lang = 'en') AS y FROM documents),
+             |c AS (SELECT source, s,
+             |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+             |  sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS q
+             |  FROM b GROUP BY source, s),
+             |w AS (SELECT source, p, q, coalesce(sum(q) OVER (PARTITION BY source
+             |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq
+             |  FROM c),
+             |g AS (SELECT source, sum(p)::BIGINT AS n_pos, sum(q)::BIGINT AS n_neg,
+             |  sum(p * (2 * cq + q))::BIGINT AS num2 FROM w GROUP BY source),
+             |ca AS (SELECT s, sum(p)::BIGINT AS p, sum(q)::BIGINT AS q
+             |  FROM c GROUP BY s),
+             |wa AS (SELECT p, q, coalesce(sum(q) OVER (ORDER BY s
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq FROM ca),
+             |ga AS (SELECT '__ALL__' AS source, sum(p)::BIGINT AS n_pos,
+             |  sum(q)::BIGINT AS n_neg, sum(p * (2 * cq + q))::BIGINT AS num2 FROM wa)
+             |SELECT source, n_pos, n_neg,
+             |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+             |    ELSE ((1000000 * num2) // (2 * n_pos * n_neg))::BIGINT END AS auc_ppm
+             |FROM (SELECT * FROM g UNION ALL SELECT * FROM ga)
+             |ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+          .withColumn("__lab", col("lang") === "en")
+        val per = graft.operators.Scoring.rocAuc(
+          docs, "n_chars", "__lab", Seq("source"))
+        val all = graft.operators.Scoring.rocAuc(docs, "n_chars", "__lab")
+          .withColumn("source", lit("__ALL__"))
+        per.unionByName(all)
+          .select(col("source"), col("n_pos"), col("n_neg"), col("auc_ppm"))
+          .orderBy("source")
+      }),
+
+    // ---- calibration / reliability report (ECE) ------------------
+    // The model-seam permille scores binned 10-wide against the
+    // is-English truth; per-bin confidence vs accuracy and the
+    // corpus ECE, all exact integer ppm. The oracle recomputes the
+    // stub score arithmetically (q182 precedent), so the whole
+    // seam→binning→ECE path is hash-checked.
+    Q("q242_calibration",
+      Some(s"""WITH b AS (SELECT least(((${D.rollingHash("text")} % 1000) * 10) // 1000, 9) AS bin,
+              |  ${D.rollingHash("text")} % 1000 AS pr, (lang = 'en') AS y FROM documents),
+              |p AS (SELECT bin, count(*)::BIGINT AS n,
+              |  ((1000 * sum(pr)) // count(*))::BIGINT AS conf_ppm,
+              |  ((1000000 * sum(CASE WHEN y THEN 1 ELSE 0 END)) // count(*))::BIGINT AS acc_ppm
+              |  FROM b GROUP BY bin),
+              |p2 AS (SELECT bin, n, conf_ppm, acc_ppm,
+              |  abs(acc_ppm - conf_ppm)::BIGINT AS gap_ppm FROM p),
+              |e AS (SELECT (sum(n * gap_ppm) // sum(n))::BIGINT AS ece_ppm FROM p2),
+              |spine AS (SELECT unnest(range(0, 10)) AS bin)
+              |SELECT spine.bin::BIGINT AS bin, coalesce(p2.n, 0)::BIGINT AS n,
+              |  conf_ppm, acc_ppm, gap_ppm, (SELECT ece_ppm FROM e) AS ece_ppm
+              |FROM spine LEFT JOIN p2 ON p2.bin = spine.bin
+              |ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        val scored = graft.operators.Scoring.withModelScore(
+          t(s, dir, "documents"), "doc_id", "text")
+          .withColumn("__lab", col("lang") === "en")
+        graft.operators.Scoring.calibrationReport(
+          scored, "score_permille", "__lab", nBins = 10)
+      }),
+
+    // ---- per-doc shingle novelty vs the earlier corpus -----------
+    // Fraction of each doc's distinct 3-shingles FIRST seen in that
+    // doc (by doc_id order) — the crawl-increment freshness signal.
+    // One shingle-keyed min + join; exact ppm per doc.
+    Q("q243_shingle_novelty",
+      Some(s"""WITH toks AS (SELECT doc_id, text, $duckToks AS t FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, unnest($duckShingles) AS s FROM toks),
+              |own AS (SELECT s, min(doc_id) AS o FROM sh GROUP BY s),
+              |per AS (SELECT sh.doc_id, count(*)::BIGINT AS n_distinct,
+              |  sum(CASE WHEN sh.doc_id = own.o THEN 1 ELSE 0 END)::BIGINT AS n_novel
+              |  FROM sh JOIN own ON sh.s = own.s GROUP BY sh.doc_id)
+              |SELECT d.doc_id, coalesce(per.n_distinct, 0)::BIGINT AS n_distinct,
+              |  coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+              |  CASE WHEN coalesce(per.n_distinct, 0) > 0
+              |    THEN ((1000000 * per.n_novel) // per.n_distinct)::BIGINT END AS novelty_ppm
+              |FROM (SELECT DISTINCT doc_id FROM documents) d
+              |LEFT JOIN per ON per.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) =>
+        TextOps.shingleNovelty(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // ---- char-distribution entropy surrogate ---------------------
+    // Σ cᵢ·(bl(n) − bl(cᵢ)) per doc with bl = length(bin(·)) — the
+    // integer bit-length log2 both engines share (DSIR/PSI/Zipf
+    // precedent); per-source totals. Gibberish/run detection.
+    Q("q244_char_entropy",
+      Some("""WITH e AS (SELECT source,
+             |  CASE WHEN length(text) = 0 THEN 0 ELSE
+             |    list_sum(list_transform(list_distinct(string_split(text, '')),
+             |      ch -> (length(text) - length(replace(text, ch, ''))) *
+             |        (length(bin(length(text))) -
+             |         length(bin(length(text) - length(replace(text, ch, ''))))))) END AS ent
+             |  FROM documents)
+             |SELECT source, count(*)::BIGINT AS n_docs,
+             |  sum(ent)::BIGINT AS sum_ent, max(ent)::BIGINT AS max_ent
+             |FROM e GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) =>
+        TextOps.withCharEntropy(t(s, dir, "documents"), "text")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("ent_sum")).cast("bigint").as("sum_ent"),
+            max(col("ent_sum")).cast("bigint").as("max_ent"))
+          .orderBy("source")),
+
+    // ---- majority label propagation (communities) ----------------
+    // Deterministic synchronous LPA — 3 unrolled rounds over the
+    // q176 top-100 co-occurrence edges; majority = max count then
+    // min label (no RNG, no max_by). The oracle replays the same
+    // three rounds as chained CTEs.
+    Q("q245_label_propagation",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |sym AS (SELECT DISTINCT a, b FROM (
+              |  SELECT tok_a AS a, tok_b AS b FROM e
+              |  UNION ALL SELECT tok_b, tok_a FROM e) WHERE a <> b),
+              |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+              |c1 AS (SELECT s.a AS node, l.label, count(*) AS n FROM sym s
+              |  JOIN l0 l ON l.node = s.b GROUP BY 1, 2),
+              |m1 AS (SELECT node, max(n) AS mx FROM c1 GROUP BY node),
+              |l1 AS (SELECT c1.node, min(c1.label) AS label FROM c1
+              |  JOIN m1 ON m1.node = c1.node AND c1.n = m1.mx GROUP BY c1.node),
+              |c2 AS (SELECT s.a AS node, l.label, count(*) AS n FROM sym s
+              |  JOIN l1 l ON l.node = s.b GROUP BY 1, 2),
+              |m2 AS (SELECT node, max(n) AS mx FROM c2 GROUP BY node),
+              |l2 AS (SELECT c2.node, min(c2.label) AS label FROM c2
+              |  JOIN m2 ON m2.node = c2.node AND c2.n = m2.mx GROUP BY c2.node),
+              |c3 AS (SELECT s.a AS node, l.label, count(*) AS n FROM sym s
+              |  JOIN l2 l ON l.node = s.b GROUP BY 1, 2),
+              |m3 AS (SELECT node, max(n) AS mx FROM c3 GROUP BY node),
+              |l3 AS (SELECT c3.node, min(c3.label) AS label FROM c3
+              |  JOIN m3 ON m3.node = c3.node AND c3.n = m3.mx GROUP BY c3.node)
+              |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.labelPropagation(
+          edges, "tok_a", "tok_b", rounds = 3)
+          .orderBy("node")
+      })
   )
 }

@@ -61,8 +61,12 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 case class ManagedDataset(
     url: String,
-    partitionColumns: Seq[String] = Nil)(implicit spark: SparkSession)
+    partitionColumns: Seq[String] = Nil,
+    statsColumns: Seq[String] = Nil)(implicit spark: SparkSession)
   extends DatasetLike {
+
+  require(statsColumns.forall(c => !partitionColumns.contains(c)),
+    "statsColumns must be data columns — partition columns are pruned by path, not stats")
 
   private val cleanUrl = url.stripSuffix("/")
   @transient private lazy val fs =
@@ -107,6 +111,7 @@ case class ManagedDataset(
     val writer = df.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(new Path(qualifiedBase, dataDir).toString)
+    val newStats = collectStats(dataDir, df)
     // Commit loop: losers of the version race re-base and retry. The
     // data directory is already durable and version-agnostic — only
     // the manifest contends.
@@ -123,15 +128,55 @@ case class ManagedDataset(
         return false
       }
       val version = parent.map(_ + 1).getOrElse(1L)
-      val dirs = mode match {
-        case "append" =>
-          parent.map(v => readManifest(v).commitDirs).getOrElse(Nil) :+ dataDir
-        case _ => Seq(dataDir)
-      }
+      val parentM = if (mode == "append") parent.map(readManifest) else None
+      val dirs = parentM.map(_.commitDirs).getOrElse(Nil) :+ dataDir
+      val stats = parentM.map(_.stats).getOrElse(Map.empty) ++
+        (if (newStats.nonEmpty) Map(dataDir -> newStats) else Map.empty)
       committed = publishManifest(version,
-        ManagedDataset.renderManifest(version, mode, dirs, df.schema, txn))
+        ManagedDataset.renderManifest(version, mode, dirs, df.schema, txn, stats))
     }
     true
+  }
+
+  /** Per-file min/max/rowcount for [[statsColumns]] over a freshly
+    * written commit directory — the Delta/Iceberg stats-collection
+    * step that makes manifest-level FILE SKIPPING possible
+    * ([[scanPruned]]). One column-pruned scan of only the stat
+    * columns, grouped by file (map-side combined; the result is
+    * file-count-sized metadata, which is what a manifest IS — the
+    * one deliberate driver collect in this class). Columns absent
+    * from this commit's frame (schema evolution) are skipped; a
+    * file whose stat value is all-NULL records no bound and is
+    * never pruned. */
+  private def collectStats(dataDir: String,
+                           df: DataFrame): Seq[ManagedDataset.FileStat] = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max, min}
+    val cols = statsColumns.filter(df.columns.contains)
+    if (cols.isEmpty) return Nil
+    val dir = new Path(qualifiedBase, dataDir)
+    if (!hasParquet(dir)) return Nil
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) :+
+      count(lit(1)).as("__rows")
+    spark.read.option("basePath", dir.toString).parquet(dir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq
+      .map { r =>
+        val full = r.getString(0)
+        val i = full.indexOf(dataDir)
+        require(i >= 0, s"stats file path $full does not contain $dataDir")
+        val rel = java.net.URLDecoder.decode(
+          full.substring(i + dataDir.length + 1), "UTF-8")
+        val mins = cols.zipWithIndex.flatMap { case (c, j) =>
+          Option(r.get(1 + 2 * j)).map(v => c -> String.valueOf(v))
+        }.toMap
+        val maxs = cols.zipWithIndex.flatMap { case (c, j) =>
+          Option(r.get(2 + 2 * j)).map(v => c -> String.valueOf(v))
+        }.toMap
+        ManagedDataset.FileStat(rel, r.getLong(1 + 2 * cols.size), mins, maxs)
+      }
   }
 
   /** Publish `body` as the manifest for `version`, atomically failing
@@ -242,6 +287,55 @@ case class ManagedDataset(
     snapshot(readManifest(version))
   }
 
+  /** Range-predicate scan with manifest-level FILE SKIPPING — the
+    * Delta data-skipping read: resolve the latest snapshot, drop
+    * every data file whose recorded `[min, max]` for `colName`
+    * cannot intersect `[lo, hi]`, and scan ONLY the survivors (the
+    * residual filter still applies, so the result is exactly
+    * `scan().filter(colName between lo and hi)`). Files with no
+    * recorded bound for the column — pre-stats commits, schema
+    * evolution, all-NULL files — are conservatively kept; NULL
+    * values never match a range predicate in either path.
+    *
+    * This is the layout lever that matters at 100 TB: with data
+    * range-clustered on `colName` at write time (repartitionByRange
+    * / Z-order upstream), a selective range touches a handful of
+    * files and the scan cost is proportional to the MATCH, not the
+    * table — metadata-only pruning before Spark ever lists a
+    * directory. None when the table was never committed. */
+  def scanPruned(colName: String, lo: String, hi: String): Option[DataFrame] =
+    latestVersion().map { v =>
+      val m = readManifest(v)
+      val dt = m.schema.find(_.name == colName).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"scanPruned: column $colName not in snapshot schema"))
+      val parts = m.commitDirs.flatMap { d =>
+        val dir = new Path(qualifiedBase, d)
+        m.stats.get(d) match {
+          case Some(fileStats) =>
+            val keep = fileStats.filter(f =>
+              ManagedDataset.mayOverlap(dt,
+                f.mins.get(colName), f.maxs.get(colName), lo, hi))
+            if (keep.isEmpty) None
+            else Some(spark.read.option("basePath", dir.toString)
+              .parquet(keep.map(f => new Path(dir, f.file).toString): _*))
+          case None =>
+            if (hasParquet(dir))
+              Some(spark.read.option("basePath", dir.toString).parquet(dir.toString))
+            else None
+        }
+      }
+      val df =
+        if (parts.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      val cast = partitionColumns.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c).cast(StringType)))
+      cast.filter(col(colName) >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
+        col(colName) <= org.apache.spark.sql.functions.lit(hi).cast(dt))
+    }
+
   /** Partition-filtered read (delta_dataset.py:41-54) on the latest
     * snapshot: a filter on partition columns — partition pruning
     * turns it into per-commit single-directory scans. None when no
@@ -322,15 +416,47 @@ object ManagedDataset {
   private val ManifestRe = """(\d{20})\.json""".r
   private val CommitDirRe = """_c(\d{20})-[0-9a-f]{8}""".r
 
+  /** Per-file stats entry: path relative to its commit directory,
+    * row count, and per-stat-column min/max rendered as strings
+    * (absent key = no bound recorded — never pruned). */
+  private[sources] case class FileStat(
+      file: String, rows: Long,
+      mins: Map[String, String], maxs: Map[String, String])
+
   private[sources] case class Manifest(
       version: Long, mode: String, commitDirs: Seq[String], schema: StructType,
-      txnAppId: Option[String] = None, txnBatchId: Option[Long] = None)
+      txnAppId: Option[String] = None, txnBatchId: Option[Long] = None,
+      stats: Map[String, Seq[FileStat]] = Map.empty)
+
+  /** Can a file with bounds `[mn, mx]` (either side absent = open)
+    * contain a value in `[lo, hi]`? Numeric types compare as
+    * BigDecimal (the stats are exact decimal renderings); strings
+    * compare lexically — the same total order parquet min/max uses.
+    * Conservative: unknown bound or exotic type → true. */
+  private[sources] def mayOverlap(
+      dt: org.apache.spark.sql.types.DataType,
+      mn: Option[String], mx: Option[String],
+      lo: String, hi: String): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        val l = new java.math.BigDecimal(lo)
+        val h = new java.math.BigDecimal(hi)
+        mn.forall(m => new java.math.BigDecimal(m).compareTo(h) <= 0) &&
+          mx.forall(m => new java.math.BigDecimal(m).compareTo(l) >= 0)
+      case StringType =>
+        mn.forall(_ <= hi) && mx.forall(_ >= lo)
+      case _ => true
+    }
+  }
 
   private[sources] def manifestName(version: Long): String = f"$version%020d.json"
 
   private[sources] def renderManifest(
       version: Long, mode: String, dirs: Seq[String], schema: StructType,
-      txn: Option[(String, Long)] = None): String = {
+      txn: Option[(String, Long)] = None,
+      stats: Map[String, Seq[FileStat]] = Map.empty): String = {
     val om = new ObjectMapper()
     val node = om.createObjectNode()
     node.put("version", version)
@@ -341,6 +467,21 @@ object ManagedDataset {
     txn.foreach { case (app, id) =>
       node.put("txnAppId", app)
       node.put("txnBatchId", id)
+    }
+    if (stats.nonEmpty) {
+      val st = node.putObject("stats")
+      stats.foreach { case (dir, files) =>
+        val fa = st.putArray(dir)
+        files.foreach { f =>
+          val fn = fa.addObject()
+          fn.put("file", f.file)
+          fn.put("rows", f.rows)
+          val mnN = fn.putObject("min")
+          f.mins.foreach { case (k, v) => mnN.put(k, v) }
+          val mxN = fn.putObject("max")
+          f.maxs.foreach { case (k, v) => mxN.put(k, v) }
+        }
+      }
     }
     om.writeValueAsString(node)
   }
@@ -354,6 +495,31 @@ object ManagedDataset {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
+    val stats = Option(node.get("stats")).map { st =>
+      val b = Map.newBuilder[String, Seq[FileStat]]
+      val dirIt = st.fields()
+      while (dirIt.hasNext) {
+        val e = dirIt.next()
+        val files = Seq.newBuilder[FileStat]
+        val fIt = e.getValue.elements()
+        while (fIt.hasNext) {
+          val fn = fIt.next()
+          def strMap(name: String): Map[String, String] = {
+            val mb = Map.newBuilder[String, String]
+            val it2 = fn.get(name).fields()
+            while (it2.hasNext) {
+              val kv = it2.next()
+              mb += kv.getKey -> kv.getValue.asText()
+            }
+            mb.result()
+          }
+          files += FileStat(fn.get("file").asText(), fn.get("rows").asLong(),
+            strMap("min"), strMap("max"))
+        }
+        b += e.getKey -> files.result()
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, Seq[FileStat]])
     Manifest(
       node.get("version").asLong(),
       node.get("mode").asText(),
@@ -361,6 +527,7 @@ object ManagedDataset {
       org.apache.spark.sql.types.DataType.fromJson(node.get("schema").asText())
         .asInstanceOf[StructType],
       Option(node.get("txnAppId")).map(_.asText()),
-      Option(node.get("txnBatchId")).map(_.asLong()))
+      Option(node.get("txnBatchId")).map(_.asLong()),
+      stats)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.ManagedDataset
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, sum}
 import java.nio.file.{Files, Paths}
 
 /** Transaction-log semantics for the Delta stand-in: versioned atomic
@@ -210,6 +211,99 @@ class ManagedDatasetSpec extends SparkSpec {
       val got = ds.scan().getOrElse(fail("post-commit scan must be Some"))
       assert(got.count() == 0)
       assert(got.columns.sorted.toSeq == Seq("p1", "v"))
+    }
+  }
+
+  // ---- manifest file-stats skip scan -----------------------------
+
+  private def rangeTable(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (1L to 400L).map(i => (i, s"row$i")).toDF("k", "payload")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("k"))
+  }
+
+  /** Overwrite every parquet file under `root` whose recorded k-range
+    * satisfies `pred` with garbage bytes — any later read of it fails. */
+  private def corruptFilesWhere(url: String, pred: Long => Boolean): Int = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(url)
+    val victims = Files.walk(root).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filter { p =>
+        // recover this file's range by reading it directly first
+        val mn = spark.read.parquet(p.toString)
+          .agg(org.apache.spark.sql.functions.min("k")).head.getLong(0)
+        pred(mn)
+      }.toList
+    victims.foreach(p => Files.write(p, "not parquet".getBytes))
+    victims.size
+  }
+
+  test("scanPruned == scan().filter, and PRUNED files are physically never read") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil, Seq("k"))
+      ds.write(rangeTable(spark))
+      // sanity: 4 range-clustered files, each with recorded bounds
+      val expected = ds.scan().get
+        .filter(col("k") >= 50L && col("k") <= 120L)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(expected == (50L to 120L))
+      // corrupt every file whose data sits entirely ABOVE the probe
+      // range — a reader that opens them dies, so a green result
+      // proves the manifest pruned them before any IO
+      val n = corruptFilesWhere(url, mn => mn > 200L)
+      assert(n >= 1, "the 400-row range table must have a high file to corrupt")
+      val got = ds.scanPruned("k", "50", "120").get
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected)
+      // control: the corrupted files ARE in the unpruned path
+      intercept[Exception](ds.scan().get.agg(sum(col("k"))).head)
+    }
+  }
+
+  test("skip-scan stats survive append and keep pruning per commit") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil, Seq("k"))
+      import spark.implicits._
+      ds.write((1L to 100L).map(i => (i, s"a$i")).toDF("k", "payload")
+        .repartitionByRange(2, col("k")))
+      ds.append((101L to 200L).map(i => (i, s"b$i")).toDF("k", "payload")
+        .repartitionByRange(2, col("k")))
+      // probe inside the first commit only; corrupt the whole second
+      // commit — append-carried stats must prune it entirely
+      val n = corruptFilesWhere(url, mn => mn > 100L)
+      assert(n >= 2)
+      val got = ds.scanPruned("k", "10", "40").get
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (10L to 40L))
+    }
+  }
+
+  test("stats-free manifests degrade to keep-everything (correct, unpruned)") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      ManagedDataset(url, Nil).write(rangeTable(spark)) // no statsColumns
+      val ds = ManagedDataset(url, Nil, Seq("k"))
+      val got = ds.scanPruned("k", "50", "120").get
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == (50L to 120L))
+      intercept[IllegalArgumentException](ds.scanPruned("nope", "0", "1"))
+    }
+  }
+
+  test("statsColumns must be data columns, and string-typed stats prune lexically") {
+    intercept[IllegalArgumentException](
+      ManagedDataset("/tmp/never", Seq("p1"), Seq("p1")))
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Nil, Seq("payload"))
+      import spark.implicits._
+      ds.write(Seq((1L, "alpha"), (2L, "beta"), (3L, "zeta"))
+        .toDF("k", "payload").repartition(1))
+      val got = ds.scanPruned("payload", "aaa", "bzz").get
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 2L))
     }
   }
 }

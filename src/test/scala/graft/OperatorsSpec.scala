@@ -3258,4 +3258,116 @@ class OperatorsSpec extends SparkSpec {
     assert(run(corpus.repartition(7)) == got)  // partitioning invariance
     assert(run(corpus, hashed = true) == got)  // 8-byte-key mode agrees
   }
+
+  test("rocAuc: separation/reversal/tie endpoints; grouped == ungrouped decomposition") {
+    import spark.implicits._
+    // 2 positives above 2 negatives → AUC = 1; reversed → 0; all-tied → 1/2.
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("s", "y")
+    def auc(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+      val r = Scoring.rocAuc(df, "s", "y").head
+      if (r.isNullAt(r.fieldIndex("auc_ppm"))) None
+      else Some(r.getLong(r.fieldIndex("auc_ppm")))
+    }
+    assert(auc(perfect).contains(1000000L))
+    assert(auc(perfect.withColumn("y", !col("y"))).contains(0L))
+    val tied = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
+    assert(auc(tied).contains(500000L))
+    // hand case: scores pos {3, 1}, neg {2, 1} →
+    // C = (3>2) + (3>1) + 0 + 0 = 2 wins... per-pair: pos3 beats neg2, neg1 (2);
+    // pos1 beats none, ties neg1 (0.5) → AUC = 2.5/4 = 0.625
+    val hand = Seq((3L, true), (1L, true), (2L, false), (1L, false)).toDF("s", "y")
+    assert(auc(hand).contains(625000L))
+    // one-class group → NULL; the other group unaffected
+    val grouped = Seq(("g1", 3L, true), ("g1", 1L, false), ("g2", 7L, true))
+      .toDF("g", "s", "y")
+    val byG = Scoring.rocAuc(grouped, "s", "y", Seq("g")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(byG("g1").contains(1000000L) && byG("g2").isEmpty)
+    // the bucket-decomposed ungrouped path == the windowed grouped path
+    val big = (1 to 500).map(i => (((i * 37) % 101).toLong, i % 3 == 0)).toDF("s", "y")
+    val viaGroup = Scoring.rocAuc(big.withColumn("g", lit("x")), "s", "y", Seq("g"))
+      .select("n_pos", "n_neg", "auc_ppm").head
+    val viaBuckets = Scoring.rocAuc(big, "s", "y").select("n_pos", "n_neg", "auc_ppm").head
+    assert(viaGroup == viaBuckets)
+    // null score raises loudly
+    val ex = intercept[Exception] {
+      Scoring.rocAuc(Seq((Some(1L), true), (None, false)).toDF("s", "y"), "s", "y")
+        .collect()
+    }
+    assert(ex.getMessage.contains("rocAuc"))
+  }
+
+  test("calibrationReport: hand bins, empty-bin NULLs, exact ECE") {
+    import spark.implicits._
+    // bin 0: probs {0, 50}, labels {F, F} → conf (1000*50)/2 = 25000, acc 0
+    // bin 9: probs {950, 1000}, labels {T, F} → conf 975000, acc 500000
+    val df = Seq((0L, false), (50L, false), (950L, true), (1000L, false))
+      .toDF("pr", "y")
+    val rows = Scoring.calibrationReport(df, "pr", "y", nBins = 10)
+      .collect()
+    assert(rows.length == 10)
+    val byBin = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byBin(0L).getLong(1) == 2L && byBin(0L).getLong(2) == 25000L &&
+      byBin(0L).getLong(3) == 0L && byBin(0L).getLong(4) == 25000L)
+    assert(byBin(9L).getLong(1) == 2L && byBin(9L).getLong(2) == 975000L &&
+      byBin(9L).getLong(3) == 500000L && byBin(9L).getLong(4) == 475000L)
+    assert(byBin(5L).isNullAt(2) && byBin(5L).getLong(1) == 0L)
+    // ECE = (2*25000 + 2*475000) div 4 = 250000, stamped on every row
+    assert(rows.forall(_.getLong(5) == 250000L))
+    // prob=1000 lands in bin 9 (capped), not a phantom bin 10 — covered above.
+    val ex = intercept[Exception] {
+      Scoring.calibrationReport(Seq((1001L, true)).toDF("pr", "y"), "pr", "y")
+        .collect()
+    }
+    assert(ex.getMessage.contains("permille"))
+  }
+
+  test("shingleNovelty: first occurrence owns; exact dup scores zero; short docs keep zero counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),          // shingles abc bcd cde — all first here
+      (2L, "a b c d e"),          // exact dup → 0 novel
+      (3L, "a b c x y z"),        // abc borrowed; bcx cxy xyz novel
+      (4L, "t u")                 // <3 tokens → whole text is the one shingle
+    ).toDF("doc_id", "text")
+    val got = TextOps.shingleNovelty(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 1000000L),
+      (2L, 3L, 0L, 0L),
+      (3L, 4L, 3L, 750000L),
+      (4L, 1L, 1L, 1000000L)))
+  }
+
+  test("withCharEntropy: runs score zero, spread grows, empty/null edges") {
+    import spark.implicits._
+    val df = Seq((1L, Some("aaaa")), (2L, Some("ab")), (3L, Some("")),
+      (4L, None), (5L, Some("abcd"))).toDF("id", "text")
+    val got = TextOps.withCharEntropy(df, "text").orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq
+    // "aaaa": 4*(bl(4)-bl(4)) = 0 ; "ab": 1*(2-1)+1*(2-1) = 2
+    // "abcd": 4 * (bl(4)-bl(1)) = 4*(3-1) = 8
+    assert(got == Seq(0L, 2L, 0L, -1L, 8L))
+  }
+
+  test("labelPropagation: labels pool per dense region; deterministic under repartition") {
+    import spark.implicits._
+    // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L), (2L, 2L) /* self loop dropped */).toDF("a", "b")
+    val got = Components.labelPropagation(edges, "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every triangle member's majority neighbor label converges into
+    // the clique; the min-label tie-break keeps results stable
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got(1L) == got(2L), "clique members share a community")
+    assert(got(5L) == got(6L), "clique members share a community")
+    // deterministic: same result under arbitrary repartitioning
+    val again = Components.labelPropagation(edges.repartition(5), "a", "b", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
