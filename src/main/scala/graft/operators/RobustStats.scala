@@ -219,4 +219,73 @@ object RobustStats {
           col("value"))
     }.reduce(_.union(_)).orderBy("__qi").drop("__qi")
   }
+
+  /** Kendall rank agreement between two integer-quantized scores per
+    * group — do two quality scorers ORDER the corpus the same way?
+    * (The scorer-drift QA that Pearson on raw scores misses.) Exact
+    * joint-frequency-cell formulation: reduce the corpus to cells
+    * `(group, x, y, n)`, then enumerate each unordered cell pair
+    * once in `(x, y)`-lexicographic canonical order and bin it —
+    * concordant (`x` and `y` agree on direction), discordant
+    * (opposite), tied-in-x / tied-in-y (one side equal), plus the
+    * within-cell both-tied pairs `n(n−1)/2`. All BIGINT;
+    * `tau_a_ppm = sign(C−D) · (10⁶·|C−D| div n(n−1)/2)` — sign
+    * OUTSIDE the divide (engines disagree on negative integer
+    * division; q201 precedent). NULL when a group has <2 rows.
+    *
+    * Scale shape (100 TB): the corpus collapses MAP-SIDE to the
+    * distinct-cell frame (one groupBy); the pair enumeration is a
+    * group-keyed self-join of cells — quadratic in CELLS per group,
+    * never in rows. The operator is built for QUANTIZED scores
+    * (permille/deciles — this library's convention); pre-bucket a
+    * continuous score before calling, or the cell frame is the data.
+    * Output: group cols + `(n, concordant, discordant, tie_x, tie_y,
+    * tie_xy, tau_a_ppm)`. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 groupCols: Seq[String]): DataFrame = {
+    val reserved = Set("n", "concordant", "discordant", "tie_x", "tie_y",
+      "tie_xy", "tau_a_ppm")
+    require(df.columns.toSet.intersect(reserved).isEmpty,
+      s"kendallTau reserves ${reserved.mkString(", ")}")
+    val g = if (groupCols.nonEmpty) groupCols else Seq("__g")
+    val base = (if (groupCols.nonEmpty) df else df.withColumn("__g", lit(1)))
+      .withColumn("__x", expr(
+        s"CASE WHEN $xCol IS NULL THEN " +
+          s"raise_error('kendallTau: null $xCol has no rank') ELSE $xCol END"))
+      .withColumn("__y", expr(
+        s"CASE WHEN $yCol IS NULL THEN " +
+          s"raise_error('kendallTau: null $yCol has no rank') ELSE $yCol END"))
+    val cells = base.groupBy((g.map(col) :+ col("__x")) :+ col("__y"): _*)
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+    val a = cells.select(g.map(col) ++
+      Seq(col("__x").as("__x1"), col("__y").as("__y1"), col("__n").as("__n1")): _*)
+    val b = cells.select(g.map(col) ++
+      Seq(col("__x").as("__x2"), col("__y").as("__y2"), col("__n").as("__n2")): _*)
+    // canonical order: every unordered distinct-cell pair exactly once
+    val pairs = a.join(b, g)
+      .where(col("__x1") < col("__x2") ||
+        (col("__x1") === col("__x2") && col("__y1") < col("__y2")))
+    val prod = col("__n1") * col("__n2")
+    val pairAgg = pairs.groupBy(g.map(col): _*).agg(
+      sum(when(col("__x1") < col("__x2") && col("__y1") < col("__y2"), prod)
+        .otherwise(0L)).as("concordant"),
+      sum(when(col("__x1") < col("__x2") && col("__y1") > col("__y2"), prod)
+        .otherwise(0L)).as("discordant"),
+      sum(when(col("__x1") === col("__x2"), prod).otherwise(0L)).as("tie_x"),
+      sum(when(col("__y1") === col("__y2") && col("__x1") < col("__x2"), prod)
+        .otherwise(0L)).as("tie_y"))
+    val cellAgg = cells.groupBy(g.map(col): _*).agg(
+      sum(col("__n")).cast("bigint").as("n"),
+      sum(expr("__n * (__n - 1L) div 2L")).cast("bigint").as("tie_xy"))
+    val out = cellAgg.join(pairAgg, g, "left")
+      .na.fill(0L, Seq("concordant", "discordant", "tie_x", "tie_y"))
+      .withColumn("tau_a_ppm", expr(
+        "CASE WHEN n < 2 THEN NULL ELSE " +
+          "CAST(sign(concordant - discordant) AS BIGINT) * " +
+          "((1000000L * abs(concordant - discordant)) div (n * (n - 1L) div 2L)) END"))
+    (if (groupCols.isEmpty) out.drop("__g") else out)
+      .select((groupCols.map(col) ++ Seq(col("n"), col("concordant"),
+        col("discordant"), col("tie_x"), col("tie_y"), col("tie_xy"),
+        col("tau_a_ppm"))): _*)
+  }
 }

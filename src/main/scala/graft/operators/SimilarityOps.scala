@@ -224,6 +224,55 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
+  /** Average precision at k per query (binary label relevance) — the
+    * area-under-PR companion to [[ndcgAtK]] and the per-query core
+    * of MAP, the standard single-number retrieval eval:
+    * `AP@k = (Σ_j 10⁶·j div r_j) div min(k, R)` over the sorted
+    * relevant ranks `r_1 < … < r_m` in the top-k (so `j div r_j` is
+    * P@r_j exactly when the j-th relevant sits at rank r_j), with
+    * `R` = the label's corpus-wide relevant total. EXACT integers —
+    * two nested integral divides, no floats at all (sharper than
+    * nDCG's pinned-literal doubles); NULL when the label has no
+    * corpus members.
+    *
+    * Scale shape: identical to [[retrievalEval]] — broadcast queries
+    * × one corpus scan for the k·|queries| neighbor frame, neighbor
+    * frame broadcast into the label join, per-query ≤k-element
+    * sorted fold (no second window). */
+  def averagePrecisionAtK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                          corpusLabel: String,
+                          queries: DataFrame, queryId: String, queryVec: String,
+                          queryLabel: String,
+                          k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val nn = knnJoin(corpus.select(col(corpusId), col(corpusVec)),
+      corpusId, corpusVec,
+      queries.select(col(queryId), col(queryVec)), queryId, queryVec, k)
+    val labeled = corpus
+      .select(col(corpusId).as("c_id"), col(corpusLabel).as("c_label"))
+      .join(broadcast(nn.select(col("q_id"), col("c_id"), col("rank"))), Seq("c_id"))
+    val qdim = queries.select(col(queryId).as("q_id"), col(queryLabel).as("label"))
+    val relTotals = corpus.groupBy(col(corpusLabel).as("label"))
+      .agg(count(lit(1)).cast("bigint").as("__n_rel_total"))
+    val perQ = labeled.join(broadcast(qdim), Seq("q_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(
+        sort_array(collect_list(
+          when(col("c_label") === col("label"), col("rank")))).as("__rel_ranks"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .cast("bigint").as("n_rel_topk"))
+    perQ.join(broadcast(relTotals), Seq("label"), "left")
+      .withColumn("ap_ppm", expr(
+        // sequence(1, 0) would DESCEND, not empty — guard the no-hit case
+        s"CASE WHEN __n_rel_total IS NULL OR __n_rel_total = 0 THEN NULL " +
+          s"WHEN size(__rel_ranks) = 0 THEN 0L ELSE " +
+          s"aggregate(transform(sequence(1, size(__rel_ranks)), " +
+          s"j -> (1000000L * CAST(j AS BIGINT)) div CAST(element_at(__rel_ranks, j) AS BIGINT)), " +
+          s"0L, (a, b) -> a + b) div least(CAST($k AS BIGINT), __n_rel_total) END"))
+      .select(col("q_id"), col("label"), col("n_rel_topk"), col("ap_ppm"))
+      .orderBy("q_id")
+  }
+
   /** kNN label propagation: predict each query's label as the
     * majority label among its `k` nearest corpus neighbors
     * (deterministic tie-break: highest vote count, then lowest

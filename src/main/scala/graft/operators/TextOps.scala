@@ -413,6 +413,64 @@ object TextOps {
           expr("(1000000L * n_novel) div n_distinct")))
   }
 
+  /** Vocabulary-growth (Heaps'-law) curve: cumulative token mass and
+    * cumulative DISTINCT vocabulary at `buckets` id-value
+    * checkpoints `ck_i = (i·max_id) div buckets` — the
+    * diminishing-returns read on a growing corpus (a flattening
+    * vocab curve says new data is re-treading old token space; same
+    * family as [[shingleNovelty]] but corpus-cumulative). Exact:
+    * vocabulary at a checkpoint = tokens whose FIRST owner doc
+    * (min id) is ≤ the checkpoint — no ordered scan, no running
+    * distinct.
+    *
+    * Output: `(ck_idx, ck_id, cum_tokens, cum_vocab)`, one row per
+    * checkpoint, ascending.
+    *
+    * Scale shape (100 TB): one token explode → per-doc counts
+    * (map-side) + one token-keyed `min(id)` (mergeable); each frame
+    * then collapses to its checkpoint bucket by pure arithmetic
+    * (`ceil(id·B / max)` — no join against the checkpoint spine),
+    * and the final cumulative window runs over the B-row bucket
+    * frame, a dimension, not data. The max-id is a broadcast 1-row
+    * frame, never a driver collect. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000, "buckets must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val toks = withTokens(df.select(col(idCol), col(textCol)), textCol, "__toks")
+      .select(col(idCol).as("__id"), explode(col("__toks")).as("__tok"))
+    val mx = df.agg(max(col(idCol)).cast("bigint").as("__mx"))
+    // bucket(id) = smallest i with id <= (i*mx) div B  ⇔  ceil(id*B/mx),
+    // clamped to [1, B] (id = 0 belongs to the first checkpoint)
+    def bucketOf(idExpr: String) =
+      s"greatest(1L, least(CAST($buckets AS BIGINT), " +
+        s"(CAST($idExpr AS BIGINT) * $buckets + __mx - 1L) div greatest(__mx, 1L)))"
+    val perDoc = toks.groupBy(col("__id"))
+      .agg(count(lit(1)).cast("bigint").as("__ntok"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__bkt", expr(bucketOf("__id")))
+      .groupBy(col("__bkt")).agg(sum(col("__ntok")).as("__mass"))
+    val owners = toks.groupBy(col("__tok"))
+      .agg(min(col("__id")).cast("bigint").as("__owner"))
+      .crossJoin(broadcast(mx))
+      .withColumn("__bkt", expr(bucketOf("__owner")))
+      .groupBy(col("__bkt")).agg(count(lit(1)).cast("bigint").as("__voc"))
+    val spine = spark.range(1, buckets + 1).toDF("ck_idx")
+      .crossJoin(broadcast(mx))
+      .withColumn("ck_id", expr(s"(ck_idx * __mx) div $buckets"))
+    val w = Window.orderBy(col("ck_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the cumulative window runs over B spine rows — a dimension frame
+    spine.join(perDoc, col("ck_idx") === col("__bkt"), "left").drop("__bkt")
+      .join(owners, col("ck_idx") === col("__bkt"), "left").drop("__bkt")
+      .na.fill(0L, Seq("__mass", "__voc"))
+      .withColumn("cum_tokens", sum(col("__mass")).over(w))
+      .withColumn("cum_vocab", sum(col("__voc")).over(w))
+      .select(col("ck_idx"), col("ck_id"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy("ck_idx")
+  }
+
   /** Character-distribution entropy surrogate — the gibberish /
     * low-diversity detector ("aaaa…" and base64 blobs sit at the two
     * extremes the quality gates miss): for char counts `c_i` of an

@@ -739,6 +739,47 @@ object EmbedQ {
               |GROUP BY a.label ORDER BY a.label""".stripMargin),
       (s, dir) =>
         SimilarityOps.nearDupPairStats(
-          t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.25))
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label", 0.25)),
+
+    // ---- average precision @ k (MAP's per-query core) ------------
+    // q232's PR-curve sibling, but FULLY integer: AP@10 per query as
+    // Σ 10⁶·j div r_j over the sorted relevant ranks, normalized by
+    // min(k, corpus relevant total). Same q/c split, same knnJoin
+    // ranked lists.
+    Q("q247_avg_precision",
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, label AS c_label, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |s AS (SELECT q_id, label, c_id, c_label,
+              |  row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |topk AS (SELECT * FROM s WHERE rn <= 10),
+              |m AS (SELECT q_id, label,
+              |    list_sort(list(rn) FILTER (WHERE c_label = label)) AS rel_ranks,
+              |    sum(CASE WHEN c_label = label THEN 1 ELSE 0 END)::BIGINT AS n_rel_topk
+              |  FROM topk GROUP BY q_id, label),
+              |rt AS (SELECT c_label AS label, count(*)::BIGINT AS n_rel_total
+              |  FROM c GROUP BY c_label)
+              |SELECT m.q_id, m.label, m.n_rel_topk,
+              |  CASE WHEN rt.n_rel_total IS NULL OR rt.n_rel_total = 0 THEN NULL
+              |    ELSE list_reduce(list_prepend(0::BIGINT,
+              |      list_transform(range(1, len(rel_ranks) + 1),
+              |        j -> (1000000 * j) // rel_ranks[j])), (a, b) -> a + b)
+              |      // least(10, rt.n_rel_total) END AS ap_ppm
+              |FROM m LEFT JOIN rt USING (label) ORDER BY m.q_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.averagePrecisionAtK(
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv"),
+              col("label").as("c_label")),
+          "c_id", "cv", "c_label",
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+              col("label").as("q_label")),
+          "q_id", "qv", "q_label",
+          k = 10)
+      })
   )
 }

@@ -4189,6 +4189,73 @@ object TextQ {
         graft.operators.Components.labelPropagation(
           edges, "tok_a", "tok_b", rounds = 3)
           .orderBy("node")
-      })
+      }),
+
+    // ---- Kendall rank agreement between two scorers --------------
+    // Do doc length (50-char buckets) and the model-seam score
+    // (deciles) ORDER each source the same way? Exact cell-pair
+    // C/D/tie counts; tau_a with the sign outside the integral
+    // divide (q201 precedent — engines disagree on negative div).
+    Q("q248_kendall_tau",
+      Some(s"""WITH b AS (SELECT source, n_chars // 50 AS x,
+              |  (${D.rollingHash("text")} % 1000) // 100 AS y FROM documents),
+              |c AS (SELECT source, x, y, count(*)::BIGINT AS n FROM b GROUP BY 1, 2, 3),
+              |p AS (SELECT a.source,
+              |  sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.n * b.n ELSE 0 END)::BIGINT AS concordant,
+              |  sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.n * b.n ELSE 0 END)::BIGINT AS discordant,
+              |  sum(CASE WHEN a.x = b.x THEN a.n * b.n ELSE 0 END)::BIGINT AS tie_x,
+              |  sum(CASE WHEN a.y = b.y AND a.x < b.x THEN a.n * b.n ELSE 0 END)::BIGINT AS tie_y
+              |  FROM c a JOIN c b ON a.source = b.source
+              |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+              |  GROUP BY a.source),
+              |t AS (SELECT source, sum(n)::BIGINT AS n,
+              |  sum(n * (n - 1) // 2)::BIGINT AS tie_xy FROM c GROUP BY source)
+              |SELECT t.source, t.n,
+              |  coalesce(p.concordant, 0)::BIGINT AS concordant,
+              |  coalesce(p.discordant, 0)::BIGINT AS discordant,
+              |  coalesce(p.tie_x, 0)::BIGINT AS tie_x,
+              |  coalesce(p.tie_y, 0)::BIGINT AS tie_y, t.tie_xy,
+              |  CASE WHEN t.n < 2 THEN NULL ELSE
+              |    (CASE WHEN p.concordant > p.discordant THEN 1
+              |          WHEN p.concordant < p.discordant THEN -1 ELSE 0 END *
+              |     ((1000000 * abs(p.concordant - p.discordant)) //
+              |      (t.n * (t.n - 1) // 2)))::BIGINT END AS tau_a_ppm
+              |FROM t LEFT JOIN p USING (source) ORDER BY t.source""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__xq", expr("n_chars div 50L"))
+          .withColumn("__yq",
+            expr(s"(${TextHash.spark.rollingHash("text")} % 1000L) div 100L"))
+        graft.operators.RobustStats.kendallTau(d, "__xq", "__yq", Seq("source"))
+          .orderBy("source")
+      }),
+
+    // ---- vocabulary growth curve (Heaps' law) --------------------
+    // Cumulative token mass vs cumulative distinct vocabulary at 10
+    // doc-id checkpoints — vocab at ck = tokens whose FIRST owner is
+    // ≤ ck (one token-keyed min; no ordered scan), mass by the same
+    // bucket arithmetic. The oracle states the same points by direct
+    // filtered sums.
+    Q("q249_vocab_growth",
+      Some(s"""WITH mx AS (SELECT max(doc_id)::BIGINT AS m FROM documents),
+              |toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+              |pd AS (SELECT doc_id, count(*)::BIGINT AS n FROM toks GROUP BY doc_id),
+              |own AS (SELECT tok, min(doc_id)::BIGINT AS o FROM toks GROUP BY tok),
+              |ck2 AS (SELECT ck_idx::BIGINT AS ck_idx, (ck_idx * m) // 10 AS ck_id
+              |  FROM (SELECT unnest(range(1, 11)) AS ck_idx), mx),
+              |mass AS (SELECT ck2.ck_idx,
+              |  sum(CASE WHEN pd.doc_id <= ck2.ck_id THEN pd.n ELSE 0 END)::BIGINT AS cum_tokens
+              |  FROM ck2, pd GROUP BY ck2.ck_idx),
+              |voc AS (SELECT ck2.ck_idx,
+              |  sum(CASE WHEN own.o <= ck2.ck_id THEN 1 ELSE 0 END)::BIGINT AS cum_vocab
+              |  FROM ck2, own GROUP BY ck2.ck_idx)
+              |SELECT ck2.ck_idx, ck2.ck_id::BIGINT AS ck_id,
+              |  coalesce(mass.cum_tokens, 0)::BIGINT AS cum_tokens,
+              |  coalesce(voc.cum_vocab, 0)::BIGINT AS cum_vocab
+              |FROM ck2 LEFT JOIN mass USING (ck_idx) LEFT JOIN voc USING (ck_idx)
+              |ORDER BY ck_idx""".stripMargin),
+      (s, dir) =>
+        TextOps.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
+          buckets = 10))
   )
 }

@@ -3353,6 +3353,85 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq(0L, 2L, 0L, -1L, 8L))
   }
 
+  test("averagePrecisionAtK: perfect ranking = 1e6; front-loading beats back-loading") {
+    import spark.implicits._
+    // 1-D embeddings: query at 10.0; corpus A-labeled at 9,8 and
+    // B-labeled at 7,6 (cosine on 1-D positive values is always 1 —
+    // use 2-D to order)
+    val corpus = Seq(
+      (100L, Seq(1.0f, 0.00f), "A"),
+      (101L, Seq(1.0f, 0.05f), "A"),
+      (102L, Seq(0.0f, 1.00f), "B"),
+      (103L, Seq(0.1f, 1.00f), "B")
+    ).toDF("c_id", "cv", "c_label")
+    val queries = Seq((1L, Seq(1.0f, 0.0f), "A"), (2L, Seq(0.0f, 1.0f), "B"))
+      .toDF("q_id", "qv", "q_label")
+    val got = SimilarityOps.averagePrecisionAtK(
+      corpus, "c_id", "cv", "c_label", queries, "q_id", "qv", "q_label", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // both queries retrieve their own label's two members at ranks 1,2
+    // → AP = ((1e6*1 div 1) + (1e6*2 div 2)) div min(2, 2) = 1e6
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L))
+    // relevant at ranks 2.. only: A query with corpus where rank1 is B
+    val mixed = Seq(
+      (100L, Seq(1.0f, 0.00f), "B"),
+      (101L, Seq(1.0f, 0.05f), "A")
+    ).toDF("c_id", "cv", "c_label")
+    val got2 = SimilarityOps.averagePrecisionAtK(
+      mixed, "c_id", "cv", "c_label",
+      Seq((1L, Seq(1.0f, 0.0f), "A")).toDF("q_id", "qv", "q_label"),
+      "q_id", "qv", "q_label", k = 2)
+      .head.getLong(3)
+    // one relevant at rank 2 → (1e6*1 div 2) div min(2, 1) = 500000
+    assert(got2 == 500000L)
+  }
+
+  test("kendallTau: agreement/reversal endpoints and exact tie accounting") {
+    import spark.implicits._
+    val agree = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val r1 = RobustStats.kendallTau(agree, "x", "y", Nil).head
+    assert(r1.getLong(r1.fieldIndex("concordant")) == 3L &&
+      r1.getLong(r1.fieldIndex("tau_a_ppm")) == 1000000L)
+    val rev = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    val r2 = RobustStats.kendallTau(rev, "x", "y", Nil).head
+    assert(r2.getLong(r2.fieldIndex("tau_a_ppm")) == -1000000L)
+    // ties: x = (1,1,2), y = (5,5,9): pairs = (1,2):both-tied,
+    // (1,3)+(2,3): concordant → C=2, tie_xy=1, n(n-1)/2 = 3
+    val tied = Seq((1L, 5L), (1L, 5L), (2L, 9L)).toDF("x", "y")
+    val r3 = RobustStats.kendallTau(tied, "x", "y", Nil).head
+    assert(r3.getLong(r3.fieldIndex("concordant")) == 2L &&
+      r3.getLong(r3.fieldIndex("discordant")) == 0L &&
+      r3.getLong(r3.fieldIndex("tie_xy")) == 1L &&
+      r3.getLong(r3.fieldIndex("tau_a_ppm")) == 666666L)
+    // grouped: each group scored independently; n<2 → NULL
+    val grouped = Seq(("g1", 1L, 1L), ("g1", 2L, 2L), ("g2", 7L, 7L))
+      .toDF("g", "x", "y")
+    val byG = RobustStats.kendallTau(grouped, "x", "y", Seq("g")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(7)) None else Some(r.getLong(7)))).toMap
+    assert(byG("g1").contains(1000000L) && byG("g2").isEmpty)
+  }
+
+  test("vocabGrowth: monotone curve, endpoints equal corpus totals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c"), (4L, "a b d"), (7L, "a e"), (10L, "f f f")
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabGrowth(df, "doc_id", "text", buckets = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1L to 5L))
+    // checkpoints at (i*10) div 5 = 2,4,6,8,10
+    assert(got.map(_._2).toSeq == Seq(2L, 4L, 6L, 8L, 10L))
+    // doc1 ≤ 2: 3 tokens, vocab {a,b,c}; doc4 ≤ 4: +3, vocab +{d};
+    // doc7 ≤ 8: +2, vocab +{e}; doc10 ≤ 10: +3, vocab +{f}
+    assert(got.map(_._3).toSeq == Seq(3L, 6L, 6L, 8L, 11L))
+    assert(got.map(_._4).toSeq == Seq(3L, 4L, 4L, 5L, 6L))
+    // partitioning invariance
+    val again = TextOps.vocabGrowth(df.repartition(7), "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("labelPropagation: labels pool per dense region; deterministic under repartition") {
     import spark.implicits._
     // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4
