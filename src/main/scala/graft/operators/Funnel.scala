@@ -33,6 +33,82 @@ object Funnel {
       .orderBy("from_type", "to_type")
   }
 
+  /** First-touch / last-touch conversion attribution: each `convType`
+    * event is credited to the first and the last `touchTypes` event
+    * in its ATTRIBUTION SEGMENT — the stretch of the user's timeline
+    * since their previous conversion (or the beginning). The
+    * product-analytics verb behind "which channel gets credit"; a
+    * conversion whose segment has no touches is a DIRECT conversion
+    * (NULL touch columns).
+    *
+    * Determinism: timelines order by `(tsCol, idCol)`; first/last
+    * touch are `min`/`max` over `struct(ts, id, type)` — plain
+    * mergeable aggregates with a total order, no `first()`
+    * nondeterminism.
+    *
+    * Output: one row per conversion — `(userCol, conv id/ts,
+    * first_touch_type, first_touch_ts, last_touch_type,
+    * last_touch_ts)`.
+    *
+    * Scale shape (100 TB): ONE user-keyed shuffle and ONE in-task
+    * sort shared by every window below (identical partition/order
+    * spec → a single Window physical node) — no join, no second
+    * pass, the sessionize shape. Segment gating is done by struct
+    * comparison against the previous conversion marker instead of a
+    * per-segment aggregate: last-touch = latest prior touch IF it
+    * postdates the previous conversion; first-touch = the latest
+    * prior SEGMENT-OPENING touch (a touch with no touch between the
+    * previous conversion and itself) under the same gate. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, idCol: String,
+                  touchTypes: Seq[String], convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      "convType cannot also be a touch type")
+    val wPrev = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val isConv = col(typeCol) === convType
+    val marked = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      // previous conversion marker and latest prior touch, as ordered
+      // (ts, id[, type]) structs — max() ignores the non-matching NULLs
+      .withColumn("__lc",
+        max(when(isConv, struct(col(tsCol), col(idCol)))).over(wPrev))
+      .withColumn("__lt",
+        max(when(isTouch, struct(col(tsCol), col(idCol), col(typeCol)))).over(wPrev))
+    // a touch OPENS a segment when no touch sits between the previous
+    // conversion and it (no prior touch at all, or the latest prior
+    // touch predates the previous conversion)
+    val flagged = marked.withColumn("__opens",
+      isTouch && (col("__lt").isNull ||
+        (col("__lc").isNotNull &&
+          struct(col("__lt").getField(tsCol), col("__lt").getField(idCol)) <=
+            col("__lc"))))
+    val attributed = flagged
+      .withColumn("__fs",
+        max(when(col("__opens"), struct(col(tsCol), col(idCol), col(typeCol))))
+          .over(wPrev))
+      .where(isConv)
+      // gate both picks to the CURRENT segment: valid only when they
+      // postdate the previous conversion
+      .withColumn("__ltv", when(col("__lt").isNotNull &&
+        (col("__lc").isNull ||
+          struct(col("__lt").getField(tsCol), col("__lt").getField(idCol)) >
+            col("__lc")), col("__lt")))
+      .withColumn("__ftv", when(col("__fs").isNotNull &&
+        (col("__lc").isNull ||
+          struct(col("__fs").getField(tsCol), col("__fs").getField(idCol)) >
+            col("__lc")), col("__fs")))
+    attributed.select(col(userCol), col(tsCol).as("conv_ts"),
+      col(idCol).as("conv_id"),
+      col("__ftv").getField(typeCol).as("first_touch_type"),
+      col("__ftv").getField(tsCol).as("first_touch_ts"),
+      col("__ltv").getField(typeCol).as("last_touch_type"),
+      col("__ltv").getField(tsCol).as("last_touch_ts"))
+  }
+
   /** Cohort retention matrix: users bucketed by FIRST-seen time
     * bucket (the cohort), counted in every later bucket they return
     * in — `(cohort_epoch, bucket_offset, n_users)`, the standard

@@ -118,6 +118,37 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Joint (2-D) equi-width histogram of two numeric columns — the
+    * length-vs-quality / size-vs-score heat map every curation
+    * dashboard starts from, and the joint-distribution input drift
+    * monitors compare across corpus versions. Same boundary-pinned
+    * floor arithmetic as [[histogram]] on each axis independently
+    * (bucket 0 = underflow, `nb + 1` = overflow), so both engines
+    * bin identically. Rows where either column is NULL are dropped
+    * (they have no cell).
+    *
+    * Output: `(x_bucket, y_bucket, n)` for NON-EMPTY cells only,
+    * ordered — the output is data-sparse, never the dense
+    * `(xnb+2)·(ynb+2)` grid. One groupBy on the bounded cell id;
+    * map-side combined; no windows. */
+  def histogram2d(df: DataFrame, xc: String, xlo: Double, xhi: Double, xnb: Int,
+                  yc: String, ylo: Double, yhi: Double, ynb: Int): DataFrame = {
+    require(xnb >= 1 && ynb >= 1, "need at least one bucket per axis")
+    require(xlo < xhi && ylo < yhi, "need lo < hi on both axes")
+    def bucketExpr(c: String, lo: Double, hi: Double, nb: Int): String = {
+      val width = (hi - lo) / nb
+      s"CASE WHEN CAST($c AS DOUBLE) < ${lo}D THEN 0 " +
+        s"WHEN CAST($c AS DOUBLE) >= ${hi}D THEN ${nb + 1} " +
+        s"ELSE CAST(floor((CAST($c AS DOUBLE) - ${lo}D) / ${width}D) + 1 AS INT) END"
+    }
+    df.where(col(xc).isNotNull && col(yc).isNotNull)
+      .withColumn("x_bucket", expr(bucketExpr(xc, xlo, xhi, xnb)))
+      .withColumn("y_bucket", expr(bucketExpr(yc, ylo, yhi, ynb)))
+      .groupBy(col("x_bucket"), col("y_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("x_bucket", "y_bucket")
+  }
+
   /** Population-stability-index drift between two slices of a numeric
     * column — the monitoring score risk teams put beside the KS
     * statistic ([[graft.operators.TextOps.distributionDistance]]'s

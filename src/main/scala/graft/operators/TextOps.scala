@@ -413,6 +413,39 @@ object TextOps {
           expr("(1000000L * n_novel) div n_distinct")))
   }
 
+  /** Token-distribution entropy surrogate per group — the
+    * source-level diversity score beside [[withTokenGini]]'s per-doc
+    * Simpson index: for token counts `c_t` summing to `n` in a
+    * group, `ent_sum = Σ_t c_t · (bl(n) − bl(c_t))` with `bl` the
+    * bit-length log2 (the [[withCharEntropy]] surrogate lifted from
+    * chars to the token distribution). A source whose mass
+    * concentrates on few tokens scores near 0 — template/boilerplate
+    * feeds — and exact integers keep it bitwise-portable.
+    *
+    * Output: `(groupCol, n_tokens, n_distinct, ent_sum)`, one row
+    * per group. Scale shape: one token explode → (group, token)
+    * count (map-side combined, vocabulary-bounded) → ONE group
+    * aggregation: by `Σ c·(bl(n)−bl(c)) = n·bl(n) − Σ c·bl(c)`,
+    * the total splits into per-cell terms plus a per-group scalar —
+    * so the count frame is read once, with no totals join and no
+    * second pass over the explode. */
+  def groupTokenEntropy(df: DataFrame, textCol: String,
+                        groupCol: String): DataFrame = {
+    val counts = withTokens(df.select(col(groupCol), col(textCol)), textCol, "__toks")
+      .select(col(groupCol), explode(col("__toks")).as("__tok"))
+      .groupBy(col(groupCol), col("__tok"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_distinct"),
+        sum(col("__c") * length(bin(col("__c"))).cast("bigint"))
+          .cast("bigint").as("__s"))
+      .withColumn("ent_sum",
+        col("n_tokens") * length(bin(col("n_tokens"))).cast("bigint") - col("__s"))
+      .select(col(groupCol), col("n_tokens"), col("n_distinct"), col("ent_sum"))
+      .orderBy(col(groupCol))
+  }
+
   /** Vocabulary-growth (Heaps'-law) curve: cumulative token mass and
     * cumulative DISTINCT vocabulary at `buckets` id-value
     * checkpoints `ck_i = (i·max_id) div buckets` — the

@@ -165,6 +165,59 @@ object TimeSeries {
       .drop("__x", "__s1", "__s2", "__w")
   }
 
+  /** Per-key one-sided CUSUM drift statistic WITHOUT reset (Page
+    * 1954, the running-max form): with increments `x_i − target`,
+    * the statistic `s_i = P_i − min_{j≤i} P_j` (prefix sum minus
+    * running minimum) measures the largest sustained upward drift
+    * ending at `i` — the standard changepoint score for "did this
+    * user/feed's level shift?". The no-reset form is chosen
+    * DELIBERATELY: it is exactly two windows (prefix sum + running
+    * min) instead of a sequential keep-state fold, and an ALARM is
+    * an UPCROSSING (`s_i ≥ h` where `s_{i−1} < h`), so repeated
+    * alarms still register without per-row reset state.
+    *
+    * All arithmetic in BIGINT on the caller's integer-cast value —
+    * exact, bitwise-portable (NULL values raise; quantize a double
+    * with `floor()` first). Output: one row per key —
+    * `(keyCol, n_points, max_s, n_alarms, first_alarm_ts)` (alarm
+    * fields 0/NULL when the threshold is never crossed).
+    *
+    * Scale shape (100 TB): per-key windows over (ts, id) — the
+    * sessionize shuffle shape, all three windows share ONE sort;
+    * state is never driver-side and nothing is quadratic. */
+  def cusumUpcrossings(df: DataFrame, keyCol: String, tsCol: String,
+                       idCol: String, valueCol: String,
+                       target: Long, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold >= 1, "threshold must be positive")
+    val reserved = Set("__x", "__p", "__m", "__s", "__up", "n_points",
+      "max_s", "n_alarms", "first_alarm_ts")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"cusumUpcrossings reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val scored = df
+      .withColumn("__x", expr(
+        s"CASE WHEN $valueCol IS NULL " +
+          s"THEN raise_error('cusumUpcrossings: null $valueCol') " +
+          s"ELSE CAST($valueCol AS BIGINT) - CAST($target AS BIGINT) END"))
+      .withColumn("__p", sum(col("__x")).over(wAll))
+      .withColumn("__m", min(least(col("__p"), lit(0L))).over(wAll))
+      .withColumn("__s", col("__p") - col("__m"))
+      .withColumn("__up",
+        (col("__s") >= threshold) &&
+          coalesce(lag(col("__s"), 1).over(wPrev), lit(0L)) < threshold)
+    scored.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("bigint").as("n_points"),
+        max(col("__s")).as("max_s"),
+        sum(when(col("__up"), 1L).otherwise(0L)).cast("bigint").as("n_alarms"),
+        min(when(col("__up"), col(tsCol))).as("first_alarm_ts"))
+      .orderBy(col(keyCol))
+  }
+
   /** Per-key event debounce (throttle): how many events survive when
     * an event is kept only if at least `minGap` elapsed since
     * the previously KEPT one — burst collapse for alerting, rate

@@ -1435,5 +1435,78 @@ object Relational {
       (s, dir) =>
         graft.operators.Profile.benfordAudit(
           t(s, dir, "lineitem"), "l_extendedprice"))
+  ,
+
+    // ---- per-user CUSUM drift statistic (no-reset, upcrossings) --
+    // Page's running-max CUSUM as exactly two shared-sort windows
+    // (prefix sum − running min); alarms are threshold UPCROSSINGS.
+    // Integer-floored values, target 50, threshold 300 — exact
+    // BIGINT throughout.
+    Q("q252_cusum_drift",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) * 1000 AS ts,
+             |  CAST(floor(value) AS BIGINT) - 50 AS x FROM events),
+             |p AS (SELECT user_id, event_id, ts, sum(x) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+             |  FROM e),
+             |m AS (SELECT *, least(min(least(pp, 0)) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS mm
+             |  FROM p),
+             |s AS (SELECT user_id, ts, pp - mm AS sv,
+             |  lag(pp - mm) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM m),
+             |u AS (SELECT user_id, ts, sv,
+             |  (sv >= 300 AND coalesce(prev, 0) < 300) AS up FROM s)
+             |SELECT user_id, count(*)::BIGINT AS n_points, max(sv)::BIGINT AS max_s,
+             |  sum(CASE WHEN up THEN 1 ELSE 0 END)::BIGINT AS n_alarms,
+             |  min(CASE WHEN up THEN ts END)::BIGINT AS first_alarm_ts
+             |FROM u GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.cusumUpcrossings(
+          t(s, dir, "events")
+            .withColumn("__v", expr("CAST(floor(value) AS BIGINT)")),
+          "user_id", "ts", "event_id", "__v", target = 50L, threshold = 300L)),
+
+    // ---- first/last-touch conversion attribution -----------------
+    // Each purchase credited to the first and last click/view since
+    // the user's previous purchase; segment = count of PRIOR
+    // conversions; touch picks are min/max over (ts, id, type)
+    // structs — no first() nondeterminism. Direct conversions (no
+    // touch in segment) count under __DIRECT__.
+    Q("q253_attribution",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts FROM events),
+             |seg AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM e),
+             |tc AS (SELECT user_id, s, event_type,
+             |  row_number() OVER (PARTITION BY user_id, s ORDER BY ts, event_id) AS rf,
+             |  row_number() OVER (PARTITION BY user_id, s ORDER BY ts DESC, event_id DESC) AS rl
+             |  FROM seg WHERE event_type IN ('click', 'view')),
+             |ft AS (SELECT user_id, s, event_type AS ftype FROM tc WHERE rf = 1),
+             |lt AS (SELECT user_id, s, event_type AS ltype FROM tc WHERE rl = 1),
+             |conv AS (SELECT user_id, s FROM seg WHERE event_type = 'purchase'),
+             |j AS (SELECT coalesce(ft.ftype, '__DIRECT__') AS first_t,
+             |             coalesce(lt.ltype, '__DIRECT__') AS last_t
+             |      FROM conv LEFT JOIN ft USING (user_id, s) LEFT JOIN lt USING (user_id, s)),
+             |f AS (SELECT first_t AS touch_type, count(*)::BIGINT AS n_first FROM j GROUP BY 1),
+             |l AS (SELECT last_t AS touch_type, count(*)::BIGINT AS n_last FROM j GROUP BY 1)
+             |SELECT coalesce(f.touch_type, l.touch_type) AS touch_type,
+             |  coalesce(n_first, 0)::BIGINT AS n_first,
+             |  coalesce(n_last, 0)::BIGINT AS n_last
+             |FROM f FULL JOIN l ON f.touch_type = l.touch_type
+             |ORDER BY touch_type""".stripMargin),
+      (s, dir) => {
+        val att = graft.operators.Funnel.attribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          Seq("click", "view"), "purchase")
+        val f = att.groupBy(
+          coalesce(col("first_touch_type"), lit("__DIRECT__")).as("touch_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_first"))
+        val l = att.groupBy(
+          coalesce(col("last_touch_type"), lit("__DIRECT__")).as("touch_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_last"))
+        f.join(l, Seq("touch_type"), "full")
+          .na.fill(0L, Seq("n_first", "n_last"))
+          .orderBy("touch_type")
+      })
   )
 }

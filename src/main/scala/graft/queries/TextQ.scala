@@ -4256,6 +4256,44 @@ object TextQ {
               |ORDER BY ck_idx""".stripMargin),
       (s, dir) =>
         TextOps.vocabGrowth(t(s, dir, "documents"), "doc_id", "text",
-          buckets = 10))
+          buckets = 10)),
+
+    // ---- per-source token-distribution entropy -------------------
+    // q244's char surrogate lifted to the token distribution, per
+    // source: Σ c·(bl(n)−bl(c)) over the vocabulary-bounded count
+    // frame — template/boilerplate feeds score near 0.
+    Q("q250_token_entropy",
+      Some(s"""WITH tk AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+              |c AS (SELECT source, tok, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+              |t AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+              |  count(*)::BIGINT AS n_distinct FROM c GROUP BY source),
+              |e AS (SELECT c.source, sum(c.c * (length(bin(t.n_tokens)) -
+              |  length(bin(c.c))))::BIGINT AS ent_sum
+              |  FROM c JOIN t USING (source) GROUP BY c.source)
+              |SELECT t.source, t.n_tokens, t.n_distinct, e.ent_sum
+              |FROM t JOIN e USING (source) ORDER BY t.source""".stripMargin),
+      (s, dir) =>
+        TextOps.groupTokenEntropy(t(s, dir, "documents"), "text", "source")),
+
+    // ---- joint length × score histogram (2-D heat map) -----------
+    // The curation dashboard's first plot: doc length vs model-seam
+    // score, 10×10 equi-width cells with the boundary-pinned floor
+    // arithmetic on each axis; only non-empty cells emitted.
+    Q("q251_histogram2d",
+      Some(s"""WITH b AS (SELECT
+              |  CASE WHEN n_chars::DOUBLE < 0.0 THEN 0
+              |    WHEN n_chars::DOUBLE >= 1000.0 THEN 11
+              |    ELSE floor((n_chars::DOUBLE - 0.0) / 100.0)::INT + 1 END AS x_bucket,
+              |  CASE WHEN (${D.rollingHash("text")} % 1000)::DOUBLE < 0.0 THEN 0
+              |    WHEN (${D.rollingHash("text")} % 1000)::DOUBLE >= 1000.0 THEN 11
+              |    ELSE floor(((${D.rollingHash("text")} % 1000)::DOUBLE - 0.0) / 100.0)::INT + 1
+              |  END AS y_bucket FROM documents)
+              |SELECT x_bucket, y_bucket, count(*)::BIGINT AS n
+              |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        graft.operators.Profile.histogram2d(
+          t(s, dir, "documents").withColumn("__score",
+            expr(s"${TextHash.spark.rollingHash("text")} % 1000L")),
+          "n_chars", 0.0, 1000.0, 10, "__score", 0.0, 1000.0, 10))
   )
 }

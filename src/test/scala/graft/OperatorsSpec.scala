@@ -3432,6 +3432,83 @@ class OperatorsSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("groupTokenEntropy: concentration scores low, exact surrogate values") {
+    import spark.implicits._
+    val df = Seq(("a", "x x x x"), ("b", "p q r s")).toDF("src", "text")
+    val got = TextOps.groupTokenEntropy(df, "text", "src").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // src a: one token, c=4=n → ent 0. src b: 4 tokens c=1 each, n=4:
+    // 4·bl(4) − 4·(1·bl(1)) = 4·3 − 4 = 8
+    assert(got("a") == ((4L, 1L, 0L)))
+    assert(got("b") == ((4L, 4L, 8L)))
+  }
+
+  test("histogram2d: boundary-pinned cells with under/overflow clamps") {
+    import spark.implicits._
+    val df = Seq((-5.0, 10.0), (0.0, 10.0), (99.9, 99.9), (100.0, 5.0),
+      (50.0, 50.0), (50.0, 50.0)).toDF("x", "y")
+    val got = Profile.histogram2d(df, "x", 0.0, 100.0, 10, "y", 0.0, 100.0, 10)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got((0, 2)) == 1L)      // x underflow, y in bucket 2
+    assert(got((1, 2)) == 1L)      // x = 0.0 → first bucket
+    assert(got((10, 10)) == 1L)    // 99.9 → last in-range bucket both axes
+    assert(got((11, 1)) == 1L)     // x = hi → overflow
+    assert(got((6, 6)) == 2L)      // the repeated center cell
+    assert(got.values.sum == 6L)
+  }
+
+  test("cusumUpcrossings: drift alarms exactly at upcrossings; dips reset via running min") {
+    import spark.implicits._
+    // target 10, threshold 5: values 10,10 keep s=0; 13,13 push s to 6
+    // (alarm), 14 keeps s above (no re-alarm), 2 drops s to 3, 14
+    // re-crosses (second alarm)
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 13L), (1L, 4L, 13L),
+      (1L, 5L, 14L), (1L, 6L, 2L), (1L, 7L, 14L),
+      (2L, 1L, 9L), (2L, 2L, 9L)
+    ).toDF("k", "ts", "v")
+    val got = TimeSeries.cusumUpcrossings(df, "k", "ts", "ts", "v",
+      target = 10L, threshold = 5L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // key 1: s = 0,0,3,6,10,2... wait: prefix sums 0,0,3,6,10,2,6;
+    // running min of (P,0) = 0 throughout → s = P. Upcrossings at
+    // ts=4 (3→6) and ts=7 (2→6). max_s = 10.
+    assert(got(1L) == ((7L, 10L, 2L, 4L)))
+    // key 2: all below target → P negative, s = P − min stays 0
+    assert(got(2L) == ((2L, 0L, 0L, -1L)))
+  }
+
+  test("attribution: first/last touch per segment, direct conversions, segment reset") {
+    import spark.implicits._
+    // user 1: view(1) click(2) BUY(3) click(4) BUY(5) BUY(6)
+    //   conv 3: first=view@1 last=click@2
+    //   conv 5: first=click@4 last=click@4 (segment reset at 3)
+    //   conv 6: direct (no touch since 5)
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "buy"),
+      (1L, 4L, "click"), (1L, 5L, "buy"), (1L, 6L, "buy"),
+      (2L, 1L, "buy") // direct, no history at all
+    ).toDF("u", "ts", "t").withColumn("id", col("ts"))
+    val got = Funnel.attribution(ev, "u", "ts", "t", "id",
+      Seq("view", "click"), "buy")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) "-" else r.getString(3)),
+          (if (r.isNullAt(5)) "-" else r.getString(5)))).toMap
+    assert(got((1L, 3L)) == (("view", "click")))
+    assert(got((1L, 5L)) == (("click", "click")))
+    assert(got((1L, 6L)) == (("-", "-")))
+    assert(got((2L, 1L)) == (("-", "-")))
+    // deterministic under repartitioning
+    val again = Funnel.attribution(ev.repartition(5), "u", "ts", "t", "id",
+      Seq("view", "click"), "buy")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) "-" else r.getString(3)),
+          (if (r.isNullAt(5)) "-" else r.getString(5)))).toMap
+    assert(again == got)
+  }
+
   test("labelPropagation: labels pool per dense region; deterministic under repartition") {
     import spark.implicits._
     // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4

@@ -323,4 +323,36 @@ class ScaleShapeSpec extends SparkSpec {
     assert(shuffles == 1,
       s"expected exactly 1 uid hash shuffle (windows + aggregate share it), found $shuffles:\n$plan")
   }
+
+  test("attribution plan: one user shuffle, one sort, all windows share it — no join") {
+    import spark.implicits._
+    val ev = (0L until 500L).map(i =>
+      (i % 17, i * 1000L, i, if (i % 5 == 0) "buy" else "view"))
+      .toDF("uid", "ts", "id", "etype")
+    val plan = operators.Funnel.attribution(ev, "uid", "ts", "etype", "id",
+      Seq("view"), "buy")
+      .queryExecution.executedPlan.toString
+    // the segment-gating rewrite is join-free: every window aggregate
+    // rides ONE uid hash shuffle and ONE (ts, id) in-task sort
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly 1 uid hash shuffle, found $shuffles:\n$plan")
+    assert(sorts == 1,
+      s"expected the windows to share one sort, found $sorts:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"attribution must be join-free:\n$plan")
+  }
+
+  test("cusumUpcrossings plan: one key shuffle shared by all three windows and the aggregate") {
+    import spark.implicits._
+    val ev = (0L until 500L).map(i => (i % 17, i, i, (i % 30)))
+      .toDF("k", "ts", "id", "v")
+    val plan = operators.TimeSeries.cusumUpcrossings(ev, "k", "ts", "id", "v",
+      target = 10L, threshold = 5L)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly 1 key hash shuffle (windows + aggregate share it), found $shuffles:\n$plan")
+  }
 }
