@@ -1507,6 +1507,101 @@ object Relational {
         f.join(l, Seq("touch_type"), "full")
           .na.fill(0L, Seq("n_first", "n_last"))
           .orderBy("touch_type")
-      })
+      }),
+
+    // ---- TPC-H Q5 shape: local supplier volume -------------------
+    // Revenue where the supplier and customer share a nation, scoped
+    // to one region and one year — the canonical 6-way star join.
+    // Dims broadcast; the c=s nation equality rides the join.
+    Q("q254_local_supplier_volume",
+      Some("""SELECT n_name,
+             |  (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS revenue,
+             |  count(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA' AND year(o_orderdate) = 1997
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").where(year(col("o_orderdate")) === 1997),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name")),
+
+    // ---- TPC-H Q10 shape: returned-item reporting ----------------
+    // Top 20 customers by revenue lost to returns in one quarter;
+    // revenue decimal-exact before the double render, top-k is
+    // TakeOrderedAndProject with the key as tie-break.
+    Q("q255_returned_items",
+      Some("""SELECT c_custkey, c_name,
+             |  (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE l_returnflag = 'R'
+             |  AND year(o_orderdate) = 1997 AND month(o_orderdate) IN (7, 8, 9)
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders").where(
+            year(col("o_orderdate")) === 1997 &&
+              month(col("o_orderdate")).isin(7, 8, 9)),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem").where(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)),
+
+    // ---- TPC-H Q3 shape: shipping priority -----------------------
+    // Unshipped-revenue top 10 for one market segment around a
+    // cutoff date; the order date rides out as epoch micros (the
+    // timestamp-render convention of the events family).
+    Q("q256_shipping_priority",
+      Some("""SELECT l_orderkey,
+             |  (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS revenue,
+             |  epoch_us(o_orderdate)::BIGINT AS order_us
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-15'
+             |  AND l_shipdate > TIMESTAMP '1998-06-15'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+          .join(t(s, dir, "orders").where(
+            expr("o_orderdate < TIMESTAMP'1998-06-15 00:00:00'")),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, dir, "lineitem").where(
+            expr("l_shipdate > TIMESTAMP'1998-06-15 00:00:00'")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10))
   )
 }
