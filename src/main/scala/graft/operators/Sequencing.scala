@@ -419,6 +419,58 @@ object Sequencing {
     * Scale shape: per-row expression, no shuffle of its own; the
     * follow-up `repartitionByRange(out)` + write is the same single
     * sort any clustered write pays. */
+  /** Hilbert-curve clustering key — [[withZValue]]'s
+    * better-locality sibling: the Hilbert walk visits every cell of
+    * the 2^bits × 2^bits grid in a Hamiltonian path of UNIT steps
+    * (consecutive keys are spatially adjacent — spec-pinned over the
+    * full grid), where the Z curve takes long diagonal jumps at
+    * every block boundary. Data files range-clustered on `hval`
+    * therefore cover compact blobs of (x, y) space, and a 2-D range
+    * predicate touches fewer files than under Z-order — the layout
+    * lever behind Hilbert-mode OPTIMIZE in public lakehouse engines.
+    *
+    * Classic bit-level transform (Wikipedia `xy2d`): per level
+    * `s = 2^i` from the top bit down, quadrant
+    * `q = (3·rx) XOR ry` (rendered as the branch-free CASE
+    * `rx=0 → ry | rx=1 → 3−ry`), `d += s²·q`, then the
+    * reflect-and-swap rotation. Expressed as ONE `aggregate` fold
+    * over the bit levels with the `(d, x, y)` state PACKED into a
+    * single BIGINT (`d·4^bits + x·2^bits + y` — the [[TimeSeries
+    * .debounceCounts]] packed-scalar discipline, so an independent
+    * engine's `list_reduce` evaluates the identical fold). Pure
+    * per-row integer arithmetic — codegen'd, shuffle-free,
+    * bitwise-portable. Inputs outside `[0, 2^bits)` raise. */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+                       bits: Int = 14, out: String = "hval"): DataFrame = {
+    require(bits >= 1 && bits <= 15, "bits must be in [1, 15] (packed state)")
+    require(!df.columns.contains(out),
+      s"withHilbertValue reserves column name $out")
+    val P = 1L << bits
+    val n1 = P - 1L
+    def xOf(acc: String) = s"(($acc div ${P}L) % ${P}L)"
+    def yOf(acc: String) = s"($acc % ${P}L)"
+    def dOf(acc: String) = s"($acc div ${P * P}L)"
+    val s_ = "shiftleft(CAST(1 AS BIGINT), i)"
+    val X = xOf("acc"); val Y = yOf("acc"); val D = dOf("acc")
+    val rx = s"(($X div $s_) % 2L)"
+    val ry = s"(($Y div $s_) % 2L)"
+    val quad = s"(CASE WHEN $rx = 0L THEN $ry ELSE 3L - $ry END)"
+    val d2 = s"($D + $s_ * $s_ * $quad)"
+    val xr = s"(CASE WHEN $rx = 1L THEN ${n1}L - $X ELSE $X END)"
+    val yr = s"(CASE WHEN $rx = 1L THEN ${n1}L - $Y ELSE $Y END)"
+    val newx = s"(CASE WHEN $ry = 0L THEN $yr ELSE $X END)"
+    val newy = s"(CASE WHEN $ry = 0L THEN $xr ELSE $Y END)"
+    val body = s"(($d2 * ${P}L + $newx) * ${P}L + $newy)"
+    def guard(c: String) =
+      s"(CASE WHEN $c IS NULL OR $c < 0 OR $c >= ${P}L THEN " +
+        s"raise_error('withHilbertValue: $c outside [0, 2^$bits)') " +
+        s"ELSE CAST($c AS BIGINT) END)"
+    df.withColumn(out, expr(
+      s"aggregate(sequence(${bits - 1}, 0, -1), " +
+        s"${guard(xCol)} * ${P}L + ${guard(yCol)}, " +
+        s"(acc, i) -> $body, acc -> ${dOf("acc")})"))
+  }
+
   def withZValue(df: DataFrame, xCol: String, yCol: String,
                  out: String = "zval"): DataFrame = {
     require(!df.columns.contains(out),

@@ -4294,6 +4294,52 @@ object TextQ {
         graft.operators.Profile.histogram2d(
           t(s, dir, "documents").withColumn("__score",
             expr(s"${TextHash.spark.rollingHash("text")} % 1000L")),
-          "n_chars", 0.0, 1000.0, 10, "__score", 0.0, 1000.0, 10))
+          "n_chars", 0.0, 1000.0, 10, "__score", 0.0, 1000.0, 10)),
+
+    // ---- Hilbert clustering key (layout locality) ----------------
+    // The Z-order sibling with unit-step locality (q155): per-doc
+    // Hilbert index of (length, score) on a 2^8 grid, aggregated per
+    // source. The oracle replays the IDENTICAL packed bit-level fold
+    // via list_reduce — the whole transform is hash-checked, and the
+    // Hamiltonian-walk property is spec-pinned on the full grid.
+    Q("q257_hilbert_layout", {
+      val bits = 8; val P = 1L << bits; val n1 = P - 1
+      def xOf(a: String) = s"(($a // $P) % $P)"
+      def yOf(a: String) = s"($a % $P)"
+      def dOf(a: String) = s"($a // ${P * P})"
+      val s_ = "(1::BIGINT << i)"
+      val X = xOf("acc"); val Y = yOf("acc"); val Dd = dOf("acc")
+      val rx = s"(($X // $s_) % 2)"
+      val ry = s"(($Y // $s_) % 2)"
+      val quad = s"(CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END)"
+      val d2 = s"($Dd + $s_ * $s_ * $quad)"
+      val xr = s"(CASE WHEN $rx = 1 THEN $n1 - $X ELSE $X END)"
+      val yr = s"(CASE WHEN $rx = 1 THEN $n1 - $Y ELSE $Y END)"
+      val newx = s"(CASE WHEN $ry = 0 THEN $yr ELSE $X END)"
+      val newy = s"(CASE WHEN $ry = 0 THEN $xr ELSE $Y END)"
+      val body = s"(($d2 * $P + $newx) * $P + $newy)"
+      Some(s"""WITH b AS (SELECT source, (n_chars % $P)::BIGINT AS x,
+              |  (${D.rollingHash("text")} % $P)::BIGINT AS y FROM documents),
+              |h AS (SELECT source, list_reduce(list_prepend(x * $P + y,
+              |  list_transform(range(${bits - 1}, -1, -1), i -> i)),
+              |  (acc, i) -> $body) AS packed FROM b),
+              |v AS (SELECT source, ${dOf("packed")} AS hval FROM h)
+              |SELECT source, count(*)::BIGINT AS n, sum(hval)::BIGINT AS sum_h,
+              |  min(hval)::BIGINT AS min_h, max(hval)::BIGINT AS max_h
+              |FROM v GROUP BY source ORDER BY source""".stripMargin)
+    },
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__hx", expr("n_chars % 256L"))
+          .withColumn("__hy",
+            expr(s"${TextHash.spark.rollingHash("text")} % 256L"))
+        graft.operators.Sequencing.withHilbertValue(d, "__hx", "__hy", bits = 8)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("hval")).cast("bigint").as("sum_h"),
+            min(col("hval")).cast("bigint").as("min_h"),
+            max(col("hval")).cast("bigint").as("max_h"))
+          .orderBy("source")
+      })
   )
 }

@@ -3509,6 +3509,38 @@ class OperatorsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("withHilbertValue: bijective Hamiltonian unit-step walk; strictly better locality than Z") {
+    import spark.implicits._
+    val bits = 4
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val h = Sequencing.withHilbertValue(grid, "x", "y", bits)
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // bijection onto [0, n²)
+    assert(h.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property: consecutive keys are spatially adjacent
+    val steps = h.sliding(2).map { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.toSeq
+    assert(steps.forall(_ == 1L), "every Hilbert step must be a unit move")
+    // Z-order on the same grid takes long jumps: total travel > n²−1
+    val z = Sequencing.withZValue(grid, "x", "y")
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val zTravel = z.sliding(2).map { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x2 - x1) + math.abs(y2 - y1)
+    }.sum
+    assert(zTravel > steps.sum, s"Z travel $zTravel must exceed Hilbert ${steps.sum}")
+    // out-of-range input raises
+    val ex = intercept[Exception] {
+      Sequencing.withHilbertValue(Seq((-1L, 0L)).toDF("x", "y"), "x", "y", bits)
+        .collect()
+    }
+    assert(ex.getMessage.contains("withHilbertValue"))
+  }
+
   test("labelPropagation: labels pool per dense region; deterministic under repartition") {
     import spark.implicits._
     // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4
