@@ -304,18 +304,33 @@ case class ManagedDataset(
     * table — metadata-only pruning before Spark ever lists a
     * directory. None when the table was never committed. */
   def scanPruned(colName: String, lo: String, hi: String): Option[DataFrame] =
+    scanPrunedRanges(Seq((colName, lo, hi)))
+
+  /** Multi-predicate skip scan: conjunction of range predicates, each
+    * pruning on its own recorded per-file bounds — the read that pays
+    * off a MULTI-dimensional clustering key ([[graft.operators
+    * .Sequencing.withHilbertValue]]/`withZValue` layouts make every
+    * file a compact blob in ALL clustered dimensions, so each
+    * predicate independently knocks out most files; a linear sort
+    * only serves its leading column). Semantics: exactly
+    * `scan().filter(AND of col BETWEEN lo AND hi)`. */
+  def scanPrunedRanges(ranges: Seq[(String, String, String)]): Option[DataFrame] = {
+    require(ranges.nonEmpty, "need at least one range predicate")
     latestVersion().map { v =>
       val m = readManifest(v)
-      val dt = m.schema.find(_.name == colName).map(_.dataType)
-        .getOrElse(throw new IllegalArgumentException(
-          s"scanPruned: column $colName not in snapshot schema"))
+      val typed = ranges.map { case (c, lo, hi) =>
+        val dt = m.schema.find(_.name == c).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"scanPruned: column $c not in snapshot schema"))
+        (c, dt, lo, hi)
+      }
       val parts = m.commitDirs.flatMap { d =>
         val dir = new Path(qualifiedBase, d)
         m.stats.get(d) match {
           case Some(fileStats) =>
-            val keep = fileStats.filter(f =>
-              ManagedDataset.mayOverlap(dt,
-                f.mins.get(colName), f.maxs.get(colName), lo, hi))
+            val keep = fileStats.filter(f => typed.forall { case (c, dt, lo, hi) =>
+              ManagedDataset.mayOverlap(dt, f.mins.get(c), f.maxs.get(c), lo, hi)
+            })
             if (keep.isEmpty) None
             else Some(spark.read.option("basePath", dir.toString)
               .parquet(keep.map(f => new Path(dir, f.file).toString): _*))
@@ -332,8 +347,43 @@ case class ManagedDataset(
         else parts.reduce(_.unionByName(_, allowMissingColumns = true))
       val cast = partitionColumns.foldLeft(df)((d, c) =>
         d.withColumn(c, col(c).cast(StringType)))
-      cast.filter(col(colName) >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
-        col(colName) <= org.apache.spark.sql.functions.lit(hi).cast(dt))
+      typed.foldLeft(cast) { case (acc, (c, dt, lo, hi)) =>
+        acc.filter(col(c) >= org.apache.spark.sql.functions.lit(lo).cast(dt) &&
+          col(c) <= org.apache.spark.sql.functions.lit(hi).cast(dt))
+      }
+    }
+  }
+
+  /** The file count [[scanPrunedRanges]] would read for `ranges` —
+    * layout diagnostics (how well does the clustering key serve this
+    * query shape?) without any data IO. Counts every file of a
+    * stats-free commit (conservatively kept, like the read itself). */
+  def prunedFileCount(ranges: Seq[(String, String, String)]): Option[Long] =
+    latestVersion().map { v =>
+      val m = readManifest(v)
+      val typed = ranges.map { case (c, lo, hi) =>
+        (c, m.schema.find(_.name == c).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(
+            s"prunedFileCount: column $c not in snapshot schema")), lo, hi)
+      }
+      m.commitDirs.map { d =>
+        m.stats.get(d) match {
+          case Some(fileStats) =>
+            fileStats.count(f => typed.forall { case (c, dt, lo, hi) =>
+              ManagedDataset.mayOverlap(dt, f.mins.get(c), f.maxs.get(c), lo, hi)
+            }).toLong
+          case None =>
+            val dir = new Path(qualifiedBase, d)
+            if (!fs.exists(dir)) 0L
+            else {
+              val it = fs.listFiles(dir, true)
+              var n = 0L
+              while (it.hasNext)
+                if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+              n
+            }
+        }
+      }.sum
     }
 
   /** Partition-filtered read (delta_dataset.py:41-54) on the latest

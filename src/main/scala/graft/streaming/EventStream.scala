@@ -22,6 +22,14 @@ case class DedupDoc(doc_id: Long, text: String)
 /** Output row of [[EventStream.streamingDebounce]]. */
 case class KeptEvent(user_id: Long, ts: Long)
 
+/** Keyed state of [[EventStream.streamingCusum]]: prefix sum, running
+  * min (with the 0 baseline), and the previous statistic value. */
+case class CusumState(p: Long, m: Long, prevS: Long)
+
+/** Output row of [[EventStream.streamingCusum]]: an alarm —
+  * the statistic `s` UPCROSSED the threshold at `ts`. */
+case class CusumAlarm(user_id: Long, ts: Long, s: Long)
+
 /** Per-user running totals as a Spark-4 `StatefulProcessor`: one
   * typed `ValueState[UserTotal]` per key, folded with each
   * micro-batch's rows and re-emitted (update mode). TTL is NONE here
@@ -183,6 +191,46 @@ object EventStream {
           }
           if (last != Long.MinValue) state.update(last)
           kept.result().iterator
+      }
+  }
+
+  /** Continuous CUSUM drift alarms — the streaming face of
+    * [[graft.operators.TimeSeries.cusumUpcrossings]]: per key the
+    * tiny `(P, min, prevS)` state carries Page's no-reset recurrence
+    * across micro-batches, and an alarm row is emitted exactly when
+    * the statistic UPCROSSES the threshold — identical to the batch
+    * operator's alarms on ordered replay (spec-pinned). Rows inside
+    * a micro-batch are folded in (ts) order; per-key state is three
+    * longs, so an unbounded key space streams indefinitely. */
+  def streamingCusum(events: DataFrame, target: Long, threshold: Long,
+                     keyCol: String = "user_id", tsCol: String = "ts",
+                     valueCol: String = "value")
+      : org.apache.spark.sql.Dataset[CusumAlarm] = {
+    require(threshold >= 1, "threshold must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+        expr(s"CAST($valueCol AS BIGINT)"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumAlarm](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+          val out = Array.newBuilder[CusumAlarm]
+          sorted.foreach { case (_, ts, v) =>
+            val p = st.p + (v - target)
+            val m = math.min(st.m, math.min(p, 0L))
+            val s = p - m
+            if (s >= threshold && st.prevS < threshold)
+              out += CusumAlarm(key, ts, s)
+            st = CusumState(p, m, s)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -216,6 +216,38 @@ class EventStreamSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming CUSUM: cross-batch alarms equal the batch operator on ordered replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    val query = EventStream.streamingCusum(
+      mem.toDF().toDF("user_id", "ts", "value"),
+      target = 10L, threshold = 5L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // the q252 hand case split mid-drift ACROSS the batch boundary:
+      // s path 0,0,3,6(alarm),10,2,6(alarm) for user 1
+      mem.addData((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 13L))
+      query.processAllAvailable()
+      mem.addData((1L, 4L, 13L), (1L, 5L, 14L), (1L, 6L, 2L), (1L, 7L, 14L),
+        (2L, 1L, 9L), (2L, 2L, 9L))
+      query.processAllAvailable()
+      val streamed = spark.table("cusum_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == Set((1L, 4L, 6L), (1L, 7L, 6L)),
+        s"cross-batch state must carry the drift, got $streamed")
+      // and the batch operator on the full replay agrees
+      val batch = graft.operators.TimeSeries.cusumUpcrossings(
+        Seq((1L, 1L, 10L), (1L, 2L, 10L), (1L, 3L, 13L), (1L, 4L, 13L),
+          (1L, 5L, 14L), (1L, 6L, 2L), (1L, 7L, 14L),
+          (2L, 1L, 9L), (2L, 2L, 9L)).toDF("k", "ts", "v"),
+        "k", "ts", "ts", "v", target = 10L, threshold = 5L)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(batch(1L) == 2L && batch(2L) == 0L)
+    } finally query.stop()
+  }
+
   test("streaming debounce: cross-batch throttle equals the batch operator on ordered replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -293,6 +293,37 @@ class ManagedDatasetSpec extends SparkSpec {
     }
   }
 
+  test("Hilbert-clustered layout prunes 2-D range scans a linear sort cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val withH = graft.operators.Sequencing
+      .withHilbertValue(grid, "x", "y", bits = 5)
+    withTempDir { dir =>
+      val linear = ManagedDataset(s"$dir/linear", Nil, Seq("x", "y"))
+      linear.write(grid.repartitionByRange(16, col("x"), col("y")))
+      val hilbert = ManagedDataset(s"$dir/hilbert", Nil, Seq("x", "y"))
+      hilbert.write(withH.repartitionByRange(16, col("hval")).drop("hval"))
+      // a thin y-band across the full x range: x-leading linear sort
+      // keeps every file (its y bounds all span the grid); the
+      // Hilbert layout keeps only the blobs the band crosses
+      val ranges = Seq(("x", "0", "31"), ("y", "8", "11"))
+      val nLin = linear.prunedFileCount(ranges).get
+      val nHil = hilbert.prunedFileCount(ranges).get
+      assert(nLin == 16L, s"x-sorted layout cannot prune a y-band (got $nLin)")
+      assert(nHil < nLin / 2,
+        s"Hilbert blobs must prune most files for a thin band (got $nHil of $nLin)")
+      // both reads return exactly the band
+      val expected = (0L until 32L).flatMap(x => (8L to 11L).map(x -> _)).toSet
+      for (ds <- Seq(linear, hilbert)) {
+        val got = ds.scanPrunedRanges(ranges).get
+          .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == expected)
+      }
+    }
+  }
+
   test("statsColumns must be data columns, and string-typed stats prune lexically") {
     intercept[IllegalArgumentException](
       ManagedDataset("/tmp/never", Seq("p1"), Seq("p1")))
