@@ -361,6 +361,66 @@ object Components {
     out
   }
 
+  /** k-core decomposition: the maximal subgraph in which every node
+    * has degree ≥ k, found by the classic peel — repeatedly delete
+    * nodes of degree < k until none remain (deleting a node can
+    * drop a neighbor below k, hence the iteration). The standard
+    * graph-cleanup verb before community/centrality work: the k-core
+    * separates the densely-embedded region from tendrils that LPA
+    * and PageRank otherwise waste signal on.
+    *
+    * Deterministic (no ordering anywhere: each round deletes ALL
+    * under-k nodes simultaneously) and loud: more than `maxRounds`
+    * peels raises rather than silently returning an unconverged
+    * subgraph (the [[connectedComponents]] budget discipline).
+    *
+    * Output: `(node, core_degree)` for the surviving nodes — their
+    * degree WITHIN the k-core.
+    *
+    * Scale shape (100 TB): per round one node-keyed degree count +
+    * two semi-joins on the edge frame, each round's survivor edges
+    * localCheckpointed (linear lineage); rounds are
+    * graph-diameter-ish bounded in practice. Driver sees only the
+    * per-round edge COUNT (the convergence test), never data. */
+  def kCore(edges: DataFrame, aCol: String, bCol: String,
+            k: Int, maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxRounds >= 1, "maxRounds must be positive")
+    var live = edges
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .unionAll(edges.select(col(bCol).as("__a"), col(aCol).as("__b")))
+      .where(col("__a") =!= col("__b"))
+      .dropDuplicates("__a", "__b")
+      .localCheckpoint()
+    var prevCount = live.count()
+    var round = 0
+    var stable = prevCount == 0L
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (!stable) {
+      round += 1
+      require(round <= maxRounds,
+        s"kCore did not converge within $maxRounds rounds — raise maxRounds")
+      val keep = live.groupBy(col("__a").as("node"))
+        .agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k)
+        .select(col("node"))
+      val next = live
+        .join(keep.select(col("node").as("__a")), Seq("__a"), "left_semi")
+        .join(keep.select(col("node").as("__b")), Seq("__b"), "left_semi")
+        .localCheckpoint()
+      val n = next.count()
+      stable = n == prevCount
+      prevCount = n
+      spent += live
+      live = next
+    }
+    val out = live.groupBy(col("__a").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("core_degree"))
+      .localCheckpoint()
+    spent.foreach(freeCheckpoint)
+    out
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

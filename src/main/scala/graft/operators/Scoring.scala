@@ -139,6 +139,49 @@ object Scoring {
       .drop("__cg", "__rg")
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator):
+    * for a group with `n` sampled attempts of which `c` passed,
+    * `pass@k = 1 − C(n−c, k)/C(n, k)` — the probability at least one
+    * of k drawn samples passes. Computed EXACTLY:
+    * `C(n−c,k)/C(n,k) = Π_{i<k}(n−c−i) / Π_{i<k}(n−i)` as two BIGINT
+    * product folds (the numerator clamps at 0 when `n−c < k` —
+    * pass@k is then exactly 1), and
+    * `pass_at_k_ppm = 10⁶ − (10⁶·num) div den`. Groups with `n < k`
+    * emit NULL (the estimator is undefined); a denominator that
+    * would overflow the 10⁶ scaling raises loudly — thin the samples
+    * (content-hash cap) rather than silently losing exactness.
+    *
+    * Scale shape: one groupBy on the problem key (map-side
+    * combined); the combinatorial folds are per-GROUP-row scalar
+    * expressions over `sequence(0, k−1)` — k-bounded, no join. */
+  def passAtK(df: DataFrame, groupCol: String, passCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 20, "k must be in [1, 20]")
+    val reserved = Set("n", "c", "pass_at_k_ppm")
+    require(df.columns.toSet.intersect(reserved).isEmpty,
+      s"passAtK reserves ${reserved.mkString(", ")}")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(when(expr(
+          s"CASE WHEN $passCol IS NULL THEN " +
+            s"raise_error('passAtK: null $passCol has no outcome') " +
+            s"ELSE $passCol END"), 1L).otherwise(0L)).cast("bigint").as("c"))
+    val num = s"aggregate(sequence(0, ${k - 1}), 1L, " +
+      "(a, i) -> a * greatest(n - c - CAST(i AS BIGINT), 0L))"
+    val den = s"aggregate(sequence(0, ${k - 1}), 1L, " +
+      "(a, i) -> a * (n - CAST(i AS BIGINT)))"
+    g.withColumn("__den", expr(
+        s"CASE WHEN n < $k THEN CAST(NULL AS BIGINT) " +
+          s"WHEN $den > 9000000000000L THEN " +
+          s"raise_error('passAtK: n choose k overflows the ppm scaling; thin the samples') " +
+          s"ELSE $den END"))
+      .withColumn("pass_at_k_ppm",
+        expr(s"CASE WHEN __den IS NULL THEN CAST(NULL AS BIGINT) " +
+          s"ELSE 1000000L - (1000000L * $num) div __den END"))
+      .drop("__den")
+      .orderBy(col(groupCol))
+  }
+
   /** Exact ROC-AUC (Mann–Whitney with midrank tie handling) of a
     * score against a boolean label, per group — the standard quality-
     * classifier eval: does the score actually rank positives above

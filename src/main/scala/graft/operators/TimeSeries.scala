@@ -103,6 +103,39 @@ object TimeSeries {
     * float-sum association inside window frames, decimals don't) and
     * `roll_n`. The moving-average primitive: divide the two
     * downstream for an exact-numerator mean. */
+  /** Exact rolling MEDIAN over the trailing `nRows` window (current
+    * row inclusive) — the robust monitoring companion to
+    * [[withRolling]]'s sums (a single spike moves a rolling mean,
+    * not the rolling median). Values must be integral; the median of
+    * an even window is the LOWER middle (exact integer, no float
+    * averaging — pinned, portable). `roll_n` counts the actual
+    * window rows so warmup rows are distinguishable.
+    *
+    * Per-row cost is O(w log w) from sorting the collected window —
+    * right for the small monitoring windows this is for (w ≤ ~100);
+    * the window list is bounded by `nRows`, never the key's history.
+    * Same one-shuffle-per-key shape as every TimeSeries op. */
+  def withRollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+                        idCol: String, valueCol: String,
+                        nRows: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nRows >= 1 && nRows <= 1000, "nRows must be in [1, 1000]")
+    val reserved = Set("__rw", "roll_median", "roll_n")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"withRollingMedian reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(nRows - 1), 0)
+    df.withColumn("__rw", sort_array(collect_list(
+        expr(s"CAST($valueCol AS BIGINT)")).over(w)))
+      .withColumn("roll_n", size(col("__rw")).cast("bigint"))
+      // lower middle: element (n+1) div 2 of the sorted window
+      .withColumn("roll_median",
+        expr("element_at(__rw, CAST((size(__rw) + 1) div 2 AS INT))"))
+      .drop("__rw")
+  }
+
   def withRolling(df: DataFrame, keyCol: String, tsCol: String,
                   idCol: String, valueCol: String, nRows: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

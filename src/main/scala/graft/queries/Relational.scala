@@ -1602,6 +1602,60 @@ object Relational {
           .select(col("l_orderkey"), col("revenue"),
             unix_micros(col("o_orderdate").cast("timestamp")).as("order_us"))
           .orderBy(col("revenue").desc, col("l_orderkey"))
-          .limit(10))
+          .limit(10)),
+
+    // ---- pass@k (HumanEval estimator) ----------------------------
+    // Unbiased pass@5 per user over a content-hash-thinned attempt
+    // sample (value ≥ 70 = pass): 1 − C(n−c,5)/C(n,5) as exact
+    // BIGINT product folds; n < k → NULL. The oracle replays the
+    // identical folds via list_reduce.
+    Q("q258_pass_at_k",
+      Some("""WITH s AS (SELECT user_id, (value >= 70.0) AS pass FROM events
+             |  WHERE event_id % 97 < 2),
+             |g AS (SELECT user_id, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS c
+             |  FROM s GROUP BY user_id)
+             |SELECT user_id, n, c,
+             |  CASE WHEN n < 5 THEN NULL ELSE
+             |    (1000000 - (1000000 * list_reduce(list_prepend(1::BIGINT,
+             |      list_transform(range(0, 5), i -> greatest(n - c - i, 0))),
+             |      (a, b) -> a * b))
+             |    // list_reduce(list_prepend(1::BIGINT,
+             |      list_transform(range(0, 5), i -> n - i)), (a, b) -> a * b))
+             |  END::BIGINT AS pass_at_k_ppm
+             |FROM g ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.Scoring.passAtK(
+          t(s, dir, "events").where(expr("event_id % 97 < 2"))
+            .withColumn("__pass", col("value") >= 70.0),
+          "user_id", "__pass", k = 5)),
+
+    // ---- rolling median (robust monitoring) ----------------------
+    // Trailing 7-row exact median of floor(value) per user (lower
+    // middle on even windows — integer, no float averaging),
+    // aggregated per user for a compact witness.
+    Q("q259_rolling_median",
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
+             |  CAST(floor(value) AS BIGINT) AS v FROM events),
+             |w AS (SELECT user_id, list_sort(list(v) OVER (PARTITION BY user_id
+             |  ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+             |  FROM e),
+             |m AS (SELECT user_id, win[((len(win) + 1) // 2)::INT] AS med,
+             |  len(win)::BIGINT AS wn FROM w)
+             |SELECT user_id, count(*)::BIGINT AS n,
+             |  sum(med)::BIGINT AS sum_median, max(med)::BIGINT AS max_median,
+             |  sum(wn)::BIGINT AS sum_window_rows
+             |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.withRollingMedian(
+          t(s, dir, "events")
+            .withColumn("__v", expr("CAST(floor(value) AS BIGINT)")),
+          "user_id", "ts", "event_id", "__v", nRows = 7)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("roll_median")).cast("bigint").as("sum_median"),
+            max(col("roll_median")).cast("bigint").as("max_median"),
+            sum(col("roll_n")).cast("bigint").as("sum_window_rows"))
+          .orderBy("user_id"))
   )
 }

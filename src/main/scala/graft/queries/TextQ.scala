@@ -4340,6 +4340,50 @@ object TextQ {
             min(col("hval")).cast("bigint").as("min_h"),
             max(col("hval")).cast("bigint").as("max_h"))
           .orderBy("source")
+      }),
+
+    // ---- k-core decomposition (graph cleanup) --------------------
+    // The 3-core of the q176 collocation graph: peel degree-<3 nodes
+    // until fixpoint. The oracle unrolls 8 simultaneous-peel rounds
+    // — once the peel converges further rounds are idempotent, so
+    // the unroll equals Spark's run-to-fixpoint (which raises loudly
+    // if it ever needed more).
+    Q("q260_kcore", {
+      // each eN is referenced twice (degree + survivor join) — without
+      // MATERIALIZED the inlining doubles per round and the base scan
+      // explodes 2^8-fold ("too many open files")
+      val peel = (1 to 8).map { r =>
+        s"""d$r AS (SELECT a, count(*) AS dg FROM e${r - 1} GROUP BY a),
+           |k$r AS (SELECT a FROM d$r WHERE dg >= 3),
+           |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+           |  JOIN k$r x ON e.a = x.a JOIN k$r y ON e.b = y.a)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |te AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+              |  SELECT tok_a AS a, tok_b AS b FROM te
+              |  UNION ALL SELECT tok_b, tok_a FROM te) WHERE a <> b),
+              |$peel
+              |SELECT a AS node, count(*)::BIGINT AS core_degree
+              |FROM e8 GROUP BY a ORDER BY node""".stripMargin)
+    },
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.kCore(edges, "tok_a", "tok_b", k = 3)
+          .orderBy("node")
       })
   )
 }

@@ -3541,6 +3541,58 @@ class OperatorsSpec extends SparkSpec {
     assert(ex.getMessage.contains("withHilbertValue"))
   }
 
+  test("passAtK: hand combinatorics, clamp at all-fail < k, NULL under-sampled, loud overflow") {
+    import spark.implicits._
+    // n=4, c=2, k=2: C(2,2)/C(4,2) = 1/6 → pass = 1e6 − 166666 = 833334
+    val df = Seq(("p1", true), ("p1", true), ("p1", false), ("p1", false),
+      ("p2", false), ("p2", false), ("p2", false),
+      ("p3", true)).toDF("prob", "ok")
+    val got = Scoring.passAtK(df, "prob", "ok", k = 2).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got("p1").contains(833334L))
+    // p2: c=0, n=3: C(3,2)/C(3,2) = 1 → pass 0
+    assert(got("p2").contains(0L))
+    // p3: n=1 < k → NULL
+    assert(got("p3").isEmpty)
+    // n−c < k → numerator clamps to 0 → pass exactly 1e6 (a failure
+    // draw cannot fill k slots)
+    val allPass = Seq(("q", true), ("q", true), ("q", false)).toDF("prob", "ok")
+    assert(Scoring.passAtK(allPass, "prob", "ok", 2).head.getLong(3) == 1000000L)
+    val full = Seq(("q", true), ("q", true)).toDF("prob", "ok")
+    assert(Scoring.passAtK(full, "prob", "ok", 2).head.getLong(3) == 1000000L)
+  }
+
+  test("withRollingMedian: exact trailing medians, lower-middle ties, warmup counts") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 5L), (1L, 2L, 1L), (1L, 3L, 9L), (1L, 4L, 2L))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.withRollingMedian(df, "k", "ts", "ts", "v", nRows = 3)
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(r.fieldIndex("roll_median")),
+        r.getLong(r.fieldIndex("roll_n")))).toSeq
+    // windows: [5] [1,5] [1,5,9] [1,2,9] → medians 5, 1 (lower mid), 5, 2
+    assert(got == Seq((5L, 1L), (1L, 2L), (5L, 3L), (2L, 3L)))
+  }
+
+  test("kCore: peels tendrils, keeps the dense core, cascading deletes handled") {
+    import spark.implicits._
+    // K4 core {1,2,3,4} + a chain 4–5–6 that must cascade away at k=2...
+    // use k=3: chain nodes have degree ≤ 2 → removed; K4 survives with
+    // degree 3 each. Node 5's removal drops 6 below ANY k — cascade.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val got = Components.kCore(edges, "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // empty result when k exceeds the densest core
+    assert(Components.kCore(edges, "a", "b", k = 4).count() == 0L)
+    // deterministic under repartitioning
+    val again = Components.kCore(edges.repartition(5), "a", "b", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("labelPropagation: labels pool per dense region; deterministic under repartition") {
     import spark.implicits._
     // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4
