@@ -420,6 +420,39 @@ case class ManagedDataset(
       }
     }
 
+  /** [[compact]] with a LAYOUT rewrite: the snapshot is
+    * range-clustered on `clusterCol` into `nFiles` files before the
+    * overwrite commit — the OPTIMIZE-with-clustering maintenance
+    * verb. Pointed at a [[graft.operators.Sequencing
+    * .withHilbertValue]]/`withZValue` key (computed, clustered on,
+    * dropped), every rewritten file becomes a compact blob in the
+    * key's dimensions, which is exactly what [[scanPrunedRanges]]'
+    * per-file bounds then prune against — write-side layout and
+    * read-side skipping meeting in the manifest stats. Unlike
+    * [[compact]] this rewrites even a single-directory table (the
+    * point is the ORDER, not the directory count); no-op only on an
+    * empty table. */
+  def compactClustered(clusterCol: String, nFiles: Int): Boolean = {
+    require(nFiles >= 1, "nFiles must be positive")
+    latestVersion().exists { v =>
+      val snap = snapshot(readManifest(v))
+      write(snap
+        .repartitionByRange(nFiles, col(clusterCol))
+        .localCheckpoint())
+      true
+    }
+  }
+
+  /** Row-level diff between two committed versions on a content
+    * column — time travel composed with [[graft.operators.Inspect
+    * .diffSnapshots]]: what was added/removed/changed between v1 and
+    * v2, answered from the log's immutable snapshots with no copies
+    * of the table kept around. */
+  def diffVersions(v1: Long, v2: Long, idCol: String,
+                   contentCol: String): DataFrame =
+    graft.operators.Inspect.diffSnapshots(
+      readVersion(v1), readVersion(v2), idCol, contentCol)
+
   /** Drop history: keep the newest `retainVersions` manifests, delete
     * older ones plus any commit directory no retained manifest
     * references. In-flight commit directories are protected by their

@@ -324,6 +324,50 @@ class ManagedDatasetSpec extends SparkSpec {
     }
   }
 
+  test("compactClustered rewrites the layout so skip-scans prune; diffVersions reads the log") {
+    import spark.implicits._
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Nil, Seq("x", "y"))
+      // ingest in shuffled order: every file spans the whole grid
+      ds.write(grid.orderBy(org.apache.spark.sql.functions.xxhash64(col("x"), col("y")))
+        .repartition(16))
+      val ranges = Seq(("x", "0", "31"), ("y", "8", "11"))
+      val before = ds.prunedFileCount(ranges).get
+      assert(before == 16L, s"shuffled ingest should defeat pruning (got $before)")
+      // OPTIMIZE with a Hilbert clustering key
+      val withH = graft.operators.Sequencing.withHilbertValue(
+        ds.scan().get, "x", "y", bits = 5)
+      // cluster on hval: recompute it inside via a staging write —
+      // compactClustered clusters on an EXISTING column, so stage the
+      // keyed frame as the new snapshot first
+      ds.write(withH)
+      assert(ds.compactClustered("hval", 16))
+      val after = ManagedDataset(s"$dir/ds", Nil, Seq("x", "y"))
+        .prunedFileCount(ranges).get
+      assert(after < before / 2,
+        s"clustered rewrite must restore pruning (got $after of $before)")
+      // the data survived both rewrites
+      val got = ds.scanPrunedRanges(ranges).get.select("x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == (0L until 32L).flatMap(x => (8L to 11L).map(x -> _)).toSet)
+    }
+  }
+
+  test("diffVersions: added/removed/changed between log snapshots") {
+    import spark.implicits._
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Nil)
+      ds.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "txt"))
+      ds.write(Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("id", "txt"))
+      val d = ds.diffVersions(1L, 2L, "id", "txt")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(d == Map(1L -> "removed", 2L -> "unchanged",
+        3L -> "changed", 4L -> "added"))
+    }
+  }
+
   test("statsColumns must be data columns, and string-typed stats prune lexically") {
     intercept[IllegalArgumentException](
       ManagedDataset("/tmp/never", Seq("p1"), Seq("p1")))
