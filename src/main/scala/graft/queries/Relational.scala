@@ -1656,6 +1656,44 @@ object Relational {
             sum(col("roll_median")).cast("bigint").as("sum_median"),
             max(col("roll_median")).cast("bigint").as("max_median"),
             sum(col("roll_n")).cast("bigint").as("sum_window_rows"))
-          .orderBy("user_id"))
+          .orderBy("user_id")),
+
+    // ---- time-to-convert by first touch (q253 composed) ----------
+    // Latency from the segment-opening touch to its conversion, per
+    // first-touch type: n, exact lower-middle median, max — the
+    // attribution read marketing actually asks for. Direct
+    // conversions (no touch) are excluded; deltas in epoch nanos.
+    Q("q261_time_to_convert",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) * 1000 AS ts FROM events),
+             |seg AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s FROM e),
+             |tc AS (SELECT user_id, s, event_type, ts,
+             |  row_number() OVER (PARTITION BY user_id, s ORDER BY ts, event_id) AS rf
+             |  FROM seg WHERE event_type IN ('click', 'view')),
+             |ft AS (SELECT user_id, s, event_type AS ftype, ts AS fts FROM tc WHERE rf = 1),
+             |conv AS (SELECT user_id, s, ts AS cts FROM seg WHERE event_type = 'purchase'),
+             |j AS (SELECT ft.ftype, conv.cts - ft.fts AS delta
+             |      FROM conv JOIN ft USING (user_id, s)),
+             |g AS (SELECT ftype, list_sort(list(delta)) AS ds FROM j GROUP BY ftype)
+             |SELECT ftype AS first_touch_type, len(ds)::BIGINT AS n,
+             |  ds[((len(ds) + 1) // 2)::INT]::BIGINT AS median_delta,
+             |  ds[len(ds)::INT]::BIGINT AS max_delta
+             |FROM g ORDER BY first_touch_type""".stripMargin),
+      (s, dir) => {
+        val att = graft.operators.Funnel.attribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+          Seq("click", "view"), "purchase")
+        att.where(col("first_touch_type").isNotNull)
+          .withColumn("__delta", col("conv_ts") - col("first_touch_ts"))
+          .groupBy(col("first_touch_type"))
+          .agg(sort_array(collect_list(col("__delta"))).as("__ds"))
+          .select(col("first_touch_type"),
+            size(col("__ds")).cast("bigint").as("n"),
+            expr("element_at(__ds, CAST((size(__ds) + 1) div 2 AS INT))")
+              .cast("bigint").as("median_delta"),
+            expr("element_at(__ds, size(__ds))").cast("bigint").as("max_delta"))
+          .orderBy("first_touch_type")
+      })
   )
 }
