@@ -452,6 +452,48 @@ object DedupOps {
     }
   }
 
+  /** b-bit minhash Jaccard estimation (Li & König, WWW 2010) over
+    * LSH candidate pairs: store only the LOW `bBits` of each
+    * signature component (a 64→b-bit storage cut — the memory lever
+    * that makes billion-doc signature matrices fit), and correct the
+    * collision inflation exactly: with `B = 2^b`,
+    * `E[match] = J + (1−J)/B`, so
+    * `Ĵ_ppm = max(0, 10⁶·(k·B − n) div (n·(B−1)))` for `k` matching
+    * components of `n`. Emits both the full-width agreement count
+    * and the b-bit estimate per candidate pair — the estimator and
+    * its storage-compressed variant side by side, all exact
+    * integers.
+    *
+    * Scale shape: identical to the signature LSH family — one
+    * signature pass, band-keyed candidate join; the estimate is
+    * per-pair scalar arithmetic. */
+  def bbitJaccardEstimates(df: DataFrame, idCol: String, textCol: String,
+                           bands: Int = 2, rowsPerBand: Int = 4,
+                           bBits: Int = 4): DataFrame = {
+    require(bBits >= 1 && bBits <= 16, "bBits must be in [1, 16]")
+    val n = bands * rowsPerBand
+    val bMod = 1L << bBits
+    val sigs = signatures(df, idCol, textCol, bands, rowsPerBand)
+      .select(col(idCol).as("id") +:
+        (0 until n).map(i => col(s"m$i")) :+ col("band0"): _*)
+      .localCheckpoint()
+    val x = sigs.select(col("id").as("a_id") +:
+      (0 until n).map(i => col(s"m$i").as(s"xa$i")) :+ col("band0").as("bk"): _*)
+    val y = sigs.select(col("id").as("b_id") +:
+      (0 until n).map(i => col(s"m$i").as(s"yb$i")) :+ col("band0").as("bk"): _*)
+    x.join(y, "bk").where(col("a_id") < col("b_id"))
+      .withColumn("k_full",
+        (0 until n).map(i => when(col(s"xa$i") === col(s"yb$i"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("k_bbit",
+        (0 until n).map(i => when(col(s"xa$i") % bMod === col(s"yb$i") % bMod,
+          1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("jhat_bbit_ppm", expr(
+        s"greatest(0L, (1000000L * (k_bbit * $bMod - $n)) div (${n}L * ${bMod - 1}L))"))
+      .select(col("a_id"), col("b_id"), col("k_full"), col("k_bbit"),
+        col("jhat_bbit_ppm"))
+  }
+
   /** LSH candidate pairs (a_id < b_id) from any band collision,
     * verified with exact shingle-set Jaccard, filtered at `minJaccard`.
     */

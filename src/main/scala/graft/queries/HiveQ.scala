@@ -188,6 +188,26 @@ object HiveQ {
             sum(col("o_orderkey")).cast("bigint").as("sum_key"))
       }),
 
+    // ---- ORC source/sink round trip ------------------------------
+    // Format breadth beyond parquet/CSV/JSONL: lineitem written as
+    // ORC (Spark's built-in datasource — orc-core ships in the
+    // runtime), read back, and aggregated; the oracle states the
+    // same aggregate on the original parquet, so the round trip must
+    // be lossless including the decimal-exact revenue discipline.
+    Q("q262_orc_roundtrip",
+      Some("""SELECT l_returnflag, count(*)::BIGINT AS n,
+             |  (sum(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft_q262_")
+        t(s, dir, "lineitem").write.mode("overwrite").orc(s"$out/li_orc")
+        s.read.orc(s"$out/li_orc")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      }),
+
     // ---- all-string CSV round trip (S18/S19, main.py:50-62) ------
     Q("q23_csv_roundtrip",
       Some("""SELECT r_regionkey::VARCHAR AS r_regionkey, r_name

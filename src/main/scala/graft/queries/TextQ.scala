@@ -4342,6 +4342,39 @@ object TextQ {
           .orderBy("source")
       }),
 
+    // ---- b-bit minhash estimation (Li & König 2010) --------------
+    // Store only the low 4 bits of each signature component (16×
+    // storage cut) and correct the collision inflation exactly:
+    // Ĵ = max(0, (k·16 − 8)/(8·15)) in ppm — the full-width
+    // agreement count and the compressed estimate side by side per
+    // LSH candidate pair.
+    Q("q263_bbit_minhash",
+      Some(s"""$sigCte,
+              |b AS (SELECT doc_id,
+              |  m0::VARCHAR || '|' || m1::VARCHAR || '|' || m2::VARCHAR || '|' || m3::VARCHAR AS band0,
+              |  m0, m1, m2, m3, m4, m5, m6, m7 FROM sig),
+              |pairs AS (
+              |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+              |    ((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) + (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) + (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) + (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) + (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END)
+              |    )::BIGINT AS k_full,
+              |    ((CASE WHEN x.m0 % 16 = y.m0 % 16 THEN 1 ELSE 0 END) + (CASE WHEN x.m1 % 16 = y.m1 % 16 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m2 % 16 = y.m2 % 16 THEN 1 ELSE 0 END) + (CASE WHEN x.m3 % 16 = y.m3 % 16 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m4 % 16 = y.m4 % 16 THEN 1 ELSE 0 END) + (CASE WHEN x.m5 % 16 = y.m5 % 16 THEN 1 ELSE 0 END) +
+              |     (CASE WHEN x.m6 % 16 = y.m6 % 16 THEN 1 ELSE 0 END) + (CASE WHEN x.m7 % 16 = y.m7 % 16 THEN 1 ELSE 0 END)
+              |    )::BIGINT AS k_bbit
+              |  FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id)
+              |SELECT a_id, b_id, k_full, k_bbit,
+              |  greatest(0, (1000000 * (k_bbit * 16 - 8)) // (8 * 15))::BIGINT AS jhat_bbit_ppm
+              |FROM pairs ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        DedupOps.bbitJaccardEstimates(
+          t(s, dir, "documents"), "doc_id", "text", bands = 2,
+          rowsPerBand = 4, bBits = 4)
+          .orderBy("a_id", "b_id")),
+
     // ---- k-core decomposition (graph cleanup) --------------------
     // The 3-core of the q176 collocation graph: peel degree-<3 nodes
     // until fixpoint. The oracle unrolls 8 simultaneous-peel rounds

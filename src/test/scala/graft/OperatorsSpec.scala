@@ -3593,6 +3593,23 @@ class OperatorsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bbitJaccardEstimates: exact dups estimate 1e6; estimator clamps; b-bit never exceeds full") {
+    import spark.implicits._
+    val got = DedupOps.bbitJaccardEstimates(docs, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, bBits = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact duplicates 0/1: full signatures identical → k=8 both
+    // widths → Ĵ = (8·16−8)/(8·15) = 1 exactly
+    val (kf, kb, jh) = got((0L, 1L))
+    assert(kf == 8L && kb == 8L && jh == 1000000L)
+    // truncation can only CREATE collisions, never destroy them
+    got.values.foreach { case (f, b, _) => assert(b >= f) }
+    // and the estimate is clamped to [0, 1e6]
+    got.values.foreach { case (_, _, j) => assert(j >= 0L && j <= 1000000L) }
+  }
+
   test("labelPropagation: labels pool per dense region; deterministic under repartition") {
     import spark.implicits._
     // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4
