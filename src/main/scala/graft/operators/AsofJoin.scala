@@ -38,7 +38,29 @@ object AsofJoin {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               rightCols: Seq[String], rightOrd: String): DataFrame = {
+               rightCols: Seq[String], rightOrd: String): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightCols, rightOrd,
+      forward = false)
+
+  /** FORWARD as-of join — pandas `merge_asof(direction='forward')` /
+    * kdb `aj` mirrored: for each left row, the EARLIEST right row
+    * with `rightTime >= leftTime` (inclusive; ties among right rows
+    * broken by `rightOrd`, lowest wins). The "next reading after the
+    * order" / "first response after the alert" lookup the backward
+    * join cannot express. Same union → one-shuffle → shared-sort
+    * carry shape, with the carry running from the FOLLOWING frame
+    * edge (`first(ignoreNulls)` over `[current, +∞)`) and right rows
+    * sorted AFTER left at equal time so inclusivity holds. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      rightCols: Seq[String], rightOrd: String): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, rightCols, rightOrd,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       rightCols: Seq[String], rightOrd: String,
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // Internal bookkeeping names and r_-prefixed outputs must not
     // collide with user columns — fail loudly instead of silently
@@ -60,10 +82,16 @@ object AsofJoin {
     // Build the union by hand so both sides share one schema:
     // keys ++ (__t, __side, __ord, __payload struct) ++ left payload.
     val payloadStruct = struct(rightCols.map(c => col(c).as(c)): _*)
+    // Backward: right (0) sorts BEFORE left (1) at equal time and
+    // the carry looks back — equal-time rights are included.
+    // Forward: right (2) sorts AFTER left (1) and the carry looks
+    // ahead — equal-time rights are again included, and __ord asc
+    // makes "earliest right" the first non-null in frame.
+    val rightSide = if (forward) 2 else 0
     val rSel = right.select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"),
-        lit(0).as("__side"),
+        lit(rightSide).as("__side"),
         col(rightOrd).cast("long").as("__ord"),
         payloadStruct.as("__payload")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
@@ -74,10 +102,17 @@ object AsofJoin {
         leftCols.filterNot(keys.contains).map(col): _*)
 
     val unioned = lSel.unionByName(rSel)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
+    val carried =
+      if (forward)
+        unioned.withColumn("__match",
+          first(col("__payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      else
+        unioned.withColumn("__match",
+          last(col("__payload"), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
     val out = carried.where(col("__side") === 1)
     val withPayload = rightCols.foldLeft(out) { (d, c) =>

@@ -111,4 +111,61 @@ object Sketches {
           lit(tol) * col("n_exact").cast("double")).as("merged_ok"))
     groupRows.unionByName(allRow)
   }
+
+  /** Mergeable QUANTILE summary rollup — the percentile face of
+    * [[hllRollup]]/`graft_cms_merge`: each group's summary is its
+    * equi-width bin-count vector (plain integers — EXACTLY mergeable
+    * by summing, unlike GK/t-digest whose merges lose precision),
+    * and the corpus-wide `__ALL__` row is answered by MERGING the
+    * per-group vectors, never re-scanning the data. The p-th
+    * percentile estimate is the lower edge of the first bin whose
+    * cumulative count reaches `ceil(p·n/100)` — error bounded by one
+    * bin width by construction, and bitwise-deterministic (integer
+    * cumulative + pinned edge arithmetic; the estimate for a mass
+    * point below `lo` / at-or-above `hi` reports the clamped edge).
+    *
+    * Output: one row per group plus `__ALL__` —
+    * `(groupCol, n, p_bucket, p_est)`.
+    *
+    * Scale shape (100 TB): ONE scan → (group, bucket) counts
+    * (map-side combined, (groups·(nb+2))-bounded); the rollup and
+    * the percentile pick run entirely on that dimension frame (a
+    * per-group window over ≤ nb+2 rows). */
+  def histogramPercentileRollup(df: DataFrame, c: String, groupCol: String,
+                                lo: Double, hi: Double, nb: Int,
+                                pPercent: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nb >= 1 && nb <= 10000, "nb must be in [1, 10000]")
+    require(lo < hi, "need lo < hi")
+    require(pPercent >= 1 && pPercent <= 100, "pPercent must be in [1, 100]")
+    val width = (hi - lo) / nb
+    val binned = df.where(col(c).isNotNull)
+      .withColumn("__bkt", expr(
+        s"CASE WHEN CAST($c AS DOUBLE) < ${lo}D THEN 0 " +
+          s"WHEN CAST($c AS DOUBLE) >= ${hi}D THEN ${nb + 1} " +
+          s"ELSE CAST(floor((CAST($c AS DOUBLE) - ${lo}D) / ${width}D) + 1 AS INT) END"))
+    val perGB = binned.groupBy(col(groupCol).as("__g"), col("__bkt"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+    // the rollup merges SUMMARIES (bin-count sums), not data
+    val allGB = perGB.groupBy(col("__bkt"))
+      .agg(sum(col("__n")).as("__n"))
+      .withColumn("__g", lit("__ALL__"))
+      .select(col("__g"), col("__bkt"), col("__n"))
+    val both = perGB.unionByName(allGB)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("__g"))
+    val cum = both
+      .withColumn("__cum", sum(col("__n")).over(w))
+      .withColumn("n", sum(col("__n")).over(wAll))
+      .withColumn("__need", expr(s"CAST(ceil(($pPercent * n) / 100.0D) AS BIGINT)"))
+      .where(col("__cum") >= col("__need"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("n")).as("n"), min(col("__bkt")).as("p_bucket"))
+    cum.withColumn("p_est", expr(
+        s"CASE WHEN p_bucket = 0 THEN ${lo}D " +
+          s"WHEN p_bucket = ${nb + 1} THEN ${hi}D " +
+          s"ELSE ${lo}D + (p_bucket - 1) * ${width}D END"))
+      .orderBy(col(groupCol))
+  }
 }

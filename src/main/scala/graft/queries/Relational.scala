@@ -1509,6 +1509,42 @@ object Relational {
           .orderBy("touch_type")
       }),
 
+    // ---- FORWARD as-of join --------------------------------------
+    // q19's mirror: each purchase attached to the EARLIEST click at
+    // or after it (pandas merge_asof direction='forward') — the
+    // "first response after the alert" lookup. Same union-carry
+    // shape with the frame looking ahead; the oracle replays it.
+    Q("q264_asof_forward",
+      Some("""WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+             |u AS (
+             |  SELECT user_id, us, 1 AS side, 0::BIGINT AS ord, event_id, NULL AS payload
+             |  FROM l
+             |  UNION ALL
+             |  SELECT user_id, us, 2 AS side, event_id AS ord, NULL::BIGINT AS event_id,
+             |         {'event_id': event_id, 'value': value} AS payload
+             |  FROM r),
+             |c AS (SELECT user_id, us, side, event_id,
+             |        first_value(payload IGNORE NULLS) OVER (
+             |          PARTITION BY user_id ORDER BY us, side, ord
+             |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+             |      FROM u)
+             |SELECT event_id, user_id, m.event_id AS r_event_id, m.value AS r_value
+             |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("user_id", "event_id", "us")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("user_id", "event_id", "value", "us")
+        graft.operators.AsofJoin.asofJoinForward(
+          purchases, clicks, keys = Seq("user_id"),
+          leftTime = "us", rightTime = "us",
+          rightCols = Seq("event_id", "value"), rightOrd = "event_id")
+          .select("event_id", "user_id", "r_event_id", "r_value")
+          .orderBy("event_id")
+      }),
+
     // ---- TPC-H Q5 shape: local supplier volume -------------------
     // Revenue where the supplier and customer share a nation, scoped
     // to one region and one year — the canonical 6-way star join.

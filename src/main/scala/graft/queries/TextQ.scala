@@ -4375,6 +4375,36 @@ object TextQ {
           rowsPerBand = 4, bBits = 4)
           .orderBy("a_id", "b_id")),
 
+    // ---- mergeable histogram-percentile rollup -------------------
+    // The quantile face of the sketch-rollup family: per-source
+    // equi-width bin vectors (exactly mergeable integers), __ALL__
+    // answered by MERGING the vectors; p50 estimate = lower edge of
+    // the first bin reaching ceil(p·n/100). All integer cumulative +
+    // pinned edge arithmetic.
+    Q("q265_histogram_percentile",
+      Some("""WITH b AS (SELECT source,
+             |  CASE WHEN n_chars::DOUBLE < 0.0 THEN 0
+             |    WHEN n_chars::DOUBLE >= 1000.0 THEN 21
+             |    ELSE floor((n_chars::DOUBLE - 0.0) / 50.0)::INT + 1 END AS bkt
+             |  FROM documents),
+             |c AS (SELECT source, bkt, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+             |a AS (SELECT '__ALL__' AS source, bkt, sum(n)::BIGINT AS n FROM c GROUP BY bkt),
+             |u AS (SELECT * FROM c UNION ALL SELECT * FROM a),
+             |m AS (SELECT source, bkt, n,
+             |  sum(n) OVER (PARTITION BY source ORDER BY bkt
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |  sum(n) OVER (PARTITION BY source) AS tot FROM u),
+             |s AS (SELECT source, tot::BIGINT AS n, min(bkt)::INT AS p_bucket FROM m
+             |  WHERE cum >= ceil((50 * tot) / 100.0)::BIGINT GROUP BY source, tot)
+             |SELECT source, n, p_bucket,
+             |  CASE WHEN p_bucket = 0 THEN 0.0 WHEN p_bucket = 21 THEN 1000.0
+             |    ELSE 0.0 + (p_bucket - 1) * 50.0 END AS p_est
+             |FROM s ORDER BY source""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sketches.histogramPercentileRollup(
+          t(s, dir, "documents"), "n_chars", "source",
+          lo = 0.0, hi = 1000.0, nb = 20, pPercent = 50)),
+
     // ---- k-core decomposition (graph cleanup) --------------------
     // The 3-core of the q176 collocation graph: peel degree-<3 nodes
     // until fixpoint. The oracle unrolls 8 simultaneous-peel rounds

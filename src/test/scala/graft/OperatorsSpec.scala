@@ -3610,6 +3610,48 @@ class OperatorsSpec extends SparkSpec {
     got.values.foreach { case (_, _, j) => assert(j >= 0L && j <= 1000000L) }
   }
 
+  test("asofJoinForward: earliest at-or-after right; inclusive ties; null when none follow") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100L, 1.0), (1L, 15L, 101L, 2.0),
+      (1L, 10L, 99L, 3.0)).toDF("k", "t", "rid", "v")
+    val got = AsofJoin.asofJoinForward(left, right, Seq("k"), "t", "t",
+      Seq("rid", "v"), "rid")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // left a@10: rights at 10 are INCLUSIVE; earliest ord (rid 99) wins
+    assert(got("a") == 99L)
+    // left b@20: nothing at or after → null
+    assert(got("b") == -1L)
+    // key 2 has no rights at all → null
+    assert(got("c") == -1L)
+  }
+
+  test("histogramPercentileRollup: hand p50 per group; __ALL__ comes from merged vectors") {
+    import spark.implicits._
+    // g1 values 5,15,25 (bins 1,2,3) → p50 needs cum ≥ 2 → bin 2 (edge 10)
+    // g2 values 35,45 (bins 4,5)     → p50 needs cum ≥ 1 → bin 4 (edge 30)
+    // __ALL__ n=5 → need 3 → cum bins 1..3 → bin 3 (edge 20)
+    val df = Seq(("g1", 5.0), ("g1", 15.0), ("g1", 25.0),
+      ("g2", 35.0), ("g2", 45.0)).toDF("g", "v")
+    val got = Sketches.histogramPercentileRollup(df, "v", "g",
+      lo = 0.0, hi = 100.0, nb = 10, pPercent = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got("g1") == ((3L, 2, 10.0)))
+    assert(got("g2") == ((2L, 4, 30.0)))
+    assert(got("__ALL__") == ((5L, 3, 20.0)))
+    // error bound: estimate within one bin width of the exact median
+    assert(math.abs(got("__ALL__")._3 - 25.0) <= 10.0)
+    // under/overflow mass clamps to the range edges
+    val edge = Sketches.histogramPercentileRollup(
+      Seq(("g", -5.0), ("g", -4.0), ("g", 500.0)).toDF("g", "v"),
+      "v", "g", 0.0, 100.0, 10, 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(edge("g") == 0.0)
+  }
+
   test("labelPropagation: labels pool per dense region; deterministic under repartition") {
     import spark.implicits._
     // barbell: triangle {1,2,3} — {4,5,6} triangle, bridged 3–4
