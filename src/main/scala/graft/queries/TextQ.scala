@@ -4405,6 +4405,50 @@ object TextQ {
           t(s, dir, "documents"), "n_chars", "source",
           lo = 0.0, hi = 1000.0, nb = 20, pPercent = 50)),
 
+    // ---- decile lift table (model-eval read) ---------------------
+    // Docs ranked by the model-seam score (desc, doc_id tie-break)
+    // through the bucket-decomposed global ordinals, cut into 10
+    // deciles; per decile the positive rate and the lift vs the base
+    // rate, DECIMAL-exact cross-multiplied. The classic "is the top
+    // decile actually enriched" score-quality read.
+    Q("q266_decile_lift",
+      Some(s"""WITH s AS (SELECT doc_id, ${D.rollingHash("text")} % 1000 AS score,
+              |  (lang = 'en') AS y FROM documents),
+              |r AS (SELECT doc_id, y,
+              |  row_number() OVER (ORDER BY (1000 - score), doc_id) AS ord FROM s),
+              |t AS (SELECT count(*)::BIGINT AS n,
+              |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos FROM s),
+              |d AS (SELECT ((ord - 1) * 10) // n AS decile, y FROM r, t),
+              |g AS (SELECT decile, count(*)::BIGINT AS n_d,
+              |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos_d FROM d GROUP BY decile)
+              |SELECT decile::BIGINT AS decile, n_d, pos_d,
+              |  ((1000000 * pos_d) // n_d)::BIGINT AS rate_ppm,
+              |  ((1000000::HUGEINT * pos_d * t.n) // (n_d * t.pos))::BIGINT AS lift_ppm
+              |FROM g, t ORDER BY decile""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__score",
+            expr(s"${TextHash.spark.rollingHash("text")} % 1000L"))
+          .withColumn("__lab", col("lang") === "en")
+          .withColumn("__rord", expr("1000L - __score"))
+        val ranked = graft.operators.Sequencing.withGlobalOrdinals(
+          d, "__rord", "doc_id")
+        val tot = ranked.agg(count(lit(1)).cast("bigint").as("__n"),
+          sum(when(col("__lab"), 1L).otherwise(0L)).cast("bigint").as("__pos"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("decile", expr("((ordinal - 1) * 10) div __n"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).cast("bigint").as("n_d"),
+            sum(when(col("__lab"), 1L).otherwise(0L)).cast("bigint").as("pos_d"),
+            first(col("__n")).as("__n"), first(col("__pos")).as("__pos"))
+          .withColumn("rate_ppm", expr("(1000000L * pos_d) div n_d"))
+          .withColumn("lift_ppm", expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * pos_d * __n) div " +
+              "(CAST(n_d AS DECIMAL(38,0)) * __pos) AS BIGINT)"))
+          .select("decile", "n_d", "pos_d", "rate_ppm", "lift_ppm")
+          .orderBy("decile")
+      }),
+
     // ---- k-core decomposition (graph cleanup) --------------------
     // The 3-core of the q176 collocation graph: peel degree-<3 nodes
     // until fixpoint. The oracle unrolls 8 simultaneous-peel rounds
