@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation statistics: pairwise win rates, Poisson-bootstrap
+  * confidence intervals, rank-distance (Spearman footrule), and a
+  * two-proportion z² test — the aggregate layer an eval harness needs
+  * once per-example scores exist (see [[Scoring]] for the scoring
+  * seam itself).
+  *
+  * Not in the reference (polario is dataset I/O only — SURVEY.md §0);
+  * north-star extension family.
+  *
+  * Everything here is integer-exact (micro/ppm scaling, BIGINT /
+  * DECIMAL(38,0) division) so results are bitwise-comparable against
+  * an independent SQL engine — the same discipline as the rest of the
+  * repo (no float accumulation order to disagree on).
+  */
+object EvalStats {
+
+  private val P = graft.functions.TextHash.P
+
+  /** Pairwise win-rate matrix between models scored on shared items.
+    *
+    * Input: one row per (model, item) with an integer score. Output:
+    * one row per unordered model pair `(model_a < model_b)` with the
+    * number of co-scored items and `win_ppm` = parts-per-million win
+    * rate of `model_a` (ties count half — the standard Condorcet /
+    * AlpacaEval convention), computed as
+    * `(1e6 * (2*wins + ties)) div (2*n)` — exact integer.
+    *
+    * Scale shape: one shuffle keyed on the ITEM column (the join that
+    * pairs each item's scores), then a model-pair aggregation whose
+    * cardinality is models² — models are a small dimension, so the
+    * second aggregation is map-side-combined down to almost nothing.
+    * No model×model data blowup: the per-item self-join multiplies
+    * each item row by (models scored on it − 1), bounded by the model
+    * count, not the corpus.
+    */
+  def winRateMatrix(df: DataFrame, modelCol: String, itemCol: String,
+                    scoreCol: String): DataFrame = {
+    val s = df.select(col(modelCol).as("__m"), col(itemCol).as("__i"),
+      col(scoreCol).cast("bigint").as("__s"))
+    val a = s.select(col("__m").as("model_a"), col("__i"), col("__s").as("__sa"))
+    val b = s.select(col("__m").as("model_b"), col("__i"), col("__s").as("__sb"))
+    a.join(b, Seq("__i"))
+      .where(col("model_a") < col("model_b"))
+      .groupBy(col("model_a"), col("model_b"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_common"),
+        sum(when(col("__sa") > col("__sb"), 2L)
+          .when(col("__sa") === col("__sb"), 1L)
+          .otherwise(0L)).cast("bigint").as("w2"))
+      .withColumn("win_ppm", expr("(1000000L * w2) div (2L * n_common)"))
+      .select("model_a", "model_b", "n_common", "win_ppm")
+  }
+
+  /** Poisson(1) inverse-CDF thresholds, scaled 1e6: P(X<=k) for
+    * k = 0..5 (floor'd); a uniform draw u in [0, 1e6) maps to the
+    * smallest k with u < cdf[k], else 6. */
+  private val PoissonCdfMicro = Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L)
+
+  private def poissonWeightSql(u: String): String =
+    PoissonCdfMicro.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < ${t}L THEN ${k}L" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdfMicro.size}L END")
+
+  /** DuckDB rendering of the same weight CASE (for oracle authors). */
+  def poissonWeightDuck(u: String): String =
+    PoissonCdfMicro.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN ${k}::BIGINT" }
+      .mkString("CASE ", " ", s" ELSE ${PoissonCdfMicro.size}::BIGINT END")
+
+  /** Per-(row, replicate) deterministic uniform draw in [0, 1e6),
+    * derived from an already-computed base hash `h` in [0, P) and the
+    * replicate index `b`: fold b into the rolling hash then remix —
+    * all mod-P integer ops, overflow-free, identical in any engine. */
+  private def uniformSql(h: String, b: String): String = {
+    val (ma, mb) = (graft.functions.TextHash.MixA, graft.functions.TextHash.MixB)
+    s"((${ma}L * (($h * 31L + $b) % ${P}L) + ${mb}L) % ${P}L) % 1000000L"
+  }
+
+  /** Same draw in DuckDB SQL. */
+  def uniformDuck(h: String, b: String): String = {
+    val (ma, mb) = (graft.functions.TextHash.MixA, graft.functions.TextHash.MixB)
+    s"(($ma * (($h * 31 + $b) % $P) + $mb) % $P) % 1000000"
+  }
+
+  /** Poisson-bootstrap confidence interval for the MEAN of an integer
+    * column, the resampling scheme that actually works on massive
+    * data: instead of drawing n rows with replacement (which needs a
+    * global sample per replicate), every row independently receives a
+    * Poisson(1) weight per replicate — one streaming pass, B partial
+    * aggregations, no materialized resamples. Replicate means are
+    * `mean_micro = (1e6 * Σ w·x) div Σ w`; the CI is the nearest-rank
+    * (ceil(q·B)) order statistic of the B means — lo/med/hi at
+    * 2.5% / 50% / 97.5%.
+    *
+    * Determinism: the per-(row, replicate) weight comes from the
+    * repo's portable rolling-hash family over `hashTextCol` (u =
+    * remix(h·31 + b) mod P mod 1e6 → Poisson inverse-CDF), so any SQL
+    * engine reproduces the exact resamples bit-for-bit.
+    *
+    * Scale shape: the corpus is read ONCE; the B-fold explode feeds
+    * straight into a partial (map-side) aggregation keyed by the
+    * replicate index, so the shuffle carries only B rows per task.
+    * The final rank-over-B step is a B-row sort on one reducer —
+    * B is a constant (default 64).
+    */
+  def poissonBootstrapCi(df: DataFrame, hashTextCol: String,
+                         valueCol: String, reps: Int = 64): DataFrame = {
+    require(reps >= 4, "need at least 4 replicates for a 2.5/97.5 CI")
+    val h = graft.functions.TextHash.spark.rollingHash(hashTextCol)
+    val w = poissonWeightSql(uniformSql("__h", "b"))
+    val means = df
+      .select(expr(h).as("__h"), col(valueCol).cast("bigint").as("__x"))
+      .select(col("__h"), col("__x"),
+        explode(expr(s"sequence(0L, ${reps - 1}L)")).as("b"))
+      .withColumn("__w", expr(w))
+      .groupBy(col("b"))
+      .agg(sum(expr("__w * __x")).cast("bigint").as("__s"),
+        sum(col("__w")).cast("bigint").as("__n"))
+      .withColumn("mean_micro", expr("(1000000L * __s) div nullif(__n, 0L)"))
+    val ranked = means.withColumn("__r",
+      row_number().over(Window.orderBy(col("mean_micro"), col("b"))))
+    def at(q: Double) = math.ceil(q * reps).toLong
+    ranked
+      .withColumn("stat",
+        when(col("__r") === at(0.025), "lo")
+          .when(col("__r") === at(0.5), "med")
+          .when(col("__r") === at(0.975), "hi"))
+      .where(col("stat").isNotNull)
+      .select(col("stat"), col("mean_micro"))
+  }
+
+  /** Spearman footrule distance per group between two rank orders:
+    * rank the rows by `xCol` and by `yCol` (ties take the average
+    * rank; kept integer by DOUBLING ranks — avg of ranks r..r+c−1,
+    * doubled, is `2r + c − 1`), then `footrule2 = Σ|rx2 − ry2|`, with
+    * `footrule_ppm = (1e6 · footrule2) div n²` (the doubled footrule's
+    * maximum over n items is exactly n² − (n mod 2), so ppm is
+    * normalized to [0, 1e6] up to the odd-n floor). Diaconis–Graham:
+    * footrule is within a factor 2 of Kendall distance — the cheap
+    * rank-agreement diagnostic next to the exact tau in
+    * [[RobustStats.kendallTau]] (which is O(n²) pairs; this is a
+    * sort).
+    *
+    * Scale shape: two rank windows and one aggregation, all shuffled
+    * on `groupCol` once — exact in-group ranking's unavoidable shape
+    * (same note as [[RobustStats.withCalibratedRank]]): a group too
+    * big for one task's sort moves to the
+    * [[Sequencing.withGlobalOrdinals]] bucket decomposition per group.
+    */
+  def spearmanFootrule(df: DataFrame, groupCol: String, xCol: String,
+                       yCol: String): DataFrame = {
+    def ranks2(c: String, out: String) = {
+      val wOrd = Window.partitionBy(col(groupCol)).orderBy(col(c))
+      val wTie = Window.partitionBy(col(groupCol), col(c))
+      (r: DataFrame) => r.withColumn(out,
+        lit(2L) * rank().over(wOrd) + count(lit(1)).over(wTie) - 1L)
+    }
+    df.transform(ranks2(xCol, "__rx2"))
+      .transform(ranks2(yCol, "__ry2"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(abs(col("__rx2") - col("__ry2"))).cast("bigint").as("footrule2"))
+      .withColumn("footrule_ppm", expr("(1000000L * footrule2) div (n * n)"))
+      .select(col(groupCol), col("n"), col("footrule2"), col("footrule_ppm"))
+  }
+
+  /** Two-proportion z² statistic (the square of the pooled two-sample
+    * z test — z² is χ²(1), so z² ≥ 3.84 is the familiar p < 0.05),
+    * kept fully rational: with arm counts (n₁, c₁), (n₂, c₂),
+    * N = n₁+n₂, C = c₁+c₂,
+    * `z² = (c₁n₂ − c₂n₁)² · N / (n₁ n₂ C (N − C))`,
+    * emitted micro-scaled through DECIMAL(38,0) floor division.
+    * One row: per-arm counts, per-arm rate_ppm, and z2_micro.
+    *
+    * Scale shape: a single full-pass conditional aggregation (two
+    * arms folded map-side); the final arithmetic runs on one 1-row
+    * frame. Nothing shuffles but two partial-agg rows per task.
+    */
+  def abZSquared(df: DataFrame, armACond: org.apache.spark.sql.Column,
+                 convCond: org.apache.spark.sql.Column): DataFrame =
+    df.agg(
+      sum(when(armACond, 1L).otherwise(0L)).cast("bigint").as("n_a"),
+      sum(when(!armACond, 1L).otherwise(0L)).cast("bigint").as("n_b"),
+      sum(when(armACond && convCond, 1L).otherwise(0L)).cast("bigint").as("conv_a"),
+      sum(when(!armACond && convCond, 1L).otherwise(0L)).cast("bigint").as("conv_b"))
+      .withColumn("rate_a_ppm", expr("(1000000L * conv_a) div n_a"))
+      .withColumn("rate_b_ppm", expr("(1000000L * conv_b) div n_b"))
+      .withColumn("z2_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (conv_a*n_b - conv_b*n_a) * (conv_a*n_b - conv_b*n_a) * (n_a + n_b)) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b * nullif(conv_a + conv_b, 0L) * " +
+          "nullif(n_a + n_b - conv_a - conv_b, 0L)) AS BIGINT)"))
+      .select("n_a", "n_b", "conv_a", "conv_b", "rate_a_ppm", "rate_b_ppm", "z2_micro")
+}

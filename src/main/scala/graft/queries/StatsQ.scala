@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.functions.TextHash
+import graft.operators.EvalStats
+import org.apache.spark.sql.functions._
+
+/** Driver-checkable witnesses for the evaluation-statistics family
+  * ([[graft.operators.EvalStats]]): pairwise win rates, Poisson-
+  * bootstrap CIs, rank distance, and the two-proportion z² test.
+  * North-star extensions — the reference has no analytics operators
+  * (SURVEY.md §0). All integer-exact, oracle-verifiable.
+  */
+object StatsQ {
+
+  import Q.t
+  import TextHash.{duck => D}
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- pairwise model win-rate matrix --------------------------
+    // "Models" = event types, "items" = users, score = the user's
+    // micro-scaled value total for that type; ties count half.
+    Q("q267_winrate_matrix",
+      Some("""WITH s AS (SELECT event_type AS m, user_id AS i,
+             |  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sc
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.m AS model_a, b.m AS model_b,
+             |  count(*)::BIGINT AS n_common,
+             |  sum(CASE WHEN a.sc > b.sc THEN 2 WHEN a.sc = b.sc THEN 1 ELSE 0 END)::BIGINT AS w2
+             |  FROM s a JOIN s b ON a.i = b.i AND a.m < b.m GROUP BY 1, 2)
+             |SELECT model_a, model_b, n_common,
+             |  ((1000000 * w2) // (2 * n_common))::BIGINT AS win_ppm
+             |FROM p ORDER BY model_a, model_b""".stripMargin),
+      (s, dir) => {
+        val scores = t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+            .as("score"))
+        EvalStats.winRateMatrix(scores, "event_type", "user_id", "score")
+          .orderBy("model_a", "model_b")
+      }),
+
+    // ---- Poisson-bootstrap CI of mean doc length -----------------
+    // 64 deterministic Poisson(1) replicates from the portable
+    // rolling-hash family; nearest-rank 2.5/50/97.5 order statistics
+    // of the replicate means.
+    Q("q268_bootstrap_ci", {
+      val u = EvalStats.uniformDuck("h", "b")
+      val w = EvalStats.poissonWeightDuck("u")
+      Some(s"""WITH hx AS (SELECT ${D.rollingHash("text")} AS h, n_chars AS x FROM documents),
+              |e AS (SELECT h, x, unnest(range(0, 64)) AS b FROM hx),
+              |uu AS (SELECT x, b, $u AS u FROM e),
+              |w AS (SELECT b, x, $w AS w FROM uu),
+              |m AS (SELECT b, sum(w * x)::BIGINT AS s, sum(w)::BIGINT AS n
+              |  FROM w GROUP BY b),
+              |mm AS (SELECT b, ((1000000 * s) // nullif(n, 0))::BIGINT AS mean_micro FROM m),
+              |r AS (SELECT b, mean_micro,
+              |  row_number() OVER (ORDER BY mean_micro, b) AS rk FROM mm)
+              |SELECT CASE rk WHEN 2 THEN 'lo' WHEN 32 THEN 'med' ELSE 'hi' END AS stat,
+              |  mean_micro
+              |FROM r WHERE rk IN (2, 32, 63) ORDER BY mean_micro, stat""".stripMargin)
+    },
+      (s, dir) =>
+        EvalStats.poissonBootstrapCi(
+          t(s, dir, "documents"), "text", "n_chars", reps = 64)
+          .orderBy("mean_micro", "stat")),
+
+    // ---- Spearman footrule rank distance per language ------------
+    // Length order vs hash-score order; ties via doubled average
+    // ranks (2r + c - 1), normalized ppm against the n² maximum.
+    Q("q269_footrule",
+      Some(s"""WITH s AS (SELECT lang, n_chars AS x,
+              |  ${D.rollingHash("text")} % 100000 AS y FROM documents),
+              |r AS (SELECT lang,
+              |  2 * rank() OVER (PARTITION BY lang ORDER BY x)
+              |    + count(*) OVER (PARTITION BY lang, x) - 1 AS rx2,
+              |  2 * rank() OVER (PARTITION BY lang ORDER BY y)
+              |    + count(*) OVER (PARTITION BY lang, y) - 1 AS ry2
+              |  FROM s),
+              |g AS (SELECT lang, count(*)::BIGINT AS n,
+              |  sum(abs(rx2 - ry2))::BIGINT AS footrule2 FROM r GROUP BY lang)
+              |SELECT lang, n, footrule2,
+              |  ((1000000 * footrule2) // (n * n))::BIGINT AS footrule_ppm
+              |FROM g ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("lang"),
+          col("n_chars").as("x"),
+          expr(s"${TextHash.spark.rollingHash("text")} % 100000L").as("y"))
+        EvalStats.spearmanFootrule(d, "lang", "x", "y").orderBy("lang")
+      }),
+
+    // ---- two-proportion z² (A/B test) ----------------------------
+    // Arms split by event-id parity; "conversion" = value > 100.
+    Q("q270_ab_ztest",
+      Some("""WITH x AS (SELECT (event_id % 2 = 0) AS a, (value > 100) AS c FROM events),
+             |g AS (SELECT
+             |  sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             |  sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             |  sum(CASE WHEN a AND c THEN 1 ELSE 0 END)::BIGINT AS conv_a,
+             |  sum(CASE WHEN NOT a AND c THEN 1 ELSE 0 END)::BIGINT AS conv_b
+             |  FROM x)
+             |SELECT n_a, n_b, conv_a, conv_b,
+             |  ((1000000 * conv_a) // n_a)::BIGINT AS rate_a_ppm,
+             |  ((1000000 * conv_b) // n_b)::BIGINT AS rate_b_ppm,
+             |  ((1000000::HUGEINT * (conv_a*n_b - conv_b*n_a) * (conv_a*n_b - conv_b*n_a) * (n_a + n_b)) //
+             |   (n_a::HUGEINT * n_b * nullif(conv_a + conv_b, 0) * nullif(n_a + n_b - conv_a - conv_b, 0)))::BIGINT AS z2_micro
+             |FROM g""".stripMargin),
+      (s, dir) =>
+        EvalStats.abZSquared(t(s, dir, "events"),
+          col("event_id") % 2 === 0, col("value") > 100))
+  )
+}

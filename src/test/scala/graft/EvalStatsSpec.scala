@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.EvalStats
+import org.apache.spark.sql.functions._
+
+/** Unit contracts for the evaluation-statistics family (EvalStats) —
+  * hand-computable fixtures pinning the integer arithmetic the
+  * q267–q270 oracles witness at corpus scale.
+  */
+class EvalStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("winRateMatrix: wins, ties-as-half, and pair orientation") {
+    // items 1..3; m1 beats m2 on 1 and 3, ties on 2 -> 5/6 win rate.
+    val df = Seq(
+      ("m1", 1L, 10L), ("m2", 1L, 5L),
+      ("m1", 2L, 7L), ("m2", 2L, 7L),
+      ("m1", 3L, 2L), ("m2", 3L, 1L),
+      ("m3", 1L, 99L) // co-scored with m1/m2 on item 1 only
+    ).toDF("model", "item", "score")
+    val out = EvalStats.winRateMatrix(df, "model", "item", "score")
+      .orderBy("model_a", "model_b").collect()
+    assert(out.length == 3)
+    val m12 = out.find(r => r.getString(0) == "m1" && r.getString(1) == "m2").get
+    assert(m12.getAs[Long]("n_common") == 3L)
+    assert(m12.getAs[Long]("win_ppm") == (1000000L * 5) / 6) // (2+2+1)/6
+    val m13 = out.find(r => r.getString(0) == "m1" && r.getString(1) == "m3").get
+    assert(m13.getAs[Long]("n_common") == 1L && m13.getAs[Long]("win_ppm") == 0L)
+    val m23 = out.find(r => r.getString(0) == "m2" && r.getString(1) == "m3").get
+    assert(m23.getAs[Long]("win_ppm") == 0L)
+  }
+
+  test("winRateMatrix never pairs a model with itself or double-counts a pair") {
+    val df = Seq(("a", 1L, 1L), ("b", 1L, 2L), ("c", 1L, 3L))
+      .toDF("model", "item", "score")
+    val out = EvalStats.winRateMatrix(df, "model", "item", "score").collect()
+    assert(out.length == 3) // C(3,2), each once, oriented a<b
+    out.foreach(r => assert(r.getString(0) < r.getString(1)))
+  }
+
+  test("poissonBootstrapCi: lo <= med <= hi, plausible center, determinism") {
+    val df = (1 to 400).map(i => (s"doc $i text", i.toLong)).toDF("text", "x")
+    val ci = EvalStats.poissonBootstrapCi(df, "text", "x", reps = 64)
+      .orderBy("mean_micro").collect()
+    assert(ci.map(_.getString(0)).toSeq == Seq("lo", "med", "hi"))
+    val Seq(lo, med, hi) = ci.map(_.getAs[Long]("mean_micro")).toSeq
+    assert(lo <= med && med <= hi)
+    // true mean is 200.5; a 95% bootstrap CI on n=400 uniform[1,400]
+    // has half-width ~ 1.96*sd/sqrt(n) ~ 11.3 — assert a generous 3x.
+    assert(lo > 165L * 1000000 && hi < 235L * 1000000)
+    assert(med > 190L * 1000000 && med < 211L * 1000000)
+    val again = EvalStats.poissonBootstrapCi(df, "text", "x", reps = 64)
+      .orderBy("mean_micro").collect()
+    assert(again.map(_.toString).toSeq == ci.map(_.toString).toSeq)
+  }
+
+  test("spearmanFootrule: identical orders -> 0; reversed -> ppm near 1e6") {
+    val up = (1 to 10).map(i => ("g", i.toLong, i.toLong))
+    val down = (1 to 10).map(i => ("r", i.toLong, (11 - i).toLong))
+    val df = (up ++ down).toDF("g", "x", "y")
+    val out = EvalStats.spearmanFootrule(df, "g", "x", "y")
+      .orderBy("g").collect()
+    val same = out(0)
+    assert(same.getAs[Long]("footrule2") == 0L && same.getAs[Long]("footrule_ppm") == 0L)
+    val rev = out(1)
+    // reversed order of n=10: footrule = 2*floor(n^2/2) doubled-rank = 2*50 = 100
+    assert(rev.getAs[Long]("footrule2") == 100L)
+    assert(rev.getAs[Long]("footrule_ppm") == 1000000L)
+  }
+
+  test("spearmanFootrule tie handling: average ranks keep ties symmetric") {
+    // x has all-distinct ranks; y is constant -> every ry2 = n+1.
+    val df = (1 to 5).map(i => ("g", i.toLong, 7L)).toDF("g", "x", "y")
+    val out = EvalStats.spearmanFootrule(df, "g", "x", "y").collect()(0)
+    // rx2 = 2,4,6,8,10; ry2 = 6 each -> |d| = 4+2+0+2+4 = 12
+    assert(out.getAs[Long]("footrule2") == 12L)
+  }
+
+  test("abZSquared: hand-computed counts and z²") {
+    // arm A: 6 rows 3 conv; arm B: 4 rows 1 conv.
+    val df = (Seq.fill(3)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq.fill(1)(("B", true)) ++ Seq.fill(3)(("B", false)))
+      .toDF("arm", "conv")
+    val r = EvalStats.abZSquared(df, col("arm") === "A", col("conv")).collect()(0)
+    assert(r.getAs[Long]("n_a") == 6L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("conv_a") == 3L && r.getAs[Long]("conv_b") == 1L)
+    assert(r.getAs[Long]("rate_a_ppm") == 500000L)
+    assert(r.getAs[Long]("rate_b_ppm") == 250000L)
+    // z2 = (c1*n2-c2*n1)^2*N / (n1*n2*C*(N-C)) = (12-6)^2*10/(6*4*4*6) = 360/576
+    assert(r.getAs[Long]("z2_micro") == (1000000L * 360) / 576)
+  }
+
+  test("abZSquared: zero conversions yield NULL z² (guarded division)") {
+    val df = Seq(("A", false), ("B", false)).toDF("arm", "conv")
+    val r = EvalStats.abZSquared(df, col("arm") === "A", col("conv")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("z2_micro")))
+  }
+}
