@@ -421,6 +421,59 @@ object Components {
     out
   }
 
+  /** Link prediction over an undirected graph: for every NON-edge
+    * pair of nodes sharing at least one neighbor, the common-neighbor
+    * count and the neighborhood Jaccard
+    * `jaccard_ppm = (1e6 · cn) div (deg(u) + deg(v) − cn)` — the two
+    * classic local similarity scores (Liben-Nowell & Kleinberg 2003),
+    * integer-exact. Output: top-`k` candidate edges
+    * `(u, v, cn, du, dv, jaccard_ppm)` with `u < v`, ordered by
+    * `(cn DESC, jaccard_ppm DESC, u, v)`.
+    *
+    * Scale shape: candidate generation is the wedge join — adjacency
+    * self-joined on the SHARED-NEIGHBOR key, so each intermediate
+    * node `w` contributes deg(w)² pairs. That square is the whole
+    * cost model, so hubs are capped: a `w` with degree above
+    * `maxDegree` is skipped as an intermediate (the standard
+    * hub-suppression used by triangle counting here and by every
+    * production similarity join; hubs connect everything and carry no
+    * signal). Degrees for the Jaccard denominator still come from the
+    * FULL graph. Everything else is node-keyed equi-joins + one
+    * anti-join against the edge set (ids only) + TakeOrdered k.
+    */
+  def linkPrediction(edges: DataFrame, aCol: String, bCol: String,
+                     k: Int, maxDegree: Long = 10000L): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxDegree >= 1, "maxDegree must be positive")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("w"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("w"), col("a").as("u")))
+    val deg = adj.groupBy(col("w").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("dg"))
+    val wOk = adj.join(
+      deg.where(col("dg") <= maxDegree).select(col("node").as("w")),
+      Seq("w"), "left_semi")
+    val cn = wOk.alias("x")
+      .join(wOk.alias("y"),
+        col("x.w") === col("y.w") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("u"), col("y.u").as("v"))
+      .agg(count(lit(1)).cast("bigint").as("cn"))
+    val nonEdge = cn.join(
+      e.select(col("a").as("u"), col("b").as("v")), Seq("u", "v"), "left_anti")
+    nonEdge
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+      .withColumn("jaccard_ppm", expr("(1000000L * cn) div (du + dv - cn)"))
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        col("jaccard_ppm"))
+      .orderBy(col("cn").desc, col("jaccard_ppm").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

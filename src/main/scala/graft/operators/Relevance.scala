@@ -473,6 +473,36 @@ object Relevance {
           .as("postings"))
   }
 
+  /** Conjunctive (boolean-AND) retrieval: documents containing EVERY
+    * query term, ranked by total query-term frequency (integer; ties
+    * break on the id). The exact-match complement of the scored
+    * [[bm25TopK]] — "must contain all of" is its own query class
+    * (filters, faceting, legal/compliance search).
+    *
+    * Scale shape: tokens are filtered to the query's terms BEFORE
+    * anything shuffles — the surviving row count is the postings
+    * volume of the query terms, not the corpus; then one doc-keyed
+    * partial aggregation (the AND is `count(distinct term) = |terms|`
+    * on that bounded set) and a TakeOrderedAndProject for the top-k.
+    * No posting-list materialization, no join.
+    */
+  def conjunctiveTopK(df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k >= 1, "k must be positive")
+    val distinctTerms = terms.distinct
+    TextOps.withTokens(df.select(col(idCol), col(textCol)), textCol, "__toks")
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .where(col("__tok").isin(distinctTerms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__tok")).as("__nt"),
+        count(lit(1)).cast("bigint").as("score"))
+      .where(col("__nt") === distinctTerms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of N rankings (hybrid retrieval — the
     * standard way to combine lexical BM25 and vector rankings without
     * score calibration): each input frame carries `(idCol, rank)`

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust-statistics preprocessing: per-group quantile winsorization
@@ -287,5 +288,52 @@ object RobustStats {
       .select((groupCols.map(col) ++ Seq(col("n"), col("concordant"),
         col("discordant"), col("tie_x"), col("tie_y"), col("tie_xy"),
         col("tau_a_ppm"))): _*)
+  }
+
+  /** Quantile normalization of an integer score across heterogeneous
+    * groups: each row's value is replaced by the POOLED value at the
+    * matching quantile position — row ranked `rs` of `ns` within its
+    * group maps to pooled ordinal `1 + ((rs−1)(N−1)) div (ns−1)`
+    * (endpoints map to pooled min/max; a singleton group maps to the
+    * pooled median ordinal). After normalization every group has
+    * samples drawn from the SAME (the pooled) distribution — the
+    * genomics-standard quantile normalization, here for making
+    * per-source quality scores comparable before a single global
+    * threshold (the exact-integer big sibling of
+    * [[withCalibratedRank]]'s [0,1] percent-rank).
+    *
+    * Determinism: ranks order by `(valueCol, idCol)` — total order,
+    * engine-invariant; the ordinal arithmetic is integer floor
+    * division.
+    *
+    * Scale shape: the pooled ordinal side rides
+    * [[Sequencing.withGlobalOrdinals]] (quantile-bucket decomposition
+    * — no single-reducer global window); the in-group rank is one
+    * shuffle on `groupCol`; the mapping join is an equi-join on the
+    * ordinal, both sides corpus-sized — the unavoidable shape of an
+    * exact rank-to-rank mapping.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                        idCol: String, out: String = "qnorm"): DataFrame = {
+    val reserved = Set("__rs", "__ns", "__N", "__tord", "ordinal", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"quantileNormalize reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val pooled = graft.operators.Sequencing.withGlobalOrdinals(
+      df.select(col(valueCol), col(idCol)), valueCol, idCol)
+      .select(col("ordinal").as("__tord"), col(valueCol).as(out))
+    val tot = df.agg(count(lit(1)).cast("bigint").as("__N"))
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    df.withColumn("__rs", row_number().over(wg).cast("bigint"))
+      .withColumn("__ns",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("bigint"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__tord", expr(
+        "CASE WHEN __ns > 1 THEN 1L + ((__rs - 1L) * (__N - 1L)) div (__ns - 1L) " +
+          "ELSE 1L + (__N - 1L) div 2L END"))
+      .join(pooled, Seq("__tord"))
+      .drop("__rs", "__ns", "__N", "__tord")
   }
 }

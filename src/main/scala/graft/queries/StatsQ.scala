@@ -89,6 +89,81 @@ object StatsQ {
         EvalStats.spearmanFootrule(d, "lang", "x", "y").orderBy("lang")
       }),
 
+    // ---- conjunctive (boolean-AND) retrieval ---------------------
+    // Docs containing ALL of {spark, window, hash}, ranked by total
+    // query-term frequency; term filter applies before any shuffle.
+    Q("q271_boolean_topk",
+      Some(s"""WITH tk AS (SELECT doc_id, unnest(${D.tokens("text")}) AS tok FROM documents),
+              |f AS (SELECT doc_id, tok FROM tk WHERE tok IN ('spark', 'window', 'hash')),
+              |g AS (SELECT doc_id, count(DISTINCT tok)::BIGINT AS nt,
+              |  count(*)::BIGINT AS score FROM f GROUP BY doc_id)
+              |SELECT doc_id, score FROM g WHERE nt = 3
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.conjunctiveTopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "hash"), k = 20)),
+
+    // ---- cross-source quantile normalization ---------------------
+    // Every source's length distribution mapped onto the pooled one:
+    // rank rs of ns in-source -> pooled ordinal 1+((rs-1)(N-1))//(ns-1).
+    Q("q272_quantile_normalize",
+      Some("""WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+             |p AS (SELECT n_chars AS qnorm,
+             |  row_number() OVER (ORDER BY n_chars, doc_id) AS tord FROM d),
+             |t AS (SELECT count(*)::BIGINT AS N FROM d),
+             |r AS (SELECT doc_id, source, n_chars,
+             |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)::BIGINT AS rs,
+             |  count(*) OVER (PARTITION BY source)::BIGINT AS ns FROM d)
+             |SELECT r.doc_id, r.source, r.n_chars, p.qnorm
+             |FROM r CROSS JOIN t JOIN p ON p.tord =
+             |  CASE WHEN r.ns > 1 THEN 1 + ((r.rs - 1) * (t.N - 1)) // (r.ns - 1)
+             |       ELSE 1 + (t.N - 1) // 2 END
+             |ORDER BY r.doc_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.quantileNormalize(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "n_chars", "source", "doc_id")
+          .select("doc_id", "source", "n_chars", "qnorm")
+          .orderBy("doc_id")),
+
+    // ---- link prediction on the collocation graph ----------------
+    // Common-neighbor + neighborhood-Jaccard scores for non-edges of
+    // the q176/q260 token co-occurrence graph (top-100 edges, maxDist
+    // 2). The operator's hub cap (maxDegree 10000) never binds here —
+    // degrees are <= 99 — so the oracle omits it.
+    Q("q273_link_prediction",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |te AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |e AS (SELECT DISTINCT tok_a AS a, tok_b AS b FROM te WHERE tok_a <> tok_b),
+              |adj AS (SELECT a AS w, b AS u FROM e UNION ALL SELECT b, a FROM e),
+              |deg AS (SELECT w AS node, count(*)::BIGINT AS dg FROM adj GROUP BY 1),
+              |cand AS (SELECT x.u AS u, y.u AS v, count(*)::BIGINT AS cn
+              |  FROM adj x JOIN adj y ON x.w = y.w AND x.u < y.u GROUP BY 1, 2),
+              |ne AS (SELECT c.u, c.v, c.cn FROM cand c
+              |  LEFT JOIN e ON e.a = c.u AND e.b = c.v WHERE e.a IS NULL)
+              |SELECT ne.u, ne.v, ne.cn, du.dg AS du, dv.dg AS dv,
+              |  ((1000000 * ne.cn) // (du.dg + dv.dg - ne.cn))::BIGINT AS jaccard_ppm
+              |FROM ne JOIN deg du ON du.node = ne.u JOIN deg dv ON dv.node = ne.v
+              |ORDER BY ne.cn DESC, jaccard_ppm DESC, ne.u, ne.v LIMIT 30""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.linkPrediction(edges, "tok_a", "tok_b", k = 30)
+      }),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
