@@ -485,4 +485,48 @@ object Sequencing {
     df.withColumn(out,
       spread(col(xCol)).bitwiseOR(shiftleft(spread(col(yCol)), 1)))
   }
+
+  /** Run-length statistics of categorical columns under a physical
+    * row order — the storage-layout diagnostic behind encoding
+    * choices: a column whose values arrive in long runs RLE/dict-
+    * encodes to almost nothing, a shuffled one doesn't; compare
+    * against the post-[[compactClustered]]-style layouts. For each
+    * column: total rows, run count (`1 + adjacent-pairs-that-differ`,
+    * null-safe equality), and mean run length
+    * `avg_run_ppm = (1e6 · n_rows) div n_runs`. Output one row per
+    * column: `(column_name, n_rows, n_runs, avg_run_ppm)`, ordered by
+    * name.
+    *
+    * Scale shape: adjacency comes from [[withGlobalOrdinals]]
+    * (quantile-bucket decomposition — NO single-reducer window over
+    * the global order) and one ordinal-shifted self-equi-join; all
+    * columns count their boundaries in the same single join pass,
+    * then one 1-row aggregate fans out to per-column rows.
+    */
+  def runLengthStats(df: DataFrame, orderCol: String, idCol: String,
+                     valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one value column")
+    val keep = (Seq(orderCol, idCol) ++ valueCols).distinct
+    val ord = withGlobalOrdinals(df.select(keep.map(col): _*), orderCol, idCol)
+    val nxt = ord.select(
+      (col("ordinal").as("__o2") +:
+        valueCols.map(c => col(c).as(s"__nx_$c"))): _*)
+    val joined = ord.join(nxt, col("__o2") === col("ordinal") + 1, "left")
+    val aggs = count(lit(1)).cast("bigint").as("__n") +:
+      valueCols.map(c =>
+        sum(when(col("__o2").isNotNull &&
+          !(col(c) <=> col(s"__nx_$c")), 1L).otherwise(0L))
+          .cast("bigint").as(s"__b_$c"))
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    // fan the single agg row out per column INSIDE one plan (a
+    // union of selects over `one` would re-run the join per column)
+    val perCol = valueCols.map(c =>
+      s"struct('$c' AS column_name, __n AS n_rows, " +
+        s"CASE WHEN __n = 0 THEN 0L ELSE 1L + __b_$c END AS n_runs)")
+    one.select(explode(expr(perCol.mkString("array(", ", ", ")"))).as("__r"))
+      .select(col("__r.column_name"), col("__r.n_rows"), col("__r.n_runs"))
+      .withColumn("avg_run_ppm",
+        expr("CASE WHEN n_runs = 0 THEN NULL ELSE (1000000L * n_rows) div n_runs END"))
+      .orderBy(col("column_name"))
+  }
 }

@@ -309,4 +309,80 @@ object TimeSeries {
           s"(acc, x) -> CAST($alpha AS DOUBLE) * x + CAST(${1 - alpha} AS DOUBLE) * acc)"))
       .select(col(keyCol), col("ema"))
   }
+
+  /** Autocorrelation function of the event-count series at the given
+    * lags: bucket counts `x_t` (bucket = `ts div bucketSec`), then
+    * `r_l = Σ (x_t − x̄)(x_{t+l} − x̄) / Σ (x_t − x̄)²` — kept
+    * integer-exact by clearing the mean's denominator (centered value
+    * `c_t = N·x_t − S`; numerator and denominator scale by the same
+    * N², which cancels), with DECIMAL(38,0) products and micro-scaled
+    * floor division. Pairs exist only where BOTH buckets were
+    * observed (gap-aware; zero-fill first with [[fillGaps]] when "no
+    * events" should count as x=0). Output: `(lag, n_pairs, acf_ppm)`.
+    *
+    * Scale shape: the raw stream collapses to bucket counts first
+    * (map-side combine) — every later step runs on the bucket-grain
+    * series, which is time-range-bounded, not event-bounded; the lag
+    * pairing is an equi-join on the shifted bucket id; the two
+    * scalar frames (mean, denominator) broadcast.
+    */
+  def acf(df: DataFrame, tsNanosCol: String, lags: Seq[Int],
+          bucketSec: Long): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    require(bucketSec >= 1, "bucketSec must be positive")
+    val x = df
+      .withColumn("__h", expr(s"$tsNanosCol div (${bucketSec}L * 1000000000L)"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).cast("bigint").as("__x"))
+    val tot = x.agg(count(lit(1)).cast("bigint").as("__N"),
+      sum(col("__x")).cast("bigint").as("__S"))
+    val c = x.crossJoin(broadcast(tot))
+      .withColumn("__c", expr("__N * __x - __S"))
+      .select(col("__h"), col("__c"))
+    val den = c.agg(
+      sum(expr("CAST(__c AS DECIMAL(38,0)) * __c")).as("__den"))
+    val b = c.select(col("__h").as("__h2"), col("__c").as("__c2"))
+    c.withColumn("lag",
+        explode(expr(s"array(${lags.mkString("L,")}L)")))
+      .join(b, col("__h2") === col("__h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(expr("CAST(__c AS DECIMAL(38,0)) * __c2")).as("__num"))
+      .crossJoin(broadcast(den))
+      .withColumn("acf_ppm", expr(
+        "CAST(CASE WHEN __den = 0 THEN NULL ELSE " +
+          "(CASE WHEN __num < 0 THEN -1 ELSE 1 END) * " +
+          "((1000000 * abs(__num)) div __den) END AS BIGINT)"))
+      .select(col("lag"), col("n_pairs"), col("acf_ppm"))
+      .orderBy(col("lag"))
+  }
+
+  /** Phase-of-period seasonal profile: every event lands in phase
+    * `(ts div unitSec) % period` (e.g. unit = day, period = 7 →
+    * day-of-week with phase 0 anchored to the epoch day, Thursday —
+    * pure integer arithmetic, no calendar library to disagree over),
+    * and each phase reports its event count, traffic share, and
+    * seasonal index `(1e6 · period · n_phase) div n_total` — 1e6
+    * means "an average phase", 2e6 "double the average". Output:
+    * `(phase, n, share_ppm, index_ppm)`.
+    *
+    * Scale shape: one map-side-combined count into `period` cells;
+    * the total broadcasts. Nothing else moves.
+    */
+  def seasonalIndex(df: DataFrame, tsNanosCol: String, unitSec: Long,
+                    period: Int): DataFrame = {
+    require(unitSec >= 1, "unitSec must be positive")
+    require(period >= 2, "period must be at least 2")
+    val x = df
+      .withColumn("phase", expr(
+        s"($tsNanosCol div (${unitSec}L * 1000000000L)) % ${period}L"))
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val tot = x.agg(sum(col("n")).cast("bigint").as("__T"))
+    x.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("(1000000L * n) div __T"))
+      .withColumn("index_ppm", expr(s"(1000000L * ${period}L * n) div __T"))
+      .select(col("phase"), col("n"), col("share_ppm"), col("index_ppm"))
+      .orderBy(col("phase"))
+  }
 }

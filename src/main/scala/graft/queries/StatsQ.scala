@@ -164,6 +164,66 @@ object StatsQ {
         graft.operators.Components.linkPrediction(edges, "tok_a", "tok_b", k = 30)
       }),
 
+    // ---- autocorrelation of the hourly event-count series --------
+    // Integer-exact ACF at lags 1..6 (centered values N·x−S clear the
+    // mean's denominator; the N² scale cancels in the ratio).
+    Q("q274_acf",
+      Some("""WITH x AS (SELECT (epoch_us(ts) * 1000) // 3600000000000 AS h FROM events),
+             |c AS (SELECT h, count(*)::BIGINT AS x FROM x GROUP BY h),
+             |t AS (SELECT count(*)::BIGINT AS N, sum(x)::BIGINT AS S FROM c),
+             |ce AS (SELECT h, (t.N * c.x - t.S)::HUGEINT AS cv FROM c, t),
+             |d AS (SELECT sum(cv * cv) AS den FROM ce),
+             |l AS (SELECT CAST(unnest([1, 2, 3, 4, 5, 6]) AS BIGINT) AS lag),
+             |p AS (SELECT l.lag, a.cv AS ca, b.cv AS cb
+             |  FROM ce a CROSS JOIN l JOIN ce b ON b.h = a.h + l.lag),
+             |nm AS (SELECT lag, count(*)::BIGINT AS n_pairs, sum(ca * cb) AS num
+             |  FROM p GROUP BY lag)
+             |SELECT lag, n_pairs,
+             |  (CASE WHEN d.den = 0 THEN NULL ELSE
+             |    (CASE WHEN nm.num < 0 THEN -1 ELSE 1 END) *
+             |    ((1000000 * abs(nm.num)) // d.den) END)::BIGINT AS acf_ppm
+             |FROM nm, d ORDER BY lag""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.acf(
+          t(s, dir, "events"), "ts", lags = Seq(1, 2, 3, 4, 5, 6),
+          bucketSec = 3600L)),
+
+    // ---- day-of-week seasonal profile ----------------------------
+    // Phase = epoch-day mod 7 (pure integer; phase 0 = Thursday).
+    Q("q275_seasonal_index",
+      Some("""WITH x AS (SELECT ((epoch_us(ts) * 1000) // 86400000000000) % 7 AS phase FROM events),
+             |c AS (SELECT phase::BIGINT AS phase, count(*)::BIGINT AS n FROM x GROUP BY 1),
+             |t AS (SELECT sum(n)::BIGINT AS T FROM c)
+             |SELECT phase, n, ((1000000 * n) // t.T)::BIGINT AS share_ppm,
+             |  ((1000000 * 7 * n) // t.T)::BIGINT AS index_ppm
+             |FROM c, t ORDER BY phase""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.seasonalIndex(
+          t(s, dir, "events"), "ts", unitSec = 86400L, period = 7)),
+
+    // ---- run-length layout diagnostics ---------------------------
+    // RLE-friendliness of lineitem's flag columns under the natural
+    // (l_orderkey, l_linenumber) order; adjacency via the global-
+    // ordinal decomposition, not a single-reducer window.
+    Q("q276_run_length",
+      Some("""WITH o AS (SELECT l_returnflag, l_linestatus,
+             |  lead(l_returnflag) OVER w AS nrf,
+             |  lead(l_linestatus) OVER w AS nls
+             |  FROM lineitem WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+             |a AS (SELECT count(*)::BIGINT AS n,
+             |  (1 + sum(CASE WHEN nrf IS NOT NULL AND nrf <> l_returnflag THEN 1 ELSE 0 END))::BIGINT AS runs_rf,
+             |  (1 + sum(CASE WHEN nls IS NOT NULL AND nls <> l_linestatus THEN 1 ELSE 0 END))::BIGINT AS runs_ls
+             |  FROM o)
+             |SELECT 'l_linestatus' AS column_name, n AS n_rows, runs_ls AS n_runs,
+             |  ((1000000 * n) // runs_ls)::BIGINT AS avg_run_ppm FROM a
+             |UNION ALL
+             |SELECT 'l_returnflag', n, runs_rf, ((1000000 * n) // runs_rf)::BIGINT FROM a
+             |ORDER BY column_name""".stripMargin),
+      (s, dir) =>
+        graft.operators.Sequencing.runLengthStats(
+          t(s, dir, "lineitem"), "l_orderkey", "l_linenumber",
+          Seq("l_returnflag", "l_linestatus"))),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Sequencing, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Unit contracts for the Batch-3 extensions: integer-exact ACF,
+  * phase-of-period seasonal index, and run-length layout stats — the
+  * hand-computable fixtures behind the q274–q276 corpus witnesses.
+  */
+class TimeSeriesStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val G = 1000000000L // nanos per second
+
+  /** One event per listed (bucket, count) cell at bucketSec=1. */
+  private def series(xs: Seq[Long]) =
+    xs.zipWithIndex
+      .flatMap { case (n, t) => Seq.fill(n.toInt)(t.toLong * G) }
+      .toDF("ts")
+
+  test("acf: constant series has zero denominator -> NULL acf, pairs counted") {
+    val out = TimeSeries.acf(series(Seq(3, 3, 3, 3)), "ts", Seq(1, 2), 1L)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 2L)))
+    assert(out.forall(_.isNullAt(2)))
+  }
+
+  test("acf: alternating series is perfectly anti-correlated at lag 1") {
+    // counts 1,3,1,3,... mean 2; c_t alternates ±N -> r1 = -1, r2 = +1.
+    val out = TimeSeries.acf(series(Seq(1, 3, 1, 3, 1, 3)), "ts", Seq(1, 2), 1L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("acf_ppm")).toMap
+    // r1 = -(n_pairs=5 terms sum -5N²)/den(6N²) = -5/6; r2 = 4/6
+    assert(out(1L) == -833334L || out(1L) == -833333L)
+    assert(out(2L) == 666666L)
+    // pin exactly: num1 = -5·N², den = 6·N² -> floor(-1e6*5/6) via
+    // sign*floor(|.|): -(833333) = -833333
+    assert(out(1L) == -833333L)
+  }
+
+  test("acf is gap-aware: missing buckets contribute no pairs") {
+    // buckets 0,1,2 then a hole at 3, then 4: lag-1 pairs = (0,1),(1,2),
+    // hole kills (2,3),(3,4) -> 2 pairs.
+    val df = Seq(0L, 1L, 2L, 4L).map(_ * G).toDF("ts")
+    val out = TimeSeries.acf(df, "ts", Seq(1), 1L).collect()
+    assert(out(0).getLong(1) == 2L)
+  }
+
+  test("seasonalIndex: uniform phases index to 1e6; share sums to ~1e6") {
+    val df = (0 until 21).map(_.toLong * 86400L * G).toDF("ts")
+    val out = TimeSeries.seasonalIndex(df, "ts", 86400L, 7).collect()
+    assert(out.length == 7)
+    assert(out.forall(_.getAs[Long]("index_ppm") == 1000000L))
+    assert(out.map(_.getAs[Long]("share_ppm")).sum <= 1000000L)
+  }
+
+  test("seasonalIndex: a loaded phase indexes above, others below") {
+    // phase 0 gets 8 events, phases 1..6 get 1 each (total 14).
+    val df = (Seq.fill(8)(0L) ++ (1 to 6).map(_.toLong))
+      .map(_ * 86400L * G).toDF("ts")
+    val out = TimeSeries.seasonalIndex(df, "ts", 86400L, 7)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("index_ppm")).toMap
+    assert(out(0L) == 4000000L) // 7*8/14 = 4x the average
+    assert((1L to 6L).forall(p => out(p) == 500000L))
+  }
+
+  test("runLengthStats: hand-built runs, null-safe equality, per-column rows") {
+    val df = Seq(
+      (1L, 1, "a", "x"), (2L, 1, "a", "y"), (3L, 1, "b", "y"),
+      (4L, 1, "b", "y"), (5L, 1, "a", null), (6L, 1, "a", null))
+      .toDF("k", "i", "c1", "c2")
+    val out = Sequencing.runLengthStats(df, "k", "i", Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // c1: a,a,b,b,a,a -> 3 runs; c2: x,y,y,y,null,null -> 3 runs (nulls run)
+    assert(out("c1") == ((6L, 3L, 2000000L)))
+    assert(out("c2") == ((6L, 3L, 2000000L)))
+  }
+
+  test("runLengthStats: sorted layout collapses to one run per value") {
+    val df = (1 to 100).map(i => (i.toLong, 1, if (i <= 50) "a" else "b"))
+      .toDF("k", "i", "c")
+    val out = Sequencing.runLengthStats(df, "k", "i", Seq("c")).collect()(0)
+    assert(out.getLong(1) == 100L && out.getLong(2) == 2L)
+    assert(out.getLong(3) == 50000000L)
+  }
+}
