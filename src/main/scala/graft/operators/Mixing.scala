@@ -501,6 +501,33 @@ object Mixing {
     df.withColumn(out, (expr(H.rollingHash(textCol)) % k).cast("int"))
   }
 
+  /** GROUP-aware train/eval split: every row of a group lands in the
+    * same split, decided by the portable rolling hash of the group
+    * key's string form (`hash(group) mod 1000 < trainPermille` →
+    * "train", else "eval"). This is the leakage-safe sibling of
+    * [[withFold]]: splitting documents of one author / sessions of
+    * one user independently leaks near-duplicate context across the
+    * boundary; hashing the GROUP makes the split a pure function of
+    * the entity. Deterministic, engine-reproducible, no shuffle —
+    * one per-row scalar hash (the split needs no coordination
+    * precisely because it is a function of the key).
+    */
+  def groupSplit(df: DataFrame, groupCol: String, trainPermille: Int,
+                 out: String = "split"): DataFrame = {
+    require(trainPermille >= 1 && trainPermille <= 999,
+      "trainPermille must be in [1, 999]")
+    require(!df.columns.contains(out), s"groupSplit reserves $out")
+    import graft.functions.TextHash.{spark => H, MixA, MixB, P}
+    // seeded remix after the rolling hash: raw hashes of SHORT keys
+    // (small integer ids as strings) are numerically tiny and mod-1000
+    // biased — the same short-token bias tokenHashesWide documents;
+    // the affine map mod P uniformizes the low digits.
+    val h = H.rollingHash(s"CAST($groupCol AS STRING)")
+    df.withColumn(out,
+      when(expr(s"((${MixA}L * $h + ${MixB}L) % ${P}L) % 1000L")
+        < trainPermille, "train").otherwise("eval"))
+  }
+
   /** Gini coefficient of the group-size distribution — the mixture-
     * balance scalar (0 = perfectly even groups, → 1 = one group
     * dominates): computed EXACTLY on sorted counts,

@@ -156,4 +156,32 @@ object Validate {
       .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
       .select(col("n"), col("po"), col("pe"), col("kappa"))
   }
+
+  /** Functional-dependency audit: does `detCols → depCol` hold? For
+    * each distinct determinant key, count the distinct dependent
+    * values; report `(n_keys, n_violating, max_distinct,
+    * violation_ppm)` — the schema-inference / data-contract check
+    * ("order id determines customer", "doc id determines source")
+    * that catches silent key collisions and merge bugs long before a
+    * join fans out.
+    *
+    * Scale shape: one key-grouped `count(distinct dep)` (two-level
+    * partial aggregation — Spark plans distinct-aggregates as
+    * expand + two exchanges on the SAME key) and one dimension-free
+    * final fold to a single row. Nothing else.
+    */
+  def functionalDependency(df: DataFrame, detCols: Seq[String],
+                           depCol: String): DataFrame = {
+    require(detCols.nonEmpty, "need at least one determinant column")
+    df.groupBy(detCols.map(col): _*)
+      .agg(countDistinct(col(depCol)).as("__nd"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_keys"),
+        sum(when(col("__nd") > 1L, 1L).otherwise(0L)).cast("bigint")
+          .as("n_violating"),
+        max(col("__nd")).cast("bigint").as("max_distinct"))
+      .withColumn("violation_ppm",
+        expr("CASE WHEN n_keys = 0 THEN NULL " +
+          "ELSE (1000000L * n_violating) div n_keys END"))
+  }
 }

@@ -224,6 +224,81 @@ object StatsQ {
           t(s, dir, "lineitem"), "l_orderkey", "l_linenumber",
           Seq("l_returnflag", "l_linestatus"))),
 
+    // ---- group-aware (leakage-safe) split ------------------------
+    // All events of one user land in the same split (hash of the
+    // GROUP key, not the row); the witness also counts cross-split
+    // groups, which must be zero by construction.
+    Q("q277_group_split", {
+      val h = s"((${TextHash.MixA} * ${D.rollingHash("(user_id::VARCHAR)")} " +
+        s"+ ${TextHash.MixB}) % ${TextHash.P})"
+      Some(s"""WITH s AS (SELECT user_id,
+              |  CASE WHEN $h % 1000 < 800 THEN 'train' ELSE 'eval' END AS split
+              |  FROM events),
+              |l AS (SELECT sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaked
+              |  FROM (SELECT user_id, count(DISTINCT split) AS k FROM s GROUP BY 1)),
+              |g AS (SELECT split, count(*)::BIGINT AS n_rows,
+              |  count(DISTINCT user_id)::BIGINT AS n_groups FROM s GROUP BY 1)
+              |SELECT g.split, g.n_rows, g.n_groups, l.n_leaked
+              |FROM g, l ORDER BY g.split""".stripMargin)
+    },
+      (s, dir) => {
+        val sp = graft.operators.Mixing.groupSplit(
+          t(s, dir, "events"), "user_id", trainPermille = 800)
+        val leak = sp.groupBy(col("user_id"))
+          .agg(countDistinct(col("split")).as("__k"))
+          .agg(sum(when(col("__k") > 1, 1L).otherwise(0L)).cast("bigint")
+            .as("n_leaked"))
+        sp.groupBy(col("split"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            countDistinct(col("user_id")).cast("bigint").as("n_groups"))
+          .crossJoin(broadcast(leak))
+          .orderBy("split")
+      }),
+
+    // ---- functional-dependency audit -----------------------------
+    // Does l_orderkey determine l_returnflag? (It doesn't — the
+    // violation rate is the witness.)
+    Q("q278_fd_check",
+      Some("""WITH g AS (SELECT l_orderkey, count(DISTINCT l_returnflag)::BIGINT AS nd
+             |  FROM lineitem GROUP BY 1),
+             |a AS (SELECT count(*)::BIGINT AS n_keys,
+             |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             |  max(nd)::BIGINT AS max_distinct FROM g)
+             |SELECT n_keys, n_violating, max_distinct,
+             |  (CASE WHEN n_keys = 0 THEN NULL
+             |   ELSE (1000000 * n_violating) // n_keys END)::BIGINT AS violation_ppm
+             |FROM a""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.functionalDependency(
+          t(s, dir, "lineitem"), Seq("l_orderkey"), "l_returnflag")),
+
+    // ---- market-basket association rules -------------------------
+    // Brand pairs co-purchased in the same order; support, both
+    // confidences, and lift in ppm. The operator's degenerate-basket
+    // cap (1000 items) never binds here (<= 25 brands per order).
+    Q("q279_assoc_rules",
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS bk, p_brand AS it
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |n AS (SELECT count(DISTINCT bk)::BIGINT AS N FROM bi),
+             |isup AS (SELECT it, count(*)::BIGINT AS supp FROM bi GROUP BY 1),
+             |p AS (SELECT x.it AS item_a, y.it AS item_b, count(*)::BIGINT AS n_ab
+             |  FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it GROUP BY 1, 2
+             |  HAVING count(*) >= 10)
+             |SELECT item_a, item_b, n_ab, a.supp AS n_a, b.supp AS n_b,
+             |  ((1000000 * n_ab) // a.supp)::BIGINT AS conf_ab_ppm,
+             |  ((1000000 * n_ab) // b.supp)::BIGINT AS conf_ba_ppm,
+             |  ((1000000::HUGEINT * n_ab * n.N) // (a.supp::HUGEINT * b.supp))::BIGINT AS lift_ppm
+             |FROM p JOIN isup a ON a.it = item_a JOIN isup b ON b.it = item_b
+             |CROSS JOIN n
+             |ORDER BY n_ab DESC, lift_ppm DESC, item_a, item_b LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+        graft.operators.Associations.pairRules(
+          li, "l_orderkey", "p_brand", minSupport = 10L, k = 20)
+      }),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
