@@ -474,6 +474,54 @@ object Components {
       .limit(k)
   }
 
+  /** Bounded-hop BFS distances from a seed set: `(node, hop)` with
+    * `hop` = the minimum number of edges from any seed (seeds are hop
+    * 0), limited to `maxHops` — the k-hop reachability query
+    * (blast-radius, neighborhood expansion, contamination spread)
+    * over an undirected edge list.
+    *
+    * Scale shape: classic BSP frontier expansion — each round is ONE
+    * equi-join of the current frontier against the adjacency list
+    * plus an anti-join against the visited set (ids only), so a
+    * round's cost is the frontier's edge volume, not the graph's.
+    * Rounds are bounded by `maxHops` (no convergence probe needed);
+    * an exhausted frontier exits early. Per-round localCheckpoint
+    * keeps lineage flat, as in [[connectedComponents]].
+    */
+  def bfsDistances(edges: DataFrame, aCol: String, bCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val adj = edges.select(col(aCol).as("__w"), col(bCol).as("__u"))
+      .unionAll(edges.select(col(bCol).as("__w"), col(aCol).as("__u")))
+      .where(col("__w") =!= col("__u"))
+      .dropDuplicates("__w", "__u")
+    var visited = seeds.select(col(seedCol).as("node"), lit(0L).as("hop"))
+      .dropDuplicates("node")
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var h = 0
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (h < maxHops && !frontier.isEmpty) {
+      h += 1
+      val next = frontier
+        .join(adj, frontier("node") === adj("__w"))
+        .select(col("__u").as("node"))
+        .dropDuplicates("node")
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .localCheckpoint()
+      spent += visited
+      visited = visited
+        .unionAll(next.withColumn("hop", lit(h.toLong)))
+        .localCheckpoint()
+      spent += next
+      frontier = next
+    }
+    val out = visited.localCheckpoint()
+    spent.foreach(freeCheckpoint)
+    out
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

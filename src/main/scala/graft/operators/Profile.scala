@@ -400,4 +400,46 @@ object Profile {
       .select(col(groupCol), col("n"), col("slope_micro"))
       .orderBy(col(groupCol))
   }
+
+  /** Gini-impurity information gain of a categorical feature for a
+    * categorical label — the log-free (hence integer-exact)
+    * feature-selection score a decision-tree split uses: parent
+    * impurity `1 − Σ_c p_c²` minus the feature-value-weighted child
+    * impurity. Kept cross-engine exact with fixed floor points:
+    * parent purity `(1e6·Σ n_c²) div N²`, per-value purity share
+    * `s_v = (1e6·Σ_c n_vc²) div n_v`, weighted child purity
+    * `(Σ s_v) div N`; `gain_ppm = child_purity − parent_purity`
+    * (≥ 0 up to the two floors). Output one row:
+    * `(n, parent_gini_ppm, child_gini_ppm, gain_ppm)`.
+    *
+    * Scale shape: one (feature, label) contingency aggregation
+    * (map-side combined, |feature|×|label|-bounded), folded twice
+    * along each margin — nothing corpus-sized moves after the first
+    * partial aggregation.
+    */
+  def giniGain(df: DataFrame, featureCol: String,
+               labelCol: String): DataFrame = {
+    val cells = df.groupBy(col(featureCol).as("__f"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+    val parent = cells.groupBy(col("__l"))
+      .agg(sum(col("__n")).cast("bigint").as("__nc"))
+      .agg(sum(col("__nc")).cast("bigint").as("n"),
+        sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")).as("__sq"))
+      .withColumn("parent_gini_ppm", expr(
+        "1000000L - CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq) div " +
+          "(CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .select(col("n"), col("parent_gini_ppm"))
+    val children = cells.groupBy(col("__f"))
+      .agg(sum(col("__n")).cast("bigint").as("__nv"),
+        sum(expr("CAST(__n AS DECIMAL(38,0)) * __n")).as("__sqv"))
+      .withColumn("__sv", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sqv) div __nv AS BIGINT)"))
+      .agg(sum(col("__sv")).cast("bigint").as("__ssum"))
+    parent.crossJoin(broadcast(children))
+      .withColumn("child_gini_ppm", expr("1000000L - (__ssum div n)"))
+      .withColumn("gain_ppm",
+        expr("(1000000L - child_gini_ppm) - (1000000L - parent_gini_ppm)"))
+      .select(col("n"), col("parent_gini_ppm"), col("child_gini_ppm"),
+        col("gain_ppm"))
+  }
 }

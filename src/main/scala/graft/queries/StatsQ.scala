@@ -299,6 +299,96 @@ object StatsQ {
           li, "l_orderkey", "p_brand", minSupport = 10L, k = 20)
       }),
 
+    // ---- incremental aggregate maintenance -----------------------
+    // Spark maintains base ⊕ CDC-delta algebraically (O(delta), no
+    // fact rescan); the oracle RECOMPUTES the final state from the
+    // surviving facts — equality is the materialized-view identity.
+    Q("q280_incremental_agg",
+      Some("""WITH v AS (SELECT event_type, event_id,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv FROM events),
+             |f AS (SELECT event_type, mv FROM v
+             |  WHERE (event_id % 10 <> 0 AND event_id % 3 <> 0) OR event_id % 10 = 0)
+             |SELECT event_type, count(*)::BIGINT AS cnt, sum(mv)::BIGINT AS total
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val v = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+        val base = v.where(col("event_id") % 10 =!= 0)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("cnt"),
+            sum(col("mv")).cast("bigint").as("total"))
+        val delta = v.where(col("event_id") % 10 === 0)
+          .select(col("event_type"), lit("I").as("op"), col("mv"))
+          .unionAll(v.where(col("event_id") % 10 =!= 0 && col("event_id") % 3 === 0)
+            .select(col("event_type"), lit("D").as("op"), col("mv")))
+        graft.operators.IncrementalAgg.maintainCountSum(
+          base, delta, Seq("event_type"), "op", "mv")
+          .orderBy("event_type")
+      }),
+
+    // ---- bounded-hop BFS from a seed token -----------------------
+    // Hop distances from 'spark' on the q273 collocation graph,
+    // maxHops 3; the oracle unrolls three frontier expansions and
+    // takes the min hop per node.
+    Q("q281_bfs_hops",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |te AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |e AS (SELECT DISTINCT tok_a AS a, tok_b AS b FROM te WHERE tok_a <> tok_b),
+              |adj AS (SELECT a AS w, b AS u FROM e UNION ALL SELECT b, a FROM e),
+              |f0 AS (SELECT 'spark' AS node, 0 AS hop),
+              |f1 AS (SELECT DISTINCT adj.u AS node, 1 AS hop FROM adj JOIN f0 ON adj.w = f0.node),
+              |f2 AS (SELECT DISTINCT adj.u AS node, 2 AS hop FROM adj JOIN f1 ON adj.w = f1.node),
+              |f3 AS (SELECT DISTINCT adj.u AS node, 3 AS hop FROM adj JOIN f2 ON adj.w = f2.node),
+              |u AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1
+              |  UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+              |SELECT node, min(hop)::BIGINT AS hop FROM u GROUP BY node
+              |ORDER BY hop, node""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        val seeds = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("spark")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.StringType))))
+        graft.operators.Components.bfsDistances(
+          edges, "tok_a", "tok_b", seeds, "node", maxHops = 3)
+          .orderBy("hop", "node")
+      }),
+
+    // ---- Gini information gain (feature selection) ---------------
+    // How much does knowing the source reduce label (lang) impurity?
+    Q("q282_gini_gain",
+      Some("""WITH cells AS (SELECT source AS f, lang AS l, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1, 2),
+             |pc AS (SELECT l, sum(n)::HUGEINT AS nc FROM cells GROUP BY l),
+             |par AS (SELECT sum(nc)::BIGINT AS n, sum(nc * nc) AS sq FROM pc),
+             |fv AS (SELECT f, sum(n)::BIGINT AS nv, sum(n::HUGEINT * n) AS sqv
+             |  FROM cells GROUP BY f),
+             |sv AS (SELECT ((1000000::HUGEINT * sqv) // nv) AS s FROM fv),
+             |ch AS (SELECT sum(s) AS ssum FROM sv)
+             |SELECT par.n,
+             |  (1000000 - ((1000000::HUGEINT * par.sq) // (par.n::HUGEINT * par.n)))::BIGINT AS parent_gini_ppm,
+             |  (1000000 - (ch.ssum // par.n))::BIGINT AS child_gini_ppm,
+             |  ((1000000 - ((1000000::HUGEINT * par.sq) // (par.n::HUGEINT * par.n)))
+             |   - (1000000 - (ch.ssum // par.n)))::BIGINT AS gain_ppm
+             |FROM par, ch""".stripMargin),
+      (s, dir) =>
+        graft.operators.Profile.giniGain(
+          t(s, dir, "documents"), "source", "lang")),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
