@@ -501,6 +501,70 @@ object Mixing {
     df.withColumn(out, (expr(H.rollingHash(textCol)) % k).cast("int"))
   }
 
+  /** Lorenz curve of mass concentration over entities: entities
+    * ranked ascending by their total mass, cut into `nBuckets`
+    * equal-population buckets, each reporting its entity count, mass,
+    * and the CUMULATIVE mass share `cum_share_ppm` — the classic
+    * inequality curve ([[groupGini]] is its scalar area; the curve
+    * shows WHERE the skew lives: "the top decile of users carries 61%
+    * of traffic"). Bucket `b` of entity rank `r` (1-based, of `n`) is
+    * `((r−1)·nBuckets) div n`. Integer-exact end to end.
+    *
+    * Scale shape: per-entity mass is one keyed aggregation; entity
+    * ranking rides [[Sequencing.withGlobalOrdinals]] (bucket
+    * decomposition, no single-reducer window over entities); the
+    * cumulative share is a window over the `nBuckets`-row bucket
+    * table only.
+    */
+  def lorenzCurve(df: DataFrame, entityCol: String, massCol: String,
+                  nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be at least 2")
+    val mass = df.groupBy(col(entityCol).as("__e"))
+      .agg(sum(col(massCol)).cast("bigint").as("__m"))
+    val ranked = graft.operators.Sequencing.withGlobalOrdinals(
+      mass, "__m", "__e")
+    val tot = mass.agg(count(lit(1)).cast("bigint").as("__n"),
+      sum(col("__m")).cast("bigint").as("__t"))
+    val buckets = ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr(s"((ordinal - 1L) * ${nBuckets}L) div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_entities"),
+        sum(col("__m")).cast("bigint").as("mass"),
+        first(col("__t")).as("__t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    buckets
+      .withColumn("__cum", sum(col("mass")).over(w))
+      // decimal headroom: 1e6 × a corpus-scale mass total overflows
+      // a BIGINT long before the share itself does
+      .withColumn("cum_share_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __cum) div __t AS BIGINT)"))
+      .select(col("bucket"), col("n_entities"), col("mass"),
+        col("cum_share_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Herfindahl–Hirschman concentration of `subCol` within each
+    * `groupCol`: `hhi_ppm = (1e6 · Σ_s n_s²) div N²` — 1e6 means one
+    * sub-group owns everything, `1e6/k` means k equal sub-groups. The
+    * per-group scalar complement of [[lorenzCurve]]; the standard
+    * "is this language served by one source?" diversity gauge.
+    * One (group, sub) count + one group fold — all map-side
+    * combinable, dimension-sized output. */
+  def concentrationIndex(df: DataFrame, groupCol: String,
+                         subCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(subCol))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n_subgroups"),
+        sum(col("__n")).cast("bigint").as("n_rows"),
+        sum(expr("CAST(__n AS DECIMAL(38,0)) * __n")).as("__sq"))
+      .withColumn("hhi_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq) div " +
+          "(CAST(n_rows AS DECIMAL(38,0)) * n_rows) AS BIGINT)"))
+      .select(col(groupCol), col("n_subgroups"), col("n_rows"), col("hhi_ppm"))
+
   /** GROUP-aware train/eval split: every row of a group lands in the
     * same split, decided by the portable rolling hash of the group
     * key's string form (`hash(group) mod 1000 < trainPermille` →

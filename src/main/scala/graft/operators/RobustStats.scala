@@ -290,6 +290,49 @@ object RobustStats {
         col("tau_a_ppm"))): _*)
   }
 
+  /** ECDF scoring against a reference distribution: each row of `df`
+    * gets `out` = the empirical-CDF position of its `valueCol` within
+    * `ref`'s values, as `ecdf_ppm = (1e6 · #{ref ≤ x}) div N` —
+    * "where would this new document sit in the reference corpus's
+    * length/quality distribution?", the drift-scoring primitive for
+    * admission gates (flag a batch whose median lands in the
+    * reference's tail).
+    *
+    * Scale shape: the reference collapses to DISTINCT-value counts
+    * with a cumulative sum — a value-DOMAIN-sized frame (integer
+    * scores; for unbounded continuous values, quantize to a grid
+    * first, the usual ECDF-sketch move), whose tiny window is
+    * dimension-bounded like [[Mixing.groupGini]]'s rank; scoring is
+    * then one broadcast-friendly equi-join on the value. Rows with a
+    * value below every reference value score 0; above, 1e6.
+    */
+  def ecdfScore(df: DataFrame, ref: DataFrame, valueCol: String,
+                out: String = "ecdf_ppm"): DataFrame = {
+    val reserved = Set("__v", "__c", "__cum", "__N", out)
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"ecdfScore reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val counts = ref.groupBy(col(valueCol).cast("bigint").as("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    // values seen in df but absent from ref enter the CDF with count
+    // 0, so the cumulative carry-forward lands them between their
+    // reference neighbors (a plain equi-join would miss them).
+    val unseen = df.select(col(valueCol).cast("bigint").as("__v")).distinct()
+      .join(counts.select(col("__v")), Seq("__v"), "left_anti")
+      .withColumn("__c", lit(0L))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = counts.unionByName(unseen)
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .select(col("__v"), col("__cum"))
+    val tot = ref.agg(count(lit(1)).cast("bigint").as("__N"))
+    df.join(cdf, col(valueCol).cast("bigint") === col("__v"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn(out, expr("(1000000L * coalesce(__cum, 0L)) div __N"))
+      .drop("__v", "__cum", "__N")
+  }
+
   /** Quantile normalization of an integer score across heterogeneous
     * groups: each row's value is replaced by the POOLED value at the
     * matching quantile position — row ranked `rs` of `ns` within its

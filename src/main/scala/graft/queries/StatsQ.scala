@@ -389,6 +389,68 @@ object StatsQ {
         graft.operators.Profile.giniGain(
           t(s, dir, "documents"), "source", "lang")),
 
+    // ---- Lorenz curve of user traffic concentration --------------
+    // Users decile-bucketed ascending by total micro-value mass; each
+    // decile's mass and cumulative share — where the skew lives.
+    Q("q283_lorenz_curve",
+      Some("""WITH m AS (SELECT user_id AS e,
+             |  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS mv
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT mv, row_number() OVER (ORDER BY mv, e) AS rk FROM m),
+             |t AS (SELECT count(*)::BIGINT AS n, sum(mv)::BIGINT AS tt FROM m),
+             |b AS (SELECT ((rk - 1) * 10) // t.n AS bucket, mv FROM r, t),
+             |g AS (SELECT bucket, count(*)::BIGINT AS n_entities,
+             |  sum(mv)::BIGINT AS mass FROM b GROUP BY bucket),
+             |c AS (SELECT bucket, n_entities, mass,
+             |  sum(mass) OVER (ORDER BY bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g)
+             |SELECT bucket::BIGINT AS bucket, n_entities, mass,
+             |  ((1000000::HUGEINT * c.cum) // t.tt)::BIGINT AS cum_share_ppm
+             |FROM c, t ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val v = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+        graft.operators.Mixing.lorenzCurve(v, "user_id", "mv", nBuckets = 10)
+      }),
+
+    // ---- ECDF scoring against a reference distribution -----------
+    // Where does each src0 document's length sit in the full-corpus
+    // length distribution?
+    Q("q284_ecdf_score",
+      Some("""WITH c AS (SELECT n_chars AS v, count(*)::BIGINT AS c
+             |  FROM documents GROUP BY 1),
+             |cd AS (SELECT v, sum(c) OVER (ORDER BY v
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c),
+             |t AS (SELECT count(*)::BIGINT AS N FROM documents)
+             |SELECT d.doc_id, d.n_chars,
+             |  ((1000000 * cd.cum) // t.N)::BIGINT AS ecdf_ppm
+             |FROM documents d JOIN cd ON cd.v = d.n_chars CROSS JOIN t
+             |WHERE d.source = 'src0' ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.RobustStats.ecdfScore(
+          docs.where(col("source") === "src0")
+            .select(col("doc_id"), col("n_chars")),
+          docs, "n_chars")
+          .select("doc_id", "n_chars", "ecdf_ppm")
+          .orderBy("doc_id")
+      }),
+
+    // ---- Herfindahl concentration of sources per language --------
+    Q("q285_hhi",
+      Some("""WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1, 2),
+             |g AS (SELECT lang, count(*)::BIGINT AS n_subgroups,
+             |  sum(n)::BIGINT AS n_rows, sum(n::HUGEINT * n) AS sq
+             |  FROM c GROUP BY lang)
+             |SELECT lang, n_subgroups, n_rows,
+             |  ((1000000::HUGEINT * sq) // (n_rows::HUGEINT * n_rows))::BIGINT AS hhi_ppm
+             |FROM g ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.concentrationIndex(
+          t(s, dir, "documents"), "lang", "source")
+          .orderBy("lang")),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
