@@ -355,4 +355,108 @@ class ScaleShapeSpec extends SparkSpec {
     assert(shuffles == 1,
       s"expected exactly 1 key hash shuffle (windows + aggregate share it), found $shuffles:\n$plan")
   }
+
+  test("conjunctiveTopK plan: term filter below the shuffle, top-k is TakeOrdered, no join") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text")
+    val q = Relevance.conjunctiveTopK(docs, "doc_id", "text",
+      Seq("alpha", "gamma"), k = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition k + driver merge:\n$plan")
+    assert(!plan.contains("Join"),
+      s"conjunctive AND is an aggregate, never a posting join:\n$plan")
+    // the isin() term filter must sit under the first exchange (only
+    // query-term postings shuffle, not the token stream)
+    val firstExchange = plan.indexOf("Exchange hashpartitioning")
+    val filterAt = plan.indexOf("alpha")
+    assert(firstExchange >= 0 && filterAt > firstExchange,
+      s"expected the term filter below (after, in bottom-up print) the doc shuffle:\n$plan")
+  }
+
+  test("winRateMatrix / pairRules / linkPrediction / acf plans: equi-joins only, no cartesian") {
+    import spark.implicits._
+    val scores = (0L until 300L).map(i => (s"m${i % 4}", i % 50, i))
+      .toDF("model", "item", "score")
+    val p1 = operators.EvalStats.winRateMatrix(scores, "model", "item", "score")
+      .queryExecution.executedPlan.toString
+    val baskets = (0L until 400L).map(i => (i % 60, s"i${i % 13}")).toDF("bk", "it")
+    val p2 = operators.Associations.pairRules(baskets, "bk", "it", 1L, 10)
+      .queryExecution.executedPlan.toString
+    val edges = (1L to 100L).map(i => (i, i % 23)).toDF("a", "b")
+    val p3 = Components.linkPrediction(edges, "a", "b", 10)
+      .queryExecution.executedPlan.toString
+    val ev = (0L until 500L).map(i => Tuple1(i * 1000000000L)).toDF("ts")
+    val p4 = operators.TimeSeries.acf(ev, "ts", Seq(1, 2), 60L)
+      .queryExecution.executedPlan.toString
+    Seq("winRateMatrix" -> p1, "pairRules" -> p2,
+      "linkPrediction" -> p3, "acf" -> p4).foreach { case (name, plan) =>
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must pair via equi-joins, never all-pairs:\n$plan")
+      // the only nested-loop allowed is the 1-row scalar broadcast
+      // attach (crossJoin(broadcast(agg))) — a conditioned or inner
+      // BNLJ would be a disguised all-pairs join
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+        .foreach(l => assert(l.contains("Cross"),
+          s"$name: non-scalar nested-loop join found: $l\n$plan"))
+    }
+  }
+
+  test("poissonBootstrapCi plan: explode feeds a partial aggregate; one replicate-keyed shuffle") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (s"doc $i", i)).toDF("text", "x")
+    val plan = operators.EvalStats.poissonBootstrapCi(docs, "text", "x", reps = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode"),
+      s"replicates must fan out via explode, not a join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"expected exactly one b-keyed shuffle (map-side partial sums), found $shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"bootstrap is join-free:\n$plan")
+  }
+
+  test("ordinal-backed operators never range-partition a global sort") {
+    import spark.implicits._
+    val docs = (0L until 800L).map(i => (i, s"s${i % 5}", i % 97)).toDF("id", "g", "v")
+    val plans = Seq(
+      "quantileNormalize" -> operators.RobustStats
+        .quantileNormalize(docs, "v", "g", "id"),
+      "lorenzCurve" -> operators.Mixing.lorenzCurve(docs, "id", "v"),
+      "runLengthStats" -> Sequencing_runLength(docs))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange rangepartitioning"),
+        s"$name must ride the ordinal bucket decomposition, not a global sort:\n$plan")
+    }
+  }
+
+  private def Sequencing_runLength(docs: org.apache.spark.sql.DataFrame) =
+    operators.Sequencing.runLengthStats(docs, "id", "v", Seq("g"))
+
+  test("bfsDistances result leaves are checkpointed RDDs (flat lineage across rounds)") {
+    import spark.implicits._
+    val e = (1 to 300).map(i => (i.toLong, (i % 41).toLong)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Components.bfsDistances(e, "a", "b", seeds, "node", maxHops = 3)
+    val leaves = out.queryExecution.analyzed.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"expected checkpointed leaves, got:\n${leaves.mkString("\n")}")
+  }
+
+  test("maintainCountSum plan: both outer-join inputs are aggregates (delta pre-collapsed)") {
+    import spark.implicits._
+    val base = (0 until 50).map(i => (s"k$i", 1L, 1L)).toDF("k", "cnt", "total")
+    val delta = (0 until 500).map(i => (s"k${i % 50}", "I", 1L)).toDF("k", "op", "v")
+    val plan = operators.IncrementalAgg
+      .maintainCountSum(base, delta, Seq("k"), "op", "v")
+      .queryExecution.executedPlan.toString
+    // the fact-sized delta must hash-aggregate BEFORE the join — the
+    // join then runs on key-cardinality frames only
+    val joinAt = plan.indexOf("Join")
+    val aggAfterJoin = plan.indexOf("HashAggregate", joinAt)
+    assert(joinAt >= 0 && aggAfterJoin > joinAt,
+      s"expected an aggregate below the outer join (delta collapsed first):\n$plan")
+  }
 }
