@@ -492,10 +492,13 @@ object Components {
                    seeds: DataFrame, seedCol: String,
                    maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
+    // the adjacency frame is static across rounds — materialize it
+    // once (otherwise every round re-derives the whole edge pipeline)
     val adj = edges.select(col(aCol).as("__w"), col(bCol).as("__u"))
       .unionAll(edges.select(col(bCol).as("__w"), col(aCol).as("__u")))
       .where(col("__w") =!= col("__u"))
       .dropDuplicates("__w", "__u")
+      .localCheckpoint()
     var visited = seeds.select(col(seedCol).as("node"), lit(0L).as("hop"))
       .dropDuplicates("node")
       .localCheckpoint()

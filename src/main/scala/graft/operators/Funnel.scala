@@ -147,6 +147,44 @@ object Funnel {
     * reached-set — k small shuffles for a k-step funnel, each
     * co-keyed on the user; AQE broadcasts the reached-set once it
     * fits. Per-user state is one timestamp, never a timeline. */
+  /** Corpus-wide ordered behavior motifs: each user's event-type
+    * sequence (ordered by `(tsCol, idCol)`) slides a length-`len`
+    * window, and every motif (`type1>type2>…`) is counted across all
+    * users — sequence mining's frequent-contiguous-pattern pass, one
+    * step past [[transitionCounts]]'s bigrams. Top-`k` by
+    * `(n DESC, motif)`. Users with fewer than `len` events contribute
+    * nothing.
+    *
+    * Scale shape: ONE user-keyed aggregation collects each user's
+    * (entity-bounded — the sessionize contract) ordered sequence; the
+    * window slide is a map-side `transform` + explode; motif counts
+    * partial-aggregate to a pattern-vocabulary-sized table; top-k is
+    * TakeOrderedAndProject. No window functions, no self-joins.
+    */
+  def motifCounts(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, len: Int,
+                  k: Int): DataFrame = {
+    require(len >= 2 && len <= 5, "motif length must be in [2, 5]")
+    require(k >= 1, "k must be positive")
+    val parts = (0 until len)
+      .map(j => s"element_at(__seq, i + $j)")
+      .mkString("concat(", ", '>', ", ")")
+    events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("e"))))
+        .as("__s"))
+      .withColumn("__seq", expr("transform(__s, r -> r.e)"))
+      .withColumn("motif", explode(expr(
+        s"CASE WHEN size(__seq) >= $len THEN " +
+          s"transform(sequence(1, size(__seq) - ${len - 1}), i -> $parts) " +
+          "ELSE array() END")))
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .orderBy(col("n").desc, col("motif"))
+      .limit(k)
+  }
+
   def funnelSteps(events: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "steps must be non-empty")

@@ -357,6 +357,52 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Offline change-point detection: the bucket boundary that
+    * maximizes the mean shift of the event-count series. For every
+    * candidate split after bucket `t`, the left/right count sums
+    * `(n_l, S_l)` / `(n_r, S_r)` give the exact integer shift score
+    * `(1e6 · |S_l·n_r − S_r·n_l|) div (n_l · n_r)` = 1e6 ·
+    * |mean_l − mean_r| — the argmax is where the level changed (the
+    * offline partner of the sequential [[cusumUpcrossings]] /
+    * streaming CUSUM alarms). Output one row: `(split_bucket,
+    * n_left, n_right, mean_left_micro, mean_right_micro,
+    * shift_micro)`; ties prefer the earliest split.
+    *
+    * Scale shape: the stream collapses to bucket counts first
+    * (map-side combine); every later step — cumulative sums and the
+    * argmax — runs on the time-range-bounded bucket series (the
+    * dimension-frame window convention, cf. [[Mixing.groupGini]]),
+    * with the argmax as a 1-row TakeOrdered.
+    */
+  def bestMeanShift(df: DataFrame, tsNanosCol: String,
+                    bucketSec: Long): DataFrame = {
+    require(bucketSec >= 1, "bucketSec must be positive")
+    val x = df
+      .withColumn("__h", expr(s"$tsNanosCol div (${bucketSec}L * 1000000000L)"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).cast("bigint").as("__x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = x.agg(count(lit(1)).cast("bigint").as("__n"),
+      sum(col("__x")).cast("bigint").as("__S"))
+    x.withColumn("__i", count(lit(1)).over(w).cast("bigint"))
+      .withColumn("__cs", sum(col("__x")).over(w).cast("bigint"))
+      .crossJoin(broadcast(tot))
+      .where(col("__i") < col("__n")) // a split needs a non-empty right side
+      .withColumn("n_left", col("__i"))
+      .withColumn("n_right", expr("__n - __i"))
+      .withColumn("shift_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * " +
+          "abs(__cs * (__n - __i) - (__S - __cs) * __i)) div " +
+          "(CAST(__i AS DECIMAL(38,0)) * (__n - __i)) AS BIGINT)"))
+      .withColumn("mean_left_micro", expr("(1000000L * __cs) div __i"))
+      .withColumn("mean_right_micro", expr("(1000000L * (__S - __cs)) div (__n - __i)"))
+      .select(col("__h").as("split_bucket"), col("n_left"), col("n_right"),
+        col("mean_left_micro"), col("mean_right_micro"), col("shift_micro"))
+      .orderBy(col("shift_micro").desc, col("split_bucket"))
+      .limit(1)
+  }
+
   /** Phase-of-period seasonal profile: every event lands in phase
     * `(ts div unitSec) % period` (e.g. unit = day, period = 7 →
     * day-of-week with phase 0 anchored to the epoch day, Thursday —

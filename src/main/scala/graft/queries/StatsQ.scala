@@ -451,6 +451,45 @@ object StatsQ {
           t(s, dir, "documents"), "lang", "source")
           .orderBy("lang")),
 
+    // ---- ordered behavior motifs (sequence mining) ---------------
+    // Per-user event-type trigrams, counted corpus-wide, top 20.
+    Q("q286_motifs",
+      Some("""WITH o AS (SELECT user_id,
+             |  list(event_type ORDER BY ts, event_id) AS seq
+             |  FROM events GROUP BY user_id),
+             |m AS (SELECT unnest(list_transform(range(1, len(seq) - 1),
+             |  i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS motif
+             |  FROM o WHERE len(seq) >= 3)
+             |SELECT motif, count(*)::BIGINT AS n FROM m GROUP BY motif
+             |ORDER BY n DESC, motif LIMIT 20""".stripMargin),
+      (s, dir) =>
+        graft.operators.Funnel.motifCounts(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+          len = 3, k = 20)),
+
+    // ---- offline change-point (largest mean shift) ---------------
+    // The daily-count split boundary maximizing |mean_l - mean_r|;
+    // the offline partner of the q252 CUSUM drift statistic.
+    Q("q287_changepoint",
+      Some("""WITH x AS (SELECT (epoch_us(ts) * 1000) // 86400000000000 AS h FROM events),
+             |c AS (SELECT h, count(*)::BIGINT AS x FROM x GROUP BY h),
+             |t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS S FROM c),
+             |cu AS (SELECT h, row_number() OVER (ORDER BY h) AS i,
+             |  sum(x) OVER (ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM c),
+             |sc AS (SELECT h, i::BIGINT AS n_left, (t.n - i)::BIGINT AS n_right,
+             |  ((1000000 * cs) // i)::BIGINT AS mean_left_micro,
+             |  ((1000000 * (t.S - cs)) // (t.n - i))::BIGINT AS mean_right_micro,
+             |  ((1000000::HUGEINT * abs(cs * (t.n - i) - (t.S - cs) * i)) //
+             |   (i::HUGEINT * (t.n - i)))::BIGINT AS shift_micro
+             |  FROM cu, t WHERE i < t.n)
+             |SELECT h::BIGINT AS split_bucket, n_left, n_right,
+             |  mean_left_micro, mean_right_micro, shift_micro
+             |FROM sc ORDER BY shift_micro DESC, split_bucket LIMIT 1""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.bestMeanShift(
+          t(s, dir, "events"), "ts", bucketSec = 86400L)),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
