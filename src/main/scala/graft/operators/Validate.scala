@@ -157,6 +157,91 @@ object Validate {
       .select(col("n"), col("po"), col("pe"), col("kappa"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al.): within each
+    * quasi-identifier group, how many DISTINCT sensitive values
+    * appear? A group with fewer than `l` is re-identifiable by
+    * linking (k-anonymity alone doesn't protect when everyone in the
+    * group shares the sensitive value). One summary row:
+    * `(n_groups, n_violating, min_diversity, rows_at_risk)` — the
+    * last is the row mass inside violating groups, the quantity a
+    * release gate must suppress or generalize.
+    *
+    * Scale shape: one quasi-keyed distinct-count aggregation (expand
+    * + two same-key exchanges, Spark's standard distinct-agg plan)
+    * then a dimension-free fold. Nothing else moves.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, "l must be at least 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("__nd"),
+        count(lit(1)).cast("bigint").as("__n"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_groups"),
+        sum(when(col("__nd") < l, 1L).otherwise(0L)).cast("bigint")
+          .as("n_violating"),
+        min(col("__nd")).cast("bigint").as("min_diversity"),
+        sum(when(col("__nd") < l, col("__n")).otherwise(0L)).cast("bigint")
+          .as("rows_at_risk"))
+  }
+
+  /** k-anonymity suppression release: group counts over the given
+    * (string-typed) dimensions, with every group smaller than `k`
+    * SUPPRESSED — its identity replaced by the `'__suppressed__'`
+    * sentinel and its mass folded into one residual row — the
+    * standard small-cell suppression rule for publishing aggregates
+    * (census/DP-adjacent release hygiene: tiny cells are the
+    * re-identification surface). Released rows keep their exact
+    * counts; the sentinel row carries the total suppressed mass so
+    * the release still sums to the input.
+    *
+    * Scale shape: one grouped count (map-side combined) and a
+    * dimension-sized conditional fold. */
+  def suppressSmallGroups(df: DataFrame, cols: Seq[String],
+                          k: Long): DataFrame = {
+    require(cols.nonEmpty, "need at least one dimension column")
+    require(k >= 2, "k must be at least 2")
+    val counts = df.groupBy(cols.map(c => col(c).cast("string").as(c)): _*)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val masked = counts.select(
+      cols.map(c => when(col("n") >= k, col(c))
+        .otherwise(lit("__suppressed__")).as(c)) :+ col("n"): _*)
+    masked.groupBy(cols.map(col): _*)
+      .agg(sum(col("n")).cast("bigint").as("n"))
+  }
+
+  /** Ingestion-order audit: within each entity (ordered by the
+    * monotone ingestion sequence `seqCol`), count adjacent pairs
+    * whose event time went BACKWARD — the out-of-order rate that
+    * decides watermark slack and flags broken producer clocks.
+    * One row: `(n_pairs, n_inversions, inversion_ppm, max_backstep)`
+    * with `max_backstep` the largest observed time regression (in
+    * the time column's own unit).
+    *
+    * Scale shape: one entity-keyed shuffle feeding a lag window
+    * (entity-bounded history — the sessionize contract) and a
+    * dimension-free fold. */
+  def timeOrderAudit(df: DataFrame, entityCol: String, seqCol: String,
+                     tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(seqCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .agg(
+        sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).cast("bigint")
+          .as("n_pairs"),
+        sum(when(col("__prev") > col(tsCol), 1L).otherwise(0L)).cast("bigint")
+          .as("n_inversions"),
+        coalesce(max(when(col("__prev") > col(tsCol),
+          col("__prev") - col(tsCol))), lit(0L)).cast("bigint")
+          .as("max_backstep"))
+      .withColumn("inversion_ppm", expr(
+        "CASE WHEN n_pairs = 0 THEN NULL " +
+          "ELSE (1000000L * n_inversions) div n_pairs END"))
+      .select(col("n_pairs"), col("n_inversions"), col("inversion_ppm"),
+        col("max_backstep"))
+  }
+
   /** Functional-dependency audit: does `detCols → depCol` hold? For
     * each distinct determinant key, count the distinct dependent
     * values; report `(n_keys, n_violating, max_distinct,

@@ -490,6 +490,60 @@ object StatsQ {
         graft.operators.TimeSeries.bestMeanShift(
           t(s, dir, "events"), "ts", bucketSec = 86400L)),
 
+    // ---- l-diversity privacy audit -------------------------------
+    // Quasi-identifier (event_type, weekday) groups with fewer than 5
+    // distinct users are linkable; report the mass at risk.
+    Q("q288_l_diversity",
+      Some("""WITH x AS (SELECT event_type,
+             |  ((epoch_us(ts) * 1000) // 86400000000000) % 7 AS dow, user_id
+             |  FROM events),
+             |g AS (SELECT event_type, dow, count(DISTINCT user_id)::BIGINT AS nd,
+             |  count(*)::BIGINT AS n FROM x GROUP BY 1, 2)
+             |SELECT count(*)::BIGINT AS n_groups,
+             |  sum(CASE WHEN nd < 5 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             |  min(nd)::BIGINT AS min_diversity,
+             |  sum(CASE WHEN nd < 5 THEN n ELSE 0 END)::BIGINT AS rows_at_risk
+             |FROM g""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.lDiversity(
+          t(s, dir, "events").withColumn("dow",
+            expr("(ts div 86400000000000L) % 7L")),
+          Seq("event_type", "dow"), "user_id", l = 5L)),
+
+    // ---- k-anonymity small-cell suppression ----------------------
+    // (lang, source) cells under 5 rows fold into one sentinel row;
+    // the release still sums to the corpus.
+    Q("q289_k_suppression",
+      Some("""WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+             |  FROM documents GROUP BY 1, 2),
+             |m AS (SELECT CASE WHEN n >= 5 THEN lang ELSE '__suppressed__' END AS lang,
+             |  CASE WHEN n >= 5 THEN source ELSE '__suppressed__' END AS source, n
+             |  FROM c)
+             |SELECT lang, source, sum(n)::BIGINT AS n FROM m
+             |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.suppressSmallGroups(
+          t(s, dir, "documents"), Seq("lang", "source"), k = 5L)
+          .orderBy("lang", "source")),
+
+    // ---- ingestion-order audit -----------------------------------
+    // Per-user, did event time ever go backward against ingestion
+    // (event_id) order? Decides watermark slack.
+    Q("q290_ts_audit",
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) * 1000 AS tn,
+             |  lag(epoch_us(ts) * 1000) OVER (PARTITION BY user_id
+             |    ORDER BY event_id) AS prev FROM events)
+             |SELECT sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+             |  sum(CASE WHEN prev > tn THEN 1 ELSE 0 END)::BIGINT AS n_inversions,
+             |  (CASE WHEN sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) = 0 THEN NULL
+             |   ELSE (1000000 * sum(CASE WHEN prev > tn THEN 1 ELSE 0 END)) //
+             |        sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) END)::BIGINT AS inversion_ppm,
+             |  coalesce(max(CASE WHEN prev > tn THEN prev - tn END), 0)::BIGINT AS max_backstep
+             |FROM o""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.timeOrderAudit(
+          t(s, dir, "events"), "user_id", "event_id", "ts")),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
