@@ -1191,4 +1191,73 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col(blockCol))
   }
+
+  /** Truncated-toward-zero scaled integer division `(s·x) div m` —
+    * rendered with an explicit sign split so ANY engine (floor- or
+    * truncate-division) reproduces it bitwise. */
+  private def rescaleSql(x: String, m: String, s: Long): String =
+    s"CASE WHEN $x < 0 THEN -((${s}L * -$x) div $m) ELSE (${s}L * $x) div $m END"
+
+  /** Distributed power iteration for the corpus's top principal
+    * direction, in EXACT integer arithmetic: embeddings quantize on a
+    * fixed global grid (`q = trunc-round(x · scale)`, so |q| ≤ scale
+    * for unit-bounded inputs), and each iteration is the classic
+    * two-sided mat-vec —
+    * `u_i = Σ_j q_ij·v_j` (per-row dot), rescaled to max |u| = scale,
+    * then `w_j = Σ_i q_ij·u_i` (per-dimension fold), rescaled to
+    * max |w| = scale as the next `v`. All products stay far inside
+    * int64 BECAUSE of the per-side rescale (|q|,|v|,|u| ≤ scale ⇒
+    * every partial ≤ n·scale² — switch the w-fold to DECIMAL(38,0)
+    * past ~10¹² rows); truncated division is rendered sign-split so
+    * the result is bitwise engine-invariant (floor-vs-truncate
+    * division of negatives is the classic cross-engine trap).
+    * Output: `(dim, v)` — the converged direction on the
+    * [−scale, scale] grid, one row per dimension.
+    *
+    * Scale shape: the long-form `(row, dim, q)` frame is derived
+    * once; per iteration ONE row-keyed aggregation (the dot — the
+    * dim-table v broadcasts), one scalar max, ONE dim-keyed
+    * aggregation (64 keys — map-side combined to nothing), one
+    * scalar max. The driver holds only d-sized vectors per round
+    * (the k-means/centroid convention). Iterations are a fixed
+    * constant — classic BSP.
+    */
+  def powerIterationInt(df: DataFrame, idCol: String, vecCol: String,
+                        iters: Int = 3, scale: Long = 1000L): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    require(scale >= 10, "scale must be at least 10")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = df.select(col(idCol).as("__id"),
+        posexplode(expr(
+          s"transform($vecCol, px -> CAST(floor(CAST(px AS DOUBLE) * $scale.0D + 0.5D) AS BIGINT))"))
+          .as(Seq("__j", "__q")))
+      .persist()
+    val dims = e.agg(max(col("__j"))).head().getInt(0) + 1
+    var v: Array[Long] = Array.fill(dims)(scale)
+    (1 to iters).foreach { _ =>
+      val vDf = broadcast(v.toSeq.zipWithIndex
+        .map { case (x, j) => (j, x) }.toDF("__j", "__v"))
+      val u = e.join(vDf, Seq("__j"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__q") * col("__v")).cast("bigint").as("__u"))
+      val mu = math.max(1L,
+        u.agg(max(abs(col("__u")))).head().getLong(0))
+      val us = u.withColumn("__us", expr(rescaleSql("__u", mu.toString, scale)))
+        .select(col("__id"), col("__us"))
+      val w = e.join(us, Seq("__id"))
+        .groupBy(col("__j"))
+        .agg(sum(col("__q") * col("__us")).cast("bigint").as("__w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val mw = math.max(1L, w.values.map(math.abs).max)
+      v = Array.tabulate(dims) { j =>
+        val x = w.getOrElse(j, 0L)
+        val a = (scale * math.abs(x)) / mw
+        if (x < 0) -a else a
+      }
+    }
+    v.toSeq.zipWithIndex.map { case (x, j) => (j.toLong, x) }
+      .toDF("dim", "v")
+      .orderBy("dim")
+  }
 }

@@ -544,6 +544,95 @@ object StatsQ {
         graft.operators.Validate.timeOrderAudit(
           t(s, dir, "events"), "user_id", "event_id", "ts")),
 
+    // ---- integer power iteration (top principal direction) -------
+    // Three exact-integer mat-vec rounds on the globally-quantized
+    // embedding matrix; the oracle unrolls the identical arithmetic
+    // (sign-split truncated division — floor-vs-truncate on negatives
+    // is the cross-engine trap).
+    Q("q291_power_iteration", {
+      def resc(x: String, m: String) =
+        s"CASE WHEN $x < 0 THEN -((1000 * -$x) // $m) ELSE (1000 * $x) // $m END"
+      val iters = (2 to 3).map { r =>
+        s"""u$r AS (SELECT vec_id, sum(el.qx * v${r - 1}.v)::BIGINT AS u
+           |  FROM el JOIN v${r - 1} USING (j) GROUP BY vec_id),
+           |m$r AS (SELECT greatest(1, max(abs(u)))::BIGINT AS m FROM u$r),
+           |s$r AS (SELECT vec_id, ${resc("u", "m")} AS us FROM u$r, m$r),
+           |w$r AS (SELECT j, sum(el.qx * s$r.us)::BIGINT AS w
+           |  FROM el JOIN s$r USING (vec_id) GROUP BY j),
+           |mw$r AS (SELECT greatest(1, max(abs(w)))::BIGINT AS m FROM w$r),
+           |v$r AS (SELECT j, ${resc("w", "m")} AS v FROM w$r, mw$r)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+              |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+              |  FROM embeddings),
+              |e AS MATERIALIZED (SELECT vec_id, unnest(list_transform(
+              |  range(1, len(qv) + 1), i -> {'j': i - 1, 'qx': qv[i]})) AS s FROM q),
+              |el AS (SELECT vec_id, s.j AS j, s.qx AS qx FROM e),
+              |u1 AS (SELECT vec_id, sum(qx * 1000)::BIGINT AS u FROM el GROUP BY vec_id),
+              |m1 AS (SELECT greatest(1, max(abs(u)))::BIGINT AS m FROM u1),
+              |s1 AS (SELECT vec_id, ${resc("u", "m")} AS us FROM u1, m1),
+              |w1 AS (SELECT j, sum(el.qx * s1.us)::BIGINT AS w
+              |  FROM el JOIN s1 USING (vec_id) GROUP BY j),
+              |mw1 AS (SELECT greatest(1, max(abs(w)))::BIGINT AS m FROM w1),
+              |v1 AS (SELECT j, ${resc("w", "m")} AS v FROM w1, mw1),
+              |$iters
+              |SELECT j::BIGINT AS dim, v::BIGINT AS v FROM v3 ORDER BY dim""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.SimilarityOps.powerIterationInt(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          iters = 3, scale = 1000L)),
+
+    // ---- longest shared passage (dedup evidence) -----------------
+    // For single-minhash collision pairs, the longest contiguous run
+    // of shared 3-token shingles — copied passages align on one
+    // positional diagonal; scattered matches are just shared vocab.
+    Q("q292_shared_run", {
+      val (a0, b0) = TextHash.Seeds.head
+      Some(s"""WITH toks AS (SELECT doc_id, text, ${D.tokens("text")} AS t FROM documents),
+              |sh AS (SELECT doc_id, ${D.shingles3("t", "text")} AS shs FROM toks),
+              |hs AS MATERIALIZED (SELECT doc_id, unnest(list_transform(
+              |  range(1, len(shs) + 1),
+              |  gi -> {'p': gi - 1, 'h': ${D.rollingHash("shs[gi]")}})) AS g FROM sh),
+              |g AS (SELECT doc_id, g.p AS p, g.h AS h FROM hs),
+              |sig AS (SELECT doc_id, ${D.minhash("shs", a0, b0)} AS m0 FROM sh),
+              |pairs AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+              |  FROM sig x JOIN sig y ON x.m0 = y.m0 AND x.doc_id < y.doc_id),
+              |m AS (SELECT p.a_id, p.b_id, ga.p AS pa, gb.p AS pb
+              |  FROM pairs p JOIN g ga ON ga.doc_id = p.a_id
+              |  JOIN g gb ON gb.doc_id = p.b_id AND gb.h = ga.h),
+              |r AS (SELECT a_id, b_id, pa - pb AS diag, pa,
+              |  pa - row_number() OVER (PARTITION BY a_id, b_id, pa - pb
+              |    ORDER BY pa) AS grp FROM m),
+              |rr AS (SELECT a_id, b_id, diag, grp, count(*)::BIGINT AS run
+              |  FROM r GROUP BY 1, 2, 3, 4),
+              |agg AS (SELECT a_id, b_id, sum(run)::BIGINT AS n_shared,
+              |  max(run)::BIGINT AS run_shingles FROM rr GROUP BY 1, 2)
+              |SELECT p.a_id, p.b_id, coalesce(agg.n_shared, 0)::BIGINT AS n_shared,
+              |  coalesce(agg.run_shingles, 0)::BIGINT AS run_shingles,
+              |  (CASE WHEN agg.run_shingles IS NULL THEN 0
+              |    ELSE agg.run_shingles + 2 END)::BIGINT AS run_tokens
+              |FROM pairs p LEFT JOIN agg ON agg.a_id = p.a_id AND agg.b_id = p.b_id
+              |ORDER BY p.a_id, p.b_id""".stripMargin)
+    },
+      (s, dir) => {
+        import TextHash.{spark => H}
+        val (a0, b0) = TextHash.Seeds.head
+        val docs = t(s, dir, "documents")
+        val sig = graft.operators.TextOps.withTokens(
+            docs.select(col("doc_id"), col("text")), "text", "__toks")
+          .withColumn("m0", expr(H.minhashFromHashes(
+            H.hashArray(H.shingles3("__toks", "text")), a0, b0)))
+          .select(col("doc_id"), col("m0"))
+        val pairs = sig.select(col("doc_id").as("a_id"), col("m0"))
+          .join(sig.select(col("doc_id").as("b_id"), col("m0")), Seq("m0"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+        graft.operators.DedupOps.longestSharedRun(
+          docs, "doc_id", "text", pairs, "a_id", "b_id")
+          .orderBy("a_id", "b_id")
+      }),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
