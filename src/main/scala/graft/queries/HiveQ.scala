@@ -219,6 +219,27 @@ object HiveQ {
         s.read.option("header", "true").option("inferSchema", "false").csv(out)
           .select("r_regionkey", "r_name")
           .orderBy("r_regionkey")
+      }),
+
+    // ---- manifest-bloom equality skip scan -----------------------
+    // Point lookup on a HASH-distributed (deliberately unclustered)
+    // table: per-file min/max windows all overlap, but the per-file
+    // manifest blooms drop every file not carrying the probed key
+    // before any IO. Bloom-really-skips is pinned in
+    // ManagedDatasetSpec via the corrupted-file trick; here the
+    // oracle states plain-filter semantics.
+    Q("q293_bloom_skip_scan",
+      Some("""SELECT count(*)::BIGINT AS n,
+             |  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS sum_micro
+             |FROM events WHERE user_id = 7""".stripMargin),
+      (s, dir) => {
+        val ds = graft.sources.ManagedDataset(
+          tmp("graft_q293_"), Nil, Seq("user_id"))(s)
+        ds.write(t(s, dir, "events").repartition(16, col("user_id")))
+        ds.scanPrunedEquality("user_id", "7").get
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+              .cast("bigint").as("sum_micro"))
       })
   )
 }

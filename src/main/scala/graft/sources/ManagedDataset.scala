@@ -155,9 +155,22 @@ case class ManagedDataset(
     if (cols.isEmpty) return Nil
     val dir = new Path(qualifiedBase, dataDir)
     if (!hasParquet(dir)) return Nil
-    val aggs = cols.flatMap(c =>
+    // per-file, per-column 1024-bit bloom of the portable hash of the
+    // value's STRING rendering — the equality complement of min/max
+    // (collect_set of bit positions; <= 1024 distinct, skips NULLs;
+    // registration-free HOF hash so specs need no function setup)
+    def bloomAgg(c: String, s: Int) = {
+      val (a, b) = ManagedDataset.BloomSeeds(s)
+      val hh = graft.functions.TextHash.spark.rollingHashHof(s"CAST(`$c` AS STRING)")
+      org.apache.spark.sql.functions.collect_set(
+        org.apache.spark.sql.functions.expr(
+        s"(($a * ($hh) + $b) % ${graft.functions.TextHash.P}L) % ${ManagedDataset.BloomBits}L"))
+        .as(s"__bl_${s}_$c")
+    }
+    val aggs = (cols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) :+
-      count(lit(1)).as("__rows")
+      count(lit(1)).as("__rows")) ++
+      cols.flatMap(c => (0 until ManagedDataset.BloomSeeds.size).map(s => bloomAgg(c, s)))
     spark.read.option("basePath", dir.toString).parquet(dir.toString)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -175,7 +188,16 @@ case class ManagedDataset(
         val maxs = cols.zipWithIndex.flatMap { case (c, j) =>
           Option(r.get(2 + 2 * j)).map(v => c -> String.valueOf(v))
         }.toMap
-        ManagedDataset.FileStat(rel, r.getLong(1 + 2 * cols.size), mins, maxs)
+        val nSeeds = ManagedDataset.BloomSeeds.size
+        val bloomBase = 2 + 2 * cols.size
+        val blooms = cols.zipWithIndex.map { case (c, j) =>
+          val positions = (0 until nSeeds).flatMap { s =>
+            r.getSeq[Long](bloomBase + nSeeds * j + s)
+          }
+          c -> ManagedDataset.bitmapHex(positions)
+        }.toMap
+        ManagedDataset.FileStat(rel, r.getLong(1 + 2 * cols.size), mins, maxs,
+          blooms)
       }
   }
 
@@ -354,6 +376,80 @@ case class ManagedDataset(
     }
   }
 
+  /** Equality skip scan with manifest BLOOM filters: semantics
+    * exactly `scan().filter(colName = value)`, but every data file
+    * whose per-file 1024-bit bloom (recorded at commit, over the
+    * portable hash of each value's string rendering) definitively
+    * excludes `value` is dropped before any IO — the point-lookup
+    * complement of [[scanPruned]]'s min/max windows, which cannot
+    * skip on a high-cardinality column whose per-file ranges all
+    * overlap (the id-lookup-in-an-unclustered-table case). False
+    * positives only (a ~1% rate at 1024 bits / 3 hashes / ≤100
+    * distinct values per file) — a false positive costs one extra
+    * file read, never a wrong answer; files from pre-bloom commits
+    * are conservatively kept via the min/max window. `value` must be
+    * the column's canonical string rendering (the same contract as
+    * [[scanPruned]]'s bounds). */
+  def scanPrunedEquality(colName: String, value: String): Option[DataFrame] =
+    latestVersion().map { v =>
+      val m = readManifest(v)
+      val dt = m.schema.find(_.name == colName).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"scanPrunedEquality: column $colName not in snapshot schema"))
+      val parts = m.commitDirs.flatMap { d =>
+        val dir = new Path(qualifiedBase, d)
+        m.stats.get(d) match {
+          case Some(fileStats) =>
+            val keep = fileStats.filter(f =>
+              ManagedDataset.mayContainEquality(dt, f, colName, value))
+            if (keep.isEmpty) None
+            else Some(spark.read.option("basePath", dir.toString)
+              .parquet(keep.map(f => new Path(dir, f.file).toString): _*))
+          case None =>
+            if (hasParquet(dir))
+              Some(spark.read.option("basePath", dir.toString).parquet(dir.toString))
+            else None
+        }
+      }
+      val df =
+        if (parts.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      val cast = partitionColumns.foldLeft(df)((d, c) =>
+        d.withColumn(c, col(c).cast(StringType)))
+      cast.filter(col(colName) ===
+        org.apache.spark.sql.functions.lit(value).cast(dt))
+    }
+
+  /** The file count [[scanPrunedEquality]] would read — bloom-skip
+    * diagnostics without IO (pre-bloom commits count every file,
+    * like the read itself). */
+  def prunedFileCountEquality(colName: String, value: String): Option[Long] =
+    latestVersion().map { v =>
+      val m = readManifest(v)
+      val dt = m.schema.find(_.name == colName).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"prunedFileCountEquality: column $colName not in snapshot schema"))
+      m.commitDirs.map { d =>
+        m.stats.get(d) match {
+          case Some(fileStats) =>
+            fileStats.count(f =>
+              ManagedDataset.mayContainEquality(dt, f, colName, value)).toLong
+          case None =>
+            val dir = new Path(qualifiedBase, d)
+            if (!fs.exists(dir)) 0L
+            else {
+              val it = fs.listFiles(dir, true)
+              var n = 0L
+              while (it.hasNext)
+                if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+              n
+            }
+        }
+      }.sum
+    }
+
   /** The file count [[scanPrunedRanges]] would read for `ranges` —
     * layout diagnostics (how well does the clustering key serve this
     * query shape?) without any data IO. Counts every file of a
@@ -504,7 +600,59 @@ object ManagedDataset {
     * (absent key = no bound recorded — never pruned). */
   private[sources] case class FileStat(
       file: String, rows: Long,
-      mins: Map[String, String], maxs: Map[String, String])
+      mins: Map[String, String], maxs: Map[String, String],
+      blooms: Map[String, String] = Map.empty)
+
+  /** Bloom sizing: 1024 bits (128 bytes, 256 hex chars per column per
+    * file in the manifest), 3 portable hash functions. */
+  private[sources] val BloomBits = 1024
+  private[sources] val BloomSeeds: Seq[(Long, Long)] =
+    graft.functions.TextHash.Seeds.slice(1, 4)
+
+  /** The repo's portable polynomial rolling hash, in plain Scala —
+    * bitwise-equal to TextHash.spark/duck renderings for BMP text
+    * (the stats strings here are numeric/ASCII renderings). */
+  private[sources] def portableHash(s: String): Long = {
+    val P = graft.functions.TextHash.P
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i).toInt) % P; i += 1 }
+    h
+  }
+
+  private[sources] def bloomPositions(value: String): Seq[Int] = {
+    val P = graft.functions.TextHash.P
+    val h = portableHash(value)
+    BloomSeeds.map { case (a, b) => (((a * h + b) % P) % BloomBits).toInt }
+  }
+
+  private[sources] def bitmapHex(positions: Iterable[Long]): String = {
+    val bytes = Array.fill[Byte](BloomBits / 8)(0)
+    positions.foreach { p =>
+      val i = p.toInt
+      bytes(i / 8) = (bytes(i / 8) | (1 << (i % 8))).toByte
+    }
+    bytes.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  private[sources] def bitSet(hex: String, pos: Int): Boolean = {
+    val byte = Integer.parseInt(hex.substring(2 * (pos / 8), 2 * (pos / 8) + 2), 16)
+    (byte & (1 << (pos % 8))) != 0
+  }
+
+  /** Equality skip test: bloom says definitively-absent, else fall
+    * back to the min/max window. Absent bloom (pre-bloom manifests)
+    * → conservative min/max only. */
+  private[sources] def mayContainEquality(
+      dt: org.apache.spark.sql.types.DataType, f: FileStat,
+      c: String, value: String): Boolean = {
+    val rangeOk = mayOverlap(dt, f.mins.get(c), f.maxs.get(c), value, value)
+    f.blooms.get(c) match {
+      case Some(hex) if hex.length == BloomBits / 4 =>
+        rangeOk && bloomPositions(value).forall(bitSet(hex, _))
+      case _ => rangeOk
+    }
+  }
 
   private[sources] case class Manifest(
       version: Long, mode: String, commitDirs: Seq[String], schema: StructType,
@@ -563,6 +711,10 @@ object ManagedDataset {
           f.mins.foreach { case (k, v) => mnN.put(k, v) }
           val mxN = fn.putObject("max")
           f.maxs.foreach { case (k, v) => mxN.put(k, v) }
+          if (f.blooms.nonEmpty) {
+            val blN = fn.putObject("bloom")
+            f.blooms.foreach { case (k, v) => blN.put(k, v) }
+          }
         }
       }
     }
@@ -589,15 +741,17 @@ object ManagedDataset {
           val fn = fIt.next()
           def strMap(name: String): Map[String, String] = {
             val mb = Map.newBuilder[String, String]
-            val it2 = fn.get(name).fields()
-            while (it2.hasNext) {
-              val kv = it2.next()
-              mb += kv.getKey -> kv.getValue.asText()
+            Option(fn.get(name)).foreach { n =>
+              val it2 = n.fields()
+              while (it2.hasNext) {
+                val kv = it2.next()
+                mb += kv.getKey -> kv.getValue.asText()
+              }
             }
             mb.result()
           }
           files += FileStat(fn.get("file").asText(), fn.get("rows").asLong(),
-            strMap("min"), strMap("max"))
+            strMap("min"), strMap("max"), strMap("bloom"))
         }
         b += e.getKey -> files.result()
       }

@@ -381,4 +381,55 @@ class ManagedDatasetSpec extends SparkSpec {
       assert(got == Seq(1L, 2L))
     }
   }
+
+  test("bloom equality skip: files not carrying the key are physically never read") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil, Seq("k"))
+      import spark.implicits._
+      // hash-distributed: every file's [min,max] spans the domain, so
+      // min/max windows skip NOTHING — only the bloom can
+      val data = (1L to 400L).map(i => (i % 20, s"p$i")).toDF("k", "payload")
+      ds.write(data.repartition(8, col("k")))
+      val expected = ds.scan().get.filter(col("k") === 7L).count()
+      assert(expected == 20L)
+      // corrupt every file that does NOT contain k=7 — a reader that
+      // opens one dies, so a green result proves bloom-skipping
+      import scala.jdk.CollectionConverters._
+      val victims = Files.walk(Paths.get(url)).iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filter { p =>
+          spark.read.parquet(p.toString)
+            .filter(col("k") === 7L).isEmpty
+        }.toList
+      assert(victims.nonEmpty, "hash distribution must leave k=7-free files")
+      victims.foreach(p => Files.write(p, "not parquet".getBytes))
+      assert(ds.scanPrunedEquality("k", "7").get.count() == expected)
+      // control: the corrupted files ARE in the unpruned path
+      intercept[Exception](ds.scan().get.agg(sum(col("k"))).head)
+      // diagnostics agree: fewer files read than exist
+      val kept = ds.prunedFileCountEquality("k", "7").get
+      assert(kept >= 1 && kept < 8)
+    }
+  }
+
+  test("bloom skip is exact under appends and range predicates stay unaffected") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil, Seq("k"))
+      import spark.implicits._
+      ds.write((1L to 100L).map(i => (i % 10, i)).toDF("k", "v")
+        .repartition(4, col("k")))
+      ds.append((100L to 200L).map(i => (i % 10 + 10, i)).toDF("k", "v")
+        .repartition(4, col("k")))
+      val got = ds.scanPrunedEquality("k", "13").get
+        .select(col("v")).collect().map(_.getLong(0)).sorted.toSeq
+      val want = ds.scan().get.filter(col("k") === 13L)
+        .select(col("v")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want && want.nonEmpty)
+      // absent key: every file bloom-rejects -> empty, no error
+      assert(ds.scanPrunedEquality("k", "999").get.count() == 0L)
+    }
+  }
+
 }
