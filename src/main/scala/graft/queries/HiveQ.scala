@@ -240,6 +240,29 @@ object HiveQ {
           .agg(count(lit(1)).cast("bigint").as("n"),
             sum(expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
               .cast("bigint").as("sum_micro"))
+      }),
+
+    // ---- RESTORE + manifest row-count introspection --------------
+    // write -> append -> restore(v1): three versions whose logical
+    // row counts come straight from the manifest stats (no data IO);
+    // the oracle derives the same three counts from the source table.
+    Q("q294_version_report",
+      Some("""WITH t AS (SELECT count(*)::BIGINT AS n FROM orders),
+             |f AS (SELECT count(*)::BIGINT AS n FROM orders WHERE o_orderstatus = 'F')
+             |SELECT 1::BIGINT AS version, t.n AS n_rows FROM t
+             |UNION ALL SELECT 2, t.n + f.n FROM t, f
+             |UNION ALL SELECT 3, t.n FROM t
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val ds = graft.sources.ManagedDataset(
+          tmp("graft_q294_"), Nil, Seq("o_orderkey"))(s)
+        val orders = t(s, dir, "orders")
+        ds.write(orders)
+        ds.append(orders.where(col("o_orderstatus") === "F"))
+        ds.restore(1L)
+        ds.versionRowCounts().toDF("version", "n_rows")
+          .orderBy("version")
       })
   )
 }

@@ -501,6 +501,31 @@ case class ManagedDataset(
 
   // ---- maintenance -----------------------------------------------
 
+  /** Roll the table BACK to how it looked at `version`, as a NEW
+    * overwrite commit (Delta's RESTORE): history is preserved — the
+    * bad commits stay in the log for audit, the restore is itself
+    * versioned and vacuum-able, and concurrent readers see an atomic
+    * flip like any other commit. Throws when `version` is unknown or
+    * already vacuumed. */
+  def restore(version: Long): Long = {
+    write(readVersion(version))
+    latestVersion().get
+  }
+
+  /** Per-version logical row counts straight from the manifest's
+    * recorded file stats — log introspection with ZERO data IO
+    * (growth auditing, quota checks, "did that backfill land?").
+    * Versions whose commits predate stats (or carry stats-free
+    * schema evolution) fall back to counting the snapshot. */
+  def versionRowCounts(): Seq[(Long, Long)] =
+    versions().map { v =>
+      val m = readManifest(v)
+      val statted = m.commitDirs.flatMap(m.stats.get)
+      if (statted.size == m.commitDirs.size && m.commitDirs.nonEmpty)
+        v -> statted.flatten.map(_.rows).sum
+      else v -> readVersion(v).count()
+    }
+
   /** Rewrite the current snapshot as ONE overwrite commit, collapsing
     * the union-of-N-directories plan that accumulates under appends.
     * No-op (false) when the table is empty or already one directory. */

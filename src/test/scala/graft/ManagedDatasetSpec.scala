@@ -432,4 +432,21 @@ class ManagedDatasetSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls back as a new audited commit; row counts read from the log") {
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Nil, Seq("k"))
+      import spark.implicits._
+      ds.write((1L to 10L).map(i => (i, s"v$i")).toDF("k", "p"))
+      ds.append((11L to 15L).map(i => (i, s"v$i")).toDF("k", "p"))
+      val restored = ds.restore(1L)
+      assert(restored == 3L)
+      // the restore is a real commit: history intact, snapshot = v1
+      assert(ds.versions() == Seq(1L, 2L, 3L))
+      assert(ds.scan().get.count() == 10L)
+      assert(ds.readVersion(2L).count() == 15L) // audit trail preserved
+      // manifest-derived row counts, no data IO needed
+      assert(ds.versionRowCounts() == Seq(1L -> 10L, 2L -> 15L, 3L -> 10L))
+      intercept[Exception](ds.restore(99L))
+    }
+  }
 }
