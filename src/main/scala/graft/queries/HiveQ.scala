@@ -263,6 +263,41 @@ object HiveQ {
         ds.restore(1L)
         ds.versionRowCounts().toDF("version", "n_rows")
           .orderBy("version")
+      }),
+
+    // ---- MERGE INTO (upsert + delete) on the managed log ---------
+    // CDC-style merge: keys %10=3 update (+1000 price), the %30=3
+    // subset deletes, keys %100=7 insert shifted clones; the oracle
+    // states the expected final table directly.
+    Q("q295_managed_merge",
+      Some("""WITH fin AS (
+             |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 10 <> 3
+             |  UNION ALL
+             |  SELECT o_orderstatus, o_totalprice + 1000 FROM orders
+             |  WHERE o_orderkey % 10 = 3 AND o_orderkey % 30 <> 3
+             |  UNION ALL
+             |  SELECT 'N', o_totalprice FROM orders WHERE o_orderkey % 100 = 7)
+             |SELECT o_orderstatus, count(*)::BIGINT AS n,
+             |  (sum(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS sum_price
+             |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val ds = graft.sources.ManagedDataset(
+          tmp("graft_q295_"), Nil, Seq("o_orderkey"))(s)
+        val orders = t(s, dir, "orders")
+        ds.write(orders)
+        val updates = orders.where(col("o_orderkey") % 10 === 3)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        val inserts = orders.where(col("o_orderkey") % 100 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("N"))
+        ds.merge(updates.unionByName(inserts), Seq("o_orderkey"),
+          deleteWhen = Some(col("o_orderkey") % 30 === 3))
+        ds.scan().get
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -633,6 +633,67 @@ object StatsQ {
           .orderBy("a_id", "b_id")
       }),
 
+    // ---- TPC-H Q7 shape: bilateral shipping volume ---------------
+    // Revenue between nation pair (1, 2) in either direction, by
+    // ship year; dims broadcast, the fact table shuffles once.
+    Q("q296_nation_volume",
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  year(l_shipdate)::BIGINT AS l_year, count(*)::BIGINT AS n,
+             |  (sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))))::DOUBLE AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |WHERE (sn.n_nationkey = 1 AND cn.n_nationkey = 2)
+             |   OR (sn.n_nationkey = 2 AND cn.n_nationkey = 1)
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val nation = t(s, dir, "nation")
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+            col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+          .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+            col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+          .where((col("sk") === 1 && col("ck") === 2) ||
+            (col("sk") === 2 && col("ck") === 1))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate").cast("timestamp")).cast("bigint").as("l_year"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,6)")).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    // ---- TPC-H Q18 shape: large-volume orders --------------------
+    // Orders whose total quantity clears a threshold, top 20 by
+    // (quantity DESC, key): the HAVING-over-join reporting classic.
+    Q("q297_large_orders",
+      Some("""WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+             |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+             |SELECT c_custkey, o_orderkey,
+             |  (CAST(total_qty AS DECIMAL(18,2)))::DOUBLE AS total_qty
+             |FROM big JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("__tq"))
+          .where(col("__tq") > 150)
+        big.join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            col("__tq").cast("decimal(18,2)").cast("double").as("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey"))
+          .limit(20)
+      }),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",

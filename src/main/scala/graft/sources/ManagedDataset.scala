@@ -499,6 +499,49 @@ case class ManagedDataset(
     }
   }
 
+  /** MERGE INTO (upsert with optional delete) against the latest
+    * snapshot, as one atomic versioned commit — the lakehouse
+    * operator that turns CDC feeds into table state:
+    *
+    *   - a target row whose key matches a source row is REPLACED by
+    *     it (whole-row update), or DROPPED when the source row
+    *     satisfies `deleteWhen`;
+    *   - a source row with no target match INSERTS (unless it
+    *     satisfies `deleteWhen` — deleting a non-existent key is a
+    *     no-op, per MERGE convention);
+    *   - unmatched target rows pass through untouched.
+    *
+    * Source keys must be unique (two source rows for one key is the
+    * ambiguous-merge error every engine raises on). Schemas align by
+    * name. Returns the new version.
+    *
+    * Scale shape: ONE key-keyed anti-join (target vs source keys —
+    * the source is CDC-sized, so it broadcasts under AQE) plus a
+    * union, committed through the same atomic manifest publish as
+    * any write; no per-row driver work. The rewrite is
+    * snapshot-sized — at 100 TB you bound it by partition-scoping
+    * the merge upstream (the same discipline as Delta without
+    * deletion vectors).
+    */
+  def merge(source: DataFrame, keyCols: Seq[String],
+            deleteWhen: Option[org.apache.spark.sql.Column] = None): Long = {
+    require(keyCols.nonEmpty, "need at least one merge key column")
+    val target = scan().getOrElse(throw new IllegalStateException(
+      s"merge: table $cleanUrl has no committed version"))
+    val dupes = source.groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dupes.isEmpty,
+      s"merge: source has duplicate keys (e.g. ${dupes.headOption.orNull}) — " +
+        "a key must resolve to one source row")
+    val survivors = deleteWhen.map(c => source.filter(!c)).getOrElse(source)
+    val untouched = target.join(
+      source.select(keyCols.map(col): _*), keyCols, "left_anti")
+    write(untouched.unionByName(survivors, allowMissingColumns = true))
+    latestVersion().get
+  }
+
   // ---- maintenance -----------------------------------------------
 
   /** Roll the table BACK to how it looked at `version`, as a NEW

@@ -449,4 +449,34 @@ class ManagedDatasetSpec extends SparkSpec {
       intercept[Exception](ds.restore(99L))
     }
   }
+
+  test("merge: update replaces, delete drops, insert lands, untouched pass through") {
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Nil, Seq("k"))
+      import spark.implicits._
+      ds.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "p"))
+      val source = Seq((2L, "B2"), (3L, "whatever"), (4L, "d"), (5L, "gone"))
+        .toDF("k", "p")
+      val v = ds.merge(source, Seq("k"),
+        deleteWhen = Some(col("p") === "whatever" || col("p") === "gone"))
+      assert(v == 2L)
+      val got = ds.scan().get.collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // 1 untouched, 2 replaced, 3 deleted, 4 inserted, 5 delete-noop
+      assert(got == Map(1L -> "a", 2L -> "B2", 4L -> "d"))
+      // pre-merge state still readable (audit)
+      assert(ds.readVersion(1L).count() == 3L)
+    }
+  }
+
+  test("merge refuses ambiguous sources (duplicate keys)") {
+    withTempDir { dir =>
+      val ds = ManagedDataset(s"$dir/ds", Nil, Seq("k"))
+      import spark.implicits._
+      ds.write(Seq((1L, "a")).toDF("k", "p"))
+      val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "p")
+      val e = intercept[IllegalArgumentException](ds.merge(dup, Seq("k")))
+      assert(e.getMessage.contains("duplicate keys"))
+    }
+  }
 }
