@@ -168,4 +168,60 @@ object Sketches {
           s"ELSE ${lo}D + (p_bucket - 1) * ${width}D END"))
       .orderBy(col(groupCol))
   }
+
+  /** KMV (k-minimum-values) join-key overlap estimate: how many
+    * distinct keys do two tables SHARE, estimated from two bottom-k
+    * hash sketches — the join-cardinality probe an optimizer (or an
+    * engineer sizing a join) wants without scanning either table
+    * twice. Bottom-k of the union U gives the union estimate
+    * `(k−1)·P div max(U)` (exact `|U|` when fewer than k hashes
+    * exist — the sketch saw everything); the shared fraction within
+    * U scales it to the overlap. All integer arithmetic on the
+    * portable hash (space `P`), so the estimate itself is
+    * engine-reproducible — an estimator with a bitwise oracle.
+    * Output one row:
+    * `(k_used, est_union, est_overlap, exact_overlap)` (the exact
+    * count is computed alongside as the calibration witness; drop it
+    * at scale — it is the join you were avoiding).
+    *
+    * Scale shape: per side, one distinct + TakeOrdered(k) — the
+    * k-row sketches then live on the driver (k ≤ a few thousand, the
+    * centroid convention). Only the optional exact count touches
+    * both tables together.
+    */
+  def kmvOverlapEstimate(a: DataFrame, aKey: String, b: DataFrame,
+                         bKey: String, k: Int = 256): DataFrame = {
+    require(k >= 16, "k must be at least 16 for a usable estimate")
+    val P = graft.functions.TextHash.P
+    def bottom(df: DataFrame, c: String): Set[Long] = {
+      // seeded remix after the rolling hash: raw hashes of short
+      // numeric keys are ORDERED BY STRING LENGTH, so a bottom-k of
+      // them is "the smallest keys", not a uniform sample (the same
+      // short-input bias Mixing.groupSplit documents)
+      val (ma, mb) = (graft.functions.TextHash.MixA, graft.functions.TextHash.MixB)
+      val hh = graft.functions.TextHash.spark.rollingHashHof(s"CAST(`$c` AS STRING)")
+      df.select(col(c)).where(col(c).isNotNull).distinct()
+        .select(expr(s"((${ma}L * ($hh) + ${mb}L) % ${P}L)").as("__h")).distinct()
+        .orderBy(col("__h")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val ba = bottom(a, aKey)
+    val bb = bottom(b, bKey)
+    val union = (ba ++ bb).toSeq.sorted.take(k)
+    val kUsed = union.size.toLong
+    val shared = union.count(h => ba(h) && bb(h)).toLong
+    val estUnion =
+      if (kUsed < k || union.isEmpty) kUsed
+      else (k - 1).toLong * P / union.last
+    val estOverlap = if (kUsed == 0) 0L else shared * estUnion / kUsed
+    val exact = a.select(col(aKey).as("__k")).where(col("__k").isNotNull)
+      .distinct()
+      .join(b.select(col(bKey).as("__k")).where(col("__k").isNotNull)
+        .distinct(), Seq("__k"), "left_semi")
+      .count()
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((kUsed, estUnion, estOverlap, exact))
+      .toDF("k_used", "est_union", "est_overlap", "exact_overlap")
+  }
 }

@@ -357,6 +357,43 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Build Slowly-Changing-Dimension TYPE 2 validity intervals from a
+    * change history: per key ordered by `(tsCol, ordCol)`, runs of
+    * consecutive EQUAL attribute values collapse into one row
+    * `(key, attr, valid_from, valid_to)` — half-open intervals, the
+    * current value carrying `valid_to = NULL`. This is the build side
+    * of temporal dimension modeling; the query side (attach the
+    * version valid at fact time) is [[graft.operators.AsofJoin]].
+    * Null-safe attribute equality: a run of NULLs is one interval.
+    *
+    * Scale shape: one key-keyed shuffle whose sort is SHARED by the
+    * lag (change detection), the run-id accumulation, and the lead
+    * (interval close) — gaps-and-islands entirely within per-key
+    * windows (entity-bounded history, the sessionize contract), no
+    * joins, no global sort.
+    */
+  def scd2Intervals(df: DataFrame, keyCol: String, tsCol: String,
+                    ordCol: String, attrCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val marked = df
+      .withColumn("__chg",
+        when(row_number().over(w) === 1, 1L)
+          .when(!(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1L)
+          .otherwise(0L))
+      .withColumn("__run", sum(col("__chg")).over(wAll))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__run"))
+    marked
+      .groupBy(col(keyCol), col("__run"))
+      .agg(first(col(attrCol)).as("attr"),
+        min(col(tsCol)).cast("bigint").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .select(col(keyCol), col("attr"), col("valid_from"), col("valid_to"))
+  }
+
   /** Offline change-point detection: the bucket boundary that
     * maximizes the mean shift of the event-count series. For every
     * candidate split after bucket `t`, the left/right count sums

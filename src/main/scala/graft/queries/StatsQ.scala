@@ -694,6 +694,62 @@ object StatsQ {
           .limit(20)
       }),
 
+    // ---- SCD Type 2 validity intervals ---------------------------
+    // Per-user event-type change history collapsed into half-open
+    // validity intervals (current value open-ended).
+    Q("q298_scd2",
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) * 1000 AS tn, event_id, event_type
+             |  FROM events),
+             |m AS (SELECT user_id, tn, event_id, event_type,
+             |  CASE WHEN row_number() OVER w = 1 THEN 1
+             |       WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1
+             |       ELSE 0 END AS chg
+             |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tn, event_id)),
+             |r AS (SELECT user_id, tn, event_type,
+             |  sum(chg) OVER (PARTITION BY user_id ORDER BY tn, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM m),
+             |g AS (SELECT user_id, run, min(event_type) AS attr,
+             |  min(tn)::BIGINT AS valid_from FROM r GROUP BY 1, 2)
+             |SELECT user_id, attr, valid_from,
+             |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to
+             |FROM g ORDER BY user_id, valid_from""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.scd2Intervals(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+          .orderBy("user_id", "valid_from")),
+
+    // ---- KMV join-key overlap estimate ---------------------------
+    // Bottom-256 hash sketches of customer keys vs order customer
+    // keys; integer estimator with the exact count as calibration.
+    Q("q299_kmv_overlap", {
+      val h = s"((${TextHash.MixA} * (${D.rollingHash("(key::VARCHAR)")}) " +
+        s"+ ${TextHash.MixB}) % ${TextHash.P})"
+      Some(s"""WITH da AS (SELECT DISTINCT c_custkey AS key FROM customer),
+              |db AS (SELECT DISTINCT o_custkey AS key FROM orders),
+              |ha AS (SELECT DISTINCT $h AS h FROM da),
+              |hb AS (SELECT DISTINCT $h AS h FROM db),
+              |ba AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+              |bb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+              |u0 AS (SELECT DISTINCT h FROM (SELECT h FROM ba UNION ALL SELECT h FROM bb)),
+              |u AS (SELECT h FROM u0 ORDER BY h LIMIT 256),
+              |ku AS (SELECT count(*)::BIGINT AS k_used, max(h)::BIGINT AS kth FROM u),
+              |sh AS (SELECT count(*)::BIGINT AS n_shared FROM u
+              |  WHERE h IN (SELECT h FROM ba) AND h IN (SELECT h FROM bb)),
+              |eu AS (SELECT CASE WHEN ku.k_used < 256 THEN ku.k_used
+              |  ELSE (255::BIGINT * 1000000007) // ku.kth END AS est_union FROM ku),
+              |ex AS (SELECT count(*)::BIGINT AS exact_overlap
+              |  FROM da JOIN db ON da.key = db.key)
+              |SELECT ku.k_used, eu.est_union::BIGINT AS est_union,
+              |  (CASE WHEN ku.k_used = 0 THEN 0
+              |   ELSE (sh.n_shared * eu.est_union) // ku.k_used END)::BIGINT AS est_overlap,
+              |  ex.exact_overlap
+              |FROM ku, eu, sh, ex""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Sketches.kmvOverlapEstimate(
+          t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders"), "o_custkey", k = 256)),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
