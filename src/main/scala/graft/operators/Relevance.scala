@@ -503,6 +503,53 @@ object Relevance {
       .limit(k)
   }
 
+  /** Fuzzy (edit-distance-≤1) term matching via deletion
+    * neighborhoods — the SymSpell trick: a corpus token and a query
+    * term are within one insert/delete/substitute iff their
+    * single-deletion neighborhoods (the word itself plus every
+    * drop-one-character variant) intersect. No pairwise edit-distance
+    * scan, no trie: candidate generation is a pure equi-join on
+    * variant strings. Output: `(query, matched_token, n_docs)` — each
+    * real vocabulary token matching each query term, with its
+    * document frequency.
+    *
+    * Scale shape: the variant table is VOCABULARY × avg-token-length
+    * sized (the SymSpell space/time trade), never corpus-sized; query
+    * variants broadcast; doc counting is one (token-semi-joined)
+    * distinct aggregation. */
+  def fuzzyTermMatch(df: DataFrame, idCol: String, textCol: String,
+                     queries: Seq[String]): DataFrame = {
+    require(queries.nonEmpty, "need at least one query term")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def deletions(w: String): Seq[String] =
+      (w +: w.indices.map(i => w.take(i) + w.drop(i + 1))).distinct
+    val qv = queries.distinct
+      .flatMap(q => deletions(q).map(v => (q, v)))
+      .toDF("query", "__v")
+    val docTok = TextOps.withTokens(
+        df.select(col(idCol), col(textCol)), textCol, "__toks")
+      .select(col(idCol), explode(col("__toks")).as("tk"))
+      .distinct()
+    val varExpr =
+      "CASE WHEN length(tk) >= 1 THEN concat(array(tk), " +
+        "transform(sequence(1, length(tk)), " +
+        "di -> concat(substring(tk, 1, di - 1), " +
+        "substring(tk, di + 1, length(tk))))) ELSE array(tk) END"
+    val tv = docTok.select(col("tk")).distinct()
+      .select(col("tk"), explode(expr(varExpr)).as("__v"))
+      .distinct()
+    val matched = tv.join(broadcast(qv), Seq("__v"))
+      .select(col("query"), col("tk")).distinct()
+    val dc = docTok
+      .join(matched.select(col("tk")).distinct(), Seq("tk"), "left_semi")
+      .groupBy(col("tk"))
+      .agg(countDistinct(col(idCol)).cast("bigint").as("n_docs"))
+    matched.join(dc, Seq("tk"))
+      .select(col("query"), col("tk").as("matched_token"), col("n_docs"))
+      .orderBy(col("query"), col("matched_token"))
+  }
+
   /** Reciprocal-rank fusion of N rankings (hybrid retrieval — the
     * standard way to combine lexical BM25 and vector rankings without
     * score calibration): each input frame carries `(idCol, rank)`

@@ -750,6 +750,69 @@ object StatsQ {
           t(s, dir, "customer"), "c_custkey",
           t(s, dir, "orders"), "o_custkey", k = 256)),
 
+    // ---- star-join revenue CUBE ----------------------------------
+    // Region × nation × order-year revenue cube (all rollup levels)
+    // over the TPC-H star shape; decimal-exact before the double
+    // render; NULL dimension = "all" level.
+    Q("q300_revenue_cube",
+      Some("""WITH f AS (
+             |  SELECT r_name, n_name, year(o_orderdate) AS o_year,
+             |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation ON c_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey)
+             |SELECT r_name, n_name, o_year::BIGINT AS o_year,
+             |  count(*)::BIGINT AS n, (sum(rev))::DOUBLE AS revenue
+             |FROM f GROUP BY CUBE (r_name, n_name, o_year)
+             |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, o_year NULLS FIRST""".stripMargin),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .withColumn("rev", (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)"))
+          .withColumn("o_year",
+            year(col("o_orderdate").cast("timestamp")).cast("bigint"))
+          .cube(col("r_name"), col("n_name"), col("o_year"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("rev")).cast("double").as("revenue"))
+          .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first,
+            col("o_year").asc_nulls_first)),
+
+    // ---- fuzzy (edit-distance-1) term matching -------------------
+    // SymSpell-style: corpus tokens and query terms both expand to
+    // their single-deletion neighborhoods; an intersection means
+    // edit distance <= 1 (up to the deletion-neighborhood contract:
+    // delete-1 covers insert/delete/substitute-1 between the pair).
+    // For the misspelled queries {spak, windw, hash}: which real
+    // vocabulary tokens match, in how many docs?
+    Q("q301_fuzzy_match",
+      Some(s"""WITH tok AS (SELECT DISTINCT unnest(${D.tokens("text")}) AS tk FROM documents),
+              |tv AS (SELECT tk, unnest(list_prepend(tk,
+              |  list_transform(range(1, length(tk) + 1),
+              |    di -> substr(tk, 1, di - 1) || substr(tk, di + 1)))) AS v FROM tok),
+              |qq AS (SELECT unnest(['spak', 'windw', 'hash']) AS q),
+              |qv AS (SELECT q, unnest(list_prepend(q,
+              |  list_transform(range(1, length(q) + 1),
+              |    di -> substr(q, 1, di - 1) || substr(q, di + 1)))) AS v FROM qq),
+              |mm AS (SELECT DISTINCT qv.q, tv.tk FROM qv JOIN tv ON qv.v = tv.v),
+              |dc AS (SELECT tk2.tk, count(DISTINCT doc_id)::BIGINT AS n_docs FROM (
+              |  SELECT doc_id, unnest(${D.tokens("text")}) AS tk FROM documents) tk2
+              |  JOIN (SELECT DISTINCT tk FROM mm) mt ON mt.tk = tk2.tk GROUP BY 1)
+              |SELECT mm.q AS query, mm.tk AS matched_token, dc.n_docs
+              |FROM mm JOIN dc ON dc.tk = mm.tk
+              |ORDER BY query, matched_token""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.fuzzyTermMatch(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spak", "windw", "hash"))),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
