@@ -1101,19 +1101,32 @@ object DedupOps {
                        pairs: DataFrame, aCol: String,
                        bCol: String): DataFrame = {
     import graft.functions.TextHash.{spark => H}
+    // the pair frame feeds THREE consumers (candidate-doc pruning,
+    // the match join, the zero-fill left join) — persist it so an
+    // expensive upstream pair generator (LSH, signature self-join)
+    // runs once, not per consumer
+    val p = pairs.select(col(aCol), col(bCol)).persist()
+    // only docs that actually appear in a pair need gram positions —
+    // the ids-only semi-join prunes the explode to the candidate set
+    val inPairs = p.select(col(aCol).as(idCol))
+      .unionAll(p.select(col(bCol).as(idCol)))
+      .distinct()
     val grams = TextOps.withTokens(
-        df.select(col(idCol), col(textCol)), textCol, "__toks")
+        df.join(inPairs, Seq(idCol), "left_semi")
+          .select(col(idCol), col(textCol)), textCol, "__toks")
       .select(col(idCol),
         posexplode(expr(H.hashArray(H.shingles3("__toks", textCol))))
           .as(Seq("__p", "__h")))
     val ga = grams.select(col(idCol).as(aCol), col("__p").as("__pa"),
-      col("__h").as("__ha"))
+      col("__h").as("__h"))
     val gb = grams.select(col(idCol).as(bCol), col("__p").as("__pb"),
-      col("__h").as("__hb"))
-    val matches = pairs.select(col(aCol), col(bCol))
+      col("__h").as("__h"))
+    // the hash is part of the SECOND join's equi-key — joining on
+    // (b_id) alone and filtering afterward would materialize
+    // |pairs| × grams(a) × grams(b) rows first
+    val matches = p
       .join(ga, Seq(aCol))
-      .join(gb, Seq(bCol))
-      .where(col("__ha") === col("__hb"))
+      .join(gb, Seq(bCol, "__h"))
       .select(col(aCol), col(bCol), col("__pa"), col("__pb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(aCol), col(bCol), col("__pa") - col("__pb"))
@@ -1126,8 +1139,7 @@ object DedupOps {
       .groupBy(col(aCol), col(bCol))
       .agg(sum(col("__run")).cast("bigint").as("n_shared"),
         max(col("__run")).cast("bigint").as("run_shingles"))
-    pairs.select(col(aCol), col(bCol))
-      .join(runs, Seq(aCol, bCol), "left")
+    p.join(runs, Seq(aCol, bCol), "left")
       .select(col(aCol), col(bCol),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         coalesce(col("run_shingles"), lit(0L)).as("run_shingles"),

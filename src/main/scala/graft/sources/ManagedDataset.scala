@@ -161,7 +161,14 @@ case class ManagedDataset(
     // registration-free HOF hash so specs need no function setup)
     def bloomAgg(c: String, s: Int) = {
       val (a, b) = ManagedDataset.BloomSeeds(s)
-      val hh = graft.functions.TextHash.spark.rollingHashHof(s"CAST(`$c` AS STRING)")
+      // native codegen hash when the session has graft functions
+      // registered (Verify/Bench do); HOF fallback keeps bare-session
+      // specs working — both renderings are bitwise-equal
+      val hh =
+        if (spark.catalog.functionExists("graft_rolling_hash"))
+          graft.functions.TextHash.spark.rollingHash(s"CAST(`$c` AS STRING)")
+        else
+          graft.functions.TextHash.spark.rollingHashHof(s"CAST(`$c` AS STRING)")
       org.apache.spark.sql.functions.collect_set(
         org.apache.spark.sql.functions.expr(
         s"(($a * ($hh) + $b) % ${graft.functions.TextHash.P}L) % ${ManagedDataset.BloomBits}L"))
