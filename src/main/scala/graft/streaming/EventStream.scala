@@ -79,6 +79,27 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream–static enrichment: join the (possibly streaming) event
+    * frame against a BROADCAST dimension keyed on `event_type`
+    * (carrying a `weight` column), then windowed weighted totals —
+    * the standard "score the firehose against a small reference
+    * table" shape. The dim side broadcasts, so the stream is never
+    * shuffled before its stateful aggregation; works identically on
+    * batch and streaming inputs (Spark supports stream–static inner
+    * joins natively). `EventStreamSpec` pins stream == batch AND the
+    * broadcast plan shape. */
+  def enrichedWindowedTotals(events: DataFrame, dim: DataFrame,
+                             window_ : String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value") * col("weight")).as("weighted_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("weighted_value"))
+
   /** SLIDING-window counts/sums per event type (each event lands in
     * `window / slide` windows — Spark's TimeWindow explode handles
     * the fan-out in both batch and streaming; q105 witnesses the

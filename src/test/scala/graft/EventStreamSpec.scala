@@ -502,4 +502,32 @@ class EventStreamSpec extends SparkSpec {
     // user 2: h0 and h2 -> 2 sessions.
     assert(out.toSeq == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
+
+  test("stream-static enrichment: dim broadcasts; streaming matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 2.0), ("view", 0.5), ("purchase", 10.0))
+      .toDF("event_type", "weight")
+    val batch = EventStream.enrichedWindowedTotals(batchEvents, dim)
+    // plan pin: the dim side must broadcast into the stream's scan —
+    // the big side is never shuffled before the stateful aggregation
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dim join must be broadcast:\n$plan")
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val streamDf = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.enrichedWindowedTotals(streamDf, dim)
+      .writeStream.format("memory").queryName("enriched_totals")
+      .outputMode("complete").start()
+    try {
+      mem.addData(eventRows: _*)
+      q.processAllAvailable()
+      assertSameData(spark.table("enriched_totals"), batch)
+      // weighted arithmetic sanity on one cell: clicks in hour 0
+      val c0 = batch.where(col("event_type") === "click" &&
+        col("window_start") === org.apache.spark.sql.functions
+          .timestamp_micros(lit(0L))).collect()
+      assert(c0.length == 1 && c0(0).getAs[Double]("weighted_value") == 8.0)
+    } finally q.stop()
+  }
 }
