@@ -290,6 +290,42 @@ object RobustStats {
         col("tau_a_ppm"))): _*)
   }
 
+  /** Grouped nearest-rank percentile bands: for each group, the exact
+    * order statistics at the requested quantiles (nearest-rank
+    * `ceil(q·n)` — integer-exact, no interpolation to disagree on),
+    * one output row per group with one column per band
+    * (`p50`, `p90`, …). The reporting staple ("weekly p50/p90
+    * latency") built on in-group ranking.
+    *
+    * Scale shape: ONE shuffle on the group key; the rank window and
+    * the per-group count share its sort; the band pick is a
+    * conditional aggregation (no second pass, no percentile UDAF).
+    * Group histories must be entity-bounded (the sessionize
+    * contract); unbounded groups go through
+    * [[Profile.equidepthHistogram]]-style decompositions instead. */
+  def percentileBands(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String, idCol: String,
+                      quantilesPermille: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(quantilesPermille.nonEmpty &&
+      quantilesPermille.forall(q => q >= 1 && q <= 1000),
+      "quantiles are permille values in [1, 1000]")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(idCol))
+    val wg = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df
+      .withColumn("__r", row_number().over(w).cast("bigint"))
+      .withColumn("__n", count(lit(1)).over(wg).cast("bigint"))
+    val bands = quantilesPermille.map { q =>
+      // nearest-rank: ceil(q/1000 · n) = (q·n + 999) div 1000
+      max(when(col("__r") === expr(s"greatest(1L, ($q * __n + 999L) div 1000L)"),
+        col(valueCol))).as(s"p$q")
+    }
+    val aggs = count(lit(1)).cast("bigint").as("n") +: bands
+    ranked.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** ECDF scoring against a reference distribution: each row of `df`
     * gets `out` = the empirical-CDF position of its `valueCol` within
     * `ref`'s values, as `ecdf_ppm = (1e6 · #{ref ≤ x}) div N` —

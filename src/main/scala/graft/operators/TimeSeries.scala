@@ -440,6 +440,55 @@ object TimeSeries {
       .limit(1)
   }
 
+  /** Additive seasonal decomposition (STL-lite, integer-exact): the
+    * zero-filled bucket-count series splits into
+    * trend (centered moving average over one full period) +
+    * per-phase seasonal component (mean of the detrended series at
+    * that phase) — emitted milli-scaled,
+    * `seasonal_milli_p = trunc(Σ_p (1000·x_t − trend_milli_t) / n_p)`
+    * with sign-split truncation so any engine reproduces it.
+    * Output: `(phase, n_buckets, seasonal_milli)` — the classic
+    * "Mondays run +12% of baseline" decomposition with an exact
+    * cross-engine witness (float STL cannot promise that).
+    *
+    * Scale shape: the stream collapses to bucket counts first; the
+    * spine fill, the centered-window trend, and the phase fold all
+    * run on the time-range-bounded bucket series (dimension-frame
+    * window convention, cf. [[acf]]).
+    */
+  def seasonalDecompose(df: DataFrame, tsNanosCol: String,
+                        bucketSec: Long, period: Int): DataFrame = {
+    require(bucketSec >= 1, "bucketSec must be positive")
+    require(period >= 2 && period % 2 == 1,
+      "period must be odd so the centered window is symmetric")
+    val half = period / 2
+    val counts = df
+      .withColumn("__h", expr(s"$tsNanosCol div (${bucketSec}L * 1000000000L)"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).cast("bigint").as("__x"))
+    val spine = counts.agg(min(col("__h")).as("__h0"), max(col("__h")).as("__h1"))
+      .where(col("__h0").isNotNull)
+      .select(explode(expr("sequence(__h0, __h1)")).as("__h"))
+    val filled = spine.join(counts, Seq("__h"), "left")
+      .select(col("__h"), coalesce(col("__x"), lit(0L)).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__h"))
+      .rowsBetween(-half, half)
+    filled
+      .withColumn("__tsum", sum(col("__x")).over(w))
+      .withColumn("__tcnt", count(lit(1)).over(w))
+      .withColumn("__trend_milli", expr("(1000L * __tsum) div __tcnt"))
+      .withColumn("__det", expr("1000L * __x - __trend_milli"))
+      .withColumn("phase", col("__h") % period)
+      .groupBy(col("phase"))
+      .agg(count(lit(1)).cast("bigint").as("n_buckets"),
+        sum(col("__det")).cast("bigint").as("__sdet"))
+      .withColumn("seasonal_milli", expr(
+        "CASE WHEN __sdet < 0 THEN -((-__sdet) div n_buckets) " +
+          "ELSE __sdet div n_buckets END"))
+      .select(col("phase"), col("n_buckets"), col("seasonal_milli"))
+      .orderBy(col("phase"))
+  }
+
   /** Phase-of-period seasonal profile: every event lands in phase
     * `(ts div unitSec) % period` (e.g. unit = day, period = 7 →
     * day-of-week with phase 0 anchored to the epoch day, Thursday —

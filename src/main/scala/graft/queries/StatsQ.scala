@@ -813,6 +813,53 @@ object StatsQ {
           t(s, dir, "documents"), "doc_id", "text",
           Seq("spak", "windw", "hash"))),
 
+    // ---- weekly percentile bands (nearest-rank, exact) -----------
+    Q("q302_percentile_bands",
+      Some("""WITH x AS (SELECT event_type,
+             |  (epoch_us(ts) * 1000) // 604800000000000 AS wk,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv, event_id
+             |  FROM events),
+             |r AS (SELECT event_type, wk, mv,
+             |  row_number() OVER (PARTITION BY event_type, wk ORDER BY mv, event_id) AS r,
+             |  count(*) OVER (PARTITION BY event_type, wk) AS n FROM x)
+             |SELECT event_type, wk::BIGINT AS wk, count(*)::BIGINT AS n,
+             |  max(CASE WHEN r = greatest(1, (500 * n + 999) // 1000) THEN mv END)::BIGINT AS p500,
+             |  max(CASE WHEN r = greatest(1, (900 * n + 999) // 1000) THEN mv END)::BIGINT AS p900
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("wk", expr("ts div 604800000000000L"))
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+        graft.operators.RobustStats.percentileBands(
+          x, Seq("event_type", "wk"), "mv", "event_id", Seq(500, 900))
+          .orderBy("event_type", "wk")
+      }),
+
+    // ---- additive seasonal decomposition (STL-lite) --------------
+    // Daily counts = centered-week trend + per-weekday seasonal
+    // component, milli-scaled integer arithmetic end to end.
+    Q("q303_seasonal_decompose",
+      Some("""WITH c0 AS (SELECT (epoch_us(ts) * 1000) // 86400000000000 AS h FROM events),
+             |c AS (SELECT h, count(*)::BIGINT AS x FROM c0 GROUP BY h),
+             |sp AS (SELECT unnest(range(mn, mx + 1)) AS h
+             |  FROM (SELECT min(h) AS mn, max(h) AS mx FROM c)),
+             |f AS (SELECT sp.h, coalesce(c.x, 0)::BIGINT AS x
+             |  FROM sp LEFT JOIN c ON c.h = sp.h),
+             |t AS (SELECT h, x,
+             |  sum(x) OVER (ORDER BY h ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ts_,
+             |  count(*) OVER (ORDER BY h ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tc
+             |  FROM f),
+             |d AS (SELECT h % 7 AS phase, 1000 * x - (1000 * ts_) // tc AS det FROM t),
+             |g AS (SELECT phase::BIGINT AS phase, count(*)::BIGINT AS n_buckets,
+             |  sum(det)::BIGINT AS sdet FROM d GROUP BY 1)
+             |SELECT phase, n_buckets,
+             |  (CASE WHEN sdet < 0 THEN -((-sdet) // n_buckets)
+             |   ELSE sdet // n_buckets END)::BIGINT AS seasonal_milli
+             |FROM g ORDER BY phase""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.seasonalDecompose(
+          t(s, dir, "events"), "ts", bucketSec = 86400L, period = 7)),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",
