@@ -298,6 +298,73 @@ object HiveQ {
             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
               .as("sum_price"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- JSONL round trip (completes the format matrix) ----------
+    // parquet -> JSON-lines sink -> schema-pinned JSON source; the
+    // oracle aggregates the original table, so the trip must be
+    // lossless (ints and strings — the JSONL-safe core).
+    Q("q304_jsonl_roundtrip",
+      Some("""SELECT lang, count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS sum_chars,
+             |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft_q304_")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").json(s"$out/docs_jsonl")
+        s.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+          .json(s"$out/docs_jsonl")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"),
+            min(col("doc_id")).cast("bigint").as("min_id"),
+            max(col("doc_id")).cast("bigint").as("max_id"))
+          .orderBy("lang")
+      }),
+
+    // ---- whole-schema FK audit sweep -----------------------------
+    // Every foreign-key edge of the TPC-H-ish schema checked in one
+    // pass: child rows whose key has no parent (left anti-join).
+    Q("q305_fk_sweep",
+      Some("""SELECT 'customer.nation' AS fk, (SELECT count(*) FROM customer
+             |  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))::BIGINT AS n_orphans
+             |UNION ALL SELECT 'lineitem.orders', (SELECT count(*) FROM lineitem
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |UNION ALL SELECT 'lineitem.part', (SELECT count(*) FROM lineitem
+             |  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+             |UNION ALL SELECT 'nation.region', (SELECT count(*) FROM nation
+             |  WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+             |UNION ALL SELECT 'orders.customer', (SELECT count(*) FROM orders
+             |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             |UNION ALL SELECT 'supplier.nation', (SELECT count(*) FROM supplier
+             |  WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             |ORDER BY fk""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        def orphans(name: String, child: org.apache.spark.sql.DataFrame,
+                    ck: String, parent: org.apache.spark.sql.DataFrame,
+                    pk: String) =
+          child.select(col(ck).as("__k"))
+            .join(parent.select(col(pk).as("__k")), Seq("__k"), "left_anti")
+            .agg(count(lit(1)).cast("bigint").as("n_orphans"))
+            .withColumn("fk", lit(name))
+        val checks = Seq(
+          orphans("customer.nation", t(s, dir, "customer"), "c_nationkey",
+            t(s, dir, "nation"), "n_nationkey"),
+          orphans("lineitem.orders", t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey"),
+          orphans("lineitem.part", t(s, dir, "lineitem"), "l_partkey",
+            t(s, dir, "part"), "p_partkey"),
+          orphans("nation.region", t(s, dir, "nation"), "n_regionkey",
+            t(s, dir, "region"), "r_regionkey"),
+          orphans("orders.customer", t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"),
+          orphans("supplier.nation", t(s, dir, "supplier"), "s_nationkey",
+            t(s, dir, "nation"), "n_nationkey"))
+        checks.reduce(_ unionByName _)
+          .select(col("fk"), col("n_orphans"))
+          .orderBy("fk")
       })
   )
 }
