@@ -525,6 +525,119 @@ object Components {
     out
   }
 
+  /** Degree assortativity of an undirected `a<b` edge list — does the
+    * graph wire hubs to hubs (r>0, e.g. social graphs) or hubs to
+    * leaves (r<0, e.g. collocation stars around function words)? The
+    * Pearson correlation of endpoint degrees over the DIRECTED edge
+    * image (each undirected edge contributes both orientations, the
+    * standard Newman 2002 convention). Because the directed image is
+    * symmetric, Σx = Σy and Σx² = Σy², so the usual sqrt denominator
+    * collapses to the rational
+    * `r = (m·Σxy − S1²) / (m·S2 − S1²)` — EXACT integer arithmetic,
+    * no floating point (graft no-float-ratio discipline). Emitted as
+    * `r_ppm` via sign-split truncated division (the numerator can be
+    * negative; `div` truncates toward zero on both engines only when
+    * the operands are split by sign). Degenerate regular graphs
+    * (variance 0) yield NULL, not a fake 0.
+    *
+    * Scale shape (100 TB): one endpoint-keyed degree aggregate + two
+    * equi-joins of the directed edge list against the (node, degree)
+    * dimension + one scalar aggregate — all map-side-combinable; the
+    * moment sums are DECIMAL(38,0) so a 10^12-edge graph with 10^6
+    * degrees cannot overflow. */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val dir = e.unionAll(e.select(col("__b").as("__a"), col("__a").as("__b")))
+    val deg = dir.groupBy(col("__a")).agg(count(lit(1)).as("__d"))
+    val withDeg = dir
+      .join(deg.withColumnRenamed("__d", "__dx"), "__a")
+      .join(deg.select(col("__a").as("__b"), col("__d").as("__dy")), "__b")
+    withDeg
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("__m"),
+        sum((col("__dx") * col("__dy")).cast("decimal(38,0)")).as("__sxy"),
+        sum(col("__dx").cast("decimal(38,0)")).as("__s1"),
+        sum((col("__dx") * col("__dx")).cast("decimal(38,0)")).as("__s2"))
+      .select(
+        expr("CAST(__m div 2 AS BIGINT)").as("n_edges"),
+        expr("CAST(__m * __sxy - __s1 * __s1 AS DECIMAL(38,0))").as("__num"),
+        expr("CAST(__m * __s2 - __s1 * __s1 AS DECIMAL(38,0))").as("__den"))
+      .select(
+        col("n_edges"),
+        expr("""CASE WHEN __den = 0 THEN NULL
+                WHEN __num < 0 THEN -CAST((CAST(1000000 AS DECIMAL(38,0)) * (-__num)) div __den AS BIGINT)
+                ELSE CAST((CAST(1000000 AS DECIMAL(38,0)) * __num) div __den AS BIGINT) END""")
+          .cast("bigint").as("r_ppm"))
+  }
+
+  /** Per-node clustering coefficient over an `a<b` edge list:
+    * `lcc_v = 2·tri_v / (d_v·(d_v−1))` in exact ppm — which nodes sit
+    * inside cliques (duplicate families, topical clusters) vs star
+    * centers (LSH noise hubs). The global [[clusteringCoefficient]]
+    * answers "is this graph clique-like"; this answers "WHICH nodes".
+    * Nodes of degree < 2 have no wedges and are omitted (their
+    * coefficient is undefined, not 0).
+    *
+    * Scale shape: the ordered triangle enumeration of
+    * [[triangleCount]] (fan-out bounded by the smaller endpoint
+    * degree after degree-ordering on skewed graphs) + a 3-way role
+    * union keyed on node id + one degree aggregate — equi-shuffles
+    * on node ids only. */
+  def localClustering(edges: DataFrame, aCol: String,
+                      bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.__b") === col("e2.__a"))
+      .join(e.as("e3"),
+        col("e3.__a") === col("e1.__a") && col("e3.__b") === col("e2.__b"))
+      .select(col("e1.__a").as("__x"), col("e1.__b").as("__y"),
+        col("e2.__b").as("__z"))
+    val triPerNode = tri.select(col("__x").as("__v"))
+      .unionAll(tri.select(col("__y").as("__v")))
+      .unionAll(tri.select(col("__z").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__tri"))
+    val deg = e.select(col("__a").as("__v"))
+      .unionAll(e.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    deg.where(col("__d") >= 2)
+      .join(triPerNode, Seq("__v"), "left")
+      .select(
+        col("__v").as("node"),
+        col("__d").cast("bigint").as("degree"),
+        coalesce(col("__tri"), lit(0L)).cast("bigint").as("n_tri"))
+      .withColumn("lcc_ppm",
+        expr("(2000000 * n_tri) div (degree * (degree - 1))").cast("bigint"))
+  }
+
+  /** Edge reciprocity of a DIRECTED edge list (self-loops and
+    * duplicate arcs removed): the fraction of arcs whose reverse arc
+    * is also present, in exact ppm — on a bigram graph this measures
+    * how often word order is free (`data processing` vs `processing
+    * data`); on a citation/link graph it separates mutual-link spam
+    * farms from organic DAG-like structure.
+    *
+    * Scale shape: one distinct on the arc pair + one self-equi-join
+    * keyed on (dst, src) — shuffles on endpoint pairs only, no
+    * cross join; counts are map-side combined. */
+  def reciprocity(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .where(col("__s") =!= col("__t"))
+      .distinct()
+    val mutual = e.as("f")
+      .join(e.as("r"),
+        col("f.__s") === col("r.__t") && col("f.__t") === col("r.__s"))
+      .select(col("f.__s"), col("f.__t"))
+    e.agg(count(lit(1)).cast("bigint").as("n_arcs"))
+      .crossJoin(broadcast(
+        mutual.agg(count(lit(1)).cast("bigint").as("n_mutual"))))
+      .withColumn("reciprocity_ppm",
+        expr("CASE WHEN n_arcs = 0 THEN NULL " +
+          "ELSE (1000000 * n_mutual) div n_arcs END").cast("bigint"))
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

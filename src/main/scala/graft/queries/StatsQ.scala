@@ -860,6 +860,110 @@ object StatsQ {
         graft.operators.TimeSeries.seasonalDecompose(
           t(s, dir, "events"), "ts", bucketSec = 86400L, period = 7)),
 
+    // ---- degree assortativity of the collocation graph -----------
+    // Hubs-to-hubs (r>0) or hubs-to-leaves (r<0)? Newman's r over the
+    // directed edge image collapses to an EXACT rational (Σx = Σy by
+    // symmetry, so no sqrt) — integer ppm via sign-split division.
+    Q("q306_assortativity",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    gi -> {'a': least(t[gi], t[gi+1]), 'b': greatest(t[gi], t[gi+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    gi -> {'a': least(t[gi], t[gi+2]), 'b': greatest(t[gi], t[gi+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |dirn AS (SELECT tok_a AS a, tok_b AS b FROM e
+              |  UNION ALL SELECT tok_b, tok_a FROM e),
+              |deg AS (SELECT a, count(*)::BIGINT AS d FROM dirn GROUP BY 1),
+              |j AS (SELECT dx.d AS x, dy.d AS y FROM dirn
+              |  JOIN deg dx ON dx.a = dirn.a JOIN deg dy ON dy.a = dirn.b),
+              |g AS (SELECT count(*)::HUGEINT AS m, sum(x::HUGEINT * y) AS sxy,
+              |  sum(x::HUGEINT) AS s1, sum(x::HUGEINT * x) AS s2 FROM j)
+              |SELECT (m // 2)::BIGINT AS n_edges,
+              |  (CASE WHEN m * s2 - s1 * s1 = 0 THEN NULL
+              |   WHEN m * sxy - s1 * s1 < 0
+              |     THEN -((1000000::HUGEINT * (s1 * s1 - m * sxy)) // (m * s2 - s1 * s1))
+              |   ELSE (1000000::HUGEINT * (m * sxy - s1 * s1)) // (m * s2 - s1 * s1)
+              |   END)::BIGINT AS r_ppm
+              |FROM g""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+        graft.operators.Components.degreeAssortativity(edges, "tok_a", "tok_b")
+      }),
+
+    // ---- per-node clustering coefficient -------------------------
+    // The global coefficient (q176 family) says "clique-like or not";
+    // this says WHICH nodes sit in cliques vs star centers. Exact ppm.
+    Q("q307_local_clustering",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    gi -> {'a': least(t[gi], t[gi+1]), 'b': greatest(t[gi], t[gi+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    gi -> {'a': least(t[gi], t[gi+2]), 'b': greatest(t[gi], t[gi+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |tri AS (SELECT e1.tok_a AS x, e1.tok_b AS y, e2.tok_b AS z
+              |  FROM e e1 JOIN e e2 ON e1.tok_b = e2.tok_a
+              |  JOIN e e3 ON e3.tok_a = e1.tok_a AND e3.tok_b = e2.tok_b),
+              |tpn AS (SELECT v, count(*)::BIGINT AS n_tri FROM (
+              |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+              |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+              |deg AS (SELECT v, count(*)::BIGINT AS degree FROM (
+              |  SELECT tok_a AS v FROM e UNION ALL SELECT tok_b FROM e) GROUP BY 1)
+              |SELECT deg.v AS node, degree,
+              |  coalesce(n_tri, 0)::BIGINT AS n_tri,
+              |  ((2000000 * coalesce(n_tri, 0)) // (degree * (degree - 1)))::BIGINT AS lcc_ppm
+              |FROM deg LEFT JOIN tpn ON tpn.v = deg.v
+              |WHERE degree >= 2
+              |ORDER BY lcc_ppm DESC, node LIMIT 15""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+        graft.operators.Components.localClustering(edges, "tok_a", "tok_b")
+          .orderBy(col("lcc_ppm").desc, col("node"))
+          .limit(15)
+      }),
+
+    // ---- reciprocity of the directed bigram graph ----------------
+    // How often is word order free ("data processing" AND "processing
+    // data")? Distinct directed arcs, self-loops out, exact ppm.
+    Q("q308_reciprocity",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |a AS (SELECT DISTINCT p.s AS src, p.d AS dst FROM (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    gi -> {'s': t[gi], 'd': t[gi+1]})) AS p FROM toks)
+              |  WHERE p.s <> p.d),
+              |c AS (SELECT count(*)::BIGINT AS n_arcs FROM a),
+              |m AS (SELECT count(*)::BIGINT AS n_mutual
+              |  FROM a f JOIN a r ON f.src = r.dst AND f.dst = r.src)
+              |SELECT n_arcs, n_mutual,
+              |  (CASE WHEN n_arcs = 0 THEN NULL
+              |   ELSE (1000000 * n_mutual) // n_arcs END)::BIGINT AS reciprocity_ppm
+              |FROM c, m""".stripMargin),
+      (s, dir) => {
+        val arcs = graft.operators.TextOps.withTokens(
+          t(s, dir, "documents").select(col("text")), "text", "__toks")
+          .withColumn("__p", explode(expr(
+            "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
+              "slice(__toks, 2, greatest(size(__toks) - 1, 0)), " +
+              "(x, y) -> struct(x AS s, y AS d))")))
+          .select(col("__p.s").as("src"), col("__p.d").as("dst"))
+        graft.operators.Components.reciprocity(arcs, "src", "dst")
+      }),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",

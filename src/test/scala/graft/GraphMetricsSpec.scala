@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Components
+
+/** Hand-computed fixtures for the round-6 graph-metric extensions:
+  * degree assortativity, per-node clustering, and reciprocity — the
+  * unit contracts behind the q306–q308 corpus witnesses.
+  */
+class GraphMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("degreeAssortativity: perfect star is exactly -1") {
+    // K1,3: hub degree 3, leaves degree 1. Directed image m=6,
+    // sxy=18, s1=12, s2=30 -> num=-36, den=36 -> r = -1.
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r = Components.degreeAssortativity(e, "a", "b").head()
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == -1000000L)
+  }
+
+  test("degreeAssortativity: regular graph (zero variance) yields NULL") {
+    // perfect matching: every degree 1 -> den = 0 -> NULL, not 0.
+    val e = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val r = Components.degreeAssortativity(e, "a", "b").head()
+    assert(r.getLong(0) == 2L)
+    assert(r.isNullAt(1))
+  }
+
+  test("localClustering: triangle with a pendant") {
+    // edges (1,2)(1,3)(2,3)(3,4): nodes 1,2 close their one wedge
+    // (lcc=1e6), node 3 closes 1 of 3 (333333), node 4 has no wedge
+    // and is omitted.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = Components.localClustering(e, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
+  test("reciprocity: dedups arcs, drops self-loops, counts both mutual arcs") {
+    val arcs = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b"))
+      .toDF("s", "d")
+    val r = Components.reciprocity(arcs, "s", "d").head()
+    // distinct clean arcs: a->b, b->a, a->c  => 3; mutual: 2.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 2L, 666666L))
+  }
+}
