@@ -196,4 +196,100 @@ object EvalStats {
           "(CAST(n_a AS DECIMAL(38,0)) * n_b * nullif(conv_a + conv_b, 0L) * " +
           "nullif(n_a + n_b - conv_a - conv_b, 0L)) AS BIGINT)"))
       .select("n_a", "n_b", "conv_a", "conv_b", "rate_a_ppm", "rate_b_ppm", "z2_micro")
+
+  /** Calibration reliability bins: partition a ppm-scaled model score
+    * into `bins` equal-width buckets and compare the mean CLAIMED
+    * probability against the OBSERVED positive rate per bin — the
+    * reliability-diagram table (plus the signed gap, which is the
+    * per-bin calibration error a temperature-scaling pass would
+    * shrink). All arithmetic exact: mean score and rate are truncated
+    * ppm divisions of non-negative sums; the gap is a subtraction of
+    * those two already-truncated values, so no sign-split is needed.
+    *
+    * Scale shape: ONE aggregation keyed on the bin ordinal (≤ `bins`
+    * groups, map-side combined) — the cheapest possible shape; no
+    * window, no join. */
+  def reliabilityBins(df: DataFrame, scorePpmCol: String,
+                      labelCond: org.apache.spark.sql.Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    df.select(
+      expr(s"least(CAST(${bins - 1} AS BIGINT), " +
+        s"(greatest(0L, CAST($scorePpmCol AS BIGINT)) * $bins) div 1000000)")
+        .cast("bigint").as("bin"),
+      col(scorePpmCol).cast("bigint").as("__s"),
+      when(labelCond, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(col("__s")).as("__ss"),
+        sum(col("__y")).as("__sy"))
+      .select(
+        col("bin"),
+        col("n"),
+        expr("__ss div n").cast("bigint").as("mean_score_ppm"),
+        expr("(1000000L * __sy) div n").cast("bigint").as("rate_ppm"))
+      .withColumn("gap_ppm",
+        (col("mean_score_ppm") - col("rate_ppm")).cast("bigint"))
+      .orderBy("bin")
+  }
+
+  /** McNemar's paired test for two classifiers evaluated on the SAME
+    * examples: only the discordant pairs carry signal — `b` = A right
+    * where B is wrong, `c` = B right where A is wrong, statistic
+    * `(b−c)²/(b+c)` (χ², 1 df), emitted milli-scaled exact
+    * (`1000·(b−c)² div (b+c)`; the square kills the sign, so plain
+    * truncated division is already engine-portable). NULL when there
+    * are no discordant pairs (no evidence either way).
+    *
+    * Scale shape: one scalar aggregation, map-side combined. */
+  def mcnemar(df: DataFrame, predACond: org.apache.spark.sql.Column,
+              predBCond: org.apache.spark.sql.Column,
+              labelCond: org.apache.spark.sql.Column): DataFrame =
+    df.select(
+      (predACond === labelCond).as("__ra"),
+      (predBCond === labelCond).as("__rb"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("__ra") && !col("__rb"), 1L).otherwise(0L))
+          .cast("bigint").as("b"),
+        sum(when(!col("__ra") && col("__rb"), 1L).otherwise(0L))
+          .cast("bigint").as("c"))
+      .withColumn("mcnemar_milli", expr(
+        "CAST((1000 * (b - c) * (b - c)) div nullif(b + c, 0L) AS BIGINT)"))
+
+  /** Jackknife leave-one-out sensitivity of a per-group mean: how far
+    * can the group mean move if any single observation is dropped?
+    * The extreme LOO means are reached by dropping the max (downward)
+    * and the min (upward), so min/max/sum/count aggregates suffice —
+    * no per-row re-aggregation, which is what makes the jackknife
+    * feasible at corpus scale. Emitted milli-scaled exact with
+    * sign-split truncated division (values may be negative);
+    * `influence_span_milli` = loo_max − loo_mean_min bounds any
+    * single row's leverage on the reported mean (the robustness
+    * red-flag for metric gaming: one outlier document moving a
+    * source-level quality mean). Groups with n < 2 yield NULL bounds.
+    *
+    * Scale shape: ONE aggregation keyed on the group columns —
+    * min/max/sum/count are all map-side combined. */
+  def jackknifeMeanBounds(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String): DataFrame = {
+    def sdiv(num: String, den: String) =
+      s"CASE WHEN $num < 0 THEN -CAST((-($num)) div ($den) AS BIGINT) " +
+        s"ELSE CAST(($num) div ($den) AS BIGINT) END"
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(col(valueCol).cast("decimal(38,0)")).as("__s"),
+        min(col(valueCol).cast("bigint")).as("__mn"),
+        max(col(valueCol).cast("bigint")).as("__mx"))
+      .withColumn("mean_milli", expr(sdiv("1000 * __s", "n")))
+      .withColumn("loo_min_milli", expr(
+        s"CASE WHEN n < 2 THEN NULL ELSE ${sdiv("1000 * (__s - __mx)", "n - 1")} END"))
+      .withColumn("loo_max_milli", expr(
+        s"CASE WHEN n < 2 THEN NULL ELSE ${sdiv("1000 * (__s - __mn)", "n - 1")} END"))
+      .withColumn("influence_span_milli",
+        (col("loo_max_milli") - col("loo_min_milli")).cast("bigint"))
+      .drop("__s", "__mn", "__mx")
+  }
 }

@@ -860,6 +860,85 @@ object StatsQ {
         graft.operators.TimeSeries.seasonalDecompose(
           t(s, dir, "events"), "ts", bucketSec = 86400L, period = 7)),
 
+    // ---- calibration reliability bins ----------------------------
+    // Claimed probability (a capped linear score in ppm) vs observed
+    // positive rate per decile bin — the reliability-diagram table,
+    // integer-exact end to end.
+    Q("q309_reliability_bins",
+      Some("""WITH x AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS mv FROM events),
+             |s AS (SELECT least(1000000, greatest(0, mv * 5)) AS sc,
+             |  CASE WHEN mv > 100000 THEN 1 ELSE 0 END AS y FROM x),
+             |b AS (SELECT least(9, (greatest(0, sc) * 10) // 1000000) AS bin, sc, y FROM s),
+             |g AS (SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n,
+             |  (sum(sc) // count(*))::BIGINT AS mean_score_ppm,
+             |  ((1000000 * sum(y)) // count(*))::BIGINT AS rate_ppm
+             |  FROM b GROUP BY 1)
+             |SELECT bin, n, mean_score_ppm, rate_ppm,
+             |  (mean_score_ppm - rate_ppm)::BIGINT AS gap_ppm
+             |FROM g ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000d + 0.5d) as bigint)"))
+          .withColumn("score_ppm", expr("least(1000000L, greatest(0L, mv * 5))"))
+        EvalStats.reliabilityBins(x, "score_ppm", col("mv") > 100000L, bins = 10)
+      }),
+
+    // ---- McNemar's paired-classifier test ------------------------
+    // Classifier A = seeded hash parity of event_id (a coin-flip
+    // baseline), B = a threshold rule; only discordant pairs count.
+    Q("q310_mcnemar",
+      Some("""WITH x AS (SELECT
+             |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS mv,
+             |  ((536870923 * event_id + 974711) % 1000000007) % 2 = 0 AS pa
+             |  FROM events),
+             |p AS (SELECT (pa = (mv > 100000)) AS ra,
+             |  ((mv > 90000) = (mv > 100000)) AS rb FROM x),
+             |g AS (SELECT count(*)::BIGINT AS n,
+             |  sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END)::BIGINT AS b,
+             |  sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END)::BIGINT AS c
+             |  FROM p)
+             |SELECT n, b, c,
+             |  ((1000 * (b - c) * (b - c)) // nullif(b + c, 0))::BIGINT AS mcnemar_milli
+             |FROM g""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000d + 0.5d) as bigint)"))
+        EvalStats.mcnemar(x,
+          expr("((536870923L * event_id + 974711L) % 1000000007L) % 2 = 0"),
+          col("mv") > 90000L,
+          col("mv") > 100000L)
+      }),
+
+    // ---- jackknife leave-one-out mean bounds ---------------------
+    // How far can one dropped observation move each event_type's mean?
+    // Extremes come from dropping the max/min, so plain aggregates
+    // suffice — the jackknife at corpus scale.
+    Q("q311_jackknife",
+      Some("""WITH x AS (SELECT event_type,
+             |  CAST(floor(value * 1000 + 0.5) AS BIGINT) AS mv FROM events),
+             |g AS (SELECT event_type, count(*)::BIGINT AS n,
+             |  sum(mv)::HUGEINT AS s, min(mv) AS mn, max(mv) AS mx
+             |  FROM x GROUP BY 1),
+             |d AS (SELECT event_type, n,
+             |  (CASE WHEN s < 0 THEN -((-(1000 * s)) // n)
+             |   ELSE (1000 * s) // n END)::BIGINT AS mean_milli,
+             |  (CASE WHEN n < 2 THEN NULL
+             |   WHEN s - mx < 0 THEN -((-(1000 * (s - mx))) // (n - 1))
+             |   ELSE (1000 * (s - mx)) // (n - 1) END)::BIGINT AS loo_min_milli,
+             |  (CASE WHEN n < 2 THEN NULL
+             |   WHEN s - mn < 0 THEN -((-(1000 * (s - mn))) // (n - 1))
+             |   ELSE (1000 * (s - mn)) // (n - 1) END)::BIGINT AS loo_max_milli
+             |  FROM g)
+             |SELECT event_type, n, mean_milli, loo_min_milli, loo_max_milli,
+             |  (loo_max_milli - loo_min_milli)::BIGINT AS influence_span_milli
+             |FROM d ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000d + 0.5d) as bigint)"))
+        EvalStats.jackknifeMeanBounds(x, Seq("event_type"), "mv")
+          .orderBy("event_type")
+      }),
+
     // ---- degree assortativity of the collocation graph -----------
     // Hubs-to-hubs (r>0) or hubs-to-leaves (r<0)? Newman's r over the
     // directed edge image collapses to an EXACT rational (Σx = Σy by

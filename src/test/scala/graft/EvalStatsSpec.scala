@@ -96,4 +96,59 @@ class EvalStatsSpec extends SparkSpec {
     val r = EvalStats.abZSquared(df, col("arm") === "A", col("conv")).collect()(0)
     assert(r.isNullAt(r.fieldIndex("z2_micro")))
   }
+
+  test("reliabilityBins: bin edges, clamping, and the signed gap") {
+    // scores 100000/150000 land in bin 1; 950000 and the clamped
+    // 1000000 land in bin 9 (top edge is inclusive).
+    val df = Seq((100000L, false), (150000L, true),
+      (950000L, true), (1000000L, true)).toDF("sc", "y")
+    val out = EvalStats.reliabilityBins(df, "sc", col("y"), bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 125000L, 500000L, -375000L),
+      (9L, 2L, 975000L, 1000000L, -25000L)))
+  }
+
+  test("mcnemar: only discordant pairs drive the statistic") {
+    // (ra, rb) mix: 3x(T,F), 1x(F,T), 2x(T,T), 1x(F,F)
+    // -> b=3, c=1, stat = 1000*(3-1)^2/(3+1) = 1000.
+    val df = (Seq.fill(3)((true, false)) ++ Seq((false, true)) ++
+      Seq.fill(2)((true, true)) ++ Seq((false, false)))
+      .toDF("pa", "pb")
+    val r = EvalStats.mcnemar(df, col("pa"), col("pb"), lit(true)).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (7L, 3L, 1L, 1000L))
+  }
+
+  test("mcnemar: no discordant pairs yields NULL (no evidence)") {
+    val df = Seq((true, true), (false, false)).toDF("pa", "pb")
+    val r = EvalStats.mcnemar(df, col("pa"), col("pb"), lit(true)).head()
+    assert(r.isNullAt(r.fieldIndex("mcnemar_milli")))
+  }
+
+  test("jackknifeMeanBounds: extremes from dropping max/min; sign-split") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 10L), ("h", -5L), ("h", -7L))
+      .toDF("grp", "v")
+    val out = EvalStats.jackknifeMeanBounds(df, Seq("grp"), "v")
+      .orderBy("grp").collect()
+    // g: s=13 n=3 -> mean 4333, loo_min (13-10)*1000/2=1500,
+    //    loo_max (13-1)*1000/2=6000, span 4500.
+    val g = out(0)
+    assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4),
+      g.getLong(5)) == (3L, 4333L, 1500L, 6000L, 4500L))
+    // h: s=-12 n=2 -> mean -6000 (truncated toward zero),
+    //    loo_min -7000 (drop the max -5), loo_max -5000, span 2000.
+    val h = out(1)
+    assert((h.getLong(1), h.getLong(2), h.getLong(3), h.getLong(4),
+      h.getLong(5)) == (2L, -6000L, -7000L, -5000L, 2000L))
+  }
+
+  test("jackknifeMeanBounds: singleton group has NULL LOO bounds") {
+    val df = Seq(("g", 5L)).toDF("grp", "v")
+    val r = EvalStats.jackknifeMeanBounds(df, Seq("grp"), "v").head()
+    assert(r.getLong(2) == 5000L)
+    assert(r.isNullAt(r.fieldIndex("loo_min_milli")))
+    assert(r.isNullAt(r.fieldIndex("influence_span_milli")))
+  }
 }
