@@ -638,6 +638,60 @@ object Components {
           "ELSE (1000000 * n_mutual) div n_arcs END").cast("bigint"))
   }
 
+  /** Integer HITS (Kleinberg hubs-and-authorities) on a directed arc
+    * list: authority = sum of in-neighbor hub scores, hub = sum of
+    * out-neighbor authority scores, each vector rescaled after every
+    * half-step so its maximum is exactly 1e6 (`x·1e6 div max` —
+    * truncated integer division, so every engine that replays the
+    * rounds lands on bitwise-identical scores; the float-free
+    * stand-in for L2 normalization). The caller supplies a clean arc
+    * list (dedup / self-loop policy is the caller's — weighted
+    * multigraphs are legitimate input).
+    *
+    * Scale shape (100 TB): per round, two equi-joins keyed on arc
+    * endpoints + two node-keyed aggregations + a broadcast scalar
+    * max — no driver-side collect, no cross join beyond the 1-row
+    * broadcast. `iters` is small and fixed; lineage stays linear in
+    * rounds (each frame referenced once per half-step). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+    val nodes = e.select(col("__s").as("__v"))
+      .unionAll(e.select(col("__t").as("__v"))).distinct()
+    var h = nodes.withColumn("__h", lit(1000000L))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contribA = e
+        .join(h.select(col("__v").as("__s2"), col("__h")),
+          col("__s") === col("__s2"))
+        .groupBy(col("__t").as("__v")).agg(sum(col("__h")).as("__raw"))
+      val ar = nodes.join(contribA, Seq("__v"), "left")
+        .select(col("__v"), coalesce(col("__raw"), lit(0L)).as("__raw"))
+      val am = ar.agg(max(col("__raw")).as("__m"))
+      a = ar.crossJoin(broadcast(am))
+        .withColumn("__a", expr(
+          "CASE WHEN __m IS NULL OR __m = 0 THEN 0L " +
+            "ELSE (__raw * 1000000L) div __m END"))
+        .select(col("__v"), col("__a"))
+      val contribH = e
+        .join(a.select(col("__v").as("__t2"), col("__a")),
+          col("__t") === col("__t2"))
+        .groupBy(col("__s").as("__v")).agg(sum(col("__a")).as("__rawh"))
+      val hr = nodes.join(contribH, Seq("__v"), "left")
+        .select(col("__v"), coalesce(col("__rawh"), lit(0L)).as("__rawh"))
+      val hm = hr.agg(max(col("__rawh")).as("__mh"))
+      h = hr.crossJoin(broadcast(hm))
+        .withColumn("__h", expr(
+          "CASE WHEN __mh IS NULL OR __mh = 0 THEN 0L " +
+            "ELSE (__rawh * 1000000L) div __mh END"))
+        .select(col("__v"), col("__h"))
+    }
+    h.join(a, Seq("__v"))
+      .select(col("__v").as("node"), col("__h").as("hub_ppm"),
+        col("__a").as("auth_ppm"))
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

@@ -442,4 +442,28 @@ object Profile {
       .select(col("n"), col("parent_gini_ppm"), col("child_gini_ppm"),
         col("gain_ppm"))
   }
+
+  /** Per-group h-index: the largest `h` such that the group has at
+    * least `h` items with "citation" count ≥ `h` — the rank-robust
+    * productivity/impact summary (users by high-value events, sources
+    * by highly-cited documents). Equivalently `#{rank_i ≤ c_i}` with
+    * ranks in descending citation order, which is tie-invariant: rows
+    * tied on `c` occupy a fixed rank interval, so the count does not
+    * depend on their relative order. Negative citations are clamped
+    * to 0 by the CALLER if needed — this operator takes them as-is.
+    *
+    * Scale shape: one per-group window (rank) + one keyed
+    * aggregation; group size bounds the window partition, and groups
+    * (users/sources) are many, so partitions parallelize. */
+  def hIndex(df: DataFrame, groupCol: String, citeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__c").desc)
+    df.select(col(groupCol), col(citeCol).cast("bigint").as("__c"))
+      .withColumn("__rn", row_number().over(w).cast("bigint"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(when(col("__rn") <= col("__c"), 1L).otherwise(0L))
+          .cast("bigint").as("h_index"))
+  }
 }

@@ -415,4 +415,62 @@ object RobustStats {
       .join(pooled, Seq("__tord"))
       .drop("__rs", "__ns", "__N", "__tord")
   }
+
+  /** 2-D Pareto skyline (maximize both axes): the distinct `(x, y)`
+    * points not dominated by any other point (`x' ≥ x, y' ≥ y`, one
+    * strict) — the quality-vs-length frontier of a corpus, the
+    * cost-vs-accuracy frontier of an eval sweep. Classic sort-based
+    * skyline: reduce to the per-x maximum y, then a point survives
+    * iff its y strictly exceeds every y at strictly larger x — a
+    * running max in descending-x order.
+    *
+    * Scale shape (100 TB): the corpus collapses FIRST to one row per
+    * distinct x (map-side-combined groupBy); the running max over
+    * that frame uses the same quantile-bucket decomposition as
+    * [[graft.operators.Sequencing.withGlobalOrdinals]] — per-bucket
+    * maxes to the driver (bucket-count-sized), suffix maxes broadcast
+    * back, one bucket-partitioned window. No global single-reducer
+    * window, no self-join. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+                buckets: Int = 32): DataFrame = {
+    require(buckets >= 1, "buckets must be positive")
+    val perX = df
+      .select(col(xCol).cast("bigint").as("x"), col(yCol).cast("bigint").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("x")).agg(max(col("y")).as("y"))
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else perX.stat.approxQuantile("x",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+    val bktExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("x") > lit(b), 1).otherwise(0)
+    }
+    val withB = perX.withColumn("__bkt", bktExpr)
+    val maxes = withB.groupBy(col("__bkt")).agg(max(col("y")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // suffix max over STRICTLY HIGHER buckets (higher bucket = larger x)
+    val ids = 0 to bounds.length
+    val suffix = ids.map { b =>
+      val above = ids.filter(_ > b).flatMap(maxes.get)
+      (b, if (above.isEmpty) null else java.lang.Long.valueOf(above.max))
+    }
+    val spark = df.sparkSession
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(suffix.toSeq.map {
+        case (b, m) => org.apache.spark.sql.Row(b, m)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bkt",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__suf",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offDf), Seq("__bkt"))
+      .withColumn("__rm", greatest(max(col("y")).over(w), col("__suf")))
+      .where(col("__rm").isNull || col("y") > col("__rm"))
+      .select(col("x"), col("y"))
+      .orderBy(col("x"))
+  }
 }

@@ -1043,6 +1043,97 @@ object StatsQ {
         graft.operators.Components.reciprocity(arcs, "src", "dst")
       }),
 
+    // ---- 2-D Pareto skyline --------------------------------------
+    // Parts on the size-vs-price frontier: no other part is at least
+    // as large AND at least as expensive (one strictly). Sort-based
+    // skyline over the per-size max, bucket-decomposed running max.
+    Q("q312_skyline",
+      Some("""WITH p AS (SELECT p_size::BIGINT AS x,
+             |  CAST(floor(p_retailprice * 1000 + 0.5) AS BIGINT) AS y FROM part),
+             |m AS (SELECT x, max(y) AS y FROM p GROUP BY x),
+             |r AS (SELECT x, y, max(y) OVER (ORDER BY x DESC
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM m)
+             |SELECT x, y::BIGINT AS y FROM r
+             |WHERE rm IS NULL OR y > rm ORDER BY x""".stripMargin),
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .withColumn("y", expr("cast(floor(p_retailprice * 1000d + 0.5d) as bigint)"))
+        graft.operators.RobustStats.skyline2D(p, "p_size", "y")
+      }),
+
+    // ---- per-user h-index ----------------------------------------
+    // Largest h such that the user has >= h events of value >= h —
+    // the rank-robust engagement summary; tie-invariant by design.
+    Q("q313_h_index",
+      Some("""WITH x AS (SELECT user_id,
+             |  greatest(0, CAST(floor(value) AS BIGINT)) AS c FROM events),
+             |r AS (SELECT user_id, c,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY c DESC) AS rn FROM x),
+             |g AS (SELECT user_id, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN rn <= c THEN 1 ELSE 0 END)::BIGINT AS h_index
+             |  FROM r GROUP BY 1)
+             |SELECT user_id, n, h_index FROM g
+             |ORDER BY h_index DESC, user_id LIMIT 15""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("c", expr("greatest(0L, cast(floor(value) as bigint))"))
+        graft.operators.Profile.hIndex(x, "user_id", "c")
+          .orderBy(col("h_index").desc, col("user_id")).limit(15)
+      }),
+
+    // ---- integer HITS on the directed bigram graph ---------------
+    // Hubs point at authorities; two full rounds with exact integer
+    // max-rescaling per half-step (the float-free normalization both
+    // engines replay bitwise).
+    Q("q314_hits",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |ac AS (SELECT p.s AS src, p.d AS dst, count(*)::BIGINT AS n FROM (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    gi -> {'s': t[gi], 'd': t[gi+1]})) AS p FROM toks)
+              |  WHERE p.s <> p.d GROUP BY 1, 2),
+              |e AS (SELECT src, dst FROM ac ORDER BY n DESC, src, dst LIMIT 100),
+              |nodes AS (SELECT DISTINCT v FROM (
+              |  SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+              |h0 AS (SELECT v, 1000000::BIGINT AS h FROM nodes),
+              |a1r AS (SELECT n.v, coalesce(sum(h0.h), 0)::BIGINT AS r FROM nodes n
+              |  LEFT JOIN e ON e.dst = n.v LEFT JOIN h0 ON h0.v = e.src GROUP BY n.v),
+              |a1m AS (SELECT max(r) AS m FROM a1r),
+              |a1 AS (SELECT v, (CASE WHEN m = 0 THEN 0
+              |  ELSE (r * 1000000) // m END)::BIGINT AS a FROM a1r, a1m),
+              |h1r AS (SELECT n.v, coalesce(sum(a1.a), 0)::BIGINT AS r FROM nodes n
+              |  LEFT JOIN e ON e.src = n.v LEFT JOIN a1 ON a1.v = e.dst GROUP BY n.v),
+              |h1m AS (SELECT max(r) AS m FROM h1r),
+              |h1 AS (SELECT v, (CASE WHEN m = 0 THEN 0
+              |  ELSE (r * 1000000) // m END)::BIGINT AS h FROM h1r, h1m),
+              |a2r AS (SELECT n.v, coalesce(sum(h1.h), 0)::BIGINT AS r FROM nodes n
+              |  LEFT JOIN e ON e.dst = n.v LEFT JOIN h1 ON h1.v = e.src GROUP BY n.v),
+              |a2m AS (SELECT max(r) AS m FROM a2r),
+              |a2 AS (SELECT v, (CASE WHEN m = 0 THEN 0
+              |  ELSE (r * 1000000) // m END)::BIGINT AS a FROM a2r, a2m),
+              |h2r AS (SELECT n.v, coalesce(sum(a2.a), 0)::BIGINT AS r FROM nodes n
+              |  LEFT JOIN e ON e.src = n.v LEFT JOIN a2 ON a2.v = e.dst GROUP BY n.v),
+              |h2m AS (SELECT max(r) AS m FROM h2r),
+              |h2 AS (SELECT v, (CASE WHEN m = 0 THEN 0
+              |  ELSE (r * 1000000) // m END)::BIGINT AS h FROM h2r, h2m)
+              |SELECT a2.v AS node, h2.h AS hub_ppm, a2.a AS auth_ppm
+              |FROM a2 JOIN h2 ON h2.v = a2.v
+              |ORDER BY auth_ppm DESC, node LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val arcs = graft.operators.TextOps.withTokens(
+          t(s, dir, "documents").select(col("text")), "text", "__toks")
+          .withColumn("__p", explode(expr(
+            "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
+              "slice(__toks, 2, greatest(size(__toks) - 1, 0)), " +
+              "(x, y) -> struct(x AS s, y AS d))")))
+          .select(col("__p.s").as("src"), col("__p.d").as("dst"))
+          .where(col("src") =!= col("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("src"), col("dst")).limit(100)
+          .select("src", "dst")
+        graft.operators.Components.hits(arcs, "src", "dst", iters = 2)
+          .orderBy(col("auth_ppm").desc, col("node")).limit(10)
+      }),
+
     // ---- two-proportion z² (A/B test) ----------------------------
     // Arms split by event-id parity; "conversion" = value > 100.
     Q("q270_ab_ztest",

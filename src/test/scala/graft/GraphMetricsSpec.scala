@@ -48,4 +48,48 @@ class GraphMetricsSpec extends SparkSpec {
     // distinct clean arcs: a->b, b->a, a->c  => 3; mutual: 2.
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 2L, 666666L))
   }
+
+  test("hits: two exact integer rounds on a co-cited star") {
+    // a->c, b->c, c->d: c is the authority (both hubs point at it),
+    // a/b are the pure hubs; hand-rolled two-round trace.
+    val arcs = Seq(("a", "c"), ("b", "c"), ("c", "d")).toDF("s", "d")
+    val out = Components.hits(arcs, "s", "d", iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a", 1000000L, 0L),
+      ("b", 1000000L, 0L),
+      ("c", 250000L, 1000000L),
+      ("d", 0L, 250000L)))
+  }
+
+  test("skyline2D: per-x max reduction, strict dominance, equal-y drop") {
+    import graft.operators.RobustStats
+    val pts = Seq((1L, 5L), (2L, 3L), (3L, 3L), (3L, 9L), (4L, 1L),
+      (5L, 0L), (5L, 1L)).toDF("x", "y")
+    // per-x max: 1->5 2->3 3->9 4->1 5->1; survivors: (3,9), (4,1)
+    // is dominated by (5,1)? y'=1 >= 1 and x'=5 > 4 -> dominated.
+    // (5,1) survives (nothing above it to the right).
+    val out = RobustStats.skyline2D(pts, "x", "y", buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 9L), (5L, 1L)))
+  }
+
+  test("skyline2D: single point and duplicate points survive") {
+    import graft.operators.RobustStats
+    val pts = Seq((7L, 7L), (7L, 7L)).toDF("x", "y")
+    val out = RobustStats.skyline2D(pts, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((7L, 7L)))
+  }
+
+  test("hIndex: classic citation fixture, tie-invariant") {
+    import graft.operators.Profile
+    val df = Seq(("u", 5L), ("u", 3L), ("u", 2L), ("u", 1L),
+      ("v", 4L), ("v", 4L), ("v", 4L), ("v", 4L), ("v", 4L)).toDF("g", "c")
+    val out = Profile.hIndex(df, "g", "c").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // u: {5,3,2,1} -> h=2; v: five 4s -> h=4 (only 4 rank<=4).
+    assert(out.toSeq == Seq(("u", 4L, 2L), ("v", 5L, 4L)))
+  }
 }
