@@ -197,6 +197,39 @@ object EvalStats {
           "nullif(n_a + n_b - conv_a - conv_b, 0L)) AS BIGINT)"))
       .select("n_a", "n_b", "conv_a", "conv_b", "rate_a_ppm", "rate_b_ppm", "z2_micro")
 
+  /** Copeland ranking from per-(model, item) scores: model `a` "beats"
+    * model `b` when it wins on MORE common items than it loses
+    * (majority of head-to-head comparisons), and the Copeland score
+    * is 2·pairwise-wins + pairwise-ties — the voting-theory
+    * aggregate that, unlike [[winRateMatrix]]'s per-pair rates,
+    * produces one total order over models and is immune to a single
+    * lopsided opponent dominating the average. Model pairs with no
+    * common items simply contribute nothing (both engines agree).
+    *
+    * Scale shape: one item-keyed self-join (the same shuffle as
+    * [[winRateMatrix]]) → a models²-bounded pair aggregate → a
+    * models-bounded final aggregate; everything after the join is
+    * dimension-sized. */
+  def copelandScores(df: DataFrame, modelCol: String, itemCol: String,
+                     scoreCol: String): DataFrame = {
+    val s = df.select(col(modelCol).as("__m"), col(itemCol).as("__i"),
+      col(scoreCol).cast("bigint").as("__sc"))
+    val b = s.select(col("__m").as("__mb"), col("__i"),
+      col("__sc").as("__scb"))
+    val pairAdv = s.join(b, Seq("__i"))
+      .where(col("__m") =!= col("__mb"))
+      .groupBy(col("__m"), col("__mb"))
+      .agg(sum(when(col("__sc") > col("__scb"), 1L)
+        .when(col("__sc") < col("__scb"), -1L)
+        .otherwise(0L)).as("__adv"))
+    pairAdv.groupBy(col("__m").as("model"))
+      .agg(
+        sum(when(col("__adv") > 0, 1L).otherwise(0L)).cast("bigint").as("wins"),
+        sum(when(col("__adv") === 0, 1L).otherwise(0L)).cast("bigint").as("ties"),
+        sum(when(col("__adv") < 0, 1L).otherwise(0L)).cast("bigint").as("losses"))
+      .withColumn("copeland2", (lit(2L) * col("wins") + col("ties")).cast("bigint"))
+  }
+
   /** Calibration reliability bins: partition a ppm-scaled model score
     * into `bins` equal-width buckets and compare the mean CLAIMED
     * probability against the OBSERVED positive rate per bin — the

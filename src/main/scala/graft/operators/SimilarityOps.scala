@@ -64,6 +64,43 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Mutual nearest neighbors: the pairs `(a, b)` where `b` is `a`'s
+    * single most-similar other vector AND `a` is `b`'s — the
+    * high-precision alignment/matching primitive (bitext mining,
+    * cross-encoder distillation pairs, near-duplicate anchoring)
+    * that filters out asymmetric "hubness" matches a plain top-1
+    * keeps. Ties break deterministically on the neighbor id, so the
+    * pair set is reproducible. Output one row per unordered pair
+    * (`a < b`) with the shared cosine.
+    *
+    * Scale shape: exact scoring is [[knnJoin]]'s shape run both ways
+    * at once (corpus streams, the query side broadcasts — at 100 TB
+    * the query side goes out in mini-batches, or the scorer swaps
+    * for [[ivfSearchIndexed]]'s cluster-probed candidates, exactly
+    * as [[hardNegatives]] documents); the mutual filter is then an
+    * id-only self-join of the n-row best-match frame. */
+  def mutualNearestNeighbors(df: DataFrame, idCol: String,
+                             vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__nrm", expr(V.norm("__v")))
+    val r = n.select(col("__id").as("__rid"), col("__v").as("__rv"),
+      col("__nrm").as("__rnrm"))
+    val scored = n.crossJoin(broadcast(r))
+      .where(col("__id") =!= col("__rid"))
+      .withColumn("sim", simWithNorms("__v", "__rv", "__nrm", "__rnrm"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("sim").desc, col("__rid"))
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("__id").as("a"), col("__rid").as("b"), col("sim"))
+    best
+      .join(best.select(col("a").as("__ga"), col("b").as("__gb")),
+        col("a") === col("__gb") && col("b") === col("__ga"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sim"))
+      .orderBy(col("a"))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * top-k most-similar candidates whose label DIFFERS from the
     * anchor's, with similarity capped at `simMax` (near-identical

@@ -780,6 +780,26 @@ object EmbedQ {
               col("label").as("q_label")),
           "q_id", "qv", "q_label",
           k = 10)
-      })
+      }),
+
+    // ---- mutual nearest neighbors --------------------------------
+    // High-precision alignment pairs: a and b are each other's top-1
+    // (hubness-asymmetric matches filtered out); deterministic id
+    // tie-break, bitwise-identical cosines.
+    Q("q315_mutual_nn",
+      Some(s"""WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+              |s AS (SELECT l.vec_id AS a, r.vec_id AS b,
+              |  ${D.cosine("l.embedding", "r.embedding")} AS sim
+              |  FROM v l, v r WHERE l.vec_id <> r.vec_id),
+              |bst AS (SELECT a, b, sim FROM (SELECT a, b, sim,
+              |  row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+              |  FROM s) WHERE rn = 1)
+              |SELECT f.a, f.b, f.sim FROM bst f
+              |JOIN bst g ON f.a = g.b AND f.b = g.a
+              |WHERE f.a < f.b ORDER BY f.a""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.mutualNearestNeighbors(
+          t(s, dir, "embeddings").where(col("vec_id") < 200),
+          "vec_id", "embedding"))
   )
 }

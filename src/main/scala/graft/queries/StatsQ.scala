@@ -40,6 +40,33 @@ object StatsQ {
           .orderBy("model_a", "model_b")
       }),
 
+    // ---- Copeland ranking from head-to-head majorities -----------
+    // One total order over "models" (event types): a beats b when it
+    // wins the MAJORITY of common users; score = 2*wins + ties.
+    Q("q316_copeland",
+      Some("""WITH s AS (SELECT event_type AS m, user_id AS i,
+             |  sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS sc
+             |  FROM events GROUP BY 1, 2),
+             |p AS (SELECT a.m AS ma, b.m AS mb,
+             |  sum(CASE WHEN a.sc > b.sc THEN 1 WHEN a.sc < b.sc THEN -1 ELSE 0 END) AS adv
+             |  FROM s a JOIN s b ON a.i = b.i AND a.m <> b.m GROUP BY 1, 2),
+             |c AS (SELECT ma AS model,
+             |  sum(CASE WHEN adv > 0 THEN 1 ELSE 0 END)::BIGINT AS wins,
+             |  sum(CASE WHEN adv = 0 THEN 1 ELSE 0 END)::BIGINT AS ties,
+             |  sum(CASE WHEN adv < 0 THEN 1 ELSE 0 END)::BIGINT AS losses
+             |  FROM p GROUP BY 1)
+             |SELECT model, wins, ties, losses,
+             |  (2 * wins + ties)::BIGINT AS copeland2
+             |FROM c ORDER BY copeland2 DESC, model""".stripMargin),
+      (s, dir) => {
+        val scores = t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+            .as("score"))
+        EvalStats.copelandScores(scores, "event_type", "user_id", "score")
+          .orderBy(col("copeland2").desc, col("model"))
+      }),
+
     // ---- Poisson-bootstrap CI of mean doc length -----------------
     // 64 deterministic Poisson(1) replicates from the portable
     // rolling-hash family; nearest-rank 2.5/50/97.5 order statistics

@@ -97,6 +97,21 @@ class EvalStatsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("z2_micro")))
   }
 
+  test("copelandScores: majority head-to-heads, one total order") {
+    // A vs B: 1 win 2 losses -> B beats A. A vs C: 2-1 -> A beats C.
+    // B vs C: 2-1 -> B beats C. Copeland2: B=4, A=2, C=0.
+    val df = Seq(
+      ("A", 1L, 3L), ("A", 2L, 1L), ("A", 3L, 1L),
+      ("B", 1L, 2L), ("B", 2L, 2L), ("B", 3L, 2L),
+      ("C", 1L, 1L), ("C", 2L, 3L), ("C", 3L, 0L)).toDF("m", "i", "sc")
+    val out = EvalStats.copelandScores(df, "m", "i", "sc")
+      .orderBy(desc("copeland2"), col("model")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("B", 2L, 0L, 0L, 4L), ("A", 1L, 0L, 1L, 2L), ("C", 0L, 0L, 2L, 0L)))
+  }
+
   test("reliabilityBins: bin edges, clamping, and the signed gap") {
     // scores 100000/150000 land in bin 1; 950000 and the clamped
     // 1000000 land in bin 9 (top edge is inclusive).

@@ -83,6 +83,18 @@ class GraphMetricsSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 7L)))
   }
 
+  test("mutualNearestNeighbors: mutual pair kept, hub-asymmetric match dropped") {
+    import graft.operators.SimilarityOps
+    // 1 and 2 are identical (each other's top-1, sim 1.0); 3 and 4
+    // both point AT 1 but 1 points at 2 -> neither survives.
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.9f, 0.1f))).toDF("id", "v")
+    val out = SimilarityOps.mutualNearestNeighbors(df, "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
   test("hIndex: classic citation fixture, tie-invariant") {
     import graft.operators.Profile
     val df = Seq(("u", 5L), ("u", 3L), ("u", 2L), ("u", 1L),
