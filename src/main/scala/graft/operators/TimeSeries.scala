@@ -517,4 +517,52 @@ object TimeSeries {
       .select(col("phase"), col("n"), col("share_ppm"), col("index_ppm"))
       .orderBy(col("phase"))
   }
+
+  /** Rolling distinct actives (DAU/WAU-style): for every time bucket
+    * in the observed range, the EXACT count of distinct entities seen
+    * in the trailing `windowBuckets` buckets, alongside the bucket's
+    * own distinct count and the stickiness ratio
+    * (`1e6·n_bucket div n_window` — the DAU/WAU engagement metric).
+    * Exact distinct-over-sliding-window is normally awkward at scale;
+    * the trick is that per-bucket PRESENCE (distinct (bucket,
+    * entity)) is small relative to the event stream, and each
+    * presence row covers exactly `windowBuckets` target buckets — so
+    * a bounded explode + keyed count-distinct replaces any windowed
+    * distinct. Gap buckets inside the range still appear (n_bucket
+    * 0); leading partial windows are inherent and kept.
+    *
+    * Scale shape (100 TB): the raw stream collapses FIRST to the
+    * presence frame (map-side-combinable distinct keyed on (bucket,
+    * entity)); the explode multiplies only that frame by
+    * `windowBuckets` (7 for DAU/WAU); the final count-distinct is
+    * keyed on the target bucket. No window functions at all. */
+  def rollingActive(df: DataFrame, tsNanosCol: String, entityCol: String,
+                    bucketSec: Long = 86400L,
+                    windowBuckets: Int = 7): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    require(windowBuckets >= 1, "windowBuckets must be positive")
+    val bNanos = bucketSec * 1000000000L
+    val presence = df
+      .select(expr(s"$tsNanosCol div ${bNanos}L").as("__b"),
+        col(entityCol).as("__e"))
+      .distinct()
+    val lim = presence.agg(min(col("__b")).as("__mn"), max(col("__b")).as("__mx"))
+    val perBucket = presence.groupBy(col("__b").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_bucket"))
+    val windowed = presence
+      .withColumn("__t", explode(expr(
+        s"sequence(__b, __b + ${windowBuckets - 1}L)")))
+      .groupBy(col("__t").as("bucket"))
+      .agg(countDistinct(col("__e")).cast("bigint").as("n_window"))
+    windowed.join(perBucket, Seq("bucket"), "left")
+      .crossJoin(broadcast(lim))
+      .where(col("bucket").between(col("__mn"), col("__mx")))
+      .select(
+        col("bucket").cast("bigint").as("bucket"),
+        coalesce(col("n_bucket"), lit(0L)).cast("bigint").as("n_bucket"),
+        col("n_window"),
+        expr("(1000000L * coalesce(n_bucket, 0L)) div nullif(n_window, 0L)")
+          .cast("bigint").as("stickiness_ppm"))
+      .orderBy(col("bucket"))
+  }
 }

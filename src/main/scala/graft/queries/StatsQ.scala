@@ -1070,6 +1070,27 @@ object StatsQ {
         graft.operators.Components.reciprocity(arcs, "src", "dst")
       }),
 
+    // ---- rolling distinct actives (DAU/WAU + stickiness) ---------
+    // Exact distinct-over-sliding-window via the presence-explode
+    // trick: distinct (day, user) rows each cover 7 target days —
+    // no windowed distinct, no window function at all.
+    Q("q317_rolling_active",
+      Some("""WITH x AS (SELECT DISTINCT
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b, user_id AS e FROM events),
+             |lim AS (SELECT min(b) AS mn, max(b) AS mx FROM x),
+             |d AS (SELECT b, count(*)::BIGINT AS n_bucket FROM x GROUP BY b),
+             |tg AS (SELECT unnest(range(b, b + 7)) AS t, e FROM x),
+             |w AS (SELECT t, count(DISTINCT e)::BIGINT AS n_window FROM tg GROUP BY t)
+             |SELECT w.t::BIGINT AS bucket,
+             |  coalesce(d.n_bucket, 0)::BIGINT AS n_bucket, w.n_window,
+             |  ((1000000 * coalesce(d.n_bucket, 0)) // nullif(w.n_window, 0))::BIGINT AS stickiness_ppm
+             |FROM w LEFT JOIN d ON d.b = w.t, lim
+             |WHERE w.t BETWEEN mn AND mx ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.rollingActive(
+          t(s, dir, "events"), "ts", "user_id",
+          bucketSec = 86400L, windowBuckets = 7)),
+
     // ---- 2-D Pareto skyline --------------------------------------
     // Parts on the size-vs-price frontier: no other part is at least
     // as large AND at least as expensive (one strictly). Sort-based

@@ -83,6 +83,24 @@ class GraphMetricsSpec extends SparkSpec {
     assert(out.toSeq == Seq((7L, 7L)))
   }
 
+  test("rollingActive: presence-explode window, gap bucket, stickiness") {
+    import graft.operators.TimeSeries
+    // bucketSec=1, window=3. Entities: u on t=0 and t=2; v on t=0.
+    // presence: (0,u),(0,v),(2,u). Range [0,2].
+    // t=0: n_bucket=2, window {u,v}=2. t=1: n_bucket=0, window from
+    // t=0 presences -> {u,v}=2. t=2: n_bucket=1, window {u,v}=2.
+    val ns = 1000000000L
+    val df = Seq((0L * ns, "u"), (0L * ns, "v"), (2L * ns, "u"),
+      (2L * ns + 1L, "u")).toDF("ts", "e")
+    val out = TimeSeries.rollingActive(df, "ts", "e",
+      bucketSec = 1L, windowBuckets = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 1000000L),
+      (1L, 0L, 2L, 0L),
+      (2L, 1L, 2L, 500000L)))
+  }
+
   test("mutualNearestNeighbors: mutual pair kept, hub-asymmetric match dropped") {
     import graft.operators.SimilarityOps
     // 1 and 2 are identical (each other's top-1, sim 1.0); 3 and 4
