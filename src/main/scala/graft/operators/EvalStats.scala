@@ -325,4 +325,59 @@ object EvalStats {
         (col("loo_max_milli") - col("loo_min_milli")).cast("bigint"))
       .drop("__s", "__mn", "__mx")
   }
+
+  /** Mann–Whitney U rank-sum test between two arms — the
+    * distribution-free "did arm A's values shift up vs arm B"
+    * comparison (the nonparametric counterpart of [[abZSquared]],
+    * which only compares pass RATES). Emitted as EXACT integers: all
+    * rank quantities are doubled so midpoint tie-ranks stay integral
+    * (`u2_a` = 2·U_A, `u2_b` = 2·U_B; `u2_a + u2_b = 2·n_a·n_b`
+    * always), plus the tie-correction term `tie_term = Σ(t³−t)`
+    * needed for the variance — the caller can form
+    * z = (U_A − n_a·n_b/2) / sqrt(var) downstream; keeping sqrt out
+    * of the witness keeps it bitwise-comparable cross-engine.
+    *
+    * Ranks come from the VALUE-GROUPED frame: per distinct value,
+    * `t` = tie count and `c_lt` = rows strictly below, so each arm-A
+    * row at that value carries double-rank `2·c_lt + t + 1` (twice
+    * the midpoint rank). `c_lt` is the bucket-decomposed running
+    * total ([[Sequencing.runningTotalsBefore]]) over distinct values
+    * — no single-reducer window; the cumulative frame's size is the
+    * VALUE cardinality, not the corpus.
+    *
+    * Scale shape: one groupBy on the value (map-side combined), a
+    * quantile-bucketed prefix sum over the distinct-value frame, one
+    * scalar aggregation. Sums accumulate in DECIMAL(38,0); per-value
+    * products are formed in BIGINT, which bounds the safe corpus at
+    * ~3·10⁹ rows per call (na·2·rank ≲ 2n² < 2⁶³) — shard larger
+    * corpora by stratum and merge the per-stratum integer components
+    * (they are plain sums, hence mergeable).
+    */
+  def mannWhitneyU(df: DataFrame, armACond: org.apache.spark.sql.Column,
+                   valueCol: String, buckets: Int = 32): DataFrame = {
+    val g = df.select(
+        col(valueCol).cast("bigint").as("__v"),
+        when(armACond, 1L).otherwise(0L).as("__a"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__a")).cast("bigint").as("__na"),
+        count(lit(1)).cast("bigint").as("__t"))
+    val (cum, _) = Sequencing.runningTotalsBefore(
+      g, "__v", "__v", Seq("__t"), buckets, "mannWhitneyU")
+    cum.agg(
+        sum(col("__na").cast("decimal(38,0)")).as("__sa"),
+        sum((col("__t") - col("__na")).cast("decimal(38,0)")).as("__sb"),
+        sum((col("__na") * (lit(2L) * col("__cum___t") + col("__t") + lit(1L)))
+          .cast("decimal(38,0)")).as("__r12"),
+        sum((col("__t") * col("__t") * col("__t") - col("__t"))
+          .cast("decimal(38,0)")).as("__tie"))
+      .select(
+        col("__sa").cast("bigint").as("n_a"),
+        col("__sb").cast("bigint").as("n_b"),
+        (col("__r12") - col("__sa") * (col("__sa") + lit(1L)))
+          .cast("bigint").as("u2_a"),
+        (lit(2L) * col("__sa") * col("__sb")
+          - (col("__r12") - col("__sa") * (col("__sa") + lit(1L))))
+          .cast("bigint").as("u2_b"),
+        col("__tie").cast("bigint").as("tie_term"))
+  }
 }

@@ -1200,6 +1200,34 @@ object StatsQ {
              |FROM g""".stripMargin),
       (s, dir) =>
         EvalStats.abZSquared(t(s, dir, "events"),
-          col("event_id") % 2 === 0, col("value") > 100))
+          col("event_id") % 2 === 0, col("value") > 100)),
+
+    // ---- Mann–Whitney U rank-sum test ----------------------------
+    // Did arm A's VALUES shift up vs arm B (not just its pass rate —
+    // that's q270)? Arms split by seeded event-id hash parity; all
+    // rank quantities doubled so midpoint tie-ranks stay integral.
+    Q("q318_mann_whitney",
+      Some("""WITH x AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS mv,
+             |  ((536870923 * event_id + 974711) % 1000000007) % 2 = 0 AS a FROM events),
+             |g AS (SELECT mv, sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS na,
+             |  count(*)::BIGINT AS t FROM x GROUP BY 1),
+             |c AS (SELECT na, t, coalesce(sum(t) OVER (ORDER BY mv
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS clt
+             |  FROM g),
+             |s AS (SELECT sum(na)::HUGEINT AS sa, sum(t - na)::HUGEINT AS sb,
+             |  sum(na::HUGEINT * (2 * clt + t + 1)) AS r12,
+             |  sum(t::HUGEINT * t * t - t) AS tie FROM c)
+             |SELECT sa::BIGINT AS n_a, sb::BIGINT AS n_b,
+             |  (r12 - sa * (sa + 1))::BIGINT AS u2_a,
+             |  (2 * sa * sb - (r12 - sa * (sa + 1)))::BIGINT AS u2_b,
+             |  tie::BIGINT AS tie_term
+             |FROM s""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000d + 0.5d) as bigint)"))
+        EvalStats.mannWhitneyU(x,
+          expr("((536870923L * event_id + 974711L) % 1000000007L) % 2 = 0"),
+          "mv")
+      })
   )
 }

@@ -166,4 +166,29 @@ class EvalStatsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("loo_min_milli")))
     assert(r.isNullAt(r.fieldIndex("influence_span_milli")))
   }
+
+  test("mannWhitneyU: doubled midpoint tie-ranks and the tie term") {
+    // A = {1,2,2}, B = {2,3}: pooled ranks 1,(3,3,3),5 so
+    // R_A = 1+3+3 = 7 -> u2_a = 2*R_A - na(na+1) = 14-12 = 2
+    // (A beats B on no pair, ties two -> U_A = 1, doubled 2);
+    // u2_b = 2*na*nb - u2_a = 10; one tie group t=3 -> 27-3 = 24.
+    val df = Seq((1L, true), (2L, true), (2L, true), (2L, false),
+      (3L, false)).toDF("v", "a")
+    val r = EvalStats.mannWhitneyU(df, col("a"), "v", buckets = 2).head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2_a") == 2L)
+    assert(r.getAs[Long]("u2_b") == 10L)
+    assert(r.getAs[Long]("tie_term") == 24L)
+  }
+
+  test("mannWhitneyU: tie-free complete separation and bucket invariance") {
+    // A = {5,6} above all of B = {1,2}: U_A = 4 -> u2_a = 8, u2_b = 0.
+    val df = Seq((5L, true), (6L, true), (1L, false), (2L, false))
+      .toDF("v", "a")
+    for (b <- Seq(1, 3)) {
+      val r = EvalStats.mannWhitneyU(df, col("a"), "v", buckets = b).head()
+      assert(r.getAs[Long]("u2_a") == 8L && r.getAs[Long]("u2_b") == 0L)
+      assert(r.getAs[Long]("tie_term") == 0L)
+    }
+  }
 }
