@@ -565,4 +565,47 @@ object TimeSeries {
           .cast("bigint").as("stickiness_ppm"))
       .orderBy(col("bucket"))
   }
+
+  /** Per-entity burstiness: the Fano factor (index of dispersion,
+    * variance/mean) of per-bucket event counts over the entity's own
+    * calendar span — ≈1 for Poisson-like arrivals, ≫1 for bursty
+    * ones (a crawler dumping a day's worth of events at once), ≈0
+    * for metronomic entities. The span includes the entity's SILENT
+    * buckets (count 0) — computed arithmetically from
+    * `max−min+1` and the active-bucket moments, never materialized.
+    *
+    * Exact integers throughout: with `span` buckets, total `s` and
+    * active-bucket sum-of-squares `q`, population variance/mean =
+    * `(span·q − s²) / (span·s)`, and `span·q − s² ≥ 0` by
+    * Cauchy–Schwarz, so `fano_milli = (1000·(span·q − s²)) div
+    * (span·s)` needs no sign split.
+    *
+    * Scale shape: one groupBy on (entity, bucket) then one on entity
+    * — both map-side combined; no windows, no explode. Products stay
+    * in BIGINT for spans ≤ ~10⁶ buckets and per-entity totals ≤
+    * ~3·10⁶ events (span·q ≲ 2⁶³); beyond that widen to
+    * DECIMAL(38,0) at the marked casts.
+    */
+  def burstiness(df: DataFrame, tsNanosCol: String, entityCol: String,
+                 bucketSec: Long = 86400L): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bNanos = bucketSec * 1000000000L
+    df.select(col(entityCol).as("entity"),
+        expr(s"$tsNanosCol div ${bNanos}L").as("__b"))
+      .groupBy(col("entity"), col("__b"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+      .groupBy(col("entity"))
+      .agg(
+        (max(col("__b")) - min(col("__b")) + lit(1L)).as("span_buckets"),
+        count(lit(1)).cast("bigint").as("active_buckets"),
+        sum(col("__c")).cast("bigint").as("n_events"),
+        sum(col("__c") * col("__c")).cast("bigint").as("__q"))
+      .select(
+        col("entity"),
+        col("span_buckets").cast("bigint").as("span_buckets"),
+        col("active_buckets"),
+        col("n_events"),
+        expr("(1000L * (span_buckets * __q - n_events * n_events)) " +
+          "div (span_buckets * n_events)").cast("bigint").as("fano_milli"))
+  }
 }

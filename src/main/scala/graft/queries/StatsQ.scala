@@ -1228,6 +1228,29 @@ object StatsQ {
         EvalStats.mannWhitneyU(x,
           expr("((536870923L * event_id + 974711L) % 1000000007L) % 2 = 0"),
           "mv")
-      })
+      }),
+
+    // ---- per-user burstiness (Fano factor) -----------------------
+    // Which users dump their events in bursts vs spread them out?
+    // Index of dispersion of daily counts over each user's own
+    // calendar span (silent days included arithmetically). ≫1000
+    // milli = bursty, ~0 = metronomic. Top 20, tie-broken on entity.
+    Q("q319_burstiness",
+      Some("""WITH x AS (SELECT user_id AS entity,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b FROM events),
+             |c AS (SELECT entity, b, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
+             |g AS (SELECT entity, (max(b) - min(b) + 1)::BIGINT AS span_buckets,
+             |  count(*)::BIGINT AS active_buckets,
+             |  sum(c)::BIGINT AS n_events, sum(c * c)::HUGEINT AS q
+             |  FROM c GROUP BY 1),
+             |f AS (SELECT entity, span_buckets, active_buckets, n_events,
+             |  ((1000 * (span_buckets * q - n_events::HUGEINT * n_events)) //
+             |   (span_buckets::HUGEINT * n_events))::BIGINT AS fano_milli FROM g)
+             |SELECT entity, span_buckets, active_buckets, n_events, fano_milli
+             |FROM f ORDER BY fano_milli DESC, entity LIMIT 20""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.burstiness(
+          t(s, dir, "events"), "ts", "user_id")
+          .orderBy(col("fano_milli").desc, col("entity")).limit(20))
   )
 }

@@ -85,4 +85,26 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.getLong(1) == 100L && out.getLong(2) == 2L)
     assert(out.getLong(3) == 50000000L)
   }
+
+  test("burstiness: silent days counted in span, Fano exact") {
+    val day = 86400L * 1000000000L
+    // e1: day0 x3, day2 x1 -> span 3, s=4, q=10,
+    //   fano = 1000*(3*10-16)/(3*4) = 14000/12 = 1166 (truncated).
+    // e2: one event -> span 1, variance 0 -> fano 0.
+    val df = Seq(("e1", 100L), ("e1", 200L), ("e1", 300L),
+      ("e1", 2 * day + 5L), ("e2", 5 * day)).toDF("u", "ts")
+    val out = TimeSeries.burstiness(df, "ts", "u")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("e1") == ((3L, 2L, 4L, 1166L)))
+    assert(out("e2") == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("burstiness: uniform one-per-day entity has Fano 0") {
+    val day = 86400L * 1000000000L
+    val df = (0 until 10).map(i => ("u", i * day + 7L)).toDF("u", "ts")
+    val r = TimeSeries.burstiness(df, "ts", "u").head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 10L)
+    assert(r.getLong(4) == 0L)
+  }
 }
