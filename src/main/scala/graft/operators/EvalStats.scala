@@ -335,7 +335,10 @@ object EvalStats {
     * always), plus the tie-correction term `tie_term = Σ(t³−t)`
     * needed for the variance — the caller can form
     * z = (U_A − n_a·n_b/2) / sqrt(var) downstream; keeping sqrt out
-    * of the witness keeps it bitwise-comparable cross-engine.
+    * of the witness keeps it bitwise-comparable cross-engine. Also
+    * emits Cliff's delta — the U test's effect size,
+    * `δ = (#(a>b) − #(a<b)) / (n_a·n_b) = (u2_a − u2_b)/(2·n_a·n_b)`
+    * — as sign-split exact ppm (+1e6 = complete separation upward).
     *
     * Ranks come from the VALUE-GROUPED frame: per distinct value,
     * `t` = tie count and `c_lt` = rows strictly below, so each arm-A
@@ -379,5 +382,10 @@ object EvalStats {
           - (col("__r12") - col("__sa") * (col("__sa") + lit(1L))))
           .cast("bigint").as("u2_b"),
         col("__tie").cast("bigint").as("tie_term"))
+      .withColumn("cliffs_delta_ppm", expr(
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
+          "WHEN u2_a < u2_b THEN " +
+          "-CAST((1000000L * (u2_b - u2_a)) div (2L * n_a * n_b) AS BIGINT) " +
+          "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
 }

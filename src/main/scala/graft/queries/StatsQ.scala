@@ -1216,12 +1216,16 @@ object StatsQ {
              |  FROM g),
              |s AS (SELECT sum(na)::HUGEINT AS sa, sum(t - na)::HUGEINT AS sb,
              |  sum(na::HUGEINT * (2 * clt + t + 1)) AS r12,
-             |  sum(t::HUGEINT * t * t - t) AS tie FROM c)
+             |  sum(t::HUGEINT * t * t - t) AS tie FROM c),
+             |u AS (SELECT sa, sb, tie, (r12 - sa * (sa + 1)) AS u2a,
+             |  (2 * sa * sb - (r12 - sa * (sa + 1))) AS u2b FROM s)
              |SELECT sa::BIGINT AS n_a, sb::BIGINT AS n_b,
-             |  (r12 - sa * (sa + 1))::BIGINT AS u2_a,
-             |  (2 * sa * sb - (r12 - sa * (sa + 1)))::BIGINT AS u2_b,
-             |  tie::BIGINT AS tie_term
-             |FROM s""".stripMargin),
+             |  u2a::BIGINT AS u2_a, u2b::BIGINT AS u2_b,
+             |  tie::BIGINT AS tie_term,
+             |  (CASE WHEN sa = 0 OR sb = 0 THEN NULL
+             |   WHEN u2a < u2b THEN -((1000000 * (u2b - u2a)) // (2 * sa * sb))
+             |   ELSE (1000000 * (u2a - u2b)) // (2 * sa * sb) END)::BIGINT AS cliffs_delta_ppm
+             |FROM u""".stripMargin),
       (s, dir) => {
         val x = t(s, dir, "events")
           .withColumn("mv", expr("cast(floor(value * 1000d + 0.5d) as bigint)"))

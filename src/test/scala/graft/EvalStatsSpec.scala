@@ -179,6 +179,8 @@ class EvalStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("u2_a") == 2L)
     assert(r.getAs[Long]("u2_b") == 10L)
     assert(r.getAs[Long]("tie_term") == 24L)
+    // delta = (2-10)/(2*3*2) = -2/3 -> ppm truncated toward zero.
+    assert(r.getAs[Long]("cliffs_delta_ppm") == -666666L)
   }
 
   test("mannWhitneyU: tie-free complete separation and bucket invariance") {
@@ -189,6 +191,7 @@ class EvalStatsSpec extends SparkSpec {
       val r = EvalStats.mannWhitneyU(df, col("a"), "v", buckets = b).head()
       assert(r.getAs[Long]("u2_a") == 8L && r.getAs[Long]("u2_b") == 0L)
       assert(r.getAs[Long]("tie_term") == 0L)
+      assert(r.getAs[Long]("cliffs_delta_ppm") == 1000000L)
     }
   }
 }
