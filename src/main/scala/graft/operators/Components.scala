@@ -692,6 +692,56 @@ object Components {
         col("__a").as("auth_ppm"))
   }
 
+  /** Bounded-round Bellman–Ford: single-source-set weighted shortest
+    * paths over an undirected integer-weighted edge list. Round r
+    * relaxes every edge once — after r rounds, `dist` holds the exact
+    * shortest distance for every node reachable by a path of ≤ r
+    * edges (the classic Bellman–Ford invariant), so `maxRounds` plays
+    * the same horizon role as `maxHops` in [[bfsDistances]], with
+    * per-edge costs instead of unit hops. Weights must be
+    * non-negative (enforced); multi-edges collapse to their cheapest
+    * cost before the loop.
+    *
+    * Scale shape (100 TB): BSP — the adjacency frame is static across
+    * rounds and localCheckpointed ONCE; each round is one equi-join
+    * of the (node, dist) frame against it plus a min-combine groupBy,
+    * both shuffle-partitioned on node id, carrying only (node, dist)
+    * — never row payloads. The dist frame is re-checkpointed per
+    * round so lineage stays linear in rounds (no 2^r plan blowup),
+    * and spent round frames are unpersisted eagerly. Rounds are a
+    * fixed small constant — the graph diameter horizon — not a
+    * data-sized loop. */
+  def weightedShortestPaths(edges: DataFrame, aCol: String, bCol: String,
+                            costCol: String, seeds: DataFrame,
+                            seedCol: String, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be non-negative")
+    val half = edges.select(col(aCol).as("__w"), col(bCol).as("__u"),
+      col(costCol).cast("bigint").as("__c"))
+    val adj = half
+      .unionAll(half.select(col("__u").as("__w"), col("__w").as("__u"), col("__c")))
+      .where(col("__w") =!= col("__u"))
+      .groupBy(col("__w"), col("__u")).agg(min(col("__c")).as("__c"))
+      .localCheckpoint()
+    require(adj.where(col("__c") < 0).isEmpty,
+      "weightedShortestPaths requires non-negative edge costs")
+    var dist = seeds.select(col(seedCol).as("node"), lit(0L).as("dist"))
+      .dropDuplicates("node")
+      .localCheckpoint()
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to maxRounds) {
+      val relaxed = dist
+        .join(adj, dist("node") === adj("__w"))
+        .select(col("__u").as("node"), (col("dist") + col("__c")).as("dist"))
+      spent += dist
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    val out = dist.localCheckpoint()
+    spent.foreach(freeCheckpoint)
+    out
+  }
+
   /** Release a `localCheckpoint`ed frame's cached blocks eagerly.
     * A checkpointed Dataset's plan is a LogicalRDD over the
     * materialized RDD; unpersisting that RDD frees its storage now

@@ -473,4 +473,44 @@ object RobustStats {
       .select(col("x"), col("y"))
       .orderBy(col("x"))
   }
+
+  /** Theil–Sen robust trend per entity: the MEDIAN of all pairwise
+    * slopes `(y_j − y_i) / (x_j − x_i)` over an entity's
+    * (bucket, value) series — the classic 29%-breakdown-point slope
+    * estimator, immune to the outlier days that wreck per-group OLS
+    * ([[graft.operators.Profile]]'s least-squares trend). Slopes are
+    * emitted in ppm via sign-split truncated division (both engines
+    * truncate toward zero only on non-negative operands — graft
+    * division discipline), and the median is nearest-rank
+    * (`ceil(n/2)`-th smallest), so every output is integer-exact.
+    * Entities need ≥ 2 distinct buckets; others are dropped.
+    *
+    * Scale shape (100 TB): one (entity, bucket) pre-aggregation
+    * collapses raw volume to at most `span` points per entity BEFORE
+    * the pairwise stage, so the self-join is entity-keyed and its
+    * fan-out is bounded by the CALENDAR (span² pairs, e.g. 30 days →
+    * ≤ 435 pairs/entity) — independent of event volume. Both the
+    * pair join and the median window shuffle once on entity id.
+    * Entities scale out; no cross-entity traffic. */
+  def theilSenSlope(df: DataFrame, entityCol: String, bucketCol: String,
+                    valueCol: String): DataFrame = {
+    val pts = df
+      .select(col(entityCol).as("entity"), col(bucketCol).cast("bigint").as("__x"),
+        col(valueCol).cast("bigint").as("__y"))
+      .groupBy(col("entity"), col("__x")).agg(sum(col("__y")).as("__y"))
+    val a = pts.select(col("entity"), col("__x").as("__x1"), col("__y").as("__y1"))
+    val b = pts.select(col("entity"), col("__x").as("__x2"), col("__y").as("__y2"))
+    val pairs = a.join(b, Seq("entity")).where(col("__x1") < col("__x2"))
+      .withColumn("__slope_ppm", expr(
+        """CASE WHEN __y2 >= __y1
+          |  THEN ((__y2 - __y1) * 1000000L) div (__x2 - __x1)
+          |  ELSE -(((__y1 - __y2) * 1000000L) div (__x2 - __x1)) END""".stripMargin))
+    val w = Window.partitionBy(col("entity")).orderBy(col("__slope_ppm"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("entity"))))
+      .where(col("__rn") === expr("(__n + 1L) div 2L"))
+      .select(col("entity"), col("__n").cast("bigint").as("n_pairs"),
+        col("__slope_ppm").cast("bigint").as("sen_slope_ppm"))
+  }
 }

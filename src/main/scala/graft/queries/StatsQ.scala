@@ -1255,6 +1255,88 @@ object StatsQ {
       (s, dir) =>
         graft.operators.TimeSeries.burstiness(
           t(s, dir, "events"), "ts", "user_id")
-          .orderBy(col("fano_milli").desc, col("entity")).limit(20))
+          .orderBy(col("fano_milli").desc, col("entity")).limit(20)),
+
+    // ---- weighted shortest paths (bounded Bellman–Ford) ----------
+    // Cheapest association paths from 'spark' over the q273/q281
+    // collocation graph, where strong collocations are cheap to
+    // traverse (cost = 1 + 1000 // n); 3 relaxation rounds = exact
+    // shortest distance over paths of ≤ 3 edges. The oracle unrolls
+    // the same three relax+min-combine rounds.
+    Q("q320_weighted_paths",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |te AS (SELECT tok_a, tok_b, n FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |e AS (SELECT tok_a AS a, tok_b AS b, (1 + 1000 // n)::BIGINT AS c
+              |  FROM te WHERE tok_a <> tok_b),
+              |adj AS (SELECT a AS w, u, c FROM (
+              |  SELECT a, b AS u, c FROM e UNION ALL SELECT b AS a, a AS u, c FROM e) s),
+              |d0 AS (SELECT 'spark' AS node, 0::BIGINT AS dist),
+              |d1 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT * FROM d0 UNION ALL
+              |  SELECT adj.u, d0.dist + adj.c FROM d0 JOIN adj ON adj.w = d0.node) s
+              |  GROUP BY node),
+              |d2 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT * FROM d1 UNION ALL
+              |  SELECT adj.u, d1.dist + adj.c FROM d1 JOIN adj ON adj.w = d1.node) s
+              |  GROUP BY node),
+              |d3 AS (SELECT node, min(dist) AS dist FROM (
+              |  SELECT * FROM d2 UNION ALL
+              |  SELECT adj.u, d2.dist + adj.c FROM d2 JOIN adj ON adj.w = d2.node) s
+              |  GROUP BY node)
+              |SELECT node, dist::BIGINT AS dist FROM d3
+              |ORDER BY dist, node""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .where(col("tok_a") =!= col("tok_b"))
+          .withColumn("cost", expr("1L + 1000L div n"))
+        val seeds = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("spark")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("node",
+              org.apache.spark.sql.types.StringType))))
+        graft.operators.Components.weightedShortestPaths(
+          edges, "tok_a", "tok_b", "cost", seeds, "node", maxRounds = 3)
+          .orderBy("dist", "node")
+      }),
+
+    // ---- Theil–Sen robust trend per user -------------------------
+    // Median pairwise slope of each user's daily micro-value totals
+    // (ppm per day) — the outlier-immune alternative to per-group
+    // OLS. Pair fan-out is calendar-bounded (30-day span → ≤ 435
+    // pairs/user), never volume-bounded. Top 20 rising users.
+    Q("q321_theil_sen",
+      Some("""WITH x AS (SELECT user_id AS entity,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv FROM events),
+             |p AS (SELECT entity, b, sum(mv)::BIGINT AS y FROM x GROUP BY 1, 2),
+             |pr AS (SELECT a.entity,
+             |  CASE WHEN b.y >= a.y THEN ((b.y - a.y) * 1000000) // (b.b - a.b)
+             |    ELSE -(((a.y - b.y) * 1000000) // (b.b - a.b)) END AS s
+             |  FROM p a JOIN p b ON a.entity = b.entity AND a.b < b.b),
+             |r AS (SELECT entity, s,
+             |  row_number() OVER (PARTITION BY entity ORDER BY s) AS rn,
+             |  count(*) OVER (PARTITION BY entity) AS n FROM pr)
+             |SELECT entity, n::BIGINT AS n_pairs, s::BIGINT AS sen_slope_ppm
+             |FROM r WHERE rn = (n + 1) // 2
+             |ORDER BY sen_slope_ppm DESC, entity LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+          .withColumn("b", expr("ts div 86400000000000L"))
+        graft.operators.RobustStats.theilSenSlope(x, "user_id", "b", "mv")
+          .orderBy(col("sen_slope_ppm").desc, col("entity")).limit(20)
+      })
   )
 }

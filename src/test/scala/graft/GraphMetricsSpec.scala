@@ -49,6 +49,36 @@ class GraphMetricsSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 2L, 666666L))
   }
 
+  test("weightedShortestPaths: relaxation horizon and min-combine") {
+    // path a -5- b -1- c plus direct a -10- c: 2 rounds relax both
+    // routes; the 2-edge route (6) beats the direct edge (10).
+    val e = Seq(("a", "b", 5L), ("b", "c", 1L), ("a", "c", 10L))
+      .toDF("x", "y", "w")
+    val seeds = Seq("a").toDF("node")
+    val out2 = Components.weightedShortestPaths(e, "x", "y", "w",
+        seeds, "node", maxRounds = 2)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out2.toSeq == Seq(("a", 0L), ("b", 5L), ("c", 6L)))
+    // 1 round: only ≤1-edge paths are final — c keeps the direct 10.
+    val out1 = Components.weightedShortestPaths(e, "x", "y", "w",
+        seeds, "node", maxRounds = 1)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out1.toSeq == Seq(("a", 0L), ("b", 5L), ("c", 10L)))
+  }
+
+  test("weightedShortestPaths: multi-edge collapses to cheapest; negative cost rejected") {
+    val e = Seq(("a", "b", 7L), ("b", "a", 3L)).toDF("x", "y", "w")
+    val seeds = Seq("a").toDF("node")
+    val out = Components.weightedShortestPaths(e, "x", "y", "w",
+        seeds, "node", maxRounds = 1)
+      .orderBy("node").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 0L), ("b", 3L)))
+    val neg = Seq(("a", "b", -1L)).toDF("x", "y", "w")
+    intercept[IllegalArgumentException] {
+      Components.weightedShortestPaths(neg, "x", "y", "w", seeds, "node", 1)
+    }
+  }
+
   test("hits: two exact integer rounds on a co-cited star") {
     // a->c, b->c, c->d: c is the authority (both hubs point at it),
     // a/b are the pure hubs; hand-rolled two-round trace.

@@ -107,4 +107,35 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(1) == 10L && r.getLong(2) == 10L)
     assert(r.getLong(4) == 0L)
   }
+
+  test("theilSenSlope: median slope ignores the outlier day") {
+    // y = 10x on buckets 0,1,2,3 plus a wild outlier at bucket 4:
+    // 10 clean-pair slopes of 10e6 ppm, 4 outlier pairs; the
+    // nearest-rank median of the 10 pairs (rank (10+1)/2=5) is 10e6.
+    val df = Seq(("u", 0L, 0L), ("u", 1L, 10L), ("u", 2L, 20L),
+      ("u", 3L, 30L), ("u", 4L, 100000L)).toDF("e", "b", "y")
+    val r = graft.operators.RobustStats.theilSenSlope(df, "e", "b", "y").head()
+    assert(r.getString(0) == "u")
+    assert(r.getLong(1) == 10L)
+    assert(r.getLong(2) == 10000000L)
+  }
+
+  test("theilSenSlope: negative slope sign-split matches floor-free truncation") {
+    // y: 10, 3 on buckets 0,1 -> slope (3-10)*1e6/1 = -7e6 exactly;
+    // and an uneven gap pair 10 -> 0 over 3 buckets = -(10e6 div 3).
+    val df = Seq(("a", 0L, 10L), ("a", 1L, 3L),
+      ("b", 0L, 10L), ("b", 3L, 0L)).toDF("e", "b", "y")
+    val out = graft.operators.RobustStats.theilSenSlope(df, "e", "b", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("a") == -7000000L)
+    assert(out("b") == -3333333L)
+  }
+
+  test("theilSenSlope: same-bucket rows pre-aggregate; single-bucket entities drop") {
+    val df = Seq(("u", 0L, 4L), ("u", 0L, 6L), ("u", 1L, 20L),
+      ("solo", 5L, 9L)).toDF("e", "b", "y")
+    val out = graft.operators.RobustStats.theilSenSlope(df, "e", "b", "y")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("u", 1L, 10000000L)))
+  }
 }
