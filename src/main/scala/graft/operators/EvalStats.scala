@@ -388,4 +388,64 @@ object EvalStats {
           "-CAST((1000000L * (u2_b - u2_a)) div (2L * n_a * n_b) AS BIGINT) " +
           "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
+
+  /** EXACT weighted isotonic regression of a boolean outcome rate on
+    * an ordered score bucket — the monotone calibration map behind
+    * Platt/isotonic recalibration, computed via the closed-form
+    * minimax characterization of the L2 isotonic fit:
+    * `fit_i = max_{j ≤ i} min_{k ≥ i} mean(y on buckets j..k)`
+    * (equivalent to pool-adjacent-violators, but loop-free). Every
+    * candidate mean is kept as an integer RATIONAL `(successes,
+    * weight)` and compared by cross-multiplication, so the fit is
+    * exact; only the final projection floors to ppm. Output per
+    * bucket: `(bucket, n, successes, raw_ppm, iso_ppm)` with
+    * `iso_ppm` non-decreasing in bucket by construction.
+    *
+    * Scale shape (100 TB): the only data-sized work is the one
+    * bucket-keyed count/sum aggregation (map-side combinable); the
+    * minimax runs as a per-row HOF over the collected BUCKET array —
+    * `O(m³)` integer ops for `m` buckets (m is a calibration-grid
+    * constant, ~10–20), on a single one-row frame. Cross-multiplied
+    * operands stay in BIGINT for success totals ≤ ~10⁹ per bucket
+    * range product; widen to DECIMAL at the marked struct fields
+    * beyond that. */
+  def isotonicFit(df: DataFrame, bucketCol: String,
+                  outcomeCol: String): DataFrame = {
+    val g = df
+      .select(col(bucketCol).cast("bigint").as("__x"),
+        when(col(outcomeCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .where(col("__x").isNotNull)
+      .groupBy(col("__x"))
+      .agg(count(lit(1)).cast("bigint").as("__w"),
+        sum(col("__y")).cast("bigint").as("__s"))
+    val rat = "struct<nu: bigint, de: bigint>"
+    val isoExpr =
+      "transform(sequence(1, size(st)), fi -> " +
+        s"aggregate(transform(sequence(1, fi), fj -> " +
+        s"aggregate(transform(sequence(fi, size(st)), fk -> " +
+        "named_struct('nu', element_at(ps, fk + 1) - element_at(ps, fj), " +
+        "'de', element_at(pw, fk + 1) - element_at(pw, fj))), " +
+        s"cast(null as $rat), (bm, c) -> CASE WHEN bm IS NULL " +
+        "OR c.nu * bm.de < bm.nu * c.de THEN c ELSE bm END)), " +
+        s"cast(null as $rat), (best, c) -> CASE WHEN best IS NULL " +
+        "OR c.nu * best.de > best.nu * c.de THEN c ELSE best END))"
+    g.agg(sort_array(collect_list(struct(col("__x").as("x"),
+        col("__w").as("w"), col("__s").as("s")))).as("st"))
+      .withColumn("pw", expr("transform(sequence(0, size(st)), kp -> " +
+        "aggregate(slice(st, 1, kp), 0L, (a, e) -> a + e.w))"))
+      .withColumn("ps", expr("transform(sequence(0, size(st)), kp -> " +
+        "aggregate(slice(st, 1, kp), 0L, (a, e) -> a + e.s))"))
+      .withColumn("iso", expr(isoExpr))
+      .select(explode(expr(
+        "transform(sequence(1, size(st)), fi -> struct(" +
+          "element_at(st, fi).x AS bucket, " +
+          "element_at(st, fi).w AS n, " +
+          "element_at(st, fi).s AS successes, " +
+          "(1000000L * element_at(st, fi).s) div element_at(st, fi).w AS raw_ppm, " +
+          "(1000000L * element_at(iso, fi).nu) div element_at(iso, fi).de AS iso_ppm))"))
+        .as("__r"))
+      .select(col("__r.bucket").as("bucket"), col("__r.n").as("n"),
+        col("__r.successes").as("successes"),
+        col("__r.raw_ppm").as("raw_ppm"), col("__r.iso_ppm").as("iso_ppm"))
+  }
 }

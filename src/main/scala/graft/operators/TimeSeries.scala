@@ -608,4 +608,51 @@ object TimeSeries {
         expr("(1000L * (span_buckets * __q - n_events * n_events)) " +
           "div (span_buckets * n_events)").cast("bigint").as("fano_milli"))
   }
+
+  /** Kaplan–Meier product-limit survival curve over per-subject
+    * `(duration, censored)` observations — time-to-event analysis
+    * (time to first failure, churn, conversion latency). A censored
+    * subject was observed alive for `duration` buckets without the
+    * event; it leaves the risk set at that time WITHOUT counting as
+    * a death — the textbook right-censoring treatment. One output
+    * row per duration with ≥ 1 death: `(t, n_at_risk, deaths,
+    * surv_ppm)` where `S_k = (S_{k-1} · (n_k − d_k)) div n_k`,
+    * `S_0 = 10^6` — each step floored to ppm, so every value is
+    * integer-exact and oracle-verifiable (all operands non-negative:
+    * floor = truncate on both engines).
+    *
+    * Scale shape (100 TB): everything operates on the DURATION
+    * HISTOGRAM, whose cardinality is bounded by the observation
+    * horizon (e.g. calendar days), not by subject count — the global
+    * window and the prefix-product fold run on that bounded frame
+    * only; the subject-level input is collapsed by one map-side-
+    * combinable keyed aggregation. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+                  censoredCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = df.select(col(durationCol).cast("bigint").as("__t"),
+        col(censoredCol).cast("boolean").as("__cen"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val h = lt.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("bigint").as("__m"),
+        sum(when(col("__cen"), 0L).otherwise(1L)).cast("bigint").as("__d"))
+    val tot = h.agg(sum(col("__m")).as("__total"))
+    // global window over the lifetime HISTOGRAM — calendar-bounded
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = h.crossJoin(broadcast(tot))
+      .withColumn("__n",
+        col("__total") - coalesce(sum(col("__m")).over(w), lit(0L)))
+      .where(col("__d") > 0)
+      .select(col("__t"), col("__d"), col("__n"))
+    steps
+      .agg(sort_array(collect_list(struct(col("__t").as("t"),
+        col("__d").as("d"), col("__n").as("n")))).as("__st"))
+      .select(explode(expr(
+        "transform(__st, (x, i) -> struct(x.t AS t, x.n AS n_at_risk, " +
+          "x.d AS deaths, aggregate(slice(__st, 1, i + 1), 1000000L, " +
+          "(acc, e) -> (acc * (e.n - e.d)) div e.n) AS surv_ppm))")).as("__r"))
+      .select(col("__r.t").as("t"), col("__r.n_at_risk").as("n_at_risk"),
+        col("__r.deaths").as("deaths"), col("__r.surv_ppm").as("surv_ppm"))
+  }
 }

@@ -1337,6 +1337,102 @@ object StatsQ {
           .withColumn("b", expr("ts div 86400000000000L"))
         graft.operators.RobustStats.theilSenSlope(x, "user_id", "b", "mv")
           .orderBy(col("sen_slope_ppm").desc, col("entity")).limit(20)
+      }),
+
+    // ---- Kaplan–Meier time-to-first-error curve ------------------
+    // Product-limit survival of days from each user's first event to
+    // their first 'error'; users who never error are right-censored
+    // at the corpus edge. Each step floors to ppm, so the whole
+    // curve is integer-exact; the oracle chains the same fold over
+    // bigint-packed (n, d) steps.
+    Q("q322_kaplan_meier",
+      Some("""WITH x AS (SELECT user_id AS e,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b, event_type
+             |  FROM events),
+             |f AS (SELECT e, min(b) AS fb FROM x GROUP BY e),
+             |fe AS (SELECT e, min(b) AS eb FROM x
+             |  WHERE event_type = 'error' GROUP BY e),
+             |mx AS (SELECT max(b) AS bl FROM x),
+             |lt AS (SELECT CASE WHEN fe.eb IS NULL THEN mx.bl - f.fb
+             |    ELSE fe.eb - f.fb END AS t,
+             |  (fe.eb IS NULL) AS cen
+             |  FROM f LEFT JOIN fe USING (e) CROSS JOIN mx),
+             |h AS (SELECT t, count(*)::BIGINT AS m,
+             |  sum(CASE WHEN cen THEN 0 ELSE 1 END)::BIGINT AS d FROM lt GROUP BY t),
+             |tot AS (SELECT sum(m)::BIGINT AS total FROM h),
+             |hr AS (SELECT t, d, (total - coalesce(sum(m) OVER (ORDER BY t
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n
+             |  FROM h, tot),
+             |st AS (SELECT t, d, n FROM hr WHERE d > 0),
+             |arr AS (SELECT list(n * 10000000 + d ORDER BY t) AS pk,
+             |  list({'t': t, 'd': d, 'n': n} ORDER BY t) AS sl FROM st),
+             |ks AS (SELECT sl, pk, unnest(range(1, len(sl) + 1)) AS kk FROM arr)
+             |SELECT sl[kk].t::BIGINT AS t, sl[kk].n::BIGINT AS n_at_risk,
+             |  sl[kk].d::BIGINT AS deaths,
+             |  list_reduce(list_prepend(1000000::BIGINT, pk[1:kk]),
+             |    (acc, p) -> (acc * ((p // 10000000) - (p % 10000000)))
+             |      // (p // 10000000))::BIGINT AS surv_ppm
+             |FROM ks ORDER BY t""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+        val f = x.groupBy(col("user_id")).agg(min(col("b")).as("fb"))
+        val fe = x.where(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(min(col("b")).as("eb"))
+        val mx = x.agg(max(col("b")).as("bl"))
+        val lt = f.join(fe, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("eb").isNull, col("bl") - col("fb"))
+              .otherwise(col("eb") - col("fb")).as("t"),
+            col("eb").isNull.as("cen"))
+        graft.operators.TimeSeries.kaplanMeier(lt, "t", "cen").orderBy("t")
+      }),
+
+    // ---- exact isotonic calibration (minimax PAVA) ---------------
+    // Claimed-confidence decile (props.k // 10) vs observed purchase
+    // rate, isotonic-fitted to the best monotone curve — the
+    // recalibration map. Both renderings run the identical
+    // cross-multiplied rational minimax, so the fit is exact.
+    Q("q323_isotonic_fit",
+      Some("""WITH x AS (SELECT
+             |  regexp_extract(props, '([0-9]+)', 1)::BIGINT // 10 AS xb,
+             |  (event_type = 'purchase') AS y FROM events),
+             |g AS (SELECT xb, count(*)::BIGINT AS w,
+             |  sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS s FROM x GROUP BY xb),
+             |packed AS (SELECT list({'x': xb, 'w': w, 's': s} ORDER BY xb) AS st FROM g),
+             |pre AS (SELECT st,
+             |  list_transform(range(0, len(st) + 1), kp -> list_reduce(
+             |    list_prepend(0::BIGINT, list_transform(st[1:kp], e -> e.w)),
+             |    (a, b) -> a + b)) AS pw,
+             |  list_transform(range(0, len(st) + 1), kp -> list_reduce(
+             |    list_prepend(0::BIGINT, list_transform(st[1:kp], e -> e.s)),
+             |    (a, b) -> a + b)) AS ps
+             |  FROM packed),
+             |iso AS (SELECT st,
+             |  list_transform(range(1, len(st) + 1), fi ->
+             |    list_reduce(
+             |      list_transform(range(1, fi + 1), fj ->
+             |        list_reduce(
+             |          list_transform(range(fi, len(st) + 1), fk ->
+             |            {'nu': ps[fk + 1] - ps[fj], 'de': pw[fk + 1] - pw[fj]}),
+             |          (a, b) -> CASE WHEN b.nu * a.de < a.nu * b.de THEN b ELSE a END)),
+             |      (a, b) -> CASE WHEN b.nu * a.de > a.nu * b.de THEN b ELSE a END)) AS f
+             |  FROM pre),
+             |r AS (SELECT unnest(list_transform(range(1, len(st) + 1), fi ->
+             |  {'bucket': st[fi].x, 'n': st[fi].w, 'successes': st[fi].s,
+             |   'raw_ppm': (1000000 * st[fi].s) // st[fi].w,
+             |   'iso_ppm': (1000000 * f[fi].nu) // f[fi].de})) AS r FROM iso)
+             |SELECT r.bucket::BIGINT AS bucket, r.n::BIGINT AS n,
+             |  r.successes::BIGINT AS successes, r.raw_ppm::BIGINT AS raw_ppm,
+             |  r.iso_ppm::BIGINT AS iso_ppm
+             |FROM r ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("xb",
+            expr("cast(get_json_object(props, '$.k') as bigint) div 10L"))
+          .withColumn("y", col("event_type") === "purchase")
+        EvalStats.isotonicFit(x, "xb", "y").orderBy("bucket")
       })
   )
 }

@@ -194,4 +194,34 @@ class EvalStatsSpec extends SparkSpec {
       assert(r.getAs[Long]("cliffs_delta_ppm") == 1000000L)
     }
   }
+
+  test("isotonicFit: violating middle bucket pools with its left neighbor") {
+    // raw rates 1/2, 0/2, 2/2: minimax pools buckets 0-1 to 1/4 and
+    // leaves bucket 2 at 1 — hand-traced max-min over block means.
+    val df = Seq((0L, true), (0L, false), (1L, false), (1L, false),
+      (2L, true), (2L, true)).toDF("b", "y")
+    val out = EvalStats.isotonicFit(df, "b", "y").orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 1L, 500000L, 250000L),
+      (1L, 2L, 0L, 0L, 250000L),
+      (2L, 2L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("isotonicFit: already-monotone rates are a fixed point") {
+    val df = Seq((0L, false), (0L, false), (1L, true), (1L, false),
+      (2L, true), (2L, true)).toDF("b", "y")
+    val out = EvalStats.isotonicFit(df, "b", "y").orderBy("bucket").collect()
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((0L, 0L), (500000L, 500000L), (1000000L, 1000000L)))
+  }
+
+  test("isotonicFit: descending input pools to the global mean") {
+    // rates 1, 1/2, 0 -> every block violates; fit is flat 3/6 = 1/2.
+    val df = Seq((0L, true), (0L, true), (1L, true), (1L, false),
+      (2L, false), (2L, false)).toDF("b", "y")
+    val out = EvalStats.isotonicFit(df, "b", "y").orderBy("bucket").collect()
+      .map(_.getLong(4))
+    assert(out.toSeq == Seq(500000L, 500000L, 500000L))
+  }
 }

@@ -108,6 +108,27 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L)
   }
 
+  test("kaplanMeier: censored subjects thin the risk set without dying") {
+    // deaths at t=1 (2 of 4) and t=3 (1 of 1); the t=2 censoring
+    // removes a subject from the t=3 risk set silently.
+    val df = Seq((1L, false), (1L, false), (2L, true), (3L, false))
+      .toDF("d", "cen")
+    val out = TimeSeries.kaplanMeier(df, "d", "cen")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 500000L), (3L, 1L, 1L, 0L)))
+  }
+
+  test("kaplanMeier: per-step ppm floor chains exactly") {
+    // S1 = (1e6*2) div 3 = 666666; S2 = (666666*1) div 2 = 333333.
+    val df = Seq((0L, false), (1L, false), (2L, false)).toDF("d", "cen")
+    val out = TimeSeries.kaplanMeier(df, "d", "cen")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 3L, 1L, 666666L), (1L, 2L, 1L, 333333L), (2L, 1L, 1L, 0L)))
+  }
+
   test("theilSenSlope: median slope ignores the outlier day") {
     // y = 10x on buckets 0,1,2,3 plus a wild outlier at bucket 4:
     // 10 clean-pair slopes of 10e6 ppm, 4 outlier pairs; the
