@@ -389,6 +389,116 @@ object EvalStats {
           "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
 
+  /** Wilson score interval per group — the proportion CI that stays
+    * inside [0,1] and behaves at small n (what you quote for per-slice
+    * pass rates instead of the Wald interval). Computed EXACTLY in
+    * integer arithmetic: with `Z2M = z²·10⁶`, the bounds are
+    *
+    *   (2·10⁶·n·s + n·Z2M ± isqrt(Z2M·(4·n·s·(n−s)·10⁶ + n²·Z2M)))
+    *     · 10⁶ / (2n·(10⁶·n + Z2M))
+    *
+    * where `isqrt` is the exact integer square root: seeded from the
+    * IEEE double sqrt (correctly rounded, so deterministic across
+    * engines and within ±2 of truth even after the >2⁵³ cast error)
+    * and pinned by two down- and two up-corrections against exact
+    * DECIMAL squaring. All operands non-negative, so floor =
+    * truncate on both engines. Default `z2Micro` = 3 841 600 =
+    * 1.96² · 10⁶ (the 95% interval).
+    *
+    * Scale shape (100 TB): one map-side-combinable count/sum per
+    * group; the sqrt chain runs on the group-cardinality frame only.
+    * Inner products stay within DECIMAL(38,0) up to ~10⁹-row groups. */
+  def wilsonBounds(df: DataFrame, groupCol: String, successCol: String,
+                   z2Micro: Long = 3841600L): DataFrame = {
+    require(z2Micro > 0, "z2Micro must be positive")
+    val d38 = "decimal(38,0)"
+    df.select(col(groupCol).as("grp"),
+        when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__y")).cast("bigint").as("successes"))
+      .withColumn("__x", expr(
+        s"cast($z2Micro as $d38) * (cast(4 as $d38) * n * successes * " +
+          s"(n - successes) * 1000000 + cast(n as $d38) * n * $z2Micro)"))
+      .withColumn("__s0", expr(
+        s"cast(floor(sqrt(cast(__x as double))) as $d38)"))
+      .withColumn("__s1", expr(
+        "__s0 - CASE WHEN __s0 * __s0 > __x THEN 1 ELSE 0 END"))
+      .withColumn("__s2", expr(
+        "__s1 - CASE WHEN __s1 * __s1 > __x THEN 1 ELSE 0 END"))
+      .withColumn("__s3", expr(
+        "__s2 + CASE WHEN (__s2 + 1) * (__s2 + 1) <= __x THEN 1 ELSE 0 END"))
+      .withColumn("__rt", expr(
+        "__s3 + CASE WHEN (__s3 + 1) * (__s3 + 1) <= __x THEN 1 ELSE 0 END"))
+      .withColumn("__den", expr(
+        s"cast(2 as $d38) * n * (cast(1000000 as $d38) * n + $z2Micro)"))
+      .withColumn("__ctr", expr(
+        s"cast(2000000 as $d38) * n * successes + cast(n as $d38) * $z2Micro"))
+      .select(col("grp"), col("n"), col("successes"),
+        expr("(1000000L * successes) div n").cast("bigint").as("rate_ppm"),
+        expr("(cast(1000000 as decimal(38,0)) * (__ctr - __rt)) div __den")
+          .cast("bigint").as("wilson_lo_ppm"),
+        expr("(cast(1000000 as decimal(38,0)) * (__ctr + __rt)) div __den")
+          .cast("bigint").as("wilson_hi_ppm"))
+  }
+
+  /** Split-conformal calibration per group: from a CALIBRATION slice,
+    * learn a center (the nearest-rank median) and the conformal
+    * quantile `q̂` = the `⌈(1−α)(n_cal+1)⌉`-th smallest absolute
+    * nonconformity; then measure on the TEST slice the fraction of
+    * values landing inside `center ± q̂` — which the conformal
+    * guarantee says is ≥ 1−α on exchangeable data. Everything is
+    * nearest-rank on integer values, so both renderings are exact.
+    * When `⌈(1−α)(n_cal+1)⌉ > n_cal` the finite-sample bound is
+    * vacuous (`q̂ = ∞`): q̂ is NULL and coverage 10⁶ by convention.
+    *
+    * Scale shape (100 TB): two group-keyed rank windows (median and
+    * q̂) on the calibration slice and one keyed join + aggregate on
+    * the test slice — all partitioned by group; no global ordering
+    * anywhere. */
+  def splitConformal(df: DataFrame, groupCol: String, valueCol: String,
+                     calCol: String, alphaNumer: Int = 1,
+                     alphaDenom: Int = 10): DataFrame = {
+    require(alphaDenom > alphaNumer && alphaNumer > 0,
+      "alpha must be in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val x = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("bigint").as("__v"),
+      col(calCol).cast("boolean").as("__cal"))
+    val cal = x.where(col("__cal"))
+    val wMed = Window.partitionBy(col("grp")).orderBy(col("__v"))
+    val med = cal
+      .withColumn("__rn", row_number().over(wMed))
+      .withColumn("__nc", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .where(col("__rn") === expr("(__nc + 1L) div 2L"))
+      .select(col("grp"), col("__v").as("__med"))
+    val conf = cal.join(med, Seq("grp"))
+      .withColumn("__c", abs(col("__v") - col("__med")))
+    val wC = Window.partitionBy(col("grp")).orderBy(col("__c"))
+    val qhat = conf
+      .withColumn("__rn", row_number().over(wC))
+      .withColumn("__nc", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .withColumn("__k", expr(
+        s"(${alphaDenom - alphaNumer}L * (__nc + 1L) + ${alphaDenom - 1}L) " +
+          s"div ${alphaDenom}L"))
+      .where(col("__rn") === least(col("__k"), col("__nc")))
+      .select(col("grp"), col("__nc").cast("bigint").as("n_cal"),
+        col("__med"),
+        when(col("__k") > col("__nc"), lit(null).cast("bigint"))
+          .otherwise(col("__c")).as("qhat"))
+    x.where(!col("__cal"))
+      .join(qhat, Seq("grp"))
+      .groupBy(col("grp"), col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).cast("bigint").as("n_test"),
+        sum(when(col("qhat").isNull ||
+            abs(col("__v") - col("__med")) <= col("qhat"), 1L)
+          .otherwise(0L)).cast("bigint").as("covered"))
+      .select(col("grp"), col("n_cal"), col("n_test"), col("qhat"),
+        col("covered"),
+        expr("(1000000L * covered) div n_test").cast("bigint")
+          .as("coverage_ppm"))
+  }
+
   /** EXACT weighted isotonic regression of a boolean outcome rate on
     * an ordered score bucket — the monotone calibration map behind
     * Platt/isotonic recalibration, computed via the closed-form

@@ -1433,6 +1433,74 @@ object StatsQ {
             expr("cast(get_json_object(props, '$.k') as bigint) div 10L"))
           .withColumn("y", col("event_type") === "purchase")
         EvalStats.isotonicFit(x, "xb", "y").orderBy("bucket")
+      }),
+
+    // ---- Wilson score intervals per slice ------------------------
+    // 95% conversion-rate CIs per event type, exact to the ppm via
+    // the integer-sqrt chain (double-seeded, DECIMAL-pinned) — both
+    // engines run the identical correction ladder.
+    Q("q324_wilson_interval",
+      Some("""WITH g AS (SELECT event_type AS grp, count(*)::BIGINT AS n,
+             |  sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT AS successes
+             |  FROM events GROUP BY 1),
+             |c AS (SELECT grp, n, successes,
+             |  3841600::HUGEINT * (4::HUGEINT * n * successes * (n - successes)
+             |    * 1000000 + n::HUGEINT * n * 3841600) AS x,
+             |  2::HUGEINT * n * (1000000::HUGEINT * n + 3841600) AS den,
+             |  2000000::HUGEINT * n * successes + n::HUGEINT * 3841600 AS ctr
+             |  FROM g),
+             |t0 AS (SELECT *, floor(sqrt(x::DOUBLE))::HUGEINT AS s0 FROM c),
+             |t1 AS (SELECT *, s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS s1 FROM t0),
+             |t2 AS (SELECT *, s1 - CASE WHEN s1 * s1 > x THEN 1 ELSE 0 END AS s2 FROM t1),
+             |t3 AS (SELECT *, s2 + CASE WHEN (s2 + 1) * (s2 + 1) <= x THEN 1 ELSE 0 END AS s3 FROM t2),
+             |t4 AS (SELECT *, s3 + CASE WHEN (s3 + 1) * (s3 + 1) <= x THEN 1 ELSE 0 END AS rt FROM t3)
+             |SELECT grp, n, successes,
+             |  ((1000000 * successes) // n)::BIGINT AS rate_ppm,
+             |  ((1000000::HUGEINT * (ctr - rt)) // den)::BIGINT AS wilson_lo_ppm,
+             |  ((1000000::HUGEINT * (ctr + rt)) // den)::BIGINT AS wilson_hi_ppm
+             |FROM t4 ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        EvalStats.wilsonBounds(
+          t(s, dir, "events").withColumn("succ", col("value") > 100),
+          "event_type", "succ")
+          .orderBy("grp")),
+
+    // ---- split-conformal coverage audit --------------------------
+    // Calibrate |value − median| on even event-ids per type (α=0.1,
+    // nearest-rank q̂), then audit the conformal ±q̂ band's empirical
+    // coverage on the odd half. Exchangeability says ≥ 90%.
+    Q("q325_conformal",
+      Some("""WITH x AS (SELECT event_type AS grp,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+             |  (event_id % 2 = 0) AS cal FROM events),
+             |calx AS (SELECT grp, v FROM x WHERE cal),
+             |mr AS (SELECT grp, v,
+             |  row_number() OVER (PARTITION BY grp ORDER BY v) AS rn,
+             |  count(*) OVER (PARTITION BY grp) AS nc FROM calx),
+             |med AS (SELECT grp, v AS med FROM mr WHERE rn = (nc + 1) // 2),
+             |conf AS (SELECT c.grp, abs(c.v - m.med) AS cv, m.med
+             |  FROM calx c JOIN med m ON c.grp = m.grp),
+             |cr AS (SELECT grp, cv, med,
+             |  row_number() OVER (PARTITION BY grp ORDER BY cv) AS rn,
+             |  count(*) OVER (PARTITION BY grp) AS nc FROM conf),
+             |qh AS (SELECT grp, nc::BIGINT AS n_cal, med,
+             |  CASE WHEN (9 * (nc + 1) + 9) // 10 > nc THEN NULL ELSE cv END AS qhat
+             |  FROM cr WHERE rn = least((9 * (nc + 1) + 9) // 10, nc)),
+             |tst AS (SELECT x.grp, x.v, q.n_cal, q.med, q.qhat
+             |  FROM x JOIN qh q ON x.grp = q.grp WHERE NOT x.cal),
+             |agg AS (SELECT grp, n_cal, qhat, count(*)::BIGINT AS n_test,
+             |  sum(CASE WHEN qhat IS NULL OR abs(v - med) <= qhat
+             |    THEN 1 ELSE 0 END)::BIGINT AS covered
+             |  FROM tst GROUP BY grp, n_cal, qhat)
+             |SELECT grp, n_cal, n_test, qhat::BIGINT AS qhat, covered,
+             |  ((1000000 * covered) // n_test)::BIGINT AS coverage_ppm
+             |FROM agg ORDER BY grp""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+          .withColumn("cal", col("event_id") % 2 === 0)
+        EvalStats.splitConformal(x, "event_type", "mv", "cal")
+          .orderBy("grp")
       })
   )
 }

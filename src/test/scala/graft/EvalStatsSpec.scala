@@ -195,6 +195,49 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("wilsonBounds: z=1 interval for 1/4 is exactly [0.1, 0.5]") {
+    // x = 1e6*(4*4*1*3*1e6 + 16e6) = 6.4e13, a perfect square
+    // (isqrt = 8e6); ctr = 1.2e7, den = 4e7 -> [100000, 500000].
+    val df = Seq(("g", true), ("g", false), ("g", false), ("g", false))
+      .toDF("grp0", "succ")
+    val r = EvalStats.wilsonBounds(df, "grp0", "succ", z2Micro = 1000000L)
+      .head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("successes") == 1L)
+    assert(r.getAs[Long]("rate_ppm") == 250000L)
+    assert(r.getAs[Long]("wilson_lo_ppm") == 100000L)
+    assert(r.getAs[Long]("wilson_hi_ppm") == 500000L)
+  }
+
+  test("wilsonBounds: zero successes still get a positive upper bound") {
+    // 0/3 at z=1: upper = z²/(n+z²) = 1/4; lower pins to 0.
+    val df = Seq(("g", false), ("g", false), ("g", false)).toDF("g0", "s0")
+    val r = EvalStats.wilsonBounds(df, "g0", "s0", z2Micro = 1000000L).head()
+    assert(r.getAs[Long]("wilson_lo_ppm") == 0L)
+    assert(r.getAs[Long]("wilson_hi_ppm") == 250000L)
+  }
+
+  test("splitConformal: nearest-rank q-hat and test coverage") {
+    // cal 1..10: med = 5, |v-5| sorted has rank-10 value 5 (k =
+    // (9*11+9)//10 = 10) -> qhat = 5; test {0, 11, 5} covers 2/3.
+    val cal = (1 to 10).map(v => ("g", v.toLong, true))
+    val tst = Seq(("g", 0L, false), ("g", 11L, false), ("g", 5L, false))
+    val df = (cal ++ tst).toDF("grp0", "v", "cal")
+    val r = EvalStats.splitConformal(df, "grp0", "v", "cal").head()
+    assert(r.getAs[Long]("n_cal") == 10L && r.getAs[Long]("n_test") == 3L)
+    assert(r.getAs[Long]("qhat") == 5L)
+    assert(r.getAs[Long]("covered") == 2L)
+    assert(r.getAs[Long]("coverage_ppm") == 666666L)
+  }
+
+  test("splitConformal: tiny calibration set yields the vacuous band") {
+    // n_cal = 3 -> k = 4 > 3 -> qhat NULL, coverage 1e6 by convention.
+    val df = Seq(("g", 1L, true), ("g", 2L, true), ("g", 3L, true),
+      ("g", 99L, false)).toDF("grp0", "v", "cal")
+    val r = EvalStats.splitConformal(df, "grp0", "v", "cal").head()
+    assert(r.isNullAt(r.fieldIndex("qhat")))
+    assert(r.getAs[Long]("coverage_ppm") == 1000000L)
+  }
+
   test("isotonicFit: violating middle bucket pools with its left neighbor") {
     // raw rates 1/2, 0/2, 2/2: minimax pools buckets 0-1 to 1/4 and
     // leaves bucket 2 at 1 — hand-traced max-min over block means.
