@@ -420,16 +420,7 @@ object EvalStats {
       .withColumn("__x", expr(
         s"cast($z2Micro as $d38) * (cast(4 as $d38) * n * successes * " +
           s"(n - successes) * 1000000 + cast(n as $d38) * n * $z2Micro)"))
-      .withColumn("__s0", expr(
-        s"cast(floor(sqrt(cast(__x as double))) as $d38)"))
-      .withColumn("__s1", expr(
-        "__s0 - CASE WHEN __s0 * __s0 > __x THEN 1 ELSE 0 END"))
-      .withColumn("__s2", expr(
-        "__s1 - CASE WHEN __s1 * __s1 > __x THEN 1 ELSE 0 END"))
-      .withColumn("__s3", expr(
-        "__s2 + CASE WHEN (__s2 + 1) * (__s2 + 1) <= __x THEN 1 ELSE 0 END"))
-      .withColumn("__rt", expr(
-        "__s3 + CASE WHEN (__s3 + 1) * (__s3 + 1) <= __x THEN 1 ELSE 0 END"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__x", "__rt"))
       .withColumn("__den", expr(
         s"cast(2 as $d38) * n * (cast(1000000 as $d38) * n + $z2Micro)"))
       .withColumn("__ctr", expr(

@@ -609,6 +609,79 @@ object TimeSeries {
           "div (span_buckets * n_events)").cast("bigint").as("fano_milli"))
   }
 
+  /** Pairwise Pearson correlation (ppm) between per-key activity
+    * series at an optional lead `lag` — which keys co-move (lag 0),
+    * and which LEAD which (lag L > 0 correlates x's bucket t with
+    * y's bucket t+L; a high value means x foreshadows y). Series are
+    * per-bucket event counts over the GLOBAL span with silent
+    * buckets as implicit zeros — handled arithmetically (zero terms
+    * drop out of every sum; `n` is the span), never by densifying.
+    * `r = (nΣxy − ΣxΣy) / √((nΣx² − Σx²ᵗᵒᵗ)(nΣy² − Σy²ᵗᵒᵗ))`,
+    * computed exactly: integer moment sums, the
+    * [[graft.util.ExactMath]] isqrt of the variance product, and
+    * sign-split floored division to ppm. Zero-variance sides yield
+    * NULL. Lag 0 emits each unordered pair once (`key_a < key_b`);
+    * lag > 0 emits both directions.
+    *
+    * Scale shape (100 TB): the raw volume collapses in ONE map-side-
+    * combinable (key, bucket) count; every later frame is bounded by
+    * keys × span buckets (a dimension table). The lag join is
+    * bucket-keyed on that bounded frame; the global-extent scalar
+    * broadcasts. Variance products stay inside DECIMAL(38,0) for
+    * per-bucket counts up to ~10⁹ across ~10³ buckets. */
+  def seriesCorrelation(df: DataFrame, tsNanosCol: String, keyCol: String,
+                        bucketSec: Long = 86400L,
+                        lag: Int = 0): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    require(lag >= 0, "lag must be non-negative")
+    val bNanos = bucketSec * 1000000000L
+    val x = df.select(col(keyCol).as("__k"),
+      expr(s"$tsNanosCol div ${bNanos}L").as("__b"))
+    val c = x.groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    val sp = x.agg(min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+    val st = c.crossJoin(broadcast(sp))
+      .groupBy(col("__k"))
+      .agg(
+        sum(when(col("__b") <= col("__bmax") - lag, col("__c"))
+          .otherwise(0L)).cast("bigint").as("__sx"),
+        sum(when(col("__b") <= col("__bmax") - lag, col("__c") * col("__c"))
+          .otherwise(0L)).cast("bigint").as("__sxx"),
+        sum(when(col("__b") >= col("__bmin") + lag, col("__c"))
+          .otherwise(0L)).cast("bigint").as("__sy"),
+        sum(when(col("__b") >= col("__bmin") + lag, col("__c") * col("__c"))
+          .otherwise(0L)).cast("bigint").as("__syy"))
+    val ca = c.select(col("__k").as("__ka"), col("__b").as("__ba"),
+      col("__c").as("__cxa"))
+    val cb = c.select(col("__k").as("__kb"), col("__b").as("__bb"),
+      col("__c").as("__cxb"))
+    val xy = ca.join(cb,
+        col("__ba") === col("__bb") - lag && col("__ka") =!= col("__kb"))
+      .groupBy(col("__ka"), col("__kb"))
+      .agg(sum(col("__cxa") * col("__cxb")).cast("bigint").as("__sxy"))
+    val a = st.select(col("__k").as("__ka"), col("__sx"), col("__sxx"))
+    val b = st.select(col("__k").as("__kb"), col("__sy"), col("__syy"))
+    val pairFilter =
+      if (lag == 0) col("__ka") < col("__kb") else col("__ka") =!= col("__kb")
+    a.join(b, pairFilter)
+      .join(xy, Seq("__ka", "__kb"), "left")
+      .crossJoin(broadcast(sp))
+      .withColumn("__n", col("__bmax") - col("__bmin") + lit(1L) - lit(lag.toLong))
+      .withColumn("__num", expr(
+        "__n * coalesce(__sxy, 0L) - __sx * __sy"))
+      .withColumn("__vx", expr("__n * __sxx - __sx * __sx"))
+      .withColumn("__vy", expr("__n * __syy - __sy * __sy"))
+      .withColumn("__x", expr(
+        "cast(__vx as decimal(38,0)) * cast(__vy as decimal(38,0))"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__x", "__rt"))
+      .select(col("__ka").as("key_a"), col("__kb").as("key_b"),
+        col("__n").cast("bigint").as("n_buckets"),
+        expr("CASE WHEN __vx <= 0 OR __vy <= 0 THEN NULL " +
+          "WHEN __num >= 0 THEN (1000000L * __num) div __rt " +
+          "ELSE -((1000000L * -__num) div __rt) END")
+          .cast("bigint").as("r_ppm"))
+  }
+
   /** Kaplan–Meier product-limit survival curve over per-subject
     * `(duration, censored)` observations — time-to-event analysis
     * (time to first failure, churn, conversion latency). A censored

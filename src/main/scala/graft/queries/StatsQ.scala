@@ -15,6 +15,50 @@ object StatsQ {
   import Q.t
   import TextHash.{duck => D}
 
+  /** DuckDB rendering of [[graft.operators.TimeSeries.seriesCorrelation]]
+    * over events.event_type daily counts at the given lag — the
+    * moment sums, the spliced [[graft.util.ExactMath]] isqrt ladder,
+    * and the sign-split ppm projection. */
+  private def seriesCorrSql(lag: Int): String = {
+    val pairPred = if (lag == 0) "a.k < b.k" else "a.k <> b.k"
+    val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+      .map { case (sel, i) =>
+        val from = if (i == 0) "v" else s"i${i - 1}"
+        s"i$i AS ($sel FROM $from)"
+      }.mkString(",\n")
+    s"""WITH e AS (SELECT event_type AS k,
+       |  (epoch_us(ts) * 1000) // 86400000000000 AS b FROM events),
+       |c AS (SELECT k, b, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+       |sp AS (SELECT min(b) AS bmin, max(b) AS bmax FROM e),
+       |st AS (SELECT k,
+       |  sum(CASE WHEN b <= bmax - $lag THEN c ELSE 0 END)::BIGINT AS sx,
+       |  sum(CASE WHEN b <= bmax - $lag THEN c * c ELSE 0 END)::BIGINT AS sxx,
+       |  sum(CASE WHEN b >= bmin + $lag THEN c ELSE 0 END)::BIGINT AS sy,
+       |  sum(CASE WHEN b >= bmin + $lag THEN c * c ELSE 0 END)::BIGINT AS syy
+       |  FROM c CROSS JOIN sp GROUP BY k),
+       |xy AS (SELECT ca.k AS ka, cb.k AS kb, sum(ca.c * cb.c)::BIGINT AS sxy
+       |  FROM c ca JOIN c cb ON ca.b = cb.b - $lag AND ca.k <> cb.k
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a.k AS ka, b.k AS kb, a.sx, a.sxx, b.sy, b.syy,
+       |  coalesce(xy.sxy, 0)::BIGINT AS sxy,
+       |  (sp.bmax - sp.bmin + 1 - $lag)::BIGINT AS n
+       |  FROM st a JOIN st b ON $pairPred
+       |  LEFT JOIN xy ON xy.ka = a.k AND xy.kb = b.k
+       |  CROSS JOIN sp),
+       |v AS (SELECT ka, kb, n,
+       |  (n::HUGEINT * sxy - sx::HUGEINT * sy) AS num,
+       |  (n::HUGEINT * sxx - sx::HUGEINT * sx) AS vx,
+       |  (n::HUGEINT * syy - sy::HUGEINT * sy) AS vy,
+       |  ((n::HUGEINT * sxx - sx::HUGEINT * sx)
+       |    * (n::HUGEINT * syy - sy::HUGEINT * sy)) AS x FROM p),
+       |$ladder
+       |SELECT ka AS key_a, kb AS key_b, n AS n_buckets,
+       |  (CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+       |   WHEN num >= 0 THEN (1000000::HUGEINT * num) // rt
+       |   ELSE -((1000000::HUGEINT * -num) // rt) END)::BIGINT AS r_ppm
+       |FROM i4 ORDER BY key_a, key_b""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- pairwise model win-rate matrix --------------------------
@@ -1501,6 +1545,29 @@ object StatsQ {
           .withColumn("cal", col("event_id") % 2 === 0)
         EvalStats.splitConformal(x, "event_type", "mv", "cal")
           .orderBy("grp")
-      })
+      }),
+
+    // ---- daily co-movement matrix --------------------------------
+    // Pearson r (ppm, isqrt-exact) between event types' daily count
+    // series, silent days as arithmetic zeros — which activity
+    // streams rise and fall together.
+    Q("q326_comovement",
+      Some(seriesCorrSql(lag = 0)),
+      (s, dir) =>
+        graft.operators.TimeSeries.seriesCorrelation(
+          t(s, dir, "events"), "ts", "event_type", bucketSec = 86400L,
+          lag = 0)
+          .orderBy("key_a", "key_b")),
+
+    // ---- lead–lag cross-correlation ------------------------------
+    // Same machinery at lag 1: r(x_t, y_{t+1}) for ORDERED type
+    // pairs — does today's x activity foreshadow tomorrow's y?
+    Q("q327_lead_lag",
+      Some(seriesCorrSql(lag = 1)),
+      (s, dir) =>
+        graft.operators.TimeSeries.seriesCorrelation(
+          t(s, dir, "events"), "ts", "event_type", bucketSec = 86400L,
+          lag = 1)
+          .orderBy("key_a", "key_b"))
   )
 }

@@ -108,6 +108,46 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L)
   }
 
+  test("seriesCorrelation: mirrored series are exactly -1, equal series +1") {
+    // a: 1,2,3 and b: 3,2,1 per bucket -> r = -1e6; c copies a -> +1e6.
+    def rows(k: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (n, b) =>
+        Seq.fill(n)((k, b.toLong * G)) }
+    val df = (rows("a", Seq(1, 2, 3)) ++ rows("b", Seq(3, 2, 1)) ++
+      rows("c", Seq(1, 2, 3))).toDF("k", "ts")
+    val out = TimeSeries.seriesCorrelation(df, "ts", "k", bucketSec = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(out(("a", "b")) == -1000000L)
+    assert(out(("a", "c")) == 1000000L)
+    assert(out(("b", "c")) == -1000000L)
+  }
+
+  test("seriesCorrelation: lag 1 catches a perfect one-bucket lead") {
+    def rows(k: String, cells: Seq[(Int, Int)]) =
+      cells.flatMap { case (b, n) => Seq.fill(n)((k, b.toLong * G)) }
+    val df = (rows("x", Seq(0 -> 1, 1 -> 2, 2 -> 3)) ++
+      rows("y", Seq(1 -> 1, 2 -> 2, 3 -> 3))).toDF("k", "ts")
+    val out = TimeSeries.seriesCorrelation(df, "ts", "k", bucketSec = 1L,
+        lag = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("x", "y")) == ((3L, 1000000L)))
+    // the reverse direction is NOT a lead: y_t vs x_{t+1} pairs
+    // (1,2),(2,3),(3,0) with means 2 -> r = (3*8-6*6)/sqrt(6*...)<0
+    assert(out(("y", "x"))._2 < 0L)
+  }
+
+  test("seriesCorrelation: a flat series has no defined correlation") {
+    def rows(k: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (n, b) =>
+        Seq.fill(n)((k, b.toLong * G)) }
+    val df = (rows("a", Seq(1, 2, 3)) ++ rows("flat", Seq(2, 2, 2)))
+      .toDF("k", "ts")
+    val r = TimeSeries.seriesCorrelation(df, "ts", "k", bucketSec = 1L)
+      .head()
+    assert(r.isNullAt(3))
+  }
+
   test("kaplanMeier: censored subjects thin the risk set without dying") {
     // deaths at t=1 (2 of 4) and t=3 (1 of 1); the t=2 censoring
     // removes a subject from the t=3 risk set silently.
