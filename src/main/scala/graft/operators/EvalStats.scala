@@ -389,6 +389,81 @@ object EvalStats {
           "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
 
+  /** EXACT one-sided binomial sign test per entity: across an
+    * entity's consecutive ACTIVE buckets, count value increases `k`
+    * out of `n` non-tie changes and report the exact tail
+    * probability `P[Binom(n, 1/2) ≥ k] = Σ_{i≥k} C(n,i) / 2ⁿ` in ppm
+    * (floored). Small p = the entity's metric is drifting UP beyond
+    * coin-flip chance. No normal approximation anywhere: binomials
+    * come from the integer-exact multiplicative fold
+    * `C(n,j) = C(n,j−1)·(n−j+1)/j` (each partial IS a binomial, so
+    * the division is exact), summed and divided in DECIMAL(38,0).
+    * Ties contribute nothing (the standard sign-test treatment);
+    * `n = 0` reports p = 10⁶.
+    *
+    * Scale shape (100 TB): one (entity, bucket) pre-aggregation, one
+    * entity-keyed lag window, one entity-keyed count — then the
+    * binomial fold is O(n²) integer ops per ENTITY ROW with n
+    * calendar-bounded (≤ span buckets; the fold's BIGINT partial
+    * binomials hold up to n ≈ 62 — coarsen the bucket unit beyond
+    * that). Entities scale out. */
+  def signTest(df: DataFrame, entityCol: String, bucketCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .select(col(entityCol).as("entity"), col(bucketCol).cast("bigint").as("__b"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("entity"), col("__b")).agg(sum(col("__v")).as("__y"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("__b"))
+    val d38 = "cast(1 as decimal(38,0))"
+    daily
+      .withColumn("__prev", lag(col("__y"), 1).over(w))
+      .where(col("__prev").isNotNull && col("__y") =!= col("__prev"))
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).cast("bigint").as("n_changes"),
+        sum(when(col("__y") > col("__prev"), 1L).otherwise(0L))
+          .cast("bigint").as("n_up"))
+      .withColumn("p_up_ppm", expr(
+        "CASE WHEN n_changes = 0 THEN 1000000L ELSE cast(" +
+          "(cast(1000000 as decimal(38,0)) * " +
+          "aggregate(sequence(n_up, n_changes), cast(0 as decimal(38,0)), " +
+          "(s, i) -> s + CASE WHEN i = 0 THEN " + d38 + " ELSE " +
+          "aggregate(sequence(1L, i), " + d38 + ", " +
+          "(c, j) -> cast((c * (n_changes - j + 1)) div j as decimal(38,0))) END)) " +
+          "div aggregate(sequence(1L, n_changes), " + d38 + ", (p, z) -> p * 2) " +
+          "as bigint) END"))
+  }
+
+  /** Benjamini–Hochberg step-up FDR correction over a family of
+    * per-test p-values (ppm): rank tests by ascending p, find the
+    * largest rank `i*` with `p_i · m ≤ q · i` (EXACT integer
+    * comparison — no division), and reject every rank ≤ i*. Emits
+    * `(id, rank, p_ppm, thresh_ppm, rejected)` with `thresh_ppm =
+    * (q·rank) div m` for inspection. This is the multiple-testing
+    * gate you run over per-slice drift tests before alerting.
+    *
+    * Scale shape (100 TB): the input is one row per TEST — a
+    * dimension frame, not data — so the single global rank window
+    * and the broadcast `i*` scalar are bounded by the test-family
+    * size, never by corpus volume. */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+               qPpm: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qPpm > 0 && qPpm <= 1000000L, "qPpm must be in (0, 1e6]")
+    val x = df.select(col(idCol).as("id"), col(pCol).cast("bigint").as("p_ppm"))
+    val m = x.agg(count(lit(1)).cast("bigint").as("__m"))
+    val ranked = x.crossJoin(broadcast(m))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p_ppm"), col("id"))).cast("bigint"))
+      .withColumn("__ok", col("p_ppm") * col("__m") <= lit(qPpm) * col("rank"))
+    val istar = ranked.where(col("__ok"))
+      .agg(coalesce(max(col("rank")), lit(0L)).as("__istar"))
+    ranked.crossJoin(broadcast(istar))
+      .select(col("id"), col("rank"), col("p_ppm"),
+        expr(s"(${qPpm}L * rank) div __m").cast("bigint").as("thresh_ppm"),
+        (col("rank") <= col("__istar")).as("rejected"))
+  }
+
   /** Wilson score interval per group — the proportion CI that stays
     * inside [0,1] and behaves at small n (what you quote for per-slice
     * pass rates instead of the Wald interval). Computed EXACTLY in

@@ -1568,6 +1568,84 @@ object StatsQ {
         graft.operators.TimeSeries.seriesCorrelation(
           t(s, dir, "events"), "ts", "event_type", bucketSec = 86400L,
           lag = 1)
-          .orderBy("key_a", "key_b"))
+          .orderBy("key_a", "key_b")),
+
+    // ---- exact binomial sign test per user -----------------------
+    // Is a user's daily value total drifting UP beyond coin-flip
+    // chance? Exact tail P[Binom(n,1/2) ≥ k] in ppm via integer
+    // binomial folds — no normal approximation. 20 most significant.
+    Q("q328_sign_test",
+      Some("""WITH x AS (SELECT user_id AS entity,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv FROM events),
+             |d AS (SELECT entity, b, sum(mv)::BIGINT AS y FROM x GROUP BY 1, 2),
+             |l AS (SELECT entity, y,
+             |  lag(y) OVER (PARTITION BY entity ORDER BY b) AS prev FROM d),
+             |g AS (SELECT entity, count(*)::BIGINT AS n_changes,
+             |  sum(CASE WHEN y > prev THEN 1 ELSE 0 END)::BIGINT AS n_up
+             |  FROM l WHERE prev IS NOT NULL AND y <> prev GROUP BY entity),
+             |p AS (SELECT entity, n_changes, n_up,
+             |  (CASE WHEN n_changes = 0 THEN 1000000
+             |  ELSE (1000000::HUGEINT * list_reduce(list_prepend(0::HUGEINT,
+             |    list_transform(range(n_up, n_changes + 1), gi ->
+             |      CASE WHEN gi = 0 THEN 1::HUGEINT
+             |      ELSE list_reduce(list_prepend(1::HUGEINT, range(1, gi + 1)),
+             |        (c, gj) -> (c * (n_changes - gj + 1)) // gj) END)),
+             |    (a, bb) -> a + bb))
+             |  // list_reduce(list_prepend(1::HUGEINT, range(1, n_changes + 1)),
+             |    (pp, gz) -> pp * 2) END)::BIGINT AS p_up_ppm
+             |  FROM g)
+             |SELECT entity, n_changes, n_up, p_up_ppm FROM p
+             |ORDER BY p_up_ppm, entity LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+          .withColumn("b", expr("ts div 86400000000000L"))
+        EvalStats.signTest(x, "user_id", "b", "mv")
+          .orderBy("p_up_ppm", "entity").limit(20)
+      }),
+
+    // ---- Benjamini–Hochberg FDR gate over the drift family -------
+    // The q328 per-user p-values as one test FAMILY: BH step-up at
+    // q=0.10 with the exact integer comparison p·m ≤ q·rank — the
+    // multiple-testing correction before alerting on drift.
+    Q("q329_bh_fdr",
+      Some("""WITH x AS (SELECT user_id AS entity,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv FROM events),
+             |d AS (SELECT entity, b, sum(mv)::BIGINT AS y FROM x GROUP BY 1, 2),
+             |l AS (SELECT entity, y,
+             |  lag(y) OVER (PARTITION BY entity ORDER BY b) AS prev FROM d),
+             |g AS (SELECT entity, count(*)::BIGINT AS n_changes,
+             |  sum(CASE WHEN y > prev THEN 1 ELSE 0 END)::BIGINT AS n_up
+             |  FROM l WHERE prev IS NOT NULL AND y <> prev GROUP BY entity),
+             |p AS (SELECT entity, n_changes, n_up,
+             |  (CASE WHEN n_changes = 0 THEN 1000000
+             |  ELSE (1000000::HUGEINT * list_reduce(list_prepend(0::HUGEINT,
+             |    list_transform(range(n_up, n_changes + 1), gi ->
+             |      CASE WHEN gi = 0 THEN 1::HUGEINT
+             |      ELSE list_reduce(list_prepend(1::HUGEINT, range(1, gi + 1)),
+             |        (c, gj) -> (c * (n_changes - gj + 1)) // gj) END)),
+             |    (a, bb) -> a + bb))
+             |  // list_reduce(list_prepend(1::HUGEINT, range(1, n_changes + 1)),
+             |    (pp, gz) -> pp * 2) END)::BIGINT AS p_up_ppm
+             |  FROM g),
+             |m AS (SELECT count(*)::BIGINT AS m FROM p),
+             |r AS (SELECT entity AS id, p_up_ppm AS p_ppm,
+             |  row_number() OVER (ORDER BY p_up_ppm, entity)::BIGINT AS rank FROM p),
+             |ok AS (SELECT coalesce(max(rank), 0)::BIGINT AS istar
+             |  FROM r, m WHERE p_ppm * m <= 100000 * rank)
+             |SELECT id, rank, p_ppm,
+             |  ((100000 * rank) // m)::BIGINT AS thresh_ppm,
+             |  (rank <= istar) AS rejected
+             |FROM r, m, ok ORDER BY rank LIMIT 25""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+          .withColumn("b", expr("ts div 86400000000000L"))
+        EvalStats.bhAdjust(
+          EvalStats.signTest(x, "user_id", "b", "mv"), "entity", "p_up_ppm")
+          .orderBy("rank").limit(25)
+      })
   )
 }

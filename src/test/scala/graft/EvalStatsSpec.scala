@@ -195,6 +195,39 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("signTest: exact binomial tails, ties dropped") {
+    // up: 1,2,3,4 -> 3/3 ups, p = C(3,3)/8 = 125000 ppm;
+    // mixed: 1,2,1 -> 1/2 ups, p = (C(2,1)+C(2,2))/4 = 750000;
+    // tie: 1,1,2 -> the tie is dropped, 1/1 up, p = 1/2.
+    val df = (Seq(("up", 0L, 1L), ("up", 1L, 2L), ("up", 2L, 3L), ("up", 3L, 4L)) ++
+      Seq(("mix", 0L, 1L), ("mix", 1L, 2L), ("mix", 2L, 1L)) ++
+      Seq(("tie", 0L, 1L), ("tie", 1L, 1L), ("tie", 2L, 2L)))
+      .toDF("e", "b", "v")
+    val out = EvalStats.signTest(df, "e", "b", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("up") == ((3L, 3L, 125000L)))
+    assert(out("mix") == ((2L, 1L, 750000L)))
+    assert(out("tie") == ((1L, 1L, 500000L)))
+  }
+
+  test("bhAdjust: step-up boundary rejects exactly the ranks below i*") {
+    // m=4, q=0.1: ranks 1,2 pass (p·4 ≤ 1e5·rank), 3,4 fail -> i*=2.
+    val df = Seq(("a", 10000L), ("b", 30000L), ("c", 200000L),
+      ("d", 900000L)).toDF("tid", "p")
+    val out = EvalStats.bhAdjust(df, "tid", "p").orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 25000L, true), ("b", 2L, 50000L, true),
+      ("c", 3L, 75000L, false), ("d", 4L, 100000L, false)))
+  }
+
+  test("bhAdjust: nothing passes -> empty rejection set, not a crash") {
+    val df = Seq(("a", 900000L), ("b", 990000L)).toDF("tid", "p")
+    val out = EvalStats.bhAdjust(df, "tid", "p").collect()
+    assert(out.forall(!_.getBoolean(4)))
+  }
+
   test("wilsonBounds: z=1 interval for 1/4 is exactly [0.1, 0.5]") {
     // x = 1e6*(4*4*1*3*1e6 + 16e6) = 6.4e13, a perfect square
     // (isqrt = 8e6); ctr = 1.2e7, den = 4e7 -> [100000, 500000].
