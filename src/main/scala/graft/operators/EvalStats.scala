@@ -389,6 +389,59 @@ object EvalStats {
           "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
 
+  /** Difference-in-differences estimate, EXACT: for a 2×2 design
+    * (arm × pre/post), the causal workhorse
+    * `dd = (ȳ_{A,post} − ȳ_{A,pre}) − (ȳ_{B,post} − ȳ_{B,pre})`
+    * computed as ONE rational over the common denominator
+    * `n_{A,post}·n_{A,pre}·n_{B,post}·n_{B,pre}` in DECIMAL(38,0),
+    * floored to the value column's own unit only at the end
+    * (sign-split — graft division discipline). The four cell means
+    * are also emitted individually (each floored) for inspection;
+    * the dd is NOT derived from those rounded means. NULL if any
+    * cell is empty.
+    *
+    * Scale shape (100 TB): one map-side-combinable 4-cell aggregate;
+    * the rational arithmetic runs on a single row. Cell sums ×
+    * cubed counts must fit DECIMAL(38,0) — fine through ~10⁹ rows of
+    * ~10⁹-unit values per cell. */
+  def diffInDiff(df: DataFrame, armCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val cells = df.select(
+        col(armCol).cast("boolean").as("__a"),
+        col(postCol).cast("boolean").as("__p"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("__a"), col("__p"))
+      .agg(count(lit(1)).cast("bigint").as("__n"), sum(col("__v")).as("__s"))
+      .agg(
+        sum(when(col("__a") && col("__p"), col("__n"))).as("n_a_post"),
+        sum(when(col("__a") && col("__p"), col("__s"))).as("__s_ap"),
+        sum(when(col("__a") && !col("__p"), col("__n"))).as("n_a_pre"),
+        sum(when(col("__a") && !col("__p"), col("__s"))).as("__s_aq"),
+        sum(when(!col("__a") && col("__p"), col("__n"))).as("n_b_post"),
+        sum(when(!col("__a") && col("__p"), col("__s"))).as("__s_bp"),
+        sum(when(!col("__a") && !col("__p"), col("__n"))).as("n_b_pre"),
+        sum(when(!col("__a") && !col("__p"), col("__s"))).as("__s_bq"))
+    val d = "cast(1 as decimal(38,0))"
+    cells
+      .withColumn("__num", expr(
+        s"$d * __s_ap * n_a_pre * n_b_post * n_b_pre " +
+          s"- $d * __s_aq * n_a_post * n_b_post * n_b_pre " +
+          s"- $d * __s_bp * n_a_post * n_a_pre * n_b_pre " +
+          s"+ $d * __s_bq * n_a_post * n_a_pre * n_b_post"))
+      .withColumn("__den", expr(
+        s"$d * n_a_post * n_a_pre * n_b_post * n_b_pre"))
+      .select(
+        col("n_a_post"), col("n_a_pre"), col("n_b_post"), col("n_b_pre"),
+        expr("__s_ap div n_a_post").cast("bigint").as("mean_a_post"),
+        expr("__s_aq div n_a_pre").cast("bigint").as("mean_a_pre"),
+        expr("__s_bp div n_b_post").cast("bigint").as("mean_b_post"),
+        expr("__s_bq div n_b_pre").cast("bigint").as("mean_b_pre"),
+        expr("CASE WHEN n_a_post IS NULL OR n_a_pre IS NULL " +
+          "OR n_b_post IS NULL OR n_b_pre IS NULL THEN NULL " +
+          "WHEN __num >= 0 THEN __num div __den " +
+          "ELSE -((-__num) div __den) END").cast("bigint").as("dd"))
+  }
+
   /** EXACT one-sided binomial sign test per entity: across an
     * entity's consecutive ACTIVE buckets, count value increases `k`
     * out of `n` non-tie changes and report the exact tail

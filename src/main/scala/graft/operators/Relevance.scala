@@ -734,4 +734,48 @@ object Relevance {
       .select(col(idCol), col("dl"), col("score"))
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
+
+  /** Vocabulary novelty curve (Heaps-law growth audit): split the
+    * corpus into `nBuckets` equal id-ordinal slices and report, per
+    * slice, how much genuinely NEW trigram vocabulary it introduces —
+    * `new_types` (trigram types whose corpus-wide FIRST occurrence
+    * lands in the slice), cumulative types, total occurrences, and
+    * `novelty_ppm = 10⁶·new_types div occurrences`. A flattening
+    * curve says additional data is rehashing the same language — the
+    * collect-more-data-or-not signal for a training corpus.
+    *
+    * Scale shape (100 TB): one trigram explode feeding (a) a
+    * vocabulary-keyed `min(id)` aggregate and (b) a bucket-keyed
+    * occurrence count — both map-side combinable, both outputs
+    * vocabulary-/bucket-bounded, never corpus-bounded. The cumulative
+    * window runs over the `nBuckets`-row frame only; the id-extent
+    * scalar broadcasts. */
+  def noveltyCurve(df: DataFrame, idCol: String, textCol: String,
+                   nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be positive")
+    val H = graft.functions.TextHash.spark
+    val tri = TextOps.withTokens(
+        df.select(col(idCol).cast("bigint").as("__id"), col(textCol)),
+        textCol, "__toks")
+      .select(col("__id"), explode(expr(H.shingles3("__toks", textCol))).as("__sh"))
+    val ext = df.agg(max(col(idCol)).cast("bigint").as("__maxid"))
+    val bucketed = tri.crossJoin(broadcast(ext))
+      .withColumn("__bkt", expr(s"__id div ((__maxid div ${nBuckets}L) + 1L)"))
+    val occ = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).cast("bigint").as("occurrences"),
+        countDistinct(col("__id")).cast("bigint").as("n_docs"))
+    val novel = bucketed
+      .groupBy(col("__sh")).agg(min(col("__bkt")).as("__firstb"))
+      .groupBy(col("__firstb").as("__bkt"))
+      .agg(count(lit(1)).cast("bigint").as("new_types"))
+    val w = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    occ.join(novel, Seq("__bkt"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w).cast("bigint"))
+      .select(col("__bkt").cast("bigint").as("bucket"), col("n_docs"),
+        col("occurrences"), col("new_types"), col("cum_types"),
+        expr("(1000000L * new_types) div occurrences").cast("bigint")
+          .as("novelty_ppm"))
+  }
 }

@@ -1646,6 +1646,82 @@ object StatsQ {
         EvalStats.bhAdjust(
           EvalStats.signTest(x, "user_id", "b", "mv"), "entity", "p_up_ppm")
           .orderBy("rank").limit(25)
+      }),
+
+    // ---- vocabulary novelty curve (Heaps audit) ------------------
+    // Trigram vocabulary growth across 10 id-ordinal corpus slices:
+    // how much NEW language does each additional tranche contribute?
+    Q("q330_novelty_curve",
+      Some(s"""WITH toks AS (SELECT doc_id, text, ${D.tokens("text")} AS t
+              |  FROM documents),
+              |tri AS (SELECT doc_id, unnest(${D.shingles3("t", "text")}) AS sh
+              |  FROM toks),
+              |ext AS (SELECT max(doc_id)::BIGINT AS maxid FROM documents),
+              |b AS (SELECT doc_id, doc_id // ((maxid // 10) + 1) AS bkt, sh
+              |  FROM tri CROSS JOIN ext),
+              |occ AS (SELECT bkt, count(*)::BIGINT AS occurrences,
+              |  count(DISTINCT doc_id)::BIGINT AS n_docs FROM b GROUP BY bkt),
+              |nv AS (SELECT min(bkt) AS bkt FROM b GROUP BY sh),
+              |nt AS (SELECT bkt, count(*)::BIGINT AS new_types FROM nv GROUP BY bkt),
+              |j AS (SELECT occ.bkt, occ.n_docs, occ.occurrences,
+              |  coalesce(nt.new_types, 0)::BIGINT AS new_types
+              |  FROM occ LEFT JOIN nt ON occ.bkt = nt.bkt)
+              |SELECT bkt::BIGINT AS bucket, n_docs, occurrences, new_types,
+              |  sum(new_types) OVER (ORDER BY bkt
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_types,
+              |  ((1000000 * new_types) // occurrences)::BIGINT AS novelty_ppm
+              |FROM j ORDER BY bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.noveltyCurve(
+          t(s, dir, "documents"), "doc_id", "text", nBuckets = 10)
+          .orderBy("bucket")),
+
+    // ---- difference-in-differences -------------------------------
+    // Even vs odd user ids, pre vs post day 15: the exact 2×2 DiD
+    // over one common DECIMAL denominator — no rounded-mean
+    // arithmetic anywhere.
+    Q("q331_diff_in_diff",
+      Some("""WITH e AS (SELECT user_id,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+             |m AS (SELECT min(b) AS b0 FROM e),
+             |x AS (SELECT (user_id % 2 = 0) AS a, (b - b0 >= 15) AS p, v
+             |  FROM e CROSS JOIN m),
+             |c AS (SELECT a, p, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+             |  FROM x GROUP BY a, p),
+             |g AS (SELECT
+             |  max(CASE WHEN a AND p THEN n END) AS n_a_post,
+             |  max(CASE WHEN a AND p THEN s END) AS s_ap,
+             |  max(CASE WHEN a AND NOT p THEN n END) AS n_a_pre,
+             |  max(CASE WHEN a AND NOT p THEN s END) AS s_aq,
+             |  max(CASE WHEN NOT a AND p THEN n END) AS n_b_post,
+             |  max(CASE WHEN NOT a AND p THEN s END) AS s_bp,
+             |  max(CASE WHEN NOT a AND NOT p THEN n END) AS n_b_pre,
+             |  max(CASE WHEN NOT a AND NOT p THEN s END) AS s_bq FROM c),
+             |f AS (SELECT *,
+             |  (s_ap::HUGEINT * n_a_pre * n_b_post * n_b_pre
+             |   - s_aq::HUGEINT * n_a_post * n_b_post * n_b_pre
+             |   - s_bp::HUGEINT * n_a_post * n_a_pre * n_b_pre
+             |   + s_bq::HUGEINT * n_a_post * n_a_pre * n_b_post) AS num,
+             |  (n_a_post::HUGEINT * n_a_pre * n_b_post * n_b_pre) AS den FROM g)
+             |SELECT n_a_post::BIGINT AS n_a_post, n_a_pre::BIGINT AS n_a_pre,
+             |  n_b_post::BIGINT AS n_b_post, n_b_pre::BIGINT AS n_b_pre,
+             |  (s_ap // n_a_post)::BIGINT AS mean_a_post,
+             |  (s_aq // n_a_pre)::BIGINT AS mean_a_pre,
+             |  (s_bp // n_b_post)::BIGINT AS mean_b_post,
+             |  (s_bq // n_b_pre)::BIGINT AS mean_b_pre,
+             |  (CASE WHEN num >= 0 THEN num // den
+             |    ELSE -((-num) // den) END)::BIGINT AS dd
+             |FROM f""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+        val m = e.agg(min(col("b")).as("b0"))
+        val x = e.crossJoin(broadcast(m))
+          .select((col("user_id") % 2 === 0).as("a"),
+            (col("b") - col("b0") >= 15).as("p"), col("mv"))
+        EvalStats.diffInDiff(x, "a", "p", "mv")
       })
   )
 }

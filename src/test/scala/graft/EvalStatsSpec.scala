@@ -195,6 +195,30 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("diffInDiff: exact rational over the common denominator") {
+    // A: pre {1,3} -> post {10}; B: pre {2} -> post {4,6}:
+    // dd = (10-2) - (5-2) = 5, exactly (num 20 / den 4).
+    val df = Seq((true, false, 1L), (true, false, 3L), (true, true, 10L),
+      (false, false, 2L), (false, true, 4L), (false, true, 6L))
+      .toDF("a", "p", "v")
+    val r = EvalStats.diffInDiff(df, "a", "p", "v").head()
+    assert(r.getAs[Long]("mean_a_post") == 10L)
+    assert(r.getAs[Long]("mean_a_pre") == 2L)
+    assert(r.getAs[Long]("mean_b_post") == 5L)
+    assert(r.getAs[Long]("dd") == 5L)
+    // swapped arms negate it exactly
+    val neg = EvalStats.diffInDiff(df.withColumn("a", !col("a")),
+      "a", "p", "v").head()
+    assert(neg.getAs[Long]("dd") == -5L)
+  }
+
+  test("diffInDiff: empty cell yields NULL, not a crash") {
+    val df = Seq((true, true, 1L), (false, false, 2L), (false, true, 3L))
+      .toDF("a", "p", "v")
+    val r = EvalStats.diffInDiff(df, "a", "p", "v").head()
+    assert(r.isNullAt(r.fieldIndex("dd")))
+  }
+
   test("signTest: exact binomial tails, ties dropped") {
     // up: 1,2,3,4 -> 3/3 ups, p = C(3,3)/8 = 125000 ppm;
     // mixed: 1,2,1 -> 1/2 ups, p = (C(2,1)+C(2,2))/4 = 750000;

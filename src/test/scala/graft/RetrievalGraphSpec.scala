@@ -95,4 +95,19 @@ class RetrievalGraphSpec extends SparkSpec {
     // spoke degrees are 1 each, cn=1 -> jaccard 1/(1+1-1)=1e6
     assert(full.collect().forall(_.getAs[Long]("jaccard_ppm") == 1000000L))
   }
+
+  test("noveltyCurve: first occurrence assigns the type, fallback shingle counts") {
+    // maxid 3, 2 buckets of width 2. Bucket 0 coins 'a b c' and
+    // 'b c d' (3 occurrences incl. the doc-1 repeat); bucket 1 coins
+    // 'c d e' and the short-doc fallback 'x'.
+    val docs = Seq((0L, "a b c d"), (1L, "a b c"), (2L, "b c d e"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = Relevance.noveltyCurve(docs, "doc_id", "text", nBuckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 3L, 2L, 2L, 666666L),
+      (1L, 2L, 3L, 2L, 4L, 666666L)))
+  }
 }
