@@ -389,6 +389,129 @@ object EvalStats {
           "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio across strata — the
+    * confounder-adjusted effect estimate for a 2×2×K design (arm ×
+    * outcome × stratum), next to the CRUDE odds ratio so Simpson-
+    * paradox reversals are visible in one row. EXACT:
+    * `OR_MH = Σᵢ aᵢdᵢ/nᵢ ÷ Σᵢ bᵢcᵢ/nᵢ` is evaluated over the common
+    * denominator `Πnᵢ` — each term scales by the exact integer
+    * `Πn div nᵢ` — in DECIMAL(38,0), floored to micro only at the
+    * end. Output: `(n_strata, or_crude_micro, or_mh_micro)`; NULL
+    * when a denominator is zero.
+    *
+    * Scale shape (100 TB): one map-side-combinable 4-cell count per
+    * stratum; the fold runs over the collected K-row stratum array
+    * on a single row (K is a dimension). `Πnᵢ` must fit
+    * DECIMAL(38,0): fine for e.g. K ≤ 5 strata of ≤ 10⁷ rows each —
+    * subsample strata counts proportionally beyond that. */
+  def mantelHaenszel(df: DataFrame, stratumCol: String, armCol: String,
+                     outcomeCol: String): DataFrame = {
+    val cells = df.select(col(stratumCol).as("__st"),
+        col(armCol).cast("boolean").as("__e"),
+        col(outcomeCol).cast("boolean").as("__o"))
+      .groupBy(col("__st"))
+      .agg(
+        sum(when(col("__e") && col("__o"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__e") && !col("__o"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("__e") && col("__o"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("__e") && !col("__o"), 1L).otherwise(0L)).as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .where(col("n") > 0)
+    val d1 = "cast(1 as decimal(38,0))"
+    cells
+      .agg(sort_array(collect_list(struct(col("__st").cast("string").as("s"),
+        col("a"), col("b"), col("c"), col("d"), col("n")))).as("st"))
+      // Π_{j≠i} n_j via prefix × suffix product arrays — stays in
+      // DECIMAL throughout (a Πn div nᵢ integral-divide would route
+      // through BIGINT and overflow long before DECIMAL(38,0) does)
+      .withColumn("__pre", expr(
+        s"transform(sequence(0, size(st)), k -> " +
+          s"aggregate(slice(st, 1, k), $d1, (p, e) -> p * e.n))"))
+      .withColumn("__suf", expr(
+        s"transform(sequence(0, size(st)), k -> " +
+          s"aggregate(slice(st, size(st) - k + 1, k), $d1, (p, e) -> p * e.n))"))
+      .withColumn("__num", expr(
+        s"aggregate(sequence(1, size(st)), $d1 - 1, (s, i) -> " +
+          s"s + ($d1 * element_at(st, i).a * element_at(st, i).d) " +
+          "* element_at(__pre, i) * element_at(__suf, size(st) - i + 1))"))
+      .withColumn("__den", expr(
+        s"aggregate(sequence(1, size(st)), $d1 - 1, (s, i) -> " +
+          s"s + ($d1 * element_at(st, i).b * element_at(st, i).c) " +
+          "* element_at(__pre, i) * element_at(__suf, size(st) - i + 1))"))
+      .withColumn("__ta", expr("aggregate(st, 0L, (s, e) -> s + e.a)"))
+      .withColumn("__tb", expr("aggregate(st, 0L, (s, e) -> s + e.b)"))
+      .withColumn("__tc", expr("aggregate(st, 0L, (s, e) -> s + e.c)"))
+      .withColumn("__td", expr("aggregate(st, 0L, (s, e) -> s + e.d)"))
+      .select(
+        expr("size(st)").cast("bigint").as("n_strata"),
+        expr(s"CASE WHEN __tb * __tc = 0 THEN NULL ELSE " +
+          s"(cast(1000000 as decimal(38,0)) * __ta * __td) div ($d1 * __tb * __tc) END")
+          .cast("bigint").as("or_crude_micro"),
+        expr("CASE WHEN __den <= 0 THEN NULL ELSE " +
+          "(cast(1000000 as decimal(38,0)) * __num) div __den END")
+          .cast("bigint").as("or_mh_micro"))
+  }
+
+  /** Distribution-free (order-statistic) confidence interval for the
+    * per-entity MEDIAN of bucket totals: ranks `l` and `n+1−l` with
+    * `l = max{k : 40·P[Binom(n,½) ≤ k−1] ≤ 2ⁿ·(1/40·40)}` — i.e. the
+    * exact binomial 95% bracket (α/2 = 1/40 per side, compared as
+    * `40·Σ_{i<k} C(n,i) ≤ 2ⁿ` — pure integers, no approximation).
+    * Emits the bracket values, the nearest-rank median, and the
+    * achieved coverage `(10⁶·(2ⁿ − 2S)) div 2ⁿ` ppm. Entities with
+    * n < 6 have no valid 95% bracket (l = 0): bounds and coverage
+    * are NULL, the median still reports.
+    *
+    * Scale shape (100 TB): one (entity, bucket) pre-aggregation, one
+    * entity-keyed rank window, and O(n³) integer fold work per
+    * ENTITY ROW with n calendar-bounded (≤ span buckets; BIGINT
+    * partial binomials cap n at ~62). Entities scale out. */
+  def medianCI(df: DataFrame, entityCol: String, bucketCol: String,
+               valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "cast(1 as decimal(38,0))"
+    def coef(n: String, i: String) =
+      s"CASE WHEN $i = 0 THEN $d38 ELSE aggregate(sequence(1L, $i), $d38, " +
+        s"(c, j) -> cast((c * ($n - j + 1)) div j as decimal(38,0))) END"
+    def prefix(n: String, k: String) =
+      s"CASE WHEN $k < 0 THEN $d38 - 1 ELSE aggregate(sequence(0L, $k), " +
+        s"$d38 - 1, (s, i) -> s + ${coef(n, "i")}) END"
+    def pow2(n: String) =
+      s"CASE WHEN $n = 0 THEN $d38 ELSE aggregate(sequence(1L, $n), $d38, " +
+        "(p, z) -> p * 2) END"
+    val daily = df
+      .select(col(entityCol).as("entity"),
+        col(bucketCol).cast("bigint").as("__b"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("entity"), col("__b")).agg(sum(col("__v")).as("__y"))
+    val ranked = daily
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("entity")).orderBy(col("__y"))))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("entity"))))
+    val stats = ranked.select(col("entity"), col("__n")).distinct()
+      .withColumn("__l", expr(
+        "aggregate(sequence(1L, (__n + 1L) div 2L), 0L, (best, k) -> " +
+          s"CASE WHEN 40 * ${prefix("__n", "(k - 1)")} <= ${pow2("__n")} " +
+          "THEN k ELSE best END)"))
+      .withColumn("conf_ppm", expr(
+        s"CASE WHEN __l = 0 THEN NULL ELSE cast((cast(1000000 as decimal(38,0)) * " +
+          s"(${pow2("__n")} - 2 * ${prefix("__n", "(__l - 1)")})) " +
+          s"div ${pow2("__n")} as bigint) END"))
+    ranked.join(stats.select(col("entity"), col("__l"), col("conf_ppm")),
+        Seq("entity"))
+      .groupBy(col("entity"))
+      .agg(
+        max(col("__n")).cast("bigint").as("n_days"),
+        max(when(col("__rn") === col("__l") && col("__l") > 0, col("__y")))
+          .as("lo"),
+        max(when(col("__rn") === expr("(__n + 1L) div 2L"), col("__y")))
+          .as("median"),
+        max(when(col("__rn") === col("__n") + 1 - col("__l")
+          && col("__l") > 0, col("__y"))).as("hi"),
+        max(col("conf_ppm")).as("conf_ppm"))
+  }
+
   /** Difference-in-differences estimate, EXACT: for a 2×2 design
     * (arm × pre/post), the causal workhorse
     * `dd = (ȳ_{A,post} − ȳ_{A,pre}) − (ȳ_{B,post} − ȳ_{B,pre})`

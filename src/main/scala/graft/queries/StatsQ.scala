@@ -1722,6 +1722,112 @@ object StatsQ {
           .select((col("user_id") % 2 === 0).as("a"),
             (col("b") - col("b0") >= 15).as("p"), col("mv"))
         EvalStats.diffInDiff(x, "a", "p", "mv")
+      }),
+
+    // ---- Mantel–Haenszel stratified odds ratio -------------------
+    // Arm (even user id) vs conversion (value > 100), stratified by
+    // event type: the confounder-adjusted pooled OR next to the
+    // crude OR, both exact over the Πn common denominator via
+    // prefix × suffix DECIMAL products.
+    Q("q332_mantel_haenszel",
+      Some("""WITH x AS (SELECT event_type AS st, (user_id % 2 = 0) AS e,
+             |  (value > 100) AS o FROM events),
+             |c AS (SELECT st,
+             |  sum(CASE WHEN e AND o THEN 1 ELSE 0 END)::BIGINT AS a,
+             |  sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS b,
+             |  sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END)::BIGINT AS c,
+             |  sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)::BIGINT AS d
+             |  FROM x GROUP BY st),
+             |l AS (SELECT list({'s': st, 'a': a, 'b': b, 'c': c, 'd': d,
+             |  'n': a + b + c + d} ORDER BY st) AS sl FROM c),
+             |pp AS (SELECT sl,
+             |  list_transform(range(0, len(sl) + 1), gk ->
+             |    list_reduce(list_prepend(1::HUGEINT,
+             |      list_transform(sl[1:gk], ge -> ge.n)), (p, q) -> p * q)) AS pre,
+             |  list_transform(range(0, len(sl) + 1), gk ->
+             |    list_reduce(list_prepend(1::HUGEINT,
+             |      list_transform(sl[len(sl) - gk + 1:len(sl)], ge -> ge.n)),
+             |      (p, q) -> p * q)) AS suf
+             |  FROM l),
+             |f AS (SELECT sl,
+             |  list_reduce(list_prepend(0::HUGEINT,
+             |    list_transform(range(1, len(sl) + 1), gi ->
+             |      (sl[gi].a::HUGEINT * sl[gi].d) * pre[gi]
+             |        * suf[len(sl) - gi + 1])), (aa, bb) -> aa + bb) AS num,
+             |  list_reduce(list_prepend(0::HUGEINT,
+             |    list_transform(range(1, len(sl) + 1), gi ->
+             |      (sl[gi].b::HUGEINT * sl[gi].c) * pre[gi]
+             |        * suf[len(sl) - gi + 1])), (aa, bb) -> aa + bb) AS den,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(sl, ge -> ge.a)), (aa, bb) -> aa + bb) AS ta,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(sl, ge -> ge.b)), (aa, bb) -> aa + bb) AS tb,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(sl, ge -> ge.c)), (aa, bb) -> aa + bb) AS tc,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(sl, ge -> ge.d)), (aa, bb) -> aa + bb) AS td
+             |  FROM pp)
+             |SELECT len(sl)::BIGINT AS n_strata,
+             |  (CASE WHEN tb * tc = 0 THEN NULL
+             |   ELSE (1000000::HUGEINT * ta * td) // (tb::HUGEINT * tc) END)::BIGINT
+             |    AS or_crude_micro,
+             |  (CASE WHEN den <= 0 THEN NULL
+             |   ELSE (1000000::HUGEINT * num) // den END)::BIGINT AS or_mh_micro
+             |FROM f""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("arm", col("user_id") % 2 === 0)
+          .withColumn("conv", col("value") > 100)
+        EvalStats.mantelHaenszel(x, "event_type", "arm", "conv")
+      }),
+
+    // ---- distribution-free median CI per user --------------------
+    // Exact binomial order-statistic bracket for each user's daily-
+    // total median (α/2 = 1/40 per side, compared as pure integers:
+    // 40·ΣC(n,i) ≤ 2ⁿ). First 20 users.
+    Q("q333_median_ci",
+      Some("""WITH x AS (SELECT user_id AS entity,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+             |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv FROM events),
+             |d AS (SELECT entity, b, sum(mv)::BIGINT AS y FROM x GROUP BY 1, 2),
+             |r AS (SELECT entity, y,
+             |  row_number() OVER (PARTITION BY entity ORDER BY y) AS rn,
+             |  count(*) OVER (PARTITION BY entity) AS n FROM d),
+             |st AS (SELECT DISTINCT entity, n FROM r),
+             |ks AS (SELECT entity, n, unnest(range(0, (n + 1) // 2)) AS i
+             |  FROM st),
+             |cb AS (SELECT entity, n, i,
+             |  CASE WHEN i = 0 THEN 1::HUGEINT
+             |  ELSE list_reduce(list_prepend(1::HUGEINT, range(1, i + 1)),
+             |    (c, gj) -> (c * (n - gj + 1)) // gj) END AS binom FROM ks),
+             |sc AS (SELECT entity, n, i, sum(binom) OVER (PARTITION BY entity
+             |  ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+             |  FROM cb),
+             |lsel AS (SELECT entity, any_value(n) AS n,
+             |  coalesce(max(CASE WHEN 40 * s <= (1::BIGINT << n) THEN i + 1 END),
+             |    0) AS l
+             |  FROM sc GROUP BY entity),
+             |cc AS (SELECT ls.entity, ls.n, ls.l,
+             |  CASE WHEN ls.l = 0 THEN NULL ELSE
+             |    ((1000000::HUGEINT * ((1::BIGINT << ls.n) - 2 * sc.s))
+             |      // (1::BIGINT << ls.n))::BIGINT END AS conf_ppm
+             |  FROM lsel ls LEFT JOIN sc
+             |    ON sc.entity = ls.entity AND sc.i = ls.l - 1),
+             |pv AS (SELECT r.entity,
+             |  max(r.n)::BIGINT AS n_days,
+             |  max(CASE WHEN rn = cc.l AND cc.l > 0 THEN y END) AS lo,
+             |  max(CASE WHEN rn = (r.n + 1) // 2 THEN y END) AS median,
+             |  max(CASE WHEN rn = r.n + 1 - cc.l AND cc.l > 0 THEN y END) AS hi,
+             |  max(conf_ppm) AS conf_ppm
+             |  FROM r JOIN cc ON r.entity = cc.entity GROUP BY r.entity)
+             |SELECT entity, n_days, lo, median, hi, conf_ppm FROM pv
+             |ORDER BY entity LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+          .withColumn("b", expr("ts div 86400000000000L"))
+        EvalStats.medianCI(x, "user_id", "b", "mv")
+          .orderBy("entity").limit(20)
       })
   )
 }

@@ -195,6 +195,45 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("mantelHaenszel: pooled vs crude OR on two hand strata") {
+    // S1: a=2,b=1,c=1,d=2 (n=6); S2: a=b=c=d=1 (n=4).
+    // MH = (4*4 + 1*6)/(1*4 + 1*6) = 22/10 = 2.2; crude = 9/4.
+    val s1 = Seq((true, true), (true, true), (true, false), (false, true),
+      (false, false), (false, false)).map { case (e, o) => ("s1", e, o) }
+    val s2 = Seq((true, true), (true, false), (false, true), (false, false))
+      .map { case (e, o) => ("s2", e, o) }
+    val df = (s1 ++ s2).toDF("st", "e", "o")
+    val r = EvalStats.mantelHaenszel(df, "st", "e", "o").head()
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("or_crude_micro") == 2250000L)
+    assert(r.getAs[Long]("or_mh_micro") == 2200000L)
+  }
+
+  test("mantelHaenszel: zero discordant denominator yields NULL") {
+    val df = Seq(("s", true, true), ("s", false, false)).toDF("st", "e", "o")
+    val r = EvalStats.mantelHaenszel(df, "st", "e", "o").head()
+    assert(r.isNullAt(r.fieldIndex("or_mh_micro")))
+  }
+
+  test("medianCI: exact binomial bracket at n=7, vacuous below n=6") {
+    // n=7: l=1 (40*C(7,0)=40 <= 128; 40*8=320 > 128) -> bracket
+    // [1, 7], conf = 1e6*126/128 = 984375. n=5: no 95% bracket.
+    val seven = (0 to 6).map(b => ("e7", b.toLong, (b + 1).toLong))
+    val five = (0 to 4).map(b => ("e5", b.toLong, (b + 10).toLong))
+    val df = (seven ++ five).toDF("e", "b", "v")
+    val out = EvalStats.medianCI(df, "e", "b", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val r7 = out("e7")
+    assert(r7.getAs[Long]("n_days") == 7L)
+    assert(r7.getAs[Long]("lo") == 1L && r7.getAs[Long]("hi") == 7L)
+    assert(r7.getAs[Long]("median") == 4L)
+    assert(r7.getAs[Long]("conf_ppm") == 984375L)
+    val r5 = out("e5")
+    assert(r5.isNullAt(r5.fieldIndex("lo")))
+    assert(r5.getAs[Long]("median") == 12L)
+    assert(r5.isNullAt(r5.fieldIndex("conf_ppm")))
+  }
+
   test("diffInDiff: exact rational over the common denominator") {
     // A: pre {1,3} -> post {10}; B: pre {2} -> post {4,6}:
     // dd = (10-2) - (5-2) = 5, exactly (num 20 / den 4).
