@@ -735,6 +735,42 @@ object Relevance {
       .orderBy(col("score").desc, col(idCol)).limit(k)
   }
 
+  /** Good–Turing unseen mass + Chao1 richness per group — "how much
+    * vocabulary have we NOT seen yet?" The Good–Turing estimate of
+    * the probability mass on unseen types is `V₁/N` (singleton types
+    * over tokens); Chao1 estimates total richness as
+    * `V + V₁²/(2V₂)` (bias-corrected `V + V₁(V₁−1)/2` when there are
+    * no doubletons). Both are exact integer ratios here (ppm / floor)
+    * — the coverage-estimation companion to [[noveltyCurve]]:
+    * novelty says how fast vocabulary grew, this says how much is
+    * still missing.
+    *
+    * Scale shape (100 TB): token explode → (group, token) count →
+    * count-of-counts — each map-side combinable, outputs vocabulary-
+    * then group-bounded. No joins, no windows. */
+  def speciesRichness(df: DataFrame, groupCol: String,
+                      textCol: String): DataFrame = {
+    val tc = TextOps.withTokens(
+        df.select(col(groupCol).as("grp"), col(textCol)), textCol, "__toks")
+      .select(col("grp"), explode(col("__toks")).as("__w"))
+      .groupBy(col("grp"), col("__w"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    tc.groupBy(col("grp"))
+      .agg(sum(col("__c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).cast("bigint")
+          .as("singletons"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).cast("bigint")
+          .as("doubletons"))
+      .withColumn("unseen_ppm",
+        expr("(1000000L * singletons) div n_tokens").cast("bigint"))
+      .withColumn("chao1", expr(
+        "CASE WHEN doubletons > 0 " +
+          "THEN types + (singletons * singletons) div (2L * doubletons) " +
+          "ELSE types + (singletons * (singletons - 1L)) div 2L END")
+        .cast("bigint"))
+  }
+
   /** Vocabulary novelty curve (Heaps-law growth audit): split the
     * corpus into `nBuckets` equal id-ordinal slices and report, per
     * slice, how much genuinely NEW trigram vocabulary it introduces —

@@ -1828,6 +1828,72 @@ object StatsQ {
           .withColumn("b", expr("ts div 86400000000000L"))
         EvalStats.medianCI(x, "user_id", "b", "mv")
           .orderBy("entity").limit(20)
+      }),
+
+    // ---- Good–Turing unseen mass + Chao1 richness ----------------
+    // Per source: how much token-type probability mass is still
+    // unseen (V1/N) and how many types exist in total (Chao1) —
+    // exact integer ratios, the coverage companion to q330.
+    Q("q334_species_richness",
+      Some(s"""WITH tok AS (SELECT source AS grp,
+              |  unnest(${D.tokens("text")}) AS w FROM documents),
+              |tc AS (SELECT grp, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+              |g AS (SELECT grp, sum(c)::BIGINT AS n_tokens,
+              |  count(*)::BIGINT AS types,
+              |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS singletons,
+              |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS doubletons
+              |  FROM tc GROUP BY grp)
+              |SELECT grp, n_tokens, types, singletons, doubletons,
+              |  ((1000000 * singletons) // n_tokens)::BIGINT AS unseen_ppm,
+              |  (CASE WHEN doubletons > 0
+              |    THEN types + (singletons * singletons) // (2 * doubletons)
+              |    ELSE types + (singletons * (singletons - 1)) // 2 END)::BIGINT
+              |    AS chao1
+              |FROM g ORDER BY grp""".stripMargin),
+      (s, dir) =>
+        graft.operators.Relevance.speciesRichness(
+          t(s, dir, "documents"), "source", "text")
+          .orderBy("grp")),
+
+    // ---- Luhn-validated card-number screening --------------------
+    // Synthetic 16-digit runs derived from event ids, screened by
+    // the exact mod-10 Luhn fold — the PII false-positive filter;
+    // ~1 in 10 random numbers validates.
+    Q("q335_luhn_screen",
+      Some("""WITH x AS (SELECT event_type,
+             |  'card ' || lpad(((event_id * 48271) % 100000000)::VARCHAR, 8, '0')
+             |    || lpad(((event_id * 16807 + 12345) % 100000000)::VARCHAR, 8, '0')
+             |    || ' end' AS s
+             |  FROM events),
+             |r AS (SELECT event_type, unnest(list_filter(
+             |  regexp_extract_all(s, '[0-9]+'),
+             |  rr -> length(rr) BETWEEN 13 AND 19)) AS run FROM x),
+             |v AS (SELECT event_type,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(range(1, length(run) + 1), gi ->
+             |      CASE WHEN gi % 2 = 0 THEN
+             |        CASE WHEN (ascii(run[length(run) + 1 - gi]) - 48) * 2 > 9
+             |          THEN (ascii(run[length(run) + 1 - gi]) - 48) * 2 - 9
+             |          ELSE (ascii(run[length(run) + 1 - gi]) - 48) * 2 END
+             |      ELSE ascii(run[length(run) + 1 - gi]) - 48 END)),
+             |    (aa, bb) -> aa + bb) % 10 = 0 AS ok
+             |  FROM r)
+             |SELECT event_type, count(*)::BIGINT AS n_candidates,
+             |  sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_valid,
+             |  ((1000000 * sum(CASE WHEN ok THEN 1 ELSE 0 END)) // count(*))::BIGINT
+             |    AS valid_ppm
+             |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events").withColumn("card_text", expr(
+          "concat('card ', lpad(cast((event_id * 48271L) % 100000000L as string), 8, '0'), " +
+            "lpad(cast((event_id * 16807L + 12345L) % 100000000L as string), 8, '0'), ' end')"))
+        graft.operators.TextOps.withLuhnStats(x, "card_text")
+          .groupBy(col("event_type"))
+          .agg(sum(col("luhn_candidates")).cast("bigint").as("n_candidates"),
+            sum(col("luhn_valid")).cast("bigint").as("n_valid"))
+          .withColumn("valid_ppm",
+            expr("(1000000L * n_valid) div n_candidates").cast("bigint"))
+          .orderBy("event_type")
       })
   )
 }

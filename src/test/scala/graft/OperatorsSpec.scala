@@ -3669,4 +3669,35 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("withLuhnStats: validates the checksum, counts maximal runs only") {
+    import spark.implicits._
+    // 4532015112830366 is Luhn-valid (digit sum 50); flipping the
+    // check digit breaks it; 13-digit 1234567890123 sums 55 ->
+    // invalid; 26-digit and 12-digit runs are not candidates.
+    val df = Seq(
+      ("pay 4532015112830366 or 1234567890123 now", 2L, 1L),
+      ("bad 4532015112830367", 1L, 0L),
+      ("11111111111111111111111111 and 123456789012", 0L, 0L),
+      ("no digits at all", 0L, 0L)).toDF("text", "ec", "ev")
+    val out = graft.operators.TextOps.withLuhnStats(df, "text").collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("luhn_candidates") == r.getAs[Long]("ec"), r.getString(0))
+      assert(r.getAs[Long]("luhn_valid") == r.getAs[Long]("ev"), r.getString(0))
+    }
+  }
+
+  test("speciesRichness: Good-Turing mass and both Chao1 branches") {
+    import spark.implicits._
+    // g: tokens a a b b c -> N=5 V=3 V1=1 V2=2: unseen 1/5, chao1
+    // 3 + 1/(2*2) floors to 3. h: x y -> V2=0 branch: 2 + 2*1/2 = 3.
+    val df = Seq(("g", "a a b"), ("g", "b c"), ("h", "x y"))
+      .toDF("src", "text")
+    val out = graft.operators.Relevance.speciesRichness(df, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    assert(out("g") == ((5L, 3L, 1L, 2L, 200000L, 3L)))
+    assert(out("h") == ((2L, 2L, 2L, 0L, 1000000L, 3L)))
+  }
 }
