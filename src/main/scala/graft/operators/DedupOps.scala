@@ -1146,4 +1146,5 @@ object DedupOps {
         when(col("run_shingles").isNull, 0L)
           .otherwise(col("run_shingles") + 2L).as("run_tokens"))
   }
+
 }

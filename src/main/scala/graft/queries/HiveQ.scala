@@ -365,6 +365,56 @@ object HiveQ {
         checks.reduce(_ unionByName _)
           .select(col("fk"), col("n_orphans"))
           .orderBy("fk")
+      }),
+
+    // ---- ORC round trip with partition pruning -------------------
+    // Write documents as lang-partitioned ORC, read back filtered to
+    // two langs (the filter prunes at the partition level), and
+    // aggregate — format coverage beyond parquet/CSV/JSONL; the
+    // oracle computes the same aggregate from the parquet base.
+    Q("q336_orc_roundtrip",
+      Some("""SELECT source, count(*)::BIGINT AS n,
+             |  sum(n_chars)::BIGINT AS sum_chars,
+             |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+             |FROM documents WHERE lang IN ('en', 'de')
+             |GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft_q336_")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .write.mode("overwrite").partitionBy("lang").orc(s"$out/docs_orc")
+        s.read.orc(s"$out/docs_orc")
+          .where(col("lang").isin("en", "de"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("n_chars")).cast("bigint").as("sum_chars"),
+            min(col("doc_id")).cast("bigint").as("min_id"),
+            max(col("doc_id")).cast("bigint").as("max_id"))
+          .orderBy("source")
+      }),
+
+    // ---- opaque-binary ingestion (binaryFile source) -------------
+    // The multimodal ingestion front door: write lang-partitioned
+    // raw text files, re-ingest them as OPAQUE BINARY (path +
+    // length, content lazily loadable), recover the partition key
+    // from the path, and audit total bytes — which must equal the
+    // UTF-8 octet length of every document plus its newline,
+    // regardless of how many files each partition split into.
+    Q("q337_binary_ingest",
+      Some("""SELECT lang,
+             |  sum(octet_length(encode(text)) + 1)::BIGINT AS total_bytes
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val out = tmp("graft_q337_")
+        t(s, dir, "documents")
+          .select(col("text"), col("lang"))
+          .write.mode("overwrite").partitionBy("lang").text(s"$out/docs_txt")
+        s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.txt").load(s"$out/docs_txt")
+          .withColumn("lang", regexp_extract(col("path"), "lang=([^/]+)", 1))
+          .groupBy(col("lang"))
+          .agg(sum(col("length")).cast("bigint").as("total_bytes"))
+          .orderBy("lang")
       })
   )
 }
