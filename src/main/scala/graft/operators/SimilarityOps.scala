@@ -64,6 +64,39 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Matryoshka-truncation quality audit: how much of each query's
+    * full-dimension top-k survives when vectors are TRUNCATED to
+    * their first `dim` components (the MRL deployment question —
+    * can you serve the cheap prefix embedding?). Runs [[knnJoin]]
+    * twice — full vectors and `slice(vec, 1, dim)` — and reports the
+    * per-query intersection size and `overlap_ppm = 10⁶·|∩| div k`.
+    * Per-query integers only; no cross-query float means.
+    *
+    * Scale shape (100 TB): two broadcast-queries corpus scans (the
+    * [[knnJoin]] shape — corpus never reshuffles) and one
+    * (q_id, c_id)-keyed join of two k-row-per-query frames, both
+    * query-dimension bounded. */
+  def truncationAudit(corpus: DataFrame, corpusId: String, corpusVec: String,
+                      queries: DataFrame, queryId: String, queryVec: String,
+                      dim: Int, k: Int): DataFrame = {
+    require(dim >= 1 && k >= 1, "dim and k must be positive")
+    val full = knnJoin(corpus.select(col(corpusId), col(corpusVec)),
+        corpusId, corpusVec,
+        queries.select(col(queryId), col(queryVec)), queryId, queryVec, k)
+      .select(col("q_id"), col("c_id"))
+    val tc = corpus.select(col(corpusId),
+      expr(s"slice($corpusVec, 1, $dim)").as("__tcv"))
+    val tq = queries.select(col(queryId),
+      expr(s"slice($queryVec, 1, $dim)").as("__tqv"))
+    val trunc = knnJoin(tc, corpusId, "__tcv", tq, queryId, "__tqv", k)
+      .select(col("q_id"), col("c_id"), lit(1L).as("__hit"))
+    full.join(trunc, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).cast("bigint").as("n_overlap"))
+      .withColumn("overlap_ppm",
+        expr(s"(1000000L * n_overlap) div ${k}L").cast("bigint"))
+  }
+
   /** Mutual nearest neighbors: the pairs `(a, b)` where `b` is `a`'s
     * single most-similar other vector AND `a` is `b`'s — the
     * high-precision alignment/matching primitive (bitext mining,

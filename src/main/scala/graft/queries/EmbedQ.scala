@@ -800,6 +800,42 @@ object EmbedQ {
       (s, dir) =>
         SimilarityOps.mutualNearestNeighbors(
           t(s, dir, "embeddings").where(col("vec_id") < 200),
-          "vec_id", "embedding"))
+          "vec_id", "embedding")),
+
+    // ---- Matryoshka truncation audit -----------------------------
+    // Top-10 overlap between full-64d and first-16d cosine rankings
+    // per query — the "can we serve the cheap prefix embedding?"
+    // check; both renderings use the bitwise-identical left-to-right
+    // dot fold, so set membership is exact.
+    Q("q338_truncation_audit",
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |sf AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |  ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |ff AS (SELECT q_id, c_id FROM sf WHERE rn <= 10),
+              |st AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |  ORDER BY ${D.cosine("cv[1:16]", "qv[1:16]")} DESC, c_id) AS rn
+              |  FROM c, q),
+              |tf AS (SELECT q_id, c_id FROM st WHERE rn <= 10),
+              |o AS (SELECT ff.q_id, count(tf.c_id)::BIGINT AS n_overlap
+              |  FROM ff LEFT JOIN tf ON ff.q_id = tf.q_id AND ff.c_id = tf.c_id
+              |  GROUP BY ff.q_id)
+              |SELECT q_id, n_overlap,
+              |  ((1000000 * n_overlap) // 10)::BIGINT AS overlap_ppm
+              |FROM o ORDER BY q_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.truncationAudit(
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+          "c_id", "cv",
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          "q_id", "qv",
+          dim = 16, k = 10)
+          .orderBy("q_id")
+      })
   )
 }

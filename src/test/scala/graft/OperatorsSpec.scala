@@ -3670,6 +3670,24 @@ class OperatorsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("truncationAudit: prefix ranking flips where tail dims carried the signal") {
+    import spark.implicits._
+    // q1=[1,0,0,0]: full top-1 is x (cos .6 vs y's .447); first-2-dim
+    // top-1 is y (cos 1 vs .6) -> overlap 0. q2=[0,1,0,0]: x wins in
+    // both renderings -> overlap 1.
+    val corpus = Seq(
+      (100L, Array(0.6f, 0.8f, 0f, 0f)),
+      (101L, Array(1f, 0f, 2f, 0f))).toDF("c_id", "cv")
+    val queries = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f))).toDF("q_id", "qv")
+    val out = graft.operators.SimilarityOps.truncationAudit(
+        corpus, "c_id", "cv", queries, "q_id", "qv", dim = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((1L, 1000000L)))
+  }
+
   test("withLuhnStats: validates the checksum, counts maximal runs only") {
     import spark.implicits._
     // 4532015112830366 is Luhn-valid (digit sum 50); flipping the
