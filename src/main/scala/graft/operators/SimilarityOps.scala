@@ -97,6 +97,51 @@ object SimilarityOps {
         expr(s"(1000000L * n_overlap) div ${k}L").cast("bigint"))
   }
 
+  /** 1-bit (binary) quantization audit: pack each vector's SIGN BITS
+    * into a single BIGINT (dim ≤ 63), rank by Hamming distance
+    * (`bit_count(a XOR b)`, ascending, id tie-break), and report the
+    * per-query overlap with the full-precision cosine top-k — the
+    * "can we serve 64-byte-→-8-byte vectors?" audit, the 1-bit
+    * sibling of [[truncationAudit]] (prefix dims) and the int8 MIPS
+    * path (scalar quantization). Everything after packing is pure
+    * integer arithmetic — bitwise-portable by construction; the sign
+    * test `component > 0` is exact on floats.
+    *
+    * Scale shape (100 TB): the pack is one per-row fold (codegen,
+    * shuffle-free) that shrinks the similarity working set 32× —
+    * THAT is the scale story; ranking reuses the broadcast-queries
+    * scan shape of [[knnJoin]] on 8-byte keys. */
+  def binaryQuantAudit(corpus: DataFrame, corpusId: String, corpusVec: String,
+                       queries: DataFrame, queryId: String, queryVec: String,
+                       dim: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim >= 1 && dim <= 63, "dim must be in [1, 63]")
+    require(k >= 1, "k must be positive")
+    def pack(vec: String): String =
+      s"aggregate(sequence(1, $dim), 0L, (acc, i) -> acc | " +
+        s"CASE WHEN element_at($vec, i) > 0 THEN shiftleft(1L, i - 1) ELSE 0L END)"
+    val full = knnJoin(corpus.select(col(corpusId), col(corpusVec)),
+        corpusId, corpusVec,
+        queries.select(col(queryId), col(queryVec)), queryId, queryVec, k)
+      .select(col("q_id"), col("c_id"))
+    val pc = corpus.select(col(corpusId), expr(pack(corpusVec)).as("__pc"))
+    val pq = queries.select(col(queryId).as("__qid2"),
+      expr(pack(queryVec)).as("__pq"))
+    val w = Window.partitionBy(col("__qid2"))
+      .orderBy(col("__ham"), col(corpusId))
+    val ham = pc.crossJoin(broadcast(pq))
+      .withColumn("__ham", expr("bit_count(__pc ^ __pq)"))
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col("__qid2").as("q_id"), col(corpusId).as("c_id"),
+        lit(1L).as("__hit"))
+    full.join(ham, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).cast("bigint").as("n_overlap"))
+      .withColumn("overlap_ppm",
+        expr(s"(1000000L * n_overlap) div ${k}L").cast("bigint"))
+  }
+
   /** Mutual nearest neighbors: the pairs `(a, b)` where `b` is `a`'s
     * single most-similar other vector AND `a` is `b`'s — the
     * high-precision alignment/matching primitive (bitext mining,

@@ -836,6 +836,49 @@ object EmbedQ {
           "q_id", "qv",
           dim = 16, k = 10)
           .orderBy("q_id")
+      }),
+
+    // ---- binary-quantization (Hamming) audit ---------------------
+    // Pack the first 63 sign bits of each vector into ONE bigint,
+    // rank by Hamming distance, and measure top-10 overlap with the
+    // full cosine ranking — the 32×-compression serving audit; pure
+    // integer arithmetic after the sign test.
+    Q("q339_binary_quant",
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+              |  FROM embeddings WHERE vec_id < 15),
+              |c AS (SELECT vec_id AS c_id, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 15),
+              |sf AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |  ORDER BY ${D.cosine("cv", "qv")} DESC, c_id) AS rn FROM c, q),
+              |ff AS (SELECT q_id, c_id FROM sf WHERE rn <= 10),
+              |pc AS (SELECT c_id, list_reduce(list_prepend(0::BIGINT,
+              |  list_transform(range(1, 64), gi -> CASE WHEN cv[gi] > 0
+              |    THEN (1::BIGINT << (gi - 1)) ELSE 0::BIGINT END)),
+              |  (a, b) -> a | b) AS pb FROM c),
+              |pq AS (SELECT q_id, list_reduce(list_prepend(0::BIGINT,
+              |  list_transform(range(1, 64), gi -> CASE WHEN qv[gi] > 0
+              |    THEN (1::BIGINT << (gi - 1)) ELSE 0::BIGINT END)),
+              |  (a, b) -> a | b) AS qb FROM q),
+              |hm AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |  ORDER BY bit_count(xor(pb, qb)), c_id) AS rn FROM pc, pq),
+              |hf AS (SELECT q_id, c_id FROM hm WHERE rn <= 10),
+              |o AS (SELECT ff.q_id, count(hf.c_id)::BIGINT AS n_overlap
+              |  FROM ff LEFT JOIN hf ON ff.q_id = hf.q_id AND ff.c_id = hf.c_id
+              |  GROUP BY ff.q_id)
+              |SELECT q_id, n_overlap,
+              |  ((1000000 * n_overlap) // 10)::BIGINT AS overlap_ppm
+              |FROM o ORDER BY q_id""".stripMargin),
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        SimilarityOps.binaryQuantAudit(
+          emb.where(col("vec_id") >= 15)
+            .select(col("vec_id").as("c_id"), col("embedding").as("cv")),
+          "c_id", "cv",
+          emb.where(col("vec_id") < 15)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          "q_id", "qv",
+          dim = 63, k = 10)
+          .orderBy("q_id")
       })
   )
 }

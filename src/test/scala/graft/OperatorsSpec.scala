@@ -3688,6 +3688,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1000000L)))
   }
 
+  test("binaryQuantAudit: Hamming tie-break diverges from cosine where signs agree") {
+    import spark.implicits._
+    // q1=[1,1,1]: full top-1 is 51 (cos .77 vs 50's .33) but both
+    // candidates are Hamming-1 from 0b111, so the id tie-break picks
+    // 50 -> overlap 0. q2=[-1,1,1] matches 50 in both -> overlap 1.
+    val corpus = Seq(
+      (50L, Array(-0.5f, 0.5f, 0.5f)),
+      (51L, Array(9f, 9f, -1f))).toDF("c_id", "cv")
+    val queries = Seq(
+      (1L, Array(1f, 1f, 1f)),
+      (2L, Array(-1f, 1f, 1f))).toDF("q_id", "qv")
+    val out = graft.operators.SimilarityOps.binaryQuantAudit(
+        corpus, "c_id", "cv", queries, "q_id", "qv", dim = 3, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L)
+    assert(out(2L) == 1L)
+  }
+
   test("withLuhnStats: validates the checksum, counts maximal runs only") {
     import spark.implicits._
     // 4532015112830366 is Luhn-valid (digit sum 50); flipping the
