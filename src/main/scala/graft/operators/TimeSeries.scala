@@ -609,6 +609,70 @@ object TimeSeries {
           "div (span_buckets * n_events)").cast("bigint").as("fano_milli"))
   }
 
+  /** Local-peak detection with PROMINENCE on per-key bucket counts —
+    * the monitoring primitive that separates "a real spike" from
+    * ripples: a strict local maximum's prominence is its height
+    * above the higher of the two valleys that separate it from
+    * higher ground (the topographic definition; the highest peak's
+    * valleys run to the series edges). Silent buckets enter as
+    * arithmetic zeros over the global calendar span. Only peaks with
+    * `prominence ≥ minProminence` are emitted:
+    * `(key, bucket, y, prominence)`.
+    *
+    * Valley scans are LATCHED linear folds — min of counts outward
+    * from the peak until the first strictly-higher bucket — with the
+    * latch and the running min packed into ONE BIGINT
+    * (`stopped·2⁶² + minv`, sentinel 2⁶¹), so the identical
+    * single-level fold renders in DuckDB (deeper lambda nesting is a
+    * known DuckDB vectorization hazard — see SURVEY §9.4).
+    *
+    * Scale shape (100 TB): one (key, bucket) count collapse, then
+    * per-KEY dense arrays bounded by the calendar span (`O(span²)`
+    * integer ops per key row); the span scalar broadcasts. Keys
+    * scale out; no windows, no joins on data. */
+  def detectPeaks(df: DataFrame, tsNanosCol: String, keyCol: String,
+                  bucketSec: Long = 86400L,
+                  minProminence: Long = 1L): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val bNanos = bucketSec * 1000000000L
+    val STOP = 4611686018427387904L // 2^62
+    val INF = 2305843009213693952L // 2^61 sentinel (> any count)
+    val x = df.select(col(keyCol).as("key"),
+      expr(s"$tsNanosCol div ${bNanos}L").as("__b"))
+    val c = x.groupBy(col("key"), col("__b"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    val sp = x.agg(min(col("__b")).as("__bmin"), max(col("__b")).as("__bmax"))
+    def at(i: String) = s"element_at(__ys, cast($i as int))"
+    def scan(seq: String, idx: String) =
+      s"aggregate($seq, ${INF}L, (acc, j) -> " +
+        s"CASE WHEN acc >= ${STOP}L THEN acc " +
+        s"WHEN ${at("j")} > ${at(idx)} THEN ${STOP}L + acc " +
+        s"ELSE least(acc, ${at("j")}) END) % ${STOP}L"
+    c.groupBy(col("key"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+        .as("__m"))
+      .crossJoin(broadcast(sp))
+      .withColumn("__span", col("__bmax") - col("__bmin") + lit(1L))
+      .withColumn("__ys", expr(
+        "transform(sequence(1L, __span), k -> " +
+          "coalesce(element_at(__m, __bmin + k - 1L), 0L))"))
+      // span < 3 has no interior bucket — and sequence(2, span-1)
+      // would be a DESCENDING range (graft trap #5), so guard it
+      .where(col("__span") >= 3)
+      .withColumn("__pk", explode(expr(
+        "filter(transform(sequence(2L, __span - 1L), i -> struct(" +
+          s"i AS i, ${at("i")} AS y, " +
+          s"CASE WHEN ${at("i")} > ${at("(i - 1)")} " +
+          s"AND ${at("i")} > ${at("(i + 1)")} THEN " +
+          s"${at("i")} - greatest(" +
+          scan("sequence(i - 1L, 1L, -1L)", "i") + ", " +
+          scan("sequence(i + 1L, __span)", "i") + ") " +
+          "ELSE -1L END AS prom)), " +
+          s"p -> p.prom >= ${minProminence}L)")))
+      .select(col("key"), (col("__bmin") + col("__pk.i") - lit(1L)).as("bucket"),
+        col("__pk.y").as("y"), col("__pk.prom").as("prominence"))
+  }
+
   /** Pairwise Pearson correlation (ppm) between per-key activity
     * series at an optional lead `lag` — which keys co-move (lag 0),
     * and which LEAD which (lag L > 0 correlates x's bucket t with

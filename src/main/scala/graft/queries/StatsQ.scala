@@ -1894,6 +1894,54 @@ object StatsQ {
           .withColumn("valid_ppm",
             expr("(1000000L * n_valid) div n_candidates").cast("bigint"))
           .orderBy("event_type")
-      })
+      }),
+
+    // ---- peak detection with prominence --------------------------
+    // Strict local maxima of per-type daily counts whose topographic
+    // prominence (height above the higher separating valley) is ≥ 3
+    // — real spikes, not ripples. The engine uses latched packed-
+    // bigint folds; the oracle is a pure window/join rendering (no
+    // lambdas — the DuckDB lambda-vectorization hazard, SURVEY §9.4,
+    // reproduced here even at two nesting levels).
+    Q("q340_peaks",
+      Some("""WITH x AS (SELECT event_type AS key,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b FROM events),
+             |c AS (SELECT key, b, count(*)::BIGINT AS c FROM x GROUP BY 1, 2),
+             |sp AS (SELECT min(b) AS bmin, max(b) AS bmax FROM x),
+             |ks AS (SELECT DISTINCT key FROM c),
+             |grid AS (SELECT key, bmin + g AS b FROM (
+             |  SELECT key, bmin, bmax, unnest(range(0, bmax - bmin + 1)) AS g
+             |  FROM ks CROSS JOIN sp) s),
+             |dy AS (SELECT grid.key, grid.b, coalesce(c.c, 0)::BIGINT AS y
+             |  FROM grid LEFT JOIN c ON c.key = grid.key AND c.b = grid.b),
+             |pks AS (SELECT key, b, y FROM (
+             |  SELECT key, b, y,
+             |    lag(y) OVER (PARTITION BY key ORDER BY b) AS py,
+             |    lead(y) OVER (PARTITION BY key ORDER BY b) AS ny FROM dy) w
+             |  WHERE py IS NOT NULL AND ny IS NOT NULL AND y > py AND y > ny),
+             |pj AS (SELECT p.key, p.b, p.y, d.b AS ob, d.y AS oy
+             |  FROM pks p JOIN dy d ON d.key = p.key AND d.b <> p.b),
+             |stops AS (SELECT key, b, y,
+             |  max(CASE WHEN ob < b AND oy > y THEN ob END) AS lstop,
+             |  min(CASE WHEN ob > b AND oy > y THEN ob END) AS rstop
+             |  FROM pj GROUP BY 1, 2, 3),
+             |vals AS (SELECT pj.key, pj.b, pj.y,
+             |  min(CASE WHEN pj.ob < pj.b
+             |    AND pj.ob > coalesce(st.lstop, -4611686018427387904)
+             |    THEN pj.oy END) AS lv,
+             |  min(CASE WHEN pj.ob > pj.b
+             |    AND pj.ob < coalesce(st.rstop, 4611686018427387904)
+             |    THEN pj.oy END) AS rv
+             |  FROM pj JOIN stops st ON st.key = pj.key AND st.b = pj.b
+             |  GROUP BY 1, 2, 3)
+             |SELECT key, b AS bucket, y,
+             |  (y - greatest(lv, rv))::BIGINT AS prominence
+             |FROM vals WHERE y - greatest(lv, rv) >= 3
+             |ORDER BY key, bucket""".stripMargin),
+      (s, dir) =>
+        graft.operators.TimeSeries.detectPeaks(
+          t(s, dir, "events"), "ts", "event_type",
+          bucketSec = 86400L, minProminence = 3L)
+          .orderBy("key", "bucket"))
   )
 }

@@ -108,6 +108,32 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getLong(4) == 0L)
   }
 
+  test("detectPeaks: strict maxima with topographic prominence") {
+    // counts per day: [1,5,1,3,1,6,1] -> peaks at days 1 (prom 4,
+    // right scan latches at the higher 6), 3 (prom 2, both scans
+    // latch), 5 (prom 5, the summit: valleys run to the edges).
+    val counts = Seq(1, 5, 1, 3, 1, 6, 1)
+    val day = 86400L * 1000000000L
+    val df = counts.zipWithIndex
+      .flatMap { case (n, d) => Seq.fill(n)(("k", d * day + 9L)) }
+      .toDF("k", "ts")
+    val out = TimeSeries.detectPeaks(df, "ts", "k", minProminence = 1L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 5L, 4L), (3L, 3L, 2L), (5L, 6L, 5L)))
+  }
+
+  test("detectPeaks: prominence threshold filters ripples") {
+    val counts = Seq(1, 5, 1, 3, 1, 6, 1)
+    val day = 86400L * 1000000000L
+    val df = counts.zipWithIndex
+      .flatMap { case (n, d) => Seq.fill(n)(("k", d * day + 9L)) }
+      .toDF("k", "ts")
+    val out = TimeSeries.detectPeaks(df, "ts", "k", minProminence = 4L)
+      .orderBy("bucket").collect().map(_.getLong(1))
+    assert(out.toSeq == Seq(1L, 5L))
+  }
+
   test("seriesCorrelation: mirrored series are exactly -1, equal series +1") {
     // a: 1,2,3 and b: 3,2,1 per bucket -> r = -1e6; c copies a -> +1e6.
     def rows(k: String, counts: Seq[Int]) =
