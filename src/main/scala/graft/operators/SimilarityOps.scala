@@ -142,6 +142,53 @@ object SimilarityOps {
         expr(s"(1000000L * n_overlap) div ${k}L").cast("bigint"))
   }
 
+  /** Dedup-threshold percolation curve: for each candidate cosine
+    * threshold, the similarity graph's edge count, connected-
+    * component count (singletons included), and largest-component
+    * size — the tuning table you read BEFORE committing to a
+    * near-dup threshold: too low and one giant component swallows
+    * the corpus (over-merging), too high and nothing clusters.
+    * Thresholds are passed in MICRO so both renderings compare
+    * against the identical parsed double.
+    *
+    * Scale shape (100 TB): intended for a bounded audit SAMPLE
+    * (exact all-pairs scoring is the [[knnJoin]] broadcast shape; at
+    * full scale the pair source swaps for the LSH candidate stream,
+    * same curve semantics). The pair frame is scored ONCE and
+    * localCheckpointed; the per-threshold loop is
+    * |thresholds|-bounded and runs [[Components.connectedComponents]]
+    * (O(log n) rounds) on successively smaller edge subsets. */
+  def componentCurve(df: DataFrame, idCol: String, vecCol: String,
+                     thresholdsMicro: Seq[Long]): DataFrame = {
+    require(thresholdsMicro.nonEmpty, "need at least one threshold")
+    val base = df.select(col(idCol).cast("long").as("__vid"), col(vecCol).as("__v"))
+    val a = base.select(col("__vid").as("__a"), col("__v").as("__va"))
+      .withColumn("__na", expr(V.norm("__va")))
+    val b = base.select(col("__vid").as("__b"), col("__v").as("__vb"))
+      .withColumn("__nb", expr(V.norm("__vb")))
+    val pairs = a.crossJoin(broadcast(b))
+      .where(col("__a") < col("__b"))
+      .withColumn("__sim", expr(V.cosineWithNorms("__va", "__vb", "__na", "__nb")))
+      .select(col("__a"), col("__b"), col("__sim"))
+      .localCheckpoint()
+    val tot = base.agg(count(lit(1)).cast("bigint").as("__n"))
+    val rows = thresholdsMicro.map { tm =>
+      val sub = pairs.where(col("__sim") >= lit(tm.toDouble / 1e6))
+      val ne = sub.agg(count(lit(1)).cast("bigint").as("n_edges"))
+      Components.connectedComponents(sub, "__a", "__b")
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
+        .agg(count(lit(1)).cast("bigint").as("__ncc"),
+          coalesce(sum(col("__sz")), lit(0L)).cast("bigint").as("__nodes"),
+          coalesce(max(col("__sz")), lit(0L)).cast("bigint").as("__big"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ne))
+        .select(lit(tm).as("thresh_micro"), col("n_edges"),
+          (col("__ncc") + col("__n") - col("__nodes")).cast("bigint")
+            .as("n_components"),
+          greatest(col("__big"), lit(1L)).cast("bigint").as("largest"))
+    }
+    rows.reduce(_ unionAll _)
+  }
+
   /** Mutual nearest neighbors: the pairs `(a, b)` where `b` is `a`'s
     * single most-similar other vector AND `a` is `b`'s — the
     * high-precision alignment/matching primitive (bitext mining,

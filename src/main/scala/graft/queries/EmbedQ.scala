@@ -879,6 +879,49 @@ object EmbedQ {
           "q_id", "qv",
           dim = 63, k = 10)
           .orderBy("q_id")
-      })
+      }),
+
+    // ---- dedup-threshold percolation curve -----------------------
+    // Edge count / component count / giant-component size of the
+    // cosine similarity graph at four candidate thresholds on a
+    // 200-vector audit sample — the over-merge tuning table. Each
+    // oracle block runs its own inner-scoped recursive closure.
+    Q("q341_component_curve", {
+      val thresholds = Seq(200000L, 250000L, 300000L, 350000L)
+      def block(tm: Long): String = {
+        val t = tm.toDouble / 1e6
+        s"""SELECT ${tm}::BIGINT AS thresh_micro, st.n_edges,
+           |  st.n_components, st.largest FROM (
+           |  WITH RECURSIVE vp AS (SELECT a.vec_id AS u, b.vec_id AS v
+           |    FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |    WHERE ${D.cosine("a.embedding", "b.embedding")} >= $t),
+           |  edges AS (SELECT u, v FROM vp UNION SELECT v, u FROM vp),
+           |  reach AS (
+           |    SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t0
+           |    UNION
+           |    SELECT e2.u, q.r FROM edges e2 JOIN reach q ON e2.v = q.u),
+           |  roots AS (SELECT u, min(r) AS root FROM reach GROUP BY u),
+           |  sz AS (SELECT root, count(*) AS sz FROM roots GROUP BY root),
+           |  agg AS (SELECT count(*)::BIGINT AS ncc,
+           |    coalesce(sum(sz), 0)::BIGINT AS nodes,
+           |    coalesce(max(sz), 0)::BIGINT AS big FROM sz),
+           |  ne AS (SELECT count(*)::BIGINT AS n_edges FROM vp),
+           |  nn AS (SELECT count(*)::BIGINT AS n FROM e)
+           |  SELECT ne.n_edges,
+           |    (agg.ncc + nn.n - agg.nodes)::BIGINT AS n_components,
+           |    greatest(agg.big, 1)::BIGINT AS largest
+           |  FROM agg, ne, nn) st""".stripMargin
+      }
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+              |  WHERE vec_id < 200)
+              |${thresholds.map(block).mkString("", "\nUNION ALL\n", "")}
+              |ORDER BY thresh_micro""".stripMargin)
+    },
+      (s, dir) =>
+        SimilarityOps.componentCurve(
+          t(s, dir, "embeddings").where(col("vec_id") < 200),
+          "vec_id", "embedding",
+          Seq(200000L, 250000L, 300000L, 350000L))
+          .orderBy("thresh_micro"))
   )
 }

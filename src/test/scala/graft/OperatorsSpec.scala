@@ -3688,6 +3688,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1000000L)))
   }
 
+  test("componentCurve: percolation from singletons to one giant component") {
+    import spark.implicits._
+    // sims: (1,2)=1, (3,4)=.8, (1,4)=(2,4)=.6, rest 0. At .9: one
+    // edge, 3 comps; at .7: two edges, 2 comps; at .5: four edges,
+    // everything merges.
+    val df = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.6f, 0.8f))).toDF("vid", "v")
+    val out = graft.operators.SimilarityOps.componentCurve(
+        df, "vid", "v", Seq(900000L, 700000L, 500000L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(900000L) == ((1L, 3L, 2L)))
+    assert(out(700000L) == ((2L, 2L, 2L)))
+    assert(out(500000L) == ((4L, 1L, 4L)))
+  }
+
   test("binaryQuantAudit: Hamming tie-break diverges from cosine where signs agree") {
     import spark.implicits._
     // q1=[1,1,1]: full top-1 is 51 (cos .77 vs 50's .33) but both
