@@ -389,6 +389,73 @@ object EvalStats {
           "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
   }
 
+  /** AUC with DeLong confidence interval, EXACT: the ROC AUC as the
+    * rational `U₂/(2·n₊·n₋)` (doubled Mann–Whitney counts — ties at
+    * half, q318's convention) and the DeLong (1988) standard error
+    * from the placement-value variances, which collapse to pure
+    * integer VALUE-GROUP aggregates: for score group v with a_v
+    * positives, b_v negatives, doubled placements `c_v = 2·B₍<v₎ +
+    * b_v` (per positive) and `d_v = 2·A₍>v₎ + a_v` (per negative),
+    *
+    *   Var·(2n₊n₋)² = (n₊Σa_vc_v² − U₂²)/(n₊−1)
+    *               + (n₋Σb_vd_v² − U₂²)/(n₋−1)
+    *
+    * so `se_micro = isqrt((10¹²·num) div den) div (2n₊n₋)` via the
+    * [[graft.util.ExactMath]] ladder, and the 95% CI uses the exact
+    * rational 1.96 = 49/25. One output row: `(n_pos, n_neg,
+    * auc_micro, se_micro, ci_lo_micro, ci_hi_micro)`; se/CI NULL
+    * when either class has < 2 members.
+    *
+    * Scale shape (100 TB): one value-keyed aggregation, the
+    * [[Sequencing.runningTotalsBefore]] bucket decomposition for the
+    * strictly-below cumulative (never a single-reducer window), one
+    * scalar aggregate. DECIMAL(38,0) holds the variance numerator
+    * through ~10⁵ rows per class; subsample beyond. */
+  def aucDeLong(df: DataFrame, scoreCol: String, posCol: String,
+                buckets: Int = 32): DataFrame = {
+    val g = df.select(col(scoreCol).cast("bigint").as("__v"),
+        when(col(posCol).cast("boolean"), 1L).otherwise(0L).as("__p"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__p")).cast("bigint").as("__na"),
+        count(lit(1)).cast("bigint").as("__t"))
+      .withColumn("__nb", col("__t") - col("__na"))
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      g, "__v", "__v", Seq("__nb", "__na"), buckets, "aucDeLong")
+    val nA = totals("__na")
+    val d1 = "cast(1 as decimal(38,0))"
+    cum
+      .agg(
+        sum(col("__na").cast("decimal(38,0)")).as("__sa"),
+        sum(col("__nb").cast("decimal(38,0)")).as("__sb"),
+        sum(expr(s"$d1 * __na * (2L * __cum___nb + __nb)")).as("__u2"),
+        sum(expr(s"$d1 * __na * (2L * __cum___nb + __nb) " +
+          "* (2L * __cum___nb + __nb)")).as("__sc2"),
+        sum(expr(s"$d1 * __nb * (2L * (${nA}L - __cum___na - __na) + __na) " +
+          s"* (2L * (${nA}L - __cum___na - __na) + __na)")).as("__sd2"))
+      // exact floor division in DECIMAL: (a - a % b) / b — Spark's
+      // `div` would route the quotient through BIGINT (overflows
+      // here) and a decimal CAST rounds half-up instead of flooring
+      .withColumn("__num", expr(
+        s"cast(1000000 as decimal(38,0)) * 1000000 * " +
+          "((__sa * __sc2 - __u2 * __u2) * (__sb - 1) " +
+          "+ (__sb * __sd2 - __u2 * __u2) * (__sa - 1))"))
+      .withColumn("__den", expr("nullif((__sa - 1) * (__sb - 1), 0)"))
+      .withColumn("__x", expr("(__num - __num % __den) / __den"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__x", "__rt"))
+      .select(
+        col("__sa").cast("bigint").as("n_pos"),
+        col("__sb").cast("bigint").as("n_neg"),
+        expr(s"CASE WHEN __sa = 0 OR __sb = 0 THEN NULL ELSE " +
+          s"(cast(1000000 as decimal(38,0)) * __u2) div (2 * __sa * __sb) END")
+          .cast("bigint").as("auc_micro"),
+        expr("CASE WHEN __sa < 2 OR __sb < 2 THEN NULL ELSE " +
+          "__rt div (2 * __sa * __sb) END").cast("bigint").as("se_micro"))
+      .withColumn("ci_lo_micro",
+        expr("auc_micro - (49L * se_micro) div 25L").cast("bigint"))
+      .withColumn("ci_hi_micro",
+        expr("auc_micro + (49L * se_micro) div 25L").cast("bigint"))
+  }
+
   /** Mantel–Haenszel pooled odds ratio across strata — the
     * confounder-adjusted effect estimate for a 2×2×K design (arm ×
     * outcome × stratum), next to the CRUDE odds ratio so Simpson-

@@ -1942,6 +1942,58 @@ object StatsQ {
         graft.operators.TimeSeries.detectPeaks(
           t(s, dir, "events"), "ts", "event_type",
           bucketSec = 86400L, minProminence = 3L)
-          .orderBy("key", "bucket"))
+          .orderBy("key", "bucket")),
+
+    // ---- AUC with DeLong 95% CI ----------------------------------
+    // Does the milli-value "score" separate high-k events (props.k ≥
+    // 50)? Exact rational AUC plus the DeLong standard error from
+    // integer placement-variance aggregates; CI at the exact
+    // rational 1.96 = 49/25.
+    Q("q342_auc_delong", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "f" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH x AS (SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v,
+              |  (regexp_extract(props, '([0-9]+)', 1)::BIGINT >= 50) AS p
+              |  FROM events),
+              |g AS (SELECT v, sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS na,
+              |  count(*)::BIGINT AS t FROM x GROUP BY v),
+              |c AS (SELECT v, na, t - na AS nb,
+              |  coalesce(sum(t - na) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cnb,
+              |  coalesce(sum(na) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cna
+              |  FROM g),
+              |tp AS (SELECT sum(na)::HUGEINT AS ta FROM g),
+              |s AS (SELECT sum(na)::HUGEINT AS sa, sum(nb)::HUGEINT AS sb,
+              |  sum(na::HUGEINT * (2 * cnb + nb)) AS u2,
+              |  sum(na::HUGEINT * (2 * cnb + nb) * (2 * cnb + nb)) AS sc2,
+              |  sum(nb::HUGEINT * (2 * (tp.ta - cna - na) + na)
+              |    * (2 * (tp.ta - cna - na) + na)) AS sd2
+              |  FROM c CROSS JOIN tp),
+              |f AS (SELECT sa, sb, u2,
+              |  (1000000::HUGEINT * 1000000 *
+              |    ((sa * sc2 - u2 * u2) * (sb - 1)
+              |     + (sb * sd2 - u2 * u2) * (sa - 1)))
+              |  // ((sa - 1) * (sb - 1)) AS x FROM s),
+              |$ladder
+              |SELECT sa::BIGINT AS n_pos, sb::BIGINT AS n_neg,
+              |  ((1000000::HUGEINT * u2) // (2 * sa * sb))::BIGINT AS auc_micro,
+              |  (rt // (2 * sa * sb))::BIGINT AS se_micro,
+              |  (((1000000::HUGEINT * u2) // (2 * sa * sb))
+              |    - (49 * (rt // (2 * sa * sb))) // 25)::BIGINT AS ci_lo_micro,
+              |  (((1000000::HUGEINT * u2) // (2 * sa * sb))
+              |    + (49 * (rt // (2 * sa * sb))) // 25)::BIGINT AS ci_hi_micro
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000d + 0.5d) as bigint)"))
+          .withColumn("hit",
+            expr("cast(get_json_object(props, '$.k') as bigint) >= 50L"))
+        EvalStats.aucDeLong(x, "mv", "hit")
+      })
   )
 }

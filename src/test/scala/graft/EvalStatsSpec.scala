@@ -195,6 +195,26 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("aucDeLong: hand-traced placements, SE, and 49/25 CI") {
+    // pos {2,3}, neg {1,2}: AUC = 3.5/4; placements .75/1 and
+    // .75/1 give s10² = s01² = 1/32 -> Var = 1/32, se = .176776...
+    val df = Seq((2L, true), (3L, true), (1L, false), (2L, false))
+      .toDF("v", "p")
+    val r = EvalStats.aucDeLong(df, "v", "p").head()
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("auc_micro") == 875000L)
+    assert(r.getAs[Long]("se_micro") == 176776L)
+    assert(r.getAs[Long]("ci_lo_micro") == 528520L)
+    assert(r.getAs[Long]("ci_hi_micro") == 1221480L)
+  }
+
+  test("aucDeLong: singleton class has exact AUC but NULL SE") {
+    val df = Seq((5L, true), (1L, false), (2L, false)).toDF("v", "p")
+    val r = EvalStats.aucDeLong(df, "v", "p").head()
+    assert(r.getAs[Long]("auc_micro") == 1000000L)
+    assert(r.isNullAt(r.fieldIndex("se_micro")))
+  }
+
   test("mantelHaenszel: pooled vs crude OR on two hand strata") {
     // S1: a=2,b=1,c=1,d=2 (n=6); S2: a=b=c=d=1 (n=4).
     // MH = (4*4 + 1*6)/(1*4 + 1*6) = 22/10 = 2.2; crude = 9/4.
