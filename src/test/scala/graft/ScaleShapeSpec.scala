@@ -459,4 +459,44 @@ class ScaleShapeSpec extends SparkSpec {
     assert(joinAt >= 0 && aggAfterJoin > joinAt,
       s"expected an aggregate below the outer join (delta collapsed first):\n$plan")
   }
+
+  test("theilSenSlope plan: pair join is entity-keyed, never cartesian") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"e${i % 20}", (i / 20).toLong, i.toLong))
+      .toDF("e", "b", "v")
+    val plan = operators.RobustStats.theilSenSlope(df, "e", "b", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pairwise slopes must join on the entity key:\n$plan")
+    // the median window is entity-partitioned (no empty partitionBy)
+    assert(!plan.contains("windowspecdefinition(__slope_ppm"),
+      s"median window must be keyed by entity:\n$plan")
+  }
+
+  test("seriesCorrelation plan: only broadcast scalar/dimension crosses, no cartesian") {
+    import spark.implicits._
+    val G = 1000000000L
+    val df = (0 until 300).map(i => (s"k${i % 5}", (i % 30).toLong * G))
+      .toDF("k", "ts")
+    val plan = operators.TimeSeries
+      .seriesCorrelation(df, "ts", "k", bucketSec = 1L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"span scalars and key-pair frames must broadcast:\n$plan")
+    // the lag join on buckets must be a hash join, not nested-loop
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the bucket-keyed lag join to hash:\n$plan")
+  }
+
+  test("aucDeLong plan: no single-reducer window (bucket-decomposed cumulative)") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong % 37, i % 3 == 0)).toDF("v", "p")
+    val plan = operators.EvalStats.aucDeLong(df, "v", "p")
+      .queryExecution.executedPlan.toString
+    // runningTotalsBefore partitions its window by quantile bucket
+    val winAt = plan.indexOf("windowspecdefinition(__bkt")
+    assert(winAt >= 0, s"expected the bucket-partitioned window:\n$plan")
+    assert(!plan.contains("windowspecdefinition(__ordg,"),
+      s"cumulative must never run on one reducer:\n$plan")
+  }
 }
