@@ -172,21 +172,42 @@ object SimilarityOps {
       .select(col("__a"), col("__b"), col("__sim"))
       .localCheckpoint()
     val tot = base.agg(count(lit(1)).cast("bigint").as("__n"))
-    val rows = thresholdsMicro.map { tm =>
-      val sub = pairs.where(col("__sim") >= lit(tm.toDouble / 1e6))
-      val ne = sub.agg(count(lit(1)).cast("bigint").as("n_edges"))
-      Components.connectedComponents(sub, "__a", "__b")
-        .groupBy(col("cluster_id")).agg(count(lit(1)).as("__sz"))
-        .agg(count(lit(1)).cast("bigint").as("__ncc"),
-          coalesce(sum(col("__sz")), lit(0L)).cast("bigint").as("__nodes"),
-          coalesce(max(col("__sz")), lit(0L)).cast("bigint").as("__big"))
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(ne))
-        .select(lit(tm).as("thresh_micro"), col("n_edges"),
-          (col("__ncc") + col("__n") - col("__nodes")).cast("bigint")
-            .as("n_components"),
-          greatest(col("__big"), lit(1L)).cast("bigint").as("largest"))
-    }
-    rows.reduce(_ unionAll _)
+    // LAYERED percolation: instead of |thresholds| sequential CC
+    // runs, lift each threshold into its own disjoint node layer
+    // (node' = layer·2⁴⁰ + node — ids must stay below 2⁴⁰) and run
+    // ONE connected-components BSP over the union. The layers never
+    // touch, so one O(log n)-round pass labels every threshold's
+    // graph at once — |thresholds|× fewer driver-paced rounds.
+    val Offset = 1L << 40
+    val layered = thresholdsMicro.zipWithIndex.map { case (tm, idx) =>
+      pairs.where(col("__sim") >= lit(tm.toDouble / 1e6))
+        .select((col("__a") + lit(idx * Offset)).as("__la"),
+          (col("__b") + lit(idx * Offset)).as("__lb"))
+    }.reduce(_ unionAll _)
+    val cc = Components.connectedComponents(layered, "__la", "__lb")
+      .withColumn("__layer", expr(s"id div ${Offset}L").cast("int"))
+    val perLayer = cc
+      .groupBy(col("__layer"), col("cluster_id"))
+      .agg(count(lit(1)).as("__sz"))
+      .groupBy(col("__layer"))
+      .agg(count(lit(1)).cast("bigint").as("__ncc"),
+        sum(col("__sz")).cast("bigint").as("__nodes"),
+        max(col("__sz")).cast("bigint").as("__big"))
+    val edgeCounts = thresholdsMicro.zipWithIndex.map { case (tm, idx) =>
+      pairs.where(col("__sim") >= lit(tm.toDouble / 1e6))
+        .agg(count(lit(1)).cast("bigint").as("n_edges"))
+        .select(lit(idx).as("__layer"), lit(tm).as("thresh_micro"),
+          col("n_edges"))
+    }.reduce(_ unionAll _)
+    edgeCounts
+      .join(broadcast(perLayer), Seq("__layer"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("thresh_micro"), col("n_edges"),
+        (coalesce(col("__ncc"), lit(0L)) + col("__n")
+          - coalesce(col("__nodes"), lit(0L))).cast("bigint")
+          .as("n_components"),
+        greatest(coalesce(col("__big"), lit(0L)), lit(1L)).cast("bigint")
+          .as("largest"))
   }
 
   /** Mutual nearest neighbors: the pairs `(a, b)` where `b` is `a`'s
