@@ -123,4 +123,29 @@ class DeterminismSpec extends SparkSpec {
       }
     }
   }
+
+  test("fifth-session statistics operators are partitioning-invariant") {
+    val events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+      .withColumn("b", expr("ts div 86400000000000L"))
+    def inv(f: DataFrame => DataFrame): Unit = {
+      def c(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+      val base = c(f(events))
+      assert(base.nonEmpty)
+      assert(c(f(events.repartition(7))) == base,
+        "repartition(7) changed the result")
+      assert(c(f(events.repartition(3, col("event_type")))) == base,
+        "key-partitioned layout changed the result")
+    }
+    inv(df => EvalStats.signTest(df, "user_id", "b", "mv"))
+    inv(df => EvalStats.medianCI(df, "user_id", "b", "mv"))
+    inv(df => EvalStats.aucDeLong(
+      df.withColumn("hit",
+        expr("cast(get_json_object(props, '$.k') as bigint) >= 50L")),
+      "mv", "hit"))
+    inv(df => TimeSeries.detectPeaks(df, "ts", "event_type",
+      minProminence = 3L))
+    inv(df => RobustStats.theilSenSlope(df, "user_id", "b", "mv"))
+  }
 }
