@@ -733,4 +733,46 @@ object Mixing {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** Neyman (variance-optimal) stratified sampling allocation: the
+    * budget splits ∝ `N_h·S_h` — size × spread — which minimizes the
+    * stratified mean's variance at fixed total n (the survey-
+    * sampling optimum; [[allocateBudget]] alone is proportional
+    * allocation, the S_h ≡ const special case). `S_h` is the
+    * nearest-floor sample SD via the [[graft.util.ExactMath]] isqrt
+    * of the exact integer variance quotient
+    * `(nΣx² − (Σx)²) div (n(n−1))`; singleton or constant strata get
+    * weight 0 (no spread — one sample tells you everything, and any
+    * minimum-per-stratum floor is a policy knob applied downstream).
+    * Rounding to integer quotas reuses [[allocateBudget]]'s
+    * largest-remainder apportionment, so quotas sum to the budget
+    * EXACTLY. Output: `(stratum, n_rows, sd_floor, weight, quota)`.
+    *
+    * Scale shape (100 TB): one map-side-combinable moment aggregate
+    * per stratum; everything after runs on the stratum-cardinality
+    * dimension frame (DECIMAL moments hold ~10¹² rows of ~10⁹-unit
+    * values). */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+                       valueCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val d38 = "decimal(38,0)"
+    val g = df.select(col(stratumCol).as("stratum"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("__v").cast(d38)).as("__s"),
+        sum(expr(s"cast(__v as $d38) * __v")).as("__ss"))
+      .withColumn("__varnum", expr("cast(n_rows as decimal(38,0)) * __ss - __s * __s"))
+      .withColumn("__vden", expr("nullif(cast(n_rows as decimal(38,0)) * (n_rows - 1), 0)"))
+      // exact DECIMAL floor division: (a - a % b) / b (graft pattern)
+      .withColumn("__x", expr("(__varnum - __varnum % __vden) / __vden"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__x", "__sd"))
+      .withColumn("sd_floor", coalesce(col("__sd").cast("bigint"), lit(0L)))
+      .withColumn("weight", expr("n_rows * sd_floor").cast("bigint"))
+      .select(col("stratum"), col("n_rows"), col("sd_floor"), col("weight"))
+    g.join(
+      allocateBudget(g.select(col("stratum"), col("weight")),
+        "stratum", "weight", budget).select(col("stratum"), col("quota")),
+      Seq("stratum"))
+  }
 }

@@ -1994,6 +1994,49 @@ object StatsQ {
           .withColumn("hit",
             expr("cast(get_json_object(props, '$.k') as bigint) >= 50L"))
         EvalStats.aucDeLong(x, "mv", "hit")
+      }),
+
+    // ---- Neyman variance-optimal sampling allocation -------------
+    // How should a 10k-sample audit budget split across event types?
+    // ∝ N_h·S_h (size × spread) with the exact isqrt SD and
+    // largest-remainder rounding — quotas sum to the budget exactly.
+    Q("q343_neyman_alloc", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("sdr").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "fx" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH x AS (SELECT event_type AS stratum,
+              |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v FROM events),
+              |g AS (SELECT stratum, count(*)::BIGINT AS n_rows,
+              |  sum(v)::HUGEINT AS s, sum(v::HUGEINT * v) AS ss
+              |  FROM x GROUP BY stratum),
+              |vv AS (SELECT stratum, n_rows,
+              |  (n_rows::HUGEINT * ss - s * s) AS varnum,
+              |  (n_rows::HUGEINT * (n_rows - 1)) AS vden FROM g),
+              |fx AS (SELECT stratum, n_rows,
+              |  CASE WHEN vden = 0 THEN NULL ELSE varnum // vden END AS x
+              |  FROM vv),
+              |$ladder,
+              |w AS (SELECT stratum, n_rows, coalesce(sdr, 0)::BIGINT AS sd_floor,
+              |  (n_rows * coalesce(sdr, 0))::BIGINT AS weight FROM i4),
+              |tw AS (SELECT sum(weight)::HUGEINT AS tot FROM w),
+              |h AS (SELECT w.*, ((weight::HUGEINT * 10000) // tot)::BIGINT AS qf,
+              |  (weight::HUGEINT * 10000
+              |    - ((weight::HUGEINT * 10000) // tot) * tot) AS rem
+              |  FROM w CROSS JOIN tw),
+              |lo AS (SELECT (10000 - sum(qf))::BIGINT AS r FROM h),
+              |rk AS (SELECT h.*, row_number() OVER (ORDER BY rem DESC, stratum)
+              |  AS rk FROM h)
+              |SELECT stratum, n_rows, sd_floor, weight,
+              |  (qf + CASE WHEN rk <= lo.r THEN 1 ELSE 0 END)::BIGINT AS quota
+              |FROM rk CROSS JOIN lo ORDER BY stratum""".stripMargin)
+    },
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+        graft.operators.Mixing.neymanAllocation(x, "event_type", "mv", 10000L)
+          .orderBy("stratum")
       })
   )
 }

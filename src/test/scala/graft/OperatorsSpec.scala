@@ -3688,6 +3688,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1000000L)))
   }
 
+  test("neymanAllocation: spread-weighted quotas sum exactly to the budget") {
+    import spark.implicits._
+    // A {0,10}: sd_floor 7, weight 14; B constant: weight 0;
+    // C {0,20}: sd_floor 14, weight 28. Budget 10 over W=42:
+    // Hamilton gives A 3 (rem 14), C 6 (rem 28) + the leftover -> 7.
+    val df = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 20L)).toDF("st", "v")
+    val out = graft.operators.Mixing.neymanAllocation(df, "st", "v", 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == ((2L, 7L, 14L, 3L)))
+    assert(out("B") == ((3L, 0L, 0L, 0L)))
+    assert(out("C") == ((2L, 14L, 28L, 7L)))
+  }
+
   test("componentCurve: percolation from singletons to one giant component") {
     import spark.implicits._
     // sims: (1,2)=1, (3,4)=.8, (1,4)=(2,4)=.6, rest 0. At .9: one
