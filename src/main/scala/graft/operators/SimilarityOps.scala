@@ -161,7 +161,19 @@ object SimilarityOps {
   def componentCurve(df: DataFrame, idCol: String, vecCol: String,
                      thresholdsMicro: Seq[Long]): DataFrame = {
     require(thresholdsMicro.nonEmpty, "need at least one threshold")
-    val base = df.select(col(idCol).cast("long").as("__vid"), col(vecCol).as("__v"))
+    // Layering encodes node' = layer·2⁴⁰ + node, so an id outside
+    // [0, 2⁴⁰) would silently bleed into another threshold's layer
+    // and corrupt every curve point. Guard the column loudly (the
+    // repo-wide guard-wraps-the-column pattern) instead of trusting
+    // the scaladoc contract.
+    val vidGuard =
+      s"""CASE WHEN CAST(`$idCol` AS BIGINT) >= 0
+         |       AND CAST(`$idCol` AS BIGINT) < ${1L << 40}L
+         |     THEN CAST(`$idCol` AS BIGINT)
+         |     ELSE raise_error(concat(
+         |       'componentCurve: $idCol must be a non-null long in [0, 2^40), got ',
+         |       coalesce(CAST(`$idCol` AS STRING), 'NULL'))) END""".stripMargin
+    val base = df.select(expr(vidGuard).as("__vid"), col(vecCol).as("__v"))
     val a = base.select(col("__vid").as("__a"), col("__v").as("__va"))
       .withColumn("__na", expr(V.norm("__va")))
     val b = base.select(col("__vid").as("__b"), col("__v").as("__vb"))

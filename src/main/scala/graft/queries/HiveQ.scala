@@ -16,8 +16,30 @@ object HiveQ {
 
   import Q.t
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  // Every verify/bench sweep materializes full lineitem/orders
+  // copies under these dirs; without cleanup, repeated gate runs
+  // accumulate disk on long-lived hosts. One JVM shutdown hook
+  // recursively deletes everything this process created (queries may
+  // re-read their dir lazily mid-run, so deletion must wait for
+  // process exit — deleteOnExit alone can't remove non-empty trees).
+  private val tmpRoots = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpRoots.synchronized {
+        tmpRoots.foreach { root =>
+          try {
+            Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { try Files.deleteIfExists(p) catch { case _: Throwable => () } })
+          } catch { case _: Throwable => () }
+        }
+      }))
+  }
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tmpRoots.synchronized { tmpRoots += p }
+    p.toString
+  }
 
   val qs: Seq[Q] = Seq(
 

@@ -256,6 +256,28 @@ case class ManagedDataset(
 
   private def latestVersion(): Option[Long] = versions().lastOption
 
+  /** Spark's own string rendering of `value` read as `dt` — the same
+    * `CAST(col AS STRING)` path the commit-time blooms hash. Probing
+    * with the caller's raw spelling would make a non-canonical but
+    * equal rendering (e.g. "20000" for a double column whose bloom
+    * recorded "20000.0") hash to different bits and silently declare
+    * the value definitively-absent — wrong results, not just missed
+    * pruning. A value that does not parse as `dt` raises loudly (the
+    * same outcome ANSI Spark gives `filter(col = CAST(value))`) —
+    * never a silent skip. Constant-folded single-row job; runs once
+    * per scan, never per file. */
+  private def canonicalRendering(
+      dt: org.apache.spark.sql.types.DataType, value: String): String = {
+    val r = spark.range(1).select(
+      org.apache.spark.sql.functions.lit(value).try_cast(dt)
+        .cast(StringType).as("v"))
+      .head()
+    if (r.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"equality probe value '$value' does not parse as ${dt.simpleString}")
+    r.getString(0)
+  }
+
   private def readManifest(version: Long): ManagedDataset.Manifest = {
     val p = new Path(logDir, ManagedDataset.manifestName(version))
     val in = fs.open(p)
@@ -394,21 +416,24 @@ case class ManagedDataset(
     * positives only (a ~1% rate at 1024 bits / 3 hashes / ≤100
     * distinct values per file) — a false positive costs one extra
     * file read, never a wrong answer; files from pre-bloom commits
-    * are conservatively kept via the min/max window. `value` must be
-    * the column's canonical string rendering (the same contract as
-    * [[scanPruned]]'s bounds). */
+    * are conservatively kept via the min/max window. `value` may be
+    * ANY spelling that parses as the column's type — it is
+    * re-rendered through Spark's own CAST-to-string path before
+    * probing, so "20000" and "20000.0" probe the same bits on a
+    * double column (the blooms hash that canonical rendering). */
   def scanPrunedEquality(colName: String, value: String): Option[DataFrame] =
     latestVersion().map { v =>
       val m = readManifest(v)
       val dt = m.schema.find(_.name == colName).map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
           s"scanPrunedEquality: column $colName not in snapshot schema"))
+      val probe = canonicalRendering(dt, value)
       val parts = m.commitDirs.flatMap { d =>
         val dir = new Path(qualifiedBase, d)
         m.stats.get(d) match {
           case Some(fileStats) =>
             val keep = fileStats.filter(f =>
-              ManagedDataset.mayContainEquality(dt, f, colName, value))
+              ManagedDataset.mayContainEquality(dt, f, colName, probe))
             if (keep.isEmpty) None
             else Some(spark.read.option("basePath", dir.toString)
               .parquet(keep.map(f => new Path(dir, f.file).toString): _*))
@@ -438,11 +463,12 @@ case class ManagedDataset(
       val dt = m.schema.find(_.name == colName).map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
           s"prunedFileCountEquality: column $colName not in snapshot schema"))
+      val probe = canonicalRendering(dt, value)
       m.commitDirs.map { d =>
         m.stats.get(d) match {
           case Some(fileStats) =>
             fileStats.count(f =>
-              ManagedDataset.mayContainEquality(dt, f, colName, value)).toLong
+              ManagedDataset.mayContainEquality(dt, f, colName, probe)).toLong
           case None =>
             val dir = new Path(qualifiedBase, d)
             if (!fs.exists(dir)) 0L

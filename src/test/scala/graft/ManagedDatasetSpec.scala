@@ -429,6 +429,32 @@ class ManagedDatasetSpec extends SparkSpec {
       assert(got == want && want.nonEmpty)
       // absent key: every file bloom-rejects -> empty, no error
       assert(ds.scanPrunedEquality("k", "999").get.count() == 0L)
+      // unparseable key raises loudly (same outcome ANSI Spark gives
+      // filter(col = CAST('x' AS BIGINT))) — never a silent skip
+      val e = intercept[IllegalArgumentException](
+        ds.scanPrunedEquality("k", "x"))
+      assert(e.getMessage.contains("does not parse as"))
+    }
+  }
+
+  test("bloom probe canonicalizes non-canonical but equal renderings") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil, Seq("d"))
+      import spark.implicits._
+      // double column: blooms hash CAST(d AS STRING) = "20000.0";
+      // a caller probing the equal-but-different spelling "20000"
+      // must still find the rows (round 6 advice: a raw-string probe
+      // hashed "20000" and silently dropped the matching files)
+      ds.write((1 to 50).map(i => (i.toDouble * 10000, i)).toDF("d", "v")
+        .repartition(4, col("d")))
+      val got = ds.scanPrunedEquality("d", "20000").get.count()
+      assert(got == 1L)
+      // the canonical spelling keeps working too
+      assert(ds.scanPrunedEquality("d", "20000.0").get.count() == 1L)
+      // and both agree on the diagnostics path
+      assert(ds.prunedFileCountEquality("d", "20000").get ==
+        ds.prunedFileCountEquality("d", "20000.0").get)
     }
   }
 

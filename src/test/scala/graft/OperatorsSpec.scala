@@ -3720,6 +3720,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out(500000L) == ((4L, 1L, 4L)))
   }
 
+  test("componentCurve: ids outside [0, 2^40) raise instead of bleeding across layers") {
+    import spark.implicits._
+    // the layered fuse encodes node' = layer*2^40 + node; an id at or
+    // above 2^40 (or negative) would silently corrupt another
+    // threshold's counts — the guard must raise loudly instead
+    for (badId <- Seq(1L << 40, -1L)) {
+      val df = Seq(
+        (badId, Array(1f, 0f)), (2L, Array(1f, 0f))).toDF("vid", "v")
+      val e = intercept[Exception] {
+        graft.operators.SimilarityOps.componentCurve(
+          df, "vid", "v", Seq(500000L)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("componentCurve")), s"got: ${msgs(e)}")
+    }
+  }
+
   test("binaryQuantAudit: Hamming tie-break diverges from cosine where signs agree") {
     import spark.implicits._
     // q1=[1,1,1]: full top-1 is 51 (cos .77 vs 50's .33) but both
