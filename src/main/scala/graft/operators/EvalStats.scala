@@ -867,4 +867,234 @@ object EvalStats {
         col("__r.successes").as("successes"),
         col("__r.raw_ppm").as("raw_ppm"), col("__r.iso_ppm").as("iso_ppm"))
   }
+
+  /** Murphy decomposition of the Brier score — reliability (is the
+    * claimed probability right?), resolution (do the bins separate
+    * outcomes?), uncertainty (base-rate entropy term) — for binned
+    * binary forecasts: `forecastNumCol` is the claimed probability as
+    * an integer numerator over `forecastDen` (e.g. decile 0–10 over
+    * 10). One summary row: `(n, n_pos, brier_ppm, rel_ppm, res_ppm,
+    * unc_ppm)`.
+    *
+    * Exactness: `brier_ppm` is EXACT — `Σ(p−o)²` expands per bin to
+    * the integer `k²·n_b − 2·k·D·o_b + D²·o_b` (D = `forecastDen`),
+    * summed as integers and divided once. rel/res quantize each
+    * bin's mean to ppm first (`p_ppm`, `obar_ppm` integers), then
+    * one floor-div per bin — deterministic on both engines, error
+    * ≤ #bins ppm. All products stay far inside int64 for n ≤ 10⁹.
+    *
+    * Scale shape (100 TB): one map-side-combinable groupBy on the
+    * forecast bin (cardinality ≤ D+1), then scalar algebra on that
+    * tiny frame — nothing else shuffles. */
+  def brierDecomposition(df: DataFrame, forecastNumCol: String,
+                         outcomeCond: org.apache.spark.sql.Column,
+                         forecastDen: Long = 10L): DataFrame = {
+    require(forecastDen >= 1, "forecastDen must be positive")
+    val bins = df.select(col(forecastNumCol).cast("bigint").as("__k"),
+        when(outcomeCond, 1L).otherwise(0L).as("__o"))
+      .withColumn("__k", expr(
+        s"CASE WHEN __k >= 0 AND __k <= $forecastDen THEN __k ELSE " +
+          s"raise_error(concat('brierDecomposition: forecast numerator ', " +
+          s"CAST(__k AS STRING), ' outside [0, $forecastDen]')) END"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).cast("bigint").as("__nb"),
+        sum(col("__o")).cast("bigint").as("__ob"))
+    val tot = bins.agg(sum(col("__nb")).as("__n"), sum(col("__ob")).as("__np"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("__p_ppm", expr(s"(1000000L * __k) div $forecastDen"))
+      .withColumn("__ob_ppm", expr("(1000000L * __ob) div __nb"))
+      .withColumn("__obar_ppm", expr("(1000000L * __np) div __n"))
+      .agg(
+        max(col("__n")).cast("bigint").as("n"),
+        max(col("__np")).cast("bigint").as("n_pos"),
+        // exact: Σ over bins of (k²·n_b − 2kD·o_b + D²·o_b), one div
+        sum(expr(s"__k * __k * __nb - 2L * __k * $forecastDen * __ob + " +
+          s"$forecastDen * $forecastDen * __ob")).as("__brier_num"),
+        sum(expr("(__nb * (__p_ppm - __ob_ppm) * (__p_ppm - __ob_ppm)) " +
+          "div (1000000L * __n)")).as("__rel_ppm_raw"),
+        sum(expr("(__nb * (__ob_ppm - __obar_ppm) * (__ob_ppm - __obar_ppm)) " +
+          "div (1000000L * __n)")).as("__res_ppm_raw"),
+        max(expr("(__obar_ppm * (1000000L - __obar_ppm)) div 1000000L"))
+          .as("__unc_ppm"))
+      .select(col("n"), col("n_pos"),
+        expr(s"(1000000L * __brier_num) div ($forecastDen * $forecastDen * n)")
+          .cast("bigint").as("brier_ppm"),
+        col("__rel_ppm_raw").cast("bigint").as("rel_ppm"),
+        col("__res_ppm_raw").cast("bigint").as("res_ppm"),
+        col("__unc_ppm").cast("bigint").as("unc_ppm"))
+  }
+
+  /** Cochran's Q over per-subject binary responses to k treatments —
+    * "do these k binary detectors/treatments have the same marginal
+    * rate on the SAME subjects?" (the k-treatment generalization of
+    * [[mcnemar]]). Input: one row per subject with k boolean columns.
+    * One output row: `(n_subjects, k, q_ppm)` where with column
+    * totals C_j, row totals R_i, grand total T:
+    * `Q = (k−1)·Σ_j(k·C_j − T)² / (k·(k·T − Σ_i R_i²))`, emitted as
+    * the exact floored ppm integer; a zero denominator (every subject
+    * answers identically on all treatments) yields NULL, not a fake
+    * 0.
+    *
+    * Scale shape (100 TB): one pass — a single global aggregation
+    * computing k column sums, ΣR_i and ΣR_i² map-side; no shuffle
+    * beyond the final combine. */
+  def cochranQ(df: DataFrame,
+               treatmentConds: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val k = treatmentConds.size
+    require(k >= 2, "cochranQ needs at least two treatments")
+    val flags = df.select(
+      treatmentConds.zipWithIndex.map { case (c, i) =>
+        when(c, 1L).otherwise(0L).as(s"__c$i")
+      }: _*)
+      .withColumn("__r",
+        treatmentConds.indices.map(i => col(s"__c$i")).reduce(_ + _))
+    val colSums = (0 until k).map(i =>
+      sum(col(s"__c$i")).cast("bigint").as(s"__C$i"))
+    val agged = flags.agg(colSums.head,
+      (colSums.tail :+ count(lit(1)).cast("bigint").as("__n")
+        :+ sum(col("__r")).cast("bigint").as("__T")
+        :+ sum(col("__r") * col("__r")).cast("bigint").as("__R2")): _*)
+    val numTerms = (0 until k)
+      .map(i => s"(${k}L * __C$i - __T) * (${k}L * __C$i - __T)")
+      .mkString(" + ")
+    agged.select(col("__n").as("n_subjects"),
+      lit(k.toLong).as("k"),
+      expr(s"CASE WHEN ${k}L * __T - __R2 > 0 THEN " +
+        s"(1000000L * ${k - 1}L * ($numTerms)) div " +
+        s"(${k}L * (${k}L * __T - __R2)) ELSE NULL END")
+        .cast("bigint").as("q_ppm"))
+  }
+
+  /** Friedman rank test over complete blocks — "averaged over blocks
+    * (subjects/prompts), do the k systems rank the same?": the
+    * nonparametric k-system eval when scores are only comparable
+    * WITHIN a block. Input: one row per (block, treatment) with an
+    * integer value; every block must carry all k treatments (build
+    * the complete grid with zeros first — [[cochranQ]]-style). Ranks
+    * use the standard midrank tie treatment, carried as the integer
+    * DOUBLED rank `r2 = 2·cnt_less + cnt_eq + 1` (counts over the
+    * block; `cnt_eq` includes the row itself). One row:
+    * `(n_blocks, k, fr_ppm)` = ppm-floored
+    * `12·ΣR_j²/(n·k·(k+1)) − 3·n·(k+1)` with `R_j = Σr_j` folded
+    * through the doubled form (`3·ΣR2_j² / (n·k·(k+1)) − 3·n·(k+1)`,
+    * one floor) — can be slightly negative under heavy ties (the
+    * untied statistic is ≥ 0); sign-split div keeps both engines
+    * truncating identically.
+    *
+    * Scale shape (100 TB): ranks come from one window partitioned by
+    * block (k rows each); R_j sums are a k-cardinality keyed
+    * aggregation — map-side-combined, no data blowup. */
+  def friedmanRanks(df: DataFrame, blockCol: String, treatmentCol: String,
+                    valueCol: String): DataFrame = {
+    val base = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__tr"),
+      col(valueCol).cast("bigint").as("__v"))
+    val wB = Window.partitionBy(col("__b"))
+    // midrank via counts: r2 = 2*|{v' < v}| + |{v'' = v}| + 1 (self
+    // included in the equal count supplies the +1 … +cnt_eq run)
+    val ranked = base
+      .withColumn("__r2",
+        expr("2L").multiply(coalesce(count(lit(1)).over(
+          wB.orderBy(col("__v")).rangeBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+          .plus(count(lit(1)).over(
+            wB.orderBy(col("__v")).rangeBetween(0, 0)))
+          .plus(lit(1L)))
+    val perTreatment = ranked.groupBy(col("__tr"))
+      .agg(sum(col("__r2")).cast("bigint").as("__R2j"),
+        count(lit(1)).cast("bigint").as("__nb"))
+    val k = perTreatment.agg(count(lit(1)).as("__k"),
+      max(col("__nb")).as("__nmax"), min(col("__nb")).as("__nmin"))
+    perTreatment.crossJoin(broadcast(k))
+      .withColumn("__nmin", expr(
+        "CASE WHEN __nmin = __nmax THEN __nmin ELSE raise_error(" +
+          "'friedmanRanks: blocks are incomplete — build the full " +
+          "block x treatment grid first') END"))
+      .agg(max(col("__nmin")).cast("bigint").as("n_blocks"),
+        max(col("__k")).cast("bigint").as("k"),
+        sum(expr("__R2j * __R2j")).as("__sumR2sq"),
+        max(expr("__k * __nmin * (__k + 1)")).as("__den"))
+      .select(col("n_blocks"), col("k"),
+        expr(
+          """CASE WHEN 3000000L * __sumR2sq div __den
+            |          >= 3000000L * n_blocks * (k + 1L)
+            |  THEN (3000000L * __sumR2sq) div __den
+            |       - 3000000L * n_blocks * (k + 1L)
+            |  ELSE -(3000000L * n_blocks * (k + 1L)
+            |       - (3000000L * __sumR2sq) div __den)
+            |END""".stripMargin).cast("bigint").as("fr_ppm"))
+  }
+
+  /** Chapman capture–recapture estimate of an unseen population from
+    * two independent detectors' catches — "two cheap duplicate /
+    * quality detectors each flagged a sample; how many are there in
+    * TOTAL?" (mark-recapture, the field-standard small-bias form).
+    * Input: two id frames (detector A's catch, detector B's catch).
+    * One row: `(n_a, n_b, n_both, chapman_est, lincoln_est)` with
+    * `chapman = (n_a+1)·(n_b+1) div (n_both+1) − 1` (defined even at
+    * zero overlap) and `lincoln = n_a·n_b div n_both` (NULL when the
+    * detectors are disjoint) — exact floored integers.
+    *
+    * Scale shape (100 TB): ids deduplicate map-side, the overlap is
+    * one equi-join on the id, and the three counts collapse to one
+    * row before any of the arithmetic — no full-table materialization
+    * past the distinct id sets. */
+  def captureRecapture(dfA: DataFrame, dfB: DataFrame,
+                       idCol: String): DataFrame = {
+    val a = dfA.select(col(idCol).cast("long").as("__id")).distinct()
+    val b = dfB.select(col(idCol).cast("long").as("__id")).distinct()
+    val na = a.agg(count(lit(1)).cast("bigint").as("__na"))
+    val nb = b.agg(count(lit(1)).cast("bigint").as("__nb"))
+    val m = a.join(b, Seq("__id")).agg(count(lit(1)).cast("bigint").as("__m"))
+    na.crossJoin(broadcast(nb)).crossJoin(broadcast(m))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__m").as("n_both"),
+        expr("((__na + 1L) * (__nb + 1L)) div (__m + 1L) - 1L")
+          .cast("bigint").as("chapman_est"),
+        expr("CASE WHEN __m > 0 THEN (__na * __nb) div __m ELSE NULL END")
+          .cast("bigint").as("lincoln_est"))
+  }
+
+  /** Stratified treated-vs-control contrast — the propensity-strata
+    * estimator: within each stratum of a confounder proxy (activity
+    * decile, source bucket…), compare treated and control outcome
+    * means; strata where either arm is empty are reported with NULL
+    * contrast instead of being dropped (the overlap diagnostic).
+    * One row per stratum: `(stratum, n_treat, n_ctrl, sum_treat,
+    * sum_ctrl, att_diff)`. Sums are DECIMAL(18,2)-exact (cast once,
+    * summed as decimals); `att_diff` is the only IEEE value — two
+    * divisions and a subtract on already-aggregated scalars, bitwise
+    * deterministic. The cross-stratum pooled ATT is left to the
+    * caller (a weighted fold over ≤ #strata rows) so nothing here
+    * depends on float accumulation order.
+    *
+    * Scale shape (100 TB): one keyed aggregation on (stratum, arm)
+    * — map-side-combinable — then a pivot on the tiny strata frame.
+    * No joins on unit-level data. */
+  def stratifiedContrast(df: DataFrame, stratumCol: String,
+                         treatCond: org.apache.spark.sql.Column,
+                         outcomeCol: String): DataFrame = {
+    val per = df.select(col(stratumCol).as("__s"),
+        when(treatCond, 1L).otherwise(0L).as("__arm"),
+        col(outcomeCol).cast("decimal(18,2)").as("__y"))
+      .groupBy(col("__s"), col("__arm"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__y")).as("__sum"))
+    per.groupBy(col("__s"))
+      .agg(
+        sum(when(col("__arm") === 1L, col("__n")).otherwise(0L))
+          .cast("bigint").as("n_treat"),
+        sum(when(col("__arm") === 0L, col("__n")).otherwise(0L))
+          .cast("bigint").as("n_ctrl"),
+        sum(when(col("__arm") === 1L, col("__sum"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("__st"),
+        sum(when(col("__arm") === 0L, col("__sum"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("__sc"))
+      .select(col("__s").as("stratum"), col("n_treat"), col("n_ctrl"),
+        col("__st").cast("decimal(18,2)").as("sum_treat"),
+        col("__sc").cast("decimal(18,2)").as("sum_ctrl"),
+        when(col("n_treat") > 0 && col("n_ctrl") > 0,
+          col("__st").cast("double") / col("n_treat").cast("double")
+            - col("__sc").cast("double") / col("n_ctrl").cast("double"))
+          .as("att_diff"))
+  }
 }

@@ -1208,4 +1208,60 @@ object TextOps {
       .withColumn("luhn_valid",
         expr(s"cast(size(filter($runs, r -> $luhnSum % 10 = 0)) as bigint)"))
   }
+
+  /** Integer-bit bigram language-model surprisal — CCNet-style LM
+    * quality scoring without a float in sight: train add-one-smoothed
+    * bigram counts on the EVEN-id half of the corpus, score every
+    * ODD-id document's bigrams by
+    * `bits = bitlen(c(w₁)+V) − bitlen(c(w₁,w₂)+1)` where `bitlen` is
+    * the binary-digit count (`length(bin(x))`, the same integer log₂
+    * surrogate as [[withCharEntropy]]), `c(·)` are training counts
+    * and `V` the training vocabulary size. High average bits =
+    * improbable text under the corpus LM (gibberish, wrong-language,
+    * boilerplate soup) — the standard perplexity-filter signal,
+    * quantized to whole bits so every value is integer-exact.
+    *
+    * Output: one row per scored (odd-id) document:
+    * `(id, n_bigrams, sum_bits, avg_bits_x100)` with
+    * `avg_bits_x100 = (100·sum_bits) div n_bigrams` (docs with no
+    * bigrams are absent from the output — "no evidence", not a fake
+    * perfect score).
+    *
+    * Scale shape (100 TB): the two count tables are keyed
+    * aggregations on token/bigram (map-side-combined); scoring is
+    * two shuffle equi-joins keyed on the bigram resp. its prefix
+    * token, with the vocab scalar broadcast. Nothing driver-paced;
+    * hot tokens skew the prefix join at most by vocabulary Zipf —
+    * AQE's skew split handles the head tokens. */
+  def bigramLmSurprisal(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+      expr(H.tokens(textCol)).as("__t"))
+    val bigrams = toks.select(col("__id"), explode(expr(
+      "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1), " +
+        "gi -> struct(element_at(__t, gi) AS w1, element_at(__t, gi + 1) AS w2)) " +
+        "ELSE array() END")).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val train = bigrams.where(col("__id") % 2 === 0)
+    val c12 = train.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).cast("bigint").as("__c12"))
+    val c1 = train.groupBy(col("__w1"))
+      .agg(count(lit(1)).cast("bigint").as("__c1"))
+    val vocab = toks.where(col("__id") % 2 === 0)
+      .select(explode(col("__t")).as("__w"))
+      .agg(countDistinct(col("__w")).cast("bigint").as("__V"))
+    bigrams.where(col("__id") % 2 === 1)
+      .join(c12, Seq("__w1", "__w2"), "left")
+      .join(c1, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__bits", expr(
+        "length(bin(coalesce(__c1, 0L) + __V)) - " +
+          "length(bin(coalesce(__c12, 0L) + 1L))"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("__bits")).cast("bigint").as("sum_bits"))
+      .select(col("__id").as("id"), col("n_bigrams"), col("sum_bits"),
+        expr("(100L * sum_bits) div n_bigrams").cast("bigint")
+          .as("avg_bits_x100"))
+  }
 }

@@ -792,4 +792,186 @@ object TimeSeries {
       .select(col("__r.t").as("t"), col("__r.n_at_risk").as("n_at_risk"),
         col("__r.deaths").as("deaths"), col("__r.surv_ppm").as("surv_ppm"))
   }
+
+  /** Nelson–Aalen cumulative-hazard curve over the same per-subject
+    * `(duration, censored)` frame as [[kaplanMeier]] — the additive
+    * complement of the product-limit estimator (preferred when hazard
+    * INCREMENTS are the quantity of interest, e.g. failure-intensity
+    * monitoring). One row per duration with ≥ 1 death:
+    * `(t, n_at_risk, deaths, hazard_ppm)` where each step contributes
+    * `(10⁶ · d_k) div n_k` and `hazard_ppm` is the running integer
+    * sum — every value integer-exact, quantization one floor per
+    * step.
+    *
+    * Scale shape (100 TB): identical to [[kaplanMeier]] — one keyed
+    * map-side-combinable aggregation collapses subjects to the
+    * duration histogram (cardinality = observation horizon), and the
+    * global window runs on that bounded frame only. */
+  def nelsonAalen(df: DataFrame, durationCol: String,
+                  censoredCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = df.select(col(durationCol).cast("bigint").as("__t"),
+        col(censoredCol).cast("boolean").as("__cen"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val h = lt.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("bigint").as("__m"),
+        sum(when(col("__cen"), 0L).otherwise(1L)).cast("bigint").as("__d"))
+    val tot = h.agg(sum(col("__m")).as("__total"))
+    val wPrev = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = h.crossJoin(broadcast(tot))
+      .withColumn("__n",
+        col("__total") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .where(col("__d") > 0)
+      .withColumn("__term", expr("(1000000L * __d) div __n"))
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps.select(col("__t").as("t"), col("__n").as("n_at_risk"),
+      col("__d").as("deaths"),
+      sum(col("__term")).over(wCum).cast("bigint").as("hazard_ppm"))
+  }
+
+  /** Two-group log-rank contributions over per-subject
+    * `(duration, censored, group)` observations — the standard test
+    * for "do these two cohorts churn/fail at the same rate?". One row
+    * per duration with ≥ 1 death across the pooled sample:
+    * `(t, n1, n2, d1, d2, oe_ppm, var_ppm)` where
+    *   - `oe_ppm` = running Σ `10⁶·(d1·n − d·n1) div n` — the
+    *     observed-minus-expected deaths in group 1 (hypergeometric
+    *     mean), quantized one TRUNCATING div per step (sign-split so
+    *     Spark `div` and DuckDB `//` agree on negatives);
+    *   - `var_ppm` = running Σ `10⁶·d·n1·n2·(n−d) div (n²·(n−1))` —
+    *     the hypergeometric variance (single-death steps contribute
+    *     `10⁶·n1·n2 div n²`).
+    * The z² statistic is `oe²/var` — left to the caller as one scalar
+    * IEEE division so every materialized value stays integer.
+    *
+    * Scale shape (100 TB): subjects collapse to a per-(duration ×
+    * group) histogram (horizon-bounded), pivoted to one row per
+    * duration; windows run on that bounded frame. The ppm variance
+    * product `10⁶·d·n1·n2·(n−d)` needs `n ≲ 40k` subjects at risk per
+    * time point to stay in int64 — beyond that, rebuild the two
+    * product terms on DECIMAL(38,0) (documented seam, loud guard
+    * below, never silent overflow). */
+  def logRankCurve(df: DataFrame, durationCol: String, censoredCol: String,
+                   groupCond: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = df.select(col(durationCol).cast("bigint").as("__t"),
+        col(censoredCol).cast("boolean").as("__cen"),
+        when(groupCond, 1L).otherwise(0L).as("__g"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val h = lt.groupBy(col("__t"))
+      .agg(
+        sum(col("__g")).cast("bigint").as("__m1"),
+        sum(lit(1L) - col("__g")).cast("bigint").as("__m2"),
+        sum(when(col("__cen"), 0L).otherwise(col("__g"))).cast("bigint").as("__d1"),
+        sum(when(col("__cen"), 0L).otherwise(lit(1L) - col("__g")))
+          .cast("bigint").as("__d2"))
+    val tot = h.agg(sum(col("__m1")).as("__t1"), sum(col("__m2")).as("__t2"))
+    val wPrev = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = h.crossJoin(broadcast(tot))
+      .withColumn("__n1",
+        col("__t1") - coalesce(sum(col("__m1")).over(wPrev), lit(0L)))
+      .withColumn("__n2",
+        col("__t2") - coalesce(sum(col("__m2")).over(wPrev), lit(0L)))
+      .withColumn("__d", col("__d1") + col("__d2"))
+      .withColumn("__n", col("__n1") + col("__n2"))
+      .where(col("__d") > 0)
+      // int64 headroom guard: fail loudly, never overflow silently
+      .withColumn("__n", expr(
+        "CASE WHEN __n < 40000 THEN __n ELSE raise_error(" +
+          "'logRankCurve: > 40k subjects at risk in one time bucket — " +
+          "rebuild variance terms on DECIMAL(38,0)') END"))
+      // sign-split truncating div: numerator d1*n - d*n1 can go
+      // negative; Spark div truncates, DuckDB // floors — make both
+      // truncate toward zero explicitly
+      .withColumn("__oe_term", expr(
+        """CASE WHEN 1000000L * (__d1 * __n - __d * __n1) >= 0
+          |  THEN (1000000L * (__d1 * __n - __d * __n1)) div __n
+          |  ELSE -((1000000L * (__d * __n1 - __d1 * __n)) div __n)
+          |END""".stripMargin))
+      .withColumn("__var_term", expr(
+        """CASE WHEN __n > 1
+          |  THEN (1000000L * __d * __n1 * __n2 * (__n - __d))
+          |       div (__n * __n * (__n - 1))
+          |  ELSE 0L END""".stripMargin))
+    val wCum = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    steps.select(col("__t").as("t"),
+      col("__n1").as("n1"), col("__n2").as("n2"),
+      col("__d1").as("d1"), col("__d2").as("d2"),
+      sum(col("__oe_term")).over(wCum).cast("bigint").as("oe_ppm"),
+      sum(col("__var_term")).over(wCum).cast("bigint").as("var_ppm"))
+  }
+
+  /** Sequential probability ratio test (Wald) monitors over ordered
+    * Bernoulli streams — the always-on "is this source's quality rate
+    * p₁ or has it degraded to p₀?" check a continuously-ingesting
+    * pipeline wants, stopping each stream at the EARLIEST decisive
+    * observation instead of a fixed-n test. The log-likelihood-ratio
+    * walk uses integer MILLI-BIT weights (`round(1000·log₂(p₁/p₀))`
+    * per success, `round(1000·log₂((1−p₁)/(1−p₀)))` per failure —
+    * quantized once on the driver, the standard production-monitor
+    * discretization), so the walk, the boundaries, and the stopping
+    * index are all integer-exact.
+    *
+    * Output one row per group: `(group, n_obs, decision,
+    * n_at_decision, llr_mbits)` where decision ∈ accept_h1 (walk ≥
+    * +threshold first), accept_h0 (walk ≤ −threshold first), continue
+    * (no boundary crossed; `n_at_decision` = `n_obs`, `llr_mbits` =
+    * final walk).
+    *
+    * Scale shape (100 TB): one window partitioned by group (the
+    * running sum), one keyed aggregation — no shuffles beyond the
+    * group key, no driver iteration; streams process independently so
+    * group count scales out. */
+  def sprtMonitor(df: DataFrame, groupCol: String, orderCol: String,
+                  successCond: org.apache.spark.sql.Column,
+                  p0: Double, p1: Double,
+                  thresholdMbits: Long = 4000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      "p0, p1 must be distinct probabilities in (0, 1)")
+    require(thresholdMbits > 0, "thresholdMbits must be positive")
+    val ln2 = math.log(2.0)
+    val wS = math.round(1000.0 * math.log(p1 / p0) / ln2)
+    val wF = math.round(1000.0 * math.log((1 - p1) / (1 - p0)) / ln2)
+    val w = Window.partitionBy(col("__grp"))
+      .orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walked = df.select(col(groupCol).as("__grp"),
+        col(orderCol).cast("bigint").as("__ord"),
+        when(successCond, lit(wS)).otherwise(lit(wF)).as("__w"))
+      .withColumn("__llr", sum(col("__w")).over(w).cast("bigint"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__grp"))
+          .orderBy(col("__ord"))).cast("bigint"))
+    val crossings = walked
+      .where(col("__llr") >= thresholdMbits || col("__llr") <= -thresholdMbits)
+      .groupBy(col("__grp"))
+      .agg(min(struct(col("__rn"), col("__llr"))).as("__first"))
+      .select(col("__grp"), col("__first.__rn").as("__stop_n"),
+        col("__first.__llr").as("__stop_llr"))
+    walked.groupBy(col("__grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_obs"),
+        sum(col("__w")).cast("bigint").as("__final_llr"))
+      .join(crossings, Seq("__grp"), "left")
+      .select(col("__grp").as("group_id"), col("n_obs"),
+        when(col("__stop_llr").isNull, lit("continue"))
+          .when(col("__stop_llr") >= thresholdMbits, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        coalesce(col("__stop_n"), col("n_obs")).cast("bigint")
+          .as("n_at_decision"),
+        coalesce(col("__stop_llr"), col("__final_llr")).cast("bigint")
+          .as("llr_mbits"))
+  }
+
+  /** The integer milli-bit SPRT weights [[sprtMonitor]] uses — public
+    * so oracles can splice the identical constants. */
+  def sprtWeights(p0: Double, p1: Double): (Long, Long) = {
+    val ln2 = math.log(2.0)
+    (math.round(1000.0 * math.log(p1 / p0) / ln2),
+      math.round(1000.0 * math.log((1 - p1) / (1 - p0)) / ln2))
+  }
 }

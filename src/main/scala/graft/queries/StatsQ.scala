@@ -2037,6 +2037,333 @@ object StatsQ {
           .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
         graft.operators.Mixing.neymanAllocation(x, "event_type", "mv", 10000L)
           .orderBy("stratum")
+      }),
+
+    // ---- Nelson–Aalen cumulative hazard --------------------------
+    // Same survival frame as q322 (time to first 'error', censored at
+    // horizon); additive hazard instead of the product-limit curve.
+    // Each step adds the exact (1e6·d) // n integer; cumulative sum.
+    Q("q348_nelson_aalen",
+      Some("""WITH x AS (SELECT user_id AS e,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b, event_type
+             |  FROM events),
+             |f AS (SELECT e, min(b) AS fb FROM x GROUP BY e),
+             |fe AS (SELECT e, min(b) AS eb FROM x
+             |  WHERE event_type = 'error' GROUP BY e),
+             |mx AS (SELECT max(b) AS bl FROM x),
+             |lt AS (SELECT CASE WHEN fe.eb IS NULL THEN mx.bl - f.fb
+             |    ELSE fe.eb - f.fb END AS t,
+             |  (fe.eb IS NULL) AS cen
+             |  FROM f LEFT JOIN fe USING (e) CROSS JOIN mx),
+             |h AS (SELECT t, count(*)::BIGINT AS m,
+             |  sum(CASE WHEN cen THEN 0 ELSE 1 END)::BIGINT AS d FROM lt GROUP BY t),
+             |tot AS (SELECT sum(m)::BIGINT AS total FROM h),
+             |hr AS (SELECT t, d, (total - coalesce(sum(m) OVER (ORDER BY t
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n
+             |  FROM h, tot),
+             |st AS (SELECT t, d, n, (1000000 * d) // n AS term
+             |  FROM hr WHERE d > 0)
+             |SELECT t::BIGINT AS t, n::BIGINT AS n_at_risk, d::BIGINT AS deaths,
+             |  sum(term) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |    AS hazard_ppm
+             |FROM st ORDER BY t""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+        val f = x.groupBy(col("user_id")).agg(min(col("b")).as("fb"))
+        val fe = x.where(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(min(col("b")).as("eb"))
+        val mx = x.agg(max(col("b")).as("bl"))
+        val lt = f.join(fe, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("eb").isNull, col("bl") - col("fb"))
+              .otherwise(col("eb") - col("fb")).as("t"),
+            col("eb").isNull.as("cen"))
+        graft.operators.TimeSeries.nelsonAalen(lt, "t", "cen").orderBy("t")
+      }),
+
+    // ---- two-group log-rank curve --------------------------------
+    // Do even- and odd-id user cohorts reach their first error at the
+    // same rate? Hypergeometric O−E and variance per death time, both
+    // as running ppm integers (sign-split truncating div on O−E).
+    Q("q345_logrank",
+      Some("""WITH x AS (SELECT user_id AS e,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b, event_type
+             |  FROM events),
+             |f AS (SELECT e, min(b) AS fb FROM x GROUP BY e),
+             |fe AS (SELECT e, min(b) AS eb FROM x
+             |  WHERE event_type = 'error' GROUP BY e),
+             |mx AS (SELECT max(b) AS bl FROM x),
+             |lt AS (SELECT CASE WHEN fe.eb IS NULL THEN mx.bl - f.fb
+             |    ELSE fe.eb - f.fb END AS t,
+             |  (fe.eb IS NULL) AS cen, (f.e % 2 = 0) AS g
+             |  FROM f LEFT JOIN fe USING (e) CROSS JOIN mx),
+             |h AS (SELECT t,
+             |  sum(CASE WHEN g THEN 1 ELSE 0 END)::BIGINT AS m1,
+             |  sum(CASE WHEN g THEN 0 ELSE 1 END)::BIGINT AS m2,
+             |  sum(CASE WHEN g AND NOT cen THEN 1 ELSE 0 END)::BIGINT AS d1,
+             |  sum(CASE WHEN (NOT g) AND NOT cen THEN 1 ELSE 0 END)::BIGINT AS d2
+             |  FROM lt GROUP BY t),
+             |tt AS (SELECT sum(m1)::BIGINT AS t1, sum(m2)::BIGINT AS t2 FROM h),
+             |r AS (SELECT t, d1, d2,
+             |  (t1 - coalesce(sum(m1) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n1,
+             |  (t2 - coalesce(sum(m2) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n2
+             |  FROM h CROSS JOIN tt),
+             |s AS (SELECT t, n1, n2, d1, d2, d1 + d2 AS d, n1 + n2 AS n
+             |  FROM r WHERE d1 + d2 > 0),
+             |terms AS (SELECT *,
+             |  CASE WHEN 1000000 * (d1 * n - d * n1) >= 0
+             |    THEN (1000000 * (d1 * n - d * n1)) // n
+             |    ELSE -((1000000 * (d * n1 - d1 * n)) // n) END AS oet,
+             |  CASE WHEN n > 1
+             |    THEN (1000000 * d * n1 * n2 * (n - d)) // (n * n * (n - 1))
+             |    ELSE 0 END AS vt
+             |  FROM s)
+             |SELECT t::BIGINT AS t, n1, n2, d1, d2,
+             |  sum(oet) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS oe_ppm,
+             |  sum(vt) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS var_ppm
+             |FROM terms ORDER BY t""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+        val f = x.groupBy(col("user_id")).agg(min(col("b")).as("fb"))
+        val fe = x.where(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(min(col("b")).as("eb"))
+        val mx = x.agg(max(col("b")).as("bl"))
+        val lt = f.join(fe, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("eb").isNull, col("bl") - col("fb"))
+              .otherwise(col("eb") - col("fb")).as("t"),
+            col("eb").isNull.as("cen"),
+            (col("user_id") % 2 === 0).as("g"))
+        graft.operators.TimeSeries.logRankCurve(lt, "t", "cen", col("g"))
+          .orderBy("t")
+      }),
+
+    // ---- Brier score Murphy decomposition ------------------------
+    // Claimed-confidence decile (props.k // 10, denominator 10) vs
+    // observed purchase: exact brier_ppm; rel/res quantized one
+    // floor-div per bin.
+    Q("q346_brier_decomposition",
+      Some("""WITH e AS (SELECT
+             |  regexp_extract(props, '([0-9]+)', 1)::BIGINT // 10 AS k,
+             |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+             |  FROM events),
+             |b AS (SELECT k, count(*)::BIGINT AS nb, sum(o)::BIGINT AS ob
+             |  FROM e GROUP BY k),
+             |t2 AS (SELECT sum(nb)::BIGINT AS n, sum(ob)::BIGINT AS np FROM b),
+             |z AS (SELECT b.k, b.nb, b.ob, t2.n, t2.np,
+             |  (1000000 * b.k) // 10 AS p_ppm,
+             |  (1000000 * b.ob) // b.nb AS ob_ppm,
+             |  (1000000 * t2.np) // t2.n AS obar_ppm
+             |  FROM b CROSS JOIN t2)
+             |SELECT max(n)::BIGINT AS n, max(np)::BIGINT AS n_pos,
+             |  ((1000000 * sum(k * k * nb - 20 * k * ob + 100 * ob))
+             |    // (100 * max(n)))::BIGINT AS brier_ppm,
+             |  sum((nb * (p_ppm - ob_ppm) * (p_ppm - ob_ppm))
+             |    // (1000000 * n))::BIGINT AS rel_ppm,
+             |  sum((nb * (ob_ppm - obar_ppm) * (ob_ppm - obar_ppm))
+             |    // (1000000 * n))::BIGINT AS res_ppm,
+             |  max((obar_ppm * (1000000 - obar_ppm)) // 1000000)::BIGINT AS unc_ppm
+             |FROM z""".stripMargin),
+      (s, dir) =>
+        EvalStats.brierDecomposition(
+          t(s, dir, "events").withColumn("xb",
+            expr("cast(get_json_object(props, '$.k') as bigint) div 10L")),
+          "xb", col("event_type") === "purchase", forecastDen = 10L)),
+
+    // ---- SPRT quality monitors -----------------------------------
+    // Ten user-cohort streams ordered by event_id, success = 'view',
+    // H0: rate 0.2 vs H1: rate 0.4, ±4000 milli-bit boundaries. The
+    // integer weights below are the operator's own quantization
+    // (sprtWeights), spliced so both engines walk identical integers.
+    Q("q347_sprt", {
+      val (wS, wF) = graft.operators.TimeSeries.sprtWeights(0.2, 0.4)
+      Some(s"""WITH e AS (SELECT user_id % 10 AS g, event_id,
+              |  CASE WHEN event_type = 'view' THEN ${wS} ELSE ${wF} END AS w
+              |  FROM events),
+              |w2 AS (SELECT g, event_id, w,
+              |  sum(w) OVER (PARTITION BY g ORDER BY event_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+              |  row_number() OVER (PARTITION BY g ORDER BY event_id) AS rn
+              |  FROM e),
+              |cr AS (SELECT g, min(rn) AS stop_n FROM w2
+              |  WHERE llr >= 4000 OR llr <= -4000 GROUP BY g),
+              |crv AS (SELECT w2.g, w2.llr AS stop_llr, cr.stop_n
+              |  FROM cr JOIN w2 ON w2.g = cr.g AND w2.rn = cr.stop_n),
+              |tot AS (SELECT g, count(*)::BIGINT AS n_obs, sum(w)::BIGINT AS fin
+              |  FROM w2 GROUP BY g)
+              |SELECT tot.g::BIGINT AS group_id, n_obs,
+              |  CASE WHEN stop_llr IS NULL THEN 'continue'
+              |       WHEN stop_llr >= 4000 THEN 'accept_h1'
+              |       ELSE 'accept_h0' END AS decision,
+              |  coalesce(stop_n, n_obs)::BIGINT AS n_at_decision,
+              |  coalesce(stop_llr, fin)::BIGINT AS llr_mbits
+              |FROM tot LEFT JOIN crv USING (g) ORDER BY group_id""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.TimeSeries.sprtMonitor(
+          t(s, dir, "events").withColumn("g", expr("user_id % 10L")),
+          "g", "event_id", col("event_type") === "view",
+          p0 = 0.2, p1 = 0.4, thresholdMbits = 4000L)
+          .orderBy("group_id")),
+
+    // ---- propensity-strata treated-vs-control contrast -----------
+    // Effect of 'signup' on total purchase value, stratified by view
+    // activity (nv // 10): decimal-exact sums per arm; att_diff is
+    // the only IEEE value (two divides + subtract on scalars).
+    Q("q349_propensity_strata",
+      Some("""WITH p AS (SELECT user_id,
+             |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+             |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS tr,
+             |  coalesce(sum(CASE WHEN event_type = 'purchase'
+             |    THEN value::DECIMAL(18,2) END), 0::DECIMAL(18,2)) AS y
+             |  FROM events GROUP BY user_id),
+             |s AS (SELECT nv // 10 AS stratum, tr, y FROM p),
+             |g AS (SELECT stratum,
+             |  sum(CASE WHEN tr = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+             |  sum(CASE WHEN tr = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+             |  coalesce(sum(CASE WHEN tr = 1 THEN y END), 0::DECIMAL(18,2)) AS st,
+             |  coalesce(sum(CASE WHEN tr = 0 THEN y END), 0::DECIMAL(18,2)) AS sc
+             |  FROM s GROUP BY stratum)
+             |SELECT stratum::BIGINT AS stratum, n_treat, n_ctrl,
+             |  st::DOUBLE AS sum_treat, sc::DOUBLE AS sum_ctrl,
+             |  CASE WHEN n_treat > 0 AND n_ctrl > 0
+             |    THEN st::DOUBLE / n_treat::DOUBLE - sc::DOUBLE / n_ctrl::DOUBLE
+             |  END AS att_diff
+             |FROM g ORDER BY stratum""".stripMargin),
+      (s, dir) => {
+        val per = t(s, dir, "events").groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nv"),
+            max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("tr"),
+            coalesce(
+              sum(when(col("event_type") === "purchase",
+                col("value").cast("decimal(18,2)"))),
+              lit(0).cast("decimal(18,2)")).as("y"))
+          .withColumn("stratum", expr("nv div 10L"))
+        EvalStats.stratifiedContrast(per, "stratum", col("tr") === 1L, "y")
+          .select(col("stratum").cast("bigint").as("stratum"),
+            col("n_treat"), col("n_ctrl"),
+            col("sum_treat").cast("double").as("sum_treat"),
+            col("sum_ctrl").cast("double").as("sum_ctrl"),
+            col("att_diff"))
+          .orderBy("stratum")
+      }),
+
+    // ---- Cochran's Q ---------------------------------------------
+    // Do view / click / purchase have the same per-user marginal
+    // reach? k=3 repeated binary measures on the same subjects.
+    Q("q350_cochran_q",
+      Some("""WITH p AS (SELECT user_id,
+             |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c0,
+             |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+             |  FROM events GROUP BY user_id),
+             |a AS (SELECT count(*)::BIGINT AS n,
+             |  sum(c0)::BIGINT AS s0, sum(c1)::BIGINT AS s1, sum(c2)::BIGINT AS s2,
+             |  sum(c0 + c1 + c2)::BIGINT AS tt,
+             |  sum((c0 + c1 + c2) * (c0 + c1 + c2))::BIGINT AS r2 FROM p)
+             |SELECT n AS n_subjects, 3::BIGINT AS k,
+             |  (CASE WHEN 3 * tt - r2 > 0 THEN
+             |    (1000000 * 2 * ((3 * s0 - tt) * (3 * s0 - tt)
+             |      + (3 * s1 - tt) * (3 * s1 - tt)
+             |      + (3 * s2 - tt) * (3 * s2 - tt)))
+             |    // (3 * (3 * tt - r2)) ELSE NULL END)::BIGINT AS q_ppm
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val per = t(s, dir, "events").groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+            max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+            max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+        EvalStats.cochranQ(per,
+          Seq(col("v") === 1L, col("c") === 1L, col("p") === 1L))
+      }),
+
+    // ---- Friedman rank test --------------------------------------
+    // Blocks = users, treatments = the 5 event types, value = the
+    // user's count of that type (complete grid, zeros filled).
+    // Midranks as doubled integers; sign-split final div.
+    Q("q351_friedman",
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |ty AS (SELECT unnest(['view','click','purchase','signup','error']) AS et),
+             |c AS (SELECT user_id, event_type AS et, count(*)::BIGINT AS v
+             |  FROM events GROUP BY user_id, event_type),
+             |g AS (SELECT u.user_id, ty.et, coalesce(c.v, 0) AS v
+             |  FROM u CROSS JOIN ty LEFT JOIN c USING (user_id, et)),
+             |rk AS (SELECT et,
+             |  2 * (rank() OVER (PARTITION BY user_id ORDER BY v) - 1)
+             |    + count(*) OVER (PARTITION BY user_id, v) + 1 AS r2 FROM g),
+             |rj AS (SELECT et, sum(r2)::BIGINT AS rj2, count(*)::BIGINT AS nb
+             |  FROM rk GROUP BY et),
+             |a AS (SELECT count(*)::BIGINT AS k, max(nb)::BIGINT AS n,
+             |  sum(rj2 * rj2)::BIGINT AS s2 FROM rj)
+             |SELECT n AS n_blocks, k,
+             |  (CASE WHEN (3000000 * s2) // (k * n * (k + 1)) >= 3000000 * n * (k + 1)
+             |    THEN (3000000 * s2) // (k * n * (k + 1)) - 3000000 * n * (k + 1)
+             |    ELSE -(3000000 * n * (k + 1) - (3000000 * s2) // (k * n * (k + 1)))
+             |  END)::BIGINT AS fr_ppm
+             |FROM a""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val users = ev.select(col("user_id")).distinct()
+        val ty = ev.sparkSession.range(1).select(explode(array(
+          Seq("view", "click", "purchase", "signup", "error")
+            .map(lit): _*)).as("et"))
+        val cnt = ev.groupBy(col("user_id"), col("event_type").as("et"))
+          .agg(count(lit(1)).cast("bigint").as("v"))
+        val grid = users.crossJoin(broadcast(ty))
+          .join(cnt, Seq("user_id", "et"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L)))
+        EvalStats.friedmanRanks(grid, "user_id", "et", "v")
+      }),
+
+    // ---- Chapman capture–recapture -------------------------------
+    // Two cheap duplicate detectors (exact rolling-hash fingerprint
+    // vs (n_chars, 32-char prefix) key) each catch a set of docs;
+    // Chapman estimates the total duplicate population from the
+    // overlap — the detector-coverage audit.
+    Q("q352_capture_recapture",
+      Some(s"""WITH fa AS (SELECT doc_id, ${D.rollingHash("text")} AS fp
+              |  FROM documents),
+              |qa AS (SELECT doc_id FROM (SELECT doc_id,
+              |  count(*) OVER (PARTITION BY fp) AS c FROM fa) WHERE c > 1),
+              |fb AS (SELECT doc_id, n_chars, substring(text, 1, 32) AS p32
+              |  FROM documents),
+              |qb AS (SELECT doc_id FROM (SELECT doc_id,
+              |  count(*) OVER (PARTITION BY n_chars, p32) AS c FROM fb)
+              |  WHERE c > 1),
+              |a AS (SELECT count(DISTINCT doc_id)::BIGINT AS na FROM qa),
+              |b AS (SELECT count(DISTINCT doc_id)::BIGINT AS nb FROM qb),
+              |m AS (SELECT count(*)::BIGINT AS m FROM
+              |  (SELECT DISTINCT doc_id FROM qa) x
+              |  JOIN (SELECT DISTINCT doc_id FROM qb) y USING (doc_id))
+              |SELECT na AS n_a, nb AS n_b, m AS n_both,
+              |  (((na + 1) * (nb + 1)) // (m + 1) - 1)::BIGINT AS chapman_est,
+              |  (CASE WHEN m > 0 THEN (na * nb) // m
+              |   ELSE NULL END)::BIGINT AS lincoln_est
+              |FROM a CROSS JOIN b CROSS JOIN m""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+        val detA = d
+          .withColumn("fp", expr(TextHash.spark.rollingHash("text")))
+          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("fp"))))
+          .where(col("c") > 1).select(col("doc_id"))
+        val detB = d
+          .withColumn("p32", expr("substring(text, 1, 32)"))
+          .withColumn("c", count(lit(1))
+            .over(Window.partitionBy(col("n_chars"), col("p32"))))
+          .where(col("c") > 1).select(col("doc_id"))
+        EvalStats.captureRecapture(detA, detB, "doc_id")
       })
   )
 }

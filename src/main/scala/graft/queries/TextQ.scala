@@ -4491,6 +4491,37 @@ object TextQ {
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.kCore(edges, "tok_a", "tok_b", k = 3)
           .orderBy("node")
-      })
+      }),
+
+    // ---- integer-bit bigram LM surprisal -------------------------
+    // CCNet-style perplexity filtering without floats: add-one bigram
+    // LM trained on even-id docs, odd-id docs scored in whole bits
+    // (bitlen = length(bin(x)), the q244 integer log2 surrogate).
+    // High avg bits = improbable under the corpus LM.
+    Q("q344_bigram_lm",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+             |    gi -> {'w1': t[gi], 'w2': t[gi + 1]})) AS b
+             |  FROM toks WHERE len(t) >= 2),
+             |e AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+             |tr AS (SELECT w1, w2 FROM e WHERE doc_id % 2 = 0),
+             |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tr
+             |  GROUP BY w1, w2),
+             |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY w1),
+             |v AS (SELECT count(DISTINCT w)::BIGINT AS vv FROM
+             |  (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)),
+             |sc AS (SELECT e.doc_id,
+             |  length(bin(coalesce(c1.c1, 0) + v.vv))
+             |    - length(bin(coalesce(c12.c12, 0) + 1)) AS bits
+             |  FROM e LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+             |  CROSS JOIN v WHERE e.doc_id % 2 = 1)
+             |SELECT doc_id AS id, count(*)::BIGINT AS n_bigrams,
+             |  sum(bits)::BIGINT AS sum_bits,
+             |  ((100 * sum(bits)) // count(*))::BIGINT AS avg_bits_x100
+             |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin),
+      (s, dir) =>
+        TextOps.bigramLmSurprisal(t(s, dir, "documents"), "doc_id", "text")
+          .orderBy("id"))
   )
 }

@@ -383,4 +383,109 @@ class EvalStatsSpec extends SparkSpec {
       .map(_.getLong(4))
     assert(out.toSeq == Seq(500000L, 500000L, 500000L))
   }
+
+  test("brierDecomposition: perfect forecasts have zero brier/rel, full resolution") {
+    // k=10 twice (both positive), k=0 twice (both negative):
+    // brier = 0, rel = 0, obar = 1/2 -> res = unc = 250000 ppm.
+    val df = Seq((10L, true), (10L, true), (0L, false), (0L, false))
+      .toDF("k", "o")
+    val r = EvalStats.brierDecomposition(df, "k", col("o")).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 2L)))
+    assert(r.getLong(2) == 0L)       // brier_ppm
+    assert(r.getLong(3) == 0L)       // rel_ppm
+    assert(r.getLong(4) == 250000L)  // res_ppm
+    assert(r.getLong(5) == 250000L)  // unc_ppm
+  }
+
+  test("brierDecomposition: constant uninformative forecast = pure reliability gap") {
+    // always claim k=5 (p=.5); outcomes 3/4 positive: brier exact
+    // 10^6*(25*4-100*3+100*3)/(100*4) = 250000; rel = (500000-750000)^2
+    // *4 div (10^6*4) = 62500; res = 0.
+    val df = Seq((5L, true), (5L, true), (5L, true), (5L, false))
+      .toDF("k", "o")
+    val r = EvalStats.brierDecomposition(df, "k", col("o")).collect().head
+    assert(r.getLong(2) == 250000L)
+    assert(r.getLong(3) == 62500L)
+    assert(r.getLong(4) == 0L)
+    // unc = 750000*250000 div 10^6
+    assert(r.getLong(5) == 187500L)
+  }
+
+  test("brierDecomposition: out-of-range forecast numerator raises") {
+    val df = Seq((11L, true)).toDF("k", "o")
+    val e = intercept[Exception](
+      EvalStats.brierDecomposition(df, "k", col("o")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("brierDecomposition")))
+  }
+
+  test("cochranQ: hand fixture Q = 3 exactly") {
+    // subjects (1,1,0),(1,0,0),(1,1,1),(0,0,0): C=(3,2,1), T=6,
+    // sumR^2=14 -> Q = 2*18/(3*(18-14)) = 3.
+    val df = Seq((1, 1, 0), (1, 0, 0), (1, 1, 1), (0, 0, 0))
+      .toDF("a", "b", "c")
+    val r = EvalStats.cochranQ(df,
+      Seq(col("a") === 1, col("b") === 1, col("c") === 1)).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 3000000L)))
+  }
+
+  test("cochranQ: degenerate all-identical answers yield NULL, not 0") {
+    val df = Seq((1, 1), (0, 0)).toDF("a", "b")
+    val r = EvalStats.cochranQ(df,
+      Seq(col("a") === 1, col("b") === 1)).collect().head
+    assert(r.isNullAt(2))
+  }
+
+  test("friedmanRanks: perfect agreement across blocks and midrank ties") {
+    // two blocks, identical order -> Fr = 4 exactly
+    val agree = Seq((1L, "x", 1L), (1L, "y", 2L), (1L, "z", 3L),
+      (2L, "x", 1L), (2L, "y", 2L), (2L, "z", 3L)).toDF("b", "tr", "v")
+    val r1 = EvalStats.friedmanRanks(agree, "b", "tr", "v").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((2L, 3L, 4000000L)))
+    // one block with a tie (1,1,2): midranks (1.5,1.5,3) -> Fr = 1.5
+    val tied = Seq((1L, "x", 1L), (1L, "y", 1L), (1L, "z", 2L))
+      .toDF("b", "tr", "v")
+    val r2 = EvalStats.friedmanRanks(tied, "b", "tr", "v").collect().head
+    assert(r2.getLong(2) == 1500000L)
+  }
+
+  test("friedmanRanks: incomplete blocks raise instead of silently skewing ranks") {
+    val df = Seq((1L, "x", 1L), (1L, "y", 2L), (2L, "x", 1L))
+      .toDF("b", "tr", "v")
+    val e = intercept[Exception](
+      EvalStats.friedmanRanks(df, "b", "tr", "v").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("friedmanRanks")))
+  }
+
+  test("captureRecapture: Chapman and Lincoln-Petersen hand fixture") {
+    val a = Seq(1L, 2L, 3L, 3L).toDF("id") // dup collapses
+    val b = Seq(2L, 3L, 4L, 5L).toDF("id")
+    val r = EvalStats.captureRecapture(a, b, "id").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 2L)))
+    assert(r.getLong(3) == 5L) // (4*5) div 3 - 1
+    assert(r.getLong(4) == 6L) // 12 div 2
+    // disjoint detectors: chapman still defined, lincoln NULL
+    val r2 = EvalStats.captureRecapture(
+      Seq(1L).toDF("id"), Seq(2L).toDF("id"), "id").collect().head
+    assert(r2.getLong(3) == 3L && r2.isNullAt(4))
+  }
+
+  test("stratifiedContrast: per-stratum arms, decimal sums, NULL on empty arm") {
+    val df = Seq(
+      (0L, true, "2.00"), (0L, true, "4.00"), (0L, false, "1.00"),
+      (1L, true, "9.00")).toDF("s", "tr", "y")
+      .withColumn("y", col("y").cast("decimal(18,2)"))
+    val out = EvalStats.stratifiedContrast(df, "s", col("tr"), "y")
+      .orderBy("stratum").collect()
+    val s0 = out(0)
+    assert((s0.getLong(1), s0.getLong(2)) == ((2L, 1L)))
+    assert(s0.getDecimal(3).doubleValue() == 6.0)
+    assert(s0.getDecimal(4).doubleValue() == 1.0)
+    assert(s0.getDouble(5) == 2.0)
+    val s1 = out(1)
+    assert(s1.getLong(2) == 0L && s1.isNullAt(5))
+  }
 }

@@ -3786,4 +3786,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out("g") == ((5L, 3L, 1L, 2L, 200000L, 3L)))
     assert(out("h") == ((2L, 2L, 2L, 0L, 1000000L, 3L)))
   }
+
+  test("bigramLmSurprisal: integer-bit scoring, unseen bigrams, no-bigram docs absent") {
+    import spark.implicits._
+    // train (ids 0, 2): "a b a b" + "x" -> c12(a,b)=2, c12(b,a)=1;
+    // c1(a)=2, c1(b)=1; V = |{a,b,x}| = 3 (the bigram-free "x" still
+    // counts toward vocabulary). Scored (id 1) "a b c":
+    //   (a,b): bitlen(2+3)-bitlen(2+1) = 3-2 = 1
+    //   (b,c): bitlen(1+3)-bitlen(0+1) = 3-1 = 2
+    // id 3 is a single token -> absent from the output.
+    val df = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.bigramLmSurprisal(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 3L, 150L)))
+  }
 }

@@ -225,4 +225,57 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq(("u", 1L, 10000000L)))
   }
+
+  test("nelsonAalen: additive hazard steps, censored rows leave risk set silently") {
+    // durations (1,F),(1,F),(2,censored),(3,F): t=1 n=4 d=2 term
+    // 500000; t=2 no deaths (skipped); t=3 n=1 d=1 term 10^6.
+    val df = Seq((1L, false), (1L, false), (2L, true), (3L, false))
+      .toDF("t", "cen")
+    val out = TimeSeries.nelsonAalen(df, "t", "cen").orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 500000L), (3L, 1L, 1L, 1500000L)))
+  }
+
+  test("logRankCurve: hypergeometric O-E and variance, hand fixture") {
+    // g1: (1,F),(2,F); g2: (1,F),(2,cen).
+    // t=1: n1=n2=2, d1=d2=1 -> oe 0, var 10^6*2*2*2*2/(16*3)=333333
+    // t=2: n1=n2=1, d1=1,d2=0 -> oe term 500000, var term 250000
+    val df = Seq((1L, false, true), (2L, false, true),
+      (1L, false, false), (2L, true, false)).toDF("t", "cen", "g")
+    val out = TimeSeries.logRankCurve(df, "t", "cen", col("g"))
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1L, 1L, 0L, 333333L),
+      (2L, 1L, 1L, 1L, 0L, 500000L, 583333L)))
+  }
+
+  test("logRankCurve: negative O-E truncates toward zero (sign-split div)") {
+    // one death in group 2 only at t=1 with n1=1,n2=2: term =
+    // 10^6*(0*3 - 1*1)/3 = -333333 (truncated, not floored to -333334)
+    val df = Seq((1L, true, true), (1L, false, false), (1L, true, false))
+      .toDF("t", "cen", "g")
+    val out = TimeSeries.logRankCurve(df, "t", "cen", col("g")).collect()
+    assert(out.head.getLong(5) == -333333L)
+  }
+
+  test("sprtMonitor: earliest boundary crossing wins; undecided streams continue") {
+    // p0=.25, p1=.5 -> weights +1000 / -585 milli-bits
+    val (wS, wF) = TimeSeries.sprtWeights(0.25, 0.5)
+    assert((wS, wF) == ((1000L, -585L)))
+    val df = Seq(
+      ("A", 1L, true), ("A", 2L, true), ("A", 3L, true),
+      ("B", 1L, false), ("B", 2L, false), ("B", 3L, false),
+      ("B", 4L, false), ("B", 5L, false),
+      ("C", 1L, true), ("C", 2L, false), ("C", 3L, true))
+      .toDF("g", "i", "s")
+    val out = TimeSeries.sprtMonitor(df, "g", "i", col("s"),
+        p0 = 0.25, p1 = 0.5, thresholdMbits = 2500L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("A") == ((3L, "accept_h1", 3L, 3000L)))
+    assert(out("B") == ((5L, "accept_h0", 5L, -2925L)))
+    assert(out("C") == ((3L, "continue", 3L, 1415L)))
+  }
 }
