@@ -1024,6 +1024,69 @@ object EvalStats {
             |END""".stripMargin).cast("bigint").as("fr_ppm"))
   }
 
+  /** Bradley–Terry strengths from aggregated pairwise outcomes — the
+    * arena-style model ranking: given per-pair game counts and wins,
+    * run `iters` minorize–maximize updates
+    * `π_i ← W_i / Σ_j n_ij/(π_i+π_j)` in ppm integer arithmetic
+    * (strengths start at 10⁶; each pair term is one floored div
+    * `(n_ij·10¹²) div (s_i+s_j)`, each update one more), then
+    * normalize to make strengths sum to k·10⁶. Deterministic to the
+    * ppm on any engine; MM converges geometrically so small `iters`
+    * (default 3) lands within quantization noise of the MLE ORDER —
+    * the ranking, not the asymptote, is the product.
+    *
+    * Input: one row per unordered pair `(a, b, winsA, winsB)`
+    * (decisive games only — drop ties upstream or split them as half
+    * wins beforehand). Output per player: `(player, n_games, n_wins,
+    * strength_ppm)`.
+    *
+    * Scale shape (100 TB): the pair frame is players² — a dimension.
+    * Every iteration is two broadcast joins + one keyed aggregation
+    * on that dimension frame; the corpus-sized work (building the
+    * pair outcomes) happens upstream, once. */
+  def bradleyTerry(pairs: DataFrame, aCol: String, bCol: String,
+                   winsACol: String, winsBCol: String,
+                   iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters must be in [1, 10]")
+    val sym = pairs.select(col(aCol).as("__i"), col(bCol).as("__j"),
+        (col(winsACol) + col(winsBCol)).cast("bigint").as("__n"),
+        col(winsACol).cast("bigint").as("__w"))
+      .unionAll(pairs.select(col(bCol).as("__i"), col(aCol).as("__j"),
+        (col(winsACol) + col(winsBCol)).cast("bigint").as("__n"),
+        col(winsBCol).cast("bigint").as("__w")))
+      .where(col("__n") > 0)
+      .localCheckpoint()
+    val totals = sym.groupBy(col("__i"))
+      .agg(sum(col("__n")).cast("bigint").as("__N"),
+        sum(col("__w")).cast("bigint").as("__W"))
+    val s0 = totals.select(col("__i"), lit(1000000L).as("__s"))
+    val fitted = (1 to iters).foldLeft(s0) { (s, _) =>
+      sym
+        .join(broadcast(s), Seq("__i"))
+        .join(broadcast(s.select(col("__i").as("__j"), col("__s").as("__sj"))),
+          Seq("__j"))
+        .groupBy(col("__i"))
+        .agg(sum(expr("(__n * 1000000000000L) div (__s + __sj)"))
+          .cast("bigint").as("__D"))
+        .join(broadcast(totals), Seq("__i"))
+        // a zero denominator means the ppm lattice collapsed (all
+        // strengths astronomically large) — impossible from the 10⁶
+        // start, but fail loudly rather than divide by zero
+        .select(col("__i"), expr(
+          "CASE WHEN __D > 0 THEN (1000000000000L * __W) div __D " +
+            "ELSE raise_error('bradleyTerry: zero MM denominator') END")
+          .as("__s"))
+    }
+    val norm = fitted.agg(sum(col("__s")).cast("bigint").as("__sum"),
+      count(lit(1)).cast("bigint").as("__k"))
+    fitted.crossJoin(broadcast(norm))
+      .join(broadcast(totals), Seq("__i"))
+      .select(col("__i").as("player"), col("__N").as("n_games"),
+        col("__W").as("n_wins"),
+        expr("(__s * __k * 1000000L) div __sum").cast("bigint")
+          .as("strength_ppm"))
+  }
+
   /** Chapman capture–recapture estimate of an unseen population from
     * two independent detectors' catches — "two cheap duplicate /
     * quality detectors each flagged a sample; how many are there in

@@ -775,4 +775,114 @@ object Mixing {
         "stratum", "weight", budget).select(col("stratum"), col("quota")),
       Seq("stratum"))
   }
+
+  /** Exact Shapley attribution of vocabulary coverage to k source
+    * buckets — "which slice of the mixture actually contributes the
+    * distinct tokens?", the fair-division answer (marginal counts
+    * over every join order, not just first/last-in). `playerCol` must
+    * be an integer bucket in [0, k); utility v(S) = number of
+    * distinct tokens covered by the union of buckets in S. Output one
+    * row per bucket: `(player, phi_xkfact, solo_coverage,
+    * marginal_vs_rest)` where `phi_xkfact` = k!·φ_player — an exact
+    * integer (Σ over players = k!·v(full set), the efficiency axiom,
+    * assert-friendly); `solo_coverage` = v({i}); `marginal_vs_rest` =
+    * v(N) − v(N∖{i}) (tokens ONLY this bucket has).
+    *
+    * Scale shape (100 TB): ONE corpus-sized aggregation (token →
+    * presence bitmask via bit_or) collapses everything to ≤ 2^k−1
+    * mask counts; the subset enumeration (2^k rows) and the Shapley
+    * sum (k·2^k rows) are driver-sized broadcast crosses. k is
+    * capped at 20 so masks fit comfortably and 2^k stays a dimension.
+    */
+  def vocabShapley(df: DataFrame, playerCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 2 && k <= 20, "vocabShapley needs 2 <= k <= 20 buckets")
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    // |S|!·(k−1−|S|)! lookup spliced as a CASE on bit_count(S)
+    val wCase = (0 until k).map(s =>
+      s"WHEN ${s}L THEN ${fact(s) * fact(k - 1 - s)}L").mkString(" ")
+    val guarded =
+      s"""CASE WHEN CAST(`$playerCol` AS BIGINT) >= 0
+         |       AND CAST(`$playerCol` AS BIGINT) < ${k}L
+         |     THEN CAST(`$playerCol` AS BIGINT)
+         |     ELSE raise_error(concat('vocabShapley: $playerCol out of [0, $k): ',
+         |       coalesce(CAST(`$playerCol` AS STRING), 'NULL'))) END""".stripMargin
+    val masks = df
+      .select(expr(guarded).as("__p"),
+        explode(expr(graft.functions.TextHash.spark.tokens(textCol))).as("__w"))
+      .groupBy(col("__w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(__p as int)))").as("__m"))
+      .groupBy(col("__m"))
+      .agg(count(lit(1)).cast("bigint").as("__cm"))
+    val subsets = masks.sparkSession.range(0, 1L << k).select(col("id").as("__S"))
+    // v(S) per subset: tiny broadcast cross (2^k × ≤2^k−1 rows)
+    val v = subsets.crossJoin(broadcast(masks))
+      .groupBy(col("__S"))
+      .agg(sum(when(expr("(__m & __S) != 0"), col("__cm")).otherwise(0L))
+        .cast("bigint").as("__v"))
+    val players = masks.sparkSession.range(0, k.toLong).select(col("id").as("__i"))
+    // subsets NOT containing i, joined to v(S) and v(S ∪ {i})
+    players.crossJoin(broadcast(v.select(col("__S"), col("__v").as("__vS"))))
+      .where(expr("(shiftleft(1L, cast(__i as int)) & __S) = 0"))
+      .withColumn("__Si", expr("__S | shiftleft(1L, cast(__i as int))"))
+      .join(broadcast(v.select(col("__S").as("__Si"), col("__v").as("__vSi"))),
+        Seq("__Si"))
+      .groupBy(col("__i"))
+      .agg(sum(expr(s"(CASE bit_count(__S) $wCase END) * (__vSi - __vS)"))
+        .cast("bigint").as("phi_xkfact"))
+      .join(broadcast(v.select(col("__S"), col("__v"))
+        .withColumnRenamed("__v", "__solo")), // v({i})
+        expr("__S = shiftleft(1L, cast(__i as int))"))
+      .join(broadcast(v.select(col("__S").as("__Srest"), col("__v").as("__vrest"))),
+        expr(s"__Srest = ${(1L << k) - 1}L - shiftleft(1L, cast(__i as int))"))
+      .join(broadcast(v.select(col("__S").as("__Sfull"), col("__v").as("__vfull"))),
+        expr(s"__Sfull = ${(1L << k) - 1}L"))
+      .select(col("__i").as("player"), col("phi_xkfact"),
+        col("__solo").cast("bigint").as("solo_coverage"),
+        (col("__vfull") - col("__vrest")).cast("bigint").as("marginal_vs_rest"))
+  }
+
+  /** Iterative proportional fitting (raking) of a two-way
+    * contingency to UNIFORM margins — the classic survey-calibration
+    * step, here the mixture-rebalancing answer to "what per-cell
+    * weights make every source and every language carry equal mass?"
+    * Weights live in ppm integers (start 10⁶); each of `iters` full
+    * iterations applies the row scaling then the column scaling,
+    * every update one floored integer division
+    * `w' = (w·T) div X` with `T = (10⁶·N) div R` the uniform margin
+    * target (ppm-count) and `X = Σ cnt·w` the current weighted
+    * margin. Deterministic to the last ppm on any engine; floors lose
+    * < 1 ppm per step (documented quantization, `iters` is typically
+    * ≤ 5 — IPF converges geometrically).
+    *
+    * Output: one row per observed cell `(row_key, col_key, n,
+    * w_ppm)`.
+    *
+    * Scale shape (100 TB): the corpus collapses to the R×C cell
+    * frame in one map-side-combinable aggregation; every scaling
+    * step is a margin aggregation + broadcast join on that
+    * dimension-sized frame. Nothing unit-level ever reshuffles. */
+  def ipfRaking(df: DataFrame, rowCol: String, colCol: String,
+                iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters must be in [1, 10]")
+    val cells0 = df.groupBy(col(rowCol).as("row_key"), col(colCol).as("col_key"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .withColumn("w_ppm", lit(1000000L))
+      .localCheckpoint()
+    val tot = cells0.agg(sum(col("n")).cast("bigint").as("__N"),
+      countDistinct(col("row_key")).cast("bigint").as("__R"),
+      countDistinct(col("col_key")).cast("bigint").as("__C"))
+    def scale(cells: DataFrame, key: String, denomKey: String): DataFrame = {
+      val margin = cells.groupBy(col(key))
+        .agg(sum(expr("n * w_ppm")).cast("bigint").as("__X"))
+      cells.join(broadcast(margin), Seq(key))
+        .crossJoin(broadcast(tot))
+        .withColumn("w_ppm", expr(
+          s"(w_ppm * ((1000000L * __N) div $denomKey)) div __X"))
+        .select(col("row_key"), col("col_key"), col("n"), col("w_ppm"))
+    }
+    (1 to iters).foldLeft(cells0) { (cells, _) =>
+      scale(scale(cells, "row_key", "__R"), "col_key", "__C")
+    }
+  }
 }

@@ -2364,6 +2364,134 @@ object StatsQ {
             .over(Window.partitionBy(col("n_chars"), col("p32"))))
           .where(col("c") > 1).select(col("doc_id"))
         EvalStats.captureRecapture(detA, detB, "doc_id")
-      })
+      }),
+
+    // ---- Bradley–Terry arena ranking -----------------------------
+    // Pairwise games: within each user's complete 5-type count grid,
+    // the type with more events wins (zero-zero and exact ties are
+    // not games). 3 ppm-integer MM iterations, normalized to sum
+    // 5e6 — the oracle replays the identical integer updates.
+    Q("q353_bradley_terry", {
+      val it = (1 to 3).map { i =>
+        val prev = if (i == 1) "st0" else s"st${i - 1}"
+        s"""d$i AS (SELECT s.i, sum((s.n * 1000000000000) // (si.s + sj.s))::BIGINT AS dd
+           |  FROM sym s JOIN $prev si ON s.i = si.i
+           |  JOIN $prev sj ON s.j = sj.i GROUP BY s.i),
+           |st$i AS (SELECT tt.i, (1000000000000 * tt.w) // d$i.dd AS s
+           |  FROM tot tt JOIN d$i ON tt.i = d$i.i)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+              |ty AS (SELECT unnest(['view','click','purchase','signup','error']) AS et),
+              |cnt AS (SELECT user_id, event_type AS et, count(*)::BIGINT AS c
+              |  FROM events GROUP BY user_id, event_type),
+              |g AS (SELECT u.user_id, ty.et, coalesce(cnt.c, 0) AS c
+              |  FROM u CROSS JOIN ty LEFT JOIN cnt USING (user_id, et)),
+              |pr AS (SELECT x.et AS a, y.et AS b,
+              |  sum(CASE WHEN x.c > y.c THEN 1 ELSE 0 END)::BIGINT AS wa,
+              |  sum(CASE WHEN y.c > x.c THEN 1 ELSE 0 END)::BIGINT AS wb
+              |  FROM g x JOIN g y ON x.user_id = y.user_id AND x.et < y.et
+              |  GROUP BY x.et, y.et),
+              |sym AS (SELECT a AS i, b AS j, wa + wb AS n, wa AS w FROM pr
+              |  WHERE wa + wb > 0
+              |  UNION ALL
+              |  SELECT b, a, wa + wb, wb FROM pr WHERE wa + wb > 0),
+              |tot AS (SELECT i, sum(n)::BIGINT AS nn, sum(w)::BIGINT AS w
+              |  FROM sym GROUP BY i),
+              |st0 AS (SELECT i, 1000000::BIGINT AS s FROM tot),
+              |$it,
+              |nrm AS (SELECT sum(s)::BIGINT AS sm, count(*)::BIGINT AS k FROM st3)
+              |SELECT st3.i AS player, tot.nn AS n_games, tot.w AS n_wins,
+              |  ((st3.s * nrm.k * 1000000) // nrm.sm)::BIGINT AS strength_ppm
+              |FROM st3 JOIN tot ON st3.i = tot.i CROSS JOIN nrm
+              |ORDER BY player""".stripMargin)
+    },
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val users = ev.select(col("user_id")).distinct()
+        val ty = ev.sparkSession.range(1).select(explode(array(
+          Seq("view", "click", "purchase", "signup", "error")
+            .map(lit): _*)).as("et"))
+        val cnt = ev.groupBy(col("user_id"), col("event_type").as("et"))
+          .agg(count(lit(1)).cast("bigint").as("c"))
+        val grid = users.crossJoin(broadcast(ty))
+          .join(cnt, Seq("user_id", "et"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+        val pairs = grid.as("x")
+          .join(grid.as("y"),
+            col("x.user_id") === col("y.user_id") && col("x.et") < col("y.et"))
+          .groupBy(col("x.et").as("a"), col("y.et").as("b"))
+          .agg(
+            sum(when(col("x.c") > col("y.c"), 1L).otherwise(0L)).as("wa"),
+            sum(when(col("y.c") > col("x.c"), 1L).otherwise(0L)).as("wb"))
+        EvalStats.bradleyTerry(pairs, "a", "b", "wa", "wb", iters = 3)
+          .orderBy("player")
+      }),
+
+    // ---- Shapley vocabulary attribution --------------------------
+    // 5 source buckets (srcN -> N % 5); utility = distinct tokens
+    // covered by a bucket union. phi_x120 = 5!·φ exactly (efficiency:
+    // Σ = 120·v(full)).
+    Q("q354_vocab_shapley",
+      Some("""WITH d AS (SELECT
+             |  cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 AS p,
+             |  string_split(text, ' ') AS t FROM documents),
+             |tk AS (SELECT p, unnest(t) AS w FROM d),
+             |mk AS (SELECT w, bit_or((1::BIGINT << p)) AS m FROM tk GROUP BY w),
+             |mc AS (SELECT m, count(*)::BIGINT AS cm FROM mk GROUP BY m),
+             |ss AS (SELECT unnest(range(0, 32)) AS sid),
+             |v AS (SELECT sid,
+             |  coalesce(sum(CASE WHEN (mc.m & ss.sid) != 0 THEN mc.cm END), 0)::BIGINT AS v
+             |  FROM ss CROSS JOIN mc GROUP BY sid),
+             |pl AS (SELECT unnest(range(0, 5)) AS i),
+             |ph AS (SELECT pl.i,
+             |  sum((CASE bit_count(vS.sid) WHEN 0 THEN 24 WHEN 1 THEN 6
+             |       WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 24 END)
+             |    * (vSi.v - vS.v))::BIGINT AS phi
+             |  FROM pl JOIN v vS ON ((1::BIGINT << pl.i) & vS.sid) = 0
+             |  JOIN v vSi ON vSi.sid = (vS.sid | (1::BIGINT << pl.i))
+             |  GROUP BY pl.i)
+             |SELECT ph.i::BIGINT AS player, phi AS phi_xkfact,
+             |  vsolo.v AS solo_coverage,
+             |  (vfull.v - vrest.v)::BIGINT AS marginal_vs_rest
+             |FROM ph
+             |JOIN v vsolo ON vsolo.sid = (1::BIGINT << ph.i)
+             |JOIN v vrest ON vrest.sid = 31 - (1::BIGINT << ph.i)
+             |JOIN v vfull ON vfull.sid = 31
+             |ORDER BY player""".stripMargin),
+      (s, dir) =>
+        graft.operators.Mixing.vocabShapley(
+          t(s, dir, "documents").withColumn("p",
+            expr("cast(regexp_extract(source, '([0-9]+)', 1) as bigint) % 5L")),
+          "p", "text", k = 5)
+          .orderBy("player")),
+
+    // ---- IPF raking to uniform margins ---------------------------
+    // Rebalance the source × lang grid so every source and every
+    // language carries equal weighted mass: 3 full row+col scaling
+    // iterations in ppm integers; the oracle unrolls the identical
+    // six floored-division steps.
+    Q("q355_ipf_raking", {
+      val steps = (1 to 6).map { i =>
+        val prev = if (i == 1) "cells0" else s"s${i - 1}"
+        val (key, den) = if (i % 2 == 1) ("r", "tt.rr") else ("c", "tt.cc")
+        s"""m$i AS (SELECT $key, sum(n * w)::BIGINT AS x FROM $prev GROUP BY $key),
+           |s$i AS (SELECT p.r, p.c, p.n,
+           |  (p.w * ((1000000 * tt.nn) // $den)) // m$i.x AS w
+           |  FROM $prev p JOIN m$i USING ($key) CROSS JOIN tt)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH cells0 AS (SELECT source AS r, lang AS c,
+              |  count(*)::BIGINT AS n, 1000000::BIGINT AS w
+              |  FROM documents GROUP BY source, lang),
+              |tt AS (SELECT sum(n)::BIGINT AS nn,
+              |  count(DISTINCT r)::BIGINT AS rr,
+              |  count(DISTINCT c)::BIGINT AS cc FROM cells0),
+              |$steps
+              |SELECT r AS row_key, c AS col_key, n, w::BIGINT AS w_ppm
+              |FROM s6 ORDER BY row_key, col_key""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Mixing.ipfRaking(
+          t(s, dir, "documents"), "source", "lang", iters = 3)
+          .orderBy("row_key", "col_key"))
   )
 }

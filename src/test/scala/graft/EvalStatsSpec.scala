@@ -473,6 +473,29 @@ class EvalStatsSpec extends SparkSpec {
     assert(r2.getLong(3) == 3L && r2.isNullAt(4))
   }
 
+  test("bradleyTerry: shutout collapses to zero strength; winner takes the whole mass") {
+    // A beats B 3-0: every MM iteration gives s_A = 2e6, s_B = 0;
+    // normalization to k·1e6 = 2e6 keeps (2000000, 0).
+    val pairs = Seq(("A", "B", 3L, 0L)).toDF("a", "b", "wa", "wb")
+    val out = EvalStats.bradleyTerry(pairs, "a", "b", "wa", "wb")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("A") == ((3L, 3L, 2000000L)))
+    assert(out("B") == ((3L, 0L, 0L)))
+  }
+
+  test("bradleyTerry: transitive wins order strengths; masses sum to k ppm") {
+    val pairs = Seq(("A", "B", 2L, 1L), ("B", "C", 2L, 1L), ("A", "C", 3L, 0L))
+      .toDF("a", "b", "wa", "wb")
+    val out = EvalStats.bradleyTerry(pairs, "a", "b", "wa", "wb")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("A") > out("B") && out("B") > out("C"),
+      s"expected A > B > C, got $out")
+    val sum = out.values.sum
+    assert(sum <= 3000000L && sum > 3000000L - 5L,
+      s"normalized strengths must sum to ~3e6 (floor loss < k), got $sum")
+  }
+
   test("stratifiedContrast: per-stratum arms, decimal sums, NULL on empty arm") {
     val df = Seq(
       (0L, true, "2.00"), (0L, true, "4.00"), (0L, false, "1.00"),

@@ -3802,4 +3802,60 @@ class OperatorsSpec extends SparkSpec {
         r.getLong(3)))
     assert(out.toSeq == Seq((1L, 2L, 3L, 150L)))
   }
+
+  test("vocabShapley: efficiency axiom and marginal coverage on a 2-bucket fixture") {
+    import spark.implicits._
+    // bucket 0 = {a, b}, bucket 1 = {b, c}: v({0}) = v({1}) = 2,
+    // v(full) = 3 -> phi_x2 = 3 each (sum = 2!·v(full) = 6),
+    // marginal_vs_rest = 1 each (the token only that bucket has).
+    val df = Seq((0L, "a b"), (1L, "b c")).toDF("p", "text")
+    val out = graft.operators.Mixing.vocabShapley(df, "p", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == ((3L, 2L, 1L)))
+    assert(out(1L) == ((3L, 2L, 1L)))
+  }
+
+  test("vocabShapley: out-of-range bucket raises") {
+    import spark.implicits._
+    val df = Seq((2L, "a")).toDF("p", "text")
+    val e = intercept[Exception](
+      graft.operators.Mixing.vocabShapley(df, "p", "text", k = 2).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("vocabShapley")))
+  }
+
+  test("ipfRaking: one full iteration reproduces the hand-computed ppm weights") {
+    import spark.implicits._
+    // cells (r0,c0)=3, (r0,c1)=1, (r1,c1)=2; N=6, R=C=2, T=3e6.
+    // rows: w_r0 -> 750000, w_r1 -> 1500000; cols: X_c0 = 2.25e6 ->
+    // w_r0c0 = 1e6; X_c1 = 3.75e6 -> 600000 / 1200000.
+    val df = (Seq.fill(3)(("r0", "c0")) ++ Seq(("r0", "c1")) ++
+      Seq.fill(2)(("r1", "c1"))).toDF("r", "c")
+    val out = graft.operators.Mixing.ipfRaking(df, "r", "c", iters = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(out(("r0", "c0")) == ((3L, 1000000L)))
+    assert(out(("r0", "c1")) == ((1L, 600000L)))
+    assert(out(("r1", "c1")) == ((2L, 1200000L)))
+  }
+
+  test("ipfRaking: three iterations pull both margins toward uniform") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(("r0", "c0")) ++ Seq(("r0", "c1")) ++
+      Seq.fill(3)(("r1", "c1")) ++ Seq(("r1", "c0"))).toDF("r", "c")
+    val out = graft.operators.Mixing.ipfRaking(df, "r", "c", iters = 3)
+    val target = 10L * 1000000L / 2L // N·1e6 / R, R = C = 2
+    val colSums = out.groupBy(col("col_key"))
+      .agg(sum(expr("n * w_ppm")).as("x")).collect().map(_.getLong(1))
+    // the final step scales columns exactly; rows were scaled one
+    // half-step earlier and sit within 2% after three iterations
+    colSums.foreach(x => assert(math.abs(x - target) <= target / 100,
+      s"col margin $x vs $target"))
+    val rowSums = out.groupBy(col("row_key"))
+      .agg(sum(expr("n * w_ppm")).as("x")).collect().map(_.getLong(1))
+    rowSums.foreach(x => assert(math.abs(x - target) <= target / 50,
+      s"row margin $x vs $target"))
+  }
 }

@@ -499,4 +499,51 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(__ordg,"),
       s"cumulative must never run on one reducer:\n$plan")
   }
+
+  test("bigramLmSurprisal plan: token-keyed equi-joins + broadcast vocab scalar, no cartesian") {
+    val plan = TextOps.bigramLmSurprisal(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"count-table joins must be equi-joins; only the 1-row vocab may cross:\n$plan")
+    // the c12/c1 joins hash or sort-merge on the token keys
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected keyed joins for the count tables:\n$plan")
+  }
+
+  test("sprtMonitor plan: walk window is group-partitioned, never one reducer") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (s"g${i % 7}", i.toLong, i % 3 == 0))
+      .toDF("g", "i", "s")
+    val plan = operators.TimeSeries
+      .sprtMonitor(df, "g", "i", col("s"), 0.25, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__grp"),
+      s"expected the group-partitioned running sum:\n$plan")
+    assert(!plan.contains("windowspecdefinition(__ord,") ||
+      plan.indexOf("windowspecdefinition(__ord,") >
+        plan.indexOf("windowspecdefinition(__grp"),
+      s"no un-partitioned window may carry the walk:\n$plan")
+  }
+
+  test("stratifiedContrast plan: keyed aggregations only — no join of unit-level data") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong % 7, i % 3 == 0, i.toDouble))
+      .toDF("s", "tr", "y")
+    val plan = operators.EvalStats.stratifiedContrast(df, "s", col("tr"), "y")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"arms pivot inside the stratum aggregation; nothing joins:\n$plan")
+  }
+
+  test("captureRecapture plan: distinct id sets meet in one equi-join; counts cross as broadcast scalars") {
+    import spark.implicits._
+    val a = (0 until 400).map(_.toLong % 97).toDF("id")
+    val b = (0 until 400).map(i => (i.toLong % 89) + 50).toDF("id")
+    val plan = operators.EvalStats.captureRecapture(a, b, "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"only the three 1-row count frames may cross:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"the overlap must be a keyed join on the id:\n$plan")
+  }
 }
