@@ -765,4 +765,56 @@ object Components {
         lit(0).cast("decimal(38,0)")).as("h")).head()
     (r.getLong(0), String.valueOf(r.getDecimal(1)))
   }
+
+  /** Harmonic centrality truncated at 3 hops —
+    * `h(v) = Σ_{u≠v, d(u,v)≤3} 1/d(u,v)` in exact ppm integers
+    * (`10⁶ div d` per reached node: 10⁶, 5·10⁵, 333333) — the
+    * "which tokens/documents sit central in the collocation or
+    * near-dup graph" score, with the truncation making cost and
+    * semantics explicit instead of running an unbounded BFS. Exact
+    * per-distance frontier sets: 2-hop pairs subtract the 1-hop set,
+    * 3-hop pairs subtract both, so each pair contributes its true
+    * shortest distance. Output one row per node that reaches ≥ 1
+    * neighbor: `(node, n1, n2, n3, harmonic_ppm)`.
+    *
+    * Scale shape (100 TB): three equi-joins on node ids (adjacency
+    * squared then cubed, each deduplicated before the next
+    * expansion) + distinct/anti-join set algebra — BSP-shaped, no
+    * driver iteration. Frontier frames can grow toward n·d̄² on dense
+    * graphs: run on dimension-sized graphs (top-k collocations,
+    * near-dup clusters), same contract as [[triangleCount]]. */
+  def harmonicCentrality(edges: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val adj = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(edges.select(col(bCol).as("u"), col(aCol).as("v")))
+      .where(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint()
+    val d1 = adj
+    val reach2 = d1.select(col("u"), col("v").as("__m"))
+      .join(adj.select(col("u").as("__m"), col("v")), Seq("__m"))
+      .select(col("u"), col("v"))
+      .where(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+      .localCheckpoint()
+    val d2 = reach2.join(d1, Seq("u", "v"), "left_anti").localCheckpoint()
+    val d3 = d2.select(col("u"), col("v").as("__m"))
+      .join(adj.select(col("u").as("__m"), col("v")), Seq("__m"))
+      .select(col("u"), col("v"))
+      .where(col("u") =!= col("v"))
+      .dropDuplicates("u", "v")
+      .join(d1, Seq("u", "v"), "left_anti")
+      .join(d2, Seq("u", "v"), "left_anti")
+    d1.select(col("u"), lit(1L).as("__d"))
+      .unionAll(d2.select(col("u"), lit(2L).as("__d")))
+      .unionAll(d3.select(col("u"), lit(3L).as("__d")))
+      .groupBy(col("u"))
+      .agg(
+        sum(when(col("__d") === 1L, 1L).otherwise(0L)).cast("bigint").as("n1"),
+        sum(when(col("__d") === 2L, 1L).otherwise(0L)).cast("bigint").as("n2"),
+        sum(when(col("__d") === 3L, 1L).otherwise(0L)).cast("bigint").as("n3"),
+        sum(expr("1000000L div __d")).cast("bigint").as("harmonic_ppm"))
+      .select(col("u").as("node"), col("n1"), col("n2"), col("n3"),
+        col("harmonic_ppm"))
+  }
 }

@@ -1147,4 +1147,81 @@ object DedupOps {
           .otherwise(col("run_shingles") + 2L).as("run_tokens"))
   }
 
+  /** EXACT threshold Jaccard similarity join over distinct token
+    * sets — every pair with `|A∩B|/|A∪B| ≥ tNum/tDen`, no recall
+    * loss: the lossless complement of the MinHash/SimHash candidate
+    * pipelines (use those to cluster at scale cheaply; use this when
+    * an audit or a legal hold needs EVERY qualifying pair). AllPairs/
+    * PPJoin prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): order each document's distinct tokens by ascending
+    * GLOBAL frequency (ties by token), index only the first
+    * `|d| − ceil(t·|d|) + 1` tokens — two documents meeting the
+    * threshold MUST share a prefix token (pigeonhole on the rarest
+    * tokens), so the inverted-index join over prefixes is a complete
+    * candidate generator, and hot stopwords almost never enter a
+    * prefix. Candidates are then verified exactly with integer
+    * cross-multiplication — no float thresholds.
+    *
+    * Output: `(a_id, b_id, n_a, n_b, n_common, jacc_ppm)` for every
+    * qualifying pair with `a_id < b_id`; `jacc_ppm` =
+    * `(10⁶·|A∩B|) div |A∪B|`.
+    *
+    * Scale shape (100 TB): token frequencies and per-doc rarity ranks
+    * are token-keyed aggregations + one per-doc window; the candidate
+    * join is keyed on PREFIX tokens whose fan-out the ordering
+    * actively minimizes (the rarest tokens index first — the
+    * classic AllPairs cost bound); verification is two id-keyed
+    * equi-joins counting common tokens on candidates only. Skew
+    * guard: a prefix token hotter than `maxTokenFreq` raises loudly
+    * (pathological corpora — e.g. every doc identical — would
+    * otherwise quadratically explode one key; raise the cap or
+    * pre-dedup exact copies first). */
+  def exactJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                       tNum: Long, tDen: Long,
+                       maxTokenFreq: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum >= 1 && tNum <= tDen, "threshold must be in (0, 1]")
+    val tk = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(array_distinct(expr(
+          graft.functions.TextHash.spark.tokens(textCol)))).as("__w"))
+    val freq = tk.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("bigint").as("__f"))
+    val ranked = tk.join(freq, Seq("__w"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__f"), col("__w"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+      .localCheckpoint()
+    // prefix length |d| − ceil(t·|d|) + 1, integer ceil
+    val prefixes = ranked.where(
+      col("__pos") <= col("__n") - expr(s"($tNum * __n + $tDen - 1) div $tDen")
+        + lit(1L))
+      .withColumn("__w", expr(
+        s"""CASE WHEN __f <= ${maxTokenFreq}L THEN __w ELSE raise_error(
+           |  concat('exactJaccardJoin: prefix token hotter than $maxTokenFreq (',
+           |  __w, ') — pre-dedup exact copies or raise maxTokenFreq')) END"""
+          .stripMargin))
+    val cand = prefixes.select(col("__id").as("__a"), col("__w"))
+      .join(prefixes.select(col("__id").as("__b"), col("__w")), Seq("__w"))
+      .where(col("__a") < col("__b"))
+      .select(col("__a"), col("__b"))
+      .distinct()
+    val sizes = ranked.select(col("__id"), col("__n")).distinct()
+    val common = cand
+      .join(tk.select(col("__id").as("__a"), col("__w")), Seq("__a"))
+      .join(tk.select(col("__id").as("__b"), col("__w")), Seq("__b", "__w"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    common
+      .join(sizes.select(col("__id").as("__a"), col("__n").as("__na")), Seq("__a"))
+      .join(sizes.select(col("__id").as("__b"), col("__n").as("__nb")), Seq("__b"))
+      .where(expr(s"$tDen * __c >= $tNum * (__na + __nb - __c)"))
+      .select(col("__a").as("a_id"), col("__b").as("b_id"),
+        col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"),
+        col("__c").as("n_common"),
+        expr("(1000000L * __c) div (__na + __nb - __c)").cast("bigint")
+          .as("jacc_ppm"))
+  }
+
 }

@@ -974,4 +974,73 @@ object TimeSeries {
     (math.round(1000.0 * math.log(p1 / p0) / ln2),
       math.round(1000.0 * math.log((1 - p1) / (1 - p0)) / ln2))
   }
+
+  /** Aalen–Johansen cumulative incidence under two COMPETING risks —
+    * "what fraction ends in cause 1 vs cause 2 when each subject can
+    * only experience one?" (1 − KM on a single cause OVERSTATES
+    * incidence when the other cause removes subjects; this is the
+    * textbook-correct decomposition). Input: per-subject
+    * `(duration, cause)` with cause 0 = censored, 1, or 2 (anything
+    * else raises). One row per duration with ≥ 1 event:
+    * `(t, n_at_risk, d1, d2, surv_ppm, cif1_ppm, cif2_ppm)` where
+    * `surv` is the ALL-cause product-limit (the [[kaplanMeier]]
+    * fold), and `CIF_k(tᵢ) = Σ_{j≤i} (S(t_{j−1})·d_kj) div n_j` in
+    * ppm — S enters LAGGED one step (S before the deaths at t_j),
+    * every value an exact floored integer; `surv + cif1 + cif2 ≈
+    * 10⁶` up to the documented per-step floors.
+    *
+    * Scale shape (100 TB): identical to [[kaplanMeier]] — subjects
+    * collapse to the horizon-bounded duration histogram; the fold,
+    * lag, and running sums all run on that bounded frame. */
+  def aalenJohansen(df: DataFrame, durationCol: String,
+                    causeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val guard =
+      s"""CASE WHEN CAST(`$causeCol` AS BIGINT) IN (0L, 1L, 2L)
+         |     THEN CAST(`$causeCol` AS BIGINT)
+         |     ELSE raise_error(concat('aalenJohansen: cause must be 0 ',
+         |       '(censored), 1, or 2 — got ',
+         |       coalesce(CAST(`$causeCol` AS STRING), 'NULL'))) END""".stripMargin
+    val lt = df.select(col(durationCol).cast("bigint").as("__t"),
+        expr(guard).as("__k"))
+      .where(col("__t").isNotNull && col("__t") >= 0)
+    val h = lt.groupBy(col("__t"))
+      .agg(count(lit(1)).cast("bigint").as("__m"),
+        sum(when(col("__k") === 1L, 1L).otherwise(0L)).cast("bigint").as("__d1"),
+        sum(when(col("__k") === 2L, 1L).otherwise(0L)).cast("bigint").as("__d2"))
+    val tot = h.agg(sum(col("__m")).as("__total"))
+    val wPrev = Window.orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = h.crossJoin(broadcast(tot))
+      .withColumn("__n",
+        col("__total") - coalesce(sum(col("__m")).over(wPrev), lit(0L)))
+      .withColumn("__d", col("__d1") + col("__d2"))
+      .where(col("__d") > 0)
+      .select(col("__t"), col("__d1"), col("__d2"), col("__d"), col("__n"))
+    // all-cause survival via the kaplanMeier fold, then LAG it one
+    // step so each CIF term multiplies S from BEFORE its deaths
+    val surv = steps
+      .agg(sort_array(collect_list(struct(col("__t").as("t"),
+        col("__d1").as("d1"), col("__d2").as("d2"),
+        col("__d").as("d"), col("__n").as("n")))).as("__st"))
+      .select(explode(expr(
+        "transform(__st, (x, i) -> struct(x.t AS t, x.n AS n, " +
+          "x.d1 AS d1, x.d2 AS d2, " +
+          "aggregate(slice(__st, 1, i + 1), 1000000L, " +
+          "(acc, e) -> (acc * (e.n - e.d)) div e.n) AS surv_ppm))")).as("__r"))
+      .select(col("__r.t").as("__t"), col("__r.n").as("__n"),
+        col("__r.d1").as("__d1"), col("__r.d2").as("__d2"),
+        col("__r.surv_ppm").as("__surv"))
+    val wOrd = Window.orderBy(col("__t"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    surv
+      .withColumn("__sprev", lag(col("__surv"), 1, 1000000L).over(wOrd))
+      .withColumn("__t1", expr("(__sprev * __d1) div __n"))
+      .withColumn("__t2", expr("(__sprev * __d2) div __n"))
+      .select(col("__t").as("t"), col("__n").as("n_at_risk"),
+        col("__d1").as("d1"), col("__d2").as("d2"),
+        col("__surv").cast("bigint").as("surv_ppm"),
+        sum(col("__t1")).over(wCum).cast("bigint").as("cif1_ppm"),
+        sum(col("__t2")).over(wCum).cast("bigint").as("cif2_ppm"))
+  }
 }

@@ -2493,5 +2493,88 @@ object StatsQ {
         graft.operators.Mixing.ipfRaking(
           t(s, dir, "documents"), "source", "lang", iters = 3)
           .orderBy("row_key", "col_key"))
+    ,
+
+    // ---- Aalen–Johansen competing risks --------------------------
+    // First 'error' (cause 1) vs first 'purchase' (cause 2) per
+    // user, same-day tie -> cause 1; censored at horizon. Surv via
+    // the q322 product-limit fold; CIFs from the LAGGED survival,
+    // one floored div per step.
+    Q("q356_aalen_johansen",
+      Some("""WITH x AS (SELECT user_id AS e,
+             |  (epoch_us(ts) * 1000) // 86400000000000 AS b, event_type
+             |  FROM events),
+             |f AS (SELECT e, min(b) AS fb FROM x GROUP BY e),
+             |fe AS (SELECT e, min(b) AS eb FROM x
+             |  WHERE event_type = 'error' GROUP BY e),
+             |fp AS (SELECT e, min(b) AS pb FROM x
+             |  WHERE event_type = 'purchase' GROUP BY e),
+             |mx AS (SELECT max(b) AS bl FROM x),
+             |lt AS (SELECT
+             |  CASE WHEN eb IS NULL AND pb IS NULL THEN bl - fb
+             |       WHEN pb IS NULL OR (eb IS NOT NULL AND eb <= pb) THEN eb - fb
+             |       ELSE pb - fb END AS t,
+             |  CASE WHEN eb IS NULL AND pb IS NULL THEN 0
+             |       WHEN pb IS NULL OR (eb IS NOT NULL AND eb <= pb) THEN 1
+             |       ELSE 2 END AS k
+             |  FROM f LEFT JOIN fe USING (e) LEFT JOIN fp USING (e)
+             |  CROSS JOIN mx),
+             |h AS (SELECT t, count(*)::BIGINT AS m,
+             |  sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+             |  sum(CASE WHEN k = 2 THEN 1 ELSE 0 END)::BIGINT AS d2
+             |  FROM lt GROUP BY t),
+             |tot AS (SELECT sum(m)::BIGINT AS total FROM h),
+             |hr AS (SELECT t, d1, d2, d1 + d2 AS d,
+             |  (total - coalesce(sum(m) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT AS n
+             |  FROM h CROSS JOIN tot),
+             |st AS (SELECT t, d1, d2, d, n FROM hr WHERE d > 0),
+             |arr AS (SELECT list(n * 10000000 + d ORDER BY t) AS pk,
+             |  list({'t': t, 'd1': d1, 'd2': d2, 'n': n} ORDER BY t) AS sl
+             |  FROM st),
+             |ks AS (SELECT sl, pk, unnest(range(1, len(sl) + 1)) AS kk FROM arr),
+             |sv AS (SELECT sl[kk].t AS t, sl[kk].n AS n,
+             |  sl[kk].d1 AS d1, sl[kk].d2 AS d2,
+             |  list_reduce(list_prepend(1000000::BIGINT, pk[1:kk]),
+             |    (acc, p) -> (acc * ((p // 10000000) - (p % 10000000)))
+             |      // (p // 10000000))::BIGINT AS surv
+             |  FROM ks),
+             |aj AS (SELECT t, n, d1, d2, surv,
+             |  lag(surv, 1, 1000000) OVER (ORDER BY t) AS sprev FROM sv),
+             |tm AS (SELECT t, n, d1, d2, surv,
+             |  (sprev * d1) // n AS t1, (sprev * d2) // n AS t2 FROM aj)
+             |SELECT t::BIGINT AS t, n::BIGINT AS n_at_risk, d1, d2,
+             |  surv::BIGINT AS surv_ppm,
+             |  sum(t1) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |    AS cif1_ppm,
+             |  sum(t2) OVER (ORDER BY t
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             |    AS cif2_ppm
+             |FROM tm ORDER BY t""".stripMargin),
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+        val f = x.groupBy(col("user_id")).agg(min(col("b")).as("fb"))
+        val fe = x.where(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(min(col("b")).as("eb"))
+        val fp = x.where(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("b")).as("pb"))
+        val mx = x.agg(max(col("b")).as("bl"))
+        val lt = f.join(fe, Seq("user_id"), "left")
+          .join(fp, Seq("user_id"), "left")
+          .crossJoin(broadcast(mx))
+          .select(
+            when(col("eb").isNull && col("pb").isNull, col("bl") - col("fb"))
+              .when(col("pb").isNull ||
+                (col("eb").isNotNull && col("eb") <= col("pb")),
+                col("eb") - col("fb"))
+              .otherwise(col("pb") - col("fb")).as("t"),
+            when(col("eb").isNull && col("pb").isNull, 0L)
+              .when(col("pb").isNull ||
+                (col("eb").isNotNull && col("eb") <= col("pb")), 1L)
+              .otherwise(2L).as("k"))
+        graft.operators.TimeSeries.aalenJohansen(lt, "t", "k").orderBy("t")
+      })
   )
 }

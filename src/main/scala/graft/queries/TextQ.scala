@@ -4522,6 +4522,80 @@ object TextQ {
              |FROM sc GROUP BY doc_id ORDER BY id""".stripMargin),
       (s, dir) =>
         TextOps.bigramLmSurprisal(t(s, dir, "documents"), "doc_id", "text")
-          .orderBy("id"))
+          .orderBy("id")),
+
+    // ---- truncated harmonic centrality ---------------------------
+    // 3-hop harmonic centrality on the q260 top-100 collocation
+    // graph: exact per-distance frontier sets (2-hop minus 1-hop,
+    // 3-hop minus both), 10^6 div d per reached node.
+    Q("q357_harmonic_centrality",
+      Some(s"""WITH toks AS (SELECT $duckToks AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |te AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |e0 AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+              |  SELECT tok_a AS a, tok_b AS b FROM te
+              |  UNION ALL SELECT tok_b, tok_a FROM te) WHERE a <> b),
+              |r2 AS (SELECT DISTINCT x.a, y.b FROM e0 x
+              |  JOIN e0 y ON x.b = y.a WHERE x.a <> y.b),
+              |d2 AS MATERIALIZED (SELECT a, b FROM r2
+              |  EXCEPT SELECT a, b FROM e0),
+              |r3 AS (SELECT DISTINCT x.a, y.b FROM d2 x
+              |  JOIN e0 y ON x.b = y.a WHERE x.a <> y.b),
+              |d3 AS (SELECT a, b FROM r3 EXCEPT SELECT a, b FROM e0
+              |  EXCEPT SELECT a, b FROM d2),
+              |al AS (SELECT a, 1 AS d FROM e0
+              |  UNION ALL SELECT a, 2 FROM d2
+              |  UNION ALL SELECT a, 3 FROM d3)
+              |SELECT a AS node,
+              |  sum(CASE WHEN d = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+              |  sum(CASE WHEN d = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+              |  sum(CASE WHEN d = 3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+              |  sum(1000000 // d)::BIGINT AS harmonic_ppm
+              |FROM al GROUP BY a ORDER BY node""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        graft.operators.Components.harmonicCentrality(edges, "tok_a", "tok_b")
+          .orderBy("node")
+      }),
+
+    // ---- EXACT threshold Jaccard join ----------------------------
+    // Every doc pair with token-set Jaccard >= 19/20 — lossless
+    // (AllPairs prefix filtering), unlike the MinHash/SimHash
+    // candidate routes. Oracle: brute force over pairs that share
+    // any token (a 0-overlap pair cannot pass t > 0). Scoped to
+    // doc_id < 600 so the oracle's token self-join stays bounded;
+    // the synthetic corpus shares a small vocabulary, so only the
+    // tight threshold separates true near-clones.
+    Q("q358_exact_jaccard_join",
+      Some("""WITH tk AS (SELECT doc_id,
+             |  unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents WHERE doc_id < 600),
+             |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id),
+             |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+             |  FROM tk x JOIN tk y ON x.w = y.w AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |j AS (SELECT a, b, sa.n AS n_a, sb.n AS n_b, c
+             |  FROM co JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+             |SELECT a AS a_id, b AS b_id, n_a, n_b, c AS n_common,
+             |  ((1000000 * c) // (n_a + n_b - c))::BIGINT AS jacc_ppm
+             |FROM j WHERE 20 * c >= 19 * (n_a + n_b - c)
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) =>
+        graft.operators.DedupOps.exactJaccardJoin(
+          t(s, dir, "documents").where(col("doc_id") < 600),
+          "doc_id", "text", tNum = 19L, tDen = 20L)
+          .orderBy("a_id", "b_id"))
   )
 }

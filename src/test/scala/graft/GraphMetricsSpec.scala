@@ -152,4 +152,18 @@ class GraphMetricsSpec extends SparkSpec {
     // u: {5,3,2,1} -> h=2; v: five 4s -> h=4 (only 4 rank<=4).
     assert(out.toSeq == Seq(("u", 4L, 2L), ("v", 5L, 4L)))
   }
+
+  test("harmonicCentrality: path graph distances truncate at 3 hops") {
+    import spark.implicits._
+    // a-b-c-d-e: a reaches b@1, c@2, d@3 (e is 4 hops, dropped)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("x", "y")
+    val out = graft.operators.Components.harmonicCentrality(edges, "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == ((1L, 1L, 1L, 1833333L)))
+    assert(out("b") == ((2L, 1L, 1L, 2833333L)))
+    assert(out("c") == ((2L, 2L, 0L, 3000000L)))
+    assert(out("d") == out("b") && out("e") == out("a"))
+  }
 }

@@ -3841,6 +3841,53 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("r1", "c1")) == ((2L, 1200000L)))
   }
 
+  test("exactJaccardJoin: threshold semantics on a hand fixture") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "d c b a"), (3L, "a b x y"),
+      (4L, "z")).toDF("doc_id", "text")
+    // t = 1/2: only the identical-set pair (1,2) qualifies
+    val strict = graft.operators.DedupOps
+      .exactJaccardJoin(df, "doc_id", "text", 1L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5)))
+    assert(strict.toSeq == Seq((1L, 2L, 4L, 1000000L)))
+    // t = 1/3: (1,3) and (2,3) join at exactly 2/6
+    val loose = graft.operators.DedupOps
+      .exactJaccardJoin(df, "doc_id", "text", 1L, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+      .sortBy(x => (x._1, x._2))
+    assert(loose.toSeq == Seq((1L, 2L, 1000000L), (1L, 3L, 333333L),
+      (2L, 3L, 333333L)))
+  }
+
+  test("exactJaccardJoin: prefix filtering is LOSSLESS vs brute force") {
+    import spark.implicits._
+    // 40 deterministic docs over a 12-token vocabulary — dense enough
+    // that many pairs straddle the threshold both ways
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "array_join(array_distinct(transform(sequence(0, 7), " +
+        "j -> concat('w', pmod(hash(id * 13 + j), 12)))), ' ') AS text")
+      .localCheckpoint()
+    val got = graft.operators.DedupOps
+      .exactJaccardJoin(docs, "doc_id", "text", 2L, 5L)
+      .select("a_id", "b_id", "n_common").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // brute force: token-set intersection over the full cross join
+    val tk = docs.select(col("doc_id"),
+      expr("array_distinct(split(text, ' '))").as("t"))
+    val brute = tk.as("x").join(tk.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("size(array_intersect(x.t, y.t))").cast("long").as("c"),
+        expr("size(array_union(x.t, y.t))").cast("long").as("u"))
+      .where(expr("5 * c >= 2 * u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == brute, s"prefix filter dropped pairs: got ${got.size}, " +
+      s"brute ${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
   test("ipfRaking: three iterations pull both margins toward uniform") {
     import spark.implicits._
     val df = (Seq.fill(5)(("r0", "c0")) ++ Seq(("r0", "c1")) ++

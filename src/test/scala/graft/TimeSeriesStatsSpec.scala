@@ -260,6 +260,27 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("aalenJohansen: CIFs split the mass the all-cause KM removes") {
+    // (1,c1),(1,c2),(2,censored),(3,c1):
+    // t=1: n=4, surv 500000, terms 250000/250000
+    // t=3: n=1, surv 0, sprev 500000 -> cif1 750000, cif2 250000
+    // and surv + cif1 + cif2 = 1e6 exactly here (no floor loss).
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 0L), (3L, 1L)).toDF("t", "k")
+    val out = TimeSeries.aalenJohansen(df, "t", "k").orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 1L, 500000L, 250000L, 250000L),
+      (3L, 1L, 1L, 0L, 0L, 750000L, 250000L)))
+    // invalid cause raises loudly
+    val bad = Seq((1L, 3L)).toDF("t", "k")
+    val e = intercept[Exception](
+      TimeSeries.aalenJohansen(bad, "t", "k").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("aalenJohansen")))
+  }
+
   test("sprtMonitor: earliest boundary crossing wins; undecided streams continue") {
     // p0=.25, p1=.5 -> weights +1000 / -585 milli-bits
     val (wS, wF) = TimeSeries.sprtWeights(0.25, 0.5)
