@@ -513,4 +513,103 @@ object RobustStats {
       .select(col("entity"), col("__n").cast("bigint").as("n_pairs"),
         col("__slope_ppm").cast("bigint").as("sen_slope_ppm"))
   }
+
+  /** Spearman rank correlation between two integer columns — Pearson
+    * on midranks, the outlier-robust "do these two per-entity metrics
+    * move together?" answer. Ranks are the DOUBLED midranks
+    * `u = 2·cnt_less + cnt_eq + 1` (ties exact, the
+    * [[graft.operators.EvalStats.friedmanRanks]] convention — the
+    * factor 2 cancels in r), assigned via each column's VALUE
+    * HISTOGRAM so no global per-row window exists; `rho_ppm` =
+    * sign-split `(10⁶·num) div isqrt(vx·vy)` with num/vx/vy the exact
+    * integer moment combinations and the [[graft.util.ExactMath]]
+    * isqrt pinning the root — NULL when either column is constant.
+    * One row: `(n, rho_ppm)`.
+    *
+    * Scale shape (100 TB): two value-histogram aggregations (bounded
+    * by distinct values) with cumulative windows ON THE HISTOGRAM,
+    * broadcast-joined back to rows; then one global moment
+    * aggregation. Nothing row-level ever sorts globally. */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("bigint").as("__x"),
+      col(yCol).cast("bigint").as("__y"))
+    def rankMap(c: String, out: String) = {
+      val w = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).cast("bigint").as("__cnt"))
+        .withColumn("__less", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+        .select(col("__v").as(c), expr("2L * __less + __cnt + 1L").as(out))
+    }
+    val ranked = base
+      .join(broadcast(rankMap("__x", "__u")), Seq("__x"))
+      .join(broadcast(rankMap("__y", "__w")), Seq("__y"))
+    ranked.agg(
+        count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__u")).cast("bigint").as("__su"),
+        sum(col("__w")).cast("bigint").as("__sw"),
+        sum(expr("__u * __u")).cast("bigint").as("__suu"),
+        sum(expr("__w * __w")).cast("bigint").as("__sww"),
+        sum(expr("__u * __w")).cast("bigint").as("__suw"))
+      .withColumn("__num", expr(
+        "cast(__n as decimal(38,0)) * __suw - cast(__su as decimal(38,0)) * __sw"))
+      .withColumn("__vx", expr(
+        "cast(__n as decimal(38,0)) * __suu - cast(__su as decimal(38,0)) * __su"))
+      .withColumn("__vy", expr(
+        "cast(__n as decimal(38,0)) * __sww - cast(__sw as decimal(38,0)) * __sw"))
+      .withColumn("__p", expr("__vx * __vy"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__p", "__rt"))
+      .select(col("__n").as("n"),
+        expr("CASE WHEN __vx <= 0 OR __vy <= 0 THEN NULL " +
+          "WHEN __num >= 0 THEN cast((1000000 * __num) div __rt as bigint) " +
+          "ELSE -cast((1000000 * -__num) div __rt as bigint) END")
+          .cast("bigint").as("rho_ppm"))
+  }
+
+  /** Mann–Kendall monotonic-trend test per key over a bucketed
+    * series — "is this source's daily volume drifting, without
+    * assuming linearity?": `S = Σ_{i<j} sign(y_j − y_i)` over
+    * time-ordered buckets plus the tie-corrected variance and the
+    * continuity-corrected z, all exact integers:
+    * `var_x18 = n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)` (18× the
+    * variance) and `z_ppm` = sign-split
+    * `(18·10⁶·(|S|−1)) div isqrt(18·var_x18)` (zero when |S| ≤ 1,
+    * NULL when the series is constant). One row per key:
+    * `(key, n_buckets, s_stat, var_x18, z_ppm)`.
+    *
+    * Scale shape (100 TB): buckets are horizon-bounded, so the
+    * within-key pair join is bounded² per key and keys scale out;
+    * the tie histogram is a per-(key, value) aggregation. Subject-
+    * level data collapses to the bucket histogram first. */
+  def mannKendall(df: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String): DataFrame = {
+    val c = df.select(col(keyCol).as("__k"), col(bucketCol).cast("bigint").as("__b"),
+        col(valueCol).cast("bigint").as("__y"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(sum(col("__y")).cast("bigint").as("__y"))
+      .localCheckpoint()
+    val s = c.as("x").join(c.as("y"),
+        col("x.__k") === col("y.__k") && col("x.__b") < col("y.__b"))
+      .groupBy(col("x.__k").as("__k"))
+      .agg(sum(expr("CASE WHEN y.__y > x.__y THEN 1 " +
+        "WHEN y.__y < x.__y THEN -1 ELSE 0 END")).cast("bigint").as("__s"))
+    val nk = c.groupBy(col("__k"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+    val ties = c.groupBy(col("__k"), col("__y"))
+      .agg(count(lit(1)).cast("bigint").as("__t"))
+      .groupBy(col("__k"))
+      .agg(sum(expr("__t * (__t - 1L) * (2L * __t + 5L)")).cast("bigint")
+        .as("__tc"))
+    s.join(nk, Seq("__k")).join(ties, Seq("__k"))
+      .withColumn("__var18", expr(
+        "__n * (__n - 1L) * (2L * __n + 5L) - __tc"))
+      .withColumn("__p", expr("cast(18L * __var18 as decimal(38,0))"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__p", "__rt"))
+      .select(col("__k").as("key"), col("__n").as("n_buckets"),
+        col("__s").as("s_stat"), col("__var18").cast("bigint").as("var_x18"),
+        expr("CASE WHEN __var18 <= 0 THEN NULL " +
+          "WHEN __s > 1 THEN cast((18000000 * cast(__s - 1L as decimal(38,0))) div __rt as bigint) " +
+          "WHEN __s < -1 THEN -cast((18000000 * cast(-__s - 1L as decimal(38,0))) div __rt as bigint) " +
+          "ELSE 0L END").cast("bigint").as("z_ppm"))
+  }
 }

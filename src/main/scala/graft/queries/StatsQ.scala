@@ -2575,6 +2575,92 @@ object StatsQ {
                 (col("eb").isNotNull && col("eb") <= col("pb")), 1L)
               .otherwise(2L).as("k"))
         graft.operators.TimeSeries.aalenJohansen(lt, "t", "k").orderBy("t")
+      }),
+
+    // ---- Spearman rank correlation -------------------------------
+    // Do per-user view and click volumes move together? Doubled
+    // midranks from value histograms, exact integer moments, isqrt-
+    // pinned denominator, sign-split ppm.
+    Q("q359_spearman", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH p AS (SELECT user_id,
+              |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS x,
+              |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS y
+              |  FROM events GROUP BY user_id),
+              |hx AS (SELECT x AS v, count(*)::BIGINT AS cnt FROM p GROUP BY x),
+              |rx AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS u
+              |  FROM hx),
+              |hy AS (SELECT y AS v, count(*)::BIGINT AS cnt FROM p GROUP BY y),
+              |ry AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 AS w
+              |  FROM hy),
+              |r AS (SELECT rx.u AS u, ry.w AS w FROM p
+              |  JOIN rx ON p.x = rx.v JOIN ry ON p.y = ry.v),
+              |m AS (SELECT count(*)::HUGEINT AS n, sum(u)::HUGEINT AS su,
+              |  sum(w)::HUGEINT AS sw, sum(u * u)::HUGEINT AS suu,
+              |  sum(w * w)::HUGEINT AS sww, sum(u * w)::HUGEINT AS suw FROM r),
+              |q AS (SELECT n, n * suw - su * sw AS num,
+              |  n * suu - su * su AS vx, n * sww - sw * sw AS vy FROM m),
+              |q2 AS (SELECT *, vx * vy AS x FROM q),
+              |$ladder
+              |SELECT n::BIGINT AS n,
+              |  (CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+              |   WHEN num >= 0 THEN (1000000 * num) // rt
+              |   ELSE -((1000000 * -num) // rt) END)::BIGINT AS rho_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) => {
+        val per = t(s, dir, "events").groupBy(col("user_id"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y"))
+        graft.operators.RobustStats.spearmanRho(per, "x", "y")
+      }),
+
+    // ---- Mann–Kendall trend per event type -----------------------
+    // Is each event type's daily volume monotonically drifting? Exact
+    // S, tie-corrected 18x variance, continuity-corrected z in ppm.
+    Q("q360_mann_kendall", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH c AS (SELECT event_type AS k,
+              |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+              |  count(*)::BIGINT AS y
+              |  FROM events GROUP BY 1, 2),
+              |s AS (SELECT x.k, sum(CASE WHEN y.y > x.y THEN 1
+              |    WHEN y.y < x.y THEN -1 ELSE 0 END)::BIGINT AS s
+              |  FROM c x JOIN c y ON x.k = y.k AND x.b < y.b GROUP BY x.k),
+              |nk AS (SELECT k, count(*)::BIGINT AS n FROM c GROUP BY k),
+              |ti AS (SELECT k, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tc
+              |  FROM (SELECT k, y, count(*)::BIGINT AS t FROM c GROUP BY k, y)
+              |  GROUP BY k),
+              |j AS (SELECT s.k, s.s, nk.n, ti.tc,
+              |  (nk.n * (nk.n - 1) * (2 * nk.n + 5) - ti.tc)::BIGINT AS var18
+              |  FROM s JOIN nk USING (k) JOIN ti USING (k)),
+              |q2 AS (SELECT *, (18 * var18)::HUGEINT AS x FROM j),
+              |$ladder
+              |SELECT k AS key, n AS n_buckets, s AS s_stat, var18 AS var_x18,
+              |  (CASE WHEN var18 <= 0 THEN NULL
+              |   WHEN s > 1 THEN (18000000 * (s - 1)::HUGEINT) // rt
+              |   WHEN s < -1 THEN -((18000000 * (-s - 1)::HUGEINT) // rt)
+              |   ELSE 0 END)::BIGINT AS z_ppm
+              |FROM i4 ORDER BY key""".stripMargin)
+    },
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+          .groupBy(col("event_type"), col("b"))
+          .agg(count(lit(1)).cast("bigint").as("y"))
+        graft.operators.RobustStats.mannKendall(c, "event_type", "b", "y")
+          .orderBy("key")
       })
   )
 }

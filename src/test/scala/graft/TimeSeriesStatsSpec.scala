@@ -260,6 +260,43 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("spearmanRho: monotone, anti-monotone, ties, and constant-column NULL") {
+    import graft.operators.RobustStats
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(RobustStats.spearmanRho(up, "x", "y").collect().head.getLong(1)
+      == 1000000L)
+    val down = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(RobustStats.spearmanRho(down, "x", "y").collect().head.getLong(1)
+      == -1000000L)
+    // ties: x=(1,1,2), y=(1,2,3): u=(3,3,6), w=(2,4,6) -> num 18,
+    // vx 18, vy 24, isqrt(432)=20 -> floor(18e6/20) = 900000 (the
+    // documented isqrt-floor quantization at tiny n)
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    assert(RobustStats.spearmanRho(tied, "x", "y").collect().head.getLong(1)
+      == 900000L)
+    val const = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(RobustStats.spearmanRho(const, "x", "y").collect().head.isNullAt(1))
+  }
+
+  test("mannKendall: strict trend, tie-killed variance, z quantization") {
+    import graft.operators.RobustStats
+    val df = Seq(
+      ("up", 1L, 1L), ("up", 2L, 2L), ("up", 3L, 3L), ("up", 4L, 4L),
+      ("dn", 1L, 4L), ("dn", 2L, 3L), ("dn", 3L, 2L), ("dn", 4L, 1L),
+      ("fl", 1L, 7L), ("fl", 2L, 7L), ("fl", 3L, 7L), ("fl", 4L, 7L))
+      .toDF("k", "b", "y")
+    val out = RobustStats.mannKendall(df, "k", "b", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    // S = ±6; var18 = 4·3·13 = 156; isqrt(18·156) = 52;
+    // z = 18e6·(6-1) div 52 = 1730769
+    assert(out("up") == ((4L, 6L, 156L, Some(1730769L))))
+    assert(out("dn") == ((4L, -6L, 156L, Some(-1730769L))))
+    // constant series: the tie correction cancels the variance -> NULL
+    assert(out("fl") == ((4L, 0L, 0L, None)))
+  }
+
   test("aalenJohansen: CIFs split the mass the all-cause KM removes") {
     // (1,c1),(1,c2),(2,censored),(3,c1):
     // t=1: n=4, surv 500000, terms 250000/250000
