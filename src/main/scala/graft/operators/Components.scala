@@ -766,6 +766,67 @@ object Components {
     (r.getLong(0), String.valueOf(r.getDecimal(1)))
   }
 
+  /** Newman modularity of a node partition over an undirected edge
+    * list (`aCol < bCol` per edge, the [[connectedComponents]] input
+    * contract) — "are these communities denser inside than a random
+    * rewiring would be?": with `m` edges, per-community intra-edge
+    * counts `e_c` and degree sums `d_c`,
+    * `Q·4m² = Σ_c (4·m·e_c − d_c²)` is an exact integer;
+    * `q_ppm` = sign-split `(10⁶·Σ) div (4·m²)`. Nodes missing from
+    * `labels` raise loudly (a silent drop would understate every
+    * d_c). One row: `(m_edges, n_communities, q_ppm)`.
+    *
+    * Scale shape (100 TB): two id-keyed joins hang the labels on the
+    * edge endpoints; everything after is a community-cardinality
+    * aggregation. */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+                 labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a") =!= col("__b"))
+      .dropDuplicates("__a", "__b")
+      .localCheckpoint()
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    def tagged(side: String) = e
+      .join(lab.select(col("__n").as(s"__$side"), col("__l").as(s"__l$side")),
+        Seq(s"__$side"), "left")
+      .withColumn(s"__l$side", expr(
+        s"CASE WHEN __l$side IS NOT NULL THEN __l$side ELSE raise_error(" +
+          s"concat('modularity: node ', CAST(__$side AS STRING), " +
+          "' has no label')) END"))
+    val both = tagged("a")
+      .join(lab.select(col("__n").as("__b"), col("__l").as("__lb")),
+        Seq("__b"), "left")
+      .withColumn("__lb", expr(
+        "CASE WHEN __lb IS NOT NULL THEN __lb ELSE raise_error(" +
+          "concat('modularity: node ', CAST(__b AS STRING), " +
+          "' has no label')) END"))
+      .localCheckpoint()
+    val m = both.agg(count(lit(1)).cast("bigint").as("__m"))
+    val intra = both.where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__c"))
+      .agg(count(lit(1)).cast("bigint").as("__e"))
+    val degrees = both.select(col("__la").as("__c"))
+      .unionAll(both.select(col("__lb").as("__c")))
+      .groupBy(col("__c"))
+      .agg(count(lit(1)).cast("bigint").as("__d"))
+    degrees.join(intra, Seq("__c"), "left")
+      .withColumn("__e", coalesce(col("__e"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .agg(max(col("__m")).as("__m"),
+        count(lit(1)).cast("bigint").as("n_communities"),
+        sum(expr("4L * __m * __e - __d * __d")).cast("bigint").as("__num"))
+      .select(col("__m").cast("bigint").as("m_edges"), col("n_communities"),
+        // DECIMAL(38,0) products: 10⁶·4m² overflows int64 past ~1.5M
+        // edges, and graphs here can be larger
+        expr("CASE WHEN __m = 0 THEN NULL " +
+          "WHEN __num >= 0 THEN cast((1000000 * cast(__num as decimal(38,0))) " +
+          "div (4 * cast(__m as decimal(38,0)) * __m) as bigint) " +
+          "ELSE -cast((1000000 * cast(-__num as decimal(38,0))) " +
+          "div (4 * cast(__m as decimal(38,0)) * __m) as bigint) END")
+          .cast("bigint").as("q_ppm"))
+  }
+
   /** Harmonic centrality truncated at 3 hops —
     * `h(v) = Σ_{u≠v, d(u,v)≤3} 1/d(u,v)` in exact ppm integers
     * (`10⁶ div d` per reached node: 10⁶, 5·10⁵, 333333) — the

@@ -566,6 +566,105 @@ object RobustStats {
           .cast("bigint").as("rho_ppm"))
   }
 
+  /** Jonckheere–Terpstra ordered-alternative test — "does the value
+    * distribution shift UP as we walk the groups in their given
+    * order?" (k ordered buckets vs Kruskal-type unordered): J = the
+    * sum over ordered group pairs of Mann–Whitney counts, carried
+    * DOUBLED (`j_x2 = 2·gt + eq`, ties exact); the null mean doubles
+    * to `Σ_{a<b} n_a·n_b` and z uses the no-tie variance
+    * `var_x72 = N²(2N+3) − Σ nᵢ²(2nᵢ+3)` (the standard form; heavy
+    * ties make it conservative — documented, not hidden).
+    * `z_ppm = sign(d) · isqrt((18·10¹²·d²) div var_x72)` with
+    * `d = j_x2 − mean_x2` — one floored div, one exact isqrt. One
+    * row: `(n_total, j_x2, mean_x2, var_x72, z_ppm)`.
+    *
+    * Scale shape (100 TB): rows collapse to (group, value) cells
+    * first; the pair sums run on the cell frame (bounded by distinct
+    * values × groups), never on rows. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).cast("bigint").as("__g"),
+        col(valueCol).cast("bigint").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .localCheckpoint()
+    val pairStats = cells.as("a").join(cells.as("b"),
+        col("a.__g") < col("b.__g"))
+      .agg(
+        sum(expr("CASE WHEN b.__v > a.__v THEN a.__n * b.__n ELSE 0L END"))
+          .cast("bigint").as("__gt"),
+        sum(expr("CASE WHEN b.__v = a.__v THEN a.__n * b.__n ELSE 0L END"))
+          .cast("bigint").as("__eq"),
+        sum(expr("a.__n * b.__n")).cast("bigint").as("__mean2"))
+    val sizes = cells.groupBy(col("__g"))
+      .agg(sum(col("__n")).cast("bigint").as("__ni"))
+      .agg(sum(col("__ni")).cast("bigint").as("__N"),
+        sum(expr("__ni * __ni * (2L * __ni + 5L)")).cast("bigint").as("__corr"))
+    pairStats.crossJoin(broadcast(sizes))
+      .withColumn("__j2", expr("2L * __gt + __eq"))
+      .withColumn("__var72", expr("__N * __N * (2L * __N + 5L) - __corr"))
+      .withColumn("__d", expr("__j2 - __mean2"))
+      .withColumn("__q", expr(
+        "CASE WHEN __var72 > 0 THEN (cast(18000000000000 as decimal(38,0)) " +
+          "* __d * __d) div __var72 ELSE cast(0 as decimal(38,0)) END"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__z"))
+      .select(col("__N").as("n_total"), col("__j2").as("j_x2"),
+        col("__mean2").as("mean_x2"), col("__var72").as("var_x72"),
+        expr("CASE WHEN __var72 <= 0 THEN NULL " +
+          "WHEN __d >= 0 THEN cast(__z as bigint) " +
+          "ELSE -cast(__z as bigint) END").cast("bigint").as("z_ppm"))
+  }
+
+  /** Wald–Wolfowitz runs test per key over a bucketed series — "are
+    * the day-over-day ups and downs RANDOM, or does the stream
+    * trend/oscillate?": signs of successive differences (ties
+    * dropped, the standard treatment), `R` = number of maximal
+    * same-sign runs, and the continuity-free z in ppm:
+    * `z_ppm = sign(d) · isqrt((10¹²·d²·(N−1)) div
+    * (2·n₁·n₂·(2·n₁·n₂ − N)))` with `d = R·N − N − 2·n₁·n₂`,
+    * `N = n₁+n₂` — every value exact; degenerate streams
+    * (`2·n₁·n₂ ≤ N`) yield NULL. One row per key:
+    * `(key, n_up, n_down, n_runs, z_ppm)`.
+    *
+    * Scale shape (100 TB): one lag window per key on the horizon-
+    * bounded bucket frame, then a keyed aggregation — keys scale
+    * out, nothing global. */
+  def runsTest(df: DataFrame, keyCol: String, bucketCol: String,
+               valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val signs = df.select(col(keyCol).as("__k"),
+        col(bucketCol).cast("bigint").as("__b"),
+        col(valueCol).cast("bigint").as("__y"))
+      .withColumn("__prev", lag(col("__y"), 1).over(w))
+      .where(col("__prev").isNotNull && col("__y") =!= col("__prev"))
+      .withColumn("__s", when(col("__y") > col("__prev"), 1L).otherwise(-1L))
+    val wr = Window.partitionBy(col("__k")).orderBy(col("__b"))
+    val runs = signs
+      .withColumn("__sprev", lag(col("__s"), 1).over(wr))
+      .withColumn("__start",
+        when(col("__sprev").isNull || col("__s") =!= col("__sprev"), 1L)
+          .otherwise(0L))
+      .groupBy(col("__k"))
+      .agg(
+        sum(when(col("__s") === 1L, 1L).otherwise(0L)).cast("bigint").as("__n1"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).cast("bigint").as("__n2"),
+        sum(col("__start")).cast("bigint").as("__r"))
+    runs
+      .withColumn("__N", expr("__n1 + __n2"))
+      .withColumn("__den", expr("2L * __n1 * __n2 * (2L * __n1 * __n2 - __N)"))
+      .withColumn("__d", expr("__r * __N - __N - 2L * __n1 * __n2"))
+      .withColumn("__q", expr(
+        "CASE WHEN __den > 0 AND __N > 1 THEN " +
+          "(cast(1000000000000 as decimal(38,0)) * __d * __d * (__N - 1L)) " +
+          "div __den ELSE cast(0 as decimal(38,0)) END"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__z"))
+      .select(col("__k").as("key"), col("__n1").as("n_up"),
+        col("__n2").as("n_down"), col("__r").as("n_runs"),
+        expr("CASE WHEN __den <= 0 OR __N <= 1 THEN NULL " +
+          "WHEN __d >= 0 THEN cast(__z as bigint) " +
+          "ELSE -cast(__z as bigint) END").cast("bigint").as("z_ppm"))
+  }
+
   /** Mann–Kendall monotonic-trend test per key over a bucketed
     * series — "is this source's daily volume drifting, without
     * assuming linearity?": `S = Σ_{i<j} sign(y_j − y_i)` over

@@ -2661,6 +2661,160 @@ object StatsQ {
           .agg(count(lit(1)).cast("bigint").as("y"))
         graft.operators.RobustStats.mannKendall(c, "event_type", "b", "y")
           .orderBy("key")
+      }),
+
+    // ---- Jonckheere–Terpstra ordered trend -----------------------
+    // Does doc length shift up across source buckets 0..4 taken in
+    // order? Doubled MWU counts over (group, value) cells; no-tie
+    // variance; one floored div + one isqrt for z.
+    Q("q361_jonckheere", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH d AS (SELECT
+              |  cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 5 AS g,
+              |  n_chars AS v FROM documents),
+              |cells AS (SELECT g, v, count(*)::BIGINT AS n FROM d GROUP BY g, v),
+              |ps AS (SELECT
+              |  sum(CASE WHEN b.v > a.v THEN a.n * b.n ELSE 0 END)::BIGINT AS gt,
+              |  sum(CASE WHEN b.v = a.v THEN a.n * b.n ELSE 0 END)::BIGINT AS eq,
+              |  sum(a.n * b.n)::BIGINT AS mean2
+              |  FROM cells a JOIN cells b ON a.g < b.g),
+              |sz AS (SELECT sum(ni)::BIGINT AS nn,
+              |  sum(ni * ni * (2 * ni + 5))::BIGINT AS corr FROM
+              |  (SELECT g, sum(n)::BIGINT AS ni FROM cells GROUP BY g)),
+              |j AS (SELECT 2 * gt + eq AS j2, mean2,
+              |  nn * nn * (2 * nn + 5) - corr AS var72, nn
+              |  FROM ps CROSS JOIN sz),
+              |q2 AS (SELECT *, (CASE WHEN var72 > 0 THEN
+              |  (18000000000000::HUGEINT * (j2 - mean2) * (j2 - mean2)) // var72
+              |  ELSE 0::HUGEINT END) AS x FROM j),
+              |$ladder
+              |SELECT nn AS n_total, j2 AS j_x2, mean2 AS mean_x2,
+              |  var72 AS var_x72,
+              |  (CASE WHEN var72 <= 0 THEN NULL
+              |   WHEN j2 - mean2 >= 0 THEN rt ELSE -rt END)::BIGINT AS z_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.RobustStats.jonckheereTerpstra(
+          t(s, dir, "documents").withColumn("g",
+            expr("cast(regexp_extract(source, '([0-9]+)', 1) as bigint) % 5L")),
+          "g", "n_chars")),
+
+    // ---- modularity of the LPA communities -----------------------
+    // Quality of q245's 3-round label-propagation partition on the
+    // top-100 collocation graph: Q·4m² exact, sign-split ppm.
+    Q("q362_modularity",
+      Some(s"""WITH toks AS (SELECT ${D.tokens("text")} AS t FROM documents),
+              |pr AS (
+              |  SELECT unnest(list_transform(range(1, len(t)),
+              |    i -> {'a': least(t[i], t[i+1]), 'b': greatest(t[i], t[i+1])})) AS p
+              |  FROM toks
+              |  UNION ALL
+              |  SELECT unnest(list_transform(range(1, len(t) - 1),
+              |    i -> {'a': least(t[i], t[i+2]), 'b': greatest(t[i], t[i+2])})) AS p
+              |  FROM toks),
+              |pc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*)::BIGINT AS n
+              |  FROM pr GROUP BY 1, 2),
+              |e AS (SELECT tok_a, tok_b FROM pc
+              |  ORDER BY n DESC, tok_a, tok_b LIMIT 100),
+              |sym AS (SELECT DISTINCT a, b FROM (
+              |  SELECT tok_a AS a, tok_b AS b FROM e
+              |  UNION ALL SELECT tok_b, tok_a FROM e) WHERE a <> b),
+              |l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+              |c1 AS (SELECT s.a AS node, l.label, count(*) AS n FROM sym s
+              |  JOIN l0 l ON l.node = s.b GROUP BY 1, 2),
+              |m1 AS (SELECT node, max(n) AS mx FROM c1 GROUP BY node),
+              |l1 AS (SELECT c1.node, min(c1.label) AS label FROM c1
+              |  JOIN m1 ON m1.node = c1.node AND c1.n = m1.mx GROUP BY c1.node),
+              |c2 AS (SELECT s.a AS node, l.label, count(*) AS n FROM sym s
+              |  JOIN l1 l ON l.node = s.b GROUP BY 1, 2),
+              |m2 AS (SELECT node, max(n) AS mx FROM c2 GROUP BY node),
+              |l2 AS (SELECT c2.node, min(c2.label) AS label FROM c2
+              |  JOIN m2 ON m2.node = c2.node AND c2.n = m2.mx GROUP BY c2.node),
+              |c3 AS (SELECT s.a AS node, l.label, count(*) AS n FROM sym s
+              |  JOIN l2 l ON l.node = s.b GROUP BY 1, 2),
+              |m3 AS (SELECT node, max(n) AS mx FROM c3 GROUP BY node),
+              |l3 AS (SELECT c3.node, min(c3.label) AS label FROM c3
+              |  JOIN m3 ON m3.node = c3.node AND c3.n = m3.mx GROUP BY c3.node),
+              |ed AS (SELECT DISTINCT tok_a AS a, tok_b AS b FROM e
+              |  WHERE tok_a <> tok_b),
+              |mm AS (SELECT count(*)::BIGINT AS m FROM ed),
+              |bth AS (SELECT ed.a, ed.b, la.label AS la2, lb.label AS lb2
+              |  FROM ed JOIN l3 la ON la.node = ed.a
+              |  JOIN l3 lb ON lb.node = ed.b),
+              |intra AS (SELECT la2 AS c, count(*)::BIGINT AS e FROM bth
+              |  WHERE la2 = lb2 GROUP BY la2),
+              |deg AS (SELECT c, count(*)::BIGINT AS d FROM
+              |  (SELECT la2 AS c FROM bth UNION ALL SELECT lb2 FROM bth)
+              |  GROUP BY c),
+              |fin AS (SELECT
+              |  sum(4::HUGEINT * mm.m * coalesce(intra.e, 0)
+              |    - deg.d::HUGEINT * deg.d) AS num,
+              |  max(mm.m)::BIGINT AS m, count(*)::BIGINT AS nc
+              |  FROM deg LEFT JOIN intra ON intra.c = deg.c CROSS JOIN mm)
+              |SELECT m AS m_edges, nc AS n_communities,
+              |  (CASE WHEN m = 0 THEN NULL
+              |   WHEN num >= 0 THEN (1000000::HUGEINT * num)
+              |     // (4::HUGEINT * m * m)
+              |   ELSE -((1000000::HUGEINT * -num) // (4::HUGEINT * m * m))
+              |  END)::BIGINT AS q_ppm
+              |FROM fin""".stripMargin),
+      (s, dir) => {
+        val edges = graft.operators.Relevance.cooccurrencePairs(
+          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          .select(col("tok_a"), col("tok_b"))
+        val labels = graft.operators.Components.labelPropagation(
+          edges, "tok_a", "tok_b", rounds = 3)
+        graft.operators.Components.modularity(
+          edges, "tok_a", "tok_b", labels, "node", "label")
+      }),
+
+    // ---- Wald–Wolfowitz runs test --------------------------------
+    // Are each event type's day-over-day ups and downs random? Ties
+    // dropped, exact run counting via sign-change flags.
+    Q("q363_runs_test", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH c AS (SELECT event_type AS k,
+              |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+              |  count(*)::BIGINT AS y FROM events GROUP BY 1, 2),
+              |s AS (SELECT k, b, y,
+              |  lag(y) OVER (PARTITION BY k ORDER BY b) AS p FROM c),
+              |sg AS (SELECT k, b, CASE WHEN y > p THEN 1 ELSE -1 END AS s
+              |  FROM s WHERE p IS NOT NULL AND y <> p),
+              |r AS (SELECT k, b, s,
+              |  lag(s) OVER (PARTITION BY k ORDER BY b) AS sp FROM sg),
+              |agg AS (SELECT k,
+              |  sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+              |  sum(CASE WHEN s = -1 THEN 1 ELSE 0 END)::BIGINT AS n2,
+              |  sum(CASE WHEN sp IS NULL OR s <> sp THEN 1 ELSE 0 END)::BIGINT AS r
+              |  FROM r GROUP BY k),
+              |j AS (SELECT k, n1, n2, r, n1 + n2 AS nn,
+              |  2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS den,
+              |  r * (n1 + n2) - (n1 + n2) - 2 * n1 * n2 AS d FROM agg),
+              |q2 AS (SELECT *, (CASE WHEN den > 0 AND nn > 1 THEN
+              |  (1000000000000::HUGEINT * d * d * (nn - 1)) // den
+              |  ELSE 0::HUGEINT END) AS x FROM j),
+              |$ladder
+              |SELECT k AS key, n1 AS n_up, n2 AS n_down, r AS n_runs,
+              |  (CASE WHEN den <= 0 OR nn <= 1 THEN NULL
+              |   WHEN d >= 0 THEN rt ELSE -rt END)::BIGINT AS z_ppm
+              |FROM i4 ORDER BY key""".stripMargin)
+    },
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .withColumn("b", expr("ts div 86400000000000L"))
+          .groupBy(col("event_type"), col("b"))
+          .agg(count(lit(1)).cast("bigint").as("y"))
+        graft.operators.RobustStats.runsTest(c, "event_type", "b", "y")
+          .orderBy("key")
       })
   )
 }

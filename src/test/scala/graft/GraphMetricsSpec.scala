@@ -153,6 +153,27 @@ class GraphMetricsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("u", 4L, 2L), ("v", 5L, 4L)))
   }
 
+  test("modularity: two triangles + bridge, and the missing-label guard") {
+    import spark.implicits._
+    // m=7; communities {a,b,c}, {d,e,f}: e_c=3 each, d_c=7 each ->
+    // Q*196 = 2*(84-49) = 70 -> q_ppm = 70e6 div 196 = 357142
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("a", "d")).toDF("x", "y")
+    val labels = Seq(("a", "c1"), ("b", "c1"), ("c", "c1"),
+      ("d", "c2"), ("e", "c2"), ("f", "c2")).toDF("node", "lab")
+    val r = graft.operators.Components
+      .modularity(edges, "x", "y", labels, "node", "lab").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((7L, 2L, 357142L)))
+    // a node without a label must raise, not silently vanish
+    val partial = labels.where(
+      org.apache.spark.sql.functions.col("node") =!= "f")
+    val e = intercept[Exception](graft.operators.Components
+      .modularity(edges, "x", "y", partial, "node", "lab").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("modularity")))
+  }
+
   test("harmonicCentrality: path graph distances truncate at 3 hops") {
     import spark.implicits._
     // a-b-c-d-e: a reaches b@1, c@2, d@3 (e is 4 hops, dropped)

@@ -260,6 +260,36 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("jonckheereTerpstra: doubled MWU counts and the exact z quantization") {
+    import graft.operators.RobustStats
+    // groups 0:{1,2}, 1:{3,4}: gt=4, eq=0 -> j_x2=8, mean_x2=4;
+    // var_x72 = 16*13 - 2*36 = 136; z = isqrt((18e12*16)//136) = 1455213
+    val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("g", "v")
+    val r = RobustStats.jonckheereTerpstra(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 8L, 4L, 136L, 1455213L)))
+    // reversed order -> same magnitude, negative sign
+    val rev = Seq((1L, 1L), (1L, 2L), (0L, 3L), (0L, 4L)).toDF("g", "v")
+    assert(RobustStats.jonckheereTerpstra(rev, "g", "v")
+      .collect().head.getLong(4) == -1455213L)
+  }
+
+  test("runsTest: tie days drop, runs count by sign change, exact z") {
+    import graft.operators.RobustStats
+    // y: 1,2,1,2,3,3,2 -> signs +,-,+,+,- (the 3->3 tie drops):
+    // n1=3, n2=2, R=4; d = 4*5-5-12 = 3; den = 84;
+    // z = isqrt((1e12*9*4)//84) = 654653
+    val df = Seq(1L, 2L, 1L, 2L, 3L, 3L, 2L).zipWithIndex
+      .map { case (y, i) => ("k", i.toLong, y) }.toDF("k", "b", "y")
+    val r = RobustStats.runsTest(df, "k", "b", "y").collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 2L, 4L, 654653L)))
+    // monotone series: one run, strong negative z (fewer runs than
+    // chance); degenerate n2=0 -> den <= 0 -> NULL
+    val mono = (0 until 5).map(i => ("m", i.toLong, i.toLong)).toDF("k", "b", "y")
+    assert(RobustStats.runsTest(mono, "k", "b", "y").collect().head.isNullAt(4))
+  }
+
   test("spearmanRho: monotone, anti-monotone, ties, and constant-column NULL") {
     import graft.operators.RobustStats
     val up = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
