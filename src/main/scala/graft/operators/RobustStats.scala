@@ -566,6 +566,119 @@ object RobustStats {
           .cast("bigint").as("rho_ppm"))
   }
 
+  /** Kruskal–Wallis k-group rank test — "do these groups draw from
+    * the same distribution?" (the unordered complement of
+    * [[jonckheereTerpstra]]): global DOUBLED midranks assigned from
+    * the value histogram, per-group rank sums, and
+    * `H = 3·Σ_j R2_j²/n_j / (N(N+1)) − 3(N+1)` in ppm (one floored
+    * DECIMAL division per group term), plus the tie-adjusted
+    * `h_adj_ppm = h_ppm·(N³−N) div ((N³−N) − Σ(t³−t))` — every input
+    * exact integers; an all-ties frame (adjustment denominator 0)
+    * yields NULL. One row: `(n_total, k, h_ppm, h_adj_ppm)`. H is
+    * non-negative up to the per-group floors (which can push a
+    * near-zero H one ppm negative — sign-split divs keep engines
+    * identical there).
+    *
+    * Scale shape (100 TB): one value-histogram aggregation with a
+    * cumulative window ON THE HISTOGRAM (bounded by distinct
+    * values), broadcast back; per-group sums map-side-combine. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast("bigint").as("__v"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy(col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__cnt"))
+      .withColumn("__less", coalesce(sum(col("__cnt")).over(w), lit(0L)))
+      .withColumn("__u", expr("2L * __less + __cnt + 1L"))
+      .localCheckpoint()
+    val ranked = base.join(broadcast(hist.select(col("__v"), col("__u"))),
+      Seq("__v"))
+    val perGroup = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("bigint").as("__nj"),
+        sum(col("__u")).cast("bigint").as("__R2"))
+    val tot = perGroup.agg(sum(col("__nj")).cast("bigint").as("__N"),
+      count(lit(1)).cast("bigint").as("__k"))
+    val ties = hist.agg(
+      coalesce(sum(expr("__cnt * __cnt * __cnt - __cnt")), lit(0L))
+        .cast("bigint").as("__tsum"))
+    def sdiv(num: String, den: String) =
+      s"CASE WHEN ($num) >= 0 THEN cast(($num) div ($den) as bigint) " +
+        s"ELSE -cast((-($num)) div ($den) as bigint) END"
+    perGroup.crossJoin(broadcast(tot))
+      .withColumn("__term", expr(
+        "cast((3000000 * cast(__R2 as decimal(38,0)) * __R2) div " +
+          "(cast(__nj as decimal(38,0)) * __N * (__N + 1)) as bigint)"))
+      .agg(max(col("__N")).as("__N"), max(col("__k")).as("__k"),
+        sum(col("__term")).cast("bigint").as("__hraw"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__h", expr("__hraw - 3000000L * (__N + 1L)"))
+      .withColumn("__cden", expr("(__N * __N * __N - __N) - __tsum"))
+      .select(col("__N").cast("bigint").as("n_total"),
+        col("__k").cast("bigint").as("k"),
+        col("__h").cast("bigint").as("h_ppm"),
+        expr("CASE WHEN __cden <= 0 THEN NULL ELSE " +
+          sdiv("cast(__h as decimal(38,0)) * (__N * cast(__N as decimal(38,0)) * __N - __N)",
+            "cast(__cden as decimal(38,0))") + " END")
+          .cast("bigint").as("h_adj_ppm"))
+  }
+
+  /** Page's L trend test — the ORDERED-treatment refinement of
+    * [[graft.operators.EvalStats.friedmanRanks]]: within each block,
+    * doubled midranks; `L2 = Σ_j (j+1)·R2_j` with `j` the 0-based
+    * treatment ORDER (the alternative "values increase along the
+    * given treatment order"); null mean `mean2 = n·k·(k+1)²/2` and
+    * `z_ppm = sign(d)·isqrt((36·10¹²·d²) div (n·k²·(k+1)·(k²−1)))`,
+    * `d = L2 − mean2` — exact integers throughout (ties make the
+    * no-tie variance conservative, documented). Blocks must carry
+    * all k treatments (loud raise otherwise). One row:
+    * `(n_blocks, k, l_x2, mean_x2, z_ppm)`.
+    *
+    * Scale shape (100 TB): one window partitioned by block (k rows
+    * each), one treatment-cardinality aggregation. */
+  def pageTrend(df: DataFrame, blockCol: String, orderCol: String,
+                valueCol: String): DataFrame = {
+    val base = df.select(col(blockCol).as("__b"),
+      col(orderCol).cast("bigint").as("__j"),
+      col(valueCol).cast("bigint").as("__v"))
+    val wB = Window.partitionBy(col("__b"))
+    val ranked = base
+      .withColumn("__r2",
+        expr("2L").multiply(coalesce(count(lit(1)).over(
+          wB.orderBy(col("__v")).rangeBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+          .plus(count(lit(1)).over(
+            wB.orderBy(col("__v")).rangeBetween(0, 0)))
+          .plus(lit(1L)))
+    val perTreatment = ranked.groupBy(col("__j"))
+      .agg(sum(col("__r2")).cast("bigint").as("__R2"),
+        count(lit(1)).cast("bigint").as("__nb"))
+    val k = perTreatment.agg(count(lit(1)).as("__k"),
+      max(col("__nb")).as("__nmax"), min(col("__nb")).as("__nmin"))
+    perTreatment.crossJoin(broadcast(k))
+      .withColumn("__nmin", expr(
+        "CASE WHEN __nmin = __nmax THEN __nmin ELSE raise_error(" +
+          "'pageTrend: blocks are incomplete — build the full " +
+          "block x treatment grid first') END"))
+      .agg(max(col("__nmin")).cast("bigint").as("__n"),
+        max(col("__k")).cast("bigint").as("__k"),
+        sum(expr("(__j + 1L) * __R2")).cast("bigint").as("__L2"))
+      .withColumn("__mean2", expr("(__n * __k * (__k + 1L) * (__k + 1L)) div 2L"))
+      .withColumn("__d", expr("__L2 - __mean2"))
+      .withColumn("__den", expr(
+        "__n * __k * __k * (__k + 1L) * (__k * __k - 1L)"))
+      .withColumn("__q", expr(
+        "CASE WHEN __den > 0 THEN (cast(36000000000000 as decimal(38,0)) " +
+          "* __d * __d) div __den ELSE cast(0 as decimal(38,0)) END"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__z"))
+      .select(col("__n").as("n_blocks"), col("__k").as("k"),
+        col("__L2").as("l_x2"), col("__mean2").as("mean_x2"),
+        expr("CASE WHEN __den <= 0 THEN NULL " +
+          "WHEN __d >= 0 THEN cast(__z as bigint) " +
+          "ELSE -cast(__z as bigint) END").cast("bigint").as("z_ppm"))
+  }
+
   /** Jonckheere–Terpstra ordered-alternative test — "does the value
     * distribution shift UP as we walk the groups in their given
     * order?" (k ordered buckets vs Kruskal-type unordered): J = the

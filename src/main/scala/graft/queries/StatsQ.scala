@@ -2815,6 +2815,97 @@ object StatsQ {
           .agg(count(lit(1)).cast("bigint").as("y"))
         graft.operators.RobustStats.runsTest(c, "event_type", "b", "y")
           .orderBy("key")
+      }),
+
+    // ---- Kruskal–Wallis k-group rank test ------------------------
+    // Do the five event types draw per-user volumes from the same
+    // distribution? Global doubled midranks from the value
+    // histogram; tie-adjusted H in ppm.
+    Q("q364_kruskal_wallis",
+      Some("""WITH c AS (SELECT event_type AS g, count(*)::BIGINT AS v
+             |  FROM events GROUP BY user_id, event_type),
+             |hist AS (SELECT v, count(*)::BIGINT AS cnt FROM c GROUP BY v),
+             |hu AS (SELECT v, 2 * coalesce(sum(cnt) OVER (ORDER BY v
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |  + cnt + 1 AS u FROM hist),
+             |r AS (SELECT c.g, hu.u FROM c JOIN hu ON c.v = hu.v),
+             |pg AS (SELECT g, count(*)::BIGINT AS nj, sum(u)::BIGINT AS r2
+             |  FROM r GROUP BY g),
+             |tt AS (SELECT sum(nj)::BIGINT AS nn, count(*)::BIGINT AS k FROM pg),
+             |ts AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0)::BIGINT
+             |  AS tsum FROM hist),
+             |tm AS (SELECT ((3000000::HUGEINT * r2 * r2)
+             |  // (nj::HUGEINT * nn * (nn + 1)))::BIGINT AS term, nn, k
+             |  FROM pg CROSS JOIN tt),
+             |ag AS (SELECT max(nn)::BIGINT AS nn, max(k)::BIGINT AS k,
+             |  sum(term)::BIGINT AS hraw FROM tm),
+             |fin AS (SELECT nn, k, hraw - 3000000 * (nn + 1) AS h,
+             |  (nn * nn * nn - nn) - ts.tsum AS cden FROM ag CROSS JOIN ts)
+             |SELECT nn AS n_total, k, h::BIGINT AS h_ppm,
+             |  (CASE WHEN cden <= 0 THEN NULL
+             |   WHEN h >= 0 THEN (h::HUGEINT * (nn::HUGEINT * nn * nn - nn)) // cden
+             |   ELSE -(((-h)::HUGEINT * (nn::HUGEINT * nn * nn - nn)) // cden)
+             |  END)::BIGINT AS h_adj_ppm
+             |FROM fin""".stripMargin),
+      (s, dir) => {
+        val c = t(s, dir, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).cast("bigint").as("v"))
+        graft.operators.RobustStats.kruskalWallis(c, "event_type", "v")
+      }),
+
+    // ---- Page's L ordered trend ----------------------------------
+    // Does per-user volume DECREASE along the funnel order view ->
+    // click -> purchase -> signup -> error? (z's sign answers.)
+    // Complete grid, doubled midranks, exact integer L.
+    Q("q365_page_trend", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+              |ty AS (SELECT unnest(['view','click','purchase','signup','error']) AS et,
+              |  unnest([0, 1, 2, 3, 4]) AS j),
+              |c AS (SELECT user_id, event_type AS et, count(*)::BIGINT AS v
+              |  FROM events GROUP BY user_id, event_type),
+              |g AS (SELECT u.user_id, ty.j, coalesce(c.v, 0) AS v
+              |  FROM u CROSS JOIN ty LEFT JOIN c
+              |  ON c.user_id = u.user_id AND c.et = ty.et),
+              |rk AS (SELECT j,
+              |  2 * (rank() OVER (PARTITION BY user_id ORDER BY v) - 1)
+              |    + count(*) OVER (PARTITION BY user_id, v) + 1 AS r2 FROM g),
+              |pt AS (SELECT j, sum(r2)::BIGINT AS r2j, count(*)::BIGINT AS nb
+              |  FROM rk GROUP BY j),
+              |a AS (SELECT count(*)::BIGINT AS k, max(nb)::BIGINT AS n,
+              |  sum((j + 1) * r2j)::BIGINT AS l2 FROM pt),
+              |f AS (SELECT n, k, l2,
+              |  (n * k * (k + 1) * (k + 1)) // 2 AS mean2,
+              |  n * k * k * (k + 1) * (k * k - 1) AS den FROM a),
+              |q2 AS (SELECT *, (CASE WHEN den > 0 THEN
+              |  (36000000000000::HUGEINT * (l2 - mean2) * (l2 - mean2)) // den
+              |  ELSE 0::HUGEINT END) AS x FROM f),
+              |$ladder
+              |SELECT n AS n_blocks, k, l2 AS l_x2, mean2 AS mean_x2,
+              |  (CASE WHEN den <= 0 THEN NULL
+              |   WHEN l2 - mean2 >= 0 THEN rt ELSE -rt END)::BIGINT AS z_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val users = ev.select(col("user_id")).distinct()
+        val ty = ev.sparkSession.range(1).select(explode(array(
+          Seq(("view", 0), ("click", 1), ("purchase", 2), ("signup", 3),
+            ("error", 4)).map { case (n, j) =>
+            struct(lit(n).as("et"), lit(j.toLong).as("j"))
+          }: _*)).as("s"))
+          .select(col("s.et").as("et"), col("s.j").as("j"))
+        val cnt = ev.groupBy(col("user_id"), col("event_type").as("et"))
+          .agg(count(lit(1)).cast("bigint").as("v"))
+        val grid = users.crossJoin(broadcast(ty))
+          .join(cnt, Seq("user_id", "et"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L)))
+        graft.operators.RobustStats.pageTrend(grid, "user_id", "j", "v")
       })
   )
 }

@@ -260,6 +260,44 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("kruskalWallis: H = 2.4 on the textbook 2x2 fixture; all-ties NULL adjust") {
+    import graft.operators.RobustStats
+    // A{1,2}, B{3,4}: R_A=3, R_B=7 -> H = 0.6*29 - 15 = 2.4; no ties
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L)).toDF("g", "v")
+    val r = RobustStats.kruskalWallis(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 2L, 2400000L, 2400000L)))
+    // every value identical: H = 0 and the tie adjustment divides by
+    // zero -> NULL, not a fake 0/0
+    val tied = Seq(("A", 5L), ("B", 5L)).toDF("g", "v")
+    val r2 = RobustStats.kruskalWallis(tied, "g", "v").collect().head
+    assert(r2.getLong(2) == 0L && r2.isNullAt(3))
+  }
+
+  test("pageTrend: monotone-with-order blocks give z = 2 exactly") {
+    import graft.operators.RobustStats
+    // 2 blocks, values rise with order j: L2 = 56, mean2 = 48,
+    // den = 576 -> z = isqrt((36e12*64)//576) = 2000000
+    val up = Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L),
+      (2L, 0L, 1L), (2L, 1L, 2L), (2L, 2L, 3L)).toDF("b", "j", "v")
+    val r = RobustStats.pageTrend(up, "b", "j", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 3L, 56L, 48L, 2000000L)))
+    // reversed values: same magnitude, negative
+    val down = Seq((1L, 0L, 3L), (1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 0L, 3L), (2L, 1L, 2L), (2L, 2L, 1L)).toDF("b", "j", "v")
+    assert(RobustStats.pageTrend(down, "b", "j", "v")
+      .collect().head.getLong(4) == -2000000L)
+    // incomplete block raises
+    val bad = Seq((1L, 0L, 1L), (1L, 1L, 2L), (2L, 0L, 1L))
+      .toDF("b", "j", "v")
+    val e = intercept[Exception](
+      RobustStats.pageTrend(bad, "b", "j", "v").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("pageTrend")))
+  }
+
   test("jonckheereTerpstra: doubled MWU counts and the exact z quantization") {
     import graft.operators.RobustStats
     // groups 0:{1,2}, 1:{3,4}: gt=4, eq=0 -> j_x2=8, mean_x2=4;
