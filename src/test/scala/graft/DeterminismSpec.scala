@@ -148,4 +148,54 @@ class DeterminismSpec extends SparkSpec {
       minProminence = 3L))
     inv(df => RobustStats.theilSenSlope(df, "user_id", "b", "mv"))
   }
+
+  test("round-7 statistics operators are partitioning-invariant") {
+    val events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      .withColumn("b", expr("ts div 86400000000000L"))
+    def inv(f: DataFrame => DataFrame): Unit = {
+      def c(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+      val base = c(f(events))
+      assert(base.nonEmpty)
+      assert(c(f(events.repartition(7))) == base,
+        "repartition(7) changed the result")
+      assert(c(f(events.repartition(3, col("event_type")))) == base,
+        "key-partitioned layout changed the result")
+    }
+    def perUserCounts(df: DataFrame) =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("v"))
+    inv(df => TimeSeries.sprtMonitor(
+      df.withColumn("g", expr("user_id % 10L")), "g", "event_id",
+      col("event_type") === "view", 0.2, 0.4))
+    inv(df => EvalStats.brierDecomposition(
+      df.withColumn("xb",
+        expr("cast(get_json_object(props, '$.k') as bigint) div 10L")),
+      "xb", col("event_type") === "purchase"))
+    inv(df => RobustStats.kruskalWallis(perUserCounts(df), "event_type", "v"))
+    inv(df => RobustStats.mannKendall(
+      df.groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).cast("bigint").as("y")),
+      "event_type", "b", "y"))
+    inv(df => RobustStats.runsTest(
+      df.groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).cast("bigint").as("y")),
+      "event_type", "b", "y"))
+    inv(df => RobustStats.spearmanRho(
+      df.groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y")),
+      "x", "y"))
+  }
+
+  test("round-7 dedup/mixing operators are partitioning-invariant") {
+    invariant(df => DedupOps.exactJaccardJoin(
+      df.where(col("doc_id") < 200), "doc_id", "text", 19L, 20L))
+    invariant(df => Mixing.ipfRaking(df, "source", "lang", iters = 2))
+    invariant(df => Mixing.vocabShapley(
+      df.withColumn("p",
+        expr("cast(regexp_extract(source, '([0-9]+)', 1) as bigint) % 5L")),
+      "p", "text", k = 5))
+    invariant(df => TextOps.bigramLmSurprisal(df, "doc_id", "text"))
+  }
 }
