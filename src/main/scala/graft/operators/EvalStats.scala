@@ -1024,6 +1024,93 @@ object EvalStats {
             |END""".stripMargin).cast("bigint").as("fr_ppm"))
   }
 
+  /** Fleiss' kappa for n binary raters on shared items — "do these
+    * detectors/annotators agree beyond chance?" (the multi-rater
+    * generalization of Cohen's κ). With per-item positive counts
+    * `a_i` out of `n` raters: `P̄ = Σ(a² + (n−a)² − n) / (N·n·(n−1))`
+    * and `P̄_e = ((Σa)² + (Nn−Σa)²) / (Nn)²`; κ emitted as the exact
+    * sign-split ppm of
+    * `(S1·(Nn)² − S2·N·n·(n−1)) / (N·n·(n−1)·((Nn)² − S2))` on
+    * DECIMAL(38,0) — perfect chance-agreement (denominator 0) yields
+    * NULL. One row: `(n_items, n_raters, kappa_ppm)`.
+    *
+    * Scale shape (100 TB): one pass — the rater conditions evaluate
+    * per row, a single global aggregation collects the three sums. */
+  def fleissKappa(df: DataFrame,
+                  raterConds: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val n = raterConds.size
+    require(n >= 2, "fleissKappa needs at least two raters")
+    val a = raterConds.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    df.select(a.as("__a"))
+      .agg(count(lit(1)).cast("bigint").as("__N"),
+        sum(col("__a")).cast("bigint").as("__SA"),
+        sum(expr(s"__a * __a + (${n}L - __a) * (${n}L - __a) - ${n}L"))
+          .cast("bigint").as("__S1"))
+      .withColumn("__Nn", expr(s"__N * ${n}L"))
+      .withColumn("__S2", expr(
+        "cast(__SA as decimal(38,0)) * __SA + " +
+          "(cast(__Nn as decimal(38,0)) - __SA) * (__Nn - __SA)"))
+      .withColumn("__num", expr(
+        s"cast(__S1 as decimal(38,0)) * __Nn * __Nn " +
+          s"- __S2 * __N * ${n}L * ${n - 1}L"))
+      .withColumn("__den", expr(
+        s"cast(__N as decimal(38,0)) * ${n}L * ${n - 1}L " +
+          "* (cast(__Nn as decimal(38,0)) * __Nn - __S2)"))
+      .select(col("__N").as("n_items"), lit(n.toLong).as("n_raters"),
+        expr("CASE WHEN __den <= 0 THEN NULL " +
+          "WHEN __num >= 0 THEN cast((1000000 * __num) div __den as bigint) " +
+          "ELSE -cast((1000000 * -__num) div __den as bigint) END")
+          .cast("bigint").as("kappa_ppm"))
+  }
+
+  /** Cramér's V over a two-way contingency — the [0,1] effect size
+    * the χ² p-value can't give you ("HOW associated are source and
+    * language?"). The FULL grid (observed cells plus structural
+    * zeros — a zero cell still contributes its expectation) feeds
+    * per-cell quantized terms
+    * `10⁶·(O·N − r·c)² div (N·r·c)` (one floor each, DECIMAL
+    * products), and `v_ppm = isqrt((10⁶·χ²_ppm) div (N·min(R−1,
+    * C−1)))`. One row: `(n, n_rows, n_cols, chi2_ppm, v_ppm)`;
+    * single-row or single-column tables yield NULL V.
+    *
+    * Scale shape (100 TB): one keyed aggregation to cells, margins
+    * from the cell frame, the R×C grid cross is dimension-sized. */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).cast("bigint").as("__o"))
+      .localCheckpoint()
+    val rows = cells.groupBy(col("__r")).agg(sum(col("__o")).cast("bigint").as("__rm"))
+    val cols_ = cells.groupBy(col("__c")).agg(sum(col("__o")).cast("bigint").as("__cm"))
+    val tot = cells.agg(sum(col("__o")).cast("bigint").as("__N"),
+      countDistinct(col("__r")).cast("bigint").as("__nr"),
+      countDistinct(col("__c")).cast("bigint").as("__nc"))
+    rows.crossJoin(cols_)
+      .join(cells, Seq("__r", "__c"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", expr(
+        "cast((1000000 * (cast(__o as decimal(38,0)) * __N - " +
+          "cast(__rm as decimal(38,0)) * __cm) * " +
+          "(cast(__o as decimal(38,0)) * __N - " +
+          "cast(__rm as decimal(38,0)) * __cm)) div " +
+          "(cast(__N as decimal(38,0)) * __rm * __cm) as bigint)"))
+      .agg(max(col("__N")).as("__N"), max(col("__nr")).as("__nr"),
+        max(col("__nc")).as("__nc"),
+        sum(col("__term")).cast("bigint").as("__chi2"))
+      .withColumn("__m", expr(
+        "CASE WHEN __nr - 1L < __nc - 1L THEN __nr - 1L ELSE __nc - 1L END"))
+      .withColumn("__q", expr(
+        "CASE WHEN __m > 0 THEN (cast(1000000 as decimal(38,0)) * __chi2) " +
+          "div (cast(__N as decimal(38,0)) * __m) ELSE cast(0 as decimal(38,0)) END"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__v"))
+      .select(col("__N").cast("bigint").as("n"),
+        col("__nr").cast("bigint").as("n_rows"),
+        col("__nc").cast("bigint").as("n_cols"),
+        col("__chi2").as("chi2_ppm"),
+        expr("CASE WHEN __m <= 0 THEN NULL ELSE cast(__v as bigint) END")
+          .cast("bigint").as("v_ppm"))
+  }
+
   /** Bradley–Terry strengths from aggregated pairwise outcomes — the
     * arena-style model ranking: given per-pair game counts and wins,
     * run `iters` minorize–maximize updates

@@ -566,6 +566,52 @@ object RobustStats {
           .cast("bigint").as("rho_ppm"))
   }
 
+  /** Hodges–Lehmann shift estimate between two arms — the robust
+    * EFFECT SIZE companion to the Mann–Whitney test: the weighted
+    * lower median of all pairwise differences `b − a` (arm B minus
+    * arm A), computed on (value, count) CELLS so the quadratic pair
+    * space never materializes per row. The estimate is an exact
+    * integer in the value's own units (lower median = smallest
+    * difference whose cumulative pair weight reaches `(W+1) div 2`).
+    * One row: `(n_a, n_b, n_pairs, hl_shift)`.
+    *
+    * Scale shape (100 TB): rows collapse to per-arm value histograms;
+    * the difference frame is (distinct_a × distinct_b) — bounded by
+    * value cardinality squared, not row count — and one global-window
+    * cumulative on that bounded frame picks the median. */
+  def hodgesLehmann(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                    valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+      col(valueCol).cast("bigint").as("__v"))
+    val cells = base.groupBy(col("__arm"), col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .localCheckpoint()
+    val a = cells.where(col("__arm") === 0L)
+      .select(col("__v").as("__va"), col("__n").as("__na"))
+    val b = cells.where(col("__arm") === 1L)
+      .select(col("__v").as("__vb"), col("__n").as("__nb"))
+    val diffs = a.crossJoin(b)
+      .groupBy((col("__vb") - col("__va")).as("__d"))
+      .agg(sum(expr("__na * __nb")).cast("bigint").as("__w"))
+    val w = Window.orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = diffs.agg(sum(col("__w")).cast("bigint").as("__tw"))
+    val na = base.where(col("__arm") === 0L)
+      .agg(count(lit(1)).cast("bigint").as("__qa"))
+    val nb = base.where(col("__arm") === 1L)
+      .agg(count(lit(1)).cast("bigint").as("__qb"))
+    diffs
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("__cum") >= expr("(__tw + 1L) div 2L"))
+      .orderBy(col("__d"))
+      .limit(1)
+      .crossJoin(broadcast(na))
+      .crossJoin(broadcast(nb))
+      .select(col("__qa").as("n_a"), col("__qb").as("n_b"),
+        col("__tw").as("n_pairs"), col("__d").cast("bigint").as("hl_shift"))
+  }
+
   /** Kruskal–Wallis k-group rank test — "do these groups draw from
     * the same distribution?" (the unordered complement of
     * [[jonckheereTerpstra]]): global DOUBLED midranks assigned from

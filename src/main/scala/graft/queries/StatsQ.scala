@@ -2906,6 +2906,99 @@ object StatsQ {
           .join(cnt, Seq("user_id", "et"), "left")
           .withColumn("v", coalesce(col("v"), lit(0L)))
         graft.operators.RobustStats.pageTrend(grid, "user_id", "j", "v")
-      })
+      }),
+
+    // ---- Fleiss' kappa across three detectors --------------------
+    // Do three cheap "long document" detectors agree beyond chance?
+    // Exact rational kappa on DECIMAL/HUGEINT products.
+    Q("q366_fleiss_kappa",
+      Some("""WITH p AS (SELECT
+             |  CASE WHEN n_chars > 400 THEN 1 ELSE 0 END +
+             |  CASE WHEN len(string_split(text, ' ')) > 60 THEN 1 ELSE 0 END +
+             |  CASE WHEN position(' the ' IN text) > 0 THEN 1 ELSE 0 END AS a
+             |  FROM documents),
+             |ag AS (SELECT count(*)::BIGINT AS nn, sum(a)::BIGINT AS sa,
+             |  sum(a * a + (3 - a) * (3 - a) - 3)::BIGINT AS s1 FROM p),
+             |f AS (SELECT nn, nn * 3 AS nr, sa, s1,
+             |  (sa::HUGEINT * sa + (nn * 3 - sa)::HUGEINT * (nn * 3 - sa)) AS s2
+             |  FROM ag),
+             |g AS (SELECT nn, s1::HUGEINT * nr * nr - s2 * nn * 3 * 2 AS num,
+             |  nn::HUGEINT * 3 * 2 * (nr::HUGEINT * nr - s2) AS den FROM f)
+             |SELECT nn AS n_items, 3::BIGINT AS n_raters,
+             |  (CASE WHEN den <= 0 THEN NULL
+             |   WHEN num >= 0 THEN (1000000 * num) // den
+             |   ELSE -((1000000 * -num) // den) END)::BIGINT AS kappa_ppm
+             |FROM g""".stripMargin),
+      (s, dir) =>
+        EvalStats.fleissKappa(t(s, dir, "documents"), Seq(
+          col("n_chars") > 400L,
+          expr("size(split(text, ' ')) > 60"),
+          col("text").contains(" the ")))),
+
+    // ---- Hodges–Lehmann shift ------------------------------------
+    // Robust location shift between English and non-English doc
+    // lengths: weighted lower median of all pairwise differences,
+    // computed on value cells.
+    Q("q367_hodges_lehmann",
+      Some("""WITH b0 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents),
+             |cells AS (SELECT arm, v, count(*)::BIGINT AS n FROM b0
+             |  GROUP BY arm, v),
+             |a AS (SELECT v AS va, n AS na FROM cells WHERE arm = 0),
+             |b AS (SELECT v AS vb, n AS nb FROM cells WHERE arm = 1),
+             |d AS (SELECT vb - va AS d, sum(na * nb)::BIGINT AS w
+             |  FROM a CROSS JOIN b GROUP BY vb - va),
+             |t2 AS (SELECT sum(w)::BIGINT AS tw FROM d),
+             |c2 AS (SELECT d, w, sum(w) OVER (ORDER BY d
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d),
+             |pick AS (SELECT d FROM c2 CROSS JOIN t2
+             |  WHERE cum >= (tw + 1) // 2 ORDER BY d LIMIT 1),
+             |na2 AS (SELECT count(*)::BIGINT AS qa FROM b0 WHERE arm = 0),
+             |nb2 AS (SELECT count(*)::BIGINT AS qb FROM b0 WHERE arm = 1)
+             |SELECT qa AS n_a, qb AS n_b, tw AS n_pairs, d::BIGINT AS hl_shift
+             |FROM pick CROSS JOIN t2 CROSS JOIN na2 CROSS JOIN nb2""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.hodgesLehmann(
+          t(s, dir, "documents"), col("lang") === "en", "n_chars")),
+
+    // ---- Cramér's V ----------------------------------------------
+    // Effect size of the source × lang association: full-grid chi2
+    // (structural zeros included), per-cell floors, isqrt-pinned V.
+    Q("q368_cramers_v", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH cells AS (SELECT source AS r, lang AS c,
+              |  count(*)::BIGINT AS o FROM documents GROUP BY 1, 2),
+              |rm AS (SELECT r, sum(o)::BIGINT AS rm FROM cells GROUP BY r),
+              |cm AS (SELECT c, sum(o)::BIGINT AS cm FROM cells GROUP BY c),
+              |tt AS (SELECT sum(o)::BIGINT AS nn,
+              |  count(DISTINCT r)::BIGINT AS nr,
+              |  count(DISTINCT c)::BIGINT AS nc FROM cells),
+              |grid AS (SELECT rm.r, cm.c, rm.rm, cm.cm,
+              |  coalesce(cells.o, 0) AS o FROM rm CROSS JOIN cm
+              |  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+              |tm AS (SELECT ((1000000::HUGEINT
+              |  * (o::HUGEINT * tt.nn - rm::HUGEINT * cm)
+              |  * (o::HUGEINT * tt.nn - rm::HUGEINT * cm))
+              |  // (tt.nn::HUGEINT * rm * cm))::BIGINT AS term,
+              |  tt.nn, tt.nr, tt.nc FROM grid CROSS JOIN tt),
+              |ag AS (SELECT max(nn)::BIGINT AS nn, max(nr)::BIGINT AS nr,
+              |  max(nc)::BIGINT AS nc, sum(term)::BIGINT AS chi2 FROM tm),
+              |f AS (SELECT nn, nr, nc, chi2,
+              |  CASE WHEN nr - 1 < nc - 1 THEN nr - 1 ELSE nc - 1 END AS m
+              |  FROM ag),
+              |q2 AS (SELECT *, (CASE WHEN m > 0 THEN
+              |  (1000000::HUGEINT * chi2) // (nn::HUGEINT * m)
+              |  ELSE 0::HUGEINT END) AS x FROM f),
+              |$ladder
+              |SELECT nn AS n, nr AS n_rows, nc AS n_cols, chi2 AS chi2_ppm,
+              |  (CASE WHEN m <= 0 THEN NULL ELSE rt END)::BIGINT AS v_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) =>
+        EvalStats.cramersV(t(s, dir, "documents"), "source", "lang"))
   )
 }

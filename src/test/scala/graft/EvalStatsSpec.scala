@@ -496,6 +496,37 @@ class EvalStatsSpec extends SparkSpec {
       s"normalized strengths must sum to ~3e6 (floor loss < k), got $sum")
   }
 
+  test("fleissKappa: perfect agreement, disagreement sign, degenerate NULL") {
+    val conds = Seq(col("a") === 1, col("b") === 1, col("c") === 1)
+    // unanimous on every item -> kappa = 1
+    val perfect = Seq((1, 1, 1), (0, 0, 0)).toDF("a", "b", "c")
+    assert(EvalStats.fleissKappa(perfect, conds).collect().head.getLong(2)
+      == 1000000L)
+    // systematic disagreement (1-of-3 vs 2-of-3): kappa = -72/216 ->
+    // sign-split floor = -333333
+    val dis = Seq((1, 0, 0), (0, 1, 1)).toDF("a", "b", "c")
+    assert(EvalStats.fleissKappa(dis, conds).collect().head.getLong(2)
+      == -333333L)
+    // all raters always positive: chance agreement is total -> NULL
+    val const = Seq((1, 1, 1), (1, 1, 1)).toDF("a", "b", "c")
+    assert(EvalStats.fleissKappa(const, conds).collect().head.isNullAt(2))
+  }
+
+  test("cramersV: perfect association = 1e6 ppm, independence = 0") {
+    val perfect = (Seq.fill(5)(("r0", "c0")) ++ Seq.fill(5)(("r1", "c1")))
+      .toDF("r", "c")
+    val p = EvalStats.cramersV(perfect, "r", "c").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((10L, 2L, 2L)))
+    assert(p.getLong(4) == 1000000L)
+    val indep = (for { r <- Seq("r0", "r1"); c <- Seq("c0", "c1");
+      _ <- 1 to 5 } yield (r, c)).toDF("r", "c")
+    val i = EvalStats.cramersV(indep, "r", "c").collect().head
+    assert(i.getLong(3) == 0L && i.getLong(4) == 0L)
+    // a single-column table has no association dimension -> NULL
+    val onecol = Seq(("r0", "c0"), ("r1", "c0")).toDF("r", "c")
+    assert(EvalStats.cramersV(onecol, "r", "c").collect().head.isNullAt(4))
+  }
+
   test("stratifiedContrast: per-stratum arms, decimal sums, NULL on empty arm") {
     val df = Seq(
       (0L, true, "2.00"), (0L, true, "4.00"), (0L, false, "1.00"),

@@ -260,6 +260,22 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("hodgesLehmann: weighted lower median of pairwise differences") {
+    import graft.operators.RobustStats
+    import org.apache.spark.sql.functions.col
+    // A {1,2}, B {4,7}: diffs {2,3,5,6} -> lower median 3
+    val df = Seq((false, 1L), (false, 2L), (true, 4L), (true, 7L))
+      .toDF("inB", "v")
+    val r = RobustStats.hodgesLehmann(df, col("inB"), "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 4L, 3L)))
+    // duplicated values weight the cells: A {1,1}, B {2} -> diffs
+    // {1 (w=2)} -> HL = 1
+    val dup = Seq((false, 1L), (false, 1L), (true, 2L)).toDF("inB", "v")
+    assert(RobustStats.hodgesLehmann(dup, col("inB"), "v")
+      .collect().head.getLong(3) == 1L)
+  }
+
   test("kruskalWallis: H = 2.4 on the textbook 2x2 fixture; all-ties NULL adjust") {
     import graft.operators.RobustStats
     // A{1,2}, B{3,4}: R_A=3, R_B=7 -> H = 0.6*29 - 15 = 2.4; no ties
