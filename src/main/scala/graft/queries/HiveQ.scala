@@ -437,6 +437,36 @@ object HiveQ {
           .groupBy(col("lang"))
           .agg(sum(col("length")).cast("bigint").as("total_bytes"))
           .orderBy("lang")
+      }),
+
+    // ---- CHECK-constraint ingestion gate -------------------------
+    // Delta-style table constraint: after registering
+    // o_totalprice > 0, a batch carrying a poisoned row is rejected
+    // WHOLESALE (nothing lands — no version, no files), while clean
+    // batches keep flowing. The read-back proves exactly one 'F'
+    // re-append made it through: F counts double, the poisoned batch
+    // contributes nothing.
+    Q("q369_managed_constraints",
+      Some("""SELECT o_orderstatus,
+             |  (count(*) * CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END)::BIGINT AS n
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        val ds = graft.sources.ManagedDataset(
+          tmp("graft_q369_") + "/ds", Nil)(s)
+        val orders = t(s, dir, "orders")
+        ds.write(orders)
+        ds.addConstraint("positive_price", "o_totalprice > 0")
+        val poisoned = orders.where(col("o_orderstatus") === "O").limit(10)
+          .withColumn("o_totalprice", lit(-1.0))
+        val rejected =
+          try { ds.append(poisoned); false }
+          catch { case e: IllegalStateException =>
+            e.getMessage.contains("positive_price") }
+        require(rejected, "q369: the poisoned batch must be rejected")
+        ds.append(orders.where(col("o_orderstatus") === "F"))
+        ds.scan().get
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
       })
   )
 }

@@ -104,6 +104,12 @@ case class ManagedDataset(
                      txn: Option[(String, Long)]): Boolean = {
     validate(df)
     fs.mkdirs(logDir)
+    // CHECK constraints gate the batch BEFORE any data lands: a
+    // violating frame writes NOTHING (no data dir, no manifest) —
+    // the atomicity Delta's constraint enforcement promises. SQL
+    // semantics: a row violates when the predicate is FALSE; NULL
+    // passes (add an IS NOT NULL conjunct to forbid nulls).
+    enforceConstraints(df, constraints())
     if (txn.exists { case (app, id) => lastCommittedBatch(app).exists(_ >= id) })
       return false // redelivered batch — already durable, skip
     val firstTarget = latestVersion().map(_ + 1).getOrElse(1L)
@@ -128,14 +134,94 @@ case class ManagedDataset(
         return false
       }
       val version = parent.map(_ + 1).getOrElse(1L)
-      val parentM = if (mode == "append") parent.map(readManifest) else None
+      val parentAny = parent.map(readManifest)
+      val parentM = if (mode == "append") parentAny else None
       val dirs = parentM.map(_.commitDirs).getOrElse(Nil) :+ dataDir
       val stats = parentM.map(_.stats).getOrElse(Map.empty) ++
         (if (newStats.nonEmpty) Map(dataDir -> newStats) else Map.empty)
+      // constraints survive overwrite too (Delta semantics: table
+      // metadata, not data)
       committed = publishManifest(version,
-        ManagedDataset.renderManifest(version, mode, dirs, df.schema, txn, stats))
+        ManagedDataset.renderManifest(version, mode, dirs, df.schema, txn,
+          stats, parentAny.map(_.constraints).getOrElse(Map.empty)))
     }
     true
+  }
+
+  // ---- CHECK constraints -----------------------------------------
+
+  /** The table's active CHECK constraints (name → SQL predicate). */
+  def constraints(): Map[String, String] =
+    latestVersion().map(readManifest(_).constraints).getOrElse(Map.empty)
+
+  /** Register a CHECK constraint: every future write/append batch
+    * must satisfy `predicateSql` on every row or the WHOLE batch is
+    * rejected before any data lands (nothing partial, ever). The
+    * existing table contents are validated first — a constraint that
+    * the current data already violates is refused, exactly like
+    * `ALTER TABLE … ADD CONSTRAINT CHECK` on Delta. NULL predicate
+    * results pass (SQL CHECK semantics); conjoin `IS NOT NULL` to
+    * forbid nulls. The constraint is table METADATA: it rides the
+    * manifest, survives overwrites, restarts, and time travel. */
+  def addConstraint(name: String, predicateSql: String): Unit = {
+    require(name.nonEmpty && predicateSql.nonEmpty,
+      "constraint name and predicate must be non-empty")
+    val parent = latestVersion().getOrElse(throw new IllegalStateException(
+      s"addConstraint: $cleanUrl has no committed version yet — write first"))
+    scan().foreach(existing =>
+      enforceConstraints(existing, Map(name -> predicateSql)))
+    publishMetadataChange(parent) { m =>
+      m.copy(constraints = m.constraints + (name -> predicateSql))
+    }
+  }
+
+  /** Remove a CHECK constraint (no-op if absent). */
+  def dropConstraint(name: String): Unit =
+    latestVersion().foreach(parent =>
+      publishMetadataChange(parent)(m =>
+        m.copy(constraints = m.constraints - name)))
+
+  /** Commit a metadata-only manifest derived from the latest one —
+    * same data dirs/stats/schema, new version; losers of the version
+    * race re-base and retry like [[commit]]. */
+  private def publishMetadataChange(firstParent: Long)(
+      f: ManagedDataset.Manifest => ManagedDataset.Manifest): Unit = {
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      require(attempts <= ManagedDataset.MaxCommitAttempts,
+        s"metadata commit to $cleanUrl lost " +
+          s"${ManagedDataset.MaxCommitAttempts} consecutive version races")
+      val parent = latestVersion().getOrElse(firstParent)
+      val m = f(readManifest(parent))
+      committed = publishManifest(parent + 1,
+        ManagedDataset.renderManifest(parent + 1, "metadata", m.commitDirs,
+          m.schema, None, m.stats, m.constraints))
+    }
+  }
+
+  /** One-pass violation census: a single aggregation counts FALSE
+    * rows per constraint; any non-zero count rejects the batch with
+    * every violated constraint named. */
+  private def enforceConstraints(df: DataFrame,
+                                 cs: Map[String, String]): Unit = {
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val names = cs.keys.toSeq.sorted
+    val aggs = names.map { n =>
+      sum(when(coalesce(expr(cs(n)).cast("boolean"), lit(true)) === false, 1L)
+        .otherwise(0L)).as(s"__viol_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = names.zipWithIndex.collect {
+      case (n, i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' (${cs(n)}): ${row.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty)
+      throw new IllegalStateException(
+        s"CHECK constraint violation on $cleanUrl — batch rejected, " +
+          s"nothing written: ${violated.mkString("; ")}")
   }
 
   /** Per-file min/max/rowcount for [[statsColumns]] over a freshly
@@ -758,7 +844,8 @@ object ManagedDataset {
   private[sources] case class Manifest(
       version: Long, mode: String, commitDirs: Seq[String], schema: StructType,
       txnAppId: Option[String] = None, txnBatchId: Option[Long] = None,
-      stats: Map[String, Seq[FileStat]] = Map.empty)
+      stats: Map[String, Seq[FileStat]] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   /** Can a file with bounds `[mn, mx]` (either side absent = open)
     * contain a value in `[lo, hi]`? Numeric types compare as
@@ -788,7 +875,8 @@ object ManagedDataset {
   private[sources] def renderManifest(
       version: Long, mode: String, dirs: Seq[String], schema: StructType,
       txn: Option[(String, Long)] = None,
-      stats: Map[String, Seq[FileStat]] = Map.empty): String = {
+      stats: Map[String, Seq[FileStat]] = Map.empty,
+      constraints: Map[String, String] = Map.empty): String = {
     val om = new ObjectMapper()
     val node = om.createObjectNode()
     node.put("version", version)
@@ -799,6 +887,10 @@ object ManagedDataset {
     txn.foreach { case (app, id) =>
       node.put("txnAppId", app)
       node.put("txnBatchId", id)
+    }
+    if (constraints.nonEmpty) {
+      val cn = node.putObject("constraints")
+      constraints.foreach { case (k, v) => cn.put(k, v) }
     }
     if (stats.nonEmpty) {
       val st = node.putObject("stats")
@@ -866,6 +958,15 @@ object ManagedDataset {
         .asInstanceOf[StructType],
       Option(node.get("txnAppId")).map(_.asText()),
       Option(node.get("txnBatchId")).map(_.asLong()),
-      stats)
+      stats,
+      Option(node.get("constraints")).map { cn =>
+        val b = Map.newBuilder[String, String]
+        val it = cn.fields()
+        while (it.hasNext) {
+          val kv = it.next()
+          b += kv.getKey -> kv.getValue.asText()
+        }
+        b.result()
+      }.getOrElse(Map.empty))
   }
 }

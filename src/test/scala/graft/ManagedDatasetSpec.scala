@@ -505,4 +505,64 @@ class ManagedDatasetSpec extends SparkSpec {
       assert(e.getMessage.contains("duplicate keys"))
     }
   }
+
+  test("CHECK constraints reject a violating batch atomically") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil)
+      import spark.implicits._
+      ds.write(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"))
+      ds.addConstraint("positive_v", "v > 0")
+      assert(ds.constraints() == Map("positive_v" -> "v > 0"))
+      val versionsBefore = ds.versions()
+      val dirsBefore = Files.list(Paths.get(url)).count()
+      val e = intercept[IllegalStateException](
+        ds.append(Seq((3L, -5L), (4L, 40L)).toDF("k", "v")))
+      assert(e.getMessage.contains("positive_v") &&
+        e.getMessage.contains("1 row(s)"))
+      // NOTHING landed: no new version, no stray data dir, same rows
+      assert(ds.versions() == versionsBefore)
+      assert(Files.list(Paths.get(url)).count() == dirsBefore)
+      assert(ds.scan().get.count() == 2L)
+      // a clean batch still flows
+      ds.append(Seq((5L, 50L)).toDF("k", "v"))
+      assert(ds.scan().get.count() == 3L)
+    }
+  }
+
+  test("CHECK constraints: existing-data validation, null semantics, survival") {
+    withTempDir { dir =>
+      val url = s"$dir/ds"
+      val ds = ManagedDataset(url, Nil)
+      import spark.implicits._
+      ds.write(Seq((1L, Some(10L)), (2L, None)).toDF("k", "v"))
+      // current data already violates -> refused, not registered
+      val e = intercept[IllegalStateException](
+        ds.addConstraint("big", "v > 100"))
+      assert(e.getMessage.contains("big"))
+      assert(ds.constraints().isEmpty)
+      // NULL passes plain CHECK (SQL semantics) ...
+      ds.addConstraint("pos", "v > 0")
+      ds.append(Seq((3L, Option.empty[Long])).toDF("k", "v"))
+      // ... and the IS NOT NULL conjunct forbids it
+      ds.dropConstraint("pos")
+      val e2 = intercept[IllegalStateException] {
+        ds.addConstraint("pos_nn", "v IS NOT NULL AND v > 0")
+      }
+      assert(e2.getMessage.contains("pos_nn"))
+      // constraints are metadata: they survive overwrite AND a fresh
+      // reader instance
+      ds.addConstraint("k_pos", "k > 0")
+      ds.write(Seq((9L, Some(90L))).toDF("k", "v"))
+      val fresh = ManagedDataset(url, Nil)
+      assert(fresh.constraints() == Map("k_pos" -> "k > 0"))
+      val e3 = intercept[IllegalStateException](
+        fresh.append(Seq((-1L, Some(1L))).toDF("k", "v")))
+      assert(e3.getMessage.contains("k_pos"))
+      // dropConstraint reopens the gate
+      fresh.dropConstraint("k_pos")
+      fresh.append(Seq((-1L, Some(1L))).toDF("k", "v"))
+      assert(fresh.scan().get.count() == 2L)
+    }
+  }
 }
