@@ -535,6 +535,26 @@ class ScaleShapeSpec extends SparkSpec {
       s"arms pivot inside the stratum aggregation; nothing joins:\n$plan")
   }
 
+  test("exactJaccardJoin plan: prefix-keyed candidate join, no cartesian anywhere") {
+    val plan = DedupOps.exactJaccardJoin(corpus, "doc_id", "text", 4L, 5L)
+      .queryExecution.executedPlan.toString
+    // (the rank window sits behind ranked's localCheckpoint and is
+    // spec'd by the operator's own correctness tests; what must hold
+    // in the DOWNSTREAM plan is the join discipline)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"every join must key on prefix tokens or ids:\n$plan")
+  }
+
+  test("ipfRaking plan: corpus collapses to cells before any scaling join") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (s"r${i % 5}", s"c${i % 3}")).toDF("r", "c")
+    val plan = operators.Mixing.ipfRaking(df, "r", "c", iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"margin frames must broadcast-join on the margin key:\n$plan")
+  }
+
   test("captureRecapture plan: distinct id sets meet in one equi-join; counts cross as broadcast scalars") {
     import spark.implicits._
     val a = (0 until 400).map(_.toLong % 97).toDF("id")
