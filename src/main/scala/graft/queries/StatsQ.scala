@@ -2764,9 +2764,13 @@ object StatsQ {
               |  END)::BIGINT AS q_ppm
               |FROM fin""".stripMargin),
       (s, dir) => {
+        // one materialization — labels AND modularity both consume
+        // the top-100 edge frame; without it the whole co-occurrence
+        // pipeline would run twice
         val edges = graft.operators.Relevance.cooccurrencePairs(
           t(s, dir, "documents"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
+          .localCheckpoint()
         val labels = graft.operators.Components.labelPropagation(
           edges, "tok_a", "tok_b", rounds = 3)
         graft.operators.Components.modularity(
