@@ -4597,5 +4597,79 @@ object TextQ {
           t(s, dir, "documents").where(col("doc_id") < 600),
           "doc_id", "text", tNum = 19L, tDen = 20L)
           .orderBy("a_id", "b_id"))
+    ,
+
+    // ---- capstone curation composition ---------------------------
+    // Three round-7 operators end-to-end, oracle-exact through every
+    // stage: (1) bigram-LM quality gate (scored odd-id docs with
+    // avg surprisal <= 460 centibits survive), (2) EXACT Jaccard
+    // clone removal at 19/20 (id-greedy: any doc that is the larger
+    // id of a qualifying pair drops), (3) IPF raking of the survivor
+    // source x lang grid to uniform margins (3 iterations). Scoped
+    // to doc_id < 1000 to bound the oracle's brute-force pair join.
+    Q("q370_curation_v3", {
+      val steps = (1 to 6).map { i =>
+        val prev = if (i == 1) "cells0" else s"s${i - 1}"
+        val (key, den) = if (i % 2 == 1) ("r", "tt.rr") else ("c", "tt.cc")
+        s"""m$i AS (SELECT $key, sum(n * w)::BIGINT AS x FROM $prev GROUP BY $key),
+           |s$i AS (SELECT p.r, p.c, p.n,
+           |  (p.w * ((1000000 * tt.nn) // $den)) // m$i.x AS w
+           |  FROM $prev p JOIN m$i USING ($key) CROSS JOIN tt)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              |  FROM documents WHERE doc_id < 1000),
+              |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+              |    gi -> {'w1': t[gi], 'w2': t[gi + 1]})) AS b
+              |  FROM toks WHERE len(t) >= 2),
+              |e AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+              |tr AS (SELECT w1, w2 FROM e WHERE doc_id % 2 = 0),
+              |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tr
+              |  GROUP BY w1, w2),
+              |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY w1),
+              |v AS (SELECT count(DISTINCT w)::BIGINT AS vv FROM
+              |  (SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0)),
+              |sc AS (SELECT e.doc_id,
+              |  length(bin(coalesce(c1.c1, 0) + v.vv))
+              |    - length(bin(coalesce(c12.c12, 0) + 1)) AS bits
+              |  FROM e LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1)
+              |  CROSS JOIN v WHERE e.doc_id % 2 = 1),
+              |lm AS (SELECT doc_id FROM sc GROUP BY doc_id
+              |  HAVING (100 * sum(bits)) // count(*) <= 460),
+              |kept AS (SELECT d.doc_id, d.text, d.source, d.lang
+              |  FROM documents d JOIN lm USING (doc_id)),
+              |tk AS (SELECT doc_id,
+              |  unnest(list_distinct(string_split(text, ' '))) AS w FROM kept),
+              |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk
+              |  GROUP BY doc_id),
+              |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS cc
+              |  FROM tk x JOIN tk y ON x.w = y.w AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2),
+              |drops AS (SELECT DISTINCT co.b AS doc_id FROM co
+              |  JOIN sz sa ON sa.doc_id = co.a JOIN sz sb ON sb.doc_id = co.b
+              |  WHERE 20 * cc >= 19 * (sa.n + sb.n - cc)),
+              |surv AS (SELECT kept.* FROM kept
+              |  WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+              |cells0 AS (SELECT source AS r, lang AS c, count(*)::BIGINT AS n,
+              |  1000000::BIGINT AS w FROM surv GROUP BY source, lang),
+              |tt AS (SELECT sum(n)::BIGINT AS nn,
+              |  count(DISTINCT r)::BIGINT AS rr,
+              |  count(DISTINCT c)::BIGINT AS cc FROM cells0),
+              |$steps
+              |SELECT r AS row_key, c AS col_key, n, w::BIGINT AS w_ppm
+              |FROM s6 ORDER BY row_key, col_key""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        val lm = TextOps.bigramLmSurprisal(docs, "doc_id", "text")
+          .where(col("avg_bits_x100") <= 460L)
+          .select(col("id").as("doc_id"))
+        val kept = docs.join(lm, Seq("doc_id")).localCheckpoint()
+        val drops = graft.operators.DedupOps
+          .exactJaccardJoin(kept, "doc_id", "text", 19L, 20L)
+          .select(col("b_id").as("doc_id")).distinct()
+        val survivors = kept.join(drops, Seq("doc_id"), "left_anti")
+        graft.operators.Mixing.ipfRaking(survivors, "source", "lang", iters = 3)
+          .orderBy("row_key", "col_key")
+      })
   )
 }
