@@ -842,6 +842,66 @@ object Mixing {
         (col("__vfull") - col("__vrest")).cast("bigint").as("marginal_vs_rest"))
   }
 
+  /** Horvitz–Thompson stratified total estimate with a standard
+    * error — the ESTIMATION third of the survey-sampling pipeline
+    * (allocation: [[neymanAllocation]]; selection: hash samples;
+    * this: what the full total IS, and how sure we are). The sample
+    * is deterministic bottom-`nPerStratum` by the remixed content
+    * hash of `keyCol` (rerun/retry-stable, the [[groupSplit]] remix
+    * discipline); per stratum the estimate is the exact floored
+    * `N_h·Σsample div n_h` and the SE is
+    * `isqrt(N_h·(N_h−n_h)·s²_num div (n_h·(n_h−1)·n_h))` with
+    * `s²_num = n_h·Σv² − (Σv)²` on DECIMAL(38,0) — finite-population
+    * corrected, integer-exact, engine-agnostic. Strata with fewer
+    * than 2 sampled rows report NULL SE (no variance evidence). One
+    * row per stratum: `(stratum, n_pop, n_sample, sum_sample,
+    * est_total, se)` — all in `valueCol`'s own integer units.
+    *
+    * Scale shape (100 TB): the rank window partitions by stratum;
+    * population counts and sample moments are keyed map-side
+    * aggregations. Nothing global, strata scale out. */
+  def horvitzThompson(df: DataFrame, stratumCol: String, valueCol: String,
+                      keyCol: String, nPerStratum: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextHash.{spark => H, MixA, MixB, P}
+    require(nPerStratum >= 2, "nPerStratum must be at least 2")
+    val h = s"((${MixA}L * ${H.rollingHash(s"CAST(`$keyCol` AS STRING)")} " +
+      s"+ ${MixB}L) % ${P}L)"
+    val base = df.select(col(stratumCol).as("__s"),
+      col(valueCol).cast("bigint").as("__v"),
+      expr(h).as("__h"), col(keyCol).as("__key"))
+    val pop = base.groupBy(col("__s"))
+      .agg(count(lit(1)).cast("bigint").as("__np"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__key"))
+    val moments = base
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nPerStratum)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__v")).cast("bigint").as("__sum"),
+        sum(expr("cast(__v as decimal(38,0)) * __v")).as("__ss"))
+    moments.join(broadcast(pop), Seq("__s"))
+      .withColumn("__est", expr(
+        """CASE WHEN cast(__np as decimal(38,0)) * __sum >= 0
+          |  THEN cast((cast(__np as decimal(38,0)) * __sum) div __n as bigint)
+          |  ELSE -cast((cast(__np as decimal(38,0)) * -__sum) div __n as bigint)
+          |END""".stripMargin))
+      .withColumn("__s2num", expr(
+        "cast(__n as decimal(38,0)) * __ss " +
+          "- cast(__sum as decimal(38,0)) * __sum"))
+      .withColumn("__q", expr(
+        """CASE WHEN __n >= 2 AND __np > __n THEN
+          |  (cast(__np as decimal(38,0)) * (__np - __n) * __s2num)
+          |    div (cast(__n as decimal(38,0)) * (__n - 1) * __n)
+          |ELSE cast(0 as decimal(38,0)) END""".stripMargin))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__se"))
+      .select(col("__s").as("stratum"), col("__np").as("n_pop"),
+        col("__n").as("n_sample"), col("__sum").as("sum_sample"),
+        col("__est").as("est_total"),
+        expr("CASE WHEN __n < 2 THEN NULL ELSE cast(__se as bigint) END")
+          .cast("bigint").as("se"))
+  }
+
   /** Iterative proportional fitting (raking) of a two-way
     * contingency to UNIFORM margins — the classic survey-calibration
     * step, here the mixture-rebalancing answer to "what per-cell

@@ -3003,6 +3003,52 @@ object StatsQ {
               |FROM i4""".stripMargin)
     },
       (s, dir) =>
-        EvalStats.cramersV(t(s, dir, "documents"), "source", "lang"))
+        EvalStats.cramersV(t(s, dir, "documents"), "source", "lang")),
+
+    // ---- Horvitz–Thompson stratified estimation ------------------
+    // Estimate each event type's total value (cents) from a 25-row
+    // deterministic hash sample per stratum, with the finite-
+    // population-corrected SE — the estimation step completing the
+    // allocation (q343) / selection (q63) survey pipeline.
+    Q("q371_horvitz_thompson", {
+      import graft.functions.TextHash.{MixA, MixB, P}
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      val dh = graft.functions.TextHash.duck
+        .rollingHash("CAST(event_id AS VARCHAR)")
+      Some(s"""WITH b AS (SELECT event_type AS s,
+              |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+              |  (($MixA * $dh + $MixB) % $P) AS h,
+              |  event_id AS k FROM events),
+              |pop AS (SELECT s, count(*)::BIGINT AS np FROM b GROUP BY s),
+              |r AS (SELECT s, v,
+              |  row_number() OVER (PARTITION BY s ORDER BY h, k) AS rn FROM b),
+              |m AS (SELECT s, count(*)::BIGINT AS n, sum(v)::BIGINT AS sm,
+              |  sum(v::HUGEINT * v) AS ss FROM r WHERE rn <= 25 GROUP BY s),
+              |j AS (SELECT m.s, m.n, m.sm, m.ss, pop.np FROM m
+              |  JOIN pop USING (s)),
+              |f AS (SELECT s, np, n, sm,
+              |  (CASE WHEN np::HUGEINT * sm >= 0 THEN (np::HUGEINT * sm) // n
+              |   ELSE -((np::HUGEINT * -sm) // n) END)::BIGINT AS est,
+              |  (n::HUGEINT * ss - sm::HUGEINT * sm) AS s2num FROM j),
+              |q2 AS (SELECT *, (CASE WHEN n >= 2 AND np > n THEN
+              |  (np::HUGEINT * (np - n) * s2num)
+              |    // (n::HUGEINT * (n - 1) * n)
+              |  ELSE 0::HUGEINT END) AS x FROM f),
+              |$ladder
+              |SELECT s AS stratum, np AS n_pop, n AS n_sample,
+              |  sm AS sum_sample, est AS est_total,
+              |  (CASE WHEN n < 2 THEN NULL ELSE rt END)::BIGINT AS se
+              |FROM i4 ORDER BY stratum""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Mixing.horvitzThompson(
+          t(s, dir, "events")
+            .withColumn("cents", expr("cast(floor(value * 100d + 0.5d) as bigint)")),
+          "event_type", "cents", "event_id", nPerStratum = 25L)
+          .orderBy("stratum"))
   )
 }

@@ -3888,6 +3888,45 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("horvitzThompson: exhaustive and constant strata are exact; tiny strata NULL SE") {
+    import spark.implicits._
+    val df = Seq(
+      // stratum "full": sample covers the population -> exact total, se 0
+      ("full", 1L, 10L), ("full", 2L, 20L), ("full", 3L, 30L),
+      // stratum "const": any 2-sample of a constant extrapolates exactly
+      ("const", 4L, 7L), ("const", 5L, 7L), ("const", 6L, 7L), ("const", 7L, 7L),
+      // stratum "solo": a single row has no variance evidence
+      ("solo", 8L, 99L)).toDF("s", "k", "v")
+    val out = graft.operators.Mixing
+      .horvitzThompson(df, "s", "v", "k", nPerStratum = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(out("full") == ((3L, 3L, 60L, Some(0L))))
+    assert(out("solo") == ((1L, 1L, 99L, None)))
+    val const2 = graft.operators.Mixing
+      .horvitzThompson(df.where(col("s") === "const"), "s", "v", "k",
+        nPerStratum = 2L).collect().head
+    // est = 4 * 14 div 2 = 28 (the true total), se = 0 (s2num = 0)
+    assert((const2.getLong(1), const2.getLong(2), const2.getLong(4),
+      const2.getLong(5)) == ((4L, 2L, 28L, 0L)))
+  }
+
+  test("horvitzThompson: estimate matches the hand formula on the actual hash sample") {
+    import spark.implicits._
+    import graft.functions.TextHash.{spark => H, MixA, MixB, P}
+    val df = (1L to 40L).map(k => ("s", k, k * 3L)).toDF("s", "k", "v")
+    val r = graft.operators.Mixing
+      .horvitzThompson(df, "s", "v", "k", nPerStratum = 10L).collect().head
+    // independently recompute the deterministic bottom-10 sample
+    val picked = df.withColumn("__h", expr(
+        s"((${MixA}L * ${H.rollingHash("CAST(k AS STRING)")} + ${MixB}L) % ${P}L)"))
+      .orderBy(col("__h"), col("k")).limit(10)
+      .agg(sum(col("v"))).head.getLong(0)
+    assert(r.getLong(3) == picked)
+    assert(r.getLong(4) == 40L * picked / 10L)
+  }
+
   test("ipfRaking: three iterations pull both margins toward uniform") {
     import spark.implicits._
     val df = (Seq.fill(5)(("r0", "c0")) ++ Seq(("r0", "c1")) ++
