@@ -197,5 +197,11 @@ class DeterminismSpec extends SparkSpec {
         expr("cast(regexp_extract(source, '([0-9]+)', 1) as bigint) % 5L")),
       "p", "text", k = 5))
     invariant(df => TextOps.bigramLmSurprisal(df, "doc_id", "text"))
+    invariant(df => RobustStats.hodgesLehmann(df, col("lang") === "en",
+      "n_chars"))
+    invariant(df => EvalStats.cramersV(df, "source", "lang"))
+    invariant(df => Mixing.horvitzThompson(
+      df.withColumn("cents", col("n_chars")),
+      "lang", "cents", "doc_id", nPerStratum = 10L))
   }
 }
