@@ -902,6 +902,53 @@ object Mixing {
           .cast("bigint").as("se"))
   }
 
+  /** Ratio estimator of a stratified total — when an AUXILIARY
+    * variable `x` is cheap to total over the whole population
+    * (bytes, event counts) but the TARGET `y` is only known on the
+    * sample, `est = X_total · Σy_s div Σx_s` beats plain
+    * extrapolation whenever y tracks x (the classic survey
+    * estimator; exact floored integers, sign-split on DECIMAL).
+    * Sample = the same deterministic bottom-n remixed-hash selection
+    * as [[horvitzThompson]]. One row per stratum: `(stratum, n_pop,
+    * n_sample, x_pop_total, sum_x_sample, sum_y_sample, est_total)`;
+    * a zero sampled auxiliary mass yields NULL (no ratio evidence).
+    *
+    * Scale shape (100 TB): identical to [[horvitzThompson]] — keyed
+    * aggregations + one stratum-partitioned rank window. */
+  def ratioEstimator(df: DataFrame, stratumCol: String, yCol: String,
+                     xCol: String, keyCol: String,
+                     nPerStratum: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextHash.{spark => H, MixA, MixB, P}
+    require(nPerStratum >= 1, "nPerStratum must be positive")
+    val h = s"((${MixA}L * ${H.rollingHash(s"CAST(`$keyCol` AS STRING)")} " +
+      s"+ ${MixB}L) % ${P}L)"
+    val base = df.select(col(stratumCol).as("__s"),
+      col(yCol).cast("bigint").as("__y"), col(xCol).cast("bigint").as("__x"),
+      expr(h).as("__h"), col(keyCol).as("__key"))
+    val pop = base.groupBy(col("__s"))
+      .agg(count(lit(1)).cast("bigint").as("__np"),
+        sum(col("__x")).cast("bigint").as("__xt"))
+    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__key"))
+    base
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nPerStratum)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__x")).cast("bigint").as("__sx"),
+        sum(col("__y")).cast("bigint").as("__sy"))
+      .join(broadcast(pop), Seq("__s"))
+      .select(col("__s").as("stratum"), col("__np").as("n_pop"),
+        col("__n").as("n_sample"), col("__xt").as("x_pop_total"),
+        col("__sx").as("sum_x_sample"), col("__sy").as("sum_y_sample"),
+        expr(
+          """CASE WHEN __sx <= 0 THEN NULL
+            |WHEN cast(__xt as decimal(38,0)) * __sy >= 0
+            |  THEN cast((cast(__xt as decimal(38,0)) * __sy) div __sx as bigint)
+            |ELSE -cast((cast(__xt as decimal(38,0)) * -__sy) div __sx as bigint)
+            |END""".stripMargin).cast("bigint").as("est_total"))
+  }
+
   /** Iterative proportional fitting (raking) of a two-way
     * contingency to UNIFORM margins — the classic survey-calibration
     * step, here the mixture-rebalancing answer to "what per-cell

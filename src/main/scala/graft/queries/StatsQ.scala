@@ -3049,6 +3049,43 @@ object StatsQ {
           t(s, dir, "events")
             .withColumn("cents", expr("cast(floor(value * 100d + 0.5d) as bigint)")),
           "event_type", "cents", "event_id", nPerStratum = 25L)
+          .orderBy("stratum")),
+
+    // ---- ratio estimator -----------------------------------------
+    // Estimate total value (cents) using the props payload length as
+    // the population-known auxiliary: est = X_total * sum_y / sum_x
+    // over the same deterministic 25-row hash sample as q371.
+    Q("q372_ratio_estimator", {
+      import graft.functions.TextHash.{MixA, MixB, P}
+      val dh = graft.functions.TextHash.duck
+        .rollingHash("CAST(event_id AS VARCHAR)")
+      Some(s"""WITH b AS (SELECT event_type AS s,
+              |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+              |  length(props)::BIGINT AS x,
+              |  (($MixA * $dh + $MixB) % $P) AS h,
+              |  event_id AS k FROM events),
+              |pop AS (SELECT s, count(*)::BIGINT AS np, sum(x)::BIGINT AS xt
+              |  FROM b GROUP BY s),
+              |r AS (SELECT s, x, y,
+              |  row_number() OVER (PARTITION BY s ORDER BY h, k) AS rn FROM b),
+              |m AS (SELECT s, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+              |  sum(y)::BIGINT AS sy FROM r WHERE rn <= 25 GROUP BY s)
+              |SELECT m.s AS stratum, pop.np AS n_pop, m.n AS n_sample,
+              |  pop.xt AS x_pop_total, m.sx AS sum_x_sample,
+              |  m.sy AS sum_y_sample,
+              |  (CASE WHEN m.sx <= 0 THEN NULL
+              |   WHEN pop.xt::HUGEINT * m.sy >= 0
+              |     THEN (pop.xt::HUGEINT * m.sy) // m.sx
+              |   ELSE -((pop.xt::HUGEINT * -m.sy) // m.sx)
+              |  END)::BIGINT AS est_total
+              |FROM m JOIN pop USING (s) ORDER BY stratum""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.Mixing.ratioEstimator(
+          t(s, dir, "events")
+            .withColumn("cents", expr("cast(floor(value * 100d + 0.5d) as bigint)"))
+            .withColumn("plen", expr("cast(length(props) as bigint)")),
+          "event_type", "cents", "plen", "event_id", nPerStratum = 25L)
           .orderBy("stratum"))
   )
 }

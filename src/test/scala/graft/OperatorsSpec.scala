@@ -3927,6 +3927,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getLong(4) == 40L * picked / 10L)
   }
 
+  test("ratioEstimator: proportional y/x extrapolates exactly; zero aux NULL") {
+    import spark.implicits._
+    // y = 3x everywhere: whatever sample the hash picks, the ratio
+    // recovers the exact total 3 * X_total
+    val df = (1L to 30L).map(k => ("s", k, k * 2L, k * 6L))
+      .toDF("s", "k", "x", "y")
+    val r = graft.operators.Mixing
+      .ratioEstimator(df, "s", "y", "x", "k", nPerStratum = 7L)
+      .collect().head
+    assert(r.getLong(1) == 30L && r.getLong(2) == 7L)
+    assert(r.getLong(6) == 3L * r.getLong(3))
+    // all-zero auxiliary: no ratio evidence -> NULL
+    val zx = Seq(("z", 1L, 0L, 5L), ("z", 2L, 0L, 7L)).toDF("s", "k", "x", "y")
+    assert(graft.operators.Mixing
+      .ratioEstimator(zx, "s", "y", "x", "k", nPerStratum = 2L)
+      .collect().head.isNullAt(6))
+  }
+
   test("ipfRaking: three iterations pull both margins toward uniform") {
     import spark.implicits._
     val df = (Seq.fill(5)(("r0", "c0")) ++ Seq(("r0", "c1")) ++
