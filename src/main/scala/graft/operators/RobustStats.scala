@@ -290,6 +290,34 @@ object RobustStats {
         col("tau_a_ppm"))): _*)
   }
 
+  /** Goodman–Kruskal gamma and Somers' D on top of [[kendallTau]]'s
+    * exact pair counts — the ordinal-association pair every eval
+    * dashboard wants next to τ: `gamma = (C−D)/(C+D)` ignores all
+    * ties (how aligned are the pairs that actually order?), and
+    * `somers_d_yx = (C−D)/(C+D+T_y)` penalizes ties on the DEPENDENT
+    * y (the asymmetric "does x predict y's order?"). Both emitted as
+    * sign-split floored ppm; degenerate groups (no orderable pairs)
+    * yield NULL. Output: the [[kendallTau]] columns plus
+    * `gamma_ppm`, `somers_d_ppm`.
+    *
+    * Scale shape: identical to [[kendallTau]] — pair sums on the
+    * (group × value-cell) frame, never row-quadratic. */
+  def ordinalAssociation(df: DataFrame, xCol: String, yCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    def sdiv(num: String, den: String) =
+      s"CASE WHEN ($num) >= 0 THEN ($num) div ($den) " +
+        s"ELSE -((-($num)) div ($den)) END"
+    kendallTau(df, xCol, yCol, groupCols)
+      .withColumn("gamma_ppm", expr(
+        "CASE WHEN concordant + discordant <= 0 THEN NULL ELSE " +
+          sdiv("1000000L * (concordant - discordant)",
+            "concordant + discordant") + " END").cast("bigint"))
+      .withColumn("somers_d_ppm", expr(
+        "CASE WHEN concordant + discordant + tie_y <= 0 THEN NULL ELSE " +
+          sdiv("1000000L * (concordant - discordant)",
+            "concordant + discordant + tie_y") + " END").cast("bigint"))
+  }
+
   /** Grouped nearest-rank percentile bands: for each group, the exact
     * order statistics at the requested quantiles (nearest-rank
     * `ceil(q·n)` — integer-exact, no interpolation to disagree on),

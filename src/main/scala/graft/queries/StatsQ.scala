@@ -3086,6 +3086,54 @@ object StatsQ {
             .withColumn("cents", expr("cast(floor(value * 100d + 0.5d) as bigint)"))
             .withColumn("plen", expr("cast(length(props) as bigint)")),
           "event_type", "cents", "plen", "event_id", nPerStratum = 25L)
-          .orderBy("stratum"))
+          .orderBy("stratum")),
+
+    // ---- gamma + Somers' D ---------------------------------------
+    // The q248 ordinal machinery extended with the tie-ignoring
+    // gamma and the y-dependent Somers' D, per source: length
+    // buckets (x) vs hash deciles (y), sign-split floored ppm.
+    Q("q373_gamma_somers", {
+      val dh = graft.functions.TextHash.duck.rollingHash("text")
+      Some(s"""WITH b AS (SELECT source, n_chars // 50 AS x,
+              |  ($dh % 1000) // 100 AS y FROM documents),
+              |c AS (SELECT source, x, y, count(*)::BIGINT AS n FROM b
+              |  GROUP BY 1, 2, 3),
+              |p AS (SELECT a.source,
+              |  sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.n * b.n ELSE 0 END)::BIGINT AS concordant,
+              |  sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.n * b.n ELSE 0 END)::BIGINT AS discordant,
+              |  sum(CASE WHEN a.y = b.y AND a.x < b.x THEN a.n * b.n ELSE 0 END)::BIGINT AS tie_y
+              |  FROM c a JOIN c b ON a.source = b.source
+              |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+              |  GROUP BY a.source),
+              |t AS (SELECT source, sum(n)::BIGINT AS n FROM c GROUP BY source),
+              |j AS (SELECT t.source, t.n,
+              |  coalesce(p.concordant, 0)::BIGINT AS cc,
+              |  coalesce(p.discordant, 0)::BIGINT AS dd,
+              |  coalesce(p.tie_y, 0)::BIGINT AS ty
+              |  FROM t LEFT JOIN p USING (source))
+              |SELECT source, n, cc AS concordant, dd AS discordant,
+              |  ty AS tie_y,
+              |  (CASE WHEN cc + dd <= 0 THEN NULL
+              |   WHEN cc - dd >= 0 THEN (1000000 * (cc - dd)) // (cc + dd)
+              |   ELSE -((1000000 * (dd - cc)) // (cc + dd))
+              |  END)::BIGINT AS gamma_ppm,
+              |  (CASE WHEN cc + dd + ty <= 0 THEN NULL
+              |   WHEN cc - dd >= 0 THEN (1000000 * (cc - dd)) // (cc + dd + ty)
+              |   ELSE -((1000000 * (dd - cc)) // (cc + dd + ty))
+              |  END)::BIGINT AS somers_d_ppm
+              |FROM j ORDER BY source""".stripMargin)
+    },
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__xq", expr("n_chars div 50L"))
+          .withColumn("__yq", expr(
+            s"(${graft.functions.TextHash.spark.rollingHash("text")} % 1000L) div 100L"))
+        graft.operators.RobustStats
+          .ordinalAssociation(d, "__xq", "__yq", Seq("source"))
+          .select(col("source"), col("n"), col("concordant"),
+            col("discordant"), col("tie_y"), col("gamma_ppm"),
+            col("somers_d_ppm"))
+          .orderBy("source")
+      })
   )
 }

@@ -260,6 +260,26 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("ordinalAssociation: gamma ignores ties, Somers' D charges y-ties") {
+    import graft.operators.RobustStats
+    // (1,1),(2,2),(3,3),(3,1): C=3, D=1, T_y=1
+    // gamma = 2/4 = 500000; somers_d = 2/5 = 400000
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 3L, 1L))
+      .toDF("grp", "x", "y")
+    val r = RobustStats.ordinalAssociation(df, "x", "y", Seq("grp"))
+      .collect().head
+    assert(r.getAs[Long]("concordant") == 3L)
+    assert(r.getAs[Long]("discordant") == 1L)
+    assert(r.getAs[Long]("tie_y") == 1L)
+    assert(r.getAs[Long]("gamma_ppm") == 500000L)
+    assert(r.getAs[Long]("somers_d_ppm") == 400000L)
+    // an all-ties group has no orderable pairs -> NULL, not 0/0
+    val tied = Seq(("t", 1L, 1L), ("t", 1L, 1L)).toDF("grp", "x", "y")
+    val r2 = RobustStats.ordinalAssociation(tied, "x", "y", Seq("grp"))
+      .collect().head
+    assert(r2.isNullAt(r2.fieldIndex("gamma_ppm")))
+  }
+
   test("hodgesLehmann: weighted lower median of pairwise differences") {
     import graft.operators.RobustStats
     import org.apache.spark.sql.functions.col
