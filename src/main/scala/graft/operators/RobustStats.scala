@@ -290,6 +290,85 @@ object RobustStats {
         col("tau_a_ppm"))): _*)
   }
 
+  /** Ansari–Bradley two-sample SCALE test — "do the two arms have
+    * the same spread around a common center?" (the dispersion
+    * complement of the Mann–Whitney location test): pooled positions
+    * score `min(i, N+1−i)` from both ends, so extreme values score
+    * low and a wider-spread arm collects a SMALLER sum. Tie groups
+    * get the exact midscore via closed-form arithmetic-series sums
+    * over their position range; each tied value contributes
+    * `(10⁶·a_v·S_v) div t_v` — one floor per distinct value
+    * (documented ppm quantization), everything else exact. z uses
+    * the standard no-tie null moments (even/odd N branches; heavy
+    * ties make it conservative):
+    * `z_ppm = sign(d)·isqrt((d_ppm²·varDen) div varNum)` with the
+    * variance `varNum/varDen` in exact integers on DECIMAL(38,0).
+    * One row: `(n_a, n_b, w_ppm, mean_ppm, z_ppm)`; a degenerate
+    * pool (var ≤ 0) yields NULL z.
+    *
+    * Scale shape (100 TB): one value-histogram aggregation with a
+    * cumulative window ON THE HISTOGRAM (distinct-value-bounded),
+    * then scalar algebra. Rows never sort globally. */
+  def ansariBradley(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                    valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+      col(valueCol).cast("bigint").as("__v"))
+    val wv = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = base.groupBy(col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__t"),
+        sum(col("__arm")).cast("bigint").as("__a"))
+      .withColumn("__before", coalesce(sum(col("__t")).over(wv), lit(0L)))
+    val tot = hist.agg(sum(col("__t")).cast("bigint").as("__N"),
+      sum(col("__a")).cast("bigint").as("__n2x"))
+    // S_v = Σ_{i=lo..hi} min(i, N+1−i): ascending half up to
+    // h = (N+1) div 2 scores i, the mirror half scores N+1−i —
+    // two arithmetic series, split at h
+    val sSum =
+      """(CASE WHEN least(__hi, __h) >= __lo
+        |  THEN ((__lo + least(__hi, __h)) * (least(__hi, __h) - __lo + 1L)) div 2L
+        |  ELSE 0L END) +
+        |(CASE WHEN __hi >= greatest(__lo, __h + 1L)
+        |  THEN (((__N + 1L - greatest(__lo, __h + 1L)) + (__N + 1L - __hi))
+        |        * (__hi - greatest(__lo, __h + 1L) + 1L)) div 2L
+        |  ELSE 0L END)""".stripMargin
+    val contrib = hist.crossJoin(broadcast(tot))
+      .withColumn("__lo", expr("__before + 1L"))
+      .withColumn("__hi", expr("__before + __t"))
+      .withColumn("__h", expr("(__N + 1L) div 2L"))
+      .withColumn("__S", expr(sSum))
+      .agg(max(col("__N")).as("__N"), max(col("__n2x")).as("__nb"),
+        sum(expr("(1000000L * __a * __S) div __t")).cast("bigint").as("__W"))
+      .withColumn("__na", expr("__N - __nb"))
+    contrib
+      .withColumn("__mean", expr(
+        """CASE WHEN __N % 2L = 0L
+          |  THEN (1000000L * __nb * (__N + 2L)) div 4L
+          |  ELSE (1000000L * __nb * (__N + 1L) * (__N + 1L)) div (4L * __N)
+          |END""".stripMargin))
+      .withColumn("__varNum", expr(
+        """CASE WHEN __N % 2L = 0L
+          |  THEN cast(__na as decimal(38,0)) * __nb * (__N + 2L) * (__N - 2L)
+          |  ELSE cast(__na as decimal(38,0)) * __nb * (__N + 1L)
+          |       * (3L + __N * __N)
+          |END""".stripMargin))
+      .withColumn("__varDen", expr(
+        """CASE WHEN __N % 2L = 0L THEN 48L * (__N - 1L)
+          |ELSE 48L * __N * __N END""".stripMargin))
+      .withColumn("__d", expr("__W - __mean"))
+      .withColumn("__q", expr(
+        """CASE WHEN __varNum > 0 THEN
+          |  (cast(__d as decimal(38,0)) * __d * __varDen) div __varNum
+          |ELSE cast(0 as decimal(38,0)) END""".stripMargin))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__z"))
+      .select(col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"),
+        col("__W").as("w_ppm"), col("__mean").cast("bigint").as("mean_ppm"),
+        expr("CASE WHEN __varNum <= 0 THEN NULL " +
+          "WHEN __d >= 0 THEN cast(__z as bigint) " +
+          "ELSE -cast(__z as bigint) END").cast("bigint").as("z_ppm"))
+  }
+
   /** Goodman–Kruskal gamma and Somers' D on top of [[kendallTau]]'s
     * exact pair counts — the ordinal-association pair every eval
     * dashboard wants next to τ: `gamma = (C−D)/(C+D)` ignores all

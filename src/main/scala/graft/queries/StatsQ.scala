@@ -3134,6 +3134,60 @@ object StatsQ {
             col("discordant"), col("tie_y"), col("gamma_ppm"),
             col("somers_d_ppm"))
           .orderBy("source")
-      })
+      }),
+
+    // ---- Ansari–Bradley scale test -------------------------------
+    // Do English and non-English doc lengths have the same SPREAD?
+    // Both-ends position scores with exact tie-group series sums,
+    // one floor per distinct value; even/odd-N null moments.
+    Q("q374_ansari_bradley", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH b0 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
+              |  n_chars AS v FROM documents),
+              |hist AS (SELECT v, count(*)::BIGINT AS t, sum(arm)::BIGINT AS a
+              |  FROM b0 GROUP BY v),
+              |h2 AS (SELECT v, t, a, coalesce(sum(t) OVER (ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+              |  AS bef FROM hist),
+              |tt AS (SELECT sum(t)::BIGINT AS nn, sum(a)::BIGINT AS nb FROM hist),
+              |s AS (SELECT a, t, bef + 1 AS lo, bef + t AS hi,
+              |  (nn + 1) // 2 AS hh, nn FROM h2 CROSS JOIN tt),
+              |sv AS (SELECT a, t,
+              |  (CASE WHEN least(hi, hh) >= lo
+              |    THEN ((lo + least(hi, hh)) * (least(hi, hh) - lo + 1)) // 2
+              |    ELSE 0 END) +
+              |  (CASE WHEN hi >= greatest(lo, hh + 1)
+              |    THEN (((nn + 1 - greatest(lo, hh + 1)) + (nn + 1 - hi))
+              |          * (hi - greatest(lo, hh + 1) + 1)) // 2
+              |    ELSE 0 END) AS sc FROM s),
+              |w2 AS (SELECT sum((1000000 * a * sc) // t)::BIGINT AS w FROM sv),
+              |f AS (SELECT tt.nn, tt.nb, tt.nn - tt.nb AS na, w2.w,
+              |  (CASE WHEN tt.nn % 2 = 0
+              |    THEN (1000000 * tt.nb * (tt.nn + 2)) // 4
+              |    ELSE (1000000 * tt.nb * (tt.nn + 1) * (tt.nn + 1))
+              |      // (4 * tt.nn) END) AS mn,
+              |  (CASE WHEN tt.nn % 2 = 0
+              |    THEN (tt.nn - tt.nb)::HUGEINT * tt.nb * (tt.nn + 2) * (tt.nn - 2)
+              |    ELSE (tt.nn - tt.nb)::HUGEINT * tt.nb * (tt.nn + 1)
+              |      * (3 + tt.nn * tt.nn) END) AS varnum,
+              |  (CASE WHEN tt.nn % 2 = 0 THEN 48 * (tt.nn - 1)
+              |    ELSE 48 * tt.nn * tt.nn END) AS varden
+              |  FROM tt CROSS JOIN w2),
+              |q2 AS (SELECT *, (CASE WHEN varnum > 0 THEN
+              |  ((w - mn)::HUGEINT * (w - mn) * varden) // varnum
+              |  ELSE 0::HUGEINT END) AS x FROM f),
+              |$ladder
+              |SELECT na AS n_a, nb AS n_b, w AS w_ppm, mn AS mean_ppm,
+              |  (CASE WHEN varnum <= 0 THEN NULL
+              |   WHEN w - mn >= 0 THEN rt ELSE -rt END)::BIGINT AS z_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.RobustStats.ansariBradley(
+          t(s, dir, "documents"), col("lang") === "en", "n_chars"))
   )
 }

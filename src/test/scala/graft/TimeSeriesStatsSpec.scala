@@ -260,6 +260,23 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("ansariBradley: middle-heavy arm scores high; all-tied pool is null-centered") {
+    import graft.operators.RobustStats
+    import org.apache.spark.sql.functions.col
+    // A = {1,4} (extremes), B = {2,3} (middle): scores 1,2,2,1 ->
+    // W = 4e6 ppm, mean = 3e6, var = 1/3 -> z = isqrt(3e12) = 1732050
+    val df = Seq((false, 1L), (true, 2L), (true, 3L), (false, 4L))
+      .toDF("inB", "v")
+    val r = RobustStats.ansariBradley(df, col("inB"), "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 4000000L, 3000000L, 1732050L)))
+    // every value identical: the tie midscore lands W exactly on the
+    // null mean -> z = 0
+    val tied = Seq((false, 5L), (true, 5L), (true, 5L)).toDF("inB", "v")
+    val r2 = RobustStats.ansariBradley(tied, col("inB"), "v").collect().head
+    assert(r2.getLong(2) == r2.getLong(3) && r2.getLong(4) == 0L)
+  }
+
   test("ordinalAssociation: gamma ignores ties, Somers' D charges y-ties") {
     import graft.operators.RobustStats
     // (1,1),(2,2),(3,3),(3,1): C=3, D=1, T_y=1
