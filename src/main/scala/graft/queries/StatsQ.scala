@@ -3188,6 +3188,53 @@ object StatsQ {
     },
       (s, dir) =>
         graft.operators.RobustStats.ansariBradley(
-          t(s, dir, "documents"), col("lang") === "en", "n_chars"))
+          t(s, dir, "documents"), col("lang") === "en", "n_chars")),
+
+    // ---- Kendall's W (coefficient of concordance) ----------------
+    // How strongly do the user-blocks agree on the event-type
+    // ordering? W = Fr / (n·(k−1)) with midrank ties — derived from
+    // the q351 Friedman machinery; W ∈ [0,1] in ppm (sign-split for
+    // the tie-floor edge where Fr dips a ppm negative).
+    Q("q375_kendall_w",
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |ty AS (SELECT unnest(['view','click','purchase','signup','error']) AS et),
+             |c AS (SELECT user_id, event_type AS et, count(*)::BIGINT AS v
+             |  FROM events GROUP BY user_id, event_type),
+             |g AS (SELECT u.user_id, ty.et, coalesce(c.v, 0) AS v
+             |  FROM u CROSS JOIN ty LEFT JOIN c USING (user_id, et)),
+             |rk AS (SELECT et,
+             |  2 * (rank() OVER (PARTITION BY user_id ORDER BY v) - 1)
+             |    + count(*) OVER (PARTITION BY user_id, v) + 1 AS r2 FROM g),
+             |rj AS (SELECT et, sum(r2)::BIGINT AS rj2, count(*)::BIGINT AS nb
+             |  FROM rk GROUP BY et),
+             |a AS (SELECT count(*)::BIGINT AS k, max(nb)::BIGINT AS n,
+             |  sum(rj2 * rj2)::BIGINT AS s2 FROM rj),
+             |f AS (SELECT n, k,
+             |  (CASE WHEN (3000000 * s2) // (k * n * (k + 1)) >= 3000000 * n * (k + 1)
+             |    THEN (3000000 * s2) // (k * n * (k + 1)) - 3000000 * n * (k + 1)
+             |    ELSE -(3000000 * n * (k + 1) - (3000000 * s2) // (k * n * (k + 1)))
+             |  END)::BIGINT AS fr FROM a)
+             |SELECT n AS n_blocks, k, fr AS fr_ppm,
+             |  (CASE WHEN fr >= 0 THEN fr // (n * (k - 1))
+             |   ELSE -((-fr) // (n * (k - 1))) END)::BIGINT AS w_ppm
+             |FROM f""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val users = ev.select(col("user_id")).distinct()
+        val ty = ev.sparkSession.range(1).select(explode(array(
+          Seq("view", "click", "purchase", "signup", "error")
+            .map(lit): _*)).as("et"))
+        val cnt = ev.groupBy(col("user_id"), col("event_type").as("et"))
+          .agg(count(lit(1)).cast("bigint").as("v"))
+        val grid = users.crossJoin(broadcast(ty))
+          .join(cnt, Seq("user_id", "et"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L)))
+        EvalStats.friedmanRanks(grid, "user_id", "et", "v")
+          .select(col("n_blocks"), col("k"), col("fr_ppm"),
+            expr("""CASE WHEN fr_ppm >= 0
+                   |  THEN fr_ppm div (n_blocks * (k - 1L))
+                   |  ELSE -((-fr_ppm) div (n_blocks * (k - 1L)))
+                   |END""".stripMargin).cast("bigint").as("w_ppm"))
+      })
   )
 }
