@@ -920,7 +920,10 @@ object TimeSeries {
     * n_at_decision, llr_mbits)` where decision ∈ accept_h1 (walk ≥
     * +threshold first), accept_h0 (walk ≤ −threshold first), continue
     * (no boundary crossed; `n_at_decision` = `n_obs`, `llr_mbits` =
-    * final walk).
+    * final walk). `orderCol` must be UNIQUE within each group (an
+    * event id, not a timestamp with ties) — the walk's order, and
+    * therefore the stopping index, is only deterministic under a
+    * total order.
     *
     * Scale shape (100 TB): one window partitioned by group (the
     * running sum), one keyed aggregation — no shuffles beyond the

@@ -109,7 +109,8 @@ case class ManagedDataset(
     // the atomicity Delta's constraint enforcement promises. SQL
     // semantics: a row violates when the predicate is FALSE; NULL
     // passes (add an IS NOT NULL conjunct to forbid nulls).
-    enforceConstraints(df, constraints())
+    var enforced = constraints()
+    enforceConstraints(df, enforced)
     if (txn.exists { case (app, id) => lastCommittedBatch(app).exists(_ >= id) })
       return false // redelivered batch — already durable, skip
     val firstTarget = latestVersion().map(_ + 1).getOrElse(1L)
@@ -140,10 +141,21 @@ case class ManagedDataset(
       val stats = parentM.map(_.stats).getOrElse(Map.empty) ++
         (if (newStats.nonEmpty) Map(dataDir -> newStats) else Map.empty)
       // constraints survive overwrite too (Delta semantics: table
-      // metadata, not data)
+      // metadata, not data). Close the add-constraint race: if a
+      // concurrent addConstraint landed AFTER the entry check, the
+      // parent manifest now carries constraints this batch was never
+      // validated against — enforce exactly the new ones before
+      // publishing under them (the violating batch leaves only its
+      // orphaned data dir, reclaimable by vacuum; never a manifest).
+      val current = parentAny.map(_.constraints).getOrElse(Map.empty)
+      val unseen = current -- enforced.keys
+      if (unseen.nonEmpty) {
+        enforceConstraints(df, unseen)
+        enforced = enforced ++ unseen
+      }
       committed = publishManifest(version,
         ManagedDataset.renderManifest(version, mode, dirs, df.schema, txn,
-          stats, parentAny.map(_.constraints).getOrElse(Map.empty)))
+          stats, current))
     }
     true
   }
