@@ -395,6 +395,25 @@ object RobustStats {
         "CASE WHEN concordant + discordant + tie_y <= 0 THEN NULL ELSE " +
           sdiv("1000000L * (concordant - discordant)",
             "concordant + discordant + tie_y") + " END").cast("bigint"))
+      // tau-b: tie-corrected on BOTH margins — the geometric-mean
+      // denominator pinned by the exact isqrt on DECIMAL products.
+      // kendallTau's pair enumeration excludes both-tied pairs
+      // entirely (same-cell pairs never join), so tie_x = x-tied-
+      // y-different and tie_y = y-tied-x-different — exactly the
+      // textbook legs: (n0−n_xtied) = C+D+tie_y and (n0−n_ytied) =
+      // C+D+tie_x.
+      .withColumn("__tb_q", expr(
+        "cast(concordant + discordant + tie_y as decimal(38,0)) * " +
+          "(concordant + discordant + tie_x)"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__tb_q", "__tb_rt"))
+      .withColumn("tau_b_ppm", expr(
+        "CASE WHEN __tb_rt <= 0 THEN NULL ELSE " +
+          "CASE WHEN concordant - discordant >= 0 " +
+          "THEN cast((1000000 * cast(concordant - discordant as decimal(38,0))) div __tb_rt as bigint) " +
+          "ELSE -cast((1000000 * cast(discordant - concordant as decimal(38,0))) div __tb_rt as bigint) END " +
+          "END").cast("bigint"))
+      .drop("__tb_q", "__tb_rt", "__tb_rt__s0", "__tb_rt__s1", "__tb_rt__s2",
+        "__tb_rt__s3")
   }
 
   /** Grouped nearest-rank percentile bands: for each group, the exact

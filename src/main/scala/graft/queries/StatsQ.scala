@@ -3235,6 +3235,55 @@ object StatsQ {
                    |  THEN fr_ppm div (n_blocks * (k - 1L))
                    |  ELSE -((-fr_ppm) div (n_blocks * (k - 1L)))
                    |END""".stripMargin).cast("bigint").as("w_ppm"))
+      }),
+
+    // ---- Kendall tau-b -------------------------------------------
+    // The both-margin tie-corrected tau over the q248 cells; the
+    // geometric-mean denominator pinned by the exact isqrt.
+    Q("q376_tau_b", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      val dh = graft.functions.TextHash.duck.rollingHash("text")
+      Some(s"""WITH b AS (SELECT source, n_chars // 50 AS x,
+              |  ($dh % 1000) // 100 AS y FROM documents),
+              |c AS (SELECT source, x, y, count(*)::BIGINT AS n FROM b
+              |  GROUP BY 1, 2, 3),
+              |p AS (SELECT a.source,
+              |  sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.n * b.n ELSE 0 END)::BIGINT AS cc,
+              |  sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.n * b.n ELSE 0 END)::BIGINT AS dd,
+              |  sum(CASE WHEN a.x = b.x THEN a.n * b.n ELSE 0 END)::BIGINT AS tx,
+              |  sum(CASE WHEN a.y = b.y AND a.x < b.x THEN a.n * b.n ELSE 0 END)::BIGINT AS ty
+              |  FROM c a JOIN c b ON a.source = b.source
+              |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+              |  GROUP BY a.source),
+              |t AS (SELECT source, sum(n)::BIGINT AS n FROM c GROUP BY source),
+              |j AS (SELECT t.source, t.n,
+              |  coalesce(p.cc, 0)::BIGINT AS cc, coalesce(p.dd, 0)::BIGINT AS dd,
+              |  coalesce(p.tx, 0)::BIGINT AS tx, coalesce(p.ty, 0)::BIGINT AS ty
+              |  FROM t LEFT JOIN p USING (source)),
+              |q2 AS (SELECT *,
+              |  ((cc + dd + ty)::HUGEINT * (cc + dd + tx)) AS x FROM j),
+              |$ladder
+              |SELECT source, n, cc AS concordant, dd AS discordant,
+              |  (CASE WHEN rt <= 0 THEN NULL
+              |   WHEN cc - dd >= 0 THEN (1000000 * (cc - dd)::HUGEINT) // rt
+              |   ELSE -((1000000 * (dd - cc)::HUGEINT) // rt)
+              |  END)::BIGINT AS tau_b_ppm
+              |FROM i4 ORDER BY source""".stripMargin)
+    },
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("__xq", expr("n_chars div 50L"))
+          .withColumn("__yq", expr(
+            s"(${graft.functions.TextHash.spark.rollingHash("text")} % 1000L) div 100L"))
+        graft.operators.RobustStats
+          .ordinalAssociation(d, "__xq", "__yq", Seq("source"))
+          .select(col("source"), col("n"), col("concordant"),
+            col("discordant"), col("tau_b_ppm"))
+          .orderBy("source")
       })
   )
 }

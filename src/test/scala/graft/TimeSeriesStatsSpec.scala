@@ -290,11 +290,14 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("tie_y") == 1L)
     assert(r.getAs[Long]("gamma_ppm") == 500000L)
     assert(r.getAs[Long]("somers_d_ppm") == 400000L)
+    // tau-b: T_x = 1 too -> 2 / sqrt(5*5) = 400000
+    assert(r.getAs[Long]("tau_b_ppm") == 400000L)
     // an all-ties group has no orderable pairs -> NULL, not 0/0
     val tied = Seq(("t", 1L, 1L), ("t", 1L, 1L)).toDF("grp", "x", "y")
     val r2 = RobustStats.ordinalAssociation(tied, "x", "y", Seq("grp"))
       .collect().head
     assert(r2.isNullAt(r2.fieldIndex("gamma_ppm")))
+    assert(r2.isNullAt(r2.fieldIndex("tau_b_ppm")))
   }
 
   test("hodgesLehmann: weighted lower median of pairwise differences") {
