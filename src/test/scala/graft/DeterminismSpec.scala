@@ -186,6 +186,23 @@ class DeterminismSpec extends SparkSpec {
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("y")),
       "x", "y"))
+    // survival trio: duration frames derived per user, then the
+    // histogram-fold operators — the fold order is pinned by
+    // sort_array, the windows by the total order on t
+    def lifetimes(df: DataFrame) = {
+      val f = df.groupBy(col("user_id")).agg(min(col("b")).as("fb"))
+      val fe = df.where(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(min(col("b")).as("eb"))
+      val mx = df.agg(max(col("b")).as("bl"))
+      f.join(fe, Seq("user_id"), "left").crossJoin(broadcast(mx))
+        .select(
+          when(col("eb").isNull, col("bl") - col("fb"))
+            .otherwise(col("eb") - col("fb")).as("t"),
+          col("eb").isNull.as("cen"),
+          (col("user_id") % 2 === 0).as("g"))
+    }
+    inv(df => TimeSeries.nelsonAalen(lifetimes(df), "t", "cen"))
+    inv(df => TimeSeries.logRankCurve(lifetimes(df), "t", "cen", col("g")))
   }
 
   test("round-7 dedup/mixing operators are partitioning-invariant") {

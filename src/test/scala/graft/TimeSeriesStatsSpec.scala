@@ -442,6 +442,19 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("aalenJohansen")))
   }
 
+  test("logRankCurve: the int64 headroom guard raises past 40k subjects at risk") {
+    // 40k subjects all dying at t=1 puts n = 40000 in one bucket —
+    // the documented DECIMAL-rebuild seam must raise, never overflow
+    val df = spark.range(40000).selectExpr("1L AS t", "false AS cen",
+      "id % 2 = 0 AS g")
+    val e = intercept[Exception](
+      TimeSeries.logRankCurve(df, "t", "cen",
+        org.apache.spark.sql.functions.col("g")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("logRankCurve")))
+  }
+
   test("sprtMonitor: earliest boundary crossing wins; undecided streams continue") {
     // p0=.25, p1=.5 -> weights +1000 / -585 milli-bits
     val (wS, wF) = TimeSeries.sprtWeights(0.25, 0.5)
