@@ -3284,6 +3284,36 @@ object StatsQ {
           .select(col("source"), col("n"), col("concordant"),
             col("discordant"), col("tau_b_ppm"))
           .orderBy("source")
-      })
+      }),
+
+    // ---- relative effect + Cliff's delta -------------------------
+    // How much do English doc lengths stochastically dominate the
+    // rest? Exact pair-count ratios on value cells.
+    Q("q377_relative_effect",
+      Some("""WITH b0 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents),
+             |cells AS (SELECT arm, v, count(*)::BIGINT AS n FROM b0
+             |  GROUP BY arm, v),
+             |a AS (SELECT v AS va, n AS na FROM cells WHERE arm = 0),
+             |b AS (SELECT v AS vb, n AS nb FROM cells WHERE arm = 1),
+             |p AS (SELECT
+             |  coalesce(sum(CASE WHEN vb > va THEN na * nb END), 0)::BIGINT AS gt,
+             |  coalesce(sum(CASE WHEN vb < va THEN na * nb END), 0)::BIGINT AS lt,
+             |  coalesce(sum(CASE WHEN vb = va THEN na * nb END), 0)::BIGINT AS eq
+             |  FROM a CROSS JOIN b),
+             |na2 AS (SELECT count(*)::BIGINT AS qa FROM b0 WHERE arm = 0),
+             |nb2 AS (SELECT count(*)::BIGINT AS qb FROM b0 WHERE arm = 1)
+             |SELECT qa AS n_a, qb AS n_b,
+             |  (CASE WHEN qa = 0 OR qb = 0 THEN NULL
+             |   ELSE (1000000 * (2 * gt + eq)) // (2 * qa * qb) END)::BIGINT
+             |    AS p_hat_ppm,
+             |  (CASE WHEN qa = 0 OR qb = 0 THEN NULL
+             |   WHEN gt >= lt THEN (1000000 * (gt - lt)) // (qa * qb)
+             |   ELSE -((1000000 * (lt - gt)) // (qa * qb)) END)::BIGINT
+             |    AS cliffs_delta_ppm
+             |FROM p CROSS JOIN na2 CROSS JOIN nb2""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.relativeEffect(
+          t(s, dir, "documents"), col("lang") === "en", "n_chars"))
   )
 }

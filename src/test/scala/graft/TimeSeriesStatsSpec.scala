@@ -260,6 +260,27 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out.head.getLong(5) == -333333L)
   }
 
+  test("relativeEffect: dominance, equality, and tie handling are exact") {
+    import graft.operators.RobustStats
+    import org.apache.spark.sql.functions.col
+    // B strictly dominates A: p_hat = 1, delta = 1
+    val dom = Seq((false, 1L), (false, 2L), (true, 3L), (true, 4L))
+      .toDF("inB", "v")
+    val r = RobustStats.relativeEffect(dom, col("inB"), "v").collect().head
+    assert((r.getLong(2), r.getLong(3)) == ((1000000L, 1000000L)))
+    // identical distributions with ties: A {1,2}, B {1,2}:
+    // gt=1, lt=1, eq=2 -> p_hat = (2+2)/8 = 500000, delta = 0
+    val eqd = Seq((false, 1L), (false, 2L), (true, 1L), (true, 2L))
+      .toDF("inB", "v")
+    val r2 = RobustStats.relativeEffect(eqd, col("inB"), "v").collect().head
+    assert((r2.getLong(2), r2.getLong(3)) == ((500000L, 0L)))
+    // reversed dominance: delta sign-splits to -1
+    val rev = Seq((false, 3L), (false, 4L), (true, 1L), (true, 2L))
+      .toDF("inB", "v")
+    assert(RobustStats.relativeEffect(rev, col("inB"), "v")
+      .collect().head.getLong(3) == -1000000L)
+  }
+
   test("ansariBradley: middle-heavy arm scores high; all-tied pool is null-centered") {
     import graft.operators.RobustStats
     import org.apache.spark.sql.functions.col
