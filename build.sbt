@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON from a ~2000-char
+// tail. sbt's default logger wraps forked output in "[info] " and appends
+// a "[success] Total time" trailer — both defeat a strict JSON-line
+// parser. StdoutOutput passes the forked process's stdout through raw,
+// and showSuccess drops the trailer, so the compact bench JSON arrives
+// unprefixed and last.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

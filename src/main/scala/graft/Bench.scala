@@ -15,10 +15,19 @@ object Bench {
     // so the first measured query doesn't absorb one-time JVM costs.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // Stable order + cache hygiene: operators may persist() reused
-    // subtrees; drop them after each query so cached blocks never
-    // accumulate across the run (heap pressure skews later timings).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Stable order + cache hygiene: operators may persist() or
+    // localCheckpoint() reused subtrees; drop them after each query so
+    // cached blocks never accumulate across the run. clearCache() only
+    // releases DataFrame cache entries — localCheckpoint/persist'd RDD
+    // blocks live in getPersistentRDDs and must be unpersisted
+    // explicitly, or across a 377-query sweep they pile up in the
+    // BlockManager and GC pressure inflates late heavy queries 4-6x.
+    def releaseAllBlocks(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), idx) =>
       val t0 = System.nanoTime()
       // A failed query must not masquerade as a fast one: keep its
       // time-to-fail but record the name under "errors".
@@ -28,7 +37,17 @@ object Bench {
           false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.sharedState.cacheManager.clearCache()
+      releaseAllBlocks()
+      // Sweep-order memory telemetry (stderr only, never in the JSON):
+      // makes block-accumulation regressions visible in the artifact.
+      if ((idx + 1) % 50 == 0) {
+        val storageUsed =
+          spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        val nPersistent = spark.sparkContext.getPersistentRDDs.size
+        System.err.println(
+          f"[bench] storage after ${idx + 1}%d queries: " +
+          f"${storageUsed / 1048576.0}%.1f MiB cached, $nPersistent%d persistent RDDs")
+      }
       (name, dt, ok)
     }
     def fmt(v: Double): String = f"$v%.3f"

@@ -21,6 +21,7 @@ object TimeQueries {
         val t0 = System.nanoTime()
         qs(name)(spark, sfDir).count()
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

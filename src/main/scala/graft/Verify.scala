@@ -27,9 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Operators may persist() reused subtrees; don't let cached
-      // blocks accumulate across queries.
+      // Operators may persist() or localCheckpoint() reused subtrees;
+      // don't let blocks accumulate across queries — clearCache() alone
+      // misses RDD-level blocks (localCheckpoint), which must be dropped
+      // via getPersistentRDDs.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -815,7 +815,12 @@ object Components {
       .crossJoin(broadcast(m))
       .agg(max(col("__m")).as("__m"),
         count(lit(1)).cast("bigint").as("n_communities"),
-        sum(expr("4L * __m * __e - __d * __d")).cast("bigint").as("__num"))
+        // per-community term on DECIMAL(38,0): 4·m·e_c (and d_c²)
+        // overflow int64 past ~1.5e9 edges — same headroom as the
+        // final division below, which moved to decimal for exactly
+        // this reason
+        sum(expr("4L * cast(__m as decimal(38,0)) * __e " +
+          "- cast(__d as decimal(38,0)) * __d")).as("__num"))
       .select(col("__m").cast("bigint").as("m_edges"), col("n_communities"),
         // DECIMAL(38,0) products: 10⁶·4m² overflows int64 past ~1.5M
         // edges, and graphs here can be larger

@@ -1181,8 +1181,12 @@ object DedupOps {
                        maxTokenFreq: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(tNum >= 1 && tNum <= tDen, "threshold must be in (0, 1]")
+    // ids keep their native type: every downstream use (window
+    // partition, equi-joins, the a<b canonical order) works on any
+    // orderable type, and a cast("long") would turn string/UUID ids
+    // into NULLs — silently emptying the join instead of failing
     val tk = df
-      .select(col(idCol).cast("long").as("__id"),
+      .select(col(idCol).as("__id"),
         explode(array_distinct(expr(
           graft.functions.TextHash.spark.tokens(textCol)))).as("__w"))
     val freq = tk.groupBy(col("__w"))

@@ -881,7 +881,10 @@ object EvalStats {
     * summed as integers and divided once. rel/res quantize each
     * bin's mean to ppm first (`p_ppm`, `obar_ppm` integers), then
     * one floor-div per bin — deterministic on both engines, error
-    * ≤ #bins ppm. All products stay far inside int64 for n ≤ 10⁹.
+    * ≤ #bins ppm. The per-bin products `n_b·(p_ppm−ob_ppm)²` reach
+    * `n_b·10¹²` (int64 would wrap at ~9.2M rows per bin), so they —
+    * and the 10⁶-scaled Brier numerator — ride on DECIMAL(38,0):
+    * headroom to ~10²⁶ rows.
     *
     * Scale shape (100 TB): one map-side-combinable groupBy on the
     * forecast bin (cardinality ≤ D+1), then scalar algebra on that
@@ -910,14 +913,17 @@ object EvalStats {
         // exact: Σ over bins of (k²·n_b − 2kD·o_b + D²·o_b), one div
         sum(expr(s"__k * __k * __nb - 2L * __k * $forecastDen * __ob + " +
           s"$forecastDen * $forecastDen * __ob")).as("__brier_num"),
-        sum(expr("(__nb * (__p_ppm - __ob_ppm) * (__p_ppm - __ob_ppm)) " +
-          "div (1000000L * __n)")).as("__rel_ppm_raw"),
-        sum(expr("(__nb * (__ob_ppm - __obar_ppm) * (__ob_ppm - __obar_ppm)) " +
-          "div (1000000L * __n)")).as("__res_ppm_raw"),
+        sum(expr("(cast(__nb as decimal(38,0)) * (__p_ppm - __ob_ppm) " +
+          "* (__p_ppm - __ob_ppm)) div (cast(1000000 as decimal(38,0)) * __n)"))
+          .as("__rel_ppm_raw"),
+        sum(expr("(cast(__nb as decimal(38,0)) * (__ob_ppm - __obar_ppm) " +
+          "* (__ob_ppm - __obar_ppm)) div (cast(1000000 as decimal(38,0)) * __n)"))
+          .as("__res_ppm_raw"),
         max(expr("(__obar_ppm * (1000000L - __obar_ppm)) div 1000000L"))
           .as("__unc_ppm"))
       .select(col("n"), col("n_pos"),
-        expr(s"(1000000L * __brier_num) div ($forecastDen * $forecastDen * n)")
+        expr(s"(cast(1000000 as decimal(38,0)) * __brier_num) " +
+          s"div ($forecastDen * $forecastDen * n)")
           .cast("bigint").as("brier_ppm"),
         col("__rel_ppm_raw").cast("bigint").as("rel_ppm"),
         col("__res_ppm_raw").cast("bigint").as("res_ppm"),
@@ -1190,8 +1196,11 @@ object EvalStats {
     * past the distinct id sets. */
   def captureRecapture(dfA: DataFrame, dfB: DataFrame,
                        idCol: String): DataFrame = {
-    val a = dfA.select(col(idCol).cast("long").as("__id")).distinct()
-    val b = dfB.select(col(idCol).cast("long").as("__id")).distinct()
+    // ids keep their native type: distinct + equi-join work on any
+    // column type, and a cast("long") here would turn string/UUID ids
+    // into NULLs — silently collapsing each catch to one row
+    val a = dfA.select(col(idCol).as("__id")).distinct()
+    val b = dfB.select(col(idCol).as("__id")).distinct()
     val na = a.agg(count(lit(1)).cast("bigint").as("__na"))
     val nb = b.agg(count(lit(1)).cast("bigint").as("__nb"))
     val m = a.join(b, Seq("__id")).agg(count(lit(1)).cast("bigint").as("__m"))

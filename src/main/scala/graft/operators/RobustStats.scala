@@ -314,13 +314,16 @@ object RobustStats {
       .select(col("__v").as("__va"), col("__n").as("__na"))
     val b = cells.where(col("__arm") === 1L)
       .select(col("__v").as("__vb"), col("__n").as("__nb"))
+    // pair counts ride on DECIMAL(38,0): gt/lt/eq reach n_a·n_b, and
+    // the 10⁶-scaled ppm numerators below reach 10⁶·n_a·n_b — int64
+    // would wrap once n_a·n_b > ~4.6e12 (arms of ~2M rows)
     val pairs = a.crossJoin(b).agg(
       sum(when(col("__vb") > col("__va"), expr("__na * __nb"))
-        .otherwise(0L)).cast("bigint").as("__gt"),
+        .otherwise(0L).cast("decimal(38,0)")).as("__gt"),
       sum(when(col("__vb") < col("__va"), expr("__na * __nb"))
-        .otherwise(0L)).cast("bigint").as("__lt"),
+        .otherwise(0L).cast("decimal(38,0)")).as("__lt"),
       sum(when(col("__vb") === col("__va"), expr("__na * __nb"))
-        .otherwise(0L)).cast("bigint").as("__eq"))
+        .otherwise(0L).cast("decimal(38,0)")).as("__eq"))
     val na = base.where(col("__arm") === 0L)
       .agg(count(lit(1)).cast("bigint").as("__qa"))
     val nb = base.where(col("__arm") === 1L)
@@ -328,15 +331,22 @@ object RobustStats {
     pairs.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
       .select(col("__qa").as("n_a"), col("__qb").as("n_b"),
         expr("""CASE WHEN __qa = 0 OR __qb = 0 THEN NULL
-               |ELSE (1000000L * (2L * coalesce(__gt, 0L) + coalesce(__eq, 0L)))
-               |  div (2L * __qa * __qb) END""".stripMargin)
+               |ELSE (cast(1000000 as decimal(38,0))
+               |    * (2L * coalesce(__gt, cast(0 as decimal(38,0)))
+               |       + coalesce(__eq, cast(0 as decimal(38,0)))))
+               |  div (cast(2 as decimal(38,0)) * __qa * __qb) END""".stripMargin)
           .cast("bigint").as("p_hat_ppm"),
         expr("""CASE WHEN __qa = 0 OR __qb = 0 THEN NULL
-               |WHEN coalesce(__gt, 0L) >= coalesce(__lt, 0L)
-               |  THEN (1000000L * (coalesce(__gt, 0L) - coalesce(__lt, 0L)))
-               |    div (__qa * __qb)
-               |ELSE -((1000000L * (coalesce(__lt, 0L) - coalesce(__gt, 0L)))
-               |  div (__qa * __qb)) END""".stripMargin)
+               |WHEN coalesce(__gt, cast(0 as decimal(38,0)))
+               |    >= coalesce(__lt, cast(0 as decimal(38,0)))
+               |  THEN (cast(1000000 as decimal(38,0))
+               |      * (coalesce(__gt, cast(0 as decimal(38,0)))
+               |         - coalesce(__lt, cast(0 as decimal(38,0)))))
+               |    div (cast(__qa as decimal(38,0)) * __qb)
+               |ELSE -((cast(1000000 as decimal(38,0))
+               |      * (coalesce(__lt, cast(0 as decimal(38,0)))
+               |         - coalesce(__gt, cast(0 as decimal(38,0)))))
+               |  div (cast(__qa as decimal(38,0)) * __qb)) END""".stripMargin)
           .cast("bigint").as("cliffs_delta_ppm"))
   }
 
@@ -934,10 +944,10 @@ object RobustStats {
     val sizes = cells.groupBy(col("__g"))
       .agg(sum(col("__n")).cast("bigint").as("__ni"))
       .agg(sum(col("__ni")).cast("bigint").as("__N"),
-        sum(expr("__ni * __ni * (2L * __ni + 5L)")).cast("bigint").as("__corr"))
+        sum(expr("__ni * __ni * (2L * __ni + 3L)")).cast("bigint").as("__corr"))
     pairStats.crossJoin(broadcast(sizes))
       .withColumn("__j2", expr("2L * __gt + __eq"))
-      .withColumn("__var72", expr("__N * __N * (2L * __N + 5L) - __corr"))
+      .withColumn("__var72", expr("__N * __N * (2L * __N + 3L) - __corr"))
       .withColumn("__d", expr("__j2 - __mean2"))
       .withColumn("__q", expr(
         "CASE WHEN __var72 > 0 THEN (cast(18000000000000 as decimal(38,0)) " +

@@ -1411,11 +1411,13 @@ object SimilarityOps {
     *
     * Scale shape: the long-form `(row, dim, q)` frame is derived
     * once; per iteration ONE row-keyed aggregation (the dot — the
-    * dim-table v broadcasts), one scalar max, ONE dim-keyed
-    * aggregation (64 keys — map-side combined to nothing), one
+    * dim-table v broadcasts) materialized via localCheckpoint so the
+    * max-|u| scalar AND the dim-keyed w-fold both read its cached
+    * blocks instead of recomputing the mat-vec, then one dim-keyed
+    * aggregation (64 keys — map-side combined to nothing) and one
     * scalar max. The driver holds only d-sized vectors per round
     * (the k-means/centroid convention). Iterations are a fixed
-    * constant — classic BSP.
+    * constant — classic BSP; each round's u blocks release eagerly.
     */
   def powerIterationInt(df: DataFrame, idCol: String, vecCol: String,
                         iters: Int = 3, scale: Long = 1000L): DataFrame = {
@@ -1433,9 +1435,13 @@ object SimilarityOps {
     (1 to iters).foreach { _ =>
       val vDf = broadcast(v.toSeq.zipWithIndex
         .map { case (x, j) => (j, x) }.toDF("__j", "__v"))
+      // the mat-vec runs ONCE per iteration: localCheckpoint
+      // materializes u, so the max-|u| probe and the w-fold read
+      // cached blocks rather than re-running the row-keyed dot
       val u = e.join(vDf, Seq("__j"))
         .groupBy(col("__id"))
         .agg(sum(col("__q") * col("__v")).cast("bigint").as("__u"))
+        .localCheckpoint()
       val mu = math.max(1L,
         u.agg(max(abs(col("__u")))).head().getLong(0))
       val us = u.withColumn("__us", expr(rescaleSql("__u", mu.toString, scale)))
@@ -1444,6 +1450,12 @@ object SimilarityOps {
         .groupBy(col("__j"))
         .agg(sum(col("__q") * col("__us")).cast("bigint").as("__w"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // this round's u is spent — free its blocks before the next one
+      u.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
       val mw = math.max(1L, w.values.map(math.abs).max)
       v = Array.tabulate(dims) { j =>
         val x = w.getOrElse(j, 0L)
@@ -1451,6 +1463,8 @@ object SimilarityOps {
         if (x < 0) -a else a
       }
     }
+    // the result is the driver-side v vector — e's blocks can go now
+    e.unpersist(blocking = false)
     v.toSeq.zipWithIndex.map { case (x, j) => (j.toLong, x) }
       .toDF("dim", "v")
       .orderBy("dim")

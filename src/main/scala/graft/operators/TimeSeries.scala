@@ -848,11 +848,12 @@ object TimeSeries {
     *
     * Scale shape (100 TB): subjects collapse to a per-(duration ×
     * group) histogram (horizon-bounded), pivoted to one row per
-    * duration; windows run on that bounded frame. The ppm variance
-    * product `10⁶·d·n1·n2·(n−d)` needs `n ≲ 40k` subjects at risk per
-    * time point to stay in int64 — beyond that, rebuild the two
-    * product terms on DECIMAL(38,0) (documented seam, loud guard
-    * below, never silent overflow). */
+    * duration; windows run on that bounded frame. Both ppm product
+    * terms run on DECIMAL(38,0): the variance numerator
+    * `10⁶·d·n1·n2·(n−d)` reaches ~`10⁶·n⁴/16`, so 38 digits hold it up
+    * to `n ≈ 10⁸` subjects at risk per time point — past that a loud
+    * guard raises (never silent overflow; int64 alone would wrap at
+    * n≈3400 worst-case, far below real cohorts). */
   def logRankCurve(df: DataFrame, durationCol: String, censoredCol: String,
                    groupCond: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -878,23 +879,27 @@ object TimeSeries {
       .withColumn("__d", col("__d1") + col("__d2"))
       .withColumn("__n", col("__n1") + col("__n2"))
       .where(col("__d") > 0)
-      // int64 headroom guard: fail loudly, never overflow silently
+      // DECIMAL(38,0) headroom guard: the variance numerator
+      // 10⁶·d·n1·n2·(n−d) ≤ ~10⁶·n⁴/16 stays inside 38 digits for
+      // n < 10⁸; fail loudly past that, never overflow silently
       .withColumn("__n", expr(
-        "CASE WHEN __n < 40000 THEN __n ELSE raise_error(" +
-          "'logRankCurve: > 40k subjects at risk in one time bucket — " +
-          "rebuild variance terms on DECIMAL(38,0)') END"))
+        "CASE WHEN __n < 100000000 THEN __n ELSE raise_error(" +
+          "'logRankCurve: > 1e8 subjects at risk in one time bucket — " +
+          "the DECIMAL(38,0) variance term would overflow') END"))
       // sign-split truncating div: numerator d1*n - d*n1 can go
       // negative; Spark div truncates, DuckDB // floors — make both
-      // truncate toward zero explicitly
+      // truncate toward zero explicitly. The 10⁶ scaling rides on
+      // DECIMAL(38,0) (d1·n alone fits int64 under the n<1e8 guard,
+      // but 10⁶× it would not); div on decimals still yields bigint.
       .withColumn("__oe_term", expr(
-        """CASE WHEN 1000000L * (__d1 * __n - __d * __n1) >= 0
-          |  THEN (1000000L * (__d1 * __n - __d * __n1)) div __n
-          |  ELSE -((1000000L * (__d * __n1 - __d1 * __n)) div __n)
+        """CASE WHEN __d1 * __n - __d * __n1 >= 0
+          |  THEN (cast(1000000 as decimal(38,0)) * (__d1 * __n - __d * __n1)) div __n
+          |  ELSE -((cast(1000000 as decimal(38,0)) * (__d * __n1 - __d1 * __n)) div __n)
           |END""".stripMargin))
       .withColumn("__var_term", expr(
         """CASE WHEN __n > 1
-          |  THEN (1000000L * __d * __n1 * __n2 * (__n - __d))
-          |       div (__n * __n * (__n - 1))
+          |  THEN (cast(1000000 as decimal(38,0)) * __d * __n1 * __n2 * (__n - __d))
+          |       div (cast(__n as decimal(38,0)) * __n * (__n - 1))
           |  ELSE 0L END""".stripMargin))
     val wCum = Window.orderBy(col("__t"))
       .rowsBetween(Window.unboundedPreceding, 0)

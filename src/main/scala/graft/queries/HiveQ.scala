@@ -467,6 +467,66 @@ object HiveQ {
         ds.scan().get
           .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
           .orderBy("o_orderstatus")
+      }),
+
+    // ---- read-only Delta protocol interop ------------------------
+    // A REAL Delta table (the public delta.io _delta_log JSON format
+    // that delta-rs/delta-spark write — hand-authored here since no
+    // delta jars ship in this env) replayed by DeltaReader: commit 0
+    // adds one file per nation region partition, commit 1 removes
+    // region 2's file. The snapshot read must see exactly the four
+    // survivors with partition values re-attached from the log.
+    // Reference surface: delta_dataset.py:41-62 (read_partition/scan).
+    Q("q378_delta_read",
+      Some("""SELECT n_regionkey::BIGINT AS n_regionkey,
+             |  count(*)::BIGINT AS n, sum(n_nationkey)::BIGINT AS sum_key
+             |FROM nation WHERE n_regionkey <> 2
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        import java.nio.file.Paths
+        val table = tmp("graft_q378_")
+        val nat = t(s, dir, "nation")
+        val dataCols = nat.schema.fieldNames.filterNot(_ == "n_regionkey")
+        val regions = nat.select(col("n_regionkey").cast("string"))
+          .distinct().collect().map(_.getString(0)).sorted
+        regions.foreach { r =>
+          val frag = Files.createTempDirectory("graft_q378_frag")
+          nat.where(col("n_regionkey").cast("string") === r)
+            .select(dataCols.map(col): _*).coalesce(1)
+            .write.mode("overwrite").parquet(frag.toString)
+          val part = Files.list(frag)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dest = Paths.get(table, s"n_regionkey=$r", "f0.parquet")
+          Files.createDirectories(dest.getParent)
+          Files.copy(part, dest)
+          org.apache.commons.io.FileUtils.deleteQuietly(frag.toFile)
+        }
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        val schemaJson = nat.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        def addJ(r: String) =
+          s"""{"add":{"path":"n_regionkey=$r/f0.parquet","partitionValues":""" +
+            s"""{"n_regionkey":"$r"},"size":100,""" +
+            s""""modificationTime":1700000000000,"dataChange":true}}"""
+        val head = Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"q378","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":["n_regionkey"],"configuration":{},""" +
+            s""""createdTime":1700000000000}}""")
+        Files.write(logDir.resolve(f"${0L}%020d.json"),
+          ((head ++ regions.map(addJ)).mkString("\n") + "\n").getBytes("UTF-8"))
+        Files.write(logDir.resolve(f"${1L}%020d.json"),
+          ("""{"remove":{"path":"n_regionkey=2/f0.parquet",""" +
+            """"deletionTimestamp":1700000001000,"dataChange":true}}""" + "\n")
+            .getBytes("UTF-8"))
+        graft.sources.DeltaReader.scan(table)(s).get
+          .groupBy(col("n_regionkey").cast("bigint").as("n_regionkey"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("n_nationkey")).cast("bigint").as("sum_key"))
+          .orderBy("n_regionkey")
       })
   )
 }

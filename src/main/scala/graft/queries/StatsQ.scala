@@ -2683,10 +2683,10 @@ object StatsQ {
               |  sum(a.n * b.n)::BIGINT AS mean2
               |  FROM cells a JOIN cells b ON a.g < b.g),
               |sz AS (SELECT sum(ni)::BIGINT AS nn,
-              |  sum(ni * ni * (2 * ni + 5))::BIGINT AS corr FROM
+              |  sum(ni * ni * (2 * ni + 3))::BIGINT AS corr FROM
               |  (SELECT g, sum(n)::BIGINT AS ni FROM cells GROUP BY g)),
               |j AS (SELECT 2 * gt + eq AS j2, mean2,
-              |  nn * nn * (2 * nn + 5) - corr AS var72, nn
+              |  nn * nn * (2 * nn + 3) - corr AS var72, nn
               |  FROM ps CROSS JOIN sz),
               |q2 AS (SELECT *, (CASE WHEN var72 > 0 THEN
               |  (18000000000000::HUGEINT * (j2 - mean2) * (j2 - mean2)) // var72

@@ -1,0 +1,276 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Read-only reader for Delta Lake tables via the PUBLIC transaction-
+  * log protocol (delta.io PROTOCOL.md) — no delta jars required.
+  *
+  * The reference's `DeltaDataset` reads real Delta tables
+  * (/root/reference/polario/delta_dataset.py:41-62: `read_partition`
+  * via partition filters, `scan` returning None for a missing table).
+  * [[ManagedDataset]] reproduces that OBSERVABLE surface with its own
+  * manifest protocol; this object closes the interop gap for tables
+  * someone else already wrote with a real Delta writer: it replays
+  * `_delta_log/` into a snapshot file list and hands the files to the
+  * ordinary parquet reader.
+  *
+  * Protocol subset implemented (all public, from PROTOCOL.md):
+  *  - commit files `_delta_log/<20-digit version>.json`, one action
+  *    object per line: `add`, `remove`, `metaData`, `protocol` (other
+  *    actions — txn/commitInfo/cdc/domainMetadata — carry no
+  *    snapshot-file state and are ignored);
+  *  - parquet checkpoints `<v>.checkpoint.parquet` and multi-part
+  *    `<v>.checkpoint.<i>.<n>.parquet` (discovered by listing, so a
+  *    missing/stale `_last_checkpoint` pointer never breaks replay);
+  *  - snapshot state: for each data-file path the action from the
+  *    HIGHEST version wins (the protocol forbids add+remove of one
+  *    path inside a single commit), survivors are the `add`s;
+  *  - the latest `metaData` supplies the logical schema
+  *    (`schemaString` is Spark's own StructType JSON — public spec)
+  *    and the partition columns, whose values live ONLY in the log
+  *    (injected as typed literal columns at read, like
+  *    [[HiveDataset]] P4);
+  *  - `protocol.minReaderVersion > 1` (column mapping, deletion
+  *    vectors, …) raises loudly rather than mis-reading.
+  *
+  * Scale shape (100 TB): the log replay is ONE distributed
+  * `spark.read.json` over the commit files (+ one parquet read of the
+  * newest checkpoint ≤ the requested version) and one path-keyed
+  * max-version aggregation — a multi-year log with tens of thousands
+  * of commits replays as a single shuffle on file-count-sized data.
+  * Only the surviving file LIST collects to the driver (every Delta
+  * reader materializes this to plan a scan — it is metadata, bounded
+  * by file count, never row count). The data read itself is plain
+  * parquet scans grouped by partition, so Catalyst pushdown/pruning
+  * apply downstream untouched.
+  */
+object DeltaReader {
+
+  /** One surviving data file: absolute path + its partition values
+    * (string-encoded, as the log stores them; null = null value). */
+  final case class DeltaFile(path: String, partitionValues: Map[String, String])
+
+  /** Reconstructed table state at one version. */
+  final case class DeltaSnapshot(
+      version: Long,
+      schema: StructType,
+      partitionColumns: Seq[String],
+      files: Seq[DeltaFile])
+
+  private val CommitName = """(\d{20})\.json""".r
+  private val CheckpointName = """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
+
+  /** Actions parsed from commit JSON — explicit schema: inference
+    * over a long log would cost a pre-pass and could widen types. */
+  private val actionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("deletionTimestamp", LongType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType)))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))),
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))))
+
+  /** Latest snapshot, or None when `url` holds no Delta table
+    * (mirrors delta_dataset.py:56-62 scan() → None on
+    * TableNotFoundError). */
+  def snapshot(url: String)(implicit spark: SparkSession): Option[DeltaSnapshot] =
+    snapshotAt(url, None)
+
+  /** Snapshot as of `version` (time travel); None when the table does
+    * not exist, loud error when the requested version is unreachable
+    * (past the log head, or its commits are vacuumed away). */
+  def snapshotAt(url: String, asOfVersion: Option[Long])
+                (implicit spark: SparkSession): Option[DeltaSnapshot] = {
+    val cleanUrl = url.stripSuffix("/")
+    val logDir = new Path(cleanUrl, "_delta_log")
+    val fs: FileSystem = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir)) return None
+    val entries = fs.listStatus(logDir).map(_.getPath.getName)
+    val commits = entries.collect { case CommitName(v) => v.toLong }.sorted
+    val checkpoints = entries.collect {
+      case CheckpointName(v, _) => v.toLong
+    }.distinct.sorted
+    if (commits.isEmpty && checkpoints.isEmpty) return None
+    val head = (commits ++ checkpoints).max
+    val target = asOfVersion.getOrElse(head)
+    if (target > head)
+      throw new IllegalArgumentException(
+        s"DeltaReader: version $target requested but the log ends at $head")
+    // newest checkpoint at or before the target anchors the replay;
+    // JSON commits (cp, target] complete it. Contiguity is checked —
+    // a vacuumed gap must raise, not silently drop state.
+    val cp = checkpoints.filter(_ <= target).lastOption
+    val tail = commits.filter(v => v > cp.getOrElse(-1L) && v <= target)
+    val expected = (cp.getOrElse(-1L) + 1) to target
+    if (expected.toSet -- tail.toSet != Set.empty)
+      throw new IllegalStateException(
+        s"DeltaReader: commits ${(expected.toSet -- tail.toSet).toSeq.sorted
+          .mkString(",")} missing from $logDir — log truncated past " +
+          "the newest usable checkpoint")
+
+    def commitPath(v: Long) = new Path(logDir, f"$v%020d.json").toString
+    val jsonActions =
+      if (tail.isEmpty) None
+      else Some(spark.read.schema(actionSchema).json(tail.map(commitPath): _*)
+        .withColumn("__v", regexp_extract(input_file_name(),
+          "(\\d{20})\\.json", 1).cast("long")))
+    val cpActions = cp.map { v =>
+      val parts = fs.listStatus(logDir).map(_.getPath).filter { p =>
+        p.getName match {
+          case CheckpointName(cv, _) => cv.toLong == v
+          case _ => false
+        }
+      }
+      spark.read.parquet(parts.map(_.toString): _*)
+        .select(
+          // checkpoints may carry extra columns (txn, stats structs)
+          // and wider add/remove structs — project the subset we
+          // replay, null-filling absent actions
+          col("add.path").as("__add_path"),
+          col("add.partitionValues").as("__add_pv"),
+          col("remove.path").as("__rm_path"),
+          col("metaData.schemaString").as("__schema"),
+          col("metaData.partitionColumns").as("__pcols"),
+          col("metaData.format.provider").as("__provider"),
+          col("protocol.minReaderVersion").as("__min_reader"))
+        .withColumn("__v", lit(v))
+    }
+    val normalizedJson = jsonActions.map(_.select(
+      col("add.path").as("__add_path"),
+      col("add.partitionValues").as("__add_pv"),
+      col("remove.path").as("__rm_path"),
+      col("metaData.schemaString").as("__schema"),
+      col("metaData.partitionColumns").as("__pcols"),
+      col("metaData.format.provider").as("__provider"),
+      col("protocol.minReaderVersion").as("__min_reader"),
+      col("__v")))
+    val actions = (cpActions.toSeq ++ normalizedJson.toSeq)
+      .reduce(_ unionByName _)
+      .localCheckpoint() // feeds three independent aggregations below
+
+    // protocol gate: the newest protocol action governs readability
+    val proto = actions.where(col("__min_reader").isNotNull)
+      .orderBy(col("__v").desc).select(col("__min_reader")).head(1)
+    proto.headOption.map(_.getInt(0)).foreach { mr =>
+      if (mr > 1) throw new UnsupportedOperationException(
+        s"DeltaReader: table requires reader protocol $mr (column " +
+          "mapping / deletion vectors / v2 checkpoints) — this minimal " +
+          "reader implements protocol 1")
+    }
+    // latest metaData wins (schema evolution / repartitioning)
+    val meta = actions.where(col("__schema").isNotNull)
+      .orderBy(col("__v").desc)
+      .select(col("__schema"), col("__pcols"), col("__provider")).head(1)
+    if (meta.isEmpty)
+      throw new IllegalStateException(
+        s"DeltaReader: no metaData action found in $logDir — not a valid Delta log")
+    val provider = Option(meta.head.getString(2)).getOrElse("parquet")
+    if (provider != "parquet")
+      throw new UnsupportedOperationException(
+        s"DeltaReader: format provider '$provider' unsupported (parquet only)")
+    val schema = DataType.fromJson(meta.head.getString(0)).asInstanceOf[StructType]
+    val pcols: Seq[String] =
+      Option(meta.head.getSeq[String](1)).getOrElse(Seq.empty[String]).toSeq
+
+    // file-state reconstruction: per path, the highest-version action
+    // wins; survivors are adds. One path-keyed aggregation.
+    import org.apache.spark.sql.expressions.Window
+    val perPath = actions
+      .select(col("__v"),
+        coalesce(col("__add_path"), col("__rm_path")).as("__path"),
+        col("__add_path").isNotNull.as("__is_add"),
+        col("__add_pv"))
+      .where(col("__path").isNotNull)
+    val w = Window.partitionBy(col("__path")).orderBy(col("__v").desc)
+    val survivors = perPath
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("__is_add"))
+      .select(col("__path"), col("__add_pv"))
+      .collect()
+
+    val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
+    val files = survivors.map { r =>
+      // add.path is RFC 2396 URL-encoded and usually relative to the
+      // table root; absolute URIs are legal and used as-is
+      val uri = new java.net.URI(r.getString(0))
+      val p = new Path(uri)
+      val abs = if (uri.isAbsolute) p else new Path(qualifiedBase, p)
+      val pv: Map[String, String] =
+        if (r.isNullAt(1)) Map.empty
+        else r.getMap[String, String](1).toMap
+      DeltaFile(abs.toString, pv)
+    }.toSeq.sortBy(_.path)
+    Some(DeltaSnapshot(target, schema, pcols, files))
+  }
+
+  /** Full-table scan at the latest (or a time-travel) version: data
+    * files read with the log's logical schema, partition columns
+    * injected as typed literals, columns in schema order. None when
+    * the table does not exist; an EMPTY table yields an empty frame
+    * with the right schema (matching `pl.scan_delta` semantics). */
+  def scan(url: String, asOfVersion: Option[Long] = None)
+          (implicit spark: SparkSession): Option[DataFrame] =
+    snapshotAt(url, asOfVersion).map(assemble)
+
+  /** Targeted partition read, mirroring delta_dataset.py:41-54: the
+    * key set must equal the table's partition columns (raise
+    * otherwise); a missing partition yields an empty frame, not None
+    * (a pyarrow partition filter returns zero rows, not an error). */
+  def readPartition(url: String, values: Map[String, String])
+                   (implicit spark: SparkSession): Option[DataFrame] =
+    snapshot(url).map { snap =>
+      require(values.keySet == snap.partitionColumns.toSet,
+        s"Partition column value keys ${values.keySet} do not match " +
+          s"partition columns ${snap.partitionColumns}")
+      assemble(snap.copy(files = snap.files.filter(f =>
+        values.forall { case (k, v) => f.partitionValues.get(k).contains(v) })))
+    }
+
+  /** Build the snapshot DataFrame: one parquet read per distinct
+    * partition-value tuple (bounded by partition count, each a plain
+    * multi-file scan with pushdown intact), literals injected with
+    * the SCHEMA's types, then one union. */
+  private def assemble(snap: DeltaSnapshot)
+                      (implicit spark: SparkSession): DataFrame = {
+    val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    snap.partitionColumns.foreach { c =>
+      if (!fieldType.contains(c))
+        throw new IllegalStateException(
+          s"DeltaReader: partition column '$c' missing from table schema")
+    }
+    val dataSchema = StructType(
+      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val ordered = snap.schema.fieldNames.map(col).toSeq
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    if (snap.files.isEmpty) return empty
+    val groups = snap.files
+      .groupBy(f => snap.partitionColumns.map(c =>
+        f.partitionValues.getOrElse(c, null)))
+      .toSeq.sortBy(_._1.mkString("/"))
+    groups.map { case (pvals, fs) =>
+      val base = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
+      snap.partitionColumns.zip(pvals).foldLeft(base) { case (d, (c, v)) =>
+        // log partition values are strings ("2024-01-02", "42", null);
+        // ANSI cast raises on garbage — corrupt logs fail loudly
+        d.withColumn(c, lit(v).cast(StringType).cast(fieldType(c)))
+      }.select(ordered: _*)
+    }.reduce(_ unionByName _)
+  }
+}

@@ -377,16 +377,31 @@ class TimeSeriesStatsSpec extends SparkSpec {
 
   test("jonckheereTerpstra: doubled MWU counts and the exact z quantization") {
     import graft.operators.RobustStats
+    // Standard no-tie JT variance: var·72 = N²(2N+3) − Σnᵢ²(2nᵢ+3)
+    // (NOT the Mann–Kendall 2N+5 form — a coefficient slip here once
+    // survived because the oracle mirrored it; these hand numbers pin
+    // the textbook formula independently of any oracle).
     // groups 0:{1,2}, 1:{3,4}: gt=4, eq=0 -> j_x2=8, mean_x2=4;
-    // var_x72 = 16*13 - 2*36 = 136; z = isqrt((18e12*16)//136) = 1455213
+    // var_x72 = 16*11 - 2*(4*7) = 120; z = isqrt((18e12*16)//120)
+    // = 1549193 — agrees with the continuous z = (4-2)/sqrt(120/72)
+    // = 1.549193.
     val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("g", "v")
     val r = RobustStats.jonckheereTerpstra(df, "g", "v").collect().head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-      r.getLong(4)) == ((4L, 8L, 4L, 136L, 1455213L)))
+      r.getLong(4)) == ((4L, 8L, 4L, 120L, 1549193L)))
+    // three ordered groups {1,2},{3,4},{5,6}: gt=12 over 3 pairs ->
+    // j_x2=24, mean_x2=12; var_x72 = 36*15 - 3*(4*7) = 456;
+    // z = isqrt((18e12*144)//456) = 2384158 (continuous: 6/sqrt(456/72)
+    // = 2.384158).
+    val df3 = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L),
+      (2L, 6L)).toDF("g", "v")
+    val r3 = RobustStats.jonckheereTerpstra(df3, "g", "v").collect().head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3),
+      r3.getLong(4)) == ((6L, 24L, 12L, 456L, 2384158L)))
     // reversed order -> same magnitude, negative sign
     val rev = Seq((1L, 1L), (1L, 2L), (0L, 3L), (0L, 4L)).toDF("g", "v")
     assert(RobustStats.jonckheereTerpstra(rev, "g", "v")
-      .collect().head.getLong(4) == -1455213L)
+      .collect().head.getLong(4) == -1549193L)
   }
 
   test("runsTest: tie days drop, runs count by sign change, exact z") {
@@ -463,17 +478,19 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("aalenJohansen")))
   }
 
-  test("logRankCurve: the int64 headroom guard raises past 40k subjects at risk") {
-    // 40k subjects all dying at t=1 puts n = 40000 in one bucket —
-    // the documented DECIMAL-rebuild seam must raise, never overflow
-    val df = spark.range(40000).selectExpr("1L AS t", "false AS cen",
+  test("logRankCurve: DECIMAL(38,0) variance is exact where int64 would wrap") {
+    // 40k subjects at t=1 (n1=n2=20000, d=20000 deaths split evenly):
+    // the variance numerator 10⁶·d·n1·n2·(n−d) = 1.6e23 — int64 wraps
+    // at 9.2e18, so this value is only reachable on the DECIMAL(38,0)
+    // path. Exact: var_ppm = 1.6e23 div (40000²·39999) = 2500062501;
+    // the symmetric split makes oe_ppm exactly 0.
+    val df = spark.range(40000).selectExpr("1L AS t", "id % 4 >= 2 AS cen",
       "id % 2 = 0 AS g")
-    val e = intercept[Exception](
-      TimeSeries.logRankCurve(df, "t", "cen",
-        org.apache.spark.sql.functions.col("g")).collect())
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("logRankCurve")))
+    val r = TimeSeries.logRankCurve(df, "t", "cen",
+      org.apache.spark.sql.functions.col("g")).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((20000L, 20000L, 10000L, 10000L, 0L, 2500062501L)))
   }
 
   test("sprtMonitor: earliest boundary crossing wins; undecided streams continue") {

@@ -1,0 +1,210 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+// checkpoint-row shapes (top-level so Spark can derive Encoders)
+private[sources] case class CpAdd(path: String,
+    partitionValues: Map[String, String], size: Long, dataChange: Boolean)
+private[sources] case class CpRemove(path: String, deletionTimestamp: Long,
+    dataChange: Boolean)
+private[sources] case class CpFormat(provider: String)
+private[sources] case class CpMeta(id: String, format: CpFormat,
+    schemaString: String, partitionColumns: Seq[String],
+    configuration: Map[String, String])
+private[sources] case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
+private[sources] case class CpRow(add: Option[CpAdd], remove: Option[CpRemove],
+    metaData: Option[CpMeta], protocol: Option[CpProto])
+
+/** Read-only Delta protocol replay against hand-built `_delta_log`
+  * fixtures (the public delta.io PROTOCOL.md format, authored here
+  * byte-by-byte — no delta jars anywhere): two-commit add/remove
+  * replay, URL-encoded paths, partition-literal injection, time
+  * travel, checkpoint + vacuumed-tail replay, contiguity and
+  * protocol-version guards. Reference surface:
+  * /root/reference/polario/delta_dataset.py:41-62. */
+class DeltaReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("v", LongType), StructField("p", StringType)))
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def metaJson: String =
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(schema.json)}","partitionColumns":["p"],""" +
+      s""""configuration":{},"createdTime":1700000000000}}"""
+
+  private def protoJson(minReader: Int = 1): String =
+    s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":2}}"""
+
+  private def addJson(path: String, pv: (String, String)*): String =
+    s"""{"add":{"path":"$path","partitionValues":{${pv.map { case (k, v) =>
+      s""""$k":"$v"""" }.mkString(",")}},"size":100,""" +
+      s""""modificationTime":1700000000000,"dataChange":true}}"""
+
+  private def removeJson(path: String): String =
+    s"""{"remove":{"path":"$path","deletionTimestamp":1700000001000,""" +
+      s""""dataChange":true}}"""
+
+  private def writeCommit(table: String, version: Long, lines: Seq[String]): Unit = {
+    val dir = Paths.get(table, "_delta_log")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"$version%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Land `df` as ONE parquet file at exactly `table/relPath`. */
+  private def writeDataFile(df: DataFrame, table: String, relPath: String): Unit = {
+    val tmp = Files.createTempDirectory("delta-frag")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = Paths.get(table, relPath)
+      Files.createDirectories(dest.getParent)
+      Files.copy(part, dest)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
+  /** The standard two-commit fixture: v0 adds A(1,2)+B(10); v1 swaps
+    * B's file for one holding (20,30). One A-side file name carries a
+    * URL-encoded space. */
+  private def buildTable(table: String): Unit = {
+    writeDataFile(Seq(1L, 2L).toDF("v"), table, "p=A/f 1.parquet")
+    writeDataFile(Seq(10L).toDF("v"), table, "p=B/f2.parquet")
+    writeDataFile(Seq(20L, 30L).toDF("v"), table, "p=B/f3.parquet")
+    writeCommit(table, 0L, Seq(protoJson(), metaJson,
+      addJson("p=A/f%201.parquet", "p" -> "A"),
+      addJson("p=B/f2.parquet", "p" -> "B")))
+    writeCommit(table, 1L, Seq(
+      removeJson("p=B/f2.parquet"),
+      addJson("p=B/f3.parquet", "p" -> "B")))
+  }
+
+  test("two-commit replay: remove tombstones, latest adds win, encoded paths decode") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      val snap = DeltaReader.snapshot(table).get
+      assert(snap.version == 1L)
+      assert(snap.partitionColumns == Seq("p"))
+      assert(snap.schema == schema)
+      assert(snap.files.map(f => f.path.split('/').last).sorted ==
+        Seq("f 1.parquet", "f3.parquet"))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((1L, "A"), (2L, "A"), (20L, "B"), (30L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("time travel reads the pre-swap state; future versions raise") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      assertSameData(DeltaReader.scan(table, Some(0L)).get,
+        Seq((1L, "A"), (2L, "A"), (10L, "B")).toDF("v", "p"))
+      val e = intercept[IllegalArgumentException](
+        DeltaReader.snapshotAt(table, Some(5L)))
+      assert(e.getMessage.contains("log ends at 1"))
+    }
+  }
+
+  test("readPartition mirrors the reference: key-set validation, empty partition = empty frame") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      assertSameData(DeltaReader.readPartition(table, Map("p" -> "B")).get,
+        Seq((20L, "B"), (30L, "B")).toDF("v", "p"))
+      // absent partition: zero rows, right schema (pyarrow filter
+      // semantics, delta_dataset.py:47-54)
+      val empty = DeltaReader.readPartition(table, Map("p" -> "C")).get
+      assert(empty.count() == 0 && empty.schema == schema)
+      // wrong key set raises like the reference's ValueError
+      val e = intercept[IllegalArgumentException](
+        DeltaReader.readPartition(table, Map("q" -> "A")))
+      assert(e.getMessage.contains("do not match partition columns"))
+    }
+  }
+
+  test("missing table scans to None (TableNotFoundError contract)") {
+    withTempDir { dir =>
+      assert(DeltaReader.scan(s"$dir/nope").isEmpty)
+      // a bare _delta_log with no commits is not a table either
+      Files.createDirectories(Paths.get(s"$dir/empty/_delta_log"))
+      assert(DeltaReader.scan(s"$dir/empty").isEmpty)
+    }
+  }
+
+  test("checkpoint anchors replay after the JSON tail is vacuumed") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      // hand-build the v1 checkpoint: protocol + metaData + live adds
+      // + f2's tombstone, exactly what a writer checkpoints
+      val rows = Seq(
+        CpRow(None, None, None, Some(CpProto(1, 2))),
+        CpRow(None, None, Some(CpMeta("fixture", CpFormat("parquet"),
+          schema.json, Seq("p"), Map.empty)), None),
+        CpRow(Some(CpAdd("p=A/f%201.parquet", Map("p" -> "A"), 100L, true)),
+          None, None, None),
+        CpRow(Some(CpAdd("p=B/f3.parquet", Map("p" -> "B"), 100L, true)),
+          None, None, None),
+        CpRow(None, Some(CpRemove("p=B/f2.parquet", 1700000001000L, true)),
+          None, None))
+      val tmp = Files.createTempDirectory("delta-cp")
+      rows.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val logDir = Paths.get(table, "_delta_log")
+      Files.copy(part, logDir.resolve(f"${1L}%020d.checkpoint.parquet"))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      // vacuum the JSON tail the checkpoint covers, then commit v2
+      Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      writeDataFile(Seq(5L).toDF("v"), table, "p=A/f4.parquet")
+      writeCommit(table, 2L, Seq(addJson("p=A/f4.parquet", "p" -> "A")))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((1L, "A"), (2L, "A"), (5L, "A"), (20L, "B"), (30L, "B"))
+          .toDF("v", "p"))
+      // versions under the checkpoint are unreachable now — loud, not wrong
+      val e = intercept[IllegalStateException](
+        DeltaReader.snapshotAt(table, Some(0L)))
+      assert(e.getMessage.contains("missing"))
+    }
+  }
+
+  test("reader protocol past 1 raises instead of mis-reading") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      writeDataFile(Seq(1L).toDF("v"), table, "p=A/f1.parquet")
+      writeCommit(table, 0L, Seq(protoJson(minReader = 3), metaJson,
+        addJson("p=A/f1.parquet", "p" -> "A")))
+      val e = intercept[UnsupportedOperationException](
+        DeltaReader.snapshot(table))
+      assert(e.getMessage.contains("protocol 3"))
+    }
+  }
+
+  test("partition literals take the SCHEMA's type (long partition column)") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val sch = StructType(Seq(
+        StructField("v", LongType), StructField("k", LongType)))
+      writeDataFile(Seq(7L).toDF("v"), table, "k=42/f1.parquet")
+      writeCommit(table, 0L, Seq(protoJson(),
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(sch.json)}","partitionColumns":["k"],""" +
+          s""""configuration":{},"createdTime":1700000000000}}""",
+        addJson("k=42/f1.parquet", "k" -> "42")))
+      val out = DeltaReader.scan(table).get
+      assert(out.schema == sch)
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((7L, 42L)))
+    }
+  }
+}
