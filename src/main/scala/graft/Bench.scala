@@ -9,7 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: releasing localCheckpoint blocks after every
+    // query (below) emits a benign "cannot be recomputed after
+    // unpersisting" WARN per block — hundreds of lines that would
+    // flood the driver's ~2000-char output tail and push the final
+    // JSON line out of capture.
+    spark.sparkContext.setLogLevel("ERROR")
     graft.functions.catalyst.GraftFunctions.register(spark)
     // Warm up the session (scheduler, codegen, parquet reader paths)
     // so the first measured query doesn't absorb one-time JVM costs.
@@ -88,5 +93,6 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     println(compactJson)
+    System.out.flush()
   }
 }

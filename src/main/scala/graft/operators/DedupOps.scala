@@ -1228,4 +1228,114 @@ object DedupOps {
           .as("jacc_ppm"))
   }
 
+  /** INCREMENTAL exact threshold Jaccard join — the streaming shape
+    * of [[exactJaccardJoin]]: a standing corpus has already been
+    * indexed; a new batch arrives; emit EVERY qualifying pair the
+    * batch introduces (batch×corpus and batch×batch — corpus-internal
+    * pairs were reported when THEIR batches arrived), with no recall
+    * loss. The piece that makes this stream-safe is the FROZEN index
+    * order: per-document prefixes are taken under the token order
+    * `(corpus frequency ASC, token ASC)` — the AllPairs/PPJoin prefix
+    * bound (`|d| − ceil(t·|d|) + 1` rarest tokens) is lossless under
+    * ANY total order both sides share (frequency ordering is purely a
+    * cost optimization), so new batches never reorder or rebuild the
+    * standing corpus index: tokens the corpus has never seen rank
+    * rarest (frequency 0) and only extend the index. Output adds
+    * `new_sides` (1 = batch×corpus pair, 2 = batch-internal pair) to
+    * the [[exactJaccardJoin]] columns. Ids must be distinct across
+    * corpus ∪ batch (a re-sent id is a different event — dedup
+    * upstream), and ids keep their native type.
+    *
+    * Completeness invariant (pinned in the spec): this equals
+    * `exactJaccardJoin(corpus ∪ batch)` restricted to pairs touching
+    * the batch — even when the batch carries corpus-unseen tokens.
+    *
+    * Scale shape (100 TB): the corpus side computes frequencies and
+    * prefixes once per standing index (in a real deployment these
+    * persist between batches); each batch's work is its own ranking
+    * window (batch-bounded), one prefix-keyed probe join against the
+    * corpus prefix index, one batch-internal prefix self-join, and
+    * candidate-only verification joins — never a corpus×corpus
+    * revisit. The same hot-prefix-token guard as the one-shot join
+    * raises loudly on pathological keys, each side labeled. */
+  def exactJaccardJoinIncremental(corpus: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  tNum: Long, tDen: Long,
+                                  maxTokenFreq: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tNum >= 1 && tNum <= tDen, "threshold must be in (0, 1]")
+    def tk(df: DataFrame) = df
+      .select(col(idCol).as("__id"),
+        explode(array_distinct(expr(
+          graft.functions.TextHash.spark.tokens(textCol)))).as("__w"))
+    val tkC = tk(corpus)
+    val tkB = tk(batch)
+    val freq = tkC.groupBy(col("__w"))
+      .agg(count(lit(1)).cast("bigint").as("__f"))
+    def ranked(t: DataFrame) = t.join(freq, Seq("__w"), "left")
+      .withColumn("__f", coalesce(col("__f"), lit(0L)))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__f"), col("__w"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__id"))))
+    // the guard rewrites __w itself (a guard on a column the plan
+    // later drops would be pruned away with its raise_error)
+    def guarded(df: DataFrame, measure: String, side: String) = df
+      .withColumn("__w", expr(
+        s"CASE WHEN $measure <= ${maxTokenFreq}L THEN __w ELSE " +
+          s"raise_error(concat('exactJaccardJoinIncremental: $side prefix " +
+          s"token hotter than $maxTokenFreq (', __w, ') — pre-dedup exact " +
+          "copies or raise maxTokenFreq')) END"))
+    def prefixes(r: DataFrame) = r.where(
+      col("__pos") <= col("__n") - expr(s"($tNum * __n + $tDen - 1) div $tDen")
+        + lit(1L))
+    val rankedC = ranked(tkC).localCheckpoint() // the standing index
+    val rankedB = ranked(tkB).localCheckpoint() // probed twice below
+    // corpus prefix fan-out is bounded by the corpus frequency the
+    // ordering already carries; a batch-hot token the corpus has never
+    // seen (freq 0) would sail past that guard, so the batch side
+    // additionally guards its OWN prefix fan-out
+    val pC = guarded(prefixes(rankedC), "__f", "corpus")
+      .select(col("__id"), col("__w"))
+    val pB = guarded(
+      prefixes(rankedB).withColumn("__bf",
+        count(lit(1)).over(Window.partitionBy(col("__w")))
+          .cast("bigint")), "__bf", "batch")
+      .select(col("__id"), col("__w"))
+    // cross candidates canonicalize on id order AFTER the join (a
+    // corpus id may sort after a batch id); batch-internal candidates
+    // canonicalize in the join condition as usual
+    val cross = pB.select(col("__id").as("__x"), col("__w"))
+      .join(pC.select(col("__id").as("__y"), col("__w")), Seq("__w"))
+      .select(
+        when(col("__x") < col("__y"), col("__x")).otherwise(col("__y")).as("__a"),
+        when(col("__x") < col("__y"), col("__y")).otherwise(col("__x")).as("__b"),
+        lit(1L).as("new_sides"))
+    val fresh = pB.select(col("__id").as("__a"), col("__w"))
+      .join(pB.select(col("__id").as("__b"), col("__w")), Seq("__w"))
+      .where(col("__a") < col("__b"))
+      .select(col("__a"), col("__b"), lit(2L).as("new_sides"))
+    val cand = cross.unionAll(fresh)
+      .groupBy(col("__a"), col("__b"))
+      .agg(max(col("new_sides")).as("new_sides"))
+    val tkAll = tkC.unionAll(tkB)
+    val sizes = rankedC.select(col("__id"), col("__n"))
+      .unionAll(rankedB.select(col("__id"), col("__n"))).distinct()
+    val common = cand
+      .join(tkAll.select(col("__id").as("__a"), col("__w")), Seq("__a"))
+      .join(tkAll.select(col("__id").as("__b"), col("__w")), Seq("__b", "__w"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).cast("bigint").as("__c"))
+    cand.join(common, Seq("__a", "__b"))
+      .join(sizes.select(col("__id").as("__a"), col("__n").as("__na")), Seq("__a"))
+      .join(sizes.select(col("__id").as("__b"), col("__n").as("__nb")), Seq("__b"))
+      .where(expr(s"$tDen * __c >= $tNum * (__na + __nb - __c)"))
+      .select(col("__a").as("a_id"), col("__b").as("b_id"),
+        col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"),
+        col("__c").as("n_common"),
+        expr("(1000000L * __c) div (__na + __nb - __c)").cast("bigint")
+          .as("jacc_ppm"),
+        col("new_sides").cast("bigint").as("new_sides"))
+  }
+
 }

@@ -4599,6 +4599,40 @@ object TextQ {
           .orderBy("a_id", "b_id"))
     ,
 
+    // ---- INCREMENTAL exact Jaccard join (streaming shape) --------
+    // The corpus (doc_id % 5 != 0) is a standing prefix index built
+    // under its OWN frozen token order; the batch (doc_id % 5 = 0)
+    // arrives and must surface every qualifying pair it introduces —
+    // batch×corpus AND batch-internal — with no recall loss and no
+    // corpus×corpus revisit. Oracle: brute-force over shared-token
+    // pairs restricted to batch-touching ones. Same q358 scope.
+    Q("q379_incremental_jaccard",
+      Some("""WITH tk AS (SELECT doc_id,
+             |  unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents WHERE doc_id < 600),
+             |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id),
+             |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+             |  FROM tk x JOIN tk y ON x.w = y.w AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |j AS (SELECT a, b, sa.n AS n_a, sb.n AS n_b, c
+             |  FROM co JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+             |SELECT a AS a_id, b AS b_id, n_a, n_b, c AS n_common,
+             |  ((1000000 * c) // (n_a + n_b - c))::BIGINT AS jacc_ppm,
+             |  ((CASE WHEN a % 5 = 0 THEN 1 ELSE 0 END)
+             |   + (CASE WHEN b % 5 = 0 THEN 1 ELSE 0 END))::BIGINT AS new_sides
+             |FROM j WHERE 20 * c >= 19 * (n_a + n_b - c)
+             |  AND (a % 5 = 0 OR b % 5 = 0)
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").where(col("doc_id") < 600)
+        graft.operators.DedupOps.exactJaccardJoinIncremental(
+          docs.where(col("doc_id") % 5 =!= 0),
+          docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", tNum = 19L, tDen = 20L)
+          .orderBy("a_id", "b_id")
+      })
+    ,
+
     // ---- capstone curation composition ---------------------------
     // Three round-7 operators end-to-end, oracle-exact through every
     // stage: (1) bigram-LM quality gate (scored odd-id docs with

@@ -3888,6 +3888,57 @@ class OperatorsSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("exactJaccardJoinIncremental: hand fixture — cross and batch-internal pairs, corpus pairs silent") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d"), (2L, "d c b a"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "a b c e"), (11L, "a b c e"), (12L, "zz yy"))
+      .toDF("doc_id", "text")
+    // t = 3/5: (1,10)/(1,11)/(2,10)/(2,11) at 3/5 exactly; (10,11)
+    // identical; corpus-internal (1,2) must NOT re-emit; doc 12's
+    // tokens are corpus-unseen (freq 0 path)
+    val got = graft.operators.DedupOps
+      .exactJaccardJoinIncremental(corpus, batch, "doc_id", "text", 3L, 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+        r.getLong(5), r.getLong(6))).sorted.toSeq
+    assert(got == Seq(
+      (1L, 10L, 3L, 600000L, 1L), (1L, 11L, 3L, 600000L, 1L),
+      (2L, 10L, 3L, 600000L, 1L), (2L, 11L, 3L, 600000L, 1L),
+      (10L, 11L, 4L, 1000000L, 2L)))
+  }
+
+  test("exactJaccardJoinIncremental: equals the one-shot join restricted to batch-touching pairs") {
+    import spark.implicits._
+    // 40 dense docs; batch = every 4th — includes docs whose rarest
+    // tokens are corpus-unseen, exercising the frozen-order freq-0 path
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "array_join(array_distinct(transform(sequence(0, 7), " +
+        "j -> concat('w', pmod(hash(id * 13 + j), 12)))), ' ') AS text")
+      .localCheckpoint()
+    val corpus = docs.where(col("doc_id") % 4 =!= 0)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    val inc = graft.operators.DedupOps
+      .exactJaccardJoinIncremental(corpus, batch, "doc_id", "text", 2L, 5L)
+      .select("a_id", "b_id", "n_common", "jacc_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val full = graft.operators.DedupOps
+      .exactJaccardJoin(docs, "doc_id", "text", 2L, 5L)
+      .where(col("a_id") % 4 === 0 || col("b_id") % 4 === 0)
+      .select("a_id", "b_id", "n_common", "jacc_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(inc == full, s"incremental diverges: inc ${inc.size} pairs, " +
+      s"one-shot ${full.size}")
+    assert(full.nonEmpty)
+    // new_sides labels: every pair touches the batch; both-kinds present
+    val kinds = graft.operators.DedupOps
+      .exactJaccardJoinIncremental(corpus, batch, "doc_id", "text", 2L, 5L)
+      .groupBy(col("new_sides")).count().collect()
+      .map(r => r.getLong(0)).sorted.toSeq
+    assert(kinds == Seq(1L, 2L))
+  }
+
   test("horvitzThompson: exhaustive and constant strata are exact; tiny strata NULL SE") {
     import spark.implicits._
     val df = Seq(
