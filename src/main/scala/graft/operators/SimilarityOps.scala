@@ -64,6 +64,77 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** kNN-GRAPH serving audit — the index-time health metrics an
+    * HNSW/IVF deployment watches before shipping a graph built over
+    * these embeddings: build the exact directed k-nearest-neighbor
+    * graph (self-edges excluded, ties broken by neighbor id) and
+    * report ONE row of integer diagnostics:
+    *  - `n_nodes`, `n_edges` (= n·k when n > k);
+    *  - `n_mutual` / `mutual_ppm` — directed edges whose reverse edge
+    *    also exists. Low symmetry predicts poor HNSW reachability
+    *    (greedy search follows out-edges; asymmetric hubs strand
+    *    queries);
+    *  - `mean_rev_rank_ppm` — mean rank of the reverse edge over
+    *    mutual pairs (10⁶·Σrev_rank div n_mutual): how deep in the
+    *    neighbor's own list the symmetry lives;
+    *  - `max_in_deg`, `p90_in_deg` — in-degree concentration (exact
+    *    ascending order statistic at ceil(0.9·n)). A hub with huge
+    *    in-degree dominates candidate lists and degrades recall.
+    *
+    * Exactness: ranks, counts and the p90 order statistic are pure
+    * integers; the two ppm ratios are single floored divs.
+    *
+    * Scale shape: brute self-kNN is inherently n² — this is an AUDIT
+    * operator, run on a bounded sample/slice of the index (the
+    * serving-eval convention), reusing [[knnJoin]]'s broadcast-
+    * queries scan; everything downstream of the k·n edge frame is
+    * id-keyed joins and one global aggregate. For corpus-wide health
+    * at 100 TB, audit per IVF cluster or per shard sample. */
+  def knnGraphAudit(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val pts = df.select(col(idCol).as("__pid"), col(vecCol).as("__pv"))
+    // k+1 then drop self: with duplicate vectors the self edge can sit
+    // at any rank among the sim-1 ties, so re-rank after the drop
+    val edges = knnJoin(pts.select(col("__pid").as("__cid"), col("__pv").as("__cv")),
+        "__cid", "__cv",
+        pts.select(col("__pid").as("__qid"), col("__pv").as("__qv")),
+        "__qid", "__qv", k + 1)
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"))
+      .localCheckpoint() // feeds the mutual join and both degree aggs
+    val rev = edges.select(col("q_id").as("c_id"), col("c_id").as("q_id"),
+      col("rank").as("__rev_rank"))
+    val em = edges.join(rev, Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).cast("bigint").as("n_edges"),
+        sum(when(col("__rev_rank").isNotNull, 1L).otherwise(0L))
+          .cast("bigint").as("n_mutual"),
+        sum(coalesce(col("__rev_rank"), lit(0L))).cast("bigint").as("__rrs"))
+    val indeg = pts.select(col("__pid"))
+      .join(edges.groupBy(col("c_id")).agg(count(lit(1)).cast("bigint").as("__d")),
+        pts("__pid") === col("c_id"), "left")
+      .select(col("__pid"), coalesce(col("__d"), lit(0L)).as("__d"))
+    val nStats = indeg.agg(count(lit(1)).cast("bigint").as("n_nodes"),
+      max(col("__d")).cast("bigint").as("max_in_deg"))
+    val p90 = indeg
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__d"), col("__pid"))).cast("bigint"))
+      .crossJoin(broadcast(nStats.select(col("n_nodes").as("__nn"))))
+      .where(expr("__rn = (9L * __nn + 9L) div 10L"))
+      .select(col("__d").as("p90_in_deg"))
+    em.crossJoin(broadcast(nStats)).crossJoin(broadcast(p90))
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+        expr("CASE WHEN n_edges > 0 THEN (1000000L * n_mutual) div n_edges " +
+          "ELSE NULL END").cast("bigint").as("mutual_ppm"),
+        expr("CASE WHEN n_mutual > 0 THEN (1000000L * __rrs) div n_mutual " +
+          "ELSE NULL END").cast("bigint").as("mean_rev_rank_ppm"),
+        col("max_in_deg"), col("p90_in_deg"))
+  }
+
   /** Matryoshka-truncation quality audit: how much of each query's
     * full-dimension top-k survives when vectors are TRUNCATED to
     * their first `dim` components (the MRL deployment question —

@@ -922,6 +922,46 @@ object EmbedQ {
           t(s, dir, "embeddings").where(col("vec_id") < 200),
           "vec_id", "embedding",
           Seq(200000L, 250000L, 300000L, 350000L))
-          .orderBy("thresh_micro"))
+          .orderBy("thresh_micro")),
+
+    // ---- kNN-graph serving audit ---------------------------------
+    // HNSW/IVF index-time health on a bounded slice: exact k=5
+    // digraph, edge symmetry (mutual_ppm), how deep the reverse edge
+    // sits (mean_rev_rank_ppm), and in-degree concentration (max +
+    // exact p90 order statistic) — the hub/reachability signals a
+    // serving team reads before shipping a graph index.
+    Q("q380_knn_graph_audit",
+      Some(s"""WITH pts AS (SELECT vec_id AS id, embedding AS v
+              |  FROM embeddings WHERE vec_id < 200),
+              |sc AS (SELECT a.id AS q_id, b.id AS c_id,
+              |  ${D.cosine("b.v", "a.v")} AS sim
+              |  FROM pts a JOIN pts b ON a.id <> b.id),
+              |rk AS (SELECT q_id, c_id, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY sim DESC, c_id)::BIGINT AS rank
+              |  FROM sc),
+              |e AS (SELECT q_id, c_id, rank FROM rk WHERE rank <= 5),
+              |m AS (SELECT e.q_id, e.c_id, r.rank AS rev_rank FROM e
+              |  LEFT JOIN e r ON r.q_id = e.c_id AND r.c_id = e.q_id),
+              |agg AS (SELECT count(*)::BIGINT AS n_edges,
+              |  sum(CASE WHEN rev_rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+              |    AS n_mutual,
+              |  sum(coalesce(rev_rank, 0))::BIGINT AS rrs FROM m),
+              |ind AS (SELECT p.id, count(e.c_id)::BIGINT AS d FROM pts p
+              |  LEFT JOIN e ON e.c_id = p.id GROUP BY p.id),
+              |nn AS (SELECT count(*)::BIGINT AS n_nodes,
+              |  max(d)::BIGINT AS max_in_deg FROM ind),
+              |p90 AS (SELECT d AS p90_in_deg FROM
+              |  (SELECT d, row_number() OVER (ORDER BY d, id) AS rn FROM ind),
+              |  nn WHERE rn = (9 * n_nodes + 9) // 10)
+              |SELECT n_nodes, n_edges, n_mutual,
+              |  (1000000 * n_mutual // n_edges)::BIGINT AS mutual_ppm,
+              |  (CASE WHEN n_mutual > 0 THEN 1000000 * rrs // n_mutual
+              |   ELSE NULL END)::BIGINT AS mean_rev_rank_ppm,
+              |  max_in_deg, p90_in_deg
+              |FROM agg, nn, p90""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.knnGraphAudit(
+          t(s, dir, "embeddings").where(col("vec_id") < 200),
+          "vec_id", "embedding", k = 5))
   )
 }

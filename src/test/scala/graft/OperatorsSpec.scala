@@ -3688,6 +3688,39 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 1000000L)))
   }
 
+  test("knnGraphAudit: symmetry, reverse rank, and in-degree concentration on a hand graph") {
+    import spark.implicits._
+    // hub fixture at k=1: b=(.9,.43) and c=(.9,-.43) both point at
+    // a=(1,0); a's two candidates tie EXACTLY (same dot .9, same norm
+    // since .43^2 = (-.43)^2 in IEEE) -> id tie-break picks b. Edges:
+    // a->b, b->a (mutual, rev rank 1), c->a (one-way). In-degrees:
+    // a 2, b 1, c 0 -> max 2; p90 index ceil(.9*3)=3 -> sorted [0,1,2]
+    // picks 2.
+    val df = Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.43f)),
+      (3L, Array(0.9f, -0.43f))).toDF("id", "v")
+    val r = graft.operators.SimilarityOps.knnGraphAudit(df, "id", "v", 1)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((3L, 3L, 2L, 666666L, 1000000L, 2L, 2L)))
+    // two tight pairs at k=1: fully mutual graph, flat in-degrees
+    val pairs = Seq((1L, Array(1f, 0f)), (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(0.1f, 0.99f))).toDF("id", "v")
+    val r2 = graft.operators.SimilarityOps.knnGraphAudit(pairs, "id", "v", 1)
+      .collect().head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3),
+      r2.getLong(4), r2.getLong(5), r2.getLong(6)) ==
+      ((4L, 4L, 4L, 1000000L, 1000000L, 1L, 1L)))
+    // duplicate vectors: the self edge may tie anywhere in the sim-1
+    // block — it must still be excluded and ranks re-close to 1..k
+    val dup = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(1f, 0f))).toDF("id", "v")
+    val edges3 = graft.operators.SimilarityOps.knnGraphAudit(dup, "id", "v", 2)
+      .collect().head
+    assert((edges3.getLong(0), edges3.getLong(1), edges3.getLong(2),
+      edges3.getLong(3)) == ((3L, 6L, 6L, 1000000L)))
+  }
+
   test("neymanAllocation: spread-weighted quotas sum exactly to the budget") {
     import spark.implicits._
     // A {0,10}: sd_floor 7, weight 14; B constant: weight 0;
