@@ -566,4 +566,52 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"the overlap must be a keyed join on the id:\n$plan")
   }
+
+  test("exactJaccardJoinIncremental plan: prefix-keyed probes only — no corpus-side cartesian") {
+    val docs = corpus.localCheckpoint()
+    val plan = DedupOps.exactJaccardJoinIncremental(
+        docs.where(col("doc_id") % 4 =!= 0), docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", 4L, 5L)
+      .queryExecution.executedPlan.toString
+    // the standing-index probe and the batch self-join must both key
+    // on prefix tokens; verification joins key on ids
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"every join must key on prefix tokens or ids:\n$plan")
+  }
+
+  test("DeltaReader scan plan: data-column filters push into the parquet scan") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // minimal one-commit Delta table over a plain parquet file
+      val table = s"$dir/t"
+      val frag = java.nio.file.Files.createTempDirectory("ss-delta")
+      Seq(1L, 5L, 9L).toDF("v").coalesce(1)
+        .write.mode("overwrite").parquet(frag.toString)
+      val part = java.nio.file.Files.list(frag)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dest = java.nio.file.Paths.get(table, "f0.parquet")
+      java.nio.file.Files.createDirectories(dest.getParent)
+      java.nio.file.Files.copy(part, dest)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val schemaJson = sch.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val logDir = java.nio.file.Paths.get(table, "_delta_log")
+      java.nio.file.Files.createDirectories(logDir)
+      java.nio.file.Files.write(logDir.resolve(f"${0L}%020d.json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"ss","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+          """{"add":{"path":"f0.parquet","partitionValues":{},"size":1,"modificationTime":1700000000000,"dataChange":true}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+      val scan = graft.sources.DeltaReader.scan(table).get.where(col("v") > 4L)
+      val formatted = scan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(formatted.contains("PushedFilters") &&
+        formatted.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(v,4\\).*"),
+        s"the filter must reach the parquet scan:\n$formatted")
+      assert(scan.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 9L))
+    }
+  }
 }
