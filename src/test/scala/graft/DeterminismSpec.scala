@@ -221,4 +221,24 @@ class DeterminismSpec extends SparkSpec {
       df.withColumn("cents", col("n_chars")),
       "lang", "cents", "doc_id", nPerStratum = 10L))
   }
+
+  test("round-8 operators are partitioning-invariant") {
+    invariant { df =>
+      val scoped = df.where(col("doc_id") < 200)
+      DedupOps.exactJaccardJoinIncremental(
+        scoped.where(col("doc_id") % 5 =!= 0),
+        scoped.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", 19L, 20L)
+    }
+    // knnGraphAudit on the embeddings table (same invariance harness,
+    // different source frame)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .where(col("vec_id") < 150)
+    val base = canon(SimilarityOps.knnGraphAudit(emb, "vec_id", "embedding", 5))
+    assert(base.nonEmpty)
+    assert(canon(SimilarityOps.knnGraphAudit(
+      emb.repartition(7), "vec_id", "embedding", 5)) == base)
+    assert(canon(SimilarityOps.knnGraphAudit(
+      emb.repartition(3, col("vec_id")), "vec_id", "embedding", 5)) == base)
+  }
 }
