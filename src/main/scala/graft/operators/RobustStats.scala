@@ -350,6 +350,63 @@ object RobustStats {
           .cast("bigint").as("cliffs_delta_ppm"))
   }
 
+  /** Two-sample DISTRIBUTION-DRIFT distances over integer values —
+    * the "did this source's length/score distribution move between
+    * snapshots?" metrics, both EXACT:
+    *  - `w1_x_ppm` — 1-D Wasserstein-1 (earth-mover) distance in
+    *    VALUE UNITS × ppm: `W1 = Σᵢ |F_A(vᵢ)−F_B(vᵢ)|·(vᵢ₊₁−vᵢ)`
+    *    over the sorted support, computed as the single floored div
+    *    `(10⁶·Σ|c_A·n_b − c_B·n_a|·gap) div (n_a·n_b)`. Ordered —
+    *    a +1 shift of every value costs exactly 10⁶, unlike TV;
+    *  - `tv_ppm` — total variation `½Σ|p_A−p_B|` as
+    *    `(10⁶·Σ|h_A·n_b − h_B·n_a|) div (2·n_a·n_b)` (the ordering-
+    *    blind companion; the value-distribution complement of
+    *    [[TextOps.tokenDrift]]'s vocabulary TV).
+    * One row: `(n_a, n_b, n_values, w1_x_ppm, tv_ppm)`; an empty arm
+    * yields NULL distances. Cross products ride on DECIMAL(38,0)
+    * (c·n reaches n_a·n_b and the 10⁶ scaling would wrap int64 past
+    * ~2M-row arms — the round-8 relativeEffect lesson).
+    *
+    * Scale shape (100 TB): rows collapse to one histogram on the
+    * value cells; the cumulative window runs ON THE HISTOGRAM
+    * (distinct-value bounded, the [[ansariBradley]] convention),
+    * then one scalar aggregate. Rows never sort globally. */
+  def distributionDrift(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                        valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+        col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
+    val cells = base.groupBy(col("__v")).agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).cast("bigint").as("__ha"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).cast("bigint").as("__hb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wl = Window.orderBy(col("__v"))
+    val steps = cells
+      .withColumn("__ca", sum(col("__ha")).over(w))
+      .withColumn("__cb", sum(col("__hb")).over(w))
+      .withColumn("__gap", lead(col("__v"), 1).over(wl) - col("__v"))
+    val tot = cells.agg(sum(col("__ha")).cast("bigint").as("__na"),
+      sum(col("__hb")).cast("bigint").as("__nb"))
+    steps.crossJoin(broadcast(tot))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).cast("bigint").as("n_values"),
+        sum(expr("abs(cast(__ca as decimal(38,0)) * __nb " +
+          "- cast(__cb as decimal(38,0)) * __na) * coalesce(__gap, 0L)"))
+          .as("__w1n"),
+        sum(expr("abs(cast(__ha as decimal(38,0)) * __nb " +
+          "- cast(__hb as decimal(38,0)) * __na)")).as("__tvn"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0)) * __w1n)
+               |  div (cast(__na as decimal(38,0)) * __nb) END""".stripMargin)
+          .cast("bigint").as("w1_x_ppm"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0)) * __tvn)
+               |  div (cast(2 as decimal(38,0)) * __na * __nb) END""".stripMargin)
+          .cast("bigint").as("tv_ppm"))
+  }
+
   /** Ansari–Bradley two-sample SCALE test — "do the two arms have
     * the same spread around a common center?" (the dispersion
     * complement of the Mann–Whitney location test): pooled positions

@@ -3315,5 +3315,39 @@ object StatsQ {
       (s, dir) =>
         graft.operators.RobustStats.relativeEffect(
           t(s, dir, "documents"), col("lang") === "en", "n_chars"))
+    ,
+
+    // ---- distribution drift: exact 1-D Wasserstein + TV ----------
+    // Did German docs' length distribution MOVE relative to English?
+    // W1 on the value cells (ordered: a +1 shift of every value costs
+    // exactly 1e6) next to the ordering-blind total variation — both
+    // single floored divs over integer cumulative/histogram cross
+    // products. Pure single-level window SQL in the oracle.
+    Q("q381_distribution_drift",
+      Some("""WITH d AS (SELECT CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents WHERE lang IN ('en', 'de')),
+             |cells AS (SELECT v,
+             |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS ha,
+             |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS hb
+             |  FROM d GROUP BY v),
+             |tot AS (SELECT sum(ha)::HUGEINT AS na, sum(hb)::HUGEINT AS nb,
+             |  count(*)::BIGINT AS nv FROM cells),
+             |st AS (SELECT v, ha, hb,
+             |  sum(ha) OVER (ORDER BY v)::HUGEINT AS ca,
+             |  sum(hb) OVER (ORDER BY v)::HUGEINT AS cb,
+             |  (lead(v) OVER (ORDER BY v) - v)::HUGEINT AS gap FROM cells),
+             |agg AS (SELECT
+             |  sum(abs(ca * nb - cb * na) * coalesce(gap, 0))::HUGEINT AS w1n,
+             |  sum(abs(ha * nb - hb * na))::HUGEINT AS tvn FROM st, tot)
+             |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nv AS n_values,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (1000000 * w1n) // (na * nb) END)::BIGINT AS w1_x_ppm,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (1000000 * tvn) // (2 * na * nb) END)::BIGINT AS tv_ppm
+             |FROM agg, tot""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.distributionDrift(
+          t(s, dir, "documents").where(col("lang").isin("en", "de")),
+          col("lang") === "de", "n_chars"))
   )
 }

@@ -404,6 +404,35 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect().head.getLong(4) == -1549193L)
   }
 
+  test("distributionDrift: exact W1 and TV on a hand histogram") {
+    import graft.operators.RobustStats
+    // A = {0,0,1}, B = {1,2}: F_A = [2/3, 1, 1], F_B = [0, 1/2, 1]
+    // W1 = 2/3·1 + 1/2·1 = 7/6 -> (1e6·7) div 6 = 1166666
+    // TV = ½(|2/3−0| + |1/3−1/2| + |0−1/2|) = 2/3 -> 666666
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("arm", "v")
+    val r = RobustStats.distributionDrift(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 3L, 1166666L, 666666L)))
+    // identical arms: both distances exactly zero
+    val same = Seq((0L, 5L), (0L, 9L), (1L, 5L), (1L, 9L)).toDF("arm", "v")
+    val r0 = RobustStats.distributionDrift(same, col("arm") === 1L, "v")
+      .collect().head
+    assert((r0.getLong(3), r0.getLong(4)) == ((0L, 0L)))
+    // a uniform +3 shift of one arm costs exactly 3e6 in W1 while TV
+    // saturates at 1e6 — the ordered-vs-unordered distinction
+    val shift = Seq((0L, 1L), (0L, 2L), (1L, 4L), (1L, 5L)).toDF("arm", "v")
+    val rs = RobustStats.distributionDrift(shift, col("arm") === 1L, "v")
+      .collect().head
+    assert((rs.getLong(3), rs.getLong(4)) == ((3000000L, 1000000L)))
+    // empty arm: NULL distances, never a fake zero
+    val one = Seq((0L, 1L)).toDF("arm", "v")
+    val rn = RobustStats.distributionDrift(one, col("arm") === 1L, "v")
+      .collect().head
+    assert(rn.isNullAt(3) && rn.isNullAt(4))
+  }
+
   test("runsTest: tie days drop, runs count by sign change, exact z") {
     import graft.operators.RobustStats
     // y: 1,2,1,2,3,3,2 -> signs +,-,+,+,- (the 3->3 tie drops):
