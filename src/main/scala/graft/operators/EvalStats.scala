@@ -166,7 +166,11 @@ object EvalStats {
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("bigint").as("n"),
         sum(abs(col("__rx2") - col("__ry2"))).cast("bigint").as("footrule2"))
-      .withColumn("footrule_ppm", expr("(1000000L * footrule2) div (n * n)"))
+      // footrule2 ≤ n² — DECIMAL(38,0) so 10⁶·n² cannot wrap int64
+      // for groups past ~3M rows
+      .withColumn("footrule_ppm", expr(
+        "(cast(1000000 as decimal(38,0)) * footrule2) " +
+          "div (cast(n as decimal(38,0)) * n)"))
       .select(col(groupCol), col("n"), col("footrule2"), col("footrule_ppm"))
   }
 
@@ -382,11 +386,15 @@ object EvalStats {
           - (col("__r12") - col("__sa") * (col("__sa") + lit(1L))))
           .cast("bigint").as("u2_b"),
         col("__tie").cast("bigint").as("tie_term"))
+      // 10⁶·(u2 diff) reaches 2·10⁶·n_a·n_b — DECIMAL(38,0), since
+      // int64 would wrap once the arm product passes ~4.6e12 (~2M×2M)
       .withColumn("cliffs_delta_ppm", expr(
         "CASE WHEN n_a = 0 OR n_b = 0 THEN NULL " +
           "WHEN u2_a < u2_b THEN " +
-          "-CAST((1000000L * (u2_b - u2_a)) div (2L * n_a * n_b) AS BIGINT) " +
-          "ELSE CAST((1000000L * (u2_a - u2_b)) div (2L * n_a * n_b) AS BIGINT) END"))
+          "-CAST((cast(1000000 as decimal(38,0)) * (u2_b - u2_a)) " +
+          "div (cast(2 as decimal(38,0)) * n_a * n_b) AS BIGINT) " +
+          "ELSE CAST((cast(1000000 as decimal(38,0)) * (u2_a - u2_b)) " +
+          "div (cast(2 as decimal(38,0)) * n_a * n_b) AS BIGINT) END"))
   }
 
   /** AUC with DeLong confidence interval, EXACT: the ROC AUC as the
@@ -960,13 +968,17 @@ object EvalStats {
       (colSums.tail :+ count(lit(1)).cast("bigint").as("__n")
         :+ sum(col("__r")).cast("bigint").as("__T")
         :+ sum(col("__r") * col("__r")).cast("bigint").as("__R2")): _*)
+    // each squared term reaches (k·n)², so the 10⁶·(k−1)-scaled sum is
+    // ~10⁶·k³·n² — int64 would wrap near n ≈ 10⁶ subjects at k = 5;
+    // DECIMAL(38,0) holds it to n ≈ 10¹⁴
     val numTerms = (0 until k)
-      .map(i => s"(${k}L * __C$i - __T) * (${k}L * __C$i - __T)")
+      .map(i => s"(cast(${k} as decimal(38,0)) * __C$i - __T) " +
+        s"* (cast(${k} as decimal(38,0)) * __C$i - __T)")
       .mkString(" + ")
     agged.select(col("__n").as("n_subjects"),
       lit(k.toLong).as("k"),
       expr(s"CASE WHEN ${k}L * __T - __R2 > 0 THEN " +
-        s"(1000000L * ${k - 1}L * ($numTerms)) div " +
+        s"(cast(1000000 as decimal(38,0)) * ${k - 1}L * ($numTerms)) div " +
         s"(${k}L * (${k}L * __T - __R2)) ELSE NULL END")
         .cast("bigint").as("q_ppm"))
   }
@@ -1159,14 +1171,18 @@ object EvalStats {
         .join(broadcast(s.select(col("__i").as("__j"), col("__s").as("__sj"))),
           Seq("__j"))
         .groupBy(col("__i"))
-        .agg(sum(expr("(__n * 1000000000000L) div (__s + __sj)"))
-          .cast("bigint").as("__D"))
+        // 10¹²-scaled game counts ride on DECIMAL(38,0): int64 would
+        // wrap once a pair logs > ~9.2M games (resp. a player ~9.2M
+        // wins in the W term below) — large arenas do
+        .agg(sum(expr("(cast(1000000000000 as decimal(38,0)) * __n) " +
+          "div (__s + __sj)")).cast("bigint").as("__D"))
         .join(broadcast(totals), Seq("__i"))
         // a zero denominator means the ppm lattice collapsed (all
         // strengths astronomically large) — impossible from the 10⁶
         // start, but fail loudly rather than divide by zero
         .select(col("__i"), expr(
-          "CASE WHEN __D > 0 THEN (1000000000000L * __W) div __D " +
+          "CASE WHEN __D > 0 THEN " +
+            "(cast(1000000000000 as decimal(38,0)) * __W) div __D " +
             "ELSE raise_error('bradleyTerry: zero MM denominator') END")
           .as("__s"))
     }
@@ -1176,8 +1192,8 @@ object EvalStats {
       .join(broadcast(totals), Seq("__i"))
       .select(col("__i").as("player"), col("__N").as("n_games"),
         col("__W").as("n_wins"),
-        expr("(__s * __k * 1000000L) div __sum").cast("bigint")
-          .as("strength_ppm"))
+        expr("(cast(__s as decimal(38,0)) * __k * 1000000L) div __sum")
+          .cast("bigint").as("strength_ppm"))
   }
 
   /** Chapman capture–recapture estimate of an unseen population from

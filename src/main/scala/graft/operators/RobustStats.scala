@@ -280,10 +280,14 @@ object RobustStats {
       sum(expr("__n * (__n - 1L) div 2L")).cast("bigint").as("tie_xy"))
     val out = cellAgg.join(pairAgg, g, "left")
       .na.fill(0L, Seq("concordant", "discordant", "tie_x", "tie_y"))
+      // |C−D| reaches n(n−1)/2, so the 10⁶-scaled numerator (and the
+      // pair-count denominator) ride on DECIMAL(38,0) — int64 would
+      // wrap past ~4.3M rows per group
       .withColumn("tau_a_ppm", expr(
         "CASE WHEN n < 2 THEN NULL ELSE " +
           "CAST(sign(concordant - discordant) AS BIGINT) * " +
-          "((1000000L * abs(concordant - discordant)) div (n * (n - 1L) div 2L)) END"))
+          "((cast(1000000 as decimal(38,0)) * abs(concordant - discordant)) " +
+          "div (cast(n as decimal(38,0)) * (n - 1L) div 2L)) END"))
     (if (groupCols.isEmpty) out.drop("__g") else out)
       .select((groupCols.map(col) ++ Seq(col("n"), col("concordant"),
         col("discordant"), col("tie_x"), col("tie_y"), col("tie_xy"),
@@ -450,18 +454,30 @@ object RobustStats {
         |        * (__hi - greatest(__lo, __h + 1L) + 1L)) div 2L
         |  ELSE 0L END)""".stripMargin
     val contrib = hist.crossJoin(broadcast(tot))
+      // pooled-scale budget guard: W and the mean reach ~10⁶·N²/4 and
+      // z² needs d²·varDen ≈ 10¹²·N⁴/16 inside DECIMAL(38,0) — exact
+      // through N ≈ 4M pooled rows; beyond that raise loudly (pre-
+      // aggregate or subsample arms first), never wrap
+      .withColumn("__N", expr(
+        "CASE WHEN __N < 4000000 THEN __N ELSE raise_error(" +
+          "'ansariBradley: > 4M pooled rows — the exact ppm budget " +
+          "(10^12 * N^4 in DECIMAL(38,0)) is exhausted; subsample arms') END"))
       .withColumn("__lo", expr("__before + 1L"))
       .withColumn("__hi", expr("__before + __t"))
       .withColumn("__h", expr("(__N + 1L) div 2L"))
       .withColumn("__S", expr(sSum))
+      // per-cell 10⁶·a·S reaches ~10⁶·t²·N — DECIMAL(38,0), since a
+      // hot tie cell would wrap int64 long before the N guard trips
       .agg(max(col("__N")).as("__N"), max(col("__n2x")).as("__nb"),
-        sum(expr("(1000000L * __a * __S) div __t")).cast("bigint").as("__W"))
+        sum(expr("(cast(1000000 as decimal(38,0)) * __a * __S) div __t"))
+          .cast("bigint").as("__W"))
       .withColumn("__na", expr("__N - __nb"))
     contrib
       .withColumn("__mean", expr(
         """CASE WHEN __N % 2L = 0L
-          |  THEN (1000000L * __nb * (__N + 2L)) div 4L
-          |  ELSE (1000000L * __nb * (__N + 1L) * (__N + 1L)) div (4L * __N)
+          |  THEN (cast(1000000 as decimal(38,0)) * __nb * (__N + 2L)) div 4L
+          |  ELSE (cast(1000000 as decimal(38,0)) * __nb * (__N + 1L)
+          |        * (__N + 1L)) div (4L * __N)
           |END""".stripMargin))
       .withColumn("__varNum", expr(
         """CASE WHEN __N % 2L = 0L
@@ -503,14 +519,16 @@ object RobustStats {
     def sdiv(num: String, den: String) =
       s"CASE WHEN ($num) >= 0 THEN ($num) div ($den) " +
         s"ELSE -((-($num)) div ($den)) END"
+    // C−D reaches n(n−1)/2 pairs, so the 10⁶-scaled numerators ride on
+    // DECIMAL(38,0) — int64 would wrap past ~4.3M rows per group
     kendallTau(df, xCol, yCol, groupCols)
       .withColumn("gamma_ppm", expr(
         "CASE WHEN concordant + discordant <= 0 THEN NULL ELSE " +
-          sdiv("1000000L * (concordant - discordant)",
+          sdiv("cast(1000000 as decimal(38,0)) * (concordant - discordant)",
             "concordant + discordant") + " END").cast("bigint"))
       .withColumn("somers_d_ppm", expr(
         "CASE WHEN concordant + discordant + tie_y <= 0 THEN NULL ELSE " +
-          sdiv("1000000L * (concordant - discordant)",
+          sdiv("cast(1000000 as decimal(38,0)) * (concordant - discordant)",
             "concordant + discordant + tie_y") + " END").cast("bigint"))
       // tau-b: tie-corrected on BOTH margins — the geometric-mean
       // denominator pinned by the exact isqrt on DECIMAL products.

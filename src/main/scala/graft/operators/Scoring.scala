@@ -242,9 +242,13 @@ object Scoring {
     else cum.agg(
       sum(col("__p")).as("n_pos"), sum(col("__q")).as("n_neg"),
       sum(col("__p") * (lit(2L) * col("__cq") + col("__q"))).as("__num2")))
+    // __num2 reaches 2·n_pos·n_neg — the 10⁶ scaling rides on
+    // DECIMAL(38,0) so int64 cannot wrap once the class product
+    // passes ~4.6e12 (~2M×2M rows)
     out.withColumn("auc_ppm",
       when(col("n_pos") > 0 && col("n_neg") > 0,
-        expr("(1000000L * __num2) div (2L * n_pos * n_neg)")))
+        expr("(cast(1000000 as decimal(38,0)) * __num2) " +
+          "div (cast(2 as decimal(38,0)) * n_pos * n_neg)").cast("bigint")))
       .drop("__num2")
   }
 
