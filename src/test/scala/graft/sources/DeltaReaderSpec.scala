@@ -178,6 +178,45 @@ class DeltaReaderSpec extends SparkSpec {
     }
   }
 
+  test("multi-part checkpoints replay as one snapshot") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      // split the v1 checkpoint across TWO parts with the protocol's
+      // <v>.checkpoint.<part>.<nparts>.parquet naming
+      val part1 = Seq(
+        CpRow(None, None, None, Some(CpProto(1, 2))),
+        CpRow(None, None, Some(CpMeta("fixture", CpFormat("parquet"),
+          schema.json, Seq("p"), Map.empty)), None),
+        CpRow(Some(CpAdd("p=A/f%201.parquet", Map("p" -> "A"), 100L, true)),
+          None, None, None))
+      val part2 = Seq(
+        CpRow(Some(CpAdd("p=B/f3.parquet", Map("p" -> "B"), 100L, true)),
+          None, None, None),
+        CpRow(None, Some(CpRemove("p=B/f2.parquet", 1700000001000L, true)),
+          None, None))
+      val logDir = Paths.get(table, "_delta_log")
+      Seq((part1, 1), (part2, 2)).foreach { case (rows, i) =>
+        val tmp = Files.createTempDirectory("delta-cpp")
+        rows.toDS().toDF().coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.copy(part, logDir.resolve(
+          f"${1L}%020d.checkpoint.$i%010d.${2}%010d.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+      }
+      Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      writeDataFile(Seq(7L).toDF("v"), table, "p=A/f5.parquet")
+      writeCommit(table, 2L, Seq(addJson("p=A/f5.parquet", "p" -> "A")))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((1L, "A"), (2L, "A"), (7L, "A"), (20L, "B"), (30L, "B"))
+          .toDF("v", "p"))
+    }
+  }
+
   test("reader protocol past 1 raises instead of mis-reading") {
     withTempDir { dir =>
       val table = s"$dir/t"
