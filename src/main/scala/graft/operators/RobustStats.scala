@@ -1131,4 +1131,132 @@ object RobustStats {
           "WHEN __s < -1 THEN -cast((18000000 * cast(-__s - 1L as decimal(38,0))) div __rt as bigint) " +
           "ELSE 0L END").cast("bigint").as("z_ppm"))
   }
+
+  /** Two-sample Cramér–von Mises drift statistic — the SQUARED-ECDF
+    * companion of [[distributionDrift]]'s W1/TV pair: `T = (n_a·n_b
+    * / N²) · Σ_pooled (F_A(z)−F_B(z))²`, sensitive to distribution
+    * differences everywhere on the support (where KS sees only the
+    * max gap and TV ignores ordering). Tie-aware via value cells:
+    * the pooled sum weights each cell by `h_a+h_b`.
+    *
+    * Quantization contract (documented, mirrored verbatim in the
+    * oracle): per cell `d_ppm = (10⁶·|c_A·n_b − c_B·n_a|) div
+    * (n_a·n_b)`, then `t_x_ppm = (n_a·n_b·(Σ(h_a+h_b)·d_ppm² div N))
+    * div (10⁶·N)` — three floors total, each ≤ 1 ulp, so the result
+    * sits within a few ppm of the real-valued T at ANY corpus size:
+    * unlike a single-floor rendering (which would need a ~4M-row
+    * guard, the [[ansariBradley]] budget), every intermediate stays
+    * inside DECIMAL(38,0) for arms up to 10⁹ rows. `t_mean_x_ppm`
+    * carries the null expectation `(N+1)/(6N)` for calibration.
+    * One row: `(n_a, n_b, n_values, t_x_ppm, t_mean_x_ppm)`; an
+    * empty arm yields NULL statistics.
+    *
+    * Scale shape (100 TB): identical to [[distributionDrift]] — one
+    * histogram aggregation, a cumulative window ON THE HISTOGRAM
+    * (distinct-value bounded), one scalar aggregate. Rows never
+    * sort globally. */
+  def cramerVonMises(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                     valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+        col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
+    val cells = base.groupBy(col("__v")).agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).cast("bigint").as("__ha"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).cast("bigint").as("__hb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val steps = cells
+      .withColumn("__ca", sum(col("__ha")).over(w))
+      .withColumn("__cb", sum(col("__hb")).over(w))
+    val tot = cells.agg(sum(col("__ha")).cast("bigint").as("__na"),
+      sum(col("__hb")).cast("bigint").as("__nb"))
+    steps.crossJoin(broadcast(tot))
+      .withColumn("__dppm", expr(
+        """CASE WHEN __na = 0 OR __nb = 0 THEN 0L
+          |ELSE (cast(1000000 as decimal(38,0))
+          |  * abs(cast(__ca as decimal(38,0)) * __nb
+          |        - cast(__cb as decimal(38,0)) * __na))
+          |  div (cast(__na as decimal(38,0)) * __nb) END""".stripMargin))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).cast("bigint").as("n_values"),
+        sum(expr("(cast(__ha as decimal(38,0)) + __hb) * __dppm * __dppm"))
+          .as("__num"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(__na as decimal(38,0)) * __nb
+               |    * (__num div cast(__na + __nb as decimal(38,0))))
+               |  div (cast(1000000 as decimal(38,0)) * (__na + __nb)) END"""
+          .stripMargin).cast("bigint").as("t_x_ppm"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0)) * (__na + __nb + 1L))
+               |  div (cast(6 as decimal(38,0)) * (__na + __nb)) END"""
+          .stripMargin).cast("bigint").as("t_mean_x_ppm"))
+  }
+
+  /** Cochran–Armitage TREND test — "does the success rate move
+    * MONOTONICALLY with an ordered score?" (dose-response across
+    * quality buckets, priority tiers, temporal cohorts): the score
+    * test for a linear trend in binomial proportions,
+    * `z² = N·(N·Σwr − R·Σwn)² / (R·(N−R)·(N·Σw²n − (Σwn)²))`
+    * over per-score cells `(w, n, r)` with `N = Σn`, `R = Σr`.
+    *
+    * Quantization contract (documented, mirrored verbatim in the
+    * oracle): the trend numerator and variance pieces normalize by N
+    * first — `ā_ppm = sign-split (10⁶·A) div N` (A = N·Σwr − R·Σwn),
+    * `b̄_ppm = (10⁶·B) div N` (B = N·Σw²n − (Σwn)²), success rates at
+    * ppb `r̄ = (10⁹·R) div N`, `r̄ᶜ = (10⁹·(N−R)) div N` — then
+    * `z_ppm = sign(ā)·((10¹²·|ā_ppm|) div isqrt(r̄·r̄ᶜ·b̄_ppm))` with
+    * the exact [[graft.util.ExactMath]] isqrt. Four ≤1-ulp floors, so
+    * z sits within a few ppm of the real value at ANY N — no row
+    * guard needed (every product stays inside DECIMAL(38,0) through
+    * 10⁹ rows × scores to ~10³). Degenerate inputs (one score, all
+    * or no successes, an arm rarer than 1-in-10⁹) yield NULL z.
+    * One row: `(n_total, n_success, trend_ppm, z_ppm)` where
+    * `trend_ppm = ā_ppm` is the N-normalized score–outcome
+    * covariance (sign = direction of the trend).
+    *
+    * Scale shape (100 TB): rows collapse to score cells (score-
+    * cardinality bounded), then one scalar aggregate — no window,
+    * no sort, nothing global. */
+  def cochranArmitage(df: DataFrame, successCond: org.apache.spark.sql.Column,
+                      scoreCol: String): DataFrame = {
+    val g = df.select(col(scoreCol).cast("bigint").as("__w"),
+        when(successCond, 1L).otherwise(0L).as("__s"))
+      .where(col("__w").isNotNull)
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).cast("bigint").as("__n"),
+        sum(col("__s")).cast("bigint").as("__r"))
+    g.agg(sum(col("__n")).cast("bigint").as("__N"),
+        sum(col("__r")).cast("bigint").as("__R"),
+        sum(expr("__w * __n")).cast("bigint").as("__swn"),
+        sum(expr("__w * __r")).cast("bigint").as("__swr"),
+        sum(expr("__w * __w * __n")).cast("bigint").as("__sw2n"))
+      .withColumn("__a", expr(
+        "cast(__N as decimal(38,0)) * __swr - cast(__R as decimal(38,0)) * __swn"))
+      .withColumn("__b", expr(
+        "cast(__N as decimal(38,0)) * __sw2n - cast(__swn as decimal(38,0)) * __swn"))
+      .withColumn("__abar", expr(
+        """CASE WHEN __a >= 0
+          |  THEN (cast(1000000 as decimal(38,0)) * __a) div __N
+          |ELSE -((cast(1000000 as decimal(38,0)) * (-__a)) div __N) END"""
+          .stripMargin))
+      .withColumn("__bbar", expr(
+        "(cast(1000000 as decimal(38,0)) * __b) div __N"))
+      .withColumn("__rbar", expr(
+        "(cast(1000000000 as decimal(38,0)) * __R) div __N"))
+      .withColumn("__rcbar", expr(
+        "(cast(1000000000 as decimal(38,0)) * (__N - __R)) div __N"))
+      .withColumn("__prod", expr(
+        "cast(__rbar as decimal(38,0)) * __rcbar * __bbar"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__prod", "__rt"))
+      .select(col("__N").as("n_total"), col("__R").as("n_success"),
+        col("__abar").cast("bigint").as("trend_ppm"),
+        expr("""CASE WHEN __b <= 0 OR __R <= 0 OR __R >= __N OR __rt <= 0
+               |  THEN NULL
+               |WHEN __abar >= 0
+               |  THEN (cast(1000000000000 as decimal(38,0)) * __abar) div __rt
+               |ELSE -((cast(1000000000000 as decimal(38,0)) * (-__abar))
+               |       div __rt) END""".stripMargin)
+          .cast("bigint").as("z_ppm"))
+  }
 }

@@ -3349,5 +3349,88 @@ object StatsQ {
         graft.operators.RobustStats.distributionDrift(
           t(s, dir, "documents").where(col("lang").isin("en", "de")),
           col("lang") === "de", "n_chars"))
+    ,
+
+    // ---- Cramér–von Mises squared-ECDF drift ---------------------
+    // The everywhere-sensitive companion of q381's W1/TV on a
+    // different arm pair (en vs fr): per-cell ppm-quantized
+    // (F_A−F_B)² weighted by pooled cell mass — three floors, each
+    // mirrored verbatim, so no row guard is needed at any N.
+    Q("q382_cvm_drift",
+      Some("""WITH d AS (SELECT CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents WHERE lang IN ('en', 'fr')),
+             |cells AS (SELECT v,
+             |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS ha,
+             |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS hb
+             |  FROM d GROUP BY v),
+             |tot AS (SELECT sum(ha)::HUGEINT AS na, sum(hb)::HUGEINT AS nb,
+             |  count(*)::BIGINT AS nv FROM cells),
+             |st AS (SELECT ha, hb,
+             |  sum(ha) OVER (ORDER BY v)::HUGEINT AS ca,
+             |  sum(hb) OVER (ORDER BY v)::HUGEINT AS cb FROM cells),
+             |per AS (SELECT ha, hb,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN 0::HUGEINT
+             |   ELSE (1000000::HUGEINT * abs(ca * nb - cb * na)) // (na * nb)
+             |   END) AS dppm FROM st, tot),
+             |agg AS (SELECT sum((ha + hb) * dppm * dppm)::HUGEINT AS num
+             |  FROM per)
+             |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nv AS n_values,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (na * nb * (num // (na + nb)))
+             |     // (1000000::HUGEINT * (na + nb)) END)::BIGINT AS t_x_ppm,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (1000000::HUGEINT * (na + nb + 1)) // (6 * (na + nb))
+             |   END)::BIGINT AS t_mean_x_ppm
+             |FROM agg, tot""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.cramerVonMises(
+          t(s, dir, "documents").where(col("lang").isin("en", "fr")),
+          col("lang") === "fr", "n_chars"))
+    ,
+
+    // ---- Cochran–Armitage ordered trend --------------------------
+    // Does the finished-order rate trend with priority tier (score =
+    // the tier's leading digit)? Score-cell scalars, N-normalized
+    // ppm/ppb quantization, exact isqrt — unbounded-N budget.
+    Q("q383_trend_test", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q3" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH d AS (SELECT
+              |  cast(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS BIGINT)
+              |    AS w,
+              |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS s
+              |  FROM orders),
+              |g AS (SELECT w, count(*)::HUGEINT AS n, sum(s)::HUGEINT AS r
+              |  FROM d GROUP BY w),
+              |t AS (SELECT sum(n)::HUGEINT AS nn, sum(r)::HUGEINT AS rr,
+              |  sum(w * n)::HUGEINT AS swn, sum(w * r)::HUGEINT AS swr,
+              |  sum(w * w * n)::HUGEINT AS sw2n FROM g),
+              |q2 AS (SELECT nn, rr,
+              |  (nn * sw2n - swn * swn) AS b,
+              |  (CASE WHEN nn * swr - rr * swn >= 0
+              |   THEN (1000000::HUGEINT * (nn * swr - rr * swn)) // nn
+              |   ELSE -((1000000::HUGEINT * (rr * swn - nn * swr)) // nn)
+              |   END) AS abar,
+              |  ((1000000::HUGEINT * (nn * sw2n - swn * swn)) // nn) AS bbar,
+              |  ((1000000000::HUGEINT * rr) // nn) AS rbar,
+              |  ((1000000000::HUGEINT * (nn - rr)) // nn) AS rcbar FROM t),
+              |q3 AS (SELECT *, (rbar * rcbar * bbar) AS x FROM q2),
+              |$ladder
+              |SELECT nn::BIGINT AS n_total, rr::BIGINT AS n_success,
+              |  abar::BIGINT AS trend_ppm,
+              |  (CASE WHEN b <= 0 OR rr <= 0 OR rr >= nn OR rt <= 0 THEN NULL
+              |   WHEN abar >= 0 THEN (1000000000000::HUGEINT * abar) // rt
+              |   ELSE -((1000000000000::HUGEINT * (-abar)) // rt)
+              |   END)::BIGINT AS z_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.RobustStats.cochranArmitage(
+          t(s, dir, "orders").withColumn("__w", expr(
+            "cast(regexp_extract(o_orderpriority, '([0-9]+)', 1) as bigint)")),
+          col("o_orderstatus") === "F", "__w"))
   )
 }

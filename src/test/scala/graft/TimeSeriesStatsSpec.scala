@@ -433,6 +433,72 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(rn.isNullAt(3) && rn.isNullAt(4))
   }
 
+  test("cramerVonMises: quantized T on hand histograms, null mean, empty arm") {
+    import graft.operators.RobustStats
+    // A = {0,0,1}, B = {1,2}: d_ppm = (4·1e6)div6, (3·1e6)div6, 0
+    // = 666666, 500000, 0; num = 2·666666² + 2·500000²
+    // = 1388887111112; c1 = num div 5 = 277777422222;
+    // t = (6·c1) div 5e6 = 333332 (true T = 1/3 — two quantization
+    // ulps). mean = (1e6·6) div 30 = 200000.
+    val df = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 1L), (1L, 2L))
+      .toDF("arm", "v")
+    val r = RobustStats.cramerVonMises(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 3L, 333332L, 200000L)))
+    // identical arms: T exactly 0
+    val same = Seq((0L, 5L), (0L, 9L), (1L, 5L), (1L, 9L)).toDF("arm", "v")
+    assert(RobustStats.cramerVonMises(same, col("arm") === 1L, "v")
+      .collect().head.getLong(3) == 0L)
+    // disjoint arms {1,2} vs {4,5}: d_ppm = 500000, 1e6, 500000, 0;
+    // num = 1.5e12; t = (4·(num div 4)) div 4e6 = 375000 — exact
+    // (true T = 0.375, every floor lands on an integer)
+    val disj = Seq((0L, 1L), (0L, 2L), (1L, 4L), (1L, 5L)).toDF("arm", "v")
+    assert(RobustStats.cramerVonMises(disj, col("arm") === 1L, "v")
+      .collect().head.getLong(3) == 375000L)
+    // empty arm: NULL statistics
+    val onea = Seq((0L, 1L)).toDF("arm", "v")
+    val rn = RobustStats.cramerVonMises(onea, col("arm") === 1L, "v")
+      .collect().head
+    assert(rn.isNullAt(3) && rn.isNullAt(4))
+  }
+
+  test("cochranArmitage: exact z on linear trend, sign flip, degenerates") {
+    import graft.operators.RobustStats
+    // scores 0/1/2 with (n,r) = (2,0),(2,1),(2,2): N=6, R=3,
+    // A = 6·5−3·6 = 12, B = 6·10−36 = 24 -> ā = 2e6, b̄ = 4e6,
+    // r̄ = r̄ᶜ = 5e8; prod = 1e24, isqrt = 1e12 ->
+    // z = (1e12·2e6) div 1e12 = 2000000 (true z = 2, exact).
+    def mk(rows: Seq[(Long, Long)]) = rows.zipWithIndex
+      .map { case ((w, s), i) => (w, s, i) }.toDF("w", "s", "i")
+    val up = mk(Seq((0L, 0L), (0L, 0L), (1L, 1L), (1L, 0L), (2L, 1L),
+      (2L, 1L)))
+    val r = RobustStats.cochranArmitage(up, col("s") === 1L, "w")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((6L, 3L, 2000000L, 2000000L)))
+    // reversed outcomes: same magnitude, negative sign
+    val down = mk(Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 0L), (2L, 0L),
+      (2L, 0L)))
+    val rd = RobustStats.cochranArmitage(down, col("s") === 1L, "w")
+      .collect().head
+    assert((rd.getLong(2), rd.getLong(3)) == ((-2000000L, -2000000L)))
+    // quantized path: (0,3,1),(1,3,2): A=3, B=9 -> true z = 3/√13.5
+    // = 0.81649658; ā = 5e5, b̄ = 1.5e6, prod = 3.75e23,
+    // isqrt = 612372435695 -> z_ppm = 816496 (1 ulp below truth)
+    val q = mk(Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L),
+      (1L, 1L)))
+    assert(RobustStats.cochranArmitage(q, col("s") === 1L, "w")
+      .collect().head.getLong(3) == 816496L)
+    // degenerate: all successes -> NULL z; single score -> NULL z
+    val allS = mk(Seq((0L, 1L), (1L, 1L)))
+    assert(RobustStats.cochranArmitage(allS, col("s") === 1L, "w")
+      .collect().head.isNullAt(3))
+    val oneG = mk(Seq((0L, 0L), (0L, 1L)))
+    assert(RobustStats.cochranArmitage(oneG, col("s") === 1L, "w")
+      .collect().head.isNullAt(3))
+  }
+
   test("runsTest: tie days drop, runs count by sign change, exact z") {
     import graft.operators.RobustStats
     // y: 1,2,1,2,3,3,2 -> signs +,-,+,+,- (the 3->3 tie drops):
