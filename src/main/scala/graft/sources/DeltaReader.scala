@@ -33,8 +33,16 @@ import org.apache.spark.sql.types._
   *    and the partition columns, whose values live ONLY in the log
   *    (injected as typed literal columns at read, like
   *    [[HiveDataset]] P4);
-  *  - `protocol.minReaderVersion > 1` (column mapping, deletion
-  *    vectors, …) raises loudly rather than mis-reading.
+  *  - column mapping in `name` mode (reader protocol 2, or 3 with
+  *    the `columnMapping` reader feature): the logical schema's
+  *    `delta.columnMapping.physicalName` field metadata renames the
+  *    parquet scan, and partition values are resolved under the
+  *    PHYSICAL key (the protocol's writer requirement) with a
+  *    logical-key fallback for writers that never renamed them;
+  *  - anything else the table declares it needs — `id` mapping
+  *    mode, deletion vectors, v2 checkpoints, any unrecognized
+  *    reader feature or version — raises loudly rather than
+  *    mis-reading.
   *
   * Scale shape (100 TB): the log replay is ONE distributed
   * `spark.read.json` over the commit files (+ one parquet read of the
@@ -53,12 +61,31 @@ object DeltaReader {
     * (string-encoded, as the log stores them; null = null value). */
   final case class DeltaFile(path: String, partitionValues: Map[String, String])
 
-  /** Reconstructed table state at one version. */
+  /** Reconstructed table state at one version. `physicalSchema` is
+    * defined only under column mapping: the same shape as `schema`
+    * field-for-field, with every name replaced by its
+    * `delta.columnMapping.physicalName` (parquet files store THESE
+    * names; `schema` stays the user-facing truth). */
   final case class DeltaSnapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[DeltaFile])
+      files: Seq[DeltaFile],
+      physicalSchema: Option[StructType] = None)
+
+  private def physicalFieldName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Recursively rename a logical type to its physical shape. */
+  private def toPhysical(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(physicalFieldName(f), toPhysical(f.dataType), f.nullable)))
+    case ArrayType(et, n) => ArrayType(toPhysical(et), n)
+    case MapType(k, v, n) => MapType(toPhysical(k), toPhysical(v), n)
+    case other => other
+  }
 
   private val CommitName = """(\d{20})\.json""".r
   private val CheckpointName = """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
@@ -84,7 +111,8 @@ object DeltaReader {
       StructField("configuration", MapType(StringType, StringType))))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)))))))
 
   /** Latest snapshot, or None when `url` holds no Delta table
     * (mirrors delta_dataset.py:56-62 scan() → None on
@@ -137,18 +165,21 @@ object DeltaReader {
           case _ => false
         }
       }
-      spark.read.parquet(parts.map(_.toString): _*)
+      // the explicit schema clips checkpoints' extra columns (txn,
+      // stats structs, wider add/remove) AND null-fills fields absent
+      // from older checkpoints (readerFeatures predates nothing a
+      // v1-era checkpoint wrote)
+      spark.read.schema(actionSchema).parquet(parts.map(_.toString): _*)
         .select(
-          // checkpoints may carry extra columns (txn, stats structs)
-          // and wider add/remove structs — project the subset we
-          // replay, null-filling absent actions
           col("add.path").as("__add_path"),
           col("add.partitionValues").as("__add_pv"),
           col("remove.path").as("__rm_path"),
           col("metaData.schemaString").as("__schema"),
           col("metaData.partitionColumns").as("__pcols"),
           col("metaData.format.provider").as("__provider"),
-          col("protocol.minReaderVersion").as("__min_reader"))
+          col("metaData.configuration").as("__conf"),
+          col("protocol.minReaderVersion").as("__min_reader"),
+          col("protocol.readerFeatures").as("__feats"))
         .withColumn("__v", lit(v))
     }
     val normalizedJson = jsonActions.map(_.select(
@@ -158,25 +189,48 @@ object DeltaReader {
       col("metaData.schemaString").as("__schema"),
       col("metaData.partitionColumns").as("__pcols"),
       col("metaData.format.provider").as("__provider"),
+      col("metaData.configuration").as("__conf"),
       col("protocol.minReaderVersion").as("__min_reader"),
+      col("protocol.readerFeatures").as("__feats"),
       col("__v")))
     val actions = (cpActions.toSeq ++ normalizedJson.toSeq)
       .reduce(_ unionByName _)
       .localCheckpoint() // feeds three independent aggregations below
 
-    // protocol gate: the newest protocol action governs readability
+    // protocol gate: the newest protocol action governs readability.
+    // v1 = base; v2 = column mapping (handled); v3 = table features —
+    // readable only when every declared reader feature is one we
+    // implement (an ABSENT feature list on a v3 table is malformed:
+    // raise, since what the table needs is unknowable)
     val proto = actions.where(col("__min_reader").isNotNull)
-      .orderBy(col("__v").desc).select(col("__min_reader")).head(1)
-    proto.headOption.map(_.getInt(0)).foreach { mr =>
-      if (mr > 1) throw new UnsupportedOperationException(
-        s"DeltaReader: table requires reader protocol $mr (column " +
-          "mapping / deletion vectors / v2 checkpoints) — this minimal " +
-          "reader implements protocol 1")
+      .orderBy(col("__v").desc)
+      .select(col("__min_reader"), col("__feats")).head(1)
+    proto.headOption.foreach { r =>
+      val mr = r.getInt(0)
+      val feats: Option[Set[String]] =
+        if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toSet)
+      val supported = Set("columnMapping")
+      val unreadable = mr match {
+        case v if v <= 2 => None
+        case 3 => feats match {
+          case Some(f) if (f -- supported).isEmpty => None
+          case Some(f) => Some((f -- supported).toSeq.sorted.mkString(", "))
+          case None => Some("an undeclared feature set")
+        }
+        case _ => Some("a protocol version past 3")
+      }
+      unreadable.foreach { why =>
+        throw new UnsupportedOperationException(
+          s"DeltaReader: table requires reader protocol $mr with $why — " +
+            "this reader implements protocol 1/2 plus the columnMapping " +
+            "feature (name mode)")
+      }
     }
     // latest metaData wins (schema evolution / repartitioning)
     val meta = actions.where(col("__schema").isNotNull)
       .orderBy(col("__v").desc)
-      .select(col("__schema"), col("__pcols"), col("__provider")).head(1)
+      .select(col("__schema"), col("__pcols"), col("__provider"),
+        col("__conf")).head(1)
     if (meta.isEmpty)
       throw new IllegalStateException(
         s"DeltaReader: no metaData action found in $logDir — not a valid Delta log")
@@ -187,6 +241,17 @@ object DeltaReader {
     val schema = DataType.fromJson(meta.head.getString(0)).asInstanceOf[StructType]
     val pcols: Seq[String] =
       Option(meta.head.getSeq[String](1)).getOrElse(Seq.empty[String]).toSeq
+    val tableConf: Map[String, String] =
+      if (meta.head.isNullAt(3)) Map.empty
+      else meta.head.getMap[String, String](3).toMap
+    val physSchema: Option[StructType] =
+      tableConf.getOrElse("delta.columnMapping.mode", "none") match {
+        case "none" => None
+        case "name" => Some(toPhysical(schema).asInstanceOf[StructType])
+        case other => throw new UnsupportedOperationException(
+          s"DeltaReader: column mapping mode '$other' unsupported " +
+            "(none/name only — id mode needs parquet field-id matching)")
+      }
 
     // file-state reconstruction: per path, the highest-version action
     // wins; survivors are adds. One path-keyed aggregation.
@@ -216,7 +281,7 @@ object DeltaReader {
         else r.getMap[String, String](1).toMap
       DeltaFile(abs.toString, pv)
     }.toSeq.sortBy(_.path)
-    Some(DeltaSnapshot(target, schema, pcols, files))
+    Some(DeltaSnapshot(target, schema, pcols, files, physSchema))
   }
 
   /** Full-table scan at the latest (or a time-travel) version: data
@@ -239,8 +304,21 @@ object DeltaReader {
         s"Partition column value keys ${values.keySet} do not match " +
           s"partition columns ${snap.partitionColumns}")
       assemble(snap.copy(files = snap.files.filter(f =>
-        values.forall { case (k, v) => f.partitionValues.get(k).contains(v) })))
+        values.forall { case (k, v) =>
+          partitionValueOf(snap, f, k).contains(v) })))
     }
+
+  /** A file's value for partition column `c` (a LOGICAL name). Under
+    * column mapping the log keys `partitionValues` by the PHYSICAL
+    * name (the protocol's writer requirement); the logical key is
+    * accepted as a fallback for writers that never renamed them. */
+  private def partitionValueOf(snap: DeltaSnapshot, f: DeltaFile,
+                               c: String): Option[String] = {
+    val phys = snap.physicalSchema.flatMap { ps =>
+      snap.schema.fieldNames.zip(ps.fieldNames).toMap.get(c)
+    }
+    phys.flatMap(f.partitionValues.get).orElse(f.partitionValues.get(c))
+  }
 
   /** Build the snapshot DataFrame: one parquet read per distinct
     * partition-value tuple (bounded by partition count, each a plain
@@ -254,18 +332,31 @@ object DeltaReader {
         throw new IllegalStateException(
           s"DeltaReader: partition column '$c' missing from table schema")
     }
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // logical data fields zipped with the names parquet actually
+    // stores them under (identical unless column mapping is on)
+    val dataPairs = snap.physicalSchema
+      .map(ps => snap.schema.fields.zip(ps.fields))
+      .getOrElse(snap.schema.fields.map(f => (f, f)))
+      .filterNot { case (lf, _) => snap.partitionColumns.contains(lf.name) }
+      .toSeq
+    val dataSchema = StructType(dataPairs.map(_._2))
     val ordered = snap.schema.fieldNames.map(col).toSeq
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     if (snap.files.isEmpty) return empty
     val groups = snap.files
       .groupBy(f => snap.partitionColumns.map(c =>
-        f.partitionValues.getOrElse(c, null)))
+        partitionValueOf(snap, f, c).orNull))
       .toSeq.sortBy(_._1.mkString("/"))
     groups.map { case (pvals, fs) =>
-      val base = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
+      val read = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
+      // physical→logical rename; nested names ride a struct cast
+      // (positional, so shape is preserved exactly)
+      val base = snap.physicalSchema match {
+        case Some(_) => read.select(dataPairs.map { case (lf, pf) =>
+          col(pf.name).cast(lf.dataType).as(lf.name) }: _*)
+        case None => read
+      }
       snap.partitionColumns.zip(pvals).foldLeft(base) { case (d, (c, v)) =>
         // log partition values are strings ("2024-01-02", "42", null);
         // ANSI cast raises on garbage — corrupt logs fail loudly

@@ -217,7 +217,7 @@ class DeltaReaderSpec extends SparkSpec {
     }
   }
 
-  test("reader protocol past 1 raises instead of mis-reading") {
+  test("a v3 table with an undeclared feature set raises instead of mis-reading") {
     withTempDir { dir =>
       val table = s"$dir/t"
       writeDataFile(Seq(1L).toDF("v"), table, "p=A/f1.parquet")
@@ -226,6 +226,83 @@ class DeltaReaderSpec extends SparkSpec {
       val e = intercept[UnsupportedOperationException](
         DeltaReader.snapshot(table))
       assert(e.getMessage.contains("protocol 3"))
+    }
+  }
+
+  // ---- column mapping (name mode) --------------------------------
+
+  private def mappedSchema: StructType = {
+    def m(id: Long, phys: String) = new MetadataBuilder()
+      .putLong("delta.columnMapping.id", id)
+      .putString("delta.columnMapping.physicalName", phys).build()
+    StructType(Seq(
+      StructField("v", LongType, nullable = true, m(1, "col-aaa111")),
+      StructField("p", StringType, nullable = true, m(2, "col-ppp222"))))
+  }
+
+  private def mappedMetaJson: String =
+    s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${esc(mappedSchema.json)}","partitionColumns":["p"],""" +
+      s""""configuration":{"delta.columnMapping.mode":"name",""" +
+      s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}"""
+
+  private def buildMappedTable(table: String,
+                               protoLine: String): Unit = {
+    // parquet stores the PHYSICAL column name; partitionValues are
+    // keyed by the partition column's physical name (the protocol's
+    // writer requirement under column mapping)
+    writeDataFile(Seq(1L, 2L).toDF("col-aaa111"), table, "pA/f1.parquet")
+    writeDataFile(Seq(30L).toDF("col-aaa111"), table, "pB/f2.parquet")
+    writeCommit(table, 0L, Seq(protoLine, mappedMetaJson,
+      addJson("pA/f1.parquet", "col-ppp222" -> "A"),
+      addJson("pB/f2.parquet", "col-ppp222" -> "B")))
+  }
+
+  test("column mapping name mode: physical parquet names read back logical") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMappedTable(table, protoJson(minReader = 2))
+      val out = DeltaReader.scan(table).get
+      assert(out.columns.toSeq == Seq("v", "p"))
+      assertSameData(out,
+        Seq((1L, "A"), (2L, "A"), (30L, "B")).toDF("v", "p"))
+      // targeted partition read takes LOGICAL keys
+      assertSameData(DeltaReader.readPartition(table, Map("p" -> "B")).get,
+        Seq((30L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("reader v3 with only the columnMapping feature reads; others raise") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMappedTable(table,
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],""" +
+          """"writerFeatures":["columnMapping"]}}""")
+      assert(DeltaReader.scan(table).get.count() == 3L)
+    }
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMappedTable(table,
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping","deletionVectors"],""" +
+          """"writerFeatures":["columnMapping","deletionVectors"]}}""")
+      val e = intercept[UnsupportedOperationException](
+        DeltaReader.snapshot(table))
+      assert(e.getMessage.contains("deletionVectors"))
+    }
+  }
+
+  test("column mapping id mode raises instead of mis-reading") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      writeDataFile(Seq(1L).toDF("col-aaa111"), table, "pA/f1.parquet")
+      writeCommit(table, 0L, Seq(protoJson(minReader = 2),
+        mappedMetaJson.replace("\"name\"", "\"id\""),
+        addJson("pA/f1.parquet", "col-ppp222" -> "A")))
+      val e = intercept[UnsupportedOperationException](
+        DeltaReader.snapshot(table))
+      assert(e.getMessage.contains("'id'"))
     }
   }
 
