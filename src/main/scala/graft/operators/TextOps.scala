@@ -1264,4 +1264,74 @@ object TextOps {
         expr("(100L * sum_bits) div n_bigrams").cast("bigint")
           .as("avg_bits_x100"))
   }
+
+  /** Moore–Lewis cross-entropy-difference data selection — the
+    * classic "pick the general-pool documents that look most like my
+    * in-domain corpus" method (Moore & Lewis 2010), on the same
+    * integer-bit LM surrogate as [[bigramLmSurprisal]]: train add-one
+    * bigram models on the IN-DOMAIN slice (`inDomainCond`) and on the
+    * general pool (everything else — which doubles as the candidate
+    * set, the textbook setup), then score each candidate document by
+    * `Δbits = bits_in_domain − bits_general` per bigram
+    * (`bits_M = bitlen(c_M(w₁)+V_M) − bitlen(c_M(w₁,w₂)+1)`) — the
+    * paper's `H_I(s) − H_O(s)`. LOW Δ = cheap under the in-domain
+    * model relative to its own pool = in-domain-like.
+    * Whole-bit quantization keeps every value
+    * integer-exact; `Δ` is signed, so the per-document average uses
+    * the sign-split floored div.
+    *
+    * Output: the `k` most in-domain-like candidates,
+    * `(id, n_bigrams, delta_x100)` ordered by `(delta_x100, id)`;
+    * documents with no bigrams are absent ("no evidence").
+    *
+    * Scale shape (100 TB): two keyed count tables per model
+    * (map-side-combined), scoring = four shuffle equi-joins on
+    * bigram/prefix-token with both vocab scalars broadcast, then a
+    * doc-keyed aggregation and a global top-k (size-k per partition,
+    * merged on the driver by TakeOrdered). Hot prefix tokens skew at
+    * most by vocabulary Zipf — AQE's skew split applies. */
+  def mooreLewisSelect(df: DataFrame, idCol: String, textCol: String,
+                       inDomainCond: org.apache.spark.sql.Column,
+                       k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = df.select(col(idCol).cast("long").as("__id"),
+      when(inDomainCond, 1L).otherwise(0L).as("__dom"),
+      expr(H.tokens(textCol)).as("__t"))
+    val bigrams = toks.select(col("__id"), col("__dom"), explode(expr(
+      "CASE WHEN size(__t) >= 2 THEN transform(sequence(1, size(__t) - 1), " +
+        "gi -> struct(element_at(__t, gi) AS w1, element_at(__t, gi + 1) AS w2)) " +
+        "ELSE array() END")).as("__bg"))
+      .select(col("__id"), col("__dom"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    def lm(dom: Long, tag: String) = (
+      bigrams.where(col("__dom") === dom).groupBy(col("__w1"), col("__w2"))
+        .agg(count(lit(1)).cast("bigint").as(s"__c12$tag")),
+      bigrams.where(col("__dom") === dom).groupBy(col("__w1"))
+        .agg(count(lit(1)).cast("bigint").as(s"__c1$tag")),
+      toks.where(col("__dom") === dom)
+        .select(explode(col("__t")).as("__w"))
+        .agg(countDistinct(col("__w")).cast("bigint").as(s"__V$tag")))
+    val (ci12, ci1, vi) = lm(1L, "i")
+    val (cg12, cg1, vg) = lm(0L, "g")
+    bigrams.where(col("__dom") === 0L)
+      .join(cg12, Seq("__w1", "__w2"), "left")
+      .join(cg1, Seq("__w1"), "left")
+      .join(ci12, Seq("__w1", "__w2"), "left")
+      .join(ci1, Seq("__w1"), "left")
+      .crossJoin(broadcast(vi)).crossJoin(broadcast(vg))
+      .withColumn("__d", expr(
+        "(length(bin(coalesce(__c1i, 0L) + __Vi)) - " +
+          "length(bin(coalesce(__c12i, 0L) + 1L))) - " +
+          "(length(bin(coalesce(__c1g, 0L) + __Vg)) - " +
+          "length(bin(coalesce(__c12g, 0L) + 1L)))"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        sum(col("__d")).cast("bigint").as("__sd"))
+      .select(col("__id").as("id"), col("n_bigrams"),
+        expr("""CASE WHEN __sd >= 0 THEN (100L * __sd) div n_bigrams
+               |ELSE -((100L * (-__sd)) div n_bigrams) END""".stripMargin)
+          .cast("bigint").as("delta_x100"))
+      .orderBy(col("delta_x100"), col("id"))
+      .limit(k)
+  }
 }

@@ -4705,5 +4705,49 @@ object TextQ {
         graft.operators.Mixing.ipfRaking(survivors, "source", "lang", iters = 3)
           .orderBy("row_key", "col_key")
       })
+    ,
+
+    // ---- Moore–Lewis cross-entropy-difference selection ----------
+    // Which non-German docs look most German? In-domain bigram LM on
+    // lang='de', general LM on the rest, Δ = whole-bit cost gap,
+    // signed sign-split average, top 20 lowest.
+    Q("q384_moore_lewis",
+      Some("""WITH toks AS (SELECT doc_id,
+             |  CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS dom,
+             |  string_split(text, ' ') AS t FROM documents),
+             |bg AS (SELECT doc_id, dom, unnest(list_transform(range(1, len(t)),
+             |    gi -> {'w1': t[gi], 'w2': t[gi + 1]})) AS b
+             |  FROM toks WHERE len(t) >= 2),
+             |e AS (SELECT doc_id, dom, b.w1 AS w1, b.w2 AS w2 FROM bg),
+             |ci12 AS (SELECT w1, w2, count(*)::BIGINT AS ci12 FROM e
+             |  WHERE dom = 1 GROUP BY 1, 2),
+             |ci1 AS (SELECT w1, count(*)::BIGINT AS ci1 FROM e
+             |  WHERE dom = 1 GROUP BY 1),
+             |cg12 AS (SELECT w1, w2, count(*)::BIGINT AS cg12 FROM e
+             |  WHERE dom = 0 GROUP BY 1, 2),
+             |cg1 AS (SELECT w1, count(*)::BIGINT AS cg1 FROM e
+             |  WHERE dom = 0 GROUP BY 1),
+             |vi AS (SELECT count(DISTINCT w)::BIGINT AS vvi FROM
+             |  (SELECT unnest(t) AS w FROM toks WHERE dom = 1)),
+             |vg AS (SELECT count(DISTINCT w)::BIGINT AS vvg FROM
+             |  (SELECT unnest(t) AS w FROM toks WHERE dom = 0)),
+             |sc AS (SELECT e.doc_id,
+             |  (length(bin(coalesce(ci1.ci1, 0) + vi.vvi))
+             |     - length(bin(coalesce(ci12.ci12, 0) + 1)))
+             |  - (length(bin(coalesce(cg1.cg1, 0) + vg.vvg))
+             |     - length(bin(coalesce(cg12.cg12, 0) + 1))) AS d
+             |  FROM e LEFT JOIN cg12 USING (w1, w2)
+             |    LEFT JOIN cg1 USING (w1)
+             |    LEFT JOIN ci12 USING (w1, w2) LEFT JOIN ci1 USING (w1)
+             |  CROSS JOIN vi CROSS JOIN vg WHERE e.dom = 0),
+             |ag AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             |  sum(d)::BIGINT AS sd FROM sc GROUP BY 1)
+             |SELECT doc_id AS id, n_bigrams,
+             |  (CASE WHEN sd >= 0 THEN (100 * sd) // n_bigrams
+             |   ELSE -((100 * (-sd)) // n_bigrams) END)::BIGINT AS delta_x100
+             |FROM ag ORDER BY delta_x100, id LIMIT 20""".stripMargin),
+      (s, dir) =>
+        TextOps.mooreLewisSelect(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "de", k = 20))
   )
 }

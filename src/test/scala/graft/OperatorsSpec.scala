@@ -3836,6 +3836,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 3L, 150L)))
   }
 
+  test("mooreLewisSelect: in-domain-like docs rank first, sign-split average") {
+    import spark.implicits._
+    // in-domain (id 0) "a b a b a b": ci12(a,b)=3, ci12(b,a)=2,
+    // ci1(a)=3, ci1(b)=2, Vi = 2. General pool = candidates
+    // (ids 1, 3): "a b" + "c d": cg12(a,b)=1, cg12(c,d)=1,
+    // cg1(a)=1, cg1(c)=1, Vg = 4. Δ = bits_in − bits_general:
+    //   id 1 (a,b): (bitlen(3+2)−bitlen(3+1)) − (bitlen(1+4)−bitlen(1+1))
+    //             = (3−3) − (3−2) = −1 -> delta_x100 = −100
+    //   id 3 (c,d): (bitlen(0+2)−bitlen(0+1)) − (3−2) = (2−1) − 1 = 0
+    // so the in-domain-like "a b" ranks FIRST (the Moore–Lewis sign).
+    val df = Seq((0L, "de", "a b a b a b"), (1L, "en", "a b"),
+      (3L, "en", "c d")).toDF("doc_id", "lang", "text")
+    val out = graft.operators.TextOps.mooreLewisSelect(
+        df, "doc_id", "text", col("lang") === "de", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, -100L), (3L, 1L, 0L)))
+    // k truncates after the sort
+    assert(graft.operators.TextOps.mooreLewisSelect(
+        df, "doc_id", "text", col("lang") === "de", k = 1)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("vocabShapley: efficiency axiom and marginal coverage on a 2-bucket fixture") {
     import spark.implicits._
     // bucket 0 = {a, b}, bucket 1 = {b, c}: v({0}) = v({1}) = 2,
