@@ -50,6 +50,12 @@ class DeterminismSpec extends SparkSpec {
         .select("doc_id", "epoch"))
   }
 
+  test("mooreLewisSelect picks the same top-k under any partitioning") {
+    invariant(d =>
+      TextOps.mooreLewisSelect(d, "doc_id", "text",
+        col("lang") === "de", k = 15))
+  }
+
   test("dropNearDuplicates keeps the same survivors under any partitioning") {
     invariant(d =>
       DedupOps.dropNearDuplicates(d, "doc_id", "text",

@@ -510,6 +510,19 @@ class ScaleShapeSpec extends SparkSpec {
       s"expected keyed joins for the count tables:\n$plan")
   }
 
+  test("mooreLewisSelect plan: four token-keyed equi-joins, only vocab scalars cross") {
+    val plan = TextOps.mooreLewisSelect(corpus, "doc_id", "text",
+        col("doc_id") % 2 === 0, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"count-table joins must be equi-joins; only the 1-row vocab scalars may cross:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected keyed joins for the two LMs' count tables:\n$plan")
+    // the final top-k is a TakeOrdered, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-selection must ride TakeOrdered (size-k per partition), not a global sort:\n$plan")
+  }
+
   test("sprtMonitor plan: walk window is group-partitioned, never one reducer") {
     import spark.implicits._
     val df = (0 until 300).map(i => (s"g${i % 7}", i.toLong, i % 3 == 0))
