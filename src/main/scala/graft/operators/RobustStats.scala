@@ -1193,6 +1193,91 @@ object RobustStats {
           .stripMargin).cast("bigint").as("t_mean_x_ppm"))
   }
 
+  /** Two-sample Anderson–Darling drift statistic — the TAIL-weighted
+    * member of the drift family ([[distributionDrift]] W1/TV,
+    * [[cramerVonMises]], KS): the Scholz–Stephens tie-adjusted
+    * midpoint form (their A²akN at k = 2), which divides each squared
+    * ECDF gap by `H(1−H)` so discrepancies out in the tails count as
+    * much as ones near the median — the right lens for "did the
+    * extremes move?" (length caps, truncation, outlier injection).
+    * Over value cells with pooled mass `h`, doubled midpoint cums
+    * `B2 = 2c−h`, `M2ᵢ = 2cᵢ−hᵢ`:
+    * `A² = (N−1)/N² · Σᵢ nᵢ · Σⱼ hⱼ·dᵢⱼ² · 4N²/denⱼ` with
+    * `dᵢⱼ = (N·M2ᵢⱼ − nᵢ·B2ⱼ)/(2·N·nᵢ)` and
+    * `denⱼ = B2ⱼ(2N−B2ⱼ) − N·hⱼ` (cells with den ≤ 0 — the
+    * everything-in-one-cell degenerate — contribute zero, the
+    * standard exclusion).
+    *
+    * Quantization contract (documented, mirrored verbatim in the
+    * oracle): per cell `d_ppm = (10⁶·|N·M2 − nᵢ·B2|) div (2·N·nᵢ)`
+    * and `w = (4·N²·10⁶) div den`, per arm `Sᵢ = Σ h·d_ppm²·w`, then
+    * `a2_x_ppm = ((N−1)·(n_a·(S_a div N²) + n_b·(S_b div N²)))
+    * div 10¹²` — every product stays inside DECIMAL(38,0) through
+    * 10⁹-row arms (worst cell term h·d²·w ≲ 4·10³⁶ since den ≥ N−1
+    * wherever positive), so no row guard. One row:
+    * `(n_a, n_b, n_values, a2_x_ppm)`; an empty arm yields NULL.
+    * Null calibration: E[A²] = 1 for any N.
+    *
+    * Scale shape (100 TB): identical to its siblings — one histogram
+    * aggregation, a cumulative window ON THE HISTOGRAM (distinct-
+    * value bounded), one scalar aggregate. Rows never sort
+    * globally. */
+  def andersonDarling(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                      valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+        col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
+    val cells = base.groupBy(col("__v")).agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).cast("bigint").as("__ha"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).cast("bigint").as("__hb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val steps = cells
+      .withColumn("__ca", sum(col("__ha")).over(w))
+      .withColumn("__cb", sum(col("__hb")).over(w))
+    val tot = cells.agg(sum(col("__ha")).cast("bigint").as("__na"),
+      sum(col("__hb")).cast("bigint").as("__nb"))
+    steps.crossJoin(broadcast(tot))
+      .withColumn("__nt", expr("__na + __nb"))
+      .withColumn("__h", expr("__ha + __hb"))
+      .withColumn("__b2", expr("2L * (__ca + __cb) - __h"))
+      .withColumn("__hden", expr(
+        "cast(__b2 as decimal(38,0)) * (2L * __nt - __b2) " +
+          "- cast(__nt as decimal(38,0)) * __h"))
+      .withColumn("__da", expr(
+        """CASE WHEN __na = 0 OR __nb = 0 THEN 0L
+          |ELSE (cast(1000000 as decimal(38,0))
+          |  * abs(cast(__nt as decimal(38,0)) * (2L * __ca - __ha)
+          |        - cast(__na as decimal(38,0)) * __b2))
+          |  div (cast(2 as decimal(38,0)) * __nt * __na) END""".stripMargin))
+      .withColumn("__db", expr(
+        """CASE WHEN __na = 0 OR __nb = 0 THEN 0L
+          |ELSE (cast(1000000 as decimal(38,0))
+          |  * abs(cast(__nt as decimal(38,0)) * (2L * __cb - __hb)
+          |        - cast(__nb as decimal(38,0)) * __b2))
+          |  div (cast(2 as decimal(38,0)) * __nt * __nb) END""".stripMargin))
+      .withColumn("__wc", expr(
+        """CASE WHEN __hden > 0
+          |  THEN (cast(4000000 as decimal(38,0)) * __nt * __nt) div __hden
+          |ELSE 0L END""".stripMargin))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        max(col("__nt")).as("__nt"),
+        count(lit(1)).cast("bigint").as("n_values"),
+        sum(expr("cast(__h as decimal(38,0)) * __da * __da * __wc"))
+          .as("__sa"),
+        sum(expr("cast(__h as decimal(38,0)) * __db * __db * __wc"))
+          .as("__sb"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(__nt - 1L as decimal(38,0))
+               |  * (cast(__na as decimal(38,0))
+               |       * (__sa div (cast(__nt as decimal(38,0)) * __nt))
+               |     + cast(__nb as decimal(38,0))
+               |       * (__sb div (cast(__nt as decimal(38,0)) * __nt))))
+               |  div cast(1000000000000 as decimal(38,0)) END""".stripMargin)
+          .cast("bigint").as("a2_x_ppm"))
+  }
+
   /** Cochran–Armitage TREND test — "does the success rate move
     * MONOTONICALLY with an ordered score?" (dose-response across
     * quality buckets, priority tiers, temporal cohorts): the score

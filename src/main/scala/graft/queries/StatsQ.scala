@@ -3432,5 +3432,48 @@ object StatsQ {
           t(s, dir, "orders").withColumn("__w", expr(
             "cast(regexp_extract(o_orderpriority, '([0-9]+)', 1) as bigint)")),
           col("o_orderstatus") === "F", "__w"))
+    ,
+
+    // ---- Anderson–Darling tail-weighted drift --------------------
+    // Did Chinese docs' length distribution move vs English IN THE
+    // TAILS? Scholz–Stephens tie-adjusted midpoint A² (k=2) on the
+    // value cells — each squared ECDF gap weighted by 1/(H(1−H)).
+    Q("q385_anderson_darling",
+      Some("""WITH d AS (SELECT CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents WHERE lang IN ('en', 'zh')),
+             |cells AS (SELECT v,
+             |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS ha,
+             |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS hb
+             |  FROM d GROUP BY v),
+             |tot AS (SELECT sum(ha)::HUGEINT AS na, sum(hb)::HUGEINT AS nb,
+             |  sum(ha + hb)::HUGEINT AS nt, count(*)::BIGINT AS nv
+             |  FROM cells),
+             |st AS (SELECT ha, hb, ha + hb AS h,
+             |  sum(ha) OVER (ORDER BY v)::HUGEINT AS ca,
+             |  sum(hb) OVER (ORDER BY v)::HUGEINT AS cb FROM cells),
+             |p1 AS (SELECT ha, hb, h, ca, cb, na, nb, nt,
+             |  2 * (ca + cb) - h AS b2 FROM st, tot),
+             |p2 AS (SELECT *, b2 * (2 * nt - b2) - nt * h AS hden FROM p1),
+             |p3 AS (SELECT h,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN 0::HUGEINT
+             |   ELSE (1000000::HUGEINT * abs(nt * (2 * ca - ha) - na * b2))
+             |     // (2 * nt * na) END) AS da,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN 0::HUGEINT
+             |   ELSE (1000000::HUGEINT * abs(nt * (2 * cb - hb) - nb * b2))
+             |     // (2 * nt * nb) END) AS db,
+             |  (CASE WHEN hden > 0 THEN (4000000::HUGEINT * nt * nt) // hden
+             |   ELSE 0::HUGEINT END) AS w FROM p2),
+             |ag AS (SELECT sum(h * da * da * w)::HUGEINT AS sa,
+             |  sum(h * db * db * w)::HUGEINT AS sb FROM p3)
+             |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nv AS n_values,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE ((nt - 1) * (na * (sa // (nt * nt))
+             |                     + nb * (sb // (nt * nt))))
+             |     // 1000000000000::HUGEINT END)::BIGINT AS a2_x_ppm
+             |FROM ag, tot""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.andersonDarling(
+          t(s, dir, "documents").where(col("lang").isin("en", "zh")),
+          col("lang") === "zh", "n_chars"))
   )
 }

@@ -463,6 +463,33 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(rn.isNullAt(3) && rn.isNullAt(4))
   }
 
+  test("andersonDarling: hand-quantized A², zero on identical arms, arm symmetry") {
+    import graft.operators.RobustStats
+    // Disjoint arms A = {1,2}, B = {3,4}: N=4, n=2 each, h=1 cells;
+    // B2 = 1,3,5,7; den = B2(8−B2)−4 = 3,11,11,3;
+    // |4·M2a − 2·B2| = 2,6,6,2 -> d_ppm = 125000,375000,375000,125000
+    // (divisor 16, both arms); w = 64e6 div den = 21333333, 5818181 ×2;
+    // S = 2·(125000²·21333333 + 375000²·5818181) = 2303030062500000000;
+    // a2 = (3·(2·(S div 16) + 2·(S div 16))) div 1e12 = 1727272.
+    val disj = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("arm", "v")
+    val r = RobustStats.andersonDarling(disj, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 4L, 1727272L)))
+    // swapping which arm is "B" leaves A² unchanged
+    val rs = RobustStats.andersonDarling(disj, col("arm") === 0L, "v")
+      .collect().head
+    assert(rs.getLong(3) == 1727272L)
+    // identical arms: every midpoint gap is zero
+    val same = Seq((0L, 5L), (0L, 9L), (1L, 5L), (1L, 9L)).toDF("arm", "v")
+    assert(RobustStats.andersonDarling(same, col("arm") === 1L, "v")
+      .collect().head.getLong(3) == 0L)
+    // empty arm: NULL, never a fake zero
+    val one = Seq((0L, 1L)).toDF("arm", "v")
+    assert(RobustStats.andersonDarling(one, col("arm") === 1L, "v")
+      .collect().head.isNullAt(3))
+  }
+
   test("cochranArmitage: exact z on linear trend, sign flip, degenerates") {
     import graft.operators.RobustStats
     // scores 0/1/2 with (n,r) = (2,0),(2,1),(2,2): N=6, R=3,
