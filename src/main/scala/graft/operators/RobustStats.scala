@@ -1278,6 +1278,78 @@ object RobustStats {
           .cast("bigint").as("a2_x_ppm"))
   }
 
+  /** Two-sample ENERGY DISTANCE (Székely–Rizzo, V-statistic form) —
+    * the metric member of the drift family: `E = 2·E|X−Y| − E|X−X'|
+    * − E|Y−Y'|`, zero iff the distributions coincide, metrically
+    * comparable across column pairs (value units, like
+    * [[distributionDrift]]'s W1 and unlike the unitless CvM/AD). The
+    * pairwise-absolute-difference sums come from ONE pass over the
+    * value histogram via the sorted-cumulative identity
+    * `Σ_{pairs} |x−y| = Σ_cells h·(v·C_< − S_<)` (C_</S_< =
+    * strictly-before cumulative count/value-mass), so no pair ever
+    * materializes. Each expectation takes exactly ONE floored div —
+    * `cross_x2_ppm = (2·10⁶·S_xy) div (n_a·n_b)`, within-arm
+    * likewise over n², `e_x_ppm` is their signed difference (within
+    * ±2 ulp of the real E, mirrored verbatim in the oracle; products
+    * stay inside DECIMAL(38,0) for 10⁹-row arms × values to ~10⁹).
+    * One row: `(n_a, n_b, n_values, e_x_ppm, cross_x2_ppm,
+    * within_a_x2_ppm, within_b_x2_ppm)`; an empty arm yields NULL.
+    *
+    * Scale shape (100 TB): one histogram aggregation, strictly-
+    * before cumulative windows ON THE HISTOGRAM (distinct-value
+    * bounded), one scalar aggregate — rows never sort globally,
+    * pairs never exist. */
+  def energyDistance(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                     valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+        col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
+    val cells = base.groupBy(col("__v")).agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).cast("bigint").as("__ha"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).cast("bigint").as("__hb"))
+    val wb = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = cells
+      .withColumn("__cal", coalesce(sum(col("__ha")).over(wb), lit(0L)))
+      .withColumn("__cbl", coalesce(sum(col("__hb")).over(wb), lit(0L)))
+      .withColumn("__sal", coalesce(sum(expr(
+        "cast(__v as decimal(38,0)) * __ha")).over(wb),
+        expr("cast(0 as decimal(38,0))")))
+      .withColumn("__sbl", coalesce(sum(expr(
+        "cast(__v as decimal(38,0)) * __hb")).over(wb),
+        expr("cast(0 as decimal(38,0))")))
+    val tot = cells.agg(sum(col("__ha")).cast("bigint").as("__na"),
+      sum(col("__hb")).cast("bigint").as("__nb"))
+    steps.crossJoin(broadcast(tot))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).cast("bigint").as("n_values"),
+        sum(expr("cast(__ha as decimal(38,0)) " +
+          "* (cast(__v as decimal(38,0)) * __cbl - __sbl) " +
+          "+ cast(__hb as decimal(38,0)) " +
+          "* (cast(__v as decimal(38,0)) * __cal - __sal)")).as("__sxy"),
+        sum(expr("cast(__ha as decimal(38,0)) " +
+          "* (cast(__v as decimal(38,0)) * __cal - __sal)")).as("__sxx"),
+        sum(expr("cast(__hb as decimal(38,0)) " +
+          "* (cast(__v as decimal(38,0)) * __cbl - __sbl)")).as("__syy"))
+      .withColumn("__a", expr(
+        """CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+          |ELSE (cast(2000000 as decimal(38,0)) * __sxy)
+          |  div (cast(__na as decimal(38,0)) * __nb) END""".stripMargin))
+      .withColumn("__b", expr(
+        """CASE WHEN __na = 0 THEN NULL
+          |ELSE (cast(2000000 as decimal(38,0)) * __sxx)
+          |  div (cast(__na as decimal(38,0)) * __na) END""".stripMargin))
+      .withColumn("__c", expr(
+        """CASE WHEN __nb = 0 THEN NULL
+          |ELSE (cast(2000000 as decimal(38,0)) * __syy)
+          |  div (cast(__nb as decimal(38,0)) * __nb) END""".stripMargin))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"),
+        expr("__a - __b - __c").cast("bigint").as("e_x_ppm"),
+        col("__a").cast("bigint").as("cross_x2_ppm"),
+        col("__b").cast("bigint").as("within_a_x2_ppm"),
+        col("__c").cast("bigint").as("within_b_x2_ppm"))
+  }
+
   /** Cochran–Armitage TREND test — "does the success rate move
     * MONOTONICALLY with an ordered score?" (dose-response across
     * quality buckets, priority tiers, temporal cohorts): the score

@@ -3475,5 +3475,48 @@ object StatsQ {
         graft.operators.RobustStats.andersonDarling(
           t(s, dir, "documents").where(col("lang").isin("en", "zh")),
           col("lang") === "zh", "n_chars"))
+    ,
+
+    // ---- energy distance (metric drift) --------------------------
+    // How far apart are Spanish vs English doc-length distributions
+    // in VALUE units? Székely V-statistic energy distance via the
+    // sorted-cumulative pair-sum identity — one floored div per
+    // expectation, nothing pairwise ever materializes.
+    Q("q386_energy_distance",
+      Some("""WITH d AS (SELECT CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents WHERE lang IN ('en', 'es')),
+             |cells AS (SELECT v,
+             |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS ha,
+             |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS hb
+             |  FROM d GROUP BY v),
+             |st AS (SELECT v, ha, hb,
+             |  coalesce(sum(ha) OVER w1, 0)::HUGEINT AS cal,
+             |  coalesce(sum(hb) OVER w1, 0)::HUGEINT AS cbl,
+             |  coalesce(sum(v * ha) OVER w1, 0)::HUGEINT AS sal,
+             |  coalesce(sum(v * hb) OVER w1, 0)::HUGEINT AS sbl
+             |  FROM cells WINDOW w1 AS (ORDER BY v
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |tot AS (SELECT sum(ha)::HUGEINT AS na, sum(hb)::HUGEINT AS nb,
+             |  count(*)::BIGINT AS nv FROM cells),
+             |ag AS (SELECT
+             |  sum(ha * (v * cbl - sbl) + hb * (v * cal - sal))::HUGEINT AS sxy,
+             |  sum(ha * (v * cal - sal))::HUGEINT AS sxx,
+             |  sum(hb * (v * cbl - sbl))::HUGEINT AS syy FROM st),
+             |ag2 AS (SELECT na, nb, nv,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (2000000::HUGEINT * sxy) // (na * nb) END) AS a,
+             |  (CASE WHEN na = 0 THEN NULL
+             |   ELSE (2000000::HUGEINT * sxx) // (na * na) END) AS b,
+             |  (CASE WHEN nb = 0 THEN NULL
+             |   ELSE (2000000::HUGEINT * syy) // (nb * nb) END) AS c
+             |  FROM ag, tot)
+             |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nv AS n_values,
+             |  (a - b - c)::BIGINT AS e_x_ppm, a::BIGINT AS cross_x2_ppm,
+             |  b::BIGINT AS within_a_x2_ppm, c::BIGINT AS within_b_x2_ppm
+             |FROM ag2""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.energyDistance(
+          t(s, dir, "documents").where(col("lang").isin("en", "es")),
+          col("lang") === "es", "n_chars"))
   )
 }

@@ -490,6 +490,33 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("energyDistance: exact pair-sum identity, zero on identical arms") {
+    import graft.operators.RobustStats
+    // A = {0,2}, B = {1}: E|X−Y| = 1, E|X−X'| = 1, E|Y−Y'| = 0
+    // -> E = 2·1 − 1 − 0 = 1 (every div lands exact).
+    val df = Seq((0L, 0L), (0L, 2L), (1L, 1L)).toDF("arm", "v")
+    val r = RobustStats.energyDistance(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6))
+      == ((2L, 1L, 3L, 1000000L, 2000000L, 1000000L, 0L)))
+    // identical arms: E exactly zero (the metric property)
+    val same = Seq((0L, 1L), (0L, 3L), (1L, 1L), (1L, 3L)).toDF("arm", "v")
+    val r0 = RobustStats.energyDistance(same, col("arm") === 1L, "v")
+      .collect().head
+    assert((r0.getLong(3), r0.getLong(4), r0.getLong(5), r0.getLong(6))
+      == ((0L, 2000000L, 1000000L, 1000000L)))
+    // a +3 shift of a point mass costs exactly 2·3e6 in the cross
+    // term and nothing within: E = 2·|shift|... for singletons
+    val shift = Seq((0L, 4L), (1L, 7L)).toDF("arm", "v")
+    assert(RobustStats.energyDistance(shift, col("arm") === 1L, "v")
+      .collect().head.getLong(3) == 6000000L)
+    // empty arm: NULL, never a fake zero
+    val one = Seq((0L, 1L)).toDF("arm", "v")
+    assert(RobustStats.energyDistance(one, col("arm") === 1L, "v")
+      .collect().head.isNullAt(3))
+  }
+
   test("cochranArmitage: exact z on linear trend, sign flip, degenerates") {
     import graft.operators.RobustStats
     // scores 0/1/2 with (n,r) = (2,0),(2,1),(2,2): N=6, R=3,
