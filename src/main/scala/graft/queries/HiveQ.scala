@@ -528,5 +528,44 @@ object HiveQ {
             sum(col("n_nationkey")).cast("bigint").as("sum_key"))
           .orderBy("n_regionkey")
       })
+    ,
+
+    // ---- Delta write/append/overwrite round trip -----------------
+    // The write half of the Delta interop story: create a real
+    // `_delta_log` table with the reference's dataset surface,
+    // append, log-level overwrite, then read every version back by
+    // time travel — v0 full, v1 += shifted region-2 clone, v2 only
+    // region 0 (old files kept on disk for the travel reads).
+    Q("q387_delta_write",
+      Some("""WITH n0 AS (SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey)::BIGINT AS s FROM nation),
+             |n1 AS (SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey + 100)::BIGINT AS s FROM nation
+             |  WHERE n_regionkey = 2),
+             |n2 AS (SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey)::BIGINT AS s FROM nation
+             |  WHERE n_regionkey = 0)
+             |SELECT 0::BIGINT AS version, n0.n AS n_rows, n0.s AS sum_key
+             |  FROM n0
+             |UNION ALL SELECT 1::BIGINT, n0.n + n1.n, n0.s + n1.s FROM n0, n1
+             |UNION ALL SELECT 2::BIGINT, n2.n, n2.s FROM n2
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q387_")
+        val nat = t(s, dir, "nation")
+        val ds = new graft.sources.DeltaDataset(table, Seq("n_regionkey"))
+        ds.write(nat)
+        ds.append(nat.where(col("n_regionkey") === 2)
+          .withColumn("n_nationkey", col("n_nationkey") + lit(100)))
+        ds.write(nat.where(col("n_regionkey") === 0))
+        (0L to 2L).map { v =>
+          graft.sources.DeltaReader.scan(table, Some(v))(s).get
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("n_nationkey")).cast("bigint").as("sum_key"))
+            .select(lit(v).cast("bigint").as("version"),
+              col("n_rows"), col("sum_key"))
+        }.reduce(_ unionByName _).orderBy("version")
+      })
   )
 }

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Reference-surface Delta writes against the public `_delta_log`
+  * protocol (delta_dataset.py:20-39): create/append/overwrite
+  * round-trips through [[DeltaReader]], time travel across
+  * overwrites, loud validation raises, commit numbering under an
+  * interloper, and remove-path re-encoding of URL-encoded names. */
+class DeltaDatasetSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit private val s: org.apache.spark.sql.SparkSession = spark
+
+  test("write then scan round-trips a partitioned table; commit 0 carries the metadata") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      val v0 = ds.write(Seq((1L, "A"), (2L, "A"), (30L, "B")).toDF("v", "p"))
+      assert(v0 == 0L)
+      assertSameData(ds.scan().get,
+        Seq((1L, "A"), (2L, "A"), (30L, "B")).toDF("v", "p"))
+      val snap = DeltaReader.snapshot(table).get
+      assert(snap.partitionColumns == Seq("p"))
+      assert(snap.schema.fieldNames.toSeq == Seq("v", "p"))
+      // partition values live ONLY in the log — data files hold v alone
+      assert(snap.files.forall(_.partitionValues.keySet == Set("p")))
+      val log = Files.readAllLines(
+        Paths.get(table, "_delta_log", f"${0L}%020d.json"))
+      assert(log.get(0).contains("minReaderVersion"))
+      assert(log.get(1).contains("schemaString"))
+    }
+  }
+
+  test("append commits v1; time travel still reads the pre-append state") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, "A")).toDF("v", "p"))
+      val v1 = ds.append(Seq((2L, "B")).toDF("v", "p"))
+      assert(v1 == 1L)
+      assertSameData(ds.scan().get, Seq((1L, "A"), (2L, "B")).toDF("v", "p"))
+      assertSameData(DeltaReader.scan(table, Some(0L)).get,
+        Seq((1L, "A")).toDF("v", "p"))
+      assertSameData(ds.readPartition(Map("p" -> "B")).get,
+        Seq((2L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("overwrite replaces the head but time travel keeps every version") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, "A"), (2L, "B")).toDF("v", "p"))
+      ds.append(Seq((3L, "B")).toDF("v", "p"))
+      val v2 = ds.write(Seq((9L, "C")).toDF("v", "p"))
+      assert(v2 == 2L)
+      assertSameData(ds.scan().get, Seq((9L, "C")).toDF("v", "p"))
+      assertSameData(DeltaReader.scan(table, Some(1L)).get,
+        Seq((1L, "A"), (2L, "B"), (3L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("unpartitioned tables write and append") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq((1L, "x"), (2L, "y")).toDF("v", "s"))
+      ds.append(Seq((3L, "z")).toDF("v", "s"))
+      assertSameData(ds.scan().get,
+        Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("v", "s"))
+    }
+  }
+
+  test("validation raises: schema drift, partition mismatch, partition-only frame") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, "A")).toDF("v", "p"))
+      val drifted = intercept[IllegalArgumentException](
+        ds.append(Seq(("x", "A")).toDF("v", "p")))
+      assert(drifted.getMessage.contains("schema mismatch"))
+      val repart = intercept[IllegalArgumentException](
+        new DeltaDataset(table, Seq.empty).append(Seq((9L, "A")).toDF("v", "p")))
+      assert(repart.getMessage.contains("partitioned by"))
+      val thin = intercept[IllegalArgumentException](
+        ds.write(Seq("A", "B").toDF("p")))
+      assert(thin.getMessage.contains("more columns"))
+      val nullPart = intercept[Exception](
+        ds.append(Seq((1L, null: String)).toDF("v", "p")))
+      assert(nullPart.getMessage.contains("null values"))
+    }
+  }
+
+  test("an interloper commit advances the version; the writer follows the head") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, "A")).toDF("v", "p"))
+      // a foreign no-op commit (unknown action, clipped on replay)
+      Files.write(Paths.get(table, "_delta_log", f"${1L}%020d.json"),
+        "{\"commitInfo\":{\"operation\":\"NOOP\"}}\n".getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      assert(ds.append(Seq((2L, "B")).toDF("v", "p")) == 2L)
+      assertSameData(ds.scan().get, Seq((1L, "A"), (2L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("overwriting a hand-built table re-encodes URL-encoded remove paths") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      // hand-built v0 with an encoded file name, as a foreign writer
+      // would leave it (the DeltaReaderSpec fixture shape)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType)))
+      val frag = Files.createTempDirectory("delta-frag")
+      Seq(1L).toDF("v").coalesce(1).write.mode("overwrite")
+        .parquet(frag.toString)
+      val part = Files.list(frag)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = Paths.get(table, "p=A", "f 1.parquet")
+      Files.createDirectories(dest.getParent)
+      Files.copy(part, dest)
+      val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      val logDir = Paths.get(table, "_delta_log")
+      Files.createDirectories(logDir)
+      Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"$esc","partitionColumns":["p"],""" +
+          s""""configuration":{},"createdTime":1700000000000}}""",
+        """{"add":{"path":"p=A/f%201.parquet","partitionValues":{"p":"A"},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+      val ds = new DeltaDataset(table, Seq("p"))
+      val v1 = ds.write(Seq((7L, "B")).toDF("v", "p"))
+      assert(v1 == 1L)
+      // the remove must hit the ENCODED path string the add used
+      val log1 = Files.readAllLines(logDir.resolve(f"${1L}%020d.json"))
+      assert(log1.toString.contains("p=A/f%201.parquet"))
+      assertSameData(ds.scan().get, Seq((7L, "B")).toDF("v", "p"))
+      assertSameData(DeltaReader.scan(table, Some(0L)).get,
+        Seq((1L, "A")).toDF("v", "p"))
+    }
+  }
+}
