@@ -1350,6 +1350,65 @@ object RobustStats {
         col("__c").cast("bigint").as("within_b_x2_ppm"))
   }
 
+  /** Two-sample Kuiper drift statistic — the CYCLIC-safe member of
+    * the drift family ([[distributionDrift]] W1/TV,
+    * [[cramerVonMises]], [[andersonDarling]], KS): `V = D⁺ + D⁻`
+    * with `D⁺ = max_v (F_A−F_B)` and `D⁻ = max_v (F_B−F_A)`, both
+    * clamped at 0 (the ECDF gap is 0 at ±∞). Where KS sees only the
+    * single largest gap, V catches the A-above-then-below crossing
+    * pattern of a median-preserving spread change, and is invariant
+    * under cyclic shifts of the support — the right lens for
+    * hour-of-day / day-of-week distributions.
+    *
+    * Exactness: per cell the signed gap numerator `c_A·n_b − c_B·n_a`
+    * is exact on DECIMAL(38,0); the two maxima are order-insensitive;
+    * ONE floor each at the end — `d_plus_ppm = (10⁶·D⁺ₙ) div
+    * (n_a·n_b)`, same for minus — and `v_ppm` floors the SUM of the
+    * exact numerators (not the sum of floors), so all three render
+    * within 1 ulp at any N. An empty arm yields NULL statistics.
+    * One row: `(n_a, n_b, n_values, d_plus_ppm, d_minus_ppm, v_ppm)`.
+    *
+    * Scale shape (100 TB): identical to [[distributionDrift]] — one
+    * histogram aggregation, a cumulative window ON THE HISTOGRAM
+    * (distinct-value bounded), one scalar aggregate. Rows never
+    * sort globally. */
+  def kuiperDrift(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                  valueCol: String): DataFrame = {
+    val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
+        col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
+    val cells = base.groupBy(col("__v")).agg(
+      sum(when(col("__arm") === 0L, 1L).otherwise(0L)).cast("bigint").as("__ha"),
+      sum(when(col("__arm") === 1L, 1L).otherwise(0L)).cast("bigint").as("__hb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val steps = cells
+      .withColumn("__ca", sum(col("__ha")).over(w))
+      .withColumn("__cb", sum(col("__hb")).over(w))
+    val tot = cells.agg(sum(col("__ha")).cast("bigint").as("__na"),
+      sum(col("__hb")).cast("bigint").as("__nb"))
+    steps.crossJoin(broadcast(tot))
+      .withColumn("__d", expr(
+        "cast(__ca as decimal(38,0)) * __nb - cast(__cb as decimal(38,0)) * __na"))
+      .agg(max(col("__na")).as("__na"), max(col("__nb")).as("__nb"),
+        count(lit(1)).cast("bigint").as("n_values"),
+        greatest(max(col("__d")), lit(0).cast("decimal(38,0)")).as("__dp"),
+        greatest(expr("-min(__d)"), lit(0).cast("decimal(38,0)")).as("__dm"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"), col("n_values"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0)) * __dp)
+               |  div (cast(__na as decimal(38,0)) * __nb) END""".stripMargin)
+          .cast("bigint").as("d_plus_ppm"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0)) * __dm)
+               |  div (cast(__na as decimal(38,0)) * __nb) END""".stripMargin)
+          .cast("bigint").as("d_minus_ppm"),
+        expr("""CASE WHEN __na = 0 OR __nb = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0)) * (__dp + __dm))
+               |  div (cast(__na as decimal(38,0)) * __nb) END""".stripMargin)
+          .cast("bigint").as("v_ppm"))
+  }
+
   /** Cochran–Armitage TREND test — "does the success rate move
     * MONOTONICALLY with an ordered score?" (dose-response across
     * quality buckets, priority tiers, temporal cohorts): the score

@@ -3518,5 +3518,40 @@ object StatsQ {
         graft.operators.RobustStats.energyDistance(
           t(s, dir, "documents").where(col("lang").isin("en", "es")),
           col("lang") === "es", "n_chars"))
+    ,
+
+    // ---- Kuiper cyclic-safe drift --------------------------------
+    // V = D⁺ + D⁻ over en-vs-zh n_chars: catches the above-then-below
+    // ECDF crossing of a median-preserving spread change that KS's
+    // single max can halve. Exact gap numerators on the value
+    // histogram; one floor per rendered statistic (v_ppm floors the
+    // SUM of exact numerators, not the sum of floors).
+    Q("q388_kuiper_drift",
+      Some("""WITH d AS (SELECT CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS arm,
+             |  n_chars AS v FROM documents WHERE lang IN ('en', 'zh')),
+             |cells AS (SELECT v,
+             |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::HUGEINT AS ha,
+             |  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::HUGEINT AS hb
+             |  FROM d GROUP BY v),
+             |tot AS (SELECT sum(ha)::HUGEINT AS na, sum(hb)::HUGEINT AS nb,
+             |  count(*)::BIGINT AS nv FROM cells),
+             |st AS (SELECT
+             |  (sum(ha) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) * nb
+             |  - (sum(hb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) * na
+             |    AS dn FROM cells, tot),
+             |mx AS (SELECT greatest(max(dn), 0)::HUGEINT AS dp,
+             |  greatest(-min(dn), 0)::HUGEINT AS dm FROM st)
+             |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, nv AS n_values,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (1000000 * dp) // (na * nb) END)::BIGINT AS d_plus_ppm,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (1000000 * dm) // (na * nb) END)::BIGINT AS d_minus_ppm,
+             |  (CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |   ELSE (1000000 * (dp + dm)) // (na * nb) END)::BIGINT AS v_ppm
+             |FROM mx, tot""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.kuiperDrift(
+          t(s, dir, "documents").where(col("lang").isin("en", "zh")),
+          col("lang") === "zh", "n_chars"))
   )
 }

@@ -490,6 +490,38 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("kuiperDrift: crossing pattern, arm swap, identical arms, empty arm") {
+    import graft.operators.RobustStats
+    // A = {1,4}, B = {2,3} — a median-preserving spread change:
+    // dn = ca·nb − cb·na over cells 1..4 = 2, 0, −2, 0 so
+    // D⁺ = D⁻ = 2 -> d_plus = d_minus = (1e6·2) div 4 = 500000 and
+    // V = (1e6·4) div 4 = 1000000, where KS alone would read 500000.
+    val df = Seq((0L, 1L), (0L, 4L), (1L, 2L), (1L, 3L)).toDF("arm", "v")
+    val r = RobustStats.kuiperDrift(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 2L, 4L, 500000L, 500000L, 1000000L)))
+    // swapping which arm is "B" swaps D⁺/D⁻ and leaves V unchanged
+    val rs = RobustStats.kuiperDrift(df, col("arm") === 0L, "v")
+      .collect().head
+    assert((rs.getLong(3), rs.getLong(4), rs.getLong(5))
+      == ((500000L, 500000L, 1000000L)))
+    // one-sided shift A = {1,2}, B = {3,4}: D⁺ = 4, D⁻ clamps at 0
+    val disj = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("arm", "v")
+    val rd = RobustStats.kuiperDrift(disj, col("arm") === 1L, "v")
+      .collect().head
+    assert((rd.getLong(3), rd.getLong(4), rd.getLong(5))
+      == ((1000000L, 0L, 1000000L)))
+    // identical arms: all gaps zero
+    val same = Seq((0L, 5L), (0L, 9L), (1L, 5L), (1L, 9L)).toDF("arm", "v")
+    assert(RobustStats.kuiperDrift(same, col("arm") === 1L, "v")
+      .collect().head.getLong(5) == 0L)
+    // empty arm: NULL, never a fake zero
+    val one = Seq((0L, 1L)).toDF("arm", "v")
+    assert(RobustStats.kuiperDrift(one, col("arm") === 1L, "v")
+      .collect().head.isNullAt(5))
+  }
+
   test("energyDistance: exact pair-sum identity, zero on identical arms") {
     import graft.operators.RobustStats
     // A = {0,2}, B = {1}: E|X−Y| = 1, E|X−X'| = 1, E|Y−Y'| = 0
