@@ -1409,6 +1409,71 @@ object RobustStats {
           .cast("bigint").as("v_ppm"))
   }
 
+  /** Wilcoxon SIGNED-RANK test over per-entity consecutive-bucket
+    * changes — the magnitude-aware companion of
+    * [[EvalStats.signTest]] (which sees only the direction of each
+    * change) and the one-sample counterpart of the Mann–Whitney
+    * rank-sum: pool the nonzero day-over-day deltas `d`, rank `|d|`
+    * with midrank ties, and ask whether the positive deltas carry
+    * more rank mass than the null's half share. All quantities are
+    * EXACT integers in DOUBLED rank units (the q318 convention):
+    * per |d| cell with `t` ties (`p` of them positive) and `c`
+    * strictly-smaller pool, each positive delta carries double-rank
+    * `2c + t + 1`, so `w2_plus = Σ p·(2c+t+1)` = 2·W⁺,
+    * `w2_mean = n(n+1)/2` = 2·E[W⁺], `tie_term = Σ(t³−t)`, and the
+    * doubled-stat variance is `var2_x12 = 2n(n+1)(2n+1) − tie_term`
+    * (= 12·Var[2W⁺]). The z renders as sign-split
+    * `z_ppm = (12·10⁶·|w2_plus − w2_mean|) div isqrt(12·var2_x12)`
+    * — `isqrt(144·Var)` = 12·σ exactly, one documented floor, the
+    * [[mannKendall]] convention (no continuity correction; ties make
+    * it conservative). One row: `(n_pairs, w2_plus, w2_mean,
+    * tie_term, z_ppm)`; no changes or zero variance yields NULL z.
+    *
+    * Scale shape (100 TB): the lag window is PER-ENTITY (entity-
+    * bounded, scales out); deltas collapse to the |d| histogram;
+    * the midrank cumulative runs ON THE HISTOGRAM (distinct-|d|
+    * bounded); one scalar aggregate. Products stay inside
+    * DECIMAL(38,0) through 10⁹ pooled deltas. */
+  def wilcoxonSignedRank(df: DataFrame, entityCol: String,
+                         bucketCol: String, valueCol: String): DataFrame = {
+    val y = df.select(col(entityCol).as("__e"),
+        col(bucketCol).cast("bigint").as("__b"),
+        col(valueCol).cast("bigint").as("__y"))
+      .groupBy(col("__e"), col("__b"))
+      .agg(sum(col("__y")).cast("bigint").as("__y"))
+    val we = Window.partitionBy(col("__e")).orderBy(col("__b"))
+    val dd = y.withColumn("__prev", lag(col("__y"), 1).over(we))
+      .where(col("__prev").isNotNull && col("__y") =!= col("__prev"))
+      .select((col("__y") - col("__prev")).as("__d"))
+    val cells = dd.groupBy(abs(col("__d")).as("__a"))
+      .agg(count(lit(1)).cast("bigint").as("__t"),
+        sum(when(col("__d") > 0L, 1L).otherwise(0L)).cast("bigint").as("__p"))
+    val wb = Window.orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.withColumn("__cb", coalesce(sum(col("__t")).over(wb), lit(0L)))
+      .agg(sum(col("__t")).cast("bigint").as("__n"),
+        sum(expr("cast(__p as decimal(38,0)) * (2L * __cb + __t + 1L)"))
+          .as("__w2p"),
+        sum(expr("cast(__t as decimal(38,0)) * __t * __t - __t")).as("__tie"))
+      .withColumn("__mean2", expr(
+        "(cast(__n as decimal(38,0)) * (__n + 1L)) div 2"))
+      .withColumn("__v12", expr(
+        "cast(2 as decimal(38,0)) * __n * (__n + 1L) * (2L * __n + 1L) - __tie"))
+      .withColumn("__x", expr("cast(12 as decimal(38,0)) * __v12"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__x", "__rt"))
+      .select(coalesce(col("__n"), lit(0L)).cast("bigint").as("n_pairs"),
+        col("__w2p").cast("bigint").as("w2_plus"),
+        col("__mean2").cast("bigint").as("w2_mean"),
+        col("__tie").cast("bigint").as("tie_term"),
+        expr("""CASE WHEN __n IS NULL OR __n = 0 OR __v12 <= 0 THEN NULL
+               |WHEN __w2p >= __mean2
+               |  THEN cast((cast(12000000 as decimal(38,0))
+               |    * (__w2p - __mean2)) div __rt as bigint)
+               |ELSE -cast((cast(12000000 as decimal(38,0))
+               |    * (__mean2 - __w2p)) div __rt as bigint) END""".stripMargin)
+          .cast("bigint").as("z_ppm"))
+  }
+
   /** Cochran–Armitage TREND test — "does the success rate move
     * MONOTONICALLY with an ordered score?" (dose-response across
     * quality buckets, priority tiers, temporal cohorts): the score

@@ -3553,5 +3553,56 @@ object StatsQ {
         graft.operators.RobustStats.kuiperDrift(
           t(s, dir, "documents").where(col("lang").isin("en", "zh")),
           col("lang") === "zh", "n_chars"))
+    ,
+
+    // ---- Wilcoxon signed-rank on pooled daily deltas -------------
+    // The magnitude-aware companion of q328's sign test: rank the
+    // nonzero per-user day-over-day value changes by |d| (midrank
+    // ties, doubled units) and test whether positive changes carry
+    // more than half the rank mass. One isqrt floor in z (the q360
+    // convention), everything upstream exact integer.
+    Q("q389_signed_rank", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH x AS (SELECT user_id AS entity,
+              |  (epoch_us(ts) * 1000) // 86400000000000 AS b,
+              |  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv FROM events),
+              |d0 AS (SELECT entity, b, sum(mv)::BIGINT AS y FROM x GROUP BY 1, 2),
+              |l AS (SELECT entity, y,
+              |  lag(y) OVER (PARTITION BY entity ORDER BY b) AS prev FROM d0),
+              |dd AS (SELECT (y - prev)::BIGINT AS d FROM l
+              |  WHERE prev IS NOT NULL AND y <> prev),
+              |cells AS (SELECT abs(d)::BIGINT AS a, count(*)::BIGINT AS t,
+              |  sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS p
+              |  FROM dd GROUP BY 1),
+              |st AS (SELECT t, p, coalesce(sum(t) OVER (ORDER BY a
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+              |    AS cb FROM cells),
+              |ag AS (SELECT sum(t)::BIGINT AS n,
+              |  sum(p::HUGEINT * (2 * cb + t + 1))::HUGEINT AS w2p,
+              |  sum(t::HUGEINT * t * t - t)::HUGEINT AS tie FROM st),
+              |j AS (SELECT n, w2p, tie,
+              |  (n::HUGEINT * (n + 1)) // 2 AS mean2,
+              |  (2::HUGEINT * n * (n + 1) * (2 * n + 1) - tie)::HUGEINT AS v12
+              |  FROM ag),
+              |q2 AS (SELECT *, (12::HUGEINT * v12)::HUGEINT AS x FROM j),
+              |$ladder
+              |SELECT coalesce(n, 0)::BIGINT AS n_pairs, w2p::BIGINT AS w2_plus,
+              |  mean2::BIGINT AS w2_mean, tie::BIGINT AS tie_term,
+              |  (CASE WHEN n IS NULL OR n = 0 OR v12 <= 0 THEN NULL
+              |   WHEN w2p >= mean2 THEN (12000000::HUGEINT * (w2p - mean2)) // rt
+              |   ELSE -((12000000::HUGEINT * (mean2 - w2p)) // rt)
+              |   END)::BIGINT AS z_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) => {
+        val x = t(s, dir, "events")
+          .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
+          .withColumn("b", expr("ts div 86400000000000L"))
+        graft.operators.RobustStats.wilcoxonSignedRank(x, "user_id", "b", "mv")
+      })
   )
 }

@@ -522,6 +522,40 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect().head.isNullAt(5))
   }
 
+  test("wilcoxonSignedRank: direction, doubled ranks, ties, no-change NULL") {
+    import graft.operators.RobustStats
+    // One entity, values 10,11,13,16 -> deltas +1,+2,+3: double-ranks
+    // 2,4,6 all positive so w2_plus = 12, mean2 = 6, v12 = 168,
+    // isqrt(12·168 = 2016) = 44, z = (12e6·6) div 44 = +1636363.
+    // UPWARD drift MUST be POSITIVE (sign conventions can't be caught
+    // by oracle parity — both engines would mirror a flip).
+    val up = Seq(("e", 1L, 10L), ("e", 2L, 11L), ("e", 3L, 13L),
+      ("e", 4L, 16L)).toDF("ent", "b", "v")
+    val r = RobustStats.wilcoxonSignedRank(up, "ent", "b", "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 12L, 6L, 0L, 1636363L)))
+    // reversed series: same magnitudes, all negative -> z mirrors
+    val down = Seq(("e", 1L, 16L), ("e", 2L, 13L), ("e", 3L, 11L),
+      ("e", 4L, 10L)).toDF("ent", "b", "v")
+    assert(RobustStats.wilcoxonSignedRank(down, "ent", "b", "v")
+      .collect().head.getLong(4) == -1636363L)
+    // ties: deltas +1,+1,-1 share one |d| cell (t=3, midrank double
+    // 4): w2_plus = 8, tie_term = 24, v12 = 144, isqrt(1728) = 41,
+    // z = (12e6·2) div 41 = 585365
+    val tie = Seq(("e", 1L, 0L), ("e", 2L, 1L), ("e", 3L, 2L),
+      ("e", 4L, 1L)).toDF("ent", "b", "v")
+    val rt = RobustStats.wilcoxonSignedRank(tie, "ent", "b", "v")
+      .collect().head
+    assert((rt.getLong(1), rt.getLong(3), rt.getLong(4))
+      == ((8L, 24L, 585365L)))
+    // a constant series has no nonzero change: n_pairs 0, NULL z
+    val const = Seq(("e", 1L, 5L), ("e", 2L, 5L)).toDF("ent", "b", "v")
+    val rc = RobustStats.wilcoxonSignedRank(const, "ent", "b", "v")
+      .collect().head
+    assert(rc.getLong(0) == 0L && rc.isNullAt(4))
+  }
+
   test("energyDistance: exact pair-sum identity, zero on identical arms") {
     import graft.operators.RobustStats
     // A = {0,2}, B = {1}: E|X−Y| = 1, E|X−X'| = 1, E|Y−Y'| = 0
