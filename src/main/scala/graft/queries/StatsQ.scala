@@ -3604,5 +3604,48 @@ object StatsQ {
           .withColumn("b", expr("ts div 86400000000000L"))
         graft.operators.RobustStats.wilcoxonSignedRank(x, "user_id", "b", "mv")
       })
+    ,
+
+    // ---- t-closeness privacy audit -------------------------------
+    // Completes the release-gate trio (q288 l-diversity, q289
+    // k-suppression): per (lang, source) group, normalized exact
+    // EMD of the n_chars distribution vs the table-wide one — a
+    // group can be l-diverse yet sit entirely in one tail, and only
+    // a distributional distance sees it. Threshold t = 0.15.
+    Q("q390_t_closeness",
+      Some("""WITH cells AS (SELECT lang, source, n_chars::BIGINT AS v,
+             |  count(*)::BIGINT AS h FROM documents
+             |  WHERE n_chars IS NOT NULL GROUP BY 1, 2, 3),
+             |gl AS (SELECT v, sum(h)::BIGINT AS hg FROM cells GROUP BY 1),
+             |g2 AS (SELECT v, sum(hg) OVER (ORDER BY v)::BIGINT AS cg,
+             |  (lead(v) OVER (ORDER BY v) - v)::BIGINT AS gap FROM gl),
+             |tot AS (SELECT sum(hg)::HUGEINT AS N,
+             |  (max(v) - min(v))::HUGEINT AS rng FROM gl),
+             |grp AS (SELECT lang, source, sum(h)::BIGINT AS ng
+             |  FROM cells GROUP BY 1, 2),
+             |grid AS (SELECT g.lang, g.source, g.ng, s.v, s.cg, s.gap,
+             |  coalesce(c.h, 0)::BIGINT AS h
+             |  FROM grp g CROSS JOIN g2 s LEFT JOIN cells c
+             |  ON c.lang = g.lang AND c.source = g.source AND c.v = s.v),
+             |cum AS (SELECT lang, source, ng, cg, gap,
+             |  sum(h) OVER (PARTITION BY lang, source ORDER BY v
+             |    ROWS UNBOUNDED PRECEDING)::HUGEINT AS c FROM grid),
+             |pg AS (SELECT lang, source, max(ng)::HUGEINT AS ng,
+             |  sum(abs(c * N - cg::HUGEINT * ng) * coalesce(gap, 0))::HUGEINT
+             |    AS w1n FROM cum, tot GROUP BY 1, 2),
+             |tp AS (SELECT ng, (CASE WHEN rng = 0 THEN 0
+             |  ELSE (1000000::HUGEINT * w1n) // (ng * N * rng) END) AS tppm
+             |  FROM pg, tot)
+             |SELECT count(*)::BIGINT AS n_groups,
+             |  sum(CASE WHEN tppm > 150000 THEN 1 ELSE 0 END)::BIGINT
+             |    AS n_violating,
+             |  max(tppm)::BIGINT AS max_t_ppm,
+             |  sum(CASE WHEN tppm > 150000 THEN ng ELSE 0 END)::BIGINT
+             |    AS rows_at_risk
+             |FROM tp""".stripMargin),
+      (s, dir) =>
+        graft.operators.Validate.tCloseness(
+          t(s, dir, "documents"), Seq("lang", "source"), "n_chars",
+          tPpm = 150000L))
   )
 }

@@ -23,6 +23,35 @@ class PrivacyAuditSpec extends SparkSpec {
     assert(r.getAs[Long]("rows_at_risk") == 3L)
   }
 
+  test("tCloseness: point-mass tails, identical-to-global zero, grid cap") {
+    // A = {1,1}, B = {3,3}: global uniform{1,3}, range 2; each group
+    // is a point mass one unit from the global mean -> normalized
+    // EMD = 0.5 exactly for both (w1n = 8, t = (1e6·8) div (2·4·2)).
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 3L), ("B", 3L))
+      .toDF("g", "v")
+    val r = Validate.tCloseness(df, Seq("g"), "v", tPpm = 400000L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 500000L, 4L)))
+    // groups that mirror the global distribution have t = 0
+    val same = Seq(("A", 1L), ("A", 3L), ("B", 1L), ("B", 3L))
+      .toDF("g", "v")
+    val rs = Validate.tCloseness(same, Seq("g"), "v", tPpm = 400000L)
+      .collect().head
+    assert((rs.getLong(1), rs.getLong(2)) == ((0L, 0L)))
+    // a single-value support defines t = 0 (no distance possible)
+    val one = Seq(("A", 7L), ("B", 7L)).toDF("g", "v")
+    assert(Validate.tCloseness(one, Seq("g"), "v", tPpm = 1L)
+      .collect().head.getLong(2) == 0L)
+    // the dense-grid cap raises loudly instead of exploding
+    val ex = intercept[Exception] {
+      Validate.tCloseness(df, Seq("g"), "v", tPpm = 400000L,
+        maxGridCells = 3L).collect()
+    }
+    assert(ex.getMessage.contains("tCloseness") ||
+      Option(ex.getCause).exists(_.getMessage.contains("tCloseness")))
+  }
+
   test("suppressSmallGroups: sentinel row carries exactly the suppressed mass") {
     val df = (Seq.fill(6)(("en", "web")) ++ Seq.fill(5)(("de", "web")) ++
       Seq.fill(2)(("fr", "web")) ++ Seq.fill(1)(("zh", "books")))
