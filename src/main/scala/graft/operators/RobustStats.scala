@@ -1540,4 +1540,259 @@ object RobustStats {
                |       div __rt) END""".stripMargin)
           .cast("bigint").as("z_ppm"))
   }
+
+  /** Watson's U² two-sample statistic — the ROTATION-INVARIANT
+    * companion of the Cramér–von Mises drift (q382) for CIRCULAR
+    * values (hour-of-day, day-of-week, angle buckets): where CvM
+    * integrates the squared ECDF gap `d(x) = F_m(x) − G_n(x)`
+    * directly (and so depends on where the circle is cut), Watson
+    * first subtracts the MEAN gap, making the statistic identical
+    * for every rotation of the origin:
+    *
+    *   U² = (mn/N²) · Σ_pooled (d_j − d̄)²
+    *      = (N·Σ_k h_k e_k² − (Σ_k h_k e_k)²) / (m·n·N³),
+    *
+    * where per distinct value cell k: `h_k` = pooled count,
+    * `e_k = ca_k·n − cb_k·m` the integer-scaled ECDF gap (cumulative
+    * arm counts × opposite arm size), so everything is EXACT
+    * integers and the single floor is the final ppm division. One
+    * output row: `(n_a, n_b, n_values, u2_ppm)`; either arm empty
+    * yields NULL.
+    *
+    * Scale shape (100 TB): the pooled rows collapse to the distinct-
+    * value histogram; the inclusive cumulatives ride the bucket-
+    * decomposed [[Sequencing.runningTotalsBefore]] (never a single-
+    * reducer window); one scalar aggregate ends the plan. The ppm
+    * product 10⁶·N·Σhe² stays inside DECIMAL(38,0) through N ≈ 3·10⁵
+    * pooled rows — a loud raise past 300k (pre-bucket or subsample
+    * arms first), never a silent wrap. */
+  def watsonU2Drift(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                    valueCol: String, buckets: Int = 32): DataFrame = {
+    val hist = df.select(col(valueCol).cast("bigint").as("__v"),
+        when(armBCond, 1L).otherwise(0L).as("__arm"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__t"),
+        sum(col("__arm")).cast("bigint").as("__hb"))
+      .withColumn("__ha", col("__t") - col("__hb"))
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      hist, "__v", "__v", Seq("__ha", "__hb"), buckets, "watsonU2Drift")
+    val (m, n) = (totals("__ha"), totals("__hb"))
+    val bigN = m + n
+    if (bigN >= 300000L)
+      throw new IllegalArgumentException(
+        "watsonU2Drift: > 300k pooled rows — the exact ppm budget " +
+          "(10^6 * N * sum(h*e^2) in DECIMAL(38,0)) is exhausted; " +
+          "pre-bucket the values or subsample arms")
+    cum
+      .withColumn("__e", expr(
+        s"cast(__cum___ha + __ha as decimal(38,0)) * ${n}L " +
+          s"- cast(__cum___hb + __hb as decimal(38,0)) * ${m}L"))
+      .agg(sum(expr("cast(__t as decimal(38,0)) * __e")).as("__s1"),
+        sum(expr("cast(__t as decimal(38,0)) * __e * __e")).as("__s2"),
+        count(lit(1)).cast("bigint").as("n_values"))
+      .select(lit(m).cast("bigint").as("n_a"), lit(n).cast("bigint").as("n_b"),
+        col("n_values"),
+        expr(s"""CASE WHEN ${m}L = 0 OR ${n}L = 0 THEN NULL
+               |ELSE (cast(1000000 as decimal(38,0))
+               |  * (${bigN}L * __s2 - __s1 * __s1))
+               |  div (cast(${m}L as decimal(38,0)) * ${n}L
+               |       * ${bigN}L * ${bigN}L * ${bigN}L) END""".stripMargin)
+          .cast("bigint").as("u2_ppm"))
+  }
+
+  /** Cucconi's C — the JOINT location-AND-scale two-sample test
+    * (Cucconi 1968; Marozzi 2009): squared-rank statistics from both
+    * ends of the pooled ordering,
+    *
+    *   U = (6·ΣR² − n(N+1)(2N+1)) / √(mn(N+1)(2N+1)(8N+11)/5),
+    *   V = the same on the CONTRA-ranks N+1−R,
+    *   C = (U² + V² − 2ρUV) / (2(1−ρ²)),
+    *   ρ = −(14N²+30N+19) / ((2N+1)(8N+11)),
+    *
+    * detecting shift and spread changes in ONE statistic (vs running
+    * Wilcoxon + Ansari–Bradley separately — see [[lepage]] for that
+    * composition). Ties take DOUBLED midranks (the q318 convention:
+    * `s = 2·before + t + 1` per cell, so `R = s/2` and
+    * `2U·√(...) = 3Σs² − 2n(N+1)(2N+1)` stays integer). Rendering:
+    * U², V², UV land as micro-scaled integers over their COMMON
+    * exact denominator 4K/5 (K = mn(N+1)(2N+1)(8N+11)), then C
+    * composes them with ρ's exact rational — five documented micro-
+    * floors (≤ 1e-6 each), bitwise-mirrored by the oracle. Output
+    * row: `(n_a, n_b, u2_micro, v2_micro, uv_micro, c_micro)`;
+    * degenerate pools (either arm empty or N < 3) yield NULLs.
+    *
+    * Scale shape (100 TB): distinct-value histogram + bucket-
+    * decomposed cumulative + one scalar aggregate — identical to
+    * [[ansariBradley]]. The micro budget 5·10⁶·(3Σs²)² needs
+    * DECIMAL(38,0) through N ≈ 6·10⁴ pooled rows; loud raise beyond. */
+  def cucconi(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+              valueCol: String, buckets: Int = 32): DataFrame = {
+    val hist = df.select(col(valueCol).cast("bigint").as("__v"),
+        when(armBCond, 1L).otherwise(0L).as("__arm"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__t"),
+        sum(col("__arm")).cast("bigint").as("__b"))
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      hist, "__v", "__v", Seq("__t"), buckets, "cucconi")
+    val bigN = totals("__t")
+    if (bigN >= 60000L)
+      throw new IllegalArgumentException(
+        "cucconi: > 60k pooled rows — the exact micro budget " +
+          "(5e6 * (3*sum(b*s^2))^2 in DECIMAL(38,0)) is exhausted; " +
+          "pre-bucket the values or subsample arms")
+    // doubled midrank s = 2*before + t + 1 for every member of a cell;
+    // arm-B sums of s² and of (2N+2−s)² feed the two ends
+    val ag = cum
+      .withColumn("__s", expr("2L * __cum___t + __t + 1L"))
+      .agg(sum(col("__b")).cast("bigint").as("__nb"),
+        sum(expr("cast(__b as decimal(38,0)) * __s * __s")).as("__t2"),
+        sum(expr(s"cast(__b as decimal(38,0)) * (${2 * bigN + 2}L - __s) " +
+          s"* (${2 * bigN + 2}L - __s)")).as("__t2c"))
+    val nN = s"${bigN}L"
+    ag
+      .withColumn("__na", expr(s"$nN - __nb"))
+      // Nu2 = 2U·D, Nv2 = 2V·D with D = √(K/5): exact integers
+      .withColumn("__nu2", expr(
+        s"cast(3 as decimal(38,0)) * __t2 " +
+          s"- cast(2 as decimal(38,0)) * __nb * ($nN + 1L) * (2L * $nN + 1L)"))
+      .withColumn("__nv2", expr(
+        s"cast(3 as decimal(38,0)) * __t2c " +
+          s"- cast(2 as decimal(38,0)) * __nb * ($nN + 1L) * (2L * $nN + 1L)"))
+      .withColumn("__k4", expr(
+        s"cast(4 as decimal(38,0)) * __na * __nb * ($nN + 1L) " +
+          s"* (2L * $nN + 1L) * (8L * $nN + 11L)"))
+      // micro-scaled U², V², |UV| over the common denominator 4K/5
+      .withColumn("__u2u", expr(
+        "CASE WHEN __k4 > 0 THEN (cast(5000000 as decimal(38,0)) " +
+          "* __nu2 * __nu2) div __k4 ELSE NULL END"))
+      .withColumn("__v2u", expr(
+        "CASE WHEN __k4 > 0 THEN (cast(5000000 as decimal(38,0)) " +
+          "* __nv2 * __nv2) div __k4 ELSE NULL END"))
+      .withColumn("__uvu", expr(
+        "CASE WHEN __k4 <= 0 THEN NULL " +
+          "WHEN __nu2 * __nv2 >= 0 THEN (cast(5000000 as decimal(38,0)) " +
+          "* __nu2 * __nv2) div __k4 " +
+          "ELSE -((cast(5000000 as decimal(38,0)) * (-(__nu2 * __nv2))) " +
+          "div __k4) END"))
+      // ρ = −p̃/q; C = (U² + V² + 2(p̃/q)UV) · q² / (120(N−2)(N+2)(N+1)²)
+      .withColumn("__q", expr(s"(2L * $nN + 1L) * (8L * $nN + 11L)"))
+      .withColumn("__p", expr(s"14L * $nN * $nN + 30L * $nN + 19L"))
+      .withColumn("__rterm", expr(
+        "CASE WHEN __uvu IS NULL THEN NULL " +
+          "WHEN __uvu >= 0 THEN (cast(2 as decimal(38,0)) * __p * __uvu) " +
+          "div __q " +
+          "ELSE -((cast(2 as decimal(38,0)) * __p * (-__uvu)) div __q) END"))
+      .withColumn("__cnum", expr(
+        "cast(__u2u + __v2u + __rterm as decimal(38,0)) * __q * __q"))
+      .withColumn("__cden", expr(
+        s"cast(120 as decimal(38,0)) * ($nN - 2L) * ($nN + 2L) " +
+          s"* ($nN + 1L) * ($nN + 1L)"))
+      .select(col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"),
+        col("__u2u").cast("bigint").as("u2_micro"),
+        col("__v2u").cast("bigint").as("v2_micro"),
+        col("__uvu").cast("bigint").as("uv_micro"),
+        expr(s"""CASE WHEN __na <= 0 OR __nb <= 0 OR $nN < 3 OR __cden <= 0
+               |  THEN NULL
+               |WHEN __cnum >= 0 THEN __cnum div __cden
+               |ELSE -((-__cnum) div __cden) END""".stripMargin)
+          .cast("bigint").as("c_micro"))
+  }
+
+  /** Two-sample Wilcoxon RANK-SUM z — the normal-approximation test
+    * companion of [[EvalStats.mannWhitneyU]] (which emits the exact
+    * U counts and Cliff's delta but no standardized statistic):
+    * doubled midranks `s = 2·before + t + 1` (the q318 convention),
+    * `W2 = Σ_B s` (= 2·rank-sum of arm B), `E2 = n(N+1)`, and the
+    * tie-corrected variance of W2 is `mn·X/(3N(N−1))` with
+    * `X = N(N²−1) − Σ(t³−t)`. The fraction clears by moving the
+    * factor INSIDE the root (the q389 trick): with `k = 3N(N−1)`,
+    *
+    *   z_ppm = sign(d) · (10⁶·k·|d|) div isqrt(k·mn·X),  d = W2 − E2
+    *
+    * — ONE documented floor via the [[graft.util.ExactMath]] ladder.
+    * Output row: `(n_a, n_b, w2, mean2, tie_term, z_ppm)`; empty arm
+    * or zero variance yields NULL z.
+    *
+    * Scale shape (100 TB): distinct-value histogram, bucket-
+    * decomposed cumulative, one scalar aggregate. The root product
+    * k·mn·X ≈ 0.75·N⁷ exhausts DECIMAL(38,0) near N ≈ 2·10⁵ pooled
+    * rows — loud raise beyond (subsample arms; the test's power is
+    * saturated long before that anyway). */
+  def wilcoxonRankSum(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                      valueCol: String, buckets: Int = 32): DataFrame = {
+    val hist = df.select(col(valueCol).cast("bigint").as("__v"),
+        when(armBCond, 1L).otherwise(0L).as("__arm"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__t"),
+        sum(col("__arm")).cast("bigint").as("__b"))
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      hist, "__v", "__v", Seq("__t"), buckets, "wilcoxonRankSum")
+    val bigN = totals("__t")
+    if (bigN >= 200000L)
+      throw new IllegalArgumentException(
+        "wilcoxonRankSum: > 200k pooled rows — the exact root budget " +
+          "(3N(N-1)*m*n*X in DECIMAL(38,0)) is exhausted; subsample arms")
+    val nN = s"${bigN}L"
+    cum
+      .withColumn("__s", expr("2L * __cum___t + __t + 1L"))
+      .agg(sum(col("__b")).cast("bigint").as("__nb"),
+        sum(expr("cast(__b as decimal(38,0)) * __s")).as("__w2"),
+        sum(expr("cast(__t as decimal(38,0)) * __t * __t - __t")).as("__tie"))
+      .withColumn("__na", expr(s"$nN - __nb"))
+      .withColumn("__mean2", expr(s"cast(__nb as decimal(38,0)) * ($nN + 1L)"))
+      .withColumn("__d", expr("__w2 - __mean2"))
+      .withColumn("__k", expr(s"cast(3 as decimal(38,0)) * $nN * ($nN - 1L)"))
+      .withColumn("__x", expr(
+        s"cast($nN as decimal(38,0)) * ($nN * $nN - 1L) - __tie"))
+      .withColumn("__rootq", expr(
+        "CASE WHEN __na > 0 AND __nb > 0 AND __x > 0 " +
+          "THEN __k * __na * __nb * __x ELSE cast(0 as decimal(38,0)) END"))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__rootq", "__rt"))
+      .select(col("__na").cast("bigint").as("n_a"),
+        col("__nb").cast("bigint").as("n_b"),
+        col("__w2").cast("bigint").as("w2"),
+        col("__mean2").cast("bigint").as("mean2"),
+        col("__tie").cast("bigint").as("tie_term"),
+        expr("""CASE WHEN __rt <= 0 THEN NULL
+               |WHEN __d >= 0
+               |  THEN (cast(1000000 as decimal(38,0)) * __k * __d) div __rt
+               |ELSE -((cast(1000000 as decimal(38,0)) * __k * (-__d))
+               |       div __rt) END""".stripMargin)
+          .cast("bigint").as("z_ppm"))
+  }
+
+  /** Lepage's L — the classical LOCATION-plus-SCALE omnibus test:
+    * `L = z_W² + z_AB²`, the squared standardized Wilcoxon rank-sum
+    * ([[wilcoxonRankSum]], location) plus the squared standardized
+    * Ansari–Bradley ([[ansariBradley]], scale), χ²₂ under H0. Where
+    * [[cucconi]] couples its two ends through a correlation, Lepage
+    * simply sums the two orthogonal-under-H0 pieces — the standard
+    * cross-check pair. Rendered as the documented COMPOSITION of the
+    * two already-pinned ppm z-scores:
+    * `l_micro = (z_W² + z_AB²) div 10⁶` — deterministic and bitwise-
+    * mirrored by the oracle (each component carries its own single
+    * documented floor). Output: `(n_a, n_b, zw_ppm, zab_ppm,
+    * l_micro)`; a NULL component nulls L.
+    *
+    * Scale shape (100 TB): both components are histogram + bucket-
+    * decomposed cumulative + scalar aggregate; the two single-row
+    * outputs cross-join for free. Guards inherit from the
+    * components (200k / 4M pooled rows). */
+  def lepage(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+             valueCol: String, buckets: Int = 32): DataFrame = {
+    val zw = wilcoxonRankSum(df, armBCond, valueCol, buckets)
+      .select(col("n_a"), col("n_b"), col("z_ppm").as("zw_ppm"))
+    val zab = ansariBradley(df, armBCond, valueCol)
+      .select(col("z_ppm").as("zab_ppm"))
+    zw.crossJoin(broadcast(zab))
+      .withColumn("l_micro", expr(
+        """CASE WHEN zw_ppm IS NULL OR zab_ppm IS NULL THEN NULL
+          |ELSE (cast(zw_ppm as decimal(38,0)) * zw_ppm
+          |      + cast(zab_ppm as decimal(38,0)) * zab_ppm)
+          |     div 1000000L END""".stripMargin).cast("bigint"))
+  }
 }

@@ -3647,5 +3647,179 @@ object StatsQ {
         graft.operators.Validate.tCloseness(
           t(s, dir, "documents"), Seq("lang", "source"), "n_chars",
           tPpm = 150000L))
+    ,
+
+    // ---- Watson's U² circular drift ------------------------------
+    // Did purchases shift in HOUR-OF-DAY vs all other events? CvM
+    // (q382) depends on where the 24h circle is cut at midnight;
+    // Watson's U² subtracts the mean ECDF gap and is rotation-
+    // invariant — the right drift test for circular values. Exact
+    // integers end to end; one ppm floor.
+    Q("q391_watson_u2",
+      Some("""WITH d AS (SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS v,
+             |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS arm
+             |  FROM events),
+             |cells AS (SELECT v, count(*)::HUGEINT AS t,
+             |  sum(arm)::HUGEINT AS hb FROM d GROUP BY v),
+             |tot AS (SELECT sum(t - hb)::HUGEINT AS m, sum(hb)::HUGEINT AS n2,
+             |  sum(t)::HUGEINT AS nn FROM cells),
+             |st AS (SELECT t,
+             |  (sum(t - hb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) * n2
+             |  - (sum(hb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)) * m AS e
+             |  FROM cells, tot),
+             |ag AS (SELECT sum(t * e)::HUGEINT AS s1,
+             |  sum(t * e * e)::HUGEINT AS s2, count(*)::BIGINT AS nv FROM st)
+             |SELECT m::BIGINT AS n_a, n2::BIGINT AS n_b, nv AS n_values,
+             |  (CASE WHEN m = 0 OR n2 = 0 THEN NULL
+             |   ELSE (1000000::HUGEINT * (nn * s2 - s1 * s1))
+             |        // (m * n2 * nn * nn * nn) END)::BIGINT AS u2_ppm
+             |FROM ag, tot""".stripMargin),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("__hr", expr("(ts div 3600000000000L) % 24L"))
+        graft.operators.RobustStats.watsonU2Drift(
+          e, col("event_type") === "purchase", "__hr")
+      }),
+
+    // ---- Cucconi joint location-scale test -----------------------
+    // Do English doc lengths differ from the rest in shift AND/OR
+    // spread, in ONE statistic? Squared ranks from both ends of the
+    // pooled ordering, coupled through the exact null correlation —
+    // the one-shot alternative to running Wilcoxon + Ansari-Bradley
+    // separately (q393 composes those instead). Five documented
+    // micro floors, mirrored by the oracle cell for cell.
+    Q("q392_cucconi",
+      Some("""WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
+             |  n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
+             |cells AS (SELECT v, count(*)::BIGINT AS t, sum(arm)::BIGINT AS b
+             |  FROM d GROUP BY v),
+             |st AS (SELECT t, b, coalesce(sum(t) OVER (ORDER BY v
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |    AS bef FROM cells),
+             |tt AS (SELECT sum(t)::HUGEINT AS nn FROM cells),
+             |ag AS (SELECT sum(b)::HUGEINT AS nb,
+             |  sum(b::HUGEINT * (2 * bef + t + 1) * (2 * bef + t + 1))
+             |    ::HUGEINT AS t2,
+             |  sum(b::HUGEINT * (2 * nn + 2 - (2 * bef + t + 1))
+             |      * (2 * nn + 2 - (2 * bef + t + 1)))::HUGEINT AS t2c
+             |  FROM st, tt),
+             |f AS (SELECT nn, nb, nn - nb AS na,
+             |  3::HUGEINT * t2 - 2::HUGEINT * nb * (nn + 1) * (2 * nn + 1)
+             |    AS nu2,
+             |  3::HUGEINT * t2c - 2::HUGEINT * nb * (nn + 1) * (2 * nn + 1)
+             |    AS nv2,
+             |  4::HUGEINT * (nn - nb) * nb * (nn + 1) * (2 * nn + 1)
+             |    * (8 * nn + 11) AS k4,
+             |  ((2 * nn + 1) * (8 * nn + 11))::HUGEINT AS q,
+             |  (14::HUGEINT * nn * nn + 30 * nn + 19)::HUGEINT AS p
+             |  FROM ag, tt),
+             |g AS (SELECT *,
+             |  CASE WHEN k4 > 0 THEN (5000000::HUGEINT * nu2 * nu2) // k4
+             |    ELSE NULL END AS u2u,
+             |  CASE WHEN k4 > 0 THEN (5000000::HUGEINT * nv2 * nv2) // k4
+             |    ELSE NULL END AS v2u,
+             |  CASE WHEN k4 <= 0 THEN NULL
+             |    WHEN nu2 * nv2 >= 0 THEN (5000000::HUGEINT * nu2 * nv2) // k4
+             |    ELSE -((5000000::HUGEINT * (-(nu2 * nv2))) // k4) END AS uvu
+             |  FROM f),
+             |h AS (SELECT *, CASE WHEN uvu IS NULL THEN NULL
+             |    WHEN uvu >= 0 THEN (2::HUGEINT * p * uvu) // q
+             |    ELSE -((2::HUGEINT * p * (-uvu)) // q) END AS rterm FROM g),
+             |i AS (SELECT *, (u2u + v2u + rterm)::HUGEINT * q * q AS cnum,
+             |  120::HUGEINT * (nn - 2) * (nn + 2) * (nn + 1) * (nn + 1)
+             |    AS cden FROM h)
+             |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b,
+             |  u2u::BIGINT AS u2_micro, v2u::BIGINT AS v2_micro,
+             |  uvu::BIGINT AS uv_micro,
+             |  (CASE WHEN na <= 0 OR nb <= 0 OR nn < 3 OR cden <= 0 THEN NULL
+             |   WHEN cnum >= 0 THEN cnum // cden
+             |   ELSE -((-cnum) // cden) END)::BIGINT AS c_micro
+             |FROM i""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.cucconi(
+          t(s, dir, "documents"), col("lang") === "en", "n_chars")),
+
+    // ---- Lepage location+scale omnibus ---------------------------
+    // The classical composition q392 replaces: L = z_W² + z_AB²,
+    // squared standardized Wilcoxon rank-sum (location) plus squared
+    // standardized Ansari-Bradley (scale), here asking whether
+    // Chinese doc lengths differ from the rest in EITHER moment.
+    // Each component carries its own single isqrt floor; L is their
+    // documented micro composition.
+    Q("q393_lepage", {
+      val ladW = graft.util.ExactMath.duckIsqrtSteps("wrt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"w${i - 1}"
+          s"w$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      val ladA = graft.util.ExactMath.duckIsqrtSteps("art").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "aq2" else s"a${i - 1}"
+          s"a$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH d AS (SELECT CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS arm,
+              |  n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
+              |cells AS (SELECT v, count(*)::BIGINT AS t, sum(arm)::BIGINT AS b
+              |  FROM d GROUP BY v),
+              |st AS (SELECT t, b, coalesce(sum(t) OVER (ORDER BY v
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+              |    AS bef FROM cells),
+              |ag AS (SELECT sum(t)::HUGEINT AS nn, sum(b)::HUGEINT AS nb,
+              |  sum(b::HUGEINT * (2 * bef + t + 1))::HUGEINT AS w2,
+              |  sum(t::HUGEINT * t * t - t)::HUGEINT AS tie FROM st),
+              |f AS (SELECT nn, nb, nn - nb AS na, w2, tie,
+              |  nb * (nn + 1) AS mean2,
+              |  3::HUGEINT * nn * (nn - 1) AS k,
+              |  nn * (nn * nn - 1) - tie AS xx FROM ag),
+              |q2 AS (SELECT *, (CASE WHEN na > 0 AND nb > 0 AND xx > 0
+              |  THEN k * na * nb * xx ELSE 0::HUGEINT END) AS x FROM f),
+              |$ladW,
+              |zw AS (SELECT na, nb, (CASE WHEN wrt <= 0 THEN NULL
+              |  WHEN w2 - mean2 >= 0
+              |    THEN (1000000::HUGEINT * k * (w2 - mean2)) // wrt
+              |  ELSE -((1000000::HUGEINT * k * (mean2 - w2)) // wrt)
+              |  END)::BIGINT AS zw_ppm FROM w4),
+              |ah2 AS (SELECT t, b AS a, bef FROM st),
+              |att AS (SELECT nn::BIGINT AS nn, nb::BIGINT AS nb FROM ag),
+              |sgrid AS (SELECT a, t, bef + 1 AS lo, bef + t AS hi,
+              |  (nn + 1) // 2 AS hh, nn FROM ah2 CROSS JOIN att),
+              |asv AS (SELECT a, t,
+              |  (CASE WHEN least(hi, hh) >= lo
+              |    THEN ((lo + least(hi, hh)) * (least(hi, hh) - lo + 1)) // 2
+              |    ELSE 0 END) +
+              |  (CASE WHEN hi >= greatest(lo, hh + 1)
+              |    THEN (((nn + 1 - greatest(lo, hh + 1)) + (nn + 1 - hi))
+              |          * (hi - greatest(lo, hh + 1) + 1)) // 2
+              |    ELSE 0 END) AS sc FROM sgrid),
+              |aw AS (SELECT sum((1000000 * a * sc) // t)::BIGINT AS w FROM asv),
+              |af AS (SELECT att.nn, att.nb, aw.w,
+              |  (CASE WHEN att.nn % 2 = 0
+              |    THEN (1000000 * att.nb * (att.nn + 2)) // 4
+              |    ELSE (1000000 * att.nb * (att.nn + 1) * (att.nn + 1))
+              |      // (4 * att.nn) END) AS mn,
+              |  (CASE WHEN att.nn % 2 = 0
+              |    THEN (att.nn - att.nb)::HUGEINT * att.nb * (att.nn + 2)
+              |      * (att.nn - 2)
+              |    ELSE (att.nn - att.nb)::HUGEINT * att.nb * (att.nn + 1)
+              |      * (3 + att.nn * att.nn) END) AS varnum,
+              |  (CASE WHEN att.nn % 2 = 0 THEN 48 * (att.nn - 1)
+              |    ELSE 48 * att.nn * att.nn END) AS varden
+              |  FROM att CROSS JOIN aw),
+              |aq2 AS (SELECT *, (CASE WHEN varnum > 0 THEN
+              |  ((w - mn)::HUGEINT * (w - mn) * varden) // varnum
+              |  ELSE 0::HUGEINT END) AS x FROM af),
+              |$ladA,
+              |zab AS (SELECT (CASE WHEN varnum <= 0 THEN NULL
+              |  WHEN w - mn >= 0 THEN art ELSE -art END)::BIGINT AS zab_ppm
+              |  FROM a4)
+              |SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, zw_ppm, zab_ppm,
+              |  (CASE WHEN zw_ppm IS NULL OR zab_ppm IS NULL THEN NULL
+              |   ELSE (zw_ppm::HUGEINT * zw_ppm + zab_ppm::HUGEINT * zab_ppm)
+              |        // 1000000 END)::BIGINT AS l_micro
+              |FROM zw CROSS JOIN zab""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.RobustStats.lepage(
+          t(s, dir, "documents"), col("lang") === "zh", "n_chars"))
   )
 }

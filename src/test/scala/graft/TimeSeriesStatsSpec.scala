@@ -726,4 +726,92 @@ class TimeSeriesStatsSpec extends SparkSpec {
     assert(out("B") == ((5L, "accept_h0", 5L, -2925L)))
     assert(out("C") == ((3L, "continue", 3L, 1415L)))
   }
+
+  test("watsonU2Drift: hand value, rotation invariance, identical arms, empty arm") {
+    import graft.operators.RobustStats
+    // A = {1,4}, B = {2,3}: inclusive gaps e = 2,0,-2,0 so S1 = 0,
+    // S2 = 8 -> U2 = 1e6·(4·8 − 0) div (2·2·64) = 125000 (true 0.125)
+    val df = Seq((0L, 1L), (0L, 4L), (1L, 2L), (1L, 3L)).toDF("arm", "v")
+    val r = RobustStats.watsonU2Drift(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 4L, 125000L)))
+    // rotate the circle one notch (v -> v mod 4 + 1): A = {2,1},
+    // B = {3,4}. KS/CvM change under this rotation; Watson's U2 is
+    // built to be IDENTICAL: S1 = 8, S2 = 24, 4·24 − 64 = 32 again.
+    val rot = Seq((0L, 2L), (0L, 1L), (1L, 3L), (1L, 4L)).toDF("arm", "v")
+    assert(RobustStats.watsonU2Drift(rot, col("arm") === 1L, "v")
+      .collect().head.getLong(3) == 125000L)
+    // identical arms: every gap is zero
+    val same = Seq((0L, 5L), (0L, 9L), (1L, 5L), (1L, 9L)).toDF("arm", "v")
+    assert(RobustStats.watsonU2Drift(same, col("arm") === 1L, "v")
+      .collect().head.getLong(3) == 0L)
+    // empty arm: NULL, never a fake zero
+    val one = Seq((0L, 1L)).toDF("arm", "v")
+    assert(RobustStats.watsonU2Drift(one, col("arm") === 1L, "v")
+      .collect().head.isNullAt(3))
+  }
+
+  test("cucconi: middle-heavy arm, symmetric ends, hand-chained micro floors") {
+    import graft.operators.RobustStats
+    // A = {1,4}, B = {2,3}: doubled ranks s = 2,4,6,8; both ends see
+    // the same mass (t2 = t2c = 52) so nu2 = nv2 = 156 − 180 = −24,
+    // k4 = 30960: u2 = v2 = uv = (5e6·576) div 30960 = 93023;
+    // rterm = (2·363·93023) div 387 = 174508; cnum = 360554·387²,
+    // cden = 36000 -> C = 1499994 micro (true C ≈ 1.5034)
+    val df = Seq((0L, 1L), (1L, 2L), (1L, 3L), (0L, 4L)).toDF("arm", "v")
+    val r = RobustStats.cucconi(df, col("arm") === 1L, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+      == ((2L, 2L, 93023L, 93023L, 93023L, 1499994L)))
+    // empty arm: NULLs, never fake zeros
+    val one = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("arm", "v")
+    assert(RobustStats.cucconi(one, col("arm") === 1L, "v")
+      .collect().head.isNullAt(5))
+    // N < 3: the denominator 120(N−2)(N+2)(N+1)² degenerates -> NULL
+    val tiny = Seq((0L, 1L), (1L, 2L)).toDF("arm", "v")
+    assert(RobustStats.cucconi(tiny, col("arm") === 1L, "v")
+      .collect().head.isNullAt(5))
+  }
+
+  test("wilcoxonRankSum: direction, arm swap, midrank ties") {
+    import graft.operators.RobustStats
+    // A = {1,2}, B = {3,4}: w2 = 14, mean2 = 10, k = 36, X = 60,
+    // isqrt(36·4·60 = 8640) = 92 -> z = (1e6·36·4) div 92 = 1565217;
+    // arm B sitting HIGH must come out POSITIVE
+    val df = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("arm", "v")
+    val r = RobustStats.wilcoxonRankSum(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+      == ((2L, 2L, 14L, 10L, 0L, 1565217L)))
+    // swapping which arm is "B" flips the sign exactly
+    assert(RobustStats.wilcoxonRankSum(df, col("arm") === 0L, "v")
+      .collect().head.getLong(5) == -1565217L)
+    // ties take midranks and the tie term discounts the variance:
+    // A = {1,1}, B = {1,3}: s = 4,4,4,8 -> w2 = 12, mean2 = 10,
+    // tie = 24, X = 36, isqrt(36·4·36 = 5184) = 72 (exact) ->
+    // z = (1e6·36·2) div 72 = 1000000
+    val tied = Seq((0L, 1L), (0L, 1L), (1L, 1L), (1L, 3L)).toDF("arm", "v")
+    val rt = RobustStats.wilcoxonRankSum(tied, col("arm") === 1L, "v")
+      .collect().head
+    assert((rt.getLong(2), rt.getLong(4), rt.getLong(5))
+      == ((12L, 24L, 1000000L)))
+  }
+
+  test("lepage: composes the location and scale z's; NULL propagates") {
+    import graft.operators.RobustStats
+    // A = {1,4}, B = {2,3}: pure spread change — the Wilcoxon piece
+    // sits exactly on its null (w2 = mean2 = 10 -> zw = 0) while the
+    // Ansari-Bradley piece fires (zab = 1732050, the q374 fixture) ->
+    // L = (0 + 1732050²) div 1e6 = 2999997 micro (χ² ≈ 3.0)
+    val df = Seq((0L, 1L), (1L, 2L), (1L, 3L), (0L, 4L)).toDF("arm", "v")
+    val r = RobustStats.lepage(df, col("arm") === 1L, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 2L, 0L, 1732050L, 2999997L)))
+    // an empty arm nulls the Wilcoxon z and must null L, not zero it
+    val one = Seq((0L, 1L), (0L, 2L)).toDF("arm", "v")
+    val r2 = RobustStats.lepage(one, col("arm") === 1L, "v").collect().head
+    assert(r2.isNullAt(4))
+  }
 }
