@@ -251,10 +251,15 @@ object Components {
       .unionAll(e.select(col("__dst").as("node")))
       .distinct()
     // __seed gates the teleport term; global PageRank = every node 1.
+    // Placed (partitioned + sorted) on `node` like eDeg: the per-round
+    // teleport join then co-locates with the contribution aggregate's
+    // own hash(node) output — neither side of that join shuffles.
     val nodes = seedsOpt.fold(nodesPlain.withColumn("__seed", lit(1L))) { s =>
       nodesPlain.join(s.withColumn("__in", lit(1L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__in"), lit(0L)).as("__seed"))
-    }.localCheckpoint()
+    }.repartition(col("node"))
+      .sortWithinPartitions(col("node"))
+      .localCheckpoint()
     // Teleport denominator = seed-node count, as a broadcast 1-row
     // frame — no driver count(). A disjoint seed set makes it 0 and
     // the integral divide raises loudly.
@@ -273,11 +278,18 @@ object Components {
       .select(expr("1000000L div __n").as("__base"))
     // Edges with their source degree attached, ONCE — static across
     // rounds, so each round is a single edge⨝ranks join + one
-    // destination-keyed sum, not two big joins.
+    // destination-keyed sum, not two big joins. Materialized
+    // PARTITIONED AND SORTED on the join key: LogicalRDD preserves
+    // both, so every iteration's sort-merge join shuffles and sorts
+    // ONLY the node-sized rank side — the edge list (the big side,
+    // and the one that dwarfs ranks at 100 TB) moves zero bytes per
+    // round after this one-time placement.
     val eDeg = e.join(
         e.groupBy(col("__src"))
           .agg(count(lit(1)).as("__d")),
         "__src")
+      .repartition(col("__src"))
+      .sortWithinPartitions(col("__src"))
       .localCheckpoint()
     // The teleport term ((1000−d)·base·seed) depends only on the
     // STATIC nodes frame, so the recurrence references the previous

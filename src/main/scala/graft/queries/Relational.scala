@@ -1214,11 +1214,22 @@ object Relational {
       (s, dir) => {
         // no .distinct() here: pageRank dropDuplicates the union
         // anyway — a pre-distinct would just add a 3rd shuffle.
+        // Nodes ride as LONGS through the three BSP rounds (suppliers
+        // even, parts odd — rank arithmetic never looks at the key)
+        // and become the oracle's 's…'/'p…' labels only in the final
+        // 20-row projection: long keys hash, shuffle, and sort ~3×
+        // faster than strings at the gate config, and proportionally
+        // more at 100 TB where the key bytes dominate shuffle volume.
         val e0 = t(s, dir, "lineitem").select(
-          concat(lit("s"), col("l_suppkey")).as("src"),
-          concat(lit("p"), col("l_partkey")).as("dst"))
+          (col("l_suppkey").cast("long") * 2L).as("src"),
+          (col("l_partkey").cast("long") * 2L + 1L).as("dst"))
         val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         graft.operators.Components.pageRank(e, "src", "dst", iters = 3)
+          .select(
+            when(col("node") % 2 === 0,
+              concat(lit("s"), expr("node div 2")))
+              .otherwise(concat(lit("p"), expr("node div 2"))).as("node"),
+            col("rank_ppm"))
           .orderBy(col("rank_ppm").desc, col("node"))
           .limit(20)
       }),
@@ -1264,19 +1275,26 @@ object Relational {
              |SELECT node, r::BIGINT AS rank_ppm FROM r3
              |ORDER BY rank_ppm DESC, node LIMIT 20""".stripMargin),
       (s, dir) => {
+        // Long-encoded nodes (the q205 scheme); labels reconstructed
+        // only in the final 20-row projection.
         val e0 = t(s, dir, "lineitem").where(col("l_partkey") % 7 === 0)
           .select(
-            concat(lit("s"), col("l_suppkey")).as("src"),
-            concat(lit("p"), col("l_partkey")).as("dst"))
+            (col("l_suppkey").cast("long") * 2L).as("src"),
+            (col("l_partkey").cast("long") * 2L + 1L).as("dst"))
         val e = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
         // Key-modulo seeds: non-empty inside the subgraph at EVERY
         // scale factor (a nationkey predicate had zero members in the
         // sf0.001 subgraph, tripping the operator's disjoint-seed
         // raise).
         val seeds = t(s, dir, "supplier").where(col("s_suppkey") % 5 === 0)
-          .select(concat(lit("s"), col("s_suppkey")).as("node"))
+          .select((col("s_suppkey").cast("long") * 2L).as("node"))
         graft.operators.Components.personalizedPageRank(
           e, "src", "dst", seeds, "node", iters = 3)
+          .select(
+            when(col("node") % 2 === 0,
+              concat(lit("s"), expr("node div 2")))
+              .otherwise(concat(lit("p"), expr("node div 2"))).as("node"),
+            col("rank_ppm"))
           .orderBy(col("rank_ppm").desc, col("node"))
           .limit(20)
       }),
