@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object EmbedQ {
 
-  import Q.t
+  import Q.{t, tp}
   import VectorSql.{duck => D}
 
   /** Fixed PQ codebook for the q110/q111 witnesses: 4 subspaces × 8
@@ -350,7 +350,7 @@ object EmbedQ {
              |ORDER BY q_id, rank""".stripMargin),
       (s, dir) => {
         val coded = SimilarityOps.withQuantizedInt8(
-          t(s, dir, "embeddings"), "embedding")
+          tp(s, dir, "embeddings", "vec_id"), "embedding")
         SimilarityOps.int8TopK(
           coded.select(col("vec_id"), col("q8")), "vec_id", "q8",
           coded.where(col("vec_id") < 3)
@@ -425,7 +425,7 @@ object EmbedQ {
               |FROM embeddings e WHERE e.vec_id NOT IN (SELECT m_id FROM dropped)
               |GROUP BY e.label ORDER BY e.label""".stripMargin),
       (s, dir) => {
-        val emb = t(s, dir, "embeddings")
+        val emb = tp(s, dir, "embeddings", "vec_id")
         val cent = emb.where(col("vec_id") < 8)
           .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
         SimilarityOps.semanticDedup(emb, "vec_id", "embedding", cent, minSim = 0.25)
@@ -919,7 +919,7 @@ object EmbedQ {
     },
       (s, dir) =>
         SimilarityOps.componentCurve(
-          t(s, dir, "embeddings").where(col("vec_id") < 200),
+          tp(s, dir, "embeddings", "vec_id").where(col("vec_id") < 200),
           "vec_id", "embedding",
           Seq(200000L, 250000L, 300000L, 350000L))
           .orderBy("thresh_micro")),

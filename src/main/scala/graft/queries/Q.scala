@@ -28,6 +28,23 @@ object Q {
     * nanos (session TZ is UTC, so the NTZ→instant cast is identity).
     * A bigint `ts` passes through untouched.
     */
+  /** Read one table with its row work DISTRIBUTED: the driver's
+    * testdata packs each table into a single parquet row group, so a
+    * plain scan is ONE task no matter how many cores the session has
+    * — and any expensive per-row compute pipelined onto it
+    * (tokenize/shingle/hash, vector math) serializes with it. Queries
+    * whose plan shuffles the table anyway pay one tiny extra
+    * exchange here to run that compute on every core instead.
+    *
+    * Use ONLY where heavy per-row work follows; plain `t` everywhere
+    * else (operators that PROVE no-corpus-shuffle shapes — bloom
+    * dedup, broadcast-probe ANN — must never route through this).
+    * At 100 TB this helper is a no-op decision: real tables come in
+    * many files/row groups and the scan parallelizes by itself. */
+  def tp(s: SparkSession, dir: String, name: String,
+         key: String): DataFrame =
+    t(s, dir, name).repartition(col(key))
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.find(_.name == "ts").map(_.dataType) match {

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object StatsQ {
 
-  import Q.t
+  import Q.{t, tp}
   import TextHash.{duck => D}
 
   /** DuckDB rendering of [[graft.operators.TimeSeries.seriesCorrelation]]
@@ -689,7 +689,7 @@ object StatsQ {
       (s, dir) => {
         import TextHash.{spark => H}
         val (a0, b0) = TextHash.Seeds.head
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
         val sig = graft.operators.TextOps.withTokens(
             docs.select(col("doc_id"), col("text")), "text", "__toks")
           .withColumn("m0", expr(H.minhashFromHashes(

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TextQ {
 
-  import Q.t
+  import Q.{t, tp}
   import TextHash.{duck => D}
 
   // DuckDB-side shared fragments.
@@ -158,7 +158,7 @@ object TextQ {
               |  FROM reach GROUP BY u
               |) z ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val pairs = DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        val pairs = DedupOps.lshNearDupPairs(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
         graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
           .select(col("id").as("doc_id"), col("cluster_id"))
@@ -184,7 +184,7 @@ object TextQ {
               |  SELECT c, count(*)::BIGINT AS cluster_size FROM cl GROUP BY c
               |) sz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
       (s, dir) => {
-        val pairs = DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        val pairs = DedupOps.lshNearDupPairs(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
         graft.operators.Components.connectedComponents(pairs, "a_id", "b_id")
           .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
@@ -268,7 +268,7 @@ object TextQ {
               |GROUP BY 1, 2 HAVING count(*) >= 2
               |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
         val maxDf = math.max(2, (docs.count().toDouble * 0.04).toInt)
         DedupOps.winnowSharedPairs(docs, "doc_id", "text",
           k = 5, w = 4, minShared = 2, maxDf = maxDf)
@@ -296,7 +296,7 @@ object TextQ {
               |  ) z)
               |ORDER BY d.doc_id""".stripMargin),
       (s, dir) =>
-        DedupOps.dropNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        DedupOps.dropNearDuplicates(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
           .select("doc_id")
           .orderBy("doc_id")),
@@ -329,7 +329,7 @@ object TextQ {
               |ORDER BY d.doc_id""".stripMargin),
       (s, dir) =>
         DedupOps.dropNearDuplicates(
-          t(s, dir, "documents").where(col("doc_id") < 300), "doc_id", "text",
+          tp(s, dir, "documents", "doc_id").where(col("doc_id") < 300), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2, keepBestBy = Some("n_chars"))
           .select("doc_id")
           .orderBy("doc_id")),
@@ -410,7 +410,7 @@ object TextQ {
               |  FROM b x JOIN b y ON x.band0 = y.band0 AND x.doc_id < y.doc_id)
               |SELECT a_id, b_id, est_jaccard FROM pairs ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
-        val sigs = DedupOps.signatures(t(s, dir, "documents"), "doc_id", "text", 2, 4)
+        val sigs = DedupOps.signatures(tp(s, dir, "documents", "doc_id"), "doc_id", "text", 2, 4)
           .select(col("doc_id").as("id") +: (0 until 8).map(i => col(s"m$i")) :+ col("band0"): _*)
           .localCheckpoint()
         val x = sigs.select(col("id").as("a_id") +:
@@ -924,7 +924,7 @@ object TextQ {
               |FROM d ORDER BY g""".stripMargin),
       (s, dir) => {
         val cnt = TextOps.withTokens(
-            t(s, dir, "documents").select(col("text")), "text", "__toks")
+            tp(s, dir, "documents", "doc_id").select(col("text")), "text", "__toks")
           .select(explode(col("__toks")).as("tok"))
           .groupBy(col("tok"))
           .agg(count(lit(1)).cast("bigint").as("n"))
@@ -963,7 +963,7 @@ object TextQ {
              |FROM p WHERE 10 * n_inter >= 9 * n_union
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
-        val base = t(s, dir, "documents")
+        val base = tp(s, dir, "documents", "doc_id")
           .where(col("doc_id") < 60 && col("text").isNotNull)
           .select(col("doc_id"), col("text"))
         val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
@@ -990,7 +990,7 @@ object TextQ {
               |JOIN fd fb ON fb.doc_id = vpairs.b_id
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
         val pairs = DedupOps.lshNearDupPairs(docs, "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)
         val folds = graft.operators.Mixing.withFold(docs, "text", k = 5)
@@ -1035,7 +1035,7 @@ object TextQ {
               |  UNION ALL SELECT 4, 'blocklist_ok', sum(CASE WHEN ok2 AND c4 AND clean THEN 1 ELSE 0 END)::BIGINT FROM f)
               |ORDER BY stage""".stripMargin),
       (s, dir) => {
-        val rep = TextOps.withRepetitionStats(t(s, dir, "documents"), "text")
+        val rep = TextOps.withRepetitionStats(tp(s, dir, "documents", "doc_id"), "text")
         val c4 = TextOps.withC4Flags(rep, "text")
         val bl = TextOps.withBlocklistCounts(c4, "text", Seq("join", "hash", "scan"))
         val flags = bl.select(
@@ -1253,7 +1253,7 @@ object TextQ {
               |WHERE f.variant != k.canonical
               |ORDER BY f.variant, k.canonical""".stripMargin),
       (s, dir) => {
-        val planted = t(s, dir, "documents").select(
+        val planted = tp(s, dir, "documents", "doc_id").select(
           when(col("doc_id") % 7 === 0, upper(col("text")))
             .otherwise(col("text")).as("text"))
         TextOps.canonicalizeVariants(planted, "text")
@@ -1720,7 +1720,7 @@ object TextQ {
              |cnt AS (SELECT trigram, count(*) AS n FROM tg GROUP BY trigram)
              |SELECT trigram, n FROM cnt ORDER BY n DESC, trigram LIMIT 20""".stripMargin),
       (s, dir) =>
-        t(s, dir, "documents")
+        tp(s, dir, "documents", "doc_id")
           .where(length(col("text")) >= 3)
           .select(explode(expr(
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
@@ -1746,7 +1746,7 @@ object TextQ {
              |FROM tg JOIN cnt USING (trigram)
              |WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
-        val tg = t(s, dir, "documents")
+        val tg = tp(s, dir, "documents", "doc_id")
           .where(length(col("text")) >= 3)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
@@ -1830,7 +1830,7 @@ object TextQ {
              |SELECT doc_id, n_toks, cum_tokens FROM c WHERE cum_tokens <= 20000
              |ORDER BY cum_tokens, doc_id""".stripMargin),
       (s, dir) => {
-        val withToks = t(s, dir, "documents")
+        val withToks = tp(s, dir, "documents", "doc_id")
           .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
         graft.operators.Sequencing.selectUnderBudget(
           withToks, "doc_id", "n_toks", "n_chars", budget = 20000L)
@@ -1945,7 +1945,7 @@ object TextQ {
               |WHERE rk <= 3 AND doc_id < 30 ORDER BY doc_id, rk""".stripMargin),
       (s, dir) =>
         graft.operators.Relevance.tfidfTopKeywords(
-          t(s, dir, "documents"), "doc_id", "text", k = 3)
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text", k = 3)
           .where(col("doc_id") < 30)
           .orderBy("doc_id", "rk")),
 
@@ -1997,7 +1997,7 @@ object TextQ {
     },
       (s, dir) =>
         graft.operators.Relevance.bm25(
-          t(s, dir, "documents"), "doc_id", "text",
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           queryTokens = Seq("spark", "join", "vector"), logIdf = false)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(10)),
@@ -2102,7 +2102,7 @@ object TextQ {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val bm = graft.operators.Relevance.bm25(
-          t(s, dir, "documents"), "doc_id", "text",
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           queryTokens = Seq("spark", "join", "vector"), logIdf = false)
         // rank only the top-100 of each ranker: the heavy selection is
         // a distributed TakeOrderedAndProject; the global row_number
@@ -2247,7 +2247,7 @@ object TextQ {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
-        t(s, dir, "documents")
+        tp(s, dir, "documents", "doc_id")
           .select(col("lang"), explode(split(col("text"), " ")).as("token"))
           .groupBy("lang", "token").agg(count(lit(1)).as("n"))
           .withColumn("rnk", row_number().over(w))
@@ -2275,7 +2275,7 @@ object TextQ {
               |FROM gated GROUP BY lang ORDER BY lang""".stripMargin),
       (s, dir) =>
         graft.operators.CurationPipeline.curate(
-          t(s, dir, "documents"), "doc_id", "text", minTokens = 20, maxTokens = 5000)
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text", minTokens = 20, maxTokens = 5000)
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -2601,7 +2601,7 @@ object TextQ {
               |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 30""".stripMargin),
       (s, dir) =>
         graft.operators.Relevance.pmiCollocations(
-          t(s, dir, "documents"), "text", maxDist = 2, minCount = 5L, k = 30)),
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, minCount = 5L, k = 30)),
 
     // ---- multimodal decode plumbing ------------------------------
     // Payload bytes constructed from doc_id (unhex of arithmetic),
@@ -2711,7 +2711,7 @@ object TextQ {
               |SELECT a_id, b_id, jaccard FROM vpairs
               |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
         DedupOps.lshNearDupAgainstCorpus(
           docs.where(col("doc_id") < 100),
           docs.where(col("doc_id") >= 100),
@@ -2941,7 +2941,7 @@ object TextQ {
               |GROUP BY 1, 2
               |ORDER BY n_shared_spans DESC, src_a, src_b LIMIT 20""".stripMargin),
       (s, dir) =>
-        DedupOps.sourceOverlapMatrix(t(s, dir, "documents"), "text", "source",
+        DedupOps.sourceOverlapMatrix(tp(s, dir, "documents", "doc_id"), "text", "source",
           spanTokens = 8)
           .limit(20)),
 
@@ -3037,7 +3037,7 @@ object TextQ {
              |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin),
       (s, dir) => {
         graft.operators.Relevance.withBigramRarity(
-          t(s, dir, "documents"), "doc_id", "text")
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text")
           .where(col("doc_id") < 200)
           .select("doc_id", "n_bigrams", "rarity_ppm")
           .orderBy("doc_id")
@@ -3094,7 +3094,7 @@ object TextQ {
         val tgt = Seq(("en", 400L), ("de", 200L), ("es", 150L), ("fr", 150L),
           ("zh", 100L)).toDF("lang", "target_permille")
         graft.operators.Mixing.matchDistribution(
-          t(s, dir, "documents"), "text", "lang", "doc_id", tgt)
+          tp(s, dir, "documents", "doc_id"), "text", "lang", "doc_id", tgt)
           .groupBy(col("lang"))
           .agg(count(lit(1)).cast("bigint").as("n_kept"),
             sum(col("doc_id")).cast("bigint").as("sum_ids"))
@@ -3426,12 +3426,12 @@ object TextQ {
            |ORDER BY iw_score DESC, doc_id""".stripMargin
       },
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
           .withColumn("is_tgt", col("lang") === "en")
         graft.operators.Mixing
           .dsirWeights(docs, "doc_id", "text", "is_tgt", buckets = 512)
           .orderBy(col("iw_score").desc, col("doc_id")).limit(20)
-          .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          .join(tp(s, dir, "documents", "doc_id").select(col("doc_id"), col("source")),
             Seq("doc_id"))
           .select(col("doc_id"), col("source"), col("iw_score"), col("n_feats"))
           .orderBy(col("iw_score").desc, col("doc_id"))
@@ -3466,7 +3466,7 @@ object TextQ {
            |FROM agg ORDER BY n_matched""".stripMargin
       },
       (s, dir) =>
-        DedupOps.minhashCalibration(t(s, dir, "documents"), "doc_id", "text",
+        DedupOps.minhashCalibration(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, tNum = 1, tDen = 2)),
 
     // ---- MaxScore-pruned BM25 top-k ------------------------------
@@ -3503,7 +3503,7 @@ object TextQ {
     },
       (s, dir) =>
         graft.operators.Relevance.bm25TopK(
-          t(s, dir, "documents"), "doc_id", "text",
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           queryTokens = Seq("the", "merge", "window", "dup"), k = 15)),
 
     // ---- BPE merge application -----------------------------------
@@ -3537,7 +3537,7 @@ object TextQ {
       }
     },
       (s, dir) =>
-        TextOps.applyBpeMerges(t(s, dir, "documents"), "text",
+        TextOps.applyBpeMerges(tp(s, dir, "documents", "doc_id"), "text",
           Seq("t" -> "h", "th" -> "e", "a" -> "t", "e" -> "r",
             "o" -> "r", "a" -> "n"), out = "pieces")
           .select(explode(col("pieces")).as("piece"))
@@ -3685,7 +3685,7 @@ object TextQ {
               |FROM documents d LEFT JOIN drops dr ON dr.drop_id = d.doc_id
               |GROUP BY d.source ORDER BY d.source""".stripMargin),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
         val keptAgg = DedupOps.dropContained(docs, "doc_id", "text",
           bands = 2, rowsPerBand = 4, cNum = 2, cDen = 3)
           .groupBy(col("source"))
@@ -3803,7 +3803,7 @@ object TextQ {
               |SELECT * FROM ($ranks) ORDER BY rank""".stripMargin)
     },
       (s, dir) =>
-        graft.operators.TextOps.trainBpe(t(s, dir, "documents"), "text", 6)),
+        graft.operators.TextOps.trainBpe(tp(s, dir, "documents", "doc_id"), "text", 6)),
 
     // ---- tokenizer fertility (train -> apply, end to end) --------
     // The composition witness: LEARN 6 merges on the corpus (q229's
@@ -3845,7 +3845,7 @@ object TextQ {
               |GROUP BY wcs.source ORDER BY wcs.source""".stripMargin)
     },
       (s, dir) => {
-        val docs = t(s, dir, "documents")
+        val docs = tp(s, dir, "documents", "doc_id")
         val learned = graft.operators.TextOps.trainBpe(docs, "text", 6)
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         graft.operators.TextOps
@@ -3980,7 +3980,7 @@ object TextQ {
              |WHERE dup_chars > 0 ORDER BY l.doc_id""".stripMargin),
       (s, dir) =>
         graft.operators.DedupOps.repeatedCharSpans(
-          t(s, dir, "documents"), "doc_id", "text", gramLen = 30)
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text", gramLen = 30)
           .where(col("dup_chars") > 0)
           .orderBy("doc_id")),
 
@@ -4025,7 +4025,7 @@ object TextQ {
              |ORDER BY p.doc_id""".stripMargin),
       (s, dir) =>
         graft.operators.DedupOps.cutRepeatedSpans(
-          t(s, dir, "documents"), "doc_id", "text", gramLen = 30)
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text", gramLen = 30)
           .where(col("n_cut_spans") > 0)
           .orderBy("doc_id")),
 
@@ -4594,7 +4594,7 @@ object TextQ {
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) =>
         graft.operators.DedupOps.exactJaccardJoin(
-          t(s, dir, "documents").where(col("doc_id") < 600),
+          tp(s, dir, "documents", "doc_id").where(col("doc_id") < 600),
           "doc_id", "text", tNum = 19L, tDen = 20L)
           .orderBy("a_id", "b_id"))
     ,
@@ -4624,7 +4624,7 @@ object TextQ {
              |  AND (a % 5 = 0 OR b % 5 = 0)
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
-        val docs = t(s, dir, "documents").where(col("doc_id") < 600)
+        val docs = tp(s, dir, "documents", "doc_id").where(col("doc_id") < 600)
         graft.operators.DedupOps.exactJaccardJoinIncremental(
           docs.where(col("doc_id") % 5 =!= 0),
           docs.where(col("doc_id") % 5 === 0),
@@ -4693,7 +4693,7 @@ object TextQ {
               |FROM s6 ORDER BY row_key, col_key""".stripMargin)
     },
       (s, dir) => {
-        val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+        val docs = tp(s, dir, "documents", "doc_id").where(col("doc_id") < 1000)
         val lm = TextOps.bigramLmSurprisal(docs, "doc_id", "text")
           .where(col("avg_bits_x100") <= 460L)
           .select(col("id").as("doc_id"))
@@ -4747,7 +4747,7 @@ object TextQ {
              |   ELSE -((100 * (-sd)) // n_bigrams) END)::BIGINT AS delta_x100
              |FROM ag ORDER BY delta_x100, id LIMIT 20""".stripMargin),
       (s, dir) =>
-        TextOps.mooreLewisSelect(t(s, dir, "documents"), "doc_id", "text",
+        TextOps.mooreLewisSelect(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           col("lang") === "de", k = 20))
   )
 }
