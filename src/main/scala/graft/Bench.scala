@@ -27,9 +27,15 @@ object Bench {
     // blocks live in getPersistentRDDs and must be unpersisted
     // explicitly, or across a 377-query sweep they pile up in the
     // BlockManager and GC pressure inflates late heavy queries 4-6x.
+    // blocking = true: an async unpersist hands the block-removal work
+    // to daemon threads that then compete with the NEXT query's tasks —
+    // measured as multi-second inflation of whatever query follows a
+    // persist-heavy one in sweep order (q28_semi_anti 0.4s -> 4.1s
+    // right after the q279-q287 graph block). Synchronous release puts
+    // that cost in the unmeasured gap between queries.
     def releaseAllBlocks(): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), idx) =>
