@@ -19,7 +19,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  import Q.t
+  import Q.{t, tp}
 
   private def sumDec(c: String, scale: Int = 2) =
     sum(col(c).cast(s"decimal(18,$scale)")).cast("double")
@@ -969,7 +969,7 @@ object Relational {
     },
       (s, dir) =>
         graft.operators.Profile.profile(
-          t(s, dir, "orders"),
+          tp(s, dir, "orders", "o_orderkey"),
           Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus"))
           .orderBy("column_name")),
 
@@ -1001,7 +1001,7 @@ object Relational {
     },
       (s, dir) =>
         graft.operators.Profile.profileChecked(
-          t(s, dir, "orders"),
+          tp(s, dir, "orders", "o_orderkey"),
           Seq("o_custkey", "o_orderpriority"))
           .orderBy("column_name")),
 

@@ -230,7 +230,7 @@ object StatsQ {
               |ORDER BY ne.cn DESC, jaccard_ppm DESC, ne.u, ne.v LIMIT 30""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.linkPrediction(edges, "tok_a", "tok_b", k = 30)
       }),
@@ -363,7 +363,7 @@ object StatsQ {
              |CROSS JOIN n
              |ORDER BY n_ab DESC, lift_ppm DESC, item_a, item_b LIMIT 20""".stripMargin),
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        val li = tp(s, dir, "lineitem", "l_orderkey")
           .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"))),
             col("l_partkey") === col("p_partkey"))
         graft.operators.Associations.pairRules(
@@ -427,7 +427,7 @@ object StatsQ {
               |ORDER BY hop, node""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         val seeds = s.createDataFrame(
           java.util.List.of(org.apache.spark.sql.Row("spark")),
@@ -881,7 +881,7 @@ object StatsQ {
               |ORDER BY query, matched_token""".stripMargin),
       (s, dir) =>
         graft.operators.Relevance.fuzzyTermMatch(
-          t(s, dir, "documents"), "doc_id", "text",
+          tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           Seq("spak", "windw", "hash"))),
 
     // ---- weekly percentile bands (nearest-rank, exact) -----------
@@ -1044,7 +1044,7 @@ object StatsQ {
               |FROM g""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
         graft.operators.Components.degreeAssortativity(edges, "tok_a", "tok_b")
       }),
 
@@ -1081,7 +1081,7 @@ object StatsQ {
               |ORDER BY lcc_ppm DESC, node LIMIT 15""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
         graft.operators.Components.localClustering(edges, "tok_a", "tok_b")
           .orderBy(col("lcc_ppm").desc, col("node"))
           .limit(15)
@@ -1105,7 +1105,7 @@ object StatsQ {
               |FROM c, m""".stripMargin),
       (s, dir) => {
         val arcs = graft.operators.TextOps.withTokens(
-          t(s, dir, "documents").select(col("text")), "text", "__toks")
+          tp(s, dir, "documents", "doc_id").select(col("text")), "text", "__toks")
           .withColumn("__p", explode(expr(
             "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
               "slice(__toks, 2, greatest(size(__toks) - 1, 0)), " +
@@ -1212,7 +1212,7 @@ object StatsQ {
               |ORDER BY auth_ppm DESC, node LIMIT 10""".stripMargin),
       (s, dir) => {
         val arcs = graft.operators.TextOps.withTokens(
-          t(s, dir, "documents").select(col("text")), "text", "__toks")
+          tp(s, dir, "documents", "doc_id").select(col("text")), "text", "__toks")
           .withColumn("__p", explode(expr(
             "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), " +
               "slice(__toks, 2, greatest(size(__toks) - 1, 0)), " +
@@ -1342,7 +1342,7 @@ object StatsQ {
               |ORDER BY dist, node""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .where(col("tok_a") =!= col("tok_b"))
           .withColumn("cost", expr("1L + 1000L div n"))
         val seeds = s.createDataFrame(
@@ -1598,7 +1598,7 @@ object StatsQ {
              |SELECT entity, n_changes, n_up, p_up_ppm FROM p
              |ORDER BY p_up_ppm, entity LIMIT 20""".stripMargin),
       (s, dir) => {
-        val x = t(s, dir, "events")
+        val x = tp(s, dir, "events", "event_id")
           .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
           .withColumn("b", expr("ts div 86400000000000L"))
         EvalStats.signTest(x, "user_id", "b", "mv")
@@ -1640,7 +1640,7 @@ object StatsQ {
              |  (rank <= istar) AS rejected
              |FROM r, m, ok ORDER BY rank LIMIT 25""".stripMargin),
       (s, dir) => {
-        val x = t(s, dir, "events")
+        val x = tp(s, dir, "events", "event_id")
           .withColumn("mv", expr("cast(floor(value * 1000000d + 0.5d) as bigint)"))
           .withColumn("b", expr("ts div 86400000000000L"))
         EvalStats.bhAdjust(
@@ -2768,7 +2768,7 @@ object StatsQ {
         // the top-100 edge frame; without it the whole co-occurrence
         // pipeline would run twice
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
           .localCheckpoint()
         val labels = graft.operators.Components.labelPropagation(

@@ -133,7 +133,7 @@ object TextQ {
               |SELECT a_id, b_id, jaccard FROM vpairs
               |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) =>
-        DedupOps.lshNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        DedupOps.lshNearDupPairs(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minJaccard = 0.2)),
 
     // ---- near-dup pairs → transitive dedup clusters --------------
@@ -210,7 +210,7 @@ object TextQ {
               |   OR c.n_common::DOUBLE / zb.n_sh >= 0.6
               |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) =>
-        DedupOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        DedupOps.containmentPairs(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4, minContainment = 0.6)),
 
     // ---- out-of-vocabulary rate (tokenizer health check) ---------
@@ -792,7 +792,7 @@ object TextQ {
               |  JOIN e e3 ON e3.tok_a = e1.tok_a AND e3.tok_b = e2.tok_b""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.triangleCount(edges, "tok_a", "tok_b")
       }),
@@ -823,7 +823,7 @@ object TextQ {
               |  (SELECT count(*) FROM vpairs JOIN truth USING (a_id, b_id))::DOUBLE
               |    / (SELECT count(*) FROM truth)::DOUBLE AS planted_recall""".stripMargin),
       (s, dir) => {
-        val base = t(s, dir, "documents").where(col("doc_id") < 50)
+        val base = tp(s, dir, "documents", "doc_id").where(col("doc_id") < 50)
           .select(col("doc_id"), col("text"))
         val mutated = base.select((col("doc_id") + 10000).as("doc_id"),
           concat(lit("zzz "),
@@ -1228,7 +1228,7 @@ object TextQ {
     },
       (s, dir) =>
         graft.operators.Relevance.greedyCoverage(
-          t(s, dir, "documents").select(col("doc_id"),
+          tp(s, dir, "documents", "doc_id").select(col("doc_id"),
             array_join(slice(split(col("text"), " "), 1, 4), " ").as("text")),
           "doc_id", "text", k = 5)),
 
@@ -1432,7 +1432,7 @@ object TextQ {
     },
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.hashWalkPairs(edges, "tok_a", "tok_b", steps = 2)
       }),
@@ -1663,7 +1663,7 @@ object TextQ {
               |    (SELECT min(v) FROM c, t WHERE (cb + w)::HUGEINT * 4 >= 3 * tot))
               |ORDER BY p_num""".stripMargin),
       (s, dir) => {
-        val d = TextOps.withTokens(t(s, dir, "documents"), "text", "__toks")
+        val d = TextOps.withTokens(tp(s, dir, "documents", "doc_id"), "text", "__toks")
           .select(col("n_chars"), size(col("__toks")).as("w"))
         graft.operators.RobustStats.weightedPercentiles(
           d, "n_chars", "w", Seq(1 -> 4, 2 -> 4, 3 -> 4))
@@ -2013,7 +2013,7 @@ object TextQ {
               |SELECT item, count(*)::BIGINT AS count_lo
               |FROM tfx GROUP BY item ORDER BY count_lo DESC, item""".stripMargin),
       (s, dir) =>
-        TextOps.withTokens(t(s, dir, "documents"), "text")
+        TextOps.withTokens(tp(s, dir, "documents", "doc_id"), "text")
           .select(explode(col("toks")).as("item"))
           .selectExpr("graft_mg_topk(item, 64) AS s")
           .selectExpr("explode(s) AS e")
@@ -3654,7 +3654,7 @@ object TextQ {
               |  n_a::BIGINT AS n_a, n_b::BIGINT AS n_b, label
               |FROM l WHERE label IS NOT NULL ORDER BY a_id, b_id""".stripMargin),
       (s, dir) =>
-        DedupOps.contrastivePairs(t(s, dir, "documents"), "doc_id", "text",
+        DedupOps.contrastivePairs(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           bands = 2, rowsPerBand = 4,
           posNum = 1, posDen = 2, negNum = 1, negDen = 5)),
 
@@ -4184,7 +4184,7 @@ object TextQ {
               |SELECT node, label FROM l3 ORDER BY node""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.labelPropagation(
           edges, "tok_a", "tok_b", rounds = 3)
@@ -4487,7 +4487,7 @@ object TextQ {
     },
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.kCore(edges, "tok_a", "tok_b", k = 3)
           .orderBy("node")
@@ -4564,7 +4564,7 @@ object TextQ {
               |FROM al GROUP BY a ORDER BY node""".stripMargin),
       (s, dir) => {
         val edges = graft.operators.Relevance.cooccurrencePairs(
-          t(s, dir, "documents"), "text", maxDist = 2, k = 100)
+          tp(s, dir, "documents", "doc_id"), "text", maxDist = 2, k = 100)
           .select(col("tok_a"), col("tok_b"))
         graft.operators.Components.harmonicCentrality(edges, "tok_a", "tok_b")
           .orderBy("node")
