@@ -1272,4 +1272,114 @@ object EvalStats {
             - col("__sc").cast("double") / col("n_ctrl").cast("double"))
           .as("att_diff"))
   }
+
+  /** Krippendorff's alpha (nominal) — the agreement coefficient that
+    * TOLERATES MISSING RATINGS, where [[fleissKappa]] requires every
+    * rater on every item: ratings arrive as (unit, category) rows,
+    * units keep whatever raters actually showed up, and units with
+    * fewer than two ratings drop (nothing to pair). With per-unit
+    * category counts `o_uc`, unit sizes `m_u`, kept-total `n = Σm_u`
+    * and category totals `n_c`:
+    *
+    *   α = 1 − (n−1) · [Σ_u Σ_c o_uc(m_u−o_uc)/(m_u−1)] / [Σ_c n_c(n−n_c)]
+    *
+    * The only rationals are the per-unit 1/(m_u−1); multiplying
+    * through by `L = lcm(1 .. maxRatersPerUnit−1)` makes every term
+    * an exact integer (a unit with more ratings than the declared cap
+    * raises loudly — the weight needs the lcm). One documented ppm
+    * floor: `alpha_ppm = 10⁶ − (10⁶(n−1)·Do_L) div (L·De)`. One row:
+    * `(n_units, n_ratings, n_categories, alpha_ppm)`; a single-
+    * category or sub-2-rating pool yields NULL.
+    *
+    * Scale shape (100 TB): one (unit, category) aggregation, one
+    * unit-keyed size join, one category aggregation; only 1-row
+    * scalar frames cross. Budget: 10⁶·n·L·De ≤ 10⁶·n³·L stays inside
+    * DECIMAL(38,0) through n ≈ 10⁹ ratings at L ≤ 840 (R ≤ 9). */
+  def krippendorffAlpha(ratings: DataFrame, unitCol: String,
+                        catCol: String,
+                        maxRatersPerUnit: Int = 8): DataFrame = {
+    require(maxRatersPerUnit >= 2 && maxRatersPerUnit <= 12,
+      "maxRatersPerUnit must be in [2, 12] (lcm growth)")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val L = (1L until maxRatersPerUnit.toLong)
+      .foldLeft(1L)((acc, i) => acc / gcd(acc, i) * i)
+    val uc = ratings
+      .select(col(unitCol).as("__u"), col(catCol).as("__c"))
+      .where(col("__c").isNotNull)
+      .groupBy(col("__u"), col("__c"))
+      .agg(count(lit(1)).cast("bigint").as("__o"))
+      .localCheckpoint() // feeds unit sizes, Do, and category totals
+    val um = uc.groupBy(col("__u"))
+      .agg(sum(col("__o")).cast("bigint").as("__m"))
+      .where(col("__m") >= 2L)
+      .withColumn("__m", expr(
+        s"CASE WHEN __m <= ${maxRatersPerUnit}L THEN __m ELSE raise_error(" +
+          "'krippendorffAlpha: a unit has more ratings than " +
+          "maxRatersPerUnit — raise the cap (the exact per-unit weight " +
+          "is lcm(1..R-1) div (m_u - 1))') END"))
+    val kept = uc.join(um, Seq("__u"))
+    val totals = kept.agg(
+      sum(col("__o")).cast("bigint").as("__n"),
+      countDistinct(col("__u")).cast("bigint").as("__units"),
+      countDistinct(col("__c")).cast("bigint").as("__k"),
+      sum(expr(s"cast(${L}L div (__m - 1L) as decimal(38,0)) " +
+        "* __o * (__m - __o)")).as("__do"))
+    val deS = kept.groupBy(col("__c"))
+      .agg(sum(col("__o")).cast("bigint").as("__nc"))
+      .crossJoin(broadcast(totals.select(col("__n").as("__nt"))))
+      .agg(sum(expr("cast(__nc as decimal(38,0)) * (__nt - __nc)"))
+        .as("__de"))
+    totals.crossJoin(broadcast(deS))
+      .select(
+        coalesce(col("__units"), lit(0L)).as("n_units"),
+        coalesce(col("__n"), lit(0L)).as("n_ratings"),
+        coalesce(col("__k"), lit(0L)).as("n_categories"),
+        expr(s"""CASE WHEN __de IS NULL OR __de <= 0 OR __n < 2 THEN NULL
+               |ELSE 1000000L - cast((cast(1000000 as decimal(38,0))
+               |  * (__n - 1L) * __do) div (${L}L * __de) as bigint)
+               |END""".stripMargin).cast("bigint").as("alpha_ppm"))
+  }
+
+  /** Lin's concordance correlation coefficient — "does the cheap
+    * score REPRODUCE the reference score?", penalizing location and
+    * scale bias where Pearson's r forgives both (the calibration
+    * read for a proxy metric vs its gold standard). Entirely in
+    * integer moment sums — NO square root anywhere:
+    *
+    *   ccc = 2(nΣxy − ΣxΣy) /
+    *         (nΣx² − (Σx)² + nΣy² − (Σy)² + (Σx − Σy)²)
+    *
+    * emitted as one sign-split ppm floor per group. Rows per group:
+    * `(keys…, n, ccc_ppm)`; a degenerate group (both sides constant
+    * and equal-mean) yields NULL.
+    *
+    * Scale shape (100 TB): one keyed aggregation of five moment sums
+    * — partial-aggregated map-side, nothing else. Budget: the moment
+    * products live on DECIMAL(38,0); with |x|,|y| ≤ 10⁶ the ppm
+    * numerator 10⁶·2·n·Σxy stays exact through n ≈ 10¹³ rows. */
+  def concordanceCorrelation(df: DataFrame, xCol: String, yCol: String,
+                             keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    df.select(kcols :+ col(xCol).cast("bigint").as("__x")
+        :+ col(yCol).cast("bigint").as("__y"): _*)
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(kcols: _*)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("__x")).cast("decimal(38,0)").as("__sx"),
+        sum(col("__y")).cast("decimal(38,0)").as("__sy"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("__sxx"),
+        sum(expr("cast(__y as decimal(38,0)) * __y")).as("__syy"),
+        sum(expr("cast(__x as decimal(38,0)) * __y")).as("__sxy"))
+      .withColumn("__num", expr(
+        "cast(2 as decimal(38,0)) * (n * __sxy - __sx * __sy)"))
+      .withColumn("__den", expr(
+        """n * __sxx - __sx * __sx + n * __syy - __sy * __sy
+          |+ (__sx - __sy) * (__sx - __sy)""".stripMargin))
+      .select(kcols :+ col("n") :+
+        expr("""CASE WHEN __den <= 0 THEN NULL
+               |WHEN __num >= 0
+               |  THEN cast((1000000 * __num) div __den as bigint)
+               |ELSE -cast((1000000 * -__num) div __den as bigint)
+               |END""".stripMargin).cast("bigint").as("ccc_ppm"): _*)
+  }
 }

@@ -1765,6 +1765,74 @@ object RobustStats {
           .cast("bigint").as("z_ppm"))
   }
 
+  /** Mood's median test — the k-sample location test that survives
+    * ANY distributional shape: split every value at the pooled GRAND
+    * median (lower weighted median, the q333/q367 convention) and
+    * χ²-test the k×2 above/at-or-below table. Blunter than
+    * Kruskal–Wallis but immune to outliers and unequal spreads — the
+    * robustness cross-check. Exact rendering: with `A = Σ above`,
+    * `B = N − A`, per-group contribution
+    * `c_g = (10⁶·(N·a_g − n_g·A)²) div (A·B·n_g)` (k documented
+    * floors, DECIMAL(38,0) products) and `chi2_ppm = Σ c_g`. One
+    * row: `(k, n_total, median, n_above, chi2_ppm)`; a pool whose
+    * median pins everything to one side (A = 0 or A = N) yields
+    * NULL χ².
+    *
+    * Scale shape (100 TB): rows collapse to (group, value) cells;
+    * the grand-median scan is a cumulative window ON THE VALUE
+    * HISTOGRAM (distinct-value bounded, the [[ansariBradley]]
+    * convention); the k-row group frame finishes with scalar
+    * algebra. Budget: 10⁶·N⁴ inside DECIMAL(38,0) → loud raise past
+    * N = 3·10⁷ pooled rows (pre-bucket values or subsample). */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__t"))
+      .localCheckpoint() // feeds the pooled histogram AND group counts
+    val hist = cells.groupBy(col("__v"))
+      .agg(sum(col("__t")).cast("bigint").as("__h"))
+    val wv = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hist.agg(sum(col("__h")).cast("bigint").as("__N"))
+      .withColumn("__N", expr(
+        "CASE WHEN __N < 30000000 THEN __N ELSE raise_error(" +
+          "'moodMedianTest: > 3e7 pooled rows — the exact ppm budget " +
+          "(10^6 * N^4 in DECIMAL(38,0)) is exhausted; pre-bucket " +
+          "values or subsample') END"))
+    val med = hist.withColumn("__cum", sum(col("__h")).over(wv))
+      .crossJoin(broadcast(tot))
+      .where(col("__cum") >= expr("(__N + 1L) div 2L"))
+      .agg(min(col("__v")).cast("bigint").as("__med"))
+    val grp = cells.crossJoin(broadcast(med))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__v") > col("__med"), col("__t")).otherwise(0L))
+          .cast("bigint").as("__a"),
+        sum(col("__t")).cast("bigint").as("__ng"))
+    val ab = grp.agg(sum(col("__a")).cast("bigint").as("__ta"),
+      sum(col("__ng")).cast("bigint").as("__N2"),
+      count(lit(1)).cast("bigint").as("__k"))
+    grp.crossJoin(broadcast(ab))
+      .withColumn("__term", expr(
+        """CASE WHEN __ta <= 0 OR __ta >= __N2 THEN NULL
+          |ELSE (cast(1000000 as decimal(38,0))
+          |  * (cast(__N2 as decimal(38,0)) * __a
+          |     - cast(__ng as decimal(38,0)) * __ta)
+          |  * (cast(__N2 as decimal(38,0)) * __a
+          |     - cast(__ng as decimal(38,0)) * __ta))
+          |  div (cast(__ta as decimal(38,0)) * (__N2 - __ta) * __ng)
+          |END""".stripMargin))
+      .crossJoin(broadcast(med))
+      .agg(max(col("__k")).as("k"), max(col("__N2")).as("n_total"),
+        max(col("__med")).as("median"), max(col("__ta")).as("n_above"),
+        sum(col("__term")).as("__chi2"))
+      .select(col("k").cast("bigint"), col("n_total").cast("bigint"),
+        col("median").cast("bigint"), col("n_above").cast("bigint"),
+        col("__chi2").cast("bigint").as("chi2_ppm"))
+  }
+
   /** Lepage's L — the classical LOCATION-plus-SCALE omnibus test:
     * `L = z_W² + z_AB²`, the squared standardized Wilcoxon rank-sum
     * ([[wilcoxonRankSum]], location) plus the squared standardized

@@ -3821,5 +3821,128 @@ object StatsQ {
       (s, dir) =>
         graft.operators.RobustStats.lepage(
           t(s, dir, "documents"), col("lang") === "zh", "n_chars"))
+    ,
+
+    // ---- Krippendorff's alpha (nominal, missing-tolerant) --------
+    // Three pseudo-annotators class docs short/mid/long from
+    // different cues; annotators 2 and 3 ABSTAIN on id-modulo slices
+    // — exactly the incomplete design Fleiss (q366) can't take.
+    // Exact per-unit weights via lcm(1..R-1); one documented floor.
+    Q("q394_krippendorff",
+      Some("""WITH r1 AS (SELECT doc_id AS u,
+             |  CASE WHEN n_chars > 400 THEN 'long'
+             |    WHEN n_chars > 200 THEN 'mid' ELSE 'short' END AS c
+             |  FROM documents),
+             |r2 AS (SELECT doc_id AS u,
+             |  CASE WHEN len(string_split(text, ' ')) > 60 THEN 'long'
+             |    WHEN len(string_split(text, ' ')) > 30 THEN 'mid'
+             |    ELSE 'short' END AS c
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |r3 AS (SELECT doc_id AS u,
+             |  CASE WHEN position(' the ' IN text) > 0 AND n_chars > 300
+             |    THEN 'long'
+             |    WHEN position(' the ' IN text) > 0 THEN 'mid'
+             |    ELSE 'short' END AS c
+             |  FROM documents WHERE doc_id % 3 <> 0),
+             |rt AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+             |  UNION ALL SELECT * FROM r3),
+             |uc AS (SELECT u, c, count(*)::BIGINT AS o FROM rt GROUP BY 1, 2),
+             |um AS (SELECT u, sum(o)::BIGINT AS m FROM uc GROUP BY 1
+             |  HAVING sum(o) >= 2),
+             |kept AS (SELECT uc.u, uc.c, uc.o, um.m FROM uc JOIN um USING (u)),
+             |tt AS (SELECT sum(o)::BIGINT AS n,
+             |  count(DISTINCT u)::BIGINT AS units,
+             |  count(DISTINCT c)::BIGINT AS k,
+             |  sum((2 // (m - 1))::HUGEINT * o * (m - o))::HUGEINT AS do_l
+             |  FROM kept),
+             |de AS (SELECT sum(nc::HUGEINT * (tt.n - nc))::HUGEINT AS de_s
+             |  FROM (SELECT c, sum(o)::BIGINT AS nc FROM kept GROUP BY c) x,
+             |  tt)
+             |SELECT units AS n_units, n AS n_ratings, k AS n_categories,
+             |  (CASE WHEN de_s IS NULL OR de_s <= 0 OR n < 2 THEN NULL
+             |   ELSE 1000000 - (1000000::HUGEINT * (n - 1) * do_l)
+             |        // (2 * de_s) END)::BIGINT AS alpha_ppm
+             |FROM tt, de""".stripMargin),
+      (s, dir) => {
+        val d = tp(s, dir, "documents", "doc_id")
+        val lenClass = when(col("n_chars") > 400L, "long")
+          .when(col("n_chars") > 200L, "mid").otherwise("short")
+        val wcClass = when(expr("size(split(text, ' '))") > 60, "long")
+          .when(expr("size(split(text, ' '))") > 30, "mid")
+          .otherwise("short")
+        val theClass = when(col("text").contains(" the ")
+            && col("n_chars") > 300L, "long")
+          .when(col("text").contains(" the "), "mid").otherwise("short")
+        val ratings = d.select(col("doc_id").as("u"), lenClass.as("c"))
+          .unionAll(d.where(col("doc_id") % 5 =!= 0)
+            .select(col("doc_id").as("u"), wcClass.as("c")))
+          .unionAll(d.where(col("doc_id") % 3 =!= 0)
+            .select(col("doc_id").as("u"), theClass.as("c")))
+        graft.operators.EvalStats.krippendorffAlpha(
+          ratings, "u", "c", maxRatersPerUnit = 3)
+      }),
+
+    // ---- Lin's concordance correlation ---------------------------
+    // Per language: does the 6-chars-per-word proxy REPRODUCE the
+    // true char count? CCC punishes the location and scale bias that
+    // Pearson's r forgives — pure integer moment sums, no sqrt.
+    Q("q395_lin_ccc",
+      Some("""WITH b AS (SELECT lang, n_chars::BIGINT AS x,
+             |  (6 * len(string_split(text, ' ')))::BIGINT AS y
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |m AS (SELECT lang, count(*)::BIGINT AS n,
+             |  sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             |  sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             |  sum(y::HUGEINT * y)::HUGEINT AS syy,
+             |  sum(x::HUGEINT * y)::HUGEINT AS sxy
+             |  FROM b GROUP BY lang),
+             |f AS (SELECT lang, n, 2::HUGEINT * (n * sxy - sx * sy) AS num,
+             |  (n * sxx - sx * sx + n * syy - sy * sy
+             |   + (sx - sy) * (sx - sy))::HUGEINT AS den FROM m)
+             |SELECT lang, n,
+             |  (CASE WHEN den <= 0 THEN NULL
+             |   WHEN num >= 0 THEN (1000000 * num) // den
+             |   ELSE -((1000000 * -num) // den) END)::BIGINT AS ccc_ppm
+             |FROM f ORDER BY lang""".stripMargin),
+      (s, dir) =>
+        graft.operators.EvalStats.concordanceCorrelation(
+          tp(s, dir, "documents", "doc_id")
+            .where(col("n_chars").isNotNull)
+            .withColumn("y", expr("6L * size(split(text, ' '))")),
+          "n_chars", "y", Seq("lang"))
+          .orderBy("lang")),
+
+    // ---- Mood's median test --------------------------------------
+    // Do the five languages share a median doc length? The
+    // outlier-immune cross-check of Kruskal-Wallis (q364): split at
+    // the pooled lower median, chi-square the 5x2 table; k
+    // documented per-group floors.
+    Q("q396_mood_median",
+      Some("""WITH b AS (SELECT lang AS g, n_chars::BIGINT AS v
+             |  FROM documents WHERE n_chars IS NOT NULL),
+             |cells AS (SELECT g, v, count(*)::BIGINT AS t FROM b GROUP BY 1, 2),
+             |hist AS (SELECT v, sum(t)::BIGINT AS h FROM cells GROUP BY 1),
+             |tot AS (SELECT sum(h)::BIGINT AS N FROM hist),
+             |cum AS (SELECT v, sum(h) OVER (ORDER BY v
+             |  ROWS UNBOUNDED PRECEDING) AS c FROM hist),
+             |med AS (SELECT min(v)::BIGINT AS m FROM cum, tot
+             |  WHERE c >= (N + 1) // 2),
+             |grp AS (SELECT g,
+             |  sum(CASE WHEN v > m THEN t ELSE 0 END)::BIGINT AS a,
+             |  sum(t)::BIGINT AS ng FROM cells, med GROUP BY g),
+             |ab AS (SELECT sum(a)::BIGINT AS ta, sum(ng)::BIGINT AS N2,
+             |  count(*)::BIGINT AS k FROM grp),
+             |tm AS (SELECT (CASE WHEN ta <= 0 OR ta >= N2 THEN NULL
+             |  ELSE (1000000::HUGEINT * (N2::HUGEINT * a - ng::HUGEINT * ta)
+             |    * (N2::HUGEINT * a - ng::HUGEINT * ta))
+             |    // (ta::HUGEINT * (N2 - ta) * ng) END) AS term
+             |  FROM grp, ab)
+             |SELECT ab.k, ab.N2 AS n_total, med.m AS median,
+             |  ab.ta AS n_above,
+             |  (SELECT sum(term) FROM tm)::BIGINT AS chi2_ppm
+             |FROM ab, med""".stripMargin),
+      (s, dir) =>
+        graft.operators.RobustStats.moodMedianTest(
+          t(s, dir, "documents"), "lang", "n_chars"))
   )
 }

@@ -542,4 +542,50 @@ class EvalStatsSpec extends SparkSpec {
     val s1 = out(1)
     assert(s1.getLong(2) == 0L && s1.isNullAt(5))
   }
+
+  test("krippendorffAlpha: missing ratings, unpairable drop, hand value") {
+    // u1 (a,a), u2 (a,b), u3 (b,b,b), u4 (a,b,b); u5 has ONE rating
+    // (category 'c') and must drop entirely — from n AND from the
+    // category margins. L = lcm(1,2) = 2:
+    // DoL = 2·(1·1+1·1) [u2] + 1·(1·2+2·1) [u4] = 8; n = 10,
+    // n_a = 4, n_b = 6 -> De = 4·6+6·4 = 48;
+    // alpha = 1e6 − (1e6·9·8) div (2·48) = 250000 (true 0.25)
+    val r = Seq(
+      (1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"),
+      (4L, "a"), (4L, "b"), (4L, "b"),
+      (5L, "c")).toDF("u", "c")
+    val out = EvalStats.krippendorffAlpha(r, "u", "c", maxRatersPerUnit = 3)
+      .collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+      == ((4L, 10L, 2L, 250000L)))
+    // perfect agreement -> exactly 1e6
+    val perf = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("u", "c")
+    assert(EvalStats.krippendorffAlpha(perf, "u", "c", 3)
+      .collect().head.getLong(3) == 1000000L)
+    // one category everywhere: De = 0 -> NULL, never a fake 1
+    val mono = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x")).toDF("u", "c")
+    assert(EvalStats.krippendorffAlpha(mono, "u", "c", 3)
+      .collect().head.isNullAt(3))
+  }
+
+  test("concordanceCorrelation: scale bias penalized, identity exact, sign split") {
+    // g1: y = 2x — Pearson r = 1 but CCC must punish the scale bias:
+    // num = 2(2·10 − 18) = 4, den = 1 + 4 + 9 = 14 -> 285714
+    // g2: y = x (shifted pairs) -> exactly 1e6
+    val df = Seq(("g1", 1L, 2L), ("g1", 2L, 4L),
+      ("g2", 3L, 3L), ("g2", 7L, 7L)).toDF("g", "x", "y")
+    val out = EvalStats.concordanceCorrelation(df, "x", "y", Seq("g"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getLong(2) == 285714L)
+    assert(out("g2").getLong(2) == 1000000L)
+    // anticorrelated with offset: num = −2, den = 38 -> −52631
+    val neg = Seq(("n", 1L, -1L), ("n", 2L, -2L)).toDF("g", "x", "y")
+    assert(EvalStats.concordanceCorrelation(neg, "x", "y", Seq("g"))
+      .collect().head.getLong(2) == -52631L)
+    // both sides constant and equal: den = 0 -> NULL
+    val cst = Seq(("c", 5L, 5L), ("c", 5L, 5L)).toDF("g", "x", "y")
+    assert(EvalStats.concordanceCorrelation(cst, "x", "y", Seq("g"))
+      .collect().head.isNullAt(2))
+  }
 }

@@ -799,6 +799,28 @@ class TimeSeriesStatsSpec extends SparkSpec {
       == ((12L, 24L, 1000000L)))
   }
 
+  test("moodMedianTest: grand-median split, complete-separation chi2, degenerate NULL") {
+    import graft.operators.RobustStats
+    // g1 = {1,2,3,4}, g2 = {5,6,7}: N = 7, lower median = 4th
+    // smallest = 4; above: g1 -> 0, g2 -> 3 (complete separation).
+    // chi2 = 1e6·(7·0−4·3)²/(3·4·4) + 1e6·(7·3−3·3)²/(3·4·3) = 7e6
+    // (the Pearson chi2 of [[0,4],[3,0]] is exactly N = 7).
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g2", 5L), ("g2", 6L), ("g2", 7L)).toDF("g", "v")
+    val r = RobustStats.moodMedianTest(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 7L, 4L, 3L, 7000000L)))
+    // identical groups: every group splits like the pool -> chi2 = 0
+    val same = Seq(("a", 1L), ("a", 9L), ("b", 1L), ("b", 9L))
+      .toDF("g", "v")
+    assert(RobustStats.moodMedianTest(same, "g", "v")
+      .collect().head.getLong(4) == 0L)
+    // all values equal: nothing above the median -> NULL, not 0
+    val tied = Seq(("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    assert(RobustStats.moodMedianTest(tied, "g", "v")
+      .collect().head.isNullAt(4))
+  }
+
   test("lepage: composes the location and scale z's; NULL propagates") {
     import graft.operators.RobustStats
     // A = {1,4}, B = {2,3}: pure spread change — the Wilcoxon piece
