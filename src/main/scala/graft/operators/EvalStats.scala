@@ -1340,6 +1340,51 @@ object EvalStats {
                |END""".stripMargin).cast("bigint").as("alpha_ppm"))
   }
 
+  /** Gwet's AC1 for n binary raters — the PARADOX-RESISTANT
+    * agreement coefficient: when prevalence is skewed (say 95% of
+    * docs are "clean"), [[fleissKappa]]'s chance term approaches the
+    * observed agreement and κ collapses toward 0 even for
+    * near-perfect raters; AC1's chance term `2π(1−π)` instead
+    * approaches 0, keeping the coefficient informative — run both and
+    * diverging values flag a prevalence problem, not a rater problem.
+    * Same input and observed-agreement sum as fleissKappa
+    * (`S1 = Σ a² + (n−a)² − n`); with `SA = Σa`, `Nn = N·n`:
+    *
+    *   ac1 = (S1·(Nn)² − 2·SA·(Nn−SA)·Nn(n−1)) /
+    *         (Nn(n−1) · ((Nn)² − 2·SA·(Nn−SA)))
+    *
+    * one sign-split ppm floor on DECIMAL(38,0). One row:
+    * `(n_items, n_raters, ac1_ppm)`; a degenerate pool (everyone
+    * always positive or always negative — chance term 1) yields NULL.
+    *
+    * Scale shape (100 TB): identical to fleissKappa — per-row rater
+    * conditions, one global three-sum aggregation. */
+  def gwetAC1(df: DataFrame,
+              raterConds: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val n = raterConds.size
+    require(n >= 2, "gwetAC1 needs at least two raters")
+    val a = raterConds.map(c => when(c, 1L).otherwise(0L)).reduce(_ + _)
+    df.select(a.as("__a"))
+      .agg(count(lit(1)).cast("bigint").as("__N"),
+        sum(col("__a")).cast("bigint").as("__SA"),
+        sum(expr(s"__a * __a + (${n}L - __a) * (${n}L - __a) - ${n}L"))
+          .cast("bigint").as("__S1"))
+      .withColumn("__Nn", expr(s"__N * ${n}L"))
+      .withColumn("__pe2", expr(
+        "cast(2 as decimal(38,0)) * __SA * (__Nn - __SA)"))
+      .withColumn("__num", expr(
+        s"cast(__S1 as decimal(38,0)) * __Nn * __Nn " +
+          s"- __pe2 * __Nn * ${n - 1}L"))
+      .withColumn("__den", expr(
+        s"cast(__Nn as decimal(38,0)) * ${n - 1}L " +
+          "* (cast(__Nn as decimal(38,0)) * __Nn - __pe2)"))
+      .select(col("__N").as("n_items"), lit(n.toLong).as("n_raters"),
+        expr("CASE WHEN __den <= 0 THEN NULL " +
+          "WHEN __num >= 0 THEN cast((1000000 * __num) div __den as bigint) " +
+          "ELSE -cast((1000000 * -__num) div __den as bigint) END")
+          .cast("bigint").as("ac1_ppm"))
+  }
+
   /** Lin's concordance correlation coefficient — "does the cheap
     * score REPRODUCE the reference score?", penalizing location and
     * scale bias where Pearson's r forgives both (the calibration

@@ -1765,6 +1765,87 @@ object RobustStats {
           .cast("bigint").as("z_ppm"))
   }
 
+  /** Quade test — the block-weighted refinement of
+    * [[graft.operators.EvalStats.friedmanRanks]]: blocks with a WIDE
+    * value range carry proportionally more evidence about treatment
+    * order than near-flat blocks, so each block's within-block ranks
+    * are weighted by the rank of its range. Doubled midranks
+    * everywhere (the q375 convention) make every intermediate an
+    * exact integer in ×4 units: `S4_ij = Q2_i·(r2_ij − (k+1))` with
+    * `r2` the within-block and `Q2` the across-block (range) doubled
+    * midranks; with `A16 = Σ S4²` and `B16 = Σ_j (Σ_i S4_ij)²`,
+    *
+    *   F = (b−1)·B16 / (b·A16 − B16)
+    *
+    * (the ×16 scaling cancels; Cauchy–Schwarz keeps the denominator
+    * ≥ 0). One documented ppm floor. Blocks must be complete (loud
+    * raise). One row: `(n_blocks, k, a_x16, b_x16, f_ppm)`; an
+    * all-tied pool (A16 = B16 = 0) yields NULL.
+    *
+    * Scale shape (100 TB): within-block ranks ride k-row block
+    * windows; the across-block range ranking rides the
+    * bucket-decomposed [[Sequencing.runningTotalsBefore]] on the
+    * RANGE HISTOGRAM (never a single-reducer sort of b blocks); two
+    * keyed aggregations end the plan. Budget: 10⁶·b⁵k³ inside
+    * DECIMAL(38,0) → loud raise past b = 3·10⁵ blocks. */
+  def quadeTest(df: DataFrame, blockCol: String, treatmentCol: String,
+                valueCol: String, buckets: Int = 32): DataFrame = {
+    val base = df.select(col(blockCol).as("__b"), col(treatmentCol).as("__tr"),
+      col(valueCol).cast("bigint").as("__v"))
+    val wB = Window.partitionBy(col("__b"))
+    val ranked = base
+      .withColumn("__r2",
+        expr("2L").multiply(coalesce(count(lit(1)).over(
+          wB.orderBy(col("__v")).rangeBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+          .plus(count(lit(1)).over(
+            wB.orderBy(col("__v")).rangeBetween(0, 0)))
+          .plus(lit(1L)))
+      .localCheckpoint() // feeds the range ranking AND the S4 frame
+    val ranges = ranked.groupBy(col("__b"))
+      .agg((max(col("__v")) - min(col("__v"))).cast("bigint").as("__rg"),
+        count(lit(1)).cast("bigint").as("__kb"))
+    val rhist = ranges.groupBy(col("__rg"))
+      .agg(count(lit(1)).cast("bigint").as("__t"))
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      rhist, "__rg", "__rg", Seq("__t"), buckets, "quadeTest")
+    val b = totals("__t")
+    if (b >= 300000L)
+      throw new IllegalArgumentException(
+        "quadeTest: > 300k blocks — the exact ppm budget (10^6 * b^5 * " +
+          "k^3 in DECIMAL(38,0)) is exhausted; pre-aggregate blocks")
+    val q2 = cum.withColumn("__q2", expr("2L * __cum___t + __t + 1L"))
+      .select(col("__rg"), col("__q2"))
+    val s4 = ranked
+      .join(ranges.join(q2, Seq("__rg"))
+        .select(col("__b"), col("__q2"), col("__kb")), Seq("__b"))
+      .withColumn("__s4", expr("__q2 * (__r2 - (__kb + 1L))"))
+    val perT = s4.groupBy(col("__tr"))
+      .agg(sum(expr("cast(__s4 as decimal(38,0))")).as("__s4j"),
+        count(lit(1)).cast("bigint").as("__nb"))
+    val scal = s4.agg(
+      sum(expr("cast(__s4 as decimal(38,0)) * __s4")).as("__a16"),
+      min(col("__kb")).cast("bigint").as("__kmin"),
+      max(col("__kb")).cast("bigint").as("__kmax"))
+    perT.crossJoin(broadcast(scal))
+      // the guarded column IS the emitted k, so the incompleteness
+      // raise can never be pruned out of the plan
+      .withColumn("__kmin", expr(
+        "CASE WHEN __kmin = __kmax THEN __kmin ELSE raise_error(" +
+          "'quadeTest: blocks are incomplete — build the full " +
+          "block x treatment grid first') END"))
+      .agg(max(col("__kmin")).cast("bigint").as("k"),
+        max(col("__a16")).as("__a16"),
+        sum(expr("__s4j * __s4j")).as("__b16"))
+      .select(lit(b).cast("bigint").as("n_blocks"), col("k"),
+        col("__a16").cast("bigint").as("a_x16"),
+        col("__b16").cast("bigint").as("b_x16"),
+        expr(s"""CASE WHEN ${b}L * __a16 - __b16 <= 0 THEN NULL
+               |ELSE cast((cast(1000000 as decimal(38,0)) * ${b - 1}L
+               |  * __b16) div (${b}L * __a16 - __b16) as bigint)
+               |END""".stripMargin).cast("bigint").as("f_ppm"))
+  }
+
   /** Mood's median test — the k-sample location test that survives
     * ANY distributional shape: split every value at the pooled GRAND
     * median (lower weighted median, the q333/q367 convention) and

@@ -3944,5 +3944,81 @@ object StatsQ {
       (s, dir) =>
         graft.operators.RobustStats.moodMedianTest(
           t(s, dir, "documents"), "lang", "n_chars"))
+    ,
+
+    // ---- Quade test (block-weighted Friedman) --------------------
+    // q351's question — do users order the five event types the same
+    // way? — but heavy users (wide count ranges) carry more evidence
+    // than near-flat ones: within-block ranks weighted by the rank
+    // of the block range, everything in exact x4 doubled-midrank
+    // units, one ppm floor.
+    Q("q397_quade",
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+             |ty AS (SELECT unnest(['view','click','purchase','signup','error']) AS et),
+             |c AS (SELECT user_id, event_type AS et, count(*)::BIGINT AS v
+             |  FROM events GROUP BY user_id, event_type),
+             |g AS (SELECT u.user_id, ty.et, coalesce(c.v, 0) AS v
+             |  FROM u CROSS JOIN ty LEFT JOIN c USING (user_id, et)),
+             |rk AS (SELECT user_id, et,
+             |  2 * (rank() OVER (PARTITION BY user_id ORDER BY v) - 1)
+             |    + count(*) OVER (PARTITION BY user_id, v) + 1 AS r2 FROM g),
+             |rg AS (SELECT user_id, (max(v) - min(v))::BIGINT AS rgv
+             |  FROM g GROUP BY 1),
+             |qq AS (SELECT user_id,
+             |  2 * (rank() OVER (ORDER BY rgv) - 1)
+             |    + count(*) OVER (PARTITION BY rgv) + 1 AS q2 FROM rg),
+             |s4 AS (SELECT rk.et, (qq.q2 * (rk.r2 - 6))::BIGINT AS s4
+             |  FROM rk JOIN qq USING (user_id)),
+             |pt AS (SELECT et, sum(s4::HUGEINT)::HUGEINT AS s4j
+             |  FROM s4 GROUP BY et),
+             |ag AS (SELECT (SELECT count(*) FROM u)::BIGINT AS b,
+             |  count(*)::BIGINT AS k, sum(s4j * s4j)::HUGEINT AS b16 FROM pt),
+             |a2 AS (SELECT sum(s4::HUGEINT * s4)::HUGEINT AS a16 FROM s4)
+             |SELECT b AS n_blocks, k, a16::BIGINT AS a_x16,
+             |  b16::BIGINT AS b_x16,
+             |  (CASE WHEN b * a16 - b16 <= 0 THEN NULL
+             |   ELSE (1000000::HUGEINT * (b - 1) * b16)
+             |        // (b * a16 - b16) END)::BIGINT AS f_ppm
+             |FROM ag, a2""".stripMargin),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val users = ev.select(col("user_id")).distinct()
+        val ty = ev.sparkSession.range(1).select(explode(array(
+          Seq("view", "click", "purchase", "signup", "error")
+            .map(lit): _*)).as("et"))
+        val cnt = ev.groupBy(col("user_id"), col("event_type").as("et"))
+          .agg(count(lit(1)).cast("bigint").as("v"))
+        val grid = users.crossJoin(broadcast(ty))
+          .join(cnt, Seq("user_id", "et"), "left")
+          .withColumn("v", coalesce(col("v"), lit(0L)))
+        graft.operators.RobustStats.quadeTest(grid, "user_id", "et", "v")
+      }),
+
+    // ---- Gwet's AC1 (paradox-resistant agreement) ----------------
+    // The q366 detector trio re-scored with the chance term that
+    // does NOT collapse under skewed prevalence — kappa vs AC1
+    // divergence flags a prevalence problem, not a rater problem.
+    Q("q398_gwet_ac1",
+      Some("""WITH p AS (SELECT
+             |  CASE WHEN n_chars > 400 THEN 1 ELSE 0 END +
+             |  CASE WHEN len(string_split(text, ' ')) > 60 THEN 1 ELSE 0 END +
+             |  CASE WHEN position(' the ' IN text) > 0 THEN 1 ELSE 0 END AS a
+             |  FROM documents),
+             |ag AS (SELECT count(*)::BIGINT AS nn, sum(a)::BIGINT AS sa,
+             |  sum(a * a + (3 - a) * (3 - a) - 3)::BIGINT AS s1 FROM p),
+             |f AS (SELECT nn, nn * 3 AS nr, sa, s1,
+             |  2::HUGEINT * sa * (nn * 3 - sa) AS pe2 FROM ag),
+             |g AS (SELECT nn, s1::HUGEINT * nr * nr - pe2 * nr * 2 AS num,
+             |  nr::HUGEINT * 2 * (nr::HUGEINT * nr - pe2) AS den FROM f)
+             |SELECT nn AS n_items, 3::BIGINT AS n_raters,
+             |  (CASE WHEN den <= 0 THEN NULL
+             |   WHEN num >= 0 THEN (1000000 * num) // den
+             |   ELSE -((1000000 * -num) // den) END)::BIGINT AS ac1_ppm
+             |FROM g""".stripMargin),
+      (s, dir) =>
+        graft.operators.EvalStats.gwetAC1(t(s, dir, "documents"), Seq(
+          col("n_chars") > 400L,
+          expr("size(split(text, ' ')) > 60"),
+          col("text").contains(" the "))))
   )
 }

@@ -569,6 +569,26 @@ class EvalStatsSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("gwetAC1: hand value, and the prevalence paradox vs fleissKappa") {
+    // Two raters on 4 items with a-counts {2,1,2,0}: S1 = 6, SA = 5,
+    // Nn = 8 -> num = 6·64 − 30·8 = 144, den = 8·(64−30) = 272 ->
+    // ac1 = 529411 (true 0.5294)
+    val df = Seq((2L, 0L), (1L, 1L), (2L, 0L), (0L, 2L)).toDF("p", "q")
+    val out = EvalStats.gwetAC1(df,
+      Seq(col("p") >= 1L, col("p") >= 2L)).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2))
+      == ((4L, 2L, 529411L)))
+    // the paradox: 99 all-positive items + 1 split item. Observed
+    // agreement is 99% but kappa collapses to ~0 (chance term ≈ Pa)
+    // while AC1 stays high (chance term ≈ 0) — the whole point.
+    val skew = (Seq.fill(99)((1L, 1L)) :+ (1L, 0L)).toDF("r1", "r2")
+    val conds = Seq(col("r1") === 1L, col("r2") === 1L)
+    val kappa = EvalStats.fleissKappa(skew, conds).collect().head.getLong(2)
+    val ac1 = EvalStats.gwetAC1(skew, conds).collect().head.getLong(2)
+    assert(kappa < 0L)              // kappa punishes the prevalence
+    assert(ac1 > 900000L)           // AC1 reads the 99% agreement
+  }
+
   test("concordanceCorrelation: scale bias penalized, identity exact, sign split") {
     // g1: y = 2x — Pearson r = 1 but CCC must punish the scale bias:
     // num = 2(2·10 − 18) = 4, den = 1 + 4 + 9 = 14 -> 285714

@@ -799,6 +799,36 @@ class TimeSeriesStatsSpec extends SparkSpec {
       == ((12L, 24L, 1000000L)))
   }
 
+  test("quadeTest: range-weighted blocks, x4 units, all-tied NULL, incomplete raise") {
+    import graft.operators.RobustStats
+    // blocks: b1 = (1,2,3) range 2, b2 = (2,4,6) range 4,
+    // b3 = (5,5,5) range 0. Range ranks Q2 = (4,6,2); within-block
+    // doubled ranks (2,4,6) except b3's all-tied (4,4,4).
+    // S4 = Q2·(r2−4): b1 (−8,0,8), b2 (−12,0,12), b3 (0,0,0) ->
+    // per-treatment sums (−20,0,20): B16 = 800, A16 = 416,
+    // F = 1e6·2·800 div (3·416 − 800) = 3571428 (true 100/28)
+    val df = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 2L), ("b2", "t2", 4L), ("b2", "t3", 6L),
+      ("b3", "t1", 5L), ("b3", "t2", 5L), ("b3", "t3", 5L))
+      .toDF("b", "tr", "v")
+    val r = RobustStats.quadeTest(df, "b", "tr", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 3L, 416L, 800L, 3571428L)))
+    // every value identical: A16 = B16 = 0 -> NULL, never 0/0
+    val flat = Seq(("b1", "t1", 7L), ("b1", "t2", 7L),
+      ("b2", "t1", 7L), ("b2", "t2", 7L)).toDF("b", "tr", "v")
+    assert(RobustStats.quadeTest(flat, "b", "tr", "v")
+      .collect().head.isNullAt(4))
+    // incomplete blocks raise loudly
+    val bad = Seq(("b1", "t1", 1L), ("b1", "t2", 2L), ("b2", "t1", 3L))
+      .toDF("b", "tr", "v")
+    val e = intercept[Exception] {
+      RobustStats.quadeTest(bad, "b", "tr", "v").collect()
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
+
   test("moodMedianTest: grand-median split, complete-separation chi2, degenerate NULL") {
     import graft.operators.RobustStats
     // g1 = {1,2,3,4}, g2 = {5,6,7}: N = 7, lower median = 4th
