@@ -1340,6 +1340,65 @@ object EvalStats {
                |END""".stripMargin).cast("bigint").as("alpha_ppm"))
   }
 
+  /** Exact decision-threshold sweep — "where do I set the quality
+    * filter's cutoff?": for EVERY distinct score s (rule: keep when
+    * score ≥ s), the confusion counts come from suffix sums over the
+    * score histogram, Youden's J picks the operating point, and the
+    * F1 at that point rides along:
+    *
+    *   J(s)  = (10⁶·TP) div P − (10⁶·FP) div N     (two floors)
+    *   F1(s) = (2·10⁶·TP) div (TP + FP + P)        (one floor)
+    *
+    * Deterministic selection: max J, ties to the SMALLEST threshold
+    * (the most permissive cutoff achieving the optimum). One row:
+    * `(n_pos, n_neg, n_thresholds, best_threshold, j_ppm, f1_ppm)`;
+    * a single-class pool yields NULLs (no trade-off to optimize).
+    *
+    * Scale shape (100 TB): rows collapse to the (score, label)
+    * histogram; suffix sums = totals − the bucket-decomposed
+    * [[graft.operators.Sequencing.runningTotalsBefore]] prefix
+    * (never a single-reducer window); the argmax is a top-1
+    * TakeOrdered over distinct scores, never a full sort. */
+  def thresholdSweep(df: DataFrame, scoreCol: String,
+                     posCond: org.apache.spark.sql.Column,
+                     buckets: Int = 32): DataFrame = {
+    val hist = df.select(col(scoreCol).cast("bigint").as("__s"),
+        when(posCond, 1L).otherwise(0L).as("__p"))
+      .where(col("__s").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(col("__p")).cast("bigint").as("__tp0"),
+        (count(lit(1)) - sum(col("__p"))).cast("bigint").as("__tn0"))
+    val (cum, totals) = graft.operators.Sequencing.runningTotalsBefore(
+      hist, "__s", "__s", Seq("__tp0", "__tn0"), buckets, "thresholdSweep")
+    val (p, nn) = (totals("__tp0"), totals("__tn0"))
+    val scored = cum
+      .withColumn("__tp", expr(s"${p}L - __cum___tp0"))
+      .withColumn("__fp", expr(s"${nn}L - __cum___tn0"))
+      .withColumn("__j", expr(
+        s"""CASE WHEN ${p}L = 0 OR ${nn}L = 0 THEN NULL
+           |ELSE (cast(1000000 as decimal(38,0)) * __tp) div ${p}L
+           |   - (cast(1000000 as decimal(38,0)) * __fp) div ${nn}L
+           |END""".stripMargin))
+      .withColumn("__f1", expr(
+        s"""CASE WHEN __tp + __fp + ${p}L = 0 THEN NULL
+           |ELSE (cast(2000000 as decimal(38,0)) * __tp)
+           |  div (__tp + __fp + ${p}L) END""".stripMargin))
+    scored
+      .orderBy(col("__j").desc_nulls_last, col("__s"))
+      .limit(1)
+      .select(lit(p).cast("bigint").as("n_pos"),
+        lit(nn).cast("bigint").as("n_neg"),
+        lit(null).cast("bigint").as("__placeholder"),
+        col("__s").cast("bigint").as("best_threshold"),
+        col("__j").cast("bigint").as("j_ppm"),
+        col("__f1").cast("bigint").as("f1_ppm"))
+      .drop("__placeholder")
+      .crossJoin(broadcast(hist.agg(
+        count(lit(1)).cast("bigint").as("n_thresholds"))))
+      .select(col("n_pos"), col("n_neg"), col("n_thresholds"),
+        col("best_threshold"), col("j_ppm"), col("f1_ppm"))
+  }
+
   /** Gwet's AC1 for n binary raters — the PARADOX-RESISTANT
     * agreement coefficient: when prevalence is skewed (say 95% of
     * docs are "clean"), [[fleissKappa]]'s chance term approaches the

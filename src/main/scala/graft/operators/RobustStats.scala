@@ -1765,6 +1765,76 @@ object RobustStats {
           .cast("bigint").as("z_ppm"))
   }
 
+  /** Brunner–Munzel test — the two-sample rank test that does NOT
+    * assume equal variances or shapes (the Behrens–Fisher analogue of
+    * Wilcoxon, today's recommended default): estimates
+    * `p̂ = P(X<Y) + ½P(X=Y)` from placements and studentizes with
+    * PER-ARM placement variances. Doubled placements off the value
+    * histogram (`u_x(v) = 2·cumB(<v) + t_B(v)`, mirrored for Y) make
+    * everything exact: with `d = Σu_y − mn`,
+    * `V_x = mΣu_x² − (Σu_x)²` (ditto V_y) and
+    * `K = V_x(n−1) + V_y(m−1)`,
+    *
+    *   t = d · √((m−1)(n−1)/K),  rendered
+    *   t_ppm = sign(d) · isqrt((10¹²·d²·(m−1)(n−1)) div K)
+    *
+    * — one floored div inside the exact-isqrt ladder (the q360
+    * convention). One row: `(n_a, n_b, p_hat_ppm, t_ppm)` with
+    * `p_hat_ppm = (10⁶·Σu_y) div (2mn)`; complete separation or
+    * sub-2 arms (K ≤ 0) yields NULL t.
+    *
+    * Scale shape (100 TB): distinct-value histogram, bucket-
+    * decomposed cumulatives, one scalar aggregate — identical to
+    * [[watsonU2Drift]]. Budget: 10¹²·d²·mn ≈ 10¹²·N⁶/16 exhausts
+    * DECIMAL(38,0) near N ≈ 3·10⁴ pooled rows — loud raise past
+    * 30000 (pre-bucket values or subsample arms). */
+  def brunnerMunzel(df: DataFrame, armBCond: org.apache.spark.sql.Column,
+                    valueCol: String, buckets: Int = 32): DataFrame = {
+    val hist = df.select(col(valueCol).cast("bigint").as("__v"),
+        when(armBCond, 1L).otherwise(0L).as("__arm"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).cast("bigint").as("__t"),
+        sum(col("__arm")).cast("bigint").as("__tb"))
+      .withColumn("__ta", col("__t") - col("__tb"))
+    val (cum, totals) = Sequencing.runningTotalsBefore(
+      hist, "__v", "__v", Seq("__ta", "__tb"), buckets, "brunnerMunzel")
+    val (m, n) = (totals("__ta"), totals("__tb"))
+    if (m + n >= 30000L)
+      throw new IllegalArgumentException(
+        "brunnerMunzel: > 30k pooled rows — the exact ppm budget " +
+          "(10^12 * d^2 * m * n in DECIMAL(38,0)) is exhausted; " +
+          "pre-bucket values or subsample arms")
+    val ag = cum
+      .withColumn("__ux", expr("2L * __cum___tb + __tb"))
+      .withColumn("__uy", expr("2L * __cum___ta + __ta"))
+      .agg(
+        sum(expr("cast(__ta as decimal(38,0)) * __ux")).as("__sux"),
+        sum(expr("cast(__ta as decimal(38,0)) * __ux * __ux")).as("__sux2"),
+        sum(expr("cast(__tb as decimal(38,0)) * __uy")).as("__suy"),
+        sum(expr("cast(__tb as decimal(38,0)) * __uy * __uy")).as("__suy2"))
+    ag
+      .withColumn("__vx", expr(s"${m}L * __sux2 - __sux * __sux"))
+      .withColumn("__vy", expr(s"${n}L * __suy2 - __suy * __suy"))
+      .withColumn("__k", expr(
+        s"__vx * ${n - 1}L + __vy * ${m - 1}L"))
+      .withColumn("__d", expr(s"__suy - ${m * n}L"))
+      .withColumn("__q", expr(
+        s"""CASE WHEN __k > 0 THEN (cast(1000000000000 as decimal(38,0))
+           |  * __d * __d * ${(m - 1) * (n - 1)}L) div __k
+           |ELSE cast(0 as decimal(38,0)) END""".stripMargin))
+      .transform(graft.util.ExactMath.withIsqrt(_, "__q", "__rt"))
+      .select(lit(m).cast("bigint").as("n_a"), lit(n).cast("bigint").as("n_b"),
+        expr(s"""CASE WHEN ${m}L = 0 OR ${n}L = 0 THEN NULL
+               |ELSE cast((cast(1000000 as decimal(38,0)) * __suy)
+               |  div ${2 * m * n}L as bigint) END""".stripMargin)
+          .cast("bigint").as("p_hat_ppm"),
+        expr("""CASE WHEN __k <= 0 THEN NULL
+               |WHEN __d >= 0 THEN cast(__rt as bigint)
+               |ELSE -cast(__rt as bigint) END""".stripMargin)
+          .cast("bigint").as("t_ppm"))
+  }
+
   /** Quade test — the block-weighted refinement of
     * [[graft.operators.EvalStats.friedmanRanks]]: blocks with a WIDE
     * value range carry proportionally more evidence about treatment

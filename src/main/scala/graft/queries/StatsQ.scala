@@ -4020,5 +4020,95 @@ object StatsQ {
           col("n_chars") > 400L,
           expr("size(split(text, ' ')) > 60"),
           col("text").contains(" the "))))
+    ,
+
+    // ---- Brunner-Munzel generalized Wilcoxon ---------------------
+    // Are French doc lengths stochastically larger than the rest,
+    // WITHOUT assuming equal spreads? Placements off the value
+    // histogram, per-arm placement variances, the q360-convention
+    // floored-div-inside-isqrt studentization.
+    Q("q399_brunner_munzel", {
+      val ladder = graft.util.ExactMath.duckIsqrtSteps("rt").zipWithIndex
+        .map { case (sel, i) =>
+          val from = if (i == 0) "q2" else s"i${i - 1}"
+          s"i$i AS ($sel FROM $from)"
+        }.mkString(",\n")
+      Some(s"""WITH d AS (SELECT CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS arm,
+              |  n_chars::BIGINT AS v FROM documents WHERE n_chars IS NOT NULL),
+              |cells AS (SELECT v,
+              |  sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS ta,
+              |  sum(arm)::BIGINT AS tb FROM d GROUP BY v),
+              |tot AS (SELECT sum(ta)::BIGINT AS m, sum(tb)::BIGINT AS n
+              |  FROM cells),
+              |st AS (SELECT ta, tb,
+              |  2 * coalesce(sum(tb) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    + tb AS ux,
+              |  2 * coalesce(sum(ta) OVER (ORDER BY v
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |    + ta AS uy FROM cells),
+              |ag AS (SELECT sum(ta::HUGEINT * ux)::HUGEINT AS sux,
+              |  sum(ta::HUGEINT * ux * ux)::HUGEINT AS sux2,
+              |  sum(tb::HUGEINT * uy)::HUGEINT AS suy,
+              |  sum(tb::HUGEINT * uy * uy)::HUGEINT AS suy2 FROM st),
+              |f AS (SELECT m, n, suy,
+              |  (m * sux2 - sux * sux)::HUGEINT AS vx,
+              |  (n * suy2 - suy * suy)::HUGEINT AS vy FROM ag, tot),
+              |g AS (SELECT m, n, suy,
+              |  (vx * (n - 1) + vy * (m - 1))::HUGEINT AS kk,
+              |  (suy - m::HUGEINT * n)::HUGEINT AS dd FROM f),
+              |q2 AS (SELECT *, (CASE WHEN kk > 0
+              |  THEN (1000000000000::HUGEINT * dd * dd * ((m - 1) * (n - 1)))
+              |       // kk ELSE 0::HUGEINT END) AS x FROM g),
+              |$ladder
+              |SELECT m::BIGINT AS n_a, n::BIGINT AS n_b,
+              |  (CASE WHEN m = 0 OR n = 0 THEN NULL
+              |   ELSE (1000000::HUGEINT * suy) // (2 * m::HUGEINT * n)
+              |   END)::BIGINT AS p_hat_ppm,
+              |  (CASE WHEN kk <= 0 THEN NULL
+              |   WHEN dd >= 0 THEN rt ELSE -rt END)::BIGINT AS t_ppm
+              |FROM i4""".stripMargin)
+    },
+      (s, dir) =>
+        graft.operators.RobustStats.brunnerMunzel(
+          t(s, dir, "documents"), col("lang") === "fr", "n_chars")),
+
+    // ---- exact decision-threshold sweep --------------------------
+    // Where should the purchase-score filter cut? Every distinct
+    // score as a candidate threshold via suffix sums on the score
+    // histogram; Youden's J picks the operating point (ties to the
+    // most permissive cutoff), F1 rides along.
+    Q("q400_threshold_sweep",
+      Some("""WITH b AS (SELECT CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS s,
+             |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+             |  FROM events),
+             |h AS (SELECT s, sum(p)::BIGINT AS tp0,
+             |  (count(*) - sum(p))::BIGINT AS tn0 FROM b GROUP BY s),
+             |tot AS (SELECT sum(tp0)::BIGINT AS np, sum(tn0)::BIGINT AS nn,
+             |  count(*)::BIGINT AS nt FROM h),
+             |st AS (SELECT s,
+             |  np - coalesce(sum(tp0) OVER (ORDER BY s
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tp,
+             |  nn - coalesce(sum(tn0) OVER (ORDER BY s
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fp,
+             |  np, nn FROM h, tot),
+             |j AS (SELECT s, tp, fp,
+             |  (CASE WHEN np = 0 OR nn = 0 THEN NULL
+             |   ELSE (1000000::HUGEINT * tp) // np
+             |      - (1000000::HUGEINT * fp) // nn END) AS jv,
+             |  (CASE WHEN tp + fp + np = 0 THEN NULL
+             |   ELSE (2000000::HUGEINT * tp) // (tp + fp + np) END) AS f1
+             |  FROM st),
+             |top AS (SELECT * FROM j ORDER BY jv DESC NULLS LAST, s LIMIT 1)
+             |SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+             |  nt AS n_thresholds, s::BIGINT AS best_threshold,
+             |  jv::BIGINT AS j_ppm, f1::BIGINT AS f1_ppm
+             |FROM top, tot""".stripMargin),
+      (s, dir) =>
+        graft.operators.EvalStats.thresholdSweep(
+          tp(s, dir, "events", "event_id")
+            .withColumn("mv", expr(
+              "cast(floor(value * 1000000d + 0.5d) as bigint)")),
+          "mv", col("event_type") === "purchase"))
   )
 }

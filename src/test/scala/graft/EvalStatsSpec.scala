@@ -569,6 +569,27 @@ class EvalStatsSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("thresholdSweep: suffix-sum confusion, J tie to permissive cutoff, perfect split") {
+    // pos scores {3,4}, neg {1,3}: J(1) = 0, J(3) = J(4) = 500000 —
+    // the tie resolves to the SMALLEST threshold 3, where F1 =
+    // 2e6·2/(2+1+2) = 800000
+    val df = Seq((3L, true), (4L, true), (1L, false), (3L, false))
+      .toDF("s", "lab")
+    val r = EvalStats.thresholdSweep(df, "s", col("lab")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((2L, 2L, 3L, 3L, 500000L, 800000L)))
+    // perfectly separable: J = F1 = 1e6 exactly at the class boundary
+    val sep = Seq((5L, true), (6L, true), (1L, false), (2L, false))
+      .toDF("s", "lab")
+    val rp = EvalStats.thresholdSweep(sep, "s", col("lab")).collect().head
+    assert((rp.getLong(3), rp.getLong(4), rp.getLong(5))
+      == ((5L, 1000000L, 1000000L)))
+    // single-class pool: no trade-off to optimize -> NULL J
+    val mono = Seq((1L, true), (2L, true)).toDF("s", "lab")
+    assert(EvalStats.thresholdSweep(mono, "s", col("lab"))
+      .collect().head.isNullAt(4))
+  }
+
   test("gwetAC1: hand value, and the prevalence paradox vs fleissKappa") {
     // Two raters on 4 items with a-counts {2,1,2,0}: S1 = 6, SA = 5,
     // Nn = 8 -> num = 6·64 − 30·8 = 144, den = 8·(64−30) = 272 ->

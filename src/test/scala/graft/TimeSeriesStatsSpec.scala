@@ -799,6 +799,28 @@ class TimeSeriesStatsSpec extends SparkSpec {
       == ((12L, 24L, 1000000L)))
   }
 
+  test("brunnerMunzel: interleaved arms, arm-swap antisymmetry, separation NULL") {
+    import graft.operators.RobustStats
+    // X = {1,3}, Y = {2,4}: doubled placements u_x = (0,2),
+    // u_y = (2,4) -> p_hat = 6/8 = 750000; V_x = V_y = 4, K = 8,
+    // d = 2 -> t = isqrt((1e12·4·1) div 8) = 707106 (true 1/√2)
+    val df = Seq((0L, 1L), (1L, 2L), (0L, 3L), (1L, 4L)).toDF("arm", "v")
+    val r = RobustStats.brunnerMunzel(df, col("arm") === 1L, "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 2L, 750000L, 707106L)))
+    // swapping arms mirrors p around 1/2 and flips t exactly
+    val rs = RobustStats.brunnerMunzel(df, col("arm") === 0L, "v")
+      .collect().head
+    assert((rs.getLong(2), rs.getLong(3)) == ((250000L, -707106L)))
+    // complete separation: zero placement variance in BOTH arms ->
+    // K = 0 -> NULL t (the statistic is infinite), p_hat still 1
+    val sep = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("arm", "v")
+    val rd = RobustStats.brunnerMunzel(sep, col("arm") === 1L, "v")
+      .collect().head
+    assert(rd.getLong(2) == 1000000L && rd.isNullAt(3))
+  }
+
   test("quadeTest: range-weighted blocks, x4 units, all-tied NULL, incomplete raise") {
     import graft.operators.RobustStats
     // blocks: b1 = (1,2,3) range 2, b2 = (2,4,6) range 4,
