@@ -62,10 +62,15 @@ object Associations {
       .groupBy(col("x.__it").as("item_a"), col("y.__it").as("item_b"))
       .agg(count(lit(1)).cast("bigint").as("n_ab"))
       .where(col("n_ab") >= minSupport)
+    // the marginal tables are VOCABULARY-sized (one row per distinct
+    // item) — pin the broadcast instead of trusting AQE to discover
+    // it at runtime: two fewer shuffle stages on the pair frame
     pairs
-      .join(itemSupp.select(col("__it").as("item_a"), col("__supp").as("n_a")),
+      .join(broadcast(itemSupp
+        .select(col("__it").as("item_a"), col("__supp").as("n_a"))),
         Seq("item_a"))
-      .join(itemSupp.select(col("__it").as("item_b"), col("__supp").as("n_b")),
+      .join(broadcast(itemSupp
+        .select(col("__it").as("item_b"), col("__supp").as("n_b"))),
         Seq("item_b"))
       .crossJoin(broadcast(nBaskets))
       .withColumn("conf_ab_ppm", expr("(1000000L * n_ab) div n_a"))

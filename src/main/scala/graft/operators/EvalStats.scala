@@ -1352,7 +1352,9 @@ object EvalStats {
     * Deterministic selection: max J, ties to the SMALLEST threshold
     * (the most permissive cutoff achieving the optimum). One row:
     * `(n_pos, n_neg, n_thresholds, best_threshold, j_ppm, f1_ppm)`;
-    * a single-class pool yields NULLs (no trade-off to optimize).
+    * a single-class pool NULLs all three of best_threshold / j_ppm /
+    * f1_ppm (no trade-off to optimize, so no operating point to
+    * report either).
     *
     * Scale shape (100 TB): rows collapse to the (score, label)
     * histogram; suffix sums = totals − the bucket-decomposed
@@ -1368,6 +1370,7 @@ object EvalStats {
       .groupBy(col("__s"))
       .agg(sum(col("__p")).cast("bigint").as("__tp0"),
         (count(lit(1)) - sum(col("__p"))).cast("bigint").as("__tn0"))
+      .localCheckpoint() // feeds the suffix sums AND the n_thresholds count
     val (cum, totals) = graft.operators.Sequencing.runningTotalsBefore(
       hist, "__s", "__s", Seq("__tp0", "__tn0"), buckets, "thresholdSweep")
     val (p, nn) = (totals("__tp0"), totals("__tn0"))
@@ -1383,16 +1386,19 @@ object EvalStats {
         s"""CASE WHEN __tp + __fp + ${p}L = 0 THEN NULL
            |ELSE (cast(2000000 as decimal(38,0)) * __tp)
            |  div (__tp + __fp + ${p}L) END""".stripMargin))
+    // a single-class pool has no trade-off: NULL the whole operating
+    // point (threshold and F1 included), not just J
+    val degenerate = p == 0L || nn == 0L
     scored
       .orderBy(col("__j").desc_nulls_last, col("__s"))
       .limit(1)
       .select(lit(p).cast("bigint").as("n_pos"),
         lit(nn).cast("bigint").as("n_neg"),
-        lit(null).cast("bigint").as("__placeholder"),
-        col("__s").cast("bigint").as("best_threshold"),
+        (if (degenerate) lit(null) else col("__s"))
+          .cast("bigint").as("best_threshold"),
         col("__j").cast("bigint").as("j_ppm"),
-        col("__f1").cast("bigint").as("f1_ppm"))
-      .drop("__placeholder")
+        (if (degenerate) lit(null) else col("__f1"))
+          .cast("bigint").as("f1_ppm"))
       .crossJoin(broadcast(hist.agg(
         count(lit(1)).cast("bigint").as("n_thresholds"))))
       .select(col("n_pos"), col("n_neg"), col("n_thresholds"),

@@ -434,6 +434,10 @@ object RobustStats {
                     valueCol: String): DataFrame = {
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
+      // NULL values carry no rank information; filtering here keeps
+      // the pooled row set identical to [[wilcoxonRankSum]]'s so
+      // compositions like [[lepage]] score both ends over ONE pool
+      .where(col("__v").isNotNull)
     val wv = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val hist = base.groupBy(col("__v"))
@@ -1874,7 +1878,11 @@ object RobustStats {
       .localCheckpoint() // feeds the range ranking AND the S4 frame
     val ranges = ranked.groupBy(col("__b"))
       .agg((max(col("__v")) - min(col("__v"))).cast("bigint").as("__rg"),
-        count(lit(1)).cast("bigint").as("__kb"))
+        count(lit(1)).cast("bigint").as("__kb"),
+        // per-block DISTINCT treatment count: a block with one
+        // treatment duplicated and another missing keeps __kb at k,
+        // so equal block sizes alone cannot prove completeness
+        countDistinct(col("__tr")).cast("bigint").as("__kd"))
     val rhist = ranges.groupBy(col("__rg"))
       .agg(count(lit(1)).cast("bigint").as("__t"))
     val (cum, totals) = Sequencing.runningTotalsBefore(
@@ -1888,7 +1896,7 @@ object RobustStats {
       .select(col("__rg"), col("__q2"))
     val s4 = ranked
       .join(ranges.join(q2, Seq("__rg"))
-        .select(col("__b"), col("__q2"), col("__kb")), Seq("__b"))
+        .select(col("__b"), col("__q2"), col("__kb"), col("__kd")), Seq("__b"))
       .withColumn("__s4", expr("__q2 * (__r2 - (__kb + 1L))"))
     val perT = s4.groupBy(col("__tr"))
       .agg(sum(expr("cast(__s4 as decimal(38,0))")).as("__s4j"),
@@ -1896,12 +1904,18 @@ object RobustStats {
     val scal = s4.agg(
       sum(expr("cast(__s4 as decimal(38,0)) * __s4")).as("__a16"),
       min(col("__kb")).cast("bigint").as("__kmin"),
-      max(col("__kb")).cast("bigint").as("__kmax"))
+      max(col("__kb")).cast("bigint").as("__kmax"),
+      // completeness needs all three: equal block sizes, every block's
+      // treatments DISTINCT (kd = kb), and one shared treatment set
+      // (global distinct = block size — {A,B,C}/{A,B,D} fails here)
+      min(when(col("__kd") === col("__kb"), 1L).otherwise(0L)).as("__bok"),
+      countDistinct(col("__tr")).cast("bigint").as("__kg"))
     perT.crossJoin(broadcast(scal))
       // the guarded column IS the emitted k, so the incompleteness
       // raise can never be pruned out of the plan
       .withColumn("__kmin", expr(
-        "CASE WHEN __kmin = __kmax THEN __kmin ELSE raise_error(" +
+        "CASE WHEN __kmin = __kmax AND __bok = 1 AND __kg = __kmin " +
+          "THEN __kmin ELSE raise_error(" +
           "'quadeTest: blocks are incomplete — build the full " +
           "block x treatment grid first') END"))
       .agg(max(col("__kmin")).cast("bigint").as("k"),

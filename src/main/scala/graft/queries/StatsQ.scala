@@ -3147,7 +3147,7 @@ object StatsQ {
           s"i$i AS ($sel FROM $from)"
         }.mkString(",\n")
       Some(s"""WITH b0 AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
-              |  n_chars AS v FROM documents),
+              |  n_chars AS v FROM documents WHERE n_chars IS NOT NULL),
               |hist AS (SELECT v, count(*)::BIGINT AS t, sum(arm)::BIGINT AS a
               |  FROM b0 GROUP BY v),
               |h2 AS (SELECT v, t, a, coalesce(sum(t) OVER (ORDER BY v
@@ -4101,8 +4101,12 @@ object StatsQ {
              |  FROM st),
              |top AS (SELECT * FROM j ORDER BY jv DESC NULLS LAST, s LIMIT 1)
              |SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
-             |  nt AS n_thresholds, s::BIGINT AS best_threshold,
-             |  jv::BIGINT AS j_ppm, f1::BIGINT AS f1_ppm
+             |  nt AS n_thresholds,
+             |  (CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE s END)::BIGINT
+             |    AS best_threshold,
+             |  jv::BIGINT AS j_ppm,
+             |  (CASE WHEN np = 0 OR nn = 0 THEN NULL ELSE f1 END)::BIGINT
+             |    AS f1_ppm
              |FROM top, tot""".stripMargin),
       (s, dir) =>
         graft.operators.EvalStats.thresholdSweep(

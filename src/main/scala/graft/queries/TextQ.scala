@@ -3428,10 +3428,14 @@ object TextQ {
       (s, dir) => {
         val docs = tp(s, dir, "documents", "doc_id")
           .withColumn("is_tgt", col("lang") === "en")
-        graft.operators.Mixing
+        broadcast(graft.operators.Mixing
           .dsirWeights(docs, "doc_id", "text", "is_tgt", buckets = 512)
-          .orderBy(col("iw_score").desc, col("doc_id")).limit(20)
-          .join(tp(s, dir, "documents", "doc_id").select(col("doc_id"), col("source")),
+          .orderBy(col("iw_score").desc, col("doc_id")).limit(20))
+          // narrow two-column lookup for the 20 survivors: plain `t`
+          // scan (no repartition — `tp` would drag the wide text
+          // column through an exchange), with the 20-row side pinned
+          // broadcast so the probe never shuffles documents at all
+          .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
             Seq("doc_id"))
           .select(col("doc_id"), col("source"), col("iw_score"), col("n_feats"))
           .orderBy(col("iw_score").desc, col("doc_id"))

@@ -584,10 +584,12 @@ class EvalStatsSpec extends SparkSpec {
     val rp = EvalStats.thresholdSweep(sep, "s", col("lab")).collect().head
     assert((rp.getLong(3), rp.getLong(4), rp.getLong(5))
       == ((5L, 1000000L, 1000000L)))
-    // single-class pool: no trade-off to optimize -> NULL J
+    // single-class pool: no trade-off to optimize -> the WHOLE
+    // operating point is NULL (threshold and F1, not just J)
     val mono = Seq((1L, true), (2L, true)).toDF("s", "lab")
-    assert(EvalStats.thresholdSweep(mono, "s", col("lab"))
-      .collect().head.isNullAt(4))
+    val rm = EvalStats.thresholdSweep(mono, "s", col("lab")).collect().head
+    assert(rm.isNullAt(3) && rm.isNullAt(4) && rm.isNullAt(5))
+    assert((rm.getLong(0), rm.getLong(1), rm.getLong(2)) == ((2L, 0L, 2L)))
   }
 
   test("gwetAC1: hand value, and the prevalence paradox vs fleissKappa") {

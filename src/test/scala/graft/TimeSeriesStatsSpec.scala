@@ -296,6 +296,14 @@ class TimeSeriesStatsSpec extends SparkSpec {
     val tied = Seq((false, 5L), (true, 5L), (true, 5L)).toDF("inB", "v")
     val r2 = RobustStats.ansariBradley(tied, col("inB"), "v").collect().head
     assert(r2.getLong(2) == r2.getLong(3) && r2.getLong(4) == 0L)
+    // NULL values drop (the wilcoxonRankSum convention): counts and
+    // scores must match the fixture without the NULL row
+    val withNull = Seq((false, Some(1L)), (true, Some(2L)),
+      (true, Some(3L)), (false, Some(4L)), (true, None)).toDF("inB", "v")
+    val r3 = RobustStats.ansariBradley(withNull, col("inB"), "v")
+      .collect().head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3),
+      r3.getLong(4)) == ((2L, 2L, 4000000L, 3000000L, 1732050L)))
   }
 
   test("ordinalAssociation: gamma ignores ties, Somers' D charges y-ties") {
@@ -849,6 +857,26 @@ class TimeSeriesStatsSpec extends SparkSpec {
       RobustStats.quadeTest(bad, "b", "tr", "v").collect()
     }
     assert(e.getMessage.contains("incomplete"))
+    // equal block SIZES are not enough: a duplicated treatment hiding
+    // a missing one must raise too (kd < kb in b2)
+    val dup = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 2L), ("b2", "t1", 4L), ("b2", "t2", 6L))
+      .toDF("b", "tr", "v")
+    val e2 = intercept[Exception] {
+      RobustStats.quadeTest(dup, "b", "tr", "v").collect()
+    }
+    assert(e2.getMessage.contains("incomplete"))
+    // ...and so must blocks drawing from DIFFERENT treatment sets
+    // ({t1,t2} vs {t1,t3}: kd = kb everywhere but global k = 3)
+    val mixed = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L),
+      ("b2", "t1", 3L), ("b2", "t3", 4L))
+      .toDF("b", "tr", "v")
+    val e3 = intercept[Exception] {
+      RobustStats.quadeTest(mixed, "b", "tr", "v").collect()
+    }
+    assert(e3.getMessage.contains("incomplete"))
   }
 
   test("moodMedianTest: grand-median split, complete-separation chi2, degenerate NULL") {
@@ -887,5 +915,13 @@ class TimeSeriesStatsSpec extends SparkSpec {
     val one = Seq((0L, 1L), (0L, 2L)).toDF("arm", "v")
     val r2 = RobustStats.lepage(one, col("arm") === 1L, "v").collect().head
     assert(r2.isNullAt(4))
+    // NULL values drop from BOTH components (one shared pool): adding
+    // a NULL row must not move any output column
+    val withNull = Seq((0L, Some(1L)), (1L, Some(2L)), (1L, Some(3L)),
+      (0L, Some(4L)), (1L, None)).toDF("arm", "v")
+    val r3 = RobustStats.lepage(withNull, col("arm") === 1L, "v")
+      .collect().head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3),
+      r3.getLong(4)) == ((2L, 2L, 0L, 1732050L, 2999997L)))
   }
 }
