@@ -64,6 +64,11 @@ object DeltaWriter {
 
   private val MaxCommitAttempts = 20
 
+  /** Checkpoint cadence when the table sets no
+    * `delta.checkpointInterval` property — the protocol's
+    * conventional default. */
+  val DefaultCheckpointInterval = 10
+
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder
     s.foreach {
@@ -158,13 +163,7 @@ object DeltaWriter {
     // reader's DECODED absolute paths so the strings match the adds
     // they tombstone
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
-    def relEncoded(p: Path): String = {
-      val full = p.toUri.getPath
-      require(full.startsWith(basePath + "/"),
-        s"DeltaWriter: file $full lies outside the table at $basePath")
-      new java.net.URI(null, null,
-        full.substring(basePath.length + 1), null).getRawPath
-    }
+    def relEncoded(p: Path): String = relEncode(basePath, p)
     def addLine(kvs: Seq[(String, String)], p: Path): String = {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
@@ -200,12 +199,144 @@ object DeltaWriter {
         }
       val head = if (snap.isEmpty) metaLines else Seq.empty
       val body = (head ++ removes ++ adds).mkString("\n") + "\n"
-      if (publishCommit(fs, logDir, version, body)) return version
+      if (publishCommit(fs, logDir, version, body)) {
+        maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
+        return version
+      }
       attempt += 1
     }
     throw new IllegalStateException(
       s"DeltaWriter: lost the commit race $MaxCommitAttempts times on " +
         s"$cleanUrl — giving up (is a runaway writer looping?)")
+  }
+
+  /** Checkpoint the log every `delta.checkpointInterval` commits
+    * (default [[DefaultCheckpointInterval]]): a single
+    * `<v>.checkpoint.parquet` holding the FULL v-state (protocol,
+    * metaData, live adds with their deletion vectors, unexpired
+    * remove tombstones) plus the `_last_checkpoint` pointer — so a
+    * long-lived table's replay cost stays O(interval) for EVERY
+    * protocol-conformant reader, not just ours, and the JSON tail
+    * older than the newest checkpoint becomes safely vacuumable.
+    * Idempotent and race-safe: the version whose commit we just WON
+    * names the checkpoint, so two writers can only contend when one
+    * is re-checkpointing an existing version — first file wins,
+    * the loser skips. */
+  private def maybeCheckpoint(fs: FileSystem, url: String, base: Path,
+                              logDir: Path, version: Long)
+                             (implicit spark: SparkSession): Unit = {
+    if (version <= 0) return
+    val snap = DeltaReader.snapshotAt(url, Some(version)).getOrElse(return)
+    val interval = snap.configuration.get("delta.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(DefaultCheckpointInterval)
+    if (interval <= 0 || version % interval != 0) return
+    val target = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    if (fs.exists(target)) return
+    writeCheckpoint(fs, base, logDir, snap, target)
+  }
+
+  /** The checkpoint schema is [[DeltaReader]]'s action schema plus
+    * the `txn` column third-party readers expect to find. */
+  private def checkpointRows(base: Path, snap: DeltaReader.DeltaSnapshot)
+      : (Seq[org.apache.spark.sql.Row], StructType) = {
+    import org.apache.spark.sql.Row
+    val dvSchema = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val schema = StructType(Seq(
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", dvSchema)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType)))))))
+    val basePath = base.toUri.getPath.stripSuffix("/")
+    def rel(p: String): String = relEncode(basePath, new Path(p))
+    val protoRow = Row(null, null, null, null, Row(
+      snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
+      snap.protocol.readerFeatures.orNull,
+      snap.protocol.writerFeatures.orNull))
+    val metaRow = Row(null, null, null, Row(
+      snap.tableId, Row("parquet", Map.empty[String, String]),
+      snap.schema.json, snap.partitionColumns, snap.configuration,
+      snap.createdTime.map(Long.box).orNull), null)
+    // the protocol requires dataChange = false on EVERY checkpoint
+    // action: replaying one must not look like new data to streams
+    val addRows = snap.files.map { f =>
+      Row(null, Row(rel(f.path), f.partitionValues, f.size,
+        f.modificationTime, false,
+        f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
+          .orNull), null, null, null)
+    }
+    val removeRows = snap.tombstones.map { case (p, ts) =>
+      Row(null, null, Row(rel(p), ts, false), null, null)
+    }
+    ((protoRow +: metaRow +: addRows) ++ removeRows, schema)
+  }
+
+  private def writeCheckpoint(fs: FileSystem, base: Path, logDir: Path,
+                              snap: DeltaReader.DeltaSnapshot, target: Path)
+                             (implicit spark: SparkSession): Unit = {
+    val (rows, schema) = checkpointRows(base, snap)
+    val tmp = new Path(logDir, s".tmp-cp-${java.util.UUID.randomUUID}")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    try {
+      val part = fs.listStatus(tmp)
+        .map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .headOption.getOrElse(throw new IllegalStateException(
+          s"DeltaWriter: checkpoint write produced no parquet in $tmp"))
+      if (!fs.exists(target) && fs.rename(part, target)) {
+        // pointer for readers that trust it; ours discovers by listing
+        val lc = new Path(logDir, "_last_checkpoint")
+        val out = fs.create(lc, true)
+        try out.write(
+          s"""{"version":${snap.version},"size":${rows.size}}\n"""
+            .getBytes("UTF-8"))
+        finally out.close()
+      }
+    } finally fs.delete(tmp, true)
+  }
+
+  /** Table-relative RFC-2396-percent-encoded path — the form the log
+    * stores; [[DeltaReader]] decodes it back on replay. */
+  private def relEncode(basePath: String, p: Path): String = {
+    val full = p.toUri.getPath
+    require(full.startsWith(basePath + "/"),
+      s"DeltaWriter: file $full lies outside the table at $basePath")
+    new java.net.URI(null, null,
+      full.substring(basePath.length + 1), null).getRawPath
   }
 
   private def listParquet(fs: FileSystem,

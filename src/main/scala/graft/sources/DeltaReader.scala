@@ -39,10 +39,17 @@ import org.apache.spark.sql.types._
   *    parquet scan, and partition values are resolved under the
   *    PHYSICAL key (the protocol's writer requirement) with a
   *    logical-key fallback for writers that never renamed them;
+  *  - deletion vectors (the `deletionVectors` reader feature, on by
+  *    default on Databricks-written tables): `add.deletionVector`
+  *    descriptors in all three storage modes (`u` sidecar by Z85
+  *    UUID, `p` absolute path, `i` inline) decode through
+  *    [[DeletionVectors]] on EXECUTORS and anti-join the scan on
+  *    `(_metadata.file_path, _metadata.row_index)` — deleted rows
+  *    never reach the caller, and a corrupt bitmap raises (CRC)
+  *    instead of resurrecting rows;
   *  - anything else the table declares it needs — `id` mapping
-  *    mode, deletion vectors, v2 checkpoints, any unrecognized
-  *    reader feature or version — raises loudly rather than
-  *    mis-reading.
+  *    mode, v2 checkpoints, any unrecognized reader feature or
+  *    version — raises loudly rather than mis-reading.
   *
   * Scale shape (100 TB): the log replay is ONE distributed
   * `spark.read.json` over the commit files (+ one parquet read of the
@@ -57,21 +64,54 @@ import org.apache.spark.sql.types._
   */
 object DeltaReader {
 
+  /** A deletion-vector descriptor exactly as the log carries it
+    * (PROTOCOL.md "Deletion Vector Descriptor Schema"): storage `u`
+    * (relative file, Z85 UUID name), `p` (absolute path), or `i`
+    * (inline Z85 payload). `offset` points at the frame's size word
+    * inside the DV file; `sizeInBytes` is the serialized bitmap
+    * length; `cardinality` the deleted-row count. */
+  final case class DvDescriptor(
+      storageType: String,
+      pathOrInlineDv: String,
+      offset: Option[Int],
+      sizeInBytes: Int,
+      cardinality: Long)
+
   /** One surviving data file: absolute path + its partition values
-    * (string-encoded, as the log stores them; null = null value). */
-  final case class DeltaFile(path: String, partitionValues: Map[String, String])
+    * (string-encoded, as the log stores them; null = null value).
+    * `size`/`modificationTime` ride along for checkpoint writing;
+    * a present `deletionVector` masks row indexes at scan time. */
+  final case class DeltaFile(path: String, partitionValues: Map[String, String],
+      size: Long = 0L, modificationTime: Long = 0L,
+      deletionVector: Option[DvDescriptor] = None)
+
+  /** The newest protocol action's content (defaults = a pre-features
+    * protocol-1 table). Carried so checkpoint writers reproduce the
+    * declared feature sets verbatim. */
+  final case class DeltaProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]] = None,
+      writerFeatures: Option[Seq[String]] = None)
 
   /** Reconstructed table state at one version. `physicalSchema` is
     * defined only under column mapping: the same shape as `schema`
     * field-for-field, with every name replaced by its
     * `delta.columnMapping.physicalName` (parquet files store THESE
-    * names; `schema` stays the user-facing truth). */
+    * names; `schema` stays the user-facing truth). `tableId` /
+    * `configuration` / `createdTime` / `protocol` / `tombstones`
+    * (latest-action-is-remove paths with their deletionTimestamp)
+    * carry the full state a checkpoint must reproduce. */
   final case class DeltaSnapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[DeltaFile],
-      physicalSchema: Option[StructType] = None)
+      physicalSchema: Option[StructType] = None,
+      tableId: String = "",
+      configuration: Map[String, String] = Map.empty,
+      createdTime: Option[Long] = None,
+      protocol: DeltaProtocol = DeltaProtocol(1, 2),
+      tombstones: Seq[(String, Long)] = Seq.empty,
+      root: String = "")
 
   private def physicalFieldName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -92,12 +132,21 @@ object DeltaReader {
 
   /** Actions parsed from commit JSON — explicit schema: inference
     * over a long log would cost a pre-pass and could widen types. */
+  private val dvSchema = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
   private val actionSchema = StructType(Seq(
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvSchema)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -108,11 +157,35 @@ object DeltaReader {
         StructField("provider", StringType)))),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType))))),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
-      StructField("readerFeatures", ArrayType(StringType)))))))
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))))))
+
+  /** The one normalized projection both log sources (JSON commits and
+    * parquet checkpoints) flatten into before replay. */
+  private def normalizeActions(df: DataFrame): DataFrame = df.select(
+    col("add.path").as("__add_path"),
+    col("add.partitionValues").as("__add_pv"),
+    col("add.size").as("__add_size"),
+    col("add.modificationTime").as("__add_mt"),
+    col("add.deletionVector").as("__add_dv"),
+    col("remove.path").as("__rm_path"),
+    col("remove.deletionTimestamp").as("__rm_ts"),
+    col("metaData.id").as("__mid"),
+    col("metaData.schemaString").as("__schema"),
+    col("metaData.partitionColumns").as("__pcols"),
+    col("metaData.format.provider").as("__provider"),
+    col("metaData.configuration").as("__conf"),
+    col("metaData.createdTime").as("__mct"),
+    col("protocol.minReaderVersion").as("__min_reader"),
+    col("protocol.minWriterVersion").as("__min_writer"),
+    col("protocol.readerFeatures").as("__feats"),
+    col("protocol.writerFeatures").as("__wfeats"),
+    col("__v"))
 
   /** Latest snapshot, or None when `url` holds no Delta table
     * (mirrors delta_dataset.py:56-62 scan() → None on
@@ -169,30 +242,11 @@ object DeltaReader {
       // stats structs, wider add/remove) AND null-fills fields absent
       // from older checkpoints (readerFeatures predates nothing a
       // v1-era checkpoint wrote)
-      spark.read.schema(actionSchema).parquet(parts.map(_.toString): _*)
-        .select(
-          col("add.path").as("__add_path"),
-          col("add.partitionValues").as("__add_pv"),
-          col("remove.path").as("__rm_path"),
-          col("metaData.schemaString").as("__schema"),
-          col("metaData.partitionColumns").as("__pcols"),
-          col("metaData.format.provider").as("__provider"),
-          col("metaData.configuration").as("__conf"),
-          col("protocol.minReaderVersion").as("__min_reader"),
-          col("protocol.readerFeatures").as("__feats"))
-        .withColumn("__v", lit(v))
+      normalizeActions(
+        spark.read.schema(actionSchema).parquet(parts.map(_.toString): _*)
+          .withColumn("__v", lit(v)))
     }
-    val normalizedJson = jsonActions.map(_.select(
-      col("add.path").as("__add_path"),
-      col("add.partitionValues").as("__add_pv"),
-      col("remove.path").as("__rm_path"),
-      col("metaData.schemaString").as("__schema"),
-      col("metaData.partitionColumns").as("__pcols"),
-      col("metaData.format.provider").as("__provider"),
-      col("metaData.configuration").as("__conf"),
-      col("protocol.minReaderVersion").as("__min_reader"),
-      col("protocol.readerFeatures").as("__feats"),
-      col("__v")))
+    val normalizedJson = jsonActions.map(normalizeActions)
     val actions = (cpActions.toSeq ++ normalizedJson.toSeq)
       .reduce(_ unionByName _)
       .localCheckpoint() // feeds three independent aggregations below
@@ -204,15 +258,24 @@ object DeltaReader {
     // raise, since what the table needs is unknowable)
     val proto = actions.where(col("__min_reader").isNotNull)
       .orderBy(col("__v").desc)
-      .select(col("__min_reader"), col("__feats")).head(1)
-    proto.headOption.foreach { r =>
-      val mr = r.getInt(0)
-      val feats: Option[Set[String]] =
-        if (r.isNullAt(1)) None else Some(r.getSeq[String](1).toSet)
-      val supported = Set("columnMapping")
+      .select(col("__min_reader"), col("__min_writer"),
+        col("__feats"), col("__wfeats")).head(1)
+    val protocolInfo = proto.headOption.map { r =>
+      DeltaProtocol(
+        r.getInt(0),
+        if (r.isNullAt(1)) 2 else r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getSeq[String](2).toSeq),
+        if (r.isNullAt(3)) None else Some(r.getSeq[String](3).toSeq))
+    }.getOrElse(DeltaProtocol(1, 2))
+    locally {
+      val mr = protocolInfo.minReaderVersion
+      val supported = Set("columnMapping", "deletionVectors",
+        // features with no reader-visible data-path semantics: the
+        // timestamp type and stats collection don't change replay
+        "timestampNtz")
       val unreadable = mr match {
         case v if v <= 2 => None
-        case 3 => feats match {
+        case 3 => protocolInfo.readerFeatures.map(_.toSet) match {
           case Some(f) if (f -- supported).isEmpty => None
           case Some(f) => Some((f -- supported).toSeq.sorted.mkString(", "))
           case None => Some("an undeclared feature set")
@@ -223,14 +286,14 @@ object DeltaReader {
         throw new UnsupportedOperationException(
           s"DeltaReader: table requires reader protocol $mr with $why — " +
             "this reader implements protocol 1/2 plus the columnMapping " +
-            "feature (name mode)")
+            "(name mode) and deletionVectors features")
       }
     }
     // latest metaData wins (schema evolution / repartitioning)
     val meta = actions.where(col("__schema").isNotNull)
       .orderBy(col("__v").desc)
       .select(col("__schema"), col("__pcols"), col("__provider"),
-        col("__conf")).head(1)
+        col("__conf"), col("__mid"), col("__mct")).head(1)
     if (meta.isEmpty)
       throw new IllegalStateException(
         s"DeltaReader: no metaData action found in $logDir — not a valid Delta log")
@@ -244,6 +307,9 @@ object DeltaReader {
     val tableConf: Map[String, String] =
       if (meta.head.isNullAt(3)) Map.empty
       else meta.head.getMap[String, String](3).toMap
+    val tableId = Option(meta.head.getString(4)).getOrElse("")
+    val createdTime =
+      if (meta.head.isNullAt(5)) None else Some(meta.head.getLong(5))
     val physSchema: Option[StructType] =
       tableConf.getOrElse("delta.columnMapping.mode", "none") match {
         case "none" => None
@@ -254,34 +320,57 @@ object DeltaReader {
       }
 
     // file-state reconstruction: per path, the highest-version action
-    // wins; survivors are adds. One path-keyed aggregation.
+    // wins; survivors are adds, the rest are tombstones. Within ONE
+    // version the add wins the tie — a deletion-vector update commits
+    // remove(path, oldDV) + add(path, newDV) for the same path, and
+    // the add is the surviving state.
     import org.apache.spark.sql.expressions.Window
     val perPath = actions
       .select(col("__v"),
         coalesce(col("__add_path"), col("__rm_path")).as("__path"),
         col("__add_path").isNotNull.as("__is_add"),
-        col("__add_pv"))
+        col("__add_pv"), col("__add_size"), col("__add_mt"),
+        col("__add_dv"), col("__rm_ts"))
       .where(col("__path").isNotNull)
-    val w = Window.partitionBy(col("__path")).orderBy(col("__v").desc)
-    val survivors = perPath
+    val w = Window.partitionBy(col("__path"))
+      .orderBy(col("__v").desc, col("__is_add").desc)
+    val latest = perPath
       .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1 && col("__is_add"))
-      .select(col("__path"), col("__add_pv"))
+      .where(col("__rn") === 1)
+      .select(col("__path"), col("__is_add"), col("__add_pv"),
+        col("__add_size"), col("__add_mt"), col("__add_dv"), col("__rm_ts"))
       .collect()
 
     val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
-    val files = survivors.map { r =>
-      // add.path is RFC 2396 URL-encoded and usually relative to the
+    def absPath(raw: String): String = {
+      // paths are RFC 2396 URL-encoded and usually relative to the
       // table root; absolute URIs are legal and used as-is
-      val uri = new java.net.URI(r.getString(0))
+      val uri = new java.net.URI(raw)
       val p = new Path(uri)
-      val abs = if (uri.isAbsolute) p else new Path(qualifiedBase, p)
+      (if (uri.isAbsolute) p else new Path(qualifiedBase, p)).toString
+    }
+    val files = latest.filter(_.getBoolean(1)).map { r =>
       val pv: Map[String, String] =
-        if (r.isNullAt(1)) Map.empty
-        else r.getMap[String, String](1).toMap
-      DeltaFile(abs.toString, pv)
+        if (r.isNullAt(2)) Map.empty
+        else r.getMap[String, String](2).toMap
+      val dv = Option(r.getStruct(5)).map { d =>
+        require(!d.isNullAt(0) && !d.isNullAt(1) && !d.isNullAt(3),
+          s"DeltaReader: malformed deletionVector descriptor on " +
+            s"${r.getString(0)}")
+        DvDescriptor(d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) None else Some(d.getInt(2)),
+          d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4))
+      }
+      DeltaFile(absPath(r.getString(0)), pv,
+        if (r.isNullAt(3)) 0L else r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4), dv)
     }.toSeq.sortBy(_.path)
-    Some(DeltaSnapshot(target, schema, pcols, files, physSchema))
+    val tombstones = latest.filterNot(_.getBoolean(1)).map { r =>
+      (absPath(r.getString(0)), if (r.isNullAt(6)) 0L else r.getLong(6))
+    }.toSeq.sortBy(_._1)
+    Some(DeltaSnapshot(target, schema, pcols, files, physSchema,
+      tableId, tableConf, createdTime, protocolInfo, tombstones,
+      qualifiedBase.toString))
   }
 
   /** Full-table scan at the latest (or a time-travel) version: data
@@ -323,7 +412,9 @@ object DeltaReader {
   /** Build the snapshot DataFrame: one parquet read per distinct
     * partition-value tuple (bounded by partition count, each a plain
     * multi-file scan with pushdown intact), literals injected with
-    * the SCHEMA's types, then one union. */
+    * the SCHEMA's types, then one union. Files carrying a deletion
+    * vector scan WITH `_metadata.row_index` and anti-join the decoded
+    * masks; DV-free files keep the untouched plain scan. */
   private def assemble(snap: DeltaSnapshot)
                       (implicit spark: SparkSession): DataFrame = {
     val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -344,24 +435,131 @@ object DeltaReader {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     if (snap.files.isEmpty) return empty
+    val deleted = deletedRowsFrame(snap) // built once, shared by groups
     val groups = snap.files
       .groupBy(f => snap.partitionColumns.map(c =>
         partitionValueOf(snap, f, c).orNull))
       .toSeq.sortBy(_._1.mkString("/"))
     groups.map { case (pvals, fs) =>
-      val read = spark.read.schema(dataSchema).parquet(fs.map(_.path): _*)
-      // physical→logical rename; nested names ride a struct cast
-      // (positional, so shape is preserved exactly)
-      val base = snap.physicalSchema match {
-        case Some(_) => read.select(dataPairs.map { case (lf, pf) =>
-          col(pf.name).cast(lf.dataType).as(lf.name) }: _*)
-        case None => read
+      val (dvFiles, plainFiles) = fs.partition(_.deletionVector.isDefined)
+      def readFiles(paths: Seq[String], withMask: Boolean): DataFrame = {
+        val read = spark.read.schema(dataSchema).parquet(paths: _*)
+        val masked =
+          if (!withMask) read
+          else read
+            // _metadata.file_path IS Path.toUri.toString (spec-pinned
+            // in DeletionVectorSpec), so the join key matches the
+            // driver-side descriptor frame exactly — no normalization
+            .withColumn("__dv_fp", col("_metadata.file_path"))
+            .withColumn("__dv_ri", col("_metadata.row_index"))
+            .join(deleted.get, Seq("__dv_fp", "__dv_ri"), "left_anti")
+            .drop("__dv_fp", "__dv_ri")
+        // physical→logical rename; nested names ride a struct cast
+        // (positional, so shape is preserved exactly)
+        snap.physicalSchema match {
+          case Some(_) => masked.select(dataPairs.map { case (lf, pf) =>
+            col(pf.name).cast(lf.dataType).as(lf.name) }: _*)
+          case None => masked.select(dataPairs.map(_._2.name).map(col): _*)
+        }
       }
+      val parts =
+        (if (plainFiles.nonEmpty)
+          Seq(readFiles(plainFiles.map(_.path), withMask = false)) else Nil) ++
+        (if (dvFiles.nonEmpty)
+          Seq(readFiles(dvFiles.map(_.path), withMask = true)) else Nil)
+      val base = parts.reduce(_ unionByName _)
       snap.partitionColumns.zip(pvals).foldLeft(base) { case (d, (c, v)) =>
         // log partition values are strings ("2024-01-02", "42", null);
         // ANSI cast raises on garbage — corrupt logs fail loudly
         d.withColumn(c, lit(v).cast(StringType).cast(fieldType(c)))
       }.select(ordered: _*)
     }.reduce(_ unionByName _)
+  }
+
+  /** Hadoop Configuration with Java serialization — lets the DV
+    * decode task open the sidecar on the executor with the SESSION's
+    * filesystem config (credentials, schemes), not a blank one. */
+  private final class SerializableConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** The decoded deletion masks as a DataFrame of
+    * `(__dv_fp = data-file Path.toUri.toString, __dv_ri = row index)`.
+    * None when no file carries a DV.
+    *
+    * Scale shape (100 TB): the INPUT is one row per DV-carrying file
+    * (metadata-sized); sidecars are opened and bitmaps decoded ON
+    * EXECUTORS, so the driver never holds a bitmap (inline `i`
+    * payloads are the exception — those bytes already live in the
+    * log the driver replayed). The flatMap fan-out is
+    * `cardinality`-bounded = total deleted rows, distributed. This is
+    * a documented imperative seam (§2.9): a roaring bitmap has no
+    * Catalyst rendering, and the per-FILE input frame means the seam
+    * never touches row-count-sized data on the way in. */
+  private def deletedRowsFrame(snap: DeltaSnapshot)
+                              (implicit spark: SparkSession): Option[DataFrame] = {
+    val dvFiles = snap.files.filter(_.deletionVector.isDefined)
+    if (dvFiles.isEmpty) return None
+    import spark.implicits._
+    // (dataFileKey, inlineBytesOrNull, sidecarPathOrNull, offset, size)
+    val work: Seq[(String, Array[Byte], String, Int, Int)] = dvFiles.map { f =>
+      val d = f.deletionVector.get
+      val key = new Path(f.path).toUri.toString
+      d.storageType match {
+        case "i" =>
+          // Z85 works in 4-byte groups; the descriptor's sizeInBytes
+          // is authoritative for the payload length under any padding
+          val decoded = DeletionVectors.z85Decode(d.pathOrInlineDv)
+          require(decoded.length >= d.sizeInBytes,
+            s"DeltaReader: inline DV shorter than sizeInBytes on ${f.path}")
+          (key, java.util.Arrays.copyOf(decoded, d.sizeInBytes), null, 0,
+            d.sizeInBytes)
+        case "u" =>
+          // `<optional random prefix><20-char Z85 uuid>`, resolved at
+          // the TABLE root: <root>/<prefix>/deletion_vector_<uuid>.bin
+          require(d.pathOrInlineDv.length >= 20,
+            s"DeltaReader: 'u' deletionVector id too short on ${f.path}")
+          val prefix = d.pathOrInlineDv.dropRight(20)
+          val uuid = DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
+          val root = new Path(snap.root)
+          val dir = if (prefix.isEmpty) root else new Path(root, prefix)
+          (key, null, new Path(dir, s"deletion_vector_$uuid.bin").toString,
+            d.offset.getOrElse(1), d.sizeInBytes)
+        case "p" =>
+          (key, null, d.pathOrInlineDv, d.offset.getOrElse(1), d.sizeInBytes)
+        case other => throw new UnsupportedOperationException(
+          s"DeltaReader: deletionVector storageType '$other' unknown " +
+            "(u/i/p only)")
+      }
+    }
+    val conf = spark.sparkContext.broadcast(
+      new SerializableConf(spark.sessionState.newHadoopConf()))
+    val df = spark.createDataset(work).flatMap { case (key, inline, side, off, size) =>
+      val data =
+        if (inline != null) inline
+        else {
+          val p = new Path(side)
+          val fs = p.getFileSystem(conf.value.value)
+          val st = fs.getFileStatus(p)
+          val bytes = new Array[Byte](st.getLen.toInt)
+          val in = fs.open(p)
+          try in.readFully(0L, bytes) finally in.close()
+          require(bytes.nonEmpty && bytes(0) == DeletionVectors.FileFormatVersion,
+            s"DeltaReader: DV file $side has format version " +
+              s"${if (bytes.isEmpty) "<empty>" else bytes(0)} (want 1)")
+          DeletionVectors.unframe(bytes, off, size)
+        }
+      DeletionVectors.deserialize(data).iterator.map(ri => (key, ri))
+    }.toDF("__dv_fp", "__dv_ri")
+    Some(df)
   }
 }

@@ -148,4 +148,39 @@ class DeltaDatasetSpec extends SparkSpec {
         Seq((1L, "A")).toDF("v", "p"))
     }
   }
+
+  test("25 commits checkpoint at 10 and 20; replay anchors at the writer's own checkpoint") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      (0L until 25L).foreach { i =>
+        ds.append(Seq((i, if (i % 2 == 0) "A" else "B")).toDF("v", "p"))
+      }
+      val logDir = Paths.get(table, "_delta_log")
+      assert(Files.exists(logDir.resolve(f"${10L}%020d.checkpoint.parquet")))
+      assert(Files.exists(logDir.resolve(f"${20L}%020d.checkpoint.parquet")))
+      val lc = new String(Files.readAllBytes(
+        logDir.resolve("_last_checkpoint")), "UTF-8")
+      assert(lc.contains("\"version\":20"))
+      // vacuum every JSON commit the newest checkpoint covers
+      (0L to 20L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+      assertSameData(ds.scan().get,
+        (0L until 25L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+          .toDF("v", "p"))
+      // time travel to the checkpointed version itself still works...
+      assertSameData(DeltaReader.scan(table, Some(20L)).get,
+        (0L until 21L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+          .toDF("v", "p"))
+      // ...and the checkpoint's metaData keeps the table identity the
+      // creating commit stamped (streams key resumption off this id)
+      val snap = DeltaReader.snapshot(table).get
+      assert(snap.tableId.nonEmpty)
+      assert(DeltaReader.snapshotAt(table, Some(20L)).get.tableId
+        == snap.tableId)
+      // a version under the vacuumed tail raises loudly, never wrong
+      val e = intercept[IllegalStateException](
+        DeltaReader.snapshotAt(table, Some(15L)))
+      assert(e.getMessage.contains("missing"))
+    }
+  }
 }

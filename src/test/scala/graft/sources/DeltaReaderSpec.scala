@@ -283,13 +283,23 @@ class DeltaReaderSpec extends SparkSpec {
     }
     withTempDir { dir =>
       val table = s"$dir/t"
+      // deletionVectors is implemented now — declaring it (with no DV
+      // on any file) must read fine alongside columnMapping
       buildMappedTable(table,
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           """"readerFeatures":["columnMapping","deletionVectors"],""" +
           """"writerFeatures":["columnMapping","deletionVectors"]}}""")
+      assert(DeltaReader.scan(table).get.count() == 3L)
+    }
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMappedTable(table,
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping","v2Checkpoint"],""" +
+          """"writerFeatures":["columnMapping","v2Checkpoint"]}}""")
       val e = intercept[UnsupportedOperationException](
         DeltaReader.snapshot(table))
-      assert(e.getMessage.contains("deletionVectors"))
+      assert(e.getMessage.contains("v2Checkpoint"))
     }
   }
 
