@@ -641,9 +641,10 @@ object Mixing {
     * feature-stream-bounded) to `buckets` rows; the weight dim is
     * `buckets`-sized and broadcast, so scoring adds no shuffle of the
     * big side beyond the final id-keyed aggregation. The per-doc
-    * count table is referenced twice (bucket stats + scoring join) —
-    * the [[Relevance.vocabCoverage]] recompute idiom; both passes are
-    * the same linear scan.
+    * count table feeds THREE consumers (totals, the weight dim, the
+    * scoring join), so it is localCheckpointed: one tokenize pass
+    * over the wide text column, and every re-read touches only the
+    * (doc, bucket)-bounded count frame.
     *
     * Output: `(idCol, iw_score, n_feats)` — one row per input row
     * (empty text still has the one `''` unigram, so `n_feats >= 1`).
@@ -672,6 +673,11 @@ object Mixing {
             s"h -> h % $buckets)")).as("__b"))
     val perDoc = feats.groupBy(col(idCol), col("__tgt"), col("__b"))
       .agg(count(lit(1)).cast("bigint").as("__c"))
+      // three consumers (totals, dim, scoring join) would otherwise
+      // re-run the tokenize+hash+explode over the WIDE text column
+      // three times; the checkpointed frame is (doc, bucket)-bounded —
+      // far narrower than the corpus it digests
+      .localCheckpoint()
     val bucketStats = perDoc.groupBy(col("__b"))
       .agg(sum(col("__c")).cast("bigint").as("__cq"),
         sum(when(col("__tgt"), col("__c")).otherwise(0L)).cast("bigint").as("__cp"))
