@@ -567,5 +567,124 @@ object HiveQ {
               col("n_rows"), col("sum_key"))
         }.reduce(_ unionByName _).orderBy("version")
       })
+    ,
+
+    // ---- deletion-vector read (the `deletionVectors` feature) ----
+    // A Delta table whose single sorted fragment carries an INLINE
+    // roaring deletion vector masking every row index ≡ 1 (mod 3) —
+    // the protocol shape Databricks writes by default. The scan must
+    // return exactly the unmasked rows; the oracle recomputes the
+    // row-index mask relationally (rank = row index, the fragment
+    // being sorted). Formats: PROTOCOL.md DV descriptor + Z85 +
+    // 64-bit RoaringBitmapArray, all hand-assembled — no delta jars.
+    Q("q401_delta_dv_read",
+      Some("""WITH r AS (SELECT n_nationkey,
+             |  row_number() OVER (ORDER BY n_nationkey) - 1 AS ri
+             |  FROM nation)
+             |SELECT n_nationkey::BIGINT AS n_nationkey FROM r
+             |WHERE ri % 3 <> 1 ORDER BY n_nationkey""".stripMargin),
+      (s, dir) => {
+        import java.nio.file.Paths
+        val table = tmp("graft_q401_")
+        val nat = t(s, dir, "nation")
+        val frag = Files.createTempDirectory("graft_q401_frag")
+        nat.repartition(1).sortWithinPartitions("n_nationkey")
+          .write.mode("overwrite").parquet(frag.toString)
+        val part = Files.list(frag)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(table))
+        Files.copy(part, Paths.get(table, "f0.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(frag.toFile)
+        val n = nat.count()
+        val masked = (0L until n).filter(_ % 3 == 1)
+        val dvData = graft.sources.DeletionVectors.serialize(masked)
+        val padded =
+          if (dvData.length % 4 == 0) dvData
+          else java.util.Arrays.copyOf(dvData,
+            dvData.length + (4 - dvData.length % 4))
+        val inline = graft.sources.DeletionVectors.z85Encode(padded)
+        val schemaJson = nat.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["deletionVectors"],""" +
+            """"writerFeatures":["deletionVectors"]}}""",
+          s"""{"metaData":{"id":"q401","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":[],"configuration":{},""" +
+            s""""createdTime":1700000000000}}""",
+          s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":100,""" +
+            s""""modificationTime":1700000000000,"dataChange":true,""" +
+            s""""deletionVector":{"storageType":"i",""" +
+            s""""pathOrInlineDv":"$inline","sizeInBytes":${dvData.length},""" +
+            s""""cardinality":${masked.size}}}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        graft.sources.DeltaReader.scan(table)(s).get
+          .select(col("n_nationkey").cast("bigint").as("n_nationkey"))
+          .orderBy("n_nationkey")
+      })
+    ,
+
+    // ---- checkpoint write + anchored replay ----------------------
+    // DeltaWriter checkpoints every `delta.checkpointInterval`
+    // commits (set to 2 in the creating commit): three appends later
+    // the v2 checkpoint exists, the covered JSON tail is VACUUMED,
+    // and the scan must still reassemble all four slices — replay
+    // anchored at the writer's own checkpoint, exactly what keeps a
+    // long-lived table's open cost O(interval) for any reader.
+    Q("q402_delta_checkpoint",
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             |  sum(s_suppkey)::BIGINT AS sum_key,
+             |  count(DISTINCT s_nationkey)::BIGINT AS n_nations
+             |FROM supplier""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import java.nio.file.Paths
+        val table = tmp("graft_q402_")
+        val sup = t(s, dir, "supplier")
+        // slice 0 lands as a hand-built creating commit so the table
+        // can carry the checkpointInterval property (the reference
+        // writer surface has no table-property API)
+        val frag = Files.createTempDirectory("graft_q402_frag")
+        sup.where(col("s_suppkey") % 4 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(frag.toString)
+        val part = Files.list(frag)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(table))
+        Files.copy(part, Paths.get(table, "f0.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(frag.toFile)
+        val schemaJson = sup.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"q402","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":[],""" +
+            s""""configuration":{"delta.checkpointInterval":"2"},""" +
+            s""""createdTime":1700000000000}}""",
+          s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":100,""" +
+            s""""modificationTime":1700000000000,"dataChange":true}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        (1 to 3).foreach { i =>
+          ds.append(sup.where(col("s_suppkey") % 4 === i))
+        }
+        require(Files.exists(
+          logDir.resolve(f"${2L}%020d.checkpoint.parquet")),
+          "q402: the v2 checkpoint must exist")
+        // vacuum the covered tail: replay now NEEDS the checkpoint
+        (0L to 2L).foreach(v =>
+          Files.delete(logDir.resolve(f"$v%020d.json")))
+        ds.scan().get.agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("s_suppkey")).cast("bigint").as("sum_key"),
+          countDistinct(col("s_nationkey")).cast("bigint").as("n_nations"))
+      })
   )
 }
