@@ -135,6 +135,73 @@ object SimilarityOps {
         col("max_in_deg"), col("p90_in_deg"))
   }
 
+  /** HNSW-style LAYERED navigability audit — extends [[knnGraphAudit]]
+    * with the question a layered graph index (HNSW) actually hangs
+    * on: from a node on layer ℓ, can greedy descent ESCAPE UPWARD?
+    * The caller supplies the layer assignment (`layerCol`, the
+    * deterministic stand-in for HNSW's geometric draw — e.g.
+    * trailing-zero counts of an id hash); the audit builds the exact
+    * k-nearest-neighbor digraph once and reports, per layer:
+    *  - `n_nodes` — layer occupancy (should decay geometrically;
+    *    a fat upper layer wastes memory, an empty one strands
+    *    search);
+    *  - `n_uplinked` / `uplink_ppm` — nodes with at least one
+    *    out-neighbor on a STRICTLY higher layer. A low-layer node
+    *    with no uplink in its true neighborhood is a spot greedy
+    *    routing cannot reach from the entry point's descent cone —
+    *    the navigability failure HNSW papers measure as recall
+    *    loss;
+    *  - `n_up_edges` — total upward edges leaving the layer (the
+    *    escape bandwidth).
+    *
+    * Exactness: ranks and counts are integers; `uplink_ppm` is one
+    * floored div. The TOP layer reports uplink 0 by construction
+    * (its nodes are the entry points).
+    *
+    * Scale shape (100 TB): same audit scope as [[knnGraphAudit]] —
+    * brute kNN on a bounded slice/sample (per IVF cluster or shard
+    * at full scale); everything past the k·n edge frame is two
+    * id-keyed layer joins and one layer-keyed aggregate. */
+  def layeredNavigabilityAudit(df: DataFrame, idCol: String, vecCol: String,
+                               layerCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be positive")
+    val pts = df.select(col(idCol).as("__pid"), col(vecCol).as("__pv"),
+      col(layerCol).cast("bigint").as("__pl"))
+    val edges = knnJoin(
+        pts.select(col("__pid").as("__cid"), col("__pv").as("__cv")),
+        "__cid", "__cv",
+        pts.select(col("__pid").as("__qid"), col("__pv").as("__qv")),
+        "__qid", "__qv", k + 1)
+      .where(col("q_id") =!= col("c_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("rank"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"))
+    val layers = pts.select(col("__pid"), col("__pl"))
+    val perNode = edges
+      .join(layers.select(col("__pid").as("q_id"), col("__pl").as("__ql")),
+        Seq("q_id"))
+      .join(layers.select(col("__pid").as("c_id"), col("__pl").as("__cl")),
+        Seq("c_id"))
+      .groupBy(col("q_id"), col("__ql"))
+      .agg(max(when(col("__cl") > col("__ql"), 1L).otherwise(0L)).as("__has"),
+        sum(when(col("__cl") > col("__ql"), 1L).otherwise(0L)).as("__nup"))
+    // left join keeps isolated nodes (a one-point layer has no edges)
+    layers
+      .join(perNode.select(col("q_id").as("__pid"), col("__has"), col("__nup")),
+        Seq("__pid"), "left")
+      .groupBy(col("__pl").as("layer"))
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+        sum(coalesce(col("__has"), lit(0L))).cast("bigint").as("n_uplinked"),
+        sum(coalesce(col("__nup"), lit(0L))).cast("bigint").as("n_up_edges"))
+      .withColumn("uplink_ppm",
+        expr("(1000000L * n_uplinked) div n_nodes").cast("bigint"))
+      .select(col("layer").cast("bigint"), col("n_nodes"), col("n_uplinked"),
+        col("uplink_ppm"), col("n_up_edges"))
+      .orderBy("layer")
+  }
+
   /** Matryoshka-truncation quality audit: how much of each query's
     * full-dimension top-k survives when vectors are TRUNCATED to
     * their first `dim` components (the MRL deployment question —

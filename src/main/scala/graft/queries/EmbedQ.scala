@@ -963,5 +963,45 @@ object EmbedQ {
         SimilarityOps.knnGraphAudit(
           t(s, dir, "embeddings").where(col("vec_id") < 200),
           "vec_id", "embedding", k = 5))
+    ,
+
+    // ---- HNSW-style layered navigability audit -------------------
+    // Layers assigned by the deterministic geometric stand-in
+    // (vec_id divisibility: %8 -> 3, %4 -> 2, %2 -> 1, else 0); the
+    // exact k=5 digraph then answers, per layer, whether greedy
+    // descent can ESCAPE UPWARD — occupancy, uplink coverage, and
+    // escape bandwidth. The q380 graph-health audit's layered face.
+    Q("q404_layered_nav_audit",
+      Some(s"""WITH pts AS (SELECT vec_id AS id, embedding AS v,
+              |  (CASE WHEN vec_id % 8 = 0 THEN 3 WHEN vec_id % 4 = 0 THEN 2
+              |        WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS l
+              |  FROM embeddings WHERE vec_id < 200),
+              |sc AS (SELECT a.id AS q_id, b.id AS c_id,
+              |  ${D.cosine("b.v", "a.v")} AS sim
+              |  FROM pts a JOIN pts b ON a.id <> b.id),
+              |rk AS (SELECT q_id, c_id, row_number() OVER (
+              |  PARTITION BY q_id ORDER BY sim DESC, c_id)::BIGINT AS rank
+              |  FROM sc),
+              |e AS (SELECT q_id, c_id FROM rk WHERE rank <= 5),
+              |j AS (SELECT e.q_id, pq.l AS ql, pc.l AS cl FROM e
+              |  JOIN pts pq ON pq.id = e.q_id JOIN pts pc ON pc.id = e.c_id),
+              |pn AS (SELECT q_id, ql,
+              |  max(CASE WHEN cl > ql THEN 1 ELSE 0 END) AS has,
+              |  sum(CASE WHEN cl > ql THEN 1 ELSE 0 END) AS nup
+              |  FROM j GROUP BY q_id, ql)
+              |SELECT pts.l AS layer, count(*)::BIGINT AS n_nodes,
+              |  coalesce(sum(pn.has), 0)::BIGINT AS n_uplinked,
+              |  ((1000000 * coalesce(sum(pn.has), 0)) // count(*))::BIGINT
+              |    AS uplink_ppm,
+              |  coalesce(sum(pn.nup), 0)::BIGINT AS n_up_edges
+              |FROM pts LEFT JOIN pn ON pn.q_id = pts.id
+              |GROUP BY pts.l ORDER BY layer""".stripMargin),
+      (s, dir) =>
+        SimilarityOps.layeredNavigabilityAudit(
+          t(s, dir, "embeddings").where(col("vec_id") < 200)
+            .withColumn("lyr", expr(
+              "CASE WHEN vec_id % 8 = 0 THEN 3L WHEN vec_id % 4 = 0 THEN 2L " +
+                "WHEN vec_id % 2 = 0 THEN 1L ELSE 0L END")),
+          "vec_id", "embedding", "lyr", k = 5))
   )
 }

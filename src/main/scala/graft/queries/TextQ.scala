@@ -4637,6 +4637,145 @@ object TextQ {
       })
     ,
 
+    // ---- STREAMED micro-batch fold of the incremental join -------
+    // q379's operator driven the way a stream actually drives it:
+    // the arriving docs (doc_id % 5 = 0) land in THREE sequential
+    // micro-batches, each probed against the corpus-so-far (which
+    // absorbs every earlier batch), outputs unioned. Exactly-once
+    // across folds: every qualifying pair surfaces in precisely the
+    // fold where its LATER side arrives — so the union must equal
+    // the one-shot join restricted to batch-touching pairs (the
+    // q379 oracle minus the per-fold new_sides label, which is
+    // relative to fold boundaries). A duplicated or dropped pair
+    // breaks the row-hash compare.
+    Q("q403_streamed_jaccard_fold",
+      Some("""WITH tk AS (SELECT doc_id,
+             |  unnest(list_distinct(string_split(text, ' '))) AS w
+             |  FROM documents WHERE doc_id < 600),
+             |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id),
+             |co AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+             |  FROM tk x JOIN tk y ON x.w = y.w AND x.doc_id < y.doc_id
+             |  GROUP BY 1, 2),
+             |j AS (SELECT a, b, sa.n AS n_a, sb.n AS n_b, c
+             |  FROM co JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b)
+             |SELECT a AS a_id, b AS b_id, n_a, n_b, c AS n_common,
+             |  ((1000000 * c) // (n_a + n_b - c))::BIGINT AS jacc_ppm
+             |FROM j WHERE 20 * c >= 19 * (n_a + n_b - c)
+             |  AND (a % 5 = 0 OR b % 5 = 0)
+             |ORDER BY a_id, b_id""".stripMargin),
+      (s, dir) => {
+        val docs = tp(s, dir, "documents", "doc_id").where(col("doc_id") < 600)
+        var corpus = docs.where(col("doc_id") % 5 =!= 0)
+        val folds = (0 to 2).map { kth =>
+          val batch = docs.where(col("doc_id") % 5 === 0 &&
+            (col("doc_id") / 5) % 3 === kth)
+          val out = graft.operators.DedupOps.exactJaccardJoinIncremental(
+            corpus, batch, "doc_id", "text", tNum = 19L, tDen = 20L)
+            .drop("new_sides")
+          corpus = corpus.unionByName(batch)
+          out
+        }
+        folds.reduce(_ unionByName _).orderBy("a_id", "b_id")
+      })
+    ,
+
+    // ---- CDC-chunk near-dup calibration curve --------------------
+    // How well does CHUNK-set overlap (the cheap, resync-stable CDC
+    // signal) predict exact token Jaccard >= 1/2? Candidate pairs =
+    // docs sharing any content-defined chunk (equi-join on the chunk
+    // hash — never all-pairs); each pair's chunk-Jaccard estimate is
+    // binned by decile and scored against the exact token test — the
+    // reliability diagram that calibrates a chunk-level dedup
+    // threshold before a 100 TB run. Inner-join semantics: pairs
+    // sharing zero chunks are absent (they carry no CDC signal).
+    Q("q405_cdc_calibration",
+      Some(s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 200),
+              |kh AS (SELECT doc_id, text, n, CASE WHEN n >= 9
+              |  THEN ${D.kgramHashes("text", 8)} ELSE []::BIGINT[] END AS h FROM t),
+              |cuts AS (SELECT doc_id, text, n, list_concat(list_concat(
+              |  [1], CASE WHEN n >= 9 THEN list_filter(range(2, n - 6), p -> h[p] % 64 = 0)
+              |       ELSE []::BIGINT[] END), [n + 1]) AS c FROM kh),
+              |st AS (SELECT doc_id, text, n, flatten(list_transform(range(1, len(c)),
+              |  j -> range(c[j], c[j + 1], 256))) AS s FROM cuts WHERE n > 0),
+              |ch AS (SELECT doc_id, unnest(list_transform(range(1, len(s) + 1), j ->
+              |  substring(text, s[j]::INT, ((CASE WHEN j + 1 <= len(s)
+              |     THEN s[j + 1] ELSE n + 1 END) - s[j])::INT))) AS ctext FROM st),
+              |hs AS (SELECT DISTINCT doc_id, ${D.rollingHash("ctext")} AS hh FROM ch),
+              |csz AS (SELECT doc_id, count(*)::BIGINT AS n FROM hs GROUP BY doc_id),
+              |cco AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS c
+              |  FROM hs x JOIN hs y ON x.hh = y.hh AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2),
+              |est AS (SELECT a, b,
+              |  ((1000000 * c) // (sa.n + sb.n - c))::BIGINT AS est_ppm
+              |  FROM cco JOIN csz sa ON sa.doc_id = a JOIN csz sb ON sb.doc_id = b),
+              |tk AS (SELECT doc_id,
+              |  unnest(list_distinct(string_split(text, ' '))) AS w FROM t),
+              |tsz AS (SELECT doc_id, count(*)::BIGINT AS n FROM tk GROUP BY doc_id),
+              |tco AS (SELECT e.a, e.b, count(*)::BIGINT AS tc FROM est e
+              |  JOIN tk x ON x.doc_id = e.a JOIN tk y ON y.doc_id = e.b
+              |    AND y.w = x.w
+              |  GROUP BY e.a, e.b),
+              |v AS (SELECT est.est_ppm // 100000 AS bin,
+              |  CASE WHEN 2 * coalesce(tco.tc, 0) >= (ta.n + tb.n - coalesce(tco.tc, 0))
+              |       THEN 1 ELSE 0 END AS y
+              |  FROM est LEFT JOIN tco ON tco.a = est.a AND tco.b = est.b
+              |  JOIN tsz ta ON ta.doc_id = est.a JOIN tsz tb ON tb.doc_id = est.b)
+              |SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_pairs,
+              |  sum(y)::BIGINT AS n_true,
+              |  ((1000000 * sum(y)) // count(*))::BIGINT AS precision_ppm
+              |FROM v GROUP BY bin ORDER BY bin""".stripMargin),
+      (s, dir) => {
+        import TextHash.{spark => H}
+        val docs = tp(s, dir, "documents", "doc_id").where(col("doc_id") < 200)
+        val hs = graft.operators.TextOps
+          .cdcChunks(docs, "doc_id", "text", k = 8, mod = 64, maxLen = 256)
+          .select(col("doc_id"), expr(H.rollingHash("chunk_text")).as("hh"))
+          .distinct()
+          .localCheckpoint() // feeds the size agg AND both pair sides
+        val csz = hs.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val cco = hs.as("x")
+          .join(hs.as("y"), col("x.hh") === col("y.hh") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).cast("bigint").as("c"))
+        val est = cco
+          .join(broadcast(csz.select(col("doc_id").as("a"), col("n").as("na"))),
+            Seq("a"))
+          .join(broadcast(csz.select(col("doc_id").as("b"), col("n").as("nb"))),
+            Seq("b"))
+          .select(col("a"), col("b"),
+            expr("(1000000L * c) div (na + nb - c)").cast("bigint")
+              .as("est_ppm"))
+          .localCheckpoint() // feeds the token probe AND the bin agg
+        val tk = docs
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("w"))
+        val tsz = tk.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("bigint").as("n"))
+        val tco = est.select(col("a"), col("b"))
+          .join(tk.select(col("doc_id").as("a"), col("w")), Seq("a"))
+          .join(tk.select(col("doc_id").as("b"), col("w")), Seq("b", "w"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).cast("bigint").as("tc"))
+        est
+          .join(tco, Seq("a", "b"), "left")
+          .join(broadcast(tsz.select(col("doc_id").as("a"), col("n").as("tna"))),
+            Seq("a"))
+          .join(broadcast(tsz.select(col("doc_id").as("b"), col("n").as("tnb"))),
+            Seq("b"))
+          .select(expr("est_ppm div 100000L").as("bin"),
+            when(expr("2L * coalesce(tc, 0L) >= (tna + tnb - coalesce(tc, 0L))"),
+              1L).otherwise(0L).as("y"))
+          .groupBy(col("bin").cast("bigint").as("bin"))
+          .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+            sum(col("y")).cast("bigint").as("n_true"))
+          .withColumn("precision_ppm",
+            expr("(1000000L * n_true) div n_pairs").cast("bigint"))
+          .orderBy("bin")
+      })
+    ,
+
     // ---- capstone curation composition ---------------------------
     // Three round-7 operators end-to-end, oracle-exact through every
     // stage: (1) bigram-LM quality gate (scored odd-id docs with

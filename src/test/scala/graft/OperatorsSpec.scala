@@ -3721,6 +3721,32 @@ class OperatorsSpec extends SparkSpec {
       edges3.getLong(3)) == ((3L, 6L, 6L, 1000000L)))
   }
 
+  test("layeredNavigabilityAudit: per-layer uplink coverage on the hub fixture") {
+    import spark.implicits._
+    // the knnGraphAudit hub at k=1 with a on layer 1: edges a->b,
+    // b->a, c->a. Layer 1 {a}: a's only out-edge stays below -> no
+    // uplink. Layer 0 {b,c}: both route INTO the upper layer.
+    val df = Seq((1L, Array(1f, 0f), 1L), (2L, Array(0.9f, 0.43f), 0L),
+      (3L, Array(0.9f, -0.43f), 0L)).toDF("id", "v", "l")
+    val rows = graft.operators.SimilarityOps
+      .layeredNavigabilityAudit(df, "id", "v", "l", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(rows == Seq((0L, 2L, 2L, 1000000L, 2L), (1L, 1L, 0L, 0L, 0L)))
+    // one flat layer: mutual edges but nothing higher to escape to
+    val flat = Seq((1L, Array(1f, 0f), 0L), (2L, Array(0.99f, 0.1f), 0L))
+      .toDF("id", "v", "l")
+    val rf = graft.operators.SimilarityOps
+      .layeredNavigabilityAudit(flat, "id", "v", "l", 1).collect().head
+    assert((rf.getLong(0), rf.getLong(1), rf.getLong(2), rf.getLong(3),
+      rf.getLong(4)) == ((0L, 2L, 0L, 0L, 0L)))
+    // an isolated single node still reports its layer (left join)
+    val one = Seq((1L, Array(1f, 0f), 2L)).toDF("id", "v", "l")
+    val ro = graft.operators.SimilarityOps
+      .layeredNavigabilityAudit(one, "id", "v", "l", 1).collect().head
+    assert((ro.getLong(0), ro.getLong(1), ro.getLong(2)) == ((2L, 1L, 0L)))
+  }
+
   test("neymanAllocation: spread-weighted quotas sum exactly to the budget") {
     import spark.implicits._
     // A {0,10}: sd_floor 7, weight 14; B constant: weight 0;
