@@ -686,5 +686,40 @@ object HiveQ {
           sum(col("s_suppkey")).cast("bigint").as("sum_key"),
           countDistinct(col("s_nationkey")).cast("bigint").as("n_nations"))
       })
+    ,
+
+    // ---- row-level DELETE via deletion vectors -------------------
+    // Two stacked deletes on a real Delta table — status purge, then
+    // a modulo kill list landing on the SAME already-masked files —
+    // with no data-file rewrite: masks merge into fresh sidecars,
+    // the protocol upgrades to the deletionVectors feature in the
+    // first delete's commit, and every pre-delete version stays one
+    // time-travel hop away.
+    Q("q406_delta_delete",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey < 3000)
+             |SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
+             |  sum(o_orderkey)::BIGINT AS sum_key FROM o
+             |UNION ALL SELECT 1::BIGINT, count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o WHERE o_orderstatus <> 'F'
+             |UNION ALL SELECT 2::BIGINT, count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o
+             |  WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 0
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q406_")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(t(s, dir, "orders").where(col("o_orderkey") < 3000))
+        ds.delete(col("o_orderstatus") === "F")
+        ds.delete(col("o_orderkey") % 10 === 0)
+        (0L to 2L).map { v =>
+          graft.sources.DeltaReader.scan(table, Some(v))(s).get
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+            .select(lit(v).cast("bigint").as("version"),
+              col("n_rows"), col("sum_key"))
+        }.reduce(_ unionByName _).orderBy("version")
+      })
   )
 }

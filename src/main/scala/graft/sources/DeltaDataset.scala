@@ -51,6 +51,17 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   def write(df: DataFrame): Long = DeltaWriter.write(
     cleanUrl, df, partitionColumns, overwrite = true)
 
+  /** Row-level DELETE via deletion vectors — no data-file rewrite:
+    * rows matching `cond` are masked by per-file roaring sidecars
+    * (the protocol's `deletionVectors` writer feature, upgraded onto
+    * the table in the same commit when absent). Returns the committed
+    * version, or the current one when nothing matched. Beyond the
+    * reference surface (delta_dataset.py has no delete) — the
+    * lakehouse face of the dedup pipeline: kill list in, one
+    * metadata-plus-sidecar commit out, time travel intact. */
+  def delete(cond: org.apache.spark.sql.Column): Long =
+    DeltaWriter.delete(cleanUrl, cond)
+
   /** Targeted partition read (delta_dataset.py:41-54). */
   def readPartition(values: Map[String, String]): Option[DataFrame] =
     DeltaReader.readPartition(cleanUrl, values)
@@ -208,6 +219,148 @@ object DeltaWriter {
     throw new IllegalStateException(
       s"DeltaWriter: lost the commit race $MaxCommitAttempts times on " +
         s"$cleanUrl — giving up (is a runaway writer looping?)")
+  }
+
+  /** Mask every row matching `cond` behind per-file deletion-vector
+    * sidecars and commit the re-adds — the protocol's row-level
+    * DELETE without rewriting a single data file:
+    *
+    *  1. scan the CURRENT snapshot with row provenance
+    *     (`_metadata.file_path` / `row_index`, existing DVs already
+    *     applied, partition literals injected so `cond` may reference
+    *     partition columns);
+    *  2. per touched file, merge the surviving old mask with the new
+    *     matches and serialize ONE roaring sidecar ON AN EXECUTOR
+    *     (`deletion_vector_<uuid>.bin`, storage type `u`) — the
+    *     driver never holds a bitmap, and per-task memory is bounded
+    *     by one file's deleted-row count (the same bound every DV
+    *     writer carries);
+    *  3. one commit: a protocol upgrade to reader 3 / writer 7 with
+    *     the `deletionVectors` feature when the table lacks it, then
+    *     remove+re-add of each touched file with its new descriptor
+    *     (same version — [[DeltaReader]] resolves the tie to the add).
+    *
+    * First-writer-wins safety: on a lost race the head is re-read and
+    * the touched files must still be live with UNCHANGED descriptors
+    * (the masks were computed against our snapshot) — anything else
+    * raises loudly; the landed sidecars are content-addressed by
+    * fresh UUIDs, so retries never collide. No match = no commit. */
+  def delete(url: String, cond: org.apache.spark.sql.Column)
+            (implicit spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cleanUrl = url.stripSuffix("/")
+    val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.delete: no Delta table at $cleanUrl"))
+    require(snap.physicalSchema.isEmpty,
+      "DeltaWriter.delete: column-mapped tables unsupported")
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    val logDir = new Path(qualifiedBase, "_delta_log")
+
+    val matched = DeltaReader.scanWithRowIndex(snap).where(cond)
+      .select(col("__fp"), col("__ri"))
+    val fileKeys: Seq[String] = matched.select(col("__fp")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (fileKeys.isEmpty) return snap.version
+    val byKey: Map[String, DeltaReader.DeltaFile] =
+      snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
+    fileKeys.foreach(k => require(byKey.contains(k),
+      s"DeltaWriter.delete: matched file $k missing from the snapshot"))
+
+    // old masks for the touched files ride in relationally — matched
+    // rows exclude them (the scan already applied the DVs), so the
+    // union is disjoint and the new sidecar holds old ∪ new
+    import spark.implicits._
+    val keyFrame = fileKeys.toDF("__fp")
+    val oldMasks = DeltaReader.deletedRowsFrame(snap)
+      .map(_.select(col("__dv_fp").as("__fp"), col("__dv_ri").as("__ri"))
+        .join(broadcast(keyFrame), Seq("__fp"), "left_semi"))
+    val all = oldMasks.map(matched.unionByName(_)).getOrElse(matched)
+    val conf = spark.sparkContext.broadcast(
+      new DeltaReader.SerializableConf(spark.sessionState.newHadoopConf()))
+    val rootStr = qualifiedBase.toString
+    // one sidecar per touched file, serialized where the rows are
+    val descriptors: Map[String, (String, Int, Long)] = all
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (fp, it) =>
+        val idx = it.map(_._2).toArray
+        val data = DeletionVectors.serialize(idx.toSeq)
+        val uuid = java.util.UUID.randomUUID()
+        val p = new Path(rootStr, s"deletion_vector_$uuid.bin")
+        val out = p.getFileSystem(conf.value.value).create(p, false)
+        try {
+          out.write(Array(DeletionVectors.FileFormatVersion))
+          out.write(DeletionVectors.frame(data))
+        } finally out.close()
+        (fp, DeletionVectors.encodeUUID(uuid), data.length, idx.length.toLong)
+      }
+      .collect() // file-count bounded: one descriptor per touched file
+      .map { case (fp, u, n, c) => fp -> ((u, n, c)) }.toMap
+
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    def dvAddLine(f: DeltaReader.DeltaFile, d: (String, Int, Long)): String = {
+      val pv = f.partitionValues.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      // d._3 counts the MERGED mask (old ∪ new rows — the scan fed
+      // `matched` with old masks applied, so the union is disjoint)
+      s"""{"add":{"path":"${jsonEscape(relEncode(basePath, new Path(f.path)))}",""" +
+        s""""partitionValues":{$pv},"size":${f.size},""" +
+        s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
+        s""""deletionVector":{"storageType":"u",""" +
+        s""""pathOrInlineDv":"${d._1}","offset":1,"sizeInBytes":${d._2},""" +
+        s""""cardinality":${d._3}}}}"""
+    }
+
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val head = DeltaReader.snapshot(cleanUrl).getOrElse(
+        throw new IllegalStateException(
+          s"DeltaWriter.delete: table at $cleanUrl vanished mid-delete"))
+      val headByKey = head.files
+        .map(f => new Path(f.path).toUri.toString -> f).toMap
+      fileKeys.foreach { k =>
+        val now = headByKey.get(k)
+        require(now.exists(_.deletionVector == byKey(k).deletionVector),
+          s"DeltaWriter.delete: concurrent modification of $k — the " +
+            "row masks were computed against a stale snapshot; re-run")
+      }
+      val version = head.version + 1
+      val needsUpgrade = !(head.protocol.minReaderVersion >= 3 &&
+        head.protocol.readerFeatures.exists(_.contains("deletionVectors")))
+      val protoLine =
+        if (!needsUpgrade) Seq.empty
+        else {
+          // legacy minWriterVersion 2 implies appendOnly + invariants;
+          // they must surface explicitly once the table goes v7
+          val rf = (head.protocol.readerFeatures.getOrElse(Seq.empty) :+
+            "deletionVectors").distinct.sorted
+          val wf = (head.protocol.writerFeatures.getOrElse(
+            Seq("appendOnly", "invariants")) :+ "deletionVectors")
+            .distinct.sorted
+          Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":[${rf.map(x => s""""$x"""").mkString(",")}],""" +
+            s""""writerFeatures":[${wf.map(x => s""""$x"""").mkString(",")}]}}""")
+        }
+      val lines = protoLine ++ fileKeys.flatMap { k =>
+        val f = byKey(k)
+        Seq(
+          s"""{"remove":{"path":"${jsonEscape(relEncode(basePath, new Path(f.path)))}",""" +
+            s""""deletionTimestamp":${System.currentTimeMillis},""" +
+            """"dataChange":true}}""",
+          dvAddLine(f, descriptors(k)))
+      }
+      if (publishCommit(fs, logDir, version, lines.mkString("\n") + "\n")) {
+        maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
+        return version
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DeltaWriter.delete: lost the commit race $MaxCommitAttempts times " +
+        s"on $cleanUrl — giving up")
   }
 
   /** Checkpoint the log every `delta.checkpointInterval` commits

@@ -416,7 +416,19 @@ object DeltaReader {
     * vector scan WITH `_metadata.row_index` and anti-join the decoded
     * masks; DV-free files keep the untouched plain scan. */
   private def assemble(snap: DeltaSnapshot)
-                      (implicit spark: SparkSession): DataFrame = {
+                      (implicit spark: SparkSession): DataFrame =
+    assembleInternal(snap, keepMeta = false)
+
+  /** The snapshot frame PLUS `__fp` (= `_metadata.file_path`) and
+    * `__ri` (= `_metadata.row_index`) provenance columns, existing
+    * deletion vectors already applied — what a DV-writing DELETE
+    * needs to turn a predicate into per-file row-index masks. */
+  private[sources] def scanWithRowIndex(snap: DeltaSnapshot)
+                                       (implicit spark: SparkSession): DataFrame =
+    assembleInternal(snap, keepMeta = true)
+
+  private def assembleInternal(snap: DeltaSnapshot, keepMeta: Boolean)
+                              (implicit spark: SparkSession): DataFrame = {
     val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     snap.partitionColumns.foreach { c =>
       if (!fieldType.contains(c))
@@ -431,9 +443,13 @@ object DeltaReader {
       .filterNot { case (lf, _) => snap.partitionColumns.contains(lf.name) }
       .toSeq
     val dataSchema = StructType(dataPairs.map(_._2))
-    val ordered = snap.schema.fieldNames.map(col).toSeq
+    val metaCols = if (keepMeta) Seq(col("__fp"), col("__ri")) else Seq.empty
+    val ordered = snap.schema.fieldNames.map(col).toSeq ++ metaCols
     def empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      if (keepMeta) StructType(snap.schema.fields ++ Seq(
+        StructField("__fp", StringType), StructField("__ri", LongType)))
+      else snap.schema)
     if (snap.files.isEmpty) return empty
     val deleted = deletedRowsFrame(snap) // built once, shared by groups
     val groups = snap.files
@@ -445,22 +461,30 @@ object DeltaReader {
       def readFiles(paths: Seq[String], withMask: Boolean): DataFrame = {
         val read = spark.read.schema(dataSchema).parquet(paths: _*)
         val masked =
-          if (!withMask) read
-          else read
+          if (!withMask && !keepMeta) read
+          else {
             // _metadata.file_path IS Path.toUri.toString (spec-pinned
             // in DeletionVectorSpec), so the join key matches the
             // driver-side descriptor frame exactly — no normalization
-            .withColumn("__dv_fp", col("_metadata.file_path"))
-            .withColumn("__dv_ri", col("_metadata.row_index"))
-            .join(deleted.get, Seq("__dv_fp", "__dv_ri"), "left_anti")
-            .drop("__dv_fp", "__dv_ri")
+            val withM = read
+              .withColumn("__fp", col("_metadata.file_path"))
+              .withColumn("__ri", col("_metadata.row_index"))
+            val anti =
+              if (!withMask) withM
+              else withM.join(
+                deleted.get.select(col("__dv_fp").as("__fp"),
+                  col("__dv_ri").as("__ri")),
+                Seq("__fp", "__ri"), "left_anti")
+            if (keepMeta) anti else anti.drop("__fp", "__ri")
+          }
         // physical→logical rename; nested names ride a struct cast
         // (positional, so shape is preserved exactly)
-        snap.physicalSchema match {
-          case Some(_) => masked.select(dataPairs.map { case (lf, pf) =>
-            col(pf.name).cast(lf.dataType).as(lf.name) }: _*)
-          case None => masked.select(dataPairs.map(_._2.name).map(col): _*)
+        val dataSel = snap.physicalSchema match {
+          case Some(_) => dataPairs.map { case (lf, pf) =>
+            col(pf.name).cast(lf.dataType).as(lf.name) }
+          case None => dataPairs.map(_._2.name).map(col)
         }
+        masked.select(dataSel ++ metaCols: _*)
       }
       val parts =
         (if (plainFiles.nonEmpty)
@@ -479,7 +503,7 @@ object DeltaReader {
   /** Hadoop Configuration with Java serialization — lets the DV
     * decode task open the sidecar on the executor with the SESSION's
     * filesystem config (credentials, schemes), not a blank one. */
-  private final class SerializableConf(
+  private[sources] final class SerializableConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
@@ -505,7 +529,7 @@ object DeltaReader {
     * a documented imperative seam (§2.9): a roaring bitmap has no
     * Catalyst rendering, and the per-FILE input frame means the seam
     * never touches row-count-sized data on the way in. */
-  private def deletedRowsFrame(snap: DeltaSnapshot)
+  private[sources] def deletedRowsFrame(snap: DeltaSnapshot)
                               (implicit spark: SparkSession): Option[DataFrame] = {
     val dvFiles = snap.files.filter(_.deletionVector.isDefined)
     if (dvFiles.isEmpty) return None

@@ -282,6 +282,56 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  // ---- DV-writing DELETE ---------------------------------------------
+
+  test("delete masks rows behind sidecars, upgrades the protocol, keeps time travel") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(1L, 2L, 3L, 4L).toDF("v"))      // v0
+      ds.append(Seq(5L, 6L).toDF("v"))             // v1
+      val v2 = ds.delete(col("v") % 2 === 0)
+      assert(v2 == 2L)
+      assertSameData(ds.scan().get, Seq(1L, 3L, 5L).toDF("v"))
+      // pre-delete state is one time-travel hop away — no file was
+      // rewritten or removed from disk
+      assertSameData(DeltaReader.scan(table, Some(1L)).get,
+        Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("v"))
+      val snap = DeltaReader.snapshot(table).get
+      assert(snap.protocol.minReaderVersion == 3)
+      assert(snap.protocol.readerFeatures.exists(_.contains("deletionVectors")))
+      assert(snap.protocol.writerFeatures.exists(f =>
+        f.contains("deletionVectors") && f.contains("appendOnly")))
+      assert(snap.files.flatMap(_.deletionVector).map(_.cardinality).sum == 3L)
+      // a SECOND delete must merge with the standing masks, not
+      // replace them: 3 drops again-masked rows would resurrect 2,4,6
+      val v3 = ds.delete(col("v") === 3L)
+      assert(v3 == 3L)
+      assertSameData(ds.scan().get, Seq(1L, 5L).toDF("v"))
+      // no-match delete: no commit at all
+      assert(ds.delete(col("v") === 999L) == 3L)
+      assert(!java.nio.file.Files.exists(
+        Paths.get(table, "_delta_log", f"${4L}%020d.json")))
+    }
+  }
+
+  test("delete with a partition-column predicate masks across partitioned files") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, "A"), (2L, "A"), (10L, "B"), (11L, "B"))
+        .toDF("v", "p"))
+      // mixed predicate: partition literal AND data column
+      val v1 = ds.delete(col("p") === "A" && col("v") > 1L)
+      assert(v1 == 1L)
+      assertSameData(ds.scan().get,
+        Seq((1L, "A"), (10L, "B"), (11L, "B")).toDF("v", "p"))
+      // targeted partition reads see the mask too
+      assertSameData(ds.readPartition(Map("p" -> "A")).get,
+        Seq((1L, "A")).toDF("v", "p"))
+    }
+  }
+
   /** Z85 needs 4-byte alignment; inline payloads pad with trailing
     * zero bytes the deserializer never reads (bitmap count bounds
     * the parse). */
