@@ -98,10 +98,28 @@ object DeltaWriter {
 
   /** Land `df` as one Delta commit on `url`; returns the committed
     * version. `overwrite = true` additionally removes every
-    * pre-commit file from the log (not from disk). */
+    * pre-commit file from the log (not from disk).
+    *
+    * `txn = Some((appId, version))` makes the commit IDEMPOTENT under
+    * the protocol's SetTransaction bookkeeping: when the table has
+    * already recorded `appId` at a version >= the given one, the
+    * write is a no-op returning the current table version — the
+    * exactly-once primitive a restarted streaming micro-batch needs
+    * (the real-Delta `txnAppId`/`txnVersion` sink option). A batch
+    * that loses this race AFTER landing its data files aborts before
+    * publishing; the orphaned files are [[vacuum]] fodder, exactly
+    * delta's own behavior. */
   def write(url: String, df: DataFrame, partitionColumns: Seq[String],
-            overwrite: Boolean)(implicit spark: SparkSession): Long = {
+            overwrite: Boolean, txn: Option[(String, Long)] = None)
+           (implicit spark: SparkSession): Long = {
     val cleanUrl = url.stripSuffix("/")
+    // idempotence gate BEFORE any data lands: a replayed batch that
+    // is already in the log must not even write files
+    txn.foreach { case (app, v) =>
+      DeltaReader.snapshot(cleanUrl).foreach { s =>
+        if (s.txns.get(app).exists(_ >= v)) return s.version
+      }
+    }
     // the reference's column validation, verbatim semantics
     // (delta_dataset.py:29-35)
     require(partitionColumns.forall(df.columns.contains) &&
@@ -128,46 +146,7 @@ object DeltaWriter {
     }
     DeltaReader.snapshot(cleanUrl).foreach(validateAgainst)
 
-    // touched partitions from the frame BEFORE the write (bounded by
-    // partition cardinality); values must be path-literal so the
-    // directory name IS the logged value (the HiveDataset contract)
-    val touched: Seq[(Seq[(String, String)], Path)] =
-      if (partitionColumns.isEmpty) Seq((Seq.empty, qualifiedBase))
-      else df.select(partitionColumns.map(c => col(c).cast("string")): _*)
-        .distinct().collect().toSeq.map { r =>
-          val kvs = partitionColumns.zipWithIndex.map { case (c, i) =>
-            require(!r.isNullAt(i),
-              s"DeltaWriter: partition column '$c' contains null values")
-            val v = r.getString(i)
-            require(v.nonEmpty && ExternalCatalogUtils.escapePathName(v) == v,
-              s"DeltaWriter: partition column '$c' value '$v' is empty or " +
-                "contains characters Spark path-escapes; only path-literal " +
-                "partition values are supported")
-            c -> v
-          }
-          (kvs, kvs.foldLeft(qualifiedBase) { case (p, (c, v)) =>
-            new Path(p, s"$c=$v") })
-        }
-    val before: Map[String, Set[String]] = listParquet(fs, touched.map(_._2))
-
-    // ONE distributed write; Append at the filesystem level always —
-    // "overwrite" is expressed in the log, old files stay for time
-    // travel. Spark's task-UUID part names cannot collide.
-    val writer = df.write.mode("append").option("compression", "snappy")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
-     else writer).parquet(cleanUrl)
-
-    val newFiles: Seq[(Seq[(String, String)], Path)] = touched.flatMap {
-      case (kvs, dir) =>
-        val old = before.getOrElse(dir.toString, Set.empty)
-        fs.listStatus(dir)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
-            && !old.contains(st.getPath.getName))
-          .sortBy(_.getPath.getName)
-          .map(st => (kvs, st.getPath))
-    }
-    require(newFiles.nonEmpty || df.isEmpty,
-      "DeltaWriter: write produced no files (concurrent compaction?)")
+    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df, partitionColumns)
 
     // table-relative, RFC-2396-percent-encoded — the form the log
     // stores and [[DeltaReader]] decodes; removes must re-encode the
@@ -200,7 +179,18 @@ object DeltaWriter {
     while (attempt < MaxCommitAttempts) {
       val snap = DeltaReader.snapshot(cleanUrl)
       snap.foreach(validateAgainst)
+      // a racing writer may have published OUR transaction id while
+      // we were landing files — abort unpublished (orphans vacuum)
+      txn.foreach { case (app, v) =>
+        snap.foreach { s =>
+          if (s.txns.get(app).exists(_ >= v)) return s.version
+        }
+      }
       val version = snap.map(_.version + 1).getOrElse(0L)
+      val txnLine = txn.map { case (app, v) =>
+        s"""{"txn":{"appId":"${jsonEscape(app)}","version":$v,""" +
+          s""""lastUpdated":${System.currentTimeMillis}}}"""
+      }.toSeq
       val removes =
         if (!overwrite) Seq.empty
         else snap.toSeq.flatMap(_.files).map { f =>
@@ -209,7 +199,7 @@ object DeltaWriter {
             """"dataChange":true}}"""
         }
       val head = if (snap.isEmpty) metaLines else Seq.empty
-      val body = (head ++ removes ++ adds).mkString("\n") + "\n"
+      val body = (head ++ txnLine ++ removes ++ adds).mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
@@ -452,7 +442,13 @@ object DeltaWriter {
     val removeRows = snap.tombstones.map { case (p, ts) =>
       Row(null, null, Row(rel(p), ts, false), null, null)
     }
-    ((protoRow +: metaRow +: addRows) ++ removeRows, schema)
+    // SetTransaction watermarks must survive checkpoint-anchored
+    // replay, or a restarted idempotent writer would re-commit every
+    // batch the vacuumed tail once recorded
+    val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+      Row(Row(app, v, null), null, null, null, null)
+    }
+    ((protoRow +: metaRow +: (txnRows ++ addRows)) ++ removeRows, schema)
   }
 
   private def writeCheckpoint(fs: FileSystem, base: Path, logDir: Path,
@@ -490,6 +486,55 @@ object DeltaWriter {
       s"DeltaWriter: file $full lies outside the table at $basePath")
     new java.net.URI(null, null,
       full.substring(basePath.length + 1), null).getRawPath
+  }
+
+  /** Land `df`'s rows as new parquet fragments under the table
+    * (filesystem-level append — "overwrite"/"replace" semantics live
+    * in the LOG), identified by a before/after listing diff of
+    * exactly the touched partition directories. Touched partitions
+    * come from the frame itself (bounded by partition cardinality);
+    * values must be path-literal so the directory name IS the logged
+    * value (the HiveDataset contract). */
+  private def landFiles(fs: FileSystem, qualifiedBase: Path, cleanUrl: String,
+                        df: DataFrame, partitionColumns: Seq[String])
+      : Seq[(Seq[(String, String)], Path)] = {
+    val touched: Seq[(Seq[(String, String)], Path)] =
+      if (partitionColumns.isEmpty) Seq((Seq.empty, qualifiedBase))
+      else df.select(partitionColumns.map(c => col(c).cast("string")): _*)
+        .distinct().collect().toSeq.map { r =>
+          val kvs = partitionColumns.zipWithIndex.map { case (c, i) =>
+            require(!r.isNullAt(i),
+              s"DeltaWriter: partition column '$c' contains null values")
+            val v = r.getString(i)
+            require(v.nonEmpty && ExternalCatalogUtils.escapePathName(v) == v,
+              s"DeltaWriter: partition column '$c' value '$v' is empty or " +
+                "contains characters Spark path-escapes; only path-literal " +
+                "partition values are supported")
+            c -> v
+          }
+          (kvs, kvs.foldLeft(qualifiedBase) { case (p, (c, v)) =>
+            new Path(p, s"$c=$v") })
+        }
+    val before: Map[String, Set[String]] = listParquet(fs, touched.map(_._2))
+
+    // ONE distributed write; Append at the filesystem level always.
+    // Spark's task-UUID part names cannot collide.
+    val writer = df.write.mode("append").option("compression", "snappy")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+     else writer).parquet(cleanUrl)
+
+    val newFiles: Seq[(Seq[(String, String)], Path)] = touched.flatMap {
+      case (kvs, dir) =>
+        val old = before.getOrElse(dir.toString, Set.empty)
+        fs.listStatus(dir)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+            && !old.contains(st.getPath.getName))
+          .sortBy(_.getPath.getName)
+          .map(st => (kvs, st.getPath))
+    }
+    require(newFiles.nonEmpty || df.isEmpty,
+      "DeltaWriter: write produced no files (concurrent compaction?)")
+    newFiles
   }
 
   private def listParquet(fs: FileSystem,

@@ -111,7 +111,8 @@ object DeltaReader {
       createdTime: Option[Long] = None,
       protocol: DeltaProtocol = DeltaProtocol(1, 2),
       tombstones: Seq[(String, Long)] = Seq.empty,
-      root: String = "")
+      root: String = "",
+      txns: Map[String, Long] = Map.empty)
 
   private def physicalFieldName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -140,6 +141,9 @@ object DeltaReader {
     StructField("cardinality", LongType)))
 
   private val actionSchema = StructType(Seq(
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))),
     StructField("add", StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
@@ -168,6 +172,8 @@ object DeltaReader {
   /** The one normalized projection both log sources (JSON commits and
     * parquet checkpoints) flatten into before replay. */
   private def normalizeActions(df: DataFrame): DataFrame = df.select(
+    col("txn.appId").as("__txn_app"),
+    col("txn.version").as("__txn_v"),
     col("add.path").as("__add_path"),
     col("add.partitionValues").as("__add_pv"),
     col("add.size").as("__add_size"),
@@ -368,9 +374,18 @@ object DeltaReader {
     val tombstones = latest.filterNot(_.getBoolean(1)).map { r =>
       (absPath(r.getString(0)), if (r.isNullAt(6)) 0L else r.getLong(6))
     }.toSeq.sortBy(_._1)
+    // SetTransaction watermarks: per appId the version from the
+    // NEWEST commit wins (idempotent-writer bookkeeping, PROTOCOL.md
+    // "Transaction Identifiers") — one appId-keyed aggregation
+    val txns: Map[String, Long] = actions
+      .where(col("__txn_app").isNotNull)
+      .groupBy(col("__txn_app"))
+      .agg(max(struct(col("__v"), col("__txn_v"))).as("__m"))
+      .select(col("__txn_app"), col("__m.__txn_v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     Some(DeltaSnapshot(target, schema, pcols, files, physSchema,
       tableId, tableConf, createdTime, protocolInfo, tombstones,
-      qualifiedBase.toString))
+      qualifiedBase.toString, txns))
   }
 
   /** Full-table scan at the latest (or a time-travel) version: data
