@@ -244,6 +244,11 @@ object DeltaWriter {
         s"DeltaWriter.delete: no Delta table at $cleanUrl"))
     require(snap.physicalSchema.isEmpty,
       "DeltaWriter.delete: column-mapped tables unsupported")
+    // real Delta refuses DELETE on append-only tables — other writers
+    // and consumers rely on the table never losing rows
+    require(!snap.configuration.get("delta.appendOnly").contains("true"),
+      s"DeltaWriter.delete: table at $cleanUrl is append-only " +
+        "(delta.appendOnly=true) — DELETE refused")
     val base = new Path(cleanUrl)
     val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
     val qualifiedBase = fs.makeQualified(base)
@@ -291,12 +296,21 @@ object DeltaWriter {
       .map { case (fp, u, n, c) => fp -> ((u, n, c)) }.toMap
 
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    // files logged with ABSOLUTE paths (shallow clones) re-serialize
+    // as absolute URIs — same leniency as checkpointRows
+    def relOrAbs(p: Path): String =
+      if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
+      else p.toUri.toString
     def dvAddLine(f: DeltaReader.DeltaFile, d: (String, Int, Long)): String = {
+      // a null partition VALUE is legal ({"p":null} = the null
+      // partition) and must re-serialize as a JSON null, not crash
       val pv = f.partitionValues.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+        s""""${jsonEscape(k)}":${
+          if (v == null) "null" else s""""${jsonEscape(v)}""""}"""
+      }.mkString(",")
       // d._3 counts the MERGED mask (old ∪ new rows — the scan fed
       // `matched` with old masks applied, so the union is disjoint)
-      s"""{"add":{"path":"${jsonEscape(relEncode(basePath, new Path(f.path)))}",""" +
+      s"""{"add":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
         s""""partitionValues":{$pv},"size":${f.size},""" +
         s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
         s""""deletionVector":{"storageType":"u",""" +
@@ -323,13 +337,19 @@ object DeltaWriter {
       val protoLine =
         if (!needsUpgrade) Seq.empty
         else {
-          // legacy minWriterVersion 2 implies appendOnly + invariants;
-          // they must surface explicitly once the table goes v7
-          val rf = (head.protocol.readerFeatures.getOrElse(Seq.empty) :+
+          // legacy versions imply feature sets (PROTOCOL.md's
+          // legacy-to-table-features mapping); they must ALL surface
+          // explicitly once the table goes reader 3 / writer 7, or
+          // other engines silently stop enforcing them (CHECK
+          // constraints, CDF, generated/identity columns)
+          val impliedWriter = legacyWriterFeatures(head.protocol.minWriterVersion)
+          val impliedReader =
+            if (head.protocol.minReaderVersion >= 2) Seq("columnMapping")
+            else Seq.empty
+          val rf = (head.protocol.readerFeatures.getOrElse(impliedReader) :+
             "deletionVectors").distinct.sorted
-          val wf = (head.protocol.writerFeatures.getOrElse(
-            Seq("appendOnly", "invariants")) :+ "deletionVectors")
-            .distinct.sorted
+          val wf = (head.protocol.writerFeatures.getOrElse(impliedWriter) :+
+            "deletionVectors").distinct.sorted
           Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
             s""""readerFeatures":[${rf.map(x => s""""$x"""").mkString(",")}],""" +
             s""""writerFeatures":[${wf.map(x => s""""$x"""").mkString(",")}]}}""")
@@ -337,7 +357,7 @@ object DeltaWriter {
       val lines = protoLine ++ fileKeys.flatMap { k =>
         val f = byKey(k)
         Seq(
-          s"""{"remove":{"path":"${jsonEscape(relEncode(basePath, new Path(f.path)))}",""" +
+          s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
             s""""deletionTimestamp":${System.currentTimeMillis},""" +
             """"dataChange":true}}""",
           dvAddLine(f, descriptors(k)))
@@ -351,6 +371,21 @@ object DeltaWriter {
     throw new IllegalStateException(
       s"DeltaWriter.delete: lost the commit race $MaxCommitAttempts times " +
         s"on $cleanUrl — giving up")
+  }
+
+  /** The writer features a legacy `minWriterVersion` implies
+    * (PROTOCOL.md "Table Features" legacy mapping) — cumulative:
+    * 2 = appendOnly+invariants, 3 adds checkConstraints, 4 adds
+    * changeDataFeed+generatedColumns, 5 adds columnMapping, 6 adds
+    * identityColumns. */
+  private[sources] def legacyWriterFeatures(minWriterVersion: Int): Seq[String] = {
+    val byVersion = Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+    byVersion.collect { case (v, fs) if minWriterVersion >= v => fs }.flatten
   }
 
   /** Checkpoint the log every `delta.checkpointInterval` commits
@@ -367,7 +402,7 @@ object DeltaWriter {
     * the loser skips. */
   private def maybeCheckpoint(fs: FileSystem, url: String, base: Path,
                               logDir: Path, version: Long)
-                             (implicit spark: SparkSession): Unit = {
+                             (implicit spark: SparkSession): Unit = try {
     if (version <= 0) return
     val snap = DeltaReader.snapshotAt(url, Some(version)).getOrElse(return)
     val interval = snap.configuration.get("delta.checkpointInterval")
@@ -377,6 +412,16 @@ object DeltaWriter {
     val target = new Path(logDir, f"$version%020d.checkpoint.parquet")
     if (fs.exists(target)) return
     writeCheckpoint(fs, base, logDir, snap, target)
+  } catch {
+    // post-commit checkpointing is best-effort, like delta-spark's: the
+    // commit already landed, and surfacing a transient checkpoint
+    // failure would make a SUCCEEDED write look failed — a retrying
+    // caller without txn dedup would then duplicate data. The next
+    // interval-hitting commit re-attempts.
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"DeltaWriter: checkpoint at version $version failed " +
+          s"(commit is safe; will retry at the next interval): $e")
   }
 
   /** The checkpoint schema is [[DeltaReader]]'s action schema plus
@@ -421,7 +466,14 @@ object DeltaWriter {
         StructField("readerFeatures", ArrayType(StringType)),
         StructField("writerFeatures", ArrayType(StringType)))))))
     val basePath = base.toUri.getPath.stripSuffix("/")
-    def rel(p: String): String = relEncode(basePath, new Path(p))
+    // absolute paths OUTSIDE the table root are legal in the log
+    // (shallow clones, `p`-mode imports); a checkpoint must carry them
+    // through as absolute URIs, not refuse the whole checkpoint
+    def rel(p: String): String = {
+      val hp = new Path(p)
+      if (hp.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, hp)
+      else hp.toUri.toString
+    }
     val protoRow = Row(null, null, null, null, Row(
       snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
       snap.protocol.readerFeatures.orNull,

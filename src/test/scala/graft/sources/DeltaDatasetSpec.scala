@@ -149,6 +149,132 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  private def landFragment(dest: java.nio.file.Path, vals: Seq[Long]): Unit = {
+    val frag = Files.createTempDirectory("delta-frag")
+    vals.toDF("v").coalesce(1).write.mode("overwrite").parquet(frag.toString)
+    val part = Files.list(frag)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.createDirectories(dest.getParent)
+    Files.copy(part, dest)
+  }
+
+  private def writeLog(table: String, version: Long, lines: Seq[String]): Unit = {
+    val logDir = Paths.get(table, "_delta_log")
+    Files.createDirectories(logDir)
+    Files.write(logDir.resolve(f"$version%020d.json"),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+  }
+
+  private def escJson(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private val vpSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("p",
+      org.apache.spark.sql.types.StringType)))
+
+  test("delete's protocol upgrade surfaces the features a legacy writer version implies") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "p=A", "f1.parquet"), Seq(1L, 2L))
+      // legacy minWriterVersion 4 implicitly carries appendOnly,
+      // invariants, checkConstraints, changeDataFeed, generatedColumns
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vpSchema.json)}","partitionColumns":["p"],""" +
+          s""""configuration":{},"createdTime":1700000000000}}""",
+        """{"add":{"path":"p=A/f1.parquet","partitionValues":{"p":"A"},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.delete(org.apache.spark.sql.functions.col("v") === 1L)
+      val log1 = Files.readAllLines(
+        Paths.get(table, "_delta_log", f"${1L}%020d.json")).toString
+      Seq("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "deletionVectors").foreach { f =>
+        assert(log1.contains(s""""$f""""), s"feature $f must survive the upgrade")
+      }
+      val proto = DeltaReader.snapshot(table).get.protocol
+      assert(proto.minReaderVersion == 3 && proto.minWriterVersion == 7)
+      assert(proto.writerFeatures.get.contains("changeDataFeed"))
+      assertSameData(ds.scan().get, Seq((2L, "A")).toDF("v", "p"))
+    }
+  }
+
+  test("delete refuses an append-only table") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f1.parquet"), Seq(1L, 2L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.appendOnly":"true"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      val e = intercept[IllegalArgumentException](
+        ds.delete(org.apache.spark.sql.functions.col("v") === 1L))
+      assert(e.getMessage.contains("append-only"))
+      assertSameData(ds.scan().get, Seq(1L, 2L).toDF("v"))
+    }
+  }
+
+  test("delete re-serializes a null partition value as JSON null") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "p=__HIVE_DEFAULT_PARTITION__", "f1.parquet"),
+        Seq(1L, 2L, 3L))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vpSchema.json)}","partitionColumns":["p"],""" +
+          s""""configuration":{},"createdTime":1700000000000}}""",
+        """{"add":{"path":"p=__HIVE_DEFAULT_PARTITION__/f1.parquet",""" +
+          """"partitionValues":{"p":null},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.delete(org.apache.spark.sql.functions.col("v") === 2L)
+      val log1 = Files.readAllLines(
+        Paths.get(table, "_delta_log", f"${1L}%020d.json")).toString
+      assert(log1.contains(""""partitionValues":{"p":null}"""))
+      assertSameData(ds.scan().get,
+        Seq((1L, null: String), (3L, null: String)).toDF("v", "p"))
+    }
+  }
+
+  test("checkpoints carry absolute out-of-table add paths through verbatim") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val outside = s"$dir/elsewhere"
+      landFragment(Paths.get(outside, "f1.parquet"), Seq(100L, 200L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.checkpointInterval":"1"},""" +
+          s""""createdTime":1700000000000}}""",
+        s"""{"add":{"path":"file:$outside/f1.parquet","partitionValues":{},""" +
+          s""""size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      ds.append(Seq(300L).toDF("v"))
+      val logDir = Paths.get(table, "_delta_log")
+      // interval=1 → the append's own commit checkpoints; the absolute
+      // path must ride through, not abort the (best-effort) checkpoint
+      assert(Files.exists(logDir.resolve(f"${1L}%020d.checkpoint.parquet")))
+      (0L to 1L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+      assertSameData(ds.scan().get, Seq(100L, 200L, 300L).toDF("v"))
+    }
+  }
+
   test("25 commits checkpoint at 10 and 20; replay anchors at the writer's own checkpoint") {
     withTempDir { dir =>
       val table = s"$dir/t"
