@@ -721,5 +721,107 @@ object HiveQ {
               col("n_rows"), col("sum_key"))
         }.reduce(_ unionByName _).orderBy("version")
       })
+    ,
+
+    // ---- v2 checkpoint read (manifest + sidecars) ----------------
+    // A long-lived Databricks/OSS-Delta table checkpoints in the V2
+    // form: a UUID-named manifest (checkpointMetadata + non-file
+    // actions + sidecar pointers) with the add/remove actions split
+    // across parquet sidecars under _delta_log/_sidecars/. Three
+    // supplier slices land as ordinary commits, the v2 checkpoint is
+    // hand-assembled at version 2 (two sidecars), the covered JSON
+    // tail is vacuumed, a fourth slice appends — the scan must
+    // reassemble all four slices, replay anchored at the v2 manifest.
+    Q("q407_delta_v2_checkpoint",
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             |  sum(s_suppkey)::BIGINT AS sum_key,
+             |  count(DISTINCT s_nationkey)::BIGINT AS n_nations
+             |FROM supplier""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import java.nio.file.Paths
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val table = tmp("graft_q407_")
+        val sup = t(s, dir, "supplier")
+        // creating commit is hand-built so the table declares the
+        // v2Checkpoint feature from birth (the protocol requires it
+        // before v2 checkpoints may exist)
+        val frag = Files.createTempDirectory("graft_q407_frag")
+        sup.where(col("s_suppkey") % 4 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(frag.toString)
+        val part0 = Files.list(frag)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(table))
+        Files.copy(part0, Paths.get(table, "f0.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(frag.toFile)
+        val schemaJson = sup.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val protoLine =
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["v2Checkpoint"],""" +
+            """"writerFeatures":["v2Checkpoint"]}}"""
+        val metaLine =
+          s"""{"metaData":{"id":"q407","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":[],"configuration":{},""" +
+            s""""createdTime":1700000000000}}"""
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+          protoLine, metaLine,
+          s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":100,""" +
+            s""""modificationTime":1700000000000,"dataChange":true}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        (1 to 2).foreach(i => ds.append(sup.where(col("s_suppkey") % 4 === i)))
+        // hand-assemble the v2 checkpoint at version 2: the live adds
+        // split across TWO parquet sidecars + a UUID-named manifest
+        val snap = graft.sources.DeltaReader.snapshot(table)(s).get
+        val addSchema = StructType(Seq(StructField("add", StructType(Seq(
+          StructField("path", StringType),
+          StructField("partitionValues", MapType(StringType, StringType)),
+          StructField("size", LongType),
+          StructField("modificationTime", LongType),
+          StructField("dataChange", BooleanType))))))
+        def sidecar(files: Seq[graft.sources.DeltaReader.DeltaFile],
+                    name: String): Unit = {
+          import scala.jdk.CollectionConverters._
+          val rows = files.map(f => Row(Row(
+            new org.apache.hadoop.fs.Path(f.path).getName,
+            Map.empty[String, String], f.size, f.modificationTime, false)))
+          val tmpDir = Files.createTempDirectory("graft_q407_sc")
+          s.createDataFrame(rows.asJava, addSchema)
+            .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+          val part = Files.list(tmpDir)
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dest = logDir.resolve("_sidecars").resolve(name)
+          Files.createDirectories(dest.getParent)
+          Files.copy(part, dest)
+          org.apache.commons.io.FileUtils.deleteQuietly(tmpDir.toFile)
+        }
+        val (scA, scB) = snap.files.splitAt(1)
+        sidecar(scA, "sc-a.parquet")
+        sidecar(scB, "sc-b.parquet")
+        Files.write(
+          logDir.resolve(f"${2L}%020d.checkpoint.9a1b2c3d-0000-4e79-81be-000000000002.json"),
+          (Seq("""{"checkpointMetadata":{"version":2,"tags":{}}}""",
+            protoLine, metaLine,
+            """{"sidecar":{"path":"sc-a.parquet","sizeInBytes":100,""" +
+              """"modificationTime":1700000000000}}""",
+            """{"sidecar":{"path":"sc-b.parquet","sizeInBytes":100,""" +
+              """"modificationTime":1700000000000}}""")
+            .mkString("\n") + "\n").getBytes("UTF-8"))
+        // vacuum the covered tail: replay now NEEDS the v2 manifest
+        (0L to 2L).foreach(v =>
+          Files.delete(logDir.resolve(f"$v%020d.json")))
+        ds.append(sup.where(col("s_suppkey") % 4 === 3))
+        ds.scan().get.agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("s_suppkey")).cast("bigint").as("sum_key"),
+          countDistinct(col("s_nationkey")).cast("bigint").as("n_nations"))
+      })
   )
 }

@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   *    snapshot-file state and are ignored);
   *  - parquet checkpoints `<v>.checkpoint.parquet` and multi-part
   *    `<v>.checkpoint.<i>.<n>.parquet` (discovered by listing, so a
-  *    missing/stale `_last_checkpoint` pointer never breaks replay);
+  *    missing/stale `_last_checkpoint` pointer never breaks replay),
+  *    plus V2 checkpoints (`v2Checkpoint` reader feature): UUID-named
+  *    `<v>.checkpoint.<id>.{json|parquet}` manifests whose file
+  *    actions live inline or in parquet sidecars under
+  *    `_delta_log/_sidecars/`, `checkpointMetadata.version` validated
+  *    against the file name;
   *  - snapshot state: for each data-file path the action from the
   *    HIGHEST version wins (the protocol forbids add+remove of one
   *    path inside a single commit), survivors are the `add`s;
@@ -48,8 +53,8 @@ import org.apache.spark.sql.types._
   *    never reach the caller, and a corrupt bitmap raises (CRC)
   *    instead of resurrecting rows;
   *  - anything else the table declares it needs — `id` mapping
-  *    mode, v2 checkpoints, any unrecognized reader feature or
-  *    version — raises loudly rather than mis-reading.
+  *    mode, any unrecognized reader feature or version — raises
+  *    loudly rather than mis-reading.
   *
   * Scale shape (100 TB): the log replay is ONE distributed
   * `spark.read.json` over the commit files (+ one parquet read of the
@@ -130,6 +135,12 @@ object DeltaReader {
 
   private val CommitName = """(\d{20})\.json""".r
   private val CheckpointName = """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
+  // v2 checkpoints (the `v2Checkpoint` reader feature): one
+  // UUID-named manifest per attempt. The single `[A-Za-z0-9_-]+`
+  // segment cannot collide with classic multi-part names — those
+  // carry TWO dot-separated numeric parts before `.parquet`.
+  private val V2CheckpointName =
+    """(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)""".r
 
   /** Actions parsed from commit JSON — explicit schema: inference
     * over a long log would cost a pre-pass and could widen types. */
@@ -193,6 +204,55 @@ object DeltaReader {
     col("protocol.writerFeatures").as("__wfeats"),
     col("__v"))
 
+  /** Replay a v2 checkpoint (PROTOCOL.md "V2 Spec Checkpoints"): the
+    * UUID-named manifest holds exactly one `checkpointMetadata`
+    * action (whose version must equal the file-name version — a
+    * mismatch means a corrupt or misplaced manifest), the non-file
+    * actions (protocol / metaData / txn), and EITHER inline
+    * add/remove actions or `sidecar` pointers to parquet files under
+    * `_delta_log/_sidecars/` carrying them. Returns the checkpoint's
+    * actions in [[normalizeActions]] shape, tagged `__v = v`.
+    *
+    * Scale shape: the manifest is one file (json or parquet); only
+    * the SIDECAR PATH LIST collects to the driver (sidecar count —
+    * metadata, like every planner's file list), and the sidecars
+    * themselves are read as one distributed parquet scan. */
+  private def readV2Checkpoint(logDir: Path, v: Long, name: String)
+                              (implicit spark: SparkSession): DataFrame = {
+    val v2Schema = StructType(actionSchema.fields ++ Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType))))))
+    val manifestPath = new Path(logDir, name).toString
+    val manifest =
+      (if (name.endsWith(".json")) spark.read.schema(v2Schema).json(manifestPath)
+       else spark.read.schema(v2Schema).parquet(manifestPath))
+        .localCheckpoint() // read once, consulted three times below
+    val cpMeta = manifest
+      .where(col("checkpointMetadata").isNotNull)
+      .select(col("checkpointMetadata.version")).collect()
+    require(cpMeta.length == 1 && cpMeta.head.getLong(0) == v,
+      s"DeltaReader: v2 checkpoint $name must carry exactly one " +
+        s"checkpointMetadata action with version $v (found " +
+        s"${cpMeta.map(_.getLong(0)).mkString("[", ",", "]")})")
+    val sidecars = manifest.where(col("sidecar.path").isNotNull)
+      .select(col("sidecar.path")).collect().map(_.getString(0)).sorted
+    val sidecarDir = new Path(logDir, "_sidecars")
+    val sidecarPaths = sidecars.map { p =>
+      val uri = new java.net.URI(p)
+      (if (uri.isAbsolute) new Path(uri) else new Path(sidecarDir, p)).toString
+    }
+    val manifestActions = normalizeActions(manifest.withColumn("__v", lit(v)))
+    val sidecarActions =
+      if (sidecarPaths.isEmpty) None
+      else Some(normalizeActions(
+        spark.read.schema(actionSchema).parquet(sidecarPaths.toSeq: _*)
+          .withColumn("__v", lit(v))))
+    (Seq(manifestActions) ++ sidecarActions).reduce(_ unionByName _)
+  }
+
   /** Latest snapshot, or None when `url` holds no Delta table
     * (mirrors delta_dataset.py:56-62 scan() → None on
     * TableNotFoundError). */
@@ -210,9 +270,16 @@ object DeltaReader {
     if (!fs.exists(logDir)) return None
     val entries = fs.listStatus(logDir).map(_.getPath.getName)
     val commits = entries.collect { case CommitName(v) => v.toLong }.sorted
-    val checkpoints = entries.collect {
+    val classicCps = entries.collect {
       case CheckpointName(v, _) => v.toLong
     }.distinct.sorted
+    // several v2 manifests may exist per version (one per writing
+    // attempt — the spec makes them equivalent); pick the
+    // lexicographically first for determinism
+    val v2Cps: Map[Long, String] = entries.collect {
+      case n @ V2CheckpointName(v, _, _) => (v.toLong, n)
+    }.groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).min }
+    val checkpoints = (classicCps ++ v2Cps.keys).distinct.sorted
     if (commits.isEmpty && checkpoints.isEmpty) return None
     val head = (commits ++ checkpoints).max
     val target = asOfVersion.getOrElse(head)
@@ -244,13 +311,17 @@ object DeltaReader {
           case _ => false
         }
       }
-      // the explicit schema clips checkpoints' extra columns (txn,
+      // classic (single or multi-part) wins when both forms exist —
+      // either is complete; v2 manifests anchor otherwise. The
+      // explicit schema clips checkpoints' extra columns (txn,
       // stats structs, wider add/remove) AND null-fills fields absent
       // from older checkpoints (readerFeatures predates nothing a
       // v1-era checkpoint wrote)
-      normalizeActions(
-        spark.read.schema(actionSchema).parquet(parts.map(_.toString): _*)
-          .withColumn("__v", lit(v)))
+      if (parts.nonEmpty)
+        normalizeActions(
+          spark.read.schema(actionSchema).parquet(parts.map(_.toString): _*)
+            .withColumn("__v", lit(v)))
+      else readV2Checkpoint(logDir, v, v2Cps(v))
     }
     val normalizedJson = jsonActions.map(normalizeActions)
     val actions = (cpActions.toSeq ++ normalizedJson.toSeq)
@@ -276,6 +347,7 @@ object DeltaReader {
     locally {
       val mr = protocolInfo.minReaderVersion
       val supported = Set("columnMapping", "deletionVectors",
+        "v2Checkpoint",
         // features with no reader-visible data-path semantics: the
         // timestamp type and stats collection don't change replay
         "timestampNtz")
@@ -292,7 +364,7 @@ object DeltaReader {
         throw new UnsupportedOperationException(
           s"DeltaReader: table requires reader protocol $mr with $why — " +
             "this reader implements protocol 1/2 plus the columnMapping " +
-            "(name mode) and deletionVectors features")
+            "(name mode), deletionVectors and v2Checkpoint features")
       }
     }
     // latest metaData wins (schema evolution / repartitioning)

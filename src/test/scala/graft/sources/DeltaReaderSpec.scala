@@ -17,6 +17,13 @@ private[sources] case class CpMeta(id: String, format: CpFormat,
 private[sources] case class CpProto(minReaderVersion: Int, minWriterVersion: Int)
 private[sources] case class CpRow(add: Option[CpAdd], remove: Option[CpRemove],
     metaData: Option[CpMeta], protocol: Option[CpProto])
+// v2-checkpoint manifest row shapes (PROTOCOL.md "V2 Spec Checkpoints")
+private[sources] case class CpCheckpointMetadata(version: Long)
+private[sources] case class CpSidecar(path: String, sizeInBytes: Long)
+private[sources] case class CpRowV2(add: Option[CpAdd], remove: Option[CpRemove],
+    metaData: Option[CpMeta], protocol: Option[CpProto],
+    checkpointMetadata: Option[CpCheckpointMetadata],
+    sidecar: Option[CpSidecar])
 
 /** Read-only Delta protocol replay against hand-built `_delta_log`
   * fixtures (the public delta.io PROTOCOL.md format, authored here
@@ -217,6 +224,117 @@ class DeltaReaderSpec extends SparkSpec {
     }
   }
 
+  /** Land `df` as ONE parquet file at exactly `dest`. */
+  private def writeOneParquet(df: DataFrame, dest: java.nio.file.Path): Unit = {
+    val tmp = Files.createTempDirectory("delta-cp")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.createDirectories(dest.getParent)
+      Files.copy(part, dest)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+  }
+
+  private val proto3v2cp: String =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["v2Checkpoint"],""" +
+      """"writerFeatures":["v2Checkpoint"]}}"""
+
+  test("v2 checkpoint: json manifest + two parquet sidecars anchor replay after vacuum") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      writeDataFile(Seq(1L, 2L).toDF("v"), table, "p=A/f 1.parquet")
+      writeDataFile(Seq(10L).toDF("v"), table, "p=B/f2.parquet")
+      writeDataFile(Seq(20L, 30L).toDF("v"), table, "p=B/f3.parquet")
+      writeCommit(table, 0L, Seq(proto3v2cp, metaJson,
+        addJson("p=A/f%201.parquet", "p" -> "A"),
+        addJson("p=B/f2.parquet", "p" -> "B")))
+      writeCommit(table, 1L, Seq(
+        removeJson("p=B/f2.parquet"),
+        addJson("p=B/f3.parquet", "p" -> "B")))
+      val logDir = Paths.get(table, "_delta_log")
+      // file actions split across TWO sidecars under _sidecars/
+      writeOneParquet(Seq(
+        CpRow(Some(CpAdd("p=A/f%201.parquet", Map("p" -> "A"), 100L, false)),
+          None, None, None)).toDS().toDF(),
+        logDir.resolve("_sidecars").resolve("sc-aaa.parquet"))
+      writeOneParquet(Seq(
+        CpRow(Some(CpAdd("p=B/f3.parquet", Map("p" -> "B"), 100L, false)),
+          None, None, None),
+        CpRow(None, Some(CpRemove("p=B/f2.parquet", 1700000001000L, false)),
+          None, None)).toDS().toDF(),
+        logDir.resolve("_sidecars").resolve("sc-bbb.parquet"))
+      // UUID-named json manifest: checkpointMetadata + non-file
+      // actions + the sidecar pointers
+      Files.write(
+        logDir.resolve(f"${1L}%020d.checkpoint.80a083e8-7026-4e79-81be-000000000001.json"),
+        (Seq(
+          """{"checkpointMetadata":{"version":1,"tags":{}}}""",
+          proto3v2cp, metaJson,
+          """{"sidecar":{"path":"sc-aaa.parquet","sizeInBytes":100,""" +
+            """"modificationTime":1700000000000}}""",
+          """{"sidecar":{"path":"sc-bbb.parquet","sizeInBytes":100,""" +
+            """"modificationTime":1700000000000}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+      // vacuum the covered tail: replay now NEEDS the v2 checkpoint
+      Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      writeDataFile(Seq(5L).toDF("v"), table, "p=A/f4.parquet")
+      writeCommit(table, 2L, Seq(addJson("p=A/f4.parquet", "p" -> "A")))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((1L, "A"), (2L, "A"), (5L, "A"), (20L, "B"), (30L, "B"))
+          .toDF("v", "p"))
+      // time travel anchored at the checkpoint's own version
+      assertSameData(DeltaReader.scan(table, Some(1L)).get,
+        Seq((1L, "A"), (2L, "A"), (20L, "B"), (30L, "B")).toDF("v", "p"))
+      // under the checkpoint: loud, never wrong
+      val e = intercept[IllegalStateException](
+        DeltaReader.snapshotAt(table, Some(0L)))
+      assert(e.getMessage.contains("missing"))
+    }
+  }
+
+  test("v2 parquet manifest with inline file actions (no sidecars) replays") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      val logDir = Paths.get(table, "_delta_log")
+      writeOneParquet(Seq(
+        CpRowV2(None, None, None, None, Some(CpCheckpointMetadata(1L)), None),
+        CpRowV2(None, None, None, Some(CpProto(1, 2)), None, None),
+        CpRowV2(None, None, Some(CpMeta("fixture", CpFormat("parquet"),
+          schema.json, Seq("p"), Map.empty)), None, None, None),
+        CpRowV2(Some(CpAdd("p=A/f%201.parquet", Map("p" -> "A"), 100L, false)),
+          None, None, None, None, None),
+        CpRowV2(Some(CpAdd("p=B/f3.parquet", Map("p" -> "B"), 100L, false)),
+          None, None, None, None, None),
+        CpRowV2(None, Some(CpRemove("p=B/f2.parquet", 1700000001000L, false)),
+          None, None, None, None)).toDS().toDF(),
+        logDir.resolve(f"${1L}%020d.checkpoint.f1b2c3d4.parquet"))
+      Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      Files.delete(logDir.resolve(f"${1L}%020d.json"))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((1L, "A"), (2L, "A"), (20L, "B"), (30L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("a v2 manifest whose checkpointMetadata version mismatches its name raises") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTable(table)
+      val logDir = Paths.get(table, "_delta_log")
+      Files.write(
+        logDir.resolve(f"${1L}%020d.checkpoint.deadbeef.json"),
+        (Seq("""{"checkpointMetadata":{"version":7,"tags":{}}}""",
+          protoJson(), metaJson).mkString("\n") + "\n").getBytes("UTF-8"))
+      Files.delete(logDir.resolve(f"${0L}%020d.json"))
+      val e = intercept[IllegalArgumentException](DeltaReader.snapshot(table))
+      assert(e.getMessage.contains("checkpointMetadata"))
+    }
+  }
+
   test("a v3 table with an undeclared feature set raises instead of mis-reading") {
     withTempDir { dir =>
       val table = s"$dir/t"
@@ -293,13 +411,23 @@ class DeltaReaderSpec extends SparkSpec {
     }
     withTempDir { dir =>
       val table = s"$dir/t"
+      // v2Checkpoint is implemented now — declaring it (with no v2
+      // checkpoint written yet) must read fine alongside columnMapping
       buildMappedTable(table,
         """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           """"readerFeatures":["columnMapping","v2Checkpoint"],""" +
           """"writerFeatures":["columnMapping","v2Checkpoint"]}}""")
+      assert(DeltaReader.scan(table).get.count() == 3L)
+    }
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMappedTable(table,
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping","futureMagicFeature"],""" +
+          """"writerFeatures":["columnMapping","futureMagicFeature"]}}""")
       val e = intercept[UnsupportedOperationException](
         DeltaReader.snapshot(table))
-      assert(e.getMessage.contains("v2Checkpoint"))
+      assert(e.getMessage.contains("futureMagicFeature"))
     }
   }
 
