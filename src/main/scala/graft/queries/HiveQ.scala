@@ -823,5 +823,64 @@ object HiveQ {
           sum(col("s_suppkey")).cast("bigint").as("sum_key"),
           countDistinct(col("s_nationkey")).cast("bigint").as("n_nations"))
       })
+    ,
+
+    // ---- id-mode column mapping ----------------------------------
+    // A column-mapped table in `id` mode: the data file's STORED
+    // column names are scrambled nonsense, the logged physicalNames
+    // are different nonsense — only the parquet FIELD IDS (embedded
+    // at write, matched by Spark's native field-id resolution) tie
+    // the columns back to the logical schema. The scan must read the
+    // values under their logical names; the oracle recomputes on the
+    // original table.
+    Q("q408_delta_id_mapping",
+      Some("""SELECT sum(n_nationkey)::BIGINT AS sum_key,
+             |  count(DISTINCT n_regionkey)::BIGINT AS n_regions,
+             |  sum(length(n_name))::BIGINT AS name_len FROM nation""".stripMargin),
+      (s, dir) => {
+        import java.nio.file.Paths
+        import org.apache.spark.sql.types._
+        val table = tmp("graft_q408_")
+        val nat = t(s, dir, "nation")
+        def fid(i: Long) = new MetadataBuilder()
+          .putLong("parquet.field.id", i).build()
+        val scrambled = nat.select(
+          nat.columns.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"scrambled_${i}_x", fid(i + 1L)) }.toSeq: _*)
+        val frag = Files.createTempDirectory("graft_q408_frag")
+        scrambled.coalesce(1).write.mode("overwrite").parquet(frag.toString)
+        val part = Files.list(frag)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(table))
+        Files.copy(part, Paths.get(table, "f0.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(frag.toFile)
+        def cm(i: Long) = new MetadataBuilder()
+          .putLong("delta.columnMapping.id", i)
+          .putString("delta.columnMapping.physicalName", s"col-phys-$i")
+          .build()
+        val logical = StructType(nat.schema.fields.zipWithIndex.map {
+          case (f, i) => StructField(f.name, f.dataType, f.nullable, cm(i + 1L))
+        })
+        val schemaJson = logical.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q408","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":[],""" +
+            s""""configuration":{"delta.columnMapping.mode":"id",""" +
+            s""""delta.columnMapping.maxColumnId":"${nat.columns.length}"},""" +
+            s""""createdTime":1700000000000}}""",
+          s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":100,""" +
+            s""""modificationTime":1700000000000,"dataChange":true}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"),
+          countDistinct(col("n_regionkey")).cast("bigint").as("n_regions"),
+          sum(length(col("n_name"))).cast("bigint").as("name_len"))
+      })
   )
 }

@@ -43,7 +43,11 @@ import org.apache.spark.sql.types._
   *    `delta.columnMapping.physicalName` field metadata renames the
   *    parquet scan, and partition values are resolved under the
   *    PHYSICAL key (the protocol's writer requirement) with a
-  *    logical-key fallback for writers that never renamed them;
+  *    logical-key fallback for writers that never renamed them; in
+  *    `id` mode the `delta.columnMapping.id` field metadata rides
+  *    into the scan as `parquet.field.id`, so columns resolve by
+  *    parquet FIELD ID (Spark's native field-id matching) — stored
+  *    parquet names carry no meaning, exactly the id-mode contract;
   *  - deletion vectors (the `deletionVectors` reader feature, on by
   *    default on Databricks-written tables): `add.deletionVector`
   *    descriptors in all three storage modes (`u` sidecar by Z85
@@ -52,9 +56,9 @@ import org.apache.spark.sql.types._
   *    `(_metadata.file_path, _metadata.row_index)` — deleted rows
   *    never reach the caller, and a corrupt bitmap raises (CRC)
   *    instead of resurrecting rows;
-  *  - anything else the table declares it needs — `id` mapping
-  *    mode, any unrecognized reader feature or version — raises
-  *    loudly rather than mis-reading.
+  *  - anything else the table declares it needs — any unrecognized
+  *    mapping mode, reader feature or version — raises loudly rather
+  *    than mis-reading.
   *
   * Scale shape (100 TB): the log replay is ONE distributed
   * `spark.read.json` over the commit files (+ one parquet read of the
@@ -130,6 +134,31 @@ object DeltaReader {
       StructField(physicalFieldName(f), toPhysical(f.dataType), f.nullable)))
     case ArrayType(et, n) => ArrayType(toPhysical(et), n)
     case MapType(k, v, n) => MapType(toPhysical(k), toPhysical(v), n)
+    case other => other
+  }
+
+  /** Physical shape for `id` mapping mode: names from physicalName
+    * like name mode, but every field additionally tagged with
+    * `parquet.field.id` (= its `delta.columnMapping.id`) so Spark's
+    * parquet reader resolves columns by FIELD ID — the id-mode
+    * contract: the parquet files' stored names carry no meaning, the
+    * ids are authoritative. A field without an id is a malformed
+    * id-mode table and raises. */
+  private def toPhysicalIds(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      if (!f.metadata.contains("delta.columnMapping.id"))
+        throw new IllegalStateException(
+          s"DeltaReader: id-mode table field '${f.name}' lacks " +
+            "delta.columnMapping.id — malformed column-mapping metadata")
+      val md = new MetadataBuilder()
+        .putLong("parquet.field.id",
+          f.metadata.getLong("delta.columnMapping.id"))
+        .build()
+      StructField(physicalFieldName(f), toPhysicalIds(f.dataType),
+        f.nullable, md)
+    })
+    case ArrayType(et, n) => ArrayType(toPhysicalIds(et), n)
+    case MapType(k, v, n) => MapType(toPhysicalIds(k), toPhysicalIds(v), n)
     case other => other
   }
 
@@ -392,9 +421,16 @@ object DeltaReader {
       tableConf.getOrElse("delta.columnMapping.mode", "none") match {
         case "none" => None
         case "name" => Some(toPhysical(schema).asInstanceOf[StructType])
+        case "id" =>
+          // Spark matches parquet columns by field id only when this
+          // conf is on AND the requested schema carries
+          // parquet.field.id — safe to leave on session-wide
+          // (id-less read schemas still match by name)
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+          Some(toPhysicalIds(schema).asInstanceOf[StructType])
         case other => throw new UnsupportedOperationException(
           s"DeltaReader: column mapping mode '$other' unsupported " +
-            "(none/name only — id mode needs parquet field-id matching)")
+            "(none/name/id only)")
       }
 
     // file-state reconstruction: per path, the highest-version action

@@ -431,16 +431,52 @@ class DeltaReaderSpec extends SparkSpec {
     }
   }
 
-  test("column mapping id mode raises instead of mis-reading") {
+  test("column mapping id mode: parquet FIELD IDS resolve columns, stored names carry no meaning") {
     withTempDir { dir =>
       val table = s"$dir/t"
-      writeDataFile(Seq(1L).toDF("col-aaa111"), table, "pA/f1.parquet")
+      // the data file's stored column name matches NEITHER the logical
+      // nor the logged physical name — only its parquet field id (1)
+      // points back at the schema. Name-based matching would fail;
+      // id-mode matching must read the values.
+      val fieldIdMd = new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()
+      writeDataFile(
+        Seq(1L, 2L).toDF("v")
+          .select($"v".as("utterly-unrelated-name", fieldIdMd)),
+        table, "pA/f1.parquet")
+      writeDataFile(
+        Seq(30L).toDF("v")
+          .select($"v".as("another-alias", fieldIdMd)),
+        table, "pB/f2.parquet")
       writeCommit(table, 0L, Seq(protoJson(minReader = 2),
         mappedMetaJson.replace("\"name\"", "\"id\""),
-        addJson("pA/f1.parquet", "col-ppp222" -> "A")))
-      val e = intercept[UnsupportedOperationException](
-        DeltaReader.snapshot(table))
-      assert(e.getMessage.contains("'id'"))
+        addJson("pA/f1.parquet", "col-ppp222" -> "A"),
+        addJson("pB/f2.parquet", "col-ppp222" -> "B")))
+      val out = DeltaReader.scan(table).get
+      assert(out.columns.toSeq == Seq("v", "p"))
+      assertSameData(out,
+        Seq((1L, "A"), (2L, "A"), (30L, "B")).toDF("v", "p"))
+      // targeted partition read still takes LOGICAL keys
+      assertSameData(DeltaReader.readPartition(table, Map("p" -> "B")).get,
+        Seq((30L, "B")).toDF("v", "p"))
+    }
+  }
+
+  test("id mode without delta.columnMapping.id metadata raises instead of mis-reading") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      // schema WITHOUT the per-field id metadata but mode=id
+      val bare = StructType(Seq(
+        StructField("v", LongType), StructField("p", StringType)))
+      writeDataFile(Seq(1L).toDF("v"), table, "pA/f1.parquet")
+      writeCommit(table, 0L, Seq(protoJson(minReader = 2),
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(bare.json)}","partitionColumns":["p"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id"},""" +
+          s""""createdTime":1700000000000}}""",
+        addJson("pA/f1.parquet", "p" -> "A")))
+      val e = intercept[IllegalStateException](DeltaReader.snapshot(table))
+      assert(e.getMessage.contains("delta.columnMapping.id"))
     }
   }
 
