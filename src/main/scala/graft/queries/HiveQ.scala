@@ -723,6 +723,49 @@ object HiveQ {
       })
     ,
 
+    // ---- DV purge: OPTIMIZE after stacked deletes ----------------
+    // The compaction loop a delete-absorbing table needs: two stacked
+    // DV deletes, then optimize(0) rewrites every masked file
+    // (dataChange=false adds, removes of file+mask) — version 3 must
+    // read IDENTICAL to version 2 while the head snapshot carries no
+    // deletion vectors at all, and versions 0-2 stay one time-travel
+    // hop away.
+    Q("q409_delta_optimize",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey < 3000)
+             |SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows,
+             |  sum(o_orderkey)::BIGINT AS sum_key FROM o
+             |UNION ALL SELECT 1::BIGINT, count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o WHERE o_orderstatus <> 'F'
+             |UNION ALL SELECT 2::BIGINT, count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o
+             |  WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 0
+             |UNION ALL SELECT 3::BIGINT, count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o
+             |  WHERE o_orderstatus <> 'F' AND o_orderkey % 10 <> 0
+             |ORDER BY version""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q409_")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(t(s, dir, "orders").where(col("o_orderkey") < 3000))
+        ds.delete(col("o_orderstatus") === "F")
+        ds.delete(col("o_orderkey") % 10 === 0)
+        val v3 = ds.optimize(0.0)
+        require(v3 == 3L, s"q409: optimize must commit version 3, got $v3")
+        val head = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(head.files.forall(_.deletionVector.isEmpty),
+          "q409: the optimized head must carry no deletion vectors")
+        (0L to 3L).map { v =>
+          graft.sources.DeltaReader.scan(table, Some(v))(s).get
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+            .select(lit(v).cast("bigint").as("version"),
+              col("n_rows"), col("sum_key"))
+        }.reduce(_ unionByName _).orderBy("version")
+      })
+    ,
+
     // ---- v2 checkpoint read (manifest + sidecars) ----------------
     // A long-lived Databricks/OSS-Delta table checkpoints in the V2
     // form: a UUID-named manifest (checkpointMetadata + non-file

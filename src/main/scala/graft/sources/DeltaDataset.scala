@@ -62,6 +62,18 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   def delete(cond: org.apache.spark.sql.Column): Long =
     DeltaWriter.delete(cleanUrl, cond)
 
+  /** Rewrite every data file whose deletion vector masks at least
+    * `maskedFractionThreshold` of its rows — the compaction loop that
+    * keeps a delete-absorbing table's scan cost from growing without
+    * bound. Masked survivors are materialized into fresh files
+    * (`dataChange = false`: no new data, streams must not re-see it),
+    * the old file + its mask leave the add set, and every pre-rewrite
+    * version stays one time-travel hop away (old files and sidecars
+    * remain on disk). Returns the committed version, or the current
+    * one when no file crosses the threshold. */
+  def optimize(maskedFractionThreshold: Double = 0.3): Long =
+    DeltaWriter.optimize(cleanUrl, maskedFractionThreshold)
+
   /** Targeted partition read (delta_dataset.py:41-54). */
   def readPartition(values: Map[String, String]): Option[DataFrame] =
     DeltaReader.readPartition(cleanUrl, values)
@@ -371,6 +383,101 @@ object DeltaWriter {
     throw new IllegalStateException(
       s"DeltaWriter.delete: lost the commit race $MaxCommitAttempts times " +
         s"on $cleanUrl — giving up")
+  }
+
+  /** Materialize deletion vectors past `threshold` masked fraction:
+    * per PROTOCOL.md's OPTIMIZE shape, the surviving rows of each
+    * selected file are rewritten into fresh data files added with
+    * `dataChange = false`, and the old file (with its DV) is removed
+    * with `dataChange = false` in the same commit — logically
+    * identical table, physically smaller scan. Selection needs per-
+    * file TOTAL row counts, computed as ONE distributed parquet scan
+    * of only the DV-carrying files (metadata column only); the
+    * rewrite itself is one distributed masked read + one partitioned
+    * write, driver work bounded by file/partition counts.
+    *
+    * Race safety mirrors delete(): on a lost publish race the head is
+    * re-read and every selected file must still be live with an
+    * UNCHANGED descriptor — the rewritten rows were materialized from
+    * our snapshot; anything else raises. The landed rewrite files
+    * stay valid across retries (only the log line is recomputed). */
+  def optimize(url: String, threshold: Double)
+              (implicit spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.col
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"DeltaWriter.optimize: threshold $threshold outside [0,1]")
+    val cleanUrl = url.stripSuffix("/")
+    val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.optimize: no Delta table at $cleanUrl"))
+    require(snap.physicalSchema.isEmpty,
+      "DeltaWriter.optimize: column-mapped tables unsupported")
+    val dvFiles = snap.files.filter(_.deletionVector.exists(_.cardinality > 0))
+    if (dvFiles.isEmpty) return snap.version
+    // per-file total row count: one scan, metadata column only
+    val totals: Map[String, Long] = spark.read
+      .parquet(dvFiles.map(_.path): _*)
+      .select(col("_metadata.file_path").as("__fp"))
+      .groupBy(col("__fp")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = dvFiles.filter { f =>
+      val key = new Path(f.path).toUri.toString
+      val total = totals.getOrElse(key, 0L)
+      total > 0L &&
+        f.deletionVector.get.cardinality.toDouble / total >= threshold
+    }
+    if (selected.isEmpty) return snap.version
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    val logDir = new Path(qualifiedBase, "_delta_log")
+    // masked survivors of ONLY the selected files, partition literals
+    // injected so the partitioned rewrite lands in the right dirs
+    val survivors = DeltaReader.assembleSnapshot(snap.copy(files = selected))
+    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, survivors,
+      snap.partitionColumns)
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    def relOrAbs(p: Path): String =
+      if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
+      else p.toUri.toString
+    val adds = newFiles.map { case (kvs, p) =>
+      val st = fs.getFileStatus(p)
+      val pv = kvs.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":false}}"""
+    }
+    val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val head = DeltaReader.snapshot(cleanUrl).getOrElse(
+        throw new IllegalStateException(
+          s"DeltaWriter.optimize: table at $cleanUrl vanished mid-rewrite"))
+      val headByKey = head.files
+        .map(f => new Path(f.path).toUri.toString -> f).toMap
+      byKey.keys.foreach { k =>
+        val now = headByKey.get(k)
+        require(now.exists(_.deletionVector == byKey(k).deletionVector),
+          s"DeltaWriter.optimize: concurrent modification of $k — the " +
+            "rewrite was materialized from a stale snapshot; re-run")
+      }
+      val removes = selected.map { f =>
+        s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
+          s""""deletionTimestamp":${System.currentTimeMillis},""" +
+          """"dataChange":false}}"""
+      }
+      val version = head.version + 1
+      if (publishCommit(fs, logDir, version,
+          (removes ++ adds).mkString("\n") + "\n")) {
+        maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
+        return version
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DeltaWriter.optimize: lost the commit race $MaxCommitAttempts " +
+        s"times on $cleanUrl — giving up")
   }
 
   /** The writer features a legacy `minWriterVersion` implies

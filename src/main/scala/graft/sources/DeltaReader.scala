@@ -550,6 +550,13 @@ object DeltaReader {
                                        (implicit spark: SparkSession): DataFrame =
     assembleInternal(snap, keepMeta = true)
 
+  /** Assemble an arbitrary (possibly file-filtered) snapshot — the
+    * OPTIMIZE rewrite path reads just the heavily-masked files this
+    * way, masks applied, partition literals injected. */
+  private[sources] def assembleSnapshot(snap: DeltaSnapshot)
+                                       (implicit spark: SparkSession): DataFrame =
+    assembleInternal(snap, keepMeta = false)
+
   private def assembleInternal(snap: DeltaSnapshot, keepMeta: Boolean)
                               (implicit spark: SparkSession): DataFrame = {
     val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap

@@ -275,6 +275,73 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("optimize rewrites masked files: every version identical, masked files leave the add set") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      // v0: two partitions; v1+v2: stacked deletes masking rows in both
+      ds.write((1L to 20L).map(i => (i, if (i <= 10) "A" else "B"))
+        .toDF("v", "p"))
+      ds.delete($"v" % 2 === 0L)   // v1: evens gone
+      ds.delete($"v" % 3 === 0L)   // v2: multiples of 3 gone (stacked)
+      val expected = (0L to 2L).map(v =>
+        DeltaReader.scan(table, Some(v)).get.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet)
+      val preFiles = DeltaReader.snapshot(table).get.files
+      assert(preFiles.forall(_.deletionVector.isDefined))
+      val v3 = ds.optimize(0.0) // rewrite everything carrying a mask
+      assert(v3 == 3L)
+      val snap = DeltaReader.snapshot(table).get
+      // no survivor carries a DV; no pre-optimize path survives
+      assert(snap.files.forall(_.deletionVector.isEmpty))
+      val preFilePaths = preFiles.map(_.path).toSet
+      assert(snap.files.forall(f => !preFilePaths.contains(f.path)))
+      // the head scan equals the pre-optimize head scan...
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == expected(2))
+      // ...and every pre-rewrite version is still one hop away
+      (0L to 2L).foreach { v =>
+        assert(DeltaReader.scan(table, Some(v)).get.collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet == expected(v.toInt))
+      }
+      // a fully-masked partition: delete all of B, optimize again —
+      // B's file leaves the add set with NO replacement
+      ds.delete($"p" === "B")
+      val v5 = ds.optimize(0.0)
+      assert(v5 == 5L)
+      val after = DeltaReader.snapshot(table).get
+      assert(after.files.forall(_.deletionVector.isEmpty))
+      assert(DeltaReader.readPartition(table, Map("p" -> "B")).get.count() == 0L)
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+        expected(2).filter(_._2 == "A"))
+    }
+  }
+
+  test("optimize below threshold is a no-op; above it rewrites only the crossing file") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      // A: 10 rows, B: 2 rows, ONE file per partition (coalesced so
+      // the per-file fractions are exactly 1/10 and 1/2)
+      ds.write(((1L to 10L).map(i => (i, "A")) ++ Seq((100L, "B"), (101L, "B")))
+        .toDF("v", "p").coalesce(1))
+      ds.delete($"v" === 10L || $"v" === 101L)
+      // nothing crosses 0.9
+      assert(ds.optimize(0.9) == 1L)
+      // 0.3 rewrites B's file (1/2 masked) but not A's (1/10)
+      val v2 = ds.optimize(0.3)
+      assert(v2 == 2L)
+      val snap = DeltaReader.snapshot(table).get
+      val (aFiles, bFiles) = snap.files.partition(
+        _.partitionValues.get("p").contains("A"))
+      assert(aFiles.forall(_.deletionVector.isDefined))
+      assert(bFiles.forall(_.deletionVector.isEmpty))
+      assertSameData(ds.scan().get,
+        ((1L to 9L).map(i => (i, "A")) ++ Seq((100L, "B"))).toDF("v", "p"))
+    }
+  }
+
   test("25 commits checkpoint at 10 and 20; replay anchors at the writer's own checkpoint") {
     withTempDir { dir =>
       val table = s"$dir/t"
