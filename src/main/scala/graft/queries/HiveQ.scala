@@ -868,6 +868,52 @@ object HiveQ {
       })
     ,
 
+    // ---- change-data feed reconstructed from the commit log ------
+    // The tail-follow face: five commits (two appends, a DV delete,
+    // an optimize, an overwrite) read back as a per-version
+    // insert/delete change frame — appends surface as inserts, the
+    // DV delete as row-level deletes, the OPTIMIZE rewrite is
+    // silent (dataChange=false), and the overwrite retracts every
+    // survivor before inserting its replacement.
+    Q("q410_delta_cdf",
+      Some("""WITH o1 AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey < 3000),
+             |o2 AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey >= 3000 AND o_orderkey < 6000),
+             |o12 AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2),
+             |o3 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 500)
+             |SELECT 0::BIGINT AS version, 'insert' AS change_type,
+             |  count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS sum_key
+             |  FROM o1
+             |UNION ALL SELECT 1::BIGINT, 'insert', count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o2
+             |UNION ALL SELECT 2::BIGINT, 'delete', count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o12 WHERE o_orderstatus = 'F'
+             |UNION ALL SELECT 4::BIGINT, 'delete', count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o12 WHERE o_orderstatus <> 'F'
+             |UNION ALL SELECT 4::BIGINT, 'insert', count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM o3
+             |ORDER BY version, change_type""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q410_")
+        val ord = t(s, dir, "orders")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 3000))                     // v0
+        ds.append(ord.where(col("o_orderkey") >= 3000 &&
+          col("o_orderkey") < 6000))                                      // v1
+        ds.delete(col("o_orderstatus") === "F")                           // v2
+        ds.optimize(0.0)                                                  // v3
+        ds.write(ord.where(col("o_orderkey") < 500))                      // v4
+        graft.sources.DeltaChanges.readChanges(table, -1L)(s).get
+          .groupBy(col("_commit_version").cast("bigint").as("version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .orderBy("version", "change_type")
+      })
+    ,
+
     // ---- id-mode column mapping ----------------------------------
     // A column-mapped table in `id` mode: the data file's STORED
     // column names are scrambled nonsense, the logged physicalNames
