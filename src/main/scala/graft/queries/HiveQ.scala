@@ -868,6 +868,90 @@ object HiveQ {
       })
     ,
 
+    // ---- VACUUM: physical reclamation after OPTIMIZE -------------
+    // The full DV lifecycle: delete masks rows, optimize rewrites the
+    // masked files, vacuum(0) physically reclaims the tombstoned
+    // originals and their sidecars — the head must read identically
+    // with strictly fewer files on disk.
+    Q("q411_delta_vacuum",
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             |  sum(o_orderkey)::BIGINT AS sum_key FROM orders
+             |WHERE o_orderkey < 3000 AND o_orderstatus <> 'F'""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import java.nio.file.Paths
+        val table = tmp("graft_q411_")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(t(s, dir, "orders").where(col("o_orderkey") < 3000))
+        ds.delete(col("o_orderstatus") === "F")
+        ds.optimize(0.0)
+        def parquetCount: Long = {
+          val b = Paths.get(table)
+          var n = 0L
+          Files.walk(b).forEach { p =>
+            val rel = b.relativize(p).toString
+            if (Files.isRegularFile(p) && !rel.startsWith("_delta_log") &&
+              rel.endsWith(".parquet")) n += 1
+          }
+          n
+        }
+        val before = parquetCount
+        val reclaimed = ds.vacuum(0L)
+        require(reclaimed > 0, "q411: vacuum must reclaim the rewritten files")
+        require(parquetCount < before,
+          "q411: fewer parquet files must remain on disk after vacuum")
+        ds.scan().get.agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+      })
+    ,
+
+    // ---- timestamp time travel -----------------------------------
+    // Three commits stamped with explicit wall-clock mtimes; scanAsOf
+    // between the stamps must resolve each version boundary exactly
+    // (newest commit at-or-before the cutoff), mirroring q387's
+    // version-number travel by TIME.
+    Q("q412_delta_ts_travel",
+      Some("""WITH n0 AS (SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey)::BIGINT AS s FROM nation),
+             |n1 AS (SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey + 100)::BIGINT AS s FROM nation
+             |  WHERE n_regionkey = 2),
+             |n2 AS (SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey)::BIGINT AS s FROM nation
+             |  WHERE n_regionkey = 0)
+             |SELECT 0::BIGINT AS cut, n0.n AS n_rows, n0.s AS sum_key
+             |  FROM n0
+             |UNION ALL SELECT 1::BIGINT, n0.n + n1.n, n0.s + n1.s FROM n0, n1
+             |UNION ALL SELECT 2::BIGINT, n2.n, n2.s FROM n2
+             |ORDER BY cut""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import java.nio.file.Paths
+        val table = tmp("graft_q412_")
+        val nat = t(s, dir, "nation")
+        val ds = new graft.sources.DeltaDataset(table, Seq("n_regionkey"))
+        ds.write(nat)
+        ds.append(nat.where(col("n_regionkey") === 2)
+          .withColumn("n_nationkey", col("n_nationkey") + lit(100)))
+        ds.write(nat.where(col("n_regionkey") === 0))
+        val logDir = Paths.get(table, "_delta_log")
+        (0L to 2L).foreach { v =>
+          Files.setLastModifiedTime(logDir.resolve(f"$v%020d.json"),
+            java.nio.file.attribute.FileTime.fromMillis(
+              1700000000000L + v * 1000000L))
+        }
+        (0L to 2L).map { cut =>
+          graft.sources.DeltaReader
+            .scanAsOf(table, 1700000000000L + cut * 1000000L + 500000L)(s).get
+            .agg(count(lit(1)).cast("bigint").as("n_rows"),
+              sum(col("n_nationkey")).cast("bigint").as("sum_key"))
+            .select(lit(cut).cast("bigint").as("cut"),
+              col("n_rows"), col("sum_key"))
+        }.reduce(_ unionByName _).orderBy("cut")
+      })
+    ,
+
     // ---- change-data feed reconstructed from the commit log ------
     // The tail-follow face: five commits (two appends, a DV delete,
     // an optimize, an overwrite) read back as a per-version

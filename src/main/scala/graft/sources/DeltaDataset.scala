@@ -74,6 +74,18 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   def optimize(maskedFractionThreshold: Double = 0.3): Long =
     DeltaWriter.optimize(cleanUrl, maskedFractionThreshold)
 
+  /** Physically reclaim data files and deletion-vector sidecars no
+    * longer referenced by the CURRENT snapshot and older than
+    * `retentionMillis` (tombstone age for logged removes, file mtime
+    * for never-committed orphans) — the standard Delta VACUUM
+    * contract: the log is untouched, the head keeps reading exactly
+    * the same rows, and time travel to versions whose files were
+    * reclaimed fails at scan time (which is why retention must
+    * exceed the oldest snapshot anyone still reads). Returns the
+    * number of files deleted. */
+  def vacuum(retentionMillis: Long): Int =
+    DeltaWriter.vacuum(cleanUrl, retentionMillis)
+
   /** Targeted partition read (delta_dataset.py:41-54). */
   def readPartition(values: Map[String, String]): Option[DataFrame] =
     DeltaReader.readPartition(cleanUrl, values)
@@ -478,6 +490,65 @@ object DeltaWriter {
     throw new IllegalStateException(
       s"DeltaWriter.optimize: lost the commit race $MaxCommitAttempts " +
         s"times on $cleanUrl — giving up")
+  }
+
+  /** VACUUM: walk the table tree (everything but `_delta_log/`),
+    * keep every file the HEAD snapshot references (live data files +
+    * their `u`-mode DV sidecars), and delete the rest when old
+    * enough — logged tombstones age by `deletionTimestamp`, unlogged
+    * orphans (aborted writes, lost commit races) by file mtime, so
+    * an in-flight writer's freshly-landed files always survive.
+    *
+    * Scale shape: the walk is a filesystem listing (file-count
+    * bounded, the same class as every vacuum implementation); no row
+    * data is read. */
+  def vacuum(url: String, retentionMillis: Long)
+            (implicit spark: SparkSession): Int = {
+    require(retentionMillis >= 0, "DeltaWriter.vacuum: negative retention")
+    val cleanUrl = url.stripSuffix("/")
+    val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.vacuum: no Delta table at $cleanUrl"))
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    val cutoff = System.currentTimeMillis - retentionMillis
+    // referenced = live data files + their sidecars. Keys are URI
+    // PATHS (scheme/authority dropped): a table lives on one
+    // filesystem, and FileStatus paths vs snapshot paths can differ
+    // in authority spelling for the same file.
+    val referenced: Set[String] = snap.files.flatMap { f =>
+      val data = new Path(f.path).toUri.getPath
+      val sidecar = f.deletionVector.filter(_.storageType == "u").map { d =>
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val uuid = DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
+        val dir = if (prefix.isEmpty) qualifiedBase
+                  else new Path(qualifiedBase, prefix)
+        new Path(dir, s"deletion_vector_$uuid.bin").toUri.getPath
+      }
+      Seq(data) ++ sidecar
+    }.toSet
+    val tombstoneAge: Map[String, Long] = snap.tombstones.map {
+      case (p, ts) => new Path(p).toUri.getPath -> ts
+    }.toMap
+    var deleted = 0
+    def walk(dir: Path): Unit = fs.listStatus(dir).foreach { st =>
+      val name = st.getPath.getName
+      // the Delta convention: names starting with `_` or `.` are
+      // engine artifacts (_delta_log, _temporary, _SUCCESS, .crc
+      // shadows), never vacuum-managed data
+      if (name.startsWith("_") || name.startsWith(".")) ()
+      else if (st.isDirectory) walk(st.getPath)
+      else {
+        val key = st.getPath.toUri.getPath
+        val age = tombstoneAge.getOrElse(key, st.getModificationTime)
+        if (!referenced.contains(key) && age < cutoff) {
+          if (fs.delete(st.getPath, false)) deleted += 1
+        }
+      }
+    }
+    walk(qualifiedBase)
+    deleted
   }
 
   /** The writer features a legacy `minWriterVersion` implies

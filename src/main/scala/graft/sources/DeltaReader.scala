@@ -496,6 +496,45 @@ object DeltaReader {
       qualifiedBase.toString, txns))
   }
 
+  /** Snapshot as of a WALL-CLOCK timestamp: the newest version whose
+    * commit timestamp is `<= timestampMillis` — the protocol's
+    * timestamp time travel, resolved from the commit files'
+    * modification times (the convention every engine uses absent the
+    * inCommitTimestamp feature) with the standard monotonicity
+    * adjustment (a commit's effective time is never before its
+    * predecessor's, so clock skew between writers cannot reorder
+    * history). Raises when the timestamp predates the earliest
+    * RETAINED commit (a vacuumed tail cannot be resolved by time);
+    * None when no table exists. */
+  def snapshotAsOf(url: String, timestampMillis: Long)
+                  (implicit spark: SparkSession): Option[DeltaSnapshot] = {
+    val cleanUrl = url.stripSuffix("/")
+    val logDir = new Path(cleanUrl, "_delta_log")
+    val fs: FileSystem = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir)) return None
+    val commits = fs.listStatus(logDir).flatMap { st =>
+      st.getPath.getName match {
+        case CommitName(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }.sortBy(_._1)
+    if (commits.isEmpty) return None
+    val effective = commits.scanLeft((-1L, Long.MinValue)) {
+      case ((_, prevTs), (v, t)) => (v, math.max(prevTs, t))
+    }.drop(1)
+    val chosen = effective.filter(_._2 <= timestampMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaReader: timestamp $timestampMillis predates the earliest " +
+          s"retained commit (${effective.head._2} at version " +
+          s"${effective.head._1})"))
+    snapshotAt(cleanUrl, Some(chosen._1))
+  }
+
+  /** Timestamp time-travel scan (see [[snapshotAsOf]]). */
+  def scanAsOf(url: String, timestampMillis: Long)
+              (implicit spark: SparkSession): Option[DataFrame] =
+    snapshotAsOf(url, timestampMillis).map(assemble)
+
   /** Full-table scan at the latest (or a time-travel) version: data
     * files read with the log's logical schema, partition columns
     * injected as typed literals, columns in schema order. None when

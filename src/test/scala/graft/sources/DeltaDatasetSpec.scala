@@ -342,6 +342,88 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims tombstoned files and old orphans; the head and referenced sidecars survive") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write((1L to 8L).map(i => (i, if (i <= 4) "A" else "B"))
+        .toDF("v", "p").coalesce(1))  // v0
+      ds.delete($"v" % 2 === 0L)      // v1: DVs on both files
+      ds.optimize(0.0)                // v2: rewrites; old files+DVs tombstoned
+      ds.delete($"v" === 3L)          // v3: a LIVE sidecar on the new A file
+      val headRows = DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      def tableFiles(): Set[String] = {
+        val b = java.nio.file.Paths.get(table)
+        val s = scala.collection.mutable.Set[String]()
+        Files.walk(b).forEach { p =>
+          val rel = b.relativize(p).toString
+          if (Files.isRegularFile(p) && !rel.startsWith("_delta_log"))
+            s += rel
+        }
+        s.toSet
+      }
+      val before = tableFiles()
+      // an old orphan (aborted write) and a FRESH one (in-flight)
+      val oldOrphan = java.nio.file.Paths.get(table, "p=A", "orphan-old.parquet")
+      Files.write(oldOrphan, Array[Byte](1, 2, 3))
+      Files.setLastModifiedTime(oldOrphan,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 1000000))
+      val freshOrphan = java.nio.file.Paths.get(table, "p=B", "orphan-new.parquet")
+      Files.write(freshOrphan, Array[Byte](4, 5, 6))
+      // huge retention: nothing goes
+      assert(ds.vacuum(Long.MaxValue / 2) == 0)
+      // 60s retention: everything this test just created is younger —
+      // only the back-dated orphan crosses the cutoff
+      assert(ds.vacuum(60000) == 1)
+      assert(!tableFiles().contains("p=A/orphan-old.parquet"))
+      assert(tableFiles().contains("p=B/orphan-new.parquet"))
+      // zero retention: tombstoned v0 files, their v1 sidecars and
+      // the fresh orphan all go; live files and the LIVE sidecar stay
+      assert(ds.vacuum(0) > 0)
+      val after = tableFiles()
+      assert(!after.contains("p=B/orphan-new.parquet"))
+      assert((before -- after).nonEmpty)
+      val snap = DeltaReader.snapshot(table).get
+      snap.files.foreach { f =>
+        assert(Files.exists(java.nio.file.Paths.get(
+          new org.apache.hadoop.fs.Path(f.path).toUri.getPath)))
+      }
+      assert(snap.files.exists(_.deletionVector.isDefined))
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == headRows)
+      // time travel to a version whose files are gone now fails at
+      // SCAN time (standard vacuum trade-off), not silently wrong
+      intercept[Exception](DeltaReader.scan(table, Some(0L)).get.collect())
+    }
+  }
+
+  test("timestamp time travel resolves by monotone commit mtimes") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(1L).toDF("v"))   // v0
+      ds.append(Seq(2L).toDF("v"))  // v1
+      ds.append(Seq(3L).toDF("v"))  // v2
+      val logDir = Paths.get(table, "_delta_log")
+      def setT(v: Long, ts: Long): Unit =
+        Files.setLastModifiedTime(logDir.resolve(f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(ts))
+      // v1's clock REGRESSED below v0's — the monotone rule clamps it
+      setT(0L, 2000000L); setT(1L, 1000000L); setT(2L, 3000000L)
+      def countAt(ts: Long): Long =
+        DeltaReader.scanAsOf(table, ts).get.count()
+      assert(countAt(2000000L) == 2L)  // v1's effective time = v0's
+      assert(countAt(2999999L) == 2L)
+      assert(countAt(3000000L) == 3L)
+      assert(countAt(Long.MaxValue) == 3L)
+      val e = intercept[IllegalArgumentException](countAt(1999999L))
+      assert(e.getMessage.contains("predates"))
+      assert(DeltaReader.scanAsOf(s"$dir/nope", 5L).isEmpty)
+    }
+  }
+
   test("25 commits checkpoint at 10 and 20; replay anchors at the writer's own checkpoint") {
     withTempDir { dir =>
       val table = s"$dir/t"
