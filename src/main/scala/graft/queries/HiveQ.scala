@@ -868,6 +868,67 @@ object HiveQ {
       })
     ,
 
+    // ---- v2 checkpoint WRITE (delta.checkpointPolicy=v2) ---------
+    // The maintenance loop for v2-native tables: with the policy
+    // property set (and the feature declared), the writer checkpoints
+    // in the V2 form — UUID-named manifest + parquet sidecar under
+    // _sidecars/ — and its own reader replays anchored there after
+    // the covered JSON tail is vacuumed.
+    Q("q413_delta_v2_cp_write",
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             |  sum(s_suppkey)::BIGINT AS sum_key,
+             |  count(DISTINCT s_nationkey)::BIGINT AS n_nations
+             |FROM supplier""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import java.nio.file.Paths
+        val table = tmp("graft_q413_")
+        val sup = t(s, dir, "supplier")
+        val frag = Files.createTempDirectory("graft_q413_frag")
+        sup.where(col("s_suppkey") % 4 === 0)
+          .coalesce(1).write.mode("overwrite").parquet(frag.toString)
+        val part0 = Files.list(frag)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.createDirectories(Paths.get(table))
+        Files.copy(part0, Paths.get(table, "f0.parquet"))
+        org.apache.commons.io.FileUtils.deleteQuietly(frag.toFile)
+        val schemaJson = sup.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+          """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            """"readerFeatures":["v2Checkpoint"],""" +
+            """"writerFeatures":["v2Checkpoint"]}}""",
+          s"""{"metaData":{"id":"q413","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":[],""" +
+            s""""configuration":{"delta.checkpointInterval":"2",""" +
+            s""""delta.checkpointPolicy":"v2"},""" +
+            s""""createdTime":1700000000000}}""",
+          s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":100,""" +
+            s""""modificationTime":1700000000000,"dataChange":true}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        (1 to 3).foreach(i => ds.append(sup.where(col("s_suppkey") % 4 === i)))
+        val manifests = Files.list(logDir).toArray.map(_.toString)
+          .map(p => Paths.get(p).getFileName.toString)
+          .filter(n => n.startsWith(f"${2L}%020d.checkpoint.") &&
+            n != f"${2L}%020d.checkpoint.parquet")
+        require(manifests.length == 1,
+          s"q413: exactly one v2 manifest expected, got ${manifests.toSeq}")
+        require(Files.list(logDir.resolve("_sidecars")).count() >= 1,
+          "q413: the v2 sidecar must exist")
+        (0L to 2L).foreach(v =>
+          Files.delete(logDir.resolve(f"$v%020d.json")))
+        ds.scan().get.agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("s_suppkey")).cast("bigint").as("sum_key"),
+          countDistinct(col("s_nationkey")).cast("bigint").as("n_nations"))
+      })
+    ,
+
     // ---- VACUUM: physical reclamation after OPTIMIZE -------------
     // The full DV lifecycle: delete masks rows, optimize rewrites the
     // masked files, vacuum(0) physically reclaims the tombstoned

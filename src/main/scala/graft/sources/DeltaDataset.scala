@@ -587,9 +587,22 @@ object DeltaWriter {
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .getOrElse(DefaultCheckpointInterval)
     if (interval <= 0 || version % interval != 0) return
-    val target = new Path(logDir, f"$version%020d.checkpoint.parquet")
-    if (fs.exists(target)) return
-    writeCheckpoint(fs, base, logDir, snap, target)
+    val useV2 =
+      snap.configuration.get("delta.checkpointPolicy").contains("v2") &&
+        snap.protocol.readerFeatures.exists(_.contains("v2Checkpoint"))
+    if (useV2) {
+      // idempotence: any manifest for this version counts
+      val prefix = f"$version%020d.checkpoint."
+      val exists = fs.exists(logDir) && fs.listStatus(logDir).exists { s =>
+        val n = s.getPath.getName
+        n.startsWith(prefix) && n != s"${prefix}parquet"
+      }
+      if (!exists) writeV2Checkpoint(fs, base, logDir, snap)
+    } else {
+      val target = new Path(logDir, f"$version%020d.checkpoint.parquet")
+      if (fs.exists(target)) return
+      writeCheckpoint(fs, base, logDir, snap, target)
+    }
   } catch {
     // post-commit checkpointing is best-effort, like delta-spark's: the
     // commit already landed, and surfacing a transient checkpoint
@@ -681,10 +694,13 @@ object DeltaWriter {
     ((protoRow +: metaRow +: (txnRows ++ addRows)) ++ removeRows, schema)
   }
 
-  private def writeCheckpoint(fs: FileSystem, base: Path, logDir: Path,
-                              snap: DeltaReader.DeltaSnapshot, target: Path)
-                             (implicit spark: SparkSession): Unit = {
-    val (rows, schema) = checkpointRows(base, snap)
+  /** Land `rows` as ONE parquet file at exactly `target` (write to a
+    * temp dir, rename the part file in). Returns false when `target`
+    * appeared concurrently. */
+  private def landSingleParquet(fs: FileSystem, logDir: Path,
+                                rows: Seq[org.apache.spark.sql.Row],
+                                schema: StructType, target: Path)
+                               (implicit spark: SparkSession): Boolean = {
     val tmp = new Path(logDir, s".tmp-cp-${java.util.UUID.randomUUID}")
     import scala.jdk.CollectionConverters._
     spark.createDataFrame(rows.asJava, schema)
@@ -696,16 +712,65 @@ object DeltaWriter {
         .sortBy(_.getName)
         .headOption.getOrElse(throw new IllegalStateException(
           s"DeltaWriter: checkpoint write produced no parquet in $tmp"))
-      if (!fs.exists(target) && fs.rename(part, target)) {
-        // pointer for readers that trust it; ours discovers by listing
-        val lc = new Path(logDir, "_last_checkpoint")
-        val out = fs.create(lc, true)
-        try out.write(
-          s"""{"version":${snap.version},"size":${rows.size}}\n"""
-            .getBytes("UTF-8"))
-        finally out.close()
-      }
+      fs.mkdirs(target.getParent)
+      !fs.exists(target) && fs.rename(part, target)
     } finally fs.delete(tmp, true)
+  }
+
+  private def writeLastCheckpoint(fs: FileSystem, logDir: Path,
+                                  version: Long, size: Int): Unit = {
+    // pointer for readers that trust it; ours discovers by listing
+    val lc = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(s"""{"version":$version,"size":$size}\n""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def writeCheckpoint(fs: FileSystem, base: Path, logDir: Path,
+                              snap: DeltaReader.DeltaSnapshot, target: Path)
+                             (implicit spark: SparkSession): Unit = {
+    val (rows, schema) = checkpointRows(base, snap)
+    if (landSingleParquet(fs, logDir, rows, schema, target))
+      writeLastCheckpoint(fs, logDir, snap.version, rows.size)
+  }
+
+  /** Write a V2 checkpoint (PROTOCOL.md "V2 Spec Checkpoints"): the
+    * file actions land in ONE parquet sidecar under
+    * `_delta_log/_sidecars/`, the UUID-named manifest carries
+    * checkpointMetadata + the non-file actions + the sidecar
+    * pointer. Chosen by `delta.checkpointPolicy = "v2"` — and only
+    * when the protocol already declares the `v2Checkpoint` feature
+    * (writing one onto a classic table would strand old readers). */
+  private def writeV2Checkpoint(fs: FileSystem, base: Path, logDir: Path,
+                                snap: DeltaReader.DeltaSnapshot)
+                               (implicit spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Row
+    val (rows, schema) = checkpointRows(base, snap)
+    // row layout: (txn, add, remove, metaData, protocol)
+    val (fileRows, otherRows) =
+      rows.partition(r => r.get(1) != null || r.get(2) != null)
+    val sidecarName = s"${java.util.UUID.randomUUID}.parquet"
+    val sidecarPath = new Path(new Path(logDir, "_sidecars"), sidecarName)
+    if (!landSingleParquet(fs, logDir, fileRows, schema, sidecarPath)) return
+    val st = fs.getFileStatus(sidecarPath)
+    val mSchema = StructType(schema.fields ++ Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val pad = Seq(null, null)
+    val mRows =
+      otherRows.map(r => Row.fromSeq(r.toSeq ++ pad)) ++ Seq(
+        Row.fromSeq(Seq(null, null, null, null, null,
+          Row(snap.version), null)),
+        Row.fromSeq(Seq(null, null, null, null, null, null,
+          Row(sidecarName, st.getLen, st.getModificationTime))))
+    val manifest = new Path(logDir,
+      f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID}.parquet")
+    if (landSingleParquet(fs, logDir, mRows, mSchema, manifest))
+      writeLastCheckpoint(fs, logDir, snap.version, rows.size)
   }
 
   /** Table-relative RFC-2396-percent-encoded path — the form the log

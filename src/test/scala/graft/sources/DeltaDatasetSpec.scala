@@ -342,6 +342,45 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("delta.checkpointPolicy=v2 writes manifest+sidecar checkpoints our reader replays") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f0.parquet"), Seq(100L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],""" +
+          """"writerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.checkpointInterval":"2",""" +
+          s""""delta.checkpointPolicy":"v2"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      (1L to 3L).foreach(i => ds.append(Seq(100L + i).toDF("v")))
+      val logDir = Paths.get(table, "_delta_log")
+      // a v2 manifest (NOT the classic name) exists at version 2,
+      // with its sidecar
+      val manifests = Files.list(logDir).toArray.map(_.toString)
+        .map(p => Paths.get(p).getFileName.toString)
+        .filter(n => n.startsWith(f"${2L}%020d.checkpoint.") &&
+          n != f"${2L}%020d.checkpoint.parquet")
+      assert(manifests.length == 1)
+      assert(Files.list(logDir.resolve("_sidecars")).count() >= 1)
+      // vacuum the covered tail: replay must anchor at the v2 manifest
+      (0L to 2L).foreach(v => Files.delete(logDir.resolve(f"$v%020d.json")))
+      assertSameData(ds.scan().get, Seq(100L, 101L, 102L, 103L).toDF("v"))
+      assertSameData(DeltaReader.scan(table, Some(2L)).get,
+        Seq(100L, 101L, 102L).toDF("v"))
+      // re-append: idempotence check skips re-writing v2, commits land
+      ds.append(Seq(200L).toDF("v"))
+      assert(ds.scan().get.count() == 5L)
+    }
+  }
+
   test("vacuum reclaims tombstoned files and old orphans; the head and referenced sidecars survive") {
     withTempDir { dir =>
       val table = s"$dir/t"
