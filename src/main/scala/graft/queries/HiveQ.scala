@@ -929,6 +929,46 @@ object HiveQ {
       })
     ,
 
+    // ---- CHECK constraints gate the write path -------------------
+    // A table carrying delta.constraints.* properties (the
+    // checkConstraints feature): a conforming append lands, a
+    // violating one refuses LOUDLY with the constraint named and
+    // leaves no commit behind — the scan sees only conforming rows.
+    Q("q414_delta_check",
+      Some("""SELECT count(*)::BIGINT AS n_rows,
+             |  sum(n_nationkey)::BIGINT AS sum_key FROM nation""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import java.nio.file.Paths
+        val table = tmp("graft_q414_")
+        val nat = t(s, dir, "nation")
+        val schemaJson = nat.schema.json
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        val logDir = Paths.get(table, "_delta_log")
+        Files.createDirectories(logDir)
+        Files.write(logDir.resolve(f"${0L}%020d.json"), (Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+          s"""{"metaData":{"id":"q414","format":{"provider":"parquet",""" +
+            s""""options":{}},"schemaString":"$schemaJson",""" +
+            s""""partitionColumns":[],""" +
+            s""""configuration":{"delta.constraints.region_range":""" +
+            s""""n_regionkey >= 0 AND n_regionkey < 5"},""" +
+            s""""createdTime":1700000000000}}""")
+          .mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.append(nat) // every region key is 0-4: conforms
+        val refused =
+          try { ds.append(nat.withColumn("n_regionkey",
+            col("n_regionkey") + lit(10))); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("region_range") }
+        require(refused, "q414: the violating append must refuse by name")
+        ds.scan().get.agg(
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"))
+      })
+    ,
+
     // ---- VACUUM: physical reclamation after OPTIMIZE -------------
     // The full DV lifecycle: delete masks rows, optimize rewrites the
     // masked files, vacuum(0) physically reclaims the tombstoned

@@ -167,8 +167,15 @@ object DeltaWriter {
         s"DeltaWriter: schema mismatch — table has ${snap.schema.simpleString}, " +
           s"dataframe has ${df.schema.simpleString} (evolve the table " +
           "explicitly; this writer refuses silent schema changes)")
+      // an append-only table never loses rows; overwrite removes all
+      require(!(overwrite &&
+        snap.configuration.get("delta.appendOnly").contains("true")),
+        s"DeltaWriter: table at $cleanUrl is append-only " +
+          "(delta.appendOnly=true) — overwrite refused")
     }
-    DeltaReader.snapshot(cleanUrl).foreach(validateAgainst)
+    val snap0 = DeltaReader.snapshot(cleanUrl)
+    snap0.foreach(validateAgainst)
+    snap0.foreach(s => enforceCheckConstraints(s, df))
 
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df, partitionColumns)
 
@@ -490,6 +497,32 @@ object DeltaWriter {
     throw new IllegalStateException(
       s"DeltaWriter.optimize: lost the commit race $MaxCommitAttempts " +
         s"times on $cleanUrl — giving up")
+  }
+
+  /** Enforce the table's CHECK constraints (`delta.constraints.<name>`
+    * properties, the protocol's `checkConstraints` feature) on the
+    * incoming frame: a constraint is violated only by rows where its
+    * expression is literally FALSE (SQL CHECK semantics — NULL
+    * passes). One distributed pass over the combined condition; the
+    * per-constraint attribution re-check runs only on the failure
+    * path. */
+  private def enforceCheckConstraints(snap: DeltaReader.DeltaSnapshot,
+                                      df: DataFrame): Unit = {
+    val constraints = snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }.toSeq.sortBy(_._1)
+    if (constraints.isEmpty) return
+    val anyViolated = constraints
+      .map { case (_, sql) => expr(sql) === lit(false) }
+      .reduce(_ || _)
+    if (!df.where(anyViolated).isEmpty) {
+      val broken = constraints.filter { case (_, sql) =>
+        !df.where(expr(sql) === lit(false)).isEmpty
+      }.map { case (n, sql) => s"$n ($sql)" }
+      throw new IllegalArgumentException(
+        s"DeltaWriter: CHECK constraint violation — ${broken.mkString("; ")}")
+    }
   }
 
   /** VACUUM: walk the table tree (everything but `_delta_log/`),

@@ -342,6 +342,55 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("append-only tables accept appends but refuse overwrite") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f1.parquet"), Seq(1L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.appendOnly":"true"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      ds.append(Seq(2L).toDF("v"))
+      assertSameData(ds.scan().get, Seq(1L, 2L).toDF("v"))
+      val e = intercept[IllegalArgumentException](ds.write(Seq(9L).toDF("v")))
+      assert(e.getMessage.contains("append-only"))
+    }
+  }
+
+  test("CHECK constraints gate writes: FALSE rows refuse, NULL passes") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f1.parquet"), Seq(1L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.constraints.positive":"v > 0",""" +
+          s""""delta.constraints.small":"v < 100"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      ds.append(Seq(2L, 3L).toDF("v"))                    // passes both
+      // SQL CHECK: NULL is not FALSE — a null row passes
+      ds.append(Seq[java.lang.Long](null).toDF("v"))
+      val e = intercept[IllegalArgumentException](
+        ds.append(Seq(-5L, 500L).toDF("v")))
+      assert(e.getMessage.contains("positive") &&
+        e.getMessage.contains("small"))
+      assert(ds.scan().get.count() == 4L) // nothing from the refused batch
+    }
+  }
+
   test("delta.checkpointPolicy=v2 writes manifest+sidecar checkpoints our reader replays") {
     withTempDir { dir =>
       val table = s"$dir/t"
