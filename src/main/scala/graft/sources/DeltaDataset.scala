@@ -74,6 +74,16 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   def optimize(maskedFractionThreshold: Double = 0.3): Long =
     DeltaWriter.optimize(cleanUrl, maskedFractionThreshold)
 
+  /** Roll the table back to `version` as a NEW commit (the RESTORE
+    * verb): one log-level diff — files live now but not then are
+    * removed, files live then but not now (with their deletion
+    * vectors as of `version`) are re-added — so the head reads
+    * exactly like the target version while every intermediate
+    * version stays one time-travel hop away. No data file moves.
+    * Returns the committed version (the current one when the head
+    * already equals the target). */
+  def restore(version: Long): Long = DeltaWriter.restore(cleanUrl, version)
+
   /** Physically reclaim data files and deletion-vector sidecars no
     * longer referenced by the CURRENT snapshot and older than
     * `retentionMillis` (tombstone age for logged removes, file mtime
@@ -119,6 +129,35 @@ object DeltaWriter {
     * widen them freely), order-sensitive like delta-rs's default. */
   private def canonical(st: StructType): Seq[(String, DataType)] =
     st.fields.map(f => f.name -> f.dataType).toSeq
+
+  /** In-commit timestamps (the `inCommitTimestamp` writer feature):
+    * when `delta.enableInCommitTimestamps = true`, every commit's
+    * FIRST action is `commitInfo.inCommitTimestamp`, strictly greater
+    * than the previous commit's — the log itself becomes the clock,
+    * immune to file-mtime loss on copy/restore. Returns the line(s)
+    * to prepend. */
+  private def ictLines(conf: Map[String, String], fs: FileSystem,
+                       logDir: Path, prevVersion: Long): Seq[String] = {
+    if (!conf.get("delta.enableInCommitTimestamps").contains("true"))
+      return Seq.empty
+    val now = System.currentTimeMillis
+    val prev =
+      if (prevVersion < 0) None
+      else DeltaWriter.readIct(fs, new Path(logDir, f"$prevVersion%020d.json"))
+    val ts = math.max(now, prev.map(_ + 1L).getOrElse(now))
+    Seq(s"""{"commitInfo":{"inCommitTimestamp":$ts}}""")
+  }
+
+  /** The `inCommitTimestamp` of one commit file, when present. */
+  private[sources] def readIct(fs: FileSystem, p: Path): Option[Long] = {
+    if (!fs.exists(p)) return None
+    val st = fs.getFileStatus(p)
+    val bytes = new Array[Byte](st.getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    """"inCommitTimestamp"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1).toLong)
+  }
 
   /** Land `df` as one Delta commit on `url`; returns the committed
     * version. `overwrite = true` additionally removes every
@@ -230,7 +269,10 @@ object DeltaWriter {
             """"dataChange":true}}"""
         }
       val head = if (snap.isEmpty) metaLines else Seq.empty
-      val body = (head ++ txnLine ++ removes ++ adds).mkString("\n") + "\n"
+      val ict = ictLines(snap.map(_.configuration).getOrElse(Map.empty),
+        fs, logDir, version - 1)
+      val body = (ict ++ head ++ txnLine ++ removes ++ adds)
+        .mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
@@ -385,7 +427,8 @@ object DeltaWriter {
             s""""readerFeatures":[${rf.map(x => s""""$x"""").mkString(",")}],""" +
             s""""writerFeatures":[${wf.map(x => s""""$x"""").mkString(",")}]}}""")
         }
-      val lines = protoLine ++ fileKeys.flatMap { k =>
+      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      val lines = ict ++ protoLine ++ fileKeys.flatMap { k =>
         val f = byKey(k)
         Seq(
           s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
@@ -487,8 +530,9 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
+      val ict = ictLines(head.configuration, fs, logDir, head.version)
       if (publishCommit(fs, logDir, version,
-          (removes ++ adds).mkString("\n") + "\n")) {
+          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
       }
@@ -496,6 +540,79 @@ object DeltaWriter {
     }
     throw new IllegalStateException(
       s"DeltaWriter.optimize: lost the commit race $MaxCommitAttempts " +
+        s"times on $cleanUrl — giving up")
+  }
+
+  /** RESTORE: commit the file-state diff head → target. Refuses when
+    * the schema or partitioning changed between the two versions (a
+    * restore across an evolution is a data rewrite, not a log diff).
+    * Per attempt the diff is recomputed against the FRESH head, so a
+    * lost commit race never restores against stale state. */
+  def restore(url: String, version: Long)
+             (implicit spark: SparkSession): Long = {
+    val cleanUrl = url.stripSuffix("/")
+    val target = DeltaReader.snapshotAt(cleanUrl, Some(version)).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.restore: no Delta table at $cleanUrl"))
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    val logDir = new Path(qualifiedBase, "_delta_log")
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    def relOrAbs(p: Path): String =
+      if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
+      else p.toUri.toString
+    def dvJson(d: DeltaReader.DvDescriptor): String =
+      s""","deletionVector":{"storageType":"${jsonEscape(d.storageType)}",""" +
+        s""""pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}"""" +
+        d.offset.map(o => s""","offset":$o""").getOrElse("") +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    def addLine(f: DeltaReader.DeltaFile): String = {
+      val pv = f.partitionValues.map { case (k, v) =>
+        s""""${jsonEscape(k)}":${
+          if (v == null) "null" else s""""${jsonEscape(v)}""""}"""
+      }.mkString(",")
+      s"""{"add":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
+        s""""partitionValues":{$pv},"size":${f.size},""" +
+        s""""modificationTime":${f.modificationTime},"dataChange":true""" +
+        f.deletionVector.map(dvJson).getOrElse("") + "}}"
+    }
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val head = DeltaReader.snapshot(cleanUrl).get
+      require(canonical(head.schema) == canonical(target.schema) &&
+        head.partitionColumns == target.partitionColumns,
+        s"DeltaWriter.restore: schema or partitioning changed since " +
+          s"version $version — restore across an evolution is a data " +
+          "rewrite, not a log diff")
+      val headByKey = head.files
+        .map(f => new Path(f.path).toUri.toString -> f).toMap
+      val targetByKey = target.files
+        .map(f => new Path(f.path).toUri.toString -> f).toMap
+      val removes = head.files
+        .filter(f => !targetByKey.get(new Path(f.path).toUri.toString)
+          .exists(_.deletionVector == f.deletionVector))
+        .map { f =>
+          s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
+            s""""deletionTimestamp":${System.currentTimeMillis},""" +
+            """"dataChange":true}}"""
+        }
+      val adds = target.files
+        .filter(f => !headByKey.get(new Path(f.path).toUri.toString)
+          .exists(_.deletionVector == f.deletionVector))
+        .map(addLine)
+      if (removes.isEmpty && adds.isEmpty) return head.version
+      val v = head.version + 1
+      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      if (publishCommit(fs, logDir, v,
+          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
+        maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, v)
+        return v
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DeltaWriter.restore: lost the commit race $MaxCommitAttempts " +
         s"times on $cleanUrl — giving up")
   }
 

@@ -519,7 +519,19 @@ object DeltaReader {
       }
     }.sortBy(_._1)
     if (commits.isEmpty) return None
-    val effective = commits.scanLeft((-1L, Long.MinValue)) {
+    // when the table writes in-commit timestamps, the LOG is the
+    // clock: each commit's commitInfo.inCommitTimestamp overrides its
+    // file mtime (pre-enablement commits keep mtimes — the standard
+    // mixed-history rule)
+    val ictOn = snapshot(cleanUrl).exists(
+      _.configuration.get("delta.enableInCommitTimestamps").contains("true"))
+    val stamped =
+      if (!ictOn) commits
+      else commits.map { case (v, mt) =>
+        v -> DeltaWriter.readIct(fs, new Path(logDir, f"$v%020d.json"))
+          .getOrElse(mt)
+      }
+    val effective = stamped.scanLeft((-1L, Long.MinValue)) {
       case ((_, prevTs), (v, t)) => (v, math.max(prevTs, t))
     }.drop(1)
     val chosen = effective.filter(_._2 <= timestampMillis).lastOption.getOrElse(

@@ -342,6 +342,86 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls the head back to a prior version as a new commit") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write((1L to 6L).map(i => (i, if (i <= 3) "A" else "B"))
+        .toDF("v", "p").coalesce(1))  // v0
+      ds.append(Seq((7L, "A")).toDF("v", "p"))  // v1
+      ds.delete($"v" % 2 === 0L)                // v2: DV masks
+      ds.write(Seq((99L, "C")).toDF("v", "p"))  // v3: overwrite
+      val want1 = DeltaReader.scan(table, Some(1L)).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want2 = DeltaReader.scan(table, Some(2L)).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // restore to the pre-overwrite, pre-delete state
+      assert(ds.restore(1L) == 4L)
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == want1)
+      // restoring to the DV-masked version re-adds files WITH masks
+      assert(ds.restore(2L) == 5L)
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == want2)
+      // intermediate versions stay one hop away
+      assert(DeltaReader.scan(table, Some(3L)).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == Set((99L, "C")))
+      // restoring to the state the head already equals is a no-op
+      assert(ds.restore(2L) == 5L)
+      // life goes on after a restore
+      ds.append(Seq((100L, "A")).toDF("v", "p"))
+      assert(DeltaReader.scan(table).get.count() == want2.size + 1L)
+    }
+  }
+
+  test("in-commit timestamps: the log is the clock, strictly increasing, mtimes ignored") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f0.parquet"), Seq(1L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      // creating commit carries its OWN in-commit timestamp, far in
+      // the past — later writer commits must stamp strictly above it
+      writeLog(table, 0L, Seq(
+        """{"commitInfo":{"inCommitTimestamp":1700000000000}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+          """"writerFeatures":["inCommitTimestamp"]}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.enableInCommitTimestamps":"true"},""" +
+          s""""createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      ds.append(Seq(2L).toDF("v"))  // v1
+      ds.append(Seq(3L).toDF("v"))  // v2
+      val logDir = Paths.get(table, "_delta_log")
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def ict(v: Long): Long = DeltaWriter.readIct(fs,
+        new org.apache.hadoop.fs.Path(logDir.toString, f"$v%020d.json")).get
+      // every commit stamped, strictly increasing
+      assert(ict(0L) == 1700000000000L)
+      assert(ict(0L) < ict(1L) && ict(1L) < ict(2L))
+      // commitInfo must be the FIRST action of the writer's commits
+      assert(Files.readAllLines(logDir.resolve(f"${1L}%020d.json"))
+        .get(0).contains("inCommitTimestamp"))
+      // scramble every mtime to the same ancient instant: resolution
+      // by mtime would now be useless — ICTs must drive
+      (0L to 2L).foreach(v =>
+        Files.setLastModifiedTime(logDir.resolve(f"$v%020d.json"),
+          java.nio.file.attribute.FileTime.fromMillis(5000L)))
+      assert(DeltaReader.scanAsOf(table, 1700000000000L).get.count() == 1L)
+      assert(DeltaReader.scanAsOf(table, ict(1L)).get.count() == 2L)
+      assert(DeltaReader.scanAsOf(table, ict(2L) - 1L).get.count() == 2L)
+      assert(DeltaReader.scanAsOf(table, ict(2L)).get.count() == 3L)
+      val e = intercept[IllegalArgumentException](
+        DeltaReader.scanAsOf(table, 1699999999999L))
+      assert(e.getMessage.contains("predates"))
+    }
+  }
+
   test("append-only tables accept appends but refuse overwrite") {
     withTempDir { dir =>
       val table = s"$dir/t"
