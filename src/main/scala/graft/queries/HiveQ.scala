@@ -1156,5 +1156,109 @@ object HiveQ {
           countDistinct(col("n_regionkey")).cast("bigint").as("n_regions"),
           sum(length(col("n_name"))).cast("bigint").as("name_len"))
       })
+    ,
+
+    // ---- RESTORE through the change feed --------------------------
+    // A DV delete then a RESTORE: the shrinking deletion vector must
+    // surface the un-deleted rows as INSERTS at the restoring version
+    // (readChangeFeed semantics) — a mirror replaying the feed never
+    // misses a restoration. Full-history window exercises the
+    // incremental O(log) replay.
+    Q("q415_delta_restore_cdf",
+      Some("""WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey < 2000),
+             |f AS (SELECT * FROM o WHERE o_orderstatus = 'F')
+             |SELECT 0::BIGINT AS version, 'insert' AS change_type,
+             |  count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS sum_key
+             |  FROM o
+             |UNION ALL SELECT 1::BIGINT, 'delete', count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM f
+             |UNION ALL SELECT 2::BIGINT, 'insert', count(*)::BIGINT,
+             |  sum(o_orderkey)::BIGINT FROM f
+             |ORDER BY version, change_type""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q415_")
+        val ord = t(s, dir, "orders")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 2000))       // v0
+        ds.delete(col("o_orderstatus") === "F")             // v1: DV masks
+        ds.restore(0L)                                      // v2: DV drops
+        graft.sources.DeltaChanges.readChanges(table, -1L)(s).get
+          .groupBy(col("_commit_version").cast("bigint").as("version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .orderBy("version", "change_type")
+      })
+    ,
+
+    // ---- bin-packing compaction ------------------------------------
+    // Six one-slice appends pile up small files; compact() packs each
+    // partition back to ~one file with dataChange=false (the feed is
+    // silent, every pre-compaction version still reads), and the head
+    // scan is byte-identical to the original slice union.
+    Q("q416_delta_compact",
+      Some("""SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key,
+             |  count(DISTINCT o_orderstatus)::BIGINT AS n_status
+             |FROM orders WHERE o_orderkey < 6000""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q416_")
+        val ord = t(s, dir, "orders").where(col("o_orderkey") < 6000)
+        val ds = new graft.sources.DeltaDataset(table)
+        (0 until 6).foreach { i =>
+          ds.append(ord.where(col("o_orderkey") % 6 === i))  // v0..v5
+        }
+        val before = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(before.files.size >= 6,
+          s"q416: six appends must land >= 6 files, got ${before.files.size}")
+        val v = ds.compact()
+        require(v == 6L, s"q416: compact must commit version 6, got $v")
+        val after = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(after.files.size < before.files.size,
+          s"q416: compaction must shrink the file count " +
+            s"(${before.files.size} -> ${after.files.size})")
+        require(graft.sources.DeltaChanges.readChanges(table, 5L)(s)
+          .get.isEmpty, "q416: dataChange=false — the feed must be silent")
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+          countDistinct(col("o_orderstatus")).cast("bigint").as("n_status"))
+      })
+    ,
+
+    // ---- tail-follow stream face -----------------------------------
+    // Two polls of the persisted-watermark follower over interleaved
+    // appends and a DV delete: stream-of-polls == one batch mirror ==
+    // the plain insert union (the append face never retracts). The
+    // destination aggregate is the oracle-checked witness.
+    Q("q417_delta_follow",
+      Some("""SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders WHERE o_orderkey < 4500""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val src = tmp("graft_q417_src_")
+        val dst = tmp("graft_q417_dst_")
+        val wm = s"${tmp("graft_q417_ck_")}/watermark"
+        val ord = t(s, dir, "orders")
+        val ds = new graft.sources.DeltaDataset(src)
+        ds.write(ord.where(col("o_orderkey") < 1500))                  // v0
+        ds.append(ord.where(col("o_orderkey") >= 1500 &&
+          col("o_orderkey") < 3000))                                   // v1
+        val w1 = graft.sources.DeltaFollow.followOnce(src, dst, wm)
+        require(w1 == 1L, s"q417: first poll must reach v1, got $w1")
+        ds.delete(col("o_orderstatus") === "F")                        // v2
+        ds.append(ord.where(col("o_orderkey") >= 3000 &&
+          col("o_orderkey") < 4500))                                   // v3
+        val w2 = graft.sources.DeltaFollow.followOnce(src, dst, wm)
+        require(w2 == 3L, s"q417: second poll must reach v3, got $w2")
+        // duplicate poll no-ops (exactly-once from the persisted mark)
+        require(graft.sources.DeltaFollow.followOnce(src, dst, wm) == 3L,
+          "q417: idle poll must keep the watermark")
+        graft.sources.DeltaReader.scan(dst)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+      })
   )
 }

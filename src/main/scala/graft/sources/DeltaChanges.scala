@@ -3,11 +3,13 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Change-data reconstruction over a real Delta `_delta_log` — the
   * batch version of `readChangeFeed`, derived purely from the PUBLIC
   * commit protocol (no CDC sidecar files needed): the tail-follow
-  * face a streaming consumer polls with a version watermark.
+  * face a streaming consumer polls with a version watermark
+  * (see [[DeltaFollow]] for the poll loop + persisted watermark).
   *
   * Per version `v` in the requested window, with `prev` = the live
   * file state at `v-1`, the commit's actions classify as:
@@ -15,13 +17,17 @@ import org.apache.spark.sql.functions._
   *  - `add` with `dataChange=true` of a path NOT live in `prev` →
   *    a genuinely new data file: its rows (minus its add-time
   *    deletion vector) are **inserts** at `v`;
-  *  - `add` of a path live in `prev` whose deletion vector CHANGED
-  *    (the remove+re-add shape a DV DELETE commits) → the rows in
-  *    the new mask but not the old one are **deletes** at `v`;
+  *  - `add` with `dataChange=true` of a path live in `prev` whose
+  *    deletion vector CHANGED (the remove+re-add shape a DV DELETE
+  *    or a RESTORE commits) → rows in the new mask but not the old
+  *    one are **deletes** at `v`, and rows in the OLD mask but not
+  *    the new one are **inserts** at `v` (row restoration — real
+  *    `readChangeFeed` emits un-deleted rows as inserts, so a
+  *    downstream mirror replaying this feed never misses them);
   *  - `remove` with `dataChange=true` of a live path with no re-add
   *    in the same commit (file-level DELETE / overwrite) → the
   *    file's surviving rows at `v-1` are **deletes** at `v`;
-  *  - anything with `dataChange=false` (OPTIMIZE rewrites,
+  *  - anything with `dataChange=false` (OPTIMIZE rewrites, compaction,
   *    checkpoint replays) → **no changes**, exactly the protocol's
   *    contract that rearrangement is not data.
   *
@@ -29,16 +35,27 @@ import org.apache.spark.sql.functions._
   * (`insert` | `delete`) and `_commit_version` — the Delta CDF
   * column names.
   *
-  * Scale shape (100 TB): per version the driver touches one small
-  * commit JSON and file-count-sized state; row-level work (new-file
-  * reads, DV-diff anti-joins, survivor scans) runs as distributed
-  * scans batched per version. Cost is O(window × log-replay) — the
-  * intended use is a short poll window riding a version watermark,
-  * not a full-history replay (though that works too while the JSON
-  * commits exist; a window vacuumed past its commits raises loudly
-  * via the reader's contiguity check).
+  * Scale shape (100 TB): the whole window's commits are parsed by ONE
+  * distributed JSON read attributed back to versions by file name,
+  * and the file state is replayed INCREMENTALLY — one snapshot replay
+  * at the watermark, then each commit's actions applied to the
+  * in-memory file map — so a full-history read of a V-commit table
+  * costs O(log), not O(V × log). Driver state is commit-action /
+  * file-count sized; row-level work (new-file reads, DV-diff
+  * anti-joins, survivor scans) runs as distributed scans batched per
+  * version. A window vacuumed past its commits raises loudly.
   */
 object DeltaChanges {
+
+  /** One version's attributed changes. `inserts` covers genuinely new
+    * data files AND rows un-deleted by a shrinking deletion vector
+    * (the RESTORE shape); `deletes` covers newly-masked rows and
+    * dropped files' survivors. Frames are LAZY — building a
+    * VersionDelta runs no Spark job. */
+  private final case class VersionDelta(
+      version: Long,
+      inserts: Option[DataFrame],
+      deletes: Seq[DataFrame])
 
   /** Changes in `(fromVersion, toVersion]` (default head). Pass
     * `fromVersion = -1` to start at the table's creation. The window
@@ -57,124 +74,182 @@ object DeltaChanges {
     require(fromVersion <= to,
       s"DeltaChanges: empty window ($fromVersion, $to]")
     val schema = headSnap.schema
-    def emptyChanges = {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schema.fields ++ Seq(
-          StructField("_change_type", StringType),
-          StructField("_commit_version", LongType))))
-    }
+    def emptyChanges = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.fields ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_commit_version", LongType))))
     if (fromVersion == to) return Some(emptyChanges)
 
-    val logDir = new Path(cleanUrl.stripSuffix("/"), "_delta_log")
+    val frames = versionDeltas(cleanUrl, fromVersion, to, headSnap)
+      .flatMap { d =>
+        (d.inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
+          d.deletes.map(_.withColumn("_change_type", lit("delete"))))
+          .map(_.withColumn("_commit_version", lit(d.version)))
+      }
+    Some(frames.foldLeft(emptyChanges)(_ unionByName _))
+  }
+
+  // parse schema for the window read: only the CDF-relevant fields
+  private val dvSchema = StructType(Seq(
+    StructField("storageType", StringType),
+    StructField("pathOrInlineDv", StringType),
+    StructField("offset", IntegerType),
+    StructField("sizeInBytes", IntegerType),
+    StructField("cardinality", LongType)))
+
+  private val cdfActionSchema = StructType(Seq(
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvSchema)))),
+    StructField("remove", StructType(Seq(
+      StructField("path", StringType),
+      StructField("dataChange", BooleanType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)))))))
+
+  /** Per-version change frames in `(from, to]`, by incremental replay:
+    * ONE distributed JSON read of the window's commits, ONE anchor
+    * snapshot at the watermark, then per version the actions apply to
+    * the in-memory file map (driver cost = action count). */
+  private def versionDeltas(url: String, from: Long, to: Long,
+                            head: DeltaReader.DeltaSnapshot)
+                           (implicit spark: SparkSession): Seq[VersionDelta] = {
+    val logDir = new Path(url, "_delta_log")
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")
+    val window = (from + 1) to to
+    val missing = window.filterNot(v => fs.exists(commitPath(v)))
+    require(missing.isEmpty,
+      s"DeltaChanges: commits ${missing.mkString(",")} are vacuumed " +
+        s"away — change attribution for ($from, $to] needs their JSON commits")
 
-    // prev starts at the watermark snapshot (None before creation)
-    var prev: Option[DeltaReader.DeltaSnapshot] =
-      if (fromVersion < 0) None
-      else DeltaReader.snapshotAt(cleanUrl, Some(fromVersion))
-    val versionFrames = ((fromVersion + 1) to to).flatMap { v =>
-      require(fs.exists(commitPath(v)),
-        s"DeltaChanges: commit $v is vacuumed away — change attribution " +
-          s"for ($fromVersion, $to] needs its JSON commit")
-      val snapV = DeltaReader.snapshotAt(cleanUrl, Some(v)).get
-      val prevByKey: Map[String, DeltaReader.DeltaFile] = prev
-        .map(_.files.map(f => new Path(f.path).toUri.toString -> f).toMap)
-        .getOrElse(Map.empty)
-      val vByKey: Map[String, DeltaReader.DeltaFile] =
-        snapV.files.map(f => new Path(f.path).toUri.toString -> f).toMap
+    val byVersion: Map[Long, Seq[org.apache.spark.sql.Row]] =
+      spark.read.schema(cdfActionSchema)
+        .json(window.map(v => commitPath(v).toString): _*)
+        .withColumn("__v", regexp_extract(input_file_name(),
+          "(\\d{20})\\.json", 1).cast("long"))
+        .collect() // the window's action lists: commit-metadata-sized
+        .toSeq.groupBy(_.getAs[Long]("__v"))
 
-      // the raw commit actions decide dataChange; file STATE (paths,
-      // descriptors) comes from the replayed snapshots
-      val actions = spark.read.schema(actionSchemaPublic)
-        .json(commitPath(v).toString)
-        .select(col("add.path").as("__ap"),
-          col("add.dataChange").as("__adc"),
-          col("remove.path").as("__rp"),
-          col("remove.dataChange").as("__rdc"))
-        .collect()
-      def absKey(raw: String): String = {
-        val uri = new java.net.URI(raw)
-        val p = new Path(uri)
-        val base = fs.makeQualified(new Path(cleanUrl))
-        (if (uri.isAbsolute) p else new Path(base, p)).toUri.toString
+    val qualifiedBase = fs.makeQualified(new Path(url))
+    def absPath(raw: String): Path = {
+      val uri = new java.net.URI(raw)
+      val p = new Path(uri)
+      if (uri.isAbsolute) p else new Path(qualifiedBase, p)
+    }
+    def key(f: DeltaReader.DeltaFile): String =
+      new Path(f.path).toUri.toString
+
+    // replay state, seeded by ONE snapshot at the watermark (None
+    // before creation); metaData actions in the window update it
+    val seed: Option[DeltaReader.DeltaSnapshot] =
+      if (from < 0) None else DeltaReader.snapshotAt(url, Some(from))
+    var files: Map[String, DeltaReader.DeltaFile] = seed
+      .map(_.files.map(f => key(f) -> f).toMap).getOrElse(Map.empty)
+    var schema: StructType = seed.map(_.schema).getOrElse(new StructType())
+    var pcols: Seq[String] = seed.map(_.partitionColumns).getOrElse(Seq.empty)
+    var conf: Map[String, String] = seed.map(_.configuration).getOrElse(Map.empty)
+
+    val maskKeys = Seq("__dv_fp", "__dv_ri")
+    window.toSeq.map { v =>
+      val actions = byVersion.getOrElse(v, Seq.empty)
+      // rows read out of a dropped file carry the PRE-commit shape
+      val (pSchema, pPcols, pConf) = (schema, pcols, conf)
+      actions.flatMap(r => Option(r.getStruct(2))).lastOption.foreach { m =>
+        if (!m.isNullAt(0))
+          schema = DataType.fromJson(m.getString(0)).asInstanceOf[StructType]
+        if (!m.isNullAt(1)) pcols = m.getSeq[String](1).toSeq
+        if (!m.isNullAt(2)) conf = m.getMap[String, String](2).toMap
       }
-      val addKeys = actions.filter(r => !r.isNullAt(0))
-        .map(r => absKey(r.getString(0)) ->
-          (r.isNullAt(1) || r.getBoolean(1))).toMap
-      val removeKeys = actions.filter(r => !r.isNullAt(2))
-        .map(r => absKey(r.getString(2)) ->
-          (r.isNullAt(3) || r.getBoolean(3))).toMap
+      def mkSnap(version: Long, st: StructType, pc: Seq[String],
+                 cf: Map[String, String],
+                 fset: Seq[DeltaReader.DeltaFile]) =
+        head.copy(version = version, schema = st, partitionColumns = pc,
+          files = fset.sortBy(_.path),
+          physicalSchema = DeltaReader.physicalSchemaFor(st, cf),
+          configuration = cf)
 
-      val insertFiles = addKeys.collect {
-        case (k, true) if !prevByKey.contains(k) && vByKey.contains(k) =>
-          vByKey(k)
-      }.toSeq.sortBy(_.path)
-      // a DV GROWING (or appearing) is a delete; a DV vanishing with
-      // dataChange=true (row restoration) has no readChangeFeed
-      // precedent and is ignored rather than guessed at
-      val dvUpdated = addKeys.keys.toSeq.sorted.collect {
-        case k if prevByKey.contains(k) && vByKey.contains(k) &&
-          vByKey(k).deletionVector.isDefined &&
-          vByKey(k).deletionVector != prevByKey(k).deletionVector =>
-          (prevByKey(k), vByKey(k))
+      val adds: Seq[(DeltaReader.DeltaFile, Boolean)] = actions.flatMap { r =>
+        Option(r.getStruct(0)).map { a =>
+          val pv: Map[String, String] =
+            if (a.isNullAt(1)) Map.empty
+            else a.getMap[String, String](1).toMap
+          val dv = Option(a.getStruct(5)).map { d =>
+            DeltaReader.DvDescriptor(d.getString(0), d.getString(1),
+              if (d.isNullAt(2)) None else Some(d.getInt(2)),
+              d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4))
+          }
+          (DeltaReader.DeltaFile(absPath(a.getString(0)).toString, pv,
+            if (a.isNullAt(2)) 0L else a.getLong(2),
+            if (a.isNullAt(3)) 0L else a.getLong(3), dv),
+            a.isNullAt(4) || a.getBoolean(4))
+        }
       }
-      val droppedFiles = removeKeys.collect {
-        case (k, true) if prevByKey.contains(k) && !vByKey.contains(k) =>
-          prevByKey(k)
+      val removed: Map[String, Boolean] = actions.flatMap(r =>
+        Option(r.getStruct(1)).map(rm =>
+          absPath(rm.getString(0)).toUri.toString ->
+            (rm.isNullAt(1) || rm.getBoolean(1)))).toMap
+
+      val prevFiles = files
+      val newFiles = (prevFiles -- removed.keys) ++
+        adds.map { case (f, _) => key(f) -> f }
+      val snapV = mkSnap(v, schema, pcols, conf, newFiles.values.toSeq)
+
+      val insertFiles = adds.collect {
+        case (f, true) if !prevFiles.contains(key(f)) => f
+      }.sortBy(_.path)
+      // a data-changing re-add whose descriptor differs EITHER way:
+      // a growing mask is a delete, a shrinking one a restoration
+      val dvPairs = adds.collect {
+        case (f, true) if prevFiles.contains(key(f)) &&
+          prevFiles(key(f)).deletionVector != f.deletionVector =>
+          (prevFiles(key(f)), f)
+      }.sortBy(_._2.path)
+      val dropped = removed.collect {
+        case (k, true) if prevFiles.contains(k) && !newFiles.contains(k) =>
+          prevFiles(k)
       }.toSeq.sortBy(_.path)
 
-      val inserts =
-        if (insertFiles.isEmpty) None
-        else Some(DeltaReader.assembleSnapshot(
-          snapV.copy(files = insertFiles)))
-      // DV diff: rows newly masked at v = rows(newDV) minus
-      // rows(oldDV), joined back to the file's content by row index
-      val dvDeletes =
-        if (dvUpdated.isEmpty) None
+      val (dvDeletes, dvRestores) =
+        if (dvPairs.isEmpty) (None, None)
         else {
-          val newMask = DeltaReader.deletedRowsFrame(
-            snapV.copy(files = dvUpdated.map(_._2))).get
-          val oldMask = DeltaReader.deletedRowsFrame(
-            snapV.copy(files = dvUpdated.map(_._1).filter(
-              _.deletionVector.isDefined)))
-          val diff = oldMask.map(om => newMask.join(om,
-            Seq("__dv_fp", "__dv_ri"), "left_anti")).getOrElse(newMask)
-          val content = DeltaReader.scanWithRowIndex(
-            snapV.copy(files = dvUpdated.map(_._2.copy(deletionVector = None))))
-          Some(content.join(
-            diff.select(col("__dv_fp").as("__fp"), col("__dv_ri").as("__ri")),
-            Seq("__fp", "__ri"), "left_semi").drop("__fp", "__ri"))
+          val newMask = DeltaReader.deletedRowsFrame(snapV.copy(
+            files = dvPairs.map(_._2).filter(_.deletionVector.isDefined)))
+          val oldMask = DeltaReader.deletedRowsFrame(snapV.copy(
+            files = dvPairs.map(_._1).filter(_.deletionVector.isDefined)))
+          val content = DeltaReader.scanWithRowIndex(snapV.copy(
+            files = dvPairs.map(_._2.copy(deletionVector = None))))
+          def byContent(mask: DataFrame): DataFrame = content.join(
+            mask.select(col("__dv_fp").as("__fp"), col("__dv_ri").as("__ri")),
+            Seq("__fp", "__ri"), "left_semi").drop("__fp", "__ri")
+          val newlyMasked = newMask.map(nm => oldMask
+            .map(om => nm.join(om, maskKeys, "left_anti")).getOrElse(nm))
+          val unMasked = oldMask.map(om => newMask
+            .map(nm => om.join(nm, maskKeys, "left_anti")).getOrElse(om))
+          (newlyMasked.map(byContent), unMasked.map(byContent))
         }
       // file-level removes: the file's surviving rows as of v-1
       val dropDeletes =
-        if (droppedFiles.isEmpty) None
+        if (dropped.isEmpty) None
         else Some(DeltaReader.assembleSnapshot(
-          prev.get.copy(files = droppedFiles)))
+          mkSnap(v - 1, pSchema, pPcols, pConf, dropped)))
+      val newFileInserts =
+        if (insertFiles.isEmpty) None
+        else Some(DeltaReader.assembleSnapshot(
+          snapV.copy(files = insertFiles)))
 
-      val tagged =
-        inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
-        (dvDeletes.toSeq ++ dropDeletes.toSeq)
-          .map(_.withColumn("_change_type", lit("delete")))
-      prev = Some(snapV)
-      tagged.map(_.withColumn("_commit_version", lit(v)))
+      files = newFiles
+      val inserts = (newFileInserts.toSeq ++ dvRestores.toSeq)
+        .reduceOption(_ unionByName _)
+      VersionDelta(v, inserts, dvDeletes.toSeq ++ dropDeletes.toSeq)
     }
-    Some(versionFrames.foldLeft(emptyChanges)(_ unionByName _))
-  }
-
-  // the reader's action schema is private; changes only need the
-  // four dataChange-bearing fields
-  private val actionSchemaPublic = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("dataChange", BooleanType)))),
-      StructField("remove", StructType(Seq(
-        StructField("path", StringType),
-        StructField("dataChange", BooleanType))))))
   }
 
   /** Tail-follow composition with the exactly-once append primitive:
@@ -184,23 +259,35 @@ object DeltaChanges {
     * crashed/replayed follower restarting from ANY stale watermark
     * re-applies nothing (versions already in the mirror's txn
     * watermark no-op before data lands). Returns the new watermark
-    * to persist. Deletes and rewrites on the source do not retract
-    * from the mirror — this is the append-stream face; a consumer
-    * wanting full parity applies the `delete` rows itself. */
+    * to persist. Restored rows (a DV shrinking under RESTORE) ride
+    * the insert stream like `readChangeFeed` emits them. Deletes and
+    * rewrites on the source do not retract from the mirror — this is
+    * the append-stream face; a consumer wanting full parity applies
+    * the `delete` rows itself.
+    *
+    * Versions with no insert-shaped actions are skipped at the
+    * METADATA level (no Spark job); a version whose insert frame must
+    * be computed is materialized ONCE (persisted) so the emptiness
+    * check and the write share the same blocks. */
   def mirrorAppends(srcUrl: String, dstUrl: String, fromVersion: Long)
                    (implicit spark: SparkSession): Long = {
-    val srcSnap = DeltaReader.snapshot(srcUrl).getOrElse(
+    val cleanSrc = srcUrl.stripSuffix("/")
+    val srcSnap = DeltaReader.snapshot(cleanSrc).getOrElse(
       throw new IllegalArgumentException(
-        s"DeltaChanges.mirrorAppends: no Delta table at $srcUrl"))
+        s"DeltaChanges.mirrorAppends: no Delta table at $cleanSrc"))
+    if (srcSnap.version <= fromVersion) return srcSnap.version
     val appId = s"graft-mirror-${srcSnap.tableId}"
-    ((fromVersion + 1) to srcSnap.version).foreach { v =>
-      val batch = readChanges(srcUrl, v - 1, Some(v)).get
-        .where(col("_change_type") === "insert")
-        .drop("_change_type", "_commit_version")
-      if (!batch.isEmpty)
-        DeltaWriter.write(dstUrl, batch, Seq.empty,
-          overwrite = false, txn = Some((appId, v)))
-    }
+    versionDeltas(cleanSrc, fromVersion, srcSnap.version, srcSnap)
+      .foreach { d =>
+        d.inserts.foreach { batch0 =>
+          val batch = batch0.persist()
+          try {
+            if (!batch.isEmpty)
+              DeltaWriter.write(dstUrl, batch, Seq.empty,
+                overwrite = false, txn = Some((appId, d.version)))
+          } finally batch.unpersist(blocking = false)
+        }
+      }
     srcSnap.version
   }
 }

@@ -74,6 +74,16 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   def optimize(maskedFractionThreshold: Double = 0.3): Long =
     DeltaWriter.optimize(cleanUrl, maskedFractionThreshold)
 
+  /** Bin-pack every partition's sub-`targetFileBytes` data files into
+    * ~target-sized ones (`dataChange = false` — logically identical
+    * table, physically fewer files): the small-file compaction an
+    * append-stream table needs so scan cost tracks data volume, not
+    * commit count. Returns the committed version, or the current one
+    * when no partition holds `minFiles`+ small files. */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2): Long =
+    DeltaWriter.compact(cleanUrl, targetFileBytes, minFiles)
+
   /** Roll the table back to `version` as a NEW commit (the RESTORE
     * verb): one log-level diff — files live now but not then are
     * removed, files live then but not now (with their deletion
@@ -215,6 +225,10 @@ object DeltaWriter {
     val snap0 = DeltaReader.snapshot(cleanUrl)
     snap0.foreach(validateAgainst)
     snap0.foreach(s => enforceCheckConstraints(s, df))
+    // constraints enforced so far — the retry loop re-runs the
+    // distributed pass only when a concurrent commit CHANGED the set
+    var enforced: Seq[(String, String)] =
+      snap0.map(checkConstraintsOf).getOrElse(Seq.empty)
 
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df, partitionColumns)
 
@@ -249,6 +263,12 @@ object DeltaWriter {
     while (attempt < MaxCommitAttempts) {
       val snap = DeltaReader.snapshot(cleanUrl)
       snap.foreach(validateAgainst)
+      // a constraint added concurrently between the first snapshot and
+      // publish must not be committed violated: re-enforce on change
+      snap.map(checkConstraintsOf).filter(_ != enforced).foreach { _ =>
+        snap.foreach(s => enforceCheckConstraints(s, df))
+        enforced = snap.map(checkConstraintsOf).get
+      }
       // a racing writer may have published OUR transaction id while
       // we were landing files — abort unpublished (orphans vacuum)
       txn.foreach { case (app, v) =>
@@ -543,6 +563,106 @@ object DeltaWriter {
         s"times on $cleanUrl — giving up")
   }
 
+  /** Bin-packing file compaction — the real-Delta side of
+    * [[ManagedDataset.compact]] (ManagedDataset.scala): every
+    * partition whose live file set holds at least `minFiles` data
+    * files smaller than `targetFileBytes` gets those files rewritten
+    * into ~`ceil(bytes/target)` fresh files (deletion-vector masks
+    * materialized away in the process), committed as `dataChange =
+    * false` add+remove — logically identical table, physically
+    * O(target)-sized scans, streams see nothing. Returns the
+    * committed version (the current one when no partition qualifies).
+    *
+    * Scale shape (100 TB): selection is pure log metadata (logged
+    * `size` per add — no data read); each qualifying partition
+    * rewrites as one distributed masked read + `coalesce(bins)` write
+    * (coalesce, not repartition: compaction must not shuffle rows, it
+    * merges task inputs). Driver work is file/partition-count
+    * bounded. A thousand-commit append-stream table compacts one hot
+    * partition at a time without touching the rest.
+    *
+    * Race safety mirrors [[optimize]]: on a lost publish race every
+    * selected file must still be live with an UNCHANGED descriptor,
+    * else it raises loudly (the rewrite was materialized from our
+    * snapshot). The landed rewrite files stay valid across retries. */
+  def compact(url: String, targetFileBytes: Long = 128L * 1024 * 1024,
+              minFiles: Int = 2)
+             (implicit spark: SparkSession): Long = {
+    require(targetFileBytes > 0, "DeltaWriter.compact: target must be > 0")
+    require(minFiles >= 2, "DeltaWriter.compact: minFiles must be >= 2")
+    val cleanUrl = url.stripSuffix("/")
+    val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.compact: no Delta table at $cleanUrl"))
+    require(snap.physicalSchema.isEmpty,
+      "DeltaWriter.compact: column-mapped tables unsupported")
+    val groups: Seq[Seq[DeltaReader.DeltaFile]] = snap.files
+      .filter(_.size < targetFileBytes)
+      .groupBy(_.partitionValues).values.toSeq
+      .filter(_.size >= minFiles)
+      .map(_.sortBy(_.path))
+      .sortBy(_.head.path)
+    if (groups.isEmpty) return snap.version
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    val logDir = new Path(qualifiedBase, "_delta_log")
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    def relOrAbs(p: Path): String =
+      if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
+      else p.toUri.toString
+    // one masked read + coalesce(bins) write per qualifying partition;
+    // partition literals are injected by the assembler, so the
+    // partitioned write lands each group back in its own directory
+    val newFiles: Seq[(Seq[(String, String)], Path)] = groups.flatMap { g =>
+      val bins = math.max(1L,
+        (g.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+      val packed = DeltaReader.assembleSnapshot(snap.copy(files = g))
+        .coalesce(bins)
+      landFiles(fs, qualifiedBase, cleanUrl, packed, snap.partitionColumns)
+    }
+    val adds = newFiles.map { case (kvs, p) =>
+      val st = fs.getFileStatus(p)
+      val pv = kvs.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":false}}"""
+    }
+    val selected = groups.flatten
+    val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val head = DeltaReader.snapshot(cleanUrl).getOrElse(
+        throw new IllegalStateException(
+          s"DeltaWriter.compact: table at $cleanUrl vanished mid-rewrite"))
+      val headByKey = head.files
+        .map(f => new Path(f.path).toUri.toString -> f).toMap
+      byKey.keys.foreach { k =>
+        val now = headByKey.get(k)
+        require(now.exists(_.deletionVector == byKey(k).deletionVector),
+          s"DeltaWriter.compact: concurrent modification of $k — the " +
+            "rewrite was materialized from a stale snapshot; re-run")
+      }
+      val removes = selected.map { f =>
+        s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
+          s""""deletionTimestamp":${System.currentTimeMillis},""" +
+          """"dataChange":false}}"""
+      }
+      val version = head.version + 1
+      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      if (publishCommit(fs, logDir, version,
+          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
+        maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
+        return version
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DeltaWriter.compact: lost the commit race $MaxCommitAttempts " +
+        s"times on $cleanUrl — giving up")
+  }
+
   /** RESTORE: commit the file-state diff head → target. Refuses when
     * the schema or partitioning changed between the two versions (a
     * restore across an evolution is a data rewrite, not a log diff).
@@ -597,11 +717,41 @@ object DeltaWriter {
             s""""deletionTimestamp":${System.currentTimeMillis},""" +
             """"dataChange":true}}"""
         }
-      val adds = target.files
+      val addFiles = target.files
         .filter(f => !headByKey.get(new Path(f.path).toUri.toString)
           .exists(_.deletionVector == f.deletionVector))
-        .map(addLine)
+      val adds = addFiles.map(addLine)
       if (removes.isEmpty && adds.isEmpty) return head.version
+      // an append-only table never loses rows; a restore that must
+      // retract files is a non-append dataChange commit — refused,
+      // matching delete()/overwrite (real Delta refuses these too)
+      require(removes.isEmpty ||
+        !head.configuration.get("delta.appendOnly").contains("true"),
+        s"DeltaWriter.restore: table at $cleanUrl is append-only " +
+          "(delta.appendOnly=true) — a restore that removes files is refused")
+      // re-added files must still exist on disk: restoring past a
+      // VACUUM would otherwise commit a head that fails at scan time
+      val missing = addFiles.flatMap { f =>
+        val data = Some(new Path(f.path)).filterNot(fs.exists)
+        val dv = f.deletionVector.flatMap { d =>
+          d.storageType match {
+            case "u" =>
+              val prefix = d.pathOrInlineDv.dropRight(20)
+              val uuid =
+                DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
+              val dir = if (prefix.isEmpty) qualifiedBase
+                        else new Path(qualifiedBase, prefix)
+              Some(new Path(dir, s"deletion_vector_$uuid.bin"))
+                .filterNot(fs.exists)
+            case "p" => Some(new Path(d.pathOrInlineDv)).filterNot(fs.exists)
+            case _ => None // "i" inline: lives in the log itself
+          }
+        }
+        data.toSeq ++ dv.toSeq
+      }
+      require(missing.isEmpty,
+        s"DeltaWriter.restore: version $version references vacuumed " +
+          s"files — ${missing.map(_.toString).sorted.mkString(", ")}")
       val v = head.version + 1
       val ict = ictLines(head.configuration, fs, logDir, head.version)
       if (publishCommit(fs, logDir, v,
@@ -623,12 +773,16 @@ object DeltaWriter {
     * passes). One distributed pass over the combined condition; the
     * per-constraint attribution re-check runs only on the failure
     * path. */
-  private def enforceCheckConstraints(snap: DeltaReader.DeltaSnapshot,
-                                      df: DataFrame): Unit = {
-    val constraints = snap.configuration.collect {
+  private def checkConstraintsOf(
+      snap: DeltaReader.DeltaSnapshot): Seq[(String, String)] =
+    snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     }.toSeq.sortBy(_._1)
+
+  private def enforceCheckConstraints(snap: DeltaReader.DeltaSnapshot,
+                                      df: DataFrame): Unit = {
+    val constraints = checkConstraintsOf(snap)
     if (constraints.isEmpty) return
     val anyViolated = constraints
       .map { case (_, sql) => expr(sql) === lit(false) }
@@ -669,12 +823,21 @@ object DeltaWriter {
     // in authority spelling for the same file.
     val referenced: Set[String] = snap.files.flatMap { f =>
       val data = new Path(f.path).toUri.getPath
-      val sidecar = f.deletionVector.filter(_.storageType == "u").map { d =>
-        val prefix = d.pathOrInlineDv.dropRight(20)
-        val uuid = DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
-        val dir = if (prefix.isEmpty) qualifiedBase
-                  else new Path(qualifiedBase, prefix)
-        new Path(dir, s"deletion_vector_$uuid.bin").toUri.getPath
+      // a `u` sidecar resolves under the table root; a `p` descriptor
+      // is an absolute path that may also land inside the walk — both
+      // are live while the HEAD references them ("i" is inline, no
+      // file exists)
+      val sidecar = f.deletionVector.flatMap { d =>
+        d.storageType match {
+          case "u" =>
+            val prefix = d.pathOrInlineDv.dropRight(20)
+            val uuid = DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
+            val dir = if (prefix.isEmpty) qualifiedBase
+                      else new Path(qualifiedBase, prefix)
+            Some(new Path(dir, s"deletion_vector_$uuid.bin").toUri.getPath)
+          case "p" => Some(new Path(d.pathOrInlineDv).toUri.getPath)
+          case _ => None
+        }
       }
       Seq(data) ++ sidecar
     }.toSet
@@ -919,8 +1082,12 @@ object DeltaWriter {
           Row(sidecarName, st.getLen, st.getModificationTime))))
     val manifest = new Path(logDir,
       f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID}.parquet")
-    if (landSingleParquet(fs, logDir, mRows, mSchema, manifest))
-      writeLastCheckpoint(fs, logDir, snap.version, rows.size)
+    landSingleParquet(fs, logDir, mRows, mSchema, manifest)
+    // NO `_last_checkpoint` pointer for v2 checkpoints: its classic
+    // {version,size} shape would send pointer-trusting readers to a
+    // `<v>.checkpoint.parquet` that does not exist. Listing-based
+    // discovery (what this reader and every v2-aware engine does)
+    // finds the UUID manifest without it.
   }
 
   /** Table-relative RFC-2396-percent-encoded path — the form the log

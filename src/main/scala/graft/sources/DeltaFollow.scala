@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The Structured-Streaming-shaped TAIL-FOLLOW face over a real Delta
+  * `_delta_log`: the reference delegates change reads to the deltalake
+  * library (/root/reference/polario/delta_dataset.py:41-62); here the
+  * follower is built from two public primitives this repo already
+  * carries — [[DeltaChanges.readChanges]] (per-version insert/delete
+  * attribution) and the SetTransaction-keyed exactly-once append
+  * ([[DeltaWriter.write]] `txn`) — plus a PERSISTED version watermark,
+  * so a consumer gets the `readStream → foreachBatch` contract
+  * (each micro-batch delivered at-least-once, side effects
+  * deduplicatable by version, progress survives restarts) without
+  * hand-rolling the poll loop.
+  *
+  * Delivery semantics, exactly like a foreachBatch sink:
+  *  - the watermark is persisted AFTER the handler/mirror completes a
+  *    version, so a crash mid-version re-delivers that version
+  *    (at-least-once); handlers that key side effects by
+  *    `(tableId, version)` — as [[followOnce]] does via
+  *    SetTransaction — upgrade that to exactly-once;
+  *  - the watermark file is advisory recovery state, NEVER the
+  *    correctness line: [[followOnce]] stays exactly-once from ANY
+  *    stale or deleted watermark because the destination table itself
+  *    records the applied versions.
+  *
+  * Scale shape (100 TB): each poll is one incremental
+  * [[DeltaChanges]] window read (O(new commits), not O(history));
+  * watermark I/O is two tiny files. The follower holds no row data on
+  * the driver.
+  */
+object DeltaFollow {
+
+  /** Read the persisted watermark; −1 when never written (follow from
+    * the table's creation). */
+  def readWatermark(checkpointFile: String)
+                   (implicit spark: SparkSession): Long = {
+    val p = new Path(checkpointFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return -1L
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0L, bytes)
+      new String(bytes, "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  /** Persist the watermark atomically (write-temp + rename — the same
+    * publish discipline as the commit files; a crash never leaves a
+    * torn watermark, only a stale one, which replays harmlessly). */
+  def writeWatermark(checkpointFile: String, version: Long)
+                    (implicit spark: SparkSession): Unit = {
+    val p = new Path(checkpointFile)
+    val fs: FileSystem = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, false)
+    try out.write(s"$version\n".getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(
+        s"DeltaFollow: could not publish watermark $version to $checkpointFile")
+  }
+
+  /** One poll of the append-mirror stream: read the watermark, apply
+    * every new source version's inserts to `dstUrl` exactly-once
+    * (SetTransaction-keyed per version — see
+    * [[DeltaChanges.mirrorAppends]]), persist the new watermark, and
+    * return it. Call in a loop (or from a scheduler) to follow the
+    * table's tail; re-calling after ANY crash, duplicate schedule, or
+    * watermark loss re-applies nothing. */
+  def followOnce(srcUrl: String, dstUrl: String, checkpointFile: String)
+                (implicit spark: SparkSession): Long = {
+    val from = readWatermark(checkpointFile)
+    val wm = DeltaChanges.mirrorAppends(srcUrl, dstUrl, from)
+    if (wm != from) writeWatermark(checkpointFile, wm)
+    wm
+  }
+
+  /** One poll of the generic change stream: deliver the change frame
+    * of each version in `(watermark, head]` to `handler(version,
+    * changes)` IN ORDER — `changes` carries the table schema plus
+    * `_change_type`/`_commit_version`, exactly the
+    * [[DeltaChanges.readChanges]] shape — then persist the watermark
+    * after EACH version so a crash re-delivers only the in-flight one.
+    * At-least-once: handlers with external side effects must key them
+    * by version to be exactly-once. Returns the new watermark. */
+  def foreachVersion(srcUrl: String, checkpointFile: String)
+                    (handler: (Long, DataFrame) => Unit)
+                    (implicit spark: SparkSession): Long = {
+    val cleanSrc = srcUrl.stripSuffix("/")
+    val head = DeltaReader.snapshot(cleanSrc).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaFollow: no Delta table at $cleanSrc"))
+    var wm = readWatermark(checkpointFile)
+    while (wm < head.version) {
+      val v = wm + 1
+      handler(v, DeltaChanges.readChanges(cleanSrc, v - 1, Some(v)).get)
+      writeWatermark(checkpointFile, v)
+      wm = v
+    }
+    wm
+  }
+}

@@ -162,6 +162,28 @@ object DeltaReader {
     case other => other
   }
 
+  /** The physical read schema a table's column-mapping mode implies —
+    * None for mode=none, renamed for `name`, renamed + field-id-tagged
+    * for `id` (shared by [[snapshotAt]] and [[DeltaChanges]]'s
+    * incremental replay, so both derive identical scan shapes). */
+  private[sources] def physicalSchemaFor(schema: StructType,
+      tableConf: Map[String, String])
+      (implicit spark: SparkSession): Option[StructType] =
+    tableConf.getOrElse("delta.columnMapping.mode", "none") match {
+      case "none" => None
+      case "name" => Some(toPhysical(schema).asInstanceOf[StructType])
+      case "id" =>
+        // Spark matches parquet columns by field id only when this
+        // conf is on AND the requested schema carries
+        // parquet.field.id — safe to leave on session-wide
+        // (id-less read schemas still match by name)
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        Some(toPhysicalIds(schema).asInstanceOf[StructType])
+      case other => throw new UnsupportedOperationException(
+        s"DeltaReader: column mapping mode '$other' unsupported " +
+          "(none/name/id only)")
+    }
+
   private val CommitName = """(\d{20})\.json""".r
   private val CheckpointName = """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
   // v2 checkpoints (the `v2Checkpoint` reader feature): one
@@ -417,21 +439,7 @@ object DeltaReader {
     val tableId = Option(meta.head.getString(4)).getOrElse("")
     val createdTime =
       if (meta.head.isNullAt(5)) None else Some(meta.head.getLong(5))
-    val physSchema: Option[StructType] =
-      tableConf.getOrElse("delta.columnMapping.mode", "none") match {
-        case "none" => None
-        case "name" => Some(toPhysical(schema).asInstanceOf[StructType])
-        case "id" =>
-          // Spark matches parquet columns by field id only when this
-          // conf is on AND the requested schema carries
-          // parquet.field.id — safe to leave on session-wide
-          // (id-less read schemas still match by name)
-          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-          Some(toPhysicalIds(schema).asInstanceOf[StructType])
-        case other => throw new UnsupportedOperationException(
-          s"DeltaReader: column mapping mode '$other' unsupported " +
-            "(none/name/id only)")
-      }
+    val physSchema: Option[StructType] = physicalSchemaFor(schema, tableConf)
 
     // file-state reconstruction: per path, the highest-version action
     // wins; survivors are adds, the rest are tombstones. Within ONE

@@ -244,6 +244,31 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("vacuum keeps a live 'p'-mode deletion-vector file inside the table") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      writeDataFile(Seq(1L, 2L, 3L).toDF("v"), table, "f1.parquet")
+      // the p-mode sidecar lives INSIDE the table tree and is OLD —
+      // unreferenced it would be vacuum fodder; referenced by the
+      // head's descriptor it must survive any retention
+      val pData = serialize(Seq(1L)) // drop 2
+      val pFile = Paths.get(table, "imported_dv.bin")
+      Files.write(pFile, Array(FileFormatVersion) ++ frame(pData))
+      Files.setLastModifiedTime(pFile,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis - 100000000L))
+      val pDesc = s"""{"storageType":"p",""" +
+        s""""pathOrInlineDv":"${esc(pFile.toString)}",""" +
+        s""""offset":1,"sizeInBytes":${pData.length},"cardinality":1}"""
+      writeCommit(table, 0L, Seq(dvProto, metaJson(),
+        addJson("f1.parquet", pDesc)))
+      assert(DeltaWriter.vacuum(table, 0L) == 0)
+      assert(Files.exists(pFile))
+      // the head keeps reading the same rows — vacuum's own contract
+      assertSameData(DeltaReader.scan(table).get, Seq(1L, 3L).toDF("v"))
+    }
+  }
+
   test("DeltaWriter append preserves another writer's deletion vectors") {
     withTempDir { dir =>
       val table = s"$dir/t"

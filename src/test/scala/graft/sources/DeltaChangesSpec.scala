@@ -79,6 +79,72 @@ class DeltaChangesSpec extends SparkSpec {
     }
   }
 
+  test("row restoration: a DV shrinking under RESTORE emits the restored rows as inserts") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write((1L to 8L).map(i => (i, s"d$i")).toDF("v", "s").coalesce(1)) // v0
+      ds.delete($"v" % 2 === 0L)                                           // v1: DV masks 2,4,6,8
+      ds.restore(0L)                                                       // v2: DV drops — rows come back
+      val ch = DeltaChanges.readChanges(table, -1L).get
+        .select("v", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val expected =
+        (1L to 8L).map(i => (i, "insert", 0L)).toSet ++
+        Set(2L, 4L, 6L, 8L).map(i => (i, "delete", 1L)) ++
+        // readChangeFeed semantics: un-deleted rows are INSERTS at the
+        // restoring version — a mirror replaying the feed sees them
+        Set(2L, 4L, 6L, 8L).map(i => (i, "insert", 2L))
+      assert(ch == expected)
+      // restore across an OVERWRITE: dropped files re-added are inserts,
+      // the overwrite's files retract
+      ds.write(Seq((100L, "x")).toDF("v", "s"))                            // v3 overwrite
+      ds.restore(0L)                                                       // v4: back to 1..8
+      val tail = DeltaChanges.readChanges(table, 3L).get
+        .select("v", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(tail == (1L to 8L).map(i => (i, "insert")).toSet + ((100L, "delete")))
+    }
+  }
+
+  test("wide window: 25-commit full-history replay stays exact (incremental, one snapshot)") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((0L, "A")).toDF("v", "p"))                    // v0
+      (1L until 20L).foreach { i =>
+        ds.append(Seq((i, if (i % 2 == 0) "A" else "B")).toDF("v", "p"))
+      }                                                          // v1..v19
+      ds.delete($"v" % 5 === 0L)                                 // v20
+      ds.append(Seq((30L, "A")).toDF("v", "p"))                  // v21
+      ds.delete($"p" === "B")                                    // v22
+      ds.optimize(0.0)                                           // v23
+      ds.append(Seq((31L, "B")).toDF("v", "p"))                  // v24
+      // replay invariant from several watermarks across the wide window
+      Seq(-1L, 0L, 7L, 19L, 21L).foreach { from =>
+        val start: Map[(Long, String), Int] =
+          if (from < 0) Map.empty
+          else rows(DeltaReader.scan(table, Some(from)).get)
+            .groupBy(identity).view.mapValues(_.size).toMap
+        val ch = DeltaChanges.readChanges(table, from).get.collect()
+          .map(r => (r.getString(2), (r.getLong(0), r.getString(1))))
+        val applied = ch.foldLeft(start) { case (acc, (t, row)) =>
+          if (t == "insert") acc.updated(row, acc.getOrElse(row, 0) + 1)
+          else acc.updated(row, acc.getOrElse(row, 0) - 1)
+        }.filter(_._2 != 0)
+        val end = rows(DeltaReader.scan(table).get)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        assert(applied == end, s"wide replay from watermark $from diverged")
+      }
+      // per-version count: one insert row per append version
+      val counts = DeltaChanges.readChanges(table, -1L).get
+        .where($"_change_type" === "insert")
+        .groupBy("_commit_version").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((0L until 20L).forall(v => counts(v) == 1L))
+    }
+  }
+
   test("a vacuumed commit inside the window raises instead of guessing") {
     withTempDir { dir =>
       val table = s"$dir/t"
@@ -121,6 +187,28 @@ class DeltaChangesSpec extends SparkSpec {
       // watermark both no-op: the SetTransaction keys hold the line
       assert(DeltaChanges.mirrorAppends(src, dst, wm) == 3L)
       assert(DeltaChanges.mirrorAppends(src, dst, -1L) == 3L)
+      assertSameData(DeltaReader.scan(dst).get, expected)
+    }
+  }
+
+  test("mirrorAppends carries restored rows (the feed's inserts) into the mirror") {
+    withTempDir { dir =>
+      val src = s"$dir/src"
+      val dst = s"$dir/dst"
+      val sds = new DeltaDataset(src)
+      sds.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("v", "s")) // v0
+      sds.delete($"v" === 2L)                                        // v1
+      sds.restore(0L)                                                // v2: 2L restored
+      val wm = DeltaChanges.mirrorAppends(src, dst, -1L)
+      assert(wm == 2L)
+      // the append face replays the insert STREAM: 2L appears twice
+      // (initial insert at v0, restoration insert at v2) — deletes do
+      // not retract, exactly readChangeFeed + insert-only semantics
+      val expected = Seq((1L, "a"), (2L, "b"), (3L, "c"), (2L, "b"))
+        .toDF("v", "s")
+      assertSameData(DeltaReader.scan(dst).get, expected)
+      // replay from scratch: still exactly-once
+      assert(DeltaChanges.mirrorAppends(src, dst, -1L) == 2L)
       assertSameData(DeltaReader.scan(dst).get, expected)
     }
   }

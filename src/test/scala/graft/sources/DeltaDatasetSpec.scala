@@ -626,4 +626,73 @@ class DeltaDatasetSpec extends SparkSpec {
       assert(e.getMessage.contains("missing"))
     }
   }
+
+  test("compact bin-packs small files per partition; every version reads identically") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      // 8 one-row appends to partition A, 3 to B: a classic
+      // append-stream small-file pile-up
+      (1L to 8L).foreach(i => ds.append(Seq((i, "A")).toDF("v", "p")))
+      (9L to 11L).foreach(i => ds.append(Seq((i, "B")).toDF("v", "p")))
+      ds.delete($"v" === 2L)  // v11: a DV rides into the compaction
+      val want = DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      def liveFiles() = DeltaReader.snapshot(table).get.files
+      assert(liveFiles().size == 11)
+      val v = ds.compact() // every file is tiny → one bin per partition
+      assert(v == 12L)
+      val after = liveFiles()
+      assert(after.size == 2, s"wanted 2 packed files, got ${after.size}")
+      // masks were materialized away, results identical
+      assert(after.forall(_.deletionVector.isEmpty))
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == want)
+      // pre-compaction versions still read (old files stay on disk)
+      assert(DeltaReader.scan(table, Some(10L)).get.count() == 11L)
+      // dataChange=false: the change feed is silent on the compaction
+      assert(DeltaChanges.readChanges(table, 11L).get.count() == 0L)
+      // idempotent: nothing small enough twice in a row
+      assert(ds.compact() == 12L)
+      // a too-small target leaves everything alone
+      (20L to 22L).foreach(i => ds.append(Seq((i, "A")).toDF("v", "p")))
+      assert(ds.compact(targetFileBytes = 1L) == 15L)
+    }
+  }
+
+  test("restore refuses to remove files from an append-only table") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      DeltaWriter.write(table, Seq(1L).toDF("v"), Seq.empty, overwrite = false)
+      // flip appendOnly on by hand (our writer sets no table properties)
+      val logDir = Paths.get(table, "_delta_log")
+      val v0 = new String(Files.readAllBytes(
+        logDir.resolve(f"${0L}%020d.json")), "UTF-8")
+      Files.write(logDir.resolve(f"${0L}%020d.json"),
+        v0.replace(""""configuration":{}""",
+          """"configuration":{"delta.appendOnly":"true"}""")
+          .getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
+      DeltaWriter.write(table, Seq(2L).toDF("v"), Seq.empty, overwrite = false)
+      val e = intercept[IllegalArgumentException](
+        DeltaWriter.restore(table, 0L))
+      assert(e.getMessage.contains("append-only"))
+      // a restore that only ADDS files back would be fine — the head
+      // already equals v1 here, so this no-ops rather than raises
+      assert(DeltaWriter.restore(table, 1L) == 1L)
+    }
+  }
+
+  test("restore past a vacuum raises naming the missing files, not at scan time") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(1L, 2L).toDF("v"))   // v0
+      ds.write(Seq(3L).toDF("v"))       // v1 overwrite: v0 files tombstoned
+      assert(ds.vacuum(0) > 0)          // v0 data files reclaimed
+      val e = intercept[IllegalArgumentException](ds.restore(0L))
+      assert(e.getMessage.contains("vacuumed"))
+      // the head is untouched by the refused restore
+      assertSameData(DeltaReader.scan(table).get, Seq(3L).toDF("v"))
+    }
+  }
 }
