@@ -1061,12 +1061,16 @@ object HiveQ {
     // silent (dataChange=false), and the overwrite retracts every
     // survivor before inserting its replacement.
     Q("q410_delta_cdf",
+      // every branch is HAVING-style filtered to non-empty: an append
+      // slice empty at a small SF commits an empty version, and the
+      // change feed (like Spark's groupBy) emits NO group for it
       Some("""WITH o1 AS (SELECT o_orderkey, o_orderstatus FROM orders
              |  WHERE o_orderkey < 3000),
              |o2 AS (SELECT o_orderkey, o_orderstatus FROM orders
              |  WHERE o_orderkey >= 3000 AND o_orderkey < 6000),
              |o12 AS (SELECT * FROM o1 UNION ALL SELECT * FROM o2),
-             |o3 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 500)
+             |o3 AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 500),
+             |u AS (
              |SELECT 0::BIGINT AS version, 'insert' AS change_type,
              |  count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS sum_key
              |  FROM o1
@@ -1077,7 +1081,8 @@ object HiveQ {
              |UNION ALL SELECT 4::BIGINT, 'delete', count(*)::BIGINT,
              |  sum(o_orderkey)::BIGINT FROM o12 WHERE o_orderstatus <> 'F'
              |UNION ALL SELECT 4::BIGINT, 'insert', count(*)::BIGINT,
-             |  sum(o_orderkey)::BIGINT FROM o3
+             |  sum(o_orderkey)::BIGINT FROM o3)
+             |SELECT * FROM u WHERE n_rows > 0
              |ORDER BY version, change_type""".stripMargin),
       (s, dir) => {
         implicit val ss: org.apache.spark.sql.SparkSession = s
@@ -1167,14 +1172,16 @@ object HiveQ {
     Q("q415_delta_restore_cdf",
       Some("""WITH o AS (SELECT o_orderkey, o_orderstatus FROM orders
              |  WHERE o_orderkey < 2000),
-             |f AS (SELECT * FROM o WHERE o_orderstatus = 'F')
+             |f AS (SELECT * FROM o WHERE o_orderstatus = 'F'),
+             |u AS (
              |SELECT 0::BIGINT AS version, 'insert' AS change_type,
              |  count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS sum_key
              |  FROM o
              |UNION ALL SELECT 1::BIGINT, 'delete', count(*)::BIGINT,
              |  sum(o_orderkey)::BIGINT FROM f
              |UNION ALL SELECT 2::BIGINT, 'insert', count(*)::BIGINT,
-             |  sum(o_orderkey)::BIGINT FROM f
+             |  sum(o_orderkey)::BIGINT FROM f)
+             |SELECT * FROM u WHERE n_rows > 0
              |ORDER BY version, change_type""".stripMargin),
       (s, dir) => {
         implicit val ss: org.apache.spark.sql.SparkSession = s
@@ -1259,6 +1266,41 @@ object HiveQ {
         graft.sources.DeltaReader.scan(dst)(s).get.agg(
           count(lit(1)).cast("bigint").as("n"),
           sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+      })
+    ,
+
+    // ---- stats-based data skipping ---------------------------------
+    // Four key-clustered appends (each add carrying footer-derived
+    // minValues/maxValues stats); a selective range scan must PRUNE to
+    // the two overlapping files before any data I/O, and still equal
+    // the full filter exactly — Delta data skipping from the public
+    // stats contract.
+    Q("q418_delta_stats_skip",
+      Some("""SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key,
+             |  min(o_orderkey)::BIGINT AS min_key, max(o_orderkey)::BIGINT AS max_key
+             |FROM orders WHERE o_orderkey BETWEEN 2500 AND 7000""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q418_")
+        val ord = t(s, dir, "orders").where(col("o_orderkey") < 12000)
+        val ds = new graft.sources.DeltaDataset(table)
+        (0 until 4).foreach { i =>
+          ds.append(ord.where(col("o_orderkey") >= i * 3000 &&
+            col("o_orderkey") < (i + 1) * 3000).coalesce(1))  // v0..v3
+        }
+        val ranges = Seq(("o_orderkey", "2500", "7000"))
+        val pruned = graft.sources.DeltaReader.prunedSnapshot(table, ranges)(s).get
+        require(pruned.files.size <= 3,
+          s"q418: [2500,7000] spans 3 of 4 key-clustered files, " +
+            s"kept ${pruned.files.size}")
+        require(graft.sources.DeltaReader.prunedSnapshot(table,
+          Seq(("o_orderkey", "900000000", "900000001")))(s).get.files.isEmpty,
+          "q418: an out-of-domain range must prune every file")
+        graft.sources.DeltaReader.scanPruned(table, ranges)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+          min(col("o_orderkey")).cast("bigint").as("min_key"),
+          max(col("o_orderkey")).cast("bigint").as("max_key"))
       })
   )
 }

@@ -113,6 +113,13 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   /** Latest-snapshot scan; None when the table does not exist
     * (delta_dataset.py:56-62). */
   def scan(): Option[DataFrame] = DeltaReader.scan(cleanUrl)
+
+  /** Range-predicate scan with stats-based file skipping — exactly
+    * `scan().filter(AND of col BETWEEN lo AND hi)`, reading only the
+    * files whose recorded bounds may overlap (see
+    * [[DeltaReader.scanPruned]]). */
+  def scanPruned(ranges: Seq[(String, String, String)]): Option[DataFrame] =
+    DeltaReader.scanPruned(cleanUrl, ranges)
 }
 
 object DeltaWriter {
@@ -139,6 +146,99 @@ object DeltaWriter {
     * widen them freely), order-sensitive like delta-rs's default. */
   private def canonical(st: StructType): Seq[(String, DataType)] =
     st.fields.map(f => f.name -> f.dataType).toSeq
+
+  /** Per-file statistics JSON for an `add` action — Delta's
+    * data-skipping contract (`numRecords` / `minValues` / `maxValues`
+    * / `nullCount`), derived from the landed file's PARQUET FOOTER
+    * (row-group statistics aggregated across blocks): no data pages
+    * are read, the cost is one footer fetch per new file — the same
+    * metadata class as the listing diff that found it. Columns whose
+    * footer stats are absent/unusable (NaN floats, exotic physical
+    * encodings) are simply omitted — readers treat a missing bound as
+    * unprunable, so omission is always sound. */
+  private def statsJson(fs: FileSystem, p: Path,
+                        schema: StructType): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(p, fs.getConf))
+    val blocks = try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.toSeq
+    } finally reader.close()
+    val numRecords = blocks.map(_.getRowCount).sum
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    import scala.jdk.CollectionConverters._
+    val colStats: Map[String, Seq[org.apache.parquet.column.statistics.Statistics[_]]] =
+      blocks.flatMap(_.getColumns.asScala.map(c =>
+        c.getPath.toDotString -> c.getStatistics))
+        .filter { case (n, s) => byName.contains(n) && s != null }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("numRecords", numRecords)
+    val minN = om.createObjectNode()
+    val maxN = om.createObjectNode()
+    val nullN = om.createObjectNode()
+    colStats.toSeq.sortBy(_._1).foreach { case (name, ss) =>
+      nullN.put(name, ss.map(_.getNumNulls).sum)
+      // a file bound exists only when EVERY row group recorded one;
+      // per-column failures (unexpected physical type) skip just that
+      // column's bounds, never the whole file's stats
+      if (ss.forall(s => !s.isEmpty && s.hasNonNullValue)) try {
+        val mins = ss.map(_.genericGetMin.asInstanceOf[AnyRef])
+        val maxs = ss.map(_.genericGetMax.asInstanceOf[AnyRef])
+        byName(name) match {
+          case ByteType | ShortType | IntegerType =>
+            minN.put(name, mins.map(_.asInstanceOf[java.lang.Integer].intValue).min)
+            maxN.put(name, maxs.map(_.asInstanceOf[java.lang.Integer].intValue).max)
+          case LongType =>
+            minN.put(name, mins.map(_.asInstanceOf[java.lang.Long].longValue).min)
+            maxN.put(name, maxs.map(_.asInstanceOf[java.lang.Long].longValue).max)
+          case FloatType =>
+            val (mn, mx) = (mins.map(_.asInstanceOf[java.lang.Float].floatValue).min,
+              maxs.map(_.asInstanceOf[java.lang.Float].floatValue).max)
+            if (!mn.isNaN && !mx.isNaN) { minN.put(name, mn); maxN.put(name, mx) }
+          case DoubleType =>
+            val (mn, mx) = (mins.map(_.asInstanceOf[java.lang.Double].doubleValue).min,
+              maxs.map(_.asInstanceOf[java.lang.Double].doubleValue).max)
+            if (!mn.isNaN && !mx.isNaN) { minN.put(name, mn); maxN.put(name, mx) }
+          case BooleanType =>
+            minN.put(name, mins.map(_.asInstanceOf[java.lang.Boolean].booleanValue)
+              .reduce(_ && _))
+            maxN.put(name, maxs.map(_.asInstanceOf[java.lang.Boolean].booleanValue)
+              .reduce(_ || _))
+          case DateType =>
+            minN.put(name, java.time.LocalDate.ofEpochDay(
+              mins.map(_.asInstanceOf[java.lang.Integer].intValue).min.toLong).toString)
+            maxN.put(name, java.time.LocalDate.ofEpochDay(
+              maxs.map(_.asInstanceOf[java.lang.Integer].intValue).max.toLong).toString)
+          case StringType =>
+            // parquet orders binaries by UTF-8 BYTES; Java Strings by
+            // UTF-16 code units. They agree on ASCII — beyond it, skip
+            // the bound rather than risk an unsound prune.
+            val minS = mins.map(_.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8)
+            val maxS = maxs.map(_.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8)
+            if ((minS ++ maxS).forall(_.forall(_ < 0x80))) {
+              minN.put(name, minS.min); maxN.put(name, maxS.max)
+            }
+          case _ => () // timestamps/decimals/nested: omitted = unprunable
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        minN.remove(name); maxN.remove(name); ()
+      }
+    }
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("minValues", minN)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("maxValues", maxN)
+    root.set[com.fasterxml.jackson.databind.node.ObjectNode]("nullCount", nullN)
+    Some(om.writeValueAsString(root))
+  } catch {
+    // stats are an optimization: a file we cannot footer-read still
+    // commits (readers keep unprunable files), it just never skips
+    case scala.util.control.NonFatal(_) => None
+  }
 
   /** In-commit timestamps (the `inCommitTimestamp` writer feature):
     * when `delta.enableInCommitTimestamps = true`, every commit's
@@ -242,9 +342,11 @@ object DeltaWriter {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      val stats = statsJson(fs, p, df.schema)
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relEncoded(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":true}}"""
+        s""""dataChange":true$stats}}"""
     }
     val adds = newFiles.map { case (kvs, p) => addLine(kvs, p) }
 
@@ -402,13 +504,17 @@ object DeltaWriter {
           if (v == null) "null" else s""""${jsonEscape(v)}""""}"""
       }.mkString(",")
       // d._3 counts the MERGED mask (old ∪ new rows — the scan fed
-      // `matched` with old masks applied, so the union is disjoint)
+      // `matched` with old masks applied, so the union is disjoint).
+      // File content is untouched, so its stats carry through (Delta
+      // treats DV'd bounds as non-tight supersets — still sound).
+      val stats = f.stats
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
         s""""partitionValues":{$pv},"size":${f.size},""" +
         s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
         s""""deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":"${d._1}","offset":1,"sizeInBytes":${d._2},""" +
-        s""""cardinality":${d._3}}}}"""
+        s""""cardinality":${d._3}}$stats}}"""
     }
 
     var attempt = 0
@@ -526,9 +632,11 @@ object DeltaWriter {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      val stats = statsJson(fs, p, snap.schema)
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":false}}"""
+        s""""dataChange":false$stats}}"""
     }
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
@@ -625,9 +733,11 @@ object DeltaWriter {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      val stats = statsJson(fs, p, snap.schema)
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":false}}"""
+        s""""dataChange":false$stats}}"""
     }
     val selected = groups.flatten
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
@@ -695,7 +805,9 @@ object DeltaWriter {
       s"""{"add":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
         s""""partitionValues":{$pv},"size":${f.size},""" +
         s""""modificationTime":${f.modificationTime},"dataChange":true""" +
-        f.deletionVector.map(dvJson).getOrElse("") + "}}"
+        f.deletionVector.map(dvJson).getOrElse("") +
+        f.stats.map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("") +
+        "}}"
     }
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -950,7 +1062,8 @@ object DeltaWriter {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("deletionVector", dvSchema)))),
+        StructField("deletionVector", dvSchema),
+        StructField("stats", StringType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
@@ -993,7 +1106,7 @@ object DeltaWriter {
         f.modificationTime, false,
         f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
-          .orNull), null, null, null)
+          .orNull, f.stats.orNull), null, null, null)
     }
     val removeRows = snap.tombstones.map { case (p, ts) =>
       Row(null, null, Row(rel(p), ts, false), null, null)

@@ -81,6 +81,34 @@ object DeltaFollow {
     wm
   }
 
+  /** Run the tail-follow as a REAL Structured Streaming query: a
+    * data-less tick stream (Spark's `rate` source) drives
+    * `foreachBatch`, and each micro-batch executes one [[followOnce]]
+    * poll — so the engine owns scheduling, lifecycle and restart,
+    * while correctness lives where it must for exactly-once: the
+    * destination table's SetTransaction keys and the persisted
+    * watermark. The rate rows are never read; the STREAM's own
+    * checkpoint can be lost or duplicated without producing a single
+    * duplicate row in the mirror (the spec kills and restarts it).
+    * Returns the running query; `stop()` it when done.
+    *
+    * Scale shape: each tick costs one log listing when idle (the
+    * incremental window is empty) — the standard tail-follow floor;
+    * work only happens when commits landed. */
+  def followStream(srcUrl: String, dstUrl: String, checkpointFile: String,
+                   intervalMs: Long = 1000L)
+                  (implicit spark: SparkSession)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", 1L).load()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(intervalMs))
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        followOnce(srcUrl, dstUrl, checkpointFile); ()
+      }
+      .start()
+
   /** One poll of the generic change stream: deliver the change frame
     * of each version in `(watermark, head]` to `handler(version,
     * changes)` IN ORDER — `changes` carries the table schema plus

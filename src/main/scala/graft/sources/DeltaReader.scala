@@ -89,10 +89,14 @@ object DeltaReader {
   /** One surviving data file: absolute path + its partition values
     * (string-encoded, as the log stores them; null = null value).
     * `size`/`modificationTime` ride along for checkpoint writing;
-    * a present `deletionVector` masks row indexes at scan time. */
+    * a present `deletionVector` masks row indexes at scan time;
+    * `stats` is the add action's per-file statistics JSON
+    * (`numRecords`/`minValues`/`maxValues`/`nullCount`) verbatim —
+    * the data-skipping input [[scanPruned]] consumes. */
   final case class DeltaFile(path: String, partitionValues: Map[String, String],
       size: Long = 0L, modificationTime: Long = 0L,
-      deletionVector: Option[DvDescriptor] = None)
+      deletionVector: Option[DvDescriptor] = None,
+      stats: Option[String] = None)
 
   /** The newest protocol action's content (defaults = a pre-features
     * protocol-1 table). Carried so checkpoint writers reproduce the
@@ -212,7 +216,8 @@ object DeltaReader {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("deletionVector", dvSchema)))),
+      StructField("deletionVector", dvSchema),
+      StructField("stats", StringType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
@@ -241,6 +246,7 @@ object DeltaReader {
     col("add.size").as("__add_size"),
     col("add.modificationTime").as("__add_mt"),
     col("add.deletionVector").as("__add_dv"),
+    col("add.stats").as("__add_stats"),
     col("remove.path").as("__rm_path"),
     col("remove.deletionTimestamp").as("__rm_ts"),
     col("metaData.id").as("__mid"),
@@ -452,7 +458,7 @@ object DeltaReader {
         coalesce(col("__add_path"), col("__rm_path")).as("__path"),
         col("__add_path").isNotNull.as("__is_add"),
         col("__add_pv"), col("__add_size"), col("__add_mt"),
-        col("__add_dv"), col("__rm_ts"))
+        col("__add_dv"), col("__rm_ts"), col("__add_stats"))
       .where(col("__path").isNotNull)
     val w = Window.partitionBy(col("__path"))
       .orderBy(col("__v").desc, col("__is_add").desc)
@@ -460,7 +466,8 @@ object DeltaReader {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("__path"), col("__is_add"), col("__add_pv"),
-        col("__add_size"), col("__add_mt"), col("__add_dv"), col("__rm_ts"))
+        col("__add_size"), col("__add_mt"), col("__add_dv"), col("__rm_ts"),
+        col("__add_stats"))
       .collect()
 
     val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
@@ -485,7 +492,8 @@ object DeltaReader {
       }
       DeltaFile(absPath(r.getString(0)), pv,
         if (r.isNullAt(3)) 0L else r.getLong(3),
-        if (r.isNullAt(4)) 0L else r.getLong(4), dv)
+        if (r.isNullAt(4)) 0L else r.getLong(4), dv,
+        Option(r.getString(7)))
     }.toSeq.sortBy(_.path)
     val tombstones = latest.filterNot(_.getBoolean(1)).map { r =>
       (absPath(r.getString(0)), if (r.isNullAt(6)) 0L else r.getLong(6))
@@ -563,6 +571,96 @@ object DeltaReader {
   def scan(url: String, asOfVersion: Option[Long] = None)
           (implicit spark: SparkSession): Option[DataFrame] =
     snapshotAt(url, asOfVersion).map(assemble)
+
+  /** The snapshot with every data file DROPPED whose recorded bounds
+    * prove no row can satisfy the conjunction of `ranges` (`(column,
+    * lo, hi)` inclusive, string-typed like [[ManagedDataset
+    * .scanPrunedRanges]]): bounds come from the add action's `stats`
+    * JSON (`minValues`/`maxValues` — what [[DeltaWriter]] now records
+    * from parquet footers, and every delta-spark writer records by
+    * default), or for a PARTITION column from the file's literal
+    * value (min = max = value; a null partition value never matches a
+    * range). Files with no usable bound are conservatively kept, so
+    * pruning is always sound; possibly-truncated string bounds from
+    * other engines remain valid supersets. */
+  def prunedSnapshot(url: String, ranges: Seq[(String, String, String)],
+                     asOfVersion: Option[Long] = None)
+                    (implicit spark: SparkSession): Option[DeltaSnapshot] = {
+    require(ranges.nonEmpty, "DeltaReader.prunedSnapshot: need >= 1 range")
+    snapshotAt(url, asOfVersion).map { snap =>
+      val typed = ranges.map { case (c, lo, hi) =>
+        val dt = snap.schema.find(_.name == c).map(_.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"DeltaReader.prunedSnapshot: column '$c' not in the table schema"))
+        (c, dt, lo, hi)
+      }
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def bound(node: com.fasterxml.jackson.databind.JsonNode,
+                section: String, c: String): Option[String] =
+        Option(node.get(section)).flatMap(s => Option(s.get(c)))
+          .filterNot(_.isNull).map(_.asText)
+      def longAt(node: com.fasterxml.jackson.databind.JsonNode,
+                 path: String*): Option[Long] = {
+        val n = path.foldLeft(Option(node))((acc, p) =>
+          acc.flatMap(x => Option(x.get(p))))
+        n.filter(_.isIntegralNumber).map(_.asLong)
+      }
+      val kept = snap.files.filter { f =>
+        lazy val statsNode = f.stats.flatMap(s =>
+          scala.util.Try(om.readTree(s)).toOption)
+        // a zero-row file matches nothing (empty appends land these)
+        statsNode.flatMap(longAt(_, "numRecords")).forall(_ > 0L) &&
+        typed.forall { case (c, dt, lo, hi) =>
+          if (snap.partitionColumns.contains(c)) {
+            partitionValueOf(snap, f, c) match {
+              case Some(null) | None => false // the null partition: no match
+              case Some(v) => mayOverlapDelta(dt, Some(v), Some(v), lo, hi)
+            }
+          } else statsNode match {
+            case None => true // no stats: unprunable, keep
+            case Some(n) =>
+              // an all-NULL column never satisfies a range predicate
+              val allNull = (longAt(n, "nullCount", c), longAt(n, "numRecords"))
+                match {
+                  case (Some(nc), Some(nr)) => nr > 0L && nc == nr
+                  case _ => false
+                }
+              !allNull && mayOverlapDelta(dt,
+                bound(n, "minValues", c), bound(n, "maxValues", c), lo, hi)
+          }
+        }
+      }
+      snap.copy(files = kept)
+    }
+  }
+
+  /** [[ManagedDataset.mayOverlap]] semantics plus DATE columns, whose
+    * `yyyy-MM-dd` stats rendering compares correctly as strings. */
+  private def mayOverlapDelta(dt: DataType, mn: Option[String],
+                              mx: Option[String], lo: String,
+                              hi: String): Boolean = dt match {
+    case DateType => mn.forall(_ <= hi) && mx.forall(_ >= lo)
+    case other => ManagedDataset.mayOverlap(other, mn, mx, lo, hi)
+  }
+
+  /** Range-predicate scan with file-level DATA SKIPPING over the add
+    * actions' statistics — semantically exactly
+    * `scan().filter(AND of col BETWEEN lo AND hi)` (the residual
+    * filter still applies to the survivors), physically only the
+    * possibly-overlapping files are ever listed or read. With data
+    * range-clustered on the predicate columns at write time, a
+    * selective range on a 100 TB table touches a handful of files:
+    * the pruning is metadata-only, before any directory/file I/O. */
+  def scanPruned(url: String, ranges: Seq[(String, String, String)],
+                 asOfVersion: Option[Long] = None)
+                (implicit spark: SparkSession): Option[DataFrame] =
+    prunedSnapshot(url, ranges, asOfVersion).map { snap =>
+      val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+      ranges.foldLeft(assemble(snap)) { case (df, (c, lo, hi)) =>
+        df.where(col(c) >= lit(lo).cast(fieldType(c)) &&
+          col(c) <= lit(hi).cast(fieldType(c)))
+      }
+    }
 
   /** Targeted partition read, mirroring delta_dataset.py:41-54: the
     * key set must equal the table's partition columns (raise

@@ -63,6 +63,41 @@ class DeltaFollowSpec extends SparkSpec {
     }
   }
 
+  test("followStream: a live readStream-driven follower mirrors appends; restart duplicates nothing") {
+    withTempDir { dir =>
+      val src = s"$dir/src"
+      val dst = s"$dir/dst"
+      val wmFile = s"$dir/wm"
+      def await(label: String)(cond: => Boolean): Unit = {
+        val end = System.currentTimeMillis + 60000L
+        while (!cond && System.currentTimeMillis < end) Thread.sleep(100)
+        assert(cond, s"timed out waiting for $label")
+      }
+      val sds = new DeltaDataset(src)
+      sds.write(Seq((1L, "a"), (2L, "b")).toDF("v", "s"))
+      val q = DeltaFollow.followStream(src, dst, wmFile, intervalMs = 100L)
+      try {
+        await("initial mirror")(DeltaReader.scan(dst)
+          .exists(_.count() == 2L))
+        sds.delete($"v" === 1L)
+        sds.append(Seq((3L, "c")).toDF("v", "s"))
+        await("append after delete")(DeltaReader.scan(dst)
+          .exists(_.count() == 3L))
+      } finally q.stop()
+      // kill-and-restart with the STREAM checkpoint gone: the table's
+      // SetTransaction keys + watermark file carry exactly-once
+      sds.append(Seq((4L, "d")).toDF("v", "s"))
+      val q2 = DeltaFollow.followStream(src, dst, wmFile, intervalMs = 100L)
+      try {
+        await("post-restart catch-up")(DeltaReader.scan(dst)
+          .exists(_.count() == 4L))
+      } finally q2.stop()
+      Thread.sleep(300) // a straggler tick must not double-apply
+      assertSameData(DeltaReader.scan(dst).get,
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("v", "s"))
+    }
+  }
+
   test("foreachVersion delivers ordered per-version change frames and advances per version") {
     withTempDir { dir =>
       val src = s"$dir/src"
