@@ -73,22 +73,45 @@ object DeltaChanges {
         s"${headSnap.version}")
     require(fromVersion <= to,
       s"DeltaChanges: empty window ($fromVersion, $to]")
-    val schema = headSnap.schema
-    def emptyChanges = spark.createDataFrame(
+    if (fromVersion == to) return Some(emptyChangeFrame(headSnap))
+    val frames = taggedChanges(cleanUrl, fromVersion, to, headSnap)
+      .flatMap(_._2)
+    // balanced union: a wide (full-history) window must not build a
+    // linearly-deep plan — log-depth keeps Catalyst analysis cheap
+    Some(balancedUnion(emptyChangeFrame(headSnap) +: frames))
+  }
+
+  private def balancedUnion(fs: Seq[DataFrame]): DataFrame =
+    if (fs.length == 1) fs.head
+    else {
+      val (a, b) = fs.splitAt(fs.length / 2)
+      balancedUnion(a) unionByName balancedUnion(b)
+    }
+
+  /** The zero-row change frame carrying `schema` + the CDF columns. */
+  private[sources] def emptyChangeFrame(snap: DeltaReader.DeltaSnapshot)
+                                       (implicit spark: SparkSession): DataFrame =
+    spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(schema.fields ++ Seq(
+      StructType(snap.schema.fields ++ Seq(
         StructField("_change_type", StringType),
         StructField("_commit_version", LongType))))
-    if (fromVersion == to) return Some(emptyChanges)
 
-    val frames = versionDeltas(cleanUrl, fromVersion, to, headSnap)
-      .flatMap { d =>
+  /** Per-version TAGGED change frames in `(from, to]` (None = the
+    * version changed nothing) — one incremental pass; what
+    * [[readChanges]] unions and [[DeltaFollow.foreachVersion]]
+    * delivers version-at-a-time without re-replaying the log. */
+  private[sources] def taggedChanges(url: String, from: Long, to: Long,
+                                     head: DeltaReader.DeltaSnapshot)
+                                    (implicit spark: SparkSession)
+      : Seq[(Long, Option[DataFrame])] =
+    versionDeltas(url, from, to, head).map { d =>
+      val tagged =
         (d.inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
           d.deletes.map(_.withColumn("_change_type", lit("delete"))))
           .map(_.withColumn("_commit_version", lit(d.version)))
-      }
-    Some(frames.foldLeft(emptyChanges)(_ unionByName _))
-  }
+      (d.version, tagged.reduceOption(_ unionByName _))
+    }
 
   // parse schema for the window read: only the CDF-relevant fields
   private val dvSchema = StructType(Seq(

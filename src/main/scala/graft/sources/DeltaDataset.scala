@@ -106,6 +106,13 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   def vacuum(retentionMillis: Long): Int =
     DeltaWriter.vacuum(cleanUrl, retentionMillis)
 
+  /** Reclaim log artifacts the newest checkpoint made redundant (old
+    * commits, superseded checkpoints/manifests, unreferenced v2
+    * sidecars) older than `retentionMillis` — the metadata half of
+    * [[vacuum]]. Returns the number of files deleted. */
+  def cleanupLog(retentionMillis: Long = 0L): Int =
+    DeltaWriter.cleanupLog(cleanUrl, retentionMillis)
+
   /** Targeted partition read (delta_dataset.py:41-54). */
   def readPartition(values: Map[String, String]): Option[DataFrame] =
     DeltaReader.readPartition(cleanUrl, values)
@@ -973,6 +980,80 @@ object DeltaWriter {
       }
     }
     walk(qualifiedBase)
+    deleted
+  }
+
+  /** Reclaim LOG artifacts the newest checkpoint makes redundant —
+    * the metadata half of [[vacuum]] (real Delta's
+    * `delta.logRetentionDuration` cleanup): JSON commits, classic
+    * checkpoint parts and v2 manifests strictly OLDER than the newest
+    * checkpoint version, plus `_sidecars/` files referenced by no
+    * retained manifest, each deleted only when its mtime crosses
+    * `retentionMillis`. The head (checkpoint anchor + commit tail)
+    * replays identically afterwards; time travel to cleaned versions
+    * raises the reader's loud truncation error — the standard
+    * trade-off, never a silent wrong answer. Returns files deleted.
+    *
+    * Scale shape: one log listing plus one read of the retained
+    * manifests' sidecar POINTERS (manifest-count bounded) — no data
+    * file is touched, no row is read. A long-lived streaming table
+    * checkpointing every 10 commits stays at O(interval) log size
+    * forever. */
+  def cleanupLog(url: String, retentionMillis: Long = 0L)
+                (implicit spark: SparkSession): Int = {
+    require(retentionMillis >= 0, "DeltaWriter.cleanupLog: negative retention")
+    val cleanUrl = url.stripSuffix("/")
+    val logDir = new Path(cleanUrl, "_delta_log")
+    val fs: FileSystem = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir)) return 0
+    val entries = fs.listStatus(logDir).filter(_.isFile)
+    val classicCps = entries.map(_.getPath.getName).collect {
+      case DeltaReader.CheckpointName(v, _) => v.toLong }
+    val v2Cps = entries.map(_.getPath.getName).collect {
+      case DeltaReader.V2CheckpointName(v, _, _) => v.toLong }
+    val cps = (classicCps ++ v2Cps).distinct.sorted
+    if (cps.isEmpty) return 0 // nothing anchors a replay: keep it all
+    val cp = cps.max
+    // sidecars referenced by the RETAINED (= version cp) v2 manifests
+    // stay, whoever wrote them; everything else under _sidecars/ is
+    // re-derivable from the retained manifest set
+    val retainedManifests = entries.map(_.getPath).filter { p =>
+      p.getName match {
+        case DeltaReader.V2CheckpointName(v, _, _) => v.toLong == cp
+        case _ => false
+      }
+    }
+    val referencedSidecars: Set[String] = retainedManifests.flatMap { m =>
+      val sidecarSchema = StructType(Seq(StructField("sidecar", StructType(Seq(
+        StructField("path", StringType))))))
+      val df =
+        if (m.getName.endsWith(".json"))
+          spark.read.schema(sidecarSchema).json(m.toString)
+        else spark.read.schema(sidecarSchema).parquet(m.toString)
+      df.where(col("sidecar.path").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0))
+        // stored relative to _sidecars/ OR absolute: compare by name
+        .map(p => new Path(p).getName)
+    }.toSet
+    val cutoff = System.currentTimeMillis - retentionMillis
+    var deleted = 0
+    def reclaim(st: org.apache.hadoop.fs.FileStatus): Unit =
+      if (st.getModificationTime < cutoff && fs.delete(st.getPath, false))
+        deleted += 1
+    entries.foreach { st =>
+      st.getPath.getName match {
+        case DeltaReader.CommitName(v) if v.toLong < cp => reclaim(st)
+        case DeltaReader.CheckpointName(v, _) if v.toLong < cp => reclaim(st)
+        case DeltaReader.V2CheckpointName(v, _, _) if v.toLong < cp =>
+          reclaim(st)
+        case _ => ()
+      }
+    }
+    val sidecarDir = new Path(logDir, "_sidecars")
+    if (fs.exists(sidecarDir))
+      fs.listStatus(sidecarDir).filter(_.isFile).foreach { st =>
+        if (!referencedSidecars.contains(st.getPath.getName)) reclaim(st)
+      }
     deleted
   }
 

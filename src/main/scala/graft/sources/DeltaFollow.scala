@@ -116,7 +116,11 @@ object DeltaFollow {
     * [[DeltaChanges.readChanges]] shape — then persist the watermark
     * after EACH version so a crash re-delivers only the in-flight one.
     * At-least-once: handlers with external side effects must key them
-    * by version to be exactly-once. Returns the new watermark. */
+    * by version to be exactly-once. Returns the new watermark.
+    *
+    * A long catch-up costs ONE incremental window pass (the frames
+    * are lazy; each version's work runs when the handler consumes
+    * it), never a log replay per version. */
   def foreachVersion(srcUrl: String, checkpointFile: String)
                     (handler: (Long, DataFrame) => Unit)
                     (implicit spark: SparkSession): Long = {
@@ -125,12 +129,13 @@ object DeltaFollow {
       throw new IllegalArgumentException(
         s"DeltaFollow: no Delta table at $cleanSrc"))
     var wm = readWatermark(checkpointFile)
-    while (wm < head.version) {
-      val v = wm + 1
-      handler(v, DeltaChanges.readChanges(cleanSrc, v - 1, Some(v)).get)
-      writeWatermark(checkpointFile, v)
-      wm = v
-    }
+    if (wm >= head.version) return wm
+    DeltaChanges.taggedChanges(cleanSrc, wm, head.version, head)
+      .foreach { case (v, changes) =>
+        handler(v, changes.getOrElse(DeltaChanges.emptyChangeFrame(head)))
+        writeWatermark(checkpointFile, v)
+        wm = v
+      }
     wm
   }
 }

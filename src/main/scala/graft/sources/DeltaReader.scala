@@ -188,13 +188,14 @@ object DeltaReader {
           "(none/name/id only)")
     }
 
-  private val CommitName = """(\d{20})\.json""".r
-  private val CheckpointName = """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
+  private[sources] val CommitName = """(\d{20})\.json""".r
+  private[sources] val CheckpointName =
+    """(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet""".r
   // v2 checkpoints (the `v2Checkpoint` reader feature): one
   // UUID-named manifest per attempt. The single `[A-Za-z0-9_-]+`
   // segment cannot collide with classic multi-part names — those
   // carry TWO dot-separated numeric parts before `.parquet`.
-  private val V2CheckpointName =
+  private[sources] val V2CheckpointName =
     """(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(json|parquet)""".r
 
   /** Actions parsed from commit JSON — explicit schema: inference

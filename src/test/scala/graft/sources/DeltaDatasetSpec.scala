@@ -627,6 +627,52 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("cleanupLog reclaims commits/manifests/sidecars a newer checkpoint covers; the head replays") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f0.parquet"), Seq(100L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],""" +
+          """"writerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.checkpointInterval":"2",""" +
+          s""""delta.checkpointPolicy":"v2"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      // v2 checkpoints land at 2 and 4 (interval 2), each with a sidecar
+      (1L to 5L).foreach(i => ds.append(Seq(100L + i).toDF("v")))
+      val logDir = Paths.get(table, "_delta_log")
+      def sidecars(): Long = Files.list(logDir.resolve("_sidecars"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+      assert(sidecars() == 2L)
+      val want = ds.scan().get.collect().map(_.getLong(0)).toSet
+      // huge retention: nothing is old enough
+      assert(ds.cleanupLog(Long.MaxValue / 2) == 0)
+      // zero retention: commits 0..3 + the v2 manifest + its sidecar go
+      val n = ds.cleanupLog(0L)
+      assert(n >= 5, s"wanted commits 0-3 + v2 manifest + sidecar gone, got $n")
+      (0L to 3L).foreach(v =>
+        assert(!Files.exists(logDir.resolve(f"$v%020d.json"))))
+      assert(Files.exists(logDir.resolve(f"${4L}%020d.json")))
+      assert(sidecars() == 1L)
+      // the head replays from the retained checkpoint + tail, identically
+      assert(ds.scan().get.collect().map(_.getLong(0)).toSet == want)
+      assertSameData(DeltaReader.scan(table, Some(4L)).get,
+        Seq(100L, 101L, 102L, 103L, 104L).toDF("v"))
+      // a cleaned version raises loudly, never silently wrong
+      intercept[IllegalStateException](DeltaReader.snapshotAt(table, Some(1L)))
+      // life goes on: appends + the NEXT checkpoint still land
+      ds.append(Seq(200L).toDF("v"))
+      assert(ds.scan().get.count() == 7L)
+    }
+  }
+
   test("compact bin-packs small files per partition; every version reads identically") {
     withTempDir { dir =>
       val table = s"$dir/t"
