@@ -317,16 +317,108 @@ object DeltaReader {
   def snapshot(url: String)(implicit spark: SparkSession): Option[DeltaSnapshot] =
     snapshotAt(url, None)
 
+  /** Per-path survivor state after replay, before snapshot assembly —
+    * the ONE shape both replay paths (distributed and driver-side)
+    * reduce to, so everything downstream (path resolution, DV
+    * validation, tombstones) is shared code. */
+  private final case class LatestPath(path: String, isAdd: Boolean,
+      pv: Map[String, String], size: Long, mt: Long,
+      dv: Option[DvDescriptor], rmTs: Long, stats: Option[String])
+
+  private final case class MetaVals(schemaJson: String, pcols: Seq[String],
+      provider: String, conf: Map[String, String], id: String,
+      created: Option[Long])
+
+  /** The protocol gate both replay paths run: v1 = base; v2 = column
+    * mapping (handled); v3 = table features — readable only when
+    * every declared reader feature is implemented (an ABSENT feature
+    * list on a v3 table is malformed: raise, since what the table
+    * needs is unknowable). */
+  private def checkProtocolReadable(protocolInfo: DeltaProtocol): Unit = {
+    val mr = protocolInfo.minReaderVersion
+    val supported = Set("columnMapping", "deletionVectors", "v2Checkpoint",
+      // features with no reader-visible data-path semantics: the
+      // timestamp type and stats collection don't change replay
+      "timestampNtz")
+    val unreadable = mr match {
+      case v if v <= 2 => None
+      case 3 => protocolInfo.readerFeatures.map(_.toSet) match {
+        case Some(f) if (f -- supported).isEmpty => None
+        case Some(f) => Some((f -- supported).toSeq.sorted.mkString(", "))
+        case None => Some("an undeclared feature set")
+      }
+      case _ => Some("a protocol version past 3")
+    }
+    unreadable.foreach { why =>
+      throw new UnsupportedOperationException(
+        s"DeltaReader: table requires reader protocol $mr with $why — " +
+          "this reader implements protocol 1/2 plus the columnMapping " +
+          "(name mode), deletionVectors and v2Checkpoint features")
+    }
+  }
+
+  /** Assemble the snapshot from the replay's reduced state — shared
+    * by both paths so they cannot diverge past the reduction. */
+  private def finishSnapshot(target: Long, logDir: Path,
+      qualifiedBase: Path, protocolInfo: DeltaProtocol,
+      metaOpt: Option[MetaVals], latest: Seq[LatestPath],
+      txns: Map[String, Long])
+      (implicit spark: SparkSession): Option[DeltaSnapshot] = {
+    checkProtocolReadable(protocolInfo)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"DeltaReader: no metaData action found in $logDir — not a valid Delta log"))
+    if (meta.provider != "parquet")
+      throw new UnsupportedOperationException(
+        s"DeltaReader: format provider '${meta.provider}' unsupported (parquet only)")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val physSchema = physicalSchemaFor(schema, meta.conf)
+    def absPath(raw: String): String = {
+      // paths are RFC 2396 URL-encoded and usually relative to the
+      // table root; absolute URIs are legal and used as-is
+      val uri = new java.net.URI(raw)
+      val p = new Path(uri)
+      (if (uri.isAbsolute) p else new Path(qualifiedBase, p)).toString
+    }
+    val files = latest.filter(_.isAdd).map { l =>
+      l.dv.foreach { d =>
+        require(d.storageType != null && d.pathOrInlineDv != null,
+          s"DeltaReader: malformed deletionVector descriptor on ${l.path}")
+      }
+      DeltaFile(absPath(l.path), l.pv, l.size, l.mt, l.dv, l.stats)
+    }.sortBy(_.path)
+    val tombstones = latest.filterNot(_.isAdd)
+      .map(l => (absPath(l.path), l.rmTs)).sortBy(_._1)
+    Some(DeltaSnapshot(target, schema, meta.pcols, files, physSchema,
+      meta.id, meta.conf, meta.created, protocolInfo, tombstones,
+      qualifiedBase.toString, txns))
+  }
+
+  /** Total bytes under which a checkpoint-less JSON tail replays
+    * DRIVER-SIDE (plain Jackson parse, zero Spark jobs) instead of
+    * through the distributed reader. Every write/scan round trip on a
+    * young table costs several snapshot resolutions; at this size the
+    * log is far smaller than one task's scheduling overhead. The
+    * distributed path remains the one a checkpoint-anchored or
+    * multi-MiB log takes — and the parity spec pins the two paths
+    * field-identical. */
+  private[sources] val FastReplayMaxBytes: Long = 4L * 1024 * 1024
+
   /** Snapshot as of `version` (time travel); None when the table does
     * not exist, loud error when the requested version is unreachable
     * (past the log head, or its commits are vacuumed away). */
   def snapshotAt(url: String, asOfVersion: Option[Long])
+                (implicit spark: SparkSession): Option[DeltaSnapshot] =
+    snapshotAtImpl(url, asOfVersion, forceDistributed = false)
+
+  private[sources] def snapshotAtImpl(url: String, asOfVersion: Option[Long],
+                                      forceDistributed: Boolean)
                 (implicit spark: SparkSession): Option[DeltaSnapshot] = {
     val cleanUrl = url.stripSuffix("/")
     val logDir = new Path(cleanUrl, "_delta_log")
     val fs: FileSystem = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(logDir)) return None
-    val entries = fs.listStatus(logDir).map(_.getPath.getName)
+    val statuses = fs.listStatus(logDir)
+    val entries = statuses.map(_.getPath.getName)
     val commits = entries.collect { case CommitName(v) => v.toLong }.sorted
     val classicCps = entries.collect {
       case CheckpointName(v, _) => v.toLong
@@ -357,6 +449,18 @@ object DeltaReader {
           "the newest usable checkpoint")
 
     def commitPath(v: Long) = new Path(logDir, f"$v%020d.json").toString
+    // SMALL-LOG FAST PATH: a checkpoint-less tail under
+    // [[FastReplayMaxBytes]] replays driver-side — plain JSON parse,
+    // zero Spark jobs. Every Delta write/scan resolves snapshots
+    // several times; on a young table this is the difference between
+    // milliseconds and a scheduler round trip per resolution.
+    if (!forceDistributed && cp.isEmpty) {
+      val tailSet = tail.map(v => f"$v%020d.json").toSet
+      val tailBytes = statuses.filter(st => tailSet(st.getPath.getName))
+        .map(_.getLen).sum
+      if (tailBytes <= FastReplayMaxBytes)
+        return fastReplay(fs, logDir, cleanUrl, tail, target)
+    }
     val jsonActions =
       if (tail.isEmpty) None
       else Some(spark.read.schema(actionSchema).json(tail.map(commitPath): _*)
@@ -386,11 +490,8 @@ object DeltaReader {
       .reduce(_ unionByName _)
       .localCheckpoint() // feeds three independent aggregations below
 
-    // protocol gate: the newest protocol action governs readability.
-    // v1 = base; v2 = column mapping (handled); v3 = table features —
-    // readable only when every declared reader feature is one we
-    // implement (an ABSENT feature list on a v3 table is malformed:
-    // raise, since what the table needs is unknowable)
+    // the newest protocol action governs readability (gate runs in
+    // the shared finisher)
     val proto = actions.where(col("__min_reader").isNotNull)
       .orderBy(col("__v").desc)
       .select(col("__min_reader"), col("__min_writer"),
@@ -402,51 +503,19 @@ object DeltaReader {
         if (r.isNullAt(2)) None else Some(r.getSeq[String](2).toSeq),
         if (r.isNullAt(3)) None else Some(r.getSeq[String](3).toSeq))
     }.getOrElse(DeltaProtocol(1, 2))
-    locally {
-      val mr = protocolInfo.minReaderVersion
-      val supported = Set("columnMapping", "deletionVectors",
-        "v2Checkpoint",
-        // features with no reader-visible data-path semantics: the
-        // timestamp type and stats collection don't change replay
-        "timestampNtz")
-      val unreadable = mr match {
-        case v if v <= 2 => None
-        case 3 => protocolInfo.readerFeatures.map(_.toSet) match {
-          case Some(f) if (f -- supported).isEmpty => None
-          case Some(f) => Some((f -- supported).toSeq.sorted.mkString(", "))
-          case None => Some("an undeclared feature set")
-        }
-        case _ => Some("a protocol version past 3")
-      }
-      unreadable.foreach { why =>
-        throw new UnsupportedOperationException(
-          s"DeltaReader: table requires reader protocol $mr with $why — " +
-            "this reader implements protocol 1/2 plus the columnMapping " +
-            "(name mode), deletionVectors and v2Checkpoint features")
-      }
-    }
     // latest metaData wins (schema evolution / repartitioning)
     val meta = actions.where(col("__schema").isNotNull)
       .orderBy(col("__v").desc)
       .select(col("__schema"), col("__pcols"), col("__provider"),
         col("__conf"), col("__mid"), col("__mct")).head(1)
-    if (meta.isEmpty)
-      throw new IllegalStateException(
-        s"DeltaReader: no metaData action found in $logDir — not a valid Delta log")
-    val provider = Option(meta.head.getString(2)).getOrElse("parquet")
-    if (provider != "parquet")
-      throw new UnsupportedOperationException(
-        s"DeltaReader: format provider '$provider' unsupported (parquet only)")
-    val schema = DataType.fromJson(meta.head.getString(0)).asInstanceOf[StructType]
-    val pcols: Seq[String] =
-      Option(meta.head.getSeq[String](1)).getOrElse(Seq.empty[String]).toSeq
-    val tableConf: Map[String, String] =
-      if (meta.head.isNullAt(3)) Map.empty
-      else meta.head.getMap[String, String](3).toMap
-    val tableId = Option(meta.head.getString(4)).getOrElse("")
-    val createdTime =
-      if (meta.head.isNullAt(5)) None else Some(meta.head.getLong(5))
-    val physSchema: Option[StructType] = physicalSchemaFor(schema, tableConf)
+    val metaVals = meta.headOption.map { m =>
+      MetaVals(m.getString(0),
+        Option(m.getSeq[String](1)).getOrElse(Seq.empty[String]).toSeq,
+        Option(m.getString(2)).getOrElse("parquet"),
+        if (m.isNullAt(3)) Map.empty else m.getMap[String, String](3).toMap,
+        Option(m.getString(4)).getOrElse(""),
+        if (m.isNullAt(5)) None else Some(m.getLong(5)))
+    }
 
     // file-state reconstruction: per path, the highest-version action
     // wins; survivors are adds, the rest are tombstones. Within ONE
@@ -471,15 +540,7 @@ object DeltaReader {
         col("__add_stats"))
       .collect()
 
-    val qualifiedBase = fs.makeQualified(new Path(cleanUrl))
-    def absPath(raw: String): String = {
-      // paths are RFC 2396 URL-encoded and usually relative to the
-      // table root; absolute URIs are legal and used as-is
-      val uri = new java.net.URI(raw)
-      val p = new Path(uri)
-      (if (uri.isAbsolute) p else new Path(qualifiedBase, p)).toString
-    }
-    val files = latest.filter(_.getBoolean(1)).map { r =>
+    val latestPaths: Seq[LatestPath] = latest.toSeq.map { r =>
       val pv: Map[String, String] =
         if (r.isNullAt(2)) Map.empty
         else r.getMap[String, String](2).toMap
@@ -491,14 +552,12 @@ object DeltaReader {
           if (d.isNullAt(2)) None else Some(d.getInt(2)),
           d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4))
       }
-      DeltaFile(absPath(r.getString(0)), pv,
+      LatestPath(r.getString(0), r.getBoolean(1), pv,
         if (r.isNullAt(3)) 0L else r.getLong(3),
         if (r.isNullAt(4)) 0L else r.getLong(4), dv,
+        if (r.isNullAt(6)) 0L else r.getLong(6),
         Option(r.getString(7)))
-    }.toSeq.sortBy(_.path)
-    val tombstones = latest.filterNot(_.getBoolean(1)).map { r =>
-      (absPath(r.getString(0)), if (r.isNullAt(6)) 0L else r.getLong(6))
-    }.toSeq.sortBy(_._1)
+    }
     // SetTransaction watermarks: per appId the version from the
     // NEWEST commit wins (idempotent-writer bookkeeping, PROTOCOL.md
     // "Transaction Identifiers") — one appId-keyed aggregation
@@ -508,9 +567,119 @@ object DeltaReader {
       .agg(max(struct(col("__v"), col("__txn_v"))).as("__m"))
       .select(col("__txn_app"), col("__m.__txn_v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Some(DeltaSnapshot(target, schema, pcols, files, physSchema,
-      tableId, tableConf, createdTime, protocolInfo, tombstones,
-      qualifiedBase.toString, txns))
+    finishSnapshot(target, logDir, fs.makeQualified(new Path(cleanUrl)),
+      protocolInfo, metaVals, latestPaths, txns)
+  }
+
+  /** Driver-side replay of a small checkpoint-less JSON tail: the
+    * same reduction the distributed path runs — newest protocol,
+    * newest metaData, per-path latest action with the add winning a
+    * same-version tie, per-appId newest SetTransaction — over
+    * Jackson-parsed commit lines. [[finishSnapshot]] assembles both
+    * paths' results, and `DeltaReaderSpec`'s parity case pins them
+    * field-identical. */
+  private def fastReplay(fs: FileSystem, logDir: Path, cleanUrl: String,
+                         tail: Seq[Long], target: Long)
+                        (implicit spark: SparkSession): Option[DeltaSnapshot] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def txt(n: com.fasterxml.jackson.databind.JsonNode, f: String): String =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText).orNull
+    def lng(n: com.fasterxml.jackson.databind.JsonNode, f: String,
+            dflt: Long): Long =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asLong).getOrElse(dflt)
+    // (version, lineIndex, action) in commit order
+    val lines: Seq[(Long, com.fasterxml.jackson.databind.JsonNode)] =
+      tail.sorted.flatMap { v =>
+        val p = new Path(logDir, f"$v%020d.json")
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(0L, bytes) finally in.close()
+        new String(bytes, "UTF-8").split("\n").iterator
+          .map(_.trim).filter(_.nonEmpty)
+          .map(l => v -> om.readTree(l)).toSeq
+      }
+    def newest(field: String) = lines.reverseIterator
+      .map { case (v, n) => (v, Option(n.get(field)).filterNot(_.isNull)) }
+      .collectFirst { case (v, Some(n)) => (v, n) }
+    val protocolInfo = newest("protocol").map { case (_, p) =>
+      def feats(f: String): Option[Seq[String]] =
+        Option(p.get(f)).filterNot(_.isNull).map { arr =>
+          (0 until arr.size).map(i => arr.get(i).asText)
+        }
+      DeltaProtocol(lng(p, "minReaderVersion", 1L).toInt,
+        lng(p, "minWriterVersion", 2L).toInt,
+        feats("readerFeatures"), feats("writerFeatures"))
+    }.getOrElse(DeltaProtocol(1, 2))
+    val metaVals = newest("metaData").map { case (_, m) =>
+      val pcols = Option(m.get("partitionColumns")).filterNot(_.isNull)
+        .map(arr => (0 until arr.size).map(i => arr.get(i).asText))
+        .getOrElse(Seq.empty)
+      val conf = Option(m.get("configuration")).filterNot(_.isNull)
+        .map { c =>
+          import scala.jdk.CollectionConverters._
+          c.fields().asScala.map(e => e.getKey ->
+            (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+        }.getOrElse(Map.empty[String, String])
+      MetaVals(txt(m, "schemaString"), pcols.toSeq,
+        Option(txt(m.path("format"), "provider")).getOrElse("parquet"),
+        conf, Option(txt(m, "id")).getOrElse(""),
+        Option(m.get("createdTime")).filterNot(_.isNull).map(_.asLong))
+    }
+    // per-path latest action; lexicographic (version, isAdd) — the add
+    // wins a same-version tie, exactly the distributed window's order
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, ((Long, Int), LatestPath)]
+    def consider(path: String, v: Long, lp: LatestPath): Unit = {
+      val key = (v, if (lp.isAdd) 1 else 0)
+      latest.get(path) match {
+        case Some((old, _)) if
+          old._1 > key._1 || (old._1 == key._1 && old._2 > key._2) => ()
+        case _ => latest.update(path, (key, lp))
+      }
+    }
+    lines.foreach { case (v, n) =>
+      Option(n.get("add")).filterNot(_.isNull).foreach { a =>
+        val pv = Option(a.get("partitionValues")).filterNot(_.isNull)
+          .map { m =>
+            import scala.jdk.CollectionConverters._
+            m.fields().asScala.map(e => e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+          }.getOrElse(Map.empty[String, String])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          require(txt(d, "storageType") != null &&
+            txt(d, "pathOrInlineDv") != null && d.get("sizeInBytes") != null,
+            s"DeltaReader: malformed deletionVector descriptor on " +
+              s"${txt(a, "path")}")
+          DvDescriptor(txt(d, "storageType"), txt(d, "pathOrInlineDv"),
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+            lng(d, "sizeInBytes", 0L).toInt, lng(d, "cardinality", 0L))
+        }
+        consider(txt(a, "path"), v, LatestPath(txt(a, "path"), isAdd = true,
+          pv, lng(a, "size", 0L), lng(a, "modificationTime", 0L), dv, 0L,
+          Option(txt(a, "stats"))))
+      }
+      Option(n.get("remove")).filterNot(_.isNull).foreach { r =>
+        consider(txt(r, "path"), v, LatestPath(txt(r, "path"), isAdd = false,
+          Map.empty, 0L, 0L, None, lng(r, "deletionTimestamp", 0L), None))
+      }
+    }
+    // per-appId newest (version, txnVersion) — lexicographic like the
+    // distributed max(struct(__v, __txn_v))
+    val txns = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    lines.foreach { case (v, n) =>
+      Option(n.get("txn")).filterNot(_.isNull).foreach { t =>
+        val app = txt(t, "appId")
+        if (app != null) {
+          val cand = (v, lng(t, "version", 0L))
+          if (!txns.get(app).exists(old =>
+            old._1 > cand._1 || (old._1 == cand._1 && old._2 > cand._2)))
+            txns.update(app, cand)
+        }
+      }
+    }
+    finishSnapshot(target, logDir, fs.makeQualified(new Path(cleanUrl)),
+      protocolInfo, metaVals, latest.values.map(_._2).toSeq,
+      txns.map { case (k, v) => k -> v._2 }.toMap)
   }
 
   /** Snapshot as of a WALL-CLOCK timestamp: the newest version whose

@@ -497,4 +497,36 @@ class DeltaReaderSpec extends SparkSpec {
         Seq((7L, 42L)))
     }
   }
+
+  test("small-log fast replay is field-identical to the distributed replay at every version") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      // a history exercising every state field: partitioned writes
+      // (stats + partition values), append, DV delete (descriptor +
+      // protocol upgrade), overwrite (tombstones), restore (re-adds),
+      // and a SetTransaction-keyed write (txns)
+      ds.write((1L to 6L).map(i => (i, if (i <= 3) "A" else "B"))
+        .toDF("v", "p").coalesce(1))                       // v0
+      ds.append(Seq((7L, "A")).toDF("v", "p"))             // v1
+      ds.delete($"v" % 2 === 0L)                           // v2
+      ds.write(Seq((99L, "C")).toDF("v", "p"))             // v3
+      ds.restore(2L)                                       // v4
+      DeltaWriter.write(table, Seq((50L, "A")).toDF("v", "p"),
+        Seq("p"), overwrite = false, txn = Some(("parity-app", 17L)))  // v5
+      (0L to 5L).foreach { v =>
+        val fast = DeltaReader.snapshotAt(table, Some(v)).get
+        val dist = DeltaReader.snapshotAtImpl(table, Some(v),
+          forceDistributed = true).get
+        assert(fast == dist, s"fast vs distributed replay diverged at v$v:" +
+          s"\nfast: $fast\ndist: $dist")
+        assert(fast.files.nonEmpty || v > 10, s"v$v snapshot empty?")
+      }
+      // both paths scan to the same rows at the head
+      assertSameData(
+        DeltaReader.assembleSnapshot(DeltaReader.snapshotAt(table, None).get),
+        DeltaReader.assembleSnapshot(DeltaReader.snapshotAtImpl(table, None,
+          forceDistributed = true).get))
+    }
+  }
 }
