@@ -35,8 +35,11 @@ import org.apache.spark.sql.types._
   * (`insert` | `delete`) and `_commit_version` — the Delta CDF
   * column names.
   *
-  * Scale shape (100 TB): the whole window's commits are parsed by ONE
-  * distributed JSON read attributed back to versions by file name,
+  * Scale shape (100 TB): the whole window's commits are parsed in ONE
+  * pass (driver-side Jackson for small poll windows — zero Spark
+  * jobs; a single distributed JSON read attributed back to versions
+  * by file name for multi-MiB backfills — both reducing to the same
+  * [[CdfCommit]] carrier, parity-pinned in `DeltaChangesSpec`),
   * and the file state is replayed INCREMENTALLY — one snapshot replay
   * at the watermark, then each commit's actions applied to the
   * in-memory file map — so a full-history read of a V-commit table
@@ -137,10 +140,21 @@ object DeltaChanges {
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType)))))))
 
+  /** One commit's CDF-relevant actions, paths already absolute — the
+    * carrier BOTH window parsers (distributed JSON read / driver-side
+    * Jackson) reduce to, so the replay cannot diverge by parse path. */
+  private[sources] final case class CdfCommit(
+      adds: Seq[(DeltaReader.DeltaFile, Boolean)],
+      removes: Map[String, Boolean],
+      meta: Option[(Option[String], Option[Seq[String]],
+        Option[Map[String, String]])])
+
   /** Per-version change frames in `(from, to]`, by incremental replay:
-    * ONE distributed JSON read of the window's commits, ONE anchor
-    * snapshot at the watermark, then per version the actions apply to
-    * the in-memory file map (driver cost = action count). */
+    * ONE read of the window's commits (driver-side Jackson when the
+    * window is small — a poll window costs zero Spark jobs; one
+    * distributed JSON read otherwise), ONE anchor snapshot at the
+    * watermark, then per version the actions apply to the in-memory
+    * file map (driver cost = action count). */
   private def versionDeltas(url: String, from: Long, to: Long,
                             head: DeltaReader.DeltaSnapshot)
                            (implicit spark: SparkSession): Seq[VersionDelta] = {
@@ -148,18 +162,13 @@ object DeltaChanges {
     val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     def commitPath(v: Long) = new Path(logDir, f"$v%020d.json")
     val window = (from + 1) to to
-    val missing = window.filterNot(v => fs.exists(commitPath(v)))
+    val statuses = window.map(v => commitPath(v))
+      .map(p => p -> (if (fs.exists(p)) Some(fs.getFileStatus(p)) else None))
+    val missing = window.zip(statuses).collect {
+      case (v, (_, None)) => v }
     require(missing.isEmpty,
       s"DeltaChanges: commits ${missing.mkString(",")} are vacuumed " +
         s"away — change attribution for ($from, $to] needs their JSON commits")
-
-    val byVersion: Map[Long, Seq[org.apache.spark.sql.Row]] =
-      spark.read.schema(cdfActionSchema)
-        .json(window.map(v => commitPath(v).toString): _*)
-        .withColumn("__v", regexp_extract(input_file_name(),
-          "(\\d{20})\\.json", 1).cast("long"))
-        .collect() // the window's action lists: commit-metadata-sized
-        .toSeq.groupBy(_.getAs[Long]("__v"))
 
     val qualifiedBase = fs.makeQualified(new Path(url))
     def absPath(raw: String): Path = {
@@ -169,6 +178,12 @@ object DeltaChanges {
     }
     def key(f: DeltaReader.DeltaFile): String =
       new Path(f.path).toUri.toString
+
+    val windowBytes = statuses.flatMap(_._2).map(_.getLen).sum
+    val byVersion: Map[Long, CdfCommit] =
+      if (windowBytes <= DeltaReader.FastReplayMaxBytes)
+        parseWindowDriver(fs, window.map(v => v -> commitPath(v)), absPath)
+      else parseWindowDistributed(window.map(v => v -> commitPath(v)), absPath)
 
     // replay state, seeded by ONE snapshot at the watermark (None
     // before creation); metaData actions in the window update it
@@ -182,14 +197,14 @@ object DeltaChanges {
 
     val maskKeys = Seq("__dv_fp", "__dv_ri")
     window.toSeq.map { v =>
-      val actions = byVersion.getOrElse(v, Seq.empty)
+      val actions = byVersion.getOrElse(v, CdfCommit(Seq.empty, Map.empty, None))
       // rows read out of a dropped file carry the PRE-commit shape
       val (pSchema, pPcols, pConf) = (schema, pcols, conf)
-      actions.flatMap(r => Option(r.getStruct(2))).lastOption.foreach { m =>
-        if (!m.isNullAt(0))
-          schema = DataType.fromJson(m.getString(0)).asInstanceOf[StructType]
-        if (!m.isNullAt(1)) pcols = m.getSeq[String](1).toSeq
-        if (!m.isNullAt(2)) conf = m.getMap[String, String](2).toMap
+      actions.meta.foreach { case (sj, pc, cf) =>
+        sj.foreach(j =>
+          schema = DataType.fromJson(j).asInstanceOf[StructType])
+        pc.foreach(pcols = _)
+        cf.foreach(conf = _)
       }
       def mkSnap(version: Long, st: StructType, pc: Seq[String],
                  cf: Map[String, String],
@@ -199,27 +214,8 @@ object DeltaChanges {
           physicalSchema = DeltaReader.physicalSchemaFor(st, cf),
           configuration = cf)
 
-      val adds: Seq[(DeltaReader.DeltaFile, Boolean)] = actions.flatMap { r =>
-        Option(r.getStruct(0)).map { a =>
-          val pv: Map[String, String] =
-            if (a.isNullAt(1)) Map.empty
-            else a.getMap[String, String](1).toMap
-          val dv = Option(a.getStruct(5)).map { d =>
-            DeltaReader.DvDescriptor(d.getString(0), d.getString(1),
-              if (d.isNullAt(2)) None else Some(d.getInt(2)),
-              d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4))
-          }
-          (DeltaReader.DeltaFile(absPath(a.getString(0)).toString, pv,
-            if (a.isNullAt(2)) 0L else a.getLong(2),
-            if (a.isNullAt(3)) 0L else a.getLong(3), dv),
-            a.isNullAt(4) || a.getBoolean(4))
-        }
-      }
-      val removed: Map[String, Boolean] = actions.flatMap(r =>
-        Option(r.getStruct(1)).map(rm =>
-          absPath(rm.getString(0)).toUri.toString ->
-            (rm.isNullAt(1) || rm.getBoolean(1)))).toMap
-
+      val adds = actions.adds
+      val removed = actions.removes
       val prevFiles = files
       val newFiles = (prevFiles -- removed.keys) ++
         adds.map { case (f, _) => key(f) -> f }
@@ -273,6 +269,108 @@ object DeltaChanges {
         .reduceOption(_ unionByName _)
       VersionDelta(v, inserts, dvDeletes.toSeq ++ dropDeletes.toSeq)
     }
+  }
+
+  /** The window's commits as one distributed JSON read, attributed
+    * back to versions by file name — the at-scale parse (a backfill
+    * window can span thousands of commits). */
+  private[sources] def parseWindowDistributed(paths: Seq[(Long, Path)],
+                                     absPath: String => Path)
+                                    (implicit spark: SparkSession)
+      : Map[Long, CdfCommit] = {
+    val rows = spark.read.schema(cdfActionSchema)
+      .json(paths.map(_._2.toString): _*)
+      .withColumn("__v", regexp_extract(input_file_name(),
+        "(\\d{20})\\.json", 1).cast("long"))
+      .collect() // the window's action lists: commit-metadata-sized
+      .toSeq.groupBy(_.getAs[Long]("__v"))
+    rows.map { case (v, actions) =>
+      val adds = actions.flatMap { r =>
+        Option(r.getStruct(0)).map { a =>
+          val pv: Map[String, String] =
+            if (a.isNullAt(1)) Map.empty
+            else a.getMap[String, String](1).toMap
+          val dv = Option(a.getStruct(5)).map { d =>
+            DeltaReader.DvDescriptor(d.getString(0), d.getString(1),
+              if (d.isNullAt(2)) None else Some(d.getInt(2)),
+              d.getInt(3), if (d.isNullAt(4)) 0L else d.getLong(4))
+          }
+          (DeltaReader.DeltaFile(absPath(a.getString(0)).toString, pv,
+            if (a.isNullAt(2)) 0L else a.getLong(2),
+            if (a.isNullAt(3)) 0L else a.getLong(3), dv),
+            a.isNullAt(4) || a.getBoolean(4))
+        }
+      }
+      val removes: Map[String, Boolean] = actions.flatMap(r =>
+        Option(r.getStruct(1)).map(rm =>
+          absPath(rm.getString(0)).toUri.toString ->
+            (rm.isNullAt(1) || rm.getBoolean(1)))).toMap
+      val meta = actions.flatMap(r => Option(r.getStruct(2))).lastOption
+        .map { m =>
+          (if (m.isNullAt(0)) None else Some(m.getString(0)),
+            if (m.isNullAt(1)) None else Some(m.getSeq[String](1).toSeq),
+            if (m.isNullAt(2)) None
+            else Some(m.getMap[String, String](2).toMap))
+        }
+      v -> CdfCommit(adds, removes, meta)
+    }
+  }
+
+  /** Driver-side window parse for small poll windows — plain Jackson
+    * over the commit bytes, zero Spark jobs (the [[DeltaReader
+    * .FastReplayMaxBytes]] size gate decides). Reduces to the same
+    * [[CdfCommit]] shape as the distributed parse. */
+  private[sources] def parseWindowDriver(fs: org.apache.hadoop.fs.FileSystem,
+                                paths: Seq[(Long, Path)],
+                                absPath: String => Path)
+      : Map[Long, CdfCommit] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def txt(n: com.fasterxml.jackson.databind.JsonNode, f: String): String =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asText).orNull
+    def lng(n: com.fasterxml.jackson.databind.JsonNode, f: String,
+            dflt: Long): Long =
+      Option(n.get(f)).filterNot(_.isNull).map(_.asLong).getOrElse(dflt)
+    def strMap(n: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      n.fields().asScala.map(e => e.getKey ->
+        (if (e.getValue.isNull) null else e.getValue.asText)).toMap
+    }
+    paths.map { case (v, p) =>
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      val nodes = new String(bytes, "UTF-8").split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty).map(om.readTree).toSeq
+      val adds = nodes.flatMap(n =>
+        Option(n.get("add")).filterNot(_.isNull)).map { a =>
+        val pv = Option(a.get("partitionValues")).filterNot(_.isNull)
+          .map(strMap).getOrElse(Map.empty[String, String])
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+          DeltaReader.DvDescriptor(txt(d, "storageType"),
+            txt(d, "pathOrInlineDv"),
+            Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+            lng(d, "sizeInBytes", 0L).toInt, lng(d, "cardinality", 0L))
+        }
+        (DeltaReader.DeltaFile(absPath(txt(a, "path")).toString, pv,
+          lng(a, "size", 0L), lng(a, "modificationTime", 0L), dv),
+          Option(a.get("dataChange")).filterNot(_.isNull)
+            .forall(_.asBoolean))
+      }
+      val removes: Map[String, Boolean] = nodes.flatMap(n =>
+        Option(n.get("remove")).filterNot(_.isNull)).map { r =>
+        absPath(txt(r, "path")).toUri.toString ->
+          Option(r.get("dataChange")).filterNot(_.isNull).forall(_.asBoolean)
+      }.toMap
+      val meta = nodes.flatMap(n =>
+        Option(n.get("metaData")).filterNot(_.isNull)).lastOption.map { m =>
+        (Option(txt(m, "schemaString")),
+          Option(m.get("partitionColumns")).filterNot(_.isNull)
+            .map(arr => (0 until arr.size).map(i => arr.get(i).asText).toSeq),
+          Option(m.get("configuration")).filterNot(_.isNull).map(strMap))
+      }
+      v -> CdfCommit(adds, removes, meta)
+    }.toMap
   }
 
   /** Tail-follow composition with the exactly-once append primitive:

@@ -145,6 +145,37 @@ class DeltaChangesSpec extends SparkSpec {
     }
   }
 
+  test("driver-side and distributed window parsers reduce to identical commits") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write((1L to 6L).map(i => (i, if (i <= 3) "A" else "B"))
+        .toDF("v", "p").coalesce(1))                    // v0
+      ds.append(Seq((7L, "B")).toDF("v", "p"))          // v1
+      ds.delete($"v" % 2 === 0L)                        // v2 (DV descriptors)
+      ds.write(Seq((50L, "C")).toDF("v", "p"))          // v3 (overwrite: removes)
+      val logDir = new org.apache.hadoop.fs.Path(table, "_delta_log")
+      val fs = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val qualifiedBase = fs.makeQualified(new org.apache.hadoop.fs.Path(table))
+      def absPath(raw: String): org.apache.hadoop.fs.Path = {
+        val uri = new java.net.URI(raw)
+        val p = new org.apache.hadoop.fs.Path(uri)
+        if (uri.isAbsolute) p else new org.apache.hadoop.fs.Path(qualifiedBase, p)
+      }
+      val paths = (0L to 3L).map(v =>
+        v -> new org.apache.hadoop.fs.Path(logDir, f"$v%020d.json"))
+      val fast = DeltaChanges.parseWindowDriver(fs, paths, absPath)
+      val dist = DeltaChanges.parseWindowDistributed(paths, absPath)
+      assert(fast.keySet == dist.keySet)
+      fast.keySet.toSeq.sorted.foreach { v =>
+        // adds may collect in any order distributed — compare as sets
+        assert(fast(v).adds.toSet == dist(v).adds.toSet, s"adds diverged at v$v")
+        assert(fast(v).removes == dist(v).removes, s"removes diverged at v$v")
+        assert(fast(v).meta == dist(v).meta, s"meta diverged at v$v")
+      }
+    }
+  }
+
   test("a vacuumed commit inside the window raises instead of guessing") {
     withTempDir { dir =>
       val table = s"$dir/t"
