@@ -1302,5 +1302,67 @@ object HiveQ {
           min(col("o_orderkey")).cast("bigint").as("min_key"),
           max(col("o_orderkey")).cast("bigint").as("max_key"))
       })
+    ,
+
+    // ---- DESCRIBE HISTORY ------------------------------------------
+    // Every commit records its operation in commitInfo (the
+    // convention every engine writes); history() lists retained
+    // commits newest-first with operation names and action counts.
+    Q("q419_delta_history",
+      Some("""SELECT * FROM (VALUES
+             |  (4::BIGINT, 'RESTORE'), (3::BIGINT, 'OPTIMIZE'),
+             |  (2::BIGINT, 'DELETE'), (1::BIGINT, 'WRITE'),
+             |  (0::BIGINT, 'WRITE')) AS t(version, operation)
+             |ORDER BY version DESC""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q419_")
+        val ord = t(s, dir, "orders")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 2000))       // v0
+        ds.append(ord.where(col("o_orderkey") >= 2000 &&
+          col("o_orderkey") < 4000))                        // v1
+        ds.delete(col("o_orderstatus") === "F")             // v2
+        ds.optimize(0.0)                                    // v3
+        ds.restore(1L)                                      // v4
+        ds.history().get
+          .select(col("version"), col("operation"))
+          .orderBy(col("version").desc)
+      })
+    ,
+
+    // ---- explicit schema evolution ---------------------------------
+    // mergeSchema append ADDS a column in one commit: old rows
+    // null-fill it, the pre-evolution version keeps its shape, and
+    // the aggregate over the evolved head matches the oracle's
+    // two-slice union.
+    Q("q420_delta_evolve",
+      Some("""WITH a AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 3000),
+             |b AS (SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_orderkey >= 3000 AND o_orderkey < 6000)
+             |SELECT (SELECT count(*) FROM a)::BIGINT
+             |    + (SELECT count(*) FROM b)::BIGINT AS n,
+             |  (SELECT count(*) FROM b)::BIGINT AS n_priced,
+             |  (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE
+             |     FROM b) AS sum_price""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q420_")
+        val ord = t(s, dir, "orders")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 3000)
+          .select("o_orderkey"))                                      // v0
+        ds.append(ord.where(col("o_orderkey") >= 3000 &&
+          col("o_orderkey") < 6000)
+          .select("o_orderkey", "o_totalprice"), mergeSchema = true)  // v1
+        require(graft.sources.DeltaReader.scan(table, Some(0L))(s).get
+          .columns.toSeq == Seq("o_orderkey"),
+          "q420: the pre-evolution version must keep its shape")
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          count(col("o_totalprice")).cast("bigint").as("n_priced"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      })
   )
 }

@@ -84,11 +84,15 @@ object DeltaChanges {
     Some(balancedUnion(emptyChangeFrame(headSnap) +: frames))
   }
 
+  // allowMissingColumns: a schema-evolving commit inside the window
+  // makes later frames wider — pre-evolution rows null-fill the added
+  // columns, exactly how the evolved table reads them
   private def balancedUnion(fs: Seq[DataFrame]): DataFrame =
     if (fs.length == 1) fs.head
     else {
       val (a, b) = fs.splitAt(fs.length / 2)
-      balancedUnion(a) unionByName balancedUnion(b)
+      balancedUnion(a).unionByName(balancedUnion(b),
+        allowMissingColumns = true)
     }
 
   /** The zero-row change frame carrying `schema` + the CDF columns. */

@@ -42,14 +42,19 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
   private val cleanUrl = url.stripSuffix("/")
 
   /** Append rows as a new commit (delta_dataset.py:20-21); creates
-    * the table when absent, like delta-rs append. */
-  def append(df: DataFrame): Long = DeltaWriter.write(
-    cleanUrl, df, partitionColumns, overwrite = false)
+    * the table when absent, like delta-rs append. `mergeSchema = true`
+    * is delta-spark's explicit schema evolution: new columns are ADDED
+    * to the table schema in one commit (old files null-fill them at
+    * read, old versions keep their shape); type changes still refuse. */
+  def append(df: DataFrame, mergeSchema: Boolean = false): Long =
+    DeltaWriter.write(cleanUrl, df, partitionColumns, overwrite = false,
+      mergeSchema = mergeSchema)
 
   /** Replace the table contents in one commit
     * (delta_dataset.py:23-24, mode="overwrite"). */
-  def write(df: DataFrame): Long = DeltaWriter.write(
-    cleanUrl, df, partitionColumns, overwrite = true)
+  def write(df: DataFrame, mergeSchema: Boolean = false): Long =
+    DeltaWriter.write(cleanUrl, df, partitionColumns, overwrite = true,
+      mergeSchema = mergeSchema)
 
   /** Row-level DELETE via deletion vectors — no data-file rewrite:
     * rows matching `cond` are masked by per-file roaring sidecars
@@ -112,6 +117,11 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
     * [[vacuum]]. Returns the number of files deleted. */
   def cleanupLog(retentionMillis: Long = 0L): Int =
     DeltaWriter.cleanupLog(cleanUrl, retentionMillis)
+
+  /** DESCRIBE HISTORY — one row per retained commit, newest first
+    * (version, timestamp, recorded operation, action counts); see
+    * [[DeltaReader.history]]. */
+  def history(): Option[DataFrame] = DeltaReader.history(cleanUrl)
 
   /** Targeted partition read (delta_dataset.py:41-54). */
   def readPartition(values: Map[String, String]): Option[DataFrame] =
@@ -247,22 +257,28 @@ object DeltaWriter {
     case scala.util.control.NonFatal(_) => None
   }
 
-  /** In-commit timestamps (the `inCommitTimestamp` writer feature):
-    * when `delta.enableInCommitTimestamps = true`, every commit's
-    * FIRST action is `commitInfo.inCommitTimestamp`, strictly greater
-    * than the previous commit's — the log itself becomes the clock,
-    * immune to file-mtime loss on copy/restore. Returns the line(s)
-    * to prepend. */
+  /** The commit's `commitInfo` line — every commit's FIRST action:
+    * wall-clock `timestamp` + the `operation` name (the DESCRIBE
+    * HISTORY surface every engine records: WRITE / DELETE / OPTIMIZE
+    * / RESTORE), plus `inCommitTimestamp` when the table enables the
+    * `inCommitTimestamp` writer feature
+    * (`delta.enableInCommitTimestamps = true`): strictly greater than
+    * the previous commit's, so the log itself becomes the clock,
+    * immune to file-mtime loss on copy/restore. */
   private def ictLines(conf: Map[String, String], fs: FileSystem,
-                       logDir: Path, prevVersion: Long): Seq[String] = {
-    if (!conf.get("delta.enableInCommitTimestamps").contains("true"))
-      return Seq.empty
+                       logDir: Path, prevVersion: Long,
+                       operation: String): Seq[String] = {
     val now = System.currentTimeMillis
-    val prev =
-      if (prevVersion < 0) None
-      else DeltaWriter.readIct(fs, new Path(logDir, f"$prevVersion%020d.json"))
-    val ts = math.max(now, prev.map(_ + 1L).getOrElse(now))
-    Seq(s"""{"commitInfo":{"inCommitTimestamp":$ts}}""")
+    val ict =
+      if (!conf.get("delta.enableInCommitTimestamps").contains("true")) ""
+      else {
+        val prev =
+          if (prevVersion < 0) None
+          else DeltaWriter.readIct(fs, new Path(logDir, f"$prevVersion%020d.json"))
+        s""""inCommitTimestamp":${math.max(now, prev.map(_ + 1L).getOrElse(now))},"""
+      }
+    Seq(s"""{"commitInfo":{$ict"timestamp":$now,""" +
+      s""""operation":"${jsonEscape(operation)}"}}""")
   }
 
   /** The `inCommitTimestamp` of one commit file, when present. */
@@ -290,7 +306,8 @@ object DeltaWriter {
     * publishing; the orphaned files are [[vacuum]] fodder, exactly
     * delta's own behavior. */
   def write(url: String, df: DataFrame, partitionColumns: Seq[String],
-            overwrite: Boolean, txn: Option[(String, Long)] = None)
+            overwrite: Boolean, txn: Option[(String, Long)] = None,
+            mergeSchema: Boolean = false)
            (implicit spark: SparkSession): Long = {
     val cleanUrl = url.stripSuffix("/")
     // idempotence gate BEFORE any data lands: a replayed batch that
@@ -319,10 +336,21 @@ object DeltaWriter {
       require(snap.partitionColumns == partitionColumns,
         s"DeltaWriter: table is partitioned by ${snap.partitionColumns}, " +
           s"write requested $partitionColumns")
-      require(canonical(snap.schema) == canonical(df.schema),
-        s"DeltaWriter: schema mismatch — table has ${snap.schema.simpleString}, " +
-          s"dataframe has ${df.schema.simpleString} (evolve the table " +
-          "explicitly; this writer refuses silent schema changes)")
+      if (!mergeSchema)
+        require(canonical(snap.schema) == canonical(df.schema),
+          s"DeltaWriter: schema mismatch — table has ${snap.schema.simpleString}, " +
+            s"dataframe has ${df.schema.simpleString} (pass mergeSchema = true " +
+            "to ADD columns; this writer refuses silent schema changes)")
+      else {
+        // explicit evolution may only ADD columns — a changed type on
+        // a shared column would silently corrupt every old file's read
+        val tbl = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+        df.schema.fields.foreach { f =>
+          tbl.get(f.name).foreach(t => require(t == f.dataType,
+            s"DeltaWriter: mergeSchema cannot change column '${f.name}' " +
+              s"from ${t.simpleString} to ${f.dataType.simpleString}"))
+        }
+      }
       // an append-only table never loses rows; overwrite removes all
       require(!(overwrite &&
         snap.configuration.get("delta.appendOnly").contains("true")),
@@ -398,9 +426,31 @@ object DeltaWriter {
             """"dataChange":true}}"""
         }
       val head = if (snap.isEmpty) metaLines else Seq.empty
+      // explicit evolution: the commit carries a new metaData with the
+      // MERGED schema (table fields in their order + the new ones),
+      // same table id/partitioning/configuration — old files null-fill
+      // the added columns at read, every old version keeps its shape
+      val evolution: Seq[String] = snap match {
+        case Some(s) if mergeSchema =>
+          val existing = s.schema.fieldNames.toSet
+          val extra = df.schema.fields.filterNot(f => existing(f.name))
+          if (extra.isEmpty) Seq.empty
+          else {
+            val merged = StructType(s.schema.fields ++ extra)
+            Seq(s"""{"metaData":{"id":"${jsonEscape(s.tableId)}",""" +
+              """"format":{"provider":"parquet","options":{}},""" +
+              s""""schemaString":"${jsonEscape(merged.json)}",""" +
+              s""""partitionColumns":[${partitionColumns.map(c =>
+                s""""${jsonEscape(c)}"""").mkString(",")}],""" +
+              s""""configuration":{${s.configuration.map { case (k, v) =>
+                s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")}},""" +
+              s""""createdTime":${s.createdTime.getOrElse(System.currentTimeMillis)}}}""")
+          }
+        case _ => Seq.empty
+      }
       val ict = ictLines(snap.map(_.configuration).getOrElse(Map.empty),
-        fs, logDir, version - 1)
-      val body = (ict ++ head ++ txnLine ++ removes ++ adds)
+        fs, logDir, version - 1, "WRITE")
+      val body = (ict ++ head ++ evolution ++ txnLine ++ removes ++ adds)
         .mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
@@ -560,7 +610,7 @@ object DeltaWriter {
             s""""readerFeatures":[${rf.map(x => s""""$x"""").mkString(",")}],""" +
             s""""writerFeatures":[${wf.map(x => s""""$x"""").mkString(",")}]}}""")
         }
-      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      val ict = ictLines(head.configuration, fs, logDir, head.version, "DELETE")
       val lines = ict ++ protoLine ++ fileKeys.flatMap { k =>
         val f = byKey(k)
         Seq(
@@ -665,7 +715,7 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
-      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
           (ict ++ removes ++ adds).mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
@@ -767,7 +817,7 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
-      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
           (ict ++ removes ++ adds).mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
@@ -872,7 +922,7 @@ object DeltaWriter {
         s"DeltaWriter.restore: version $version references vacuumed " +
           s"files — ${missing.map(_.toString).sorted.mkString(", ")}")
       val v = head.version + 1
-      val ict = ictLines(head.configuration, fs, logDir, head.version)
+      val ict = ictLines(head.configuration, fs, logDir, head.version, "RESTORE")
       if (publishCommit(fs, logDir, v,
           (ict ++ removes ++ adds).mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, v)

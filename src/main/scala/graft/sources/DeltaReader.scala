@@ -728,6 +728,55 @@ object DeltaReader {
     snapshotAt(cleanUrl, Some(chosen._1))
   }
 
+  /** DESCRIBE HISTORY: one row per RETAINED JSON commit, newest
+    * first — `version`, `timestamp` (the commitInfo's recorded
+    * wall-clock, else its in-commit timestamp, else the commit file's
+    * mtime — the same precedence engines use), `operation` (WRITE /
+    * DELETE / OPTIMIZE / RESTORE as recorded; null for writers that
+    * record none), and the commit's add/remove action counts.
+    * Driver work is commit-count bounded (the log's own listing
+    * class); None when no table exists. Commits a checkpoint-covered
+    * cleanup reclaimed no longer appear — history is as deep as the
+    * retained log, exactly delta-spark's contract. */
+  def history(url: String)(implicit spark: SparkSession): Option[DataFrame] = {
+    val cleanUrl = url.stripSuffix("/")
+    val logDir = new Path(cleanUrl, "_delta_log")
+    val fs: FileSystem = logDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(logDir)) return None
+    val commits = fs.listStatus(logDir).flatMap { st =>
+      st.getPath.getName match {
+        case CommitName(v) => Some((v.toLong, st))
+        case _ => None
+      }
+    }.sortBy(-_._1)
+    if (commits.isEmpty) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows: Seq[org.apache.spark.sql.Row] = commits.toSeq.map { case (v, st) =>
+      val bytes = new Array[Byte](st.getLen.toInt)
+      val in = fs.open(st.getPath)
+      try in.readFully(0L, bytes) finally in.close()
+      val nodes = new String(bytes, "UTF-8").split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty).map(om.readTree).toSeq
+      def opt(n: com.fasterxml.jackson.databind.JsonNode, f: String) =
+        Option(n.get(f)).filterNot(_.isNull)
+      val ci = nodes.flatMap(opt(_, "commitInfo")).headOption
+      val ts = ci.flatMap(opt(_, "timestamp").map(_.asLong))
+        .orElse(ci.flatMap(opt(_, "inCommitTimestamp").map(_.asLong)))
+        .getOrElse(st.getModificationTime)
+      val op = ci.flatMap(opt(_, "operation").map(_.asText)).orNull
+      org.apache.spark.sql.Row(v, ts, op,
+        nodes.count(opt(_, "add").isDefined).toLong,
+        nodes.count(opt(_, "remove").isDefined).toLong)
+    }
+    import scala.jdk.CollectionConverters._
+    Some(spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("timestamp", LongType, nullable = false),
+      StructField("operation", StringType),
+      StructField("n_adds", LongType, nullable = false),
+      StructField("n_removes", LongType, nullable = false)))))
+  }
+
   /** Timestamp time-travel scan (see [[snapshotAsOf]]). */
   def scanAsOf(url: String, timestampMillis: Long)
               (implicit spark: SparkSession): Option[DataFrame] =

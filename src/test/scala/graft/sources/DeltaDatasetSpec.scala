@@ -28,8 +28,11 @@ class DeltaDatasetSpec extends SparkSpec {
       assert(snap.files.forall(_.partitionValues.keySet == Set("p")))
       val log = Files.readAllLines(
         Paths.get(table, "_delta_log", f"${0L}%020d.json"))
-      assert(log.get(0).contains("minReaderVersion"))
-      assert(log.get(1).contains("schemaString"))
+      // commitInfo first (the convention every engine writes), then
+      // protocol, then metaData
+      assert(log.get(0).contains("\"operation\":\"WRITE\""))
+      assert(log.get(1).contains("minReaderVersion"))
+      assert(log.get(2).contains("schemaString"))
     }
   }
 
@@ -670,6 +673,72 @@ class DeltaDatasetSpec extends SparkSpec {
       // life goes on: appends + the NEXT checkpoint still land
       ds.append(Seq(200L).toDF("v"))
       assert(ds.scan().get.count() == 7L)
+    }
+  }
+
+  test("mergeSchema append adds columns; old rows null-fill; old versions keep their shape") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))              // v0
+      // refused WITHOUT the explicit flag
+      intercept[IllegalArgumentException](
+        ds.append(Seq((3L, "c", 1.5)).toDF("k", "s", "x")))
+      assert(ds.append(Seq((3L, "c", 1.5), (4L, "d", 2.5))
+        .toDF("k", "s", "x"), mergeSchema = true) == 1L)              // v1
+      val head = DeltaReader.scan(table).get
+      assert(head.columns.toSeq == Seq("k", "s", "x"))
+      assert(head.collect().map(r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet ==
+        Set((1L, "a", None), (2L, "b", None),
+          (3L, "c", Some(1.5)), (4L, "d", Some(2.5))))
+      // the pre-evolution version still reads with the OLD shape
+      assert(DeltaReader.scan(table, Some(0L)).get.columns.toSeq ==
+        Seq("k", "s"))
+      // further appends must carry the evolved schema...
+      ds.append(Seq((5L, "e", 3.5)).toDF("k", "s", "x"))              // v2
+      // ...and a type CHANGE refuses even under mergeSchema
+      val e = intercept[IllegalArgumentException](ds.append(
+        Seq(("oops", "f", 4.5)).toDF("k", "s", "x"), mergeSchema = true))
+      assert(e.getMessage.contains("cannot change column"))
+      // the change feed spans the evolution: early inserts null-fill x
+      val ch = DeltaChanges.readChanges(table, -1L).get
+      assert(ch.columns.toSeq ==
+        Seq("k", "s", "x", "_change_type", "_commit_version"))
+      assert(ch.where($"_commit_version" === 0L && $"x".isNull)
+        .count() == 2L)
+      // the table id survives the evolution commit (streams key on it)
+      assert(DeltaReader.snapshotAt(table, Some(0L)).get.tableId ==
+        DeltaReader.snapshot(table).get.tableId)
+    }
+  }
+
+  test("history lists retained commits newest-first with recorded operations") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(1L, 2L, 3L).toDF("v"))   // v0 WRITE
+      ds.append(Seq(4L).toDF("v"))          // v1 WRITE
+      ds.delete($"v" === 2L)                // v2 DELETE
+      ds.optimize(0.0)                      // v3 OPTIMIZE
+      ds.restore(1L)                        // v4 RESTORE
+      val h = ds.history().get.collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(4L, 3L, 2L, 1L, 0L))
+      assert(h.map(_.getString(2)).toSeq ==
+        Seq("RESTORE", "OPTIMIZE", "DELETE", "WRITE", "WRITE"))
+      // timestamps are wall-clock, never the zero default
+      assert(h.forall(_.getLong(1) > 0L))
+      // v2's DV delete commits remove+re-add of one file
+      val v2 = h.find(_.getLong(0) == 2L).get
+      assert(v2.getLong(3) == 1L && v2.getLong(4) == 1L)
+      // a foreign commit without commitInfo reports a null operation
+      val logDir = Paths.get(table, "_delta_log")
+      Files.write(logDir.resolve(f"${5L}%020d.json"),
+        """{"add":{"path":"nope.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}
+          |""".stripMargin.getBytes("UTF-8"))
+      val h2 = ds.history().get.collect()
+      assert(h2.head.getLong(0) == 5L && h2.head.isNullAt(2))
     }
   }
 
