@@ -1037,9 +1037,15 @@ object DeltaWriter {
     * the metadata half of [[vacuum]] (real Delta's
     * `delta.logRetentionDuration` cleanup): JSON commits, classic
     * checkpoint parts and v2 manifests strictly OLDER than the newest
-    * checkpoint version, plus `_sidecars/` files referenced by no
+    * VERIFIED-COMPLETE checkpoint version (all parts of a multi-part
+    * classic present; a v2 manifest's referenced sidecars all
+    * present — a foreign writer's partial landing never anchors
+    * deletion), plus `_sidecars/` files referenced by no
     * retained manifest, each deleted only when its mtime crosses
-    * `retentionMillis`. The head (checkpoint anchor + commit tail)
+    * `retentionMillis`; a `_last_checkpoint` pointer left naming a
+    * reclaimed checkpoint is dropped so pointer-trusting readers
+    * are not sent to a nonexistent file. The head (checkpoint anchor
+    * + commit tail)
     * replays identically afterwards; time travel to cleaned versions
     * raises the reader's loud truncation error — the standard
     * trade-off, never a silent wrong answer. Returns files deleted.
@@ -1057,39 +1063,72 @@ object DeltaWriter {
     val fs: FileSystem = logDir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(logDir)) return 0
     val entries = fs.listStatus(logDir).filter(_.isFile)
-    val classicCps = entries.map(_.getPath.getName).collect {
-      case DeltaReader.CheckpointName(v, _) => v.toLong }
-    val v2Cps = entries.map(_.getPath.getName).collect {
-      case DeltaReader.V2CheckpointName(v, _, _) => v.toLong }
-    val cps = (classicCps ++ v2Cps).distinct.sorted
-    if (cps.isEmpty) return 0 // nothing anchors a replay: keep it all
-    val cp = cps.max
-    // sidecars referenced by the RETAINED (= version cp) v2 manifests
-    // stay, whoever wrote them; everything else under _sidecars/ is
-    // re-derivable from the retained manifest set
-    val retainedManifests = entries.map(_.getPath).filter { p =>
-      p.getName match {
-        case DeltaReader.V2CheckpointName(v, _, _) => v.toLong == cp
-        case _ => false
-      }
-    }
-    val referencedSidecars: Set[String] = retainedManifests.flatMap { m =>
-      val sidecarSchema = StructType(Seq(StructField("sidecar", StructType(Seq(
-        StructField("path", StringType))))))
-      val df =
-        if (m.getName.endsWith(".json"))
-          spark.read.schema(sidecarSchema).json(m.toString)
-        else spark.read.schema(sidecarSchema).parquet(m.toString)
-      df.where(col("sidecar.path").isNotNull)
-        .select(col("sidecar.path")).collect().map(_.getString(0))
-        // stored relative to _sidecars/ OR absolute: compare by name
-        .map(p => new Path(p).getName)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    val presentSidecars: Set[String] =
+      if (!fs.exists(sidecarDir)) Set.empty
+      else fs.listStatus(sidecarDir).filter(_.isFile)
+        .map(_.getPath.getName).toSet
+
+    // ---- anchor selection: only VERIFIED-COMPLETE checkpoints ------
+    // A foreign writer's partially-landed checkpoint (some parts of a
+    // classic multi-part, or a v2 manifest whose sidecar never made
+    // it) matches the name patterns but cannot replay — anchoring
+    // deletion on it would turn that writer's transient crash into
+    // permanent log corruption. delta-spark's metadata cleanup only
+    // deletes below the latest COMPLETE checkpoint; so do we.
+    val classicByVersion: Map[Long, Seq[Option[(Int, Int)]]] =
+      entries.map(_.getPath.getName).collect {
+        case DeltaReader.CheckpointName(v, suffix) =>
+          // suffix `.PPPPPPPPPP.NNNNNNNNNN` = part P of N; absent on
+          // single-file checkpoints
+          v.toLong -> Option(suffix).map { s =>
+            val parts = s.stripPrefix(".").split("\\.")
+            (parts(0).toInt, parts(1).toInt)
+          }
+      }.groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSeq }
+    val completeClassic: Set[Long] = classicByVersion.collect {
+      case (v, parts) if parts.contains(None) => v // single-file lands whole
+      case (v, parts) if {
+        val mp = parts.flatten
+        mp.nonEmpty && mp.map(_._2).distinct.sizeIs == 1 &&
+          mp.map(_._1).toSet == (1 to mp.head._2).toSet
+      } => v
     }.toSet
+    // every v2 manifest's sidecar pointers, read ONCE up front
+    // (manifest-count bounded; also feeds sidecar retention below)
+    val sidecarSchema = StructType(Seq(StructField("sidecar", StructType(Seq(
+      StructField("path", StringType))))))
+    val manifestSidecars: Seq[(Long, Path, Seq[String])] =
+      entries.map(_.getPath).flatMap { p =>
+        p.getName match {
+          case DeltaReader.V2CheckpointName(v, _, _) =>
+            val df =
+              if (p.getName.endsWith(".json"))
+                spark.read.schema(sidecarSchema).json(p.toString)
+              else spark.read.schema(sidecarSchema).parquet(p.toString)
+            val refs = df.where(col("sidecar.path").isNotNull)
+              .select(col("sidecar.path")).collect().map(_.getString(0))
+              // stored relative to _sidecars/ OR absolute: compare by name
+              .map(s => new Path(s).getName).toSeq
+            Some((v.toLong, p, refs))
+          case _ => None
+        }
+      }.toSeq
+    val completeV2: Set[Long] = manifestSidecars.collect {
+      case (v, _, refs) if refs.forall(presentSidecars.contains) => v
+    }.toSet
+    val verified = completeClassic ++ completeV2
+    if (verified.isEmpty) return 0 // nothing verifiably anchors a replay
+    val cp = verified.max
+
     val cutoff = System.currentTimeMillis - retentionMillis
     var deleted = 0
+    val deletedPaths = scala.collection.mutable.Set.empty[String]
     def reclaim(st: org.apache.hadoop.fs.FileStatus): Unit =
-      if (st.getModificationTime < cutoff && fs.delete(st.getPath, false))
+      if (st.getModificationTime < cutoff && fs.delete(st.getPath, false)) {
         deleted += 1
+        deletedPaths += st.getPath.toUri.getPath
+      }
     entries.foreach { st =>
       st.getPath.getName match {
         case DeltaReader.CommitName(v) if v.toLong < cp => reclaim(st)
@@ -1099,11 +1138,41 @@ object DeltaWriter {
         case _ => ()
       }
     }
-    val sidecarDir = new Path(logDir, "_sidecars")
+    // sidecars referenced by ANY manifest that survived this pass stay
+    // (not just version-cp ones: an older manifest still inside the
+    // retention window anchors time travel, and its sidecars must not
+    // be yanked from under it); the rest are re-derivable
+    val referencedSidecars: Set[String] = manifestSidecars.collect {
+      case (_, p, refs) if !deletedPaths.contains(p.toUri.getPath) => refs
+    }.flatten.toSet
     if (fs.exists(sidecarDir))
       fs.listStatus(sidecarDir).filter(_.isFile).foreach { st =>
         if (!referencedSidecars.contains(st.getPath.getName)) reclaim(st)
       }
+    // _last_checkpoint hygiene: if the checkpoint the pointer names
+    // was reclaimed above (e.g. a classic file below a newer v2
+    // anchor), pointer-trusting readers (delta-rs) would be sent to a
+    // nonexistent file — drop the pointer; discovery-by-listing
+    // readers (ours) are unaffected
+    val lcPath = new Path(logDir, "_last_checkpoint")
+    if (fs.exists(lcPath)) {
+      val in = fs.open(lcPath)
+      val bytes = new Array[Byte](fs.getFileStatus(lcPath).getLen.toInt)
+      try in.readFully(0L, bytes) finally in.close()
+      val pointed = """"version"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(new String(bytes, "UTF-8")).map(_.group(1).toLong)
+      val stillThere = pointed.exists { pv =>
+        entries.exists { st =>
+          !deletedPaths.contains(st.getPath.toUri.getPath) &&
+            (st.getPath.getName match {
+              case DeltaReader.CheckpointName(v, _) => v.toLong == pv
+              case DeltaReader.V2CheckpointName(v, _, _) => v.toLong == pv
+              case _ => false
+            })
+        }
+      }
+      if (!stillThere && fs.delete(lcPath, false)) deleted += 1
+    }
     deleted
   }
 

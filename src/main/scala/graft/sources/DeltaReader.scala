@@ -420,9 +420,25 @@ object DeltaReader {
     val statuses = fs.listStatus(logDir)
     val entries = statuses.map(_.getPath.getName)
     val commits = entries.collect { case CommitName(v) => v.toLong }.sorted
+    // only COMPLETE classic checkpoints anchor a replay: a multi-part
+    // checkpoint is usable iff all N declared parts landed — a foreign
+    // writer's partial landing (crash mid-upload) must be ignored, not
+    // replayed as truncated state (delta-spark's checkpoint selection
+    // does the same)
     val classicCps = entries.collect {
-      case CheckpointName(v, _) => v.toLong
-    }.distinct.sorted
+      case CheckpointName(v, suffix) =>
+        v.toLong -> Option(suffix).map { s =>
+          val p = s.stripPrefix(".").split("\\.")
+          (p(0).toInt, p(1).toInt)
+        }
+    }.groupBy(_._1).collect {
+      case (v, parts) if parts.exists(_._2.isEmpty) => v
+      case (v, parts) if {
+        val mp = parts.flatMap(_._2)
+        mp.nonEmpty && mp.map(_._2).distinct.sizeIs == 1 &&
+          mp.map(_._1).toSet == (1 to mp.head._2).toSet
+      } => v
+    }.toSeq.distinct.sorted
     // several v2 manifests may exist per version (one per writing
     // attempt — the spec makes them equivalent); pick the
     // lexicographically first for determinism
@@ -467,12 +483,26 @@ object DeltaReader {
         .withColumn("__v", regexp_extract(input_file_name(),
           "(\\d{20})\\.json", 1).cast("long")))
     val cpActions = cp.map { v =>
-      val parts = fs.listStatus(logDir).map(_.getPath).filter { p =>
+      val allClassic = fs.listStatus(logDir).map(_.getPath).filter { p =>
         p.getName match {
           case CheckpointName(cv, _) => cv.toLong == v
           case _ => false
         }
       }
+      // when a single-file checkpoint coexists with a (possibly
+      // partial) multi-part landing at the same version, read ONLY
+      // the single file — mixing in stray parts would duplicate rows
+      val single = allClassic.filter(_.getName match {
+        case CheckpointName(_, suffix) => suffix == null
+        case _ => false
+      })
+      // classic wins only when COMPLETE at this version (the anchor
+      // may owe its completeness to a v2 manifest while a partial
+      // classic landing sits alongside — reading the stray parts
+      // would replay truncated state)
+      val parts =
+        if (!classicCps.contains(v)) Array.empty[Path]
+        else if (single.nonEmpty) single else allClassic
       // classic (single or multi-part) wins when both forms exist —
       // either is complete; v2 manifests anchor otherwise. The
       // explicit schema clips checkpoints' extra columns (txn,
@@ -729,9 +759,12 @@ object DeltaReader {
   }
 
   /** DESCRIBE HISTORY: one row per RETAINED JSON commit, newest
-    * first — `version`, `timestamp` (the commitInfo's recorded
-    * wall-clock, else its in-commit timestamp, else the commit file's
-    * mtime — the same precedence engines use), `operation` (WRITE /
+    * first — `version`, `timestamp` (the commitInfo's monotonic
+    * in-commit timestamp when the ICT feature recorded one, else its
+    * wall-clock `timestamp`, else the commit file's mtime — ICT
+    * first is the engine precedence: on ICT tables Delta surfaces
+    * the monotonic clock, never the possibly-skewed wall clock),
+    * `operation` (WRITE /
     * DELETE / OPTIMIZE / RESTORE as recorded; null for writers that
     * record none), and the commit's add/remove action counts.
     * Driver work is commit-count bounded (the log's own listing
@@ -760,8 +793,8 @@ object DeltaReader {
       def opt(n: com.fasterxml.jackson.databind.JsonNode, f: String) =
         Option(n.get(f)).filterNot(_.isNull)
       val ci = nodes.flatMap(opt(_, "commitInfo")).headOption
-      val ts = ci.flatMap(opt(_, "timestamp").map(_.asLong))
-        .orElse(ci.flatMap(opt(_, "inCommitTimestamp").map(_.asLong)))
+      val ts = ci.flatMap(opt(_, "inCommitTimestamp").map(_.asLong))
+        .orElse(ci.flatMap(opt(_, "timestamp").map(_.asLong)))
         .getOrElse(st.getModificationTime)
       val op = ci.flatMap(opt(_, "operation").map(_.asText)).orNull
       org.apache.spark.sql.Row(v, ts, op,

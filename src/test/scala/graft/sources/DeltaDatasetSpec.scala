@@ -797,6 +797,165 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("an incomplete multi-part checkpoint never anchors cleanup or replay") {
+    withTempDir { dir =>
+      // phase 1: the ONLY checkpoint-shaped files are a partial
+      // multi-part landing (part 1 of 2 — a foreign writer crashed
+      // mid-upload). Nothing verifiably anchors a replay, so
+      // cleanupLog must keep the whole log and the reader must
+      // replay from commit 0, ignoring the junk.
+      val lone = s"$dir/lone"
+      val dsL = new DeltaDataset(lone)
+      dsL.write(Seq(1L).toDF("v"))   // v0
+      dsL.append(Seq(2L).toDF("v"))  // v1
+      dsL.append(Seq(3L).toDF("v"))  // v2
+      val loneLog = Paths.get(lone, "_delta_log")
+      // junk bytes: if any code path ever tries to READ this as
+      // parquet the test fails loudly, which is exactly the point
+      Files.write(loneLog.resolve(
+        f"${2L}%020d.checkpoint.0000000001.0000000002.parquet"),
+        "not parquet".getBytes("UTF-8"))
+      assert(dsL.cleanupLog(0L) == 0,
+        "a partial checkpoint must not anchor deletion")
+      (0L to 2L).foreach(v =>
+        assert(Files.exists(loneLog.resolve(f"$v%020d.json"))))
+      assert(dsL.scan().get.collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L))
+
+      // phase 2: a COMPLETE single-file checkpoint at v2 coexists
+      // with a partial multi-part at v3: the complete one anchors,
+      // the partial one is ignored by both cleanup and the reader.
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f0.parquet"), Seq(100L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fx2","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.checkpointInterval":"2"},""" +
+          s""""createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      (1L to 3L).foreach(i => ds.append(Seq(100L + i).toDF("v"))) // cp at v2
+      val logDir = Paths.get(table, "_delta_log")
+      assert(Files.exists(logDir.resolve(f"${2L}%020d.checkpoint.parquet")))
+      Files.write(logDir.resolve(
+        f"${3L}%020d.checkpoint.0000000001.0000000002.parquet"),
+        "not parquet".getBytes("UTF-8"))
+      val want = ds.scan().get.collect().map(_.getLong(0)).toSet
+      assert(want == Set(100L, 101L, 102L, 103L))
+      val n = ds.cleanupLog(0L)
+      assert(n >= 2, s"commits 0,1 below the VERIFIED anchor v2 go, got $n")
+      assert(!Files.exists(logDir.resolve(f"${0L}%020d.json")))
+      assert(Files.exists(logDir.resolve(f"${2L}%020d.json")))
+      // head replays from the verified anchor, junk untouched&unread
+      assert(ds.scan().get.collect().map(_.getLong(0)).toSet == want)
+    }
+  }
+
+  test("cleanupLog keeps sidecars of every RETAINED manifest and drops a stale _last_checkpoint") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f0.parquet"), Seq(100L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["v2Checkpoint"],""" +
+          """"writerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"fx3","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.checkpointInterval":"2",""" +
+          s""""delta.checkpointPolicy":"v2"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val ds = new DeltaDataset(table)
+      (1L to 5L).foreach(i => ds.append(Seq(100L + i).toDF("v"))) // v2+v4 cps
+      val logDir = Paths.get(table, "_delta_log")
+      def sidecarCount(): Long = Files.list(logDir.resolve("_sidecars"))
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+      assert(sidecarCount() == 2L)
+      // a stale pointer, as a classic→v2 policy transition leaves it:
+      // it names a version whose checkpoint this cleanup reclaims
+      Files.write(logDir.resolve("_last_checkpoint"),
+        """{"version":2,"size":3}""".getBytes("UTF-8"))
+      // age everything EXCEPT the v2-version manifest: commits and
+      // both sidecars (the sidecar lands moments before its manifest,
+      // so it can sit just under the cutoff while the manifest is
+      // just over it — the ADVICE failure shape)
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 2L * 3600 * 1000)
+      Files.list(logDir).forEach { p =>
+        // ages the commit JSONs; both v2 manifests are parquet and
+        // stay young (inside retention)
+        if (p.getFileName.toString.endsWith(".json"))
+          Files.setLastModifiedTime(p, old)
+        else ()
+      }
+      Files.list(logDir.resolve("_sidecars")).forEach(p =>
+        Files.setLastModifiedTime(p, old))
+      val deleted = ds.cleanupLog(3600L * 1000) // 1h retention
+      assert(deleted >= 1)
+      // the version-2 manifest is YOUNG (inside retention) → retained
+      // → its sidecar MUST survive even though the sidecar is old
+      assert(sidecarCount() == 2L,
+        "a retained manifest's sidecar was reclaimed from under it")
+      // ...so time travel anchored on that manifest still reads
+      assert(DeltaReader.scan(table, Some(2L)).get
+        .collect().map(_.getLong(0)).toSet == Set(100L, 101L, 102L))
+      // the stale pointer named version 2's checkpoint... which
+      // survived (young manifest), so the pointer stays valid here;
+      // now age the manifest too and re-clean: checkpoint 2 goes,
+      // and the pointer MUST go with it
+      Files.list(logDir).forEach { p =>
+        if (p.getFileName.toString.contains("checkpoint"))
+          Files.setLastModifiedTime(p, old)
+        else ()
+      }
+      ds.cleanupLog(0L)
+      assert(!Files.exists(logDir.resolve("_last_checkpoint")),
+        "a pointer naming a reclaimed checkpoint must be dropped")
+      // head still replays from the retained v4 manifest + tail
+      assert(ds.scan().get.collect().map(_.getLong(0)).toSet ==
+        Set(100L, 101L, 102L, 103L, 104L, 105L))
+    }
+  }
+
+  test("history prefers the monotonic inCommitTimestamp over wall-clock") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      landFragment(Paths.get(table, "f0.parquet"), Seq(1L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(table, 0L, Seq(
+        // skewed wall clock (111) vs monotonic ICT (999): engines
+        // surface the ICT when the feature recorded one
+        """{"commitInfo":{"timestamp":111,"inCommitTimestamp":999,""" +
+          """"operation":"WRITE"}}""",
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"fict","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      writeLog(table, 1L, Seq(
+        """{"commitInfo":{"timestamp":222,"operation":"WRITE"}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val h = DeltaReader.history(table).get.collect()
+      assert(h.map(_.getLong(0)).toSeq == Seq(1L, 0L))
+      assert(h.find(_.getLong(0) == 0L).get.getLong(1) == 999L,
+        "ICT must win over the wall-clock timestamp")
+      assert(h.find(_.getLong(0) == 1L).get.getLong(1) == 222L,
+        "no ICT recorded → wall-clock timestamp")
+    }
+  }
+
   test("restore past a vacuum raises naming the missing files, not at scan time") {
     withTempDir { dir =>
       val table = s"$dir/t"
