@@ -1364,5 +1364,100 @@ object HiveQ {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
       })
+    ,
+
+    // ---- MERGE INTO ------------------------------------------------
+    // Keyed whole-row upsert + delete clause as ONE atomic commit on
+    // a real _delta_log table: matched rows are masked behind
+    // deletion vectors on their ORIGINAL files (no unmatched-row
+    // rewrite), replacement + insert rows land as new files. The
+    // oracle replays the merge relationally: target rows with no
+    // source key pass through, non-deleted source rows land.
+    Q("q421_delta_merge",
+      Some("""WITH tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice FROM orders WHERE o_orderkey < 1000),
+             |src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1400),
+             |merged AS (
+             |  SELECT * FROM tgt
+             |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+             |  UNION ALL
+             |  SELECT * FROM src WHERE o_orderstatus <> 'F')
+             |SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+             |FROM merged""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q421_")
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 1000))                 // v0
+        val before = graft.sources.DeltaReader.snapshot(table)(s).get.files
+          .map(_.path).toSet
+        val src = ord.where(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 1400)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val v = ds.merge(src, Seq("o_orderkey"),
+          deleteWhen = Some(col("o_orderstatus") === "F"))
+        require(v == 1L, s"q421: merge must be ONE atomic commit, got v$v")
+        val after = graft.sources.DeltaReader.snapshot(table)(s).get.files
+        require(before.subsetOf(after.map(_.path).toSet),
+          "q421: merge must mask touched files, never rewrite them")
+        require(ds.history().get.orderBy(col("version").desc).head()
+          .getString(2) == "MERGE",
+          "q421: the commit must record operation MERGE")
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      })
+    ,
+
+    // ---- row-level UPDATE ------------------------------------------
+    // SET o_orderstatus='X', o_totalprice=o_totalprice*2 WHERE
+    // o_orderstatus='F', copy-on-write with DV reuse: matched rows
+    // masked on their original files, updated images in new files,
+    // one commit. The oracle applies the same CASE rewrite.
+    Q("q422_delta_update",
+      Some("""WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey < 800),
+             |upd AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderstatus = 'F' THEN 'X'
+             |         ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+             |         ELSE o_totalprice END AS o_totalprice
+             |  FROM t0)
+             |SELECT o_orderstatus, count(*)::BIGINT AS n,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+             |FROM upd GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q422_")
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 800))                  // v0
+        val v = ds.update(col("o_orderstatus") === "F", Map(
+          "o_orderstatus" -> lit("X"),
+          "o_totalprice" -> (col("o_totalprice") * 2)))
+        require(v == 1L, s"q422: update must be ONE atomic commit, got v$v")
+        require(ds.history().get.orderBy(col("version").desc).head()
+          .getString(2) == "UPDATE",
+          "q422: the commit must record operation UPDATE")
+        // time travel: the pre-update state is one hop away
+        require(graft.sources.DeltaReader.scan(table, Some(0L))(s).get
+          .where(col("o_orderstatus") === "F").count() > 0,
+          "q422: v0 must still carry the pre-update rows")
+        graft.sources.DeltaReader.scan(table)(s).get
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      })
   )
 }

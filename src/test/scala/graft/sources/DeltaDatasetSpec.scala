@@ -956,6 +956,164 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("merge upserts matched, inserts unmatched, deletes via clause — one commit, no unmatched-file rewrite") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      // two files: keys 1-3 and keys 4-6
+      ds.write(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+        .toDF("k", "s", "x").coalesce(1))
+      ds.append(Seq((4L, "d", 40.0), (5L, "e", 50.0), (6L, "f", 60.0))
+        .toDF("k", "s", "x").coalesce(1))
+      val filesBefore = DeltaReader.snapshot(table).get.files
+        .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.toString).toSet
+      // source: update k=2 (whole row), delete k=5, insert k=9,
+      // delete-an-absent-key k=10 (no-op)
+      val src = Seq(
+        (2L, "B!", 21.0),
+        (5L, "ignored", 0.0),
+        (9L, "new", 90.0),
+        (10L, "ghost", 0.0))
+        .toDF("k", "s", "x")
+      val v = ds.merge(src, Seq("k"),
+        deleteWhen = Some($"k" === 5L || $"k" === 10L))
+      assert(v == 2L)
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+        Set((1L, "a", 10.0), (2L, "B!", 21.0), (3L, "c", 30.0),
+          (4L, "d", 40.0), (6L, "f", 60.0), (9L, "new", 90.0)))
+      // DV reuse: BOTH original files are still live (masked), not
+      // rewritten — only the insert file is new
+      val after = DeltaReader.snapshot(table).get.files
+      assert(filesBefore.subsetOf(
+        after.map(f => new org.apache.hadoop.fs.Path(f.path).toUri.toString).toSet),
+        "merge must mask touched files, never rewrite them")
+      assert(after.count(_.deletionVector.exists(_.cardinality > 0)) == 2)
+      // time travel: the pre-merge state is intact
+      assert(DeltaReader.scan(table, Some(1L)).get.count() == 6L)
+      // the change feed reads the merge as delete-old + insert-new
+      val ch = DeltaChanges.readChanges(table, 1L).get
+        .where($"_commit_version" === 2L)
+      val byType = ch.groupBy($"_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == Map("delete" -> 2L, "insert" -> 2L),
+        s"merge CDC shape wrong: $byType")
+      assert(ch.where($"_change_type" === "delete").collect()
+        .map(_.getLong(0)).toSet == Set(2L, 5L))
+      assert(ch.where($"_change_type" === "insert").collect()
+        .map(_.getLong(0)).toSet == Set(2L, 9L))
+      // history records the verb
+      assert(ds.history().get.collect().head.getString(2) == "MERGE")
+      // no-op merge (all absent keys under deleteWhen) = no commit
+      assert(ds.merge(Seq((77L, "z", 0.0)).toDF("k", "s", "x"), Seq("k"),
+        Some(org.apache.spark.sql.functions.lit(true))) == 2L)
+    }
+  }
+
+  test("merge guards: duplicate source keys, schema drift, append-only — all loud") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq((1L, "a")).toDF("k", "s"))
+      val dup = intercept[IllegalArgumentException](ds.merge(
+        Seq((2L, "x"), (2L, "y")).toDF("k", "s"), Seq("k")))
+      assert(dup.getMessage.contains("duplicate keys"))
+      val drift = intercept[IllegalArgumentException](ds.merge(
+        Seq((2L, "x", 1.0)).toDF("k", "s", "extra"), Seq("k")))
+      assert(drift.getMessage.contains("columns"))
+      val badKey = intercept[IllegalArgumentException](ds.merge(
+        Seq((2L, "x")).toDF("k", "s"), Seq("nope")))
+      assert(badKey.getMessage.contains("not in the table schema"))
+      // append-only tables refuse MERGE (it can rewrite/drop rows)
+      val ao = s"$dir/ao"
+      landFragment(Paths.get(ao, "f0.parquet"), Seq(1L))
+      val vSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      writeLog(ao, 0L, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"ao","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${escJson(vSchema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.appendOnly":"true"},""" +
+          s""""createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+          """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      val e = intercept[IllegalArgumentException](
+        DeltaWriter.merge(ao, Seq(1L).toDF("v"), Seq("v")))
+      assert(e.getMessage.contains("append-only"))
+    }
+  }
+
+  test("merge vs concurrent appends: first-writer-wins retries lose no commit") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "x"))
+      // an appender races the merge: disjoint keys, so the final
+      // state is the same whichever order the commits land in — what
+      // the retry loop must guarantee is that NO commit is lost and
+      // versions stay contiguous
+      val appender = new Thread(() => {
+        (100L to 104L).foreach { i =>
+          ds.append(Seq((i, i.toDouble)).toDF("k", "x"))
+        }
+      })
+      appender.start()
+      val merged = try {
+        ds.merge(Seq((2L, 99.0), (50L, 50.0), (3L, 0.0)).toDF("k", "x"),
+          Seq("k"), deleteWhen = Some($"k" === 3L))
+      } finally appender.join()
+      assert(merged >= 1L)
+      val rows = DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(rows == Set((1L, 10.0), (2L, 99.0), (50L, 50.0),
+        (100L, 100.0), (101L, 101.0), (102L, 102.0),
+        (103L, 103.0), (104L, 104.0)),
+        s"lost a commit in the race: $rows")
+      // contiguous versions: every commit (5 appends + 1 merge + v0)
+      // landed exactly once
+      assert(DeltaReader.snapshot(table).get.version == 6L)
+    }
+  }
+
+  test("update rewrites matched rows copy-on-write; partition-column updates move rows") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, 10.0, "A"), (2L, 20.0, "A"), (3L, 30.0, "B"))
+        .toDF("k", "x", "p"))
+      val filesBefore = DeltaReader.snapshot(table).get.files
+        .map(f => new org.apache.hadoop.fs.Path(f.path).toUri.toString).toSet
+      // SET x = x * 10, p = 'C' WHERE k <= 2 — rows change partition
+      val v = ds.update($"k" <= 2L,
+        Map("x" -> ($"x" * 10), "p" -> org.apache.spark.sql.functions.lit("C")))
+      assert(v == 1L)
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet ==
+        Set((1L, 100.0, "C"), (2L, 200.0, "C"), (3L, 30.0, "B")))
+      // untouched partition B's file is untouched; A's files are
+      // masked, still live, never rewritten
+      val after = DeltaReader.snapshot(table).get.files
+      assert(filesBefore.subsetOf(
+        after.map(f => new org.apache.hadoop.fs.Path(f.path).toUri.toString).toSet))
+      // assignments cast to the column type (standard UPDATE coercion)
+      ds.update($"k" === 3L, Map("x" -> org.apache.spark.sql.functions.lit("7")))
+      assert(DeltaReader.scan(table).get.where($"k" === 3L)
+        .head().getDouble(1) == 7.0)
+      // no match → no commit; unknown SET column → loud
+      val head = DeltaReader.snapshot(table).get.version
+      assert(ds.update($"k" === 999L, Map("x" -> $"x")) == head)
+      val e = intercept[IllegalArgumentException](
+        ds.update($"k" === 1L, Map("nope" -> $"x")))
+      assert(e.getMessage.contains("not in the table schema"))
+      // history records the verb; time travel reads the pre-update state
+      assert(ds.history().get.collect().head.getString(2) == "UPDATE")
+      assert(DeltaReader.scan(table, Some(0L)).get.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+        Set((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    }
+  }
+
   test("restore past a vacuum raises naming the missing files, not at scan time") {
     withTempDir { dir =>
       val table = s"$dir/t"
