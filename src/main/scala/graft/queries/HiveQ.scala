@@ -1459,5 +1459,48 @@ object HiveQ {
               .as("sum_price"))
           .orderBy(col("o_orderstatus"))
       })
+    ,
+
+    // ---- version-offset CDF streaming source -----------------------
+    // A REAL readStream over format("graft-delta-cdf"): offsets are
+    // commit versions, each micro-batch is a readChanges window. The
+    // drained stream must equal the relational change feed the
+    // oracle builds (inserts per append + deletes for the DV delete).
+    Q("q423_delta_cdf_stream",
+      Some("""WITH t0 AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey < 400),
+             |t1 AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey >= 400 AND o_orderkey < 800),
+             |chg AS (
+             |  SELECT 'insert' AS change_type, o_orderkey FROM t0
+             |  UNION ALL SELECT 'insert', o_orderkey FROM t1
+             |  UNION ALL SELECT 'delete', o_orderkey FROM (
+             |    SELECT * FROM t0 UNION ALL SELECT * FROM t1)
+             |  WHERE o_orderstatus = 'F')
+             |SELECT change_type, count(*)::BIGINT AS n,
+             |  sum(o_orderkey)::BIGINT AS sum_key
+             |FROM chg GROUP BY change_type ORDER BY change_type""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q423_")
+        val sink = s"q423_sink_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 400))                  // v0
+        ds.append(ord.where(col("o_orderkey") >= 400 &&
+          col("o_orderkey") < 800))                                   // v1
+        ds.delete(col("o_orderstatus") === "F")                       // v2
+        val q = s.readStream.format("graft-delta-cdf")
+          .option("path", table).load()
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", tmp("graft_q423ck_"))
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(sink)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .orderBy(col("change_type"))
+      })
   )
 }

@@ -3,17 +3,18 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The Structured-Streaming-shaped TAIL-FOLLOW face over a real Delta
-  * `_delta_log`: the reference delegates change reads to the deltalake
-  * library (/root/reference/polario/delta_dataset.py:41-62); here the
-  * follower is built from two public primitives this repo already
-  * carries — [[DeltaChanges.readChanges]] (per-version insert/delete
-  * attribution) and the SetTransaction-keyed exactly-once append
-  * ([[DeltaWriter.write]] `txn`) — plus a PERSISTED version watermark,
-  * so a consumer gets the `readStream → foreachBatch` contract
-  * (each micro-batch delivered at-least-once, side effects
-  * deduplicatable by version, progress survives restarts) without
-  * hand-rolling the poll loop.
+/** The TAIL-FOLLOW faces over a real Delta `_delta_log`: the
+  * reference delegates change reads to the deltalake library
+  * (/root/reference/polario/delta_dataset.py:41-62); here a consumer
+  * picks either a PULL poll ([[followOnce]]/[[foreachVersion]] — a
+  * persisted version watermark + [[DeltaChanges.readChanges]]
+  * attribution) or a REAL Structured Streaming query
+  * ([[followStream]] — the version-offset
+  * [[graft.streaming.DeltaChangeSource]], engine-owned offsets and
+  * restart). Both upgrade at-least-once delivery to exactly-once the
+  * same way: SetTransaction keys per source version on the
+  * destination table ([[DeltaWriter.write]] `txn`), so the two faces
+  * are interchangeable mid-table.
   *
   * Delivery semantics, exactly like a foreachBatch sink:
   *  - the watermark is persisted AFTER the handler/mirror completes a
@@ -81,33 +82,63 @@ object DeltaFollow {
     wm
   }
 
-  /** Run the tail-follow as a REAL Structured Streaming query: a
-    * data-less tick stream (Spark's `rate` source) drives
-    * `foreachBatch`, and each micro-batch executes one [[followOnce]]
-    * poll — so the engine owns scheduling, lifecycle and restart,
-    * while correctness lives where it must for exactly-once: the
-    * destination table's SetTransaction keys and the persisted
-    * watermark. The rate rows are never read; the STREAM's own
-    * checkpoint can be lost or duplicated without producing a single
-    * duplicate row in the mirror (the spec kills and restarts it).
-    * Returns the running query; `stop()` it when done.
+  /** Run the tail-follow as a REAL Structured Streaming query over
+    * the version-offset change-feed source
+    * ([[graft.streaming.DeltaChangeSource]], `format("graft-delta-
+    * cdf")`): the engine's offset log tracks commit versions, each
+    * micro-batch is the `(from, to]` change window, and `foreachBatch`
+    * appends the window's insert rows to `dstUrl` with one
+    * SetTransaction PER SOURCE VERSION — the same `(appId, version)`
+    * keys [[DeltaChanges.mirrorAppends]] writes, so [[followOnce]]
+    * polls and this stream are interchangeable mid-table and
+    * exactly-once holds across ANY batch boundary: a replayed or
+    * re-windowed batch re-applies nothing, the destination table
+    * itself records what landed. `checkpointDir` is the stream's
+    * checkpoint location; LOSING it only re-reads the feed — no
+    * duplicate row can land (the spec kills it and restarts with a
+    * fresh one). Returns the running query; `stop()` it when done.
     *
-    * Scale shape: each tick costs one log listing when idle (the
-    * incremental window is empty) — the standard tail-follow floor;
-    * work only happens when commits landed. */
-  def followStream(srcUrl: String, dstUrl: String, checkpointFile: String,
+    * Scale shape: an idle trigger costs ONE log listing inside
+    * `getOffset` (no Spark job, the tail-follow floor); work only
+    * happens when commits landed, as distributed scans of the new
+    * files. */
+  def followStream(srcUrl: String, dstUrl: String, checkpointDir: String,
                    intervalMs: Long = 1000L)
                   (implicit spark: SparkSession)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", 1L).load()
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val cleanSrc = srcUrl.stripSuffix("/")
+    val srcSnap = DeltaReader.snapshot(cleanSrc).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaFollow: no Delta table at $cleanSrc"))
+    val appId = s"graft-mirror-${srcSnap.tableId}"
+    spark.readStream.format("graft-delta-cdf")
+      .option("path", cleanSrc)
+      .option("startingVersion", "0")
+      .load()
       .writeStream
+      .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(intervalMs))
-      .foreachBatch { (_: DataFrame, _: Long) =>
-        followOnce(srcUrl, dstUrl, checkpointFile); ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inserts = batch.where(col("_change_type") === "insert")
+          .localCheckpoint()
+        try {
+          // per-version txn keys: exactly-once survives re-windowing
+          // (a replayed batch spanning already-applied versions skips
+          // them one by one), not just whole-batch replay
+          val versions = inserts.select(col("_commit_version")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          versions.foreach { v =>
+            DeltaWriter.write(dstUrl,
+              inserts.where(col("_commit_version") === v)
+                .drop("_change_type", "_commit_version"),
+              Seq.empty, overwrite = false, txn = Some((appId, v)))
+          }
+        } finally { inserts.unpersist(blocking = false); () }
       }
       .start()
+  }
 
   /** One poll of the generic change stream: deliver the change frame
     * of each version in `(watermark, head]` to `handler(version,

@@ -75,7 +75,8 @@ class DeltaFollowSpec extends SparkSpec {
       }
       val sds = new DeltaDataset(src)
       sds.write(Seq((1L, "a"), (2L, "b")).toDF("v", "s"))
-      val q = DeltaFollow.followStream(src, dst, wmFile, intervalMs = 100L)
+      val q = DeltaFollow.followStream(src, dst, s"$dir/ck1",
+        intervalMs = 100L)
       try {
         await("initial mirror")(DeltaReader.scan(dst)
           .exists(_.count() == 2L))
@@ -84,17 +85,32 @@ class DeltaFollowSpec extends SparkSpec {
         await("append after delete")(DeltaReader.scan(dst)
           .exists(_.count() == 3L))
       } finally q.stop()
-      // kill-and-restart with the STREAM checkpoint gone: the table's
-      // SetTransaction keys + watermark file carry exactly-once
+      // kill-and-restart with the STREAM checkpoint GONE (a fresh
+      // location): the feed replays from version 0, and the
+      // destination's per-version SetTransaction keys alone must
+      // carry exactly-once
       sds.append(Seq((4L, "d")).toDF("v", "s"))
-      val q2 = DeltaFollow.followStream(src, dst, wmFile, intervalMs = 100L)
+      val q2 = DeltaFollow.followStream(src, dst, s"$dir/ck2",
+        intervalMs = 100L)
       try {
         await("post-restart catch-up")(DeltaReader.scan(dst)
           .exists(_.count() == 4L))
       } finally q2.stop()
+      // ...and a restart RESUMING its checkpoint is equally clean
+      sds.append(Seq((5L, "e")).toDF("v", "s"))
+      val q3 = DeltaFollow.followStream(src, dst, s"$dir/ck2",
+        intervalMs = 100L)
+      try {
+        await("resume catch-up")(DeltaReader.scan(dst)
+          .exists(_.count() == 5L))
+      } finally q3.stop()
+      // a followOnce POLL is interchangeable with the stream (same
+      // SetTransaction keys): it must re-apply nothing
+      assert(DeltaFollow.followOnce(src, dst, wmFile) >= 4L)
       Thread.sleep(300) // a straggler tick must not double-apply
       assertSameData(DeltaReader.scan(dst).get,
-        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("v", "s"))
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+          .toDF("v", "s"))
     }
   }
 
