@@ -1777,17 +1777,6 @@ object DeltaWriter {
     val tmp = new Path(logDir, s"_tmp-${java.util.UUID.randomUUID}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    try {
-      if (logDir.toUri.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        if (fs.exists(target)) false else fs.rename(tmp, target)
-      }
-    } finally fs.delete(tmp, false)
+    LogStores.putIfAbsent(fs, tmp, target)
   }
 }

@@ -316,18 +316,7 @@ case class ManagedDataset(
     val tmp = new Path(logDir, s"_tmp-${java.util.UUID.randomUUID}.json")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    try {
-      if (qualifiedBase.toUri.getScheme == "file") {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(target.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        if (fs.exists(target)) false else fs.rename(tmp, target)
-      }
-    } finally fs.delete(tmp, false)
+    LogStores.putIfAbsent(fs, tmp, target)
   }
 
   private def validate(df: DataFrame): Unit = {
