@@ -344,6 +344,7 @@ object DeltaWriter {
     val logDir = new Path(qualifiedBase, "_delta_log")
 
     def validateAgainst(snap: DeltaReader.DeltaSnapshot): Unit = {
+      enforceWritable(snap, "write")
       require(snap.physicalSchema.isEmpty,
         "DeltaWriter: table uses column mapping — this writer only " +
           "writes mode=none tables")
@@ -508,6 +509,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
       throw new IllegalArgumentException(
         s"DeltaWriter.delete: no Delta table at $cleanUrl"))
+    enforceWritable(snap, "delete")
     require(snap.physicalSchema.isEmpty,
       "DeltaWriter.delete: column-mapped tables unsupported")
     // real Delta refuses DELETE on append-only tables — other writers
@@ -690,6 +692,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
       throw new IllegalArgumentException(
         s"DeltaWriter.merge: no Delta table at $cleanUrl"))
+    enforceWritable(snap, "merge")
     require(snap.physicalSchema.isEmpty,
       "DeltaWriter.merge: column-mapped tables unsupported")
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
@@ -748,6 +751,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
       throw new IllegalArgumentException(
         s"DeltaWriter.update: no Delta table at $cleanUrl"))
+    enforceWritable(snap, "update")
     require(snap.physicalSchema.isEmpty,
       "DeltaWriter.update: column-mapped tables unsupported")
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
@@ -951,6 +955,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
       throw new IllegalArgumentException(
         s"DeltaWriter.optimize: no Delta table at $cleanUrl"))
+    enforceWritable(snap, "optimize")
     require(snap.physicalSchema.isEmpty,
       "DeltaWriter.optimize: column-mapped tables unsupported")
     val dvFiles = snap.files.filter(_.deletionVector.exists(_.cardinality > 0))
@@ -1055,6 +1060,7 @@ object DeltaWriter {
     val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
       throw new IllegalArgumentException(
         s"DeltaWriter.compact: no Delta table at $cleanUrl"))
+    enforceWritable(snap, "compact")
     require(snap.physicalSchema.isEmpty,
       "DeltaWriter.compact: column-mapped tables unsupported")
     val groups: Seq[Seq[DeltaReader.DeltaFile]] = snap.files
@@ -1137,6 +1143,7 @@ object DeltaWriter {
     val target = DeltaReader.snapshotAt(cleanUrl, Some(version)).getOrElse(
       throw new IllegalArgumentException(
         s"DeltaWriter.restore: no Delta table at $cleanUrl"))
+    DeltaReader.snapshot(cleanUrl).foreach(enforceWritable(_, "restore"))
     val base = new Path(cleanUrl)
     val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
     val qualifiedBase = fs.makeQualified(base)
@@ -1470,6 +1477,54 @@ object DeltaWriter {
       if (!stillThere && fs.delete(lcPath, false)) deleted += 1
     }
     deleted
+  }
+
+  /** Writer features this writer actually implements (or that demand
+    * nothing from a writer when no column carries their metadata):
+    * the write-side mirror of [[DeltaReader]]'s reader-feature gate.
+    * `generatedColumns`/`identityColumns`/`invariants` appear here
+    * because the FEATURE being declared is inert — the obligation
+    * attaches to columns carrying the metadata, which
+    * [[enforceWritable]] checks field by field. */
+  private[sources] val SupportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
+    "columnMapping", "generatedColumns", "identityColumns",
+    "timestampNtz", "domainMetadata")
+
+  /** Refuse to write a table whose protocol or schema demands writer
+    * behavior this writer does not implement — the loud line every
+    * engine draws instead of corrupting a foreign table's contract:
+    * unknown writer features (protocol table features, PROTOCOL.md),
+    * GENERATED columns (`delta.generationExpression` — we cannot
+    * compute them), IDENTITY columns (`delta.identity.*` — we cannot
+    * allocate them), column invariants (`delta.invariants` — we do
+    * not enforce them). READS of such tables stay fine: writer
+    * features never gate a reader. */
+  private[sources] def enforceWritable(snap: DeltaReader.DeltaSnapshot,
+                                       verb: String): Unit = {
+    val unknown = snap.protocol.writerFeatures.getOrElse(Seq.empty)
+      .filterNot(SupportedWriterFeatures)
+    require(unknown.isEmpty,
+      s"DeltaWriter.$verb: table requires writer feature(s) " +
+        s"${unknown.mkString(", ")} this writer does not implement — " +
+        "refusing (a blind write would break the table's contract)")
+    snap.schema.fields.foreach { f =>
+      require(!f.metadata.contains("delta.generationExpression"),
+        s"DeltaWriter.$verb: column '${f.name}' is GENERATED " +
+          "(delta.generationExpression) — this writer cannot compute it; " +
+          "reads are unaffected")
+      require(!f.metadata.contains("delta.identity.start") &&
+        !f.metadata.contains("delta.identity.step") &&
+        !f.metadata.contains("delta.identity.allowExplicitInsert"),
+        s"DeltaWriter.$verb: column '${f.name}' is an IDENTITY column " +
+          "(delta.identity.*) — this writer cannot allocate its values; " +
+          "reads are unaffected")
+      require(!f.metadata.contains("delta.invariants"),
+        s"DeltaWriter.$verb: column '${f.name}' carries an invariant " +
+          "(delta.invariants) this writer does not enforce — refusing " +
+          "rather than committing unvalidated rows")
+    }
   }
 
   /** The writer features a legacy `minWriterVersion` implies

@@ -1114,6 +1114,79 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("generated/identity/unknown writer features: reads succeed, every write verb refuses loudly") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.types._
+      def mkTable(path: String, schema: StructType,
+                  writerFeatures: Seq[String]): Unit = {
+        landFragment(Paths.get(path, "f0.parquet"), Seq(7L))
+        writeLog(path, 0L, Seq(
+          s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            s""""writerFeatures":[${writerFeatures.map(f => s""""$f"""")
+              .mkString(",")}]}}""",
+          s"""{"metaData":{"id":"wf","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${escJson(schema.json)}","partitionColumns":[],""" +
+            s""""configuration":{},"createdTime":1700000000000}}""",
+          """{"add":{"path":"f0.parquet","partitionValues":{},""" +
+            """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""))
+      }
+      def refusesAll(path: String, needle: String): Unit = {
+        val ds = new DeltaDataset(path)
+        Seq[(String, () => Any)](
+          "append" -> (() => ds.append(Seq(9L).toDF("v"))),
+          "delete" -> (() => ds.delete($"v" === 7L)),
+          "merge" -> (() => ds.merge(Seq(9L).toDF("v"), Seq("v"))),
+          "update" -> (() => ds.update($"v" === 7L, Map("v" -> $"v"))),
+          "optimize" -> (() => ds.optimize(0.0)),
+          "compact" -> (() => DeltaWriter.compact(path, minFiles = 2)),
+          "restore" -> (() => ds.restore(0L))
+        ).foreach { case (verb, run) =>
+          val e = intercept[IllegalArgumentException](run())
+          assert(e.getMessage.contains(needle),
+            s"$verb must refuse with '$needle', got: ${e.getMessage}")
+        }
+        // reads are NEVER gated by writer features
+        assert(DeltaReader.scan(path).get.collect()
+          .map(_.getLong(0)).toSeq == Seq(7L))
+        assert(ds.history().isDefined)
+      }
+      // a GENERATED column (metadata on the field, feature declared)
+      val genField = StructField("v", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.generationExpression", "v + 1").build())
+      mkTable(s"$dir/gen", StructType(Seq(genField)),
+        Seq("generatedColumns"))
+      refusesAll(s"$dir/gen", "GENERATED")
+      // an IDENTITY column
+      val idField = StructField("v", LongType, nullable = true,
+        new MetadataBuilder()
+          .putLong("delta.identity.start", 1L)
+          .putLong("delta.identity.step", 1L)
+          .putBoolean("delta.identity.allowExplicitInsert", false).build())
+      mkTable(s"$dir/id", StructType(Seq(idField)),
+        Seq("identityColumns"))
+      refusesAll(s"$dir/id", "IDENTITY")
+      // a column invariant this writer does not enforce
+      val invField = StructField("v", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.invariants",
+            """{"expression":{"expression":"v > 0"}}""").build())
+      mkTable(s"$dir/inv", StructType(Seq(invField)), Seq("invariants"))
+      refusesAll(s"$dir/inv", "invariant")
+      // an unknown future writer feature
+      mkTable(s"$dir/fut", StructType(Seq(StructField("v", LongType))),
+        Seq("someFutureFeature"))
+      refusesAll(s"$dir/fut", "someFutureFeature")
+      // the features DECLARED but inert (no column carries metadata):
+      // writes proceed — the obligation is per-column, not per-flag
+      mkTable(s"$dir/ok", StructType(Seq(StructField("v", LongType))),
+        Seq("generatedColumns", "identityColumns", "invariants"))
+      val ok = new DeltaDataset(s"$dir/ok")
+      assert(ok.append(Seq(9L).toDF("v")) == 1L)
+      assert(DeltaReader.scan(s"$dir/ok").get.count() == 2L)
+    }
+  }
+
   test("restore past a vacuum raises naming the missing files, not at scan time") {
     withTempDir { dir =>
       val table = s"$dir/t"
