@@ -1502,5 +1502,38 @@ object HiveQ {
             sum(col("o_orderkey")).cast("bigint").as("sum_key"))
           .orderBy(col("change_type"))
       })
+    ,
+
+    // ---- UniForm-style Iceberg metadata export ---------------------
+    // The Delta snapshot re-published as Iceberg table metadata
+    // (field-id schema, identity partition spec, manifest chain,
+    // version hint); the aggregate runs over the EXPORTED metadata
+    // path (readExported — no _delta_log involved) and must equal
+    // the relational oracle.
+    Q("q424_iceberg_export",
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+             |  sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders WHERE o_orderkey < 900
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q424_")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        val ds = new graft.sources.DeltaDataset(table, Seq("o_orderstatus"))
+        ds.write(ord.where(col("o_orderkey") < 500))                  // v0
+        ds.append(ord.where(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 900))                                   // v1
+        val v = graft.sources.IcebergExport.export(table)
+        require(v == 1L, s"q424: export must stamp the head version, got $v")
+        val exported = graft.sources.IcebergExport.readExported(table).get
+        require(exported.schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_orderstatus"),
+          "q424: exported schema must be the table schema in order")
+        exported
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      })
   )
 }

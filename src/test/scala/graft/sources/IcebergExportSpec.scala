@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** UniForm-style Iceberg metadata export: exported metadata resolves
+  * the snapshot WITHOUT `_delta_log` and reads identically to the
+  * Delta scan; re-export follows the head; deletion vectors refuse
+  * until optimized away (IcebergCompat's own constraint). */
+class IcebergExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit private val s: org.apache.spark.sql.SparkSession = spark
+
+  test("export → readExported == Delta scan; re-export follows the head") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.write(Seq((1L, "a", "A"), (2L, "b", "A"), (3L, "c", "B"))
+        .toDF("v", "s", "p"))
+      ds.append(Seq((4L, "d", "B"), (5L, "e", "C")).toDF("v", "s", "p"))
+      assert(IcebergExport.export(table) == 1L)
+      // layout: metadata.json + manifest list + manifest + hint
+      val metaDir = Paths.get(table, "metadata")
+      assert(Files.exists(metaDir.resolve("v1.metadata.json")))
+      assert(Files.exists(metaDir.resolve("version-hint.text")))
+      assert(Files.list(metaDir).filter { p =>
+        val n = p.getFileName.toString
+        n.contains("manifest") && !n.startsWith(".") // skip .crc shadows
+      }.count() == 2L)
+      // the exported snapshot reads back EXACTLY the Delta scan,
+      // typed partition columns included, without touching _delta_log
+      val exported = IcebergExport.readExported(table).get
+      assert(exported.schema.fieldNames.toSeq == Seq("v", "s", "p"))
+      assertSameData(exported, DeltaReader.scan(table).get)
+      // manifest record counts come from the adds' stats
+      val manifest = Files.readAllLines(Files.list(metaDir)
+        .filter(_.getFileName.toString.startsWith("manifest-"))
+        .findFirst().get())
+      val total = manifest.stream().filter(l => l.trim.nonEmpty)
+        .mapToLong { l =>
+          """"record_count":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
+        }.sum()
+      assert(total == 5L)
+      // new commits → re-export → the hint and snapshot follow
+      ds.append(Seq((6L, "f", "C")).toDF("v", "s", "p"))
+      assert(IcebergExport.export(table) == 2L)
+      assert(new String(Files.readAllBytes(
+        metaDir.resolve("version-hint.text")), "UTF-8").trim == "2")
+      assert(IcebergExport.readExported(table).get.count() == 6L)
+      // older metadata versions remain (Iceberg's own history shape)
+      assert(Files.exists(metaDir.resolve("v1.metadata.json")))
+    }
+  }
+
+  test("deletion vectors refuse the export until optimize materializes them") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(1L, 2L, 3L, 4L).toDF("v"))
+      ds.delete($"v" === 2L) // DV mask
+      val e = intercept[IllegalArgumentException](IcebergExport.export(table))
+      assert(e.getMessage.contains("deletion vectors"))
+      ds.optimize(0.0) // masks materialized away
+      IcebergExport.export(table)
+      assert(IcebergExport.readExported(table).get.collect()
+        .map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    }
+  }
+
+  test("no export → None; unpartitioned tables round-trip") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq((1L, 1.5), (2L, 2.5)).toDF("k", "x"))
+      assert(IcebergExport.readExported(table).isEmpty)
+      IcebergExport.export(table)
+      assertSameData(IcebergExport.readExported(table).get,
+        DeltaReader.scan(table).get)
+    }
+  }
+}
