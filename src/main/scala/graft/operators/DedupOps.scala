@@ -1111,12 +1111,16 @@ object DedupOps {
     val inPairs = p.select(col(aCol).as(idCol))
       .unionAll(p.select(col(bCol).as(idCol)))
       .distinct()
+    // ONE hashed-gram frame feeds BOTH sides of the match join:
+    // without the persist the tokenize+shingle+hash explode (the
+    // expensive leaf) is planned — and executed — once per side
     val grams = TextOps.withTokens(
         df.join(inPairs, Seq(idCol), "left_semi")
           .select(col(idCol), col(textCol)), textCol, "__toks")
       .select(col(idCol),
         posexplode(expr(H.hashArray(H.shingles3("__toks", textCol))))
           .as(Seq("__p", "__h")))
+      .persist()
     val ga = grams.select(col(idCol).as(aCol), col("__p").as("__pa"),
       col("__h").as("__h"))
     val gb = grams.select(col(idCol).as(bCol), col("__p").as("__pb"),
