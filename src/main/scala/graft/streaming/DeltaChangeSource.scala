@@ -47,7 +47,8 @@ import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
   * cluster consumes the feed with the same plans the batch reader
   * gets — no per-row driver path exists. */
 final class DeltaChangeSource(spark: SparkSession, url: String,
-                              startingVersion: Long)
+                              startingVersion: Long,
+                              maxVersionsPerBatch: Option[Long] = None)
     extends Source {
 
   override val schema: StructType = DeltaChangeSource.changeSchema(
@@ -55,16 +56,27 @@ final class DeltaChangeSource(spark: SparkSession, url: String,
       throw new IllegalArgumentException(
         s"graft-delta-cdf: no Delta table at $url")).schema)
 
-  /** Head version when at least `startingVersion` exists — one log
-    * listing, no job; None parks the trigger. */
+  // admission control: the highest version already handed to the
+  // engine (advanced by getBatch — including the restart replay —
+  // and by commit), so a long catch-up is paced at
+  // maxVersionsPerBatch windows instead of one giant first batch
+  @volatile private var delivered: Long = startingVersion - 1L
+
+  /** Head version (capped by the admission window) when at least
+    * `startingVersion` exists — one log listing, no job; None parks
+    * the trigger. */
   override def getOffset: Option[Offset] =
     DeltaReader.snapshot(url)(spark).map(_.version)
+      .map(head => maxVersionsPerBatch
+        .map(m => math.min(head, math.max(delivered, startingVersion - 1L) + m))
+        .getOrElse(head))
       .filter(_ >= startingVersion).map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(DeltaChangeSource.versionOf)
       .getOrElse(startingVersion - 1L)
     val to = DeltaChangeSource.versionOf(end)
+    delivered = math.max(delivered, to)
     val changes = DeltaChanges.readChanges(url, from, Some(to))(spark)
       .getOrElse(throw new IllegalStateException(
         s"graft-delta-cdf: table at $url vanished mid-stream"))
@@ -77,6 +89,9 @@ final class DeltaChangeSource(spark: SparkSession, url: String,
         "restart the query to pick up the evolved schema")
     org.apache.spark.sql.graft.StreamingBridge.streamingFrame(changes)
   }
+
+  override def commit(end: Offset): Unit =
+    delivered = math.max(delivered, DeltaChangeSource.versionOf(end))
 
   override def stop(): Unit = ()
 
@@ -101,7 +116,11 @@ object DeltaChangeSource {
 
 /** `format("graft-delta-cdf")` registration (META-INF service) —
   * options: `path` (table url, required), `startingVersion` (first
-  * version to deliver; default 0 = the table's creation). */
+  * version to deliver; default 0 = the table's creation),
+  * `maxVersionsPerBatch` (admission control: cap each micro-batch at
+  * N commit versions so catching up on a long log is paced instead
+  * of one giant first window — the `maxFilesPerTrigger` analogue;
+  * default unlimited). */
 final class DeltaChangeSourceProvider
     extends StreamSourceProvider with DataSourceRegister {
 
@@ -141,7 +160,10 @@ final class DeltaChangeSourceProvider
       .getOrElse(0L)
     require(starting >= 0L,
       s"graft-delta-cdf: startingVersion $starting < 0")
+    val maxPerBatch = opt(parameters, "maxVersionsPerBatch").map(_.toLong)
+    maxPerBatch.foreach(m => require(m >= 1L,
+      s"graft-delta-cdf: maxVersionsPerBatch $m < 1"))
     new DeltaChangeSource(sqlContext.sparkSession, urlOf(parameters),
-      starting)
+      starting, maxPerBatch)
   }
 }

@@ -95,6 +95,42 @@ class DeltaChangeSourceSpec extends SparkSpec {
     }
   }
 
+  test("maxVersionsPerBatch paces a long catch-up without losing a version") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(0L).toDF("v"))                        // v0
+      (1L to 6L).foreach(i => ds.append(Seq(i).toDF("v"))) // v1..v6
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = spark.readStream.format("graft-delta-cdf")
+        .option("path", table)
+        .option("maxVersionsPerBatch", "2")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/ck")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += b.select("_commit_version").collect()
+              .map(_.getLong(0)).toSet
+          }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val all = batches.synchronized(batches.toVector)
+      // every version delivered exactly once, batches in order...
+      assert(all.flatten.sorted == (0L to 6L) &&
+        all.flatten.size == 7 &&
+        all.sliding(2).forall {
+          case Seq(a, b) => a.max < b.min
+          case _ => true
+        }, s"paced catch-up lost or reordered versions: $all")
+      // ...and no window admitted more than 2 versions
+      assert(all.forall(_.size <= 2),
+        s"a batch exceeded the admission cap: $all")
+      assert(all.size >= 4, s"7 versions at cap 2 need >= 4 batches: $all")
+    }
+  }
+
   test("startingVersion skips history; guards are loud") {
     withTempDir { dir =>
       val table = s"$dir/t"
