@@ -1187,6 +1187,29 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
+  test("merge mask plan: the key semi-join broadcasts the CDC source, never a cartesian") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      // a target big enough that Catalyst would otherwise shuffle it
+      ds.write(spark.range(50000).selectExpr("id AS k", "id * 2 AS x"))
+      val snap = DeltaReader.snapshot(table).get
+      val src = Seq((5L, 0L), (999999L, 0L)).toDF("k", "x")
+      // the EXACT mask frame DeltaWriter.merge builds: scan with row
+      // provenance, left-semi against the broadcast source keys
+      val masked = DeltaReader.scanWithRowIndex(snap)
+        .join(org.apache.spark.sql.functions.broadcast(src.select($"k")),
+          Seq("k"), "left_semi")
+        .select($"__fp", $"__ri")
+      assert(masked.count() == 1L) // only k=5 exists in the target
+      val plan = masked.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"merge's mask join must broadcast the CDC-sized source:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"merge's mask join must never go cartesian:\n$plan")
+    }
+  }
+
   test("restore past a vacuum raises naming the missing files, not at scan time") {
     withTempDir { dir =>
       val table = s"$dir/t"
