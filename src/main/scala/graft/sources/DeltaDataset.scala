@@ -1791,36 +1791,48 @@ object DeltaWriter {
           (kvs, kvs.foldLeft(qualifiedBase) { case (p, (c, v)) =>
             new Path(p, s"$c=$v") })
         }
-    val before: Map[String, Set[String]] = listParquet(fs, touched.map(_._2))
 
-    // ONE distributed write; Append at the filesystem level always.
-    // Spark's task-UUID part names cannot collide.
+    // ONE distributed write into a PRIVATE staging directory, then a
+    // per-file rename into place. Writing straight into the table dir
+    // would share Spark's `_temporary/<jobAttempt>` staging between
+    // CONCURRENT writers of the same table — one job's commit/abort
+    // deletes the other's in-flight task files (the classic
+    // FileOutputCommitter collision; delta-spark sidesteps it the
+    // same way, by never letting the committer own the table dir).
+    // The staging name carries no leading `_`/`.` on purpose: readers
+    // only ever open files the log names, and a crash-orphaned
+    // staging tree must stay VISIBLE to vacuum's walk so it ages out.
+    val staging = new Path(qualifiedBase,
+      s"staging-${java.util.UUID.randomUUID}")
     val writer = df.write.mode("append").option("compression", "snappy")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
-     else writer).parquet(cleanUrl)
+     else writer).parquet(staging.toString)
 
     val newFiles: Seq[(Seq[(String, String)], Path)] = touched.flatMap {
-      case (kvs, dir) =>
-        val old = before.getOrElse(dir.toString, Set.empty)
-        fs.listStatus(dir)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
-            && !old.contains(st.getPath.getName))
-          .sortBy(_.getPath.getName)
-          .map(st => (kvs, st.getPath))
+      case (kvs, finalDir) =>
+        val stagedDir = kvs.foldLeft(staging) { case (p, (c, v)) =>
+          new Path(p, s"$c=$v") }
+        if (!fs.exists(stagedDir)) Seq.empty
+        else {
+          fs.mkdirs(finalDir)
+          fs.listStatus(stagedDir)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+            .map { st =>
+              val dest = new Path(finalDir, st.getPath.getName)
+              // task-UUID part names cannot collide across writers
+              require(fs.rename(st.getPath, dest),
+                s"DeltaWriter: could not move staged file ${st.getPath} " +
+                  s"into $finalDir")
+              (kvs, dest)
+            }
+        }
     }
+    fs.delete(staging, true)
     require(newFiles.nonEmpty || df.isEmpty,
       "DeltaWriter: write produced no files (concurrent compaction?)")
     newFiles
   }
-
-  private def listParquet(fs: FileSystem,
-                          dirs: Seq[Path]): Map[String, Set[String]] =
-    dirs.flatMap { d =>
-      if (!fs.exists(d)) None
-      else Some(d.toString -> fs.listStatus(d)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName).toSet)
-    }.toMap
 
   /** Atomic exclusive publish of `_delta_log/<v>.json` — POSIX
     * link(2) on `file://`, exists-check + rename elsewhere (the
