@@ -234,6 +234,58 @@ object HashOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** BPE merge-application kernel: per token, segment into code
+    * points (matching Spark/DuckDB `substring`'s character = code
+    * point convention) and apply each merge in order as ONE
+    * left-to-right non-overlapping pass — after a fuse the scan
+    * resumes AFTER the fused piece, exactly the `replace` algebra of
+    * the wrapped-string HOF rendering in
+    * `TextOps.applyBpeMergesHof`. Pieces from all tokens flatten in
+    * token order; the empty token contributes none. A null token
+    * element nulls the whole row (the HOF's `flatten` over a null
+    * segment); a token containing `<` or `>` raises, mirroring the
+    * HOF's raise_error guard. */
+  def bpeApply(toks: ArrayData, lefts: Array[String],
+               rights: Array[String]): ArrayData = {
+    val nTok = toks.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var t = 0
+    while (t < nTok) {
+      if (toks.isNullAt(t)) return null
+      val w = toks.getUTF8String(t).toString
+      if (w.indexOf('<') >= 0 || w.indexOf('>') >= 0)
+        throw new IllegalArgumentException(
+          "applyBpeMerges: token contains < or >")
+      if (w.nonEmpty) {
+        val cps = w.codePoints().toArray
+        val pieces = new Array[String](cps.length)
+        var j = 0
+        while (j < cps.length) {
+          pieces(j) = new String(Character.toChars(cps(j)))
+          j += 1
+        }
+        var plen = cps.length
+        var m = 0
+        while (m < lefts.length) {
+          val a = lefts(m); val b = rights(m); val ab = a + b
+          var r = 0; var wr = 0
+          while (r < plen) {
+            if (r + 1 < plen && pieces(r) == a && pieces(r + 1) == b) {
+              pieces(wr) = ab; r += 2
+            } else { pieces(wr) = pieces(r); r += 1 }
+            wr += 1
+          }
+          plen = wr
+          m += 1
+        }
+        var k = 0
+        while (k < plen) { out += UTF8String.fromString(pieces(k)); k += 1 }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_pq_encode(array<float>, array<double>, m) -> array<int>` —
@@ -283,6 +335,65 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): PqEncode = copy(f, s, t)
+}
+
+/** `graft_bpe_apply(array<string>, merges_flat) -> array<string>` —
+  * BPE merge application as one generated call per document: the
+  * merge table (a foldable flat `array<string>` [a1,b1,a2,b2,…])
+  * ships ONCE as a codegen reference object and each token is
+  * segmented + fused in place, where the HOF rendering
+  * (`TextOps.applyBpeMergesHof`, kept for the bitwise-parity spec)
+  * re-walks interpreted lambdas and allocates a wrapped string per
+  * token per merge. Output is the per-document flattened piece
+  * array, token order preserved. */
+case class BpeApply(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _))
+        if right.foldable =>
+        if (mergesFlat.isEmpty || mergesFlat.length % 2 != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName merge table must be a non-empty even-length flat array")
+        else if (mergesFlat.exists(p =>
+          p == null || p.isEmpty || p.exists(c => c == '<' || c == '>')))
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName merge pieces must be non-null, non-empty and angle-bracket-free")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable array<string>)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bpe_apply"
+
+  private lazy val mergesFlat: Array[String] =
+    right.eval().asInstanceOf[ArrayData]
+      .toArray[UTF8String](StringType).map(u => if (u == null) null else u.toString)
+  private lazy val lefts: Array[String] =
+    mergesFlat.zipWithIndex.collect { case (p, i) if i % 2 == 0 => p }
+  private lazy val rights: Array[String] =
+    mergesFlat.zipWithIndex.collect { case (p, i) if i % 2 == 1 => p }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = left.eval(input)
+    if (v == null) null
+    else HashOps.bpeApply(v.asInstanceOf[ArrayData], lefts, rights)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, (v, _) => {
+      s"""
+         |${ev.value} = graft.functions.catalyst.HashOps.bpeApply($v, $lRef, $rRef);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeApply =
+    copy(left = l, right = r)
 }
 
 /** `graft_simhash(array<bigint>, bits) -> int` — single-pass N-bit

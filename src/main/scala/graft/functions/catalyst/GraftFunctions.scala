@@ -47,6 +47,9 @@ object GraftFunctions {
     // operators build an explicit bloom-semi-join when the build side
     // is a different query stage than the optimizer can see (e.g.
     // DedupOps.bloomIncrementalDedup's batch-vs-corpus prune).
+    ("graft_bpe_apply",
+      info("graft_bpe_apply", "BPE merge application over array<string> tokens -> flattened piece array (args: toks, merges_flat)"),
+      (args: Seq[Expression]) => BpeApply(args(0), args(1))),
     ("graft_pq_encode",
       info("graft_pq_encode", "product-quantization encode: nearest codebook centroid per subspace (args: vec, cb_flat, m)"),
       (args: Seq[Expression]) => PqEncode(args(0), args(1), args(2))),

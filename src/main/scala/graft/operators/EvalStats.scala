@@ -654,10 +654,12 @@ object EvalStats {
     *
     * Scale shape (100 TB): one (entity, bucket) pre-aggregation, one
     * entity-keyed lag window, one entity-keyed count — then the
-    * binomial fold is O(n²) integer ops per ENTITY ROW with n
-    * calendar-bounded (≤ span buckets; the fold's BIGINT partial
-    * binomials hold up to n ≈ 62 — coarsen the bucket unit beyond
-    * that). Entities scale out. */
+    * binomial tail is O(n) integer ops per ENTITY ROW: C(n,k) once
+    * via the multiplicative fold, then each next term by the SAME
+    * exact recurrence C(n,i) = C(n,i−1)·(n−i+1)/i carried as running
+    * state (never per-term from scratch). n is calendar-bounded
+    * (≤ span buckets; DECIMAL(38,0) partials hold to n ≈ 126 —
+    * coarsen the bucket unit beyond that). Entities scale out. */
   def signTest(df: DataFrame, entityCol: String, bucketCol: String,
                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -667,6 +669,20 @@ object EvalStats {
       .groupBy(col("entity"), col("__b")).agg(sum(col("__v")).as("__y"))
     val w = Window.partitionBy(col("entity")).orderBy(col("__b"))
     val d38 = "cast(1 as decimal(38,0))"
+    // C(n_changes, n_up), exact: every prefix of the fold is itself a
+    // binomial, so each `div` is exact.
+    val c0 = s"CASE WHEN n_up = 0 THEN $d38 ELSE " +
+      s"aggregate(sequence(1L, n_up), $d38, " +
+      "(c, j) -> cast((c * (n_changes - j + 1)) div j as decimal(38,0))) END"
+    // Tail Σ_{i≥n_up} C(n,i): start at __c0 and walk i upward with the
+    // running-coefficient recurrence — the duplicated div in the two
+    // struct fields is the price of a single O(n) pass.
+    val step = "cast((a.c * (n_changes - i + 1)) div i as decimal(38,0))"
+    val tail = "CASE WHEN n_up >= n_changes THEN __c0 ELSE " +
+      "aggregate(sequence(n_up + 1L, n_changes), " +
+      "named_struct('c', __c0, 's', __c0), " +
+      s"(a, i) -> named_struct('c', $step, " +
+      s"'s', cast(a.s + $step as decimal(38,0))), a -> a.s) END"
     daily
       .withColumn("__prev", lag(col("__y"), 1).over(w))
       .where(col("__prev").isNotNull && col("__y") =!= col("__prev"))
@@ -674,15 +690,13 @@ object EvalStats {
       .agg(count(lit(1)).cast("bigint").as("n_changes"),
         sum(when(col("__y") > col("__prev"), 1L).otherwise(0L))
           .cast("bigint").as("n_up"))
+      .withColumn("__c0", expr(c0))
       .withColumn("p_up_ppm", expr(
         "CASE WHEN n_changes = 0 THEN 1000000L ELSE cast(" +
-          "(cast(1000000 as decimal(38,0)) * " +
-          "aggregate(sequence(n_up, n_changes), cast(0 as decimal(38,0)), " +
-          "(s, i) -> s + CASE WHEN i = 0 THEN " + d38 + " ELSE " +
-          "aggregate(sequence(1L, i), " + d38 + ", " +
-          "(c, j) -> cast((c * (n_changes - j + 1)) div j as decimal(38,0))) END)) " +
-          "div aggregate(sequence(1L, n_changes), " + d38 + ", (p, z) -> p * 2) " +
+          s"(cast(1000000 as decimal(38,0)) * ($tail)) " +
+          s"div aggregate(sequence(1L, n_changes), $d38, (p, z) -> p * 2) " +
           "as bigint) END"))
+      .drop("__c0")
   }
 
   /** Benjamini–Hochberg step-up FDR correction over a family of

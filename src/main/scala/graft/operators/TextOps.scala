@@ -814,10 +814,35 @@ object TextOps {
     * Adds `out`: the per-token piece arrays flattened per document
     * (one array of BPE pieces per doc, token order preserved).
     * Per-row only — zero shuffles, whole-stage codegen, linear in
-    * text volume × merge count at any corpus size. */
+    * text volume × merge count at any corpus size.
+    *
+    * This entry point runs the native codegen'd kernel
+    * (`graft_bpe_apply` — one generated call per document, merge
+    * table shipped once as a reference object);
+    * [[applyBpeMergesHof]] is the interpreted-HOF rendering it is
+    * spec-pinned bitwise-equal to (NativeExprSpec). */
   def applyBpeMerges(df: DataFrame, textCol: String,
                      merges: Seq[(String, String)],
                      out: String = "pieces"): DataFrame = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    merges.foreach { case (a, b) =>
+      require(a.nonEmpty && b.nonEmpty && !s"$a$b".exists(c => c == '<' || c == '>'),
+        s"merge pieces must be non-empty and angle-bracket-free: ($a, $b)")
+    }
+    require(!df.columns.contains(out), s"applyBpeMerges reserves $out")
+    val flat = merges.flatMap { case (a, b) => Seq(a, b) }
+    withTokens(df, textCol, "__toks")
+      .withColumn(out, call_function("graft_bpe_apply", col("__toks"),
+        array(flat.map(lit): _*)))
+      .drop("__toks")
+  }
+
+  /** The pure-built-in HOF rendering of [[applyBpeMerges]] — same
+    * wrapped-piece `replace` algebra the DuckDB oracle mirrors; kept
+    * as the bitwise-parity reference for the native kernel. */
+  def applyBpeMergesHof(df: DataFrame, textCol: String,
+                        merges: Seq[(String, String)],
+                        out: String = "pieces"): DataFrame = {
     require(merges.nonEmpty, "merges must be non-empty")
     merges.foreach { case (a, b) =>
       require(a.nonEmpty && b.nonEmpty && !s"$a$b".exists(c => c == '<' || c == '>'),

@@ -294,6 +294,31 @@ class EvalStatsSpec extends SparkSpec {
     assert(out("tie") == ((1L, 1L, 500000L)))
   }
 
+  test("signTest: running-coefficient tail equals exact BigInt tails, all (n,k) n<=20") {
+    // One synthetic entity per (n, k): a strictly rising run of k+? —
+    // easier to drive the fold directly by constructing sequences with
+    // exactly k ups out of n non-tie changes (k ups then n-k downs,
+    // values kept positive and never tying).
+    val rows = for {
+      n <- 1 to 20; k <- 0 to n
+      seq = {
+        // start at 1000; k increments of +2, then n-k decrements of -1
+        val deltas = Seq.fill(k)(2L) ++ Seq.fill(n - k)(-1L)
+        deltas.scanLeft(1000L)(_ + _)
+      }
+      (v, i) <- seq.zipWithIndex
+    } yield (s"e_${n}_$k", i.toLong, v)
+    val out = EvalStats.signTest(rows.toDF("e", "b", "v"), "e", "b", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    def choose(n: Int, i: Int): BigInt =
+      (1 to i).foldLeft(BigInt(1))((c, j) => c * (n - j + 1) / j)
+    for (n <- 1 to 20; k <- 0 to n) {
+      val tail = (k to n).map(choose(n, _)).sum
+      val expect = (BigInt(1000000) * tail / (BigInt(1) << n)).toLong
+      assert(out(s"e_${n}_$k") == expect, s"n=$n k=$k")
+    }
+  }
+
   test("bhAdjust: step-up boundary rejects exactly the ranks below i*") {
     // m=4, q=0.1: ranks 1,2 pass (p·4 ≤ 1e5·rank), 3,4 fail -> i*=2.
     val df = Seq(("a", 10000L), ("b", 30000L), ("c", 200000L),

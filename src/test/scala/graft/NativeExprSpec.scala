@@ -51,6 +51,23 @@ class NativeExprSpec extends SparkSpec {
     assertSameData(native, hof)
   }
 
+  test("native BPE apply == HOF BPE apply on real text (bitwise)") {
+    import spark.implicits._
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t", "e" -> "r",
+      "o" -> "r", "a" -> "n", "an" -> "d", "in" -> "g")
+    // real docs plus edge rows: empty text, single char, repeated
+    // fusable runs, a non-ASCII token, and a null text
+    val extra = Seq((90001L, ""), (90002L, "t"), (90003L, "tthhthth atat"),
+      (90004L, "naïve café 日本語"), (90005L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val base = docs.select("doc_id", "text").unionAll(extra)
+    val native = graft.operators.TextOps.applyBpeMerges(base, "text", merges)
+      .select(col("doc_id"), col("pieces"))
+    val hof = graft.operators.TextOps.applyBpeMergesHof(base, "text", merges)
+      .select(col("doc_id"), col("pieces"))
+    assertSameData(native, hof)
+  }
+
   test("native dot product == HOF dot product on real embeddings (bitwise)") {
     val q = embs.limit(1).select(col("embedding").as("q"))
     val diff = embs.crossJoin(broadcast(q))
