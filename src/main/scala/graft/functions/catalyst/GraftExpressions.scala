@@ -286,6 +286,44 @@ object HashOps {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** Z-value kernel: per column c, bucket = |{b in bounds[c] :
+    * b <= v}| via binary search (`Double.compare` order, so NaN lands
+    * above every boundary; a NULL element buckets to 0), then the
+    * buckets interleave MSB-first across columns into one long. The
+    * row's value array length must match the boundary table's column
+    * count — a mismatch is a wiring bug and raises. */
+  def zvalue(vals: ArrayData, bounds: Array[Double], perCol: Int): Long = {
+    val nCols = bounds.length / perCol
+    if (vals.numElements() != nCols)
+      throw new IllegalArgumentException(
+        s"graft_zvalue: row has ${vals.numElements()} values, boundary table has $nCols columns")
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(perCol.toLong)
+    var z = 0L
+    var bit = bits - 1
+    while (bit >= 0) {
+      var c = 0
+      while (c < nCols) {
+        val bucket =
+          if (vals.isNullAt(c)) 0
+          else {
+            val v = vals.getDouble(c)
+            var lo = 0; var hi = perCol // count of boundaries <= v
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (java.lang.Double.compare(bounds(c * perCol + mid), v) <= 0)
+                lo = mid + 1
+              else hi = mid
+            }
+            lo
+          }
+        z = (z << 1) | ((bucket >>> bit) & 1)
+        c += 1
+      }
+      bit -= 1
+    }
+    z
+  }
 }
 
 /** `graft_pq_encode(array<float>, array<double>, m) -> array<int>` —
@@ -394,6 +432,66 @@ case class BpeApply(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BpeApply =
     copy(left = l, right = r)
+}
+
+/** `graft_zvalue(array<double>, bounds_flat, per_col) -> bigint` —
+  * Morton (Z-order) curve value for multi-column clustering: per
+  * column, binary-search the row value into that column's sorted
+  * quantile boundaries (`bounds_flat` is [col][boundary]-major, a
+  * foldable literal shipped once as a codegen reference object) to a
+  * bucket in [0, per_col], then bit-interleave the buckets MSB-first
+  * across columns. Range-partitioning the rewrite on this value gives
+  * every landed file a tight min/max envelope on EVERY clustered
+  * column at once — the multi-column data-skipping layout `OPTIMIZE
+  * ZORDER BY` produces in delta-spark. NULL values bucket to 0 (they
+  * cluster together at the curve's origin); NaN sorts above every
+  * boundary (`Double.compare` order). */
+case class ZValue(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), IntegerType)
+        if second.foldable && third.foldable =>
+        if (perCol < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName per_col must be >= 1, got $perCol")
+        else if (bounds.isEmpty || bounds.length % perCol != 0)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName bounds length ${bounds.length} not divisible by per_col=$perCol")
+        else {
+          val nCols = bounds.length / perCol
+          val bits = 64 - java.lang.Long.numberOfLeadingZeros(perCol.toLong)
+          if (nCols * bits > 63)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName $nCols cols x $bits bits overflow 63 z-bits")
+          else TypeCheckResult.TypeCheckSuccess
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, foldable array<double>, foldable int)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_zvalue"
+
+  private lazy val bounds: Array[Double] =
+    second.eval().asInstanceOf[ArrayData].toDoubleArray()
+  private lazy val perCol: Int = third.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = first.eval(input)
+    if (v == null) null
+    else HashOps.zvalue(v.asInstanceOf[ArrayData], bounds, perCol)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("zBounds", bounds, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, _, _) => {
+      s"${ev.value} = graft.functions.catalyst.HashOps.zvalue($v, $bRef, $perCol);"
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZValue = copy(f, s, t)
 }
 
 /** `graft_simhash(array<bigint>, bits) -> int` — single-pass N-bit

@@ -50,6 +50,9 @@ object GraftFunctions {
     ("graft_bpe_apply",
       info("graft_bpe_apply", "BPE merge application over array<string> tokens -> flattened piece array (args: toks, merges_flat)"),
       (args: Seq[Expression]) => BpeApply(args(0), args(1))),
+    ("graft_zvalue",
+      info("graft_zvalue", "Morton z-order value from per-column quantile buckets (args: vals, bounds_flat, per_col)"),
+      (args: Seq[Expression]) => ZValue(args(0), args(1), args(2))),
     ("graft_pq_encode",
       info("graft_pq_encode", "product-quantization encode: nearest codebook centroid per subspace (args: vec, cb_flat, m)"),
       (args: Seq[Expression]) => PqEncode(args(0), args(1), args(2))),

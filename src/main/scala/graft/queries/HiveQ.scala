@@ -1535,5 +1535,114 @@ object HiveQ {
             sum(col("o_orderkey")).cast("bigint").as("sum_key"))
           .orderBy(col("o_orderstatus"))
       })
+    ,
+
+    // ---- OPTIMIZE ZORDER BY ----------------------------------------
+    // Morton-curve rewrite over (l_partkey, l_suppkey): after it,
+    // every file's min/max envelope is tight on BOTH columns, DV
+    // masks from the prior delete are materialized away, and a point
+    // range on EITHER column file-skips. The oracle replays the
+    // delete relationally — zorder must be logically invisible.
+    Q("q425_delta_zorder",
+      Some("""SELECT count(*)::BIGINT AS n,
+             |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+             |  sum(l_partkey)::BIGINT AS sum_pk
+             |FROM lineitem
+             |WHERE l_orderkey < 4000 AND NOT l_quantity = 5""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q425_")
+        val li = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+          .where(col("l_orderkey") < 4000)
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(li.repartition(8))                                   // v0
+        ds.delete(col("l_quantity") === 5)                            // v1 (DVs)
+        val before = graft.sources.DeltaReader.snapshot(table)(s).get.files
+        val v = ds.zorder(Seq("l_partkey", "l_suppkey"),
+          targetFileBytes = 64L * 1024)
+        require(v == 2L, s"q425: zorder must be ONE atomic commit, got v$v")
+        val snap = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(snap.files.map(_.path).toSet
+          .intersect(before.map(_.path).toSet).isEmpty,
+          "q425: zorder must rewrite every live file")
+        require(snap.files.forall(_.deletionVector.isEmpty),
+          "q425: zorder must materialize deletion-vector masks away")
+        require(ds.history().get.orderBy(col("version").desc).head()
+          .getString(2) == "OPTIMIZE",
+          "q425: the commit must record operation OPTIMIZE")
+        // multi-column data skipping: a point range on EITHER curve
+        // column must prune files once there are enough to split
+        // (scale-robust: skipped entirely at tiny SF file counts)
+        if (snap.files.size >= 4) {
+          val probe = graft.sources.DeltaReader.scan(table)(s).get
+            .agg(min(col("l_partkey")), min(col("l_suppkey"))).head()
+          Seq("l_partkey" -> probe.getLong(0), "l_suppkey" -> probe.getLong(1))
+            .foreach { case (c, pt) =>
+              val kept = graft.sources.DeltaReader.prunedSnapshot(table,
+                Seq((c, pt.toString, pt.toString)))(s).get.files.size
+              require(kept < snap.files.size,
+                s"q425: point range on $c kept $kept of ${snap.files.size} " +
+                  "files — the curve layout is not skipping")
+            }
+        }
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_partkey")).cast("bigint").as("sum_pk"))
+      })
+    ,
+
+    // ---- SHALLOW CLONE ---------------------------------------------
+    // Zero-copy fork: the clone's v0 references the source's data
+    // files by absolute path (DV masks re-addressed 'u' -> 'p' so the
+    // delete survives the root change), then evolves independently —
+    // an append to the clone must not touch the source. The oracle
+    // replays source-after-delete plus the clone-only slice.
+    Q("q426_delta_clone",
+      Some("""WITH src AS (SELECT c_custkey, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey < 900
+             |    AND NOT c_mktsegment = 'BUILDING'),
+             |extra AS (SELECT c_custkey, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey >= 900 AND c_custkey < 1200),
+             |unioned AS (SELECT * FROM src UNION ALL SELECT * FROM extra)
+             |SELECT count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_key,
+             |  sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS sum_bal
+             |FROM unioned""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val srcTable = tmp("graft_q426s_")
+        val dstTable = tmp("graft_q426d_")
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val src = new graft.sources.DeltaDataset(srcTable)
+        src.write(cust.where(col("c_custkey") < 900))                 // v0
+        src.delete(col("c_mktsegment") === "BUILDING")                // v1 (DVs)
+        val v0 = src.cloneShallowTo(dstTable)
+        require(v0 == 0L, s"q426: a clone must start its OWN history, got v$v0")
+        val dst = new graft.sources.DeltaDataset(dstTable)
+        val srcBytes = graft.sources.DeltaReader.snapshot(srcTable)(s).get
+          .files.map(_.size).sum
+        require(graft.sources.DeltaReader.snapshot(dstTable)(s).get
+          .files.forall(f => f.path.contains(srcTable)),
+          "q426: clone adds must point at the SOURCE root, not copies")
+        val srcN = graft.sources.DeltaReader.scan(srcTable)(s).get.count()
+        require(graft.sources.DeltaReader.scan(dstTable)(s).get.count() == srcN,
+          "q426: the clone must read exactly the source snapshot " +
+            "(deletion vectors included)")
+        dst.append(cust.where(col("c_custkey") >= 900 &&
+          col("c_custkey") < 1200))                                   // clone v1
+        require(graft.sources.DeltaReader.scan(srcTable)(s).get.count() == srcN,
+          "q426: appending to the clone must not touch the source")
+        require(graft.sources.DeltaReader.snapshot(srcTable)(s).get
+          .files.map(_.size).sum == srcBytes,
+          "q426: the clone must not have copied or moved source bytes")
+        graft.sources.DeltaReader.scan(dstTable)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("c_custkey")).cast("bigint").as("sum_key"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+      })
   )
 }

@@ -103,6 +103,22 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
               minFiles: Int = 2): Long =
     DeltaWriter.compact(cleanUrl, targetFileBytes, minFiles)
 
+  /** OPTIMIZE ZORDER BY: rewrite the live rows clustered along the
+    * Morton curve over `zCols` so file-level min/max stats get tight
+    * on EVERY clustered column and range predicates on any of them
+    * prune from log metadata — see [[DeltaWriter.zorder]]. */
+  def zorder(zCols: Seq[String],
+             targetFileBytes: Long = 128L * 1024 * 1024,
+             nBuckets: Int = 1024): Long =
+    DeltaWriter.zorder(cleanUrl, zCols, targetFileBytes, nBuckets)
+
+  /** SHALLOW CLONE this table to `dstUrl`: a new independent table
+    * whose v0 references this table's data files by absolute path —
+    * zero data copied, one commit written — see
+    * [[DeltaWriter.cloneShallow]]. */
+  def cloneShallowTo(dstUrl: String, asOfVersion: Option[Long] = None): Long =
+    DeltaWriter.cloneShallow(cleanUrl, dstUrl, asOfVersion)
+
   /** Roll the table back to `version` as a NEW commit (the RESTORE
     * verb): one log-level diff — files live now but not then are
     * removed, files live then but not now (with their deletion
@@ -1130,6 +1146,258 @@ object DeltaWriter {
     throw new IllegalStateException(
       s"DeltaWriter.compact: lost the commit race $MaxCommitAttempts " +
         s"times on $cleanUrl — giving up")
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the table's live rows clustered
+    * along the Morton (Z-order) curve over `zCols`, so every landed
+    * file carries a TIGHT `minValues`/`maxValues` envelope on every
+    * clustered column at once — after which [[DeltaReader.scanPruned]]
+    * range predicates on ANY of those columns (not just a
+    * lexicographic prefix) skip most files from log metadata alone.
+    *
+    * Mechanics: one distributed `approxQuantile` pass yields
+    * `nBuckets-1` boundaries per column (driver holds cols × buckets
+    * doubles — bounded); each row's z-value is a single generated
+    * `graft_zvalue` call (binary-search bucket per column,
+    * MSB-first bit interleave); the rewrite range-partitions on
+    * (partition columns, z) — a skew-aware range shuffle — and sorts
+    * within partitions so row groups inside each file stay
+    * curve-local too. Committed as `dataChange = false` add+remove
+    * (DV masks materialized away): logically identical table,
+    * streams see nothing.
+    *
+    * Column types: numerics and BOOLEAN (cast to double), DATE
+    * (epoch days), TIMESTAMP (epoch seconds), and STRING via the
+    * first-8-UTF-8-bytes magnitude — order-preserving on the prefix,
+    * the same truncation Iceberg's zorder applies.
+    *
+    * Scale shape (100 TB): the quantile pass and the range-shuffled
+    * rewrite are both fully distributed; driver work is file-count
+    * and (cols × buckets) bounded. Race safety mirrors [[compact]]:
+    * on a lost publish race every rewritten file must still be live
+    * with an unchanged descriptor, else this raises loudly. */
+  def zorder(url: String, zCols: Seq[String],
+             targetFileBytes: Long = 128L * 1024 * 1024,
+             nBuckets: Int = 1024)
+            (implicit spark: SparkSession): Long = {
+    import org.apache.spark.sql.functions.{array, call_function, lit}
+    require(zCols.nonEmpty && zCols.distinct == zCols,
+      "DeltaWriter.zorder: zCols must be non-empty and distinct")
+    require(nBuckets >= 2, "DeltaWriter.zorder: nBuckets must be >= 2")
+    val perCol = nBuckets - 1
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(perCol.toLong)
+    require(zCols.size * bits <= 63,
+      s"DeltaWriter.zorder: ${zCols.size} cols x $bits bits overflow 63 z-bits — lower nBuckets")
+    require(targetFileBytes > 0, "DeltaWriter.zorder: target must be > 0")
+    val cleanUrl = url.stripSuffix("/")
+    val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.zorder: no Delta table at $cleanUrl"))
+    enforceWritable(snap, "zorder")
+    require(snap.physicalSchema.isEmpty,
+      "DeltaWriter.zorder: column-mapped tables unsupported")
+    zCols.foreach { c =>
+      require(snap.schema.fieldNames.contains(c),
+        s"DeltaWriter.zorder: column '$c' not in the table schema")
+      require(!snap.partitionColumns.contains(c),
+        s"DeltaWriter.zorder: '$c' is a partition column — constant " +
+          "within every file already; cluster on data columns")
+    }
+    if (snap.files.isEmpty) return snap.version
+    graft.functions.catalyst.GraftFunctions.register(spark)
+    // order-preserving double rendering per supported type
+    def prep(c: String): String = {
+      val q = s"`$c`"
+      snap.schema(c).dataType match {
+        case DateType => s"cast(unix_date($q) as double)"
+        case TimestampType => s"cast(unix_micros($q) as double)"
+        case TimestampNTZType =>
+          s"cast(unix_micros(cast($q as timestamp)) as double)"
+        case BooleanType => s"cast(cast($q as int) as double)"
+        case StringType =>
+          // first 8 UTF-8 bytes as an unsigned magnitude: hex() is
+          // 2 chars/byte, rpad keeps short strings left-aligned
+          s"cast(conv(rpad(substring(hex(encode($q, 'UTF-8')), 1, 16), " +
+            "16, '0'), 16, 10) as double)"
+        case _: NumericType => s"cast($q as double)"
+        case other => throw new IllegalArgumentException(
+          s"DeltaWriter.zorder: unsupported type $other for column '$c'")
+      }
+    }
+    val survivors = DeltaReader.assembleSnapshot(snap)
+    val tmpCols = zCols.indices.map(i => s"__zc$i")
+    val prepped = zCols.zip(tmpCols).foldLeft(survivors) {
+      case (d, (c, t)) => d.withColumn(t, org.apache.spark.sql.functions.expr(prep(c)))
+    }
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val quantiles = prepped.stat.approxQuantile(tmpCols.toArray, probs, 0.001)
+    val boundsFlat: Seq[Double] = quantiles.toSeq.flatMap { qs =>
+      // an all-null column yields no quantiles: pad (rows bucket to 0
+      // through the NULL path anyway)
+      if (qs.length == perCol) qs.toSeq else Seq.fill(perCol)(0.0)
+    }
+    val bins = math.max(1L, (snap.files.map(_.size).sum + targetFileBytes - 1)
+      / targetFileBytes).toInt
+    val pcols = snap.partitionColumns
+    val rangeKeys = (pcols :+ "__z").map(col)
+    val clustered = prepped
+      .withColumn("__z", call_function("graft_zvalue",
+        array(tmpCols.map(col): _*), array(boundsFlat.map(lit): _*),
+        lit(perCol)))
+      .repartitionByRange(bins, rangeKeys: _*)
+      .sortWithinPartitions(rangeKeys: _*)
+      .drop(tmpCols :+ "__z": _*)
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    val logDir = new Path(qualifiedBase, "_delta_log")
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    def relOrAbs(p: Path): String =
+      if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
+      else p.toUri.toString
+    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, clustered, pcols)
+    val adds = newFiles.map { case (kvs, p) =>
+      val st = fs.getFileStatus(p)
+      val pv = kvs.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      val stats = statsJson(fs, p, snap.schema)
+        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
+      s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":false$stats}}"""
+    }
+    val byKey = snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val head = DeltaReader.snapshot(cleanUrl).getOrElse(
+        throw new IllegalStateException(
+          s"DeltaWriter.zorder: table at $cleanUrl vanished mid-rewrite"))
+      val headByKey = head.files
+        .map(f => new Path(f.path).toUri.toString -> f).toMap
+      byKey.foreach { case (k, f) =>
+        require(headByKey.get(k).contains(f),
+          s"DeltaWriter.zorder: concurrent modification of $k — the " +
+            "rewrite was materialized from a stale snapshot; re-run")
+      }
+      val removes = snap.files.map { f =>
+        s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
+          s""""deletionTimestamp":${System.currentTimeMillis},""" +
+          """"dataChange":false}}"""
+      }
+      val version = head.version + 1
+      val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
+      if (publishCommit(fs, logDir, version,
+          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
+        maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
+        return version
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"DeltaWriter.zorder: lost the commit race $MaxCommitAttempts " +
+        s"times on $cleanUrl — giving up")
+  }
+
+  /** SHALLOW CLONE: create a new Delta table at `dstUrl` whose
+    * version 0 references the SOURCE table's data files by absolute
+    * path — zero bytes of data copied, only one commit JSON written.
+    * The clone gets its own table id and an independent history:
+    * appends/deletes/optimize on either side never touch the other
+    * (the clone's rewrites land new files under ITS root; the
+    * source's files are only ever dereferenced). Protocol, schema,
+    * partitioning and configuration carry over verbatim, so a clone
+    * of a DV/column-mapped/ICT table demands exactly the features the
+    * source does. Source deletion vectors survive: `u`-storage DVs
+    * (relative to the SOURCE root) are re-addressed as absolute
+    * `p`-storage descriptors; inline `i` and absolute `p` carry as-is
+    * — matching how delta-spark's CLONE keeps masks valid across
+    * roots.
+    *
+    * Scale shape (100 TB): cost is O(live file count) driver-side
+    * metadata — a petabyte table clones in one log write. The classic
+    * use: a writable dev/test fork, or an experiment branch before a
+    * risky MERGE, without duplicating storage.
+    *
+    * Caveat (same as delta-spark): VACUUM on the source can reclaim
+    * files the clone still references — vacuum only consults its own
+    * log. Returns the clone's committed version (always 0). */
+  def cloneShallow(srcUrl: String, dstUrl: String,
+                   asOfVersion: Option[Long] = None)
+                  (implicit spark: SparkSession): Long = {
+    val cleanSrc = srcUrl.stripSuffix("/")
+    val cleanDst = dstUrl.stripSuffix("/")
+    require(cleanSrc != cleanDst,
+      "DeltaWriter.cloneShallow: source and destination are the same table")
+    val snap = DeltaReader.snapshotAt(cleanSrc, asOfVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.cloneShallow: no Delta table at $cleanSrc"))
+    require(DeltaReader.snapshot(cleanDst).isEmpty,
+      s"DeltaWriter.cloneShallow: a Delta table already exists at $cleanDst")
+    val dstBase = new Path(cleanDst)
+    val fs: FileSystem =
+      dstBase.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedDst = fs.makeQualified(dstBase)
+    val logDir = new Path(qualifiedDst, "_delta_log")
+    val srcRoot = new Path(snap.root)
+    def featArr(fs0: Option[Seq[String]]): String =
+      fs0.map(f => f.map(x => s""""${jsonEscape(x)}"""")
+        .mkString(""","readerFeatures":[""", ",", "]")).getOrElse("")
+    def wfeatArr(fs0: Option[Seq[String]]): String =
+      fs0.map(f => f.map(x => s""""${jsonEscape(x)}"""")
+        .mkString(""","writerFeatures":[""", ",", "]")).getOrElse("")
+    val protocolLine =
+      s"""{"protocol":{"minReaderVersion":${snap.protocol.minReaderVersion},""" +
+        s""""minWriterVersion":${snap.protocol.minWriterVersion}""" +
+        featArr(snap.protocol.readerFeatures) +
+        wfeatArr(snap.protocol.writerFeatures) + "}}"
+    val confJson = snap.configuration.map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+    val metaLine =
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
+        """"format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jsonEscape(snap.schema.json)}",""" +
+        s""""partitionColumns":[${snap.partitionColumns.map(c =>
+          s""""${jsonEscape(c)}"""").mkString(",")}],""" +
+        s""""configuration":{$confJson},""" +
+        s""""createdTime":${System.currentTimeMillis}}}"""
+    def dvPortable(d: DeltaReader.DvDescriptor): DeltaReader.DvDescriptor =
+      d.storageType match {
+        case "u" =>
+          // re-resolve against the SOURCE root, exactly the reader's
+          // 'u' path algebra, then pin as absolute 'p' storage
+          require(d.pathOrInlineDv.length >= 20,
+            s"DeltaWriter.cloneShallow: malformed 'u' DV id ${d.pathOrInlineDv}")
+          val prefix = d.pathOrInlineDv.dropRight(20)
+          val uuid = DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
+          val dir = if (prefix.isEmpty) srcRoot else new Path(srcRoot, prefix)
+          d.copy(storageType = "p",
+            pathOrInlineDv = new Path(dir, s"deletion_vector_$uuid.bin").toString,
+            offset = Some(d.offset.getOrElse(1)))
+        case _ => d // 'i' inline and 'p' absolute are root-free already
+      }
+    def dvJson(d: DeltaReader.DvDescriptor): String =
+      s""","deletionVector":{"storageType":"${jsonEscape(d.storageType)}",""" +
+        s""""pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}"""" +
+        d.offset.map(o => s""","offset":$o""").getOrElse("") +
+        s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    val adds = snap.files.map { f =>
+      val pv = f.partitionValues.map { case (k, v) =>
+        s""""${jsonEscape(k)}":${
+          if (v == null) "null" else s""""${jsonEscape(v)}""""}"""
+      }.mkString(",")
+      s"""{"add":{"path":"${jsonEscape(new Path(f.path).toUri.toString)}",""" +
+        s""""partitionValues":{$pv},"size":${f.size},""" +
+        s""""modificationTime":${f.modificationTime},"dataChange":true""" +
+        f.deletionVector.map(d => dvJson(dvPortable(d))).getOrElse("") +
+        f.stats.map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("") +
+        "}}"
+    }
+    val ict = ictLines(snap.configuration, fs, logDir, -1L, "CLONE")
+    require(publishCommit(fs, logDir, 0L,
+      (ict ++ Seq(protocolLine, metaLine) ++ adds).mkString("\n") + "\n"),
+      s"DeltaWriter.cloneShallow: version 0 already exists at $cleanDst " +
+        "— lost a creation race")
+    0L
   }
 
   /** RESTORE: commit the file-state diff head → target. Refuses when
