@@ -1644,5 +1644,53 @@ object HiveQ {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
             .as("sum_bal"))
       })
+    ,
+
+    // ---- GENERATED columns ------------------------------------------
+    // A table partitioned by GENERATED o_year = year(o_orderdate):
+    // the creating write declares the derivation, a RAW append (no
+    // o_year) computes it, and — the scale payoff — a range on the
+    // raw o_orderdate alone partition-prunes through the monotone
+    // generation expression. The oracle replays the same range
+    // relationally; pruning must be invisible to the result.
+    Q("q427_delta_generated",
+      Some("""SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key,
+             |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_price
+             |FROM orders WHERE o_orderkey < 4000
+             |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+             |    AND TIMESTAMP '1996-12-31 23:59:59'""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q427_")
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+        val ds = new graft.sources.DeltaDataset(table, Seq("o_year"))
+        ds.write(graft.sources.DeltaWriter.asGenerated(
+          ord.where(col("o_orderkey") < 2000)
+            .withColumn("o_year", expr("year(o_orderdate)")),
+          "o_year", "year(o_orderdate)"))                             // v0
+        ds.append(ord.where(col("o_orderkey") >= 2000 &&
+          col("o_orderkey") < 4000))                                  // v1: raw
+        val snap = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(snap.protocol.minWriterVersion >= 4,
+          "q427: a generated-column table must demand writer version 4")
+        require(graft.sources.DeltaReader.scan(table)(s).get
+          .where(col("o_year") =!= expr("year(o_orderdate)")).isEmpty,
+          "q427: every computed partition value must satisfy the derivation")
+        val ranges = Seq(("o_orderdate",
+          "1995-01-01 00:00:00", "1996-12-31 23:59:59"))
+        val allParts = snap.files.flatMap(_.partitionValues.get("o_year")).toSet
+        val kept = graft.sources.DeltaReader.prunedSnapshot(table, ranges)(s)
+          .get.files.flatMap(_.partitionValues.get("o_year")).toSet
+        require(kept.subsetOf(Set("1995", "1996")),
+          s"q427: the raw-date range must derive o_year pruning, kept $kept")
+        require(allParts.size <= 2 || kept.size < allParts.size,
+          "q427: derivation pruned nothing")
+        graft.sources.DeltaReader.scanPruned(table, ranges)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+      })
   )
 }

@@ -335,17 +335,33 @@ object DeltaWriter {
     * that loses this race AFTER landing its data files aborts before
     * publishing; the orphaned files are [[vacuum]] fodder, exactly
     * delta's own behavior. */
-  def write(url: String, df: DataFrame, partitionColumns: Seq[String],
+  def write(url: String, dfIn: DataFrame, partitionColumns: Seq[String],
             overwrite: Boolean, txn: Option[(String, Long)] = None,
             mergeSchema: Boolean = false)
            (implicit spark: SparkSession): Long = {
     val cleanUrl = url.stripSuffix("/")
+    val snapGen = DeltaReader.snapshot(cleanUrl)
     // idempotence gate BEFORE any data lands: a replayed batch that
     // is already in the log must not even write files
     txn.foreach { case (app, v) =>
-      DeltaReader.snapshot(cleanUrl).foreach { s =>
+      snapGen.foreach { s =>
         if (s.txns.get(app).exists(_ >= v)) return s.version
       }
+    }
+    // GENERATED columns materialize before any shape validation: the
+    // common case is a generated PARTITION column (date(ts)-style)
+    // the incoming frame legitimately lacks
+    val (dfG, computedGen) = applyGeneratedColumns(
+      snapGen.map(_.schema).getOrElse(dfIn.schema), dfIn)
+    // only a frame we synthesized columns onto gets reordered to the
+    // table's column order (computed columns append last otherwise);
+    // hand-built frames keep the strict order contract
+    val df = snapGen match {
+      case Some(s) if computedGen =>
+        val tbl = s.schema.fieldNames.filter(dfG.columns.contains)
+        val extra = dfG.columns.filterNot(tbl.contains)
+        dfG.select((tbl ++ extra).map(col).toSeq: _*)
+      case _ => dfG
     }
     // the reference's column validation, verbatim semantics
     // (delta_dataset.py:29-35)
@@ -388,7 +404,7 @@ object DeltaWriter {
         s"DeltaWriter: table at $cleanUrl is append-only " +
           "(delta.appendOnly=true) — overwrite refused")
     }
-    val snap0 = DeltaReader.snapshot(cleanUrl)
+    val snap0 = snapGen
     snap0.foreach(validateAgainst)
     snap0.foreach(s => enforceCheckConstraints(s, df))
     // constraints enforced so far — the retry loop re-runs the
@@ -417,7 +433,12 @@ object DeltaWriter {
     val adds = newFiles.map { case (kvs, p) => addLine(kvs, p) }
 
     def metaLines: Seq[String] = Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      // a generated-column table demands legacy writer version 4
+      // (PROTOCOL.md legacy mapping) so a foreign writer that cannot
+      // compute the derivations refuses instead of corrupting them
+      if (generationExprs(df.schema).nonEmpty)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
+      else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
         """"format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${jsonEscape(df.schema.json)}",""" +
@@ -465,6 +486,14 @@ object DeltaWriter {
         case Some(s) if mergeSchema =>
           val existing = s.schema.fieldNames.toSet
           val extra = df.schema.fields.filterNot(f => existing(f.name))
+          // a generated column cannot ARRIVE by evolution: old files
+          // null-fill added columns at read, which would contradict
+          // the derivation on every pre-evolution row
+          extra.foreach(f =>
+            require(!f.metadata.contains("delta.generationExpression"),
+              s"DeltaWriter: mergeSchema cannot add GENERATED column " +
+                s"'${f.name}' — existing rows would null-fill it in " +
+                "violation of its generation expression"))
           if (extra.isEmpty) Seq.empty
           else {
             val merged = StructType(s.schema.fields ++ extra)
@@ -714,13 +743,16 @@ object DeltaWriter {
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaWriter.merge: table at $cleanUrl is append-only " +
         "(delta.appendOnly=true) — MERGE rewrites rows, refused")
+    // GENERATED columns the source legitimately lacks are computed
+    // (and provided ones validated) before the whole-row shape check
+    val (sourceG, _) = applyGeneratedColumns(snap.schema, source)
     // whole-row semantics: the source must carry exactly the table's
     // columns (any order), each with the table's type
     val tblTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    require(source.columns.toSet == tblTypes.keySet,
+    require(sourceG.columns.toSet == tblTypes.keySet,
       s"DeltaWriter.merge: whole-row merge needs the table's columns " +
         s"${snap.schema.fieldNames.toSeq}, source has ${source.columns.toSeq}")
-    source.schema.fields.foreach(f => require(tblTypes(f.name) == f.dataType,
+    sourceG.schema.fields.foreach(f => require(tblTypes(f.name) == f.dataType,
       s"DeltaWriter.merge: column '${f.name}' is ${tblTypes(f.name)
         .simpleString} in the table, ${f.dataType.simpleString} in the source"))
     keyCols.foreach(k => require(tblTypes.contains(k),
@@ -728,7 +760,7 @@ object DeltaWriter {
     // pin the source: it feeds the duplicate guard, the mask
     // semi-join AND the insert write — a nondeterministic source must
     // not produce three different slices
-    val src = source.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val src = sourceG.select(snap.schema.fieldNames.map(col).toSeq: _*)
       .localCheckpoint()
     val dupes = src.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
@@ -776,6 +808,15 @@ object DeltaWriter {
     val tblTypes = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     set.keys.foreach(k => require(tblTypes.contains(k),
       s"DeltaWriter.update: SET names column '$k' not in the table schema"))
+    // GENERATED columns are derived state: SET-ing one directly is
+    // refused (delta-spark's rule); instead every generated column is
+    // recomputed AFTER the assignments, so updating a base column its
+    // expression references keeps the derivation true by construction
+    val gens = generationExprs(snap.schema)
+    gens.foreach { case (f, _) => require(!set.contains(f.name),
+      s"DeltaWriter.update: column '${f.name}' is GENERATED " +
+        "(delta.generationExpression) — SET its base columns instead; " +
+        "the derivation recomputes automatically") }
     // ONE scan feeds both the mask and the rewrite: matched rows are
     // pinned (matched-sized, the rewrite working set every
     // copy-on-write UPDATE carries) so the two can't diverge
@@ -787,9 +828,12 @@ object DeltaWriter {
         case Some(e) => df.withColumn(f.name, e.cast(f.dataType))
         case None => df
       }
+    }
+    val regenerated = gens.foldLeft(updated) { case (df, (f, g)) =>
+      df.withColumn(f.name, expr(g).cast(f.dataType))
     }.select(snap.schema.fieldNames.map(col).toSeq: _*)
-    enforceCheckConstraints(snap, updated)
-    copyOnWriteCommit(cleanUrl, snap, mask, updated, "UPDATE")
+    enforceCheckConstraints(snap, regenerated)
+    copyOnWriteCommit(cleanUrl, snap, mask, regenerated, "UPDATE")
   }
 
   /** Shared [[merge]]/[[update]] tail: mask `maskRows` (`__fp`,
@@ -1750,9 +1794,10 @@ object DeltaWriter {
   /** Writer features this writer actually implements (or that demand
     * nothing from a writer when no column carries their metadata):
     * the write-side mirror of [[DeltaReader]]'s reader-feature gate.
-    * `generatedColumns`/`identityColumns`/`invariants` appear here
-    * because the FEATURE being declared is inert — the obligation
-    * attaches to columns carrying the metadata, which
+    * `generatedColumns` is genuinely implemented
+    * ([[applyGeneratedColumns]]); `identityColumns`/`invariants`
+    * appear here because the FEATURE being declared is inert — the
+    * obligation attaches to columns carrying the metadata, which
     * [[enforceWritable]] checks field by field. */
   private[sources] val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
@@ -1764,11 +1809,12 @@ object DeltaWriter {
     * behavior this writer does not implement — the loud line every
     * engine draws instead of corrupting a foreign table's contract:
     * unknown writer features (protocol table features, PROTOCOL.md),
-    * GENERATED columns (`delta.generationExpression` — we cannot
-    * compute them), IDENTITY columns (`delta.identity.*` — we cannot
-    * allocate them), column invariants (`delta.invariants` — we do
-    * not enforce them). READS of such tables stay fine: writer
-    * features never gate a reader. */
+    * IDENTITY columns (`delta.identity.*` — we cannot allocate
+    * them), column invariants (`delta.invariants` — we do not
+    * enforce them). GENERATED columns are implemented
+    * ([[applyGeneratedColumns]] computes or validates them on every
+    * row-creating verb) and pass. READS of such tables stay fine:
+    * writer features never gate a reader. */
   private[sources] def enforceWritable(snap: DeltaReader.DeltaSnapshot,
                                        verb: String): Unit = {
     val unknown = snap.protocol.writerFeatures.getOrElse(Seq.empty)
@@ -1778,10 +1824,6 @@ object DeltaWriter {
         s"${unknown.mkString(", ")} this writer does not implement — " +
         "refusing (a blind write would break the table's contract)")
     snap.schema.fields.foreach { f =>
-      require(!f.metadata.contains("delta.generationExpression"),
-        s"DeltaWriter.$verb: column '${f.name}' is GENERATED " +
-          "(delta.generationExpression) — this writer cannot compute it; " +
-          "reads are unaffected")
       require(!f.metadata.contains("delta.identity.start") &&
         !f.metadata.contains("delta.identity.step") &&
         !f.metadata.contains("delta.identity.allowExplicitInsert"),
@@ -1793,6 +1835,59 @@ object DeltaWriter {
           "(delta.invariants) this writer does not enforce — refusing " +
           "rather than committing unvalidated rows")
     }
+  }
+
+  /** Generation expressions per column (`delta.generationExpression`
+    * field metadata — the `generatedColumns` writer feature). */
+  private[sources] def generationExprs(schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        (f, f.metadata.getString("delta.generationExpression"))
+    }
+
+  /** Declaration-side sugar: tag `name` in `df` as GENERATED by
+    * `genSql` (`delta.generationExpression` field metadata, the form
+    * delta-spark's `GENERATED ALWAYS AS` stores), so the CREATING
+    * write records the derivation in the table schema and every
+    * later write computes or validates it. */
+  def asGenerated(df: DataFrame, name: String, genSql: String): DataFrame = {
+    require(df.columns.contains(name),
+      s"DeltaWriter.asGenerated: column '$name' not in the dataframe")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(name).metadata)
+      .putString("delta.generationExpression", genSql).build()
+    df.withMetadata(name, meta)
+  }
+
+  /** Materialize GENERATED columns on `df` against `schema`: a
+    * MISSING generated column is computed from its expression (cast
+    * to the declared type — how a date(ts)-partitioned table fills
+    * its partition column from raw events); a PROVIDED one is
+    * validated against the recomputation in ONE distributed
+    * null-safe pass, so a drifted upstream pipeline fails loudly
+    * instead of committing rows that contradict the table's own
+    * contract (delta-spark enforces the same via an internal CHECK).
+    * Returns the frame plus whether anything was synthesized.
+    * Generation expressions are deterministic by protocol rule, so
+    * recomputation is always well-defined. */
+  private[sources] def applyGeneratedColumns(schema: StructType, df: DataFrame)
+      : (DataFrame, Boolean) = {
+    val gens = generationExprs(schema)
+    if (gens.isEmpty) return (df, false)
+    val (provided, missing) = gens.partition { case (f, _) =>
+      df.columns.contains(f.name) }
+    val filled = missing.foldLeft(df) { case (d, (f, g)) =>
+      d.withColumn(f.name, expr(g).cast(f.dataType)) }
+    if (provided.nonEmpty) {
+      val mismatch = provided.map { case (f, g) =>
+        !(col(f.name) <=> expr(g).cast(f.dataType)) }.reduce(_ || _)
+      require(df.where(mismatch).isEmpty,
+        s"DeltaWriter: provided values for GENERATED column(s) " +
+          s"${provided.map(_._1.name).mkString(", ")} contradict their " +
+          "generation expressions — refusing to commit rows that break " +
+          "the table's own contract")
+    }
+    (filled, missing.nonEmpty)
   }
 
   /** The writer features a legacy `minWriterVersion` implies

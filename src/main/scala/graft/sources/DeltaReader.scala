@@ -835,12 +835,88 @@ object DeltaReader {
     * range). Files with no usable bound are conservatively kept, so
     * pruning is always sound; possibly-truncated string bounds from
     * other engines remain valid supersets. */
+  /** The monotone base column of a GENERATED partition column's
+    * expression, when the shape is one this reader can SOUNDLY derive
+    * partition ranges through: `CAST(c AS DATE)` / `to_date(c)`,
+    * `date_trunc('unit', c)`, `year(c)`, `substring(c, 1, n)`, and
+    * `date_format(c, 'yyyy[-MM[-dd]]')` — every one is order
+    * preserving, so a [lo, hi] constraint on the base maps to
+    * [f(lo), f(hi)] on the partition value. Non-monotone shapes
+    * (`month(c)`, `day(c)`, arithmetic) return None and derive
+    * nothing — pruning must stay sound. */
+  private[sources] def monotoneGenerationBase(genSql: String)
+      (implicit spark: SparkSession): Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CatLit}
+    val parsed = try spark.sessionState.sqlParser.parseExpression(genSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    def attr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case _ => None
+    }
+    parsed match {
+      case Cast(a, DateType, _, _) => attr(a)
+      case f: UnresolvedFunction =>
+        (f.nameParts.last.toLowerCase, f.arguments) match {
+          case ("to_date", Seq(a)) => attr(a)
+          case ("date_trunc", Seq(_: CatLit, a)) => attr(a)
+          case ("year", Seq(a)) => attr(a)
+          case ("substring" | "substr", Seq(a, CatLit(one, _), _: CatLit))
+            if one == 1 => attr(a)
+          case ("date_format", Seq(a, CatLit(fmt, _)))
+            if fmt != null && Set("yyyy", "yyyy-MM", "yyyy-MM-dd")
+              .contains(fmt.toString) => attr(a)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Partition-range predicates DERIVED from generated partition
+    * columns: when partition column p is `GENERATED ALWAYS AS f(c)`
+    * with f a monotone whitelisted shape and the caller constrained c
+    * with [lo, hi], the partition constraint [f(lo), f(hi)] is sound
+    * — so a query on the RAW column (an events timestamp, say) prunes
+    * date partitions without naming them. f is evaluated by Spark
+    * itself on a two-row literal frame: the derivation can never
+    * drift from write-side computation semantics. */
+  private[sources] def deriveGeneratedRanges(
+      snap: DeltaSnapshot, ranges: Seq[(String, String, String)])
+      (implicit spark: SparkSession): Seq[(String, String, String)] = {
+    val byBase = ranges.groupBy(_._1)
+    val genPcols = snap.schema.fields.filter(f =>
+      snap.partitionColumns.contains(f.name) &&
+        f.metadata.contains("delta.generationExpression"))
+    genPcols.toSeq.flatMap { f =>
+      val gen = f.metadata.getString("delta.generationExpression")
+      for {
+        base <- monotoneGenerationBase(gen)
+        if !byBase.contains(f.name) // caller's own constraint wins
+        (_, lo, hi) <- byBase.getOrElse(base, Seq.empty).headOption
+        baseType <- snap.schema.fields.find(_.name == base).map(_.dataType)
+        bounds <- scala.util.Try {
+          // f monotone + lo <= hi means f(lo) <= f(hi): keep the
+          // evaluation order, don't re-sort rendered strings (a "9"
+          // vs "10" year would sort backwards as text)
+          spark.range(2).select(col("id"),
+            when(col("id") === 0, lit(lo).cast(baseType))
+              .otherwise(lit(hi).cast(baseType)).as(base))
+            .selectExpr("id", s"cast(($gen) as string) as __v")
+            .collect().sortBy(_.getLong(0)).map(_.getString(1))
+        }.toOption
+        if bounds.forall(_ != null)
+      } yield (f.name, bounds(0), bounds(1))
+    }
+  }
+
   def prunedSnapshot(url: String, ranges: Seq[(String, String, String)],
                      asOfVersion: Option[Long] = None)
                     (implicit spark: SparkSession): Option[DeltaSnapshot] = {
     require(ranges.nonEmpty, "DeltaReader.prunedSnapshot: need >= 1 range")
     snapshotAt(url, asOfVersion).map { snap =>
-      val typed = ranges.map { case (c, lo, hi) =>
+      val derived = deriveGeneratedRanges(snap, ranges)
+      val typed = (ranges ++ derived).map { case (c, lo, hi) =>
         val dt = snap.schema.find(_.name == c).map(_.dataType).getOrElse(
           throw new IllegalArgumentException(
             s"DeltaReader.prunedSnapshot: column '$c' not in the table schema"))

@@ -1150,13 +1150,26 @@ class DeltaDatasetSpec extends SparkSpec {
           .map(_.getLong(0)).toSeq == Seq(7L))
         assert(ds.history().isDefined)
       }
-      // a GENERATED column (metadata on the field, feature declared)
+      // a GENERATED column is a SUPPORTED writer feature now
+      // (DeltaGeneratedSpec pins compute/validate/prune semantics) —
+      // here only the contradiction refusal and the un-gating of
+      // rewrite verbs are pinned: this fixture's self-referential
+      // derivation (v = v + 1) can never validate, so any provided
+      // value refuses loudly, while DELETE (a row copy, no new
+      // values) proceeds
       val genField = StructField("v", LongType, nullable = true,
         new MetadataBuilder()
           .putString("delta.generationExpression", "v + 1").build())
       mkTable(s"$dir/gen", StructType(Seq(genField)),
         Seq("generatedColumns"))
-      refusesAll(s"$dir/gen", "GENERATED")
+      val gds = new DeltaDataset(s"$dir/gen")
+      val ge = intercept[IllegalArgumentException](
+        gds.append(Seq(9L).toDF("v")))
+      assert(ge.getMessage.contains("GENERATED"))
+      assert(DeltaReader.scan(s"$dir/gen").get.collect()
+        .map(_.getLong(0)).toSeq == Seq(7L))
+      assert(gds.delete($"v" === 7L) == 1L,
+        "rewrite verbs are no longer gated by generated columns")
       // an IDENTITY column
       val idField = StructField("v", LongType, nullable = true,
         new MetadataBuilder()
