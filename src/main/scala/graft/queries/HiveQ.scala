@@ -1692,5 +1692,62 @@ object HiveQ {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
       })
+    ,
+
+    // ---- IDENTITY columns + enforced invariants ---------------------
+    // GENERATED BY DEFAULT AS IDENTITY: the creating slice provides
+    // explicit ids (the supplier keys), raw appends get collision-free
+    // lattice allocations above the persisted high watermark, and a
+    // column invariant (s_acctbal bound) is ENFORCED — the violating
+    // append refuses, conforming rows commit. Allocated values are
+    // nondeterministic by design, so the oracle checks the
+    // deterministic shape: row count, id distinctness, balance sum.
+    Q("q428_delta_identity",
+      Some("""SELECT count(*)::BIGINT AS n, count(*)::BIGINT AS n_ids,
+             |  sum(CAST(s_acctbal AS DECIMAL(18,2)))::DOUBLE AS sum_bal
+             |FROM supplier""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q428_")
+        val sup = t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_acctbal")
+        val provided = sup.where(col("s_suppkey") <= 5)
+          .withColumnRenamed("s_suppkey", "s_id")
+        val declared = graft.sources.DeltaWriter.asIdentity(
+          provided.withMetadata("s_acctbal",
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.invariants",
+                """{"expression":{"expression":"s_acctbal > -100000"}}""")
+              .build()),
+          "s_id", start = 1L, step = 1L, allowExplicitInsert = true)
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(declared)                                            // v0
+        val provMax = provided.agg(max(col("s_id"))).head().getLong(0)
+        require(graft.sources.DeltaReader.snapshot(table)(s).get
+          .schema("s_id").metadata
+          .getLong("delta.identity.highWaterMark") == provMax,
+          "q428: the creating write must stamp the provided maximum")
+        // violating the enforced invariant refuses loudly
+        val bad = try {
+          ds.append(sup.where(col("s_suppkey") > 5).limit(1)
+            .select(col("s_name"),
+              lit(-9999999.0).as("s_acctbal")))
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("invariant") }
+        require(bad, "q428: the invariant-violating append must refuse")
+        // raw append: ids allocated above the watermark
+        ds.append(sup.where(col("s_suppkey") > 5)
+          .select("s_name", "s_acctbal"))                             // v1
+        val out = graft.sources.DeltaReader.scan(table)(s).get
+        require(out.where(col("s_id") <= provMax)
+          .count() == provided.count(),
+          "q428: allocation must stay above the provided watermark")
+        out.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          countDistinct(col("s_id")).cast("bigint").as("n_ids"),
+          sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+      })
   )
 }

@@ -353,15 +353,37 @@ object DeltaWriter {
     // the incoming frame legitimately lacks
     val (dfG, computedGen) = applyGeneratedColumns(
       snapGen.map(_.schema).getOrElse(dfIn.schema), dfIn)
+    // IDENTITY columns: a missing one is ALLOCATED on the
+    // (start, step) lattice above the recorded high watermark —
+    // monotonically_increasing_id is gap-prone but gaps are protocol
+    // legal; a PROVIDED one needs allowExplicitInsert (GENERATED BY
+    // DEFAULT), except at creation where the declaring frame's values
+    // are the initial population by definition
+    val idSpecs = identitySpecs(snapGen.map(_.schema).getOrElse(dfIn.schema))
+    val allocatedIds: Set[String] = idSpecs
+      .filterNot(sp => dfG.columns.contains(sp.name)).map(_.name).toSet
+    val dfGI = idSpecs.foldLeft(dfG) { (d, sp) =>
+      if (d.columns.contains(sp.name)) {
+        require(snapGen.isEmpty || sp.allowExplicitInsert,
+          s"DeltaWriter: column '${sp.name}' is GENERATED ALWAYS AS " +
+            "IDENTITY — it does not accept explicit values " +
+            "(delta.identity.allowExplicitInsert = false); omit it")
+        d
+      } else {
+        val base0 = sp.highWaterMark.map(_ + sp.step).getOrElse(sp.start)
+        d.withColumn(sp.name, (lit(base0) +
+          lit(sp.step) * monotonically_increasing_id()).cast("bigint"))
+      }
+    }
     // only a frame we synthesized columns onto gets reordered to the
     // table's column order (computed columns append last otherwise);
     // hand-built frames keep the strict order contract
     val df = snapGen match {
-      case Some(s) if computedGen =>
-        val tbl = s.schema.fieldNames.filter(dfG.columns.contains)
-        val extra = dfG.columns.filterNot(tbl.contains)
-        dfG.select((tbl ++ extra).map(col).toSeq: _*)
-      case _ => dfG
+      case Some(s) if computedGen || allocatedIds.nonEmpty =>
+        val tbl = s.schema.fieldNames.filter(dfGI.columns.contains)
+        val extra = dfGI.columns.filterNot(tbl.contains)
+        dfGI.select((tbl ++ extra).map(col).toSeq: _*)
+      case _ => dfGI
     }
     // the reference's column validation, verbatim semantics
     // (delta_dataset.py:29-35)
@@ -413,6 +435,8 @@ object DeltaWriter {
       snap0.map(checkConstraintsOf).getOrElse(Seq.empty)
 
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df, partitionColumns)
+    val fileStats: Seq[Option[String]] =
+      newFiles.map { case (_, p) => statsJson(fs, p, df.schema) }
 
     // table-relative, RFC-2396-percent-encoded — the form the log
     // stores and [[DeltaReader]] decodes; removes must re-encode the
@@ -420,31 +444,69 @@ object DeltaWriter {
     // they tombstone
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relEncoded(p: Path): String = relEncode(basePath, p)
-    def addLine(kvs: Seq[(String, String)], p: Path): String = {
+    def addLine(kvs: Seq[(String, String)], p: Path,
+                stats0: Option[String]): String = {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p, df.schema)
+      val stats = stats0
         .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relEncoded(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":true$stats}}"""
     }
-    val adds = newFiles.map { case (kvs, p) => addLine(kvs, p) }
+    val adds = newFiles.zip(fileStats).map {
+      case ((kvs, p), st) => addLine(kvs, p, st) }
+
+    // identity high-watermark bookkeeping: the landed files' footer
+    // stats (already computed for the adds) give each column's
+    // extreme in step direction with zero extra jobs; a stats-less
+    // file falls back to ONE distributed agg over the landed paths —
+    // the files on disk, not the (possibly nondeterministic) input
+    val idObserved: Map[String, Long] = idSpecs.flatMap { sp =>
+      if (newFiles.isEmpty) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val section = if (sp.step > 0) "maxValues" else "minValues"
+        val perFile: Seq[Option[Long]] = fileStats.map(_.flatMap { s =>
+          scala.util.Try(om.readTree(s)).toOption
+            .flatMap(n => Option(n.get(section)))
+            .flatMap(n => Option(n.get(sp.name)))
+            .filter(_.isIntegralNumber).map(_.asLong)
+        })
+        val observed: Option[Long] =
+          if (perFile.forall(_.isDefined))
+            Some(if (sp.step > 0) perFile.flatten.max
+                 else perFile.flatten.min)
+          else {
+            val r = spark.read.parquet(newFiles.map(_._2.toString): _*)
+              .agg(if (sp.step > 0) max(col(sp.name))
+                   else min(col(sp.name))).head()
+            if (r.isNullAt(0)) None else Some(r.getLong(0))
+          }
+        observed.map(sp.name -> _)
+      }
+    }.toMap
 
     def metaLines: Seq[String] = Seq(
-      // a generated-column table demands legacy writer version 4
-      // (PROTOCOL.md legacy mapping) so a foreign writer that cannot
-      // compute the derivations refuses instead of corrupting them
-      if (generationExprs(df.schema).nonEmpty)
+      // generated / identity columns demand legacy writer versions 4
+      // / 6 (PROTOCOL.md legacy mapping) so a foreign writer that
+      // cannot compute the derivations refuses instead of corrupting
+      // them
+      if (idSpecs.nonEmpty)
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}"""
+      else if (generationExprs(df.schema).nonEmpty)
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
       else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
-        """"format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${jsonEscape(df.schema.json)}",""" +
-        s""""partitionColumns":[${partitionColumns.map(c =>
-          s""""${jsonEscape(c)}"""").mkString(",")}],""" +
-        s""""configuration":{},"createdTime":${System.currentTimeMillis}}}""")
+      metaDataLine(java.util.UUID.randomUUID.toString,
+        stampHighWaterMarks(df.schema,
+          idObserved.filter { case (n, _) =>
+            idSpecs.exists(_.name == n) }.map { case (n, obs) =>
+            val sp = idSpecs.find(_.name == n).get
+            n -> sp.highWaterMark.fold(obs)(h =>
+              if (sp.step > 0) math.max(h, obs) else math.min(h, obs))
+          }),
+        partitionColumns, Map.empty, System.currentTimeMillis))
 
     // commit with first-writer-wins retries: the landed files stay
     // valid; only the log line is recomputed per attempt
@@ -478,14 +540,32 @@ object DeltaWriter {
             """"dataChange":true}}"""
         }
       val head = if (snap.isEmpty) metaLines else Seq.empty
+      // columns we ALLOCATED identity values for: the watermark we
+      // allocated FROM must still be the head's, or a concurrent
+      // allocator handed out the same range — first writer wins, we
+      // raise and the caller re-runs against the advanced watermark
+      snap.foreach { s =>
+        val headSpecs = identitySpecs(s.schema)
+        idSpecs.filter(sp => allocatedIds(sp.name)).foreach { sp =>
+          require(headSpecs.find(_.name == sp.name)
+            .exists(_.highWaterMark == sp.highWaterMark),
+            s"DeltaWriter: concurrent IDENTITY allocation on " +
+              s"'${sp.name}' — the high watermark moved while this " +
+              "write was in flight; re-run to allocate past it")
+        }
+      }
       // explicit evolution: the commit carries a new metaData with the
       // MERGED schema (table fields in their order + the new ones),
       // same table id/partitioning/configuration — old files null-fill
-      // the added columns at read, every old version keeps its shape
+      // the added columns at read, every old version keeps its shape.
+      // Identity high watermarks stamp onto the SAME metaData action
+      // (one metaData per commit).
       val evolution: Seq[String] = snap match {
-        case Some(s) if mergeSchema =>
+        case Some(s) =>
           val existing = s.schema.fieldNames.toSet
-          val extra = df.schema.fields.filterNot(f => existing(f.name))
+          val extra =
+            if (!mergeSchema) Array.empty[StructField]
+            else df.schema.fields.filterNot(f => existing(f.name))
           // a generated column cannot ARRIVE by evolution: old files
           // null-fill added columns at read, which would contradict
           // the derivation on every pre-evolution row
@@ -494,17 +574,24 @@ object DeltaWriter {
               s"DeltaWriter: mergeSchema cannot add GENERATED column " +
                 s"'${f.name}' — existing rows would null-fill it in " +
                 "violation of its generation expression"))
-          if (extra.isEmpty) Seq.empty
-          else {
-            val merged = StructType(s.schema.fields ++ extra)
-            Seq(s"""{"metaData":{"id":"${jsonEscape(s.tableId)}",""" +
-              """"format":{"provider":"parquet","options":{}},""" +
-              s""""schemaString":"${jsonEscape(merged.json)}",""" +
-              s""""partitionColumns":[${partitionColumns.map(c =>
-                s""""${jsonEscape(c)}"""").mkString(",")}],""" +
-              s""""configuration":{${s.configuration.map { case (k, v) =>
-                s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")}},""" +
-              s""""createdTime":${s.createdTime.getOrElse(System.currentTimeMillis)}}}""")
+          val evolved =
+            if (extra.isEmpty) None
+            else Some(StructType(s.schema.fields ++ extra))
+          (evolved, hwmMetaLine(s, idObserved)) match {
+            case (None, None) => Seq.empty
+            case (None, Some(line)) => Seq(line)
+            case (Some(sc), _) =>
+              val headSpecs = identitySpecs(s.schema)
+              val advanced = idObserved.flatMap { case (n, obs) =>
+                headSpecs.find(_.name == n).map { sp =>
+                  n -> sp.highWaterMark.fold(obs)(h =>
+                    if (sp.step > 0) math.max(h, obs) else math.min(h, obs))
+                }
+              }
+              Seq(metaDataLine(s.tableId,
+                stampHighWaterMarks(sc, advanced), partitionColumns,
+                s.configuration,
+                s.createdTime.getOrElse(System.currentTimeMillis)))
           }
         case _ => Seq.empty
       }
@@ -743,6 +830,16 @@ object DeltaWriter {
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaWriter.merge: table at $cleanUrl is append-only " +
         "(delta.appendOnly=true) — MERGE rewrites rows, refused")
+    // whole-row merge SUPPLIES every column, so an identity column is
+    // an explicit insert: GENERATED ALWAYS refuses, BY DEFAULT passes
+    // (and the commit advances the high watermark below)
+    val mergeIdSpecs = identitySpecs(snap.schema)
+    mergeIdSpecs.foreach { sp =>
+      require(sp.allowExplicitInsert,
+        s"DeltaWriter.merge: column '${sp.name}' is GENERATED ALWAYS AS " +
+          "IDENTITY — whole-row merge supplies explicit values, which " +
+          "the column forbids (delta.identity.allowExplicitInsert = false)")
+    }
     // GENERATED columns the source legitimately lacks are computed
     // (and provided ones validated) before the whole-row shape check
     val (sourceG, _) = applyGeneratedColumns(snap.schema, source)
@@ -776,7 +873,16 @@ object DeltaWriter {
     val matched = DeltaReader.scanWithRowIndex(snap)
       .join(broadcast(src.select(keyCols.map(col): _*)), keyCols, "left_semi")
       .select(col("__fp"), col("__ri"))
-    copyOnWriteCommit(cleanUrl, snap, matched, inserts, "MERGE")
+    // explicit identity extremes from the PINNED source (one tiny agg
+    // on checkpointed data) — the commit advances the watermark past
+    // them so later allocations cannot collide
+    val idObserved: Map[String, Long] = mergeIdSpecs.flatMap { sp =>
+      val r = src.agg(
+        if (sp.step > 0) org.apache.spark.sql.functions.max(col(sp.name))
+        else org.apache.spark.sql.functions.min(col(sp.name))).head()
+      if (r.isNullAt(0)) None else Some(sp.name -> r.getLong(0))
+    }.toMap
+    copyOnWriteCommit(cleanUrl, snap, matched, inserts, "MERGE", idObserved)
   }
 
   /** Row-level UPDATE — `SET col = expr, ...` over every row matching
@@ -817,6 +923,13 @@ object DeltaWriter {
       s"DeltaWriter.update: column '${f.name}' is GENERATED " +
         "(delta.generationExpression) — SET its base columns instead; " +
         "the derivation recomputes automatically") }
+    // identity values survive an UPDATE unchanged: SET-ing one is
+    // refused outright (matched rows keep their allocated values)
+    identitySpecs(snap.schema).foreach { sp =>
+      require(!set.contains(sp.name),
+        s"DeltaWriter.update: column '${sp.name}' is an IDENTITY " +
+          "column — its values are allocated, not assigned")
+    }
     // ONE scan feeds both the mask and the rewrite: matched rows are
     // pinned (matched-sized, the rewrite working set every
     // copy-on-write UPDATE carries) so the two can't diverge
@@ -845,7 +958,8 @@ object DeltaWriter {
   private def copyOnWriteCommit(cleanUrl: String,
                                 snap: DeltaReader.DeltaSnapshot,
                                 maskRows: DataFrame, inserts: DataFrame,
-                                operation: String)
+                                operation: String,
+                                idObserved: Map[String, Long] = Map.empty)
                                (implicit spark: SparkSession): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
@@ -978,7 +1092,12 @@ object DeltaWriter {
             """"dataChange":true}}""",
           dvAddLine(f, descriptors(k)))
       }
-      val body = (ict ++ protoLine ++ dvLines ++ newAdds).mkString("\n") + "\n"
+      // explicit identity values in the inserts advance the high
+      // watermark (delta-spark's SYNC IDENTITY on merge): one
+      // metaData action, recomputed against the fresh head per attempt
+      val metaLine = hwmMetaLine(head, idObserved).toSeq
+      val body = (ict ++ protoLine ++ metaLine ++ dvLines ++ newAdds)
+        .mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
@@ -1562,7 +1681,22 @@ object DeltaWriter {
     snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
-    }.toSeq.sortBy(_._1)
+    }.toSeq.sortBy(_._1) ++ invariantsOf(snap.schema)
+
+  /** Column INVARIANTS (`delta.invariants` field metadata, the legacy
+    * writer-version-2 obligation): each is a row predicate this
+    * writer now ENFORCES on every row-creating verb, riding the same
+    * machinery as CHECK constraints — the rewrite verbs preserve them
+    * by induction (they only copy rows that already passed). */
+  private[sources] def invariantsOf(schema: StructType): Seq[(String, String)] =
+    schema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.invariants")) None
+      else scala.util.Try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        om.readTree(f.metadata.getString("delta.invariants"))
+          .get("expression").get("expression").asText
+      }.toOption.map(sql => s"invariant(${f.name})" -> sql)
+    }
 
   private def enforceCheckConstraints(snap: DeltaReader.DeltaSnapshot,
                                       df: DataFrame): Unit = {
@@ -1791,14 +1925,13 @@ object DeltaWriter {
     deleted
   }
 
-  /** Writer features this writer actually implements (or that demand
-    * nothing from a writer when no column carries their metadata):
-    * the write-side mirror of [[DeltaReader]]'s reader-feature gate.
-    * `generatedColumns` is genuinely implemented
-    * ([[applyGeneratedColumns]]); `identityColumns`/`invariants`
-    * appear here because the FEATURE being declared is inert — the
-    * obligation attaches to columns carrying the metadata, which
-    * [[enforceWritable]] checks field by field. */
+  /** Writer features this writer actually implements — the
+    * write-side mirror of [[DeltaReader]]'s reader-feature gate:
+    * `generatedColumns` via [[applyGeneratedColumns]],
+    * `identityColumns` via [[identitySpecs]] allocation + watermark
+    * bookkeeping, `invariants` via [[invariantsOf]] riding the CHECK
+    * constraint enforcement. Unknown features still refuse every
+    * verb. */
   private[sources] val SupportedWriterFeatures: Set[String] = Set(
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
@@ -1823,18 +1956,10 @@ object DeltaWriter {
       s"DeltaWriter.$verb: table requires writer feature(s) " +
         s"${unknown.mkString(", ")} this writer does not implement — " +
         "refusing (a blind write would break the table's contract)")
-    snap.schema.fields.foreach { f =>
-      require(!f.metadata.contains("delta.identity.start") &&
-        !f.metadata.contains("delta.identity.step") &&
-        !f.metadata.contains("delta.identity.allowExplicitInsert"),
-        s"DeltaWriter.$verb: column '${f.name}' is an IDENTITY column " +
-          "(delta.identity.*) — this writer cannot allocate its values; " +
-          "reads are unaffected")
-      require(!f.metadata.contains("delta.invariants"),
-        s"DeltaWriter.$verb: column '${f.name}' carries an invariant " +
-          "(delta.invariants) this writer does not enforce — refusing " +
-          "rather than committing unvalidated rows")
-    }
+    // IDENTITY columns ([[identitySpecs]]: allocation on write/append,
+    // explicit-insert gating on merge) and column invariants
+    // ([[invariantsOf]]: enforced with CHECK constraints) are
+    // implemented — no per-column refusals remain here.
   }
 
   /** Generation expressions per column (`delta.generationExpression`
@@ -1857,6 +1982,102 @@ object DeltaWriter {
       .withMetadata(df.schema(name).metadata)
       .putString("delta.generationExpression", genSql).build()
     df.withMetadata(name, meta)
+  }
+
+  /** One IDENTITY column's contract (`delta.identity.*` field
+    * metadata): values live on the `start + k*step` lattice;
+    * `highWaterMark` is the farthest value yet committed in step
+    * direction (absent until the first allocation);
+    * `allowExplicitInsert = false` is `GENERATED ALWAYS` (explicit
+    * values refuse), `true` is `GENERATED BY DEFAULT`. */
+  private[sources] final case class IdentitySpec(name: String, start: Long,
+      step: Long, allowExplicitInsert: Boolean, highWaterMark: Option[Long])
+
+  private[sources] def identitySpecs(schema: StructType): Seq[IdentitySpec] =
+    schema.fields.toSeq.filter(f =>
+      f.metadata.contains("delta.identity.start") ||
+        f.metadata.contains("delta.identity.step") ||
+        f.metadata.contains("delta.identity.allowExplicitInsert"))
+      .map { f =>
+        require(f.dataType == LongType,
+          s"DeltaWriter: IDENTITY column '${f.name}' must be BIGINT, " +
+            s"is ${f.dataType.simpleString}")
+        val m = f.metadata
+        def longOr(k: String, d: Long) =
+          if (m.contains(k)) m.getLong(k) else d
+        val step = longOr("delta.identity.step", 1L)
+        require(step != 0L,
+          s"DeltaWriter: IDENTITY column '${f.name}' has step 0")
+        IdentitySpec(f.name, longOr("delta.identity.start", 1L), step,
+          m.contains("delta.identity.allowExplicitInsert") &&
+            m.getBoolean("delta.identity.allowExplicitInsert"),
+          if (m.contains("delta.identity.highWaterMark"))
+            Some(m.getLong("delta.identity.highWaterMark")) else None)
+      }
+
+  /** `schema` with each named identity column's
+    * `delta.identity.highWaterMark` replaced. */
+  private[sources] def stampHighWaterMarks(schema: StructType,
+      hwms: Map[String, Long]): StructType =
+    StructType(schema.fields.map { f =>
+      hwms.get(f.name).fold(f) { h =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.identity.highWaterMark", h).build())
+      }
+    })
+
+  /** Declaration-side sugar: tag `name` (a BIGINT column) in `df` as
+    * an IDENTITY column. `allowExplicitInsert = false` makes it
+    * `GENERATED ALWAYS` — later appends must OMIT the column and the
+    * writer allocates on the (start, step) lattice. */
+  def asIdentity(df: DataFrame, name: String, start: Long = 1L,
+                 step: Long = 1L,
+                 allowExplicitInsert: Boolean = false): DataFrame = {
+    require(df.columns.contains(name),
+      s"DeltaWriter.asIdentity: column '$name' not in the dataframe")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(df.schema(name).metadata)
+      .putLong("delta.identity.start", start)
+      .putLong("delta.identity.step", step)
+      .putBoolean("delta.identity.allowExplicitInsert", allowExplicitInsert)
+      .build()
+    df.withMetadata(name, meta)
+  }
+
+  /** The one shared `metaData` action renderer. */
+  private def metaDataLine(tableId: String, schema: StructType,
+      partitionColumns: Seq[String], configuration: Map[String, String],
+      createdTime: Long): String =
+    s"""{"metaData":{"id":"${jsonEscape(tableId)}",""" +
+      """"format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${jsonEscape(schema.json)}",""" +
+      s""""partitionColumns":[${partitionColumns.map(c =>
+        s""""${jsonEscape(c)}"""").mkString(",")}],""" +
+      s""""configuration":{${configuration.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")}},""" +
+      s""""createdTime":$createdTime}}"""
+
+  /** The `metaData` line advancing identity high watermarks past the
+    * `observed` extremes (per column, in step direction) — None when
+    * nothing advances, so commits stay metaData-free in the common
+    * case. Evaluated against the CURRENT head per publish attempt. */
+  private def hwmMetaLine(head: DeltaReader.DeltaSnapshot,
+      observed: Map[String, Long]): Option[String] = {
+    if (observed.isEmpty) return None
+    val specs = identitySpecs(head.schema)
+    val advanced = observed.flatMap { case (n, obs) =>
+      specs.find(_.name == n).flatMap { sp =>
+        val merged = sp.highWaterMark.fold(obs)(h =>
+          if (sp.step > 0) math.max(h, obs) else math.min(h, obs))
+        if (sp.highWaterMark.contains(merged)) None else Some(n -> merged)
+      }
+    }
+    if (advanced.isEmpty) None
+    else Some(metaDataLine(head.tableId,
+      stampHighWaterMarks(head.schema, advanced), head.partitionColumns,
+      head.configuration,
+      head.createdTime.getOrElse(System.currentTimeMillis)))
   }
 
   /** Materialize GENERATED columns on `df` against `schema`: a

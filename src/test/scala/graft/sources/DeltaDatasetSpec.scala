@@ -1114,7 +1114,7 @@ class DeltaDatasetSpec extends SparkSpec {
     }
   }
 
-  test("generated/identity/unknown writer features: reads succeed, every write verb refuses loudly") {
+  test("writer-feature gates: unknown features refuse every verb; generated/identity/invariants enforce their contracts") {
     withTempDir { dir =>
       import org.apache.spark.sql.types._
       def mkTable(path: String, schema: StructType,
@@ -1170,7 +1170,10 @@ class DeltaDatasetSpec extends SparkSpec {
         .map(_.getLong(0)).toSeq == Seq(7L))
       assert(gds.delete($"v" === 7L) == 1L,
         "rewrite verbs are no longer gated by generated columns")
-      // an IDENTITY column
+      // an IDENTITY column (GENERATED ALWAYS): explicit values refuse,
+      // merge (whole-row = explicit) refuses, UPDATE of the column
+      // refuses — while DELETE (a pure row copy) proceeds; allocation
+      // semantics live in their own suite (DeltaIdentitySpec)
       val idField = StructField("v", LongType, nullable = true,
         new MetadataBuilder()
           .putLong("delta.identity.start", 1L)
@@ -1178,14 +1181,27 @@ class DeltaDatasetSpec extends SparkSpec {
           .putBoolean("delta.identity.allowExplicitInsert", false).build())
       mkTable(s"$dir/id", StructType(Seq(idField)),
         Seq("identityColumns"))
-      refusesAll(s"$dir/id", "IDENTITY")
-      // a column invariant this writer does not enforce
+      val ids = new DeltaDataset(s"$dir/id")
+      assert(intercept[IllegalArgumentException](
+        ids.append(Seq(9L).toDF("v"))).getMessage.contains("IDENTITY"))
+      assert(intercept[IllegalArgumentException](
+        ids.merge(Seq(9L).toDF("v"), Seq("v"))).getMessage.contains("IDENTITY"))
+      assert(intercept[IllegalArgumentException](
+        ids.update($"v" === 7L, Map("v" -> $"v"))).getMessage.contains("IDENTITY"))
+      assert(ids.delete($"v" === 999L) == 0L,
+        "row-copy verbs are not gated by identity columns")
+      // a column invariant is now ENFORCED, not refused: violating
+      // rows refuse loudly, conforming rows commit
       val invField = StructField("v", LongType, nullable = true,
         new MetadataBuilder()
           .putString("delta.invariants",
             """{"expression":{"expression":"v > 0"}}""").build())
       mkTable(s"$dir/inv", StructType(Seq(invField)), Seq("invariants"))
-      refusesAll(s"$dir/inv", "invariant")
+      val inv = new DeltaDataset(s"$dir/inv")
+      assert(intercept[IllegalArgumentException](
+        inv.append(Seq(-5L).toDF("v"))).getMessage.contains("invariant"))
+      assert(inv.append(Seq(9L).toDF("v")) == 1L,
+        "conforming rows pass the enforced invariant")
       // an unknown future writer feature
       mkTable(s"$dir/fut", StructType(Seq(StructField("v", LongType))),
         Seq("someFutureFeature"))
