@@ -1749,5 +1749,69 @@ object HiveQ {
           sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
             .as("sum_bal"))
       })
+    ,
+
+    // ---- column-mapped table WRITES ---------------------------------
+    // A foreign name-mode column-mapped table (physical names differ
+    // from logical; the default for new delta-spark tables): append,
+    // DV delete and scan all round-trip — landed parquet stores
+    // PHYSICAL names, the log keys partitionValues physically, reads
+    // stay logical. The oracle replays the slice arithmetic on nation.
+    Q("q429_delta_mapped",
+      Some("""SELECT count(*)::BIGINT AS n, sum(n_nationkey)::BIGINT AS sum_key
+             |FROM nation WHERE n_nationkey < 25
+             |  AND NOT n_nationkey % 5 = 0""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q429_")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+        // seed a FOREIGN mapped table: physical column names on disk
+        nat.where(col("n_nationkey") < 15)
+          .select(col("n_nationkey").as("pk-001"), col("n_name").as("pn-002"))
+          .coalesce(1).write.parquet(s"$table/seed")
+        val part = new java.io.File(s"$table/seed").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$table/seed-000.parquet")
+        require(part.renameTo(dest), "q429: fixture move failed")
+        def fm(id: Long, phys: String) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", phys).build()
+        val mapped = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType, nullable = true,
+            fm(1, "pk-001")),
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType, nullable = true,
+            fm(2, "pn-002"))))
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q429","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(mapped.json)}","partitionColumns":[],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}""",
+          s"""{"add":{"path":"seed-000.parquet","partitionValues":{},""" +
+            s""""size":${dest.length},"modificationTime":1700000000000,""" +
+            """"dataChange":true}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.append(nat.where(col("n_nationkey") >= 15 &&
+          col("n_nationkey") < 25))                                   // v1
+        val mine = graft.sources.DeltaReader.snapshot(table)(s).get.files
+          .filterNot(_.path.endsWith("seed-000.parquet"))
+        require(mine.nonEmpty && mine.forall(f =>
+          s.read.parquet(f.path).columns.toSeq == Seq("pk-001", "pn-002")),
+          "q429: appended files must store the PHYSICAL column names")
+        ds.delete(col("n_nationkey") % 5 === 0)                       // v2
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"))
+      })
   )
 }

@@ -399,9 +399,7 @@ object DeltaWriter {
 
     def validateAgainst(snap: DeltaReader.DeltaSnapshot): Unit = {
       enforceWritable(snap, "write")
-      require(snap.physicalSchema.isEmpty,
-        "DeltaWriter: table uses column mapping — this writer only " +
-          "writes mode=none tables")
+      physColumnsFor(snap, "write") // flat-schema guard under mapping
       require(snap.partitionColumns == partitionColumns,
         s"DeltaWriter: table is partitioned by ${snap.partitionColumns}, " +
           s"write requested $partitionColumns")
@@ -434,9 +432,12 @@ object DeltaWriter {
     var enforced: Seq[(String, String)] =
       snap0.map(checkConstraintsOf).getOrElse(Seq.empty)
 
-    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df, partitionColumns)
+    val physW = snapGen.map(physColumnsFor(_, "write")).getOrElse(Map.empty)
+    val statsSchema = snapGen.flatMap(_.physicalSchema).getOrElse(df.schema)
+    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df,
+      partitionColumns, physW)
     val fileStats: Seq[Option[String]] =
-      newFiles.map { case (_, p) => statsJson(fs, p, df.schema) }
+      newFiles.map { case (_, p) => statsJson(fs, p, statsSchema) }
 
     // table-relative, RFC-2396-percent-encoded — the form the log
     // stores and [[DeltaReader]] decodes; removes must re-encode the
@@ -466,12 +467,14 @@ object DeltaWriter {
     val idObserved: Map[String, Long] = idSpecs.flatMap { sp =>
       if (newFiles.isEmpty) None
       else {
+        // landed files store PHYSICAL names under column mapping
+        val statKey = physW.get(sp.name).map(_._1).getOrElse(sp.name)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val section = if (sp.step > 0) "maxValues" else "minValues"
         val perFile: Seq[Option[Long]] = fileStats.map(_.flatMap { s =>
           scala.util.Try(om.readTree(s)).toOption
             .flatMap(n => Option(n.get(section)))
-            .flatMap(n => Option(n.get(sp.name)))
+            .flatMap(n => Option(n.get(statKey)))
             .filter(_.isIntegralNumber).map(_.asLong)
         })
         val observed: Option[Long] =
@@ -480,8 +483,8 @@ object DeltaWriter {
                  else perFile.flatten.min)
           else {
             val r = spark.read.parquet(newFiles.map(_._2.toString): _*)
-              .agg(if (sp.step > 0) max(col(sp.name))
-                   else min(col(sp.name))).head()
+              .agg(if (sp.step > 0) max(col(statKey))
+                   else min(col(statKey))).head()
             if (r.isNullAt(0)) None else Some(r.getLong(0))
           }
         observed.map(sp.name -> _)
@@ -574,6 +577,13 @@ object DeltaWriter {
               s"DeltaWriter: mergeSchema cannot add GENERATED column " +
                 s"'${f.name}' — existing rows would null-fill it in " +
                 "violation of its generation expression"))
+          // a mapped table requires every field mapped: adding one
+          // means allocating a fresh physical name + id, which this
+          // writer does not do
+          require(extra.isEmpty || s.physicalSchema.isEmpty,
+            "DeltaWriter: mergeSchema cannot add columns to a " +
+              "column-mapped table — new fields need physical " +
+              "name/id allocation")
           val evolved =
             if (extra.isEmpty) None
             else Some(StructType(s.schema.fields ++ extra))
@@ -642,8 +652,7 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.delete: no Delta table at $cleanUrl"))
     enforceWritable(snap, "delete")
-    require(snap.physicalSchema.isEmpty,
-      "DeltaWriter.delete: column-mapped tables unsupported")
+    physColumnsFor(snap, "delete") // flat-schema guard under mapping
     // real Delta refuses DELETE on append-only tables — other writers
     // and consumers rely on the table never losing rows
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
@@ -825,8 +834,7 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.merge: no Delta table at $cleanUrl"))
     enforceWritable(snap, "merge")
-    require(snap.physicalSchema.isEmpty,
-      "DeltaWriter.merge: column-mapped tables unsupported")
+    physColumnsFor(snap, "merge") // flat-schema guard under mapping
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaWriter.merge: table at $cleanUrl is append-only " +
         "(delta.appendOnly=true) — MERGE rewrites rows, refused")
@@ -906,8 +914,7 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.update: no Delta table at $cleanUrl"))
     enforceWritable(snap, "update")
-    require(snap.physicalSchema.isEmpty,
-      "DeltaWriter.update: column-mapped tables unsupported")
+    physColumnsFor(snap, "update") // flat-schema guard under mapping
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaWriter.update: table at $cleanUrl is append-only " +
         "(delta.appendOnly=true) — UPDATE rewrites rows, refused")
@@ -1008,10 +1015,11 @@ object DeltaWriter {
           .map { case (fp, u, n, c) => fp -> ((u, n, c)) }.toMap
       }
 
+    val physI = physColumnsFor(snap, operation)
     val newFiles: Seq[(Seq[(String, String)], Path)] =
       if (insertsEmpty) Seq.empty
       else landFiles(fs, qualifiedBase, cleanUrl, inserts,
-        snap.partitionColumns)
+        snap.partitionColumns, physI)
 
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relOrAbs(p: Path): String =
@@ -1035,7 +1043,8 @@ object DeltaWriter {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p, snap.schema)
+      val stats = statsJson(fs, p,
+        snap.physicalSchema.getOrElse(snap.schema))
         .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relEncode(basePath, p))}",""" +
         s""""partitionValues":{$pv},""" +
@@ -1135,8 +1144,7 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.optimize: no Delta table at $cleanUrl"))
     enforceWritable(snap, "optimize")
-    require(snap.physicalSchema.isEmpty,
-      "DeltaWriter.optimize: column-mapped tables unsupported")
+    val physO = physColumnsFor(snap, "optimize")
     val dvFiles = snap.files.filter(_.deletionVector.exists(_.cardinality > 0))
     if (dvFiles.isEmpty) return snap.version
     // per-file total row count: one scan, metadata column only
@@ -1160,7 +1168,7 @@ object DeltaWriter {
     // injected so the partitioned rewrite lands in the right dirs
     val survivors = DeltaReader.assembleSnapshot(snap.copy(files = selected))
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, survivors,
-      snap.partitionColumns)
+      snap.partitionColumns, physO)
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relOrAbs(p: Path): String =
       if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
@@ -1169,7 +1177,8 @@ object DeltaWriter {
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p, snap.schema)
+      val stats = statsJson(fs, p,
+        snap.physicalSchema.getOrElse(snap.schema))
         .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
@@ -1240,8 +1249,7 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.compact: no Delta table at $cleanUrl"))
     enforceWritable(snap, "compact")
-    require(snap.physicalSchema.isEmpty,
-      "DeltaWriter.compact: column-mapped tables unsupported")
+    val physC = physColumnsFor(snap, "compact")
     val groups: Seq[Seq[DeltaReader.DeltaFile]] = snap.files
       .filter(_.size < targetFileBytes)
       .groupBy(_.partitionValues).values.toSeq
@@ -1265,13 +1273,15 @@ object DeltaWriter {
         (g.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       val packed = DeltaReader.assembleSnapshot(snap.copy(files = g))
         .coalesce(bins)
-      landFiles(fs, qualifiedBase, cleanUrl, packed, snap.partitionColumns)
+      landFiles(fs, qualifiedBase, cleanUrl, packed,
+        snap.partitionColumns, physC)
     }
     val adds = newFiles.map { case (kvs, p) =>
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p, snap.schema)
+      val stats = statsJson(fs, p,
+        snap.physicalSchema.getOrElse(snap.schema))
         .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
@@ -1357,8 +1367,7 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.zorder: no Delta table at $cleanUrl"))
     enforceWritable(snap, "zorder")
-    require(snap.physicalSchema.isEmpty,
-      "DeltaWriter.zorder: column-mapped tables unsupported")
+    val physZ = physColumnsFor(snap, "zorder")
     zCols.foreach { c =>
       require(snap.schema.fieldNames.contains(c),
         s"DeltaWriter.zorder: column '$c' not in the table schema")
@@ -1418,12 +1427,14 @@ object DeltaWriter {
     def relOrAbs(p: Path): String =
       if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
       else p.toUri.toString
-    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, clustered, pcols)
+    val newFiles = landFiles(fs, qualifiedBase, cleanUrl, clustered,
+      pcols, physZ)
     val adds = newFiles.map { case (kvs, p) =>
       val st = fs.getFileStatus(p)
       val pv = kvs.map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p, snap.schema)
+      val stats = statsJson(fs, p,
+        snap.physicalSchema.getOrElse(snap.schema))
         .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
       s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
@@ -2355,9 +2366,41 @@ object DeltaWriter {
     * come from the frame itself (bounded by partition cardinality);
     * values must be path-literal so the directory name IS the logged
     * value (the HiveDataset contract). */
+  /** Column-mapping write support (modes `name` and `id`): logical
+    * name → (physical name, optional column-mapping id) for the
+    * land-time rename. FLAT schemas only — nested fields carry their
+    * own physical names this writer does not rewrite, so they refuse
+    * rather than landing files with corrupt inner names. */
+  private def physColumnsFor(snap: DeltaReader.DeltaSnapshot, verb: String)
+      : Map[String, (String, Option[Long])] = {
+    if (snap.physicalSchema.isEmpty) return Map.empty
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(et, _) => nested(et)
+      case MapType(k, v, _) => nested(k) || nested(v)
+      case _ => false
+    }
+    require(snap.schema.fields.forall(f => !nested(f.dataType)),
+      s"DeltaWriter.$verb: column mapping over NESTED fields is " +
+        "unsupported — inner physical names are not rewritten")
+    snap.schema.fields.zip(snap.physicalSchema.get.fields).map {
+      case (lf, pf) =>
+        lf.name -> ((pf.name,
+          if (lf.metadata.contains("delta.columnMapping.id"))
+            Some(lf.metadata.getLong("delta.columnMapping.id")) else None))
+    }.toMap
+  }
+
   private def landFiles(fs: FileSystem, qualifiedBase: Path, cleanUrl: String,
-                        df: DataFrame, partitionColumns: Seq[String])
+                        df: DataFrame, partitionColumns: Seq[String],
+                        phys: Map[String, (String, Option[Long])] = Map.empty)
       : Seq[(Seq[(String, String)], Path)] = {
+    // under column mapping the log's partitionValues keys, the
+    // directory names AND the parquet column names are all PHYSICAL
+    // (the protocol's writer requirement); `id`-mode files
+    // additionally carry parquet field ids, attached here as
+    // parquet.field.id metadata the Spark writer honors
+    def physName(c: String): String = phys.get(c).map(_._1).getOrElse(c)
     val touched: Seq[(Seq[(String, String)], Path)] =
       if (partitionColumns.isEmpty) Seq((Seq.empty, qualifiedBase))
       else df.select(partitionColumns.map(c => col(c).cast("string")): _*)
@@ -2370,11 +2413,23 @@ object DeltaWriter {
               s"DeltaWriter: partition column '$c' value '$v' is empty or " +
                 "contains characters Spark path-escapes; only path-literal " +
                 "partition values are supported")
-            c -> v
+            physName(c) -> v
           }
           (kvs, kvs.foldLeft(qualifiedBase) { case (p, (c, v)) =>
             new Path(p, s"$c=$v") })
         }
+    val dfPhys =
+      if (phys.isEmpty) df
+      else df.select(df.columns.map { c =>
+        phys.get(c) match {
+          case Some((p, Some(id))) => col(c).as(p,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id).build())
+          case Some((p, None)) => col(c).as(p)
+          case None => col(c)
+        }
+      }.toSeq: _*)
+    val physPartitionCols = partitionColumns.map(physName)
 
     // ONE distributed write into a PRIVATE staging directory, then a
     // per-file rename into place. Writing straight into the table dir
@@ -2388,8 +2443,9 @@ object DeltaWriter {
     // staging tree must stay VISIBLE to vacuum's walk so it ages out.
     val staging = new Path(qualifiedBase,
       s"staging-${java.util.UUID.randomUUID}")
-    val writer = df.write.mode("append").option("compression", "snappy")
-    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*)
+    val writer = dfPhys.write.mode("append").option("compression", "snappy")
+    (if (physPartitionCols.nonEmpty)
+      writer.partitionBy(physPartitionCols: _*)
      else writer).parquet(staging.toString)
 
     val newFiles: Seq[(Seq[(String, String)], Path)] = touched.flatMap {

@@ -1,0 +1,177 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** WRITES to column-mapped Delta tables (modes `name` and `id`):
+  * landed parquet stores PHYSICAL column names (plus field ids in id
+  * mode), partition directories and the log's `partitionValues` key
+  * by physical name, logical reads round-trip every verb, and the
+  * unsupported edges (nested fields, evolution) refuse loudly. */
+class DeltaMappedWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit private val s: org.apache.spark.sql.SparkSession = spark
+
+  private def fieldMeta(id: Long, phys: String) = new MetadataBuilder()
+    .putLong("delta.columnMapping.id", id)
+    .putString("delta.columnMapping.physicalName", phys).build()
+
+  private def mappedSchema: StructType = StructType(Seq(
+    StructField("v", LongType, nullable = true, fieldMeta(1, "col-aaa111")),
+    StructField("p", StringType, nullable = true, fieldMeta(2, "col-ppp222"))))
+
+  private def esc(x: String): String =
+    x.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** A name-mode mapped table with two physical-named files. */
+  private def buildMapped(table: String, mode: String = "name"): Unit = {
+    Seq(1L, 2L).toDF("col-aaa111").coalesce(1).write
+      .parquet(s"$table/stage1")
+    Seq(30L).toDF("col-aaa111").coalesce(1).write.parquet(s"$table/stage2")
+    def moveOne(stage: String, dest: String): Unit = {
+      val dir = new java.io.File(s"$table/$stage")
+      val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val d = new java.io.File(s"$table/$dest")
+      d.getParentFile.mkdirs()
+      assert(part.renameTo(d))
+    }
+    moveOne("stage1", "col-ppp222=A/f1.parquet")
+    moveOne("stage2", "col-ppp222=B/f2.parquet")
+    val meta =
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(mappedSchema.json)}","partitionColumns":["p"],""" +
+        s""""configuration":{"delta.columnMapping.mode":"$mode",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}"""
+    def add(p: String, pv: String): String =
+      s"""{"add":{"path":"$p","partitionValues":{"col-ppp222":"$pv"},""" +
+        """"size":100,"modificationTime":1700000000000,"dataChange":true}}"""
+    // canonical path encoding (no %3D for '='): replay tombstones by
+    // exact path string, the same contract delta-spark replays with
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      meta, add("col-ppp222=A/f1.parquet", "A"),
+      add("col-ppp222=B/f2.parquet", "B"))
+    Files.createDirectories(Paths.get(s"$table/_delta_log"))
+    Files.write(Paths.get(s"$table/_delta_log/%020d.json".format(0)),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+  }
+
+  private def physicalColumnsOf(file: String): Seq[String] =
+    spark.read.parquet(file).columns.toSeq
+
+  test("append to a name-mode table lands physical names and physical partitionValues") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMapped(table)
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.append(Seq((40L, "B"), (50L, "C")).toDF("v", "p"))
+      val snap = DeltaReader.snapshot(table).get
+      val mine = snap.files.filterNot(_.path.matches(".*f[12]\\.parquet"))
+      assert(mine.nonEmpty)
+      mine.foreach { f =>
+        assert(f.partitionValues.keySet == Set("col-ppp222"),
+          s"partitionValues must key by physical name, got ${f.partitionValues}")
+        assert(f.path.contains("col-ppp222="),
+          s"directories must use the physical name, got ${f.path}")
+        assert(physicalColumnsOf(f.path) == Seq("col-aaa111"),
+          "the landed parquet must store the physical column name")
+      }
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((1L, "A"), (2L, "A"), (30L, "B"), (40L, "B"), (50L, "C"))
+          .toDF("v", "p"))
+    }
+  }
+
+  test("delete, update, merge and zorder round-trip on a mapped table") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMapped(table)
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.delete(col("v") === 1L)
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((2L, "A"), (30L, "B")).toDF("v", "p"))
+      ds.update(col("v") === 2L, Map("v" -> lit(22L)))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((22L, "A"), (30L, "B")).toDF("v", "p"))
+      ds.merge(Seq((30L, "B"), (77L, "C")).toDF("v", "p"), Seq("v"))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((22L, "A"), (30L, "B"), (77L, "C")).toDF("v", "p"))
+      // the curve rewrite keeps logical rows and physical layout
+      ds.zorder(Seq("v"), targetFileBytes = 8L * 1024)
+      val snap = DeltaReader.snapshot(table).get
+      assert(snap.files.forall(_.partitionValues.keySet == Set("col-ppp222")))
+      snap.files.foreach(f =>
+        assert(physicalColumnsOf(f.path) == Seq("col-aaa111")))
+      assertSameData(DeltaReader.scan(table).get,
+        Seq((22L, "A"), (30L, "B"), (77L, "C")).toDF("v", "p"))
+    }
+  }
+
+  test("id-mode append stamps parquet field ids into the landed files") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMapped(table, mode = "id")
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.append(Seq((60L, "D")).toDF("v", "p"))
+      val mine = DeltaReader.snapshot(table).get.files
+        .filterNot(_.path.matches(".*f[12]\\.parquet"))
+      assert(mine.nonEmpty)
+      val conf = spark.sessionState.newHadoopConf()
+      mine.foreach { f =>
+        val footer = org.apache.parquet.hadoop.ParquetFileReader
+          .open(org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f.path), conf))
+        try {
+          val mt = footer.getFooter.getFileMetaData.getSchema
+          val dataField = mt.getFields.get(0)
+          assert(dataField.getName == "col-aaa111")
+          assert(dataField.getId != null && dataField.getId.intValue == 1,
+            s"id-mode files must carry the column-mapping id, got ${dataField.getId}")
+        } finally footer.close()
+      }
+      assertSameData(DeltaReader.scan(table).get.where(col("p") === "D"),
+        Seq((60L, "D")).toDF("v", "p"))
+    }
+  }
+
+  test("nested fields under mapping refuse; evolution on a mapped table refuses") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      // nested: a struct field with its own physical names
+      val inner = StructType(Seq(
+        StructField("x", LongType, nullable = true, fieldMeta(3, "col-xxx"))))
+      val nested = StructType(Seq(
+        StructField("v", LongType, nullable = true, fieldMeta(1, "col-aaa")),
+        StructField("s", inner, nullable = true, fieldMeta(2, "col-sss"))))
+      val meta =
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(nested.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"3"},"createdTime":1700000000000}}"""
+      Files.createDirectories(Paths.get(s"$table/_delta_log"))
+      Files.write(Paths.get(s"$table/_delta_log/%020d.json".format(0)),
+        (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          meta).mkString("\n") + "\n").getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW)
+      val e = intercept[IllegalArgumentException] {
+        new DeltaDataset(table).append(
+          Seq((1L, (2L))).toDF("v", "x").select(col("v"),
+            struct(col("x")).as("s")))
+      }
+      assert(e.getMessage.contains("NESTED"))
+
+      val flat = s"$dir/flat"
+      buildMapped(flat)
+      val e2 = intercept[IllegalArgumentException] {
+        new DeltaDataset(flat, Seq("p")).append(
+          Seq((1L, "A", 9L)).toDF("v", "p", "extra"), mergeSchema = true)
+      }
+      assert(e2.getMessage.contains("column-mapped"))
+    }
+  }
+}
