@@ -1813,5 +1813,67 @@ object HiveQ {
           count(lit(1)).cast("bigint").as("n"),
           sum(col("n_nationkey")).cast("bigint").as("sum_key"))
       })
+    ,
+
+    // ---- change-data-feed WRITER conformance ------------------------
+    // With delta.enableChangeDataFeed=true, DELETE and UPDATE commits
+    // land their row-level change set as _change_data/ parquet + cdc
+    // actions (DV-masking commits cannot be re-derived by foreign CDF
+    // readers), and readChanges treats those versions as
+    // AUTHORITATIVE, emitting the recorded precise types. The oracle
+    // replays the change arithmetic relationally.
+    Q("q430_delta_cdc",
+      Some("""WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             |  FROM orders WHERE o_orderkey < 1000),
+             |del AS (SELECT 'delete' AS change_type, count(*)::BIGINT AS n,
+             |    sum(o_orderkey)::BIGINT AS sum_key
+             |  FROM t0 WHERE o_orderstatus = 'F'),
+             |upd AS (SELECT o_orderkey FROM t0
+             |  WHERE NOT o_orderstatus = 'F' AND o_orderkey % 10 = 3),
+             |pre AS (SELECT 'update_preimage' AS change_type,
+             |    count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key
+             |  FROM upd),
+             |post AS (SELECT 'update_postimage' AS change_type,
+             |    count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key
+             |  FROM upd)
+             |SELECT * FROM del UNION ALL SELECT * FROM pre
+             |UNION ALL SELECT * FROM post
+             |ORDER BY change_type""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q430_")
+        val ord = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 1000))                 // v0
+        val snap0 = graft.sources.DeltaReader.snapshot(table)(s).get
+        def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+        java.nio.file.Files.write(                                     // v1: CDF on
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(1)),
+          (s"""{"metaData":{"id":"${snap0.tableId}","format":""" +
+            s"""{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(snap0.schema.json)}",""" +
+            s""""partitionColumns":[],""" +
+            s""""configuration":{"delta.enableChangeDataFeed":"true"},""" +
+            s""""createdTime":1700000000000}}""" + "\n").getBytes("UTF-8"))
+        ds.delete(col("o_orderstatus") === "F")                       // v2: cdc
+        ds.update(col("o_orderkey") % 10 === 3,
+          Map("o_totalprice" -> (col("o_totalprice") * 2)))           // v3: cdc
+        val head = graft.sources.DeltaReader.snapshot(table)(s).get.version
+        require(head == 3L, s"q430: expected 3 commits, got $head")
+        Seq(2L, 3L).foreach { v =>
+          val commit = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$table/_delta_log/" +
+              "%020d.json".format(v))), "UTF-8")
+          require(commit.contains("\"cdc\""),
+            s"q430: commit $v must log its cdc actions")
+        }
+        graft.sources.DeltaChanges.readChanges(table, 1L)(s).get
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .withColumnRenamed("_change_type", "change_type")
+          .orderBy(col("change_type"))
+      })
   )
 }

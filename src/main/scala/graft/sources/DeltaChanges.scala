@@ -58,7 +58,8 @@ object DeltaChanges {
   private final case class VersionDelta(
       version: Long,
       inserts: Option[DataFrame],
-      deletes: Seq[DataFrame])
+      deletes: Seq[DataFrame],
+      tagged: Option[DataFrame] = None)
 
   /** Changes in `(fromVersion, toVersion]` (default head). Pass
     * `fromVersion = -1` to start at the table's creation. The window
@@ -113,11 +114,19 @@ object DeltaChanges {
                                     (implicit spark: SparkSession)
       : Seq[(Long, Option[DataFrame])] =
     versionDeltas(url, from, to, head).map { d =>
-      val tagged =
-        (d.inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
-          d.deletes.map(_.withColumn("_change_type", lit("delete"))))
-          .map(_.withColumn("_commit_version", lit(d.version)))
-      (d.version, tagged.reduceOption(_ unionByName _))
+      // a commit that logged cdc actions is AUTHORITATIVE for its own
+      // change set (the protocol rule delta-spark reads by): emit the
+      // _change_data rows with their recorded types, derive nothing
+      d.tagged match {
+        case Some(t) =>
+          (d.version, Some(t.withColumn("_commit_version", lit(d.version))))
+        case None =>
+          val tagged =
+            (d.inserts.map(_.withColumn("_change_type", lit("insert"))).toSeq ++
+              d.deletes.map(_.withColumn("_change_type", lit("delete"))))
+              .map(_.withColumn("_commit_version", lit(d.version)))
+          (d.version, tagged.reduceOption(_ unionByName _))
+      }
     }
 
   // parse schema for the window read: only the CDF-relevant fields
@@ -142,7 +151,11 @@ object DeltaChanges {
     StructField("metaData", StructType(Seq(
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
-      StructField("configuration", MapType(StringType, StringType)))))))
+      StructField("configuration", MapType(StringType, StringType))))),
+    StructField("cdc", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType))))))
 
   /** One commit's CDF-relevant actions, paths already absolute — the
     * carrier BOTH window parsers (distributed JSON read / driver-side
@@ -151,7 +164,8 @@ object DeltaChanges {
       adds: Seq[(DeltaReader.DeltaFile, Boolean)],
       removes: Map[String, Boolean],
       meta: Option[(Option[String], Option[Seq[String]],
-        Option[Map[String, String]])])
+        Option[Map[String, String]])],
+      cdc: Seq[DeltaReader.DeltaFile] = Seq.empty)
 
   /** Per-version change frames in `(from, to]`, by incremental replay:
     * ONE read of the window's commits (driver-side Jackson when the
@@ -269,9 +283,22 @@ object DeltaChanges {
           snapV.copy(files = insertFiles)))
 
       files = newFiles
-      val inserts = (newFileInserts.toSeq ++ dvRestores.toSeq)
-        .reduceOption(_ unionByName _)
-      VersionDelta(v, inserts, dvDeletes.toSeq ++ dropDeletes.toSeq)
+      if (actions.cdc.nonEmpty) {
+        // cdc-authoritative version (the writer logged its own change
+        // set under _change_data/): read THOSE rows with their
+        // recorded _change_type, derive nothing — the protocol rule,
+        // and the only correct reading for DV-masking commits written
+        // by CDF-conformant engines
+        val cdcSchema = StructType(schema.fields :+
+          StructField("_change_type", StringType))
+        VersionDelta(v, None, Seq.empty,
+          Some(DeltaReader.assembleSnapshot(
+            mkSnap(v, cdcSchema, pcols, conf, actions.cdc))))
+      } else {
+        val inserts = (newFileInserts.toSeq ++ dvRestores.toSeq)
+          .reduceOption(_ unionByName _)
+        VersionDelta(v, inserts, dvDeletes.toSeq ++ dropDeletes.toSeq)
+      }
     }
   }
 
@@ -316,7 +343,16 @@ object DeltaChanges {
             if (m.isNullAt(2)) None
             else Some(m.getMap[String, String](2).toMap))
         }
-      v -> CdfCommit(adds, removes, meta)
+      val cdc = actions.flatMap { r =>
+        Option(r.getStruct(3)).map { c =>
+          val pv: Map[String, String] =
+            if (c.isNullAt(1)) Map.empty
+            else c.getMap[String, String](1).toMap
+          DeltaReader.DeltaFile(absPath(c.getString(0)).toString, pv,
+            if (c.isNullAt(2)) 0L else c.getLong(2))
+        }
+      }
+      v -> CdfCommit(adds, removes, meta, cdc)
     }
   }
 
@@ -373,7 +409,14 @@ object DeltaChanges {
             .map(arr => (0 until arr.size).map(i => arr.get(i).asText).toSeq),
           Option(m.get("configuration")).filterNot(_.isNull).map(strMap))
       }
-      v -> CdfCommit(adds, removes, meta)
+      val cdc = nodes.flatMap(n =>
+        Option(n.get("cdc")).filterNot(_.isNull)).map { c =>
+        val pv = Option(c.get("partitionValues")).filterNot(_.isNull)
+          .map(strMap).getOrElse(Map.empty[String, String])
+        DeltaReader.DeltaFile(absPath(txt(c, "path")).toString, pv,
+          lng(c, "size", 0L))
+      }
+      v -> CdfCommit(adds, removes, meta, cdc)
     }.toMap
   }
 

@@ -663,11 +663,23 @@ object DeltaWriter {
     val qualifiedBase = fs.makeQualified(base)
     val logDir = new Path(qualifiedBase, "_delta_log")
 
-    val matched = DeltaReader.scanWithRowIndex(snap).where(cond)
-      .select(col("__fp"), col("__ri"))
+    // with the change feed on, the matched rows feed BOTH the mask
+    // and the cdc files: pin them so the two cannot diverge
+    val cdfOn =
+      snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+    val matchedRows0 = DeltaReader.scanWithRowIndex(snap).where(cond)
+    val matchedRows =
+      if (cdfOn) matchedRows0.localCheckpoint() else matchedRows0
+    val matched = matchedRows.select(col("__fp"), col("__ri"))
     val fileKeys: Seq[String] = matched.select(col("__fp")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (fileKeys.isEmpty) return snap.version
+    val cdcDeleteLines =
+      if (!cdfOn) Seq.empty
+      else cdcLandAndLines(fs, qualifiedBase, cleanUrl, snap.configuration,
+        snap.partitionColumns, physColumnsFor(snap, "delete"),
+        Some(matchedRows.drop("__fp", "__ri")
+          .withColumn("_change_type", lit("delete"))))
     val byKey: Map[String, DeltaReader.DeltaFile] =
       snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
     fileKeys.foreach(k => require(byKey.contains(k),
@@ -768,7 +780,7 @@ object DeltaWriter {
             s""""writerFeatures":[${wf.map(x => s""""$x"""").mkString(",")}]}}""")
         }
       val ict = ictLines(head.configuration, fs, logDir, head.version, "DELETE")
-      val lines = ict ++ protoLine ++ fileKeys.flatMap { k =>
+      val lines = ict ++ protoLine ++ cdcDeleteLines ++ fileKeys.flatMap { k =>
         val f = byKey(k)
         Seq(
           s"""{"remove":{"path":"${jsonEscape(relOrAbs(new Path(f.path)))}",""" +
@@ -877,10 +889,39 @@ object DeltaWriter {
     enforceCheckConstraints(snap, inserts)
 
     // target rows whose key appears in the source: masked out
-    // (replaced or deleted); DVs already applied by the scan
-    val matched = DeltaReader.scanWithRowIndex(snap)
+    // (replaced or deleted); DVs already applied by the scan. With
+    // the change feed on they also feed the cdc preimages — pinned so
+    // mask and feed cannot diverge.
+    val cdfOn =
+      snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+    val matchedFull0 = DeltaReader.scanWithRowIndex(snap)
       .join(broadcast(src.select(keyCols.map(col): _*)), keyCols, "left_semi")
-      .select(col("__fp"), col("__ri"))
+    val matchedFull =
+      if (cdfOn) matchedFull0.localCheckpoint() else matchedFull0
+    val matched = matchedFull.select(col("__fp"), col("__ri"))
+    // precise CDF types, the shapes delta-spark's own MERGE records:
+    // matched + delete clause -> delete; matched + replaced ->
+    // update_preimage/update_postimage; unmatched source -> insert
+    val cdc: Option[DataFrame] =
+      if (!cdfOn) None
+      else {
+        val dataCols = snap.schema.fieldNames.map(col).toSeq
+        val keys = keyCols.map(col)
+        val matchedData = matchedFull.select(dataCols: _*)
+        val delKeys = deleteWhen.map(c => src.filter(c))
+          .getOrElse(src.limit(0)).select(keys: _*)
+        val matchedKeys = matchedFull.select(keys: _*).distinct()
+        Some(Seq(
+          matchedData.join(broadcast(delKeys), keyCols, "left_semi")
+            .withColumn("_change_type", lit("delete")),
+          matchedData.join(broadcast(delKeys), keyCols, "left_anti")
+            .withColumn("_change_type", lit("update_preimage")),
+          inserts.join(broadcast(matchedKeys), keyCols, "left_semi")
+            .withColumn("_change_type", lit("update_postimage")),
+          inserts.join(broadcast(matchedKeys), keyCols, "left_anti")
+            .withColumn("_change_type", lit("insert"))
+        ).reduce(_ unionByName _))
+      }
     // explicit identity extremes from the PINNED source (one tiny agg
     // on checkpointed data) — the commit advances the watermark past
     // them so later allocations cannot collide
@@ -890,7 +931,8 @@ object DeltaWriter {
         else org.apache.spark.sql.functions.min(col(sp.name))).head()
       if (r.isNullAt(0)) None else Some(sp.name -> r.getLong(0))
     }.toMap
-    copyOnWriteCommit(cleanUrl, snap, matched, inserts, "MERGE", idObserved)
+    copyOnWriteCommit(cleanUrl, snap, matched, inserts, "MERGE", idObserved,
+      cdc)
   }
 
   /** Row-level UPDATE — `SET col = expr, ...` over every row matching
@@ -953,7 +995,17 @@ object DeltaWriter {
       df.withColumn(f.name, expr(g).cast(f.dataType))
     }.select(snap.schema.fieldNames.map(col).toSeq: _*)
     enforceCheckConstraints(snap, regenerated)
-    copyOnWriteCommit(cleanUrl, snap, mask, regenerated, "UPDATE")
+    // pre/postimages pair 1:1 under whole-row copy-on-write UPDATE
+    val cdcU: Option[DataFrame] =
+      if (!snap.configuration.get("delta.enableChangeDataFeed")
+        .contains("true")) None
+      else Some(
+        matchedRows.select(snap.schema.fieldNames.map(col).toSeq: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(regenerated
+            .withColumn("_change_type", lit("update_postimage"))))
+    copyOnWriteCommit(cleanUrl, snap, mask, regenerated, "UPDATE",
+      cdcChanges = cdcU)
   }
 
   /** Shared [[merge]]/[[update]] tail: mask `maskRows` (`__fp`,
@@ -966,7 +1018,8 @@ object DeltaWriter {
                                 snap: DeltaReader.DeltaSnapshot,
                                 maskRows: DataFrame, inserts: DataFrame,
                                 operation: String,
-                                idObserved: Map[String, Long] = Map.empty)
+                                idObserved: Map[String, Long] = Map.empty,
+                                cdcChanges: Option[DataFrame] = None)
                                (implicit spark: SparkSession): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
@@ -1020,6 +1073,8 @@ object DeltaWriter {
       if (insertsEmpty) Seq.empty
       else landFiles(fs, qualifiedBase, cleanUrl, inserts,
         snap.partitionColumns, physI)
+    val cdcLines = cdcLandAndLines(fs, qualifiedBase, cleanUrl,
+      snap.configuration, snap.partitionColumns, physI, cdcChanges)
 
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relOrAbs(p: Path): String =
@@ -1105,8 +1160,8 @@ object DeltaWriter {
       // watermark (delta-spark's SYNC IDENTITY on merge): one
       // metaData action, recomputed against the fresh head per attempt
       val metaLine = hwmMetaLine(head, idObserved).toSeq
-      val body = (ict ++ protoLine ++ metaLine ++ dvLines ++ newAdds)
-        .mkString("\n") + "\n"
+      val body = (ict ++ protoLine ++ metaLine ++ cdcLines ++ dvLines ++
+        newAdds).mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
@@ -2089,6 +2144,40 @@ object DeltaWriter {
       stampHighWaterMarks(head.schema, advanced), head.partitionColumns,
       head.configuration,
       head.createdTime.getOrElse(System.currentTimeMillis)))
+  }
+
+  /** When the table enables the change-data feed
+    * (`delta.enableChangeDataFeed = true`), land `changes` (table
+    * columns + `_change_type`) as `_change_data/` parquet and return
+    * the commit's `cdc` action lines — the PROTOCOL's writer
+    * obligation: a commit that masks rows behind deletion vectors
+    * cannot be re-derived by foreign CDF readers from add/remove
+    * actions alone, so on CDF-enabled tables these files are that
+    * commit's authoritative change set (delta-spark reads exactly
+    * them in `table_changes`). cdc actions never affect table state;
+    * vacuum ages the files out like any unreferenced file, after
+    * which CDF reads of that window fail loudly — the same contract
+    * as a vacuumed time-travel read. No-op when the feed is off. */
+  private def cdcLandAndLines(fs: FileSystem, qualifiedBase: Path,
+      cleanUrl: String, conf: Map[String, String],
+      partitionColumns: Seq[String],
+      phys: Map[String, (String, Option[Long])],
+      changes: => Option[DataFrame]): Seq[String] = {
+    if (!conf.get("delta.enableChangeDataFeed").contains("true"))
+      return Seq.empty
+    val df = changes.getOrElse(return Seq.empty)
+    val cdcBase = new Path(qualifiedBase, "_change_data")
+    fs.mkdirs(cdcBase)
+    val landed = landFiles(fs, cdcBase, cleanUrl, df, partitionColumns, phys)
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    landed.map { case (kvs, p) =>
+      val st = fs.getFileStatus(p)
+      val pv = kvs.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+      s"""{"cdc":{"path":"${jsonEscape(relEncode(basePath, p))}",""" +
+        s""""partitionValues":{$pv},"size":${st.getLen},""" +
+        """"dataChange":false}}"""
+    }
   }
 
   /** Materialize GENERATED columns on `df` against `schema`: a

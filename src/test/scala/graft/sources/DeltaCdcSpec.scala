@@ -1,0 +1,118 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Change-data-feed WRITER conformance (`delta.enableChangeDataFeed =
+  * true`): DELETE/UPDATE/MERGE commits land their row-level change
+  * set as `_change_data/` parquet + `cdc` actions — the protocol
+  * obligation foreign CDF readers depend on, since a DV-masking
+  * commit cannot be re-derived from add/remove actions alone — and
+  * [[DeltaChanges.readChanges]] treats cdc versions as authoritative,
+  * emitting the recorded precise types (update_preimage/postimage)
+  * instead of deriving insert/delete. CDF-off tables are untouched. */
+class DeltaCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  implicit private val s: org.apache.spark.sql.SparkSession = spark
+
+  /** A CDF-enabled table: created plain, then the property committed
+    * via a foreign-style metaData action (our writer creates tables
+    * with empty configuration). */
+  private def cdfTable(dir: String, rows: Seq[(Long, String)]): String = {
+    val table = s"$dir/t"
+    val ds = new DeltaDataset(table)
+    ds.write(rows.toDF("k", "v"))
+    val snap = DeltaReader.snapshot(table).get
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val meta =
+      s"""{"metaData":{"id":"${snap.tableId}","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(snap.schema.json)}","partitionColumns":[],""" +
+        s""""configuration":{"delta.enableChangeDataFeed":"true"},""" +
+        s""""createdTime":1700000000000}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(1)),
+      (meta + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    table
+  }
+
+  test("DELETE on a CDF table writes _change_data + cdc action; feed reads it authoritatively") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, (0L until 40L).map(i => (i, s"v$i")))
+      val ds = new DeltaDataset(table)
+      ds.delete(col("k") % 4 === 1)                                   // v2
+      val snap = DeltaReader.snapshot(table).get
+      // the log carries a cdc action and the files exist
+      val commit = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$table/_delta_log/" +
+          "%020d.json".format(2))), "UTF-8")
+      assert(commit.contains("\"cdc\""), "the DELETE commit must log cdc actions")
+      assert(new java.io.File(s"$table/_change_data").exists)
+      // feed: version 2's changes come from the cdc files
+      val feed = DeltaChanges.readChanges(table, 1L, Some(2L)).get
+      val rows = feed.collect()
+      assert(rows.forall(_.getAs[String]("_change_type") == "delete"))
+      assert(rows.map(_.getAs[Long]("k")).toSet ==
+        (0L until 40L).filter(_ % 4 == 1).toSet)
+      // snapshot semantics untouched
+      assert(DeltaReader.scan(table).get.count() == 30)
+      assert(snap.version == 2L)
+    }
+  }
+
+  test("UPDATE records precise pre/postimages; MERGE records all four types") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, (0L until 20L).map(i => (i, s"v$i")))
+      val ds = new DeltaDataset(table)
+      ds.update(col("k") === 3L, Map("v" -> lit("X")))                // v2
+      val upd = DeltaChanges.readChanges(table, 1L, Some(2L)).get.collect()
+      assert(upd.map(r => (r.getAs[String]("_change_type"),
+        r.getAs[String]("v"))).toSet ==
+        Set(("update_preimage", "v3"), ("update_postimage", "X")))
+      // merge: k=5 replaced, k=7 deleted (deleteWhen), k=100 inserted
+      ds.merge(Seq((5L, "five"), (7L, "DROP"), (100L, "hundred"))
+        .toDF("k", "v"), Seq("k"),
+        deleteWhen = Some(col("v") === "DROP"))                       // v3
+      val mrg = DeltaChanges.readChanges(table, 2L, Some(3L)).get.collect()
+      val byType = mrg.groupBy(_.getAs[String]("_change_type"))
+        .view.mapValues(_.map(_.getAs[Long]("k")).toSet).toMap
+      assert(byType("update_preimage") == Set(5L))
+      assert(byType("update_postimage") == Set(5L))
+      assert(byType("delete") == Set(7L))
+      assert(byType("insert") == Set(100L))
+    }
+  }
+
+  test("CDF-off tables write no cdc actions and keep derived feeds bitwise") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write((0L until 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+      ds.delete(col("k") < 3)
+      val commit = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$table/_delta_log/" +
+          "%020d.json".format(1))), "UTF-8")
+      assert(!commit.contains("\"cdc\""))
+      assert(!new java.io.File(s"$table/_change_data").exists)
+      val feed = DeltaChanges.readChanges(table, 0L, Some(1L)).get.collect()
+      assert(feed.map(_.getAs[Long]("k")).toSet == Set(0L, 1L, 2L))
+      assert(feed.forall(_.getAs[String]("_change_type") == "delete"))
+    }
+  }
+
+  test("a mixed window interleaves cdc-authoritative and derived versions correctly") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, (0L until 10L).map(i => (i, s"v$i")))
+      val ds = new DeltaDataset(table)
+      ds.append(Seq((100L, "a")).toDF("k", "v"))     // v2: derived (plain add)
+      ds.delete(col("k") === 100L)                    // v3: cdc
+      ds.append(Seq((200L, "b")).toDF("k", "v"))     // v4: derived
+      val feed = DeltaChanges.readChanges(table, 1L, Some(4L)).get
+      val got = feed.select("k", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((100L, "insert", 2L), (100L, "delete", 3L),
+        (200L, "insert", 4L)))
+    }
+  }
+}
