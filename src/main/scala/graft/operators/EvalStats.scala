@@ -658,8 +658,11 @@ object EvalStats {
     * via the multiplicative fold, then each next term by the SAME
     * exact recurrence C(n,i) = C(n,i−1)·(n−i+1)/i carried as running
     * state (never per-term from scratch). n is calendar-bounded
-    * (≤ span buckets; DECIMAL(38,0) partials hold to n ≈ 126 —
-    * coarsen the bucket unit beyond that). Entities scale out. */
+    * (≤ span buckets); the binding arithmetic limit is the FINAL
+    * product 10⁶ · Σ C(n,i) ≤ 10⁶ · 2ⁿ, which crosses DECIMAL(38,0)
+    * at n = 107 — spans past 106 changed buckets raise loudly
+    * (coarsen the bucket unit) instead of returning silent NULLs.
+    * Entities scale out. */
   def signTest(df: DataFrame, entityCol: String, bucketCol: String,
                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -692,7 +695,11 @@ object EvalStats {
           .cast("bigint").as("n_up"))
       .withColumn("__c0", expr(c0))
       .withColumn("p_up_ppm", expr(
-        "CASE WHEN n_changes = 0 THEN 1000000L ELSE cast(" +
+        "CASE WHEN n_changes > 106 THEN cast(raise_error(" +
+          "'signTest: entity spans more than 106 changed buckets — " +
+          "10^6 * 2^n overflows exact DECIMAL(38,0) arithmetic; " +
+          "coarsen the bucket unit') as bigint) " +
+          "WHEN n_changes = 0 THEN 1000000L ELSE cast(" +
           s"(cast(1000000 as decimal(38,0)) * ($tail)) " +
           s"div aggregate(sequence(1L, n_changes), $d38, (p, z) -> p * 2) " +
           "as bigint) END"))

@@ -288,12 +288,21 @@ object DeltaChanges {
         // set under _change_data/): read THOSE rows with their
         // recorded _change_type, derive nothing — the protocol rule,
         // and the only correct reading for DV-masking commits written
-        // by CDF-conformant engines
+        // by CDF-conformant engines. The insert/delete split still
+        // populates (postimages count as the insert stream, exactly
+        // what the derived path emitted for DV-commit new files), so
+        // mirrorAppends and the poll face never starve on cdc
+        // versions.
         val cdcSchema = StructType(schema.fields :+
           StructField("_change_type", StringType))
-        VersionDelta(v, None, Seq.empty,
-          Some(DeltaReader.assembleSnapshot(
-            mkSnap(v, cdcSchema, pcols, conf, actions.cdc))))
+        val frame = DeltaReader.assembleSnapshot(
+          mkSnap(v, cdcSchema, pcols, conf, actions.cdc))
+        VersionDelta(v,
+          Some(frame.where(col("_change_type")
+            .isin("insert", "update_postimage")).drop("_change_type")),
+          Seq(frame.where(col("_change_type")
+            .isin("delete", "update_preimage")).drop("_change_type")),
+          Some(frame))
       } else {
         val inserts = (newFileInserts.toSeq ++ dvRestores.toSeq)
           .reduceOption(_ unionByName _)

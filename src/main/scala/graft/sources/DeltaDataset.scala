@@ -427,6 +427,10 @@ object DeltaWriter {
     val snap0 = snapGen
     snap0.foreach(validateAgainst)
     snap0.foreach(s => enforceCheckConstraints(s, df))
+    // the CREATING write enforces the invariants its own schema
+    // declares — a v0 that already violates them would poison the
+    // induction every later rewrite relies on
+    if (snap0.isEmpty) enforceRowPredicates(invariantsOf(df.schema), df)
     // constraints enforced so far — the retry loop re-runs the
     // distributed pass only when a concurrent commit CHANGED the set
     var enforced: Seq[(String, String)] =
@@ -445,19 +449,8 @@ object DeltaWriter {
     // they tombstone
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relEncoded(p: Path): String = relEncode(basePath, p)
-    def addLine(kvs: Seq[(String, String)], p: Path,
-                stats0: Option[String]): String = {
-      val st = fs.getFileStatus(p)
-      val pv = kvs.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = stats0
-        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-      s"""{"add":{"path":"${jsonEscape(relEncoded(p))}","partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":true$stats}}"""
-    }
-    val adds = newFiles.zip(fileStats).map {
-      case ((kvs, p), st) => addLine(kvs, p, st) }
+    val adds = newFiles.zip(fileStats).map { case ((kvs, p), st) =>
+      newFileAddLine(fs, p, relEncoded(p), kvs, dataChange = true, st) }
 
     // identity high-watermark bookkeeping: the landed files' footer
     // stats (already computed for the adds) give each column's
@@ -908,8 +901,13 @@ object DeltaWriter {
         val dataCols = snap.schema.fieldNames.map(col).toSeq
         val keys = keyCols.map(col)
         val matchedData = matchedFull.select(dataCols: _*)
-        val delKeys = deleteWhen.map(c => src.filter(c))
-          .getOrElse(src.limit(0)).select(keys: _*)
+        // delete set = src MINUS the insert set, so a NULL deleteWhen
+        // verdict (excluded from inserts, hence deleted) is a
+        // 'delete' in the feed too — never filter(c) directly, the
+        // three-valued logic would tag those rows update_preimage
+        // with no postimage
+        val delKeys = src.join(inserts.select(keys: _*), keyCols,
+          "left_anti").select(keys: _*)
         val matchedKeys = matchedFull.select(keys: _*).distinct()
         Some(Seq(
           matchedData.join(broadcast(delKeys), keyCols, "left_semi")
@@ -1094,19 +1092,9 @@ object DeltaWriter {
         s""""pathOrInlineDv":"${d._1}","offset":1,"sizeInBytes":${d._2},""" +
         s""""cardinality":${d._3}}$stats}}"""
     }
-    def newAddLine(kvs: Seq[(String, String)], p: Path): String = {
-      val st = fs.getFileStatus(p)
-      val pv = kvs.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p,
-        snap.physicalSchema.getOrElse(snap.schema))
-        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-      s"""{"add":{"path":"${jsonEscape(relEncode(basePath, p))}",""" +
-        s""""partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":true$stats}}"""
-    }
-    val newAdds = newFiles.map { case (kvs, p) => newAddLine(kvs, p) }
+    val newAdds = newFiles.map { case (kvs, p) =>
+      newFileAddLine(fs, p, relEncode(basePath, p), kvs, dataChange = true,
+        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
 
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1229,16 +1217,8 @@ object DeltaWriter {
       if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
       else p.toUri.toString
     val adds = newFiles.map { case (kvs, p) =>
-      val st = fs.getFileStatus(p)
-      val pv = kvs.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p,
-        snap.physicalSchema.getOrElse(snap.schema))
-        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-      s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":false$stats}}"""
-    }
+      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false,
+        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1332,16 +1312,8 @@ object DeltaWriter {
         snap.partitionColumns, physC)
     }
     val adds = newFiles.map { case (kvs, p) =>
-      val st = fs.getFileStatus(p)
-      val pv = kvs.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p,
-        snap.physicalSchema.getOrElse(snap.schema))
-        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-      s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":false$stats}}"""
-    }
+      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false,
+        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
     val selected = groups.flatten
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
@@ -1430,6 +1402,13 @@ object DeltaWriter {
         s"DeltaWriter.zorder: '$c' is a partition column — constant " +
           "within every file already; cluster on data columns")
     }
+    // the rewrite reserves its working columns: a real column by one
+    // of these names would be silently replaced and then dropped
+    snap.schema.fieldNames.foreach { n =>
+      require(n != "__z" && !n.startsWith("__zc"),
+        s"DeltaWriter.zorder: table column '$n' collides with the " +
+          "rewrite's reserved working columns (__z, __zc*)")
+    }
     if (snap.files.isEmpty) return snap.version
     graft.functions.catalyst.GraftFunctions.register(spark)
     // order-preserving double rendering per supported type
@@ -1485,16 +1464,8 @@ object DeltaWriter {
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, clustered,
       pcols, physZ)
     val adds = newFiles.map { case (kvs, p) =>
-      val st = fs.getFileStatus(p)
-      val pv = kvs.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
-      val stats = statsJson(fs, p,
-        snap.physicalSchema.getOrElse(snap.schema))
-        .map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("")
-      s"""{"add":{"path":"${jsonEscape(relOrAbs(p))}","partitionValues":{$pv},""" +
-        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-        s""""dataChange":false$stats}}"""
-    }
+      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false,
+        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
     val byKey = snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1765,8 +1736,11 @@ object DeltaWriter {
     }
 
   private def enforceCheckConstraints(snap: DeltaReader.DeltaSnapshot,
-                                      df: DataFrame): Unit = {
-    val constraints = checkConstraintsOf(snap)
+                                      df: DataFrame): Unit =
+    enforceRowPredicates(checkConstraintsOf(snap), df)
+
+  private[sources] def enforceRowPredicates(
+      constraints: Seq[(String, String)], df: DataFrame): Unit = {
     if (constraints.isEmpty) return
     val anyViolated = constraints
       .map { case (_, sql) => expr(sql) === lit(false) }
@@ -2109,6 +2083,23 @@ object DeltaWriter {
       .putBoolean("delta.identity.allowExplicitInsert", allowExplicitInsert)
       .build()
     df.withMetadata(name, meta)
+  }
+
+  /** The one shared renderer for an `add` action over a freshly
+    * landed file — every rewrite verb's adds and the write path's
+    * adds flow through here, so a new protocol field lands in one
+    * place. `encodedPath` is the final log-encoded path string. */
+  private def newFileAddLine(fs: FileSystem, p: Path, encodedPath: String,
+      kvs: Seq[(String, String)], dataChange: Boolean,
+      stats: Option[String]): String = {
+    val st = fs.getFileStatus(p)
+    val pv = kvs.map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
+    val statsStr = stats
+      .map(x => s""","stats":"${jsonEscape(x)}"""").getOrElse("")
+    s"""{"add":{"path":"${jsonEscape(encodedPath)}","partitionValues":{$pv},""" +
+      s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+      s""""dataChange":$dataChange$statsStr}}"""
   }
 
   /** The one shared `metaData` action renderer. */

@@ -121,7 +121,11 @@ object DeltaFollow {
       .trigger(org.apache.spark.sql.streaming.Trigger
         .ProcessingTime(intervalMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val inserts = batch.where(col("_change_type") === "insert")
+        // postimages ARE the insert stream on cdc-authoritative
+        // versions (the derived path emits those rows as plain
+        // "insert"), so both follow faces mirror the same rows
+        val inserts = batch.where(col("_change_type")
+          .isin("insert", "update_postimage"))
           .localCheckpoint()
         try {
           // per-version txn keys: exactly-once survives re-windowing

@@ -844,34 +844,51 @@ object DeltaReader {
     * [f(lo), f(hi)] on the partition value. Non-monotone shapes
     * (`month(c)`, `day(c)`, arithmetic) return None and derive
     * nothing — pruning must stay sound. */
-  private[sources] def monotoneGenerationBase(genSql: String)
-      (implicit spark: SparkSession): Option[String] = {
+  /** (base column, base-type gate) — the gate encodes WHERE the shape
+    * is actually order preserving: date/time shapes are monotone over
+    * DATE/TIMESTAMP bases but NOT over strings ('2024-1-01' <
+    * '2024-10-5' lexicographically says nothing about the cast
+    * dates, and invalid dates generate NULL); the prefix-substring
+    * shape is monotone exactly over strings. */
+  private[sources] def monotoneGenerationShape(genSql: String)
+      (implicit spark: SparkSession): Option[(String, DataType => Boolean)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal => CatLit}
     val parsed = try spark.sessionState.sqlParser.parseExpression(genSql)
       catch { case scala.util.control.NonFatal(_) => return None }
+    val temporal: DataType => Boolean = {
+      case DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    val stringOnly: DataType => Boolean = _ == StringType
     def attr(e: org.apache.spark.sql.catalyst.expressions.Expression)
         : Option[String] = e match {
       case a: UnresolvedAttribute => Some(a.name)
       case _ => None
     }
     parsed match {
-      case Cast(a, DateType, _, _) => attr(a)
+      case Cast(a, DateType, _, _) => attr(a).map(_ -> temporal)
       case f: UnresolvedFunction =>
         (f.nameParts.last.toLowerCase, f.arguments) match {
-          case ("to_date", Seq(a)) => attr(a)
-          case ("date_trunc", Seq(_: CatLit, a)) => attr(a)
-          case ("year", Seq(a)) => attr(a)
+          case ("to_date", Seq(a)) => attr(a).map(_ -> temporal)
+          case ("date_trunc", Seq(_: CatLit, a)) => attr(a).map(_ -> temporal)
+          case ("year", Seq(a)) => attr(a).map(_ -> temporal)
           case ("substring" | "substr", Seq(a, CatLit(one, _), _: CatLit))
-            if one == 1 => attr(a)
+            if one == 1 => attr(a).map(_ -> stringOnly)
           case ("date_format", Seq(a, CatLit(fmt, _)))
             if fmt != null && Set("yyyy", "yyyy-MM", "yyyy-MM-dd")
-              .contains(fmt.toString) => attr(a)
+              .contains(fmt.toString) => attr(a).map(_ -> temporal)
           case _ => None
         }
       case _ => None
     }
   }
+
+  /** The monotone base column name alone (shape-gate-free view, kept
+    * for callers that only need the dependency edge). */
+  private[sources] def monotoneGenerationBase(genSql: String)
+      (implicit spark: SparkSession): Option[String] =
+    monotoneGenerationShape(genSql).map(_._1)
 
   /** Partition-range predicates DERIVED from generated partition
     * columns: when partition column p is `GENERATED ALWAYS AS f(c)`
@@ -891,10 +908,15 @@ object DeltaReader {
     genPcols.toSeq.flatMap { f =>
       val gen = f.metadata.getString("delta.generationExpression")
       for {
-        base <- monotoneGenerationBase(gen)
+        (base, typeGate) <- monotoneGenerationShape(gen)
         if !byBase.contains(f.name) // caller's own constraint wins
         (_, lo, hi) <- byBase.getOrElse(base, Seq.empty).headOption
         baseType <- snap.schema.fields.find(_.name == base).map(_.dataType)
+        // the shape must be order preserving over THIS base type —
+        // a string-typed date cast is not (lexicographic order of
+        // non-canonical renderings disagrees with date order, and
+        // invalid dates generate NULL): derive nothing, stay sound
+        if typeGate(baseType)
         bounds <- scala.util.Try {
           // f monotone + lo <= hi means f(lo) <= f(hi): keep the
           // evaluation order, don't re-sort rendered strings (a "9"

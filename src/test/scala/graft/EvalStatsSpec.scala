@@ -319,6 +319,25 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
+  test("signTest: spans past 106 changed buckets raise loudly instead of NULLing") {
+    // 107 alternating changes: 10^6 * 2^107 overflows DECIMAL(38,0)
+    val rows = (0 to 107).map(i =>
+      ("e", i.toLong, if (i % 2 == 0) 10L else 20L))
+    val e = intercept[Exception] {
+      EvalStats.signTest(rows.toDF("e", "b", "v"), "e", "b", "v").collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("106") ||
+        Option(e.getCause).exists(_.getMessage.contains("106"))))
+    // and exactly 106 still computes exactly (the boundary case)
+    val ok = (0 to 106).map(i =>
+      ("e", i.toLong, if (i % 2 == 0) 10L else 20L))
+    val out = EvalStats.signTest(ok.toDF("e", "b", "v"), "e", "b", "v")
+      .collect()
+    assert(out.length == 1 && !out.head.isNullAt(3),
+      "n = 106 must stay exactly computable")
+  }
+
   test("bhAdjust: step-up boundary rejects exactly the ranks below i*") {
     // m=4, q=0.1: ranks 1,2 pass (p·4 ≤ 1e5·rank), 3,4 fail -> i*=2.
     val df = Seq(("a", 10000L), ("b", 30000L), ("c", 200000L),

@@ -101,6 +101,46 @@ class DeltaCdcSpec extends SparkSpec {
     }
   }
 
+  test("a NULL deleteWhen verdict is a DELETE in the feed, not an unpaired preimage") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      val ds = new DeltaDataset(table)
+      // k=2's source row has v = null: deleteWhen(v === "DROP") is
+      // NULL for it — excluded from the inserts, so the row IS
+      // deleted, and the feed must say so
+      ds.merge(Seq((2L, null.asInstanceOf[String]), (3L, "C"))
+        .toDF("k", "v"), Seq("k"),
+        deleteWhen = Some(col("v") === "DROP"))
+      assert(DeltaReader.scan(table).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (3L, "C")))
+      val feed = DeltaChanges.readChanges(table, 1L).get.collect()
+      val byType = feed.groupBy(_.getAs[String]("_change_type"))
+        .view.mapValues(_.map(_.getAs[Long]("k")).toSet).toMap
+      assert(byType("delete") == Set(2L),
+        s"the null-verdict row must be a feed delete, got $byType")
+      assert(byType("update_preimage") == Set(3L))
+      assert(byType("update_postimage") == Set(3L))
+      assert(!byType.contains("insert"))
+    }
+  }
+
+  test("mirrorAppends lands merge-inserted rows from cdc-authoritative versions") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, Seq((1L, "a"), (2L, "b")))
+      val ds = new DeltaDataset(table)
+      ds.merge(Seq((2L, "B"), (50L, "new")).toDF("k", "v"), Seq("k")) // v2: cdc
+      val mirror = s"$dir/mirror"
+      val wm = DeltaChanges.mirrorAppends(table, mirror, -1L)
+      assert(wm == 2L)
+      val got = DeltaReader.scan(mirror).get.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      // v0's rows + the cdc version's insert stream (postimage + insert)
+      assert(got == Set((1L, "a"), (2L, "b"), (2L, "B"), (50L, "new")),
+        s"cdc versions must feed the mirror, got $got")
+    }
+  }
+
   test("a mixed window interleaves cdc-authoritative and derived versions correctly") {
     withTempDir { dir =>
       val table = cdfTable(dir, (0L until 10L).map(i => (i, s"v$i")))

@@ -1202,6 +1202,15 @@ class DeltaDatasetSpec extends SparkSpec {
         inv.append(Seq(-5L).toDF("v"))).getMessage.contains("invariant"))
       assert(inv.append(Seq(9L).toDF("v")) == 1L,
         "conforming rows pass the enforced invariant")
+      // the CREATING write enforces its own declared invariants too:
+      // a v0 violating them would poison the rewrite induction
+      val createDf = Seq(-7L).toDF("v")
+        .withMetadata("v", new MetadataBuilder()
+          .putString("delta.invariants",
+            """{"expression":{"expression":"v > 0"}}""").build())
+      assert(intercept[IllegalArgumentException](
+        new DeltaDataset(s"$dir/inv0").write(createDf))
+        .getMessage.contains("invariant"))
       // an unknown future writer feature
       mkTable(s"$dir/fut", StructType(Seq(StructField("v", LongType))),
         Seq("someFutureFeature"))

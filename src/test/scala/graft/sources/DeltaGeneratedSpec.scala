@@ -96,6 +96,35 @@ class DeltaGeneratedSpec extends SparkSpec {
     assert(DeltaReader.monotoneGenerationBase("ts + INTERVAL 1 DAY").isEmpty)
   }
 
+  test("a STRING-typed base derives nothing — lexicographic order is not date order") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table, Seq("d"))
+      // base column is a STRING: '2024-1-01' < '2024-10-5' < '2024-9-30'
+      // lexicographically, which disagrees with the cast dates — a
+      // derived [cast(lo), cast(hi)] range would silently drop rows
+      val df = DeltaWriter.asGenerated(
+        Seq("2024-01-05", "2024-1-07", "2024-10-15", "2024-9-20")
+          .toDF("raw")
+          .withColumn("d", expr("CAST(raw AS DATE)")),
+        "d", "CAST(raw AS DATE)")
+      ds.write(df)
+      val ranges = Seq(("raw", "2024-1-01", "2024-9-30"))
+      // '2024-10-15' is INSIDE the string range but its cast date is
+      // past a derived hi of 2024-09-30 — an unsound derivation would
+      // prune its partition; raw-column STATS pruning (string order,
+      // matching filter semantics) may still drop other files
+      val kept = DeltaReader.prunedSnapshot(table, ranges).get.files
+        .flatMap(_.partitionValues.get("d")).toSet
+      assert(kept.contains("2024-10-15"),
+        s"the string-typed base must not derive date pruning, kept $kept")
+      assertSameData(
+        DeltaReader.scanPruned(table, ranges).get,
+        DeltaReader.scan(table).get
+          .where(col("raw").between("2024-1-01", "2024-9-30")))
+    }
+  }
+
   test("UPDATE refuses SET on the generated column and recomputes it when the base moves") {
     withTempDir { dir =>
       val table = s"$dir/t"

@@ -160,6 +160,16 @@ class DeltaZorderCloneSpec extends SparkSpec {
     }
   }
 
+  test("zorder: a real column named like the working columns refuses instead of vanishing") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq((1L, 2L)).toDF("__z", "x"))
+      val e = intercept[IllegalArgumentException] { ds.zorder(Seq("x")) }
+      assert(e.getMessage.contains("reserved"))
+    }
+  }
+
   // ---- SHALLOW CLONE --------------------------------------------------
 
   test("clone: reads the exact source snapshot, deletion vectors included, zero bytes copied") {
