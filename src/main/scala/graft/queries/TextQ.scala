@@ -4665,14 +4665,18 @@ object TextQ {
              |ORDER BY a_id, b_id""".stripMargin),
       (s, dir) => {
         val docs = tp(s, dir, "documents", "doc_id").where(col("doc_id") < 600)
-        var corpus = docs.where(col("doc_id") % 5 =!= 0)
+        // pin the corpus between folds: fold k's corpus feeds the
+        // bloom build, the semi-join AND the next fold's union — and
+        // without the pin fold 2 recomputes fold 0+1's whole chain
+        // (exactly how a real stream holds its state, too)
+        var corpus = docs.where(col("doc_id") % 5 =!= 0).localCheckpoint()
         val folds = (0 to 2).map { kth =>
           val batch = docs.where(col("doc_id") % 5 === 0 &&
             (col("doc_id") / 5) % 3 === kth)
           val out = graft.operators.DedupOps.exactJaccardJoinIncremental(
             corpus, batch, "doc_id", "text", tNum = 19L, tDen = 20L)
             .drop("new_sides")
-          corpus = corpus.unionByName(batch)
+          corpus = corpus.unionByName(batch).localCheckpoint()
           out
         }
         folds.reduce(_ unionByName _).orderBy("a_id", "b_id")
