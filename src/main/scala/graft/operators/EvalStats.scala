@@ -658,11 +658,13 @@ object EvalStats {
     * via the multiplicative fold, then each next term by the SAME
     * exact recurrence C(n,i) = C(n,i−1)·(n−i+1)/i carried as running
     * state (never per-term from scratch). n is calendar-bounded
-    * (≤ span buckets); the binding arithmetic limit is the FINAL
-    * product 10⁶ · Σ C(n,i) ≤ 10⁶ · 2ⁿ, which crosses DECIMAL(38,0)
-    * at n = 107 — spans past 106 changed buckets raise loudly
-    * (coarsen the bucket unit) instead of returning silent NULLs.
-    * Entities scale out. */
+    * (≤ span buckets); the binding arithmetic limit is SQL `div`,
+    * whose quotient is a BIGINT that silently wraps past 2⁶³ even
+    * under ANSI — every intermediate C(n,j) walks through the
+    * central binomial, and C(67,33) is the first to overflow — so
+    * spans past 66 changed buckets raise loudly (coarsen the bucket
+    * unit) instead of returning silently wrong values. Entities
+    * scale out. */
   def signTest(df: DataFrame, entityCol: String, bucketCol: String,
                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -695,10 +697,14 @@ object EvalStats {
           .cast("bigint").as("n_up"))
       .withColumn("__c0", expr(c0))
       .withColumn("p_up_ppm", expr(
-        "CASE WHEN n_changes > 106 THEN cast(raise_error(" +
-          "'signTest: entity spans more than 106 changed buckets — " +
-          "10^6 * 2^n overflows exact DECIMAL(38,0) arithmetic; " +
-          "coarsen the bucket unit') as bigint) " +
+        // SQL div truncates its quotient to BIGINT and WRAPS silently
+        // past 2^63 (ANSI included — verified empirically): the
+        // binomial recurrences walk through C(n, n/2), so n = 67 is
+        // the first silently-wrong span. Refuse loudly at the line.
+        "CASE WHEN n_changes > 66 THEN cast(raise_error(" +
+          "'signTest: entity spans more than 66 changed buckets — " +
+          "the exact binomial quotients overflow BIGINT; coarsen " +
+          "the bucket unit') as bigint) " +
           "WHEN n_changes = 0 THEN 1000000L ELSE cast(" +
           s"(cast(1000000 as decimal(38,0)) * ($tail)) " +
           s"div aggregate(sequence(1L, n_changes), $d38, (p, z) -> p * 2) " +

@@ -237,6 +237,40 @@ object DeltaChanges {
       val prevFiles = files
       val newFiles = (prevFiles -- removed.keys) ++
         adds.map { case (f, _) => key(f) -> f }
+      files = newFiles
+      if (actions.cdc.nonEmpty) {
+        // cdc-authoritative version (the writer logged its own change
+        // set under _change_data/): read THOSE rows with their
+        // recorded _change_type, derive nothing — the protocol rule,
+        // and the only correct reading for DV-masking commits written
+        // by CDF-conformant engines; none of the derivation machinery
+        // below is even planned. The insert/delete split still
+        // populates (postimages count as the insert stream, exactly
+        // what the derived path emitted for DV-commit new files), so
+        // mirrorAppends and the poll face never starve on cdc
+        // versions.
+        require(!conf.get("delta.columnMapping.mode").contains("id"),
+          "DeltaChanges: cdc files on an id-mode column-mapped table " +
+            "are unreadable — _change_type carries no field id")
+        val cdcSchema = StructType(schema.fields :+
+          StructField("_change_type", StringType))
+        // the physical shape appends _change_type verbatim (cdc files
+        // store it unmapped); building it field-wise avoids
+        // physicalSchemaFor demanding mapping metadata on it
+        val cdcPhys = DeltaReader.physicalSchemaFor(schema, conf)
+          .map(ps => StructType(ps.fields :+
+            StructField("_change_type", StringType)))
+        val frame = DeltaReader.assembleSnapshot(head.copy(version = v,
+          schema = cdcSchema, partitionColumns = pcols,
+          files = actions.cdc.sortBy(_.path).toSeq,
+          physicalSchema = cdcPhys, configuration = conf))
+        VersionDelta(v,
+          Some(frame.where(col("_change_type")
+            .isin("insert", "update_postimage")).drop("_change_type")),
+          Seq(frame.where(col("_change_type")
+            .isin("delete", "update_preimage")).drop("_change_type")),
+          Some(frame))
+      } else {
       val snapV = mkSnap(v, schema, pcols, conf, newFiles.values.toSeq)
 
       val insertFiles = adds.collect {
@@ -282,31 +316,9 @@ object DeltaChanges {
         else Some(DeltaReader.assembleSnapshot(
           snapV.copy(files = insertFiles)))
 
-      files = newFiles
-      if (actions.cdc.nonEmpty) {
-        // cdc-authoritative version (the writer logged its own change
-        // set under _change_data/): read THOSE rows with their
-        // recorded _change_type, derive nothing — the protocol rule,
-        // and the only correct reading for DV-masking commits written
-        // by CDF-conformant engines. The insert/delete split still
-        // populates (postimages count as the insert stream, exactly
-        // what the derived path emitted for DV-commit new files), so
-        // mirrorAppends and the poll face never starve on cdc
-        // versions.
-        val cdcSchema = StructType(schema.fields :+
-          StructField("_change_type", StringType))
-        val frame = DeltaReader.assembleSnapshot(
-          mkSnap(v, cdcSchema, pcols, conf, actions.cdc))
-        VersionDelta(v,
-          Some(frame.where(col("_change_type")
-            .isin("insert", "update_postimage")).drop("_change_type")),
-          Seq(frame.where(col("_change_type")
-            .isin("delete", "update_preimage")).drop("_change_type")),
-          Some(frame))
-      } else {
-        val inserts = (newFileInserts.toSeq ++ dvRestores.toSeq)
-          .reduceOption(_ unionByName _)
-        VersionDelta(v, inserts, dvDeletes.toSeq ++ dropDeletes.toSeq)
+      val inserts = (newFileInserts.toSeq ++ dvRestores.toSeq)
+        .reduceOption(_ unionByName _)
+      VersionDelta(v, inserts, dvDeletes.toSeq ++ dropDeletes.toSeq)
       }
     }
   }

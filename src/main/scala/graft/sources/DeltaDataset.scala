@@ -993,16 +993,23 @@ object DeltaWriter {
       df.withColumn(f.name, expr(g).cast(f.dataType))
     }.select(snap.schema.fieldNames.map(col).toSeq: _*)
     enforceCheckConstraints(snap, regenerated)
-    // pre/postimages pair 1:1 under whole-row copy-on-write UPDATE
+    // pre/postimages pair 1:1 under whole-row copy-on-write UPDATE.
+    // With the feed on, PIN the postimages: the landed data files and
+    // the cdc files are two separate actions over this frame, and a
+    // nondeterministic SET (current_timestamp()) must not give the
+    // feed a different post-state than the table
+    val cdfOnU = snap.configuration
+      .get("delta.enableChangeDataFeed").contains("true")
+    val postimages =
+      if (cdfOnU) regenerated.localCheckpoint() else regenerated
     val cdcU: Option[DataFrame] =
-      if (!snap.configuration.get("delta.enableChangeDataFeed")
-        .contains("true")) None
+      if (!cdfOnU) None
       else Some(
         matchedRows.select(snap.schema.fieldNames.map(col).toSeq: _*)
           .withColumn("_change_type", lit("update_preimage"))
-          .unionByName(regenerated
+          .unionByName(postimages
             .withColumn("_change_type", lit("update_postimage"))))
-    copyOnWriteCommit(cleanUrl, snap, mask, regenerated, "UPDATE",
+    copyOnWriteCommit(cleanUrl, snap, mask, postimages, "UPDATE",
       cdcChanges = cdcU)
   }
 
@@ -1807,8 +1814,15 @@ object DeltaWriter {
       val name = st.getPath.getName
       // the Delta convention: names starting with `_` or `.` are
       // engine artifacts (_delta_log, _temporary, _SUCCESS, .crc
-      // shadows), never vacuum-managed data
-      if (name.startsWith("_") || name.startsWith(".")) ()
+      // shadows), never vacuum-managed data — EXCEPT `_change_data`,
+      // whose cdc files (and crash-orphaned staging trees) are
+      // vacuum-managed like any unreferenced file: they are never in
+      // the head's referenced set, so they age out by the cutoff,
+      // after which CDF reads of that window fail loudly (the same
+      // contract as a vacuumed time-travel read — delta-spark's
+      // VACUUM reclaims cdc files the same way)
+      if (name == "_change_data" && st.isDirectory) walk(st.getPath)
+      else if (name.startsWith("_") || name.startsWith(".")) ()
       else if (st.isDirectory) walk(st.getPath)
       else {
         val key = st.getPath.toUri.getPath
@@ -2156,6 +2170,13 @@ object DeltaWriter {
       changes: => Option[DataFrame]): Seq[String] = {
     if (!conf.get("delta.enableChangeDataFeed").contains("true"))
       return Seq.empty
+    // `id`-mode files are matched by parquet field id, and
+    // `_change_type` has none to carry — a cdc file would be
+    // unreadable under the table's own mapping rules
+    require(!conf.get("delta.columnMapping.mode").contains("id"),
+      "DeltaWriter: the change-data feed on id-mode column-mapped " +
+        "tables is unsupported — _change_type carries no field id; " +
+        "use name mode or disable delta.enableChangeDataFeed")
     val df = changes.getOrElse(return Seq.empty)
     val cdcBase = new Path(qualifiedBase, "_change_data")
     fs.mkdirs(cdcBase)

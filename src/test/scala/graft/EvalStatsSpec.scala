@@ -319,23 +319,30 @@ class EvalStatsSpec extends SparkSpec {
     }
   }
 
-  test("signTest: spans past 106 changed buckets raise loudly instead of NULLing") {
-    // 107 alternating changes: 10^6 * 2^107 overflows DECIMAL(38,0)
-    val rows = (0 to 107).map(i =>
+  test("signTest: spans past 66 changed buckets raise loudly; 66 stays BigInt-exact") {
+    // SQL div truncates its quotient to BIGINT and silently WRAPS
+    // past 2^63 even under ANSI (C(67,33) is the first casualty) —
+    // the operator must refuse, never return a silently wrong value
+    val rows = (0 to 67).map(i =>
       ("e", i.toLong, if (i % 2 == 0) 10L else 20L))
     val e = intercept[Exception] {
       EvalStats.signTest(rows.toDF("e", "b", "v"), "e", "b", "v").collect()
     }
-    assert(e.getMessage != null &&
-      (e.getMessage.contains("106") ||
-        Option(e.getCause).exists(_.getMessage.contains("106"))))
-    // and exactly 106 still computes exactly (the boundary case)
-    val ok = (0 to 106).map(i =>
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("66")), s"wrong failure: ${msgs(e)}")
+    // the 66-change boundary computes and matches exact BigInt math
+    val ok = (0 to 66).map(i =>
       ("e", i.toLong, if (i % 2 == 0) 10L else 20L))
     val out = EvalStats.signTest(ok.toDF("e", "b", "v"), "e", "b", "v")
       .collect()
-    assert(out.length == 1 && !out.head.isNullAt(3),
-      "n = 106 must stay exactly computable")
+    def choose(n: Int, i: Int): BigInt =
+      (1 to i).foldLeft(BigInt(1))((c, j) => c * (n - j + 1) / j)
+    val expect = (BigInt(1000000) *
+      (33 to 66).map(choose(66, _)).sum / (BigInt(1) << 66)).toLong
+    assert(out.length == 1 && out.head.getLong(3) == expect,
+      s"n = 66 must stay exactly computable, got ${out.toSeq}")
   }
 
   test("bhAdjust: step-up boundary rejects exactly the ranks below i*") {

@@ -141,6 +141,75 @@ class DeltaCdcSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims aged _change_data files; the vacuumed window then reads loudly") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, (0L until 20L).map(i => (i, s"v$i")))
+      val ds = new DeltaDataset(table)
+      ds.delete(col("k") < 5)                                         // v2: cdc
+      val cdcFiles = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$table/_change_data"))
+          .filter(_.getName.endsWith(".parquet"))
+      }
+      assert(cdcFiles.nonEmpty)
+      // age them past any retention and vacuum with retention 0:
+      // cdc files are never head-referenced, so they age out exactly
+      // like unreferenced data files — _change_data cannot grow
+      // without bound under a vacuum regimen
+      cdcFiles.foreach(f => assert(f.setLastModified(1000L)))
+      ds.vacuum(retentionMillis = 0L)
+      assert(cdcFiles.forall(!_.exists),
+        "aged cdc files must be reclaimed by vacuum")
+      // the snapshot is untouched; the vacuumed CDF window fails at
+      // read (the same contract as vacuumed time travel)
+      assert(DeltaReader.scan(table).get.count() == 15)
+      intercept[Exception] {
+        DeltaChanges.readChanges(table, 1L, Some(2L)).get.collect()
+      }
+    }
+  }
+
+  test("the feed on an id-mode column-mapped table refuses at write") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      // a foreign id-mode mapped table WITH the feed enabled
+      def fm(id: Long, phys: String) =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = true, fm(1, "pk"))))
+      Seq(7L).toDF("pk")
+        .withMetadata("pk", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build())
+        .coalesce(1).write.parquet(s"$table/seed")
+      val part = new java.io.File(s"$table/seed").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(s"$table/f0.parquet")))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(schema.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"1",""" +
+          s""""delta.enableChangeDataFeed":"true"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"f0.parquet","partitionValues":{},"size":100,""" +
+          """"modificationTime":1700000000000,"dataChange":true}}""")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$table/_delta_log"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      val e = intercept[IllegalArgumentException] {
+        new DeltaDataset(table).delete(col("k") === 7L)
+      }
+      assert(e.getMessage.contains("id-mode"))
+    }
+  }
+
   test("a mixed window interleaves cdc-authoritative and derived versions correctly") {
     withTempDir { dir =>
       val table = cdfTable(dir, (0L until 10L).map(i => (i, s"v$i")))
