@@ -539,8 +539,9 @@ object EvalStats {
     *
     * Scale shape (100 TB): one (entity, bucket) pre-aggregation, one
     * entity-keyed rank window, and O(n³) integer fold work per
-    * ENTITY ROW with n calendar-bounded (≤ span buckets; BIGINT
-    * partial binomials cap n at ~62). Entities scale out. */
+    * ENTITY ROW with n calendar-bounded (≤ span buckets; SQL div's
+    * BIGINT quotient caps n at 66 — wider spans raise loudly,
+    * coarsen the bucket unit). Entities scale out. */
   def medianCI(df: DataFrame, entityCol: String, bucketCol: String,
                valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -565,6 +566,13 @@ object EvalStats {
       .withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("entity"))))
     val stats = ranked.select(col("entity"), col("__n")).distinct()
+      // same BIGINT-quotient line as signTest: the binomial fold's
+      // `div` wraps silently past C(67,33) — refuse loudly instead
+      .withColumn("__n", expr(
+        "CASE WHEN __n > 66 THEN cast(raise_error(" +
+          "'medianCI: entity spans more than 66 buckets — the exact " +
+          "binomial quotients overflow BIGINT; coarsen the bucket " +
+          "unit') as bigint) ELSE __n END"))
       .withColumn("__l", expr(
         "aggregate(sequence(1L, (__n + 1L) div 2L), 0L, (best, k) -> " +
           s"CASE WHEN 40 * ${prefix("__n", "(k - 1)")} <= ${pow2("__n")} " +

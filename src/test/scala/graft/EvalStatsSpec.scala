@@ -345,6 +345,21 @@ class EvalStatsSpec extends SparkSpec {
       s"n = 66 must stay exactly computable, got ${out.toSeq}")
   }
 
+  test("medianCI: spans past 66 buckets raise loudly (the same BIGINT-quotient line)") {
+    val rows = (0 to 67).map(i => ("e", i.toLong, i.toLong))
+    val e = intercept[Exception] {
+      EvalStats.medianCI(rows.toDF("e", "b", "v"), "e", "b", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("66")), s"wrong failure: ${msgs(e)}")
+    // 66 buckets still compute a valid bracket
+    val ok = EvalStats.medianCI((0 to 65).map(i => ("e", i.toLong, i.toLong))
+      .toDF("e", "b", "v"), "e", "b", "v").collect()
+    assert(ok.length == 1 && !ok.head.isNullAt(4))
+  }
+
   test("bhAdjust: step-up boundary rejects exactly the ranks below i*") {
     // m=4, q=0.1: ranks 1,2 pass (p·4 ≤ 1e5·rank), 3,4 fail -> i*=2.
     val df = Seq(("a", 10000L), ("b", 30000L), ("c", 200000L),
