@@ -252,6 +252,36 @@ class ScaleShapeSpec extends SparkSpec {
       s"prefix filtering must candidate via token equi-joins, never all-pairs:\n$plan")
   }
 
+  test("zvalue clustering keys: range partitioning on the curve gives tight per-file envelopes on BOTH columns") {
+    // the property OPTIMIZE ZORDER BY banks on: range-bucketing rows
+    // by the Morton value makes every bucket's min/max span on EACH
+    // clustered column ~sqrt(buckets) narrower than the domain,
+    // where single-column clustering leaves the other column's span
+    // at the full domain
+    graft.functions.catalyst.GraftFunctions.register(spark)
+    val n = 10000L
+    val df = spark.range(n).selectExpr(
+      "cast(pmod(hash(id * 31), 1024) as double) AS x",
+      "cast(pmod(hash(id * 47), 1024) as double) AS y")
+    val perCol = 255
+    val bounds = (1 to perCol).map(i => 1024.0 * i / (perCol + 1))
+    val boundsFlat = (bounds ++ bounds).map(v => s"${v}D").mkString(",")
+    val keyed = df.selectExpr("x", "y",
+      s"graft_zvalue(array(x, y), array($boundsFlat), $perCol) AS z")
+    // 64 z-range buckets ~ the files a rewrite would land
+    val r = keyed.selectExpr("ntile(64) OVER (ORDER BY z) AS f", "x", "y")
+      .groupBy(col("f"))
+      .agg((max(col("x")) - min(col("x"))).as("sx"),
+        (max(col("y")) - min(col("y"))).as("sy"))
+      .agg(avg(col("sx")), avg(col("sy"))).head()
+    val (ax, ay) = (r.getDouble(0), r.getDouble(1))
+    // 64 files over a 2-D curve ≈ an 8×8 grid: each file's span per
+    // axis should be well under half the 1024 domain; single-column
+    // sorting would leave the OTHER axis at ~1024
+    assert(ax < 512 && ay < 512,
+      s"curve files must bound BOTH axes: avg spans x=$ax y=$ay")
+  }
+
   test("int8TopK plan: query side broadcast, corpus never shuffled before the top-k window") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val coded = SimilarityOps.withQuantizedInt8(emb, "embedding")
