@@ -1875,5 +1875,65 @@ object HiveQ {
           .withColumnRenamed("_change_type", "change_type")
           .orderBy(col("change_type"))
       })
+    ,
+
+    // ---- CONVERT TO DELTA -------------------------------------------
+    // The migration verb: an existing Hive-layout dataset gains a
+    // _delta_log referencing its files IN PLACE (zero bytes
+    // rewritten, footer stats on every add), after which the full
+    // Delta verb set works — here a DV delete and an append land on
+    // the converted table. The oracle replays the slice arithmetic.
+    Q("q431_delta_convert",
+      Some("""WITH base AS (SELECT c_custkey, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey < 700),
+             |kept AS (SELECT * FROM base WHERE NOT c_mktsegment = 'MACHINERY'),
+             |extra AS (SELECT c_custkey, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey >= 700 AND c_custkey < 900),
+             |unioned AS (SELECT * FROM kept UNION ALL SELECT * FROM extra)
+             |SELECT count(*)::BIGINT AS n, sum(c_custkey)::BIGINT AS sum_key,
+             |  sum(CAST(c_acctbal AS DECIMAL(18,2)))::DOUBLE AS sum_bal
+             |FROM unioned""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val root = tmp("graft_q431_")
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_acctbal", "c_mktsegment")
+        new graft.sources.HiveDataset(root, Seq("c_mktsegment"))
+          .write(cust.where(col("c_custkey") < 700))
+        val bytesBefore = {
+          def du(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(du).sum else f.length
+          du(new java.io.File(root))
+        }
+        val v = graft.sources.DeltaWriter.convertToDelta(
+          root, Seq("c_mktsegment"))
+        require(v == 0L, s"q431: conversion must be version 0, got $v")
+        val snap = graft.sources.DeltaReader.snapshot(root)(s).get
+        require(snap.files.forall(_.stats.isDefined),
+          "q431: converted adds must carry footer stats")
+        val dataBytesAfter = {
+          def du(f: java.io.File): Long =
+            if (f.isDirectory && f.getName == "_delta_log") 0L
+            else if (f.isDirectory) f.listFiles().map(du).sum else f.length
+          du(new java.io.File(root))
+        }
+        require(dataBytesAfter == bytesBefore,
+          "q431: conversion must not move or rewrite a single data byte")
+        val ds = new graft.sources.DeltaDataset(root, Seq("c_mktsegment"))
+        ds.delete(col("c_mktsegment") === "MACHINERY")                // v1
+        // the Hive layout stores columns alphabetically — the append
+        // matches the CONVERTED table's order
+        ds.append(cust.where(col("c_custkey") >= 700 &&
+          col("c_custkey") < 900)
+          .select("c_acctbal", "c_custkey", "c_mktsegment"))          // v2
+        require(graft.sources.DeltaReader.scan(root, Some(0L))(s).get
+          .count() == cust.where(col("c_custkey") < 700).count(),
+          "q431: version 0 must still read the pre-conversion rows")
+        graft.sources.DeltaReader.scan(root)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("c_custkey")).cast("bigint").as("sum_key"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"))
+      })
   )
 }

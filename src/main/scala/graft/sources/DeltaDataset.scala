@@ -1528,6 +1528,90 @@ object DeltaWriter {
     * Caveat (same as delta-spark): VACUUM on the source can reclaim
     * files the clone still references — vacuum only consults its own
     * log. Returns the clone's committed version (always 0). */
+  /** CONVERT TO DELTA: stamp an existing parquet directory tree (a
+    * plain dump or a Hive `c=v` partition layout — a [[HiveDataset]]
+    * root converts directly) with a `_delta_log` whose version 0
+    * references the files IN PLACE — zero bytes rewritten, one commit
+    * — after which every Delta verb (append, DV delete, MERGE,
+    * OPTIMIZE, time travel...) works on it. The standard migration
+    * verb (delta-spark's `CONVERT TO DELTA`).
+    *
+    * `partitionColumns` must name the directory levels in order;
+    * partition values are string-typed per the Hive contract. The
+    * data schema comes from Spark's parquet reading of the leaf
+    * files (schema-merged), partition columns appended as STRING.
+    * Every add carries footer-derived stats, so data skipping works
+    * from commit zero. Refuses when a `_delta_log` already exists
+    * (never clobber someone's table) and when a data file's
+    * directory depth disagrees with the declared partitioning.
+    *
+    * Scale shape (100 TB): one recursive listing + one footer read
+    * per file (the same metadata class as any conversion); no row
+    * data moves. */
+  def convertToDelta(url: String, partitionColumns: Seq[String] = Seq.empty)
+                    (implicit spark: SparkSession): Long = {
+    val cleanUrl = url.stripSuffix("/")
+    val base = new Path(cleanUrl)
+    val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualifiedBase = fs.makeQualified(base)
+    require(fs.exists(qualifiedBase),
+      s"DeltaWriter.convertToDelta: no directory at $cleanUrl")
+    val logDir = new Path(qualifiedBase, "_delta_log")
+    require(!fs.exists(logDir),
+      s"DeltaWriter.convertToDelta: $cleanUrl already has a _delta_log")
+    // collect data files, partition values from the directory chain
+    def walk(dir: Path, pv: Seq[(String, String)])
+        : Seq[(Path, Seq[(String, String)])] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) {
+          val eq = name.indexOf('=')
+          require(eq > 0,
+            s"DeltaWriter.convertToDelta: directory '$name' is not a " +
+              "c=v partition level — only Hive layouts convert")
+          val (c, v) = (name.substring(0, eq),
+            ExternalCatalogUtils.unescapePathName(name.substring(eq + 1)))
+          require(pv.size < partitionColumns.size &&
+            partitionColumns(pv.size) == c,
+            s"DeltaWriter.convertToDelta: partition level '$c' at depth " +
+              s"${pv.size} does not match declared $partitionColumns")
+          walk(st.getPath, pv :+ (c -> v))
+        } else if (name.endsWith(".parquet")) {
+          require(pv.size == partitionColumns.size,
+            s"DeltaWriter.convertToDelta: data file $name sits at " +
+              s"partition depth ${pv.size}, expected ${partitionColumns.size}")
+          Seq((st.getPath, pv))
+        } else Seq.empty
+      }
+    val found = walk(qualifiedBase, Seq.empty)
+    require(found.nonEmpty,
+      s"DeltaWriter.convertToDelta: no parquet files under $cleanUrl")
+    // data schema from the files (merged), partition columns as STRING
+    val dataSchema = spark.read.option("mergeSchema", "true")
+      .parquet(found.map(_._1.toString): _*).schema
+    partitionColumns.foreach(c =>
+      require(!dataSchema.fieldNames.contains(c),
+        s"DeltaWriter.convertToDelta: partition column '$c' also " +
+          "exists inside the data files"))
+    val schema = StructType(dataSchema.fields ++
+      partitionColumns.map(c => StructField(c, StringType, nullable = true)))
+    val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
+    val adds = found.sortBy(_._1.toString).map { case (p, pv) =>
+      newFileAddLine(fs, p, relEncode(basePath, p), pv, dataChange = true,
+        statsJson(fs, p, dataSchema))
+    }
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaDataLine(java.util.UUID.randomUUID.toString, schema,
+        partitionColumns, Map.empty, System.currentTimeMillis)) ++ adds
+    val ict = ictLines(Map.empty, fs, logDir, -1L, "CONVERT")
+    require(publishCommit(fs, logDir, 0L,
+      (ict ++ lines).mkString("\n") + "\n"),
+      s"DeltaWriter.convertToDelta: lost a creation race on $cleanUrl")
+    0L
+  }
+
   def cloneShallow(srcUrl: String, dstUrl: String,
                    asOfVersion: Option[Long] = None)
                   (implicit spark: SparkSession): Long = {
