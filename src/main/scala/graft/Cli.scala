@@ -27,7 +27,12 @@ object Cli {
               case "show"      => Inspect.show(df)
               case "schema"    => println(Inspect.schemaString(df))
               case "json_head" => Inspect.jsonHead(df).foreach(println)
-              case "jsonl"     => Inspect.jsonl(df).collect().foreach(println)
+              case "jsonl"     =>
+                // stream partitions through the driver one at a time —
+                // same output order as collect(), never the whole table
+                // materialized driver-side
+                Inspect.jsonl(df).toLocalIterator()
+                  .forEachRemaining(line => println(line))
               case "write_csv" => Inspect.writeCsv(df, p.replaceAll("\\.parquet$", "") + ".csv")
               case other       => sys.error(s"unknown verb $other")
             }

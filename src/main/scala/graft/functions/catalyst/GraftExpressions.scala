@@ -340,7 +340,10 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(DoubleType, _), IntegerType)
         if second.foldable && third.foldable =>
-        if (mVal >= 1 && cbFlat.nonEmpty && cbFlat.length % mVal == 0)
+        if (second.eval() == null || third.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName codebook and m must be non-null constants")
+        else if (mVal >= 1 && cbFlat.nonEmpty && cbFlat.length % mVal == 0)
           TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"$prettyName codebook length ${cbFlat.length} not divisible into m=$mVal subspaces")
@@ -390,7 +393,10 @@ case class BpeApply(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _))
         if right.foldable =>
-        if (mergesFlat.isEmpty || mergesFlat.length % 2 != 0)
+        if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName merge table must be a non-null constant")
+        else if (mergesFlat.isEmpty || mergesFlat.length % 2 != 0)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName merge table must be a non-empty even-length flat array")
         else if (mergesFlat.exists(p =>
@@ -452,7 +458,10 @@ case class ZValue(first: Expression, second: Expression, third: Expression)
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _), IntegerType)
         if second.foldable && third.foldable =>
-        if (perCol < 1)
+        if (second.eval() == null || third.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName bounds and per_col must be non-null constants")
+        else if (perCol < 1)
           TypeCheckResult.TypeCheckFailure(
             s"$prettyName per_col must be >= 1, got $perCol")
         else if (bounds.isEmpty || bounds.length % perCol != 0)
@@ -504,9 +513,10 @@ case class Simhash(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        val b = bits
-        if (b >= 1 && b <= 32) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1, 32], got $b")
+        if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be a non-null constant")
+        else if (bits >= 1 && bits <= 32) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1, 32], got $bits")
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires (array<bigint>, constant int)")
@@ -542,9 +552,10 @@ case class Simhash64(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), IntegerType) if right.foldable =>
-        val b = bits
-        if (b >= 1 && b <= 63) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1, 63], got $b")
+        if (right.eval() == null)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be a non-null constant")
+        else if (bits >= 1 && bits <= 63) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName bits must be in [1, 63], got $bits")
       case _ =>
         TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires (array<bigint>, constant int)")
@@ -652,7 +663,10 @@ case class Winnow(first: Expression, second: Expression, third: Expression)
     (first.dataType, second.dataType, third.dataType) match {
       case (_: StringType, IntegerType, IntegerType)
           if second.foldable && third.foldable =>
-        if (k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
+        if (second.eval() == null || third.eval() == null)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName k and w must be non-null constants")
+        else if (k >= 1 && w >= 1) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(s"$prettyName needs k >= 1 and w >= 1")
       case _ =>
         TypeCheckResult.TypeCheckFailure(

@@ -477,11 +477,16 @@ object DedupOps {
       .select(col(idCol).as("id") +:
         (0 until n).map(i => col(s"m$i")) :+ col("band0"): _*)
       .localCheckpoint()
-    val x = sigs.select(col("id").as("a_id") +:
-      (0 until n).map(i => col(s"m$i").as(s"xa$i")) :+ col("band0").as("bk"): _*)
-    val y = sigs.select(col("id").as("b_id") +:
-      (0 until n).map(i => col(s"m$i").as(s"yb$i")) :+ col("band0").as("bk"): _*)
-    x.join(y, "bk").where(col("a_id") < col("b_id"))
+    // hot-bucket guard, the [[lshCandidatePairs]] cap
+    val sub = Blocking.withSubBlock(sigs, col("band0"), "id",
+      DefaultMaxBucketSize, "__sub")
+    val x = sub.select(col("id").as("a_id") +:
+      (0 until n).map(i => col(s"m$i").as(s"xa$i")) :+
+      col("band0").as("bk") :+ col("__sub"): _*)
+    val y = sub.select(col("id").as("b_id") +:
+      (0 until n).map(i => col(s"m$i").as(s"yb$i")) :+
+      col("band0").as("bk") :+ col("__sub"): _*)
+    x.join(y, Seq("bk", "__sub")).where(col("a_id") < col("b_id"))
       .withColumn("k_full",
         (0 until n).map(i => when(col(s"xa$i") === col(s"yb$i"), 1L).otherwise(0L))
           .reduce(_ + _))
@@ -496,18 +501,42 @@ object DedupOps {
 
   /** LSH candidate pairs (a_id < b_id) from any band collision,
     * verified with exact shingle-set Jaccard, filtered at `minJaccard`.
-    */
+    *
+    * `maxBucketSize` is the hot-bucket guard (see
+    * [[lshCandidatePairs]]): a band bucket larger than it — a massive
+    * boilerplate cluster hashing every member to the same band key —
+    * is sub-blocked so candidate fan-out stays ~maxBucketSize²/2 per
+    * bucket instead of N². */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 2, rowsPerBand: Int = 4,
-                      minJaccard: Double = 0.5): DataFrame =
+                      minJaccard: Double = 0.5,
+                      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     verifyJaccard(df, idCol, textCol,
-      lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand), minJaccard)
+      lshCandidatePairs(df, idCol, textCol, bands, rowsPerBand,
+        maxBucketSize), minJaccard)
+
+  /** Default hot-bucket cap for banded candidate self-joins — the
+    * [[blockedJaccardPairs]] convention, shared by every LSH family
+    * member so a corpus-scale boilerplate cluster bounds at
+    * ~8192²/2 ≈ 33M candidate pairs per bucket instead of N². */
+  val DefaultMaxBucketSize: Int = 8192
 
   /** LSH candidate pairs (a_id < b_id) from any band collision —
     * shared generator for [[lshNearDupPairs]] (symmetric Jaccard) and
-    * [[containmentPairs]] (asymmetric containment). */
+    * [[containmentPairs]] (asymmetric containment).
+    *
+    * Hot-bucket guard: each band bucket larger than `maxBucketSize`
+    * is split into deterministic sub-blocks ([[Blocking.withSubBlock]]
+    * — the [[blockedJaccardPairs]] cap, ported here per the round-12
+    * review) and the self-join keys on (band, sub-block), so one
+    * dominant band key costs Θ(size·maxBucketSize) candidates, never
+    * Θ(size²). Pairs straddling sub-blocks of an OVERSIZE bucket are
+    * skipped — the bounded-blocking recall tradeoff, documented not
+    * silent; buckets at or under the cap compare exhaustively
+    * (exact results, the test-scale regime). */
   private def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                                bands: Int, rowsPerBand: Int): DataFrame = {
+                                bands: Int, rowsPerBand: Int,
+                                maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // The signature frame feeds both sides of every per-band self-join
     // (2*bands plan references). localCheckpoint (not just persist)
     // both computes the char-level hashing once AND truncates the
@@ -526,9 +555,13 @@ object DedupOps {
     // blocks are reclaimed when the frame is GC'd instead of pinning
     // the cache manager until a caller clears it (the round-2 leak).
     (0 until bands).map { b =>
-      val x = sigs.select(col("id").as("a_id"), col(s"band$b").as("bk"))
-      val y = sigs.select(col("id").as("b_id"), col(s"band$b").as("bk"))
-      x.join(y, "bk").where(col("a_id") < col("b_id")).select("a_id", "b_id")
+      val banded = Blocking.withSubBlock(
+        sigs.select(col("id"), col(s"band$b").as("bk")),
+        col("bk"), "id", maxBucketSize, "__sub")
+      val x = banded.select(col("id").as("a_id"), col("bk"), col("__sub"))
+      val y = banded.select(col("id").as("b_id"), col("bk"), col("__sub"))
+      x.join(y, Seq("bk", "__sub")).where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id")
     }.reduce(_ unionAll _).distinct().localCheckpoint()
   }
 
@@ -875,7 +908,8 @@ object DedupOps {
     * the old 30-bit/5-band default's 64 buckets made this O(n²/64).) */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 60, bands: Int = 4,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(bits % bands == 0, "bits must divide evenly into bands")
     require(maxHamming < bands, "pigeonhole coverage needs maxHamming < bands")
     val width = bits / bands
@@ -887,13 +921,20 @@ object DedupOps {
     // union-distinct: filtering commutes with distinct, and it shrinks
     // the deduplication input from all band collisions (quadratic in
     // bucket sizes on clustered corpora) to just the near-dups.
+    // Hot-bucket guard (the [[lshCandidatePairs]] cap): an identical-
+    // fingerprint cluster larger than maxBucketSize sub-blocks before
+    // the self-join, bounding its fan-out at Θ(size·maxBucketSize).
     val pairs = (0 until bands).map { b =>
       val div = 1L << (width * b)
-      val x = sims.select(col("id").as("a_id"), col("sim").as("sa"),
-        expr(s"(sim div ${div}L) % ${buckets}L").as("bk"))
-      val y = sims.select(col("id").as("b_id"), col("sim").as("sb"),
-        expr(s"(sim div ${div}L) % ${buckets}L").as("bk"))
-      x.join(y, "bk").where(col("a_id") < col("b_id"))
+      val banded = Blocking.withSubBlock(
+        sims.select(col("id"), col("sim"),
+          expr(s"(sim div ${div}L) % ${buckets}L").as("bk")),
+        col("bk"), "id", maxBucketSize, "__sub")
+      val x = banded.select(col("id").as("a_id"), col("sim").as("sa"),
+        col("bk"), col("__sub"))
+      val y = banded.select(col("id").as("b_id"), col("sim").as("sb"),
+        col("bk"), col("__sub"))
+      x.join(y, Seq("bk", "__sub")).where(col("a_id") < col("b_id"))
         .where(expr("bit_count(sa ^ sb)") <= maxHamming)
         .select("a_id", "b_id", "sa", "sb")
     }.reduce(_ unionAll _).distinct()

@@ -378,13 +378,31 @@ object DeltaWriter {
     // only a frame we synthesized columns onto gets reordered to the
     // table's column order (computed columns append last otherwise);
     // hand-built frames keep the strict order contract
-    val df = snapGen match {
+    val df0 = snapGen match {
       case Some(s) if computedGen || allocatedIds.nonEmpty =>
         val tbl = s.schema.fieldNames.filter(dfGI.columns.contains)
         val extra = dfGI.columns.filterNot(tbl.contains)
         dfGI.select((tbl ++ extra).map(col).toSeq: _*)
       case _ => dfGI
     }
+    // allocated identity values ride monotonically_increasing_id —
+    // nondeterministic ACROSS JOBS. enforceCheckConstraints and
+    // landFiles each run their own job, so a CHECK constraint or
+    // invariant referencing an allocated column would otherwise be
+    // validated against different values than the ones landed. Pin
+    // the frame exactly when an enforced predicate mentions one
+    // (name-substring match: conservative, a false positive only
+    // costs the checkpoint).
+    val df =
+      if (allocatedIds.isEmpty) df0
+      else {
+        val preds = snapGen.map(checkConstraintsOf)
+          .getOrElse(invariantsOf(df0.schema))
+        if (preds.exists { case (_, sql) =>
+            allocatedIds.exists(sql.contains) })
+          df0.localCheckpoint()
+        else df0
+      }
     // the reference's column validation, verbatim semantics
     // (delta_dataset.py:29-35)
     require(partitionColumns.forall(df.columns.contains) &&
@@ -825,8 +843,11 @@ object DeltaWriter {
     * [[vacuum]] fodder. Returns the committed version, or the current
     * one when the merge is a no-op.
     *
-    * Scale shape (100 TB): one key-keyed semi-join (source keys
-    * broadcast — a CDC slice, not a table), per-file sidecars
+    * Scale shape (100 TB): one key-keyed semi-join — source keys
+    * BROADCAST when the estimated key bytes fit under
+    * spark.sql.autoBroadcastJoinThreshold (the CDC-slice regime),
+    * plain shuffled equi-join above it (the multi-GB backfill
+    * regime; never cartesian either way) — per-file sidecars
     * serialized ON EXECUTORS, driver work bounded by touched-file
     * count. */
   def merge(url: String, source: DataFrame, keyCols: Seq[String],
@@ -878,6 +899,22 @@ object DeltaWriter {
     require(dupes.isEmpty,
       s"DeltaWriter.merge: source has duplicate keys (e.g. " +
         s"${dupes.headOption.orNull}) — a key must resolve to one source row")
+    // Size-gated broadcast of the source keys: the checkpointed
+    // source has no catalog stats, so an unhinted plan risks a
+    // cartesian — but a FORCED broadcast OOMs the exchange on a
+    // multi-GB backfill source. Estimate the key projection's bytes
+    // from the (already-required) source row count and broadcast only
+    // under spark.sql.autoBroadcastJoinThreshold; above it the mask
+    // and CDC joins run as plain key equi-joins (shuffled hash /
+    // sort-merge under AQE — still never cartesian, they are
+    // equi-joins on the key columns).
+    val srcRows = src.count()
+    val keyRowBytes = keyCols.map(k =>
+      tblTypes(k).defaultSize.toLong + 8L).sum + 16L
+    val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val smallSource = bcThreshold > 0 && srcRows * keyRowBytes <= bcThreshold
+    def hinted(keys: DataFrame): DataFrame =
+      if (smallSource) broadcast(keys) else keys
     val inserts = deleteWhen.map(c => src.filter(!c)).getOrElse(src)
     enforceCheckConstraints(snap, inserts)
 
@@ -888,7 +925,7 @@ object DeltaWriter {
     val cdfOn =
       snap.configuration.get("delta.enableChangeDataFeed").contains("true")
     val matchedFull0 = DeltaReader.scanWithRowIndex(snap)
-      .join(broadcast(src.select(keyCols.map(col): _*)), keyCols, "left_semi")
+      .join(hinted(src.select(keyCols.map(col): _*)), keyCols, "left_semi")
     val matchedFull =
       if (cdfOn) matchedFull0.localCheckpoint() else matchedFull0
     val matched = matchedFull.select(col("__fp"), col("__ri"))
@@ -910,13 +947,13 @@ object DeltaWriter {
           "left_anti").select(keys: _*)
         val matchedKeys = matchedFull.select(keys: _*).distinct()
         Some(Seq(
-          matchedData.join(broadcast(delKeys), keyCols, "left_semi")
+          matchedData.join(hinted(delKeys), keyCols, "left_semi")
             .withColumn("_change_type", lit("delete")),
-          matchedData.join(broadcast(delKeys), keyCols, "left_anti")
+          matchedData.join(hinted(delKeys), keyCols, "left_anti")
             .withColumn("_change_type", lit("update_preimage")),
-          inserts.join(broadcast(matchedKeys), keyCols, "left_semi")
+          inserts.join(hinted(matchedKeys), keyCols, "left_semi")
             .withColumn("_change_type", lit("update_postimage")),
-          inserts.join(broadcast(matchedKeys), keyCols, "left_anti")
+          inserts.join(hinted(matchedKeys), keyCols, "left_anti")
             .withColumn("_change_type", lit("insert"))
         ).reduce(_ unionByName _))
       }
@@ -1815,15 +1852,30 @@ object DeltaWriter {
     * writer-version-2 obligation): each is a row predicate this
     * writer now ENFORCES on every row-creating verb, riding the same
     * machinery as CHECK constraints — the rewrite verbs preserve them
-    * by induction (they only copy rows that already passed). */
+    * by induction (they only copy rows that already passed).
+    *
+    * An invariant whose JSON deviates from the protocol's
+    * `{"expression":{"expression":"<sql>"}}` shape REFUSES the write:
+    * declaring the `invariants` writer feature supported obliges
+    * enforcement, and silently skipping an unparseable predicate
+    * would commit unvalidated rows against a constraint the table
+    * demonstrably declared. */
   private[sources] def invariantsOf(schema: StructType): Seq[(String, String)] =
     schema.fields.toSeq.flatMap { f =>
       if (!f.metadata.contains("delta.invariants")) None
-      else scala.util.Try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        om.readTree(f.metadata.getString("delta.invariants"))
-          .get("expression").get("expression").asText
-      }.toOption.map(sql => s"invariant(${f.name})" -> sql)
+      else {
+        val raw = f.metadata.getString("delta.invariants")
+        val sql = scala.util.Try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val node = om.readTree(raw).get("expression").get("expression")
+          require(node.isTextual)
+          node.asText
+        }.getOrElse(throw new IllegalArgumentException(
+          s"DeltaWriter: column '${f.name}' carries a delta.invariants " +
+            s"value this writer cannot parse ($raw) — refusing to write " +
+            "rows it cannot validate against the declared invariant"))
+        Some(s"invariant(${f.name})" -> sql)
+      }
     }
 
   private def enforceCheckConstraints(snap: DeltaReader.DeltaSnapshot,

@@ -156,4 +156,27 @@ class NativeExprSpec extends SparkSpec {
       "SELECT graft_seeded_min(cast(array() as array<bigint>), 3L, 5L) AS m").collect()
     assert(e(0).isNullAt(0))
   }
+
+  test("foldable NULL constant args fail analysis cleanly, never NPE") {
+    // every expression that evals a foldable argument during
+    // checkInputDataTypes must refuse a NULL constant with a type
+    // check failure (AnalysisException), not dereference it
+    val cases = Seq(
+      "SELECT graft_bpe_apply(array('a'), cast(null as array<string>))",
+      "SELECT graft_zvalue(array(1.0d), cast(null as array<double>), 4)",
+      "SELECT graft_zvalue(array(1.0d), array(0.5d), cast(null as int))",
+      "SELECT graft_pq_encode(array(float(1)), cast(null as array<double>), 1)",
+      "SELECT graft_pq_encode(array(float(1)), array(0.5d), cast(null as int))",
+      "SELECT graft_simhash(array(1L), cast(null as int))",
+      "SELECT graft_simhash64(array(1L), cast(null as int))",
+      "SELECT graft_winnow('abc', cast(null as int), 4)",
+      "SELECT graft_winnow('abc', 5, cast(null as int))")
+    cases.foreach { sql =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(sql).collect())
+      assert(e.getMessage.toLowerCase.contains("null") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"),
+        s"$sql must fail with a clean type-check message, got: ${e.getMessage}")
+    }
+  }
 }

@@ -37,6 +37,34 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("LSH band self-joins are hot-bucket capped: a boilerplate cluster's fan-out is bounded") {
+    import spark.implicits._
+    // 600 IDENTICAL docs: every band key collides, the adversarial
+    // hot-bucket case. Uncapped, the candidate join emits C(600,2) =
+    // 179,700 pairs; capped at 64, each sub-block contributes at most
+    // C(ceil(600/ceil(600/64)),2) pairs — bounded fan-out, pairs
+    // across sub-blocks skipped (the documented recall tradeoff).
+    val boiler = spark.range(600).selectExpr("id AS doc_id",
+      "'the same boilerplate wrapper text repeated verbatim' AS text")
+    val capped = DedupOps.lshNearDupPairs(boiler, "doc_id", "text",
+      maxBucketSize = 64)
+    val nCapped = capped.count()
+    assert(nCapped > 0L, "pairs inside a sub-block must still surface")
+    assert(nCapped < 179700L / 4,
+      s"capped hot bucket must emit far fewer than all C(600,2) pairs, got $nCapped")
+    // at or under the cap the results are EXACT — the test-scale regime
+    val small = spark.range(50).selectExpr("id AS doc_id",
+      "'the same boilerplate wrapper text repeated verbatim' AS text")
+    assert(DedupOps.lshNearDupPairs(small, "doc_id", "text",
+      maxBucketSize = 64).count() == 50L * 49L / 2L,
+      "buckets at or under the cap compare exhaustively")
+    // simhash shares the guard
+    val sCapped = DedupOps.simhashNearDupPairs(boiler, "doc_id", "text",
+      maxBucketSize = 64).count()
+    assert(sCapped > 0L && sCapped < 179700L / 4,
+      s"simhash hot bucket must be capped too, got $sCapped")
+  }
+
   test("hyperplane band keys keep candidate pairs near-linear at 10k vectors") {
     import graft.functions.VectorSql.{spark => V}
     // deterministic 16-dim vectors derived from the id

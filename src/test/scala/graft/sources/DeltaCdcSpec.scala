@@ -84,6 +84,30 @@ class DeltaCdcSpec extends SparkSpec {
     }
   }
 
+  test("MERGE CDC stays exact in the shuffled (non-broadcast) source regime") {
+    withTempDir { dir =>
+      val table = cdfTable(dir, (0L until 20L).map(i => (i, s"v$i")))
+      val ds = new DeltaDataset(table)
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // push every source above the broadcast gate: the mask and
+        // all four CDC-type joins must run unhinted and still agree
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+        ds.merge(Seq((5L, "five"), (7L, "DROP"), (100L, "hundred"))
+          .toDF("k", "v"), Seq("k"),
+          deleteWhen = Some(col("v") === "DROP"))                     // v2
+        val mrg = DeltaChanges.readChanges(table, 1L, Some(2L)).get.collect()
+        val byType = mrg.groupBy(_.getAs[String]("_change_type"))
+          .view.mapValues(_.map(_.getAs[Long]("k")).toSet).toMap
+        assert(byType("update_preimage") == Set(5L))
+        assert(byType("update_postimage") == Set(5L))
+        assert(byType("delete") == Set(7L))
+        assert(byType("insert") == Set(100L))
+        assert(DeltaReader.scan(table).get.count() == 20L)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
+  }
+
   test("CDF-off tables write no cdc actions and keep derived feeds bitwise") {
     withTempDir { dir =>
       val table = s"$dir/t"

@@ -1211,6 +1211,17 @@ class DeltaDatasetSpec extends SparkSpec {
       assert(intercept[IllegalArgumentException](
         new DeltaDataset(s"$dir/inv0").write(createDf))
         .getMessage.contains("invariant"))
+      // an UNPARSEABLE invariant refuses the write outright: declaring
+      // the feature obliges enforcement, and a predicate this writer
+      // cannot extract is one it cannot enforce — silently skipping it
+      // would commit unvalidated rows
+      val badField = StructField("v", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.invariants", """{"wrong":"shape"}""").build())
+      mkTable(s"$dir/badinv", StructType(Seq(badField)), Seq("invariants"))
+      assert(intercept[IllegalArgumentException](
+        new DeltaDataset(s"$dir/badinv").append(Seq(9L).toDF("v")))
+        .getMessage.contains("cannot parse"))
       // an unknown future writer feature
       mkTable(s"$dir/fut", StructType(Seq(StructField("v", LongType))),
         Seq("someFutureFeature"))
@@ -1245,6 +1256,45 @@ class DeltaDatasetSpec extends SparkSpec {
         s"merge's mask join must broadcast the CDC-sized source:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"merge's mask join must never go cartesian:\n$plan")
+      // the LARGE-source regime: above the broadcast threshold the
+      // mask is the same key equi-join UNHINTED — a shuffled join
+      // (never cartesian, never a forced broadcast exchange that
+      // would OOM on a multi-GB backfill source)
+      val bigSrc = spark.range(2000000).selectExpr("id AS k", "id AS x")
+      val maskedBig = DeltaReader.scanWithRowIndex(snap)
+        .join(bigSrc.select($"k"), Seq("k"), "left_semi")
+        .select($"__fp", $"__ri")
+      val planBig = maskedBig.queryExecution.executedPlan.toString
+      assert(planBig.contains("LeftSemi") &&
+        !planBig.contains("CartesianProduct"),
+        s"large-source mask join must stay a key equi-join:\n$planBig")
+      assert(planBig.contains("SortMergeJoin") ||
+        planBig.contains("ShuffledHashJoin"),
+        s"large-source mask join must shuffle, not broadcast:\n$planBig")
+    }
+  }
+
+  test("merge with a source above the broadcast threshold lands the same result") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(spark.range(500).selectExpr("id AS k", "id * 2 AS x"))
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // force the shuffled regime: any realistic source now exceeds
+        // the threshold, so hinted() must NOT broadcast — and the
+        // merge must still be exact
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+        val src = spark.range(200).selectExpr("id AS k", "id * 10 AS x")
+        ds.merge(src, Seq("k"))
+        val out = DeltaReader.scan(table).get.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(out.size == 500)
+        assert((0L until 200L).forall(k => out(k) == k * 10),
+          "matched rows take the source image in the shuffled regime")
+        assert((200L until 500L).forall(k => out(k) == k * 2),
+          "unmatched target rows survive untouched")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     }
   }
 

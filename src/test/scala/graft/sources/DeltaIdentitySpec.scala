@@ -138,4 +138,45 @@ class DeltaIdentitySpec extends SparkSpec {
       assert(e.getMessage.contains("IDENTITY"))
     }
   }
+
+  test("enforced predicates over an ALLOCATED identity column see the landed values") {
+    // allocation rides monotonically_increasing_id (nondeterministic
+    // across jobs), so the write path pins the frame whenever an
+    // enforced predicate references an allocated column — validation
+    // and landFiles must observe the SAME values
+    withTempDir { dir =>
+      import spark.implicits._
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      val meta = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 1L)
+        .putBoolean("delta.identity.allowExplicitInsert", true)
+        .putString("delta.invariants",
+          """{"expression":{"expression":"id > 0"}}""")
+        .build()
+      ds.write(Seq((1L, "a")).toDF("id", "v").withMetadata("id", meta))
+      // every allocated value sits above the watermark (> 0): passes
+      ds.append(Seq("b", "c").toDF("v"))
+      val rows = DeltaReader.scan(table).get.collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      assert(rows.length == 3 && rows.map(_._1).distinct.length == 3)
+      assert(rows.forall(_._1 > 0L))
+      // a bound the allocation MUST cross: the refusal proves the
+      // invariant is evaluated against actual allocated values
+      val table2 = s"$dir/t2"
+      val ds2 = new DeltaDataset(table2)
+      val meta2 = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.identity.start", 1L)
+        .putLong("delta.identity.step", 1L)
+        .putBoolean("delta.identity.allowExplicitInsert", true)
+        .putString("delta.invariants",
+          """{"expression":{"expression":"id <= 1"}}""")
+        .build()
+      ds2.write(Seq((1L, "a")).toDF("id", "v").withMetadata("id", meta2))
+      val e = intercept[IllegalArgumentException](
+        ds2.append(Seq("b", "c").toDF("v")))
+      assert(e.getMessage.contains("invariant"))
+    }
+  }
 }
