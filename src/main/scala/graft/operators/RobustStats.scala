@@ -19,6 +19,33 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
+  /** Ceiling on the (distinct_a × distinct_b) cell product the
+    * value-domain cross joins ([[relativeEffect]], [[hodgesLehmann]])
+    * will materialize: 1e8 cells ≈ one comfortably-shuffled frame.
+    * The guard converts "a float-valued metric silently detonates a
+    * cross join" into a loud instruction to pre-bucket. */
+  val DefaultMaxPairCells: Long = 100000000L
+
+  /** Raise when the per-arm distinct-value cardinalities of a
+    * (__arm, __v, __n) cell frame would cross-multiply past
+    * `maxPairCells`. One tiny aggregate on the (checkpointed) cells —
+    * the frames are value-cardinality-bounded by construction. */
+  private def guardPairCells(cells: DataFrame, maxPairCells: Long,
+                             caller: String): Unit = {
+    require(maxPairCells > 0, s"$caller: maxPairCells must be positive")
+    val card = cells.groupBy(col("__arm"))
+      .agg(count(lit(1)).cast("bigint").as("__k")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ka = card.getOrElse(0L, 0L)
+    val kb = card.getOrElse(1L, 0L)
+    // overflow-safe product compare
+    require(ka == 0L || kb <= maxPairCells / ka,
+      s"$caller: the value domain is near-continuous — $ka × $kb " +
+        s"distinct-value cells would materialize ${"≈" + (ka.toDouble * kb)}" +
+        s" pairs (cap $maxPairCells). Pre-bucket the metric (e.g. " +
+        "integer-divide it to a coarser unit) or raise maxPairCells")
+  }
+
   /** Clip `valueCol` (as double) into its per-`groupCol`
     * `[lo, hi]` quantile envelope; adds the clipped value as `out`.
     * `exact = false` uses `approx_percentile` (GK sketch) for the
@@ -306,14 +333,21 @@ object RobustStats {
     *
     * Scale shape (100 TB): rows collapse to per-arm value histograms;
     * the pair sums run on the (distinct_a × distinct_b) cell frame —
-    * value-cardinality-bounded, never row-quadratic. */
+    * value-cardinality-bounded, never row-quadratic. That bound is
+    * only a bound while the value domain is discrete: a
+    * near-continuous metric (epoch nanos, unrounded scores) makes
+    * distinct_a·distinct_b row-quadratic again, so the cell cross
+    * join is guarded at `maxPairCells` — above it, raise and tell
+    * the caller to pre-bucket (integer-divide) the metric. */
   def relativeEffect(df: DataFrame, armBCond: org.apache.spark.sql.Column,
-                     valueCol: String): DataFrame = {
+                     valueCol: String,
+                     maxPairCells: Long = DefaultMaxPairCells): DataFrame = {
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
     val cells = base.groupBy(col("__arm"), col("__v"))
       .agg(count(lit(1)).cast("bigint").as("__n"))
       .localCheckpoint()
+    guardPairCells(cells, maxPairCells, "relativeEffect")
     val a = cells.where(col("__arm") === 0L)
       .select(col("__v").as("__va"), col("__n").as("__na"))
     val b = cells.where(col("__arm") === 1L)
@@ -843,14 +877,19 @@ object RobustStats {
     * Scale shape (100 TB): rows collapse to per-arm value histograms;
     * the difference frame is (distinct_a × distinct_b) — bounded by
     * value cardinality squared, not row count — and one global-window
-    * cumulative on that bounded frame picks the median. */
+    * cumulative on that bounded frame picks the median. The
+    * [[relativeEffect]] cardinality guard applies: a near-continuous
+    * metric re-inflates the cell product to row-quadratic, so above
+    * `maxPairCells` raise and ask for pre-bucketing. */
   def hodgesLehmann(df: DataFrame, armBCond: org.apache.spark.sql.Column,
-                    valueCol: String): DataFrame = {
+                    valueCol: String,
+                    maxPairCells: Long = DefaultMaxPairCells): DataFrame = {
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
     val cells = base.groupBy(col("__arm"), col("__v"))
       .agg(count(lit(1)).cast("bigint").as("__n"))
       .localCheckpoint()
+    guardPairCells(cells, maxPairCells, "hodgesLehmann")
     val a = cells.where(col("__arm") === 0L)
       .select(col("__v").as("__va"), col("__n").as("__na"))
     val b = cells.where(col("__arm") === 1L)

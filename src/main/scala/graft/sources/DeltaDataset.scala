@@ -1574,9 +1574,14 @@ object DeltaWriter {
     * verb (delta-spark's `CONVERT TO DELTA`).
     *
     * `partitionColumns` must name the directory levels in order;
-    * partition values are string-typed per the Hive contract. The
+    * partition values default to STRING per the Hive contract. The
     * data schema comes from Spark's parquet reading of the leaf
-    * files (schema-merged), partition columns appended as STRING.
+    * files (schema-merged), partition columns appended as STRING —
+    * or as the type `partitionTypes` declares for them
+    * (delta-spark's CONVERT TO DELTA infers partition types; this
+    * writer takes them explicitly, validating every discovered
+    * directory value parses CANONICALLY — "007" under int would
+    * read back as 7 and orphan its directory, so it refuses).
     * Every add carries footer-derived stats, so data skipping works
     * from commit zero. Refuses when a `_delta_log` already exists
     * (never clobber someone's table) and when a data file's
@@ -1585,7 +1590,8 @@ object DeltaWriter {
     * Scale shape (100 TB): one recursive listing + one footer read
     * per file (the same metadata class as any conversion); no row
     * data moves. */
-  def convertToDelta(url: String, partitionColumns: Seq[String] = Seq.empty)
+  def convertToDelta(url: String, partitionColumns: Seq[String] = Seq.empty,
+                     partitionTypes: Map[String, DataType] = Map.empty)
                     (implicit spark: SparkSession): Long = {
     val cleanUrl = url.stripSuffix("/")
     val base = new Path(cleanUrl)
@@ -1624,7 +1630,39 @@ object DeltaWriter {
     val found = walk(qualifiedBase, Seq.empty)
     require(found.nonEmpty,
       s"DeltaWriter.convertToDelta: no parquet files under $cleanUrl")
-    // data schema from the files (merged), partition columns as STRING
+    // typed partition columns: declared types must cover only real
+    // partition levels, and every discovered directory value must
+    // round-trip its type canonically (value == rendered-back form)
+    partitionTypes.keys.foreach(c => require(partitionColumns.contains(c),
+      s"DeltaWriter.convertToDelta: partitionTypes names '$c', which is " +
+        s"not in the declared partition columns $partitionColumns"))
+    def canonical(v: String, dt: DataType): Boolean = try {
+      dt match {
+        case StringType  => true
+        case IntegerType => v.toInt.toString == v
+        case LongType    => v.toLong.toString == v
+        case ShortType   => v.toShort.toString == v
+        case ByteType    => v.toByte.toString == v
+        case BooleanType => v == "true" || v == "false"
+        case DoubleType  => v.toDouble.toString == v
+        case FloatType   => v.toFloat.toString == v
+        case DateType    => java.sql.Date.valueOf(v).toString == v
+        case other => throw new IllegalArgumentException(
+          s"DeltaWriter.convertToDelta: unsupported partition type " +
+            s"${other.simpleString}")
+      }
+    } catch {
+      case _: NumberFormatException => false
+      case _: java.time.format.DateTimeParseException => false
+      case _: IllegalArgumentException if dt == DateType => false
+    }
+    partitionTypes.foreach { case (c, dt) =>
+      found.flatMap(_._2).filter(_._1 == c).map(_._2).distinct.foreach(v =>
+        require(canonical(v, dt),
+          s"DeltaWriter.convertToDelta: partition value '$v' of column " +
+            s"'$c' does not parse canonically as ${dt.simpleString} — " +
+            "converting it would orphan its directory on the next write"))
+    }
     val dataSchema = spark.read.option("mergeSchema", "true")
       .parquet(found.map(_._1.toString): _*).schema
     partitionColumns.foreach(c =>
@@ -1632,7 +1670,8 @@ object DeltaWriter {
         s"DeltaWriter.convertToDelta: partition column '$c' also " +
           "exists inside the data files"))
     val schema = StructType(dataSchema.fields ++
-      partitionColumns.map(c => StructField(c, StringType, nullable = true)))
+      partitionColumns.map(c => StructField(c,
+        partitionTypes.getOrElse(c, StringType), nullable = true)))
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     val adds = found.sortBy(_._1.toString).map { case (p, pv) =>
       newFileAddLine(fs, p, relEncode(basePath, p), pv, dataChange = true,

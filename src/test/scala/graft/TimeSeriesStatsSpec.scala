@@ -281,6 +281,26 @@ class TimeSeriesStatsSpec extends SparkSpec {
       .collect().head.getLong(3) == -1000000L)
   }
 
+  test("relativeEffect / hodgesLehmann cardinality guard refuses a near-continuous domain") {
+    import graft.operators.RobustStats
+    import org.apache.spark.sql.functions.col
+    // 200 distinct values per arm × maxPairCells = 100: the cell
+    // cross join would detonate on a continuous metric — refuse loud
+    val wide = spark.range(400)
+      .selectExpr("id % 2 = 0 AS inB", "id AS v")
+    val e1 = intercept[IllegalArgumentException](
+      RobustStats.relativeEffect(wide, col("inB"), "v",
+        maxPairCells = 100L).collect())
+    assert(e1.getMessage.contains("Pre-bucket"))
+    val e2 = intercept[IllegalArgumentException](
+      RobustStats.hodgesLehmann(wide, col("inB"), "v",
+        maxPairCells = 100L).collect())
+    assert(e2.getMessage.contains("Pre-bucket"))
+    // within budget: results are unchanged by the guard
+    val r = RobustStats.relativeEffect(wide, col("inB"), "v").collect().head
+    assert(r.getLong(0) == 200L && r.getLong(1) == 200L)
+  }
+
   test("ansariBradley: middle-heavy arm scores high; all-tied pool is null-centered") {
     import graft.operators.RobustStats
     import org.apache.spark.sql.functions.col

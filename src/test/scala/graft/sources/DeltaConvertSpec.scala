@@ -73,4 +73,37 @@ class DeltaConvertSpec extends SparkSpec {
       }.getMessage.contains("depth"))
     }
   }
+
+  test("typed partition columns: declared types land in the schema, reads compare numerically") {
+    withTempDir { dir =>
+      import org.apache.spark.sql.types._
+      val root = s"$dir/typed"
+      // two-digit vs one-digit values: lexicographic order would put
+      // "10" < "9"; a typed conversion must compare numerically
+      val df = Seq((1L, 9L), (2L, 10L), (3L, 9L)).toDF("k", "d")
+      new HiveDataset(root, Seq("d")).write(df.selectExpr("k", "cast(d as string) AS d"))
+      assert(DeltaWriter.convertToDelta(root, Seq("d"),
+        partitionTypes = Map("d" -> LongType)) == 0L)
+      val snap = DeltaReader.snapshot(root).get
+      assert(snap.schema("d").dataType == LongType)
+      val out = DeltaReader.scan(root).get
+      assert(out.schema("d").dataType == LongType)
+      assert(out.where(col("d") > 9L).count() == 1L,
+        "numeric partition predicate must see long semantics, not string")
+      // non-canonical values refuse: int-typing "007" would orphan its
+      // directory the first time a writer renders 7 back to a path
+      val bad = s"$dir/bad"
+      new HiveDataset(bad, Seq("d")).write(
+        Seq((1L, "007")).toDF("k", "d"))
+      assert(intercept[IllegalArgumentException] {
+        DeltaWriter.convertToDelta(bad, Seq("d"),
+          partitionTypes = Map("d" -> IntegerType))
+      }.getMessage.contains("canonically"))
+      // a type name outside the partition spec refuses too
+      assert(intercept[IllegalArgumentException] {
+        DeltaWriter.convertToDelta(bad, Seq("d"),
+          partitionTypes = Map("x" -> IntegerType))
+      }.getMessage.contains("not in the declared partition columns"))
+    }
+  }
 }
