@@ -1935,5 +1935,91 @@ object HiveQ {
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
             .as("sum_bal"))
       })
+    ,
+
+    // ---- schema evolution on a column-mapped table -------------------
+    // delta-spark's default for NEW tables is name-mode column
+    // mapping, so "add a column to a mapped table" is the first
+    // evolution a real user hits. The writer allocates a fresh
+    // physical name (col-<uuid>) + column-mapping id above
+    // delta.columnMapping.maxColumnId, lands parquet under the
+    // physical name, and advances maxColumnId in the same commit;
+    // pre-evolution rows null-fill the new column at read. The oracle
+    // replays the union arithmetic on nation.
+    Q("q432_delta_mapped_evolve",
+      Some("""WITH rows_all AS (
+             |  SELECT n_nationkey, NULL::BIGINT AS n_flag
+             |  FROM nation WHERE n_nationkey < 15
+             |  UNION ALL
+             |  SELECT n_nationkey, (n_nationkey % 2)::BIGINT
+             |  FROM nation WHERE n_nationkey >= 15 AND n_nationkey < 25)
+             |SELECT count(*)::BIGINT AS n, sum(n_nationkey)::BIGINT AS sum_key,
+             |  sum(n_flag)::BIGINT AS sum_flag,
+             |  count(n_flag)::BIGINT AS n_flagged
+             |FROM rows_all""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q432_")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_name")
+        // seed a FOREIGN name-mode mapped table (the q429 fixture)
+        nat.where(col("n_nationkey") < 15)
+          .select(col("n_nationkey").as("pk-001"), col("n_name").as("pn-002"))
+          .coalesce(1).write.parquet(s"$table/seed")
+        val part = new java.io.File(s"$table/seed").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$table/seed-000.parquet")
+        require(part.renameTo(dest), "q432: fixture move failed")
+        def fm(id: Long, phys: String) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", phys).build()
+        val mapped = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType, nullable = true,
+            fm(1, "pk-001")),
+          org.apache.spark.sql.types.StructField("n_name",
+            org.apache.spark.sql.types.StringType, nullable = true,
+            fm(2, "pn-002"))))
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q432","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(mapped.json)}","partitionColumns":[],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}""",
+          s"""{"add":{"path":"seed-000.parquet","partitionValues":{},""" +
+            s""""size":${dest.length},"modificationTime":1700000000000,""" +
+            """"dataChange":true}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        // evolve: a NEW column arrives with mergeSchema on the mapped table
+        ds.append(nat.where(col("n_nationkey") >= 15 &&
+            col("n_nationkey") < 25)
+          .withColumn("n_flag", (col("n_nationkey") % 2).cast("bigint")),
+          mergeSchema = true)                                         // v1
+        val snap = graft.sources.DeltaReader.snapshot(table)(s).get
+        val ev = snap.schema("n_flag")
+        require(ev.metadata.getString("delta.columnMapping.physicalName")
+            .startsWith("col-") &&
+          ev.metadata.getLong("delta.columnMapping.id") == 3L &&
+          snap.configuration("delta.columnMapping.maxColumnId") == "3",
+          "q432: evolution must allocate physical name + id and advance maxColumnId")
+        val physFlag =
+          ev.metadata.getString("delta.columnMapping.physicalName")
+        val mine = snap.files.filterNot(_.path.endsWith("seed-000.parquet"))
+        require(mine.nonEmpty && mine.forall(f =>
+          s.read.parquet(f.path).columns.contains(physFlag)),
+          "q432: landed files must store the allocated PHYSICAL name")
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"),
+          sum(col("n_flag")).cast("bigint").as("sum_flag"),
+          count(col("n_flag")).cast("bigint").as("n_flagged"))
+      })
   )
 }

@@ -454,7 +454,30 @@ object DeltaWriter {
     var enforced: Seq[(String, String)] =
       snap0.map(checkConstraintsOf).getOrElse(Seq.empty)
 
-    val physW = snapGen.map(physColumnsFor(_, "write")).getOrElse(Map.empty)
+    // mergeSchema on a COLUMN-MAPPED table: each new top-level column
+    // is allocated a fresh physical name (col-<uuid>, the delta-spark
+    // convention) and a column-mapping id above the table's
+    // delta.columnMapping.maxColumnId — BEFORE files land, so the
+    // parquet on disk carries the physical names the evolved metaData
+    // will declare. Nested new columns still refuse (physColumnsFor's
+    // flat-schema contract: inner physical names are not rewritten).
+    val mappedAllocBase: Long = snapGen.map(maxColumnIdOf).getOrElse(0L)
+    val mappedAlloc: Map[String, (String, Long)] = (snapGen, mergeSchema) match {
+      case (Some(s), true) if s.physicalSchema.nonEmpty =>
+        val existing = s.schema.fieldNames.toSet
+        val extras = df.schema.fields.filterNot(f => existing(f.name)).toSeq
+        extras.foreach(f => require(!isNestedType(f.dataType),
+          s"DeltaWriter: mergeSchema cannot add NESTED column " +
+            s"'${f.name}' to a column-mapped table — inner physical " +
+            "names are not rewritten"))
+        extras.zipWithIndex.map { case (f, i) =>
+          f.name -> ((s"col-${java.util.UUID.randomUUID}",
+            mappedAllocBase + i + 1L))
+        }.toMap
+      case _ => Map.empty
+    }
+    val physW = snapGen.map(physColumnsFor(_, "write")).getOrElse(Map.empty) ++
+      mappedAlloc.map { case (n, (p, id)) => n -> ((p, Some(id))) }
     val statsSchema = snapGen.flatMap(_.physicalSchema).getOrElse(df.schema)
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df,
       partitionColumns, physW)
@@ -588,16 +611,36 @@ object DeltaWriter {
               s"DeltaWriter: mergeSchema cannot add GENERATED column " +
                 s"'${f.name}' — existing rows would null-fill it in " +
                 "violation of its generation expression"))
-          // a mapped table requires every field mapped: adding one
-          // means allocating a fresh physical name + id, which this
-          // writer does not do
-          require(extra.isEmpty || s.physicalSchema.isEmpty,
-            "DeltaWriter: mergeSchema cannot add columns to a " +
-              "column-mapped table — new fields need physical " +
-              "name/id allocation")
+          // evolution on a MAPPED table: stamp each added field with
+          // the physical name/id allocated before files landed, and
+          // advance delta.columnMapping.maxColumnId in the SAME
+          // metaData. Ids were allocated against the pre-land head —
+          // if a concurrent writer advanced maxColumnId since, our
+          // ids may collide with its: first writer wins, re-run.
+          if (extra.nonEmpty && s.physicalSchema.nonEmpty) {
+            require(maxColumnIdOf(s) == mappedAllocBase,
+              "DeltaWriter: concurrent column-mapping allocation — " +
+                "delta.columnMapping.maxColumnId moved while this " +
+                "write was in flight; re-run to allocate past it")
+            require(extra.forall(f => mappedAlloc.contains(f.name)),
+              "DeltaWriter: evolution columns changed between landing " +
+                "files and committing — re-run the write")
+          }
+          val stampedExtra = extra.map(f => mappedAlloc.get(f.name)
+            .fold(f) { case (p, id) =>
+              f.copy(metadata = new MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.columnMapping.id", id)
+                .putString("delta.columnMapping.physicalName", p)
+                .build())
+            })
+          val evolvedConf =
+            if (extra.isEmpty || mappedAlloc.isEmpty) s.configuration
+            else s.configuration + ("delta.columnMapping.maxColumnId" ->
+              (mappedAllocBase + mappedAlloc.size).toString)
           val evolved =
             if (extra.isEmpty) None
-            else Some(StructType(s.schema.fields ++ extra))
+            else Some(StructType(s.schema.fields ++ stampedExtra))
           (evolved, hwmMetaLine(s, idObserved)) match {
             case (None, None) => Seq.empty
             case (None, Some(line)) => Seq(line)
@@ -611,7 +654,7 @@ object DeltaWriter {
               }
               Seq(metaDataLine(s.tableId,
                 stampHighWaterMarks(sc, advanced), partitionColumns,
-                s.configuration,
+                evolvedConf,
                 s.createdTime.getOrElse(System.currentTimeMillis)))
           }
         case _ => Seq.empty
@@ -2642,6 +2685,28 @@ object DeltaWriter {
     * come from the frame itself (bounded by partition cardinality);
     * values must be path-literal so the directory name IS the logged
     * value (the HiveDataset contract). */
+  private[sources] def isNestedType(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case ArrayType(et, _) => isNestedType(et)
+    case MapType(k, v, _) => isNestedType(k) || isNestedType(v)
+    case _ => false
+  }
+
+  /** Highest allocated column-mapping id: the configuration's
+    * `delta.columnMapping.maxColumnId`, or — foreign tables that
+    * omit the key — the max `delta.columnMapping.id` stamped on a
+    * field. New allocations (schema evolution on mapped tables) go
+    * strictly above this. */
+  private[sources] def maxColumnIdOf(snap: DeltaReader.DeltaSnapshot): Long = {
+    val fromConf = snap.configuration.get("delta.columnMapping.maxColumnId")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+    val fromFields = snap.schema.fields.map(f =>
+      if (f.metadata.contains("delta.columnMapping.id"))
+        f.metadata.getLong("delta.columnMapping.id") else 0L)
+      .foldLeft(0L)(math.max)
+    math.max(fromConf, fromFields)
+  }
+
   /** Column-mapping write support (modes `name` and `id`): logical
     * name → (physical name, optional column-mapping id) for the
     * land-time rename. FLAT schemas only — nested fields carry their
@@ -2650,13 +2715,7 @@ object DeltaWriter {
   private def physColumnsFor(snap: DeltaReader.DeltaSnapshot, verb: String)
       : Map[String, (String, Option[Long])] = {
     if (snap.physicalSchema.isEmpty) return Map.empty
-    def nested(dt: DataType): Boolean = dt match {
-      case _: StructType => true
-      case ArrayType(et, _) => nested(et)
-      case MapType(k, v, _) => nested(k) || nested(v)
-      case _ => false
-    }
-    require(snap.schema.fields.forall(f => !nested(f.dataType)),
+    require(snap.schema.fields.forall(f => !isNestedType(f.dataType)),
       s"DeltaWriter.$verb: column mapping over NESTED fields is " +
         "unsupported — inner physical names are not rewritten")
     snap.schema.fields.zip(snap.physicalSchema.get.fields).map {

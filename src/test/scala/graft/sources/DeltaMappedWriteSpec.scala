@@ -165,13 +165,58 @@ class DeltaMappedWriteSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("NESTED"))
 
+      // adding a NESTED column by evolution refuses (inner physical
+      // names are not rewritten) — flat evolution is supported below
       val flat = s"$dir/flat"
       buildMapped(flat)
       val e2 = intercept[IllegalArgumentException] {
         new DeltaDataset(flat, Seq("p")).append(
-          Seq((1L, "A", 9L)).toDF("v", "p", "extra"), mergeSchema = true)
+          Seq((1L, "A", 9L)).toDF("v", "p", "x")
+            .select(col("v"), col("p"), struct(col("x")).as("extra")),
+          mergeSchema = true)
       }
-      assert(e2.getMessage.contains("column-mapped"))
+      assert(e2.getMessage.contains("NESTED"))
+    }
+  }
+
+  test("schema evolution on a mapped table allocates physical names and ids") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildMapped(table)
+      val ds = new DeltaDataset(table, Seq("p"))
+      // add a top-level column: gets col-<uuid> + id 3, maxColumnId -> 3
+      ds.append(Seq((40L, "B", 9L)).toDF("v", "p", "extra"),
+        mergeSchema = true)
+      val snap = DeltaReader.snapshot(table).get
+      val f = snap.schema("extra")
+      assert(f.metadata.contains("delta.columnMapping.physicalName") &&
+        f.metadata.getString("delta.columnMapping.physicalName")
+          .startsWith("col-"),
+        "evolved column must carry an allocated physical name")
+      assert(f.metadata.getLong("delta.columnMapping.id") == 3L)
+      assert(snap.configuration("delta.columnMapping.maxColumnId") == "3")
+      // the landed parquet stores the PHYSICAL name
+      val phys = f.metadata.getString("delta.columnMapping.physicalName")
+      val newFile = snap.files.filterNot(_.path.matches(".*f[12]\\.parquet"))
+        .head.path
+      assert(physicalColumnsOf(newFile).contains(phys),
+        s"landed file must store '$phys', has ${physicalColumnsOf(newFile)}")
+      // logical reads: old rows null-fill, the new row carries 9
+      val out = DeltaReader.scan(table).get
+        .select("v", "extra").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(out(40L).contains(9L))
+      assert(out(1L).isEmpty && out(30L).isEmpty,
+        "pre-evolution rows null-fill the added column")
+      // a second evolution continues the id sequence
+      ds.append(Seq((50L, "C", 1L, 2L)).toDF("v", "p", "extra", "more"),
+        mergeSchema = true)
+      val snap2 = DeltaReader.snapshot(table).get
+      assert(snap2.schema("more").metadata
+        .getLong("delta.columnMapping.id") == 4L)
+      assert(snap2.configuration("delta.columnMapping.maxColumnId") == "4")
+      assert(DeltaReader.scan(table).get.count() == 5L)
     }
   }
 }
