@@ -2021,5 +2021,93 @@ object HiveQ {
           sum(col("n_flag")).cast("bigint").as("sum_flag"),
           count(col("n_flag")).cast("bigint").as("n_flagged"))
       })
+    ,
+
+    // ---- row tracking ------------------------------------------------
+    // The rowTracking writer feature: every add carries baseRowId /
+    // defaultRowCommitVersion, the delta.rowTracking domain records
+    // the id high watermark, and row ids are STABLE identity — DV
+    // deletes keep survivors' ids, and compaction carries them
+    // through the materialized row-id column. Determinism: both the
+    // seed file and the appended file are written sorted in ONE
+    // fragment, so row id = position in key order and the ORACLE can
+    // replay the id arithmetic relationally (row_number over the same
+    // order). sum_row_id after delete+compact proves id stability —
+    // any reassignment during the rewrite would shift the sum.
+    Q("q433_delta_row_tracking",
+      Some("""WITH seed AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey < 500),
+             |app AS (SELECT o_orderkey, o_orderstatus FROM orders
+             |  WHERE o_orderkey >= 500 AND o_orderkey < 800),
+             |ids AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    (row_number() OVER (ORDER BY o_orderkey)) - 1 AS rid
+             |  FROM seed
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus,
+             |    (SELECT count(*) FROM seed)
+             |      + (row_number() OVER (ORDER BY o_orderkey)) - 1
+             |  FROM app),
+             |kept AS (SELECT * FROM ids WHERE NOT o_orderstatus = 'F')
+             |SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key,
+             |  sum(rid)::BIGINT AS sum_row_id
+             |FROM kept""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q433_")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+        val seed = ord.where(col("o_orderkey") < 500)
+          .orderBy("o_orderkey").coalesce(1)
+        // land the seed as the foreign fixture's single file
+        seed.write.parquet(s"$table/stage")
+        val part = new java.io.File(s"$table/stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$table/seed-000.parquet")
+        require(part.renameTo(dest), "q433: fixture move failed")
+        val nSeed = seed.count()
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            """"writerFeatures":["rowTracking","domainMetadata"]}}""",
+          s"""{"metaData":{"id":"q433","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(seed.schema.json)}","partitionColumns":[],""" +
+            s""""configuration":{"delta.enableRowTracking":"true"},""" +
+            s""""createdTime":1700000000000}}""",
+          s"""{"add":{"path":"seed-000.parquet","partitionValues":{},""" +
+            s""""size":${dest.length},"modificationTime":1700000000000,""" +
+            s""""dataChange":true,"baseRowId":0,"defaultRowCommitVersion":0}}""",
+          s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+            s""""configuration":"{\\"rowIdHighWaterMark\\":${nSeed - 1}}",""" +
+            """"removed":false}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.append(ord.where(col("o_orderkey") >= 500 &&
+          col("o_orderkey") < 800).orderBy("o_orderkey").coalesce(1))  // v1
+        val snap1 = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(snap1.files.forall(_.baseRowId.isDefined),
+          "q433: every add must carry baseRowId")
+        ds.delete(col("o_orderstatus") === "F")                       // v2
+        val beforeCompact = graft.sources.DeltaReader
+          .scanWithRowIds(table)(s).get
+          .agg(sum(col("_row_id")).cast("bigint")).head().getLong(0)
+        ds.compact(targetFileBytes = 256L * 1024 * 1024)              // v3
+        val snap3 = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(snap3.configuration
+          .contains("delta.rowTracking.materializedRowIdColumnName"),
+          "q433: the compact commit must record the materialized column")
+        val out = graft.sources.DeltaReader.scanWithRowIds(table)(s).get
+        require(out.agg(sum(col("_row_id")).cast("bigint")).head()
+          .getLong(0) == beforeCompact,
+          "q433: row ids must be stable across compaction")
+        out.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_key"),
+          sum(col("_row_id")).cast("bigint").as("sum_row_id"))
+      })
   )
 }

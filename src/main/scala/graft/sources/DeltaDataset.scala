@@ -661,8 +661,25 @@ object DeltaWriter {
       }
       val ict = ictLines(snap.map(_.configuration).getOrElse(Map.empty),
         fs, logDir, version - 1, "WRITE")
-      val body = (ict ++ head ++ evolution ++ txnLine ++ removes ++ adds)
-        .mkString("\n") + "\n"
+      // row tracking: stamp fresh base row ids above the HEAD's high
+      // watermark and advance the delta.rowTracking domain in the
+      // same commit — recomputed per attempt (the watermark and the
+      // commit version both move under races)
+      val (adds2, rtDomain) = snap.filter(rowTrackingOn) match {
+        case None => (adds, Seq.empty[String])
+        case Some(s) =>
+          var next = rowIdHighWaterMark(s) + 1
+          val stamped = newFiles.zip(fileStats).map { case ((kvs, p), st) =>
+            val line = newFileAddLine(fs, p, relEncoded(p), kvs,
+              dataChange = true, st,
+              s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
+            next += numRecordsOf(st, p)
+            line
+          }
+          (stamped, Seq(rowTrackingDomainLine(next - 1)))
+      }
+      val body = (ict ++ head ++ evolution ++ txnLine ++ removes ++ adds2 ++
+        rtDomain).mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
@@ -794,7 +811,7 @@ object DeltaWriter {
         s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
         s""""deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":"${d._1}","offset":1,"sizeInBytes":${d._2},""" +
-        s""""cardinality":${d._3}}$stats}}"""
+        s""""cardinality":${d._3}}$stats${rowIdCarry(f)}}}"""
     }
 
     var attempt = 0
@@ -1177,11 +1194,13 @@ object DeltaWriter {
         s""""modificationTime":${f.modificationTime},"dataChange":true,""" +
         s""""deletionVector":{"storageType":"u",""" +
         s""""pathOrInlineDv":"${d._1}","offset":1,"sizeInBytes":${d._2},""" +
-        s""""cardinality":${d._3}}$stats}}"""
+        s""""cardinality":${d._3}}$stats${rowIdCarry(f)}}}"""
     }
-    val newAdds = newFiles.map { case (kvs, p) =>
+    val newStats: Seq[Option[String]] = newFiles.map { case (_, p) =>
+      statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
+    val newAdds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
       newFileAddLine(fs, p, relEncode(basePath, p), kvs, dataChange = true,
-        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
+        st) }
 
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1235,8 +1254,25 @@ object DeltaWriter {
       // watermark (delta-spark's SYNC IDENTITY on merge): one
       // metaData action, recomputed against the fresh head per attempt
       val metaLine = hwmMetaLine(head, idObserved).toSeq
+      // row tracking: the DV re-adds above carried their ORIGINAL
+      // assignment through rowIdCarry; the replacement/insert files
+      // get fresh ids above the head's watermark
+      val (newAdds2, rtDomain) =
+        if (!rowTrackingOn(head)) (newAdds, Seq.empty[String])
+        else {
+          var next = rowIdHighWaterMark(head) + 1
+          val stamped = newFiles.zip(newStats).map { case ((kvs, p), st) =>
+            val line = newFileAddLine(fs, p, relEncode(basePath, p), kvs,
+              dataChange = true, st,
+              s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
+            next += numRecordsOf(st, p)
+            line
+          }
+          (stamped, if (newFiles.isEmpty) Seq.empty[String]
+                    else Seq(rowTrackingDomainLine(next - 1)))
+        }
       val body = (ict ++ protoLine ++ metaLine ++ cdcLines ++ dvLines ++
-        newAdds).mkString("\n") + "\n"
+        newAdds2 ++ rtDomain).mkString("\n") + "\n"
       if (publishCommit(fs, logDir, version, body)) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
@@ -1296,16 +1332,18 @@ object DeltaWriter {
     val logDir = new Path(qualifiedBase, "_delta_log")
     // masked survivors of ONLY the selected files, partition literals
     // injected so the partitioned rewrite lands in the right dirs
-    val survivors = DeltaReader.assembleSnapshot(snap.copy(files = selected))
+    val rt = rewriteRowTracking(snap)
+    val survivors = rewriteSource(snap, selected, rt)
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, survivors,
       snap.partitionColumns, physO)
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relOrAbs(p: Path): String =
       if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
       else p.toUri.toString
-    val adds = newFiles.map { case (kvs, p) =>
-      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false,
-        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
+    val newStats: Seq[Option[String]] = newFiles.map { case (_, p) =>
+      statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
+    val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
+      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false, st) }
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1326,9 +1364,12 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
+      val (adds2, preLines, postLines) = rtRewriteLines(head, version, fs,
+        newFiles, newStats, relOrAbs, rt, adds)
       val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
-          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
+          (ict ++ preLines ++ removes ++ adds2 ++ postLines)
+            .mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
       }
@@ -1390,17 +1431,18 @@ object DeltaWriter {
     // one masked read + coalesce(bins) write per qualifying partition;
     // partition literals are injected by the assembler, so the
     // partitioned write lands each group back in its own directory
+    val rt = rewriteRowTracking(snap)
     val newFiles: Seq[(Seq[(String, String)], Path)] = groups.flatMap { g =>
       val bins = math.max(1L,
         (g.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
-      val packed = DeltaReader.assembleSnapshot(snap.copy(files = g))
-        .coalesce(bins)
+      val packed = rewriteSource(snap, g, rt).coalesce(bins)
       landFiles(fs, qualifiedBase, cleanUrl, packed,
         snap.partitionColumns, physC)
     }
-    val adds = newFiles.map { case (kvs, p) =>
-      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false,
-        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
+    val newStats: Seq[Option[String]] = newFiles.map { case (_, p) =>
+      statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
+    val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
+      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false, st) }
     val selected = groups.flatten
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
@@ -1422,9 +1464,12 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
+      val (adds2, preLines, postLines) = rtRewriteLines(head, version, fs,
+        newFiles, newStats, relOrAbs, rt, adds)
       val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
-          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
+          (ict ++ preLines ++ removes ++ adds2 ++ postLines)
+            .mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
       }
@@ -1517,7 +1562,8 @@ object DeltaWriter {
           s"DeltaWriter.zorder: unsupported type $other for column '$c'")
       }
     }
-    val survivors = DeltaReader.assembleSnapshot(snap)
+    val rt = rewriteRowTracking(snap)
+    val survivors = rewriteSource(snap, snap.files, rt)
     val tmpCols = zCols.indices.map(i => s"__zc$i")
     val prepped = zCols.zip(tmpCols).foldLeft(survivors) {
       case (d, (c, t)) => d.withColumn(t, org.apache.spark.sql.functions.expr(prep(c)))
@@ -1550,9 +1596,10 @@ object DeltaWriter {
       else p.toUri.toString
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, clustered,
       pcols, physZ)
-    val adds = newFiles.map { case (kvs, p) =>
-      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false,
-        statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema))) }
+    val newStats: Seq[Option[String]] = newFiles.map { case (_, p) =>
+      statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
+    val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
+      newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false, st) }
     val byKey = snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1572,9 +1619,12 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
+      val (adds2, preLines, postLines) = rtRewriteLines(head, version, fs,
+        newFiles, newStats, relOrAbs, rt, adds)
       val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
-          (ict ++ removes ++ adds).mkString("\n") + "\n")) {
+          (ict ++ preLines ++ removes ++ adds2 ++ postLines)
+            .mkString("\n") + "\n")) {
         maybeCheckpoint(fs, cleanUrl, qualifiedBase, logDir, version)
         return version
       }
@@ -2208,7 +2258,109 @@ object DeltaWriter {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
     "columnMapping", "generatedColumns", "identityColumns",
-    "timestampNtz", "domainMetadata")
+    "timestampNtz", "domainMetadata", "rowTracking")
+
+  /** Row tracking (`rowTracking` writer feature): every new add
+    * carries `baseRowId` (fresh ids = baseRowId + row position) and
+    * `defaultRowCommitVersion`, the `delta.rowTracking` domain
+    * records the id high watermark, DV re-adds preserve their file's
+    * original assignment, and rewrites (compact / zorder / optimize)
+    * on ENABLED tables (`delta.enableRowTracking = true`) carry the
+    * old ids through the materialized row-id/commit-version columns
+    * the table's configuration names. */
+  private def rowTrackingOn(snap: DeltaReader.DeltaSnapshot): Boolean =
+    snap.protocol.writerFeatures.exists(_.contains("rowTracking"))
+
+  private[sources] def rowIdHighWaterMark(
+      snap: DeltaReader.DeltaSnapshot): Long =
+    snap.domainMetadata.get("delta.rowTracking").flatMap { conf =>
+      scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(conf).get("rowIdHighWaterMark").asLong).toOption
+    }.getOrElse(-1L)
+
+  private def rowTrackingDomainLine(hwm: Long): String =
+    s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+      s""""configuration":"{\\"rowIdHighWaterMark\\":$hwm}",""" +
+      """"removed":false}}"""
+
+  /** Record count of a landed file — from its stats JSON (computed
+    * for the add anyway), falling back to one distributed count. */
+  private def numRecordsOf(stats: Option[String], p: Path)
+                          (implicit spark: SparkSession): Long =
+    stats.flatMap { s =>
+      scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(s).get("numRecords").asLong).toOption
+    }.getOrElse(spark.read.parquet(p.toString).count())
+
+  /** Row-id PRESERVATION plan for a rewrite (compact/zorder/optimize)
+    * on `snap`: Some((matRowIdCol, matRcvCol, configAdditions)) when
+    * row tracking is ENABLED (`delta.enableRowTracking = true` —
+    * rewritten rows must keep their ids, which only the materialized
+    * columns can carry once rows change files), None otherwise.
+    * Missing materialized column names are allocated fresh
+    * (delta-spark's enablement does the same) and recorded in the
+    * rewrite commit's metaData via `configAdditions`. */
+  private def rewriteRowTracking(snap: DeltaReader.DeltaSnapshot)
+      : Option[(String, String, Map[String, String])] =
+    if (!rowTrackingOn(snap) ||
+        !snap.configuration.get("delta.enableRowTracking").contains("true"))
+      None
+    else {
+      val miKey = "delta.rowTracking.materializedRowIdColumnName"
+      val mrKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+      val mi = snap.configuration.getOrElse(miKey,
+        s"_row-id-col-${java.util.UUID.randomUUID}")
+      val mr = snap.configuration.getOrElse(mrKey,
+        s"_row-commit-version-col-${java.util.UUID.randomUUID}")
+      Some((mi, mr,
+        Map(miKey -> mi, mrKey -> mr) -- snap.configuration.keySet))
+    }
+
+  /** The rewrite's source frame over `files`: plain assembled rows,
+    * or — when preserving row ids — the same rows PLUS the
+    * materialized row-id/commit-version columns carrying each row's
+    * CURRENT identity (resolved from existing materialized values or
+    * baseRowId + row_index), under the names the landed parquet must
+    * store. */
+  private def rewriteSource(snap: DeltaReader.DeltaSnapshot,
+      files: Seq[DeltaReader.DeltaFile],
+      rt: Option[(String, String, Map[String, String])])
+      (implicit spark: SparkSession): DataFrame = rt match {
+    case None => DeltaReader.assembleSnapshot(snap.copy(files = files))
+    case Some((mi, mr, _)) =>
+      DeltaReader.assembleWithRowIds(snap.copy(files = files))
+        .withColumnRenamed("_row_id", mi)
+        .withColumnRenamed("_row_commit_version", mr)
+  }
+
+  /** Per-attempt row-tracking lines for a rewrite commit: freshly
+    * stamped adds (base ids above the HEAD's watermark), the domain
+    * watermark advance, and — first rewrite on a table whose config
+    * lacked the materialized column names — the metaData recording
+    * them. Returns (adds, preLines, postLines). */
+  private def rtRewriteLines(head: DeltaReader.DeltaSnapshot,
+      version: Long, fs: FileSystem,
+      newFiles: Seq[(Seq[(String, String)], Path)],
+      newStats: Seq[Option[String]],
+      rel: Path => String,
+      rt: Option[(String, String, Map[String, String])],
+      plainAdds: Seq[String])
+      (implicit spark: SparkSession): (Seq[String], Seq[String], Seq[String]) =
+    if (!rowTrackingOn(head)) (plainAdds, Seq.empty, Seq.empty)
+    else {
+      var next = rowIdHighWaterMark(head) + 1
+      val stamped = newFiles.zip(newStats).map { case ((kvs, p), st) =>
+        val line = newFileAddLine(fs, p, rel(p), kvs, dataChange = false, st,
+          s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
+        next += numRecordsOf(st, p)
+        line
+      }
+      val metaLine = rt.map(_._3).filter(_.nonEmpty).map(extra =>
+        metaDataLine(head.tableId, head.schema, head.partitionColumns,
+          head.configuration ++ extra,
+          head.createdTime.getOrElse(System.currentTimeMillis))).toSeq
+      (stamped, metaLine, Seq(rowTrackingDomainLine(next - 1)))
+    }
 
   /** Refuse to write a table whose protocol or schema demands writer
     * behavior this writer does not implement — the loud line every
@@ -2323,7 +2475,7 @@ object DeltaWriter {
     * place. `encodedPath` is the final log-encoded path string. */
   private def newFileAddLine(fs: FileSystem, p: Path, encodedPath: String,
       kvs: Seq[(String, String)], dataChange: Boolean,
-      stats: Option[String]): String = {
+      stats: Option[String], extraFields: String = ""): String = {
     val st = fs.getFileStatus(p)
     val pv = kvs.map { case (k, v) =>
       s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }.mkString(",")
@@ -2331,8 +2483,15 @@ object DeltaWriter {
       .map(x => s""","stats":"${jsonEscape(x)}"""").getOrElse("")
     s"""{"add":{"path":"${jsonEscape(encodedPath)}","partitionValues":{$pv},""" +
       s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
-      s""""dataChange":$dataChange$statsStr}}"""
+      s""""dataChange":$dataChange$statsStr$extraFields}}"""
   }
+
+  /** The `,"baseRowId":…,"defaultRowCommitVersion":…` tail preserving
+    * a live file's existing assignment on its re-add (DV commits). */
+  private def rowIdCarry(f: DeltaReader.DeltaFile): String =
+    f.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+      f.defaultRowCommitVersion
+        .map(v => s""","defaultRowCommitVersion":$v""").getOrElse("")
 
   /** The one shared `metaData` action renderer. */
   private def metaDataLine(tableId: String, schema: StructType,
@@ -2528,11 +2687,17 @@ object DeltaWriter {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("deletionVector", dvSchema),
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
         StructField("dataChange", BooleanType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -2556,11 +2721,11 @@ object DeltaWriter {
       if (hp.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, hp)
       else hp.toUri.toString
     }
-    val protoRow = Row(null, null, null, null, Row(
+    val protoRow = Row(null, null, null, null, null, Row(
       snap.protocol.minReaderVersion, snap.protocol.minWriterVersion,
       snap.protocol.readerFeatures.orNull,
       snap.protocol.writerFeatures.orNull))
-    val metaRow = Row(null, null, null, Row(
+    val metaRow = Row(null, null, null, null, Row(
       snap.tableId, Row("parquet", Map.empty[String, String]),
       snap.schema.json, snap.partitionColumns, snap.configuration,
       snap.createdTime.map(Long.box).orNull), null)
@@ -2571,18 +2736,28 @@ object DeltaWriter {
         f.modificationTime, false,
         f.deletionVector.map(d => Row(d.storageType, d.pathOrInlineDv,
           d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality))
-          .orNull, f.stats.orNull), null, null, null)
+          .orNull, f.stats.orNull,
+        f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull),
+        null, null, null, null)
     }
     val removeRows = snap.tombstones.map { case (p, ts) =>
-      Row(null, null, Row(rel(p), ts, false), null, null)
+      Row(null, null, Row(rel(p), ts, false), null, null, null)
+    }
+    // live domainMetadata (e.g. delta.rowTracking's high watermark)
+    // must survive checkpoint-anchored replay like everything else
+    val domainRows = snap.domainMetadata.toSeq.sortBy(_._1).map {
+      case (dom, conf) =>
+        Row(null, null, null, Row(dom, conf, false), null, null)
     }
     // SetTransaction watermarks must survive checkpoint-anchored
     // replay, or a restarted idempotent writer would re-commit every
     // batch the vacuumed tail once recorded
     val txnRows = snap.txns.toSeq.sortBy(_._1).map { case (app, v) =>
-      Row(Row(app, v, null), null, null, null, null)
+      Row(Row(app, v, null), null, null, null, null, null)
     }
-    ((protoRow +: metaRow +: (txnRows ++ addRows)) ++ removeRows, schema)
+    ((protoRow +: metaRow +: (txnRows ++ domainRows ++ addRows)) ++
+      removeRows, schema)
   }
 
   /** Land `rows` as ONE parquet file at exactly `target` (write to a
@@ -2652,12 +2827,12 @@ object DeltaWriter {
         StructField("sizeInBytes", LongType),
         StructField("modificationTime", LongType))))))
     val pad = Seq(null, null)
+    val nBase = schema.fields.length
     val mRows =
       otherRows.map(r => Row.fromSeq(r.toSeq ++ pad)) ++ Seq(
-        Row.fromSeq(Seq(null, null, null, null, null,
-          Row(snap.version), null)),
-        Row.fromSeq(Seq(null, null, null, null, null, null,
-          Row(sidecarName, st.getLen, st.getModificationTime))))
+        Row.fromSeq(Seq.fill[Any](nBase)(null) :+ Row(snap.version) :+ null),
+        Row.fromSeq(Seq.fill[Any](nBase + 1)(null) :+
+          Row(sidecarName, st.getLen, st.getModificationTime)))
     val manifest = new Path(logDir,
       f"${snap.version}%020d.checkpoint.${java.util.UUID.randomUUID}.parquet")
     landSingleParquet(fs, logDir, mRows, mSchema, manifest)

@@ -96,7 +96,9 @@ object DeltaReader {
   final case class DeltaFile(path: String, partitionValues: Map[String, String],
       size: Long = 0L, modificationTime: Long = 0L,
       deletionVector: Option[DvDescriptor] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** The newest protocol action's content (defaults = a pre-features
     * protocol-1 table). Carried so checkpoint writers reproduce the
@@ -125,7 +127,8 @@ object DeltaReader {
       protocol: DeltaProtocol = DeltaProtocol(1, 2),
       tombstones: Seq[(String, Long)] = Seq.empty,
       root: String = "",
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      domainMetadata: Map[String, String] = Map.empty)
 
   private def physicalFieldName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -218,11 +221,17 @@ object DeltaReader {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("deletionVector", dvSchema),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("deletionTimestamp", LongType),
       StructField("dataChange", BooleanType)))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -248,8 +257,13 @@ object DeltaReader {
     col("add.modificationTime").as("__add_mt"),
     col("add.deletionVector").as("__add_dv"),
     col("add.stats").as("__add_stats"),
+    col("add.baseRowId").as("__add_brid"),
+    col("add.defaultRowCommitVersion").as("__add_drcv"),
     col("remove.path").as("__rm_path"),
     col("remove.deletionTimestamp").as("__rm_ts"),
+    col("domainMetadata.domain").as("__dm_domain"),
+    col("domainMetadata.configuration").as("__dm_conf"),
+    col("domainMetadata.removed").as("__dm_removed"),
     col("metaData.id").as("__mid"),
     col("metaData.schemaString").as("__schema"),
     col("metaData.partitionColumns").as("__pcols"),
@@ -323,7 +337,8 @@ object DeltaReader {
     * validation, tombstones) is shared code. */
   private final case class LatestPath(path: String, isAdd: Boolean,
       pv: Map[String, String], size: Long, mt: Long,
-      dv: Option[DvDescriptor], rmTs: Long, stats: Option[String])
+      dv: Option[DvDescriptor], rmTs: Long, stats: Option[String],
+      baseRowId: Option[Long] = None, drcv: Option[Long] = None)
 
   private final case class MetaVals(schemaJson: String, pcols: Seq[String],
       provider: String, conf: Map[String, String], id: String,
@@ -362,7 +377,8 @@ object DeltaReader {
   private def finishSnapshot(target: Long, logDir: Path,
       qualifiedBase: Path, protocolInfo: DeltaProtocol,
       metaOpt: Option[MetaVals], latest: Seq[LatestPath],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      domains: Map[String, String] = Map.empty)
       (implicit spark: SparkSession): Option[DeltaSnapshot] = {
     checkProtocolReadable(protocolInfo)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
@@ -384,13 +400,14 @@ object DeltaReader {
         require(d.storageType != null && d.pathOrInlineDv != null,
           s"DeltaReader: malformed deletionVector descriptor on ${l.path}")
       }
-      DeltaFile(absPath(l.path), l.pv, l.size, l.mt, l.dv, l.stats)
+      DeltaFile(absPath(l.path), l.pv, l.size, l.mt, l.dv, l.stats,
+        l.baseRowId, l.drcv)
     }.sortBy(_.path)
     val tombstones = latest.filterNot(_.isAdd)
       .map(l => (absPath(l.path), l.rmTs)).sortBy(_._1)
     Some(DeltaSnapshot(target, schema, meta.pcols, files, physSchema,
       meta.id, meta.conf, meta.created, protocolInfo, tombstones,
-      qualifiedBase.toString, txns))
+      qualifiedBase.toString, txns, domains))
   }
 
   /** Total bytes under which a checkpoint-less JSON tail replays
@@ -558,7 +575,8 @@ object DeltaReader {
         coalesce(col("__add_path"), col("__rm_path")).as("__path"),
         col("__add_path").isNotNull.as("__is_add"),
         col("__add_pv"), col("__add_size"), col("__add_mt"),
-        col("__add_dv"), col("__rm_ts"), col("__add_stats"))
+        col("__add_dv"), col("__rm_ts"), col("__add_stats"),
+        col("__add_brid"), col("__add_drcv"))
       .where(col("__path").isNotNull)
     val w = Window.partitionBy(col("__path"))
       .orderBy(col("__v").desc, col("__is_add").desc)
@@ -567,7 +585,7 @@ object DeltaReader {
       .where(col("__rn") === 1)
       .select(col("__path"), col("__is_add"), col("__add_pv"),
         col("__add_size"), col("__add_mt"), col("__add_dv"), col("__rm_ts"),
-        col("__add_stats"))
+        col("__add_stats"), col("__add_brid"), col("__add_drcv"))
       .collect()
 
     val latestPaths: Seq[LatestPath] = latest.toSeq.map { r =>
@@ -586,8 +604,23 @@ object DeltaReader {
         if (r.isNullAt(3)) 0L else r.getLong(3),
         if (r.isNullAt(4)) 0L else r.getLong(4), dv,
         if (r.isNullAt(6)) 0L else r.getLong(6),
-        Option(r.getString(7)))
+        Option(r.getString(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)),
+        if (r.isNullAt(9)) None else Some(r.getLong(9)))
     }
+    // domainMetadata: per domain the newest action wins; removed=true
+    // drops the domain from the snapshot (PROTOCOL.md "Domain
+    // Metadata") — domain-count bounded
+    val domains: Map[String, String] = actions
+      .where(col("__dm_domain").isNotNull)
+      .groupBy(col("__dm_domain"))
+      .agg(max(struct(col("__v"), col("__dm_removed").as("__r"),
+        col("__dm_conf").as("__c"))).as("__m"))
+      .select(col("__dm_domain"), col("__m.__r"), col("__m.__c"))
+      .collect()
+      .filterNot(r => !r.isNullAt(1) && r.getBoolean(1))
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) "" else r.getString(2))).toMap
     // SetTransaction watermarks: per appId the version from the
     // NEWEST commit wins (idempotent-writer bookkeeping, PROTOCOL.md
     // "Transaction Identifiers") — one appId-keyed aggregation
@@ -598,7 +631,7 @@ object DeltaReader {
       .select(col("__txn_app"), col("__m.__txn_v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     finishSnapshot(target, logDir, fs.makeQualified(new Path(cleanUrl)),
-      protocolInfo, metaVals, latestPaths, txns)
+      protocolInfo, metaVals, latestPaths, txns, domains)
   }
 
   /** Driver-side replay of a small checkpoint-less JSON tail: the
@@ -686,12 +719,30 @@ object DeltaReader {
         }
         consider(txt(a, "path"), v, LatestPath(txt(a, "path"), isAdd = true,
           pv, lng(a, "size", 0L), lng(a, "modificationTime", 0L), dv, 0L,
-          Option(txt(a, "stats"))))
+          Option(txt(a, "stats")),
+          Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+          Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+            .map(_.asLong)))
       }
       Option(n.get("remove")).filterNot(_.isNull).foreach { r =>
         consider(txt(r, "path"), v, LatestPath(txt(r, "path"), isAdd = false,
           Map.empty, 0L, 0L, None, lng(r, "deletionTimestamp", 0L), None))
       }
+    }
+    // domainMetadata: newest action per domain; removed drops it
+    val domainState =
+      scala.collection.mutable.Map.empty[String, (Long, Boolean, String)]
+    lines.foreach { case (v, n) =>
+      Option(n.get("domainMetadata")).filterNot(_.isNull).foreach { d =>
+        val dom = txt(d, "domain")
+        if (dom != null && !domainState.get(dom).exists(_._1 > v))
+          domainState.update(dom, (v,
+            Option(d.get("removed")).filterNot(_.isNull).exists(_.asBoolean),
+            Option(txt(d, "configuration")).getOrElse("")))
+      }
+    }
+    val domains: Map[String, String] = domainState.toMap.collect {
+      case (dom, (_, removed, conf)) if !removed => dom -> conf
     }
     // per-appId newest (version, txnVersion) — lexicographic like the
     // distributed max(struct(__v, __txn_v))
@@ -709,7 +760,7 @@ object DeltaReader {
     }
     finishSnapshot(target, logDir, fs.makeQualified(new Path(cleanUrl)),
       protocolInfo, metaVals, latest.values.map(_._2).toSeq,
-      txns.map { case (k, v) => k -> v._2 }.toMap)
+      txns.map { case (k, v) => k -> v._2 }.toMap, domains)
   }
 
   /** Snapshot as of a WALL-CLOCK timestamp: the newest version whose
@@ -1064,7 +1115,28 @@ object DeltaReader {
                                        (implicit spark: SparkSession): DataFrame =
     assembleInternal(snap, keepMeta = false)
 
-  private def assembleInternal(snap: DeltaSnapshot, keepMeta: Boolean)
+  /** The snapshot frame PLUS a `_row_id` / `_row_commit_version`
+    * column pair (the `rowTracking` writer feature's stable row
+    * identity): per row, the MATERIALIZED columns the table's
+    * configuration names when present (rewritten files carry the old
+    * assignment there), else `add.baseRowId + row_index` /
+    * `add.defaultRowCommitVersion`. Files without tracking metadata
+    * yield NULLs — the mixed-history contract. */
+  def scanWithRowIds(url: String, asOfVersion: Option[Long] = None)
+                    (implicit spark: SparkSession): Option[DataFrame] =
+    snapshotAt(url.stripSuffix("/"), asOfVersion)
+      .filter(_.files.nonEmpty)
+      .map(assembleInternal(_, keepMeta = false, keepRowIds = true))
+
+  /** [[scanWithRowIds]] over an already-resolved (possibly
+    * file-filtered) snapshot — the rewrite verbs' input when they
+    * must carry row identity through to materialized columns. */
+  private[sources] def assembleWithRowIds(snap: DeltaSnapshot)
+                                         (implicit spark: SparkSession): DataFrame =
+    assembleInternal(snap, keepMeta = false, keepRowIds = true)
+
+  private def assembleInternal(snap: DeltaSnapshot, keepMeta: Boolean,
+                               keepRowIds: Boolean = false)
                               (implicit spark: SparkSession): DataFrame = {
     val fieldType = snap.schema.fields.map(f => f.name -> f.dataType).toMap
     snap.partitionColumns.foreach { c =>
@@ -1079,14 +1151,28 @@ object DeltaReader {
       .getOrElse(snap.schema.fields.map(f => (f, f)))
       .filterNot { case (lf, _) => snap.partitionColumns.contains(lf.name) }
       .toSeq
-    val dataSchema = StructType(dataPairs.map(_._2))
-    val metaCols = if (keepMeta) Seq(col("__fp"), col("__ri")) else Seq.empty
-    val ordered = snap.schema.fieldNames.map(col).toSeq ++ metaCols
+    // materialized row-tracking columns: physical-only (absent from
+    // the logical schema), read through when row ids are requested
+    val matIdName = snap.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+      .filter(_ => keepRowIds)
+    val matRcvName = snap.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+      .filter(_ => keepRowIds)
+    val matFields = (matIdName.toSeq ++ matRcvName.toSeq)
+      .map(n => StructField(n, LongType))
+    val needMeta = keepMeta || keepRowIds
+    val dataSchema = StructType(dataPairs.map(_._2) ++ matFields)
+    val metaCols = if (needMeta) Seq(col("__fp"), col("__ri")) else Seq.empty
+    val matCols = matFields.map(f => col(f.name))
+    val ordered = snap.schema.fieldNames.map(col).toSeq ++ metaCols ++ matCols
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      if (keepMeta) StructType(snap.schema.fields ++ Seq(
-        StructField("__fp", StringType), StructField("__ri", LongType)))
-      else snap.schema)
+      StructType(snap.schema.fields ++
+        (if (keepMeta) Seq(StructField("__fp", StringType),
+          StructField("__ri", LongType)) else Seq.empty) ++
+        (if (keepRowIds) Seq(StructField("_row_id", LongType),
+          StructField("_row_commit_version", LongType)) else Seq.empty)))
     if (snap.files.isEmpty) return empty
     val deleted = deletedRowsFrame(snap) // built once, shared by groups
     val groups = snap.files
@@ -1098,7 +1184,7 @@ object DeltaReader {
       def readFiles(paths: Seq[String], withMask: Boolean): DataFrame = {
         val read = spark.read.schema(dataSchema).parquet(paths: _*)
         val masked =
-          if (!withMask && !keepMeta) read
+          if (!withMask && !needMeta) read
           else {
             // _metadata.file_path IS Path.toUri.toString (spec-pinned
             // in DeletionVectorSpec), so the join key matches the
@@ -1112,7 +1198,7 @@ object DeltaReader {
                 deleted.get.select(col("__dv_fp").as("__fp"),
                   col("__dv_ri").as("__ri")),
                 Seq("__fp", "__ri"), "left_anti")
-            if (keepMeta) anti else anti.drop("__fp", "__ri")
+            if (needMeta) anti else anti.drop("__fp", "__ri")
           }
         // physical→logical rename; nested names ride a struct cast
         // (positional, so shape is preserved exactly)
@@ -1121,7 +1207,7 @@ object DeltaReader {
             col(pf.name).cast(lf.dataType).as(lf.name) }
           case None => dataPairs.map(_._2.name).map(col)
         }
-        masked.select(dataSel ++ metaCols: _*)
+        masked.select(dataSel ++ metaCols ++ matCols: _*)
       }
       val parts =
         (if (plainFiles.nonEmpty)
@@ -1134,7 +1220,30 @@ object DeltaReader {
         // ANSI cast raises on garbage — corrupt logs fail loudly
         d.withColumn(c, lit(v).cast(StringType).cast(fieldType(c)))
       }.select(ordered: _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _) match {
+      case assembled if !keepRowIds => assembled
+      case assembled =>
+        // resolve _row_id / _row_commit_version: one broadcast join
+        // against the (file-count bounded) per-add assignment frame
+        import spark.implicits._
+        val bm = snap.files.map(f =>
+          (new Path(f.path).toUri.toString,
+            f.baseRowId.map(Long.box).map(_.toLong),
+            f.defaultRowCommitVersion.map(Long.box).map(_.toLong)))
+          .toDF("__bm_fp", "__bm_base", "__bm_rcv")
+        val fromBase = (col("__bm_base") + col("__ri")).cast(LongType)
+        val rid = matIdName.map(n => coalesce(col(n), fromBase))
+          .getOrElse(fromBase)
+        val rcv = matRcvName.map(n => coalesce(col(n), col("__bm_rcv")))
+          .getOrElse(col("__bm_rcv"))
+        assembled
+          .join(broadcast(bm), col("__fp") === col("__bm_fp"), "left")
+          .withColumn("_row_id", rid)
+          .withColumn("_row_commit_version", rcv.cast(LongType))
+          .drop((Seq("__bm_fp", "__bm_base", "__bm_rcv") ++
+            matIdName.toSeq ++ matRcvName.toSeq ++
+            (if (keepMeta) Seq.empty else Seq("__fp", "__ri"))): _*)
+    }
   }
 
   /** Hadoop Configuration with Java serialization — lets the DV
