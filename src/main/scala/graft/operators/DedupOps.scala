@@ -469,7 +469,8 @@ object DedupOps {
     * per-pair scalar arithmetic. */
   def bbitJaccardEstimates(df: DataFrame, idCol: String, textCol: String,
                            bands: Int = 2, rowsPerBand: Int = 4,
-                           bBits: Int = 4): DataFrame = {
+                           bBits: Int = 4,
+                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(bBits >= 1 && bBits <= 16, "bBits must be in [1, 16]")
     val n = bands * rowsPerBand
     val bMod = 1L << bBits
@@ -479,7 +480,7 @@ object DedupOps {
       .localCheckpoint()
     // hot-bucket guard, the [[lshCandidatePairs]] cap
     val sub = Blocking.withSubBlock(sigs, col("band0"), "id",
-      DefaultMaxBucketSize, "__sub")
+      maxBucketSize, "__sub")
     val x = sub.select(col("id").as("a_id") +:
       (0 until n).map(i => col(s"m$i").as(s"xa$i")) :+
       col("band0").as("bk") :+ col("__sub"): _*)

@@ -386,23 +386,14 @@ object DeltaWriter {
       case _ => dfGI
     }
     // allocated identity values ride monotonically_increasing_id —
-    // nondeterministic ACROSS JOBS. enforceCheckConstraints and
-    // landFiles each run their own job, so a CHECK constraint or
-    // invariant referencing an allocated column would otherwise be
-    // validated against different values than the ones landed. Pin
-    // the frame exactly when an enforced predicate mentions one
-    // (name-substring match: conservative, a false positive only
-    // costs the checkpoint).
-    val df =
-      if (allocatedIds.isEmpty) df0
-      else {
-        val preds = snapGen.map(checkConstraintsOf)
-          .getOrElse(invariantsOf(df0.schema))
-        if (preds.exists { case (_, sql) =>
-            allocatedIds.exists(sql.contains) })
-          df0.localCheckpoint()
-        else df0
-      }
+    // nondeterministic ACROSS JOBS. enforceCheckConstraints, the
+    // retry loop's re-enforcement of CONCURRENTLY ADDED constraints,
+    // and landFiles each run their own job, so any enforced predicate
+    // over an allocated column would otherwise be validated against
+    // different values than the ones landed. The pin is unconditional
+    // on allocation: a predicate-conditional pin cannot see the
+    // constraint a concurrent ALTER adds after this decision.
+    val df = if (allocatedIds.isEmpty) df0 else df0.localCheckpoint()
     // the reference's column validation, verbatim semantics
     // (delta_dataset.py:29-35)
     require(partitionColumns.forall(df.columns.contains) &&
@@ -492,6 +483,9 @@ object DeltaWriter {
     def relEncoded(p: Path): String = relEncode(basePath, p)
     val adds = newFiles.zip(fileStats).map { case ((kvs, p), st) =>
       newFileAddLine(fs, p, relEncoded(p), kvs, dataChange = true, st) }
+    // row-tracking stamping input, resolved once (not per retry)
+    lazy val writeRecCounts: Seq[Long] = newFiles.zip(fileStats)
+      .map { case ((_, p), st) => numRecordsOf(st, p) }
 
     // identity high-watermark bookkeeping: the landed files' footer
     // stats (already computed for the adds) give each column's
@@ -617,15 +611,26 @@ object DeltaWriter {
           // metaData. Ids were allocated against the pre-land head —
           // if a concurrent writer advanced maxColumnId since, our
           // ids may collide with its: first writer wins, re-run.
-          if (extra.nonEmpty && s.physicalSchema.nonEmpty) {
+          // the guards run whenever WE allocated, not only when the
+          // head still lacks the columns: a concurrent writer adding
+          // the SAME column would otherwise slip through with ITS
+          // physical name in the schema while our landed files store
+          // OURS — every row we wrote would silently read NULL
+          if (mappedAlloc.nonEmpty) {
             require(maxColumnIdOf(s) == mappedAllocBase,
               "DeltaWriter: concurrent column-mapping allocation — " +
                 "delta.columnMapping.maxColumnId moved while this " +
                 "write was in flight; re-run to allocate past it")
+            require(mappedAlloc.keySet.forall(n =>
+                extra.exists(_.name == n)),
+              "DeltaWriter: a concurrent commit added the same " +
+                "column(s) this write was evolving — the landed files " +
+                "carry a different physical name; re-run the write")
+          }
+          if (extra.nonEmpty && s.physicalSchema.nonEmpty)
             require(extra.forall(f => mappedAlloc.contains(f.name)),
               "DeltaWriter: evolution columns changed between landing " +
                 "files and committing — re-run the write")
-          }
           val stampedExtra = extra.map(f => mappedAlloc.get(f.name)
             .fold(f) { case (p, id) =>
               f.copy(metadata = new MetadataBuilder()
@@ -669,12 +674,11 @@ object DeltaWriter {
         case None => (adds, Seq.empty[String])
         case Some(s) =>
           var next = rowIdHighWaterMark(s) + 1
-          val stamped = newFiles.zip(fileStats).map { case ((kvs, p), st) =>
-            val line = newFileAddLine(fs, p, relEncoded(p), kvs,
-              dataChange = true, st,
+          val stamped = adds.zip(writeRecCounts).map { case (line, n) =>
+            val out = spliceAddFields(line,
               s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
-            next += numRecordsOf(st, p)
-            line
+            next += n
+            out
           }
           (stamped, Seq(rowTrackingDomainLine(next - 1)))
       }
@@ -984,7 +988,15 @@ object DeltaWriter {
     // mask and feed cannot diverge.
     val cdfOn =
       snap.configuration.get("delta.enableChangeDataFeed").contains("true")
-    val matchedFull0 = DeltaReader.scanWithRowIndex(snap)
+    // row-tracking-ENABLED tables: the scan also resolves each
+    // matched row's _row_id/_row_commit_version, so the replacement
+    // images can preserve them via the materialized columns —
+    // UPDATE-shaped merges must not reassign row identity
+    val rtm = rewriteRowTracking(snap)
+    val scanBase =
+      if (rtm.isDefined) DeltaReader.scanWithRowIndexAndIds(snap)
+      else DeltaReader.scanWithRowIndex(snap)
+    val matchedFull0 = scanBase
       .join(hinted(src.select(keyCols.map(col): _*)), keyCols, "left_semi")
     val matchedFull =
       if (cdfOn) matchedFull0.localCheckpoint() else matchedFull0
@@ -1026,8 +1038,22 @@ object DeltaWriter {
         else org.apache.spark.sql.functions.min(col(sp.name))).head()
       if (r.isNullAt(0)) None else Some(sp.name -> r.getLong(0))
     }.toMap
-    copyOnWriteCommit(cleanUrl, snap, matched, inserts, "MERGE", idObserved,
-      cdc)
+    // preserve row identity on UPDATE-shaped rows: each insert joins
+    // (left) the matched target's id by key into the materialized
+    // columns — true inserts stay NULL there and read fresh ids from
+    // the new file's baseRowId. min() per key is the deterministic
+    // pick when the target carried duplicate keys.
+    val insertsOut = rtm match {
+      case None => inserts
+      case Some((mi, mr, _)) =>
+        val oldIds = matchedFull.groupBy(keyCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.min(col("_row_id")).as(mi),
+            org.apache.spark.sql.functions.min(col("_row_commit_version"))
+              .as(mr))
+        inserts.join(hinted(oldIds), keyCols, "left")
+    }
+    copyOnWriteCommit(cleanUrl, snap, matched, insertsOut, "MERGE",
+      idObserved, cdc, rtm)
   }
 
   /** Row-level UPDATE — `SET col = expr, ...` over every row matching
@@ -1076,9 +1102,15 @@ object DeltaWriter {
     }
     // ONE scan feeds both the mask and the rewrite: matched rows are
     // pinned (matched-sized, the rewrite working set every
-    // copy-on-write UPDATE carries) so the two can't diverge
-    val matchedRows = DeltaReader.scanWithRowIndex(snap).where(cond)
-      .localCheckpoint()
+    // copy-on-write UPDATE carries) so the two can't diverge. On
+    // row-tracking-ENABLED tables the scan also resolves each row's
+    // identity, carried into the updated images as the materialized
+    // columns — an UPDATE must not reassign row ids.
+    val rtu = rewriteRowTracking(snap)
+    val matchedRows = (rtu match {
+      case None => DeltaReader.scanWithRowIndex(snap)
+      case Some(_) => DeltaReader.scanWithRowIndexAndIds(snap)
+    }).where(cond).localCheckpoint()
     val mask = matchedRows.select(col("__fp"), col("__ri"))
     val updated = snap.schema.fields.foldLeft(matchedRows) { (df, f) =>
       set.get(f.name) match {
@@ -1086,9 +1118,14 @@ object DeltaWriter {
         case None => df
       }
     }
+    val carryCols: Seq[org.apache.spark.sql.Column] = rtu match {
+      case None => Seq.empty
+      case Some((mi, mr, _)) =>
+        Seq(col("_row_id").as(mi), col("_row_commit_version").as(mr))
+    }
     val regenerated = gens.foldLeft(updated) { case (df, (f, g)) =>
       df.withColumn(f.name, expr(g).cast(f.dataType))
-    }.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    }.select(snap.schema.fieldNames.map(col).toSeq ++ carryCols: _*)
     enforceCheckConstraints(snap, regenerated)
     // pre/postimages pair 1:1 under whole-row copy-on-write UPDATE.
     // With the feed on, PIN the postimages: the landed data files and
@@ -1105,9 +1142,10 @@ object DeltaWriter {
         matchedRows.select(snap.schema.fieldNames.map(col).toSeq: _*)
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(postimages
+            .select(snap.schema.fieldNames.map(col).toSeq: _*)
             .withColumn("_change_type", lit("update_postimage"))))
     copyOnWriteCommit(cleanUrl, snap, mask, postimages, "UPDATE",
-      cdcChanges = cdcU)
+      cdcChanges = cdcU, rtNames = rtu)
   }
 
   /** Shared [[merge]]/[[update]] tail: mask `maskRows` (`__fp`,
@@ -1121,7 +1159,9 @@ object DeltaWriter {
                                 maskRows: DataFrame, inserts: DataFrame,
                                 operation: String,
                                 idObserved: Map[String, Long] = Map.empty,
-                                cdcChanges: Option[DataFrame] = None)
+                                cdcChanges: Option[DataFrame] = None,
+                                rtNames: Option[(String, String,
+                                  Map[String, String])] = None)
                                (implicit spark: SparkSession): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import spark.implicits._
@@ -1201,6 +1241,9 @@ object DeltaWriter {
     val newAdds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
       newFileAddLine(fs, p, relEncode(basePath, p), kvs, dataChange = true,
         st) }
+    // row-tracking stamping input, resolved once (not per retry)
+    lazy val cowRecCounts: Seq[Long] = newFiles.zip(newStats)
+      .map { case ((_, p), st) => numRecordsOf(st, p) }
 
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1250,10 +1293,26 @@ object DeltaWriter {
             """"dataChange":true}}""",
           dvAddLine(f, descriptors(k)))
       }
+      // the landed replacement files materialized row ids under
+      // rtNames — a concurrent first rewrite recording DIFFERENT
+      // names would strand them (rtRewriteLines' rule): re-run
+      rtNames.foreach { case (mi, mr, _) =>
+        require(head.configuration
+            .get("delta.rowTracking.materializedRowIdColumnName")
+            .forall(_ == mi) &&
+          head.configuration
+            .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+            .forall(_ == mr),
+          s"DeltaWriter.$operation: a concurrent commit recorded " +
+            "different materialized row-tracking column names — re-run")
+      }
+      val rtExtra = rtNames.map(_._3 -- head.configuration.keySet)
+        .getOrElse(Map.empty)
       // explicit identity values in the inserts advance the high
       // watermark (delta-spark's SYNC IDENTITY on merge): one
-      // metaData action, recomputed against the fresh head per attempt
-      val metaLine = hwmMetaLine(head, idObserved).toSeq
+      // metaData action (shared with the materialized-name record),
+      // recomputed against the fresh head per attempt
+      val metaLine = hwmMetaLine(head, idObserved, rtExtra).toSeq
       // row tracking: the DV re-adds above carried their ORIGINAL
       // assignment through rowIdCarry; the replacement/insert files
       // get fresh ids above the head's watermark
@@ -1261,12 +1320,11 @@ object DeltaWriter {
         if (!rowTrackingOn(head)) (newAdds, Seq.empty[String])
         else {
           var next = rowIdHighWaterMark(head) + 1
-          val stamped = newFiles.zip(newStats).map { case ((kvs, p), st) =>
-            val line = newFileAddLine(fs, p, relEncode(basePath, p), kvs,
-              dataChange = true, st,
+          val stamped = newAdds.zip(cowRecCounts).map { case (line, n) =>
+            val out = spliceAddFields(line,
               s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
-            next += numRecordsOf(st, p)
-            line
+            next += n
+            out
           }
           (stamped, if (newFiles.isEmpty) Seq.empty[String]
                     else Seq(rowTrackingDomainLine(next - 1)))
@@ -1344,6 +1402,10 @@ object DeltaWriter {
       statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
     val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
       newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false, st) }
+    // record counts for row-tracking stamping: resolved ONCE (stats
+    // parse, or one count job for a stats-less file), not per attempt
+    lazy val recCounts: Seq[Long] = newFiles.zip(newStats)
+      .map { case ((_, p), st) => numRecordsOf(st, p) }
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1364,8 +1426,8 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
-      val (adds2, preLines, postLines) = rtRewriteLines(head, version, fs,
-        newFiles, newStats, relOrAbs, rt, adds)
+      val (adds2, preLines, postLines) = rtRewriteLines(head, version,
+        () => recCounts, rt, adds)
       val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
           (ict ++ preLines ++ removes ++ adds2 ++ postLines)
@@ -1443,6 +1505,10 @@ object DeltaWriter {
       statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
     val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
       newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false, st) }
+    // record counts for row-tracking stamping: resolved ONCE (stats
+    // parse, or one count job for a stats-less file), not per attempt
+    lazy val recCounts: Seq[Long] = newFiles.zip(newStats)
+      .map { case ((_, p), st) => numRecordsOf(st, p) }
     val selected = groups.flatten
     val byKey = selected.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
@@ -1464,8 +1530,8 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
-      val (adds2, preLines, postLines) = rtRewriteLines(head, version, fs,
-        newFiles, newStats, relOrAbs, rt, adds)
+      val (adds2, preLines, postLines) = rtRewriteLines(head, version,
+        () => recCounts, rt, adds)
       val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
           (ict ++ preLines ++ removes ++ adds2 ++ postLines)
@@ -1600,6 +1666,10 @@ object DeltaWriter {
       statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
     val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
       newFileAddLine(fs, p, relOrAbs(p), kvs, dataChange = false, st) }
+    // record counts for row-tracking stamping: resolved ONCE (stats
+    // parse, or one count job for a stats-less file), not per attempt
+    lazy val recCounts: Seq[Long] = newFiles.zip(newStats)
+      .map { case ((_, p), st) => numRecordsOf(st, p) }
     val byKey = snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
@@ -1619,8 +1689,8 @@ object DeltaWriter {
           """"dataChange":false}}"""
       }
       val version = head.version + 1
-      val (adds2, preLines, postLines) = rtRewriteLines(head, version, fs,
-        newFiles, newStats, relOrAbs, rt, adds)
+      val (adds2, preLines, postLines) = rtRewriteLines(head, version,
+        () => recCounts, rt, adds)
       val ict = ictLines(head.configuration, fs, logDir, head.version, "OPTIMIZE")
       if (publishCommit(fs, logDir, version,
           (ict ++ preLines ++ removes ++ adds2 ++ postLines)
@@ -1895,6 +1965,7 @@ object DeltaWriter {
         s""""modificationTime":${f.modificationTime},"dataChange":true""" +
         f.deletionVector.map(dvJson).getOrElse("") +
         f.stats.map(s => s""","stats":"${jsonEscape(s)}"""").getOrElse("") +
+        rowIdCarry(f) +
         "}}"
     }
     var attempt = 0
@@ -2339,26 +2410,45 @@ object DeltaWriter {
     * lacked the materialized column names — the metaData recording
     * them. Returns (adds, preLines, postLines). */
   private def rtRewriteLines(head: DeltaReader.DeltaSnapshot,
-      version: Long, fs: FileSystem,
-      newFiles: Seq[(Seq[(String, String)], Path)],
-      newStats: Seq[Option[String]],
-      rel: Path => String,
+      version: Long,
+      recCounts: () => Seq[Long],
       rt: Option[(String, String, Map[String, String])],
       plainAdds: Seq[String])
       (implicit spark: SparkSession): (Seq[String], Seq[String], Seq[String]) =
     if (!rowTrackingOn(head)) (plainAdds, Seq.empty, Seq.empty)
     else {
-      var next = rowIdHighWaterMark(head) + 1
-      val stamped = newFiles.zip(newStats).map { case ((kvs, p), st) =>
-        val line = newFileAddLine(fs, p, rel(p), kvs, dataChange = false, st,
-          s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
-        next += numRecordsOf(st, p)
-        line
+      // the landed files materialized ids under the names in `rt`
+      // (resolved from OUR snapshot) — a concurrent first rewrite may
+      // have recorded DIFFERENT names at the head since. Committing
+      // against them would strand our materialized columns (or
+      // clobber the winner's recorded names): first writer wins,
+      // re-run so the retry materializes under the head's names.
+      rt.foreach { case (mi, mr, _) =>
+        val miKey = "delta.rowTracking.materializedRowIdColumnName"
+        val mrKey = "delta.rowTracking.materializedRowCommitVersionColumnName"
+        require(head.configuration.get(miKey).forall(_ == mi) &&
+          head.configuration.get(mrKey).forall(_ == mr),
+          "DeltaWriter: a concurrent rewrite recorded different " +
+            "materialized row-tracking column names — re-run so the " +
+            "rewrite materializes under the recorded names")
       }
-      val metaLine = rt.map(_._3).filter(_.nonEmpty).map(extra =>
-        metaDataLine(head.tableId, head.schema, head.partitionColumns,
-          head.configuration ++ extra,
-          head.createdTime.getOrElse(System.currentTimeMillis))).toSeq
+      var next = rowIdHighWaterMark(head) + 1
+      val stamped = plainAdds.zip(recCounts()).map { case (line, n) =>
+        val out = spliceAddFields(line,
+          s""","baseRowId":$next,"defaultRowCommitVersion":$version""")
+        next += n
+        out
+      }
+      val metaLine = rt.map(_._3).filter(_.nonEmpty)
+        // additions recomputed against the HEAD's config: names the
+        // head already records (necessarily equal, per the guard) are
+        // not re-written
+        .map(extra => extra -- head.configuration.keySet)
+        .filter(_.nonEmpty)
+        .map(extra =>
+          metaDataLine(head.tableId, head.schema, head.partitionColumns,
+            head.configuration ++ extra,
+            head.createdTime.getOrElse(System.currentTimeMillis))).toSeq
       (stamped, metaLine, Seq(rowTrackingDomainLine(next - 1)))
     }
 
@@ -2493,6 +2583,16 @@ object DeltaWriter {
       f.defaultRowCommitVersion
         .map(v => s""","defaultRowCommitVersion":$v""").getOrElse("")
 
+  /** Splice extra JSON fields into an add line THIS writer rendered
+    * (always `…}}`-terminated) — lets the commit retry loop restamp
+    * per-attempt row-tracking fields without re-statting files or
+    * re-parsing stats per attempt. */
+  private def spliceAddFields(addLine: String, extra: String): String = {
+    require(addLine.endsWith("}}"),
+      s"DeltaWriter: cannot splice into non-add line: $addLine")
+    addLine.dropRight(2) + extra + "}}"
+  }
+
   /** The one shared `metaData` action renderer. */
   private def metaDataLine(tableId: String, schema: StructType,
       partitionColumns: Seq[String], configuration: Map[String, String],
@@ -2511,8 +2611,8 @@ object DeltaWriter {
     * nothing advances, so commits stay metaData-free in the common
     * case. Evaluated against the CURRENT head per publish attempt. */
   private def hwmMetaLine(head: DeltaReader.DeltaSnapshot,
-      observed: Map[String, Long]): Option[String] = {
-    if (observed.isEmpty) return None
+      observed: Map[String, Long],
+      confExtra: Map[String, String] = Map.empty): Option[String] = {
     val specs = identitySpecs(head.schema)
     val advanced = observed.flatMap { case (n, obs) =>
       specs.find(_.name == n).flatMap { sp =>
@@ -2521,10 +2621,12 @@ object DeltaWriter {
         if (sp.highWaterMark.contains(merged)) None else Some(n -> merged)
       }
     }
-    if (advanced.isEmpty) None
+    // ONE metaData per commit: identity watermarks and configuration
+    // additions (materialized row-tracking names) ride together
+    if (advanced.isEmpty && confExtra.isEmpty) None
     else Some(metaDataLine(head.tableId,
       stampHighWaterMarks(head.schema, advanced), head.partitionColumns,
-      head.configuration,
+      head.configuration ++ confExtra,
       head.createdTime.getOrElse(System.currentTimeMillis)))
   }
 

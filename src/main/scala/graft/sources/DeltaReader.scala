@@ -1108,6 +1108,13 @@ object DeltaReader {
                                        (implicit spark: SparkSession): DataFrame =
     assembleInternal(snap, keepMeta = true)
 
+  /** [[scanWithRowIndex]] PLUS `_row_id` / `_row_commit_version` —
+    * what MERGE/UPDATE need on row-tracking-enabled tables: the mask
+    * provenance and the identity the replacement rows must carry. */
+  private[sources] def scanWithRowIndexAndIds(snap: DeltaSnapshot)
+                                             (implicit spark: SparkSession): DataFrame =
+    assembleInternal(snap, keepMeta = true, keepRowIds = true)
+
   /** Assemble an arbitrary (possibly file-filtered) snapshot — the
     * OPTIMIZE rewrite path reads just the heavily-masked files this
     * way, masks applied, partition literals injected. */
@@ -1161,6 +1168,15 @@ object DeltaReader {
       .filter(_ => keepRowIds)
     val matFields = (matIdName.toSeq ++ matRcvName.toSeq)
       .map(n => StructField(n, LongType))
+    if (keepRowIds) {
+      val reserved = Set("_row_id", "_row_commit_version") ++
+        matIdName ++ matRcvName
+      val collisions = snap.schema.fieldNames.toSet.intersect(reserved)
+      require(collisions.isEmpty,
+        s"DeltaReader.scanWithRowIds: table columns ${collisions
+          .mkString(", ")} collide with the row-tracking output/" +
+          "materialized column names — rename them or read without row ids")
+    }
     val needMeta = keepMeta || keepRowIds
     val dataSchema = StructType(dataPairs.map(_._2) ++ matFields)
     val metaCols = if (needMeta) Seq(col("__fp"), col("__ri")) else Seq.empty

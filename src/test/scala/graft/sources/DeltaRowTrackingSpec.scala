@@ -123,6 +123,42 @@ class DeltaRowTrackingSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE and MERGE preserve row ids on enabled tables; RESTORE carries them") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTracked(table, 4) // values 0..3, ids 0..3
+      val ds = new DeltaDataset(table)
+      val seed = rowIds(table)
+      // UPDATE rewrites the row into a NEW file — identity must ride
+      // the materialized column, not the new file's fresh baseRowId
+      ds.update(col("v") === 2L, Map("v" -> lit(200L)))               // v1
+      val afterUpd = rowIds(table)
+      assert(afterUpd(200L) == seed(2L),
+        "an UPDATEd row keeps its row id across the rewrite")
+      assert(afterUpd - 200L == seed - 2L, "untouched rows keep theirs")
+      // MERGE: matched key replaced (id preserved), new key inserted
+      // (fresh id above the watermark)
+      ds.merge(Seq(0L, 500L).toDF("v"), Seq("v"))                     // v2
+      val afterMrg = rowIds(table)
+      assert(afterMrg(0L) == seed(0L),
+        "a MERGE-replaced row keeps its row id")
+      assert(afterMrg(500L) > afterUpd.values.max,
+        "a MERGE-inserted row allocates a fresh id above the watermark")
+      assert(afterMrg.values.toSeq.distinct.size == afterMrg.size)
+      // the merge commit recorded the materialized names it used
+      assert(DeltaReader.snapshot(table).get.configuration
+        .contains("delta.rowTracking.materializedRowIdColumnName"))
+      // RESTORE re-adds files: the re-adds must carry the original
+      // baseRowId/defaultRowCommitVersion, not drop them
+      ds.restore(0L)                                                  // v3
+      val snap = DeltaReader.snapshot(table).get
+      assert(snap.files.forall(_.baseRowId.isDefined),
+        "restored adds must keep their row-id assignment")
+      assert(rowIds(table) == seed,
+        "a restored version reads its original row ids")
+    }
+  }
+
   test("row ids and the domain watermark survive checkpoint-anchored replay") {
     withTempDir { dir =>
       val table = s"$dir/t"
