@@ -558,7 +558,7 @@ object DedupOps {
     (0 until bands).map { b =>
       val banded = Blocking.withSubBlock(
         sigs.select(col("id"), col(s"band$b").as("bk")),
-        col("bk"), "id", maxBucketSize, "__sub")
+        col("bk"), "id", maxBucketSize, "__sub", salt = Some(b))
       val x = banded.select(col("id").as("a_id"), col("bk"), col("__sub"))
       val y = banded.select(col("id").as("b_id"), col("bk"), col("__sub"))
       x.join(y, Seq("bk", "__sub")).where(col("a_id") < col("b_id"))
@@ -930,7 +930,7 @@ object DedupOps {
       val banded = Blocking.withSubBlock(
         sims.select(col("id"), col("sim"),
           expr(s"(sim div ${div}L) % ${buckets}L").as("bk")),
-        col("bk"), "id", maxBucketSize, "__sub")
+        col("bk"), "id", maxBucketSize, "__sub", salt = Some(b))
       val x = banded.select(col("id").as("a_id"), col("sim").as("sa"),
         col("bk"), col("__sub"))
       val y = banded.select(col("id").as("b_id"), col("sim").as("sb"),
@@ -957,7 +957,7 @@ object DedupOps {
     * or under the cap are compared exhaustively. */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           prefixLen: Int = 40, minJaccard: Double = 0.3,
-                          maxBlockSize: Int = 8192): DataFrame = {
+                          maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
     val blocked = Blocking.withSubBlock(
       df.select(col(idCol).as("id"), substring(col(textCol), 1, prefixLen).as("blk")),
       col("blk"), "id", maxBlockSize, "__sub")

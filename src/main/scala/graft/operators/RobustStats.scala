@@ -27,14 +27,15 @@ object RobustStats {
   val DefaultMaxPairCells: Long = 100000000L
 
   /** Raise when the per-arm distinct-value cardinalities of a
-    * (__arm, __v, __n) cell frame would cross-multiply past
-    * `maxPairCells`. One tiny aggregate on the (checkpointed) cells —
-    * the frames are value-cardinality-bounded by construction. */
-  private def guardPairCells(cells: DataFrame, maxPairCells: Long,
+    * (__arm, __v) frame would cross-multiply past `maxPairCells`.
+    * Runs on the RAW arm/value projection, BEFORE the cell histogram
+    * is built or checkpointed — the refusal must fire without first
+    * materializing the near-row-count frame it protects against. */
+  private def guardPairCells(base: DataFrame, maxPairCells: Long,
                              caller: String): Unit = {
     require(maxPairCells > 0, s"$caller: maxPairCells must be positive")
-    val card = cells.groupBy(col("__arm"))
-      .agg(count(lit(1)).cast("bigint").as("__k")).collect()
+    val card = base.groupBy(col("__arm"))
+      .agg(countDistinct(col("__v")).cast("bigint").as("__k")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ka = card.getOrElse(0L, 0L)
     val kb = card.getOrElse(1L, 0L)
@@ -344,10 +345,10 @@ object RobustStats {
                      maxPairCells: Long = DefaultMaxPairCells): DataFrame = {
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
+    guardPairCells(base, maxPairCells, "relativeEffect")
     val cells = base.groupBy(col("__arm"), col("__v"))
       .agg(count(lit(1)).cast("bigint").as("__n"))
       .localCheckpoint()
-    guardPairCells(cells, maxPairCells, "relativeEffect")
     val a = cells.where(col("__arm") === 0L)
       .select(col("__v").as("__va"), col("__n").as("__na"))
     val b = cells.where(col("__arm") === 1L)
@@ -886,10 +887,10 @@ object RobustStats {
                     maxPairCells: Long = DefaultMaxPairCells): DataFrame = {
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
+    guardPairCells(base, maxPairCells, "hodgesLehmann")
     val cells = base.groupBy(col("__arm"), col("__v"))
       .agg(count(lit(1)).cast("bigint").as("__n"))
       .localCheckpoint()
-    guardPairCells(cells, maxPairCells, "hodgesLehmann")
     val a = cells.where(col("__arm") === 0L)
       .select(col("__v").as("__va"), col("__n").as("__na"))
     val b = cells.where(col("__arm") === 1L)

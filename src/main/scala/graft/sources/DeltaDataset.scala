@@ -469,7 +469,17 @@ object DeltaWriter {
     }
     val physW = snapGen.map(physColumnsFor(_, "write")).getOrElse(Map.empty) ++
       mappedAlloc.map { case (n, (p, id)) => n -> ((p, Some(id))) }
-    val statsSchema = snapGen.flatMap(_.physicalSchema).getOrElse(df.schema)
+    // evolution-allocated mapped columns join the stats schema under
+    // their PHYSICAL names, so the very files that introduce a column
+    // carry its min/max/nullCount (data skipping live from commit one)
+    val statsSchema = snapGen.flatMap(_.physicalSchema) match {
+      case None => df.schema
+      case Some(ps) => StructType(ps.fields ++
+        mappedAlloc.toSeq.sortBy(_._2._2).flatMap { case (n, (p, _)) =>
+          df.schema.fields.find(_.name == n).map(f => StructField(p, f.dataType,
+            f.nullable))
+        })
+    }
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df,
       partitionColumns, physW)
     val fileStats: Seq[Option[String]] =
@@ -973,8 +983,24 @@ object DeltaWriter {
     // sort-merge under AQE — still never cartesian, they are
     // equi-joins on the key columns).
     val srcRows = src.count()
-    val keyRowBytes = keyCols.map(k =>
-      tblTypes(k).defaultSize.toLong + 8L).sum + 16L
+    // variable-width key columns (string/binary) are measured, not
+    // assumed: DataType.defaultSize is a 20-byte constant for strings,
+    // and a 200-byte URL key would defeat the gate 8x over
+    val (varKeys, fixedKeys) = keyCols.partition(k => tblTypes(k) match {
+      case StringType | BinaryType => true
+      case _ => false
+    })
+    val varBytes: Long =
+      if (varKeys.isEmpty || srcRows == 0L) 0L
+      else {
+        val r = src.agg(varKeys.map(k =>
+          coalesce(avg(octet_length(col(k).cast("binary"))), lit(0.0))
+            .as(s"__w_$k")).reduce((a, b) => a + b).as("__w")).head()
+        math.ceil(r.getDouble(0)).toLong
+      }
+    val keyRowBytes = varBytes +
+      fixedKeys.map(k => tblTypes(k).defaultSize.toLong).sum +
+      keyCols.length * 8L + 16L
     val bcThreshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     val smallSource = bcThreshold > 0 && srcRows * keyRowBytes <= bcThreshold
     def hinted(keys: DataFrame): DataFrame =
@@ -1046,10 +1072,14 @@ object DeltaWriter {
     val insertsOut = rtm match {
       case None => inserts
       case Some((mi, mr, _)) =>
+        // min over the STRUCT: the carried (id, commitVersion) pair
+        // comes from ONE row — independent mins could pair an id with
+        // another row's commit version under duplicate target keys
         val oldIds = matchedFull.groupBy(keyCols.map(col): _*)
-          .agg(org.apache.spark.sql.functions.min(col("_row_id")).as(mi),
-            org.apache.spark.sql.functions.min(col("_row_commit_version"))
-              .as(mr))
+          .agg(org.apache.spark.sql.functions.min(
+            struct(col("_row_id"), col("_row_commit_version"))).as("__m"))
+          .select((keyCols.map(col) :+ col("__m._row_id").as(mi) :+
+            col("__m._row_commit_version").as(mr)): _*)
         inserts.join(hinted(oldIds), keyCols, "left")
     }
     copyOnWriteCommit(cleanUrl, snap, matched, insertsOut, "MERGE",
@@ -2342,12 +2372,26 @@ object DeltaWriter {
   private def rowTrackingOn(snap: DeltaReader.DeltaSnapshot): Boolean =
     snap.protocol.writerFeatures.exists(_.contains("rowTracking"))
 
+  /** -1 when the domain is ABSENT (a fresh table); a PRESENT but
+    * unparseable domain refuses — defaulting it to -1 would reallocate
+    * already-assigned row ids, silently corrupting the stable-identity
+    * guarantee (the delta.invariants rule: an obligation this writer
+    * cannot read is one it cannot honor). */
   private[sources] def rowIdHighWaterMark(
       snap: DeltaReader.DeltaSnapshot): Long =
-    snap.domainMetadata.get("delta.rowTracking").flatMap { conf =>
-      scala.util.Try(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(conf).get("rowIdHighWaterMark").asLong).toOption
-    }.getOrElse(-1L)
+    snap.domainMetadata.get("delta.rowTracking") match {
+      case None => -1L
+      case Some(conf) =>
+        scala.util.Try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(conf).get("rowIdHighWaterMark")
+          require(n != null && n.isIntegralNumber)
+          n.asLong
+        }.getOrElse(throw new IllegalArgumentException(
+          s"DeltaWriter: the delta.rowTracking domain metadata ($conf) " +
+            "is unreadable — refusing to allocate row ids that could " +
+            "collide with the recorded watermark"))
+    }
 
   private def rowTrackingDomainLine(hwm: Long): String =
     s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
@@ -2914,7 +2958,9 @@ object DeltaWriter {
                                (implicit spark: SparkSession): Unit = {
     import org.apache.spark.sql.Row
     val (rows, schema) = checkpointRows(base, snap)
-    // row layout: (txn, add, remove, metaData, protocol)
+    // row layout: (txn, add, remove, domainMetadata, metaData,
+    // protocol) — the file/non-file split below keys on add/remove at
+    // positions 1/2; domainMetadata rows are manifest (non-file) state
     val (fileRows, otherRows) =
       rows.partition(r => r.get(1) != null || r.get(2) != null)
     val sidecarName = s"${java.util.UUID.randomUUID}.parquet"
