@@ -343,8 +343,12 @@ object RobustStats {
   def relativeEffect(df: DataFrame, armBCond: org.apache.spark.sql.Column,
                      valueCol: String,
                      maxPairCells: Long = DefaultMaxPairCells): DataFrame = {
+    // NULL metric rows are dropped up front (the [[distributionDrift]]
+    // convention): counted in n_a/n_b but unable to score a pair,
+    // they would bias p-hat/delta toward zero
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
     guardPairCells(base, maxPairCells, "relativeEffect")
     val cells = base.groupBy(col("__arm"), col("__v"))
       .agg(count(lit(1)).cast("bigint").as("__n"))
@@ -885,8 +889,11 @@ object RobustStats {
   def hodgesLehmann(df: DataFrame, armBCond: org.apache.spark.sql.Column,
                     valueCol: String,
                     maxPairCells: Long = DefaultMaxPairCells): DataFrame = {
+    // NULL metric rows dropped up front — a NULL difference cell would
+    // ride the cumulative window NULLS FIRST and shift the median pick
     val base = df.select(when(armBCond, 1L).otherwise(0L).as("__arm"),
       col(valueCol).cast("bigint").as("__v"))
+      .where(col("__v").isNotNull)
     guardPairCells(base, maxPairCells, "hodgesLehmann")
     val cells = base.groupBy(col("__arm"), col("__v"))
       .agg(count(lit(1)).cast("bigint").as("__n"))

@@ -982,22 +982,22 @@ object DeltaWriter {
     // and CDC joins run as plain key equi-joins (shuffled hash /
     // sort-merge under AQE — still never cartesian, they are
     // equi-joins on the key columns).
-    val srcRows = src.count()
     // variable-width key columns (string/binary) are measured, not
     // assumed: DataType.defaultSize is a 20-byte constant for strings,
-    // and a 200-byte URL key would defeat the gate 8x over
+    // and a 200-byte URL key would defeat the gate 8x over. ONE job
+    // over the checkpointed source yields both the row count and the
+    // measured widths.
     val (varKeys, fixedKeys) = keyCols.partition(k => tblTypes(k) match {
       case StringType | BinaryType => true
       case _ => false
     })
-    val varBytes: Long =
-      if (varKeys.isEmpty || srcRows == 0L) 0L
-      else {
-        val r = src.agg(varKeys.map(k =>
-          coalesce(avg(octet_length(col(k).cast("binary"))), lit(0.0))
-            .as(s"__w_$k")).reduce((a, b) => a + b).as("__w")).head()
-        math.ceil(r.getDouble(0)).toLong
-      }
+    val gateRow = src.agg(
+      count(lit(1)).cast("bigint").as("__n"),
+      (if (varKeys.isEmpty) lit(0.0)
+       else varKeys.map(k => coalesce(avg(octet_length(col(k))), lit(0.0)))
+         .reduce(_ + _)).as("__w")).head()
+    val srcRows = gateRow.getLong(0)
+    val varBytes: Long = math.ceil(gateRow.getDouble(1)).toLong
     val keyRowBytes = varBytes +
       fixedKeys.map(k => tblTypes(k).defaultSize.toLong).sum +
       keyCols.length * 8L + 16L
@@ -1074,8 +1074,13 @@ object DeltaWriter {
       case Some((mi, mr, _)) =>
         // min over the STRUCT: the carried (id, commitVersion) pair
         // comes from ONE row — independent mins could pair an id with
-        // another row's commit version under duplicate target keys
-        val oldIds = matchedFull.groupBy(keyCols.map(col): _*)
+        // another row's commit version under duplicate target keys.
+        // NULL-id rows (pre-tracking files, the mixed-history
+        // contract) are excluded FIRST: struct min would sort a null
+        // first field ahead of every real id and discard a preserved
+        // identity a duplicate key still carries.
+        val oldIds = matchedFull.where(col("_row_id").isNotNull)
+          .groupBy(keyCols.map(col): _*)
           .agg(org.apache.spark.sql.functions.min(
             struct(col("_row_id"), col("_row_commit_version"))).as("__m"))
           .select((keyCols.map(col) :+ col("__m._row_id").as(mi) :+

@@ -64,9 +64,12 @@ class ScaleShapeSpec extends SparkSpec {
     // bands=4) while per-band JOIN COST stays Θ(size·cap): the union
     // must stay far below exhaustive AND above a single band's share
     // (the salt actually buying multi-band recall).
+    // lower bound sits strictly ABOVE the worst-case single-band mass
+    // (balanced 10x60 split = 10*C(60,2) = 17,700): an unsalted
+    // regression collapses the union to one band's share and FAILS
     val sCapped = DedupOps.simhashNearDupPairs(boiler, "doc_id", "text",
       maxBucketSize = 64).count()
-    assert(sCapped > 17000L && sCapped < 179700L / 2,
+    assert(sCapped > 25000L && sCapped < 179700L / 2,
       s"simhash hot bucket must be capped with salted sub-blocks, got $sCapped")
   }
 
