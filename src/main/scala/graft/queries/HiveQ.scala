@@ -2109,5 +2109,87 @@ object HiveQ {
           sum(col("o_orderkey")).cast("bigint").as("sum_key"),
           sum(col("_row_id")).cast("bigint").as("sum_row_id"))
       })
+    ,
+
+    // ---- NESTED columns under mapping -------------------------------
+    // A foreign name-mode table whose struct field carries its own
+    // inner physical names: appends land parquet with PHYSICAL names
+    // at both levels (the positional struct-cast rewrite — the exact
+    // inverse of the reader's physical→logical cast), DV deletes
+    // predicate on inner fields, and logical reads round-trip. The
+    // round-12 residual: delta-rs handles these; this writer refused.
+    Q("q434_delta_nested_mapped",
+      Some("""WITH rows_all AS (
+             |  SELECT n_nationkey, n_regionkey FROM nation
+             |  WHERE n_nationkey < 25),
+             |kept AS (SELECT * FROM rows_all WHERE NOT n_regionkey = 3)
+             |SELECT count(*)::BIGINT AS n, sum(n_nationkey)::BIGINT AS sum_key,
+             |  sum(n_regionkey)::BIGINT AS sum_region
+             |FROM kept""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q434_")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+        // seed file with PHYSICAL names at both levels
+        nat.where(col("n_nationkey") < 12)
+          .select(col("n_nationkey").as("pk-001"),
+            struct(col("n_regionkey").as("pr-003")).as("ps-002"))
+          .coalesce(1).write.parquet(s"$table/stage")
+        val part = new java.io.File(s"$table/stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$table/seed-000.parquet")
+        require(part.renameTo(dest), "q434: fixture move failed")
+        def fm(id: Long, phys: String) =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", phys).build()
+        val inner = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r",
+            org.apache.spark.sql.types.IntegerType, nullable = true,
+            fm(3, "pr-003"))))
+        val mapped = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType, nullable = true,
+            fm(1, "pk-001")),
+          org.apache.spark.sql.types.StructField("s", inner,
+            nullable = true, fm(2, "ps-002"))))
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q434","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(mapped.json)}","partitionColumns":[],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":"3"},"createdTime":1700000000000}}""",
+          s"""{"add":{"path":"seed-000.parquet","partitionValues":{},""" +
+            s""""size":${dest.length},"modificationTime":1700000000000,""" +
+            """"dataChange":true}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        // append in LOGICAL shape: the writer rewrites both levels
+        ds.append(nat.where(col("n_nationkey") >= 12 &&
+            col("n_nationkey") < 25)
+          .select(col("n_nationkey"),
+            struct(col("n_regionkey").as("r")).as("s")))              // v1
+        val mine = graft.sources.DeltaReader.snapshot(table)(s).get.files
+          .filterNot(_.path.endsWith("seed-000.parquet"))
+        require(mine.nonEmpty && mine.forall { f =>
+          val sch = s.read.parquet(f.path).schema
+          sch.fieldNames.toSeq == Seq("pk-001", "ps-002") &&
+            sch("ps-002").dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.toSeq == Seq("pr-003")
+        }, "q434: landed files must store physical names at BOTH levels")
+        // DV delete predicated on the INNER logical field
+        ds.delete(col("s.r") === 3)                                   // v2
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"),
+          sum(col("s.r")).cast("bigint").as("sum_region"))
+      })
   )
 }

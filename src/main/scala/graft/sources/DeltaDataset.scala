@@ -191,8 +191,23 @@ object DeltaWriter {
 
   /** Names + types (nullability and metadata ignored — both engines
     * widen them freely), order-sensitive like delta-rs's default. */
+  /** Structural type modulo nullability and field metadata at EVERY
+    * level — top-level fields always compared this way, and nested
+    * fields must be too: a mapped table's inner fields carry
+    * delta.columnMapping metadata (and nullability richer than a
+    * freshly-built frame's), neither of which changes what the
+    * parquet rows look like. */
+  private def normalizeType(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, normalizeType(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(normalizeType(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normalizeType(k), normalizeType(v), valueContainsNull = true)
+    case other => other
+  }
+
   private def canonical(st: StructType): Seq[(String, DataType)] =
-    st.fields.map(f => f.name -> f.dataType).toSeq
+    st.fields.map(f => f.name -> normalizeType(f.dataType)).toSeq
 
   /** Per-file statistics JSON for an `add` action — Delta's
     * data-skipping contract (`numRecords` / `minValues` / `maxValues`
@@ -408,8 +423,7 @@ object DeltaWriter {
 
     def validateAgainst(snap: DeltaReader.DeltaSnapshot): Unit = {
       enforceWritable(snap, "write")
-      physColumnsFor(snap, "write") // flat-schema guard under mapping
-      require(snap.partitionColumns == partitionColumns,
+        require(snap.partitionColumns == partitionColumns,
         s"DeltaWriter: table is partitioned by ${snap.partitionColumns}, " +
           s"write requested $partitionColumns")
       if (!mergeSchema)
@@ -422,7 +436,8 @@ object DeltaWriter {
         // a shared column would silently corrupt every old file's read
         val tbl = snap.schema.fields.map(f => f.name -> f.dataType).toMap
         df.schema.fields.foreach { f =>
-          tbl.get(f.name).foreach(t => require(t == f.dataType,
+          tbl.get(f.name).foreach(t => require(
+            normalizeType(t) == normalizeType(f.dataType),
             s"DeltaWriter: mergeSchema cannot change column '${f.name}' " +
               s"from ${t.simpleString} to ${f.dataType.simpleString}"))
         }
@@ -481,7 +496,8 @@ object DeltaWriter {
         })
     }
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df,
-      partitionColumns, physW)
+      partitionColumns, physW,
+      snapGen.map(physTypesFor).getOrElse(Map.empty))
     val fileStats: Seq[Option[String]] =
       newFiles.map { case (_, p) => statsJson(fs, p, statsSchema) }
 
@@ -737,7 +753,6 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.delete: no Delta table at $cleanUrl"))
     enforceWritable(snap, "delete")
-    physColumnsFor(snap, "delete") // flat-schema guard under mapping
     // real Delta refuses DELETE on append-only tables — other writers
     // and consumers rely on the table never losing rows
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
@@ -764,7 +779,7 @@ object DeltaWriter {
       else cdcLandAndLines(fs, qualifiedBase, cleanUrl, snap.configuration,
         snap.partitionColumns, physColumnsFor(snap, "delete"),
         Some(matchedRows.drop("__fp", "__ri")
-          .withColumn("_change_type", lit("delete"))))
+          .withColumn("_change_type", lit("delete"))), physTypesFor(snap))
     val byKey: Map[String, DeltaReader.DeltaFile] =
       snap.files.map(f => new Path(f.path).toUri.toString -> f).toMap
     fileKeys.foreach(k => require(byKey.contains(k),
@@ -934,7 +949,6 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.merge: no Delta table at $cleanUrl"))
     enforceWritable(snap, "merge")
-    physColumnsFor(snap, "merge") // flat-schema guard under mapping
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaWriter.merge: table at $cleanUrl is append-only " +
         "(delta.appendOnly=true) — MERGE rewrites rows, refused")
@@ -957,7 +971,8 @@ object DeltaWriter {
     require(sourceG.columns.toSet == tblTypes.keySet,
       s"DeltaWriter.merge: whole-row merge needs the table's columns " +
         s"${snap.schema.fieldNames.toSeq}, source has ${source.columns.toSeq}")
-    sourceG.schema.fields.foreach(f => require(tblTypes(f.name) == f.dataType,
+    sourceG.schema.fields.foreach(f => require(
+      normalizeType(tblTypes(f.name)) == normalizeType(f.dataType),
       s"DeltaWriter.merge: column '${f.name}' is ${tblTypes(f.name)
         .simpleString} in the table, ${f.dataType.simpleString} in the source"))
     keyCols.foreach(k => require(tblTypes.contains(k),
@@ -1112,7 +1127,6 @@ object DeltaWriter {
       throw new IllegalArgumentException(
         s"DeltaWriter.update: no Delta table at $cleanUrl"))
     enforceWritable(snap, "update")
-    physColumnsFor(snap, "update") // flat-schema guard under mapping
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"DeltaWriter.update: table at $cleanUrl is append-only " +
         "(delta.appendOnly=true) — UPDATE rewrites rows, refused")
@@ -1249,9 +1263,10 @@ object DeltaWriter {
     val newFiles: Seq[(Seq[(String, String)], Path)] =
       if (insertsEmpty) Seq.empty
       else landFiles(fs, qualifiedBase, cleanUrl, inserts,
-        snap.partitionColumns, physI)
+        snap.partitionColumns, physI, physTypesFor(snap))
     val cdcLines = cdcLandAndLines(fs, qualifiedBase, cleanUrl,
-      snap.configuration, snap.partitionColumns, physI, cdcChanges)
+      snap.configuration, snap.partitionColumns, physI, cdcChanges,
+      physTypesFor(snap))
 
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relOrAbs(p: Path): String =
@@ -1428,7 +1443,7 @@ object DeltaWriter {
     val rt = rewriteRowTracking(snap)
     val survivors = rewriteSource(snap, selected, rt)
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, survivors,
-      snap.partitionColumns, physO)
+      snap.partitionColumns, physO, physTypesFor(snap))
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     def relOrAbs(p: Path): String =
       if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
@@ -1534,7 +1549,7 @@ object DeltaWriter {
         (g.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
       val packed = rewriteSource(snap, g, rt).coalesce(bins)
       landFiles(fs, qualifiedBase, cleanUrl, packed,
-        snap.partitionColumns, physC)
+        snap.partitionColumns, physC, physTypesFor(snap))
     }
     val newStats: Seq[Option[String]] = newFiles.map { case (_, p) =>
       statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
@@ -1696,7 +1711,7 @@ object DeltaWriter {
       if (p.toUri.getPath.startsWith(basePath + "/")) relEncode(basePath, p)
       else p.toUri.toString
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, clustered,
-      pcols, physZ)
+      pcols, physZ, physTypesFor(snap))
     val newStats: Seq[Option[String]] = newFiles.map { case (_, p) =>
       statsJson(fs, p, snap.physicalSchema.getOrElse(snap.schema)) }
     val adds = newFiles.zip(newStats).map { case ((kvs, p), st) =>
@@ -2695,7 +2710,8 @@ object DeltaWriter {
       cleanUrl: String, conf: Map[String, String],
       partitionColumns: Seq[String],
       phys: Map[String, (String, Option[Long])],
-      changes: => Option[DataFrame]): Seq[String] = {
+      changes: => Option[DataFrame],
+      physTypes: Map[String, DataType] = Map.empty): Seq[String] = {
     if (!conf.get("delta.enableChangeDataFeed").contains("true"))
       return Seq.empty
     // `id`-mode files are matched by parquet field id, and
@@ -2708,7 +2724,8 @@ object DeltaWriter {
     val df = changes.getOrElse(return Seq.empty)
     val cdcBase = new Path(qualifiedBase, "_change_data")
     fs.mkdirs(cdcBase)
-    val landed = landFiles(fs, cdcBase, cleanUrl, df, partitionColumns, phys)
+    val landed = landFiles(fs, cdcBase, cleanUrl, df, partitionColumns,
+      phys, physTypes)
     val basePath = qualifiedBase.toUri.getPath.stripSuffix("/")
     landed.map { case (kvs, p) =>
       val st = fs.getFileStatus(p)
@@ -3037,15 +3054,11 @@ object DeltaWriter {
 
   /** Column-mapping write support (modes `name` and `id`): logical
     * name → (physical name, optional column-mapping id) for the
-    * land-time rename. FLAT schemas only — nested fields carry their
-    * own physical names this writer does not rewrite, so they refuse
-    * rather than landing files with corrupt inner names. */
+    * land-time rename. Nested fields rewrite via [[physTypesFor]]'s
+    * positional struct cast. */
   private def physColumnsFor(snap: DeltaReader.DeltaSnapshot, verb: String)
       : Map[String, (String, Option[Long])] = {
     if (snap.physicalSchema.isEmpty) return Map.empty
-    require(snap.schema.fields.forall(f => !isNestedType(f.dataType)),
-      s"DeltaWriter.$verb: column mapping over NESTED fields is " +
-        "unsupported — inner physical names are not rewritten")
     snap.schema.fields.zip(snap.physicalSchema.get.fields).map {
       case (lf, pf) =>
         lf.name -> ((pf.name,
@@ -3054,9 +3067,25 @@ object DeltaWriter {
     }.toMap
   }
 
+  /** Physical TARGET types for the NESTED mapped columns (logical
+    * name → the physical schema's recursively-renamed type): the
+    * land-time rewrite casts each such column to this type — a
+    * positional struct cast renames inner fields exactly the way the
+    * reader's physical→logical cast renames them back, and in id mode
+    * the target type's `parquet.field.id` field metadata rides into
+    * the landed footer. Flat columns need no cast (rename only). */
+  private def physTypesFor(snap: DeltaReader.DeltaSnapshot)
+      : Map[String, DataType] =
+    snap.physicalSchema.map { ps =>
+      snap.schema.fields.zip(ps.fields).collect {
+        case (lf, pf) if isNestedType(lf.dataType) => lf.name -> pf.dataType
+      }.toMap
+    }.getOrElse(Map.empty)
+
   private def landFiles(fs: FileSystem, qualifiedBase: Path, cleanUrl: String,
                         df: DataFrame, partitionColumns: Seq[String],
-                        phys: Map[String, (String, Option[Long])] = Map.empty)
+                        phys: Map[String, (String, Option[Long])] = Map.empty,
+                        physTypes: Map[String, DataType] = Map.empty)
       : Seq[(Seq[(String, String)], Path)] = {
     // under column mapping the log's partitionValues keys, the
     // directory names AND the parquet column names are all PHYSICAL
@@ -3081,14 +3110,20 @@ object DeltaWriter {
           (kvs, kvs.foldLeft(qualifiedBase) { case (p, (c, v)) =>
             new Path(p, s"$c=$v") })
         }
+    // nested mapped columns cast to their PHYSICAL type first: the
+    // positional struct cast renames inner fields (the inverse of the
+    // reader's physical→logical cast), and in id mode the target
+    // type's parquet.field.id metadata rides into the landed footer
+    def inner(c: String): org.apache.spark.sql.Column =
+      physTypes.get(c).map(col(c).cast).getOrElse(col(c))
     val dfPhys =
       if (phys.isEmpty) df
       else df.select(df.columns.map { c =>
         phys.get(c) match {
-          case Some((p, Some(id))) => col(c).as(p,
+          case Some((p, Some(id))) => inner(c).as(p,
             new org.apache.spark.sql.types.MetadataBuilder()
               .putLong("parquet.field.id", id).build())
-          case Some((p, None)) => col(c).as(p)
+          case Some((p, None)) => inner(c).as(p)
           case None => col(c)
         }
       }.toSeq: _*)

@@ -139,7 +139,7 @@ class DeltaMappedWriteSpec extends SparkSpec {
     }
   }
 
-  test("nested fields under mapping refuse; evolution on a mapped table refuses") {
+  test("nested fields under mapping write physical inner names and round-trip") {
     withTempDir { dir =>
       val table = s"$dir/t"
       // nested: a struct field with its own physical names
@@ -158,15 +158,30 @@ class DeltaMappedWriteSpec extends SparkSpec {
         (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
           meta).mkString("\n") + "\n").getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW)
-      val e = intercept[IllegalArgumentException] {
-        new DeltaDataset(table).append(
-          Seq((1L, (2L))).toDF("v", "x").select(col("v"),
-            struct(col("x")).as("s")))
-      }
-      assert(e.getMessage.contains("NESTED"))
+      val ds = new DeltaDataset(table)
+      ds.append(Seq((1L, 2L), (3L, 4L)).toDF("v", "x").select(col("v"),
+        struct(col("x")).as("s")))                                    // v1
+      // the landed parquet stores PHYSICAL names at BOTH levels
+      val f = DeltaReader.snapshot(table).get.files.head.path
+      val landed = spark.read.parquet(f)
+      assert(landed.columns.toSeq == Seq("col-aaa", "col-sss"))
+      assert(landed.schema("col-sss").dataType
+        .asInstanceOf[StructType].fieldNames.toSeq == Seq("col-xxx"),
+        "inner struct fields must store their physical names")
+      // logical reads round-trip, including the inner field
+      val out = DeltaReader.scan(table).get
+        .select(col("v"), col("s.x").as("x")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 2L, 3L -> 4L))
+      // DV delete and UPDATE work on the nested mapped table too
+      ds.delete(col("s.x") === 4L)                                    // v2
+      assert(DeltaReader.scan(table).get.count() == 1L)
+      ds.update(col("v") === 1L,
+        Map("s" -> struct(lit(20L).as("x"))))                         // v3
+      assert(DeltaReader.scan(table).get.select("s.x").head().getLong(0) == 20L)
 
-      // adding a NESTED column by evolution refuses (inner physical
-      // names are not rewritten) — flat evolution is supported below
+      // adding a NESTED column by EVOLUTION still refuses (allocation
+      // of inner physical names is the owning engine's job)
       val flat = s"$dir/flat"
       buildMapped(flat)
       val e2 = intercept[IllegalArgumentException] {
