@@ -65,6 +65,9 @@ object GraftFunctions {
     ("graft_cms_query",
       info("graft_cms_query", "point query (estimated count) of a count_min_sketch binary (args: sketch, item)"),
       (args: Seq[Expression]) => CmsQuery(args(0), args(1))),
+    ("graft_bottom_k",
+      info("graft_bottom_k", "bounded bottom-k of any orderable value: k-heap per partition, merged per group — array<typeof(value)> sorted ascending (args: value, k)"),
+      (args: Seq[Expression]) => BottomK(args(0), args(1))),
     ("graft_cms_merge",
       info("graft_cms_merge", "aggregate union of count_min_sketch binaries -> one sketch (counters sum exactly)"),
       (args: Seq[Expression]) => CmsMerge(args(0))))

@@ -863,14 +863,20 @@ object Mixing {
     * row per stratum: `(stratum, n_pop, n_sample, sum_sample,
     * est_total, se)` — all in `valueCol`'s own integer units.
     *
-    * Scale shape (100 TB): the rank window partitions by stratum;
-    * population counts and sample moments are keyed map-side
-    * aggregations. Nothing global, strata scale out. */
+    * Scale shape (100 TB): the sample is a TWO-PHASE bottom-k — a
+    * k-bounded heap per map partition per stratum
+    * (`graft_bottom_k`, partial-aggregated), merged per stratum — so
+    * only k·strata·partitions summary rows ever shuffle and no task
+    * sorts a stratum. (The previous per-stratum rank window funneled
+    * each stratum through ONE reducer's sort: strata scale out, but a
+    * ~10-value stratum key scales each stratum UP into one task.)
+    * Population counts and sample moments stay keyed map-side
+    * aggregations. Nothing global. */
   def horvitzThompson(df: DataFrame, stratumCol: String, valueCol: String,
                       keyCol: String, nPerStratum: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextHash.{spark => H, MixA, MixB, P}
-    require(nPerStratum >= 2, "nPerStratum must be at least 2")
+    require(nPerStratum >= 2 && nPerStratum <= (1L << 22),
+      "nPerStratum must be in [2, 2^22]")
     val h = s"((${MixA}L * ${H.rollingHash(s"CAST(`$keyCol` AS STRING)")} " +
       s"+ ${MixB}L) % ${P}L)"
     val base = df.select(col(stratumCol).as("__s"),
@@ -878,10 +884,14 @@ object Mixing {
       expr(h).as("__h"), col(keyCol).as("__key"))
     val pop = base.groupBy(col("__s"))
       .agg(count(lit(1)).cast("bigint").as("__np"))
-    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__key"))
+    // bottom-k by (__h, __key) with __v riding along in the struct;
+    // __key is unique per row (the sample contract), so the struct
+    // order ≡ the rank-window order and the kept set is identical
     val moments = base
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= nPerStratum)
+      .groupBy(col("__s"))
+      .agg(expr(s"graft_bottom_k(struct(__h, __key, __v), ${nPerStratum}L)")
+        .as("__smp"))
+      .select(col("__s"), explode(col("__smp.__v")).as("__v"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).cast("bigint").as("__n"),
         sum(col("__v")).cast("bigint").as("__sum"),
@@ -920,13 +930,15 @@ object Mixing {
     * a zero sampled auxiliary mass yields NULL (no ratio evidence).
     *
     * Scale shape (100 TB): identical to [[horvitzThompson]] — keyed
-    * aggregations + one stratum-partitioned rank window. */
+    * aggregations + a two-phase `graft_bottom_k` sample (k-bounded
+    * heaps partial-aggregated per partition, merged per stratum; no
+    * per-stratum sort ever runs in one task). */
   def ratioEstimator(df: DataFrame, stratumCol: String, yCol: String,
                      xCol: String, keyCol: String,
                      nPerStratum: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.TextHash.{spark => H, MixA, MixB, P}
-    require(nPerStratum >= 1, "nPerStratum must be positive")
+    require(nPerStratum >= 1 && nPerStratum <= (1L << 22),
+      "nPerStratum must be in [1, 2^22]")
     val h = s"((${MixA}L * ${H.rollingHash(s"CAST(`$keyCol` AS STRING)")} " +
       s"+ ${MixB}L) % ${P}L)"
     val base = df.select(col(stratumCol).as("__s"),
@@ -935,14 +947,15 @@ object Mixing {
     val pop = base.groupBy(col("__s"))
       .agg(count(lit(1)).cast("bigint").as("__np"),
         sum(col("__x")).cast("bigint").as("__xt"))
-    val w = Window.partitionBy(col("__s")).orderBy(col("__h"), col("__key"))
     base
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= nPerStratum)
+      .groupBy(col("__s"))
+      .agg(expr(s"graft_bottom_k(struct(__h, __key, __x, __y), " +
+        s"${nPerStratum}L)").as("__smp"))
+      .select(col("__s"), explode(col("__smp")).as("__r"))
       .groupBy(col("__s"))
       .agg(count(lit(1)).cast("bigint").as("__n"),
-        sum(col("__x")).cast("bigint").as("__sx"),
-        sum(col("__y")).cast("bigint").as("__sy"))
+        sum(col("__r.__x")).cast("bigint").as("__sx"),
+        sum(col("__r.__y")).cast("bigint").as("__sy"))
       .join(broadcast(pop), Seq("__s"))
       .select(col("__s").as("stratum"), col("__np").as("n_pop"),
         col("__n").as("n_sample"), col("__xt").as("x_pop_total"),

@@ -693,4 +693,30 @@ class ScaleShapeSpec extends SparkSpec {
       assert(scan.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 9L))
     }
   }
+  test("survey-sampling plan: two-phase bottom-k — no rank window, no per-stratum sort") {
+    // the round-13 scale-killer: row_number().over(partitionBy(stratum))
+    // rode a FULL sort of each stratum through one reducer. The
+    // two-phase graft_bottom_k shape keeps a k-heap per map partition
+    // (partial ObjectHashAggregate) and merges per stratum — only
+    // k*strata*partitions summary rows shuffle, nothing ever sorts a
+    // stratum in one task.
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("cents", expr("cast(floor(value * 100d + 0.5d) as bigint)"))
+      .withColumn("plen", expr("cast(length(props) as bigint)"))
+    for (out <- Seq(
+      graft.operators.Mixing.horvitzThompson(
+        ev, "event_type", "cents", "event_id", nPerStratum = 25L),
+      graft.operators.Mixing.ratioEstimator(
+        ev, "event_type", "cents", "plen", "event_id", nPerStratum = 25L))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"the sample must be a bounded aggregate, not a rank window:\n$plan")
+      assert("ObjectHashAggregate".r.findAllIn(plan).nonEmpty &&
+        plan.contains("partial_graft_bottom_k"),
+        s"bottom-k must partial-aggregate map-side:\n$plan")
+      // no Sort node anywhere below the aggregate: heaps replace sorts
+      assert(!plan.contains("Sort "),
+        s"no per-stratum sort may survive:\n$plan")
+    }
+  }
 }
