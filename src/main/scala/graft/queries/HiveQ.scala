@@ -2190,6 +2190,97 @@ object HiveQ {
           count(lit(1)).cast("bigint").as("n"),
           sum(col("n_nationkey")).cast("bigint").as("sum_key"),
           sum(col("s.r")).cast("bigint").as("sum_region"))
+      }),
+
+    // ---- S15 edge: NESTED column arriving by EVOLUTION on a
+    // column-mapped table — mergeSchema allocates physical names AND
+    // ids recursively (top-level col-<uuid> + every inner struct
+    // field), advances maxColumnId past the nested ids, lands parquet
+    // under physical names at both levels, and pre-evolution rows
+    // null-fill the whole struct. The round-13 residual #2 closed.
+    Q("q435_delta_mapped_nested_evolution",
+      Some("""WITH old AS (
+             |  SELECT n_nationkey, NULL::INTEGER AS r FROM nation
+             |  WHERE n_nationkey < 12),
+             |nw AS (
+             |  SELECT n_nationkey, n_regionkey AS r FROM nation
+             |  WHERE n_nationkey >= 12 AND n_nationkey < 25),
+             |allr AS (SELECT * FROM old UNION ALL SELECT * FROM nw)
+             |SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey)::BIGINT AS sum_key,
+             |  sum(r)::BIGINT AS sum_r, count(r)::BIGINT AS n_r
+             |FROM allr""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q435_")
+        val nat = t(s, dir, "nation").select("n_nationkey", "n_regionkey")
+        // foreign name-mode seed: ONE flat mapped column
+        nat.where(col("n_nationkey") < 12)
+          .select(col("n_nationkey").as("pk-001"))
+          .coalesce(1).write.parquet(s"$table/stage")
+        val part = new java.io.File(s"$table/stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$table/seed-000.parquet")
+        require(part.renameTo(dest), "q435: fixture move failed")
+        val mapped = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType, nullable = true,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("delta.columnMapping.id", 1L)
+              .putString("delta.columnMapping.physicalName", "pk-001")
+              .build())))
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q435","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(mapped.json)}","partitionColumns":[],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":"1"},"createdTime":1700000000000}}""",
+          s"""{"add":{"path":"seed-000.parquet","partitionValues":{},""" +
+            s""""size":${dest.length},"modificationTime":1700000000000,""" +
+            """"dataChange":true}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        // EVOLUTION: a new STRUCT column arrives via mergeSchema
+        ds.append(nat.where(col("n_nationkey") >= 12 &&
+            col("n_nationkey") < 25)
+          .select(col("n_nationkey"),
+            struct(col("n_regionkey").as("r")).as("s")),
+          mergeSchema = true)                                         // v1
+        val snap = graft.sources.DeltaReader.snapshot(table)(s).get
+        val ef = snap.schema("s")
+        val innerR = ef.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]("r")
+        require(ef.metadata.getString("delta.columnMapping.physicalName")
+            .startsWith("col-") &&
+          innerR.metadata.getString("delta.columnMapping.physicalName")
+            .startsWith("col-"),
+          "q435: evolution must stamp physical names at BOTH levels")
+        require(ef.metadata.getLong("delta.columnMapping.id") == 2L &&
+          innerR.metadata.getLong("delta.columnMapping.id") == 3L &&
+          snap.configuration("delta.columnMapping.maxColumnId") == "3",
+          "q435: maxColumnId must advance past the nested ids")
+        val physTop =
+          ef.metadata.getString("delta.columnMapping.physicalName")
+        val mine = snap.files.filterNot(_.path.endsWith("seed-000.parquet"))
+        require(mine.nonEmpty && mine.forall { f =>
+          val sch = s.read.parquet(f.path).schema
+          sch.fieldNames.contains(physTop) &&
+            sch(physTop).dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fieldNames.toSeq == Seq(innerR.metadata
+                .getString("delta.columnMapping.physicalName"))
+        }, "q435: landed files must store physical names at BOTH levels")
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"),
+          sum(col("s.r")).cast("bigint").as("sum_r"),
+          count(col("s.r")).cast("bigint").as("n_r"))
       })
   )
 }

@@ -460,44 +460,66 @@ object DeltaWriter {
     var enforced: Seq[(String, String)] =
       snap0.map(checkConstraintsOf).getOrElse(Seq.empty)
 
-    // mergeSchema on a COLUMN-MAPPED table: each new top-level column
-    // is allocated a fresh physical name (col-<uuid>, the delta-spark
+    // mergeSchema on a COLUMN-MAPPED table: each new column — and,
+    // recursively, every nested struct field it carries — is
+    // allocated a fresh physical name (col-<uuid>, the delta-spark
     // convention) and a column-mapping id above the table's
     // delta.columnMapping.maxColumnId — BEFORE files land, so the
-    // parquet on disk carries the physical names the evolved metaData
-    // will declare. Nested new columns still refuse (physColumnsFor's
-    // flat-schema contract: inner physical names are not rewritten).
+    // parquet on disk carries the physical names (at EVERY level; the
+    // same positional struct cast the nested-field write path uses)
+    // that the evolved metaData will declare.
     val mappedAllocBase: Long = snapGen.map(maxColumnIdOf).getOrElse(0L)
-    val mappedAlloc: Map[String, (String, Long)] = (snapGen, mergeSchema) match {
-      case (Some(s), true) if s.physicalSchema.nonEmpty =>
-        val existing = s.schema.fieldNames.toSet
-        val extras = df.schema.fields.filterNot(f => existing(f.name)).toSeq
-        extras.foreach(f => require(!isNestedType(f.dataType),
-          s"DeltaWriter: mergeSchema cannot add NESTED column " +
-            s"'${f.name}' to a column-mapped table — inner physical " +
-            "names are not rewritten"))
-        extras.zipWithIndex.map { case (f, i) =>
-          f.name -> ((s"col-${java.util.UUID.randomUUID}",
-            mappedAllocBase + i + 1L))
-        }.toMap
-      case _ => Map.empty
-    }
+    // name → the fully STAMPED field (delta.columnMapping.id +
+    // physicalName on the field and all nested struct fields), plus
+    // the total id count allocated (advances maxColumnId)
+    val (mappedAlloc: Map[String, StructField], mappedAllocCount: Long) =
+      (snapGen, mergeSchema) match {
+        case (Some(s), true) if s.physicalSchema.nonEmpty =>
+          val existing = s.schema.fieldNames.toSet
+          val extras = df.schema.fields.filterNot(f => existing(f.name)).toSeq
+          var nextId = mappedAllocBase
+          val stamped = extras.map { f =>
+            f.name -> stampMappedField(f, () => { nextId += 1; nextId })
+          }.toMap
+          (stamped, nextId - mappedAllocBase)
+        case _ => (Map.empty[String, StructField], 0L)
+      }
+    def stampedPhysName(sf: StructField): String =
+      sf.metadata.getString("delta.columnMapping.physicalName")
     val physW = snapGen.map(physColumnsFor(_, "write")).getOrElse(Map.empty) ++
-      mappedAlloc.map { case (n, (p, id)) => n -> ((p, Some(id))) }
+      mappedAlloc.map { case (n, sf) => n -> ((stampedPhysName(sf),
+        Some(sf.metadata.getLong("delta.columnMapping.id")))) }
+    // the nested stamped extras land under their PHYSICAL inner names
+    // (and, in id mode, with parquet.field.id on every level): the
+    // land-time cast target is the stamped field's physical type —
+    // derived by the same physicalSchemaFor the reader uses, so write
+    // and read shapes cannot diverge
+    val allocPhysTypes: Map[String, DataType] = {
+      val nested = mappedAlloc.toSeq.filter(kv => isNestedType(kv._2.dataType))
+      if (nested.isEmpty) Map.empty
+      else DeltaReader.physicalSchemaFor(
+        StructType(nested.map(_._2)), snapGen.get.configuration) match {
+        case None => Map.empty
+        case Some(ps) => nested.map(_._1).zip(ps.fields.map(_.dataType)).toMap
+      }
+    }
     // evolution-allocated mapped columns join the stats schema under
     // their PHYSICAL names, so the very files that introduce a column
-    // carry its min/max/nullCount (data skipping live from commit one)
+    // carry its min/max/nullCount (data skipping live from commit
+    // one); nested extras contribute nothing (statsJson matches
+    // top-level leaf paths) and are skipped
     val statsSchema = snapGen.flatMap(_.physicalSchema) match {
       case None => df.schema
       case Some(ps) => StructType(ps.fields ++
-        mappedAlloc.toSeq.sortBy(_._2._2).flatMap { case (n, (p, _)) =>
-          df.schema.fields.find(_.name == n).map(f => StructField(p, f.dataType,
-            f.nullable))
-        })
+        mappedAlloc.toSeq
+          .filterNot(kv => isNestedType(kv._2.dataType))
+          .sortBy(_._2.metadata.getLong("delta.columnMapping.id"))
+          .map { case (n, sf) =>
+            StructField(stampedPhysName(sf), sf.dataType, sf.nullable) })
     }
     val newFiles = landFiles(fs, qualifiedBase, cleanUrl, df,
       partitionColumns, physW,
-      snapGen.map(physTypesFor).getOrElse(Map.empty))
+      snapGen.map(physTypesFor).getOrElse(Map.empty) ++ allocPhysTypes)
     val fileStats: Seq[Option[String]] =
       newFiles.map { case (_, p) => statsJson(fs, p, statsSchema) }
 
@@ -657,18 +679,18 @@ object DeltaWriter {
             require(extra.forall(f => mappedAlloc.contains(f.name)),
               "DeltaWriter: evolution columns changed between landing " +
                 "files and committing — re-run the write")
-          val stampedExtra = extra.map(f => mappedAlloc.get(f.name)
-            .fold(f) { case (p, id) =>
-              f.copy(metadata = new MetadataBuilder()
-                .withMetadata(f.metadata)
-                .putLong("delta.columnMapping.id", id)
-                .putString("delta.columnMapping.physicalName", p)
-                .build())
-            })
+          // the pre-land stamping (ids + physical names at every
+          // nesting level) IS the schema the commit declares —
+          // relaxed to NULLABLE at every level: every pre-evolution
+          // row null-fills an added column, so a non-nullable
+          // evolved field would be a lie the reader's
+          // physical→logical struct cast also chokes on
+          val stampedExtra = extra.map(f =>
+            relaxNullability(mappedAlloc.getOrElse(f.name, f)))
           val evolvedConf =
             if (extra.isEmpty || mappedAlloc.isEmpty) s.configuration
             else s.configuration + ("delta.columnMapping.maxColumnId" ->
-              (mappedAllocBase + mappedAlloc.size).toString)
+              (mappedAllocBase + mappedAllocCount).toString)
           val evolved =
             if (extra.isEmpty) None
             else Some(StructType(s.schema.fields ++ stampedExtra))
@@ -1087,19 +1109,19 @@ object DeltaWriter {
     val insertsOut = rtm match {
       case None => inserts
       case Some((mi, mr, _)) =>
-        // min over the STRUCT: the carried (id, commitVersion) pair
-        // comes from ONE row — independent mins could pair an id with
-        // another row's commit version under duplicate target keys.
-        // NULL-id rows (pre-tracking files, the mixed-history
-        // contract) are excluded FIRST: struct min would sort a null
-        // first field ahead of every real id and discard a preserved
-        // identity a duplicate key still carries.
+        // carry ONLY the row id — a MERGE-updated row is a MODIFIED
+        // row, so per the row-tracking protocol its commit version is
+        // this commit: the materialized version column stays NULL and
+        // the reader's coalesce resolves it to the new add's
+        // defaultRowCommitVersion. NULL-id rows (pre-tracking files,
+        // the mixed-history contract) are excluded FIRST; min() per
+        // key is the deterministic pick under duplicate target keys.
         val oldIds = matchedFull.where(col("_row_id").isNotNull)
           .groupBy(keyCols.map(col): _*)
-          .agg(org.apache.spark.sql.functions.min(
-            struct(col("_row_id"), col("_row_commit_version"))).as("__m"))
-          .select((keyCols.map(col) :+ col("__m._row_id").as(mi) :+
-            col("__m._row_commit_version").as(mr)): _*)
+          .agg(org.apache.spark.sql.functions.min(col("_row_id"))
+            .as("__mid"))
+          .select((keyCols.map(col) :+ col("__mid").as(mi) :+
+            lit(null).cast("bigint").as(mr)): _*)
         inserts.join(hinted(oldIds), keyCols, "left")
     }
     copyOnWriteCommit(cleanUrl, snap, matched, insertsOut, "MERGE",
@@ -1167,10 +1189,17 @@ object DeltaWriter {
         case None => df
       }
     }
+    // carry ONLY the row id: an UPDATEd row is a MODIFIED row, so per
+    // the row-tracking protocol its commit version is the UPDATE
+    // commit itself — the materialized version column stays NULL and
+    // the reader's coalesce resolves it to the new add's
+    // defaultRowCommitVersion. (Only dataChange=false rewrites like
+    // OPTIMIZE preserve the old commit version.)
     val carryCols: Seq[org.apache.spark.sql.Column] = rtu match {
       case None => Seq.empty
       case Some((mi, mr, _)) =>
-        Seq(col("_row_id").as(mi), col("_row_commit_version").as(mr))
+        Seq(col("_row_id").as(mi),
+          lit(null).cast("bigint").as(mr))
     }
     val regenerated = gens.foldLeft(updated) { case (df, (f, g)) =>
       df.withColumn(f.name, expr(g).cast(f.dataType))
@@ -2481,6 +2510,20 @@ object DeltaWriter {
       (implicit spark: SparkSession): (Seq[String], Seq[String], Seq[String]) =
     if (!rowTrackingOn(head)) (plainAdds, Seq.empty, Seq.empty)
     else {
+      // `rt` is the preservation plan resolved from the PLANNING
+      // snapshot; if a concurrent commit flipped
+      // delta.enableRowTracking since, a dataChange=false rewrite
+      // planned WITHOUT preservation would commit files with fresh
+      // baseRowIds and no materialized carry — silently reassigning
+      // row ids on a table that now guarantees stability (and the
+      // inverse stamps stale names on a table that dropped them).
+      // First writer wins: refuse and re-run.
+      val headEnabled = head.configuration
+        .get("delta.enableRowTracking").contains("true")
+      require(headEnabled == rt.isDefined,
+        "DeltaWriter: delta.enableRowTracking changed concurrently " +
+          "between planning and publish — the rewrite's row-id " +
+          "preservation plan is stale; re-run")
       // the landed files materialized ids under the names in `rt`
       // (resolved from OUR snapshot) — a concurrent first rewrite may
       // have recorded DIFFERENT names at the head since. Committing
@@ -3045,11 +3088,62 @@ object DeltaWriter {
   private[sources] def maxColumnIdOf(snap: DeltaReader.DeltaSnapshot): Long = {
     val fromConf = snap.configuration.get("delta.columnMapping.maxColumnId")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
-    val fromFields = snap.schema.fields.map(f =>
-      if (f.metadata.contains("delta.columnMapping.id"))
-        f.metadata.getLong("delta.columnMapping.id") else 0L)
-      .foldLeft(0L)(math.max)
-    math.max(fromConf, fromFields)
+    // recurse: nested mapped fields carry their own ids, and a foreign
+    // table's highest id can sit on an inner struct field — a
+    // top-level-only scan would allocate a colliding id on evolution
+    def maxStamped(dt: DataType): Long = dt match {
+      case st: StructType => st.fields.foldLeft(0L) { (acc, f) =>
+        val own = if (f.metadata.contains("delta.columnMapping.id"))
+          f.metadata.getLong("delta.columnMapping.id") else 0L
+        math.max(acc, math.max(own, maxStamped(f.dataType)))
+      }
+      case ArrayType(et, _) => maxStamped(et)
+      case MapType(k, v, _) => math.max(maxStamped(k), maxStamped(v))
+      case _ => 0L
+    }
+    math.max(fromConf, maxStamped(snap.schema))
+  }
+
+  /** `f` with nullability relaxed to true at EVERY level (struct
+    * fields, array elements, map values), metadata kept — the shape
+    * of an evolution-added column, whose pre-evolution rows all
+    * null-fill. */
+  private[sources] def relaxNullability(f: StructField): StructField = {
+    def rt(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(relaxNullability))
+      case ArrayType(et, _) => ArrayType(rt(et), containsNull = true)
+      case MapType(k, v, _) => MapType(rt(k), rt(v), valueContainsNull = true)
+      case other => other
+    }
+    f.copy(dataType = rt(f.dataType), nullable = true)
+  }
+
+  /** Stamp `f` — and, pre-order, every nested struct field under it —
+    * with a fresh `delta.columnMapping.physicalName` (col-<uuid>, the
+    * delta-spark convention) and a `delta.columnMapping.id` drawn
+    * from `next`: the allocation a NEW column arriving by mergeSchema
+    * evolution on a column-mapped table needs at every nesting level
+    * (array elements and map keys/values recurse; only struct fields
+    * carry ids, per the column-mapping protocol). */
+  private[sources] def stampMappedField(f: StructField,
+                                        next: () => Long): StructField = {
+    def stampType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(stampField))
+      case ArrayType(et, n) => ArrayType(stampType(et), n)
+      case MapType(k, v, n) => MapType(stampType(k), stampType(v), n)
+      case other => other
+    }
+    def stampField(inner: StructField): StructField = {
+      val id = next() // pre-order: the field's id precedes its children's
+      inner.copy(
+        metadata = new MetadataBuilder().withMetadata(inner.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID}")
+          .build(),
+        dataType = stampType(inner.dataType))
+    }
+    stampField(f)
   }
 
   /** Column-mapping write support (modes `name` and `id`): logical

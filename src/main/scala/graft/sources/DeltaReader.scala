@@ -130,6 +130,19 @@ object DeltaReader {
       txns: Map[String, Long] = Map.empty,
       domainMetadata: Map[String, String] = Map.empty)
 
+  /** `dt` with nullability relaxed at every level — the cast target
+    * shape for physical→logical renames (scan output is always
+    * nullable; a NOT NULL inner field would make the cast refuse). */
+  private def relaxNullability(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      StructField(f.name, relaxNullability(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(relaxNullability(et), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(relaxNullability(k), relaxNullability(v),
+        valueContainsNull = true)
+    case other => other
+  }
+
   private def physicalFieldName(f: StructField): String =
     if (f.metadata.contains("delta.columnMapping.physicalName"))
       f.metadata.getString("delta.columnMapping.physicalName")
@@ -1217,10 +1230,14 @@ object DeltaReader {
             if (needMeta) anti else anti.drop("__fp", "__ri")
           }
         // physical→logical rename; nested names ride a struct cast
-        // (positional, so shape is preserved exactly)
+        // (positional, so shape is preserved exactly). The cast
+        // target is nullability-RELAXED: the parquet scan's output is
+        // always nullable, and Spark refuses a nullable→non-nullable
+        // container cast — a foreign mapped table declaring a NOT
+        // NULL inner field would otherwise be unreadable.
         val dataSel = snap.physicalSchema match {
           case Some(_) => dataPairs.map { case (lf, pf) =>
-            col(pf.name).cast(lf.dataType).as(lf.name) }
+            col(pf.name).cast(relaxNullability(lf.dataType)).as(lf.name) }
           case None => dataPairs.map(_._2.name).map(col)
         }
         masked.select(dataSel ++ metaCols ++ matCols: _*)

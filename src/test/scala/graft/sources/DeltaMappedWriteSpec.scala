@@ -180,17 +180,55 @@ class DeltaMappedWriteSpec extends SparkSpec {
         Map("s" -> struct(lit(20L).as("x"))))                         // v3
       assert(DeltaReader.scan(table).get.select("s.x").head().getLong(0) == 20L)
 
-      // adding a NESTED column by EVOLUTION still refuses (allocation
-      // of inner physical names is the owning engine's job)
+      // adding a NESTED column by EVOLUTION allocates inner physical
+      // names/ids recursively (the last mapped-evolution refusal,
+      // removed round 14)
       val flat = s"$dir/flat"
       buildMapped(flat)
-      val e2 = intercept[IllegalArgumentException] {
-        new DeltaDataset(flat, Seq("p")).append(
-          Seq((1L, "A", 9L)).toDF("v", "p", "x")
-            .select(col("v"), col("p"), struct(col("x")).as("extra")),
-          mergeSchema = true)
-      }
-      assert(e2.getMessage.contains("NESTED"))
+      val dsF = new DeltaDataset(flat, Seq("p"))
+      dsF.append(
+        Seq((90L, "A", 7L)).toDF("v", "p", "x")
+          .select(col("v"), col("p"), struct(col("x")).as("extra")),
+        mergeSchema = true)
+      val snapF = DeltaReader.snapshot(flat).get
+      val ef = snapF.schema("extra")
+      assert(ef.metadata.getString("delta.columnMapping.physicalName")
+        .startsWith("col-"),
+        "evolved nested column must carry an allocated physical name")
+      val innerX = ef.dataType.asInstanceOf[StructType]("x")
+      assert(innerX.metadata.contains("delta.columnMapping.physicalName") &&
+        innerX.metadata.getString("delta.columnMapping.physicalName")
+          .startsWith("col-") &&
+        innerX.metadata.contains("delta.columnMapping.id"),
+        "INNER struct fields must be stamped with physical names + ids")
+      // pre-order allocation above the old watermark: extra=3, x=4
+      assert(ef.metadata.getLong("delta.columnMapping.id") == 3L &&
+        innerX.metadata.getLong("delta.columnMapping.id") == 4L)
+      assert(snapF.configuration("delta.columnMapping.maxColumnId") == "4",
+        "maxColumnId must advance past every NESTED id too")
+      // the landed parquet stores PHYSICAL names at BOTH levels
+      val newF = snapF.files.filterNot(_.path.matches(".*f[12]\\.parquet"))
+        .head.path
+      val landedF = spark.read.parquet(newF)
+      val physTop = ef.metadata.getString("delta.columnMapping.physicalName")
+      assert(landedF.columns.contains(physTop))
+      assert(landedF.schema(physTop).dataType.asInstanceOf[StructType]
+        .fieldNames.toSeq == Seq(innerX.metadata
+          .getString("delta.columnMapping.physicalName")),
+        "inner fields must land under their physical names")
+      // logical reads: the new row round-trips, old rows null-fill
+      val outF = DeltaReader.scan(flat).get
+        .select(col("v"), col("extra.x").as("x")).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(outF(90L).contains(7L))
+      assert(outF(1L).isEmpty && outF(30L).isEmpty,
+        "pre-evolution rows null-fill the nested column")
+      // a FURTHER append with the evolved schema round-trips too
+      dsF.append(Seq((91L, "B", 8L)).toDF("v", "p", "x")
+        .select(col("v"), col("p"), struct(col("x")).as("extra")))
+      assert(DeltaReader.scan(flat).get.where(col("v") === 91L)
+        .select("extra.x").head().getLong(0) == 8L)
     }
   }
 

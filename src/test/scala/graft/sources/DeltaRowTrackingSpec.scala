@@ -159,6 +159,42 @@ class DeltaRowTrackingSpec extends SparkSpec {
     }
   }
 
+  private def rowVersions(table: String): Map[Long, Long] =
+    DeltaReader.scanWithRowIds(table).get
+      .select(col("v"), col("_row_commit_version")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("MODIFIED rows take the new commit's row commit version; COPIED rows keep theirs") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      buildTracked(table, 4) // values 0..3 at commit version 0
+      val ds = new DeltaDataset(table)
+      // UPDATE is a modification: per the protocol the updated row's
+      // commit version is the UPDATE commit itself (the materialized
+      // column stays NULL; the new add's defaultRowCommitVersion
+      // resolves it) — NOT the stale version it was last written at
+      ds.update(col("v") === 2L, Map("v" -> lit(200L)))               // v1
+      val afterUpd = rowVersions(table)
+      assert(afterUpd(200L) == 1L,
+        s"an UPDATEd row's commit version must be the UPDATE commit: $afterUpd")
+      assert(Seq(0L, 1L, 3L).forall(afterUpd(_) == 0L),
+        s"untouched rows keep their original commit version: $afterUpd")
+      // MERGE-updated row: same rule; MERGE-inserted row: this commit
+      ds.merge(Seq(0L, 500L).toDF("v"), Seq("v"))                     // v2
+      val afterMrg = rowVersions(table)
+      assert(afterMrg(0L) == 2L && afterMrg(500L) == 2L,
+        s"MERGE-modified and -inserted rows carry the MERGE commit: $afterMrg")
+      assert(afterMrg(200L) == 1L && afterMrg(1L) == 0L,
+        s"rows the MERGE did not touch keep their versions: $afterMrg")
+      // a dataChange=false rewrite COPIES rows: versions must survive
+      // (this is the case the materialized column exists for)
+      val vc = ds.compact(targetFileBytes = 1024L * 1024, minFiles = 2)
+      assert(vc > 2L, "compact must commit")
+      assert(rowVersions(table) == afterMrg,
+        "copied rows keep their commit versions through a rewrite")
+    }
+  }
+
   test("row ids and the domain watermark survive checkpoint-anchored replay") {
     withTempDir { dir =>
       val table = s"$dir/t"
