@@ -2281,6 +2281,70 @@ object HiveQ {
           sum(col("n_nationkey")).cast("bigint").as("sum_key"),
           sum(col("s.r")).cast("bigint").as("sum_r"),
           count(col("s.r")).cast("bigint").as("n_r"))
+      }),
+
+    // ---- liquid clustering (`clustering` writer feature): a foreign
+    // clustered table accepts appends, OPTIMIZE honors the
+    // delta.clustering domain's columns via the z-order rewrite, and
+    // the domain plus every row survive the rewrite. Round-13
+    // residual #3 closed.
+    Q("q436_delta_liquid_clustering",
+      Some("""SELECT count(*)::BIGINT AS n,
+             |  sum(n_nationkey)::BIGINT AS sum_key,
+             |  sum(n_regionkey)::BIGINT AS sum_region
+             |FROM nation WHERE n_nationkey < 25""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q436_")
+        val nat = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_regionkey"))
+          .where(col("n_nationkey") < 25)
+        // foreign clustered fixture: seed file + clustering domain
+        nat.where(col("n_nationkey") < 12).coalesce(1)
+          .write.parquet(s"$table/stage")
+        val part = new java.io.File(s"$table/stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(s"$table/seed-000.parquet")
+        require(part.renameTo(dest), "q436: fixture move failed")
+        val sch = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_nationkey",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_regionkey",
+            org.apache.spark.sql.types.IntegerType)))
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val domainCfg =
+          """{"clusteringColumns":[["n_regionkey"],["n_nationkey"]]}"""
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+            """"writerFeatures":["clustering","domainMetadata"]}}""",
+          s"""{"metaData":{"id":"q436","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(sch.json)}","partitionColumns":[],""" +
+            s""""configuration":{},"createdTime":1700000000000}}""",
+          s"""{"add":{"path":"seed-000.parquet","partitionValues":{},""" +
+            s""""size":${dest.length},"modificationTime":1700000000000,""" +
+            """"dataChange":true}}""",
+          s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+            s""""configuration":"${esc(domainCfg)}","removed":false}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table)
+        // the clustering feature must not refuse the append
+        ds.append(nat.where(col("n_nationkey") >= 12))                // v1
+        // OPTIMIZE resolves the clustering columns from the domain
+        val v = ds.optimizeClustered()                                // v2
+        require(v == 2L, "q436: optimizeClustered must commit")
+        val snap = graft.sources.DeltaReader.snapshot(table)(s).get
+        require(snap.domainMetadata.get("delta.clustering")
+            .exists(_.contains("clusteringColumns")),
+          "q436: the clustering domain must survive the rewrite")
+        graft.sources.DeltaReader.scan(table)(s).get.agg(
+          count(lit(1)).cast("bigint").as("n"),
+          sum(col("n_nationkey")).cast("bigint").as("sum_key"),
+          sum(col("n_regionkey")).cast("bigint").as("sum_region"))
       })
   )
 }

@@ -112,6 +112,12 @@ final class DeltaDataset(url: String, partitionColumns: Seq[String] = Seq.empty)
              nBuckets: Int = 1024): Long =
     DeltaWriter.zorder(cleanUrl, zCols, targetFileBytes, nBuckets)
 
+  /** OPTIMIZE honoring the table's `delta.clustering` domain (liquid
+    * clustering) — see [[DeltaWriter.optimizeClustered]]. */
+  def optimizeClustered(targetFileBytes: Long = 128L * 1024 * 1024,
+                        nBuckets: Int = 1024): Long =
+    DeltaWriter.optimizeClustered(cleanUrl, targetFileBytes, nBuckets)
+
   /** SHALLOW CLONE this table to `dstUrl`: a new independent table
     * whose v0 references this table's data files by absolute path —
     * zero data copied, one commit written — see
@@ -2408,7 +2414,71 @@ object DeltaWriter {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "deletionVectors", "v2Checkpoint", "inCommitTimestamp",
     "columnMapping", "generatedColumns", "identityColumns",
-    "timestampNtz", "domainMetadata", "rowTracking")
+    "timestampNtz", "domainMetadata", "rowTracking",
+    // liquid clustering: the delta.clustering domain names the
+    // clustering columns; appends need no re-clustering (the
+    // protocol's writer requirement is layout-advisory), and
+    // [[optimizeClustered]] honors the domain with the z-order
+    // rewrite. The domain itself survives every commit by replay.
+    "clustering")
+
+  /** The clustered-table domain (`delta.clustering`, the `clustering`
+    * writer feature): LOGICAL clustering column names resolved from
+    * the domain's `clusteringColumns` (stored as arrays of PHYSICAL
+    * path elements). Empty when the domain is absent; a present but
+    * unreadable domain, or a nested clustering path, refuses loudly —
+    * an obligation this writer cannot read is one it cannot honor. */
+  private[sources] def clusteringColumnsOf(
+      snap: DeltaReader.DeltaSnapshot): Seq[String] =
+    snap.domainMetadata.get("delta.clustering") match {
+      case None => Seq.empty
+      case Some(conf) =>
+        val paths: Seq[Seq[String]] = scala.util.Try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(conf).get("clusteringColumns")
+          require(n != null && n.isArray)
+          import scala.jdk.CollectionConverters._
+          n.elements().asScala.map { p =>
+            require(p.isArray)
+            p.elements().asScala.map(_.asText).toSeq
+          }.toSeq
+        }.getOrElse(throw new IllegalArgumentException(
+          s"DeltaWriter: the delta.clustering domain metadata ($conf) " +
+            "is unreadable — refusing to rewrite a clustered table " +
+            "whose layout contract cannot be parsed"))
+        val physToLogical: Map[String, String] = snap.physicalSchema
+          .map(ps => ps.fields.map(_.name).zip(
+            snap.schema.fields.map(_.name)).toMap)
+          .getOrElse(snap.schema.fieldNames.map(n => n -> n).toMap)
+        paths.map { p =>
+          require(p.length == 1,
+            s"DeltaWriter: nested clustering column ${p.mkString(".")} " +
+              "unsupported — flat clustering columns only")
+          physToLogical.getOrElse(p.head, throw new IllegalArgumentException(
+            s"DeltaWriter: clustering column '${p.head}' not in the " +
+              "table's physical schema"))
+        }
+    }
+
+  /** OPTIMIZE a liquid-clustered table: honor the `delta.clustering`
+    * domain by rewriting the data z-ordered on its columns (one
+    * column degenerates to a range-sort — the same curve machinery).
+    * The domain itself is untouched: domain metadata survives the
+    * rewrite commit by log replay. */
+  def optimizeClustered(url: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        nBuckets: Int = 1024)
+                       (implicit spark: SparkSession): Long = {
+    val cleanUrl = url.stripSuffix("/")
+    val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
+      throw new IllegalArgumentException(
+        s"DeltaWriter.optimizeClustered: no Delta table at $cleanUrl"))
+    val cols = clusteringColumnsOf(snap)
+    require(cols.nonEmpty,
+      s"DeltaWriter.optimizeClustered: table at $cleanUrl declares no " +
+        "delta.clustering domain — use zorder/compact directly")
+    zorder(cleanUrl, cols, targetFileBytes, nBuckets)
+  }
 
   /** Row tracking (`rowTracking` writer feature): every new add
     * carries `baseRowId` (fresh ids = baseRowId + row position) and

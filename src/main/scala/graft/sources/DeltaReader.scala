@@ -367,7 +367,15 @@ object DeltaReader {
     val supported = Set("columnMapping", "deletionVectors", "v2Checkpoint",
       // features with no reader-visible data-path semantics: the
       // timestamp type and stats collection don't change replay
-      "timestampNtz")
+      "timestampNtz",
+      // type widening: old files store the NARROWER type; the scan
+      // requests the latest (widened) schema and Spark's parquet
+      // reader applies the protocol's widening promotions
+      // (int→long, int/float→double, decimal growth) natively —
+      // spec-pinned in DeltaTypeWideningSpec. WRITES to such tables
+      // stay refused (enforceWritable: not a supported writer
+      // feature).
+      "typeWidening", "typeWidening-preview")
     val unreadable = mr match {
       case v if v <= 2 => None
       case 3 => protocolInfo.readerFeatures.map(_.toSet) match {
