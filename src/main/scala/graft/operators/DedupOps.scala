@@ -66,23 +66,31 @@ object DedupOps {
     *    content digest WITHIN the batch;
     *  - `is_dup_in_corpus`: digest already present in the corpus;
     *  - `accepted`: neither.
-    * Cost: one window shuffle on digest + one join against the
+    * Cost: one partial-aggregated min per digest + its co-keyed join
+    * (NOT a digest window: a groupBy(min) map-side-combines, so 10⁹
+    * copies of one boilerplate text collapse to one row per
+    * partition before the shuffle, where a rank window would funnel
+    * them through one reducer's sort) + one join against the
     * corpus's distinct digests (at scale: a bucketed digest table, so
     * the join is co-located and the corpus is never rescanned). */
   def incrementalDedup(incoming: DataFrame, existing: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpusDigests = existing
       .select(md5(col(textCol)).as("__digest")).distinct()
       .withColumn("__in_corpus", lit(1))
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
-    incoming
-      .withColumn("__digest", md5(col(textCol)))
-      .withColumn("is_dup_in_batch", row_number().over(w) > 1)
+    val batch = incoming.withColumn("__digest", md5(col(textCol)))
+    // struct min: a NULL id sorts before every real id — the same
+    // keeper the window's nulls-first orderBy picked
+    val firsts = batch.groupBy(col("__digest"))
+      .agg(min(struct(col(idCol))).as("__m"))
+      .select(col("__digest"), col("__m").getField(idCol).as("__first_id"))
+    batch
+      .join(firsts, Seq("__digest"))
+      .withColumn("is_dup_in_batch", !(col(idCol) <=> col("__first_id")))
       .join(corpusDigests, Seq("__digest"), "left")
       .withColumn("is_dup_in_corpus", col("__in_corpus").isNotNull)
       .withColumn("accepted", !col("is_dup_in_batch") && !col("is_dup_in_corpus"))
-      .drop("__digest", "__in_corpus")
+      .drop("__digest", "__in_corpus", "__first_id")
   }
 
   /** Bloom-pruned incremental exact dedup — byte-identical OUTPUT to
@@ -133,14 +141,19 @@ object DedupOps {
           lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(md5(col(textCol)))))
         .select(md5(col(textCol)).as("__digest"))
     val corpusDigests = candidates.distinct().withColumn("__in_corpus", lit(1))
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
-    incoming
-      .withColumn("__digest", md5(col(textCol)))
-      .withColumn("is_dup_in_batch", row_number().over(w) > 1)
+    // same partial-aggregated min-per-digest shape as
+    // [[incrementalDedup]] (byte-identical output, no digest window)
+    val batch = incoming.withColumn("__digest", md5(col(textCol)))
+    val firsts = batch.groupBy(col("__digest"))
+      .agg(min(struct(col(idCol))).as("__m"))
+      .select(col("__digest"), col("__m").getField(idCol).as("__first_id"))
+    batch
+      .join(firsts, Seq("__digest"))
+      .withColumn("is_dup_in_batch", !(col(idCol) <=> col("__first_id")))
       .join(corpusDigests, Seq("__digest"), "left")
       .withColumn("is_dup_in_corpus", col("__in_corpus").isNotNull)
       .withColumn("accepted", !col("is_dup_in_batch") && !col("is_dup_in_corpus"))
-      .drop("__digest", "__in_corpus")
+      .drop("__digest", "__in_corpus", "__first_id")
   }
 
   /** CCNet-style sub-document (span-level) dedup: split every
@@ -158,16 +171,16 @@ object DedupOps {
     * vanish).
     *
     * Scale shape: one explode (span rows bounded by corpus token
-    * count / spanTokens), one window shuffle keyed on the span text,
+    * count / spanTokens), one PARTIAL-AGGREGATED min per span (the
+    * map-side combine collapses repeated boilerplate spans before
+    * the shuffle — no span-keyed rank window, no per-reducer sort),
     * one groupBy on the doc id whose collect_list is bounded by
-    * document length. `hashKeys = true` is the 100 TB setting: the
-    * window key becomes `(xxhash64(span), span)`, so the exchange
-    * partitioner and the per-partition sort compare an 8-byte hash
-    * and touch the raw string only on hash-equal ties — cheap
-    * comparisons on long boilerplate spans, IDENTICAL results (the
-    * span stays in the key, so a hash collision can never merge two
-    * distinct spans; spec-pinned mode agreement). Default off only to
-    * keep the oracle-witnessed plan minimal. */
+    * document length. `hashKeys = true` prepends `xxhash64(span)` to
+    * the group key so the aggregate hashes/compares an 8-byte prefix
+    * before the raw string — IDENTICAL results (the span stays in
+    * the key, so a hash collision can never merge two distinct
+    * spans; spec-pinned mode agreement). Default off only to keep
+    * the oracle-witnessed plan minimal. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  spanTokens: Int = 8, hashKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -180,8 +193,16 @@ object DedupOps {
     val spans = explodeSpans(df, idCol, textCol, spanTokens)
     val spanKey: Seq[org.apache.spark.sql.Column] =
       if (hashKeys) Seq(xxhash64(col("span")), col("span")) else Seq(col("span"))
-    val w = Window.partitionBy(spanKey: _*).orderBy(col(idCol), col("span_idx"))
-    val kept = spans.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    // first (id, span_idx) per span via a partial-aggregated struct
+    // min, NOT a span-keyed rank window: the groupBy map-side-combines
+    // duplicate spans per partition, so a boilerplate span repeated
+    // 10⁹ times collapses before the shuffle instead of riding one
+    // reducer's sort. Struct min sorts a NULL id first — the same
+    // keeper the window's nulls-first orderBy picked.
+    val kept = spans.groupBy(spanKey: _*)
+      .agg(min(struct(col(idCol), col("span_idx"))).as("__m"))
+      .select(col("span"), col("__m").getField(idCol).as(idCol),
+        col("__m").getField("span_idx").as("span_idx"))
     val nSpans = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
     val recon = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_kept"),

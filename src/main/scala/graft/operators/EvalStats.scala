@@ -807,7 +807,12 @@ object EvalStats {
     * Scale shape (100 TB): two group-keyed rank windows (median and
     * q̂) on the calibration slice and one keyed join + aggregate on
     * the test slice — all partitioned by group; no global ordering
-    * anywhere. */
+    * anywhere. The rank windows sort whole groups of the CALIBRATION
+    * slice in one task each: calibration is a sample by construction
+    * (the conformal contract), so keep it sample-sized per group; a
+    * corpus-sized calibration group needs the
+    * [[graft.operators.RobustStats.quantileNormalize]]-style
+    * value-bucket rank decomposition instead. */
   def splitConformal(df: DataFrame, groupCol: String, valueCol: String,
                      calCol: String, alphaNumer: Int = 1,
                      alphaDenom: Int = 10): DataFrame = {

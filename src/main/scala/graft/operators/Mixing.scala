@@ -195,20 +195,52 @@ object Mixing {
     * standard guard against source-ordering curricula the model
     * never chose.
     *
-    * Scale shape: one shuffle on `sourceCol` for the per-source
-    * window; materializing the interleaved order is
-    * `repartitionByRange(epoch, source)` + in-partition sort (range
-    * shuffle, NOT a single-partition global sort) — or feed `epoch`
-    * to [[graft.operators.Sequencing.withGlobalOrdinals]] when a
-    * dense global position is required. */
+    * Scale shape: the per-source rank is TWO-PHASE — the content
+    * hash is uniform on [0, P), so fixed-width hash buckets split
+    * every source into `buckets` ranges whose counts give exact
+    * per-bucket rank offsets (a dim-sized prefix sum, no
+    * approxQuantile pass); the rank window then partitions by
+    * (source, bucket) and sorts only a 1/buckets slice. A plain
+    * per-source window would funnel each source — a handful of
+    * values over a 100 TB corpus — through ONE reducer's sort.
+    * Bucketing by a monotone function of the sort key keeps the
+    * assignment EXACTLY the plain window's (spec-pinned).
+    * Materializing the interleaved order afterwards is
+    * `repartitionByRange(epoch, source)` + in-partition sort — or
+    * feed `epoch` to
+    * [[graft.operators.Sequencing.withGlobalOrdinals]] when a dense
+    * global position is required. */
   def interleaveSources(df: DataFrame, sourceCol: String, textCol: String,
-                        idCol: String): DataFrame = {
+                        idCol: String, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(!df.columns.contains("epoch"),
       "interleaveSources reserves column name epoch")
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(expr(H.rollingHash(textCol)), col(idCol))
-    df.withColumn("epoch", row_number().over(w))
+    require(buckets >= 1 && buckets <= (1 << 20),
+      "buckets must be in [1, 2^20]")
+    val reserved = Set("__h", "__bkt", "__c", "__off")
+    val collisions = df.columns.toSet.intersect(reserved)
+    require(collisions.isEmpty,
+      s"interleaveSources reserves column names ${reserved.mkString(", ")}; " +
+        s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val hashMod = 1000000007L // rollingHash range
+    // bucket = floor(h·B/P): monotone in h, so (bucket, h, id) is the
+    // (h, id) order and two-phase rank ≡ the plain per-source window
+    val withB = df.withColumn("__h", expr(H.rollingHash(textCol)))
+      .withColumn("__bkt",
+        (col("__h") * lit(buckets.toLong) / lit(hashMod)).cast("int"))
+    val offsets = withB
+      .groupBy(col(sourceCol), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        sum(col("__c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(sourceCol)).orderBy(col("__bkt"))) - col("__c"))
+      .select(col(sourceCol), col("__bkt"), col("__off"))
+    val w = Window.partitionBy(col(sourceCol), col("__bkt"))
+      .orderBy(col("__h"), col(idCol))
+    withB.join(broadcast(offsets), Seq(sourceCol, "__bkt"))
+      .withColumn("epoch",
+        (row_number().over(w).cast("bigint") + col("__off")).cast("bigint"))
+      .drop("__h", "__bkt", "__off")
   }
 
   /** Largest-remainder (Hamilton) budget apportionment: split an
@@ -259,25 +291,38 @@ object Mixing {
     * rows, no rand().
     *
     * Scale shape: quotas are a broadcast dim; the selection is one
-    * group-keyed window. Very large groups take the
-    * [[capPerGroup]]-style hash-range prefilter before the window
-    * (same probabilistic bound, quota in place of n). */
+    * group-keyed window. Groups larger than `prefilterAbove` are
+    * first PRUNED map-side to the hash range expected to hold
+    * ~`4·quota + 256` rows ([[capPerGroup]]'s bound, quota in place
+    * of n — same e^−95 shortfall probability, same total order, so
+    * prune + window ≡ window alone); the window then sorts only the
+    * pruned survivors, never a whole corpus-sized group. */
   def takeQuotas(df: DataFrame, textCol: String, groupCol: String,
-                 idCol: String, quotas: DataFrame): DataFrame = {
+                 idCol: String, quotas: DataFrame,
+                 prefilterAbove: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(quotas.columns.toSet == Set(groupCol, "quota"),
       s"quotas must have exactly columns ($groupCol, quota), got ${quotas.columns.toSeq}")
-    val reserved = Set("__h", "__rn", "quota")
+    require(prefilterAbove > 0, "prefilterAbove must be positive")
+    val reserved = Set("__h", "__rn", "__cnt", "quota")
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"takeQuotas reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val hashMod = 1000000007L // rollingHash range
     val w = Window.partitionBy(col(groupCol))
-      .orderBy(expr(H.rollingHash(textCol)), col(idCol))
-    df.join(broadcast(quotas), Seq(groupCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", expr(H.rollingHash(textCol)))
+      .join(broadcast(quotas), Seq(groupCol))
+      .join(broadcast(counts), Seq(groupCol))
+      .where(col("__cnt") <= prefilterAbove ||
+        col("__h") < ceil(lit(hashMod.toDouble) *
+          (lit(4.0) * col("quota") + lit(256.0)) / col("__cnt"))
+          .cast("long"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("quota"))
-      .drop("__rn", "quota")
+      .drop("__h", "__rn", "__cnt", "quota")
   }
 
   /** Top-p (nucleus) selection per group: keep each group's

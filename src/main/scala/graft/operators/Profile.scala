@@ -454,7 +454,13 @@ object Profile {
     *
     * Scale shape: one per-group window (rank) + one keyed
     * aggregation; group size bounds the window partition, and groups
-    * (users/sources) are many, so partitions parallelize. */
+    * (users/sources) are many, so partitions parallelize. The sort is
+    * bounded by ITEMS per group — feed per-item counts (one row per
+    * (group, item), the natural input), not raw events; a single
+    * group holding corpus-sized rows would ride one reducer's sort,
+    * and since h ≤ √(Σc) only the top ~√n ranks matter, a bounded
+    * `graft_bottom_k` prefilter is the escape hatch if one is ever
+    * needed. */
   def hIndex(df: DataFrame, groupCol: String, citeCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col("__c").desc)

@@ -691,14 +691,19 @@ object RobustStats {
     *
     * Scale shape: the pooled ordinal side rides
     * [[Sequencing.withGlobalOrdinals]] (quantile-bucket decomposition
-    * — no single-reducer global window); the in-group rank is one
-    * shuffle on `groupCol`; the mapping join is an equi-join on the
-    * ordinal, both sides corpus-sized — the unavoidable shape of an
-    * exact rank-to-rank mapping.
+    * — no single-reducer global window); the in-group rank is
+    * TWO-PHASE the same way — global value-quantile buckets are
+    * monotone in the sort key, so rank(g) = per-(g, bucket) rank +
+    * the (g, bucket) prefix offset, and no task ever sorts a whole
+    * group (a ~10-source group column would otherwise ride ~10% of
+    * the corpus through one reducer); the mapping join is an
+    * equi-join on the ordinal, both sides corpus-sized — the
+    * unavoidable shape of an exact rank-to-rank mapping.
     */
   def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
                         idCol: String, out: String = "qnorm"): DataFrame = {
-    val reserved = Set("__rs", "__ns", "__N", "__tord", "ordinal", out)
+    val reserved = Set("__rs", "__ns", "__N", "__tord", "ordinal", out,
+      "__vbkt", "__gc", "__goff")
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"quantileNormalize reserves column names ${reserved.mkString(", ")}; " +
@@ -707,17 +712,38 @@ object RobustStats {
       df.select(col(valueCol), col(idCol)), valueCol, idCol)
       .select(col("ordinal").as("__tord"), col(valueCol).as(out))
     val tot = df.agg(count(lit(1)).cast("bigint").as("__N"))
-    val wg = Window.partitionBy(col(groupCol))
-      .orderBy(col(valueCol), col(idCol))
-    df.withColumn("__rs", row_number().over(wg).cast("bigint"))
+    // global value buckets (same decomposition contract as
+    // withGlobalOrdinals: monotone non-decreasing in value, ties
+    // share a bucket) — (bucket, value, id) IS the (value, id) order
+    val vBounds = df.stat.approxQuantile(valueCol,
+      (1 until 32).map(_.toDouble / 32).toArray, 0.001).distinct.sorted
+    val bktExpr = vBounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col(valueCol) > lit(b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__vbkt", bktExpr)
+    // per-(group, bucket) counts → exclusive prefix offsets + group
+    // totals: a groups×buckets frame, window-sorted by bucket only
+    val offs = withB.groupBy(col(groupCol), col("__vbkt"))
+      .agg(count(lit(1)).as("__gc"))
+      .withColumn("__goff",
+        sum(col("__gc")).over(Window.partitionBy(col(groupCol))
+          .orderBy(col("__vbkt"))) - col("__gc"))
       .withColumn("__ns",
-        count(lit(1)).over(Window.partitionBy(col(groupCol))).cast("bigint"))
+        sum(col("__gc")).over(Window.partitionBy(col(groupCol)))
+          .cast("bigint"))
+      .select(col(groupCol), col("__vbkt"), col("__goff"), col("__ns"))
+    val wg = Window.partitionBy(col(groupCol), col("__vbkt"))
+      .orderBy(col(valueCol), col(idCol))
+    withB.join(offs, Seq(groupCol, "__vbkt"))
+      .withColumn("__rs",
+        (row_number().over(wg).cast("bigint") + col("__goff"))
+          .cast("bigint"))
       .crossJoin(broadcast(tot))
       .withColumn("__tord", expr(
         "CASE WHEN __ns > 1 THEN 1L + ((__rs - 1L) * (__N - 1L)) div (__ns - 1L) " +
           "ELSE 1L + (__N - 1L) div 2L END"))
       .join(pooled, Seq("__tord"))
-      .drop("__rs", "__ns", "__N", "__tord")
+      .drop("__rs", "__ns", "__N", "__tord", "__vbkt", "__goff")
   }
 
   /** 2-D Pareto skyline (maximize both axes): the distinct `(x, y)`

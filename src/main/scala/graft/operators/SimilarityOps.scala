@@ -1290,10 +1290,16 @@ object SimilarityOps {
         s"transform(sequence(0, ${m - 1}), s -> slice(__v, s * $dsub + 1, $dsub))"))
         .as(Seq("s", "__sv")))
       .localCheckpoint() // scanned twice per iteration; fixed lineage
-    val w0 = Window.partitionBy(col("s")).orderBy(xxhash64(col("__id")), col("__id"))
+    // bottom-k by hash per subspace: `s` has only m values, so a rank
+    // window would funnel the WHOLE corpus through m reducers' sorts;
+    // the k-bounded heap aggregate shuffles k·m·partitions rows only
+    // (the posexplode index over the ascending array IS rank-1 = cid)
     var cents: Map[(Int, Int), Seq[Double]] = rows
-      .withColumn("__r", row_number().over(w0)).where(col("__r") <= k)
-      .select(col("s"), (col("__r") - 1).as("cid"), col("__sv"))
+      .groupBy(col("s"))
+      .agg(expr(s"graft_bottom_k(struct(xxhash64(__id) AS h, __id, __sv), $k)")
+        .as("__smp"))
+      .select(col("s"),
+        posexplode(expr("transform(__smp, x -> x.__sv)")).as(Seq("cid", "__sv")))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) ->
         r.getAs[scala.collection.Seq[Float]](2).map(_.toDouble).toSeq)

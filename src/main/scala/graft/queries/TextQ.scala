@@ -2846,7 +2846,7 @@ object TextQ {
     // single-partition sort.
     Q("q123_interleave_sources",
       Some(s"""WITH r AS (SELECT source, doc_id, row_number() OVER (
-              |  PARTITION BY source ORDER BY ${D.rollingHash("text")}, doc_id)::INT AS epoch
+              |  PARTITION BY source ORDER BY ${D.rollingHash("text")}, doc_id)::BIGINT AS epoch
               |  FROM documents)
               |SELECT epoch, source, doc_id FROM r
               |ORDER BY epoch, source, doc_id""".stripMargin),

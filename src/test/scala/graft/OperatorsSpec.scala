@@ -1885,6 +1885,12 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == plan.filter(_._2 > 0))
     assert(got.values.sum == 100L)
+    // the hash-range prune (forced on every group) selects the SAME
+    // rows as the plain window — the capPerGroup bound, quota-sized
+    val plain = Mixing.takeQuotas(docs, "text", "source", "doc_id", quotas)
+    val pruned = Mixing.takeQuotas(docs, "text", "source", "doc_id", quotas,
+      prefilterAbove = 1L)
+    assertSameData(pruned, plain)
   }
 
   test("rbo: identical rankings give exactly 1 - 2^-k; disjoint give 0") {
