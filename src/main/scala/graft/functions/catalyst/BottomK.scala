@@ -41,20 +41,25 @@ case class BottomK(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.PriorityQueue[Any]] {
 
-  private lazy val k: Int = {
-    require(kExpr.foldable, "graft_bottom_k: k must be a literal")
-    val v = kExpr.eval() match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case s: Short => s.toLong
-      case other => throw new IllegalArgumentException(
-        s"graft_bottom_k: k must be integral, got $other")
+  /** k as a validated literal, or the failure message — shared by the
+    * ANALYSIS-TIME check (an invalid k must fail the query plan, not
+    * a retried executor task) and the runtime accessor. */
+  private def kValidated: Either[String, Int] =
+    if (!kExpr.foldable) Left("graft_bottom_k: k must be a literal")
+    else kExpr.eval() match {
+      case null => Left("graft_bottom_k: k must not be NULL")
+      case i: Int => checkRange(i.toLong)
+      case l: Long => checkRange(l)
+      case s: Short => checkRange(s.toLong)
+      case other => Left(s"graft_bottom_k: k must be integral, got $other")
     }
-    require(v >= 1 && v <= (1L << 22),
-      s"graft_bottom_k: k must be in [1, 2^22], got $v — the heap is " +
-        "executor memory, not a spillable sort")
-    v.toInt
-  }
+  private def checkRange(v: Long): Either[String, Int] =
+    if (v >= 1 && v <= (1L << 22)) Right(v.toInt)
+    else Left(s"graft_bottom_k: k must be in [1, 2^22], got $v — the " +
+      "heap is executor memory, not a spillable sort")
+
+  private lazy val k: Int = kValidated.fold(
+    msg => throw new IllegalArgumentException(msg), identity)
 
   // max-heap over the kept values: head = largest kept, evicted first
   private lazy val ordering: Ordering[Any] =
@@ -63,7 +68,14 @@ case class BottomK(
   override def checkInputDataTypes(): TypeCheckResult = {
     val base = super.checkInputDataTypes()
     if (!base.isSuccess) base
-    else TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+    else {
+      val ord = TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+      if (!ord.isSuccess) ord
+      else kValidated.fold(
+        msg => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(msg),
+        _ => TypeCheckResult.TypeCheckSuccess)
+    }
   }
 
   override def children: Seq[Expression] = Seq(child, kExpr)

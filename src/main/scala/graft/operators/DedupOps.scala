@@ -72,25 +72,33 @@ object DedupOps {
     * partition before the shuffle, where a rank window would funnel
     * them through one reducer's sort) + one join against the
     * corpus's distinct digests (at scale: a bucketed digest table, so
-    * the join is co-located and the corpus is never rescanned). */
+    * the join is co-located and the corpus is never rescanned).
+    * Ids are assumed row-unique (the dedup-family contract): two
+    * FULLY identical rows (same id, same text) both tag non-dup —
+    * only a rank could arbitrate between indistinguishable rows. */
   def incrementalDedup(incoming: DataFrame, existing: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
     val corpusDigests = existing
       .select(md5(col(textCol)).as("__digest")).distinct()
       .withColumn("__in_corpus", lit(1))
+    // NULL text ⇒ NULL digest: keep those rows groupable for the
+    // in-batch pick via a sentinel key (md5 is 32 hex chars, no
+    // collision possible) — but join the corpus on the RAW digest, so
+    // NULL never matches there (a NULL text is nobody's duplicate)
     val batch = incoming.withColumn("__digest", md5(col(textCol)))
+      .withColumn("__dg", coalesce(col("__digest"), lit("∅")))
     // struct min: a NULL id sorts before every real id — the same
     // keeper the window's nulls-first orderBy picked
-    val firsts = batch.groupBy(col("__digest"))
+    val firsts = batch.groupBy(col("__dg"))
       .agg(min(struct(col(idCol))).as("__m"))
-      .select(col("__digest"), col("__m").getField(idCol).as("__first_id"))
+      .select(col("__dg"), col("__m").getField(idCol).as("__first_id"))
     batch
-      .join(firsts, Seq("__digest"))
+      .join(firsts, Seq("__dg"))
       .withColumn("is_dup_in_batch", !(col(idCol) <=> col("__first_id")))
       .join(corpusDigests, Seq("__digest"), "left")
       .withColumn("is_dup_in_corpus", col("__in_corpus").isNotNull)
       .withColumn("accepted", !col("is_dup_in_batch") && !col("is_dup_in_corpus"))
-      .drop("__digest", "__in_corpus", "__first_id")
+      .drop("__digest", "__dg", "__in_corpus", "__first_id")
   }
 
   /** Bloom-pruned incremental exact dedup — byte-identical OUTPUT to
@@ -124,7 +132,6 @@ object DedupOps {
                             idCol: String, textCol: String,
                             expectedBatchDocs: Long = 1L << 22,
                             fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(expectedBatchDocs > 0, "expectedBatchDocs must be positive")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     val numBits = math.ceil(
@@ -142,18 +149,21 @@ object DedupOps {
         .select(md5(col(textCol)).as("__digest"))
     val corpusDigests = candidates.distinct().withColumn("__in_corpus", lit(1))
     // same partial-aggregated min-per-digest shape as
-    // [[incrementalDedup]] (byte-identical output, no digest window)
+    // [[incrementalDedup]] (byte-identical output, no digest window);
+    // NULL digests ride the same sentinel for the in-batch pick and
+    // the raw digest for the corpus join
     val batch = incoming.withColumn("__digest", md5(col(textCol)))
-    val firsts = batch.groupBy(col("__digest"))
+      .withColumn("__dg", coalesce(col("__digest"), lit("∅")))
+    val firsts = batch.groupBy(col("__dg"))
       .agg(min(struct(col(idCol))).as("__m"))
-      .select(col("__digest"), col("__m").getField(idCol).as("__first_id"))
+      .select(col("__dg"), col("__m").getField(idCol).as("__first_id"))
     batch
-      .join(firsts, Seq("__digest"))
+      .join(firsts, Seq("__dg"))
       .withColumn("is_dup_in_batch", !(col(idCol) <=> col("__first_id")))
       .join(corpusDigests, Seq("__digest"), "left")
       .withColumn("is_dup_in_corpus", col("__in_corpus").isNotNull)
       .withColumn("accepted", !col("is_dup_in_batch") && !col("is_dup_in_corpus"))
-      .drop("__digest", "__in_corpus", "__first_id")
+      .drop("__digest", "__dg", "__in_corpus", "__first_id")
   }
 
   /** CCNet-style sub-document (span-level) dedup: split every
@@ -183,7 +193,6 @@ object DedupOps {
     * the oracle-witnessed plan minimal. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
                  spanTokens: Int = 8, hashKeys: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(spanTokens >= 1, "spanTokens must be positive")
     val reserved = Set("__toks", "span_idx", "span", "__rn", "n_spans", "n_kept", "kept_text")
     val collisions = df.columns.toSet.intersect(reserved)

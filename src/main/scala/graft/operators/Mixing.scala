@@ -161,7 +161,13 @@ object Mixing {
     * safe: a shortfall below `n` needs a Binomial(cnt, p) with mean
     * `4n + 256` to land under `n` — P < e^−95 even at n = 1 — and
     * any row the prune keeps is decided by the same total order the
-    * window uses, so prune + window ≡ window alone (spec-pinned). */
+    * window uses, so prune + window ≡ window alone (spec-pinned).
+    * The bound assumes near-distinct texts: a group whose mass is a
+    * few REPEATED texts has far fewer distinct hash values than rows,
+    * and a pruned-out heavy hash can under-fill the cap — run
+    * [[graft.operators.DedupOps.exactDedup]] first (the curation
+    * contract) or raise `prefilterAbove`. NULL texts always survive
+    * the prune (they rank first). */
   def capPerGroup(df: DataFrame, textCol: String, groupCol: String,
                   idCol: String, n: Int,
                   prefilterAbove: Long = 1L << 20): DataFrame = {
@@ -178,7 +184,9 @@ object Mixing {
     val target = 4L * n + 256L
     val withH = df.withColumn("__h", expr(H.rollingHash(textCol)))
       .join(broadcast(counts), Seq(groupCol))
-      .where(col("__cnt") <= prefilterAbove ||
+      // NULL hashes (null text) rank FIRST in the window's nulls-first
+      // order, so the prune must always keep them
+      .where(col("__cnt") <= prefilterAbove || col("__h").isNull ||
         col("__h") < ceil(lit(hashMod.toDouble) * lit(target.toDouble) / col("__cnt")).cast("long"))
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
     withH.withColumn("__rn", row_number().over(w))
@@ -217,30 +225,37 @@ object Mixing {
       "interleaveSources reserves column name epoch")
     require(buckets >= 1 && buckets <= (1 << 20),
       "buckets must be in [1, 2^20]")
-    val reserved = Set("__h", "__bkt", "__c", "__off")
+    val reserved = Set("__h", "__bkt", "__c", "__off", "__osrc", "__obkt")
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"interleaveSources reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
     val hashMod = 1000000007L // rollingHash range
     // bucket = floor(h·B/P): monotone in h, so (bucket, h, id) is the
-    // (h, id) order and two-phase rank ≡ the plain per-source window
+    // (h, id) order and two-phase rank ≡ the plain per-source window.
+    // A NULL text hashes NULL → bucket -1, BEFORE every real bucket —
+    // the window's nulls-first order; the offsets join is NULL-SAFE
+    // on the source so a NULL source group keeps its rows (an inner
+    // equi-join would silently drop them).
     val withB = df.withColumn("__h", expr(H.rollingHash(textCol)))
-      .withColumn("__bkt",
-        (col("__h") * lit(buckets.toLong) / lit(hashMod)).cast("int"))
+      .withColumn("__bkt", coalesce(
+        (col("__h") * lit(buckets.toLong) / lit(hashMod)).cast("int"),
+        lit(-1)))
     val offsets = withB
       .groupBy(col(sourceCol), col("__bkt"))
       .agg(count(lit(1)).as("__c"))
       .withColumn("__off",
         sum(col("__c")).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col(sourceCol)).orderBy(col("__bkt"))) - col("__c"))
-      .select(col(sourceCol), col("__bkt"), col("__off"))
+      .select(col(sourceCol).as("__osrc"), col("__bkt").as("__obkt"),
+        col("__off"))
     val w = Window.partitionBy(col(sourceCol), col("__bkt"))
       .orderBy(col("__h"), col(idCol))
-    withB.join(broadcast(offsets), Seq(sourceCol, "__bkt"))
+    withB.join(broadcast(offsets),
+        col(sourceCol) <=> col("__osrc") && col("__bkt") <=> col("__obkt"))
       .withColumn("epoch",
         (row_number().over(w).cast("bigint") + col("__off")).cast("bigint"))
-      .drop("__h", "__bkt", "__off")
+      .drop("__h", "__bkt", "__off", "__osrc", "__obkt")
   }
 
   /** Largest-remainder (Hamilton) budget apportionment: split an
@@ -296,7 +311,10 @@ object Mixing {
     * ~`4·quota + 256` rows ([[capPerGroup]]'s bound, quota in place
     * of n — same e^−95 shortfall probability, same total order, so
     * prune + window ≡ window alone); the window then sorts only the
-    * pruned survivors, never a whole corpus-sized group. */
+    * pruned survivors, never a whole corpus-sized group. Same
+    * distinct-text assumption as [[capPerGroup]]: dedup first, or
+    * raise `prefilterAbove`, when a group is dominated by repeated
+    * texts. NULL texts always survive the prune. */
   def takeQuotas(df: DataFrame, textCol: String, groupCol: String,
                  idCol: String, quotas: DataFrame,
                  prefilterAbove: Long = 1L << 20): DataFrame = {
@@ -316,7 +334,7 @@ object Mixing {
     df.withColumn("__h", expr(H.rollingHash(textCol)))
       .join(broadcast(quotas), Seq(groupCol))
       .join(broadcast(counts), Seq(groupCol))
-      .where(col("__cnt") <= prefilterAbove ||
+      .where(col("__cnt") <= prefilterAbove || col("__h").isNull ||
         col("__h") < ceil(lit(hashMod.toDouble) *
           (lit(4.0) * col("quota") + lit(256.0)) / col("__cnt"))
           .cast("long"))

@@ -703,7 +703,7 @@ object RobustStats {
   def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
                         idCol: String, out: String = "qnorm"): DataFrame = {
     val reserved = Set("__rs", "__ns", "__N", "__tord", "ordinal", out,
-      "__vbkt", "__gc", "__goff")
+      "__vbkt", "__gc", "__goff", "__ogrp", "__obkt")
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"quantileNormalize reserves column names ${reserved.mkString(", ")}; " +
@@ -731,10 +731,14 @@ object RobustStats {
       .withColumn("__ns",
         sum(col("__gc")).over(Window.partitionBy(col(groupCol)))
           .cast("bigint"))
-      .select(col(groupCol), col("__vbkt"), col("__goff"), col("__ns"))
+      .select(col(groupCol).as("__ogrp"), col("__vbkt").as("__obkt"),
+        col("__goff"), col("__ns"))
     val wg = Window.partitionBy(col(groupCol), col("__vbkt"))
       .orderBy(col(valueCol), col(idCol))
-    withB.join(offs, Seq(groupCol, "__vbkt"))
+    // NULL-SAFE group join: a NULL group was a normal window partition
+    // before the decomposition and must keep its rows
+    withB.join(offs,
+        col(groupCol) <=> col("__ogrp") && col("__vbkt") <=> col("__obkt"))
       .withColumn("__rs",
         (row_number().over(wg).cast("bigint") + col("__goff"))
           .cast("bigint"))
@@ -743,7 +747,8 @@ object RobustStats {
         "CASE WHEN __ns > 1 THEN 1L + ((__rs - 1L) * (__N - 1L)) div (__ns - 1L) " +
           "ELSE 1L + (__N - 1L) div 2L END"))
       .join(pooled, Seq("__tord"))
-      .drop("__rs", "__ns", "__N", "__tord", "__vbkt", "__goff")
+      .drop("__rs", "__ns", "__N", "__tord", "__vbkt", "__goff",
+        "__ogrp", "__obkt")
   }
 
   /** 2-D Pareto skyline (maximize both axes): the distinct `(x, y)`

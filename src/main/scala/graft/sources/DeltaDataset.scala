@@ -3174,19 +3174,14 @@ object DeltaWriter {
     math.max(fromConf, maxStamped(snap.schema))
   }
 
-  /** `f` with nullability relaxed to true at EVERY level (struct
-    * fields, array elements, map values), metadata kept — the shape
-    * of an evolution-added column, whose pre-evolution rows all
-    * null-fill. */
-  private[sources] def relaxNullability(f: StructField): StructField = {
-    def rt(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map(relaxNullability))
-      case ArrayType(et, _) => ArrayType(rt(et), containsNull = true)
-      case MapType(k, v, _) => MapType(rt(k), rt(v), valueContainsNull = true)
-      case other => other
-    }
-    f.copy(dataType = rt(f.dataType), nullable = true)
-  }
+  /** `f` with nullability relaxed to true at EVERY level, metadata
+    * kept — the shape of an evolution-added column, whose
+    * pre-evolution rows all null-fill. Delegates to the READER's
+    * [[DeltaReader.relaxNullability]] so the evolved schema and the
+    * reader's cast target can never diverge. */
+  private[sources] def relaxNullability(f: StructField): StructField =
+    f.copy(dataType = DeltaReader.relaxNullability(f.dataType),
+      nullable = true)
 
   /** Stamp `f` — and, pre-order, every nested struct field under it —
     * with a fresh `delta.columnMapping.physicalName` (col-<uuid>, the

@@ -130,12 +130,15 @@ object DeltaReader {
       txns: Map[String, Long] = Map.empty,
       domainMetadata: Map[String, String] = Map.empty)
 
-  /** `dt` with nullability relaxed at every level — the cast target
-    * shape for physical→logical renames (scan output is always
-    * nullable; a NOT NULL inner field would make the cast refuse). */
-  private def relaxNullability(dt: DataType): DataType = dt match {
+  /** `dt` with nullability relaxed at every level, field metadata
+    * kept — the cast target shape for physical→logical renames (scan
+    * output is always nullable; a NOT NULL inner field would make the
+    * cast refuse) AND the writer's evolved-column normalization
+    * ([[DeltaWriter.relaxNullability]] delegates here so the two
+    * can never diverge). */
+  private[sources] def relaxNullability(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
-      StructField(f.name, relaxNullability(f.dataType), nullable = true)))
+      f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
     case ArrayType(et, _) => ArrayType(relaxNullability(et), containsNull = true)
     case MapType(k, v, _) =>
       MapType(relaxNullability(k), relaxNullability(v),

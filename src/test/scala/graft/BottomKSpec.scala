@@ -68,17 +68,22 @@ class BottomKSpec extends SparkSpec {
     assert(got == Seq(1L, 3L))
   }
 
-  test("error contracts: non-literal k, out-of-range k, unorderable child") {
+  test("error contracts fail at ANALYSIS time: non-literal k, out-of-range k, unorderable child") {
+    import org.apache.spark.sql.AnalysisException
     val df = Seq((1L, 2L)).toDF("g", "v")
-    intercept[Exception] {
-      df.groupBy(col("g")).agg(expr("graft_bottom_k(v, g)")).collect()
+    // an invalid k must fail the plan, not a retried executor task
+    intercept[AnalysisException] {
+      df.groupBy(col("g")).agg(expr("graft_bottom_k(v, g)")).queryExecution
+        .executedPlan
     }
-    intercept[Exception] {
-      df.groupBy(col("g")).agg(expr("graft_bottom_k(v, 0)")).collect()
+    intercept[AnalysisException] {
+      df.groupBy(col("g")).agg(expr("graft_bottom_k(v, 0)")).queryExecution
+        .executedPlan
     }
-    intercept[Exception] {
+    intercept[AnalysisException] {
       df.selectExpr("map('a', 1) AS m", "g")
-        .groupBy(col("g")).agg(expr("graft_bottom_k(m, 2)")).collect()
+        .groupBy(col("g")).agg(expr("graft_bottom_k(m, 2)")).queryExecution
+        .executedPlan
     }
   }
 }

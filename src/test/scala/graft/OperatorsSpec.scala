@@ -4100,4 +4100,54 @@ class OperatorsSpec extends SparkSpec {
     rowSums.foreach(x => assert(math.abs(x - target) <= target / 50,
       s"row margin $x vs $target"))
   }
+  test("null keys survive the window-to-aggregate conversions (round-14 review regressions)") {
+    import spark.implicits._
+    // incrementalDedup: NULL-text rows are TAGGED, never dropped — the
+    // sentinel groups them for the in-batch pick, and a NULL text is
+    // nobody's corpus duplicate
+    val batch = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("doc_id", "text")
+    val corpus = Seq((9L, Option("a")), (8L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = DedupOps.incrementalDedup(batch, corpus, "doc_id", "text")
+    val tags = r.select(col("doc_id"), col("is_dup_in_batch"),
+      col("is_dup_in_corpus"), col("accepted")).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))).toMap
+    assert(tags.size == 3, s"no row may vanish: $tags")
+    assert(tags(1L) == ((false, true, false)), s"$tags")
+    assert(tags(2L) == ((false, false, true)),
+      s"first NULL-text row by id is the in-batch keeper: $tags")
+    assert(tags(3L) == ((true, false, false)),
+      s"later NULL-text rows are in-batch dups: $tags")
+    // bloom variant stays byte-identical
+    val rb = DedupOps.bloomIncrementalDedup(batch, corpus, "doc_id", "text")
+    assertSameData(rb, r)
+    // interleaveSources: NULL source and NULL text rows keep an epoch
+    val docs = Seq((Option("s1"), Option("t1"), 1L),
+      (Option.empty[String], Option("t2"), 2L),
+      (Option("s1"), Option.empty[String], 3L))
+      .toDF("source", "text", "doc_id")
+    val ep = Mixing.interleaveSources(docs, "source", "text", "doc_id")
+      .select(col("doc_id"), col("epoch")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ep.size == 3, s"no row may vanish: $ep")
+    assert(ep(2L) == 1L, "a NULL source is its own group")
+    assert(ep(3L) == 1L && ep(1L) == 2L,
+      s"NULL text hashes first within its source (nulls-first): $ep")
+    // quantileNormalize: NULL-group rows keep a qnorm
+    val qdf = Seq((Option.empty[String], 1.0, 1L), (Option("g"), 2.0, 2L),
+      (Option("g"), 3.0, 3L)).toDF("grp", "v", "id")
+    assert(RobustStats.quantileNormalize(qdf, "v", "grp", "id")
+      .count() == 3L, "NULL group rows must keep their rows")
+    // capPerGroup / takeQuotas: NULL text always survives the prune
+    val capDf = Seq((Option("t"), "g", 1L), (Option.empty[String], "g", 2L))
+      .toDF("text", "source", "doc_id")
+    assert(Mixing.capPerGroup(capDf, "text", "source", "doc_id", n = 1,
+      prefilterAbove = 1L).collect().map(_.getLong(2)).toSeq == Seq(2L),
+      "the NULL-text row ranks first and must not be pruned away")
+    val q1 = Seq(("g", 1L)).toDF("source", "quota")
+    assert(Mixing.takeQuotas(capDf, "text", "source", "doc_id", q1,
+      prefilterAbove = 1L).collect().map(_.getLong(2)).toSeq == Seq(2L))
+  }
 }
