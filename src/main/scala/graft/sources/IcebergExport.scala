@@ -20,12 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Delta UniForm's shape (the reference has no interop surface;
   * north-star extension).
   *
-  * Documented deviations, chosen for the offline toolchain and
-  * spelled out here rather than hidden: the manifest list and
-  * manifest are JSON with Iceberg's field names (real Iceberg uses
-  * Avro); each export publishes ONE snapshot (the current Delta
-  * version) rather than replaying history. Both halves are pinned by
-  * the spec via [[readExported]] == Delta scan.
+  * The manifest and manifest list are REAL AVRO object-container
+  * files with the Iceberg v2 `manifest_entry` / `manifest_file`
+  * record schemas, `field-id` attributes on every field, and the
+  * spec-required key-value metadata (`schema`, `partition-spec`,
+  * `format-version`, `content`) — the layout an external Iceberg
+  * reader parses. Documented deviation: each export publishes ONE
+  * snapshot (the current Delta version) rather than replaying
+  * history. Pinned by the spec via [[readExported]] == Delta scan
+  * plus a raw-Avro decode of both files.
   *
   * Deletion vectors REFUSE the export (run `optimize(0.0)` first to
   * materialize masks): a plain manifest cannot express row-level
@@ -91,57 +94,132 @@ object IcebergExport {
     def esc(s: String): String =
       s.replace("\\", "\\\\").replace("\"", "\\\"")
 
-    // ---- manifest: one entry per live data file --------------------
-    val manifestPath = new Path(metaDir,
-      f"manifest-${snap.version}%020d.json")
-    val manifestBody = snap.files.sortBy(_.path).map { f =>
-      val partition = snap.partitionColumns.map { c =>
-        val v = f.partitionValues.getOrElse(c, null)
-        s""""${esc(c)}":${if (v == null) "null" else s""""${esc(v)}""""}"""
-      }.mkString(",")
-      s"""{"status":1,"data_file":{"file_path":"${esc(f.path)}",""" +
-        s""""file_format":"PARQUET","partition":{$partition},""" +
-        s""""record_count":${counted.getOrElse(f.path, 0L)},""" +
-        s""""file_size_in_bytes":${f.size}}}"""
-    }.mkString("\n") + "\n"
-    writeFile(fs, manifestPath, manifestBody)
+    val snapshotId = snap.version + 1L // Iceberg ids are arbitrary longs
 
-    // ---- manifest list --------------------------------------------
+    // Avro primitive for an IDENTITY-partition source column — the
+    // typed partition record the manifest stores (Delta logs the
+    // values as strings; they parse back by this type)
+    def partAvroType(dt: DataType): String = dt match {
+      case IntegerType | ShortType | ByteType => "\"int\""
+      case LongType => "\"long\""
+      case StringType => "\"string\""
+      case BooleanType => "\"boolean\""
+      case DateType => """{"type":"int","logicalType":"date"}"""
+      case other => throw new UnsupportedOperationException(
+        s"IcebergExport: identity partition on ${other.simpleString} " +
+          "unsupported (int/long/string/boolean/date)")
+    }
+    val partFieldsJson = snap.partitionColumns.zipWithIndex.map {
+      case (c, i) =>
+        s"""{"name":"${esc(c)}","type":["null",${
+          partAvroType(snap.schema(c).dataType)}],"default":null,""" +
+          s""""field-id":${1000 + i}}"""
+    }.mkString(",")
+
+    // ---- manifest: one Avro manifest_entry per live data file -----
+    // (Iceberg v2 required fields + field-ids; optional column stats
+    // omitted — a missing bound is unprunable, always sound)
+    val manifestSchema = new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFieldsJson]}},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin)
+    def partValue(c: String, v: String): AnyRef =
+      if (v == null) null
+      else snap.schema(c).dataType match {
+        case IntegerType | ShortType | ByteType => Int.box(v.toInt)
+        case LongType => Long.box(v.toLong)
+        case BooleanType => Boolean.box(v.toBoolean)
+        case DateType => Int.box(java.time.LocalDate.parse(v)
+          .toEpochDay.toInt)
+        case _ => v
+      }
+    val manifestPath = new Path(metaDir,
+      f"manifest-${snap.version}%020d.avro")
+    val dfSchema = manifestSchema.getField("data_file").schema()
+    val partSchema = dfSchema.getField("partition").schema()
+    writeAvro(fs, manifestPath, manifestSchema,
+      Map(
+        "format-version" -> "2", "content" -> "data",
+        "partition-spec-id" -> "0",
+        "partition-spec" -> s"[${snap.partitionColumns.zipWithIndex.map {
+          case (c, i) =>
+            s"""{"name":"${esc(c)}","transform":"identity",""" +
+              s""""source-id":${fieldId(c)},"field-id":${1000 + i}}"""
+        }.mkString(",")}]",
+        "schema" -> icebergSchemaJson(snap)),
+      snap.files.sortBy(_.path).map { f =>
+        val part = new org.apache.avro.generic.GenericData.Record(partSchema)
+        snap.partitionColumns.foreach(c =>
+          part.put(c, partValue(c, f.partitionValues.getOrElse(c, null))))
+        val dataFile = new org.apache.avro.generic.GenericData.Record(dfSchema)
+        dataFile.put("content", Int.box(0))
+        dataFile.put("file_path", f.path)
+        dataFile.put("file_format", "PARQUET")
+        dataFile.put("partition", part)
+        dataFile.put("record_count", Long.box(counted.getOrElse(f.path, 0L)))
+        dataFile.put("file_size_in_bytes", Long.box(f.size))
+        val entry = new org.apache.avro.generic.GenericData.Record(manifestSchema)
+        entry.put("status", Int.box(1)) // ADDED
+        entry.put("snapshot_id", Long.box(snapshotId))
+        entry.put("data_file", dataFile)
+        entry
+      })
+
+    // ---- manifest list: one Avro manifest_file record --------------
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string","field-id":500},
+        |{"name":"manifest_length","type":"long","field-id":501},
+        |{"name":"partition_spec_id","type":"int","field-id":502},
+        |{"name":"content","type":"int","field-id":517},
+        |{"name":"sequence_number","type":"long","field-id":515},
+        |{"name":"min_sequence_number","type":"long","field-id":516},
+        |{"name":"added_snapshot_id","type":"long","field-id":503},
+        |{"name":"added_files_count","type":"int","field-id":504},
+        |{"name":"existing_files_count","type":"int","field-id":505},
+        |{"name":"deleted_files_count","type":"int","field-id":506},
+        |{"name":"added_rows_count","type":"long","field-id":512},
+        |{"name":"existing_rows_count","type":"long","field-id":513},
+        |{"name":"deleted_rows_count","type":"long","field-id":514}
+        |]}""".stripMargin)
     val listPath = new Path(metaDir,
-      f"snap-${snap.version}%020d.manifest-list.json")
+      f"snap-${snap.version}%020d.manifest-list.avro")
     val totalRows = snap.files.map(f => counted.getOrElse(f.path, 0L)).sum
-    writeFile(fs, listPath,
-      s"""{"manifest_path":"${esc(manifestPath.toUri.toString)}",""" +
-        s""""manifest_length":${fs.getFileStatus(manifestPath).getLen},""" +
-        s""""partition_spec_id":0,"added_files_count":${snap.files.size},""" +
-        s""""added_rows_count":$totalRows}""" + "\n")
+    val mf = new org.apache.avro.generic.GenericData.Record(listSchema)
+    mf.put("manifest_path", manifestPath.toUri.toString)
+    mf.put("manifest_length", Long.box(fs.getFileStatus(manifestPath).getLen))
+    mf.put("partition_spec_id", Int.box(0))
+    mf.put("content", Int.box(0)) // data
+    mf.put("sequence_number", Long.box(snap.version))
+    mf.put("min_sequence_number", Long.box(snap.version))
+    mf.put("added_snapshot_id", Long.box(snapshotId))
+    mf.put("added_files_count", Int.box(snap.files.size))
+    mf.put("existing_files_count", Int.box(0))
+    mf.put("deleted_files_count", Int.box(0))
+    mf.put("added_rows_count", Long.box(totalRows))
+    mf.put("existing_rows_count", Long.box(0L))
+    mf.put("deleted_rows_count", Long.box(0L))
+    writeAvro(fs, listPath, listSchema,
+      Map("format-version" -> "2",
+        "snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> snap.version.toString),
+      Seq(mf))
 
     // ---- table metadata -------------------------------------------
-    def icebergType(dt: DataType): String = dt match {
-      case LongType => "long"
-      case IntegerType | ShortType | ByteType => "int"
-      case DoubleType => "double"
-      case FloatType => "float"
-      case StringType => "string"
-      case BooleanType => "boolean"
-      case DateType => "date"
-      case BinaryType => "binary"
-      case _: TimestampType => "timestamptz"
-      case TimestampNTZType => "timestamp"
-      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
-      case other => throw new UnsupportedOperationException(
-        s"IcebergExport: no Iceberg mapping for ${other.simpleString} " +
-          "(nested types need real UniForm)")
-    }
-    val schemaJson = snap.schema.fields.map { f =>
-      s"""{"id":${fieldId(f.name)},"name":"${esc(f.name)}",""" +
-        s""""required":false,"type":"${icebergType(f.dataType)}"}"""
-    }.mkString("[", ",", "]")
     val specJson = snap.partitionColumns.zipWithIndex.map { case (c, i) =>
       s"""{"name":"${esc(c)}","transform":"identity",""" +
         s""""source-id":${fieldId(c)},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
-    val snapshotId = snap.version + 1L // Iceberg ids are arbitrary longs
     val now = System.currentTimeMillis
     val metadataPath = new Path(metaDir, s"v${snap.version}.metadata.json")
     writeFile(fs, metadataPath,
@@ -149,8 +227,7 @@ object IcebergExport {
         s""""location":"${esc(qualifiedBase.toUri.toString)}",""" +
         s""""last-sequence-number":${snap.version},"last-updated-ms":$now,""" +
         s""""last-column-id":${snap.schema.fields.length},""" +
-        s""""current-schema-id":0,"schemas":[{"schema-id":0,""" +
-        s""""type":"struct","fields":$schemaJson}],""" +
+        s""""current-schema-id":0,"schemas":[${icebergSchemaJson(snap)}],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
         s""""fields":$specJson}],""" +
         s""""last-partition-id":${999 + snap.partitionColumns.size},""" +
@@ -210,19 +287,35 @@ object IcebergExport {
       _.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong)
       .getOrElse(throw new IllegalStateException(
         "IcebergExport.readExported: current snapshot missing"))
-    val listJson = om.readTree(readFile(fs,
-      new Path(new java.net.URI(snapNode.get("manifest-list").asText))))
-    val manifest = readFile(fs,
-      new Path(new java.net.URI(listJson.get("manifest_path").asText)))
-    val entries: Seq[(String, Map[String, String])] = manifest.split("\n")
-      .iterator.map(_.trim).filter(_.nonEmpty).map(om.readTree).map { e =>
+    // manifest list + manifest are Avro object-container files (the
+    // Iceberg v2 layout) — decode generically, statuses 1/0 are live
+    val listRecs = readAvro(fs,
+      new Path(new java.net.URI(snapNode.get("manifest-list").asText)))
+    require(listRecs.nonEmpty,
+      "IcebergExport.readExported: empty manifest list")
+    val manifestRecs = listRecs.flatMap { mf =>
+      readAvro(fs,
+        new Path(new java.net.URI(mf.get("manifest_path").toString)))
+    }
+    def partString(c: String, v: AnyRef): String =
+      if (v == null) null
+      else schema(c).dataType match {
+        // Avro stores a date as epoch days; the literal cast below
+        // re-parses the ISO rendering
+        case DateType => java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+        case _ => v.toString
+      }
+    val entries: Seq[(String, Map[String, String])] = manifestRecs
+      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
+      .map { e =>
         val df = e.get("data_file")
-        val pv = partCols.map { c =>
-          val n = df.get("partition").get(c)
-          c -> (if (n == null || n.isNull) null else n.asText)
-        }.toMap
-        (df.get("file_path").asText, pv)
-      }.toSeq
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val part = df.get("partition")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val pv = partCols.map(c => c -> partString(c, part.get(c))).toMap
+        (df.get("file_path").toString, pv)
+      }
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
     if (entries.isEmpty)
       return Some(spark.createDataFrame(
@@ -242,6 +335,72 @@ object IcebergExport {
     }
     Some(frames.reduce(_ unionByName _)
       .select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  private def icebergType(dt: DataType): String = dt match {
+    case LongType => "long"
+    case IntegerType | ShortType | ByteType => "int"
+    case DoubleType => "double"
+    case FloatType => "float"
+    case StringType => "string"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case BinaryType => "binary"
+    case _: TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new UnsupportedOperationException(
+      s"IcebergExport: no Iceberg mapping for ${other.simpleString} " +
+        "(nested types need real UniForm)")
+  }
+
+  /** The Iceberg schema JSON object (field-id'd struct) — embedded in
+    * the table metadata's `schemas` array AND the manifest's `schema`
+    * key-value metadata (the spec requires both). */
+  private def icebergSchemaJson(snap: DeltaReader.DeltaSnapshot): String = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":"${esc(f.name)}",""" +
+        s""""required":false,"type":"${icebergType(f.dataType)}"}"""
+    }.mkString(",")
+    s"""{"type":"struct","schema-id":0,"fields":[$fields]}"""
+  }
+
+  /** One Avro object-container file: schema + key-value metadata +
+    * records, written through the Hadoop FileSystem (same scheme
+    * pluggability as every other artifact). */
+  private def writeAvro(fs: FileSystem, p: Path,
+                        schema: org.apache.avro.Schema,
+                        meta: Map[String, String],
+                        records: Seq[org.apache.avro.generic.GenericRecord])
+      : Unit = {
+    val writer = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
+    val out = fs.create(p, false)
+    try {
+      writer.create(schema, out)
+      records.foreach(writer.append)
+      writer.flush()
+    } finally writer.close() // closes `out`
+  }
+
+  /** Every record of an Avro object-container file (reader-schema =
+    * writer-schema — the generic round-trip). */
+  private def readAvro(fs: FileSystem, p: Path)
+      : Seq[org.apache.avro.generic.GenericRecord] = {
+    val in = new org.apache.avro.mapred.FsInput(p, fs.getConf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(in,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.avro.generic.GenericRecord]
+      while (reader.hasNext) buf += reader.next()
+      buf.toSeq
+    } finally reader.close()
   }
 
   private def writeFile(fs: FileSystem, p: Path, body: String,

@@ -33,15 +33,50 @@ class IcebergExportSpec extends SparkSpec {
       val exported = IcebergExport.readExported(table).get
       assert(exported.schema.fieldNames.toSeq == Seq("v", "s", "p"))
       assertSameData(exported, DeltaReader.scan(table).get)
-      // manifest record counts come from the adds' stats
-      val manifest = Files.readAllLines(Files.list(metaDir)
-        .filter(_.getFileName.toString.startsWith("manifest-"))
-        .findFirst().get())
-      val total = manifest.stream().filter(l => l.trim.nonEmpty)
-        .mapToLong { l =>
-          """"record_count":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong
-        }.sum()
+      // the manifest is a REAL Avro object-container file (magic
+      // "Obj\1") whose v2 manifest_entry records carry field-ids and
+      // the adds' record counts
+      val manifestFile = Files.list(metaDir)
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("manifest-") && n.endsWith(".avro")
+        }.findFirst().get()
+      val magic = Files.readAllBytes(manifestFile).take(4)
+      assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)),
+        "the manifest must be a real Avro object-container file")
+      val reader = new org.apache.avro.file.DataFileReader(
+        manifestFile.toFile,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val (entries, fmtVersion, filePathFieldId) = try {
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.avro.generic.GenericRecord]
+        while (reader.hasNext) buf += reader.next()
+        (buf.toSeq, new String(reader.getMeta("format-version"), "UTF-8"),
+          reader.getSchema.getField("data_file").schema()
+            .getField("file_path").getObjectProp("field-id"))
+      } finally reader.close()
+      assert(fmtVersion == "2")
+      assert(filePathFieldId != null,
+        "manifest_entry fields must carry Iceberg field-ids")
+      val total = entries.map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("record_count").asInstanceOf[Long]).sum
       assert(total == 5L)
+      // the partition record is TYPED (string column → Avro string)
+      assert(entries.forall { e =>
+        val part = e.get("data_file")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          .get("partition")
+          .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        part.get("p") != null
+      })
+      // the manifest list is Avro too
+      val listFile = Files.list(metaDir)
+        .filter(_.getFileName.toString.endsWith(".manifest-list.avro"))
+        .findFirst().get()
+      assert(Files.readAllBytes(listFile).take(4)
+        .sameElements(Array[Byte]('O', 'b', 'j', 1)))
       // new commits → re-export → the hint and snapshot follow
       ds.append(Seq((6L, "f", "C")).toDF("v", "s", "p"))
       assert(IcebergExport.export(table) == 2L)
