@@ -174,16 +174,19 @@ object Mixing {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, "n must be positive")
     require(prefilterAbove > 0, "prefilterAbove must be positive")
-    val reserved = Set("__h", "__rn", "__cnt")
+    val reserved = Set("__h", "__rn", "__cnt", "__cg")
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"capPerGroup reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumnRenamed(groupCol, "__cg")
     val hashMod = 1000000007L // rollingHash range
     val target = 4L * n + 256L
+    // NULL-SAFE counts join: a NULL group is a normal window partition
+    // and must keep its rows (an inner equi-join would drop them)
     val withH = df.withColumn("__h", expr(H.rollingHash(textCol)))
-      .join(broadcast(counts), Seq(groupCol))
+      .join(broadcast(counts), col(groupCol) <=> col("__cg"))
       // NULL hashes (null text) rank FIRST in the window's nulls-first
       // order, so the prune must always keep them
       .where(col("__cnt") <= prefilterAbove || col("__h").isNull ||
@@ -191,7 +194,7 @@ object Mixing {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__h"), col(idCol))
     withH.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= n)
-      .drop("__h", "__rn", "__cnt")
+      .drop("__h", "__rn", "__cnt", "__cg")
   }
 
   /** Round-robin source interleaving for training order: every row
@@ -322,25 +325,31 @@ object Mixing {
     require(quotas.columns.toSet == Set(groupCol, "quota"),
       s"quotas must have exactly columns ($groupCol, quota), got ${quotas.columns.toSeq}")
     require(prefilterAbove > 0, "prefilterAbove must be positive")
-    val reserved = Set("__h", "__rn", "__cnt", "quota")
+    val reserved = Set("__h", "__rn", "__cnt", "quota", "__cg", "__qg")
     val collisions = df.columns.toSet.intersect(reserved)
     require(collisions.isEmpty,
       s"takeQuotas reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumnRenamed(groupCol, "__cg")
+    val quotasR = quotas.withColumnRenamed(groupCol, "__qg")
     val hashMod = 1000000007L // rollingHash range
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__h"), col(idCol))
+    // NULL-SAFE quota/counts joins: a NULL group with a NULL-key
+    // quota row selects like any other group (equi-joins would drop
+    // it); groups ABSENT from the quota plan still drop — that is
+    // the plan's meaning
     df.withColumn("__h", expr(H.rollingHash(textCol)))
-      .join(broadcast(quotas), Seq(groupCol))
-      .join(broadcast(counts), Seq(groupCol))
+      .join(broadcast(quotasR), col(groupCol) <=> col("__qg"))
+      .join(broadcast(counts), col(groupCol) <=> col("__cg"))
       .where(col("__cnt") <= prefilterAbove || col("__h").isNull ||
         col("__h") < ceil(lit(hashMod.toDouble) *
           (lit(4.0) * col("quota") + lit(256.0)) / col("__cnt"))
           .cast("long"))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("quota"))
-      .drop("__h", "__rn", "__cnt", "quota")
+      .drop("__h", "__rn", "__cnt", "quota", "__cg", "__qg")
   }
 
   /** Top-p (nucleus) selection per group: keep each group's

@@ -91,9 +91,6 @@ object IcebergExport {
         }
       }
 
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
-
     val snapshotId = snap.version + 1L // Iceberg ids are arbitrary longs
 
     // Avro primitive for an IDENTITY-partition source column — the
@@ -104,14 +101,30 @@ object IcebergExport {
       case LongType => "\"long\""
       case StringType => "\"string\""
       case BooleanType => "\"boolean\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
       case DateType => """{"type":"int","logicalType":"date"}"""
+      case _: TimestampType =>
+        """{"type":"long","logicalType":"timestamp-micros",""" +
+          """"adjust-to-utc":true}"""
+      case TimestampNTZType =>
+        """{"type":"long","logicalType":"timestamp-micros",""" +
+          """"adjust-to-utc":false}"""
+      case d: DecimalType =>
+        s"""{"type":"fixed","name":"pdec_${d.precision}_${d.scale}",""" +
+          s""""size":${Math.max(1, (d.precision * 4 + 8) / 8)},""" +
+          s""""logicalType":"decimal","precision":${d.precision},""" +
+          s""""scale":${d.scale}}"""
       case other => throw new UnsupportedOperationException(
         s"IcebergExport: identity partition on ${other.simpleString} " +
-          "unsupported (int/long/string/boolean/date)")
+          "unsupported")
     }
+    // partition record field names must be legal Avro names; the
+    // Iceberg convention (AvroSchemaUtil) sanitizes and lets the
+    // FIELD-ID carry identity — access is positional on both sides
     val partFieldsJson = snap.partitionColumns.zipWithIndex.map {
       case (c, i) =>
-        s"""{"name":"${esc(c)}","type":["null",${
+        s"""{"name":"${avroName(c, i)}","type":["null",${
           partAvroType(snap.schema(c).dataType)}],"default":null,""" +
           s""""field-id":${1000 + i}}"""
     }.mkString(",")
@@ -133,14 +146,36 @@ object IcebergExport {
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104}
          |]}}]}""".stripMargin)
-    def partValue(c: String, v: String): AnyRef =
+    def partValue(c: String, v: String,
+                  fieldSchema: org.apache.avro.Schema): AnyRef =
       if (v == null) null
       else snap.schema(c).dataType match {
         case IntegerType | ShortType | ByteType => Int.box(v.toInt)
         case LongType => Long.box(v.toLong)
         case BooleanType => Boolean.box(v.toBoolean)
+        case FloatType => Float.box(v.toFloat)
+        case DoubleType => Double.box(v.toDouble)
         case DateType => Int.box(java.time.LocalDate.parse(v)
           .toEpochDay.toInt)
+        case _: TimestampType | TimestampNTZType =>
+          Long.box(parseTimestampMicros(v))
+        case d: DecimalType =>
+          // unscaled big-endian two's-complement, sign-extended into
+          // the fixed width (the Avro decimal-on-fixed contract)
+          val fixed = fieldSchema.getTypes.asScala
+            .find(_.getType == org.apache.avro.Schema.Type.FIXED).get
+          val unscaled = new java.math.BigDecimal(v)
+            .setScale(d.scale).unscaledValue.toByteArray
+          val size = fixed.getFixedSize
+          require(unscaled.length <= size,
+            s"IcebergExport: decimal partition value $v overflows " +
+              s"the fixed($size) encoding")
+          val padded = new Array[Byte](size)
+          val fill: Byte = if (unscaled.headOption.exists(_ < 0)) -1 else 0
+          java.util.Arrays.fill(padded, fill)
+          System.arraycopy(unscaled, 0, padded,
+            size - unscaled.length, unscaled.length)
+          new org.apache.avro.generic.GenericData.Fixed(fixed, padded)
         case _ => v
       }
     val manifestPath = new Path(metaDir,
@@ -151,16 +186,13 @@ object IcebergExport {
       Map(
         "format-version" -> "2", "content" -> "data",
         "partition-spec-id" -> "0",
-        "partition-spec" -> s"[${snap.partitionColumns.zipWithIndex.map {
-          case (c, i) =>
-            s"""{"name":"${esc(c)}","transform":"identity",""" +
-              s""""source-id":${fieldId(c)},"field-id":${1000 + i}}"""
-        }.mkString(",")}]",
+        "partition-spec" -> icebergSpecJson(snap),
         "schema" -> icebergSchemaJson(snap)),
       snap.files.sortBy(_.path).map { f =>
         val part = new org.apache.avro.generic.GenericData.Record(partSchema)
-        snap.partitionColumns.foreach(c =>
-          part.put(c, partValue(c, f.partitionValues.getOrElse(c, null))))
+        snap.partitionColumns.zipWithIndex.foreach { case (c, i) =>
+          part.put(i, partValue(c, f.partitionValues.getOrElse(c, null),
+            partSchema.getFields.get(i).schema())) }
         val dataFile = new org.apache.avro.generic.GenericData.Record(dfSchema)
         dataFile.put("content", Int.box(0))
         dataFile.put("file_path", f.path)
@@ -216,27 +248,23 @@ object IcebergExport {
       Seq(mf))
 
     // ---- table metadata -------------------------------------------
-    val specJson = snap.partitionColumns.zipWithIndex.map { case (c, i) =>
-      s"""{"name":"${esc(c)}","transform":"identity",""" +
-        s""""source-id":${fieldId(c)},"field-id":${1000 + i}}"""
-    }.mkString("[", ",", "]")
     val now = System.currentTimeMillis
     val metadataPath = new Path(metaDir, s"v${snap.version}.metadata.json")
-    writeFile(fs, metadataPath,
-      s"""{"format-version":2,"table-uuid":"${esc(snap.tableId)}",""" +
-        s""""location":"${esc(qualifiedBase.toUri.toString)}",""" +
+    writeFile(fs, metadataPath, overwrite = true, body =
+      s"""{"format-version":2,"table-uuid":"${escJ(snap.tableId)}",""" +
+        s""""location":"${escJ(qualifiedBase.toUri.toString)}",""" +
         s""""last-sequence-number":${snap.version},"last-updated-ms":$now,""" +
         s""""last-column-id":${snap.schema.fields.length},""" +
         s""""current-schema-id":0,"schemas":[${icebergSchemaJson(snap)}],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
-        s""""fields":$specJson}],""" +
+        s""""fields":${icebergSpecJson(snap)}}],""" +
         s""""last-partition-id":${999 + snap.partitionColumns.size},""" +
         s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,""" +
         s""""fields":[]}],"properties":{"graft.delta.version":"${snap.version}"},""" +
         s""""current-snapshot-id":$snapshotId,"snapshots":[{""" +
         s""""snapshot-id":$snapshotId,"sequence-number":${snap.version},""" +
         s""""timestamp-ms":$now,"schema-id":0,""" +
-        s""""manifest-list":"${esc(listPath.toUri.toString)}",""" +
+        s""""manifest-list":"${escJ(listPath.toUri.toString)}",""" +
         s""""summary":{"operation":"append"}}],""" +
         s""""snapshot-log":[],"metadata-log":[]}""" + "\n")
     // HadoopCatalog discovery convention
@@ -304,8 +332,20 @@ object IcebergExport {
         // re-parses the ISO rendering
         case DateType => java.time.LocalDate
           .ofEpochDay(v.asInstanceOf[Int].toLong).toString
+        case _: TimestampType | TimestampNTZType =>
+          val micros = v.asInstanceOf[Long]
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+        case d: DecimalType =>
+          new java.math.BigDecimal(new java.math.BigInteger(
+            v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
+            d.scale).toPlainString
         case _ => v.toString
       }
+    // partition record field NAMES are Avro-sanitized; the SPEC order
+    // is authoritative — access by position
     val entries: Seq[(String, Map[String, String])] = manifestRecs
       .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
       .map { e =>
@@ -313,7 +353,8 @@ object IcebergExport {
           .asInstanceOf[org.apache.avro.generic.GenericRecord]
         val part = df.get("partition")
           .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        val pv = partCols.map(c => c -> partString(c, part.get(c))).toMap
+        val pv = partCols.zipWithIndex.map { case (c, i) =>
+          c -> partString(c, part.get(i)) }.toMap
         (df.get("file_path").toString, pv)
       }
     val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
@@ -335,6 +376,44 @@ object IcebergExport {
     }
     Some(frames.reduce(_ unionByName _)
       .select(schema.fieldNames.map(col).toSeq: _*))
+  }
+
+  private def escJ(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Legal Avro field name for partition column `c` — the Iceberg
+    * convention (AvroSchemaUtil.makeCompatibleName): identity rides
+    * the FIELD-ID, so illegal characters sanitize to `_` and the
+    * index suffix guarantees uniqueness. A legal name passes through
+    * with only the suffix. */
+  private def avroName(c: String, i: Int): String = {
+    val cleaned = c.map(ch =>
+      if (ch.isLetterOrDigit && ch < 128 || ch == '_') ch else '_')
+    val headed = if (cleaned.isEmpty || cleaned.head.isDigit) s"_$cleaned"
+                 else cleaned
+    s"${headed}_$i"
+  }
+
+  /** Delta partition-value timestamp rendering → epoch micros —
+    * `yyyy-MM-dd HH:mm:ss[.fraction]` (the log's form) or ISO-T. */
+  private def parseTimestampMicros(v: String): Long = {
+    val ldt = java.time.LocalDateTime.parse(
+      v.replace(' ', 'T'),
+      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ldt.getNano / 1000L
+  }
+
+  /** The identity partition-spec fields JSON — ONE rendering shared
+    * by the table metadata and the manifest's `partition-spec`
+    * key-value metadata (the spec requires them to agree). */
+  private def icebergSpecJson(snap: DeltaReader.DeltaSnapshot): String = {
+    val fieldId: Map[String, Int] =
+      snap.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    snap.partitionColumns.zipWithIndex.map { case (c, i) =>
+      s"""{"name":"${escJ(c)}","transform":"identity",""" +
+        s""""source-id":${fieldId(c)},"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
   }
 
   private def icebergType(dt: DataType): String = dt match {
@@ -379,22 +458,37 @@ object IcebergExport {
       new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](schema))
     meta.foreach { case (k, v) => writer.setMeta(k, v) }
-    val out = fs.create(p, false)
+    // overwrite: a re-export at the SAME Delta version is idempotent
+    // (and upgrades a pre-Avro export in place)
+    val out = fs.create(p, true)
+    var created = false
     try {
       writer.create(schema, out)
+      created = true
       records.foreach(writer.append)
       writer.flush()
-    } finally writer.close() // closes `out`
+    } finally {
+      // DataFileWriter.close() is a no-op before create() succeeds —
+      // close the raw stream ourselves or it leaks on a create fail
+      if (created) writer.close() else out.close()
+    }
   }
 
   /** Every record of an Avro object-container file (reader-schema =
-    * writer-schema — the generic round-trip). */
+    * writer-schema — the generic round-trip). A pre-Avro (round-13
+    * JSON) artifact raises with the upgrade instruction. */
   private def readAvro(fs: FileSystem, p: Path)
       : Seq[org.apache.avro.generic.GenericRecord] = {
+    if (p.getName.endsWith(".json"))
+      throw new UnsupportedOperationException(
+        s"IcebergExport: $p is a pre-Avro (JSON) manifest artifact — " +
+          "re-run IcebergExport.export to upgrade the export in place")
     val in = new org.apache.avro.mapred.FsInput(p, fs.getConf)
-    val reader = org.apache.avro.file.DataFileReader.openReader(in,
-      new org.apache.avro.generic.GenericDatumReader[
-        org.apache.avro.generic.GenericRecord]())
+    val reader =
+      try org.apache.avro.file.DataFileReader.openReader(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      catch { case t: Throwable => in.close(); throw t }
     try {
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.avro.generic.GenericRecord]

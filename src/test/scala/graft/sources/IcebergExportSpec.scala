@@ -63,13 +63,15 @@ class IcebergExportSpec extends SparkSpec {
         .asInstanceOf[org.apache.avro.generic.GenericRecord]
         .get("record_count").asInstanceOf[Long]).sum
       assert(total == 5L)
-      // the partition record is TYPED (string column → Avro string)
+      // the partition record is TYPED (string column → Avro string);
+      // field names are Avro-sanitized, the spec ORDER is
+      // authoritative — positional access
       assert(entries.forall { e =>
         val part = e.get("data_file")
           .asInstanceOf[org.apache.avro.generic.GenericRecord]
           .get("partition")
           .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        part.get("p") != null
+        part.get(0) != null
       })
       // the manifest list is Avro too
       val listFile = Files.list(metaDir)
@@ -85,6 +87,25 @@ class IcebergExportSpec extends SparkSpec {
       assert(IcebergExport.readExported(table).get.count() == 6L)
       // older metadata versions remain (Iceberg's own history shape)
       assert(Files.exists(metaDir.resolve("v1.metadata.json")))
+    }
+  }
+
+  test("typed partitions round-trip: DATE values and digit-leading column names") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      // partition column "2p" forces the Avro name sanitizer (an
+      // Avro field cannot start with a digit); DATE values exercise
+      // the epoch-day encoding both directions
+      val df = Seq((1L, "2024-01-02"), (2L, "2024-01-02"),
+        (3L, "2024-03-05")).toDF("v", "2p")
+        .selectExpr("v", "cast(`2p` as date) AS `2p`")
+      val ds = new DeltaDataset(table, Seq("2p"))
+      ds.write(df)
+      IcebergExport.export(table)
+      val exported = IcebergExport.readExported(table).get
+      assertSameData(exported, DeltaReader.scan(table).get)
+      assert(exported.schema("2p").dataType ==
+        org.apache.spark.sql.types.DateType)
     }
   }
 
