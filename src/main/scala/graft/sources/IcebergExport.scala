@@ -62,9 +62,6 @@ object IcebergExport {
     val metaDir = new Path(qualifiedBase, "metadata")
     fs.mkdirs(metaDir)
 
-    val fieldId: Map[String, Int] =
-      snap.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
-
     // record counts: adds' stats where present; ONE distributed
     // footer-count job backfills stat-less foreign files
     val om = new ObjectMapper()
@@ -112,7 +109,7 @@ object IcebergExport {
           """"adjust-to-utc":false}"""
       case d: DecimalType =>
         s"""{"type":"fixed","name":"pdec_${d.precision}_${d.scale}",""" +
-          s""""size":${Math.max(1, (d.precision * 4 + 8) / 8)},""" +
+          s""""size":${decimalRequiredBytes(d.precision)},""" +
           s""""logicalType":"decimal","precision":${d.precision},""" +
           s""""scale":${d.scale}}"""
       case other => throw new UnsupportedOperationException(
@@ -157,15 +154,24 @@ object IcebergExport {
         case DoubleType => Double.box(v.toDouble)
         case DateType => Int.box(java.time.LocalDate.parse(v)
           .toEpochDay.toInt)
-        case _: TimestampType | TimestampNTZType =>
-          Long.box(parseTimestampMicros(v))
+        case _: TimestampType =>
+          // session-TZ wall-time rendering → instant
+          Long.box(parseTimestampMicros(v, Some(java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone))))
+        case TimestampNTZType =>
+          Long.box(parseTimestampMicros(v, None))
         case d: DecimalType =>
           // unscaled big-endian two's-complement, sign-extended into
           // the fixed width (the Avro decimal-on-fixed contract)
           val fixed = fieldSchema.getTypes.asScala
             .find(_.getType == org.apache.avro.Schema.Type.FIXED).get
-          val unscaled = new java.math.BigDecimal(v)
-            .setScale(d.scale).unscaledValue.toByteArray
+          val unscaled =
+            try new java.math.BigDecimal(v).setScale(d.scale)
+              .unscaledValue.toByteArray
+            catch { case e: ArithmeticException =>
+              throw new IllegalArgumentException(
+                s"IcebergExport: partition value '$v' of column '$c' " +
+                  s"does not fit ${d.simpleString} without rounding", e) }
           val size = fixed.getFixedSize
           require(unscaled.length <= size,
             s"IcebergExport: decimal partition value $v overflows " +
@@ -332,12 +338,20 @@ object IcebergExport {
         // re-parses the ISO rendering
         case DateType => java.time.LocalDate
           .ofEpochDay(v.asInstanceOf[Int].toLong).toString
-        case _: TimestampType | TimestampNTZType =>
+        case dt @ (_: TimestampType | TimestampNTZType) =>
+          // render the instant in the zone the literal cast below
+          // will parse it with: SESSION TZ for timestamptz (the
+          // inverse of export's parse), wall-time for NTZ
           val micros = v.asInstanceOf[Long]
-          java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(micros, 1000000L),
-            (Math.floorMod(micros, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC).toString.replace('T', ' ')
+          val zone =
+            if (dt == TimestampNTZType) java.time.ZoneOffset.UTC
+            else java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+          java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L),
+            zone).toString.replace('T', ' ')
         case d: DecimalType =>
           new java.math.BigDecimal(new java.math.BigInteger(
             v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
@@ -395,14 +409,27 @@ object IcebergExport {
   }
 
   /** Delta partition-value timestamp rendering → epoch micros —
-    * `yyyy-MM-dd HH:mm:ss[.fraction]` (the log's form) or ISO-T. */
-  private def parseTimestampMicros(v: String): Long = {
+    * `yyyy-MM-dd HH:mm:ss[.fraction]` (the log's form) or ISO-T.
+    * TimestampType renderings are SESSION-TIMEZONE wall times (that
+    * is how `cast(ts as string)` writes them), so the zone must come
+    * in to recover the instant; TimestampNTZ passes None (wall time
+    * IS the value). */
+  private def parseTimestampMicros(v: String,
+                                   zone: Option[java.time.ZoneId]): Long = {
     val ldt = java.time.LocalDateTime.parse(
       v.replace(' ', 'T'),
       java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-    ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-      ldt.getNano / 1000L
+    val offset = zone.map(_.getRules.getOffset(ldt))
+      .getOrElse(java.time.ZoneOffset.UTC)
+    ldt.toEpochSecond(offset) * 1000000L + ldt.getNano / 1000L
   }
+
+  /** Iceberg's minimum byte count for a decimal-on-fixed of the
+    * given precision (TypeUtil.decimalRequiredBytes): the signed
+    * two's-complement width of 10^p − 1. */
+  private def decimalRequiredBytes(precision: Int): Int =
+    (java.math.BigInteger.TEN.pow(precision)
+      .subtract(java.math.BigInteger.ONE).bitLength() + 1 + 7) / 8
 
   /** The identity partition-spec fields JSON — ONE rendering shared
     * by the table metadata and the manifest's `partition-spec`
@@ -437,10 +464,8 @@ object IcebergExport {
     * the table metadata's `schemas` array AND the manifest's `schema`
     * key-value metadata (the spec requires both). */
   private def icebergSchemaJson(snap: DeltaReader.DeltaSnapshot): String = {
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${esc(f.name)}",""" +
+      s"""{"id":${i + 1},"name":"${escJ(f.name)}",""" +
         s""""required":false,"type":"${icebergType(f.dataType)}"}"""
     }.mkString(",")
     s"""{"type":"struct","schema-id":0,"fields":[$fields]}"""
@@ -458,9 +483,12 @@ object IcebergExport {
       new org.apache.avro.generic.GenericDatumWriter[
         org.apache.avro.generic.GenericRecord](schema))
     meta.foreach { case (k, v) => writer.setMeta(k, v) }
-    // overwrite: a re-export at the SAME Delta version is idempotent
-    // (and upgrades a pre-Avro export in place)
-    val out = fs.create(p, true)
+    // temp + rename: a re-export at the SAME Delta version is
+    // idempotent (upgrading a pre-Avro export in place), and a
+    // mid-write failure never truncates a previously good artifact
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
     var created = false
     try {
       writer.create(schema, out)
@@ -472,6 +500,9 @@ object IcebergExport {
       // close the raw stream ourselves or it leaks on a create fail
       if (created) writer.close() else out.close()
     }
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"IcebergExport: publishing $tmp over $p failed")
   }
 
   /** Every record of an Avro object-container file (reader-schema =
@@ -498,10 +529,20 @@ object IcebergExport {
   }
 
   private def writeFile(fs: FileSystem, p: Path, body: String,
-                        overwrite: Boolean = false): Unit = {
-    val out = fs.create(p, overwrite)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-  }
+                        overwrite: Boolean = false): Unit =
+    if (!overwrite) {
+      val out = fs.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    } else {
+      // temp + rename: never truncate a previously good artifact
+      val tmp = new Path(p.getParent,
+        s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"IcebergExport: publishing $tmp over $p failed")
+    }
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val st = fs.getFileStatus(p)
