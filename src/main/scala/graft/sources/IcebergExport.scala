@@ -156,8 +156,7 @@ object IcebergExport {
           .toEpochDay.toInt)
         case _: TimestampType =>
           // session-TZ wall-time rendering → instant
-          Long.box(parseTimestampMicros(v, Some(java.time.ZoneId.of(
-            spark.sessionState.conf.sessionLocalTimeZone))))
+          Long.box(parseTimestampMicros(v, Some(sessionZone)))
         case TimestampNTZType =>
           Long.box(parseTimestampMicros(v, None))
         case d: DecimalType =>
@@ -256,7 +255,7 @@ object IcebergExport {
     // ---- table metadata -------------------------------------------
     val now = System.currentTimeMillis
     val metadataPath = new Path(metaDir, s"v${snap.version}.metadata.json")
-    writeFile(fs, metadataPath, overwrite = true, body =
+    writeFile(fs, metadataPath, body =
       s"""{"format-version":2,"table-uuid":"${escJ(snap.tableId)}",""" +
         s""""location":"${escJ(qualifiedBase.toUri.toString)}",""" +
         s""""last-sequence-number":${snap.version},"last-updated-ms":$now,""" +
@@ -275,7 +274,7 @@ object IcebergExport {
         s""""snapshot-log":[],"metadata-log":[]}""" + "\n")
     // HadoopCatalog discovery convention
     writeFile(fs, new Path(metaDir, "version-hint.text"),
-      s"${snap.version}\n", overwrite = true)
+      s"${snap.version}\n")
     snap.version
   }
 
@@ -345,8 +344,7 @@ object IcebergExport {
           val micros = v.asInstanceOf[Long]
           val zone =
             if (dt == TimestampNTZType) java.time.ZoneOffset.UTC
-            else java.time.ZoneId.of(
-              spark.sessionState.conf.sessionLocalTimeZone)
+            else sessionZone
           java.time.LocalDateTime.ofInstant(
             java.time.Instant.ofEpochSecond(
               Math.floorDiv(micros, 1000000L),
@@ -408,21 +406,33 @@ object IcebergExport {
     s"${headed}_$i"
   }
 
-  /** Delta partition-value timestamp rendering → epoch micros —
-    * `yyyy-MM-dd HH:mm:ss[.fraction]` (the log's form) or ISO-T.
+  /** Delta partition-value timestamp rendering → epoch micros.
     * TimestampType renderings are SESSION-TIMEZONE wall times (that
     * is how `cast(ts as string)` writes them), so the zone must come
     * in to recover the instant; TimestampNTZ passes None (wall time
-    * IS the value). */
+    * IS the value). Parsing is SPARK'S OWN `stringToTimestamp`, so
+    * DST-gap/overlap resolution is cast-identical by construction. */
   private def parseTimestampMicros(v: String,
                                    zone: Option[java.time.ZoneId]): Long = {
-    val ldt = java.time.LocalDateTime.parse(
-      v.replace(' ', 'T'),
-      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
-    val offset = zone.map(_.getRules.getOffset(ldt))
-      .getOrElse(java.time.ZoneOffset.UTC)
-    ldt.toEpochSecond(offset) * 1000000L + ldt.getNano / 1000L
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import org.apache.spark.unsafe.types.UTF8String
+    val parsed: Option[Long] = zone match {
+      case Some(z) =>
+        DateTimeUtils.stringToTimestamp(UTF8String.fromString(v), z)
+      case None =>
+        DateTimeUtils.stringToTimestampWithoutTimeZone(
+          UTF8String.fromString(v))
+    }
+    parsed.getOrElse(throw new IllegalArgumentException(
+      s"IcebergExport: unparseable timestamp partition value '$v'"))
   }
+
+  /** The session timezone as a ZoneId, via Spark's own resolver —
+    * `ZoneId.of` rejects short ids ("PST") and single-digit offsets
+    * Spark itself accepts. */
+  private def sessionZone(implicit spark: SparkSession): java.time.ZoneId =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+      spark.sessionState.conf.sessionLocalTimeZone)
 
   /** Iceberg's minimum byte count for a decimal-on-fixed of the
     * given precision (TypeUtil.decimalRequiredBytes): the signed
@@ -491,18 +501,21 @@ object IcebergExport {
     val out = fs.create(tmp, false)
     var created = false
     try {
-      writer.create(schema, out)
-      created = true
-      records.foreach(writer.append)
-      writer.flush()
-    } finally {
-      // DataFileWriter.close() is a no-op before create() succeeds —
-      // close the raw stream ourselves or it leaks on a create fail
-      if (created) writer.close() else out.close()
+      try {
+        writer.create(schema, out)
+        created = true
+        records.foreach(writer.append)
+        writer.flush()
+      } finally {
+        // DataFileWriter.close() is a no-op before create() succeeds —
+        // close the raw stream ourselves or it leaks on a create fail
+        if (created) writer.close() else out.close()
+      }
+    } catch { case t: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw t
     }
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"IcebergExport: publishing $tmp over $p failed")
+    publishOver(fs, tmp, p)
   }
 
   /** Every record of an Avro object-container file (reader-schema =
@@ -528,21 +541,31 @@ object IcebergExport {
     } finally reader.close()
   }
 
-  private def writeFile(fs: FileSystem, p: Path, body: String,
-                        overwrite: Boolean = false): Unit =
-    if (!overwrite) {
-      val out = fs.create(p, false)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-    } else {
-      // temp + rename: never truncate a previously good artifact
-      val tmp = new Path(p.getParent,
-        s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
+  /** Atomically publish `tmp` over `p` (FileContext OVERWRITE rename
+    * — no delete-then-rename window destroying the good artifact);
+    * deletes `tmp` on failure so failed exports leave no orphans. */
+  private def publishOver(fs: FileSystem, tmp: Path, p: Path): Unit =
+    try org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case t: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw t
+    }
+
+  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+    // temp + overwrite-rename: a mid-write failure never truncates a
+    // previously good artifact and leaves no tmp orphan behind
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID}")
+    try {
       val out = fs.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p),
-        s"IcebergExport: publishing $tmp over $p failed")
+    } catch { case t: Throwable =>
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw t
     }
+    publishOver(fs, tmp, p)
+  }
 
   private def readFile(fs: FileSystem, p: Path): String = {
     val st = fs.getFileStatus(p)

@@ -109,6 +109,87 @@ class IcebergExportSpec extends SparkSpec {
     }
   }
 
+  test("timestamp and decimal partitions round-trip under a non-UTC session timezone") {
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // short id: ZoneId.of would reject it, Spark's resolver accepts
+      // it — the export must use Spark's resolver
+      spark.conf.set("spark.sql.session.timeZone", "PST")
+      withTempDir { dir =>
+        // FOREIGN fixture: timestamp partition values contain spaces/
+        // colons our own writer path-refuses, but the log's
+        // partitionValues strings are unconstrained
+        val table = s"$dir/t"
+        def seed(name: String, vs: Seq[Long]): Long = {
+          val stage = s"$table/stage-$name"
+          vs.toDF("v").coalesce(1).write.parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dest = new java.io.File(s"$table/$name")
+          assert(part.renameTo(dest)); dest.length
+        }
+        val l0 = seed("f0.parquet", Seq(1L, 2L))
+        val l1 = seed("f1.parquet", Seq(3L))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.DecimalType(9, 2))))
+        def esc(x: String) =
+          x.replace("\\", "\\\\").replace("\"", "\\\"")
+        def add(p: String, len: Long, ts: String, d: String) =
+          s"""{"add":{"path":"$p","partitionValues":{"ts":"$ts","d":"$d"},""" +
+            s""""size":$len,"modificationTime":1700000000000,"dataChange":true}}"""
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"tz","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(schema.json)}",""" +
+            s""""partitionColumns":["ts","d"],"configuration":{},""" +
+            s""""createdTime":1700000000000}}""",
+          add("f0.parquet", l0, "2024-01-02 03:04:05", "12.50"),
+          add("f1.parquet", l1, "2024-07-09 20:30:00", "-7.25"))
+        val logDir = java.nio.file.Paths.get(table, "_delta_log")
+        java.nio.file.Files.createDirectories(logDir)
+        java.nio.file.Files.write(logDir.resolve("%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        IcebergExport.export(table)
+        val exported = IcebergExport.readExported(table).get
+        assertSameData(exported, DeltaReader.scan(table).get)
+        // the manifest's micros are the TRUE instant: the session-TZ
+        // wall rendering shifted by the PST offset, not parsed as UTC
+        val manifestFile = java.nio.file.Files.list(
+          java.nio.file.Paths.get(table, "metadata"))
+          .filter(_.getFileName.toString.matches("manifest-.*\\.avro"))
+          .findFirst().get()
+        val reader = new org.apache.avro.file.DataFileReader(
+          manifestFile.toFile,
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        val micros = try {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (reader.hasNext) {
+            val part = reader.next().get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              .get("partition")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            buf += part.get(0).asInstanceOf[Long]
+          }
+          buf.toSet
+        } finally reader.close()
+        // 2024-01-02 03:04:05 PST (-08:00) = 11:04:05Z;
+        // 2024-07-09 20:30:00 PDT (-07:00) = 2024-07-10 03:30:00Z
+        val expect = Set(
+          java.time.Instant.parse("2024-01-02T11:04:05Z"),
+          java.time.Instant.parse("2024-07-10T03:30:00Z"))
+          .map(i => i.getEpochSecond * 1000000L)
+        assert(micros == expect,
+          s"manifest micros must be session-TZ-resolved instants: $micros")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", oldTz)
+  }
+
   test("deletion vectors refuse the export until optimize materializes them") {
     withTempDir { dir =>
       val table = s"$dir/t"
