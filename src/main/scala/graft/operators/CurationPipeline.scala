@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextHash
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the operator families composed
@@ -15,11 +14,18 @@ import org.apache.spark.sql.functions._
   *  3. annotation — token count + rolling-hash fingerprint for
   *     downstream near-dup passes.
   *
-  * Shuffle budget: ONE shuffle (the digest window) + the final
-  * aggregation the caller adds. The quality gate and annotation are
-  * per-row codegen'd expressions; at 100 TB the digest window would
-  * be a groupBy(min(id)) + self-semi-join or a bucketed table on
-  * digest — same semantics, same single shuffle.
+  * Shuffle budget: the digest pick is a groupBy(min) + digest-keyed
+  * join — the min is PARTIAL-AGGREGATED (map-side combined), so a
+  * viral duplicate at 10⁸ copies collapses to one row per map
+  * partition before the shuffle, where a digest rank window would
+  * funnel all copies through one reducer's sort. The quality gate and
+  * annotation are per-row codegen'd expressions; at 100 TB the join
+  * co-locates on a bucketed digest table.
+  *
+  * Contract (shared with [[DedupOps.incrementalDedup]]): ids are
+  * row-unique. Two FULLY identical rows (same id, same text) both
+  * survive the pick — only a rank could arbitrate between
+  * indistinguishable rows.
   */
 object CurationPipeline {
 
@@ -28,12 +34,20 @@ object CurationPipeline {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Int = 10, maxTokens: Int = 5000,
              minStopRatio: Double = 0.0): DataFrame = {
-    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
-    docs
+    // NULL text ⇒ NULL digest: a sentinel key (md5 is 32 hex chars,
+    // no collision possible) keeps those rows groupable, matching the
+    // window's null-partition behavior; min(struct(id)) picks the
+    // nulls-first min id the old orderBy picked
+    val digested = docs
       .withColumn("__digest", md5(col(textCol)))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+      .withColumn("__dg", coalesce(col("__digest"), lit("∅")))
+    val firsts = digested.groupBy(col("__dg"))
+      .agg(min(struct(col(idCol))).as("__m"))
+      .select(col("__dg"), col("__m").getField(idCol).as("__first_id"))
+    digested
+      .join(firsts, Seq("__dg"))
+      .where(col(idCol) <=> col("__first_id"))
+      .drop("__dg", "__first_id")
       .withColumn("__toks", expr(H.tokens(textCol)))
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("n_stop", expr(H.tokenCount("__toks", "the")))

@@ -127,7 +127,12 @@ object DedupOps {
     * with the defaults (4.2M docs, 1% fpp) the sketch is ~5 MB. Spark
     * caps the expression at `spark.sql.optimizer.runtime.bloomFilter.
     * maxNumBits` (default 64Mbit) — raise both for larger batches, or
-    * split the batch. */
+    * split the batch.
+    *
+    * Same row-unique-id CONTRACT as [[incrementalDedup]]: two FULLY
+    * identical rows (same id, same text) both tag non-dup — only a
+    * rank could arbitrate between indistinguishable rows. Verify with
+    * `count(*) = count(distinct id)` upstream if ids are untrusted. */
   def bloomIncrementalDedup(incoming: DataFrame, existing: DataFrame,
                             idCol: String, textCol: String,
                             expectedBatchDocs: Long = 1L << 22,
@@ -445,20 +450,29 @@ object DedupOps {
     * like page headers) would make a hot join key quadratic, so each
     * side drops shingles occurring more than `maxKeyFreq` times —
     * frequent boundaries are boilerplate, not continuation evidence
-    * (the hot-block cap pattern of [[blockedJaccardPairs]]).
+    * (the hot-block cap pattern of [[blockedJaccardPairs]]). The cap
+    * itself is TWO-PHASE: a map-side-combined `groupBy(shingle).count`
+    * finds the over-cap keys (at most n/maxKeyFreq of them, a handful
+    * on real corpora), then an anti-join drops their rows — where a
+    * count-over-shingle window would shuffle every copy of the hot
+    * shingle to one task just to decide to discard it, paying the
+    * exact skew the cap exists to avoid. The anti-join is
+    * AQE-broadcastable (the hot-key set is tiny by construction) and,
+    * unlike a window, AQE can skew-split it if it ever isn't.
     *
     * Output: `(a_id, b_id, shingle)` ordered by `(a_id, b_id)`. */
   def boundaryOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, maxKeyFreq: Long = 100L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be positive")
     require(maxKeyFreq >= 1, "maxKeyFreq must be positive")
     val tok = TextOps.withTokens(df.select(col(idCol), col(textCol)), textCol, "__toks")
       .where(size(col("__toks")) >= k)
     def capped(side: DataFrame) = {
-      val w = Window.partitionBy(col("shingle"))
-      side.withColumn("__n", count(lit(1)).over(w))
-        .where(col("__n") <= maxKeyFreq).drop("__n")
+      val hot = side.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") > maxKeyFreq)
+        .select(col("shingle"))
+      side.join(hot, Seq("shingle"), "left_anti")
     }
     val heads = capped(tok.select(col(idCol).as("b_id"),
       array_join(slice(col("__toks"), 1, k), " ").as("shingle")))
@@ -790,13 +804,16 @@ object DedupOps {
     * so the corpus is scanned once more and never shuffled on
     * anything wider than the id. The keep-best variant adds one
     * id-keyed join of the (small) member list against the corpus
-    * scores and one window over clusters — both bounded by the
-    * clustered-document count, not the corpus. */
+    * scores and two PARTIAL-AGGREGATED picks per cluster (max score,
+    * then min id at that score) — map-side combined, so a
+    * boilerplate-heavy corpus whose capped LSH pairs chain into one
+    * giant transitive cluster still collapses to one row per map
+    * partition before the shuffle, where a rank window would funnel
+    * every member through a single reducer's sort. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          bands: Int = 2, rowsPerBand: Int = 4,
                          minJaccard: Double = 0.5,
                          keepBestBy: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = lshNearDupPairs(df, idCol, textCol, bands, rowsPerBand, minJaccard)
     val clusters = Components.connectedComponents(pairs, "a_id", "b_id")
     val dropIds = keepBestBy match {
@@ -804,12 +821,19 @@ object DedupOps {
         clusters.where(col("id") =!= col("cluster_id"))
           .select(col("id").as("__drop_id"))
       case Some(score) =>
-        val w = Window.partitionBy(col("cluster_id"))
-          .orderBy(col(score).desc, col("id"))
-        clusters
+        val members = clusters
           .join(df.select(col(idCol).as("id"), col(score)), Seq("id"))
-          .withColumn("__rk", row_number().over(w))
-          .where(col("__rk") > 1)
+        // argmax as two partial aggregates, not a rank window:
+        // max(score) ignores nulls, so a null score only wins an
+        // all-null cluster (the window's desc-nulls-last keeper);
+        // ties then break to the min id, exactly the old orderBy
+        val keep = members
+          .groupBy(col("cluster_id")).agg(max(col(score)).as("__best"))
+          .join(members, Seq("cluster_id"))
+          .where(col(score) <=> col("__best"))
+          .groupBy(col("cluster_id")).agg(min(col("id")).as("__keep_id"))
+        members.join(keep, Seq("cluster_id"))
+          .where(!(col("id") <=> col("__keep_id")))
           .select(col("id").as("__drop_id"))
     }
     df.join(dropIds, col(idCol) === col("__drop_id"), "left_anti")

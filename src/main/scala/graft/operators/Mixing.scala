@@ -154,20 +154,21 @@ object Mixing {
     *
     * Scale shape: the exact cap is a per-group window (one shuffle on
     * the group key) — but a window over a 10B-row source is a huge
-    * per-group sort, so groups larger than `prefilterAbove` are first
-    * PRUNED map-side to the hash range expected to hold ~`4n + 256`
-    * rows (group counts are a broadcast dim table). The window then
+    * per-group sort, so groups with more than `prefilterAbove`
+    * DISTINCT content hashes are first PRUNED map-side to the hash
+    * range expected to hold ~`4n + 256` distinct hashes (group
+    * distinct-counts are a broadcast dim table). The window then
     * sorts only the pruned survivors. The prune is probabilistically
-    * safe: a shortfall below `n` needs a Binomial(cnt, p) with mean
-    * `4n + 256` to land under `n` — P < e^−95 even at n = 1 — and
-    * any row the prune keeps is decided by the same total order the
-    * window uses, so prune + window ≡ window alone (spec-pinned).
-    * The bound assumes near-distinct texts: a group whose mass is a
-    * few REPEATED texts has far fewer distinct hash values than rows,
-    * and a pruned-out heavy hash can under-fill the cap — run
-    * [[graft.operators.DedupOps.exactDedup]] first (the curation
-    * contract) or raise `prefilterAbove`. NULL texts always survive
-    * the prune (they rank first). */
+    * safe: a shortfall below `n` needs a Binomial(nDistinct, p) with
+    * mean `4n + 256` to land under `n` — P < e^−95 even at n = 1 —
+    * survivors carry at least one row per surviving hash and form a
+    * PREFIX of the `(hash, id)` total order the window uses, so
+    * prune + window ≡ window alone (spec-pinned). Gating on DISTINCT
+    * hashes keeps duplicate-heavy groups on the exact path: a group
+    * of 10⁹ copies of one text has ONE hash value and never
+    * qualifies for the prune (a row-count gate would drop that hash
+    * wholesale). NULL texts always survive the prune (they rank
+    * first). */
   def capPerGroup(df: DataFrame, textCol: String, groupCol: String,
                   idCol: String, n: Int,
                   prefilterAbove: Long = 1L << 20): DataFrame = {
@@ -179,13 +180,15 @@ object Mixing {
     require(collisions.isEmpty,
       s"capPerGroup reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val hashed = df.withColumn("__h", expr(H.rollingHash(textCol)))
+    val counts = hashed.groupBy(col(groupCol))
+      .agg(countDistinct(col("__h")).as("__cnt"))
       .withColumnRenamed(groupCol, "__cg")
     val hashMod = 1000000007L // rollingHash range
     val target = 4L * n + 256L
     // NULL-SAFE counts join: a NULL group is a normal window partition
     // and must keep its rows (an inner equi-join would drop them)
-    val withH = df.withColumn("__h", expr(H.rollingHash(textCol)))
+    val withH = hashed
       .join(broadcast(counts), col(groupCol) <=> col("__cg"))
       // NULL hashes (null text) rank FIRST in the window's nulls-first
       // order, so the prune must always keep them
@@ -205,6 +208,11 @@ object Mixing {
     * window sees every source before any source repeats, the
     * standard guard against source-ordering curricula the model
     * never chose.
+    *
+    * `epoch` is BIGINT (since the two-phase rank conversion: rank +
+    * bucket offset, values unchanged) — callers that pinned the
+    * pre-conversion IntegerType schema should widen; a 100 TB source
+    * overflows int32 positions anyway.
     *
     * Scale shape: the per-source rank is TWO-PHASE — the content
     * hash is uniform on [0, P), so fixed-width hash buckets split
@@ -309,15 +317,20 @@ object Mixing {
     * rows, no rand().
     *
     * Scale shape: quotas are a broadcast dim; the selection is one
-    * group-keyed window. Groups larger than `prefilterAbove` are
-    * first PRUNED map-side to the hash range expected to hold
-    * ~`4·quota + 256` rows ([[capPerGroup]]'s bound, quota in place
-    * of n — same e^−95 shortfall probability, same total order, so
-    * prune + window ≡ window alone); the window then sorts only the
-    * pruned survivors, never a whole corpus-sized group. Same
-    * distinct-text assumption as [[capPerGroup]]: dedup first, or
-    * raise `prefilterAbove`, when a group is dominated by repeated
-    * texts. NULL texts always survive the prune. */
+    * group-keyed window. Groups with more than `prefilterAbove`
+    * DISTINCT content hashes are first PRUNED map-side to the hash
+    * range expected to hold ~`4·quota + 256` distinct hashes
+    * ([[capPerGroup]]'s bound, quota in place of n — same e^−95
+    * shortfall probability; survivors are a PREFIX of the `(hash,
+    * id)` total order and carry at least one row per surviving hash,
+    * so prune + window ≡ window alone); the window then sorts only
+    * the pruned survivors, never a whole corpus-sized group. Gating
+    * on DISTINCT hashes (not row count) keeps duplicate-heavy groups
+    * on the exact path automatically: a group of 10⁹ copies of one
+    * boilerplate text has ONE hash value, never qualifies for the
+    * prune, and selects exactly — a row-count gate would drop that
+    * single hash wholesale with probability ~1 − quota/count. NULL
+    * texts always survive the prune. */
   def takeQuotas(df: DataFrame, textCol: String, groupCol: String,
                  idCol: String, quotas: DataFrame,
                  prefilterAbove: Long = 1L << 20): DataFrame = {
@@ -330,7 +343,13 @@ object Mixing {
     require(collisions.isEmpty,
       s"takeQuotas reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val hashed = df.withColumn("__h", expr(H.rollingHash(textCol)))
+    // __cnt = DISTINCT hash count (exact, partial-aggregated): both
+    // the prefilter gate and the range bound's denominator — the
+    // uniform-hash shortfall analysis is over distinct values, and
+    // the gate must not fire on duplicate-heavy groups
+    val counts = hashed.groupBy(col(groupCol))
+      .agg(countDistinct(col("__h")).as("__cnt"))
       .withColumnRenamed(groupCol, "__cg")
     val quotasR = quotas.withColumnRenamed(groupCol, "__qg")
     val hashMod = 1000000007L // rollingHash range
@@ -340,7 +359,7 @@ object Mixing {
     // quota row selects like any other group (equi-joins would drop
     // it); groups ABSENT from the quota plan still drop — that is
     // the plan's meaning
-    df.withColumn("__h", expr(H.rollingHash(textCol)))
+    hashed
       .join(broadcast(quotasR), col(groupCol) <=> col("__qg"))
       .join(broadcast(counts), col(groupCol) <=> col("__cg"))
       .where(col("__cnt") <= prefilterAbove || col("__h").isNull ||

@@ -699,6 +699,13 @@ object RobustStats {
     * the corpus through one reducer); the mapping join is an
     * equi-join on the ordinal, both sides corpus-sized — the
     * unavoidable shape of an exact rank-to-rank mapping.
+    *
+    * Contract: `valueCol` must be NUMERIC (the bucket bounds come
+    * from `approxQuantile`, which only accepts numeric columns) —
+    * enforced with a loud require. Note the bounds pass runs EAGERLY
+    * at DataFrame-construction time: one extra scan of `df` even if
+    * the returned frame is never executed (the bucket boundaries
+    * must be literals for the decomposition to stay monotone).
     */
   def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
                         idCol: String, out: String = "qnorm"): DataFrame = {
@@ -708,6 +715,10 @@ object RobustStats {
     require(collisions.isEmpty,
       s"quantileNormalize reserves column names ${reserved.mkString(", ")}; " +
         s"rename the colliding input columns: ${collisions.mkString(", ")}")
+    require(df.schema(valueCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"quantileNormalize requires a numeric $valueCol (bucket bounds " +
+        s"come from approxQuantile); got ${df.schema(valueCol).dataType.sql}")
     val pooled = graft.operators.Sequencing.withGlobalOrdinals(
       df.select(col(valueCol), col(idCol)), valueCol, idCol)
       .select(col("ordinal").as("__tord"), col(valueCol).as(out))

@@ -4150,4 +4150,52 @@ class OperatorsSpec extends SparkSpec {
     assert(Mixing.takeQuotas(capDf, "text", "source", "doc_id", q1,
       prefilterAbove = 1L).collect().map(_.getLong(2)).toSeq == Seq(2L))
   }
+
+  test("null/duplicate edges survive the round-15 window-to-aggregate conversions") {
+    import spark.implicits._
+    // dropNearDuplicates(keepBestBy): max ignores nulls, so a null
+    // score loses to any real score (the window's desc-nulls-last);
+    // an all-null cluster falls back to the min id
+    val txtA = "the quick brown fox jumps over the lazy dog again and again"
+    val txtB = "pack my box with five dozen liquor jugs every single day now"
+    val df = Seq(
+      (0L, txtA, Option(5L)), (1L, txtA, Option.empty[Long]),
+      (10L, txtB, Option.empty[Long]), (11L, txtB, Option.empty[Long])
+    ).toDF("doc_id", "text", "quality")
+    val kept = DedupOps.dropNearDuplicates(df, "doc_id", "text",
+      bands = 2, rowsPerBand = 4, minJaccard = 0.3, keepBestBy = Some("quality"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(0L, 10L),
+      s"real score beats null; all-null cluster keeps min id: $kept")
+    // curate: NULL-text rows ride the sentinel digest group without
+    // crashing and (as before the conversion) fall to the token gate
+    val nullDocs = Seq((1L, Option("one two three four five six")),
+      (2L, Option.empty[String]), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val curated = operators.CurationPipeline.curate(nullDocs, "doc_id", "text",
+      minTokens = 3, maxTokens = 100, minStopRatio = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(curated == Seq(1L), s"null texts gate out, real doc survives: $curated")
+  }
+
+  test("takeQuotas/capPerGroup: duplicate-heavy groups take the exact path (distinct-hash gate)") {
+    // 10k copies of ONE text = one hash value. The old row-count gate
+    // fired the prune here and dropped the single hash wholesale
+    // (bound ≈ hashMod·276/10000, P[hash above] ≈ 97%) — silently
+    // returning zero rows. The distinct-hash gate sees 1 ≤ 100 and
+    // selects exactly.
+    val dup = spark.range(10000).selectExpr("id AS doc_id",
+      "'the same viral boilerplate text repeated' AS text", "'g' AS source")
+    val got = graft.operators.Mixing.capPerGroup(
+      dup, "text", "source", "doc_id", n = 5, prefilterAbove = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L),
+      s"equal hashes tie-break to the 5 lowest ids: $got")
+    import spark.implicits._
+    val quotas = Seq(("g", 5L)).toDF("source", "quota")
+    val gotQ = graft.operators.Mixing.takeQuotas(
+      dup, "text", "source", "doc_id", quotas, prefilterAbove = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotQ == Seq(0L, 1L, 2L, 3L, 4L), s"quota met exactly: $gotQ")
+  }
 }

@@ -719,4 +719,30 @@ class ScaleShapeSpec extends SparkSpec {
         s"no per-stratum sort may survive:\n$plan")
     }
   }
+
+  test("round-15 argmax conversions: no rank/count window in the three converted plans") {
+    // The last three argmax-shaped windows (round-14 verdict #1–#3):
+    // a boilerplate-heavy corpus makes each partition key corpus-sized
+    // (one giant transitive LSH cluster / one viral digest / one hot
+    // boundary shingle), so the pick must be a partial aggregate —
+    // map-side combined — never a single reducer's sort.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .limit(300).localCheckpoint()
+    // 1. dropNearDuplicates(keepBestBy): cluster-representative pick
+    val dnd = graft.operators.DedupOps.dropNearDuplicates(
+      docs, "doc_id", "text", minJaccard = 0.3, keepBestBy = Some("n_chars"))
+      .queryExecution.executedPlan.toString
+    assert(!dnd.contains("Window"),
+      s"keepBestBy pick must be max-score/min-id aggregates, not a rank window:\n$dnd")
+    // 2. CurationPipeline digest pick
+    val cur = graft.operators.CurationPipeline.curate(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!cur.contains("Window"),
+      s"digest pick must be groupBy(min)+join, not a rank window:\n$cur")
+    // 3. boundaryOverlapPairs hot-shingle cap
+    val bop = graft.operators.DedupOps.boundaryOverlapPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!bop.contains("Window"),
+      s"the frequency cap must be a two-phase count + anti-join, not a count window:\n$bop")
+  }
 }
