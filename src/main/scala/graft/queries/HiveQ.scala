@@ -2346,5 +2346,227 @@ object HiveQ {
           sum(col("n_nationkey")).cast("bigint").as("sum_key"),
           sum(col("n_regionkey")).cast("bigint").as("sum_region"))
       })
+    ,
+
+    // ---- Iceberg export of a COLUMN-MAPPED table -------------------
+    // The IcebergCompat-default shape (name-mode mapping): logical
+    // names + mapping ids as field-ids, physical parquet names
+    // published via schema.name-mapping.default. The aggregate runs
+    // over readExported (no _delta_log) and must equal the oracle.
+    Q("q437_iceberg_mapped_export",
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS n,
+             |  sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders WHERE o_orderkey < 700
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        import org.apache.spark.sql.types._
+        val table = tmp("graft_q437_")
+        def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+        def fm(id: Long, phys: String) = new MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build()
+        val sch = StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = true,
+            fm(1, "col-k111")),
+          StructField("o_orderstatus", StringType, nullable = true,
+            fm(2, "col-s222"))))
+        // v0: EMPTY name-mode mapped table; the graft writer appends
+        // physically-named files into it (DeltaMappedWriteSpec's path)
+        val lines = Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"q437","format":{"provider":"parquet","options":{}},""" +
+            s""""schemaString":"${esc(sch.json)}",""" +
+            s""""partitionColumns":["o_orderstatus"],""" +
+            s""""configuration":{"delta.columnMapping.mode":"name",""" +
+            s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}""")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$table/_delta_log"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$table/_delta_log/" + "%020d.json".format(0)),
+          (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+        val ds = new graft.sources.DeltaDataset(table, Seq("o_orderstatus"))
+        ds.append(t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long"), col("o_orderstatus"))
+          .where(col("o_orderkey") < 700))                            // v1
+        val v = graft.sources.IcebergExport.export(table)
+        require(v == 1L, s"q437: export must stamp the head version, got $v")
+        val meta = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(table, "metadata", "v1.metadata.json")), "UTF-8")
+        require(meta.contains("schema.name-mapping.default") &&
+          meta.contains("col-k111"),
+          "q437: mapped export must publish the physical-name mapping")
+        val exported = graft.sources.IcebergExport.readExported(table).get
+        require(exported.schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_orderstatus"),
+          "q437: exported schema must use LOGICAL names in order")
+        exported
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .orderBy(col("o_orderstatus"))
+      })
+    ,
+
+    // ---- Iceberg export HISTORY: snapshots accumulate --------------
+    // Two exports at two Delta versions: the head metadata carries
+    // both snapshots + the snapshot/metadata logs, and the OLDER
+    // version stays resolvable via its own (self-contained)
+    // v<N>.metadata.json — metadata-file time travel.
+    Q("q438_iceberg_history",
+      Some("""SELECT 'v0' AS phase, count(*)::BIGINT AS n,
+             |  sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders WHERE o_orderkey < 400
+             |UNION ALL
+             |SELECT 'v1' AS phase, count(*)::BIGINT AS n,
+             |  sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders WHERE o_orderkey < 800
+             |ORDER BY phase""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q438_")
+        val ord = t(s, dir, "orders").select("o_orderkey")
+        val ds = new graft.sources.DeltaDataset(table)
+        ds.write(ord.where(col("o_orderkey") < 400))                  // v0
+        require(graft.sources.IcebergExport.export(table) == 0L)
+        ds.append(ord.where(col("o_orderkey") >= 400 &&
+          col("o_orderkey") < 800))                                   // v1
+        require(graft.sources.IcebergExport.export(table) == 1L)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val head = om.readTree(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(table, "metadata", "v1.metadata.json")), "UTF-8"))
+        require(head.get("snapshots").size == 2 &&
+          head.get("snapshot-log").size == 2 &&
+          head.get("metadata-log").size == 1,
+          "q438: the head metadata must carry the accumulated history")
+        def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+          df.agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+            .withColumn("phase", lit(phase))
+        val v0 = graft.sources.IcebergExport
+          .readExported(table, asOfVersion = Some(0L)).get
+        val v1 = graft.sources.IcebergExport.readExported(table).get
+        agg(v0, "v0").unionByName(agg(v1, "v1"))
+          .select(col("phase"), col("n"), col("sum_key"))
+          .orderBy(col("phase"))
+      })
+    ,
+
+    // ---- FOREIGN Iceberg table read --------------------------------
+    // A hand-built HadoopCatalog v2 tree this exporter never wrote:
+    // native-style data files that STORE the identity-partition
+    // column, two manifests (ADDED + EXISTING statuses), and the
+    // general reader (IcebergReader) resolves it — the inverse
+    // interop direction to q424/q437.
+    Q("q439_foreign_iceberg",
+      Some("""SELECT CASE WHEN o_orderkey < 150 THEN 'lo' ELSE 'hi' END AS pgrp,
+             |  count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS sum_key
+             |FROM orders WHERE o_orderkey < 300
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        implicit val ss: org.apache.spark.sql.SparkSession = s
+        val table = tmp("graft_q439_")
+        val fs = new org.apache.hadoop.fs.Path(table)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+        val ord = t(s, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("o_orderkey"))
+          .where(col("o_orderkey") < 300)
+          .withColumn("pgrp", when(col("o_orderkey") < 150, "lo").otherwise("hi"))
+        def oneFile(sub: String, df: org.apache.spark.sql.DataFrame): String = {
+          df.coalesce(1).write.parquet(s"$table/$sub")
+          new java.io.File(s"$table/$sub").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toURI.toString
+        }
+        val fLo = oneFile("d1", ord.where(col("pgrp") === "lo"))
+        val fHi = oneFile("d2", ord.where(col("pgrp") === "hi"))
+        val metaDir = new org.apache.hadoop.fs.Path(table, "metadata")
+        fs.mkdirs(metaDir)
+        val mSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_entry","fields":[
+            |{"name":"status","type":"int","field-id":0},
+            |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+            |{"name":"content","type":"int","field-id":134},
+            |{"name":"file_path","type":"string","field-id":100},
+            |{"name":"file_format","type":"string","field-id":101},
+            |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[
+            |{"name":"pgrp_0","type":["null","string"],"default":null,"field-id":1000}]}},
+            |{"name":"record_count","type":"long","field-id":103},
+            |{"name":"file_size_in_bytes","type":"long","field-id":104}
+            |]}}]}""".stripMargin)
+        val dfS = mSchema.getField("data_file").schema()
+        val pS = dfS.getField("partition").schema()
+        def entry(status: Int, path: String, pv: String) = {
+          val p = new org.apache.avro.generic.GenericData.Record(pS)
+          p.put(0, pv)
+          val d = new org.apache.avro.generic.GenericData.Record(dfS)
+          d.put("content", Int.box(0)); d.put("file_path", path)
+          d.put("file_format", "PARQUET"); d.put("partition", p)
+          d.put("record_count", Long.box(0L))
+          d.put("file_size_in_bytes", Long.box(100L))
+          val e = new org.apache.avro.generic.GenericData.Record(mSchema)
+          e.put("status", Int.box(status)); e.put("data_file", d); e
+        }
+        def writeAvro(p: org.apache.hadoop.fs.Path,
+                      schema: org.apache.avro.Schema,
+                      recs: Seq[org.apache.avro.generic.GenericRecord]): Unit = {
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          val out = fs.create(p, true)
+          try { w.create(schema, out); recs.foreach(w.append) }
+          finally w.close()
+        }
+        val m1 = new org.apache.hadoop.fs.Path(metaDir, "m1.avro")
+        val m2 = new org.apache.hadoop.fs.Path(metaDir, "m2.avro")
+        writeAvro(m1, mSchema, Seq(entry(1, fLo, "lo")))
+        writeAvro(m2, mSchema, Seq(entry(0, fHi, "hi")))
+        val lSchema = new org.apache.avro.Schema.Parser().parse(
+          """{"type":"record","name":"manifest_file","fields":[
+            |{"name":"manifest_path","type":"string","field-id":500},
+            |{"name":"manifest_length","type":"long","field-id":501},
+            |{"name":"partition_spec_id","type":"int","field-id":502},
+            |{"name":"content","type":"int","field-id":517},
+            |{"name":"added_snapshot_id","type":"long","field-id":503}
+            |]}""".stripMargin)
+        def mfRec(p: org.apache.hadoop.fs.Path) = {
+          val r = new org.apache.avro.generic.GenericData.Record(lSchema)
+          r.put("manifest_path", p.toUri.toString)
+          r.put("manifest_length", Long.box(fs.getFileStatus(p).getLen))
+          r.put("partition_spec_id", Int.box(0))
+          r.put("content", Int.box(0))
+          r.put("added_snapshot_id", Long.box(42L)); r
+        }
+        val list = new org.apache.hadoop.fs.Path(metaDir, "snap-42.avro")
+        writeAvro(list, lSchema, Seq(mfRec(m1), mfRec(m2)))
+        val body =
+          s"""{"format-version":2,"table-uuid":"foreign-q439",""" +
+            s""""location":"${esc(table)}","last-sequence-number":1,""" +
+            s""""last-updated-ms":1700000000000,"last-column-id":2,""" +
+            s""""current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[""" +
+            s"""{"id":1,"name":"o_orderkey","required":false,"type":"long"},""" +
+            s"""{"id":2,"name":"pgrp","required":false,"type":"string"}]}],""" +
+            s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[""" +
+            s"""{"name":"pgrp_0","transform":"identity","source-id":2,"field-id":1000}]}],""" +
+            s""""last-partition-id":1000,"default-sort-order-id":0,""" +
+            s""""sort-orders":[{"order-id":0,"fields":[]}],"properties":{},""" +
+            s""""current-snapshot-id":42,"snapshots":[{"snapshot-id":42,""" +
+            s""""sequence-number":1,"timestamp-ms":1700000000000,"schema-id":0,""" +
+            s""""manifest-list":"${esc(list.toUri.toString)}",""" +
+            s""""summary":{"operation":"append"}}],"snapshot-log":[],"metadata-log":[]}"""
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(table, "metadata", "v3.metadata.json"),
+          (body + "\n").getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(table, "metadata", "version-hint.text"),
+          "3\n".getBytes("UTF-8"))
+        val got = graft.sources.IcebergReader.read(table).get
+        require(got.schema.fieldNames.toSeq == Seq("o_orderkey", "pgrp"),
+          "q439: foreign schema must decode in declared order")
+        got.groupBy(col("pgrp"))
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum(col("o_orderkey")).cast("bigint").as("sum_key"))
+          .orderBy(col("pgrp"))
+      })
   )
 }

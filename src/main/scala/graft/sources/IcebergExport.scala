@@ -25,15 +25,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * record schemas, `field-id` attributes on every field, and the
   * spec-required key-value metadata (`schema`, `partition-spec`,
   * `format-version`, `content`) — the layout an external Iceberg
-  * reader parses. Documented deviation: each export publishes ONE
-  * snapshot (the current Delta version) rather than replaying
-  * history. Pinned by the spec via [[readExported]] == Delta scan
-  * plus a raw-Avro decode of both files.
+  * reader parses. Pinned by the spec via [[readExported]] == Delta
+  * scan plus a raw-Avro decode of both files.
   *
-  * Deletion vectors REFUSE the export (run `optimize(0.0)` first to
-  * materialize masks): a plain manifest cannot express row-level
-  * masks, and real UniForm/IcebergCompat draws the same line —
-  * deletion vectors must be off for Iceberg conversion.
+  * Re-exports ACCUMULATE history: each new `v<N>.metadata.json`
+  * carries the prior export's snapshots forward plus the matching
+  * `snapshot-log` / `metadata-log` entries, so an external engine
+  * can time-travel the exported chain (by snapshot id from the head
+  * metadata, or by older metadata file — every `v<N>.metadata.json`
+  * stays self-contained). A same-version re-export REPLACES its own
+  * snapshot (idempotent upgrade), never duplicates it. Documented
+  * deviation: snapshots exported at older schema versions reference
+  * the CURRENT schema-id (per-snapshot schema history is not
+  * replayed).
+  *
+  * COLUMN-MAPPED tables (modes `name`/`id` — the IcebergCompat
+  * default shape) export with LOGICAL field names and their
+  * `delta.columnMapping.id`s as Iceberg field-ids, plus the
+  * `schema.name-mapping.default` property mapping each field-id to
+  * the PHYSICAL parquet column name — exactly real UniForm's shape,
+  * so engines resolve columns in the shared (physically-named) data
+  * files without rewrites. Flat schemas only (nested mapped fields
+  * refuse via the type mapping, like every other nested schema).
+  *
+  * Deletion vectors REFUSE the export — a CONTRACT, not a gap (run
+  * `optimize(0.0)` first to materialize masks): a plain manifest
+  * cannot express row-level masks, and real UniForm/IcebergCompat
+  * draws the same line — deletion vectors must be off for Iceberg
+  * conversion. Spec-pinned (delete → refusal → optimize → export).
+  *
+  * Sequence numbers are `delta version + 1` (Iceberg reserves 0 for
+  * pre-existing state; new snapshots start at 1).
   *
   * Scale shape: file-count-bounded driver work (one manifest row per
   * live file, record counts straight from the adds' stats); rows are
@@ -50,12 +72,33 @@ object IcebergExport {
     val snap = DeltaReader.snapshot(cleanUrl).getOrElse(
       throw new IllegalArgumentException(
         s"IcebergExport: no Delta table at $cleanUrl"))
-    require(snap.physicalSchema.isEmpty,
-      "IcebergExport: column-mapped tables unsupported")
     require(!snap.files.exists(_.deletionVector.exists(_.cardinality > 0)),
       "IcebergExport: table carries live deletion vectors — a plain " +
         "manifest cannot express row masks (IcebergCompat's own " +
         "constraint); run optimize(0.0) to materialize them first")
+    // Iceberg field-ids: ordinal for unmapped tables, the table's own
+    // delta.columnMapping.id for mapped ones (IcebergCompat's id
+    // assignment — ids must survive renames, ordinals don't)
+    val mapped = snap.physicalSchema.isDefined
+    val fieldIds: Map[String, Int] =
+      if (!mapped)
+        snap.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> (i + 1) }.toMap
+      else snap.schema.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"IcebergExport: column-mapped field '${f.name}' lacks " +
+            "delta.columnMapping.id — malformed column-mapping metadata")
+        f.name -> f.metadata.getLong("delta.columnMapping.id").toInt
+      }.toMap
+    val physByLogical: Map[String, String] = snap.physicalSchema
+      .map(ps => snap.schema.fieldNames.zip(ps.fieldNames).toMap)
+      .getOrElse(Map.empty)
+    // under column mapping the log keys partitionValues by PHYSICAL
+    // name (logical accepted as a fallback for sloppy writers) —
+    // DeltaReader.partitionValueOf's contract
+    def rawPartValue(f: DeltaReader.DeltaFile, c: String): String =
+      physByLogical.get(c).flatMap(f.partitionValues.get)
+        .orElse(f.partitionValues.get(c)).orNull
     val base = new Path(cleanUrl)
     val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
     val qualifiedBase = fs.makeQualified(base)
@@ -89,6 +132,9 @@ object IcebergExport {
       }
 
     val snapshotId = snap.version + 1L // Iceberg ids are arbitrary longs
+    // sequence number 0 is RESERVED for pre-existing state; new
+    // snapshots number from 1 (the spec's assignment convention)
+    val seqNum = snap.version + 1L
 
     // Avro primitive for an IDENTITY-partition source column — the
     // typed partition record the manifest stores (Delta logs the
@@ -191,12 +237,12 @@ object IcebergExport {
       Map(
         "format-version" -> "2", "content" -> "data",
         "partition-spec-id" -> "0",
-        "partition-spec" -> icebergSpecJson(snap),
-        "schema" -> icebergSchemaJson(snap)),
+        "partition-spec" -> icebergSpecJson(snap, fieldIds),
+        "schema" -> icebergSchemaJson(snap, fieldIds)),
       snap.files.sortBy(_.path).map { f =>
         val part = new org.apache.avro.generic.GenericData.Record(partSchema)
         snap.partitionColumns.zipWithIndex.foreach { case (c, i) =>
-          part.put(i, partValue(c, f.partitionValues.getOrElse(c, null),
+          part.put(i, partValue(c, rawPartValue(f, c),
             partSchema.getFields.get(i).schema())) }
         val dataFile = new org.apache.avro.generic.GenericData.Record(dfSchema)
         dataFile.put("content", Int.box(0))
@@ -237,8 +283,8 @@ object IcebergExport {
     mf.put("manifest_length", Long.box(fs.getFileStatus(manifestPath).getLen))
     mf.put("partition_spec_id", Int.box(0))
     mf.put("content", Int.box(0)) // data
-    mf.put("sequence_number", Long.box(snap.version))
-    mf.put("min_sequence_number", Long.box(snap.version))
+    mf.put("sequence_number", Long.box(seqNum))
+    mf.put("min_sequence_number", Long.box(seqNum))
     mf.put("added_snapshot_id", Long.box(snapshotId))
     mf.put("added_files_count", Int.box(snap.files.size))
     mf.put("existing_files_count", Int.box(0))
@@ -249,146 +295,102 @@ object IcebergExport {
     writeAvro(fs, listPath, listSchema,
       Map("format-version" -> "2",
         "snapshot-id" -> snapshotId.toString,
-        "sequence-number" -> snap.version.toString),
+        "sequence-number" -> seqNum.toString),
       Seq(mf))
+
+    // ---- prior export chain: accumulate snapshots + logs ----------
+    // (every v<N>.metadata.json stays self-contained; the head one
+    // additionally lets an external engine resolve OLDER snapshots —
+    // their manifest lists/manifests are never overwritten)
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val priorMeta: Option[(Long, com.fasterxml.jackson.databind.JsonNode)] =
+      if (!fs.exists(hintPath)) None
+      else scala.util.Try {
+        val pv = readFile(fs, hintPath).trim.toLong
+        (pv, om.readTree(readFile(fs,
+          new Path(metaDir, s"v$pv.metadata.json"))))
+      }.toOption
+    def jsonArr(n: com.fasterxml.jackson.databind.JsonNode,
+                field: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    // a same-version re-export REPLACES its own snapshot (idempotent)
+    val priorSnapshots = priorMeta.toSeq
+      .flatMap { case (_, n) => jsonArr(n, "snapshots") }
+      .filter(_.get("snapshot-id").asLong != snapshotId)
+      .map(om.writeValueAsString)
+    val priorSnapLog = priorMeta.toSeq
+      .flatMap { case (_, n) => jsonArr(n, "snapshot-log") }
+      .filter(_.get("snapshot-id").asLong != snapshotId)
+      .map(om.writeValueAsString)
+    val metaLog = priorMeta match {
+      case Some((pv, pn)) if pv != snap.version =>
+        jsonArr(pn, "metadata-log").map(om.writeValueAsString) :+
+          (s"""{"timestamp-ms":${Option(pn.get("last-updated-ms"))
+            .map(_.asLong).getOrElse(0L)},""" +
+            s""""metadata-file":"${escJ(new Path(metaDir,
+              s"v$pv.metadata.json").toUri.toString)}"}""")
+      case Some((_, pn)) =>
+        jsonArr(pn, "metadata-log").map(om.writeValueAsString)
+      case None => Nil
+    }
+    val priorLastSeq = priorMeta.flatMap { case (_, n) =>
+      Option(n.get("last-sequence-number")).map(_.asLong) }.getOrElse(0L)
 
     // ---- table metadata -------------------------------------------
     val now = System.currentTimeMillis
     val metadataPath = new Path(metaDir, s"v${snap.version}.metadata.json")
+    // UniForm's column-mapping interop: field-id → PHYSICAL parquet
+    // name, so engines resolve the shared data files without rewrites
+    val nameMappingProp =
+      if (!mapped) None
+      else Some(snap.schema.fields.map { f =>
+        s"""{"field-id":${fieldIds(f.name)},""" +
+          s""""names":["${escJ(physByLogical(f.name))}"]}"""
+      }.mkString("[", ",", "]"))
+    val propsJson = (Seq(
+      s""""graft.delta.version":"${snap.version}"""") ++
+      nameMappingProp.map(nm =>
+        s""""schema.name-mapping.default":"${escJ(nm)}"""" ))
+      .mkString("{", ",", "}")
+    val newSnapshotJson =
+      s"""{"snapshot-id":$snapshotId,"sequence-number":$seqNum,""" +
+        s""""timestamp-ms":$now,"schema-id":0,""" +
+        s""""manifest-list":"${escJ(listPath.toUri.toString)}",""" +
+        s""""summary":{"operation":"append"}}"""
     writeFile(fs, metadataPath, body =
       s"""{"format-version":2,"table-uuid":"${escJ(snap.tableId)}",""" +
         s""""location":"${escJ(qualifiedBase.toUri.toString)}",""" +
-        s""""last-sequence-number":${snap.version},"last-updated-ms":$now,""" +
-        s""""last-column-id":${snap.schema.fields.length},""" +
-        s""""current-schema-id":0,"schemas":[${icebergSchemaJson(snap)}],""" +
+        s""""last-sequence-number":${Math.max(seqNum, priorLastSeq)},""" +
+        s""""last-updated-ms":$now,""" +
+        s""""last-column-id":${fieldIds.values.max},""" +
+        s""""current-schema-id":0,"schemas":[${
+          icebergSchemaJson(snap, fieldIds)}],""" +
         s""""default-spec-id":0,"partition-specs":[{"spec-id":0,""" +
-        s""""fields":${icebergSpecJson(snap)}}],""" +
+        s""""fields":${icebergSpecJson(snap, fieldIds)}}],""" +
         s""""last-partition-id":${999 + snap.partitionColumns.size},""" +
         s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,""" +
-        s""""fields":[]}],"properties":{"graft.delta.version":"${snap.version}"},""" +
-        s""""current-snapshot-id":$snapshotId,"snapshots":[{""" +
-        s""""snapshot-id":$snapshotId,"sequence-number":${snap.version},""" +
-        s""""timestamp-ms":$now,"schema-id":0,""" +
-        s""""manifest-list":"${escJ(listPath.toUri.toString)}",""" +
-        s""""summary":{"operation":"append"}}],""" +
-        s""""snapshot-log":[],"metadata-log":[]}""" + "\n")
+        s""""fields":[]}],"properties":$propsJson,""" +
+        s""""current-snapshot-id":$snapshotId,"snapshots":${
+          (priorSnapshots :+ newSnapshotJson).mkString("[", ",", "]")},""" +
+        s""""snapshot-log":${(priorSnapLog :+
+          s"""{"timestamp-ms":$now,"snapshot-id":$snapshotId}""")
+          .mkString("[", ",", "]")},""" +
+        s""""metadata-log":${metaLog.mkString("[", ",", "]")}}""" + "\n")
     // HadoopCatalog discovery convention
     writeFile(fs, new Path(metaDir, "version-hint.text"),
       s"${snap.version}\n")
     snap.version
   }
 
-  /** Resolve the exported snapshot WITHOUT `_delta_log`: version
-    * hint → metadata → manifest list → manifest → data files with
-    * typed partition literals, columns in schema order — what an
-    * external Iceberg reader computes. None when no export exists. */
-  def readExported(url: String)
-                  (implicit spark: SparkSession): Option[DataFrame] = {
-    val cleanUrl = url.stripSuffix("/")
-    val metaDir = new Path(cleanUrl, "metadata")
-    val fs: FileSystem = metaDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val hint = new Path(metaDir, "version-hint.text")
-    if (!fs.exists(hint)) return None
-    val om = new ObjectMapper()
-    val version = readFile(fs, hint).trim.toLong
-    val meta = om.readTree(readFile(fs,
-      new Path(metaDir, s"v$version.metadata.json")))
-    val schema = StructType(meta.get("schemas").get(0).get("fields")
-      .elements().asScala.map { f =>
-        StructField(f.get("name").asText, f.get("type").asText match {
-          case "long" => LongType
-          case "int" => IntegerType
-          case "double" => DoubleType
-          case "float" => FloatType
-          case "string" => StringType
-          case "boolean" => BooleanType
-          case "date" => DateType
-          case "binary" => BinaryType
-          case "timestamptz" => TimestampType
-          case "timestamp" => TimestampNTZType
-          case d if d.startsWith("decimal") =>
-            val Array(p, s) = d.stripPrefix("decimal(").stripSuffix(")")
-              .split(",").map(_.trim.toInt)
-            DecimalType(p, s)
-          case other => throw new UnsupportedOperationException(
-            s"IcebergExport.readExported: type $other")
-        })
-      }.toSeq)
-    val partCols = meta.get("partition-specs").get(0).get("fields")
-      .elements().asScala.map(_.get("name").asText).toSeq
-    val snapNode = meta.get("snapshots").elements().asScala.find(
-      _.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong)
-      .getOrElse(throw new IllegalStateException(
-        "IcebergExport.readExported: current snapshot missing"))
-    // manifest list + manifest are Avro object-container files (the
-    // Iceberg v2 layout) — decode generically, statuses 1/0 are live
-    val listRecs = readAvro(fs,
-      new Path(new java.net.URI(snapNode.get("manifest-list").asText)))
-    require(listRecs.nonEmpty,
-      "IcebergExport.readExported: empty manifest list")
-    val manifestRecs = listRecs.flatMap { mf =>
-      readAvro(fs,
-        new Path(new java.net.URI(mf.get("manifest_path").toString)))
-    }
-    def partString(c: String, v: AnyRef): String =
-      if (v == null) null
-      else schema(c).dataType match {
-        // Avro stores a date as epoch days; the literal cast below
-        // re-parses the ISO rendering
-        case DateType => java.time.LocalDate
-          .ofEpochDay(v.asInstanceOf[Int].toLong).toString
-        case dt @ (_: TimestampType | TimestampNTZType) =>
-          // render the instant in the zone the literal cast below
-          // will parse it with: SESSION TZ for timestamptz (the
-          // inverse of export's parse), wall-time for NTZ
-          val micros = v.asInstanceOf[Long]
-          val zone =
-            if (dt == TimestampNTZType) java.time.ZoneOffset.UTC
-            else sessionZone
-          java.time.LocalDateTime.ofInstant(
-            java.time.Instant.ofEpochSecond(
-              Math.floorDiv(micros, 1000000L),
-              Math.floorMod(micros, 1000000L) * 1000L),
-            zone).toString.replace('T', ' ')
-        case d: DecimalType =>
-          new java.math.BigDecimal(new java.math.BigInteger(
-            v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()),
-            d.scale).toPlainString
-        case _ => v.toString
-      }
-    // partition record field NAMES are Avro-sanitized; the SPEC order
-    // is authoritative — access by position
-    val entries: Seq[(String, Map[String, String])] = manifestRecs
-      .filter(_.get("status").asInstanceOf[Int] != 2) // 2 = DELETED
-      .map { e =>
-        val df = e.get("data_file")
-          .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        val part = df.get("partition")
-          .asInstanceOf[org.apache.avro.generic.GenericRecord]
-        val pv = partCols.zipWithIndex.map { case (c, i) =>
-          c -> partString(c, part.get(i)) }.toMap
-        (df.get("file_path").toString, pv)
-      }
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
-    if (entries.isEmpty)
-      return Some(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    // group by partition tuple: one scan per partition value set,
-    // typed literals injected, then a union in schema order
-    val groups = entries.groupBy(_._2).toSeq
-      .sortBy(_._1.toSeq.sortBy(_._1).mkString("/"))
-    val frames = groups.map { case (pv, fsOfGroup) =>
-      val base = spark.read.schema(dataSchema)
-        .parquet(fsOfGroup.map(_._1): _*)
-      partCols.foldLeft(base) { (df, c) =>
-        val dt = schema(c).dataType
-        df.withColumn(c,
-          if (pv(c) == null) lit(null).cast(dt) else lit(pv(c)).cast(dt))
-      }
-    }
-    Some(frames.reduce(_ unionByName _)
-      .select(schema.fieldNames.map(col).toSeq: _*))
-  }
+  /** Resolve the exported snapshot WITHOUT `_delta_log` — delegates
+    * to [[IcebergReader.read]], the general HadoopCatalog v2 reader
+    * (this exporter's output is one of its inputs). `asOfVersion`
+    * pins an older exported `v<N>.metadata.json` (each is
+    * self-contained — metadata-file time travel). None when no
+    * export exists. */
+  def readExported(url: String, asOfVersion: Option[Long] = None)
+                  (implicit spark: SparkSession): Option[DataFrame] =
+    IcebergReader.read(url, asOfVersion)
 
   private def escJ(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -430,7 +432,7 @@ object IcebergExport {
   /** The session timezone as a ZoneId, via Spark's own resolver —
     * `ZoneId.of` rejects short ids ("PST") and single-digit offsets
     * Spark itself accepts. */
-  private def sessionZone(implicit spark: SparkSession): java.time.ZoneId =
+  private[sources] def sessionZone(implicit spark: SparkSession): java.time.ZoneId =
     org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
       spark.sessionState.conf.sessionLocalTimeZone)
 
@@ -443,15 +445,15 @@ object IcebergExport {
 
   /** The identity partition-spec fields JSON — ONE rendering shared
     * by the table metadata and the manifest's `partition-spec`
-    * key-value metadata (the spec requires them to agree). */
-  private def icebergSpecJson(snap: DeltaReader.DeltaSnapshot): String = {
-    val fieldId: Map[String, Int] =
-      snap.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    * key-value metadata (the spec requires them to agree). Source
+    * ids come from the caller's field-id assignment (ordinal, or
+    * the column-mapping ids for mapped tables). */
+  private def icebergSpecJson(snap: DeltaReader.DeltaSnapshot,
+                              fieldIds: Map[String, Int]): String =
     snap.partitionColumns.zipWithIndex.map { case (c, i) =>
       s"""{"name":"${escJ(c)}","transform":"identity",""" +
-        s""""source-id":${fieldId(c)},"field-id":${1000 + i}}"""
+        s""""source-id":${fieldIds(c)},"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
-  }
 
   private def icebergType(dt: DataType): String = dt match {
     case LongType => "long"
@@ -472,10 +474,13 @@ object IcebergExport {
 
   /** The Iceberg schema JSON object (field-id'd struct) — embedded in
     * the table metadata's `schemas` array AND the manifest's `schema`
-    * key-value metadata (the spec requires both). */
-  private def icebergSchemaJson(snap: DeltaReader.DeltaSnapshot): String = {
-    val fields = snap.schema.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":${i + 1},"name":"${escJ(f.name)}",""" +
+    * key-value metadata (the spec requires both). Names are LOGICAL
+    * (mapped tables publish the physical names via the name-mapping
+    * property instead). */
+  private def icebergSchemaJson(snap: DeltaReader.DeltaSnapshot,
+                                fieldIds: Map[String, Int]): String = {
+    val fields = snap.schema.fields.map { f =>
+      s"""{"id":${fieldIds(f.name)},"name":"${escJ(f.name)}",""" +
         s""""required":false,"type":"${icebergType(f.dataType)}"}"""
     }.mkString(",")
     s"""{"type":"struct","schema-id":0,"fields":[$fields]}"""
@@ -484,7 +489,7 @@ object IcebergExport {
   /** One Avro object-container file: schema + key-value metadata +
     * records, written through the Hadoop FileSystem (same scheme
     * pluggability as every other artifact). */
-  private def writeAvro(fs: FileSystem, p: Path,
+  private[sources] def writeAvro(fs: FileSystem, p: Path,
                         schema: org.apache.avro.Schema,
                         meta: Map[String, String],
                         records: Seq[org.apache.avro.generic.GenericRecord])
@@ -521,7 +526,7 @@ object IcebergExport {
   /** Every record of an Avro object-container file (reader-schema =
     * writer-schema — the generic round-trip). A pre-Avro (round-13
     * JSON) artifact raises with the upgrade instruction. */
-  private def readAvro(fs: FileSystem, p: Path)
+  private[sources] def readAvro(fs: FileSystem, p: Path)
       : Seq[org.apache.avro.generic.GenericRecord] = {
     if (p.getName.endsWith(".json"))
       throw new UnsupportedOperationException(
@@ -552,7 +557,7 @@ object IcebergExport {
       throw t
     }
 
-  private def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
+  private[sources] def writeFile(fs: FileSystem, p: Path, body: String): Unit = {
     // temp + overwrite-rename: a mid-write failure never truncates a
     // previously good artifact and leaves no tmp orphan behind
     val tmp = new Path(p.getParent,
@@ -567,7 +572,7 @@ object IcebergExport {
     publishOver(fs, tmp, p)
   }
 
-  private def readFile(fs: FileSystem, p: Path): String = {
+  private[sources] def readFile(fs: FileSystem, p: Path): String = {
     val st = fs.getFileStatus(p)
     val bytes = new Array[Byte](st.getLen.toInt)
     val in = fs.open(p)

@@ -205,6 +205,98 @@ class IcebergExportSpec extends SparkSpec {
     }
   }
 
+  test("column-mapped tables export: logical names, mapping field-ids, name-mapping property") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      // name-mode mapped fixture with NON-ORDINAL column-mapping ids
+      // (v→7, p→3): the export's field-ids must come from the
+      // mapping metadata, never from field position
+      import org.apache.spark.sql.types._
+      def fm(id: Long, phys: String) = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build()
+      val schema = StructType(Seq(
+        StructField("v", LongType, nullable = true, fm(7, "col-aaa111")),
+        StructField("p", StringType, nullable = true, fm(3, "col-ppp222"))))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      Seq(1L, 2L).toDF("col-aaa111").coalesce(1).write.parquet(s"$table/st1")
+      Seq(30L).toDF("col-aaa111").coalesce(1).write.parquet(s"$table/st2")
+      def mv(stage: String, dest: String): Unit = {
+        val part = new java.io.File(s"$table/$stage").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val d = new java.io.File(s"$table/$dest")
+        d.getParentFile.mkdirs(); assert(part.renameTo(d))
+      }
+      mv("st1", "col-ppp222=A/f1.parquet")
+      mv("st2", "col-ppp222=B/f2.parquet")
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"fix","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(schema.json)}","partitionColumns":["p"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"7"},"createdTime":1700000000000}}""",
+        """{"add":{"path":"col-ppp222=A/f1.parquet","partitionValues":{"col-ppp222":"A"},"size":100,"modificationTime":1700000000000,"dataChange":true}}""",
+        """{"add":{"path":"col-ppp222=B/f2.parquet","partitionValues":{"col-ppp222":"B"},"size":100,"modificationTime":1700000000000,"dataChange":true}}""")
+      Files.createDirectories(Paths.get(s"$table/_delta_log"))
+      Files.write(Paths.get(s"$table/_delta_log/%020d.json".format(0)),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      assert(IcebergExport.export(table) == 0L)
+      // exported read == Delta scan, logical names throughout
+      val exported = IcebergExport.readExported(table).get
+      assert(exported.schema.fieldNames.toSeq == Seq("v", "p"))
+      assertSameData(exported, DeltaReader.scan(table).get)
+      // the metadata carries the mapping ids + the name-mapping
+      // property (UniForm's column-mapping interop shape)
+      val meta = new String(Files.readAllBytes(
+        Paths.get(table, "metadata", "v0.metadata.json")), "UTF-8")
+      assert(meta.contains(""""id":7,"name":"v""""), meta)
+      assert(meta.contains(""""id":3,"name":"p""""), meta)
+      assert(meta.contains("schema.name-mapping.default"), meta)
+      assert(meta.contains("col-aaa111"), "physical name must ride the name mapping")
+      assert(meta.contains(""""source-id":3"""), "spec source-id = mapping id")
+      assert(meta.contains(""""last-column-id":7"""), meta)
+    }
+  }
+
+  test("re-export accumulates snapshot history; older versions stay resolvable; sequence numbers start at 1") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val ds = new DeltaDataset(table)
+      ds.write(Seq(1L, 2L).toDF("v"))                          // delta v0
+      assert(IcebergExport.export(table) == 0L)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val m0 = om.readTree(Files.readAllBytes(
+        Paths.get(table, "metadata", "v0.metadata.json")))
+      // Iceberg reserves sequence-number 0 for pre-existing state
+      assert(m0.get("last-sequence-number").asLong == 1L)
+      assert(m0.get("snapshots").get(0).get("sequence-number").asLong == 1L)
+      // idempotent same-version re-export: no duplicate snapshot
+      assert(IcebergExport.export(table) == 0L)
+      val m0b = om.readTree(Files.readAllBytes(
+        Paths.get(table, "metadata", "v0.metadata.json")))
+      assert(m0b.get("snapshots").size == 1)
+      assert(m0b.get("snapshot-log").size == 1)
+      assert(m0b.get("metadata-log").size == 0)
+      ds.append(Seq(3L).toDF("v"))                             // delta v1
+      assert(IcebergExport.export(table) == 1L)
+      val m1 = om.readTree(Files.readAllBytes(
+        Paths.get(table, "metadata", "v1.metadata.json")))
+      // head metadata carries BOTH snapshots + the log trail
+      assert(m1.get("snapshots").size == 2)
+      assert(m1.get("snapshot-log").size == 2)
+      assert(m1.get("metadata-log").size == 1)
+      assert(m1.get("metadata-log").get(0).get("metadata-file").asText
+        .endsWith("v0.metadata.json"))
+      assert(m1.get("current-snapshot-id").asLong == 2L)
+      assert(m1.get("last-sequence-number").asLong == 2L)
+      // both versions resolve: the head via the hint, the older via
+      // its own (self-contained) metadata file
+      assert(IcebergExport.readExported(table).get.count() == 3L)
+      val v0 = IcebergExport.readExported(table, asOfVersion = Some(0L)).get
+      assert(v0.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    }
+  }
+
   test("no export → None; unpartitioned tables round-trip") {
     withTempDir { dir =>
       val table = s"$dir/t"
