@@ -951,6 +951,37 @@ class OperatorsSpec extends SparkSpec {
     assert(payload.toSeq == Seq[Byte](0, 10, 20, 30))
   }
 
+  test("multimodal REAL image decode: javax.imageio reads PNG/JPEG headers through the Spark seam") {
+    import spark.implicits._
+    // real image bytes generated offline with the JDK's own encoder —
+    // the decode side must recover format + true dimensions
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, out))
+      out.toByteArray
+    }
+    val bin = Seq(
+      (1L, encode(20, 12, "png")),
+      (2L, encode(7, 33, "jpg")),
+      (3L, Array[Byte](0, 1, 2, 3)) // not an image → unknown, kept
+    ).toDF("id", "payload")
+    val got = Multimodal.decodeImages(bin, "id", "payload").toDF()
+      .select(col("id"), col("meta.kind"), col("meta.width"), col("meta.height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got(1L) == (("image/png", 20, 12)))
+    assert(got(2L)._1 == "image/jpeg" && got(2L)._2 == 7 && got(2L)._3 == 33)
+    assert(got(3L) == (("unknown", 0, 0)), "corrupt bytes keep their row")
+    // payloads round-trip the real-decode boundary untouched
+    val p = Multimodal.decodeImages(bin, "id", "payload").toDF()
+      .where(col("id") === 3).select("payload").head.getAs[Array[Byte]](0)
+    assert(p.toSeq == Seq[Byte](0, 1, 2, 3))
+  }
+
   test("multimodal frame sampling is bounded by fps * duration") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](2, 0, 0, 9))).toDF("id", "payload") // durationMs = 10000
