@@ -11,8 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * current snapshot's file listing is re-published under
   * `<table>/metadata/` in Iceberg's table-metadata layout —
   * `v<N>.metadata.json` (format-version 2 table metadata: field-id'd
-  * schema, identity partition spec, one snapshot), a manifest list
-  * and a manifest enumerating every live data file with record
+  * schema, identity partition spec, the snapshot chain), a manifest
+  * list and a manifest enumerating every live data file with record
   * counts, plus the HadoopCatalog `version-hint.text` — so an
   * external engine (or [[readExported]]) can resolve the snapshot
   * without reading `_delta_log`. The DATA files are shared, never
