@@ -303,13 +303,25 @@ object IcebergExport {
     // additionally lets an external engine resolve OLDER snapshots —
     // their manifest lists/manifests are never overwritten)
     val hintPath = new Path(metaDir, "version-hint.text")
-    val priorMeta: Option[(Long, com.fasterxml.jackson.databind.JsonNode)] =
+    // a MISSING prior metadata file (crash between metadata write and
+    // hint update) self-heals to a history-less export; a PRESENT but
+    // unparseable one is a corrupt export dir and fails LOUDLY rather
+    // than silently resetting the chain
+    val priorMeta: Option[(Long, com.fasterxml.jackson.databind.JsonNode)] = {
       if (!fs.exists(hintPath)) None
-      else scala.util.Try {
+      else {
         val pv = readFile(fs, hintPath).trim.toLong
-        (pv, om.readTree(readFile(fs,
-          new Path(metaDir, s"v$pv.metadata.json"))))
-      }.toOption
+        val pPath = new Path(metaDir, s"v$pv.metadata.json")
+        if (!fs.exists(pPath)) None
+        else try Some((pv, om.readTree(readFile(fs, pPath))))
+        catch { case e: Exception =>
+          throw new IllegalStateException(
+            s"IcebergExport: prior metadata $pPath is unreadable — " +
+              "repair or remove the export directory before " +
+              "re-exporting (refusing to silently drop its history)", e)
+        }
+      }
+    }
     def jsonArr(n: com.fasterxml.jackson.databind.JsonNode,
                 field: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
       Option(n.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil)

@@ -258,6 +258,37 @@ class IcebergExportSpec extends SparkSpec {
     }
   }
 
+  test("id-mode mapped tables export and read back through the graft writer's own files") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      import org.apache.spark.sql.types._
+      def fm(id: Long, phys: String) = new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build()
+      val schema = StructType(Seq(
+        StructField("v", LongType, nullable = true, fm(1, "col-aaa111")),
+        StructField("p", StringType, nullable = true, fm(2, "col-ppp222"))))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      // v0: EMPTY id-mode table; the graft writer lands id-stamped
+      // physically-named files, export publishes the mapping
+      val lines = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"idm","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(schema.json)}","partitionColumns":["p"],""" +
+          s""""configuration":{"delta.columnMapping.mode":"id",""" +
+          s""""delta.columnMapping.maxColumnId":"2"},"createdTime":1700000000000}}""")
+      Files.createDirectories(Paths.get(s"$table/_delta_log"))
+      Files.write(Paths.get(s"$table/_delta_log/%020d.json".format(0)),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      val ds = new DeltaDataset(table, Seq("p"))
+      ds.append(Seq((1L, "A"), (2L, "A"), (30L, "B")).toDF("v", "p"))
+      assert(IcebergExport.export(table) == 1L)
+      val exported = IcebergExport.readExported(table).get
+      assert(exported.schema.fieldNames.toSeq == Seq("v", "p"))
+      assertSameData(exported, DeltaReader.scan(table).get)
+    }
+  }
+
   test("re-export accumulates snapshot history; older versions stay resolvable; sequence numbers start at 1") {
     withTempDir { dir =>
       val table = s"$dir/t"
