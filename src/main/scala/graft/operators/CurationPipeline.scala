@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions._
   * join — the min is PARTIAL-AGGREGATED (map-side combined), so a
   * viral duplicate at 10⁸ copies collapses to one row per map
   * partition before the shuffle, where a digest rank window would
-  * funnel all copies through one reducer's sort. The quality gate and
-  * annotation are per-row codegen'd expressions; at 100 TB the join
-  * co-locates on a bucketed digest table.
+  * funnel all copies through one reducer's sort. The trade: the
+  * corpus is SCANNED TWICE (once to aggregate the pick, once for the
+  * join-back — each scan re-computes md5(text)) in exchange for
+  * never shuffling corpus rows on the digest; that is the right side
+  * of the trade under skew, and at 100 TB a bucketed digest table
+  * (or a persisted `(id, digest)` projection) amortizes the second
+  * pass. The quality gate and annotation are per-row codegen'd
+  * expressions.
   *
   * Contract (shared with [[DedupOps.incrementalDedup]]): ids are
   * row-unique. Two FULLY identical rows (same id, same text) both

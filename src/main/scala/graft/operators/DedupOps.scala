@@ -821,8 +821,11 @@ object DedupOps {
         clusters.where(col("id") =!= col("cluster_id"))
           .select(col("id").as("__drop_id"))
       case Some(score) =>
+        // materialized: referenced three times below — without the
+        // pin each reference would re-run the corpus score join
         val members = clusters
           .join(df.select(col(idCol).as("id"), col(score)), Seq("id"))
+          .localCheckpoint()
         // argmax as two partial aggregates, not a rank window:
         // max(score) ignores nulls, so a null score only wins an
         // all-null cluster (the window's desc-nulls-last keeper);

@@ -76,6 +76,7 @@ object Multimodal {
     * the caller decides whether unknowns are errors or pass-through
     * rows (never a silent drop). */
   def decodeImageOne(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null) return None // a NULL payload is an unknown row
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -91,7 +92,11 @@ object Multimodal {
             durationMs = 0L))
         } finally r.dispose()
       }
-    } catch { case _: java.io.IOException => None }
+      // NonFatal, not just IOException: the JDK imageio plugins throw
+      // ArrayIndexOutOfBounds/IllegalArgument/NegativeArraySize on
+      // fuzzed headers whose magic bytes still selected a reader — a
+      // corrupt payload must stay a per-row property, never a task kill
+    } catch { case scala.util.control.NonFatal(_) => None }
     finally if (in != null) in.close()
   }
 

@@ -1106,8 +1106,8 @@ object DeltaReader {
     * column mapping the log keys `partitionValues` by the PHYSICAL
     * name (the protocol's writer requirement); the logical key is
     * accepted as a fallback for writers that never renamed them. */
-  private def partitionValueOf(snap: DeltaSnapshot, f: DeltaFile,
-                               c: String): Option[String] = {
+  private[sources] def partitionValueOf(snap: DeltaSnapshot, f: DeltaFile,
+                                        c: String): Option[String] = {
     val phys = snap.physicalSchema.flatMap { ps =>
       snap.schema.fieldNames.zip(ps.fieldNames).toMap.get(c)
     }

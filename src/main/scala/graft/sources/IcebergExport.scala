@@ -95,10 +95,10 @@ object IcebergExport {
       .getOrElse(Map.empty)
     // under column mapping the log keys partitionValues by PHYSICAL
     // name (logical accepted as a fallback for sloppy writers) —
-    // DeltaReader.partitionValueOf's contract
+    // DeltaReader.partitionValueOf, reused so the keying contract
+    // cannot drift between reader and exporter
     def rawPartValue(f: DeltaReader.DeltaFile, c: String): String =
-      physByLogical.get(c).flatMap(f.partitionValues.get)
-        .orElse(f.partitionValues.get(c)).orNull
+      DeltaReader.partitionValueOf(snap, f, c).orNull
     val base = new Path(cleanUrl)
     val fs: FileSystem = base.getFileSystem(spark.sessionState.newHadoopConf())
     val qualifiedBase = fs.makeQualified(base)

@@ -119,9 +119,14 @@ object IcebergReader {
     val partCols: Seq[String] = specs.getOrElse(defaultSpecId, Seq.empty)
 
     // ---- current snapshot → manifest list → manifests -------------
+    // current-snapshot-id -1 (or no snapshots at all) is a freshly
+    // created table with no commits — a valid v2 tree that resolves
+    // to an empty frame with the declared schema, not an error
     val curSnapId = Option(meta.get("current-snapshot-id")).map(_.asLong)
-      .getOrElse(throw new IllegalStateException(
-        "IcebergReader: metadata carries no current-snapshot-id"))
+      .getOrElse(-1L)
+    if (curSnapId == -1L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val snapNode = Option(meta.get("snapshots"))
       .flatMap(_.elements().asScala.find(
         _.get("snapshot-id").asLong == curSnapId))
@@ -191,8 +196,11 @@ object IcebergReader {
         .toDF(dataFields.map(_.name): _*) // positional physical→logical
       partCols.foldLeft(base) { (df, c) =>
         val dt = schema(c).dataType
+        // a column absent from an entry's (older, subset) spec is a
+        // file written before the field existed — null, per Iceberg
+        val v = pv.getOrElse(c, null)
         df.withColumn(c,
-          if (pv(c) == null) lit(null).cast(dt) else lit(pv(c)).cast(dt))
+          if (v == null) lit(null).cast(dt) else lit(v).cast(dt))
       }
     }
     frames.reduce(_ unionByName _)

@@ -964,10 +964,14 @@ class OperatorsSpec extends SparkSpec {
       assert(javax.imageio.ImageIO.write(img, fmt, out))
       out.toByteArray
     }
+    val pngMagicGarbage = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      '\r', '\n', 0x1a, '\n') ++ Array.fill[Byte](16)(0x7f)
     val bin = Seq(
       (1L, encode(20, 12, "png")),
       (2L, encode(7, 33, "jpg")),
-      (3L, Array[Byte](0, 1, 2, 3)) // not an image → unknown, kept
+      (3L, Array[Byte](0, 1, 2, 3)), // not an image → unknown, kept
+      (4L, null.asInstanceOf[Array[Byte]]), // NULL payload → unknown, kept
+      (5L, pngMagicGarbage) // magic selects a reader, header is fuzz
     ).toDF("id", "payload")
     val got = Multimodal.decodeImages(bin, "id", "payload").toDF()
       .select(col("id"), col("meta.kind"), col("meta.width"), col("meta.height"))
@@ -976,6 +980,9 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1L) == (("image/png", 20, 12)))
     assert(got(2L)._1 == "image/jpeg" && got(2L)._2 == 7 && got(2L)._3 == 33)
     assert(got(3L) == (("unknown", 0, 0)), "corrupt bytes keep their row")
+    assert(got(4L) == (("unknown", 0, 0)), "a NULL payload keeps its row")
+    assert(got(5L) == (("unknown", 0, 0)),
+      "fuzzed header behind a real magic must not kill the task")
     // payloads round-trip the real-decode boundary untouched
     val p = Multimodal.decodeImages(bin, "id", "payload").toDF()
       .where(col("id") === 3).select("payload").head.getAs[Array[Byte]](0)

@@ -146,6 +146,100 @@ class IcebergReaderSpec extends SparkSpec {
     }
   }
 
+  test("empty foreign table (current-snapshot-id -1) resolves to an empty frame with the schema") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val fs = new Path(table).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      fs.mkdirs(new Path(table, "metadata"))
+      // a freshly created real Iceberg v2 table: no commits yet
+      IcebergExport.writeFile(fs, new Path(table, "metadata/v1.metadata.json"),
+        """{"format-version":2,"table-uuid":"empty","location":"x",
+          |"last-sequence-number":0,"last-updated-ms":1,"last-column-id":1,
+          |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,
+          |"fields":[{"id":1,"name":"v","required":false,"type":"long"}]}],
+          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+          |"last-partition-id":999,"default-sort-order-id":0,
+          |"sort-orders":[{"order-id":0,"fields":[]}],"properties":{},
+          |"current-snapshot-id":-1,"snapshots":[],
+          |"snapshot-log":[],"metadata-log":[]}""".stripMargin.replace("\n", ""))
+      IcebergExport.writeFile(fs, new Path(table, "metadata/version-hint.text"), "1\n")
+      val got = IcebergReader.read(table).get
+      assert(got.schema.fieldNames.toSeq == Seq("v"))
+      assert(got.count() == 0L)
+    }
+  }
+
+  test("manifest under an older SUBSET partition spec injects null for the newer column") {
+    withTempDir { dir =>
+      val table = s"$dir/t"
+      val fs = new Path(table).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      import spark.implicits._
+      // pre-evolution file: written before partition field p existed
+      Seq((1L, "x")).toDF("v", "s").coalesce(1).write.parquet(s"$table/d0")
+      val f0 = new java.io.File(s"$table/d0").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toURI.toString
+      fs.mkdirs(new Path(table, "metadata"))
+      // manifest under spec-0 (NO partition fields)
+      val mSchema = new org.apache.avro.Schema.Parser().parse(
+        """{"type":"record","name":"manifest_entry","fields":[
+          |{"name":"status","type":"int","field-id":0},
+          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+          |{"name":"content","type":"int","field-id":134},
+          |{"name":"file_path","type":"string","field-id":100},
+          |{"name":"file_format","type":"string","field-id":101},
+          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+          |{"name":"record_count","type":"long","field-id":103},
+          |{"name":"file_size_in_bytes","type":"long","field-id":104}
+          |]}}]}""".stripMargin)
+      val dfS = mSchema.getField("data_file").schema()
+      val d = new org.apache.avro.generic.GenericData.Record(dfS)
+      d.put("content", Int.box(0)); d.put("file_path", f0)
+      d.put("file_format", "PARQUET")
+      d.put("partition", new org.apache.avro.generic.GenericData.Record(
+        dfS.getField("partition").schema()))
+      d.put("record_count", Long.box(1L))
+      d.put("file_size_in_bytes", Long.box(100L))
+      val e = new org.apache.avro.generic.GenericData.Record(mSchema)
+      e.put("status", Int.box(1)); e.put("data_file", d)
+      val m = new Path(table, "metadata/m0.avro")
+      IcebergExport.writeAvro(fs, m, mSchema, Map.empty, Seq(e))
+      val lSchema = new org.apache.avro.Schema.Parser().parse(listSchemaJson)
+      val r = new org.apache.avro.generic.GenericData.Record(lSchema)
+      r.put("manifest_path", m.toUri.toString)
+      r.put("manifest_length", Long.box(fs.getFileStatus(m).getLen))
+      r.put("partition_spec_id", Int.box(0))
+      r.put("content", Int.box(0))
+      r.put("added_snapshot_id", Long.box(5L))
+      val list = new Path(table, "metadata/snap-5.avro")
+      IcebergExport.writeAvro(fs, list, lSchema, Map.empty, Seq(r))
+      IcebergExport.writeFile(fs, new Path(table, "metadata/v2.metadata.json"),
+        s"""{"format-version":2,"table-uuid":"evo","location":"${esc(table)}",
+           |"last-sequence-number":1,"last-updated-ms":1,"last-column-id":3,
+           |"current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,"fields":[
+           |{"id":1,"name":"v","required":false,"type":"long"},
+           |{"id":2,"name":"s","required":false,"type":"string"},
+           |{"id":3,"name":"p","required":false,"type":"string"}]}],
+           |"default-spec-id":1,"partition-specs":[
+           |{"spec-id":0,"fields":[]},
+           |{"spec-id":1,"fields":[{"name":"p","transform":"identity","source-id":3,"field-id":1000}]}],
+           |"last-partition-id":1000,"default-sort-order-id":0,
+           |"sort-orders":[{"order-id":0,"fields":[]}],"properties":{},
+           |"current-snapshot-id":5,"snapshots":[{"snapshot-id":5,
+           |"sequence-number":1,"timestamp-ms":1,"schema-id":0,
+           |"manifest-list":"${esc(list.toUri.toString)}",
+           |"summary":{"operation":"append"}}],
+           |"snapshot-log":[],"metadata-log":[]}""".stripMargin.replace("\n", ""))
+      IcebergExport.writeFile(fs, new Path(table, "metadata/version-hint.text"), "2\n")
+      val rows = IcebergReader.read(table).get.collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 1L && rows.head.getString(1) == "x")
+      assert(rows.head.isNullAt(2),
+        "a column absent from the file's older spec must inject null")
+    }
+  }
+
   test("foreign refusals are loud: transforms, delete manifests, delete files, format versions") {
     withTempDir { dir =>
       buildForeign(s"$dir/tr", transform = "bucket[4]")
