@@ -4896,5 +4896,54 @@ object TextQ {
       (s, dir) =>
         TextOps.mooreLewisSelect(tp(s, dir, "documents", "doc_id"), "doc_id", "text",
           col("lang") === "de", k = 20))
+    ,
+
+    // ---- banded-Hamming fingerprint pairs (Multimodal core) ------
+    // The band/cap/verify pipeline behind nearDupImagePairs, driven
+    // through its oracle-checkable entry (nearDupHashPairs) with a
+    // 60-bit simhash standing in for the image dHash: 8 byte-bands,
+    // two-phase hot-band cap (over-cap band values drop BEFORE the
+    // self-join — this round's boundaryOverlapPairs idiom), exact
+    // bit_count(xor) verification, pigeonhole-lossless at
+    // hamming <= 6 < 8 bands.
+    Q("q440_hash_band_pairs", {
+      val branches = (0 until 8).map { b =>
+        s"(sim // ${1L << (8 * b)}) % 256"
+      }
+      val bandsSql = branches.zipWithIndex.map { case (e, b) =>
+        s"SELECT doc_id, sim, $b AS bk, $e AS bv FROM sim" }
+        .mkString("\n    UNION ALL\n    ")
+      Some(s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
+              |  WHERE doc_id < 2000),
+              |hs AS (SELECT doc_id, ${D.tokenHashesWide("t", 60)} AS hashes FROM toks),
+              |sim AS (SELECT doc_id, ${D.simhashN("hashes", 60)} AS sim FROM hs),
+              |bands AS (
+              |    $bandsSql),
+              |cnts AS (SELECT bk, bv, count(*) AS n FROM bands GROUP BY 1, 2),
+              |kept AS (SELECT bands.* FROM bands JOIN cnts USING (bk, bv)
+              |  WHERE cnts.n <= 100),
+              |pairs AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+              |    x.sim AS sa, y.sim AS sb
+              |  FROM kept x JOIN kept y
+              |    ON x.bk = y.bk AND x.bv = y.bv AND x.doc_id < y.doc_id)
+              |SELECT bit_count(xor(sa, sb))::BIGINT AS hamming,
+              |  count(*)::BIGINT AS n_pairs,
+              |  min(a_id)::BIGINT AS min_a, max(b_id)::BIGINT AS max_b
+              |FROM pairs WHERE bit_count(xor(sa, sb)) <= 6
+              |GROUP BY 1 ORDER BY hamming""".stripMargin)
+    },
+      (s, dir) => {
+        val docs = tp(s, dir, "documents", "doc_id")
+          .where(col("doc_id") < 2000)
+        val sims = TextOps.withSimhash(docs, "text", 60, "sim")
+        graft.operators.Multimodal.nearDupHashPairs(
+          sims, "doc_id", "sim", maxHamming = 6, bands = 8,
+          maxBandFreq = 100L)
+          .groupBy(col("hamming"))
+          .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+            min(col("a_id")).cast("bigint").as("min_a"),
+            max(col("b_id")).cast("bigint").as("max_b"))
+          .orderBy(col("hamming"))
+      })
   )
 }

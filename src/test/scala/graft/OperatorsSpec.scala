@@ -989,6 +989,59 @@ class OperatorsSpec extends SparkSpec {
     assert(p.toSeq == Seq[Byte](0, 1, 2, 3))
   }
 
+  test("image dHash: perceptual near-dups pair, distinct images don't, hot bands cap") {
+    import spark.implicits._
+    // deterministic TEXTURED images via the JDK encoder (a pure
+    // gradient is dHash-degenerate — row-wise differences all tie):
+    // A' = A with a small corner edit (perceptually near); B = a
+    // different texture seed (perceptually far); C = undecodable
+    def texture(w: Int, h: Int, seed: Int, dent: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach { y =>
+        // coarse 8x8-block texture so the 9x8 dHash grid sees it
+        val v = ((((x / 8) * 73856093 ^ (y / 8) * 19349663 ^
+          seed * 83492791) & 0xffffffffL) * 2654435761L >>> 24).toInt & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      if (dent) (0 until 8).foreach(x => (0 until 8).foreach(y =>
+        img.setRGB(x, y, 0xffffff)))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val bin = Seq(
+      (1L, texture(64, 48, seed = 1, dent = false)),
+      (2L, texture(64, 48, seed = 1, dent = true)), // near-dup of 1
+      (3L, texture(64, 48, seed = 9, dent = false)), // far from both
+      (4L, Array[Byte](1, 2, 3)) // undecodable → null hash, never pairs
+    ).toDF("id", "payload")
+    val hashes = Multimodal.withImageDHash(bin, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(hashes(1L).isDefined && hashes(4L).isEmpty)
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(2L).get) <= 6,
+      "a small corner edit must stay within the dHash near-dup radius")
+    assert(java.lang.Long.bitCount(hashes(1L).get ^ hashes(3L).get) > 6,
+      "a structurally different texture must fall outside the radius")
+    val pairs = Multimodal.nearDupImagePairs(bin, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"only the near-dup pair may surface: $pairs")
+    // hot-band cap: many identical solid images share EVERY band
+    // value; capping drops the boilerplate bands (and with them the
+    // quadratic self-join) — the survivors' pairs vanish
+    val solid = (0L until 40L).map(i =>
+      (i, texture(16, 16, seed = 0, dent = false))).toDF("id", "payload")
+    val capped = Multimodal.nearDupImagePairs(
+      solid, "id", "payload", maxBandFreq = 10L)
+    assert(capped.count() == 0L,
+      "every band of the boilerplate cluster is over-cap and must drop")
+    // pigeonhole contract is enforced
+    intercept[IllegalArgumentException](
+      Multimodal.nearDupImagePairs(bin, "id", "payload",
+        maxHamming = 8, bands = 8))
+  }
+
   test("multimodal frame sampling is bounded by fps * duration") {
     import spark.implicits._
     val bin = Seq((1L, Array[Byte](2, 0, 0, 9))).toDF("id", "payload") // durationMs = 10000
