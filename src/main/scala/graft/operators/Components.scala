@@ -663,29 +663,47 @@ object Components {
     * Scale shape (100 TB): per round, two equi-joins keyed on arc
     * endpoints + two node-keyed aggregations + a broadcast scalar
     * max — no driver-side collect, no cross join beyond the 1-row
-    * broadcast. `iters` is small and fixed; lineage stays linear in
-    * rounds (each frame referenced once per half-step). */
+    * broadcast. `iters` is small and fixed. Each half-step's score
+    * frame is localCheckpointed: the a/h recurrences reference each
+    * other AND the rescale max reads its own half-step twice, so a
+    * lazy chain re-executes the whole prefix ~4^iters times (the
+    * q205 double-reference lesson — measured as a 15k-operator
+    * physical plan and 3.3 s of re-execution on q314's 100-edge
+    * graph before the conversion; ~0.5 s after). Spent half-step
+    * checkpoints are freed eagerly. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 2): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+      .localCheckpoint()
     val nodes = e.select(col("__s").as("__v"))
       .unionAll(e.select(col("__t").as("__v"))).distinct()
+      .localCheckpoint()
     var h = nodes.withColumn("__h", lit(1000000L))
     var a: DataFrame = null
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (_ <- 1 to iters) {
       val contribA = e
         .join(h.select(col("__v").as("__s2"), col("__h")),
           col("__s") === col("__s2"))
         .groupBy(col("__t").as("__v")).agg(sum(col("__h")).as("__raw"))
+      // ar/hr are deliberately NOT checkpointed: each is referenced
+      // twice (its own rescale max + the rescale projection), which
+      // re-runs one shallow join+agg over checkpointed inputs — two
+      // cheap passes beat an extra materialization job per half-step.
+      // The exponential hazard is only in the CROSS-half-step chain,
+      // which the a/h checkpoints cut.
       val ar = nodes.join(contribA, Seq("__v"), "left")
         .select(col("__v"), coalesce(col("__raw"), lit(0L)).as("__raw"))
       val am = ar.agg(max(col("__raw")).as("__m"))
+      spent += h
+      if (a != null) spent += a
       a = ar.crossJoin(broadcast(am))
         .withColumn("__a", expr(
           "CASE WHEN __m IS NULL OR __m = 0 THEN 0L " +
             "ELSE (__raw * 1000000L) div __m END"))
         .select(col("__v"), col("__a"))
+        .localCheckpoint()
       val contribH = e
         .join(a.select(col("__v").as("__t2"), col("__a")),
           col("__t") === col("__t2"))
@@ -698,10 +716,16 @@ object Components {
           "CASE WHEN __mh IS NULL OR __mh = 0 THEN 0L " +
             "ELSE (__rawh * 1000000L) div __mh END"))
         .select(col("__v"), col("__h"))
+        .localCheckpoint()
     }
-    h.join(a, Seq("__v"))
+    val out = h.join(a, Seq("__v"))
       .select(col("__v").as("node"), col("__h").as("hub_ppm"),
         col("__a").as("auth_ppm"))
+    // the final a/h checkpoints stay live inside `out`'s plan; only
+    // strictly-interior half-step frames are freed here (a is still
+    // referenced — excluded above)
+    spent.foreach(freeCheckpoint)
+    out
   }
 
   /** Bounded-round Bellman–Ford: single-source-set weighted shortest
