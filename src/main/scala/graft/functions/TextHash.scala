@@ -82,8 +82,15 @@ object TextHash {
     def tokens(s: String): String = s"split($s, ' ')"
 
     /** 3-word shingles over a token-array expression `t`; whole-text
-      * fallback below 3 tokens keeps the result non-empty. */
+      * fallback below 3 tokens keeps the result non-empty. Native
+      * codegen expression (graft.functions.catalyst.Shingles3),
+      * bitwise-equal to [[shingles3Hof]]. */
     def shingles3(t: String, fallbackText: String): String =
+      s"graft_shingles3($t, $fallbackText)"
+
+    /** Built-in-only HOF rendering of the same shingles (interpreted;
+      * registration-free environments and parity tests). */
+    def shingles3Hof(t: String, fallbackText: String): String =
       s"CASE WHEN size($t) >= 3 THEN transform(sequence(1, size($t) - 2), " +
         s"i -> concat(element_at($t, i), ' ', element_at($t, i + 1), ' ', element_at($t, i + 2))) " +
         s"ELSE array($fallbackText) END"
@@ -159,12 +166,21 @@ object TextHash {
       s"size(filter($t, x -> x = '${word.replace("'", "''")}'))"
 
     /** Rolling hashes of the character k-grams of `s`, one per start
-      * position. Materialize ONCE per row before windowing. (Lambda
-      * variable named `kg`, not `i`, so the expression stays correct
-      * if the native hash is swapped for its HOF rendering, whose
-      * inner lambda binds `i` — see the duck dialect note.) */
+      * position. Materialize ONCE per row before windowing. Native
+      * codegen expression (graft.functions.catalyst.KgramHashes):
+      * one code-point pass, no gram-string allocation, where the HOF
+      * rendering re-seeks the string per position (O(n²)). Callers
+      * guard `length(s) >= k` (below that the native form is empty
+      * where the HOF's descending sequence was an artifact). */
     def kgramHashes(s: String, k: Int): String =
-      s"transform(sequence(1, length($s) - ${k - 1}), kg -> ${rollingHash(s"substring($s, kg, $k)")})"
+      s"graft_kgram_hashes($s, $k)"
+
+    /** Built-in-only HOF rendering of the same k-gram hashes
+      * (interpreted; parity tests — defined only for length ≥ k).
+      * Lambda variable named `kg`, not `i`: the rolling hash HOF's
+      * inner lambda binds `i`. */
+    def kgramHashesHof(s: String, k: Int): String =
+      s"transform(sequence(1, length($s) - ${k - 1}), kg -> ${rollingHashHof(s"substring($s, kg, $k)")})"
 
     /** Winnowing (window-min) selection over a k-gram hash array
       * expression `h`: min hash of each length-`w` window, distinct,

@@ -176,6 +176,96 @@ object HashOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val ShingleSep = UTF8String.fromString(" ")
+
+  /** 3-token shingles of a string array — exactly the HOF rendering
+    * `TextHash.spark.shingles3Hof`: size ≥ 3 → the n−2 space-joined
+    * triples (a null token nulls its shingles, matching concat), else
+    * (including a NULL token array — `size(NULL)` is NULL and the
+    * CASE falls through) the single-element fallback array. The HOF
+    * form interprets three element_at lambdas + concat per shingle;
+    * this is one generated call per row. */
+  def shingles3(toks: ArrayData, fallback: UTF8String): ArrayData = {
+    val n = if (toks == null) -1 else toks.numElements()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](fallback))
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) =
+        if (toks.isNullAt(i) || toks.isNullAt(i + 1) || toks.isNullAt(i + 2)) null
+        else UTF8String.concat(toks.getUTF8String(i), ShingleSep,
+          toks.getUTF8String(i + 1), ShingleSep, toks.getUTF8String(i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Byte offsets of each code-point start in `s`, plus an end
+    * sentinel — the O(n) walk that replaces per-position
+    * `substring(s, i, k)` calls (each of which re-seeks from byte 0,
+    * making gram explosion O(n²) in the HOF renderings). */
+  private def cpOffsets(s: UTF8String): Array[Int] = {
+    val nb = s.numBytes()
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(s.getByte(i))
+      c += 1
+    }
+    offs(c) = nb
+    offs
+  }
+
+  /** All `n`-character grams of `s`, one per start position — for
+    * `length(s) ≥ n` exactly
+    * `transform(sequence(1, length(s) − n + 1), i -> substring(s, i, n))`.
+    * Shorter inputs return an EMPTY array (the HOF's descending
+    * `sequence` in that regime is an artifact no caller relies on:
+    * every call site guards `length ≥ n`). Each gram is a zero-copy
+    * slice over one shared byte array. */
+  def charGrams(s: UTF8String, n: Int): ArrayData = {
+    val nc = s.numChars()
+    if (nc < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val offs = cpOffsets(s)
+    val bytes = s.getBytes
+    val out = new Array[Any](nc - n + 1)
+    var i = 0
+    while (i <= nc - n) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Rolling hashes of every `k`-gram of `s` — for `length(s) ≥ k`
+    * exactly `transform(sequence(1, length(s) − k + 1),
+    * kg -> graft_rolling_hash(substring(s, kg, k)))`, computed in one
+    * code-point pass with no gram-string allocation. Shorter inputs
+    * return an empty array (same guarded contract as [[charGrams]]). */
+  def kgramHashes(s: UTF8String, k: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var h = 0L
+      var j = i
+      while (j < i + k) { h = (h * 31 + cps(j)) % P; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Strict left-to-right dot product of two float arrays in double
     * precision — exactly
     * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)`,
@@ -780,5 +870,126 @@ case class CmsQuery(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsQuery =
+    copy(left = l, right = r)
+}
+
+/** `graft_shingles3(array<string>, fallback_text) -> array<string>` —
+  * 3-token shingles with whole-text fallback below 3 tokens. NOT
+  * null-propagating on the token array (a NULL array takes the
+  * fallback branch, matching the CASE in the HOF rendering), so this
+  * overrides eval/doGenCode directly instead of the nullSafe helpers. */
+case class Shingles3(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), _: StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, string)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_shingles3"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    val f = right.eval(input)
+    HashOps.shingles3(
+      if (t == null) null else t.asInstanceOf[ArrayData],
+      if (f == null) null else f.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val t = left.genCode(ctx)
+    val f = right.genCode(ctx)
+    val resultCode =
+      code"""
+        ${t.code}
+        ${f.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.catalyst.HashOps.shingles3(
+            ${t.isNull} ? null : ${t.value},
+            ${f.isNull} ? null : ${f.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Shingles3 =
+    copy(left = l, right = r)
+}
+
+/** `graft_char_grams(string, k) -> array<string>` — every k-character
+  * gram of the input, one per start position (empty below k chars;
+  * call sites guard `length >= k`). `k` must be a foldable positive
+  * int: the gram walk is O(text) total where the HOF rendering's
+  * per-position substring re-seek is O(text²). */
+case class CharGrams(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) if right.foldable =>
+        if (right.eval() == null || kVal < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName gram length must be a positive non-null constant")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_char_grams"
+
+  private lazy val kVal: Int = right.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = left.eval(input)
+    if (s == null) null
+    else HashOps.charGrams(s.asInstanceOf[UTF8String], kVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) => {
+      s"${ev.value} = graft.functions.catalyst.HashOps.charGrams($s, $kVal);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharGrams =
+    copy(left = l, right = r)
+}
+
+/** `graft_kgram_hashes(string, k) -> array<bigint>` — rolling hash of
+  * every k-character gram, one generated pass with no gram-string
+  * allocation (empty below k chars; call sites guard). */
+case class KgramHashes(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, IntegerType) if right.foldable =>
+        if (right.eval() == null || kVal < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName gram length must be a positive non-null constant")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, foldable int)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_kgram_hashes"
+
+  private lazy val kVal: Int = right.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val s = left.eval(input)
+    if (s == null) null
+    else HashOps.kgramHashes(s.asInstanceOf[UTF8String], kVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) => {
+      s"${ev.value} = graft.functions.catalyst.HashOps.kgramHashes($s, $kVal);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KgramHashes =
     copy(left = l, right = r)
 }

@@ -65,6 +65,15 @@ object GraftFunctions {
     ("graft_cms_query",
       info("graft_cms_query", "point query (estimated count) of a count_min_sketch binary (args: sketch, item)"),
       (args: Seq[Expression]) => CmsQuery(args(0), args(1))),
+    ("graft_shingles3",
+      info("graft_shingles3", "3-token shingles of array<string> with whole-text fallback below 3 tokens (args: toks, fallback_text)"),
+      (args: Seq[Expression]) => Shingles3(args(0), args(1))),
+    ("graft_char_grams",
+      info("graft_char_grams", "all k-char grams of a string, one per start position; empty below k chars (args: text, k)"),
+      (args: Seq[Expression]) => CharGrams(args(0), args(1))),
+    ("graft_kgram_hashes",
+      info("graft_kgram_hashes", "rolling hash of every k-char gram of a string; empty below k chars (args: text, k)"),
+      (args: Seq[Expression]) => KgramHashes(args(0), args(1))),
     ("graft_bottom_k",
       info("graft_bottom_k", "bounded bottom-k of any orderable value: k-heap per partition, merged per group — array<typeof(value)> sorted ascending (args: value, k)"),
       (args: Seq[Expression]) => BottomK(args(0), args(1))),

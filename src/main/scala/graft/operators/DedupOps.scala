@@ -1075,15 +1075,16 @@ object DedupOps {
       s"gramLen must be in [4, 10000], got $gramLen")
     val lens = df.select(col(idCol),
       coalesce(length(col(textCol)).cast("bigint"), lit(0L)).as("n_chars"))
-    val gramExpr =
-      if (hashKeys) s"xxhash64(substring($textCol, i + 1, $gramLen))"
-      else s"substring($textCol, i + 1, $gramLen)"
-    val grams = df
+    // native one-pass gram walk (posexplode position ≡ the 0-based
+    // gram offset); the HOF rendering re-seeks the text per position
+    // (O(text²) per row) and interprets a lambda per gram
+    val grams0 = df
       .where(length(col(textCol)) >= gramLen)
-      .select(col(idCol), expr(
-        s"explode(transform(sequence(0, length($textCol) - $gramLen), " +
-          s"i -> struct(i AS pos, $gramExpr AS g)))").as("e"))
-      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+      .select(col(idCol),
+        posexplode(expr(s"graft_char_grams($textCol, $gramLen)"))
+          .as(Seq("pos", "__gs")))
+    val grams = grams0.select(col(idCol), col("pos"),
+      (if (hashKeys) expr("xxhash64(__gs)") else col("__gs")).as("g"))
     val dup = grams
       .withColumn("__gn", count(lit(1)).over(Window.partitionBy(col("g"))))
       .where(col("__gn") >= 2)
@@ -1131,15 +1132,14 @@ object DedupOps {
     import org.apache.spark.sql.expressions.Window
     require(gramLen >= 4 && gramLen <= 10000,
       s"gramLen must be in [4, 10000], got $gramLen")
-    val gramExpr =
-      if (hashKeys) s"xxhash64(substring($textCol, i + 1, $gramLen))"
-      else s"substring($textCol, i + 1, $gramLen)"
+    // native one-pass gram walk — see [[repeatedCharSpans]]
     val grams = df
       .where(length(col(textCol)) >= gramLen)
-      .select(col(idCol), expr(
-        s"explode(transform(sequence(0, length($textCol) - $gramLen), " +
-          s"i -> struct(i AS pos, $gramExpr AS g)))").as("e"))
-      .select(col(idCol), col("e.pos").as("pos"), col("e.g").as("g"))
+      .select(col(idCol),
+        posexplode(expr(s"graft_char_grams($textCol, $gramLen)"))
+          .as(Seq("pos", "__gs")))
+      .select(col(idCol), col("pos"),
+        (if (hashKeys) expr("xxhash64(__gs)") else col("__gs")).as("g"))
     val wg = Window.partitionBy(col("g"))
     val cut = grams
       .withColumn("__gn", count(lit(1)).over(wg))

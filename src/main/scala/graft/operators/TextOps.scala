@@ -66,7 +66,12 @@ object TextOps {
                                   out: String = "fps"): DataFrame = {
     require(k >= 1 && w >= 1)
     import org.apache.spark.sql.functions.{array, col, length, lit, when}
-    df.withColumn("__kh", expr(H.kgramHashes(textCol, k)))
+    // the original mixed rendering (HOF walk over the native scalar
+    // hash), kept verbatim so this parity path's behavior is
+    // independent of the production kgramHashes (now fully native)
+    df.withColumn("__kh", expr(
+        s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+          s"kg -> ${H.rollingHash(s"substring($textCol, kg, $k)")})"))
       .withColumn(out,
         // null text -> null result (matching the native expression's
         // null propagation; without this branch the CaseWhen would

@@ -1722,8 +1722,7 @@ object TextQ {
       (s, dir) =>
         tp(s, dir, "documents", "doc_id")
           .where(length(col("text")) >= 3)
-          .select(explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
+          .select(explode(expr("graft_char_grams(text, 3)")).as("trigram"))
           .groupBy("trigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("trigram"))
           .limit(20)),
@@ -1748,8 +1747,8 @@ object TextQ {
       (s, dir) => {
         val tg = tp(s, dir, "documents", "doc_id")
           .where(length(col("text")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("trigram"))
+          .select(col("doc_id"),
+            explode(expr("graft_char_grams(text, 3)")).as("trigram"))
         // Char-trigram cardinality is bounded by the alphabet (tens of
         // thousands of distinct values regardless of corpus size), so
         // the counts table is broadcast-safe: partial aggregation

@@ -24,6 +24,57 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("native shingles3 == HOF shingles3 on real text (incl. <3-token fallback, null tokens, null text)") {
+    import spark.implicits._
+    val extra = Seq((90001L, "one two"), (90002L, ""), (90003L, "a b c"),
+      (90004L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val base = docs.select("doc_id", "text").unionAll(extra)
+      // null token array exercises the CASE fallback on size(NULL)
+      .withColumn("toks",
+        when(col("doc_id") === 90003L, lit(null)).otherwise(expr(H.tokens("text"))))
+    val diff = base
+      .withColumn("a", expr(H.shingles3("toks", "text")))
+      .withColumn("b", expr(H.shingles3Hof("toks", "text")))
+      .where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+    assert(diff.count() == 0)
+  }
+
+  test("native char grams == HOF substring transform on real text (guarded length >= k)") {
+    for (k <- Seq(3, 30)) {
+      val diff = docs
+        .where(length(col("text")) >= k)
+        .withColumn("a", expr(s"graft_char_grams(text, $k)"))
+        .withColumn("b", expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))"))
+        .where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+      assert(diff.count() == 0, s"k=$k")
+    }
+    // non-ASCII: code-point (not byte) gram boundaries
+    import spark.implicits._
+    val uni = Seq("héllo wörld ✓ déjà", "ααββγγ δδ").toDF("text")
+    val diff = uni
+      .withColumn("a", expr("graft_char_grams(text, 4)"))
+      .withColumn("b", expr(
+        "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+    // below-k contract: empty array, null propagates
+    val edge = Seq(("ab", 1), (null.asInstanceOf[String], 2)).toDF("text", "id")
+      .withColumn("g", expr("graft_char_grams(text, 3)"))
+      .collect().sortBy(_.getInt(1))
+    assert(edge(0).getSeq[String](2) == Seq.empty)
+    assert(edge(1).isNullAt(2))
+  }
+
+  test("native kgram hashes == HOF kgram hashes on real text (guarded length >= k)") {
+    val diff = docs
+      .where(length(col("text")) >= 5)
+      .withColumn("a", expr(H.kgramHashes("text", 5)))
+      .withColumn("b", expr(H.kgramHashesHof("text", 5)))
+      .where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+    assert(diff.count() == 0)
+  }
+
   test("native hash array + seeded min == HOF pipeline on real shingles") {
     val (a0, b0) = TextHash.Seeds.head
     val base = docs
