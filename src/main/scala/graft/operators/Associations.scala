@@ -23,15 +23,19 @@ object Associations {
     * count — lift > 1e6 means "bought together more than chance".
     * Top-`k` by `(n_ab DESC, lift_ppm DESC, item_a, item_b)`.
     *
-    * Scale shape: items dedupe per basket FIRST (one basket-keyed
-    * aggregation); pair generation is the within-basket self-join —
-    * cost Σ items(b)², bounded by `maxBasketItems` (a basket above
-    * the cap is dropped whole, the standard guard: a degenerate
-    * "basket" with 10⁵ items is a crawler artifact, and its pairs
-    * would dominate the join for no signal). Pair counts and item
-    * marginals partial-aggregate; the marginal join keys on single
-    * items (vocabulary-sized); the scalar N broadcasts; top-k is
-    * TakeOrderedAndProject.
+    * Scale shape: ONE basket-keyed aggregation collects each basket's
+    * distinct items as a sorted array (replacing the former
+    * distinct + size-gate + basket-keyed SELF-JOIN — three shuffles
+    * of the basket-item frame and a join — with a single shuffle);
+    * pair generation is then a local within-array explode — cost
+    * Σ items(b)², bounded by `maxBasketItems` (a basket above the
+    * cap is dropped whole, the standard guard: a degenerate "basket"
+    * with 10⁵ items is a crawler artifact, and its pairs would
+    * dominate for no signal; its transient collect_set buffer is
+    * items-sized, the same memory the join build side held). Pair
+    * counts and item marginals partial-aggregate; the marginal join
+    * keys on single items (vocabulary-sized); the scalar N
+    * broadcasts; top-k is TakeOrderedAndProject.
     */
   def pairRules(df: DataFrame, basketCol: String, itemCol: String,
                 minSupport: Long, k: Int,
@@ -39,27 +43,32 @@ object Associations {
     require(minSupport >= 1, "minSupport must be positive")
     require(k >= 1, "k must be positive")
     require(maxBasketItems >= 2, "maxBasketItems must be at least 2")
-    val bi = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+    // `baskets` feeds THREE consumers (N, marginals, pairs) — persist
+    // so the collect_set shuffle runs once, not per consumer (session
+    // cache hygiene: Verify/Bench clear the cache between queries).
+    // sort_array makes the array order deterministic AND gives the
+    // pair explode its `a < b` orientation for free (items are
+    // distinct, so strictly-later array elements are strictly
+    // greater under the same ordering `<` uses).
+    val baskets = df.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .where(col("__it").isNotNull)
-      .distinct()
-    val sized = bi.groupBy(col("__bk"))
-      .agg(count(lit(1)).as("__sz"))
-      .where(col("__sz") <= maxBasketItems)
-      .select(col("__bk"))
-    // `kept` feeds FOUR consumers (N, marginals, both join sides) —
-    // persist the deduped basket-item frame so the dedup shuffle and
-    // the size gate run once, not per consumer (session cache
-    // hygiene: Verify/Bench clear the cache between queries).
-    val kept = bi.join(sized, Seq("__bk"), "left_semi").persist()
-    // `sized` is already one row per surviving basket — count it
-    // instead of re-distincting the basket-item frame
-    val nBaskets = sized.agg(count(lit(1)).cast("bigint").as("__N"))
-    val itemSupp = kept.groupBy(col("__it"))
+      .groupBy(col("__bk"))
+      .agg(sort_array(collect_set(col("__it"))).as("__items"))
+      .where(size(col("__items")) <= maxBasketItems)
+      .select(col("__items"))
+      .persist()
+    val nBaskets = baskets.agg(count(lit(1)).cast("bigint").as("__N"))
+    val itemSupp = baskets.select(explode(col("__items")).as("__it"))
+      .groupBy(col("__it"))
       .agg(count(lit(1)).cast("bigint").as("__supp"))
-    val pairs = kept.alias("x")
-      .join(kept.alias("y"),
-        col("x.__bk") === col("y.__bk") && col("x.__it") < col("y.__it"))
-      .groupBy(col("x.__it").as("item_a"), col("y.__it").as("item_b"))
+    // two chained Generate operators (posexplode + explode-of-slice)
+    // stay inside whole-stage codegen; a transform-lambda rendering of
+    // the same pairs is interpreted per element
+    val pairs = baskets
+      .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "item_a")))
+      .select(col("item_a"), explode(expr(
+        "slice(__items, __i + 2, size(__items) - __i - 1)")).as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).cast("bigint").as("n_ab"))
       .where(col("n_ab") >= minSupport)
     // the marginal tables are VOCABULARY-sized (one row per distinct
