@@ -1078,7 +1078,16 @@ object Mixing {
     * Scale shape (100 TB): the corpus collapses to the R×C cell
     * frame in one map-side-combinable aggregation; every scaling
     * step is a margin aggregation + broadcast join on that
-    * dimension-sized frame. Nothing unit-level ever reshuffles. */
+    * dimension-sized frame. Nothing unit-level ever reshuffles.
+    * Each iteration's cell frame is localCheckpointed: a scale step
+    * references its input TWICE (margin aggregate + join back), so a
+    * lazy fold doubles the plan per step — 4^iters copies of the
+    * cell scan by the end (q370's physical plan carried 632
+    * Exchanges before the conversion). One R×C-bounded
+    * materialization job per iteration keeps the plan linear; spent
+    * intermediates are freed eagerly (the hits()/labelPropagation
+    * pattern), cells0 stays live because every step's broadcast
+    * `tot` scans it. */
   def ipfRaking(df: DataFrame, rowCol: String, colCol: String,
                 iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10, "iters must be in [1, 10]")
@@ -1098,8 +1107,29 @@ object Mixing {
           s"(w_ppm * ((1000000L * __N) div $denomKey)) div __X"))
         .select(col("row_key"), col("col_key"), col("n"), col("w_ppm"))
     }
-    (1 to iters).foldLeft(cells0) { (cells, _) =>
-      scale(scale(cells, "row_key", "__R"), "col_key", "__C")
+    val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val out = (1 to iters).foldLeft(cells0) { (cells, it) =>
+      val next = scale(scale(cells, "row_key", "__R"), "col_key", "__C")
+      // The LAST iteration stays lazy: its plan reads the previous
+      // checkpoint four times (two shallow scale steps) — two cheap
+      // re-reads beat one more materialization job.
+      if (it == iters) next
+      else {
+        val ck = next.localCheckpoint()
+        if (cells ne cells0) spent += cells
+        ck
+      }
     }
+    spent.foreach(freeCheckpoint)
+    out
   }
+
+  /** Release a localCheckpoint's blocks once no live plan reads it
+    * (the Components.freeCheckpoint hygiene, replicated here). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
