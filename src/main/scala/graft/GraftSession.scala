@@ -36,6 +36,13 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // Coalesce post-shuffle partitions to the advisory SIZE rather
+    // than defending parallelism with many tiny tasks — the
+    // documented production setting for busy clusters, and locally it
+    // stops KB-sized shuffles from fanning back out to one task per
+    // core. Size-adaptive by construction: big shuffles still get
+    // many advisory-sized partitions.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 
   /** Local-mode session for tests and ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {

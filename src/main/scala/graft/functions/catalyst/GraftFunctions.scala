@@ -84,11 +84,21 @@ object GraftFunctions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[HashOps.type].getName, null, name, usage, "")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), inf, builder)
     }
+    // The function registry alone leaves the HOF-form dot product /
+    // rolling hash running as interpreted lambdas; every entry point
+    // that registers the functions should also get the native-codegen
+    // rewrite (NativeExprSpec proves the two paths bitwise-equal).
+    // GraftSession.local and GraftExtensions already install it; this
+    // covers sessions built straight from a builder (Bench, Verify).
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.NativeExprRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.NativeExprRewrite
+  }
 }
 
 /** `spark.sql.extensions` injector: functions + optimizer rewrites. */

@@ -45,8 +45,21 @@ object Q {
          key: String): DataFrame =
     t(s, dir, name).repartition(col(key))
 
+  /** Parquet schema per table path, inferred once per JVM — the
+    * catalog's job, done by hand since these are bare paths. Every
+    * `spark.read.parquet(path)` without an explicit schema runs a
+    * footer-inference Spark job BEFORE the query's own jobs (one per
+    * `t()` call — several hundred across a full sweep); passing the
+    * known schema skips it. Metadata only — data is re-read by every
+    * query — and keyed on the full path, so different testdata dirs
+    * never cross. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    val df = s.read.schema(schema).parquet(path)
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampType) | Some(TimestampNTZType) =>
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
