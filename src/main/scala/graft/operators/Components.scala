@@ -44,19 +44,29 @@ object Components {
                           maxRounds: Int = 25): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
     // Canonical downward orientation (u > v), self-loops dropped.
+    // Checkpoints here are LAZY: a lazy localCheckpoint truncates the
+    // logical plan immediately (LogicalRDD) but defers block
+    // materialization to the first action — which is the checksum
+    // aggregation the convergence loop runs anyway. Eager checkpoints
+    // paid TWO driver-paced jobs per round (materialize + checksum);
+    // fusing them into the checksum's job halves the round count's
+    // fixed job overhead without changing what is computed (the
+    // checksum fully materializes every partition, so each round
+    // still reads the previous round's cached blocks, never re-runs
+    // its lineage).
     var edges = pairs
       .select(col(aCol).cast("long").as("__ea"), col(bCol).cast("long").as("__eb"))
       .where(col("__ea") =!= col("__eb"))
       .select(greatest(col("__ea"), col("__eb")).as("u"),
         least(col("__ea"), col("__eb")).as("v"))
       .dropDuplicates("u", "v")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     var sum = checksum(edges)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSum = checksum(next)
       // Star ops never grow a component past its minimum, so an equal
       // (count, hash-sum) fingerprint means the edge set is fixed —
