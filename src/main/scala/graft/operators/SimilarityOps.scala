@@ -47,20 +47,31 @@ object SimilarityOps {
   }
 
   /** kNN join: top-k cosine neighbors from `corpus` for EVERY row of
-    * (small, broadcast) `queries`. Ranking via window row_number with
-    * deterministic tie-break. */
+    * (small, broadcast) `queries`. Ranking via the bounded
+    * [[graft.functions.catalyst.BottomK]] aggregate: a k-heap per map
+    * partition per query, merged — only k rows per query per
+    * partition ever shuffle, where the previous rank window funneled
+    * the ENTIRE scored corpus for one query through a single
+    * reducer's sort (corpus-sized at 100 TB; corpus×queries rows
+    * locally). The heap key `(isnan gate, -sim, c_id)` reproduces the
+    * window's (sim DESC NaN-first, id ASC) order exactly for every
+    * double — Spark sorts NaN above +Inf, so plain `-sim` alone would
+    * demote NaN instead of promoting it. */
   def knnJoin(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpusN = corpus.withColumn("__cnrm", expr(V.norm(corpusVec)))
     val queriesN = queries.withColumn("__qnrm", expr(V.norm(queryVec)))
     val scored = corpusN.crossJoin(broadcast(queriesN))
       .withColumn("sim", simWithNorms(corpusVec, queryVec, "__cnrm", "__qnrm"))
-    val w = Window.partitionBy(col(queryId)).orderBy(col("sim").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId).as("q_id"), col(corpusId).as("c_id"), col("rank"), col("sim"))
+    scored
+      .groupBy(col(queryId).as("q_id"))
+      .agg(expr(s"graft_bottom_k(struct(" +
+        s"CASE WHEN isnan(sim) THEN 0 ELSE 1 END AS __nn, " +
+        s"-sim AS __ns, `$corpusId` AS c_id, sim), ${k}L)").as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col("q_id"), col("__r.c_id").as("c_id"),
+        (col("__pos") + 1).as("rank"), col("__r.sim").as("sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -265,14 +276,16 @@ object SimilarityOps {
     val pc = corpus.select(col(corpusId), expr(pack(corpusVec)).as("__pc"))
     val pq = queries.select(col(queryId).as("__qid2"),
       expr(pack(queryVec)).as("__pq"))
-    val w = Window.partitionBy(col("__qid2"))
-      .orderBy(col("__ham"), col(corpusId))
+    // Hamming top-k via the bounded bottom-k heap (integer key —
+    // exact), not a per-query rank window: only k rows per query per
+    // map partition shuffle (the [[knnJoin]] conversion).
     val ham = pc.crossJoin(broadcast(pq))
       .withColumn("__ham", expr("bit_count(__pc ^ __pq)"))
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
-      .select(col("__qid2").as("q_id"), col(corpusId).as("c_id"),
-        lit(1L).as("__hit"))
+      .groupBy(col("__qid2").as("q_id"))
+      .agg(expr(s"graft_bottom_k(struct(__ham, `$corpusId` AS c_id), ${k}L)")
+        .as("__top"))
+      .select(col("q_id"), explode(col("__top")).as("__r"))
+      .select(col("q_id"), col("__r.c_id").as("c_id"), lit(1L).as("__hit"))
     full.join(ham, Seq("q_id", "c_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).cast("bigint").as("n_overlap"))
@@ -377,7 +390,6 @@ object SimilarityOps {
     * id-only self-join of the n-row best-match frame. */
   def mutualNearestNeighbors(df: DataFrame, idCol: String,
                              vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__nrm", expr(V.norm("__v")))
     val r = n.select(col("__id").as("__rid"), col("__v").as("__rv"),
@@ -385,10 +397,18 @@ object SimilarityOps {
     val scored = n.crossJoin(broadcast(r))
       .where(col("__id") =!= col("__rid"))
       .withColumn("sim", simWithNorms("__v", "__rv", "__nrm", "__rnrm"))
-    val w = Window.partitionBy(col("__id")).orderBy(col("sim").desc, col("__rid"))
-    val best = scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("__id").as("a"), col("__rid").as("b"), col("sim"))
+    // Top-1 pick as a partial-aggregated struct-min (the
+    // [[semanticDedup]] key): the n² scored rows collapse to one row
+    // per id map-side instead of all funneling through per-id rank
+    // window sorts.
+    val best = scored
+      .groupBy(col("__id"))
+      .agg(min(struct(
+        when(expr("isnan(sim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+        negate(col("sim")).as("__ns"),
+        col("__rid").as("__rid"), col("sim").as("sim"))).as("__b"))
+      .select(col("__id").as("a"), col("__b.__rid").as("b"),
+        col("__b.sim").as("sim"))
     best
       .join(best.select(col("a").as("__ga"), col("b").as("__gb")),
         col("a") === col("__gb") && col("b") === col("__ga"))
@@ -419,7 +439,6 @@ object SimilarityOps {
                     candidates: DataFrame, candId: String, candVec: String,
                     candLabel: String,
                     k: Int, simMax: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be >= 1")
     val candN = candidates.withColumn("__cnrm", expr(V.norm(candVec)))
     val anchorN = anchors.withColumn("__anrm", expr(V.norm(anchorVec)))
@@ -427,12 +446,23 @@ object SimilarityOps {
       .where(col(candLabel) =!= col(anchorLabel))
       .withColumn("sim", simWithNorms(candVec, anchorVec, "__cnrm", "__anrm"))
       .where(col("sim") <= simMax)
-    val w = Window.partitionBy(col(anchorId)).orderBy(col("sim").desc, col(candId))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(anchorId).as("a_id"), col(anchorLabel).as("a_label"),
-        col(candId).as("c_id"), col(candLabel).as("c_label"),
-        col("rank"), col("sim"))
+    // Per-anchor top-k via the bounded bottom-k heap (the [[knnJoin]]
+    // key — exact window-order reproduction): k rows per anchor per
+    // map partition shuffle instead of the whole scored candidate
+    // fan-out through per-anchor rank window sorts. anchorLabel is
+    // functionally dependent on anchorId, so grouping by both keeps
+    // it without changing the groups.
+    scored
+      .groupBy(col(anchorId).as("a_id"), col(anchorLabel).as("a_label"))
+      .agg(expr(s"graft_bottom_k(struct(" +
+        s"CASE WHEN isnan(sim) THEN 0 ELSE 1 END AS __nn, -sim AS __ns, " +
+        s"`$candId` AS c_id, `$candLabel` AS c_label, sim), ${k}L)")
+        .as("__top"))
+      .select(col("a_id"), col("a_label"),
+        posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col("a_id"), col("a_label"), col("__r.c_id").as("c_id"),
+        col("__r.c_label").as("c_label"), (col("__pos") + 1).as("rank"),
+        col("__r.sim").as("sim"))
       .orderBy("a_id", "rank")
   }
 
@@ -688,16 +718,20 @@ object SimilarityOps {
   def ivfSearch(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, query: DataFrame, k: Int,
                 excludeId: Option[Long] = None, nProbe: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
     val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
-    // Coarse assignment: argmax cosine to a centroid (tie-break cid).
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    // Coarse assignment: argmax cosine to a centroid (tie-break cid)
+    // as the partial-aggregated struct-min pick (the [[semanticDedup]]
+    // key) — one vector per id over the exchange, no per-id sort.
     val assigned = corpusN.crossJoin(broadcast(centN))
       .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") === 1)
-      .select(col(idCol), col(vecCol), col("__nrm"), col("cid").as("cluster"))
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        when(expr("isnan(csim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+        negate(col("csim")).as("__ns"), col("cid").as("cid"),
+        col(vecCol).as("__v"), col("__nrm").as("__nrm"))).as("__b"))
+      .select(col(idCol), col("__b.__v").as(vecCol),
+        col("__b.__nrm").as("__nrm"), col("__b.cid").as("cluster"))
 
     // Probe: the query vector's nProbe nearest centroids.
     val probed = query.withColumn("__qnrm", expr(V.norm("q")))
@@ -725,14 +759,20 @@ object SimilarityOps {
     * partitioned write — paid once at ingest, like [[graft.sources.Bucketing]]. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, path: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val centN = centroids.withColumn("__ctnrm", expr(V.norm("cvec")))
     val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    // Same struct-min nearest-centroid pick as [[semanticDedup]]:
+    // map-side combined, one vector per id over the exchange instead
+    // of k copies through a per-id rank window sort.
     corpusN.crossJoin(broadcast(centN))
       .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("__nrm").as("nrm"), col("cid").as("cluster"))
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        when(expr("isnan(csim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+        negate(col("csim")).as("__ns"), col("cid").as("cid"),
+        col(vecCol).as("__v"), col("__nrm").as("__nrm"))).as("__b"))
+      .select(col(idCol), col("__b.__v").as(vecCol),
+        col("__b.__nrm").as("nrm"), col("__b.cid").as("cluster"))
       .write.partitionBy("cluster").mode("overwrite").parquet(path)
   }
 
@@ -861,11 +901,13 @@ object SimilarityOps {
     // with the heaviest candidate, then repeatedly add the candidate
     // maximizing weight·(1 − max cosine to the chosen set). Ties break
     // on candidate order (sorted by source id) — deterministic.
-    val wWin = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
     val weightByCid = corpusN.crossJoin(candDf(cands))
       .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-      .withColumn("__r", row_number().over(wWin)).where(col("__r") === 1)
-      .groupBy(col("cid")).agg(count(lit(1)).as("w"))
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        when(expr("isnan(csim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+        negate(col("csim")).as("__ns"), col("cid").as("cid"))).as("__b"))
+      .groupBy(col("__b.cid").as("cid")).agg(count(lit(1)).as("w"))
       .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
 
     def unit(v: Seq[Float]): Array[Double] = {
@@ -892,8 +934,8 @@ object SimilarityOps {
     *
     * Scale shape (the MLlib pattern): centroids are k·dim values and
     * live on the DRIVER between iterations — each iteration is one
-    * broadcast of the centroids, one window argmax over the
-    * n·k scored pairs, and one partial-aggregated groupBy whose
+    * broadcast of the centroids, one partial-aggregated struct-min
+    * argmax over the n·k scored pairs, and one groupBy whose
     * output is k·dim rows. Nothing corpus-sized ever reaches the
     * driver. Seeding is [[kmeansParallelSeeds]] (k-means||, O(log k)
     * passes — not per-seed corpus scans), hash-deterministic; the
@@ -932,10 +974,15 @@ object SimilarityOps {
 
     for (_ <- 0 until iters) {
       val centN = broadcast(toDf(cents).withColumn("__ctnrm", expr(V.norm("cvec"))))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
       val assigned = corpusN.crossJoin(centN)
         .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+        .groupBy(col(idCol))
+        .agg(min(struct(
+          when(expr("isnan(csim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+          negate(col("csim")).as("__ns"), col("cid").as("cid"),
+          col(vecCol).as("__v"), col("csim").as("csim"))).as("__b"))
+        .select(col(idCol), col("__b.__v").as(vecCol),
+          col("__b.cid").as("cid"), col("__b.csim").as("csim"))
         .localCheckpoint() // feeds the objective AND the mean update
       objective += assigned.agg(sum(lit(1.0) - col("csim"))).head().getDouble(0)
       val means = assigned
@@ -966,8 +1013,9 @@ object SimilarityOps {
     * sibling of [[DedupOps.dropNearDuplicates]] (catches paraphrases
     * and re-renderings exact/shingle dedup can't).
     *
-    * Scale shape: assignment is one broadcast crossJoin + window
-    * argmax (no corpus shuffle wider than the id); the pair join is
+    * Scale shape: assignment is one broadcast crossJoin + partial-
+    * aggregated struct-min argmax (each vector crosses the exchange
+    * once, no per-id sort); the pair join is
     * blocked BY CLUSTER, with [[Blocking.withSubBlock]] capping a hot
     * cluster at `maxClusterSize` (pairs straddling sub-blocks of an
     * oversize cluster are skipped — the bounded-blocking recall
@@ -995,11 +1043,23 @@ object SimilarityOps {
         s"CASE WHEN size($vecCol) = $dim AND NOT exists($vecCol, x -> isnull(x)) THEN $vecCol " +
           s"ELSE raise_error('semanticDedup: $vecCol must be a null-free array<float> of length $dim') END"))
       .withColumn("__nrm", expr(V.norm(vecCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    // Nearest-centroid pick as a PARTIAL-AGGREGATED struct-min, not a
+    // rank window: the window shuffled every corpus vector k× (one
+    // copy per centroid) and sorted per id; min(struct) collapses the
+    // k candidates to one row per id map-side, so the exchange
+    // carries each vector once and never sorts. The key
+    // `(isnan gate, -csim, cid)` reproduces (csim DESC NaN-first,
+    // cid ASC) exactly; payload fields ride behind the key (cid is
+    // unique, so they never arbitrate).
     val assigned = corpusN.crossJoin(broadcast(centN))
       .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-      .select(col(idCol).as("id"), col(vecCol), col("__nrm"), col("cid").as("cluster"))
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        when(expr("isnan(csim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+        negate(col("csim")).as("__ns"), col("cid").as("cid"),
+        col(vecCol).as("__v"), col("__nrm").as("__nrm"))).as("__b"))
+      .select(col(idCol).as("id"), col("__b.__v").as(vecCol),
+        col("__b.__nrm").as("__nrm"), col("__b.cid").as("cluster"))
     val sub = Blocking.withSubBlock(assigned, col("cluster"), "id", maxClusterSize, "__sub")
       .localCheckpoint() // feeds both sides of the pair self-join
     val x = sub.select(col("cluster"), col("__sub"), col("id").as("a_id"),
@@ -1054,23 +1114,26 @@ object SimilarityOps {
     *
     * Scale shape: [[knnJoin]]'s — queries broadcast, corpus streams
     * through one codegen'd scan (4× less IO than float32 thanks to
-    * the codes), per-query top-k via window row_number. */
+    * the codes), per-query top-k via the bounded bottom-k heap. */
   def int8TopK(corpus: DataFrame, corpusId: String, corpusCodes: String,
                queries: DataFrame, queryId: String, queryCodes: String,
                k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(k >= 1, "k must be positive")
     val scored = corpus.crossJoin(broadcast(queries))
       .withColumn("dot_q", expr(
         s"aggregate(zip_with($corpusCodes, $queryCodes, " +
           "(ix, iy) -> CAST(ix AS BIGINT) * CAST(iy AS BIGINT)), " +
           "CAST(0 AS BIGINT), (ia, ib) -> ia + ib)"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("dot_q").desc, col(corpusId))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId).as("q_id"), col(corpusId).as("c_id"),
-        col("rank"), col("dot_q"))
+    // Integer top-k via the bounded bottom-k heap (dot is BIGINT —
+    // `-dot_q` is an exact descending key): k rows per query per map
+    // partition shuffle, no per-query rank window sort.
+    scored
+      .groupBy(col(queryId).as("q_id"))
+      .agg(expr(s"graft_bottom_k(struct(-dot_q AS __nd, " +
+        s"`$corpusId` AS c_id, dot_q), ${k}L)").as("__top"))
+      .select(col("q_id"), posexplode(col("__top")).as(Seq("__pos", "__r")))
+      .select(col("q_id"), col("__r.c_id").as("c_id"),
+        (col("__pos") + 1).as("rank"), col("__r.dot_q").as("dot_q"))
       .orderBy("q_id", "rank")
   }
 
@@ -1314,11 +1377,15 @@ object SimilarityOps {
         s"* (CAST(element_at(__sv, i) AS DOUBLE) - element_at(cvec, i)))"
     val objective = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy(col("__id"), col("s"))
-        .orderBy(col("__d"), col("cid"))
+      // ascending-distance argmin as a struct-min (exact: NaN sorts
+      // last under both the asc window and the min aggregate)
       val assigned = rows.join(broadcast(centDf), Seq("s"))
         .withColumn("__d", expr(sqd))
-        .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+        .groupBy(col("__id"), col("s"))
+        .agg(min(struct(col("__d").as("__d"), col("cid").as("cid"),
+          col("__sv").as("__sv"))).as("__b"))
+        .select(col("__id"), col("s"), col("__b.__d").as("__d"),
+          col("__b.cid").as("cid"), col("__b.__sv").as("__sv"))
         .localCheckpoint() // feeds the objective AND the mean update
       objective += assigned.agg(sum(col("__d"))).head().getDouble(0)
       val means = assigned
@@ -1414,11 +1481,15 @@ object SimilarityOps {
     require(nProbe >= 1, "nProbe must be positive")
     val centN = coarse.withColumn("__ctnrm", expr(V.norm("cvec")))
     val corpusN = corpus.withColumn("__nrm", expr(V.norm(vecCol)))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
     val assigned = corpusN.crossJoin(broadcast(centN))
       .withColumn("csim", simWithNorms(vecCol, "cvec", "__nrm", "__ctnrm"))
-      .withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("cluster"))
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        when(expr("isnan(csim)"), lit(0)).otherwise(lit(1)).as("__nn"),
+        negate(col("csim")).as("__ns"), col("cid").as("cid"),
+        col(vecCol).as("__v"))).as("__b"))
+      .select(col(idCol), col("__b.__v").as(vecCol),
+        col("__b.cid").as("cluster"))
     val spark = corpus.sparkSession
     import spark.implicits._
     // float cast for the cosine probe: graft_dot_f32 is float-typed,
