@@ -36,13 +36,12 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // Coalesce post-shuffle partitions to the advisory SIZE rather
-    // than defending parallelism with many tiny tasks — the
-    // documented production setting for busy clusters, and locally it
-    // stops KB-sized shuffles from fanning back out to one task per
-    // core. Size-adaptive by construction: big shuffles still get
-    // many advisory-sized partitions.
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    // parallelismFirst stays at its DEFAULT (true): AQE coalescing
+    // sizes partitions by BYTES, and this engine's hot stages are
+    // routinely tiny-bytes/heavy-compute (shingle hashing, pair
+    // fan-outs, BSP joins) — size-first coalescing serialized them
+    // onto one core (measured: q281 2.0 s -> 25 s, q283/q286/q403
+    // 3-10x) for no shuffle saving worth having.
 
   /** Local-mode session for tests and ad-hoc runs. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors.min(32)): SparkSession = {
