@@ -408,12 +408,16 @@ object Components {
             k: Int, maxRounds: Int = 30): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxRounds >= 1, "maxRounds must be positive")
+    // Lazy checkpoints: the per-round count (the convergence test)
+    // materializes the blocks in the same job, so each round pays ONE
+    // driver-paced job instead of checkpoint + count (the
+    // connectedComponents fusion).
     var live = edges
       .select(col(aCol).as("__a"), col(bCol).as("__b"))
       .unionAll(edges.select(col(bCol).as("__a"), col(aCol).as("__b")))
       .where(col("__a") =!= col("__b"))
       .dropDuplicates("__a", "__b")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevCount = live.count()
     var round = 0
     var stable = prevCount == 0L
@@ -429,7 +433,7 @@ object Components {
       val next = live
         .join(keep.select(col("node").as("__a")), Seq("__a"), "left_semi")
         .join(keep.select(col("node").as("__b")), Seq("__b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val n = next.count()
       stable = n == prevCount
       prevCount = n
@@ -529,12 +533,16 @@ object Components {
     val spent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (h < maxHops && !frontier.isEmpty) {
       h += 1
+      // next is a LAZY checkpoint: the visited-union checkpoint job
+      // right below materializes (and caches) its partitions, and the
+      // loop's frontier.isEmpty then reads the cache — one job per
+      // hop instead of two.
       val next = frontier
         .join(adj, frontier("node") === adj("__w"))
         .select(col("__u").as("node"))
         .dropDuplicates("node")
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       spent += visited
       visited = visited
         .unionAll(next.withColumn("hop", lit(h.toLong)))
