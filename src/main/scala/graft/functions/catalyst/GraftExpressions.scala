@@ -220,6 +220,54 @@ object HashOps {
     offs
   }
 
+  /** Unordered within-`maxDist` token pairs — for each distance
+    * `d ∈ [1, maxDist]` and position `i`, the canonicalized pair
+    * `(least(t(i), t(i+d)), greatest(t(i), t(i+d)))` — exactly the
+    * HOF rendering
+    * `concat(zip_with(slice(t,1,n-d), slice(t,1+d,n-d),
+    * (x,y) -> struct(least(x,y) a, greatest(x,y) b)) …)` computed in
+    * one pass: no slice copies, no interpreted lambda per element.
+    * Null elements follow least/greatest semantics (nulls skipped
+    * unless both sides are null). */
+  def adjacentPairs(arr: ArrayData, maxDist: Int): ArrayData = {
+    val n = arr.numElements()
+    var total = 0
+    var d = 1
+    while (d <= maxDist) { total += math.max(0, n - d); d += 1 }
+    val out = new Array[Any](total)
+    var o = 0
+    d = 1
+    while (d <= maxDist) {
+      val lim = n - d
+      var i = 0
+      while (i < lim) {
+        val x = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        val y = if (arr.isNullAt(i + d)) null else arr.getUTF8String(i + d)
+        val row =
+          if (x == null && y == null)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](null, null))
+          else if (x == null)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](y, y))
+          else if (y == null)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](x, x))
+          else if (x.compareTo(y) <= 0)
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](x, y))
+          else
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](y, x))
+        out(o) = row
+        o += 1
+        i += 1
+      }
+      d += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All `n`-character grams of `s`, one per start position — for
     * `length(s) ≥ n` exactly
     * `transform(sequence(1, length(s) − n + 1), i -> substring(s, i, n))`.
@@ -991,5 +1039,44 @@ case class KgramHashes(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KgramHashes =
+    copy(left = l, right = r)
+}
+
+/** `graft_adjacent_pairs(array<string>, maxDist) ->
+  * array<struct<a:string,b:string>>` — canonicalized (a ≤ b) token
+  * pairs within `maxDist` positions, the co-occurrence explode input,
+  * in one generated pass (see [[HashOps.adjacentPairs]]). */
+case class AdjacentPairs(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_: StringType, _), IntegerType) if right.foldable =>
+        if (right.eval() == null || dVal < 1)
+          TypeCheckResult.TypeCheckFailure(
+            s"$prettyName max distance must be a positive non-null constant")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, foldable int)")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", StringType), StructField("b", StringType))),
+    containsNull = false)
+  override def nullable: Boolean = left.nullable
+  override def prettyName: String = "graft_adjacent_pairs"
+
+  private lazy val dVal: Int = right.eval().asInstanceOf[Int]
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) null
+    else HashOps.adjacentPairs(a.asInstanceOf[ArrayData], dVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      s"${ev.value} = graft.functions.catalyst.HashOps.adjacentPairs($a, $dVal);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdjacentPairs =
     copy(left = l, right = r)
 }

@@ -74,6 +74,9 @@ object GraftFunctions {
     ("graft_kgram_hashes",
       info("graft_kgram_hashes", "rolling hash of every k-char gram of a string; empty below k chars (args: text, k)"),
       (args: Seq[Expression]) => KgramHashes(args(0), args(1))),
+    ("graft_adjacent_pairs",
+      info("graft_adjacent_pairs", "canonicalized (a<=b) token pairs within maxDist positions of array<string> (args: toks, max_dist)"),
+      (args: Seq[Expression]) => AdjacentPairs(args(0), args(1))),
     ("graft_bottom_k",
       info("graft_bottom_k", "bounded bottom-k of any orderable value: k-heap per partition, merged per group — array<typeof(value)> sorted ascending (args: value, k)"),
       (args: Seq[Expression]) => BottomK(args(0), args(1))),

@@ -185,13 +185,12 @@ object Relevance {
   def cooccurrenceCounts(df: DataFrame, textCol: String,
                          maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be positive")
-    val shifts = (1 to maxDist).map { d =>
-      s"zip_with(slice(__toks, 1, greatest(size(__toks) - $d, 0)), " +
-        s"slice(__toks, ${d + 1}, greatest(size(__toks) - $d, 0)), " +
-        "(x, y) -> struct(least(x, y) AS a, greatest(x, y) AS b))"
-    }.mkString("concat(", ", ", ")")
+    // Native single-pass pair expression (bitwise-equal to the HOF
+    // rendering `concat(zip_with(slice…))` — NativeExprSpec): the HOF
+    // paid two slice copies plus an interpreted lambda per token
+    // position, on the hottest explode of the collocation family.
     TextOps.withTokens(df.select(col(textCol)), textCol, "__toks")
-      .withColumn("__p", explode(expr(shifts)))
+      .withColumn("__p", explode(expr(s"graft_adjacent_pairs(__toks, $maxDist)")))
       .groupBy(col("__p.a").as("tok_a"), col("__p.b").as("tok_b"))
       .agg(count(lit(1)).cast("bigint").as("n"))
   }

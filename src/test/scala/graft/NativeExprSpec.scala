@@ -230,4 +230,25 @@ class NativeExprSpec extends SparkSpec {
         s"$sql must fail with a clean type-check message, got: ${e.getMessage}")
     }
   }
+  test("native adjacent pairs == HOF zip_with/slice pairs (incl. null tokens, short arrays)") {
+    import spark.implicits._
+    def hof(maxDist: Int): String = (1 to maxDist).map { d =>
+      s"zip_with(slice(toks, 1, greatest(size(toks) - $d, 0)), " +
+        s"slice(toks, ${d + 1}, greatest(size(toks) - $d, 0)), " +
+        "(x, y) -> struct(least(x, y) AS a, greatest(x, y) AS b))"
+    }.mkString("concat(", ", ", ")")
+    val extra = Seq(
+      (90001L, Seq("one")), (90002L, Seq.empty[String]),
+      (90003L, Seq("b", "a", "b")), (90004L, null.asInstanceOf[Seq[String]]),
+      (90005L, Seq("x", null, "y", null))).toDF("doc_id", "toks")
+    val base = docs.select(col("doc_id"), expr(H.tokens("text")).as("toks"))
+      .unionByName(extra)
+    for (maxDist <- Seq(1, 2, 3)) {
+      val diff = base
+        .withColumn("a", expr(s"graft_adjacent_pairs(toks, $maxDist)"))
+        .withColumn("b", expr(hof(maxDist)))
+        .where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull)
+      assert(diff.count() == 0, s"maxDist=$maxDist")
+    }
+  }
 }
