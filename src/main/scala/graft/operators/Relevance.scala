@@ -333,8 +333,11 @@ object Relevance {
       else {
         val (id, gain) = (best(0).getLong(0), best(0).getLong(1))
         picked = picked :+ ((round, id, gain))
+        // LAZY checkpoint: plan truncation now, materialization rides
+        // the next round's broadcast build (or the final action) —
+        // one fewer driver-paced job per greedy round.
         covered = covered.union(dt.where(col("__id") === id).select(col("token")))
-          .distinct().localCheckpoint()
+          .distinct().localCheckpoint(eager = false)
         round += 1
       }
     }

@@ -938,8 +938,10 @@ object TextOps {
       // NB: no mid-loop unpersist — the next round's plan is built ON
       // this checkpoint, and the one after still transitively reads
       // it; blocks are vocabulary-sized and ContextCleaner-reclaimed
-      // after the loop (see scaladoc).
-      val cp = seg.localCheckpoint()
+      // after the loop (see scaladoc). LAZY: the best-pair collect
+      // below materializes the blocks in its own job (the
+      // connectedComponents fusion) — one job per merge round, not two.
+      val cp = seg.localCheckpoint(eager = false)
       val best = cp
         .select(col("n"), expr(piecesExpr).as("__p"))
         .where(size(col("__p")) >= 2)
