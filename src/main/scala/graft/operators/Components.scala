@@ -252,27 +252,41 @@ object Components {
     require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       "dampingPermille must be in [0, 1000]")
+    // LAZY checkpoint: the nodes checkpoint job below is the first
+    // action over `e`, so it materializes these blocks in the same
+    // job — one driver-paced job instead of two (the
+    // connectedComponents fusion; nothing frees `e` before that job).
     val e = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .where(col("__src") =!= col("__dst"))
       .dropDuplicates("__src", "__dst")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodesPlain = e.select(col("__src").as("node"))
       .unionAll(e.select(col("__dst").as("node")))
       .distinct()
     // __seed gates the teleport term; global PageRank = every node 1.
-    // Placed (partitioned + sorted) on `node` like eDeg: the per-round
-    // teleport join then co-locates with the contribution aggregate's
-    // own hash(node) output — neither side of that join shuffles.
+    // Placed (partitioned + sorted) on `node`: every round's teleport
+    // left-join then co-locates with the contribution aggregate's own
+    // hash(node) output — the node frame never re-shuffles. The
+    // partition count is PINNED to the session's shuffle partitions:
+    // a bare repartition(col) is AQE-coalescible, and a checkpoint
+    // captured at a coalesced count mismatches the per-round
+    // aggregate exchanges, forcing a fresh node-side shuffle every
+    // iteration (measured: 3 extra Exchanges on the q205 graph).
+    val shufflePartitions = edges.sparkSession.sessionState.conf.numShufflePartitions
     val nodes = seedsOpt.fold(nodesPlain.withColumn("__seed", lit(1L))) { s =>
       nodesPlain.join(s.withColumn("__in", lit(1L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__in"), lit(0L)).as("__seed"))
-    }.repartition(col("node"))
+    }.repartition(shufflePartitions, col("node"))
       .sortWithinPartitions(col("node"))
       .localCheckpoint()
-    // Teleport denominator = seed-node count, as a broadcast 1-row
-    // frame — no driver count(). A disjoint seed set makes it 0 and
-    // the integral divide raises loudly.
+    // Teleport denominator = seed-node count. A single scalar read
+    // over the node-sized checkpoint, held on the driver like the
+    // k-means centroids — embedding it as a literal removes the
+    // 1-row aggregate+broadcast subtree the lazy plan otherwise
+    // re-evaluated once per iteration (2 Exchanges each). A disjoint
+    // seed set makes the count 0 and the integral divide raises
+    // loudly before any iteration runs.
     //
     // All arithmetic is BIGINT, and that is EXACT, not approximate:
     // the initial total rank mass is N·(10⁶ div N) ≤ 10⁶, and every
@@ -284,31 +298,35 @@ object Components {
     // magnitude under 2⁶³. BIGINT stays inside whole-stage codegen
     // where DECIMAL(38,0) falls out to BigDecimal ops — a measured
     // ~2× cut on the q205 supplier-part graph at the gate config.
-    val base = nodes.agg(sum(col("__seed")).as("__n"))
+    val base: Long = nodes.agg(sum(col("__seed")).as("__n"))
       .select(expr("1000000L div __n").as("__base"))
+      .head().getLong(0)
     // Edges with their source degree attached, ONCE — static across
     // rounds, so each round is a single edge⨝ranks join + one
     // destination-keyed sum, not two big joins. Materialized
-    // PARTITIONED AND SORTED on the join key: LogicalRDD preserves
-    // both, so every iteration's sort-merge join shuffles and sorts
-    // ONLY the node-sized rank side — the edge list (the big side,
-    // and the one that dwarfs ranks at 100 TB) moves zero bytes per
-    // round after this one-time placement.
+    // PARTITIONED AND SORTED on the join key (count pinned as above):
+    // LogicalRDD preserves both, so every iteration's join shuffles
+    // and sorts ONLY the node-sized rank side — the edge list (the
+    // big side, and the one that dwarfs ranks at 100 TB) moves zero
+    // bytes per round after this one-time placement. LAZY: the first
+    // round's join materializes the blocks inside the query's own
+    // job (rounds are sequential, so no later reference can race the
+    // first materialization; nothing frees these blocks).
     val eDeg = e.join(
         e.groupBy(col("__src"))
           .agg(count(lit(1)).as("__d")),
         "__src")
-      .repartition(col("__src"))
+      .repartition(shufflePartitions, col("__src"))
       .sortWithinPartitions(col("__src"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // The teleport term ((1000−d)·base·seed) depends only on the
     // STATIC nodes frame, so the recurrence references the previous
     // ranks exactly ONCE (inside the contrib join) — lineage grows
     // linearly in `iters`, no per-round checkpoint/re-execution
     // blowup (a double-referenced lazy rank frame re-executes 2^iters
     // times — measured 15s at 3 iters on the q205 graph).
-    var r: DataFrame = nodes.crossJoin(broadcast(base))
-      .select(col("node"), (col("__base") * col("__seed")).as("rank_ppm"))
+    var r: DataFrame = nodes
+      .select(col("node"), (lit(base) * col("__seed")).as("rank_ppm"))
     (1 to iters).foreach { _ =>
       val contribs = eDeg
         .join(r.select(col("node").as("__src"), col("rank_ppm")), "__src")
@@ -316,10 +334,10 @@ object Components {
           expr("rank_ppm div __d").as("__c"))
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__s"))
-      r = nodes.crossJoin(broadcast(base))
+      r = nodes
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
-          expr(s"(${1000 - dampingPermille}L * __base * __seed" +
+          expr(s"(${1000 - dampingPermille}L * ${base}L * __seed" +
             s" + ${dampingPermille}L * coalesce(__s, 0L)) div 1000L")
             .as("rank_ppm"))
     }

@@ -1651,12 +1651,15 @@ object SimilarityOps {
       val vDf = broadcast(v.toSeq.zipWithIndex
         .map { case (x, j) => (j, x) }.toDF("__j", "__v"))
       // the mat-vec runs ONCE per iteration: localCheckpoint
-      // materializes u, so the max-|u| probe and the w-fold read
-      // cached blocks rather than re-running the row-keyed dot
+      // truncates the plan, and the max-|u| probe (the round's first
+      // action, below) materializes the blocks in ITS job — one
+      // driver-paced job per round instead of checkpoint + probe (the
+      // connectedComponents lazy fusion; the blocks are cached before
+      // the w-fold reads them and before the round-end free)
       val u = e.join(vDf, Seq("__j"))
         .groupBy(col("__id"))
         .agg(sum(col("__q") * col("__v")).cast("bigint").as("__u"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val mu = math.max(1L,
         u.agg(max(abs(col("__u")))).head().getLong(0))
       val us = u.withColumn("__us", expr(rescaleSql("__u", mu.toString, scale)))
